@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Partitioning specification — the reference's `PartitionSpec`
+ * (/root/reference/fugue/collections/partition.py:79-160) re-expressed for
+ * Spark.
+ *
+ *  - `algo`: how rows are distributed into physical partitions:
+ *    - `default`/`hash`: hash-partition by `by` columns (Spark
+ *      `repartition`) — co-locates logical partitions, lets Catalyst reuse
+ *      the exchange for downstream joins/aggs on the same keys;
+ *    - `rand`: random uniform redistribution (round-robin);
+ *    - `even`: exact balanced distribution (extra pass; see
+ *      [[graft.operators.Repartitioner.even]]);
+ *    - `coarse`: physical-only repartition, no per-key sub-grouping.
+ *  - `num`: target partition count, either a literal or an expression over
+ *    `ROWCOUNT` (row count of the input — forces a count) and
+ *    `CONCURRENCY` (current cluster parallelism), e.g. `"ROWCOUNT/4"`.
+ *  - `by`: logical partition keys.
+ *  - `presort`: ordering within each logical partition, e.g.
+ *    `Seq("ts" -> false)` = ts DESC.
+ */
+final case class PartitionSpec(
+    algo: String = "default",
+    num: String = "0",
+    by: Seq[String] = Nil,
+    presort: Seq[(String, Boolean)] = Nil) {
+
+  def isEmpty: Boolean =
+    algo == "default" && num == "0" && by.isEmpty && presort.isEmpty
+
+  /** Presort as Spark sort columns, always with explicit null placement
+   * (nulls last for asc, first for desc — pandas `na_position="last"`
+   * convention of the reference; execution_engine.py:655-665). */
+  def presortCols: Seq[Column] =
+    presort.map { case (c, asc) => if (asc) col(c).asc_nulls_last else col(c).desc_nulls_last }
+
+  def presortColsNullsFirst: Seq[Column] =
+    presort.map { case (c, asc) => if (asc) col(c).asc_nulls_first else col(c).desc_nulls_first }
+
+  /** Evaluate `num` against a row count supplier and parallelism.
+   * ROWCOUNT is lazy: only computed when referenced. */
+  def evalNum(spark: SparkSession, rowCount: => Long): Int = {
+    val expr = num.trim.toUpperCase
+    if (expr.isEmpty || expr == "0") 0
+    else {
+      val concurrency = math.max(spark.sparkContext.defaultParallelism, 1)
+      val substituted = expr
+        .replace("ROWCOUNT", rowCount.toString)
+        .replace("CONCURRENCY", concurrency.toString)
+      math.max(evalArith(substituted).toInt, 0)
+    }
+  }
+
+  // tiny integer arithmetic evaluator: + - * / ( ) over longs
+  private def evalArith(s: String): Long = {
+    var pos = 0
+    def skip(): Unit = while (pos < s.length && s(pos).isWhitespace) pos += 1
+    def number(): Long = {
+      skip()
+      if (pos < s.length && s(pos) == '(') {
+        pos += 1; val v = addSub(); skip(); require(pos < s.length && s(pos) == ')'); pos += 1; v
+      } else {
+        val st = pos
+        while (pos < s.length && s(pos).isDigit) pos += 1
+        require(pos > st, s"bad partition num expr '$s'")
+        s.substring(st, pos).toLong
+      }
+    }
+    def mulDiv(): Long = {
+      var v = number()
+      skip()
+      while (pos < s.length && (s(pos) == '*' || s(pos) == '/')) {
+        val op = s(pos); pos += 1
+        val r = number()
+        v = if (op == '*') v * r else if (r == 0) v else v / r
+        skip()
+      }
+      v
+    }
+    def addSub(): Long = {
+      var v = mulDiv()
+      skip()
+      while (pos < s.length && (s(pos) == '+' || s(pos) == '-')) {
+        val op = s(pos); pos += 1
+        val r = mulDiv()
+        v = if (op == '+') v + r else v - r
+        skip()
+      }
+      v
+    }
+    val v = addSub()
+    skip()
+    require(pos >= s.length, s"bad partition num expr '$s'")
+    v
+  }
+}
+
+object PartitionSpec {
+  val empty: PartitionSpec = PartitionSpec()
+
+  def apply(by: Seq[String]): PartitionSpec = PartitionSpec("default", "0", by, Nil)
+
+  /** Parse a presort expression `"a asc, b desc"` / `"a,b desc"`. */
+  def parsePresort(expr: String): Seq[(String, Boolean)] =
+    expr.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { part =>
+      val toks = part.split("\\s+")
+      val asc = toks.length < 2 || toks(1).equalsIgnoreCase("asc")
+      (toks(0), asc)
+    }
+}

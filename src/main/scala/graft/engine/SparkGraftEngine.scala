@@ -1,0 +1,292 @@
+package graft.engine
+
+import graft.PartitionSpec
+import graft.operators.Repartitioner
+import graft.schema.SchemaExpr
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+import org.apache.spark.sql.catalyst.expressions.{Expression, WindowExpression}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{broadcast => sparkBroadcast, _}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.storage.StorageLevel
+
+/**
+ * Spark-native implementation of the engine vocabulary. Each operator is a
+ * thin declarative call into the DataFrame API so Catalyst keeps full
+ * optimization freedom (pushdown, pruning, AQE join selection, codegen) —
+ * behavioral reference: /root/reference/fugue_spark/execution_engine.py:337+.
+ */
+class SparkGraftEngine(val spark: SparkSession) extends GraftEngine {
+
+  // ---- ingestion -------------------------------------------------------
+
+  def toDF(rows: Seq[Seq[Any]], schemaExpr: String): DataFrame =
+    toDF(rows.map(Row.fromSeq), SchemaExpr.parse(schemaExpr))
+
+  def toDF(rows: Seq[Row], schema: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toList, 1), schema)
+
+  // ---- partitioning / materialization ---------------------------------
+
+  def repartition(df: DataFrame, spec: PartitionSpec): DataFrame =
+    Repartitioner(df, spec)
+
+  // RunOnce semantics of the reference (execution_engine.py:364-367):
+  // broadcast/persist are idempotent per plan identity.
+  private val broadcasted =
+    java.util.Collections.synchronizedMap(new java.util.WeakHashMap[DataFrame, DataFrame]())
+  private val persisted =
+    java.util.Collections.synchronizedMap(new java.util.WeakHashMap[DataFrame, DataFrame]())
+
+  def broadcast(df: DataFrame): DataFrame =
+    broadcasted.computeIfAbsent(df, d => sparkBroadcast(d))
+
+  def persist(df: DataFrame, lazyPersist: Boolean = true,
+      level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame =
+    persisted.computeIfAbsent(df, { d =>
+      val p = d.persist(level)
+      if (!lazyPersist) p.count() // eager materialization
+      p
+    })
+
+  def getCurrentParallelism: Int = spark.sparkContext.defaultParallelism
+
+  // ---- relational ops --------------------------------------------------
+
+  private def normalizeHow(how: String): String =
+    how.trim.toLowerCase.replace("_", "") match {
+      case "inner" => "inner"
+      case "leftouter" | "left" => "left_outer"
+      case "rightouter" | "right" => "right_outer"
+      case "fullouter" | "full" | "outer" => "full_outer"
+      case "cross" => "cross"
+      case "semi" | "leftsemi" => "left_semi"
+      case "anti" | "leftanti" => "left_anti"
+      case other => throw new IllegalArgumentException(s"unknown join type '$other'")
+    }
+
+  def join(df1: DataFrame, df2: DataFrame, how: String,
+      on: Seq[String] = Nil): DataFrame = {
+    val h = normalizeHow(how)
+    val keys = df1.columns.filter(df2.columns.contains).toSeq
+    if (on.nonEmpty)
+      require(on.toSet == keys.toSet,
+        s"join keys must be the common columns ${keys.mkString(",")}, got ${on.mkString(",")}")
+    if (h == "cross") {
+      require(keys.isEmpty, s"cross join requires disjoint schemas, common: $keys")
+      df1.crossJoin(df2)
+    } else {
+      require(keys.nonEmpty, "join requires at least one common column")
+      // result schema: df1 ∪ (df2 − keys); Spark's using-columns join already
+      // emits keys once (coalesced for outer joins) + remaining columns
+      val joined = df1.join(df2, keys, h)
+      if (h == "left_semi" || h == "left_anti") joined
+      else joined.select((df1.columns ++ df2.columns.filterNot(keys.contains))
+        .map(col).toIndexedSeq: _*)
+    }
+  }
+
+  def union(df1: DataFrame, df2: DataFrame, distinct: Boolean = true): DataFrame = {
+    val u = df1.union(df2)
+    if (distinct) u.distinct() else u
+  }
+
+  def subtract(df1: DataFrame, df2: DataFrame, distinct: Boolean = true): DataFrame =
+    if (distinct) df1.except(df2) else df1.exceptAll(df2)
+
+  def intersect(df1: DataFrame, df2: DataFrame, distinct: Boolean = true): DataFrame =
+    if (distinct) df1.intersect(df2) else df1.intersectAll(df2)
+
+  def distinct(df: DataFrame): DataFrame = df.distinct()
+
+  def dropna(df: DataFrame, how: String = "any", thresh: Option[Int] = None,
+      subset: Seq[String] = Nil): DataFrame = {
+    val cols = if (subset.nonEmpty) subset else df.columns.toSeq
+    thresh match {
+      case Some(t) => df.na.drop(t, cols)
+      case None => df.na.drop(how, cols)
+    }
+  }
+
+  def fillna(df: DataFrame, value: Any, subset: Seq[String] = Nil): DataFrame = {
+    value match {
+      case m: Map[_, _] =>
+        df.na.fill(m.asInstanceOf[Map[String, Any]])
+      case v =>
+        val cols = if (subset.nonEmpty) subset else df.columns.toSeq
+        v match {
+          case d: Double => df.na.fill(d, cols)
+          case l: Long => df.na.fill(l, cols)
+          case i: Int => df.na.fill(i.toLong, cols)
+          case s: String => df.na.fill(s, cols)
+          case b: Boolean => df.na.fill(b, cols)
+          case other =>
+            throw new IllegalArgumentException(s"unsupported fill value $other")
+        }
+    }
+  }
+
+  def sample(df: DataFrame, n: Option[Long] = None, frac: Option[Double] = None,
+      replace: Boolean = false, seed: Option[Long] = None): DataFrame = {
+    require(n.isDefined != frac.isDefined, "exactly one of n/frac must be set")
+    frac match {
+      case Some(f) => df.sample(replace, f, seed.getOrElse(new java.util.Random().nextLong()))
+      case None =>
+        // fixed-size sample without a global sort: oversample then limit
+        val total = df.count()
+        val want = n.get
+        if (want >= total && !replace) df
+        else {
+          val f = math.min(1.0, want.toDouble / total * 1.2 + 0.01)
+          df.sample(replace, f, seed.getOrElse(new java.util.Random().nextLong()))
+            .limit(want.toInt)
+        }
+    }
+  }
+
+  def take(df: DataFrame, n: Int, spec: PartitionSpec = PartitionSpec.empty,
+      naPosition: String = "last"): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    def sortCols(nullsLast: Boolean): Seq[Column] = spec.presort.map { case (c, asc) =>
+      (asc, nullsLast) match {
+        case (true, true) => col(c).asc_nulls_last
+        case (true, false) => col(c).asc_nulls_first
+        case (false, true) => col(c).desc_nulls_last
+        case (false, false) => col(c).desc_nulls_first
+      }
+    }
+    val nullsLast = naPosition != "first"
+    if (spec.by.isEmpty) {
+      if (spec.presort.isEmpty) df.limit(n)
+      else df.orderBy(sortCols(nullsLast): _*).limit(n)
+    } else if (n == 1 && spec.presort.isEmpty) {
+      // fast path: arbitrary row per key without a window
+      df.dropDuplicates(spec.by)
+    } else {
+      val w = Window.partitionBy(spec.by.map(col): _*)
+        .orderBy((if (spec.presort.nonEmpty) sortCols(nullsLast)
+          else Seq(monotonically_increasing_id())): _*)
+      df.withColumn("__graft_rn", row_number().over(w))
+        .filter(col("__graft_rn") <= n)
+        .drop("__graft_rn")
+    }
+  }
+
+  // ---- column-expression ops ------------------------------------------
+
+  /** Name-based aggregate detection, mirroring the reference's `is_agg`
+   * (/root/reference/fugue/column/functions.py:314-347) but over Catalyst
+   * expressions so arbitrary Spark functions work too. */
+  private def isAggExpr(e: Expression): Boolean = e match {
+    case _: AggregateExpression => true
+    case _: WindowExpression => false // window fns aggregate within frame only
+    case f: UnresolvedFunction if AggFunctionNames.contains(f.nameParts.last.toLowerCase) => true
+    case other => other.children.exists(isAggExpr)
+  }
+
+  private val AggFunctionNames: Set[String] = Set(
+    "min", "max", "count", "count_distinct", "countdistinct", "avg", "mean",
+    "sum", "first", "last", "collect_list", "collect_set", "stddev",
+    "stddev_pop", "stddev_samp", "variance", "var_pop", "var_samp",
+    "approx_count_distinct", "percentile_approx", "corr", "covar_pop",
+    "covar_samp", "kurtosis", "skewness", "sum_distinct", "any_value",
+    "median", "mode", "count_if", "bool_and", "bool_or")
+
+  def containsAgg(c: Column): Boolean = isAggExpr(ColumnBridge.expression(c))
+
+  def select(df: DataFrame, cols: Seq[Column], where: Option[Column] = None,
+      having: Option[Column] = None): DataFrame = {
+    val pre = where.map(df.filter).getOrElse(df)
+    val (aggCols, keyCols) = cols.partition(containsAgg)
+    val out =
+      if (aggCols.isEmpty) pre.select(cols: _*)
+      else if (keyCols.isEmpty) pre.agg(aggCols.head, aggCols.tail: _*)
+      else pre.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
+        .select(cols.map(stripAggForReorder): _*)
+    having.map(out.filter).getOrElse(out)
+  }
+
+  // after groupBy().agg() the agg outputs are materialized columns; reorder
+  // to the caller's column order by name
+  private def stripAggForReorder(c: Column): Column = {
+    val e = ColumnBridge.expression(c)
+    e match {
+      case ne: org.apache.spark.sql.catalyst.expressions.NamedExpression => col(ne.name)
+      case _ => c
+    }
+  }
+
+  def filter(df: DataFrame, cond: Column): DataFrame = df.filter(cond)
+
+  def assign(df: DataFrame, cols: Map[String, Column]): DataFrame = {
+    cols.values.foreach(c => require(!containsAgg(c), "assign does not allow aggregation"))
+    df.withColumns(cols)
+  }
+
+  def aggregate(df: DataFrame, partitionBy: Seq[String],
+      aggs: Seq[Column]): DataFrame = {
+    require(aggs.nonEmpty, "aggregate requires at least one aggregation")
+    aggs.foreach(c => require(containsAgg(c), s"$c is not an aggregation"))
+    if (partitionBy.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+    else df.groupBy(partitionBy.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  // ---- SQL -------------------------------------------------------------
+
+  def sqlSelect(sql: String, dfs: Map[String, DataFrame]): DataFrame = {
+    dfs.foreach { case (name, df) => df.createOrReplaceTempView(name) }
+    spark.sql(sql)
+  }
+
+  def tableExists(name: String): Boolean = spark.catalog.tableExists(name)
+  def loadTable(name: String): DataFrame = spark.table(name)
+  def saveTable(df: DataFrame, name: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).saveAsTable(name)
+
+  // ---- IO --------------------------------------------------------------
+
+  private def inferFormat(path: String, format: String): String =
+    if (format.nonEmpty) format
+    else path.replaceAll("\\*.*$", "").split("\\.").last.toLowerCase match {
+      case "parquet" => "parquet"
+      case "csv" => "csv"
+      case "json" => "json"
+      case "orc" => "orc"
+      case _ => "parquet"
+    }
+
+  def load(path: String, format: String = "", columns: Seq[String] = Nil,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val fmt = inferFormat(path, format)
+    val reader = spark.read.options(options).format(fmt)
+    val withDefaults = fmt match {
+      case "csv" if !options.contains("header") => reader.option("header", "true")
+      case _ => reader
+    }
+    val df = withDefaults.load(path)
+    // columns may be plain names (projection) or a schema expression (cast)
+    if (columns.isEmpty) df
+    else if (columns.exists(_.contains(":"))) {
+      val st = SchemaExpr.parse(columns.mkString(","))
+      df.select(st.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+    } else df.select(columns.map(col): _*)
+  }
+
+  def save(df: DataFrame, path: String, format: String = "",
+      mode: String = "overwrite", partitionBy: Seq[String] = Nil,
+      singleFile: Boolean = false,
+      options: Map[String, String] = Map.empty): Unit = {
+    val fmt = inferFormat(path, format)
+    val base = (if (singleFile) df.coalesce(1) else df)
+      .write.mode(mode).options(options).format(fmt)
+    val w = if (partitionBy.nonEmpty) base.partitionBy(partitionBy: _*) else base
+    w.save(path)
+  }
+}
+
+object SparkGraftEngine {
+  def apply(spark: SparkSession): SparkGraftEngine = new SparkGraftEngine(spark)
+}

