@@ -1,13 +1,464 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.engine.SparkGraftEngine
+import graft.functions.{Dedup, Multimodal, Similarity, TextFunctions}
+import graft.transform.Transform
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+/**
+ * Driver contract: one query per implemented operator (SURVEY.md §2), each
+ * with an equivalent DuckDB oracle where SQL-expressible. Queries run
+ * through the graft engine/operator APIs — they are the conformance surface
+ * of the library, not hand-written Spark one-offs.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet stores ts as TIMESTAMP(NANOS) which Spark's vectorized
+   * reader rejects; read nanos as long and truncate to microseconds (the
+   * DuckDB oracle side applies CAST(ts AS TIMESTAMP), the same floor-to-us
+   * conversion). */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  private def eng(s: SparkSession) = SparkGraftEngine(s)
+
+  /** decimal-exact sum rendered as double: deterministic across engines
+   * regardless of aggregation order (FP sums are order-dependent; decimal
+   * sums are not). */
+  private def dsum(c: String): org.apache.spark.sql.Column =
+    sum(col(c).cast("decimal(18,2)")).cast("double")
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q01_agg")(spark, "/root/testdata/sf0.001")
+
+  // customer with the key renamed to the orders key, so the engine's
+  // "join on common column names" contract applies
+  private def custK(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_custkey").as("o_custkey"),
+      col("c_name"), col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- aggregate / select / filter / assign -------------------------
+    "q01_agg" -> ((s, dir) => {
+      eng(s).aggregate(t(s, dir, "lineitem"), Seq("l_returnflag", "l_linestatus"), Seq(
+        dsum("l_quantity").as("sum_qty"),
+        dsum("l_extendedprice").as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order")))
+    }),
+    "q02_filter" -> ((s, dir) => {
+      eng(s).filter(t(s, dir, "lineitem"),
+        col("l_shipdate") < lit("1995-01-01").cast(TimestampType) && col("l_quantity") > 30)
+    }),
+    "q03_select_having" -> ((s, dir) => {
+      eng(s).select(t(s, dir, "lineitem"),
+        Seq(col("l_returnflag"), dsum("l_quantity").as("sum_qty")),
+        where = Some(col("l_shipdate") <= lit("1996-12-31").cast(TimestampType)),
+        having = Some(col("sum_qty") > 1000.0))
+    }),
+    "q04_assign" -> ((s, dir) => {
+      eng(s).assign(t(s, dir, "lineitem"), Map(
+        "revenue" -> (col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
+        "l_returnflag" -> lower(col("l_returnflag"))))
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "revenue")
+    }),
+    "q05_distinct" -> ((s, dir) => {
+      eng(s).distinct(t(s, dir, "lineitem").select("l_returnflag", "l_linestatus"))
+    }),
+
+    // ---- joins (keys inferred from common column names) ---------------
+    "q06_join_inner" -> ((s, dir) =>
+      eng(s).join(t(s, dir, "orders"), custK(s, dir), "inner")),
+    "q07_join_left" -> ((s, dir) =>
+      eng(s).join(t(s, dir, "orders"),
+        custK(s, dir).filter(col("c_acctbal") > 5000), "left_outer")),
+    "q08_join_right" -> ((s, dir) =>
+      eng(s).join(t(s, dir, "orders").filter(col("o_totalprice") > 200000),
+        custK(s, dir), "right_outer")),
+    "q09_join_full" -> ((s, dir) =>
+      eng(s).join(t(s, dir, "orders").filter(col("o_totalprice") > 200000),
+        custK(s, dir).filter(col("c_acctbal") > 5000), "full_outer")),
+    "q10_join_semi" -> ((s, dir) =>
+      eng(s).join(custK(s, dir), t(s, dir, "orders").select("o_custkey"), "semi")),
+    "q11_join_anti" -> ((s, dir) =>
+      eng(s).join(custK(s, dir), t(s, dir, "orders").select("o_custkey"), "anti")),
+    "q12_join_cross" -> ((s, dir) =>
+      eng(s).join(t(s, dir, "region"), t(s, dir, "nation"), "cross")),
+
+    // ---- set ops ------------------------------------------------------
+    "q13_union" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      eng(s).union(
+        c.filter(col("c_acctbal") > 3000).select("c_custkey", "c_mktsegment"),
+        c.filter(col("c_acctbal") < 7000).select("c_custkey", "c_mktsegment"),
+        distinct = true)
+    }),
+    "q14_union_all" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      eng(s).union(
+        c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey", "c_acctbal"),
+        c.filter(col("c_acctbal") > 8000).select("c_custkey", "c_acctbal"),
+        distinct = false)
+    }),
+    "q15_except" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      eng(s).subtract(
+        c.filter(col("c_acctbal") > 3000).select("c_custkey", "c_nationkey"),
+        c.filter(col("c_acctbal") > 7000).select("c_custkey", "c_nationkey"),
+        distinct = true)
+    }),
+    "q16_intersect" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      eng(s).intersect(
+        c.filter(col("c_acctbal") > 3000).select("c_custkey", "c_nationkey"),
+        c.filter(col("c_acctbal") < 7000).select("c_custkey", "c_nationkey"),
+        distinct = true)
+    }),
+
+    // ---- null handling ------------------------------------------------
+    "q17_dropna" -> ((s, dir) => {
+      val e = withNulls(events(s, dir))
+      eng(s).dropna(e, how = "any")
+    }),
+    "q18_fillna" -> ((s, dir) => {
+      val e = withNulls(events(s, dir))
+      eng(s).fillna(e, Map("etype" -> "unknown", "val" -> 0.0))
+    }),
+
+    // ---- sample / take ------------------------------------------------
+    "q19_take_global" -> ((s, dir) =>
+      eng(s).take(events(s, dir), 10,
+        PartitionSpec(presort = Seq("ts" -> false, "event_id" -> true)))),
+    "q20_take_per_key" -> ((s, dir) =>
+      eng(s).take(events(s, dir), 3,
+        PartitionSpec(by = Seq("user_id"),
+          presort = Seq("ts" -> false, "event_id" -> true)))),
+    "q21_sample" -> ((s, dir) =>
+      eng(s).sample(events(s, dir), frac = Some(0.2), seed = Some(42L))),
+
+    // ---- SQL passthrough ---------------------------------------------
+    "q22_sql" -> ((s, dir) =>
+      eng(s).sqlSelect(SqlRevenuePerNation, Map(
+        "orders" -> t(s, dir, "orders"),
+        "customer" -> t(s, dir, "customer"),
+        "nation" -> t(s, dir, "nation")))),
+    "q31_sql_window" -> ((s, dir) =>
+      eng(s).sqlSelect(SqlTopOrders, Map("orders" -> t(s, dir, "orders")))),
+
+    // ---- transform (per-logical-partition map) ------------------------
+    "q23_transform" -> ((s, dir) => {
+      val e = events(s, dir)
+      val evIdx = e.schema.fieldIndex("event_id")
+      val etIdx = e.schema.fieldIndex("event_type")
+      Transform.mapPartitions(e,
+        PartitionSpec(by = Seq("user_id"),
+          presort = Seq("ts" -> true, "event_id" -> true)),
+        graft.schema.SchemaExpr.parse(
+          "user_id:long,n_events:long,first_event_id:long,last_event_type:str")) {
+        (cursor, rows) =>
+          var n = 0L
+          var firstId = -1L
+          var lastType: String = null
+          rows.foreach { r =>
+            if (n == 0) firstId = r.getLong(evIdx)
+            lastType = r.getString(etIdx)
+            n += 1
+          }
+          Iterator.single(Row(cursor.keyValues.head, n, firstId, lastType))
+      }
+    }),
+
+    // ---- zip / comap (cogroup) ----------------------------------------
+    "q24_comap" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select("o_orderkey")
+      val l = t(s, dir, "lineitem").select(col("l_orderkey").as("o_orderkey"))
+      Transform.coMap(o, l, Seq("o_orderkey"), "full_outer",
+        graft.schema.SchemaExpr.parse("o_orderkey:long,n_orders:long,n_items:long")) {
+        (k, ls, rs) => Iterator.single(Row(k.head, ls.size.toLong, rs.size.toLong))
+      }
+    }),
+
+    // ---- schema ops ---------------------------------------------------
+    "q25_alter" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      c.select(col("c_custkey").cast("int").as("c_custkey"),
+        col("c_name"), col("c_nationkey").cast("long").as("c_nationkey"),
+        col("c_acctbal"), col("c_mktsegment"))
+    }),
+    "q26_rename_drop" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .withColumnRenamed("l_returnflag", "flag")
+        .drop("l_tax", "l_discount", "l_shipdate", "l_extendedprice",
+          "l_partkey", "l_suppkey", "l_quantity", "l_linestatus")),
+
+    // ---- IO round-trips -----------------------------------------------
+    "q27_csv_roundtrip" -> ((s, dir) => {
+      val tmp = s"/root/repo/target/tmp/csv_nation"
+      val e = eng(s)
+      e.save(t(s, dir, "nation"), tmp, format = "csv", singleFile = true,
+        options = Map("header" -> "true"))
+      e.load(tmp, format = "csv",
+        columns = Seq("n_nationkey:int", "n_name:str", "n_regionkey:int"))
+    }),
+    "q28_json_roundtrip" -> ((s, dir) => {
+      val tmp = s"/root/repo/target/tmp/json_region"
+      val e = eng(s)
+      e.save(t(s, dir, "region"), tmp, format = "json", singleFile = true)
+      e.load(tmp, format = "json", columns = Seq("r_regionkey:int", "r_name:str"))
+    }),
+
+    // ---- repartitioning ----------------------------------------------
+    "q29_repartition" -> ((s, dir) =>
+      eng(s).repartition(t(s, dir, "lineitem"),
+        PartitionSpec(algo = "hash", num = "8", by = Seq("l_orderkey"),
+          presort = Seq("l_linenumber" -> true)))),
+    "q30_even_repartition" -> ((s, dir) =>
+      eng(s).repartition(events(s, dir),
+        PartitionSpec(algo = "even", num = "16"))),
+
+    // ---- beyond-reference: dedup --------------------------------------
+    "d01_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), Seq("text"), "doc_id")),
+    "d02_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleK = 3, numHashes = 128, bands = 16, threshold = 0.5)
+        .select("id_a", "id_b", "jaccard")),
+    "d03_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3)),
+    "d04_dedup_ngram" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleK = 3, threshold = 0.5)),
+    "d05_dedup_embed" -> ((s, dir) =>
+      Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.4)),
+
+    // ---- beyond-reference: similarity search --------------------------
+    "s01_knn_brute" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+        .select("query_id", "rank", "neighbor_id")
+    }),
+    "s02_knn_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nTables = 8, nBits = 8)
+    }),
+
+    // ---- beyond-reference: text analysis ------------------------------
+    "t01_text_analyze" -> ((s, dir) =>
+      TextFunctions.analyze(t(s, dir, "documents"), "doc_id", "text")),
+    "t02_tokens_quality" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(Seq(col("doc_id")) ++
+        TextFunctions.qualityMetrics(col("text")).map { case (n, c) => c.as(n) }: _*)
+    }),
+    "t03_langid" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        TextFunctions.langId(col("text")).as("lang_pred"))),
+
+    // ---- beyond-reference: multimodal plumbing ------------------------
+    "m01_multimodal_decode" -> ((s, dir) => {
+      val payloads = t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      Multimodal.decodeImages(payloads, "doc_id", "payload")
+    }),
+  )
+
+  private def withNulls(events: DataFrame): DataFrame =
+    events.select(col("event_id"), col("user_id"),
+      nullif(col("event_type"), lit("error")).as("etype"),
+      when(col("value") < 5, lit(null)).otherwise(col("value")).as("val"))
+
+  private val SqlRevenuePerNation =
+    """SELECT n_name, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales,
+      | CAST(COUNT(*) AS BIGINT) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      | JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name""".stripMargin
+
+  private val SqlTopOrders =
+    """SELECT * FROM (
+      | SELECT o_custkey, o_orderkey,
+      |  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk
+      | FROM orders) x WHERE rk <= 2""".stripMargin
+
+  // -------------------------------------------------------------------
+  // DuckDB oracles. Column names/types must match the Spark results:
+  // count(*)→BIGINT matches Spark long; len/length are cast to INTEGER to
+  // match Spark's int; decimal-sums cast to DOUBLE are order-independent.
+  // -------------------------------------------------------------------
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        | CAST(COUNT(*) AS BIGINT) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter" ->
+      "SELECT * FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-01-01' AND l_quantity > 30",
+    "q03_select_having" ->
+      """SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1996-12-31'
+        |GROUP BY l_returnflag
+        |HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 1000""".stripMargin,
+    "q04_assign" ->
+      """SELECT l_orderkey, l_linenumber, lower(l_returnflag) AS l_returnflag,
+        | l_extendedprice * (1.0 - l_discount) AS revenue FROM lineitem""".stripMargin,
+    "q05_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "q06_join_inner" ->
+      """SELECT o.*, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,
+    "q07_join_left" ->
+      """SELECT o.*, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment
+        |FROM orders o LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 5000) c
+        | ON o.o_custkey = c.c_custkey""".stripMargin,
+    "q08_join_right" ->
+      """SELECT COALESCE(o.o_custkey, c.c_custkey) AS o_custkey,
+        | o.o_orderkey, o.o_orderstatus, o.o_totalprice, o.o_orderdate, o.o_orderpriority,
+        | c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment
+        |FROM (SELECT * FROM orders WHERE o_totalprice > 200000) o
+        | RIGHT JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,
+    "q09_join_full" ->
+      """SELECT COALESCE(o.o_custkey, c.c_custkey) AS o_custkey,
+        | o.o_orderkey, o.o_orderstatus, o.o_totalprice, o.o_orderdate, o.o_orderpriority,
+        | c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment
+        |FROM (SELECT * FROM orders WHERE o_totalprice > 200000) o
+        | FULL JOIN (SELECT * FROM customer WHERE c_acctbal > 5000) c
+        | ON o.o_custkey = c.c_custkey""".stripMargin,
+    "q10_join_semi" ->
+      """SELECT c_custkey AS o_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)""".stripMargin,
+    "q11_join_anti" ->
+      """SELECT c_custkey AS o_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin,
+    "q12_join_cross" ->
+      "SELECT * FROM region CROSS JOIN nation",
+    "q13_union" ->
+      """SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 3000
+        |UNION
+        |SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal < 7000""".stripMargin,
+    "q14_union_all" ->
+      """SELECT c_custkey, c_acctbal FROM customer WHERE c_mktsegment = 'BUILDING'
+        |UNION ALL
+        |SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 8000""".stripMargin,
+    "q15_except" ->
+      """SELECT c_custkey, c_nationkey FROM customer WHERE c_acctbal > 3000
+        |EXCEPT
+        |SELECT c_custkey, c_nationkey FROM customer WHERE c_acctbal > 7000""".stripMargin,
+    "q16_intersect" ->
+      """SELECT c_custkey, c_nationkey FROM customer WHERE c_acctbal > 3000
+        |INTERSECT
+        |SELECT c_custkey, c_nationkey FROM customer WHERE c_acctbal < 7000""".stripMargin,
+    "q17_dropna" ->
+      """SELECT * FROM (
+        | SELECT event_id, user_id, nullif(event_type,'error') AS etype,
+        |  CASE WHEN value < 5 THEN NULL ELSE value END AS val FROM events) x
+        |WHERE etype IS NOT NULL AND val IS NOT NULL""".stripMargin,
+    "q18_fillna" ->
+      """SELECT event_id, user_id,
+        | COALESCE(nullif(event_type,'error'), 'unknown') AS etype,
+        | COALESCE(CASE WHEN value < 5 THEN NULL ELSE value END, 0.0) AS val
+        |FROM events""".stripMargin,
+    "q19_take_global" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+        |FROM events ORDER BY ts DESC, event_id LIMIT 10""".stripMargin,
+    "q20_take_per_key" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM (
+        | SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id) AS rn
+        | FROM events) x WHERE rn <= 3""".stripMargin,
+    "q22_sql" -> SqlRevenuePerNation,
+    "q31_sql_window" -> SqlTopOrders,
+    "q23_transform" ->
+      """SELECT DISTINCT user_id,
+        | CAST(count(*) OVER w AS BIGINT) AS n_events,
+        | first_value(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_event_id,
+        | last_value(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_event_type
+        |FROM events WINDOW w AS (PARTITION BY user_id)""".stripMargin,
+    "q24_comap" ->
+      """SELECT COALESCE(o.k, l.k) AS o_orderkey, COALESCE(o.n, 0) AS n_orders,
+        | COALESCE(l.n, 0) AS n_items
+        |FROM (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY 1) o
+        |FULL JOIN (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY 1) l
+        | ON o.k = l.k""".stripMargin,
+    "q25_alter" ->
+      """SELECT CAST(c_custkey AS INTEGER) AS c_custkey, c_name,
+        | CAST(c_nationkey AS BIGINT) AS c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer""".stripMargin,
+    "q26_rename_drop" ->
+      "SELECT l_orderkey, l_linenumber, l_returnflag AS flag FROM lineitem",
+    "q27_csv_roundtrip" -> "SELECT * FROM nation",
+    "q28_json_roundtrip" -> "SELECT * FROM region",
+    "q29_repartition" -> "SELECT * FROM lineitem",
+    "q30_even_repartition" ->
+      "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events",
+    "d01_dedup_exact" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM (
+        | SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        | FROM documents) x WHERE rn = 1""".stripMargin,
+    "d04_dedup_ngram" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |sh AS (
+        | SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+        |   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        | FROM toks WHERE len(w) >= 3),
+        |pairs AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS sa, len(b.s) AS sb
+        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(inter AS DOUBLE)/(sa+sb-inter) AS jaccard
+        |FROM pairs WHERE CAST(inter AS DOUBLE)/(sa+sb-inter) >= 0.5""".stripMargin,
+    "s01_knn_brute" ->
+      """SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id FROM (
+        | SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |  row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) AS rank
+        | FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 10) q
+        | WHERE e.vec_id <> q.vec_id) x WHERE rank <= 5""".stripMargin,
+    "t02_tokens_quality" ->
+      """SELECT doc_id,
+        | CAST(length(text) AS INTEGER) AS n_chars,
+        | CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |   ELSE len(string_split_regex(trim(text), '\s+')) END AS INTEGER) AS n_tokens,
+        | CAST(length(text) - length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS INTEGER) AS n_punct,
+        | CAST(length(text) - length(regexp_replace(text, '[^0-9]', '', 'g')) AS INTEGER) AS n_digits,
+        | CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |   t -> t IN ('the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','at','by','it'))) AS INTEGER) AS n_stopwords,
+        | CASE WHEN len(string_split_regex(trim(text), '\s+')) > 0 AND length(trim(text)) > 0
+        |   THEN CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |     t -> t IN ('the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','at','by','it'))) AS DOUBLE)
+        |     / len(string_split_regex(trim(text), '\s+'))
+        |   ELSE 0.0 END AS stopword_ratio,
+        | CASE WHEN len(string_split_regex(trim(text), '\s+')) > 0 AND length(trim(text)) > 0
+        |   THEN CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |     / len(string_split_regex(trim(text), '\s+'))
+        |   ELSE 0.0 END AS mean_word_len
+        |FROM documents""".stripMargin,
+    // m01_multimodal_decode / d02/d03/d05 / s02 / t01 / t03 / q21_sample:
+    // not SQL-expressible (UDF hashes, LSH, seeded sampling) → rows-only.
+  )
+
+  /** Headline subset for the per-round benchmark (heavy/representative). */
+  def benchQueries: Seq[String] = Seq(
+    "q01_agg", "q02_filter", "q06_join_inner", "q20_take_per_key",
+    "q22_sql", "q23_transform", "q24_comap",
+    "d01_dedup_exact", "d02_dedup_minhash", "d04_dedup_ngram",
+    "s01_knn_brute", "t01_text_analyze", "t03_langid")
 }

@@ -182,6 +182,7 @@ class SparkGraftEngine(val spark: SparkSession) extends GraftEngine {
    * expressions so arbitrary Spark functions work too. */
   private def isAggExpr(e: Expression): Boolean = e match {
     case _: AggregateExpression => true
+    case _: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction => true
     case _: WindowExpression => false // window fns aggregate within frame only
     case f: UnresolvedFunction if AggFunctionNames.contains(f.nameParts.last.toLowerCase) => true
     case other => other.children.exists(isAggExpr)

@@ -10,6 +10,9 @@ import org.apache.spark.sql.classic.ExpressionUtils
  * Expression backing; extension libraries reach it via a package shim).
  */
 object ColumnBridge {
-  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+  /** Fully-converted Catalyst expression (ExpressionUtils alone returns a
+   * lazy childless ColumnNodeExpression wrapper — useless for traversal). */
+  def expression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
   def column(e: Expression): Column = ExpressionUtils.column(e)
 }
