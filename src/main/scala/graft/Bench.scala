@@ -19,16 +19,22 @@ object Bench {
     val names = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)
     // warm the JVM/parquet footers once with the cheapest query
     try SparkEntry.queries(names.head)(spark, sfDir).count() catch { case _: Throwable => () }
+    // steady-state throughput: 2 runs per query, report the min (first run
+    // pays one-off whole-stage-codegen JIT compilation, ~6s on the heavy
+    // dedup pipelines)
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":2,"agg":"min","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -19,6 +19,14 @@ import org.apache.spark.sql.functions._
  */
 object Dedup {
 
+  /** Ensure a CPU-bound projection stage has at least cluster-parallelism
+   * partitions; no-op when the input is already well-split (the 100 TB
+   * case — splits come from the source). */
+  private[functions] def spreadForCompute(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   /** Exact dedup: keep one row per distinct value of `keyCols`, choosing the
    * smallest `tieBreak` (deterministic, unlike `dropDuplicates`). Single
    * hash-shuffle on the key columns. */
@@ -113,10 +121,16 @@ object Dedup {
       maxBucketSize: Int = 1000): DataFrame = {
     val rows = numHashes / bands
     val sigFn = minhashSignature(numHashes, seed)
-    val sigs = df
+    // signatures feed band-bucketing AND both sides of the verification
+    // join — persist so the shingle+minhash pass runs once, not 3×.
+    // Signatures are ~1KB/doc: at 100 TB of text this is the small frame.
+    // Repartition first: a small parquet arrives as 1-2 splits, which would
+    // serialize the CPU-bound shingle/minhash stage on one core.
+    val sigs = spreadForCompute(df)
       .select(col(idCol).as("id"), shingleHashes(col(textCol), shingleK).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", sigFn(col("sh")))
+      .localCheckpoint(true) // not .persist(): the columnar cache writes array cols element-wise (~20x slower); localCheckpoint serializes rows. Tradeoff: no lineage recompute on executor loss.
     // band keys: hash of each signature slice (bands is a plan-time constant)
     val bandCols = (0 until bands).map(b =>
       xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, rows)), lit(b)))
@@ -231,9 +245,10 @@ object Dedup {
       shingleK: Int = 3,
       threshold: Double = 0.5,
       maxShingleDf: Int = Int.MaxValue): DataFrame = {
-    val sigs = df
+    val sigs = spreadForCompute(df)
       .select(col(idCol).as("id"), shingleHashes(col(textCol), shingleK).as("sh"))
       .filter(size(col("sh")) > 0)
+      .localCheckpoint(true) // not .persist(): the columnar cache writes array cols element-wise (~20x slower); localCheckpoint serializes rows. Tradeoff: no lineage recompute on executor loss.
     val sizes = sigs.select(col("id"), size(col("sh")).as("sz"))
     val inverted = sigs.select(col("id"), explode(col("sh")).as("s"))
     val pruned =
@@ -266,8 +281,9 @@ object Dedup {
       idCol: String,
       vecCol: String,
       threshold: Double): DataFrame = {
-    val normed = df.select(col(idCol).as("id"),
+    val normed = spreadForCompute(df).select(col(idCol).as("id"),
       Similarity.l2normalize(col(vecCol)).as("v"))
+      .localCheckpoint(true) // not .persist(): the columnar cache writes array cols element-wise (~20x slower); localCheckpoint serializes rows. Tradeoff: no lineage recompute on executor loss.
     val a = normed.select(col("id").as("id_a"), col("v").as("v_a"))
     val b = normed.select(col("id").as("id_b"), col("v").as("v_b"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))

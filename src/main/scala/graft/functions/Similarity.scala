@@ -57,7 +57,8 @@ object Similarity {
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), l2normalize(col(vecCol)).as("cv"))
+    val c = Dedup.spreadForCompute(corpus)
+      .select(col(idCol).as("neighbor_id"), l2normalize(col(vecCol)).as("cv"))
     val q = queries.select(col(idCol).as("query_id"), l2normalize(col(vecCol)).as("qv"))
     val scored = c.crossJoin(sparkBroadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
@@ -108,7 +109,8 @@ object Similarity {
       nTables: Int = 8, nBits: Int = 12, seed: Long = 42L): DataFrame = {
     val dim = corpus.select(size(col(vecCol))).first().getInt(0)
     val keys = hyperplaneKeys(dim, nTables, nBits, seed)
-    val c = corpus.select(col(idCol).as("neighbor_id"), l2normalize(col(vecCol)).as("cv"))
+    val c = Dedup.spreadForCompute(corpus)
+      .select(col(idCol).as("neighbor_id"), l2normalize(col(vecCol)).as("cv"))
       .withColumn("bk", explode(keys(col("cv"))))
     val q = queries.select(col(idCol).as("query_id"), l2normalize(col(vecCol)).as("qv"))
       .withColumn("bk", explode(keys(col("qv"))))
@@ -135,7 +137,9 @@ object Similarity {
       seed: Long = 42L, maxBucketSize: Int = 2000): DataFrame = {
     val dim = df.select(size(col(vecCol))).first().getInt(0)
     val keys = hyperplaneKeys(dim, nTables, nBits, seed)
-    val v = df.select(col(idCol).as("id"), l2normalize(col(vecCol)).as("v"))
+    val v = Dedup.spreadForCompute(df)
+      .select(col(idCol).as("id"), l2normalize(col(vecCol)).as("v"))
+      .localCheckpoint(true) // not .persist(): the columnar cache writes array cols element-wise (~20x slower); localCheckpoint serializes rows. Tradeoff: no lineage recompute on executor loss.
     val banded = v.withColumn("bk", explode(keys(col("v"))))
     val pairIds = banded.groupBy("bk")
       .agg(collect_list(col("id")).as("ids"))
