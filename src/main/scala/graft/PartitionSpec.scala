@@ -102,8 +102,6 @@ final case class PartitionSpec(
 object PartitionSpec {
   val empty: PartitionSpec = PartitionSpec()
 
-  def apply(by: Seq[String]): PartitionSpec = PartitionSpec("default", "0", by, Nil)
-
   /** Parse a presort expression `"a asc, b desc"` / `"a,b desc"`. */
   def parsePresort(expr: String): Seq[(String, Boolean)] =
     expr.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { part =>

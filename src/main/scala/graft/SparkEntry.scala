@@ -437,8 +437,8 @@ object SparkEntry {
         | CAST(length(text) AS INTEGER) AS n_chars,
         | CAST(CASE WHEN length(trim(text)) = 0 THEN 0
         |   ELSE len(string_split_regex(trim(text), '\s+')) END AS INTEGER) AS n_tokens,
-        | CAST(length(text) - length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS INTEGER) AS n_punct,
-        | CAST(length(text) - length(regexp_replace(text, '[^0-9]', '', 'g')) AS INTEGER) AS n_digits,
+        | CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS INTEGER) AS n_punct,
+        | CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS INTEGER) AS n_digits,
         | CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
         |   t -> t IN ('the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','at','by','it'))) AS INTEGER) AS n_stopwords,
         | CASE WHEN len(string_split_regex(trim(text), '\s+')) > 0 AND length(trim(text)) > 0

@@ -23,11 +23,57 @@ class SparkGraftEngine(val spark: SparkSession) extends GraftEngine {
 
   // ---- ingestion -------------------------------------------------------
 
-  def toDF(rows: Seq[Seq[Any]], schemaExpr: String): DataFrame =
-    toDF(rows.map(Row.fromSeq), SchemaExpr.parse(schemaExpr))
+  def toDF(rows: Seq[Seq[Any]], schemaExpr: String): DataFrame = {
+    val schema = SchemaExpr.parse(schemaExpr)
+    toDF(rows.map(r => Row.fromSeq(coerceRow(r, schema))), schema)
+  }
 
   def toDF(rows: Seq[Row], schema: StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.parallelize(rows.toList, 1), schema)
+
+  /** Per-value type coercion to the declared schema — the reference's
+   * type-safe ingestion contract (fugue_spark/_utils/convert.py:119-140):
+   * `to_df(rows, "a:double")` accepts Scala Ints, etc. */
+  private def coerceRow(values: Seq[Any], schema: StructType): Seq[Any] =
+    values.zip(schema.fields).map { case (v, f) => coerceValue(v, f.dataType) }
+
+  private def coerceValue(v: Any, dt: org.apache.spark.sql.types.DataType): Any = {
+    import org.apache.spark.sql.types._
+    if (v == null) null
+    else dt match {
+      case DoubleType => v match { case n: Number => n.doubleValue(); case _ => v }
+      case FloatType => v match { case n: Number => n.floatValue(); case _ => v }
+      case LongType => v match { case n: Number => n.longValue(); case _ => v }
+      case IntegerType => v match { case n: Number => n.intValue(); case _ => v }
+      case ShortType => v match { case n: Number => n.shortValue(); case _ => v }
+      case ByteType => v match { case n: Number => n.byteValue(); case _ => v }
+      case StringType => v.toString
+      case TimestampType => v match {
+        case s: String => java.sql.Timestamp.valueOf(
+          if (s.length == 10) s + " 00:00:00" else s.replace("T", " "))
+        case other => other
+      }
+      case DateType => v match {
+        case s: String => java.sql.Date.valueOf(s)
+        case other => other
+      }
+      case ArrayType(et, _) => v match {
+        case s: Seq[_] => s.map(coerceValue(_, et))
+        case other => other
+      }
+      case MapType(kt, vt, _) => v match {
+        case m: Map[_, _] =>
+          m.map { case (k, x) => coerceValue(k, kt) -> coerceValue(x, vt) }
+        case other => other
+      }
+      case st: StructType => v match {
+        case r: Row => Row.fromSeq(coerceRow(r.toSeq, st))
+        case s: Seq[_] => Row.fromSeq(coerceRow(s, st))
+        case other => other
+      }
+      case _ => v
+    }
+  }
 
   // ---- partitioning / materialization ---------------------------------
 

@@ -173,16 +173,16 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** 64-bit SimHash of the word multiset of `text` (per-token xxhash64,
-   * unweighted bit voting). */
-  def simhash(text: Column): Column = {
-    val f = udf { toks: Seq[String] =>
-      if (toks == null || toks.isEmpty) 0L
+  /** 64-bit SimHash over word k-gram shingle features (bit voting on the
+   * already-computed 64-bit shingle hashes). Shingle features — not single
+   * tokens — keep signatures discriminative when documents share a
+   * vocabulary but not phrasing. */
+  def simhash(text: Column, shingleK: Int = 3): Column = {
+    val f = udf { hashes: Seq[Long] =>
+      if (hashes == null || hashes.isEmpty) 0L
       else {
         val votes = new Array[Int](64)
-        toks.foreach { t =>
-          val h = scala.util.hashing.MurmurHash3.stringHash(t).toLong << 32 |
-            (scala.util.hashing.MurmurHash3.stringHash(t.reverse).toLong & 0xffffffffL)
+        hashes.foreach { h =>
           var b = 0
           while (b < 64) {
             if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -195,7 +195,7 @@ object Dedup {
         sig
       }
     }
-    f(split(trim(lower(text)), "\\s+"))
+    f(shingleHashes(lower(text), shingleK))
   }
 
   /**

@@ -23,7 +23,8 @@ object TextFunctions {
   def subwordTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
 
-  /** Count of characters matching a regex character class. */
+  /** Count of characters matching a regex character class (the class is
+   * removed and the length delta measured). */
   def charClassCount(text: Column, charClassRegex: String): Column =
     length(text) - length(regexp_replace(text, charClassRegex, ""))
 
@@ -40,8 +41,8 @@ object TextFunctions {
     Seq(
       "n_chars" -> length(text),
       "n_tokens" -> nTok,
-      "n_punct" -> charClassCount(text, "[^\\p{Punct}]"),
-      "n_digits" -> charClassCount(text, "[^0-9]"),
+      "n_punct" -> charClassCount(text, "[\\p{Punct}]"),
+      "n_digits" -> charClassCount(text, "[0-9]"),
       "n_stopwords" -> nStop,
       "stopword_ratio" -> when(nTok > 0, nStop.cast("double") / nTok).otherwise(lit(0.0)),
       "mean_word_len" -> when(nTok > 0,
@@ -64,7 +65,7 @@ object TextFunctions {
    */
   def langId(text: Column): Column = {
     val toks = split(trim(lower(text)), "\\s+")
-    val cjk = charClassCount(text, "[^\\u4e00-\\u9fff]")
+    val cjk = charClassCount(text, "[\\u4e00-\\u9fff]")
     val scores = LangStopwords.map { case (lang, words) =>
       lang -> size(array_intersect(toks, array(words.map(lit): _*)))
     }

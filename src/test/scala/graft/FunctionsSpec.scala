@@ -1,0 +1,169 @@
+package graft
+
+import graft.functions.{Dedup, Multimodal, Similarity, TextFunctions}
+import org.apache.spark.sql.functions._
+
+/** Scale-operator correctness: dedup family cross-checked against
+ * brute-force computations on the sf0.001 documents/embeddings tables. */
+class FunctionsSpec extends SparkTestBase {
+
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  private lazy val emb = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+  }
+
+  /** brute-force word-3-gram jaccard pairs ≥ t, computed driver-side. */
+  private def bruteJaccardPairs(t: Double): Set[(Long, Long)] = {
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def sh(s: String) = s.trim.split("\\s+").sliding(3).filter(_.length == 3)
+      .map(_.mkString(" ")).toSet
+    val shs = texts.map { case (id, t0) => id -> sh(t0) }
+    val ids = shs.keys.toSeq.sorted
+    (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = shs(ids(i)); b = shs(ids(j))
+      if a.nonEmpty && b.nonEmpty
+      inter = (a & b).size
+      if inter > 0 && inter.toDouble / (a.size + b.size - inter) >= t
+    } yield (ids(i), ids(j))).toSet
+  }
+
+  test("exact dedup keeps smallest tie-break id per key") {
+    val d = df(Seq(Seq("x", 3L), Seq("x", 1L), Seq("y", 2L)), "t:str,id:long")
+    assertDfEq(Dedup.exact(d, Seq("t"), "id"), Seq(Seq("x", 1L), Seq("y", 2L)))
+  }
+
+  test("ngramJaccardPairs matches brute force exactly") {
+    val want = bruteJaccardPairs(0.5)
+    val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+    assert(want.nonEmpty) // sf0.001 has planted near-dups
+  }
+
+  test("minhashNearDupPairs finds all high-jaccard pairs (recall at j≈0.98)") {
+    val want = bruteJaccardPairs(0.9)
+    val got = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+      shingleK = 3, numHashes = 128, bands = 16, threshold = 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH with 16 bands at j≈0.98: P(miss) = (1-j^8)^16 ≈ 1e-12 — exact here
+    assert(got === want)
+  }
+
+  test("minhash verification removes false positives below threshold") {
+    // with threshold 0.99... planted dups are ~0.98 → none should survive 0.999
+    val got = Dedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.999)
+    assert(got.count() === 0)
+  }
+
+  test("simhash near-dup pairs ⊆ high-jaccard pairs and finds most") {
+    val want = bruteJaccardPairs(0.9)
+    val got = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(want ++ bruteJaccardPairs(0.3))) // no random-pair junk
+    assert(got.intersect(want).size >= want.size / 2) // hamming≤3 finds most ~0.98 dups
+  }
+
+  test("embedding near-dup matches brute-force cosine threshold") {
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val na = math.sqrt(a.map(x => x * x).sum); val nb = math.sqrt(b.map(x => x * x).sum)
+      a.zip(b).map { case (x, y) => x * y }.sum / (na * nb)
+    }
+    val ids = vecs.keys.toSeq.sorted
+    val want = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      if cos(vecs(ids(i)), vecs(ids(j))) >= 0.4
+    } yield (ids(i), ids(j))).toSet
+    val got = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+  }
+
+  test("bruteForceTopK is exact vs driver-side computation") {
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val na = math.sqrt(a.map(x => x * x).sum); val nb = math.sqrt(b.map(x => x * x).sum)
+      a.zip(b).map { case (x, y) => x * y }.sum / (na * nb)
+    }
+    val want = (for (q <- vecs.keys.toSeq.sorted.take(3)) yield {
+      val ranked = vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(vecs(q), v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
+      q -> ranked
+    }).toMap
+    val got = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3),
+      "vec_id", "embedding", 5)
+      .orderBy("query_id", "rank").collect()
+      .groupBy(_.getLong(0)).map { case (q, rows) => q -> rows.map(_.getLong(2)).toSeq }
+    assert(got === want)
+  }
+
+  test("lshTopK achieves high recall vs brute force") {
+    val brute = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", 5).select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", 5, nTables = 16, nBits = 6)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = lsh.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall $recall too low")
+  }
+
+  test("tokenCount edge cases") {
+    val d = df(Seq(Seq("a b  c"), Seq(""), Seq("   "), Seq("one")), "t:str")
+    val got = d.select(TextFunctions.tokenCount(col("t"))).collect().map(_.getInt(0))
+    assert(got.toSeq === Seq(3, 0, 0, 1))
+  }
+
+  test("quality metrics and langid are deterministic and sane") {
+    val d = df(Seq(Seq("The cat and the dog, in 2 houses!")), "t:str")
+    val m = TextFunctions.qualityMetrics(col("t")).toMap
+    val row = d.select(m("n_tokens"), m("n_punct"), m("n_digits"), m("n_stopwords")).head()
+    assert(row.getInt(0) === 8)
+    assert(row.getInt(1) === 2) // comma + bang
+    assert(row.getInt(2) === 1)
+    assert(row.getInt(3) === 4) // the, and, the, in
+    val lang = df(Seq(
+      Seq("the cat is in the house and it was good"),
+      Seq("el perro y la casa de los gatos"),
+      Seq("der hund und die katze ist nicht hier"),
+      Seq("le chat est dans la maison pour les chiens")), "t:str")
+      .select(TextFunctions.langId(col("t"))).collect().map(_.getString(0))
+    assert(lang.toSeq === Seq("en", "es", "de", "fr"))
+  }
+
+  test("fingerprint is whitespace-robust") {
+    val d = df(Seq(Seq("hello  world"), Seq("hello world"), Seq("hello mars")), "t:str")
+    val fp = d.select(TextFunctions.fingerprint(col("t"))).collect().map(_.getLong(0))
+    assert(fp(0) === fp(1))
+    assert(fp(0) !== fp(2))
+  }
+
+  test("multimodal decode stub is deterministic; frame sampling shapes") {
+    val d = df(Seq(Seq(1L, "abcdef"), Seq(2L, "")), "doc_id:long,t:str")
+      .select(col("doc_id"), encode(col("t"), "UTF-8").as("p"))
+    val meta = Multimodal.decodeImages(d, "doc_id", "p").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).sortBy(_._1)
+    assert(meta(0) === ((1L, 6, 64 + 6 % 577, 64 + (6 / 7) % 433)))
+    assert(meta(1)._2 === 0)
+    val frames = Multimodal.sampleFrames(
+      df(Seq(Seq(1L, ("x" * 5000))), "doc_id:long,t:str")
+        .select(col("doc_id"), encode(col("t"), "UTF-8").as("p")),
+      "doc_id", "p", frameSize = 1024, stride = 2).collect()
+    assert(frames.map(_.getInt(1)).toSeq.sorted === Seq(0, 2, 4))
+  }
+
+  test("even repartition balances exactly") {
+    val d = df((1 to 103).map(i => Seq(i)), "x:int")
+    val out = graft.operators.Repartitioner.even(d, 10, Nil)
+    val sizes = out.rdd.glom().map(_.length).collect().sorted
+    assert(sizes.sum === 103)
+    assert(sizes.max - sizes.min <= 1, s"uneven: ${sizes.toSeq}")
+  }
+}

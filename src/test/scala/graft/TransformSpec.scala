@@ -1,0 +1,102 @@
+package graft
+
+import graft.schema.SchemaExpr
+import graft.transform.Transform
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Logical-partition transform contract (reference: map_dataframe semantics,
+ * execution_suite.py:208-365; null keys group together :533-544). */
+class TransformSpec extends SparkTestBase {
+
+  test("mapPartitions groups by keys with presort; null keys form a group") {
+    val d = df(Seq(
+      Seq("a", 3), Seq("a", 1), Seq("b", 9), Seq(null, 5), Seq(null, 2)),
+      "k:str,v:int")
+    val out = Transform.mapPartitions(d,
+      PartitionSpec(by = Seq("k"), presort = Seq("v" -> true)),
+      SchemaExpr.parse("k:str,vs:str")) { (cursor, rows) =>
+      val vs = rows.map(_.getInt(1)).mkString(",")
+      Iterator.single(Row(cursor.keyValues.head, vs))
+    }
+    assertDfEq(out, Seq(Seq("a", "1,3"), Seq("b", "9"), Seq(null, "2,5")))
+  }
+
+  test("mapPartitions without keys: one call per physical partition") {
+    val d = df((1 to 20).map(i => Seq(i)), "x:int").repartition(3)
+    val out = Transform.mapPartitions(d, PartitionSpec.empty,
+      SchemaExpr.parse("n:long")) { (_, rows) =>
+      Iterator.single(Row(rows.size.toLong))
+    }
+    val counts = out.collect().map(_.getLong(0))
+    assert(counts.sum === 20)
+    assert(counts.length <= 3)
+  }
+
+  test("mapPartitions: empty input produces no calls") {
+    val d = df(Seq(Seq(1)), "x:int").filter(col("x") > 100)
+    val out = Transform.mapPartitions(d, PartitionSpec.empty,
+      SchemaExpr.parse("n:long")) { (_, rows) =>
+      Iterator.single(Row(rows.size.toLong))
+    }
+    assert(out.count() === 0)
+  }
+
+  test("mapPartitions: unconsumed group iterators are drained correctly") {
+    val d = df(Seq(Seq("a", 1), Seq("a", 2), Seq("b", 3)), "k:str,v:int")
+    // consume nothing from the iterator; groups must still advance
+    val out = Transform.mapPartitions(d,
+      PartitionSpec(by = Seq("k")),
+      SchemaExpr.parse("k:str")) { (cursor, _) =>
+      Iterator.single(Row(cursor.keyValues.head))
+    }
+    assertDfEq(out, Seq(Seq("a"), Seq("b")))
+  }
+
+  test("slice numbering restarts per physical partition") {
+    val d = df(Seq(Seq("a", 1), Seq("b", 2), Seq("c", 3)), "k:str,v:int")
+    val out = Transform.mapPartitions(d,
+      PartitionSpec(algo = "hash", num = "1", by = Seq("k")),
+      SchemaExpr.parse("k:str,slice:int")) { (cursor, rows) =>
+      rows.foreach(_ => ())
+      Iterator.single(Row(cursor.keyValues.head, cursor.sliceNo))
+    }
+    val slices = out.collect().map(r => r.getInt(1)).sorted
+    assert(slices.toSeq === Seq(0, 1, 2)) // single physical partition → 0,1,2
+  }
+
+  test("coMap full_outer visits all keys with empty side iterators") {
+    val l = df(Seq(Seq(1, "x"), Seq(1, "y"), Seq(2, "z")), "k:int,a:str")
+    val r = df(Seq(Seq(2, 20.0), Seq(3, 30.0)), "k:int,b:double")
+    val out = Transform.coMap(l, r, Seq("k"), "full_outer",
+      SchemaExpr.parse("k:int,nl:long,nr:long")) { (k, ls, rs) =>
+      Iterator.single(Row(k.head, ls.size.toLong, rs.size.toLong))
+    }
+    assertDfEq(out, Seq(Seq(1, 2L, 0L), Seq(2, 1L, 1L), Seq(3, 0L, 1L)))
+  }
+
+  test("coMap inner/left_outer visit subsets") {
+    val l = df(Seq(Seq(1, "x"), Seq(2, "z")), "k:int,a:str")
+    val r = df(Seq(Seq(2, 20.0), Seq(3, 30.0)), "k:int,b:double")
+    def run(how: String) = collectSorted(
+      Transform.coMap(l, r, Seq("k"), how,
+        SchemaExpr.parse("k:int")) { (k, ls, rs) =>
+        ls.foreach(_ => ()); rs.foreach(_ => ())
+        Iterator.single(Row(k.head))
+      })
+    assert(run("inner") === Seq(Seq(2)))
+    assert(run("left_outer") === Seq(Seq(1), Seq(2)))
+    assert(run("right_outer") === Seq(Seq(2), Seq(3)))
+  }
+
+  test("typed transform and transformGrouped") {
+    import spark.implicits._
+    val ds = spark.createDataset(Seq(("a", 1), ("a", 2), ("b", 5)))
+    val out = Transform.transformGrouped(ds)(_._1) { (k, it) =>
+      Iterator.single((k, it.map(_._2).sum))
+    }
+    assert(out.collect().toSet === Set(("a", 3), ("b", 5)))
+    val doubled = Transform.transform(ds)(it => it.map(t => t._2 * 2))
+    assert(doubled.collect().sorted.toSeq === Seq(2, 4, 10))
+  }
+}
