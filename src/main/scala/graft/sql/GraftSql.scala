@@ -1,0 +1,294 @@
+package graft.sql
+
+import graft.PartitionSpec
+import graft.engine.GraftEngine
+import graft.schema.SchemaExpr
+import graft.transform.{PartitionCursor, Transform}
+import org.apache.spark.sql.{DataFrame, Row}
+import scala.collection.mutable
+
+/**
+ * The dataflow SQL dialect of the reference (FugueSQL, grammar semantics in
+ * /root/reference/fugue/sql/_visitors.py:305-912) re-implemented as a
+ * statement-prefix recursive-descent parser: standard SELECT bodies pass
+ * through verbatim to `spark.sql` (Catalyst parses/optimizes them — no
+ * second SQL engine), while dataflow keywords compile to engine/transform
+ * calls.
+ *
+ * Supported statements (each optionally prefixed with `name =`):
+ * {{{
+ *   LOAD [PARQUET|CSV|JSON] "path" [COLUMNS a,b | a:int,b:str]
+ *   SAVE [df] OVERWRITE|APPEND "path" [SINGLE]
+ *   SELECT ... [FROM df ...]          -- passthrough; implicit FROM previous
+ *   TAKE n ROWS [FROM df] [PREPARTITION BY k,..] [PRESORT c [ASC|DESC],..] [NULLS FIRST|LAST]
+ *   SAMPLE [df] [REPLACE] x PERCENT [SEED n]
+ *   DROPNA [ANY|ALL] [ON a,b] [FROM df]
+ *   FILLNA PARAMS a:v,b:v [FROM df]
+ *   RENAME COLUMNS a:b,c:d [FROM df]
+ *   ALTER COLUMNS a:int,b:str [FROM df]
+ *   DROP COLUMNS a,b [FROM df]
+ *   DISTINCT [df]
+ *   TRANSFORM [df] [PREPARTITION BY k,.. [PRESORT c,..]] USING ext[(k:v,..)] [SCHEMA s]
+ *   PRINT [df]
+ *   PERSIST [df] / BROADCAST [df] / CHECKPOINT [df]
+ *   YIELD [df] AS name
+ * }}}
+ */
+object GraftSql {
+
+  /** A named per-partition transformer callable from TRANSFORM ... USING. */
+  final case class TransformerDef(
+      outputSchema: (org.apache.spark.sql.types.StructType, Map[String, String]) =>
+        org.apache.spark.sql.types.StructType,
+      fn: (PartitionCursor, Iterator[Row], Map[String, String]) => Iterator[Row])
+
+  final case class Result(last: Option[DataFrame], yields: Map[String, DataFrame])
+
+  def run(engine: GraftEngine, sql: String,
+      inputs: Map[String, DataFrame] = Map.empty,
+      transformers: Map[String, TransformerDef] = Map.empty): Result =
+    new Runner(engine, inputs, transformers).run(sql)
+
+  private val KeywordStart =
+    ("^(?i)(LOAD|SAVE|SELECT|WITH|TAKE|SAMPLE|DROPNA|FILLNA|RENAME|ALTER|DROP|" +
+      "DISTINCT|TRANSFORM|PRINT|PERSIST|BROADCAST|CHECKPOINT|YIELD)\\b").r
+  private val Assign = "^\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*:?=\\s*(.*)$".r
+
+  /** Split a script into statements: a statement starts at a line whose
+   * first token is a dataflow keyword or an assignment; continuation lines
+   * attach to the current statement. */
+  def splitStatements(script: String): Seq[String] = {
+    val out = mutable.ArrayBuffer.empty[StringBuilder]
+    script.split("\n").foreach { raw =>
+      val line = raw.replaceAll("--.*$", "")
+      val t = line.trim
+      if (t.nonEmpty) {
+        val starts = Assign.findFirstIn(t).isDefined || KeywordStart.findFirstIn(t).isDefined
+        if (starts || out.isEmpty) out += new StringBuilder(t)
+        else { out.last += '\n'; out.last ++= t }
+      }
+    }
+    out.map(_.toString).toSeq
+  }
+
+  private final class Runner(
+      engine: GraftEngine,
+      inputs: Map[String, DataFrame],
+      transformers: Map[String, TransformerDef]) {
+
+    private val dfs = mutable.LinkedHashMap.empty[String, DataFrame] ++= inputs
+    private val yields = mutable.LinkedHashMap.empty[String, DataFrame]
+    private var last: Option[DataFrame] = None
+
+    def run(script: String): Result = {
+      splitStatements(script).foreach(exec)
+      Result(last, yields.toMap)
+    }
+
+    private def exec(stmtRaw: String): Unit = {
+      var stmt = stmtRaw
+      var target: Option[String] = None
+      stmt match {
+        case Assign(name, rest) => target = Some(name); stmt = rest
+        case _ =>
+      }
+      val out = execBody(stmt.trim)
+      out.foreach { d =>
+        last = Some(d)
+        target.foreach(dfs(_) = d)
+      }
+    }
+
+    private def prev: DataFrame =
+      last.getOrElse(throw new IllegalArgumentException("no previous dataframe"))
+
+    private def ref(name: Option[String]): DataFrame =
+      name.map(n => dfs.getOrElse(n,
+        throw new IllegalArgumentException(s"unknown dataframe '$n'"))).getOrElse(prev)
+
+    private def execBody(stmt: String): Option[DataFrame] = {
+      val upper = stmt.toUpperCase
+      val kw = upper.takeWhile(!_.isWhitespace)
+      kw match {
+        case "LOAD" => Some(execLoad(stmt))
+        case "SAVE" => execSave(stmt); None
+        case "SELECT" | "WITH" => Some(execSelect(stmt))
+        case "TAKE" => Some(execTake(stmt))
+        case "SAMPLE" => Some(execSample(stmt))
+        case "DROPNA" => Some(execDropna(stmt))
+        case "FILLNA" => Some(execFillna(stmt))
+        case "RENAME" => Some(execRename(stmt))
+        case "ALTER" => Some(execAlter(stmt))
+        case "DROP" => Some(execDropCols(stmt))
+        case "DISTINCT" => Some(engine.distinct(ref(wordAfter(stmt, 1))))
+        case "TRANSFORM" => Some(execTransform(stmt))
+        case "PRINT" => ref(wordAfter(stmt, 1)).show(10, truncate = false); None
+        case "PERSIST" => Some(engine.persist(ref(wordAfter(stmt, 1))))
+        case "BROADCAST" => Some(engine.broadcast(ref(wordAfter(stmt, 1))))
+        case "CHECKPOINT" => Some(execCheckpoint(stmt))
+        case "YIELD" => execYield(stmt); None
+        case other => throw new IllegalArgumentException(s"unknown statement '$other'")
+      }
+    }
+
+    // helpers ----------------------------------------------------------
+    private def wordAfter(stmt: String, idx: Int): Option[String] = {
+      val toks = stmt.split("\\s+")
+      if (toks.length > idx && !toks(idx).contains("\"")) Some(toks(idx)).filter(t =>
+        t.forall(c => c.isLetterOrDigit || c == '_') && dfs.contains(t))
+      else None
+    }
+
+    private def quoted(stmt: String): String = {
+      val m = "\"([^\"]+)\"".r.findFirstMatchIn(stmt)
+      m.map(_.group(1)).getOrElse(
+        throw new IllegalArgumentException(s"expected quoted path in: $stmt"))
+    }
+
+    private def kwArg(stmt: String, kw: String): Option[String] = {
+      val r = s"(?i)\\b$kw\\s+([^\\s]+(?:\\s*,\\s*[^\\s]+)*)".r
+      r.findFirstMatchIn(stmt).map(_.group(1))
+    }
+
+    private def parseParams(s: String): Map[String, String] =
+      s.split(",").filter(_.contains(":")).map { kv =>
+        val Array(k, v) = kv.split(":", 2)
+        k.trim -> v.trim.stripPrefix("\"").stripSuffix("\"")
+      }.toMap
+
+    // statements -------------------------------------------------------
+    private def execLoad(stmt: String): DataFrame = {
+      val fmt = "(?i)LOAD\\s+(PARQUET|CSV|JSON)?".r.findFirstMatchIn(stmt)
+        .flatMap(m => Option(m.group(1))).map(_.toLowerCase).getOrElse("")
+      val cols = kwArg(stmt, "COLUMNS").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
+      engine.load(quoted(stmt), fmt, cols)
+    }
+
+    private def execSave(stmt: String): Unit = {
+      val mode = if (stmt.toUpperCase.contains("APPEND")) "append" else "overwrite"
+      val single = stmt.toUpperCase.contains("SINGLE")
+      val fmt = "(?i)\\b(PARQUET|CSV|JSON)\\b".r.findFirstMatchIn(stmt)
+        .map(_.group(1).toLowerCase).getOrElse("")
+      engine.save(ref(wordAfter(stmt, 1)), quoted(stmt), fmt, mode,
+        singleFile = single)
+    }
+
+    private def execSelect(stmt: String): DataFrame = {
+      // register all known dfs as temp views, add implicit FROM if absent
+      val text =
+        if ("(?i)\\bFROM\\b".r.findFirstIn(stmt).isDefined) stmt
+        else {
+          dfs("__graft_prev") = prev
+          s"$stmt FROM __graft_prev"
+        }
+      engine.sqlSelect(text, dfs.toMap)
+    }
+
+    private def partitionSpec(stmt: String): PartitionSpec = {
+      val by = kwArg(stmt, "PREPARTITION\\s+BY")
+        .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
+      val presort = "(?i)PRESORT\\s+((?:[A-Za-z0-9_]+(?:\\s+(?:ASC|DESC))?\\s*,?\\s*)+)".r
+        .findFirstMatchIn(stmt)
+        .map(m => PartitionSpec.parsePresort(m.group(1))).getOrElse(Nil)
+      PartitionSpec(by = by, presort = presort)
+    }
+
+    private def execTake(stmt: String): DataFrame = {
+      val n = "(?i)TAKE\\s+(\\d+)".r.findFirstMatchIn(stmt).get.group(1).toInt
+      val naPos = if (stmt.toUpperCase.contains("NULLS FIRST") ||
+        stmt.toUpperCase.contains("NULL FIRST")) "first" else "last"
+      engine.take(ref(kwArg(stmt, "FROM")), n, partitionSpec(stmt), naPos)
+    }
+
+    private def execSample(stmt: String): DataFrame = {
+      val replace = stmt.toUpperCase.contains("REPLACE")
+      val seed = "(?i)SEED\\s+(\\d+)".r.findFirstMatchIn(stmt).map(_.group(1).toLong)
+      val pct = "(?i)([\\d.]+)\\s*PERCENT".r.findFirstMatchIn(stmt).map(_.group(1).toDouble)
+      val rows = "(?i)(\\d+)\\s*ROWS".r.findFirstMatchIn(stmt).map(_.group(1).toLong)
+      engine.sample(ref(kwArg(stmt, "FROM")), n = rows,
+        frac = pct.map(_ / 100.0), replace = replace, seed = seed)
+    }
+
+    private def execDropna(stmt: String): DataFrame = {
+      val how = if (stmt.toUpperCase.contains(" ALL")) "all" else "any"
+      val subset = kwArg(stmt, "ON").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
+      engine.dropna(ref(kwArg(stmt, "FROM")), how, subset = subset)
+    }
+
+    private def execFillna(stmt: String): DataFrame = {
+      val params = kwArg(stmt, "PARAMS").map(parseParams).getOrElse(Map.empty)
+      val d = ref(kwArg(stmt, "FROM"))
+      val typed: Map[String, Any] = params.map { case (k, v) =>
+        val f = d.schema(k).dataType
+        k -> (f match {
+          case org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType => v.toDouble
+          case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType => v.toLong
+          case _ => v
+        })
+      }
+      engine.fillna(d, typed)
+    }
+
+    private def execRename(stmt: String): DataFrame = {
+      val pairs = kwArg(stmt, "COLUMNS").map(parseParams).getOrElse(Map.empty)
+      pairs.foldLeft(ref(kwArg(stmt, "FROM"))) { case (d, (from, to)) =>
+        d.withColumnRenamed(from, to)
+      }
+    }
+
+    private def execAlter(stmt: String): DataFrame = {
+      val casts = kwArg(stmt, "COLUMNS").map(_.trim).getOrElse("")
+      val st = SchemaExpr.parse(casts)
+      val d = ref(kwArg(stmt, "FROM"))
+      import org.apache.spark.sql.functions.col
+      d.select(d.columns.map { c =>
+        st.fields.find(_.name == c) match {
+          case Some(f) => col(c).cast(f.dataType).as(c)
+          case None => col(c)
+        }
+      }.toIndexedSeq: _*)
+    }
+
+    private def execDropCols(stmt: String): DataFrame = {
+      val cols = kwArg(stmt, "COLUMNS").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
+      val ifExists = stmt.toUpperCase.contains("IF EXISTS")
+      val d = ref(kwArg(stmt, "FROM"))
+      val missing = cols.filterNot(d.columns.contains)
+      if (missing.nonEmpty && !ifExists)
+        throw new IllegalArgumentException(s"columns not found: $missing")
+      d.drop(cols: _*)
+    }
+
+    private def execTransform(stmt: String): DataFrame = {
+      val m = "(?i)USING\\s+([A-Za-z_][A-Za-z0-9_]*)(?:\\s*\\(([^)]*)\\))?".r
+        .findFirstMatchIn(stmt)
+        .getOrElse(throw new IllegalArgumentException(s"TRANSFORM requires USING: $stmt"))
+      val name = m.group(1)
+      val params = Option(m.group(2)).map(parseParams).getOrElse(Map.empty)
+      val t = transformers.getOrElse(name,
+        throw new IllegalArgumentException(s"unknown transformer '$name'"))
+      val d = ref(kwArg(stmt, "FROM").orElse(wordAfter(stmt, 1)))
+      val spec = partitionSpec(stmt)
+      val schemaHint = "(?i)SCHEMA\\s+([^\\n]+)$".r.findFirstMatchIn(stmt.split("\n").head)
+        .map(_.group(1).trim)
+      val outSchema = schemaHint
+        .map(h => SchemaExpr.applyHint(d.schema, h))
+        .getOrElse(t.outputSchema(d.schema, params))
+      Transform.mapPartitions(d, spec, outSchema)((c, rows) => t.fn(c, rows, params))
+    }
+
+    private def execCheckpoint(stmt: String): DataFrame = {
+      val d = ref(wordAfter(stmt, 1))
+      val tmp = s"/tmp/graft_checkpoints/sql_${java.util.UUID.randomUUID().toString.take(8)}"
+      engine.save(d, tmp, "parquet")
+      engine.load(tmp, "parquet")
+    }
+
+    private def execYield(stmt: String): Unit = {
+      val name = "(?i)AS\\s+([A-Za-z_][A-Za-z0-9_]*)".r.findFirstMatchIn(stmt)
+        .map(_.group(1))
+        .getOrElse(throw new IllegalArgumentException(s"YIELD requires AS name: $stmt"))
+      yields(name) = ref(wordAfter(stmt, 1))
+    }
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.workflow.Workflow
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class WorkflowSpec extends SparkTestBase {
+
+  test("deterministic UUIDs: same spec → same uuid, different → different") {
+    val w = new Workflow(engine)
+    val a1 = w.create(Seq(Seq(1)), "x:int").filter(col("x") > 0)
+    val a2 = w.create(Seq(Seq(1)), "x:int").filter(col("x") > 0)
+    val b = w.create(Seq(Seq(1)), "x:int").filter(col("x") > 1)
+    assert(a1.uuid === a2.uuid)
+    assert(a1.uuid !== b.uuid)
+  }
+
+  test("identical sub-DAGs compute once; yields retrievable") {
+    val w = new Workflow(engine)
+    var evals = 0
+    val base = w.create(Seq(Seq(1), Seq(2)), "x:int")
+    val t1 = base.transform("count_once")(d => { evals += 1; d })
+    val t2 = base.transform("count_once")(d => { evals += 1; d })
+    t1.yield_("a")
+    t2.yield_("b")
+    val res = w.run()
+    assert(evals === 1) // memoized by identical uuid
+    assert(res("a").count() === 2)
+  }
+
+  test("deterministic checkpoint is reused across runs") {
+    val dir = Files.createTempDirectory("graft_ckpt").toString
+    var evals = 0
+    def build(): Map[String, org.apache.spark.sql.DataFrame] = {
+      val w = new Workflow(engine, checkpointDir = dir)
+      w.create(Seq(Seq(1), Seq(2), Seq(3)), "x:int")
+        .transform("expensive")(d => { evals += 1; d.filter(col("x") > 1) })
+        .deterministicCheckpoint()
+        .yield_("out")
+      w.run()
+    }
+    assert(build()("out").count() === 2)
+    assert(evals === 1)
+    assert(build()("out").count() === 2)
+    assert(evals === 1) // second run read the content-addressed parquet
+  }
+
+  test("strong checkpoint breaks lineage but preserves rows") {
+    val w = new Workflow(engine, checkpointDir =
+      Files.createTempDirectory("graft_ckpt2").toString)
+    w.create(Seq(Seq(1), Seq(2)), "x:int")
+      .transform("plus")(_.withColumn("y", col("x") * 2))
+      .checkpoint()
+      .yield_("out")
+    val res = w.run()
+    assertDfEq(res("out"), Seq(Seq(1, 2), Seq(2, 4)))
+  }
+
+  test("join through the DAG") {
+    val w = new Workflow(engine)
+    val l = w.create(Seq(Seq(1, "x"), Seq(2, "y")), "k:int,a:str")
+    val r = w.create(Seq(Seq(1, 9.0)), "k:int,b:double").broadcast()
+    l.join(r, "inner").yield_("j")
+    assertDfEq(w.run()("j"), Seq(Seq(1, "x", 9.0)))
+  }
+}
