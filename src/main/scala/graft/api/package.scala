@@ -1,0 +1,120 @@
+package graft
+
+import graft.engine.{GraftEngine, SparkGraftEngine}
+import graft.schema.SchemaExpr
+import graft.transform.{PartitionCursor, Transform}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/**
+ * Eager functional API — the reference's `fugue.api` (fa.*) surface
+ * (/root/reference/fugue/execution/api.py): one function per operator,
+ * engine resolved from an implicit context. Thin by design: planning and
+ * optimization stay with Catalyst; this layer only fixes the operator
+ * vocabulary and semantics.
+ *
+ * {{{
+ *   import graft.api._
+ *   implicit val engine: GraftEngine = engineOf(spark)
+ *   val top = take(events, 3,
+ *     PartitionSpec(by = Seq("user_id"), presort = Seq("ts" -> false)))
+ *   val out = transform(top, "user_id:long,n:long",
+ *     PartitionSpec(by = Seq("user_id"))) { (cursor, rows) =>
+ *     Iterator.single(Row(cursor.keyValues.head, rows.size.toLong))
+ *   }
+ * }}}
+ */
+package object api {
+
+  def engineOf(spark: SparkSession): GraftEngine = new SparkGraftEngine(spark)
+
+  def load(path: String, format: String = "", columns: Seq[String] = Nil)(
+      implicit e: GraftEngine): DataFrame = e.load(path, format, columns)
+
+  def save(df: DataFrame, path: String, format: String = "",
+      mode: String = "overwrite", partitionBy: Seq[String] = Nil,
+      singleFile: Boolean = false)(implicit e: GraftEngine): Unit =
+    e.save(df, path, format, mode, partitionBy, singleFile)
+
+  def toDF(rows: Seq[Seq[Any]], schema: String)(implicit e: GraftEngine): DataFrame =
+    e.toDF(rows, schema)
+
+  def repartition(df: DataFrame, spec: PartitionSpec)(
+      implicit e: GraftEngine): DataFrame = e.repartition(df, spec)
+
+  def broadcast(df: DataFrame)(implicit e: GraftEngine): DataFrame = e.broadcast(df)
+
+  def persist(df: DataFrame, lazyPersist: Boolean = true)(
+      implicit e: GraftEngine): DataFrame = e.persist(df, lazyPersist)
+
+  def join(df1: DataFrame, df2: DataFrame, how: String, on: Seq[String] = Nil)(
+      implicit e: GraftEngine): DataFrame = e.join(df1, df2, how, on)
+
+  def innerJoin(df1: DataFrame, df2: DataFrame)(implicit e: GraftEngine): DataFrame =
+    e.join(df1, df2, "inner")
+  def leftOuterJoin(df1: DataFrame, df2: DataFrame)(implicit e: GraftEngine): DataFrame =
+    e.join(df1, df2, "left_outer")
+  def rightOuterJoin(df1: DataFrame, df2: DataFrame)(implicit e: GraftEngine): DataFrame =
+    e.join(df1, df2, "right_outer")
+  def fullOuterJoin(df1: DataFrame, df2: DataFrame)(implicit e: GraftEngine): DataFrame =
+    e.join(df1, df2, "full_outer")
+  def crossJoin(df1: DataFrame, df2: DataFrame)(implicit e: GraftEngine): DataFrame =
+    e.join(df1, df2, "cross")
+  def semiJoin(df1: DataFrame, df2: DataFrame)(implicit e: GraftEngine): DataFrame =
+    e.join(df1, df2, "semi")
+  def antiJoin(df1: DataFrame, df2: DataFrame)(implicit e: GraftEngine): DataFrame =
+    e.join(df1, df2, "anti")
+
+  def union(df1: DataFrame, df2: DataFrame, distinct: Boolean = true)(
+      implicit e: GraftEngine): DataFrame = e.union(df1, df2, distinct)
+  def subtract(df1: DataFrame, df2: DataFrame, distinct: Boolean = true)(
+      implicit e: GraftEngine): DataFrame = e.subtract(df1, df2, distinct)
+  def intersect(df1: DataFrame, df2: DataFrame, distinct: Boolean = true)(
+      implicit e: GraftEngine): DataFrame = e.intersect(df1, df2, distinct)
+  def distinct(df: DataFrame)(implicit e: GraftEngine): DataFrame = e.distinct(df)
+
+  def dropna(df: DataFrame, how: String = "any", thresh: Option[Int] = None,
+      subset: Seq[String] = Nil)(implicit e: GraftEngine): DataFrame =
+    e.dropna(df, how, thresh, subset)
+  def fillna(df: DataFrame, value: Any, subset: Seq[String] = Nil)(
+      implicit e: GraftEngine): DataFrame = e.fillna(df, value, subset)
+
+  def sample(df: DataFrame, n: Option[Long] = None, frac: Option[Double] = None,
+      replace: Boolean = false, seed: Option[Long] = None)(
+      implicit e: GraftEngine): DataFrame = e.sample(df, n, frac, replace, seed)
+
+  def take(df: DataFrame, n: Int, spec: PartitionSpec = PartitionSpec.empty,
+      naPosition: String = "last")(implicit e: GraftEngine): DataFrame =
+    e.take(df, n, spec, naPosition)
+
+  def select(df: DataFrame, cols: Seq[Column], where: Option[Column] = None,
+      having: Option[Column] = None)(implicit e: GraftEngine): DataFrame =
+    e.select(df, cols, where, having)
+  def filter(df: DataFrame, cond: Column)(implicit e: GraftEngine): DataFrame =
+    e.filter(df, cond)
+  def assign(df: DataFrame, cols: Map[String, Column])(
+      implicit e: GraftEngine): DataFrame = e.assign(df, cols)
+  def aggregate(df: DataFrame, partitionBy: Seq[String], aggs: Seq[Column])(
+      implicit e: GraftEngine): DataFrame = e.aggregate(df, partitionBy, aggs)
+
+  def rawSql(sql: String, dfs: (String, DataFrame)*)(
+      implicit e: GraftEngine): DataFrame = e.sqlSelect(sql, dfs.toMap)
+
+  def fugueSql(sql: String, inputs: Map[String, DataFrame] = Map.empty,
+      transformers: Map[String, graft.sql.GraftSql.TransformerDef] = Map.empty)(
+      implicit e: GraftEngine): graft.sql.GraftSql.Result =
+    graft.sql.GraftSql.run(e, sql, inputs, transformers)
+
+  /** Per-logical-partition transform with a schema expression output. */
+  def transform(df: DataFrame, outputSchema: String, spec: PartitionSpec)(
+      f: (PartitionCursor, Iterator[Row]) => Iterator[Row]): DataFrame =
+    Transform.mapPartitions(df, spec, SchemaExpr.parse(outputSchema))(f)
+
+  /** Cogroup two frames by key columns and map each key group. */
+  def cotransform(left: DataFrame, right: DataFrame, keys: Seq[String],
+      how: String, outputSchema: String)(
+      f: (Seq[Any], Iterator[Row], Iterator[Row]) => Iterator[Row]): DataFrame =
+    Transform.coMap(left, right, keys, how, SchemaExpr.parse(outputSchema))(f)
+
+  def schema(expr: String): StructType = SchemaExpr.parse(expr)
+}

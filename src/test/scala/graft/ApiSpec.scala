@@ -1,0 +1,44 @@
+package graft
+
+import graft.api._
+import graft.engine.GraftEngine
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.{col, sum}
+
+/** Eager functional API facade — the reference's fa.* entry points. */
+class ApiSpec extends SparkTestBase {
+  implicit lazy val e: GraftEngine = engine
+
+  test("end-to-end through the eager api") {
+    val events = toDF(Seq(
+      Seq(1L, "a", 3), Seq(2L, "a", 1), Seq(3L, "b", 9), Seq(4L, "b", 2)),
+      "id:long,k:str,v:int")
+    val top = take(events, 1,
+      PartitionSpec(by = Seq("k"), presort = Seq("v" -> false)))
+    assertDfEq(top, Seq(Seq(1L, "a", 3), Seq(3L, "b", 9)))
+
+    val agg = aggregate(events, Seq("k"), Seq(sum(col("v")).cast("long").as("s")))
+    assertDfEq(agg, Seq(Seq("a", 4L), Seq("b", 11L)))
+
+    val dim = toDF(Seq(Seq("a", "alpha"), Seq("b", "beta")), "k:str,name:str")
+    val joined = innerJoin(agg, broadcast(dim))
+    assertDfEq(joined, Seq(Seq("a", 4L, "alpha"), Seq("b", 11L, "beta")))
+
+    val tr = transform(events, "k:str,n:long", PartitionSpec(by = Seq("k"))) {
+      (cursor, rows) => Iterator.single(Row(cursor.keyValues.head, rows.size.toLong))
+    }
+    assertDfEq(tr, Seq(Seq("a", 2L), Seq("b", 2L)))
+
+    val ct = cotransform(events, dim, Seq("k"), "inner", "k:str,n:long") {
+      (key, l, r) => { r.size; Iterator.single(Row(key.head, l.size.toLong)) }
+    }
+    assertDfEq(ct, Seq(Seq("a", 2L), Seq("b", 2L)))
+
+    val sql = rawSql("SELECT k FROM t WHERE v > 5", "t" -> events)
+    assertDfEq(sql, Seq(Seq("b")))
+
+    val fs = fugueSql("TAKE 1 ROWS FROM ev PRESORT v DESC\nYIELD AS best",
+      Map("ev" -> events))
+    assertDfEq(fs.yields("best"), Seq(Seq(3L, "b", 9)))
+  }
+}
