@@ -281,6 +281,33 @@ class SparkGraftEngine(val spark: SparkSession) extends GraftEngine {
     else df.groupBy(partitionBy.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  // ---- schema ops ------------------------------------------------------
+
+  /** Cast the named columns to new types (reference `alter_columns`,
+   * dataframe.py:180); other columns and the column order are untouched. */
+  def alterColumns(df: DataFrame, schemaExpr: String): DataFrame = {
+    val st = SchemaExpr.parse(schemaExpr)
+    st.fieldNames.foreach(n => require(df.columns.contains(n), s"no column $n"))
+    df.select(df.columns.map { c =>
+      st.fields.find(_.name == c) match {
+        case Some(f) => col(c).cast(f.dataType).as(c)
+        case None => col(c)
+      }
+    }.toIndexedSeq: _*)
+  }
+
+  /** Rename columns by map (reference `rename`, dataframe.py:171). */
+  def rename(df: DataFrame, mapping: Map[String, String]): DataFrame = {
+    mapping.keys.foreach(n => require(df.columns.contains(n), s"no column $n"))
+    df.withColumnsRenamed(mapping)
+  }
+
+  def dropColumns(df: DataFrame, cols: Seq[String], ifExists: Boolean = false): DataFrame = {
+    if (!ifExists)
+      cols.foreach(n => require(df.columns.contains(n), s"no column $n"))
+    df.drop(cols: _*)
+  }
+
   // ---- SQL -------------------------------------------------------------
 
   def sqlSelect(sql: String, dfs: Map[String, DataFrame]): DataFrame = {

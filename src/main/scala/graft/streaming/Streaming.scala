@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/**
+ * Structured Streaming surface — beyond the reference (fugue has only an
+ * `is_bounded` flag and no streaming operators; SURVEY §1.1). The engine's
+ * unbounded counterpart of the batch vocabulary: load → transform →
+ * windowed aggregate / stateful sessionize → sink, with watermarks.
+ *
+ * The operators return plain streaming DataFrames so the whole batch
+ * column/function layer composes unchanged — Catalyst plans both.
+ */
+object Streaming {
+
+  /** Unbounded file-source load (the streaming `load_df`). Schema is
+   * mandatory (Spark requirement for streaming file sources). */
+  def loadStream(spark: SparkSession, path: String, schema: StructType,
+      format: String = "parquet",
+      options: Map[String, String] = Map.empty): DataFrame =
+    spark.readStream.format(format).options(options).schema(schema).load(path)
+
+  /** Tumbling/sliding event-time windowed aggregation with a watermark —
+   * the streaming `aggregate`. */
+  def windowedAgg(
+      df: DataFrame,
+      timeCol: String,
+      watermarkDelay: String,
+      windowDuration: String,
+      slideDuration: Option[String],
+      groupBy: Seq[String],
+      aggs: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val w = slideDuration match {
+      case Some(s) => window(col(timeCol), windowDuration, s)
+      case None => window(col(timeCol), windowDuration)
+    }
+    df.withWatermark(timeCol, watermarkDelay)
+      .groupBy((w +: groupBy.map(col)): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Session window aggregation (gap-based) — native sessionization. */
+  def sessionAgg(
+      df: DataFrame,
+      timeCol: String,
+      watermarkDelay: String,
+      gap: String,
+      groupBy: Seq[String],
+      aggs: Seq[org.apache.spark.sql.Column]): DataFrame =
+    df.withWatermark(timeCol, watermarkDelay)
+      .groupBy((session_window(col(timeCol), gap) +: groupBy.map(col)): _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /**
+   * Custom stateful transform — the streaming analog of the per-key
+   * transformer: `flatMapGroupsWithState` with a caller-managed state type.
+   */
+  def statefulTransform[T, K: Encoder, S: Encoder, U: Encoder](
+      ds: Dataset[T], keyFn: T => K,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout())(
+      f: (K, Iterator[T], GroupState[S]) => Iterator[U]): Dataset[U] =
+    ds.groupByKey(keyFn)
+      .flatMapGroupsWithState(OutputMode.Append(), timeout)(f)
+
+  /** Drive a streaming frame into an in-memory table synchronously (test /
+   * bounded-input path): processes all available input then stops. */
+  def runToMemory(df: DataFrame, name: String,
+      outputMode: String = "append"): StreamingQuery = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  /** Streaming sink to files with checkpointing (the streaming `save_df`). */
+  def saveStream(df: DataFrame, path: String, checkpoint: String,
+      format: String = "parquet", outputMode: String = "append"): StreamingQuery =
+    df.writeStream.format(format)
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

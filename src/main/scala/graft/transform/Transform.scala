@@ -160,4 +160,52 @@ object Transform {
       if (visit) f(k.toSeq, lBuf, rBuf) else Iterator.empty
     }(outEnc)
   }
+
+  /**
+   * K-way cogroup (the reference's k-way `zip`,
+   * execution_engine.py:962-1057): tag each frame, union the key+tag+payload
+   * projections, group by key, split each group by tag. One shuffle total —
+   * the reference's blob-serialization workaround is unnecessary on the JVM.
+   * Each key group is buffered (a group = rows of one key across k frames);
+   * for streaming 2-way semantics over huge groups use [[coMap]].
+   *
+   * `f` receives the key values and one row-buffer per input frame (empty
+   * for frames without rows at that key — full_outer semantics; filter in
+   * `f` for other zip types).
+   */
+  def coMapN(
+      frames: Seq[DataFrame],
+      keys: Seq[String],
+      outputSchema: StructType)(
+      f: (Seq[Any], Seq[Seq[Row]]) => Iterator[Row]): DataFrame = {
+    require(frames.size >= 2, "coMapN needs at least 2 frames")
+    val spark = frames.head.sparkSession
+    val n = frames.size
+    // normalized wire format: key cols ++ tag ++ per-frame struct payload
+    val tagged = frames.zipWithIndex.map { case (d, i) =>
+      val payloadCols = d.columns.filterNot(keys.contains)
+      val structs = (0 until n).map { j =>
+        if (j == i) struct(payloadCols.map(col).toIndexedSeq: _*).as(s"__p$j")
+        else lit(null).cast(frames(j).schema.fields
+          .filterNot(fd => keys.contains(fd.name))
+          .foldLeft(new StructType())((st, fd) => st.add(fd))).as(s"__p$j")
+      }
+      d.select(keys.map(col) ++ Seq(lit(i).as("__tag")) ++ structs: _*)
+    }
+    val unioned = tagged.reduce(_ unionByName _)
+    val keySchema = StructType(keys.map(k =>
+      frames.head.schema(frames.head.schema.fieldIndex(k))))
+    val keyEnc: Encoder[Row] = Encoders.row(keySchema)
+    val outEnc: Encoder[Row] = Encoders.row(outputSchema)
+    unioned
+      .groupByKey(r => Row.fromSeq(keys.map(k => r.getAs[Any](k))))(keyEnc)
+      .flatMapGroups { (k: Row, it: Iterator[Row]) =>
+        val buffers = Array.fill(n)(Vector.newBuilder[Row])
+        it.foreach { r =>
+          val tag = r.getAs[Int]("__tag")
+          buffers(tag) += r.getAs[Row](s"__p$tag")
+        }
+        f(k.toSeq, buffers.map(_.result()).toSeq)
+      }(outEnc)
+  }
 }

@@ -1,0 +1,114 @@
+package graft
+
+import graft.operators.SkewJoin
+import graft.schema.SchemaExpr
+import graft.streaming.Streaming
+import graft.transform.{CallbackChannel, Transform}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class ExtrasSpec extends SparkTestBase {
+
+  test("coMapN: 3-way cogroup with empty sides") {
+    val a = df(Seq(Seq(1, "a1"), Seq(2, "a2")), "k:int,x:str")
+    val b = df(Seq(Seq(2, 20.0)), "k:int,y:double")
+    val c = df(Seq(Seq(2, true), Seq(3, false)), "k:int,z:bool")
+    val out = Transform.coMapN(Seq(a, b, c), Seq("k"),
+      SchemaExpr.parse("k:int,na:long,nb:long,nc:long")) { (key, groups) =>
+      Iterator.single(Row(key.head, groups(0).size.toLong,
+        groups(1).size.toLong, groups(2).size.toLong))
+    }
+    assertDfEq(out, Seq(
+      Seq(1, 1L, 0L, 0L), Seq(2, 1L, 1L, 1L), Seq(3, 0L, 0L, 1L)))
+  }
+
+  test("coMapN payload rows carry the right columns") {
+    val a = df(Seq(Seq(1, "hello", 9)), "k:int,s:str,v:int")
+    val b = df(Seq(Seq(1, 5.5)), "k:int,d:double")
+    val out = Transform.coMapN(Seq(a, b), Seq("k"),
+      SchemaExpr.parse("k:int,s:str,d:double")) { (key, groups) =>
+      Iterator.single(Row(key.head,
+        groups(0).head.getAs[String]("s"), groups(1).head.getAs[Double]("d")))
+    }
+    assertDfEq(out, Seq(Seq(1, "hello", 5.5)))
+  }
+
+  test("alterColumns / rename / dropColumns engine ops") {
+    val d = df(Seq(Seq(1, "x", 2.5)), "a:int,b:str,c:double")
+    val alt = engine.alterColumns(d, "a:long,c:str")
+    assert(alt.schema.map(_.dataType.typeName) === Seq("long", "string", "string"))
+    assert(alt.columns.toSeq === Seq("a", "b", "c"))
+    val ren = engine.rename(d, Map("a" -> "aa", "b" -> "bb"))
+    assert(ren.columns.toSeq === Seq("aa", "bb", "c"))
+    assert(engine.dropColumns(d, Seq("b")).columns.toSeq === Seq("a", "c"))
+    assert(engine.dropColumns(d, Seq("zz"), ifExists = true).columns.length === 3)
+    intercept[IllegalArgumentException](engine.dropColumns(d, Seq("zz")))
+  }
+
+  test("salted join preserves inner and left_outer multiplicity") {
+    val left = df(Seq(Seq(1, "r1"), Seq(1, "r2"), Seq(1, "r3"), Seq(2, "r4"),
+      Seq(3, "r5")), "k:int,v:str")
+    val right = df(Seq(Seq(1, 100.0), Seq(2, 200.0)), "k:int,w:double")
+    val inner = SkewJoin.saltedJoin(left, right, Seq("k"), "inner", factor = 4)
+    assertDfEq(inner.select("k", "v", "w"), Seq(
+      Seq(1, "r1", 100.0), Seq(1, "r2", 100.0), Seq(1, "r3", 100.0),
+      Seq(2, "r4", 200.0)))
+    val louter = SkewJoin.saltedJoin(left, right, Seq("k"), "left_outer", factor = 4)
+    assert(louter.count() === 5)
+    assert(louter.filter(col("w").isNull).count() === 1)
+  }
+
+  test("callback channel collects executor-side messages") {
+    val ch = CallbackChannel(spark)
+    val d = df((1 to 10).map(i => Seq(i)), "x:int").repartition(4)
+    val out = Transform.mapPartitions(d, PartitionSpec.empty,
+      SchemaExpr.parse("x:int")) { (cursor, rows) =>
+      ch.post("partition_done", cursor.physicalPartitionNo.toString)
+      rows
+    }
+    assert(out.count() === 10)
+    assert(ch.messages("partition_done").nonEmpty)
+  }
+
+  test("streaming: windowed aggregation over bounded file source") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_stream").toString
+    val batch = df(Seq(
+      Seq("2024-01-01 00:00:10", "a", 1.0),
+      Seq("2024-01-01 00:00:50", "a", 2.0),
+      Seq("2024-01-01 00:05:10", "b", 5.0)), "ts:datetime,k:str,v:double")
+    batch.write.mode("overwrite").parquet(s"$dir/in")
+    val stream = Streaming.loadStream(spark, s"$dir/in", batch.schema)
+    val agg = Streaming.windowedAgg(stream, "ts", "10 minutes", "5 minutes",
+      None, Seq("k"), Seq(sum(col("v")).as("total"), count(lit(1)).as("n")))
+    // append mode only emits a window after the watermark passes its end;
+    // a bounded AvailableNow run never advances past the last event, so use
+    // complete mode to observe the windows
+    Streaming.runToMemory(agg, "win_out", outputMode = "complete")
+    val got = spark.table("win_out")
+      .select(col("k"), col("total"), col("n")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(got === Set(("a", 3.0, 2L), ("b", 5.0, 1L)))
+  }
+
+  test("streaming: stateful sessionize with flatMapGroupsWithState") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_stream2").toString
+    val batch = df(Seq(
+      Seq("u1", 1L), Seq("u1", 2L), Seq("u2", 7L)), "user:str,n:long")
+    batch.write.mode("overwrite").parquet(s"$dir/in")
+    val stream = Streaming.loadStream(spark, s"$dir/in", batch.schema)
+      .as[(String, Long)]
+    val out = Streaming.statefulTransform[(String, Long), String, Long, (String, Long)](
+      stream, _._1) { (user, rows, state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+      val sum = state.getOption.getOrElse(0L) + rows.map(_._2).sum
+      state.update(sum)
+      Iterator.single((user, sum))
+    }
+    Streaming.runToMemory(out.toDF("user", "running"), "sess_out")
+    val got = spark.table("sess_out").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === Set(("u1", 3L), ("u2", 7L)))
+  }
+}
