@@ -275,6 +275,27 @@ object SparkEntry {
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       Multimodal.decodeImages(payloads, "doc_id", "payload")
     }),
+
+    // ---- SQL passthrough breadth (same text on Spark and DuckDB) ------
+    "q32_rollup" -> ((s, dir) =>
+      eng(s).sqlSelect(SqlRollup, Map("orders" -> t(s, dir, "orders")))),
+    "q33_running_window" -> ((s, dir) =>
+      eng(s).sqlSelect(SqlRunning, Map("lineitem" -> t(s, dir, "lineitem")))),
+    "q34_exists_subquery" -> ((s, dir) =>
+      eng(s).sqlSelect(SqlExists, Map(
+        "customer" -> t(s, dir, "customer"), "orders" -> t(s, dir, "orders")))),
+    "q35_string_date_fns" -> ((s, dir) =>
+      eng(s).sqlSelect(SqlStringDate, Map("orders" -> t(s, dir, "orders")))),
+    "q36_case_in" -> ((s, dir) =>
+      eng(s).sqlSelect(SqlCaseIn, Map("part" -> t(s, dir, "part")))),
+
+    // ---- beyond-reference: full dedup pipeline ------------------------
+    "d06_dedup_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+        threshold = 0.5)
+      Dedup.dropNearDuplicates(docs, "doc_id", pairs).select("doc_id", "lang")
+    }),
   )
 
   private def withNulls(events: DataFrame): DataFrame =
@@ -288,6 +309,37 @@ object SparkEntry {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       | JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY n_name""".stripMargin
+
+  private val SqlRollup =
+    """SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin
+
+  private val SqlRunning =
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+      |   PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+      |FROM lineitem""".stripMargin
+
+  private val SqlExists =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      | WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)""".stripMargin
+
+  private val SqlStringDate =
+    """SELECT o_orderkey, upper(o_orderstatus) AS status_u,
+      | substr(o_orderpriority, 1, 1) AS prio1,
+      | CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo,
+      | CAST(date_trunc('month', o_orderdate) AS DATE) AS mon_start
+      |FROM orders""".stripMargin
+
+  private val SqlCaseIn =
+    """SELECT p_partkey,
+      | CASE WHEN p_size < 10 THEN 'small' WHEN p_size < 30 THEN 'medium'
+      |  ELSE 'large' END AS size_class,
+      | p_brand IN ('Brand#1', 'Brand#2') AS is_top
+      |FROM part""".stripMargin
 
   private val SqlTopOrders =
     """SELECT * FROM (
@@ -451,7 +503,12 @@ object SparkEntry {
         |     / len(string_split_regex(trim(text), '\s+'))
         |   ELSE 0.0 END AS mean_word_len
         |FROM documents""".stripMargin,
-    // m01_multimodal_decode / d02/d03/d05 / s02 / t01 / t03 / q21_sample:
+    "q32_rollup" -> SqlRollup,
+    "q33_running_window" -> SqlRunning,
+    "q34_exists_subquery" -> SqlExists,
+    "q35_string_date_fns" -> SqlStringDate,
+    "q36_case_in" -> SqlCaseIn,
+    // m01_multimodal_decode / d02/d03/d05/d06 / s02 / t01 / t03 / q21:
     // not SQL-expressible (UDF hashes, LSH, seeded sampling) → rows-only.
   )
 

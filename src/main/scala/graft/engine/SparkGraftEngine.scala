@@ -283,6 +283,32 @@ class SparkGraftEngine(val spark: SparkSession) extends GraftEngine {
 
   // ---- schema ops ------------------------------------------------------
 
+  /** Conform a frame to a declared output schema: select columns in the
+   * declared order and cast to the declared types — the reference's
+   * post-operation schema enforcement (`correct_select_schema`,
+   * fugue/column/sql.py:375-404; cast rules convert.py:67-106). NaN/±Inf in
+   * fractional sources become null when casting to integral types (pandas
+   * convention the reference preserves; Spark would produce huge ints). */
+  def conform(df: DataFrame, schema: StructType): DataFrame = {
+    import org.apache.spark.sql.types._
+    df.select(schema.fields.map { f =>
+      val src = df.schema.find(_.name == f.name).getOrElse(
+        throw new IllegalArgumentException(s"missing column ${f.name}"))
+      val c = col(f.name)
+      val casted = (src.dataType, f.dataType) match {
+        case (s, t) if s == t => c
+        case (DoubleType | FloatType, ByteType | ShortType | IntegerType | LongType) =>
+          when(isnan(c) || c === Double.PositiveInfinity ||
+            c === Double.NegativeInfinity, lit(null)).otherwise(c).cast(f.dataType)
+        case _ => c.cast(f.dataType)
+      }
+      casted.as(f.name)
+    }.toIndexedSeq: _*)
+  }
+
+  def conform(df: DataFrame, schemaExpr: String): DataFrame =
+    conform(df, SchemaExpr.parse(schemaExpr))
+
   /** Cast the named columns to new types (reference `alter_columns`,
    * dataframe.py:180); other columns and the column order are untouched. */
   def alterColumns(df: DataFrame, schemaExpr: String): DataFrame = {

@@ -271,6 +271,46 @@ object Dedup {
   }
 
   /**
+   * Remove near-duplicates given a candidate pair list: connected
+   * components over the pair graph via iterative min-id propagation
+   * (converges in O(log(component diameter)) joins — near-dup components
+   * are tiny in practice, so 2-3 rounds), then keep only each component's
+   * minimum id. Exact and deterministic; no driver-side union-find, so it
+   * scales to billions of pairs.
+   */
+  def dropNearDuplicates(
+      df: DataFrame, idCol: String, pairs: DataFrame,
+      maxIterations: Int = 20): DataFrame = {
+    // label(u) = min id known reachable from u; relax over edges until fixed
+    // point (≤ component diameter iterations — near-dup components are tiny)
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .localCheckpoint(true)
+    var labels = edges.groupBy("u")
+      .agg(least(min(col("v")), first(col("u"))).as("lbl"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIterations) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("u", "v"), Seq("v"))
+        .groupBy("u").agg(min(col("lbl")).as("nlbl"))
+      val updated = labels.join(neighborMin, Seq("u"), "left")
+        .select(col("u"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      val changed = updated.as("a").join(labels.as("b"), "u")
+        .filter(col("a.lbl") =!= col("b.lbl")).limit(1).count()
+      labels = updated
+      converged = changed == 0
+      i += 1
+    }
+    // drop every id that is not its component's minimum
+    val losers = labels.filter(col("u") =!= col("lbl")).select(col("u").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /**
    * Embedding-cosine near-duplicate pairs. Small/medium corpora: exact
    * all-pairs via a block-nested join. At scale prefer
    * [[Similarity.lshCosinePairs]] (random-hyperplane bucketing) — this exact

@@ -1,5 +1,6 @@
 package graft
 
+import graft.functions.Dedup
 import graft.operators.SkewJoin
 import graft.schema.SchemaExpr
 import graft.streaming.Streaming
@@ -110,5 +111,24 @@ class ExtrasSpec extends SparkTestBase {
     val got = spark.table("sess_out").collect()
       .map(r => (r.getString(0), r.getLong(1))).toSet
     assert(got === Set(("u1", 3L), ("u2", 7L)))
+  }
+
+  test("conform: reorder, cast, NaN->null for fractional->int") {
+    val d = df(Seq(Seq(1.5, "7"), Seq(Double.NaN, "8")), "a:double,b:str")
+    val out = engine.conform(d, "b:int,a:long")
+    assert(out.columns.toSeq === Seq("b", "a"))
+    assertDfEq(out, Seq(Seq(7, 1L), Seq(8, null)))
+  }
+
+  test("dropNearDuplicates: star and chain components keep only min id") {
+    val docs = df((1L to 8L).map(i => Seq(i, s"d$$i")), "doc_id:long,t:str")
+    // component {1,2,5} via star on 5; chain {3,4}; {6,7,8} chain; singleton none
+    val pairs = df(Seq(
+      Seq(1L, 5L), Seq(2L, 5L),          // star: hub 5 links 1 and 2
+      Seq(3L, 4L),
+      Seq(6L, 7L), Seq(7L, 8L)), "id_a:long,id_b:long")
+    val kept = Dedup.dropNearDuplicates(docs, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === Seq(1L, 3L, 6L))
   }
 }
