@@ -50,51 +50,12 @@ object Dedup {
 
   private val MersennePrime = (1L << 61) - 1
 
-  /** MinHash signature (H values) of a shingle-hash array. One pass per row
-   * over the array computing all H universal-hash minima — a JVM UDF (not a
-   * per-hash column explosion) to keep it one cache-friendly loop. */
-  def minhashSignature(numHashes: Int, seed: Long = 42L): Column => Column = {
-    val rnd = new java.util.Random(seed)
-    val as = Array.fill(numHashes)(1 + (rnd.nextLong().abs % (MersennePrime - 1)))
-    val bs = Array.fill(numHashes)(rnd.nextLong().abs % MersennePrime)
-    val f = udf { hashes: Seq[Long] =>
-      if (hashes == null || hashes.isEmpty) null
-      else {
-        val sig = Array.fill(numHashes)(Long.MaxValue)
-        var i = 0
-        while (i < hashes.length) {
-          val h = hashes(i) & Long.MaxValue
-          var j = 0
-          while (j < numHashes) {
-            // (a*h + b) mod p with p = 2^61-1 via unsigned 128-free trick:
-            // values < 2^61 so a*h may overflow; use Math.multiplyHigh-based
-            // mulmod
-            val v = mulmod(as(j), h % MersennePrime, MersennePrime)
-            val hv = {
-              val s = v + bs(j)
-              if (s >= MersennePrime) s - MersennePrime else s
-            }
-            if (hv < sig(j)) sig(j) = hv
-            j += 1
-          }
-          i += 1
-        }
-        sig
-      }
-    }
-    (c: Column) => f(c)
-  }
-
-  private def mulmod(a: Long, b: Long, m: Long): Long = {
-    // 61-bit safe multiplication mod m using 128-bit via Math.multiplyHigh
-    val hi = Math.multiplyHigh(a, b)
-    val lo = a * b
-    // reduce 128-bit (hi,lo) mod 2^61-1: since m = 2^61-1,
-    // x mod m = (x & m) + (x >> 61) folded
-    val part = (lo & m) + (((hi << 3) | (lo >>> 61)) & m) + (hi >>> 58)
-    val r = (part & m) + (part >>> 61)
-    if (r >= m) r - m else r
-  }
+  /** MinHash signature (H values) of a shingle-hash array — native
+   * expression over ArrayData primitives
+   * ([[graft.functions.expressions.MinHashSignature]]). */
+  def minhashSignature(numHashes: Int, seed: Long = 42L): Column => Column =
+    (c: Column) => graft.functions.expressions.VectorExpressions
+      .minhashSignature(c, numHashes, seed)
 
   /**
    * MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
@@ -173,30 +134,13 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** 64-bit SimHash over word k-gram shingle features (bit voting on the
-   * already-computed 64-bit shingle hashes). Shingle features — not single
-   * tokens — keep signatures discriminative when documents share a
+  /** 64-bit SimHash over word k-gram shingle features (per-bit majority
+   * vote on the shingle hashes — native expression). Shingle features, not
+   * single tokens, keep signatures discriminative when documents share a
    * vocabulary but not phrasing. */
-  def simhash(text: Column, shingleK: Int = 3): Column = {
-    val f = udf { hashes: Seq[Long] =>
-      if (hashes == null || hashes.isEmpty) 0L
-      else {
-        val votes = new Array[Int](64)
-        hashes.foreach { h =>
-          var b = 0
-          while (b < 64) {
-            if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-            b += 1
-          }
-        }
-        var sig = 0L
-        var b = 0
-        while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
-        sig
-      }
-    }
-    f(shingleHashes(lower(text), shingleK))
-  }
+  def simhash(text: Column, shingleK: Int = 3): Column =
+    graft.functions.expressions.VectorExpressions
+      .simhash64(shingleHashes(lower(text), shingleK))
 
   /**
    * SimHash near-dup pairs with Hamming distance ≤ maxHamming. Banding by

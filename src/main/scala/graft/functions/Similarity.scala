@@ -17,36 +17,15 @@ import org.apache.spark.sql.functions.{broadcast => sparkBroadcast, _}
  */
 object Similarity {
 
-  /** Cosine-normalized copy of a float-array column (double precision). */
-  def l2normalize(vec: Column): Column = {
-    val f = udf { v: Seq[Float] =>
-      if (v == null) null
-      else {
-        val d = v.map(_.toDouble).toArray
-        var s = 0.0
-        var i = 0
-        while (i < d.length) { s += d(i) * d(i); i += 1 }
-        val n = math.sqrt(s)
-        if (n == 0) d else d.map(_ / n)
-      }
-    }
-    f(vec)
-  }
+  /** Cosine-normalized copy of a float/double-array column (double
+   * precision) — native Catalyst expression, no per-element boxing. */
+  def l2normalize(vec: Column): Column =
+    graft.functions.expressions.VectorExpressions.l2normalize(vec)
 
-  /** Dot product of two double-array columns — single JVM loop. */
-  def dot(a: Column, b: Column): Column = {
-    val f = udf { (x: Seq[Double], y: Seq[Double]) =>
-      if (x == null || y == null) null.asInstanceOf[java.lang.Double]
-      else {
-        var s = 0.0
-        var i = 0
-        val n = math.min(x.length, y.length)
-        while (i < n) { s += x(i) * y(i); i += 1 }
-        java.lang.Double.valueOf(s)
-      }
-    }
-    f(a, b)
-  }
+  /** Dot product of two array<double> columns — whole-stage-codegen'd
+   * primitive loop ([[graft.functions.expressions.DotProduct]]). */
+  def dot(a: Column, b: Column): Column =
+    graft.functions.expressions.VectorExpressions.dot(a, b)
 
   /**
    * Exact brute-force cosine top-k: for every row of `queries`, the k

@@ -1,0 +1,176 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types._
+
+/**
+ * Native Catalyst expressions for the embedding/minhash hot paths. A Scala
+ * UDF pays per-element boxing (ArrayData → WrappedArray[java.lang.Double]);
+ * these read ArrayData primitives directly, and the dot product generates
+ * straight-line Java inside whole-stage codegen.
+ */
+
+/** `dot(a, b)` over two array<double> columns — codegen'd primitive loop. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var s = 0.0
+    var i = 0
+    val n = math.min(x.numElements(), y.numElements())
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `l2_normalize(v)` over array<float> or array<double> → unit-norm
+ * array<double>. Eval-based (array construction dominates; codegen gains
+ * little), but element access stays primitive. */
+case class L2Normalize(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  private lazy val elemIsFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val in = v.asInstanceOf[ArrayData]
+    val n = in.numElements()
+    val out = new Array[Double](n)
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = if (elemIsFloat) in.getFloat(i).toDouble else in.getDouble(i)
+      out(i) = d
+      s += d * d
+      i += 1
+    }
+    if (s > 0) {
+      val inv = 1.0 / math.sqrt(s)
+      i = 0
+      while (i < n) { out(i) *= inv; i += 1 }
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/**
+ * `minhash_sig(shingleHashes)` → array<long> of `numHashes` universal-hash
+ * minima ((a·h + b) mod (2^61−1)); one primitive pass, coefficients fixed
+ * by seed. Eval-based: the inner loop is already primitive and the per-row
+ * cost (|shingles|·numHashes multiplies) dwarfs the dispatch overhead.
+ */
+case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private val P = (1L << 61) - 1
+  private lazy val (as, bs) = {
+    val rnd = new java.util.Random(seed)
+    (Array.fill(numHashes)(1 + (rnd.nextLong().abs % (P - 1))),
+      Array.fill(numHashes)(rnd.nextLong().abs % P))
+  }
+
+  @inline private def mulmod(a: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    val part = (lo & P) + (((hi << 3) | (lo >>> 61)) & P) + (hi >>> 58)
+    val r = (part & P) + (part >>> 61)
+    if (r >= P) r - P else r
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val hashes = v.asInstanceOf[ArrayData]
+    val m = hashes.numElements()
+    if (m == 0) return null
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < m) {
+      val h = (hashes.getLong(i) & Long.MaxValue) % P
+      var j = 0
+      while (j < numHashes) {
+        val hv = {
+          val s = mulmod(as(j), h) + bs(j)
+          if (s >= P) s - P else s
+        }
+        if (hv < sig(j)) sig(j) = hv
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** 64-bit simhash from a shingle-hash array: per-bit majority vote. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any = {
+    val hashes = v.asInstanceOf[ArrayData]
+    val m = hashes.numElements()
+    if (m == 0) return 0L
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < m) {
+      val h = hashes.getLong(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+object VectorExpressions {
+  def dot(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def l2normalize(v: Column): Column =
+    ColumnBridge.column(L2Normalize(ColumnBridge.expression(v)))
+  def minhashSignature(sh: Column, numHashes: Int, seed: Long): Column =
+    ColumnBridge.column(MinHashSignature(ColumnBridge.expression(sh), numHashes, seed))
+  def simhash64(sh: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(sh)))
+}
