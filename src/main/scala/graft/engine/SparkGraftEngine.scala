@@ -181,15 +181,9 @@ class SparkGraftEngine(val spark: SparkSession) extends GraftEngine {
     frac match {
       case Some(f) => df.sample(replace, f, seed.getOrElse(new java.util.Random().nextLong()))
       case None =>
-        // fixed-size sample without a global sort: oversample then limit
-        val total = df.count()
-        val want = n.get
-        if (want >= total && !replace) df
-        else {
-          val f = math.min(1.0, want.toDouble / total * 1.2 + 0.01)
-          df.sample(replace, f, seed.getOrElse(new java.util.Random().nextLong()))
-            .limit(want.toInt)
-        }
+        // n-rows sample = TABLESAMPLE (n ROWS) = limit, exactly as the
+        // reference's Spark backend does (execution_engine.py:629-631)
+        df.limit(n.get.toInt)
     }
   }
 
