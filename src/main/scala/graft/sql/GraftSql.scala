@@ -46,8 +46,19 @@ object GraftSql {
 
   def run(engine: GraftEngine, sql: String,
       inputs: Map[String, DataFrame] = Map.empty,
-      transformers: Map[String, TransformerDef] = Map.empty): Result =
-    new Runner(engine, inputs, transformers).run(sql)
+      transformers: Map[String, TransformerDef] = Map.empty,
+      vars: Map[String, String] = Map.empty): Result =
+    new Runner(engine, inputs, transformers).run(substituteVars(sql, vars))
+
+  /** `{{name}}` template substitution (the reference's jinja-style
+   * variable templating, fugue/sql/_utils.py). Unknown variables raise. */
+  def substituteVars(script: String, vars: Map[String, String]): String = {
+    val out = "\\{\\{\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\}\\}".r
+      .replaceAllIn(script, m => vars.getOrElse(m.group(1),
+        throw new IllegalArgumentException(s"undefined template variable '${m.group(1)}'"))
+        .replace("\\", "\\\\").replace("$", "\\$"))
+    out
+  }
 
   private val KeywordStart =
     ("^(?i)(LOAD|SAVE|SELECT|WITH|TAKE|SAMPLE|DROPNA|FILLNA|RENAME|ALTER|DROP|" +

@@ -89,4 +89,16 @@ class GraftSqlSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       GraftSql.run(engine, "TAKE 1 ROWS FROM missing"))
   }
+
+  test("{{var}} template substitution") {
+    val res = GraftSql.run(engine,
+      """TAKE {{n}} ROWS FROM input PRESORT v DESC
+        |YIELD AS out
+        |""".stripMargin, Map("input" -> d1), Map.empty,
+      vars = Map("n" -> "2"))
+    assert(res.yields("out").count() === 2)
+    intercept[IllegalArgumentException](
+      GraftSql.run(engine, "TAKE {{missing}} ROWS FROM input",
+        Map("input" -> d1)))
+  }
 }
