@@ -106,7 +106,12 @@ object PartitionSpec {
   def parsePresort(expr: String): Seq[(String, Boolean)] =
     expr.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { part =>
       val toks = part.split("\\s+")
-      val asc = toks.length < 2 || toks(1).equalsIgnoreCase("asc")
+      require(toks.length <= 2, s"bad presort item '$part'")
+      val asc = toks.length < 2 || {
+        require(toks(1).equalsIgnoreCase("asc") || toks(1).equalsIgnoreCase("desc"),
+          s"bad presort direction '${toks(1)}' in '$part' (expected ASC|DESC)")
+        toks(1).equalsIgnoreCase("asc")
+      }
       (toks(0), asc)
     }
 }

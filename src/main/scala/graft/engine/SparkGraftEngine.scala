@@ -81,22 +81,33 @@ class SparkGraftEngine(val spark: SparkSession) extends GraftEngine {
     Repartitioner(df, spec)
 
   // RunOnce semantics of the reference (execution_engine.py:364-367):
-  // broadcast/persist are idempotent per plan identity.
-  private val broadcasted =
-    java.util.Collections.synchronizedMap(new java.util.WeakHashMap[DataFrame, DataFrame]())
-  private val persisted =
-    java.util.Collections.synchronizedMap(new java.util.WeakHashMap[DataFrame, DataFrame]())
+  // broadcast/persist are idempotent per dataframe identity. Values must
+  // not strongly reference their keys (WeakHashMap contract), so the
+  // broadcast result is held through a WeakReference and persist stores
+  // only a marker (Dataset.persist returns the receiver).
+  private val broadcasted = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[DataFrame, java.lang.ref.WeakReference[DataFrame]]())
+  private val persisted = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[DataFrame, java.lang.Boolean]())
 
-  def broadcast(df: DataFrame): DataFrame =
-    broadcasted.computeIfAbsent(df, d => sparkBroadcast(d))
+  def broadcast(df: DataFrame): DataFrame = {
+    val cached = Option(broadcasted.get(df)).flatMap(r => Option(r.get()))
+    cached.getOrElse {
+      val b = sparkBroadcast(df)
+      broadcasted.put(df, new java.lang.ref.WeakReference(b))
+      b
+    }
+  }
 
   def persist(df: DataFrame, lazyPersist: Boolean = true,
-      level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame =
-    persisted.computeIfAbsent(df, { d =>
-      val p = d.persist(level)
-      if (!lazyPersist) p.count() // eager materialization
-      p
-    })
+      level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    if (!persisted.containsKey(df)) {
+      df.persist(level)
+      if (!lazyPersist) df.count() // eager materialization
+      persisted.put(df, java.lang.Boolean.TRUE)
+    }
+    df
+  }
 
   def getCurrentParallelism: Int = spark.sparkContext.defaultParallelism
 
@@ -244,21 +255,22 @@ class SparkGraftEngine(val spark: SparkSession) extends GraftEngine {
     val (aggCols, keyCols) = cols.partition(containsAgg)
     val out =
       if (aggCols.isEmpty) pre.select(cols: _*)
-      else if (keyCols.isEmpty) pre.agg(aggCols.head, aggCols.tail: _*)
-      else pre.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
-        .select(cols.map(stripAggForReorder): _*)
+      else {
+        // give every column a stable name up front so the post-agg reorder
+        // can reference it (an unaliased sum(v) is not a NamedExpression)
+        val named = cols.map(c => c.as(outputName(c)))
+        val (nAgg, nKey) = named.partition(containsAgg)
+        val agged =
+          if (nKey.isEmpty) pre.agg(nAgg.head, nAgg.tail: _*)
+          else pre.groupBy(nKey: _*).agg(nAgg.head, nAgg.tail: _*)
+        agged.select(named.map(c => col(outputName(c))): _*)
+      }
     having.map(out.filter).getOrElse(out)
   }
 
-  // after groupBy().agg() the agg outputs are materialized columns; reorder
-  // to the caller's column order by name
-  private def stripAggForReorder(c: Column): Column = {
-    val e = ColumnBridge.expression(c)
-    e match {
-      case ne: org.apache.spark.sql.catalyst.expressions.NamedExpression => col(ne.name)
-      case _ => c
-    }
-  }
+  /** The output column name Spark would assign: alias if present, else the
+   * generated name (e.g. "sum(v)"). */
+  private def outputName(c: Column): String = ColumnBridge.outputName(c)
 
   def filter(df: DataFrame, cond: Column): DataFrame = df.filter(cond)
 

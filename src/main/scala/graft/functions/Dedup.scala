@@ -98,25 +98,25 @@ object Dedup {
     val banded = sigs.select(
       col("id"),
       posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
-    // bucket → candidate pairs (emit within group, capped)
-    val candidates = banded
-      .groupBy(col("band"), col("bh"))
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucketSize))
-      .select(explode(pairsOf(col("ids"))).as("p"))
-      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
-      .distinct()
+    // bucket → candidate pairs (size-capped before the quadratic step)
+    val candidates = bucketPairs(banded, Seq("band", "bh"), maxBucketSize)
     verifyJaccard(candidates, sigs.select(col("id"), col("sh")), threshold)
   }
 
-  /** All ordered pairs (a<b) from an id array — emitted bucket-side so the
-   * quadratic blowup is bounded by maxBucketSize before any shuffle. */
-  private def pairsOf(ids: Column): Column = {
-    val f = udf { xs: Seq[Long] =>
-      val s = xs.distinct.sorted
-      for { i <- s.indices; j <- (i + 1) until s.length } yield (s(i), s(j))
-    }
-    f(ids)
+  /** Candidate pairs from bucket keys: bucket-size filter (the skew cap,
+   * applied BEFORE the quadratic step) then a self-join with id_a < id_b.
+   * Type-agnostic in the id column — any orderable id works. */
+  def bucketPairs(
+      banded: DataFrame, bucketCols: Seq[String], maxBucketSize: Int): DataFrame = {
+    val keys = bucketCols.map(col)
+    val useful = banded.groupBy(keys: _*).agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz").between(2, maxBucketSize))
+      .select(keys: _*)
+    val pruned = banded.join(useful, bucketCols)
+    val a = pruned.select((keys :+ col("id").as("id_a")): _*)
+    val b = pruned.select((keys :+ col("id").as("id_b")): _*)
+    a.join(b, bucketCols).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
   }
 
   /** Join candidate (id_a,id_b) pairs back to shingle sets and keep pairs
@@ -160,13 +160,7 @@ object Dedup {
       shiftright(col("sig"), b * 16).bitwiseAND(lit(0xffffL)))
     val banded = sigs.select(col("id"), col("sig"),
       posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
-    val candidates = banded
-      .groupBy(col("band"), col("bh"))
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucketSize))
-      .select(explode(pairsOf(col("ids"))).as("p"))
-      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
-      .distinct()
+    val candidates = bucketPairs(banded, Seq("band", "bh"), maxBucketSize)
     val a = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))
     val b = sigs.select(col("id").as("id_b"), col("sig").as("sig_b"))
     candidates.join(a, "id_a").join(b, "id_b")

@@ -120,12 +120,7 @@ object Similarity {
       .select(col(idCol).as("id"), l2normalize(col(vecCol)).as("v"))
       .localCheckpoint(true) // not .persist(): the columnar cache writes array cols element-wise (~20x slower); localCheckpoint serializes rows. Tradeoff: no lineage recompute on executor loss.
     val banded = v.withColumn("bk", explode(keys(col("v"))))
-    val pairIds = banded.groupBy("bk")
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucketSize))
-      .select(explode(pairsOfLong(col("ids"))).as("p"))
-      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
-      .distinct()
+    val pairIds = Dedup.bucketPairs(banded, Seq("bk"), maxBucketSize)
     val a = v.select(col("id").as("id_a"), col("v").as("v_a"))
     val b = v.select(col("id").as("id_b"), col("v").as("v_b"))
     pairIds.join(a, "id_a").join(b, "id_b")
@@ -134,11 +129,4 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
-  private def pairsOfLong(ids: Column): Column = {
-    val f = udf { xs: Seq[Long] =>
-      val s = xs.distinct.sorted
-      for { i <- s.indices; j <- (i + 1) until s.length } yield (s(i), s(j))
-    }
-    f(ids)
-  }
 }

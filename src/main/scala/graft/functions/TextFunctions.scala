@@ -78,9 +78,9 @@ object TextFunctions {
   }
 
   /**
-   * 64-bit rolling polynomial fingerprint (Rabin-Karp style, base 1315423911
-   * over the normalized character stream) — content-addressed document
-   * identity robust to whitespace differences.
+   * 64-bit rolling polynomial fingerprint (Rabin-Karp style, base 31 with
+   * FNV offset basis seed, over the normalized character stream) —
+   * content-addressed document identity robust to whitespace differences.
    */
   def fingerprint(text: Column): Column = {
     val f = udf { s: String =>

@@ -32,8 +32,14 @@ object Bucketing {
 
   /** True when the physical plan of `df` contains no shuffle exchange —
    * the co-location check for bucketed joins (broadcast exchanges are not
-   * shuffles and don't count). */
-  def isShuffleFree(df: DataFrame): Boolean =
-    !df.queryExecution.executedPlan.exists(
-      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+   * shuffles and don't count). Scans the explain text because under AQE the
+   * root AdaptiveSparkPlanExec is a leaf node that hides the real plan from
+   * tree traversal. */
+  def isShuffleFree(df: DataFrame): Boolean = {
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    // ShuffleExchangeExec prints as the bare word "Exchange";
+    // BroadcastExchange/ReusedExchange are different tokens
+    !"""(?<![A-Za-z])Exchange(?![A-Za-z])""".r.findFirstIn(plan).isDefined
+  }
 }

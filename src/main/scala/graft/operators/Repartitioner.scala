@@ -70,20 +70,24 @@ object Repartitioner {
       val keyCols = by.map(col)
       val keys = df.select(keyCols: _*).distinct()
         .rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
-      val keySchema = StructType(schema.fields.filter(f => by.contains(f.name)))
+      // key schema in `by` order — the order of the distinct() rows above
+      val keySchema = StructType(by.map(name => schema(schema.fieldIndex(name))))
         .add("__graft_pno", "long")
       val keyDf = spark.createDataFrame(keys, keySchema)
       // key→index table is |distinct keys| rows; AQE auto-broadcasts when
-      // small, falls back to shuffle join when the key space is huge
+      // small, falls back to shuffle join when the key space is huge.
+      // Re-select the ORIGINAL column order: a using-columns join moves the
+      // key columns to the front, which would corrupt positional consumers.
       val joined = df.join(keyDf, by)
+        .select((schema.fieldNames.map(col) :+ col("__graft_pno")).toIndexedSeq: _*)
+      val pnoIdx = schema.fields.length
       val rdd = joined.rdd.map { r =>
-        (r.getAs[Long]("__graft_pno"), Row.fromSeq(r.toSeq.dropRight(1)))
+        (r.getLong(pnoIdx), Row.fromSeq(r.toSeq.dropRight(1)))
       }.partitionBy(new HashPartitioner(n) {
         override def getPartition(key: Any): Int =
           (key.asInstanceOf[Long] % n).toInt
       }).values
-      val reordered = StructType(joined.schema.fields.filterNot(_.name == "__graft_pno"))
-      spark.createDataFrame(rdd, reordered)
+      spark.createDataFrame(rdd, schema)
     }
   }
 }

@@ -71,15 +71,54 @@ object GraftSql {
   def splitStatements(script: String): Seq[String] = {
     val out = mutable.ArrayBuffer.empty[StringBuilder]
     script.split("\n").foreach { raw =>
-      val line = raw.replaceAll("--.*$", "")
+      val line = stripComment(raw)
       val t = line.trim
       if (t.nonEmpty) {
-        val starts = Assign.findFirstIn(t).isDefined || KeywordStart.findFirstIn(t).isDefined
+        // an assignment only starts a statement when its RHS is a dialect
+        // keyword (or continues on the next line) — `x = 5` inside a WHERE
+        // clause is NOT a new statement
+        val starts = (t match {
+          case Assign(_, rest) =>
+            rest.trim.isEmpty || KeywordStart.findFirstIn(rest.trim).isDefined
+          case _ => false
+        }) || KeywordStart.findFirstIn(t).isDefined
         if (starts || out.isEmpty) out += new StringBuilder(t)
         else { out.last += '\n'; out.last ++= t }
       }
     }
     out.map(_.toString).toSeq
+  }
+
+  /** Strip a `--` comment, ignoring `--` inside quoted strings. */
+  private def stripComment(line: String): String = {
+    var inS = false; var inD = false
+    var i = 0
+    while (i < line.length) {
+      val c = line(i)
+      if (c == '\'' && !inD) inS = !inS
+      else if (c == '"' && !inS) inD = !inD
+      else if (c == '-' && !inS && !inD && i + 1 < line.length && line(i + 1) == '-')
+        return line.substring(0, i)
+      i += 1
+    }
+    line
+  }
+
+  /** Copy of the statement with quoted string contents blanked — safe for
+   * keyword/flag detection (a path containing "append" must not flip the
+   * save mode). */
+  private def maskQuotes(stmt: String): String = {
+    val sb = new StringBuilder(stmt)
+    var inS = false; var inD = false
+    var i = 0
+    while (i < sb.length) {
+      val c = sb(i)
+      if (c == '\'' && !inD) inS = !inS
+      else if (c == '"' && !inS) inD = !inD
+      else if (inS || inD) sb(i) = '_'
+      i += 1
+    }
+    sb.toString
   }
 
   private final class Runner(
@@ -176,9 +215,10 @@ object GraftSql {
     }
 
     private def execSave(stmt: String): Unit = {
-      val mode = if (stmt.toUpperCase.contains("APPEND")) "append" else "overwrite"
-      val single = stmt.toUpperCase.contains("SINGLE")
-      val fmt = "(?i)\\b(PARQUET|CSV|JSON)\\b".r.findFirstMatchIn(stmt)
+      val masked = maskQuotes(stmt).toUpperCase
+      val mode = if ("\\bAPPEND\\b".r.findFirstIn(masked).isDefined) "append" else "overwrite"
+      val single = "\\bSINGLE\\b".r.findFirstIn(masked).isDefined
+      val fmt = "(?i)\\b(PARQUET|CSV|JSON)\\b".r.findFirstMatchIn(maskQuotes(stmt))
         .map(_.group(1).toLowerCase).getOrElse("")
       engine.save(ref(wordAfter(stmt, 1)), quoted(stmt), fmt, mode,
         singleFile = single)
@@ -187,10 +227,19 @@ object GraftSql {
     private def execSelect(stmt: String): DataFrame = {
       // register all known dfs as temp views, add implicit FROM if absent
       val text =
-        if ("(?i)\\bFROM\\b".r.findFirstIn(stmt).isDefined) stmt
+        if ("(?i)\\bFROM\\b".r.findFirstIn(maskQuotes(stmt)).isDefined) stmt
         else {
           dfs("__graft_prev") = prev
-          s"$stmt FROM __graft_prev"
+          // insert FROM before any trailing clause (WHERE/GROUP/…), not at
+          // the end — "SELECT k WHERE v>1" must become
+          // "SELECT k FROM __graft_prev WHERE v>1"
+          val m = "(?i)\\b(WHERE|GROUP\\s+BY|HAVING|ORDER\\s+BY|LIMIT)\\b".r
+            .findFirstMatchIn(maskQuotes(stmt))
+          m match {
+            case Some(mm) =>
+              stmt.substring(0, mm.start) + " FROM __graft_prev " + stmt.substring(mm.start)
+            case None => s"$stmt FROM __graft_prev"
+          }
         }
       engine.sqlSelect(text, dfs.toMap)
     }
@@ -206,9 +255,11 @@ object GraftSql {
 
     private def execTake(stmt: String): DataFrame = {
       val n = "(?i)TAKE\\s+(\\d+)".r.findFirstMatchIn(stmt).get.group(1).toInt
-      val naPos = if (stmt.toUpperCase.contains("NULLS FIRST") ||
-        stmt.toUpperCase.contains("NULL FIRST")) "first" else "last"
-      engine.take(ref(kwArg(stmt, "FROM")), n, partitionSpec(stmt), naPos)
+      val naPos = if ("(?i)NULLS?\\s+FIRST".r.findFirstIn(stmt).isDefined) "first" else "last"
+      // remove the NULLS clause so the greedy PRESORT column list cannot
+      // swallow it as extra sort columns
+      val cleaned = "(?i)NULLS?\\s+(FIRST|LAST)".r.replaceAllIn(stmt, "")
+      engine.take(ref(kwArg(cleaned, "FROM")), n, partitionSpec(cleaned), naPos)
     }
 
     private def execSample(stmt: String): DataFrame = {
@@ -221,7 +272,7 @@ object GraftSql {
     }
 
     private def execDropna(stmt: String): DataFrame = {
-      val how = if (stmt.toUpperCase.contains(" ALL")) "all" else "any"
+      val how = if ("(?i)^DROPNA\\s+ALL\\b".r.findFirstIn(stmt.trim).isDefined) "all" else "any"
       val subset = kwArg(stmt, "ON").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
       engine.dropna(ref(kwArg(stmt, "FROM")), how, subset = subset)
     }

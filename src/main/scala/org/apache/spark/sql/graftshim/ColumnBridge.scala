@@ -15,4 +15,17 @@ object ColumnBridge {
   def expression(c: Column): Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
   def column(e: Expression): Column = ExpressionUtils.column(e)
+  /** The output name Spark would assign (alias, attribute name, or the
+   * generated pretty name for anonymous expressions). */
+  def outputName(c: Column): String = {
+    val e = expression(c)
+    ExpressionUtils.toNamed(e) match {
+      case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAlias =>
+        // .name on an UnresolvedAlias throws; derive the pretty name the
+        // analyzer would generate
+        try ExpressionUtils.generateAlias(ua.child)
+        catch { case _: Throwable => ua.child.toString }
+      case ne => ne.name
+    }
+  }
 }
