@@ -276,6 +276,23 @@ object SparkEntry {
       Multimodal.decodeImages(payloads, "doc_id", "payload")
     }),
 
+    "m02_multimodal_ann" -> ((s, dir) => {
+      // full multimodal pipeline: payload → stub featurizer → ANN top-3
+      val payloads = t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      val emb = Multimodal.extractFeatures(payloads, "doc_id", "payload")
+      Similarity.bruteForceTopK(emb, emb.filter(col("doc_id") < 5),
+        "doc_id", "embedding", k = 3)
+        .select("query_id", "rank", "neighbor_id")
+    }),
+    "q37_sketch" -> ((s, dir) =>
+      // HLL sketch vs exact cardinality per event type (sketch impls differ
+      // per engine → rows-only)
+      eng(s).aggregate(events(s, dir), Seq("event_type"), Seq(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n")))),
+
     // ---- SQL passthrough breadth (same text on Spark and DuckDB) ------
     "q32_rollup" -> ((s, dir) =>
       eng(s).sqlSelect(SqlRollup, Map("orders" -> t(s, dir, "orders")))),

@@ -64,6 +64,47 @@ object Multimodal {
   }
 
   /**
+   * Feature extraction plumbing: payload bytes → fixed-dimension embedding
+   * (`array<float>`). The featurizer is a deterministic STUB (byte n-gram
+   * hashing into `dim` buckets, L2-normalized) standing in for a real
+   * vision/audio encoder; its output composes directly with
+   * [[Similarity.bruteForceTopK]] / [[Similarity.lshTopK]], which is the
+   * point: multimodal → embedding → ANN as one declarative pipeline.
+   */
+  def extractFeatures(df: DataFrame, idCol: String, payloadCol: String,
+      dim: Int = 64): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("embedding", ArrayType(FloatType, containsNull = false))))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val payload = r.getAs[Array[Byte]](pIdx)
+        val v = new Array[Float](dim)
+        if (payload != null && payload.length > 0) {
+          var h = 1469598103934665603L
+          var i = 0
+          while (i < payload.length) {
+            h = (h ^ (payload(i) & 0xff)) * 1099511628211L
+            v(((h >>> 1) % dim).toInt) += 1f
+            i += 1
+          }
+          var s = 0.0
+          var j = 0
+          while (j < dim) { s += v(j).toDouble * v(j); j += 1 }
+          if (s > 0) {
+            val inv = (1.0 / math.sqrt(s)).toFloat
+            j = 0
+            while (j < dim) { v(j) *= inv; j += 1 }
+          }
+        }
+        Row(r.getLong(idIdx), v.toSeq)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /**
    * Frame sampling plumbing for video-like payloads: emits every `stride`-th
    * fixed-size window of the payload as a frame row (deterministic stub for
    * a real demuxer). Output: (doc_id, frame_no, frame_bytes).
