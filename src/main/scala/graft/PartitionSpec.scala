@@ -48,9 +48,12 @@ final case class PartitionSpec(
     if (expr.isEmpty || expr == "0") 0
     else {
       val concurrency = math.max(spark.sparkContext.defaultParallelism, 1)
-      val substituted = expr
-        .replace("ROWCOUNT", rowCount.toString)
-        .replace("CONCURRENCY", concurrency.toString)
+      // only force the count when the expression actually uses ROWCOUNT —
+      // a literal num must not cost a full extra pass over the data
+      val withRowcount =
+        if (expr.contains("ROWCOUNT")) expr.replace("ROWCOUNT", rowCount.toString)
+        else expr
+      val substituted = withRowcount.replace("CONCURRENCY", concurrency.toString)
       math.max(evalArith(substituted).toInt, 0)
     }
   }
@@ -76,7 +79,8 @@ final case class PartitionSpec(
       while (pos < s.length && (s(pos) == '*' || s(pos) == '/')) {
         val op = s(pos); pos += 1
         val r = number()
-        v = if (op == '*') v * r else if (r == 0) v else v / r
+        if (op == '/') require(r != 0, s"division by zero in partition num expr '$s'")
+        v = if (op == '*') v * r else v / r
         skip()
       }
       v

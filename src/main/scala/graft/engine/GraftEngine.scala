@@ -61,6 +61,16 @@ trait GraftEngine {
   def aggregate(df: DataFrame, partitionBy: Seq[String],
       aggs: Seq[Column]): DataFrame
 
+  // ---- schema ops ------------------------------------------------------
+  /** Cast the named columns to new types (schema expression); other columns
+   * and the column order are untouched. */
+  def alterColumns(df: DataFrame, schemaExpr: String): DataFrame
+  def rename(df: DataFrame, mapping: Map[String, String]): DataFrame
+  def dropColumns(df: DataFrame, cols: Seq[String], ifExists: Boolean = false): DataFrame
+  /** Conform to a declared output schema: reorder + cast (NaN→null for
+   * fractional→integral). */
+  def conform(df: DataFrame, schema: StructType): DataFrame
+
   // ---- SQL -------------------------------------------------------------
   /** Run a raw SELECT over named dataframes registered as temp views. */
   def sqlSelect(sql: String, dfs: Map[String, DataFrame]): DataFrame

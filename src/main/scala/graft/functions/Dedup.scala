@@ -28,10 +28,24 @@ object Dedup {
   }
 
   /** Exact dedup: keep one row per distinct value of `keyCols`, choosing the
-   * smallest `tieBreak` (deterministic, unlike `dropDuplicates`). Single
+   * smallest `tieBreak` (deterministic when `tieBreak` is unique per key —
+   * use the row id; unlike `dropDuplicates`, which keeps an arbitrary row).
+   * Remaining orderable columns serve as secondary tie-breaks so even
+   * duplicate tieBreak values resolve deterministically. Single
    * hash-shuffle on the key columns. */
   def exact(df: DataFrame, keyCols: Seq[String], tieBreak: String): DataFrame = {
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tieBreak).asc)
+    import org.apache.spark.sql.types._
+    def orderable(dt: DataType): Boolean = dt match {
+      case _: NumericType | StringType | BooleanType | DateType |
+           TimestampType | TimestampNTZType | BinaryType => true
+      case _ => false
+    }
+    val secondary = df.schema.fields.collect {
+      case f if f.name != tieBreak && !keyCols.contains(f.name) &&
+        orderable(f.dataType) => col(f.name).asc_nulls_last
+    }
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tieBreak).asc +: secondary.toIndexedSeq: _*)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 

@@ -49,6 +49,15 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** Embedding dimensionality probe (one small job). Empty/null-leading
+   * corpora get a clear error instead of `next on empty iterator`. */
+  private def inferDim(df: DataFrame, vecCol: String): Int = {
+    val row = df.select(size(col(vecCol)).as("d")).filter(col("d") > 0).head(1)
+    require(row.nonEmpty,
+      s"cannot infer embedding dimension: no non-empty '$vecCol' values")
+    row.head.getInt(0)
+  }
+
   /** Random hyperplane sign-bucket key(s) for a normalized vector: `nBits`
    * sign bits per table, `nTables` independent tables (seeded). */
   private def hyperplaneKeys(
@@ -86,7 +95,7 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nTables: Int = 8, nBits: Int = 12, seed: Long = 42L): DataFrame = {
-    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    val dim = inferDim(corpus, vecCol)
     val keys = hyperplaneKeys(dim, nTables, nBits, seed)
     val c = Dedup.spreadForCompute(corpus)
       .select(col(idCol).as("neighbor_id"), l2normalize(col(vecCol)).as("cv"))
@@ -114,7 +123,7 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nTables: Int = 8, nBits: Int = 10,
       seed: Long = 42L, maxBucketSize: Int = 2000): DataFrame = {
-    val dim = df.select(size(col(vecCol))).first().getInt(0)
+    val dim = inferDim(df, vecCol)
     val keys = hyperplaneKeys(dim, nTables, nBits, seed)
     val v = Dedup.spreadForCompute(df)
       .select(col(idCol).as("id"), l2normalize(col(vecCol)).as("v"))

@@ -70,18 +70,24 @@ object GraftSql {
    * attach to the current statement. */
   def splitStatements(script: String): Seq[String] = {
     val out = mutable.ArrayBuffer.empty[StringBuilder]
+    def parenDepth(text: String): Int = {
+      val masked = maskQuotes(text)
+      masked.count(_ == '(') - masked.count(_ == ')')
+    }
     script.split("\n").foreach { raw =>
       val line = stripComment(raw)
       val t = line.trim
       if (t.nonEmpty) {
-        // an assignment only starts a statement when its RHS is a dialect
-        // keyword (or continues on the next line) — `x = 5` inside a WHERE
-        // clause is NOT a new statement
-        val starts = (t match {
+        // a line inside an unbalanced paren (a subquery spanning lines)
+        // always continues the current statement, even if it starts with a
+        // keyword; an assignment only starts a statement when its RHS is a
+        // dialect keyword — `x = 5` inside a WHERE clause is NOT a statement
+        val openParens = out.nonEmpty && parenDepth(out.last.toString) > 0
+        val starts = !openParens && ((t match {
           case Assign(_, rest) =>
             rest.trim.isEmpty || KeywordStart.findFirstIn(rest.trim).isDefined
           case _ => false
-        }) || KeywordStart.findFirstIn(t).isDefined
+        }) || KeywordStart.findFirstIn(t).isDefined)
         if (starts || out.isEmpty) out += new StringBuilder(t)
         else { out.last += '\n'; out.last ++= t }
       }
@@ -196,7 +202,8 @@ object GraftSql {
     }
 
     private def kwArg(stmt: String, kw: String): Option[String] = {
-      val r = s"(?i)\\b$kw\\s+([^\\s]+(?:\\s*,\\s*[^\\s]+)*)".r
+      // tokens exclude commas — `a, b` must capture both items, not `a,`
+      val r = s"(?i)\\b$kw\\s+([^\\s,]+(?:\\s*,\\s*[^\\s,]+)*)".r
       r.findFirstMatchIn(stmt).map(_.group(1))
     }
 
@@ -293,32 +300,18 @@ object GraftSql {
 
     private def execRename(stmt: String): DataFrame = {
       val pairs = kwArg(stmt, "COLUMNS").map(parseParams).getOrElse(Map.empty)
-      pairs.foldLeft(ref(kwArg(stmt, "FROM"))) { case (d, (from, to)) =>
-        d.withColumnRenamed(from, to)
-      }
+      engine.rename(ref(kwArg(stmt, "FROM")), pairs)
     }
 
     private def execAlter(stmt: String): DataFrame = {
       val casts = kwArg(stmt, "COLUMNS").map(_.trim).getOrElse("")
-      val st = SchemaExpr.parse(casts)
-      val d = ref(kwArg(stmt, "FROM"))
-      import org.apache.spark.sql.functions.col
-      d.select(d.columns.map { c =>
-        st.fields.find(_.name == c) match {
-          case Some(f) => col(c).cast(f.dataType).as(c)
-          case None => col(c)
-        }
-      }.toIndexedSeq: _*)
+      engine.alterColumns(ref(kwArg(stmt, "FROM")), casts)
     }
 
     private def execDropCols(stmt: String): DataFrame = {
       val cols = kwArg(stmt, "COLUMNS").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
       val ifExists = stmt.toUpperCase.contains("IF EXISTS")
-      val d = ref(kwArg(stmt, "FROM"))
-      val missing = cols.filterNot(d.columns.contains)
-      if (missing.nonEmpty && !ifExists)
-        throw new IllegalArgumentException(s"columns not found: $missing")
-      d.drop(cols: _*)
+      engine.dropColumns(ref(kwArg(stmt, "FROM")), cols, ifExists)
     }
 
     private def execTransform(stmt: String): DataFrame = {
@@ -330,7 +323,9 @@ object GraftSql {
       val t = transformers.getOrElse(name,
         throw new IllegalArgumentException(s"unknown transformer '$name'"))
       val d = ref(kwArg(stmt, "FROM").orElse(wordAfter(stmt, 1)))
-      val spec = partitionSpec(stmt)
+      // clip at USING so the greedy PRESORT column list cannot swallow the
+      // USING/SCHEMA clauses
+      val spec = partitionSpec(stmt.substring(0, m.start))
       val schemaHint = "(?i)SCHEMA\\s+([^\\n]+)$".r.findFirstMatchIn(stmt.split("\n").head)
         .map(_.group(1).trim)
       val outSchema = schemaHint

@@ -49,7 +49,16 @@ object Transform {
       f: (PartitionCursor, Iterator[Row]) => Iterator[Row]): DataFrame = {
     val keys = spec.by
     val keyIdx = keys.map(df.schema.fieldIndex)
-    val prepared = Repartitioner(df, spec)
+    val shuffled = Repartitioner(df, spec)
+    // consecutive-equal-key grouping REQUIRES rows sorted by key within
+    // each physical partition; Repartitioner only sorts when a presort is
+    // given (its contract), so sort here for the keyed no-presort case —
+    // otherwise two keys in one shuffle partition arrive interleaved and a
+    // logical partition would be visited once per run of its rows
+    val prepared =
+      if (keys.nonEmpty && spec.presort.isEmpty)
+        shuffled.sortWithinPartitions(keys.map(col): _*)
+      else shuffled
     implicit val enc: Encoder[Row] = Encoders.row(outputSchema)
     prepared.mapPartitions { it =>
       val pno = TaskContext.getPartitionId()

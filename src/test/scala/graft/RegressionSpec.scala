@@ -103,4 +103,68 @@ class RegressionSpec extends SparkTestBase {
     val pairs = graft.functions.Dedup.bucketPairs(banded, Seq("bk"), 100)
     assertDfEq(pairs, Seq(Seq("docA", "docB")))
   }
+
+  test("keyed transform without presort visits each key exactly once") {
+    // multi-partition input with interleaved keys: without the key sort the
+    // consecutive-run detector would emit several partial groups per key
+    val d = df((1 to 40).map(i => Seq(i, if (i % 2 == 0) "even" else "odd")),
+      "v:int,k:str").repartition(5)
+    val out = Transform.mapPartitions(d,
+      PartitionSpec(algo = "hash", num = "2", by = Seq("k")),
+      SchemaExpr.parse("k:str,n:long")) { (cursor, rows) =>
+      Iterator.single(Row(cursor.keyValues.head, rows.size.toLong))
+    }
+    assertDfEq(out, Seq(Seq("even", 20L), Seq("odd", 20L)))
+  }
+
+  test("multi-column lists parse fully: PREPARTITION BY a, b and FILLNA") {
+    val d = df(Seq(Seq("a", 1, 1.0), Seq("a", 2, 2.0), Seq("b", 1, 3.0)),
+      "k:str,g:int,v:double")
+    val sumT = GraftSql.TransformerDef(
+      outputSchema = (_, _) => SchemaExpr.parse("k:str,g:int,total:double"),
+      fn = (cursor, rows, _) => Iterator.single(Row(cursor.keyValues.head,
+        cursor.keyValues(1), rows.map(_.getDouble(2)).sum)))
+    val res = GraftSql.run(engine,
+      "TRANSFORM input PREPARTITION BY k, g USING sumv\nYIELD AS out",
+      Map("input" -> d), Map("sumv" -> sumT))
+    assertDfEq(res.yields("out"),
+      Seq(Seq("a", 1, 1.0), Seq("a", 2, 2.0), Seq("b", 1, 3.0)))
+    val withNull = df(Seq(Seq(null, null)), "a:str,b:double")
+    val filled = GraftSql.run(engine,
+      "FILLNA PARAMS a:x, b:9.5 FROM input\nYIELD AS out",
+      Map("input" -> withNull))
+    assertDfEq(filled.yields("out"), Seq(Seq("x", 9.5)))
+  }
+
+  test("TRANSFORM with PRESORT parses (clipped at USING)") {
+    val d = df(Seq(Seq("a", 2), Seq("a", 1)), "k:str,v:int")
+    val firstT = GraftSql.TransformerDef(
+      outputSchema = (_, _) => SchemaExpr.parse("k:str,first_v:int"),
+      fn = (cursor, rows, _) =>
+        Iterator.single(Row(cursor.keyValues.head, rows.next().getInt(1))))
+    val res = GraftSql.run(engine,
+      "TRANSFORM input PREPARTITION BY k PRESORT v DESC USING firstv\nYIELD AS out",
+      Map("input" -> d), Map("firstv" -> firstT))
+    assertDfEq(res.yields("out"), Seq(Seq("a", 2)))
+  }
+
+  test("multi-line subquery SELECT is one statement") {
+    val stmts = GraftSql.splitStatements(
+      "x = SELECT * FROM (\nSELECT k FROM input) t\nYIELD x AS out")
+    assert(stmts.length === 2)
+    assert(stmts.head.contains(") t"))
+  }
+
+  test("partition num expr: division by zero raises") {
+    intercept[IllegalArgumentException](
+      PartitionSpec(num = "8/0").evalNum(spark, 100L))
+  }
+
+  test("lshTopK on empty corpus raises a clear error") {
+    val emb = df(Seq(Seq(1L, Seq(1.0f, 2.0f))), "vec_id:long,embedding:[float]")
+    val ex = intercept[IllegalArgumentException](
+      graft.functions.Similarity.lshTopK(
+        emb.filter(col("vec_id") < 0), emb, "vec_id", "embedding", 3))
+    assert(ex.getMessage.contains("dimension"))
+  }
 }
