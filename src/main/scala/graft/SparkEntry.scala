@@ -293,6 +293,29 @@ object SparkEntry {
         countDistinct(col("user_id")).as("exact_users"),
         count(lit(1)).as("n")))),
 
+    // ---- temporal operators -------------------------------------------
+    "q38_asof_join" -> ((s, dir) => {
+      val e = events(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("prior_purchase_id"),
+          col("value").as("prior_purchase_value"))
+      graft.operators.TemporalOps.asofJoin(clicks, purchases,
+        keys = Seq("user_id"), tsCol = "ts",
+        tieBreak = Seq("prior_purchase_id"))
+        .select("event_id", "user_id", "prior_purchase_id", "prior_purchase_value")
+    }),
+    "q39_sessionize" -> ((s, dir) => {
+      val e = events(s, dir)
+      graft.operators.TemporalOps.sessionize(e, Seq("user_id"), "ts",
+        "30 minutes", tieBreak = Seq("event_id"))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+    }),
+
     // ---- SQL passthrough breadth (same text on Spark and DuckDB) ------
     "q32_rollup" -> ((s, dir) =>
       eng(s).sqlSelect(SqlRollup, Map("orders" -> t(s, dir, "orders")))),
@@ -520,6 +543,30 @@ object SparkEntry {
         |     / len(string_split_regex(trim(text), '\s+'))
         |   ELSE 0.0 END AS mean_word_len
         |FROM documents""".stripMargin,
+    "q38_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |  event_type, value FROM events),
+        |clicks AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'click'),
+        |purchases AS (SELECT user_id, ts, event_id AS prior_purchase_id,
+        |  value AS prior_purchase_value FROM e WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, p.prior_purchase_id, p.prior_purchase_value
+        |FROM clicks c ASOF LEFT JOIN purchases p
+        | ON c.user_id = p.user_id AND p.ts <= c.ts""".stripMargin,
+    "q39_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |marked AS (
+        | SELECT user_id, ts,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |    OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        | SELECT user_id, ts,
+        |  CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - 1 AS session_id
+        | FROM marked)
+        |SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        | MIN(ts) AS session_start, MAX(ts) AS session_end
+        |FROM sess GROUP BY user_id, session_id""".stripMargin,
     "q32_rollup" -> SqlRollup,
     "q33_running_window" -> SqlRunning,
     "q34_exists_subquery" -> SqlExists,
