@@ -101,4 +101,15 @@ class GraftSqlSpec extends SparkTestBase {
       GraftSql.run(engine, "TAKE {{missing}} ROWS FROM input",
         Map("input" -> d1)))
   }
+
+  test("TRANSFORM SCHEMA hint with wildcard ops") {
+    val upperT = TransformerDef(
+      outputSchema = (in, _) => in, // overridden by the SCHEMA hint
+      fn = (_, rows, _) => rows.map(r => Row(r.getString(0).toUpperCase, r.getInt(1), r.getInt(1) * 2L)))
+    val res = GraftSql.run(engine,
+      "TRANSFORM input USING up SCHEMA *,+twice:long\nYIELD AS out",
+      Map("input" -> d1), Map("up" -> upperT))
+    assert(res.yields("out").columns.toSeq === Seq("k", "v", "twice"))
+    assert(res.yields("out").filter(org.apache.spark.sql.functions.col("k") === "A").count() === 2)
+  }
 }
