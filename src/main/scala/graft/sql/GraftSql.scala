@@ -42,13 +42,44 @@ object GraftSql {
         org.apache.spark.sql.types.StructType,
       fn: (PartitionCursor, Iterator[Row], Map[String, String]) => Iterator[Row])
 
+  /** A named per-key cotransformer for COTRANSFORM a, b BY keys USING —
+   * the reference's zip+cotransform collapsed into one statement (the blob
+   * zip dataframe is a Python workaround; cogroup is native here). */
+  final case class CoTransformerDef(
+      outputSchema: (org.apache.spark.sql.types.StructType,
+        org.apache.spark.sql.types.StructType, Map[String, String]) =>
+        org.apache.spark.sql.types.StructType,
+      fn: (Seq[Any], Iterator[Row], Iterator[Row], Map[String, String]) => Iterator[Row])
+
+  /** Driver-side processor: n dataframes in, one out (PROCESS ... USING). */
+  final case class ProcessorDef(
+      fn: (GraftEngine, Seq[DataFrame], Map[String, String]) => DataFrame)
+
+  /** Driver-side outputter: n dataframes in, side effect (OUTPUT ... USING). */
+  final case class OutputterDef(
+      fn: (Seq[DataFrame], Map[String, String]) => Unit)
+
+  /** Extension registry passed to [[run]]. */
+  final case class Extensions(
+      transformers: Map[String, TransformerDef] = Map.empty,
+      cotransformers: Map[String, CoTransformerDef] = Map.empty,
+      processors: Map[String, ProcessorDef] = Map.empty,
+      outputters: Map[String, OutputterDef] = Map.empty)
+
   final case class Result(last: Option[DataFrame], yields: Map[String, DataFrame])
 
   def run(engine: GraftEngine, sql: String,
       inputs: Map[String, DataFrame] = Map.empty,
       transformers: Map[String, TransformerDef] = Map.empty,
       vars: Map[String, String] = Map.empty): Result =
-    new Runner(engine, inputs, transformers).run(substituteVars(sql, vars))
+    new Runner(engine, inputs, Extensions(transformers = transformers))
+      .run(substituteVars(sql, vars))
+
+  def runWith(engine: GraftEngine, sql: String,
+      inputs: Map[String, DataFrame] = Map.empty,
+      extensions: Extensions = Extensions(),
+      vars: Map[String, String] = Map.empty): Result =
+    new Runner(engine, inputs, extensions).run(substituteVars(sql, vars))
 
   /** `{{name}}` template substitution (the reference's jinja-style
    * variable templating, fugue/sql/_utils.py). Unknown variables raise. */
@@ -62,7 +93,8 @@ object GraftSql {
 
   private val KeywordStart =
     ("^(?i)(LOAD|SAVE|SELECT|WITH|TAKE|SAMPLE|DROPNA|FILLNA|RENAME|ALTER|DROP|" +
-      "DISTINCT|TRANSFORM|PRINT|PERSIST|BROADCAST|CHECKPOINT|YIELD)\\b").r
+      "DISTINCT|TRANSFORM|COTRANSFORM|PROCESS|OUTPUT|PRINT|PERSIST|BROADCAST|" +
+      "CHECKPOINT|YIELD)\\b").r
   private val Assign = "^\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*:?=\\s*(.*)$".r
 
   /** Split a script into statements: a statement starts at a line whose
@@ -130,7 +162,8 @@ object GraftSql {
   private final class Runner(
       engine: GraftEngine,
       inputs: Map[String, DataFrame],
-      transformers: Map[String, TransformerDef]) {
+      extensions: Extensions) {
+    private def transformers = extensions.transformers
 
     private val dfs = mutable.LinkedHashMap.empty[String, DataFrame] ++= inputs
     private val yields = mutable.LinkedHashMap.empty[String, DataFrame]
@@ -178,6 +211,9 @@ object GraftSql {
         case "DROP" => Some(execDropCols(stmt))
         case "DISTINCT" => Some(engine.distinct(ref(wordAfter(stmt, 1))))
         case "TRANSFORM" => Some(execTransform(stmt))
+        case "COTRANSFORM" => Some(execCoTransform(stmt))
+        case "PROCESS" => Some(execProcess(stmt))
+        case "OUTPUT" => execOutput(stmt); None
         case "PRINT" => ref(wordAfter(stmt, 1)).show(10, truncate = false); None
         case "PERSIST" => Some(engine.persist(ref(wordAfter(stmt, 1))))
         case "BROADCAST" => Some(engine.broadcast(ref(wordAfter(stmt, 1))))
@@ -332,6 +368,57 @@ object GraftSql {
         .map(h => SchemaExpr.applyHint(d.schema, h))
         .getOrElse(t.outputSchema(d.schema, params))
       Transform.mapPartitions(d, spec, outSchema)((c, rows) => t.fn(c, rows, params))
+    }
+
+    /** USING-clause parse shared by the extension statements. */
+    private def usingClause(stmt: String): (String, Map[String, String], scala.util.matching.Regex.Match) = {
+      val m = "(?i)USING\\s+([A-Za-z_][A-Za-z0-9_]*)(?:\\s*\\(([^)]*)\\))?".r
+        .findFirstMatchIn(stmt)
+        .getOrElse(throw new IllegalArgumentException(s"statement requires USING: $stmt"))
+      (m.group(1), Option(m.group(2)).map(parseParams).getOrElse(Map.empty), m)
+    }
+
+    /** Comma-separated df references between the statement keyword and the
+     * given clip position (normally the USING clause). */
+    private def dfRefList(stmt: String, clipAt: Int): Seq[DataFrame] = {
+      val head = stmt.substring(0, clipAt).split("\\s+", 2).lift(1).getOrElse("")
+      val names = head.split(",").map(_.trim.split("\\s+").head)
+        .takeWhile(n => n.nonEmpty && dfs.contains(n))
+      if (names.isEmpty) Seq(prev) else names.toSeq.map(n => dfs(n))
+    }
+
+    private def execCoTransform(stmt: String): DataFrame = {
+      val (name, params, m) = usingClause(stmt)
+      val t = extensions.cotransformers.getOrElse(name,
+        throw new IllegalArgumentException(s"unknown cotransformer '$name'"))
+      val sides = dfRefList(stmt, m.start)
+      require(sides.size == 2, s"COTRANSFORM needs exactly 2 dataframes, got ${sides.size}")
+      val keys = kwArg(stmt.substring(0, m.start), "BY")
+        .map(_.split(",").map(_.trim).toSeq)
+        .getOrElse(throw new IllegalArgumentException("COTRANSFORM requires BY keys"))
+      val how = "(?i)\\b(INNER|LEFT_OUTER|RIGHT_OUTER|FULL_OUTER|LEFT OUTER|RIGHT OUTER|FULL OUTER)\\b".r
+        .findFirstIn(maskQuotes(stmt.substring(0, m.start)))
+        .map(_.toLowerCase.replace(' ', '_')).getOrElse("inner")
+      val schemaHint = "(?i)\\bSCHEMA\\s+(.+)$".r.findFirstMatchIn(stmt)
+        .map(_.group(1).trim)
+      val out = schemaHint.map(SchemaExpr.parse)
+        .getOrElse(t.outputSchema(sides(0).schema, sides(1).schema, params))
+      Transform.coMap(sides(0), sides(1), keys, how, out)(
+        (k, l, r) => t.fn(k, l, r, params))
+    }
+
+    private def execProcess(stmt: String): DataFrame = {
+      val (name, params, m) = usingClause(stmt)
+      val p = extensions.processors.getOrElse(name,
+        throw new IllegalArgumentException(s"unknown processor '$name'"))
+      p.fn(engine, dfRefList(stmt, m.start), params)
+    }
+
+    private def execOutput(stmt: String): Unit = {
+      val (name, params, m) = usingClause(stmt)
+      val o = extensions.outputters.getOrElse(name,
+        throw new IllegalArgumentException(s"unknown outputter '$name'"))
+      o.fn(dfRefList(stmt, m.start), params)
     }
 
     private def execCheckpoint(stmt: String): DataFrame = {

@@ -112,4 +112,31 @@ class GraftSqlSpec extends SparkTestBase {
     assert(res.yields("out").columns.toSeq === Seq("k", "v", "twice"))
     assert(res.yields("out").filter(org.apache.spark.sql.functions.col("k") === "A").count() === 2)
   }
+
+  test("COTRANSFORM / PROCESS / OUTPUT with registered extensions") {
+    import graft.sql.GraftSql.{CoTransformerDef, Extensions, OutputterDef, ProcessorDef}
+    val l = df(Seq(Seq(1, "x"), Seq(1, "y"), Seq(2, "z")), "k:int,a:str")
+    val r = df(Seq(Seq(1, 10.0), Seq(3, 30.0)), "k:int,b:double")
+    var outputSeen = -1L
+    val exts = Extensions(
+      cotransformers = Map("counts" -> CoTransformerDef(
+        outputSchema = (_, _, _) => graft.schema.SchemaExpr.parse("k:int,nl:long,nr:long"),
+        fn = (key, ls, rs, _) =>
+          Iterator.single(Row(key.head, ls.size.toLong, rs.size.toLong)))),
+      processors = Map("concat" -> ProcessorDef(
+        fn = (e, dfs, _) => e.union(dfs(0), dfs(1), distinct = false))),
+      outputters = Map("record" -> OutputterDef(
+        fn = (dfs, _) => outputSeen = dfs.head.count())))
+    val res = GraftSql.runWith(engine,
+      """z = COTRANSFORM l, r BY k FULL_OUTER USING counts
+        |YIELD z AS zipped
+        |p = PROCESS l, l USING concat
+        |YIELD p AS doubled
+        |OUTPUT p USING record
+        |""".stripMargin, Map("l" -> l, "r" -> r), exts)
+    assertDfEq(res.yields("zipped"),
+      Seq(Seq(1, 2L, 1L), Seq(2, 1L, 0L), Seq(3, 0L, 1L)))
+    assert(res.yields("doubled").count() === 6)
+    assert(outputSeen === 6L)
+  }
 }
