@@ -240,9 +240,29 @@ object SparkEntry {
     "d04_dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         shingleK = 3, threshold = 0.5)),
+    // scale path by default: hyperplane-LSH bucketing, never a cartesian
     "d05_dedup_embed" -> ((s, dir) =>
+      Similarity.lshCosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.4, nTables = 16, nBits = 8, probes = 1)
+        .select("id_a", "id_b")),
+    // exact all-pairs variant (opt-in at scale) — full DuckDB oracle
+    "d05x_dedup_embed_exact" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
-        threshold = 0.4)),
+        threshold = 0.4).select("id_a", "id_b")),
+    // differential conformance: LSH pair recall vs the exact path ≥ 0.9
+    // (single-row result; oracle is the constant the differential must hit)
+    "d07_embed_lsh_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val exact = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.4)
+        .select("id_a", "id_b")
+      val lsh = Similarity.lshCosinePairs(emb, "vec_id", "embedding",
+        threshold = 0.4, nTables = 16, nBits = 8, probes = 1).select("id_a", "id_b")
+      val found = exact.join(lsh, Seq("id_a", "id_b"), "left_semi")
+        .agg(count(lit(1)).as("n_found"))
+      exact.agg(count(lit(1)).as("n_exact")).crossJoin(found)
+        .select((col("n_found").cast("double") / col("n_exact") >= 0.9)
+          .cast("bigint").as("recall_ok"))
+    }),
 
     // ---- beyond-reference: similarity search --------------------------
     "s01_knn_brute" -> ((s, dir) => {
@@ -254,7 +274,22 @@ object SparkEntry {
     "s02_knn_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
-        "vec_id", "embedding", k = 5, nTables = 8, nBits = 8)
+        "vec_id", "embedding", k = 5, nTables = 16, nBits = 8, probes = 2)
+    }),
+    // differential conformance: LSH top-k recall vs brute force ≥ 0.9
+    "s03_knn_lsh_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 5)
+        .select("query_id", "neighbor_id")
+      val lsh = Similarity.lshTopK(emb, q, "vec_id", "embedding", k = 5,
+        nTables = 16, nBits = 8, probes = 2).select("query_id", "neighbor_id")
+      val found = exact.join(lsh, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_found"))
+      exact.agg(count(lit(1)).as("n_exact")).crossJoin(found)
+        .select(col("n_exact"),
+          (col("n_found").cast("double") / col("n_exact") >= 0.9)
+            .cast("bigint").as("recall_ok"))
     }),
 
     // ---- beyond-reference: text analysis ------------------------------
@@ -332,8 +367,10 @@ object SparkEntry {
     // ---- beyond-reference: full dedup pipeline ------------------------
     "d06_dedup_pipeline" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
-        threshold = 0.5)
+      // shared signature stage: the shingle+minhash pass materializes once
+      // per session and is reused by d02 (and any other dedup flavor)
+      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
+      val pairs = Dedup.minhashNearDupPairsFromSigs(sigs, threshold = 0.5)
       Dedup.dropNearDuplicates(docs, "doc_id", pairs).select("doc_id", "lang")
     }),
   )
@@ -567,6 +604,16 @@ object SparkEntry {
         |SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
         | MIN(ts) AS session_start, MAX(ts) AS session_end
         |FROM sess GROUP BY user_id, session_id""".stripMargin,
+    "d05x_dedup_embed_exact" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4""".stripMargin,
+    // differential entries: the Spark side computes LSH-vs-exact recall and
+    // emits 1 iff recall ≥ 0.9; the oracle is the constant it must hit
+    "d07_embed_lsh_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
+    "s03_knn_lsh_recall" ->
+      """SELECT CAST(5 * COUNT(*) AS BIGINT) AS n_exact, CAST(1 AS BIGINT) AS recall_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
     "q32_rollup" -> SqlRollup,
     "q33_running_window" -> SqlRunning,
     "q34_exists_subquery" -> SqlExists,
@@ -581,5 +628,6 @@ object SparkEntry {
     "q01_agg", "q02_filter", "q06_join_inner", "q20_take_per_key",
     "q22_sql", "q23_transform", "q24_comap",
     "d01_dedup_exact", "d02_dedup_minhash", "d04_dedup_ngram",
+    "d06_dedup_pipeline",
     "s01_knn_brute", "t01_text_analyze", "t03_langid")
 }

@@ -71,6 +71,45 @@ object Dedup {
     (c: Column) => graft.functions.expressions.VectorExpressions
       .minhashSignature(c, numHashes, seed)
 
+  /** Memo for [[minhashSignatures]]: the shingle+minhash pass is the
+   * dominant cost of the dedup family, and a pipeline (pairs → drop) or a
+   * session running several dedup flavors re-derives the identical frame.
+   * Keyed on the canonicalized logical plan + parameters; values are
+   * eagerly localCheckpoint'd (materialized), so reuse is sound within a
+   * session. Bounded by [[clearSignatureCache]] for long-lived sessions
+   * (each entry holds one checkpointed signature frame). */
+  private val signatureCache =
+    new java.util.concurrent.ConcurrentHashMap[(Any, String, String, Int, Int, Long), DataFrame]()
+
+  def clearSignatureCache(): Unit = signatureCache.clear()
+
+  /**
+   * Shared signature stage: (id, sh, sig) — shingle-hash set and MinHash
+   * signature per document — materialized once per (input plan, params)
+   * and reused by every dedup operator in the session. Signatures are
+   * ~1KB/doc: at 100 TB of text this is the small frame.
+   */
+  def minhashSignatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      numHashes: Int = 128,
+      seed: Long = 42L): DataFrame = {
+    val key = (df.queryExecution.logical.canonicalized, idCol, textCol,
+      shingleK, numHashes, seed)
+    signatureCache.computeIfAbsent(key, _ => {
+      val sigFn = minhashSignature(numHashes, seed)
+      // Repartition first: a small parquet arrives as 1-2 splits, which
+      // would serialize the CPU-bound shingle/minhash stage on one core.
+      spreadForCompute(df)
+        .select(col(idCol).as("id"), shingleHashes(col(textCol), shingleK).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .withColumn("sig", sigFn(col("sh")))
+        .localCheckpoint(true) // not .persist(): the columnar cache writes array cols element-wise (~20x slower); localCheckpoint serializes rows. Tradeoff: no lineage recompute on executor loss.
+    })
+  }
+
   /**
    * MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
    *
@@ -93,19 +132,21 @@ object Dedup {
       bands: Int = 16,
       threshold: Double = 0.5,
       seed: Long = 42L,
+      maxBucketSize: Int = 1000): DataFrame =
+    minhashNearDupPairsFromSigs(
+      minhashSignatures(df, idCol, textCol, shingleK, numHashes, seed),
+      numHashes, bands, threshold, maxBucketSize)
+
+  /** [[minhashNearDupPairs]] over a precomputed signature frame
+   * ((id, sh, sig) from [[minhashSignatures]]) — the signature stage is
+   * the dominant cost; share it across pipeline stages. */
+  def minhashNearDupPairsFromSigs(
+      sigs: DataFrame,
+      numHashes: Int = 128,
+      bands: Int = 16,
+      threshold: Double = 0.5,
       maxBucketSize: Int = 1000): DataFrame = {
     val rows = numHashes / bands
-    val sigFn = minhashSignature(numHashes, seed)
-    // signatures feed band-bucketing AND both sides of the verification
-    // join — persist so the shingle+minhash pass runs once, not 3×.
-    // Signatures are ~1KB/doc: at 100 TB of text this is the small frame.
-    // Repartition first: a small parquet arrives as 1-2 splits, which would
-    // serialize the CPU-bound shingle/minhash stage on one core.
-    val sigs = spreadForCompute(df)
-      .select(col(idCol).as("id"), shingleHashes(col(textCol), shingleK).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", sigFn(col("sh")))
-      .localCheckpoint(true) // not .persist(): the columnar cache writes array cols element-wise (~20x slower); localCheckpoint serializes rows. Tradeoff: no lineage recompute on executor loss.
     // band keys: hash of each signature slice (bands is a plan-time constant)
     val bandCols = (0 until bands).map(b =>
       xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, rows)), lit(b)))
@@ -257,6 +298,11 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
+    // diameter > maxIterations would silently under-deduplicate: labels are
+    // only partially propagated, so some near-dup rows would be retained
+    require(converged,
+      s"connected-components did not converge in $maxIterations iterations " +
+        "(pair graph has a component with larger diameter); raise maxIterations")
     // drop every id that is not its component's minimum
     val losers = labels.filter(col("u") =!= col("lbl")).select(col("u").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")

@@ -59,53 +59,49 @@ object Similarity {
   }
 
   /** Random hyperplane sign-bucket key(s) for a normalized vector: `nBits`
-   * sign bits per table, `nTables` independent tables (seeded). */
+   * sign bits per table, `nTables` independent tables (seeded). Native
+   * Catalyst expression ([[graft.functions.expressions.HyperplaneKeys]]) —
+   * no per-element boxing on the corpus scan. */
   private def hyperplaneKeys(
-      dim: Int, nTables: Int, nBits: Int, seed: Long): Column => Column = {
-    val rnd = new java.util.Random(seed)
-    // fixed gaussian planes shipped to executors via closure (tiny)
-    val planes = Array.fill(nTables, nBits, dim)(rnd.nextGaussian())
-    val f = udf { v: Seq[Double] =>
-      if (v == null) null
-      else planes.indices.map { t =>
-        var key = 0L
-        var b = 0
-        while (b < nBits) {
-          var s = 0.0
-          val p = planes(t)(b)
-          var i = 0
-          val n = math.min(dim, v.length)
-          while (i < n) { s += p(i) * v(i); i += 1 }
-          if (s >= 0) key |= (1L << b)
-          b += 1
-        }
-        (t.toLong << 32) | key
-      }
-    }
-    (c: Column) => f(c)
-  }
+      dim: Int, nTables: Int, nBits: Int, seed: Long,
+      probes: Int = 0): Column => Column =
+    (c: Column) => graft.functions.expressions.VectorExpressions
+      .hyperplaneKeys(c, dim, nTables, nBits, seed, probes)
 
   /**
    * LSH-bucketed approximate top-k: queries and corpus are bucketed by
    * random-hyperplane sign keys in `nTables` tables; scoring happens only
    * within colliding buckets. Recall grows with nTables, cost shrinks with
    * nBits. Deterministic for a fixed seed.
+   *
+   * Scale shape: the bucket join and the pair dedup carry ONLY
+   * (query_id, neighbor_id) — never embedding vectors. Vectors re-join
+   * after the distinct (corpus side shuffled once on id over the distinct
+   * candidate set; query side broadcast), so multi-table collisions cost
+   * 16 bytes each, not 2·dim doubles.
    */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nTables: Int = 8, nBits: Int = 12, seed: Long = 42L): DataFrame = {
+      nTables: Int = 8, nBits: Int = 12, seed: Long = 42L,
+      probes: Int = 2): DataFrame = {
     val dim = inferDim(corpus, vecCol)
     val keys = hyperplaneKeys(dim, nTables, nBits, seed)
+    // multi-probe on the QUERY side only: the corpus (the 100 TB side)
+    // indexes one key per table; each query additionally probes all keys
+    // within Hamming distance `probes` — recall of more tables at the
+    // cost of a wider broadcast, not a wider corpus explode.
+    val qkeys = hyperplaneKeys(dim, nTables, nBits, seed, probes)
     val c = Dedup.spreadForCompute(corpus)
       .select(col(idCol).as("neighbor_id"), l2normalize(col(vecCol)).as("cv"))
-      .withColumn("bk", explode(keys(col("cv"))))
     val q = queries.select(col(idCol).as("query_id"), l2normalize(col(vecCol)).as("qv"))
-      .withColumn("bk", explode(keys(col("qv"))))
-    val scored = c.join(sparkBroadcast(q), "bk")
+    val cb = c.select(col("neighbor_id"), explode(keys(col("cv"))).as("bk"))
+    val qb = q.select(col("query_id"), explode(qkeys(col("qv"))).as("bk"))
+    val pairs = cb.join(sparkBroadcast(qb), "bk")
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), col("cv"), col("qv"))
-      .distinct() // a pair may collide in several tables
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct() // a pair may collide in several tables — ids only
+    val scored = pairs.join(c, "neighbor_id").join(sparkBroadcast(q), "query_id")
       .withColumn("cosine", dot(col("cv"), col("qv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
@@ -122,9 +118,14 @@ object Similarity {
   def lshCosinePairs(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nTables: Int = 8, nBits: Int = 10,
-      seed: Long = 42L, maxBucketSize: Int = 2000): DataFrame = {
+      seed: Long = 42L, maxBucketSize: Int = 2000,
+      probes: Int = 1): DataFrame = {
     val dim = inferDim(df, vecCol)
-    val keys = hyperplaneKeys(dim, nTables, nBits, seed)
+    // self-join: probing BOTH sides by Hamming-1 keys matches any pair
+    // whose sketches differ by ≤ 2 bits in some table (their probe sets
+    // intersect) — the recall of ~15× more tables for (nBits+1)× keys.
+    // Precision is unaffected: every candidate is exact-cosine verified.
+    val keys = hyperplaneKeys(dim, nTables, nBits, seed, probes)
     val v = Dedup.spreadForCompute(df)
       .select(col(idCol).as("id"), l2normalize(col(vecCol)).as("v"))
       .localCheckpoint(true) // not .persist(): the columnar cache writes array cols element-wise (~20x slower); localCheckpoint serializes rows. Tradeoff: no lineage recompute on executor loss.

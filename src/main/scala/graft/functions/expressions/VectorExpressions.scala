@@ -135,6 +135,76 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/**
+ * `hyperplane_keys(v)` → array<long> of random-hyperplane sign-bucket keys
+ * for a normalized array<double> vector: `nBits` sign bits per table,
+ * `nTables` independent tables, table index packed into the high 32 bits.
+ * Plane coefficients are derived deterministically from `seed` on each
+ * executor (lazy, ~nTables·nBits·dim doubles — tiny). Replaces a boxed
+ * Seq[Double] UDF: reads ArrayData primitives directly.
+ *
+ * `probes` enables multi-probe LSH (Lv et al., VLDB'07): also emit every
+ * key within Hamming distance `probes` of the base key (1 → +nBits flips,
+ * 2 → +all two-bit flips). Probing one side of a join by Hamming-d keys
+ * matches pairs whose sketches differ by ≤ d bits per table — the standard
+ * recall knob that avoids paying for more tables on the large side.
+ */
+case class HyperplaneKeys(child: Expression, dim: Int, nTables: Int,
+    nBits: Int, seed: Long, probes: Int = 0)
+    extends UnaryExpression with CodegenFallback {
+  require(probes >= 0 && probes <= 2, "probes must be 0, 1 or 2")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val planes: Array[Array[Array[Double]]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(nTables, nBits, dim)(rnd.nextGaussian())
+  }
+
+  private val keysPerTable =
+    1 + (if (probes >= 1) nBits else 0) +
+      (if (probes >= 2) nBits * (nBits - 1) / 2 else 0)
+
+  override def nullSafeEval(v: Any): Any = {
+    val in = v.asInstanceOf[ArrayData]
+    val n = math.min(dim, in.numElements())
+    val out = new Array[Long](nTables * keysPerTable)
+    var o = 0
+    var t = 0
+    while (t < nTables) {
+      var key = 0L
+      var b = 0
+      while (b < nBits) {
+        val p = planes(t)(b)
+        var s = 0.0
+        var i = 0
+        while (i < n) { s += p(i) * in.getDouble(i); i += 1 }
+        if (s >= 0) key |= (1L << b)
+        b += 1
+      }
+      val tag = t.toLong << 32
+      out(o) = tag | key; o += 1
+      if (probes >= 1) {
+        var j = 0
+        while (j < nBits) { out(o) = tag | (key ^ (1L << j)); o += 1; j += 1 }
+      }
+      if (probes >= 2) {
+        var j = 0
+        while (j < nBits) {
+          var l = j + 1
+          while (l < nBits) {
+            out(o) = tag | (key ^ (1L << j) ^ (1L << l)); o += 1; l += 1
+          }
+          j += 1
+        }
+      }
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** 64-bit simhash from a shingle-hash array: per-bit majority vote. */
 case class SimHash64(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -173,4 +243,7 @@ object VectorExpressions {
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(sh), numHashes, seed))
   def simhash64(sh: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(sh)))
+  def hyperplaneKeys(v: Column, dim: Int, nTables: Int, nBits: Int, seed: Long,
+      probes: Int = 0): Column =
+    ColumnBridge.column(HyperplaneKeys(ColumnBridge.expression(v), dim, nTables, nBits, seed, probes))
 }
