@@ -364,6 +364,59 @@ object SparkEntry {
     "q36_case_in" -> ((s, dir) =>
       eng(s).sqlSelect(SqlCaseIn, Map("part" -> t(s, dir, "part")))),
 
+    // ---- FugueSQL dialect statement families --------------------------
+    // ZIP + TRANSFORM-on-zipped (cotransformer) — same semantics as q24
+    "q40_sql_zip" -> ((s, dir) => {
+      import graft.sql.GraftSql
+      val exts = GraftSql.Extensions(cotransformers = Map(
+        "pair_counts" -> GraftSql.CoTransformerDef(
+          outputSchema = (_, _, _) => graft.schema.SchemaExpr.parse(
+            "o_orderkey:long,n_orders:long,n_items:long"),
+          fn = (k, ls, rs, _) =>
+            Iterator.single(Row(k.head, ls.size.toLong, rs.size.toLong)))))
+      GraftSql.runWith(eng(s),
+        """o = SELECT o_orderkey FROM orders
+          |l = SELECT l_orderkey AS o_orderkey FROM lineitem
+          |z = ZIP o, l FULL OUTER BY o_orderkey
+          |TRANSFORM z USING pair_counts
+          |YIELD AS out
+          |""".stripMargin,
+        Map("orders" -> t(s, dir, "orders"), "lineitem" -> t(s, dir, "lineitem")),
+        exts).yields("out")
+    }),
+    // CREATE literal data
+    "q41_sql_create" -> ((s, dir) => {
+      graft.sql.GraftSql.run(eng(s),
+        """CREATE [[0, "x"], [1, "y"], [2, NULL]] SCHEMA a:long,b:str
+          |YIELD AS out
+          |""".stripMargin).yields("out")
+    }),
+    // catalog table IO round-trip
+    "q42_table_io" -> ((s, dir) => {
+      val e = eng(s)
+      e.saveTable(t(s, dir, "nation"), "graft_q42_nation")
+      require(e.tableExists("graft_q42_nation"))
+      e.loadTable("graft_q42_nation")
+    }),
+    // SAVE AND USE + LOAD with params
+    "q43_sql_save_use" -> ((s, dir) => {
+      graft.sql.GraftSql.run(eng(s),
+        s"""LOAD PARQUET "$dir/nation.parquet"
+           |n2 = SAVE AND USE OVERWRITE PARQUET "/root/repo/target/tmp/q43_nation"
+           |YIELD n2 AS out
+           |""".stripMargin).yields("out")
+    }),
+    // checkpoint keywords + YIELD FILE
+    "q44_sql_checkpoint" -> ((s, dir) => {
+      graft.sql.GraftSql.run(eng(s),
+        s"""SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 100000
+           |WEAK CHECKPOINT LAZY
+           |DETERMINISTIC CHECKPOINT "q44"
+           |YIELD FILE AS out
+           |""".stripMargin,
+        Map("orders" -> t(s, dir, "orders"))).yields("out")
+    }),
+
     // ---- beyond-reference: full dedup pipeline ------------------------
     "d06_dedup_pipeline" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -604,6 +657,19 @@ object SparkEntry {
         |SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
         | MIN(ts) AS session_start, MAX(ts) AS session_end
         |FROM sess GROUP BY user_id, session_id""".stripMargin,
+    "q40_sql_zip" ->
+      """SELECT COALESCE(o.k, l.k) AS o_orderkey, COALESCE(o.n, 0) AS n_orders,
+        | COALESCE(l.n, 0) AS n_items
+        |FROM (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY 1) o
+        |FULL JOIN (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY 1) l
+        | ON o.k = l.k""".stripMargin,
+    "q41_sql_create" ->
+      """SELECT * FROM (VALUES (CAST(0 AS BIGINT), 'x'), (CAST(1 AS BIGINT), 'y'),
+        | (CAST(2 AS BIGINT), NULL)) AS t(a, b)""".stripMargin,
+    "q42_table_io" -> "SELECT * FROM nation",
+    "q43_sql_save_use" -> "SELECT * FROM nation",
+    "q44_sql_checkpoint" ->
+      "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 100000",
     "d05x_dedup_embed_exact" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

@@ -343,8 +343,16 @@ class SparkGraftEngine(val spark: SparkSession) extends GraftEngine {
   // ---- SQL -------------------------------------------------------------
 
   def sqlSelect(sql: String, dfs: Map[String, DataFrame]): DataFrame = {
+    // register views only for the duration of analysis: spark.sql resolves
+    // view references eagerly (analysis runs before return), so the views
+    // can be dropped immediately — nothing leaks into the shared session
+    // catalog across Runner instances
     dfs.foreach { case (name, df) => df.createOrReplaceTempView(name) }
-    spark.sql(sql)
+    try {
+      val out = spark.sql(sql)
+      out.queryExecution.analyzed // force resolution before views vanish
+      out
+    } finally dfs.keys.foreach(spark.catalog.dropTempView)
   }
 
   def tableExists(name: String): Boolean = spark.catalog.tableExists(name)

@@ -17,30 +17,39 @@ import scala.collection.mutable
  *
  * Supported statements (each optionally prefixed with `name =`):
  * {{{
- *   LOAD [PARQUET|CSV|JSON] "path" [COLUMNS a,b | a:int,b:str]
- *   SAVE [df] OVERWRITE|APPEND "path" [SINGLE]
+ *   LOAD [PARQUET|CSV|JSON] "path" [(k:v,..)] [COLUMNS a,b | a:int,b:str]
+ *   SAVE [AND USE] [df] [PREPARTITION BY k,..] OVERWRITE|APPEND "path" [SINGLE] [(k:v,..)]
  *   SELECT ... [FROM df ...]          -- passthrough; implicit FROM previous
- *   TAKE n ROWS [FROM df] [PREPARTITION BY k,..] [PRESORT c [ASC|DESC],..] [NULLS FIRST|LAST]
- *   SAMPLE [df] [REPLACE] x PERCENT [SEED n]
+ *   CREATE [DATA] [[..],[..]] SCHEMA s | CREATE USING creator[(k:v,..)]
+ *   ZIP df1, df2 [INNER|LEFT OUTER|RIGHT OUTER|FULL OUTER] BY k,.. [PRESORT c,..]
+ *   TAKE n ROW[S] [FROM df] [PREPARTITION BY k,..] [PRESORT c [ASC|DESC],..] [NULLS FIRST|LAST]
+ *   SAMPLE [df] [REPLACE] x PERCENT | n ROWS [SEED n]
  *   DROPNA [ANY|ALL] [ON a,b] [FROM df]
  *   FILLNA PARAMS a:v,b:v [FROM df]
  *   RENAME COLUMNS a:b,c:d [FROM df]
  *   ALTER COLUMNS a:int,b:str [FROM df]
  *   DROP COLUMNS a,b [FROM df]
  *   DISTINCT [df]
- *   TRANSFORM [df] [PREPARTITION BY k,.. [PRESORT c,..]] USING ext[(k:v,..)] [SCHEMA s]
- *   PRINT [df]
- *   PERSIST [df] / BROADCAST [df] / CHECKPOINT [df]
- *   YIELD [df] AS name
+ *   TRANSFORM [df] [PREPARTITION BY k,.. [PRESORT c,..]] USING ext[(k:v,..)] [SCHEMA s] [CALLBACK cb]
+ *   OUTTRANSFORM [df] [PREPARTITION ..] USING ext[(k:v,..)] [CALLBACK cb]
+ *   PRINT [n ROWS] [FROM] [df, df2] [ROWCOUNT] [TITLE "t"]
+ *   PERSIST [df] / BROADCAST [df]
+ *   [WEAK|STRONG] CHECKPOINT [LAZY] [df] / DETERMINISTIC CHECKPOINT ["ns"] [df]
+ *   YIELD [LOCAL] [DATAFRAME|FILE|TABLE] [df] AS name
  * }}}
  */
 object GraftSql {
 
-  /** A named per-partition transformer callable from TRANSFORM ... USING. */
+  /** A named per-partition transformer callable from TRANSFORM ... USING.
+   * `cbFn`, when provided, replaces `fn` for `TRANSFORM ... CALLBACK name`
+   * statements: it additionally receives the [[graft.transform.CallbackChannel]]
+   * whose posts are delivered to the named driver-side handler. */
   final case class TransformerDef(
       outputSchema: (org.apache.spark.sql.types.StructType, Map[String, String]) =>
         org.apache.spark.sql.types.StructType,
-      fn: (PartitionCursor, Iterator[Row], Map[String, String]) => Iterator[Row])
+      fn: (PartitionCursor, Iterator[Row], Map[String, String]) => Iterator[Row],
+      cbFn: Option[(PartitionCursor, Iterator[Row], Map[String, String],
+        graft.transform.CallbackChannel) => Iterator[Row]] = None)
 
   /** A named per-key cotransformer for COTRANSFORM a, b BY keys USING —
    * the reference's zip+cotransform collapsed into one statement (the blob
@@ -59,12 +68,22 @@ object GraftSql {
   final case class OutputterDef(
       fn: (Seq[DataFrame], Map[String, String]) => Unit)
 
-  /** Extension registry passed to [[run]]. */
+  /** Driver-side creator: no inputs, one dataframe out (CREATE USING). */
+  final case class CreatorDef(
+      fn: (GraftEngine, Map[String, String]) => DataFrame)
+
+  /** Extension registry passed to [[run]]. `callbacks` are driver-side
+   * handlers for the TRANSFORM/OUTTRANSFORM `CALLBACK name` clause
+   * (reference `CALLBACK f`, _visitors.py:428-477): executor-side posts go
+   * through a [[graft.transform.CallbackChannel]] and are delivered to the
+   * named handler as (topic, message) pairs. */
   final case class Extensions(
       transformers: Map[String, TransformerDef] = Map.empty,
       cotransformers: Map[String, CoTransformerDef] = Map.empty,
       processors: Map[String, ProcessorDef] = Map.empty,
-      outputters: Map[String, OutputterDef] = Map.empty)
+      outputters: Map[String, OutputterDef] = Map.empty,
+      creators: Map[String, CreatorDef] = Map.empty,
+      callbacks: Map[String, (String, String) => Unit] = Map.empty)
 
   final case class Result(last: Option[DataFrame], yields: Map[String, DataFrame])
 
@@ -92,9 +111,9 @@ object GraftSql {
   }
 
   private val KeywordStart =
-    ("^(?i)(LOAD|SAVE|SELECT|WITH|TAKE|SAMPLE|DROPNA|FILLNA|RENAME|ALTER|DROP|" +
-      "DISTINCT|TRANSFORM|COTRANSFORM|PROCESS|OUTPUT|PRINT|PERSIST|BROADCAST|" +
-      "CHECKPOINT|YIELD)\\b").r
+    ("^(?i)(LOAD|SAVE|SELECT|WITH|CREATE|ZIP|TAKE|SAMPLE|DROPNA|FILLNA|RENAME|ALTER|DROP|" +
+      "DISTINCT|TRANSFORM|COTRANSFORM|OUTTRANSFORM|PROCESS|OUTPUT|PRINT|PERSIST|BROADCAST|" +
+      "WEAK|STRONG|DETERMINISTIC|CHECKPOINT|YIELD)\\b").r
   private val Assign = "^\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*:?=\\s*(.*)$".r
 
   /** Split a script into statements: a statement starts at a line whose
@@ -115,12 +134,19 @@ object GraftSql {
         // keyword; an assignment only starts a statement when its RHS is a
         // dialect keyword — `x = 5` inside a WHERE clause is NOT a statement
         val openParens = out.nonEmpty && parenDepth(out.last.toString) > 0
-        val starts = !openParens && ((t match {
+        // a dangling `name =` line absorbs the following statement line
+        // (the multi-line assignment form `x =\n  SELECT ...`)
+        val pendingAssign = out.nonEmpty && !openParens && (out.last.toString match {
+          case Assign(_, rest) => rest.trim.isEmpty
+          case _ => false
+        })
+        val starts = !openParens && !pendingAssign && ((t match {
           case Assign(_, rest) =>
             rest.trim.isEmpty || KeywordStart.findFirstIn(rest.trim).isDefined
           case _ => false
         }) || KeywordStart.findFirstIn(t).isDefined)
         if (starts || out.isEmpty) out += new StringBuilder(t)
+        else if (pendingAssign) out.last ++= t
         else { out.last += '\n'; out.last ++= t }
       }
     }
@@ -168,10 +194,23 @@ object GraftSql {
     private val dfs = mutable.LinkedHashMap.empty[String, DataFrame] ++= inputs
     private val yields = mutable.LinkedHashMap.empty[String, DataFrame]
     private var last: Option[DataFrame] = None
+    // (channel, handler, messages-already-delivered) per CALLBACK clause;
+    // drained after eager statements and at end of run
+    private val pendingDrains = mutable.ArrayBuffer
+      .empty[(graft.transform.CallbackChannel, (String, String) => Unit, Array[Int])]
 
     def run(script: String): Result = {
       splitStatements(script).foreach(exec)
+      drainCallbacks()
       Result(last, yields.toMap)
+    }
+
+    /** Deliver callback messages that arrived since the last drain. */
+    private def drainCallbacks(): Unit = pendingDrains.foreach {
+      case (ch, handler, seen) =>
+        val msgs = ch.messages
+        msgs.drop(seen(0)).foreach { case (t, m) => handler(t, m) }
+        seen(0) = msgs.length
     }
 
     private def exec(stmtRaw: String): Unit = {
@@ -200,8 +239,10 @@ object GraftSql {
       val kw = upper.takeWhile(!_.isWhitespace)
       kw match {
         case "LOAD" => Some(execLoad(stmt))
-        case "SAVE" => execSave(stmt); None
+        case "SAVE" => execSave(stmt) // Some only for SAVE AND USE
         case "SELECT" | "WITH" => Some(execSelect(stmt))
+        case "CREATE" => Some(execCreate(stmt))
+        case "ZIP" => Some(execZip(stmt))
         case "TAKE" => Some(execTake(stmt))
         case "SAMPLE" => Some(execSample(stmt))
         case "DROPNA" => Some(execDropna(stmt))
@@ -211,13 +252,15 @@ object GraftSql {
         case "DROP" => Some(execDropCols(stmt))
         case "DISTINCT" => Some(engine.distinct(ref(wordAfter(stmt, 1))))
         case "TRANSFORM" => Some(execTransform(stmt))
+        case "OUTTRANSFORM" => execOutTransform(stmt); None
         case "COTRANSFORM" => Some(execCoTransform(stmt))
         case "PROCESS" => Some(execProcess(stmt))
         case "OUTPUT" => execOutput(stmt); None
-        case "PRINT" => ref(wordAfter(stmt, 1)).show(10, truncate = false); None
+        case "PRINT" => execPrint(stmt); None
         case "PERSIST" => Some(engine.persist(ref(wordAfter(stmt, 1))))
         case "BROADCAST" => Some(engine.broadcast(ref(wordAfter(stmt, 1))))
-        case "CHECKPOINT" => Some(execCheckpoint(stmt))
+        case "WEAK" | "STRONG" | "DETERMINISTIC" | "CHECKPOINT" =>
+          Some(execCheckpoint(stmt))
         case "YIELD" => execYield(stmt); None
         case other => throw new IllegalArgumentException(s"unknown statement '$other'")
       }
@@ -250,21 +293,125 @@ object GraftSql {
       }.toMap
 
     // statements -------------------------------------------------------
+    /** `(k:v,..)` group following the quoted path — LOAD/SAVE options
+     * (reference `LOAD "path" (params)`, _visitors.py:560-592). */
+    private def pathParams(stmt: String): Map[String, String] =
+      "(?s)\"[^\"]*\"\\s*\\(([^)]*)\\)".r.findFirstMatchIn(stmt)
+        .map(m => parseParams(m.group(1))).getOrElse(Map.empty)
+
     private def execLoad(stmt: String): DataFrame = {
       val fmt = "(?i)LOAD\\s+(PARQUET|CSV|JSON)?".r.findFirstMatchIn(stmt)
         .flatMap(m => Option(m.group(1))).map(_.toLowerCase).getOrElse("")
       val cols = kwArg(stmt, "COLUMNS").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
-      engine.load(quoted(stmt), fmt, cols)
+      engine.load(quoted(stmt), fmt, cols, options = pathParams(stmt))
     }
 
-    private def execSave(stmt: String): Unit = {
+    /** SAVE / SAVE AND USE / SAVE PREPARTITION BY — returns the re-loaded
+     * frame for AND USE (reference save_and_use, processors.py:300). */
+    private def execSave(stmt: String): Option[DataFrame] = {
       val masked = maskQuotes(stmt).toUpperCase
+      val andUse = "\\bAND\\s+USE\\b".r.findFirstIn(masked).isDefined
       val mode = if ("\\bAPPEND\\b".r.findFirstIn(masked).isDefined) "append" else "overwrite"
       val single = "\\bSINGLE\\b".r.findFirstIn(masked).isDefined
       val fmt = "(?i)\\b(PARQUET|CSV|JSON)\\b".r.findFirstMatchIn(maskQuotes(stmt))
         .map(_.group(1).toLowerCase).getOrElse("")
-      engine.save(ref(wordAfter(stmt, 1)), quoted(stmt), fmt, mode,
-        singleFile = single)
+      val partBy = kwArg(stmt, "PREPARTITION\\s+BY")
+        .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
+      val dfIdx = if (andUse) 3 else 1 // skip AND USE tokens
+      val d = ref(wordAfter(stmt, dfIdx).orElse(wordAfter(stmt, 1)))
+      val path = quoted(stmt)
+      engine.save(d, path, fmt, mode, partitionBy = partBy,
+        singleFile = single, options = pathParams(stmt))
+      if (andUse) Some(engine.load(path, fmt)) else None
+    }
+
+    /** `[[1,"a"],[2,"b"]]`-style literal rows (reference CREATE DATA,
+     * _visitors.py:513-518). Values: long/double/string/bool/NULL. */
+    private def parseDataLiteral(s: String): Seq[Seq[Any]] = {
+      var i = 0
+      def skipWs(): Unit = while (i < s.length && s(i).isWhitespace) i += 1
+      def expect(c: Char): Unit = {
+        skipWs()
+        require(i < s.length && s(i) == c, s"expected '$c' at $i in: $s")
+        i += 1
+      }
+      def value(): Any = {
+        skipWs()
+        s(i) match {
+          case '"' | '\'' =>
+            val q = s(i); i += 1
+            val start = i
+            while (i < s.length && s(i) != q) i += 1
+            val v = s.substring(start, i); i += 1; v
+          case '[' => list()
+          case _ =>
+            val start = i
+            while (i < s.length && !",]".contains(s(i))) i += 1
+            val tok = s.substring(start, i).trim
+            tok.toUpperCase match {
+              case "NULL" => null
+              case "TRUE" => true
+              case "FALSE" => false
+              case _ =>
+                if (tok.matches("-?\\d+")) tok.toLong
+                else if (tok.matches("-?\\d*\\.\\d+([eE][-+]?\\d+)?")) tok.toDouble
+                else tok
+            }
+        }
+      }
+      def list(): Seq[Any] = {
+        expect('[')
+        val out = mutable.ArrayBuffer.empty[Any]
+        skipWs()
+        if (i < s.length && s(i) == ']') { i += 1; return out.toSeq }
+        out += value()
+        skipWs()
+        while (i < s.length && s(i) == ',') { i += 1; out += value(); skipWs() }
+        expect(']')
+        out.toSeq
+      }
+      list().map {
+        case row: Seq[_] => row.asInstanceOf[Seq[Any]]
+        case single => Seq(single)
+      }
+    }
+
+    /** CREATE [DATA] [[..]] SCHEMA s — literal frame; CREATE USING creator
+     * — driver-side creator extension (_visitors.py:499-518). */
+    private def execCreate(stmt: String): DataFrame = {
+      val usingM = "(?i)^CREATE\\s+USING\\s+".r.findFirstMatchIn(stmt)
+      if (usingM.isDefined) {
+        val (name, params, _) = usingClause(stmt)
+        val c = extensions.creators.getOrElse(name,
+          throw new IllegalArgumentException(s"unknown creator '$name'"))
+        c.fn(engine, params)
+      } else {
+        val body = "(?i)^CREATE(?:\\s+DATA)?\\s+".r.replaceFirstIn(stmt, "")
+        val schemaIdx = "(?i)\\bSCHEMA\\b".r.findFirstMatchIn(maskQuotes(body))
+          .getOrElse(throw new IllegalArgumentException(s"CREATE requires SCHEMA: $stmt"))
+        val rows = parseDataLiteral(body.substring(0, schemaIdx.start).trim)
+        val schemaExpr = body.substring(schemaIdx.end).trim
+        engine.toDF(rows, schemaExpr)
+      }
+    }
+
+    /** ZIP df1, df2 [how] BY keys [PRESORT ...] → zipped frame
+     * (key cols + __zip_i struct arrays; _visitors.py:520-527). */
+    private def execZip(stmt: String): DataFrame = {
+      val clipM = "(?i)\\b(INNER|LEFT|RIGHT|FULL|BY|PRESORT)\\b".r
+        .findFirstMatchIn(maskQuotes(stmt))
+      val clipAt = clipM.map(_.start).getOrElse(stmt.length)
+      val frames = dfRefList(stmt, clipAt)
+      require(frames.size >= 2, s"ZIP needs at least 2 dataframes, got ${frames.size}")
+      val how = "(?i)\\b(INNER|LEFT\\s+OUTER|RIGHT\\s+OUTER|FULL\\s+OUTER)\\b".r
+        .findFirstIn(maskQuotes(stmt))
+        .map(_.toLowerCase.replaceAll("\\s+", "_")).getOrElse("inner")
+      val keys = kwArg(stmt, "BY").map(_.split(",").map(_.trim).toSeq)
+        .getOrElse(throw new IllegalArgumentException("ZIP requires BY keys"))
+      val presort = "(?i)PRESORT\\s+((?:[A-Za-z0-9_]+(?:\\s+(?:ASC|DESC))?\\s*,?\\s*)+)".r
+        .findFirstMatchIn(stmt)
+        .map(m => PartitionSpec.parsePresort(m.group(1))).getOrElse(Nil)
+      Transform.zipFrames(frames, keys, how, presort)
     }
 
     private def execSelect(stmt: String): DataFrame = {
@@ -350,24 +497,90 @@ object GraftSql {
       engine.dropColumns(ref(kwArg(stmt, "FROM")), cols, ifExists)
     }
 
-    private def execTransform(stmt: String): DataFrame = {
-      val m = "(?i)USING\\s+([A-Za-z_][A-Za-z0-9_]*)(?:\\s*\\(([^)]*)\\))?".r
-        .findFirstMatchIn(stmt)
-        .getOrElse(throw new IllegalArgumentException(s"TRANSFORM requires USING: $stmt"))
-      val name = m.group(1)
-      val params = Option(m.group(2)).map(parseParams).getOrElse(Map.empty)
-      val t = transformers.getOrElse(name,
-        throw new IllegalArgumentException(s"unknown transformer '$name'"))
-      val d = ref(kwArg(stmt, "FROM").orElse(wordAfter(stmt, 1)))
+    /** SCHEMA hint anywhere after the USING clause, clipped at a following
+     * CALLBACK clause or end-of-statement — uniform for TRANSFORM,
+     * OUTTRANSFORM and COTRANSFORM, multi-line safe. */
+    private def schemaHint(stmt: String, usingEnd: Int): Option[String] =
+      "(?si)\\bSCHEMA\\s+(.+?)\\s*(?=\\bCALLBACK\\b|$)".r
+        .findFirstMatchIn(stmt.substring(usingEnd))
+        .map(_.group(1).trim.replaceAll("\\s*\\n\\s*", ""))
+
+    private def callbackClause(stmt: String): Option[String] =
+      "(?i)\\bCALLBACK\\s+([A-Za-z_][A-Za-z0-9_.]*)".r
+        .findFirstMatchIn(maskQuotes(stmt)).map(_.group(1))
+
+    /** Wire a transformer (with optional CALLBACK) into a mapPartitions
+     * plan. Shared by TRANSFORM and OUTTRANSFORM. */
+    private def buildTransform(stmt: String): DataFrame = {
+      val (name, params, m) = usingClause(stmt)
+      val d = ref(kwArg(stmt.substring(0, m.start), "FROM")
+        .orElse(wordAfter(stmt, 1)))
       // clip at USING so the greedy PRESORT column list cannot swallow the
       // USING/SCHEMA clauses
       val spec = partitionSpec(stmt.substring(0, m.start))
-      val schemaHint = "(?i)SCHEMA\\s+([^\\n]+)$".r.findFirstMatchIn(stmt.split("\n").head)
-        .map(_.group(1).trim)
-      val outSchema = schemaHint
+      // zipped input (from ZIP): route through the cotransformer registry
+      if (Transform.isZipped(d)) {
+        val ct = extensions.cotransformers.getOrElse(name,
+          throw new IllegalArgumentException(
+            s"TRANSFORM on a zipped frame requires a cotransformer; '$name' is not one"))
+        val zipCols = d.columns.filter(_.startsWith("__zip_")).sorted
+        val keys = d.columns.filterNot(_.startsWith("__zip_")).toSeq
+        def sideSchema(c: String) = {
+          val elem = d.schema(c).dataType
+            .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+            .elementType.asInstanceOf[org.apache.spark.sql.types.StructType]
+          // reconstruct the original side schema: keys ++ payload fields
+          org.apache.spark.sql.types.StructType(
+            keys.map(k => d.schema(k)) ++ elem.fields)
+        }
+        val out = schemaHint(stmt, m.end).map(SchemaExpr.parse)
+          .getOrElse(ct.outputSchema(sideSchema(zipCols(0)), sideSchema(zipCols(1)), params))
+        return Transform.coMapZipped(d, out)((k, l, r) => ct.fn(k, l, r, params))
+      }
+      val t = transformers.getOrElse(name,
+        throw new IllegalArgumentException(s"unknown transformer '$name'"))
+      val outSchema = schemaHint(stmt, m.end)
         .map(h => SchemaExpr.applyHint(d.schema, h))
         .getOrElse(t.outputSchema(d.schema, params))
-      Transform.mapPartitions(d, spec, outSchema)((c, rows) => t.fn(c, rows, params))
+      callbackClause(stmt) match {
+        case Some(cbName) =>
+          val handler = extensions.callbacks.getOrElse(cbName,
+            throw new IllegalArgumentException(s"unknown callback handler '$cbName'"))
+          val cbFn = t.cbFn.getOrElse(throw new IllegalArgumentException(
+            s"transformer '$name' has no callback-aware variant (cbFn)"))
+          val ch = graft.transform.CallbackChannel(engine.spark)
+          pendingDrains += ((ch, handler, Array(0)))
+          Transform.mapPartitions(d, spec, outSchema)((c, rows) => cbFn(c, rows, params, ch))
+        case None =>
+          Transform.mapPartitions(d, spec, outSchema)((c, rows) => t.fn(c, rows, params))
+      }
+    }
+
+    private def execTransform(stmt: String): DataFrame = buildTransform(stmt)
+
+    /** OUTTRANSFORM: run the transformer for its side effects (callbacks),
+     * discard rows, deliver callback messages (_visitors.py:453-477). */
+    private def execOutTransform(stmt: String): Unit = {
+      val out = buildTransform(stmt)
+      out.foreach(_ => ()) // force the action; output is discarded
+      drainCallbacks()
+    }
+
+    /** PRINT [n ROWS] [FROM] [df, df2] [ROWCOUNT] [TITLE "t"]
+     * (_visitors.py:546-559). */
+    private def execPrint(stmt: String): Unit = {
+      val masked = maskQuotes(stmt)
+      val n = "(?i)PRINT\\s+(\\d+)\\s+ROWS?".r.findFirstMatchIn(masked)
+        .map(_.group(1).toInt).getOrElse(10)
+      val withCount = "(?i)\\bROWCOUNT\\b".r.findFirstIn(masked).isDefined
+      val title = "(?i)TITLE\\s+\"([^\"]*)\"".r.findFirstMatchIn(stmt).map(_.group(1))
+      val names = masked.split("[\\s,]+").filter(dfs.contains).distinct.toSeq
+      val targets = if (names.isEmpty) Seq(prev) else names.map(dfs(_))
+      title.foreach(t => println(t))
+      targets.foreach { d =>
+        d.show(n, truncate = false)
+        if (withCount) println(s"Total count: ${d.count()}")
+      }
     }
 
     /** USING-clause parse shared by the extension statements. */
@@ -399,9 +612,7 @@ object GraftSql {
       val how = "(?i)\\b(INNER|LEFT_OUTER|RIGHT_OUTER|FULL_OUTER|LEFT OUTER|RIGHT OUTER|FULL OUTER)\\b".r
         .findFirstIn(maskQuotes(stmt.substring(0, m.start)))
         .map(_.toLowerCase.replace(' ', '_')).getOrElse("inner")
-      val schemaHint = "(?i)\\bSCHEMA\\s+(.+)$".r.findFirstMatchIn(stmt)
-        .map(_.group(1).trim)
-      val out = schemaHint.map(SchemaExpr.parse)
+      val out = schemaHint(stmt, m.end).map(SchemaExpr.parse)
         .getOrElse(t.outputSchema(sides(0).schema, sides(1).schema, params))
       Transform.coMap(sides(0), sides(1), keys, how, out)(
         (k, l, r) => t.fn(k, l, r, params))
@@ -421,18 +632,69 @@ object GraftSql {
       o.fn(dfRefList(stmt, m.start), params)
     }
 
+    /** The remaining token that names a known dataframe, after statement
+     * keywords are stripped (for keyword-prefixed statements where the df
+     * position varies). */
+    private def trailingDfRef(stmt: String, keywords: Set[String]): Option[String] =
+      maskQuotes(stmt).split("[\\s,]+")
+        .filterNot(t => keywords.contains(t.toUpperCase))
+        .find(dfs.contains)
+
+    /** WEAK CHECKPOINT [LAZY] → persist; [STRONG] CHECKPOINT → parquet
+     * round-trip (lineage break); DETERMINISTIC CHECKPOINT ["ns"] →
+     * content-addressed parquet keyed by the canonicalized plan, reused
+     * across runs (reference checkpoint keywords, _visitors.py:249-282,
+     * _checkpoint.py:38-108). */
     private def execCheckpoint(stmt: String): DataFrame = {
-      val d = ref(wordAfter(stmt, 1))
-      val tmp = s"/tmp/graft_checkpoints/sql_${java.util.UUID.randomUUID().toString.take(8)}"
-      engine.save(d, tmp, "parquet")
-      engine.load(tmp, "parquet")
+      val masked = maskQuotes(stmt).toUpperCase
+      val kws = Set("WEAK", "STRONG", "DETERMINISTIC", "CHECKPOINT", "LAZY")
+      val d = ref(trailingDfRef(stmt, kws))
+      if (masked.startsWith("WEAK")) {
+        val lzy = "\\bLAZY\\b".r.findFirstIn(masked).isDefined
+        engine.persist(d, lazyPersist = lzy)
+      } else if (masked.startsWith("DETERMINISTIC")) {
+        val ns = "\"([^\"]*)\"".r.findFirstMatchIn(stmt).map(_.group(1)).getOrElse("")
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        md.update(ns.getBytes("UTF-8"))
+        md.update(d.queryExecution.logical.canonicalized.toString.getBytes("UTF-8"))
+        val key = md.digest().take(16).map(b => f"$b%02x").mkString
+        val path = s"/tmp/graft_checkpoints/sql_det_$key"
+        val hPath = new org.apache.hadoop.fs.Path(path)
+        val fs = hPath.getFileSystem(engine.spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(hPath)) engine.save(d, path, "parquet")
+        engine.load(path, "parquet")
+      } else { // STRONG or bare CHECKPOINT
+        val tmp = s"/tmp/graft_checkpoints/sql_${java.util.UUID.randomUUID().toString.take(8)}"
+        engine.save(d, tmp, "parquet")
+        engine.load(tmp, "parquet")
+      }
     }
 
+    /** YIELD [LOCAL] [DATAFRAME|FILE|TABLE] [df] AS name
+     * (_visitors.py:284-299). FILE materializes to parquet and yields the
+     * re-loaded handle; TABLE saves to the session catalog; LOCAL
+     * materializes on the driver's cluster (localCheckpoint) so the yielded
+     * frame no longer depends on upstream lineage. */
     private def execYield(stmt: String): Unit = {
       val name = "(?i)AS\\s+([A-Za-z_][A-Za-z0-9_]*)".r.findFirstMatchIn(stmt)
         .map(_.group(1))
         .getOrElse(throw new IllegalArgumentException(s"YIELD requires AS name: $stmt"))
-      yields(name) = ref(wordAfter(stmt, 1))
+      val masked = maskQuotes(stmt).toUpperCase
+      val kws = Set("YIELD", "LOCAL", "DATAFRAME", "FILE", "TABLE", "AS", name.toUpperCase)
+      val d = ref(trailingDfRef(stmt.substring(0, "(?i)\\bAS\\b".r
+        .findFirstMatchIn(masked).map(_.start).getOrElse(stmt.length)), kws))
+      if ("\\bFILE\\b".r.findFirstIn(masked).isDefined) {
+        val path = s"/tmp/graft_checkpoints/yield_$name"
+        engine.save(d, path, "parquet")
+        yields(name) = engine.load(path, "parquet")
+      } else if ("\\bTABLE\\b".r.findFirstIn(masked).isDefined) {
+        engine.saveTable(d, name)
+        yields(name) = engine.loadTable(name)
+      } else if ("\\bLOCAL\\b".r.findFirstIn(masked).isDefined) {
+        yields(name) = d.localCheckpoint(true)
+      } else {
+        yields(name) = d
+      }
     }
   }
 }

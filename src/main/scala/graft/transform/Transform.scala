@@ -182,6 +182,83 @@ object Transform {
    * for frames without rows at that key — full_outer semantics; filter in
    * `f` for other zip types).
    */
+  /**
+   * Materialized ZIP (the reference's `zip` statement/op,
+   * execution_engine.py:962-1057): group each frame's non-key columns into
+   * a struct array per key, then join the grouped sides on the keys.
+   * Output: key columns ++ `__zip_0..k` array<struct> columns; missing
+   * sides (outer joins) carry empty arrays. A zipped frame feeds
+   * [[coMapZipped]] (the SQL TRANSFORM-on-zipped path).
+   *
+   * Scale: one shuffle per frame (the groupBy) + the key join, all
+   * declarative/AQE-planned; per-key payloads are buffered as arrays, as in
+   * the reference's zip semantics (use [[coMap]] for streaming groups).
+   * `presort` orders each array by the given (col, asc) pairs.
+   */
+  def zipFrames(
+      frames: Seq[DataFrame],
+      keys: Seq[String],
+      how: String = "inner",
+      presort: Seq[(String, Boolean)] = Nil): DataFrame = {
+    require(frames.size >= 2, "zip needs at least 2 frames")
+    val h = how.trim.toLowerCase.replace(" ", "_")
+    val joinHow = h match {
+      case "inner" => "inner"
+      case "left_outer" => "left_outer"
+      case "right_outer" => "right_outer"
+      case "full_outer" | "outer" => "full_outer"
+      case other => throw new IllegalArgumentException(s"unknown zip how '$other'")
+    }
+    def sortArr(c: Column, fields: Seq[String]): Column =
+      if (presort.isEmpty) c
+      else array_sort(c, (l, r) =>
+        presort.filter(p => fields.contains(p._1)).foldRight(lit(0)) {
+          case ((f, asc), acc) =>
+            when(l.getField(f) < r.getField(f), lit(if (asc) -1 else 1))
+              .when(l.getField(f) > r.getField(f), lit(if (asc) 1 else -1))
+              .otherwise(acc)
+        })
+    val grouped = frames.zipWithIndex.map { case (d, i) =>
+      val payload = d.columns.filterNot(keys.contains).toSeq
+      d.groupBy(keys.map(col): _*)
+        .agg(sortArr(collect_list(struct(payload.map(col): _*)), payload)
+          .as(s"__zip_$i"))
+    }
+    val joined = grouped.reduce((a, b) => a.join(b, keys, joinHow))
+    // outer-missing sides: empty array, not null (cotransformers see an
+    // empty iterator — execution_engine.py:1318-1353 semantics)
+    frames.indices.foldLeft(joined) { (d, i) =>
+      d.withColumn(s"__zip_$i", coalesce(col(s"__zip_$i"),
+        array().cast(d.schema(s"__zip_$i").dataType)))
+    }
+  }
+
+  /** True if `df` is the output of [[zipFrames]] (carries `__zip_i` cols). */
+  def isZipped(df: DataFrame): Boolean = df.columns.exists(_.startsWith("__zip_"))
+
+  /** Apply a 2-way cotransformer function to a zipped frame (one call per
+   * key). Side rows are reconstituted as keys ++ payload — the same shape
+   * [[coMap]] hands a cotransformer (full rows including keys). */
+  def coMapZipped(
+      zipped: DataFrame,
+      outputSchema: StructType)(
+      f: (Seq[Any], Iterator[Row], Iterator[Row]) => Iterator[Row]): DataFrame = {
+    val zipCols = zipped.columns.filter(_.startsWith("__zip_")).sorted
+    require(zipCols.length == 2, s"coMapZipped needs a 2-way zipped frame, got ${zipCols.length}")
+    val keys = zipped.columns.filterNot(_.startsWith("__zip_")).toSeq
+    val keyIdx = keys.map(zipped.schema.fieldIndex)
+    val i0 = zipped.schema.fieldIndex(zipCols(0))
+    val i1 = zipped.schema.fieldIndex(zipCols(1))
+    implicit val enc: Encoder[Row] = Encoders.row(outputSchema)
+    zipped.mapPartitions { it =>
+      it.flatMap { r =>
+        val kv = keyIdx.map(r.get)
+        def full(i: Int) = r.getSeq[Row](i).iterator.map(p => Row.fromSeq(kv ++ p.toSeq))
+        f(kv, full(i0), full(i1))
+      }
+    }
+  }
+
   def coMapN(
       frames: Seq[DataFrame],
       keys: Seq[String],

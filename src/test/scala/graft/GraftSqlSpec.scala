@@ -139,4 +139,177 @@ class GraftSqlSpec extends SparkTestBase {
     assert(res.yields("doubled").count() === 6)
     assert(outputSeen === 6L)
   }
+
+  test("ZIP then TRANSFORM with a cotransformer") {
+    import graft.sql.GraftSql.{CoTransformerDef, Extensions}
+    val l = df(Seq(Seq(1, "x"), Seq(1, "y"), Seq(2, "z")), "k:int,a:str")
+    val r = df(Seq(Seq(1, 10.0), Seq(3, 30.0)), "k:int,b:double")
+    val exts = Extensions(cotransformers = Map("counts" -> CoTransformerDef(
+      outputSchema = (_, _, _) => graft.schema.SchemaExpr.parse("k:int,nl:long,nr:long"),
+      fn = (key, ls, rs, _) =>
+        Iterator.single(Row(key.head, ls.size.toLong, rs.size.toLong)))))
+    val res = GraftSql.runWith(engine,
+      """z = ZIP l, r FULL OUTER BY k
+        |TRANSFORM z USING counts
+        |YIELD AS out
+        |""".stripMargin, Map("l" -> l, "r" -> r), exts)
+    assertDfEq(res.yields("out"),
+      Seq(Seq(1, 2L, 1L), Seq(2, 1L, 0L), Seq(3, 0L, 1L)))
+    // zipped frame shape: key + __zip_i struct arrays
+    val z = GraftSql.runWith(engine, "ZIP l, r BY k\nYIELD AS z",
+      Map("l" -> l, "r" -> r), exts).yields("z")
+    assert(z.columns.toSeq === Seq("k", "__zip_0", "__zip_1"))
+    assert(z.count() === 1) // inner: only k=1 in both
+  }
+
+  test("CREATE literal data and CREATE USING creator") {
+    import graft.sql.GraftSql.{CreatorDef, Extensions}
+    val res = GraftSql.run(engine,
+      """CREATE [[0, "x"], [1, "y"]] SCHEMA a:long,b:str
+        |YIELD AS out
+        |""".stripMargin)
+    assertDfEq(res.yields("out"), Seq(Seq(0L, "x"), Seq(1L, "y")))
+    val res2 = GraftSql.run(engine,
+      "CREATE DATA [[1.5], [2.5]] SCHEMA x:double\nYIELD AS out")
+    assertDfEq(res2.yields("out"), Seq(Seq(1.5), Seq(2.5)))
+    val exts = Extensions(creators = Map("three" -> CreatorDef(
+      fn = (e, params) => e.toDF(Seq(Seq(params("n").toLong)), "n:long"))))
+    val res3 = GraftSql.runWith(engine,
+      "CREATE USING three(n:3)\nYIELD AS out", Map.empty, exts)
+    assertDfEq(res3.yields("out"), Seq(Seq(3L)))
+  }
+
+  test("PRINT options parse and run (rows/ROWCOUNT/TITLE)") {
+    // output goes to stdout; assert it executes without error on both forms
+    GraftSql.run(engine,
+      """PRINT 2 ROWS FROM input ROWCOUNT TITLE "hello"
+        |PRINT input
+        |""".stripMargin, Map("input" -> d1))
+  }
+
+  test("LOAD with params; SAVE AND USE; SAVE PREPARTITION BY") {
+    val dir = Files.createTempDirectory("graftsql2").toString
+    val res = GraftSql.run(engine,
+      s"""SELECT k, v FROM input
+         |used = SAVE AND USE OVERWRITE PARQUET "$dir/t1"
+         |YIELD used AS used
+         |""".stripMargin, Map("input" -> d1))
+    assert(res.yields("used").count() === 4)
+    // partitioned save: hive-style k=... dirs
+    GraftSql.run(engine,
+      s"""SELECT k, v FROM input
+         |SAVE PREPARTITION BY k OVERWRITE PARQUET "$dir/t2"
+         |""".stripMargin, Map("input" -> d1))
+    assert(new java.io.File(s"$dir/t2").listFiles().exists(_.getName.startsWith("k=")))
+    // csv with explicit params (header off)
+    GraftSql.run(engine,
+      s"""SELECT k, v FROM input
+         |SAVE OVERWRITE CSV "$dir/t3" SINGLE (header:false)
+         |""".stripMargin, Map("input" -> d1))
+    val loaded = GraftSql.run(engine,
+      s"""LOAD CSV "$dir/t3" (header:false, inferSchema:true)""").last.get
+    assert(loaded.count() === 4)
+  }
+
+  test("checkpoint keywords: WEAK LAZY, STRONG, DETERMINISTIC reuse") {
+    val res = GraftSql.run(engine,
+      """SELECT k, v FROM input
+        |WEAK CHECKPOINT LAZY
+        |YIELD AS weak
+        |SELECT k FROM input
+        |STRONG CHECKPOINT
+        |YIELD AS strong
+        |""".stripMargin, Map("input" -> d1))
+    assert(res.yields("weak").count() === 4)
+    assert(res.yields("strong").count() === 4)
+    // deterministic: same logical plan → same content-addressed path,
+    // second run must reuse (same count, file exists once)
+    val script =
+      """SELECT k, v FROM input WHERE v > 1
+        |DETERMINISTIC CHECKPOINT "spec_ns"
+        |YIELD AS out
+        |""".stripMargin
+    val r1 = GraftSql.run(engine, script, Map("input" -> d1))
+    val r2 = GraftSql.run(engine, script, Map("input" -> d1))
+    assert(r1.yields("out").count() === 3)
+    assert(r2.yields("out").count() === 3)
+    // the reused frame is a parquet scan, not the original computation
+    assert(r2.yields("out").queryExecution.optimizedPlan.toString.contains("Relation"))
+  }
+
+  test("YIELD FILE / TABLE / LOCAL variants") {
+    val res = GraftSql.run(engine,
+      """SELECT k, v FROM input
+        |YIELD FILE AS yf
+        |SELECT k FROM input
+        |YIELD LOCAL DATAFRAME AS yl
+        |""".stripMargin, Map("input" -> d1))
+    assert(res.yields("yf").count() === 4)
+    assert(res.yields("yl").count() === 4)
+    val rt = GraftSql.run(engine,
+      """SELECT k, v FROM input
+        |YIELD TABLE AS graft_spec_yield_t
+        |""".stripMargin, Map("input" -> d1))
+    assert(rt.yields("graft_spec_yield_t").count() === 4)
+    assert(engine.tableExists("graft_spec_yield_t"))
+    engine.spark.sql("DROP TABLE IF EXISTS graft_spec_yield_t")
+  }
+
+  test("TRANSFORM multi-line SCHEMA hint is honored (regression)") {
+    val upperT = TransformerDef(
+      outputSchema = (in, _) => in, // must be overridden by the hint
+      fn = (_, rows, _) => rows.map(r => Row(r.getString(0).toUpperCase, r.getInt(1), r.getInt(1) * 2L)))
+    val res = GraftSql.run(engine,
+      """TRANSFORM input USING up
+        |  SCHEMA *,+twice:long
+        |YIELD AS out
+        |""".stripMargin,
+      Map("input" -> d1), Map("up" -> upperT))
+    assert(res.yields("out").columns.toSeq === Seq("k", "v", "twice"))
+  }
+
+  test("dangling 'name =' attaches the next statement line (regression)") {
+    val res = GraftSql.run(engine,
+      """x =
+        |  SELECT k, v FROM input WHERE v > 2
+        |YIELD x AS out
+        |""".stripMargin, Map("input" -> d1))
+    assertDfEq(res.yields("out"), Seq(Seq("a", 3), Seq("b", 9)))
+  }
+
+  test("SAMPLE n ROWS and TAKE 1 ROW singular") {
+    val s = GraftSql.run(engine,
+      "SAMPLE 2 ROWS SEED 7 FROM input", Map("input" -> d1))
+    assert(s.last.get.count() === 2)
+    val t = GraftSql.run(engine,
+      "TAKE 1 ROW FROM input PRESORT v DESC", Map("input" -> d1))
+    assertDfEq(t.last.get, Seq(Seq("b", 9)))
+  }
+
+  test("OUTTRANSFORM with CALLBACK delivers executor posts to the handler") {
+    import graft.sql.GraftSql.Extensions
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    val cbT = TransformerDef(
+      outputSchema = (in, _) => in,
+      fn = (_, rows, _) => rows,
+      cbFn = Some((cursor, rows, _, ch) => {
+        var n = 0L
+        val out = rows.map { r => n += 1; r }.toVector
+        ch.post("count", n.toString)
+        out.iterator
+      }))
+    val exts = Extensions(
+      transformers = Map("counter" -> cbT),
+      callbacks = Map("acc" -> ((_, msg) => { seen.addAndGet(msg.toLong); () })))
+    GraftSql.runWith(engine,
+      "OUTTRANSFORM input PREPARTITION BY k USING counter CALLBACK acc",
+      Map("input" -> d1), exts)
+    assert(seen.get() === 4L) // 2 keys × 2 rows each
+  }
+
+  test("temp views do not leak into the session catalog after SELECT") {
+    GraftSql.run(engine,
+      "SELECT k, v FROM leak_probe WHERE v > 0", Map("leak_probe" -> d1))
+    assert(!engine.spark.catalog.tableExists("leak_probe"))
+  }
 }
