@@ -24,17 +24,25 @@ object Bench {
     // dedup pipelines)
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
-      val times = (1 to 2).map { _ =>
+      // a failed run must NOT feed its wall time into the min — a query
+      // that throws fast would otherwise report as a fast success
+      val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case t: Throwable =>
+          System.err.println(s"BENCH ERROR $name: ${t.getClass.getSimpleName}: ${t.getMessage}")
+          None
+        }
       }
-      name -> times.min
+      name -> times.minOption
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":2,"agg":"min","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map {
+      case (k, Some(v)) => "\"" + k + f"""\":$v%.3f"""
+      case (k, None) => "\"" + k + "\":\"error\""
+    }.mkString("{", ",", "}")
+    val errs = results.count(_._2.isEmpty)
+    val total = results.flatMap(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":2,"agg":"min","errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

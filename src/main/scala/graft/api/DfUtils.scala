@@ -1,0 +1,84 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, FloatType}
+
+/**
+ * Dataframe equality utilities — the reference's `_df_eq` test helper
+ * (/root/reference/fugue/dataframe/utils.py:24-94) re-expressed
+ * distributively: content comparison uses symmetric `exceptAll` (duplicate-
+ * aware anti-diff), never a driver-side collect, so it is usable as a
+ * pipeline assertion at scale, not only in tests.
+ */
+object DfUtils {
+
+  /** Structural + content equality.
+   *
+   * @param checkSchema  compare column names and types (nullability ignored,
+   *                     as in the reference)
+   * @param checkOrder   also require identical row order (forces a
+   *                     driver-side zip — use only on small frames)
+   * @param floatDigits  when set, round float/double columns to this many
+   *                     digits before comparing (the reference's
+   *                     `digits` approximation)
+   */
+  def dfEq(
+      a: DataFrame, b: DataFrame,
+      checkSchema: Boolean = true,
+      checkOrder: Boolean = false,
+      floatDigits: Option[Int] = None): Boolean =
+    diff(a, b, checkSchema, checkOrder, floatDigits).isEmpty
+
+  /** Like [[dfEq]] but throws AssertionError with the first discrepancy. */
+  def assertDfEq(
+      a: DataFrame, b: DataFrame,
+      checkSchema: Boolean = true,
+      checkOrder: Boolean = false,
+      floatDigits: Option[Int] = None): Unit =
+    diff(a, b, checkSchema, checkOrder, floatDigits)
+      .foreach(msg => throw new AssertionError(s"dataframes differ: $msg"))
+
+  /** None when equal; Some(reason) otherwise. */
+  private def diff(
+      a: DataFrame, b: DataFrame,
+      checkSchema: Boolean,
+      checkOrder: Boolean,
+      floatDigits: Option[Int]): Option[String] = {
+    if (checkSchema) {
+      val sa = a.schema.fields.map(f => (f.name, f.dataType)).toSeq
+      val sb = b.schema.fields.map(f => (f.name, f.dataType)).toSeq
+      if (sa != sb)
+        return Some(s"schemas differ: ${a.schema.simpleString} vs ${b.schema.simpleString}")
+    }
+    def rounded(d: DataFrame): DataFrame = floatDigits match {
+      case None => d
+      case Some(n) =>
+        d.select(d.schema.fields.map { f =>
+          f.dataType match {
+            case DoubleType | FloatType => round(col(f.name), n).as(f.name)
+            case _ => col(f.name)
+          }
+        }.toIndexedSeq: _*)
+    }
+    // align b's columns to a's order so position-insensitive inputs compare
+    val a1 = rounded(a)
+    val b1 = rounded(b.select(a.columns.map(col).toIndexedSeq: _*))
+    if (checkOrder) {
+      // ordered compare is inherently a global zip — driver-side by design
+      val ra = a1.collect()
+      val rb = b1.collect()
+      if (ra.length != rb.length)
+        return Some(s"row counts differ: ${ra.length} vs ${rb.length}")
+      ra.zip(rb).zipWithIndex.collectFirst {
+        case ((x, y), i) if x != y => s"row $i differs: $x vs $y"
+      }
+    } else {
+      val onlyA = a1.exceptAll(b1).limit(1).collect()
+      if (onlyA.nonEmpty) return Some(s"row only in left: ${onlyA.head}")
+      val onlyB = b1.exceptAll(a1).limit(1).collect()
+      if (onlyB.nonEmpty) return Some(s"row only in right: ${onlyB.head}")
+      None
+    }
+  }
+}

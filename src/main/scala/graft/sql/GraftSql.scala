@@ -87,18 +87,39 @@ object GraftSql {
 
   final case class Result(last: Option[DataFrame], yields: Map[String, DataFrame])
 
+  /** Built-in outputters, available in every script (reference
+   * fugue/extensions/builtins/outputters.py:22,37):
+   * `OUTPUT a, b USING assert_eq` — distributed multiset equality, params
+   * `no_check_schema:true`, `check_order:true`, `digits:n`;
+   * `OUTPUT a USING show` — params `n:rows`. User extensions with the same
+   * name win. */
+  val builtinExtensions: Extensions = Extensions(outputters = Map(
+    "assert_eq" -> OutputterDef { (dfs, params) =>
+      require(dfs.size >= 2, "assert_eq needs at least 2 dataframes")
+      dfs.tail.foreach(d => graft.api.DfUtils.assertDfEq(dfs.head, d,
+        checkSchema = !params.get("no_check_schema").exists(_.toBoolean),
+        checkOrder = params.get("check_order").exists(_.toBoolean),
+        floatDigits = params.get("digits").map(_.toInt)))
+    },
+    "show" -> OutputterDef { (dfs, params) =>
+      dfs.foreach(_.show(params.get("n").map(_.toInt).getOrElse(10), truncate = false))
+    }))
+
+  private def withBuiltins(e: Extensions): Extensions =
+    e.copy(outputters = builtinExtensions.outputters ++ e.outputters)
+
   def run(engine: GraftEngine, sql: String,
       inputs: Map[String, DataFrame] = Map.empty,
       transformers: Map[String, TransformerDef] = Map.empty,
       vars: Map[String, String] = Map.empty): Result =
-    new Runner(engine, inputs, Extensions(transformers = transformers))
+    new Runner(engine, inputs, withBuiltins(Extensions(transformers = transformers)))
       .run(substituteVars(sql, vars))
 
   def runWith(engine: GraftEngine, sql: String,
       inputs: Map[String, DataFrame] = Map.empty,
       extensions: Extensions = Extensions(),
       vars: Map[String, String] = Map.empty): Result =
-    new Runner(engine, inputs, extensions).run(substituteVars(sql, vars))
+    new Runner(engine, inputs, withBuiltins(extensions)).run(substituteVars(sql, vars))
 
   /** `{{name}}` template substitution (the reference's jinja-style
    * variable templating, fugue/sql/_utils.py). Unknown variables raise. */

@@ -36,3 +36,42 @@ object CallbackChannel {
   def apply(spark: SparkSession, name: String = "graft_callbacks"): CallbackChannel =
     new CallbackChannel(spark.sparkContext.collectionAccumulator[(String, String)](name))
 }
+
+/**
+ * Driver-side live monitor over a [[CallbackChannel]]: polls the channel
+ * WHILE an action runs and delivers each new message to `handler` exactly
+ * once. This is the Spark-idiomatic replacement for the reference's Flask
+ * RPC server (fugue/rpc/flask.py:19) — combined with
+ * `sparkContext.cancelJobGroup` it implements interactive early stop
+ * (reference builtin_suite early-stop tests): the handler inspects
+ * progress messages and cancels the job group when a stop condition hits.
+ *
+ * Accumulator timing note: posts become visible when their task COMPLETES
+ * (Spark's accumulator contract), so granularity of the monitor is one
+ * task — right for per-partition progress, not per-row.
+ */
+final class CallbackMonitor private (
+    thread: Thread, stopFlag: java.util.concurrent.atomic.AtomicBoolean) {
+  /** Stop polling; drains remaining messages before returning. */
+  def stop(): Unit = { stopFlag.set(true); thread.join(5000) }
+}
+
+object CallbackMonitor {
+  def start(channel: CallbackChannel, intervalMs: Long = 100)(
+      handler: (String, String) => Unit): CallbackMonitor = {
+    val stopFlag = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val t = new Thread(() => {
+      var seen = 0
+      def drain(): Unit = {
+        val msgs = channel.messages
+        msgs.drop(seen).foreach { case (k, v) => handler(k, v) }
+        seen = msgs.length
+      }
+      while (!stopFlag.get()) { drain(); Thread.sleep(intervalMs) }
+      drain()
+    }, "graft-callback-monitor")
+    t.setDaemon(true)
+    t.start()
+    new CallbackMonitor(t, stopFlag)
+  }
+}

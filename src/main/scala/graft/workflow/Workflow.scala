@@ -100,6 +100,21 @@ final class Workflow(
       })
   }
 
+  // ---- output nodes (reference outputters.py:22,37) ---------------------
+  /** Sink node running a side-effecting function over its inputs; passes
+   * the first input through so it can be chained/yielded. */
+  def output(deps: Seq[Node], op: String)(fn: Seq[DataFrame] => Unit): Node =
+    new Node(s"output:$op", Nil, deps, dfs => { fn(dfs); dfs.head })
+
+  /** Workflow-level equality assertion (the reference's assert_eq
+   * outputter): fails `run()` with AssertionError on mismatch. */
+  def assertEq(a: Node, b: Node, checkSchema: Boolean = true): Node =
+    output(Seq(a, b), "assert_eq")(dfs =>
+      graft.api.DfUtils.assertDfEq(dfs(0), dfs(1), checkSchema = checkSchema))
+
+  def show(a: Node, n: Int = 10): Node =
+    output(Seq(a), "show")(dfs => dfs.head.show(n, truncate = false))
+
   // ---- creation nodes ---------------------------------------------------
   def load(path: String, format: String = "", columns: Seq[String] = Nil): Node =
     new Node("load", Seq(path, format) ++ columns, Nil,

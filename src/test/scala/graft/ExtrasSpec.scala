@@ -71,6 +71,41 @@ class ExtrasSpec extends SparkTestBase {
     assert(ch.messages("partition_done").nonEmpty)
   }
 
+  test("callback monitor delivers live messages and drives early stop") {
+    import graft.transform.CallbackMonitor
+    val ch = CallbackChannel(spark)
+    val group = s"graft-earlystop-${java.util.UUID.randomUUID().toString.take(8)}"
+    val delivered = new java.util.concurrent.atomic.AtomicInteger(0)
+    val cancelled = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val monitor = CallbackMonitor.start(ch, intervalMs = 25) { (topic, _) =>
+      if (topic == "progress") {
+        delivered.incrementAndGet()
+        // stop condition: cancel the group as soon as progress arrives
+        if (!cancelled.getAndSet(true)) spark.sparkContext.cancelJobGroup(group)
+      }
+    }
+    try {
+      spark.sparkContext.setJobGroup(group, "early-stop test", interruptOnCancel = true)
+      // 3 waves over default parallelism: wave-1 completions post progress,
+      // the monitor cancels, later waves never finish
+      val nParts = spark.sparkContext.defaultParallelism * 3
+      val thrown = intercept[Exception] {
+        spark.range(nParts).repartition(nParts).rdd.foreachPartition { _ =>
+          ch.post("progress", "1")
+          Thread.sleep(500)
+        }
+      }
+      assert(thrown.getMessage.toLowerCase.contains("cancel"))
+      assert(cancelled.get())
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      monitor.stop()
+    }
+    assert(delivered.get() > 0)
+    // not every task completed before the cancel landed
+    assert(delivered.get() < spark.sparkContext.defaultParallelism * 3)
+  }
+
   test("streaming: windowed aggregation over bounded file source") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft_stream").toString

@@ -307,6 +307,20 @@ class GraftSqlSpec extends SparkTestBase {
     assert(seen.get() === 4L) // 2 keys × 2 rows each
   }
 
+  test("built-in assert_eq and show outputters") {
+    GraftSql.run(engine,
+      """a = SELECT k, v FROM input WHERE v > 1
+        |b = SELECT k, v FROM input WHERE v > 1
+        |OUTPUT a, b USING assert_eq
+        |OUTPUT a USING show(n:2)
+        |""".stripMargin, Map("input" -> d1))
+    intercept[AssertionError](GraftSql.run(engine,
+      """a = SELECT k, v FROM input WHERE v > 1
+        |b = SELECT k, v FROM input WHERE v > 5
+        |OUTPUT a, b USING assert_eq
+        |""".stripMargin, Map("input" -> d1)))
+  }
+
   test("temp views do not leak into the session catalog after SELECT") {
     GraftSql.run(engine,
       "SELECT k, v FROM leak_probe WHERE v > 0", Map("leak_probe" -> d1))

@@ -63,4 +63,29 @@ class WorkflowSpec extends SparkTestBase {
     l.join(r, "inner").yield_("j")
     assertDfEq(w.run()("j"), Seq(Seq(1, "x", 9.0)))
   }
+
+  test("assert_eq and show output nodes") {
+    val w = new Workflow(engine)
+    val a = w.create(Seq(Seq(1), Seq(2)), "x:int")
+    val b = w.create(Seq(Seq(2), Seq(1)), "x:int") // same multiset, any order
+    w.assertEq(a, b)
+    w.show(a, 1)
+    w.run() // must not throw
+    val w2 = new Workflow(engine)
+    val c = w2.create(Seq(Seq(1)), "x:int")
+    val d = w2.create(Seq(Seq(3)), "x:int")
+    w2.assertEq(c, d)
+    intercept[AssertionError](w2.run())
+  }
+
+  test("DfUtils.dfEq: schema, order, float digits") {
+    import graft.api.DfUtils
+    val a = df(Seq(Seq(1, 1.00001), Seq(2, 2.0)), "k:int,v:double")
+    val b = df(Seq(Seq(2, 2.0), Seq(1, 1.00002)), "k:int,v:double")
+    assert(!DfUtils.dfEq(a, b)) // exact differs
+    assert(DfUtils.dfEq(a, b, floatDigits = Some(3))) // rounded matches
+    assert(!DfUtils.dfEq(a, b, checkOrder = true, floatDigits = Some(3))) // order differs
+    val c = df(Seq(Seq(1L, 1.0)), "k:long,v:double")
+    assert(!DfUtils.dfEq(a, c)) // schema differs
+  }
 }
