@@ -95,6 +95,12 @@ object SparkEntry {
       eng(s).join(custK(s, dir), t(s, dir, "orders").select("o_custkey"), "anti")),
     "q12_join_cross" -> ((s, dir) =>
       eng(s).join(t(s, dir, "region"), t(s, dir, "nation"), "cross")),
+    // 3-way fold: orders ⋈ customer ⋈ nation in one call
+    "q45_join_multi" -> ((s, dir) => {
+      val nat = t(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nationkey"), col("n_name"))
+      eng(s).join(Seq(t(s, dir, "orders"), custK(s, dir), nat), "inner")
+    }),
 
     // ---- set ops ------------------------------------------------------
     "q13_union" -> ((s, dir) => {
@@ -530,6 +536,10 @@ object SparkEntry {
         |FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin,
     "q12_join_cross" ->
       "SELECT * FROM region CROSS JOIN nation",
+    "q45_join_multi" ->
+      """SELECT o.*, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment, n.n_name
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        | JOIN nation n ON c.c_nationkey = n.n_nationkey""".stripMargin,
     "q13_union" ->
       """SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 3000
         |UNION

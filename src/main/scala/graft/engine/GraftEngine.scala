@@ -36,6 +36,27 @@ trait GraftEngine {
   def union(df1: DataFrame, df2: DataFrame, distinct: Boolean = true): DataFrame
   def subtract(df1: DataFrame, df2: DataFrame, distinct: Boolean = true): DataFrame
   def intersect(df1: DataFrame, df2: DataFrame, distinct: Boolean = true): DataFrame
+
+  // ---- multi-df folds (reference processors.py:79-105,
+  // workflow.py:612-786: join/union/subtract/intersect over N frames in
+  // one call, left-folded pairwise — Catalyst then reorders/optimizes the
+  // combined plan as a whole) ------------------------------------------
+  def join(dfs: Seq[DataFrame], how: String): DataFrame = {
+    require(dfs.size >= 2, s"multi-join needs >= 2 dataframes, got ${dfs.size}")
+    dfs.reduceLeft((a, b) => join(a, b, how))
+  }
+  def union(dfs: Seq[DataFrame], distinct: Boolean): DataFrame = {
+    require(dfs.size >= 2, s"multi-union needs >= 2 dataframes, got ${dfs.size}")
+    dfs.reduceLeft((a, b) => union(a, b, distinct))
+  }
+  def subtract(dfs: Seq[DataFrame], distinct: Boolean): DataFrame = {
+    require(dfs.size >= 2, s"multi-subtract needs >= 2 dataframes, got ${dfs.size}")
+    dfs.reduceLeft((a, b) => subtract(a, b, distinct))
+  }
+  def intersect(dfs: Seq[DataFrame], distinct: Boolean): DataFrame = {
+    require(dfs.size >= 2, s"multi-intersect needs >= 2 dataframes, got ${dfs.size}")
+    dfs.reduceLeft((a, b) => intersect(a, b, distinct))
+  }
   def distinct(df: DataFrame): DataFrame
   def dropna(df: DataFrame, how: String = "any", thresh: Option[Int] = None,
       subset: Seq[String] = Nil): DataFrame

@@ -41,4 +41,22 @@ class ApiSpec extends SparkTestBase {
       Map("ev" -> events))
     assertDfEq(fs.yields("best"), Seq(Seq(3L, "b", 9)))
   }
+
+  test("multi-df folds: join/union/subtract/intersect over N frames") {
+    val a = df(Seq(Seq(1, "x"), Seq(2, "y")), "k:int,a:str")
+    val b = df(Seq(Seq(1, 10.0), Seq(2, 20.0)), "k:int,b:double")
+    val c = df(Seq(Seq(1, true), Seq(3, false)), "k:int,c:bool")
+    // 3-way join: keys inferred pairwise; schema folds left
+    assertDfEq(engine.join(Seq(a, b, c), "inner"),
+      Seq(Seq(1, "x", 10.0, true)))
+    val u1 = df(Seq(Seq(1), Seq(2)), "x:int")
+    val u2 = df(Seq(Seq(2), Seq(3)), "x:int")
+    val u3 = df(Seq(Seq(3), Seq(4)), "x:int")
+    assertDfEq(engine.union(Seq(u1, u2, u3), distinct = true),
+      Seq(Seq(1), Seq(2), Seq(3), Seq(4)))
+    assertDfEq(engine.subtract(Seq(u1, u2, u3), distinct = true), Seq(Seq(1)))
+    val i1 = df(Seq(Seq(1), Seq(2), Seq(3)), "x:int")
+    assertDfEq(engine.intersect(Seq(i1, u2, u3), distinct = true), Seq(Seq(3)))
+    intercept[IllegalArgumentException](engine.join(Seq(a), "inner"))
+  }
 }
