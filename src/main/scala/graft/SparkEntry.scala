@@ -102,6 +102,22 @@ object SparkEntry {
       eng(s).join(Seq(t(s, dir, "orders"), custK(s, dir), nat), "inner")
     }),
 
+    // persist (eager) feeding an aggregate — oracle-checked materialization
+    "q46_persist" -> ((s, dir) => {
+      val e = eng(s)
+      val cached = e.persist(
+        t(s, dir, "lineitem").select("l_returnflag", "l_quantity"),
+        lazyPersist = false)
+      val out = e.aggregate(cached, Seq("l_returnflag"),
+        Seq(dsum("l_quantity").as("sum_qty"), count(lit(1)).as("n")))
+      out
+    }),
+    // explicit broadcast hint on the dimension side of a join
+    "q47_broadcast" -> ((s, dir) => {
+      val e = eng(s)
+      e.join(t(s, dir, "orders"), e.broadcast(custK(s, dir)), "inner")
+    }),
+
     // ---- set ops ------------------------------------------------------
     "q13_union" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -540,6 +556,13 @@ object SparkEntry {
       """SELECT o.*, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment, n.n_name
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         | JOIN nation n ON c.c_nationkey = n.n_nationkey""".stripMargin,
+    "q46_persist" ->
+      """SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q47_broadcast" ->
+      """SELECT o.*, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,
     "q13_union" ->
       """SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 3000
         |UNION

@@ -79,22 +79,13 @@ object TextFunctions {
 
   /**
    * 64-bit rolling polynomial fingerprint (Rabin-Karp style, base 31 with
-   * FNV offset basis seed, over the normalized character stream) —
-   * content-addressed document identity robust to whitespace differences.
+   * FNV offset basis seed, over the whitespace-normalized lowercase
+   * character stream) — content-addressed document identity robust to
+   * whitespace differences. Native codegen'd expression
+   * ([[graft.functions.expressions.Fingerprint64]]), null → null.
    */
-  def fingerprint(text: Column): Column = {
-    val f = udf { s: String =>
-      if (s == null) 0L
-      else {
-        val norm = s.toLowerCase.replaceAll("\\s+", " ").trim
-        var h = 1125899906842597L
-        var i = 0
-        while (i < norm.length) { h = 31 * h + norm.charAt(i); i += 1 }
-        h
-      }
-    }
-    f(text)
-  }
+  def fingerprint(text: Column): Column =
+    graft.functions.expressions.VectorExpressions.fingerprint64(text)
 
   /** Convenience: full text-analysis projection over a document table. */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -234,6 +234,49 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/**
+ * 64-bit rolling polynomial document fingerprint (Rabin–Karp style, base
+ * 31, FNV offset basis) over the whitespace-normalized lowercase character
+ * stream — single pass, no normalized-string allocation, codegen'd.
+ * Replaces a per-row Scala UDF.
+ */
+case class Fingerprint64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any =
+    Fingerprint64.hash(v.toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val obj = "graft.functions.expressions.Fingerprint64$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $obj.hash($c.toString());")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+object Fingerprint64 {
+  /** One pass: collapse whitespace runs to a single space, drop
+   * leading/trailing whitespace, lowercase per char, polynomial-roll. */
+  def hash(s: String): Long = {
+    var h = 1125899906842597L
+    var pendingSpace = false
+    var started = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isWhitespace(c)) {
+        if (started) pendingSpace = true
+      } else {
+        if (pendingSpace) { h = 31 * h + ' '; pendingSpace = false }
+        h = 31 * h + Character.toLowerCase(c)
+        started = true
+      }
+      i += 1
+    }
+    h
+  }
+}
+
 object VectorExpressions {
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
@@ -246,4 +289,6 @@ object VectorExpressions {
   def hyperplaneKeys(v: Column, dim: Int, nTables: Int, nBits: Int, seed: Long,
       probes: Int = 0): Column =
     ColumnBridge.column(HyperplaneKeys(ColumnBridge.expression(v), dim, nTables, nBits, seed, probes))
+  def fingerprint64(text: Column): Column =
+    ColumnBridge.column(Fingerprint64(ColumnBridge.expression(text)))
 }

@@ -162,6 +162,47 @@ class GraftSqlSpec extends SparkTestBase {
     assert(z.count() === 1) // inner: only k=1 in both
   }
 
+  test("ZIP PRESORT orders rows within each key group") {
+    import graft.sql.GraftSql.{CoTransformerDef, Extensions}
+    val l = df(Seq(Seq(1, 30), Seq(1, 10), Seq(1, 20)), "k:int,v:int")
+    val r = df(Seq(Seq(1, 0.0)), "k:int,b:double")
+    val exts = Extensions(cotransformers = Map("firstv" -> CoTransformerDef(
+      outputSchema = (_, _, _) => graft.schema.SchemaExpr.parse("k:int,first_v:int"),
+      fn = (key, ls, rs, _) => {
+        rs.size // consume
+        Iterator.single(Row(key.head, ls.next().getInt(1)))
+      })))
+    val res = GraftSql.runWith(engine,
+      """z = ZIP l, r BY k PRESORT v DESC
+        |TRANSFORM z USING firstv
+        |YIELD AS out
+        |""".stripMargin, Map("l" -> l, "r" -> r), exts)
+    assertDfEq(res.yields("out"), Seq(Seq(1, 30)))
+  }
+
+  test("TRANSFORM with CALLBACK drains messages by end of run") {
+    import graft.sql.GraftSql.Extensions
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    val cbT = TransformerDef(
+      outputSchema = (in, _) => in,
+      fn = (_, rows, _) => rows,
+      cbFn = Some((_, rows, _, ch) => {
+        val out = rows.toVector
+        ch.post("rows", out.size.toString)
+        out.iterator
+      }))
+    val exts = Extensions(
+      transformers = Map("counter" -> cbT),
+      callbacks = Map("acc" -> ((_, msg) => { seen.addAndGet(msg.toLong); () })))
+    // the action (PRINT) runs inside the script, so posts exist by the
+    // end-of-run drain — the contract for lazy TRANSFORM + CALLBACK
+    GraftSql.runWith(engine,
+      """t = TRANSFORM input PREPARTITION BY k USING counter CALLBACK acc
+        |PRINT t
+        |""".stripMargin, Map("input" -> d1), exts)
+    assert(seen.get() >= 4L) // 4 rows observed (PRINT may scan twice)
+  }
+
   test("CREATE literal data and CREATE USING creator") {
     import graft.sql.GraftSql.{CreatorDef, Extensions}
     val res = GraftSql.run(engine,
