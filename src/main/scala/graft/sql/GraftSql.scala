@@ -49,7 +49,8 @@ object GraftSql {
         org.apache.spark.sql.types.StructType,
       fn: (PartitionCursor, Iterator[Row], Map[String, String]) => Iterator[Row],
       cbFn: Option[(PartitionCursor, Iterator[Row], Map[String, String],
-        graft.transform.CallbackChannel) => Iterator[Row]] = None)
+        graft.transform.CallbackChannel) => Iterator[Row]] = None,
+      validation: Map[String, String] = Map.empty)
 
   /** A named per-key cotransformer for COTRANSFORM a, b BY keys USING —
    * the reference's zip+cotransform collapsed into one statement (the blob
@@ -58,7 +59,8 @@ object GraftSql {
       outputSchema: (org.apache.spark.sql.types.StructType,
         org.apache.spark.sql.types.StructType, Map[String, String]) =>
         org.apache.spark.sql.types.StructType,
-      fn: (Seq[Any], Iterator[Row], Iterator[Row], Map[String, String]) => Iterator[Row])
+      fn: (Seq[Any], Iterator[Row], Iterator[Row], Map[String, String]) => Iterator[Row],
+      validation: Map[String, String] = Map.empty)
 
   /** Driver-side processor: n dataframes in, one out (PROCESS ... USING). */
   final case class ProcessorDef(
@@ -332,7 +334,12 @@ object GraftSql {
     private def execSave(stmt: String): Option[DataFrame] = {
       val masked = maskQuotes(stmt).toUpperCase
       val andUse = "\\bAND\\s+USE\\b".r.findFirstIn(masked).isDefined
-      val mode = if ("\\bAPPEND\\b".r.findFirstIn(masked).isDefined) "append" else "overwrite"
+      // OVERWRITE | APPEND | TO (TO = fail if exists, _visitors.py:237-241)
+      val mode =
+        if ("\\bAPPEND\\b".r.findFirstIn(masked).isDefined) "append"
+        else if ("\\bOVERWRITE\\b".r.findFirstIn(masked).isDefined) "overwrite"
+        else if ("\\bTO\\b".r.findFirstIn(masked).isDefined) "error"
+        else "overwrite"
       val single = "\\bSINGLE\\b".r.findFirstIn(masked).isDefined
       val fmt = "(?i)\\b(PARQUET|CSV|JSON)\\b".r.findFirstMatchIn(maskQuotes(stmt))
         .map(_.group(1).toLowerCase).getOrElse("")
@@ -560,6 +567,7 @@ object GraftSql {
       }
       val t = transformers.getOrElse(name,
         throw new IllegalArgumentException(s"unknown transformer '$name'"))
+      graft.transform.ExtensionValidation.validate(t.validation, spec, d.schema)
       val outSchema = schemaHint(stmt, m.end)
         .map(h => SchemaExpr.applyHint(d.schema, h))
         .getOrElse(t.outputSchema(d.schema, params))
@@ -630,6 +638,8 @@ object GraftSql {
       val keys = kwArg(stmt.substring(0, m.start), "BY")
         .map(_.split(",").map(_.trim).toSeq)
         .getOrElse(throw new IllegalArgumentException("COTRANSFORM requires BY keys"))
+      graft.transform.ExtensionValidation.validate(t.validation,
+        PartitionSpec(by = keys), sides(0).schema)
       val how = "(?i)\\b(INNER|LEFT_OUTER|RIGHT_OUTER|FULL_OUTER|LEFT OUTER|RIGHT OUTER|FULL OUTER)\\b".r
         .findFirstIn(maskQuotes(stmt.substring(0, m.start)))
         .map(_.toLowerCase.replace(' ', '_')).getOrElse("inner")
@@ -668,7 +678,8 @@ object GraftSql {
      * _checkpoint.py:38-108). */
     private def execCheckpoint(stmt: String): DataFrame = {
       val masked = maskQuotes(stmt).toUpperCase
-      val kws = Set("WEAK", "STRONG", "DETERMINISTIC", "CHECKPOINT", "LAZY")
+      val kws = Set("WEAK", "STRONG", "DETERMINISTIC", "CHECKPOINT", "LAZY",
+        "SINGLE", "PREPARTITION", "BY")
       val d = ref(trailingDfRef(stmt, kws))
       if (masked.startsWith("WEAK")) {
         val lzy = "\\bLAZY\\b".r.findFirstIn(masked).isDefined
@@ -684,9 +695,12 @@ object GraftSql {
         val fs = hPath.getFileSystem(engine.spark.sparkContext.hadoopConfiguration)
         if (!fs.exists(hPath)) engine.save(d, path, "parquet")
         engine.load(path, "parquet")
-      } else { // STRONG or bare CHECKPOINT
+      } else { // STRONG or bare CHECKPOINT [SINGLE] [PREPARTITION BY ..]
         val tmp = s"/tmp/graft_checkpoints/sql_${java.util.UUID.randomUUID().toString.take(8)}"
-        engine.save(d, tmp, "parquet")
+        val single = "\\bSINGLE\\b".r.findFirstIn(masked).isDefined
+        val partBy = kwArg(stmt, "PREPARTITION\\s+BY")
+          .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
+        engine.save(d, tmp, "parquet", partitionBy = partBy, singleFile = single)
         engine.load(tmp, "parquet")
       }
     }

@@ -348,6 +348,55 @@ class GraftSqlSpec extends SparkTestBase {
     assert(seen.get() === 4L) // 2 keys × 2 rows each
   }
 
+  test("extension validation hooks fail fast with clear messages") {
+    val reqT = TransformerDef(
+      outputSchema = (in, _) => in,
+      fn = (_, rows, _) => rows,
+      validation = Map("partitionby_has" -> "k", "input_has" -> "k,v"))
+    // satisfied: runs
+    val ok = GraftSql.run(engine,
+      "TRANSFORM input PREPARTITION BY k USING t\nYIELD AS out",
+      Map("input" -> d1), Map("t" -> reqT))
+    assert(ok.yields("out").count() === 4)
+    // missing partition key: fails at build time
+    val e1 = intercept[IllegalArgumentException](GraftSql.run(engine,
+      "TRANSFORM input USING t", Map("input" -> d1), Map("t" -> reqT)))
+    assert(e1.getMessage.contains("partition key"))
+    // missing input column
+    val e2 = intercept[IllegalArgumentException](GraftSql.run(engine,
+      "TRANSFORM nov PREPARTITION BY k USING t",
+      Map("input" -> d1, "nov" -> d1.drop("v")), Map("t" -> reqT)))
+    assert(e2.getMessage.contains("column 'v'"))
+    // presort_is exact match
+    val sortT = reqT.copy(validation = Map("presort_is" -> "v desc"))
+    GraftSql.run(engine,
+      "TRANSFORM input PREPARTITION BY k PRESORT v DESC USING t",
+      Map("input" -> d1), Map("t" -> sortT))
+    val e3 = intercept[IllegalArgumentException](GraftSql.run(engine,
+      "TRANSFORM input PREPARTITION BY k PRESORT v ASC USING t",
+      Map("input" -> d1), Map("t" -> sortT)))
+    assert(e3.getMessage.contains("presort"))
+  }
+
+  test("SAVE TO fails when target exists; STRONG CHECKPOINT SINGLE") {
+    val dir = Files.createTempDirectory("graftsql3").toString
+    GraftSql.run(engine,
+      s"""SELECT k, v FROM input
+         |SAVE TO PARQUET "$dir/once"
+         |""".stripMargin, Map("input" -> d1))
+    intercept[Exception](GraftSql.run(engine,
+      s"""SELECT k, v FROM input
+         |SAVE TO PARQUET "$dir/once"
+         |""".stripMargin, Map("input" -> d1)))
+    val res = GraftSql.run(engine,
+      """SELECT k, v FROM input
+        |STRONG CHECKPOINT SINGLE
+        |YIELD AS out
+        |""".stripMargin, Map("input" -> d1))
+    assert(res.yields("out").count() === 4)
+    assert(res.yields("out").rdd.getNumPartitions === 1)
+  }
+
   test("built-in assert_eq and show outputters") {
     GraftSql.run(engine,
       """a = SELECT k, v FROM input WHERE v > 1
