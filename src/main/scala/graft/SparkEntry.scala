@@ -342,6 +342,16 @@ object SparkEntry {
         "doc_id", "embedding", k = 3)
         .select("query_id", "rank", "neighbor_id")
     }),
+    "m03_frame_sampling" -> ((s, dir) => {
+      // frame-sampling plumbing: payload → every 4th 64-byte window,
+      // then per-frame metadata (count oracle-able per doc via SQL)
+      val payloads = t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      Multimodal.sampleFrames(payloads, "doc_id", "payload",
+        frameSize = 64, stride = 4)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_frames"), max(col("frame_no")).as("last_frame"))
+    }),
     "q37_sketch" -> ((s, dir) =>
       // HLL sketch vs exact cardinality per event type (sketch impls differ
       // per engine → rows-only)
@@ -703,6 +713,12 @@ object SparkEntry {
     "q43_sql_save_use" -> "SELECT * FROM nation",
     "q44_sql_checkpoint" ->
       "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 100000",
+    "m03_frame_sampling" ->
+      """WITH w AS (
+        | SELECT doc_id, CAST(ceil(octet_length(encode(text))/64.0) AS BIGINT) AS nw
+        | FROM documents WHERE octet_length(encode(text)) > 0)
+        |SELECT doc_id, CAST(ceil(nw/4.0) AS BIGINT) AS n_frames,
+        | CAST(4*(ceil(nw/4.0)-1) AS INTEGER) AS last_frame FROM w""".stripMargin,
     "d05x_dedup_embed_exact" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

@@ -98,6 +98,22 @@ final class Workflow(
       new Node("save", Seq(path, format), Seq(this), { dfs =>
         engine.save(dfs.head, path, format); dfs.head
       })
+
+    /** ZIP with another node (reference workflow.zip, workflow.py:1211):
+     * key cols + per-side struct arrays, consumable by [[cotransform]]. */
+    def zip(other: Node, keys: Seq[String], how: String = "inner"): Node =
+      new Node(s"zip:$how", keys, Seq(this, other),
+        dfs => graft.transform.Transform.zipFrames(Seq(dfs(0), dfs(1)), keys, how))
+
+    /** Apply a cotransformer to a zipped node (one call per key; side rows
+     * arrive as keys ++ payload, matching the coMap contract). `op` must
+     * uniquely identify the function for deterministic UUIDs. */
+    def cotransform(op: String,
+        outputSchema: org.apache.spark.sql.types.StructType)(
+        f: (Seq[Any], Iterator[org.apache.spark.sql.Row],
+          Iterator[org.apache.spark.sql.Row]) => Iterator[org.apache.spark.sql.Row]): Node =
+      transform(s"cotransform:$op", Seq(outputSchema.simpleString))(
+        d => graft.transform.Transform.coMapZipped(d, outputSchema)(f))
   }
 
   // ---- output nodes (reference outputters.py:22,37) ---------------------

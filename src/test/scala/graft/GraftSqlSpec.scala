@@ -411,6 +411,14 @@ class GraftSqlSpec extends SparkTestBase {
         |""".stripMargin, Map("input" -> d1)))
   }
 
+  test("TABLESAMPLE passes through to spark.sql") {
+    val res = GraftSql.run(engine,
+      """SELECT k, v FROM input TABLESAMPLE (100 PERCENT)
+        |YIELD AS out
+        |""".stripMargin, Map("input" -> d1))
+    assert(res.yields("out").count() === 4)
+  }
+
   test("temp views do not leak into the session catalog after SELECT") {
     GraftSql.run(engine,
       "SELECT k, v FROM leak_probe WHERE v > 0", Map("leak_probe" -> d1))

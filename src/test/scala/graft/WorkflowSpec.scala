@@ -64,6 +64,19 @@ class WorkflowSpec extends SparkTestBase {
     assertDfEq(w.run()("j"), Seq(Seq(1, "x", 9.0)))
   }
 
+  test("zip + cotransform nodes through the DAG") {
+    import org.apache.spark.sql.Row
+    val w = new Workflow(engine)
+    val l = w.create(Seq(Seq(1, "x"), Seq(1, "y"), Seq(2, "z")), "k:int,a:str")
+    val r = w.create(Seq(Seq(1, 10.0)), "k:int,b:double")
+    l.zip(r, Seq("k"), "full_outer")
+      .cotransform("counts", graft.schema.SchemaExpr.parse("k:int,nl:long,nr:long")) {
+        (key, ls, rs) => Iterator.single(Row(key.head, ls.size.toLong, rs.size.toLong))
+      }
+      .yield_("out")
+    assertDfEq(w.run()("out"), Seq(Seq(1, 2L, 1L), Seq(2, 1L, 0L)))
+  }
+
   test("assert_eq and show output nodes") {
     val w = new Workflow(engine)
     val a = w.create(Seq(Seq(1), Seq(2)), "x:int")
