@@ -118,6 +118,21 @@ object SparkEntry {
       e.join(t(s, dir, "orders"), e.broadcast(custK(s, dir)), "inner")
     }),
 
+    // bucketed co-located join: write-side bucketing, shuffle-free read join
+    "q48_bucketed_join" -> ((s, dir) => {
+      val e = eng(s)
+      graft.operators.Bucketing.saveBucketed(t(s, dir, "orders"),
+        "graft_q48_orders", Seq("o_custkey"), 8)
+      graft.operators.Bucketing.saveBucketed(custK(s, dir),
+        "graft_q48_customer", Seq("o_custkey"), 8)
+      e.join(e.loadTable("graft_q48_orders"),
+        e.loadTable("graft_q48_customer"), "inner")
+    }),
+    // salted skew join must equal the plain join exactly
+    "q49_skew_join" -> ((s, dir) =>
+      graft.operators.SkewJoin.saltedJoin(t(s, dir, "orders"), custK(s, dir),
+        Seq("o_custkey"), "inner", factor = 4)),
+
     // ---- set ops ------------------------------------------------------
     "q13_union" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -566,6 +581,12 @@ object SparkEntry {
       """SELECT o.*, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment, n.n_name
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         | JOIN nation n ON c.c_nationkey = n.n_nationkey""".stripMargin,
+    "q48_bucketed_join" ->
+      """SELECT o.*, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,
+    "q49_skew_join" ->
+      """SELECT o.*, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,
     "q46_persist" ->
       """SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         | CAST(COUNT(*) AS BIGINT) AS n
