@@ -34,6 +34,12 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     import glob, os
     failed = []
+    # a query that THREW in Verify is simply absent from the dump — that
+    # must fail the check, not silently narrow it
+    dumped = {n for n in os.listdir(out_dir) if os.path.isdir(os.path.join(out_dir, n))}
+    for name in sorted(set(oracle) - dumped):
+        print(f"{name}: FAIL missing from dump (query threw in Verify)")
+        failed.append(name)
     for name in sorted(os.listdir(out_dir)):
         p = os.path.join(out_dir, name)
         if not os.path.isdir(p):

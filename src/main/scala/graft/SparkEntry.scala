@@ -31,6 +31,17 @@ object SparkEntry {
 
   private def eng(s: SparkSession) = SparkGraftEngine(s)
 
+  /** Drop a managed table AND its warehouse directory: a fresh session has
+   * an empty catalog but the previous run's directory survives, and
+   * saveAsTable refuses to reuse the location (LOCATION_ALREADY_EXISTS). */
+  private def dropTableAndLocation(s: SparkSession, name: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val p = new org.apache.hadoop.fs.Path(s"$wh/$name")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
   /** decimal-exact sum rendered as double: deterministic across engines
    * regardless of aggregation order (FP sums are order-dependent; decimal
    * sums are not). */
@@ -121,6 +132,8 @@ object SparkEntry {
     // bucketed co-located join: write-side bucketing, shuffle-free read join
     "q48_bucketed_join" -> ((s, dir) => {
       val e = eng(s)
+      dropTableAndLocation(s, "graft_q48_orders")
+      dropTableAndLocation(s, "graft_q48_customer")
       graft.operators.Bucketing.saveBucketed(t(s, dir, "orders"),
         "graft_q48_orders", Seq("o_custkey"), 8)
       graft.operators.Bucketing.saveBucketed(custK(s, dir),
@@ -375,6 +388,27 @@ object SparkEntry {
         countDistinct(col("user_id")).as("exact_users"),
         count(lit(1)).as("n")))),
 
+    // ---- streaming (bounded AvailableNow run, oracle-checked) ----------
+    "q50_stream_window" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val batchSchema = t(s, dir, "events").schema // ts arrives as long nanos
+      // streaming file sources need a DIRECTORY: point at the sf dir and
+      // glob-filter to the events file
+      val stream = graft.streaming.Streaming
+        .loadStream(s, dir, batchSchema,
+          options = Map("pathGlobFilter" -> "events.parquet"))
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      val agg = graft.streaming.Streaming.windowedAgg(stream, "ts",
+        watermarkDelay = "1 minute", windowDuration = "1 hour",
+        slideDuration = None, groupBy = Seq("event_type"),
+        aggs = Seq(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total")))
+      val name = "graft_q50_" + java.util.UUID.randomUUID().toString.take(8)
+      graft.streaming.Streaming.runToMemory(agg, name, outputMode = "complete")
+      s.table(name).select(col("window.start").as("win_start"),
+        col("event_type"), col("n"), col("total"))
+    }),
+
     // ---- temporal operators -------------------------------------------
     "q38_asof_join" -> ((s, dir) => {
       val e = events(s, dir)
@@ -441,6 +475,7 @@ object SparkEntry {
     // catalog table IO round-trip
     "q42_table_io" -> ((s, dir) => {
       val e = eng(s)
+      dropTableAndLocation(s, "graft_q42_nation")
       e.saveTable(t(s, dir, "nation"), "graft_q42_nation")
       require(e.tableExists("graft_q42_nation"))
       e.loadTable("graft_q42_nation")
@@ -697,6 +732,11 @@ object SparkEntry {
         |     / len(string_split_regex(trim(text), '\s+'))
         |   ELSE 0.0 END AS mean_word_len
         |FROM documents""".stripMargin,
+    "q50_stream_window" ->
+      """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS win_start,
+        | event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "q38_asof_join" ->
       """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
         |  event_type, value FROM events),
