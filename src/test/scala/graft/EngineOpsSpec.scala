@@ -142,6 +142,24 @@ class EngineOpsSpec extends SparkTestBase {
     assertDfEq(got, Seq(Seq("b")))
   }
 
+  test("sample n rows = TABLESAMPLE(n ROWS) semantics (limit, caps at size)") {
+    val d = df((1 to 100).map(i => Seq(i)), "x:int")
+    assert(engine.sample(d, n = Some(10L), seed = Some(1L)).count() === 10)
+    // reference Spark backend caps at table size (limit), even with replace
+    val small = df((1 to 3).map(i => Seq(i)), "x:int")
+    assert(engine.sample(small, n = Some(50L), replace = true,
+      seed = Some(1L)).count() === 3)
+    // frac sampling with replacement can oversample
+    val rep = engine.sample(small, frac = Some(5.0), replace = true, seed = Some(1L))
+    assert(rep.count() > 3)
+  }
+
+  test("union of mismatched schemas raises") {
+    val a = df(Seq(Seq(1)), "x:int")
+    val b = df(Seq(Seq("s")), "y:str")
+    intercept[Exception](engine.union(a, b).collect())
+  }
+
   test("persist and broadcast are idempotent (RunOnce)") {
     val d = df(Seq(Seq(1)), "x:int")
     val p1 = engine.persist(d)
