@@ -1,0 +1,112 @@
+package graft
+
+import graft.functions.Dedup
+import graft.operators.TemporalOps
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Randomized differential tests (fixed seeds): each operator vs a
+ * driver-side brute-force model on generated data. Complements the
+ * example-based specs with coverage of tie/null/boundary interactions the
+ * examples don't enumerate. */
+class PropertySpec extends SparkTestBase {
+
+  private def randEvents(seed: Long, n: Int, nUsers: Int, tsRange: Int)
+      : Seq[(Long, Long, Long, Double)] = {
+    val rnd = new Random(seed)
+    (1 to n).map(i => (i.toLong, rnd.nextInt(nUsers).toLong,
+      rnd.nextInt(tsRange).toLong, rnd.nextInt(100).toDouble))
+  }
+
+  test("asofJoin matches brute force on random data (3 seeds)") {
+    for (seed <- Seq(1L, 7L, 42L)) {
+      val clicks = randEvents(seed, 80, 5, 50)
+      val purchases = randEvents(seed + 100, 40, 5, 50)
+      val cdf = df(clicks.map(c => Seq(c._1, c._2, c._3)), "event_id:long,user_id:long,ts:long")
+      val pdf = df(purchases.map(p => Seq(p._2, p._3, p._1, p._4)),
+        "user_id:long,ts:long,prior_id:long,prior_value:double")
+      val got = TemporalOps.asofJoin(cdf, pdf, keys = Seq("user_id"),
+        tsCol = "ts", tieBreak = Seq("prior_id"))
+        .select("event_id", "prior_id")
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      // brute force: latest purchase with p.ts <= c.ts, ties -> max prior_id
+      val want = clicks.map { c =>
+        val cand = purchases.filter(p => p._2 == c._2 && p._3 <= c._3)
+        c._1 -> (if (cand.isEmpty) -1L
+          else {
+            val maxTs = cand.map(_._3).max
+            cand.filter(_._3 == maxTs).map(_._1).max
+          })
+      }.toMap
+      assert(got === want, s"seed $seed")
+    }
+  }
+
+  test("sessionize matches brute force session boundaries (3 seeds)") {
+    for (seed <- Seq(2L, 13L, 99L)) {
+      val ev = randEvents(seed, 60, 4, 10000).map(e =>
+        (e._1, e._2, e._3 * 1000000L)) // µs timestamps, gaps up to ~10^10 µs
+      val edf2 = df(ev.map(e => Seq(e._1, e._2, e._3)),
+        "event_id:long,user_id:long,us:long")
+        .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+      val got = TemporalOps.sessionize(edf2, Seq("user_id"), "ts",
+        "30 minutes", tieBreak = Seq("event_id"))
+        .select("event_id", "session_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // brute force per user: sort by (ts, event_id), new session when
+      // gap > 30min (1.8e9 µs)
+      val gap = 30L * 60 * 1000000
+      val want = ev.groupBy(_._2).flatMap { case (_, rows) =>
+        val sorted = rows.sortBy(e => (e._3, e._1))
+        var sid = -1L
+        var lastTs = Long.MinValue
+        sorted.map { e =>
+          if (lastTs == Long.MinValue || e._3 > lastTs + gap) sid += 1
+          lastTs = e._3
+          e._1 -> sid
+        }
+      }.toMap
+      assert(got === want, s"seed $seed")
+    }
+  }
+
+  test("Dedup.exact matches brute-force min-tiebreak dedup (3 seeds)") {
+    for (seed <- Seq(3L, 17L, 71L)) {
+      val rnd = new Random(seed)
+      val rows = (1 to 100).map(i => (i.toLong, s"k${rnd.nextInt(20)}"))
+      val d = df(rows.map(r => Seq(r._2, r._1)), "k:str,id:long")
+      val got = Dedup.exact(d, Seq("k"), "id")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val want = rows.groupBy(_._2).map { case (k, g) => (k, g.map(_._1).min) }.toSet
+      assert(got === want, s"seed $seed")
+    }
+  }
+
+  test("take per-key matches brute-force window (3 seeds)") {
+    for (seed <- Seq(5L, 23L, 91L)) {
+      val ev = randEvents(seed, 100, 6, 30)
+      val d = df(ev.map(e => Seq(e._1, e._2, e._3)), "event_id:long,user_id:long,ts:long")
+      val got = engine.take(d, 2, PartitionSpec(by = Seq("user_id"),
+        presort = Seq("ts" -> false, "event_id" -> true)))
+        .collect().map(_.getLong(0)).toSet
+      val want = ev.groupBy(_._2).flatMap { case (_, g) =>
+        g.sortBy(e => (-e._3, e._1)).take(2).map(_._1)
+      }.toSet
+      assert(got === want, s"seed $seed")
+    }
+  }
+
+  test("ngramJaccardPairs threshold boundary on crafted near-boundary pairs") {
+    // jaccard exactly 0.5: |A∩B|=2, |A|=|B|=3 → 2/(3+3-2)=0.5 (inclusive)
+    val a = "w1 w2 w3 w4 w5" // shingles: (w1 w2 w3)(w2 w3 w4)(w3 w4 w5)
+    val b = "w1 w2 w3 w4 zz" // shingles: (w1 w2 w3)(w2 w3 w4)(w3 w4 zz) → inter=2
+    val d = df(Seq(Seq(1L, a), Seq(2L, b)), "doc_id:long,text:str")
+    val got = Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length === 1)
+    assert(got.head._3 === 0.5)
+    // threshold just above excludes
+    assert(Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.51).count() === 0)
+  }
+}
