@@ -80,10 +80,10 @@ final class Workflow(
         dfs => engine.join(dfs(0), dfs(1), how))
 
     def filter(cond: Column): Node =
-      transform("filter", Seq(cond.toString))(engine.filter(_, cond))
+      transform("filter", Seq(Workflow.exprKey(cond)))(engine.filter(_, cond))
 
     def select(cols: Column*): Node =
-      transform("select", cols.map(_.toString))(engine.select(_, cols))
+      transform("select", cols.map(Workflow.exprKey))(engine.select(_, cols))
 
     def repartition(spec: PartitionSpec): Node =
       transform("repartition", Seq(spec.toString))(engine.repartition(_, spec))
@@ -184,4 +184,14 @@ final class Workflow(
     val hPath = new org.apache.hadoop.fs.Path(path)
     hPath.getFileSystem(engine.spark.sparkContext.hadoopConfiguration).exists(hPath)
   }
+}
+
+object Workflow {
+  /** Structural identity of a Column for task UUIDs: the full canonicalized
+   * Catalyst tree rendering (stable across runs, distinguishes expressions
+   * whose compact `Column.toString` collides). */
+  private[workflow] def exprKey(c: Column): String =
+    try org.apache.spark.sql.graftshim.ColumnBridge
+      .expression(c).canonicalized.treeString
+    catch { case _: Throwable => c.toString }
 }
