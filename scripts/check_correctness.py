@@ -35,9 +35,12 @@ def main(sf_dir, out_dir):
     import glob, os
     failed = []
     # a query that THREW in Verify is simply absent from the dump — that
-    # must fail the check, not silently narrow it
+    # must fail the check, not silently narrow it. queries.json (written by
+    # Verify) covers rows-only queries too; fall back to oracle keys.
     dumped = {n for n in os.listdir(out_dir) if os.path.isdir(os.path.join(out_dir, n))}
-    for name in sorted(set(oracle) - dumped):
+    qlist = os.path.join(out_dir, "queries.json")
+    expected = set(json.load(open(qlist))) if os.path.exists(qlist) else set(oracle)
+    for name in sorted(expected - dumped):
         print(f"{name}: FAIL missing from dump (query threw in Verify)")
         failed.append(name)
     for name in sorted(os.listdir(out_dir)):

@@ -357,8 +357,18 @@ class SparkGraftEngine(val spark: SparkSession) extends GraftEngine {
 
   def tableExists(name: String): Boolean = spark.catalog.tableExists(name)
   def loadTable(name: String): DataFrame = spark.table(name)
-  def saveTable(df: DataFrame, name: String, mode: String = "overwrite"): Unit =
+  def saveTable(df: DataFrame, name: String, mode: String = "overwrite"): Unit = {
+    // overwrite must also clear a STALE warehouse directory: a fresh
+    // session has an empty catalog but the previous JVM's managed-table
+    // dir survives, and saveAsTable then fails LOCATION_ALREADY_EXISTS
+    if (mode == "overwrite" && !spark.catalog.tableExists(name)) {
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val p = new org.apache.hadoop.fs.Path(s"$wh/$name")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
     df.write.mode(mode).saveAsTable(name)
+  }
 
   // ---- IO --------------------------------------------------------------
 
@@ -396,7 +406,15 @@ class SparkGraftEngine(val spark: SparkSession) extends GraftEngine {
     val fmt = inferFormat(path, format)
     val base = (if (singleFile) df.coalesce(1) else df)
       .write.mode(mode).options(options).format(fmt)
-    val w = if (partitionBy.nonEmpty) base.partitionBy(partitionBy: _*) else base
+    // CSV defaults must be SYMMETRIC with load (which defaults header=true):
+    // an unannotated csv round-trip would otherwise eat the first data row
+    // as column names
+    val withDefaults = fmt match {
+      case "csv" if !options.contains("header") => base.option("header", "true")
+      case _ => base
+    }
+    val w = if (partitionBy.nonEmpty) withDefaults.partitionBy(partitionBy: _*)
+      else withDefaults
     w.save(path)
   }
 }

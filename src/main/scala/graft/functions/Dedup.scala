@@ -79,7 +79,7 @@ object Dedup {
    * session. Bounded by [[clearSignatureCache]] for long-lived sessions
    * (each entry holds one checkpointed signature frame). */
   private val signatureCache =
-    new java.util.concurrent.ConcurrentHashMap[(Any, String, String, Int, Int, Long), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(Any, Any, String, String, Int, Int, Long), DataFrame]()
 
   def clearSignatureCache(): Unit = signatureCache.clear()
 
@@ -96,8 +96,11 @@ object Dedup {
       shingleK: Int = 3,
       numHashes: Int = 128,
       seed: Long = 42L): DataFrame = {
-    val key = (df.queryExecution.logical.canonicalized, idCol, textCol,
-      shingleK, numHashes, seed)
+    // the session is part of the key: a cached frame is bound to its
+    // SparkSession (its localCheckpoint blocks die with the context), so a
+    // new session in the same JVM must not be served another's entry
+    val key = (df.sparkSession, df.queryExecution.logical.canonicalized,
+      idCol, textCol, shingleK, numHashes, seed)
     signatureCache.computeIfAbsent(key, _ => {
       val sigFn = minhashSignature(numHashes, seed)
       // Repartition first: a small parquet arrives as 1-2 splits, which

@@ -78,7 +78,10 @@ object Similarity {
    * (query_id, neighbor_id) — never embedding vectors. Vectors re-join
    * after the distinct (corpus side shuffled once on id over the distinct
    * candidate set; query side broadcast), so multi-table collisions cost
-   * 16 bytes each, not 2·dim doubles.
+   * 16 bytes each, not 2·dim doubles. The corpus is SCANNED twice (bucket
+   * pass + vector re-join) — at scale a columnar rescan is far cheaper
+   * than either materializing the normalized corpus or shuffling vectors
+   * per colliding pair, which are the alternatives.
    */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame,

@@ -82,10 +82,12 @@ object TextFunctions {
    * FNV offset basis seed, over the whitespace-normalized lowercase
    * character stream) — content-addressed document identity robust to
    * whitespace differences. Native codegen'd expression
-   * ([[graft.functions.expressions.Fingerprint64]]), null → null.
+   * ([[graft.functions.expressions.Fingerprint64]]); null text fingerprints
+   * to 0L (not null) so null-text rows still cluster under one key in
+   * fingerprint-equality joins/dedups.
    */
   def fingerprint(text: Column): Column =
-    graft.functions.expressions.VectorExpressions.fingerprint64(text)
+    coalesce(graft.functions.expressions.VectorExpressions.fingerprint64(text), lit(0L))
 
   /** Convenience: full text-analysis projection over a document table. */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -317,9 +317,10 @@ object GraftSql {
 
     // statements -------------------------------------------------------
     /** `(k:v,..)` group following the quoted path — LOAD/SAVE options
-     * (reference `LOAD "path" (params)`, _visitors.py:560-592). */
+     * (reference `LOAD "path" (params)`, _visitors.py:560-592). Flags like
+     * SINGLE may sit between the path and the params group. */
     private def pathParams(stmt: String): Map[String, String] =
-      "(?s)\"[^\"]*\"\\s*\\(([^)]*)\\)".r.findFirstMatchIn(stmt)
+      "(?s)\"[^\"]*\"[^\"(]*\\(([^)]*)\\)".r.findFirstMatchIn(stmt)
         .map(m => parseParams(m.group(1))).getOrElse(Map.empty)
 
     private def execLoad(stmt: String): DataFrame = {
@@ -348,9 +349,12 @@ object GraftSql {
       val dfIdx = if (andUse) 3 else 1 // skip AND USE tokens
       val d = ref(wordAfter(stmt, dfIdx).orElse(wordAfter(stmt, 1)))
       val path = quoted(stmt)
+      val params = pathParams(stmt)
       engine.save(d, path, fmt, mode, partitionBy = partBy,
-        singleFile = single, options = pathParams(stmt))
-      if (andUse) Some(engine.load(path, fmt)) else None
+        singleFile = single, options = params)
+      // reload with the SAME options (header/delimiter/...), or the read
+      // side's defaults could disagree with what was just written
+      if (andUse) Some(engine.load(path, fmt, options = params)) else None
     }
 
     /** `[[1,"a"],[2,"b"]]`-style literal rows (reference CREATE DATA,
@@ -561,6 +565,8 @@ object GraftSql {
           org.apache.spark.sql.types.StructType(
             keys.map(k => d.schema(k)) ++ elem.fields)
         }
+        graft.transform.ExtensionValidation.validate(ct.validation,
+          PartitionSpec(by = keys), sideSchema(zipCols(0)))
         val out = schemaHint(stmt, m.end).map(SchemaExpr.parse)
           .getOrElse(ct.outputSchema(sideSchema(zipCols(0)), sideSchema(zipCols(1)), params))
         return Transform.coMapZipped(d, out)((k, l, r) => ct.fn(k, l, r, params))
@@ -691,9 +697,12 @@ object GraftSql {
         md.update(d.queryExecution.logical.canonicalized.toString.getBytes("UTF-8"))
         val key = md.digest().take(16).map(b => f"$b%02x").mkString
         val path = s"/tmp/graft_checkpoints/sql_det_$key"
-        val hPath = new org.apache.hadoop.fs.Path(path)
-        val fs = hPath.getFileSystem(engine.spark.sparkContext.hadoopConfiguration)
-        if (!fs.exists(hPath)) engine.save(d, path, "parquet")
+        // reuse only a COMPLETE checkpoint: a dir without _SUCCESS is a
+        // crashed partial write — recompute (overwrite) instead of
+        // serving truncated results forever
+        val ok = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
+        val fs = ok.getFileSystem(engine.spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(ok)) engine.save(d, path, "parquet")
         engine.load(path, "parquet")
       } else { // STRONG or bare CHECKPOINT [SINGLE] [PREPARTITION BY ..]
         val tmp = s"/tmp/graft_checkpoints/sql_${java.util.UUID.randomUUID().toString.take(8)}"
@@ -715,11 +724,16 @@ object GraftSql {
         .map(_.group(1))
         .getOrElse(throw new IllegalArgumentException(s"YIELD requires AS name: $stmt"))
       val masked = maskQuotes(stmt).toUpperCase
-      val kws = Set("YIELD", "LOCAL", "DATAFRAME", "FILE", "TABLE", "AS", name.toUpperCase)
+      // search only BEFORE the AS clause (the yield name must not shadow a
+      // df of the same name — `YIELD a AS a` must resolve df `a`)
+      val kws = Set("YIELD", "LOCAL", "DATAFRAME", "FILE", "TABLE", "AS")
       val d = ref(trailingDfRef(stmt.substring(0, "(?i)\\bAS\\b".r
         .findFirstMatchIn(masked).map(_.start).getOrElse(stmt.length)), kws))
       if ("\\bFILE\\b".r.findFirstIn(masked).isDefined) {
-        val path = s"/tmp/graft_checkpoints/yield_$name"
+        // unique path per yield: a shared name-keyed path would let a later
+        // run overwrite the files under an earlier run's live lazy handle
+        val path = s"/tmp/graft_checkpoints/yield_${name}_" +
+          java.util.UUID.randomUUID().toString.take(8)
         engine.save(d, path, "parquet")
         yields(name) = engine.load(path, "parquet")
       } else if ("\\bTABLE\\b".r.findFirstIn(masked).isDefined) {

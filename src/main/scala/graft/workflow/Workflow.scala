@@ -154,7 +154,9 @@ final class Workflow(
     def resolve(n: Node): DataFrame = memo.getOrElseUpdate(n.uuid, {
       val det = n.mat == DeterministicCheckpoint
       val detPath = s"$checkpointDir/${n.uuid}"
-      if (det && fileExists(detPath)) {
+      // only a COMPLETE checkpoint (_SUCCESS present) is reusable; a dir
+      // from a crashed partial write must be recomputed, not served
+      if (det && fileExists(s"$detPath/_SUCCESS")) {
         engine.load(detPath, "parquet")
       } else {
         var out = n.execute(n.deps.map(resolve))
@@ -188,10 +190,12 @@ final class Workflow(
 
 object Workflow {
   /** Structural identity of a Column for task UUIDs: the full canonicalized
-   * Catalyst tree rendering (stable across runs, distinguishes expressions
-   * whose compact `Column.toString` collides). */
+   * Catalyst tree rendering, with attribute exprIds (`#123` — session-global
+   * counters, different every run) stripped so UUIDs are stable across JVM
+   * runs, as deterministic checkpoints require. */
   private[workflow] def exprKey(c: Column): String =
-    try org.apache.spark.sql.graftshim.ColumnBridge
+    (try org.apache.spark.sql.graftshim.ColumnBridge
       .expression(c).canonicalized.treeString
-    catch { case _: Throwable => c.toString }
+    catch { case _: Throwable => c.toString })
+      .replaceAll("#\\d+", "")
 }

@@ -411,6 +411,26 @@ class GraftSqlSpec extends SparkTestBase {
         |""".stripMargin, Map("input" -> d1)))
   }
 
+  test("YIELD a AS a resolves the df named a, not the previous frame (regression)") {
+    val res = GraftSql.run(engine,
+      """a = SELECT k, v FROM input WHERE v > 2
+        |b = SELECT k, v FROM input WHERE v <= 2
+        |YIELD a AS a
+        |""".stripMargin, Map("input" -> d1))
+    assertDfEq(res.yields("a"), Seq(Seq("a", 3), Seq("b", 9)))
+  }
+
+  test("SAVE AND USE CSV round-trips with symmetric header defaults (regression)") {
+    val dir = Files.createTempDirectory("graftsql4").toString
+    val res = GraftSql.run(engine,
+      s"""SELECT k, v FROM input
+         |u = SAVE AND USE OVERWRITE CSV "$dir/c"
+         |YIELD u AS out
+         |""".stripMargin, Map("input" -> d1))
+    assert(res.yields("out").count() === 4) // header row not eaten as data
+    assert(res.yields("out").columns.toSeq === Seq("k", "v"))
+  }
+
   test("TABLESAMPLE passes through to spark.sql") {
     val res = GraftSql.run(engine,
       """SELECT k, v FROM input TABLESAMPLE (100 PERCENT)
