@@ -67,5 +67,16 @@ object GraftExtensions {
     "simhash64" -> (info("simhash64",
       "simhash64(hashes) - 64-bit simhash of a bigint feature-hash array"),
       (es: Seq[Expression]) => SimHash64(es.head)),
+    "fingerprint64" -> (info("fingerprint64",
+      "fingerprint64(text) - 64-bit whitespace-normalized rolling document fingerprint"),
+      (es: Seq[Expression]) => Fingerprint64(es.head)),
+    "hyperplane_keys" -> (info("hyperplane_keys",
+      "hyperplane_keys(v, dim, nTables, nBits, seed[, probes]) - LSH sign-bucket keys"),
+      (es: Seq[Expression]) => HyperplaneKeys(es.head,
+        es(1).eval().asInstanceOf[Number].intValue(),
+        es(2).eval().asInstanceOf[Number].intValue(),
+        es(3).eval().asInstanceOf[Number].intValue(),
+        es(4).eval().asInstanceOf[Number].longValue(),
+        if (es.length > 5) es(5).eval().asInstanceOf[Number].intValue() else 0)),
   )
 }

@@ -409,6 +409,33 @@ object SparkEntry {
         col("event_type"), col("n"), col("total"))
     }),
 
+    // SQL-function registry differential: every injected function must
+    // agree with its API-level expression on real data
+    "q51_sql_functions" -> ((s, dir) => {
+      GraftSession.registerFunctions(s)
+      val e = eng(s)
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val viaSql = e.sqlSelect(
+        """SELECT doc_id, fingerprint64(text) AS fp,
+          | simhash64(array(xxhash64(text))) AS sh FROM documents""".stripMargin,
+        Map("documents" -> docs))
+      val viaApi = docs.select(col("doc_id"),
+        graft.functions.expressions.VectorExpressions.fingerprint64(col("text")).as("fp"),
+        graft.functions.expressions.VectorExpressions
+          .simhash64(array(xxhash64(col("text")))).as("sh"))
+      val dotSql = e.sqlSelect(
+        """SELECT vec_id, vec_dot(vec_l2_normalize(embedding), vec_l2_normalize(embedding)) AS d
+          |FROM embeddings""".stripMargin, Map("embeddings" -> emb))
+      val dotApi = emb.select(col("vec_id"),
+        graft.functions.Similarity.dot(
+          graft.functions.Similarity.l2normalize(col("embedding")),
+          graft.functions.Similarity.l2normalize(col("embedding"))).as("d"))
+      val ok = graft.api.DfUtils.dfEq(viaSql, viaApi) &&
+        graft.api.DfUtils.dfEq(dotSql, dotApi)
+      e.toDF(Seq(Seq(if (ok) 1L else 0L)), "fns_ok:long")
+    }),
+
     // ---- temporal operators -------------------------------------------
     "q38_asof_join" -> ((s, dir) => {
       val e = events(s, dir)
@@ -787,6 +814,7 @@ object SparkEntry {
     // differential entries: the Spark side computes LSH-vs-exact recall and
     // emits 1 iff recall ≥ 0.9; the oracle is the constant it must hit
     "d07_embed_lsh_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
+    "q51_sql_functions" -> "SELECT CAST(1 AS BIGINT) AS fns_ok",
     "s03_knn_lsh_recall" ->
       """SELECT CAST(5 * COUNT(*) AS BIGINT) AS n_exact, CAST(1 AS BIGINT) AS recall_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
