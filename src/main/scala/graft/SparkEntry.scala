@@ -314,6 +314,21 @@ object SparkEntry {
           .cast("bigint").as("recall_ok"))
     }),
 
+    // minhash-LSH precision differential: every LSH-found pair must appear
+    // in the exact n-gram result with the identical jaccard (the verify
+    // step computes exact jaccard, so LSH pairs ⊆ exact pairs always)
+    "d08_minhash_precision" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lsh = Dedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.5)
+      val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      val spurious = lsh.join(exact, Seq("id_a", "id_b"), "left_anti")
+        .agg(count(lit(1)).as("n_spurious"))
+      val found = lsh.agg(count(lit(1)).as("n_found"))
+      spurious.crossJoin(found)
+        .select((col("n_spurious") === 0 && col("n_found") > 0)
+          .cast("bigint").as("precision_ok"))
+    }),
+
     // ---- beyond-reference: similarity search --------------------------
     "s01_knn_brute" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -815,6 +830,7 @@ object SparkEntry {
     // emits 1 iff recall ≥ 0.9; the oracle is the constant it must hit
     "d07_embed_lsh_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
     "q51_sql_functions" -> "SELECT CAST(1 AS BIGINT) AS fns_ok",
+    "d08_minhash_precision" -> "SELECT CAST(1 AS BIGINT) AS precision_ok",
     "s03_knn_lsh_recall" ->
       """SELECT CAST(5 * COUNT(*) AS BIGINT) AS n_exact, CAST(1 AS BIGINT) AS recall_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
