@@ -65,6 +65,21 @@ package object api {
   def antiJoin(df1: DataFrame, df2: DataFrame)(implicit e: GraftEngine): DataFrame =
     e.join(df1, df2, "anti")
 
+  // multi-df folds (reference fa.join/union/... accept N frames)
+  def joinAll(dfs: Seq[DataFrame], how: String)(implicit e: GraftEngine): DataFrame =
+    e.join(dfs, how)
+  def unionAll(dfs: Seq[DataFrame], distinct: Boolean = true)(
+      implicit e: GraftEngine): DataFrame = e.union(dfs, distinct)
+  def subtractAll(dfs: Seq[DataFrame], distinct: Boolean = true)(
+      implicit e: GraftEngine): DataFrame = e.subtract(dfs, distinct)
+  def intersectAll(dfs: Seq[DataFrame], distinct: Boolean = true)(
+      implicit e: GraftEngine): DataFrame = e.intersect(dfs, distinct)
+
+  /** ZIP frames into key + per-side struct arrays (feeds cotransform). */
+  def zip(frames: Seq[DataFrame], keys: Seq[String], how: String = "inner",
+      presort: Seq[(String, Boolean)] = Nil): DataFrame =
+    Transform.zipFrames(frames, keys, how, presort)
+
   def union(df1: DataFrame, df2: DataFrame, distinct: Boolean = true)(
       implicit e: GraftEngine): DataFrame = e.union(df1, df2, distinct)
   def subtract(df1: DataFrame, df2: DataFrame, distinct: Boolean = true)(

@@ -88,6 +88,50 @@ final class Workflow(
     def repartition(spec: PartitionSpec): Node =
       transform("repartition", Seq(spec.toString))(engine.repartition(_, spec))
 
+    // ---- full operator vocabulary on nodes (reference WorkflowDataFrame,
+    // workflow.py:311-1210: every engine op is also a DAG node) ----------
+    def union(other: Node, distinct: Boolean = true): Node =
+      new Node(s"union:$distinct", Nil, Seq(this, other),
+        dfs => engine.union(dfs(0), dfs(1), distinct))
+    def subtract(other: Node, distinct: Boolean = true): Node =
+      new Node(s"subtract:$distinct", Nil, Seq(this, other),
+        dfs => engine.subtract(dfs(0), dfs(1), distinct))
+    def intersect(other: Node, distinct: Boolean = true): Node =
+      new Node(s"intersect:$distinct", Nil, Seq(this, other),
+        dfs => engine.intersect(dfs(0), dfs(1), distinct))
+    def distinct(): Node =
+      transform("distinct")(engine.distinct)
+    def dropna(how: String = "any", thresh: Option[Int] = None,
+        subset: Seq[String] = Nil): Node =
+      transform("dropna", Seq(how, thresh.toString) ++ subset)(
+        engine.dropna(_, how, thresh, subset))
+    def fillna(value: Any, subset: Seq[String] = Nil): Node =
+      transform("fillna", Seq(String.valueOf(value)) ++ subset)(
+        engine.fillna(_, value, subset))
+    def sample(n: Option[Long] = None, frac: Option[Double] = None,
+        replace: Boolean = false, seed: Option[Long] = None): Node =
+      transform("sample", Seq(n.toString, frac.toString, replace.toString, seed.toString))(
+        engine.sample(_, n, frac, replace, seed))
+    def take(n: Int, spec: PartitionSpec = PartitionSpec.empty,
+        naPosition: String = "last"): Node =
+      transform("take", Seq(n.toString, spec.toString, naPosition))(
+        engine.take(_, n, spec, naPosition))
+    def rename(mapping: Map[String, String]): Node =
+      transform("rename", mapping.toSeq.sorted.map(kv => s"${kv._1}:${kv._2}"))(
+        engine.rename(_, mapping))
+    def alterColumns(schemaExpr: String): Node =
+      transform("alter", Seq(schemaExpr))(engine.alterColumns(_, schemaExpr))
+    def dropColumns(cols: Seq[String], ifExists: Boolean = false): Node =
+      transform("dropcols", cols :+ ifExists.toString)(
+        engine.dropColumns(_, cols, ifExists))
+    def assign(cols: Map[String, Column]): Node =
+      transform("assign", cols.toSeq.sortBy(_._1)
+        .map(kv => s"${kv._1}=${Workflow.exprKey(kv._2)}"))(
+        engine.assign(_, cols))
+    def aggregate(partitionBy: Seq[String], aggs: Seq[Column]): Node =
+      transform("aggregate", partitionBy ++ aggs.map(Workflow.exprKey))(
+        engine.aggregate(_, partitionBy, aggs))
+
     def persist(): Node = { mat = WeakCheckpoint; this }
     def checkpoint(): Node = { mat = StrongCheckpoint; this }
     def deterministicCheckpoint(): Node = { mat = DeterministicCheckpoint; this }

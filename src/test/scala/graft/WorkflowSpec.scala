@@ -64,6 +64,32 @@ class WorkflowSpec extends SparkTestBase {
     assertDfEq(w.run()("j"), Seq(Seq(1, "x", 9.0)))
   }
 
+  test("full operator vocabulary as DAG nodes") {
+    val w = new Workflow(engine)
+    val a = w.create(Seq(Seq(1, 10.0), Seq(2, 20.0), Seq(2, 20.0), Seq(3, null)),
+      "k:int,v:double")
+    a.distinct().yield_("dist")
+    a.dropna().yield_("clean")
+    a.fillna(0.0).yield_("filled")
+    a.take(1, PartitionSpec(presort = Seq("k" -> false))).yield_("top")
+    a.rename(Map("v" -> "value")).yield_("ren")
+    a.dropColumns(Seq("v")).yield_("slim")
+    a.aggregate(Seq("k"), Seq(count(lit(1)).as("n"))).yield_("agg")
+    val b = w.create(Seq(Seq(1, 10.0)), "k:int,v:double")
+    a.union(b, distinct = false).yield_("uni")
+    a.subtract(b).yield_("sub")
+    val res = w.run()
+    assert(res("dist").count() === 3)
+    assert(res("clean").count() === 3)
+    assert(res("filled").filter(col("v") === 0.0).count() === 1)
+    assert(res("top").head().getInt(0) === 3)
+    assert(res("ren").columns.toSeq === Seq("k", "value"))
+    assert(res("slim").columns.toSeq === Seq("k"))
+    assert(res("agg").count() === 3)
+    assert(res("uni").count() === 5)
+    assert(res("sub").collect().map(_.getInt(0)).toSet === Set(2, 3))
+  }
+
   test("zip + cotransform nodes through the DAG") {
     import org.apache.spark.sql.Row
     val w = new Workflow(engine)
