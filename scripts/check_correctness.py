@@ -39,7 +39,9 @@ def main(sf_dir, out_dir):
     # Verify) covers rows-only queries too; fall back to oracle keys.
     dumped = {n for n in os.listdir(out_dir) if os.path.isdir(os.path.join(out_dir, n))}
     qlist = os.path.join(out_dir, "queries.json")
-    expected = set(json.load(open(qlist))) if os.path.exists(qlist) else set(oracle)
+    expected = set(oracle)  # an oracle without a queries entry must also flag
+    if os.path.exists(qlist):
+        expected |= set(json.load(open(qlist)))
     for name in sorted(expected - dumped):
         print(f"{name}: FAIL missing from dump (query threw in Verify)")
         failed.append(name)

@@ -61,9 +61,12 @@ object GraftExtensions {
       (es: Seq[Expression]) => L2Normalize(es.head)),
     "minhash_sig" -> (info("minhash_sig",
       "minhash_sig(hashes, numHashes, seed) - minhash signature of a bigint array"),
-      (es: Seq[Expression]) => MinHashSignature(es.head,
-        es(1).eval().asInstanceOf[Number].intValue(),
-        es(2).eval().asInstanceOf[Number].longValue())),
+      (es: Seq[Expression]) => {
+        requireArgs("minhash_sig", "(hashes, numHashes, seed)", es, 3, 3)
+        MinHashSignature(es.head,
+          litInt("minhash_sig", "numHashes", es(1)),
+          litLong("minhash_sig", "seed", es(2)))
+      }),
     "simhash64" -> (info("simhash64",
       "simhash64(hashes) - 64-bit simhash of a bigint feature-hash array"),
       (es: Seq[Expression]) => SimHash64(es.head)),
@@ -72,11 +75,38 @@ object GraftExtensions {
       (es: Seq[Expression]) => Fingerprint64(es.head)),
     "hyperplane_keys" -> (info("hyperplane_keys",
       "hyperplane_keys(v, dim, nTables, nBits, seed[, probes]) - LSH sign-bucket keys"),
-      (es: Seq[Expression]) => HyperplaneKeys(es.head,
-        es(1).eval().asInstanceOf[Number].intValue(),
-        es(2).eval().asInstanceOf[Number].intValue(),
-        es(3).eval().asInstanceOf[Number].intValue(),
-        es(4).eval().asInstanceOf[Number].longValue(),
-        if (es.length > 5) es(5).eval().asInstanceOf[Number].intValue() else 0)),
+      (es: Seq[Expression]) => {
+        requireArgs("hyperplane_keys", "(v, dim, nTables, nBits, seed[, probes])", es, 5, 6)
+        HyperplaneKeys(es.head,
+          litInt("hyperplane_keys", "dim", es(1)),
+          litInt("hyperplane_keys", "nTables", es(2)),
+          litInt("hyperplane_keys", "nBits", es(3)),
+          litLong("hyperplane_keys", "seed", es(4)),
+          if (es.length > 5) litInt("hyperplane_keys", "probes", es(5)) else 0)
+      }),
   )
+
+  /** Clear errors for SQL misuse instead of IndexOutOfBounds/NPE during
+   * analysis: arity and foldable-non-null-literal checks for the scalar
+   * parameters of the injected functions. */
+  private def requireArgs(fn: String, sig: String, es: Seq[Expression],
+      min: Int, max: Int): Unit =
+    if (es.length < min || es.length > max)
+      throw new IllegalArgumentException(
+        s"$fn expects $sig, got ${es.length} arguments")
+
+  private def litVal(fn: String, param: String, e: Expression): Number = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"$fn: parameter '$param' must be a literal, got: ${e.sql}")
+    e.eval() match {
+      case n: Number => n
+      case other => throw new IllegalArgumentException(
+        s"$fn: parameter '$param' must be a non-null number, got: $other")
+    }
+  }
+  private def litInt(fn: String, param: String, e: Expression): Int =
+    litVal(fn, param, e).intValue()
+  private def litLong(fn: String, param: String, e: Expression): Long =
+    litVal(fn, param, e).longValue()
 }

@@ -360,10 +360,12 @@ class SparkGraftEngine(val spark: SparkSession) extends GraftEngine {
   def saveTable(df: DataFrame, name: String, mode: String = "overwrite"): Unit = {
     // overwrite must also clear a STALE warehouse directory: a fresh
     // session has an empty catalog but the previous JVM's managed-table
-    // dir survives, and saveAsTable then fails LOCATION_ALREADY_EXISTS
+    // dir survives, and saveAsTable then fails LOCATION_ALREADY_EXISTS.
+    // The real location comes from the catalog (lowercased name, db.db/
+    // nesting) — not a naive $wh/$name concatenation.
     if (mode == "overwrite" && !spark.catalog.tableExists(name)) {
-      val wh = spark.conf.get("spark.sql.warehouse.dir")
-      val p = new org.apache.hadoop.fs.Path(s"$wh/$name")
+      val p = new org.apache.hadoop.fs.Path(
+        org.apache.spark.sql.graftshim.ColumnBridge.defaultTablePath(spark, name))
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) fs.delete(p, true)
     }
@@ -386,8 +388,11 @@ class SparkGraftEngine(val spark: SparkSession) extends GraftEngine {
       options: Map[String, String] = Map.empty): DataFrame = {
     val fmt = inferFormat(path, format)
     val reader = spark.read.options(options).format(fmt)
+    // Spark option keys are case-insensitive — the guard must be too, or
+    // an explicit Header:false would be silently overridden
     val withDefaults = fmt match {
-      case "csv" if !options.contains("header") => reader.option("header", "true")
+      case "csv" if !options.keys.exists(_.equalsIgnoreCase("header")) =>
+        reader.option("header", "true")
       case _ => reader
     }
     val df = withDefaults.load(path)
@@ -410,7 +415,8 @@ class SparkGraftEngine(val spark: SparkSession) extends GraftEngine {
     // an unannotated csv round-trip would otherwise eat the first data row
     // as column names
     val withDefaults = fmt match {
-      case "csv" if !options.contains("header") => base.option("header", "true")
+      case "csv" if !options.keys.exists(_.equalsIgnoreCase("header")) =>
+        base.option("header", "true")
       case _ => base
     }
     val w = if (partitionBy.nonEmpty) withDefaults.partitionBy(partitionBy: _*)

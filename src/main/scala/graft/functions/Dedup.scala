@@ -98,7 +98,10 @@ object Dedup {
       seed: Long = 42L): DataFrame = {
     // the session is part of the key: a cached frame is bound to its
     // SparkSession (its localCheckpoint blocks die with the context), so a
-    // new session in the same JVM must not be served another's entry
+    // new session in the same JVM must not be served another's entry.
+    // Bounded: a JVM cycling sessions would otherwise retain dead sessions
+    // and their checkpointed frames forever.
+    if (signatureCache.size > 32) signatureCache.clear()
     val key = (df.sparkSession, df.queryExecution.logical.canonicalized,
       idCol, textCol, shingleK, numHashes, seed)
     signatureCache.computeIfAbsent(key, _ => {

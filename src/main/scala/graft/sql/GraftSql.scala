@@ -565,8 +565,15 @@ object GraftSql {
           org.apache.spark.sql.types.StructType(
             keys.map(k => d.schema(k)) ++ elem.fields)
         }
+        // the zip keys are the partition keys; the statement's own PRESORT
+        // (parsed into `spec`) must thread through or presort_has/is rules
+        // would always fail; input rules check BOTH sides
+        val zipSpec = PartitionSpec(by = keys, presort = spec.presort)
         graft.transform.ExtensionValidation.validate(ct.validation,
-          PartitionSpec(by = keys), sideSchema(zipCols(0)))
+          zipSpec, sideSchema(zipCols(0)))
+        graft.transform.ExtensionValidation.validate(
+          ct.validation.filter(_._1.startsWith("input_")),
+          zipSpec, sideSchema(zipCols(1)))
         val out = schemaHint(stmt, m.end).map(SchemaExpr.parse)
           .getOrElse(ct.outputSchema(sideSchema(zipCols(0)), sideSchema(zipCols(1)), params))
         return Transform.coMapZipped(d, out)((k, l, r) => ct.fn(k, l, r, params))
@@ -644,8 +651,11 @@ object GraftSql {
       val keys = kwArg(stmt.substring(0, m.start), "BY")
         .map(_.split(",").map(_.trim).toSeq)
         .getOrElse(throw new IllegalArgumentException("COTRANSFORM requires BY keys"))
-      graft.transform.ExtensionValidation.validate(t.validation,
-        PartitionSpec(by = keys), sides(0).schema)
+      val ctSpec = PartitionSpec(by = keys,
+        presort = partitionSpec(stmt.substring(0, m.start)).presort)
+      graft.transform.ExtensionValidation.validate(t.validation, ctSpec, sides(0).schema)
+      graft.transform.ExtensionValidation.validate(
+        t.validation.filter(_._1.startsWith("input_")), ctSpec, sides(1).schema)
       val how = "(?i)\\b(INNER|LEFT_OUTER|RIGHT_OUTER|FULL_OUTER|LEFT OUTER|RIGHT OUTER|FULL OUTER)\\b".r
         .findFirstIn(maskQuotes(stmt.substring(0, m.start)))
         .map(_.toLowerCase.replace(' ', '_')).getOrElse("inner")
@@ -730,10 +740,16 @@ object GraftSql {
       val d = ref(trailingDfRef(stmt.substring(0, "(?i)\\bAS\\b".r
         .findFirstMatchIn(masked).map(_.start).getOrElse(stmt.length)), kws))
       if ("\\bFILE\\b".r.findFirstIn(masked).isDefined) {
-        // unique path per yield: a shared name-keyed path would let a later
-        // run overwrite the files under an earlier run's live lazy handle
-        val path = s"/tmp/graft_checkpoints/yield_${name}_" +
-          java.util.UUID.randomUUID().toString.take(8)
+        // one subdir per run under a name-keyed base: a shared flat path
+        // would let a later run overwrite files under an earlier run's
+        // live lazy handle (silent wrong data); unbounded unique paths
+        // would fill the disk. Older subdirs are deleted — a stale handle
+        // fails LOUDLY (missing files) instead of reading the wrong run.
+        val base = new org.apache.hadoop.fs.Path(
+          s"/tmp/graft_checkpoints/yield_$name")
+        val fs = base.getFileSystem(engine.spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(base)) fs.listStatus(base).foreach(st => fs.delete(st.getPath, true))
+        val path = s"$base/${java.util.UUID.randomUUID().toString.take(8)}"
         engine.save(d, path, "parquet")
         yields(name) = engine.load(path, "parquet")
       } else if ("\\bTABLE\\b".r.findFirstIn(masked).isDefined) {

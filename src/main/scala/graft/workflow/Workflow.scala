@@ -129,7 +129,10 @@ final class Workflow(
         .map(kv => s"${kv._1}=${Workflow.exprKey(kv._2)}"))(
         engine.assign(_, cols))
     def aggregate(partitionBy: Seq[String], aggs: Seq[Column]): Node =
-      transform("aggregate", partitionBy ++ aggs.map(Workflow.exprKey))(
+      // group-count prefix keeps (by, aggs) splits from colliding in the
+      // flat param list ((a,b),() vs (a),(b) must hash differently)
+      transform("aggregate", s"by:${partitionBy.length}" +:
+        (partitionBy ++ aggs.map(Workflow.exprKey)))(
         engine.aggregate(_, partitionBy, aggs))
 
     def persist(): Node = { mat = WeakCheckpoint; this }
@@ -233,13 +236,19 @@ final class Workflow(
 }
 
 object Workflow {
-  /** Structural identity of a Column for task UUIDs: the full canonicalized
-   * Catalyst tree rendering, with attribute exprIds (`#123` — session-global
-   * counters, different every run) stripped so UUIDs are stable across JVM
-   * runs, as deterministic checkpoints require. */
+  /** Structural identity of a Column for task UUIDs: the canonicalized
+   * Catalyst tree with attribute exprIds normalized to 0 (they are
+   * session-global counters, different every run) so UUIDs are stable
+   * across JVM runs, as deterministic checkpoints require. Only
+   * AttributeReference ids are touched — a string literal containing
+   * `#123` is NOT altered (a blanket regex strip would collapse distinct
+   * literals to one UUID). */
   private[workflow] def exprKey(c: Column): String =
-    (try org.apache.spark.sql.graftshim.ColumnBridge
-      .expression(c).canonicalized.treeString
-    catch { case _: Throwable => c.toString })
-      .replaceAll("#\\d+", "")
+    try {
+      import org.apache.spark.sql.catalyst.expressions.{AttributeReference, ExprId}
+      org.apache.spark.sql.graftshim.ColumnBridge.expression(c).canonicalized
+        .transform { case a: AttributeReference =>
+          a.copy()(exprId = ExprId(0), qualifier = Nil)
+        }.treeString
+    } catch { case _: Throwable => c.toString }
 }

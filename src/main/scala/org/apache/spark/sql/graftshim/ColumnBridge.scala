@@ -15,6 +15,18 @@ object ColumnBridge {
   def expression(c: Column): Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
   def column(e: Expression): Column = ExpressionUtils.column(e)
+  /** The warehouse location the session catalog would use for a managed
+   * table (handles identifier lowercasing and `db.db/` nesting). */
+  def defaultTablePath(spark: org.apache.spark.sql.SparkSession, name: String): java.net.URI = {
+    val parts = name.split("\\.")
+    val ident =
+      if (parts.length == 2)
+        org.apache.spark.sql.catalyst.TableIdentifier(parts(1), Some(parts(0)))
+      else org.apache.spark.sql.catalyst.TableIdentifier(name)
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.catalog.defaultTablePath(ident)
+  }
+
   /** The output name Spark would assign (alias, attribute name, or the
    * generated pretty name for anonymous expressions). */
   def outputName(c: Column): String = {
