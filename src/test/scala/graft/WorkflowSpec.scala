@@ -64,6 +64,25 @@ class WorkflowSpec extends SparkTestBase {
     assertDfEq(w.run()("j"), Seq(Seq(1, "x", 9.0)))
   }
 
+  test("filter/select UUIDs stable across builds; distinct literals distinct") {
+    val base = df(Seq(Seq(1, "x")), "v:int,t:str")
+    def build(): (String, String, String) = {
+      val w = new Workflow(engine)
+      val n = w.df(base, "base")
+      // resolved columns carry fresh exprIds each call — UUIDs must not
+      val f = n.filter(base("v") > 1)
+      val a1 = n.assign(Map("tag" -> lit("build#1")))
+      val a2 = n.assign(Map("tag" -> lit("build#2")))
+      (f.uuid, a1.uuid, a2.uuid)
+    }
+    val (f1, a11, a21) = build()
+    val (f2, a12, a22) = build()
+    assert(f1 === f2, "filter uuid must be stable across builds")
+    assert(a11 === a12)
+    assert(a11 !== a21, "distinct literals must produce distinct uuids")
+    assert(a21 === a22)
+  }
+
   test("full operator vocabulary as DAG nodes") {
     val w = new Workflow(engine)
     val a = w.create(Seq(Seq(1, 10.0), Seq(2, 20.0), Seq(2, 20.0), Seq(3, null)),
