@@ -9,6 +9,31 @@ import org.apache.spark.sql.functions._
  * execution_suite.py:208-365; null keys group together :533-544). */
 class TransformSpec extends SparkTestBase {
 
+  test("mapPartitions carries timestamp/struct/array/binary columns intact " +
+      "(reference map_with_special_values/dict_col/binary)") {
+    val ts = java.sql.Timestamp.valueOf("2024-06-01 12:00:00")
+    val d = engine.toDF(Seq(
+      Seq(ts, Row(1L), Seq(1, 2), Array[Byte](1, 2)),
+      Seq(null, Row(2L), Seq.empty[Int], Array.empty[Byte])),
+      "a:datetime,s:{x:long},xs:[int],b:bytes")
+    // identity transform keyed on the nullable timestamp: null keys form a
+    // group; all nested payloads must round-trip through the Row encoder
+    val out = Transform.mapPartitions(d, PartitionSpec(by = Seq("a")), d.schema)(
+      (_, rows) => rows).collect().sortBy(r => Option(r.getTimestamp(0)).map(_.getTime).getOrElse(-1L))
+    assert(out.length === 2)
+    assert(out(0).isNullAt(0) && out(1).getTimestamp(0) === ts)
+    assert(out(1).getStruct(1).getLong(0) === 1L)
+    assert(out(1).getSeq[Int](2) === Seq(1, 2))
+    assert(out(1).getAs[Array[Byte]](3).toSeq === Seq[Byte](1, 2))
+    assert(out(0).getSeq[Int](2) === Nil)
+    // schema-changing transform: drop the nested cols, keep the key
+    val slim = Transform.mapPartitions(d, PartitionSpec(by = Seq("a")),
+      SchemaExpr.parse("a:datetime")) { (_, rows) =>
+      rows.map(r => Row(r.get(0)))
+    }
+    assert(slim.collect().length === 2)
+  }
+
   test("mapPartitions groups by keys with presort; null keys form a group") {
     val d = df(Seq(
       Seq("a", 3), Seq("a", 1), Seq("b", 9), Seq(null, 5), Seq(null, 2)),
