@@ -257,7 +257,47 @@ object GraftSql {
       name.map(n => dfs.getOrElse(n,
         throw new IllegalArgumentException(s"unknown dataframe '$n'"))).getOrElse(prev)
 
-    private def execBody(stmt: String): Option[DataFrame] = {
+    /** Statements whose df-list positions accept inline parenthesized
+     * sub-statements (`OUTPUT a, (CREATE [[0]] SCHEMA a:int) USING ...` —
+     * reference nested extensions, tests/fugue/sql/test_workflow.py:267).
+     * SELECT passthrough is excluded: its parens are subqueries. */
+    private val InlineHosts = Set("OUTPUT", "PROCESS", "TRANSFORM",
+      "OUTTRANSFORM", "COTRANSFORM", "ZIP", "PRINT")
+    private val InlineInner = "^(?i)(CREATE|LOAD|SELECT|TAKE|SAMPLE)\\b".r
+
+    /** Execute `( <sub-statement> )` groups and splice their generated
+     * names back into the statement text. */
+    private def resolveInline(stmt: String): String = {
+      val kw = stmt.toUpperCase.takeWhile(!_.isWhitespace)
+      if (!InlineHosts.contains(kw)) return stmt
+      val masked = maskQuotes(stmt)
+      val sb = new StringBuilder
+      var i = 0
+      while (i < stmt.length) {
+        if (masked(i) == '(') {
+          // find the matching close paren on the masked text
+          var depth = 1
+          var j = i + 1
+          while (j < stmt.length && depth > 0) {
+            if (masked(j) == '(') depth += 1
+            else if (masked(j) == ')') depth -= 1
+            j += 1
+          }
+          val inner = stmt.substring(i + 1, j - 1).trim
+          if (InlineInner.findFirstIn(inner).isDefined) {
+            val name = s"__inline_${dfs.size}"
+            dfs(name) = execBody(inner).getOrElse(
+              throw new IllegalArgumentException(s"inline statement yields nothing: $inner"))
+            sb ++= name
+          } else sb ++= stmt.substring(i, j) // e.g. USING ext(params)
+          i = j
+        } else { sb += stmt(i); i += 1 }
+      }
+      sb.toString
+    }
+
+    private def execBody(stmtRaw: String): Option[DataFrame] = {
+      val stmt = resolveInline(stmtRaw)
       val upper = stmt.toUpperCase
       val kw = upper.takeWhile(!_.isWhitespace)
       kw match {

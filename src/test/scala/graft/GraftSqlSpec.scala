@@ -431,6 +431,25 @@ class GraftSqlSpec extends SparkTestBase {
     assert(res.yields("out").columns.toSeq === Seq("k", "v"))
   }
 
+  test("inline parenthesized sub-statements in df-list positions") {
+    // the reference's nested-extension pattern: assert against an inline
+    // CREATE without naming it first
+    GraftSql.run(engine,
+      """a = SELECT k FROM input WHERE v > 8
+        |OUTPUT a, (CREATE [["b"]] SCHEMA k:str) USING assert_eq
+        |""".stripMargin, Map("input" -> d1))
+    intercept[AssertionError](GraftSql.run(engine,
+      """a = SELECT k FROM input WHERE v > 8
+        |OUTPUT a, (CREATE [["zzz"]] SCHEMA k:str) USING assert_eq
+        |""".stripMargin, Map("input" -> d1)))
+    // transformer params parens are untouched; SELECT subqueries untouched
+    val res = GraftSql.run(engine,
+      """SELECT k, v FROM input WHERE v > (SELECT min(v) FROM input)
+        |YIELD AS out
+        |""".stripMargin, Map("input" -> d1))
+    assert(res.yields("out").count() === 3)
+  }
+
   test("TABLESAMPLE passes through to spark.sql") {
     val res = GraftSql.run(engine,
       """SELECT k, v FROM input TABLESAMPLE (100 PERCENT)
