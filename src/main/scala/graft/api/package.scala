@@ -115,6 +115,24 @@ package object api {
   def rawSql(sql: String, dfs: (String, DataFrame)*)(
       implicit e: GraftEngine): DataFrame = e.sqlSelect(sql, dfs.toMap)
 
+  /** Interleaved raw SQL (reference `fa.raw_sql("SELECT * FROM", df,
+   * "WHERE x > 1")`, fugue/workflow/api.py:253-307): String fragments and
+   * DataFrames alternate; each frame splices in as a generated view name. */
+  def rawSqlParts(parts: Any*)(implicit e: GraftEngine): DataFrame = {
+    val sb = new StringBuilder
+    val dfs = scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
+    parts.foreach {
+      case s: String => sb ++= s; sb += ' '
+      case d: DataFrame =>
+        val name = s"__raw_${dfs.size}"
+        dfs(name) = d
+        sb ++= name; sb += ' '
+      case other => throw new IllegalArgumentException(
+        s"rawSqlParts accepts String and DataFrame fragments, got: ${other.getClass}")
+    }
+    e.sqlSelect(sb.toString.trim, dfs.toMap)
+  }
+
   def fugueSql(sql: String, inputs: Map[String, DataFrame] = Map.empty,
       transformers: Map[String, graft.sql.GraftSql.TransformerDef] = Map.empty)(
       implicit e: GraftEngine): graft.sql.GraftSql.Result =

@@ -35,6 +35,8 @@ class ApiSpec extends SparkTestBase {
     assertDfEq(ct, Seq(Seq("a", 2L), Seq("b", 2L)))
 
     val sql = rawSql("SELECT k FROM t WHERE v > 5", "t" -> events)
+    val sql2 = rawSqlParts("SELECT k FROM", events, "WHERE v > 5")
+    assertDfEq(sql2, Seq(Seq("b")))
     assertDfEq(sql, Seq(Seq("b")))
 
     val fs = fugueSql("TAKE 1 ROWS FROM ev PRESORT v DESC\nYIELD AS best",
