@@ -530,15 +530,34 @@ object SparkEntry {
            |YIELD n2 AS out
            |""".stripMargin).yields("out")
     }),
-    // checkpoint keywords + YIELD FILE
+    // checkpoint keywords + YIELD FILE. The checkpoint namespace carries a
+    // cheap data fingerprint (file length): deterministic checkpoints are
+    // content-addressed by PLAN, so a regenerated-but-differently-sized
+    // input must not be served a stale round's parquet.
     "q44_sql_checkpoint" -> ((s, dir) => {
+      val fp = new java.io.File(s"$dir/orders.parquet").length()
       graft.sql.GraftSql.run(eng(s),
         s"""SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 100000
            |WEAK CHECKPOINT LAZY
-           |DETERMINISTIC CHECKPOINT "q44"
+           |DETERMINISTIC CHECKPOINT "q44_$fp"
            |YIELD FILE AS out
            |""".stripMargin,
         Map("orders" -> t(s, dir, "orders"))).yields("out")
+    }),
+    // workflow DAG end-to-end: nodes + deterministic checkpoint, oracled
+    "q53_workflow" -> ((s, dir) => {
+      val e = eng(s)
+      val fp = new java.io.File(s"$dir/orders.parquet").length()
+      val w = new graft.workflow.Workflow(e,
+        checkpointDir = s"/tmp/graft_checkpoints/q53_$fp")
+      w.load(s"$dir/orders.parquet")
+        .filter(col("o_totalprice") > 150000)
+        .aggregate(Seq("o_orderstatus"), Seq(
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"),
+          count(lit(1)).as("n")))
+        .deterministicCheckpoint()
+        .yield_("out")
+      w.run()("out")
     }),
 
     // ---- beyond-reference: full dedup pipeline ------------------------
@@ -816,6 +835,11 @@ object SparkEntry {
     "q43_sql_save_use" -> "SELECT * FROM nation",
     "q44_sql_checkpoint" ->
       "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 100000",
+    "q53_workflow" ->
+      """SELECT o_orderstatus,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        | CAST(COUNT(*) AS BIGINT) AS n
+        |FROM orders WHERE o_totalprice > 150000 GROUP BY o_orderstatus""".stripMargin,
     "m03_frame_sampling" ->
       """WITH w AS (
         | SELECT doc_id, CAST(ceil(octet_length(encode(text))/64.0) AS BIGINT) AS nw

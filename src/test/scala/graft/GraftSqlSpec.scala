@@ -458,6 +458,30 @@ class GraftSqlSpec extends SparkTestBase {
     assert(res.yields("out").count() === 4)
   }
 
+  test("kitchen-sink script: many statements compose in one run") {
+    val dir = Files.createTempDirectory("graftsql_ks").toString
+    val sumT = TransformerDef(
+      outputSchema = (_, _) => graft.schema.SchemaExpr.parse("k:str,total:long"),
+      fn = (cursor, rows, _) =>
+        Iterator.single(Row(cursor.keyValues.head, rows.map(_.getInt(1).toLong).sum)))
+    val res = GraftSql.run(engine,
+      s"""-- full pipeline in one script
+         |src = CREATE [["a", 3], ["a", 1], ["b", 9], ["b", 2], ["b", 2]] SCHEMA k:str,v:int
+         |dd = DISTINCT src
+         |big = SELECT k, v FROM dd WHERE v > 1
+         |WEAK CHECKPOINT LAZY
+         |tot = TRANSFORM big PREPARTITION BY k USING sum_v
+         |SAVE tot OVERWRITE PARQUET "$dir/tot"
+         |back = LOAD PARQUET "$dir/tot"
+         |top = TAKE 1 ROW FROM back PRESORT total DESC
+         |OUTPUT top, (CREATE [["b", 11]] SCHEMA k:str,total:long) USING assert_eq
+         |YIELD top AS winner
+         |PRINT 1 ROWS FROM winner TITLE "winner"
+         |""".stripMargin,
+      Map.empty, Map("sum_v" -> sumT))
+    assertDfEq(res.yields("winner"), Seq(Seq("b", 11L)))
+  }
+
   test("temp views do not leak into the session catalog after SELECT") {
     GraftSql.run(engine,
       "SELECT k, v FROM leak_probe WHERE v > 0", Map("leak_probe" -> d1))
