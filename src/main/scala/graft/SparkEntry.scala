@@ -341,6 +341,27 @@ object SparkEntry {
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, nTables = 16, nBits = 8, probes = 2)
     }),
+    // IVF full-probe differential: probing ALL cells must equal brute force
+    // exactly (cells partition the corpus), which checks assignment,
+    // probing, and scoring end-to-end with a deterministic answer
+    "s04_knn_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val cents = Similarity.trainIvfCentroids(emb, "embedding", k = 8,
+        iterations = 2, sampleSize = 2000)
+      val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 5)
+        .select("query_id", "neighbor_id")
+      val ivfFull = Similarity.ivfTopK(emb, q, "vec_id", "embedding", k = 5,
+        cents, nProbe = 8).select("query_id", "neighbor_id")
+      val ivfProbe = Similarity.ivfTopK(emb, q, "vec_id", "embedding", k = 5,
+        cents, nProbe = 4).select("query_id", "neighbor_id")
+      val fullOk = graft.api.DfUtils.dfEq(ivfFull, exact)
+      val found = exact.join(ivfProbe, Seq("query_id", "neighbor_id"), "left_semi")
+        .count().toDouble
+      val probeOk = found / exact.count() >= 0.8
+      eng(s).toDF(Seq(Seq(if (fullOk) 1L else 0L, if (probeOk) 1L else 0L)),
+        "full_probe_exact:long,probe_recall_ok:long")
+    }),
     // differential conformance: LSH top-k recall vs brute force ≥ 0.9
     "s03_knn_lsh_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -855,6 +876,8 @@ object SparkEntry {
     "d07_embed_lsh_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
     "q51_sql_functions" -> "SELECT CAST(1 AS BIGINT) AS fns_ok",
     "d08_minhash_precision" -> "SELECT CAST(1 AS BIGINT) AS precision_ok",
+    "s04_knn_ivf" ->
+      "SELECT CAST(1 AS BIGINT) AS full_probe_exact, CAST(1 AS BIGINT) AS probe_recall_ok",
     "s03_knn_lsh_recall" ->
       """SELECT CAST(5 * COUNT(*) AS BIGINT) AS n_exact, CAST(1 AS BIGINT) AS recall_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,

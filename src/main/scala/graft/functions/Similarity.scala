@@ -114,6 +114,85 @@ object Similarity {
   }
 
   /**
+   * IVF (inverted-file) coarse quantizer: k-means centroids trained with
+   * distributed Lloyd iterations on a corpus sample. Returns unit-norm
+   * centroids (k × dim doubles — small enough to embed in expressions).
+   *
+   * Scale design: training touches only a bounded SAMPLE (`sampleSize`
+   * rows, one localCheckpoint); each Lloyd step is one scan + one
+   * (cell,pos)-keyed aggregation of the sample; the driver holds k×dim
+   * doubles only. The full corpus is never scanned during training.
+   */
+  def trainIvfCentroids(
+      corpus: DataFrame, vecCol: String, k: Int,
+      iterations: Int = 3, sampleSize: Int = 20000,
+      seed: Long = 42L): Array[Array[Double]] = {
+    require(k >= 1, "k must be >= 1")
+    val n = corpus.count()
+    val frac = math.min(1.0, sampleSize.toDouble / math.max(1L, n))
+    val sample = Dedup.spreadForCompute(corpus)
+      .select(l2normalize(col(vecCol)).as("v"))
+      .sample(withReplacement = false, frac, seed)
+      .localCheckpoint(true) // not .persist(): columnar cache writes arrays element-wise (~20x slower)
+    // init: k distinct sample rows (driver holds k×dim — small)
+    var centroids = sample.limit(k).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(centroids.length == k,
+      s"corpus sample has only ${centroids.length} rows for k=$k centroids")
+    for (_ <- 1 to iterations) {
+      val assign = graft.functions.expressions.VectorExpressions
+        .nearestCells(col("v"), centroids, 1)(0).as("cell")
+      // element-wise mean per cell: explode positions, aggregate, pivot back
+      val sums = sample.select(assign, posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
+        .collect()
+      val byCell = sums.groupBy(_.getInt(0))
+      centroids = centroids.indices.map { c =>
+        byCell.get(c) match {
+          case Some(rows) =>
+            val dim = rows.map(_.getInt(1)).max + 1
+            val v = new Array[Double](dim)
+            rows.foreach(r => v(r.getInt(1)) = r.getDouble(2) / r.getLong(3))
+            // re-normalize: cosine IVF wants unit centroids
+            val norm = math.sqrt(v.map(x => x * x).sum)
+            if (norm > 0) v.map(_ / norm) else centroids(c)
+          case None => centroids(c) // empty cell keeps its centroid
+        }
+      }.toArray
+    }
+    centroids
+  }
+
+  /**
+   * IVF approximate top-k: the corpus is partitioned into `centroids.length`
+   * cells by nearest centroid (ONE scan, no shuffle — cell assignment is a
+   * plan-embedded expression); each query probes its `nProbe` nearest cells
+   * and scores only those candidates. Recall grows with nProbe; cost is
+   * ~nProbe/k of brute force. The classic clustered-data scale path beside
+   * [[lshTopK]] (hyperplane LSH favors uniform data; IVF adapts to
+   * cluster structure).
+   */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      centroids: Array[Array[Double]], nProbe: Int = 8): DataFrame = {
+    import graft.functions.expressions.VectorExpressions.nearestCells
+    val c = Dedup.spreadForCompute(corpus)
+      .select(col(idCol).as("neighbor_id"), l2normalize(col(vecCol)).as("cv"))
+      .withColumn("cell", nearestCells(col("cv"), centroids, 1)(0))
+    val q = queries.select(col(idCol).as("query_id"), l2normalize(col(vecCol)).as("qv"))
+      .withColumn("cell", explode(nearestCells(col("qv"), centroids, nProbe)))
+    val scored = c.join(sparkBroadcast(q), "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", dot(col("cv"), col("qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /**
    * LSH cosine near-pair search over one corpus (self-join flavor of
    * [[lshTopK]]): pairs whose vectors collide in any table and whose exact
    * cosine ≥ threshold. The scale path for [[Dedup.embeddingNearDupPairs]].

@@ -235,6 +235,57 @@ case class SimHash64(child: Expression)
 }
 
 /**
+ * `nearest_cells(v)` → array<int> of the `nProbe` centroid indices nearest
+ * (by dot product — cosine for normalized inputs) to an array<double>
+ * vector. Centroids are embedded in the expression (k×dim doubles, fit at
+ * the driver and shipped once per task via the serialized plan), so cell
+ * assignment is a pure scan — no shuffle, no join. The IVF building block:
+ * corpus assignment uses nProbe=1, queries probe several cells.
+ */
+case class NearestCells(child: Expression,
+    centroids: Array[Array[Double]], nProbe: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(nProbe >= 1 && nProbe <= centroids.length,
+    "nProbe must be in [1, #centroids]")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val in = v.asInstanceOf[ArrayData]
+    val k = centroids.length
+    val scores = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val cen = centroids(c)
+      val n = math.min(cen.length, in.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += cen(i) * in.getDouble(i); i += 1 }
+      scores(c) = s
+      c += 1
+    }
+    // partial selection of the nProbe best cells (k is small: ≤ ~4096)
+    val out = new Array[Int](nProbe)
+    val taken = new Array[Boolean](k)
+    var p = 0
+    while (p < nProbe) {
+      var best = -1
+      var bestS = Double.NegativeInfinity
+      c = 0
+      while (c < k) {
+        if (!taken(c) && scores(c) > bestS) { best = c; bestS = scores(c) }
+        c += 1
+      }
+      taken(best) = true
+      out(p) = best
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/**
  * 64-bit rolling polynomial document fingerprint (Rabin–Karp style, base
  * 31, FNV offset basis) over the whitespace-normalized lowercase character
  * stream — single pass, no normalized-string allocation, codegen'd.
@@ -291,4 +342,6 @@ object VectorExpressions {
     ColumnBridge.column(HyperplaneKeys(ColumnBridge.expression(v), dim, nTables, nBits, seed, probes))
   def fingerprint64(text: Column): Column =
     ColumnBridge.column(Fingerprint64(ColumnBridge.expression(text)))
+  def nearestCells(v: Column, centroids: Array[Array[Double]], nProbe: Int): Column =
+    ColumnBridge.column(NearestCells(ColumnBridge.expression(v), centroids, nProbe))
 }

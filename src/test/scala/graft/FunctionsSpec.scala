@@ -115,6 +115,28 @@ class FunctionsSpec extends SparkTestBase {
     assert(recall >= 0.9, s"recall $recall too low")
   }
 
+  test("ivfTopK achieves high recall vs brute force") {
+    val brute = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", 5).select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cents = Similarity.trainIvfCentroids(emb, "embedding", k = 8,
+      iterations = 2, sampleSize = 1000)
+    assert(cents.length === 8)
+    assert(math.abs(cents.head.map(x => x * x).sum - 1.0) < 1e-9) // unit norm
+    val ivf = Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", 5, cents, nProbe = 4)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall $recall too low")
+    // nProbe = k cells probes everything -> exact
+    val full = Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", 5, cents, nProbe = 8)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full === brute)
+  }
+
   test("lshCosinePairs multi-probe recall vs exact pairs") {
     val exact = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.3)
       .select("id_a", "id_b")
