@@ -314,6 +314,24 @@ object SparkEntry {
           .cast("bigint").as("recall_ok"))
     }),
 
+    // simhash banding exactness: by pigeonhole, 4×16-bit banding finds
+    // EVERY pair with hamming ≤ 3 — the banded result must equal the
+    // all-pairs brute force over the same signatures exactly
+    "d09_simhash_exactness" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val banded = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 3)
+        .select("id_a", "id_b", "hamming")
+      val sigs = docs.select(col("doc_id").as("id"),
+        Dedup.simhash(col("text")).as("sig")).localCheckpoint(true)
+      val brute = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))
+        .crossJoin(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+        .filter(col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+      eng(s).toDF(Seq(Seq(
+        if (graft.api.DfUtils.dfEq(banded, brute)) 1L else 0L)), "exact_ok:long")
+    }),
     // minhash-LSH precision differential: every LSH-found pair must appear
     // in the exact n-gram result with the identical jaccard (the verify
     // step computes exact jaccard, so LSH pairs ⊆ exact pairs always)
@@ -878,6 +896,7 @@ object SparkEntry {
     "d08_minhash_precision" -> "SELECT CAST(1 AS BIGINT) AS precision_ok",
     "s04_knn_ivf" ->
       "SELECT CAST(1 AS BIGINT) AS full_probe_exact, CAST(1 AS BIGINT) AS probe_recall_ok",
+    "d09_simhash_exactness" -> "SELECT CAST(1 AS BIGINT) AS exact_ok",
     "s03_knn_lsh_recall" ->
       """SELECT CAST(5 * COUNT(*) AS BIGINT) AS n_exact, CAST(1 AS BIGINT) AS recall_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
