@@ -243,7 +243,16 @@ object GraftSql {
         case Assign(name, rest) => target = Some(name); stmt = rest
         case _ =>
       }
-      val out = execBody(stmt.trim)
+      val out =
+        try execBody(stmt.trim)
+        catch {
+          case e: IllegalArgumentException =>
+            // surface WHICH statement failed — a multi-statement script
+            // error without location is hard to act on
+            val head = stmt.trim.linesIterator.next()
+            val loc = if (head.length > 80) head.take(80) + "…" else head
+            throw new IllegalArgumentException(s"${e.getMessage} [in statement: $loc]", e)
+        }
       out.foreach { d =>
         last = Some(d)
         target.foreach(dfs(_) = d)
