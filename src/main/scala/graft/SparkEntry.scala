@@ -319,7 +319,10 @@ object SparkEntry {
     // all-pairs brute force over the same signatures exactly
     "d09_simhash_exactness" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val banded = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 3)
+      // uncapped buckets: the exactness claim holds only without the skew
+      // cap (a >maxBucketSize band bucket would silently drop pairs)
+      val banded = Dedup.simhashNearDupPairs(docs, "doc_id", "text",
+        maxHamming = 3, maxBucketSize = Int.MaxValue)
         .select("id_a", "id_b", "hamming")
       val sigs = docs.select(col("doc_id").as("id"),
         Dedup.simhash(col("text")).as("sig")).localCheckpoint(true)
@@ -367,12 +370,16 @@ object SparkEntry {
       val q = emb.filter(col("vec_id") < 10)
       val cents = Similarity.trainIvfCentroids(emb, "embedding", k = 8,
         iterations = 2, sampleSize = 2000)
+      // the quadratic brute-force result feeds dfEq (2 scans), the recall
+      // join, and a count — materialize once
       val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 5)
-        .select("query_id", "neighbor_id")
+        .select("query_id", "neighbor_id").localCheckpoint(true)
       val ivfFull = Similarity.ivfTopK(emb, q, "vec_id", "embedding", k = 5,
         cents, nProbe = 8).select("query_id", "neighbor_id")
+      // near-uniform embeddings: recall ~ nProbe/k; 6-of-8 is the stable
+      // >=0.8 operating point on this data
       val ivfProbe = Similarity.ivfTopK(emb, q, "vec_id", "embedding", k = 5,
-        cents, nProbe = 4).select("query_id", "neighbor_id")
+        cents, nProbe = 6).select("query_id", "neighbor_id")
       val fullOk = graft.api.DfUtils.dfEq(ivfFull, exact)
       val found = exact.join(ivfProbe, Seq("query_id", "neighbor_id"), "left_semi")
         .count().toDouble

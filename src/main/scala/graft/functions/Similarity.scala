@@ -42,6 +42,12 @@ object Similarity {
     val scored = c.crossJoin(sparkBroadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", dot(col("cv"), col("qv")))
+    topKByCosine(scored, k)
+  }
+
+  /** Shared top-k tail: per-query rank by cosine desc (ties → neighbor id
+   * asc), keep rank ≤ k. One definition so brute/LSH/IVF cannot diverge. */
+  private def topKByCosine(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -106,11 +112,7 @@ object Similarity {
       .distinct() // a pair may collide in several tables — ids only
     val scored = pairs.join(c, "neighbor_id").join(sparkBroadcast(q), "query_id")
       .withColumn("cosine", dot(col("cv"), col("qv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+    topKByCosine(scored, k)
   }
 
   /**
@@ -118,24 +120,27 @@ object Similarity {
    * distributed Lloyd iterations on a corpus sample. Returns unit-norm
    * centroids (k × dim doubles — small enough to embed in expressions).
    *
-   * Scale design: training touches only a bounded SAMPLE (`sampleSize`
-   * rows, one localCheckpoint); each Lloyd step is one scan + one
-   * (cell,pos)-keyed aggregation of the sample; the driver holds k×dim
-   * doubles only. The full corpus is never scanned during training.
+   * Scale design: beyond one count pass to size the sampling fraction
+   * (skippable by passing `totalRows`), training touches only a bounded
+   * SAMPLE (`sampleSize` rows, one localCheckpoint); each Lloyd step is
+   * one scan + one (cell,pos)-keyed aggregation of the sample; the driver
+   * holds k×dim doubles only.
    */
   def trainIvfCentroids(
       corpus: DataFrame, vecCol: String, k: Int,
       iterations: Int = 3, sampleSize: Int = 20000,
-      seed: Long = 42L): Array[Array[Double]] = {
+      seed: Long = 42L, totalRows: Option[Long] = None): Array[Array[Double]] = {
     require(k >= 1, "k must be >= 1")
-    val n = corpus.count()
+    val n = totalRows.getOrElse(corpus.count())
     val frac = math.min(1.0, sampleSize.toDouble / math.max(1L, n))
     val sample = Dedup.spreadForCompute(corpus)
       .select(l2normalize(col(vecCol)).as("v"))
       .sample(withReplacement = false, frac, seed)
       .localCheckpoint(true) // not .persist(): columnar cache writes arrays element-wise (~20x slower)
-    // init: k distinct sample rows (driver holds k×dim — small)
-    var centroids = sample.limit(k).collect()
+    // init: k DISTINCT sample rows — duplicate vectors would seed duplicate
+    // centroids whose higher-index cell stays empty forever (ties resolve
+    // to the lower index), silently shrinking effective k
+    var centroids = sample.distinct().limit(k).collect()
       .map(_.getSeq[Double](0).toArray)
     require(centroids.length == k,
       s"corpus sample has only ${centroids.length} rows for k=$k centroids")
@@ -185,11 +190,7 @@ object Similarity {
     val scored = c.join(sparkBroadcast(q), "cell")
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", dot(col("cv"), col("qv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+    topKByCosine(scored, k)
   }
 
   /**

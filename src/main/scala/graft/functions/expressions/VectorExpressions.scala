@@ -275,6 +275,12 @@ case class NearestCells(child: Expression,
         if (!taken(c) && scores(c) > bestS) { best = c; bestS = scores(c) }
         c += 1
       }
+      if (best < 0) {
+        // all remaining scores are NaN (bad vector): fall back to the first
+        // untaken cell rather than crashing the job on one malformed row
+        c = 0
+        while (best < 0 && c < k) { if (!taken(c)) best = c; c += 1 }
+      }
       taken(best) = true
       out(p) = best
       p += 1

@@ -292,6 +292,9 @@ object GraftSql {
             else if (masked(j) == ')') depth -= 1
             j += 1
           }
+          if (depth > 0)
+            throw new IllegalArgumentException(
+              s"unbalanced parenthesis in statement: ${stmt.trim.linesIterator.next()}")
           val inner = stmt.substring(i + 1, j - 1).trim
           if (InlineInner.findFirstIn(inner).isDefined) {
             val name = s"__inline_${dfs.size}"

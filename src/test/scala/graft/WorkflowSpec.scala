@@ -65,11 +65,12 @@ class WorkflowSpec extends SparkTestBase {
   }
 
   test("filter/select UUIDs stable across builds; distinct literals distinct") {
-    val base = df(Seq(Seq(1, "x")), "v:int,t:str")
     def build(): (String, String, String) = {
+      // the source frame is built INSIDE each build so its resolved columns
+      // carry fresh exprIds — the UUIDs must be identical anyway
+      val base = df(Seq(Seq(1, "x")), "v:int,t:str")
       val w = new Workflow(engine)
       val n = w.df(base, "base")
-      // resolved columns carry fresh exprIds each call — UUIDs must not
       val f = n.filter(base("v") > 1)
       val a1 = n.assign(Map("tag" -> lit("build#1")))
       val a2 = n.assign(Map("tag" -> lit("build#2")))
