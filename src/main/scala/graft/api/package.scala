@@ -143,6 +143,14 @@ package object api {
       f: (PartitionCursor, Iterator[Row]) => Iterator[Row]): DataFrame =
     Transform.mapPartitions(df, spec, SchemaExpr.parse(outputSchema))(f)
 
+  /** Per-logical-partition transform run for side effects only (the
+   * reference's out_transform): forces the action, discards rows. */
+  def outTransform(df: DataFrame, spec: PartitionSpec)(
+      f: (PartitionCursor, Iterator[Row]) => Unit): Unit =
+    Transform.mapPartitions(df, spec, df.schema) { (c, rows) =>
+      f(c, rows); Iterator.empty
+    }.foreach(_ => ())
+
   /** Cogroup two frames by key columns and map each key group. */
   def cotransform(left: DataFrame, right: DataFrame, keys: Seq[String],
       how: String, outputSchema: String)(

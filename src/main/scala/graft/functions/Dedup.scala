@@ -294,13 +294,15 @@ object Dedup {
       val neighborMin = edges
         .join(labels.withColumnRenamed("u", "v"), Seq("v"))
         .groupBy("u").agg(min(col("lbl")).as("nlbl"))
+      // convergence flag computed in the same pass (nlbl strictly improves
+      // the label) — no separate old-vs-new join per iteration
       val updated = labels.join(neighborMin, Seq("u"), "left")
         .select(col("u"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
+          (col("nlbl").isNotNull && col("nlbl") < col("lbl")).as("__chg"))
         .localCheckpoint(true)
-      val changed = updated.as("a").join(labels.as("b"), "u")
-        .filter(col("a.lbl") =!= col("b.lbl")).limit(1).count()
-      labels = updated
+      val changed = updated.filter(col("__chg")).limit(1).count()
+      labels = updated.drop("__chg")
       converged = changed == 0
       i += 1
     }

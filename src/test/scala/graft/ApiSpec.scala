@@ -34,6 +34,12 @@ class ApiSpec extends SparkTestBase {
     }
     assertDfEq(ct, Seq(Seq("a", 2L), Seq("b", 2L)))
 
+    val seen = spark.sparkContext.longAccumulator
+    outTransform(events, PartitionSpec(by = Seq("k"))) { (_, rows) =>
+      rows.foreach(_ => seen.add(1))
+    }
+    assert(seen.value === 4)
+
     val sql = rawSql("SELECT k FROM t WHERE v > 5", "t" -> events)
     val sql2 = rawSqlParts("SELECT k FROM", events, "WHERE v > 5")
     assertDfEq(sql2, Seq(Seq("b")))
