@@ -414,6 +414,35 @@ object SparkEntry {
     "t03_langid" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"), col("lang"),
         TextFunctions.langId(col("text")).as("lang_pred"))),
+    // token-budget packing: deterministic shard assignment, exact oracle
+    "t04_pack" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      TextFunctions.packByTokenBudget(d, "n_tokens", budget = 2000, orderCol = "doc_id")
+        .select(col("doc_id"), col("n_tokens"), col("shard_id"))
+    }),
+    // rebalance differential: uniform targets over a skewed lang mix —
+    // the scarcest lang must be kept in full and the mix must flatten
+    "t06_rebalance" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val r = graft.functions.Sampling.rebalance(docs, "lang",
+        langs.map(_ -> 1.0).toMap, seed = 7L)
+      val outStats = r.groupBy("lang").agg(count(lit(1)).as("n"))
+        .agg(min(col("n")).as("mn"), max(col("n")).as("mx"))
+      val inMin = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+        .agg(min(col("n")).as("imn"))
+      // per-lang counts concentrate around imn (the feasible uniform
+      // share); Bernoulli variance bounds rather than equality
+      outStats.crossJoin(inMin)
+        .select((col("mn") >= col("imn") * 0.8 &&
+          col("mx") <= col("imn") * 1.35).cast("bigint").as("rebalance_ok"))
+    }),
+    // quality filter: bounds over the oracle-able metrics
+    "t05_quality_filter" -> ((s, dir) =>
+      TextFunctions.qualityFilter(t(s, dir, "documents"), "text",
+        minTokens = 30, maxStopwordRatio = 0.4)
+        .select("doc_id", "lang")),
 
     // ---- beyond-reference: multimodal plumbing ------------------------
     "m01_multimodal_decode" -> ((s, dir) => {
@@ -844,6 +873,24 @@ object SparkEntry {
         | event_type, CAST(COUNT(*) AS BIGINT) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "t04_pack" ->
+      """WITH d AS (
+        | SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |   ELSE len(string_split_regex(trim(text), '\s+')) END AS INTEGER) AS n_tokens
+        | FROM documents)
+        |SELECT doc_id, n_tokens,
+        | CAST(floor(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000.0) AS BIGINT) AS shard_id
+        |FROM d""".stripMargin,
+    "t05_quality_filter" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE (CASE WHEN length(trim(text)) = 0 THEN 0
+        |   ELSE len(string_split_regex(trim(text), '\s+')) END) >= 30
+        | AND (CASE WHEN len(string_split_regex(trim(text), '\s+')) > 0 AND length(trim(text)) > 0
+        |   THEN CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |     t -> t IN ('the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','at','by','it'))) AS DOUBLE)
+        |     / len(string_split_regex(trim(text), '\s+'))
+        |   ELSE 0.0 END) <= 0.4""".stripMargin,
     "q38_asof_join" ->
       """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
         |  event_type, value FROM events),
@@ -904,6 +951,7 @@ object SparkEntry {
     "s04_knn_ivf" ->
       "SELECT CAST(1 AS BIGINT) AS full_probe_exact, CAST(1 AS BIGINT) AS probe_recall_ok",
     "d09_simhash_exactness" -> "SELECT CAST(1 AS BIGINT) AS exact_ok",
+    "t06_rebalance" -> "SELECT CAST(1 AS BIGINT) AS rebalance_ok",
     "s03_knn_lsh_recall" ->
       """SELECT CAST(5 * COUNT(*) AS BIGINT) AS n_exact, CAST(1 AS BIGINT) AS recall_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,

@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Stratified sampling / rebalancing for corpus curation — adjusting a
+ * training mix (e.g. language or source proportions) without a shuffle:
+ * both operators are per-row Bernoulli filters with per-key fractions
+ * (Spark `stat.sampleBy` semantics), evaluated in one scan.
+ */
+object Sampling {
+
+  /** Per-key Bernoulli sample: keep rows of key k with probability
+   * `fractions(k)` (missing keys → 0). Deterministic for a fixed seed. */
+  def stratified(
+      df: DataFrame, keyCol: String,
+      fractions: Map[String, Double], seed: Long = 42L): DataFrame =
+    df.stat.sampleBy(keyCol, fractions, seed)
+
+  /**
+   * Rebalance key groups toward target relative proportions by
+   * downsampling only (no replication): the achievable total is limited
+   * by the scarcest key (T = min_k n_k / target_k); each key keeps
+   * ~T·target_k rows.
+   *
+   * One count aggregation (small: one row per key) + one sampling scan.
+   * Keys absent from `targets` are dropped.
+   */
+  def rebalance(
+      df: DataFrame, keyCol: String,
+      targets: Map[String, Double], seed: Long = 42L): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ > 0),
+      "targets must be positive proportions")
+    val total = targets.values.sum
+    val norm = targets.map { case (k, v) => k -> v / total }
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    val present = norm.filter { case (k, _) => counts.getOrElse(k, 0L) > 0 }
+    require(present.nonEmpty, "no target key present in the data")
+    val feasibleTotal = present.map { case (k, t) => counts(k) / t }.min
+    val fractions = present.map { case (k, t) =>
+      k -> math.min(1.0, feasibleTotal * t / counts(k))
+    }
+    stratified(df, keyCol, fractions, seed)
+  }
+}

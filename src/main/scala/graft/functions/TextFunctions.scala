@@ -89,6 +89,44 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     coalesce(graft.functions.expressions.VectorExpressions.fingerprint64(text), lit(0L))
 
+  /**
+   * Sequential token-budget packing — training-data sharding: orders
+   * documents by `orderCol` and assigns a `shard_id` so each shard's token
+   * sum stays ≤ `budget` (a document longer than the budget gets its own
+   * shard). Deterministic; one window pass (running sum / budget).
+   *
+   * Scale note: the global ordering is one range-partitioned sort — the
+   * standard price of deterministic sharding. For throughput over
+   * determinism, pre-partition by a hash and pack per partition.
+   */
+  def packByTokenBudget(
+      df: DataFrame, tokenCol: String, budget: Long,
+      orderCol: String): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(orderCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    // shard = floor(tokens-before-me / budget): a doc starts a new shard
+    // when the previous docs already filled the current one
+    df.withColumn("shard_id",
+      floor(coalesce(sum(col(tokenCol)).over(w), lit(0L)) / budget))
+  }
+
+  /** Quality filter composing [[qualityMetrics]]: keep documents within
+   * the given bounds (the curation filter of a training-data pipeline). */
+  def qualityFilter(
+      df: DataFrame, textCol: String,
+      minTokens: Int = 5,
+      maxStopwordRatio: Double = 1.0,
+      minStopwordRatio: Double = 0.0,
+      maxMeanWordLen: Double = Double.MaxValue): DataFrame = {
+    val m = qualityMetrics(col(textCol)).toMap
+    df.filter(m("n_tokens") >= minTokens &&
+      m("stopword_ratio") <= maxStopwordRatio &&
+      m("stopword_ratio") >= minStopwordRatio &&
+      m("mean_word_len") <= maxMeanWordLen)
+  }
+
   /** Convenience: full text-analysis projection over a document table. */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val base = df.select(

@@ -166,6 +166,35 @@ class FunctionsSpec extends SparkTestBase {
     Dedup.clearSignatureCache()
   }
 
+  test("stratified sampling and rebalance proportions") {
+    import graft.functions.Sampling
+    val d = df((1 to 300).map(i =>
+      Seq(i.toLong, if (i <= 200) "en" else "de")), "id:long,lang:str")
+    val s1 = Sampling.stratified(d, "lang", Map("en" -> 0.5, "de" -> 1.0), seed = 7L)
+    val s2 = Sampling.stratified(d, "lang", Map("en" -> 0.5, "de" -> 1.0), seed = 7L)
+    assert(s1.collect().map(_.getLong(0)).toSet ===
+      s2.collect().map(_.getLong(0)).toSet) // deterministic per seed
+    assert(s1.filter(col("lang") === "de").count() === 100) // fraction 1.0 keeps all
+    // rebalance to 50/50: limited by de (100 rows) → ~100 en + 100 de
+    val r = Sampling.rebalance(d, "lang", Map("en" -> 1.0, "de" -> 1.0), seed = 7L)
+    val en = r.filter(col("lang") === "en").count().toDouble
+    val de = r.filter(col("lang") === "de").count().toDouble
+    assert(de === 100.0)
+    assert(math.abs(en - 100) < 30, s"en=$en should be near 100") // Bernoulli variance
+    intercept[IllegalArgumentException](
+      Sampling.rebalance(d, "lang", Map("fr" -> 1.0)))
+  }
+
+  test("packByTokenBudget: oversized doc gets its own shard; budget respected") {
+    import graft.functions.TextFunctions
+    val d = df(Seq(Seq(1L, 600), Seq(2L, 500), Seq(3L, 1500), Seq(4L, 100)),
+      "doc_id:long,n_tokens:int")
+    val got = TextFunctions.packByTokenBudget(d, "n_tokens", 1000, "doc_id")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(2)))
+    // cumsum-before: 0, 600, 1100, 2600 → shards 0, 0, 1, 2
+    assert(got.toSeq === Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 2L)))
+  }
+
   test("tokenCount edge cases") {
     val d = df(Seq(Seq("a b  c"), Seq(""), Seq("   "), Seq("one")), "t:str")
     val got = d.select(TextFunctions.tokenCount(col("t"))).collect().map(_.getInt(0))
