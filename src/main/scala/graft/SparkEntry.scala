@@ -526,6 +526,22 @@ object SparkEntry {
       e.toDF(Seq(Seq(if (ok) 1L else 0L)), "fns_ok:long")
     }),
 
+    // streaming exact dedup: distinct-key output is order-independent, so
+    // keep-first-arrival semantics still oracle against DISTINCT
+    "q54_stream_dedup" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val batchSchema = t(s, dir, "events").schema
+      val stream = graft.streaming.Streaming
+        .loadStream(s, dir, batchSchema,
+          options = Map("pathGlobFilter" -> "events.parquet"))
+        .select("user_id", "event_type")
+      val dd = graft.streaming.Streaming.dropDuplicatesStream(
+        stream, Seq("user_id", "event_type"))
+      val name = "graft_q54_" + java.util.UUID.randomUUID().toString.take(8)
+      graft.streaming.Streaming.runToMemory(dd, name, outputMode = "append")
+      s.table(name)
+    }),
+
     // ---- temporal operators -------------------------------------------
     "q38_asof_join" -> ((s, dir) => {
       val e = events(s, dir)
@@ -868,6 +884,8 @@ object SparkEntry {
         |     / len(string_split_regex(trim(text), '\s+'))
         |   ELSE 0.0 END AS mean_word_len
         |FROM documents""".stripMargin,
+    "q54_stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
     "q50_stream_window" ->
       """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS win_start,
         | event_type, CAST(COUNT(*) AS BIGINT) AS n,

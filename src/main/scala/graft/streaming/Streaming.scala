@@ -65,6 +65,22 @@ object Streaming {
     ds.groupByKey(keyFn)
       .flatMapGroupsWithState(OutputMode.Append(), timeout)(f)
 
+  /** Streaming exact dedup: keep the first arrival per key combination.
+   * With `watermarkCol`/`delay` set, state for keys older than the
+   * watermark is dropped (bounded state — REQUIRED for unbounded streams;
+   * without it state grows with distinct keys, acceptable only for
+   * bounded/conformance runs). */
+  def dropDuplicatesStream(
+      df: DataFrame, cols: Seq[String],
+      watermarkCol: Option[String] = None,
+      delay: String = "10 minutes"): DataFrame = {
+    val base = watermarkCol.map(c => df.withWatermark(c, delay)).getOrElse(df)
+    watermarkCol match {
+      case Some(c) => base.dropDuplicatesWithinWatermark(cols :+ c)
+      case None => base.dropDuplicates(cols)
+    }
+  }
+
   /** Drive a streaming frame into an in-memory table synchronously (test /
    * bounded-input path): processes all available input then stops. */
   def runToMemory(df: DataFrame, name: String,
