@@ -716,6 +716,18 @@ object SparkEntry {
   // count(*)→BIGINT matches Spark long; len/length are cast to INTEGER to
   // match Spark's int; decimal-sums cast to DOUBLE are order-independent.
   // -------------------------------------------------------------------
+  // shared oracle fragments: tokenization and stopword-ratio SQL used by
+  // several text-metric oracles — one definition so they cannot drift
+  private val SqlNTokens =
+    """CASE WHEN length(trim(text)) = 0 THEN 0
+      |   ELSE len(string_split_regex(trim(text), '\s+')) END""".stripMargin
+  private val SqlStopwordRatio =
+    """CASE WHEN len(string_split_regex(trim(text), '\s+')) > 0 AND length(trim(text)) > 0
+      |   THEN CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+      |     t -> t IN ('the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','at','by','it'))) AS DOUBLE)
+      |     / len(string_split_regex(trim(text), '\s+'))
+      |   ELSE 0.0 END""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -892,23 +904,17 @@ object SparkEntry {
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2""".stripMargin,
     "t04_pack" ->
-      """WITH d AS (
-        | SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-        |   ELSE len(string_split_regex(trim(text), '\s+')) END AS INTEGER) AS n_tokens
+      s"""WITH d AS (
+        | SELECT doc_id, CAST($SqlNTokens AS INTEGER) AS n_tokens
         | FROM documents)
         |SELECT doc_id, n_tokens,
         | CAST(floor(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000.0) AS BIGINT) AS shard_id
         |FROM d""".stripMargin,
     "t05_quality_filter" ->
-      """SELECT doc_id, lang FROM documents
-        |WHERE (CASE WHEN length(trim(text)) = 0 THEN 0
-        |   ELSE len(string_split_regex(trim(text), '\s+')) END) >= 30
-        | AND (CASE WHEN len(string_split_regex(trim(text), '\s+')) > 0 AND length(trim(text)) > 0
-        |   THEN CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
-        |     t -> t IN ('the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','at','by','it'))) AS DOUBLE)
-        |     / len(string_split_regex(trim(text), '\s+'))
-        |   ELSE 0.0 END) <= 0.4""".stripMargin,
+      s"""SELECT doc_id, lang FROM documents
+        |WHERE ($SqlNTokens) >= 30
+        | AND ($SqlStopwordRatio) <= 0.4""".stripMargin,
     "q38_asof_join" ->
       """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
         |  event_type, value FROM events),

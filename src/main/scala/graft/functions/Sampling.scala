@@ -34,7 +34,10 @@ object Sampling {
       "targets must be positive proportions")
     val total = targets.values.sum
     val norm = targets.map { case (k, v) => k -> v / total }
-    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    // null keys are dropped by sampleBy anyway — filter them before the
+    // driver-side toString (a null group would NPE here)
+    val counts = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
     val present = norm.filter { case (k, _) => counts.getOrElse(k, 0L) > 0 }
     require(present.nonEmpty, "no target key present in the data")

@@ -90,14 +90,16 @@ object TextFunctions {
     coalesce(graft.functions.expressions.VectorExpressions.fingerprint64(text), lit(0L))
 
   /**
-   * Sequential token-budget packing — training-data sharding: orders
-   * documents by `orderCol` and assigns a `shard_id` so each shard's token
-   * sum stays ≤ `budget` (a document longer than the budget gets its own
-   * shard). Deterministic; one window pass (running sum / budget).
+   * APPROXIMATE sequential token-budget sharding: orders documents by
+   * `orderCol` and cuts shards at budget multiples of the running token
+   * sum (shard = floor(tokens-before-me / budget)). Shard sums target
+   * `budget` but may exceed it by up to one document (the doc straddling a
+   * boundary lands in the earlier shard) — the scalable single-window-pass
+   * binning used for dataset sharding, NOT a hard capacity guarantee. For
+   * strict per-shard caps use [[packGreedyPerPartition]].
    *
    * Scale note: the global ordering is one range-partitioned sort — the
-   * standard price of deterministic sharding. For throughput over
-   * determinism, pre-partition by a hash and pack per partition.
+   * standard price of deterministic sharding.
    */
   def packByTokenBudget(
       df: DataFrame, tokenCol: String, budget: Long,
@@ -106,10 +108,43 @@ object TextFunctions {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col(orderCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    // shard = floor(tokens-before-me / budget): a doc starts a new shard
-    // when the previous docs already filled the current one
     df.withColumn("shard_id",
       floor(coalesce(sum(col(tokenCol)).over(w), lit(0L)) / budget))
+  }
+
+  /**
+   * STRICT greedy packing, parallel per physical partition: within each
+   * partition (presorted by `orderCol`), a shard closes as soon as adding
+   * the next document would exceed `budget`; an over-budget document gets
+   * a shard of its own. Shard ids are "partition-localShard" strings —
+   * globally unique, sequential within a partition. The inherently serial
+   * greedy fold parallelizes by accepting per-partition (not global)
+   * sequencing — the right trade at 100 TB.
+   */
+  def packGreedyPerPartition(
+      df: DataFrame, tokenCol: String, orderCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val outSchema = StructType(df.schema.fields :+ StructField("shard_id", StringType))
+    val tIdx = df.schema.fieldIndex(tokenCol)
+    val sorted = df.sortWithinPartitions(col(orderCol))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] = Encoders.row(outSchema)
+    sorted.mapPartitions { it =>
+      val pno = org.apache.spark.TaskContext.getPartitionId()
+      var shard = 0
+      var used = 0L
+      it.map { r =>
+        val tok = r.get(tIdx) match {
+          case n: Number => n.longValue()
+          case null => 0L
+        }
+        if (used > 0 && used + tok > budget) { shard += 1; used = 0L }
+        used += tok
+        Row.fromSeq(r.toSeq :+ s"$pno-$shard")
+      }
+    }
   }
 
   /** Quality filter composing [[qualityMetrics]]: keep documents within

@@ -76,7 +76,9 @@ object Streaming {
       delay: String = "10 minutes"): DataFrame = {
     val base = watermarkCol.map(c => df.withWatermark(c, delay)).getOrElse(df)
     watermarkCol match {
-      case Some(c) => base.dropDuplicatesWithinWatermark(cols :+ c)
+      // the event-time column must NOT join the key: withinWatermark exists
+      // precisely so rows with differing timestamps still dedup per key
+      case Some(_) => base.dropDuplicatesWithinWatermark(cols)
       case None => base.dropDuplicates(cols)
     }
   }

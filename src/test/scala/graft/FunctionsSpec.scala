@@ -185,14 +185,35 @@ class FunctionsSpec extends SparkTestBase {
       Sampling.rebalance(d, "lang", Map("fr" -> 1.0)))
   }
 
-  test("packByTokenBudget: oversized doc gets its own shard; budget respected") {
+  test("packByTokenBudget: approximate binning at budget multiples of the cumsum") {
     import graft.functions.TextFunctions
     val d = df(Seq(Seq(1L, 600), Seq(2L, 500), Seq(3L, 1500), Seq(4L, 100)),
       "doc_id:long,n_tokens:int")
     val got = TextFunctions.packByTokenBudget(d, "n_tokens", 1000, "doc_id")
       .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(2)))
-    // cumsum-before: 0, 600, 1100, 2600 → shards 0, 0, 1, 2
+    // cumsum-before: 0, 600, 1100, 2600 → shards 0, 0, 1, 2 (shard 0 holds
+    // 1100 > budget — the documented approximate-binning tradeoff)
     assert(got.toSeq === Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 2L)))
+  }
+
+  test("packGreedyPerPartition: strict caps, oversized doc isolated") {
+    import graft.functions.TextFunctions
+    val d = df(Seq(Seq(1L, 600), Seq(2L, 500), Seq(3L, 1500), Seq(4L, 100),
+      Seq(5L, 300)), "doc_id:long,n_tokens:int").coalesce(1)
+    val got = TextFunctions.packGreedyPerPartition(d, "n_tokens", "doc_id", 1000)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    // greedy: [600], [500], [1500 alone], [100+300]
+    assert(got.toSeq === Seq((1L, "0-0"), (2L, "0-1"), (3L, "0-2"),
+      (4L, "0-3"), (5L, "0-3")))
+    // strict invariant: every multi-doc shard sums ≤ budget
+    val sums = got.map(_._2).distinct.map { sh =>
+      val docs = got.filter(_._2 == sh).map(_._1)
+      sh -> docs.map(id => Map(1L -> 600, 2L -> 500, 3L -> 1500, 4L -> 100, 5L -> 300)(id)).sum
+    }
+    sums.foreach { case (sh, sum) =>
+      assert(sum <= 1000 || got.count(_._2 == sh) == 1, s"shard $sh overflows: $sum")
+    }
   }
 
   test("tokenCount edge cases") {
