@@ -250,13 +250,17 @@ object Dedup {
       .localCheckpoint(true) // not .persist(): the columnar cache writes array cols element-wise (~20x slower); localCheckpoint serializes rows. Tradeoff: no lineage recompute on executor loss.
     val sizes = sigs.select(col("id"), size(col("sh")).as("sz"))
     val inverted = sigs.select(col("id"), explode(col("sh")).as("s"))
-    val pruned =
-      if (maxShingleDf == Int.MaxValue) inverted
-      else {
-        val dfs = inverted.groupBy("s").agg(count("*").as("df"))
-          .filter(col("df") <= maxShingleDf)
-        inverted.join(dfs.select("s"), "s")
-      }
+    // df=1 shingles cannot form a pair; pruning them is exactness-
+    // preserving. On natural text most shingles ARE unique (the long
+    // tail), so this removes the bulk of the self-join input; on the
+    // synthetic small-vocabulary bench corpus it is cost-neutral (0.08%
+    // unique, measured). The prune join also leaves the index partitioned
+    // on `s`, so the subsequent self-join reuses the exchange. No
+    // broadcast hint: AQE broadcasts the repeated-shingle key set when
+    // small; forcing it would OOM on a 100 TB corpus.
+    val dfs = inverted.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, maxShingleDf))
+    val pruned = inverted.join(dfs.select("s"), "s")
     val l = pruned.select(col("s"), col("id").as("id_a"))
     val r = pruned.select(col("s"), col("id").as("id_b"))
     val co = l.join(r, "s").filter(col("id_a") < col("id_b"))
