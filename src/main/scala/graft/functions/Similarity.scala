@@ -194,6 +194,32 @@ object Similarity {
   }
 
   /**
+   * IVF cosine near-pair search: corpus rows bucketed by their `nProbe`
+   * nearest cells (probing >1 cell catches pairs straddling a cell
+   * boundary); candidate pairs share a cell, then exact-cosine verify.
+   * The clustered-data counterpart of [[lshCosinePairs]] — candidates
+   * shuffle as (id, cell) ints, never vectors.
+   */
+  def ivfCosinePairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, centroids: Array[Array[Double]],
+      nProbe: Int = 2, maxBucketSize: Int = 10000): DataFrame = {
+    import graft.functions.expressions.VectorExpressions.nearestCells
+    val v = Dedup.spreadForCompute(df)
+      .select(col(idCol).as("id"), l2normalize(col(vecCol)).as("v"))
+      .localCheckpoint(true) // not .persist(): columnar cache writes arrays element-wise (~20x slower)
+    val banded = v.select(col("id"),
+      explode(nearestCells(col("v"), centroids, nProbe)).as("cell"))
+    val pairIds = Dedup.bucketPairs(banded, Seq("cell"), maxBucketSize)
+    val a = v.select(col("id").as("id_a"), col("v").as("v_a"))
+    val b = v.select(col("id").as("id_b"), col("v").as("v_b"))
+    pairIds.join(a, "id_a").join(b, "id_b")
+      .withColumn("cosine", dot(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /**
    * LSH cosine near-pair search over one corpus (self-join flavor of
    * [[lshTopK]]): pairs whose vectors collide in any table and whose exact
    * cosine ≥ threshold. The scale path for [[Dedup.embeddingNearDupPairs]].

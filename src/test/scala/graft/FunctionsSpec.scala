@@ -139,6 +139,22 @@ class FunctionsSpec extends SparkTestBase {
     assert(full === brute)
   }
 
+  test("ivfCosinePairs precision exact; recall high with probing") {
+    val exact = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.3)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cents = Similarity.trainIvfCentroids(emb, "embedding", k = 8,
+      iterations = 2, sampleSize = 1000)
+    val ivf = Similarity.ivfCosinePairs(emb, "vec_id", "embedding", 0.3,
+      cents, nProbe = 4)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(ivf.subsetOf(exact)) // cosine-verified: no false positives
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall too low")
+  }
+
   test("lshCosinePairs multi-probe recall vs exact pairs") {
     val exact = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.3)
       .select("id_a", "id_b")

@@ -213,6 +213,11 @@ class GraftSqlSpec extends SparkTestBase {
     val res2 = GraftSql.run(engine,
       "CREATE DATA [[1.5], [2.5]] SCHEMA x:double\nYIELD AS out")
     assertDfEq(res2.yields("out"), Seq(Seq(1.5), Seq(2.5)))
+    // nested array literal
+    val res4 = GraftSql.run(engine,
+      "CREATE [[1, [1, 2]], [2, []]] SCHEMA id:long,xs:[long]\nYIELD AS out")
+    assert(res4.yields("out").count() === 2)
+    assert(res4.yields("out").filter("id = 1").head().getSeq[Long](1) === Seq(1L, 2L))
     val exts = Extensions(creators = Map("three" -> CreatorDef(
       fn = (e, params) => e.toDF(Seq(Seq(params("n").toLong)), "n:long"))))
     val res3 = GraftSql.runWith(engine,
