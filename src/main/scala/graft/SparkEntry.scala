@@ -577,6 +577,10 @@ object SparkEntry {
       eng(s).sqlSelect(SqlStringDate, Map("orders" -> t(s, dir, "orders")))),
     "q36_case_in" -> ((s, dir) =>
       eng(s).sqlSelect(SqlCaseIn, Map("part" -> t(s, dir, "part")))),
+    "q55_percentile" -> ((s, dir) =>
+      eng(s).sqlSelect(SqlPercentile, Map("orders" -> t(s, dir, "orders")))),
+    "q56_ntile" -> ((s, dir) =>
+      eng(s).sqlSelect(SqlNtile, Map("orders" -> t(s, dir, "orders")))),
 
     // ---- FugueSQL dialect statement families --------------------------
     // ZIP + TRANSFORM-on-zipped (cotransformer) — same semantics as q24
@@ -704,6 +708,17 @@ object SparkEntry {
       |  ELSE 'large' END AS size_class,
       | p_brand IN ('Brand#1', 'Brand#2') AS is_top
       |FROM part""".stripMargin
+
+  private val SqlPercentile =
+    """SELECT o_orderstatus,
+      | CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS DOUBLE) AS median_price,
+      | CAST(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice) AS DOUBLE) AS p90_price
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
+
+  private val SqlNtile =
+    """SELECT o_orderkey,
+      | CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INT) AS quartile
+      |FROM orders""".stripMargin
 
   private val SqlTopOrders =
     """SELECT * FROM (
@@ -984,6 +999,8 @@ object SparkEntry {
     "q34_exists_subquery" -> SqlExists,
     "q35_string_date_fns" -> SqlStringDate,
     "q36_case_in" -> SqlCaseIn,
+    "q55_percentile" -> SqlPercentile,
+    "q56_ntile" -> SqlNtile,
     // m01_multimodal_decode / d02/d03/d05/d06 / s02 / t01 / t03 / q21:
     // not SQL-expressible (UDF hashes, LSH, seeded sampling) → rows-only.
   )
