@@ -74,14 +74,51 @@ object Dedup {
   /** Memo for [[minhashSignatures]]: the shingle+minhash pass is the
    * dominant cost of the dedup family, and a pipeline (pairs → drop) or a
    * session running several dedup flavors re-derives the identical frame.
-   * Keyed on the canonicalized logical plan + parameters; values are
+   * Keyed on the canonicalized logical plan + parameters + a file-level
+   * data fingerprint (path/size/mtime of the scan's input files — the
+   * canonicalized plan alone is rootPath-based, so rewriting the same path
+   * within a session would otherwise serve stale signatures). Values are
    * eagerly localCheckpoint'd (materialized), so reuse is sound within a
-   * session. Bounded by [[clearSignatureCache]] for long-lived sessions
-   * (each entry holds one checkpointed signature frame). */
+   * session. Bounded: eviction unpersists the checkpointed frames — frames
+   * returned BEFORE a clear become unusable (local checkpoints truncate
+   * lineage), which is the documented contract of
+   * [[clearSignatureCache]]. */
   private val signatureCache =
-    new java.util.concurrent.ConcurrentHashMap[(Any, Any, String, String, Int, Int, Long), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(Any, Any, String, String, Int, Int, Long, Long), DataFrame]()
 
-  def clearSignatureCache(): Unit = signatureCache.clear()
+  /** Drop all memoized signature frames and eagerly free their blocks.
+   * Frames previously returned by [[minhashSignatures]] must not be used
+   * after this call. */
+  def clearSignatureCache(): Unit = {
+    val it = signatureCache.values.iterator()
+    while (it.hasNext) {
+      org.apache.spark.sql.graftshim.ColumnBridge.unpersistCheckpointed(it.next())
+    }
+    signatureCache.clear()
+  }
+
+  /** Driver-cheap fingerprint of a frame's file inputs: count + a bounded
+   * sample of (path, length, modificationTime). Non-file plans (in-memory
+   * test frames) hash to 0 and rely on the canonicalized plan alone. */
+  private def inputFingerprint(df: DataFrame): Long = {
+    val files = df.inputFiles
+    if (files.isEmpty) return 0L
+    val sorted = files.sorted
+    val sample =
+      if (sorted.length <= 64) sorted.toSeq
+      else (0 until 64).map(i => sorted(i * (sorted.length / 64)))
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    var h = 31L * 17 + sorted.length
+    sample.foreach { f =>
+      h = 31 * h + f.##
+      try {
+        val p = new org.apache.hadoop.fs.Path(f)
+        val st = p.getFileSystem(conf).getFileStatus(p)
+        h = 31 * (31 * h + st.getLen) + st.getModificationTime
+      } catch { case _: java.io.IOException => () }
+    }
+    h
+  }
 
   /**
    * Shared signature stage: (id, sh, sig) — shingle-hash set and MinHash
@@ -101,9 +138,9 @@ object Dedup {
     // new session in the same JVM must not be served another's entry.
     // Bounded: a JVM cycling sessions would otherwise retain dead sessions
     // and their checkpointed frames forever.
-    if (signatureCache.size > 32) signatureCache.clear()
+    if (signatureCache.size > 32) clearSignatureCache()
     val key = (df.sparkSession, df.queryExecution.logical.canonicalized,
-      idCol, textCol, shingleK, numHashes, seed)
+      idCol, textCol, shingleK, numHashes, seed, inputFingerprint(df))
     signatureCache.computeIfAbsent(key, _ => {
       val sigFn = minhashSignature(numHashes, seed)
       // Repartition first: a small parquet arrives as 1-2 splits, which

@@ -12,11 +12,14 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** Per-key Bernoulli sample: keep rows of key k with probability
-   * `fractions(k)` (missing keys → 0). Deterministic for a fixed seed. */
+   * `fractions(k)` (missing keys → 0). Deterministic for a fixed seed.
+   * The key column is cast to string so the string-keyed fraction map
+   * matches non-string key columns (e.g. int source ids) instead of
+   * silently sampling nothing. */
   def stratified(
       df: DataFrame, keyCol: String,
       fractions: Map[String, Double], seed: Long = 42L): DataFrame =
-    df.stat.sampleBy(keyCol, fractions, seed)
+    df.stat.sampleBy(col(keyCol).cast("string"), fractions, seed)
 
   /**
    * Rebalance key groups toward target relative proportions by
@@ -34,11 +37,12 @@ object Sampling {
       "targets must be positive proportions")
     val total = targets.values.sum
     val norm = targets.map { case (k, v) => k -> v / total }
-    // null keys are dropped by sampleBy anyway — filter them before the
-    // driver-side toString (a null group would NPE here)
+    // null keys are dropped by sampleBy anyway; count on the same
+    // string-cast key the sampler matches against so non-string key
+    // columns can't diverge between counting and sampling
     val counts = df.filter(col(keyCol).isNotNull)
-      .groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+      .groupBy(col(keyCol).cast("string").as("k")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val present = norm.filter { case (k, _) => counts.getOrElse(k, 0L) > 0 }
     require(present.nonEmpty, "no target key present in the data")
     val feasibleTotal = present.map { case (k, t) => counts(k) / t }.min

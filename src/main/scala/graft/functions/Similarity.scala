@@ -139,8 +139,13 @@ object Similarity {
       .localCheckpoint(true) // not .persist(): columnar cache writes arrays element-wise (~20x slower)
     // init: k DISTINCT sample rows — duplicate vectors would seed duplicate
     // centroids whose higher-index cell stays empty forever (ties resolve
-    // to the lower index), silently shrinking effective k
-    var centroids = sample.distinct().limit(k).collect()
+    // to the lower index), silently shrinking effective k. Sorted by a
+    // content hash: a bare limit(k) picks whichever rows the shuffle
+    // delivers first, which shifts with partitioning/AQE — the init (and
+    // the trained centroids) must be a pure function of data+seed.
+    var centroids = sample.distinct()
+      .sort(xxhash64(col("v").cast("string")), col("v").cast("string"))
+      .limit(k).collect()
       .map(_.getSeq[Double](0).toArray)
     require(centroids.length == k,
       s"corpus sample has only ${centroids.length} rows for k=$k centroids")

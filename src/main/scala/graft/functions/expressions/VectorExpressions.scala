@@ -295,7 +295,17 @@ case class NearestCells(child: Expression,
  * 64-bit rolling polynomial document fingerprint (Rabin–Karp style, base
  * 31, FNV offset basis) over the whitespace-normalized lowercase character
  * stream — single pass, no normalized-string allocation, codegen'd.
- * Replaces a per-row Scala UDF.
+ *
+ * Normalization semantics (deliberate, pinned by ExpressionsSpec):
+ * per-char `Character.toLowerCase` (locale-INDEPENDENT — unlike
+ * `String.toLowerCase()`, which reads the JVM default locale and would
+ * fingerprint the same document differently on a tr_TR executor) and
+ * `Character.isWhitespace` (full Unicode whitespace: U+2028/U+2029 etc.,
+ * broader than regex `\s`). Consequence: 1-to-N lowercase mappings
+ * (e.g. U+0130 → "i" + combining dot) collapse to their 1-char
+ * `Character.toLowerCase` image. Content-addressed identities are stable
+ * across JVMs/locales but differ from any `String.toLowerCase`-based
+ * scheme for such code points.
  */
 case class Fingerprint64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType

@@ -628,7 +628,10 @@ object GraftSql {
           zipSpec, sideSchema(zipCols(1)))
         val out = schemaHint(stmt, m.end).map(SchemaExpr.parse)
           .getOrElse(ct.outputSchema(sideSchema(zipCols(0)), sideSchema(zipCols(1)), params))
-        return Transform.coMapZipped(d, out)((k, l, r) => ct.fn(k, l, r, params))
+        // the statement's PRESORT must actually order the zipped arrays the
+        // cotransformer iterates, not merely satisfy presort_has/is rules
+        val dSorted = Transform.presortZipped(d, spec.presort)
+        return Transform.coMapZipped(dSorted, out)((k, l, r) => ct.fn(k, l, r, params))
       }
       val t = transformers.getOrElse(name,
         throw new IllegalArgumentException(s"unknown transformer '$name'"))

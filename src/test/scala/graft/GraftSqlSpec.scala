@@ -180,6 +180,32 @@ class GraftSqlSpec extends SparkTestBase {
     assertDfEq(res.yields("out"), Seq(Seq(1, 30)))
   }
 
+  test("TRANSFORM-level PRESORT on a zipped frame orders the iterators") {
+    import graft.sql.GraftSql.{CoTransformerDef, Extensions}
+    // ZIP has no PRESORT: the arrays are in arbitrary collect_list order.
+    // The TRANSFORM statement's own PRESORT must sort them before the
+    // cotransformer runs (regression: it used to only pass validation).
+    val l = df(Seq(Seq(1, 30), Seq(1, 10), Seq(1, 20)), "k:int,v:int")
+    val r = df(Seq(Seq(1, 5), Seq(1, 1)), "k:int,v:int")
+    val exts = Extensions(cotransformers = Map("heads" -> CoTransformerDef(
+      outputSchema = (_, _, _) => graft.schema.SchemaExpr.parse("k:int,lv:int,rv:int"),
+      fn = (key, ls, rs, _) =>
+        Iterator.single(Row(key.head, ls.next().getInt(1), rs.next().getInt(1))))))
+    val res = GraftSql.runWith(engine,
+      """z = ZIP l, r BY k
+        |TRANSFORM z PRESORT v DESC USING heads
+        |YIELD AS out
+        |""".stripMargin, Map("l" -> l, "r" -> r), exts)
+    // DESC: left head = 30, right head = 5
+    assertDfEq(res.yields("out"), Seq(Seq(1, 30, 5)))
+    val resAsc = GraftSql.runWith(engine,
+      """z = ZIP l, r BY k
+        |TRANSFORM z PRESORT v ASC USING heads
+        |YIELD AS out
+        |""".stripMargin, Map("l" -> l, "r" -> r), exts)
+    assertDfEq(resAsc.yields("out"), Seq(Seq(1, 10, 1)))
+  }
+
   test("TRANSFORM with CALLBACK drains messages by end of run") {
     import graft.sql.GraftSql.Extensions
     val seen = new java.util.concurrent.atomic.AtomicLong(0)
