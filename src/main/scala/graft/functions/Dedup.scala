@@ -50,8 +50,19 @@ object Dedup {
   }
 
   /** Word k-shingles of a text column, hashed to 64-bit via xxhash64 —
-   * distinct, as an array column. Empty/short docs yield an empty array. */
-  def shingleHashes(text: Column, k: Int): Column = {
+   * distinct, as an array column. Empty/short docs yield an empty array.
+   * Native single-pass expression
+   * ([[graft.functions.expressions.ShingleHashes]]); semantics pinned to
+   * the declarative formulation ([[shingleHashesDeclarative]]) by a
+   * differential spec. */
+  def shingleHashes(text: Column, k: Int): Column =
+    graft.functions.expressions.VectorExpressions.shingleHashes(text, k)
+
+  /** The declarative (built-in-functions-only) formulation of
+   * [[shingleHashes]] — kept as the semantic reference for the
+   * differential test; ~25x slower (interpreted lambda + per-window slice
+   * copy), do not use in hot paths. */
+  private[graft] def shingleHashesDeclarative(text: Column, k: Int): Column = {
     val toks = split(trim(text), "\\s+")
     // sliding k-grams: for i in 0..n-k, hash(join(tokens[i..i+k]))
     val n = size(toks)
@@ -71,29 +82,38 @@ object Dedup {
     (c: Column) => graft.functions.expressions.VectorExpressions
       .minhashSignature(c, numHashes, seed)
 
-  /** Memo for [[minhashSignatures]]: the shingle+minhash pass is the
-   * dominant cost of the dedup family, and a pipeline (pairs → drop) or a
-   * session running several dedup flavors re-derives the identical frame.
-   * Keyed on the canonicalized logical plan + parameters + a file-level
-   * data fingerprint (path/size/mtime of the scan's input files — the
-   * canonicalized plan alone is rootPath-based, so rewriting the same path
-   * within a session would otherwise serve stale signatures). Values are
-   * eagerly localCheckpoint'd (materialized), so reuse is sound within a
-   * session. Bounded: eviction unpersists the checkpointed frames — frames
+  /** Memo for [[shingleStage]]: the shingle pass over the full corpus is
+   * the shared first stage of the whole dedup family (minhash, exact
+   * n-gram, pipelines), so it is materialized ONCE per (input plan,
+   * params) and reused. Keyed on the canonicalized logical plan +
+   * parameters + a file-level data fingerprint (path/size/mtime of the
+   * scan's input files — the canonicalized plan alone is rootPath-based,
+   * so rewriting the same path within a session would otherwise serve
+   * stale shingles). Values are eagerly localCheckpoint'd (materialized).
+   * Bounded: eviction unpersists the checkpointed frames — frames
    * returned BEFORE a clear become unusable (local checkpoints truncate
    * lineage), which is the documented contract of
    * [[clearSignatureCache]]. */
+  private val shingleCache =
+    new java.util.concurrent.ConcurrentHashMap[(Any, Any, String, String, Int, Long), DataFrame]()
+
+  /** Memo for [[minhashSignatures]] — the derived (shingle + sig) frame,
+   * NOT separately checkpointed: the signature column is a cheap native
+   * pass over the checkpointed shingle stage, and Catalyst prunes it in
+   * branches that read only (id, sh). Kept as a map so repeated calls
+   * return the identical frame (plan-reuse within one query DAG). */
   private val signatureCache =
     new java.util.concurrent.ConcurrentHashMap[(Any, Any, String, String, Int, Int, Long, Long), DataFrame]()
 
-  /** Drop all memoized signature frames and eagerly free their blocks.
-   * Frames previously returned by [[minhashSignatures]] must not be used
-   * after this call. */
+  /** Drop all memoized shingle/signature frames and eagerly free their
+   * blocks. Frames previously returned by [[shingleStage]] /
+   * [[minhashSignatures]] must not be used after this call. */
   def clearSignatureCache(): Unit = {
-    val it = signatureCache.values.iterator()
+    val it = shingleCache.values.iterator()
     while (it.hasNext) {
       org.apache.spark.sql.graftshim.ColumnBridge.unpersistCheckpointed(it.next())
     }
+    shingleCache.clear()
     signatureCache.clear()
   }
 
@@ -121,10 +141,39 @@ object Dedup {
   }
 
   /**
+   * Shared shingle stage: (id, sh) — the distinct shingle-hash set per
+   * document — materialized once per (input plan, params) and reused by
+   * every text-dedup operator in the session (minhash banding, exact
+   * n-gram, pipelines). Shingle hashes are ~8B each: at 100 TB of text
+   * this is the small frame.
+   */
+  def shingleStage(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3): DataFrame = {
+    // the session is part of the key: a cached frame is bound to its
+    // SparkSession (its localCheckpoint blocks die with the context), so a
+    // new session in the same JVM must not be served another's entry.
+    // Bounded: a JVM cycling sessions would otherwise retain dead sessions
+    // and their checkpointed frames forever.
+    if (shingleCache.size > 32) clearSignatureCache()
+    val key = (df.sparkSession, df.queryExecution.logical.canonicalized,
+      idCol, textCol, shingleK, inputFingerprint(df))
+    shingleCache.computeIfAbsent(key, _ =>
+      // Repartition first: a small parquet arrives as 1-2 splits, which
+      // would serialize the CPU-bound shingle stage on one core.
+      spreadForCompute(df)
+        .select(col(idCol).as("id"), shingleHashes(col(textCol), shingleK).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .localCheckpoint(true)) // not .persist(): the columnar cache writes array cols element-wise (~20x slower); localCheckpoint serializes rows. Tradeoff: no lineage recompute on executor loss.
+  }
+
+  /**
    * Shared signature stage: (id, sh, sig) — shingle-hash set and MinHash
-   * signature per document — materialized once per (input plan, params)
-   * and reused by every dedup operator in the session. Signatures are
-   * ~1KB/doc: at 100 TB of text this is the small frame.
+   * signature per document. Built on the checkpointed [[shingleStage]];
+   * the sig column itself is a lazy native pass (no second
+   * materialization — branches that read only (id, sh) prune it).
    */
   def minhashSignatures(
       df: DataFrame,
@@ -133,23 +182,13 @@ object Dedup {
       shingleK: Int = 3,
       numHashes: Int = 128,
       seed: Long = 42L): DataFrame = {
-    // the session is part of the key: a cached frame is bound to its
-    // SparkSession (its localCheckpoint blocks die with the context), so a
-    // new session in the same JVM must not be served another's entry.
-    // Bounded: a JVM cycling sessions would otherwise retain dead sessions
-    // and their checkpointed frames forever.
-    if (signatureCache.size > 32) clearSignatureCache()
+    if (signatureCache.size > 32) signatureCache.clear()
     val key = (df.sparkSession, df.queryExecution.logical.canonicalized,
       idCol, textCol, shingleK, numHashes, seed, inputFingerprint(df))
     signatureCache.computeIfAbsent(key, _ => {
       val sigFn = minhashSignature(numHashes, seed)
-      // Repartition first: a small parquet arrives as 1-2 splits, which
-      // would serialize the CPU-bound shingle/minhash stage on one core.
-      spreadForCompute(df)
-        .select(col(idCol).as("id"), shingleHashes(col(textCol), shingleK).as("sh"))
-        .filter(size(col("sh")) > 0)
+      shingleStage(df, idCol, textCol, shingleK)
         .withColumn("sig", sigFn(col("sh")))
-        .localCheckpoint(true) // not .persist(): the columnar cache writes array cols element-wise (~20x slower); localCheckpoint serializes rows. Tradeoff: no lineage recompute on executor loss.
     })
   }
 
@@ -281,10 +320,8 @@ object Dedup {
       shingleK: Int = 3,
       threshold: Double = 0.5,
       maxShingleDf: Int = Int.MaxValue): DataFrame = {
-    val sigs = spreadForCompute(df)
-      .select(col(idCol).as("id"), shingleHashes(col(textCol), shingleK).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .localCheckpoint(true) // not .persist(): the columnar cache writes array cols element-wise (~20x slower); localCheckpoint serializes rows. Tradeoff: no lineage recompute on executor loss.
+    // shared materialized shingle stage — reused across the dedup family
+    val sigs = shingleStage(df, idCol, textCol, shingleK)
     val sizes = sigs.select(col("id"), size(col("sh")).as("sz"))
     val inverted = sigs.select(col("id"), explode(col("sh")).as("s"))
     // df=1 shingles cannot form a pair; pruning them is exactness-

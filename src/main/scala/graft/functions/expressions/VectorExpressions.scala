@@ -205,6 +205,85 @@ case class HyperplaneKeys(child: Expression, dim: Int, nTables: Int,
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/**
+ * `shingle_hashes(text, k)` → array<long> of DISTINCT xxhash64 values of
+ * the word k-shingles of a text column (first-occurrence order) — the
+ * shared first stage of every text-dedup operator.
+ *
+ * Semantics are identical to the declarative formulation
+ * `array_distinct(transform(seq, i => xxhash64(concat_ws(" ",
+ * slice(split(trim(text), "\\s+"), i+1, k)))))` (pinned by a differential
+ * test), but computed in ONE pass per row: Catalyst evaluates lambda
+ * functions inside `transform` interpreted per element, and each `slice`
+ * copies its window — measured ~25x slower than this expression on the
+ * bench corpus. Tokenization matches Spark exactly: space-only `trim`,
+ * then Java-regex `\s+` split with limit -1; window bytes are joined with
+ * a single 0x20 and hashed with XXH64 seed 42 (Spark's `xxhash64`).
+ */
+case class ShingleHashes(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1, "shingle size k must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(ShingleHashes.compute(v.toString, k))
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object ShingleHashes {
+  private val Ws = java.util.regex.Pattern.compile("\\s+")
+
+  /** Distinct k-shingle hashes of `text`, first-occurrence order. */
+  def compute(text: String, k: Int): Array[Long] = {
+    // Spark `trim` strips 0x20 only (not \t\n — those become split tokens)
+    var from = 0
+    var to = text.length
+    while (from < to && text.charAt(from) == ' ') from += 1
+    while (to > from && text.charAt(to - 1) == ' ') to -= 1
+    val toks = Ws.split(text.substring(from, to), -1)
+    val n = toks.length
+    if (n < k) return Array.emptyLongArray
+    // UTF-8 bytes per token, once; windows share them
+    val tokBytes = new Array[Array[Byte]](n)
+    var i = 0
+    var maxWin = 0
+    while (i < n) {
+      tokBytes(i) = toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      i += 1
+    }
+    i = 0
+    while (i <= n - k) {
+      var len = k - 1
+      var j = i
+      while (j < i + k) { len += tokBytes(j).length; j += 1 }
+      if (len > maxWin) maxWin = len
+      i += 1
+    }
+    val buf = new Array[Byte](maxWin)
+    val seen = new java.util.HashSet[java.lang.Long](n * 2)
+    val out = new Array[Long](n - k + 1)
+    var m = 0
+    i = 0
+    while (i <= n - k) {
+      var pos = 0
+      var j = i
+      while (j < i + k) {
+        if (j > i) { buf(pos) = ' '; pos += 1 }
+        val tb = tokBytes(j)
+        System.arraycopy(tb, 0, buf, pos, tb.length)
+        pos += tb.length
+        j += 1
+      }
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, pos, 42L)
+      if (seen.add(h)) { out(m) = h; m += 1 }
+      i += 1
+    }
+    if (m == out.length) out else java.util.Arrays.copyOf(out, m)
+  }
+}
+
 /** 64-bit simhash from a shingle-hash array: per-bit majority vote. */
 case class SimHash64(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -351,6 +430,8 @@ object VectorExpressions {
     ColumnBridge.column(L2Normalize(ColumnBridge.expression(v)))
   def minhashSignature(sh: Column, numHashes: Int, seed: Long): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(sh), numHashes, seed))
+  def shingleHashes(text: Column, k: Int): Column =
+    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(text), k))
   def simhash64(sh: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(sh)))
   def hyperplaneKeys(v: Column, dim: Int, nTables: Int, nBits: Int, seed: Long,

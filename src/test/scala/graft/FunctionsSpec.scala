@@ -170,6 +170,26 @@ class FunctionsSpec extends SparkTestBase {
     assert(recall >= 0.9, s"recall $recall too low")
   }
 
+  test("native shingle_hashes matches the declarative formulation exactly") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a b", "a b c", "  leading and trailing  ", "", " ", "one",
+      "tab\tseparated\ttokens right here", "line\nbreaks\nin the text",
+      "multi   space   runs collapse here", "ünïcode tökens ünïcode tökens ünïcode",
+      "a a a a a a", "\tstarts with tab then words follow",
+      "ends with trailing tab\t", "a  b\t c \n d")
+    val d = df(texts.zipWithIndex.map { case (t, i) => Seq(i.toLong, t) },
+      "id:long,t:str")
+    for (k <- Seq(1, 2, 3, 5)) {
+      val native = d.select(col("id"), Dedup.shingleHashes(col("t"), k).as("sh"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val decl = d.select(col("id"), Dedup.shingleHashesDeclarative(col("t"), k).as("sh"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      // identical values AND order (first-occurrence distinct) per row
+      assert(native === decl, s"k=$k shingle mismatch")
+    }
+  }
+
   test("minhashSignatures memoizes per (plan, params) within the session") {
     Dedup.clearSignatureCache()
     val docsCached = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
