@@ -267,6 +267,53 @@ object SparkEntry {
       e.save(t(s, dir, "region"), tmp, format = "json", singleFile = true)
       e.load(tmp, format = "json", columns = Seq("r_regionkey:int", "r_name:str"))
     }),
+    "q58_orc_roundtrip" -> ((s, dir) => {
+      // ORC preserves the parquet types exactly — no cast list needed
+      val tmp = s"/root/repo/target/tmp/orc_supplier"
+      val e = eng(s)
+      e.save(t(s, dir, "supplier"), tmp, format = "orc")
+      e.load(tmp, format = "orc")
+    }),
+    // deterministic-shuffle differential: the hash order must be a
+    // permutation, identical across two independent invocations (pure
+    // function of data+seed), and decorrelated from the id order
+    "q57_shuffle_det" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val e = events(s, dir).select("event_id")
+      def pos(d: DataFrame): DataFrame = {
+        // zipWithIndex preserves the sorted order → global position
+        val rdd = d.rdd.zipWithIndex.map { case (r, i) => Row(r.getLong(0), i) }
+        s.createDataFrame(rdd, StructType(Seq(
+          StructField("event_id", LongType), StructField("p", LongType))))
+      }
+      val p1 = pos(graft.functions.Sampling.deterministicShuffle(e, Seq("event_id"), 7L))
+      val p2 = pos(graft.functions.Sampling.deterministicShuffle(e, Seq("event_id"), 7L))
+        .withColumnRenamed("p", "p2")
+      val pid = pos(e.orderBy("event_id")).withColumnRenamed("p", "pid")
+      val n = e.count()
+      val j = p1.join(p2, "event_id").join(pid, "event_id")
+      val stats = j.agg(count(lit(1)).as("n"),
+        sum(when(col("p") === col("p2"), 0L).otherwise(1L)).as("nondet"),
+        avg(when(col("p") === col("pid"), 1.0).otherwise(0.0)).as("fixed_frac"))
+      stats.select((col("n") === n && col("nondet") === 0L &&
+        col("fixed_frac") < 0.1).cast("bigint").as("shuffle_ok"))
+    }),
+    // seeded-sample differential: per-engine RNGs differ (q21 stays
+    // rows-only) but the LAWS of the sample are oracle-able — size within
+    // ±5σ of Binomial(n, frac), subset of the source, deterministic per seed
+    "q21x_sample_bounds" -> ((s, dir) => {
+      val e = events(s, dir).select("event_id")
+      val s1 = eng(s).sample(e, frac = Some(0.2), seed = Some(42L))
+      val s2 = eng(s).sample(e, frac = Some(0.2), seed = Some(42L))
+      val nTotal = e.count().toDouble
+      val n1 = s1.count().toDouble
+      val sigma = math.sqrt(nTotal * 0.2 * 0.8)
+      val boundsOk = math.abs(n1 - 0.2 * nTotal) <= 5 * sigma
+      val subsetOk = s1.join(e, Seq("event_id"), "left_anti").isEmpty
+      val detOk = graft.api.DfUtils.dfEq(s1, s2)
+      eng(s).toDF(Seq(Seq(
+        if (boundsOk && subsetOk && detOk) 1L else 0L)), "sample_ok:long")
+    }),
 
     // ---- repartitioning ----------------------------------------------
     "q29_repartition" -> ((s, dir) =>
@@ -443,6 +490,36 @@ object SparkEntry {
       TextFunctions.qualityFilter(t(s, dir, "documents"), "text",
         minTokens = 30, maxStopwordRatio = 0.4)
         .select("doc_id", "lang")),
+    // PII redaction: inject deterministic synthetic PII (the corpus has
+    // none), scrub it, and match the oracle's byte-identical RE2 rewrites
+    "t07_pii_redact" -> ((s, dir) => {
+      val injected = concat(col("text"),
+        lit(" reach user"), col("doc_id").cast("string"),
+        lit("@mail.example.com or 192.168."),
+        (col("doc_id") % 200).cast("string"),
+        lit(".7 ssn 123-45-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" card 4111 1111 1111 1111 tel 555-867-5309"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.redactPii(injected).as("redacted"))
+    }),
+    // overlapping token-window chunking (50-token chunks, 10-token overlap)
+    "t08_chunking" -> ((s, dir) =>
+      TextFunctions.chunkByTokens(t(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 50, overlapTokens = 10)),
+    // fingerprint differential: fingerprint-equality classes must coincide
+    // with normalized-text-equality classes on the (ASCII) corpus — i.e. a
+    // bijection between distinct fingerprints and distinct normalized texts
+    "t09_fingerprint_consistency" -> ((s, dir) => {
+      val g = t(s, dir, "documents")
+        .select(TextFunctions.fingerprint(col("text")).as("fp"),
+          lower(trim(regexp_replace(col("text"), "\\s+", " "))).as("nt"))
+        .distinct()
+      g.agg(countDistinct(col("fp")).as("nfp"),
+          countDistinct(col("nt")).as("nnt"), count(lit(1)).as("npair"))
+        .select((col("nfp") === col("nnt") && col("nfp") === col("npair"))
+          .cast("bigint").as("fp_ok"))
+    }),
 
     // ---- beyond-reference: multimodal plumbing ------------------------
     "m01_multimodal_decode" -> ((s, dir) => {
@@ -477,6 +554,16 @@ object SparkEntry {
         approx_count_distinct(col("user_id")).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"),
         count(lit(1)).as("n")))),
+    // sketch-error differential: the HLL estimate must be within 2×rsd
+    // (default rsd 0.05) of the exact count on every group
+    "q37x_sketch_error" -> ((s, dir) => {
+      val agg = eng(s).aggregate(events(s, dir), Seq("event_type"), Seq(
+        approx_count_distinct(col("user_id")).as("a"),
+        countDistinct(col("user_id")).as("x")))
+      agg.agg(max(abs(col("a") - col("x")).cast("double") /
+          col("x").cast("double")).as("err"))
+        .select((col("err") <= 0.10).cast("bigint").as("sketch_ok"))
+    }),
 
     // ---- streaming (bounded AvailableNow run, oracle-checked) ----------
     "q50_stream_window" -> ((s, dir) => {
@@ -994,6 +1081,37 @@ object SparkEntry {
     "s03_knn_lsh_recall" ->
       """SELECT CAST(5 * COUNT(*) AS BIGINT) AS n_exact, CAST(1 AS BIGINT) AS recall_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    "q58_orc_roundtrip" -> "SELECT * FROM supplier",
+    "q57_shuffle_det" -> "SELECT CAST(1 AS BIGINT) AS shuffle_ok",
+    "q21x_sample_bounds" -> "SELECT CAST(1 AS BIGINT) AS sample_ok",
+    "q37x_sketch_error" -> "SELECT CAST(1 AS BIGINT) AS sketch_ok",
+    "t09_fingerprint_consistency" -> "SELECT CAST(1 AS BIGINT) AS fp_ok",
+    // the oracle applies the SAME patterns (generated from PiiPatterns —
+    // RE2-safe by construction) to the same injected text
+    "t07_pii_redact" -> {
+      val injected = "concat(text, ' reach user', CAST(doc_id AS VARCHAR)," +
+        " '@mail.example.com or 192.168.', CAST(doc_id % 200 AS VARCHAR)," +
+        " '.7 ssn 123-45-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')," +
+        " ' card 4111 1111 1111 1111 tel 555-867-5309')"
+      val redacted = TextFunctions.PiiPatterns.foldLeft(injected) {
+        case (e, (re, repl)) => s"regexp_replace($e, '$re', '$repl', 'g')"
+      }
+      s"SELECT doc_id, $redacted AS redacted FROM documents"
+    },
+    "t08_chunking" ->
+      """WITH t AS (
+        | SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        | FROM documents WHERE length(trim(text)) > 0),
+        |c AS (
+        | SELECT doc_id, w,
+        |  greatest(1, CAST(ceil((len(w) - 10) / 40.0) AS INT)) AS m
+        | FROM t),
+        |j AS (
+        | SELECT doc_id, w, unnest(generate_series(0, m - 1)) AS cid FROM c)
+        |SELECT doc_id, CAST(cid AS INTEGER) AS chunk_id,
+        | array_to_string(w[cid*40+1 : cid*40+50], ' ') AS chunk_text,
+        | CAST(len(w[cid*40+1 : cid*40+50]) AS INTEGER) AS n_tokens
+        |FROM j""".stripMargin,
     "q32_rollup" -> SqlRollup,
     "q33_running_window" -> SqlRunning,
     "q34_exists_subquery" -> SqlExists,

@@ -51,4 +51,19 @@ object Sampling {
     }
     stratified(df, keyCol, fractions, seed)
   }
+
+  /**
+   * Deterministic global shuffle: reorder rows by a seeded hash of the key
+   * columns — the standard "shuffle the training set" step, reproducible
+   * across runs and cluster sizes (the order is a pure function of data +
+   * seed, unlike `orderBy(rand(seed))`, whose rand values depend on
+   * partition layout). One range-partitioned sort; ties (duplicate keys)
+   * break on the key columns themselves, keeping the order total.
+   */
+  def deterministicShuffle(
+      df: DataFrame, keyCols: Seq[String], seed: Long = 42L): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val h = xxhash64((keyCols.map(col) :+ lit(seed)): _*)
+    df.orderBy((h +: keyCols.map(col)): _*)
+  }
 }

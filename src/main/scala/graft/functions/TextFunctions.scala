@@ -147,6 +147,70 @@ object TextFunctions {
     }
   }
 
+  /**
+   * PII redaction patterns: (regex, replacement), applied in order. The
+   * regexes deliberately use only syntax shared by Java regex and RE2
+   * (DuckDB) — no lookarounds, no backrefs — so a SQL oracle can apply
+   * byte-identical rewrites. Order matters where patterns could overlap
+   * (credit-card before phone before IP; SSN's 3-2-4 shape is disjoint
+   * from phone's 3-3-4).
+   */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}\\b" -> "<CC>",
+    "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b" -> "<SSN>",
+    "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b" -> "<PHONE>",
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b" -> "<IP>",
+  )
+
+  /** Redact common PII (emails, credit cards, SSNs, phone numbers, IPv4
+   * addresses) with typed placeholders — the standard scrub pass of a
+   * training-data pipeline. A chain of codegen'd `regexp_replace`s; one
+   * scan, no UDF. */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (re, repl)) =>
+      regexp_replace(c, re, repl)
+    }
+
+  /** Count of PII matches per class, as (name, count) columns — audit
+   * metrics for a redaction pass. */
+  def piiCounts(text: Column): Seq[(String, Column)] =
+    PiiPatterns.map { case (re, repl) =>
+      val name = repl.stripPrefix("<").stripSuffix(">").toLowerCase
+      s"n_$name" -> size(regexp_extract_all(text, lit(re), lit(0)))
+    }
+
+  /**
+   * Split documents into overlapping token-window chunks — the context-
+   * window preprocessing step of a training pipeline. Output: one row per
+   * chunk with (idCol, chunk_id, chunk_text, n_tokens); blank documents
+   * produce no rows. Chunk j covers tokens [j·stride, j·stride + chunk)
+   * where stride = chunk − overlap; the last chunk may be shorter. Pure
+   * narrow ops (split + sequence + transform + posexplode): no shuffle,
+   * fully parallel, output rows ≈ n/stride per doc regardless of corpus
+   * size.
+   */
+  def chunkByTokens(
+      df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlapTokens: Int = 0): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      "overlap must be in [0, chunkTokens)")
+    val stride = chunkTokens - overlapTokens
+    val toks = split(trim(col(textCol)), "\\s+")
+    val n = size(toks)
+    // number of stride-aligned windows covering all n tokens (≥1 for short docs)
+    val nChunks = greatest(lit(1),
+      ceil((n - lit(overlapTokens)).cast("double") / stride).cast("int"))
+    df.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), toks.as("__toks"), nChunks.as("__m"))
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), col("__m") - 1),
+        j => concat_ws(" ", slice(col("__toks"), j * stride + 1, lit(chunkTokens)))))
+        .as(Seq("chunk_id", "chunk_text")))
+      .withColumn("n_tokens", size(split(col("chunk_text"), "\\s+")))
+  }
+
   /** Quality filter composing [[qualityMetrics]]: keep documents within
    * the given bounds (the curation filter of a training-data pipeline). */
   def qualityFilter(

@@ -297,6 +297,63 @@ class FunctionsSpec extends SparkTestBase {
     assert(Fingerprint64.hash("  hello  ") === Fingerprint64.hash("hello"))
   }
 
+  test("redactPii scrubs emails, cards, SSNs, phones and IPs") {
+    val d = df(Seq(
+      Seq(1L, "write to alice.smith+dev@corp.example.org today"),
+      Seq(2L, "card 4111 1111 1111 1111 expires soon"),
+      Seq(3L, "ssn 123-45-6789 phone 555-867-5309 ip 10.0.0.1"),
+      Seq(4L, "no pii here, just 42 and 3.14 and v1.2.3.4.5")),
+      "id:long,t:str")
+    val out = d.select(col("id"), TextFunctions.redactPii(col("t")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "write to <EMAIL> today")
+    assert(out(2L) === "card <CC> expires soon")
+    assert(out(3L) === "ssn <SSN> phone <PHONE> ip <IP>")
+    // v1.2.3.4.5: no \b between 'v' and '1', so the match starts at '2'
+    // and takes four octet groups — acceptable over-redaction, pinned
+    assert(out(4L) === "no pii here, just 42 and 3.14 and v1.<IP>")
+    val counts = d.select(
+      TextFunctions.piiCounts(col("t")).map { case (n, c) => c.as(n) }: _*)
+      .agg(sum(col("n_email")), sum(col("n_cc")), sum(col("n_ssn")),
+        sum(col("n_phone")), sum(col("n_ip"))).collect()(0)
+    assert((0 to 2).map(counts.getLong) === Seq(1L, 1L, 1L))
+  }
+
+  test("chunkByTokens: overlapping windows, short docs, blank docs") {
+    val d = df(Seq(
+      Seq(1L, "a b c d e f g"), // 7 tokens
+      Seq(2L, "x y"),           // shorter than one chunk
+      Seq(3L, "   ")),          // blank: no chunks
+      "id:long,t:str")
+    val out = TextFunctions.chunkByTokens(d, "id", "t", chunkTokens = 3,
+      overlapTokens = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+      .sortBy(r => (r._1, r._2))
+    // stride 2: chunks at tokens 1-3, 3-5, 5-7
+    assert(out === Seq(
+      (1L, 0, "a b c", 3), (1L, 1, "c d e", 3), (1L, 2, "e f g", 3),
+      (2L, 0, "x y", 2)))
+    // zero overlap: disjoint cover
+    val noOv = TextFunctions.chunkByTokens(d.filter(col("id") === 1), "id", "t",
+      chunkTokens = 3).collect().map(_.getString(2)).sorted
+    assert(noOv === Seq("a b c", "d e f", "g"))
+  }
+
+  test("deterministicShuffle is a reproducible permutation decorrelated from id order") {
+    import graft.functions.Sampling
+    val d = df((1 to 500).map(i => Seq(i.toLong)), "id:long")
+    val a = Sampling.deterministicShuffle(d, Seq("id"), seed = 7L)
+      .collect().map(_.getLong(0))
+    val b = Sampling.deterministicShuffle(d, Seq("id"), seed = 7L)
+      .collect().map(_.getLong(0))
+    assert(a.toSeq === b.toSeq, "same seed must reproduce the exact order")
+    assert(a.sorted.toSeq === (1L to 500L), "must be a permutation")
+    assert(a.toSeq !== (1L to 500L), "must not be the identity order")
+    val c = Sampling.deterministicShuffle(d, Seq("id"), seed = 8L)
+      .collect().map(_.getLong(0))
+    assert(a.toSeq !== c.toSeq, "different seed must give a different order")
+  }
+
   test("multimodal decode stub is deterministic; frame sampling shapes") {
     val d = df(Seq(Seq(1L, "abcdef"), Seq(2L, "")), "doc_id:long,t:str")
       .select(col("doc_id"), encode(col("t"), "UTF-8").as("p"))
