@@ -586,6 +586,25 @@ object SparkEntry {
         col("event_type"), col("n"), col("total"))
     }),
 
+    // stream-static enrichment join: events stream vs a broadcast dimension
+    "q59_stream_static_join" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val batchSchema = t(s, dir, "events").schema
+      val stream = graft.streaming.Streaming
+        .loadStream(s, dir, batchSchema,
+          options = Map("pathGlobFilter" -> "events.parquet"))
+      val dim = eng(s).toDF(Seq(
+        Seq("click", "engagement"), Seq("view", "engagement"),
+        Seq("purchase", "revenue"), Seq("error", "ops")),
+        "event_type:str,category:str")
+      val joined = graft.streaming.Streaming
+        .enrichWithStatic(stream, dim, Seq("event_type"), "left")
+        .select("event_id", "event_type", "category")
+      val name = "graft_q59_" + java.util.UUID.randomUUID().toString.take(8)
+      graft.streaming.Streaming.runToMemory(joined, name)
+      s.table(name)
+    }),
+
     // SQL-function registry differential: every injected function must
     // agree with its API-level expression on real data
     "q51_sql_functions" -> ((s, dir) => {
@@ -1082,6 +1101,12 @@ object SparkEntry {
       """SELECT CAST(5 * COUNT(*) AS BIGINT) AS n_exact, CAST(1 AS BIGINT) AS recall_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
     "q58_orc_roundtrip" -> "SELECT * FROM supplier",
+    "q59_stream_static_join" ->
+      """SELECT e.event_id, e.event_type, d.category
+        |FROM events e LEFT JOIN (VALUES
+        |  ('click', 'engagement'), ('view', 'engagement'),
+        |  ('purchase', 'revenue'), ('error', 'ops')) AS d(event_type, category)
+        |ON e.event_type = d.event_type""".stripMargin,
     "q57_shuffle_det" -> "SELECT CAST(1 AS BIGINT) AS shuffle_ok",
     "q21x_sample_bounds" -> "SELECT CAST(1 AS BIGINT) AS sample_ok",
     "q37x_sketch_error" -> "SELECT CAST(1 AS BIGINT) AS sketch_ok",

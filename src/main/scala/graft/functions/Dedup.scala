@@ -349,15 +349,54 @@ object Dedup {
 
   /**
    * Remove near-duplicates given a candidate pair list: connected
-   * components over the pair graph via iterative min-id propagation
-   * (converges in O(log(component diameter)) joins — near-dup components
-   * are tiny in practice, so 2-3 rounds), then keep only each component's
-   * minimum id. Exact and deterministic; no driver-side union-find, so it
-   * scales to billions of pairs.
+   * components over the pair graph, then keep only each component's
+   * minimum id. Exact and deterministic.
+   *
+   * Adaptive execution: the pair graph is bounded by the duplicates FOUND
+   * — tiny relative to the corpus at any scale (a 100 TB corpus with 1%
+   * near-dups has ~1e9 docs but the pair list fits the driver until
+   * `driverMaxEdges`). Up to that bound, a single limit-collect + driver
+   * union-find + broadcast anti-join resolves components in ONE pass of
+   * the pairs frame instead of an iterative join loop (each distributed
+   * round costs a checkpoint + convergence job — pure overhead on small
+   * graphs). Beyond the bound, distributed min-label propagation runs:
+   * O(log(component diameter)) join rounds, no driver state, scales to
+   * billions of pairs.
    */
   def dropNearDuplicates(
       df: DataFrame, idCol: String, pairs: DataFrame,
-      maxIterations: Int = 20): DataFrame = {
+      maxIterations: Int = 20, driverMaxEdges: Int = 1 << 20): DataFrame = {
+    val probe =
+      if (driverMaxEdges <= 0) Array.empty[org.apache.spark.sql.Row]
+      else pairs.select(col("id_a"), col("id_b"))
+        .limit(driverMaxEdges + 1).collect()
+    if (driverMaxEdges > 0 && probe.length <= driverMaxEdges) {
+      if (probe.isEmpty) return df
+      // union-find with min-id roots (ids are orderable: numeric or string)
+      val parent = new java.util.HashMap[Any, Any]()
+      def find(x: Any): Any = {
+        var r = x
+        var p = parent.getOrDefault(r, r)
+        while (p != r) { r = p; p = parent.getOrDefault(r, r) }
+        var c = x // path compression
+        while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      def lt(a: Any, b: Any): Boolean =
+        a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+      probe.foreach { r =>
+        val ra = find(r.get(0))
+        val rb = find(r.get(1))
+        if (ra != rb) {
+          if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      val losers = parent.keySet().toArray.filter(k => find(k) != k)
+      val schema = org.apache.spark.sql.types.StructType(Seq(df.schema(idCol)))
+      val loserDf = df.sparkSession.createDataFrame(
+        java.util.Arrays.asList(losers.map(org.apache.spark.sql.Row(_)): _*), schema)
+      return df.join(broadcast(loserDf), Seq(idCol), "left_anti")
+    }
     // label(u) = min id known reachable from u; relax over edges until fixed
     // point (≤ component diameter iterations — near-dup components are tiny)
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))

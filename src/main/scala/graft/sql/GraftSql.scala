@@ -74,6 +74,14 @@ object GraftSql {
   final case class CreatorDef(
       fn: (GraftEngine, Map[String, String]) => DataFrame)
 
+  /** A reusable sub-pipeline invoked by `SUB [dfs] USING module [(params)]`
+   * (reference module invocation, _visitors.py:697-726): receives the
+   * engine and the referenced dataframes (or the previous statement's
+   * result), may return a dataframe (becoming the statement output) or
+   * None (side-effect-only module). */
+  final case class ModuleDef(
+      fn: (GraftEngine, Seq[DataFrame], Map[String, String]) => Option[DataFrame])
+
   /** Extension registry passed to [[run]]. `callbacks` are driver-side
    * handlers for the TRANSFORM/OUTTRANSFORM `CALLBACK name` clause
    * (reference `CALLBACK f`, _visitors.py:428-477): executor-side posts go
@@ -85,7 +93,8 @@ object GraftSql {
       processors: Map[String, ProcessorDef] = Map.empty,
       outputters: Map[String, OutputterDef] = Map.empty,
       creators: Map[String, CreatorDef] = Map.empty,
-      callbacks: Map[String, (String, String) => Unit] = Map.empty)
+      callbacks: Map[String, (String, String) => Unit] = Map.empty,
+      modules: Map[String, ModuleDef] = Map.empty)
 
   final case class Result(last: Option[DataFrame], yields: Map[String, DataFrame])
 
@@ -135,7 +144,7 @@ object GraftSql {
 
   private val KeywordStart =
     ("^(?i)(LOAD|SAVE|SELECT|WITH|CREATE|ZIP|TAKE|SAMPLE|DROPNA|FILLNA|RENAME|ALTER|DROP|" +
-      "DISTINCT|TRANSFORM|COTRANSFORM|OUTTRANSFORM|PROCESS|OUTPUT|PRINT|PERSIST|BROADCAST|" +
+      "DISTINCT|TRANSFORM|COTRANSFORM|OUTTRANSFORM|PROCESS|SUB|OUTPUT|PRINT|PERSIST|BROADCAST|" +
       "WEAK|STRONG|DETERMINISTIC|CHECKPOINT|YIELD)\\b").r
   private val Assign = "^\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*:?=\\s*(.*)$".r
 
@@ -330,6 +339,7 @@ object GraftSql {
         case "OUTTRANSFORM" => execOutTransform(stmt); None
         case "COTRANSFORM" => Some(execCoTransform(stmt))
         case "PROCESS" => Some(execProcess(stmt))
+        case "SUB" => execSub(stmt)
         case "OUTPUT" => execOutput(stmt); None
         case "PRINT" => execPrint(stmt); None
         case "PERSIST" => Some(engine.persist(ref(wordAfter(stmt, 1))))
@@ -725,6 +735,13 @@ object GraftSql {
       val p = extensions.processors.getOrElse(name,
         throw new IllegalArgumentException(s"unknown processor '$name'"))
       p.fn(engine, dfRefList(stmt, m.start), params)
+    }
+
+    private def execSub(stmt: String): Option[DataFrame] = {
+      val (name, params, m) = usingClause(stmt)
+      val md = extensions.modules.getOrElse(name,
+        throw new IllegalArgumentException(s"unknown module '$name'"))
+      md.fn(engine, dfRefList(stmt, m.start), params)
     }
 
     private def execOutput(stmt: String): Unit = {

@@ -83,6 +83,35 @@ object Streaming {
     }
   }
 
+  /** Stream-static enrichment join: each micro-batch joins against the
+   * (batch) dimension frame — the streaming analog of a dimension lookup.
+   * Spark supports inner and left-outer stream-static joins natively; the
+   * static side should be broadcast-sized (a dimension), which Catalyst
+   * handles per micro-batch — no stream-side state is kept. */
+  def enrichWithStatic(
+      stream: DataFrame, static: DataFrame,
+      keys: Seq[String], how: String = "left"): DataFrame = {
+    require(stream.isStreaming, "left side must be a streaming frame")
+    require(!static.isStreaming, "right side must be a static frame")
+    require(Set("inner", "left", "left_outer").contains(how),
+      s"stream-static join supports inner/left, got '$how'")
+    stream.join(broadcast(static), keys, how)
+  }
+
+  /** `foreachBatch` sink: apply an arbitrary batch-mode action to each
+   * micro-batch (the escape hatch for sinks Structured Streaming lacks —
+   * upserts, multi-table writes). Synchronous AvailableNow trigger. */
+  def foreachBatchSink(df: DataFrame, checkpoint: String)(
+      f: (DataFrame, Long) => Unit): StreamingQuery = {
+    val q = df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(f)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Drive a streaming frame into an in-memory table synchronously (test /
    * bounded-input path): processes all available input then stops. */
   def runToMemory(df: DataFrame, name: String,

@@ -148,6 +148,31 @@ class ExtrasSpec extends SparkTestBase {
     assert(got === Set(("u1", 3L), ("u2", 7L)))
   }
 
+  test("streaming: stream-static enrichment join and foreachBatch sink") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_stream3").toString
+    val batch = df(Seq(
+      Seq(1L, "click"), Seq(2L, "view"), Seq(3L, "unknown_type")),
+      "id:long,etype:str")
+    batch.write.mode("overwrite").parquet(s"$dir/in")
+    val dim = df(Seq(Seq("click", "engagement"), Seq("view", "engagement")),
+      "etype:str,category:str")
+    val stream = Streaming.loadStream(spark, s"$dir/in", batch.schema)
+    val joined = Streaming.enrichWithStatic(stream, dim, Seq("etype"), "left")
+      .select("id", "etype", "category")
+    Streaming.runToMemory(joined, "enrich_out")
+    val got = spark.table("enrich_out").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got === Set((1L, "click", "engagement"), (2L, "view", "engagement"),
+      (3L, "unknown_type", null)))
+    // foreachBatch: arbitrary batch action per micro-batch
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    Streaming.foreachBatchSink(stream, s"$dir/ckpt") { (b, _) =>
+      seen.addAndGet(b.count())
+    }
+    assert(seen.get() === 3L)
+  }
+
   test("conform: reorder, cast, NaN->null for fractional->int") {
     val d = df(Seq(Seq(1.5, "7"), Seq(Double.NaN, "8")), "a:double,b:str")
     val out = engine.conform(d, "b:int,a:long")
@@ -165,5 +190,11 @@ class ExtrasSpec extends SparkTestBase {
     val kept = Dedup.dropNearDuplicates(docs, "doc_id", pairs)
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(kept === Seq(1L, 3L, 6L))
+    // distributed min-label path (driverMaxEdges=0 disables the driver
+    // union-find) must agree exactly
+    val keptDist = Dedup.dropNearDuplicates(docs, "doc_id", pairs,
+      driverMaxEdges = 0)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(keptDist === kept)
   }
 }

@@ -206,6 +206,32 @@ class GraftSqlSpec extends SparkTestBase {
     assertDfEq(resAsc.yields("out"), Seq(Seq(1, 10, 1)))
   }
 
+  test("SUB USING module invokes a registered sub-pipeline") {
+    import graft.sql.GraftSql.{Extensions, ModuleDef}
+    val d = df(Seq(Seq(1, 30), Seq(2, 10), Seq(3, 20)), "k:int,v:int")
+    val sideEffect = new java.util.concurrent.atomic.AtomicLong(0)
+    val exts = Extensions(modules = Map(
+      "topv" -> ModuleDef((eng, dfs, params) => {
+        val n = params.getOrElse("n", "1").toInt
+        Some(eng.take(dfs.head, n, graft.PartitionSpec(presort = Seq("v" -> false))))
+      }),
+      "audit" -> ModuleDef((_, dfs, _) => {
+        sideEffect.set(dfs.head.count()); None
+      })))
+    // explicit df ref + params; result becomes the statement output
+    val res = GraftSql.runWith(engine,
+      """SUB d USING topv(n:2)
+        |YIELD AS out
+        |""".stripMargin, Map("d" -> d), exts)
+    assertDfEq(res.yields("out"), Seq(Seq(1, 30), Seq(3, 20)))
+    // implicit previous-df input + side-effect-only module (returns None)
+    GraftSql.runWith(engine,
+      """SELECT * FROM d WHERE v > 15
+        |SUB USING audit
+        |""".stripMargin, Map("d" -> d), exts)
+    assert(sideEffect.get() === 2L)
+  }
+
   test("TRANSFORM with CALLBACK drains messages by end of run") {
     import graft.sql.GraftSql.Extensions
     val seen = new java.util.concurrent.atomic.AtomicLong(0)
