@@ -97,6 +97,67 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("native shingle hashes match the declarative formulation on random whitespace-heavy text (3 seeds)") {
+    val wsChars = Array(' ', '\t', '\n', '\u000B', '\f', '\r')
+    val words = Array("alpha", "beta", "Gamma", "DELTA", "e", "f1", "42", "x-y", "ü")
+    for (seed <- Seq(3L, 11L, 29L)) {
+      val rnd = new Random(seed)
+      val texts = (1 to 60).map { i =>
+        val n = rnd.nextInt(12)
+        val sb = new StringBuilder
+        if (rnd.nextBoolean()) sb ++= wsChars(rnd.nextInt(wsChars.length)).toString
+        (1 to n).foreach { _ =>
+          sb ++= words(rnd.nextInt(words.length))
+          (0 to rnd.nextInt(2)).foreach(_ =>
+            sb ++= wsChars(rnd.nextInt(wsChars.length)).toString)
+        }
+        Seq(i.toLong, sb.toString)
+      }
+      val d = df(texts, "id:long,t:str")
+      for (k <- Seq(1, 2, 3)) {
+        val native = d.select(col("id"), Dedup.shingleHashes(col("t"), k).as("sh"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+        val decl = d.select(col("id"), Dedup.shingleHashesDeclarative(col("t"), k).as("sh"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+        assert(native === decl, s"seed=$seed k=$k")
+      }
+    }
+  }
+
+  test("chunkByTokens covers every token with correct overlap (3 seeds)") {
+    import graft.functions.TextFunctions
+    for (seed <- Seq(5L, 13L, 31L)) {
+      val rnd = new Random(seed)
+      val texts = (1 to 40).map { i =>
+        Seq(i.toLong, (1 to (1 + rnd.nextInt(30))).map(j => s"w$j").mkString(" "))
+      }
+      val d = df(texts, "id:long,t:str")
+      val chunk = 2 + rnd.nextInt(6)
+      val overlap = rnd.nextInt(chunk)
+      val stride = chunk - overlap
+      val got = TextFunctions.chunkByTokens(d, "id", "t", chunk, overlap)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+        .groupBy(_._1).map { case (id, rows) =>
+          id -> rows.sortBy(_._2).map(_._3).toSeq }
+      texts.foreach { case Seq(id: Long, t: String) =>
+        val toks = t.split(" ").toSeq
+        val chunks = got(id)
+        // reconstruction: chunk j must be exactly tokens [j*stride, j*stride+chunk)
+        chunks.zipWithIndex.foreach { case (c, j) =>
+          assert(c === toks.slice(j * stride, j * stride + chunk).mkString(" "),
+            s"seed=$seed id=$id chunk=$j (chunk=$chunk overlap=$overlap)")
+        }
+        // coverage: the last chunk must reach the final token
+        assert((chunks.length - 1) * stride + chunk >= toks.length,
+          s"seed=$seed id=$id: tokens uncovered")
+        // no superfluous trailing chunk (previous chunks didn't already cover)
+        if (chunks.length > 1)
+          assert((chunks.length - 2) * stride + chunk < toks.length,
+            s"seed=$seed id=$id: redundant trailing chunk")
+      }
+    }
+  }
+
   test("ngramJaccardPairs threshold boundary on crafted near-boundary pairs") {
     // jaccard exactly 0.5: |A∩B|=2, |A|=|B|=3 → 2/(3+3-2)=0.5 (inclusive)
     val a = "w1 w2 w3 w4 w5" // shingles: (w1 w2 w3)(w2 w3 w4)(w3 w4 w5)
