@@ -507,6 +507,20 @@ object SparkEntry {
     "t08_chunking" -> ((s, dir) =>
       TextFunctions.chunkByTokens(t(s, dir, "documents"), "doc_id", "text",
         chunkTokens = 50, overlapTokens = 10)),
+    // repetition quality signal: duplicate-3-gram fraction per document
+    "t10_repetition" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.repetitionRatio(col("text"), k = 3).as("rep_ratio"))),
+    // benchmark decontamination: 5-gram overlap of every document with the
+    // "eval set" (docs 0-19), exact scores vs the DuckDB list-ops oracle
+    "t11_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val evalSet = docs.filter(col("doc_id") < 20)
+      Dedup.contaminationScores(docs, "doc_id", "text", evalSet, "text",
+        shingleK = 5)
+        .select(col("id").as("doc_id"), col("n_shingles"), col("n_matched"),
+          col("contamination"))
+    }),
     // fingerprint differential: fingerprint-equality classes must coincide
     // with normalized-text-equality classes on the (ASCII) corpus — i.e. a
     // bijection between distinct fingerprints and distinct normalized texts
@@ -1137,6 +1151,27 @@ object SparkEntry {
         | array_to_string(w[cid*40+1 : cid*40+50], ' ') AS chunk_text,
         | CAST(len(w[cid*40+1 : cid*40+50]) AS INTEGER) AS n_tokens
         |FROM j""".stripMargin,
+    "t10_repetition" ->
+      """WITH toks AS (
+        | SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS w FROM documents)
+        |SELECT doc_id,
+        | CASE WHEN len(w) >= 3 AND length(trim(text)) > 0
+        |   THEN 1.0 - CAST(len(list_distinct(list_transform(range(1, len(w)-1),
+        |     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS DOUBLE) / (len(w)-2)
+        |   ELSE 0.0 END AS rep_ratio
+        |FROM toks""".stripMargin,
+    "t11_decontaminate" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |sh AS (
+        | SELECT doc_id, list_distinct(list_transform(range(1, len(w)-3),
+        |   i -> array_to_string(w[i:i+4], ' '))) AS s
+        | FROM toks WHERE len(w) >= 5),
+        |ev AS (SELECT list_distinct(flatten(list(s))) AS es FROM sh WHERE doc_id < 20)
+        |SELECT doc_id, CAST(len(s) AS INTEGER) AS n_shingles,
+        | CAST(len(list_intersect(s, es)) AS BIGINT) AS n_matched,
+        | CAST(len(list_intersect(s, es)) AS DOUBLE) / len(s) AS contamination
+        |FROM sh, ev""".stripMargin,
     "q32_rollup" -> SqlRollup,
     "q33_running_window" -> SqlRunning,
     "q34_exists_subquery" -> SqlExists,

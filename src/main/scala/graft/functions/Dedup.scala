@@ -434,6 +434,48 @@ object Dedup {
   }
 
   /**
+   * Benchmark-decontamination scores: for each document, the fraction of
+   * its word k-grams that appear anywhere in the evaluation set — the
+   * standard "is this training doc contaminated with eval data" check.
+   * Output: (id, n_shingles, n_matched, contamination ∈ [0,1]).
+   *
+   * Scale: the eval shingle set is small (eval sets ≪ corpus always), so
+   * the semi-join broadcasts; the corpus side is one narrow
+   * explode + per-id count — the corpus is scanned once and only
+   * (id, matched-shingle) pairs shuffle. Uses the shared [[shingleStage]],
+   * so a session that also deduplicates reuses the materialized shingles.
+   */
+  def contaminationScores(
+      df: DataFrame, idCol: String, textCol: String,
+      evalDf: DataFrame, evalTextCol: String,
+      shingleK: Int = 5): DataFrame = {
+    val docSh = shingleStage(df, idCol, textCol, shingleK)
+    val evalSh = evalDf
+      .select(explode(shingleHashes(col(evalTextCol), shingleK)).as("s"))
+      .distinct()
+    val matched = docSh.select(col("id"), explode(col("sh")).as("s"))
+      .join(evalSh, Seq("s"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_matched"))
+    docSh.select(col("id"), size(col("sh")).as("n_shingles"))
+      .join(matched, Seq("id"), "left")
+      .withColumn("n_matched", coalesce(col("n_matched"), lit(0L)))
+      .withColumn("contamination",
+        col("n_matched").cast("double") / col("n_shingles").cast("double"))
+  }
+
+  /** Drop documents whose eval-set k-gram overlap is at or above
+   * `threshold` (see [[contaminationScores]]). */
+  def decontaminate(
+      df: DataFrame, idCol: String, textCol: String,
+      evalDf: DataFrame, evalTextCol: String,
+      shingleK: Int = 5, threshold: Double = 0.5): DataFrame = {
+    val bad = contaminationScores(df, idCol, textCol, evalDf, evalTextCol, shingleK)
+      .filter(col("contamination") >= threshold)
+      .select(col("id").as(idCol))
+    df.join(bad, Seq(idCol), "left_anti")
+  }
+
+  /**
    * Embedding-cosine near-duplicate pairs. Small/medium corpora: exact
    * all-pairs via a block-nested join. At scale prefer
    * [[Similarity.lshCosinePairs]] (random-hyperplane bucketing) — this exact

@@ -211,6 +211,21 @@ object TextFunctions {
       .withColumn("n_tokens", size(split(col("chunk_text"), "\\s+")))
   }
 
+  /**
+   * Duplicate-k-gram fraction: 1 − distinct/total word k-grams (0 for
+   * docs shorter than k tokens) — the repetition quality signal (a doc
+   * that repeats its own phrasing scores high). Pure native expressions:
+   * distinct count from the single-pass shingle stage, total from the
+   * token count.
+   */
+  def repetitionRatio(text: Column, k: Int = 3): Column = {
+    val total = greatest(tokenCount(text) - (k - 1), lit(0))
+    val distinctK = size(graft.functions.Dedup.shingleHashes(text, k))
+    when(total > 0,
+      lit(1.0) - distinctK.cast("double") / total.cast("double"))
+      .otherwise(lit(0.0))
+  }
+
   /** Quality filter composing [[qualityMetrics]]: keep documents within
    * the given bounds (the curation filter of a training-data pipeline). */
   def qualityFilter(

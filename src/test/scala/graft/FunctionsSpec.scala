@@ -354,6 +354,46 @@ class FunctionsSpec extends SparkTestBase {
     assert(a.toSeq !== c.toSeq, "different seed must give a different order")
   }
 
+  test("repetitionRatio measures duplicate k-gram fraction") {
+    val d = df(Seq(
+      Seq(1L, "a b c a b c a b c a b"),  // highly repetitive
+      Seq(2L, "one two three four five"), // all distinct
+      Seq(3L, "x y"),                     // shorter than k
+      Seq(4L, "")),                       // blank
+      "id:long,t:str")
+    val out = d.select(col("id"),
+      TextFunctions.repetitionRatio(col("t"), 3).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // doc 1: 9 total 3-grams, distinct {abc, bca, cab, bcb?}: tokens
+    // a b c a b c a b c a b → windows: abc bca cab abc bca cab abc bca cab
+    // wait: 11 tokens → 9 windows, distinct = {abc, bca, cab} = 3 → 1-3/9
+    assert(math.abs(out(1L) - (1.0 - 3.0 / 9.0)) < 1e-12)
+    assert(out(2L) === 0.0)
+    assert(out(3L) === 0.0)
+    assert(out(4L) === 0.0)
+  }
+
+  test("contaminationScores and decontaminate flag eval-set overlap") {
+    val corpus = df(Seq(
+      Seq(1L, "the quick brown fox jumps over the lazy dog"),
+      Seq(2L, "a completely different document with other words entirely"),
+      Seq(3L, "the quick brown fox jumps somewhere else today ok")),
+      "doc_id:long,text:str")
+    val evalSet = df(Seq(
+      Seq(100L, "the quick brown fox jumps over a fence")),
+      "doc_id:long,text:str")
+    val scores = Dedup.contaminationScores(corpus, "doc_id", "text",
+      evalSet, "text", shingleK = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(scores(1L) > 0.3, s"doc 1 shares a long prefix: ${scores(1L)}")
+    assert(scores(2L) === 0.0)
+    assert(scores(3L) > 0.0 && scores(3L) < scores(1L))
+    val kept = Dedup.decontaminate(corpus, "doc_id", "text", evalSet, "text",
+      shingleK = 5, threshold = 0.3)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === Seq(2L, 3L))
+  }
+
   test("multimodal decode stub is deterministic; frame sampling shapes") {
     val d = df(Seq(Seq(1L, "abcdef"), Seq(2L, "")), "doc_id:long,t:str")
       .select(col("doc_id"), encode(col("t"), "UTF-8").as("p"))
