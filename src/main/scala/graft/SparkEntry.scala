@@ -507,6 +507,18 @@ object SparkEntry {
     "t08_chunking" -> ((s, dir) =>
       TextFunctions.chunkByTokens(t(s, dir, "documents"), "doc_id", "text",
         chunkTokens = 50, overlapTokens = 10)),
+    // connected-components differential: the driver union-find fast path
+    // and the distributed min-label loop must keep the identical id set
+    "d10_cc_paths_agree" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      val a = Dedup.dropNearDuplicates(docs, "doc_id", pairs).select("doc_id")
+      val b = Dedup.dropNearDuplicates(docs, "doc_id", pairs,
+        driverMaxEdges = 0).select("doc_id")
+      eng(s).toDF(Seq(Seq(
+        if (graft.api.DfUtils.dfEq(a, b)) 1L else 0L)), "cc_ok:long")
+    }),
+
     // repetition quality signal: duplicate-3-gram fraction per document
     "t10_repetition" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
@@ -1125,6 +1137,7 @@ object SparkEntry {
     "q21x_sample_bounds" -> "SELECT CAST(1 AS BIGINT) AS sample_ok",
     "q37x_sketch_error" -> "SELECT CAST(1 AS BIGINT) AS sketch_ok",
     "t09_fingerprint_consistency" -> "SELECT CAST(1 AS BIGINT) AS fp_ok",
+    "d10_cc_paths_agree" -> "SELECT CAST(1 AS BIGINT) AS cc_ok",
     // the oracle applies the SAME patterns (generated from PiiPatterns —
     // RE2-safe by construction) to the same injected text
     "t07_pii_redact" -> {
