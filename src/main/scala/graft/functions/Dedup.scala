@@ -107,7 +107,10 @@ object Dedup {
 
   /** Drop all memoized shingle/signature frames and eagerly free their
    * blocks. Frames previously returned by [[shingleStage]] /
-   * [[minhashSignatures]] must not be used after this call. */
+   * [[minhashSignatures]] must not be used after this call — eager
+   * unpersist destroys the checkpoint blocks and local checkpoints cannot
+   * be recomputed. (Automatic overflow eviction deliberately does NOT
+   * unpersist — see [[evictIfOverflowing]].) */
   def clearSignatureCache(): Unit = {
     val it = shingleCache.values.iterator()
     while (it.hasNext) {
@@ -116,6 +119,19 @@ object Dedup {
     shingleCache.clear()
     signatureCache.clear()
   }
+
+  /** Bounded-size guard: on overflow, drop the cache REFERENCES only —
+   * callers may still hold returned frames, and unpersisting a local
+   * checkpoint under them would make those frames unrecoverable (lineage
+   * is truncated). The orphaned blocks are reclaimed by Spark's
+   * ContextCleaner once the frames become unreachable. Eager reclamation
+   * is the explicit [[clearSignatureCache]] call's contract, not the
+   * automatic one. */
+  private def evictIfOverflowing(): Unit =
+    if (shingleCache.size > 32 || signatureCache.size > 32) {
+      shingleCache.clear()
+      signatureCache.clear()
+    }
 
   /** Driver-cheap fingerprint of a frame's file inputs: count + a bounded
    * sample of (path, length, modificationTime). Non-file plans (in-memory
@@ -157,7 +173,7 @@ object Dedup {
     // new session in the same JVM must not be served another's entry.
     // Bounded: a JVM cycling sessions would otherwise retain dead sessions
     // and their checkpointed frames forever.
-    if (shingleCache.size > 32) clearSignatureCache()
+    evictIfOverflowing()
     val key = (df.sparkSession, df.queryExecution.logical.canonicalized,
       idCol, textCol, shingleK, inputFingerprint(df))
     shingleCache.computeIfAbsent(key, _ =>
@@ -182,13 +198,15 @@ object Dedup {
       shingleK: Int = 3,
       numHashes: Int = 128,
       seed: Long = 42L): DataFrame = {
-    if (signatureCache.size > 32) signatureCache.clear()
+    // resolve the shingle stage BEFORE entering computeIfAbsent: the
+    // mapping function of a ConcurrentHashMap must not touch the maps
+    // (shingleStage may evict), and CHM prohibits recursive updates
+    val base = shingleStage(df, idCol, textCol, shingleK)
     val key = (df.sparkSession, df.queryExecution.logical.canonicalized,
       idCol, textCol, shingleK, numHashes, seed, inputFingerprint(df))
     signatureCache.computeIfAbsent(key, _ => {
       val sigFn = minhashSignature(numHashes, seed)
-      shingleStage(df, idCol, textCol, shingleK)
-        .withColumn("sig", sigFn(col("sh")))
+      base.withColumn("sig", sigFn(col("sh")))
     })
   }
 
@@ -366,13 +384,30 @@ object Dedup {
   def dropNearDuplicates(
       df: DataFrame, idCol: String, pairs: DataFrame,
       maxIterations: Int = 20, driverMaxEdges: Int = 1 << 20): DataFrame = {
+    import org.apache.spark.sql.types._
+    // the driver path must order ids EXACTLY like the distributed path's
+    // Spark comparisons — only types whose JVM ordering provably matches
+    // (and which hash correctly in a java HashMap) are eligible; strings
+    // compare as UTF-8 bytes (Spark's binary order), NOT String.compareTo
+    // (UTF-16 code units — diverges on supplementary characters)
+    val driverOrderable = df.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType | _: DecimalType | StringType | BooleanType |
+           DateType | TimestampType | TimestampNTZType => true
+      case _ => false // binary/struct/etc: arrays don't hash; keep distributed
+    }
+    // materialize the pair list ONCE: both the driver probe and the
+    // distributed loop read it, and the probe must not re-run the
+    // (expensive) candidate-generation pipeline
+    val edgeSrc = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
     val probe =
-      if (driverMaxEdges <= 0) Array.empty[org.apache.spark.sql.Row]
-      else pairs.select(col("id_a"), col("id_b"))
-        .limit(driverMaxEdges + 1).collect()
-    if (driverMaxEdges > 0 && probe.length <= driverMaxEdges) {
+      if (driverMaxEdges <= 0 || !driverOrderable)
+        Array.empty[org.apache.spark.sql.Row]
+      else edgeSrc.limit(driverMaxEdges + 1).collect()
+    if (driverMaxEdges > 0 && driverOrderable &&
+        probe.length <= driverMaxEdges) {
       if (probe.isEmpty) return df
-      // union-find with min-id roots (ids are orderable: numeric or string)
+      // union-find with min-id roots
       val parent = new java.util.HashMap[Any, Any]()
       def find(x: Any): Any = {
         var r = x
@@ -382,8 +417,12 @@ object Dedup {
         while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
         r
       }
-      def lt(a: Any, b: Any): Boolean =
-        a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+      def lt(a: Any, b: Any): Boolean = (a, b) match {
+        case (x: String, y: String) =>
+          org.apache.spark.unsafe.types.UTF8String.fromString(x)
+            .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)) < 0
+        case _ => a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+      }
       probe.foreach { r =>
         val ra = find(r.get(0))
         val rb = find(r.get(1))
@@ -392,16 +431,16 @@ object Dedup {
         }
       }
       val losers = parent.keySet().toArray.filter(k => find(k) != k)
-      val schema = org.apache.spark.sql.types.StructType(Seq(df.schema(idCol)))
+      val schema = StructType(Seq(df.schema(idCol)))
       val loserDf = df.sparkSession.createDataFrame(
         java.util.Arrays.asList(losers.map(org.apache.spark.sql.Row(_)): _*), schema)
       return df.join(broadcast(loserDf), Seq(idCol), "left_anti")
     }
     // label(u) = min id known reachable from u; relax over edges until fixed
-    // point (≤ component diameter iterations — near-dup components are tiny)
-    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
-      .localCheckpoint(true)
+    // point (≤ component diameter iterations — near-dup components are tiny).
+    // Derived narrowly from the checkpointed pair list — no recomputation.
+    val edges = edgeSrc.select(col("id_a").as("u"), col("id_b").as("v"))
+      .union(edgeSrc.select(col("id_b").as("u"), col("id_a").as("v")))
     var labels = edges.groupBy("u")
       .agg(least(min(col("v")), first(col("u"))).as("lbl"))
       .localCheckpoint(true)

@@ -57,8 +57,14 @@ object Sampling {
    * columns — the standard "shuffle the training set" step, reproducible
    * across runs and cluster sizes (the order is a pure function of data +
    * seed, unlike `orderBy(rand(seed))`, whose rand values depend on
-   * partition layout). One range-partitioned sort; ties (duplicate keys)
-   * break on the key columns themselves, keeping the order total.
+   * partition layout). One range-partitioned sort.
+   *
+   * PRECONDITION: `keyCols` must uniquely identify rows (use the primary
+   * id). Equal-hash ties break on the key columns themselves, so the
+   * order is total over distinct keys — but rows DUPLICATED on all
+   * keyCols have no defined relative order (their other columns are not
+   * compared; map-typed payloads make a full-row tie-break impossible in
+   * general).
    */
   def deterministicShuffle(
       df: DataFrame, keyCols: Seq[String], seed: Long = 42L): DataFrame = {

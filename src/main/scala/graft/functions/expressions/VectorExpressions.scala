@@ -225,6 +225,19 @@ case class ShingleHashes(child: Expression, k: Int)
   require(k >= 1, "shingle size k must be >= 1")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  // fail analysis loudly on a non-string child instead of silently
+  // hashing the internal value's toString (e.g. a binary column would
+  // shingle "[B@..." garbage)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"shingle_hashes requires a string column, got ${other.catalogString}")
+    }
+
   override def nullSafeEval(v: Any): Any =
     new GenericArrayData(ShingleHashes.compute(v.toString, k))
 

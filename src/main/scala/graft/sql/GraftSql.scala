@@ -279,7 +279,7 @@ object GraftSql {
      * sub-statements (`OUTPUT a, (CREATE [[0]] SCHEMA a:int) USING ...` —
      * reference nested extensions, tests/fugue/sql/test_workflow.py:267).
      * SELECT passthrough is excluded: its parens are subqueries. */
-    private val InlineHosts = Set("OUTPUT", "PROCESS", "TRANSFORM",
+    private val InlineHosts = Set("OUTPUT", "PROCESS", "SUB", "TRANSFORM",
       "OUTTRANSFORM", "COTRANSFORM", "ZIP", "PRINT")
     private val InlineInner = "^(?i)(CREATE|LOAD|SELECT|TAKE|SAMPLE)\\b".r
 

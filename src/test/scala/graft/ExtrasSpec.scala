@@ -197,4 +197,33 @@ class ExtrasSpec extends SparkTestBase {
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(keptDist === kept)
   }
+
+  test("dropNearDuplicates: driver path matches Spark string order on supplementary chars") {
+    // UTF-16 code-unit order says U+1F600 < U+FFFF; UTF-8 binary order
+    // (Spark's) says the opposite — both paths must agree on the survivor
+    val emoji = new String(Character.toChars(0x1F600))
+    val ids = Seq("￿", emoji, "b")
+    val docs = df(ids.map(i => Seq(i, "x")), "doc_id:str,t:str")
+    val pairs = df(Seq(Seq(ids(0), ids(1)), Seq(ids(1), ids(2))),
+      "id_a:str,id_b:str")
+    val driver = Dedup.dropNearDuplicates(docs, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getString(0)).toSeq
+    val dist = Dedup.dropNearDuplicates(docs, "doc_id", pairs, driverMaxEdges = 0)
+      .select("doc_id").collect().map(_.getString(0)).toSeq
+    assert(driver === dist)
+    assert(driver === Seq("b")) // 0x62 is the UTF-8 minimum of the component
+  }
+
+  test("dropNearDuplicates: binary ids route to the distributed path") {
+    val docs = df(Seq(Seq("aa"), Seq("bb"), Seq("cc")), "s:str")
+      .select(encode(col("s"), "UTF-8").as("doc_id"), col("s"))
+    val pairs = df(Seq(Seq("aa", "bb")), "a:str,b:str")
+      .select(encode(col("a"), "UTF-8").as("id_a"),
+        encode(col("b"), "UTF-8").as("id_b"))
+    // would ClassCastException in a naive driver union-find (byte arrays
+    // neither hash nor compare); the type gate must fall back
+    val kept = Dedup.dropNearDuplicates(docs, "doc_id", pairs)
+      .select("s").collect().map(_.getString(0)).sorted.toSeq
+    assert(kept === Seq("aa", "cc"))
+  }
 }

@@ -230,6 +230,11 @@ class GraftSqlSpec extends SparkTestBase {
         |SUB USING audit
         |""".stripMargin, Map("d" -> d), exts)
     assert(sideEffect.get() === 2L)
+    // inline parenthesized sub-statement as the module input
+    GraftSql.runWith(engine,
+      "SUB (SELECT * FROM d WHERE v > 25) USING audit",
+      Map("d" -> d), exts)
+    assert(sideEffect.get() === 1L)
   }
 
   test("TRANSFORM with CALLBACK drains messages by end of run") {
