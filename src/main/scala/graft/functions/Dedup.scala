@@ -110,7 +110,13 @@ object Dedup {
    * [[minhashSignatures]] must not be used after this call — eager
    * unpersist destroys the checkpoint blocks and local checkpoints cannot
    * be recomputed. (Automatic overflow eviction deliberately does NOT
-   * unpersist — see [[evictIfOverflowing]].) */
+   * unpersist — see [[evictIfOverflowing]].)
+   *
+   * Concurrency: must not race in-flight dedup calls on the same session —
+   * a stage resolved just before the clear could be re-cached just after
+   * it with its blocks already unpersisted. Call it between pipelines
+   * (driver-side orchestration is single-threaded in practice), not from
+   * a concurrent thread. */
   def clearSignatureCache(): Unit = {
     val it = shingleCache.values.iterator()
     while (it.hasNext) {
@@ -167,7 +173,12 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      shingleK: Int = 3): DataFrame = {
+      shingleK: Int = 3): DataFrame =
+    shingleStageKeyed(df, idCol, textCol, shingleK, inputFingerprint(df))
+
+  private def shingleStageKeyed(
+      df: DataFrame, idCol: String, textCol: String, shingleK: Int,
+      fp: Long): DataFrame = {
     // the session is part of the key: a cached frame is bound to its
     // SparkSession (its localCheckpoint blocks die with the context), so a
     // new session in the same JVM must not be served another's entry.
@@ -175,7 +186,7 @@ object Dedup {
     // and their checkpointed frames forever.
     evictIfOverflowing()
     val key = (df.sparkSession, df.queryExecution.logical.canonicalized,
-      idCol, textCol, shingleK, inputFingerprint(df))
+      idCol, textCol, shingleK, fp)
     shingleCache.computeIfAbsent(key, _ =>
       // Repartition first: a small parquet arrives as 1-2 splits, which
       // would serialize the CPU-bound shingle stage on one core.
@@ -200,10 +211,13 @@ object Dedup {
       seed: Long = 42L): DataFrame = {
     // resolve the shingle stage BEFORE entering computeIfAbsent: the
     // mapping function of a ConcurrentHashMap must not touch the maps
-    // (shingleStage may evict), and CHM prohibits recursive updates
-    val base = shingleStage(df, idCol, textCol, shingleK)
+    // (shingleStage may evict), and CHM prohibits recursive updates.
+    // One fingerprint computation serves both keys (it costs up to 64
+    // FileSystem.getFileStatus calls — a network RPC each on object stores)
+    val fp = inputFingerprint(df)
+    val base = shingleStageKeyed(df, idCol, textCol, shingleK, fp)
     val key = (df.sparkSession, df.queryExecution.logical.canonicalized,
-      idCol, textCol, shingleK, numHashes, seed, inputFingerprint(df))
+      idCol, textCol, shingleK, numHashes, seed, fp)
     signatureCache.computeIfAbsent(key, _ => {
       val sigFn = minhashSignature(numHashes, seed)
       base.withColumn("sig", sigFn(col("sh")))
@@ -391,22 +405,34 @@ object Dedup {
     // compare as UTF-8 bytes (Spark's binary order), NOT String.compareTo
     // (UTF-16 code units — diverges on supplementary characters)
     val driverOrderable = df.schema(idCol).dataType match {
-      case ByteType | ShortType | IntegerType | LongType | FloatType |
-           DoubleType | _: DecimalType | StringType | BooleanType |
-           DateType | TimestampType | TimestampNTZType => true
+      // NOT float/double (boxed ±0.0 are distinct HashMap keys but equal
+      // Spark join keys) and NOT decimal (BigDecimal equals() disagrees
+      // with compareTo() on scale: 1.0 vs 1.00) — only types whose JVM
+      // equals/hashCode/ordering all agree with Spark's are eligible
+      case ByteType | ShortType | IntegerType | LongType | StringType |
+           BooleanType | DateType | TimestampType | TimestampNTZType => true
       case _ => false // binary/struct/etc: arrays don't hash; keep distributed
     }
     // materialize the pair list ONCE: both the driver probe and the
     // distributed loop read it, and the probe must not re-run the
-    // (expensive) candidate-generation pipeline
-    val edgeSrc = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    // (expensive) candidate-generation pipeline. Null-endpoint edges are
+    // degenerate (a null id never equi-joins) — drop them uniformly so
+    // both paths see the same graph and the driver path cannot NPE.
+    val edgeSrc = pairs.select(col("id_a"), col("id_b"))
+      .filter(col("id_a").isNotNull && col("id_b").isNotNull)
+      .localCheckpoint(true)
+    // driverMaxEdges + 1 must not overflow (Int.MaxValue means "always")
+    val probeLimit = math.min(driverMaxEdges.toLong + 1, Int.MaxValue).toInt
     val probe =
       if (driverMaxEdges <= 0 || !driverOrderable)
         Array.empty[org.apache.spark.sql.Row]
-      else edgeSrc.limit(driverMaxEdges + 1).collect()
+      else edgeSrc.limit(probeLimit).collect()
     if (driverMaxEdges > 0 && driverOrderable &&
         probe.length <= driverMaxEdges) {
-      if (probe.isEmpty) return df
+      if (probe.isEmpty) {
+        org.apache.spark.sql.graftshim.ColumnBridge.unpersistCheckpointed(edgeSrc)
+        return df
+      }
       // union-find with min-id roots
       val parent = new java.util.HashMap[Any, Any]()
       def find(x: Any): Any = {
@@ -434,6 +460,9 @@ object Dedup {
       val schema = StructType(Seq(df.schema(idCol)))
       val loserDf = df.sparkSession.createDataFrame(
         java.util.Arrays.asList(losers.map(org.apache.spark.sql.Row(_)): _*), schema)
+      // the pair list is fully consumed into the driver — free its blocks
+      // deterministically rather than waiting for the ContextCleaner
+      org.apache.spark.sql.graftshim.ColumnBridge.unpersistCheckpointed(edgeSrc)
       return df.join(broadcast(loserDf), Seq(idCol), "left_anti")
     }
     // label(u) = min id known reachable from u; relax over edges until fixed
@@ -441,9 +470,10 @@ object Dedup {
     // Derived narrowly from the checkpointed pair list — no recomputation.
     val edges = edgeSrc.select(col("id_a").as("u"), col("id_b").as("v"))
       .union(edgeSrc.select(col("id_b").as("u"), col("id_a").as("v")))
-    var labels = edges.groupBy("u")
+    var labelsCk = edges.groupBy("u")
       .agg(least(min(col("v")), first(col("u"))).as("lbl"))
       .localCheckpoint(true)
+    var labels = labelsCk
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
@@ -458,6 +488,9 @@ object Dedup {
           (col("nlbl").isNotNull && col("nlbl") < col("lbl")).as("__chg"))
         .localCheckpoint(true)
       val changed = updated.filter(col("__chg")).limit(1).count()
+      // the superseded round's blocks are dead once `updated` materialized
+      org.apache.spark.sql.graftshim.ColumnBridge.unpersistCheckpointed(labelsCk)
+      labelsCk = updated
       labels = updated.drop("__chg")
       converged = changed == 0
       i += 1
@@ -467,6 +500,9 @@ object Dedup {
     require(converged,
       s"connected-components did not converge in $maxIterations iterations " +
         "(pair graph has a component with larger diameter); raise maxIterations")
+    // the pair list is no longer referenced (losers derive from the final
+    // labels checkpoint) — free it
+    org.apache.spark.sql.graftshim.ColumnBridge.unpersistCheckpointed(edgeSrc)
     // drop every id that is not its component's minimum
     val losers = labels.filter(col("u") =!= col("lbl")).select(col("u").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")

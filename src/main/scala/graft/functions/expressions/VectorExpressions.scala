@@ -238,13 +238,21 @@ case class ShingleHashes(child: Expression, k: Int)
           s"shingle_hashes requires a string column, got ${other.catalogString}")
     }
 
-  override def nullSafeEval(v: Any): Any =
-    new GenericArrayData(ShingleHashes.compute(v.toString, k))
+  // null text yields an EMPTY ARRAY, not null — the declarative
+  // formulation's when/otherwise does the same, and the documented
+  // contract is "empty/short docs yield an empty array"
+  override def nullable: Boolean = false
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) ShingleHashes.Empty
+    else new GenericArrayData(ShingleHashes.compute(v.toString, k))
+  }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 object ShingleHashes {
+  private[expressions] val Empty = new GenericArrayData(Array.emptyLongArray)
   private val Ws = java.util.regex.Pattern.compile("\\s+")
 
   /** Distinct k-shingle hashes of `text`, first-occurrence order. */

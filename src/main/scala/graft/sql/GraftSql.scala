@@ -726,7 +726,9 @@ object GraftSql {
         .map(_.toLowerCase.replace(' ', '_')).getOrElse("inner")
       val out = schemaHint(stmt, m.end).map(SchemaExpr.parse)
         .getOrElse(t.outputSchema(sides(0).schema, sides(1).schema, params))
-      Transform.coMap(sides(0), sides(1), keys, how, out)(
+      // the statement's PRESORT must actually order the cogrouped
+      // iterators, not merely satisfy presort_has/is validation
+      Transform.coMap(sides(0), sides(1), keys, how, out, ctSpec.presort)(
         (k, l, r) => t.fn(k, l, r, params))
     }
 

@@ -140,23 +140,63 @@ object Transform {
    * full_outer (any). Missing sides arrive as empty iterators (the
    * reference substitutes empty frames — execution_engine.py:1318-1353).
    */
+  /** Per-group iterator sorter for `presort` on cogrouped sides: fields
+   * absent from the schema are ignored; ordering matches Spark's sort
+   * semantics (asc = nulls first, desc = nulls last; strings compare as
+   * UTF-8 bytes). A non-empty presort buffers the group (the reference
+   * materializes zipped groups too); the no-presort path stays streaming. */
+  private def rowSorter(
+      schema: StructType,
+      presort: Seq[(String, Boolean)]): Iterator[Row] => Iterator[Row] = {
+    val idx = presort.collect {
+      case (f, asc) if schema.fieldNames.contains(f) => (schema.fieldIndex(f), asc)
+    }
+    if (idx.isEmpty) identity
+    else {
+      def cmpValues(a: Any, b: Any): Int = (a, b) match {
+        case (null, null) => 0
+        case (null, _) => -1 // nulls smallest, flipped below for desc
+        case (_, null) => 1
+        case (x: String, y: String) =>
+          org.apache.spark.unsafe.types.UTF8String.fromString(x)
+            .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y))
+        case (x, y) => x.asInstanceOf[Comparable[Any]].compareTo(y)
+      }
+      val ord: Ordering[Row] = (a: Row, b: Row) => {
+        var i = 0
+        var c = 0
+        while (c == 0 && i < idx.length) {
+          val (fi, asc) = idx(i)
+          val base = cmpValues(a.get(fi), b.get(fi))
+          c = if (asc) base else -base
+          i += 1
+        }
+        c
+      }
+      it => it.toArray.sorted(ord).iterator
+    }
+  }
+
   def coMap(
       left: DataFrame,
       right: DataFrame,
       keys: Seq[String],
       how: String,
-      outputSchema: StructType)(
+      outputSchema: StructType,
+      presort: Seq[(String, Boolean)] = Nil)(
       f: (Seq[Any], Iterator[Row], Iterator[Row]) => Iterator[Row]): DataFrame = {
     val spark = left.sparkSession
     val keySchema = StructType(keys.map(k => left.schema(left.schema.fieldIndex(k))))
     val keyEnc: Encoder[Row] = Encoders.row(keySchema)
     val outEnc: Encoder[Row] = Encoders.row(outputSchema)
     val h = how.trim.toLowerCase.replace("_", "")
+    val sortL = rowSorter(left.schema, presort)
+    val sortR = rowSorter(right.schema, presort)
     val lg = left.groupByKey(r => Row.fromSeq(keys.map(k => r.getAs[Any](k))))(keyEnc)
     val rg = right.groupByKey(r => Row.fromSeq(keys.map(k => r.getAs[Any](k))))(keyEnc)
     lg.cogroup(rg) { (k, ls, rs) =>
-      val lBuf = ls.buffered
-      val rBuf = rs.buffered
+      val lBuf = sortL(ls).buffered
+      val rBuf = sortR(rs).buffered
       val lHas = lBuf.hasNext
       val rHas = rBuf.hasNext
       val visit = h match {

@@ -177,7 +177,7 @@ class FunctionsSpec extends SparkTestBase {
       "tab\tseparated\ttokens right here", "line\nbreaks\nin the text",
       "multi   space   runs collapse here", "ünïcode tökens ünïcode tökens ünïcode",
       "a a a a a a", "\tstarts with tab then words follow",
-      "ends with trailing tab\t", "a  b\t c \n d")
+      "ends with trailing tab\t", "a  b\t c \n d", null)
     val d = df(texts.zipWithIndex.map { case (t, i) => Seq(i.toLong, t) },
       "id:long,t:str")
     for (k <- Seq(1, 2, 3, 5)) {

@@ -206,6 +206,28 @@ class GraftSqlSpec extends SparkTestBase {
     assertDfEq(resAsc.yields("out"), Seq(Seq(1, 10, 1)))
   }
 
+  test("COTRANSFORM PRESORT orders the cogrouped iterators") {
+    import graft.sql.GraftSql.{CoTransformerDef, Extensions}
+    // regression: PRESORT used to pass presort_has/is validation but the
+    // cogroup iterators stayed in arbitrary shuffle order
+    val l = df(Seq(Seq(1, 30), Seq(1, 10), Seq(1, 20)), "k:int,v:int")
+    val r = df(Seq(Seq(1, 5), Seq(1, 1)), "k:int,v:int")
+    val exts = Extensions(cotransformers = Map("heads" -> CoTransformerDef(
+      outputSchema = (_, _, _) => graft.schema.SchemaExpr.parse("k:int,lv:int,rv:int"),
+      fn = (key, ls, rs, _) =>
+        Iterator.single(Row(key.head, ls.next().getInt(1), rs.next().getInt(1))))))
+    val res = GraftSql.runWith(engine,
+      """COTRANSFORM l, r BY k PRESORT v DESC USING heads
+        |YIELD AS out
+        |""".stripMargin, Map("l" -> l, "r" -> r), exts)
+    assertDfEq(res.yields("out"), Seq(Seq(1, 30, 5)))
+    val resAsc = GraftSql.runWith(engine,
+      """COTRANSFORM l, r BY k PRESORT v ASC USING heads
+        |YIELD AS out
+        |""".stripMargin, Map("l" -> l, "r" -> r), exts)
+    assertDfEq(resAsc.yields("out"), Seq(Seq(1, 10, 1)))
+  }
+
   test("SUB USING module invokes a registered sub-pipeline") {
     import graft.sql.GraftSql.{Extensions, ModuleDef}
     val d = df(Seq(Seq(1, 30), Seq(2, 10), Seq(3, 20)), "k:int,v:int")
