@@ -84,6 +84,12 @@ object GraftExtensions {
           litLong("hyperplane_keys", "seed", es(4)),
           if (es.length > 5) litInt("hyperplane_keys", "probes", es(5)) else 0)
       }),
+    "shingle_hashes" -> (info("shingle_hashes",
+      "shingle_hashes(text, k) - distinct xxhash64 word-k-shingle hashes"),
+      (es: Seq[Expression]) => {
+        requireArgs("shingle_hashes", "(text, k)", es, 2, 2)
+        ShingleHashes(es.head, litInt("shingle_hashes", "k", es(1)))
+      }),
   )
 
   /** Clear errors for SQL misuse instead of IndexOutOfBounds/NPE during

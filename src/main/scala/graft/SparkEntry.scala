@@ -640,12 +640,14 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val viaSql = e.sqlSelect(
         """SELECT doc_id, fingerprint64(text) AS fp,
-          | simhash64(array(xxhash64(text))) AS sh FROM documents""".stripMargin,
+          | simhash64(array(xxhash64(text))) AS sh,
+          | shingle_hashes(text, 3) AS sg FROM documents""".stripMargin,
         Map("documents" -> docs))
       val viaApi = docs.select(col("doc_id"),
         graft.functions.expressions.VectorExpressions.fingerprint64(col("text")).as("fp"),
         graft.functions.expressions.VectorExpressions
-          .simhash64(array(xxhash64(col("text")))).as("sh"))
+          .simhash64(array(xxhash64(col("text")))).as("sh"),
+        Dedup.shingleHashes(col("text"), 3).as("sg"))
       val dotSql = e.sqlSelect(
         """SELECT vec_id, vec_dot(vec_l2_normalize(embedding), vec_l2_normalize(embedding)) AS d
           |FROM embeddings""".stripMargin, Map("embeddings" -> emb))
