@@ -324,7 +324,16 @@ object Dedup {
       maxHamming: Int = 3,
       maxBucketSize: Int = 1000): DataFrame = {
     val nBands = 4 // 4×16 bits; guarantees recall for hamming ≤ 3
-    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    // docs with NO shingle features (blank/short/null text) all hash to
+    // sig=0 — without this filter they'd pairwise report as hamming-0
+    // "near-duplicates" despite carrying zero signal. Same exclusion the
+    // minhash family applies via shingleStage's size(sh) > 0.
+    val sigs = df
+      .select(col(idCol).as("id"),
+        shingleHashes(lower(col(textCol)), 3).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .select(col("id"), graft.functions.expressions.VectorExpressions
+        .simhash64(col("__sh")).as("sig"))
     val bandCols = (0 until nBands).map(b =>
       shiftright(col("sig"), b * 16).bitwiseAND(lit(0xffffL)))
     val banded = sigs.select(col("id"), col("sig"),

@@ -140,40 +140,69 @@ object Transform {
    * full_outer (any). Missing sides arrive as empty iterators (the
    * reference substitutes empty frames — execution_engine.py:1318-1353).
    */
-  /** Per-group iterator sorter for `presort` on cogrouped sides: fields
-   * absent from the schema are ignored; ordering matches Spark's sort
-   * semantics (asc = nulls first, desc = nulls last; strings compare as
-   * UTF-8 bytes). A non-empty presort buffers the group (the reference
-   * materializes zipped groups too); the no-presort path stays streaming. */
+  /** Per-group iterator sorter for `presort` on cogrouped sides. Matches
+   * the repo's presort convention everywhere else
+   * ([[graft.PartitionSpec]]: asc_nulls_last / desc_nulls_last — the
+   * reference's pandas na_position="last"): nulls sort LAST in both
+   * directions; strings compare as UTF-8 bytes (Spark's binary order,
+   * pre-converted ONCE per row, not per comparison); binary columns
+   * compare unsigned-lexicographically. Field names resolve
+   * case-insensitively like `col()`. Unorderable presort field types fail
+   * fast at plan time instead of a ClassCastException mid-task. A
+   * non-empty presort buffers the group (the reference materializes
+   * zipped groups too); the no-presort path stays streaming. */
   private def rowSorter(
       schema: StructType,
       presort: Seq[(String, Boolean)]): Iterator[Row] => Iterator[Row] = {
-    val idx = presort.collect {
-      case (f, asc) if schema.fieldNames.contains(f) => (schema.fieldIndex(f), asc)
+    val lower = schema.fieldNames.zipWithIndex
+      .map { case (n, i) => n.toLowerCase -> i }.toMap
+    val idx = presort.flatMap { case (f, asc) =>
+      lower.get(f.toLowerCase).map(i => (i, asc))
     }
     if (idx.isEmpty) identity
     else {
-      def cmpValues(a: Any, b: Any): Int = (a, b) match {
-        case (null, null) => 0
-        case (null, _) => -1 // nulls smallest, flipped below for desc
-        case (_, null) => 1
-        case (x: String, y: String) =>
-          org.apache.spark.unsafe.types.UTF8String.fromString(x)
-            .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y))
-        case (x, y) => x.asInstanceOf[Comparable[Any]].compareTo(y)
+      import org.apache.spark.sql.types._
+      idx.foreach { case (i, _) =>
+        schema.fields(i).dataType match {
+          case _: NumericType | StringType | BooleanType | DateType |
+               TimestampType | TimestampNTZType | BinaryType => ()
+          case other => throw new IllegalArgumentException(
+            s"presort on cogrouped input requires an orderable atomic " +
+              s"column; '${schema.fields(i).name}' is ${other.catalogString}")
+        }
       }
-      val ord: Ordering[Row] = (a: Row, b: Row) => {
+      def sortKey(r: Row): Array[Any] = idx.map { case (fi, _) =>
+        r.get(fi) match {
+          case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+          case v => v
+        }
+      }.toArray
+      def cmpKeys(a: Array[Any], b: Array[Any]): Int = {
         var i = 0
         var c = 0
         while (c == 0 && i < idx.length) {
-          val (fi, asc) = idx(i)
-          val base = cmpValues(a.get(fi), b.get(fi))
-          c = if (asc) base else -base
+          val asc = idx(i)._2
+          c = (a(i), b(i)) match {
+            case (null, null) => 0
+            case (null, _) => 1 // nulls last in BOTH directions
+            case (_, null) => -1
+            case (x: Array[Byte], y: Array[Byte]) =>
+              val base = java.util.Arrays.compareUnsigned(x, y)
+              if (asc) base else -base
+            case (x, y) =>
+              val base = x.asInstanceOf[Comparable[Any]].compareTo(y)
+              if (asc) base else -base
+          }
           i += 1
         }
         c
       }
-      it => it.toArray.sorted(ord).iterator
+      it => {
+        val arr = it.toArray.map(r => (sortKey(r), r))
+        java.util.Arrays.sort(arr,
+          (p: (Array[Any], Row), q: (Array[Any], Row)) => cmpKeys(p._1, q._1))
+        arr.iterator.map(_._2)
+      }
     }
   }
 

@@ -354,6 +354,21 @@ class FunctionsSpec extends SparkTestBase {
     assert(a.toSeq !== c.toSeq, "different seed must give a different order")
   }
 
+  test("simhash near-dup excludes featureless (blank/short/null) docs") {
+    val d = df(Seq(
+      Seq(1L, "the quick brown fox jumps over the lazy dog today"),
+      Seq(2L, "the quick brown fox jumps over the lazy dog today"),
+      Seq(3L, ""), Seq(4L, "  "), Seq(5L, "one two"), Seq(6L, null)),
+      "doc_id:long,text:str")
+    val pairs = Dedup.simhashNearDupPairs(d, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // featureless docs 3/4/5/6 all hash to sig=0 — they must NOT pairwise
+    // report as hamming-0 "near-duplicates" (zero signal)
+    assert(pairs.forall { case (a, b) => a <= 2 && b <= 2 },
+      s"featureless docs leaked into pairs: $pairs")
+    assert(pairs === Set((1L, 2L)))
+  }
+
   test("repetitionRatio measures duplicate k-gram fraction") {
     val d = df(Seq(
       Seq(1L, "a b c a b c a b c a b"),  // highly repetitive

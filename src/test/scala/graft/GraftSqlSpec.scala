@@ -226,6 +226,14 @@ class GraftSqlSpec extends SparkTestBase {
         |YIELD AS out
         |""".stripMargin, Map("l" -> l, "r" -> r), exts)
     assertDfEq(resAsc.yields("out"), Seq(Seq(1, 10, 1)))
+    // nulls sort LAST in both directions (repo presort convention /
+    // pandas na_position="last"), and field names resolve case-insensitively
+    val ln = df(Seq(Seq(1, null), Seq(1, 10), Seq(1, 20)), "k:int,v:int")
+    val resNull = GraftSql.runWith(engine,
+      """COTRANSFORM ln, r BY k PRESORT V ASC USING heads
+        |YIELD AS out
+        |""".stripMargin, Map("ln" -> ln, "r" -> r), exts)
+    assertDfEq(resNull.yields("out"), Seq(Seq(1, 10, 1)))
   }
 
   test("SUB USING module invokes a registered sub-pipeline") {
