@@ -64,11 +64,13 @@ object Dedup {
    * copy), do not use in hot paths. */
   private[graft] def shingleHashesDeclarative(text: Column, k: Int): Column = {
     val toks = split(trim(text), "\\s+")
-    // sliding k-grams: for i in 0..n-k, hash(join(tokens[i..i+k]))
+    // sliding k-grams: for i in 0..n-k, hash(join(tokens[i..i+k]));
+    // all-whitespace text yields empty for every k (blank-doc guard —
+    // regex split of a blank string produces empty-string tokens)
     val n = size(toks)
     val idx = sequence(lit(0), greatest(n - k, lit(-1)))
     array_distinct(
-      when(n >= k,
+      when(n >= k && length(regexp_replace(text, "\\s+", "")) > 0,
         transform(idx, i => xxhash64(concat_ws(" ", slice(toks, i + lit(1), lit(k))))))
         .otherwise(array().cast("array<bigint>")))
   }
@@ -146,9 +148,12 @@ object Dedup {
     val files = df.inputFiles
     if (files.isEmpty) return 0L
     val sorted = files.sorted
+    // even spread INCLUDING the last file — integer-stride sampling never
+    // reaches the tail, so a rewrite of an unsampled trailing file would
+    // go undetected (exactly the staleness this fingerprint guards)
     val sample =
       if (sorted.length <= 64) sorted.toSeq
-      else (0 until 64).map(i => sorted(i * (sorted.length / 64)))
+      else (0 until 64).map(i => sorted(((sorted.length - 1).toLong * i / 63).toInt))
     val conf = df.sparkSession.sessionState.newHadoopConf()
     var h = 31L * 17 + sorted.length
     sample.foreach { f =>
@@ -406,7 +411,7 @@ object Dedup {
    */
   def dropNearDuplicates(
       df: DataFrame, idCol: String, pairs: DataFrame,
-      maxIterations: Int = 20, driverMaxEdges: Int = 1 << 20): DataFrame = {
+      maxIterations: Int = 20, driverMaxEdges: Int = 1 << 18): DataFrame = {
     import org.apache.spark.sql.types._
     // the driver path must order ids EXACTLY like the distributed path's
     // Spark comparisons — only types whose JVM ordering provably matches

@@ -255,8 +255,21 @@ object ShingleHashes {
   private[expressions] val Empty = new GenericArrayData(Array.emptyLongArray)
   private val Ws = java.util.regex.Pattern.compile("\\s+")
 
-  /** Distinct k-shingle hashes of `text`, first-occurrence order. */
+  /** Distinct k-shingle hashes of `text`, first-occurrence order.
+   * All-whitespace text yields an empty array for EVERY k (without this
+   * guard, regex split of a blank string produces empty-string tokens, and
+   * at k=1 every blank doc would carry the same bogus hash("") shingle —
+   * pairing all blank docs as jaccard-1.0 "near-duplicates"). */
   def compute(text: String, k: Int): Array[Long] = {
+    var ci = 0
+    var hasContent = false
+    while (!hasContent && ci < text.length) {
+      val ch = text.charAt(ci)
+      hasContent = !(ch == ' ' || ch == '\t' || ch == '\n' || ch == '\u000B' ||
+        ch == '\f' || ch == '\r')
+      ci += 1
+    }
+    if (!hasContent) return Array.emptyLongArray
     // Spark `trim` strips 0x20 only (not \t\n — those become split tokens)
     var from = 0
     var to = text.length

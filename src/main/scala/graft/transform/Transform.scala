@@ -294,19 +294,30 @@ object Transform {
   }
 
   /** Comparator-based sort of a struct array by (field, asc) pairs; fields
-   * absent from the struct are ignored. Shared by [[zipFrames]] (ZIP-level
-   * PRESORT) and [[presortZipped]] (TRANSFORM-level PRESORT on zipped
-   * input). */
+   * absent from the struct are ignored (matched case-insensitively, like
+   * `col()` resolution). Nulls order LAST in both directions — the repo's
+   * presort convention ([[graft.PartitionSpec]], pandas
+   * na_position="last"), consistent with the cogroup [[rowSorter]]. Shared
+   * by [[zipFrames]] (ZIP-level PRESORT) and [[presortZipped]]
+   * (TRANSFORM-level PRESORT on zipped input). */
   private def sortArr(
       c: Column, fields: Seq[String], presort: Seq[(String, Boolean)]): Column =
     if (presort.isEmpty) c
-    else array_sort(c, (l, r) =>
-      presort.filter(p => fields.contains(p._1)).foldRight(lit(0)) {
-        case ((f, asc), acc) =>
-          when(l.getField(f) < r.getField(f), lit(if (asc) -1 else 1))
-            .when(l.getField(f) > r.getField(f), lit(if (asc) 1 else -1))
-            .otherwise(acc)
-      })
+    else {
+      val lower = fields.map(_.toLowerCase).toSet
+      array_sort(c, (l, r) =>
+        presort.filter(p => lower.contains(p._1.toLowerCase)).foldRight(lit(0)) {
+          case ((f, asc), acc) =>
+            val lf = l.getField(f)
+            val rf = r.getField(f)
+            when(lf.isNull && rf.isNull, acc)
+              .when(lf.isNull, lit(1)) // nulls last, both directions
+              .when(rf.isNull, lit(-1))
+              .when(lf < rf, lit(if (asc) -1 else 1))
+              .when(lf > rf, lit(if (asc) 1 else -1))
+              .otherwise(acc)
+        })
+    }
 
   /** Re-sort the payload arrays of an already-zipped frame. A TRANSFORM
    * statement's own PRESORT clause on zipped input must actually order the

@@ -188,6 +188,14 @@ class FunctionsSpec extends SparkTestBase {
       // identical values AND order (first-occurrence distinct) per row
       assert(native === decl, s"k=$k shingle mismatch")
     }
+    // blank/whitespace-only text yields EMPTY for every k — at k=1 a naive
+    // split would hash the bogus empty-string token and pair all blank
+    // docs as jaccard-1.0 duplicates
+    val blanks = df(Seq(Seq(1L, ""), Seq(2L, " "), Seq(3L, "\t\n"), Seq(4L, null)),
+      "id:long,t:str")
+    val got = blanks.select(col("id"), Dedup.shingleHashes(col("t"), 1).as("sh"))
+      .collect().map(r => r.getSeq[Long](1))
+    assert(got.forall(_.isEmpty))
   }
 
   test("minhashSignatures memoizes per (plan, params) within the session") {
