@@ -158,6 +158,37 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("contaminationScores matches driver-side brute force (3 seeds)") {
+    import graft.functions.{Dedup, TextFunctions}
+    for (seed <- Seq(7L, 19L, 43L)) {
+      val rnd = new Random(seed)
+      val vocab = (1 to 15).map(i => s"w$i")
+      def text() = (1 to (5 + rnd.nextInt(15)))
+        .map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      val corpus = (1 to 50).map(i => (i.toLong, text()))
+      val evalSet = corpus.take(8)
+      val d = df(corpus.map(c => Seq(c._1, c._2)), "doc_id:long,text:str")
+      val e = df(evalSet.map(c => Seq(c._1, c._2)), "doc_id:long,text:str")
+      Dedup.clearSignatureCache()
+      val got = Dedup.contaminationScores(d, "doc_id", "text", e, "text", 3)
+        .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+      // brute force with the same tokenization/windows (hash-free: string
+      // shingles — identical sets modulo xxhash collisions)
+      def shingles(t: String): Set[String] =
+        t.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+      val evalSh = evalSet.flatMap(c => shingles(c._2)).toSet
+      corpus.foreach { case (id, t) =>
+        val sh = shingles(t)
+        if (sh.isEmpty) assert(!got.contains(id))
+        else {
+          val (n, m) = got(id)
+          assert(n === sh.size, s"seed=$seed id=$id n_shingles")
+          assert(m === sh.count(evalSh.contains).toLong, s"seed=$seed id=$id n_matched")
+        }
+      }
+    }
+  }
+
   test("ngramJaccardPairs threshold boundary on crafted near-boundary pairs") {
     // jaccard exactly 0.5: |A∩B|=2, |A|=|B|=3 → 2/(3+3-2)=0.5 (inclusive)
     val a = "w1 w2 w3 w4 w5" // shingles: (w1 w2 w3)(w2 w3 w4)(w3 w4 w5)
