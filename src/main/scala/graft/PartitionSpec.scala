@@ -32,9 +32,11 @@ final case class PartitionSpec(
   def isEmpty: Boolean =
     algo == "default" && num == "0" && by.isEmpty && presort.isEmpty
 
-  /** Presort as Spark sort columns, always with explicit null placement
-   * (nulls last for asc, first for desc — pandas `na_position="last"`
-   * convention of the reference; execution_engine.py:655-665). */
+  /** Presort as Spark sort columns, always with explicit null placement:
+   * nulls LAST in BOTH directions (pandas `na_position="last"` convention
+   * of the reference; execution_engine.py:655-665). The cogroup/zip
+   * presort comparators (Transform.rowSorter/sortArr) implement the same
+   * convention — keep them in sync. */
   def presortCols: Seq[Column] =
     presort.map { case (c, asc) => if (asc) col(c).asc_nulls_last else col(c).desc_nulls_last }
 

@@ -259,7 +259,15 @@ object ShingleHashes {
    * All-whitespace text yields an empty array for EVERY k (without this
    * guard, regex split of a blank string produces empty-string tokens, and
    * at k=1 every blank doc would carry the same bogus hash("") shingle —
-   * pairing all blank docs as jaccard-1.0 "near-duplicates"). */
+   * pairing all blank docs as jaccard-1.0 "near-duplicates").
+   *
+   * Known, pinned quirk for NON-blank text: Java-regex split with limit -1
+   * keeps a boundary empty token when text starts or ends with non-space
+   * whitespace ("foo\n" → ["foo", ""]), so such docs carry one extra
+   * boundary shingle. This matches the declarative formulation AND the
+   * DuckDB oracles (string_split_regex has identical artifacts) — the
+   * cross-engine contract is tokenization-identical, so the artifact is
+   * kept rather than silently diverging from every SQL oracle. */
   def compute(text: String, k: Int): Array[Long] = {
     var ci = 0
     var hasContent = false

@@ -304,9 +304,15 @@ object Transform {
       c: Column, fields: Seq[String], presort: Seq[(String, Boolean)]): Column =
     if (presort.isEmpty) c
     else {
-      val lower = fields.map(_.toLowerCase).toSet
+      // resolve to the ACTUAL field name so getField works regardless of
+      // spark.sql.caseSensitive (a user-cased name would fail resolution
+      // under the case-sensitive resolver)
+      val byLower = fields.map(f => f.toLowerCase -> f).toMap
+      val resolved = presort.flatMap { case (f, asc) =>
+        byLower.get(f.toLowerCase).map(actual => (actual, asc))
+      }
       array_sort(c, (l, r) =>
-        presort.filter(p => lower.contains(p._1.toLowerCase)).foldRight(lit(0)) {
+        resolved.foldRight(lit(0)) {
           case ((f, asc), acc) =>
             val lf = l.getField(f)
             val rf = r.getField(f)

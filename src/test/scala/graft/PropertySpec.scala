@@ -159,7 +159,6 @@ class PropertySpec extends SparkTestBase {
   }
 
   test("contaminationScores matches driver-side brute force (3 seeds)") {
-    import graft.functions.{Dedup, TextFunctions}
     for (seed <- Seq(7L, 19L, 43L)) {
       val rnd = new Random(seed)
       val vocab = (1 to 15).map(i => s"w$i")
