@@ -63,6 +63,13 @@ final case class GraftFrame(
 
   def count: Long = native.count()
   def isEmpty: Boolean = native.isEmpty
+  /** Dataset-surface parity (reference dataset/api.py): boundedness maps
+   * to Spark's streaming flag; "local" means the data is materialized on
+   * this JVM's block store (the [[asLocal]] contract). */
+  def isBounded: Boolean = !native.isStreaming
+  def isLocal: Boolean = native.queryExecution.logical
+    .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+  def numPartitions: Int = native.rdd.getNumPartitions
 
   def rows: Seq[Row] = native.collect().toSeq
 }

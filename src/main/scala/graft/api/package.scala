@@ -28,6 +28,59 @@ package object api {
 
   def engineOf(spark: SparkSession): GraftEngine = new SparkGraftEngine(spark)
 
+  /** Engine-context management (the reference's engine_context /
+   * set_global_engine / clear_global_engine, execution/api.py). The
+   * Scala-idiomatic context IS the implicit parameter; these helpers add
+   * the reference's explicit global fallback for applications that prefer
+   * set-once wiring: `implicit def e: GraftEngine = Engines.current`. */
+  object Engines {
+    @volatile private var global: Option[GraftEngine] = None
+    def setGlobal(e: GraftEngine): Unit = global = Some(e)
+    def clearGlobal(): Unit = global = None
+    def current: GraftEngine = global.getOrElse(
+      throw new IllegalStateException(
+        "no global engine set — Engines.setGlobal(engineOf(spark)) first"))
+    /** Run `body` with `e` as the global engine, restoring the previous
+     * one after (the reference's `with engine_context(e):`). */
+    def withEngine[T](e: GraftEngine)(body: => T): T = {
+      val prev = global
+      global = Some(e)
+      try body finally global = prev
+    }
+  }
+
+  /**
+   * Normalize arbitrary column names to valid identifiers
+   * (`[A-Za-z_][A-Za-z0-9_]*`) following the reference's rules
+   * (fugue/dataframe/api.py:301 — `normalize_column_names`): invalid
+   * characters become `_`, a leading digit or empty result gets a `_`
+   * prefix, and collisions take `_1`, `_2`, … suffixes. Returns the
+   * renamed frame and the UNDO map (new name → original) — empty when
+   * nothing needed renaming.
+   */
+  def normalizeColumnNames(df: DataFrame): (DataFrame, Map[String, String]) = {
+    def valid(n: String): Boolean =
+      n.nonEmpty && (n.head.isLetter || n.head == '_') &&
+        n.forall(c => c.isLetterOrDigit || c == '_')
+    val taken = scala.collection.mutable.Set[String]() ++
+      df.columns.filter(valid)
+    val renames = scala.collection.mutable.LinkedHashMap[String, String]()
+    df.columns.filterNot(valid).foreach { orig =>
+      val cleaned = orig.map(c => if (c.isLetterOrDigit || c == '_') c else '_')
+      val based = if (cleaned.isEmpty || cleaned.head.isDigit) "_" + cleaned else cleaned
+      var candidate = based
+      var i = 0
+      while (taken.contains(candidate)) { i += 1; candidate = s"${based}_$i" }
+      taken += candidate
+      renames += orig -> candidate
+    }
+    if (renames.isEmpty) (df, Map.empty)
+    else {
+      val out = renames.foldLeft(df) { case (d, (o, n)) => d.withColumnRenamed(o, n) }
+      (out, renames.map(_.swap).toMap)
+    }
+  }
+
   def load(path: String, format: String = "", columns: Seq[String] = Nil)(
       implicit e: GraftEngine): DataFrame = e.load(path, format, columns)
 

@@ -50,6 +50,41 @@ class ApiSpec extends SparkTestBase {
     assertDfEq(fs.yields("best"), Seq(Seq(3L, "b", 9)))
   }
 
+  test("normalizeColumnNames follows the reference rules incl. collisions") {
+    val d = spark.range(1).selectExpr("id as `*a`", "id as `-a`",
+      "id as `1a`", "id as ok")
+    val (out, undo) = normalizeColumnNames(d)
+    assert(out.columns.toSeq === Seq("_a", "_a_1", "_1a", "ok"))
+    assert(undo === Map("_a" -> "*a", "_a_1" -> "-a", "_1a" -> "1a"))
+    // already-valid names: identity, empty undo map
+    val clean = toDF(Seq(Seq(1)), "x:int")
+    val (same, none) = normalizeColumnNames(clean)
+    assert((same eq clean) && none.isEmpty)
+  }
+
+  test("Engines global/context management") {
+    Engines.clearGlobal()
+    intercept[IllegalStateException](Engines.current)
+    Engines.withEngine(e) {
+      assert(Engines.current eq e)
+      Engines.withEngine(e) { assert(Engines.current eq e) }
+    }
+    intercept[IllegalStateException](Engines.current) // restored
+    Engines.setGlobal(e)
+    assert(Engines.current eq e)
+    Engines.clearGlobal()
+  }
+
+  test("GraftFrame dataset-surface parity: bounded/local/partitions") {
+    val f = GraftFrame(spark.range(2).selectExpr("CAST(id AS INT) AS x"))
+    assert(f.isBounded)
+    assert(!f.isLocal) // lazy computed plan, not materialized on this JVM
+    assert(f.numPartitions >= 1)
+    val loc = f.asLocal
+    assert(loc.isLocal)
+    assert(loc.count === 2)
+  }
+
   test("multi-df folds: join/union/subtract/intersect over N frames") {
     val a = df(Seq(Seq(1, "x"), Seq(2, "y")), "k:int,a:str")
     val b = df(Seq(Seq(1, 10.0), Seq(2, 20.0)), "k:int,b:double")
