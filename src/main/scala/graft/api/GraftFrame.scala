@@ -64,12 +64,23 @@ final case class GraftFrame(
   def count: Long = native.count()
   def isEmpty: Boolean = native.isEmpty
   /** Dataset-surface parity (reference dataset/api.py): boundedness maps
-   * to Spark's streaming flag; "local" means the data is materialized on
-   * this JVM's block store (the [[asLocal]] contract). */
+   * to Spark's streaming flag; "local" means the data needs no upstream
+   * recomputation on THIS JVM — either driver-literal rows
+   * (LocalRelation) or a materialized checkpoint (the [[asLocal]]
+   * contract; a lazily-wrapped, unpersisted RDD plan is NOT local). */
   def isBounded: Boolean = !native.isStreaming
-  def isLocal: Boolean = native.queryExecution.logical
-    .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
-  def numPartitions: Int = native.rdd.getNumPartitions
+  def isLocal: Boolean = native.queryExecution.logical match {
+    case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
+    case lr: org.apache.spark.sql.execution.LogicalRDD =>
+      lr.rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE
+    case _ => false
+  }
+  def numPartitions: Int = {
+    // Dataset.rdd is illegal on streaming sources; be a clear error, and
+    // use the internal-row RDD for bounded frames (no deserializer plan)
+    require(isBounded, "numPartitions is undefined for unbounded frames")
+    native.queryExecution.toRdd.getNumPartitions
+  }
 
   def rows: Seq[Row] = native.collect().toSeq
 }

@@ -31,22 +31,28 @@ package object api {
   /** Engine-context management (the reference's engine_context /
    * set_global_engine / clear_global_engine, execution/api.py). The
    * Scala-idiomatic context IS the implicit parameter; these helpers add
-   * the reference's explicit global fallback for applications that prefer
-   * set-once wiring: `implicit def e: GraftEngine = Engines.current`. */
+   * the reference's explicit wiring for applications that prefer it:
+   * `implicit def e: GraftEngine = Engines.current`. Resolution order
+   * matches the reference: thread-scoped context > global. The scoped
+   * context is thread-local (like the reference's ContextVar-based
+   * engine_context — concurrent contexts must not see each other); a
+   * thread spawned INSIDE a context inherits the spawn-time value
+   * (InheritableThreadLocal semantics, mirroring ContextVar task
+   * inheritance). */
   object Engines {
     @volatile private var global: Option[GraftEngine] = None
+    private val context = new scala.util.DynamicVariable[Option[GraftEngine]](None)
     def setGlobal(e: GraftEngine): Unit = global = Some(e)
     def clearGlobal(): Unit = global = None
-    def current: GraftEngine = global.getOrElse(
+    def current: GraftEngine = context.value.orElse(global).getOrElse(
       throw new IllegalStateException(
-        "no global engine set — Engines.setGlobal(engineOf(spark)) first"))
-    /** Run `body` with `e` as the global engine, restoring the previous
-     * one after (the reference's `with engine_context(e):`). */
-    def withEngine[T](e: GraftEngine)(body: => T): T = {
-      val prev = global
-      global = Some(e)
-      try body finally global = prev
-    }
+        "no engine in context — Engines.setGlobal(engineOf(spark)) or " +
+          "Engines.withEngine(...){...} first"))
+    /** Run `body` with `e` as this thread's context engine (the
+     * reference's `with engine_context(e):`); restores on exit and never
+     * touches the global or other threads. */
+    def withEngine[T](e: GraftEngine)(body: => T): T =
+      context.withValue(Some(e))(body)
   }
 
   /**
@@ -59,26 +65,38 @@ package object api {
    * nothing needed renaming.
    */
   def normalizeColumnNames(df: DataFrame): (DataFrame, Map[String, String]) = {
+    // ASCII identifier rule, deliberately NOT unicode-aware isLetter —
+    // normalized names must be plain [A-Za-z_][A-Za-z0-9_]* identifiers
+    // (safe unquoted in SQL), matching the reference's character class
+    def okChar(c: Char): Boolean =
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '_'
     def valid(n: String): Boolean =
-      n.nonEmpty && (n.head.isLetter || n.head == '_') &&
-        n.forall(c => c.isLetterOrDigit || c == '_')
-    val taken = scala.collection.mutable.Set[String]() ++
-      df.columns.filter(valid)
-    val renames = scala.collection.mutable.LinkedHashMap[String, String]()
-    df.columns.filterNot(valid).foreach { orig =>
-      val cleaned = orig.map(c => if (c.isLetterOrDigit || c == '_') c else '_')
-      val based = if (cleaned.isEmpty || cleaned.head.isDigit) "_" + cleaned else cleaned
-      var candidate = based
-      var i = 0
-      while (taken.contains(candidate)) { i += 1; candidate = s"${based}_$i" }
-      taken += candidate
-      renames += orig -> candidate
+      n.nonEmpty && !(n.head >= '0' && n.head <= '9') && n.forall(okChar)
+    val cols = df.columns
+    if (cols.forall(valid)) return (df, Map.empty)
+    val taken = scala.collection.mutable.Set[String]() ++ cols.filter(valid)
+    // positional processing: duplicate invalid names each get their own
+    // collision-suffixed result (withColumnRenamed would rename ALL
+    // matching columns at once, leaving the output still colliding)
+    var changed = List.empty[(String, String)]
+    val newNames = cols.map { orig =>
+      if (valid(orig)) orig
+      else {
+        val cleaned = orig.map(c => if (okChar(c)) c else '_')
+        val based =
+          if (cleaned.isEmpty || (cleaned.head >= '0' && cleaned.head <= '9'))
+            "_" + cleaned
+          else cleaned
+        var candidate = based
+        var i = 0
+        while (taken.contains(candidate)) { i += 1; candidate = s"${based}_$i" }
+        taken += candidate
+        changed ::= (candidate -> orig)
+        candidate
+      }
     }
-    if (renames.isEmpty) (df, Map.empty)
-    else {
-      val out = renames.foldLeft(df) { case (d, (o, n)) => d.withColumnRenamed(o, n) }
-      (out, renames.map(_.swap).toMap)
-    }
+    (df.toDF(newNames.toIndexedSeq: _*), changed.toMap)
   }
 
   def load(path: String, format: String = "", columns: Seq[String] = Nil)(

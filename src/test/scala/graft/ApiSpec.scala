@@ -60,6 +60,15 @@ class ApiSpec extends SparkTestBase {
     val clean = toDF(Seq(Seq(1)), "x:int")
     val (same, none) = normalizeColumnNames(clean)
     assert((same eq clean) && none.isEmpty)
+    // duplicate invalid names each get a unique result (post-join frames
+    // legally carry duplicates; withColumnRenamed would rename both)
+    val dup = spark.range(1).selectExpr("id as `*a`", "id as `*a`")
+    val (dOut, dUndo) = normalizeColumnNames(dup)
+    assert(dOut.columns.toSeq === Seq("_a", "_a_1"))
+    assert(dUndo === Map("_a" -> "*a", "_a_1" -> "*a"))
+    // non-ASCII letters are NOT valid identifiers — they normalize too
+    val uni = spark.range(1).selectExpr("id as `naïve`")
+    assert(normalizeColumnNames(uni)._1.columns.toSeq === Seq("na_ve"))
   }
 
   test("Engines global/context management") {
@@ -72,6 +81,26 @@ class ApiSpec extends SparkTestBase {
     intercept[IllegalStateException](Engines.current) // restored
     Engines.setGlobal(e)
     assert(Engines.current eq e)
+    // concurrent sibling contexts are isolated (thread-local, not a
+    // shared global): each thread sees its own engine throughout, and
+    // neither leaks after both exit. (A thread SPAWNED inside a context
+    // inherits it at spawn time — InheritableThreadLocal semantics.)
+    val e2 = engineOf(spark)
+    val e3 = engineOf(spark)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Boolean]()
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    def worker(mine: GraftEngine) = new Thread(() =>
+      Engines.withEngine(mine) {
+        barrier.await() // both threads inside their contexts simultaneously
+        seen.add(Engines.current eq mine)
+        barrier.await()
+        seen.add(Engines.current eq mine)
+      })
+    val (t1, t2) = (worker(e2), worker(e3))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert(seen.size === 4 && seen.toArray.forall(_ == true),
+      "concurrent contexts corrupted each other")
+    assert(Engines.current eq e, "global must survive context exits")
     Engines.clearGlobal()
   }
 
