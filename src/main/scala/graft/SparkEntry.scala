@@ -282,7 +282,7 @@ object SparkEntry {
       val e = events(s, dir).select("event_id")
       def pos(d: DataFrame): DataFrame = {
         // zipWithIndex preserves the sorted order → global position
-        val rdd = d.rdd.zipWithIndex.map { case (r, i) => Row(r.getLong(0), i) }
+        val rdd = d.rdd.zipWithIndex().map { case (r, i) => Row(r.getLong(0), i) }
         s.createDataFrame(rdd, StructType(Seq(
           StructField("event_id", LongType), StructField("p", LongType))))
       }

@@ -194,9 +194,9 @@ package object api {
     val dfs = scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
     parts.foreach {
       case s: String => sb ++= s; sb += ' '
-      case d: DataFrame =>
+      case d: org.apache.spark.sql.Dataset[_] =>
         val name = s"__raw_${dfs.size}"
-        dfs(name) = d
+        dfs(name) = d.toDF()
         sb ++= name; sb += ' '
       case other => throw new IllegalArgumentException(
         s"rawSqlParts accepts String and DataFrame fragments, got: ${other.getClass}")
