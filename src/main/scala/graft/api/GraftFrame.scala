@@ -64,17 +64,26 @@ final case class GraftFrame(
   def count: Long = native.count()
   def isEmpty: Boolean = native.isEmpty
   /** Dataset-surface parity (reference dataset/api.py): boundedness maps
-   * to Spark's streaming flag; "local" means the data needs no upstream
-   * recomputation on THIS JVM — either driver-literal rows
-   * (LocalRelation) or a materialized checkpoint (the [[asLocal]]
-   * contract; a lazily-wrapped, unpersisted RDD plan is NOT local). */
+   * to Spark's streaming flag. "Local" means actions need NO upstream
+   * recomputation: driver-literal relations, or a checkpoint whose blocks
+   * are actually CACHED on this JVM (the [[asLocal]] contract — eager
+   * localCheckpoint). A declared-but-unmaterialized lazy checkpoint and a
+   * parallelized-rows frame both report false: their next action still
+   * runs the lineage. */
   def isBounded: Boolean = !native.isStreaming
   def isLocal: Boolean = native.queryExecution.logical match {
     case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
     case lr: org.apache.spark.sql.execution.LogicalRDD =>
-      lr.rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE
+      lr.rdd.getStorageLevel !=
+        org.apache.spark.storage.StorageLevel.NONE &&
+        native.sparkSession.sparkContext.getRDDStorageInfo
+          .exists(info => info.id == lr.rdd.id && info.numCachedPartitions > 0)
     case _ => false
   }
+  /** Partition count. NOTE (same cost as the reference's
+   * `df.rdd.getNumPartitions`): resolving the partitioning of a lazy plan
+   * under AQE executes its upstream shuffle stages — this is a plan
+   * question only cheap on materialized/local frames. */
   def numPartitions: Int = {
     // Dataset.rdd is illegal on streaming sources; be a clear error, and
     // use the internal-row RDD for bounded frames (no deserializer plan)

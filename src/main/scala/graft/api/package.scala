@@ -75,7 +75,10 @@ package object api {
       n.nonEmpty && !(n.head >= '0' && n.head <= '9') && n.forall(okChar)
     val cols = df.columns
     if (cols.forall(valid)) return (df, Map.empty)
-    val taken = scala.collection.mutable.Set[String]() ++ cols.filter(valid)
+    // collision set is CASE-INSENSITIVE: Spark's default resolver is, so
+    // emitting "_a" next to an existing "_A" would make both ambiguous
+    val taken = scala.collection.mutable.Set[String]() ++
+      cols.filter(valid).map(_.toLowerCase)
     // positional processing: duplicate invalid names each get their own
     // collision-suffixed result (withColumnRenamed would rename ALL
     // matching columns at once, leaving the output still colliding)
@@ -90,8 +93,10 @@ package object api {
           else cleaned
         var candidate = based
         var i = 0
-        while (taken.contains(candidate)) { i += 1; candidate = s"${based}_$i" }
-        taken += candidate
+        while (taken.contains(candidate.toLowerCase)) {
+          i += 1; candidate = s"${based}_$i"
+        }
+        taken += candidate.toLowerCase
         changed ::= (candidate -> orig)
         candidate
       }
@@ -199,7 +204,8 @@ package object api {
         dfs(name) = d.toDF()
         sb ++= name; sb += ' '
       case other => throw new IllegalArgumentException(
-        s"rawSqlParts accepts String and DataFrame fragments, got: ${other.getClass}")
+        "rawSqlParts accepts String and Dataset fragments, got: " +
+          (if (other == null) "null" else other.getClass.toString))
     }
     e.sqlSelect(sb.toString.trim, dfs.toMap)
   }

@@ -69,6 +69,10 @@ class ApiSpec extends SparkTestBase {
     // non-ASCII letters are NOT valid identifiers — they normalize too
     val uni = spark.range(1).selectExpr("id as `naïve`")
     assert(normalizeColumnNames(uni)._1.columns.toSeq === Seq("na_ve"))
+    // collision detection is case-INSENSITIVE (Spark's default resolver
+    // is): "_A" exists, so "*a" must not normalize to the ambiguous "_a"
+    val ci = spark.range(1).selectExpr("id as `_A`", "id as `*a`")
+    assert(normalizeColumnNames(ci)._1.columns.toSeq === Seq("_A", "_a_1"))
   }
 
   test("Engines global/context management") {
