@@ -353,11 +353,27 @@ object Dedup {
   }
 
   /**
-   * Exact n-gram Jaccard similarity join (no LSH approximation): inverted
-   * index on shingle hashes → per-pair co-occurrence counts → jaccard from
-   * known set sizes. `maxShingleDf` drops ubiquitous shingles *only* as a
-   * skew guard; with the default Int.MaxValue the result is exactly all
-   * pairs with jaccard ≥ threshold.
+   * Exact n-gram Jaccard similarity join (no LSH approximation).
+   *
+   * Default path (no df cut): AllPairs-style prefix filtering (Bayardo,
+   * Ma, Srikant, "Scaling Up All Pairs Similarity Search", WWW'07). Sort
+   * each document's shingles by ascending corpus document-frequency (ties
+   * by hash — any consistent global order works); index ONLY the first
+   * `|S| - ceil(t*|S|) + 1` shingles. Completeness: for a pair with
+   * jaccard >= t, the globally-minimal shared shingle must sit inside
+   * BOTH prefixes — if it escaped A's prefix, A would hold at least
+   * `|S_A| - prefixLen + 1 = ceil(t*|S_A|)` shingles ordered strictly
+   * before every shared one and absent from B, forcing
+   * `|A∩B| <= ceil(t*|S_A|) - 1 < t*|S_A| <= |A∩B|` — a contradiction.
+   * Candidates are then verified against FULL shingle sets, so the
+   * result is exactly all pairs with jaccard >= threshold, while the
+   * quadratic index self-join runs over the df-ASCENDING prefixes —
+   * frequent shingles almost never land in a prefix, collapsing the
+   * sum-of-df² cost that dominates the naive inverted index.
+   *
+   * `maxShingleDf` (a documented skew-guard APPROXIMATION that ignores
+   * ubiquitous shingles) keeps the original co-occurrence formulation —
+   * its semantics depend on counting intersections over the cut universe.
    */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -365,19 +381,77 @@ object Dedup {
       textCol: String,
       shingleK: Int = 3,
       threshold: Double = 0.5,
-      maxShingleDf: Int = Int.MaxValue): DataFrame = {
+      maxShingleDf: Int = Int.MaxValue,
+      strategy: String = "auto"): DataFrame = {
     // shared materialized shingle stage — reused across the dedup family
     val sigs = shingleStage(df, idCol, textCol, shingleK)
-    val sizes = sigs.select(col("id"), size(col("sh")).as("sz"))
+    if (maxShingleDf != Int.MaxValue)
+      return ngramJaccardCooccur(sigs, threshold, maxShingleDf)
+    strategy match {
+      case "cooccur" => ngramJaccardCooccur(sigs, threshold, Int.MaxValue)
+      case "prefix"  => ngramJaccardPrefixFiltered(sigs, threshold)
+      case "auto" =>
+        // Decide from the measured df histogram: the co-occurrence path
+        // generates sum(df²) join rows; the prefix path trades that for
+        // per-candidate set verification. With BOUNDED dfs (duplicate
+        // clusters of bounded size — the common curated-corpus case)
+        // sum(df²) grows linearly with the corpus and the narrow-row
+        // aggregate wins (measured at sf0.1: 3.0 s vs 4.9 s — 409k
+        // verified candidates vs a 2.8M-row count aggregate). With an
+        // UNBOUNDED df head (web boilerplate: df in the millions),
+        // sum(df²) explodes quadratically and only the prefix path
+        // survives. The decision statistic — join amplification
+        // sum(df²)/sum(df) — costs one small aggregate over the df
+        // frame; pin `strategy` explicitly to skip it.
+        val inverted = sigs.select(col("id"), explode(col("sh")).as("s"))
+        val dfs = inverted.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 2)
+        val r = dfs.select(sum(col("df")).as("occ"),
+          sum(col("df") * col("df")).as("occ2")).first()
+        val amplification =
+          if (r.isNullAt(0) || r.getLong(0) == 0L) 0.0
+          else r.getLong(1).toDouble / r.getLong(0).toDouble
+        if (amplification <= 64.0) ngramJaccardCooccur(sigs, threshold, Int.MaxValue)
+        else ngramJaccardPrefixFiltered(sigs, threshold)
+      case other => throw new IllegalArgumentException(
+        s"unknown ngram join strategy '$other' (auto|cooccur|prefix)")
+    }
+  }
+
+  /** Prefix-filtered exact path over a (id, sh) shingle frame. */
+  private[graft] def ngramJaccardPrefixFiltered(
+      sigs: DataFrame, threshold: Double): DataFrame = {
     val inverted = sigs.select(col("id"), explode(col("sh")).as("s"))
     // df=1 shingles cannot form a pair; pruning them is exactness-
-    // preserving. On natural text most shingles ARE unique (the long
-    // tail), so this removes the bulk of the self-join input; on the
-    // synthetic small-vocabulary bench corpus it is cost-neutral (0.08%
-    // unique, measured). The prune join also leaves the index partitioned
-    // on `s`, so the subsequent self-join reuses the exchange. No
-    // broadcast hint: AQE broadcasts the repeated-shingle key set when
-    // small; forcing it would OOM on a 100 TB corpus.
+    // preserving (a shared shingle has df >= 2 by definition), and the
+    // prefix-length bound stays valid on the pruned sets: jaccard >= t
+    // implies |A∩B| >= t*|A| >= t*|A'| for the pruned A' ⊆ A. On natural
+    // text most shingles ARE unique (the long tail), so this also removes
+    // the bulk of the per-doc sort input. No broadcast hint: AQE
+    // broadcasts the df frame when small; forcing it would OOM at 100 TB.
+    val dfs = inverted.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+    val prefixLen =
+      (size(col("ss")) - ceil(lit(threshold) * size(col("ss"))).cast("int") + 1)
+    val prefixes = inverted.join(dfs, "s")
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("ss"))
+      .select(col("id"), explode(slice(col("ss"), lit(1), prefixLen)).as("e"))
+      .select(col("id"), col("e.s").as("s"))
+    val l = prefixes.select(col("s"), col("id").as("id_a"))
+    val r = prefixes.select(col("s"), col("id").as("id_b"))
+    val candidates = l.join(r, "s").filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    verifyJaccard(candidates, sigs.select(col("id"), col("sh")), threshold)
+  }
+
+  /** Original inverted-index co-occurrence formulation — kept for the
+   * `maxShingleDf` skew-guard mode (and as the semantic reference the
+   * prefix-filtered path is differential-tested against). */
+  private[graft] def ngramJaccardCooccur(
+      sigs: DataFrame, threshold: Double, maxShingleDf: Int): DataFrame = {
+    val sizes = sigs.select(col("id"), size(col("sh")).as("sz"))
+    val inverted = sigs.select(col("id"), explode(col("sh")).as("s"))
     val dfs = inverted.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, maxShingleDf))
     val pruned = inverted.join(dfs.select("s"), "s")

@@ -43,6 +43,26 @@ class FunctionsSpec extends SparkTestBase {
     assert(want.nonEmpty) // sf0.001 has planted near-dups
   }
 
+  test("prefix-filtered jaccard path == co-occurrence path (several thresholds)") {
+    val sigs = Dedup.shingleStage(docs, "doc_id", "text", 3)
+    for (t <- Seq(0.3, 0.5, 0.9, 1.0)) {
+      val pf = Dedup.ngramJaccardPrefixFiltered(sigs, t)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val co = Dedup.ngramJaccardCooccur(sigs, t, Int.MaxValue)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pf === co, s"threshold $t")
+    }
+    // all three public strategies agree end-to-end
+    val auto = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").collect().toSet
+    for (s <- Seq("cooccur", "prefix"))
+      assert(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5, strategy = s)
+        .select("id_a", "id_b").collect().toSet === auto, s"strategy $s")
+    intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5, strategy = "nope")
+    }
+  }
+
   test("minhashNearDupPairs finds all high-jaccard pairs (recall at j≈0.98)") {
     val want = bruteJaccardPairs(0.9)
     val got = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
