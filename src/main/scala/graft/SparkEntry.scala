@@ -533,6 +533,11 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_shingles"), col("n_matched"),
           col("contamination"))
     }),
+    // unigram-LM cross-entropy (CCNet-style self-trained LM filter):
+    // exact per-doc scores vs the DuckDB oracle (decimal-bridged log-prob
+    // sums make the FP result order-independent on both engines)
+    "t12_lm_score" -> ((s, dir) =>
+      TextFunctions.unigramCrossEntropy(t(s, dir, "documents"), "doc_id", "text")),
     // fingerprint differential: fingerprint-equality classes must coincide
     // with normalized-text-equality classes on the (ASCII) corpus — i.e. a
     // bijection between distinct fingerprints and distinct normalized texts
@@ -1187,6 +1192,19 @@ object SparkEntry {
         | CAST(len(list_intersect(s, es)) AS BIGINT) AS n_matched,
         | CAST(len(list_intersect(s, es)) AS DOUBLE) / len(s) AS contamination
         |FROM sh, ev""".stripMargin,
+    "t12_lm_score" ->
+      """WITH toks0 AS (
+        | SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        | FROM documents),
+        |toks AS (SELECT doc_id, tok FROM toks0 WHERE length(tok) > 0),
+        |vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+        |total AS (SELECT sum(cnt) AS n FROM vocab),
+        |logp AS (SELECT tok, ln(CAST(cnt AS DOUBLE)) - ln(CAST(n AS DOUBLE)) AS logp
+        | FROM vocab, total)
+        |SELECT doc_id, count(*) AS n_tokens,
+        | -CAST(sum(CAST(logp AS DECIMAL(20,10))) AS DOUBLE) / count(*) AS cross_entropy
+        |FROM toks JOIN logp USING (tok)
+        |GROUP BY doc_id""".stripMargin,
     "q32_rollup" -> SqlRollup,
     "q33_running_window" -> SqlRunning,
     "q34_exists_subquery" -> SqlExists,

@@ -226,6 +226,44 @@ object TextFunctions {
       .otherwise(lit(0.0))
   }
 
+  /**
+   * Unigram-LM quality score (the CCNet-style language-model filter,
+   * self-trained): per-document cross-entropy against the corpus's own
+   * unigram distribution. Documents whose tokens are systematically rare
+   * in the corpus (gibberish, boilerplate markup, wrong-language text)
+   * score HIGH; fluent in-distribution text scores LOW. Output:
+   * (idCol, n_tokens, cross_entropy); blank/null documents produce no row.
+   *
+   * Scale: the "LM training" is one hash aggregate over (token) — the
+   * vocabulary frame, tiny next to the corpus; the corpus total is a
+   * single broadcast row (no driver action); scoring is one join of the
+   * exploded token stream against the vocabulary (AQE broadcasts when the
+   * vocab is small) plus one per-document aggregate. Everything
+   * declarative — no UDF, no model file.
+   *
+   * Determinism: the per-document sum of log-probabilities is bridged
+   * through decimal(20,10) — decimal addition is exact and
+   * order-independent, so the result is stable across partitionings and
+   * engines (a raw double SUM is not).
+   */
+  def unigramCrossEntropy(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df
+      .select(col(idCol), explode(split(trim(lower(col(textCol))), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("n"))
+    val logp = vocab.crossJoin(broadcast(total))
+      .select(col("tok"),
+        (log(col("cnt").cast("double")) - log(col("n").cast("double"))).as("logp"))
+    toks.join(logp, "tok")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("logp").cast("decimal(20,10)")).as("__slp"))
+      .select(col(idCol), col("n_tokens"),
+        (-col("__slp").cast("double") / col("n_tokens")).as("cross_entropy"))
+  }
+
   /** Quality filter composing [[qualityMetrics]]: keep documents within
    * the given bounds (the curation filter of a training-data pipeline). */
   def qualityFilter(

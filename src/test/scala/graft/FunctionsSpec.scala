@@ -397,6 +397,29 @@ class FunctionsSpec extends SparkTestBase {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("unigramCrossEntropy matches driver-side brute force") {
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val tokensByDoc = texts.map { case (id, t0) =>
+      id -> t0.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    }.filter(_._2.nonEmpty)
+    val counts = tokensByDoc.flatMap(_._2).groupBy(identity).map { case (k, v) => k -> v.size }
+    val n = counts.values.map(_.toLong).sum.toDouble
+    val want = tokensByDoc.map { case (id, ts) =>
+      id -> (ts.size.toLong,
+        -ts.map(t0 => math.log(counts(t0)) - math.log(n)).sum / ts.size)
+    }.toMap
+    val got = TextFunctions.unigramCrossEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet === want.keySet)
+    got.foreach { case (id, (nt, ce)) =>
+      assert(nt === want(id)._1, s"token count for doc $id")
+      assert(math.abs(ce - want(id)._2) < 1e-6, s"cross-entropy for doc $id")
+    }
+    // sanity: a gibberish doc scores higher than a modal doc
+    assert(got.values.map(_._2).max > got.values.map(_._2).min)
+  }
+
   test("repetitionRatio measures duplicate k-gram fraction") {
     val d = df(Seq(
       Seq(1L, "a b c a b c a b c a b"),  // highly repetitive
