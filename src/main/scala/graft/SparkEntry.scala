@@ -518,6 +518,30 @@ object SparkEntry {
       eng(s).toDF(Seq(Seq(
         if (graft.api.DfUtils.dfEq(a, b)) 1L else 0L)), "cc_ok:long")
     }),
+    // quality-aware dedup differential: (a) ascending-id quality reproduces
+    // the min-id convention exactly; (b) best-quality keeps one rep per
+    // component (same survivor COUNT as min-id) and drops the same ids
+    // (survivor sets agree on membership of each component)
+    "d11_dedup_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      val minId = Dedup.dropNearDuplicates(docs, "doc_id", pairs)
+      val viaBy = Dedup.dropNearDuplicatesBy(docs, "doc_id", pairs, "doc_id",
+        descending = false)
+      val best = Dedup.dropNearDuplicatesBy(docs, "doc_id", pairs, "n_chars")
+      val sameAsMinId = graft.api.DfUtils.dfEq(
+        minId.select("doc_id"), viaBy.select("doc_id"))
+      val oneRepPerComponent = best.count() == minId.count()
+      // every best-quality survivor's component representative maps back to
+      // a min-id survivor (same components survived)
+      val comps = Dedup.nearDupComponents(docs, "doc_id", pairs)
+      val sameComponents = graft.api.DfUtils.dfEq(
+        comps.join(best.select("doc_id"), "doc_id").select("component"),
+        comps.join(minId.select("doc_id"), "doc_id").select("component"))
+      eng(s).toDF(Seq(Seq(
+        if (sameAsMinId && oneRepPerComponent && sameComponents) 1L else 0L)),
+        "best_ok:long")
+    }),
 
     // repetition quality signal: duplicate-3-gram fraction per document
     "t10_repetition" -> ((s, dir) =>
@@ -1145,6 +1169,7 @@ object SparkEntry {
     "q37x_sketch_error" -> "SELECT CAST(1 AS BIGINT) AS sketch_ok",
     "t09_fingerprint_consistency" -> "SELECT CAST(1 AS BIGINT) AS fp_ok",
     "d10_cc_paths_agree" -> "SELECT CAST(1 AS BIGINT) AS cc_ok",
+    "d11_dedup_best" -> "SELECT CAST(1 AS BIGINT) AS best_ok",
     // the oracle applies the SAME patterns (generated from PiiPatterns —
     // RE2-safe by construction) to the same injected text
     "t07_pii_redact" -> {

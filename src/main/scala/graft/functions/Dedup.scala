@@ -486,6 +486,69 @@ object Dedup {
   def dropNearDuplicates(
       df: DataFrame, idCol: String, pairs: DataFrame,
       maxIterations: Int = 20, driverMaxEdges: Int = 1 << 18): DataFrame = {
+    val losers = loserLabels(df, idCol, pairs, maxIterations, driverMaxEdges)
+    df.join(losers.select(col("u").as(idCol)), Seq(idCol), "left_anti")
+  }
+
+  /**
+   * Near-duplicate component assignment: every row of `df` labeled with its
+   * duplicate-component representative (the component's minimum id; rows in
+   * no pair are their own representative) as a `component` column. Same
+   * adaptive connected-components core as [[dropNearDuplicates]].
+   */
+  def nearDupComponents(
+      df: DataFrame, idCol: String, pairs: DataFrame,
+      maxIterations: Int = 20, driverMaxEdges: Int = 1 << 18): DataFrame = {
+    val losers = loserLabels(df, idCol, pairs, maxIterations, driverMaxEdges)
+    df.join(losers.select(col("u").as(idCol), col("lbl").as("__cc_lbl")),
+        Seq(idCol), "left")
+      .withColumn("component", coalesce(col("__cc_lbl"), col(idCol)))
+      .drop("__cc_lbl")
+  }
+
+  /**
+   * Quality-aware near-duplicate removal: per duplicate component, keep the
+   * row with the BEST `qualityCol` (largest when `descending`, ties broken
+   * by smallest id) instead of [[dropNearDuplicates]]'s min-id convention —
+   * the curation-pipeline variant ("of these near-identical pages, keep
+   * the highest-quality one").
+   *
+   * Scale: the representative choice only touches CONTESTED rows (nodes of
+   * the pair graph — bounded by duplicates found, tiny next to the
+   * corpus); uncontested rows pass through an anti-join untouched. The
+   * quality window shuffles only the contested slice.
+   */
+  def dropNearDuplicatesBy(
+      df: DataFrame, idCol: String, pairs: DataFrame, qualityCol: String,
+      descending: Boolean = true,
+      maxIterations: Int = 20, driverMaxEdges: Int = 1 << 18): DataFrame = {
+    val losers = loserLabels(df, idCol, pairs, maxIterations, driverMaxEdges)
+    val nodes = losers.select(col("u")).union(losers.select(col("lbl")))
+      .distinct().select(col("u").as(idCol))
+    val contested = df.join(nodes, Seq(idCol), "left_semi")
+      .join(losers.select(col("u").as(idCol), col("lbl").as("__cc")),
+        Seq(idCol), "left")
+      .withColumn("__cc", coalesce(col("__cc"), col(idCol)))
+    val ord =
+      if (descending) col(qualityCol).desc_nulls_last
+      else col(qualityCol).asc_nulls_last
+    val w = Window.partitionBy(col("__cc")).orderBy(ord, col(idCol).asc)
+    val winners = contested.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn", "__cc")
+    df.join(nodes, Seq(idCol), "left_anti").unionByName(winners)
+  }
+
+  /**
+   * Shared connected-components core: (u, lbl) rows for every
+   * NON-representative node of the pair graph — u's component contains a
+   * smaller id lbl (the component minimum). Representatives and unpaired
+   * ids are absent (they map to themselves). Adaptive driver/distributed
+   * execution as documented on [[dropNearDuplicates]]; the returned frame
+   * is broadcast-hinted when driver-built.
+   */
+  private def loserLabels(
+      df: DataFrame, idCol: String, pairs: DataFrame,
+      maxIterations: Int, driverMaxEdges: Int): DataFrame = {
     import org.apache.spark.sql.types._
     // the driver path must order ids EXACTLY like the distributed path's
     // Spark comparisons — only types whose JVM ordering provably matches
@@ -515,11 +578,15 @@ object Dedup {
       if (driverMaxEdges <= 0 || !driverOrderable)
         Array.empty[org.apache.spark.sql.Row]
       else edgeSrc.limit(probeLimit).collect()
+    val idField = df.schema(idCol)
+    val labelSchema = StructType(Seq(
+      StructField("u", idField.dataType), StructField("lbl", idField.dataType)))
     if (driverMaxEdges > 0 && driverOrderable &&
         probe.length <= driverMaxEdges) {
       if (probe.isEmpty) {
         org.apache.spark.sql.graftshim.ColumnBridge.unpersistCheckpointed(edgeSrc)
-        return df
+        return df.sparkSession.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), labelSchema)
       }
       // union-find with min-id roots
       val parent = new java.util.HashMap[Any, Any]()
@@ -545,13 +612,13 @@ object Dedup {
         }
       }
       val losers = parent.keySet().toArray.filter(k => find(k) != k)
-      val schema = StructType(Seq(df.schema(idCol)))
+        .map(k => org.apache.spark.sql.Row(k, find(k)))
       val loserDf = df.sparkSession.createDataFrame(
-        java.util.Arrays.asList(losers.map(org.apache.spark.sql.Row(_)): _*), schema)
+        java.util.Arrays.asList(losers: _*), labelSchema)
       // the pair list is fully consumed into the driver — free its blocks
       // deterministically rather than waiting for the ContextCleaner
       org.apache.spark.sql.graftshim.ColumnBridge.unpersistCheckpointed(edgeSrc)
-      return df.join(broadcast(loserDf), Seq(idCol), "left_anti")
+      return broadcast(loserDf)
     }
     // label(u) = min id known reachable from u; relax over edges until fixed
     // point (≤ component diameter iterations — near-dup components are tiny).
@@ -591,9 +658,8 @@ object Dedup {
     // the pair list is no longer referenced (losers derive from the final
     // labels checkpoint) — free it
     org.apache.spark.sql.graftshim.ColumnBridge.unpersistCheckpointed(edgeSrc)
-    // drop every id that is not its component's minimum
-    val losers = labels.filter(col("u") =!= col("lbl")).select(col("u").as(idCol))
-    df.join(losers, Seq(idCol), "left_anti")
+    // every node that is not its component's minimum, with that minimum
+    labels.filter(col("u") =!= col("lbl"))
   }
 
   /**

@@ -105,6 +105,46 @@ object Multimodal {
   }
 
   /**
+   * Resize plumbing: payload in → payload out with target dimensions. The
+   * resample is a deterministic STUB (stride-sampling the byte stream to
+   * the target-area byte budget — a real implementation decodes, resamples
+   * pixels, re-encodes); the dataflow contract (binary in, binary +
+   * dimensions out, partition-batched, output size proportional to target
+   * area not source area) is the real one. Output:
+   * (doc_id, width, height, payload).
+   */
+  def resizeImages(df: DataFrame, idCol: String, payloadCol: String,
+      targetWidth: Int, targetHeight: Int): DataFrame = {
+    require(targetWidth > 0 && targetHeight > 0, "target dims must be positive")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("payload", BinaryType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val payload = r.getAs[Array[Byte]](pIdx)
+        val n = if (payload == null) 0 else payload.length
+        val (w, h, _, _) = decodeImageStub(payload)
+        // target byte budget scales with target area over source area
+        val budget = math.max(1, math.min(n.toLong,
+          n.toLong * targetWidth * targetHeight / math.max(1L, w.toLong * h))).toInt
+        val out =
+          if (n == 0) Array.emptyByteArray
+          else {
+            val b = new Array[Byte](budget)
+            var i = 0
+            while (i < budget) { b(i) = payload((i.toLong * n / budget).toInt); i += 1 }
+            b
+          }
+        Row(r.getLong(idIdx), targetWidth, targetHeight, out)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /**
    * Frame sampling plumbing for video-like payloads: emits every `stride`-th
    * fixed-size window of the payload as a frame row (deterministic stub for
    * a real demuxer). Output: (doc_id, frame_no, frame_bytes).

@@ -198,6 +198,39 @@ class ExtrasSpec extends SparkTestBase {
     assert(keptDist === kept)
   }
 
+  test("nearDupComponents and dropNearDuplicatesBy: quality-aware representatives") {
+    // components {1,2,5}, {3,4}, {6,7,8}; 9 unpaired
+    val docs = df(Seq(
+      Seq(1L, 10), Seq(2L, 90), Seq(3L, 50), Seq(4L, 50), Seq(5L, 20),
+      Seq(6L, 5), Seq(7L, 99), Seq(8L, 40), Seq(9L, 1)), "doc_id:long,q:int")
+    val pairs = df(Seq(
+      Seq(1L, 5L), Seq(2L, 5L), Seq(3L, 4L), Seq(6L, 7L), Seq(7L, 8L)),
+      "id_a:long,id_b:long")
+    for (dme <- Seq(1 << 18, 0)) { // driver and distributed paths
+      val comps = Dedup.nearDupComponents(docs, "doc_id", pairs, driverMaxEdges = dme)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(comps === Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 3L -> 3L, 4L -> 3L,
+        6L -> 6L, 7L -> 6L, 8L -> 6L, 9L -> 9L), s"driverMaxEdges=$dme")
+      // best quality wins per component (2: q=90; ties 3/4 -> min id 3; 7: q=99)
+      val best = Dedup.dropNearDuplicatesBy(docs, "doc_id", pairs, "q",
+        driverMaxEdges = dme)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(best === Seq(2L, 3L, 7L, 9L), s"driverMaxEdges=$dme")
+      // ascending on the id column reproduces the min-id convention
+      val minId = Dedup.dropNearDuplicatesBy(docs, "doc_id", pairs, "doc_id",
+        descending = false, driverMaxEdges = dme)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      val reference = Dedup.dropNearDuplicates(docs, "doc_id", pairs)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(minId === reference, s"driverMaxEdges=$dme")
+    }
+    // empty pair list: everything is its own component, nothing dropped
+    val noPairs = df(Seq.empty[Seq[Any]], "id_a:long,id_b:long")
+    assert(Dedup.nearDupComponents(docs, "doc_id", noPairs)
+      .filter(col("doc_id") =!= col("component")).count() === 0)
+    assert(Dedup.dropNearDuplicatesBy(docs, "doc_id", noPairs, "q").count() === 9)
+  }
+
   test("dropNearDuplicates: driver path matches Spark string order on supplementary chars") {
     // UTF-16 code-unit order says U+1F600 < U+FFFF; UTF-8 binary order
     // (Spark's) says the opposite — both paths must agree on the survivor
