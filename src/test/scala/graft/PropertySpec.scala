@@ -188,6 +188,86 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("prefix-filtered jaccard == brute force on random corpora (3 seeds x 3 thresholds)") {
+    for (seed <- Seq(9L, 23L, 41L)) {
+      val rnd = new Random(seed)
+      val vocab = (1 to 12).map(i => s"w$i")
+      def text() = (1 to (4 + rnd.nextInt(12)))
+        .map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      val corpus = (1 to 40).map(i => (i.toLong, text()))
+      val d = df(corpus.map(c => Seq(c._1, c._2)), "doc_id:long,text:str")
+      def shingles(t: String): Set[String] =
+        t.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+      Dedup.clearSignatureCache()
+      val sigs = Dedup.shingleStage(d, "doc_id", "text", 3)
+      for (t <- Seq(0.34, 0.5, 0.8)) {
+        val want = (for {
+          i <- corpus.indices; j <- (i + 1) until corpus.length
+          a = shingles(corpus(i)._2); b = shingles(corpus(j)._2)
+          if a.nonEmpty && b.nonEmpty
+          inter = (a & b).size
+          if inter > 0 && inter.toDouble / (a.size + b.size - inter) >= t
+        } yield (corpus(i)._1, corpus(j)._1)).toSet
+        val got = Dedup.ngramJaccardPrefixFiltered(sigs, t)
+          .select("id_a", "id_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got === want, s"seed=$seed threshold=$t")
+      }
+    }
+  }
+
+  test("dropNearDuplicatesBy matches brute-force components on random graphs (3 seeds)") {
+    for (seed <- Seq(17L, 37L, 53L)) {
+      val rnd = new Random(seed)
+      val n = 30
+      val rows = (1 to n).map(i => Seq(i.toLong, rnd.nextInt(100)))
+      val d = df(rows, "doc_id:long,q:int")
+      val edges = (1 to 25).map(_ =>
+        (1 + rnd.nextInt(n).toLong, 1 + rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val pairs = df(edges.map(e => Seq(e._1, e._2)), "id_a:long,id_b:long")
+      // brute-force components
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val byComp = (1 to n).map(i => i.toLong).groupBy(find)
+      val quality = rows.map(r => r.head.asInstanceOf[Long] -> r(1).asInstanceOf[Int]).toMap
+      val wantBest = byComp.values.map(ids =>
+        ids.minBy(id => (-quality(id), id))).toSet
+      for (dme <- Seq(1 << 18, 0)) {
+        val got = Dedup.dropNearDuplicatesBy(d, "doc_id", pairs, "q",
+          driverMaxEdges = dme)
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        assert(got === wantBest, s"seed=$seed driverMaxEdges=$dme")
+        val comps = Dedup.nearDupComponents(d, "doc_id", pairs, driverMaxEdges = dme)
+          .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+        (1 to n).foreach(i =>
+          assert(comps(i.toLong) === find(i.toLong), s"seed=$seed id=$i dme=$dme"))
+      }
+    }
+  }
+
+  test("unigramCrossEntropy is partitioning-invariant (decimal-exact sums)") {
+    import graft.functions.TextFunctions
+    val rnd = new Random(71L)
+    val vocab = (1 to 20).map(i => s"w$i")
+    val corpus = (1 to 60).map(i =>
+      Seq(i.toLong, (1 to (3 + rnd.nextInt(20)))
+        .map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")))
+    val d1 = df(corpus, "doc_id:long,text:str")
+    val a = TextFunctions.unigramCrossEntropy(d1, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val b = TextFunctions.unigramCrossEntropy(d1.repartition(7), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(a === b) // bit-identical, not approximately equal
+  }
+
   test("ngramJaccardPairs threshold boundary on crafted near-boundary pairs") {
     // jaccard exactly 0.5: |A∩B|=2, |A|=|B|=3 → 2/(3+3-2)=0.5 (inclusive)
     val a = "w1 w2 w3 w4 w5" // shingles: (w1 w2 w3)(w2 w3 w4)(w3 w4 w5)
