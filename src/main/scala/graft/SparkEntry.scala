@@ -511,7 +511,10 @@ object SparkEntry {
     // and the distributed min-label loop must keep the identical id set
     "d10_cc_paths_agree" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // materialize once: both CC paths below consume the pair list, and
+      // each would otherwise re-run the whole candidate/verify pipeline
       val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+        .localCheckpoint(true)
       val a = Dedup.dropNearDuplicates(docs, "doc_id", pairs).select("doc_id")
       val b = Dedup.dropNearDuplicates(docs, "doc_id", pairs,
         driverMaxEdges = 0).select("doc_id")
@@ -524,7 +527,9 @@ object SparkEntry {
     // (survivor sets agree on membership of each component)
     "d11_dedup_best" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // materialized once — four CC invocations below read the pair list
       val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+        .localCheckpoint(true)
       val minId = Dedup.dropNearDuplicates(docs, "doc_id", pairs)
       val viaBy = Dedup.dropNearDuplicatesBy(docs, "doc_id", pairs, "doc_id",
         descending = false)

@@ -383,10 +383,18 @@ object Dedup {
       threshold: Double = 0.5,
       maxShingleDf: Int = Int.MaxValue,
       strategy: String = "auto"): DataFrame = {
+    require(Set("auto", "cooccur", "prefix").contains(strategy),
+      s"unknown ngram join strategy '$strategy' (auto|cooccur|prefix)")
     // shared materialized shingle stage — reused across the dedup family
     val sigs = shingleStage(df, idCol, textCol, shingleK)
-    if (maxShingleDf != Int.MaxValue)
+    if (maxShingleDf != Int.MaxValue) {
+      // the df cut's semantics are defined by co-occurrence counting over
+      // the cut universe — the prefix path cannot honor them
+      require(strategy != "prefix",
+        "maxShingleDf (the co-occurrence skew guard) is incompatible with " +
+          "strategy=\"prefix\"; use the default strategy or drop the cut")
       return ngramJaccardCooccur(sigs, threshold, maxShingleDf)
+    }
     strategy match {
       case "cooccur" => ngramJaccardCooccur(sigs, threshold, Int.MaxValue)
       case "prefix"  => ngramJaccardPrefixFiltered(sigs, threshold)
@@ -401,20 +409,24 @@ object Dedup {
         // UNBOUNDED df head (web boilerplate: df in the millions),
         // sum(df²) explodes quadratically and only the prefix path
         // survives. The decision statistic — join amplification
-        // sum(df²)/sum(df) — costs one small aggregate over the df
-        // frame; pin `strategy` explicitly to skip it.
+        // sum(df²)/sum(df) — reads a materialized df frame the chosen
+        // path then reuses (one corpus-wide aggregate total, same as a
+        // pinned strategy); pin `strategy` explicitly to skip the probe.
+        // Sums run in double: a Long sum(df²) overflows at exactly the
+        // unbounded-df scale this probe exists to detect (df ~1e7 ⇒
+        // df² ~1e14; a few thousand such shingles exceed 2⁶³ — ANSI mode
+        // would throw, non-ANSI would wrap negative and mis-route).
         val inverted = sigs.select(col("id"), explode(col("sh")).as("s"))
         val dfs = inverted.groupBy("s").agg(count(lit(1)).as("df"))
           .filter(col("df") >= 2)
-        val r = dfs.select(sum(col("df")).as("occ"),
-          sum(col("df") * col("df")).as("occ2")).first()
+          .localCheckpoint(true)
+        val r = dfs.select(sum(col("df").cast("double")).as("occ"),
+          sum(col("df").cast("double") * col("df")).as("occ2")).first()
         val amplification =
-          if (r.isNullAt(0) || r.getLong(0) == 0L) 0.0
-          else r.getLong(1).toDouble / r.getLong(0).toDouble
-        if (amplification <= 64.0) ngramJaccardCooccur(sigs, threshold, Int.MaxValue)
-        else ngramJaccardPrefixFiltered(sigs, threshold)
-      case other => throw new IllegalArgumentException(
-        s"unknown ngram join strategy '$other' (auto|cooccur|prefix)")
+          if (r.isNullAt(0) || r.getDouble(0) == 0.0) 0.0
+          else r.getDouble(1) / r.getDouble(0)
+        if (amplification <= 64.0) cooccurFrom(sigs, inverted, dfs, threshold)
+        else prefixFilteredFrom(sigs, inverted, dfs, threshold)
     }
   }
 
@@ -431,8 +443,23 @@ object Dedup {
     // broadcasts the df frame when small; forcing it would OOM at 100 TB.
     val dfs = inverted.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2)
+    prefixFilteredFrom(sigs, inverted, dfs, threshold)
+  }
+
+  private def prefixFilteredFrom(
+      sigs: DataFrame, inverted: DataFrame, dfs: DataFrame,
+      threshold: Double): DataFrame = {
+    // prefixLen = |S| - ⌈t·|S|⌉ + 1. The ceiling must be the REAL-
+    // arithmetic one: the IEEE product t*|S| can land a hair above an
+    // exact integer (0.55*20 = 11.000000000000002), which would shorten
+    // the prefix by one and silently drop exact-boundary pairs. Nudging
+    // down by 1e-9 before ceil restores the exact-integer cases; when the
+    // true product is genuinely within 1e-9 above an integer the prefix
+    // comes out one LONGER — harmless (a longer prefix only adds
+    // candidates, never loses them).
     val prefixLen =
-      (size(col("ss")) - ceil(lit(threshold) * size(col("ss"))).cast("int") + 1)
+      (size(col("ss")) -
+        ceil(lit(threshold) * size(col("ss")) - lit(1e-9)).cast("int") + 1)
     val prefixes = inverted.join(dfs, "s")
       .groupBy("id")
       .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("ss"))
@@ -450,10 +477,16 @@ object Dedup {
    * prefix-filtered path is differential-tested against). */
   private[graft] def ngramJaccardCooccur(
       sigs: DataFrame, threshold: Double, maxShingleDf: Int): DataFrame = {
-    val sizes = sigs.select(col("id"), size(col("sh")).as("sz"))
     val inverted = sigs.select(col("id"), explode(col("sh")).as("s"))
     val dfs = inverted.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, maxShingleDf))
+    cooccurFrom(sigs, inverted, dfs, threshold)
+  }
+
+  private def cooccurFrom(
+      sigs: DataFrame, inverted: DataFrame, dfs: DataFrame,
+      threshold: Double): DataFrame = {
+    val sizes = sigs.select(col("id"), size(col("sh")).as("sz"))
     val pruned = inverted.join(dfs.select("s"), "s")
     val l = pruned.select(col("s"), col("id").as("id_a"))
     val r = pruned.select(col("s"), col("id").as("id_b"))

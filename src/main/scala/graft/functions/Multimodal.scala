@@ -128,9 +128,13 @@ object Multimodal {
         val payload = r.getAs[Array[Byte]](pIdx)
         val n = if (payload == null) 0 else payload.length
         val (w, h, _, _) = decodeImageStub(payload)
-        // target byte budget scales with target area over source area
-        val budget = math.max(1, math.min(n.toLong,
-          n.toLong * targetWidth * targetHeight / math.max(1L, w.toLong * h))).toInt
+        // target byte budget scales with target area over source area —
+        // computed in double: the integer product n*tw*th overflows Long
+        // for large payloads x large target dims (and would silently
+        // collapse the budget to 1 byte)
+        val ratio = targetWidth.toDouble * targetHeight /
+          (math.max(1L, w.toLong * h)).toDouble
+        val budget = math.max(1L, math.min(n.toLong, math.round(n * ratio))).toInt
         val out =
           if (n == 0) Array.emptyByteArray
           else {

@@ -63,6 +63,25 @@ class FunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("prefix path at an FP-hostile exact threshold boundary (0.55)") {
+    // 0.55*20 = 11.000000000000002 in IEEE doubles: a naive ceil shortens
+    // A's prefix by one and silently drops the exact-boundary pair.
+    // A={1..20}, B={10..20} (11 shared, jaccard exactly 11/20 = 0.55),
+    // C=A makes the shared shingles df=3 and A-only shingles df=2, so the
+    // shared ones sort LAST in A's df-ascending order — the dropped
+    // prefix slot is exactly the first shared shingle.
+    val sigs = df(Seq(
+      Seq(1L, (1L to 20L).toSeq), Seq(2L, (10L to 20L).toSeq),
+      Seq(3L, (1L to 20L).toSeq)), "id:long,sh:[long]")
+    val want = Set((1L, 2L), (1L, 3L), (2L, 3L))
+    val pf = Dedup.ngramJaccardPrefixFiltered(sigs, 0.55)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val co = Dedup.ngramJaccardCooccur(sigs, 0.55, Int.MaxValue)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(co === want)
+    assert(pf === want)
+  }
+
   test("minhashNearDupPairs finds all high-jaccard pairs (recall at j≈0.98)") {
     val want = bruteJaccardPairs(0.9)
     val got = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
@@ -484,7 +503,8 @@ class FunctionsSpec extends SparkTestBase {
     // source pseudo-dims for n=4096: w=64+4096%577=64+57=121... computed by
     // the same stub — just assert the budget shrank and is area-proportional
     val (srcW, srcH, _, _) = Multimodal.decodeImageStub(("x" * 4096).getBytes)
-    val expect = math.max(1, math.min(4096L, 4096L * 32 * 32 / (srcW.toLong * srcH))).toInt
+    val expect = math.max(1L, math.min(4096L,
+      math.round(4096 * (32.0 * 32 / (srcW.toLong * srcH))))).toInt
     assert(out(0)._4.length === expect)
     assert(out(1)._4.length === 0)
     // deterministic: same input, same bytes
