@@ -492,16 +492,20 @@ object SparkEntry {
         .select("doc_id", "lang")),
     // PII redaction: inject deterministic synthetic PII (the corpus has
     // none), scrub it, and match the oracle's byte-identical RE2 rewrites
-    "t07_pii_redact" -> ((s, dir) => {
-      val injected = concat(col("text"),
-        lit(" reach user"), col("doc_id").cast("string"),
-        lit("@mail.example.com or 192.168."),
-        (col("doc_id") % 200).cast("string"),
-        lit(".7 ssn 123-45-"),
-        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
-        lit(" card 4111 1111 1111 1111 tel 555-867-5309"))
+    "t07_pii_redact" -> ((s, dir) =>
       t(s, dir, "documents")
-        .select(col("doc_id"), TextFunctions.redactPii(injected).as("redacted"))
+        .select(col("doc_id"), TextFunctions.redactPii(piiInjected).as("redacted"))),
+    // the dialect drives the curation pipeline end-to-end: built-in
+    // PROCESS extensions (redact_pii then quality_filter) over a
+    // PII-injected corpus, oracled by the composed DuckDB rewrite+filter
+    "q60_sql_curation" -> ((s, dir) => {
+      val injected = t(s, dir, "documents")
+        .select(col("doc_id"), piiInjected.as("text"))
+      graft.sql.GraftSql.run(eng(s),
+        """clean = PROCESS docs USING redact_pii
+          |kept = PROCESS clean USING quality_filter(min_tokens:30, max_stopword_ratio:0.4)
+          |YIELD kept AS out
+          |""".stripMargin, Map("docs" -> injected)).yields("out")
     }),
     // overlapping token-window chunking (50-token chunks, 10-token overlap)
     "t08_chunking" -> ((s, dir) =>
@@ -899,6 +903,28 @@ object SparkEntry {
   // count(*)→BIGINT matches Spark long; len/length are cast to INTEGER to
   // match Spark's int; decimal-sums cast to DOUBLE are order-independent.
   // -------------------------------------------------------------------
+  /** Deterministic synthetic PII injection (the corpus has none) — shared
+   * by the t07/q60 queries; [[SqlInjectedPii]] is its DuckDB twin. */
+  private def piiInjected: org.apache.spark.sql.Column =
+    concat(col("text"),
+      lit(" reach user"), col("doc_id").cast("string"),
+      lit("@mail.example.com or 192.168."),
+      (col("doc_id") % 200).cast("string"),
+      lit(".7 ssn 123-45-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" card 4111 1111 1111 1111 tel 555-867-5309"))
+
+  private val SqlInjectedPii =
+    "concat(text, ' reach user', CAST(doc_id AS VARCHAR)," +
+      " '@mail.example.com or 192.168.', CAST(doc_id % 200 AS VARCHAR)," +
+      " '.7 ssn 123-45-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')," +
+      " ' card 4111 1111 1111 1111 tel 555-867-5309')"
+
+  private def sqlRedacted(expr: String): String =
+    graft.functions.TextFunctions.PiiPatterns.foldLeft(expr) {
+      case (e, (re, repl)) => s"regexp_replace($e, '$re', '$repl', 'g')"
+    }
+
   // shared oracle fragments: tokenization and stopword-ratio SQL used by
   // several text-metric oracles — one definition so they cannot drift
   private val SqlNTokens =
@@ -1177,16 +1203,13 @@ object SparkEntry {
     "d11_dedup_best" -> "SELECT CAST(1 AS BIGINT) AS best_ok",
     // the oracle applies the SAME patterns (generated from PiiPatterns —
     // RE2-safe by construction) to the same injected text
-    "t07_pii_redact" -> {
-      val injected = "concat(text, ' reach user', CAST(doc_id AS VARCHAR)," +
-        " '@mail.example.com or 192.168.', CAST(doc_id % 200 AS VARCHAR)," +
-        " '.7 ssn 123-45-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')," +
-        " ' card 4111 1111 1111 1111 tel 555-867-5309')"
-      val redacted = TextFunctions.PiiPatterns.foldLeft(injected) {
-        case (e, (re, repl)) => s"regexp_replace($e, '$re', '$repl', 'g')"
-      }
-      s"SELECT doc_id, $redacted AS redacted FROM documents"
-    },
+    "t07_pii_redact" ->
+      s"SELECT doc_id, ${sqlRedacted(SqlInjectedPii)} AS redacted FROM documents",
+    "q60_sql_curation" ->
+      s"""WITH base AS (
+        | SELECT doc_id, ${sqlRedacted(SqlInjectedPii)} AS text FROM documents)
+        |SELECT doc_id, text FROM base
+        |WHERE ($SqlNTokens) >= 30 AND ($SqlStopwordRatio) <= 0.4""".stripMargin,
     "t08_chunking" ->
       """WITH t AS (
         | SELECT doc_id, string_split_regex(trim(text), '\s+') AS w

@@ -98,12 +98,18 @@ object GraftSql {
 
   final case class Result(last: Option[DataFrame], yields: Map[String, DataFrame])
 
-  /** Built-in outputters, available in every script (reference
+  /** Built-in extensions, available in every script. Outputters (reference
    * fugue/extensions/builtins/outputters.py:22,37):
    * `OUTPUT a, b USING assert_eq` — distributed multiset equality, params
    * `no_check_schema:true`, `check_order:true`, `digits:n`;
-   * `OUTPUT a USING show` — params `n:rows`. User extensions with the same
-   * name win. */
+   * `OUTPUT a USING show` — params `n:rows`.
+   * Processors (beyond-reference — the curation library as dialect
+   * statements): `PROCESS docs USING dedup_exact(keys:text)`,
+   * `drop_near_dups(threshold:0.5[, by:quality_col])`,
+   * `lm_score(id:doc_id, col:text)`, `quality_filter(min_tokens:5, ...)`,
+   * `redact_pii(col:text)`, `chunk_tokens(chunk:256, overlap:0)`,
+   * `PROCESS corpus, eval USING decontaminate(k:5, threshold:0.5)`.
+   * User extensions with the same name win. */
   val builtinExtensions: Extensions = Extensions(outputters = Map(
     "assert_eq" -> OutputterDef { (dfs, params) =>
       require(dfs.size >= 2, "assert_eq needs at least 2 dataframes")
@@ -114,10 +120,65 @@ object GraftSql {
     },
     "show" -> OutputterDef { (dfs, params) =>
       dfs.foreach(_.show(params.get("n").map(_.toInt).getOrElse(10), truncate = false))
-    }))
+    }),
+    // The curation operator library as built-in PROCESS extensions — the
+    // dialect drives a full training-data pipeline without leaving SQL.
+    // Single-df processors read the previous statement (or one named df);
+    // column params default to (doc_id, text).
+    processors = {
+      import graft.functions.{Dedup, TextFunctions}
+      import org.apache.spark.sql.functions.col
+      def one(dfs: Seq[DataFrame], name: String): DataFrame = {
+        require(dfs.size == 1, s"$name takes exactly one dataframe")
+        dfs.head
+      }
+      def id(p: Map[String, String]) = p.getOrElse("id", "doc_id")
+      def tcol(p: Map[String, String]) = p.getOrElse("col", "text")
+      Map(
+        "dedup_exact" -> ProcessorDef { (_, dfs, p) =>
+          Dedup.exact(one(dfs, "dedup_exact"),
+            p.getOrElse("keys", "text").split(",").map(_.trim).toSeq, id(p))
+        },
+        "drop_near_dups" -> ProcessorDef { (_, dfs, p) =>
+          val d = one(dfs, "drop_near_dups")
+          val pairs = Dedup.minhashNearDupPairs(d, id(p), tcol(p),
+            threshold = p.get("threshold").map(_.toDouble).getOrElse(0.5))
+          p.get("by") match {
+            case Some(q) => Dedup.dropNearDuplicatesBy(d, id(p), pairs, q)
+            case None => Dedup.dropNearDuplicates(d, id(p), pairs)
+          }
+        },
+        "lm_score" -> ProcessorDef { (_, dfs, p) =>
+          TextFunctions.unigramCrossEntropy(one(dfs, "lm_score"), id(p), tcol(p))
+        },
+        "quality_filter" -> ProcessorDef { (_, dfs, p) =>
+          TextFunctions.qualityFilter(one(dfs, "quality_filter"), tcol(p),
+            minTokens = p.get("min_tokens").map(_.toInt).getOrElse(5),
+            maxStopwordRatio = p.get("max_stopword_ratio").map(_.toDouble).getOrElse(1.0),
+            minStopwordRatio = p.get("min_stopword_ratio").map(_.toDouble).getOrElse(0.0),
+            maxMeanWordLen = p.get("max_mean_word_len").map(_.toDouble).getOrElse(Double.MaxValue))
+        },
+        "redact_pii" -> ProcessorDef { (_, dfs, p) =>
+          val d = one(dfs, "redact_pii")
+          d.withColumn(tcol(p), TextFunctions.redactPii(col(tcol(p))))
+        },
+        "chunk_tokens" -> ProcessorDef { (_, dfs, p) =>
+          TextFunctions.chunkByTokens(one(dfs, "chunk_tokens"), id(p), tcol(p),
+            chunkTokens = p.getOrElse("chunk", "256").toInt,
+            overlapTokens = p.get("overlap").map(_.toInt).getOrElse(0))
+        },
+        "decontaminate" -> ProcessorDef { (_, dfs, p) =>
+          require(dfs.size == 2, "decontaminate takes (corpus, eval_set)")
+          Dedup.decontaminate(dfs.head, id(p), tcol(p), dfs(1),
+            p.getOrElse("eval_col", "text"),
+            shingleK = p.get("k").map(_.toInt).getOrElse(5),
+            threshold = p.get("threshold").map(_.toDouble).getOrElse(0.5))
+        })
+    })
 
   private def withBuiltins(e: Extensions): Extensions =
-    e.copy(outputters = builtinExtensions.outputters ++ e.outputters)
+    e.copy(outputters = builtinExtensions.outputters ++ e.outputters,
+      processors = builtinExtensions.processors ++ e.processors)
 
   def run(engine: GraftEngine, sql: String,
       inputs: Map[String, DataFrame] = Map.empty,

@@ -503,6 +503,43 @@ class GraftSqlSpec extends SparkTestBase {
         |""".stripMargin, Map("input" -> d1)))
   }
 
+  test("built-in curation processors drive a pipeline from the dialect") {
+    val docs = df(Seq(
+      Seq(1L, "the cat sat on the mat and the dog sat too"),
+      Seq(2L, "the cat sat on the mat and the dog sat too"), // near-dup of 1
+      Seq(3L, "contact me at bob@example.com for the details of the plan"),
+      Seq(4L, "xy")), "doc_id:long,text:str") // fails min_tokens
+    val res = GraftSql.run(engine,
+      """clean = PROCESS docs USING redact_pii
+        |kept = PROCESS clean USING quality_filter(min_tokens:3)
+        |deduped = PROCESS kept USING drop_near_dups(threshold:0.9)
+        |YIELD deduped AS deduped
+        |scored = PROCESS deduped USING lm_score
+        |YIELD scored AS scored
+        |chunks = PROCESS deduped USING chunk_tokens(chunk:4, overlap:1)
+        |YIELD chunks AS chunks
+        |""".stripMargin, Map("docs" -> docs))
+    val dedup = res.yields("deduped").collect()
+    assert(dedup.map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L)) // 4 filtered, 2 deduped
+    assert(dedup.find(_.getLong(0) == 3L).get.getString(1).contains("<EMAIL>"))
+    assert(res.yields("scored").columns.toSeq ===
+      Seq("doc_id", "n_tokens", "cross_entropy"))
+    assert(res.yields("chunks").filter(org.apache.spark.sql.functions.col("doc_id") === 1L).count() > 1)
+    // decontaminate takes (corpus, eval)
+    val res2 = GraftSql.run(engine,
+      """PROCESS docs, (SELECT * FROM docs WHERE doc_id = 1) USING decontaminate(k:3)
+        |YIELD AS decon
+        |""".stripMargin, Map("docs" -> docs))
+    assert(res2.yields("decon").collect().map(_.getLong(0)).sorted.toSeq === Seq(3L, 4L))
+    // user extensions with the same name win
+    val res3 = GraftSql.runWith(engine,
+      "PROCESS docs USING lm_score\nYIELD AS out",
+      Map("docs" -> docs),
+      GraftSql.Extensions(processors = Map("lm_score" ->
+        GraftSql.ProcessorDef((_, dfs, _) => dfs.head.limit(1)))))
+    assert(res3.yields("out").count() === 1)
+  }
+
   test("YIELD a AS a resolves the df named a, not the previous frame (regression)") {
     val res = GraftSql.run(engine,
       """a = SELECT k, v FROM input WHERE v > 2
