@@ -19,14 +19,15 @@ object Bench {
     val names = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)
     // warm the JVM/parquet footers once with the cheapest query
     try SparkEntry.queries(names.head)(spark, sfDir).count() catch { case _: Throwable => () }
-    // steady-state throughput: 2 runs per query, report the min (first run
+    // steady-state throughput: 3 runs per query, report the min (first run
     // pays one-off whole-stage-codegen JIT compilation, ~6s on the heavy
-    // dedup pipelines)
+    // dedup pipelines; a third run tightens the min against background
+    // noise on a shared box — measured run-to-run spread is ~1.5x)
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       // a failed run must NOT feed its wall time into the min — a query
       // that throws fast would otherwise report as a fast success
-      val times = (1 to 2).flatMap { _ =>
+      val times = (1 to 3).flatMap { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch { case t: Throwable =>
@@ -42,7 +43,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val errs = results.count(_._2.isEmpty)
     val total = results.flatMap(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":2,"agg":"min","errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":3,"agg":"min","errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
