@@ -714,6 +714,23 @@ object SparkEntry {
       s.table(name)
     }),
 
+    // streaming curation: PII redaction + quality filtering are pure
+    // narrow expressions, so the SAME operators run unchanged over a
+    // stream (no state, no watermark) — oracled by the q60 batch SQL
+    "q61_stream_curation" -> ((s, dir) => {
+      val batchSchema = t(s, dir, "documents").schema
+      val stream = graft.streaming.Streaming
+        .loadStream(s, dir, batchSchema,
+          options = Map("pathGlobFilter" -> "documents.parquet"))
+        .select(col("doc_id"), piiInjected.as("text"))
+        .withColumn("text", TextFunctions.redactPii(col("text")))
+      val kept = TextFunctions.qualityFilter(stream, "text",
+        minTokens = 30, maxStopwordRatio = 0.4)
+      val name = "graft_q61_" + java.util.UUID.randomUUID().toString.take(8)
+      graft.streaming.Streaming.runToMemory(kept, name, outputMode = "append")
+      s.table(name)
+    }),
+
     // ---- temporal operators -------------------------------------------
     "q38_asof_join" -> ((s, dir) => {
       val e = events(s, dir)
@@ -1206,6 +1223,11 @@ object SparkEntry {
     "t07_pii_redact" ->
       s"SELECT doc_id, ${sqlRedacted(SqlInjectedPii)} AS redacted FROM documents",
     "q60_sql_curation" ->
+      s"""WITH base AS (
+        | SELECT doc_id, ${sqlRedacted(SqlInjectedPii)} AS text FROM documents)
+        |SELECT doc_id, text FROM base
+        |WHERE ($SqlNTokens) >= 30 AND ($SqlStopwordRatio) <= 0.4""".stripMargin,
+    "q61_stream_curation" ->
       s"""WITH base AS (
         | SELECT doc_id, ${sqlRedacted(SqlInjectedPii)} AS text FROM documents)
         |SELECT doc_id, text FROM base
