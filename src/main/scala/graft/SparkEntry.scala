@@ -942,6 +942,15 @@ object SparkEntry {
       case (e, (re, repl)) => s"regexp_replace($e, '$re', '$repl', 'g')"
     }
 
+  /** One oracle for the curation pipeline, shared by its batch (q60) and
+   * streaming (q61) conformance queries so they cannot drift. Defined
+   * lazily: it interpolates [[SqlNTokens]]/[[SqlStopwordRatio]] below. */
+  private lazy val SqlCurationOracle =
+    s"""WITH base AS (
+      | SELECT doc_id, ${sqlRedacted(SqlInjectedPii)} AS text FROM documents)
+      |SELECT doc_id, text FROM base
+      |WHERE ($SqlNTokens) >= 30 AND ($SqlStopwordRatio) <= 0.4""".stripMargin
+
   // shared oracle fragments: tokenization and stopword-ratio SQL used by
   // several text-metric oracles — one definition so they cannot drift
   private val SqlNTokens =
@@ -1222,16 +1231,8 @@ object SparkEntry {
     // RE2-safe by construction) to the same injected text
     "t07_pii_redact" ->
       s"SELECT doc_id, ${sqlRedacted(SqlInjectedPii)} AS redacted FROM documents",
-    "q60_sql_curation" ->
-      s"""WITH base AS (
-        | SELECT doc_id, ${sqlRedacted(SqlInjectedPii)} AS text FROM documents)
-        |SELECT doc_id, text FROM base
-        |WHERE ($SqlNTokens) >= 30 AND ($SqlStopwordRatio) <= 0.4""".stripMargin,
-    "q61_stream_curation" ->
-      s"""WITH base AS (
-        | SELECT doc_id, ${sqlRedacted(SqlInjectedPii)} AS text FROM documents)
-        |SELECT doc_id, text FROM base
-        |WHERE ($SqlNTokens) >= 30 AND ($SqlStopwordRatio) <= 0.4""".stripMargin,
+    "q60_sql_curation" -> SqlCurationOracle,
+    "q61_stream_curation" -> SqlCurationOracle,
     "t08_chunking" ->
       """WITH t AS (
         | SELECT doc_id, string_split_regex(trim(text), '\s+') AS w

@@ -452,14 +452,17 @@ object Dedup {
     // prefixLen = |S| - ⌈t·|S|⌉ + 1. The ceiling must be the REAL-
     // arithmetic one: the IEEE product t*|S| can land a hair above an
     // exact integer (0.55*20 = 11.000000000000002), which would shorten
-    // the prefix by one and silently drop exact-boundary pairs. Nudging
-    // down by 1e-9 before ceil restores the exact-integer cases; when the
-    // true product is genuinely within 1e-9 above an integer the prefix
-    // comes out one LONGER — harmless (a longer prefix only adds
-    // candidates, never loses them).
+    // the prefix by one and silently drop exact-boundary pairs. Nudge
+    // down both RELATIVELY (1e-12 — covers the half-ulp error at any
+    // magnitude: ulp(x)/2 ≈ x·1.1e-16 ≪ x·1e-12) and absolutely (1e-9 —
+    // covers tiny products where the relative term vanishes) before ceil.
+    // When the true product genuinely sits within the nudge above an
+    // integer the prefix comes out one LONGER — harmless (a longer prefix
+    // only adds candidates, never loses them).
     val prefixLen =
       (size(col("ss")) -
-        ceil(lit(threshold) * size(col("ss")) - lit(1e-9)).cast("int") + 1)
+        ceil(lit(threshold) * size(col("ss")) * lit(1.0 - 1e-12) - lit(1e-9))
+          .cast("int") + 1)
     val prefixes = inverted.join(dfs, "s")
       .groupBy("id")
       .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("ss"))

@@ -104,8 +104,8 @@ object GraftSql {
    * `no_check_schema:true`, `check_order:true`, `digits:n`;
    * `OUTPUT a USING show` — params `n:rows`.
    * Processors (beyond-reference — the curation library as dialect
-   * statements): `PROCESS docs USING dedup_exact(keys:text)`,
-   * `drop_near_dups(threshold:0.5[, by:quality_col])`,
+   * statements): `PROCESS docs USING dedup_exact(keys:"url,text")`,
+   * `drop_near_dups(threshold:0.5[, by:quality_col[, ascending:true]])`,
    * `lm_score(id:doc_id, col:text)`, `quality_filter(min_tokens:5, ...)`,
    * `redact_pii(col:text)`, `chunk_tokens(chunk:256, overlap:0)`,
    * `PROCESS corpus, eval USING decontaminate(k:5, threshold:0.5)`.
@@ -144,7 +144,10 @@ object GraftSql {
           val pairs = Dedup.minhashNearDupPairs(d, id(p), tcol(p),
             threshold = p.get("threshold").map(_.toDouble).getOrElse(0.5))
           p.get("by") match {
-            case Some(q) => Dedup.dropNearDuplicatesBy(d, id(p), pairs, q)
+            // ascending:true = smaller is better (e.g. by:cross_entropy
+            // from lm_score); default keeps the LARGEST quality value
+            case Some(q) => Dedup.dropNearDuplicatesBy(d, id(p), pairs, q,
+              descending = !p.get("ascending").exists(_.toBoolean))
             case None => Dedup.dropNearDuplicates(d, id(p), pairs)
           }
         },
@@ -432,11 +435,26 @@ object GraftSql {
       r.findFirstMatchIn(stmt).map(_.group(1))
     }
 
-    private def parseParams(s: String): Map[String, String] =
-      s.split(",").filter(_.contains(":")).map { kv =>
+    private def parseParams(s: String): Map[String, String] = {
+      // split on commas OUTSIDE double quotes so quoted values can carry
+      // commas (`dedup_exact(keys:"url,text")`); an entry without a colon
+      // is a malformed param and must error, not be silently dropped
+      // (the old filter turned `keys:url,text` into keys=url, losing text)
+      val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+      val cur = new StringBuilder
+      var inQ = false
+      s.foreach {
+        case '"' => inQ = !inQ; cur += '"'
+        case ',' if !inQ => parts += cur.toString; cur.clear()
+        case c => cur += c
+      }
+      parts += cur.toString
+      parts.map(_.trim).filter(_.nonEmpty).map { kv =>
+        require(kv.contains(":"), s"malformed param '$kv' (expected name:value) in ($s)")
         val Array(k, v) = kv.split(":", 2)
         k.trim -> v.trim.stripPrefix("\"").stripSuffix("\"")
       }.toMap
+    }
 
     // statements -------------------------------------------------------
     /** `(k:v,..)` group following the quoted path — LOAD/SAVE options

@@ -540,6 +540,32 @@ class GraftSqlSpec extends SparkTestBase {
     assert(res3.yields("out").count() === 1)
   }
 
+  test("processor params: quoted multi-key, ascending quality, malformed errors") {
+    val t = df(Seq(
+      Seq(3L, "u1", "a"), Seq(1L, "u1", "a"), Seq(2L, "u1", "b")),
+      "doc_id:long,url:str,text:str")
+    // quoted comma list survives param splitting: dedup on (url, text)
+    val res = GraftSql.run(engine,
+      """PROCESS t USING dedup_exact(keys:"url,text")
+        |YIELD AS out
+        |""".stripMargin, Map("t" -> t))
+    assert(res.yields("out").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+    // ascending:true keeps the SMALLEST quality value (lm_score-style)
+    val dup = df(Seq(
+      Seq(1L, "the quick brown fox jumps over the lazy dog today", 9.0),
+      Seq(2L, "the quick brown fox jumps over the lazy dog today", 2.0)),
+      "doc_id:long,text:str,ce:double")
+    val res2 = GraftSql.run(engine,
+      """PROCESS dup USING drop_near_dups(threshold:0.9, by:ce, ascending:true)
+        |YIELD AS out
+        |""".stripMargin, Map("dup" -> dup))
+    assert(res2.yields("out").collect().map(_.getLong(0)).toSeq === Seq(2L))
+    // a param entry without a colon is an error, not silently dropped
+    val ex = intercept[Exception](GraftSql.run(engine,
+      "PROCESS t USING dedup_exact(keys:url,text)\nYIELD AS out", Map("t" -> t)))
+    assert(ex.getMessage.contains("malformed param"))
+  }
+
   test("YIELD a AS a resolves the df named a, not the previous frame (regression)") {
     val res = GraftSql.run(engine,
       """a = SELECT k, v FROM input WHERE v > 2
