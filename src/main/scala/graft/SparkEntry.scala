@@ -872,10 +872,18 @@ object SparkEntry {
       | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin
 
+  // ORDER BY includes l_quantity: the synthetic lineitem has duplicate
+  // (l_orderkey, l_linenumber) rows (observed at sf0.1: two rows sharing
+  // suppkey+orderkey+linenumber+shipdate with different quantities), so
+  // the shorter key is not total and the running sum would be
+  // tie-arbitrary ON BOTH ENGINES (DuckDB itself flips between
+  // evaluations). With l_quantity as the final tiebreak, any remaining
+  // ties have equal quantities and identical prefix sums either way.
   private val SqlRunning =
     """SELECT l_suppkey, l_orderkey, l_linenumber,
       | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
-      |   PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |   PARTITION BY l_suppkey
+      |   ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
       |FROM lineitem""".stripMargin
 
