@@ -35,8 +35,16 @@ object Repartitioner {
         } else if (n > 0) df.repartition(n)
         else df
       case "rand" =>
+        if (spec.by.nonEmpty) {
+          // with keys, rand delegates to hash — the reference does the same
+          // (partition.py:26-31): round-robin would scatter a key's rows
+          // across partitions and the downstream consecutive-key grouper
+          // would visit each logical partition once per physical partition
+          val cols = spec.by.map(col)
+          if (n > 0) df.repartition(n, cols: _*) else df.repartition(cols: _*)
+        }
         // round-robin redistribution: balanced without computing a key
-        if (n > 0) df.repartition(n)
+        else if (n > 0) df.repartition(n)
         else df.repartition(df.sparkSession.sparkContext.defaultParallelism)
       case "even" =>
         even(df, if (n > 0) n else spark.sparkContext.defaultParallelism, spec.by)

@@ -698,14 +698,11 @@ object GraftSql {
             s"TRANSFORM on a zipped frame requires a cotransformer; '$name' is not one"))
         val zipCols = d.columns.filter(_.startsWith("__zip_")).sorted
         val keys = d.columns.filterNot(_.startsWith("__zip_")).toSeq
-        def sideSchema(c: String) = {
-          val elem = d.schema(c).dataType
-            .asInstanceOf[org.apache.spark.sql.types.ArrayType]
-            .elementType.asInstanceOf[org.apache.spark.sql.types.StructType]
-          // reconstruct the original side schema: keys ++ payload fields
-          org.apache.spark.sql.types.StructType(
-            keys.map(k => d.schema(k)) ++ elem.fields)
-        }
+        // the zip structs capture the full original rows, so the struct
+        // element type IS the original side schema
+        def sideSchema(c: String) = d.schema(c).dataType
+          .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+          .elementType.asInstanceOf[org.apache.spark.sql.types.StructType]
         // the zip keys are the partition keys; the statement's own PRESORT
         // (parsed into `spec`) must thread through or presort_has/is rules
         // would always fail; input rules check BOTH sides

@@ -85,17 +85,20 @@ object Streaming {
 
   /** Stream-static enrichment join: each micro-batch joins against the
    * (batch) dimension frame — the streaming analog of a dimension lookup.
-   * Spark supports inner and left-outer stream-static joins natively; the
-   * static side should be broadcast-sized (a dimension), which Catalyst
-   * handles per micro-batch — no stream-side state is kept. */
+   * Spark supports inner and left-outer stream-static joins natively; no
+   * stream-side state is kept. `broadcastStatic` (default true) hints the
+   * typical broadcast-sized dimension; pass false for a large static side
+   * so Catalyst plans a shuffle join instead of attempting (and failing) a
+   * multi-GB broadcast build per micro-batch. */
   def enrichWithStatic(
       stream: DataFrame, static: DataFrame,
-      keys: Seq[String], how: String = "left"): DataFrame = {
+      keys: Seq[String], how: String = "left",
+      broadcastStatic: Boolean = true): DataFrame = {
     require(stream.isStreaming, "left side must be a streaming frame")
     require(!static.isStreaming, "right side must be a static frame")
     require(Set("inner", "left", "left_outer").contains(how),
       s"stream-static join supports inner/left, got '$how'")
-    stream.join(broadcast(static), keys, how)
+    stream.join(if (broadcastStatic) broadcast(static) else static, keys, how)
   }
 
   /** `foreachBatch` sink: apply an arbitrary batch-mode action to each

@@ -30,6 +30,17 @@ final class CallbackChannel private (
 
   def messages(topic: String): Seq[String] =
     messages.collect { case (t, m) if t == topic => m }
+
+  /** Driver-side: messages from index `from` (exclusive of earlier ones) —
+   * converts only the tail instead of re-materializing the full history
+   * (the accumulator's `value` copy itself is unavoidable, but a monitor
+   * polling 10x/s should not also re-convert every already-seen message). */
+  private[transform] def messagesFrom(from: Int): Seq[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    val v = acc.value
+    if (from >= v.size) Nil
+    else v.subList(from, v.size).asScala.toSeq
+  }
 }
 
 object CallbackChannel {
@@ -63,9 +74,9 @@ object CallbackMonitor {
     val t = new Thread(() => {
       var seen = 0
       def drain(): Unit = {
-        val msgs = channel.messages
-        msgs.drop(seen).foreach { case (k, v) => handler(k, v) }
-        seen = msgs.length
+        val fresh = channel.messagesFrom(seen)
+        fresh.foreach { case (k, v) => handler(k, v) }
+        seen += fresh.length
       }
       while (!stopFlag.get()) { drain(); Thread.sleep(intervalMs) }
       drain()

@@ -37,14 +37,19 @@ object ExtensionValidation {
       throw new IllegalArgumentException(s"unknown validation rule '$k'"))
 
     def cols(v: String): Seq[String] = v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    // column names compare case-insensitively throughout: execution
+    // resolves columns case-insensitively (col()/sortArr/rowSorter), so
+    // validation must not reject a spec that would run correctly
+    def lc(s: String): String = s.toLowerCase
+    def hasIn(xs: Seq[String], c: String): Boolean = xs.exists(x => lc(x) == lc(c))
 
     rules.get("partitionby_has").foreach { v =>
-      cols(v).foreach(c => require(spec.by.contains(c),
+      cols(v).foreach(c => require(hasIn(spec.by, c),
         s"validation failed: required partition key '$c' is not in ${spec.by.mkString("[", ",", "]")}"))
     }
     rules.get("partitionby_is").foreach { v =>
       val want = cols(v)
-      want.foreach(c => require(spec.by.contains(c),
+      want.foreach(c => require(hasIn(spec.by, c),
         s"validation failed: required partition key '$c' is not in ${spec.by.mkString("[", ",", "]")}"))
       require(want.length == spec.by.length,
         s"validation failed: partition keys ${spec.by.mkString("[", ",", "]")} must be exactly ${want.mkString("[", ",", "]")}")
@@ -52,7 +57,7 @@ object ExtensionValidation {
     def presortPairs(v: String): Seq[(String, Boolean)] = PartitionSpec.parsePresort(v)
     rules.get("presort_has").foreach { v =>
       presortPairs(v).foreach { case (c, asc) =>
-        val found = spec.presort.find(_._1 == c)
+        val found = spec.presort.find(p => lc(p._1) == lc(c))
         require(found.isDefined,
           s"validation failed: required presort key '$c' is not in presort ${spec.presort}")
         require(found.get._2 == asc,
@@ -61,12 +66,14 @@ object ExtensionValidation {
     }
     rules.get("presort_is").foreach { v =>
       val want = presortPairs(v)
-      require(want == spec.presort,
+      require(want.length == spec.presort.length &&
+        want.zip(spec.presort).forall { case ((wc, wa), (sc, sa)) =>
+          lc(wc) == lc(sc) && wa == sa },
         s"validation failed: presort ${spec.presort} must be exactly $want")
     }
     rules.get("input_has").foreach { v =>
-      val names = inputSchema.fieldNames.toSet
-      cols(v).foreach(c => require(names.contains(c),
+      val names = inputSchema.fieldNames.toSeq
+      cols(v).foreach(c => require(hasIn(names, c),
         s"validation failed: input schema must contain column '$c' (has ${names.mkString(",")})"))
     }
     rules.get("input_is").foreach { v =>

@@ -114,7 +114,14 @@ object Transform {
         def hasNext: Boolean = !done && buf.hasNext && {
           val same = keyIdx.zip(kv).forall { case (i, v) =>
             val x = buf.head.get(i)
-            (x == null && v == null) || (x != null && x == v)
+            (x, v) match {
+              case (null, null) => true
+              // binary keys surface as Array[Byte], whose == is reference
+              // equality — element comparison, or every row would become
+              // its own logical partition
+              case (a: Array[Byte], b: Array[Byte]) => java.util.Arrays.equals(a, b)
+              case _ => x != null && x == v
+            }
           }
           if (!same) done = true
           same
@@ -218,7 +225,7 @@ object Transform {
     val keySchema = StructType(keys.map(k => left.schema(left.schema.fieldIndex(k))))
     val keyEnc: Encoder[Row] = Encoders.row(keySchema)
     val outEnc: Encoder[Row] = Encoders.row(outputSchema)
-    val h = how.trim.toLowerCase.replace("_", "")
+    val h = normalizeHow(how)
     val sortL = rowSorter(left.schema, presort)
     val sortR = rowSorter(right.schema, presort)
     val lg = left.groupByKey(r => Row.fromSeq(keys.map(k => r.getAs[Any](k))))(keyEnc)
@@ -264,25 +271,35 @@ object Transform {
    * the reference's zip semantics (use [[coMap]] for streaming groups).
    * `presort` orders each array by the given (col, asc) pairs.
    */
+  /** Normalize a zip/cogroup how string: case-, space- and underscore-
+   * insensitive, so "left outer" == "LEFT_OUTER" == "leftouter" is accepted
+   * uniformly by [[coMap]] and [[zipFrames]] (they previously normalized
+   * differently and rejected each other's spellings). */
+  private def normalizeHow(how: String): String =
+    how.trim.toLowerCase.replaceAll("[ _]", "")
+
   def zipFrames(
       frames: Seq[DataFrame],
       keys: Seq[String],
       how: String = "inner",
       presort: Seq[(String, Boolean)] = Nil): DataFrame = {
     require(frames.size >= 2, "zip needs at least 2 frames")
-    val h = how.trim.toLowerCase.replace(" ", "_")
-    val joinHow = h match {
+    val joinHow = normalizeHow(how) match {
       case "inner" => "inner"
-      case "left_outer" => "left_outer"
-      case "right_outer" => "right_outer"
-      case "full_outer" | "outer" => "full_outer"
+      case "leftouter" => "left_outer"
+      case "rightouter" => "right_outer"
+      case "fullouter" | "outer" => "full_outer"
       case other => throw new IllegalArgumentException(s"unknown zip how '$other'")
     }
+    // structs capture the FULL original row (keys included, original column
+    // order) so a cotransformer sees IDENTICAL row shapes through the
+    // zipped path and the direct coMap path. (The previous payload-only
+    // capture reordered columns keys-first downstream, and its
+    // case-sensitive key filter leaked differently-cased key columns.)
     val grouped = frames.zipWithIndex.map { case (d, i) =>
-      val payload = d.columns.filterNot(keys.contains).toSeq
       d.groupBy(keys.map(col): _*)
-        .agg(sortArr(collect_list(struct(payload.map(col): _*)), payload, presort)
-          .as(s"__zip_$i"))
+        .agg(sortArr(collect_list(struct(d.columns.map(col).toIndexedSeq: _*)),
+          d.columns.toSeq, presort).as(s"__zip_$i"))
     }
     val joined = grouped.reduce((a, b) => a.join(b, keys, joinHow))
     // outer-missing sides: empty array, not null (cotransformers see an
@@ -342,8 +359,10 @@ object Transform {
   def isZipped(df: DataFrame): Boolean = df.columns.exists(_.startsWith("__zip_"))
 
   /** Apply a 2-way cotransformer function to a zipped frame (one call per
-   * key). Side rows are reconstituted as keys ++ payload — the same shape
-   * [[coMap]] hands a cotransformer (full rows including keys). */
+   * key). Side rows are the ORIGINAL full rows captured by [[zipFrames]]
+   * (keys included, original column order) — byte-for-byte the shape
+   * [[coMap]] hands a cotransformer, so the same extension runs unchanged
+   * on either path. */
   def coMapZipped(
       zipped: DataFrame,
       outputSchema: StructType)(
@@ -358,8 +377,7 @@ object Transform {
     zipped.mapPartitions { it =>
       it.flatMap { r =>
         val kv = keyIdx.map(r.get)
-        def full(i: Int) = r.getSeq[Row](i).iterator.map(p => Row.fromSeq(kv ++ p.toSeq))
-        f(kv, full(i0), full(i1))
+        f(kv, r.getSeq[Row](i0).iterator, r.getSeq[Row](i1).iterator)
       }
     }
   }

@@ -187,7 +187,18 @@ final class Workflow(
     new Node("df", Seq(id), Nil, _ => d)
 
   def create(rows: Seq[Seq[Any]], schema: String): Node =
-    new Node("create", Seq(schema, rows.toString), Nil, _ => engine.toDF(rows, schema))
+    new Node("create", Seq(schema, renderRows(rows)), Nil, _ => engine.toDF(rows, schema))
+
+  /** Stable, content-based rendering of literal rows for the task UUID —
+   * `rows.toString` would render arrays by JVM identity (`[B@1a2b3c`),
+   * giving a deterministic checkpoint a fresh uuid every run. */
+  private def renderRows(rows: Seq[Seq[Any]]): String =
+    rows.map(_.map {
+      case null => "null"
+      case b: Array[Byte] => "0x" + b.map("%02x".format(_)).mkString
+      case a: Array[_] => a.toSeq.toString
+      case v => v.toString
+    }.mkString("(", ",", ")")).mkString(";")
 
   // ---- execution --------------------------------------------------------
   /** Run the DAG: compute every sink (yielded, saved, or leaf) node once,
@@ -203,25 +214,29 @@ final class Workflow(
       val detPath = s"$checkpointDir/${n.uuid}"
       // only a COMPLETE checkpoint (_SUCCESS present) is reusable; a dir
       // from a crashed partial write must be recomputed, not served
-      if (det && fileExists(s"$detPath/_SUCCESS")) {
-        engine.load(detPath, "parquet")
-      } else {
-        var out = n.execute(n.deps.map(resolve))
-        n.mat match {
-          case WeakCheckpoint => out = engine.persist(out)
-          case StrongCheckpoint =>
-            val p = s"$checkpointDir/run_${java.util.UUID.randomUUID().toString.take(8)}_${n.uuid}"
-            engine.save(out, p, "parquet")
-            out = engine.load(p, "parquet")
-          case DeterministicCheckpoint =>
-            engine.save(out, detPath, "parquet")
-            out = engine.load(detPath, "parquet")
-          case NoMat =>
-            if (autoPersist && outDeg(n.uuid) > 1) out = engine.persist(out)
+      var out =
+        if (det && fileExists(s"$detPath/_SUCCESS")) {
+          engine.load(detPath, "parquet")
+        } else {
+          var o = n.execute(n.deps.map(resolve))
+          n.mat match {
+            case WeakCheckpoint => o = engine.persist(o)
+            case StrongCheckpoint =>
+              val p = s"$checkpointDir/run_${java.util.UUID.randomUUID().toString.take(8)}_${n.uuid}"
+              engine.save(o, p, "parquet")
+              o = engine.load(p, "parquet")
+            case DeterministicCheckpoint =>
+              engine.save(o, detPath, "parquet")
+              o = engine.load(detPath, "parquet")
+            case NoMat =>
+              if (autoPersist && outDeg(n.uuid) > 1) o = engine.persist(o)
+          }
+          o
         }
-        if (n.broadcastHint) out = engine.broadcast(out)
-        out
-      }
+      // applied on BOTH branches: a reused deterministic checkpoint must
+      // not silently drop the user's broadcast hint
+      if (n.broadcastHint) out = engine.broadcast(out)
+      out
     })
 
     val sinks = nodes.filter(n => outDeg(n.uuid) == 0)

@@ -124,4 +124,72 @@ class TransformSpec extends SparkTestBase {
     val doubled = Transform.transform(ds)(it => it.map(t => t._2 * 2))
     assert(doubled.collect().sorted.toSeq === Seq(2, 4, 10))
   }
+
+  test("binary partition keys group correctly (element equality, not reference)") {
+    val d = df(Seq(Seq("aa", 1), Seq("aa", 2), Seq("bb", 3)), "s:str,v:int")
+      .select(encode(col("s"), "UTF-8").as("k"), col("v"))
+    val out = Transform.mapPartitions(d, graft.PartitionSpec(by = Seq("k")),
+      SchemaExpr.parse("n:long")) { (cur, rows) =>
+      Iterator.single(Row(rows.size.toLong))
+    }
+    // two logical partitions, sized 2 and 1 — NOT three per-row slices
+    assert(out.collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+  }
+
+  test("rand algo with keys delegates to hash (one visit per logical partition)") {
+    val d = df(Seq(Seq("a", 1), Seq("a", 2), Seq("a", 3), Seq("b", 4)), "k:str,v:int")
+      .repartition(4) // scatter before the spec repartition
+    val out = Transform.mapPartitions(d,
+      graft.PartitionSpec(algo = "rand", by = Seq("k"), num = "4"),
+      SchemaExpr.parse("k:str,n:long")) { (cur, rows) =>
+      Iterator.single(Row(cur.keyValues.head, rows.size.toLong))
+    }
+    val got = out.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 3L, "b" -> 1L)) // each key exactly once, complete
+  }
+
+  test("zipped path hands cotransformers ORIGINAL row shapes (keys not first)") {
+    // key column deliberately NOT first: the zip structs must preserve the
+    // original column order so coMap and the zipped path agree
+    val l = df(Seq(Seq(10, 1), Seq(20, 1)), "v:int,k:int")
+    val r = df(Seq(Seq(0.5, 1)), "b:double,k:int")
+    val outSchema = SchemaExpr.parse("first_v:int,first_b:double")
+    def fn(k: Seq[Any], ls: Iterator[Row], rs: Iterator[Row]): Iterator[Row] = {
+      val lrows = ls.toSeq.sortBy(_.getInt(0))
+      Iterator.single(Row(lrows.head.getInt(0), rs.next().getDouble(0)))
+    }
+    val viaCoMap = Transform.coMap(l, r, Seq("k"), "inner", outSchema)(fn)
+      .collect().map(r0 => (r0.getInt(0), r0.getDouble(1))).toSeq
+    val viaZip = Transform.coMapZipped(
+      Transform.zipFrames(Seq(l, r), Seq("k")), outSchema)(fn)
+      .collect().map(r0 => (r0.getInt(0), r0.getDouble(1))).toSeq
+    assert(viaCoMap === Seq((10, 0.5)))
+    assert(viaZip === viaCoMap)
+  }
+
+  test("validation rules match column names case-insensitively (like execution)") {
+    import graft.transform.ExtensionValidation
+    val schema = SchemaExpr.parse("dept:str,v:int")
+    // execution resolves Dept → dept, so validation must accept it too
+    ExtensionValidation.validate(
+      Map("partitionby_has" -> "dept", "presort_has" -> "v desc",
+        "input_has" -> "DEPT,v"),
+      graft.PartitionSpec(by = Seq("Dept"), presort = Seq(("V", false))), schema)
+    intercept[IllegalArgumentException](ExtensionValidation.validate(
+      Map("partitionby_has" -> "missing"),
+      graft.PartitionSpec(by = Seq("Dept")), schema))
+  }
+
+  test("zip how strings accepted uniformly by coMap and zipFrames") {
+    val l = df(Seq(Seq(1, "x")), "k:int,a:str")
+    val r = df(Seq(Seq(2, 1.0)), "k:int,b:double")
+    val out = SchemaExpr.parse("k:int")
+    for (how <- Seq("left outer", "LEFT_OUTER", "leftouter")) {
+      assert(Transform.coMap(l, r, Seq("k"), how, out)(
+        (k, ls, rs) => { ls.size; rs.size; Iterator.single(Row(k.head)) })
+        .count() === 1, s"coMap '$how'")
+      assert(Transform.zipFrames(Seq(l, r), Seq("k"), how).count() === 1,
+        s"zipFrames '$how'")
+    }
+  }
 }

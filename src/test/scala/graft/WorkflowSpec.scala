@@ -15,6 +15,18 @@ class WorkflowSpec extends SparkTestBase {
     assert(a1.uuid !== b.uuid)
   }
 
+  test("create() uuid is content-stable for binary/array literals") {
+    def mk() = {
+      val w = new Workflow(engine)
+      w.create(Seq(Seq("x", Array[Byte](1, 2, 3))), "s:str,b:binary").uuid
+    }
+    // Array.toString would render JVM identity (`[B@...`) — a fresh uuid
+    // per call, silently defeating deterministic checkpoints
+    assert(mk() === mk())
+    val w2 = new Workflow(engine)
+    assert(w2.create(Seq(Seq("x", Array[Byte](9))), "s:str,b:binary").uuid !== mk())
+  }
+
   test("identical sub-DAGs compute once; yields retrievable") {
     val w = new Workflow(engine)
     var evals = 0
