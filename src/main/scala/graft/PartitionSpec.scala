@@ -56,7 +56,12 @@ final case class PartitionSpec(
         if (expr.contains("ROWCOUNT")) expr.replace("ROWCOUNT", rowCount.toString)
         else expr
       val substituted = withRowcount.replace("CONCURRENCY", concurrency.toString)
-      math.max(evalArith(substituted).toInt, 0)
+      val v = evalArith(substituted)
+      // a silent toInt would wrap ROWCOUNT-scale values negative, and
+      // max(_, 0) would then quietly skip the repartition entirely
+      require(v <= Int.MaxValue,
+        s"partition count $v (from num='$num') overflows Int")
+      math.max(v.toInt, 0)
     }
   }
 

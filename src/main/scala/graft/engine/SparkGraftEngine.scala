@@ -34,8 +34,20 @@ class SparkGraftEngine(val spark: SparkSession) extends GraftEngine {
   /** Per-value type coercion to the declared schema — the reference's
    * type-safe ingestion contract (fugue_spark/_utils/convert.py:119-140):
    * `to_df(rows, "a:double")` accepts Scala Ints, etc. */
-  private def coerceRow(values: Seq[Any], schema: StructType): Seq[Any] =
+  private def coerceRow(values: Seq[Any], schema: StructType): Seq[Any] = {
+    // a silent zip would truncate extra values / defer missing ones to an
+    // opaque action-time error — fail at ingestion with the actual arity
+    require(values.length == schema.fields.length,
+      s"row has ${values.length} values but schema has " +
+        s"${schema.fields.length} fields (${schema.simpleString})")
     values.zip(schema.fields).map { case (v, f) => coerceValue(v, f.dataType) }
+  }
+
+  /** Column reference that survives dots and other special characters in
+   * the name — bare `col("a.b")` parses as struct-field access. Backticks
+   * in the name itself are escaped by doubling (Spark's convention). */
+  private def qcol(name: String): Column =
+    col("`" + name.replace("`", "``") + "`")
 
   private def coerceValue(v: Any, dt: org.apache.spark.sql.types.DataType): Any = {
     import org.apache.spark.sql.types._
@@ -113,8 +125,10 @@ class SparkGraftEngine(val spark: SparkSession) extends GraftEngine {
 
   // ---- relational ops --------------------------------------------------
 
+  // space- and underscore-insensitive, matching Transform's normalizer so
+  // "left outer" is accepted by join, zip and cotransform alike
   private def normalizeHow(how: String): String =
-    how.trim.toLowerCase.replace("_", "") match {
+    how.trim.toLowerCase.replaceAll("[ _]", "") match {
       case "inner" => "inner"
       case "leftouter" | "left" => "left_outer"
       case "rightouter" | "right" => "right_outer"
@@ -142,20 +156,39 @@ class SparkGraftEngine(val spark: SparkSession) extends GraftEngine {
       val joined = df1.join(df2, keys, h)
       if (h == "left_semi" || h == "left_anti") joined
       else joined.select((df1.columns ++ df2.columns.filterNot(keys.contains))
-        .map(col).toIndexedSeq: _*)
+        .map(qcol).toIndexedSeq: _*)
+    }
+  }
+
+  /** Align df2's columns to df1's order (by name) for a set operation —
+   * Spark's set ops are positional and would silently misalign two frames
+   * whose shared column names sit in different orders (easy to produce:
+   * this engine's own join() reorders to df1 ∪ (df2 − keys)). The
+   * reference requires identical schemas outright. */
+  private def alignForSetOp(df1: DataFrame, df2: DataFrame, op: String): DataFrame = {
+    val (c1, c2) = (df1.columns.toSeq, df2.columns.toSeq)
+    if (c1 == c2) df2
+    else {
+      require(c1.map(_.toLowerCase).sorted == c2.map(_.toLowerCase).sorted,
+        s"$op requires identical column sets, got [${c1.mkString(",")}] vs [${c2.mkString(",")}]")
+      df2.select(c1.map(qcol): _*)
     }
   }
 
   def union(df1: DataFrame, df2: DataFrame, distinct: Boolean = true): DataFrame = {
-    val u = df1.union(df2)
+    val u = df1.union(alignForSetOp(df1, df2, "union"))
     if (distinct) u.distinct() else u
   }
 
-  def subtract(df1: DataFrame, df2: DataFrame, distinct: Boolean = true): DataFrame =
-    if (distinct) df1.except(df2) else df1.exceptAll(df2)
+  def subtract(df1: DataFrame, df2: DataFrame, distinct: Boolean = true): DataFrame = {
+    val r = alignForSetOp(df1, df2, "subtract")
+    if (distinct) df1.except(r) else df1.exceptAll(r)
+  }
 
-  def intersect(df1: DataFrame, df2: DataFrame, distinct: Boolean = true): DataFrame =
-    if (distinct) df1.intersect(df2) else df1.intersectAll(df2)
+  def intersect(df1: DataFrame, df2: DataFrame, distinct: Boolean = true): DataFrame = {
+    val r = alignForSetOp(df1, df2, "intersect")
+    if (distinct) df1.intersect(r) else df1.intersectAll(r)
+  }
 
   def distinct(df: DataFrame): DataFrame = df.distinct()
 
@@ -193,7 +226,10 @@ class SparkGraftEngine(val spark: SparkSession) extends GraftEngine {
       case Some(f) => df.sample(replace, f, seed.getOrElse(new java.util.Random().nextLong()))
       case None =>
         // n-rows sample = TABLESAMPLE (n ROWS) = limit, exactly as the
-        // reference's Spark backend does (execution_engine.py:629-631)
+        // reference's Spark backend does (execution_engine.py:629-631).
+        // limit() is Int-bounded; a silent toInt would wrap huge n
+        require(n.get >= 0 && n.get <= Int.MaxValue,
+          s"sample n=${n.get} out of range [0, ${Int.MaxValue}]")
         df.limit(n.get.toInt)
     }
   }
@@ -263,7 +299,7 @@ class SparkGraftEngine(val spark: SparkSession) extends GraftEngine {
         val agged =
           if (nKey.isEmpty) pre.agg(nAgg.head, nAgg.tail: _*)
           else pre.groupBy(nKey: _*).agg(nAgg.head, nAgg.tail: _*)
-        agged.select(named.map(c => col(outputName(c))): _*)
+        agged.select(named.map(c => qcol(outputName(c))): _*)
       }
     having.map(out.filter).getOrElse(out)
   }
@@ -300,7 +336,7 @@ class SparkGraftEngine(val spark: SparkSession) extends GraftEngine {
     df.select(schema.fields.map { f =>
       val src = df.schema.find(_.name == f.name).getOrElse(
         throw new IllegalArgumentException(s"missing column ${f.name}"))
-      val c = col(f.name)
+      val c = qcol(f.name)
       val casted = (src.dataType, f.dataType) match {
         case (s, t) if s == t => c
         case (DoubleType | FloatType, ByteType | ShortType | IntegerType | LongType) =>
@@ -322,8 +358,8 @@ class SparkGraftEngine(val spark: SparkSession) extends GraftEngine {
     st.fieldNames.foreach(n => require(df.columns.contains(n), s"no column $n"))
     df.select(df.columns.map { c =>
       st.fields.find(_.name == c) match {
-        case Some(f) => col(c).cast(f.dataType).as(c)
-        case None => col(c)
+        case Some(f) => qcol(c).cast(f.dataType).as(c)
+        case None => qcol(c)
       }
     }.toIndexedSeq: _*)
   }
@@ -342,18 +378,35 @@ class SparkGraftEngine(val spark: SparkSession) extends GraftEngine {
 
   // ---- SQL -------------------------------------------------------------
 
-  def sqlSelect(sql: String, dfs: Map[String, DataFrame]): DataFrame = {
-    // register views only for the duration of analysis: spark.sql resolves
-    // view references eagerly (analysis runs before return), so the views
-    // can be dropped immediately — nothing leaks into the shared session
-    // catalog across Runner instances
-    dfs.foreach { case (name, df) => df.createOrReplaceTempView(name) }
-    try {
-      val out = spark.sql(sql)
-      out.queryExecution.analyzed // force resolution before views vanish
-      out
-    } finally dfs.keys.foreach(spark.catalog.dropTempView)
-  }
+  def sqlSelect(sql: String, dfs: Map[String, DataFrame]): DataFrame =
+    // serialized per session: two concurrent callers registering the same
+    // view names on one shared catalog would resolve against each other's
+    // frames (or lose views mid-analysis)
+    SparkGraftEngine.sessionLock(spark).synchronized {
+      // capture pre-existing temp views we are about to shadow, so a
+      // caller's own view of the same name survives this call
+      val prior: Map[String, DataFrame] = dfs.keys.flatMap { name =>
+        try {
+          if (spark.catalog.getTable(name).isTemporary) Some(name -> spark.table(name))
+          else None
+        } catch { case _: org.apache.spark.sql.AnalysisException => None }
+      }.toMap
+      // register views only for the duration of analysis: spark.sql resolves
+      // view references eagerly (analysis runs before return), so the views
+      // can be dropped immediately — nothing leaks into the shared session
+      // catalog across Runner instances
+      dfs.foreach { case (name, df) => df.createOrReplaceTempView(name) }
+      try {
+        val out = spark.sql(sql)
+        out.queryExecution.analyzed // force resolution before views vanish
+        out
+      } finally dfs.keys.foreach { name =>
+        prior.get(name) match {
+          case Some(d) => d.createOrReplaceTempView(name) // restore shadowed view
+          case None => spark.catalog.dropTempView(name)
+        }
+      }
+    }
 
   def tableExists(name: String): Boolean = spark.catalog.tableExists(name)
   def loadTable(name: String): DataFrame = spark.table(name)
@@ -400,8 +453,8 @@ class SparkGraftEngine(val spark: SparkSession) extends GraftEngine {
     if (columns.isEmpty) df
     else if (columns.exists(_.contains(":"))) {
       val st = SchemaExpr.parse(columns.mkString(","))
-      df.select(st.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
-    } else df.select(columns.map(col): _*)
+      df.select(st.fields.map(f => qcol(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+    } else df.select(columns.map(qcol): _*)
   }
 
   def save(df: DataFrame, path: String, format: String = "",
@@ -427,4 +480,15 @@ class SparkGraftEngine(val spark: SparkSession) extends GraftEngine {
 
 object SparkGraftEngine {
   def apply(spark: SparkSession): SparkGraftEngine = new SparkGraftEngine(spark)
+
+  // one lock per SparkSession (not per engine): multiple engines over one
+  // session share the temp-view namespace they must not race on
+  private val viewLocks =
+    new java.util.WeakHashMap[SparkSession, Object]()
+  private[engine] def sessionLock(spark: SparkSession): Object =
+    viewLocks.synchronized {
+      var l = viewLocks.get(spark)
+      if (l == null) { l = new Object; viewLocks.put(spark, l) }
+      l
+    }
 }

@@ -84,10 +84,13 @@ object Repartitioner {
       val keyDf = spark.createDataFrame(keys, keySchema)
       // key→index table is |distinct keys| rows; AQE auto-broadcasts when
       // small, falls back to shuffle join when the key space is huge.
-      // Re-select the ORIGINAL column order: a using-columns join moves the
-      // key columns to the front, which would corrupt positional consumers.
-      val joined = df.join(keyDf, by)
-        .select((schema.fieldNames.map(col) :+ col("__graft_pno")).toIndexedSeq: _*)
+      // NULL-SAFE equality (<=>): null keys are a valid group everywhere
+      // else in this engine — a plain equi-join would silently DROP every
+      // null-keyed row. Explicit condition join keeps both sides' columns;
+      // re-select the ORIGINAL column order (positional consumers).
+      val cond = by.map(k => df(k) <=> keyDf(k)).reduce(_ && _)
+      val joined = df.join(keyDf, cond)
+        .select((schema.fieldNames.map(df(_)) :+ keyDf("__graft_pno")).toIndexedSeq: _*)
       val pnoIdx = schema.fields.length
       val rdd = joined.rdd.map { r =>
         (r.getLong(pnoIdx), Row.fromSeq(r.toSeq.dropRight(1)))

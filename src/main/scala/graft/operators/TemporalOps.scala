@@ -53,7 +53,12 @@ object TemporalOps {
       keys.map(col) ++ Seq(col(tsCol), lit(1).as("__tag"), lp.as("__lp"),
         lit(null).cast(rpType).as("__rp")) ++
         tieBreak.filter(left.columns.contains).map(col): _*)
-    val rTagged = right.select(
+    // a right row with a null timestamp can never satisfy right.ts <=
+    // left.ts (SQL comparison with null is false) — drop them, or the
+    // nulls-first sort would carry their payload to rows with no true
+    // predecessor
+    val rightValid = right.filter(col(tsCol).isNotNull)
+    val rTagged = rightValid.select(
       keys.map(col) ++ Seq(col(tsCol), lit(0).as("__tag"),
         lit(null).cast(lpType).as("__lp"), rp.as("__rp")) ++
         tieBreak.filter(right.columns.contains).map(col): _*)

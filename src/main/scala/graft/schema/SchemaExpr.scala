@@ -39,9 +39,20 @@ object SchemaExpr {
     t
   }
 
-  /** Render a StructType back to the expression language (round-trip). */
+  /** Render a StructType back to the expression language (round-trip).
+   * Names that are not plain identifiers are backtick-quoted, matching
+   * the parser; a name containing a backtick itself is not representable
+   * in the expression language (the parser has no escape) and errors. */
   def render(st: StructType): String =
-    st.fields.map(f => s"${f.name}:${renderType(f.dataType)}").mkString(",")
+    st.fields.map(f => s"${renderName(f.name)}:${renderType(f.dataType)}").mkString(",")
+
+  private def renderName(n: String): String = {
+    require(!n.contains('`'),
+      s"field name '$n' contains a backtick — not representable in a schema expression")
+    val plain = n.nonEmpty && (n.head.isLetter || n.head == '_') &&
+      n.forall(ch => ch.isLetterOrDigit || ch == '_')
+    if (plain) n else "`" + n + "`"
+  }
 
   def renderType(dt: DataType): String = dt match {
     case BooleanType => "bool"
@@ -94,15 +105,19 @@ object SchemaExpr {
     StructType(fields)
   }
 
-  /** Split on commas that are not nested inside [], {}, <> or (). */
+  /** Split on commas that are not nested inside [], {}, <> or () and not
+   * inside backtick-quoted names (a quoted name may contain commas and
+   * bracket characters — they are literal there). */
   private[schema] def topLevelSplit(s: String): Vector[String] = {
     val out = Vector.newBuilder[String]
     var depth = 0
+    var inQuote = false
     val cur = new StringBuilder
     s.foreach {
-      case c @ ('[' | '{' | '<' | '(') => depth += 1; cur += c
-      case c @ (']' | '}' | '>' | ')') => depth -= 1; cur += c
-      case ',' if depth == 0 => out += cur.toString; cur.clear()
+      case '`' => inQuote = !inQuote; cur += '`'
+      case c @ ('[' | '{' | '<' | '(') if !inQuote => depth += 1; cur += c
+      case c @ (']' | '}' | '>' | ')') if !inQuote => depth -= 1; cur += c
+      case ',' if depth == 0 && !inQuote => out += cur.toString; cur.clear()
       case c => cur += c
     }
     if (cur.nonEmpty) out += cur.toString

@@ -160,6 +160,54 @@ class EngineOpsSpec extends SparkTestBase {
     intercept[Exception](engine.union(a, b).collect())
   }
 
+  test("set ops align reordered same-name columns instead of silent positional mix") {
+    val a = df(Seq(Seq("n1", "c1")), "name:str,city:str")
+    val b = df(Seq(Seq("c2", "n2")), "city:str,name:str") // reordered
+    assertDfEq(engine.union(a, b, distinct = false),
+      Seq(Seq("n1", "c1"), Seq("n2", "c2"))) // by NAME, not position
+    assert(engine.subtract(a, b).count() === 1)
+    assert(engine.intersect(a, a).count() === 1)
+  }
+
+  test("toDF arity mismatch fails at ingestion with a clear message") {
+    val ex = intercept[IllegalArgumentException](
+      engine.toDF(Seq(Seq(1, 2, 3)), "a:int,b:int"))
+    assert(ex.getMessage.contains("3 values"))
+    intercept[IllegalArgumentException](engine.toDF(Seq(Seq(1)), "a:int,b:int"))
+  }
+
+  test("sample n out of Int range raises instead of wrapping") {
+    val d = df(Seq(Seq(1)), "x:int")
+    intercept[IllegalArgumentException](engine.sample(d, n = Some(5000000000L)))
+  }
+
+  test("join accepts space-separated how spellings like the zip surface") {
+    val a = df(Seq(Seq(1, "x")), "k:int,a:str")
+    val b = df(Seq(Seq(2, 1.0)), "k:int,b:double")
+    assert(engine.join(a, b, "left outer").count() === 1)
+    assert(engine.join(a, b, "LEFT_OUTER").count() === 1)
+  }
+
+  test("dotted column names survive conform/alterColumns/load-projection") {
+    val d = df(Seq(Seq(1.5, 7)), "`a.b`:double,v:int")
+    val out = engine.conform(d, "v:long,`a.b`:double")
+    assert(out.columns.toSeq === Seq("v", "a.b"))
+    assertDfEq(out, Seq(Seq(7L, 1.5)))
+    assert(engine.alterColumns(d, "`a.b`:int").schema("a.b").dataType.typeName === "integer")
+  }
+
+  test("sqlSelect restores a caller's pre-existing temp view of the same name") {
+    val mine = df(Seq(Seq(99)), "v:int")
+    mine.createOrReplaceTempView("graft_prior_view")
+    val other = df(Seq(Seq(1)), "v:int")
+    val out = engine.sqlSelect("SELECT v FROM graft_prior_view",
+      Map("graft_prior_view" -> other))
+    assert(out.collect().map(_.getInt(0)).toSeq === Seq(1)) // query saw the arg
+    // ... but the caller's original view survives the call
+    assert(spark.table("graft_prior_view").collect().map(_.getInt(0)).toSeq === Seq(99))
+    spark.catalog.dropTempView("graft_prior_view")
+  }
+
   test("persist and broadcast are idempotent (RunOnce)") {
     val d = df(Seq(Seq(1)), "x:int")
     val p1 = engine.persist(d)

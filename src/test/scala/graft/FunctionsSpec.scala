@@ -520,4 +520,16 @@ class FunctionsSpec extends SparkTestBase {
     assert(sizes.sum === 103)
     assert(sizes.max - sizes.min <= 1, s"uneven: ${sizes.toSeq}")
   }
+
+  test("even repartition with keys keeps null-keyed rows (null-safe join)") {
+    val d = df(Seq(Seq("a", 1), Seq(null, 7), Seq("b", 2), Seq(null, 8)),
+      "k:str,v:int")
+    val out = graft.operators.Repartitioner.even(d, 3, Seq("k"))
+    assert(out.count() === 4) // the null group must NOT be dropped
+    assert(out.filter(col("k").isNull).count() === 2)
+    // each key group lands in exactly one partition
+    val byPart = out.select(col("k"), spark_partition_id().as("p"))
+      .distinct().groupBy("k").count().collect()
+    assert(byPart.forall(_.getLong(1) === 1L))
+  }
 }

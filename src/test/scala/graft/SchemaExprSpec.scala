@@ -53,6 +53,19 @@ class SchemaExprSpec extends AnyFunSuite {
     }
   }
 
+  test("render quotes non-identifier names; quoted round-trip holds") {
+    for (e <- Seq("`a b`:int", "`a.b`:[str]", "`a,b`:int,c:str")) {
+      val st = SchemaExpr.parse(e)
+      assert(SchemaExpr.parse(SchemaExpr.render(st)) === st, s"round-trip of $e")
+    }
+    // a backtick inside a name is not representable — clear error, not
+    // silent corruption
+    val bad = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("a`b",
+        org.apache.spark.sql.types.IntegerType)))
+    intercept[IllegalArgumentException](SchemaExpr.render(bad))
+  }
+
   test("wildcard hints against input schema") {
     val input = SchemaExpr.parse("a:int,b:str,c:double")
     assert(SchemaExpr.applyHint(input, "*") === input)

@@ -27,6 +27,15 @@ class TemporalOpsSpec extends SparkTestBase {
     assert(out.length === 1 && out.head.isNullAt(out.head.fieldIndex("rid")))
   }
 
+  test("asofJoin: right rows with null timestamps never match") {
+    val l = df(Seq(Seq(1L, "u1", "2024-01-01 08:00:00")), "id:long,k:str,ts:datetime")
+    val r = df(Seq(
+      Seq("u1", null, 7L), // null ts: <= is false against everything
+      Seq("u1", "2024-01-01 09:00:00", 8L)), "k:str,ts:datetime,rid:long")
+    val out = TemporalOps.asofJoin(l, r, Seq("k"), "ts").collect()
+    assert(out.length === 1 && out.head.isNullAt(out.head.fieldIndex("rid")))
+  }
+
   test("sessionize splits on gaps and numbers sessions per key") {
     val d = df(Seq(
       Seq("u1", 1L, "2024-01-01 10:00:00"),
