@@ -962,10 +962,10 @@ object SparkEntry {
   // shared oracle fragments: tokenization and stopword-ratio SQL used by
   // several text-metric oracles — one definition so they cannot drift
   private val SqlNTokens =
-    """CASE WHEN length(trim(text)) = 0 THEN 0
+    """CASE WHEN length(regexp_replace(text, '\s', '', 'g')) = 0 THEN 0
       |   ELSE len(string_split_regex(trim(text), '\s+')) END""".stripMargin
   private val SqlStopwordRatio =
-    """CASE WHEN len(string_split_regex(trim(text), '\s+')) > 0 AND length(trim(text)) > 0
+    """CASE WHEN length(regexp_replace(text, '\s', '', 'g')) > 0
       |   THEN CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
       |     t -> t IN ('the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','at','by','it'))) AS DOUBLE)
       |     / len(string_split_regex(trim(text), '\s+'))
@@ -1123,18 +1123,18 @@ object SparkEntry {
     "t02_tokens_quality" ->
       """SELECT doc_id,
         | CAST(length(text) AS INTEGER) AS n_chars,
-        | CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        | CAST(CASE WHEN length(regexp_replace(text, '\s', '', 'g')) = 0 THEN 0
         |   ELSE len(string_split_regex(trim(text), '\s+')) END AS INTEGER) AS n_tokens,
         | CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS INTEGER) AS n_punct,
         | CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS INTEGER) AS n_digits,
         | CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
         |   t -> t IN ('the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','at','by','it'))) AS INTEGER) AS n_stopwords,
-        | CASE WHEN len(string_split_regex(trim(text), '\s+')) > 0 AND length(trim(text)) > 0
+        | CASE WHEN length(regexp_replace(text, '\s', '', 'g')) > 0
         |   THEN CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
         |     t -> t IN ('the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','at','by','it'))) AS DOUBLE)
         |     / len(string_split_regex(trim(text), '\s+'))
         |   ELSE 0.0 END AS stopword_ratio,
-        | CASE WHEN len(string_split_regex(trim(text), '\s+')) > 0 AND length(trim(text)) > 0
+        | CASE WHEN length(regexp_replace(text, '\s', '', 'g')) > 0
         |   THEN CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
         |     / len(string_split_regex(trim(text), '\s+'))
         |   ELSE 0.0 END AS mean_word_len
@@ -1244,7 +1244,7 @@ object SparkEntry {
     "t08_chunking" ->
       """WITH t AS (
         | SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
-        | FROM documents WHERE length(trim(text)) > 0),
+        | FROM documents WHERE length(regexp_replace(text, '\s', '', 'g')) > 0),
         |c AS (
         | SELECT doc_id, w,
         |  greatest(1, CAST(ceil((len(w) - 10) / 40.0) AS INT)) AS m

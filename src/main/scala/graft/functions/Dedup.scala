@@ -265,6 +265,12 @@ object Dedup {
       bands: Int = 16,
       threshold: Double = 0.5,
       maxBucketSize: Int = 1000): DataFrame = {
+    // bands > numHashes would make every band an empty slice (one
+    // corpus-wide bucket → zero pairs after the cap — silent "no
+    // duplicates"); a non-dividing bands would silently ignore the
+    // trailing hash functions
+    require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
+      s"bands=$bands must divide numHashes=$numHashes")
     val rows = numHashes / bands
     // band keys: hash of each signature slice (bands is a plan-time constant)
     val bandCols = (0 until bands).map(b =>
@@ -328,7 +334,12 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3,
       maxBucketSize: Int = 1000): DataFrame = {
-    val nBands = 4 // 4×16 bits; guarantees recall for hamming ≤ 3
+    // pigeonhole: with nBands bands, any pair within Hamming < nBands
+    // shares an exact band — so the band count must FOLLOW maxHamming
+    // (a fixed 4 would silently lose recall for maxHamming >= 4)
+    require(maxHamming >= 0 && maxHamming <= 31,
+      s"maxHamming must be in [0, 31], got $maxHamming")
+    val nBands = maxHamming + 1 // default 3 → 4×16 bits, as before
     // docs with NO shingle features (blank/short/null text) all hash to
     // sig=0 — without this filter they'd pairwise report as hamming-0
     // "near-duplicates" despite carrying zero signal. Same exclusion the
@@ -339,8 +350,16 @@ object Dedup {
       .filter(size(col("__sh")) > 0)
       .select(col("id"), graft.functions.expressions.VectorExpressions
         .simhash64(col("__sh")).as("sig"))
-    val bandCols = (0 until nBands).map(b =>
-      shiftright(col("sig"), b * 16).bitwiseAND(lit(0xffffL)))
+    // equal-width bands of 64/nBands bits; the LAST band absorbs the
+    // remainder so all 64 bits are covered (completeness needs every bit
+    // inside exactly one band)
+    val w = 64 / nBands
+    val bandCols = (0 until nBands).map { b =>
+      val width = if (b == nBands - 1) 64 - b * w else w
+      val shifted = shiftright(col("sig"), b * w)
+      if (width >= 64) shifted
+      else shifted.bitwiseAND(lit((1L << width) - 1))
+    }
     val banded = sigs.select(col("id"), col("sig"),
       posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
     val candidates = bucketPairs(banded, Seq("band", "bh"), maxBucketSize)

@@ -12,9 +12,13 @@ import org.apache.spark.sql.functions._
  */
 object TextFunctions {
 
-  /** Whitespace token count (0 for blank). */
+  /** Whitespace token count (0 for blank — including tab/newline-only
+   * text: the guard strips ALL whitespace, not just spaces, matching the
+   * shingle stage's blank-document convention). Boundary tokens follow
+   * the library-wide `split(trim(text), "\s+")` convention the oracles
+   * and the shingle expressions share. */
   def tokenCount(text: Column): Column =
-    when(length(trim(text)) === 0, lit(0))
+    when(length(regexp_replace(text, "\\s", "")) === 0, lit(0))
       .otherwise(size(split(trim(text), "\\s+")))
 
   /** BPE-ish subword token estimate: word-pieces + digits + punctuation as
@@ -202,7 +206,8 @@ object TextFunctions {
     // number of stride-aligned windows covering all n tokens (≥1 for short docs)
     val nChunks = greatest(lit(1),
       ceil((n - lit(overlapTokens)).cast("double") / stride).cast("int"))
-    df.filter(length(trim(col(textCol))) > 0)
+    // blank = no non-whitespace at all (tab/newline-only docs included)
+    df.filter(length(regexp_replace(col(textCol), "\\s", "")) > 0)
       .select(col(idCol), toks.as("__toks"), nChunks.as("__m"))
       .select(col(idCol), posexplode(transform(
         sequence(lit(0), col("__m") - 1),

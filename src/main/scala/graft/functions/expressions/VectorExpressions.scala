@@ -94,6 +94,11 @@ case class L2Normalize(child: Expression)
 case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // nullSafeEval returns null for an EMPTY shingle array (a signature of
+  // Long.MaxValue minima would be meaningless); the inherited
+  // children-based nullable=false would let that null flow unchecked into
+  // consumers (no isNull guard is emitted for non-nullable expressions)
+  override def nullable: Boolean = true
 
   private val P = (1L << 61) - 1
   private lazy val (as, bs) = {
@@ -153,6 +158,9 @@ case class HyperplaneKeys(child: Expression, dim: Int, nTables: Int,
     nBits: Int, seed: Long, probes: Int = 0)
     extends UnaryExpression with CodegenFallback {
   require(probes >= 0 && probes <= 2, "probes must be 0, 1 or 2")
+  // the table tag occupies the high 32 bits; sign/probe bits beyond 32
+  // would silently alias buckets across tables
+  require(nBits >= 1 && nBits <= 32, s"nBits must be in [1, 32], got $nBits")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   @transient private lazy val planes: Array[Array[Array[Double]]] = {
@@ -430,6 +438,19 @@ case class NearestCells(child: Expression,
  */
 case class Fingerprint64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
+
+  // same guard as ShingleHashes: a non-string child (e.g. binary) would
+  // hash the JVM toString — an identity rendering that differs for equal
+  // payloads and across executors, silently breaking fingerprint joins
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"fingerprint64 requires a string column, got ${other.catalogString}")
+    }
 
   override def nullSafeEval(v: Any): Any =
     Fingerprint64.hash(v.toString)

@@ -210,7 +210,10 @@ object GraftSql {
     ("^(?i)(LOAD|SAVE|SELECT|WITH|CREATE|ZIP|TAKE|SAMPLE|DROPNA|FILLNA|RENAME|ALTER|DROP|" +
       "DISTINCT|TRANSFORM|COTRANSFORM|OUTTRANSFORM|PROCESS|SUB|OUTPUT|PRINT|PERSIST|BROADCAST|" +
       "WEAK|STRONG|DETERMINISTIC|CHECKPOINT|YIELD)\\b").r
-  private val Assign = "^\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*:?=\\s*(.*)$".r
+  // DOTALL: an assignment statement may span lines (`a = SELECT ... UNION
+  // ALL\nSELECT ...`) — without (?s) the full-match extractor silently
+  // fails on any multi-line RHS and the statement misparses as a keyword
+  private val Assign = "(?s)^\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*:?=\\s*(.*)$".r
 
   /** Split a script into statements: a statement starts at a line whose
    * first token is a dataflow keyword or an assignment; continuation lines
@@ -236,7 +239,15 @@ object GraftSql {
           case Assign(_, rest) => rest.trim.isEmpty
           case _ => false
         })
-        val starts = !openParens && !pendingAssign && ((t match {
+        // a SELECT/WITH line directly after a dangling set-op connector
+        // (UNION [ALL]/INTERSECT/EXCEPT at the end of the current
+        // statement) CONTINUES that statement — splitting there would
+        // break a multi-line compound query into two invalid halves
+        val setOpCont = out.nonEmpty && !openParens &&
+          "(?i)\\b(UNION(\\s+ALL|\\s+DISTINCT)?|INTERSECT(\\s+ALL)?|EXCEPT(\\s+ALL)?|MINUS)\\s*$".r
+            .findFirstIn(maskQuotes(out.last.toString).trim).isDefined &&
+          "^(?i)(SELECT|WITH|\\()".r.findFirstIn(t).isDefined
+        val starts = !openParens && !pendingAssign && !setOpCont && ((t match {
           case Assign(_, rest) =>
             rest.trim.isEmpty || KeywordStart.findFirstIn(rest.trim).isDefined
           case _ => false
@@ -416,11 +427,32 @@ object GraftSql {
     }
 
     // helpers ----------------------------------------------------------
+    /** Grammar tokens that may legitimately occupy a df-name position —
+     * never treated as dataframe references. */
+    private val NonDfTokens = Set("OVERWRITE", "APPEND", "TO", "SINGLE",
+      "PARQUET", "CSV", "JSON", "ORC", "AND", "USE", "PREPARTITION",
+      "PRESORT", "BY", "FROM", "PARAMS", "ROWS", "ROW", "PERCENT",
+      "REPLACE", "SEED", "LAZY", "USING", "SCHEMA", "CALLBACK", "NULLS",
+      "NULL", "FIRST", "LAST", "ON", "ALL", "ANY", "IF", "EXISTS",
+      "COLUMNS", "AS", "DATA", "WEAK", "STRONG", "DETERMINISTIC",
+      "CHECKPOINT", "LOCAL", "DATAFRAME", "FILE", "TABLE", "INNER", "LEFT",
+      "RIGHT", "FULL", "OUTER", "CROSS", "TITLE", "ROWCOUNT")
+
     private def wordAfter(stmt: String, idx: Int): Option[String] = {
       val toks = stmt.split("\\s+")
-      if (toks.length > idx && !toks(idx).contains("\"")) Some(toks(idx)).filter(t =>
-        t.forall(c => c.isLetterOrDigit || c == '_') && dfs.contains(t))
-      else None
+      if (toks.length <= idx || toks(idx).contains("\"")) None
+      else {
+        val t = toks(idx)
+        val ident = t.nonEmpty && t.forall(c => c.isLetterOrDigit || c == '_') &&
+          !t.forall(_.isDigit)
+        if (!ident || NonDfTokens.contains(t.toUpperCase)) None
+        else {
+          // an explicit name must RESOLVE — a typo silently falling back
+          // to the previous frame would process the wrong data
+          require(dfs.contains(t), s"unknown dataframe '$t' in: ${stmt.trim}")
+          Some(t)
+        }
+      }
     }
 
     private def quoted(stmt: String): String = {
@@ -588,16 +620,21 @@ object GraftSql {
     }
 
     private def execSelect(stmt: String): DataFrame = {
-      // register all known dfs as temp views, add implicit FROM if absent
+      // register all known dfs as temp views, add implicit FROM if absent.
+      // Both the FROM presence check and the clause-insertion point look
+      // only at TOP-LEVEL text (parens masked): a FROM inside a subquery
+      // must not suppress the implicit FROM, and an ORDER BY inside a
+      // window OVER(...) must not become the insertion point.
+      val top = maskParens(stmt)
       val text =
-        if ("(?i)\\bFROM\\b".r.findFirstIn(maskQuotes(stmt)).isDefined) stmt
+        if ("(?i)\\bFROM\\b".r.findFirstIn(top).isDefined) stmt
         else {
           dfs("__graft_prev") = prev
           // insert FROM before any trailing clause (WHERE/GROUP/…), not at
           // the end — "SELECT k WHERE v>1" must become
           // "SELECT k FROM __graft_prev WHERE v>1"
           val m = "(?i)\\b(WHERE|GROUP\\s+BY|HAVING|ORDER\\s+BY|LIMIT)\\b".r
-            .findFirstMatchIn(maskQuotes(stmt))
+            .findFirstMatchIn(top)
           m match {
             case Some(mm) =>
               stmt.substring(0, mm.start) + " FROM __graft_prev " + stmt.substring(mm.start)
@@ -605,6 +642,22 @@ object GraftSql {
           }
         }
       engine.sqlSelect(text, dfs.toMap)
+    }
+
+    /** Blank out quoted text AND everything inside parens (same length as
+     * the input, so match offsets map back to the original). */
+    private def maskParens(s: String): String = {
+      val m = maskQuotes(s).toCharArray
+      var depth = 0
+      var i = 0
+      while (i < m.length) {
+        val c = m(i)
+        if (c == '(') { depth += 1; m(i) = ' ' }
+        else if (c == ')') { depth = math.max(0, depth - 1); m(i) = ' ' }
+        else if (depth > 0) m(i) = ' '
+        i += 1
+      }
+      new String(m)
     }
 
     private def partitionSpec(stmt: String): PartitionSpec = {
@@ -630,7 +683,8 @@ object GraftSql {
       val seed = "(?i)SEED\\s+(\\d+)".r.findFirstMatchIn(stmt).map(_.group(1).toLong)
       val pct = "(?i)([\\d.]+)\\s*PERCENT".r.findFirstMatchIn(stmt).map(_.group(1).toDouble)
       val rows = "(?i)(\\d+)\\s*ROWS".r.findFirstMatchIn(stmt).map(_.group(1).toLong)
-      engine.sample(ref(kwArg(stmt, "FROM")), n = rows,
+      // grammar allows the positional form `SAMPLE df ...` as well as FROM
+      engine.sample(ref(kwArg(stmt, "FROM").orElse(wordAfter(stmt, 1))), n = rows,
         frac = pct.map(_ / 100.0), replace = replace, seed = seed)
     }
 
@@ -778,9 +832,18 @@ object GraftSql {
      * given clip position (normally the USING clause). */
     private def dfRefList(stmt: String, clipAt: Int): Seq[DataFrame] = {
       val head = stmt.substring(0, clipAt).split("\\s+", 2).lift(1).getOrElse("")
-      val names = head.split(",").map(_.trim.split("\\s+").head)
-        .takeWhile(n => n.nonEmpty && dfs.contains(n))
-      if (names.isEmpty) Seq(prev) else names.toSeq.map(n => dfs(n))
+      val names = head.split(",").iterator.map(_.trim.split("\\s+").headOption.getOrElse(""))
+        .takeWhile(t => t.nonEmpty &&
+          t.forall(c => c.isLetterOrDigit || c == '_') && !t.forall(_.isDigit) &&
+          !NonDfTokens.contains(t.toUpperCase))
+        .toSeq
+      if (names.isEmpty) Seq(prev)
+      else names.map { n =>
+        // every explicitly referenced name must resolve — a typo must
+        // error, not silently process the previous frame
+        require(dfs.contains(n), s"unknown dataframe '$n' in: ${stmt.trim}")
+        dfs(n)
+      }
     }
 
     private def execCoTransform(stmt: String): DataFrame = {

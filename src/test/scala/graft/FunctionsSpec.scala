@@ -299,6 +299,48 @@ class FunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("parameter guards: minhash bands, simhash hamming, lsh nBits, fingerprint type") {
+    val d = df(Seq(Seq(1L, "a b c d e")), "doc_id:long,text:str")
+    intercept[IllegalArgumentException](
+      Dedup.minhashNearDupPairs(d, "doc_id", "text", numHashes = 128, bands = 256))
+    intercept[IllegalArgumentException](
+      Dedup.minhashNearDupPairs(d, "doc_id", "text", numHashes = 128, bands = 12))
+    intercept[IllegalArgumentException](
+      Dedup.simhashNearDupPairs(d, "doc_id", "text", maxHamming = 64))
+    intercept[IllegalArgumentException](
+      graft.functions.expressions.VectorExpressions
+        .hyperplaneKeys(col("x"), 8, 2, 33, 42L))
+    // simhash recall holds at maxHamming 5 (band count follows the radius)
+    val near = df(Seq(
+      Seq(1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      Seq(2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10")), "doc_id:long,text:str")
+    assert(Dedup.simhashNearDupPairs(near, "doc_id", "text", maxHamming = 5)
+      .count() === 1)
+    // binary input to fingerprint fails analysis, not silently hashes toString
+    intercept[Exception] {
+      df(Seq(Seq("x")), "s:str")
+        .select(TextFunctions.fingerprint(encode(col("s"), "UTF-8"))).collect()
+    }
+    // minhash signature of a blank doc is null (nullable contract), no crash
+    val sig = df(Seq(Seq("\t"), Seq("a b c")), "t:str")
+      .select(Dedup.minhashSignature(16)(Dedup.shingleHashes(col("t"), 1)).as("sig"))
+      .collect()
+    assert(sig.count(_.isNullAt(0)) === 1)
+  }
+
+  test("blank-document guard covers all whitespace (tabs/newlines)") {
+    val d = df(Seq(Seq(1L, "\t\n\t"), Seq(2L, "a b c d")), "doc_id:long,text:str")
+    val counts = d.select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(counts(1L) === 0) // was 2 boundary-empty tokens before the fix
+    val rep = d.select(col("doc_id"),
+      TextFunctions.repetitionRatio(col("text"), 2).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rep(1L) === 0.0) // blank doc is NOT "maximally repetitive"
+    assert(TextFunctions.chunkByTokens(d, "doc_id", "text", 2)
+      .filter(col("doc_id") === 1L).count() === 0)
+  }
+
   test("tokenCount edge cases") {
     val d = df(Seq(Seq("a b  c"), Seq(""), Seq("   "), Seq("one")), "t:str")
     val got = d.select(TextFunctions.tokenCount(col("t"))).collect().map(_.getInt(0))

@@ -540,6 +540,44 @@ class GraftSqlSpec extends SparkTestBase {
     assert(res3.yields("out").count() === 1)
   }
 
+  test("multi-line UNION ALL stays one statement; OVER(ORDER BY) gets implicit FROM") {
+    val res = GraftSql.run(engine,
+      """a = SELECT k, v FROM input WHERE v > 8 UNION ALL
+        |SELECT k, v FROM input WHERE v < 2
+        |YIELD a AS a
+        |""".stripMargin, Map("input" -> d1))
+    assert(res.yields("a").count() === 2) // v=9 and v=1
+    // window ORDER BY inside OVER(...) must not hijack the FROM insertion
+    val res2 = GraftSql.run(engine,
+      """SELECT k, v FROM input
+        |SELECT k, v, row_number() OVER (ORDER BY v) AS rn
+        |YIELD AS out
+        |""".stripMargin, Map("input" -> d1))
+    assert(res2.yields("out").count() === 4)
+    // a FROM inside a subquery must not suppress the implicit outer FROM
+    val res3 = GraftSql.run(engine,
+      """SELECT k, v FROM input
+        |SELECT k WHERE v IN (SELECT max(v) FROM input)
+        |YIELD AS m
+        |""".stripMargin, Map("input" -> d1))
+    assert(res3.yields("m").collect().map(_.getString(0)).toSeq === Seq("b"))
+  }
+
+  test("SAMPLE positional df form; typo'd df references error") {
+    val res = GraftSql.run(engine,
+      """x = SELECT k, v FROM input WHERE v > 100
+        |s = SAMPLE input 100 PERCENT SEED 7
+        |YIELD s AS s
+        |""".stripMargin, Map("input" -> d1))
+    assert(res.yields("s").count() === 4) // sampled `input`, not empty prev
+    for (bad <- Seq("PERSIST typo_name", "DISTINCT typo_name",
+        "PROCESS typo_name USING lm_score\nYIELD AS out")) {
+      val ex = intercept[Exception](GraftSql.run(engine,
+        s"SELECT k, v FROM input\n$bad", Map("input" -> d1)))
+      assert(ex.getMessage.contains("unknown dataframe"), s"stmt: $bad")
+    }
+  }
+
   test("processor params: quoted multi-key, ascending quality, malformed errors") {
     val t = df(Seq(
       Seq(3L, "u1", "a"), Seq(1L, "u1", "a"), Seq(2L, "u1", "b")),
