@@ -571,6 +571,16 @@ object SparkEntry {
     // sums make the FP result order-independent on both engines)
     "t12_lm_score" -> ((s, dir) =>
       TextFunctions.unigramCrossEntropy(t(s, dir, "documents"), "doc_id", "text")),
+    // TF-IDF keyword extraction: top-5 tokens per document against the
+    // corpus's own document frequencies, exact scores vs the DuckDB oracle
+    "t13_tfidf" -> ((s, dir) =>
+      TextFunctions.tfidfKeywords(t(s, dir, "documents"), "doc_id", "text",
+        topK = 5)),
+    // vocabulary construction: top-200 tokens with >=2 support, dense ids
+    // by descending frequency — exact vs the DuckDB oracle
+    "t14_vocab" -> ((s, dir) =>
+      TextFunctions.buildVocab(t(s, dir, "documents"), "text",
+        size = 200, minCount = 2L)),
     // fingerprint differential: fingerprint-equality classes must coincide
     // with normalized-text-equality classes on the (ASCII) corpus — i.e. a
     // bijection between distinct fingerprints and distinct normalized texts
@@ -1289,6 +1299,32 @@ object SparkEntry {
         | -CAST(sum(CAST(logp AS DECIMAL(20,10))) AS DOUBLE) / count(*) AS cross_entropy
         |FROM toks JOIN logp USING (tok)
         |GROUP BY doc_id""".stripMargin,
+    "t13_tfidf" ->
+      """WITH toks0 AS (
+        | SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        | FROM documents),
+        |toks AS (SELECT doc_id, token FROM toks0 WHERE length(token) > 0),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+        |scored AS (
+        | SELECT doc_id, token, tf,
+        |  (ln(CAST(n_docs + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)) + 1.0)
+        |    * CAST(tf AS DOUBLE) AS score
+        | FROM tf JOIN dfreq USING (token), nd)
+        |SELECT doc_id, CAST(rank AS INTEGER) AS rank, token, tf, score FROM (
+        | SELECT *, row_number() OVER (PARTITION BY doc_id
+        |   ORDER BY score DESC, token ASC) AS rank
+        | FROM scored) x WHERE rank <= 5""".stripMargin,
+    "t14_vocab" ->
+      """WITH toks0 AS (
+        | SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        | FROM documents),
+        |counts AS (SELECT token, count(*) AS cnt FROM toks0
+        | WHERE length(token) > 0 GROUP BY token HAVING count(*) >= 2)
+        |SELECT token, cnt, CAST(token_id AS INTEGER) AS token_id FROM (
+        | SELECT token, cnt, row_number() OVER (ORDER BY cnt DESC, token ASC) AS token_id
+        | FROM counts) x WHERE token_id <= 200""".stripMargin,
     "q32_rollup" -> SqlRollup,
     "q33_running_window" -> SqlRunning,
     "q34_exists_subquery" -> SqlExists,

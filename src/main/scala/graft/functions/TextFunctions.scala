@@ -284,6 +284,74 @@ object TextFunctions {
       m("mean_word_len") <= maxMeanWordLen)
   }
 
+  /**
+   * TF-IDF keyword extraction: the top-k highest-scoring tokens of every
+   * document against the corpus's own document frequencies. Output:
+   * (idCol, rank, token, tf, score) — rank 1..k per document, ordered by
+   * score descending with the token string as the deterministic
+   * tie-break. Smoothed idf = ln((N+1)/(df+1)) + 1 (the scikit-learn
+   * convention), so tokens present in every document still score > 0 and
+   * the log never sees a zero. Blank/null documents produce no rows.
+   *
+   * Scale: per-document term frequencies are one hash aggregate over
+   * (doc, token); document frequencies are a second aggregate over the
+   * FIRST aggregate's output (already one row per (doc, token) — no
+   * count-distinct shuffle of the raw token stream); the corpus document
+   * count rides along as a one-row broadcast. The final top-k runs as a
+   * window per document — Spark 4 inserts WindowGroupLimit before the
+   * exchange, so only k rows per document cross the last shuffle.
+   */
+  def tfidfKeywords(
+      df: DataFrame, idCol: String, textCol: String, topK: Int = 5): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    val tf = df
+      .select(col(idCol), explode(split(trim(lower(col(textCol))), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = tf.agg(countDistinct(col(idCol)).as("n_docs"))
+    val scored = tf.join(docFreq, "token").crossJoin(broadcast(nDocs))
+      .select(col(idCol), col("token"), col("tf"),
+        ((log((col("n_docs") + lit(1)).cast("double") /
+          (col("df") + lit(1)).cast("double")) + lit(1.0)) *
+          col("tf").cast("double")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("token").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col(idCol), col("rank"), col("token"), col("tf"), col("score"))
+  }
+
+  /**
+   * Vocabulary construction (tokenizer training's counting pass): the
+   * `size` most frequent tokens with `minCount` support, assigned dense
+   * ids 1..size by descending frequency (token string breaks ties).
+   * Output: (token, cnt, token_id).
+   *
+   * Scale: one hash aggregate over the token stream (map-side partial
+   * counts make the shuffle carry one row per distinct token per
+   * partition), then a global `orderBy(...).limit(size)` — physically
+   * TakeOrderedAndProject, which keeps only `size` rows per partition
+   * before the single-point merge, never a full sort of the vocabulary.
+   * The dense-rank window runs on the already-truncated `size`-row frame.
+   */
+  def buildVocab(
+      df: DataFrame, textCol: String, size: Int, minCount: Long = 1L): DataFrame = {
+    require(size > 0, s"size must be positive, got $size")
+    val counts = df
+      .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(size)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("token").asc)
+    counts.withColumn("token_id", row_number().over(w))
+  }
+
   /** Convenience: full text-analysis projection over a document table. */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val base = df.select(

@@ -481,6 +481,55 @@ class FunctionsSpec extends SparkTestBase {
     assert(got.values.map(_._2).max > got.values.map(_._2).min)
   }
 
+  test("tfidfKeywords matches driver-side brute force") {
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val tokensByDoc = texts.map { case (id, t0) =>
+      id -> t0.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    }.filter(_._2.nonEmpty).toMap
+    val docFreq = tokensByDoc.values.flatMap(_.distinct)
+      .groupBy(identity).map { case (k, v) => k -> v.size }
+    val nDocs = tokensByDoc.size
+    val want = tokensByDoc.map { case (id, ts) =>
+      val tf = ts.groupBy(identity).map { case (k, v) => k -> v.size }
+      val scored = tf.toSeq.map { case (tok, f) =>
+        (tok, f, (math.log((nDocs + 1.0) / (docFreq(tok) + 1.0)) + 1.0) * f)
+      }.sortBy { case (tok, _, sc) => (-sc, tok) }.take(3)
+      id -> scored.zipWithIndex.map { case ((tok, f, sc), i) =>
+        (i + 1, tok, f.toLong, sc) }
+    }
+    val got = TextFunctions.tfidfKeywords(docs, "doc_id", "text", topK = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+      .groupBy(_._1)
+    assert(got.keySet === want.keySet)
+    want.foreach { case (id, exp) =>
+      val g = got(id).sortBy(_._2).map(x => (x._2, x._3, x._4, x._5))
+      assert(g.length === exp.length, s"keyword count for doc $id")
+      g.zip(exp).foreach { case ((gr, gt, gf, gs), (er, et, ef, es)) =>
+        assert(gr === er && gt === et && gf === ef, s"keyword row for doc $id")
+        assert(math.abs(gs - es) < 1e-9, s"score for doc $id token $gt")
+      }
+    }
+  }
+
+  test("buildVocab ranks by frequency with token tie-break") {
+    val d = df(Seq(
+      Seq(1L, "b b b a a c"),
+      Seq(2L, "a a d c"),
+      Seq(3L, "")),
+      "id:long,t:str")
+    // counts: a=4, b=3, c=2, d=1
+    val out = TextFunctions.buildVocab(d, "t", size = 3, minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(out === Seq(("a", 4L, 1), ("b", 3L, 2), ("c", 2L, 3)))
+    // ties break on the token string ascending
+    val tied = df(Seq(Seq(1L, "z y z y")), "id:long,t:str")
+    val out2 = TextFunctions.buildVocab(tied, "t", size = 10)
+      .collect().map(r => (r.getString(0), r.getInt(2))).toSeq
+    assert(out2 === Seq(("y", 1), ("z", 2)))
+  }
+
   test("repetitionRatio measures duplicate k-gram fraction") {
     val d = df(Seq(
       Seq(1L, "a b c a b c a b c a b"),  // highly repetitive
