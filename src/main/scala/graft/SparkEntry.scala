@@ -552,6 +552,14 @@ object SparkEntry {
         "best_ok:long")
     }),
 
+    // exact edit-distance fuzzy join (record linkage): all customer-name
+    // pairs within levenshtein 1, via deletion-neighborhood blocking +
+    // exact verify — full DuckDB levenshtein oracle
+    "d12_fuzzy_join" -> ((s, dir) =>
+      Dedup.editDistanceJoin(t(s, dir, "customer"), "c_custkey", "c_name",
+        maxDist = 1)
+        .select(col("id_a"), col("id_b"), col("dist"))),
+
     // repetition quality signal: duplicate-3-gram fraction per document
     "t10_repetition" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
@@ -1299,6 +1307,12 @@ object SparkEntry {
         | -CAST(sum(CAST(logp AS DECIMAL(20,10))) AS DOUBLE) / count(*) AS cross_entropy
         |FROM toks JOIN logp USING (tok)
         |GROUP BY doc_id""".stripMargin,
+    "d12_fuzzy_join" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        | CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+        |FROM customer a, customer b
+        |WHERE a.c_custkey < b.c_custkey
+        | AND levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
     "t13_tfidf" ->
       """WITH toks0 AS (
         | SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token

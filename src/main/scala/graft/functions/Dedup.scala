@@ -780,4 +780,68 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  /**
+   * Exact edit-distance self-join over SHORT strings (record linkage on
+   * names/ids/titles — for long-document near-dup use the minhash/ngram
+   * family): all pairs (id_a < id_b) with levenshtein ≤ `maxDist`,
+   * output (id_a, id_b, dist).
+   *
+   * Blocking is the deletion-neighborhood (SymSpell/FastSS) scheme: every
+   * string emits its variants with ≤ `maxDist` characters deleted; if
+   * lev(s,t) ≤ d then deleting the ≤d edited positions from each side
+   * yields a COMMON variant, so joining on variant keys is a sound (no
+   * false negatives) candidate generator, and the final native
+   * `levenshtein` filter makes the result exact — hash collisions and
+   * neighborhood false positives only cost verification work, never
+   * correctness.
+   *
+   * Scale: the shuffle carries (xxhash64(variant), id, string) — the
+   * 8-byte key, not the variant text; strings are required short (≤ 256
+   * chars) so carrying them beats two id→string re-joins. Key fan-out is
+   * 1 + L + C(L,2) per row at d=2 — quadratic in STRING LENGTH, linear in
+   * rows. Duplicate candidate pairs collapse via `distinct` BEFORE the
+   * levenshtein verify. Skewed variant keys (shared prefixes) are split
+   * by AQE's skew-join handling.
+   */
+  def editDistanceJoin(
+      df: DataFrame, idCol: String, strCol: String, maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 2,
+      s"maxDist must be 0..2 (deletion-neighborhood fan-out is C(len,d)), got $maxDist")
+    // delete the character at 0-based position i of c (c must be non-null)
+    def del(c: Column, i: Column): Column =
+      concat(c.substr(lit(1), i), c.substr(i + lit(2), length(c)))
+    // all single-deletion variants; empty strings have none (the sequence
+    // guard matters: sequence(0, -1) would COUNT DOWN, not come back empty)
+    def del1(c: Column): Column =
+      when(length(c) === 0, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), length(c) - 1), i => del(c, i)))
+    val s = col(strCol)
+    val variants = maxDist match {
+      case 0 => array(s)
+      case 1 => array_union(array(s), del1(s))
+      case _ => array_union(array_union(array(s), del1(s)),
+        array_distinct(flatten(transform(del1(s), v => del1(v)))))
+    }
+    // long strings would make the d=2 fan-out quadratic in their length —
+    // fail loudly instead of silently dropping or accepting the blow-up
+    val guarded = when(length(s) > 256, raise_error(concat(
+      lit(s"editDistanceJoin: '$strCol' longer than 256 chars (len="),
+      length(s).cast("string"),
+      lit(") — this operator targets short identifier strings"))))
+      .otherwise(variants)
+    val keyed = spreadForCompute(
+      df.filter(s.isNotNull)
+        .select(col(idCol), s.as("__str"), explode(guarded).as("__v"))
+        .select(col(idCol), col("__str"), xxhash64(col("__v")).as("__kh")))
+    val a = keyed.select(col("__kh"), col(idCol).as("id_a"), col("__str").as("__sa"))
+    val b = keyed.select(col("__kh"), col(idCol).as("id_b"), col("__str").as("__sb"))
+    a.join(b, "__kh")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__sa"), col("__sb"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("__sa"), col("__sb")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
 }

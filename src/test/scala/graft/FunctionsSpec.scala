@@ -481,6 +481,44 @@ class FunctionsSpec extends SparkTestBase {
     assert(got.values.map(_._2).max > got.values.map(_._2).min)
   }
 
+  test("editDistanceJoin is exact vs brute force (d=1 and d=2)") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    // handcrafted: substitution, insertion, deletion, transposition (=2),
+    // empty strings, exact duplicates
+    val rows = Seq(
+      (1L, "kitten"), (2L, "sitten"), (3L, "kittens"), (4L, "kitte"),
+      (5L, "ktiten"), (6L, "kitten"), (7L, ""), (8L, "a"), (9L, ""))
+    val d = df(rows.map(r => Seq(r._1, r._2)), "id:long,s:str")
+    for (dist <- 0 to 2) {
+      val want = (for {
+        (ia, sa) <- rows; (ib, sb) <- rows
+        if ia < ib && lev(sa, sb) <= dist
+      } yield (ia, ib, lev(sa, sb))).toSet
+      val got = Dedup.editDistanceJoin(d, "id", "s", dist)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got === want, s"maxDist=$dist")
+    }
+    // real names: sf0.001 customers vs driver-side brute force at d=1
+    val names = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+      .select("c_custkey", "c_name")
+    val local = names.collect().map(r => r.getLong(0) -> r.getString(1))
+    val want1 = (for {
+      (ia, sa) <- local; (ib, sb) <- local
+      if ia < ib && lev(sa, sb) <= 1
+    } yield (ia, ib)).toSet
+    val got1 = Dedup.editDistanceJoin(names, "c_custkey", "c_name", 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got1 === want1)
+    assert(want1.nonEmpty) // the test is vacuous if no near pairs exist
+  }
+
   test("tfidfKeywords matches driver-side brute force") {
     val texts = docs.select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1))
