@@ -552,6 +552,17 @@ object SparkEntry {
         "best_ok:long")
     }),
 
+    // Bloom-prefiltered exact semi-join: the selective-join scale pattern
+    // (probe rows drop at the scan, before the exchange); composition with
+    // the exact join keeps plain semi-join semantics — full DuckDB oracle
+    "q62_bloom_semi" -> ((s, dir) => {
+      val build = t(s, dir, "orders").filter(col("o_totalprice") > 450000)
+        .select(col("o_orderkey").as("l_orderkey"))
+      graft.operators.BloomJoin.semiJoin(
+        t(s, dir, "lineitem"), build, "l_orderkey")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    }),
+
     // exact edit-distance fuzzy join (record linkage): all customer-name
     // pairs within levenshtein 1, via deletion-neighborhood blocking +
     // exact verify — full DuckDB levenshtein oracle
@@ -1307,6 +1318,11 @@ object SparkEntry {
         | -CAST(sum(CAST(logp AS DECIMAL(20,10))) AS DOUBLE) / count(*) AS cross_entropy
         |FROM toks JOIN logp USING (tok)
         |GROUP BY doc_id""".stripMargin,
+    "q62_bloom_semi" ->
+      """SELECT l.l_orderkey, l.l_linenumber, l.l_quantity
+        |FROM lineitem l
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        | WHERE o.o_orderkey = l.l_orderkey AND o.o_totalprice > 450000)""".stripMargin,
     "d12_fuzzy_join" ->
       """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
         | CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist

@@ -486,6 +486,58 @@ object Fingerprint64 {
   }
 }
 
+/**
+ * `bloom_might_contain(key)` — membership probe of a pre-built
+ * `org.apache.spark.util.sketch.BloomFilter`, codegen'd so the probe
+ * stays inside the scan's whole-stage-codegen span (the point of a Bloom
+ * prefilter is to run AT the scan, before any exchange).
+ *
+ * The serialized filter rides in the expression; it is deserialized once
+ * per JVM lazily and shipped to executors through the codegen reference
+ * array (the same mechanism Spark's runtime row-level filtering uses).
+ * Key encoding matches `DataFrameStatFunctions.bloomFilter`: integral
+ * keys probe `mightContainLong`, strings probe their UTF-8 bytes — the
+ * compatibility is pinned by ExtrasSpec against exact semi-join results.
+ */
+case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.Predicate {
+
+  @transient private lazy val filter: org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bloomBytes))
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType | IntegerType | ShortType | ByteType | StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bloom_might_contain requires an integral or string key, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(v: Any): Any = child.dataType match {
+    case StringType =>
+      filter.mightContainBinary(
+        v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+    case _ => filter.mightContainLong(v.asInstanceOf[Number].longValue())
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bf = ctx.addReferenceObj("bloomFilter", filter,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    child.dataType match {
+      case StringType =>
+        nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $bf.mightContainBinary($c.getBytes());")
+      case _ =>
+        nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $bf.mightContainLong((long) $c);")
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object VectorExpressions {
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
@@ -502,6 +554,8 @@ object VectorExpressions {
     ColumnBridge.column(HyperplaneKeys(ColumnBridge.expression(v), dim, nTables, nBits, seed, probes))
   def fingerprint64(text: Column): Column =
     ColumnBridge.column(Fingerprint64(ColumnBridge.expression(text)))
+  def bloomMightContain(key: Column, bloomBytes: Array[Byte]): Column =
+    ColumnBridge.column(BloomMightContain(ColumnBridge.expression(key), bloomBytes))
   def nearestCells(v: Column, centroids: Array[Array[Double]], nProbe: Int): Column =
     ColumnBridge.column(NearestCells(ColumnBridge.expression(v), centroids, nProbe))
 }

@@ -10,6 +10,34 @@ import org.apache.spark.sql.functions._
 
 class ExtrasSpec extends SparkTestBase {
 
+  test("bloom semi/anti joins are exact vs plain joins (long and string keys)") {
+    import graft.operators.BloomJoin
+    val probe = df((1 to 500).map(i => Seq(i.toLong, s"p$i")) :+
+      Seq(null, "pnull"), "k:long,p:str")
+    val build = df((1 to 500).filter(_ % 7 == 0).map(i => Seq(i.toLong, s"b$i")),
+      "k:long,b:str")
+    assert(graft.api.DfUtils.dfEq(
+      BloomJoin.semiJoin(probe, build, "k"),
+      probe.join(build.select("k"), Seq("k"), "left_semi")))
+    assert(graft.api.DfUtils.dfEq(
+      BloomJoin.antiJoin(probe, build, "k"),
+      probe.join(build.select("k"), Seq("k"), "left_anti")))
+    // string keys: encoding compatibility with stat.bloomFilter is load-
+    // bearing (UTF-8 bytes on both the put and the probe side)
+    val probeS = df((1 to 300).map(i => Seq(s"key-$i", i)), "k:str,v:int")
+    val buildS = df((1 to 300).filter(_ % 5 == 0).map(i => Seq(s"key-$i")), "k:str")
+    assert(graft.api.DfUtils.dfEq(
+      BloomJoin.semiJoin(probeS, buildS, "k"),
+      probeS.join(buildS, Seq("k"), "left_semi")))
+    assert(graft.api.DfUtils.dfEq(
+      BloomJoin.antiJoin(probeS, buildS, "k"),
+      probeS.join(buildS, Seq("k"), "left_anti")))
+    // empty build side: semi → empty, anti → whole probe
+    val empty = build.filter(lit(false))
+    assert(BloomJoin.semiJoin(probe, empty, "k").isEmpty)
+    assert(graft.api.DfUtils.dfEq(BloomJoin.antiJoin(probe, empty, "k"), probe))
+  }
+
   test("coMapN: 3-way cogroup with empty sides") {
     val a = df(Seq(Seq(1, "a1"), Seq(2, "a2")), "k:int,x:str")
     val b = df(Seq(Seq(2, 20.0)), "k:int,y:double")
