@@ -552,6 +552,33 @@ object SparkEntry {
         "best_ok:long")
     }),
 
+    // group-aware split differential: every group's rows land in exactly
+    // one split, splits cover the data, realized proportions are within
+    // 5σ at the GROUP count, and assignment is deterministic per seed
+    "q63_group_split" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+      val s1 = graft.functions.Sampling.splitByGroup(o, "o_custkey", w, seed = 7L)
+      val s2 = graft.functions.Sampling.splitByGroup(o, "o_custkey", w, seed = 7L)
+      val atomicOk = s1.groupBy("o_custkey")
+        .agg(countDistinct(col("split")).as("ns"))
+        .filter(col("ns") =!= 1).isEmpty
+      val coverOk = s1.filter(!col("split").isin("train", "val", "test")).isEmpty &&
+        s1.count() == o.count()
+      val groups = s1.select("o_custkey", "split").distinct()
+      val nG = groups.count().toDouble
+      val bySplit = groups.groupBy("split").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val propOk = w.forall { case (name, wt) =>
+        val n = bySplit.getOrElse(name, 0L).toDouble
+        math.abs(n - wt * nG) <= 5 * math.sqrt(nG * wt * (1 - wt))
+      }
+      val detOk = graft.api.DfUtils.dfEq(s1, s2)
+      eng(s).toDF(Seq(Seq(
+        if (atomicOk && coverOk && propOk && detOk) 1L else 0L)),
+        "split_ok:long")
+    }),
+
     // Bloom-prefiltered exact semi-join: the selective-join scale pattern
     // (probe rows drop at the scan, before the exchange); composition with
     // the exact join keeps plain semi-join semantics — full DuckDB oracle
@@ -1318,6 +1345,7 @@ object SparkEntry {
         | -CAST(sum(CAST(logp AS DECIMAL(20,10))) AS DOUBLE) / count(*) AS cross_entropy
         |FROM toks JOIN logp USING (tok)
         |GROUP BY doc_id""".stripMargin,
+    "q63_group_split" -> "SELECT CAST(1 AS BIGINT) AS split_ok",
     "q62_bloom_semi" ->
       """SELECT l.l_orderkey, l.l_linenumber, l.l_quantity
         |FROM lineitem l

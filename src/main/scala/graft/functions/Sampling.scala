@@ -72,4 +72,45 @@ object Sampling {
     val h = xxhash64((keyCols.map(col) :+ lit(seed)): _*)
     df.orderBy((h +: keyCols.map(col)): _*)
   }
+
+  /**
+   * Group-aware train/validation/test split: every row of a GROUP lands
+   * in the same split, so correlated rows (near-duplicate components,
+   * documents of one source domain, a user's events) never straddle the
+   * train/eval boundary — the standard leakage guard when splitting
+   * deduplicated training data (pair with
+   * [[Dedup.nearDupComponents]]'s `component` column as the group key).
+   *
+   * Assignment is a pure function of (group value, seed): the group's
+   * seeded hash buckets into 1e6 cells, and cumulative weight ranges
+   * claim cells — so splits are deterministic across runs, cluster
+   * sizes, and partitionings, and ADDING rows to a group never moves the
+   * group. Weights are normalized; they need not sum to 1.
+   *
+   * Output: the input plus a `split` column with the name of the
+   * assigned split. Narrow (one projection, no shuffle, no action);
+   * realized proportions converge to the weights at the number of
+   * GROUPS, not rows (a heavy group moves its whole mass together —
+   * that is the point).
+   */
+  def splitByGroup(
+      df: DataFrame, groupCol: String,
+      weights: Seq[(String, Double)], seed: Long = 42L): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "weights must be positive")
+    require(weights.map(_._1).distinct.size == weights.size,
+      "split names must be distinct")
+    val total = weights.map(_._2).sum
+    val cells = 1000000L
+    // cumulative upper cell bound per split, last bound pinned to the cap
+    // so FP rounding can never leave a cell unclaimed
+    val bounds = weights.inits.toSeq.reverse.tail
+      .map(ws => ws.last._1 -> (ws.map(_._2).sum / total * cells).toLong)
+    val cell = pmod(xxhash64(col(groupCol), lit(seed)), lit(cells))
+    val assign = bounds.init.foldRight(
+      lit(bounds.last._1)) { case ((name, ub), rest) =>
+      when(cell < ub, lit(name)).otherwise(rest)
+    }
+    df.withColumn("split", assign)
+  }
 }

@@ -481,6 +481,40 @@ class FunctionsSpec extends SparkTestBase {
     assert(got.values.map(_._2).max > got.values.map(_._2).min)
   }
 
+  test("splitByGroup: atomic per group, stable under new rows, exact bounds") {
+    import graft.functions.Sampling
+    val d = df((1 to 200).map(i => Seq(i.toLong, (i % 37).toLong)), "id:long,g:long")
+    val w = Seq("train" -> 0.7, "test" -> 0.3)
+    val out = Sampling.splitByGroup(d, "g", w, seed = 11L)
+    // every group maps to exactly one split
+    val perGroup = out.groupBy("g").agg(countDistinct(col("split")).as("n"))
+      .collect()
+    assert(perGroup.forall(_.getLong(1) == 1L))
+    // split names are exactly the declared ones and cover all rows
+    assert(out.filter(!col("split").isin("train", "test")).isEmpty)
+    assert(out.count() === 200L)
+    // adding rows in NEW groups never moves existing groups
+    val d2 = df((1 to 260).map(i => Seq(i.toLong, (i % 53).toLong)), "id:long,g:long")
+    val a1 = out.select("g", "split").distinct()
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a2 = Sampling.splitByGroup(d2, "g", w, seed = 11L)
+      .select("g", "split").distinct()
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    a1.keys.filter(_ < 37).foreach(g => assert(a1(g) === a2(g), s"group $g moved"))
+    // a different seed produces a different assignment somewhere
+    val a3 = Sampling.splitByGroup(d, "g", Seq("train" -> 0.5, "test" -> 0.5),
+      seed = 99L).select("g", "split").distinct()
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a1 != a3)
+    // degenerate weights rejected
+    intercept[IllegalArgumentException] {
+      Sampling.splitByGroup(d, "g", Seq("a" -> 0.5, "a" -> 0.5))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.splitByGroup(d, "g", Seq("a" -> -1.0))
+    }
+  }
+
   test("editDistanceJoin is exact vs brute force (d=1 and d=2)") {
     def lev(a: String, b: String): Int = {
       val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
