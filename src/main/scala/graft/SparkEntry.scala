@@ -450,6 +450,34 @@ object SparkEntry {
             .cast("bigint").as("recall_ok"))
     }),
 
+    // reduce–shortlist–rescore signal differential: the synthetic
+    // embeddings are i.i.d. random (no neighbor structure — the
+    // worst case for ANY dimensionality reduction; measured recall@5
+    // decays with corpus size: 0.42 at 500 rows, projDim=32,
+    // shortlist 10%), so an absolute recall bound is not
+    // scale-portable. The conformance instead asserts the projection
+    // carries real signal — recall ≥ 3× a same-budget RANDOM
+    // shortlist's expectation (= the shortlist fraction) — which
+    // holds with wide margin at every sf. Exactness of the pipeline
+    // (full shortlist ⇒ identical to brute force; rescored cosines
+    // are true cosines) is pinned by FunctionsSpec.
+    "s05_knn_projected" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val k = 5
+      val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k)
+        .select("query_id", "neighbor_id")
+      val proj = Similarity.projectedTopK(emb, q, "vec_id", "embedding", k,
+        projDim = 32, overFetch = 10).select("query_id", "neighbor_id")
+      val frac = math.min(1.0, (k * 10) / t(s, dir, "embeddings").count().toDouble)
+      val found = exact.join(proj, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_found"))
+      exact.agg(count(lit(1)).as("n_exact")).crossJoin(found)
+        .select(col("n_exact"),
+          (col("n_found").cast("double") / col("n_exact") >=
+            math.min(0.95, 3 * frac)).cast("bigint").as("recall_ok"))
+    }),
+
     // ---- beyond-reference: text analysis ------------------------------
     "t01_text_analyze" -> ((s, dir) =>
       TextFunctions.analyze(t(s, dir, "documents"), "doc_id", "text")),
@@ -1276,6 +1304,9 @@ object SparkEntry {
     "d09_simhash_exactness" -> "SELECT CAST(1 AS BIGINT) AS exact_ok",
     "t06_rebalance" -> "SELECT CAST(1 AS BIGINT) AS rebalance_ok",
     "s03_knn_lsh_recall" ->
+      """SELECT CAST(5 * COUNT(*) AS BIGINT) AS n_exact, CAST(1 AS BIGINT) AS recall_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    "s05_knn_projected" ->
       """SELECT CAST(5 * COUNT(*) AS BIGINT) AS n_exact, CAST(1 AS BIGINT) AS recall_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
     "q58_orc_roundtrip" -> "SELECT * FROM supplier",

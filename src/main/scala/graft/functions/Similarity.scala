@@ -115,6 +115,54 @@ object Similarity {
     topKByCosine(scored, k)
   }
 
+  /** Rademacher (±1) random projection to `outDim ≤ 64` dimensions —
+   * the Johnson–Lindenstrauss reduce step, as a native expression
+   * ([[graft.functions.expressions.RandomProject]]); deterministic for a
+   * fixed seed across partitionings and cluster sizes. */
+  def randomProject(v: Column, outDim: Int, seed: Long = 42L): Column =
+    graft.functions.expressions.VectorExpressions.randomProject(v, outDim, seed)
+
+  /**
+   * Reduce–shortlist–rescore approximate top-k: score in a random
+   * projection of `projDim ≤ 64` dimensions, keep an over-fetched
+   * shortlist of `k·overFetch` candidates per query, then re-score the
+   * shortlist with EXACT cosine in the original space. The third standard
+   * ANN family next to [[lshTopK]] (bucketing) and IVF (coarse
+   * quantization): no buckets to tune — recall is governed by
+   * (projDim, overFetch) via the JL distance-distortion bound.
+   *
+   * Scale shape: the corpus scan scores `projDim`-dim dots instead of
+   * full-dim (the dominant cost at 100 TB), and the shortlist window
+   * (WindowGroupLimit pre-exchange, like brute force) moves only
+   * (query_id, neighbor_id, projected score) — no vectors. Exact
+   * re-scoring joins the corpus by id over the shortlist only (queries
+   * broadcast), so full-dim work is O(queries·k·overFetch), not
+   * O(queries·corpus).
+   */
+  def projectedTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      projDim: Int = 32, overFetch: Int = 5, seed: Long = 42L): DataFrame = {
+    require(overFetch >= 1, s"overFetch must be >= 1, got $overFetch")
+    val c = Dedup.spreadForCompute(corpus)
+      .select(col(idCol).as("neighbor_id"), l2normalize(col(vecCol)).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), l2normalize(col(vecCol)).as("qv"))
+    // project the NORMALIZED vectors: projected dot ≈ cosine (JL preserves
+    // inner products of unit vectors up to ±ε)
+    val cp = c.select(col("neighbor_id"), randomProject(col("cv"), projDim, seed).as("pv"))
+    val qp = q.select(col("query_id"), randomProject(col("qv"), projDim, seed).as("pq"))
+    val shortlist = cp.crossJoin(sparkBroadcast(qp))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("ps", dot(col("pv"), col("pq")))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("ps").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k * overFetch)
+      .select(col("query_id"), col("neighbor_id"))
+    val scored = shortlist.join(c, "neighbor_id").join(sparkBroadcast(q), "query_id")
+      .withColumn("cosine", dot(col("cv"), col("qv")))
+    topKByCosine(scored, k)
+  }
+
   /**
    * IVF (inverted-file) coarse quantizer: k-means centroids trained with
    * distributed Lloyd iterations on a corpus sample. Returns unit-norm

@@ -487,6 +487,69 @@ object Fingerprint64 {
 }
 
 /**
+ * `random_project(v)` → array<double>: Rademacher (±1) random projection
+ * to `outDim` dimensions — the Johnson–Lindenstrauss transform that
+ * underlies "reduce, shortlist, exact-rescore" ANN retrieval. The sign
+ * matrix is never materialized: row i's signs for ALL output dimensions
+ * are the low `outDim` bits of one splitmix64 mix of (seed, i), which is
+ * why `outDim ≤ 64`. Deterministic for fixed (seed) across partitionings,
+ * JVMs, and cluster sizes. Eval-based like its siblings (array
+ * construction dominates; element access stays primitive).
+ */
+case class RandomProject(child: Expression, outDim: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  require(outDim > 0 && outDim <= 64,
+    s"outDim must be 1..64 (signs are one 64-bit mix per input index), got $outDim")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  private lazy val elemIsFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"random_project requires array<float|double>, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val in = v.asInstanceOf[ArrayData]
+    val n = in.numElements()
+    val out = new Array[Double](outDim)
+    var i = 0
+    while (i < n) {
+      val d = if (elemIsFloat) in.getFloat(i).toDouble else in.getDouble(i)
+      var bits = RandomProject.mix(seed + 0x9e3779b97f4a7c15L * (i + 1))
+      var j = 0
+      while (j < outDim) {
+        out(j) += (if ((bits & 1L) == 1L) d else -d)
+        bits >>>= 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+object RandomProject {
+  /** splitmix64 finalizer — full-avalanche 64-bit mix. */
+  def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+}
+
+/**
  * `bloom_might_contain(key)` — membership probe of a pre-built
  * `org.apache.spark.util.sketch.BloomFilter`, codegen'd so the probe
  * stays inside the scan's whole-stage-codegen span (the point of a Bloom
@@ -556,6 +619,8 @@ object VectorExpressions {
     ColumnBridge.column(Fingerprint64(ColumnBridge.expression(text)))
   def bloomMightContain(key: Column, bloomBytes: Array[Byte]): Column =
     ColumnBridge.column(BloomMightContain(ColumnBridge.expression(key), bloomBytes))
+  def randomProject(v: Column, outDim: Int, seed: Long): Column =
+    ColumnBridge.column(RandomProject(ColumnBridge.expression(v), outDim, seed))
   def nearestCells(v: Column, centroids: Array[Array[Double]], nProbe: Int): Column =
     ColumnBridge.column(NearestCells(ColumnBridge.expression(v), centroids, nProbe))
 }

@@ -481,6 +481,37 @@ class FunctionsSpec extends SparkTestBase {
     assert(got.values.map(_._2).max > got.values.map(_._2).min)
   }
 
+  test("projectedTopK: exact when shortlist covers corpus; deterministic") {
+    val q = emb.filter(col("vec_id") < 5)
+    // overFetch ≥ corpus size ⇒ the shortlist is the whole corpus and the
+    // exact rescore must reproduce brute force EXACTLY
+    val n = emb.count().toInt
+    val full = Similarity.projectedTopK(emb, q, "vec_id", "embedding",
+      k = 3, projDim = 8, overFetch = n)
+    val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 3)
+    assert(graft.api.DfUtils.dfEq(full, brute))
+    // deterministic for a fixed seed even with a tight shortlist
+    val a = Similarity.projectedTopK(emb, q, "vec_id", "embedding",
+      k = 3, projDim = 8, overFetch = 2, seed = 7L)
+    val b = Similarity.projectedTopK(emb, q, "vec_id", "embedding",
+      k = 3, projDim = 8, overFetch = 2, seed = 7L)
+    assert(graft.api.DfUtils.dfEq(a, b))
+    // rescored scores are true cosines: every (query, neighbor, cosine) of
+    // the approximate result appears with the same cosine in a full-k
+    // brute-force run
+    val bruteAll = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = n)
+      .select("query_id", "neighbor_id", "cosine")
+    assert(a.select("query_id", "neighbor_id", "cosine")
+      .join(bruteAll, Seq("query_id", "neighbor_id", "cosine"), "left_anti").isEmpty)
+    // invalid projection dims rejected
+    intercept[IllegalArgumentException] {
+      graft.functions.expressions.RandomProject(null, 65, 1L)
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.expressions.RandomProject(null, 0, 1L)
+    }
+  }
+
   test("splitByGroup: atomic per group, stable under new rows, exact bounds") {
     import graft.functions.Sampling
     val d = df((1 to 200).map(i => Seq(i.toLong, (i % 37).toLong)), "id:long,g:long")
