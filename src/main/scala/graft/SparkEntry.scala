@@ -837,6 +837,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"),
           min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
     }),
+    // binned point-in-interval range join (NO equi-key: the bin keys alone
+    // carry the join, where bare Spark would nested-loop) — every event
+    // paired with every 30-minute purchase window containing it
+    "q64_range_join" -> ((s, dir) => {
+      val e = events(s, dir)
+      val pts = e.select(col("event_id"), col("ts"))
+      val wins = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("win_id"), col("ts").as("win_start"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("win_end"))
+      graft.operators.TemporalOps.rangeJoin(pts, wins, "ts", "win_start",
+        "win_end", binWidth = 1800.0)
+        .select("event_id", "win_id")
+    }),
 
     // ---- SQL passthrough breadth (same text on Spark and DuckDB) ------
     "q32_rollup" -> ((s, dir) =>
@@ -1266,6 +1279,13 @@ object SparkEntry {
         |SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
         | MIN(ts) AS session_start, MAX(ts) AS session_end
         |FROM sess GROUP BY user_id, session_id""".stripMargin,
+    "q64_range_join" ->
+      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        |  FROM events),
+        |p AS (SELECT event_id AS win_id, ts AS ws,
+        |  ts + INTERVAL 30 MINUTE AS we FROM e WHERE event_type = 'purchase')
+        |SELECT e.event_id, p.win_id
+        |FROM e, p WHERE e.ts >= p.ws AND e.ts <= p.we""".stripMargin,
     "q40_sql_zip" ->
       """SELECT COALESCE(o.k, l.k) AS o_orderkey, COALESCE(o.n, 0) AS n_orders,
         | COALESCE(l.n, 0) AS n_items

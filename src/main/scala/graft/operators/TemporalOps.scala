@@ -79,6 +79,82 @@ object TemporalOps {
   }
 
   /**
+   * Point-in-interval range join: every `left` row pairs with every `right`
+   * row whose `[startCol, endCol]` (inclusive) contains `left.pointCol`,
+   * optionally within matching equi-`keys`. Output = left columns ++ right
+   * columns (names must not collide).
+   *
+   * Scale design: Spark compiles a bare range predicate to a broadcast
+   * nested-loop (or cartesian) join — O(|L|·|R|) comparisons. This
+   * operator bins the numeric domain at `binWidth`: each interval explodes
+   * into its covered bins (bounded), each point maps to exactly ONE bin,
+   * and the join becomes an equi-join on (keys, bin) followed by the exact
+   * containment filter. Shuffle moves (keys, bin) ints; comparisons drop
+   * from |L|·|R| to pairs sharing a bin. A point lands in one bin and an
+   * interval emits each covered bin once, so no duplicate pairs and no
+   * post-dedup pass.
+   *
+   * Degenerate long intervals (spanning > `maxBinsPerInterval` bins) would
+   * explode the build side; they are routed to a broadcast nested-loop
+   * side path instead (assumed rare — they cover so much of the domain
+   * that binning cannot prune them anyway) and unioned back.
+   *
+   * Timestamp point and bound columns are handled by numeric-casting
+   * (epoch seconds); `binWidth` is then in seconds. (DateType does not
+   * cast to double — cast date columns to timestamp first.) Right rows
+   * with null bounds or `end < start` match nothing (as the SQL predicate
+   * would) and are dropped before the explode.
+   */
+  def rangeJoin(
+      left: DataFrame,
+      right: DataFrame,
+      pointCol: String,
+      startCol: String,
+      endCol: String,
+      binWidth: Double,
+      keys: Seq[String] = Nil,
+      maxBinsPerInterval: Int = 256): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    require(maxBinsPerInterval >= 1,
+      s"maxBinsPerInterval must be >= 1, got $maxBinsPerInterval")
+    val collisions = left.columns.toSet.intersect(right.columns.toSet) -- keys
+    require(collisions.isEmpty,
+      s"left/right non-key column names collide: ${collisions.mkString(", ")}")
+    keys.foreach { k =>
+      require(left.columns.contains(k) && right.columns.contains(k),
+        s"equi-key '$k' must exist on both sides")
+    }
+    def bin(c: Column): Column = floor(c.cast("double") / binWidth).cast("long")
+    val contains = col(pointCol).isNotNull &&
+      col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol)
+    // unsatisfiable rows (null bounds, empty interval) match nothing
+    val rValid = right.filter(col(startCol).isNotNull && col(endCol).isNotNull &&
+      col(endCol) >= col(startCol))
+      .withColumn("__sb", bin(col(startCol)))
+      .withColumn("__eb", bin(col(endCol)))
+    val lBinned = left.withColumn("__bin", bin(col(pointCol)))
+    val rightOut = right.columns.filterNot(keys.contains)
+    // join keyed on (keys, bin); key columns resolve from the left side
+    def pairUp(l: DataFrame, r: DataFrame): DataFrame =
+      l.join(r, keys :+ "__bin").filter(contains)
+        .select((left.columns.map(col) ++ rightOut.map(col)).toIndexedSeq: _*)
+    val short = rValid.filter(col("__eb") - col("__sb") < maxBinsPerInterval.toLong)
+      .withColumn("__bin", explode(sequence(col("__sb"), col("__eb"))))
+      .drop("__sb", "__eb")
+    val binned = pairUp(lBinned, short)
+    val long = rValid.filter(col("__eb") - col("__sb") >= maxBinsPerInterval.toLong)
+      .drop("__sb", "__eb")
+    // long intervals: rare by assumption — broadcast them through the
+    // nested-loop path binning was built to avoid
+    val longJoined = left.join(
+      broadcast(long),
+      keys.map(k => left(k) === long(k)).reduceOption(_ && _)
+        .map(_ && contains).getOrElse(contains))
+      .select((left.columns.map(left(_)) ++ rightOut.map(long(_))).toIndexedSeq: _*)
+    binned.unionByName(longJoined)
+  }
+
+  /**
    * Gap-based sessionization: appends a `session_id` column (0-based per
    * key) where a new session starts when the gap to the previous event
    * exceeds `gap` (a Spark interval string, e.g. "30 minutes").

@@ -36,6 +36,80 @@ class TemporalOpsSpec extends SparkTestBase {
     assert(out.length === 1 && out.head.isNullAt(out.head.fieldIndex("rid")))
   }
 
+  test("rangeJoin matches the naive cross-join filter, inclusive bounds") {
+    // deterministic pseudo-random points/intervals, several per bin and
+    // intervals straddling bin boundaries
+    val pts = (0 until 200).map(i => Seq(i.toLong, (i * 37 % 101).toDouble))
+    val ivs = (0 until 40).map { j =>
+      val s = (j * 53 % 90).toDouble
+      Seq(j.toLong, s, s + (j % 7) * 3.0)
+    }
+    val l = df(pts, "pid:long,p:double")
+    val r = df(ivs, "iid:long,s:double,e:double")
+    val got = TemporalOps.rangeJoin(l, r, "p", "s", "e", binWidth = 10.0)
+      .select("pid", "iid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val want = l.crossJoin(r)
+      .filter(col("p") >= col("s") && col("p") <= col("e"))
+      .select("pid", "iid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+    // boundary inclusivity is actually exercised: some point sits exactly
+    // on an interval endpoint
+    val boundary = l.crossJoin(r)
+      .filter(col("p") === col("s") || col("p") === col("e"))
+    assert(boundary.count() > 0)
+  }
+
+  test("rangeJoin: null bounds and empty intervals match nothing; no dup pairs") {
+    val l = df(Seq(Seq(1L, 5.0), Seq(2L, 15.0)), "pid:long,p:double")
+    val r = df(Seq(
+      Seq(10L, 0.0, 20.0), // spans 3 bins at width 8 → must not duplicate
+      Seq(11L, null, 20.0),
+      Seq(12L, 0.0, null),
+      Seq(13L, 9.0, 3.0)), "iid:long,s:double,e:double") // end < start
+    val rows = TemporalOps.rangeJoin(l, r, "p", "s", "e", binWidth = 8.0)
+      .select("pid", "iid").collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(rows.length === rows.toSet.size) // one bin per point → no dups
+    assert(rows.toSet === Set((1L, 10L), (2L, 10L)))
+  }
+
+  test("rangeJoin: long intervals route through the broadcast path, same result") {
+    val l = df((0 until 50).map(i => Seq(i.toLong, i.toDouble)), "pid:long,p:double")
+    val r = df(Seq(
+      Seq(1L, 10.0, 12.0), // short
+      Seq(2L, 0.0, 49.0)), "iid:long,s:double,e:double") // 50 bins at width 1
+    val got = TemporalOps.rangeJoin(l, r, "p", "s", "e", binWidth = 1.0,
+      maxBinsPerInterval = 4)
+      .select("pid", "iid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val want = l.crossJoin(r)
+      .filter(col("p") >= col("s") && col("p") <= col("e"))
+      .select("pid", "iid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got === want)
+  }
+
+  test("rangeJoin with equi-keys only pairs within the key") {
+    val l = df(Seq(
+      Seq(1L, "a", 5.0), Seq(2L, "b", 5.0)), "pid:long,k:str,p:double")
+    val r = df(Seq(
+      Seq(10L, "a", 0.0, 10.0)), "iid:long,k:str,s:double,e:double")
+    val got = TemporalOps.rangeJoin(l, r, "p", "s", "e", binWidth = 4.0,
+      keys = Seq("k"))
+      .select("pid", "iid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got === Set((1L, 10L)))
+  }
+
+  test("rangeJoin on timestamps (epoch-second binning)") {
+    val l = df(Seq(
+      Seq(1L, "2024-01-01 10:15:00"),
+      Seq(2L, "2024-01-01 12:00:00")), "pid:long,ts:datetime")
+    val r = df(Seq(
+      Seq(10L, "2024-01-01 10:00:00", "2024-01-01 10:30:00")),
+      "iid:long,s:datetime,e:datetime")
+    val got = TemporalOps.rangeJoin(l, r, "ts", "s", "e", binWidth = 600.0)
+      .select("pid", "iid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got === Set((1L, 10L)))
+  }
+
   test("sessionize splits on gaps and numbers sessions per key") {
     val d = df(Seq(
       Seq("u1", 1L, "2024-01-01 10:00:00"),
