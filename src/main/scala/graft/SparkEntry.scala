@@ -626,6 +626,11 @@ object SparkEntry {
         maxDist = 1)
         .select(col("id_a"), col("id_b"), col("dist"))),
 
+    // corpus-level exact segment dedup (RefinedWeb-style): 20-token
+    // blocks, first occurrence wins corpus-wide, documents reassembled
+    "d13_segment_dedup" -> ((s, dir) =>
+      Dedup.segmentDedup(t(s, dir, "documents"), "doc_id", "text",
+        segmentTokens = 20)),
     // repetition quality signal: duplicate-3-gram fraction per document
     "t10_repetition" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
@@ -1362,6 +1367,33 @@ object SparkEntry {
         | array_to_string(w[cid*40+1 : cid*40+50], ' ') AS chunk_text,
         | CAST(len(w[cid*40+1 : cid*40+50]) AS INTEGER) AS n_tokens
         |FROM j""".stripMargin,
+    "d13_segment_dedup" ->
+      """WITH base AS (
+        | SELECT doc_id,
+        |  CASE WHEN length(regexp_replace(text,'\s','','g')) > 0
+        |    THEN string_split_regex(trim(text),'\s+')
+        |    ELSE [] END AS w
+        | FROM documents),
+        |c AS (SELECT doc_id, w, CAST(ceil(len(w)/20.0) AS INT) AS m FROM base),
+        |segs AS (
+        | SELECT doc_id, unnest(generate_series(0, m-1)) AS pos, w
+        | FROM c WHERE m > 0),
+        |s2 AS (SELECT doc_id, pos,
+        |  array_to_string(w[pos*20+1 : pos*20+20],' ') AS seg FROM segs),
+        |kept AS (
+        | SELECT doc_id, pos, seg FROM (
+        |  SELECT doc_id, pos, seg,
+        |   row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+        |  FROM s2) x
+        | WHERE rn = 1),
+        |agg AS (
+        | SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS dedup_text,
+        |  count(*) AS n_kept
+        | FROM kept GROUP BY doc_id)
+        |SELECT c.doc_id, coalesce(a.dedup_text, '') AS dedup_text,
+        | CAST(c.m AS INTEGER) AS n_segments,
+        | CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept
+        |FROM c LEFT JOIN agg a ON c.doc_id = a.doc_id""".stripMargin,
     "t10_repetition" ->
       """WITH toks AS (
         | SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS w FROM documents)

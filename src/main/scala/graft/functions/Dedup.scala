@@ -760,6 +760,60 @@ object Dedup {
   }
 
   /**
+   * Corpus-level segment dedup (the RefinedWeb / "deduplicating training
+   * data" exact-substring pattern, at token-block granularity): split every
+   * document into consecutive `segmentTokens`-token segments, keep only
+   * the FIRST occurrence (min id, then min position) of each distinct
+   * segment across the WHOLE corpus, and reassemble documents from their
+   * surviving segments in order. Repeats within one document dedup too.
+   * Output: (idCol, dedup_text, n_segments, n_kept); documents with no
+   * surviving segments (and blank documents) keep an empty dedup_text.
+   *
+   * Scale design: winner election runs per segment VALUE — the window
+   * partitions by the segment string (an 8-byte hash of it is what
+   * actually drives the exchange's hash partitioner), and Spark 4's
+   * WindowGroupLimit keeps one candidate per (partition, segment) BEFORE
+   * the exchange, so a segment duplicated a million times ships one row
+   * per map partition, not a million. Reassembly is one id-keyed
+   * aggregation; segment text crosses the wire once in each pass — the
+   * minimum possible, since the output is the text itself.
+   */
+  def segmentDedup(
+      df: DataFrame, idCol: String, textCol: String,
+      segmentTokens: Int = 50): DataFrame = {
+    require(segmentTokens > 0, s"segmentTokens must be positive, got $segmentTokens")
+    Seq("dedup_text", "n_segments", "n_kept").foreach(c =>
+      require(c != idCol, s"idCol collides with output column '$c'"))
+    // blank (whitespace-only) text → empty token array, zero segments
+    val toks = when(length(regexp_replace(col(textCol), "\\s", "")) > 0,
+      split(trim(col(textCol)), "\\s+")).otherwise(array().cast("array<string>"))
+    val base = spreadForCompute(df).select(col(idCol).as("__id"), toks.as("__toks"))
+      .withColumn("__m",
+        ceil(size(col("__toks")).cast("double") / segmentTokens).cast("int"))
+    val segs = base.filter(col("__m") > 0)
+      .select(col("__id"), posexplode(transform(
+        sequence(lit(0), col("__m") - 1),
+        j => concat_ws(" ",
+          slice(col("__toks"), j * segmentTokens + 1, lit(segmentTokens)))))
+        .as(Seq("pos", "seg")))
+    // first occurrence wins, ordered by (id, pos) — deterministic
+    val w = Window.partitionBy(col("seg")).orderBy(col("__id"), col("pos"))
+    val kept = segs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    val agg = kept.groupBy("__id").agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("seg")))),
+        s => s.getField("seg")), " ").as("dedup_text"))
+    base.select(col("__id"), col("__m"))
+      .join(agg, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("dedup_text"), lit("")).as("dedup_text"),
+        col("__m").as("n_segments"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
+  /**
    * Embedding-cosine near-duplicate pairs. Small/medium corpora: exact
    * all-pairs via a block-nested join. At scale prefer
    * [[Similarity.lshCosinePairs]] (random-hyperplane bucketing) — this exact

@@ -707,6 +707,43 @@ class FunctionsSpec extends SparkTestBase {
     assert(again === out.map(_._4.toSeq).toSet)
   }
 
+  test("segmentDedup keeps first occurrence corpus-wide, reassembles in order") {
+    val d = df(Seq(
+      Seq(1L, "a b c d"),     // segs: "a b", "c d"
+      Seq(2L, "c d e f"),     // "c d" already owned by doc 1 → drops
+      Seq(3L, "x y x y"),     // within-doc repeat → one "x y"
+      Seq(4L, "  \t "),       // blank → empty output, 0 segments
+      Seq(5L, "a b"),         // fully duplicated → empty text, 1 segment
+      Seq(6L, "p q r")),      // odd tail → "p q", "r"
+      "doc_id:long,text:str")
+    val out = Dedup.segmentDedup(d, "doc_id", "text", segmentTokens = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getLong(3)))).toMap
+    assert(out(1L) === (("a b c d", 2, 2L)))
+    assert(out(2L) === (("e f", 2, 1L)))
+    assert(out(3L) === (("x y", 2, 1L)))
+    assert(out(4L) === (("", 0, 0L)))
+    assert(out(5L) === (("", 1, 0L)))
+    assert(out(6L) === (("p q r", 2, 2L)))
+  }
+
+  test("segmentDedup on the corpus: no duplicate segment survives; text shrinks only") {
+    val out = Dedup.segmentDedup(docs, "doc_id", "text", segmentTokens = 20)
+    // exactly one occurrence of every distinct segment survives
+    val totalKept = out.agg(sum(col("n_kept"))).head.getLong(0)
+    val distinctSegs = docs
+      .filter(length(regexp_replace(col("text"), "\\s", "")) > 0)
+      .select(posexplode(transform(
+        sequence(lit(0), ceil(size(split(trim(col("text")), "\\s+"))
+          .cast("double") / 20).cast("int") - 1),
+        j => concat_ws(" ", slice(split(trim(col("text")), "\\s+"),
+          j * 20 + 1, lit(20))))).as(Seq("pos", "seg")))
+      .select("seg").distinct().count()
+    assert(totalKept === distinctSegs)
+    // kept never exceeds total segments
+    assert(out.filter(col("n_kept") > col("n_segments")).isEmpty)
+  }
+
   test("even repartition balances exactly") {
     val d = df((1 to 103).map(i => Seq(i)), "x:int")
     val out = graft.operators.Repartitioner.even(d, 10, Nil)
