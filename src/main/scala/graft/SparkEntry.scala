@@ -626,6 +626,11 @@ object SparkEntry {
         maxDist = 1)
         .select(col("id_a"), col("id_b"), col("dist"))),
 
+    // Gopher-style repetition stats: most-frequent-2-gram char coverage
+    // and duplicate-2-gram char fraction, exact vs the DuckDB oracle
+    "t15_ngram_stats" -> ((s, dir) =>
+      TextFunctions.ngramRepetitionStats(t(s, dir, "documents"),
+        "doc_id", "text", n = 2)),
     // corpus-level exact segment dedup (RefinedWeb-style): 20-token
     // blocks, first occurrence wins corpus-wide, documents reassembled
     "d13_segment_dedup" -> ((s, dir) =>
@@ -1367,6 +1372,35 @@ object SparkEntry {
         | array_to_string(w[cid*40+1 : cid*40+50], ' ') AS chunk_text,
         | CAST(len(w[cid*40+1 : cid*40+50]) AS INTEGER) AS n_tokens
         |FROM j""".stripMargin,
+    "t15_ngram_stats" ->
+      """WITH base AS (
+        | SELECT doc_id,
+        |  CASE WHEN length(regexp_replace(text,'\s','','g')) > 0
+        |    THEN string_split_regex(trim(text),'\s+')
+        |    ELSE [] END AS w
+        | FROM documents),
+        |b2 AS (SELECT doc_id, w, length(array_to_string(w,' ')) AS nchars FROM base),
+        |grams AS (
+        | SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |   i -> w[i] || ' ' || w[i+1])) AS gram
+        | FROM b2 WHERE len(w) >= 2),
+        |counts AS (SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY 1, 2),
+        |ranked AS (SELECT doc_id, gram, cnt,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
+        | FROM counts),
+        |tops AS (SELECT doc_id, gram AS top_gram, cnt AS top_cnt
+        | FROM ranked WHERE rn = 1),
+        |aggd AS (SELECT doc_id,
+        |  sum(CASE WHEN cnt > 1 THEN cnt * length(gram) ELSE 0 END) AS dupw,
+        |  sum(cnt * length(gram)) AS totw
+        | FROM counts GROUP BY doc_id)
+        |SELECT b2.doc_id, coalesce(top_gram, '') AS top_ngram,
+        | CASE WHEN nchars > 0 AND top_cnt IS NOT NULL
+        |   THEN CAST(top_cnt * length(top_gram) AS DOUBLE) / nchars
+        |   ELSE 0.0 END AS top_ngram_char_frac,
+        | CASE WHEN totw > 0 THEN CAST(dupw AS DOUBLE) / totw
+        |   ELSE 0.0 END AS dup_ngram_char_frac
+        |FROM b2 LEFT JOIN tops USING (doc_id) LEFT JOIN aggd USING (doc_id)""".stripMargin,
     "d13_segment_dedup" ->
       """WITH base AS (
         | SELECT doc_id,

@@ -217,6 +217,58 @@ object TextFunctions {
   }
 
   /**
+   * Gopher-style n-gram repetition statistics per document: the character
+   * fraction covered by the single most frequent word n-gram
+   * (`top_ngram_char_frac` — ties broken by gram text ascending) and the
+   * character-weighted fraction of n-gram occurrences that are repeats
+   * (`dup_ngram_char_frac`). Character counts are over the
+   * whitespace-normalized text (tokens joined by single spaces). Documents
+   * with fewer than n tokens score 0.0 with an empty `top_ngram`.
+   * Output: (idCol, top_ngram, top_ngram_char_frac, dup_ngram_char_frac).
+   *
+   * Scale design: per-document histograms via explode + two hash
+   * aggregations keyed on (id, gram) then (id) — map-side partial
+   * aggregation collapses each document's repeats before the exchange, so
+   * the shuffle carries one row per DISTINCT (id, gram). No per-row
+   * quadratic higher-order functions: cost is linear in corpus token
+   * count regardless of document length. Fractions are a single int/int
+   * division — order-independent, exact-oracle-safe.
+   */
+  def ngramRepetitionStats(
+      df: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    Seq("top_ngram", "top_ngram_char_frac", "dup_ngram_char_frac").foreach(c =>
+      require(c != idCol, s"idCol collides with output column '$c'"))
+    val toks = when(length(regexp_replace(col(textCol), "\\s", "")) > 0,
+      split(trim(col(textCol)), "\\s+")).otherwise(array().cast("array<string>"))
+    val base = graft.functions.Dedup.spreadForCompute(df)
+      .select(col(idCol).as("__id"), toks.as("__toks"))
+      .withColumn("__nchars", length(concat_ws(" ", col("__toks"))))
+    val grams = base.filter(size(col("__toks")) >= n)
+      .select(col("__id"), explode(transform(
+        sequence(lit(0), size(col("__toks")) - n),
+        i => concat_ws(" ", slice(col("__toks"), i + 1, lit(n))))).as("gram"))
+    val counts = grams.groupBy("__id", "gram").agg(count(lit(1)).as("cnt"))
+    // (cnt desc, gram asc) winner via min_by on the inverted-count struct
+    val stats = counts.groupBy("__id").agg(
+      min_by(struct(col("cnt"), col("gram")),
+        struct((-col("cnt")).as("nc"), col("gram"))).as("top"),
+      sum(when(col("cnt") > 1, col("cnt") * length(col("gram")))
+        .otherwise(lit(0L))).as("__dupw"),
+      sum(col("cnt") * length(col("gram"))).as("__totw"))
+    base.join(stats, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("top").getField("gram"), lit("")).as("top_ngram"),
+        when(col("__nchars") > 0 && col("top").isNotNull,
+          (col("top").getField("cnt") * length(col("top").getField("gram")))
+            .cast("double") / col("__nchars"))
+          .otherwise(lit(0.0)).as("top_ngram_char_frac"),
+        when(col("__totw") > 0,
+          col("__dupw").cast("double") / col("__totw"))
+          .otherwise(lit(0.0)).as("dup_ngram_char_frac"))
+  }
+
+  /**
    * Duplicate-k-gram fraction: 1 − distinct/total word k-grams (0 for
    * docs shorter than k tokens) — the repetition quality signal (a doc
    * that repeats its own phrasing scores high). Pure native expressions:

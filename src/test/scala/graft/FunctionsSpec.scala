@@ -744,6 +744,24 @@ class FunctionsSpec extends SparkTestBase {
     assert(out.filter(col("n_kept") > col("n_segments")).isEmpty)
   }
 
+  test("ngramRepetitionStats: top gram, tie-break, char fractions") {
+    val d = df(Seq(
+      Seq(1L, "a b a b a"),  // "a b"×2, "b a"×2 → tie → "a b"; all repeats
+      Seq(2L, "x y z"),      // no repeats
+      Seq(3L, "w"),          // shorter than n
+      Seq(4L, " \t ")),      // blank
+      "doc_id:long,text:str")
+    val out = TextFunctions.ngramRepetitionStats(d, "doc_id", "text", n = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out(1L)._1 === "a b")
+    assert(math.abs(out(1L)._2 - 2.0 * 3 / 9) < 1e-12)
+    assert(out(1L)._3 === 1.0)
+    assert(out(2L) === (("x y", 3.0 / 5, 0.0)))
+    assert(out(3L) === (("", 0.0, 0.0)))
+    assert(out(4L) === (("", 0.0, 0.0)))
+  }
+
   test("even repartition balances exactly") {
     val d = df((1 to 103).map(i => Seq(i)), "x:int")
     val out = graft.operators.Repartitioner.even(d, 10, Nil)
