@@ -626,6 +626,13 @@ object SparkEntry {
         maxDist = 1)
         .select(col("id_a"), col("id_b"), col("dist"))),
 
+    // domain-mixture plan: token-budget sampling rates per source toward
+    // target weights (binary-fraction weights → FP-exact both engines)
+    "t16_mixture_plan" -> ((s, dir) =>
+      graft.functions.Sampling.mixturePlan(t(s, dir, "documents"), "source",
+        TextFunctions.tokenCount(col("text")),
+        Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.125, "src3" -> 0.125),
+        budget = 50000L)),
     // Gopher-style repetition stats: most-frequent-2-gram char coverage
     // and duplicate-2-gram char fraction, exact vs the DuckDB oracle
     "t15_ngram_stats" -> ((s, dir) =>
@@ -1372,6 +1379,29 @@ object SparkEntry {
         | array_to_string(w[cid*40+1 : cid*40+50], ' ') AS chunk_text,
         | CAST(len(w[cid*40+1 : cid*40+50]) AS INTEGER) AS n_tokens
         |FROM j""".stripMargin,
+    "t16_mixture_plan" ->
+      """WITH szs AS (
+        | SELECT source AS domain,
+        |  CASE WHEN length(regexp_replace(text,'\s','','g')) > 0
+        |    THEN len(string_split_regex(trim(text),'\s+')) ELSE 0 END AS sz
+        | FROM documents),
+        |agg AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(sz) AS BIGINT) AS available FROM szs GROUP BY domain),
+        |w AS (SELECT domain, n_rows, available,
+        |  CASE domain WHEN 'src0' THEN CAST(0.5 AS DOUBLE)
+        |   WHEN 'src1' THEN CAST(0.25 AS DOUBLE)
+        |   WHEN 'src2' THEN CAST(0.125 AS DOUBLE)
+        |   WHEN 'src3' THEN CAST(0.125 AS DOUBLE)
+        |   ELSE CAST(0.0 AS DOUBLE) END AS wt
+        | FROM agg)
+        |SELECT domain, n_rows, available,
+        | wt * 50000 AS target_size,
+        | CASE WHEN available > 0
+        |   THEN least(CAST(1.0 AS DOUBLE), wt * 50000 / available)
+        |   ELSE 0.0 END AS sampling_rate,
+        | CASE WHEN available > 0 THEN wt * 50000 / available
+        |   ELSE 0.0 END AS epochs
+        |FROM w""".stripMargin,
     "t15_ngram_stats" ->
       """WITH base AS (
         | SELECT doc_id,

@@ -74,6 +74,51 @@ object Sampling {
   }
 
   /**
+   * Domain-mixture sampling plan: given per-row sizes (e.g. token counts),
+   * target mixture weights per domain, and a total size budget, compute
+   * for every domain the available mass, its target share, and the
+   * sampling rate / epoch count that realizes the target:
+   *
+   *   target_size   = weight / Σweights × budget
+   *   sampling_rate = min(1, target/available)  — downsample knob
+   *   epochs        = target/available          — >1 means upsample/repeat
+   *
+   * The "data mixing" planning step of LLM training-set assembly (domain
+   * weights à la Pile/LLaMA): feed `sampling_rate` to [[stratified]] for
+   * the downsampling domains; `epochs` is the repetition factor for
+   * upsampled ones. Domains absent from `weights` get zero targets.
+   * Output: (domain, n_rows, available, target_size, sampling_rate,
+   * epochs), one row per domain present in the data.
+   *
+   * Scale: one hash aggregation over (domain) — the plan itself is
+   * domain-cardinality-sized. All arithmetic is one division per output
+   * value on exact integer sums: order-independent, exact-oracle-safe.
+   */
+  def mixturePlan(
+      df: DataFrame, domainCol: String, sizeCol: org.apache.spark.sql.Column,
+      weights: Map[String, Double], budget: Long): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ >= 0),
+      "weights must be non-negative")
+    require(weights.values.sum > 0, "at least one weight must be positive")
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    val total = weights.values.sum
+    val wexpr = weights.foldLeft(lit(0.0)) { case (rest, (k, v)) =>
+      when(col(domainCol) === lit(k), lit(v / total)).otherwise(rest)
+    }
+    df.groupBy(col(domainCol).as("domain"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(sizeCol.cast("long")).as("available"),
+        first(wexpr).as("__w"))
+      .select(col("domain"), col("n_rows"), col("available"),
+        (col("__w") * budget).as("target_size"),
+        when(col("available") > 0,
+          least(lit(1.0), col("__w") * budget / col("available")))
+          .otherwise(lit(0.0)).as("sampling_rate"),
+        when(col("available") > 0, col("__w") * budget / col("available"))
+          .otherwise(lit(0.0)).as("epochs"))
+  }
+
+  /**
    * Group-aware train/validation/test split: every row of a GROUP lands
    * in the same split, so correlated rows (near-duplicate components,
    * documents of one source domain, a user's events) never straddle the

@@ -762,6 +762,24 @@ class FunctionsSpec extends SparkTestBase {
     assert(out(4L) === (("", 0.0, 0.0)))
   }
 
+  test("mixturePlan computes rates and epochs per domain") {
+    val d = df(Seq(
+      Seq("a", 10), Seq("a", 30),   // available 40
+      Seq("b", 5),                  // available 5 → upsampled
+      Seq("c", 100),                // not in weights → zero target
+      Seq("z", 0)),                 // zero-size domain in weights
+      "dom:str,sz:int")
+    val out = graft.functions.Sampling.mixturePlan(d, "dom", col("sz"),
+      Map("a" -> 1.0, "b" -> 1.0, "z" -> 2.0), budget = 80L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(out("a") === ((2L, 40L, 20.0, 0.5, 0.5)))       // downsample
+    assert(out("b") === ((1L, 5L, 20.0, 1.0, 4.0)))        // 4 epochs
+    assert(out("c") === ((1L, 100L, 0.0, 0.0, 0.0)))       // unweighted
+    assert(out("z") === ((1L, 0L, 40.0, 0.0, 0.0)))        // empty domain
+  }
+
   test("even repartition balances exactly") {
     val d = df((1 to 103).map(i => Seq(i)), "x:int")
     val out = graft.operators.Repartitioner.even(d, 10, Nil)
