@@ -626,6 +626,13 @@ object SparkEntry {
         maxDist = 1)
         .select(col("id_a"), col("id_b"), col("dist"))),
 
+    // DSIR-style data selection: importance = mean log-likelihood ratio of
+    // a target LM (docs 0-19) vs the raw corpus LM, exact DuckDB oracle
+    "t17_importance" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextFunctions.importanceWeights(docs, "doc_id", "text",
+        docs.filter(col("doc_id") < 20), "text")
+    }),
     // domain-mixture plan: token-budget sampling rates per source toward
     // target weights (binary-fraction weights → FP-exact both engines)
     "t16_mixture_plan" -> ((s, dir) =>
@@ -1379,6 +1386,26 @@ object SparkEntry {
         | array_to_string(w[cid*40+1 : cid*40+50], ' ') AS chunk_text,
         | CAST(len(w[cid*40+1 : cid*40+50]) AS INTEGER) AS n_tokens
         |FROM j""".stripMargin,
+    "t17_importance" ->
+      """WITH rt AS (
+        | SELECT doc_id, unnest(string_split_regex(trim(lower(text)),'\s+')) AS tok
+        | FROM documents),
+        |rtoks AS (SELECT doc_id, tok FROM rt WHERE length(tok) > 0),
+        |rc AS (SELECT tok, count(*) AS cnt_r FROM rtoks GROUP BY tok),
+        |tc AS (SELECT tok, count(*) AS cnt_t FROM rtoks
+        | WHERE doc_id < 20 GROUP BY tok),
+        |v AS (SELECT coalesce(rc.tok, tc.tok) AS tok,
+        |  coalesce(cnt_r, 0) AS cnt_r, coalesce(cnt_t, 0) AS cnt_t
+        | FROM rc FULL JOIN tc ON rc.tok = tc.tok),
+        |tot AS (SELECT sum(cnt_r) AS nr, sum(cnt_t) AS nt, count(*) AS v FROM v),
+        |llr AS (SELECT tok,
+        |  ln(CAST(cnt_t + 1 AS DOUBLE)) - ln(CAST(nt + v AS DOUBLE))
+        |   - ln(CAST(cnt_r + 1 AS DOUBLE)) + ln(CAST(nr + v AS DOUBLE)) AS llr
+        | FROM v, tot)
+        |SELECT doc_id, count(*) AS n_tokens,
+        | CAST(sum(CAST(llr AS DECIMAL(20,10))) AS DOUBLE) / count(*) AS importance
+        |FROM rtoks JOIN llr USING (tok)
+        |GROUP BY doc_id""".stripMargin,
     "t16_mixture_plan" ->
       """WITH szs AS (
         | SELECT source AS domain,

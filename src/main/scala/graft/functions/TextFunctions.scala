@@ -321,6 +321,60 @@ object TextFunctions {
         (-col("__slp").cast("double") / col("n_tokens")).as("cross_entropy"))
   }
 
+  /**
+   * DSIR-style importance weights: per-document mean log-likelihood ratio
+   * between a TARGET unigram LM (trained on `targetDf` — the
+   * high-quality / in-domain set you want more of) and the RAW LM
+   * (trained on `df` itself). Positive scores mean "looks more like the
+   * target than like the average corpus document"; rank or threshold on
+   * them to select pretraining data toward a target distribution
+   * (importance resampling à la DSIR, with unigrams standing in for
+   * hashed n-gram features). Both LMs are Laplace-smoothed over the UNION
+   * vocabulary, so out-of-target tokens are well-defined:
+   *
+   *   importance(d) = (1/|d|) Σ_tok [ ln p_t(tok) − ln p_r(tok) ]
+   *   p_x(tok) = (cnt_x(tok) + 1) / (N_x + V)
+   *
+   * Output: (idCol, n_tokens, importance); blank documents produce no
+   * rows. Determinism: per-document log-ratio sums are bridged through
+   * decimal(20,10) (exact, order-independent — a raw double SUM is not).
+   *
+   * Scale: two token-keyed hash aggregations (map-side partials), a
+   * one-row totals broadcast, and one join of the token stream against
+   * the (vocabulary-sized) ratio table — the corpus is scanned twice and
+   * only (id, token) pairs shuffle, exactly like [[unigramCrossEntropy]].
+   */
+  def importanceWeights(
+      df: DataFrame, idCol: String, textCol: String,
+      targetDf: DataFrame, targetTextCol: String): DataFrame = {
+    val toks = df
+      .select(col(idCol), explode(split(trim(lower(col(textCol))), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val rawCounts = toks.groupBy("tok").agg(count(lit(1)).as("cnt_r"))
+    val tgtCounts = targetDf
+      .select(explode(split(trim(lower(col(targetTextCol))), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("tok").agg(count(lit(1)).as("cnt_t"))
+    val vocab = rawCounts.join(tgtCounts, Seq("tok"), "full")
+      .select(col("tok"),
+        coalesce(col("cnt_r"), lit(0L)).as("cnt_r"),
+        coalesce(col("cnt_t"), lit(0L)).as("cnt_t"))
+    val totals = vocab.agg(sum(col("cnt_r")).as("nr"), sum(col("cnt_t")).as("nt"),
+      count(lit(1)).as("v"))
+    val llr = vocab.crossJoin(broadcast(totals))
+      .select(col("tok"),
+        (log((col("cnt_t") + 1).cast("double")) -
+          log((col("nt") + col("v")).cast("double")) -
+          log((col("cnt_r") + 1).cast("double")) +
+          log((col("nr") + col("v")).cast("double"))).as("llr"))
+    toks.join(llr, "tok")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("llr").cast("decimal(20,10)")).as("__s"))
+      .select(col(idCol), col("n_tokens"),
+        (col("__s").cast("double") / col("n_tokens")).as("importance"))
+  }
+
   /** Quality filter composing [[qualityMetrics]]: keep documents within
    * the given bounds (the curation filter of a training-data pipeline). */
   def qualityFilter(

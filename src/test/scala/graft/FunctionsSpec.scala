@@ -780,6 +780,35 @@ class FunctionsSpec extends SparkTestBase {
     assert(out("z") === ((1L, 0L, 40.0, 0.0, 0.0)))        // empty domain
   }
 
+  test("importanceWeights matches a driver-side brute force") {
+    val d = df(Seq(
+      Seq(1L, "red red blue"),
+      Seq(2L, "red green"),
+      Seq(3L, "blue blue blue"),
+      Seq(4L, "  ")), "doc_id:long,text:str")
+    val target = df(Seq(Seq("red red red blue")), "text:str")
+    val out = TextFunctions.importanceWeights(d, "doc_id", "text", target, "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+      .sortBy(_._1)
+    // brute force: raw counts red=3,green=1,blue=4 (N=8); target red=3,blue=1
+    // (N=4); V=3 (union vocab {red,green,blue})
+    def llr(ct: Long, cr: Long) =
+      math.log((ct + 1).toDouble) - math.log((4 + 3).toDouble) -
+        math.log((cr + 1).toDouble) + math.log((8 + 3).toDouble)
+    val red = llr(3, 3); val green = llr(0, 1); val blue = llr(1, 4)
+    val want = List(
+      (1L, 3L, (red * 2 + blue) / 3),
+      (2L, 2L, (red + green) / 2),
+      (3L, 3L, blue))
+    assert(out.map(_._1) === want.map(_._1))
+    assert(out.map(_._2) === want.map(_._2))
+    out.zip(want).foreach { case ((_, _, g), (_, _, w)) =>
+      assert(math.abs(g - w) < 1e-9, s"got $g want $w") }
+    // the target-heavy doc ranks above the target-light one
+    val byId = out.map(x => x._1 -> x._3).toMap
+    assert(byId(1L) > byId(3L)) // red-heavy doc looks more like the target
+  }
+
   test("even repartition balances exactly") {
     val d = df((1 to 103).map(i => Seq(i)), "x:int")
     val out = graft.operators.Repartitioner.even(d, 10, Nil)
