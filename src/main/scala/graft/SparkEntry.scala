@@ -626,6 +626,30 @@ object SparkEntry {
         maxDist = 1)
         .select(col("id_a"), col("id_b"), col("dist"))),
 
+    // SemDeDup differential: (a) with full probing the cluster-then-dedup
+    // composition must EQUAL dedup over the exact all-pairs graph; (b) at
+    // the practical nProbe=4, candidate pairs are a subset of exact pairs
+    // (precision 1 by construction) with recall >= 0.8
+    "s06_semantic_dedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val k = 16
+      val cents = Similarity.trainIvfCentroids(emb, "embedding", k)
+      val exactPairs = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.4).select("id_a", "id_b").localCheckpoint(true)
+      val semFull = Dedup.semanticDedup(emb, "vec_id", "embedding", 0.4,
+        cents, nProbe = k, maxBucketSize = 100000)
+      val exactDedup = Dedup.dropNearDuplicates(emb, "vec_id", exactPairs)
+      val fullOk = graft.api.DfUtils.dfEq(
+        semFull.select("vec_id"), exactDedup.select("vec_id"))
+      val p2 = Similarity.ivfCosinePairs(emb, "vec_id", "embedding", 0.4,
+        cents, nProbe = 4).select("id_a", "id_b").localCheckpoint(true)
+      val subsetOk = p2.join(exactPairs, Seq("id_a", "id_b"), "left_anti").isEmpty
+      val nExact = exactPairs.count()
+      val nFound = exactPairs.join(p2, Seq("id_a", "id_b"), "left_semi").count()
+      val recallOk = nExact == 0 || nFound.toDouble / nExact >= 0.8
+      eng(s).toDF(Seq(Seq(
+        if (fullOk && subsetOk && recallOk) 1L else 0L)), "sem_ok:long")
+    }),
     // DSIR-style data selection: importance = mean log-likelihood ratio of
     // a target LM (docs 0-19) vs the raw corpus LM, exact DuckDB oracle
     "t17_importance" -> ((s, dir) => {
@@ -1386,6 +1410,7 @@ object SparkEntry {
         | array_to_string(w[cid*40+1 : cid*40+50], ' ') AS chunk_text,
         | CAST(len(w[cid*40+1 : cid*40+50]) AS INTEGER) AS n_tokens
         |FROM j""".stripMargin,
+    "s06_semantic_dedup" -> "SELECT CAST(1 AS BIGINT) AS sem_ok",
     "t17_importance" ->
       """WITH rt AS (
         | SELECT doc_id, unnest(string_split_regex(trim(lower(text)),'\s+')) AS tok

@@ -760,6 +760,36 @@ object Dedup {
   }
 
   /**
+   * SemDeDup-style semantic deduplication: cluster embeddings by nearest
+   * IVF centroid, detect within-cluster cosine near-duplicate pairs
+   * ([[Similarity.ivfCosinePairs]] — probing `nProbe` cells catches pairs
+   * straddling a cell boundary), and keep ONE representative per near-dup
+   * component ([[dropNearDuplicates]], or [[dropNearDuplicatesBy]] when
+   * `qualityCol` picks the best-quality survivor instead of the min id).
+   * The embedding-space counterpart of MinHash dedup: removes documents
+   * that SAY the same thing, not just ones sharing surface n-grams.
+   *
+   * Scale design inherits from the parts: candidates shuffle as
+   * (id, cell) ints, exact cosine verifies only bucket-colliding pairs,
+   * and component election touches only contested rows. Recall is
+   * governed by (k centroids, nProbe); precision is exact (every pair is
+   * cosine-verified).
+   */
+  def semanticDedup(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      centroids: Array[Array[Double]], nProbe: Int = 2,
+      maxBucketSize: Int = 10000,
+      qualityCol: Option[String] = None,
+      descending: Boolean = true): DataFrame = {
+    val pairs = Similarity.ivfCosinePairs(df, idCol, vecCol, threshold,
+      centroids, nProbe, maxBucketSize).select(col("id_a"), col("id_b"))
+    qualityCol match {
+      case Some(q) => dropNearDuplicatesBy(df, idCol, pairs, q, descending)
+      case None    => dropNearDuplicates(df, idCol, pairs)
+    }
+  }
+
+  /**
    * Corpus-level segment dedup (the RefinedWeb / "deduplicating training
    * data" exact-substring pattern, at token-block granularity): split every
    * document into consecutive `segmentTokens`-token segments, keep only

@@ -809,6 +809,25 @@ class FunctionsSpec extends SparkTestBase {
     assert(byId(1L) > byId(3L)) // red-heavy doc looks more like the target
   }
 
+  test("semanticDedup keeps one representative per embedding cluster") {
+    val d = df(Seq(
+      Seq(1L, Seq(1.0, 0.0), 5),
+      Seq(2L, Seq(0.999, 0.0447), 9),  // near-dup of 1 (cosine ~0.999)
+      Seq(3L, Seq(0.0, 1.0), 1),
+      Seq(4L, Seq(-1.0, 0.05), 2)),    // own cluster, no dup
+      "vec_id:long,embedding:[double],q:int")
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0), Array(-1.0, 0.0))
+    // min-id convention: 1 survives the (1,2) pair
+    val minId = Dedup.semanticDedup(d, "vec_id", "embedding", 0.9, cents)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(minId === Set(1L, 3L, 4L))
+    // quality-aware: 2 (q=9) beats 1 (q=5)
+    val best = Dedup.semanticDedup(d, "vec_id", "embedding", 0.9, cents,
+      qualityCol = Some("q"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(best === Set(2L, 3L, 4L))
+  }
+
   test("even repartition balances exactly") {
     val d = df((1 to 103).map(i => Seq(i)), "x:int")
     val out = graft.operators.Repartitioner.even(d, 10, Nil)
