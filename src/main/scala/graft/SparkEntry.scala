@@ -885,6 +885,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"),
           min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
     }),
+    // binned interval-overlap join: purchase windows × error windows with
+    // bin-ownership dedup (each overlapping pair joins in exactly one bin)
+    "q65_interval_join" -> ((s, dir) => {
+      val e = events(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("ts").as("ps"),
+          (col("ts") + expr("INTERVAL 20 MINUTES")).as("pe"))
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("event_id").as("e_id"), col("ts").as("es"),
+          (col("ts") + expr("INTERVAL 15 MINUTES")).as("ee"))
+      graft.operators.TemporalOps.intervalJoin(purchases, errors,
+        "ps", "pe", "es", "ee", binWidth = 900.0)
+        .select("p_id", "e_id")
+    }),
     // binned point-in-interval range join (NO equi-key: the bin keys alone
     // carry the join, where bare Spark would nested-loop) — every event
     // paired with every 30-minute purchase window containing it
@@ -1327,6 +1341,15 @@ object SparkEntry {
         |SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
         | MIN(ts) AS session_start, MAX(ts) AS session_end
         |FROM sess GROUP BY user_id, session_id""".stripMargin,
+    "q65_interval_join" ->
+      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        |  FROM events),
+        |p AS (SELECT event_id AS p_id, ts AS ps,
+        |  ts + INTERVAL 20 MINUTE AS pe FROM e WHERE event_type = 'purchase'),
+        |r AS (SELECT event_id AS e_id, ts AS es,
+        |  ts + INTERVAL 15 MINUTE AS ee FROM e WHERE event_type = 'error')
+        |SELECT p.p_id, r.e_id
+        |FROM p, r WHERE p.ps <= r.ee AND r.es <= p.pe""".stripMargin,
     "q64_range_join" ->
       """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
         |  FROM events),

@@ -155,6 +155,77 @@ object TemporalOps {
   }
 
   /**
+   * Interval-overlap join: every pair of a `left` interval
+   * `[lStartCol, lEndCol]` and a `right` interval `[rStartCol, rEndCol]`
+   * that overlap (inclusive: `lStart <= rEnd && rStart <= lEnd`),
+   * optionally within matching equi-`keys`. The two-sided companion of
+   * [[rangeJoin]] (sessions × campaigns, genomic ranges, downtime ×
+   * requests).
+   *
+   * Scale design: both sides explode into covered bins and equi-join on
+   * (keys, bin) — but an overlapping pair can share MANY bins, so the
+   * join would duplicate pairs. Bin ownership dedups without a distinct:
+   * a pair is emitted only in the FIRST bin both intervals cover, i.e.
+   * where `bin == floor(max(lStart, rStart) / binWidth)` — each
+   * overlapping pair satisfies that in exactly one bin, so no post-join
+   * dedup shuffle is needed. Intervals spanning more than
+   * `maxBinsPerInterval` bins (either side) are routed through broadcast
+   * nested-loop side paths (rare by assumption) and unioned back, with
+   * long×long pairs handled once.
+   */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      lStartCol: String, lEndCol: String,
+      rStartCol: String, rEndCol: String,
+      binWidth: Double,
+      keys: Seq[String] = Nil,
+      maxBinsPerInterval: Int = 256): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    require(maxBinsPerInterval >= 1,
+      s"maxBinsPerInterval must be >= 1, got $maxBinsPerInterval")
+    val collisions = left.columns.toSet.intersect(right.columns.toSet) -- keys
+    require(collisions.isEmpty,
+      s"left/right non-key column names collide: ${collisions.mkString(", ")}")
+    def bin(c: Column): Column = floor(c.cast("double") / binWidth).cast("long")
+    val overlaps = col(lStartCol) <= col(rEndCol) && col(rStartCol) <= col(lEndCol)
+    // the bin both intervals first share — each overlapping pair owns
+    // exactly one
+    val ownerBin = bin(greatest(col(lStartCol), col(rStartCol)))
+    def valid(df: DataFrame, s: String, e: String): DataFrame =
+      df.filter(col(s).isNotNull && col(e).isNotNull && col(e) >= col(s))
+        .withColumn("__sb", bin(col(s))).withColumn("__eb", bin(col(e)))
+    val lv = valid(left, lStartCol, lEndCol)
+    val rv = valid(right, rStartCol, rEndCol)
+    def short(df: DataFrame): DataFrame =
+      df.filter(col("__eb") - col("__sb") < maxBinsPerInterval.toLong)
+        .withColumn("__bin", explode(sequence(col("__sb"), col("__eb"))))
+        .drop("__sb", "__eb")
+    def long(df: DataFrame): DataFrame =
+      df.filter(col("__eb") - col("__sb") >= maxBinsPerInterval.toLong)
+        .drop("__sb", "__eb")
+    val rightOut = right.columns.filterNot(keys.contains)
+    val outCols = (left.columns.map(col) ++ rightOut.map(col)).toIndexedSeq
+    val binned = short(lv).join(short(rv), keys :+ "__bin")
+      .filter(overlaps && col("__bin") === ownerBin)
+      .select(outCols: _*)
+    // broadcast escapes: (long-left × all-right) and (short-left ×
+    // long-right) — long×long pairs fall in the first bucket only
+    def bnl(l: DataFrame, r: DataFrame): DataFrame = {
+      val cond = keys.map(k => l(k) === r(k)).reduceOption(_ && _)
+        .map(_ && overlaps).getOrElse(overlaps)
+      l.join(broadcast(r), cond)
+        .select((left.columns.map(l(_)) ++ rightOut.map(r(_))).toIndexedSeq: _*)
+    }
+    def shortNoBin(df: DataFrame): DataFrame =
+      df.filter(col("__eb") - col("__sb") < maxBinsPerInterval.toLong)
+        .drop("__sb", "__eb")
+    binned
+      .unionByName(bnl(long(lv), rv.drop("__sb", "__eb")))
+      .unionByName(bnl(shortNoBin(lv), long(rv)))
+  }
+
+  /**
    * Gap-based sessionization: appends a `session_id` column (0-based per
    * key) where a new session starts when the gap to the previous event
    * exceeds `gap` (a Spark interval string, e.g. "30 minutes").

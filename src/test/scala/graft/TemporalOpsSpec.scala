@@ -110,6 +110,55 @@ class TemporalOpsSpec extends SparkTestBase {
     assert(got === Set((1L, 10L)))
   }
 
+  test("intervalJoin matches the naive overlap filter, no duplicate pairs") {
+    val ls = (0 until 60).map { i =>
+      val s = (i * 41 % 97).toDouble
+      Seq(i.toLong, s, s + (i % 9) * 2.5)
+    }
+    val rs = (0 until 45).map { j =>
+      val s = (j * 29 % 90).toDouble
+      Seq(j.toLong, s, s + (j % 6) * 4.0)
+    }
+    val l = df(ls, "lid:long,ls:double,le:double")
+    val r = df(rs, "rid:long,rs:double,re:double")
+    val got = TemporalOps.intervalJoin(l, r, "ls", "le", "rs", "re",
+      binWidth = 7.0)
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1)))
+    val want = l.crossJoin(r)
+      .filter(col("ls") <= col("re") && col("rs") <= col("le"))
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got.length === got.toSet.size, "duplicate pairs emitted")
+    assert(got.toSet === want)
+    assert(want.nonEmpty)
+  }
+
+  test("intervalJoin: long intervals on either side route through broadcast") {
+    val l = df(Seq(
+      Seq(1L, 0.0, 100.0),   // long at width 1
+      Seq(2L, 5.0, 6.0)), "lid:long,ls:double,le:double")
+    val r = df(Seq(
+      Seq(10L, 50.0, 200.0), // long
+      Seq(11L, 5.5, 7.0),    // short, overlaps both left rows
+      Seq(12L, null, 3.0)), "rid:long,rs:double,re:double")
+    val got = TemporalOps.intervalJoin(l, r, "ls", "le", "rs", "re",
+      binWidth = 1.0, maxBinsPerInterval = 8)
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(got.length === got.toSet.size)
+    assert(got.toSet === Set((1L, 10L), (1L, 11L), (2L, 11L)))
+  }
+
+  test("intervalJoin with equi-keys") {
+    val l = df(Seq(
+      Seq(1L, "a", 0.0, 10.0), Seq(2L, "b", 0.0, 10.0)),
+      "lid:long,k:str,ls:double,le:double")
+    val r = df(Seq(Seq(10L, "a", 5.0, 15.0)),
+      "rid:long,k:str,rs:double,re:double")
+    val got = TemporalOps.intervalJoin(l, r, "ls", "le", "rs", "re",
+      binWidth = 4.0, keys = Seq("k"))
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got === Set((1L, 10L)))
+  }
+
   test("sessionize splits on gaps and numbers sessions per key") {
     val d = df(Seq(
       Seq("u1", 1L, "2024-01-01 10:00:00"),
