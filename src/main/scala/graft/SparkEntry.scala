@@ -626,6 +626,11 @@ object SparkEntry {
         maxDist = 1)
         .select(col("id_a"), col("id_b"), col("dist"))),
 
+    // raw-text cleanup: zero-width/control/unicode-space scrub over a
+    // deterministically dirtied corpus, byte-identical RE2 chain both sides
+    "t18_clean_text" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.cleanText(dirtyInjected).as("cleaned"))),
     // SemDeDup differential: (a) with full probing the cluster-then-dedup
     // composition must EQUAL dedup over the exact all-pairs graph; (b) at
     // the practical nProbe=4, candidate pairs are a subset of exact pairs
@@ -1098,6 +1103,23 @@ object SparkEntry {
       lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
       lit(" card 4111 1111 1111 1111 tel 555-867-5309"))
 
+  /** Deterministic dirty-text injection (zero-widths, control chars, CRLF,
+   * NBSP runs, BOM) for the t18 cleaning conformance query;
+   * [[SqlInjectedDirty]] is its chr()-built DuckDB twin. */
+  private def dirtyInjected: org.apache.spark.sql.Column =
+    concat(lit("\u200B \u00A0"), col("text"),
+      lit("\u0007 tail\u00A0\u00A0mid\r\nend \t\t x\uFEFF"))
+
+  private val SqlInjectedDirty =
+    "concat(chr(8203), ' ', chr(160), text, chr(7), ' tail', chr(160)," +
+      " chr(160), 'mid', chr(13), chr(10), 'end ', chr(9), chr(9)," +
+      " ' x', chr(65279))"
+
+  private def sqlCleaned(expr: String): String =
+    "trim(" + graft.functions.TextFunctions.CleanPatterns.foldLeft(expr) {
+      case (e, (re, repl)) => s"regexp_replace($e, '$re', '$repl', 'g')"
+    } + ")"
+
   private val SqlInjectedPii =
     "concat(text, ' reach user', CAST(doc_id AS VARCHAR)," +
       " '@mail.example.com or 192.168.', CAST(doc_id % 200 AS VARCHAR)," +
@@ -1434,6 +1456,8 @@ object SparkEntry {
         | CAST(len(w[cid*40+1 : cid*40+50]) AS INTEGER) AS n_tokens
         |FROM j""".stripMargin,
     "s06_semantic_dedup" -> "SELECT CAST(1 AS BIGINT) AS sem_ok",
+    "t18_clean_text" ->
+      s"SELECT doc_id, ${sqlCleaned(SqlInjectedDirty)} AS cleaned FROM documents",
     "t17_importance" ->
       """WITH rt AS (
         | SELECT doc_id, unnest(string_split_regex(trim(lower(text)),'\s+')) AS tok

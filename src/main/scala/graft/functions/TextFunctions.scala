@@ -167,6 +167,32 @@ object TextFunctions {
     "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b" -> "<IP>",
   )
 
+  /** Text-cleanup pattern chain (ordered; RE2-safe — `\x{...}` classes,
+   * no lookarounds — so a DuckDB/RE2 oracle can apply the identical
+   * chain): strip zero-width/format characters, strip control characters
+   * (keeping tab and newline as whitespace until the collapse step),
+   * normalize Unicode space variants to ASCII space, collapse space/tab
+   * runs. */
+  val CleanPatterns: Seq[(String, String)] = Seq(
+    // zero-width space/joiners, BOM, soft hyphen
+    "[\\x{200B}-\\x{200D}\\x{FEFF}\\x{00AD}]" -> "",
+    // C0 controls except tab (09) / newline (0A); CR folds away; DEL
+    "[\\x{0000}-\\x{0008}\\x{000B}-\\x{001F}\\x{007F}]" -> "",
+    // NBSP, en/em/thin spaces, narrow NBSP, math space, ideographic space
+    "[\\x{00A0}\\x{2000}-\\x{200A}\\x{202F}\\x{205F}\\x{3000}]" -> " ",
+    // collapse space/tab runs (newlines survive)
+    "[ \\t]+" -> " ",
+  )
+
+  /** Clean raw scraped text: apply [[CleanPatterns]] in order, then trim —
+   * the mojibake/invisible-character scrub pass that runs before
+   * tokenization in a web-scale pipeline. A chain of codegen'd
+   * `regexp_replace`s; one scan, no UDF, no shuffle. */
+  def cleanText(text: Column): Column =
+    trim(CleanPatterns.foldLeft(text) { case (c, (re, repl)) =>
+      regexp_replace(c, re, repl)
+    })
+
   /** Redact common PII (emails, credit cards, SSNs, phone numbers, IPv4
    * addresses) with typed placeholders — the standard scrub pass of a
    * training-data pipeline. A chain of codegen'd `regexp_replace`s; one

@@ -828,6 +828,23 @@ class FunctionsSpec extends SparkTestBase {
     assert(best === Set(2L, 3L, 4L))
   }
 
+  test("cleanText strips invisible/control chars and collapses space runs") {
+    val d = df(Seq(
+      Seq(1L, "\u200Bhi\u00ADden\uFEFF world"),   // zero-widths inside words
+      Seq(2L, "a\u0007b\u007Fc"),                  // control chars
+      Seq(3L, "x\u00A0\u00A0y\u3000z"),           // unicode spaces
+      Seq(4L, "  a \t\t b\nc  "),                 // runs + newline survives
+      Seq(5L, "a\r\nb")),                         // CRLF -> LF
+      "id:long,text:str")
+    val out = d.select(col("id"), TextFunctions.cleanText(col("text")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "hiden world")
+    assert(out(2L) === "abc")
+    assert(out(3L) === "x y z")
+    assert(out(4L) === "a b\nc")
+    assert(out(5L) === "a\nb")
+  }
+
   test("even repartition balances exactly") {
     val d = df((1 to 103).map(i => Seq(i)), "x:int")
     val out = graft.operators.Repartitioner.even(d, 10, Nil)
