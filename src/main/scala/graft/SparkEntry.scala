@@ -674,6 +674,15 @@ object SparkEntry {
     "t15_ngram_stats" -> ((s, dir) =>
       TextFunctions.ngramRepetitionStats(t(s, dir, "documents"),
         "doc_id", "text", n = 2)),
+    // cross-corpus dedup join: new batch (doc_id >= 100) vs existing
+    // corpus (doc_id < 100), exact 3-gram jaccard — full DuckDB oracle
+    "d14_dedup_against" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.ngramJaccardJoin(
+        docs.filter(col("doc_id") >= 100), "doc_id", "text",
+        docs.filter(col("doc_id") < 100), "doc_id", "text",
+        shingleK = 3, threshold = 0.5)
+    }),
     // corpus-level exact segment dedup (RefinedWeb-style): 20-token
     // blocks, first occurrence wins corpus-wide, documents reassembled
     "d13_segment_dedup" -> ((s, dir) =>
@@ -1530,6 +1539,19 @@ object SparkEntry {
         | CASE WHEN totw > 0 THEN CAST(dupw AS DOUBLE) / totw
         |   ELSE 0.0 END AS dup_ngram_char_frac
         |FROM b2 LEFT JOIN tops USING (doc_id) LEFT JOIN aggd USING (doc_id)""".stripMargin,
+    "d14_dedup_against" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |sh AS (
+        | SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+        |   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        | FROM toks WHERE len(w) >= 3),
+        |pairs AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS sa, len(b.s) AS sb
+        | FROM sh a JOIN sh b ON a.doc_id >= 100 AND b.doc_id < 100)
+        |SELECT id_a, id_b, CAST(inter AS DOUBLE)/(sa+sb-inter) AS jaccard
+        |FROM pairs WHERE CAST(inter AS DOUBLE)/(sa+sb-inter) >= 0.5""".stripMargin,
     "d13_segment_dedup" ->
       """WITH base AS (
         | SELECT doc_id,

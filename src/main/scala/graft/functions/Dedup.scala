@@ -760,6 +760,61 @@ object Dedup {
   }
 
   /**
+   * Cross-corpus exact n-gram-Jaccard join: every (left, right) document
+   * pair with word-`shingleK`-gram Jaccard ≥ `threshold` BETWEEN two
+   * corpora — the incremental-ingestion dedup primitive ("which documents
+   * of the new crawl near-duplicate the existing corpus"). Output:
+   * (id_a = left id, id_b = right id, jaccard). If the corpora overlap,
+   * a document pairs with its own copy (jaccard 1) — that is the point.
+   *
+   * Scale design mirrors [[ngramJaccardPairs]]'s inverted index: both
+   * sides explode to (id, shingle-hash), co-occurrence counts join on the
+   * 8-byte hash, and sizes re-join for the exact Jaccard — documents
+   * never shuffle. Only shingles present on BOTH sides can produce pairs,
+   * so the df-cut keeps df ∈ [2, maxShingleDf] over the union; the upper
+   * bound caps stop-shingle join amplification (a recall trade, disclosed
+   * as in d04).
+   */
+  def ngramJaccardJoin(
+      left: DataFrame, leftIdCol: String, leftTextCol: String,
+      right: DataFrame, rightIdCol: String, rightTextCol: String,
+      shingleK: Int = 3, threshold: Double = 0.8,
+      maxShingleDf: Int = Int.MaxValue): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0,1], got $threshold")
+    val la = shingleStage(left, leftIdCol, leftTextCol, shingleK)
+    val rb = shingleStage(right, rightIdCol, rightTextCol, shingleK)
+    val li = la.select(col("id").as("id_a"), explode(col("sh")).as("s"))
+    val ri = rb.select(col("id").as("id_b"), explode(col("sh")).as("s"))
+    val dfs = li.select(col("s")).unionAll(ri.select(col("s")))
+      .groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, maxShingleDf))
+      .select("s")
+    val co = li.join(dfs, "s").join(ri.join(dfs, "s"), "s")
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    co.join(la.select(col("id").as("id_a"), size(col("sh")).as("sz_a")), "id_a")
+      .join(rb.select(col("id").as("id_b"), size(col("sh")).as("sz_b")), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Drop documents of `df` that near-duplicate ANY document of `ref`
+   * (see [[ngramJaccardJoin]]) — dedup a new batch against the corpus you
+   * already have without re-deduplicating the corpus itself. */
+  def dropNearDuplicatesAgainst(
+      df: DataFrame, idCol: String, textCol: String,
+      ref: DataFrame, refIdCol: String, refTextCol: String,
+      shingleK: Int = 3, threshold: Double = 0.8,
+      maxShingleDf: Int = Int.MaxValue): DataFrame = {
+    val hit = ngramJaccardJoin(df, idCol, textCol, ref, refIdCol, refTextCol,
+      shingleK, threshold, maxShingleDf)
+      .select(col("id_a").as(idCol))
+    df.join(hit, Seq(idCol), "left_anti")
+  }
+
+  /**
    * SemDeDup-style semantic deduplication: cluster embeddings by nearest
    * IVF centroid, detect within-cluster cosine near-duplicate pairs
    * ([[Similarity.ivfCosinePairs]] — probing `nProbe` cells catches pairs

@@ -845,6 +845,33 @@ class FunctionsSpec extends SparkTestBase {
     assert(out(5L) === "a\nb")
   }
 
+  test("ngramJaccardJoin matches driver-side cross-corpus brute force") {
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def sh(s: String) = s.trim.split("\\s+").sliding(3).filter(_.length == 3)
+      .map(_.mkString(" ")).toSet
+    val newIds = texts.keys.filter(_ >= 100).toSeq
+    val refIds = texts.keys.filter(_ < 100).toSeq
+    val want = (for {
+      a <- newIds; b <- refIds
+      sa = sh(texts(a)); sb = sh(texts(b))
+      if sa.nonEmpty && sb.nonEmpty
+      inter = (sa & sb).size
+      if inter > 0 && inter.toDouble / (sa.size + sb.size - inter) >= 0.5
+    } yield (a, b)).toSet
+    val newDocs = docs.filter(col("doc_id") >= 100)
+    val refDocs = docs.filter(col("doc_id") < 100)
+    val got = Dedup.ngramJaccardJoin(newDocs, "doc_id", "text",
+      refDocs, "doc_id", "text", shingleK = 3, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+    // dropNearDuplicatesAgainst removes exactly the left-side hit set
+    val dropped = Dedup.dropNearDuplicatesAgainst(newDocs, "doc_id", "text",
+      refDocs, "doc_id", "text", shingleK = 3, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(dropped === newIds.toSet -- want.map(_._1))
+  }
+
   test("even repartition balances exactly") {
     val d = df((1 to 103).map(i => Seq(i)), "x:int")
     val out = graft.operators.Repartitioner.even(d, 10, Nil)
