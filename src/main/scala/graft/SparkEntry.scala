@@ -626,6 +626,13 @@ object SparkEntry {
         maxDist = 1)
         .select(col("id_a"), col("id_b"), col("dist"))),
 
+    // vocabulary encoding: corpus tokens -> ids against the corpus's own
+    // top-200 vocabulary (t14), OOV -> -1; exact DuckDB oracle
+    "t19_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = TextFunctions.buildVocab(docs, "text", size = 200, minCount = 2L)
+      TextFunctions.encodeWithVocab(docs, "doc_id", "text", vocab)
+    }),
     // raw-text cleanup: zero-width/control/unicode-space scrub over a
     // deterministically dirtied corpus, byte-identical RE2 chain both sides
     "t18_clean_text" -> ((s, dir) =>
@@ -1467,6 +1474,25 @@ object SparkEntry {
     "s06_semantic_dedup" -> "SELECT CAST(1 AS BIGINT) AS sem_ok",
     "t18_clean_text" ->
       s"SELECT doc_id, ${sqlCleaned(SqlInjectedDirty)} AS cleaned FROM documents",
+    "t19_encode" ->
+      """WITH vt AS (
+        | SELECT unnest(string_split_regex(trim(lower(text)),'\s+')) AS token
+        | FROM documents),
+        |counts AS (SELECT token, count(*) AS cnt FROM vt
+        | WHERE length(token) > 0 GROUP BY token HAVING count(*) >= 2),
+        |vocab AS (SELECT token, CAST(token_id AS INTEGER) AS token_id FROM (
+        | SELECT token, row_number() OVER (ORDER BY cnt DESC, token ASC) AS token_id
+        | FROM counts) x WHERE token_id <= 200),
+        |t AS (SELECT doc_id, string_split_regex(trim(lower(text)),'\s+') AS w
+        | FROM documents),
+        |tk0 AS (SELECT doc_id, unnest(generate_series(1, len(w))) AS pos, w FROM t),
+        |tk AS (SELECT doc_id, pos, w[pos] AS tok FROM tk0 WHERE length(w[pos]) > 0)
+        |SELECT doc_id,
+        | list(CAST(coalesce(v.token_id, -1) AS BIGINT) ORDER BY pos) AS ids,
+        | CAST(count(*) AS BIGINT) AS n_tokens,
+        | CAST(sum(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
+        |FROM tk LEFT JOIN vocab v ON tk.tok = v.token
+        |GROUP BY doc_id""".stripMargin,
     "t17_importance" ->
       """WITH rt AS (
         | SELECT doc_id, unnest(string_split_regex(trim(lower(text)),'\s+')) AS tok

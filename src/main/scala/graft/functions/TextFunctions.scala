@@ -484,6 +484,37 @@ object TextFunctions {
     counts.withColumn("token_id", row_number().over(w))
   }
 
+  /**
+   * Encode documents as token-id sequences against a vocabulary frame
+   * `(token, token_id)` (see [[buildVocab]]): lowercase-whitespace tokens
+   * map through the vocabulary, out-of-vocabulary tokens to `unkId`.
+   * Output: (idCol, ids array<long> in document order, n_tokens, n_unk);
+   * blank documents produce no rows. The tokenize-to-ids step that turns
+   * a curated corpus into model input.
+   *
+   * Scale: vocabularies are bounded (buildVocab truncates), so the
+   * mapping join BROADCASTS — encoding is one narrow pass over the token
+   * stream plus one id-keyed aggregation to reassemble sequences; only
+   * (id, pos, token_id) triples shuffle, never text.
+   */
+  def encodeWithVocab(
+      df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, unkId: Long = -1L): DataFrame = {
+    val toks = df
+      .select(col(idCol), posexplode(split(trim(lower(col(textCol))), "\\s+"))
+        .as(Seq("pos", "tok")))
+      .filter(length(col("tok")) > 0)
+    val mapped = toks.join(
+      broadcast(vocab.select(col("token").as("tok"), col("token_id"))),
+      Seq("tok"), "left")
+      .withColumn("tid", coalesce(col("token_id").cast("long"), lit(unkId)))
+    mapped.groupBy(idCol).agg(
+      transform(array_sort(collect_list(struct(col("pos"), col("tid")))),
+        s => s.getField("tid")).as("ids"),
+      count(lit(1)).as("n_tokens"),
+      sum(when(col("token_id").isNull, 1L).otherwise(0L)).as("n_unk"))
+  }
+
   /** Convenience: full text-analysis projection over a document table. */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val base = df.select(

@@ -872,6 +872,17 @@ class FunctionsSpec extends SparkTestBase {
     assert(dropped === newIds.toSet -- want.map(_._1))
   }
 
+  test("encodeWithVocab maps tokens to ids in order, OOV to unk") {
+    val d = df(Seq(
+      Seq(1L, "Red blue RED zz"),
+      Seq(2L, " \t ")), "doc_id:long,text:str")
+    val vocab = df(Seq(Seq("red", 1), Seq("blue", 2)), "token:str,token_id:int")
+    val out = TextFunctions.encodeWithVocab(d, "doc_id", "text", vocab)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList,
+        r.getLong(2), r.getLong(3))).toList
+    assert(out === List((1L, List(1L, 2L, 1L, -1L), 4L, 1L)))
+  }
+
   test("even repartition balances exactly") {
     val d = df((1 to 103).map(i => Seq(i)), "x:int")
     val out = graft.operators.Repartitioner.even(d, 10, Nil)
