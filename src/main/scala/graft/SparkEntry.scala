@@ -633,6 +633,15 @@ object SparkEntry {
       val vocab = TextFunctions.buildVocab(docs, "text", size = 200, minCount = 2L)
       TextFunctions.encodeWithVocab(docs, "doc_id", "text", vocab)
     }),
+    // sequence packing: the tokenized corpus sliced into 128-token
+    // training examples via the distributed prefix sum; exact oracle
+    "t20_pack_sequences" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = TextFunctions.buildVocab(docs, "text", size = 200, minCount = 2L)
+      val enc = TextFunctions.encodeWithVocab(docs, "doc_id", "text", vocab)
+        .select("doc_id", "ids")
+      TextFunctions.packSequences(enc, "doc_id", "ids", seqLen = 128)
+    }),
     // raw-text cleanup: zero-width/control/unicode-space scrub over a
     // deterministically dirtied corpus, byte-identical RE2 chain both sides
     "t18_clean_text" -> ((s, dir) =>
@@ -1493,6 +1502,28 @@ object SparkEntry {
         | CAST(sum(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
         |FROM tk LEFT JOIN vocab v ON tk.tok = v.token
         |GROUP BY doc_id""".stripMargin,
+    "t20_pack_sequences" ->
+      """WITH vt AS (
+        | SELECT unnest(string_split_regex(trim(lower(text)),'\s+')) AS token
+        | FROM documents),
+        |counts AS (SELECT token, count(*) AS cnt FROM vt
+        | WHERE length(token) > 0 GROUP BY token HAVING count(*) >= 2),
+        |vocab AS (SELECT token, CAST(token_id AS INTEGER) AS token_id FROM (
+        | SELECT token, row_number() OVER (ORDER BY cnt DESC, token ASC) AS token_id
+        | FROM counts) x WHERE token_id <= 200),
+        |t AS (SELECT doc_id, string_split_regex(trim(lower(text)),'\s+') AS w
+        | FROM documents),
+        |tk0 AS (SELECT doc_id, unnest(generate_series(1, len(w))) AS pos, w FROM t),
+        |tk AS (SELECT doc_id, pos, w[pos] AS tok FROM tk0 WHERE length(w[pos]) > 0),
+        |enc AS (SELECT doc_id, pos,
+        |  CAST(coalesce(v.token_id, -1) AS BIGINT) AS tid
+        | FROM tk LEFT JOIN vocab v ON tk.tok = v.token),
+        |g AS (SELECT tid,
+        |  row_number() OVER (ORDER BY doc_id, pos) - 1 AS gpos FROM enc)
+        |SELECT CAST(gpos // 128 AS BIGINT) AS example_id,
+        | list(tid ORDER BY gpos) AS ids,
+        | CAST(count(*) AS BIGINT) AS n_tokens
+        |FROM g GROUP BY 1""".stripMargin,
     "t17_importance" ->
       """WITH rt AS (
         | SELECT doc_id, unnest(string_split_regex(trim(lower(text)),'\s+')) AS tok

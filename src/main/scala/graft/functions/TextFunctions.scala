@@ -152,6 +152,59 @@ object TextFunctions {
   }
 
   /**
+   * Pack encoded documents into fixed-length training examples:
+   * concatenate the `idsCol` token-id arrays in `idCol` order into one
+   * stream and slice it into `seqLen`-token examples (the last may be
+   * shorter) — the final "tokenized corpus → model batches" step.
+   * `idCol` must uniquely identify rows. Output: (example_id,
+   * ids array<long>, n_tokens).
+   *
+   * Scale design: each document's global token offset is a prefix sum
+   * computed WITHOUT the single-partition window that
+   * `Window.orderBy(...)` would plan: documents range-partition by id and
+   * cumulate locally per partition, per-partition totals (one row per
+   * partition) cumulate on the driver, and the resulting partition base
+   * offsets broadcast back — the textbook distributed prefix sum. The
+   * partitioned frame is localCheckpoint'd once so the partition ids the
+   * totals were computed from are frozen. Tokens then shuffle once,
+   * keyed by example id, to assemble examples.
+   */
+  def packSequences(
+      df: DataFrame, idCol: String, idsCol: String, seqLen: Int): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    import org.apache.spark.sql.expressions.Window
+    val staged = df
+      .select(col(idCol).as("__id"), col(idsCol).as("__ids"))
+      .withColumn("__n", size(col("__ids")).cast("long"))
+      .repartitionByRange(col("__id"))
+      .sortWithinPartitions("__id")
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val totals = staged.groupBy("__pid").agg(sum(col("__n")).as("__t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val bases =
+      if (totals.isEmpty) Seq((0, 0L)) // empty input → empty (well-typed) output
+      else totals.scanLeft((0, 0L)) { case ((_, acc), (pid, t)) =>
+        (pid, acc + t)
+      }.sliding(2).map { case Array((_, acc), (pid, _)) => (pid, acc) }.toSeq
+    val baseDf = staged.sparkSession.createDataFrame(bases)
+      .toDF("__pid", "__base")
+    val wloc = Window.partitionBy("__pid").orderBy("__id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tok = staged
+      .withColumn("__loc", coalesce(sum(col("__n")).over(wloc), lit(0L)))
+      .join(broadcast(baseDf), "__pid")
+      .select((col("__base") + col("__loc")).as("__off"),
+        posexplode(col("__ids")).as(Seq("__pos", "__tid")))
+      .select((col("__off") + col("__pos")).as("__gpos"), col("__tid"))
+    tok.groupBy(floor(col("__gpos") / seqLen).as("example_id"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("__gpos"), col("__tid")))),
+          s => s.getField("__tid")).as("ids"),
+        count(lit(1)).as("n_tokens"))
+  }
+
+  /**
    * PII redaction patterns: (regex, replacement), applied in order. The
    * regexes deliberately use only syntax shared by Java regex and RE2
    * (DuckDB) — no lookarounds, no backrefs — so a SQL oracle can apply

@@ -883,6 +883,43 @@ class FunctionsSpec extends SparkTestBase {
     assert(out === List((1L, List(1L, 2L, 1L, -1L), 4L, 1L)))
   }
 
+  test("packSequences slices the concatenated id stream into fixed examples") {
+    val d = df(Seq(
+      Seq(1L, Seq(1L, 2L)),
+      Seq(2L, Seq(3L)),
+      Seq(3L, Seq[Long]()),          // empty doc contributes nothing
+      Seq(4L, Seq(4L, 5L, 6L, 7L))),
+      "doc_id:long,ids:[long]")
+    val out = TextFunctions.packSequences(d, "doc_id", "ids", seqLen = 3)
+      .orderBy("example_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList, r.getLong(2)))
+      .toList
+    assert(out === List(
+      (0L, List(1L, 2L, 3L), 3L),
+      (1L, List(4L, 5L, 6L), 3L),
+      (2L, List(7L), 1L)))
+  }
+
+  test("packSequences equals the single-window brute force on the corpus") {
+    val vocab = TextFunctions.buildVocab(docs, "text", size = 100, minCount = 2L)
+    val enc = TextFunctions.encodeWithVocab(docs, "doc_id", "text", vocab)
+      .select("doc_id", "ids").localCheckpoint(true)
+    val got = TextFunctions.packSequences(enc, "doc_id", "ids", seqLen = 128)
+    // brute force: one global window (fine at test scale)
+    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val want = enc
+      .withColumn("off", coalesce(sum(size(col("ids")).cast("long")).over(w), lit(0L)))
+      .select(col("off"), posexplode(col("ids")).as(Seq("pos", "tid")))
+      .select((col("off") + col("pos")).as("gpos"), col("tid"))
+      .groupBy(floor(col("gpos") / 128).as("example_id"))
+      .agg(transform(array_sort(collect_list(struct(col("gpos"), col("tid")))),
+        s => s.getField("tid")).as("ids"),
+        count(lit(1)).as("n_tokens"))
+    assert(graft.api.DfUtils.dfEq(got, want))
+    assert(got.filter(col("n_tokens") =!= 128).count() <= 1) // only the tail is short
+  }
+
   test("even repartition balances exactly") {
     val d = df((1 to 103).map(i => Seq(i)), "x:int")
     val out = graft.operators.Repartitioner.even(d, 10, Nil)
