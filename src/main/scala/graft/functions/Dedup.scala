@@ -870,9 +870,8 @@ object Dedup {
     Seq("dedup_text", "n_segments", "n_kept").foreach(c =>
       require(c != idCol, s"idCol collides with output column '$c'"))
     // blank (whitespace-only) text → empty token array, zero segments
-    val toks = when(length(regexp_replace(col(textCol), "\\s", "")) > 0,
-      split(trim(col(textCol)), "\\s+")).otherwise(array().cast("array<string>"))
-    val base = spreadForCompute(df).select(col(idCol).as("__id"), toks.as("__toks"))
+    val base = spreadForCompute(df).select(col(idCol).as("__id"),
+      TextFunctions.tokensOrEmpty(col(textCol)).as("__toks"))
       .withColumn("__m",
         ceil(size(col("__toks")).cast("double") / segmentTokens).cast("int"))
     val segs = base.filter(col("__m") > 0)

@@ -27,6 +27,14 @@ object TextFunctions {
   def subwordTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
 
+  /** Whitespace tokens of `text` as an array, empty for blank
+   * (whitespace-only) text — the shared blank-document guard: a bare
+   * `split(trim(x))` on blank text yields `[""]`, silently producing one
+   * phantom token. */
+  def tokensOrEmpty(text: Column): Column =
+    when(length(regexp_replace(text, "\\s", "")) > 0,
+      split(trim(text), "\\s+")).otherwise(array().cast("array<string>"))
+
   /** Count of characters matching a regex character class (the class is
    * removed and the length delta measured). */
   def charClassCount(text: Column, charClassRegex: String): Column =
@@ -175,7 +183,9 @@ object TextFunctions {
     import org.apache.spark.sql.expressions.Window
     val staged = df
       .select(col(idCol).as("__id"), col(idsCol).as("__ids"))
-      .withColumn("__n", size(col("__ids")).cast("long"))
+      // size(null) is null (ANSI): null arrays contribute 0 tokens, and a
+      // partition of only-null rows must not null the partition total
+      .withColumn("__n", coalesce(size(col("__ids")).cast("long"), lit(0L)))
       .repartitionByRange(col("__id"))
       .sortWithinPartitions("__id")
       .withColumn("__pid", spark_partition_id())
@@ -318,10 +328,8 @@ object TextFunctions {
     require(n >= 1, s"n must be >= 1, got $n")
     Seq("top_ngram", "top_ngram_char_frac", "dup_ngram_char_frac").foreach(c =>
       require(c != idCol, s"idCol collides with output column '$c'"))
-    val toks = when(length(regexp_replace(col(textCol), "\\s", "")) > 0,
-      split(trim(col(textCol)), "\\s+")).otherwise(array().cast("array<string>"))
     val base = graft.functions.Dedup.spreadForCompute(df)
-      .select(col(idCol).as("__id"), toks.as("__toks"))
+      .select(col(idCol).as("__id"), tokensOrEmpty(col(textCol)).as("__toks"))
       .withColumn("__nchars", length(concat_ws(" ", col("__toks"))))
     val grams = base.filter(size(col("__toks")) >= n)
       .select(col("__id"), explode(transform(
@@ -426,30 +434,32 @@ object TextFunctions {
   def importanceWeights(
       df: DataFrame, idCol: String, textCol: String,
       targetDf: DataFrame, targetTextCol: String): DataFrame = {
+    Seq("n_tokens", "importance").foreach(c =>
+      require(c != idCol, s"idCol collides with output column '$c'"))
     val toks = df
-      .select(col(idCol), explode(split(trim(lower(col(textCol))), "\\s+")).as("tok"))
-      .filter(length(col("tok")) > 0)
-    val rawCounts = toks.groupBy("tok").agg(count(lit(1)).as("cnt_r"))
+      .select(col(idCol), explode(split(trim(lower(col(textCol))), "\\s+")).as("__tok"))
+      .filter(length(col("__tok")) > 0)
+    val rawCounts = toks.groupBy("__tok").agg(count(lit(1)).as("__cnt_r"))
     val tgtCounts = targetDf
-      .select(explode(split(trim(lower(col(targetTextCol))), "\\s+")).as("tok"))
-      .filter(length(col("tok")) > 0)
-      .groupBy("tok").agg(count(lit(1)).as("cnt_t"))
-    val vocab = rawCounts.join(tgtCounts, Seq("tok"), "full")
-      .select(col("tok"),
-        coalesce(col("cnt_r"), lit(0L)).as("cnt_r"),
-        coalesce(col("cnt_t"), lit(0L)).as("cnt_t"))
-    val totals = vocab.agg(sum(col("cnt_r")).as("nr"), sum(col("cnt_t")).as("nt"),
-      count(lit(1)).as("v"))
+      .select(explode(split(trim(lower(col(targetTextCol))), "\\s+")).as("__tok"))
+      .filter(length(col("__tok")) > 0)
+      .groupBy("__tok").agg(count(lit(1)).as("__cnt_t"))
+    val vocab = rawCounts.join(tgtCounts, Seq("__tok"), "full")
+      .select(col("__tok"),
+        coalesce(col("__cnt_r"), lit(0L)).as("__cnt_r"),
+        coalesce(col("__cnt_t"), lit(0L)).as("__cnt_t"))
+    val totals = vocab.agg(sum(col("__cnt_r")).as("__nr"),
+      sum(col("__cnt_t")).as("__nt"), count(lit(1)).as("__v"))
     val llr = vocab.crossJoin(broadcast(totals))
-      .select(col("tok"),
-        (log((col("cnt_t") + 1).cast("double")) -
-          log((col("nt") + col("v")).cast("double")) -
-          log((col("cnt_r") + 1).cast("double")) +
-          log((col("nr") + col("v")).cast("double"))).as("llr"))
-    toks.join(llr, "tok")
+      .select(col("__tok"),
+        (log((col("__cnt_t") + 1).cast("double")) -
+          log((col("__nt") + col("__v")).cast("double")) -
+          log((col("__cnt_r") + 1).cast("double")) +
+          log((col("__nr") + col("__v")).cast("double"))).as("__llr"))
+    toks.join(llr, "__tok")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_tokens"),
-        sum(col("llr").cast("decimal(20,10)")).as("__s"))
+        sum(col("__llr").cast("decimal(20,10)")).as("__s"))
       .select(col(idCol), col("n_tokens"),
         (col("__s").cast("double") / col("n_tokens")).as("importance"))
   }
@@ -553,19 +563,22 @@ object TextFunctions {
   def encodeWithVocab(
       df: DataFrame, idCol: String, textCol: String,
       vocab: DataFrame, unkId: Long = -1L): DataFrame = {
+    Seq("ids", "n_tokens", "n_unk").foreach(c =>
+      require(c != idCol, s"idCol collides with output column '$c'"))
     val toks = df
       .select(col(idCol), posexplode(split(trim(lower(col(textCol))), "\\s+"))
-        .as(Seq("pos", "tok")))
-      .filter(length(col("tok")) > 0)
+        .as(Seq("__pos", "__tok")))
+      .filter(length(col("__tok")) > 0)
     val mapped = toks.join(
-      broadcast(vocab.select(col("token").as("tok"), col("token_id"))),
-      Seq("tok"), "left")
-      .withColumn("tid", coalesce(col("token_id").cast("long"), lit(unkId)))
+      broadcast(vocab.select(col("token").as("__tok"),
+        col("token_id").as("__vid"))),
+      Seq("__tok"), "left")
+      .withColumn("__tid", coalesce(col("__vid").cast("long"), lit(unkId)))
     mapped.groupBy(idCol).agg(
-      transform(array_sort(collect_list(struct(col("pos"), col("tid")))),
-        s => s.getField("tid")).as("ids"),
+      transform(array_sort(collect_list(struct(col("__pos"), col("__tid")))),
+        s => s.getField("__tid")).as("ids"),
       count(lit(1)).as("n_tokens"),
-      sum(when(col("token_id").isNull, 1L).otherwise(0L)).as("n_unk"))
+      sum(when(col("__vid").isNull, 1L).otherwise(0L)).as("n_unk"))
   }
 
   /** Convenience: full text-analysis projection over a document table. */

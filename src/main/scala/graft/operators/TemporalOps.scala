@@ -124,6 +124,10 @@ object TemporalOps {
       require(left.columns.contains(k) && right.columns.contains(k),
         s"equi-key '$k' must exist on both sides")
     }
+    val reserved = Seq("__bin", "__sb", "__eb")
+      .filter(c => left.columns.contains(c) || right.columns.contains(c))
+    require(reserved.isEmpty,
+      s"input columns collide with internal names: ${reserved.mkString(", ")}")
     def bin(c: Column): Column = floor(c.cast("double") / binWidth).cast("long")
     val contains = col(pointCol).isNotNull &&
       col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol)
@@ -187,6 +191,10 @@ object TemporalOps {
     val collisions = left.columns.toSet.intersect(right.columns.toSet) -- keys
     require(collisions.isEmpty,
       s"left/right non-key column names collide: ${collisions.mkString(", ")}")
+    val reserved = Seq("__bin", "__sb", "__eb")
+      .filter(c => left.columns.contains(c) || right.columns.contains(c))
+    require(reserved.isEmpty,
+      s"input columns collide with internal names: ${reserved.mkString(", ")}")
     def bin(c: Column): Column = floor(c.cast("double") / binWidth).cast("long")
     val overlaps = col(lStartCol) <= col(rEndCol) && col(rStartCol) <= col(lEndCol)
     // the bin both intervals first share — each overlapping pair owns
@@ -210,19 +218,26 @@ object TemporalOps {
       .filter(overlaps && col("__bin") === ownerBin)
       .select(outCols: _*)
     // broadcast escapes: (long-left × all-right) and (short-left ×
-    // long-right) — long×long pairs fall in the first bucket only
-    def bnl(l: DataFrame, r: DataFrame): DataFrame = {
-      val cond = keys.map(k => l(k) === r(k)).reduceOption(_ && _)
+    // long-right) — long×long pairs fall in the first bucket only. The
+    // RARE (long) side is always the broadcast build side; the other side
+    // streams.
+    def joinCond(l: DataFrame, r: DataFrame) =
+      keys.map(k => l(k) === r(k)).reduceOption(_ && _)
         .map(_ && overlaps).getOrElse(overlaps)
-      l.join(broadcast(r), cond)
-        .select((left.columns.map(l(_)) ++ rightOut.map(r(_))).toIndexedSeq: _*)
-    }
+    def outOf(l: DataFrame, r: DataFrame) =
+      (left.columns.map(l(_)) ++ rightOut.map(r(_))).toIndexedSeq
     def shortNoBin(df: DataFrame): DataFrame =
       df.filter(col("__eb") - col("__sb") < maxBinsPerInterval.toLong)
         .drop("__sb", "__eb")
-    binned
-      .unionByName(bnl(long(lv), rv.drop("__sb", "__eb")))
-      .unionByName(bnl(shortNoBin(lv), long(rv)))
+    val lLong = long(lv)
+    val rAll = rv.drop("__sb", "__eb")
+    val longLeft = rAll.join(broadcast(lLong), joinCond(lLong, rAll))
+      .select(outOf(lLong, rAll): _*)
+    val lShort = shortNoBin(lv)
+    val rLong = long(rv)
+    val longRight = lShort.join(broadcast(rLong), joinCond(lShort, rLong))
+      .select(outOf(lShort, rLong): _*)
+    binned.unionByName(longLeft).unionByName(longRight)
   }
 
   /**

@@ -920,6 +920,28 @@ class FunctionsSpec extends SparkTestBase {
     assert(got.filter(col("n_tokens") =!= 128).count() <= 1) // only the tail is short
   }
 
+  test("packSequences treats null id arrays as empty (no partition NPE)") {
+    val d = df(Seq(
+      Seq(1L, null),
+      Seq(2L, Seq(1L, 2L)),
+      Seq(3L, null)), "doc_id:long,ids:[long]")
+    val out = TextFunctions.packSequences(d, "doc_id", "ids", seqLen = 2)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList))
+    assert(out.toList === List((0L, List(1L, 2L))))
+  }
+
+  test("encodeWithVocab works with collision-prone id column names") {
+    val d = df(Seq(Seq(7, "red blue")), "pos:int,text:str")
+    val vocab = df(Seq(Seq("red", 1)), "token:str,token_id:int")
+    val out = TextFunctions.encodeWithVocab(d, "pos", "text", vocab)
+      .collect().map(r => (r.getInt(0), r.getSeq[Long](1).toList))
+    assert(out.toList === List((7, List(1L, -1L))))
+    intercept[IllegalArgumentException] {
+      TextFunctions.encodeWithVocab(d.withColumnRenamed("pos", "ids"),
+        "ids", "text", vocab)
+    }
+  }
+
   test("even repartition balances exactly") {
     val d = df((1 to 103).map(i => Seq(i)), "x:int")
     val out = graft.operators.Repartitioner.even(d, 10, Nil)

@@ -87,6 +87,19 @@ class TemporalOpsSpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("rangeJoin/intervalJoin reject inputs using reserved internal names") {
+    val l = df(Seq(Seq(1L, 5.0, 3L)), "pid:long,p:double,__bin:long")
+    val r = df(Seq(Seq(10L, 0.0, 9.0)), "iid:long,s:double,e:double")
+    intercept[IllegalArgumentException] {
+      TemporalOps.rangeJoin(l, r, "p", "s", "e", binWidth = 2.0)
+    }
+    val l2 = df(Seq(Seq(1L, 0.0, 1.0)), "lid:long,ls:double,le:double")
+    val r2 = df(Seq(Seq(10L, 0.0, 9.0, 1L)), "rid:long,rs:double,re:double,__sb:long")
+    intercept[IllegalArgumentException] {
+      TemporalOps.intervalJoin(l2, r2, "ls", "le", "rs", "re", binWidth = 2.0)
+    }
+  }
+
   test("rangeJoin with equi-keys only pairs within the key") {
     val l = df(Seq(
       Seq(1L, "a", 5.0), Seq(2L, "b", 5.0)), "pid:long,k:str,p:double")
