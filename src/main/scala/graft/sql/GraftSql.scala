@@ -108,7 +108,10 @@ object GraftSql {
    * `drop_near_dups(threshold:0.5[, by:quality_col[, ascending:true]])`,
    * `lm_score(id:doc_id, col:text)`, `quality_filter(min_tokens:5, ...)`,
    * `redact_pii(col:text)`, `chunk_tokens(chunk:256, overlap:0)`,
-   * `PROCESS corpus, eval USING decontaminate(k:5, threshold:0.5)`.
+   * `PROCESS corpus, eval USING decontaminate(k:5, threshold:0.5)`,
+   * `clean_text(col:text)`, `dedup_segments(segment:50)`,
+   * `ngram_stats(n:2)`,
+   * `PROCESS batch, corpus USING dedup_against(k:3, threshold:0.8)`.
    * User extensions with the same name win. */
   val builtinExtensions: Extensions = Extensions(outputters = Map(
     "assert_eq" -> OutputterDef { (dfs, params) =>
@@ -176,6 +179,25 @@ object GraftSql {
             p.getOrElse("eval_col", "text"),
             shingleK = p.get("k").map(_.toInt).getOrElse(5),
             threshold = p.get("threshold").map(_.toDouble).getOrElse(0.5))
+        },
+        "clean_text" -> ProcessorDef { (_, dfs, p) =>
+          val d = one(dfs, "clean_text")
+          d.withColumn(tcol(p), TextFunctions.cleanText(col(tcol(p))))
+        },
+        "dedup_segments" -> ProcessorDef { (_, dfs, p) =>
+          Dedup.segmentDedup(one(dfs, "dedup_segments"), id(p), tcol(p),
+            segmentTokens = p.getOrElse("segment", "50").toInt)
+        },
+        "ngram_stats" -> ProcessorDef { (_, dfs, p) =>
+          TextFunctions.ngramRepetitionStats(one(dfs, "ngram_stats"),
+            id(p), tcol(p), n = p.getOrElse("n", "2").toInt)
+        },
+        "dedup_against" -> ProcessorDef { (_, dfs, p) =>
+          require(dfs.size == 2, "dedup_against takes (batch, reference)")
+          Dedup.dropNearDuplicatesAgainst(dfs.head, id(p), tcol(p), dfs(1),
+            p.getOrElse("ref_id", "doc_id"), p.getOrElse("ref_col", "text"),
+            shingleK = p.get("k").map(_.toInt).getOrElse(3),
+            threshold = p.get("threshold").map(_.toDouble).getOrElse(0.8))
         })
     })
 

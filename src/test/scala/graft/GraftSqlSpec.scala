@@ -540,6 +540,32 @@ class GraftSqlSpec extends SparkTestBase {
     assert(res3.yields("out").count() === 1)
   }
 
+  test("built-in cleanup/segment/cross-corpus processors from the dialect") {
+    val docs = df(Seq(
+      Seq(1L, "a b c d e f"),
+      Seq(2L, "a b c z z z")), "doc_id:long,text:str")
+    val ref = df(Seq(Seq(100L, "a b c d e f")), "doc_id:long,text:str")
+    val res = GraftSql.run(engine,
+      """cleaned = PROCESS docs USING clean_text
+        |YIELD cleaned AS cleaned
+        |segs = PROCESS docs USING dedup_segments(segment:3)
+        |YIELD segs AS segs
+        |stats = PROCESS docs USING ngram_stats(n:2)
+        |YIELD stats AS stats
+        |fresh = PROCESS docs, ref USING dedup_against(k:3, threshold:0.9)
+        |YIELD fresh AS fresh
+        |""".stripMargin, Map("docs" -> docs, "ref" -> ref))
+    assert(res.yields("cleaned").count() === 2)
+    // doc 1 owns "a b c"; doc 2 keeps only its own "z z z" tail
+    val segs = res.yields("segs").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(segs(1L) === "a b c d e f" && segs(2L) === "z z z")
+    assert(res.yields("stats").columns.toSeq ===
+      Seq("doc_id", "top_ngram", "top_ngram_char_frac", "dup_ngram_char_frac"))
+    // doc 1 duplicates the reference corpus → dropped; doc 2 survives
+    assert(res.yields("fresh").collect().map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
   test("multi-line UNION ALL stays one statement; OVER(ORDER BY) gets implicit FROM") {
     val res = GraftSql.run(engine,
       """a = SELECT k, v FROM input WHERE v > 8 UNION ALL
