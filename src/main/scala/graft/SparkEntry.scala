@@ -633,6 +633,48 @@ object SparkEntry {
       val vocab = TextFunctions.buildVocab(docs, "text", size = 200, minCount = 2L)
       TextFunctions.encodeWithVocab(docs, "doc_id", "text", vocab)
     }),
+    // BPE tokenizer training differential: deterministic across runs, the
+    // first merge equals the SQL-brute-forced max adjacent pair of the
+    // initial character state, merge table well-formed, and applying the
+    // merges is lossless (subword concat == whitespace-stripped text)
+    "t21_bpe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val m1 = TextFunctions.learnBpe(docs, "text", numMerges = 40)
+      val m2 = TextFunctions.learnBpe(docs, "text", numMerges = 40)
+      val det = graft.api.DfUtils.dfEq(m1, m2)
+      // SQL brute force of round 1: adjacent pairs of (chars :+ </w>)
+      val words = docs
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .select(col("cnt"),
+          concat(split(col("w"), ""), array(lit("</w>"))).as("syms"))
+      val top = words
+        .select(col("cnt"), posexplode(slice(col("syms"), lit(1),
+          size(col("syms")) - 1)).as(Seq("i", "l")),
+          col("syms"))
+        .select(col("cnt"), col("l"),
+          element_at(col("syms"), col("i") + 2).as("r"))
+        .groupBy("l", "r").agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("l").asc, col("r").asc)
+        .limit(1).collect().head
+      val first = m1.orderBy("rank").limit(1).collect().head
+      val firstOk = first.getString(1) == top.getString(0) &&
+        first.getString(2) == top.getString(1) &&
+        first.getLong(4) == top.getLong(2)
+      val rows = m1.collect()
+      val wellformed = rows.length == 40 &&
+        rows.forall(r => r.getString(3) == r.getString(1) + r.getString(2)) &&
+        rows.map(_.getLong(0)).sorted.toSeq == (1L to 40L)
+      val mergeList = rows.sortBy(_.getLong(0))
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val lossless = docs.select(
+        array_join(TextFunctions.applyBpe(col("text"), mergeList), "").as("a"),
+        regexp_replace(trim(lower(col("text"))), "\\s+", "").as("b"))
+        .filter(col("a") =!= col("b")).isEmpty
+      eng(s).toDF(Seq(Seq(
+        if (det && firstOk && wellformed && lossless) 1L else 0L)), "bpe_ok:long")
+    }),
     // sequence packing: the tokenized corpus sliced into 128-token
     // training examples via the distributed prefix sum; exact oracle
     "t20_pack_sequences" -> ((s, dir) => {
@@ -1481,6 +1523,7 @@ object SparkEntry {
         | CAST(len(w[cid*40+1 : cid*40+50]) AS INTEGER) AS n_tokens
         |FROM j""".stripMargin,
     "s06_semantic_dedup" -> "SELECT CAST(1 AS BIGINT) AS sem_ok",
+    "t21_bpe" -> "SELECT CAST(1 AS BIGINT) AS bpe_ok",
     "t18_clean_text" ->
       s"SELECT doc_id, ${sqlCleaned(SqlInjectedDirty)} AS cleaned FROM documents",
     "t19_encode" ->

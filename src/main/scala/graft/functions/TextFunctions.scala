@@ -581,6 +581,119 @@ object TextFunctions {
       sum(when(col("__vid").isNull, 1L).otherwise(0L)).as("n_unk"))
   }
 
+  /**
+   * Learn a byte-pair-encoding merge table from the corpus (the
+   * tokenizer-training step of an LLM data pipeline). Classic word-level
+   * BPE: words are symbol sequences starting as characters (plus an
+   * end-of-word marker symbol), and each round merges the
+   * highest-frequency adjacent symbol pair (ties: left then right symbol
+   * ascending — fully deterministic). Output: (rank 1..numMerges, left,
+   * right, merged, pair_count), ranks in merge order.
+   *
+   * Scale split, as in IVF training: the CORPUS-sized work — word
+   * counting — is one distributed hash aggregation, truncated to the
+   * `maxWords` most frequent words (TakeOrderedAndProject: per-partition
+   * truncation, no full sort); the merge loop then runs exactly on the
+   * BOUNDED word-count table on the driver (the table is
+   * vocabulary-sized — millions of entries at web scale, independent of
+   * corpus bytes). No per-iteration Spark jobs, no lineage growth.
+   */
+  def learnBpe(
+      df: DataFrame, textCol: String, numMerges: Int,
+      maxWords: Int = 100000, endOfWord: String = "</w>"): DataFrame = {
+    require(numMerges > 0, s"numMerges must be positive, got $numMerges")
+    require(maxWords > 0, s"maxWords must be positive, got $maxWords")
+    val wordCounts = df
+      .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w").asc)
+      .limit(maxWords)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    // symbol sequences: characters + end-of-word marker
+    val words: Array[(scala.collection.mutable.ArrayBuffer[String], Long)] =
+      wordCounts.map { case (w, c) =>
+        val syms = scala.collection.mutable.ArrayBuffer(
+          w.map(_.toString): _*) += endOfWord
+        (syms, c)
+      }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var round = 0
+    var done = false
+    while (round < numMerges && !done) {
+      val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          pairCounts.update(k, pairCounts.getOrElse(k, 0L) + c)
+          i += 1
+        }
+      }
+      if (pairCounts.isEmpty) done = true
+      else {
+        val ((l, r), c) = pairCounts.minBy { case ((a, b), n) => (-n, a, b) }
+        merges += ((l, r, c))
+        words.foreach { case (syms, _) =>
+          var i = 0
+          while (i < syms.length - 1) {
+            if (syms(i) == l && syms(i + 1) == r) {
+              syms(i) = l + r
+              syms.remove(i + 1)
+            } else i += 1
+          }
+        }
+        round += 1
+      }
+    }
+    val rows = merges.zipWithIndex.map { case ((l, r, c), i) =>
+      Seq[Any](i + 1L, l, r, l + r, c)
+    }.toSeq
+    graft.engine.SparkGraftEngine(df.sparkSession)
+      .toDF(rows, "rank:long,left:str,right:str,merged:str,pair_count:long")
+  }
+
+  /**
+   * Apply a learned BPE merge table: tokenize text into subword units by
+   * replaying the merges in rank order over each word's character
+   * sequence. Output column: array<string> of subword tokens (end-of-word
+   * markers folded into the final symbol). The merge table is a bounded
+   * driver-side list riding in the closure (broadcast with the task) —
+   * application itself is a narrow per-row pass, no shuffle.
+   */
+  def applyBpe(
+      text: Column, merges: Seq[(String, String)],
+      endOfWord: String = "</w>"): Column = {
+    val ranked = merges.zipWithIndex.toMap
+    val tokenize = udf { (s: String) =>
+      if (s == null) Array.empty[String]
+      else s.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).flatMap { w =>
+        val syms = scala.collection.mutable.ArrayBuffer(
+          w.map(_.toString): _*) += endOfWord
+        var changed = true
+        while (changed && syms.length > 1) {
+          // lowest-rank applicable merge, replayed as in training
+          (0 until syms.length - 1)
+            .flatMap(i => ranked.get((syms(i), syms(i + 1)))).minOption match {
+            case Some(rk) =>
+              val (l, r) = merges(rk)
+              var i = 0
+              while (i < syms.length - 1) {
+                if (syms(i) == l && syms(i + 1) == r) {
+                  syms(i) = l + r
+                  syms.remove(i + 1)
+                } else i += 1
+              }
+            case None => changed = false
+          }
+        }
+        syms.map(x => if (x.endsWith(endOfWord)) x.dropRight(endOfWord.length) else x)
+          .filter(_.nonEmpty)
+      }
+    }
+    tokenize(text)
+  }
+
   /** Convenience: full text-analysis projection over a document table. */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val base = df.select(

@@ -942,6 +942,26 @@ class FunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("learnBpe reproduces the classic merge sequence; applyBpe replays it") {
+    // Sennrich et al. example: low x5, lower x2, newest x6, widest x3
+    val corpus = df(Seq(
+      Seq(1L, Seq.fill(5)("low").mkString(" ")),
+      Seq(2L, Seq.fill(2)("lower").mkString(" ")),
+      Seq(3L, Seq.fill(6)("newest").mkString(" ")),
+      Seq(4L, Seq.fill(3)("widest").mkString(" "))), "doc_id:long,text:str")
+    val merges = TextFunctions.learnBpe(corpus, "text", numMerges = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4)))
+    // max pair 9 is a 3-way tie (e,s)/(s,t)/(t,</w>) → lex tie-break
+    assert(merges.toList === List(
+      ("e", "s", 9L), ("es", "t", 9L), ("est", "</w>", 9L), ("l", "o", 7L)))
+    val toks = corpus.select(TextFunctions.applyBpe(col("text"),
+      merges.map(m => (m._1, m._2)).toSeq).as("t"))
+      .collect().map(_.getSeq[String](0).toList)
+    assert(toks.contains(List.fill(6)(List("n", "e", "w", "est")).flatten))
+    assert(toks.contains(List.fill(5)(List("lo", "w")).flatten))
+  }
+
   test("even repartition balances exactly") {
     val d = df((1 to 103).map(i => Seq(i)), "x:int")
     val out = graft.operators.Repartitioner.even(d, 10, Nil)
