@@ -633,6 +633,13 @@ object SparkEntry {
       val vocab = TextFunctions.buildVocab(docs, "text", size = 200, minCount = 2L)
       TextFunctions.encodeWithVocab(docs, "doc_id", "text", vocab)
     }),
+    // column-level data profile (Deequ-style): exact distincts, null
+    // counts, min/max — one aggregation pass; full DuckDB oracle over the
+    // non-FP orders columns (FP/timestamp string rendering differs across
+    // engines, so the conformance subset sticks to exact-rendering types)
+    "q66_profile" -> ((s, dir) =>
+      graft.api.DfUtils.profile(t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))),
     // BPE tokenizer training differential: deterministic across runs, the
     // first merge equals the SQL-brute-forced max adjacent pair of the
     // initial character state, merge table well-formed, and applying the
@@ -1524,6 +1531,29 @@ object SparkEntry {
         |FROM j""".stripMargin,
     "s06_semantic_dedup" -> "SELECT CAST(1 AS BIGINT) AS sem_ok",
     "t21_bpe" -> "SELECT CAST(1 AS BIGINT) AS bpe_ok",
+    "q66_profile" ->
+      """WITH p AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  o_orderpriority FROM orders)
+        |SELECT 'o_orderkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_nulls,
+        | CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+        | CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+        | CAST(max(o_orderkey) AS VARCHAR) AS max_value FROM p
+        |UNION ALL
+        |SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+        | CAST(count(*) - count(o_custkey) AS BIGINT),
+        | CAST(count(DISTINCT o_custkey) AS BIGINT),
+        | CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR) FROM p
+        |UNION ALL
+        |SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+        | CAST(count(*) - count(o_orderstatus) AS BIGINT),
+        | CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+        | min(o_orderstatus), max(o_orderstatus) FROM p
+        |UNION ALL
+        |SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+        | CAST(count(*) - count(o_orderpriority) AS BIGINT),
+        | CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+        | min(o_orderpriority), max(o_orderpriority) FROM p""".stripMargin,
     "t18_clean_text" ->
       s"SELECT doc_id, ${sqlCleaned(SqlInjectedDirty)} AS cleaned FROM documents",
     "t19_encode" ->

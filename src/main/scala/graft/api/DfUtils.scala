@@ -39,6 +39,50 @@ object DfUtils {
     diff(a, b, checkSchema, checkOrder, floatDigits)
       .foreach(msg => throw new AssertionError(s"dataframes differ: $msg"))
 
+  /**
+   * Column-level data profile (the Deequ-style quality report): one output
+   * row per column with (col_name, n_rows, n_nulls, n_distinct, min_value,
+   * max_value) — distinct counts are EXACT, min/max render as strings so
+   * heterogeneous column types fit one frame. Columns whose type is not
+   * orderable (maps) get null min/max.
+   *
+   * Scale: ONE aggregation pass over the data — Spark plans the multiple
+   * exact count-distincts via expand (one row per (input row, column)
+   * internally, all map-side partial-aggregated); the result is a single
+   * collected row of 4·|columns| values, never per-row driver work.
+   */
+  def profile(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.MapType
+    require(df.columns.nonEmpty, "cannot profile a zero-column dataframe")
+    def orderable(c: String): Boolean =
+      !df.schema(c).dataType.isInstanceOf[MapType]
+    val aggs = df.columns.flatMap { c =>
+      Seq(count(col(c)).as(s"__cnt_$c"),
+        countDistinct(col(c)).as(s"__nd_$c")) ++
+        (if (orderable(c))
+          Seq(min(col(c)).cast("string").as(s"__min_$c"),
+            max(col(c)).cast("string").as(s"__max_$c"))
+        else
+          Seq(lit(null).cast("string").as(s"__min_$c"),
+            lit(null).cast("string").as(s"__max_$c")))
+    }
+    val r = df.agg(count(lit(1)).as("__n"), aggs.toIndexedSeq: _*)
+      .collect().head
+    val total = r.getLong(r.fieldIndex("__n"))
+    val rows: Seq[Seq[Any]] = df.columns.toSeq.map { c =>
+      val cnt = r.getLong(r.fieldIndex(s"__cnt_$c"))
+      Seq[Any](c, total, total - cnt,
+        r.getLong(r.fieldIndex(s"__nd_$c")),
+        if (r.isNullAt(r.fieldIndex(s"__min_$c"))) null
+        else r.getString(r.fieldIndex(s"__min_$c")),
+        if (r.isNullAt(r.fieldIndex(s"__max_$c"))) null
+        else r.getString(r.fieldIndex(s"__max_$c")))
+    }
+    graft.engine.SparkGraftEngine(df.sparkSession).toDF(rows,
+      "col_name:str,n_rows:long,n_nulls:long,n_distinct:long," +
+        "min_value:str,max_value:str")
+  }
+
   /** None when equal; Some(reason) otherwise. */
   private def diff(
       a: DataFrame, b: DataFrame,

@@ -135,4 +135,16 @@ class ApiSpec extends SparkTestBase {
     assertDfEq(engine.intersect(Seq(i1, u2, u3), distinct = true), Seq(Seq(3)))
     intercept[IllegalArgumentException](engine.join(Seq(a), "inner"))
   }
+
+  test("DfUtils.profile: exact per-column nulls/distincts/min/max") {
+    val d = df(Seq(
+      Seq("a", 1, 2.5),
+      Seq("b", null, 1.0),
+      Seq("a", 3, null)), "k:str,v:int,x:double")
+    val p = graft.api.DfUtils.profile(d).collect()
+      .map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(p("k") === Seq(3L, 0L, 2L, "a", "b"))
+    assert(p("v") === Seq(3L, 1L, 2L, "1", "3"))
+    assert(p("x")(0) === 3L && p("x")(1) === 1L && p("x")(2) === 2L)
+  }
 }
