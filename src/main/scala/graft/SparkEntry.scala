@@ -633,6 +633,16 @@ object SparkEntry {
       val vocab = TextFunctions.buildVocab(docs, "text", size = 200, minCount = 2L)
       TextFunctions.encodeWithVocab(docs, "doc_id", "text", vocab)
     }),
+    // URL/domain source analysis over a deterministically URL-injected
+    // corpus (the corpus itself has none) — exact DuckDB oracle
+    "t22_url_domains" -> ((s, dir) => {
+      val injected = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" see https://site"), (col("doc_id") % 7).cast("string"),
+          lit(".example.org/p/"), col("doc_id").cast("string"),
+          lit(" and http://cdn.example.net/img.jpg")).as("text"))
+      TextFunctions.urlDomainStats(injected, "doc_id", "text")
+    }),
     // column-level data profile (Deequ-style): exact distincts, null
     // counts, min/max — one aggregation pass; full DuckDB oracle over the
     // non-FP orders columns (FP/timestamp string rendering differs across
@@ -1531,6 +1541,20 @@ object SparkEntry {
         |FROM j""".stripMargin,
     "s06_semantic_dedup" -> "SELECT CAST(1 AS BIGINT) AS sem_ok",
     "t21_bpe" -> "SELECT CAST(1 AS BIGINT) AS bpe_ok",
+    "t22_url_domains" ->
+      (s"""WITH injected AS (
+        | SELECT doc_id, concat(text, ' see https://site',
+        |  CAST(doc_id % 7 AS VARCHAR), '.example.org/p/',
+        |  CAST(doc_id AS VARCHAR), ' and http://cdn.example.net/img.jpg') AS text
+        | FROM documents),
+        |hits AS (
+        | SELECT doc_id,
+        |  unnest(regexp_extract_all(text, '${graft.functions.TextFunctions.UrlRegex}', 1)) AS domain
+        | FROM injected),
+        |per_doc AS (SELECT domain, doc_id, count(*) AS n FROM hits GROUP BY 1, 2)
+        |SELECT domain, CAST(sum(n) AS BIGINT) AS n_urls,
+        | CAST(count(*) AS BIGINT) AS n_docs
+        |FROM per_doc GROUP BY domain""").stripMargin,
     "q66_profile" ->
       """WITH p AS (SELECT o_orderkey, o_custkey, o_orderstatus,
         |  o_orderpriority FROM orders)

@@ -694,6 +694,35 @@ object TextFunctions {
     tokenize(text)
   }
 
+  /** URL pattern shared by [[extractUrls]] and its oracle twin — RE2-safe
+   * (no lookarounds), domain in capture group 1. */
+  val UrlRegex = "https?://([A-Za-z0-9.-]+)[^\\s]*"
+
+  /** All http(s) URLs in `text`, in order (codegen'd regexp_extract_all). */
+  def extractUrls(text: Column): Column =
+    regexp_extract_all(text, lit(UrlRegex), lit(0))
+
+  /**
+   * Per-domain URL statistics over a corpus — the source-analysis step of
+   * a web-scale pipeline (domain mixing, blocklists, crawl audits).
+   * Output: (domain, n_urls, n_docs) — total URL mentions and distinct
+   * documents mentioning the domain.
+   *
+   * Scale: one narrow extract + explode, then a domain-keyed aggregation
+   * over (domain, id) pairs pre-deduplicated per document by the first
+   * aggregate — the second shuffles one row per (domain, doc).
+   */
+  def urlDomainStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val perDoc = df
+      .select(col(idCol).as("__id"),
+        explode(regexp_extract_all(col(textCol), lit(UrlRegex), lit(1)))
+          .as("domain"))
+      .groupBy(col("domain"), col("__id")).agg(count(lit(1)).as("__n"))
+    perDoc.groupBy("domain").agg(
+      sum(col("__n")).as("n_urls"),
+      count(lit(1)).as("n_docs"))
+  }
+
   /** Convenience: full text-analysis projection over a document table. */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val base = df.select(

@@ -962,6 +962,19 @@ class FunctionsSpec extends SparkTestBase {
     assert(toks.contains(List.fill(5)(List("lo", "w")).flatten))
   }
 
+  test("extractUrls and urlDomainStats") {
+    val d = df(Seq(
+      Seq(1L, "go to https://a.example.org/x and http://b.net/y?z=1 now"),
+      Seq(2L, "again https://a.example.org/other plus plain text"),
+      Seq(3L, "no urls here")), "doc_id:long,text:str")
+    val urls = d.select(TextFunctions.extractUrls(col("text")).as("u"))
+      .collect().map(_.getSeq[String](0).toList)
+    assert(urls.contains(List("https://a.example.org/x", "http://b.net/y?z=1")))
+    val stats = TextFunctions.urlDomainStats(d, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(stats === Map("a.example.org" -> ((2L, 2L)), "b.net" -> ((1L, 1L))))
+  }
+
   test("even repartition balances exactly") {
     val d = df((1 to 103).map(i => Seq(i)), "x:int")
     val out = graft.operators.Repartitioner.even(d, 10, Nil)
