@@ -1002,6 +1002,22 @@ object SparkEntry {
         .select("event_id", "win_id")
     }),
 
+    // semi-structured parsing: JSON props column → typed field, grouped
+    "q67_json_props" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          max(col("k")).as("max_k"))),
+    // pivot: per-user event counts spread across event-type columns
+    "q68_pivot" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)),
+
     // ---- SQL passthrough breadth (same text on Spark and DuckDB) ------
     "q32_rollup" -> ((s, dir) =>
       eng(s).sqlSelect(SqlRollup, Map("orders" -> t(s, dir, "orders")))),
@@ -1456,6 +1472,19 @@ object SparkEntry {
         |  ts + INTERVAL 15 MINUTE AS ee FROM e WHERE event_type = 'error')
         |SELECT p.p_id, r.e_id
         |FROM p, r WHERE p.ps <= r.ee AND r.es <= p.pe""".stripMargin,
+    "q67_json_props" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+        | CAST(max(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q68_pivot" ->
+      """SELECT user_id,
+        | CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        | CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+        | CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        | CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        | CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+        |FROM events GROUP BY user_id""".stripMargin,
     "q64_range_join" ->
       """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
         |  FROM events),
