@@ -636,8 +636,10 @@ object SparkEntry {
     // URL/domain source analysis over a deterministically URL-injected
     // corpus (the corpus itself has none) — exact DuckDB oracle
     "t22_url_domains" -> ((s, dir) => {
+      // coalesce: Spark concat is null-on-any-null, DuckDB concat skips
+      // nulls — guard both sides identically
       val injected = t(s, dir, "documents").select(col("doc_id"),
-        concat(col("text"),
+        concat(coalesce(col("text"), lit("")),
           lit(" see https://site"), (col("doc_id") % 7).cast("string"),
           lit(".example.org/p/"), col("doc_id").cast("string"),
           lit(" and http://cdn.example.net/img.jpg")).as("text"))
@@ -1016,7 +1018,9 @@ object SparkEntry {
         .groupBy("user_id")
         .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
         .agg(count(lit(1)))
-        .na.fill(0L)),
+        // scoped fill: an unqualified na.fill would also rewrite a null
+        // GROUP KEY to 0, silently merging it with the real user 0
+        .na.fill(0L, Seq("click", "view", "purchase", "signup", "error"))),
 
     // ---- SQL passthrough breadth (same text on Spark and DuckDB) ------
     "q32_rollup" -> ((s, dir) =>
@@ -1572,7 +1576,7 @@ object SparkEntry {
     "t21_bpe" -> "SELECT CAST(1 AS BIGINT) AS bpe_ok",
     "t22_url_domains" ->
       (s"""WITH injected AS (
-        | SELECT doc_id, concat(text, ' see https://site',
+        | SELECT doc_id, concat(coalesce(text, ''), ' see https://site',
         |  CAST(doc_id % 7 AS VARCHAR), '.example.org/p/',
         |  CAST(doc_id AS VARCHAR), ' and http://cdn.example.net/img.jpg') AS text
         | FROM documents),

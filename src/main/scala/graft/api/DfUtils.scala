@@ -52,16 +52,25 @@ object DfUtils {
    * collected row of 4·|columns| values, never per-row driver work.
    */
   def profile(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.types.MapType
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
     require(df.columns.nonEmpty, "cannot profile a zero-column dataframe")
-    def orderable(c: String): Boolean =
-      !df.schema(c).dataType.isInstanceOf[MapType]
+    // literal (backtick-quoted) reference: col("a.b") would parse as a
+    // struct-field path
+    def qcol(c: String) = col(s"`${c.replace("`", "``")}`")
+    // min/max need a fully orderable type — a map ANYWHERE in the tree
+    // (array<map>, struct with a map field) breaks ordering
+    def orderable(dt: DataType): Boolean = dt match {
+      case _: MapType => false
+      case ArrayType(et, _) => orderable(et)
+      case st: StructType => st.fields.forall(f => orderable(f.dataType))
+      case _ => true
+    }
     val aggs = df.columns.flatMap { c =>
-      Seq(count(col(c)).as(s"__cnt_$c"),
-        countDistinct(col(c)).as(s"__nd_$c")) ++
-        (if (orderable(c))
-          Seq(min(col(c)).cast("string").as(s"__min_$c"),
-            max(col(c)).cast("string").as(s"__max_$c"))
+      Seq(count(qcol(c)).as(s"__cnt_$c"),
+        countDistinct(qcol(c)).as(s"__nd_$c")) ++
+        (if (orderable(df.schema(c).dataType))
+          Seq(min(qcol(c)).cast("string").as(s"__min_$c"),
+            max(qcol(c)).cast("string").as(s"__max_$c"))
         else
           Seq(lit(null).cast("string").as(s"__min_$c"),
             lit(null).cast("string").as(s"__max_$c")))

@@ -598,9 +598,40 @@ object TextFunctions {
    * vocabulary-sized — millions of entries at web scale, independent of
    * corpus bytes). No per-iteration Spark jobs, no lineage growth.
    */
+  /** A word's initial BPE symbol sequence: Unicode CODE POINTS (surrogate
+   * pairs stay intact — UTF-16 unit splitting would fabricate lone
+   * surrogates for non-BMP text) plus the end-of-word marker. Shared by
+   * [[learnBpe]] and [[applyBpe]] so train/apply cannot diverge. */
+  private def bpeSymbols(
+      w: String, endOfWord: String): scala.collection.mutable.ArrayBuffer[String] = {
+    val syms = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      syms += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    syms += endOfWord
+  }
+
+  /** Merge every adjacent (l, r) occurrence in `syms`, left to right (the
+   * single greedy-replace rule of both training and application). */
+  private def bpeMergePair(
+      syms: scala.collection.mutable.ArrayBuffer[String],
+      l: String, r: String): Unit = {
+    var i = 0
+    while (i < syms.length - 1) {
+      if (syms(i) == l && syms(i + 1) == r) {
+        syms(i) = l + r
+        syms.remove(i + 1)
+      } else i += 1
+    }
+  }
+
   def learnBpe(
       df: DataFrame, textCol: String, numMerges: Int,
       maxWords: Int = 100000, endOfWord: String = "</w>"): DataFrame = {
+    import scala.collection.mutable
     require(numMerges > 0, s"numMerges must be positive, got $numMerges")
     require(maxWords > 0, s"maxWords must be positive, got $maxWords")
     val wordCounts = df
@@ -610,38 +641,48 @@ object TextFunctions {
       .orderBy(col("cnt").desc, col("w").asc)
       .limit(maxWords)
       .collect().map(r => r.getString(0) -> r.getLong(1))
-    // symbol sequences: characters + end-of-word marker
-    val words: Array[(scala.collection.mutable.ArrayBuffer[String], Long)] =
-      wordCounts.map { case (w, c) =>
-        val syms = scala.collection.mutable.ArrayBuffer(
-          w.map(_.toString): _*) += endOfWord
-        (syms, c)
-      }
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    val words: Array[(mutable.ArrayBuffer[String], Long)] =
+      wordCounts.map { case (w, c) => (bpeSymbols(w, endOfWord), c) }
+    // incremental pair statistics (the Sennrich-trainer shape): a global
+    // pair-count map plus a pair -> word-index posting list, both updated
+    // only for the words a merge actually touches — each round costs
+    // O(distinct pairs) for the argmax + O(touched symbols), not a full
+    // recount of every word
+    val pairCounts = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    def wordPairs(syms: mutable.ArrayBuffer[String]): Seq[(String, String)] =
+      (0 until syms.length - 1).map(i => (syms(i), syms(i + 1)))
+    def add(p: (String, String), c: Long, wi: Int): Unit = {
+      pairCounts.update(p, pairCounts.getOrElse(p, 0L) + c)
+      pairWords.getOrElseUpdate(p, mutable.Set.empty) += wi
+    }
+    def remove(p: (String, String), c: Long, wi: Int): Unit = {
+      val n = pairCounts(p) - c
+      if (n == 0L) { pairCounts.remove(p); pairWords.remove(p) }
+      else pairCounts.update(p, n)
+      // wi may still hold p at another position; posting lists are
+      // re-added below for pairs the rewritten word retains
+    }
+    words.zipWithIndex.foreach { case ((syms, c), wi) =>
+      wordPairs(syms).foreach(p => add(p, c, wi))
+    }
+    val merges = mutable.ArrayBuffer.empty[(String, String, Long)]
     var round = 0
     var done = false
     while (round < numMerges && !done) {
-      val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
-      words.foreach { case (syms, c) =>
-        var i = 0
-        while (i < syms.length - 1) {
-          val k = (syms(i), syms(i + 1))
-          pairCounts.update(k, pairCounts.getOrElse(k, 0L) + c)
-          i += 1
-        }
-      }
       if (pairCounts.isEmpty) done = true
       else {
         val ((l, r), c) = pairCounts.minBy { case ((a, b), n) => (-n, a, b) }
         merges += ((l, r, c))
-        words.foreach { case (syms, _) =>
-          var i = 0
-          while (i < syms.length - 1) {
-            if (syms(i) == l && syms(i + 1) == r) {
-              syms(i) = l + r
-              syms.remove(i + 1)
-            } else i += 1
-          }
+        val touched = pairWords.get((l, r)).map(_.toArray).getOrElse(Array.empty)
+        touched.foreach { wi =>
+          val (syms, wc) = words(wi)
+          // word-local recount: subtract the word's old pair multiset,
+          // rewrite, add the new one — exactly equivalent to a full
+          // recount, touching only this word
+          wordPairs(syms).foreach(p => remove(p, wc, wi))
+          bpeMergePair(syms, l, r)
+          wordPairs(syms).foreach(p => add(p, wc, wi))
         }
         round += 1
       }
@@ -668,8 +709,7 @@ object TextFunctions {
     val tokenize = udf { (s: String) =>
       if (s == null) Array.empty[String]
       else s.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).flatMap { w =>
-        val syms = scala.collection.mutable.ArrayBuffer(
-          w.map(_.toString): _*) += endOfWord
+        val syms = bpeSymbols(w, endOfWord)
         var changed = true
         while (changed && syms.length > 1) {
           // lowest-rank applicable merge, replayed as in training
@@ -677,13 +717,7 @@ object TextFunctions {
             .flatMap(i => ranked.get((syms(i), syms(i + 1)))).minOption match {
             case Some(rk) =>
               val (l, r) = merges(rk)
-              var i = 0
-              while (i < syms.length - 1) {
-                if (syms(i) == l && syms(i + 1) == r) {
-                  syms(i) = l + r
-                  syms.remove(i + 1)
-                } else i += 1
-              }
+              bpeMergePair(syms, l, r)
             case None => changed = false
           }
         }
@@ -695,8 +729,11 @@ object TextFunctions {
   }
 
   /** URL pattern shared by [[extractUrls]] and its oracle twin — RE2-safe
-   * (no lookarounds), domain in capture group 1. */
-  val UrlRegex = "https?://([A-Za-z0-9.-]+)[^\\s]*"
+   * (no lookarounds), domain in capture group 1. Domain labels are
+   * dot-SEPARATED (no trailing dot), so ordinary sentence punctuation
+   * after a URL ("see https://example.org.") cannot split one real domain
+   * into several stat keys. */
+  val UrlRegex = "https?://([A-Za-z0-9-]+(?:\\.[A-Za-z0-9-]+)*)[^\\s]*"
 
   /** All http(s) URLs in `text`, in order (codegen'd regexp_extract_all). */
   def extractUrls(text: Column): Column =

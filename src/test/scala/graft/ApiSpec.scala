@@ -136,6 +136,20 @@ class ApiSpec extends SparkTestBase {
     intercept[IllegalArgumentException](engine.join(Seq(a), "inner"))
   }
 
+  test("DfUtils.profile: dotted names and nested-map columns") {
+    import org.apache.spark.sql.functions.{col, map, lit, array, struct}
+    val base = df(Seq(Seq("a", 1), Seq("b", 2)), "k:str,v:int")
+    val d = base.select(col("k").as("a.b"),
+      array(map(lit("x"), col("v"))).as("am"),
+      struct(col("v").as("i"), map(lit("y"), col("v")).as("m")).as("sm"))
+    val p = graft.api.DfUtils.profile(d).collect()
+      .map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(p("a.b") === Seq(2L, 0L, 2L, "a", "b"))
+    // nested maps: profiled without min/max instead of throwing
+    assert(p("am")(2) === 2L && p("am")(3) == null && p("am")(4) == null)
+    assert(p("sm")(3) == null && p("sm")(4) == null)
+  }
+
   test("DfUtils.profile: exact per-column nulls/distincts/min/max") {
     val d = df(Seq(
       Seq("a", 1, 2.5),

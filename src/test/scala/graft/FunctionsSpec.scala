@@ -962,17 +962,33 @@ class FunctionsSpec extends SparkTestBase {
     assert(toks.contains(List.fill(5)(List("lo", "w")).flatten))
   }
 
+  test("learnBpe keeps non-BMP code points intact (no lone surrogates)") {
+    // U+1F600 (emoji, surrogate pair in UTF-16) repeated: the first merge
+    // must pair the WHOLE code point with its neighbor, not half of it
+    val corpus = df(Seq(
+      Seq(1L, Seq.fill(4)("😀a😀a").mkString(" "))), "doc_id:long,text:str")
+    val merges = TextFunctions.learnBpe(corpus, "text", numMerges = 1)
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    assert(merges.head === (("😀", "a")))
+    val toks = corpus.select(TextFunctions.applyBpe(col("text"),
+      merges.toSeq).as("t")).head.getSeq[String](0)
+    assert(toks.forall(t => t.codePoints().toArray.forall(Character.isValidCodePoint)))
+    assert(toks.contains("😀a"))
+  }
+
   test("extractUrls and urlDomainStats") {
     val d = df(Seq(
       Seq(1L, "go to https://a.example.org/x and http://b.net/y?z=1 now"),
       Seq(2L, "again https://a.example.org/other plus plain text"),
-      Seq(3L, "no urls here")), "doc_id:long,text:str")
+      Seq(3L, "no urls here"),
+      // sentence punctuation after the URL must not split the domain key
+      Seq(4L, "read https://a.example.org. then stop")), "doc_id:long,text:str")
     val urls = d.select(TextFunctions.extractUrls(col("text")).as("u"))
       .collect().map(_.getSeq[String](0).toList)
     assert(urls.contains(List("https://a.example.org/x", "http://b.net/y?z=1")))
     val stats = TextFunctions.urlDomainStats(d, "doc_id", "text")
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-    assert(stats === Map("a.example.org" -> ((2L, 2L)), "b.net" -> ((1L, 1L))))
+    assert(stats === Map("a.example.org" -> ((3L, 3L)), "b.net" -> ((1L, 1L))))
   }
 
   test("even repartition balances exactly") {
