@@ -645,6 +645,12 @@ object SparkEntry {
           lit(" and http://cdn.example.net/img.jpg")).as("text"))
       TextFunctions.urlDomainStats(injected, "doc_id", "text")
     }),
+    // contiguous global row index via the distributed prefix sum (what
+    // monotonically_increasing_id is not) — full DuckDB oracle
+    "q69_row_index" -> ((s, dir) =>
+      graft.api.DfUtils.withRowIndex(
+        t(s, dir, "orders").select("o_orderkey", "o_totalprice"),
+        Seq("o_orderkey"))),
     // column-level data profile (Deequ-style): exact distincts, null
     // counts, min/max — one aggregation pass; full DuckDB oracle over the
     // non-FP orders columns (FP/timestamp string rendering differs across
@@ -1588,6 +1594,10 @@ object SparkEntry {
         |SELECT domain, CAST(sum(n) AS BIGINT) AS n_urls,
         | CAST(count(*) AS BIGINT) AS n_docs
         |FROM per_doc GROUP BY domain""").stripMargin,
+    "q69_row_index" ->
+      """SELECT o_orderkey, o_totalprice,
+        | CAST(row_number() OVER (ORDER BY o_orderkey) - 1 AS BIGINT) AS row_index
+        |FROM orders""".stripMargin,
     "q66_profile" ->
       """WITH p AS (SELECT o_orderkey, o_custkey, o_orderstatus,
         |  o_orderpriority FROM orders)

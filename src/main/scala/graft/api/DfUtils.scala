@@ -92,6 +92,60 @@ object DfUtils {
         "min_value:str,max_value:str")
   }
 
+  /**
+   * Exclusive running total of `weight` over the global `orderCols` order,
+   * appended as `outCol` — the distributed prefix sum: rows range-partition
+   * by the order columns and cumulate locally; per-partition totals (one
+   * row each) cumulate on the driver and broadcast back as partition base
+   * offsets. A naive `Window.orderBy(...)` computes the same thing by
+   * moving EVERY row into one partition; this never does.
+   *
+   * PRECONDITION: `orderCols` must totally order rows (use a unique id as
+   * the last column) — ties would make the prefix order, and therefore
+   * the totals, nondeterministic. Null weights count as 0.
+   */
+  def runningTotal(
+      df: DataFrame, orderCols: Seq[String], weight: org.apache.spark.sql.Column,
+      outCol: String): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one order column")
+    require(!df.columns.contains(outCol), s"output column '$outCol' already exists")
+    val reserved = Seq("__pid", "__w").filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"input columns collide with internal names: ${reserved.mkString(", ")}")
+    import org.apache.spark.sql.expressions.Window
+    def ocols = orderCols.map(c => col(s"`${c.replace("`", "``")}`"))
+    val staged = df
+      .withColumn("__w", coalesce(weight.cast("long"), lit(0L)))
+      .repartitionByRange(ocols: _*)
+      .sortWithinPartitions(ocols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true) // freeze partition ids for the two derivations
+    val totals = staged.groupBy("__pid").agg(sum(col("__w")).as("__t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val bases =
+      if (totals.isEmpty) Seq((0, 0L))
+      else totals.scanLeft((0, 0L)) { case ((_, acc), (pid, t)) =>
+        (pid, acc + t)
+      }.sliding(2).map { case Array((_, acc), (pid, _)) => (pid, acc) }.toSeq
+    val baseDf = df.sparkSession.createDataFrame(bases).toDF("__pid", "__base")
+    val wloc = Window.partitionBy("__pid")
+      .orderBy(ocols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    staged
+      .withColumn("__loc", coalesce(sum(col("__w")).over(wloc), lit(0L)))
+      .join(broadcast(baseDf), "__pid")
+      .withColumn(outCol, col("__base") + col("__loc"))
+      .drop("__pid", "__w", "__loc", "__base")
+  }
+
+  /** Contiguous 0-based global row index in `orderCols` order (what
+   * `monotonically_increasing_id` is not) — [[runningTotal]] with weight
+   * 1. Same total-order precondition. */
+  def withRowIndex(
+      df: DataFrame, orderCols: Seq[String],
+      indexCol: String = "row_index"): DataFrame =
+    runningTotal(df, orderCols, lit(1L), indexCol)
+
   /** None when equal; Some(reason) otherwise. */
   private def diff(
       a: DataFrame, b: DataFrame,

@@ -180,32 +180,13 @@ object TextFunctions {
   def packSequences(
       df: DataFrame, idCol: String, idsCol: String, seqLen: Int): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
-    import org.apache.spark.sql.expressions.Window
-    val staged = df
-      .select(col(idCol).as("__id"), col(idsCol).as("__ids"))
-      // size(null) is null (ANSI): null arrays contribute 0 tokens, and a
-      // partition of only-null rows must not null the partition total
-      .withColumn("__n", coalesce(size(col("__ids")).cast("long"), lit(0L)))
-      .repartitionByRange(col("__id"))
-      .sortWithinPartitions("__id")
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
-    val totals = staged.groupBy("__pid").agg(sum(col("__n")).as("__t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val bases =
-      if (totals.isEmpty) Seq((0, 0L)) // empty input → empty (well-typed) output
-      else totals.scanLeft((0, 0L)) { case ((_, acc), (pid, t)) =>
-        (pid, acc + t)
-      }.sliding(2).map { case Array((_, acc), (pid, _)) => (pid, acc) }.toSeq
-    val baseDf = staged.sparkSession.createDataFrame(bases)
-      .toDF("__pid", "__base")
-    val wloc = Window.partitionBy("__pid").orderBy("__id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val tok = staged
-      .withColumn("__loc", coalesce(sum(col("__n")).over(wloc), lit(0L)))
-      .join(broadcast(baseDf), "__pid")
-      .select((col("__base") + col("__loc")).as("__off"),
-        posexplode(col("__ids")).as(Seq("__pos", "__tid")))
+    // global token offsets = distributed prefix sum of the array sizes
+    // (size(null) is null → counted 0 by runningTotal)
+    val withOff = graft.api.DfUtils.runningTotal(
+      df.select(col(idCol).as("__id"), col(idsCol).as("__ids")),
+      Seq("__id"), size(col("__ids")), "__off")
+    val tok = withOff
+      .select(col("__off"), posexplode(col("__ids")).as(Seq("__pos", "__tid")))
       .select((col("__off") + col("__pos")).as("__gpos"), col("__tid"))
     tok.groupBy(floor(col("__gpos") / seqLen).as("example_id"))
       .agg(

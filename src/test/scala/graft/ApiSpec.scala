@@ -136,6 +136,24 @@ class ApiSpec extends SparkTestBase {
     intercept[IllegalArgumentException](engine.join(Seq(a), "inner"))
   }
 
+  test("DfUtils.withRowIndex / runningTotal: contiguous, order-correct, null-safe") {
+    val d = df((1 to 103).map(i => Seq((104 - i).toLong, i.toLong)), "k:long,v:long")
+    val idx = graft.api.DfUtils.withRowIndex(d, Seq("k"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(idx.map(_._2).toSeq === (0L until 103L)) // contiguous in k order
+    assert(idx.head === ((1L, 0L)) && idx.last === ((103L, 102L)))
+    // weighted: exclusive running total of v in k order
+    val rt = graft.api.DfUtils.runningTotal(d, Seq("k"),
+      org.apache.spark.sql.functions.col("v"), "rt")
+      .orderBy("k").collect().map(_.getLong(2))
+    // k ascending corresponds to v descending (v = 104 - k)
+    val vsInKOrder = (1 to 103).map(k => (104 - k).toLong)
+    assert(rt.toSeq === vsInKOrder.scanLeft(0L)(_ + _).init)
+    intercept[IllegalArgumentException] {
+      graft.api.DfUtils.withRowIndex(d, Seq("k"), indexCol = "v")
+    }
+  }
+
   test("DfUtils.profile: dotted names and nested-map columns") {
     import org.apache.spark.sql.functions.{col, map, lit, array, struct}
     val base = df(Seq(Seq("a", 1), Seq("b", 2)), "k:str,v:int")
