@@ -792,9 +792,13 @@ object SparkEntry {
       TextFunctions.unigramCrossEntropy(t(s, dir, "documents"), "doc_id", "text")),
     // TF-IDF keyword extraction: top-5 tokens per document against the
     // corpus's own document frequencies, exact scores vs the DuckDB oracle
+    // scores rounded to 9 decimals BEFORE ranking on BOTH engines: the
+    // idf ln is a transcendental whose last ulp differs between
+    // java.lang.Math.log and DuckDB's libm for some arguments (caught by
+    // the sf0.1 gate — the sf0.01 arguments happen to agree)
     "t13_tfidf" -> ((s, dir) =>
       TextFunctions.tfidfKeywords(t(s, dir, "documents"), "doc_id", "text",
-        topK = 5)),
+        topK = 5, scoreDigits = Some(9))),
     // vocabulary construction: top-200 tokens with >=2 support, dense ids
     // by descending frequency — exact vs the DuckDB oracle
     "t14_vocab" -> ((s, dir) =>
@@ -1832,8 +1836,8 @@ object SparkEntry {
         |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
         |scored AS (
         | SELECT doc_id, token, tf,
-        |  (ln(CAST(n_docs + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)) + 1.0)
-        |    * CAST(tf AS DOUBLE) AS score
+        |  round((ln(CAST(n_docs + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)) + 1.0)
+        |    * CAST(tf AS DOUBLE), 9) AS score
         | FROM tf JOIN dfreq USING (token), nd)
         |SELECT doc_id, CAST(rank AS INTEGER) AS rank, token, tf, score FROM (
         | SELECT *, row_number() OVER (PARTITION BY doc_id

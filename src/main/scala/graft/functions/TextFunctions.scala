@@ -478,7 +478,8 @@ object TextFunctions {
    * exchange, so only k rows per document cross the last shuffle.
    */
   def tfidfKeywords(
-      df: DataFrame, idCol: String, textCol: String, topK: Int = 5): DataFrame = {
+      df: DataFrame, idCol: String, textCol: String, topK: Int = 5,
+      scoreDigits: Option[Int] = None): DataFrame = {
     require(topK > 0, s"topK must be positive, got $topK")
     val tf = df
       .select(col(idCol), explode(split(trim(lower(col(textCol))), "\\s+")).as("token"))
@@ -487,11 +488,16 @@ object TextFunctions {
       .agg(count(lit(1)).as("tf"))
     val docFreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val nDocs = tf.agg(countDistinct(col(idCol)).as("n_docs"))
+    val rawScore = (log((col("n_docs") + lit(1)).cast("double") /
+      (col("df") + lit(1)).cast("double")) + lit(1.0)) *
+      col("tf").cast("double")
+    // scoreDigits: round BEFORE ranking — the idf ln is a transcendental
+    // whose last ulp is libm-dependent, so cross-platform-stable rankings
+    // and scores need a declared precision (ranking on the rounded value
+    // keeps rank and score consistent with each other)
+    val score = scoreDigits.map(d => round(rawScore, d)).getOrElse(rawScore)
     val scored = tf.join(docFreq, "token").crossJoin(broadcast(nDocs))
-      .select(col(idCol), col("token"), col("tf"),
-        ((log((col("n_docs") + lit(1)).cast("double") /
-          (col("df") + lit(1)).cast("double")) + lit(1.0)) *
-          col("tf").cast("double")).as("score"))
+      .select(col(idCol), col("token"), col("tf"), score.as("score"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol))
       .orderBy(col("score").desc, col("token").asc)
