@@ -253,6 +253,100 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("rangeJoin == naive cross filter on random data (3 seeds, with longs)") {
+    for (seed <- Seq(3L, 17L, 51L)) {
+      val rnd = new Random(seed)
+      val pts = (1 to 150).map(i => (i.toLong, rnd.nextInt(500).toDouble))
+      val ivs = (1 to 60).map { j =>
+        val s = rnd.nextInt(480).toDouble
+        // ~1 in 6 intervals is LONG (exceeds maxBinsPerInterval at width 10)
+        val len = if (rnd.nextInt(6) == 0) 200 + rnd.nextInt(200) else rnd.nextInt(30)
+        (j.toLong, s, s + len)
+      }
+      val l = df(pts.map(p => Seq(p._1, p._2)), "pid:long,p:double")
+      val r = df(ivs.map(v => Seq(v._1, v._2, v._3)), "iid:long,s:double,e:double")
+      val got = TemporalOps.rangeJoin(l, r, "p", "s", "e", binWidth = 10.0,
+        maxBinsPerInterval = 16)
+        .select("pid", "iid").collect().map(x => (x.getLong(0), x.getLong(1)))
+      val want = (for {
+        p <- pts; v <- ivs if p._2 >= v._2 && p._2 <= v._3
+      } yield (p._1, v._1)).toSet
+      assert(got.length === got.toSet.size, s"seed $seed: duplicate pairs")
+      assert(got.toSet === want, s"seed $seed")
+    }
+  }
+
+  test("intervalJoin == naive overlap filter on random data (3 seeds, with longs)") {
+    for (seed <- Seq(5L, 23L, 77L)) {
+      val rnd = new Random(seed)
+      def ivs(n: Int, off: Int) = (1 to n).map { j =>
+        val s = rnd.nextInt(400).toDouble
+        val len = if (rnd.nextInt(8) == 0) 150 + rnd.nextInt(150) else rnd.nextInt(25)
+        ((j + off).toLong, s, s + len)
+      }
+      val ls = ivs(70, 0); val rs = ivs(50, 1000)
+      val l = df(ls.map(v => Seq(v._1, v._2, v._3)), "lid:long,ls:double,le:double")
+      val r = df(rs.map(v => Seq(v._1, v._2, v._3)), "rid:long,rs:double,re:double")
+      val got = TemporalOps.intervalJoin(l, r, "ls", "le", "rs", "re",
+        binWidth = 12.0, maxBinsPerInterval = 8)
+        .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1)))
+      val want = (for {
+        a <- ls; b <- rs if a._2 <= b._3 && b._2 <= a._3
+      } yield (a._1, b._1)).toSet
+      assert(got.length === got.toSet.size, s"seed $seed: duplicate pairs")
+      assert(got.toSet === want, s"seed $seed")
+    }
+  }
+
+  test("segmentDedup matches brute-force first-occurrence model (3 seeds)") {
+    for (seed <- Seq(11L, 29L, 63L)) {
+      val rnd = new Random(seed)
+      val vocab = Seq("a", "b", "c")
+      // tiny vocab + short segments → plenty of cross-doc collisions
+      val docsS = (1 to 40).map(i =>
+        (i.toLong, (1 to (rnd.nextInt(12) + 1)).map(_ =>
+          vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      val d = df(docsS.map(x => Seq(x._1, x._2)), "doc_id:long,text:str")
+      val segLen = 2
+      val got = Dedup.segmentDedup(d, "doc_id", "text", segLen)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      // driver model
+      val segsOf = docsS.map { case (id, t) =>
+        id -> t.split("\\s+").filter(_.nonEmpty).grouped(segLen)
+          .map(_.mkString(" ")).toList
+      }.toMap
+      val owner = scala.collection.mutable.HashMap.empty[String, (Long, Int)]
+      for ((id, segs) <- segsOf.toSeq.sortBy(_._1); (s, pos) <- segs.zipWithIndex)
+        if (!owner.contains(s) || Ordering[(Long, Int)].lt((id, pos), owner(s)))
+          owner(s) = (id, pos)
+      val want = segsOf.map { case (id, segs) =>
+        id -> segs.zipWithIndex
+          .filter { case (s, pos) => owner(s) == ((id, pos)) }
+          .map(_._1).mkString(" ")
+      }
+      assert(got === want, s"seed $seed")
+    }
+  }
+
+  test("packSequences is partitioning-invariant and stream-faithful (2 seeds)") {
+    for (seed <- Seq(19L, 41L)) {
+      val rnd = new Random(seed)
+      val enc = (1 to 60).map(i =>
+        (i.toLong, (0 until rnd.nextInt(9)).map(_ => rnd.nextInt(50).toLong)))
+      val flat = enc.sortBy(_._1).flatMap(_._2)
+      val d = df(enc.map(x => Seq(x._1, x._2)), "doc_id:long,ids:[long]")
+      for (parts <- Seq(1, 7)) {
+        val out = graft.functions.TextFunctions
+          .packSequences(d.repartition(parts), "doc_id", "ids", seqLen = 16)
+          .orderBy("example_id").collect()
+          .map(r => (r.getLong(0), r.getSeq[Long](1).toList))
+        val wantIds = flat.grouped(16).toList
+        assert(out.map(_._2) === wantIds, s"seed $seed parts $parts")
+        assert(out.map(_._1) === wantIds.indices.map(_.toLong), s"seed $seed")
+      }
+    }
+  }
+
   test("unigramCrossEntropy is partitioning-invariant (decimal-exact sums)") {
     import graft.functions.TextFunctions
     val rnd = new Random(71L)
