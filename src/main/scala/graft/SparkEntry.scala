@@ -740,6 +740,7 @@ object SparkEntry {
     }),
     // DSIR-style data selection: importance = mean log-likelihood ratio of
     // a target LM (docs 0-19) vs the raw corpus LM, exact DuckDB oracle
+    // (integer ln arguments — see the t12 cross-libm note)
     "t17_importance" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       TextFunctions.importanceWeights(docs, "doc_id", "text",
@@ -788,6 +789,14 @@ object SparkEntry {
     // unigram-LM cross-entropy (CCNet-style self-trained LM filter):
     // exact per-doc scores vs the DuckDB oracle (decimal-bridged log-prob
     // sums make the FP result order-independent on both engines)
+    // NOTE on cross-libm FP: t12/t17 compare EXACTLY — their ln arguments
+    // are integers (token counts), which java.lang.Math.log and DuckDB's
+    // libm round identically (verified at sf0.01 and sf0.1). Rounding the
+    // output instead INTRODUCES boundary-straddle risk (a 9th-decimal
+    // half boundary between two ulp-equal values — observed at sf0.1).
+    // t13 is the opposite case: its idf ln takes a RATIO, where the two
+    // libms genuinely disagree, so there the declared-precision rounding
+    // is required.
     "t12_lm_score" -> ((s, dir) =>
       TextFunctions.unigramCrossEntropy(t(s, dir, "documents"), "doc_id", "text")),
     // TF-IDF keyword extraction: top-5 tokens per document against the
