@@ -1055,6 +1055,10 @@ object SparkEntry {
       eng(s).sqlSelect(SqlCaseIn, Map("part" -> t(s, dir, "part")))),
     "q55_percentile" -> ((s, dir) =>
       eng(s).sqlSelect(SqlPercentile, Map("orders" -> t(s, dir, "orders")))),
+    "q70_window_suite" -> ((s, dir) =>
+      eng(s).sqlSelect(SqlWindowSuite, Map("orders" -> t(s, dir, "orders")))),
+    "q71_cube" -> ((s, dir) =>
+      eng(s).sqlSelect(SqlCube, Map("orders" -> t(s, dir, "orders")))),
     "q56_ntile" -> ((s, dir) =>
       eng(s).sqlSelect(SqlNtile, Map("orders" -> t(s, dir, "orders")))),
 
@@ -1158,6 +1162,34 @@ object SparkEntry {
     """SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
       | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin
+
+  // window-function breadth in one pass: rank family, offsets with
+  // defaults, distribution functions, frame-bounded min. The decimal
+  // bridge keeps the single SUM deterministic; percent_rank/cume_dist
+  // are exact rationals of counts (identical on both engines).
+  private val SqlWindowSuite =
+    """SELECT o_orderkey,
+      | CAST(row_number() OVER w AS BIGINT) AS rn,
+      | CAST(rank() OVER w AS BIGINT) AS rnk,
+      | CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+      | CAST(lag(o_orderkey, 1, -1) OVER w AS BIGINT) AS prev_key,
+      | CAST(lead(o_orderkey, 2, -1) OVER w AS BIGINT) AS next2_key,
+      | first_value(o_orderstatus) OVER w AS first_status,
+      | percent_rank() OVER w AS pr,
+      | cume_dist() OVER w AS cd,
+      | CAST(min(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+      |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS min3
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)""".stripMargin
+
+  // grouping-sets breadth: CUBE with grouping() disambiguation of real
+  // NULL keys vs subtotal rows
+  private val SqlCube =
+    """SELECT o_orderstatus, o_orderpriority,
+      | CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+      | CAST(grouping(o_orderpriority) AS INTEGER) AS g_prio,
+      | CAST(COUNT(*) AS BIGINT) AS n
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
 
   // ORDER BY includes l_quantity: the synthetic lineitem has duplicate
   // (l_orderkey, l_linenumber) rows (observed at sf0.1: two rows sharing
@@ -1862,6 +1894,8 @@ object SparkEntry {
         | SELECT token, cnt, row_number() OVER (ORDER BY cnt DESC, token ASC) AS token_id
         | FROM counts) x WHERE token_id <= 200""".stripMargin,
     "q32_rollup" -> SqlRollup,
+    "q70_window_suite" -> SqlWindowSuite,
+    "q71_cube" -> SqlCube,
     "q33_running_window" -> SqlRunning,
     "q34_exists_subquery" -> SqlExists,
     "q35_string_date_fns" -> SqlStringDate,
