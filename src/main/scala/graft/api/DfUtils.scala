@@ -102,16 +102,28 @@ object DfUtils {
    *
    * PRECONDITION: `orderCols` must totally order rows (use a unique id as
    * the last column) — ties would make the prefix order, and therefore
-   * the totals, nondeterministic. Null weights count as 0.
+   * the totals, nondeterministic. Weights must be an integral type
+   * (totals are exact longs); null weights count as 0.
    */
   def runningTotal(
       df: DataFrame, orderCols: Seq[String], weight: org.apache.spark.sql.Column,
       outCol: String): DataFrame = {
     require(orderCols.nonEmpty, "need at least one order column")
     require(!df.columns.contains(outCol), s"output column '$outCol' already exists")
-    val reserved = Seq("__pid", "__w").filter(df.columns.contains)
+    val reserved = Seq("__pid", "__w", "__loc", "__base").filter(df.columns.contains)
     require(reserved.isEmpty,
       s"input columns collide with internal names: ${reserved.mkString(", ")}")
+    // integral weights only: totals are exact longs (a fractional weight
+    // would silently truncate here, and double partial sums would make the
+    // result depend on partition boundaries)
+    val wType = df.select(weight.as("__w")).schema.head.dataType
+    val integral = wType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.NullType => true
+      case _ => false
+    }
+    require(integral, s"weight must be an integral column, got $wType")
     import org.apache.spark.sql.expressions.Window
     def ocols = orderCols.map(c => col(s"`${c.replace("`", "``")}`"))
     val staged = df

@@ -494,7 +494,12 @@ object TextFunctions {
     // scoreDigits: round BEFORE ranking — the idf ln is a transcendental
     // whose last ulp is libm-dependent, so cross-platform-stable rankings
     // and scores need a declared precision (ranking on the rounded value
-    // keeps rank and score consistent with each other)
+    // keeps rank and score consistent with each other). Residual risk,
+    // accepted: engines also differ in HOW they round doubles (shortest-
+    // decimal HALF_UP vs x*10^d arithmetic), so a score that is both
+    // libm-divergent AND adjacent to a rounding boundary could still
+    // differ — two independent rare events, vs certain divergence without
+    // the declared precision.
     val score = scoreDigits.map(d => round(rawScore, d)).getOrElse(rawScore)
     val scored = tf.join(docFreq, "token").crossJoin(broadcast(nDocs))
       .select(col(idCol), col("token"), col("tf"), score.as("score"))

@@ -152,6 +152,17 @@ class ApiSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       graft.api.DfUtils.withRowIndex(d, Seq("k"), indexCol = "v")
     }
+    // fractional weights would silently truncate — rejected
+    val dd = df(Seq(Seq(1L, 0.5)), "k:long,w:double")
+    intercept[IllegalArgumentException] {
+      graft.api.DfUtils.runningTotal(dd, Seq("k"),
+        org.apache.spark.sql.functions.col("w"), "rt")
+    }
+    // internal working names are reserved
+    val dl = df(Seq(Seq(1L, 2L)), "k:long,__loc:long")
+    intercept[IllegalArgumentException] {
+      graft.api.DfUtils.withRowIndex(dl, Seq("k"))
+    }
   }
 
   test("DfUtils.profile: dotted names and nested-map columns") {
