@@ -1,0 +1,31 @@
+package graft
+
+/** Plan lint over EVERY conformance query: flags physical-plan shapes that
+  * are scale hazards unless intentional — CartesianProduct,
+  * BroadcastNestedLoopJoin, global (empty-partition) windows, and
+  * SinglePartition exchanges. Run after plan-affecting changes; the
+  * expected-flag inventory and why each is intentional live in PLANS.md.
+  */
+object PlanLint {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.builder("local[8]", 8).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = fn(spark, dir).queryExecution.executedPlan.toString
+        val flags = Seq(
+          "CARTESIAN" -> plan.contains("CartesianProduct"),
+          "BNLJ" -> plan.contains("BroadcastNestedLoopJoin"),
+          "GLOBALWINDOW" -> plan.contains("windowspecdefinition(,"),
+          "SINGLEPART" -> plan.contains("SinglePartition")
+        ).filter(_._2).map(_._1)
+        if (flags.nonEmpty) println(s"LINT $name: ${flags.mkString(",")}")
+      } catch {
+        case e: Throwable => println(s"LINT $name: ERROR ${e.getClass.getSimpleName}")
+      }
+    }
+    println("LINT done")
+    spark.stop()
+  }
+}
