@@ -1041,6 +1041,20 @@ object SparkEntry {
         // GROUP KEY to 0, silently merging it with the real user 0
         .na.fill(0L, Seq("click", "view", "purchase", "signup", "error"))),
 
+    // unpivot (melt): the inverse of q68 — event-type count columns back
+    // to (user_id, event_type, n) long format via the Dataset unpivot API
+    "q72_unpivot" -> ((s, dir) => {
+      val wide = events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("click", "view", "purchase", "signup", "error"))
+      wide.unpivot(Array(col("user_id")),
+        Array(col("click"), col("view"), col("purchase"), col("signup"),
+          col("error")),
+        "event_type", "n")
+    }),
+
     // ---- SQL passthrough breadth (same text on Spark and DuckDB) ------
     "q32_rollup" -> ((s, dir) =>
       eng(s).sqlSelect(SqlRollup, Map("orders" -> t(s, dir, "orders")))),
@@ -1527,6 +1541,20 @@ object SparkEntry {
         |  ts + INTERVAL 15 MINUTE AS ee FROM e WHERE event_type = 'error')
         |SELECT p.p_id, r.e_id
         |FROM p, r WHERE p.ps <= r.ee AND r.es <= p.pe""".stripMargin,
+    "q72_unpivot" ->
+      """WITH wide AS (
+        | SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+        | FROM events GROUP BY user_id)
+        |SELECT user_id, 'click' AS event_type, click AS n FROM wide
+        |UNION ALL SELECT user_id, 'view', view FROM wide
+        |UNION ALL SELECT user_id, 'purchase', purchase FROM wide
+        |UNION ALL SELECT user_id, 'signup', signup FROM wide
+        |UNION ALL SELECT user_id, 'error', error FROM wide""".stripMargin,
     "q67_json_props" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         | CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
