@@ -758,6 +758,24 @@ object SparkEntry {
     "t15_ngram_stats" -> ((s, dir) =>
       TextFunctions.ngramRepetitionStats(t(s, dir, "documents"),
         "doc_id", "text", n = 2)),
+    // minhash recall differential: at jaccard >= 0.9, 16-band/128-hash
+    // LSH misses a pair with probability (1-j^8)^16 ~ 1e-12 — the banded
+    // result must contain EVERY exact pair (computed by the oracle-exact
+    // inverted-index algorithm), and verification keeps precision exact
+    "d15_minhash_recall" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.9)
+        .select("id_a", "id_b").localCheckpoint(true)
+      val lsh = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+        shingleK = 3, numHashes = 128, bands = 16, threshold = 0.9)
+        .select("id_a", "id_b").localCheckpoint(true)
+      val missed = exact.join(lsh, Seq("id_a", "id_b"), "left_anti").count()
+      val extra = lsh.join(exact, Seq("id_a", "id_b"), "left_anti").count()
+      val nExact = exact.count()
+      eng(s).toDF(Seq(Seq(nExact,
+        if (missed == 0 && extra == 0 && nExact > 0) 1L else 0L)),
+        "n_exact:long,recall_ok:long")
+    }),
     // cross-corpus dedup join: new batch (doc_id >= 100) vs existing
     // corpus (doc_id < 100), exact 3-gram jaccard — full DuckDB oracle
     "d14_dedup_against" -> ((s, dir) => {
@@ -1809,6 +1827,18 @@ object SparkEntry {
         | CASE WHEN totw > 0 THEN CAST(dupw AS DOUBLE) / totw
         |   ELSE 0.0 END AS dup_ngram_char_frac
         |FROM b2 LEFT JOIN tops USING (doc_id) LEFT JOIN aggd USING (doc_id)""".stripMargin,
+    "d15_minhash_recall" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |sh AS (
+        | SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+        |   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        | FROM toks WHERE len(w) >= 3),
+        |pairs AS (
+        | SELECT len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS sa, len(b.s) AS sb
+        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_exact, CAST(1 AS BIGINT) AS recall_ok
+        |FROM pairs WHERE CAST(inter AS DOUBLE)/(sa+sb-inter) >= 0.9""".stripMargin,
     "d14_dedup_against" ->
       """WITH toks AS (
         | SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
