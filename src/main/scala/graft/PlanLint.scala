@@ -13,11 +13,20 @@ object PlanLint {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val plan = fn(spark, dir).queryExecution.executedPlan.toString
+        val executed = fn(spark, dir).queryExecution.executedPlan
+        val plan = executed.toString
+        // structural, not string-matched: Expression.toString flattens an
+        // empty partitionSpec so "windowspecdefinition(," never renders
+        val globalWindow = executed.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.isEmpty => w
+          case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+              if w.partitionSpec.isEmpty => w
+        }.nonEmpty
         val flags = Seq(
           "CARTESIAN" -> plan.contains("CartesianProduct"),
           "BNLJ" -> plan.contains("BroadcastNestedLoopJoin"),
-          "GLOBALWINDOW" -> plan.contains("windowspecdefinition(,"),
+          "GLOBALWINDOW" -> globalWindow,
           "SINGLEPART" -> plan.contains("SinglePartition")
         ).filter(_._2).map(_._1)
         if (flags.nonEmpty) println(s"LINT $name: ${flags.mkString(",")}")

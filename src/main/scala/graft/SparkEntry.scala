@@ -631,7 +631,12 @@ object SparkEntry {
     "t19_encode" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val vocab = TextFunctions.buildVocab(docs, "text", size = 200, minCount = 2L)
+      // ids rendered as a space-joined string: the driver's pandas
+      // comparator cannot sort raw array cells (r3 gate err), and the
+      // canonical scalar rendering is hash-comparable across engines
       TextFunctions.encodeWithVocab(docs, "doc_id", "text", vocab)
+        .select(col("doc_id"), array_join(col("ids"), " ").as("ids_str"),
+          col("n_tokens"), col("n_unk"))
     }),
     // URL/domain source analysis over a deterministically URL-injected
     // corpus (the corpus itself has none) — exact DuckDB oracle
@@ -707,7 +712,10 @@ object SparkEntry {
       val vocab = TextFunctions.buildVocab(docs, "text", size = 200, minCount = 2L)
       val enc = TextFunctions.encodeWithVocab(docs, "doc_id", "text", vocab)
         .select("doc_id", "ids")
+      // same scalar rendering as t19 — see the comment there
       TextFunctions.packSequences(enc, "doc_id", "ids", seqLen = 128)
+        .select(col("example_id"), array_join(col("ids"), " ").as("ids_str"),
+          col("n_tokens"))
     }),
     // raw-text cleanup: zero-width/control/unicode-space scrub over a
     // deterministically dirtied corpus, byte-identical RE2 chain both sides
@@ -1294,11 +1302,13 @@ object SparkEntry {
    * NBSP runs, BOM) for the t18 cleaning conformance query;
    * [[SqlInjectedDirty]] is its chr()-built DuckDB twin. */
   private def dirtyInjected: org.apache.spark.sql.Column =
-    concat(lit("\u200B \u00A0"), col("text"),
+    // coalesce mirrors t22: Spark concat is null-on-any-null while DuckDB
+    // concat skips NULLs, so a NULL text row would diverge otherwise
+    concat(lit("\u200B \u00A0"), coalesce(col("text"), lit("")),
       lit("\u0007 tail\u00A0\u00A0mid\r\nend \t\t x\uFEFF"))
 
   private val SqlInjectedDirty =
-    "concat(chr(8203), ' ', chr(160), text, chr(7), ' tail', chr(160)," +
+    "concat(chr(8203), ' ', chr(160), coalesce(text, ''), chr(7), ' tail', chr(160)," +
       " chr(160), 'mid', chr(13), chr(10), 'end ', chr(9), chr(9)," +
       " ' x', chr(65279))"
 
@@ -1728,7 +1738,9 @@ object SparkEntry {
         |tk0 AS (SELECT doc_id, unnest(generate_series(1, len(w))) AS pos, w FROM t),
         |tk AS (SELECT doc_id, pos, w[pos] AS tok FROM tk0 WHERE length(w[pos]) > 0)
         |SELECT doc_id,
-        | list(CAST(coalesce(v.token_id, -1) AS BIGINT) ORDER BY pos) AS ids,
+        | array_to_string(
+        |   list(CAST(coalesce(v.token_id, -1) AS BIGINT) ORDER BY pos),
+        |   ' ') AS ids_str,
         | CAST(count(*) AS BIGINT) AS n_tokens,
         | CAST(sum(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
         |FROM tk LEFT JOIN vocab v ON tk.tok = v.token
@@ -1752,7 +1764,7 @@ object SparkEntry {
         |g AS (SELECT tid,
         |  row_number() OVER (ORDER BY doc_id, pos) - 1 AS gpos FROM enc)
         |SELECT CAST(gpos // 128 AS BIGINT) AS example_id,
-        | list(tid ORDER BY gpos) AS ids,
+        | array_to_string(list(tid ORDER BY gpos), ' ') AS ids_str,
         | CAST(count(*) AS BIGINT) AS n_tokens
         |FROM g GROUP BY 1""".stripMargin,
     "t17_importance" ->

@@ -107,7 +107,9 @@ object Sampling {
     }
     df.groupBy(col(domainCol).as("domain"))
       .agg(count(lit(1)).as("n_rows"),
-        sum(sizeCol.cast("long")).as("available"),
+        // coalesce: an all-NULL-size domain must report 0, not NULL (the
+        // DuckDB oracle's CASE-guarded sum yields 0 for that case)
+        coalesce(sum(sizeCol.cast("long")), lit(0L)).as("available"),
         first(wexpr).as("__w"))
       .select(col("domain"), col("n_rows"), col("available"),
         (col("__w") * budget).as("target_size"),

@@ -110,18 +110,19 @@ object TextFunctions {
    * binning used for dataset sharding, NOT a hard capacity guarantee. For
    * strict per-shard caps use [[packGreedyPerPartition]].
    *
-   * Scale note: the global ordering is one range-partitioned sort — the
-   * standard price of deterministic sharding.
+   * Scale note: the running sum is [[graft.api.DfUtils.runningTotal]]'s
+   * distributed prefix sum (range partition + local cumsum + broadcast
+   * partition bases) — never the single-partition global window
+   * `Window.orderBy(...)` plans. `orderCol` must totally order rows
+   * (runningTotal's precondition); token counts must be integral.
    */
   def packByTokenBudget(
       df: DataFrame, tokenCol: String, budget: Long,
       orderCol: String): DataFrame = {
     require(budget > 0, "budget must be positive")
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col(orderCol))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    df.withColumn("shard_id",
-      floor(coalesce(sum(col(tokenCol)).over(w), lit(0L)) / budget))
+    graft.api.DfUtils.runningTotal(df, Seq(orderCol), col(tokenCol), "__cum")
+      .withColumn("shard_id", floor(col("__cum") / budget))
+      .drop("__cum")
   }
 
   /**
