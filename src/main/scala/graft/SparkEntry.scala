@@ -855,19 +855,35 @@ object SparkEntry {
 
     // ---- beyond-reference: multimodal plumbing ------------------------
     "m01_multimodal_decode" -> ((s, dir) => {
-      val payloads = t(s, dir, "documents")
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-      Multimodal.decodeImages(payloads, "doc_id", "payload")
+      // REAL decode conformance: deterministic PNGs with doc_id-derived
+      // dims are generated on executors, decoded by the real ImageIO
+      // header parse, and the DuckDB oracle recomputes the expected dims
+      // from the same id formula (syntheticImages' contract)
+      val pngs = Multimodal.syntheticImages(
+        t(s, dir, "documents").select("doc_id"), "doc_id")
+      Multimodal.decodeImages(pngs, "doc_id", "payload")
+        .select("doc_id", "width", "height", "channels")
     }),
 
     "m02_multimodal_ann" -> ((s, dir) => {
-      // full multimodal pipeline: payload → stub featurizer → ANN top-3
-      val payloads = t(s, dir, "documents")
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-      val emb = Multimodal.extractFeatures(payloads, "doc_id", "payload")
+      // full multimodal pipeline: real PNG payload → decoded-pixel
+      // luminance-grid featurizer → ANN top-3 (FP ranking → rows-only)
+      val pngs = Multimodal.syntheticImages(
+        t(s, dir, "documents").select("doc_id"), "doc_id")
+      val emb = Multimodal.extractFeatures(pngs, "doc_id", "payload")
       Similarity.bruteForceTopK(emb, emb.filter(col("doc_id") < 5),
         "doc_id", "embedding", k = 3)
         .select("query_id", "rank", "neighbor_id")
+    }),
+    "m04_multimodal_resize" -> ((s, dir) => {
+      // resize → decode roundtrip: a REAL raster resample re-encoded as
+      // PNG must decode to exactly the target dims on every row
+      val pngs = Multimodal.syntheticImages(
+        t(s, dir, "documents").select("doc_id"), "doc_id")
+      val resized = Multimodal.resizeImages(pngs, "doc_id", "payload", 17, 11)
+        .select(col("doc_id"), col("payload"))
+      Multimodal.decodeImages(resized, "doc_id", "payload")
+        .select("doc_id", "width", "height", "channels")
     }),
     "m03_frame_sampling" -> ((s, dir) => {
       // frame-sampling plumbing: payload → every 4th 64-byte window,
@@ -1621,6 +1637,17 @@ object SparkEntry {
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
         | CAST(COUNT(*) AS BIGINT) AS n
         |FROM orders WHERE o_totalprice > 150000 GROUP BY o_orderstatus""".stripMargin,
+    // real-decoder oracles: syntheticImages encodes PNGs whose dims are a
+    // pure function of doc_id (w = 8 + id % 57, h = 8 + id % 31, RGB);
+    // DuckDB recomputes the expectation the ImageIO header parse must hit
+    "m01_multimodal_decode" ->
+      """SELECT doc_id, CAST(8 + doc_id % 57 AS INTEGER) AS width,
+        | CAST(8 + doc_id % 31 AS INTEGER) AS height,
+        | CAST(3 AS INTEGER) AS channels FROM documents""".stripMargin,
+    "m04_multimodal_resize" ->
+      """SELECT doc_id, CAST(17 AS INTEGER) AS width,
+        | CAST(11 AS INTEGER) AS height,
+        | CAST(3 AS INTEGER) AS channels FROM documents""".stripMargin,
     "m03_frame_sampling" ->
       """WITH w AS (
         | SELECT doc_id, CAST(ceil(octet_length(encode(text))/64.0) AS BIGINT) AS nw

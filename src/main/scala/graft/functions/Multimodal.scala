@@ -10,14 +10,21 @@ import org.apache.spark.sql.types._
  * resize / frame-sample run as per-partition batch functions over the
  * binary payloads.
  *
- * The Spark-side contract (schema, partition flow, batch iteration) is real
- * and tested; the actual media decode is STUBBED (no image/audio libraries
- * in this environment) behind [[decodeImageStub]] — a deterministic fake
- * that derives pseudo-metadata from the byte stream. Swap the stub for a
- * real codec (e.g. javax.imageio / ffmpeg bindings) without touching the
- * pipeline: batches arrive partition-wise, never driver-side.
+ * Image decode, feature extraction, and resize are REAL for any format a
+ * stock-JDK `javax.imageio` reader recognizes (PNG/JPEG/GIF/BMP): decode
+ * parses the actual container header for width/height/channels, features
+ * are a grid-pooled luminance vector over the decoded pixels, and resize
+ * rasterizes to the target dimensions and re-encodes PNG. Payloads no
+ * reader recognizes (arbitrary binary, or audio/video containers — no
+ * demuxer ships with the JDK) fall back to the deterministic
+ * [[decodeImageStub]] pseudo-metadata path so mixed-media frames still
+ * flow; frame sampling remains a byte-window stub for the same reason.
  */
 object Multimodal {
+
+  // keep ImageIO off the scratch-disk cache: per-row temp files would be
+  // an executor-local I/O storm at scale, and the payloads are in memory
+  javax.imageio.ImageIO.setUseCache(false)
 
   /** Output schema of the image decode stage. */
   val imageMetaSchema: StructType = StructType(Seq(
@@ -29,20 +36,109 @@ object Multimodal {
     StructField("checksum", LongType)))
 
   /**
-   * STUB decode: derives deterministic pseudo image properties from the
-   * payload bytes. A real implementation would parse the container header
-   * and hand pixel buffers to the feature extractor — the surrounding
-   * dataflow (binary column in, metadata struct out, partition-batched)
-   * is exactly what a real codec needs.
+   * FALLBACK decode for payloads no ImageIO reader recognizes: derives
+   * deterministic pseudo image properties from the payload bytes, so
+   * non-image binaries (or audio/video containers) still produce rows
+   * instead of poisoning the batch. Disclosed fake — real formats never
+   * reach this path (see [[decodeImage]]).
    */
   def decodeImageStub(payload: Array[Byte]): (Int, Int, Int, Long) = {
     val n = if (payload == null) 0 else payload.length
-    var checksum = 1469598103934665603L // FNV-1a over the payload
-    var i = 0
-    while (i < n) { checksum = (checksum ^ (payload(i) & 0xff)) * 1099511628211L; i += 1 }
     val width = 64 + (n % 577)
     val height = 64 + ((n / 7) % 433)
-    (width, height, 3, checksum)
+    (width, height, 3, fnv1a(payload))
+  }
+
+  /** FNV-1a over the raw payload bytes — the content checksum attached to
+   * every decode row (real or fallback). */
+  def fnv1a(payload: Array[Byte]): Long = {
+    val n = if (payload == null) 0 else payload.length
+    var checksum = 1469598103934665603L
+    var i = 0
+    while (i < n) { checksum = (checksum ^ (payload(i) & 0xff)) * 1099511628211L; i += 1 }
+    checksum
+  }
+
+  /**
+   * REAL image decode (JDK `javax.imageio`, no extra dependency): parses
+   * the container header — width/height from the reader, channels from the
+   * declared color model — without decoding pixel buffers, which is the
+   * right cost model for a metadata pass over billions of images.
+   * Unrecognized or corrupt payloads fall back to [[decodeImageStub]].
+   */
+  def decodeImage(payload: Array[Byte]): (Int, Int, Int, Long) = {
+    if (payload == null || payload.length == 0) return decodeImageStub(payload)
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) decodeImageStub(payload)
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          val w = reader.getWidth(0)
+          val h = reader.getHeight(0)
+          val types = reader.getImageTypes(0)
+          val channels =
+            if (types.hasNext) types.next().getColorModel.getNumComponents else 3
+          (w, h, channels, fnv1a(payload))
+        } finally reader.dispose()
+      }
+    } catch {
+      case _: Exception => decodeImageStub(payload)
+    } finally iis.close()
+  }
+
+  /**
+   * Executor-side deterministic PNG fixtures: (doc_id, payload) rows where
+   * payload = [[syntheticPng]] with width `8 + id % 57`, height
+   * `8 + id % 31`, seed `id`. The dims are a pure SQL-expressible function
+   * of the id, which is what gives the REAL decoder an exact cross-engine
+   * oracle (conformance m01/m04 recompute them in DuckDB).
+   */
+  def syntheticImages(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        Row(id, syntheticPng((8 + id % 57).toInt, (8 + id % 31).toInt, id))
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Decoded pixels of a recognized image payload, None otherwise. */
+  private def readImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (payload == null || payload.length == 0) None
+    else try {
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+    } catch { case _: Exception => None }
+
+  /**
+   * Deterministic RGB PNG fixture: a width×height image whose pixel
+   * (x, y) color is a pure function of (seed, x, y), PNG-encoded. Gives
+   * the REAL decoder a real oracle in tests and the m-series conformance
+   * queries — expected dims are computable in plain SQL from the seed.
+   */
+  def syntheticPng(width: Int, height: Int, seed: Long): Array[Byte] = {
+    require(width > 0 && height > 0, "dims must be positive")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.setRGB(x, y, ((seed * 2654435761L + x * 131L + y * 31L) & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   /**
@@ -57,22 +153,26 @@ object Multimodal {
       it.map { r =>
         val id = r.getLong(idIdx)
         val payload = r.getAs[Array[Byte]](pIdx)
-        val (w, h, c, sum) = decodeImageStub(payload)
+        val (w, h, c, sum) = decodeImage(payload)
         Row(id, if (payload == null) 0 else payload.length, w, h, c, sum)
       }
     }(Encoders.row(imageMetaSchema))
   }
 
   /**
-   * Feature extraction plumbing: payload bytes → fixed-dimension embedding
-   * (`array<float>`). The featurizer is a deterministic STUB (byte n-gram
-   * hashing into `dim` buckets, L2-normalized) standing in for a real
-   * vision/audio encoder; its output composes directly with
+   * Feature extraction: payload bytes → fixed-dimension embedding
+   * (`array<float>`, L2-normalized). Recognized images decode to pixels
+   * and pool mean luminance over a ⌊√dim⌋×⌊√dim⌋ grid — a real (if
+   * simple) visual feature in the pHash family, stable under re-encoding.
+   * Unrecognized payloads hash byte n-grams into `dim` buckets (content
+   * fingerprint, not a visual feature — the disclosed non-image fallback).
+   * Either way the output composes directly with
    * [[Similarity.bruteForceTopK]] / [[Similarity.lshTopK]], which is the
    * point: multimodal → embedding → ANN as one declarative pipeline.
    */
   def extractFeatures(df: DataFrame, idCol: String, payloadCol: String,
       dim: Int = 64): DataFrame = {
+    require(dim > 0, "dim must be positive")
     val schema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("embedding", ArrayType(FloatType, containsNull = false))))
@@ -81,37 +181,80 @@ object Multimodal {
     df.mapPartitions { it =>
       it.map { r =>
         val payload = r.getAs[Array[Byte]](pIdx)
-        val v = new Array[Float](dim)
-        if (payload != null && payload.length > 0) {
-          var h = 1469598103934665603L
-          var i = 0
-          while (i < payload.length) {
-            h = (h ^ (payload(i) & 0xff)) * 1099511628211L
-            v(((h >>> 1) % dim).toInt) += 1f
-            i += 1
-          }
-          var s = 0.0
-          var j = 0
-          while (j < dim) { s += v(j).toDouble * v(j); j += 1 }
-          if (s > 0) {
-            val inv = (1.0 / math.sqrt(s)).toFloat
-            j = 0
-            while (j < dim) { v(j) *= inv; j += 1 }
-          }
+        val v = readImage(payload) match {
+          case Some(img) => luminanceGrid(img, dim)
+          case None => byteNgramHash(payload, dim)
         }
+        l2normalize(v)
         Row(r.getLong(idIdx), v.toSeq)
       }
     }(Encoders.row(schema))
   }
 
+  /** Mean luminance pooled over a ⌊√dim⌋×⌊√dim⌋ grid of the decoded
+   * pixels (trailing vector entries stay 0 when dim is not a square). */
+  private def luminanceGrid(img: java.awt.image.BufferedImage, dim: Int): Array[Float] = {
+    val grid = math.max(1, math.sqrt(dim.toDouble).toInt)
+    val sums = new Array[Double](grid * grid)
+    val counts = new Array[Long](grid * grid)
+    val (w, h) = (img.getWidth, img.getHeight)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        // integer Rec.601 luma — exact, so features are platform-stable
+        val lum = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+          114 * (rgb & 0xff)) / 1000.0
+        val cell = (y.toLong * grid / h).toInt * grid + (x.toLong * grid / w).toInt
+        sums(cell) += lum
+        counts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val v = new Array[Float](dim)
+    var i = 0
+    while (i < grid * grid) {
+      if (counts(i) > 0) v(i) = (sums(i) / counts(i)).toFloat
+      i += 1
+    }
+    v
+  }
+
+  private def byteNgramHash(payload: Array[Byte], dim: Int): Array[Float] = {
+    val v = new Array[Float](dim)
+    if (payload != null && payload.length > 0) {
+      var h = 1469598103934665603L
+      var i = 0
+      while (i < payload.length) {
+        h = (h ^ (payload(i) & 0xff)) * 1099511628211L
+        v(((h >>> 1) % dim).toInt) += 1f
+        i += 1
+      }
+    }
+    v
+  }
+
+  private def l2normalize(v: Array[Float]): Unit = {
+    var s = 0.0
+    var j = 0
+    while (j < v.length) { s += v(j).toDouble * v(j); j += 1 }
+    if (s > 0) {
+      val inv = (1.0 / math.sqrt(s)).toFloat
+      j = 0
+      while (j < v.length) { v(j) *= inv; j += 1 }
+    }
+  }
+
   /**
-   * Resize plumbing: payload in → payload out with target dimensions. The
-   * resample is a deterministic STUB (stride-sampling the byte stream to
-   * the target-area byte budget — a real implementation decodes, resamples
-   * pixels, re-encodes); the dataflow contract (binary in, binary +
-   * dimensions out, partition-batched, output size proportional to target
-   * area not source area) is the real one. Output:
-   * (doc_id, width, height, payload).
+   * Resize: payload in → payload out with target dimensions. Recognized
+   * images are REALLY resampled — decode, raster to targetWidth×targetHeight
+   * (nearest-neighbor via Graphics2D, deterministic), re-encode PNG — so a
+   * decode of the output reports exactly the target dims. Unrecognized
+   * payloads keep the deterministic byte-budget stub (output size
+   * proportional to target area, not source area) so mixed binary columns
+   * still flow. Output: (doc_id, width, height, payload).
    */
   def resizeImages(df: DataFrame, idCol: String, payloadCol: String,
       targetWidth: Int, targetHeight: Int): DataFrame = {
@@ -126,26 +269,39 @@ object Multimodal {
     df.mapPartitions { it =>
       it.map { r =>
         val payload = r.getAs[Array[Byte]](pIdx)
-        val n = if (payload == null) 0 else payload.length
-        val (w, h, _, _) = decodeImageStub(payload)
-        // target byte budget scales with target area over source area —
-        // computed in double: the integer product n*tw*th overflows Long
-        // for large payloads x large target dims (and would silently
-        // collapse the budget to 1 byte)
-        val ratio = targetWidth.toDouble * targetHeight /
-          (math.max(1L, w.toLong * h)).toDouble
-        val budget = math.max(1L, math.min(n.toLong, math.round(n * ratio))).toInt
-        val out =
-          if (n == 0) Array.emptyByteArray
-          else {
-            val b = new Array[Byte](budget)
-            var i = 0
-            while (i < budget) { b(i) = payload((i.toLong * n / budget).toInt); i += 1 }
-            b
-          }
+        val out = readImage(payload) match {
+          case Some(img) =>
+            val dst = new java.awt.image.BufferedImage(
+              targetWidth, targetHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = dst.createGraphics()
+            try g.drawImage(img, 0, 0, targetWidth, targetHeight, null)
+            finally g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(dst, "png", bos)
+            bos.toByteArray
+          case None => resizeByteStub(payload, targetWidth, targetHeight)
+        }
         Row(r.getLong(idIdx), targetWidth, targetHeight, out)
       }
     }(Encoders.row(schema))
+  }
+
+  /** Non-image fallback resample: stride-sample the byte stream down to a
+   * target-area-proportional byte budget. */
+  private def resizeByteStub(
+      payload: Array[Byte], targetWidth: Int, targetHeight: Int): Array[Byte] = {
+    val n = if (payload == null) 0 else payload.length
+    if (n == 0) return Array.emptyByteArray
+    val (w, h, _, _) = decodeImageStub(payload)
+    // double, not integer: n*tw*th overflows Long for large payloads ×
+    // large target dims (and would silently collapse the budget to 1 byte)
+    val ratio = targetWidth.toDouble * targetHeight /
+      (math.max(1L, w.toLong * h)).toDouble
+    val budget = math.max(1L, math.min(n.toLong, math.round(n * ratio))).toInt
+    val b = new Array[Byte](budget)
+    var i = 0
+    while (i < budget) { b(i) = payload((i.toLong * n / budget).toInt); i += 1 }
+    b
   }
 
   /**

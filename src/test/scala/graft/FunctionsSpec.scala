@@ -673,6 +673,54 @@ class FunctionsSpec extends SparkTestBase {
     assert(kept === Seq(2L, 3L))
   }
 
+  test("multimodal real decode: ImageIO reads synthetic PNG dims and channels") {
+    val png = Multimodal.syntheticPng(23, 9, seed = 42L)
+    assert(Multimodal.decodeImage(png) ===
+      ((23, 9, 3, Multimodal.fnv1a(png))))
+    // the distributed path reports the same real metadata
+    val d = df(Seq(Seq(7L)), "doc_id:long")
+    val pngs = Multimodal.syntheticImages(d, "doc_id")
+    val meta = Multimodal.decodeImages(pngs, "doc_id", "payload").collect().head
+    assert((meta.getInt(2), meta.getInt(3), meta.getInt(4)) ===
+      (((8 + 7 % 57), (8 + 7 % 31), 3)))
+    // non-image payloads take the disclosed fallback, not an error
+    val junk = "definitely not a png".getBytes("UTF-8")
+    assert(Multimodal.decodeImage(junk) === Multimodal.decodeImageStub(junk))
+  }
+
+  test("multimodal real resize: roundtrip decode reports the target dims") {
+    val d = df(Seq(Seq(1L), Seq(2L)), "doc_id:long")
+    val pngs = Multimodal.syntheticImages(d, "doc_id")
+    val out = Multimodal.resizeImages(pngs, "doc_id", "payload", 5, 4)
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](3)))
+    out.foreach { case (_, payload) =>
+      val (w, h, c, _) = Multimodal.decodeImage(payload)
+      assert((w, h, c) === ((5, 4, 3)))
+    }
+    // deterministic across invocations
+    val again = Multimodal.resizeImages(pngs, "doc_id", "payload", 5, 4)
+      .collect().map(r => r.getAs[Array[Byte]](3).toSeq).toSet
+    assert(again === out.map(_._2.toSeq).toSet)
+  }
+
+  test("multimodal features: image path pools real pixels, unit-norm") {
+    val d = df(Seq(Seq(3L)), "doc_id:long")
+    val pngs = Multimodal.syntheticImages(d, "doc_id")
+    val v = Multimodal.extractFeatures(pngs, "doc_id", "payload", dim = 16)
+      .collect().head.getSeq[Float](1)
+    assert(v.length === 16)
+    val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-5)
+    // a recognized image and its byte stream must NOT featurize alike:
+    // the image path reads pixels, the fallback hashes container bytes
+    val junkDf = df(Seq(Seq(3L, "plain text payload")), "doc_id:long,t:str")
+      .select(col("doc_id"), encode(col("t"), "UTF-8").as("payload"))
+    val vj = Multimodal.extractFeatures(junkDf, "doc_id", "payload", dim = 16)
+      .collect().head.getSeq[Float](1)
+    assert(vj.length === 16)
+    assert(v !== vj)
+  }
+
   test("multimodal decode stub is deterministic; frame sampling shapes") {
     val d = df(Seq(Seq(1L, "abcdef"), Seq(2L, "")), "doc_id:long,t:str")
       .select(col("doc_id"), encode(col("t"), "UTF-8").as("p"))
