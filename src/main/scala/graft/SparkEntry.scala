@@ -1116,7 +1116,14 @@ object SparkEntry {
     "q71_cube" -> ((s, dir) =>
       eng(s).sqlSelect(SqlCube, Map("orders" -> t(s, dir, "orders")))),
     "q56_ntile" -> ((s, dir) =>
-      eng(s).sqlSelect(SqlNtile, Map("orders" -> t(s, dir, "orders")))),
+      // DfUtils.ntile: identical output to `ntile(4) OVER (ORDER BY ...)`
+      // (the DuckDB oracle) but via the distributed prefix sum — no
+      // single-partition window exchange (100 TB path; the window form
+      // remains available through plain Spark SQL for small frames)
+      graft.api.DfUtils.ntile(
+        t(s, dir, "orders").select("o_orderkey", "o_totalprice"),
+        4, Seq("o_totalprice", "o_orderkey"), outCol = "quartile")
+        .select("o_orderkey", "quartile")),
 
     // ---- FugueSQL dialect statement families --------------------------
     // ZIP + TRANSFORM-on-zipped (cotransformer) — same semantics as q24
@@ -1999,9 +2006,104 @@ object SparkEntry {
     "q36_case_in" -> SqlCaseIn,
     "q55_percentile" -> SqlPercentile,
     "q56_ntile" -> SqlNtile,
-    // m01_multimodal_decode / d02/d03/d05/d06 / s02 / t01 / t03 / q21:
-    // not SQL-expressible (UDF hashes, LSH, seeded sampling) → rows-only.
+    // full text-analysis oracle: langid (stopword-type argmax, ties to
+    // en<es<de<fr, CJK-density zh gate), the EXACT base-31 rolling
+    // fingerprint (HUGEINT modular arithmetic reproduces the JVM's 64-bit
+    // wraparound), and the quality-metric bundle — all per-row scalar
+    // arithmetic, no FP-order hazards. Stopword lists mirror
+    // TextFunctions.StopwordsEn / LangStopwords.
+    "t01_text_analyze" ->
+      s"""WITH base AS (
+        | SELECT doc_id, text,
+        |  lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm,
+        |  string_split_regex(trim(lower(text)), '\\s+') AS ltoks,
+        |  CASE WHEN length(regexp_replace(text, '\\s', '', 'g')) = 0
+        |   THEN CAST(0 AS INTEGER)
+        |   ELSE CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER)
+        |  END AS n_tok
+        | FROM documents),
+        |scored AS (
+        | SELECT *, $SqlLangScores FROM base),
+        |fp AS (
+        | SELECT doc_id,
+        |  CASE WHEN text IS NULL THEN CAST(0 AS BIGINT) ELSE (
+        |   SELECT CASE WHEN m >= CAST('9223372036854775808' AS HUGEINT)
+        |    THEN CAST(m - CAST('18446744073709551616' AS HUGEINT) AS BIGINT)
+        |    ELSE CAST(m AS BIGINT) END
+        |   FROM (SELECT list_reduce(
+        |     list_prepend(CAST(1125899906842597 AS HUGEINT),
+        |       list_transform(range(1, length(norm)+1),
+        |         i -> CAST(unicode(norm[i]) AS HUGEINT))),
+        |     (a, b) -> (a * 31 + b) % CAST('18446744073709551616' AS HUGEINT)) AS m)
+        |  ) END AS fingerprint
+        | FROM base)
+        |SELECT s.doc_id, $SqlLangCase AS lang_pred, f.fingerprint,
+        | CAST(length(s.text) AS INTEGER) AS n_chars,
+        | s.n_tok AS n_tokens,
+        | CAST(length(s.text) - length(regexp_replace(s.text, '[[:punct:]]', '', 'g')) AS INTEGER) AS n_punct,
+        | CAST(length(s.text) - length(regexp_replace(s.text, '[0-9]', '', 'g')) AS INTEGER) AS n_digits,
+        | CAST(len(list_filter(s.ltoks, t -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','at','by','it'], t))) AS INTEGER) AS n_stopwords,
+        | CASE WHEN s.n_tok > 0 THEN CAST(len(list_filter(s.ltoks, t -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','at','by','it'], t))) AS DOUBLE) / s.n_tok ELSE 0.0 END AS stopword_ratio,
+        | CASE WHEN s.n_tok > 0 THEN CAST(length(regexp_replace(s.text, '\\s+', '', 'g')) AS DOUBLE) / s.n_tok ELSE 0.0 END AS mean_word_len
+        |FROM scored s JOIN fp f ON s.doc_id = f.doc_id""".stripMargin,
+    "t03_langid" ->
+      s"""WITH base AS (
+        | SELECT doc_id, lang, text,
+        |  string_split_regex(trim(lower(text)), '\\s+') AS ltoks
+        | FROM documents),
+        |scored AS (SELECT *, $SqlLangScores FROM base)
+        |SELECT doc_id, lang, $SqlLangCase AS lang_pred FROM scored""".stripMargin,
+    // composed dedup-pipeline oracle: exact 3-gram jaccard pairs (the
+    // LSH candidate stage finds every >= 0.5 pair on this corpus — recall
+    // pinned by d15; verification is exact either way), connected
+    // components via recursive min-label reachability, keep each
+    // component's min id
+    "d06_dedup_pipeline" ->
+      """WITH RECURSIVE toks AS (
+        | SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |sh AS (
+        | SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+        |   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        | FROM toks WHERE len(w) >= 3),
+        |pairs AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        | WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |       (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+        |edges AS (
+        | SELECT id_a AS u, id_b AS v FROM pairs
+        | UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(u, l) AS (
+        | SELECT DISTINCT u, u FROM edges
+        | UNION
+        | SELECT e.u, r.l FROM edges e JOIN reach r ON r.u = e.v),
+        |comp AS (SELECT u, min(l) AS rep FROM reach GROUP BY u)
+        |SELECT d.doc_id, d.lang FROM documents d LEFT JOIN comp c ON d.doc_id = c.u
+        |WHERE c.u IS NULL OR c.rep = d.doc_id""".stripMargin,
+    // d02/d03/d05 / s02 / m02 / q21: not SQL-expressible (LSH bucket sets,
+    // FP ANN rankings, seeded sampling) → rows-only, each pinned by a
+    // green boolean differential (d08/d15, d09, d05x+d07, s03, q21x).
   )
+
+  /** DuckDB per-language stopword-type scores — mirrors
+   * TextFunctions.LangStopwords; used by the t01/t03 oracles. */
+  private val SqlLangScores: String = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "was"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del", "las", "por"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "den", "von"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "et", "dans", "une", "que", "pour"),
+  ).map { case (lang, words) =>
+    s"len(list_intersect(list_distinct(ltoks), [${words.map(w => s"'$w'").mkString(",")}])) AS s_$lang"
+  }.mkString(", ")
+
+  /** DuckDB argmax-with-ties-to-earlier over the s_* scores plus the CJK
+   * density gate — the langId CASE (fold order en, es, de, fr). */
+  private val SqlLangCase: String =
+    """CASE WHEN length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g')) > length(text) * 0.3 THEN 'zh'
+      | WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+      | WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+      | WHEN s_de >= s_fr THEN 'de'
+      | ELSE 'fr' END""".stripMargin
 
   /** Headline subset for the per-round benchmark (heavy/representative). */
   def benchQueries: Seq[String] = Seq(
