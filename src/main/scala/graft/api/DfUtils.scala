@@ -158,6 +158,38 @@ object DfUtils {
       indexCol: String = "row_index"): DataFrame =
     runningTotal(df, orderCols, lit(1L), indexCol)
 
+  /**
+   * Exact global `ntile(n)` in `orderCols` order WITHOUT the
+   * single-partition window `ntile(n) OVER (ORDER BY ...)` plans: the row
+   * index comes from [[runningTotal]]'s distributed prefix sum, and the
+   * standard ntile bucket rule (count c, base = c/n, the first c%n buckets
+   * take one extra row) is per-row arithmetic on that index. Output values
+   * are identical to the window function's — this is a faster plan for the
+   * same semantic, not an approximation. Same total-order precondition as
+   * [[withRowIndex]].
+   */
+  def ntile(
+      df: DataFrame, n: Int, orderCols: Seq[String],
+      outCol: String = "ntile"): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val c = df.count()
+    val base = c / n
+    val r = c % n
+    // first r buckets have base+1 rows: index i < r*(base+1) falls in
+    // bucket i div (base+1); later rows in r + (i - r*(base+1)) div base.
+    // `div` (IntegralDivide), not `/` — Divide on longs is double division
+    // and a nearest-rounding at a bucket boundary would misassign a row.
+    // max(base,1): when c < n the else branch is unreachable (every
+    // i < c = r) but the divisor is still evaluated per row
+    withRowIndex(df, orderCols, "__ntile_idx")
+      .withColumn(outCol, expr(
+        s"cast((case when __ntile_idx < ${r * (base + 1)} " +
+          s"then __ntile_idx div ${base + 1} " +
+          s"else $r + (__ntile_idx - ${r * (base + 1)}) div ${math.max(base, 1L)} " +
+          s"end) + 1 as int)"))
+      .drop("__ntile_idx")
+  }
+
   /** None when equal; Some(reason) otherwise. */
   private def diff(
       a: DataFrame, b: DataFrame,

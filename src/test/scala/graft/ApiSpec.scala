@@ -165,6 +165,30 @@ class ApiSpec extends SparkTestBase {
     }
   }
 
+  test("DfUtils.ntile: equals the window ntile for every (count, n) shape") {
+    import org.apache.spark.sql.functions.{col, ntile => wntile}
+    import org.apache.spark.sql.expressions.Window
+    // counts exercising c % n = 0, c < n, and ragged remainders
+    for ((c, n) <- Seq((103, 4), (8, 3), (3, 7), (100, 10), (1, 1))) {
+      val d = df((1 to c).map(i => Seq(((i * 37) % c).toLong, i.toLong)),
+        "k:long,id:long")
+      val got = graft.api.DfUtils.ntile(d, n, Seq("k", "id"), "b")
+        .select("id", "b").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val want = d.withColumn("b",
+          wntile(n).over(Window.orderBy(col("k"), col("id"))))
+        .select("id", "b").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got === want, s"c=$c n=$n")
+    }
+    // the point of the primitive: no single-partition exchange in the plan
+    val big = df((1 to 50).map(i => Seq(i.toLong)), "k:long")
+    val plan = graft.api.DfUtils.ntile(big, 4, Seq("k"), "b")
+      .queryExecution.executedPlan
+    assert(plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }.isEmpty, "distributed ntile must not plan a global window")
+  }
+
   test("DfUtils.profile: dotted names and nested-map columns") {
     import org.apache.spark.sql.functions.{col, map, lit, array, struct}
     val base = df(Seq(Seq("a", 1), Seq("b", 2)), "k:str,v:int")
