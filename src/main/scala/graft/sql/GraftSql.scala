@@ -275,7 +275,9 @@ object GraftSql {
           case _ => false
         }) || KeywordStart.findFirstIn(t).isDefined)
         if (starts || out.isEmpty) out += new StringBuilder(t)
-        else if (pendingAssign) out.last ++= t
+        // space, not bare concat: `q =` + `SELECT …` must not fuse into
+        // `q =SELECT …` (parses today, but leaves a token-boundary trap)
+        else if (pendingAssign) { out.last += ' '; out.last ++= t }
         else { out.last += '\n'; out.last ++= t }
       }
     }
@@ -355,7 +357,10 @@ object GraftSql {
           case e: IllegalArgumentException =>
             // surface WHICH statement failed — a multi-statement script
             // error without location is hard to act on
-            val head = stmt.trim.linesIterator.next()
+            // nextOption: a dangling assignment (`q =` with nothing after)
+            // reaches here with an EMPTY statement — found by the fuzz spec;
+            // .next() would turn the clean error into NoSuchElementException
+            val head = stmt.trim.linesIterator.nextOption().getOrElse("<empty>")
             val loc = if (head.length > 80) head.take(80) + "…" else head
             throw new IllegalArgumentException(s"${e.getMessage} [in statement: $loc]", e)
         }
@@ -400,7 +405,8 @@ object GraftSql {
           }
           if (depth > 0)
             throw new IllegalArgumentException(
-              s"unbalanced parenthesis in statement: ${stmt.trim.linesIterator.next()}")
+              "unbalanced parenthesis in statement: " +
+                stmt.trim.linesIterator.nextOption().getOrElse("<empty>"))
           val inner = stmt.substring(i + 1, j - 1).trim
           if (InlineInner.findFirstIn(inner).isDefined) {
             val name = s"__inline_${dfs.size}"
@@ -692,7 +698,11 @@ object GraftSql {
     }
 
     private def execTake(stmt: String): DataFrame = {
-      val n = "(?i)TAKE\\s+(\\d+)".r.findFirstMatchIn(stmt).get.group(1).toInt
+      // getOrElse, not .get: a bare `TAKE` must produce a statement error,
+      // not NoSuchElementException (found by the fuzz spec)
+      val n = "(?i)TAKE\\s+(\\d+)".r.findFirstMatchIn(stmt).getOrElse(
+        throw new IllegalArgumentException(
+          s"TAKE requires a row count: $stmt")).group(1).toInt
       val naPos = if ("(?i)NULLS?\\s+FIRST".r.findFirstIn(stmt).isDefined) "first" else "last"
       // remove the NULLS clause so the greedy PRESORT column list cannot
       // swallow it as extra sort columns

@@ -1,0 +1,199 @@
+package graft
+
+import graft.sql.GraftSql
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/**
+ * ScalaCheck fuzz over the hand-rolled GraftSql parser (the repo's
+ * highest-risk surface): generated scripts exercise names, quoting,
+ * comments, multi-line statements, and `{{var}}` templating. Three
+ * properties:
+ *   1. splitStatements finds EXACTLY the statements a script was built
+ *      from, whatever formatting noise surrounds them (a miscount is a
+ *      silent misparse — half a pipeline runs);
+ *   2. formatting/templating never changes RESULTS of a fixed pipeline;
+ *   3. arbitrary mutation produces a clean error or a result — never a
+ *      MatchError / NPE / index-out-of-bounds escaping the parser.
+ * Deterministic: every sample is drawn from an explicit ScalaCheck Seed.
+ */
+class GraftSqlFuzzSpec extends SparkTestBase {
+
+  private def samples[A](g: Gen[A], n: Int, seed: Long): Seq[A] =
+    (0 until n).map(i => g.pureApply(Gen.Parameters.default, Seed(seed + i)))
+
+  // identifiers that can never collide with the (case-insensitive)
+  // statement keywords or grammar tokens
+  private val identGen: Gen[String] = for {
+    h <- Gen.alphaLowerChar
+    t <- Gen.listOfN(5, Gen.oneOf(Gen.alphaLowerChar, Gen.numChar, Gen.const('_')))
+  } yield ("z" + h + t.mkString) // leading z: no keyword starts with z
+
+  // comment lines may contain keywords at line start — stripComment must
+  // remove them before statement detection sees them
+  private val commentGen: Gen[String] = Gen.oneOf(
+    "-- SELECT * FROM nowhere",
+    "  -- TAKE 5 ROWS FROM ghost",
+    "-- a = CREATE chaos",
+    "--", "   --   ZIP a, b")
+
+  private val noiseGen: Gen[Seq[String]] =
+    Gen.choose(0, 3).flatMap(n => Gen.listOfN(n, Gen.oneOf(commentGen, Gen.const(""))))
+
+  test("fuzz P1: splitStatements recovers exactly the generated statements") {
+    // each generated entry is (statement text, lines it was rendered as)
+    case class Stmt(text: String)
+    val createGen: Gen[Stmt] = for {
+      n <- identGen
+      v <- Gen.choose(0, 99)
+    } yield Stmt(s"""$n = CREATE [[$v, "v$v"]] SCHEMA a:long,b:str""")
+    // quoted path holding keywords, a comment marker, and parens — none
+    // may influence splitting or flag detection
+    val nastyPathGen: Gen[Stmt] = for {
+      n <- identGen
+    } yield Stmt(s"""$n = CREATE [["/x--y SELECT (TAKE"]] SCHEMA p:str""")
+    // multi-line statement: UNION ALL connector at end-of-line means the
+    // following SELECT line CONTINUES the statement
+    val unionGen: Gen[Stmt] = for {
+      n <- identGen
+      m <- identGen
+    } yield Stmt(s"$n = CREATE [[1]] SCHEMA a:long\n" +
+      s"$m = SELECT a FROM $n UNION ALL\nSELECT a FROM $n")
+    // dangling assignment: `name =` absorbs the next line
+    val danglingGen: Gen[Stmt] = for {
+      n <- identGen
+      m <- identGen
+    } yield Stmt(s"$n = CREATE [[2]] SCHEMA a:long\n$m =\n  SELECT a FROM $n")
+    // multi-line subquery: open paren keeps keyword-led lines attached
+    val parenGen: Gen[Stmt] = for {
+      n <- identGen
+      m <- identGen
+    } yield Stmt(s"$n = CREATE [[3]] SCHEMA a:long\n" +
+      s"$m = SELECT * FROM (\nSELECT a FROM $n\n) q")
+
+    // each template was authored with a known statement count: the
+    // dangling/union/paren templates hold 2 logical statements, the
+    // single-line ones hold 1
+    def templateCount(t: String): Int =
+      if (t.contains("UNION ALL") || t.contains("=\n") || t.contains("FROM (")) 2
+      else 1
+
+    val scriptGen: Gen[(String, Int)] = for {
+      stmts <- Gen.choose(1, 5).flatMap(k => Gen.listOfN(k,
+        Gen.oneOf(createGen, nastyPathGen, unionGen, danglingGen, parenGen)))
+      noise <- Gen.listOfN(stmts.size + 1, noiseGen)
+    } yield {
+      val body = stmts.zip(noise.tail).flatMap { case (s, ns) =>
+        s.text.split("\n").toSeq ++ ns
+      }
+      ((noise.head ++ body).mkString("\n"),
+        stmts.map(s => templateCount(s.text)).sum)
+    }
+
+    for (((script, want), i) <- samples(scriptGen, 120, seed = 1000L).zipWithIndex) {
+      val got = GraftSql.splitStatements(script)
+      assert(got.size === want,
+        s"sample $i split ${got.size} statements, expected $want:\n$script\n--- got:\n${got.mkString("\n###\n")}")
+      // no content invented or lost: joined splits equal the script minus
+      // comments/blank lines, modulo whitespace
+      val norm = (s: String) => s.replaceAll("\\s+", " ").trim
+      val src = script.split("\n").map(l => stripC(l)).filter(_.trim.nonEmpty).mkString(" ")
+      assert(norm(got.mkString(" ")) === norm(src), s"sample $i content drift")
+    }
+  }
+
+  /** comment stripper mirroring the parser's (quote-aware) — used only to
+   * compute the expected content in P1. */
+  private def stripC(line: String): String = {
+    var inS = false; var inD = false; var i = 0
+    while (i < line.length) {
+      val c = line(i)
+      if (c == '\'' && !inD) inS = !inS
+      else if (c == '"' && !inS) inD = !inD
+      else if (c == '-' && !inS && !inD && i + 1 < line.length && line(i + 1) == '-')
+        return line.substring(0, i)
+      i += 1
+    }
+    line
+  }
+
+  test("fuzz P2: formatting + {{var}} templating never change results") {
+    val caseGen: Gen[(String, Map[String, String], Seq[String])] = for {
+      a <- identGen; b <- identGen; c <- identGen
+      // no backslashes: Spark SQL string literals process escape
+      // sequences (engine semantics, not parser territory); $ and braces
+      // are the substituteVars hazards this property targets
+      lit <- Gen.oneOf("x$y", "{not a var}", "plain", "$$", "a{b}c")
+      pre <- noiseGen; mid <- noiseGen
+    } yield {
+      val script = (pre ++ Seq(
+        s"""{{a}} = CREATE [[1, "k"], [2, "k"], [3, "j"]] SCHEMA v:long,k:str""") ++ mid ++ Seq(
+        s"{{b}} = SELECT k, '{{lit}}' AS tag, v FROM {{a}} WHERE v >= 2",
+        s"{{c}} = TAKE 1 ROWS FROM {{b}} PREPARTITION BY k PRESORT v DESC",
+        s"YIELD {{c}} AS out")).mkString("\n")
+      (script, Map("a" -> a, "b" -> b, "c" -> c, "lit" -> lit), Seq(lit))
+    }
+    for (((script, vars, Seq(lit)), i) <- samples(caseGen, 40, seed = 2000L).zipWithIndex) {
+      val r = GraftSql.run(engine, script, vars = vars)
+      val rows = r.yields("out").collect()
+        .map(x => (x.getString(0), x.getString(1), x.getLong(2))).sortBy(_._1)
+      assert(rows.toSeq === Seq(("j", lit, 3L), ("k", lit, 2L)),
+        s"sample $i wrong result for script:\n$script")
+    }
+  }
+
+  test("fuzz P2b: substituteVars is exact and rejects undefined variables") {
+    val g: Gen[(String, String)] = for {
+      n <- identGen
+      v <- Gen.oneOf("x", "a b", "$1", "\\d", "{{", "}}", "NULL", "'q'")
+    } yield (n, v)
+    for (((n, v), i) <- samples(g, 60, seed = 3000L).zipWithIndex) {
+      assert(GraftSql.substituteVars(s"pre {{$n}} post {{ $n }}", Map(n -> v)) ===
+        s"pre $v post $v", s"sample $i")
+      intercept[IllegalArgumentException] {
+        GraftSql.substituteVars(s"x {{${n}_undef}} y", Map(n -> v))
+      }
+    }
+  }
+
+  test("fuzz P3: mutated scripts fail cleanly or run — no parser escapes") {
+    val base = Seq(
+      "src = CREATE [[1, \"a\"], [2, \"b\"]] SCHEMA v:long,k:str",
+      "sel = SELECT k, v FROM src WHERE v > 0",
+      "TAKE 1 ROWS FROM sel PRESORT v DESC",
+      "DISTINCT",
+      "ren = RENAME COLUMNS k:key FROM src",
+      "DROPNA ANY FROM src",
+      "YIELD sel AS out")
+    val mutGen: Gen[String] = for {
+      lines <- Gen.someOf(base)
+      shuffled <- Gen.oneOf(true, false)
+      extra <- Gen.oneOf("", "TAKE", "ZIP ,", "SELECT", "q =", "RENAME COLUMNS",
+        "CREATE [[", "FILLNA", "SAMPLE -3 PERCENT FROM src", "ALTER COLUMNS")
+      cut <- Gen.choose(0, 40)
+    } yield {
+      val body = (if (shuffled) lines.reverse else lines) :+ extra
+      val s = body.mkString("\n")
+      if (cut > 0 && cut < s.length) s.dropRight(cut) else s
+    }
+    var ran = 0; var failedClean = 0
+    for ((script, i) <- samples(mutGen, 150, seed = 4000L).zipWithIndex) {
+      try { GraftSql.run(engine, script); ran += 1 }
+      catch {
+        case _: IllegalArgumentException => failedClean += 1 // incl. NumberFormat
+        case _: org.apache.spark.sql.AnalysisException => failedClean += 1
+        case e: Throwable =>
+          fail(s"sample $i escaped with ${e.getClass.getName}: ${e.getMessage}\n$script")
+      }
+    }
+    info(s"P3: $ran ran, $failedClean failed cleanly")
+    // arbitrary unicode garbage must never crash the splitter/templater
+    val junkGen = Gen.listOfN(80, Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf(' ', '\n', '"', '\'', '(', ')', '-', '=',
+        '{', '}', ',', ':', '\t', 'é', '世'))).map(_.mkString)
+    for (junk <- samples(junkGen, 100, seed = 5000L)) {
+      GraftSql.splitStatements(junk) // must not throw
+      GraftSql.substituteVars(junk.replace("{", "").replace("}", ""), Map.empty)
+    }
+  }
+}
