@@ -92,4 +92,25 @@ final case class GraftFrame(
   }
 
   def rows: Seq[Row] = native.collect().toSeq
+
+  /** Arrow IPC stream batches of this frame's rows (driver-side, one
+   * partition resident at a time; each batch self-describes with the
+   * schema) — the local-interchange surface matching the reference's
+   * as_arrow (fugue/dataframe/dataframe.py:121). Rebuild with
+   * [[GraftFrame.fromArrowBatches]]. */
+  def asArrowBatches(maxRecordsPerBatch: Long = 10000L): Iterator[Array[Byte]] =
+    org.apache.spark.sql.graftshim.ArrowBridge.toArrowBatches(native, maxRecordsPerBatch)
+}
+
+object GraftFrame {
+  /** Inverse of [[GraftFrame.asArrowBatches]]: a GraftFrame over the rows
+   * of the given Arrow IPC batches. `schemaJson` is `df.schema.json` of
+   * the exporting frame (kept explicit so batches can cross processes
+   * without a side channel). */
+  def fromArrowBatches(
+      spark: org.apache.spark.sql.SparkSession,
+      batches: Iterator[Array[Byte]],
+      schemaJson: String): GraftFrame =
+    GraftFrame(org.apache.spark.sql.graftshim.ArrowBridge
+      .fromArrowBatches(spark, batches, schemaJson))
 }

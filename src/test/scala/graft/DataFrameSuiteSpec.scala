@@ -77,6 +77,37 @@ class DataFrameSuiteSpec extends SparkTestBase {
     assert(got(1).asInstanceOf[Array[Byte]].toSeq === Seq[Byte](1, 2, 3))
   }
 
+  test("asArrowBatches round-trips nested/binary/map columns exactly") {
+    import org.apache.spark.sql.functions._
+    val d = engine.toDF(
+      Seq(
+        Seq(1L, "x", Seq(1, 2, 3), Map("a" -> 1), null),
+        Seq(2L, null, Seq.empty[Int], Map.empty[String, Int], Map("k" -> 9L)),
+        Seq(3L, "z", null, null, null)),
+      "id:long,s:str,xs:[int],m:<str,int>,m2:<str,long>")
+      .withColumn("st", struct(col("id").as("i"), col("s").as("t")))
+      .withColumn("b", when(col("s").isNotNull, encode(col("s"), "UTF-8")))
+    val f = GraftFrame(d)
+    val batches = f.asArrowBatches(maxRecordsPerBatch = 2).toSeq
+    assert(batches.nonEmpty && batches.forall(_.nonEmpty))
+    val back = GraftFrame.fromArrowBatches(
+      spark, batches.iterator, d.schema.json)
+    assert(back.schema === d.schema)
+    def canon(g: GraftFrame): Seq[String] =
+      g.native.selectExpr("id", "s", "xs", "map_entries(m)",
+        "map_entries(m2)", "st", "b").collect()
+        .map(r => (r.toSeq.dropRight(1) :+
+          Option(r.getAs[Array[Byte]](6)).map(_.toSeq)).mkString("|"))
+        .sorted.toSeq
+    assert(canon(back) === canon(f))
+    // empty frame: zero or empty batches, round-trip keeps schema via json
+    val empty = GraftFrame(d.filter("id > 99"))
+    val eb = empty.asArrowBatches().toSeq
+    val backEmpty = GraftFrame.fromArrowBatches(
+      spark, eb.iterator, d.schema.json)
+    assert(backEmpty.count === 0 && backEmpty.schema === d.schema)
+  }
+
   test("round-trip: nulls in nested types survive conform") {
     val d = engine.toDF(
       Seq(Seq(1L, null, Seq(1, 2)), Seq(2L, Map("k" -> 7), null)),
