@@ -875,6 +875,15 @@ object SparkEntry {
         "doc_id", "embedding", k = 3)
         .select("query_id", "rank", "neighbor_id")
     }),
+    "m05_audio_decode" -> ((s, dir) => {
+      // REAL audio decode conformance: WAV fixtures with id-derived
+      // header fields, parsed by javax.sound.sampled; the oracle
+      // recomputes the fields from the same formula (syntheticAudio)
+      val wavs = Multimodal.syntheticAudio(
+        t(s, dir, "documents").select("doc_id"), "doc_id")
+      Multimodal.decodeAudioBatch(wavs, "doc_id", "payload")
+        .select("doc_id", "sample_rate", "channels", "bits", "n_frames")
+    }),
     "m04_multimodal_resize" -> ((s, dir) => {
       // resize → decode roundtrip: a REAL raster resample re-encoded as
       // PNG must decode to exactly the target dims on every row
@@ -1655,6 +1664,12 @@ object SparkEntry {
       """SELECT doc_id, CAST(17 AS INTEGER) AS width,
         | CAST(11 AS INTEGER) AS height,
         | CAST(3 AS INTEGER) AS channels FROM documents""".stripMargin,
+    "m05_audio_decode" ->
+      """SELECT doc_id,
+        | CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END AS INTEGER) AS sample_rate,
+        | CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+        | CAST(16 AS INTEGER) AS bits,
+        | CAST(100 + doc_id % 50 AS BIGINT) AS n_frames FROM documents""".stripMargin,
     "m03_frame_sampling" ->
       """WITH w AS (
         | SELECT doc_id, CAST(ceil(octet_length(encode(text))/64.0) AS BIGINT) AS nw

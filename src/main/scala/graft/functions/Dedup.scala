@@ -21,10 +21,13 @@ object Dedup {
 
   /** Ensure a CPU-bound projection stage has at least cluster-parallelism
    * partitions; no-op when the input is already well-split (the 100 TB
-   * case — splits come from the source). */
+   * case — splits come from the source). Probes the INTERNAL-row RDD:
+   * `df.rdd` would build a row-deserializer plan conversion on every
+   * dedup entry point (driver-side planning cost, no job either way). */
   private[functions] def spreadForCompute(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    if (df.queryExecution.toRdd.getNumPartitions >= target) df
+    else df.repartition(target)
   }
 
   /** Exact dedup: keep one row per distinct value of `keyCols`, choosing the

@@ -110,6 +110,100 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
+  /** Output schema of the audio decode stage. */
+  val audioMetaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_bytes", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("bits", IntegerType),
+    StructField("n_frames", LongType),
+    StructField("checksum", LongType)))
+
+  /**
+   * REAL audio container decode (JDK `javax.sound.sampled`, no extra
+   * dependency): WAV/AIFF/AU headers parse to sample rate, channel count,
+   * bit depth, and frame length without reading sample data. Payloads no
+   * provider recognizes fall back to deterministic pseudo-metadata
+   * (rate/channels/bits derived from the byte count — the disclosed
+   * non-audio path, mirroring [[decodeImageStub]]).
+   */
+  def decodeAudio(payload: Array[Byte]): (Int, Int, Int, Long, Long) = {
+    def stub = {
+      val n = if (payload == null) 0 else payload.length
+      (8000 + (n % 3) * 4000, 1 + n % 2, 16, n.toLong / 2, fnv1a(payload))
+    }
+    if (payload == null || payload.length == 0) return stub
+    try {
+      val fmt = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(payload))
+      val af = fmt.getFormat
+      (af.getSampleRate.toInt, af.getChannels, af.getSampleSizeInBits,
+        fmt.getFrameLength.toLong, fnv1a(payload))
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => stub
+      case _: java.io.IOException => stub
+    }
+  }
+
+  /** Distributed audio-metadata pass — the audio sibling of
+   * [[decodeImages]]. Output: [[audioMetaSchema]]. */
+  def decodeAudioBatch(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val payload = r.getAs[Array[Byte]](pIdx)
+        val (rate, ch, bits, frames, sum) = decodeAudio(payload)
+        Row(r.getLong(idIdx), if (payload == null) 0 else payload.length,
+          rate, ch, bits, frames, sum)
+      }
+    }(Encoders.row(audioMetaSchema))
+  }
+
+  /**
+   * Deterministic PCM-16 WAV fixture: `frames` frames of `channels`
+   * channels at `sampleRate`, samples a pure function of (seed, i) —
+   * the audio sibling of [[syntheticPng]] (real container, oracle-able
+   * header fields).
+   */
+  def syntheticWav(
+      sampleRate: Int, channels: Int, frames: Int, seed: Long): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0 && frames >= 0, "bad wav dims")
+    val bytes = new Array[Byte](frames * channels * 2)
+    var i = 0
+    while (i < bytes.length) {
+      bytes(i) = ((seed * 6364136223846793005L + i * 1442695040888963407L) >>> 32).toByte
+      i += 1
+    }
+    val af = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, channels, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), af, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Executor-side WAV fixtures with id-derived header fields
+   * (rate 8000/16000 by id parity, channels `1 + id % 2`, frames
+   * `100 + id % 50`) — the m05 oracle recomputes these in SQL. */
+  def syntheticAudio(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        Row(id, syntheticWav(
+          if (id % 2 == 0) 8000 else 16000,
+          (1 + id % 2).toInt, (100 + id % 50).toInt, id))
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Decoded pixels of a recognized image payload, None otherwise. */
   private def readImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
     if (payload == null || payload.length == 0) None

@@ -231,7 +231,7 @@ object GraftSql {
   private val KeywordStart =
     ("^(?i)(LOAD|SAVE|SELECT|WITH|CREATE|ZIP|TAKE|SAMPLE|DROPNA|FILLNA|RENAME|ALTER|DROP|" +
       "DISTINCT|TRANSFORM|COTRANSFORM|OUTTRANSFORM|PROCESS|SUB|OUTPUT|PRINT|PERSIST|BROADCAST|" +
-      "WEAK|STRONG|DETERMINISTIC|CHECKPOINT|YIELD)\\b").r
+      "WEAK|STRONG|DETERMINISTIC|CHECKPOINT|YIELD|CONNECT)\\b").r
   // DOTALL: an assignment statement may span lines (`a = SELECT ... UNION
   // ALL\nSELECT ...`) — without (?s) the full-match extractor silently
   // fails on any multi-line RHS and the statement misparses as a keyword
@@ -450,6 +450,7 @@ object GraftSql {
         case "WEAK" | "STRONG" | "DETERMINISTIC" | "CHECKPOINT" =>
           Some(execCheckpoint(stmt))
         case "YIELD" => execYield(stmt); None
+        case "CONNECT" => execConnect(stmt)
         case other => throw new IllegalArgumentException(s"unknown statement '$other'")
       }
     }
@@ -695,6 +696,28 @@ object GraftSql {
         .findFirstMatchIn(stmt)
         .map(m => PartitionSpec.parsePresort(m.group(1))).getOrElse(Nil)
       PartitionSpec(by = by, presort = presort)
+    }
+
+    /** `CONNECT <engine>[(params)] [<statement>]` — the reference's
+     * per-statement engine override (fugue/sql/_visitors.py:728-741). This
+     * build runs ONE engine, so Spark aliases are accepted as a no-op pin
+     * (migrating scripts keep working) and any other engine name fails
+     * with an explicit message rather than silently running on the wrong
+     * engine. A standalone CONNECT pins the engine for what follows —
+     * also a no-op here. */
+    private def execConnect(stmt: String): Option[DataFrame] = {
+      val m = "(?is)^CONNECT\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s*(\\([^)]*\\))?\\s*(.*)$".r
+        .findFirstMatchIn(stmt).getOrElse(throw new IllegalArgumentException(
+          s"CONNECT requires an engine name: $stmt"))
+      val engineName = m.group(1).toLowerCase
+      val rest = m.group(3).trim
+      val sparkAliases = Set("spark", "sparksql", "spark_sql", "native", "graft")
+      if (!sparkAliases.contains(engineName))
+        throw new IllegalArgumentException(
+          s"CONNECT engine '$engineName' is not available: single-engine " +
+            s"(Spark) build — every statement runs on Spark; accepted " +
+            s"aliases: ${sparkAliases.toSeq.sorted.mkString(", ")}")
+      if (rest.isEmpty) None else execBody(rest)
     }
 
     private def execTake(stmt: String): DataFrame = {

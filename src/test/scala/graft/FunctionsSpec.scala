@@ -721,6 +721,25 @@ class FunctionsSpec extends SparkTestBase {
     assert(v !== vj)
   }
 
+  test("multimodal real audio decode: WAV header fields; junk falls back") {
+    val wav = Multimodal.syntheticWav(16000, 2, 120, seed = 5L)
+    val (rate, ch, bits, frames, sum) = Multimodal.decodeAudio(wav)
+    assert((rate, ch, bits, frames) === ((16000, 2, 16, 120L)))
+    assert(sum === Multimodal.fnv1a(wav))
+    // distributed pass reports the same real metadata
+    val d = df(Seq(Seq(3L)), "doc_id:long")
+    val meta = Multimodal.decodeAudioBatch(
+      Multimodal.syntheticAudio(d, "doc_id"), "doc_id", "payload")
+      .collect().head
+    assert((meta.getInt(2), meta.getInt(3), meta.getInt(4), meta.getLong(5)) ===
+      ((16000, 2, 16, 103L)))
+    // non-audio payloads take the deterministic fallback, not an error
+    val junk = "not audio at all".getBytes("UTF-8")
+    val (r1, c1, b1, f1, s1) = Multimodal.decodeAudio(junk)
+    assert((r1, c1, b1, f1, s1) === Multimodal.decodeAudio(junk))
+    assert(b1 === 16 && s1 === Multimodal.fnv1a(junk))
+  }
+
   test("multimodal decode stub is deterministic; frame sampling shapes") {
     val d = df(Seq(Seq(1L, "abcdef"), Seq(2L, "")), "doc_id:long,t:str")
       .select(col("doc_id"), encode(col("t"), "UTF-8").as("p"))

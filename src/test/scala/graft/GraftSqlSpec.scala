@@ -701,6 +701,23 @@ class GraftSqlSpec extends SparkTestBase {
     assertDfEq(res.yields("winner"), Seq(Seq("b", 11L)))
   }
 
+  test("CONNECT: spark aliases run the statement; foreign engines error") {
+    // engine-prefixed query (the reference's per-statement override form)
+    val r = GraftSql.run(engine,
+      "out = CONNECT spark SELECT k, v FROM input WHERE v > 1\nYIELD out AS o",
+      Map("input" -> d1))
+    assert(r.yields("o").collect().map(_.getAs[Number](1).longValue).sorted.toSeq ===
+      d1.filter("v > 1").collect().map(_.getAs[Number](1).longValue).sorted.toSeq)
+    // params form + standalone pin are accepted no-ops
+    GraftSql.run(engine,
+      "CONNECT sparksql(conf:ignored)\nSELECT k FROM input", Map("input" -> d1))
+    // a foreign engine must fail loudly, not silently run on Spark
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.run(engine, "CONNECT duckdb SELECT k FROM input", Map("input" -> d1))
+    }
+    assert(e.getMessage.contains("single-engine"))
+  }
+
   test("temp views do not leak into the session catalog after SELECT") {
     GraftSql.run(engine,
       "SELECT k, v FROM leak_probe WHERE v > 0", Map("leak_probe" -> d1))
