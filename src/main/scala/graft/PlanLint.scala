@@ -7,6 +7,21 @@ package graft
   * expected-flag inventory and why each is intentional live in PLANS.md.
   */
 object PlanLint {
+  /** `plan.collect` that sees THROUGH AQE wrappers: AdaptiveSparkPlanExec
+   * and QueryStageExec are leaf nodes, so a plain collect over an
+   * AQE-enabled plan inspects nothing. */
+  def collectUnwrapped[A](plan: org.apache.spark.sql.execution.SparkPlan)(
+      pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, A]): Seq[A] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val here = pf.lift(plan).toSeq
+    val children = plan match {
+      case a: AdaptiveSparkPlanExec => Seq(a.inputPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case p => p.children
+    }
+    here ++ children.flatMap(collectUnwrapped(_)(pf))
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.builder("local[8]", 8).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -16,8 +31,10 @@ object PlanLint {
         val executed = fn(spark, dir).queryExecution.executedPlan
         val plan = executed.toString
         // structural, not string-matched: Expression.toString flattens an
-        // empty partitionSpec so "windowspecdefinition(," never renders
-        val globalWindow = executed.collect {
+        // empty partitionSpec so "windowspecdefinition(," never renders.
+        // AQE wraps the tree in AdaptiveSparkPlanExec (a LEAF node — a
+        // plain collect would see nothing); unwrap to the inner plan.
+        val globalWindow = PlanLint.collectUnwrapped(executed) {
           case w: org.apache.spark.sql.execution.window.WindowExec
               if w.partitionSpec.isEmpty => w
           case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec

@@ -2027,10 +2027,19 @@ object SparkEntry {
     // wraparound), and the quality-metric bundle — all per-row scalar
     // arithmetic, no FP-order hazards. Stopword lists mirror
     // TextFunctions.StopwordsEn / LangStopwords.
+    // norm mirrors Fingerprint64.hash's Character.isWhitespace set, not
+    // RE2 \s: collapse EVERY Java-whitespace run (incl. U+2000-series and
+    // the \x1C-\x1F separators; NBSP is NOT Java whitespace) to one
+    // space, then strip the single leading/trailing space the collapse
+    // leaves — plain trim() would miss a trailing '\n'. Known residual
+    // divergence: astral chars (JVM hashes UTF-16 units) and
+    // locale-special lowercasing — absent from this corpus.
     "t01_text_analyze" ->
       s"""WITH base AS (
         | SELECT doc_id, text,
-        |  lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm,
+        |  lower(trim(regexp_replace(text,
+        |    '[\\t-\\r\\x{1c}-\\x{1f} \\x{1680}\\x{2000}-\\x{2006}\\x{2008}-\\x{200a}\\x{2028}\\x{2029}\\x{205f}\\x{3000}]+',
+        |    ' ', 'g'), ' ')) AS norm,
         |  string_split_regex(trim(lower(text)), '\\s+') AS ltoks,
         |  CASE WHEN length(regexp_replace(text, '\\s', '', 'g')) = 0
         |   THEN CAST(0 AS INTEGER)
@@ -2112,9 +2121,13 @@ object SparkEntry {
   }.mkString(", ")
 
   /** DuckDB argmax-with-ties-to-earlier over the s_* scores plus the CJK
-   * density gate — the langId CASE (fold order en, es, de, fr). */
+   * density gate — the langId CASE (fold order en, es, de, fr). NULL text
+   * pins to 'en' explicitly: with NULL scores every comparison is NULL and
+   * the CASE would otherwise fall through to 'fr', while the Spark fold's
+   * when() chain keeps its ('en', -1) seed. */
   private val SqlLangCase: String =
-    """CASE WHEN length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g')) > length(text) * 0.3 THEN 'zh'
+    """CASE WHEN text IS NULL THEN 'en'
+      | WHEN length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g')) > length(text) * 0.3 THEN 'zh'
       | WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
       | WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
       | WHEN s_de >= s_fr THEN 'de'

@@ -107,7 +107,17 @@ object DfUtils {
    */
   def runningTotal(
       df: DataFrame, orderCols: Seq[String], weight: org.apache.spark.sql.Column,
-      outCol: String): DataFrame = {
+      outCol: String): DataFrame =
+    runningTotalWithSum(df, orderCols, weight, outCol)._1
+
+  /** [[runningTotal]] plus the GRAND total of weights, read off the same
+   * per-partition totals the prefix sum already collects — consumers that
+   * need the total (ntile's bucket rule) get it without a second scan,
+   * and from the SAME materialized stage (a separate `df.count()` could
+   * disagree on a non-re-evaluation-stable input). */
+  private[graft] def runningTotalWithSum(
+      df: DataFrame, orderCols: Seq[String], weight: org.apache.spark.sql.Column,
+      outCol: String): (DataFrame, Long) = {
     require(orderCols.nonEmpty, "need at least one order column")
     require(!df.columns.contains(outCol), s"output column '$outCol' already exists")
     val reserved = Seq("__pid", "__w", "__loc", "__base").filter(df.columns.contains)
@@ -143,11 +153,12 @@ object DfUtils {
     val wloc = Window.partitionBy("__pid")
       .orderBy(ocols: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    staged
+    val out = staged
       .withColumn("__loc", coalesce(sum(col("__w")).over(wloc), lit(0L)))
       .join(broadcast(baseDf), "__pid")
       .withColumn(outCol, col("__base") + col("__loc"))
       .drop("__pid", "__w", "__loc", "__base")
+    (out, totals.map(_._2).sum)
   }
 
   /** Contiguous 0-based global row index in `orderCols` order (what
@@ -172,7 +183,10 @@ object DfUtils {
       df: DataFrame, n: Int, orderCols: Seq[String],
       outCol: String = "ntile"): DataFrame = {
     require(n > 0, s"n must be positive, got $n")
-    val c = df.count()
+    // row count comes from the prefix sum's own partition totals — one
+    // scan, and consistent with the indexes by construction
+    val (indexed, c) =
+      runningTotalWithSum(df, orderCols, lit(1L), "__ntile_idx")
     val base = c / n
     val r = c % n
     // first r buckets have base+1 rows: index i < r*(base+1) falls in
@@ -181,7 +195,7 @@ object DfUtils {
     // and a nearest-rounding at a bucket boundary would misassign a row.
     // max(base,1): when c < n the else branch is unreachable (every
     // i < c = r) but the divisor is still evaluated per row
-    withRowIndex(df, orderCols, "__ntile_idx")
+    indexed
       .withColumn(outCol, expr(
         s"cast((case when __ntile_idx < ${r * (base + 1)} " +
           s"then __ntile_idx div ${base + 1} " +

@@ -70,6 +70,9 @@ object Multimodal {
     if (payload == null || payload.length == 0) return decodeImageStub(payload)
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(payload))
+    // createImageInputStream returns null (not an exception) when no
+    // ImageInputStreamSpi claims the input — the finally would NPE
+    if (iis == null) return decodeImageStub(payload)
     try {
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
       if (!readers.hasNext) decodeImageStub(payload)
@@ -141,8 +144,11 @@ object Multimodal {
       (af.getSampleRate.toInt, af.getChannels, af.getSampleSizeInBits,
         fmt.getFrameLength.toLong, fnv1a(payload))
     } catch {
-      case _: javax.sound.sampled.UnsupportedAudioFileException => stub
-      case _: java.io.IOException => stub
+      // ALL Exception, not just UnsupportedAudioFile/IO: the JDK header
+      // parsers throw unchecked exceptions (ArrayIndexOutOfBounds,
+      // NegativeArraySize) on recognized-magic-but-corrupt headers — one
+      // such payload must take the fallback, not fail the job
+      case _: Exception => stub
     }
   }
 

@@ -47,7 +47,16 @@ object ArrowBridge {
     val rows = scala.collection.mutable.ArrayBuffer
       .empty[org.apache.spark.sql.catalyst.InternalRow]
     batches.foreach { b =>
-      val (it, _) = ArrowConverters.fromIPCStream(b)
+      val (it, batchSchema) = ArrowConverters.fromIPCStream(b)
+      // fail fast on a schema mismatch: the rows are UNSAFE — typing them
+      // with the wrong layout silently yields garbage values, not errors.
+      // Nullability is excluded (Arrow tightens non-null flags per batch)
+      if (batchSchema.asNullable != schema.asNullable) {
+        it.close()
+        throw new IllegalArgumentException(
+          s"Arrow batch schema ${batchSchema.simpleString} does not match " +
+            s"the declared schema ${schema.simpleString}")
+      }
       // copy: the iterator's rows are backed by Arrow buffers that free
       // on close
       try it.foreach(r => rows += r.copy())

@@ -179,14 +179,26 @@ class ApiSpec extends SparkTestBase {
         .select("id", "b").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
       assert(got === want, s"c=$c n=$n")
     }
-    // the point of the primitive: no single-partition exchange in the plan
+    // the point of the primitive: no global window in the plan — use the
+    // AQE-unwrapping collector (a plain collect over an adaptive plan sees
+    // only the AdaptiveSparkPlanExec leaf and would pass vacuously)
     val big = df((1 to 50).map(i => Seq(i.toLong)), "k:long")
     val plan = graft.api.DfUtils.ntile(big, 4, Seq("k"), "b")
       .queryExecution.executedPlan
-    assert(plan.collect {
+    assert(PlanLint.collectUnwrapped(plan) {
       case w: org.apache.spark.sql.execution.window.WindowExec
           if w.partitionSpec.isEmpty => w
     }.isEmpty, "distributed ntile must not plan a global window")
+    // the collector itself must see inner nodes: a deliberately global
+    // window must be FOUND (guards against the vacuous-collect regression)
+    import org.apache.spark.sql.expressions.Window
+    val globalPlan = big.withColumn("r",
+        org.apache.spark.sql.functions.row_number().over(Window.orderBy("k")))
+      .queryExecution.executedPlan
+    assert(PlanLint.collectUnwrapped(globalPlan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }.nonEmpty, "collector failed to find a known global window")
   }
 
   test("DfUtils.profile: dotted names and nested-map columns") {
