@@ -15,7 +15,10 @@ object PlanLint {
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     val here = pf.lift(plan).toSeq
     val children = plan match {
-      case a: AdaptiveSparkPlanExec => Seq(a.inputPlan)
+      // executedPlan tracks AQE's CURRENT tree (== final plan once the
+      // query ran); inputPlan would report nodes from the pre-AQE tree
+      // that re-optimization may have eliminated or rewritten
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
       case q: QueryStageExec => Seq(q.plan)
       case p => p.children
     }

@@ -50,8 +50,12 @@ object ArrowBridge {
       val (it, batchSchema) = ArrowConverters.fromIPCStream(b)
       // fail fast on a schema mismatch: the rows are UNSAFE — typing them
       // with the wrong layout silently yields garbage values, not errors.
-      // Nullability is excluded (Arrow tightens non-null flags per batch)
-      if (batchSchema.asNullable != schema.asNullable) {
+      // equalsIgnoreNullability: Arrow tightens non-null flags per batch
+      // AND drops StructField metadata (which never affects row layout) —
+      // a strict == would reject legitimate round-trips of frames whose
+      // schema carries metadata (VARCHAR columns, ML attributes)
+      if (!org.apache.spark.sql.types.DataType.equalsIgnoreNullability(
+          batchSchema, schema)) {
         it.close()
         throw new IllegalArgumentException(
           s"Arrow batch schema ${batchSchema.simpleString} does not match " +

@@ -191,7 +191,6 @@ class ApiSpec extends SparkTestBase {
     }.isEmpty, "distributed ntile must not plan a global window")
     // the collector itself must see inner nodes: a deliberately global
     // window must be FOUND (guards against the vacuous-collect regression)
-    import org.apache.spark.sql.expressions.Window
     val globalPlan = big.withColumn("r",
         org.apache.spark.sql.functions.row_number().over(Window.orderBy("k")))
       .queryExecution.executedPlan

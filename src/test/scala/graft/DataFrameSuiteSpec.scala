@@ -100,6 +100,21 @@ class DataFrameSuiteSpec extends SparkTestBase {
           Option(r.getAs[Array[Byte]](6)).map(_.toSeq)).mkString("|"))
         .sorted.toSeq
     assert(canon(back) === canon(f))
+    // field metadata never affects row layout and is dropped by Arrow —
+    // a metadata-bearing schema must still round-trip (regression: the
+    // import's schema check must not compare metadata)
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString("comment", "annotated").build()
+    val dm = d.select(col("id").as("id", meta), col("s"))
+    val backMeta = GraftFrame.fromArrowBatches(spark,
+      GraftFrame(dm).asArrowBatches(), dm.schema.json)
+    assert(backMeta.count === 3)
+    // a genuinely different layout still fails fast
+    intercept[IllegalArgumentException] {
+      GraftFrame.fromArrowBatches(spark,
+        GraftFrame(d.select("id", "s")).asArrowBatches(),
+        d.select(col("id").cast("int"), col("s")).schema.json).count
+    }
     // empty frame: zero or empty batches, round-trip keeps schema via json
     val empty = GraftFrame(d.filter("id > 99"))
     val eb = empty.asArrowBatches().toSeq
