@@ -156,6 +156,18 @@ class GraftSqlFuzzSpec extends SparkTestBase {
     }
   }
 
+  test("regressions the fuzzer found: bare TAKE and dangling assignment") {
+    // both crashed with NoSuchElementException before round 4
+    val e1 = intercept[IllegalArgumentException] {
+      GraftSql.run(engine, "TAKE")
+    }
+    assert(e1.getMessage.contains("row count"))
+    val e2 = intercept[IllegalArgumentException] {
+      GraftSql.run(engine, "q =")
+    }
+    assert(e2.getMessage.contains("statement"))
+  }
+
   test("fuzz P3: mutated scripts fail cleanly or run — no parser escapes") {
     val base = Seq(
       "src = CREATE [[1, \"a\"], [2, \"b\"]] SCHEMA v:long,k:str",
