@@ -875,6 +875,65 @@ object SparkEntry {
         "doc_id", "embedding", k = 3)
         .select("query_id", "rank", "neighbor_id")
     }),
+    // closed-form cross-check pinning the rows-only m02 pipeline: the
+    // synthetic PNG's pixel (x, y) color is (id*2654435761 + 131x + 31y)
+    // & 0xffffff, so the 8×8 luminance-grid embedding the REAL
+    // PNG-encode → ImageIO-decode → featurize path produces is
+    // recomputable in plain SQL arithmetic; features must match
+    // element-wise (≤1e-5), and the ANN stage must be internally
+    // consistent (ranks exactly 1..3 per query, cosine non-increasing)
+    "m02x_feature_differential" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents").select("doc_id")
+      val pngs = Multimodal.syntheticImages(docs, "doc_id")
+      val emb = Multimodal.extractFeatures(pngs, "doc_id", "payload")
+      val ref = docs
+        .withColumn("w", expr("CAST(8 + doc_id % 57 AS INT)"))
+        .withColumn("h", expr("CAST(8 + doc_id % 31 AS INT)"))
+        .withColumn("p", explode(expr("sequence(0, w * h - 1)")))
+        .withColumn("x", expr("p % w"))
+        .withColumn("y", expr("p DIV w"))
+        .withColumn("rgb",
+          expr("(doc_id * 2654435761 + x * 131 + y * 31) & 16777215"))
+        .withColumn("lum", expr(
+          "(299 * ((rgb DIV 65536) % 256) + 587 * ((rgb DIV 256) % 256)" +
+            " + 114 * (rgb % 256)) / 1000.0"))
+        // integer cell mapping mirrors luminanceGrid: (y*8 div h)*8 + x*8 div w
+        .withColumn("cell", expr(
+          "(CAST(y AS BIGINT) * 8 DIV h) * 8 + CAST(x AS BIGINT) * 8 DIV w"))
+        .groupBy(col("doc_id"), col("cell"))
+        .agg(avg(col("lum")).cast("float").as("m"))
+        .groupBy("doc_id")
+        .agg(expr("transform(array_sort(collect_list(struct(cell, m))), e -> e.m)")
+          .as("v"))
+        .withColumn("inv", expr(
+          "CAST(1.0 / sqrt(aggregate(v, CAST(0 AS DOUBLE)," +
+            " (acc, e) -> acc + CAST(e AS DOUBLE) * CAST(e AS DOUBLE))) AS FLOAT)"))
+        .select(col("doc_id"), expr("transform(v, e -> e * inv)").as("ref"))
+      val featOk = emb.join(ref, "doc_id")
+        .select(expr(
+          "aggregate(zip_with(embedding, ref," +
+            " (a, b) -> abs(CAST(a AS DOUBLE) - CAST(b AS DOUBLE)))," +
+            " CAST(0 AS DOUBLE), (acc, d) -> greatest(acc, d))").as("mx"))
+        .agg(max(col("mx")).as("maxdiff"), count(lit(1)).as("ndocs"))
+      val ann = Similarity.bruteForceTopK(emb, emb.filter(col("doc_id") < 5),
+        "doc_id", "embedding", k = 3)
+      val annOk = ann
+        .withColumn("nxt", lead(col("cosine"), 1).over(
+          Window.partitionBy(col("query_id")).orderBy(col("rank"))))
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n"), min(col("rank")).as("rmin"),
+          max(col("rank")).as("rmax"),
+          min(when(col("nxt").isNull ||
+            col("cosine") >= col("nxt") - lit(1e-9), 1).otherwise(0)).as("mono"))
+        .agg(min(when(col("n") === 3 && col("rmin") === 1 &&
+          col("rmax") === 3 && col("mono") === 1, 1).otherwise(0)).as("shape_ok"),
+          count(lit(1)).as("nq"))
+      featOk.crossJoin(annOk)
+        .select((col("maxdiff") < 1e-5 && col("ndocs") > 0 &&
+          col("shape_ok") === 1 && col("nq") === 5)
+          .cast("bigint").as("m02_ok"))
+    }),
     "m05_audio_decode" -> ((s, dir) => {
       // REAL audio decode conformance: WAV fixtures with id-derived
       // header fields, parsed by javax.sound.sampled; the oracle
@@ -893,6 +952,19 @@ object SparkEntry {
         .select(col("doc_id"), col("payload"))
       Multimodal.decodeImages(resized, "doc_id", "payload")
         .select("doc_id", "width", "height", "channels")
+    }),
+    "m06_video_demux" -> ((s, dir) => {
+      // REAL container demux: animated GIFs (the one multi-frame format
+      // the JDK ships a decoder for) with id-derived frame counts/dims
+      // are written by the real GIF encoder, demuxed by the real ImageIO
+      // multi-frame reader at stride 2; the oracle recomputes the frame
+      // arithmetic from the same id formulas (syntheticVideos' contract)
+      val gifs = Multimodal.syntheticVideos(
+        t(s, dir, "documents").select("doc_id"), "doc_id")
+      Multimodal.demuxFrames(gifs, "doc_id", "payload", stride = 2)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_frames"), max(col("frame_no")).as("last_frame"),
+          min(col("width")).as("width"), min(col("height")).as("height"))
     }),
     "m03_frame_sampling" -> ((s, dir) => {
       // frame-sampling plumbing: payload → every 4th 64-byte window,
@@ -1670,6 +1742,16 @@ object SparkEntry {
         | CAST(1 + doc_id % 2 AS INTEGER) AS channels,
         | CAST(16 AS INTEGER) AS bits,
         | CAST(100 + doc_id % 50 AS BIGINT) AS n_frames FROM documents""".stripMargin,
+    // m06: frames = 2 + id % 7, demux stride 2 → sampled = ceil(frames/2),
+    // last sampled index = 2*(sampled-1); dims from the same id formulas
+    "m06_video_demux" ->
+      """WITH f AS (SELECT doc_id, 2 + doc_id % 7 AS nf FROM documents)
+        |SELECT doc_id,
+        | CAST(ceil(nf / 2.0) AS BIGINT) AS n_frames,
+        | CAST(2 * (ceil(nf / 2.0) - 1) AS INTEGER) AS last_frame,
+        | CAST(8 + doc_id % 23 AS INTEGER) AS width,
+        | CAST(8 + doc_id % 13 AS INTEGER) AS height
+        |FROM f""".stripMargin,
     "m03_frame_sampling" ->
       """WITH w AS (
         | SELECT doc_id, CAST(ceil(octet_length(encode(text))/64.0) AS BIGINT) AS nw
@@ -1683,6 +1765,7 @@ object SparkEntry {
     // differential entries: the Spark side computes LSH-vs-exact recall and
     // emits 1 iff recall ≥ 0.9; the oracle is the constant it must hit
     "d07_embed_lsh_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
+    "m02x_feature_differential" -> "SELECT CAST(1 AS BIGINT) AS m02_ok",
     "q51_sql_functions" -> "SELECT CAST(1 AS BIGINT) AS fns_ok",
     "d08_minhash_precision" -> "SELECT CAST(1 AS BIGINT) AS precision_ok",
     "s04_knn_ivf" ->

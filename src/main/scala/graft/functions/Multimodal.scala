@@ -405,9 +405,141 @@ object Multimodal {
   }
 
   /**
+   * Deterministic animated-GIF fixture: `frames` frames of width×height
+   * whose pixel (f, x, y) color is a pure function of (seed, f, x, y),
+   * written through the JDK's real GIF encoder (`writeToSequence`). The
+   * video sibling of [[syntheticPng]]: frame count and dims are
+   * SQL-expressible functions of the seed, giving the real demuxer an
+   * exact cross-engine oracle (m06).
+   */
+  def syntheticGif(width: Int, height: Int, frames: Int, seed: Long): Array[Byte] = {
+    require(width > 0 && height > 0 && frames > 0, "bad gif dims")
+    val writers = javax.imageio.ImageIO.getImageWritersByFormatName("gif")
+    require(writers.hasNext, "JDK GIF writer missing")
+    val writer = writers.next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < frames) {
+        val img = new java.awt.image.BufferedImage(
+          width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            img.setRGB(x, y,
+              (((seed + f) * 2654435761L + x * 131L + y * 31L) & 0xffffff).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  /** Executor-side animated-GIF fixtures with id-derived shape (frames
+   * `2 + id % 7`, width `8 + id % 23`, height `8 + id % 13`) — the m06
+   * oracle recomputes these in SQL. */
+  def syntheticVideos(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        Row(id, syntheticGif((8 + id % 23).toInt, (8 + id % 13).toInt,
+          (2 + id % 7).toInt, id))
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Output schema of the real frame demux stage. */
+  val frameSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("frame_no", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("frame_bytes", BinaryType)))
+
+  /**
+   * REAL frame demux for containers an ImageIO reader can enumerate — the
+   * JDK ships an actual multi-frame GIF decoder, so animated GIFs demux to
+   * their true frames (every `stride`-th one, re-encoded PNG; width/height
+   * from the decoded raster). Single-frame images yield frame 0.
+   * Unrecognized payloads (no demuxer in the JDK for MP4 etc.) fall back
+   * to the byte-window sampler with width/height −1, so mixed media
+   * columns still flow. Output: [[frameSchema]].
+   */
+  def demuxFrames(df: DataFrame, idCol: String, payloadCol: String,
+      stride: Int = 1, frameSize: Int = 1024): DataFrame = {
+    require(stride > 0 && frameSize > 0, "stride and frameSize must be positive")
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(idIdx)
+        val payload = r.getAs[Array[Byte]](pIdx)
+        decodedFrames(payload, stride) match {
+          case Some(frames) =>
+            frames.iterator.map { case (i, w, h, b) => Row(id, i, w, h, b) }
+          case None =>
+            if (payload == null) Iterator.empty
+            else payload.grouped(frameSize).zipWithIndex.collect {
+              case (fb, i) if i % stride == 0 => Row(id, i, -1, -1, fb)
+            }
+        }
+      }
+    }(Encoders.row(frameSchema))
+  }
+
+  /** Decoded (frame_no, width, height, png_bytes) of every `stride`-th
+   * frame, or None when no ImageIO reader claims the payload (or a frame
+   * fails mid-decode — the whole payload then takes the fallback, never a
+   * half-demuxed row set). */
+  private def decodedFrames(
+      payload: Array[Byte], stride: Int): Option[Seq[(Int, Int, Int, Array[Byte])]] = {
+    if (payload == null || payload.length == 0) return None
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    if (iis == null) return None
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val n = reader.getNumImages(true)
+          if (n <= 0) None
+          else Some((0 until n by stride).map { i =>
+            val img = reader.read(i)
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            (i, img.getWidth, img.getHeight, bos.toByteArray)
+          })
+        } finally reader.dispose()
+      }
+    } catch {
+      case _: Exception => None
+    } finally iis.close()
+  }
+
+  /**
    * Frame sampling plumbing for video-like payloads: emits every `stride`-th
    * fixed-size window of the payload as a frame row (deterministic stub for
-   * a real demuxer). Output: (doc_id, frame_no, frame_bytes).
+   * a real demuxer; [[demuxFrames]] is the real path for containers the
+   * JDK can decode). Output: (doc_id, frame_no, frame_bytes).
    */
   def sampleFrames(df: DataFrame, idCol: String, payloadCol: String,
       frameSize: Int = 1024, stride: Int = 4): DataFrame = {

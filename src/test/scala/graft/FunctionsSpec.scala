@@ -740,6 +740,35 @@ class FunctionsSpec extends SparkTestBase {
     assert(b1 === 16 && s1 === Multimodal.fnv1a(junk))
   }
 
+  test("multimodal real demux: animated GIF frames by stride; junk falls back") {
+    // real encoder → real multi-frame decoder roundtrip: 5 frames, stride 2
+    val d = df(Seq(Seq(10L)), "doc_id:long")
+      .select(col("doc_id"),
+        lit(Multimodal.syntheticGif(12, 9, frames = 5, seed = 10L)).as("p"))
+    val out = Multimodal.demuxFrames(d, "doc_id", "p", stride = 2).collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getInt(3))).sortBy(_._1)
+    assert(out.toSeq === Seq((0, 12, 9), (2, 12, 9), (4, 12, 9)))
+    // each demuxed frame is a decodable PNG with the source dims
+    val fb = Multimodal.demuxFrames(d, "doc_id", "p", stride = 2).collect()
+      .map(_.getAs[Array[Byte]](4))
+    fb.foreach { b =>
+      val (w, h, _, _) = Multimodal.decodeImage(b)
+      assert((w, h) === ((12, 9)))
+    }
+    // single-frame images demux to exactly frame 0
+    val png = df(Seq(Seq(3L)), "doc_id:long")
+      .select(col("doc_id"), lit(Multimodal.syntheticPng(7, 5, 3L)).as("p"))
+    val one = Multimodal.demuxFrames(png, "doc_id", "p").collect()
+    assert(one.length === 1 && one.head.getInt(1) === 0 &&
+      (one.head.getInt(2), one.head.getInt(3)) === ((7, 5)))
+    // non-media payloads keep flowing through the byte-window fallback
+    val junk = df(Seq(Seq(1L, "x" * 5000)), "doc_id:long,t:str")
+      .select(col("doc_id"), encode(col("t"), "UTF-8").as("p"))
+    val jf = Multimodal.demuxFrames(junk, "doc_id", "p", stride = 2).collect()
+    assert(jf.map(_.getInt(1)).toSeq.sorted === Seq(0, 2, 4))
+    assert(jf.forall(r => r.getInt(2) === -1 && r.getInt(3) === -1))
+  }
+
   test("multimodal decode stub is deterministic; frame sampling shapes") {
     val d = df(Seq(Seq(1L, "abcdef"), Seq(2L, "")), "doc_id:long,t:str")
       .select(col("doc_id"), encode(col("t"), "UTF-8").as("p"))
@@ -1064,6 +1093,12 @@ class FunctionsSpec extends SparkTestBase {
     val sizes = out.rdd.glom().map(_.length).collect().sorted
     assert(sizes.sum === 103)
     assert(sizes.max - sizes.min <= 1, s"uneven: ${sizes.toSeq}")
+  }
+
+  test("m02x differential: decoded luminance-grid features match closed form") {
+    val out = SparkEntry.queries("m02x_feature_differential")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.length == 1 && out.head.getLong(0) == 1L)
   }
 
   test("even repartition with keys keeps null-keyed rows (null-safe join)") {
