@@ -1,7 +1,7 @@
 package graft
 
 import graft.engine.SparkGraftEngine
-import graft.functions.{Dedup, Multimodal, Similarity, TextFunctions}
+import graft.functions.{Dedup, Multimodal, Similarity, Sketches, TextFunctions}
 import graft.transform.Transform
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1178,6 +1178,58 @@ object SparkEntry {
         "event_type", "n")
     }),
 
+    // mergeable cardinality summaries: per-(key, ingest shard) HLL
+    // partials merged WITHOUT rescanning — the incremental pattern for
+    // distinct-user tracking at 100 TB. Differentials: (a) merging shard
+    // partials yields the IDENTICAL estimate to sketching the whole
+    // table directly (union losslessness — register-wise max is
+    // associative), (b) every merged estimate is within 5% of the exact
+    // distinct count (rsd ≈ 1.6% at lgK=12); n_keys is oracle-exact
+    "q73_sketch_merge" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("shard", pmod(col("event_id"), lit(8)))
+      val partials = Sketches.hllPartial(ev, Seq("event_type", "shard"), "user_id")
+      val merged = Sketches.hllMergeEstimate(partials, Seq("event_type"))
+      val direct = Sketches.hllPartial(ev, Seq("event_type"), "user_id")
+        .select(col("event_type"),
+          hll_sketch_estimate(col("hll_sketch")).as("direct"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact"))
+      merged.join(exact, "event_type").join(direct, "event_type")
+        .agg(
+          min(when(col("estimate") === col("direct"), 1).otherwise(0))
+            .as("ma"),
+          min(when(abs(col("estimate") - col("exact")) <=
+            col("exact") * 0.05, 1).otherwise(0)).as("bo"),
+          count(lit(1)).as("nk"))
+        .select(col("ma").cast("bigint").as("merge_agrees"),
+          col("bo").cast("bigint").as("bound_ok"),
+          col("nk").cast("bigint").as("n_keys"))
+    }),
+    // mergeable quantile summary: percentile_approx (KLL-style, bounded
+    // rank error ≤ n/accuracy). Differential: the ACTUAL rank of each
+    // reported p50/p95 must sit within twice the guarantee of the target
+    // rank per event_type (2× absorbs boundary ties); n_keys oracle-exact
+    "q74_quantile_sketch" -> ((s, dir) => {
+      val acc = 1000
+      val ev = events(s, dir)
+      val qs = ev.groupBy("event_type").agg(
+        percentile_approx(col("value"), lit(0.5), lit(acc)).as("p50"),
+        percentile_approx(col("value"), lit(0.95), lit(acc)).as("p95"),
+        count(lit(1)).as("n"))
+      ev.join(qs, "event_type")
+        .groupBy(col("event_type"))
+        .agg(
+          sum(when(col("value") <= col("p50"), 1L).otherwise(0L)).as("r50"),
+          sum(when(col("value") <= col("p95"), 1L).otherwise(0L)).as("r95"),
+          first(col("n")).as("n"))
+        .agg(min(when(
+          abs(col("r50") - col("n") * 0.5) <= col("n") * 2.0 / acc + 2 &&
+            abs(col("r95") - col("n") * 0.95) <= col("n") * 2.0 / acc + 2,
+          1).otherwise(0)).as("qo"), count(lit(1)).as("nk"))
+        .select(col("qo").cast("bigint").as("quantile_ok"),
+          col("nk").cast("bigint").as("n_keys"))
+    }),
+
     // ---- SQL passthrough breadth (same text on Spark and DuckDB) ------
     "q32_rollup" -> ((s, dir) =>
       eng(s).sqlSelect(SqlRollup, Map("orders" -> t(s, dir, "orders")))),
@@ -1788,6 +1840,14 @@ object SparkEntry {
     "q57_shuffle_det" -> "SELECT CAST(1 AS BIGINT) AS shuffle_ok",
     "q21x_sample_bounds" -> "SELECT CAST(1 AS BIGINT) AS sample_ok",
     "q37x_sketch_error" -> "SELECT CAST(1 AS BIGINT) AS sketch_ok",
+    // sketch differentials: booleans the Spark side must hit; n_keys is
+    // the one externally-checkable value (distinct group count)
+    "q73_sketch_merge" ->
+      """SELECT CAST(1 AS BIGINT) AS merge_agrees, CAST(1 AS BIGINT) AS bound_ok,
+        | (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) FROM events) AS n_keys""".stripMargin,
+    "q74_quantile_sketch" ->
+      """SELECT CAST(1 AS BIGINT) AS quantile_ok,
+        | (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) FROM events) AS n_keys""".stripMargin,
     "t09_fingerprint_consistency" -> "SELECT CAST(1 AS BIGINT) AS fp_ok",
     "d10_cc_paths_agree" -> "SELECT CAST(1 AS BIGINT) AS cc_ok",
     "d11_dedup_best" -> "SELECT CAST(1 AS BIGINT) AS best_ok",

@@ -740,6 +740,20 @@ class FunctionsSpec extends SparkTestBase {
     assert(b1 === 16 && s1 === Multimodal.fnv1a(junk))
   }
 
+  test("sketches: shard-merged HLL equals direct sketch and tracks exact") {
+    val rows = (1 to 500).map(i => Seq(i.toLong, (i % 37).toLong))
+    val d = df(rows, "id:long,u:long")
+      .select(col("id"), col("u"), pmod(col("id"), lit(4)).as("shard"),
+        lit("k").as("g"))
+    val merged = graft.functions.Sketches.hllMergeEstimate(
+      graft.functions.Sketches.hllPartial(d, Seq("g", "shard"), "u"), Seq("g"))
+      .collect().head.getLong(1)
+    val direct = graft.functions.Sketches.hllPartial(d, Seq("g"), "u")
+      .select(hll_sketch_estimate(col("hll_sketch"))).collect().head.getLong(0)
+    assert(merged === direct)
+    assert(math.abs(merged - 37L) <= math.ceil(37 * 0.05).toLong)
+  }
+
   test("multimodal real demux: animated GIF frames by stride; junk falls back") {
     // real encoder → real multi-frame decoder roundtrip: 5 frames, stride 2
     val d = df(Seq(Seq(10L)), "doc_id:long")
