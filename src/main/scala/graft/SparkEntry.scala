@@ -1205,6 +1205,41 @@ object SparkEntry {
           col("bo").cast("bigint").as("bound_ok"),
           col("nk").cast("bigint").as("n_keys"))
     }),
+    // streaming incremental sketch maintenance: the input is pre-sharded
+    // (a simulated multi-day ingest), each micro-batch appends its HLL
+    // partials to a sketch store via foreachBatch, and the merged
+    // estimates must EQUAL the direct batch sketch of the full table —
+    // union losslessness makes the incremental and the rescan-everything
+    // answers identical, which is the whole point of keeping sketches.
+    // The only driver-side value is the micro-batch count (bounded)
+    "q75_stream_sketch" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = events(s, dir).select("event_type", "user_id")
+      val base = java.nio.file.Files.createTempDirectory("graft_q75_").toString
+      val (inDir, outDir, ck) = (s"$base/in", s"$base/out", s"$base/ck")
+      ev.repartition(6).write.mode("overwrite").parquet(inDir)
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+      graft.streaming.Streaming.foreachBatchSink(stream, ck) { (batch, id) =>
+        if (!batch.isEmpty)
+          Sketches.hllPartial(batch, Seq("event_type"), "user_id")
+            .withColumn("batch_id", lit(id))
+            .write.mode("append").parquet(outDir)
+      }
+      val partials = s.read.parquet(outDir)
+      val merged = Sketches.hllMergeEstimate(partials, Seq("event_type"))
+      val direct = Sketches.hllPartial(ev, Seq("event_type"), "user_id")
+        .select(col("event_type"),
+          hll_sketch_estimate(col("hll_sketch")).as("direct"))
+      val nBatches = partials.select(countDistinct(col("batch_id")))
+        .first().getLong(0)
+      merged.join(direct, "event_type")
+        .agg(min(when(col("estimate") === col("direct"), 1).otherwise(0))
+          .as("ma"), count(lit(1)).as("nk"))
+        .select(col("ma").cast("bigint").as("merge_agrees"),
+          (lit(nBatches) >= 2).cast("bigint").as("multi_batch"),
+          col("nk").cast("bigint").as("n_keys"))
+    }),
     // mergeable quantile summary: percentile_approx (KLL-style, bounded
     // rank error ≤ n/accuracy). Differential: the ACTUAL rank of each
     // reported p50/p95 must sit within twice the guarantee of the target
@@ -1847,6 +1882,9 @@ object SparkEntry {
         | (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) FROM events) AS n_keys""".stripMargin,
     "q74_quantile_sketch" ->
       """SELECT CAST(1 AS BIGINT) AS quantile_ok,
+        | (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) FROM events) AS n_keys""".stripMargin,
+    "q75_stream_sketch" ->
+      """SELECT CAST(1 AS BIGINT) AS merge_agrees, CAST(1 AS BIGINT) AS multi_batch,
         | (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) FROM events) AS n_keys""".stripMargin,
     "t09_fingerprint_consistency" -> "SELECT CAST(1 AS BIGINT) AS fp_ok",
     "d10_cc_paths_agree" -> "SELECT CAST(1 AS BIGINT) AS cc_ok",
