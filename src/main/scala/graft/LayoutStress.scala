@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Stress the Z-order layout (SCALE.md): 20M uniform 2D points written as
+  * 64 files under (a) Morton clustering and (b) a single-column sort, then
+  * count the files a selective predicate on each dimension must read
+  * (file-level min/max overlap — the unit parquet skipping works in). */
+object LayoutStress {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.builder("local[32]", 32).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val n = 20000000L
+    val df = spark.range(n).select(
+      ((col("id") * 48271L) % 10000).as("x"),
+      ((col("id") * 16807L) % 10000).cast("double").as("y"))
+    val base = java.nio.file.Files.createTempDirectory("graft_layout_").toString
+    val zDir = s"$base/zorder"; val sDir = s"$base/sorted"
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime; f; (System.nanoTime - t0) / 1e9
+    }
+    val tZ = time { graft.operators.Layout.zorderBy(
+      df, Seq("x", "y"), bits = 8, numPartitions = Some(64))
+      .write.mode("overwrite").parquet(zDir) }
+    val tS = time { df.repartitionByRange(64, col("x"))
+      .sortWithinPartitions("x").write.mode("overwrite").parquet(sDir) }
+    // per-file min/max → files a predicate range cannot skip
+    def overlaps(dir: String, cond: (Long, Long, Double, Double) => Boolean): Int = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+      files.count { f =>
+        val r = spark.read.parquet(f)
+          .agg(min(col("x")), max(col("x")), min(col("y")), max(col("y")))
+          .as[(Long, Long, Double, Double)].collect().head
+        cond(r._1, r._2, r._3, r._4)
+      }
+    }
+    val (lo, hi) = (5000L, 5099L)
+    def xOnly(d: String) = overlaps(d, (x0, x1, _, _) => x1 >= lo && x0 <= hi)
+    def yOnly(d: String) = overlaps(d, (_, _, y0, y1) => y1 >= lo && y0 <= hi)
+    def both(d: String) = overlaps(d,
+      (x0, x1, y0, y1) => x1 >= lo && x0 <= hi && y1 >= lo && y0 <= hi)
+    println(s"LAYOUTSTRESS writeZ=${tZ.round}s writeSorted=${tS.round}s " +
+      s"zorder: x=${xOnly(zDir)}/64 y=${yOnly(zDir)}/64 both=${both(zDir)}/64 " +
+      s"xsort: x=${xOnly(sDir)}/64 y=${yOnly(sDir)}/64 both=${both(sDir)}/64")
+    spark.stop()
+  }
+}

@@ -1265,6 +1265,17 @@ object SparkEntry {
           col("nk").cast("bigint").as("n_keys"))
     }),
 
+    // Z-order layout: Morton clustering over (user_id, value) — content
+    // must be EXACTLY preserved (the oracle is the identity projection;
+    // the checker's order-insensitive compare proves reordering lost and
+    // invented nothing). Locality itself is pinned by the spec's
+    // per-partition span assertion and the SCALE.md skipping measurement
+    "q76_zorder_layout" -> ((s, dir) => {
+      val ev = events(s, dir).select("event_id", "user_id", "value")
+      graft.operators.Layout.zorderBy(ev, Seq("user_id", "value"),
+        bits = 6, numPartitions = Some(16))
+    }),
+
     // ---- SQL passthrough breadth (same text on Spark and DuckDB) ------
     "q32_rollup" -> ((s, dir) =>
       eng(s).sqlSelect(SqlRollup, Map("orders" -> t(s, dir, "orders")))),
@@ -1886,6 +1897,8 @@ object SparkEntry {
     "q75_stream_sketch" ->
       """SELECT CAST(1 AS BIGINT) AS merge_agrees, CAST(1 AS BIGINT) AS multi_batch,
         | (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) FROM events) AS n_keys""".stripMargin,
+    "q76_zorder_layout" ->
+      "SELECT event_id, user_id, value FROM events",
     "t09_fingerprint_consistency" -> "SELECT CAST(1 AS BIGINT) AS fp_ok",
     "d10_cc_paths_agree" -> "SELECT CAST(1 AS BIGINT) AS cc_ok",
     "d11_dedup_best" -> "SELECT CAST(1 AS BIGINT) AS best_ok",

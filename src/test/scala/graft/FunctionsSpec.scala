@@ -740,6 +740,30 @@ class FunctionsSpec extends SparkTestBase {
     assert(b1 === 16 && s1 === Multimodal.fnv1a(junk))
   }
 
+  test("zorder clustering preserves content and localizes both dimensions") {
+    // 4096 uniform 2D points in arrival-scrambled order
+    val rows = (0 until 4096).map { i =>
+      Seq(i.toLong, (i * 48271L) % 4096, ((i * 16807L) % 4096).toDouble)
+    }
+    val d = df(rows, "id:long,x:long,y:double")
+    val z = graft.operators.Layout.zorderBy(d, Seq("x", "y"),
+      bits = 6, numPartitions = Some(16))
+    // content-preserving: same ids, same value sums
+    assert(z.count() === 4096L)
+    assert(z.agg(sum(col("id")), sum(col("x")), sum(col("y"))).collect().head ===
+      d.agg(sum(col("id")), sum(col("x")), sum(col("y"))).collect().head)
+    // locality: a 16-partition z-range split tiles the 2D space ~4x4, so
+    // the mean per-partition span of EACH dimension must sit well under
+    // the global span (a random placement would span nearly all of it)
+    val spans = z.withColumn("p", spark_partition_id())
+      .groupBy("p")
+      .agg((max(col("x")) - min(col("x"))).cast("double").as("sx"),
+        (max(col("y")) - min(col("y"))).as("sy"))
+      .agg(avg(col("sx")), avg(col("sy"))).collect().head
+    assert(spans.getDouble(0) < 4096 * 0.6, s"x span ${spans.getDouble(0)}")
+    assert(spans.getDouble(1) < 4096 * 0.6, s"y span ${spans.getDouble(1)}")
+  }
+
   test("sketches: shard-merged HLL equals direct sketch and tracks exact") {
     val rows = (1 to 500).map(i => Seq(i.toLong, (i % 37).toLong))
     val d = df(rows, "id:long,u:long")
