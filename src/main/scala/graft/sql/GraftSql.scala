@@ -111,7 +111,10 @@ object GraftSql {
    * `PROCESS corpus, eval USING decontaminate(k:5, threshold:0.5)`,
    * `clean_text(col:text)`, `dedup_segments(segment:50)`,
    * `ngram_stats(n:2)`,
-   * `PROCESS batch, corpus USING dedup_against(k:3, threshold:0.8)`.
+   * `PROCESS batch, corpus USING dedup_against(k:3, threshold:0.8)`,
+   * `zorder(cols:"x,y", bits:8[, partitions:n])` (Morton layout
+   * clustering), `sketch_distinct(keys:"source", col:doc_id, lgk:12)`
+   * (mergeable HLL distinct estimate per key).
    * User extensions with the same name win. */
   val builtinExtensions: Extensions = Extensions(outputters = Map(
     "assert_eq" -> OutputterDef { (dfs, params) =>
@@ -198,6 +201,20 @@ object GraftSql {
             p.getOrElse("ref_id", "doc_id"), p.getOrElse("ref_col", "text"),
             shingleK = p.get("k").map(_.toInt).getOrElse(3),
             threshold = p.get("threshold").map(_.toDouble).getOrElse(0.8))
+        },
+        "zorder" -> ProcessorDef { (_, dfs, p) =>
+          graft.operators.Layout.zorderBy(one(dfs, "zorder"),
+            p.getOrElse("cols", "doc_id").split(",").map(_.trim).toSeq,
+            bits = p.get("bits").map(_.toInt).getOrElse(8),
+            numPartitions = p.get("partitions").map(_.toInt))
+        },
+        "sketch_distinct" -> ProcessorDef { (_, dfs, p) =>
+          val d = one(dfs, "sketch_distinct")
+          val keys = p.getOrElse("keys", "source").split(",").map(_.trim).toSeq
+          graft.functions.Sketches.hllMergeEstimate(
+            graft.functions.Sketches.hllPartial(d, keys,
+              p.getOrElse("col", "doc_id"),
+              lgK = p.get("lgk").map(_.toInt).getOrElse(12)), keys)
         })
     })
 

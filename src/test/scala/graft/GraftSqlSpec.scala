@@ -540,6 +540,30 @@ class GraftSqlSpec extends SparkTestBase {
     assert(res3.yields("out").count() === 1)
   }
 
+  test("built-in zorder and sketch_distinct processors from the dialect") {
+    val rows = (0 until 512).map { i =>
+      Seq(i.toLong, (i * 48271L) % 512, ((i * 16807L) % 512).toDouble,
+        if (i % 2 == 0) "a" else "b")
+    }
+    val d = df(rows, "doc_id:long,x:long,y:double,src:str")
+    val res = GraftSql.run(engine,
+      """laid = PROCESS pts USING zorder(cols:"x,y", bits:4, partitions:4)
+        |YIELD laid AS laid
+        |est = PROCESS pts USING sketch_distinct(keys:src, col:doc_id)
+        |YIELD est AS est
+        |""".stripMargin, Map("pts" -> d))
+    // zorder: content-preserving relayout
+    assert(res.yields("laid").count() === 512L)
+    assert(res.yields("laid").agg(
+      org.apache.spark.sql.functions.sum("doc_id")).collect().head.getLong(0)
+      === (0 until 512).map(_.toLong).sum)
+    // sketch_distinct: 256 distinct ids per src value, rsd 1.6% at lgk=12
+    val est = res.yields("est").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet === Set("a", "b"))
+    est.values.foreach(v => assert(math.abs(v - 256L) <= 13))
+  }
+
   test("built-in cleanup/segment/cross-corpus processors from the dialect") {
     val docs = df(Seq(
       Seq(1L, "a b c d e f"),
