@@ -25,25 +25,28 @@ object LayoutStress {
       .write.mode("overwrite").parquet(zDir) }
     val tS = time { df.repartitionByRange(64, col("x"))
       .sortWithinPartitions("x").write.mode("overwrite").parquet(sDir) }
-    // per-file min/max → files a predicate range cannot skip
-    def overlaps(dir: String, cond: (Long, Long, Double, Double) => Boolean): Int = {
-      val files = new java.io.File(dir).listFiles()
+    // per-file min/max, computed ONCE per layout → files each predicate
+    // range cannot skip
+    def stats(dir: String): Array[(Long, Long, Double, Double)] =
+      new java.io.File(dir).listFiles()
         .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
-      files.count { f =>
-        val r = spark.read.parquet(f)
-          .agg(min(col("x")), max(col("x")), min(col("y")), max(col("y")))
-          .as[(Long, Long, Double, Double)].collect().head
-        cond(r._1, r._2, r._3, r._4)
-      }
-    }
+        .map { f =>
+          spark.read.parquet(f)
+            .agg(min(col("x")), max(col("x")), min(col("y")), max(col("y")))
+            .as[(Long, Long, Double, Double)].collect().head
+        }
     val (lo, hi) = (5000L, 5099L)
-    def xOnly(d: String) = overlaps(d, (x0, x1, _, _) => x1 >= lo && x0 <= hi)
-    def yOnly(d: String) = overlaps(d, (_, _, y0, y1) => y1 >= lo && y0 <= hi)
-    def both(d: String) = overlaps(d,
-      (x0, x1, y0, y1) => x1 >= lo && x0 <= hi && y1 >= lo && y0 <= hi)
+    def xOnly(s: Array[(Long, Long, Double, Double)]) =
+      s.count { case (x0, x1, _, _) => x1 >= lo && x0 <= hi }
+    def yOnly(s: Array[(Long, Long, Double, Double)]) =
+      s.count { case (_, _, y0, y1) => y1 >= lo && y0 <= hi }
+    def both(s: Array[(Long, Long, Double, Double)]) =
+      s.count { case (x0, x1, y0, y1) =>
+        x1 >= lo && x0 <= hi && y1 >= lo && y0 <= hi }
+    val (zs, ss) = (stats(zDir), stats(sDir))
     println(s"LAYOUTSTRESS writeZ=${tZ.round}s writeSorted=${tS.round}s " +
-      s"zorder: x=${xOnly(zDir)}/64 y=${yOnly(zDir)}/64 both=${both(zDir)}/64 " +
-      s"xsort: x=${xOnly(sDir)}/64 y=${yOnly(sDir)}/64 both=${both(sDir)}/64")
+      s"zorder: x=${xOnly(zs)}/64 y=${yOnly(zs)}/64 both=${both(zs)}/64 " +
+      s"xsort: x=${xOnly(ss)}/64 y=${yOnly(ss)}/64 both=${both(ss)}/64")
     spark.stop()
   }
 }

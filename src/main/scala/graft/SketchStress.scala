@@ -14,13 +14,11 @@ object SketchStress {
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime; f; (System.nanoTime - t0) / 1e9
     }
-    val tMerge = time { graft.functions.Sketches.hllMergeEstimate(
+    var est: Array[Long] = Array.empty
+    val tMerge = time { est = graft.functions.Sketches.hllMergeEstimate(
       graft.functions.Sketches.hllPartial(df, Seq("k", "shard"), "u"),
-      Seq("k")).collect() }
+      Seq("k")).collect().map(_.getLong(1)).sorted }
     val tExact = time { df.groupBy("k").agg(countDistinct(col("u"))).collect() }
-    val est = graft.functions.Sketches.hllMergeEstimate(
-      graft.functions.Sketches.hllPartial(df, Seq("k", "shard"), "u"), Seq("k"))
-      .collect().map(_.getLong(1)).sorted
     println(f"SKSTRESS merge=$tMerge%.1f exact=$tExact%.1f " +
       s"estMin=${est.head} estMax=${est.last}")
     spark.stop()

@@ -494,14 +494,22 @@ object Multimodal {
           case Some(frames) =>
             frames.iterator.map { case (i, w, h, b) => Row(id, i, w, h, b) }
           case None =>
-            if (payload == null) Iterator.empty
-            else payload.grouped(frameSize).zipWithIndex.collect {
-              case (fb, i) if i % stride == 0 => Row(id, i, -1, -1, fb)
-            }
+            byteWindows(payload, frameSize, stride)
+              .map { case (i, fb) => Row(id, i, -1, -1, fb) }
         }
       }
     }(Encoders.row(frameSchema))
   }
+
+  /** Every `stride`-th `frameSize`-byte window of a payload — the ONE
+   * definition of byte-window frame semantics, shared by [[sampleFrames]]
+   * and [[demuxFrames]]' non-media fallback. */
+  private def byteWindows(payload: Array[Byte], frameSize: Int,
+      stride: Int): Iterator[(Int, Array[Byte])] =
+    if (payload == null) Iterator.empty
+    else payload.grouped(frameSize).zipWithIndex.collect {
+      case (fb, i) if i % stride == 0 => (i, fb)
+    }
 
   /** Decoded (frame_no, width, height, png_bytes) of every `stride`-th
    * frame, or None when no ImageIO reader claims the payload (or a frame
@@ -552,11 +560,8 @@ object Multimodal {
     df.mapPartitions { it =>
       it.flatMap { r =>
         val id = r.getLong(idIdx)
-        val payload = r.getAs[Array[Byte]](pIdx)
-        if (payload == null) Iterator.empty
-        else payload.grouped(frameSize).zipWithIndex.collect {
-          case (frame, i) if i % stride == 0 => Row(id, i, frame)
-        }
+        byteWindows(r.getAs[Array[Byte]](pIdx), frameSize, stride)
+          .map { case (i, frame) => Row(id, i, frame) }
       }
     }(Encoders.row(schema))
   }

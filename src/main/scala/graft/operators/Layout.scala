@@ -44,21 +44,32 @@ object Layout {
       numPartitions: Option[Int] = None): DataFrame = {
     require(cols.nonEmpty && cols.size <= 3,
       s"zorderBy clusters 1-3 columns, got ${cols.size}")
-    require(bits >= 1 && bits * cols.size <= 60,
-      s"bits * dims must fit a long, got $bits x ${cols.size}")
+    // 12 caps the quantile request (2^12-1 probabilities) and the rank
+    // tree size; it also keeps bits*dims <= 36 inside a long
+    require(bits >= 1 && bits <= 12, s"bits must be in 1..12, got $bits")
+    require(!df.columns.contains("__zorder"),
+      "df already has a __zorder column — rename it before clustering")
+    val dims = cols.size
     // ONE stats pass for every clustered column (multi-column
     // approxQuantile); boundaries are the only driver state
     val n = 1 << bits
     val probs = (1 until n).map(_.toDouble / n).toArray
     val allBounds = df.stat.approxQuantile(cols.toArray, probs, 0.001)
-    val ranks = cols.zip(allBounds).map { case (c, bounds) =>
-      if (bounds.isEmpty) lit(0)
-      else searchRank(col(c).cast("double"), bounds, 0, bounds.length)
+    // rank bit i of dimension d lands at z bit i*dims + d; the spread is
+    // precomputed per dimension and looked up from ONE literal array, so
+    // each rank tree appears exactly once in the plan (not once per bit)
+    def spread(d: Int): Array[Long] = Array.tabulate(n) { r =>
+      var v = 0L
+      var i = 0
+      while (i < bits) { v |= ((r.toLong >> i) & 1L) << (i * dims + d); i += 1 }
+      v
     }
-    var z: Column = lit(0L)
-    for (i <- 0 until bits; (r, d) <- ranks.zipWithIndex)
-      z = z.bitwiseOR(shiftleft(
-        shiftright(r, i).bitwiseAND(lit(1)).cast("long"), i * cols.size + d))
+    val z = cols.zip(allBounds).zipWithIndex.map { case ((c, bounds), d) =>
+      val rank =
+        if (bounds.isEmpty) lit(0)
+        else searchRank(col(c).cast("double"), bounds, 0, bounds.length)
+      element_at(lit(spread(d)), rank + lit(1))
+    }.reduce(_ bitwiseOR _)
     val parts = numPartitions.getOrElse(
       df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
     df.withColumn("__zorder", z)

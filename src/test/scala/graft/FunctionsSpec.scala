@@ -762,6 +762,15 @@ class FunctionsSpec extends SparkTestBase {
       .agg(avg(col("sx")), avg(col("sy"))).collect().head
     assert(spans.getDouble(0) < 4096 * 0.6, s"x span ${spans.getDouble(0)}")
     assert(spans.getDouble(1) < 4096 * 0.6, s"y span ${spans.getDouble(1)}")
+    // hazards raise loudly instead of silently destroying the layout:
+    // an Int-overflowing bits used to produce a constant z (one partition)
+    intercept[IllegalArgumentException] {
+      graft.operators.Layout.zorderBy(d, Seq("x"), bits = 31)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Layout.zorderBy(
+        d.withColumnRenamed("id", "__zorder"), Seq("x", "y"))
+    }
   }
 
   test("sketches: shard-merged HLL equals direct sketch and tracks exact") {
