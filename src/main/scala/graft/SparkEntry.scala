@@ -943,6 +943,25 @@ object SparkEntry {
       Multimodal.decodeAudioBatch(wavs, "doc_id", "payload")
         .select("doc_id", "sample_rate", "channels", "bits", "n_frames")
     }),
+    "m07_audio_features" -> ((s, dir) => {
+      // REAL sample-level audio decode: waveform features (RMS, zero
+      // crossings, peak) computed from the PCM samples the JDK decoder
+      // extracts from real WAV payloads must match features computed
+      // straight from the synthetic byte formula with no container —
+      // pinning that the encode→decode roundtrip is sample-transparent
+      val docs = t(s, dir, "documents").select("doc_id")
+      val wavs = Multimodal.syntheticAudio(docs, "doc_id")
+      val feats = Multimodal.audioFeatures(wavs, "doc_id", "payload")
+      val expected = Multimodal.expectedSyntheticAudioFeatures(docs, "doc_id")
+      feats.join(expected, "doc_id")
+        .agg(min(when(col("n_samples") === col("e_n") &&
+          col("zero_crossings") === col("e_zc") &&
+          col("peak") === col("e_peak") &&
+          abs(col("rms") - col("e_rms")) < 1e-12, 1).otherwise(0)).as("ok"),
+          count(lit(1)).as("nd"))
+        .select(col("ok").cast("bigint").as("feat_ok"),
+          col("nd").cast("bigint").as("n_docs"))
+    }),
     "m04_multimodal_resize" -> ((s, dir) => {
       // resize → decode roundtrip: a REAL raster resample re-encoded as
       // PNG must decode to exactly the target dims on every row
@@ -1864,6 +1883,9 @@ object SparkEntry {
     // emits 1 iff recall ≥ 0.9; the oracle is the constant it must hit
     "d07_embed_lsh_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
     "m02x_feature_differential" -> "SELECT CAST(1 AS BIGINT) AS m02_ok",
+    "m07_audio_features" ->
+      """SELECT CAST(1 AS BIGINT) AS feat_ok,
+        | (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs""".stripMargin,
     "q51_sql_functions" -> "SELECT CAST(1 AS BIGINT) AS fns_ok",
     "d08_minhash_precision" -> "SELECT CAST(1 AS BIGINT) AS precision_ok",
     "s04_knn_ivf" ->

@@ -173,13 +173,19 @@ object Multimodal {
    * the audio sibling of [[syntheticPng]] (real container, oracle-able
    * header fields).
    */
+  /** Byte i of the synthetic PCM stream for `seed` — the ONE definition
+   * of the fixture waveform, shared by [[syntheticWav]] and the m07
+   * expected-feature recomputation so they cannot drift. */
+  def syntheticPcmByte(seed: Long, i: Int): Byte =
+    ((seed * 6364136223846793005L + i * 1442695040888963407L) >>> 32).toByte
+
   def syntheticWav(
       sampleRate: Int, channels: Int, frames: Int, seed: Long): Array[Byte] = {
     require(sampleRate > 0 && channels > 0 && frames >= 0, "bad wav dims")
     val bytes = new Array[Byte](frames * channels * 2)
     var i = 0
     while (i < bytes.length) {
-      bytes(i) = ((seed * 6364136223846793005L + i * 1442695040888963407L) >>> 32).toByte
+      bytes(i) = syntheticPcmByte(seed, i)
       i += 1
     }
     val af = new javax.sound.sampled.AudioFormat(
@@ -206,6 +212,118 @@ object Multimodal {
         Row(id, syntheticWav(
           if (id % 2 == 0) 8000 else 16000,
           (1 + id % 2).toInt, (100 + id % 50).toInt, id))
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** REAL PCM sample decode (JDK `javax.sound.sampled`): the 16-bit
+   * signed little-endian samples of a recognized uncompressed payload,
+   * None for unrecognized containers or non-PCM16 encodings. This is the
+   * sample-data sibling of [[decodeAudio]]'s header parse — the JDK ships
+   * a real WAV/AIFF/AU PCM reader, so waveform analysis runs on true
+   * samples, not header metadata. */
+  def decodePcm16(payload: Array[Byte]): Option[Array[Short]] = {
+    if (payload == null || payload.length == 0) return None
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val af = ais.getFormat
+        if (af.getSampleSizeInBits != 16 || af.isBigEndian ||
+          af.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+          None
+        else {
+          val bytes = ais.readAllBytes()
+          val out = new Array[Short]((bytes.length / 2).toInt)
+          var i = 0
+          while (i < out.length) {
+            out(i) = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort
+            i += 1
+          }
+          Some(out)
+        }
+      } finally ais.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** Output schema of the audio feature stage. */
+  val audioFeatureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_samples", IntegerType),
+    StructField("rms", DoubleType),
+    StructField("zero_crossings", LongType),
+    StructField("peak", IntegerType)))
+
+  /** Waveform features over a PCM16 sample array: sample count, RMS of
+   * the [-1, 1)-normalized signal, sign-change count over the interleaved
+   * stream, and absolute peak. One definition shared by the distributed
+   * stage and any expected-value recomputation (m07). */
+  def waveformFeatures(samples: Array[Short]): (Int, Double, Long, Int) = {
+    var sumSq = 0.0
+    var zc = 0L
+    var peak = 0
+    var i = 0
+    while (i < samples.length) {
+      val s = samples(i).toInt
+      val x = s / 32768.0
+      sumSq += x * x
+      if (i > 0 && ((samples(i - 1) < 0) != (s < 0))) zc += 1
+      if (math.abs(s) > peak) peak = math.abs(s)
+      i += 1
+    }
+    val rms = if (samples.length > 0) math.sqrt(sumSq / samples.length) else 0.0
+    (samples.length, rms, zc, peak)
+  }
+
+  /**
+   * Distributed audio feature extraction over REAL decoded samples —
+   * the waveform sibling of [[extractFeatures]]. Unrecognized or
+   * compressed payloads fall back to byte-stream pseudo-samples (each
+   * byte sign-extended — disclosed non-audio path), so mixed media
+   * columns still flow. Output: [[audioFeatureSchema]].
+   */
+  def audioFeatures(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val payload = r.getAs[Array[Byte]](pIdx)
+        val samples = decodePcm16(payload).getOrElse {
+          if (payload == null) Array.emptyShortArray
+          else payload.map(_.toShort)
+        }
+        val (n, rms, zc, peak) = waveformFeatures(samples)
+        Row(r.getLong(idIdx), n, rms, zc, peak)
+      }
+    }(Encoders.row(audioFeatureSchema))
+  }
+
+  /** Expected waveform features of [[syntheticAudio]] payloads computed
+   * straight from the PCM byte formula — NO container involved. The m07
+   * differential joins this against [[audioFeatures]] over the real
+   * WAV payloads, pinning that the encode→decode roundtrip is
+   * sample-transparent. */
+  def expectedSyntheticAudioFeatures(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("e_n", IntegerType),
+      StructField("e_rms", DoubleType),
+      StructField("e_zc", LongType),
+      StructField("e_peak", IntegerType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val nBytes = (100 + id % 50).toInt * (1 + id % 2).toInt * 2
+        val samples = new Array[Short](nBytes / 2)
+        var j = 0
+        while (j < samples.length) {
+          samples(j) = ((syntheticPcmByte(id, 2 * j) & 0xff) |
+            (syntheticPcmByte(id, 2 * j + 1) << 8)).toShort
+          j += 1
+        }
+        val (n, rms, zc, peak) = waveformFeatures(samples)
+        Row(id, n, rms, zc, peak)
       }
     }(Encoders.row(schema))
   }

@@ -787,6 +787,31 @@ class FunctionsSpec extends SparkTestBase {
     assert(math.abs(merged - 37L) <= math.ceil(37 * 0.05).toLong)
   }
 
+  test("multimodal PCM sample decode: WAV roundtrip is sample-transparent") {
+    val wav = Multimodal.syntheticWav(8000, 1, 64, seed = 9L)
+    val decoded = Multimodal.decodePcm16(wav).get
+    assert(decoded.length === 64)
+    // decoded samples equal the formula bytes reassembled little-endian
+    val expected = (0 until 64).map { j =>
+      ((Multimodal.syntheticPcmByte(9L, 2 * j) & 0xff) |
+        (Multimodal.syntheticPcmByte(9L, 2 * j + 1) << 8)).toShort
+    }
+    assert(decoded.toSeq === expected)
+    // junk payloads yield None (the distributed stage then falls back)
+    assert(Multimodal.decodePcm16("not audio".getBytes("UTF-8")).isEmpty)
+    // distributed features agree with the direct computation
+    val d = df(Seq(Seq(3L)), "doc_id:long")
+    val feats = Multimodal.audioFeatures(
+      Multimodal.syntheticAudio(d, "doc_id"), "doc_id", "payload")
+      .collect().head
+    val exp = Multimodal.expectedSyntheticAudioFeatures(d, "doc_id")
+      .collect().head
+    assert(feats.getInt(1) === exp.getInt(1))
+    assert(feats.getDouble(2) === exp.getDouble(2))
+    assert(feats.getLong(3) === exp.getLong(3))
+    assert(feats.getInt(4) === exp.getInt(4))
+  }
+
   test("multimodal real demux: animated GIF frames by stride; junk falls back") {
     // real encoder → real multi-frame decoder roundtrip: 5 frames, stride 2
     val d = df(Seq(Seq(10L)), "doc_id:long")
