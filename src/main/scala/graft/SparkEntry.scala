@@ -1115,6 +1115,27 @@ object SparkEntry {
       s.table(name)
     }),
 
+    // streaming session windows: native session_window aggregation over
+    // the event stream, oracled by the SAME gap-sessionization SQL the
+    // batch q39 uses (boundary: Spark opens a NEW session at
+    // ts >= prev + gap, so the oracle marks with >=, not >)
+    "q77_stream_session" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val batchSchema = t(s, dir, "events").schema
+      val stream = graft.streaming.Streaming
+        .loadStream(s, dir, batchSchema,
+          options = Map("pathGlobFilter" -> "events.parquet"))
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      val agg = graft.streaming.Streaming.sessionAgg(stream, "ts",
+        watermarkDelay = "1 minute", gap = "30 minutes",
+        groupBy = Seq("user_id"),
+        aggs = Seq(count(lit(1)).as("n_events")))
+      val name = "graft_q77_" + java.util.UUID.randomUUID().toString.take(8)
+      graft.streaming.Streaming.runToMemory(agg, name, outputMode = "complete")
+      s.table(name).select(col("user_id"),
+        col("session_window.start").as("session_start"), col("n_events"))
+    }),
+
     // ---- temporal operators -------------------------------------------
     "q38_asof_join" -> ((s, dir) => {
       val e = events(s, dir)
@@ -1921,6 +1942,21 @@ object SparkEntry {
         | (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) FROM events) AS n_keys""".stripMargin,
     "q76_zorder_layout" ->
       "SELECT event_id, user_id, value FROM events",
+    "q77_stream_session" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |marked AS (
+        | SELECT user_id, ts,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |    OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        | SELECT user_id, ts,
+        |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        | FROM marked)
+        |SELECT user_id, min(ts) AS session_start,
+        | CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM sess GROUP BY user_id, sid""".stripMargin,
     "t09_fingerprint_consistency" -> "SELECT CAST(1 AS BIGINT) AS fp_ok",
     "d10_cc_paths_agree" -> "SELECT CAST(1 AS BIGINT) AS cc_ok",
     "d11_dedup_best" -> "SELECT CAST(1 AS BIGINT) AS best_ok",
