@@ -1115,6 +1115,35 @@ object SparkEntry {
       s.table(name)
     }),
 
+    // weighted-sample law differential (Efraimidis–Spirakis): with 10% of
+    // docs carrying 1000× weight, the top-20-per-lang sample must (a) be
+    // seed-deterministic, (b) be a subset with exact per-key sizes
+    // min(20, group size), (c) cover ≥80% of the heavy rows per lang —
+    // a uniform sample would include heavy rows at ~their 10% base rate
+    "q78_weighted_sample" -> ((s, dir) => {
+      import graft.functions.Sampling
+      val docs = t(s, dir, "documents")
+        .withColumn("w", when(col("doc_id") % 10 === 0, 1000.0).otherwise(1.0))
+      val s1 = Sampling.weightedTake(docs, Seq("lang"), Seq("doc_id"), "w",
+        n = 20, seed = 7L)
+      val s2 = Sampling.weightedTake(docs, Seq("lang"), Seq("doc_id"), "w",
+        n = 20, seed = 7L)
+      val det = graft.api.DfUtils.dfEq(s1, s2)
+      val subset = s1.select("doc_id")
+        .join(docs.select("doc_id"), "doc_id").count() == s1.count()
+      val sizes = s1.groupBy("lang").agg(count(lit(1)).as("c"))
+        .join(docs.groupBy("lang").agg(count(lit(1)).as("tot")), "lang")
+        .agg(min(when(col("c") === least(lit(20), col("tot")), 1)
+          .otherwise(0)).as("ok")).first().getInt(0) == 1
+      val heavy = s1.filter(col("w") === 1000.0)
+        .groupBy("lang").agg(count(lit(1)).as("h"))
+        .join(docs.filter(col("w") === 1000.0)
+          .groupBy("lang").agg(count(lit(1)).as("ht")), "lang")
+        .agg(min(when(col("h") >= ceil(least(col("ht"), lit(20)) * 0.8), 1)
+          .otherwise(0)).as("ok")).first().getInt(0) == 1
+      eng(s).toDF(Seq(Seq(if (det && subset && sizes && heavy) 1L else 0L)),
+        "sample_ok:long")
+    }),
     // streaming session windows: native session_window aggregation over
     // the event stream, oracled by the SAME gap-sessionization SQL the
     // batch q39 uses (boundary: Spark opens a NEW session at
@@ -1928,6 +1957,7 @@ object SparkEntry {
         |ON e.event_type = d.event_type""".stripMargin,
     "q57_shuffle_det" -> "SELECT CAST(1 AS BIGINT) AS shuffle_ok",
     "q21x_sample_bounds" -> "SELECT CAST(1 AS BIGINT) AS sample_ok",
+    "q78_weighted_sample" -> "SELECT CAST(1 AS BIGINT) AS sample_ok",
     "q37x_sketch_error" -> "SELECT CAST(1 AS BIGINT) AS sketch_ok",
     // sketch differentials: booleans the Spark side must hit; n_keys is
     // the one externally-checkable value (distinct group count)

@@ -160,4 +160,45 @@ object Sampling {
     }
     df.withColumn("split", assign)
   }
+
+  /**
+   * Weighted sample WITHOUT replacement: `n` rows per key group (all
+   * rows one group when `keyCols` is empty), inclusion probability
+   * proportional to `weightCol` — Efraimidis–Spirakis exponential keys:
+   * each row draws priority ln(u)/w for a per-row uniform u, and the
+   * top-n priorities are exactly a w-weighted sample without
+   * replacement. The uniform is a seeded hash of `idCols` (a pure
+   * function of data + seed, NOT partition layout), so the sample is
+   * reproducible across runs and cluster sizes given unique ids.
+   * Rows with null or non-positive weight are dropped.
+   *
+   * Scale shape: per-key path is one window top-n (WindowGroupLimit
+   * prunes before the exchange); the global path is sort-limit
+   * (TakeOrderedAndProject — distributed partial top-n, never a
+   * single-partition window).
+   */
+  def weightedTake(
+      df: DataFrame, keyCols: Seq[String], idCols: Seq[String],
+      weightCol: String, n: Int, seed: Long = 42L): DataFrame = {
+    require(n > 0, "n must be positive")
+    require(idCols.nonEmpty, "idCols must identify rows for the seeded draw")
+    // u in (0, 1): top 53 bits of the hash, offset half a ulp from 0 so
+    // ln(u) is always finite
+    val u = (shiftrightunsigned(
+      xxhash64((idCols.map(col) :+ lit(seed)): _*), 11).cast("double") + 0.5) /
+      9007199254740992.0
+    val pri = log(u) / col(weightCol).cast("double")
+    val base = df.filter(col(weightCol).isNotNull &&
+      col(weightCol).cast("double") > 0).withColumn("__wpri", pri)
+    val picked =
+      if (keyCols.isEmpty) base.orderBy(col("__wpri").desc).limit(n)
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCols.map(col): _*)
+          .orderBy((col("__wpri").desc +: idCols.map(col(_).asc)): _*)
+        base.withColumn("__wrn", row_number().over(w))
+          .filter(col("__wrn") <= n).drop("__wrn")
+      }
+    picked.drop("__wpri")
+  }
 }

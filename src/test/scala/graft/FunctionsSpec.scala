@@ -740,6 +740,34 @@ class FunctionsSpec extends SparkTestBase {
     assert(b1 === 16 && s1 === Multimodal.fnv1a(junk))
   }
 
+  test("weightedTake: E-S sample is deterministic, sized, weight-biased") {
+    val rows = (0 until 300).map { i =>
+      Seq(i.toLong, if (i % 3 == 0) "a" else "b",
+        if (i % 10 == 0) 500.0 else 1.0)
+    }
+    val d = df(rows, "id:long,k:str,w:double")
+    val s1 = graft.functions.Sampling.weightedTake(
+      d, Seq("k"), Seq("id"), "w", n = 15, seed = 3L)
+    val s2 = graft.functions.Sampling.weightedTake(
+      d, Seq("k"), Seq("id"), "w", n = 15, seed = 3L)
+    assert(s1.collect().map(_.getLong(0)).sorted.toSeq ===
+      s2.collect().map(_.getLong(0)).sorted.toSeq)
+    assert(s1.groupBy("k").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap === Map("a" -> 15L, "b" -> 15L))
+    // heavy rows (weight 500, 10% of corpus) dominate the sample
+    val heavy = s1.filter(col("w") === 500.0).count()
+    assert(heavy >= 15, s"expected most heavy rows sampled, got $heavy")
+    // global path: sort-limit, no per-key window
+    val g = graft.functions.Sampling.weightedTake(
+      d, Seq.empty, Seq("id"), "w", n = 10, seed = 3L)
+    assert(g.count() === 10L)
+    // zero/null weights are never sampled
+    val dz = df(Seq(Seq(1L, 0.0), Seq(2L, 5.0)), "id:long,w:double")
+    assert(graft.functions.Sampling.weightedTake(
+      dz, Seq.empty, Seq("id"), "w", n = 5).collect()
+      .map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
   test("zorder clustering preserves content and localizes both dimensions") {
     // 4096 uniform 2D points in arrival-scrambled order
     val rows = (0 until 4096).map { i =>
