@@ -1115,6 +1115,14 @@ object SparkEntry {
       s.table(name)
     }),
 
+    // exact join-size pre-flight: the count-aggregate computation must
+    // equal the materialized join's cardinality — DuckDB materializes the
+    // (skew-amplified) self-join to check, the Spark side never does
+    "q79_join_size" -> ((s, dir) => {
+      val e = events(s, dir)
+      val size = graft.api.DfUtils.equiJoinSize(e, e, Seq("user_id"))
+      eng(s).toDF(Seq(Seq(size)), "join_size:long")
+    }),
     // weighted-sample law differential (Efraimidis–Spirakis): with 10% of
     // docs carrying 1000× weight, the top-20-per-lang sample must (a) be
     // seed-deterministic, (b) be a subset with exact per-key sizes
@@ -1958,6 +1966,9 @@ object SparkEntry {
     "q57_shuffle_det" -> "SELECT CAST(1 AS BIGINT) AS shuffle_ok",
     "q21x_sample_bounds" -> "SELECT CAST(1 AS BIGINT) AS sample_ok",
     "q78_weighted_sample" -> "SELECT CAST(1 AS BIGINT) AS sample_ok",
+    "q79_join_size" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS join_size
+        |FROM events a JOIN events b ON a.user_id = b.user_id""".stripMargin,
     "q37x_sketch_error" -> "SELECT CAST(1 AS BIGINT) AS sketch_ok",
     // sketch differentials: booleans the Spark side must hit; n_keys is
     // the one externally-checkable value (distinct group count)

@@ -246,4 +246,23 @@ object DfUtils {
       None
     }
   }
+
+  /**
+   * EXACT inner equi-join output cardinality without materializing the
+   * join: per-key count aggregates joined on the key, summing count
+   * products. Cost scales with DISTINCT keys (two hash aggregates + one
+   * small join), not with output rows — the pre-flight guard for
+   * pipelines where a mis-keyed or skew-keyed join would explode a
+   * 100 TB stage. Null keys never match, exactly like the join itself.
+   */
+  def equiJoinSize(a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame, keys: Seq[String]): Long = {
+    import org.apache.spark.sql.functions._
+    require(keys.nonEmpty, "equiJoinSize needs join keys")
+    val ca = a.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__na"))
+    val cb = b.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__nb"))
+    ca.join(cb, keys)
+      .agg(coalesce(sum(col("__na") * col("__nb")), lit(0L)))
+      .first().getLong(0)
+  }
 }

@@ -114,7 +114,9 @@ object GraftSql {
    * `PROCESS batch, corpus USING dedup_against(k:3, threshold:0.8)`,
    * `zorder(cols:"x,y", bits:8[, partitions:n])` (Morton layout
    * clustering), `sketch_distinct(keys:"source", col:doc_id, lgk:12)`
-   * (mergeable HLL distinct estimate per key).
+   * (mergeable HLL distinct estimate per key),
+   * `weighted_sample(n:100, w:weight[, by:keys, id:doc_id, seed:s])`
+   * (Efraimidis–Spirakis weighted sample without replacement).
    * User extensions with the same name win. */
   val builtinExtensions: Extensions = Extensions(outputters = Map(
     "assert_eq" -> OutputterDef { (dfs, params) =>
@@ -215,6 +217,14 @@ object GraftSql {
             graft.functions.Sketches.hllPartial(d, keys,
               p.getOrElse("col", "doc_id"),
               lgK = p.get("lgk").map(_.toInt).getOrElse(12)), keys)
+        },
+        "weighted_sample" -> ProcessorDef { (_, dfs, p) =>
+          graft.functions.Sampling.weightedTake(one(dfs, "weighted_sample"),
+            keyCols = p.get("by").toSeq.flatMap(_.split(",").map(_.trim)),
+            idCols = id(p).split(",").map(_.trim).toSeq,
+            weightCol = p.getOrElse("w", "weight"),
+            n = p.getOrElse("n", "100").toInt,
+            seed = p.get("seed").map(_.toLong).getOrElse(42L))
         })
     })
 

@@ -740,6 +740,18 @@ class FunctionsSpec extends SparkTestBase {
     assert(b1 === 16 && s1 === Multimodal.fnv1a(junk))
   }
 
+  test("equiJoinSize matches the materialized join; nulls never join") {
+    val a = df(Seq(Seq(1L, "x"), Seq(1L, "y"), Seq(2L, "z"), Seq(null, "n")),
+      "k:long,v:str")
+    val b = df(Seq(Seq(1L, "p"), Seq(1L, "q"), Seq(3L, "r"), Seq(null, "m")),
+      "k:long,v:str")
+    assert(graft.api.DfUtils.equiJoinSize(a, b, Seq("k")) ===
+      a.join(b, "k").count())
+    assert(graft.api.DfUtils.equiJoinSize(a, b, Seq("k")) === 4L)
+    // disjoint keys → 0 (the coalesce guard, not a null)
+    assert(graft.api.DfUtils.equiJoinSize(a, b, Seq("v")) === 0L)
+  }
+
   test("weightedTake: E-S sample is deterministic, sized, weight-biased") {
     val rows = (0 until 300).map { i =>
       Seq(i.toLong, if (i % 3 == 0) "a" else "b",

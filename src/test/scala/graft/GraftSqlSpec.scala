@@ -562,6 +562,13 @@ class GraftSqlSpec extends SparkTestBase {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(est.keySet === Set("a", "b"))
     est.values.foreach(v => assert(math.abs(v - 256L) <= 13))
+    // weighted_sample from the dialect: per-key sizes, weight column
+    val res2 = GraftSql.run(engine,
+      """s = PROCESS pts USING weighted_sample(n:5, w:y, by:src, id:doc_id)
+        |YIELD s AS s
+        |""".stripMargin, Map("pts" -> d))
+    assert(res2.yields("s").groupBy("src").count().collect()
+      .map(_.getLong(1)).toSeq === Seq(5L, 5L))
   }
 
   test("built-in cleanup/segment/cross-corpus processors from the dialect") {
