@@ -943,6 +943,27 @@ object SparkEntry {
       Multimodal.decodeAudioBatch(wavs, "doc_id", "payload")
         .select("doc_id", "sample_rate", "channels", "bits", "n_frames")
     }),
+    "m08_binary_ingest" -> ((s, dir) => {
+      // real file ingestion: fixture PNGs written as ACTUAL files on
+      // executors, listed and read back through Spark's binaryFile
+      // source, ids recovered from filenames, decoded by the real
+      // ImageIO parse — the m01 dims oracle applies end-to-end
+      val base = java.nio.file.Files.createTempDirectory("graft_m08_").toString
+      val pngs = Multimodal.syntheticImages(
+        t(s, dir, "documents").select("doc_id"), "doc_id")
+      pngs.foreachPartition { it: Iterator[Row] =>
+        it.foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(base, f"img_${r.getLong(0)}%06d.png"),
+            r.getAs[Array[Byte]](1))
+        }
+      }
+      val files = Multimodal.loadBinaryFiles(s, base, "*.png")
+        .select(expr("CAST(regexp_extract(path, 'img_(\\\\d+)\\\\.png', 1) AS BIGINT)")
+          .as("doc_id"), col("payload"))
+      Multimodal.decodeImages(files, "doc_id", "payload")
+        .select("doc_id", "width", "height", "channels")
+    }),
     "m07_audio_features" -> ((s, dir) => {
       // REAL sample-level audio decode: waveform features (RMS, zero
       // crossings, peak) computed from the PCM samples the JDK decoder
@@ -1904,6 +1925,10 @@ object SparkEntry {
     // pure function of doc_id (w = 8 + id % 57, h = 8 + id % 31, RGB);
     // DuckDB recomputes the expectation the ImageIO header parse must hit
     "m01_multimodal_decode" ->
+      """SELECT doc_id, CAST(8 + doc_id % 57 AS INTEGER) AS width,
+        | CAST(8 + doc_id % 31 AS INTEGER) AS height,
+        | CAST(3 AS INTEGER) AS channels FROM documents""".stripMargin,
+    "m08_binary_ingest" ->
       """SELECT doc_id, CAST(8 + doc_id % 57 AS INTEGER) AS width,
         | CAST(8 + doc_id % 31 AS INTEGER) AS height,
         | CAST(3 AS INTEGER) AS channels FROM documents""".stripMargin,

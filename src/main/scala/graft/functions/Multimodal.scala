@@ -328,6 +328,17 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
+  /** Real binary-file ingestion for multimodal columns: every file under
+   * `dir` matching `glob` becomes one (path, n_bytes, payload) row via
+   * Spark's native `binaryFile` source — the production path from a
+   * bucket of images/audio/video files into the decode/featurize stages
+   * (distributed listing, partition-parallel reads, pushdown on path). */
+  def loadBinaryFiles(spark: org.apache.spark.sql.SparkSession, dir: String,
+      glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile").option("pathGlobFilter", glob).load(dir)
+      .select(col("path"), col("length").cast("int").as("n_bytes"),
+        col("content").as("payload"))
+
   /** Decoded pixels of a recognized image payload, None otherwise. */
   private def readImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
     if (payload == null || payload.length == 0) None
