@@ -650,6 +650,23 @@ object SparkEntry {
           lit(" and http://cdn.example.net/img.jpg")).as("text"))
       TextFunctions.urlDomainStats(injected, "doc_id", "text")
     }),
+    // Dolma/CCNet-style line-level boilerplate dedup over a
+    // deterministically multi-lined corpus (the synthetic text is
+    // single-line, so inject: a universal boilerplate line, the doc's
+    // 40-char prefix as a semi-shared line, and a parity-gated footer) —
+    // exact DuckDB oracle recomputes doc-frequencies and the rebuild
+    "t23_line_dedup" -> ((s, dir) => {
+      val tcol = coalesce(col("text"), lit(""))
+      val multi = t(s, dir, "documents").select(col("doc_id"),
+        concat(tcol, lit("\nsubscribe to our newsletter\n"),
+          substring(tcol, 1, 40),
+          when(col("doc_id") % 2 === 0, lit("\nall rights reserved"))
+            .otherwise(lit(""))).as("mtext"))
+      Dedup.lineDedup(multi, "doc_id", "mtext", maxDocFrequency = 5)
+        .select(col("doc_id"), col("dedup_text"),
+          col("n_lines").cast("long").as("n_lines"),
+          col("n_kept").cast("long").as("n_kept"))
+    }),
     // contiguous global row index via the distributed prefix sum (what
     // monotonically_increasing_id is not) — full DuckDB oracle
     "q69_row_index" -> ((s, dir) =>
@@ -1143,6 +1160,28 @@ object SparkEntry {
       val e = events(s, dir)
       val size = graft.api.DfUtils.equiJoinSize(e, e, Seq("user_id"))
       eng(s).toDF(Seq(Seq(size)), "join_size:long")
+    }),
+    // CDC merge/upsert: deterministic change feed derived from orders —
+    // deletes (%10=0), updates (%10 in 1,2), inserts (%10=3 under shifted
+    // keys), with a same-key V1/V2 version race the election must resolve
+    // toward the latest version — exact DuckDB oracle
+    "q80_upsert" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      val changes = base.filter(col("o_orderkey") % 10 <= 3)
+        .select(
+          when(col("o_orderkey") % 10 === 3, col("o_orderkey") + 10000000L)
+            .otherwise(col("o_orderkey")).as("o_orderkey"),
+          col("o_custkey"),
+          (col("o_totalprice") + lit(1000.0)).as("o_totalprice"),
+          lit("X").as("o_orderstatus"),
+          when(col("o_orderkey") % 10 === 0, lit("D")).otherwise(lit("U")).as("op"),
+          lit(2L).as("version"))
+      // a stale V1 row per changed key that the election must discard
+      val stale = changes.withColumn("version", lit(1L))
+        .withColumn("o_totalprice", lit(-1.0))
+      graft.operators.Upsert.upsert(base, changes.unionByName(stale),
+        Seq("o_orderkey"), versionCol = Some("version"))
     }),
     // weighted-sample law differential (Efraimidis–Spirakis): with 10% of
     // docs carrying 1000× weight, the top-20-per-lang sample must (a) be
@@ -1994,6 +2033,22 @@ object SparkEntry {
     "q79_join_size" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS join_size
         |FROM events a JOIN events b ON a.user_id = b.user_id""".stripMargin,
+    "q80_upsert" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice,
+        |  o_orderstatus FROM orders),
+        |changes AS (
+        | SELECT CASE WHEN o_orderkey % 10 = 3 THEN o_orderkey + 10000000
+        |   ELSE o_orderkey END AS o_orderkey,
+        |  o_custkey, o_totalprice + 1000.0 AS o_totalprice,
+        |  'X' AS o_orderstatus,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op
+        | FROM base WHERE o_orderkey % 10 <= 3)
+        |SELECT b.o_orderkey, b.o_custkey, b.o_totalprice, b.o_orderstatus
+        |FROM base b LEFT JOIN changes c ON b.o_orderkey = c.o_orderkey
+        |WHERE c.op IS NULL
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        |FROM changes WHERE op <> 'D'""".stripMargin,
     "q37x_sketch_error" -> "SELECT CAST(1 AS BIGINT) AS sketch_ok",
     // sketch differentials: booleans the Spark side must hit; n_keys is
     // the one externally-checkable value (distinct group count)
@@ -2062,6 +2117,30 @@ object SparkEntry {
         |SELECT domain, CAST(sum(n) AS BIGINT) AS n_urls,
         | CAST(count(*) AS BIGINT) AS n_docs
         |FROM per_doc GROUP BY domain""").stripMargin,
+    "t23_line_dedup" ->
+      """WITH docs AS (
+        | SELECT doc_id, concat(coalesce(text, ''), chr(10),
+        |  'subscribe to our newsletter', chr(10),
+        |  substr(coalesce(text, ''), 1, 40),
+        |  CASE WHEN doc_id % 2 = 0 THEN concat(chr(10), 'all rights reserved')
+        |   ELSE '' END) AS mtext
+        | FROM documents),
+        |sp AS (SELECT doc_id, string_split(mtext, chr(10)) AS ls FROM docs),
+        |lines AS (SELECT doc_id, unnest(ls) AS l,
+        |  generate_subscripts(ls, 1) AS pos FROM sp),
+        |banned AS (
+        | SELECT trim(l) AS nl FROM lines WHERE length(trim(l)) > 0
+        | GROUP BY 1 HAVING count(DISTINCT doc_id) > 5),
+        |kept AS (
+        | SELECT doc_id, pos, l FROM lines
+        | WHERE length(trim(l)) = 0 OR trim(l) NOT IN (SELECT nl FROM banned))
+        |SELECT s.doc_id,
+        | coalesce(k.dedup_text, '') AS dedup_text,
+        | CAST(len(s.ls) AS BIGINT) AS n_lines,
+        | CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+        |FROM sp s LEFT JOIN (
+        | SELECT doc_id, string_agg(l, chr(10) ORDER BY pos) AS dedup_text,
+        |  count(*) AS n_kept FROM kept GROUP BY doc_id) k USING (doc_id)""".stripMargin,
     "q69_row_index" ->
       """SELECT o_orderkey, o_totalprice,
         | CAST(row_number() OVER (ORDER BY o_orderkey) - 1 AS BIGINT) AS row_index

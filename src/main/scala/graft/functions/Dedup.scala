@@ -901,6 +901,71 @@ object Dedup {
   }
 
   /**
+   * Line-level corpus dedup (the Dolma / CCNet boilerplate-removal
+   * pattern): remove every line whose trimmed form appears in MORE than
+   * `maxDocFrequency` distinct documents across the whole corpus (nav
+   * bars, cookie banners, signatures), keeping each document's surviving
+   * lines in their original order. Lines that are empty after trimming
+   * are structural, not content — they are never counted and never
+   * removed. Output: (idCol, dedup_text, n_lines, n_kept) with the counts
+   * over ALL lines (including blanks).
+   *
+   * Scale design — the frequent set is small even when its support is
+   * huge (a million-document boilerplate line is ONE entry), so the
+   * removal never reshuffles documents:
+   *  1. one aggregation shuffle over (8-byte line hash, doc id) pairs
+   *     with map-side partial distinct — no line TEXT crosses the wire;
+   *  2. hashes with doc-frequency > `maxDocFrequency` are collected
+   *     (bounded by `maxFrequentLines`, loud failure beyond — a corpus
+   *     whose frequent-line set doesn't fit a driver belongs in
+   *     [[segmentDedup]]'s join-based reassembly instead) and shipped
+   *     once per executor as a sorted long[];
+   *  3. the rebuild is a NARROW per-row `filter(split(text))` against a
+   *     codegen'd exact binary-search probe
+   *     ([[graft.functions.expressions.LongSetContains]]) — no explode,
+   *     no reassembly shuffle, no second pass over the corpus.
+   *
+   * Removal keys on `xxhash64(trim(line))`; a 64-bit collision could
+   * remove an innocent line — at 2^32 distinct frequent lines the
+   * birthday bound is ~0.5, at realistic frequent-set sizes (≤ 2^22) it
+   * is < 10^-5 and the cost is one lost line, not a wrong join.
+   */
+  def lineDedup(
+      df: DataFrame, idCol: String, textCol: String,
+      maxDocFrequency: Int = 1, lineSep: String = "\n",
+      maxFrequentLines: Int = 1 << 22): DataFrame = {
+    require(maxDocFrequency >= 1,
+      s"maxDocFrequency must be >= 1, got $maxDocFrequency")
+    require(lineSep.nonEmpty, "lineSep must be non-empty")
+    Seq("dedup_text", "n_lines", "n_kept").foreach(c =>
+      require(c != idCol, s"idCol collides with output column '$c'"))
+    val sepRegex = java.util.regex.Pattern.quote(lineSep)
+    val lines = split(col(textCol), sepRegex, -1)
+
+    val freq = spreadForCompute(df)
+      .select(col(idCol).as("__id"), explode(lines).as("__l"))
+      .filter(length(trim(col("__l"))) > 0)
+      .select(xxhash64(trim(col("__l"))).as("__h"), col("__id"))
+      .groupBy("__h").agg(countDistinct(col("__id")).as("__df"))
+      .filter(col("__df") > maxDocFrequency)
+      .select("__h")
+    val frequent = freq.limit(maxFrequentLines + 1).collect().map(_.getLong(0))
+    require(frequent.length <= maxFrequentLines,
+      s"frequent-line set exceeds maxFrequentLines=$maxFrequentLines; " +
+        "raise the cap or use segmentDedup's join-based path")
+    java.util.Arrays.sort(frequent)
+
+    import graft.functions.expressions.VectorExpressions
+    val keep = filter(lines, l =>
+      length(trim(l)) === 0 ||
+        !VectorExpressions.longSetContains(xxhash64(trim(l)), frequent))
+    df.select(col(idCol),
+      array_join(keep, lineSep).as("dedup_text"),
+      size(lines).as("n_lines"),
+      size(keep).as("n_kept"))
+  }
+
+  /**
    * Embedding-cosine near-duplicate pairs. Small/medium corpora: exact
    * all-pairs via a block-nested join. At scale prefer
    * [[Similarity.lshCosinePairs]] (random-hyperplane bucketing) — this exact

@@ -601,6 +601,45 @@ case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/**
+ * `long_set_contains(key)` — EXACT membership probe of a pre-collected
+ * sorted `Array[Long]`, codegen'd binary search. The exact sibling of
+ * [[BloomMightContain]]: a Bloom probe is the right tool when false
+ * positives only cost verification work, but corpus-curation REMOVAL
+ * decisions (line dedup, span masking) delete data on a hit, so the probe
+ * must be exact. A sorted primitive array ships once per executor through
+ * the codegen reference array (no boxing, 8 bytes/key, log2(n) probes
+ * that stay inside the scan's whole-stage-codegen span).
+ *
+ * Caller contract: `sortedKeys` must be sorted ascending (callers build it
+ * via `java.util.Arrays.sort`); this is not re-validated per row.
+ */
+case class LongSetContains(child: Expression, sortedKeys: Array[Long])
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.Predicate {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"long_set_contains requires a long key, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    java.util.Arrays.binarySearch(sortedKeys, v.asInstanceOf[Long]) >= 0
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val arr = ctx.addReferenceObj("longSet", sortedKeys, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = java.util.Arrays.binarySearch($arr, (long) $c) >= 0;")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object VectorExpressions {
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
@@ -619,6 +658,8 @@ object VectorExpressions {
     ColumnBridge.column(Fingerprint64(ColumnBridge.expression(text)))
   def bloomMightContain(key: Column, bloomBytes: Array[Byte]): Column =
     ColumnBridge.column(BloomMightContain(ColumnBridge.expression(key), bloomBytes))
+  def longSetContains(key: Column, sortedKeys: Array[Long]): Column =
+    ColumnBridge.column(LongSetContains(ColumnBridge.expression(key), sortedKeys))
   def randomProject(v: Column, outDim: Int, seed: Long): Column =
     ColumnBridge.column(RandomProject(ColumnBridge.expression(v), outDim, seed))
   def nearestCells(v: Column, centroids: Array[Array[Double]], nProbe: Int): Column =

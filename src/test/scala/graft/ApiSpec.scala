@@ -214,6 +214,36 @@ class ApiSpec extends SparkTestBase {
     assert(p("sm")(3) == null && p("sm")(4) == null)
   }
 
+  test("Upsert: delete/update/insert, pass-through, version election") {
+    import graft.operators.Upsert
+    val base = df(Seq(
+      Seq(1L, "a"), Seq(2L, "b"), Seq(3L, "c"), Seq(4L, "d")),
+      "id:long,v:str")
+    val changes = df(Seq(
+      Seq(1L, "x", "U", 1L),   // stale update, superseded by the delete
+      Seq(1L, "y", "D", 2L),   // delete id=1
+      Seq(2L, "B", "U", 1L),   // update id=2
+      Seq(5L, "E", "U", 1L)),  // insert id=5
+      "id:long,v:str,op:str,version:long")
+    assertDfEq(
+      Upsert.upsert(base, changes, Seq("id"), versionCol = Some("version")),
+      Seq(Seq(2L, "B"), Seq(3L, "c"), Seq(4L, "d"), Seq(5L, "E")))
+    // same-version delete+upsert race resolves toward the delete
+    val race = df(Seq(
+      Seq(3L, "z", "U", 7L), Seq(3L, "w", "D", 7L)),
+      "id:long,v:str,op:str,version:long")
+    assertDfEq(
+      Upsert.upsert(base, race, Seq("id"), versionCol = Some("version")),
+      Seq(Seq(1L, "a"), Seq(2L, "b"), Seq(4L, "d")))
+    // guards: missing op column, key not in base
+    intercept[IllegalArgumentException] {
+      Upsert.upsert(base, changes.drop("op"), Seq("id"))
+    }
+    intercept[IllegalArgumentException] {
+      Upsert.upsert(base, changes, Seq("nope"))
+    }
+  }
+
   test("DfUtils.profile: exact per-column nulls/distincts/min/max") {
     val d = df(Seq(
       Seq("a", 1, 2.5),

@@ -952,6 +952,36 @@ class FunctionsSpec extends SparkTestBase {
     assert(out.filter(col("n_kept") > col("n_segments")).isEmpty)
   }
 
+  test("lineDedup removes corpus-frequent lines, keeps order, blanks exempt") {
+    val d = df(Seq(
+      Seq(1L, "keep one\nBUY NOW\nunique a"),
+      Seq(2L, "BUY NOW\n\nunique b"),
+      // trimmed form matches; the within-doc repeat stays (df counts DOCS)
+      Seq(3L, "unique c\n  BUY NOW  \nunique c"),
+      Seq(4L, "only here")),
+      "doc_id:long,text:str")
+    val out = Dedup.lineDedup(d, "doc_id", "text", maxDocFrequency = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(out(1L) === (("keep one\nunique a", 3, 2)))
+    assert(out(2L) === (("\nunique b", 3, 2))) // blank line survives
+    assert(out(3L) === (("unique c\nunique c", 3, 2)))
+    assert(out(4L) === (("only here", 1, 1)))
+  }
+
+  test("lineDedup: custom separator, df=1 threshold, frequent-set cap") {
+    val d = df(Seq(Seq(1L, "a|x"), Seq(2L, "a|y"), Seq(3L, "a|z")),
+      "doc_id:long,text:str")
+    val out = Dedup.lineDedup(d, "doc_id", "text",
+        maxDocFrequency = 1, lineSep = "|")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "x", 2L -> "y", 3L -> "z"))
+    intercept[IllegalArgumentException] {
+      Dedup.lineDedup(d, "doc_id", "text", maxDocFrequency = 1,
+        lineSep = "|", maxFrequentLines = 0)
+    }
+  }
+
   test("ngramRepetitionStats: top gram, tie-break, char fractions") {
     val d = df(Seq(
       Seq(1L, "a b a b a"),  // "a b"×2, "b a"×2 → tie → "a b"; all repeats
