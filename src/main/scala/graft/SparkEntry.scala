@@ -1161,6 +1161,13 @@ object SparkEntry {
       val size = graft.api.DfUtils.equiJoinSize(e, e, Seq("user_id"))
       eng(s).toDF(Seq(Seq(size)), "join_size:long")
     }),
+    // duplicated-span diagnostic (exact-substring dedup family): stride-1
+    // 3-token windows, corpus-wide occurrence counts — exact DuckDB
+    // oracle regroups by the span STRING (Spark groups by its 64-bit
+    // hash; identical modulo collisions)
+    "t24_span_dedup" -> ((s, dir) =>
+      Dedup.duplicateSpanStats(t(s, dir, "documents"), "doc_id", "text",
+        spanTokens = 3, minCount = 2)),
     // CDC merge/upsert: deterministic change feed derived from orders —
     // deletes (%10=0), updates (%10 in 1,2), inserts (%10=3 under shifted
     // keys), with a same-key V1/V2 version race the election must resolve
@@ -2033,6 +2040,26 @@ object SparkEntry {
     "q79_join_size" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS join_size
         |FROM events a JOIN events b ON a.user_id = b.user_id""".stripMargin,
+    "t24_span_dedup" ->
+      """WITH w AS (
+        | SELECT doc_id,
+        |  CASE WHEN length(regexp_replace(text, '\s', '', 'g')) = 0 THEN []
+        |   ELSE string_split_regex(trim(text), '\s+') END AS toks
+        | FROM documents),
+        |idx AS (SELECT doc_id, toks,
+        |  unnest(range(1, len(toks) - 1)) AS i FROM w),
+        |spans AS (SELECT doc_id,
+        |  array_to_string(toks[i:i+2], ' ') AS span FROM idx),
+        |freq AS (SELECT span FROM spans GROUP BY span HAVING count(*) >= 2),
+        |dup AS (SELECT s.doc_id, count(*) AS n_dup
+        | FROM spans s JOIN freq f USING (span) GROUP BY 1),
+        |ns AS (SELECT doc_id, greatest(len(toks) - 2, 0) AS n_spans FROM w)
+        |SELECT n.doc_id, CAST(n.n_spans AS BIGINT) AS n_spans,
+        | CAST(coalesce(d.n_dup, 0) AS BIGINT) AS n_dup_spans,
+        | CASE WHEN n.n_spans > 0
+        |  THEN CAST(coalesce(d.n_dup, 0) AS DOUBLE) / n.n_spans
+        |  ELSE 0.0 END AS dup_ratio
+        |FROM ns n LEFT JOIN dup d USING (doc_id)""".stripMargin,
     "q80_upsert" ->
       """WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice,
         |  o_orderstatus FROM orders),

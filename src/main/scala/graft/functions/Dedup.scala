@@ -966,6 +966,61 @@ object Dedup {
   }
 
   /**
+   * Duplicated-span statistics (the "deduplicating training data makes
+   * LMs better" exact-substring diagnostic, at token granularity):
+   * every stride-1 window of `spanTokens` tokens is a span; a span VALUE
+   * occurring `minCount`+ times corpus-wide (within-doc repeats count) is
+   * duplicated. Output per document — including blank/short ones:
+   * (idCol, n_spans, n_dup_spans, dup_ratio) where n_dup_spans counts
+   * span POSITIONS whose value is duplicated and dup_ratio is their
+   * fraction (0.0 when the document has no spans).
+   *
+   * This is the detection half of the RefinedWeb pipeline — pair it with
+   * [[segmentDedup]] (block-granularity removal) when the goal is
+   * rewriting the corpus rather than scoring it.
+   *
+   * Scale design: spans never materialize as text off-row — each window
+   * is hashed to 8 bytes IN the projection (`xxhash64` over the joined
+   * tokens, a narrow codegen'd pass), so the explode ships (id, hash)
+   * pairs only. Frequency election is a map-side-partial count; the
+   * dup-mark join keys on the same 8-byte hash (AQE broadcasts the
+   * frequent set when it is small) rather than a whole-partition window,
+   * so a billion-fold duplicated span partial-aggregates instead of
+   * buffering one window partition. A 64-bit collision merges two span
+   * values (over-counts duplication by one position) — negligible below
+   * 2^32 distinct spans per corpus.
+   */
+  def duplicateSpanStats(
+      df: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int = 50, minCount: Int = 2): DataFrame = {
+    require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    Seq("n_spans", "n_dup_spans", "dup_ratio").foreach(c =>
+      require(c != idCol, s"idCol collides with output column '$c'"))
+    val toks = TextFunctions.tokensOrEmpty(col(textCol))
+    // sequence(1, m) DESCENDS when m < 1 — guard the short-doc case
+    val spanHashes = when(size(toks) >= spanTokens,
+      transform(sequence(lit(1), size(toks) - spanTokens + 1),
+        i => xxhash64(concat_ws(" ", slice(toks, i, lit(spanTokens))))))
+      .otherwise(array().cast("array<long>"))
+    val base = spreadForCompute(df)
+      .select(col(idCol).as("__id"), spanHashes.as("__sp"))
+    val exploded = base.select(col("__id"), explode(col("__sp")).as("__h"))
+    val freq = exploded.groupBy("__h").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount).select("__h")
+    val dup = exploded.join(freq, "__h")
+      .groupBy("__id").agg(count(lit(1)).as("__dup"))
+    base.select(col("__id"), size(col("__sp")).as("__n"))
+      .join(dup, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        col("__n").cast("long").as("n_spans"),
+        coalesce(col("__dup"), lit(0L)).as("n_dup_spans"),
+        when(col("__n") > 0,
+          coalesce(col("__dup"), lit(0L)).cast("double") / col("__n"))
+          .otherwise(lit(0.0)).as("dup_ratio"))
+  }
+
+  /**
    * Embedding-cosine near-duplicate pairs. Small/medium corpora: exact
    * all-pairs via a block-nested join. At scale prefer
    * [[Similarity.lshCosinePairs]] (random-hyperplane bucketing) — this exact

@@ -982,6 +982,27 @@ class FunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("duplicateSpanStats: corpus-wide counts, within-doc repeats, short docs") {
+    val d = df(Seq(
+      Seq(1L, "a b c d"),    // spans "a b c", "b c d"
+      Seq(2L, "a b c"),      // "a b c" again → cross-doc dup
+      Seq(3L, "x y"),        // shorter than the window → 0 spans
+      Seq(4L, " \t "),       // blank → 0 spans
+      Seq(5L, "p q p q p")), // "p q p", "q p q", "p q p" → within-doc dup
+      "doc_id:long,text:str")
+    val out = Dedup.duplicateSpanStats(d, "doc_id", "text", spanTokens = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) === ((2L, 1L, 0.5)))
+    assert(out(2L) === ((1L, 1L, 1.0)))
+    assert(out(3L) === ((0L, 0L, 0.0)))
+    assert(out(4L) === ((0L, 0L, 0.0)))
+    assert(out(5L) === ((3L, 2L, 2.0 / 3)))
+    intercept[IllegalArgumentException] {
+      Dedup.duplicateSpanStats(d, "doc_id", "text", minCount = 1)
+    }
+  }
+
   test("ngramRepetitionStats: top gram, tie-break, char fractions") {
     val d = df(Seq(
       Seq(1L, "a b a b a"),  // "a b"×2, "b a"×2 → tie → "a b"; all repeats
