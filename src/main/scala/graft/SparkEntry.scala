@@ -58,7 +58,16 @@ object SparkEntry {
     t(s, dir, "customer").select(col("c_custkey").as("o_custkey"),
       col("c_name"), col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    baseQueries ++ TpchSuite.sql.map { case (n, q) =>
+      // TPC-H-adapted suite: the engine's SQL surface against DuckDB
+      // running the identical text (dialect-intersection SQL; TpchSuite)
+      s"${n}_tpch" -> ((s: SparkSession, dir: String) =>
+        eng(s).sqlSelect(q,
+          TpchSuite.tables(n).map(tb => tb -> t(s, dir, tb)).toMap))
+    }
+
+  private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- aggregate / select / filter / assign -------------------------
     "q01_agg" -> ((s, dir) => {
       eng(s).aggregate(t(s, dir, "lineitem"), Seq("l_returnflag", "l_linestatus"), Seq(
@@ -1168,6 +1177,14 @@ object SparkEntry {
     "t24_span_dedup" -> ((s, dir) =>
       Dedup.duplicateSpanStats(t(s, dir, "documents"), "doc_id", "text",
         spanTokens = 3, minCount = 2)),
+    // exact-substring span REMOVAL (rewrite half of t24's diagnostic):
+    // winner occurrence = lexicographically least (doc_id, pos), every
+    // other occurrence masked — exact DuckDB oracle replays the whole
+    // rewrite (frequency election, winner election, interval-union mask)
+    // grouping by span STRING where Spark groups by its 64-bit hash
+    "t25_span_removal" -> ((s, dir) =>
+      Dedup.removeDuplicateSpans(t(s, dir, "documents"), "doc_id", "text",
+        spanTokens = 3, minCount = 2)),
     // CDC merge/upsert: deterministic change feed derived from orders —
     // deletes (%10=0), updates (%10 in 1,2), inserts (%10=3 under shifted
     // keys), with a same-key V1/V2 version race the election must resolve
@@ -1189,6 +1206,38 @@ object SparkEntry {
         .withColumn("o_totalprice", lit(-1.0))
       graft.operators.Upsert.upsert(base, changes.unionByName(stale),
         Seq("o_orderkey"), versionCol = Some("version"))
+    }),
+    // mergeable Misra-Gries heavy hitters over the per-language word
+    // stream, self-verified against exact counts computed distributively:
+    // the oracle pins the two guarantee counters at zero (heavy items
+    // with count > err_bound missed by the sketch; estimate bounds
+    // est <= count <= est + err_bound broken) and independently recomputes
+    // the exact stream size and top word (ties -> min word)
+    "q81_heavy_hitters" -> ((s, dir) => {
+      import graft.functions.{Sketches, TextFunctions}
+      val words = t(s, dir, "documents")
+        .select(col("lang"),
+          explode(TextFunctions.tokensOrEmpty(col("text"))).as("w"))
+      val hh = Sketches.frequentItems(words, Seq("lang"), "w", k = 20)
+      val exact = words.groupBy("lang", "w").agg(count(lit(1)).as("cnt"))
+      val joined = exact.join(
+        hh.select(col("lang"), col("item").as("w"), col("estimate"),
+          col("err_bound")), Seq("lang", "w"), "left")
+      val errByLang = hh.groupBy("lang").agg(
+        max("err_bound").as("err"), max("n_rows").as("n_sketch"))
+      joined.join(errByLang, "lang")
+        .groupBy("lang").agg(
+          sum("cnt").as("n_words"),
+          min_by(col("w"), struct((col("cnt") * -1).as("nc"), col("w")))
+            .as("top_w"),
+          max("cnt").as("top_cnt"),
+          sum(when(col("cnt") > col("err") && col("estimate").isNull, 1L)
+            .otherwise(0L)).as("missed"),
+          sum(when(col("estimate").isNotNull &&
+              (col("estimate") > col("cnt") ||
+                col("estimate") + col("err") < col("cnt")), 1L)
+            .otherwise(0L)).as("violations"),
+          (max("n_sketch") === sum("cnt")).as("n_consistent"))
     }),
     // weighted-sample law differential (Efraimidis–Spirakis): with 10% of
     // docs carrying 1000× weight, the top-20-per-lang sample must (a) be
@@ -1695,7 +1744,10 @@ object SparkEntry {
       |     / len(string_split_regex(trim(text), '\s+'))
       |   ELSE 0.0 END""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    baseOracleSql ++ TpchSuite.sql.map { case (n, q) => s"${n}_tpch" -> q }
+
+  private val baseOracleSql: Map[String, String] = Map(
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -2060,6 +2112,38 @@ object SparkEntry {
         |  THEN CAST(coalesce(d.n_dup, 0) AS DOUBLE) / n.n_spans
         |  ELSE 0.0 END AS dup_ratio
         |FROM ns n LEFT JOIN dup d USING (doc_id)""".stripMargin,
+    "t25_span_removal" ->
+      """WITH w AS (
+        | SELECT doc_id, text,
+        |  CASE WHEN length(regexp_replace(text, '\s', '', 'g')) = 0 THEN []
+        |   ELSE string_split_regex(trim(text), '\s+') END AS toks
+        | FROM documents),
+        |idx AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i FROM w),
+        |spans AS (SELECT doc_id, i, array_to_string(toks[i:i+2], ' ') AS span
+        | FROM idx),
+        |freq AS (SELECT span FROM spans GROUP BY 1 HAVING count(*) >= 2),
+        |dup AS (SELECT s.doc_id, s.i, s.span FROM spans s JOIN freq USING (span)),
+        |win AS (SELECT doc_id, i,
+        |  row_number() OVER (PARTITION BY span ORDER BY doc_id, i) AS rk
+        | FROM dup),
+        |kills AS (SELECT doc_id, list(i) AS ks FROM win WHERE rk > 1 GROUP BY 1),
+        |kept AS (
+        | SELECT w.doc_id, w.text, w.toks, k.ks,
+        |  CASE WHEN k.ks IS NULL THEN NULL
+        |   ELSE list_filter(range(1, len(w.toks) + 1),
+        |     ti -> len(list_filter(k.ks, p -> ti >= p AND ti < p + 3)) = 0)
+        |  END AS keep
+        | FROM w LEFT JOIN kills k USING (doc_id))
+        |SELECT doc_id,
+        | CASE WHEN ks IS NULL THEN text
+        |  -- array_to_string([]) is NULL in DuckDB; Spark's array_join is ''
+        |  ELSE coalesce(
+        |   array_to_string(list_transform(keep, ti -> toks[ti]), ' '), '')
+        | END AS dedup_text,
+        | CAST(len(toks) AS BIGINT) AS n_tokens,
+        | CAST(CASE WHEN ks IS NULL THEN 0 ELSE len(toks) - len(keep) END
+        |  AS BIGINT) AS n_removed_tokens
+        |FROM kept""".stripMargin,
     "q80_upsert" ->
       """WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice,
         |  o_orderstatus FROM orders),
@@ -2076,6 +2160,22 @@ object SparkEntry {
         |UNION ALL
         |SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
         |FROM changes WHERE op <> 'D'""".stripMargin,
+    "q81_heavy_hitters" ->
+      """WITH words AS (
+        | SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS w
+        | FROM documents
+        | WHERE length(regexp_replace(text, '\s', '', 'g')) > 0),
+        |counts AS (SELECT lang, w, count(*) AS cnt FROM words GROUP BY 1, 2),
+        |ranked AS (SELECT lang, w, cnt,
+        |  row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, w) AS rk
+        | FROM counts)
+        |SELECT c.lang, CAST(sum(c.cnt) AS BIGINT) AS n_words,
+        | max(CASE WHEN r.rk = 1 THEN r.w END) AS top_w,
+        | CAST(max(c.cnt) AS BIGINT) AS top_cnt,
+        | CAST(0 AS BIGINT) AS missed, CAST(0 AS BIGINT) AS violations,
+        | TRUE AS n_consistent
+        |FROM counts c LEFT JOIN ranked r ON c.lang = r.lang AND c.w = r.w
+        |GROUP BY 1""".stripMargin,
     "q37x_sketch_error" -> "SELECT CAST(1 AS BIGINT) AS sketch_ok",
     // sketch differentials: booleans the Spark side must hit; n_keys is
     // the one externally-checkable value (distinct group count)

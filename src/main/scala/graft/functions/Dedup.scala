@@ -1021,6 +1021,74 @@ object Dedup {
   }
 
   /**
+   * Exact-substring span REMOVAL — the rewrite half of the Lee et al. 2021
+   * ("Deduplicating Training Data Makes Language Models Better") pipeline,
+   * at token granularity, pairing [[duplicateSpanStats]]'s diagnostic.
+   * Every stride-1 window of `spanTokens` tokens whose VALUE occurs
+   * `minCount`+ times corpus-wide is duplicated; for each duplicated value
+   * one global winner occurrence survives (lexicographically least
+   * (id, position) — deterministic, engine-independent) and every other
+   * occurrence has its token positions masked. Untouched documents keep
+   * their original text VERBATIM; rewritten documents are re-joined with
+   * single spaces (a token-granularity rewrite normalizes whitespace —
+   * disclosed, not hidden). Output: (idCol, dedup_text, n_tokens,
+   * n_removed_tokens).
+   *
+   * Masked-position unions may juxtapose previously-distant tokens and
+   * create NEW duplicated spans; like the paper's pipeline, run to a
+   * fixpoint by iterating if that matters for the corpus.
+   *
+   * Scale design mirrors [[duplicateSpanStats]]: spans travel as 8-byte
+   * xxhash64 values, never text; frequency election and winner election
+   * are hash-keyed aggregations (map-side partial, AQE-broadcastable
+   * frequent set); the rebuild is a narrow per-row higher-order-function
+   * pass (no second corpus scan, no driver state). The removed-position
+   * lists shipped back to documents are bounded by each document's own
+   * span count.
+   */
+  def removeDuplicateSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int = 50, minCount: Int = 2): DataFrame = {
+    require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    Seq("dedup_text", "n_tokens", "n_removed_tokens").foreach(c =>
+      require(c != idCol, s"idCol collides with output column '$c'"))
+    val toks = TextFunctions.tokensOrEmpty(col(textCol))
+    val spanHashes = when(size(toks) >= spanTokens,
+      transform(sequence(lit(1), size(toks) - spanTokens + 1),
+        i => xxhash64(concat_ws(" ", slice(toks, i, lit(spanTokens))))))
+      .otherwise(array().cast("array<long>"))
+    val base = spreadForCompute(df)
+      .select(col(idCol).as("__id"), col(textCol).as("__text"),
+        toks.as("__t"), spanHashes.as("__sp"))
+    // occurrences: (value hash, doc, 1-based start position)
+    val occ = base.select(col("__id"),
+      posexplode(col("__sp")).as(Seq("__p0", "__h")))
+      .select(col("__h"), col("__id"), (col("__p0") + 1).as("__pos"))
+    val freq = occ.groupBy("__h").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount).select("__h")
+    val dupOcc = occ.join(freq, "__h")
+    val winners = dupOcc.groupBy("__h")
+      .agg(min(struct(col("__id"), col("__pos"))).as("__w"))
+    val kills = dupOcc.join(winners, "__h")
+      .filter(struct(col("__id"), col("__pos")) =!= col("__w"))
+      .groupBy("__id").agg(collect_list(col("__pos")).as("__kill"))
+    val span = lit(spanTokens)
+    val keptIdx = filter(sequence(lit(1), size(col("__t"))),
+      ti => !exists(col("__kill"), p => ti >= p && ti < p + span))
+    base.join(kills, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        when(col("__kill").isNull, col("__text"))
+          .otherwise(array_join(
+            transform(keptIdx, ti => element_at(col("__t"), ti)), " "))
+          .as("dedup_text"),
+        size(col("__t")).cast("long").as("n_tokens"),
+        when(col("__kill").isNull, lit(0L))
+          .otherwise(size(col("__t")) - size(keptIdx))
+          .cast("long").as("n_removed_tokens"))
+  }
+
+  /**
    * Embedding-cosine near-duplicate pairs. Small/medium corpora: exact
    * all-pairs via a block-nested join. At scale prefer
    * [[Similarity.lshCosinePairs]] (random-hyperplane bucketing) — this exact

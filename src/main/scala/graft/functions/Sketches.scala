@@ -1,7 +1,10 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /**
  * Mergeable sketch summaries — the incremental-aggregation pattern for
@@ -41,4 +44,120 @@ object Sketches {
     partials.groupBy(keys.map(col): _*)
       .agg(hll_sketch_estimate(hll_union_agg(col(sketchCol), lit(false)))
         .as("estimate"))
+
+  /**
+   * Per-(partition, key) Misra–Gries partial counters — the mergeable
+   * frequent-items (heavy-hitters) summary (Misra & Gries 1982; merge rule
+   * from Agarwal et al., "Mergeable Summaries", PODS 2012). One scan,
+   * fixed memory: each partition keeps at most `k` counters per key; when
+   * a new item overflows the budget every counter drops by the current
+   * minimum (the batched decrement), evicting the minima.
+   *
+   * Output rows per (partition, key):
+   *   - one per surviving counter: (keys..., item, mg_weight, 0, 0)
+   *   - one summary sentinel:      (keys..., NULL, 0, local_rows, local_decr)
+   * where `local_decr` is the EXACT total weight this partition discarded
+   * for any single item (the per-item underestimation this partial can
+   * contribute). Summing partials is associative, so these rows are safe
+   * to persist per ingest batch and re-merge incrementally, exactly like
+   * [[hllPartial]].
+   *
+   * Scale design: the exchange after this map-side pass carries at most
+   * `numPartitions × (k+1)` rows per key — never the corpus. Key
+   * cardinality is driver-bounded by construction of the caller (domains,
+   * languages, shards); `maxKeysPerPartition` raises loudly rather than
+   * silently OOMing when the grouping column is mis-chosen.
+   */
+  def frequentItemsPartial(
+      df: DataFrame, keys: Seq[String], valueCol: String, k: Int,
+      maxKeysPerPartition: Int = 1 << 16): DataFrame = {
+    require(k >= 1 && k <= (1 << 20), s"k must be in [1, 2^20], got $k")
+    require(keys.nonEmpty, "at least one key column is required")
+    val schema = df.schema
+    val keyIdx = keys.map(schema.fieldIndex).toArray
+    val vIdx = schema.fieldIndex(valueCol)
+    val outSchema = StructType(
+      keys.map(schema(_)) :+
+        schema(vIdx).copy(name = "item", nullable = true) :+
+        StructField("mg_weight", LongType, nullable = false) :+
+        StructField("local_rows", LongType, nullable = false) :+
+        StructField("local_decr", LongType, nullable = false))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { it =>
+      // per-key state: counters + row/decrement accounting
+      final class Mg {
+        val counters = new java.util.HashMap[Any, Long](k * 2)
+        var rows = 0L
+        var decr = 0L
+      }
+      val state = new java.util.HashMap[Seq[Any], Mg]()
+      it.foreach { row =>
+        val key: Seq[Any] = keyIdx.map(row.get).toSeq
+        var mg = state.get(key)
+        if (mg == null) {
+          require(state.size < maxKeysPerPartition,
+            s"more than $maxKeysPerPartition distinct keys in one " +
+              "partition — frequent-items keys must be low-cardinality " +
+              "(group by domain/shard, not by document)")
+          mg = new Mg; state.put(key, mg)
+        }
+        mg.rows += 1
+        val item = row.get(vIdx)
+        val cur = mg.counters.get(item)
+        if (cur != 0L || mg.counters.containsKey(item)) {
+          mg.counters.put(item, cur + 1)
+        } else if (mg.counters.size < k) {
+          mg.counters.put(item, 1L)
+        } else {
+          // batched decrement: drop every counter by the minimum, evict
+          // zeros; the arriving item's single unit is discarded with them
+          var min = Long.MaxValue
+          val vit = mg.counters.values().iterator()
+          while (vit.hasNext) { val v = vit.next(); if (v < min) min = v }
+          val eit = mg.counters.entrySet().iterator()
+          while (eit.hasNext) {
+            val e = eit.next()
+            val nv = e.getValue - min
+            if (nv == 0L) eit.remove() else e.setValue(nv)
+          }
+          mg.decr += min
+        }
+      }
+      state.entrySet().iterator().asScala.flatMap { e =>
+        val key = e.getKey; val mg = e.getValue
+        val counterRows = mg.counters.entrySet().iterator().asScala.map { c =>
+          Row.fromSeq(key ++ Seq(c.getKey, c.getValue, 0L, 0L))
+        }
+        counterRows ++ Iterator(
+          Row.fromSeq(key ++ Seq(null, 0L, mg.rows, mg.decr)))
+      }
+    }(enc)
+  }
+
+  /**
+   * Merge Misra–Gries partials to per-key heavy-hitter candidates with
+   * deterministic error bounds. For each surviving (key, item):
+   * `estimate <= true count <= estimate + err_bound`, and EVERY item whose
+   * true count exceeds `err_bound` is guaranteed present (`err_bound` is
+   * the summed per-partition discard, itself <= n_rows / (k+1)). The merge
+   * is a plain sum — sketch-space only, no rescan — so day-over-day
+   * incremental maintenance is a union of partial tables.
+   */
+  def frequentItems(partials: DataFrame, keys: Seq[String]): DataFrame = {
+    val kc = keys.map(col)
+    val totals = partials.filter(col("item").isNull)
+      .groupBy(kc: _*)
+      .agg(sum("local_rows").as("n_rows"), sum("local_decr").as("err_bound"))
+    partials.filter(col("item").isNotNull)
+      .groupBy(kc :+ col("item"): _*)
+      .agg(sum("mg_weight").as("estimate"))
+      .join(totals, keys)
+      .select(kc ++ Seq(col("item"), col("estimate"),
+        col("err_bound"), col("n_rows")): _*)
+  }
+
+  /** One-shot convenience: partial + merge in a single call. */
+  def frequentItems(df: DataFrame, keys: Seq[String], valueCol: String,
+      k: Int): DataFrame =
+    frequentItems(frequentItemsPartial(df, keys, valueCol, k), keys)
 }

@@ -1275,4 +1275,86 @@ class FunctionsSpec extends SparkTestBase {
       .distinct().groupBy("k").count().collect()
     assert(byPart.forall(_.getLong(1) === 1L))
   }
+
+  test("span removal: winner survives, other occurrences masked, originals verbatim") {
+    val d = df(Seq(
+      Seq(1L, "a b c x y"),     // winner of span "a b c" (least (id,pos))
+      Seq(2L, "q a b c r"),     // loser: tokens 2-4 masked
+      Seq(3L, "a b c"),         // loser: fully masked -> empty text
+      Seq(4L, "unique words only here"),
+      Seq(5L, "  \t ")),        // whitespace-only: 0 tokens, untouched
+      "doc_id:long,text:str")
+    val out = graft.functions.Dedup
+      .removeDuplicateSpans(d, "doc_id", "text", spanTokens = 3, minCount = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === (("a b c x y", 5L, 0L)))       // verbatim, not re-joined
+    assert(out(2L) === (("q r", 5L, 3L)))
+    assert(out(3L) === (("", 3L, 3L)))
+    assert(out(4L) === (("unique words only here", 4L, 0L)))
+    assert(out(5L) === (("  \t ", 0L, 0L)))
+    // overlapping duplicated spans mask the union of their intervals
+    val d2 = df(Seq(
+      Seq(1L, "a b c d e"),
+      Seq(2L, "z a b c d e z2")),  // spans "a b c"+"b c d"+"c d e" all dup
+      "doc_id:long,text:str")
+    val out2 = graft.functions.Dedup
+      .removeDuplicateSpans(d2, "doc_id", "text", spanTokens = 3, minCount = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out2(1L) === "a b c d e")
+    assert(out2(2L) === "z z2")
+  }
+
+  test("sketches: Misra-Gries frequent items honors its deterministic bounds") {
+    // Zipf-ish stream over two keys, deliberately spread over partitions
+    val rng = new scala.util.Random(7)
+    val rows = (1 to 4000).map { i =>
+      val item = "w" + (math.pow(rng.nextDouble(), 3) * 50).toInt
+      Seq(if (i % 3 == 0) "g1" else "g0", item)
+    }
+    val d = df(rows, "g:str,w:str").repartition(8)
+    val k = 10
+    val hh = graft.functions.Sketches.frequentItems(d, Seq("g"), "w", k)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val exact = d.groupBy("g", "w").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val nByKey = exact.groupBy(_._1._1).map { case (g, m) => g -> m.values.sum }
+    hh.foreach { case ((g, w), (est, err, n)) =>
+      val truth = exact((g, w))
+      assert(est <= truth && truth <= est + err, s"bounds for ($g,$w)")
+      assert(n === nByKey(g))
+      assert(err <= n / (k + 1), s"err $err exceeds n/(k+1) for $g")
+    }
+    // completeness guarantee: every item with count > err_bound is present
+    val errByKey = hh.map { case ((g, _), (_, err, _)) => g -> err }
+    exact.foreach { case ((g, w), c) =>
+      if (c > errByKey(g)) assert(hh.contains((g, w)), s"missed heavy ($g,$w)")
+    }
+  }
+
+  test("sketches: MG partials merge associatively across batches") {
+    val rows = (1 to 600).map(i => Seq("k", "w" + (i % 7)))
+    val d1 = df(rows.take(300), "g:str,w:str").repartition(3)
+    val d2 = df(rows.drop(300), "g:str,w:str").repartition(2)
+    val p1 = graft.functions.Sketches.frequentItemsPartial(d1, Seq("g"), "w", 5)
+    val p2 = graft.functions.Sketches.frequentItemsPartial(d2, Seq("g"), "w", 5)
+    val merged = graft.functions.Sketches.frequentItems(p1.union(p2), Seq("g"))
+      .collect()
+    assert(merged.forall(_.getLong(4) === 600L)) // n_rows sums across batches
+    val exact = rows.groupBy(_(1)).map { case (w, g) => w -> g.size.toLong }
+    merged.foreach { r =>
+      val truth = exact(r.getString(1))
+      assert(r.getLong(2) <= truth && truth <= r.getLong(2) + r.getLong(3),
+        s"bounds for ${r.getString(1)}")
+    }
+    // low-cardinality guard raises loudly on a mis-chosen key
+    val ex = intercept[Exception] {
+      graft.functions.Sketches.frequentItemsPartial(
+        df((1 to 50).map(i => Seq("k" + i, "w")), "g:str,w:str").coalesce(1),
+        Seq("g"), "w", 2, maxKeysPerPartition = 10).collect()
+    }
+    assert(Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(5).exists(_.getMessage.contains("low-cardinality")))
+  }
 }
