@@ -67,7 +67,7 @@ object SparkEntry {
           TpchSuite.tables(n).map(tb => tb -> t(s, dir, tb)).toMap))
     }
 
-  private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  private lazy val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- aggregate / select / filter / assign -------------------------
     "q01_agg" -> ((s, dir) => {
       eng(s).aggregate(t(s, dir, "lineitem"), Seq("l_returnflag", "l_linestatus"), Seq(
@@ -1239,6 +1239,32 @@ object SparkEntry {
             .otherwise(0L)).as("violations"),
           (max("n_sketch") === sum("cnt")).as("n_consistent"))
     }),
+    // Count-Min sketch: 8 per-shard partials merged on the driver (the
+    // bounded sketch-space pattern, like IVF training) must (a) never
+    // underestimate any exact count — CMS's deterministic one-sided
+    // guarantee — and (b) agree EXACTLY with a direct whole-stream sketch
+    // (counter addition is lossless, the CMS analogue of q73's HLL union)
+    "q82_cms" -> ((s, dir) => {
+      import graft.functions.Sketches
+      val ev = events(s, dir)
+        .filter(col("event_type").isNotNull)
+        .select(col("user_id"), col("event_type"))
+      def sketchOf(partials: DataFrame) = Sketches.cmsMerge(
+        partials.select("cms_sketch").collect().map(_.getAs[Array[Byte]](0)))
+      val merged = sketchOf(Sketches.cmsPartial(
+        ev.withColumn("shard", pmod(col("user_id"), lit(8))),
+        Seq("shard"), "event_type"))
+      val direct = sketchOf(Sketches.cmsPartial(
+        ev.withColumn("g", lit(1)), Seq("g"), "event_type"))
+      val rows = ev.groupBy("event_type").agg(count(lit(1)).as("cnt"))
+        .collect().toSeq.map { r =>
+          val et = r.getString(0); val cnt = r.getLong(1)
+          val est = Sketches.cmsEstimate(merged, et)
+          Seq(et, cnt, est >= cnt, est == Sketches.cmsEstimate(direct, et))
+        }
+      eng(s).toDF(rows,
+        "event_type:str,cnt:long,over_ok:bool,merge_agrees:bool")
+    }),
     // weighted-sample law differential (Efraimidis–Spirakis): with 10% of
     // docs carrying 1000× weight, the top-20-per-lang sample must (a) be
     // seed-deterministic, (b) be a subset with exact per-key sizes
@@ -1747,7 +1773,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     baseOracleSql ++ TpchSuite.sql.map { case (n, q) => s"${n}_tpch" -> q }
 
-  private val baseOracleSql: Map[String, String] = Map(
+  private lazy val baseOracleSql: Map[String, String] = Map(
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -2175,6 +2201,11 @@ object SparkEntry {
         | CAST(0 AS BIGINT) AS missed, CAST(0 AS BIGINT) AS violations,
         | TRUE AS n_consistent
         |FROM counts c LEFT JOIN ranked r ON c.lang = r.lang AND c.w = r.w
+        |GROUP BY 1""".stripMargin,
+    "q82_cms" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+        | TRUE AS over_ok, TRUE AS merge_agrees
+        |FROM events WHERE event_type IS NOT NULL
         |GROUP BY 1""".stripMargin,
     "q37x_sketch_error" -> "SELECT CAST(1 AS BIGINT) AS sketch_ok",
     // sketch differentials: booleans the Spark side must hit; n_keys is

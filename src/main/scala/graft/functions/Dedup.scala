@@ -990,6 +990,17 @@ object Dedup {
    * values (over-counts duplication by one position) — negligible below
    * 2^32 distinct spans per corpus.
    */
+  /** Stride-1 window hashes for the exact-substring family — the native
+   * [[graft.functions.expressions.SpanHashes]] expression: one flat JVM
+   * loop per document, each token's UTF-8 bytes materialized once and
+   * shared by all windows. Byte-identical to the declarative
+   * `xxhash64(concat_ws(" ", slice(tokens, p, spanTokens)))` per position
+   * (same tokenization, same XXH64 seed), so the string-grouping DuckDB
+   * oracles of t24/t25 stay exact. Replaced an interpreted higher-order
+   * transform+slice+concat chain that allocated a slice per window. */
+  private def spanHashArray(text: Column, spanTokens: Int): Column =
+    graft.functions.expressions.VectorExpressions.spanHashes(text, spanTokens)
+
   def duplicateSpanStats(
       df: DataFrame, idCol: String, textCol: String,
       spanTokens: Int = 50, minCount: Int = 2): DataFrame = {
@@ -997,15 +1008,15 @@ object Dedup {
     require(minCount >= 2, s"minCount must be >= 2, got $minCount")
     Seq("n_spans", "n_dup_spans", "dup_ratio").foreach(c =>
       require(c != idCol, s"idCol collides with output column '$c'"))
-    val toks = TextFunctions.tokensOrEmpty(col(textCol))
-    // sequence(1, m) DESCENDS when m < 1 — guard the short-doc case
-    val spanHashes = when(size(toks) >= spanTokens,
-      transform(sequence(lit(1), size(toks) - spanTokens + 1),
-        i => xxhash64(concat_ws(" ", slice(toks, i, lit(spanTokens))))))
-      .otherwise(array().cast("array<long>"))
     val base = spreadForCompute(df)
-      .select(col(idCol).as("__id"), spanHashes.as("__sp"))
+      .select(col(idCol).as("__id"),
+        spanHashArray(col(textCol), spanTokens).as("__sp"))
+    // the slim (id, hash) stream feeds BOTH the frequency election and the
+    // dup-mark join; persist it so the tokenize+window-hash pass over the
+    // corpus runs once, not twice (blocks are freed by the ContextCleaner
+    // when the query's RDDs are GC'd — no explicit lifecycle to leak)
     val exploded = base.select(col("__id"), explode(col("__sp")).as("__h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val freq = exploded.groupBy("__h").agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= minCount).select("__h")
     val dup = exploded.join(freq, "__h")
@@ -1054,17 +1065,16 @@ object Dedup {
     Seq("dedup_text", "n_tokens", "n_removed_tokens").foreach(c =>
       require(c != idCol, s"idCol collides with output column '$c'"))
     val toks = TextFunctions.tokensOrEmpty(col(textCol))
-    val spanHashes = when(size(toks) >= spanTokens,
-      transform(sequence(lit(1), size(toks) - spanTokens + 1),
-        i => xxhash64(concat_ws(" ", slice(toks, i, lit(spanTokens))))))
-      .otherwise(array().cast("array<long>"))
     val base = spreadForCompute(df)
       .select(col(idCol).as("__id"), col(textCol).as("__text"),
-        toks.as("__t"), spanHashes.as("__sp"))
-    // occurrences: (value hash, doc, 1-based start position)
+        toks.as("__t"), spanHashArray(col(textCol), spanTokens).as("__sp"))
+    // occurrences: (value hash, doc, 1-based start position) — persisted:
+    // it feeds the frequency election, the dup-occurrence join AND the
+    // winner election (ContextCleaner frees the blocks on GC)
     val occ = base.select(col("__id"),
       posexplode(col("__sp")).as(Seq("__p0", "__h")))
       .select(col("__h"), col("__id"), (col("__p0") + 1).as("__pos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val freq = occ.groupBy("__h").agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= minCount).select("__h")
     val dupOcc = occ.join(freq, "__h")

@@ -160,4 +160,47 @@ object Sketches {
   def frequentItems(df: DataFrame, keys: Seq[String], valueCol: String,
       k: Int): DataFrame =
     frequentItems(frequentItemsPartial(df, keys, valueCol, k), keys)
+
+  /**
+   * Per-group Count–Min sketch partial (Cormode & Muthukrishnan 2005) over
+   * Spark's native codegen'd `count_min_sketch` aggregate — point-frequency
+   * estimates with the deterministic one-sided guarantee
+   * `estimate >= true count` (always) and `estimate <= true + eps * n`
+   * with probability `confidence`. The binary sketches are mergeable:
+   * same (eps, confidence, seed) sketches merge by counter addition, so a
+   * merged sketch is EXACTLY the sketch of the concatenated stream — the
+   * same lossless-incremental property q73 pins for HLL.
+   *
+   * Width/depth are ceil(2/eps) × ceil(-ln(1-confidence)/ln 2) counters of
+   * 8 bytes — eps 0.001 / confidence 0.99 is ~2000×7 longs ≈ 110 KB per
+   * group: per-day partials for a 100 TB corpus are megabytes of state.
+   */
+  def cmsPartial(df: DataFrame, keys: Seq[String], valueCol: String,
+      eps: Double = 0.001, confidence: Double = 0.99,
+      seed: Int = 42): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count_min_sketch(col(valueCol), lit(eps), lit(confidence),
+        lit(seed)).as("cms_sketch"))
+
+  /** Merge serialized CMS partials (must share eps/confidence/seed) into
+   * one sketch — counter-wise addition, sketch-space only. */
+  def cmsMerge(
+      sketches: Iterable[Array[Byte]]): org.apache.spark.util.sketch.CountMinSketch = {
+    require(sketches.nonEmpty, "cannot merge zero sketches")
+    val it = sketches.iterator
+    val acc = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(it.next()))
+    while (it.hasNext)
+      acc.mergeInPlace(org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(it.next())))
+    acc
+  }
+
+  /** Probe a string item. Spark's SQL aggregate adds string columns as
+   * UTF-8 BYTES (`CountMinSketchAgg` calls `addBinary`), so the probe
+   * must hash the same representation — `estimateCount(String)` would
+   * hash the Java string and read unrelated counters. */
+  def cmsEstimate(cms: org.apache.spark.util.sketch.CountMinSketch,
+      item: String): Long =
+    cms.estimateCount(item.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 }

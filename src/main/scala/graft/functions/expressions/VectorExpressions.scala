@@ -276,7 +276,16 @@ object ShingleHashes {
    * DuckDB oracles (string_split_regex has identical artifacts) — the
    * cross-engine contract is tokenization-identical, so the artifact is
    * kept rather than silently diverging from every SQL oracle. */
-  def compute(text: String, k: Int): Array[Long] = {
+  def compute(text: String, k: Int): Array[Long] =
+    compute(text, k, dedup = true)
+
+  /** Same tokenization and window hash, but EVERY position in order (no
+   * dedup) — the exact-substring span family needs positional occurrence
+   * counts, not the distinct shingle set. */
+  def computeAll(text: String, k: Int): Array[Long] =
+    compute(text, k, dedup = false)
+
+  private def compute(text: String, k: Int, dedup: Boolean): Array[Long] = {
     var ci = 0
     var hasContent = false
     while (!hasContent && ci < text.length) {
@@ -311,7 +320,8 @@ object ShingleHashes {
       i += 1
     }
     val buf = new Array[Byte](maxWin)
-    val seen = new java.util.HashSet[java.lang.Long](n * 2)
+    val seen =
+      if (dedup) new java.util.HashSet[java.lang.Long](n * 2) else null
     val out = new Array[Long](n - k + 1)
     var m = 0
     i = 0
@@ -327,11 +337,43 @@ object ShingleHashes {
       }
       val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
         buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, pos, 42L)
-      if (seen.add(h)) { out(m) = h; m += 1 }
+      if (!dedup || seen.add(h)) { out(m) = h; m += 1 }
       i += 1
     }
     if (m == out.length) out else java.util.Arrays.copyOf(out, m)
   }
+}
+
+/** Positional stride-1 window hashes (ShingleHashes without the distinct
+ * filter): element p is the hash of tokens [p, p+k) space-joined — byte-
+ * identical to `xxhash64(concat_ws(" ", slice(tokens, p+1, k)))`, so the
+ * exact-substring oracles that group by the span STRING stay exact. One
+ * flat JVM loop per row replaces an interpreted higher-order-function
+ * chain (transform+slice+concat) that allocated a slice per window. */
+case class SpanHashes(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1, "span size k must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"span_hashes requires a string column, got ${other.catalogString}")
+    }
+
+  // null/blank text yields an EMPTY ARRAY (same contract as ShingleHashes)
+  override def nullable: Boolean = false
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) ShingleHashes.Empty
+    else new GenericArrayData(ShingleHashes.computeAll(v.toString, k))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** 64-bit simhash from a shingle-hash array: per-bit majority vote. */
@@ -649,6 +691,8 @@ object VectorExpressions {
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(sh), numHashes, seed))
   def shingleHashes(text: Column, k: Int): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(text), k))
+  def spanHashes(text: Column, k: Int): Column =
+    ColumnBridge.column(SpanHashes(ColumnBridge.expression(text), k))
   def simhash64(sh: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(sh)))
   def hyperplaneKeys(v: Column, dim: Int, nTables: Int, nBits: Int, seed: Long,

@@ -116,7 +116,11 @@ object GraftSql {
    * clustering), `sketch_distinct(keys:"source", col:doc_id, lgk:12)`
    * (mergeable HLL distinct estimate per key),
    * `weighted_sample(n:100, w:weight[, by:keys, id:doc_id, seed:s])`
-   * (Efraimidis–Spirakis weighted sample without replacement).
+   * (Efraimidis–Spirakis weighted sample without replacement),
+   * `frequent_items(keys:"source", col:text, k:50)` (mergeable
+   * Misra–Gries heavy hitters with deterministic bounds),
+   * `span_dedup(id:doc_id, col:text, span:50, min_count:2)`
+   * (exact-substring duplicated-span removal).
    * User extensions with the same name win. */
   val builtinExtensions: Extensions = Extensions(outputters = Map(
     "assert_eq" -> OutputterDef { (dfs, params) =>
@@ -225,6 +229,17 @@ object GraftSql {
             weightCol = p.getOrElse("w", "weight"),
             n = p.getOrElse("n", "100").toInt,
             seed = p.get("seed").map(_.toLong).getOrElse(42L))
+        },
+        "frequent_items" -> ProcessorDef { (_, dfs, p) =>
+          graft.functions.Sketches.frequentItems(one(dfs, "frequent_items"),
+            keys = p.getOrElse("keys", "source").split(",").map(_.trim).toSeq,
+            valueCol = p.getOrElse("col", "text"),
+            k = p.getOrElse("k", "50").toInt)
+        },
+        "span_dedup" -> ProcessorDef { (_, dfs, p) =>
+          Dedup.removeDuplicateSpans(one(dfs, "span_dedup"), id(p), tcol(p),
+            spanTokens = p.get("span").map(_.toInt).getOrElse(50),
+            minCount = p.get("min_count").map(_.toInt).getOrElse(2))
         })
     })
 

@@ -1333,6 +1333,31 @@ class FunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("sketches: CMS never underestimates and merge equals direct sketch") {
+    val rows = (1 to 2000).map(i => Seq(i.toLong, "e" + (i % 13)))
+    val d = df(rows, "id:long,e:str").repartition(6)
+    val merged = graft.functions.Sketches.cmsMerge(
+      graft.functions.Sketches
+        .cmsPartial(d.select(col("e"), pmod(col("id"), lit(4)).as("sh")),
+          Seq("sh"), "e")
+        .collect().map(_.getAs[Array[Byte]](1)))
+    val direct = graft.functions.Sketches.cmsMerge(
+      graft.functions.Sketches
+        .cmsPartial(d.withColumn("g", lit(1)), Seq("g"), "e")
+        .collect().map(_.getAs[Array[Byte]](1)))
+    val exact = rows.groupBy(_(1)).map { case (e, g) => e.toString -> g.size }
+    exact.foreach { case (e, cnt) =>
+      val est = graft.functions.Sketches.cmsEstimate(merged, e)
+      assert(est >= cnt, s"CMS underestimated $e: $est < $cnt")
+      assert(est === graft.functions.Sketches.cmsEstimate(direct, e))
+    }
+    // at eps=0.001, n=2000 collisions add at most ~2 per item here; the
+    // estimate must stay close (this is the w.h.p. upper bound, loose)
+    exact.foreach { case (e, cnt) =>
+      assert(graft.functions.Sketches.cmsEstimate(merged, e) <= cnt + 20)
+    }
+  }
+
   test("sketches: MG partials merge associatively across batches") {
     val rows = (1 to 600).map(i => Seq("k", "w" + (i % 7)))
     val d1 = df(rows.take(300), "g:str,w:str").repartition(3)

@@ -571,6 +571,28 @@ class GraftSqlSpec extends SparkTestBase {
       .map(_.getLong(1)).toSeq === Seq(5L, 5L))
   }
 
+  test("built-in frequent_items and span_dedup processors from the dialect") {
+    val rows = (1 to 300).map(i =>
+      Seq(i.toLong, if (i % 2 == 0) "g0" else "g1", "w" + (i % 5)))
+    val d = df(rows, "doc_id:long,src:str,text:str")
+    val res = GraftSql.run(engine,
+      """hh = PROCESS stream USING frequent_items(keys:src, col:text, k:3)
+        |YIELD hh AS hh
+        |""".stripMargin, Map("stream" -> d))
+    val hh = res.yields("hh").collect()
+    assert(hh.nonEmpty && hh.forall(_.getLong(4) === 150L)) // n_rows per key
+    hh.foreach(r => assert(r.getLong(2) >= 1L))             // estimates > 0
+    val docs = df(Seq(
+      Seq(1L, "p q r s t"), Seq(2L, "x p q r y")), "doc_id:long,text:str")
+    val res2 = GraftSql.run(engine,
+      """clean = PROCESS docs USING span_dedup(id:doc_id, col:text, span:3)
+        |YIELD clean AS clean
+        |""".stripMargin, Map("docs" -> docs))
+    val out = res2.yields("clean").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "p q r s t" && out(2L) === "x y")
+  }
+
   test("built-in cleanup/segment/cross-corpus processors from the dialect") {
     val docs = df(Seq(
       Seq(1L, "a b c d e f"),
