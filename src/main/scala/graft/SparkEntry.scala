@@ -1459,6 +1459,53 @@ object SparkEntry {
           (lit(nBatches) >= 2).cast("bigint").as("multi_batch"),
           col("nk").cast("bigint").as("n_keys"))
     }),
+    // streaming incremental heavy hitters: per-micro-batch Misra-Gries
+    // partials appended by foreachBatch, merged sketch-space at read time
+    // (the q75 pattern for MG). The merged result must keep MG's
+    // deterministic guarantees vs exact counts computed over the SAME
+    // stream: zero heavy items (count > err_bound) missed, zero estimate
+    // bounds broken, exact n_rows per key — all oracle-pinned
+    "q83_stream_heavy_hitters" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = events(s, dir).select("event_type", "user_id")
+        .withColumn("user_id", col("user_id").cast("string"))
+      val base = java.nio.file.Files.createTempDirectory("graft_q83_").toString
+      val (inDir, outDir, ck) = (s"$base/in", s"$base/out", s"$base/ck")
+      ev.repartition(6).write.mode("overwrite").parquet(inDir)
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+      graft.streaming.Streaming.foreachBatchSink(stream, ck) { (batch, id) =>
+        if (!batch.isEmpty)
+          Sketches.frequentItemsPartial(batch, Seq("event_type"), "user_id",
+            k = 30)
+            .withColumn("batch_id", lit(id))
+            .write.mode("append").parquet(outDir)
+      }
+      val partials = s.read.parquet(outDir)
+      val nBatches = partials.select(countDistinct(col("batch_id")))
+        .first().getLong(0)
+      val hh = Sketches.frequentItems(partials.drop("batch_id"),
+        Seq("event_type"))
+      val exact = ev.groupBy("event_type", "user_id")
+        .agg(count(lit(1)).as("cnt"))
+      val joined = exact.join(
+        hh.select(col("event_type"), col("item").as("user_id"),
+          col("estimate"), col("err_bound")), Seq("event_type", "user_id"),
+        "left")
+      val errByKey = hh.groupBy("event_type").agg(
+        max("err_bound").as("err"), max("n_rows").as("n_sketch"))
+      joined.join(errByKey, "event_type")
+        .groupBy("event_type").agg(
+          sum("cnt").as("n_rows"),
+          sum(when(col("cnt") > col("err") && col("estimate").isNull, 1L)
+            .otherwise(0L)).as("missed"),
+          sum(when(col("estimate").isNotNull &&
+              (col("estimate") > col("cnt") ||
+                col("estimate") + col("err") < col("cnt")), 1L)
+            .otherwise(0L)).as("violations"),
+          (max("n_sketch") === sum("cnt")).as("n_consistent"),
+          lit(nBatches >= 2).as("multi_batch"))
+    }),
     // mergeable quantile summary: percentile_approx (KLL-style, bounded
     // rank error ≤ n/accuracy). Differential: the ACTUAL rank of each
     // reported p50/p95 must sit within twice the guarantee of the target
@@ -2219,6 +2266,11 @@ object SparkEntry {
     "q75_stream_sketch" ->
       """SELECT CAST(1 AS BIGINT) AS merge_agrees, CAST(1 AS BIGINT) AS multi_batch,
         | (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) FROM events) AS n_keys""".stripMargin,
+    "q83_stream_heavy_hitters" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(0 AS BIGINT) AS missed, CAST(0 AS BIGINT) AS violations,
+        | TRUE AS n_consistent, TRUE AS multi_batch
+        |FROM events GROUP BY 1""".stripMargin,
     "q76_zorder_layout" ->
       "SELECT event_id, user_id, value FROM events",
     "q77_stream_session" ->

@@ -124,6 +124,42 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("native span hashes match the declarative formulation on random whitespace-heavy text (3 seeds)") {
+    // SpanHashes replaced the interpreted HOF chain on the exact-substring
+    // hot path; this pins positional byte-for-byte hash equality, blanks
+    // and boundary-whitespace artifacts included
+    val wsChars = Array(' ', '\t', '\n', '\u000B', '\f', '\r')
+    val words = Array("alpha", "beta", "Gamma", "e", "42", "x-y", "ü", "beta")
+    for (seed <- Seq(5L, 13L, 31L)) {
+      val rnd = new Random(seed)
+      val texts = (1 to 60).map { i =>
+        val n = rnd.nextInt(12)
+        val sb = new StringBuilder
+        if (rnd.nextBoolean()) sb ++= wsChars(rnd.nextInt(wsChars.length)).toString
+        (1 to n).foreach { _ =>
+          sb ++= words(rnd.nextInt(words.length))
+          (0 to rnd.nextInt(2)).foreach(_ =>
+            sb ++= wsChars(rnd.nextInt(wsChars.length)).toString)
+        }
+        Seq(i.toLong, sb.toString)
+      }
+      val d = df(texts, "id:long,t:str")
+      for (k <- Seq(1, 2, 3)) {
+        val toks = graft.functions.TextFunctions.tokensOrEmpty(col("t"))
+        val decl = when(size(toks) >= k,
+          transform(sequence(lit(1), size(toks) - k + 1),
+            i => xxhash64(concat_ws(" ", slice(toks, i, lit(k))))))
+          .otherwise(array().cast("array<long>"))
+        val native = d.select(col("id"),
+          graft.functions.expressions.VectorExpressions.spanHashes(col("t"), k)
+            .as("sp")).collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+        val declared = d.select(col("id"), decl.as("sp"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+        assert(native === declared, s"seed=$seed k=$k")
+      }
+    }
+  }
+
   test("chunkByTokens covers every token with correct overlap (3 seeds)") {
     import graft.functions.TextFunctions
     for (seed <- Seq(5L, 13L, 31L)) {
