@@ -1185,6 +1185,27 @@ object SparkEntry {
     "t25_span_removal" -> ((s, dir) =>
       Dedup.removeDuplicateSpans(t(s, dir, "documents"), "doc_id", "text",
         spanTokens = 3, minCount = 2)),
+    // learned quality filter: logistic regression (MLlib LBFGS,
+    // treeAggregate gradient passes) over the t01/t02 feature set, on a
+    // margin-separated synthetic labeling (stopword_ratio vs 0.06 with a
+    // 0.01 dead zone) — separable-with-margin data must train to >= 95%
+    // accuracy on the training corpus; n_train is oracle-exact (DuckDB
+    // recomputes the ratio and the margin filter bit-identically)
+    "t26_quality_model" -> ((s, dir) => {
+      import graft.functions.QualityModel
+      val feats = QualityModel.withFeatures(
+        t(s, dir, "documents").select("doc_id", "text"), "text")
+      val labeled = feats
+        .filter(abs(col("stopword_ratio") - 0.06) > 0.01)
+        .withColumn("label", (col("stopword_ratio") > 0.06).cast("double"))
+      val model = QualityModel.train(labeled)
+      val scored = QualityModel.score(labeled, model)
+      scored.agg(
+        count(lit(1)).as("n_train"),
+        (avg(when(col("quality_pred") === col("label"), 1.0).otherwise(0.0))
+          >= 0.95).as("acc_ok"),
+        min(col("quality_prob")).between(0.0, 1.0).as("prob_in_range"))
+    }),
     // CDC merge/upsert: deterministic change feed derived from orders —
     // deletes (%10=0), updates (%10 in 1,2), inserts (%10=3 under shifted
     // keys), with a same-key V1/V2 version race the election must resolve
@@ -1505,6 +1526,83 @@ object SparkEntry {
             .otherwise(0L)).as("violations"),
           (max("n_sketch") === sum("cnt")).as("n_consistent"),
           lit(nBatches >= 2).as("multi_batch"))
+    }),
+    // streaming ingestion dedup: micro-batches are deduplicated
+    // within-batch (exact n-gram jaccard components) then against the
+    // accumulated survivor index before appending — d14's incremental
+    // pattern under continuous arrival. The oracle pins the
+    // order-INDEPENDENT laws: survivors are pairwise clean (no >= 0.5
+    // jaccard pair survives), every dropped doc has a near-dup partner in
+    // the corpus (it was dropped FOR something), and the exact corpus size
+    "q84_stream_ingest_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val base = java.nio.file.Files.createTempDirectory("graft_q84_").toString
+      val (inDir, outDir, ck) = (s"$base/in", s"$base/out", s"$base/ck")
+      docs.repartition(5).write.mode("overwrite").parquet(inDir)
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      val outPath = new org.apache.hadoop.fs.Path(outDir)
+      graft.streaming.Streaming.foreachBatchSink(stream, ck) { (batch, _) =>
+        if (!batch.isEmpty) {
+          val pairs = Dedup.ngramJaccardJoin(batch, "doc_id", "text",
+            batch, "doc_id", "text", shingleK = 3, threshold = 0.5)
+            .filter(col("id_a") < col("id_b"))
+          val internal = Dedup.dropNearDuplicates(batch, "doc_id", pairs)
+          val survivors =
+            if (fs.exists(outPath))
+              Dedup.dropNearDuplicatesAgainst(internal, "doc_id", "text",
+                s.read.parquet(outDir), "doc_id", "text",
+                shingleK = 3, threshold = 0.5)
+            else internal
+          survivors.write.mode("append").parquet(outDir)
+        }
+      }
+      val surv = s.read.parquet(outDir)
+      val dropped = docs.join(surv.select("doc_id"), Seq("doc_id"),
+        "left_anti")
+      val survDirty = Dedup.ngramJaccardJoin(surv, "doc_id", "text",
+        surv, "doc_id", "text", shingleK = 3, threshold = 0.5)
+        .filter(col("id_a") =!= col("id_b")).limit(1).count() > 0
+      val uncovered = dropped.join(
+        Dedup.ngramJaccardJoin(dropped, "doc_id", "text",
+          docs, "doc_id", "text", shingleK = 3, threshold = 0.5)
+          .filter(col("id_a") =!= col("id_b"))
+          .select(col("id_a").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti").limit(1).count() > 0
+      eng(s).toDF(Seq(Seq(docs.count(), !survDirty, !uncovered)),
+        "n_docs:long,survivors_clean:bool,dropped_covered:bool")
+    }),
+    // schema-evolution read: two parquet batches with DIFFERENT schemas
+    // (v2 adds columns) reconciled by the engine's load with
+    // mergeSchema — v1 rows surface NULLs for the added columns; exact
+    // DuckDB oracle recomputes the reconciled aggregate from the split
+    "q85_schema_evolution" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_q85_").toString
+      val orders = t(s, dir, "orders")
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$base/d")
+      orders.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+        .write.mode("append").parquet(s"$base/d")
+      eng(s).load(s"$base/d", "parquet",
+          options = Map("mergeSchema" -> "true"))
+        .groupBy(coalesce(col("o_orderstatus"), lit("<v1>"))
+          .as("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total"))
+    }),
+    // size-targeted compaction: content identity is the oracle; the file
+    // count law (fragmented shrinks toward target, compact left alone)
+    // is asserted in ApiSpec
+    "q86_compact" -> ((s, dir) => {
+      val frag = t(s, dir, "orders").repartition(64)
+      graft.operators.Layout.compact(frag, targetBytes = 8L << 20)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
     }),
     // mergeable quantile summary: percentile_approx (KLL-style, bounded
     // rank error ≤ n/accuracy). Differential: the ACTUAL rank of each
@@ -2271,6 +2369,34 @@ object SparkEntry {
         | CAST(0 AS BIGINT) AS missed, CAST(0 AS BIGINT) AS violations,
         | TRUE AS n_consistent, TRUE AS multi_batch
         |FROM events GROUP BY 1""".stripMargin,
+    "t26_quality_model" ->
+      """WITH b AS (
+        | SELECT string_split_regex(trim(lower(text)), '\s+') AS ltoks,
+        |  CASE WHEN length(regexp_replace(text, '\s', '', 'g')) = 0
+        |   THEN CAST(0 AS INTEGER)
+        |   ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER)
+        |  END AS n_tok
+        | FROM documents),
+        |s AS (SELECT CASE WHEN n_tok > 0
+        |  THEN CAST(len(list_filter(ltoks, t -> list_contains(
+        |   ['the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','at','by','it'],
+        |   t))) AS DOUBLE) / n_tok ELSE 0.0 END AS r FROM b)
+        |SELECT CAST(count(*) AS BIGINT) AS n_train, TRUE AS acc_ok,
+        | TRUE AS prob_in_range
+        |FROM s WHERE abs(r - 0.06) > 0.01""".stripMargin,
+    "q84_stream_ingest_dedup" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        | TRUE AS survivors_clean, TRUE AS dropped_covered
+        |FROM documents""".stripMargin,
+    "q85_schema_evolution" ->
+      """SELECT coalesce(CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END,
+        |  '<v1>') AS o_orderstatus,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q86_compact" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        |FROM orders""".stripMargin,
     "q76_zorder_layout" ->
       "SELECT event_id, user_id, value FROM events",
     "q77_stream_session" ->

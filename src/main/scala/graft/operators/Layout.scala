@@ -77,4 +77,34 @@ object Layout {
       .sortWithinPartitions("__zorder")
       .drop("__zorder")
   }
+
+  /**
+   * Size-targeted compaction — the OPTIMIZE half of small-file
+   * maintenance. Output partition count = ceil(estimated bytes /
+   * `targetBytes`), clamped to [1, current partitions]: a fragmented
+   * table (thousands of streaming-ingest or over-parallel files) coalesces
+   * toward `targetBytes` outputs, while an already-compact table is left
+   * alone rather than exploded. The size estimate is Catalyst's plan
+   * statistic (parquet footer totals for file scans — no data pass);
+   * `keyCols` optionally co-locates rows (hash repartition on the keys)
+   * so compaction doubles as clustering for later joins.
+   *
+   * Content-preserving: same rows, new file placement. A shrink with no
+   * keys uses `coalesce` — narrow, NO shuffle: each output just reads
+   * several inputs, which is exactly what compacting small files should
+   * cost; with keys (or when growing the file count) it pays the one
+   * hash/round-robin shuffle that placement requires.
+   */
+  def compact(df: DataFrame, targetBytes: Long,
+      keyCols: Seq[String] = Nil): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be > 0, got $targetBytes")
+    val estBytes =
+      df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val want = (estBytes + targetBytes - 1) / targetBytes
+    val cur = df.rdd.getNumPartitions.max(1)
+    val parts = want.min(BigInt(cur)).max(BigInt(1)).toInt
+    if (keyCols.nonEmpty) df.repartition(parts, keyCols.map(col): _*)
+    else if (parts < cur) df.coalesce(parts)
+    else df
+  }
 }

@@ -244,6 +244,39 @@ class ApiSpec extends SparkTestBase {
     }
   }
 
+  test("Layout.compact: fragmented shrinks toward target, compact untouched") {
+    // parquet-backed: footer totals give Catalyst a REAL size estimate
+    // (an RDD-backed local frame has no stats -> compact conservatively
+    // keeps the current layout; that path is covered below via coalesce)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact_").toString
+    df((1 to 5000).map(i => Seq(i.toLong, s"payload_$i" * 8)),
+      "id:long,payload:str").repartition(64)
+      .write.mode("overwrite").parquet(tmp)
+    val d = spark.read.parquet(tmp)
+    // big target -> far fewer partitions; identical content
+    val compacted = graft.operators.Layout.compact(d, targetBytes = 64L << 20)
+    assert(compacted.rdd.getNumPartitions < 64)
+    assert(compacted.count() === 5000L)
+    assert(compacted.agg(org.apache.spark.sql.functions.sum("id"))
+      .first().getLong(0) === (1 to 5000).map(_.toLong).sum)
+    // already-compact input is left alone (never exploded)
+    val small = d.repartition(2)
+    assert(graft.operators.Layout.compact(small, targetBytes = 1L)
+      .rdd.getNumPartitions === 2)
+    // key-clustered compaction co-locates keys in one partition
+    val keyed = graft.operators.Layout.compact(
+      d.withColumn("k", col("id") % 4), targetBytes = 64L << 20,
+      keyCols = Seq("k"))
+    val spreadCount = keyed
+      .select(col("k"), org.apache.spark.sql.functions
+        .spark_partition_id().as("p"))
+      .distinct().groupBy("k").count().collect()
+    assert(spreadCount.forall(_.getLong(1) === 1L))
+    intercept[IllegalArgumentException] {
+      graft.operators.Layout.compact(d, targetBytes = 0L)
+    }
+  }
+
   test("DfUtils.profile: exact per-column nulls/distincts/min/max") {
     val d = df(Seq(
       Seq("a", 1, 2.5),

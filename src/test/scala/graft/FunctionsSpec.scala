@@ -1333,6 +1333,27 @@ class FunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("quality model: separable corpus trains to perfect accuracy, probs ordered") {
+    // high-quality docs: stopword-rich English; junk: punctuation noise
+    val good = (1 to 30).map(i =>
+      Seq(i.toLong, s"the cat and the dog are in the house of it $i"))
+    val junk = (31 to 60).map(i =>
+      Seq(i.toLong, s"@@## %% !! ?? ++ == xx$i yy zz ^^ && **"))
+    val d = df(good ++ junk, "doc_id:long,text:str")
+    val feats = graft.functions.QualityModel.withFeatures(d, "text")
+      .withColumn("label", (col("doc_id") <= 30).cast("double"))
+    val model = graft.functions.QualityModel.train(feats)
+    val scored = graft.functions.QualityModel.score(feats, model)
+    val acc = scored.agg(avg(when(col("quality_pred") === col("label"), 1.0)
+      .otherwise(0.0))).first().getDouble(0)
+    assert(acc === 1.0, s"separable corpus must train to 1.0, got $acc")
+    // keep-probabilities separate the classes
+    val bounds = scored.agg(
+      min(when(col("label") === 1.0, col("quality_prob"))),
+      max(when(col("label") === 0.0, col("quality_prob")))).first()
+    assert(bounds.getDouble(0) > bounds.getDouble(1))
+  }
+
   test("sketches: CMS never underestimates and merge equals direct sketch") {
     val rows = (1 to 2000).map(i => Seq(i.toLong, "e" + (i % 13)))
     val d = df(rows, "id:long,e:str").repartition(6)
