@@ -34,16 +34,31 @@ object Sketches {
 
   /**
    * Merge partial sketches down to per-key cardinality estimates — a
-   * pure sketch-space aggregation (register-wise max), no rescan of the
-   * underlying data. Union with the same lgK is lossless: merging
-   * per-shard partials yields the identical estimate to sketching the
-   * whole stream directly (q73 pins this).
+   * pure sketch-space aggregation (register-wise max / coupon-set union),
+   * no rescan of the underlying data. The union is ASSOCIATIVE: any
+   * grouping of the partials merges to the identical estimate (q73 pins
+   * this), so per-shard, per-day, and hierarchical rollups all agree.
+   * NOTE the union result is NOT guaranteed byte-equal to a sketch built
+   * directly over the whole stream: once a key's population crosses the
+   * sparse(coupon)→dense transition, the direct sketch and the union
+   * take different promotion paths and their estimates may differ within
+   * the error envelope (observed at sf0.1: merged 1488 vs direct
+   * 1480–1499 vs exact 1500) — both remain inside the lgK accuracy
+   * bound, which is the guarantee that matters.
    */
   def hllMergeEstimate(partials: DataFrame, keys: Seq[String],
       sketchCol: String = "hll_sketch"): DataFrame =
     partials.groupBy(keys.map(col): _*)
       .agg(hll_sketch_estimate(hll_union_agg(col(sketchCol), lit(false)))
         .as("estimate"))
+
+  /** Merge partials to per-key MERGED SKETCHES (not estimates) — the
+   * intermediate level of a hierarchical rollup (shard → day → corpus):
+   * the output is itself a valid partial for further merging. */
+  def hllMergePartial(partials: DataFrame, keys: Seq[String],
+      sketchCol: String = "hll_sketch"): DataFrame =
+    partials.groupBy(keys.map(col): _*)
+      .agg(hll_union_agg(col(sketchCol), lit(false)).as(sketchCol))
 
   /**
    * Per-(partition, key) Misra–Gries partial counters — the mergeable

