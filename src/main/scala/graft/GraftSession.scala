@@ -90,6 +90,13 @@ object GraftExtensions {
         requireArgs("shingle_hashes", "(text, k)", es, 2, 2)
         ShingleHashes(es.head, litInt("shingle_hashes", "k", es(1)))
       }),
+    "normalize_unicode" -> (info("normalize_unicode",
+      "normalize_unicode(text[, form]) - Unicode-normalize a string (form NFC/NFD/NFKC/NFKD, default NFC)"),
+      (es: Seq[Expression]) => {
+        requireArgs("normalize_unicode", "(text[, form])", es, 1, 2)
+        NormalizeUnicode(es.head,
+          if (es.length > 1) litString("normalize_unicode", "form", es(1)) else "NFC")
+      }),
   )
 
   /** Clear errors for SQL misuse instead of IndexOutOfBounds/NPE during
@@ -115,4 +122,14 @@ object GraftExtensions {
     litVal(fn, param, e).intValue()
   private def litLong(fn: String, param: String, e: Expression): Long =
     litVal(fn, param, e).longValue()
+  private def litString(fn: String, param: String, e: Expression): String = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"$fn: parameter '$param' must be a literal, got: ${e.sql}")
+    e.eval() match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn: parameter '$param' must be a non-null string, got: $other")
+    }
+  }
 }

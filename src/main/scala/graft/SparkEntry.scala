@@ -1206,6 +1206,61 @@ object SparkEntry {
           >= 0.95).as("acc_ok"),
         min(col("quality_prob")).between(0.0, 1.0).as("prob_in_range"))
     }),
+    // Unicode normalization over a deterministically decomposed corpus
+    // (combining acute / ring appended to every doc) — DuckDB's
+    // nfc_normalize oracles the NFC path exactly; the NFD and NFKC forms
+    // are pinned per-row by round-trip (NFC∘NFD ≡ NFC) and a known
+    // compatibility fold (U+FB01 'ﬁ' → "fi")
+    "t27_normalize_unicode" -> ((s, dir) => {
+      val dirty = concat(coalesce(col("text"), lit("")),
+        lit(" cafe\u0301 A\u030A caf\u00E9"))
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.normalizeUnicode(dirty).as("norm_text"),
+        (TextFunctions.normalizeUnicode(
+          TextFunctions.normalizeUnicode(dirty, "NFD")) ===
+          TextFunctions.normalizeUnicode(dirty)).as("nfd_roundtrip_ok"),
+        (TextFunctions.normalizeUnicode(lit("\uFB01ne"), "NFKC") === "fine")
+          .as("nfkc_ok"))
+    }),
+    // URL canonicalization over deterministically injected URLs covering
+    // every branch: uppercase scheme/host + default port + mid-query
+    // tracking param + fragment; first-position tracking param leaving an
+    // empty path; non-http(s) scheme; no-scheme pass-through — exact
+    // DuckDB oracle replays the identical anchored-RE2 chain
+    "t28_url_canon" -> ((s, dir) => {
+      val d = col("doc_id")
+      val url = when(d % 4 === 0,
+        concat(lit("HTTP://Site"), (d % 5).cast("string"),
+          lit(".Example.ORG:80/a/b?utm_campaign=x&q="), d.cast("string"),
+          lit("#top")))
+        .when(d % 4 === 1, lit("https://cdn.example.net:443/?utm_source=a"))
+        .when(d % 4 === 2,
+          concat(lit("ftp://Files.example.com/data/"), d.cast("string")))
+        .otherwise(concat(lit("  not a url "), d.cast("string"), lit("  ")))
+      t(s, dir, "documents").select(col("doc_id"), url.as("url"),
+        TextFunctions.canonicalizeUrl(url).as("canon_url"))
+    }),
+    // domain blocklist with suffix semantics (entry blocks host + every
+    // subdomain, never a same-suffix lookalike) via the keyed double
+    // anti-join — exact DuckDB oracle writes the predicate directly
+    "t29_domain_blocklist" -> ((s, dir) => {
+      val d = col("doc_id")
+      val url = when(d % 4 === 0,
+        concat(lit("https://site"), (d % 7).cast("string"),
+          lit(".example.org/p/"), d.cast("string")))
+        .when(d % 4 === 1, lit("http://cdn.example.net/img.jpg"))
+        .when(d % 4 === 2, lit("https://keep.example.com/ok"))
+        .otherwise(lit("https://notexample.net/a"))
+      val docs = t(s, dir, "documents").select(col("doc_id"), url.as("url"))
+      val blocked = eng(s).toDF(
+        Seq(Seq("example.net"), Seq("site3.example.org")), "domain:str")
+      TextFunctions.filterBlockedDomains(docs, "url", blocked)
+    }),
+    // bigram LM cross-entropy (Laplace-smoothed conditional, self-trained)
+    // — exact DuckDB oracle via the t12 decimal-bridge policy
+    "t30_bigram_ce" -> ((s, dir) =>
+      TextFunctions.bigramCrossEntropy(
+        t(s, dir, "documents"), "doc_id", "text")),
     // CDC merge/upsert: deterministic change feed derived from orders —
     // deletes (%10=0), updates (%10 in 1,2), inserts (%10=3 under shifted
     // keys), with a same-key V1/V2 version race the election must resolve
@@ -2489,6 +2544,80 @@ object SparkEntry {
         |FROM sp s LEFT JOIN (
         | SELECT doc_id, string_agg(l, chr(10) ORDER BY pos) AS dedup_text,
         |  count(*) AS n_kept FROM kept GROUP BY doc_id) k USING (doc_id)""".stripMargin,
+    // chr(769)=U+0301 combining acute, chr(778)=U+030A combining ring,
+    // chr(233)=U+00E9 composed é — mirrors the Spark-side injected escapes
+    "t27_normalize_unicode" ->
+      """SELECT doc_id,
+        | nfc_normalize(concat(coalesce(text, ''), ' cafe', chr(769), ' A',
+        |  chr(778), ' caf', chr(233))) AS norm_text,
+        | TRUE AS nfd_roundtrip_ok, TRUE AS nfkc_ok
+        |FROM documents""".stripMargin,
+    "t28_url_canon" ->
+      s"""WITH injected AS (
+        | SELECT doc_id, CASE
+        |  WHEN doc_id % 4 = 0 THEN concat('HTTP://Site',
+        |   CAST(doc_id % 5 AS VARCHAR),
+        |   '.Example.ORG:80/a/b?utm_campaign=x&q=', CAST(doc_id AS VARCHAR),
+        |   '#top')
+        |  WHEN doc_id % 4 = 1 THEN 'https://cdn.example.net:443/?utm_source=a'
+        |  WHEN doc_id % 4 = 2 THEN concat('ftp://Files.example.com/data/',
+        |   CAST(doc_id AS VARCHAR))
+        |  ELSE concat('  not a url ', CAST(doc_id AS VARCHAR), '  ') END AS url
+        | FROM documents),
+        |c1 AS (SELECT doc_id, url, trim(url) AS u FROM injected),
+        |c2 AS (SELECT *,
+        |  lower(regexp_extract(u, '${TextFunctions.UrlSchemeRegex}', 1)) AS scheme,
+        |  lower(regexp_extract(u, '${TextFunctions.UrlHostPortRegex}', 1)) AS hostport,
+        |  regexp_extract(u, '${TextFunctions.UrlRestRegex}', 1) AS rest0 FROM c1),
+        |c3 AS (SELECT *,
+        |  CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$$', '')
+        |   WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$$', '')
+        |   ELSE hostport END AS host,
+        |  regexp_replace(regexp_replace(rest0,
+        |    '${TextFunctions.TrackAmpRegex}', '', 'g'),
+        |   '${TextFunctions.TrackFirstRegex}', '?', 'g') AS rest2 FROM c2),
+        |c4 AS (SELECT *, regexp_replace(regexp_replace(rest2, '\\?&', '?', 'g'),
+        |  '[?&]$$', '') AS rest4 FROM c3)
+        |SELECT doc_id, url, CASE WHEN scheme = '' THEN u
+        | ELSE concat(scheme, '://', host,
+        |  CASE WHEN rest4 = '' THEN '/' ELSE rest4 END) END AS canon_url
+        |FROM c4""".stripMargin,
+    "t29_domain_blocklist" ->
+      s"""WITH injected AS (
+        | SELECT doc_id, CASE
+        |  WHEN doc_id % 4 = 0 THEN concat('https://site',
+        |   CAST(doc_id % 7 AS VARCHAR), '.example.org/p/',
+        |   CAST(doc_id AS VARCHAR))
+        |  WHEN doc_id % 4 = 1 THEN 'http://cdn.example.net/img.jpg'
+        |  WHEN doc_id % 4 = 2 THEN 'https://keep.example.com/ok'
+        |  ELSE 'https://notexample.net/a' END AS url
+        | FROM documents),
+        |h AS (SELECT doc_id, url,
+        |  lower(regexp_extract(trim(url), '${TextFunctions.UrlHostRegex}', 1)) AS host
+        | FROM injected)
+        |SELECT doc_id, url FROM h
+        |WHERE NOT (host = 'example.net' OR host LIKE '%.example.net'
+        |  OR host = 'site3.example.org' OR host LIKE '%.site3.example.org')""".stripMargin,
+    "t30_bigram_ce" ->
+      """WITH toks0 AS (
+        | SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |   x -> length(x) > 0) AS w
+        | FROM documents),
+        |b AS (SELECT doc_id, w FROM toks0 WHERE len(w) >= 2),
+        |ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i FROM b),
+        |pr AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2 FROM ix),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM pr GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM pr GROUP BY 1),
+        |v AS (SELECT count(DISTINCT tok) AS v FROM (
+        |  SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |    x -> length(x) > 0)) AS tok FROM documents)),
+        |lp AS (
+        | SELECT doc_id,
+        |  ln(CAST(coalesce(c12, 0) + 1 AS DOUBLE)) - ln(CAST(c1 + v AS DOUBLE)) AS lp
+        | FROM pr JOIN c1 USING (w1) LEFT JOIN c12 USING (w1, w2), v)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        | -CAST(sum(CAST(lp AS DECIMAL(20,10))) AS DOUBLE) / count(*) AS bigram_ce
+        |FROM lp GROUP BY doc_id""".stripMargin,
     "q69_row_index" ->
       """SELECT o_orderkey, o_totalprice,
         | CAST(row_number() OVER (ORDER BY o_orderkey) - 1 AS BIGINT) AS row_index

@@ -761,4 +761,184 @@ object TextFunctions {
         qualityMetrics(col(textCol)).map { case (n, c) => c.as(n) }: _*)
     base
   }
+
+  /** Unicode normalization (NFC default) — see
+   * [[graft.functions.expressions.NormalizeUnicode]]. The step that makes
+   * composed and decomposed renderings of the same text byte-identical
+   * before any dedup/fingerprint/tokenize pass. */
+  def normalizeUnicode(text: Column, form: String = "NFC"): Column = {
+    graft.functions.expressions.NormalizeUnicode.requireForm(form)
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.functions.expressions.NormalizeUnicode(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(text), form))
+  }
+
+  // ---- URL canonicalization (shared Spark/oracle pattern constants) ----
+
+  /** Tracking query parameters stripped by [[canonicalizeUrl]] (the
+   * click-attribution params that make otherwise-identical URLs distinct:
+   * the #1 cause of canonical-URL dedup misses in web corpora). */
+  val TrackingParamsRegex: String =
+    "utm_[A-Za-z0-9_]*|fbclid|gclid|igshid|msclkid|mc_eid"
+
+  /** `&utm_x=...` mid-query tracking param (consumes its own `&`). */
+  val TrackAmpRegex: String = s"&(?:$TrackingParamsRegex)=[^&#]*"
+
+  /** `?utm_x=...` first-position tracking param (replaced by `?`). */
+  val TrackFirstRegex: String = s"\\?(?:$TrackingParamsRegex)=[^&#]*"
+
+  /** Anchored scheme capture (group 1), e.g. `https` of `https://...`. */
+  val UrlSchemeRegex: String = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+
+  /** Anchored host[:port] capture (group 1) after the scheme. */
+  val UrlHostPortRegex: String = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+
+  /** Anchored host capture WITHOUT the port (group 1). */
+  val UrlHostRegex: String = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)"
+
+  /** Anchored path+query capture (group 1) — `[^#]*` stops at the
+   * fragment, so fragment stripping is part of the extraction. */
+  val UrlRestRegex: String = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)"
+
+  /** Lowercased host of an absolute http(s)/ftp URL ('' if not one). */
+  def urlHost(url: Column): Column =
+    lower(regexp_extract(trim(url), UrlHostRegex, 1))
+
+  /**
+   * Canonical form of an absolute URL — the normalization under which a
+   * web pipeline dedups by source: lowercase scheme and host, default
+   * port dropped (`:80` for http, `:443` for https), fragment dropped,
+   * tracking query parameters ([[TrackingParamsRegex]]) removed with
+   * separators repaired, empty path normalized to `/`. Strings without a
+   * `scheme://` prefix pass through trimmed but otherwise untouched.
+   *
+   * Pure regexp/conditional chain over RE2-safe anchored patterns with no
+   * backreferences — byte-identical on Spark (codegen'd, no UDF) and on
+   * the DuckDB oracle, which applies the same chain (t28).
+   */
+  def canonicalizeUrl(url: Column): Column = {
+    val u = trim(url)
+    val scheme = lower(regexp_extract(u, UrlSchemeRegex, 1))
+    val hostport = lower(regexp_extract(u, UrlHostPortRegex, 1))
+    val host = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    val rest0 = regexp_extract(u, UrlRestRegex, 1)
+    val rest1 = regexp_replace(rest0, TrackAmpRegex, "")
+    val rest2 = regexp_replace(rest1, TrackFirstRegex, "?")
+    // a removed first param leaves "?&next=..." — repair, then drop a
+    // dangling trailing separator left by a removed last param
+    val rest3 = regexp_replace(rest2, "\\?&", "?")
+    val rest4 = regexp_replace(rest3, "[?&]$", "")
+    val rest = when(rest4 === "", lit("/")).otherwise(rest4)
+    when(scheme === "", u)
+      .otherwise(concat(scheme, lit("://"), host, rest))
+  }
+
+  /**
+   * Drop rows whose URL host is on a domain blocklist, with standard
+   * suffix semantics: an entry blocks the exact host AND every subdomain
+   * (`example.net` blocks `example.net` and `cdn.example.net`, never
+   * `notexample.net`).
+   *
+   * Scale: the OR-of-suffixes predicate is NOT evaluated as a nested-loop
+   * scan of the blocklist. Both sides are keyed by a registrable-suffix
+   * join key (the entry's last two labels; the host probes with its last
+   * one AND last two), so the lookup is two broadcast HASH anti-joins with
+   * the exact host/suffix check as a join filter — O(1) per row, and the
+   * same plan degrades gracefully to a shuffle hash join if a million-entry
+   * blocklist ever exceeds the broadcast threshold.
+   */
+  def filterBlockedDomains(
+      df: DataFrame, urlCol: String, blocked: DataFrame): DataFrame = {
+    require(blocked.columns.length == 1,
+      s"blocklist must have exactly one (domain) column, got ${blocked.columns.mkString(",")}")
+    Seq("__host", "__k1", "__k2").foreach(c =>
+      require(!df.columns.contains(c), s"input column '$c' collides with internals"))
+    val bcol = blocked.columns.head
+    val entries = blocked
+      .select(lower(trim(col(bcol))).as("__bd"))
+      .filter(length(col("__bd")) > 0).distinct()
+      .withColumn("__bkey",
+        when(col("__bd").contains("."),
+          regexp_extract(col("__bd"), "([^.]+\\.[^.]+)$", 1))
+          .otherwise(col("__bd")))
+    val b = broadcast(entries)
+    val withHost = df
+      .withColumn("__host", urlHost(col(urlCol)))
+      .withColumn("__k1", regexp_extract(col("__host"), "([^.]+)$", 1))
+      .withColumn("__k2", regexp_extract(col("__host"), "([^.]+\\.[^.]+)$", 1))
+    def blockedCond(key: String) =
+      col(key) === col("__bkey") &&
+        (col("__host") === col("__bd") ||
+          col("__host").endsWith(concat(lit("."), col("__bd"))))
+    withHost
+      .join(b, blockedCond("__k1"), "left_anti")
+      .join(b, blockedCond("__k2"), "left_anti")
+      .drop("__host", "__k1", "__k2")
+  }
+
+  /**
+   * Bigram language-model cross-entropy per document — the perplexity
+   * quality filter one step up from [[unigramCrossEntropy]] (CCNet trains
+   * a KenLM; a self-trained Laplace bigram LM is the engine-native
+   * analog). For consecutive token pairs (w1, w2):
+   *
+   *   P(w2|w1) = (c(w1,w2) + 1) / (c1(w1) + V)
+   *   bigram_ce(d) = -(1/|pairs(d)|) Σ ln P
+   *
+   * where c1 counts w1 as a bigram CONTEXT (all positions except
+   * document-final) and V is the corpus vocabulary size, so the model is
+   * a proper conditional distribution. Documents with fewer than two
+   * tokens produce no rows (no bigram evidence — the same convention as
+   * the blank-document rule elsewhere). Output: (idCol, n_bigrams,
+   * bigram_ce); low is fluent, high is gibberish.
+   *
+   * Determinism: every `ln` argument is an integer-valued double (the
+   * t12 cross-libm policy) and per-document log-prob sums are bridged
+   * through decimal(20,10) — exact, order-independent, engine-identical.
+   *
+   * Scale: the pair stream is built NARROWLY from each document's token
+   * array (no self-join on positions); c12/c1 are two hash aggregations
+   * with map-side partials; scoring joins the pair stream against the
+   * count tables by (w1[, w2]) — only token pairs and 8-byte counts
+   * shuffle, never text. `minPairCount` prunes the c12 table for corpora
+   * whose bigram diversity is too large to join comfortably (pruned pairs
+   * fall back to the unseen-bigram probability 1/(c1+V), which is exactly
+   * what Laplace assigns a zero count — the model stays well-defined).
+   */
+  def bigramCrossEntropy(
+      df: DataFrame, idCol: String, textCol: String,
+      minPairCount: Long = 1L): DataFrame = {
+    Seq("n_bigrams", "bigram_ce").foreach(c =>
+      require(c != idCol, s"idCol collides with output column '$c'"))
+    val wf = filter(split(trim(lower(col(textCol))), "\\s+"),
+      x => length(x) > 0)
+    val base = df.select(col(idCol), wf.as("__w")).filter(size(col("__w")) >= 2)
+    val pairsArr = transform(
+      sequence(lit(0), size(col("__w")) - 2),
+      i => struct(element_at(col("__w"), i + 1).as("w1"),
+        element_at(col("__w"), i + 2).as("w2")))
+    val pr = base.select(col(idCol), explode(pairsArr).as("__p"))
+      .select(col(idCol), col("__p.w1").as("__w1"), col("__p.w2").as("__w2"))
+    val c12 = pr.groupBy("__w1", "__w2").agg(count(lit(1)).as("__c12"))
+      .filter(col("__c12") >= minPairCount)
+    val c1 = pr.groupBy("__w1").agg(count(lit(1)).as("__c1"))
+    val v = df
+      .select(explode(filter(split(trim(lower(col(textCol))), "\\s+"),
+        x => length(x) > 0)).as("__tok"))
+      .agg(countDistinct(col("__tok")).as("__v"))
+    val scored = pr
+      .join(c1, "__w1")
+      .join(c12, Seq("__w1", "__w2"), "left")
+      .crossJoin(broadcast(v))
+      .select(col(idCol),
+        (log((coalesce(col("__c12"), lit(0L)) + 1).cast("double")) -
+          log((col("__c1") + col("__v")).cast("double"))).as("__lp"))
+    scored.groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("__lp").cast("decimal(20,10)")).as("__s"))
+      .select(col(idCol), col("n_bigrams"),
+        (-col("__s").cast("double") / col("n_bigrams")).as("bigram_ce"))
+  }
 }

@@ -1410,4 +1410,93 @@ class FunctionsSpec extends SparkTestBase {
     assert(Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
       .take(5).exists(_.getMessage.contains("low-cardinality")))
   }
+
+  test("normalizeUnicode: NFC composes, NFD decomposes, NFKC folds, form validated") {
+    val d = df(Seq(
+      Seq(1L, "café Å"),   // decomposed acute + ring
+      Seq(2L, "café"),            // already composed (fast path)
+      Seq(3L, "ﬁne"),             // fi ligature (NFKC-only fold)
+      Seq(4L, null)), "id:long,t:str")
+    val nfc = d.select(col("id"),
+      TextFunctions.normalizeUnicode(col("t")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(nfc(1L) == "café Å")
+    assert(nfc(2L) == "café")
+    assert(nfc(3L) == "ﬁne") // NFC leaves compatibility chars alone
+    assert(nfc(4L) == null)
+    val nfd = d.filter(col("id") === 2L).select(
+      TextFunctions.normalizeUnicode(col("t"), "NFD")).head().getString(0)
+    assert(nfd == "café")
+    val nfkc = d.filter(col("id") === 3L).select(
+      TextFunctions.normalizeUnicode(col("t"), "NFKC")).head().getString(0)
+    assert(nfkc == "fine")
+    intercept[IllegalArgumentException] {
+      TextFunctions.normalizeUnicode(col("t"), "NFX")
+    }
+  }
+
+  test("canonicalizeUrl: scheme/host case, default ports, tracking params, fragments") {
+    def canon(u: String): String =
+      df(Seq(Seq(u)), "u:str")
+        .select(TextFunctions.canonicalizeUrl(col("u"))).head().getString(0)
+    assert(canon("HTTP://Example.COM:80/a?utm_source=x&q=1#frag") ==
+      "http://example.com/a?q=1")
+    assert(canon("https://Example.com:443") == "https://example.com/")
+    assert(canon("https://example.com/?utm_campaign=c") == "https://example.com/")
+    assert(canon("https://example.com/p?a=1&utm_medium=m&fbclid=z&b=2") ==
+      "https://example.com/p?a=1&b=2")
+    assert(canon("https://example.com/p?a=1&gclid=g") == "https://example.com/p?a=1")
+    // non-default port and non-http scheme keep their port
+    assert(canon("https://example.com:8443/x") == "https://example.com:8443/x")
+    assert(canon("FTP://Files.Example.com/d") == "ftp://files.example.com/d")
+    // not a URL: trimmed pass-through
+    assert(canon("  plain text  ") == "plain text")
+  }
+
+  test("filterBlockedDomains: suffix semantics, lookalikes kept, broadcast anti plan") {
+    val rows = Seq(
+      Seq(1L, "https://example.net/a"),        // exact block
+      Seq(2L, "https://cdn.example.net/b"),    // subdomain block
+      Seq(3L, "https://notexample.net/c"),     // lookalike: kept
+      Seq(4L, "https://deep.sub.blocked.example.org/d"), // nested subdomain: blocked
+      Seq(5L, "https://ok.example.com/e"),     // kept
+      Seq(6L, "no url here"))                  // host '' : kept
+    val d = df(rows, "id:long,url:str")
+    val blocked = df(Seq(Seq("example.net"), Seq("blocked.example.org")), "domain:str")
+    val kept = TextFunctions.filterBlockedDomains(d, "url", blocked)
+    assert(collectSorted(kept.select("id")).map(_.head) == Seq(3L, 5L, 6L))
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected broadcast anti joins, got:\n$plan")
+    intercept[IllegalArgumentException] {
+      TextFunctions.filterBlockedDomains(
+        d.withColumnRenamed("id", "__host"), "url", blocked)
+    }
+  }
+
+  test("bigramCrossEntropy matches a hand-computed Laplace bigram model") {
+    // corpus: doc1 "a b a b", doc2 "b c", doc3 "a" (no bigrams -> no row)
+    val d = df(Seq(Seq(1L, "a b a b"), Seq(2L, "b c"), Seq(3L, "a")),
+      "doc_id:long,text:str")
+    val got = TextFunctions.bigramCrossEntropy(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(!got.contains(3L))
+    // V = 3 (a,b,c); pairs: (a,b)x2, (b,a)x1, (b,c)x1
+    // c1 contexts: a->2, b->2; c12: ab=2, ba=1, bc=1
+    val pAb = math.log(3.0) - math.log(5.0)  // (2+1)/(2+3)
+    val pBa = math.log(2.0) - math.log(5.0)
+    val pBc = math.log(2.0) - math.log(5.0)
+    val ce1 = -(pAb + pBa + pAb) / 3.0
+    val ce2 = -pBc / 1.0
+    assert(got(1L)._1 == 3L)
+    assert(math.abs(got(1L)._2 - ce1) < 1e-9, s"${got(1L)._2} vs $ce1")
+    assert(got(2L)._1 == 1L)
+    assert(math.abs(got(2L)._2 - ce2) < 1e-9)
+    // minPairCount prune: pruned pairs fall back to the unseen probability
+    val pruned = TextFunctions.bigramCrossEntropy(d, "doc_id", "text",
+      minPairCount = 2L).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val ce2p = -(math.log(1.0) - math.log(5.0)) // bc pruned -> ln(1/(2+3))
+    assert(math.abs(pruned(2L) - ce2p) < 1e-9)
+  }
 }

@@ -20,6 +20,13 @@ class SessionSpec extends SparkTestBase {
       "SELECT minhash_sig(array(CAST(42 AS BIGINT)), 4, 7) AS sig")
       .head().getSeq[Long](0)
     assert(m.length === 4)
+    val nu = spark.sql(
+      "SELECT normalize_unicode('café'), normalize_unicode('ﬁ', 'NFKC')")
+      .head()
+    assert(nu.getString(0) == "café" && nu.getString(1) == "fi")
+    val err = intercept[Exception](spark.sql(
+      "SELECT normalize_unicode('x', 'NFX')").head())
+    assert(err.getMessage.contains("NFC"))
   }
 
   test("bucketed tables join without a shuffle exchange") {
