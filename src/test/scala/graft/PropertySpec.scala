@@ -410,4 +410,47 @@ class PropertySpec extends SparkTestBase {
     // threshold just above excludes
     assert(Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.51).count() === 0)
   }
+
+  test("canonicalizeUrl is idempotent and law-abiding on random URLs (3 seeds)") {
+    import graft.functions.TextFunctions
+    def gen(seed: Long, n: Int): Seq[String] = {
+      val rnd = new Random(seed)
+      def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.length))
+      (1 to n).map { _ =>
+        val scheme = pick(Seq("http", "HTTP", "https", "HTTPS", "ftp", ""))
+        val host = pick(Seq("Example.COM", "sub.example.org", "A.b.C.net"))
+        val port = pick(Seq("", ":80", ":443", ":8080"))
+        val path = pick(Seq("", "/", "/a", "/a/B"))
+        val params = (0 until rnd.nextInt(4)).map(_ =>
+          pick(Seq("q=1", "utm_source=x", "fbclid=Y", "a=b", "utm_campaign=z",
+            "gclid=", "id=9")))
+        val query = if (params.isEmpty) "" else "?" + params.mkString("&")
+        val frag = pick(Seq("", "#f", "#sec-2"))
+        if (scheme.isEmpty) pick(Seq("plain text", "  spaced  ", "no/scheme?here=1"))
+        else s"$scheme://$host$port$path$query$frag"
+      }
+    }
+    for (seed <- Seq(3L, 19L, 55L)) {
+      val urls = gen(seed, 120)
+      val d = df(urls.zipWithIndex.map { case (u, i) => Seq(i.toLong, u) },
+        "id:long,u:str")
+      val once = d.select(col("id"), col("u"),
+        TextFunctions.canonicalizeUrl(col("u")).as("c1"))
+      val twice = once.select(col("id"), col("u"), col("c1"),
+        TextFunctions.canonicalizeUrl(col("c1")).as("c2")).collect()
+      twice.foreach { r =>
+        val (u, c1, c2) = (r.getString(1), r.getString(2), r.getString(3))
+        assert(c1 == c2, s"not idempotent: '$u' -> '$c1' -> '$c2'")
+        // canonical URLs never carry tracking params or fragments
+        assert(!c1.contains("utm_") && !c1.contains("fbclid") &&
+          !c1.contains("gclid") && !c1.contains("#"), s"'$u' -> '$c1'")
+        if (u.trim.matches("(?i)^[a-z][a-z0-9+.-]*://.*")) {
+          // scheme and host are lowercased; non-tracking params survive
+          val scheme = c1.takeWhile(_ != ':')
+          assert(scheme == scheme.toLowerCase)
+          if (u.contains("q=1")) assert(c1.contains("q=1"), s"'$u' -> '$c1'")
+        } else assert(c1 == u.trim, s"non-URL must pass through trimmed: '$u' -> '$c1'")
+      }
+    }
+  }
 }
