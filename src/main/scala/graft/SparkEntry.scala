@@ -990,6 +990,21 @@ object SparkEntry {
       Multimodal.decodeImages(files, "doc_id", "payload")
         .select("doc_id", "width", "height", "channels")
     }),
+    "m09_warc_ingest" -> ((s, dir) => {
+      // WARC container ingestion: the corpus packed into 8 archive blobs
+      // (records bucketed by doc_id, spec-exact headers), parsed back by
+      // the per-file record parser; ids recovered from WARC-Target-URI.
+      // The DuckDB oracle recomputes every field from the fixture's id
+      // formula — Content-Length is payload BYTES (DuckDB strlen)
+      val files = graft.sources.Warc.syntheticWarcFiles(
+        t(s, dir, "documents"), "doc_id", "text", nFiles = 8)
+      graft.sources.Warc.parseWarc(files, "file_name", "content")
+        .select(
+          expr("CAST(regexp_extract(target_uri, 'doc/(\\\\d+)$', 1) AS BIGINT)")
+            .as("doc_id"),
+          col("target_uri"), col("warc_type"), col("content_length"),
+          col("payload").cast("string").as("text"))
+    }),
     "m07_audio_features" -> ((s, dir) => {
       // REAL sample-level audio decode: waveform features (RMS, zero
       // crossings, peak) computed from the PCM samples the JDK decoder
@@ -2268,6 +2283,14 @@ object SparkEntry {
       """SELECT doc_id, CAST(8 + doc_id % 57 AS INTEGER) AS width,
         | CAST(8 + doc_id % 31 AS INTEGER) AS height,
         | CAST(3 AS INTEGER) AS channels FROM documents""".stripMargin,
+    "m09_warc_ingest" ->
+      """SELECT doc_id,
+        | concat('https://corpus.example.org/doc/', CAST(doc_id AS VARCHAR))
+        |  AS target_uri,
+        | 'conversion' AS warc_type,
+        | CAST(strlen(coalesce(text, '')) AS BIGINT) AS content_length,
+        | coalesce(text, '') AS text
+        |FROM documents""".stripMargin,
     "m04_multimodal_resize" ->
       """SELECT doc_id, CAST(17 AS INTEGER) AS width,
         | CAST(11 AS INTEGER) AS height,
