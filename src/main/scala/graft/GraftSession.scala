@@ -97,6 +97,28 @@ object GraftExtensions {
         NormalizeUnicode(es.head,
           if (es.length > 1) litString("normalize_unicode", "form", es(1)) else "NFC")
       }),
+    "fix_mojibake" -> (info("fix_mojibake",
+      "fix_mojibake(text) - repair UTF-8-as-Latin-1/cp1252 double-encoding corruption"),
+      (es: Seq[Expression]) => {
+        requireArgs("fix_mojibake", "(text)", es, 1, 1)
+        FixMojibake(es.head)
+      }),
+    "canonicalize_url" -> (info("canonicalize_url",
+      "canonicalize_url(url) - canonical URL: lowercase scheme/host, default ports/fragments/tracking params dropped"),
+      (es: Seq[Expression]) => {
+        requireArgs("canonicalize_url", "(url)", es, 1, 1)
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(
+          graft.functions.TextFunctions.canonicalizeUrl(
+            org.apache.spark.sql.graftshim.ColumnBridge.column(es.head)))
+      }),
+    "url_host" -> (info("url_host",
+      "url_host(url) - lowercased host of an absolute URL ('' if not one)"),
+      (es: Seq[Expression]) => {
+        requireArgs("url_host", "(url)", es, 1, 1)
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(
+          graft.functions.TextFunctions.urlHost(
+            org.apache.spark.sql.graftshim.ColumnBridge.column(es.head)))
+      }),
   )
 
   /** Clear errors for SQL misuse instead of IndexOutOfBounds/NPE during

@@ -1276,6 +1276,22 @@ object SparkEntry {
     "t30_bigram_ce" -> ((s, dir) =>
       TextFunctions.bigramCrossEntropy(
         t(s, dir, "documents"), "doc_id", "text")),
+    // mojibake repair over a corpus corrupted end-to-end IN the query
+    // (UTF-8 bytes re-read as Latin-1 via Spark's encode/decode, plus a
+    // literal cp1252-class "â€™" artifact) — repair∘corrupt ≡ identity
+    // gives a full DuckDB oracle: the expected output is just the
+    // uncorrupted construction
+    "t31_fix_mojibake" -> ((s, dir) => {
+      val dirty = concat(coalesce(col("text"), lit("")),
+        lit(" café ’quote’ €9"))
+      val corrupted = concat(
+        decode(encode(dirty, "UTF-8"), "ISO-8859-1"),
+        lit(" â€™"))
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.fixMojibake(corrupted).as("repaired"),
+        (corrupted =!= TextFunctions.fixMojibake(corrupted))
+          .as("was_corrupted"))
+    }),
     // CDC merge/upsert: deterministic change feed derived from orders —
     // deletes (%10=0), updates (%10 in 1,2), inserts (%10=3 under shifted
     // keys), with a same-key V1/V2 version race the election must resolve
@@ -2621,6 +2637,15 @@ object SparkEntry {
         |SELECT doc_id, url FROM h
         |WHERE NOT (host = 'example.net' OR host LIKE '%.example.net'
         |  OR host = 'site3.example.org' OR host LIKE '%.site3.example.org')""".stripMargin,
+    // chr(233)=é, chr(8217)=', chr(8364)=€ — the uncorrupted construction;
+    // the corruption+repair happen Spark-side and must invert exactly
+    "t31_fix_mojibake" ->
+      """SELECT doc_id,
+        | concat(coalesce(text, ''), ' caf', chr(233), ' ', chr(8217),
+        |  'quote', chr(8217), ' ', chr(8364), '9', ' ', chr(8217))
+        |  AS repaired,
+        | TRUE AS was_corrupted
+        |FROM documents""".stripMargin,
     "t30_bigram_ce" ->
       """WITH toks0 AS (
         | SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'),

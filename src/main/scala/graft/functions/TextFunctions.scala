@@ -773,6 +773,15 @@ object TextFunctions {
         org.apache.spark.sql.graftshim.ColumnBridge.expression(text), form))
   }
 
+  /** Mojibake (double-encoding) repair — see
+   * [[graft.functions.expressions.FixMojibake]]. Conservative: only
+   * strings whose chars map back to a Latin-1/cp1252 mis-decode AND
+   * strict-decode as multi-byte UTF-8 are rewritten. */
+  def fixMojibake(text: Column): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.functions.expressions.FixMojibake(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(text)))
+
   // ---- URL canonicalization (shared Spark/oracle pattern constants) ----
 
   /** Tracking query parameters stripped by [[canonicalizeUrl]] (the

@@ -1499,4 +1499,24 @@ class FunctionsSpec extends SparkTestBase {
     val ce2p = -(math.log(1.0) - math.log(5.0)) // bc pruned -> ln(1/(2+3))
     assert(math.abs(pruned(2L) - ce2p) < 1e-9)
   }
+
+  test("fixMojibake repairs Latin-1 and cp1252 double-encoding, leaves clean text alone") {
+    def fix(t: String): String =
+      df(Seq(Seq(t)), "t:str")
+        .select(TextFunctions.fixMojibake(col("t"))).head().getString(0)
+    // UTF-8 "caf\u00e9" read as Latin-1: C3 A9 -> \u00c3\u00a9
+    assert(fix("caf\u00c3\u00a9") == "caf\u00e9")
+    // UTF-8 "\u2019" read as cp1252: E2 80 99 -> \u00e2\u20ac\u2122
+    assert(fix("\u00e2\u20ac\u2122") == "\u2019")
+    // doubly corrupted: two rounds needed
+    assert(fix("caf\u00c3\u0083\u00c2\u00a9") == "caf\u00e9")
+    // clean text (ASCII, real accents, CJK) passes through unchanged
+    assert(fix("hello world") == "hello world")
+    assert(fix("r\u00e9sum\u00e9 caf\u00e9") == "r\u00e9sum\u00e9 caf\u00e9")
+    assert(fix("\u65e5\u672c\u8a9e") == "\u65e5\u672c\u8a9e")
+    // null-safe
+    val n = df(Seq(Seq(null)), "t:str")
+      .select(TextFunctions.fixMojibake(col("t"))).head()
+    assert(n.isNullAt(0))
+  }
 }

@@ -27,6 +27,13 @@ class SessionSpec extends SparkTestBase {
     val err = intercept[Exception](spark.sql(
       "SELECT normalize_unicode('x', 'NFX')").head())
     assert(err.getMessage.contains("NFC"))
+    val moj = spark.sql(
+      "SELECT fix_mojibake('cafÃ©'), " +
+        "canonicalize_url('HTTP://Example.COM:80/a?utm_source=x&q=1#f'), " +
+        "url_host('https://Sub.Example.ORG/p')").head()
+    assert(moj.getString(0) == "café")
+    assert(moj.getString(1) == "http://example.com/a?q=1")
+    assert(moj.getString(2) == "sub.example.org")
   }
 
   test("bucketed tables join without a shuffle exchange") {
