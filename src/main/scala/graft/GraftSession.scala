@@ -119,6 +119,20 @@ object GraftExtensions {
           graft.functions.TextFunctions.urlHost(
             org.apache.spark.sql.graftshim.ColumnBridge.column(es.head)))
       }),
+    "deflate_ratio" -> (info("deflate_ratio",
+      "deflate_ratio(text) - DEFLATE(level 6) compressed/raw byte ratio of the text (compression quality signal)"),
+      (es: Seq[Expression]) => {
+        requireArgs("deflate_ratio", "(text)", es, 1, 1)
+        DeflateRatio(es.head)
+      }),
+    "html_text" -> (info("html_text",
+      "html_text(html) - visible text of an HTML document (script/style/tags stripped, entities decoded, whitespace collapsed)"),
+      (es: Seq[Expression]) => {
+        requireArgs("html_text", "(html)", es, 1, 1)
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(
+          graft.functions.TextFunctions.extractHtmlText(
+            org.apache.spark.sql.graftshim.ColumnBridge.column(es.head)))
+      }),
   )
 
   /** Clear errors for SQL misuse instead of IndexOutOfBounds/NPE during

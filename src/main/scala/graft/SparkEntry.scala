@@ -18,14 +18,25 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet stores ts as TIMESTAMP(NANOS) which Spark's vectorized
-   * reader rejects; read nanos as long and truncate to microseconds (the
-   * DuckDB oracle side applies CAST(ts AS TIMESTAMP), the same floor-to-us
-   * conversion). */
+  /** events.parquet has shipped in two generations: ts as TIMESTAMP(NANOS)
+   * (Spark's vectorized reader rejects it — read nanos-as-long via the
+   * legacy conf and truncate to microseconds) and as plain timestamp[us]
+   * (reads natively as TIMESTAMP_NTZ). Normalize BOTH to session-zone
+   * TIMESTAMP at microsecond grain — the session zone is UTC, so the
+   * NTZ cast is wall-clock identity, and the DuckDB oracle's
+   * CAST(ts AS TIMESTAMP) is the same floor-to-us conversion. Works on
+   * batch and streaming frames alike (schema-driven, no data peek). */
+  private[graft] def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
+
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    normalizeEventTs(t(s, dir, "events"))
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
 
@@ -1078,13 +1089,12 @@ object SparkEntry {
     // ---- streaming (bounded AvailableNow run, oracle-checked) ----------
     "q50_stream_window" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val batchSchema = t(s, dir, "events").schema // ts arrives as long nanos
+      val batchSchema = t(s, dir, "events").schema
       // streaming file sources need a DIRECTORY: point at the sf dir and
       // glob-filter to the events file
-      val stream = graft.streaming.Streaming
+      val stream = normalizeEventTs(graft.streaming.Streaming
         .loadStream(s, dir, batchSchema,
-          options = Map("pathGlobFilter" -> "events.parquet"))
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          options = Map("pathGlobFilter" -> "events.parquet")))
       val agg = graft.streaming.Streaming.windowedAgg(stream, "ts",
         watermarkDelay = "1 minute", windowDuration = "1 hour",
         slideDuration = None, groupBy = Seq("event_type"),
@@ -1292,6 +1302,59 @@ object SparkEntry {
         (corrupted =!= TextFunctions.fixMojibake(corrupted))
           .as("was_corrupted"))
     }),
+    // HTML text extraction + link-density boilerplate stats over a
+    // deterministically HTML-wrapped corpus: script/style subtrees with
+    // bare `<`/`>` in code, comments, per-doc-varying nav anchors, the
+    // `&amp;lt;` single-decode case, and an unknown `&copy;` passthrough —
+    // exact DuckDB oracle replays the identical RE2 chain
+    "t32_html_extract" -> ((s, dir) => {
+      val d = col("doc_id")
+      val html = concat(
+        lit("<!DOCTYPE html><html><head><title>Doc "), d.cast("string"),
+        lit("</title><style type=\"text/css\">body { color: #fff; }</style>" +
+          "<script>var x = 1; if (x < 2) { x = \"a > b\"; }</script></head>" +
+          "<body><nav class=\"menu\"><a href=\"/\">Home</a> " +
+          "<a href=\"/about\">About us</a>"),
+        when(d % 3 === 0,
+          lit(" <a href=\"/archive\">Archive of older posts</a>"))
+          .otherwise(lit("")),
+        lit("</nav><h1>Title &amp; intro &amp;lt;escaped&amp;gt;</h1><p>"),
+        coalesce(col("text"), lit("")),
+        lit("</p><!-- tracking --><div class=\"footer\">&copy; Example" +
+          "&nbsp;Co &#39;quoted&#39; <a href=\"/contact\">Contact</a></div>" +
+          "</body></html>"))
+      TextFunctions.htmlTextStats(
+        t(s, dir, "documents").select(d, html.as("html")), "doc_id", "html")
+    }),
+    // compression-ratio quality signal: DuckDB has no zlib, so the gate is
+    // a law differential over the whole corpus — (1) natural text of
+    // >=100 chars lands in (0, 1.1]; (2) a highly repetitive string
+    // compresses strictly better than same-corpus hex noise; (3) self-
+    // concatenation at least quarters off the ratio (the second copy is
+    // one window back-reference); (4) the expression is deterministic
+    // across two independent evaluations
+    "t33_compression_ratio" -> ((s, dir) => {
+      val tcol = coalesce(col("text"), lit(""))
+      val docs = t(s, dir, "documents").filter(length(tcol) >= 100)
+      def ratios(df: DataFrame) = df.select(col("doc_id"),
+        TextFunctions.compressionRatio(tcol).as("r_text"),
+        TextFunctions.compressionRatio(repeat(substring(tcol, 1, 10), 30))
+          .as("r_rep"),
+        TextFunctions.compressionRatio(concat(sha2(tcol, 256),
+          sha2(concat(tcol, lit("1")), 256),
+          sha2(concat(tcol, lit("2")), 256))).as("r_rnd"),
+        TextFunctions.compressionRatio(concat(tcol, tcol)).as("r_dup"))
+      val base = ratios(docs)
+      val laws = base.agg(
+        min((col("r_text") > 0 && col("r_text") <= 1.1 &&
+          col("r_rep") < col("r_rnd") &&
+          col("r_dup") < col("r_text") * 0.75).cast("long")).as("all_ok"),
+        count(lit(1)).as("n")).collect().head
+      val det = graft.api.DfUtils.dfEq(base, ratios(docs))
+      eng(s).toDF(Seq(Seq(
+        if (laws.getLong(0) == 1L && laws.getLong(1) > 0 && det) 1L else 0L)),
+        "comp_ok:long")
+    }),
     // CDC merge/upsert: deterministic change feed derived from orders —
     // deletes (%10=0), updates (%10 in 1,2), inserts (%10=3 under shifted
     // keys), with a same-key V1/V2 version race the election must resolve
@@ -1408,10 +1471,9 @@ object SparkEntry {
     "q77_stream_session" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val batchSchema = t(s, dir, "events").schema
-      val stream = graft.streaming.Streaming
+      val stream = normalizeEventTs(graft.streaming.Streaming
         .loadStream(s, dir, batchSchema,
-          options = Map("pathGlobFilter" -> "events.parquet"))
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          options = Map("pathGlobFilter" -> "events.parquet")))
       val agg = graft.streaming.Streaming.sessionAgg(stream, "ts",
         watermarkDelay = "1 minute", gap = "30 minutes",
         groupBy = Seq("user_id"),
@@ -1981,6 +2043,19 @@ object SparkEntry {
       case (e, (re, repl)) => s"regexp_replace($e, '$re', '$repl', 'g')"
     } + ")"
 
+  private def sqlQuote(s: String): String = s.replace("'", "''")
+
+  /** DuckDB twin of [[graft.functions.TextFunctions.extractHtmlText]]:
+   * folds the shared [[graft.functions.TextFunctions.HtmlPatterns]] chain,
+   * then whitespace-collapses and trims — byte-identical by construction. */
+  private def sqlHtmlText(expr: String): String = {
+    val folded = graft.functions.TextFunctions.HtmlPatterns.foldLeft(expr) {
+      case (e, (re, repl)) =>
+        s"regexp_replace($e, '${sqlQuote(re)}', '${sqlQuote(repl)}', 'g')"
+    }
+    s"trim(regexp_replace($folded, '\\s+', ' ', 'g'))"
+  }
+
   private val SqlInjectedPii =
     "concat(text, ' reach user', CAST(doc_id AS VARCHAR)," +
       " '@mail.example.com or 192.168.', CAST(doc_id % 200 AS VARCHAR)," +
@@ -2345,6 +2420,7 @@ object SparkEntry {
       """SELECT CAST(1 AS BIGINT) AS feat_ok,
         | (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs""".stripMargin,
     "q51_sql_functions" -> "SELECT CAST(1 AS BIGINT) AS fns_ok",
+    "t33_compression_ratio" -> "SELECT CAST(1 AS BIGINT) AS comp_ok",
     "d08_minhash_precision" -> "SELECT CAST(1 AS BIGINT) AS precision_ok",
     "s04_knn_ivf" ->
       "SELECT CAST(1 AS BIGINT) AS full_probe_exact, CAST(1 AS BIGINT) AS probe_recall_ok",
@@ -2646,6 +2722,40 @@ object SparkEntry {
         |  AS repaired,
         | TRUE AS was_corrupted
         |FROM documents""".stripMargin,
+    "t32_html_extract" ->
+      s"""WITH h AS (SELECT doc_id,
+        | concat('<!DOCTYPE html><html><head><title>Doc ',
+        |  CAST(doc_id AS VARCHAR),
+        |  '</title><style type="text/css">body { color: #fff; }</style>',
+        |  '<script>var x = 1; if (x < 2) { x = "a > b"; }</script></head>',
+        |  '<body><nav class="menu"><a href="/">Home</a> ',
+        |  '<a href="/about">About us</a>',
+        |  CASE WHEN doc_id % 3 = 0
+        |   THEN ' <a href="/archive">Archive of older posts</a>'
+        |   ELSE '' END,
+        |  '</nav><h1>Title &amp; intro &amp;lt;escaped&amp;gt;</h1><p>',
+        |  coalesce(text, ''),
+        |  '</p><!-- tracking --><div class="footer">&copy; Example',
+        |  '&nbsp;Co &#39;quoted&#39; <a href="/contact">Contact</a></div>',
+        |  '</body></html>') AS html
+        | FROM documents),
+        |x AS (SELECT doc_id,
+        |  ${sqlHtmlText("html")} AS text,
+        |  ${sqlHtmlText(
+             "array_to_string(regexp_extract_all(html, '" +
+               graft.functions.TextFunctions.HtmlAnchorRegex + "', 1), ' ')")}
+        |   AS atext,
+        |  len(regexp_extract_all(html,
+        |   '${graft.functions.TextFunctions.HtmlAnchorRegex}', 0)) AS n_links
+        | FROM h)
+        |SELECT doc_id, text,
+        | CAST(n_links AS BIGINT) AS n_links,
+        | CAST(length(atext) AS BIGINT) AS link_chars,
+        | CAST(length(text) AS BIGINT) AS text_chars,
+        | CASE WHEN length(text) > 0
+        |  THEN CAST(length(atext) AS DOUBLE) / length(text)
+        |  ELSE 0.0 END AS link_density
+        |FROM x""".stripMargin,
     "t30_bigram_ce" ->
       """WITH toks0 AS (
         | SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'),

@@ -782,6 +782,16 @@ object TextFunctions {
       graft.functions.expressions.FixMojibake(
         org.apache.spark.sql.graftshim.ColumnBridge.expression(text)))
 
+  /** DEFLATE compression ratio of the text's UTF-8 bytes — the
+   * machine-generated/boilerplate/noise quality signal; see
+   * [[graft.functions.expressions.DeflateRatio]]. Low = repetitive
+   * (templated or spun content), high = noise; natural prose sits in a
+   * band in between, and curation pipelines keep only that band. */
+  def compressionRatio(text: Column): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.functions.expressions.DeflateRatio(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(text)))
+
   // ---- URL canonicalization (shared Spark/oracle pattern constants) ----
 
   /** Tracking query parameters stripped by [[canonicalizeUrl]] (the
@@ -949,5 +959,78 @@ object TextFunctions {
         sum(col("__lp").cast("decimal(20,10)")).as("__s"))
       .select(col(idCol), col("n_bigrams"),
         (-col("__s").cast("double") / col("n_bigrams")).as("bigram_ce"))
+  }
+
+  // ---- HTML text extraction (shared Spark/oracle pattern chain) ----
+
+  /** HTML→text strip chain (ordered; RE2-safe — lazy quantifiers and
+   * inline `(?is)` flags only, no lookarounds or backreferences — so a
+   * DuckDB/RE2 oracle can replay the identical chain): drop `script` and
+   * `style` subtrees wholesale (their content is code, not text), drop
+   * comments, then turn every remaining tag into a space. Entity decoding
+   * runs AFTER tag removal so a decoded `&lt;` stays literal text and can
+   * never form a fake tag, and `&amp;` decodes LAST so `&amp;lt;` yields
+   * the literal string `&lt;` (single decode, the HTML5 semantics).
+   * Unknown entities pass through unchanged. Reference behavior:
+   * `fugue`-adjacent web pipelines do this step outside the engine; here
+   * it is a first-class codegen'd chain. */
+  val HtmlPatterns: Seq[(String, String)] = Seq(
+    "(?is)<script\\b[^>]*>.*?</script\\s*>" -> " ",
+    "(?is)<style\\b[^>]*>.*?</style\\s*>" -> " ",
+    "(?s)<!--.*?-->" -> " ",
+    "(?is)</?[a-z][^>]*>" -> " ",
+    "&nbsp;" -> " ",
+    "&lt;" -> "<",
+    "&gt;" -> ">",
+    "&quot;" -> "\"",
+    "&#39;" -> "'",
+    "&amp;" -> "&",
+  )
+
+  /** Anchor-element regex: group 0 is the whole `<a ...>...</a>` element,
+   * group 1 its inner HTML. Used for link-density boilerplate scoring. */
+  val HtmlAnchorRegex: String = "(?is)<a\\b[^>]*>(.*?)</a\\s*>"
+
+  private def htmlStripped(html: Column): Column =
+    HtmlPatterns.foldLeft(html) { case (c, (re, repl)) =>
+      regexp_replace(c, re, repl)
+    }
+
+  /** Visible text of an HTML document: [[HtmlPatterns]] in order, then
+   * whitespace-collapse and trim. A chain of codegen'd `regexp_replace`s —
+   * one scan per pattern, no UDF, no shuffle; at 100 TB this runs as a
+   * narrow map inside whole-stage codegen right after WARC ingestion. */
+  def extractHtmlText(html: Column): Column =
+    trim(regexp_replace(htmlStripped(html), "\\s+", " "))
+
+  /**
+   * Per-document HTML text + link-density boilerplate stats — the
+   * extraction step between WARC ingestion ([[graft.sources.Warc]]) and
+   * text curation in a web-corpus pipeline. Link density (anchor-text
+   * chars / total text chars) is the classic boilerplate signal
+   * (Kohlschütter et al., WSDM 2010): navigation/footer-heavy pages score
+   * high and get dropped or down-weighted.
+   *
+   * Output: (idCol, text, n_links, link_chars, text_chars, link_density).
+   *
+   * Scale: pure narrow regexp work — no shuffle, no UDF; the whole
+   * projection stays inside one whole-stage-codegen span.
+   */
+  def htmlTextStats(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    Seq("text", "n_links", "link_chars", "text_chars", "link_density")
+      .foreach(c => require(c != idCol, s"idCol collides with output column '$c'"))
+    val html = col(htmlCol)
+    val text = extractHtmlText(html)
+    val anchorText = extractHtmlText(array_join(
+      regexp_extract_all(html, lit(HtmlAnchorRegex), lit(1)), " "))
+    df.select(col(idCol),
+      text.as("text"),
+      size(regexp_extract_all(html, lit(HtmlAnchorRegex), lit(0)))
+        .cast("long").as("n_links"),
+      length(anchorText).cast("long").as("link_chars"),
+      length(text).cast("long").as("text_chars"),
+      when(length(text) > 0,
+        length(anchorText).cast("double") / length(text).cast("double"))
+        .otherwise(lit(0.0)).as("link_density"))
   }
 }

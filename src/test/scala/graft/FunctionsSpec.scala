@@ -1111,6 +1111,83 @@ class FunctionsSpec extends SparkTestBase {
     assert(out(5L) === "a\nb")
   }
 
+  test("extractHtmlText strips markup, decodes entities once, keeps unknowns") {
+    val d = df(Seq(
+      Seq(1L, "<html><head><style>b { x: 1; }</style><script>if (a < b) " +
+        "{ c(); }</script></head><body><p>Hello <b>world</b></p></body></html>"),
+      Seq(2L, "pre <!-- note --> post"),
+      Seq(3L, "&amp;lt;tag&amp;gt; &lt;b&gt; &quot;q&quot; &#39;s&#39; " +
+        "a&nbsp;b &copy; &amp; end"),
+      Seq(4L, "<A HREF=\"/x\">Upper</A><SCRIPT>var y = 2;</SCRIPT>"),
+      Seq(5L, "no markup at all")),
+      "id:long,html:str")
+    val out = d.select(col("id"),
+      TextFunctions.extractHtmlText(col("html")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "Hello world")
+    assert(out(2L) === "pre post")
+    // &amp;lt; decodes ONCE to the literal &lt;; unknown &copy; passes through
+    assert(out(3L) === "&lt;tag&gt; <b> \"q\" 's' a b &copy; & end")
+    assert(out(4L) === "Upper")
+    assert(out(5L) === "no markup at all")
+  }
+
+  test("htmlTextStats computes link density over anchor text") {
+    val d = df(Seq(
+      // text: "Home About body body body" (25 ch); anchors: "Home About" (10 ch)
+      Seq(1L, "<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a></nav>" +
+        "<p>body body body</p>"),
+      Seq(2L, "<p>plain paragraph</p>"),
+      Seq(3L, "<script>junk()</script>")),  // empty text -> density 0.0
+      "id:long,html:str")
+    val out = TextFunctions.htmlTextStats(d, "id", "html")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out(1L) === ((2L, 10L, 25L, 10.0 / 25.0)))
+    assert(out(2L) === ((0L, 0L, 15L, 0.0)))
+    assert(out(3L) === ((0L, 0L, 0L, 0.0)))
+  }
+
+  test("compressionRatio orders repetitive < prose < noise and is deterministic") {
+    val prose = "The quick brown fox jumps over the lazy dog and then " +
+      "wanders far afield looking for something interesting to eat today."
+    val d = df(Seq(
+      Seq(1L, "ab" * 200),                          // repetitive
+      Seq(2L, prose),                               // natural prose
+      Seq(3L, prose.hashCode.toHexString * 40),     // hexish noise
+      Seq(4L, "")),                                 // empty -> 1.0
+      "id:long,text:str")
+    val out = d.select(col("id"),
+      TextFunctions.compressionRatio(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) < out(2L))
+    assert(out(2L) > 0.1 && out(2L) <= 1.1)
+    assert(out(4L) === 1.0)
+    // duplication compresses: one back-reference for the second copy
+    val dup = df(Seq(Seq(1L, prose + prose)), "id:long,text:str")
+      .select(TextFunctions.compressionRatio(col("text"))).head().getDouble(0)
+    assert(dup < out(2L) * 0.75)
+    // deterministic across evaluations
+    val again = d.select(col("id"),
+      TextFunctions.compressionRatio(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(again === out)
+  }
+
+  test("deflate_ratio is registered as a SQL function") {
+    GraftSession.registerFunctions(spark)
+    val r = spark.sql(
+      "SELECT deflate_ratio(repeat('xy', 300)) AS r").head().getDouble(0)
+    assert(r > 0.0 && r < 0.1)
+  }
+
+  test("html_text is registered as a SQL function") {
+    GraftSession.registerFunctions(spark)
+    val r = spark.sql(
+      "SELECT html_text('<p>a &amp; b</p>') AS t").head().getString(0)
+    assert(r === "a & b")
+  }
+
   test("ngramJaccardJoin matches driver-side cross-corpus brute force") {
     val texts = docs.select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
