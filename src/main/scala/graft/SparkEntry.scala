@@ -687,6 +687,63 @@ object SparkEntry {
           col("n_lines").cast("long").as("n_lines"),
           col("n_kept").cast("long").as("n_kept"))
     }),
+    // Bloom-filter line dedup differential vs the exact path, on the
+    // same injected corpus as t23: (1) one-sided error — every line the
+    // exact dedup drops, the Bloom dedup drops (per-doc Bloom-kept ⊆
+    // exact-kept, checked positionally after removing exact-dropped
+    // lines); (2) the false-positive overdrop stays under 5× fpp of the
+    // exact-kept line mass; (3) line/blank accounting identical;
+    // (4) deterministic across two independent evaluations
+    "d16_bloom_line_dedup" -> ((s, dir) => {
+      val tcol = coalesce(col("text"), lit(""))
+      val multi = t(s, dir, "documents").select(col("doc_id"),
+        concat(tcol, lit("\nsubscribe to our newsletter\n"),
+          substring(tcol, 1, 40),
+          when(col("doc_id") % 2 === 0, lit("\nall rights reserved"))
+            .otherwise(lit(""))).as("mtext"))
+      val fpp = 0.01
+      val exact = Dedup.lineDedup(multi, "doc_id", "mtext",
+        maxDocFrequency = 5)
+      def bloom() = Dedup.bloomLineDedup(multi, "doc_id", "mtext",
+        maxDocFrequency = 5, fpp = fpp)
+      val b1 = bloom()
+      val j = exact.select(col("doc_id"), col("dedup_text").as("e_text"),
+          col("n_lines").as("e_lines"), col("n_kept").as("e_kept"))
+        .join(b1.select(col("doc_id"), col("dedup_text").as("b_text"),
+          col("n_lines").as("b_lines"), col("n_kept").as("b_kept")),
+          Seq("doc_id"))
+      // sequence containment: both outputs are subsequences of the SAME
+      // original line sequence, and removal is all-or-nothing per line
+      // VALUE (hash-keyed), so "Bloom-kept ⊆ exact-kept as a (doc, line,
+      // occurrence#) multiset" already implies b_text is e_text with
+      // whole value-classes removed, in order — no positional check
+      // needed on top
+      val eL = posexplode(split(col("e_text"), "\n", -1))
+      val bL = posexplode(split(col("b_text"), "\n", -1))
+      val eRows = j.select(col("doc_id"), eL.as(Seq("e_pos", "line")))
+        .withColumn("occ", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc_id"), col("line"))
+            .orderBy(col("e_pos"))))
+      val bRows = j.select(col("doc_id"), bL.as(Seq("b_pos", "line")))
+        .withColumn("occ", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc_id"), col("line"))
+            .orderBy(col("b_pos"))))
+      val matched = bRows.join(eRows, Seq("doc_id", "line", "occ"))
+      val subsetOk = bRows.count() == matched.count()
+      val agg = j.agg(
+        sum(col("e_kept") - col("b_kept")).cast("double").as("dropped"),
+        sum(col("e_kept")).cast("double").as("kept"),
+        max((col("e_lines") =!= col("b_lines")).cast("int")).as("mismatch"))
+        .collect().head
+      val fpOk = agg.getDouble(0) <= math.max(5 * fpp * agg.getDouble(1), 8.0)
+      val shapeOk = agg.getInt(2) == 0
+      val det = graft.api.DfUtils.dfEq(b1, bloom())
+      eng(s).toDF(Seq(Seq(
+        if (subsetOk && fpOk && shapeOk && det) 1L else 0L)),
+        "bloom_dedup_ok:long")
+    }),
     // contiguous global row index via the distributed prefix sum (what
     // monotonically_increasing_id is not) — full DuckDB oracle
     "q69_row_index" -> ((s, dir) =>
@@ -2421,6 +2478,7 @@ object SparkEntry {
         | (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs""".stripMargin,
     "q51_sql_functions" -> "SELECT CAST(1 AS BIGINT) AS fns_ok",
     "t33_compression_ratio" -> "SELECT CAST(1 AS BIGINT) AS comp_ok",
+    "d16_bloom_line_dedup" -> "SELECT CAST(1 AS BIGINT) AS bloom_dedup_ok",
     "d08_minhash_precision" -> "SELECT CAST(1 AS BIGINT) AS precision_ok",
     "s04_knn_ivf" ->
       "SELECT CAST(1 AS BIGINT) AS full_probe_exact, CAST(1 AS BIGINT) AS probe_recall_ok",

@@ -942,13 +942,7 @@ object Dedup {
     val sepRegex = java.util.regex.Pattern.quote(lineSep)
     val lines = split(col(textCol), sepRegex, -1)
 
-    val freq = spreadForCompute(df)
-      .select(col(idCol).as("__id"), explode(lines).as("__l"))
-      .filter(length(trim(col("__l"))) > 0)
-      .select(xxhash64(trim(col("__l"))).as("__h"), col("__id"))
-      .groupBy("__h").agg(countDistinct(col("__id")).as("__df"))
-      .filter(col("__df") > maxDocFrequency)
-      .select("__h")
+    val freq = frequentLineHashes(df, idCol, lines, maxDocFrequency)
     val frequent = freq.limit(maxFrequentLines + 1).collect().map(_.getLong(0))
     require(frequent.length <= maxFrequentLines,
       s"frequent-line set exceeds maxFrequentLines=$maxFrequentLines; " +
@@ -959,6 +953,78 @@ object Dedup {
     val keep = filter(lines, l =>
       length(trim(l)) === 0 ||
         !VectorExpressions.longSetContains(xxhash64(trim(l)), frequent))
+    df.select(col(idCol),
+      array_join(keep, lineSep).as("dedup_text"),
+      size(lines).as("n_lines"),
+      size(keep).as("n_kept"))
+  }
+
+  /** Doc-frequency election shared by [[lineDedup]] and
+   * [[bloomLineDedup]]: hashes of trimmed non-blank lines appearing in
+   * more than `maxDocFrequency` distinct documents. ONE aggregation
+   * shuffle over (8-byte hash, doc id) with map-side partial distinct —
+   * no line text crosses the wire. */
+  private def frequentLineHashes(
+      df: DataFrame, idCol: String, lines: Column,
+      maxDocFrequency: Int): DataFrame =
+    spreadForCompute(df)
+      .select(col(idCol).as("__id"), explode(lines).as("__l"))
+      .filter(length(trim(col("__l"))) > 0)
+      .select(xxhash64(trim(col("__l"))).as("__h"), col("__id"))
+      .groupBy("__h").agg(countDistinct(col("__id")).as("__df"))
+      .filter(col("__df") > maxDocFrequency)
+      .select("__h")
+
+  /**
+   * [[lineDedup]]'s unbounded-scale variant — same semantics (drop every
+   * line whose trimmed form appears in more than `maxDocFrequency`
+   * distinct documents; blanks untouched; original order kept; same
+   * output schema) with the frequent-line set held as a BLOOM FILTER
+   * instead of a driver-collected sorted array.
+   *
+   * When to use which: lineDedup's exact probe is the boilerplate case —
+   * the frequent set is small (nav bars, banners) no matter how large the
+   * corpus, and the probe never misfires. TRUE line/paragraph dedup at
+   * web scale inverts that: the duplicated-line set grows WITH the corpus
+   * (the Bloom-paragraph-dedup regime of large curation pipelines) and
+   * blows lineDedup's `maxFrequentLines` driver bound, while Bloom bits
+   * stay ~10 bits/key at fpp=0.01 — 100 M duplicated lines ≈ 120 MB
+   * shipped once per executor. The price is one-sided error: an ~`fpp`
+   * fraction of unique lines is wrongly dropped; no false negatives —
+   * every truly frequent line IS dropped (the exact dedup's removals are
+   * always a subset of this one's). Deterministic for a given
+   * (corpus, maxDocFrequency, fpp): Spark's BloomFilter hash seeds are
+   * fixed and insertion order is commutative (bit OR).
+   *
+   * Scale shape: stage 1 is the shared one-shuffle doc-frequency
+   * election; stage 2 treeAggregates per-partition partial filters into
+   * ONE driver filter (the election output is localCheckpoint'd so its
+   * sizing count() does not recompute the corpus scan); stage 3 is the
+   * same narrow per-row rebuild with the Bloom probe replacing the
+   * binary search — no explode, no reassembly shuffle.
+   */
+  def bloomLineDedup(
+      df: DataFrame, idCol: String, textCol: String,
+      maxDocFrequency: Int = 1, lineSep: String = "\n",
+      fpp: Double = 0.01): DataFrame = {
+    require(maxDocFrequency >= 1,
+      s"maxDocFrequency must be >= 1, got $maxDocFrequency")
+    require(lineSep.nonEmpty, "lineSep must be non-empty")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    Seq("dedup_text", "n_lines", "n_kept").foreach(c =>
+      require(c != idCol, s"idCol collides with output column '$c'"))
+    val sepRegex = java.util.regex.Pattern.quote(lineSep)
+    val lines = split(col(textCol), sepRegex, -1)
+
+    val freq = frequentLineHashes(df, idCol, lines, maxDocFrequency)
+      .localCheckpoint(true)
+    val bloomBytes = graft.operators.BloomJoin.buildBloomBytes(
+      freq, "__h", fpp)
+
+    import graft.functions.expressions.VectorExpressions
+    val keep = filter(lines, l =>
+      length(trim(l)) === 0 ||
+        !VectorExpressions.bloomMightContain(xxhash64(trim(l)), bloomBytes))
     df.select(col(idCol),
       array_join(keep, lineSep).as("dedup_text"),
       size(lines).as("n_lines"),

@@ -122,7 +122,11 @@ object GraftSql {
    * `span_dedup(id:doc_id, col:text, span:50, min_count:2)`
    * (exact-substring duplicated-span removal),
    * `compact(target_mb:128[, by:keys])` (size-targeted small-file
-   * compaction).
+   * compaction),
+   * `line_dedup(id:doc_id, col:text[, max_df:1, sep:...])` (exact
+   * corpus-frequent line removal) and
+   * `bloom_line_dedup(..., fpp:0.01)` (its Bloom-filter variant for
+   * duplicate sets too large to collect).
    * User extensions with the same name win. */
   val builtinExtensions: Extensions = Extensions(outputters = Map(
     "assert_eq" -> OutputterDef { (dfs, params) =>
@@ -248,6 +252,17 @@ object GraftSql {
             targetBytes = p.get("target_mb").map(_.toLong << 20)
               .getOrElse(128L << 20),
             keyCols = p.get("by").toSeq.flatMap(_.split(",").map(_.trim)))
+        },
+        "line_dedup" -> ProcessorDef { (_, dfs, p) =>
+          Dedup.lineDedup(one(dfs, "line_dedup"), id(p), tcol(p),
+            maxDocFrequency = p.get("max_df").map(_.toInt).getOrElse(1),
+            lineSep = p.getOrElse("sep", "\n"))
+        },
+        "bloom_line_dedup" -> ProcessorDef { (_, dfs, p) =>
+          Dedup.bloomLineDedup(one(dfs, "bloom_line_dedup"), id(p), tcol(p),
+            maxDocFrequency = p.get("max_df").map(_.toInt).getOrElse(1),
+            lineSep = p.getOrElse("sep", "\n"),
+            fpp = p.get("fpp").map(_.toDouble).getOrElse(0.01))
         })
     })
 

@@ -989,6 +989,34 @@ class FunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("bloomLineDedup matches exact lineDedup up to one-sided FP drops") {
+    val d = df(Seq(
+      Seq(1L, "keep one\nBUY NOW\nunique a"),
+      Seq(2L, "BUY NOW\n\nunique b"),
+      Seq(3L, "unique c\n  BUY NOW  \nunique c"),
+      Seq(4L, "only here")),
+      "doc_id:long,text:str")
+    val out = Dedup.bloomLineDedup(d, "doc_id", "text",
+        maxDocFrequency = 2, fpp = 0.001)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    // at fpp=1e-3 over 5 distinct kept lines, an FP drop in THIS fixture
+    // would be a 1-in-200 flake; the frequent line must always be gone
+    out.values.foreach { case (txt, _, _) => assert(!txt.contains("BUY NOW")) }
+    assert(out(2L)._1.startsWith("\n"))  // blank line survives
+    assert(out(1L) === (("keep one\nunique a", 3, 2)))
+    assert(out(4L) === (("only here", 1, 1)))
+    // determinism: bit-identical across evaluations
+    val again = Dedup.bloomLineDedup(d, "doc_id", "text",
+        maxDocFrequency = 2, fpp = 0.001)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(again === out)
+    intercept[IllegalArgumentException] {
+      Dedup.bloomLineDedup(d, "doc_id", "text", fpp = 1.5)
+    }
+  }
+
   test("duplicateSpanStats: corpus-wide counts, within-doc repeats, short docs") {
     val d = df(Seq(
       Seq(1L, "a b c d"),    // spans "a b c", "b c d"

@@ -599,6 +599,25 @@ class GraftSqlSpec extends SparkTestBase {
     assert(res3.yields("c").count() === 2L)
   }
 
+  test("built-in line_dedup and bloom_line_dedup processors from the dialect") {
+    val docs = df(Seq(
+      Seq(1L, "keep a\nBUY NOW\nkeep b"),
+      Seq(2L, "BUY NOW\nkeep c"),
+      Seq(3L, "BUY NOW\nkeep d")),
+      "doc_id:long,text:str")
+    val res = GraftSql.run(engine,
+      """e = PROCESS docs USING line_dedup(id:doc_id, col:text, max_df:2)
+        |b = PROCESS docs USING bloom_line_dedup(id:doc_id, col:text, max_df:2, fpp:0.001)
+        |YIELD e AS e
+        |YIELD b AS b
+        |""".stripMargin, Map("docs" -> docs))
+    val e = res.yields("e").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = res.yields("b").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(e(1L) === "keep a\nkeep b" && e(2L) === "keep c" && e(3L) === "keep d")
+    // at fpp=1e-3 on 4 distinct kept lines an FP would be a 1-in-250 flake
+    assert(b === e)
+  }
+
   test("built-in cleanup/segment/cross-corpus processors from the dialect") {
     val docs = df(Seq(
       Seq(1L, "a b c d e f"),
