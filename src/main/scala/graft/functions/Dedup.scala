@@ -337,12 +337,6 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3,
       maxBucketSize: Int = 1000): DataFrame = {
-    // pigeonhole: with nBands bands, any pair within Hamming < nBands
-    // shares an exact band — so the band count must FOLLOW maxHamming
-    // (a fixed 4 would silently lose recall for maxHamming >= 4)
-    require(maxHamming >= 0 && maxHamming <= 31,
-      s"maxHamming must be in [0, 31], got $maxHamming")
-    val nBands = maxHamming + 1 // default 3 → 4×16 bits, as before
     // docs with NO shingle features (blank/short/null text) all hash to
     // sig=0 — without this filter they'd pairwise report as hamming-0
     // "near-duplicates" despite carrying zero signal. Same exclusion the
@@ -353,6 +347,26 @@ object Dedup {
       .filter(size(col("__sh")) > 0)
       .select(col("id"), graft.functions.expressions.VectorExpressions
         .simhash64(col("__sh")).as("sig"))
+    hamming64Pairs(sigs, maxHamming, maxBucketSize)
+  }
+
+  /**
+   * All pairs of 64-bit signatures within Hamming distance ≤ `maxHamming`
+   * — the shared core of [[simhashNearDupPairs]] (text) and
+   * [[Multimodal.imageNearDupPairs]] (perceptual image hashes). `sigs`
+   * must be (id, sig: long). Pigeonhole banding: any pair differing in ≤
+   * maxHamming bits agrees exactly on at least one of maxHamming+1
+   * disjoint bands → candidate; verification is native
+   * bit_count(xor) ≤ maxHamming, so the result is EXACT (banding only
+   * prunes). Exchanges carry (band#, band hash, id) — never payloads;
+   * `maxBucketSize` caps degenerate buckets before the quadratic step.
+   */
+  def hamming64Pairs(
+      sigs: DataFrame, maxHamming: Int,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 31,
+      s"maxHamming must be in [0, 31], got $maxHamming")
+    val nBands = maxHamming + 1
     // equal-width bands of 64/nBands bits; the LAST band absorbs the
     // remainder so all 64 bits are covered (completeness needs every bit
     // inside exactly one band)

@@ -113,6 +113,82 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
+  /** splitmix64 — the fixture-generation bit mixer (public-domain
+   * constant set; full-avalanche, so adjacent seeds give independent
+   * patterns). */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /**
+   * Deterministic STRUCTURED grayscale PNG for perceptual-hash fixtures:
+   * a 9×8 block pattern (each block one constant gray drawn from
+   * (patternSeed, block)) plus `noisePixels` deterministic single-pixel
+   * perturbations drawn from noiseSeed. Same patternSeed ⇒ dHashes a few
+   * bits apart under different noise; independent patternSeeds ⇒
+   * independent gradient signs (~32 bits apart) — exactly the
+   * near-dup/far-pair geometry image dedup must separate. Unlike
+   * [[syntheticPng]] (per-pixel noise, the WRONG shape for perceptual
+   * hashing — every cell mean collapses to the global mean), the block
+   * structure gives dHash real gradients to latch onto.
+   */
+  def syntheticStructuredPng(
+      width: Int, height: Int, patternSeed: Long,
+      noiseSeed: Long = 0L, noisePixels: Int = 0): Array[Byte] = {
+    require(width >= 9 && height >= 8,
+      s"structured fixture needs at least 9x8, got ${width}x$height")
+    require(noisePixels >= 0, "noisePixels must be >= 0")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val block = (y.toLong * 8 / height) * 9 + (x.toLong * 9 / width)
+        val g = (mix64(patternSeed * 73 + block) & 0xff).toInt
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    var i = 0
+    while (i < noisePixels) {
+      // modulo on the positive LONG, then narrow — .toInt first would
+      // truncate to a possibly-negative 32-bit value
+      val px = ((mix64(noiseSeed * 131 + 2 * i) >>> 1) % width).toInt
+      val py = ((mix64(noiseSeed * 131 + 2 * i + 1) >>> 1) % height).toInt
+      img.setRGB(px, py, 0x808080)
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Distributed [[syntheticStructuredPng]] corpus: pattern = id %
+   * nPatterns (ids sharing a pattern are near-duplicates), per-doc noise
+   * seeded by the id itself. Payloads generate ON EXECUTORS — the driver
+   * never holds an image. */
+  def syntheticStructuredImages(
+      df: DataFrame, idCol: String, nPatterns: Int,
+      noisePixels: Int = 4): DataFrame = {
+    require(nPatterns > 0, "nPatterns must be positive")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        Row(id, syntheticStructuredPng(90, 80, patternSeed = id % nPatterns,
+          noiseSeed = id, noisePixels = noisePixels))
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Output schema of the audio decode stage. */
   val audioMetaSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
@@ -418,6 +494,101 @@ object Multimodal {
         Row(r.getLong(idIdx), v.toSeq)
       }
     }(Encoders.row(schema))
+  }
+
+  /**
+   * 64-bit difference hash (dHash) of a decoded image — the standard
+   * perceptual fingerprint for image near-duplicate detection: pool luma
+   * over a 9×8 grid (area average, not point sampling, so the hash is
+   * stable under resizing and mild noise), then bit (y*8+x) = 1 iff
+   * cell(x+1, y) > cell(x, y). Horizontal gradients survive brightness/
+   * contrast shifts and re-encoding; unrelated images land ~32 bits
+   * apart (each bit is an independent-ish gradient sign).
+   *
+   * Integer Rec.601 luma and integer cell mapping keep the hash
+   * platform-stable (no FP resampling). Flat images (no gradient
+   * anywhere) hash to 0 — structurally identical by definition of this
+   * signal, callers wanting to distinguish them should pair the hash
+   * with a luminance feature.
+   */
+  def dHash64(img: java.awt.image.BufferedImage): Long = {
+    val (gw, gh) = (9, 8)
+    val sums = new Array[Long](gw * gh)
+    val counts = new Array[Long](gw * gh)
+    val (w, h) = (img.getWidth, img.getHeight)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = 299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+          114 * (rgb & 0xff) // Rec.601 ×1000, exact integers
+        val cell = (y.toLong * gh / h).toInt * gw + (x.toLong * gw / w).toInt
+        sums(cell) += lum
+        counts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    // cell means as exact rationals: compare sums cross-multiplied by
+    // counts so no division rounding enters the bit decisions
+    var bits = 0L
+    var gy = 0
+    while (gy < gh) {
+      var gx = 0
+      while (gx < gw - 1) {
+        val l = gy * gw + gx
+        val r = l + 1
+        // mean(r) > mean(l)  ⇔  sums(r)·counts(l) > sums(l)·counts(r)
+        if (counts(l) > 0 && counts(r) > 0 &&
+          sums(r) * counts(l) > sums(l) * counts(r))
+          bits |= 1L << (gy * (gw - 1) + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    bits
+  }
+
+  /** Per-row perceptual hashes for a binary image column:
+   * (idCol, dhash: long, img_ok: boolean) — img_ok false (dhash null)
+   * when no ImageIO reader recognizes the payload. Narrow mapPartitions,
+   * no shuffle; compose with [[imageNearDupPairs]] or store alongside the
+   * corpus for incremental dedup. */
+  def imageDHash(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("dhash", LongType),
+      StructField("img_ok", BooleanType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        readImage(r.getAs[Array[Byte]](pIdx)) match {
+          case Some(img) => Row(r.getLong(idIdx), dHash64(img), true)
+          case None => Row(r.getLong(idIdx), null, false)
+        }
+      }
+    }(Encoders.row(schema)).withColumnRenamed("id", idCol)
+  }
+
+  /**
+   * Image near-duplicate pairs: all decodable pairs whose dHashes differ
+   * in ≤ `maxHamming` bits (the LAION-style image-dedup step). EXACT over
+   * the hash space — [[graft.functions.Dedup.hamming64Pairs]]'s pigeonhole
+   * banding only prunes, never drops a qualifying pair. Decode +
+   * 8-byte hash is the ONLY per-image work; the exchange carries
+   * (band, hash, id), never pixels, so the quadratic step is bucket-local
+   * over 64-bit keys — the same scale shape as text SimHash dedup.
+   * Output: (id_a, id_b, hamming) with id_a < id_b.
+   */
+  def imageNearDupPairs(
+      df: DataFrame, idCol: String, payloadCol: String,
+      maxHamming: Int = 8, maxBucketSize: Int = 1000): DataFrame = {
+    val sigs = imageDHash(df, idCol, payloadCol)
+      .filter(col("img_ok"))
+      .select(col(idCol).as("id"), col("dhash").as("sig"))
+    graft.functions.Dedup.hamming64Pairs(sigs, maxHamming, maxBucketSize)
   }
 
   /** Mean luminance pooled over a ⌊√dim⌋×⌊√dim⌋ grid of the decoded

@@ -688,6 +688,50 @@ class FunctionsSpec extends SparkTestBase {
     assert(Multimodal.decodeImage(junk) === Multimodal.decodeImageStub(junk))
   }
 
+  test("imageDHash: deterministic, noise-stable, pattern-separating") {
+    import javax.imageio.ImageIO
+    import java.io.ByteArrayInputStream
+    def hashOf(b: Array[Byte]): Long =
+      Multimodal.dHash64(ImageIO.read(new ByteArrayInputStream(b)))
+    val base = Multimodal.syntheticStructuredPng(90, 80, patternSeed = 1L)
+    // pure function of the pixels
+    assert(hashOf(base) === hashOf(
+      Multimodal.syntheticStructuredPng(90, 80, patternSeed = 1L)))
+    // a few noise pixels barely move 100-pixel cell means
+    val noisy = Multimodal.syntheticStructuredPng(90, 80, patternSeed = 1L,
+      noiseSeed = 7L, noisePixels = 5)
+    assert(java.lang.Long.bitCount(hashOf(base) ^ hashOf(noisy)) <= 6)
+    // an independent pattern flips about half the gradient signs
+    val other = Multimodal.syntheticStructuredPng(90, 80, patternSeed = 2L)
+    assert(java.lang.Long.bitCount(hashOf(base) ^ hashOf(other)) >= 16)
+  }
+
+  test("imageNearDupPairs finds variant groups, excludes undecodables") {
+    // ids 1..8 over 4 patterns (id % 4) -> 4 groups of 2; id 9 junk bytes
+    val rows = (1L to 8L).map(i => Seq(i,
+      Multimodal.syntheticStructuredPng(90, 80, patternSeed = i % 4,
+        noiseSeed = i, noisePixels = 4))) :+
+      Seq(9L, "not an image".getBytes("UTF-8"))
+    val d = df(rows, "doc_id:long,payload:binary")
+    val hs = Multimodal.imageDHash(d, "doc_id", "payload")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(hs(9L) === None)
+    val pairs = Multimodal.imageNearDupPairs(d, "doc_id", "payload",
+        maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (1L to 8L).flatMap(a => (a + 1 to 8L)
+      .filter(b => a % 4 == b % 4).map(b => (a, b))).toSet
+    assert(pairs === expected)
+    // distributed result agrees with a driver brute force over the hashes
+    val flat = hs.collect { case (k, Some(v)) => k -> v }.toSeq
+    val brute = (for {
+      (a, ha) <- flat; (b, hb) <- flat if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 10
+    } yield (a, b)).toSet
+    assert(pairs === brute)
+  }
+
   test("multimodal real resize: roundtrip decode reports the target dims") {
     val d = df(Seq(Seq(1L), Seq(2L)), "doc_id:long")
     val pngs = Multimodal.syntheticImages(d, "doc_id")
