@@ -556,6 +556,8 @@ object Multimodal {
    * no shuffle; compose with [[imageNearDupPairs]] or store alongside the
    * corpus for incremental dedup. */
   def imageDHash(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    Seq("dhash", "img_ok")
+      .foreach(c => require(c != idCol, s"idCol collides with output column '$c'"))
     val schema = StructType(Seq(
       StructField("id", LongType),
       StructField("dhash", LongType),
@@ -573,20 +575,25 @@ object Multimodal {
   }
 
   /**
-   * Image near-duplicate pairs: all decodable pairs whose dHashes differ
-   * in ≤ `maxHamming` bits (the LAION-style image-dedup step). EXACT over
-   * the hash space — [[graft.functions.Dedup.hamming64Pairs]]'s pigeonhole
-   * banding only prunes, never drops a qualifying pair. Decode +
-   * 8-byte hash is the ONLY per-image work; the exchange carries
-   * (band, hash, id), never pixels, so the quadratic step is bucket-local
-   * over 64-bit keys — the same scale shape as text SimHash dedup.
-   * Output: (id_a, id_b, hamming) with id_a < id_b.
+   * Image near-duplicate pairs: all decodable pairs with a non-degenerate
+   * gradient signature whose dHashes differ in ≤ `maxHamming` bits (the
+   * LAION-style image-dedup step). EXACT over the hash space for those
+   * images — [[graft.functions.Dedup.hamming64Pairs]]'s pigeonhole
+   * banding only prunes, never drops a qualifying pair. Flat/monochrome
+   * images dHash to 0 (zero gradient everywhere) and carry no perceptual
+   * signal — unrelated blank images would all pairwise report as
+   * hamming-0 dups and blow past maxBucketSize — so sig==0 rows are
+   * excluded up front, mirroring the SimHash path's empty-shingle
+   * exclusion. Decode + 8-byte hash is the ONLY per-image work; the
+   * exchange carries (band, hash, id), never pixels, so the quadratic
+   * step is bucket-local over 64-bit keys — the same scale shape as text
+   * SimHash dedup. Output: (id_a, id_b, hamming) with id_a < id_b.
    */
   def imageNearDupPairs(
       df: DataFrame, idCol: String, payloadCol: String,
       maxHamming: Int = 8, maxBucketSize: Int = 1000): DataFrame = {
     val sigs = imageDHash(df, idCol, payloadCol)
-      .filter(col("img_ok"))
+      .filter(col("img_ok") && col("dhash") =!= 0L)
       .select(col(idCol).as("id"), col("dhash").as("sig"))
     graft.functions.Dedup.hamming64Pairs(sigs, maxHamming, maxBucketSize)
   }

@@ -978,6 +978,12 @@ object TextFunctions {
     "(?is)<script\\b[^>]*>.*?</script\\s*>" -> " ",
     "(?is)<style\\b[^>]*>.*?</style\\s*>" -> " ",
     "(?s)<!--.*?-->" -> " ",
+    // declarations (<!DOCTYPE html>, <![CDATA[) and processing
+    // instructions (<?xml ... ?>): the tag pattern below requires a
+    // letter after '<' so these would otherwise leak verbatim. Ordered
+    // after comments so <!-- --> still wins the <! prefix.
+    "(?s)<![^>]*>" -> " ",
+    "(?s)<\\?.*?\\?>" -> " ",
     "(?is)</?[a-z][^>]*>" -> " ",
     "&nbsp;" -> " ",
     "&lt;" -> "<",

@@ -704,14 +704,30 @@ class FunctionsSpec extends SparkTestBase {
     // an independent pattern flips about half the gradient signs
     val other = Multimodal.syntheticStructuredPng(90, 80, patternSeed = 2L)
     assert(java.lang.Long.bitCount(hashOf(base) ^ hashOf(other)) >= 16)
+    // idCol colliding with an output column fails loudly, not downstream
+    intercept[IllegalArgumentException] {
+      Multimodal.imageDHash(df(Seq(Seq(1L, Array.empty[Byte])),
+        "dhash:long,payload:binary"), "dhash", "payload")
+    }
   }
 
   test("imageNearDupPairs finds variant groups, excludes undecodables") {
+    // two unrelated flat images: both dHash to 0 (zero gradient) and must
+    // NOT report as near-dups — degenerate signatures are excluded
+    def flatPng(rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        20, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 16).foreach(y => (0 until 20).foreach(x => img.setRGB(x, y, rgb)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
     // ids 1..8 over 4 patterns (id % 4) -> 4 groups of 2; id 9 junk bytes
     val rows = (1L to 8L).map(i => Seq(i,
       Multimodal.syntheticStructuredPng(90, 80, patternSeed = i % 4,
         noiseSeed = i, noisePixels = 4))) :+
-      Seq(9L, "not an image".getBytes("UTF-8"))
+      Seq(9L, "not an image".getBytes("UTF-8")) :+
+      Seq(10L, flatPng(0xffffff)) :+ Seq(11L, flatPng(0x000000))
     val d = df(rows, "doc_id:long,payload:binary")
     val hs = Multimodal.imageDHash(d, "doc_id", "payload")
       .collect().map(r => r.getLong(0) ->
@@ -724,7 +740,9 @@ class FunctionsSpec extends SparkTestBase {
       .filter(b => a % 4 == b % 4).map(b => (a, b))).toSet
     assert(pairs === expected)
     // distributed result agrees with a driver brute force over the hashes
-    val flat = hs.collect { case (k, Some(v)) => k -> v }.toSeq
+    // (zero signatures excluded, mirroring the operator's degenerate guard)
+    assert(hs(10L) === Some(0L) && hs(11L) === Some(0L))
+    val flat = hs.collect { case (k, Some(v)) if v != 0L => k -> v }.toSeq
     val brute = (for {
       (a, ha) <- flat; (b, hb) <- flat if a < b
       if java.lang.Long.bitCount(ha ^ hb) <= 10
@@ -1040,19 +1058,21 @@ class FunctionsSpec extends SparkTestBase {
       Seq(3L, "unique c\n  BUY NOW  \nunique c"),
       Seq(4L, "only here")),
       "doc_id:long,text:str")
+    // fpp=1e-8 in the fixture so an FP drop is a ~5e-8 non-event, not a
+    // recurring CI flake; the fpp=1.5 intercept below still exercises the
+    // parameter plumbing
     val out = Dedup.bloomLineDedup(d, "doc_id", "text",
-        maxDocFrequency = 2, fpp = 0.001)
+        maxDocFrequency = 2, fpp = 1e-8)
       .collect().map(r => r.getLong(0) ->
         ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
-    // at fpp=1e-3 over 5 distinct kept lines, an FP drop in THIS fixture
-    // would be a 1-in-200 flake; the frequent line must always be gone
+    // the frequent line must always be gone (one-sided: never a false keep)
     out.values.foreach { case (txt, _, _) => assert(!txt.contains("BUY NOW")) }
     assert(out(2L)._1.startsWith("\n"))  // blank line survives
     assert(out(1L) === (("keep one\nunique a", 3, 2)))
     assert(out(4L) === (("only here", 1, 1)))
     // determinism: bit-identical across evaluations
     val again = Dedup.bloomLineDedup(d, "doc_id", "text",
-        maxDocFrequency = 2, fpp = 0.001)
+        maxDocFrequency = 2, fpp = 1e-8)
       .collect().map(r => r.getLong(0) ->
         ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
     assert(again === out)
@@ -1191,7 +1211,10 @@ class FunctionsSpec extends SparkTestBase {
       Seq(3L, "&amp;lt;tag&amp;gt; &lt;b&gt; &quot;q&quot; &#39;s&#39; " +
         "a&nbsp;b &copy; &amp; end"),
       Seq(4L, "<A HREF=\"/x\">Upper</A><SCRIPT>var y = 2;</SCRIPT>"),
-      Seq(5L, "no markup at all")),
+      Seq(5L, "no markup at all"),
+      Seq(6L, "<!DOCTYPE html><html><body>doc body</body></html>"),
+      Seq(7L, "<?xml version=\"1.0\"?><note>xml text</note>"),
+      Seq(8L, "before <!-- c --> mid <![CDATA[raw]]> after")),
       "id:long,html:str")
     val out = d.select(col("id"),
       TextFunctions.extractHtmlText(col("html")).as("t"))
@@ -1202,6 +1225,10 @@ class FunctionsSpec extends SparkTestBase {
     assert(out(3L) === "&lt;tag&gt; <b> \"q\" 's' a b &copy; & end")
     assert(out(4L) === "Upper")
     assert(out(5L) === "no markup at all")
+    // declarations / processing instructions don't leak into visible text
+    assert(out(6L) === "doc body")
+    assert(out(7L) === "xml text")
+    assert(out(8L) === "before mid after")
   }
 
   test("htmlTextStats computes link density over anchor text") {

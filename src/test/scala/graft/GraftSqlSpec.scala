@@ -607,14 +607,14 @@ class GraftSqlSpec extends SparkTestBase {
       "doc_id:long,text:str")
     val res = GraftSql.run(engine,
       """e = PROCESS docs USING line_dedup(id:doc_id, col:text, max_df:2)
-        |b = PROCESS docs USING bloom_line_dedup(id:doc_id, col:text, max_df:2, fpp:0.001)
+        |b = PROCESS docs USING bloom_line_dedup(id:doc_id, col:text, max_df:2, fpp:0.00000001)
         |YIELD e AS e
         |YIELD b AS b
         |""".stripMargin, Map("docs" -> docs))
     val e = res.yields("e").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val b = res.yields("b").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(e(1L) === "keep a\nkeep b" && e(2L) === "keep c" && e(3L) === "keep d")
-    // at fpp=1e-3 on 4 distinct kept lines an FP would be a 1-in-250 flake
+    // fpp=1e-8 over 4 distinct kept lines makes an FP drop a non-event
     assert(b === e)
   }
 
