@@ -3,7 +3,8 @@ package graft.functions.expressions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshim.ColumnBridge
 import org.apache.spark.sql.types._
@@ -51,10 +52,10 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 /** `l2_normalize(v)` over array<float> or array<double> → unit-norm
- * array<double>. Eval-based (array construction dominates; codegen gains
- * little), but element access stays primitive. */
+ * array<double>. The loop lives in [[compute]]; codegen calls it directly
+ * (children evaluated in-span — no CodegenFallback InternalRow detour). */
 case class L2Normalize(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
   private lazy val elemIsFloat = child.dataType match {
@@ -62,8 +63,7 @@ case class L2Normalize(child: Expression)
     case _ => false
   }
 
-  override def nullSafeEval(v: Any): Any = {
-    val in = v.asInstanceOf[ArrayData]
+  def compute(in: ArrayData): ArrayData = {
     val n = in.numElements()
     val out = new Array[Double](n)
     var s = 0.0
@@ -82,17 +82,25 @@ case class L2Normalize(child: Expression)
     new GenericArrayData(out)
   }
 
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("l2norm", this, classOf[L2Normalize].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
 /**
  * `minhash_sig(shingleHashes)` → array<long> of `numHashes` universal-hash
  * minima ((a·h + b) mod (2^61−1)); one primitive pass, coefficients fixed
- * by seed. Eval-based: the inner loop is already primitive and the per-row
- * cost (|shingles|·numHashes multiplies) dwarfs the dispatch overhead.
+ * by seed. The |shingles|·numHashes loop lives in [[compute]]; codegen
+ * calls it directly so the signature stage stays inside the scan's
+ * whole-stage span (this op dominates the 100 TB dedup cost model).
  */
 case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   // nullSafeEval returns null for an EMPTY shingle array (a signature of
   // Long.MaxValue minima would be meaningless); the inherited
@@ -115,8 +123,8 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
     if (r >= P) r - P else r
   }
 
-  override def nullSafeEval(v: Any): Any = {
-    val hashes = v.asInstanceOf[ArrayData]
+  /** Null (not a bogus all-MaxValue signature) for an empty shingle set. */
+  def compute(hashes: ArrayData): ArrayData = {
     val m = hashes.numElements()
     if (m == 0) return null
     val sig = Array.fill(numHashes)(Long.MaxValue)
@@ -135,6 +143,19 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
       i += 1
     }
     new GenericArrayData(sig)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhash", this, classOf[MinHashSignature].getName)
+    // compute() returns null for an empty shingle array; surface that as
+    // SQL NULL (nullable=true above) so no isNull guard is skipped
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = $ref.compute($c);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -156,7 +177,7 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
  */
 case class HyperplaneKeys(child: Expression, dim: Int, nTables: Int,
     nBits: Int, seed: Long, probes: Int = 0)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(probes >= 0 && probes <= 2, "probes must be 0, 1 or 2")
   // the table tag occupies the high 32 bits; sign/probe bits beyond 32
   // would silently alias buckets across tables
@@ -172,8 +193,7 @@ case class HyperplaneKeys(child: Expression, dim: Int, nTables: Int,
     1 + (if (probes >= 1) nBits else 0) +
       (if (probes >= 2) nBits * (nBits - 1) / 2 else 0)
 
-  override def nullSafeEval(v: Any): Any = {
-    val in = v.asInstanceOf[ArrayData]
+  def compute(in: ArrayData): ArrayData = {
     val n = math.min(dim, in.numElements())
     val out = new Array[Long](nTables * keysPerTable)
     var o = 0
@@ -210,6 +230,13 @@ case class HyperplaneKeys(child: Expression, dim: Int, nTables: Int,
     new GenericArrayData(out)
   }
 
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hyperplanes", this, classOf[HyperplaneKeys].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -229,7 +256,7 @@ case class HyperplaneKeys(child: Expression, dim: Int, nTables: Int,
  * a single 0x20 and hashed with XXH64 seed 42 (Spark's `xxhash64`).
  */
 case class ShingleHashes(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(k >= 1, "shingle size k must be >= 1")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -250,10 +277,23 @@ case class ShingleHashes(child: Expression, k: Int)
   // formulation's when/otherwise does the same, and the documented
   // contract is "empty/short docs yield an empty array"
   override def nullable: Boolean = false
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) ShingleHashes.Empty
-    else new GenericArrayData(ShingleHashes.compute(v.toString, k))
+  override def eval(input: InternalRow): Any =
+    ShingleHashes.evalDistinct(
+      child.eval(input).asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // custom (not nullSafeCodeGen): a NULL child still produces a non-null
+    // empty array, so the output needs no isNull slot at all
+    val c = child.genCode(ctx)
+    val obj = "graft.functions.expressions.ShingleHashes$.MODULE$"
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(
+      code = c.code +
+        code"""
+           |$javaType ${ev.value} =
+           |  $obj.evalDistinct(${c.isNull} ? null : ${c.value}, $k);
+         """.stripMargin,
+      isNull = FalseLiteral)
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -262,6 +302,14 @@ case class ShingleHashes(child: Expression, k: Int)
 object ShingleHashes {
   private[expressions] val Empty = new GenericArrayData(Array.emptyLongArray)
   private val Ws = java.util.regex.Pattern.compile("\\s+")
+
+  /** Codegen/eval entry: null text → shared empty array (never SQL null). */
+  def evalDistinct(s: org.apache.spark.unsafe.types.UTF8String, k: Int): ArrayData =
+    if (s == null) Empty else new GenericArrayData(compute(s.toString, k))
+
+  /** Positional variant for [[SpanHashes]] — same null contract. */
+  def evalAll(s: org.apache.spark.unsafe.types.UTF8String, k: Int): ArrayData =
+    if (s == null) Empty else new GenericArrayData(computeAll(s.toString, k))
 
   /** Distinct k-shingle hashes of `text`, first-occurrence order.
    * All-whitespace text yields an empty array for EVERY k (without this
@@ -351,7 +399,7 @@ object ShingleHashes {
  * flat JVM loop per row replaces an interpreted higher-order-function
  * chain (transform+slice+concat) that allocated a slice per window. */
 case class SpanHashes(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(k >= 1, "span size k must be >= 1")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -367,22 +415,45 @@ case class SpanHashes(child: Expression, k: Int)
 
   // null/blank text yields an EMPTY ARRAY (same contract as ShingleHashes)
   override def nullable: Boolean = false
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) ShingleHashes.Empty
-    else new GenericArrayData(ShingleHashes.computeAll(v.toString, k))
+  override def eval(input: InternalRow): Any =
+    ShingleHashes.evalAll(
+      child.eval(input).asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val obj = "graft.functions.expressions.ShingleHashes$.MODULE$"
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(
+      code = c.code +
+        code"""
+           |$javaType ${ev.value} =
+           |  $obj.evalAll(${c.isNull} ? null : ${c.value}, $k);
+         """.stripMargin,
+      isNull = FalseLiteral)
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** 64-bit simhash from a shingle-hash array: per-bit majority vote. */
+/** 64-bit simhash from a shingle-hash array: per-bit majority vote.
+ * Stateless — the vote loop is a static method the generated code calls. */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
 
-  override def nullSafeEval(v: Any): Any = {
-    val hashes = v.asInstanceOf[ArrayData]
+  override def nullSafeEval(v: Any): Any =
+    SimHash64.compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val obj = "graft.functions.expressions.SimHash64$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $obj.compute($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+object SimHash64 {
+  def compute(hashes: ArrayData): Long = {
     val m = hashes.numElements()
     if (m == 0) return 0L
     val votes = new Array[Int](64)
@@ -401,8 +472,6 @@ case class SimHash64(child: Expression)
     while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
     sig
   }
-
-  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
 /**
@@ -415,13 +484,12 @@ case class SimHash64(child: Expression)
  */
 case class NearestCells(child: Expression,
     centroids: Array[Array[Double]], nProbe: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(nProbe >= 1 && nProbe <= centroids.length,
     "nProbe must be in [1, #centroids]")
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
-  override def nullSafeEval(v: Any): Any = {
-    val in = v.asInstanceOf[ArrayData]
+  def compute(in: ArrayData): ArrayData = {
     val k = centroids.length
     val scores = new Array[Double](k)
     var c = 0
@@ -457,6 +525,13 @@ case class NearestCells(child: Expression,
       p += 1
     }
     new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCells", this, classOf[NearestCells].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -535,11 +610,10 @@ object Fingerprint64 {
  * matrix is never materialized: row i's signs for ALL output dimensions
  * are the low `outDim` bits of one splitmix64 mix of (seed, i), which is
  * why `outDim ≤ 64`. Deterministic for fixed (seed) across partitionings,
- * JVMs, and cluster sizes. Eval-based like its siblings (array
- * construction dominates; element access stays primitive).
+ * JVMs, and cluster sizes.
  */
 case class RandomProject(child: Expression, outDim: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(outDim > 0 && outDim <= 64,
     s"outDim must be 1..64 (signs are one 64-bit mix per input index), got $outDim")
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
@@ -559,8 +633,7 @@ case class RandomProject(child: Expression, outDim: Int, seed: Long)
           s"random_project requires array<float|double>, got ${other.catalogString}")
     }
 
-  override def nullSafeEval(v: Any): Any = {
-    val in = v.asInstanceOf[ArrayData]
+  def compute(in: ArrayData): ArrayData = {
     val n = in.numElements()
     val out = new Array[Double](outDim)
     var i = 0
@@ -576,6 +649,13 @@ case class RandomProject(child: Expression, outDim: Int, seed: Long)
       i += 1
     }
     new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("randomProject", this, classOf[RandomProject].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
