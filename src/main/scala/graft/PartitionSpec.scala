@@ -113,6 +113,16 @@ final case class PartitionSpec(
 object PartitionSpec {
   val empty: PartitionSpec = PartitionSpec()
 
+  /** String-form constructor mirroring the reference
+   * (fugue/collections/partition.py:95,113-120): `"per_row"`
+   * (case-insensitive) ≡ `(algo = "even", num = "ROWCOUNT")` — every row
+   * its own logical partition; any other string is a single partition-by
+   * column (`PartitionSpec("a")` ≡ `PartitionSpec(by = Seq("a"))`). */
+  def apply(spec: String): PartitionSpec =
+    if (spec.equalsIgnoreCase("per_row"))
+      PartitionSpec(algo = "even", num = "ROWCOUNT")
+    else PartitionSpec(by = Seq(spec))
+
   /** Parse a presort expression `"a asc, b desc"` / `"a,b desc"`. */
   def parsePresort(expr: String): Seq[(String, Boolean)] =
     expr.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { part =>

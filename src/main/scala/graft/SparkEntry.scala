@@ -343,6 +343,20 @@ object SparkEntry {
     "q30_even_repartition" -> ((s, dir) =>
       eng(s).repartition(events(s, dir),
         PartitionSpec(algo = "even", num = "16"))),
+    // per_row PartitionSpec alias (partition.py:95,115-117): every row its
+    // own logical partition (even ROWCOUNT repartition). The transform
+    // proves the grain by emitting each partition's row count — the oracle
+    // pins it to 1 for every row, so a mis-aliased spec hash-mismatches.
+    "q88_per_row" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"))
+      Transform.mapPartitions(n, PartitionSpec("per_row"),
+        graft.schema.SchemaExpr.parse(
+          "n_nationkey:long,n_name:str,rows_in_partition:long")) { (_, rows) =>
+        val buf = rows.toArray
+        buf.iterator.map(r => Row(r.getLong(0), r.getString(1), buf.length.toLong))
+      }
+    }),
 
     // ---- beyond-reference: dedup --------------------------------------
     "d01_dedup_exact" -> ((s, dir) =>
@@ -1821,6 +1835,21 @@ object SparkEntry {
       graft.operators.Layout.compact(frag, targetBytes = 8L << 20)
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
     }),
+    // jinja-class templating end-to-end: {% for %} builds the IN list,
+    // {% if %} gates the extra predicate — the RENDERED pipeline runs
+    // through the full dialect and is oracled as plain SQL (the reference
+    // renders FugueSQL through jinja2, fugue/sql/_utils.py:13-41)
+    "q87_sql_template" -> ((s, dir) => {
+      graft.sql.GraftSql.run(eng(s),
+        """res = SELECT r_regionkey, r_name FROM region
+          | WHERE r_name IN ({% for n in names %}'{{ n }}'{% if not loop.last %}, {% endif %}{% endfor %})
+          | {%- if min_key >= 0 %} AND r_regionkey >= {{ min_key }}{% endif %}
+          |YIELD res AS out
+          |""".stripMargin,
+        Map("region" -> t(s, dir, "region")),
+        vars = Map("names" -> Seq("ASIA", "EUROPE", "AFRICA"),
+          "min_key" -> 1L)).yields("out")
+    }),
     // mergeable quantile summary: percentile_approx (KLL-style, bounded
     // rank error ≤ n/accuracy). Differential: the ACTUAL rank of each
     // reported p50/p95 must sit within twice the guarantee of the target
@@ -2637,6 +2666,13 @@ object SparkEntry {
     "q86_compact" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
         |FROM orders""".stripMargin,
+    "q87_sql_template" ->
+      """SELECT r_regionkey, r_name FROM region
+        |WHERE r_name IN ('ASIA', 'EUROPE', 'AFRICA') AND r_regionkey >= 1""".stripMargin,
+    "q88_per_row" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        | CAST(1 AS BIGINT) AS rows_in_partition
+        |FROM nation""".stripMargin,
     "q76_zorder_layout" ->
       "SELECT event_id, user_id, value FROM events",
     "q77_stream_session" ->

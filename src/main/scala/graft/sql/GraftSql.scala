@@ -273,25 +273,23 @@ object GraftSql {
   def run(engine: GraftEngine, sql: String,
       inputs: Map[String, DataFrame] = Map.empty,
       transformers: Map[String, TransformerDef] = Map.empty,
-      vars: Map[String, String] = Map.empty): Result =
+      vars: Map[String, Any] = Map.empty): Result =
     new Runner(engine, inputs, withBuiltins(Extensions(transformers = transformers)))
-      .run(substituteVars(sql, vars))
+      .run(Template.render(sql, vars))
 
   def runWith(engine: GraftEngine, sql: String,
       inputs: Map[String, DataFrame] = Map.empty,
       extensions: Extensions = Extensions(),
-      vars: Map[String, String] = Map.empty): Result =
-    new Runner(engine, inputs, withBuiltins(extensions)).run(substituteVars(sql, vars))
+      vars: Map[String, Any] = Map.empty): Result =
+    new Runner(engine, inputs, withBuiltins(extensions)).run(Template.render(sql, vars))
 
-  /** `{{name}}` template substitution (the reference's jinja-style
-   * variable templating, fugue/sql/_utils.py). Unknown variables raise. */
-  def substituteVars(script: String, vars: Map[String, String]): String = {
-    val out = "\\{\\{\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\}\\}".r
-      .replaceAllIn(script, m => vars.getOrElse(m.group(1),
-        throw new IllegalArgumentException(s"undefined template variable '${m.group(1)}'"))
-        .replace("\\", "\\\\").replace("$", "\\$"))
-    out
-  }
+  /** Render the script's template constructs (the reference feeds FugueSQL
+   * through jinja2, fugue/sql/_utils.py) — `{{ expr }}`, `{% if %}`,
+   * `{% for %}`, `{% raw %}`, filters; see [[Template]]. Values are
+   * inserted verbatim (single pass — never re-scanned); rendering an
+   * undefined variable raises. */
+  def substituteVars(script: String, vars: Map[String, Any]): String =
+    Template.render(script, vars)
 
   private val KeywordStart =
     ("^(?i)(LOAD|SAVE|SELECT|WITH|CREATE|ZIP|TAKE|SAMPLE|DROPNA|FILLNA|RENAME|ALTER|DROP|" +

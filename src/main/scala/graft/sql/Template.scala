@@ -1,0 +1,565 @@
+package graft.sql
+
+import scala.collection.mutable
+
+/**
+ * Jinja-class template engine for GraftSql scripts — a from-scratch Scala
+ * implementation of the template constructs the reference renders through
+ * jinja2 (`fugue/sql/_utils.py:13-41`): `{{ expr }}` output, `{% if %}` /
+ * `{% elif %}` / `{% else %}` / `{% endif %}`, `{% for x in xs %}` with
+ * the `loop` helper (index/index0/first/last/length/revindex),
+ * `{% raw %}…{% endraw %}`, `{# comments #}`, whitespace-control minus
+ * markers (`{%- -%}`), boolean/comparison/membership expressions, `~`
+ * string concatenation, and the filters upper / lower / length / join /
+ * first / last / default.
+ *
+ * Also mirrors `_utils.py`'s two defensive behaviors:
+ *   - quoted-string protection: a quoted literal whose content consists
+ *     ONLY of `{`, `%`, `}` characters (e.g. `'{%'`) is raw-escaped before
+ *     parsing so it cannot open a bogus tag;
+ *   - fallback: if the protected form fails to PARSE, the original text is
+ *     parsed instead; only if both fail does the syntax error propagate.
+ *
+ * Strictness: rendering an undefined variable in `{{ }}` raises
+ * `IllegalArgumentException` (pinned by GraftSqlFuzzSpec P2b) — stricter
+ * than jinja's silent-empty default and kinder to SQL pipelines, where an
+ * empty substitution is a silently wrong query. In BOOLEAN contexts
+ * (`{% if %}`) an undefined name is simply falsy, matching jinja's
+ * `Undefined` semantics, so optional knobs need not be declared.
+ *
+ * Unterminated `{{` / `{%` openers are treated as literal text (the
+ * legacy `{{name}}`-only substituter passed them through, and template
+ * VALUES frequently contain brace runs).
+ */
+object Template {
+
+  /** Parse-time errors — eligible for the unprotected-retry fallback.
+   * Extends IllegalArgumentException so callers see one exception type. */
+  private class SyntaxError(msg: String) extends IllegalArgumentException(msg)
+
+  private case object Undefined
+
+  // ---- template-level tokens ----
+  private sealed trait Tok
+  private case class TText(s: String) extends Tok
+  private case class TVar(body: String, lt: Boolean, rt: Boolean) extends Tok
+  private case class TTag(body: String, lt: Boolean, rt: Boolean) extends Tok
+  private case class TComment(lt: Boolean, rt: Boolean) extends Tok
+
+  // ---- AST ----
+  private sealed trait Node
+  private case class Text(s: String) extends Node
+  private case class Output(e: Expr, src: String) extends Node
+  private case class IfNode(branches: List[(Expr, List[Node])],
+      orElse: List[Node]) extends Node
+  private case class ForNode(name: String, list: Expr,
+      body: List[Node]) extends Node
+
+  private sealed trait Expr
+  private case class Lit(v: Any) extends Expr
+  private case class Ref(name: String) extends Expr
+  private case class Attr(t: Expr, name: String) extends Expr
+  private case class IndexOp(t: Expr, i: Expr) extends Expr
+  private case class Un(op: String, e: Expr) extends Expr
+  private case class Bin(op: String, l: Expr, r: Expr) extends Expr
+  private case class FilterOp(e: Expr, name: String, args: List[Expr]) extends Expr
+
+  // ---- public API ----
+
+  /** Render `script` against `params`. Values may be String, Boolean,
+   * Int/Long/Double, Seq, Map[String, _] or null; anything else renders
+   * via toString. */
+  def render(script: String, params: Map[String, Any]): String = {
+    def go(src: String): String = {
+      val nodes = new Parser(applyTrims(lex(src))).parseAll()
+      val sb = new StringBuilder
+      renderNodes(nodes, params, sb)
+      sb.toString
+    }
+    val guarded = protectQuoted(script)
+    try go(guarded)
+    catch {
+      case e: SyntaxError =>
+        try go(script)
+        catch { case _: SyntaxError => throw e }
+    }
+  }
+
+  /** `_utils.py` MATCH_QUOTED_STRING: raw-escape quoted literals whose
+   * content is only `{`/`%`/`}` characters so they cannot open a tag. */
+  private[sql] def protectQuoted(s: String): String =
+    "([\"'])([{%}]+)\\1".r.replaceAllIn(s, m => java.util.regex.Matcher
+      .quoteReplacement(
+        m.group(1) + "{% raw %}" + m.group(2) + "{% endraw %}" + m.group(1)))
+
+  // ---- lexer ----
+
+  private def lex(s: String): Vector[Tok] = {
+    val out = mutable.ArrayBuffer.empty[Tok]
+    val text = new StringBuilder
+    def flush(): Unit =
+      if (text.nonEmpty) { out += TText(text.toString); text.clear() }
+    val n = s.length
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      val kind = if (c == '{' && i + 1 < n) s.charAt(i + 1) else ' '
+      if (kind == '{' || kind == '%' || kind == '#') {
+        val close = kind match {
+          case '{' => "}}"
+          case '%' => "%}"
+          case _ => "#}"
+        }
+        val end = s.indexOf(close, i + 2)
+        if (end < 0) {
+          // unterminated opener: literal text (legacy pass-through)
+          text.append(c); i += 1
+        } else {
+          var from = i + 2
+          val lt = from < end && s.charAt(from) == '-'
+          if (lt) from += 1
+          var to = end
+          val rt = to > from && s.charAt(to - 1) == '-'
+          if (rt) to -= 1
+          val body = s.substring(from, to).trim
+          flush()
+          i = end + 2
+          kind match {
+            case '{' => out += TVar(body, lt, rt)
+            case '#' => out += TComment(lt, rt)
+            case _ if body == "raw" =>
+              // scan verbatim to the matching endraw
+              val endraw = "\\{%-?\\s*endraw\\s*-?%\\}".r
+                .findFirstMatchIn(s.substring(i))
+                .getOrElse(throw new SyntaxError("'{% raw %}' without '{% endraw %}'"))
+              out += TText(s.substring(i, i + endraw.start))
+              i += endraw.end
+            case _ => out += TTag(body, lt, rt)
+          }
+        }
+      } else { text.append(c); i += 1 }
+    }
+    flush()
+    out.toVector
+  }
+
+  /** Apply `-` whitespace-control markers, then drop comments. */
+  private def applyTrims(toks: Vector[Tok]): Vector[Tok] = {
+    val arr = toks.toArray
+    def trims(idx: Int): Option[(Boolean, Boolean)] = arr(idx) match {
+      case TVar(_, lt, rt) => Some((lt, rt))
+      case TTag(_, lt, rt) => Some((lt, rt))
+      case TComment(lt, rt) => Some((lt, rt))
+      case _ => None
+    }
+    for (i <- arr.indices; (lt, rt) <- trims(i)) {
+      if (lt && i > 0) arr(i - 1) match {
+        case TText(t) => arr(i - 1) = TText(t.replaceAll("\\s+$", ""))
+        case _ => ()
+      }
+      if (rt && i + 1 < arr.length) arr(i + 1) match {
+        case TText(t) => arr(i + 1) = TText(t.replaceAll("^\\s+", ""))
+        case _ => ()
+      }
+    }
+    arr.toVector.filter(!_.isInstanceOf[TComment])
+  }
+
+  // ---- parser ----
+
+  private class Parser(toks: Vector[Tok]) {
+    private var pos = 0
+
+    def parseAll(): List[Node] = {
+      val (nodes, term) = parseNodes(Set.empty)
+      if (term.nonEmpty) throw new SyntaxError(s"unexpected '{% $term %}'")
+      nodes
+    }
+
+    /** Parse until a tag whose first word is in `stop` (tag consumed;
+     * its full body returned) or end of input (empty string returned). */
+    private def parseNodes(stop: Set[String]): (List[Node], String) = {
+      val out = mutable.ListBuffer.empty[Node]
+      while (pos < toks.length) {
+        toks(pos) match {
+          case TText(s) => out += Text(s); pos += 1
+          case TVar(body, _, _) =>
+            out += Output(ExprParser.parse(body), body); pos += 1
+          case TComment(_, _) => pos += 1
+          case TTag(body, _, _) =>
+            val word = body.takeWhile(!_.isWhitespace)
+            if (stop(word)) { pos += 1; return (out.toList, body) }
+            word match {
+              case "if" => pos += 1; out += parseIf(body.drop(2).trim)
+              case "for" => pos += 1; out += parseFor(body)
+              case "elif" | "else" | "endif" | "endfor" | "endraw" =>
+                throw new SyntaxError(s"unexpected '{% $word %}'")
+              case other =>
+                throw new SyntaxError(s"unknown template tag '$other'")
+            }
+        }
+      }
+      (out.toList, "")
+    }
+
+    private def parseIf(cond: String): IfNode = {
+      val branches = mutable.ListBuffer.empty[(Expr, List[Node])]
+      var c = cond
+      var orElse: List[Node] = Nil
+      var done = false
+      while (!done) {
+        val (body, term) = parseNodes(Set("elif", "else", "endif"))
+        branches += ((ExprParser.parse(c), body))
+        term.takeWhile(!_.isWhitespace) match {
+          case "elif" => c = term.drop(4).trim
+          case "else" =>
+            val (eb, et) = parseNodes(Set("endif"))
+            if (et.isEmpty) throw new SyntaxError("'{% else %}' without '{% endif %}'")
+            orElse = eb
+            done = true
+          case "endif" => done = true
+          case _ => throw new SyntaxError("'{% if %}' without '{% endif %}'")
+        }
+      }
+      IfNode(branches.toList, orElse)
+    }
+
+    private def parseFor(body: String): ForNode = {
+      val m = "^for\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+in\\s+(.+)$".r
+        .findFirstMatchIn(body)
+        .getOrElse(throw new SyntaxError(
+          s"malformed for tag '{% $body %}' (expected '{% for name in expr %}')"))
+      val (inner, term) = parseNodes(Set("endfor"))
+      if (term.isEmpty) throw new SyntaxError("'{% for %}' without '{% endfor %}'")
+      ForNode(m.group(1), ExprParser.parse(m.group(2)), inner)
+    }
+  }
+
+  // ---- expression parsing ----
+
+  private object ExprParser {
+    private sealed trait ETok
+    private case class EId(s: String) extends ETok
+    private case class ENum(v: Any) extends ETok
+    private case class EStr(s: String) extends ETok
+    private case class EOp(s: String) extends ETok
+
+    private def tokens(s: String): Vector[ETok] = {
+      val out = mutable.ArrayBuffer.empty[ETok]
+      var i = 0
+      val n = s.length
+      while (i < n) {
+        val c = s.charAt(i)
+        if (c.isWhitespace) i += 1
+        else if (c.isDigit ||
+            (c == '.' && i + 1 < n && s.charAt(i + 1).isDigit)) {
+          val start = i
+          while (i < n && (s.charAt(i).isDigit || s.charAt(i) == '.')) i += 1
+          val t = s.substring(start, i)
+          out += ENum(if (t.contains('.')) t.toDouble else t.toLong)
+        } else if (c == '\'' || c == '"') {
+          val end = s.indexOf(c, i + 1)
+          if (end < 0) throw new SyntaxError(s"unterminated string in '$s'")
+          out += EStr(s.substring(i + 1, end))
+          i = end + 1
+        } else if (c.isLetter || c == '_') {
+          val start = i
+          while (i < n && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
+          out += EId(s.substring(start, i))
+        } else {
+          val two = if (i + 1 < n) s.substring(i, i + 2) else ""
+          if (Set("==", "!=", "<=", ">=").contains(two)) { out += EOp(two); i += 2 }
+          else if ("()[].,|~<>".indexOf(c) >= 0) { out += EOp(c.toString); i += 1 }
+          else throw new SyntaxError(s"unexpected character '$c' in expression '$s'")
+        }
+      }
+      out.toVector
+    }
+
+    def parse(src: String): Expr = {
+      val toks = tokens(src)
+      if (toks.isEmpty) throw new SyntaxError("empty template expression")
+      val p = new P(toks, src)
+      val e = p.orExpr()
+      p.expectEnd()
+      e
+    }
+
+    private class P(toks: Vector[ETok], src: String) {
+      private var pos = 0
+      private def peek: Option[ETok] = if (pos < toks.length) Some(toks(pos)) else None
+      private def advance(): ETok = { val t = toks(pos); pos += 1; t }
+      private def accept(op: String): Boolean = peek match {
+        case Some(EOp(o)) if o == op => pos += 1; true
+        case _ => false
+      }
+      private def acceptId(id: String): Boolean = peek match {
+        case Some(EId(i)) if i == id => pos += 1; true
+        case _ => false
+      }
+      private def expect(op: String): Unit =
+        if (!accept(op)) throw new SyntaxError(s"expected '$op' in expression '$src'")
+      def expectEnd(): Unit =
+        if (pos < toks.length)
+          throw new SyntaxError(s"trailing tokens in expression '$src'")
+
+      def orExpr(): Expr = {
+        var l = andExpr()
+        while (acceptId("or")) l = Bin("or", l, andExpr())
+        l
+      }
+      private def andExpr(): Expr = {
+        var l = notExpr()
+        while (acceptId("and")) l = Bin("and", l, notExpr())
+        l
+      }
+      private def notExpr(): Expr =
+        if (acceptId("not")) Un("not", notExpr()) else comparison()
+      private def comparison(): Expr = {
+        val l = concat()
+        peek match {
+          case Some(EOp(op)) if Set("==", "!=", "<", "<=", ">", ">=").contains(op) =>
+            pos += 1
+            Bin(op, l, concat())
+          case Some(EId("in")) =>
+            pos += 1
+            Bin("in", l, concat())
+          case Some(EId("not")) =>
+            pos += 1
+            if (!acceptId("in"))
+              throw new SyntaxError(s"expected 'in' after 'not' in '$src'")
+            Un("not", Bin("in", l, concat()))
+          case _ => l
+        }
+      }
+      private def concat(): Expr = {
+        var l = postfix()
+        while (accept("~")) l = Bin("~", l, postfix())
+        l
+      }
+      private def postfix(): Expr = {
+        var e = primary()
+        var going = true
+        while (going) {
+          if (accept(".")) advance() match {
+            case EId(name) => e = Attr(e, name)
+            case _ => throw new SyntaxError(s"expected attribute name in '$src'")
+          }
+          else if (accept("[")) { e = IndexOp(e, orExpr()); expect("]") }
+          else if (accept("|")) advance() match {
+            case EId(name) =>
+              val args = mutable.ListBuffer.empty[Expr]
+              if (accept("(")) {
+                if (!accept(")")) {
+                  args += orExpr()
+                  while (accept(",")) args += orExpr()
+                  expect(")")
+                }
+              }
+              e = FilterOp(e, name, args.toList)
+            case _ => throw new SyntaxError(s"expected filter name in '$src'")
+          }
+          else going = false
+        }
+        e
+      }
+      private def primary(): Expr = advance() match {
+        case ENum(v) => Lit(v)
+        case EStr(s) => Lit(s)
+        case EId("true") | EId("True") => Lit(true)
+        case EId("false") | EId("False") => Lit(false)
+        case EId("none") | EId("None") | EId("null") => Lit(null)
+        case EId(name) => Ref(name)
+        case EOp("(") => val e = orExpr(); expect(")"); e
+        case EOp("[") =>
+          // list literal: ['a', 'b'] — handy for inline for-loops
+          val items = mutable.ListBuffer.empty[Expr]
+          if (!accept("]")) {
+            items += orExpr()
+            while (accept(",")) items += orExpr()
+            expect("]")
+          }
+          val lits = items.toList
+          Lit(lits.map {
+            case Lit(v) => v
+            case _ => throw new SyntaxError(
+              s"list literals may hold only literals in '$src'")
+          })
+        case t => throw new SyntaxError(s"unexpected token $t in expression '$src'")
+      }
+    }
+  }
+
+  // ---- evaluation ----
+
+  private def renderNodes(nodes: List[Node], env: Map[String, Any],
+      sb: StringBuilder): Unit =
+    nodes.foreach {
+      case Text(s) => sb.append(s)
+      case Output(e, src) =>
+        eval(e, env) match {
+          case Undefined =>
+            val name = e match {
+              case Ref(n) => n
+              case _ => src
+            }
+            throw new IllegalArgumentException(
+              s"undefined template variable '$name'")
+          case v => sb.append(show(v))
+        }
+      case IfNode(branches, orElse) =>
+        branches.find { case (c, _) => truthy(eval(c, env)) } match {
+          case Some((_, body)) => renderNodes(body, env, sb)
+          case None => renderNodes(orElse, env, sb)
+        }
+      case ForNode(name, listE, body) =>
+        val items: Seq[Any] = eval(listE, env) match {
+          case s: Seq[_] => s
+          case a: Array[_] => a.toSeq
+          case it: Iterable[_] => it.toSeq
+          case s: String => s.map(_.toString)
+          case Undefined | null => throw new IllegalArgumentException(
+            s"'{% for %}' over undefined or non-iterable value")
+          case other => throw new IllegalArgumentException(
+            s"'{% for %}' over non-iterable ${other.getClass.getSimpleName}")
+        }
+        val len = items.length
+        items.zipWithIndex.foreach { case (item, i) =>
+          val loop = Map(
+            "index" -> (i + 1).toLong, "index0" -> i.toLong,
+            "first" -> (i == 0), "last" -> (i == len - 1),
+            "length" -> len.toLong, "revindex" -> (len - i).toLong)
+          renderNodes(body, env + (name -> item) + ("loop" -> loop), sb)
+        }
+    }
+
+  private def eval(e: Expr, env: Map[String, Any]): Any = e match {
+    case Lit(v) => v
+    case Ref(n) => env.getOrElse(n, Undefined)
+    case Attr(t, n) => eval(t, env) match {
+      case m: Map[_, _] => m.asInstanceOf[Map[String, Any]].getOrElse(n, Undefined)
+      case _ => Undefined
+    }
+    case IndexOp(t, ie) => (eval(t, env), eval(ie, env)) match {
+      case (s: Seq[_], i: Long) if i >= 0 && i < s.length => s(i.toInt)
+      case (m: Map[_, _], k) =>
+        m.asInstanceOf[Map[Any, Any]].getOrElse(k, Undefined)
+      case (s: String, i: Long) if i >= 0 && i < s.length => s(i.toInt).toString
+      case _ => Undefined
+    }
+    case Un("not", x) => !truthy(eval(x, env))
+    case Un(op, _) => throw new IllegalArgumentException(s"unknown unary op '$op'")
+    // and/or return an OPERAND (Python semantics), not a coerced boolean
+    case Bin("and", l, r) =>
+      val lv = eval(l, env); if (!truthy(lv)) lv else eval(r, env)
+    case Bin("or", l, r) =>
+      val lv = eval(l, env); if (truthy(lv)) lv else eval(r, env)
+    case Bin("~", l, r) => showConcat(eval(l, env)) + showConcat(eval(r, env))
+    case Bin("in", l, r) => (eval(l, env), eval(r, env)) match {
+      case (x, s: Seq[_]) => s.exists(looseEq(_, x))
+      case (x: String, s: String) => s.contains(x)
+      case (x, m: Map[_, _]) => m.asInstanceOf[Map[Any, Any]].keys.exists(looseEq(_, x))
+      case _ => false
+    }
+    case Bin("==", l, r) => looseEq(eval(l, env), eval(r, env))
+    case Bin("!=", l, r) => !looseEq(eval(l, env), eval(r, env))
+    case Bin(op @ ("<" | "<=" | ">" | ">="), l, r) =>
+      (eval(l, env), eval(r, env)) match {
+        case (Undefined, _) | (_, Undefined) => false
+        case (a, b) =>
+          val c = (a, b) match {
+            case (x: String, y: String) => x.compareTo(y)
+            case (x, y) => java.lang.Double.compare(num(x), num(y))
+          }
+          op match {
+            case "<" => c < 0
+            case "<=" => c <= 0
+            case ">" => c > 0
+            case _ => c >= 0
+          }
+      }
+    case Bin(op, _, _) => throw new IllegalArgumentException(s"unknown op '$op'")
+    case FilterOp(x, name, args) =>
+      applyFilter(eval(x, env), name, args.map(eval(_, env)))
+  }
+
+  private def applyFilter(v: Any, name: String, args: Seq[Any]): Any =
+    (name, v, args) match {
+      case ("upper", s: String, _) => s.toUpperCase(java.util.Locale.ROOT)
+      case ("lower", s: String, _) => s.toLowerCase(java.util.Locale.ROOT)
+      case ("length", s: String, _) => s.length.toLong
+      case ("length", s: Seq[_], _) => s.length.toLong
+      case ("length", m: Map[_, _], _) => m.size.toLong
+      case ("join", s: Seq[_], sep) =>
+        s.map(show).mkString(sep.headOption.map(show).getOrElse(""))
+      case ("first", s: Seq[_], _) => s.headOption.getOrElse(Undefined)
+      case ("first", s: String, _) => if (s.isEmpty) Undefined else s.head.toString
+      case ("last", s: Seq[_], _) => s.lastOption.getOrElse(Undefined)
+      case ("last", s: String, _) => if (s.isEmpty) Undefined else s.last.toString
+      case ("default", Undefined | null, d) => d.headOption.getOrElse("")
+      case ("default", x, _) => x
+      case (other, x, _) => throw new IllegalArgumentException(
+        s"unknown filter '$other' (value: ${x.getClass.getSimpleName})")
+    }
+
+  private def truthy(v: Any): Boolean = v match {
+    case Undefined | null | false => false
+    case "" => false
+    case s: Seq[_] => s.nonEmpty
+    case m: Map[_, _] => m.nonEmpty
+    case l: Long => l != 0L
+    case i: Int => i != 0
+    case d: Double => d != 0.0
+    case _ => true
+  }
+
+  private def looseEq(a: Any, b: Any): Boolean = (a, b) match {
+    case (Undefined, _) | (_, Undefined) => false
+    case (null, null) => true
+    case (null, _) | (_, null) => false
+    case (x: String, y: String) => x == y
+    case (x: Boolean, y: Boolean) => x == y
+    case (x, y) if isNum(x) && isNum(y) => num(x) == num(y)
+    case (x, y) => x == y
+  }
+
+  private def isNum(v: Any): Boolean = v match {
+    case _: Long | _: Int | _: Short | _: Byte | _: Double | _: Float => true
+    case _ => false
+  }
+  private def num(v: Any): Double = v match {
+    case l: Long => l.toDouble
+    case i: Int => i.toDouble
+    case s: Short => s.toDouble
+    case b: Byte => b.toDouble
+    case d: Double => d
+    case f: Float => f.toDouble
+    case other => throw new IllegalArgumentException(
+      s"cannot compare non-numeric ${other.getClass.getSimpleName}")
+  }
+
+  /** Python-`str` style rendering (matches what jinja2 would emit). */
+  private def show(v: Any): String = v match {
+    case null => "None"
+    case true => "True"
+    case false => "False"
+    case s: String => s
+    case s: Seq[_] => s.map(repr).mkString("[", ", ", "]")
+    case m: Map[_, _] =>
+      m.map { case (k, x) => s"${repr(k)}: ${repr(x)}" }.mkString("{", ", ", "}")
+    case other => other.toString
+  }
+
+  /** `~` coerces like Python str() but rejects None (jinja renders it
+   * 'None' too — keep it simple and identical). */
+  private def showConcat(v: Any): String = v match {
+    case Undefined => throw new IllegalArgumentException(
+      "cannot concatenate an undefined value with '~'")
+    case other => show(other)
+  }
+
+  private def repr(v: Any): String = v match {
+    case s: String => "'" + s + "'"
+    case other => show(other)
+  }
+}

@@ -156,6 +156,29 @@ class GraftSqlFuzzSpec extends SparkTestBase {
     }
   }
 
+  test("fuzz P2c: {% for %}/{% if %} templating renders pipelines that run") {
+    val caseGen: Gen[(Seq[String], Boolean)] = for {
+      ns <- Gen.listOfN(3, identGen).retryUntil(_.distinct.size == 3)
+      take <- Gen.oneOf(true, false)
+    } yield (ns, take)
+    for (((names, take), i) <- samples(caseGen, 30, seed = 6000L).zipWithIndex) {
+      val script =
+        """{% for n in names %}
+          |{{ n }} = CREATE [[{{ loop.index }}, "k{{ loop.index0 }}"]] SCHEMA v:long,k:str
+          |{% endfor %}
+          |u = SELECT v, k FROM {{ names | first }}{% for n in names %}{% if not loop.first %} UNION ALL SELECT v, k FROM {{ n }}{% endif %}{% endfor %}
+          |{% if take %}res = TAKE 1 ROWS FROM u PRESORT v DESC{% else %}res = SELECT v, k FROM u WHERE v >= 2{% endif %}
+          |YIELD res AS out
+          |""".stripMargin
+      val rows = GraftSql.run(engine, script,
+        vars = Map("names" -> names, "take" -> take))
+        .yields("out").collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      val want =
+        if (take) Seq((3L, "k2")) else Seq((2L, "k1"), (3L, "k2"))
+      assert(rows.toSeq === want, s"sample $i (names=$names take=$take)")
+    }
+  }
+
   test("regressions the fuzzer found: bare TAKE and dangling assignment") {
     // both crashed with NoSuchElementException before round 4
     val e1 = intercept[IllegalArgumentException] {

@@ -1,0 +1,116 @@
+package graft
+
+import graft.sql.{GraftSql, Template}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Jinja-parity cases for the GraftSql template engine (the reference
+ * renders FugueSQL through real jinja2 — fugue/sql/_utils.py). Pure JVM,
+ * no SparkSession. */
+class TemplateSpec extends AnyFunSuite {
+
+  private def r(s: String, p: Map[String, Any] = Map.empty): String =
+    Template.render(s, p)
+
+  test("variable output, whitespace forms, verbatim insertion") {
+    assert(r("a {{x}} b {{ x }} c", Map("x" -> "V")) === "a V b V c")
+    // regex-hostile values insert verbatim (the legacy substituter's pin)
+    for (v <- Seq("$1", "\\d", "{{", "}}", "a$\\b"))
+      assert(r("pre {{x}} post", Map("x" -> v)) === s"pre $v post")
+    // non-string scalars render Python-style
+    assert(r("{{n}}|{{f}}|{{t}}|{{z}}", Map("n" -> 7L, "f" -> 2.5,
+      "t" -> true, "z" -> null)) === "7|2.5|True|None")
+  }
+
+  test("undefined variable raises; single braces and text pass through") {
+    val e = intercept[IllegalArgumentException](r("x {{nope}} y"))
+    assert(e.getMessage.contains("nope"))
+    assert(r("a {not a var} b $c \\d") === "a {not a var} b $c \\d")
+    // unterminated opener degrades to literal text
+    assert(r("lone {{ brace") === "lone {{ brace")
+  }
+
+  test("if / elif / else with comparisons, boolean ops, membership") {
+    val t = "{% if n > 10 %}big{% elif n > 5 %}mid{% else %}small{% endif %}"
+    assert(r(t, Map("n" -> 20L)) === "big")
+    assert(r(t, Map("n" -> 7L)) === "mid")
+    assert(r(t, Map("n" -> 1L)) === "small")
+    assert(r("{% if a and not b %}y{% endif %}",
+      Map("a" -> true, "b" -> false)) === "y")
+    assert(r("{% if 'x' in items %}has{% endif %}",
+      Map("items" -> Seq("w", "x"))) === "has")
+    assert(r("{% if 'q' not in items %}no-q{% endif %}",
+      Map("items" -> Seq("w", "x"))) === "no-q")
+    // undefined name is FALSY in boolean context (jinja Undefined), while
+    // string/number comparisons follow loose numeric equality
+    assert(r("{% if missing %}a{% else %}b{% endif %}") === "b")
+    assert(r("{% if x == 3 %}eq{% endif %}", Map("x" -> 3.0)) === "eq")
+  }
+
+  test("for loops: loop helper, nesting, separators") {
+    assert(r("{% for x in xs %}{{ x }};{% endfor %}",
+      Map("xs" -> Seq("a", "b"))) === "a;b;")
+    assert(r("{% for x in xs %}{{ loop.index }}:{{ x }}" +
+      "{% if not loop.last %},{% endif %}{% endfor %}",
+      Map("xs" -> Seq("p", "q", "r"))) === "1:p,2:q,3:r")
+    // nested loops shadow `loop`
+    assert(r("{% for a in xs %}{% for b in ys %}{{ loop.index0 }}{% endfor %}" +
+      "|{% endfor %}", Map("xs" -> Seq(1L, 2L), "ys" -> Seq("u", "v")))
+      === "01|01|")
+    // inline list literal
+    assert(r("{% for c in ['x', 'y'] %}{{ c }}{% endfor %}") === "xy")
+    val e = intercept[IllegalArgumentException](
+      r("{% for x in nope %}{{x}}{% endfor %}"))
+    assert(e.getMessage.contains("for"))
+  }
+
+  test("attribute/index access and filters") {
+    assert(r("{{ cfg.table }}", Map("cfg" -> Map("table" -> "docs"))) === "docs")
+    assert(r("{{ xs[1] }}", Map("xs" -> Seq("a", "b"))) === "b")
+    assert(r("{{ s | upper }}-{{ s | length }}", Map("s" -> "ab")) === "AB-2")
+    assert(r("{{ xs | join(', ') }}", Map("xs" -> Seq("a", "b"))) === "a, b")
+    assert(r("{{ missing | default('dflt') }}") === "dflt")
+    assert(r("{{ xs | first }}{{ xs | last }}", Map("xs" -> Seq("a", "b"))) === "ab")
+    assert(r("{{ a ~ '_' ~ n }}", Map("a" -> "x", "n" -> 3L)) === "x_3")
+  }
+
+  test("raw blocks, comments, whitespace control") {
+    assert(r("a {% raw %}{{ not rendered }}{% endraw %} b") ===
+      "a {{ not rendered }} b")
+    assert(r("a {# note #}b") === "a b")
+    assert(r("x\n  {%- if true %} y {%- endif %}") === "x y")
+    assert(r("{{ x -}}   z", Map("x" -> "w")) === "wz")
+  }
+
+  test("quoted {%}-only literals are protected like _utils.py") {
+    // a quoted '{%' must not open a tag (fugue/sql/_utils.py:11,26-33)
+    assert(r("SELECT '{%' AS t FROM x") === "SELECT '{%' AS t FROM x")
+    assert(r("""SELECT "%}" AS t""") === """SELECT "%}" AS t""")
+    assert(r("a '{}' b {{v}}", Map("v" -> "k")) === "a '{}' b k")
+  }
+
+  test("templated pipeline renders and runs end-to-end semantics") {
+    // the rendered text IS the contract: check rendering of a realistic
+    // multi-construct pipeline (execution is covered by GraftSqlSpec/q87)
+    val script =
+      """{% for t in tables %}
+        |{{ t }}_f = SELECT * FROM {{ t }} WHERE v > {{ minV }}
+        |{% endfor %}
+        |out = SELECT k FROM {{ tables | first }}_f
+        |{% if save %}SAVE out OVERWRITE PARQUET "/tmp/x"{% endif %}
+        |""".stripMargin
+    val got = r(script, Map("tables" -> Seq("a", "b"), "minV" -> 5L,
+      "save" -> false))
+    assert(got.contains("a_f = SELECT * FROM a WHERE v > 5"))
+    assert(got.contains("b_f = SELECT * FROM b WHERE v > 5"))
+    assert(got.contains("out = SELECT k FROM a_f"))
+    assert(!got.contains("SAVE"))
+  }
+
+  test("substituteVars keeps its legacy contract") {
+    assert(GraftSql.substituteVars("pre {{a}} mid {{ a }}", Map("a" -> "$\\")) ===
+      "pre $\\ mid $\\")
+    intercept[IllegalArgumentException] {
+      GraftSql.substituteVars("{{missing}}", Map("a" -> "x"))
+    }
+  }
+}

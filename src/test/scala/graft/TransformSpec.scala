@@ -58,6 +58,24 @@ class TransformSpec extends SparkTestBase {
     assert(counts.length <= 3)
   }
 
+  test("per_row alias: one logical partition per row") {
+    // PartitionSpec("per_row") == (algo=even, num=ROWCOUNT) — reference
+    // fugue/collections/partition.py:95,115-117
+    assert(PartitionSpec("per_row") ===
+      PartitionSpec(algo = "even", num = "ROWCOUNT"))
+    assert(PartitionSpec("PER_ROW") ===
+      PartitionSpec(algo = "even", num = "ROWCOUNT"))
+    // any other string is a single partition-by column
+    assert(PartitionSpec("a") === PartitionSpec(by = Seq("a")))
+    val d = df((1 to 7).map(i => Seq(i)), "x:int")
+    val out = Transform.mapPartitions(d, PartitionSpec("per_row"),
+      SchemaExpr.parse("x:int,n:long")) { (_, rows) =>
+      val buf = rows.toArray
+      buf.iterator.map(r => Row(r.getInt(0), buf.length.toLong))
+    }
+    assertDfEq(out, (1 to 7).map(i => Seq(i, 1L)))
+  }
+
   test("mapPartitions: empty input produces no calls") {
     val d = df(Seq(Seq(1)), "x:int").filter(col("x") > 100)
     val out = Transform.mapPartitions(d, PartitionSpec.empty,
