@@ -1087,6 +1087,32 @@ object SparkEntry {
           col("target_uri"), col("warc_type"), col("content_length"),
           col("payload").cast("string").as("text"))
     }),
+    // image near-dup end-to-end (the d09 pattern for pixels): structured
+    // PNGs in 10 pattern groups with per-image noise → REAL ImageIO
+    // decode → dHash → pigeonhole banding → verify, cross-checked against
+    // a brute-force over the same hashes (zero-signature guard mirrored).
+    // Exactness differential: banding prunes, never drops, so the two
+    // pair sets must be identical — and non-empty, or the query is vacuous
+    "m10_image_near_dup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      val pngs = Multimodal.syntheticStructuredImages(docs, "doc_id",
+        nPatterns = 10, noisePixels = 4)
+      val banded = Multimodal.imageNearDupPairs(pngs, "doc_id", "payload",
+        maxHamming = 10, maxBucketSize = Int.MaxValue)
+      val sigs = Multimodal.imageDHash(pngs, "doc_id", "payload")
+        .filter(col("img_ok") && col("dhash") =!= 0L)
+        .select(col("doc_id").as("id"), col("dhash").as("sig"))
+        .localCheckpoint(true)
+      val brute = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))
+        .crossJoin(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+        .filter(col("hamming") <= 10)
+        .select("id_a", "id_b", "hamming")
+      eng(s).toDF(Seq(Seq(
+        if (graft.api.DfUtils.dfEq(banded, brute) && banded.count() > 0) 1L
+        else 0L)), "image_dedup_ok:long")
+    }),
     "m07_audio_features" -> ((s, dir) => {
       // REAL sample-level audio decode: waveform features (RMS, zero
       // crossings, peak) computed from the PCM samples the JDK decoder
@@ -2460,6 +2486,7 @@ object SparkEntry {
       """SELECT doc_id, CAST(8 + doc_id % 57 AS INTEGER) AS width,
         | CAST(8 + doc_id % 31 AS INTEGER) AS height,
         | CAST(3 AS INTEGER) AS channels FROM documents""".stripMargin,
+    "m10_image_near_dup" -> "SELECT CAST(1 AS BIGINT) AS image_dedup_ok",
     "m09_warc_ingest" ->
       """SELECT doc_id,
         | concat('https://corpus.example.org/doc/', CAST(doc_id AS VARCHAR))
