@@ -752,13 +752,34 @@ object GraftSql {
       new String(m)
     }
 
+    /** Full reference PREPARTITION clause
+     * (`fugue/sql/_visitors.py:167-175`): `PREPARTITION [HASH|RAND|EVEN|
+     * COARSE] [num] [BY cols] [PRESORT ...]` — algo and num are optional
+     * prefixes; num may be an arithmetic expression over ROWCOUNT /
+     * CONCURRENCY (e.g. `ROWCOUNT/4 + 3`), evaluated by
+     * [[PartitionSpec.evalNum]]. */
     private def partitionSpec(stmt: String): PartitionSpec = {
-      val by = kwArg(stmt, "PREPARTITION\\s+BY")
-        .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
+      val masked = maskQuotes(stmt)
+      val hasPrep = "(?i)\\bPREPARTITION\\b".r.findFirstIn(masked).isDefined
+      val algo = "(?i)\\bPREPARTITION\\s+(HASH|RAND|EVEN|COARSE)\\b".r
+        .findFirstMatchIn(masked).map(_.group(1).toLowerCase).getOrElse("default")
+      // a num expression starts with a digit, '(' or a ROWCOUNT/CONCURRENCY
+      // token — never with BY/PRESORT, so those keywords terminate it
+      val num = ("(?i)\\bPREPARTITION\\b(?:\\s+(?:HASH|RAND|EVEN|COARSE)\\b)?" +
+        "\\s+((?:\\d+|ROWCOUNT|CONCURRENCY|\\()" +
+        "(?:\\s*(?:\\d+|ROWCOUNT|CONCURRENCY|[+*/()\\-]))*)").r
+        .findFirstMatchIn(masked).map(_.group(1).trim).getOrElse("0")
+      // BY belongs to the clause even with algo/num between (the bare
+      // `BY`-adjacent form stays supported); outside a PREPARTITION these
+      // statements carry no BY keyword
+      val by =
+        if (hasPrep) kwArg(stmt, "BY").map(_.split(",").map(_.trim).toSeq)
+          .getOrElse(Nil)
+        else Nil
       val presort = "(?i)PRESORT\\s+((?:[A-Za-z0-9_]+(?:\\s+(?:ASC|DESC))?\\s*,?\\s*)+)".r
         .findFirstMatchIn(stmt)
         .map(m => PartitionSpec.parsePresort(m.group(1))).getOrElse(Nil)
-      PartitionSpec(by = by, presort = presort)
+      PartitionSpec(algo = algo, num = num, by = by, presort = presort)
     }
 
     /** `CONNECT <engine>[(params)] [<statement>]` — the reference's

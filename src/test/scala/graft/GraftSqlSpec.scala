@@ -84,6 +84,37 @@ class GraftSqlSpec extends SparkTestBase {
     assertDfEq(res.yields("out"), Seq(Seq("a", 4L), Seq("b", 11L)))
   }
 
+  test("PREPARTITION algo/num prefixes: EVEN ROWCOUNT (per-row) and HASH n BY") {
+    // full reference clause (fugue/sql/_visitors.py:167-175): algo and a
+    // ROWCOUNT-expression num ahead of BY/PRESORT
+    val perRowT = TransformerDef(
+      outputSchema = (_, _) => graft.schema.SchemaExpr.parse("k:str,n:long"),
+      fn = (_, rows, _) => {
+        val buf = rows.toArray
+        buf.iterator.map(r => Row(r.getString(0), buf.length.toLong))
+      })
+    val res = GraftSql.run(engine,
+      """TRANSFORM input PREPARTITION EVEN ROWCOUNT USING per_row_count
+        |YIELD AS out
+        |""".stripMargin,
+      Map("input" -> d1), Map("per_row_count" -> perRowT))
+    // one row per physical partition slice -> every n is 1
+    val out = res.yields("out").collect()
+    assert(out.length === d1.count())
+    assert(out.forall(_.getLong(1) === 1L))
+    // algo + literal num + BY still groups logically by k
+    val sumT = TransformerDef(
+      outputSchema = (_, _) => graft.schema.SchemaExpr.parse("k:str,total:long"),
+      fn = (cursor, rows, _) =>
+        Iterator.single(Row(cursor.keyValues.head, rows.map(_.getInt(1).toLong).sum)))
+    val res2 = GraftSql.run(engine,
+      """TRANSFORM input PREPARTITION HASH 2 BY k USING sum_v
+        |YIELD AS out
+        |""".stripMargin,
+      Map("input" -> d1), Map("sum_v" -> sumT))
+    assertDfEq(res2.yields("out"), Seq(Seq("a", 4L), Seq("b", 11L)))
+  }
+
   test("unknown statement and unknown df raise") {
     intercept[IllegalArgumentException](GraftSql.run(engine, "FROBNICATE x"))
     intercept[IllegalArgumentException](
