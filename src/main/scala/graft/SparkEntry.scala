@@ -512,6 +512,48 @@ object SparkEntry {
             math.min(0.95, 3 * frac)).cast("bigint").as("recall_ok"))
     }),
 
+    // embedding k-means clustering differential: the plan-embedded
+    // NearestCells assignment must equal an INDEPENDENT argmax computed
+    // through a different code path — centroids exploded to a broadcast
+    // k-row frame, per-(row,centroid) DotProduct, per-row min-index argmax
+    // (matching the expression's lowest-index tie resolution; both dot
+    // loops accumulate ascending, so FP results are bit-identical). Plus
+    // coverage laws: every row assigned, clusters within [0, k), >1
+    // cluster used (k=8 over 500+ vectors — a collapsed clustering fails)
+    "s07_kmeans_cluster" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val k = 8
+      val (assigned, cents) = Similarity.clusterEmbeddingsWithCentroids(
+        emb, "vec_id", "embedding", k, iterations = 2, sampleSize = 2000)
+      val centRows = cents.zipWithIndex.map { case (v, i) =>
+        Row(i, v.toSeq)
+      }.toSeq
+      val centDf = s.createDataFrame(
+        s.sparkContext.parallelize(centRows, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("c",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("cv",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType, containsNull = false)))))
+      val independent = emb
+        .select(col("vec_id"), Similarity.l2normalize(col("embedding")).as("v"))
+        .crossJoin(broadcast(centDf))
+        .withColumn("score", Similarity.dot(col("v"), col("cv")))
+        .groupBy("vec_id")
+        .agg(max_by(col("c"), struct(col("score"), -col("c"))).as("cluster"))
+      val agree = graft.api.DfUtils.dfEq(
+        assigned.select("vec_id", "cluster"),
+        independent.select("vec_id", "cluster"))
+      val stats = assigned.agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("cluster")).as("n_clusters"),
+        min(col("cluster")).as("mn"), max(col("cluster")).as("mx")).head()
+      val lawsOk = stats.getLong(0) == emb.count() &&
+        stats.getLong(1) > 1 && stats.getInt(2) >= 0 && stats.getInt(3) < k
+      eng(s).toDF(Seq(Seq(if (agree && lawsOk) 1L else 0L)), "cluster_ok:long")
+    }),
+
     // ---- beyond-reference: text analysis ------------------------------
     "t01_text_analyze" -> ((s, dir) =>
       TextFunctions.analyze(t(s, dir, "documents"), "doc_id", "text")),
@@ -2741,6 +2783,7 @@ object SparkEntry {
         | CAST(len(w[cid*40+1 : cid*40+50]) AS INTEGER) AS n_tokens
         |FROM j""".stripMargin,
     "s06_semantic_dedup" -> "SELECT CAST(1 AS BIGINT) AS sem_ok",
+    "s07_kmeans_cluster" -> "SELECT CAST(1 AS BIGINT) AS cluster_ok",
     "t21_bpe" -> "SELECT CAST(1 AS BIGINT) AS bpe_ok",
     "t22_url_domains" ->
       (s"""WITH injected AS (

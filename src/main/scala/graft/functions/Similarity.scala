@@ -222,6 +222,38 @@ object Similarity {
   }
 
   /**
+   * Embedding k-means clustering as a first-class operator — the coarse
+   * partitioning step SemDeDup-style semantic dedup, topic bucketing and
+   * mixture curation build on. Trains unit-norm centroids
+   * ([[trainIvfCentroids]]: bounded sample, driver holds k×dim doubles
+   * only), then assigns EVERY row by the plan-embedded nearest-centroid
+   * expression — one scan, no shuffle, no join; at 100 TB the assignment
+   * is a narrow codegen'd map over the corpus. Deterministic for fixed
+   * (data, seed). Output: (idCol, cluster:int), cluster ∈ [0, k).
+   */
+  def clusterEmbeddings(
+      df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iterations: Int = 3, sampleSize: Int = 20000,
+      seed: Long = 42L): DataFrame =
+    clusterEmbeddingsWithCentroids(df, idCol, vecCol, k, iterations,
+      sampleSize, seed)._1
+
+  /** The trained centroids alongside the assignment — for callers that
+   * need both (e.g. per-cluster centrality ranking) without training
+   * twice. */
+  def clusterEmbeddingsWithCentroids(
+      df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iterations: Int = 3, sampleSize: Int = 20000,
+      seed: Long = 42L): (DataFrame, Array[Array[Double]]) = {
+    require(idCol != "cluster", "idCol collides with output column 'cluster'")
+    val centroids = trainIvfCentroids(df, vecCol, k, iterations, sampleSize, seed)
+    import graft.functions.expressions.VectorExpressions.nearestCells
+    (df.select(col(idCol),
+      nearestCells(l2normalize(col(vecCol)), centroids, 1)(0).as("cluster")),
+      centroids)
+  }
+
+  /**
    * IVF approximate top-k: the corpus is partitioned into `centroids.length`
    * cells by nearest centroid (ONE scan, no shuffle — cell assignment is a
    * plan-embedded expression); each query probes its `nProbe` nearest cells

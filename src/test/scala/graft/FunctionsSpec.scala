@@ -178,6 +178,34 @@ class FunctionsSpec extends SparkTestBase {
     assert(full === brute)
   }
 
+  test("clusterEmbeddings: deterministic, matches driver argmax, covers clusters") {
+    val (assigned, cents) = Similarity.clusterEmbeddingsWithCentroids(
+      emb, "vec_id", "embedding", k = 4, iterations = 2, sampleSize = 1000)
+    val rows = assigned.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // driver brute-force argmax over the same centroids (lowest-index ties)
+    val vecs = emb.select(col("vec_id"),
+      Similarity.l2normalize(col("embedding")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    vecs.foreach { case (id, v) =>
+      val scores = cents.map(c =>
+        c.zip(v).map { case (a, b) => a * b }.sum)
+      val best = scores.indices.maxBy(i => (scores(i), -i))
+      assert(rows(id) === best, s"vec $id")
+    }
+    assert(rows.values.toSet.size > 1)           // not collapsed
+    assert(rows.values.forall(c => c >= 0 && c < 4))
+    assert(rows.size === vecs.size)              // every row assigned
+    // pure function of (data, seed)
+    val again = Similarity.clusterEmbeddings(emb, "vec_id", "embedding",
+      k = 4, iterations = 2, sampleSize = 1000)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(again === rows)
+    intercept[IllegalArgumentException] {
+      Similarity.clusterEmbeddings(
+        emb.withColumnRenamed("vec_id", "cluster"), "cluster", "embedding", 2)
+    }
+  }
+
   test("ivfCosinePairs precision exact; recall high with probing") {
     val exact = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.3)
       .select("id_a", "id_b")
