@@ -70,10 +70,13 @@ object Template {
    * Int/Long/Double, Seq, Map[String, _] or null; anything else renders
    * via toString. */
   def render(script: String, params: Map[String, Any]): String = {
+    // the reference drops a "self" key before rendering
+    // (fugue/sql/_utils.py:23-24 — an artifact of passing python locals())
+    val env = params - "self"
     def go(src: String): String = {
       val nodes = new Parser(applyTrims(lex(src))).parseAll()
       val sb = new StringBuilder
-      renderNodes(nodes, params, sb)
+      renderNodes(nodes, env, sb)
       sb.toString
     }
     val guarded = protectQuoted(script)
@@ -268,8 +271,8 @@ object Template {
           out += EId(s.substring(start, i))
         } else {
           val two = if (i + 1 < n) s.substring(i, i + 2) else ""
-          if (Set("==", "!=", "<=", ">=").contains(two)) { out += EOp(two); i += 2 }
-          else if ("()[].,|~<>".indexOf(c) >= 0) { out += EOp(c.toString); i += 1 }
+          if (Set("==", "!=", "<=", ">=", "//").contains(two)) { out += EOp(two); i += 2 }
+          else if ("()[].,|~<>+-*/%".indexOf(c) >= 0) { out += EOp(c.toString); i += 1 }
           else throw new SyntaxError(s"unexpected character '$c' in expression '$s'")
         }
       }
@@ -333,10 +336,36 @@ object Template {
         }
       }
       private def concat(): Expr = {
-        var l = postfix()
-        while (accept("~")) l = Bin("~", l, postfix())
+        var l = additive()
+        while (accept("~")) l = Bin("~", l, additive())
         l
       }
+      private def additive(): Expr = {
+        var l = multiplicative()
+        var going = true
+        while (going) {
+          if (accept("+")) l = Bin("+", l, multiplicative())
+          else if (accept("-")) l = Bin("-", l, multiplicative())
+          else going = false
+        }
+        l
+      }
+      private def multiplicative(): Expr = {
+        var l = unary()
+        var going = true
+        while (going) {
+          if (accept("*")) l = Bin("*", l, unary())
+          else if (accept("/")) l = Bin("/", l, unary())
+          else if (accept("//")) l = Bin("//", l, unary())
+          else if (accept("%")) l = Bin("%", l, unary())
+          else going = false
+        }
+        l
+      }
+      private def unary(): Expr =
+        if (accept("-")) Un("neg", unary())
+        else if (accept("+")) unary()
+        else postfix()
       private def postfix(): Expr = {
         var e = primary()
         var going = true
@@ -448,6 +477,13 @@ object Template {
       case _ => Undefined
     }
     case Un("not", x) => !truthy(eval(x, env))
+    case Un("neg", x) => eval(x, env) match {
+      case l: Long => -l
+      case i: Int => -i.toLong
+      case d: Double => -d
+      case other => throw new IllegalArgumentException(
+        s"cannot negate ${if (other == Undefined) "an undefined value" else other.getClass.getSimpleName}")
+    }
     case Un(op, _) => throw new IllegalArgumentException(s"unknown unary op '$op'")
     // and/or return an OPERAND (Python semantics), not a coerced boolean
     case Bin("and", l, r) =>
@@ -455,6 +491,33 @@ object Template {
     case Bin("or", l, r) =>
       val lv = eval(l, env); if (truthy(lv)) lv else eval(r, env)
     case Bin("~", l, r) => showConcat(eval(l, env)) + showConcat(eval(r, env))
+    // arithmetic with Python semantics: ints stay ints (except true
+    // division), int/float mixes widen, + concatenates strings and lists
+    case Bin(op @ ("+" | "-" | "*" | "/" | "//" | "%"), l, r) =>
+      (eval(l, env), eval(r, env), op) match {
+        case (a: String, b: String, "+") => a + b
+        case (a: Seq[_], b: Seq[_], "+") => a ++ b
+        case (a, b, _) if isNum(a) && isNum(b) =>
+          (a, b) match {
+            case (x: Long, y: Long) if op != "/" => op match {
+              case "+" => x + y
+              case "-" => x - y
+              case "*" => x * y
+              case "//" => Math.floorDiv(x, y)
+              case _ => Math.floorMod(x, y)
+            }
+            case _ => op match {
+              case "+" => num(a) + num(b)
+              case "-" => num(a) - num(b)
+              case "*" => num(a) * num(b)
+              case "/" => num(a) / num(b)
+              case "//" => math.floor(num(a) / num(b))
+              case _ => num(a) % num(b)
+            }
+          }
+        case (a, b, _) => throw new IllegalArgumentException(
+          s"cannot apply '$op' to ${kind(a)} and ${kind(b)}")
+      }
     case Bin("in", l, r) => (eval(l, env), eval(r, env)) match {
       case (x, s: Seq[_]) => s.exists(looseEq(_, x))
       case (x: String, s: String) => s.contains(x)
@@ -522,6 +585,11 @@ object Template {
     case (x, y) if isNum(x) && isNum(y) => num(x) == num(y)
     case (x, y) => x == y
   }
+
+  private def kind(v: Any): String =
+    if (v == Undefined) "an undefined value"
+    else if (v == null) "None"
+    else v.getClass.getSimpleName
 
   private def isNum(v: Any): Boolean = v match {
     case _: Long | _: Int | _: Short | _: Byte | _: Double | _: Float => true

@@ -73,6 +73,16 @@ class TemplateSpec extends AnyFunSuite {
     assert(r("{{ a ~ '_' ~ n }}", Map("a" -> "x", "n" -> 3L)) === "x_3")
   }
 
+  test("arithmetic: python semantics (ints stay ints, / is true division)") {
+    assert(r("{{ n + 1 }}|{{ n - 1 }}|{{ n * 2 }}", Map("n" -> 3L)) === "4|2|6")
+    assert(r("{{ 7 / 2 }}|{{ 7 // 2 }}|{{ 7 % 2 }}") === "3.5|3|1")
+    assert(r("{{ -n }}|{{ 2 + 3 * 4 }}|{{ (2 + 3) * 4 }}", Map("n" -> 5L))
+      === "-5|14|20")
+    assert(r("{{ 'a' + 'b' }}") === "ab")
+    assert(r("{% if xs | length - 1 == 1 %}two{% endif %}",
+      Map("xs" -> Seq("p", "q"))) === "two")
+  }
+
   test("raw blocks, comments, whitespace control") {
     assert(r("a {% raw %}{{ not rendered }}{% endraw %} b") ===
       "a {{ not rendered }} b")
@@ -104,6 +114,49 @@ class TemplateSpec extends AnyFunSuite {
     assert(got.contains("b_f = SELECT * FROM b WHERE v > 5"))
     assert(got.contains("out = SELECT k FROM a_f"))
     assert(!got.contains("SAVE"))
+  }
+
+  test("reference fill_sql_template parity (tests/fugue/sql/test_utils.py)") {
+    val data = Map[String, Any]("a" -> 1L, "b" -> "x")
+    assert(r("select * from tbl where a = {{a}} and b = '{{b}}'", data) ===
+      "select * from tbl where a = 1 and b = 'x'")
+    assert(r("""select * from tbl where a = {{a}} and b = "{{b}}" """, data) ===
+      """select * from tbl where a = 1 and b = "x" """)
+    assert(r("""select * where b="%{{b}}" """, data) ===
+      """select * where b="%x" """)
+    assert(r("""select * where b="{{b}}%" """, data) ===
+      """select * where b="x%" """)
+    // quoted {%}-only content is raw (the json-pattern protection)
+    assert(r("""select * b like "{}%{}" """, data) ===
+      """select * b like "{}%{}" """)
+    assert(r("""select * b like '%}' """, data) === """select * b like '%}' """)
+    assert(r("a=select * from b like '{%'", data) ===
+      "a=select * from b like '{%'")
+    assert(r("""a=select * from b like "%}"""", data) ===
+      """a=select * from b like "%}"""")
+    assert(r("a=select ", data) === "a=select ")
+    assert(r("{{a}}{{b}}{{a}}", data) === "1x1")
+    assert(r("", data) === "")
+    assert(r("%s", data) === "%s")
+    assert(r("%%s", data) === "%%s")
+    assert(r("{{a}}%%s{{b}}{{a}}", data) === "1%%sx1")
+    // a "self" key is dropped before rendering (_utils.py:23-24)
+    assert(r("{{a}}", Map("a" -> 1L, "self" -> 2L)) === "1")
+    // the array rendering pattern from test_fill_sql_template_array,
+    // with trim markers on every construct and a filter
+    val arr =
+      """select * from tbl where a in (
+        |            {%- for i in a -%}
+        |                {%- if loop.index0 < loop.length - 1 -%}'{{-i-}}',
+        |                {%- else -%}'{{-i-}}'
+        |                {%- endif -%}
+        |            {%- endfor -%}
+        |            )""".stripMargin
+    assert(r(arr, Map("a" -> Seq(0L, 1L, 2L))) ===
+      "select * from tbl where a in ('0','1','2')")
+    assert(r(arr.replace("{{-i-}}", "{{-i|upper-}}"),
+      Map("a" -> Seq("a", "b", "c"))) ===
+      "select * from tbl where a in ('A','B','C')")
   }
 
   test("substituteVars keeps its legacy contract") {
