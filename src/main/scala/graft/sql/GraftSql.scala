@@ -242,6 +242,15 @@ object GraftSql {
             valueCol = p.getOrElse("col", "text"),
             k = p.getOrElse("k", "50").toInt)
         },
+        "kmeans_cluster" -> ProcessorDef { (_, dfs, p) =>
+          graft.functions.Similarity.clusterEmbeddings(
+            one(dfs, "kmeans_cluster"), id(p),
+            vecCol = p.getOrElse("col", "embedding"),
+            k = p.getOrElse("k", "8").toInt,
+            iterations = p.get("iters").map(_.toInt).getOrElse(3),
+            sampleSize = p.get("sample").map(_.toInt).getOrElse(20000),
+            seed = p.get("seed").map(_.toLong).getOrElse(42L))
+        },
         "span_dedup" -> ProcessorDef { (_, dfs, p) =>
           Dedup.removeDuplicateSpans(one(dfs, "span_dedup"), id(p), tcol(p),
             spanTokens = p.get("span").map(_.toInt).getOrElse(50),

@@ -675,6 +675,25 @@ class GraftSqlSpec extends SparkTestBase {
     assert(res.yields("fresh").collect().map(_.getLong(0)).toSeq === Seq(2L))
   }
 
+  test("built-in kmeans_cluster processor from the dialect") {
+    // two well-separated direction clusters; cosine k-means must keep
+    // each group together whatever the learned cluster ids are
+    val emb = df(Seq(
+      Seq(1L, Seq(1.0, 0.02, 0.0)), Seq(2L, Seq(0.9, 0.0, 0.01)),
+      Seq(3L, Seq(1.1, 0.01, 0.02)),
+      Seq(4L, Seq(0.0, 0.03, 1.0)), Seq(5L, Seq(0.01, 0.0, 0.95)),
+      Seq(6L, Seq(0.02, 0.01, 1.05))), "vec_id:long,embedding:[double]")
+    val res = GraftSql.run(engine,
+      """c = PROCESS emb USING kmeans_cluster(id:vec_id, col:embedding, k:2, iters:2)
+        |YIELD c AS c
+        |""".stripMargin, Map("emb" -> emb))
+    val got = res.yields("c").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(got(1L) === got(2L) && got(2L) === got(3L))
+    assert(got(4L) === got(5L) && got(5L) === got(6L))
+    assert(got(1L) !== got(4L))
+  }
+
   test("multi-line UNION ALL stays one statement; OVER(ORDER BY) gets implicit FROM") {
     val res = GraftSql.run(engine,
       """a = SELECT k, v FROM input WHERE v > 8 UNION ALL
