@@ -179,6 +179,51 @@ class GraftSqlFuzzSpec extends SparkTestBase {
     }
   }
 
+  test("fuzz P2d: generated templates render correctly; junk fails cleanly") {
+    import graft.sql.Template
+    // structured generator: random nesting of text/output/if/for renders
+    // to a string we can also compute by direct evaluation
+    val xs = Seq("u", "v", "w")
+    val env = Map[String, Any]("xs" -> xs, "n" -> 5L, "flag" -> true, "s" -> "q")
+    sealed trait T { def tpl: String; def out: String }
+    case class Txt(t: String) extends T { def tpl = t; def out = t }
+    case object Var extends T { def tpl = "{{ s }}"; def out = "q" }
+    case class If(inner: Seq[T], taken: Boolean) extends T {
+      def tpl = s"{% if ${if (taken) "n > 1" else "n > 9"} %}" +
+        inner.map(_.tpl).mkString + "{% endif %}"
+      def out = if (taken) inner.map(_.out).mkString else ""
+    }
+    case class For(inner: Seq[T]) extends T {
+      def tpl = "{% for x in xs %}{{ x }}" + inner.map(_.tpl).mkString + "{% endfor %}"
+      def out = xs.map(x => x + inner.map(_.out).mkString).mkString
+    }
+    def nodeGen(depth: Int): Gen[T] =
+      if (depth == 0) Gen.oneOf(Gen.oneOf("a ", "b", " c").map(Txt(_)), Gen.const(Var))
+      else Gen.oneOf(
+        Gen.oneOf("a ", "b").map(Txt(_)),
+        Gen.const(Var),
+        Gen.zip(Gen.listOfN(2, nodeGen(depth - 1)), Gen.oneOf(true, false))
+          .map { case (in, t) => If(in, t) },
+        Gen.listOfN(2, nodeGen(depth - 1)).map(For(_)))
+    val treeGen: Gen[Seq[T]] = Gen.listOfN(4, nodeGen(2))
+    for ((nodes, i) <- samples(treeGen, 60, seed = 7000L).zipWithIndex) {
+      val tpl = nodes.map(_.tpl).mkString
+      assert(Template.render(tpl, env) === nodes.map(_.out).mkString,
+        s"sample $i template: $tpl")
+    }
+    // junk with template metacharacters: renders or throws
+    // IllegalArgumentException — never a MatchError/NPE/SO escaping
+    val junkGen = Gen.listOfN(60, Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf('{', '}', '%', '#', '-', ' ', '\n', '\'',
+        '"', '|', '(', ')', '[', ']', '~', '<', '>', '=', '.', ','))).map(_.mkString)
+    var rendered = 0; var cleanFail = 0
+    for (junk <- samples(junkGen, 200, seed = 8000L)) {
+      try { Template.render(junk, env); rendered += 1 }
+      catch { case _: IllegalArgumentException => cleanFail += 1 }
+    }
+    info(s"P2d junk: $rendered rendered, $cleanFail failed cleanly")
+  }
+
   test("regressions the fuzzer found: bare TAKE and dangling assignment") {
     // both crashed with NoSuchElementException before round 4
     val e1 = intercept[IllegalArgumentException] {
