@@ -468,6 +468,40 @@ object SparkEntry {
       eng(s).toDF(Seq(Seq(if (fullOk) 1L else 0L, if (probeOk) 1L else 0L)),
         "full_probe_exact:long,probe_recall_ok:long")
     }),
+    // IVF-PQ differential: (a) probing every cell with a shortlist
+    // covering the corpus reproduces brute force EXACTLY (pins coarse
+    // routing + ADC + exact rerank end-to-end); (b) at a modest budget
+    // (shortlist = k·refine candidates) recall beats a same-budget
+    // RANDOM shortlist's expectation 3× — the scale-portable phrasing
+    // (see s05's rationale: i.i.d. embeddings mean absolute recall
+    // decays with corpus size, relative-to-random does not).
+    "s08_knn_ivfpq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val n = emb.count()
+      val cents = Similarity.trainIvfCentroids(emb, "embedding", k = 8,
+        iterations = 2, sampleSize = 2000, totalRows = Some(n))
+      val books = Similarity.trainPqCodebooks(emb, "embedding",
+        numSubspaces = 8, codebookSize = 16, iterations = 6,
+        sampleSize = 2000, totalRows = Some(n))
+      val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 5)
+        .select("query_id", "neighbor_id").localCheckpoint(true)
+      val fullBudget = Similarity.ivfPqTopK(emb, q, "vec_id", "embedding",
+        k = 5, cents, books, nProbe = 8,
+        refine = ((n - 1) / 5 + 1).toInt)
+        .select("query_id", "neighbor_id")
+      val fullOk = graft.api.DfUtils.dfEq(fullBudget, exact)
+      val pq = Similarity.ivfPqTopK(emb, q, "vec_id", "embedding", k = 5,
+        cents, books, nProbe = 8, refine = 4).select("query_id", "neighbor_id")
+      val found = exact.join(pq, Seq("query_id", "neighbor_id"), "left_semi")
+        .count().toDouble
+      val recall = found / exact.count()
+      val randomExpect = math.min(1.0, 5.0 * 4 / math.max(1L, n - 1))
+      val signalOk = recall >= math.min(0.95, 3.0 * randomExpect)
+      eng(s).toDF(Seq(Seq(if (fullOk) 1L else 0L, if (signalOk) 1L else 0L)),
+        "full_budget_exact:long,adc_signal_ok:long")
+    }),
+
     // differential conformance: LSH top-k recall vs brute force ≥ 0.9
     "s03_knn_lsh_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -2784,6 +2818,8 @@ object SparkEntry {
         |FROM j""".stripMargin,
     "s06_semantic_dedup" -> "SELECT CAST(1 AS BIGINT) AS sem_ok",
     "s07_kmeans_cluster" -> "SELECT CAST(1 AS BIGINT) AS cluster_ok",
+    "s08_knn_ivfpq" ->
+      "SELECT CAST(1 AS BIGINT) AS full_budget_exact, CAST(1 AS BIGINT) AS adc_signal_ok",
     "t21_bpe" -> "SELECT CAST(1 AS BIGINT) AS bpe_ok",
     "t22_url_domains" ->
       (s"""WITH injected AS (

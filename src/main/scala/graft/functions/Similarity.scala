@@ -333,4 +333,148 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /**
+   * Train product-quantization codebooks: `numSubspaces` independent
+   * k-means runs (Lloyd's), one per contiguous dim/numSubspaces slice of
+   * the L2-normalized vectors. Mirrors the reference's ANN posture
+   * (approximate, tunable recall) with the FAISS-style IVF-PQ layout the
+   * 100 TB path needs: the corpus is represented by `numSubspaces` small
+   * ints per row instead of the raw embedding.
+   *
+   * Scale design: training runs on a bounded, deterministically-ordered
+   * sample (≤ sampleSize rows collected to the driver — same bounded-
+   * driver-state pattern as [[trainIvfCentroids]]'s init); the cluster
+   * never sees more than sampleSize×dim doubles at once. Deterministic
+   * for fixed (data, seed): the sample is ordered by content hash, init
+   * takes the first `codebookSize` distinct sub-vectors, and Lloyd's
+   * ties resolve to the lower codeword index.
+   *
+   * Returns codebooks(s)(c) = codeword c of subspace s, each of length
+   * dim/numSubspaces.
+   */
+  def trainPqCodebooks(
+      corpus: DataFrame, vecCol: String,
+      numSubspaces: Int = 8, codebookSize: Int = 16,
+      iterations: Int = 8, sampleSize: Int = 20000,
+      seed: Long = 42L, totalRows: Option[Long] = None): Array[Array[Array[Double]]] = {
+    require(numSubspaces >= 1, "numSubspaces must be >= 1")
+    require(codebookSize >= 1, "codebookSize must be >= 1")
+    val dim = inferDim(corpus, vecCol)
+    require(dim % numSubspaces == 0,
+      s"embedding dim $dim not divisible by numSubspaces=$numSubspaces")
+    val dsub = dim / numSubspaces
+    val n = totalRows.getOrElse(corpus.count())
+    val frac = math.min(1.0, sampleSize.toDouble / math.max(1L, n))
+    // one bounded collect; ordered by content hash so the trained books
+    // are a pure function of (data, seed), not of shuffle arrival order
+    val rows = Dedup.spreadForCompute(corpus)
+      .select(l2normalize(col(vecCol)).as("v"))
+      .sample(withReplacement = false, frac, seed)
+      .distinct()
+      .sort(xxhash64(col("v").cast("string")), col("v").cast("string"))
+      .limit(sampleSize)
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(rows.nonEmpty, "corpus sample is empty — cannot train PQ codebooks")
+    Array.tabulate(numSubspaces) { s =>
+      val base = s * dsub
+      val subs = rows.map { v =>
+        Array.tabulate(dsub)(i => if (base + i < v.length) v(base + i) else 0.0)
+      }
+      // init: first codebookSize distinct sub-vectors in hash order
+      val init = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+      val seen = scala.collection.mutable.HashSet.empty[Seq[Double]]
+      var r = 0
+      while (r < subs.length && init.length < codebookSize) {
+        val key = subs(r).toSeq
+        if (!seen(key)) { seen += key; init += subs(r) }
+        r += 1
+      }
+      var book = init.toArray
+      for (_ <- 1 to iterations) {
+        val sums = Array.fill(book.length)(new Array[Double](dsub))
+        val cnts = new Array[Long](book.length)
+        subs.foreach { x =>
+          var best = 0
+          var bestD = Double.PositiveInfinity
+          var c = 0
+          while (c < book.length) {
+            var d = 0.0
+            var i = 0
+            while (i < dsub) { val t = x(i) - book(c)(i); d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < dsub) { sums(best)(i) += x(i); i += 1 }
+          cnts(best) += 1
+        }
+        book = book.indices.map { c =>
+          if (cnts(c) > 0) sums(c).map(_ / cnts(c)) else book(c)
+        }.toArray
+      }
+      book
+    }
+  }
+
+  /** PQ-encode a vector column against trained codebooks (plan-embedded
+   * codegen'd expression — one narrow map, no shuffle). */
+  def pqEncode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    graft.functions.expressions.VectorExpressions.pqEncode(vec, codebooks)
+
+  /** ADC approximate cosine of a raw query vector against a PQ code
+   * array (see [[graft.functions.expressions.PqAdcScore]]). */
+  def pqAdcScore(qv: Column, codes: Column,
+      codebooks: Array[Array[Array[Double]]]): Column =
+    graft.functions.expressions.VectorExpressions.pqAdcScore(qv, codes, codebooks)
+
+  /**
+   * IVF-PQ top-k: coarse IVF cells route each query to nProbe partitions
+   * of the corpus; within the probed cells candidates are scored by ADC
+   * over `numSubspaces` small ints, and only the per-query top
+   * (k × refine) shortlist is re-ranked with exact cosines.
+   *
+   * Scale design — this is the 100 TB ANN operator:
+   *   - the candidate join moves (neighbor_id, cell, codes) only: for a
+   *     dim-768 float corpus that is a ~190× shuffle reduction;
+   *   - queries (≪ corpus) are broadcast, the corpus is scanned once;
+   *   - the exact-rerank join touches |queries|·k·refine rows, not the
+   *     corpus.
+   * refine = 0 skips the re-rank and returns ADC scores as `cosine`
+   * (fastest, least exact). With nProbe = #centroids and a shortlist
+   * covering the corpus the result is exactly [[bruteForceTopK]].
+   */
+  def ivfPqTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      nProbe: Int = 8, refine: Int = 4): DataFrame = {
+    import graft.functions.expressions.VectorExpressions.nearestCells
+    require(k >= 1, "k must be >= 1")
+    require(refine >= 0, "refine must be >= 0")
+    val c = Dedup.spreadForCompute(corpus)
+      .select(col(idCol).as("neighbor_id"), l2normalize(col(vecCol)).as("cv"))
+      .withColumn("cell", nearestCells(col("cv"), centroids, 1)(0))
+      .withColumn("codes", pqEncode(col("cv"), codebooks))
+      .localCheckpoint(true) // reused by the ADC pass and the re-rank join
+    val q = queries
+      .select(col(idCol).as("query_id"), l2normalize(col(vecCol)).as("qv"))
+      .withColumn("cell", explode(nearestCells(col("qv"), centroids, nProbe)))
+    val adc = c.select(col("neighbor_id"), col("cell"), col("codes"))
+      .join(sparkBroadcast(q), "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", pqAdcScore(col("qv"), col("codes"), codebooks))
+    if (refine == 0) topKByCosine(adc, k)
+    else {
+      val shortlist = topKByCosine(adc, k * refine)
+        .select(col("query_id"), col("neighbor_id"))
+      val rescored = shortlist
+        .join(c.select(col("neighbor_id"), col("cv")), "neighbor_id")
+        .join(sparkBroadcast(q.select(col("query_id"), col("qv")).distinct()), "query_id")
+        .withColumn("cosine", dot(col("cv"), col("qv")))
+      topKByCosine(rescored, k)
+    }
+  }
+
 }

@@ -762,6 +762,112 @@ case class LongSetContains(child: Expression, sortedKeys: Array[Long])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/**
+ * Product-quantization encoder: split an `array<double>` vector into
+ * `codebooks.length` contiguous subspaces and emit, per subspace, the
+ * index of the L2-nearest codeword. Output `array<int>` of length m —
+ * the 100 TB compression step: a dim-64 float vector (256 B) becomes m
+ * small ints (m ≤ 16), so the ANN candidate join shuffles codes, never
+ * raw embeddings. Codebooks ride along as a task-broadcast reference
+ * object (m × ksub × dsub doubles, driver/executor-resident once).
+ */
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+    "codebooks must have >= 1 subspace with >= 1 codeword each")
+  private val m = codebooks.length
+  private val dsub = codebooks(0)(0).length
+  require(codebooks.forall(_.forall(_.length == dsub)),
+    "all codewords must share one sub-dimension")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  def compute(in: ArrayData): ArrayData = {
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val base = s * dsub
+      val book = codebooks(s)
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < book.length) {
+        val cw = book(c)
+        var d = 0.0
+        var i = 0
+        while (i < dsub) {
+          val idx = base + i
+          val x = if (idx < in.numElements()) in.getDouble(idx) else 0.0
+          val diff = x - cw(i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqEncode", this, classOf[PqEncode].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/**
+ * Asymmetric-distance (ADC) score: given a raw query vector and a PQ
+ * code array, approximate `dot(query, reconstruct(codes))` as
+ * Σ_s dot(query_sub_s, codebooks(s)(codes(s))). On unit vectors this
+ * approximates the cosine; the query side is never quantized, so the
+ * only error is the corpus-side reconstruction error.
+ */
+case class PqAdcScore(left: Expression, right: Expression,
+    codebooks: Array[Array[Array[Double]]])
+    extends BinaryExpression {
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+    "codebooks must have >= 1 subspace with >= 1 codeword each")
+  private val m = codebooks.length
+  private val dsub = codebooks(0)(0).length
+
+  override def dataType: DataType = DoubleType
+
+  def compute(qv: ArrayData, codes: ArrayData): Double = {
+    var score = 0.0
+    var s = 0
+    val nSub = math.min(m, codes.numElements())
+    while (s < nSub) {
+      val cw = codebooks(s)(math.max(0, math.min(codebooks(s).length - 1, codes.getInt(s))))
+      val base = s * dsub
+      var i = 0
+      while (i < dsub) {
+        val idx = base + i
+        if (idx < qv.numElements()) score += qv.getDouble(idx) * cw(i)
+        i += 1
+      }
+      s += 1
+    }
+    score
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqAdc", this, classOf[PqAdcScore].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
 object VectorExpressions {
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
@@ -788,4 +894,8 @@ object VectorExpressions {
     ColumnBridge.column(RandomProject(ColumnBridge.expression(v), outDim, seed))
   def nearestCells(v: Column, centroids: Array[Array[Double]], nProbe: Int): Column =
     ColumnBridge.column(NearestCells(ColumnBridge.expression(v), centroids, nProbe))
+  def pqEncode(v: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(PqEncode(ColumnBridge.expression(v), codebooks))
+  def pqAdcScore(qv: Column, codes: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(PqAdcScore(ColumnBridge.expression(qv), ColumnBridge.expression(codes), codebooks))
 }

@@ -36,8 +36,15 @@ class ExpressionsCodegenSpec extends SparkTestBase {
       RandomProject(vecRef, outDim = 8, seed = 5L),
       NearestCells(vecRef,
         Array(Array(1.0, 0, 0, 0), Array(0, 1.0, 0, 0), Array(0, 0, 1.0, 0)),
-        nProbe = 2))
+        nProbe = 2),
+      PqEncode(vecRef, pqBooks),
+      PqAdcScore(vecRef, PqEncode(vecRef, pqBooks), pqBooks))
   }
+
+  // 2 subspaces x 3 codewords x 2 dims over the 4-dim test vectors
+  private val pqBooks: Array[Array[Array[Double]]] = Array(
+    Array(Array(0.0, 0.0), Array(1.0, 0.5), Array(-1.0, 2.0)),
+    Array(Array(0.5, 0.5), Array(-0.5, 0.25), Array(2.0, -1.0)))
 
   private val rows = Seq(
     InternalRow(UTF8String.fromString("the quick brown fox jumps"),
@@ -68,6 +75,8 @@ class ExpressionsCodegenSpec extends SparkTestBase {
           e.dataType match {
             case LongType =>
               assert(out.getLong(i) === interp.asInstanceOf[Long], clue)
+            case DoubleType =>
+              assert(out.getDouble(i) === interp.asInstanceOf[Double], clue)
             case ArrayType(LongType, _) =>
               assert(out.getArray(i).toLongArray.toSeq ===
                 interp.asInstanceOf[GenericArrayData].toLongArray.toSeq, clue)

@@ -206,6 +206,48 @@ class FunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("ivfPqTopK: deterministic codebooks, exact at full budget, ADC carries signal") {
+    val q = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cents = Similarity.trainIvfCentroids(emb, "embedding", k = 4,
+      iterations = 2, sampleSize = 1000)
+    val books = Similarity.trainPqCodebooks(emb, "embedding",
+      numSubspaces = 8, codebookSize = 16, iterations = 6, sampleSize = 1000)
+    assert(books.length === 8)
+    assert(books.forall(_.length === 16))
+    assert(books.forall(_.forall(_.length === 8))) // dim 64 / 8 subspaces
+    // pure function of (data, seed)
+    val again = Similarity.trainPqCodebooks(emb, "embedding",
+      numSubspaces = 8, codebookSize = 16, iterations = 6, sampleSize = 1000)
+    assert(books.flatten.flatten.toSeq === again.flatten.flatten.toSeq)
+    // probe every cell + shortlist covering the corpus -> identical to
+    // brute force (pins the rerank machinery end-to-end)
+    val full = Similarity.ivfPqTopK(emb, q, "vec_id", "embedding", 5,
+      cents, books, nProbe = 4, refine = 100)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full === brute)
+    // modest budget: shortlist 20/500 = 4% of the corpus; random picking
+    // would expect ~0.04 recall — require 5x that so the ADC score is
+    // demonstrably informative even on i.i.d. random embeddings
+    val pq = Similarity.ivfPqTopK(emb, q, "vec_id", "embedding", 5,
+      cents, books, nProbe = 4, refine = 4)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = pq.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.2, s"ADC recall $recall below signal floor")
+    // refine=0 returns ADC scores directly, same shape, k rows per query
+    val adc = Similarity.ivfPqTopK(emb, q, "vec_id", "embedding", 5,
+      cents, books, nProbe = 4, refine = 0)
+    assert(adc.columns.toSeq === Seq("query_id", "rank", "neighbor_id", "cosine"))
+    assert(adc.count() === q.count() * 5)
+    intercept[IllegalArgumentException] {
+      Similarity.trainPqCodebooks(emb, "embedding", numSubspaces = 7)
+    }
+  }
+
   test("ivfCosinePairs precision exact; recall high with probing") {
     val exact = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.3)
       .select("id_a", "id_b")
