@@ -358,6 +358,27 @@ object SparkEntry {
       }
     }),
 
+    // Deequ-style declarative data-quality gate: 11 constraints compiled
+    // into one aggregation pass; report rows (constraint, column, metric,
+    // passed) are oracled value-for-value against DuckDB recomputing
+    // every metric with the same decimal bridging / 9-digit rounding.
+    "q89_quality_checks" -> ((s, dir) => {
+      import graft.functions.Checks
+      val o = t(s, dir, "orders")
+      Checks.validate(o, Seq(
+        Checks.rowCountBetween(1L, 1000000000L),
+        Checks.notNull("o_orderkey"),
+        Checks.unique("o_orderkey"),
+        Checks.completeness("o_orderpriority", 0.95),
+        Checks.minValue("o_totalprice", 0.0),
+        Checks.maxValue("o_totalprice", 1000000.0),
+        Checks.meanBetween("o_totalprice", 1000.0, 500000.0),
+        Checks.inSet("o_orderstatus", Seq("F", "O", "P"), 1.0),
+        Checks.matchesRegex("o_orderpriority", "^[1-5]-", 1.0),
+        Checks.distinctCountBetween("o_orderstatus", 1L, 5L),
+        Checks.satisfies(col("o_totalprice") > 1000.0, "totalprice_gt_1000", 0.5)))
+    }),
+
     // ---- beyond-reference: dedup --------------------------------------
     "d01_dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), Seq("text"), "doc_id")),
@@ -2776,6 +2797,49 @@ object SparkEntry {
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         | CAST(1 AS BIGINT) AS rows_in_partition
         |FROM nation""".stripMargin,
+    "q89_quality_checks" ->
+      """SELECT 'row_count[1,1000000000]' AS "constraint", '*' AS "column",
+        | CAST(count(*) AS DOUBLE) AS metric,
+        | count(*) >= 1 AND count(*) <= 1000000000 AS passed FROM orders
+        |UNION ALL SELECT 'not_null', 'o_orderkey',
+        | CAST(count(*) - count(o_orderkey) AS DOUBLE),
+        | count(*) = count(o_orderkey) FROM orders
+        |UNION ALL SELECT 'unique', 'o_orderkey',
+        | CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS DOUBLE),
+        | count(o_orderkey) = count(DISTINCT o_orderkey) FROM orders
+        |UNION ALL SELECT 'completeness>=0.95', 'o_orderpriority',
+        | round(CAST(count(o_orderpriority) AS DOUBLE) / count(*), 9),
+        | round(CAST(count(o_orderpriority) AS DOUBLE) / count(*), 9) >= 0.95
+        | FROM orders
+        |UNION ALL SELECT 'min>=0.0', 'o_totalprice',
+        | CAST(min(o_totalprice) AS DOUBLE), min(o_totalprice) >= 0.0 FROM orders
+        |UNION ALL SELECT 'max<=1000000.0', 'o_totalprice',
+        | CAST(max(o_totalprice) AS DOUBLE), max(o_totalprice) <= 1000000.0
+        | FROM orders
+        |UNION ALL SELECT 'mean[1000.0,500000.0]', 'o_totalprice',
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+        |   / count(o_totalprice), 9),
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+        |   / count(o_totalprice), 9) BETWEEN 1000.0 AND 500000.0 FROM orders
+        |UNION ALL SELECT 'in_set>=1.0', 'o_orderstatus',
+        | round(CAST(count(CASE WHEN o_orderstatus IN ('F','O','P') THEN 1 END)
+        |   AS DOUBLE) / count(o_orderstatus), 9),
+        | round(CAST(count(CASE WHEN o_orderstatus IN ('F','O','P') THEN 1 END)
+        |   AS DOUBLE) / count(o_orderstatus), 9) >= 1.0 FROM orders
+        |UNION ALL SELECT 'regex>=1.0', 'o_orderpriority',
+        | round(CAST(count(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-')
+        |   THEN 1 END) AS DOUBLE) / count(o_orderpriority), 9),
+        | round(CAST(count(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-')
+        |   THEN 1 END) AS DOUBLE) / count(o_orderpriority), 9) >= 1.0
+        | FROM orders
+        |UNION ALL SELECT 'distinct[1,5]', 'o_orderstatus',
+        | CAST(count(DISTINCT o_orderstatus) AS DOUBLE),
+        | count(DISTINCT o_orderstatus) BETWEEN 1 AND 5 FROM orders
+        |UNION ALL SELECT 'satisfies(totalprice_gt_1000)>=0.5', '*',
+        | round(CAST(count(CASE WHEN o_totalprice > 1000.0 THEN 1 END)
+        |   AS DOUBLE) / count(*), 9),
+        | round(CAST(count(CASE WHEN o_totalprice > 1000.0 THEN 1 END)
+        |   AS DOUBLE) / count(*), 9) >= 0.5 FROM orders""".stripMargin,
     "q76_zorder_layout" ->
       "SELECT event_id, user_id, value FROM events",
     "q77_stream_session" ->
