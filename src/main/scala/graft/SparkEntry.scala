@@ -379,6 +379,17 @@ object SparkEntry {
         Checks.satisfies(col("o_totalprice") > 1000.0, "totalprice_gt_1000", 0.5)))
     }),
 
+    // Per-group z-score outlier gate, oracled row-for-row: decimal-
+    // bridged mean/stddev at declared 9-digit precision, z at 6 digits —
+    // every double the oracle recomputes is bit-identical.
+    "q90_outliers" -> ((s, dir) => {
+      import graft.functions.Outliers
+      Outliers.zscoreOutliers(t(s, dir, "orders"), Seq("o_orderstatus"),
+        "o_totalprice", threshold = 2.5)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("zscore"),
+          col("is_outlier"))
+    }),
+
     // ---- beyond-reference: dedup --------------------------------------
     "d01_dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), Seq("text"), "doc_id")),
@@ -2840,6 +2851,27 @@ object SparkEntry {
         |   AS DOUBLE) / count(*), 9),
         | round(CAST(count(CASE WHEN o_totalprice > 1000.0 THEN 1 END)
         |   AS DOUBLE) / count(*), 9) >= 0.5 FROM orders""".stripMargin,
+    "q90_outliers" ->
+      """WITH s AS (
+        |  SELECT o_orderstatus,
+        |    round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+        |      / count(o_totalprice), 9) AS m,
+        |    round(sqrt(greatest(
+        |      CAST(sum(CAST(o_totalprice * o_totalprice AS DECIMAL(28,6)))
+        |        AS DOUBLE) / count(o_totalprice)
+        |      - (CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+        |          / count(o_totalprice))
+        |        * (CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+        |          / count(o_totalprice)),
+        |      0.0)), 9) AS sd
+        |  FROM orders GROUP BY 1)
+        |SELECT o.o_orderkey, o.o_orderstatus,
+        |  CASE WHEN s.sd > 0 THEN round((o.o_totalprice - s.m) / s.sd, 6)
+        |       ELSE 0.0 END AS zscore,
+        |  CASE WHEN s.sd > 0
+        |       THEN abs(round((o.o_totalprice - s.m) / s.sd, 6)) > 2.5
+        |       ELSE FALSE END AS is_outlier
+        |FROM orders o JOIN s USING (o_orderstatus)""".stripMargin,
     "q76_zorder_layout" ->
       "SELECT event_id, user_id, value FROM events",
     "q77_stream_session" ->
