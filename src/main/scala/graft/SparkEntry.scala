@@ -390,6 +390,30 @@ object SparkEntry {
           col("is_outlier"))
     }),
 
+    // Watermarked stream-stream interval join (click -> purchase within
+    // 10 minutes), oracled against the equivalent batch join in DuckDB —
+    // inner interval joins emit every match exactly once, so stream and
+    // batch answers must coincide on bounded input.
+    "q91_stream_stream_join" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = t(s, dir, "events").schema
+      def src() = normalizeEventTs(graft.streaming.Streaming.loadStream(
+        s, dir, schema, options = Map("pathGlobFilter" -> "events.parquet")))
+      val clicks = src().filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"))
+      val purchases = src().filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("purchase_ts"),
+          col("event_id").as("purchase_id"))
+      val joined = graft.streaming.Streaming.streamStreamJoin(
+        clicks, purchases, Seq("user_id"), "click_ts", "purchase_ts",
+        watermarkDelay = "1 minute", maxLag = "10 minutes")
+        .select("user_id", "click_id", "purchase_id")
+      val name = "graft_q91_" + java.util.UUID.randomUUID().toString.take(8)
+      graft.streaming.Streaming.runToMemory(joined, name)
+      s.table(name)
+    }),
+
     // ---- beyond-reference: dedup --------------------------------------
     "d01_dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), Seq("text"), "doc_id")),
@@ -2872,6 +2896,13 @@ object SparkEntry {
         |       THEN abs(round((o.o_totalprice - s.m) / s.sd, 6)) > 2.5
         |       ELSE FALSE END AS is_outlier
         |FROM orders o JOIN s USING (o_orderstatus)""".stripMargin,
+    "q91_stream_stream_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+        |FROM events c JOIN events p ON c.user_id = p.user_id
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+        |  AND CAST(p.ts AS TIMESTAMP)
+        |      <= CAST(c.ts AS TIMESTAMP) + INTERVAL 10 MINUTE""".stripMargin,
     "q76_zorder_layout" ->
       "SELECT event_id, user_id, value FROM events",
     "q77_stream_session" ->

@@ -101,6 +101,52 @@ object Streaming {
     stream.join(if (broadcastStatic) broadcast(static) else static, keys, how)
   }
 
+  /**
+   * Watermarked stream-stream interval join: rows match when their `keys`
+   * are equal AND `rightTimeCol` falls in
+   * `[leftTimeCol, leftTimeCol + maxLag]` — the attribution-join shape
+   * (click → purchase within N minutes) run continuously.
+   *
+   * Scale design: BOTH sides carry the watermark and the join condition
+   * carries the event-time range, so Spark derives a state watermark and
+   * evicts buffered rows once they can no longer match — state is
+   * bounded by (watermarkDelay + maxLag) of traffic per key, not by the
+   * stream's history. Without the range condition a stream-stream join
+   * buffers forever; this wrapper makes the bounded form the only form.
+   * State is hash-partitioned by key (the same shuffle a batch join
+   * would do), so skew guidance matches the batch path.
+   *
+   * The right side's key columns are dropped from the output (they equal
+   * the left's); all other column names must be disjoint — renaming
+   * before joining is the caller's contract, same as the batch engine's
+   * join. Inner joins emit eagerly; outer joins emit nulls only after
+   * the watermark closes a row's match window (AvailableNow/batch-like
+   * runs see them at end-of-input).
+   */
+  def streamStreamJoin(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTimeCol: String, rightTimeCol: String,
+      watermarkDelay: String, maxLag: String,
+      joinType: String = "inner"): DataFrame = {
+    require(left.isStreaming && right.isStreaming,
+      "both sides of a stream-stream join must be streaming frames")
+    require(keys.nonEmpty, "stream-stream join needs >= 1 equality key")
+    require(leftTimeCol != rightTimeCol,
+      s"time columns must have distinct names, both are '$leftTimeCol'")
+    val allowed = Set("inner", "left_outer", "right_outer", "full_outer")
+    require(allowed.contains(joinType),
+      s"stream-stream join supports ${allowed.mkString("/")}, got '$joinType'")
+    val dup = (left.columns.toSet & right.columns.toSet) -- keys
+    require(dup.isEmpty,
+      s"non-key columns ${dup.mkString(", ")} exist on both sides — rename before joining")
+    val l = left.withWatermark(leftTimeCol, watermarkDelay)
+    val r = right.withWatermark(rightTimeCol, watermarkDelay)
+    val keyCond = keys.map(k => l(k) === r(k)).reduce(_ && _)
+    val range = r(rightTimeCol) >= l(leftTimeCol) &&
+      r(rightTimeCol) <= l(leftTimeCol) + expr(s"INTERVAL $maxLag")
+    keys.foldLeft(l.join(r, keyCond && range, joinType))((d, k) => d.drop(r(k)))
+  }
+
   /** `foreachBatch` sink: apply an arbitrary batch-mode action to each
    * micro-batch (the escape hatch for sinks Structured Streaming lacks —
    * upserts, multi-table writes). Synchronous AvailableNow trigger. */

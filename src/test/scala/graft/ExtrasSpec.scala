@@ -201,6 +201,56 @@ class ExtrasSpec extends SparkTestBase {
     assert(seen.get() === 3L)
   }
 
+  test("streaming: stream-stream interval join (inner + outer with watermark close)") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_stream4").toString
+    val clicksB = df(Seq(
+      Seq("2024-01-01 00:00:00", "u1", 101L),
+      Seq("2024-01-01 00:00:00", "u2", 102L),
+      Seq("2024-01-01 01:00:00", "u3", 103L)), // watermark anchor
+      "click_ts:datetime,user:str,click_id:long")
+    val purchB = df(Seq(
+      Seq("2024-01-01 00:05:00", "u1", 201L), // inside u1's 10-min window
+      Seq("2024-01-01 00:20:00", "u1", 202L), // outside the window
+      Seq("2024-01-01 01:00:00", "u4", 204L)), // watermark anchor
+      "purch_ts:datetime,user:str,purch_id:long")
+    clicksB.write.mode("overwrite").parquet(s"$dir/c")
+    purchB.write.mode("overwrite").parquet(s"$dir/p")
+    val c = Streaming.loadStream(spark, s"$dir/c", clicksB.schema)
+    val p = Streaming.loadStream(spark, s"$dir/p", purchB.schema)
+    val inner = Streaming.streamStreamJoin(c, p, Seq("user"),
+      "click_ts", "purch_ts", "0 seconds", "10 minutes")
+      .select("click_id", "purch_id")
+    Streaming.runToMemory(inner, "ss_inner")
+    val gotInner = spark.table("ss_inner").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotInner === Set((101L, 201L)))
+    // left_outer: clicks whose match window closed under the watermark
+    // emit a null purchase; the 01:00 anchor click's window is still open
+    val outer = Streaming.streamStreamJoin(
+      Streaming.loadStream(spark, s"$dir/c", clicksB.schema),
+      Streaming.loadStream(spark, s"$dir/p", purchB.schema),
+      Seq("user"), "click_ts", "purch_ts", "0 seconds", "10 minutes",
+      joinType = "left_outer")
+      .select(col("click_id"), col("purch_id"))
+    Streaming.runToMemory(outer, "ss_outer")
+    val gotOuter = spark.table("ss_outer").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(gotOuter.contains((101L, 201L)))
+    assert(gotOuter.contains((102L, -1L)), "closed-window click must emit null match")
+    // guard rails: shared non-key columns and identical time names rejected
+    intercept[IllegalArgumentException] {
+      Streaming.streamStreamJoin(c, c, Seq("user"),
+        "click_ts", "click_ts", "0 seconds", "10 minutes")
+    }
+    intercept[IllegalArgumentException] {
+      val p2 = p.withColumnRenamed("purch_ts", "click_ts2")
+        .withColumnRenamed("purch_id", "click_id")
+      Streaming.streamStreamJoin(c, p2, Seq("user"),
+        "click_ts", "click_ts2", "0 seconds", "10 minutes")
+    }
+  }
+
   test("conform: reorder, cast, NaN->null for fractional->int") {
     val d = df(Seq(Seq(1.5, "7"), Seq(Double.NaN, "8")), "a:double,b:str")
     val out = engine.conform(d, "b:int,a:long")
