@@ -414,6 +414,23 @@ object SparkEntry {
       s.table(name)
     }),
 
+    // Snapshot diff in hash-only mode (the 100 TB path: 8-byte content
+    // hash through the full-outer join), oracled against DuckDB doing
+    // the semantic FULL JOIN + IS DISTINCT FROM — the classifications
+    // must coincide unless xxhash64 collides.
+    "q92_snapshot_diff" -> ((s, dir) => {
+      import graft.operators.Diff
+      val o = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+      val after = o.filter(col("o_orderkey") % 100 =!= 0)
+        .withColumn("o_totalprice",
+          col("o_totalprice") +
+            when(col("o_orderkey") % 7 === 0, 1.0).otherwise(0.0))
+        .unionAll(o.filter(col("o_orderkey") % 500 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            lit(1.0).as("o_totalprice")))
+      Diff.snapshotDiff(o, after, Seq("o_orderkey"), hashOnly = true)
+    }),
+
     // ---- beyond-reference: dedup --------------------------------------
     "d01_dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), Seq("text"), "doc_id")),
@@ -2903,6 +2920,24 @@ object SparkEntry {
         |  AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
         |  AND CAST(p.ts AS TIMESTAMP)
         |      <= CAST(c.ts AS TIMESTAMP) + INTERVAL 10 MINUTE""".stripMargin,
+    "q92_snapshot_diff" ->
+      """WITH o AS (SELECT o_orderkey, o_totalprice FROM orders),
+        |a AS (
+        |  SELECT o_orderkey,
+        |    o_totalprice + CASE WHEN o_orderkey % 7 = 0 THEN 1.0 ELSE 0.0 END
+        |      AS o_totalprice
+        |  FROM o WHERE o_orderkey % 100 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, 1.0 FROM o WHERE o_orderkey % 500 = 0)
+        |SELECT coalesce(o.o_orderkey, a.o_orderkey) AS o_orderkey,
+        |  CASE WHEN o.o_orderkey IS NULL THEN 'added'
+        |       WHEN a.o_orderkey IS NULL THEN 'removed'
+        |       WHEN o.o_totalprice IS DISTINCT FROM a.o_totalprice
+        |         THEN 'changed'
+        |       ELSE 'unchanged' END AS change
+        |FROM o FULL JOIN a ON o.o_orderkey = a.o_orderkey
+        |WHERE NOT (o.o_orderkey IS NOT NULL AND a.o_orderkey IS NOT NULL
+        |           AND o.o_totalprice IS NOT DISTINCT FROM a.o_totalprice)""".stripMargin,
     "q76_zorder_layout" ->
       "SELECT event_id, user_id, value FROM events",
     "q77_stream_session" ->
