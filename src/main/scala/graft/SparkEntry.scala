@@ -718,6 +718,14 @@ object SparkEntry {
           |YIELD kept AS out
           |""".stripMargin, Map("docs" -> injected)).yields("out")
     }),
+    // data-quality gate driven from the SQL dialect (quality_report rule
+    // DSL end-to-end); oracle recomputes each metric in DuckDB
+    "q93_sql_quality" -> ((s, dir) => {
+      graft.sql.GraftSql.run(eng(s),
+        """r = PROCESS ord USING quality_report(rules:"not_null:o_orderkey,unique:o_orderkey,in_set:o_orderstatus:F|O|P,distinct:o_orderstatus:1:5,min:o_totalprice:0")
+          |YIELD r AS out
+          |""".stripMargin, Map("ord" -> t(s, dir, "orders"))).yields("out")
+    }),
     // overlapping token-window chunking (50-token chunks, 10-token overlap)
     "t08_chunking" -> ((s, dir) =>
       TextFunctions.chunkByTokens(t(s, dir, "documents"), "doc_id", "text",
@@ -2920,6 +2928,24 @@ object SparkEntry {
         |  AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
         |  AND CAST(p.ts AS TIMESTAMP)
         |      <= CAST(c.ts AS TIMESTAMP) + INTERVAL 10 MINUTE""".stripMargin,
+    "q93_sql_quality" ->
+      """SELECT 'not_null' AS "constraint", 'o_orderkey' AS "column",
+        | CAST(count(*) - count(o_orderkey) AS DOUBLE) AS metric,
+        | count(*) = count(o_orderkey) AS passed FROM orders
+        |UNION ALL SELECT 'unique', 'o_orderkey',
+        | CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS DOUBLE),
+        | count(o_orderkey) = count(DISTINCT o_orderkey) FROM orders
+        |UNION ALL SELECT 'in_set>=1.0', 'o_orderstatus',
+        | round(CAST(count(CASE WHEN o_orderstatus IN ('F','O','P') THEN 1 END)
+        |   AS DOUBLE) / count(o_orderstatus), 9),
+        | round(CAST(count(CASE WHEN o_orderstatus IN ('F','O','P') THEN 1 END)
+        |   AS DOUBLE) / count(o_orderstatus), 9) >= 1.0 FROM orders
+        |UNION ALL SELECT 'distinct[1,5]', 'o_orderstatus',
+        | CAST(count(DISTINCT o_orderstatus) AS DOUBLE),
+        | count(DISTINCT o_orderstatus) BETWEEN 1 AND 5 FROM orders
+        |UNION ALL SELECT 'min>=0.0', 'o_totalprice',
+        | CAST(min(o_totalprice) AS DOUBLE), min(o_totalprice) >= 0.0
+        | FROM orders""".stripMargin,
     "q92_snapshot_diff" ->
       """WITH o AS (SELECT o_orderkey, o_totalprice FROM orders),
         |a AS (

@@ -136,6 +136,50 @@ object Checks {
       m => m >= minRatio)
 
   /**
+   * Parse the dialect rule mini-DSL into checks — one rule per
+   * comma-separated entry, fields colon-separated:
+   * `not_null:C` · `unique:C1|C2` · `completeness:C:MIN` · `min:C:LO` ·
+   * `max:C:HI` · `mean:C:LO:HI` · `stddev:C:LO:HI` ·
+   * `in_set:C:A|B|C[:RATIO]` · `distinct:C:LO:HI` ·
+   * `approx_distinct:C:LO:HI` · `row_count:LO:HI` ·
+   * `regex:C:RATIO:PATTERN` (pattern last so it may contain colons).
+   */
+  def parseRules(spec: String): Seq[Check] = {
+    val rules = spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    require(rules.nonEmpty, "empty rule spec")
+    rules.map { r =>
+      val parts = r.split(":")
+      def need(n: Int): Unit = require(parts.length >= n,
+        s"rule '$r' needs ${n - 1} argument(s)")
+      parts(0) match {
+        case "not_null" => need(2); notNull(parts(1))
+        case "unique" => need(2); unique(parts(1).split("\\|").toSeq: _*)
+        case "completeness" => need(3); completeness(parts(1), parts(2).toDouble)
+        case "min" => need(3); minValue(parts(1), parts(2).toDouble)
+        case "max" => need(3); maxValue(parts(1), parts(2).toDouble)
+        case "mean" =>
+          need(4); meanBetween(parts(1), parts(2).toDouble, parts(3).toDouble)
+        case "stddev" =>
+          need(4); stddevBetween(parts(1), parts(2).toDouble, parts(3).toDouble)
+        case "in_set" =>
+          need(3)
+          inSet(parts(1), parts(2).split("\\|").toSeq,
+            if (parts.length > 3) parts(3).toDouble else 1.0)
+        case "distinct" =>
+          need(4); distinctCountBetween(parts(1), parts(2).toLong, parts(3).toLong)
+        case "approx_distinct" =>
+          need(4)
+          approxDistinctBetween(parts(1), parts(2).toLong, parts(3).toLong)
+        case "row_count" => need(3); rowCountBetween(parts(1).toLong, parts(2).toLong)
+        case "regex" =>
+          need(4); matchesRegex(parts(1), r.split(":", 4)(3), parts(2).toDouble)
+        case other =>
+          throw new IllegalArgumentException(s"unknown rule kind '$other' in '$r'")
+      }
+    }
+  }
+
+  /**
    * Compile `checks` into one aggregation pass and return the report:
    * `(constraint string, column string, metric double, passed boolean)`,
    * one row per check, in the order given.

@@ -124,9 +124,18 @@ object GraftSql {
    * `compact(target_mb:128[, by:keys])` (size-targeted small-file
    * compaction),
    * `line_dedup(id:doc_id, col:text[, max_df:1, sep:...])` (exact
-   * corpus-frequent line removal) and
+   * corpus-frequent line removal),
    * `bloom_line_dedup(..., fpp:0.01)` (its Bloom-filter variant for
-   * duplicate sets too large to collect).
+   * duplicate sets too large to collect),
+   * `quality_report(rules:"not_null:c,min:v:0,...")` /
+   * `quality_enforce(rules:...)` (single-pass declarative data-quality
+   * gate — [[graft.functions.Checks.parseRules]] documents the rule DSL),
+   * `zscore_outliers(col:v[, by:keys, threshold:3.0])` /
+   * `mad_outliers(col:v[, by, threshold:3.5])` /
+   * `winsorize(col:v[, by, lo:0.01, hi:0.99, approx:true])` (per-group
+   * distribution gates, no windows) and
+   * `PROCESS before, after USING snapshot_diff(keys:"id"[, hash:true,
+   * unchanged:true])` (added/removed/changed audit between versions).
    * User extensions with the same name win. */
   val builtinExtensions: Extensions = Extensions(outputters = Map(
     "assert_eq" -> OutputterDef { (dfs, params) =>
@@ -272,6 +281,48 @@ object GraftSql {
             maxDocFrequency = p.get("max_df").map(_.toInt).getOrElse(1),
             lineSep = p.getOrElse("sep", "\n"),
             fpp = p.get("fpp").map(_.toDouble).getOrElse(0.01))
+        },
+        "quality_report" -> ProcessorDef { (_, dfs, p) =>
+          graft.functions.Checks.validate(one(dfs, "quality_report"),
+            graft.functions.Checks.parseRules(p.getOrElse("rules",
+              throw new IllegalArgumentException(
+                "quality_report needs rules:\"...\""))))
+        },
+        "quality_enforce" -> ProcessorDef { (_, dfs, p) =>
+          graft.functions.Checks.enforce(one(dfs, "quality_enforce"),
+            graft.functions.Checks.parseRules(p.getOrElse("rules",
+              throw new IllegalArgumentException(
+                "quality_enforce needs rules:\"...\""))))
+        },
+        "zscore_outliers" -> ProcessorDef { (_, dfs, p) =>
+          graft.functions.Outliers.zscoreOutliers(one(dfs, "zscore_outliers"),
+            groupCols = p.get("by").toSeq.flatMap(_.split(",").map(_.trim)),
+            valueCol = p.getOrElse("col", "value"),
+            threshold = p.get("threshold").map(_.toDouble).getOrElse(3.0))
+        },
+        "mad_outliers" -> ProcessorDef { (_, dfs, p) =>
+          graft.functions.Outliers.madOutliers(one(dfs, "mad_outliers"),
+            groupCols = p.get("by").toSeq.flatMap(_.split(",").map(_.trim)),
+            valueCol = p.getOrElse("col", "value"),
+            threshold = p.get("threshold").map(_.toDouble).getOrElse(3.5))
+        },
+        "winsorize" -> ProcessorDef { (_, dfs, p) =>
+          graft.functions.Outliers.winsorize(one(dfs, "winsorize"),
+            groupCols = p.get("by").toSeq.flatMap(_.split(",").map(_.trim)),
+            valueCol = p.getOrElse("col", "value"),
+            lo = p.get("lo").map(_.toDouble).getOrElse(0.01),
+            hi = p.get("hi").map(_.toDouble).getOrElse(0.99),
+            approx = p.get("approx").exists(_.toBoolean))
+        },
+        "snapshot_diff" -> ProcessorDef { (_, dfs, p) =>
+          require(dfs.size == 2, "snapshot_diff takes (before, after)")
+          graft.operators.Diff.snapshotDiff(dfs.head, dfs(1),
+            keys = p.getOrElse("keys",
+              throw new IllegalArgumentException(
+                "snapshot_diff needs keys:\"...\""))
+              .split(",").map(_.trim).toSeq,
+            hashOnly = p.get("hash").exists(_.toBoolean),
+            includeUnchanged = p.get("unchanged").exists(_.toBoolean))
         })
     })
 

@@ -88,6 +88,22 @@ class ChecksSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { Checks.unique() }
   }
 
+  test("parseRules round-trips the DSL and rejects junk loudly") {
+    val checks = Checks.parseRules(
+      "not_null:id,unique:id|tag,completeness:tag:0.7,min:value:0,max:value:100," +
+        "mean:value:0:50,stddev:value:0:100,in_set:status:F|O|P:0.8," +
+        "distinct:status:1:5,approx_distinct:id:1:10,row_count:1:99," +
+        "regex:tag:0.5:^[a-z]+:suffix$")
+    assert(checks.length === 12)
+    assert(checks.map(_.name).contains("regex>=0.5"))
+    // the regex pattern keeps its internal colon
+    val rep = Checks.validate(df, checks).collect()
+    assert(rep.length === 12)
+    intercept[IllegalArgumentException] { Checks.parseRules("") }
+    intercept[IllegalArgumentException] { Checks.parseRules("frobnicate:x") }
+    intercept[IllegalArgumentException] { Checks.parseRules("mean:value:1") }
+  }
+
   test("single aggregation pass: report plan has exactly one scan of the input") {
     val report = Checks.validate(df, Seq(
       Checks.rowCountBetween(1, 10), Checks.completeness("tag", 0.5),

@@ -694,6 +694,43 @@ class GraftSqlSpec extends SparkTestBase {
     assert(got(1L) !== got(4L))
   }
 
+  test("built-in quality_report / quality_enforce / outliers / snapshot_diff processors") {
+    val data = df(Seq(
+      Seq(1L, 10.0, "a"), Seq(2L, 11.0, "a"), Seq(3L, 500.0, "a"),
+      Seq(4L, 9.0, "b"), Seq(5L, 10.0, "b")), "id:long,v:double,grp:str")
+    val rep = GraftSql.run(engine,
+      """r = PROCESS src USING quality_report(rules:"not_null:id,unique:id,row_count:1:100,min:v:0,in_set:grp:a|b")
+        |YIELD r AS r
+        |""".stripMargin, Map("src" -> data)).yields("r").collect()
+    assert(rep.length === 5)
+    assert(rep.forall(_.getBoolean(3)), "all rules green on this frame")
+    // enforce: failing rule raises and names the constraint
+    val e = intercept[IllegalStateException] {
+      GraftSql.run(engine,
+        """r = PROCESS src USING quality_enforce(rules:"max:v:100")
+          |YIELD r AS r
+          |""".stripMargin, Map("src" -> data))
+    }
+    assert(e.getMessage.contains("max<=100.0 on v"))
+    // outlier gate from the dialect
+    val out = GraftSql.run(engine,
+      """o = PROCESS src USING mad_outliers(col:v, by:grp)
+        |f = SELECT id FROM o WHERE is_outlier
+        |YIELD f AS f
+        |""".stripMargin, Map("src" -> data)).yields("f").collect()
+    assert(out.map(_.getLong(0)).toSet === Set(3L))
+    // snapshot_diff over two named frames
+    val after = df(Seq(
+      Seq(1L, 10.0, "a"), Seq(2L, 99.0, "a"), Seq(4L, 9.0, "b"),
+      Seq(5L, 10.0, "b"), Seq(6L, 1.0, "c")), "id:long,v:double,grp:str")
+    val diff = GraftSql.run(engine,
+      """d = PROCESS src, after USING snapshot_diff(keys:"id", hash:true)
+        |YIELD d AS d
+        |""".stripMargin, Map("src" -> data, "after" -> after))
+      .yields("d").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(diff === Map(2L -> "changed", 3L -> "removed", 6L -> "added"))
+  }
+
   test("multi-line UNION ALL stays one statement; OVER(ORDER BY) gets implicit FROM") {
     val res = GraftSql.run(engine,
       """a = SELECT k, v FROM input WHERE v > 8 UNION ALL
