@@ -1270,6 +1270,28 @@ object SparkEntry {
         if (graft.api.DfUtils.dfEq(banded, brute) && banded.count() > 0) 1L
         else 0L)), "image_dedup_ok:long")
     }),
+    // audio near-dup differential (m10's shape for the third modality):
+    // banded energy-delta fingerprint pairs must equal the brute-force
+    // hash cross-join exactly, and must find the planted variant groups
+    "m11_audio_near_dup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      val wavs = Multimodal.syntheticEnvelopeWavs(docs, "doc_id", nGroups = 10)
+      val banded = Multimodal.audioNearDupPairs(wavs, "doc_id", "payload",
+        maxHamming = 6, maxBucketSize = Int.MaxValue)
+      val sigs = Multimodal.audioFingerprint(wavs, "doc_id", "payload")
+        .filter(col("audio_ok") && col("afp") =!= 0L)
+        .select(col("doc_id").as("id"), col("afp").as("sig"))
+        .localCheckpoint(true)
+      val brute = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))
+        .crossJoin(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+        .filter(col("hamming") <= 6)
+        .select("id_a", "id_b", "hamming")
+      eng(s).toDF(Seq(Seq(
+        if (graft.api.DfUtils.dfEq(banded, brute) && banded.count() > 0) 1L
+        else 0L)), "audio_dedup_ok:long")
+    }),
     "m07_audio_features" -> ((s, dir) => {
       // REAL sample-level audio decode: waveform features (RMS, zero
       // crossings, peak) computed from the PCM samples the JDK decoder
@@ -2644,6 +2666,7 @@ object SparkEntry {
         | CAST(8 + doc_id % 31 AS INTEGER) AS height,
         | CAST(3 AS INTEGER) AS channels FROM documents""".stripMargin,
     "m10_image_near_dup" -> "SELECT CAST(1 AS BIGINT) AS image_dedup_ok",
+    "m11_audio_near_dup" -> "SELECT CAST(1 AS BIGINT) AS audio_dedup_ok",
     "m09_warc_ingest" ->
       """SELECT doc_id,
         | concat('https://corpus.example.org/doc/', CAST(doc_id AS VARCHAR))

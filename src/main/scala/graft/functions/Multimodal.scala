@@ -374,6 +374,140 @@ object Multimodal {
     }(Encoders.row(audioFeatureSchema))
   }
 
+  /**
+   * 64-bit energy-delta audio fingerprint (Haitsma–Kalker-shaped but
+   * FFT-free, so it stays deterministic with zero native deps): the PCM
+   * stream is cut into 65 equal frames and bit i = [E(i+1) > E(i)] over
+   * the mean frame energies. Energy COMPARISONS are gain-invariant (a
+   * volume change scales every frame equally) and small noise flips only
+   * bits near energy ties, so re-encoded / re-leveled copies of a
+   * recording land within a few hamming bits. Streams shorter than 65
+   * samples, silence, and constant tones yield 0 — the degenerate class
+   * [[audioNearDupPairs]] excludes, mirroring image dHash's flat-image
+   * exclusion.
+   */
+  def audioFingerprint64(samples: Array[Short]): Long = {
+    val frames = 65
+    if (samples.length < frames) return 0L
+    val energies = new Array[Double](frames)
+    var f = 0
+    while (f < frames) {
+      val s = (samples.length.toLong * f / frames).toInt
+      val e = (samples.length.toLong * (f + 1) / frames).toInt
+      var sum = 0.0
+      var i = s
+      while (i < e) { val x = samples(i) / 32768.0; sum += x * x; i += 1 }
+      energies(f) = sum / math.max(1, e - s)
+      f += 1
+    }
+    var h = 0L
+    var b = 0
+    while (b < 64) {
+      if (energies(b + 1) > energies(b)) h |= (1L << b)
+      b += 1
+    }
+    h
+  }
+
+  /** Distributed fingerprint stage: (idCol, afp, audio_ok) — afp null on
+   * undecodable payloads (decode failures must not hash, same contract
+   * as [[imageDHash]]'s img_ok). */
+  def audioFingerprint(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    Seq("afp", "audio_ok")
+      .foreach(c => require(c != idCol, s"idCol collides with output column '$c'"))
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("afp", LongType),
+      StructField("audio_ok", BooleanType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        decodePcm16(r.getAs[Array[Byte]](pIdx)) match {
+          case Some(samples) => Row(r.getLong(idIdx), audioFingerprint64(samples), true)
+          case None => Row(r.getLong(idIdx), null, false)
+        }
+      }
+    }(Encoders.row(schema)).withColumnRenamed("id", idCol)
+  }
+
+  /**
+   * Audio near-duplicate pairs: decodable recordings with a
+   * non-degenerate fingerprint whose [[audioFingerprint64]]s differ in
+   * ≤ maxHamming bits — closing the multimodal dedup triangle (text
+   * SimHash / image dHash / audio energy-delta all share
+   * [[graft.functions.Dedup.hamming64Pairs]]'s pigeonhole banding, which
+   * prunes but never drops a qualifying pair). Decode + 8-byte hash is
+   * the only per-recording work; the exchange carries (band, hash, id),
+   * never samples. Output: (id_a, id_b, hamming) with id_a < id_b.
+   */
+  def audioNearDupPairs(
+      df: DataFrame, idCol: String, payloadCol: String,
+      maxHamming: Int = 6, maxBucketSize: Int = 1000): DataFrame = {
+    val sigs = audioFingerprint(df, idCol, payloadCol)
+      .filter(col("audio_ok") && col("afp") =!= 0L)
+      .select(col(idCol).as("id"), col("afp").as("sig"))
+    graft.functions.Dedup.hamming64Pairs(sigs, maxHamming, maxBucketSize)
+  }
+
+  /** Mono 16-bit little-endian WAV container around a PCM sample array. */
+  def wavFromPcm16(samples: Array[Short], sampleRate: Int = 8000): Array[Byte] = {
+    val bytes = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      bytes(2 * i) = (samples(i) & 0xff).toByte
+      bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val af = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), af, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /**
+   * Executor-side WAV fixtures in `nGroups` amplitude-envelope families:
+   * group = id % nGroups fixes a 65-frame amplitude envelope (hash-
+   * derived, gap-separated levels); each member applies its own gain
+   * (±~3%) and per-frame jitter (±2% of the amplitude), so same-group
+   * fingerprints differ by only a few bits while cross-group envelopes
+   * are unrelated. The m11 differential runs the banded near-dup
+   * operator against a brute-force hash cross-join over these.
+   */
+  def syntheticEnvelopeWavs(df: DataFrame, idCol: String,
+      nGroups: Int = 10, samplesPerFrame: Int = 40): DataFrame = {
+    require(nGroups >= 1 && samplesPerFrame >= 1, "bad fixture dims")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("payload", BinaryType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val group = java.lang.Math.floorMod(id, nGroups.toLong)
+        val gain = 1.0 + java.lang.Math.floorMod(id / nGroups, 7L) * 0.01
+        val n = 65 * samplesPerFrame
+        val samples = new Array[Short](n)
+        var i = 0
+        while (i < n) {
+          val f = i / samplesPerFrame
+          // envelope levels 2000..12000 in coarse steps -> adjacent-frame
+          // energy gaps dwarf the ±2% jitter below
+          val base = 2000 + java.lang.Math.floorMod(
+            mix64(group * 1000003L + f * 7919L), 11L) * 1000L
+          val jitter = 1.0 + (java.lang.Math.floorMod(
+            mix64(id * 31L + i), 41L) - 20L) / 1000.0
+          val amp = (base * gain * jitter).toInt.min(Short.MaxValue.toInt)
+          samples(i) = (if (i % 2 == 0) amp else -amp).toShort
+          i += 1
+        }
+        Row(id, wavFromPcm16(samples))
+      }
+    }(Encoders.row(schema)).withColumnRenamed("id", idCol)
+  }
+
   /** Expected waveform features of [[syntheticAudio]] payloads computed
    * straight from the PCM byte formula — NO container involved. The m07
    * differential joins this against [[audioFeatures]] over the real

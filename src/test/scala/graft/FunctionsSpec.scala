@@ -781,6 +781,38 @@ class FunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("audioNearDupPairs: gain-invariant fingerprints group variants, junk excluded") {
+    // 3 envelope groups x 3 members (different gains/jitter) + junk + silence
+    val ids = df((1L to 9L).map(Seq(_)), "doc_id:long")
+    val wavs = Multimodal.syntheticEnvelopeWavs(ids, "doc_id", nGroups = 3)
+      .unionAll(df(Seq(
+        Seq(10L, "not audio at all".getBytes("UTF-8")),
+        Seq(11L, Multimodal.wavFromPcm16(new Array[Short](2600)))), // silence
+        "doc_id:long,payload:binary"))
+    val fps = Multimodal.audioFingerprint(wavs, "doc_id", "payload")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(fps(10L) === None, "undecodable payload must not hash")
+    assert(fps(11L) === Some(0L), "silence is the degenerate class")
+    val pairs = Multimodal.audioNearDupPairs(wavs, "doc_id", "payload",
+      maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (1L to 9L).flatMap(a => (a + 1 to 9L)
+      .filter(b => a % 3 == b % 3).map(b => (a, b))).toSet
+    assert(pairs === expected)
+    // pure gain change leaves the fingerprint bit-identical
+    val base = Multimodal.syntheticEnvelopeWavs(df(Seq(Seq(1L)), "doc_id:long"),
+      "doc_id", nGroups = 1).collect().head.getAs[Array[Byte]](1)
+    val samples = Multimodal.decodePcm16(base).get
+    val scaled = samples.map(s => (s * 0.5).toInt.toShort)
+    assert(Multimodal.audioFingerprint64(samples) ===
+      Multimodal.audioFingerprint64(scaled))
+    intercept[IllegalArgumentException] {
+      Multimodal.audioFingerprint(wavs.withColumnRenamed("doc_id", "afp"),
+        "afp", "payload")
+    }
+  }
+
   test("imageNearDupPairs finds variant groups, excludes undecodables") {
     // two unrelated flat images: both dHash to 0 (zero gradient) and must
     // NOT report as near-dups — degenerate signatures are excluded
