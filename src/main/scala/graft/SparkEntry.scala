@@ -431,6 +431,16 @@ object SparkEntry {
       Diff.snapshotDiff(o, after, Seq("o_orderkey"), hashOnly = true)
     }),
 
+    // Equi-width histogram (two bounded jobs: 2-double min/max probe +
+    // bucket groupBy), oracled bucket-for-bucket including empty buckets
+    "q94_histogram" -> ((s, dir) =>
+      graft.functions.Stats.histogram(t(s, dir, "orders"), "o_totalprice", 20)),
+    // Single-pass pairwise Pearson matrix (decimal-bridged sums, declared
+    // 9-digit precision) — all 6 pairs from one corpus scan
+    "q95_correlation" -> ((s, dir) =>
+      graft.functions.Stats.correlationMatrix(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+
     // ---- beyond-reference: dedup --------------------------------------
     "d01_dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), Seq("text"), "doc_id")),
@@ -2969,6 +2979,63 @@ object SparkEntry {
         |UNION ALL SELECT 'min>=0.0', 'o_totalprice',
         | CAST(min(o_totalprice) AS DOUBLE), min(o_totalprice) >= 0.0
         | FROM orders""".stripMargin,
+    "q94_histogram" ->
+      """WITH mm AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx
+        |            FROM orders),
+        |b AS (SELECT CAST(least(CAST(floor((o_totalprice - mn)
+        |        / ((mx - mn) / 20)) AS INTEGER), 19) AS INTEGER) AS bucket
+        |      FROM orders, mm WHERE o_totalprice IS NOT NULL),
+        |c AS (SELECT bucket, count(*) AS n FROM b GROUP BY 1),
+        |g AS (SELECT CAST(r.range AS INTEGER) AS bucket, mn, mx
+        |      FROM range(20) r CROSS JOIN mm)
+        |SELECT g.bucket,
+        |  mn + g.bucket * ((mx - mn) / 20) AS lo,
+        |  mn + (g.bucket + 1) * ((mx - mn) / 20) AS hi,
+        |  CAST(coalesce(c.n, 0) AS BIGINT) AS n
+        |FROM g LEFT JOIN c ON c.bucket = g.bucket""".stripMargin,
+    "q95_correlation" ->
+      """WITH s AS (SELECT
+        |  CAST(count(*) AS DOUBLE) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS s_q,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS s_e,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) AS s_d,
+        |  CAST(sum(CAST(l_tax AS DECIMAL(28,6))) AS DOUBLE) AS s_t,
+        |  CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS s_qq,
+        |  CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS s_ee,
+        |  CAST(sum(CAST(l_discount * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS s_dd,
+        |  CAST(sum(CAST(l_tax * l_tax AS DECIMAL(28,6))) AS DOUBLE) AS s_tt,
+        |  CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS s_qe,
+        |  CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS s_qd,
+        |  CAST(sum(CAST(l_quantity * l_tax AS DECIMAL(28,6))) AS DOUBLE) AS s_qt,
+        |  CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS s_ed,
+        |  CAST(sum(CAST(l_extendedprice * l_tax AS DECIMAL(28,6))) AS DOUBLE) AS s_et,
+        |  CAST(sum(CAST(l_discount * l_tax AS DECIMAL(28,6))) AS DOUBLE) AS s_dt
+        |  FROM lineitem)
+        |SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+        |  CASE WHEN (n*s_qq - s_q*s_q) > 0 AND (n*s_ee - s_e*s_e) > 0 THEN
+        |    round((n*s_qe - s_q*s_e)
+        |      / sqrt((n*s_qq - s_q*s_q) * (n*s_ee - s_e*s_e)), 9) END AS corr
+        |FROM s
+        |UNION ALL SELECT 'l_quantity', 'l_discount',
+        |  CASE WHEN (n*s_qq - s_q*s_q) > 0 AND (n*s_dd - s_d*s_d) > 0 THEN
+        |    round((n*s_qd - s_q*s_d)
+        |      / sqrt((n*s_qq - s_q*s_q) * (n*s_dd - s_d*s_d)), 9) END FROM s
+        |UNION ALL SELECT 'l_quantity', 'l_tax',
+        |  CASE WHEN (n*s_qq - s_q*s_q) > 0 AND (n*s_tt - s_t*s_t) > 0 THEN
+        |    round((n*s_qt - s_q*s_t)
+        |      / sqrt((n*s_qq - s_q*s_q) * (n*s_tt - s_t*s_t)), 9) END FROM s
+        |UNION ALL SELECT 'l_extendedprice', 'l_discount',
+        |  CASE WHEN (n*s_ee - s_e*s_e) > 0 AND (n*s_dd - s_d*s_d) > 0 THEN
+        |    round((n*s_ed - s_e*s_d)
+        |      / sqrt((n*s_ee - s_e*s_e) * (n*s_dd - s_d*s_d)), 9) END FROM s
+        |UNION ALL SELECT 'l_extendedprice', 'l_tax',
+        |  CASE WHEN (n*s_ee - s_e*s_e) > 0 AND (n*s_tt - s_t*s_t) > 0 THEN
+        |    round((n*s_et - s_e*s_t)
+        |      / sqrt((n*s_ee - s_e*s_e) * (n*s_tt - s_t*s_t)), 9) END FROM s
+        |UNION ALL SELECT 'l_discount', 'l_tax',
+        |  CASE WHEN (n*s_dd - s_d*s_d) > 0 AND (n*s_tt - s_t*s_t) > 0 THEN
+        |    round((n*s_dt - s_d*s_t)
+        |      / sqrt((n*s_dd - s_d*s_d) * (n*s_tt - s_t*s_t)), 9) END FROM s""".stripMargin,
     "q92_snapshot_diff" ->
       """WITH o AS (SELECT o_orderkey, o_totalprice FROM orders),
         |a AS (

@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Distribution statistics over numeric columns — the profiling layer a
+ * curation pipeline consults before setting thresholds ([[Outliers]],
+ * [[Checks]]) on a signal it has never seen.
+ *
+ * Scale design: everything here is plain aggregation with map-side
+ * partials. The histogram is two jobs (a 2-double min/max probe, then
+ * one bucket groupBy); the correlation matrix is ONE pass however many
+ * column pairs ride along, with decimal-bridged sums so results are
+ * independent of partition order and reproducible on any engine at the
+ * declared 9-digit precision.
+ */
+object Stats {
+
+  /**
+   * Equi-width histogram of `c`: `bins` buckets spanning [min, max],
+   * output `(bucket, lo, hi, n)` sorted by bucket, empty buckets
+   * included (n = 0). x = max lands in the last bucket. Degenerate
+   * domains (min == max, or all null) produce a single bucket row.
+   */
+  def histogram(df: DataFrame, c: String, bins: Int): DataFrame = {
+    require(bins >= 1, "bins must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = col(c).cast("double")
+    val Array(mn, mx) = df.agg(min(v), max(v)).collect().head match {
+      case r if r.isNullAt(0) => Array(0.0, 0.0) // all-null column
+      case r => Array(r.getDouble(0), r.getDouble(1))
+    }
+    if (mx <= mn) {
+      val n = df.filter(v.isNotNull).count()
+      return Seq((0, mn, mx, n)).toDF("bucket", "lo", "hi", "n")
+    }
+    val w = (mx - mn) / bins
+    val bucket = least(floor((v - mn) / w).cast("int"), lit(bins - 1))
+    val counts = df.filter(v.isNotNull)
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val frame = spark.range(bins).select(col("id").cast("int").as("bucket"))
+    frame.join(counts, Seq("bucket"), "left")
+      .select(col("bucket"),
+        (lit(mn) + col("bucket") * w).as("lo"),
+        (lit(mn) + (col("bucket") + 1) * w).as("hi"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("bucket")
+  }
+
+  /**
+   * Pairwise Pearson correlation over `cols` in ONE aggregation pass:
+   * output `(col_a, col_b, corr)` for every a < b pair (input order),
+   * corr at a declared 9-digit precision, null when either side has
+   * zero variance. Rows where either column is null are excluded from
+   * that pair's sums (pairwise deletion).
+   */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "correlationMatrix needs >= 2 columns")
+    require(cols.distinct.size == cols.size, "duplicate column in list")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    def dec(e: org.apache.spark.sql.Column) = e.cast("decimal(28,6)")
+    val aggs = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
+      val (x, y) = (col(a).cast("double"), col(b).cast("double"))
+      val both = x.isNotNull && y.isNotNull
+      def g(e: org.apache.spark.sql.Column) = when(both, e)
+      Seq(
+        count(g(lit(1))).cast("double").as(s"__n$i"),
+        sum(dec(g(x))).cast("double").as(s"__sx$i"),
+        sum(dec(g(y))).cast("double").as(s"__sy$i"),
+        sum(dec(g(x * x))).cast("double").as(s"__sxx$i"),
+        sum(dec(g(y * y))).cast("double").as(s"__syy$i"),
+        sum(dec(g(x * y))).cast("double").as(s"__sxy$i"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = pairs.zipWithIndex.map { case ((a, b), i) =>
+      val n = col(s"__n$i")
+      val cov = n * col(s"__sxy$i") - col(s"__sx$i") * col(s"__sy$i")
+      val vx = n * col(s"__sxx$i") - col(s"__sx$i") * col(s"__sx$i")
+      val vy = n * col(s"__syy$i") - col(s"__sy$i") * col(s"__sy$i")
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        when(vx > 0 && vy > 0,
+          round(cov / sqrt(vx * vy), 9)).as("corr"))
+    }
+    one.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.col_a"), col("r.col_b"), col("r.corr"))
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import graft.functions.Stats
+import org.apache.spark.sql.functions._
+
+class StatsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("histogram: equi-width buckets, max in last bucket, empty buckets kept") {
+    val d = Seq(0.0, 1.0, 2.5, 4.9, 5.0, 5.0, 9.9, 10.0).toDF("v")
+    val h = Stats.histogram(d, "v", 4).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    assert(h.length === 4)
+    assert(h.map(_._1).toSeq === Seq(0, 1, 2, 3))
+    // width 2.5 over [0,10]: [0,2.5)->2, [2.5,5)->2, [5,7.5)->2, [7.5,10]->2
+    assert(h.map(_._4).toSeq === Seq(2, 2, 2, 2))
+    assert(h.head._2 === 0.0 && h.last._3 === 10.0)
+    // empty bucket: single point far away
+    val d2 = Seq(0.0, 0.5, 10.0).toDF("v")
+    val h2 = Stats.histogram(d2, "v", 5).collect().map(r => r.getLong(3))
+    assert(h2.toSeq === Seq(2L, 0L, 0L, 0L, 1L))
+    // degenerate domain: one bucket carrying every non-null row
+    val h3 = Stats.histogram(Seq(7.0, 7.0).toDF("v"), "v", 10).collect()
+    assert(h3.length === 1 && h3.head.getLong(3) === 2L)
+    intercept[IllegalArgumentException] { Stats.histogram(d, "v", 0) }
+  }
+
+  test("correlationMatrix: known correlations in one pass, nulls pairwise-deleted") {
+    val d = Seq(
+      (1.0, 2.0, -1.0, Some(1.0)),
+      (2.0, 4.0, -2.0, Some(2.0)),
+      (3.0, 6.0, -3.0, Option.empty[Double]),
+      (4.0, 8.0, -4.0, Some(0.0))).toDF("x", "y2", "neg", "part")
+    val got = Stats.correlationMatrix(d, Seq("x", "y2", "neg", "part"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toMap
+    assert(got.size === 6)
+    assert(math.abs(got(("x", "y2")) - 1.0) < 1e-9)   // exact linear
+    assert(math.abs(got(("x", "neg")) + 1.0) < 1e-9)  // exact inverse
+    // pairwise deletion: (x, part) over rows 1,2,4 -> corr of (1,2,4) vs (1,2,0)
+    val xs = Seq(1.0, 2.0, 4.0); val ps = Seq(1.0, 2.0, 0.0)
+    val n = 3.0
+    val expect = (n * xs.zip(ps).map(t => t._1 * t._2).sum - xs.sum * ps.sum) /
+      math.sqrt((n * xs.map(a => a * a).sum - xs.sum * xs.sum) *
+        (n * ps.map(a => a * a).sum - ps.sum * ps.sum))
+    assert(math.abs(got(("x", "part")) - expect) < 1e-6)
+    // zero variance -> null corr
+    val z = Seq((1.0, 5.0), (2.0, 5.0)).toDF("a", "b")
+    val zc = Stats.correlationMatrix(z, Seq("a", "b")).collect().head
+    assert(zc.isNullAt(2))
+    // one scan only (no distinct aggregates involved)
+    val scans = Stats.correlationMatrix(d, Seq("x", "y2", "neg"))
+      .queryExecution.optimizedPlan.collect {
+        case s: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => s
+        case s: org.apache.spark.sql.execution.LogicalRDD => s
+      }
+    assert(scans.length === 1)
+    intercept[IllegalArgumentException] { Stats.correlationMatrix(d, Seq("x")) }
+    intercept[IllegalArgumentException] { Stats.correlationMatrix(d, Seq("x", "x")) }
+  }
+}
