@@ -3013,29 +3013,29 @@ object SparkEntry {
         |  FROM lineitem)
         |SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
         |  CASE WHEN (n*s_qq - s_q*s_q) > 0 AND (n*s_ee - s_e*s_e) > 0 THEN
-        |    round((n*s_qe - s_q*s_e)
-        |      / sqrt((n*s_qq - s_q*s_q) * (n*s_ee - s_e*s_e)), 9) END AS corr
+        |    least(greatest(round((n*s_qe - s_q*s_e)
+        |      / sqrt((n*s_qq - s_q*s_q) * (n*s_ee - s_e*s_e)), 9), -1.0), 1.0) END AS corr
         |FROM s
         |UNION ALL SELECT 'l_quantity', 'l_discount',
         |  CASE WHEN (n*s_qq - s_q*s_q) > 0 AND (n*s_dd - s_d*s_d) > 0 THEN
-        |    round((n*s_qd - s_q*s_d)
-        |      / sqrt((n*s_qq - s_q*s_q) * (n*s_dd - s_d*s_d)), 9) END FROM s
+        |    least(greatest(round((n*s_qd - s_q*s_d)
+        |      / sqrt((n*s_qq - s_q*s_q) * (n*s_dd - s_d*s_d)), 9), -1.0), 1.0) END FROM s
         |UNION ALL SELECT 'l_quantity', 'l_tax',
         |  CASE WHEN (n*s_qq - s_q*s_q) > 0 AND (n*s_tt - s_t*s_t) > 0 THEN
-        |    round((n*s_qt - s_q*s_t)
-        |      / sqrt((n*s_qq - s_q*s_q) * (n*s_tt - s_t*s_t)), 9) END FROM s
+        |    least(greatest(round((n*s_qt - s_q*s_t)
+        |      / sqrt((n*s_qq - s_q*s_q) * (n*s_tt - s_t*s_t)), 9), -1.0), 1.0) END FROM s
         |UNION ALL SELECT 'l_extendedprice', 'l_discount',
         |  CASE WHEN (n*s_ee - s_e*s_e) > 0 AND (n*s_dd - s_d*s_d) > 0 THEN
-        |    round((n*s_ed - s_e*s_d)
-        |      / sqrt((n*s_ee - s_e*s_e) * (n*s_dd - s_d*s_d)), 9) END FROM s
+        |    least(greatest(round((n*s_ed - s_e*s_d)
+        |      / sqrt((n*s_ee - s_e*s_e) * (n*s_dd - s_d*s_d)), 9), -1.0), 1.0) END FROM s
         |UNION ALL SELECT 'l_extendedprice', 'l_tax',
         |  CASE WHEN (n*s_ee - s_e*s_e) > 0 AND (n*s_tt - s_t*s_t) > 0 THEN
-        |    round((n*s_et - s_e*s_t)
-        |      / sqrt((n*s_ee - s_e*s_e) * (n*s_tt - s_t*s_t)), 9) END FROM s
+        |    least(greatest(round((n*s_et - s_e*s_t)
+        |      / sqrt((n*s_ee - s_e*s_e) * (n*s_tt - s_t*s_t)), 9), -1.0), 1.0) END FROM s
         |UNION ALL SELECT 'l_discount', 'l_tax',
         |  CASE WHEN (n*s_dd - s_d*s_d) > 0 AND (n*s_tt - s_t*s_t) > 0 THEN
-        |    round((n*s_dt - s_d*s_t)
-        |      / sqrt((n*s_dd - s_d*s_d) * (n*s_tt - s_t*s_t)), 9) END FROM s""".stripMargin,
+        |    least(greatest(round((n*s_dt - s_d*s_t)
+        |      / sqrt((n*s_dd - s_d*s_d) * (n*s_tt - s_t*s_t)), 9), -1.0), 1.0) END FROM s""".stripMargin,
     "q92_snapshot_diff" ->
       """WITH o AS (SELECT o_orderkey, o_totalprice FROM orders),
         |a AS (

@@ -82,9 +82,12 @@ object Stats {
       val cov = n * col(s"__sxy$i") - col(s"__sx$i") * col(s"__sy$i")
       val vx = n * col(s"__sxx$i") - col(s"__sx$i") * col(s"__sx$i")
       val vy = n * col(s"__syy$i") - col(s"__sy$i") * col(s"__sy$i")
+      // clamp: the decimal quantization of the sums can push a perfectly
+      // linear pair a few 1e-9 past ±1, which Pearson never reaches
       struct(lit(a).as("col_a"), lit(b).as("col_b"),
         when(vx > 0 && vy > 0,
-          round(cov / sqrt(vx * vy), 9)).as("corr"))
+          least(greatest(round(cov / sqrt(vx * vy), 9), lit(-1.0)), lit(1.0)))
+          .as("corr"))
     }
     one.select(explode(array(rows: _*)).as("r"))
       .select(col("r.col_a"), col("r.col_b"), col("r.corr"))

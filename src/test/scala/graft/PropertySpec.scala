@@ -453,4 +453,100 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("snapshotDiff/upsert inverse law on random versions (3 seeds)") {
+    import graft.operators.{Diff, Upsert}
+    for (seed <- Seq(11L, 22L, 33L)) {
+      val rnd = new Random(seed)
+      def snap(): Seq[(Long, String, Double)] =
+        (0L until 60L).filter(_ => rnd.nextDouble() > 0.2).map(k =>
+          (k, if (rnd.nextDouble() < 0.1) null else s"v${rnd.nextInt(5)}",
+            rnd.nextInt(10).toDouble))
+      val before = df(snap().map(t => Seq(t._1, t._2, t._3)), "id:long,tag:str,v:double")
+      val after = df(snap().map(t => Seq(t._1, t._2, t._3)), "id:long,tag:str,v:double")
+      // self-diff is empty; hashOnly classification == semantic classification
+      assert(Diff.snapshotDiff(before, before, Seq("id")).count() === 0)
+      val sem = Diff.snapshotDiff(before, after, Seq("id")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val hsh = Diff.snapshotDiff(before, after, Seq("id"), hashOnly = true)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(sem === hsh)
+      // replaying the diff as a CDC batch onto `before` reproduces `after`
+      val rows = Diff.snapshotDiffRows(before, after, Seq("id"))
+      val changes = rows.select(col("id"),
+        when(col("change") === "removed", lit("D")).otherwise(lit("U")).as("op"),
+        col("after.tag").as("tag"), col("after.v").as("v"))
+      val rebuilt = Upsert.upsert(before, changes, Seq("id"))
+        .select("id", "tag", "v")
+      assert(graft.api.DfUtils.dfEq(rebuilt, after),
+        s"seed $seed: upsert(before, diff) != after")
+    }
+  }
+
+  test("histogram conserves mass and places every value in its bucket (3 seeds)") {
+    import graft.functions.Stats
+    for (seed <- Seq(7L, 8L, 9L)) {
+      val rnd = new Random(seed)
+      val vals = (1 to 300).map(_ =>
+        if (rnd.nextDouble() < 0.1) null
+        else java.lang.Double.valueOf(rnd.nextDouble() * 100 - 50))
+      val d = df(vals.zipWithIndex.map { case (v, i) => Seq(i.toLong, v) },
+        "id:long,v:double")
+      val bins = 1 + rnd.nextInt(30)
+      val h = Stats.histogram(d, "v", bins).collect()
+        .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      val nonNull = vals.flatMap(Option(_)).map(_.doubleValue)
+      assert(h.map(_._4).sum === nonNull.size, "mass conserved")
+      assert(h.length === bins)
+      // recompute each value's bucket with the operator's formula
+      val (mn, mx) = (nonNull.min, nonNull.max)
+      val w = (mx - mn) / bins
+      val expect = nonNull.groupBy(v =>
+        math.min(math.floor((v - mn) / w).toInt, bins - 1))
+        .view.mapValues(_.size.toLong).toMap
+      h.foreach { case (b, lo, hi, n) =>
+        assert(n === expect.getOrElse(b, 0L), s"seed $seed bucket $b")
+        assert(math.abs(lo - (mn + b * w)) < 1e-9)
+        assert(math.abs(hi - (mn + (b + 1) * w)) < 1e-9)
+      }
+    }
+  }
+
+  test("correlationMatrix laws: bounds, exact linear, list-order invariance (3 seeds)") {
+    import graft.functions.Stats
+    for (seed <- Seq(4L, 5L, 6L)) {
+      val rnd = new Random(seed)
+      val rows = (1 to 200).map { i =>
+        val x = rnd.nextDouble() * 10
+        Seq(i.toLong, x, 2.0 * x + 3.0, rnd.nextDouble() * 10)
+      }
+      val d = df(rows, "id:long,x:double,lin:double,z:double")
+      val m = Stats.correlationMatrix(d, Seq("x", "lin", "z")).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+      assert(math.abs(m(("x", "lin")) - 1.0) < 1e-6, "exact linear pair")
+      m.values.foreach(c => assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9))
+      // list order changes pair labels, not values
+      val m2 = Stats.correlationMatrix(d, Seq("z", "x", "lin")).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+      assert(m2(("z", "x")) === m(("x", "z")))
+      assert(m2(("x", "lin")) === m(("x", "lin")))
+    }
+  }
+
+  test("Checks.enforce throws iff validate reports a failed row (3 seeds)") {
+    import graft.functions.Checks
+    for (seed <- Seq(1L, 2L, 3L)) {
+      val rnd = new Random(seed)
+      val rows = (1 to 100).map(i => Seq(i.toLong, rnd.nextInt(50).toDouble))
+      val d = df(rows, "id:long,v:double")
+      val loose = Seq(Checks.rowCountBetween(1, 1000),
+        Checks.minValue("v", -1), Checks.unique("id"))
+      assert(Checks.validate(d, loose).filter(!col("passed")).count() === 0)
+      Checks.enforce(d, loose) // must not throw
+      val tight = loose :+ Checks.maxValue("v", 10.0)
+      val failed = Checks.validate(d, tight).filter(!col("passed")).count()
+      if (failed > 0) intercept[IllegalStateException] { Checks.enforce(d, tight) }
+      else Checks.enforce(d, tight)
+    }
+  }
 }
