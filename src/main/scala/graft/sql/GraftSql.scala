@@ -133,7 +133,9 @@ object GraftSql {
    * `zscore_outliers(col:v[, by:keys, threshold:3.0])` /
    * `mad_outliers(col:v[, by, threshold:3.5])` /
    * `winsorize(col:v[, by, lo:0.01, hi:0.99, approx:true])` (per-group
-   * distribution gates, no windows) and
+   * distribution gates, no windows),
+   * `histogram(col:v[, bins:20])` (equi-width, empty buckets kept),
+   * `corr_matrix(cols:"a,b,c")` (single-pass pairwise Pearson) and
    * `PROCESS before, after USING snapshot_diff(keys:"id"[, hash:true,
    * unchanged:true])` (added/removed/changed audit between versions).
    * User extensions with the same name win. */
@@ -313,6 +315,17 @@ object GraftSql {
             lo = p.get("lo").map(_.toDouble).getOrElse(0.01),
             hi = p.get("hi").map(_.toDouble).getOrElse(0.99),
             approx = p.get("approx").exists(_.toBoolean))
+        },
+        "histogram" -> ProcessorDef { (_, dfs, p) =>
+          graft.functions.Stats.histogram(one(dfs, "histogram"),
+            c = p.getOrElse("col", "value"),
+            bins = p.get("bins").map(_.toInt).getOrElse(20))
+        },
+        "corr_matrix" -> ProcessorDef { (_, dfs, p) =>
+          graft.functions.Stats.correlationMatrix(one(dfs, "corr_matrix"),
+            p.getOrElse("cols",
+              throw new IllegalArgumentException("corr_matrix needs cols:\"a,b,...\""))
+              .split(",").map(_.trim).toSeq)
         },
         "snapshot_diff" -> ProcessorDef { (_, dfs, p) =>
           require(dfs.size == 2, "snapshot_diff takes (before, after)")

@@ -731,6 +731,26 @@ class GraftSqlSpec extends SparkTestBase {
     assert(diff === Map(2L -> "changed", 3L -> "removed", 6L -> "added"))
   }
 
+  test("built-in histogram and corr_matrix processors from the dialect") {
+    val d = df((1 to 40).map(i => Seq(i.toLong, i.toDouble, (2 * i).toDouble)),
+      "id:long,v:double,w:double")
+    val h = GraftSql.run(engine,
+      """h = PROCESS nums USING histogram(col:v, bins:4)
+        |YIELD h AS h
+        |""".stripMargin, Map("nums" -> d)).yields("h").collect()
+    assert(h.length === 4)
+    assert(h.map(_.getLong(3)).sum === 40L)
+    val c = GraftSql.run(engine,
+      """c = PROCESS nums USING corr_matrix(cols:"v,w")
+        |YIELD c AS c
+        |""".stripMargin, Map("nums" -> d)).yields("c").collect()
+    assert(c.length === 1 && math.abs(c.head.getDouble(2) - 1.0) < 1e-9)
+    intercept[IllegalArgumentException] {
+      GraftSql.run(engine, "c = PROCESS nums USING corr_matrix\nYIELD c AS c",
+        Map("nums" -> d))
+    }
+  }
+
   test("multi-line UNION ALL stays one statement; OVER(ORDER BY) gets implicit FROM") {
     val res = GraftSql.run(engine,
       """a = SELECT k, v FROM input WHERE v > 8 UNION ALL
