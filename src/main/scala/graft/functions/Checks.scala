@@ -40,8 +40,11 @@ object Checks {
       metric: Column,
       passed: Column => Column)
 
+  /** num/den at 9 digits, null when the denominator is 0 — under ANSI
+   * mode (Spark 4 default) a bare division would THROW on an all-null
+   * column instead of reporting the constraint as failed. */
   private def ratio(num: Column, den: Column): Column =
-    round(num.cast("double") / den.cast("double"), 9)
+    when(den =!= 0, round(num.cast("double") / den.cast("double"), 9))
 
   /** Fraction of rows where `c` is non-null ≥ minRatio. */
   def completeness(c: String, minRatio: Double): Check =
@@ -85,21 +88,16 @@ object Checks {
     Check(s"max<=$hi", c, coalesce(max(col(c)).cast("double"), lit(hi)),
       m => m <= hi)
 
-  /** Decimal-bridged mean of `c` in [lo, hi]. */
+  /** Decimal-bridged mean of `c` in [lo, hi] ([[Moments.decimalMean]]). */
   def meanBetween(c: String, lo: Double, hi: Double): Check =
-    Check(s"mean[$lo,$hi]", c,
-      round(sum(col(c).cast("decimal(28,6)")).cast("double") / count(col(c)), 9),
+    Check(s"mean[$lo,$hi]", c, Moments.decimalMean(col(c)),
       m => m >= lo && m <= hi)
 
-  /** Decimal-bridged population stddev of `c` in [lo, hi]. */
-  def stddevBetween(c: String, lo: Double, hi: Double): Check = {
-    val n = count(col(c)).cast("double")
-    val s1 = sum(col(c).cast("decimal(28,6)")).cast("double")
-    val s2 = sum((col(c) * col(c)).cast("decimal(28,6)")).cast("double")
-    Check(s"stddev[$lo,$hi]", c,
-      round(sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), lit(0.0))), 9),
+  /** Decimal-bridged population stddev of `c` in [lo, hi]
+   * ([[Moments.decimalPopStddev]]). */
+  def stddevBetween(c: String, lo: Double, hi: Double): Check =
+    Check(s"stddev[$lo,$hi]", c, Moments.decimalPopStddev(col(c)),
       m => m >= lo && m <= hi)
-  }
 
   /** Fraction of non-null values of `c` inside `values` ≥ minRatio. */
   def inSet(c: String, values: Seq[Any], minRatio: Double = 1.0): Check =
@@ -143,9 +141,12 @@ object Checks {
    * `in_set:C:A|B|C[:RATIO]` · `distinct:C:LO:HI` ·
    * `approx_distinct:C:LO:HI` · `row_count:LO:HI` ·
    * `regex:C:RATIO:PATTERN` (pattern last so it may contain colons).
+   * A literal comma inside a pattern or set value — e.g. the `{2,4}`
+   * regex quantifier — is written `\,`.
    */
   def parseRules(spec: String): Seq[Check] = {
-    val rules = spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val rules = spec.split("(?<!\\\\),").map(_.replace("\\,", ","))
+      .map(_.trim).filter(_.nonEmpty).toSeq
     require(rules.nonEmpty, "empty rule spec")
     rules.map { r =>
       val parts = r.split(":")
@@ -207,8 +208,11 @@ object Checks {
     val failed = validate(df, checks).filter(!col("passed"))
       .select("constraint", "column", "metric").collect()
     if (failed.nonEmpty) {
+      // metric is null when a ratio's denominator is 0 (e.g. inSet over an
+      // all-null column) — the gate must name the constraint, not NPE
       val msg = failed.map(r =>
-        s"${r.getString(0)} on ${r.getString(1)} (metric=${r.getDouble(2)})")
+        s"${r.getString(0)} on ${r.getString(1)} (metric=" +
+          s"${if (r.isNullAt(2)) "null" else r.getDouble(2).toString})")
         .mkString("; ")
       throw new IllegalStateException(s"data-quality checks failed: $msg")
     }

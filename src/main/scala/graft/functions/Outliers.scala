@@ -18,34 +18,44 @@ import org.apache.spark.sql.functions._
  */
 object Outliers {
 
+  /** Join the per-group stats back onto the rows. NULL-SAFE on the group
+   * keys: groupBy emits a stats row for the null group, and a plain
+   * equi-join would drop every null-keyed input row (null = null is
+   * false) — a gate must never silently delete records. */
   private def statsJoin(df: DataFrame, groupCols: Seq[String],
       stats: DataFrame): DataFrame =
     if (groupCols.isEmpty) df.crossJoin(broadcast(stats)) // global stats: 1 row
-    else df.join(stats, groupCols)
+    else {
+      val renamed = groupCols.foldLeft(stats)((s, k) =>
+        s.withColumnRenamed(k, s"__k_$k"))
+      val cond = groupCols.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _)
+      df.join(renamed, cond, "left")
+        .drop(groupCols.map(k => s"__k_$k"): _*)
+    }
 
   /**
    * Classic z-score flags: adds `zscore` (rounded to 6 digits) and
    * `is_outlier` (|z| > threshold). Groups with zero variance (or a
-   * single row) get zscore 0 and no outliers.
+   * single row) get zscore 0 and no outliers; rows whose value is null
+   * keep a null zscore but are NEVER flagged (`is_outlier` is false, not
+   * null — three-valued logic must not make them vanish from both sides
+   * of a filter).
    */
   def zscoreOutliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
       threshold: Double = 3.0): DataFrame = {
     require(threshold > 0, "threshold must be > 0")
     val v = col(valueCol)
-    val n = count(v).cast("double")
-    val s1 = sum(v.cast("decimal(28,6)")).cast("double")
-    val s2 = sum((v * v).cast("decimal(28,6)")).cast("double")
     val statsAgg = Seq(
-      round(s1 / n, 9).as("__mean"),
-      round(sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), lit(0.0))), 9).as("__std"))
+      Moments.decimalMean(v).as("__mean"),
+      Moments.decimalPopStddev(v).as("__std"))
     val stats =
       if (groupCols.isEmpty) df.agg(statsAgg.head, statsAgg.tail: _*)
       else df.groupBy(groupCols.map(col): _*).agg(statsAgg.head, statsAgg.tail: _*)
     statsJoin(df, groupCols, stats)
       .withColumn("zscore",
         when(col("__std") > 0, round((v - col("__mean")) / col("__std"), 6))
-          .otherwise(lit(0.0)))
-      .withColumn("is_outlier", abs(col("zscore")) > threshold)
+          .otherwise(when(v.isNotNull, lit(0.0))))
+      .withColumn("is_outlier", coalesce(abs(col("zscore")) > threshold, lit(false)))
       .drop("__mean", "__std")
   }
 
@@ -73,8 +83,9 @@ object Outliers {
       .withColumn("modified_z",
         when(col("__mad") > 0,
           round(lit(0.6745) * (v - col("__med")) / col("__mad"), 6))
-          .otherwise(lit(0.0)))
-      .withColumn("is_outlier", abs(col("modified_z")) > threshold)
+          .otherwise(when(v.isNotNull, lit(0.0))))
+      .withColumn("is_outlier",
+        coalesce(abs(col("modified_z")) > threshold, lit(false)))
       .drop("__med", "__mad")
   }
 
@@ -98,7 +109,8 @@ object Outliers {
     statsJoin(df, groupCols, stats)
       .withColumn("lower_fence", col("__q1") - lit(k) * (col("__q3") - col("__q1")))
       .withColumn("upper_fence", col("__q3") + lit(k) * (col("__q3") - col("__q1")))
-      .withColumn("is_outlier", v < col("lower_fence") || v > col("upper_fence"))
+      .withColumn("is_outlier",
+        coalesce(v < col("lower_fence") || v > col("upper_fence"), lit(false)))
       .drop("__q1", "__q3")
   }
 

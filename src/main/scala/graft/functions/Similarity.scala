@@ -453,11 +453,13 @@ object Similarity {
     import graft.functions.expressions.VectorExpressions.nearestCells
     require(k >= 1, "k must be >= 1")
     require(refine >= 0, "refine must be >= 0")
-    val c = Dedup.spreadForCompute(corpus)
+    val cPlan = Dedup.spreadForCompute(corpus)
       .select(col(idCol).as("neighbor_id"), l2normalize(col(vecCol)).as("cv"))
       .withColumn("cell", nearestCells(col("cv"), centroids, 1)(0))
       .withColumn("codes", pqEncode(col("cv"), codebooks))
-      .localCheckpoint(true) // reused by the ADC pass and the re-rank join
+    // checkpoint only when the re-rank actually reuses the encoded corpus;
+    // at refine = 0 it is consumed once and materializing it buys nothing
+    val c = if (refine > 0) cPlan.localCheckpoint(true) else cPlan
     val q = queries
       .select(col(idCol).as("query_id"), l2normalize(col(vecCol)).as("qv"))
       .withColumn("cell", explode(nearestCells(col("qv"), centroids, nProbe)))

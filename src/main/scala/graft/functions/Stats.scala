@@ -20,25 +20,30 @@ object Stats {
   /**
    * Equi-width histogram of `c`: `bins` buckets spanning [min, max],
    * output `(bucket, lo, hi, n)` sorted by bucket, empty buckets
-   * included (n = 0). x = max lands in the last bucket. Degenerate
-   * domains (min == max, or all null) produce a single bucket row.
+   * included (n = 0). x = max lands in the last bucket; null and NaN
+   * values are excluded. Degenerate domains (min == max, or no valid
+   * rows) produce a single bucket row.
    */
   def histogram(df: DataFrame, c: String, bins: Int): DataFrame = {
     require(bins >= 1, "bins must be >= 1")
     val spark = df.sparkSession
     import spark.implicits._
     val v = col(c).cast("double")
-    val Array(mn, mx) = df.agg(min(v), max(v)).collect().head match {
-      case r if r.isNullAt(0) => Array(0.0, 0.0) // all-null column
+    // NaN is excluded like null: NaN sorts ABOVE every double in Spark, so
+    // one NaN row would otherwise become max(), make the width NaN, and
+    // silently collapse every row into bucket 0
+    val valid = v.isNotNull && !isnan(v)
+    val Array(mn, mx) = df.filter(valid).agg(min(v), max(v)).collect().head match {
+      case r if r.isNullAt(0) => Array(0.0, 0.0) // no valid rows
       case r => Array(r.getDouble(0), r.getDouble(1))
     }
     if (mx <= mn) {
-      val n = df.filter(v.isNotNull).count()
+      val n = df.filter(valid).count()
       return Seq((0, mn, mx, n)).toDF("bucket", "lo", "hi", "n")
     }
     val w = (mx - mn) / bins
     val bucket = least(floor((v - mn) / w).cast("int"), lit(bins - 1))
-    val counts = df.filter(v.isNotNull)
+    val counts = df.filter(valid)
       .groupBy(bucket.as("bucket"))
       .agg(count(lit(1)).as("n"))
     val frame = spark.range(bins).select(col("id").cast("int").as("bucket"))
@@ -66,7 +71,10 @@ object Stats {
     def dec(e: org.apache.spark.sql.Column) = e.cast("decimal(28,6)")
     val aggs = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
       val (x, y) = (col(a).cast("double"), col(b).cast("double"))
-      val both = x.isNotNull && y.isNotNull
+      // NaN excluded like null: cast(NaN as decimal) is null, so the sums
+      // would already skip it while n counted it — n and the sums must
+      // agree on the row population
+      val both = x.isNotNull && y.isNotNull && !isnan(x) && !isnan(y)
       def g(e: org.apache.spark.sql.Column) = when(both, e)
       Seq(
         count(g(lit(1))).cast("double").as(s"__n$i"),

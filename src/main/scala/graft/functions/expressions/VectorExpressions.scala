@@ -839,11 +839,19 @@ case class PqAdcScore(left: Expression, right: Expression,
   override def dataType: DataType = DoubleType
 
   def compute(qv: ArrayData, codes: ArrayData): Double = {
+    // strict: scoring codes from a DIFFERENT codebook generation must
+    // fail loudly, not clamp into plausible-but-wrong similarities
+    if (codes.numElements() != m)
+      throw new IllegalArgumentException(
+        s"PQ code array has ${codes.numElements()} entries, codebooks have $m subspaces")
     var score = 0.0
     var s = 0
-    val nSub = math.min(m, codes.numElements())
-    while (s < nSub) {
-      val cw = codebooks(s)(math.max(0, math.min(codebooks(s).length - 1, codes.getInt(s))))
+    while (s < m) {
+      val code = codes.getInt(s)
+      if (code < 0 || code >= codebooks(s).length)
+        throw new IllegalArgumentException(
+          s"PQ code $code out of range [0, ${codebooks(s).length}) in subspace $s")
+      val cw = codebooks(s)(code)
       val base = s * dsub
       var i = 0
       while (i < dsub) {

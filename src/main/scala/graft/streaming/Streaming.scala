@@ -144,7 +144,14 @@ object Streaming {
     val keyCond = keys.map(k => l(k) === r(k)).reduce(_ && _)
     val range = r(rightTimeCol) >= l(leftTimeCol) &&
       r(rightTimeCol) <= l(leftTimeCol) + expr(s"INTERVAL $maxLag")
-    keys.foldLeft(l.join(r, keyCond && range, joinType))((d, k) => d.drop(r(k)))
+    val joined = l.join(r, keyCond && range, joinType)
+    // keep ONE key column per key, coalescing the two sides: under
+    // right/full outer an unmatched right row has a null left key, and
+    // dropping r(k) would erase the very key that identifies it
+    val merged = keys.foldLeft(joined)((d, k) =>
+      d.withColumn(s"__key_$k", coalesce(l(k), r(k))))
+    val dropped = keys.foldLeft(merged)((d, k) => d.drop(l(k)).drop(r(k)))
+    keys.foldLeft(dropped)((d, k) => d.withColumnRenamed(s"__key_$k", k))
   }
 
   /** `foreachBatch` sink: apply an arbitrary batch-mode action to each

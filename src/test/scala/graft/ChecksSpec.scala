@@ -102,6 +102,21 @@ class ChecksSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { Checks.parseRules("") }
     intercept[IllegalArgumentException] { Checks.parseRules("frobnicate:x") }
     intercept[IllegalArgumentException] { Checks.parseRules("mean:value:1") }
+    // escaped comma: the {2,4} bounded-repetition quantifier is expressible
+    val quant = Checks.parseRules("""regex:tag:1.0:^[a-z]{1\,2}$,not_null:id""")
+    assert(quant.length === 2)
+    val qrep = Checks.validate(df, quant.take(1)).collect().head
+    assert(qrep.getDouble(2) === 1.0 && qrep.getBoolean(3)) // all tags 1-2 chars
+  }
+
+  test("enforce names the constraint even when its metric is null") {
+    val allNull = Seq((1L, Option.empty[String]), (2L, Option.empty[String]))
+      .toDF("id", "status")
+    val e = intercept[IllegalStateException] {
+      Checks.enforce(allNull, Seq(Checks.inSet("status", Seq("A", "B"))))
+    }
+    assert(e.getMessage.contains("in_set>=1.0 on status"))
+    assert(e.getMessage.contains("metric=null"))
   }
 
   test("single aggregation pass: report plan has exactly one scan of the input") {

@@ -238,6 +238,22 @@ class ExtrasSpec extends SparkTestBase {
       .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
     assert(gotOuter.contains((101L, 201L)))
     assert(gotOuter.contains((102L, -1L)), "closed-window click must emit null match")
+    // right_outer: an unmatched right row keeps its KEY (coalesced from
+    // the right side — dropping r(key) here would erase the identity of
+    // the unattributed purchase)
+    val ro = Streaming.streamStreamJoin(
+      Streaming.loadStream(spark, s"$dir/c", clicksB.schema),
+      Streaming.loadStream(spark, s"$dir/p", purchB.schema),
+      Seq("user"), "click_ts", "purch_ts", "0 seconds", "10 minutes",
+      joinType = "right_outer")
+      .select(col("user"), col("click_id"), col("purch_id"))
+    Streaming.runToMemory(ro, "ss_right")
+    val gotRight = spark.table("ss_right").collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) -1L else r.getLong(1),
+        r.getLong(2))).toSet
+    assert(gotRight.contains(("u1", 101L, 201L)))
+    assert(gotRight.contains(("u1", -1L, 202L)),
+      "out-of-window purchase keeps user key with null click")
     // guard rails: shared non-key columns and identical time names rejected
     intercept[IllegalArgumentException] {
       Streaming.streamStreamJoin(c, c, Seq("user"),

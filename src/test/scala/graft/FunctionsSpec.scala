@@ -246,6 +246,18 @@ class FunctionsSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       Similarity.trainPqCodebooks(emb, "embedding", numSubspaces = 7)
     }
+    // scoring codes against a different codebook generation fails loudly
+    // instead of clamping into plausible-but-wrong similarities
+    val smallBooks = Similarity.trainPqCodebooks(emb, "embedding",
+      numSubspaces = 8, codebookSize = 4, iterations = 1, sampleSize = 100)
+    val nv = graft.functions.expressions.VectorExpressions.l2normalize(col("embedding"))
+    val mixed = emb.limit(5).select(
+      Similarity.pqAdcScore(nv,
+        Similarity.pqEncode(nv, books), // 16-codeword codes
+        smallBooks))                    // 4-codeword books
+    val err = intercept[org.apache.spark.SparkException] { mixed.collect() }
+    assert(err.getMessage.contains("out of range") ||
+      Option(err.getCause).exists(_.getMessage.contains("out of range")))
   }
 
   test("ivfCosinePairs precision exact; recall high with probing") {

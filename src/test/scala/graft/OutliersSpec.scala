@@ -59,6 +59,35 @@ class OutliersSpec extends SparkTestBase {
     }
   }
 
+  test("null group keys and null values survive the gate unflagged") {
+    val d = Seq(
+      (Some("a"), 1L, Some(10.0)), (Some("a"), 2L, Some(11.0)),
+      (Some("a"), 3L, Some(12.0)), (Some("a"), 4L, Some(500.0)),
+      (None, 5L, Some(7.0)), (None, 6L, Some(8.0)),   // null-key group
+      (Some("a"), 7L, Option.empty[Double]))           // null value
+      .toDF("grp", "id", "v")
+    for (out <- Seq(
+      Outliers.zscoreOutliers(d, Seq("grp"), "v", threshold = 1.2),
+      Outliers.madOutliers(d, Seq("grp"), "v"),
+      Outliers.iqrOutliers(d, Seq("grp"), "v"),
+      Outliers.winsorize(d, Seq("grp"), "v"))) {
+      assert(out.count() === 7, "a gate must never delete rows")
+    }
+    val z = Outliers.zscoreOutliers(d, Seq("grp"), "v", threshold = 1.2)
+      .select("id", "zscore", "is_outlier").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)), r.getBoolean(2))).toMap
+    // null-key rows get their own group's stats, not a's
+    assert(!z(5L)._2 && !z(6L)._2)
+    assert(z(4L)._2, "spike in group a still flagged")
+    // null value: null zscore, is_outlier FALSE (not null) so filters
+    // on either polarity keep the row visible
+    assert(z(7L) === ((None, false)))
+    val kept = Outliers.zscoreOutliers(d, Seq("grp"), "v", threshold = 1.2)
+      .filter(!col("is_outlier")).count()
+    assert(kept === 6, "!is_outlier must keep null-valued rows")
+  }
+
   test("no window in any plan: group stats join back, never sort-partition") {
     val plans = Seq(
       Outliers.zscoreOutliers(df, Seq("grp"), "v"),
