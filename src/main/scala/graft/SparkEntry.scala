@@ -585,6 +585,24 @@ object SparkEntry {
         "full_budget_exact:long,adc_signal_ok:long")
     }),
 
+    // large-x-large ANN join differential: EVERY corpus row is a query
+    // (the shape lshTopK's broadcast-queries design cannot serve);
+    // recall vs brute force >= 0.9 and full left coverage
+    "s09_ann_join" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val exact = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", k = 5)
+        .select("query_id", "neighbor_id").localCheckpoint(true)
+      val joined = Similarity.annJoin(emb, emb, "vec_id", "embedding", k = 5,
+        nTables = 16, nBits = 8, probes = 2, excludeSameId = true)
+        .select("query_id", "neighbor_id").localCheckpoint(true)
+      val found = exact.join(joined, Seq("query_id", "neighbor_id"), "left_semi")
+        .count().toDouble
+      val recallOk = found / exact.count() >= 0.9
+      val coverageOk = joined.select("query_id").distinct().count() == emb.count()
+      eng(s).toDF(Seq(Seq(if (recallOk) 1L else 0L, if (coverageOk) 1L else 0L)),
+        "recall_ok:long,coverage_ok:long")
+    }),
+
     // differential conformance: LSH top-k recall vs brute force ≥ 0.9
     "s03_knn_lsh_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -3098,6 +3116,8 @@ object SparkEntry {
     "s07_kmeans_cluster" -> "SELECT CAST(1 AS BIGINT) AS cluster_ok",
     "s08_knn_ivfpq" ->
       "SELECT CAST(1 AS BIGINT) AS full_budget_exact, CAST(1 AS BIGINT) AS adc_signal_ok",
+    "s09_ann_join" ->
+      "SELECT CAST(1 AS BIGINT) AS recall_ok, CAST(1 AS BIGINT) AS coverage_ok",
     "t21_bpe" -> "SELECT CAST(1 AS BIGINT) AS bpe_ok",
     "t22_url_domains" ->
       (s"""WITH injected AS (

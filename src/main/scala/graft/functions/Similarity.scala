@@ -334,6 +334,55 @@ object Similarity {
   }
 
   /**
+   * Large-×-large ANN join: approximate top-k `right` neighbors for
+   * EVERY row of `left`, with NEITHER side broadcast — the enrichment
+   * shape ("attach the k nearest reference documents to each of a
+   * billion training documents") that [[lshTopK]]'s broadcast-queries
+   * design cannot serve.
+   *
+   * Scale design: both sides explode to (id, 8-byte LSH bucket key) —
+   * multi-probe on the LEFT so the right/reference side indexes one key
+   * per table; candidates pair through a plain shuffled equi-join on the
+   * bucket key; degenerate buckets (a hash region holding more than
+   * maxBucketSize right rows) are dropped loudly-by-contract BEFORE the
+   * join, the same skew guard as the dedup family; exact cosines then
+   * re-join vectors BY ID (the exchanges up to that point carry ids and
+   * 8-byte keys, never embeddings), and per-left top-k runs on the rank
+   * window (WindowGroupLimit keeps it partial per map task).
+   * `excludeSameId = true` for self-enrichment over one corpus.
+   */
+  def annJoin(
+      left: DataFrame, right: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nTables: Int = 8, nBits: Int = 12, seed: Long = 42L,
+      probes: Int = 2, maxBucketSize: Int = 100000,
+      excludeSameId: Boolean = false): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val dim = inferDim(right, vecCol)
+    val rKeys = hyperplaneKeys(dim, nTables, nBits, seed)
+    val lKeys = hyperplaneKeys(dim, nTables, nBits, seed, probes)
+    val l = Dedup.spreadForCompute(left)
+      .select(col(idCol).as("query_id"), l2normalize(col(vecCol)).as("qv"))
+      .localCheckpoint(true) // consumed by bucketing and the rescore join
+    val r = Dedup.spreadForCompute(right)
+      .select(col(idCol).as("neighbor_id"), l2normalize(col(vecCol)).as("cv"))
+      .localCheckpoint(true)
+    val lb = l.select(col("query_id"), explode(lKeys(col("qv"))).as("bk"))
+    val rb = r.select(col("neighbor_id"), explode(rKeys(col("cv"))).as("bk"))
+    val big = rb.groupBy("bk").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucketSize).select("bk")
+    val rbCapped = rb.join(sparkBroadcast(big), Seq("bk"), "left_anti")
+    val pairs0 = lb.join(rbCapped, "bk")
+      .select(col("query_id"), col("neighbor_id"))
+    val pairs =
+      (if (excludeSameId) pairs0.filter(col("query_id") =!= col("neighbor_id"))
+       else pairs0).distinct() // collisions across tables — ids only
+    val scored = pairs.join(r, "neighbor_id").join(l, "query_id")
+      .withColumn("cosine", dot(col("cv"), col("qv")))
+    topKByCosine(scored, k)
+  }
+
+  /**
    * Train product-quantization codebooks: `numSubspaces` independent
    * k-means runs (Lloyd's), one per contiguous dim/numSubspaces slice of
    * the L2-normalized vectors. Mirrors the reference's ANN posture

@@ -260,6 +260,33 @@ class FunctionsSpec extends SparkTestBase {
       Option(err.getCause).exists(_.getMessage.contains("out of range")))
   }
 
+  test("annJoin: every left row enriched, high recall, no broadcast of either side") {
+    val brute = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val joined = Similarity.annJoin(emb, emb, "vec_id", "embedding", k = 5,
+      nTables = 16, nBits = 8, probes = 2, excludeSameId = true)
+    val got = joined.select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every left row got k neighbors (bucket collisions guarantee
+    // candidates at these parameters on 500 rows)
+    assert(joined.select("query_id").distinct().count() === emb.count())
+    val recall = got.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall $recall too low")
+    // schema matches the rest of the top-k family
+    assert(joined.columns.toSeq === Seq("query_id", "rank", "neighbor_id", "cosine"))
+    // design-level: WE only hint-broadcast the tiny oversized-bucket
+    // list — neither data side carries a broadcast hint (AQE may still
+    // broadcast small test inputs at runtime; at scale it won't)
+    val hints = joined.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.length <= 1, "only the bucket-cap list may be hinted")
+    intercept[IllegalArgumentException] {
+      Similarity.annJoin(emb, emb, "vec_id", "embedding", k = 0)
+    }
+  }
+
   test("ivfCosinePairs precision exact; recall high with probing") {
     val exact = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.3)
       .select("id_a", "id_b")
