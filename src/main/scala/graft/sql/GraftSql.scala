@@ -135,7 +135,9 @@ object GraftSql {
    * `winsorize(col:v[, by, lo:0.01, hi:0.99, approx:true])` (per-group
    * distribution gates, no windows),
    * `histogram(col:v[, bins:20])` (equi-width, empty buckets kept),
-   * `corr_matrix(cols:"a,b,c")` (single-pass pairwise Pearson) and
+   * `corr_matrix(cols:"a,b,c")` (single-pass pairwise Pearson),
+   * `PROCESS left, right USING ann_join(id:vec_id, col:embedding, k:5)`
+   * (large-x-large approximate-neighbor enrichment, nothing broadcast) and
    * `PROCESS before, after USING snapshot_diff(keys:"id"[, hash:true,
    * unchanged:true])` (added/removed/changed audit between versions).
    * User extensions with the same name win. */
@@ -326,6 +328,18 @@ object GraftSql {
             p.getOrElse("cols",
               throw new IllegalArgumentException("corr_matrix needs cols:\"a,b,...\""))
               .split(",").map(_.trim).toSeq)
+        },
+        "ann_join" -> ProcessorDef { (_, dfs, p) =>
+          require(dfs.size == 2, "ann_join takes (left, right)")
+          graft.functions.Similarity.annJoin(dfs.head, dfs(1),
+            idCol = p.getOrElse("id", "vec_id"),
+            vecCol = p.getOrElse("col", "embedding"),
+            k = p.getOrElse("k", "5").toInt,
+            nTables = p.get("tables").map(_.toInt).getOrElse(8),
+            nBits = p.get("bits").map(_.toInt).getOrElse(12),
+            seed = p.get("seed").map(_.toLong).getOrElse(42L),
+            probes = p.get("probes").map(_.toInt).getOrElse(2),
+            excludeSameId = p.get("exclude_same_id").exists(_.toBoolean))
         },
         "snapshot_diff" -> ProcessorDef { (_, dfs, p) =>
           require(dfs.size == 2, "snapshot_diff takes (before, after)")

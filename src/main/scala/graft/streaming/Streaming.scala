@@ -154,6 +154,24 @@ object Streaming {
     keys.foldLeft(dropped)((d, k) => d.withColumnRenamed(s"__key_$k", k))
   }
 
+  /**
+   * Per-micro-batch data-quality monitor: runs
+   * [[graft.functions.Checks.validate]] over every micro-batch and hands
+   * each (batchId, report rows) to `onReport` — the continuous form of
+   * the batch quality gate ("alert the moment an ingest batch ships a
+   * null surge", the observability layer a 100 TB streaming ingest needs
+   * in the pipeline rather than bolted on after). The report is tiny
+   * (#constraints rows) so the driver-side callback is bounded; the
+   * per-batch cost is the same single aggregation pass as the batch gate.
+   * Synchronous AvailableNow run, like [[foreachBatchSink]].
+   */
+  def qualityMonitorSink(df: DataFrame, checkpoint: String,
+      checks: Seq[graft.functions.Checks.Check])(
+      onReport: (Long, Array[org.apache.spark.sql.Row]) => Unit): StreamingQuery =
+    foreachBatchSink(df, checkpoint) { (batch, id) =>
+      onReport(id, graft.functions.Checks.validate(batch, checks).collect())
+    }
+
   /** `foreachBatch` sink: apply an arbitrary batch-mode action to each
    * micro-batch (the escape hatch for sinks Structured Streaming lacks —
    * upserts, multi-table writes). Synchronous AvailableNow trigger. */

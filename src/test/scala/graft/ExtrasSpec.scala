@@ -267,6 +267,28 @@ class ExtrasSpec extends SparkTestBase {
     }
   }
 
+  test("streaming: per-batch quality monitor reports every micro-batch") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_stream5").toString
+    val batch = df(Seq(
+      Seq(1L, 10.0), Seq(2L, 20.0), Seq(3L, -5.0)), "id:long,v:double")
+    batch.write.mode("overwrite").parquet(s"$dir/in")
+    val stream = Streaming.loadStream(spark, s"$dir/in", batch.schema)
+    val reports = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Array[org.apache.spark.sql.Row])]
+    Streaming.qualityMonitorSink(stream, s"$dir/ckpt", Seq(
+      graft.functions.Checks.notNull("id"),
+      graft.functions.Checks.minValue("v", 0.0))) { (id, rep) =>
+      reports.synchronized { reports += ((id, rep)) }
+    }
+    assert(reports.nonEmpty)
+    val rep = reports.head._2
+    assert(rep.length === 2)
+    assert(rep(0).getBoolean(3), "not_null passes")
+    assert(!rep(1).getBoolean(3), "the -5.0 row fails min>=0")
+    assert(rep(1).getDouble(2) === -5.0)
+  }
+
   test("conform: reorder, cast, NaN->null for fractional->int") {
     val d = df(Seq(Seq(1.5, "7"), Seq(Double.NaN, "8")), "a:double,b:str")
     val out = engine.conform(d, "b:int,a:long")

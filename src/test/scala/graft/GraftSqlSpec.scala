@@ -751,6 +751,20 @@ class GraftSqlSpec extends SparkTestBase {
     }
   }
 
+  test("built-in ann_join processor from the dialect") {
+    val emb = df(Seq(
+      Seq(1L, Seq(1.0, 0.0)), Seq(2L, Seq(0.9, 0.1)),
+      Seq(3L, Seq(0.0, 1.0)), Seq(4L, Seq(0.1, 0.9))),
+      "vec_id:long,embedding:[double]")
+    val res = GraftSql.run(engine,
+      """n = PROCESS emb, emb USING ann_join(k:1, tables:8, bits:2, exclude_same_id:true)
+        |YIELD n AS n
+        |""".stripMargin, Map("emb" -> emb)).yields("n")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(res(1L) === 2L && res(2L) === 1L) // co-directional pairs found
+    assert(res(3L) === 4L && res(4L) === 3L)
+  }
+
   test("multi-line UNION ALL stays one statement; OVER(ORDER BY) gets implicit FROM") {
     val res = GraftSql.run(engine,
       """a = SELECT k, v FROM input WHERE v > 8 UNION ALL
