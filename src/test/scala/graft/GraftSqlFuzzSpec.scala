@@ -276,4 +276,28 @@ class GraftSqlFuzzSpec extends SparkTestBase {
       GraftSql.substituteVars(junk.replace("{", "").replace("}", ""), Map.empty)
     }
   }
+
+  test("P4: quality-rule DSL junk parses or raises IllegalArgumentException, never escapes") {
+    val kinds = Gen.oneOf("not_null", "unique", "completeness", "min", "max",
+      "mean", "stddev", "in_set", "distinct", "approx_distinct", "row_count",
+      "regex", "bogus", "")
+    val field = Gen.oneOf("c", "v", "0.5", "abc", "1e9", "-3", "a|b", "{2\\,4}", "")
+    val ruleGen = for {
+      k <- kinds
+      n <- Gen.choose(0, 4)
+      fs <- Gen.listOfN(n, field)
+    } yield (k +: fs).mkString(":")
+    val specGen = Gen.choose(1, 4)
+      .flatMap(n => Gen.listOfN(n, ruleGen)).map(_.mkString(","))
+    var ok = 0; var rejected = 0
+    for ((spec, i) <- samples(specGen, 300, seed = 6000L).zipWithIndex) {
+      try { ok += graft.functions.Checks.parseRules(spec).length }
+      catch {
+        case _: IllegalArgumentException => rejected += 1 // incl. NumberFormat
+        case e: Throwable =>
+          fail(s"spec $i escaped with ${e.getClass.getName}: ${e.getMessage}\n$spec")
+      }
+    }
+    info(s"P4: $ok rules parsed, $rejected specs rejected cleanly")
+  }
 }
