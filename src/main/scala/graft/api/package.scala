@@ -181,6 +181,22 @@ package object api {
   def select(df: DataFrame, cols: Seq[Column], where: Option[Column] = None,
       having: Option[Column] = None)(implicit e: GraftEngine): DataFrame =
     e.select(df, cols, where, having)
+  // column-surgery facade (reference fugue/dataframe/api.py: alter_columns,
+  // rename, drop_columns, select_columns, head — same eager shape as fa.*)
+  def alterColumns(df: DataFrame, schemaExpr: String)(
+      implicit e: GraftEngine): DataFrame = e.alterColumns(df, schemaExpr)
+  def renameColumns(df: DataFrame, mapping: Map[String, String])(
+      implicit e: GraftEngine): DataFrame = e.rename(df, mapping)
+  def dropColumns(df: DataFrame, cols: Seq[String], ifExists: Boolean = false)(
+      implicit e: GraftEngine): DataFrame = e.dropColumns(df, cols, ifExists)
+  def selectColumns(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(cols.map(c => df(s"`${c.replace("`", "``")}`")): _*)
+  def head(df: DataFrame, n: Int): Seq[org.apache.spark.sql.Row] =
+    df.take(n).toSeq
+  def show(df: DataFrame, n: Int = 10): Unit = df.show(n, truncate = false)
+  def getColumnNames(df: DataFrame): Seq[String] = df.columns.toSeq
+  def getNumPartitions(df: DataFrame): Int = df.rdd.getNumPartitions
+  def isEmpty(df: DataFrame): Boolean = df.isEmpty
   def filter(df: DataFrame, cond: Column)(implicit e: GraftEngine): DataFrame =
     e.filter(df, cond)
   def assign(df: DataFrame, cols: Map[String, Column])(

@@ -165,6 +165,21 @@ class ApiSpec extends SparkTestBase {
     }
   }
 
+  test("column-surgery facade: alter/rename/drop/select columns, head, introspection") {
+    val d = toDF(Seq(Seq(1L, "x", 1.5), Seq(2L, "y", 2.5)), "id:long,k:str,v:double")
+    assert(alterColumns(d, "v:int").schema("v").dataType.typeName === "integer")
+    assert(renameColumns(d, Map("k" -> "key")).columns.toSeq ===
+      Seq("id", "key", "v"))
+    assert(dropColumns(d, Seq("v")).columns.toSeq === Seq("id", "k"))
+    assert(dropColumns(d, Seq("nope"), ifExists = true).columns.toSeq ===
+      d.columns.toSeq)
+    assert(selectColumns(d, Seq("v", "id")).columns.toSeq === Seq("v", "id"))
+    assert(head(d, 1).map(_.getLong(0)) === Seq(1L))
+    assert(getColumnNames(d) === Seq("id", "k", "v"))
+    assert(getNumPartitions(d) >= 1)
+    assert(!isEmpty(d) && isEmpty(d.filter(col("id") > 10)))
+  }
+
   test("DfUtils.ntile: equals the window ntile for every (count, n) shape") {
     import org.apache.spark.sql.functions.{col, ntile => wntile}
     import org.apache.spark.sql.expressions.Window
