@@ -603,6 +603,17 @@ object SparkEntry {
         "recall_ok:long,coverage_ok:long")
     }),
 
+    // semantic decontamination, FULL oracle: DuckDB recomputes the exact
+    // corpus x eval cosine screen with list_cosine_similarity (0.99
+    // threshold; self-matches at cosine 1.0, random pairs ~0 — no
+    // boundary sensitivity)
+    "s10_semantic_decontaminate" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Dedup.semanticDecontaminate(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") % 50 === 0), "embedding", threshold = 0.99)
+        .select("vec_id")
+    }),
+
     // differential conformance: LSH top-k recall vs brute force ≥ 0.9
     "s03_knn_lsh_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -3118,6 +3129,12 @@ object SparkEntry {
       "SELECT CAST(1 AS BIGINT) AS full_budget_exact, CAST(1 AS BIGINT) AS adc_signal_ok",
     "s09_ann_join" ->
       "SELECT CAST(1 AS BIGINT) AS recall_ok, CAST(1 AS BIGINT) AS coverage_ok",
+    "s10_semantic_decontaminate" ->
+      """SELECT e.vec_id FROM embeddings e
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM embeddings v
+        |  WHERE v.vec_id % 50 = 0
+        |    AND list_cosine_similarity(e.embedding, v.embedding) >= 0.99)""".stripMargin,
     "t21_bpe" -> "SELECT CAST(1 AS BIGINT) AS bpe_ok",
     "t22_url_domains" ->
       (s"""WITH injected AS (

@@ -777,6 +777,36 @@ object Dedup {
   }
 
   /**
+   * Semantic (embedding-level) decontamination: drop every corpus row
+   * whose embedding has cosine ≥ `threshold` against ANY eval-set
+   * embedding — the paraphrase-robust complement of the n-gram
+   * [[decontaminate]] (a reworded eval question shares no 5-grams but
+   * sits next to it in embedding space).
+   *
+   * Scale design: the eval set (benchmarks are thousands of rows, the
+   * corpus is the 100 TB side) is BROADCAST once; scoring is a narrow
+   * map — corpus embeddings never shuffle and the corpus is scanned
+   * once. Exact over the embedding space (every corpus×eval pair is
+   * cosine-checked), so unlike the LSH families there is no recall knob
+   * to argue about; cost is |corpus|·|eval| codegen'd dot products.
+   */
+  def semanticDecontaminate(
+      df: DataFrame, idCol: String, vecCol: String,
+      evalDf: DataFrame, evalVecCol: String,
+      threshold: Double = 0.9): DataFrame = {
+    import graft.functions.expressions.VectorExpressions.{dot, l2normalize}
+    require(threshold > -1.0 && threshold <= 1.0,
+      s"cosine threshold must be in (-1, 1], got $threshold")
+    val ev = evalDf.select(l2normalize(col(evalVecCol)).as("ev"))
+    val bad = spreadForCompute(df)
+      .select(col(idCol), l2normalize(col(vecCol)).as("cv"))
+      .join(org.apache.spark.sql.functions.broadcast(ev))
+      .filter(dot(col("cv"), col("ev")) >= threshold)
+      .select(col(idCol)).distinct()
+    df.join(bad, Seq(idCol), "left_anti")
+  }
+
+  /**
    * Cross-corpus exact n-gram-Jaccard join: every (left, right) document
    * pair with word-`shingleK`-gram Jaccard ≥ `threshold` BETWEEN two
    * corpora — the incremental-ingestion dedup primitive ("which documents

@@ -260,6 +260,29 @@ class FunctionsSpec extends SparkTestBase {
       Option(err.getCause).exists(_.getMessage.contains("out of range")))
   }
 
+  test("semanticDecontaminate drops exactly the eval-similar rows") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)), (2L, Seq(0.99, 0.1, 0.0)), // near eval A
+      (3L, Seq(0.0, 1.0, 0.0)),                            // IS eval B
+      (4L, Seq(0.0, 0.0, 1.0)), (5L, Seq(0.5, 0.5, 0.7)))  // clean
+      .toDF("doc_id", "vec")
+    val eval = Seq((100L, Seq(1.0, 0.0, 0.0)), (101L, Seq(0.0, 1.0, 0.0)))
+      .toDF("eval_id", "evec")
+    val kept = Dedup.semanticDecontaminate(corpus, "doc_id", "vec",
+      eval, "evec", threshold = 0.95)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(4L, 5L))
+    // high threshold keeps the near-miss, still drops the exact copy
+    val strict = Dedup.semanticDecontaminate(corpus, "doc_id", "vec",
+      eval, "evec", threshold = 0.9999)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(strict === Set(2L, 4L, 5L))
+    intercept[IllegalArgumentException] {
+      Dedup.semanticDecontaminate(corpus, "doc_id", "vec", eval, "evec", 1.5)
+    }
+  }
+
   test("annJoin: every left row enriched, high recall, no broadcast of either side") {
     val brute = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 5)
       .select("query_id", "neighbor_id")
