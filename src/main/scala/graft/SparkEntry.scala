@@ -1800,6 +1800,22 @@ object SparkEntry {
     }),
 
     // ---- temporal operators -------------------------------------------
+    // batch resample: 15-minute epoch-aligned buckets per event type —
+    // bucket identity is integer epoch arithmetic, reproduced exactly
+    "q96_resample" -> ((s, dir) =>
+      graft.operators.TemporalOps.resample(events(s, dir), "ts", 900,
+        Seq("event_type"),
+        Seq(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total")))),
+    // rolling trailing-hour aggregate per user, RANGE frame over truncated
+    // epoch seconds on both engines (peers at the same second included)
+    "q97_rolling" -> ((s, dir) =>
+      graft.operators.TemporalOps.rollingAggregate(events(s, dir), "ts", 3600,
+        Seq("user_id"),
+        Seq("n_1h" -> count(lit(1)),
+          "total_1h" -> sum(col("value").cast("decimal(18,2)"))))
+        .select(col("event_id"), col("user_id"), col("n_1h"),
+          col("total_1h").cast("double").as("total_1h"))),
     "q38_asof_join" -> ((s, dir) => {
       val e = events(s, dir)
       val clicks = e.filter(col("event_type") === "click")
@@ -2962,6 +2978,21 @@ object SparkEntry {
         |   AS DOUBLE) / count(*), 9),
         | round(CAST(count(CASE WHEN o_totalprice > 1000.0 THEN 1 END)
         |   AS DOUBLE) / count(*), 9) >= 0.5 FROM orders""".stripMargin,
+    "q96_resample" ->
+      """SELECT event_type,
+        |  CAST(to_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 900)
+        |    AS BIGINT) * 900) AS TIMESTAMP) AS bucket_start,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q97_rolling" ->
+      """SELECT event_id, user_id,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_1h,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS total_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+        |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q90_outliers" ->
       """WITH s AS (
         |  SELECT o_orderstatus,

@@ -263,4 +263,52 @@ object TemporalOps {
           Window.currentRow)).cast("long") - 1)
       .drop("__new_s")
   }
+
+  /**
+   * Downsample a timestamp stream into fixed epoch-aligned buckets:
+   * groupBy (groups..., floor(epoch/intervalSeconds)) with the given
+   * aggregates — the batch `resample` (streaming twin: `windowedAgg`).
+   * Bucket identity is plain integer arithmetic on epoch seconds, so any
+   * engine reproduces it exactly (no window-origin conventions to match).
+   * Output: groups..., `bucket_start` (timestamp), aggs... .
+   *
+   * Scale: one hash aggregation with map-side partials — the bucket key
+   * rides the same exchange as the group keys; no windows, no sort.
+   */
+  def resample(
+      df: DataFrame, tsCol: String, intervalSeconds: Long,
+      groupCols: Seq[String], aggs: Seq[Column]): DataFrame = {
+    require(intervalSeconds > 0, "intervalSeconds must be > 0")
+    require(aggs.nonEmpty, "resample needs >= 1 aggregate")
+    val bucket = timestamp_seconds(
+      floor(unix_timestamp(col(tsCol)) / intervalSeconds) * intervalSeconds)
+    df.groupBy((groupCols.map(col) :+ bucket.as("bucket_start")): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /**
+   * Rolling time-window aggregate: for EVERY row, `aggs` over the rows of
+   * the same group whose timestamp lies in
+   * [ts − windowSeconds, ts] — the trailing-rate / feature-engineering
+   * shape ("events per user in the last hour, as of each event").
+   *
+   * Scale: one exchange on the group keys + one sort per partition
+   * (a RANGE window frame over epoch seconds. The frame is time-bounded,
+   * so state per group is the trailing window, not group history — but a
+   * single group's rows DO sort within one partition; salt upstream if
+   * one key dominates the corpus).
+   */
+  def rollingAggregate(
+      df: DataFrame, tsCol: String, windowSeconds: Long,
+      groupCols: Seq[String], aggs: Seq[(String, Column)]): DataFrame = {
+    require(windowSeconds >= 0, "windowSeconds must be >= 0")
+    require(aggs.nonEmpty, "rollingAggregate needs >= 1 (name, aggregate)")
+    require(groupCols.nonEmpty,
+      "rollingAggregate needs >= 1 group column (a global rolling window " +
+        "cannot be partitioned — resample instead)")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(unix_timestamp(col(tsCol)).asc)
+      .rangeBetween(-windowSeconds, 0)
+    aggs.foldLeft(df) { case (d, (name, a)) => d.withColumn(name, a.over(w)) }
+  }
 }

@@ -184,4 +184,49 @@ class TemporalOpsSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(out === Set((1L, 0L), (2L, 0L), (3L, 1L), (4L, 0L)))
   }
+
+  test("resample: epoch-aligned buckets, one agg pass") {
+    import org.apache.spark.sql.functions._
+    val d = df(Seq(
+      Seq("a", "2024-01-01 00:03:00", 1.0),
+      Seq("a", "2024-01-01 00:12:00", 2.0),
+      Seq("a", "2024-01-01 00:16:00", 4.0),
+      Seq("b", "2024-01-01 00:59:59", 8.0),
+      Seq("b", "2024-01-01 01:00:00", 16.0)), "k:str,ts:datetime,v:double")
+    val out = TemporalOps.resample(d, "ts", 900, Seq("k"),
+      Seq(count(lit(1)).as("n"), sum(col("v")).as("total")))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).toString,
+        r.getLong(2), r.getDouble(3))).toSet
+    assert(out === Set(
+      ("a", "2024-01-01 00:00:00.0", 2L, 3.0),
+      ("a", "2024-01-01 00:15:00.0", 1L, 4.0),
+      ("b", "2024-01-01 00:45:00.0", 1L, 8.0),
+      ("b", "2024-01-01 01:00:00.0", 1L, 16.0)))
+    intercept[IllegalArgumentException] {
+      TemporalOps.resample(d, "ts", 0, Seq("k"), Seq(count(lit(1)).as("n")))
+    }
+  }
+
+  test("rollingAggregate: trailing time window per group, peers included") {
+    import org.apache.spark.sql.functions._
+    val d = df(Seq(
+      Seq("u1", 1L, "2024-01-01 10:00:00", 1.0),
+      Seq("u1", 2L, "2024-01-01 10:30:00", 2.0),
+      Seq("u1", 3L, "2024-01-01 11:00:00", 4.0),  // includes 10:00 (inclusive bound)
+      Seq("u1", 4L, "2024-01-01 12:30:00", 8.0),  // alone
+      Seq("u2", 5L, "2024-01-01 10:15:00", 16.0)), // other group
+      "u:str,id:long,ts:datetime,v:double")
+    val out = TemporalOps.rollingAggregate(d, "ts", 3600, Seq("u"),
+      Seq("n_1h" -> count(lit(1)), "sum_1h" -> sum(col("v"))))
+      .collect().map(r => r.getLong(1) -> (r.getLong(4), r.getDouble(5))).toMap
+    assert(out(1L) === ((1L, 1.0)))
+    assert(out(2L) === ((2L, 3.0)))
+    assert(out(3L) === ((3L, 7.0)))
+    assert(out(4L) === ((1L, 8.0)))
+    assert(out(5L) === ((1L, 16.0)))
+    intercept[IllegalArgumentException] {
+      TemporalOps.rollingAggregate(d, "ts", 3600, Seq.empty,
+        Seq("n" -> count(lit(1))))
+    }
+  }
 }
