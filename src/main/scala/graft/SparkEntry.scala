@@ -614,6 +614,17 @@ object SparkEntry {
         .select("vec_id")
     }),
 
+    // hard-negative mining, FULL oracle: DuckDB recomputes the exact
+    // different-label top-k with the identical (cosine desc, id asc)
+    // tie-break — the d05x precedent shows the cosine doubles agree
+    "s11_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.hardNegatives(emb.filter(col("vec_id") < 50),
+        "vec_id", "embedding", "label", k = 3)
+        .select(col("query_id"), col("rank").cast("int").as("rank"),
+          col("neighbor_id"))
+    }),
+
     // differential conformance: LSH top-k recall vs brute force ≥ 0.9
     "s03_knn_lsh_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -3160,6 +3171,19 @@ object SparkEntry {
       "SELECT CAST(1 AS BIGINT) AS full_budget_exact, CAST(1 AS BIGINT) AS adc_signal_ok",
     "s09_ann_join" ->
       "SELECT CAST(1 AS BIGINT) AS recall_ok, CAST(1 AS BIGINT) AS coverage_ok",
+    "s11_hard_negatives" ->
+      """WITH sub AS (SELECT * FROM embeddings WHERE vec_id < 50),
+        |pairs AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    list_cosine_similarity(a.embedding, b.embedding) AS cosine
+        |  FROM sub a JOIN sub b
+        |    ON a.vec_id <> b.vec_id AND a.label IS DISTINCT FROM b.label),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM pairs)
+        |SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 3""".stripMargin,
     "s10_semantic_decontaminate" ->
       """SELECT e.vec_id FROM embeddings e
         |WHERE NOT EXISTS (

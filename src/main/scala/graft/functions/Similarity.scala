@@ -383,6 +383,53 @@ object Similarity {
   }
 
   /**
+   * Hard-negative mining for contrastive / embedding training: for every
+   * anchor row, the k most-similar rows with a DIFFERENT label — the
+   * negatives that sit closest to the decision boundary, where easy
+   * random negatives teach nothing. Exact by default (brute-force cosine
+   * screen); pass `approx = true` to route candidate generation through
+   * [[annJoin]]'s LSH bucketing (nothing broadcast, the 100 TB path —
+   * recall tradeoff disclosed there).
+   * Output: (query_id, rank, neighbor_id, cosine), rank 1..k by cosine
+   * desc within each anchor.
+   */
+  def hardNegatives(
+      df: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      k: Int, approx: Boolean = false,
+      nTables: Int = 16, nBits: Int = 8, probes: Int = 2): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    if (!approx) {
+      // exact: the label filter runs BEFORE top-k selection, so the
+      // result is the true k nearest different-label rows per anchor
+      val c = Dedup.spreadForCompute(df)
+        .select(col(idCol).as("neighbor_id"), l2normalize(col(vecCol)).as("cv"),
+          col(labelCol).as("__lb"))
+      val q = df.select(col(idCol).as("query_id"), l2normalize(col(vecCol)).as("qv"),
+        col(labelCol).as("__la"))
+      val scored = c.crossJoin(sparkBroadcast(q))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .filter(!(col("__la") <=> col("__lb")))
+        .withColumn("cosine", dot(col("cv"), col("qv")))
+      topKByCosine(scored, k)
+    } else {
+      // scale path: LSH candidates over-fetch, the label filter prunes,
+      // then re-rank — an anchor whose 4k+8 nearest are ALL same-label
+      // can come back short (disclosed recall trade, like annJoin's)
+      val labels = df.select(col(idCol), col(labelCol))
+      val negatives = annJoin(df, df, idCol, vecCol,
+        k = math.max(k * 4, k + 8), nTables = nTables, nBits = nBits,
+        probes = probes, excludeSameId = true)
+        .join(labels.select(col(idCol).as("query_id"),
+          col(labelCol).as("__la")), "query_id")
+        .join(labels.select(col(idCol).as("neighbor_id"),
+          col(labelCol).as("__lb")), "neighbor_id")
+        .filter(!(col("__la") <=> col("__lb")))
+        .drop("__la", "__lb", "rank")
+      topKByCosine(negatives, k)
+    }
+  }
+
+  /**
    * Train product-quantization codebooks: `numSubspaces` independent
    * k-means runs (Lloyd's), one per contiguous dim/numSubspaces slice of
    * the L2-normalized vectors. Mirrors the reference's ANN posture

@@ -260,6 +260,34 @@ class FunctionsSpec extends SparkTestBase {
       Option(err.getCause).exists(_.getMessage.contains("out of range")))
   }
 
+  test("hardNegatives: true nearest different-label rows; approx path label-correct") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, Seq(1.0, 0.0), "A"), (2L, Seq(0.95, 0.1), "A"), // same-label pair
+      (3L, Seq(0.9, 0.2), "B"),                            // hard negative for A
+      (4L, Seq(0.0, 1.0), "B"), (5L, Seq(0.1, 0.9), "A"))
+      .toDF("vec_id", "embedding", "label")
+    val exact = Similarity.hardNegatives(d, "vec_id", "embedding", "label", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // anchor 1 (A): nearest is 2 (A, skipped) -> hardest negative is 3 (B)
+    assert(exact(1L) === 3L)
+    assert(exact(4L) === 5L) // anchor 4 (B): nearest A is 5
+    // labels always differ on the anchor side
+    val labeled = Similarity.hardNegatives(d, "vec_id", "embedding", "label", k = 2)
+      .join(d.select(col("vec_id").as("query_id"), col("label").as("la")), "query_id")
+      .join(d.select(col("vec_id").as("neighbor_id"), col("label").as("lb")), "neighbor_id")
+    assert(labeled.filter(col("la") === col("lb")).count() === 0)
+    val approx = Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+      k = 3, approx = true)
+    val exactBig = Similarity.hardNegatives(emb, "vec_id", "embedding", "label", k = 3)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approxSet = approx.select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = approxSet.intersect(exactBig).size.toDouble / exactBig.size
+    assert(recall >= 0.8, s"approx hard-negative recall $recall")
+  }
+
   test("semanticDecontaminate drops exactly the eval-similar rows") {
     import spark.implicits._
     val corpus = Seq(
