@@ -142,11 +142,30 @@ object Checks {
    * `approx_distinct:C:LO:HI` · `row_count:LO:HI` ·
    * `regex:C:RATIO:PATTERN` (pattern last so it may contain colons).
    * A literal comma inside a pattern or set value — e.g. the `{2,4}`
-   * regex quantifier — is written `\,`.
+   * regex quantifier — is written `\,`; a literal backslash is `\\`
+   * (so a pattern ENDING in a backslash cannot swallow the next rule).
    */
   def parseRules(spec: String): Seq[Check] = {
-    val rules = spec.split("(?<!\\\\),").map(_.replace("\\,", ","))
-      .map(_.trim).filter(_.nonEmpty).toSeq
+    // char-level tokenizer: '\' escapes exactly ',' or '\'; any other
+    // backslash passes through untouched (regex patterns are full of
+    // them). A regex lookbehind split cannot distinguish "\," (escaped
+    // comma) from "\\," (escaped backslash then separator).
+    val rules = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      val cur = new StringBuilder
+      var i = 0
+      while (i < spec.length) {
+        spec.charAt(i) match {
+          case '\\' if i + 1 < spec.length &&
+              (spec.charAt(i + 1) == ',' || spec.charAt(i + 1) == '\\') =>
+            cur += spec.charAt(i + 1); i += 2
+          case ',' => out += cur.toString; cur.clear(); i += 1
+          case c => cur += c; i += 1
+        }
+      }
+      out += cur.toString
+      out.toSeq
+    }.map(_.trim).filter(_.nonEmpty)
     require(rules.nonEmpty, "empty rule spec")
     rules.map { r =>
       val parts = r.split(":")

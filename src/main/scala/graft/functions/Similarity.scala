@@ -361,12 +361,14 @@ object Similarity {
     val dim = inferDim(right, vecCol)
     val rKeys = hyperplaneKeys(dim, nTables, nBits, seed)
     val lKeys = hyperplaneKeys(dim, nTables, nBits, seed, probes)
+    // no checkpoint: each side is consumed twice (bucketing + rescore),
+    // but the recompute is a narrow scan + normalize — materializing
+    // billion-row normalized vectors into executor storage would cost
+    // far more than the rescan (the same call lshTopK documents)
     val l = Dedup.spreadForCompute(left)
       .select(col(idCol).as("query_id"), l2normalize(col(vecCol)).as("qv"))
-      .localCheckpoint(true) // consumed by bucketing and the rescore join
     val r = Dedup.spreadForCompute(right)
       .select(col(idCol).as("neighbor_id"), l2normalize(col(vecCol)).as("cv"))
-      .localCheckpoint(true)
     val lb = l.select(col("query_id"), explode(lKeys(col("qv"))).as("bk"))
     val rb = r.select(col("neighbor_id"), explode(rKeys(col("cv"))).as("bk"))
     val big = rb.groupBy("bk").agg(count(lit(1)).as("__n"))
@@ -400,13 +402,18 @@ object Similarity {
     require(k >= 1, "k must be >= 1")
     if (!approx) {
       // exact: the label filter runs BEFORE top-k selection, so the
-      // result is the true k nearest different-label rows per anchor
+      // result is the true k nearest different-label rows per anchor.
+      // Deliberately NO broadcast hint: the "queries" side here is the
+      // whole dataset, and forcing it into a broadcast would hit Spark's
+      // 8 GB table cap on any real corpus — the planner may still choose
+      // to broadcast a small input. Exact is inherently O(n²) compute;
+      // approx = true is the scale path.
       val c = Dedup.spreadForCompute(df)
         .select(col(idCol).as("neighbor_id"), l2normalize(col(vecCol)).as("cv"),
           col(labelCol).as("__lb"))
       val q = df.select(col(idCol).as("query_id"), l2normalize(col(vecCol)).as("qv"),
         col(labelCol).as("__la"))
-      val scored = c.crossJoin(sparkBroadcast(q))
+      val scored = c.crossJoin(q)
         .filter(col("neighbor_id") =!= col("query_id"))
         .filter(!(col("__la") <=> col("__lb")))
         .withColumn("cosine", dot(col("cv"), col("qv")))

@@ -29,10 +29,12 @@ object Stats {
     val spark = df.sparkSession
     import spark.implicits._
     val v = col(c).cast("double")
-    // NaN is excluded like null: NaN sorts ABOVE every double in Spark, so
-    // one NaN row would otherwise become max(), make the width NaN, and
-    // silently collapse every row into bucket 0
-    val valid = v.isNotNull && !isnan(v)
+    // NaN and ±Infinity are excluded like null: NaN sorts ABOVE every
+    // double in Spark so one NaN row would become max() and collapse all
+    // mass into bucket 0; an Inf row would make the width infinite and
+    // (under ANSI) crash the bucket cast. abs(v) < +Inf is false for
+    // NaN too (NaN-is-largest ordering), so one predicate covers both.
+    val valid = abs(v) < Double.PositiveInfinity
     val Array(mn, mx) = df.filter(valid).agg(min(v), max(v)).collect().head match {
       case r if r.isNullAt(0) => Array(0.0, 0.0) // no valid rows
       case r => Array(r.getDouble(0), r.getDouble(1))
@@ -71,10 +73,12 @@ object Stats {
     def dec(e: org.apache.spark.sql.Column) = e.cast("decimal(28,6)")
     val aggs = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
       val (x, y) = (col(a).cast("double"), col(b).cast("double"))
-      // NaN excluded like null: cast(NaN as decimal) is null, so the sums
-      // would already skip it while n counted it — n and the sums must
-      // agree on the row population
-      val both = x.isNotNull && y.isNotNull && !isnan(x) && !isnan(y)
+      // NaN/±Inf excluded like null: cast(non-finite as decimal) is null,
+      // so the sums would silently skip such rows while n counted them —
+      // n and the sums must agree on the row population. abs(x) < +Inf
+      // is false for NaN as well (NaN-is-largest ordering).
+      val both = abs(x) < Double.PositiveInfinity &&
+        abs(y) < Double.PositiveInfinity
       def g(e: org.apache.spark.sql.Column) = when(both, e)
       Seq(
         count(g(lit(1))).cast("double").as(s"__n$i"),

@@ -145,13 +145,15 @@ object Streaming {
     val range = r(rightTimeCol) >= l(leftTimeCol) &&
       r(rightTimeCol) <= l(leftTimeCol) + expr(s"INTERVAL $maxLag")
     val joined = l.join(r, keyCond && range, joinType)
-    // keep ONE key column per key, coalescing the two sides: under
-    // right/full outer an unmatched right row has a null left key, and
-    // dropping r(k) would erase the very key that identifies it
-    val merged = keys.foldLeft(joined)((d, k) =>
-      d.withColumn(s"__key_$k", coalesce(l(k), r(k))))
-    val dropped = keys.foldLeft(merged)((d, k) => d.drop(l(k)).drop(r(k)))
-    keys.foldLeft(dropped)((d, k) => d.withColumnRenamed(s"__key_$k", k))
+    // keep ONE key column per key, coalescing the two sides IN PLACE
+    // (left schema order, then right non-key columns — the same layout
+    // the plain drop-right-keys form produced): under right/full outer
+    // an unmatched right row has a null left key, and dropping r(k)
+    // would erase the very key that identifies it
+    val leftCols = left.columns.map(c =>
+      if (keys.contains(c)) coalesce(l(c), r(c)).as(c) else l(c))
+    val rightCols = right.columns.filterNot(keys.contains).map(r(_))
+    joined.select((leftCols ++ rightCols).toIndexedSeq: _*)
   }
 
   /**

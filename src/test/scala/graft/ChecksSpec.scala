@@ -109,6 +109,27 @@ class ChecksSpec extends SparkTestBase {
     assert(qrep.getDouble(2) === 1.0 && qrep.getBoolean(3)) // all tags 1-2 chars
   }
 
+  test("mean/stddev metrics skip NaN and Infinity (count agrees with sums)") {
+    val d = Seq(2.0, 2.0, Double.NaN, Double.PositiveInfinity)
+      .toDF("v")
+    val rep = Checks.validate(d, Seq(
+      Checks.meanBetween("v", 1.9, 2.1),
+      Checks.stddevBetween("v", 0.0, 0.1))).collect()
+    assert(rep(0).getDouble(2) === 2.0, "mean over the two finite rows")
+    assert(rep(0).getBoolean(3))
+    assert(rep(1).getDouble(2) === 0.0 && rep(1).getBoolean(3))
+    // all-non-finite column: null metric, failed, no crash
+    val bad = Seq(Double.NaN, Double.NaN).toDF("v")
+    val rep2 = Checks.validate(bad, Seq(Checks.meanBetween("v", 0, 1))).collect()
+    assert(rep2.head.isNullAt(2) && !rep2.head.getBoolean(3))
+  }
+
+  test("parseRules: escaped backslash cannot swallow the following rule") {
+    val rules = Checks.parseRules("""regex:tag:1.0:.*\\,not_null:id""")
+    assert(rules.length === 2, "pattern ends in a literal backslash, rule 2 survives")
+    assert(rules.map(_.name) === Seq("regex>=1.0", "not_null"))
+  }
+
   test("enforce names the constraint even when its metric is null") {
     val allNull = Seq((1L, Option.empty[String]), (2L, Option.empty[String]))
       .toDF("id", "status")

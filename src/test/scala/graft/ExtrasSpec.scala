@@ -220,8 +220,12 @@ class ExtrasSpec extends SparkTestBase {
     val p = Streaming.loadStream(spark, s"$dir/p", purchB.schema)
     val inner = Streaming.streamStreamJoin(c, p, Seq("user"),
       "click_ts", "purch_ts", "0 seconds", "10 minutes")
-      .select("click_id", "purch_id")
-    Streaming.runToMemory(inner, "ss_inner")
+    // schema layout: left columns in place (key coalesced at its left
+    // position), then right non-key columns — positional consumers of
+    // the inner join see the same order the drop-right-keys form gave
+    assert(inner.columns.toSeq ===
+      Seq("click_ts", "user", "click_id", "purch_ts", "purch_id"))
+    Streaming.runToMemory(inner.select("click_id", "purch_id"), "ss_inner")
     val gotInner = spark.table("ss_inner").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(gotInner === Set((101L, 201L)))

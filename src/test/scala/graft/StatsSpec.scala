@@ -23,12 +23,15 @@ class StatsSpec extends SparkTestBase {
     val h3 = Stats.histogram(Seq(7.0, 7.0).toDF("v"), "v", 10).collect()
     assert(h3.length === 1 && h3.head.getLong(3) === 2L)
     intercept[IllegalArgumentException] { Stats.histogram(d, "v", 0) }
-    // NaN excluded like null — must not become max() and poison the width
-    val withNan = Seq(1.0, 2.0, 3.0, Double.NaN).toDF("v")
+    // NaN and ±Inf excluded like null — neither may become max()/poison
+    // the width (an Inf width would crash the ANSI bucket cast)
+    val withNan = Seq(1.0, 2.0, 3.0, Double.NaN,
+      Double.PositiveInfinity, Double.NegativeInfinity).toDF("v")
     val hn = Stats.histogram(withNan, "v", 2).collect()
       .map(r => (r.getDouble(1), r.getDouble(2), r.getLong(3)))
     assert(hn.map(_._3).sum === 3L)
-    assert(!hn.exists(t => t._1.isNaN || t._2.isNaN), "bounds stay finite")
+    assert(hn.forall(t => !t._1.isNaN && !t._2.isNaN &&
+      !t._1.isInfinite && !t._2.isInfinite), "bounds stay finite")
   }
 
   test("correlationMatrix: known correlations in one pass, nulls pairwise-deleted") {
@@ -63,11 +66,11 @@ class StatsSpec extends SparkTestBase {
     assert(scans.length === 1)
     intercept[IllegalArgumentException] { Stats.correlationMatrix(d, Seq("x")) }
     intercept[IllegalArgumentException] { Stats.correlationMatrix(d, Seq("x", "x")) }
-    // NaN rows pairwise-deleted exactly like nulls (n and sums agree)
-    val withNan = Seq((1.0, 2.0), (2.0, 4.0), (Double.NaN, 9.0), (4.0, 8.0))
-      .toDF("a", "b")
+    // NaN and Inf rows pairwise-deleted exactly like nulls (n and sums agree)
+    val withNan = Seq((1.0, 2.0), (2.0, 4.0), (Double.NaN, 9.0),
+      (Double.PositiveInfinity, 7.0), (4.0, 8.0)).toDF("a", "b")
     val cn = Stats.correlationMatrix(withNan, Seq("a", "b")).collect().head
     assert(math.abs(cn.getDouble(2) - 1.0) < 1e-9,
-      "remaining rows are exactly linear once the NaN row is excluded")
+      "remaining rows are exactly linear once non-finite rows are excluded")
   }
 }
