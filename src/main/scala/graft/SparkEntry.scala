@@ -441,6 +441,26 @@ object SparkEntry {
       graft.functions.Stats.correlationMatrix(t(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
 
+    // training-shard export differential: manifest-verified round trip,
+    // row conservation, deterministic re-export, content identity
+    "q98_export_shards" -> ((s, dir) => {
+      import graft.operators.Layout
+      val o = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+      val out = java.nio.file.Files.createTempDirectory("graft_q98").toString
+      val m1 = Layout.exportShards(o, s"$out/a", nShards = 16,
+        keyCols = Seq("o_orderkey"))
+      val m2 = Layout.exportShards(o, s"$out/b", nShards = 16,
+        keyCols = Seq("o_orderkey"))
+      val verifyOk = Layout.verifyShards(s, s"$out/a").isEmpty
+      val rowsOk = m1.map(_._2).sum == o.count()
+      val detOk = m1 == m2
+      val contentOk = graft.api.DfUtils.dfEq(
+        s.read.parquet(s"$out/a").drop("__shard"), o)
+      eng(s).toDF(Seq(Seq(if (verifyOk) 1L else 0L, if (rowsOk) 1L else 0L,
+        if (detOk) 1L else 0L, if (contentOk) 1L else 0L)),
+        "verify_ok:long,rows_ok:long,det_ok:long,content_ok:long")
+    }),
+
     // ---- beyond-reference: dedup --------------------------------------
     "d01_dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), Seq("text"), "doc_id")),
@@ -2989,6 +3009,9 @@ object SparkEntry {
         |   AS DOUBLE) / count(*), 9),
         | round(CAST(count(CASE WHEN o_totalprice > 1000.0 THEN 1 END)
         |   AS DOUBLE) / count(*), 9) >= 0.5 FROM orders""".stripMargin,
+    "q98_export_shards" ->
+      """SELECT CAST(1 AS BIGINT) AS verify_ok, CAST(1 AS BIGINT) AS rows_ok,
+        | CAST(1 AS BIGINT) AS det_ok, CAST(1 AS BIGINT) AS content_ok""".stripMargin,
     "q96_resample" ->
       """SELECT event_type,
         |  CAST(to_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 900)

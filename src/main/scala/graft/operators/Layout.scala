@@ -107,4 +107,73 @@ object Layout {
     else if (parts < cur) df.coalesce(parts)
     else df
   }
+
+  /**
+   * Export a frame as `nShards` content-addressed training shards with an
+   * integrity manifest — the handoff format between a curation pipeline
+   * and a training job: shard assignment is a pure function of the key
+   * (`pmod(xxhash64(keys), n)` — stable across cluster sizes and reruns),
+   * and `_manifest.json` records per-shard row counts plus an
+   * ORDER-INDEPENDENT content checksum (exact decimal sum of per-row
+   * xxhash64 over all columns) so a training job can cheaply prove it
+   * read exactly what curation wrote, shard by shard.
+   *
+   * Scale: one hash exchange on the shard id; the manifest aggregation is
+   * the same pass (nShards result rows). [[verifyShards]] recomputes the
+   * manifest from what parquet serves back.
+   */
+  def exportShards(df: DataFrame, path: String, nShards: Int,
+      keyCols: Seq[String] = Nil): Seq[(Int, Long, String)] = {
+    require(nShards >= 1, "nShards must be >= 1")
+    val keys = if (keyCols.nonEmpty) keyCols else df.columns.toSeq
+    val shard = pmod(xxhash64(keys.map(col): _*), lit(nShards)).cast("int")
+    val withShard = df.withColumn("__shard", shard)
+    withShard.repartition(nShards, col("__shard"))
+      .write.mode("overwrite").partitionBy("__shard").parquet(path)
+    val manifest = shardManifest(withShard, df.columns.toSeq)
+    val json = manifest.map { case (s, n, h) =>
+      s"""{"shard": $s, "rows": $n, "checksum": "$h"}"""
+    }.mkString("[\n  ", ",\n  ", "\n]")
+    // (checksum = exact decimal sum of per-row hashes — a LongType sum
+    // would hit the ANSI overflow error after a handful of random 64-bit
+    // hashes; decimal(38,0) holds ~10^19 rows without wrapping)
+    val p = new org.apache.hadoop.fs.Path(path, "_manifest.json")
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    manifest
+  }
+
+  /** Recompute (shard, rows, checksum) from the written shards and
+   * compare with `_manifest.json`; returns the mismatching shard ids
+   * (empty = intact). */
+  def verifyShards(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Int] = {
+    val back = spark.read.parquet(path)
+    val dataCols = back.columns.filterNot(_ == "__shard").toSeq
+    val got = shardManifest(back, dataCols).map(t => t._1 -> (t._2, t._3)).toMap
+    val p = new org.apache.hadoop.fs.Path(path, "_manifest.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val json = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    val entry = """\{"shard": (\d+), "rows": (\d+), "checksum": "(-?\d+)"\}""".r
+    val want = entry.findAllMatchIn(json)
+      .map(m => m.group(1).toInt -> (m.group(2).toLong, m.group(3))).toMap
+    (want.keySet ++ got.keySet).toSeq.sorted
+      .filter(s => got.get(s) != want.get(s))
+  }
+
+  /** (shard, rows, exact-decimal-sum-of-row-hashes) per shard, one agg
+   * pass. The row hash covers `dataCols` in the given order. */
+  private def shardManifest(withShard: DataFrame,
+      dataCols: Seq[String]): Seq[(Int, Long, String)] = {
+    withShard
+      .groupBy(col("__shard"))
+      .agg(count(lit(1)).as("n"),
+        sum(xxhash64(dataCols.map(col): _*).cast("decimal(38,0)")).as("h"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        r.getDecimal(2).toBigInteger.toString))
+      .sortBy(_._1).toSeq
+  }
 }
