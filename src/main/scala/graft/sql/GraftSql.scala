@@ -137,7 +137,9 @@ object GraftSql {
    * `histogram(col:v[, bins:20])` (equi-width, empty buckets kept),
    * `corr_matrix(cols:"a,b,c")` (single-pass pairwise Pearson),
    * `PROCESS left, right USING ann_join(id:vec_id, col:embedding, k:5)`
-   * (large-x-large approximate-neighbor enrichment, nothing broadcast) and
+   * (large-x-large approximate-neighbor enrichment, nothing broadcast),
+   * `export_shards(path:"...", n:16[, keys:id])` (manifest-verified
+   * training-shard export; yields the manifest frame) and
    * `PROCESS before, after USING snapshot_diff(keys:"id"[, hash:true,
    * unchanged:true])` (added/removed/changed audit between versions).
    * User extensions with the same name win. */
@@ -340,6 +342,16 @@ object GraftSql {
             seed = p.get("seed").map(_.toLong).getOrElse(42L),
             probes = p.get("probes").map(_.toInt).getOrElse(2),
             excludeSameId = p.get("exclude_same_id").exists(_.toBoolean))
+        },
+        "export_shards" -> ProcessorDef { (eng, dfs, p) =>
+          val manifest = graft.operators.Layout.exportShards(
+            one(dfs, "export_shards"),
+            path = p.getOrElse("path",
+              throw new IllegalArgumentException("export_shards needs path:\"...\"")),
+            nShards = p.getOrElse("n", "16").toInt,
+            keyCols = p.get("keys").toSeq.flatMap(_.split(",").map(_.trim)))
+          eng.toDF(manifest.map(t => Seq(t._1.toLong, t._2, t._3)),
+            "shard:long,rows:long,checksum:str")
         },
         "snapshot_diff" -> ProcessorDef { (_, dfs, p) =>
           require(dfs.size == 2, "snapshot_diff takes (before, after)")

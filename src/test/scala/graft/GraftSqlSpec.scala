@@ -765,6 +765,17 @@ class GraftSqlSpec extends SparkTestBase {
     assert(res(3L) === 4L && res(4L) === 3L)
   }
 
+  test("built-in export_shards processor yields the manifest frame") {
+    val dir = Files.createTempDirectory("graftsql_shards").toString
+    val d = df((1 to 50).map(i => Seq(i.toLong, s"r$i")), "id:long,s:str")
+    val m = GraftSql.run(engine,
+      s"""m = PROCESS src USING export_shards(path:"$dir/out", n:4, keys:id)
+         |YIELD m AS m
+         |""".stripMargin, Map("src" -> d)).yields("m").collect()
+    assert(m.map(_.getLong(1)).sum === 50L)
+    assert(graft.operators.Layout.verifyShards(spark, s"$dir/out") === Seq.empty)
+  }
+
   test("multi-line UNION ALL stays one statement; OVER(ORDER BY) gets implicit FROM") {
     val res = GraftSql.run(engine,
       """a = SELECT k, v FROM input WHERE v > 8 UNION ALL
