@@ -178,6 +178,14 @@ final class Workflow(
   def show(a: Node, n: Int = 10): Node =
     output(Seq(a), "show")(dfs => dfs.head.show(n, truncate = false))
 
+  /** Data-quality gate node: [[graft.functions.Checks.enforce]] over the
+   * input — `run()` fails with the named constraints if any rule is
+   * violated, and the frame passes through unchanged otherwise, so a
+   * checkpointed pipeline cannot silently persist a corrupt stage. */
+  def check(a: Node, checks: Seq[graft.functions.Checks.Check]): Node =
+    output(Seq(a), "quality_check")(dfs =>
+      graft.functions.Checks.enforce(dfs.head, checks))
+
   // ---- creation nodes ---------------------------------------------------
   def load(path: String, format: String = "", columns: Seq[String] = Nil): Node =
     new Node("load", Seq(path, format) ++ columns, Nil,

@@ -149,6 +149,21 @@ class WorkflowSpec extends SparkTestBase {
     intercept[AssertionError](w2.run())
   }
 
+  test("quality-check gate node: green passes through, violation fails run()") {
+    import graft.functions.Checks
+    val w = new Workflow(engine)
+    val a = w.create(Seq(Seq(1L, 5.0), Seq(2L, 6.0)), "id:long,v:double")
+    val gated = w.check(a, Seq(Checks.unique("id"), Checks.minValue("v", 0)))
+    gated.yield_("out")
+    val res = w.run()
+    assert(res("out").count() === 2) // frame passes through the gate
+    val w2 = new Workflow(engine)
+    val b = w2.create(Seq(Seq(1L, -5.0)), "id:long,v:double")
+    w2.check(b, Seq(Checks.minValue("v", 0)))
+    val e = intercept[IllegalStateException](w2.run())
+    assert(e.getMessage.contains("min>=0.0 on v"))
+  }
+
   test("DfUtils.dfEq: schema, order, float digits") {
     import graft.api.DfUtils
     val a = df(Seq(Seq(1, 1.00001), Seq(2, 2.0)), "k:int,v:double")
