@@ -961,12 +961,19 @@ object SparkEntry {
       // needed on top
       val eL = posexplode(split(col("e_text"), "\n", -1))
       val bL = posexplode(split(col("b_text"), "\n", -1))
-      val eRows = j.select(col("doc_id"), eL.as(Seq("e_pos", "line")))
+      // n_kept == 0 renders as "" whose split yields a PHANTOM empty
+      // line — at sf0.1 a false positive can legitimately empty a whole
+      // document, and the phantom would fail the subset check against
+      // an exact side that kept real lines. Skip emptied docs on each
+      // side (n_kept counts blanks, so n_kept == 0 iff text == "").
+      val eRows = j.filter(col("e_kept") > 0)
+        .select(col("doc_id"), eL.as(Seq("e_pos", "line")))
         .withColumn("occ", row_number().over(
           org.apache.spark.sql.expressions.Window
             .partitionBy(col("doc_id"), col("line"))
             .orderBy(col("e_pos"))))
-      val bRows = j.select(col("doc_id"), bL.as(Seq("b_pos", "line")))
+      val bRows = j.filter(col("b_kept") > 0)
+        .select(col("doc_id"), bL.as(Seq("b_pos", "line")))
         .withColumn("occ", row_number().over(
           org.apache.spark.sql.expressions.Window
             .partitionBy(col("doc_id"), col("line"))
