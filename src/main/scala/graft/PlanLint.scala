@@ -25,31 +25,37 @@ object PlanLint {
     here ++ children.flatMap(collectUnwrapped(_)(pf))
   }
 
+  /** The four scale-hazard flags of a physical plan — ONE definition
+   * shared by this main and the PLANS.md adjudicated inventory, so the
+   * two can never report different hazard sets. GLOBALWINDOW is
+   * structural, not string-matched: Expression.toString flattens an
+   * empty partitionSpec so "windowspecdefinition(," never renders, and
+   * AQE wraps the tree in AdaptiveSparkPlanExec (a LEAF node — a plain
+   * collect would see nothing). */
+  def flags(executed: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
+    val plan = executed.toString
+    val globalWindow = collectUnwrapped(executed) {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+          if w.partitionSpec.isEmpty => w
+    }.nonEmpty
+    Seq(
+      "CARTESIAN" -> plan.contains("CartesianProduct"),
+      "BNLJ" -> plan.contains("BroadcastNestedLoopJoin"),
+      "GLOBALWINDOW" -> globalWindow,
+      "SINGLEPART" -> plan.contains("SinglePartition")
+    ).filter(_._2).map(_._1)
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.builder("local[8]", 8).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val executed = fn(spark, dir).queryExecution.executedPlan
-        val plan = executed.toString
-        // structural, not string-matched: Expression.toString flattens an
-        // empty partitionSpec so "windowspecdefinition(," never renders.
-        // AQE wraps the tree in AdaptiveSparkPlanExec (a LEAF node — a
-        // plain collect would see nothing); unwrap to the inner plan.
-        val globalWindow = PlanLint.collectUnwrapped(executed) {
-          case w: org.apache.spark.sql.execution.window.WindowExec
-              if w.partitionSpec.isEmpty => w
-          case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
-              if w.partitionSpec.isEmpty => w
-        }.nonEmpty
-        val flags = Seq(
-          "CARTESIAN" -> plan.contains("CartesianProduct"),
-          "BNLJ" -> plan.contains("BroadcastNestedLoopJoin"),
-          "GLOBALWINDOW" -> globalWindow,
-          "SINGLEPART" -> plan.contains("SinglePartition")
-        ).filter(_._2).map(_._1)
-        if (flags.nonEmpty) println(s"LINT $name: ${flags.mkString(",")}")
+        val fs = flags(fn(spark, dir).queryExecution.executedPlan)
+        if (fs.nonEmpty) println(s"LINT $name: ${fs.mkString(",")}")
       } catch {
         case e: Throwable => println(s"LINT $name: ERROR ${e.getClass.getSimpleName}")
       }

@@ -447,18 +447,25 @@ object SparkEntry {
       import graft.operators.Layout
       val o = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
       val out = java.nio.file.Files.createTempDirectory("graft_q98").toString
-      val m1 = Layout.exportShards(o, s"$out/a", nShards = 16,
-        keyCols = Seq("o_orderkey"))
-      val m2 = Layout.exportShards(o, s"$out/b", nShards = 16,
-        keyCols = Seq("o_orderkey"))
-      val verifyOk = Layout.verifyShards(s, s"$out/a").isEmpty
-      val rowsOk = m1.map(_._2).sum == o.count()
-      val detOk = m1 == m2
-      val contentOk = graft.api.DfUtils.dfEq(
-        s.read.parquet(s"$out/a").drop("__shard"), o)
-      eng(s).toDF(Seq(Seq(if (verifyOk) 1L else 0L, if (rowsOk) 1L else 0L,
-        if (detOk) 1L else 0L, if (contentOk) 1L else 0L)),
-        "verify_ok:long,rows_ok:long,det_ok:long,content_ok:long")
+      try {
+        val m1 = Layout.exportShards(o, s"$out/a", nShards = 16,
+          keyCols = Seq("o_orderkey"))
+        val m2 = Layout.exportShards(o, s"$out/b", nShards = 16,
+          keyCols = Seq("o_orderkey"))
+        val verifyOk = Layout.verifyShards(s, s"$out/a").isEmpty
+        val rowsOk = m1.map(_._2).sum == o.count()
+        val detOk = m1 == m2
+        val contentOk = graft.api.DfUtils.dfEq(
+          s.read.parquet(s"$out/a").drop("__shard"), o)
+        eng(s).toDF(Seq(Seq(if (verifyOk) 1L else 0L, if (rowsOk) 1L else 0L,
+          if (detOk) 1L else 0L, if (contentOk) 1L else 0L)),
+          "verify_ok:long,rows_ok:long,det_ok:long,content_ok:long")
+      } finally {
+        // repeated gate runs must not accumulate orders-sized /tmp garbage
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(out)).iterator()
+          .asScala.toSeq.reverse.foreach(p => p.toFile.delete())
+      }
     }),
 
     // ---- beyond-reference: dedup --------------------------------------

@@ -118,19 +118,24 @@ object Layout {
    * xxhash64 over all columns) so a training job can cheaply prove it
    * read exactly what curation wrote, shard by shard.
    *
-   * Scale: one hash exchange on the shard id; the manifest aggregation is
-   * the same pass (nShards result rows). [[verifyShards]] recomputes the
-   * manifest from what parquet serves back.
+   * Scale: one hash exchange on the shard id for the write; the manifest
+   * aggregates over a RE-READ of the files just written (never over the
+   * source plan — a nondeterministic source, or one that changes between
+   * the write action and the manifest action, would otherwise produce a
+   * manifest describing rows the files do not contain). [[verifyShards]]
+   * recomputes the same aggregation later.
    */
   def exportShards(df: DataFrame, path: String, nShards: Int,
       keyCols: Seq[String] = Nil): Seq[(Int, Long, String)] = {
     require(nShards >= 1, "nShards must be >= 1")
+    require(!df.columns.contains("__shard"),
+      "input already has a __shard column — rename or drop it first")
     val keys = if (keyCols.nonEmpty) keyCols else df.columns.toSeq
     val shard = pmod(xxhash64(keys.map(col): _*), lit(nShards)).cast("int")
-    val withShard = df.withColumn("__shard", shard)
-    withShard.repartition(nShards, col("__shard"))
+    df.withColumn("__shard", shard)
+      .repartition(nShards, col("__shard"))
       .write.mode("overwrite").partitionBy("__shard").parquet(path)
-    val manifest = shardManifest(withShard, df.columns.toSeq)
+    val manifest = readManifestFromFiles(df.sparkSession, path, df.columns.toSeq)
     val json = manifest.map { case (s, n, h) =>
       s"""{"shard": $s, "rows": $n, "checksum": "$h"}"""
     }.mkString("[\n  ", ",\n  ", "\n]")
@@ -149,9 +154,6 @@ object Layout {
    * (empty = intact). */
   def verifyShards(spark: org.apache.spark.sql.SparkSession,
       path: String): Seq[Int] = {
-    val back = spark.read.parquet(path)
-    val dataCols = back.columns.filterNot(_ == "__shard").toSeq
-    val got = shardManifest(back, dataCols).map(t => t._1 -> (t._2, t._3)).toMap
     val p = new org.apache.hadoop.fs.Path(path, "_manifest.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(p)
@@ -159,16 +161,36 @@ object Layout {
     val entry = """\{"shard": (\d+), "rows": (\d+), "checksum": "(-?\d+)"\}""".r
     val want = entry.findAllMatchIn(json)
       .map(m => m.group(1).toInt -> (m.group(2).toLong, m.group(3))).toMap
+    // an all-rows-filtered export writes no parquet files (manifest []) —
+    // schema inference then fails, but that is an intact empty export
+    val got = try {
+      val back = spark.read.parquet(path)
+      val dataCols = back.columns.filterNot(_ == "__shard").toSeq
+      readBackManifest(back, dataCols).map(t => t._1 -> (t._2, t._3)).toMap
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => Map.empty[Int, (Long, String)]
+    }
     (want.keySet ++ got.keySet).toSeq.sorted
       .filter(s => got.get(s) != want.get(s))
   }
 
+  /** Manifest from the files at `path` (empty export → empty manifest). */
+  private def readManifestFromFiles(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      dataCols: Seq[String]): Seq[(Int, Long, String)] =
+    try readBackManifest(spark.read.parquet(path), dataCols)
+    catch {
+      case _: org.apache.spark.sql.AnalysisException => Seq.empty
+    }
+
   /** (shard, rows, exact-decimal-sum-of-row-hashes) per shard, one agg
-   * pass. The row hash covers `dataCols` in the given order. */
-  private def shardManifest(withShard: DataFrame,
+   * pass over a read-back frame. The row hash covers `dataCols` in the
+   * given order; the shard id is cast explicitly so the result does not
+   * depend on spark.sql.sources.partitionColumnTypeInference. */
+  private def readBackManifest(back: DataFrame,
       dataCols: Seq[String]): Seq[(Int, Long, String)] = {
-    withShard
-      .groupBy(col("__shard"))
+    back
+      .groupBy(col("__shard").cast("int").as("__shard"))
       .agg(count(lit(1)).as("n"),
         sum(xxhash64(dataCols.map(col): _*).cast("decimal(38,0)")).as("h"))
       .collect()

@@ -282,6 +282,14 @@ class ApiSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       Layout.exportShards(d, s"$dir/out3", nShards = 0)
     }
+    // pre-existing __shard column would be silently consumed by the write
+    intercept[IllegalArgumentException] {
+      Layout.exportShards(d.withColumn("__shard", col("id")), s"$dir/out4", 4)
+    }
+    // empty export: manifest [], verify returns clean instead of crashing
+    val empty = Layout.exportShards(d.filter(col("id") < 0), s"$dir/out5", 4)
+    assert(empty === Seq.empty)
+    assert(Layout.verifyShards(spark, s"$dir/out5") === Seq.empty)
   }
 
   test("Layout.compact: fragmented shrinks toward target, compact untouched") {
