@@ -468,6 +468,42 @@ object SparkEntry {
       }
     }),
 
+    // budget-bounded selection, FULL oracle: quality-ranked prefix whose
+    // running token total fits the budget — a plain SQL window on the
+    // DuckDB side, the distributed prefix sum (range sort + per-partition
+    // offsets, never a single-partition window) on ours. The synthetic
+    // score is a Knuth-hash of doc_id: deterministic, integer-exact in
+    // both engines, and uncorrelated with n_chars
+    "t34_budget_select" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          ((col("doc_id") * lit(2654435761L)) % 1000).as("score"))
+      graft.functions.Sampling.selectByBudget(docs, col("n_chars"), "score",
+        Seq("doc_id"), budget = 100000L)
+    }),
+
+    // corpus-overlap estimation: exact distinct/union/intersection counts
+    // (FULL oracle) alongside an est_ok flag pinning the HLL
+    // inclusion–exclusion estimates to the exact values within the lgK=12
+    // error envelope (3×RSE ≈ 5%; the derived intersection within 5% of
+    // the union, since its error compounds three sketches)
+    "q99_corpus_overlap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val a = docs.filter(col("doc_id") % 3 =!= 0).select("text")
+      val b = docs.filter(col("doc_id") % 2 =!= 0).select("text")
+      val est = Sketches.overlapEstimate(a, b, "text").collect()(0)
+      val na = a.distinct().count()
+      val nb = b.distinct().count()
+      val nu = a.union(b).distinct().count()
+      val ni = a.intersect(b).count()
+      def ok(got: Long, want: Long, tol: Long): Boolean =
+        math.abs(got - want) <= math.max(2L, (tol * 0.05).toLong)
+      val estOk = ok(est.getLong(0), na, na) && ok(est.getLong(1), nb, nb) &&
+        ok(est.getLong(2), nu, nu) && ok(est.getLong(3), ni, nu)
+      eng(s).toDF(Seq(Seq(na, nb, nu, ni, if (estOk) 1L else 0L)),
+        "n_a:long,n_b:long,n_union:long,n_inter:long,est_ok:long")
+    }),
+
     // ---- beyond-reference: dedup --------------------------------------
     "d01_dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), Seq("text"), "doc_id")),
@@ -650,6 +686,48 @@ object SparkEntry {
         "vec_id", "embedding", "label", k = 3)
         .select(col("query_id"), col("rank").cast("int").as("rank"),
           col("neighbor_id"))
+    }),
+
+    // distributed PCA invariant differential: one treeAggregate moment
+    // pass + driver Jacobi. Floats wobble across layouts, so the pins are
+    // the algebraic laws — components orthonormal, eigenvalues
+    // descending and ≤ trace, per-axis projection variance ≡ eigenvalue
+    // (the defining property), projections centered, and top-1
+    // eigenvalue ≥ every coordinate variance (axes are candidate
+    // directions, so the optimum cannot do worse)
+    "s12_pca" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val k = 4
+      val (proj, model) = graft.functions.Pca.fitTransform(
+        emb, "vec_id", "embedding", k, "p")
+      def dotv(a: Array[Double], b: Array[Double]): Double =
+        a.zip(b).map { case (x, y) => x * y }.sum
+      val ortho = (0 until k).forall { i =>
+        (i until k).forall { j =>
+          val want = if (i == j) 1.0 else 0.0
+          math.abs(dotv(model.components(i), model.components(j)) - want) < 1e-8
+        }
+      }
+      val descending = model.explainedVariance.sliding(2)
+        .forall(w => w.length < 2 || w(0) >= w(1) - 1e-9)
+      val bounded = model.explainedVariance.sum <= model.totalVariance + 1e-6
+      // per-axis variance of the projections must equal the eigenvalues
+      val stats = proj.select(posexplode(col("p")).as(Seq("axis", "x")))
+        .groupBy("axis")
+        .agg(avg(col("x")).as("m"), var_samp(col("x")).as("v"))
+        .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      val centered = (0 until k).forall(a => math.abs(stats(a)._1) < 1e-6)
+      val varMatch = (0 until k).forall { a =>
+        math.abs(stats(a)._2 - model.explainedVariance(a)) <=
+          0.01 * math.max(1e-9, model.explainedVariance(a))
+      }
+      val coordVar = emb.select(posexplode(col("embedding")).as(Seq("i", "x")))
+        .groupBy("i").agg(var_samp(col("x")).as("v"))
+        .agg(max(col("v"))).collect()(0).getDouble(0)
+      val optimal = model.explainedVariance(0) >= coordVar - 1e-9
+      eng(s).toDF(Seq(Seq(
+        if (ortho && descending && bounded && centered && varMatch && optimal) 1L
+        else 0L)), "pca_ok:long")
     }),
 
     // differential conformance: LSH top-k recall vs brute force ≥ 0.9
@@ -3026,6 +3104,30 @@ object SparkEntry {
     "q98_export_shards" ->
       """SELECT CAST(1 AS BIGINT) AS verify_ok, CAST(1 AS BIGINT) AS rows_ok,
         | CAST(1 AS BIGINT) AS det_ok, CAST(1 AS BIGINT) AS content_ok""".stripMargin,
+    "t34_budget_select" ->
+      """WITH s AS (
+        | SELECT doc_id, n_chars,
+        |  CAST((doc_id * 2654435761) % 1000 AS BIGINT) AS score
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id, n_chars, score,
+        |  CAST(sum(n_chars) OVER (ORDER BY score DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_size
+        | FROM s)
+        |SELECT doc_id, n_chars, score, cum_size
+        |FROM c WHERE cum_size <= 100000""".stripMargin,
+    "q99_corpus_overlap" ->
+      """WITH a AS (SELECT DISTINCT text FROM documents WHERE doc_id % 3 <> 0),
+        |b AS (SELECT DISTINCT text FROM documents WHERE doc_id % 2 <> 0)
+        |SELECT
+        | (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_a,
+        | (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_b,
+        | (SELECT CAST(count(*) AS BIGINT) FROM
+        |   (SELECT text FROM a UNION SELECT text FROM b)) AS n_union,
+        | (SELECT CAST(count(*) AS BIGINT) FROM
+        |   (SELECT text FROM a INTERSECT SELECT text FROM b)) AS n_inter,
+        | CAST(1 AS BIGINT) AS est_ok""".stripMargin,
     "q96_resample" ->
       """SELECT event_type,
         |  CAST(to_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 900)
@@ -3208,6 +3310,7 @@ object SparkEntry {
       "SELECT CAST(1 AS BIGINT) AS full_budget_exact, CAST(1 AS BIGINT) AS adc_signal_ok",
     "s09_ann_join" ->
       "SELECT CAST(1 AS BIGINT) AS recall_ok, CAST(1 AS BIGINT) AS coverage_ok",
+    "s12_pca" -> "SELECT CAST(1 AS BIGINT) AS pca_ok",
     "s11_hard_negatives" ->
       """WITH sub AS (SELECT * FROM embeddings WHERE vec_id < 50),
         |pairs AS (

@@ -1,0 +1,219 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed principal-component analysis over an embedding column — the
+ * data-dependent sibling of the Johnson–Lindenstrauss
+ * [[Similarity.randomProject]]: where JL preserves distances obliviously,
+ * PCA picks the k directions that capture the MOST variance of this
+ * corpus, so a 64-dim embedding often compresses to 8–16 dims with far
+ * less recall loss than a random projection of the same width
+ * (reference behavior class: fugue has no linear algebra of its own —
+ * this is part of the training-data toolbox layered on top, like
+ * SemDeDup's "cluster then prune" which works in exactly such a reduced
+ * space).
+ *
+ * Scale design (the MLlib RowMatrix.computeCovariance shape):
+ *  - fit: ONE `treeAggregate` pass over the corpus accumulating
+ *    (n, Σv, upper-triangular ΣvvT) — d(d+3)/2 + 1 doubles of state per
+ *    task, merged log-depth; the driver never sees rows, only the
+ *    O(d²) moment matrix. At d=64 that is ~2 k doubles — trivially
+ *    broadcastable; the pass is compute-bound on the scan, exactly what
+ *    a 100 TB aggregate should be.
+ *  - eigensolve: cyclic Jacobi on the d×d covariance ON THE DRIVER
+ *    (d ≤ a few hundred by construction of embedding columns; the
+ *    solve is microseconds next to one corpus scan).
+ *  - transform: a plan-embedded [[graft.functions.expressions.AffineProject]]
+ *    expression — components ship once per executor as a codegen
+ *    reference object; the projection is a narrow codegen'd map with no
+ *    shuffle, no join, no UDF boxing.
+ *
+ * Determinism: float addition is order-sensitive, so the moment sums
+ * (and hence the components) can wobble at the last few ulps across
+ * partition layouts. The sign convention is fixed (largest-|coordinate|
+ * positive) and every consumer-facing law in the conformance suite
+ * checks INVARIANTS — orthonormality, descending variance,
+ * captured-variance optimality — rather than raw floats.
+ */
+object Pca {
+
+  /** Fitted model: `components` is k×d, rows are unit-norm principal
+   * axes ordered by explained variance descending; `explainedVariance`
+   * the matching eigenvalues; `totalVariance` the trace of the
+   * covariance (sum of ALL eigenvalues); `mean` the column mean. */
+  case class PcaModel(
+      mean: Array[Double],
+      components: Array[Array[Double]],
+      explainedVariance: Array[Double],
+      totalVariance: Double,
+      nRows: Long) {
+    def k: Int = components.length
+    def dim: Int = mean.length
+  }
+
+  /**
+   * Fit a k-component model. One distributed pass (treeAggregate of the
+   * first and second moments) + a driver-side Jacobi eigensolve.
+   * Null vectors are skipped; shorter vectors are zero-padded to the
+   * dimension of the first row (ragged corpora fail loudly only if the
+   * FIRST vector is the short one and others exceed it).
+   */
+  def fit(df: DataFrame, vecCol: String, k: Int): PcaModel = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val vecs = Dedup.spreadForCompute(df)
+      .select(col(vecCol).cast("array<double>"))
+      .filter(col(vecCol).isNotNull)
+    val first = vecs.head(1)
+    require(first.nonEmpty, "cannot fit PCA on an empty corpus")
+    val d = first(0).getSeq[Double](0).length
+    require(k <= d, s"k=$k exceeds the embedding dimension $d")
+    // accumulator layout: [0]=n, [1..d]=sum, [d+1..]=upper-tri product sums
+    val tri = d * (d + 1) / 2
+    val zero = new Array[Double](1 + d + tri)
+    val acc = vecs.rdd.treeAggregate(zero)(
+      seqOp = (a, row) => {
+        val s = row.getSeq[Double](0)
+        val n = math.min(s.length, d)
+        val v = new Array[Double](d)
+        var i = 0
+        while (i < n) { v(i) = s(i); i += 1 }
+        a(0) += 1.0
+        i = 0
+        while (i < d) { a(1 + i) += v(i); i += 1 }
+        var p = 1 + d
+        i = 0
+        while (i < d) {
+          var j = i
+          while (j < d) { a(p) += v(i) * v(j); p += 1; j += 1 }
+          i += 1
+        }
+        a
+      },
+      combOp = (a, b) => {
+        var i = 0
+        while (i < a.length) { a(i) += b(i); i += 1 }
+        a
+      })
+    val n = acc(0)
+    require(n >= 2, s"need >= 2 rows to estimate a covariance, got ${n.toLong}")
+    val mean = Array.tabulate(d)(i => acc(1 + i) / n)
+    // sample covariance: (Σ vvT − n·μμT) / (n − 1)
+    val cov = Array.ofDim[Double](d, d)
+    var p = 1 + d
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val c = (acc(p) - n * mean(i) * mean(j)) / (n - 1)
+        cov(i)(j) = c
+        cov(j)(i) = c
+        p += 1
+        j += 1
+      }
+      i += 1
+    }
+    val trace = (0 until d).map(i => cov(i)(i)).sum
+    val (values, vectors) = jacobiEigen(cov)
+    val order = values.indices.sortBy(i => -values(i)).take(k)
+    val comps = order.map { idx =>
+      val v = Array.tabulate(d)(r => vectors(r)(idx))
+      // deterministic sign: largest-|coordinate| positive
+      val m = v.indices.maxBy(i => math.abs(v(i)))
+      if (v(m) < 0) v.map(-_) else v
+    }.toArray
+    PcaModel(mean, comps, order.map(i => math.max(0.0, values(i))).toArray,
+      trace, n.toLong)
+  }
+
+  /** Project a vector column through a fitted model → `array<double>`
+   * of length k (codegen'd plan-embedded expression, no shuffle). */
+  def project(v: Column, model: PcaModel): Column =
+    graft.functions.expressions.VectorExpressions
+      .affineProject(v, model.components, model.mean)
+
+  /** Fit + transform in one call: (idCol, outCol k-dim projection).
+   * Two corpus scans total — one for the moments, one for the map. */
+  def fitTransform(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      outCol: String = "pca"): (DataFrame, PcaModel) = {
+    val model = fit(df, vecCol, k)
+    (df.select(col(idCol), project(col(vecCol), model).as(outCol)), model)
+  }
+
+  /**
+   * Cyclic Jacobi eigendecomposition of a symmetric matrix — returns
+   * (eigenvalues, eigenvector matrix with eigenvectors in COLUMNS).
+   * Sweeps rotate away the largest off-diagonal mass; converges
+   * quadratically, 30-sweep cap (d ≤ a few hundred here; a sweep is
+   * O(d³/2) driver-side flops).
+   */
+  private[graft] def jacobiEigen(
+      m: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = m.length
+    val a = Array.tabulate(d, d)((i, j) => m(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    val eps = 1e-12 * math.max(1.0, (0 until d).map(i => math.abs(a(i)(i))).max)
+    var sweep = 0
+    var off = offDiag(a)
+    while (off > eps && sweep < 30) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          if (math.abs(a(p)(q)) > eps * 1e-3) rotate(a, v, p, q)
+          q += 1
+        }
+        p += 1
+      }
+      off = offDiag(a)
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  private def offDiag(a: Array[Array[Double]]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) {
+      var j = i + 1
+      while (j < a.length) { s += math.abs(a(i)(j)); j += 1 }
+      i += 1
+    }
+    s
+  }
+
+  private def rotate(a: Array[Array[Double]], v: Array[Array[Double]],
+      p: Int, q: Int): Unit = {
+    val d = a.length
+    val apq = a(p)(q)
+    val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+    val t = {
+      val s = if (theta >= 0) 1.0 else -1.0
+      s / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+    }
+    val c = 1.0 / math.sqrt(t * t + 1.0)
+    val s = t * c
+    var i = 0
+    while (i < d) {
+      val aip = a(i)(p); val aiq = a(i)(q)
+      a(i)(p) = c * aip - s * aiq
+      a(i)(q) = s * aip + c * aiq
+      i += 1
+    }
+    i = 0
+    while (i < d) {
+      val api = a(p)(i); val aqi = a(q)(i)
+      a(p)(i) = c * api - s * aqi
+      a(q)(i) = s * api + c * aqi
+      i += 1
+    }
+    i = 0
+    while (i < d) {
+      val vip = v(i)(p); val viq = v(i)(q)
+      v(i)(p) = c * vip - s * viq
+      v(i)(q) = s * vip + c * viq
+      i += 1
+    }
+  }
+}

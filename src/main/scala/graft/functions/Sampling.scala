@@ -162,6 +162,48 @@ object Sampling {
   }
 
   /**
+   * Budget-bounded corpus selection: rank rows by `rankCol` (descending
+   * by default — highest quality first), walk the ranking accumulating
+   * `sizeCol` (token counts), and keep exactly the prefix whose running
+   * total stays within `budget` — the "take the best N tokens" step of
+   * training-set assembly (quality-ranked selection under a token
+   * budget, the per-corpus complement of [[mixturePlan]]'s cross-domain
+   * split).
+   *
+   * Output: the input columns plus `cumCol` — the INCLUSIVE running
+   * total in rank order, so `max(cumCol) ≤ budget` is checkable
+   * downstream and the selection is reproducible as a plain SQL window
+   * (`sum(size) OVER (ORDER BY rank DESC, id)` ≤ budget).
+   *
+   * Scale shape: this is [[graft.api.DfUtils.runningTotal]] — a
+   * range-partitioned sort with per-partition offsets cumulated on the
+   * driver (one row per partition), NEVER a single-partition global
+   * window; the filter on the running total is a narrow map after it.
+   *
+   * PRECONDITION: `idCols` must break rank ties totally (use the
+   * primary id); `sizeCol` must be integral (exact long totals).
+   */
+  def selectByBudget(
+      df: DataFrame, sizeCol: org.apache.spark.sql.Column, rankCol: String,
+      idCols: Seq[String], budget: Long, descending: Boolean = true,
+      cumCol: String = "cum_size"): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    require(idCols.nonEmpty, "idCols must totally order rank ties")
+    require(!df.columns.contains("__rank_ord"),
+      "input column collides with internal name __rank_ord")
+    // negate for descending: runningTotal's range sort is ascending-only
+    val ord = if (descending) negate(col(rankCol).cast("double"))
+      else col(rankCol).cast("double")
+    val staged = df.withColumn("__rank_ord", ord)
+    val cum = graft.api.DfUtils.runningTotal(
+      staged, "__rank_ord" +: idCols, sizeCol, cumCol)
+    // exclusive prefix + own size = inclusive total; keep while it fits
+    cum.withColumn(cumCol, col(cumCol) + coalesce(sizeCol.cast("long"), lit(0L)))
+      .filter(col(cumCol) <= budget)
+      .drop("__rank_ord")
+  }
+
+  /**
    * Weighted sample WITHOUT replacement: `n` rows per key group (all
    * rows one group when `keyCols` is empty), inclusion probability
    * proportional to `weightCol` — Efraimidis–Spirakis exponential keys:

@@ -218,4 +218,45 @@ object Sketches {
   def cmsEstimate(cms: org.apache.spark.util.sketch.CountMinSketch,
       item: String): Long =
     cms.estimateCount(item.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /**
+   * Corpus-overlap estimation: how much of corpus B's `valueCol`
+   * population (URLs, document fingerprints, n-gram hashes) already
+   * appears in corpus A — the contamination/coverage diagnostic run
+   * BEFORE committing to an expensive exact decontamination join.
+   * Inclusion–exclusion over HLL sketches:
+   *
+   *   |A∩B| ≈ |A| + |B| − |A∪B|,   jaccard ≈ |A∩B| / |A∪B|
+   *
+   * One row out: (n_a, n_b, n_union, n_intersection, jaccard).
+   *
+   * Scale shape: ONE union + ONE aggregation building all three sketches
+   * in a single pass (each side feeds its own sketch via a null-routing
+   * CASE; nulls are skipped by the aggregate) — no join, no distinct, no
+   * second scan; the exchange carries three lgK-sized sketch partials
+   * per task. The intersection inherits ~3× the single-sketch RSE
+   * (error of three estimates), amplified when |A∩B| ≪ |A∪B| — for
+   * overlap fractions below ~1% use the exact path
+   * ([[Dedup.decontaminate]]-style anti-join) instead; this operator's
+   * job is the cheap first look.
+   */
+  def overlapEstimate(dfA: DataFrame, dfB: DataFrame, valueCol: String,
+      lgK: Int = 12): DataFrame = {
+    val tagged = dfA.select(col(valueCol).as("__v"), lit("a").as("__side"))
+      .unionByName(dfB.select(col(valueCol).as("__v"), lit("b").as("__side")))
+    tagged
+      .agg(
+        hll_sketch_estimate(hll_sketch_agg(
+          when(col("__side") === "a", col("__v")), lit(lgK))).as("n_a"),
+        hll_sketch_estimate(hll_sketch_agg(
+          when(col("__side") === "b", col("__v")), lit(lgK))).as("n_b"),
+        hll_sketch_estimate(hll_sketch_agg(col("__v"), lit(lgK))).as("n_union"))
+      .select(col("n_a"), col("n_b"), col("n_union"),
+        greatest(lit(0L), col("n_a") + col("n_b") - col("n_union"))
+          .as("n_intersection"))
+      .withColumn("jaccard",
+        when(col("n_union") > 0,
+          col("n_intersection").cast("double") / col("n_union"))
+          .otherwise(lit(0.0)))
+  }
 }

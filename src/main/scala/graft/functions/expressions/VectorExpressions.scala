@@ -876,6 +876,65 @@ case class PqAdcScore(left: Expression, right: Expression,
       l: Expression, r: Expression): Expression = copy(left = l, right = r)
 }
 
+/**
+ * Affine projection `M · (v − mean)` with a constant k×d matrix — the PCA
+ * transform step (and any fixed linear reduce). The matrix and offset ride
+ * along as task-broadcast reference objects like [[PqEncode]]'s codebooks:
+ * k·d doubles shipped once per executor, never per row. Accepts
+ * array<float> or array<double> input; emits array<double> of length k.
+ * Vectors shorter than d are zero-padded (a truncated embedding projects
+ * as if its missing tail were the mean).
+ */
+case class AffineProject(child: Expression,
+    matrix: Array[Array[Double]], mean: Array[Double])
+    extends UnaryExpression {
+  require(matrix.nonEmpty, "projection matrix must have >= 1 row")
+  require(matrix.forall(_.length == mean.length),
+    "every matrix row must match the mean's dimension")
+  private val k = matrix.length
+  private val d = mean.length
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  private lazy val elemIsFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  def compute(in: ArrayData): ArrayData = {
+    val n = math.min(in.numElements(), d)
+    // center once, not once per output row
+    val c = new Array[Double](d)
+    var i = 0
+    while (i < n) {
+      val x = if (elemIsFloat) in.getFloat(i).toDouble else in.getDouble(i)
+      c(i) = x - mean(i)
+      i += 1
+    }
+    while (i < d) { c(i) = 0.0; i += 1 }
+    val out = new Array[Double](k)
+    var j = 0
+    while (j < k) {
+      val row = matrix(j)
+      var s = 0.0
+      i = 0
+      while (i < d) { s += row(i) * c(i); i += 1 }
+      out(j) = s
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("affineProject", this, classOf[AffineProject].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object VectorExpressions {
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
@@ -906,4 +965,6 @@ object VectorExpressions {
     ColumnBridge.column(PqEncode(ColumnBridge.expression(v), codebooks))
   def pqAdcScore(qv: Column, codes: Column, codebooks: Array[Array[Array[Double]]]): Column =
     ColumnBridge.column(PqAdcScore(ColumnBridge.expression(qv), ColumnBridge.expression(codes), codebooks))
+  def affineProject(v: Column, matrix: Array[Array[Double]], mean: Array[Double]): Column =
+    ColumnBridge.column(AffineProject(ColumnBridge.expression(v), matrix, mean))
 }

@@ -141,7 +141,14 @@ object GraftSql {
    * `export_shards(path:"...", n:16[, keys:id])` (manifest-verified
    * training-shard export; yields the manifest frame) and
    * `PROCESS before, after USING snapshot_diff(keys:"id"[, hash:true,
-   * unchanged:true])` (added/removed/changed audit between versions).
+   * unchanged:true])` (added/removed/changed audit between versions),
+   * `pca(id:vec_id, col:embedding, k:8[, out:pca])` (distributed PCA:
+   * one moment pass + plan-embedded projection),
+   * `select_by_budget(id:doc_id, size:n_tokens, rank:score,
+   * budget:1000000[, ascending:true])` (quality-ranked prefix under a
+   * token budget) and
+   * `PROCESS a, b USING overlap_estimate(col:text[, lgk:12])`
+   * (HLL inclusion–exclusion corpus-overlap diagnostic).
    * User extensions with the same name win. */
   val builtinExtensions: Extensions = Extensions(outputters = Map(
     "assert_eq" -> OutputterDef { (dfs, params) =>
@@ -362,6 +369,29 @@ object GraftSql {
               .split(",").map(_.trim).toSeq,
             hashOnly = p.get("hash").exists(_.toBoolean),
             includeUnchanged = p.get("unchanged").exists(_.toBoolean))
+        },
+        "pca" -> ProcessorDef { (_, dfs, p) =>
+          graft.functions.Pca.fitTransform(one(dfs, "pca"), id(p),
+            vecCol = p.getOrElse("col", "embedding"),
+            k = p.getOrElse("k", "8").toInt,
+            outCol = p.getOrElse("out", "pca"))._1
+        },
+        "select_by_budget" -> ProcessorDef { (_, dfs, p) =>
+          graft.functions.Sampling.selectByBudget(one(dfs, "select_by_budget"),
+            sizeCol = org.apache.spark.sql.functions.col(
+              p.getOrElse("size", "n_tokens")),
+            rankCol = p.getOrElse("rank", "score"),
+            idCols = id(p).split(",").map(_.trim).toSeq,
+            budget = p.getOrElse("budget",
+              throw new IllegalArgumentException(
+                "select_by_budget needs budget:<tokens>")).toLong,
+            descending = !p.get("ascending").exists(_.toBoolean))
+        },
+        "overlap_estimate" -> ProcessorDef { (_, dfs, p) =>
+          require(dfs.size == 2, "overlap_estimate takes (corpus_a, corpus_b)")
+          graft.functions.Sketches.overlapEstimate(dfs.head, dfs(1),
+            valueCol = p.getOrElse("col", "text"),
+            lgK = p.get("lgk").map(_.toInt).getOrElse(12))
         })
     })
 

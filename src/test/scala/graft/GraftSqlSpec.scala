@@ -765,6 +765,41 @@ class GraftSqlSpec extends SparkTestBase {
     assert(res(3L) === 4L && res(4L) === 3L)
   }
 
+  test("built-in pca / select_by_budget / overlap_estimate processors") {
+    val emb = df((0 until 40).map(i =>
+      Seq(i.toLong, Seq(i.toDouble, (i % 3).toDouble, 0.5))),
+      "vec_id:long,embedding:[double]")
+    val p = GraftSql.run(engine,
+      """p = PROCESS emb USING pca(id:vec_id, k:2, out:proj)
+        |YIELD p AS p
+        |""".stripMargin, Map("emb" -> emb)).yields("p")
+    assert(p.columns.toSeq === Seq("vec_id", "proj"))
+    assert(p.head().getSeq[Double](1).length === 2)
+
+    val docs = df(Seq(
+      Seq(1L, 10L, 3L), Seq(2L, 20L, 2L), Seq(3L, 30L, 1L)),
+      "id:long,n_tokens:long,score:long")
+    val sel = GraftSql.run(engine,
+      """s = PROCESS docs USING select_by_budget(id:id, rank:score, budget:30)
+        |YIELD s AS s
+        |""".stripMargin, Map("docs" -> docs)).yields("s")
+    assert(sel.select("id").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(1L, 2L)) // score desc: 10 (cum 10) + 20 (cum 30); 30 overflows
+    intercept[IllegalArgumentException] {
+      GraftSql.run(engine, "s = PROCESS docs USING select_by_budget(id:id)\nYIELD s AS s",
+        Map("docs" -> docs))
+    }
+
+    val a = df((1 to 30).map(i => Seq(s"t$i")), "text:str")
+    val b = df((21 to 50).map(i => Seq(s"t$i")), "text:str")
+    val ov = GraftSql.run(engine,
+      """o = PROCESS a, b USING overlap_estimate(col:text)
+        |YIELD o AS o
+        |""".stripMargin, Map("a" -> a, "b" -> b)).yields("o").collect()(0)
+    assert(math.abs(ov.getLong(2) - 50L) <= 2)
+    assert(math.abs(ov.getLong(3) - 10L) <= 3)
+  }
+
   test("built-in export_shards processor yields the manifest frame") {
     val dir = Files.createTempDirectory("graftsql_shards").toString
     val d = df((1 to 50).map(i => Seq(i.toLong, s"r$i")), "id:long,s:str")

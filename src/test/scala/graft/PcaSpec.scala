@@ -1,0 +1,147 @@
+package graft
+
+import graft.functions.{Pca, Sampling, Sketches}
+import org.apache.spark.sql.functions._
+
+class PcaSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def dot(a: Array[Double], b: Array[Double]): Double =
+    a.zip(b).map { case (x, y) => x * y }.sum
+
+  test("jacobiEigen: exact eigenpairs of a known symmetric matrix") {
+    // [[2,1],[1,2]] has eigenvalues 3 (along (1,1)/√2) and 1
+    val (values, vectors) = Pca.jacobiEigen(
+      Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    val sorted = values.sorted.reverse
+    assert(math.abs(sorted(0) - 3.0) < 1e-10)
+    assert(math.abs(sorted(1) - 1.0) < 1e-10)
+    val top = values.indices.maxBy(values(_))
+    val v = Array(vectors(0)(top), vectors(1)(top))
+    assert(math.abs(math.abs(v(0)) - math.sqrt(0.5)) < 1e-10)
+    assert(math.abs(v(0) - v(1)) < 1e-10, "eigenvector along (1,1)")
+  }
+
+  test("fit: recovers planted variance directions; invariants hold") {
+    // variance 100 along e0, 25 along e1, ~0 along e2/e3
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 500).map { i =>
+      val a = rnd.nextGaussian() * 10.0
+      val b = rnd.nextGaussian() * 5.0
+      (i.toLong, Array(a + 3.0f, b - 1.0f, 0.01f * rnd.nextGaussian().toFloat, 0.0f)
+        .map(_.toFloat))
+    }
+    val d = rows.toDF("id", "vec")
+    val model = Pca.fit(d, "vec", 2)
+    assert(model.dim === 4 && model.k === 2 && model.nRows === 500L)
+    // components unit-norm and orthogonal
+    model.components.foreach(c => assert(math.abs(dot(c, c) - 1.0) < 1e-9))
+    assert(math.abs(dot(model.components(0), model.components(1))) < 1e-9)
+    // descending explained variance, both below total
+    assert(model.explainedVariance(0) >= model.explainedVariance(1))
+    assert(model.explainedVariance.sum <= model.totalVariance + 1e-6)
+    // planted directions recovered: |pc0·e0| ≈ 1, |pc1·e1| ≈ 1
+    assert(math.abs(model.components(0)(0)) > 0.99)
+    assert(math.abs(model.components(1)(1)) > 0.99)
+    // mean recovered
+    assert(math.abs(model.mean(0) - 3.0) < 1.5)
+    assert(math.abs(model.mean(1) + 1.0) < 1.0)
+    // sign convention: largest-|coordinate| positive
+    model.components.foreach { c =>
+      assert(c(c.indices.maxBy(i => math.abs(c(i)))) > 0)
+    }
+  }
+
+  test("transform: projection variance matches eigenvalues; codegen'd plan") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 400).map { i =>
+      (i.toLong, Array.fill(6)(rnd.nextGaussian().toFloat))
+    }
+    val d = rows.toDF("id", "vec")
+    val (proj, model) = Pca.fitTransform(d, "id", "vec", 3, "p")
+    assert(proj.columns.toSeq === Seq("id", "p"))
+    val mat = proj.select(col("p")).collect().map(_.getSeq[Double](0).toArray)
+    assert(mat.forall(_.length === 3))
+    // per-axis sample variance of the projections ≈ the eigenvalues
+    (0 until 3).foreach { j =>
+      val xs = mat.map(_(j))
+      val m = xs.sum / xs.length
+      val v = xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1)
+      assert(math.abs(v - model.explainedVariance(j)) < 0.05 *
+        math.max(1.0, model.explainedVariance(j)),
+        s"axis $j variance $v vs eigenvalue ${model.explainedVariance(j)}")
+    }
+    // projection means are ~0 (centered)
+    (0 until 3).foreach { j =>
+      val xs = mat.map(_(j))
+      assert(math.abs(xs.sum / xs.length) < 1e-9)
+    }
+    // the transform is a narrow plan: no exchange below the project
+    val plan = proj.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"projection must not shuffle:\n$plan")
+  }
+
+  test("fit: guards — empty corpus, k too large, null vectors skipped") {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("id", "vec")
+    intercept[IllegalArgumentException] { Pca.fit(empty, "vec", 2) }
+    val tiny = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(2.0f, 1.0f)))
+      .toDF("id", "vec")
+    intercept[IllegalArgumentException] { Pca.fit(tiny, "vec", 3) }
+    val withNull = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, null.asInstanceOf[Array[Float]]), (4L, Array(1.0f, 1.0f)))
+      .toDF("id", "vec")
+    assert(Pca.fit(withNull, "vec", 1).nRows === 3L)
+  }
+
+  test("selectByBudget: greedy quality-ranked prefix under a token budget") {
+    val d = Seq(
+      (1L, 10L, 0.9), (2L, 20L, 0.8), (3L, 30L, 0.7),
+      (4L, 25L, 0.6), (5L, 5L, 0.5)
+    ).toDF("id", "toks", "score")
+    // budget 60: 10 (cum 10) + 20 (30) + 30 (60) fit; 25 would hit 85
+    val got = Sampling.selectByBudget(d, col("toks"), "score", Seq("id"), 60L)
+    assert(got.columns.toSeq === Seq("id", "toks", "score", "cum_size"))
+    val rows = got.orderBy("cum_size").collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    assert(rows.toSeq === Seq((1L, 10L), (2L, 30L), (3L, 60L)))
+    // ascending: lowest score first — id 5 (5 toks, cum 5) then id 4 (25, cum 30)
+    val asc = Sampling.selectByBudget(d, col("toks"), "score", Seq("id"),
+      30L, descending = false).select("id").as[Long].collect().sorted
+    assert(asc.toSeq === Seq(4L, 5L))
+    // a row larger than the whole budget excludes itself and the tail
+    val none = Sampling.selectByBudget(d, col("toks"), "score", Seq("id"), 5L)
+    assert(none.count() === 0L)
+    intercept[IllegalArgumentException] {
+      Sampling.selectByBudget(d, col("toks"), "score", Seq("id"), -1L)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.selectByBudget(d, col("toks"), "score", Seq.empty, 10L)
+    }
+  }
+
+  test("overlapEstimate: near-exact at small cardinality; jaccard well-defined") {
+    val a = (1 to 400).map(i => s"k$i").toDF("v")
+    val b = (201 to 600).map(i => s"k$i").toDF("v")
+    val r = Sketches.overlapEstimate(a, b, "v").collect()(0)
+    val (na, nb, nu, ni) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    // coupon (sparse) mode: near-exact, but 26-bit coupon collisions can
+    // shave a count by a few — bound, don't pin
+    def within(got: Long, want: Long) =
+      assert(math.abs(got - want) <= math.max(2L, (want * 0.02).toLong),
+        s"$got vs $want")
+    within(na, 400L); within(nb, 400L); within(nu, 600L)
+    // the intersection compounds three estimates: bound by 3% of the UNION
+    assert(math.abs(ni - 200L) <= (nu * 0.03).toLong, s"$ni vs 200")
+    assert(math.abs(r.getDouble(4) - ni.toDouble / nu) < 1e-12)
+    // disjoint corpora → ~zero intersection (floored at 0, never
+    // negative; estimate noise can leave a few phantom items)
+    val c = (1000 to 1100).map(i => s"x$i").toDF("v")
+    val r2 = Sketches.overlapEstimate(a, c, "v").collect()(0)
+    assert(r2.getLong(3) >= 0L && r2.getLong(3) <= 5L)
+    // empty side
+    val r3 = Sketches.overlapEstimate(a, spark.emptyDataset[String].toDF("v"), "v")
+      .collect()(0)
+    assert(r3.getLong(1) === 0L && r3.getLong(3) === 0L)
+    within(r3.getLong(0), 400L)
+  }
+}
