@@ -549,4 +549,65 @@ class PropertySpec extends SparkTestBase {
       else Checks.enforce(d, tight)
     }
   }
+
+  test("selectByBudget == brute-force prefix; monotone in budget; layout-invariant (3 seeds)") {
+    import graft.functions.Sampling
+    for (seed <- Seq(3L, 19L, 77L)) {
+      val rnd = new Random(seed)
+      val rows = (1 to 120).map(i =>
+        (i.toLong, 1L + rnd.nextInt(40).toLong, rnd.nextInt(10).toLong))
+      val d = df(rows.map(r => Seq(r._1, r._2, r._3)),
+        "id:long,toks:long,score:long")
+      def run(frame: org.apache.spark.sql.DataFrame, budget: Long): Set[Long] =
+        Sampling.selectByBudget(frame, col("toks"), "score", Seq("id"), budget)
+          .select("id").collect().map(_.getLong(0)).toSet
+      // brute force: sort (score desc, id asc), inclusive prefix <= budget
+      def brute(budget: Long): Set[Long] = {
+        var cum = 0L
+        rows.sortBy(r => (-r._3, r._1)).iterator.map { r =>
+          cum += r._2; (r._1, cum)
+        }.takeWhile(_._2 <= budget).map(_._1).toSet
+      }
+      for (budget <- Seq(0L, 50L, 500L, 5000L)) {
+        assert(run(d, budget) === brute(budget), s"seed $seed budget $budget")
+        // repartitioning must not change the selection (ties broken by id)
+        assert(run(d.repartition(7), budget) === brute(budget),
+          s"seed $seed budget $budget repartitioned")
+      }
+      // monotone: a bigger budget only ever ADDS documents
+      assert(brute(50L).subsetOf(brute(500L)) && brute(500L).subsetOf(brute(5000L)))
+    }
+  }
+
+  test("PCA captures a planted low-rank subspace; overlapEstimate tracks exact jaccard (3 seeds)") {
+    import graft.functions.{Pca, Sketches}
+    for (seed <- Seq(5L, 23L, 91L)) {
+      val rnd = new Random(seed)
+      // rank-2 data in 8 dims: every vector a combination of two fixed axes
+      val b1 = Array.fill(8)(rnd.nextGaussian())
+      val b2 = Array.fill(8)(rnd.nextGaussian())
+      val rows = (1 to 300).map { i =>
+        val (x, y) = (rnd.nextGaussian() * 5, rnd.nextGaussian() * 2)
+        (i.toLong, (0 until 8).map(j => (x * b1(j) + y * b2(j)).toFloat))
+      }
+      val d = df(rows.map(r => Seq(r._1, r._2)), "id:long,vec:[float]")
+      val model = Pca.fit(d, "vec", 2)
+      // the two components must capture (essentially) ALL the variance
+      assert(model.explainedVariance.sum >= 0.999 * model.totalVariance,
+        s"seed $seed: rank-2 data needs 2 components")
+
+      val corpusA = (1 to 200).map(i => s"s$seed-${rnd.nextInt(300)}")
+      val corpusB = (1 to 200).map(i => s"s$seed-${rnd.nextInt(300)}")
+      val got = Sketches.overlapEstimate(
+        df(corpusA.map(Seq(_)), "v:str"), df(corpusB.map(Seq(_)), "v:str"),
+        "v").collect()(0)
+      val (sa, sb) = (corpusA.toSet, corpusB.toSet)
+      val exactU = (sa ++ sb).size.toLong
+      val exactI = (sa & sb).size.toLong
+      assert(math.abs(got.getLong(2) - exactU) <= math.max(3L, exactU / 20),
+        s"seed $seed union")
+      assert(math.abs(got.getLong(3) - exactI) <= math.max(3L, exactU / 20),
+        s"seed $seed intersection")
+    }
+  }
 }
