@@ -504,6 +504,48 @@ object SparkEntry {
         "n_a:long,n_b:long,n_union:long,n_inter:long,est_ok:long")
     }),
 
+    // distribution drift between snapshots, FULL oracle: PSI buckets from
+    // the before-side range, both proportions eps-floored, psi at the
+    // declared 9-decimal precision (integer inputs → the bucket
+    // arithmetic is identical IEEE on both engines)
+    "q100_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.functions.Stats.populationStability(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 =!= 0), "n_chars", bins = 10)
+    }),
+
+    // link-graph centrality differential: distributed PageRank over a
+    // deterministic synthetic domain graph vs a dense driver-side power
+    // iteration with identical semantics (multigraph contributions,
+    // uniform dangling redistribution); plus conservation (Σrank = 1)
+    "q101_pagerank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val edges = docs.select((col("doc_id") % 53).as("src"),
+        ((col("doc_id") * 7 + 11) % 53).as("dst"))
+      val got = graft.operators.Graph.pageRank(edges, "src", "dst",
+        iterations = 8)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+      val idx = nodes.zipWithIndex.toMap
+      val outDeg = es.groupBy(_._1).map { case (k, v) => idx(k) -> v.length }
+      var rank = Array.fill(nodes.length)(1.0 / nodes.length)
+      for (_ <- 1 to 8) {
+        val dangling = rank.indices.filterNot(outDeg.contains).map(rank).sum
+        val next = Array.fill(nodes.length)(
+          0.15 / nodes.length + 0.85 * dangling / nodes.length)
+        es.foreach { case (a, b) =>
+          next(idx(b)) += 0.85 * rank(idx(a)) / outDeg(idx(a))
+        }
+        rank = next
+      }
+      val agree = nodes.forall(v => math.abs(got(v) - rank(idx(v))) < 1e-10)
+      val conserved = math.abs(got.values.sum - 1.0) < 1e-9
+      eng(s).toDF(Seq(Seq(nodes.length.toLong,
+        if (agree && conserved) 1L else 0L)), "n_nodes:long,pr_ok:long")
+    }),
+
     // ---- beyond-reference: dedup --------------------------------------
     "d01_dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), Seq("text"), "doc_id")),
@@ -3117,6 +3159,36 @@ object SparkEntry {
         | FROM s)
         |SELECT doc_id, n_chars, score, cum_size
         |FROM c WHERE cum_size <= 100000""".stripMargin,
+    "q100_drift" ->
+      """WITH b AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+        |  WHERE doc_id % 2 = 0),
+        |a AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+        |  WHERE doc_id % 2 <> 0),
+        |p AS (SELECT min(v) AS mn, (max(v) - min(v)) / 10 AS w FROM b),
+        |bb AS (SELECT greatest(0, least(CAST(floor((v - p.mn) / p.w)
+        |    AS INTEGER), 9)) AS bucket, CAST(count(*) AS BIGINT) AS n
+        |  FROM b, p GROUP BY 1),
+        |ab AS (SELECT greatest(0, least(CAST(floor((v - p.mn) / p.w)
+        |    AS INTEGER), 9)) AS bucket, CAST(count(*) AS BIGINT) AS n
+        |  FROM a, p GROUP BY 1),
+        |f AS (SELECT CAST(range AS INTEGER) AS bucket FROM range(10)),
+        |base AS (SELECT f.bucket, p.mn + f.bucket * p.w AS lo,
+        |   p.mn + (f.bucket + 1) * p.w AS hi,
+        |   COALESCE(bb.n, 0) AS n_before, COALESCE(ab.n, 0) AS n_after
+        |  FROM f CROSS JOIN p
+        |  LEFT JOIN bb ON f.bucket = bb.bucket
+        |  LEFT JOIN ab ON f.bucket = ab.bucket),
+        |t AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM b) AS tb,
+        |  (SELECT CAST(count(*) AS DOUBLE) FROM a) AS ta)
+        |SELECT bucket, lo, hi,
+        | CAST(n_before AS BIGINT) AS n_before,
+        | CAST(n_after AS BIGINT) AS n_after,
+        | round((greatest(n_after / ta, 1e-6) - greatest(n_before / tb, 1e-6))
+        |   * ln(greatest(n_after / ta, 1e-6) / greatest(n_before / tb, 1e-6)),
+        |   9) AS psi
+        |FROM base CROSS JOIN t""".stripMargin,
+    "q101_pagerank" ->
+      "SELECT CAST(53 AS BIGINT) AS n_nodes, CAST(1 AS BIGINT) AS pr_ok",
     "q99_corpus_overlap" ->
       """WITH a AS (SELECT DISTINCT text FROM documents WHERE doc_id % 3 <> 0),
         |b AS (SELECT DISTINCT text FROM documents WHERE doc_id % 2 <> 0)

@@ -54,21 +54,48 @@ object Pca {
   }
 
   /**
+   * Mergeable first+second moments of a vector corpus — the PCA analogue
+   * of the [[Sketches]] partials: per-shard (per-day, per-ingest-batch)
+   * moments are d(d+3)/2+1 doubles that ADD associatively, so the corpus
+   * model refreshes from stored partials without rescanning history.
+   * Layout: `acc(0)` = n, `acc(1..d)` = Σv, then the upper-triangular
+   * ΣvvT row-major.
+   */
+  case class PcaMoments(dim: Int, acc: Array[Double]) {
+    require(acc.length == 1 + dim + dim * (dim + 1) / 2,
+      s"accumulator length ${acc.length} does not match dim $dim")
+    def n: Long = acc(0).toLong
+    def merge(other: PcaMoments): PcaMoments = {
+      require(other.dim == dim,
+        s"cannot merge moments of dim ${other.dim} into dim $dim")
+      val out = acc.clone()
+      var i = 0
+      while (i < out.length) { out(i) += other.acc(i); i += 1 }
+      PcaMoments(dim, out)
+    }
+  }
+
+  /**
    * Fit a k-component model. One distributed pass (treeAggregate of the
    * first and second moments) + a driver-side Jacobi eigensolve.
    * Null vectors are skipped; shorter vectors are zero-padded to the
    * dimension of the first row (ragged corpora fail loudly only if the
    * FIRST vector is the short one and others exceed it).
    */
-  def fit(df: DataFrame, vecCol: String, k: Int): PcaModel = {
-    require(k >= 1, s"k must be >= 1, got $k")
+  def fit(df: DataFrame, vecCol: String, k: Int): PcaModel =
+    fitFromMoments(moments(df, vecCol), k)
+
+  /** The single corpus pass: mergeable moments of `vecCol` (see
+   * [[PcaMoments]]). Persist `acc` per ingest batch and
+   * [[PcaMoments.merge]] + [[fitFromMoments]] refresh the model
+   * incrementally. */
+  def moments(df: DataFrame, vecCol: String): PcaMoments = {
     val vecs = Dedup.spreadForCompute(df)
       .select(col(vecCol).cast("array<double>"))
       .filter(col(vecCol).isNotNull)
     val first = vecs.head(1)
     require(first.nonEmpty, "cannot fit PCA on an empty corpus")
     val d = first(0).getSeq[Double](0).length
-    require(k <= d, s"k=$k exceeds the embedding dimension $d")
     // accumulator layout: [0]=n, [1..d]=sum, [d+1..]=upper-tri product sums
     val tri = d * (d + 1) / 2
     val zero = new Array[Double](1 + d + tri)
@@ -96,6 +123,17 @@ object Pca {
         while (i < a.length) { a(i) += b(i); i += 1 }
         a
       })
+    PcaMoments(d, acc)
+  }
+
+  /** Driver-side model from (possibly merged) moments: covariance +
+   * Jacobi eigensolve — microseconds at embedding dims; no cluster
+   * work at all. */
+  def fitFromMoments(m: PcaMoments, k: Int): PcaModel = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val d = m.dim
+    require(k <= d, s"k=$k exceeds the embedding dimension $d")
+    val acc = m.acc
     val n = acc(0)
     require(n >= 2, s"need >= 2 rows to estimate a covariance, got ${n.toLong}")
     val mean = Array.tabulate(d)(i => acc(1 + i) / n)

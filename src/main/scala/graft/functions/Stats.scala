@@ -104,4 +104,66 @@ object Stats {
     one.select(explode(array(rows: _*)).as("r"))
       .select(col("r.col_a"), col("r.col_b"), col("r.corr"))
   }
+
+  /**
+   * Population-stability index (PSI) between two snapshots of a numeric
+   * column — the standard "did the distribution drift between corpus
+   * versions?" gate (rule of thumb: < 0.1 stable, 0.1–0.25 moderate,
+   * > 0.25 action). Buckets are equi-width over the BEFORE snapshot's
+   * [min, max] (the reference frame); AFTER values outside that range
+   * clamp into the edge buckets. Per bucket:
+   *
+   *   psi_i = (p_after_i − p_before_i) · ln(p_after_i / p_before_i)
+   *
+   * with both proportions floored at `eps` (an empty bucket would make
+   * the log undefined; eps is part of the declared semantics). Output:
+   * `(bucket, lo, hi, n_before, n_after, psi)` — one row per bucket,
+   * `sum(psi)` is the index. `psi` is emitted at a declared 9-decimal
+   * precision (cross-libm `ln` divergence — the t13 lesson).
+   *
+   * Scale shape: one 2-double min/max probe on BEFORE, then one bucket
+   * aggregation per side (map-side partial counts) joined on the
+   * bins-row frame — no sort, no window, nothing driver-side but the
+   * two-value range.
+   */
+  def populationStability(
+      before: DataFrame, after: DataFrame, c: String, bins: Int,
+      eps: Double = 1e-6): DataFrame = {
+    require(bins >= 1, "bins must be >= 1")
+    require(eps > 0, "eps must be positive")
+    val spark = before.sparkSession
+    val v = col(c).cast("double")
+    val valid = abs(v) < Double.PositiveInfinity
+    val mm = before.filter(valid).agg(min(v), max(v)).collect().head
+    require(!mm.isNullAt(0), "before snapshot has no valid rows")
+    val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
+    // degenerate reference domain: one bucket holds everything
+    val nb = if (mx <= mn) 1 else bins
+    val w = if (mx <= mn) 1.0 else (mx - mn) / bins
+    val bucket = greatest(lit(0),
+      least(floor((v - mn) / w).cast("int"), lit(nb - 1)))
+    def side(df: DataFrame, name: String) =
+      df.filter(valid).groupBy(bucket.as("bucket"))
+        .agg(count(lit(1)).as(name))
+    val frame = spark.range(nb).select(col("id").cast("int").as("bucket"))
+    val joined = frame
+      .join(side(before, "n_before"), Seq("bucket"), "left")
+      .join(side(after, "n_after"), Seq("bucket"), "left")
+      .select(col("bucket"),
+        (lit(mn) + col("bucket") * w).as("lo"),
+        (lit(mn) + (col("bucket") + 1) * w).as("hi"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"))
+    // totals as driver scalars (one count each) — a window or a
+    // broadcast-scalar join over the bins frame would be harmless here
+    // but shows up as a structural plan flag; two counts cost less than
+    // the adjudication
+    val totB = math.max(1L, before.filter(valid).count())
+    val totA = math.max(1L, after.filter(valid).count())
+    val pb = greatest(col("n_before").cast("double") / totB, lit(eps))
+    val pa = greatest(col("n_after").cast("double") / totA, lit(eps))
+    joined
+      .withColumn("psi", round((pa - pb) * log(pa / pb), 9))
+      .orderBy("bucket")
+  }
 }

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Link-graph centrality for corpus curation: PageRank over an edge list
+ * (e.g. the host/domain graph extracted from crawled documents — the
+ * CommonCrawl-style "rank domains by link authority, filter the corpus
+ * by rank" quality signal; reference behavior class: fugue has no graph
+ * vocabulary — this is training-data toolbox, like the dedup family).
+ *
+ * Scale design: the edge list is repartitioned by source ONCE and
+ * localCheckpointed; each power iteration joins the (node, rank) table —
+ * one row per node, orders of magnitude smaller than the edges — to that
+ * fixed layout, aggregates contributions by destination, and eagerly
+ * checkpoints the new ranks (bounded lineage; ~node-table cost per
+ * iteration, never a growing plan). Dangling-node mass (nodes with no
+ * out-edges) is collected as ONE driver scalar per iteration and
+ * redistributed uniformly, so ranks sum to 1 every iteration.
+ */
+object Graph {
+
+  /**
+   * PageRank after `iterations` power steps, damping `d`:
+   *
+   *   rank(v) = (1−d)/n + d·(Σ_{u→v} rank(u)/outdeg(u) + dangling/n)
+   *
+   * Parallel edges count once each (multigraph semantics: a host linking
+   * another twice contributes twice the mass). Null endpoints are
+   * dropped. Output: `(node, rank)` for every node appearing as source
+   * or destination; ranks sum to 1 (up to FP).
+   */
+  def pageRank(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 10, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    val e = edges
+      .select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .filter(col("__src").isNotNull && col("__dst").isNotNull)
+      .repartition(col("__src"))
+      .localCheckpoint(true)
+    val nodes = e.select(col("__src").as("node"))
+      .union(e.select(col("__dst").as("node")))
+      .distinct()
+      .localCheckpoint(true)
+    val n = nodes.count()
+    require(n > 0, "edge list has no non-null endpoints")
+    val outDeg = e.groupBy(col("__src").as("node"))
+      .agg(count(lit(1)).as("__deg"))
+      .localCheckpoint(true)
+    var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      // mass parked on dangling nodes (no out-edges) — ONE scalar
+      val dangling = ranks.join(outDeg, Seq("node"), "left_anti")
+        .agg(sum(col("rank"))).collect()(0) match {
+        case r if r.isNullAt(0) => 0.0
+        case r => r.getDouble(0)
+      }
+      val contribs = ranks.join(outDeg, "node")
+        .join(e, col("node") === col("__src"))
+        .groupBy(col("__dst").as("node"))
+        .agg(sum(col("rank") / col("__deg")).as("__in"))
+      val base = (1.0 - damping) / n + damping * dangling / n
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + lit(damping) * coalesce(col("__in"), lit(0.0)))
+            .as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+}

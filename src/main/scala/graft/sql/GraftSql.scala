@@ -148,7 +148,11 @@ object GraftSql {
    * budget:1000000[, ascending:true])` (quality-ranked prefix under a
    * token budget) and
    * `PROCESS a, b USING overlap_estimate(col:text[, lgk:12])`
-   * (HLL inclusion–exclusion corpus-overlap diagnostic).
+   * (HLL inclusion–exclusion corpus-overlap diagnostic),
+   * `PROCESS before, after USING psi_drift(col:v[, bins:10, eps:1e-6])`
+   * (population-stability drift gate between snapshots) and
+   * `page_rank(src:src, dst:dst[, iters:10, damping:0.85])` (link-graph
+   * centrality for domain-quality ranking).
    * User extensions with the same name win. */
   val builtinExtensions: Extensions = Extensions(outputters = Map(
     "assert_eq" -> OutputterDef { (dfs, params) =>
@@ -392,6 +396,20 @@ object GraftSql {
           graft.functions.Sketches.overlapEstimate(dfs.head, dfs(1),
             valueCol = p.getOrElse("col", "text"),
             lgK = p.get("lgk").map(_.toInt).getOrElse(12))
+        },
+        "psi_drift" -> ProcessorDef { (_, dfs, p) =>
+          require(dfs.size == 2, "psi_drift takes (before, after)")
+          graft.functions.Stats.populationStability(dfs.head, dfs(1),
+            c = p.getOrElse("col", "value"),
+            bins = p.get("bins").map(_.toInt).getOrElse(10),
+            eps = p.get("eps").map(_.toDouble).getOrElse(1e-6))
+        },
+        "page_rank" -> ProcessorDef { (_, dfs, p) =>
+          graft.operators.Graph.pageRank(one(dfs, "page_rank"),
+            srcCol = p.getOrElse("src", "src"),
+            dstCol = p.getOrElse("dst", "dst"),
+            iterations = p.get("iters").map(_.toInt).getOrElse(10),
+            damping = p.get("damping").map(_.toDouble).getOrElse(0.85))
         })
     })
 

@@ -800,6 +800,27 @@ class GraftSqlSpec extends SparkTestBase {
     assert(math.abs(ov.getLong(3) - 10L) <= 3)
   }
 
+  test("built-in psi_drift and page_rank processors") {
+    val before = df((1 to 200).map(i => Seq((i % 20).toDouble)), "v:double")
+    val after = df((1 to 200).map(i => Seq(10.0 + (i % 10).toDouble)), "v:double")
+    val psi = GraftSql.run(engine,
+      """d = PROCESS before, after USING psi_drift(col:v, bins:5)
+        |YIELD d AS d
+        |""".stripMargin, Map("before" -> before, "after" -> after))
+      .yields("d").collect()
+    assert(psi.length === 5)
+    assert(psi.map(_.getDouble(5)).sum > 0.25, "half-range shift flags")
+
+    val edges = df(Seq(Seq(1L, 2L), Seq(2L, 1L), Seq(3L, 1L)), "s:long,d:long")
+    val pr = GraftSql.run(engine,
+      """r = PROCESS edges USING page_rank(src:s, dst:d, iters:12)
+        |YIELD r AS r
+        |""".stripMargin, Map("edges" -> edges)).yields("r")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9)
+    assert(pr(1L) > pr(3L), "linked-to node outranks the leaf")
+  }
+
   test("built-in export_shards processor yields the manifest frame") {
     val dir = Files.createTempDirectory("graftsql_shards").toString
     val d = df((1 to 50).map(i => Seq(i.toLong, s"r$i")), "id:long,s:str")

@@ -81,6 +81,39 @@ class PcaSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), s"projection must not shuffle:\n$plan")
   }
 
+  test("moments merge: shard partials fit the same model as one pass") {
+    val rnd = new scala.util.Random(31)
+    val rows = (0 until 300).map { i =>
+      (i.toLong, Array.fill(5)(rnd.nextGaussian().toFloat))
+    }
+    val d = rows.toDF("id", "vec")
+    val whole = Pca.fit(d, "vec", 3)
+    val m1 = Pca.moments(d.filter(col("id") < 100), "vec")
+    val m2 = Pca.moments(d.filter(col("id") >= 100 && col("id") < 200), "vec")
+    val m3 = Pca.moments(d.filter(col("id") >= 200), "vec")
+    // merge is associative in any grouping
+    val merged = m1.merge(m2.merge(m3))
+    val mergedLtr = m1.merge(m2).merge(m3)
+    assert(merged.n === 300L && mergedLtr.n === 300L)
+    merged.acc.zip(mergedLtr.acc).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9 * math.max(1.0, math.abs(a)))
+    }
+    val inc = Pca.fitFromMoments(merged, 3)
+    assert(math.abs(inc.totalVariance - whole.totalVariance) < 1e-8)
+    inc.explainedVariance.zip(whole.explainedVariance).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-8, s"$a vs $b")
+    }
+    inc.components.zip(whole.components).foreach { case (ci, cw) =>
+      assert(math.abs(math.abs(dot(ci, cw)) - 1.0) < 1e-6,
+        "same principal axes from merged partials")
+    }
+    intercept[IllegalArgumentException] {
+      m1.merge(Pca.moments(
+        Seq((1L, Array(1.0f, 2.0f)), (2L, Array(2.0f, 3.0f))).toDF("id", "vec"),
+        "vec"))
+    }
+  }
+
   test("fit: guards — empty corpus, k too large, null vectors skipped") {
     val empty = Seq.empty[(Long, Array[Float])].toDF("id", "vec")
     intercept[IllegalArgumentException] { Pca.fit(empty, "vec", 2) }

@@ -73,4 +73,38 @@ class StatsSpec extends SparkTestBase {
     assert(math.abs(cn.getDouble(2) - 1.0) < 1e-9,
       "remaining rows are exactly linear once non-finite rows are excluded")
   }
+
+  test("populationStability: zero for identical snapshots, large for a shift") {
+    val before = (1 to 1000).map(i => (i % 100).toDouble).toDF("v")
+    val same = Stats.populationStability(before, before, "v", 10).collect()
+    assert(same.length === 10)
+    assert(same.map(_.getDouble(5)).forall(p => math.abs(p) < 1e-12),
+      "identical snapshots have zero PSI in every bucket")
+    assert(same.map(_.getLong(3)).sum === 1000L)
+    // shifted population: mass moves to the top buckets → PSI over 0.25
+    val after = (1 to 1000).map(i => 50.0 + (i % 50).toDouble).toDF("v")
+    val drift = Stats.populationStability(before, after, "v", 10).collect()
+    assert(drift.map(_.getDouble(5)).sum > 0.25, "a half-range shift is a red flag")
+    // after-values beyond before's range clamp into the edge buckets
+    val wide = Seq(-100.0, 500.0).toDF("v")
+    val clamped = Stats.populationStability(before, wide, "v", 10).collect()
+    assert(clamped.head.getLong(4) === 1L && clamped.last.getLong(4) === 1L)
+    assert(clamped.map(_.getLong(4)).sum === 2L)
+  }
+
+  test("populationStability: degenerate domain, NaN exclusion, guards") {
+    val const = Seq(5.0, 5.0, 5.0).toDF("v")
+    val deg = Stats.populationStability(const, const, "v", 8).collect()
+    assert(deg.length === 1 && deg.head.getLong(3) === 3L)
+    assert(math.abs(deg.head.getDouble(5)) < 1e-12)
+    val withNan = Seq(1.0, 2.0, Double.NaN, Double.PositiveInfinity).toDF("v")
+    val n = Stats.populationStability(withNan, withNan, "v", 2).collect()
+    assert(n.map(_.getLong(3)).sum === 2L, "NaN/Inf excluded like null")
+    intercept[IllegalArgumentException] {
+      Stats.populationStability(const, const, "v", 0)
+    }
+    intercept[IllegalArgumentException] {
+      Stats.populationStability(Seq(Double.NaN).toDF("v"), const, "v", 4)
+    }
+  }
 }
