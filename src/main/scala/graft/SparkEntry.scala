@@ -526,23 +526,14 @@ object SparkEntry {
       val got = graft.operators.Graph.pageRank(edges, "src", "dst",
         iterations = 8)
         .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
-      val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
-      val idx = nodes.zipWithIndex.toMap
-      val outDeg = es.groupBy(_._1).map { case (k, v) => idx(k) -> v.length }
-      var rank = Array.fill(nodes.length)(1.0 / nodes.length)
-      for (_ <- 1 to 8) {
-        val dangling = rank.indices.filterNot(outDeg.contains).map(rank).sum
-        val next = Array.fill(nodes.length)(
-          0.15 / nodes.length + 0.85 * dangling / nodes.length)
-        es.foreach { case (a, b) =>
-          next(idx(b)) += 0.85 * rank(idx(a)) / outDeg(idx(a))
-        }
-        rank = next
-      }
-      val agree = nodes.forall(v => math.abs(got(v) - rank(idx(v))) < 1e-10)
+      // the dense reference is the SHARED Graph.densePageRank — one
+      // model pinned by both this gate and GraphSpec, so they cannot
+      // drift apart semantically
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val want = graft.operators.Graph.densePageRank(es, iterations = 8)
+      val agree = want.forall { case (v, r) => math.abs(got(v) - r) < 1e-10 }
       val conserved = math.abs(got.values.sum - 1.0) < 1e-9
-      eng(s).toDF(Seq(Seq(nodes.length.toLong,
+      eng(s).toDF(Seq(Seq(want.size.toLong,
         if (agree && conserved) 1L else 0L)), "n_nodes:long,pr_ok:long")
     }),
 
@@ -3165,11 +3156,13 @@ object SparkEntry {
         |a AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
         |  WHERE doc_id % 2 <> 0),
         |p AS (SELECT min(v) AS mn, (max(v) - min(v)) / 10 AS w FROM b),
-        |bb AS (SELECT greatest(0, least(CAST(floor((v - p.mn) / p.w)
-        |    AS INTEGER), 9)) AS bucket, CAST(count(*) AS BIGINT) AS n
+        |bb AS (SELECT CAST(greatest(0, least(CAST(floor((v - p.mn) / p.w)
+        |    AS BIGINT), 9)) AS INTEGER) AS bucket,
+        |   CAST(count(*) AS BIGINT) AS n
         |  FROM b, p GROUP BY 1),
-        |ab AS (SELECT greatest(0, least(CAST(floor((v - p.mn) / p.w)
-        |    AS INTEGER), 9)) AS bucket, CAST(count(*) AS BIGINT) AS n
+        |ab AS (SELECT CAST(greatest(0, least(CAST(floor((v - p.mn) / p.w)
+        |    AS BIGINT), 9)) AS INTEGER) AS bucket,
+        |   CAST(count(*) AS BIGINT) AS n
         |  FROM a, p GROUP BY 1),
         |f AS (SELECT CAST(range AS INTEGER) AS bucket FROM range(10)),
         |base AS (SELECT f.bucket, p.mn + f.bucket * p.w AS lo,

@@ -78,9 +78,9 @@ object Pca {
   /**
    * Fit a k-component model. One distributed pass (treeAggregate of the
    * first and second moments) + a driver-side Jacobi eigensolve.
-   * Null vectors are skipped; shorter vectors are zero-padded to the
-   * dimension of the first row (ragged corpora fail loudly only if the
-   * FIRST vector is the short one and others exceed it).
+   * Null vectors, and vectors containing NaN/±Infinity, are skipped
+   * (one poisoned embedding must not NaN the whole covariance); shorter
+   * vectors zero-pad to the corpus maximum dimension.
    */
   def fit(df: DataFrame, vecCol: String, k: Int): PcaModel =
     fitFromMoments(moments(df, vecCol), k)
@@ -88,21 +88,36 @@ object Pca {
   /** The single corpus pass: mergeable moments of `vecCol` (see
    * [[PcaMoments]]). Persist `acc` per ingest batch and
    * [[PcaMoments.merge]] + [[fitFromMoments]] refresh the model
-   * incrementally. */
-  def moments(df: DataFrame, vecCol: String): PcaMoments = {
+   * incrementally. `dim` skips the max-dimension probe when the caller
+   * knows it (and MUST match across merged shards — a vector longer
+   * than `dim` raises rather than silently truncating). */
+  def moments(df: DataFrame, vecCol: String,
+      dim: Option[Int] = None): PcaMoments = {
+    val vc = col(vecCol).cast("array<double>")
+    // null vectors and non-finite elements are excluded up front: a
+    // single NaN would otherwise propagate through every moment sum
     val vecs = Dedup.spreadForCompute(df)
-      .select(col(vecCol).cast("array<double>"))
-      .filter(col(vecCol).isNotNull)
-    val first = vecs.head(1)
-    require(first.nonEmpty, "cannot fit PCA on an empty corpus")
-    val d = first(0).getSeq[Double](0).length
+      .select(vc.as(vecCol))
+      .filter(col(vecCol).isNotNull &&
+        !exists(col(vecCol), x => x.isNaN || abs(x) === Double.PositiveInfinity))
+    // the dimension is a deterministic corpus property (max length), not
+    // whatever row a head(1) happens to surface under this partitioning
+    val d = dim.getOrElse {
+      val r = vecs.agg(max(size(col(vecCol)))).collect().head
+      require(!r.isNullAt(0), "cannot fit PCA on an empty corpus")
+      r.getInt(0)
+    }
+    require(d >= 1, s"embedding dimension must be >= 1, got $d")
     // accumulator layout: [0]=n, [1..d]=sum, [d+1..]=upper-tri product sums
     val tri = d * (d + 1) / 2
     val zero = new Array[Double](1 + d + tri)
     val acc = vecs.rdd.treeAggregate(zero)(
       seqOp = (a, row) => {
         val s = row.getSeq[Double](0)
-        val n = math.min(s.length, d)
+        if (s.length > d)
+          throw new IllegalArgumentException(
+            s"vector of dimension ${s.length} exceeds the declared dim $d")
+        val n = s.length
         val v = new Array[Double](d)
         var i = 0
         while (i < n) { v(i) = s(i); i += 1 }
@@ -166,10 +181,13 @@ object Pca {
   }
 
   /** Project a vector column through a fitted model → `array<double>`
-   * of length k (codegen'd plan-embedded expression, no shuffle). */
+   * of length k (codegen'd plan-embedded expression, no shuffle). The
+   * input casts to array<double> first, matching [[moments]] — an
+   * int-typed (e.g. quantized) embedding column projects correctly
+   * instead of tripping AffineProject's float/double type check. */
   def project(v: Column, model: PcaModel): Column =
     graft.functions.expressions.VectorExpressions
-      .affineProject(v, model.components, model.mean)
+      .affineProject(v.cast("array<double>"), model.components, model.mean)
 
   /** Fit + transform in one call: (idCol, outCol k-dim projection).
    * Two corpus scans total — one for the moments, one for the map. */

@@ -181,7 +181,11 @@ object Sampling {
    * window; the filter on the running total is a narrow map after it.
    *
    * PRECONDITION: `idCols` must break rank ties totally (use the
-   * primary id); `sizeCol` must be integral (exact long totals).
+   * primary id); `sizeCol` must be integral (exact long totals);
+   * `rankCol` must be numeric. Rows with a NULL rank are EXCLUDED (an
+   * unscored document is not selectable — and Spark's nulls-first
+   * ascending sort would otherwise award null-quality rows the budget
+   * first, the opposite of the SQL twin's NULLS LAST).
    */
   def selectByBudget(
       df: DataFrame, sizeCol: org.apache.spark.sql.Column, rankCol: String,
@@ -191,10 +195,15 @@ object Sampling {
     require(idCols.nonEmpty, "idCols must totally order rank ties")
     require(!df.columns.contains("__rank_ord"),
       "input column collides with internal name __rank_ord")
-    // negate for descending: runningTotal's range sort is ascending-only
-    val ord = if (descending) negate(col(rankCol).cast("double"))
-      else col(rankCol).cast("double")
-    val staged = df.withColumn("__rank_ord", ord)
+    val rankType = df.schema(rankCol).dataType
+    require(rankType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"rank column '$rankCol' must be numeric, got ${rankType.catalogString}")
+    // negate IN THE NATIVE TYPE for descending (runningTotal's range sort
+    // is ascending-only): a double cast here would merge distinct long
+    // ranks above 2^53 and silently change the selection
+    val ord = if (descending) negate(col(rankCol)) else col(rankCol)
+    val staged = df.filter(col(rankCol).isNotNull)
+      .withColumn("__rank_ord", ord)
     val cum = graft.api.DfUtils.runningTotal(
       staged, "__rank_ord" +: idCols, sizeCol, cumCol)
     // exclusive prefix + own size = inclusive total; keep while it fits

@@ -122,9 +122,10 @@ object Stats {
    * precision (cross-libm `ln` divergence — the t13 lesson).
    *
    * Scale shape: one 2-double min/max probe on BEFORE, then one bucket
-   * aggregation per side (map-side partial counts) joined on the
-   * bins-row frame — no sort, no window, nothing driver-side but the
-   * two-value range.
+   * aggregation per side (map-side partial counts); the driver holds
+   * only the bins-sized count maps, from which the side totals come for
+   * free (every valid row clamps into a bucket) — no sort, no window,
+   * no extra count scans, and the bins-row report is driver-built.
    */
   def populationStability(
       before: DataFrame, after: DataFrame, c: String, bins: Int,
@@ -132,6 +133,7 @@ object Stats {
     require(bins >= 1, "bins must be >= 1")
     require(eps > 0, "eps must be positive")
     val spark = before.sparkSession
+    import spark.implicits._
     val v = col(c).cast("double")
     val valid = abs(v) < Double.PositiveInfinity
     val mm = before.filter(valid).agg(min(v), max(v)).collect().head
@@ -140,30 +142,30 @@ object Stats {
     // degenerate reference domain: one bucket holds everything
     val nb = if (mx <= mn) 1 else bins
     val w = if (mx <= mn) 1.0 else (mx - mn) / bins
-    val bucket = greatest(lit(0),
-      least(floor((v - mn) / w).cast("int"), lit(nb - 1)))
-    def side(df: DataFrame, name: String) =
+    // clamp on the LONG floor result, cast only the bounded value: an
+    // after-side outlier ~2^31 widths past the range must land in the
+    // edge bucket as documented, not overflow the ANSI int cast
+    val bucket = greatest(lit(0L),
+      least(floor((v - mn) / w), lit((nb - 1).toLong))).cast("int")
+    def side(df: DataFrame): Map[Int, Long] =
       df.filter(valid).groupBy(bucket.as("bucket"))
-        .agg(count(lit(1)).as(name))
-    val frame = spark.range(nb).select(col("id").cast("int").as("bucket"))
-    val joined = frame
-      .join(side(before, "n_before"), Seq("bucket"), "left")
-      .join(side(after, "n_after"), Seq("bucket"), "left")
-      .select(col("bucket"),
-        (lit(mn) + col("bucket") * w).as("lo"),
-        (lit(mn) + (col("bucket") + 1) * w).as("hi"),
-        coalesce(col("n_before"), lit(0L)).as("n_before"),
-        coalesce(col("n_after"), lit(0L)).as("n_after"))
-    // totals as driver scalars (one count each) — a window or a
-    // broadcast-scalar join over the bins frame would be harmless here
-    // but shows up as a structural plan flag; two counts cost less than
-    // the adjudication
-    val totB = math.max(1L, before.filter(valid).count())
-    val totA = math.max(1L, after.filter(valid).count())
-    val pb = greatest(col("n_before").cast("double") / totB, lit(eps))
-    val pa = greatest(col("n_after").cast("double") / totA, lit(eps))
-    joined
-      .withColumn("psi", round((pa - pb) * log(pa / pb), 9))
-      .orderBy("bucket")
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nBefore = side(before)
+    val nAfter = side(after)
+    // every valid row clamps into a bucket, so the totals ARE the bucket
+    // sums — no extra count scans, no window, no scalar-join plan flags
+    val totB = math.max(1L, nBefore.values.sum).toDouble
+    val totA = math.max(1L, nAfter.values.sum).toDouble
+    val rows = (0 until nb).map { b =>
+      val cb = nBefore.getOrElse(b, 0L)
+      val ca = nAfter.getOrElse(b, 0L)
+      val pb = math.max(cb / totB, eps)
+      val pa = math.max(ca / totA, eps)
+      val psi = BigDecimal((pa - pb) * math.log(pa / pb))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (b, mn + b * w, mn + (b + 1) * w, cb, ca, psi)
+    }
+    rows.toDF("bucket", "lo", "hi", "n_before", "n_after", "psi")
   }
 }

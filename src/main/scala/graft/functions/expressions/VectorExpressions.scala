@@ -896,6 +896,18 @@ case class AffineProject(child: Expression,
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        // an int/long array would silently mis-read 8-byte slots from
+        // 4-byte storage — reject at analysis, callers cast first
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"affine_project requires array<float> or array<double>, got ${other.catalogString}")
+    }
+
   private lazy val elemIsFloat = child.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false

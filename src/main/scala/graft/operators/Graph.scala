@@ -63,12 +63,44 @@ object Graph {
         .groupBy(col("__dst").as("node"))
         .agg(sum(col("rank") / col("__deg")).as("__in"))
       val base = (1.0 - damping) / n + damping * dangling / n
+      val prev = ranks
       ranks = nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),
           (lit(base) + lit(damping) * coalesce(col("__in"), lit(0.0)))
             .as("rank"))
         .localCheckpoint(true)
+      // the previous iteration's checkpoint blocks are dead the moment
+      // the new one materializes — without this, storage grows by
+      // iterations × |nodes|
+      org.apache.spark.sql.graftshim.ColumnBridge.unpersistCheckpointed(prev)
     }
     ranks
+  }
+
+  /**
+   * Dense driver-side PageRank with IDENTICAL semantics (multigraph
+   * contributions, uniform dangling redistribution) — the reference
+   * model the q101 conformance differential and GraphSpec both pin
+   * [[pageRank]] against; one shared implementation so the two gates
+   * cannot drift apart. Driver memory O(nodes + edges): differential
+   * use only.
+   */
+  def densePageRank(edges: Seq[(Long, Long)], iterations: Int,
+      damping: Double = 0.85): Map[Long, Double] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.length
+    val idx = nodes.zipWithIndex.toMap
+    val outDeg = edges.groupBy(_._1).map { case (s, es) => idx(s) -> es.length }
+    var rank = Array.fill(n)(1.0 / n)
+    for (_ <- 1 to iterations) {
+      val dangling = rank.indices.filterNot(outDeg.contains).map(rank).sum
+      val next = Array.fill(n)(
+        (1.0 - damping) / n + damping * dangling / n)
+      edges.foreach { case (s, t) =>
+        next(idx(t)) += damping * rank(idx(s)) / outDeg(idx(s))
+      }
+      rank = next
+    }
+    nodes.map(v => v -> rank(idx(v))).toMap
   }
 }

@@ -7,27 +7,6 @@ import scala.util.Random
 class GraphSpec extends SparkTestBase {
   import spark.implicits._
 
-  /** Dense driver-side PageRank with identical semantics (multigraph
-   * contributions, uniform dangling redistribution). */
-  private def densePr(edges: Seq[(Long, Long)], iterations: Int,
-      d: Double): Map[Long, Double] = {
-    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
-    val n = nodes.length
-    val idx = nodes.zipWithIndex.toMap
-    val outDeg = edges.groupBy(_._1).map { case (s, es) => idx(s) -> es.length }
-    var rank = Array.fill(n)(1.0 / n)
-    for (_ <- 1 to iterations) {
-      val dangling = rank.indices
-        .filterNot(outDeg.contains).map(rank).sum
-      val next = Array.fill(n)((1.0 - d) / n + d * dangling / n)
-      edges.foreach { case (s, t) =>
-        next(idx(t)) += d * rank(idx(s)) / outDeg(idx(s))
-      }
-      rank = next
-    }
-    nodes.map(v => v -> rank(idx(v))).toMap
-  }
-
   test("pageRank: two-node cycle converges to uniform; ranks sum to 1") {
     val e = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
     val r = Graph.pageRank(e, "src", "dst", iterations = 20)
@@ -54,12 +33,23 @@ class GraphSpec extends SparkTestBase {
       val got = Graph.pageRank(edges.toDF("src", "dst"), "src", "dst",
         iterations = 8)
         .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
-      val want = densePr(edges, 8, 0.85)
+      val want = Graph.densePageRank(edges, 8, 0.85)
       assert(got.keySet === want.keySet, s"seed $seed")
       got.foreach { case (v, r) =>
         assert(math.abs(r - want(v)) < 1e-10, s"seed $seed node $v: $r vs ${want(v)}")
       }
     }
+  }
+
+  test("pageRank frees each iteration's checkpoint (bounded executor storage)") {
+    val e = (1 to 60).map(i => (i.toLong % 10, (i * 3).toLong % 10))
+      .toDF("src", "dst")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    Graph.pageRank(e, "src", "dst", iterations = 15).count()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // edges + nodes + outDeg + final ranks may remain; the 14 retired
+    // rank tables must NOT (regression: one cached RDD per iteration)
+    assert(after - before <= 4, s"leaked ${after - before} cached RDDs")
   }
 
   test("pageRank: parallel edges double the contribution; guards") {

@@ -124,6 +124,43 @@ class PcaSpec extends SparkTestBase {
       (3L, null.asInstanceOf[Array[Float]]), (4L, Array(1.0f, 1.0f)))
       .toDF("id", "vec")
     assert(Pca.fit(withNull, "vec", 1).nRows === 3L)
+    // a NaN/Inf element excludes its VECTOR (not the whole fit): one
+    // poisoned embedding must not NaN the covariance
+    val withNan = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(Float.NaN, 1.0f)), (4L, Array(1.0f, Float.PositiveInfinity)),
+      (5L, Array(2.0f, 2.0f))).toDF("id", "vec")
+    val mNan = Pca.fit(withNan, "vec", 2)
+    assert(mNan.nRows === 3L)
+    assert(mNan.explainedVariance.forall(v => !v.isNaN))
+    assert(mNan.mean.forall(v => !v.isNaN))
+  }
+
+  test("moments: ragged corpora zero-pad to the max dim; declared dim is strict") {
+    // max dimension wins regardless of which row a scan surfaces first
+    val ragged = Seq((1L, Array(1.0f)), (2L, Array(0.0f, 2.0f)),
+      (3L, Array(3.0f, 1.0f, 2.0f))).toDF("id", "vec")
+    val m = Pca.moments(ragged, "vec")
+    assert(m.dim === 3 && m.n === 3L)
+    // sums reflect zero-padding: dim-2 totals = 0+2+1, dim-3 = 0+0+2
+    assert(math.abs(m.acc(2) - 3.0) < 1e-12)
+    assert(math.abs(m.acc(3) - 2.0) < 1e-12)
+    // an explicitly declared smaller dim FAILS LOUDLY instead of
+    // silently truncating coordinates
+    val err = intercept[org.apache.spark.SparkException] {
+      Pca.moments(ragged, "vec", dim = Some(2))
+    }
+    assert(err.getMessage.contains("exceeds the declared dim") ||
+      Option(err.getCause).exists(_.getMessage.contains("exceeds the declared dim")))
+  }
+
+  test("project: int-typed (quantized) embeddings cast and project correctly") {
+    val ints = Seq((1L, Array(2, 0)), (2L, Array(0, 2)), (3L, Array(4, 4)))
+      .toDF("id", "vec")
+    val model = Pca.fit(ints, "vec", 1)
+    val p = ints.select(Pca.project(col("vec"), model).as("p"))
+      .collect().map(_.getSeq[Double](0).head)
+    assert(p.length === 3 && p.forall(!_.isNaN))
+    assert(math.abs(p.sum) < 1e-9, "projections centered")
   }
 
   test("selectByBudget: greedy quality-ranked prefix under a token budget") {
@@ -150,6 +187,25 @@ class PcaSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       Sampling.selectByBudget(d, col("toks"), "score", Seq.empty, 10L)
     }
+    // NULL ranks are excluded, never budget-first (Spark's nulls-first
+    // ascending sort vs the SQL twin's NULLS LAST); non-numeric rejected
+    val withNull = Seq((1L, 10L, Some(1L)), (2L, 10L, None), (3L, 10L, Some(2L)))
+      .toDF("id", "toks", "score")
+    val sel = Sampling.selectByBudget(withNull, col("toks"), "score",
+      Seq("id"), 20L).select("id").as[Long].collect().sorted
+    assert(sel.toSeq === Seq(1L, 3L))
+    intercept[IllegalArgumentException] {
+      Sampling.selectByBudget(
+        Seq((1L, 10L, "a")).toDF("id", "toks", "score"),
+        col("toks"), "score", Seq("id"), 20L)
+    }
+    // long ranks above 2^53 stay distinct (native-type ordering — a
+    // double cast would merge them and reorder the selection)
+    val big = Seq((1L, 10L, (1L << 53) + 1L), (2L, 10L, (1L << 53) + 2L))
+      .toDF("id", "toks", "score")
+    val picked = Sampling.selectByBudget(big, col("toks"), "score",
+      Seq("id"), 10L).select("id").as[Long].collect()
+    assert(picked.toSeq === Seq(2L), "the strictly larger rank wins the budget")
   }
 
   test("overlapEstimate: near-exact at small cardinality; jaccard well-defined") {

@@ -106,5 +106,12 @@ class StatsSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       Stats.populationStability(Seq(Double.NaN).toDF("v"), const, "v", 4)
     }
+    // an after value billions of widths past the range must CLAMP into
+    // the edge bucket, not overflow the ANSI int cast (regression: the
+    // bucket index was cast to int before clamping)
+    val narrow = (1 to 100).map(_.toDouble).toDF("v")
+    val far = Seq(2.3e13).toDF("v")
+    val clamped = Stats.populationStability(narrow, far, "v", 4).collect()
+    assert(clamped.last.getLong(4) === 1L && clamped.map(_.getLong(4)).sum === 1L)
   }
 }
