@@ -24,21 +24,28 @@ object Graph {
   /**
    * PageRank after `iterations` power steps, damping `d`:
    *
-   *   rank(v) = (1−d)/n + d·(Σ_{u→v} rank(u)/outdeg(u) + dangling/n)
+   *   rank(v) = (1−d)/n + d·(Σ_{u→v} w(u,v)·rank(u)/outweight(u) + dangling/n)
    *
-   * Parallel edges count once each (multigraph semantics: a host linking
-   * another twice contributes twice the mass). Null endpoints are
-   * dropped. Output: `(node, rank)` for every node appearing as source
-   * or destination; ranks sum to 1 (up to FP).
+   * Unweighted by default (each edge weight 1): parallel edges count
+   * once each (multigraph semantics: a host linking another twice
+   * contributes twice the mass). Pass `weightCol` for weighted graphs —
+   * each source's mass splits proportionally to its outgoing weights;
+   * edges with null or non-positive weight are dropped (a zero-weight
+   * edge must not make its source dangling-by-division). Null endpoints
+   * are dropped. Output: `(node, rank)` for every node appearing as
+   * source or destination; ranks sum to 1 (up to FP).
    */
   def pageRank(
       edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int = 10, damping: Double = 0.85): DataFrame = {
+      iterations: Int = 10, damping: Double = 0.85,
+      weightCol: Option[String] = None): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    val w = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
     val e = edges
-      .select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
-      .filter(col("__src").isNotNull && col("__dst").isNotNull)
+      .select(col(srcCol).as("__src"), col(dstCol).as("__dst"), w.as("__w"))
+      .filter(col("__src").isNotNull && col("__dst").isNotNull &&
+        col("__w").isNotNull && col("__w") > 0)
       .repartition(col("__src"))
       .localCheckpoint(true)
     val nodes = e.select(col("__src").as("node"))
@@ -48,7 +55,7 @@ object Graph {
     val n = nodes.count()
     require(n > 0, "edge list has no non-null endpoints")
     val outDeg = e.groupBy(col("__src").as("node"))
-      .agg(count(lit(1)).as("__deg"))
+      .agg(sum(col("__w")).as("__deg"))
       .localCheckpoint(true)
     var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
     for (_ <- 1 to iterations) {
@@ -61,7 +68,7 @@ object Graph {
       val contribs = ranks.join(outDeg, "node")
         .join(e, col("node") === col("__src"))
         .groupBy(col("__dst").as("node"))
-        .agg(sum(col("rank") / col("__deg")).as("__in"))
+        .agg(sum(col("__w") * col("rank") / col("__deg")).as("__in"))
       val base = (1.0 - damping) / n + damping * dangling / n
       val prev = ranks
       ranks = nodes.join(contribs, Seq("node"), "left")
@@ -86,18 +93,27 @@ object Graph {
    * use only.
    */
   def densePageRank(edges: Seq[(Long, Long)], iterations: Int,
-      damping: Double = 0.85): Map[Long, Double] = {
-    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+      damping: Double = 0.85): Map[Long, Double] =
+    densePageRankWeighted(edges.map { case (s, t) => (s, t, 1.0) },
+      iterations, damping)
+
+  /** The weighted form of the dense reference model (mass splits
+   * proportionally to outgoing weights; non-positive weights dropped,
+   * matching [[pageRank]]'s filter). */
+  def densePageRankWeighted(edges: Seq[(Long, Long, Double)],
+      iterations: Int, damping: Double = 0.85): Map[Long, Double] = {
+    val es = edges.filter(_._3 > 0)
+    val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
     val n = nodes.length
     val idx = nodes.zipWithIndex.toMap
-    val outDeg = edges.groupBy(_._1).map { case (s, es) => idx(s) -> es.length }
+    val outW = es.groupBy(_._1).map { case (s, g) => idx(s) -> g.map(_._3).sum }
     var rank = Array.fill(n)(1.0 / n)
     for (_ <- 1 to iterations) {
-      val dangling = rank.indices.filterNot(outDeg.contains).map(rank).sum
+      val dangling = rank.indices.filterNot(outW.contains).map(rank).sum
       val next = Array.fill(n)(
         (1.0 - damping) / n + damping * dangling / n)
-      edges.foreach { case (s, t) =>
-        next(idx(t)) += damping * rank(idx(s)) / outDeg(idx(s))
+      es.foreach { case (s, t, w) =>
+        next(idx(t)) += damping * w * rank(idx(s)) / outW(idx(s))
       }
       rank = next
     }

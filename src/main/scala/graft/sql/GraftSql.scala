@@ -151,8 +151,9 @@ object GraftSql {
    * (HLL inclusion–exclusion corpus-overlap diagnostic),
    * `PROCESS before, after USING psi_drift(col:v[, bins:10, eps:1e-6])`
    * (population-stability drift gate between snapshots) and
-   * `page_rank(src:src, dst:dst[, iters:10, damping:0.85])` (link-graph
-   * centrality for domain-quality ranking).
+   * `page_rank(src:src, dst:dst[, iters:10, damping:0.85, w:weight])`
+   * (link-graph centrality for domain-quality ranking; optional
+   * edge-weight column).
    * User extensions with the same name win. */
   val builtinExtensions: Extensions = Extensions(outputters = Map(
     "assert_eq" -> OutputterDef { (dfs, params) =>
@@ -409,7 +410,8 @@ object GraftSql {
             srcCol = p.getOrElse("src", "src"),
             dstCol = p.getOrElse("dst", "dst"),
             iterations = p.get("iters").map(_.toInt).getOrElse(10),
-            damping = p.get("damping").map(_.toDouble).getOrElse(0.85))
+            damping = p.get("damping").map(_.toDouble).getOrElse(0.85),
+            weightCol = p.get("w"))
         })
     })
 

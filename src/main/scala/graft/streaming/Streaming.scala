@@ -174,6 +174,26 @@ object Streaming {
       onReport(id, graft.functions.Checks.validate(batch, checks).collect())
     }
 
+  /** Streaming distribution-drift monitor: per micro-batch, PSI of the
+   * batch against a STATIC reference snapshot
+   * ([[graft.functions.Stats.populationStability]] — reference-range
+   * buckets, eps-floored proportions), delivered to a driver callback as
+   * (batchId, totalPsi, perBucketRows). The continuous form of the q100
+   * drift gate: an ingest stream whose total PSI crosses ~0.25 is
+   * shifting away from the corpus the thresholds were tuned on. The
+   * reference side is a bounded batch frame scanned per micro-batch —
+   * pre-aggregate it once upstream if it is large. */
+  def driftMonitorSink(df: DataFrame, checkpoint: String,
+      reference: DataFrame, valueCol: String, bins: Int = 10)(
+      onReport: (Long, Double, Array[org.apache.spark.sql.Row]) => Unit): StreamingQuery =
+    foreachBatchSink(df, checkpoint) { (batch, id) =>
+      if (!batch.isEmpty) {
+        val rows = graft.functions.Stats
+          .populationStability(reference, batch, valueCol, bins).collect()
+        onReport(id, rows.map(_.getDouble(5)).sum, rows)
+      }
+    }
+
   /** `foreachBatch` sink: apply an arbitrary batch-mode action to each
    * micro-batch (the escape hatch for sinks Structured Streaming lacks —
    * upserts, multi-table writes). Synchronous AvailableNow trigger. */

@@ -293,6 +293,27 @@ class ExtrasSpec extends SparkTestBase {
     assert(rep(1).getDouble(2) === -5.0)
   }
 
+  test("streaming: drift monitor flags a shifted micro-batch against the reference") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_stream6").toString
+    // batch shifted to the top of the reference range → large PSI
+    val batch = df((1 to 100).map(i => Seq(i.toLong, 80.0 + (i % 20))),
+      "id:long,v:double")
+    batch.write.mode("overwrite").parquet(s"$dir/in")
+    val reference = df((1 to 1000).map(i => Seq(i.toLong, (i % 100).toDouble)),
+      "id:long,v:double")
+    val stream = Streaming.loadStream(spark, s"$dir/in", batch.schema)
+    val reports = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Double, Int)]
+    Streaming.driftMonitorSink(stream, s"$dir/ckpt", reference, "v",
+      bins = 10) { (id, psi, rows) =>
+      reports.synchronized { reports += ((id, psi, rows.length)) }
+    }
+    assert(reports.nonEmpty)
+    assert(reports.head._2 > 0.25, s"shifted batch must flag, psi=${reports.head._2}")
+    assert(reports.head._3 === 10)
+  }
+
   test("conform: reorder, cast, NaN->null for fractional->int") {
     val d = df(Seq(Seq(1.5, "7"), Seq(Double.NaN, "8")), "a:double,b:str")
     val out = engine.conform(d, "b:int,a:long")

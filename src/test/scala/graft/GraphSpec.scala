@@ -41,6 +41,29 @@ class GraphSpec extends SparkTestBase {
     }
   }
 
+  test("pageRank weighted == weighted dense model; zero weights drop (3 seeds)") {
+    for (seed <- Seq(4L, 29L, 83L)) {
+      val rnd = new Random(seed)
+      val edges = (1 to 120).map(_ => (rnd.nextInt(20).toLong,
+        rnd.nextInt(20).toLong, rnd.nextInt(5).toDouble)) // weight 0..4
+      val got = Graph.pageRank(
+        edges.toDF("src", "dst", "w"), "src", "dst",
+        iterations = 6, weightCol = Some("w"))
+        .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+      val want = Graph.densePageRankWeighted(edges, 6)
+      assert(got.keySet === want.keySet, s"seed $seed (zero-weight edges dropped)")
+      got.foreach { case (v, r) =>
+        assert(math.abs(r - want(v)) < 1e-10, s"seed $seed node $v")
+      }
+      assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    }
+    // doubling every weight changes nothing (scale invariance per source)
+    val e1 = Seq((1L, 2L, 1.0), (1L, 3L, 3.0), (2L, 1L, 5.0))
+    val r1 = Graph.densePageRankWeighted(e1, 8)
+    val r2 = Graph.densePageRankWeighted(e1.map(t => (t._1, t._2, t._3 * 2)), 8)
+    r1.foreach { case (v, r) => assert(math.abs(r - r2(v)) < 1e-12) }
+  }
+
   test("pageRank frees each iteration's checkpoint (bounded executor storage)") {
     val e = (1 to 60).map(i => (i.toLong % 10, (i * 3).toLong % 10))
       .toDF("src", "dst")
