@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Stress the PageRank path (SCALE.md): 10M synthetic edges over 1M
+  * nodes (hash-scattered multigraph with a planted hub family), 10 power
+  * iterations. The readouts are wall time, mass conservation, and the
+  * planted hubs surfacing at the top of the ranking. */
+object GraphStress {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.builder("local[32]", 32).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val nEdges = 10000000L
+    val nNodes = 1000000L
+    // 10% of edges point at one of 10 hub nodes; the rest scatter
+    val edges = spark.range(nEdges).select(
+      pmod(xxhash64(col("id"), lit(1)), lit(nNodes)).as("src"),
+      when(pmod(xxhash64(col("id"), lit(2)), lit(10L)) === 0,
+        pmod(xxhash64(col("id"), lit(3)), lit(10L)))
+        .otherwise(pmod(xxhash64(col("id"), lit(4)), lit(nNodes))).as("dst"))
+      .localCheckpoint(true)
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime; f; (System.nanoTime - t0) / 1e9
+    }
+    var top: Array[(Long, Double)] = null
+    var total = 0.0
+    val t = time {
+      val ranks = graft.operators.Graph.pageRank(
+        edges, "src", "dst", iterations = 10)
+      val agg = ranks.agg(sum(col("rank"))).collect()(0).getDouble(0)
+      total = agg
+      top = ranks.orderBy(col("rank").desc).limit(10).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1))
+    }
+    val hubsOnTop = top.map(_._1).count(_ < 10)
+    println(f"GRAPHSTRESS edges=$nEdges nodes=$nNodes iters=10 " +
+      f"time=$t%.1f mass=$total%.6f hubs_in_top10=$hubsOnTop/10")
+    spark.stop()
+  }
+}

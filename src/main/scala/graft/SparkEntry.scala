@@ -721,6 +721,19 @@ object SparkEntry {
           col("neighbor_id"))
     }),
 
+    // int8 scalar quantization, FULL oracle: the affine code mapping is
+    // deterministic double arithmetic ((x−min)/scale positive, so Spark
+    // HALF_UP and DuckDB half-away round identically) — DuckDB recomputes
+    // every code byte-for-byte via list_transform
+    "s13_quantize" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      emb.select(col("vec_id"),
+        Similarity.quantizeInt8(col("embedding")).as("q"))
+        .select(col("vec_id"), col("q.qmin").as("qmin"),
+          col("q.qscale").as("qscale"),
+          transform(col("q.codes"), c => c.cast("int")).as("codes"))
+    }),
+
     // distributed PCA invariant differential: one treeAggregate moment
     // pass + driver Jacobi. Floats wobble across layouts, so the pins are
     // the algebraic laws — components orthonormal, eigenvalues
@@ -3376,6 +3389,18 @@ object SparkEntry {
     "s09_ann_join" ->
       "SELECT CAST(1 AS BIGINT) AS recall_ok, CAST(1 AS BIGINT) AS coverage_ok",
     "s12_pca" -> "SELECT CAST(1 AS BIGINT) AS pca_ok",
+    "s13_quantize" ->
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        | FROM embeddings),
+        |q AS (SELECT vec_id, v, list_min(v) AS qmin,
+        |  (list_max(v) - list_min(v)) / 255.0 AS qscale FROM e)
+        |SELECT vec_id, qmin, qscale,
+        | CASE WHEN qscale = 0
+        |  THEN list_transform(v, x -> CAST(-128 AS INTEGER))
+        |  ELSE list_transform(v,
+        |   x -> CAST(round((x - qmin) / qscale) - 128 AS INTEGER)) END AS codes
+        |FROM q""".stripMargin,
     "s11_hard_negatives" ->
       """WITH sub AS (SELECT * FROM embeddings WHERE vec_id < 50),
         |pairs AS (

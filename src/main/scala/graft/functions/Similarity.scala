@@ -28,6 +28,39 @@ object Similarity {
     graft.functions.expressions.VectorExpressions.dot(a, b)
 
   /**
+   * Per-vector scalar int8 quantization — the storage-path compressor
+   * for embedding corpora (4× smaller than float32, 8× than float64):
+   * each vector maps affinely onto the byte range with its own
+   * (min, scale), so reconstruction error is bounded by scale/2 =
+   * (max−min)/510 per coordinate regardless of global outliers.
+   * Output: struct(qmin: double, qscale: double, codes: array<tinyint>).
+   * A constant vector gets scale 0 and reconstructs exactly. Built from
+   * codegen'd collection expressions (`aggregate`/`transform`) — a
+   * narrow map, no UDF, no shuffle.
+   *
+   * This is the column you SAVE; [[dequantizeInt8]] restores doubles for
+   * exact re-scoring, and the ANN recall cost of the quantization is
+   * bounded by the per-coordinate error (cosine of smooth embeddings
+   * survives int8 essentially unchanged — pinned in FunctionsSpec).
+   */
+  def quantizeInt8(vec: Column): Column = {
+    val v = vec.cast("array<double>")
+    val mn = array_min(v)
+    val mx = array_max(v)
+    val scale = (mx - mn) / lit(255.0)
+    val codes = transform(v, x =>
+      when(scale === 0.0, lit(-128))
+        .otherwise(round((x - mn) / scale) - 128).cast("byte"))
+    struct(mn.as("qmin"), scale.as("qscale"), codes.as("codes"))
+  }
+
+  /** Inverse of [[quantizeInt8]]: codes → array<double>,
+   * x̂ = qmin + (code + 128) · qscale. */
+  def dequantizeInt8(q: Column): Column =
+    transform(q.getField("codes"), c =>
+      q.getField("qmin") + (c.cast("double") + 128.0) * q.getField("qscale"))
+
+  /**
    * Exact brute-force cosine top-k: for every row of `queries`, the k
    * nearest rows of `corpus` by cosine similarity.
    * Output: (query_id, neighbor_id, rank, cosine), rank 1..k,

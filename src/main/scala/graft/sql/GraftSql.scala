@@ -153,7 +153,9 @@ object GraftSql {
    * (population-stability drift gate between snapshots) and
    * `page_rank(src:src, dst:dst[, iters:10, damping:0.85, w:weight])`
    * (link-graph centrality for domain-quality ranking; optional
-   * edge-weight column).
+   * edge-weight column) and
+   * `quantize_int8(col:embedding[, out:q])` (per-vector int8 storage
+   * compression — struct(qmin, qscale, codes)).
    * User extensions with the same name win. */
   val builtinExtensions: Extensions = Extensions(outputters = Map(
     "assert_eq" -> OutputterDef { (dfs, params) =>
@@ -412,6 +414,13 @@ object GraftSql {
             iterations = p.get("iters").map(_.toInt).getOrElse(10),
             damping = p.get("damping").map(_.toDouble).getOrElse(0.85),
             weightCol = p.get("w"))
+        },
+        "quantize_int8" -> ProcessorDef { (_, dfs, p) =>
+          val d = one(dfs, "quantize_int8")
+          val c = p.getOrElse("col", "embedding")
+          d.withColumn(p.getOrElse("out", "q"),
+            graft.functions.Similarity.quantizeInt8(
+              org.apache.spark.sql.functions.col(c)))
         })
     })
 

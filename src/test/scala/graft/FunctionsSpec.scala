@@ -1868,6 +1868,43 @@ class FunctionsSpec extends SparkTestBase {
     assert(math.abs(pruned(2L) - ce2p) < 1e-9)
   }
 
+  test("quantizeInt8 round-trip: per-coordinate error <= scale/2, cosine preserved") {
+    val q = emb.select(col("vec_id"), col("embedding"),
+      Similarity.quantizeInt8(col("embedding")).as("q"))
+    // storage really is bytes
+    val codesType = q.schema("q").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]("codes").dataType
+    assert(codesType ===
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType))
+    val back = q.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("orig"),
+      Similarity.dequantizeInt8(col("q")).as("deq"),
+      col("q.qscale").as("scale"))
+    val rows = back.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val o = r.getSeq[Double](1)
+      val d = r.getSeq[Double](2)
+      val s = r.getDouble(3)
+      assert(o.length === d.length)
+      o.zip(d).foreach { case (a, b) =>
+        assert(math.abs(a - b) <= s / 2 + 1e-12,
+          s"vec ${r.getLong(0)}: |$a - $b| > scale/2 = ${s / 2}")
+      }
+      val dotOD = o.zip(d).map { case (a, b) => a * b }.sum
+      val no = math.sqrt(o.map(x => x * x).sum)
+      val nd = math.sqrt(d.map(x => x * x).sum)
+      if (no > 0 && nd > 0)
+        assert(dotOD / (no * nd) > 0.999,
+          s"cosine(orig, dequantized) degraded for vec ${r.getLong(0)}")
+    }
+    // constant vector: scale 0, exact reconstruction
+    val const = df(Seq(Seq(1L, Seq(3.5, 3.5, 3.5))), "id:long,v:[double]")
+    val cr = const.select(Similarity.dequantizeInt8(
+      Similarity.quantizeInt8(col("v"))).as("d")).collect()(0).getSeq[Double](0)
+    assert(cr === Seq(3.5, 3.5, 3.5))
+  }
+
   test("fixMojibake repairs Latin-1 and cp1252 double-encoding, leaves clean text alone") {
     def fix(t: String): String =
       df(Seq(Seq(t)), "t:str")

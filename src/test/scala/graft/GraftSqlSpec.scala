@@ -819,6 +819,14 @@ class GraftSqlSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(math.abs(pr.values.sum - 1.0) < 1e-9)
     assert(pr(1L) > pr(3L), "linked-to node outranks the leaf")
+
+    val emb2 = df(Seq(Seq(1L, Seq(0.0, 1.0, 2.0))), "vec_id:long,embedding:[double]")
+    val qz = GraftSql.run(engine,
+      """z = PROCESS emb2 USING quantize_int8(out:qq)
+        |YIELD z AS z
+        |""".stripMargin, Map("emb2" -> emb2)).yields("z")
+    val qrow = qz.select("qq.qmin", "qq.qscale").collect()(0)
+    assert(qrow.getDouble(0) === 0.0 && math.abs(qrow.getDouble(1) - 2.0 / 255) < 1e-15)
   }
 
   test("built-in export_shards processor yields the manifest frame") {
