@@ -34,31 +34,28 @@ object Similarity {
    * (min, scale), so reconstruction error is bounded by scale/2 =
    * (max−min)/510 per coordinate regardless of global outliers.
    * Output: struct(qmin: double, qscale: double, codes: array<tinyint>).
-   * A constant vector gets scale 0 and reconstructs exactly. Built from
-   * codegen'd collection expressions (`aggregate`/`transform`) — a
-   * narrow map, no UDF, no shuffle.
+   * A constant vector gets scale 0 and reconstructs exactly. Native
+   * expression ([[graft.functions.expressions.QuantizeInt8]]): one
+   * min/max pass + one code pass per vector — a narrow map, no UDF, no
+   * shuffle (a higher-order `transform` formulation would re-evaluate
+   * the array min/max inside the lambda, O(d²) per vector). Vectors
+   * containing NaN/±Infinity (or null elements) quantize to NULL — a
+   * poisoned embedding yields a detectable null, never silently
+   * collapsed codes.
    *
    * This is the column you SAVE; [[dequantizeInt8]] restores doubles for
    * exact re-scoring, and the ANN recall cost of the quantization is
    * bounded by the per-coordinate error (cosine of smooth embeddings
    * survives int8 essentially unchanged — pinned in FunctionsSpec).
    */
-  def quantizeInt8(vec: Column): Column = {
-    val v = vec.cast("array<double>")
-    val mn = array_min(v)
-    val mx = array_max(v)
-    val scale = (mx - mn) / lit(255.0)
-    val codes = transform(v, x =>
-      when(scale === 0.0, lit(-128))
-        .otherwise(round((x - mn) / scale) - 128).cast("byte"))
-    struct(mn.as("qmin"), scale.as("qscale"), codes.as("codes"))
-  }
+  def quantizeInt8(vec: Column): Column =
+    graft.functions.expressions.VectorExpressions
+      .quantizeInt8(vec.cast("array<double>"))
 
   /** Inverse of [[quantizeInt8]]: codes → array<double>,
-   * x̂ = qmin + (code + 128) · qscale. */
+   * x̂ = qmin + (code + 128) · qscale — native one-pass expression. */
   def dequantizeInt8(q: Column): Column =
-    transform(q.getField("codes"), c =>
-      q.getField("qmin") + (c.cast("double") + 128.0) * q.getField("qscale"))
+    graft.functions.expressions.VectorExpressions.dequantizeInt8(q)
 
   /**
    * Exact brute-force cosine top-k: for every row of `queries`, the k

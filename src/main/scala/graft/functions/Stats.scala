@@ -129,11 +129,23 @@ object Stats {
    */
   def populationStability(
       before: DataFrame, after: DataFrame, c: String, bins: Int,
-      eps: Double = 1e-6): DataFrame = {
+      eps: Double = 1e-6): DataFrame =
+    populationStabilityAgainst(psiReference(before, c, bins), after, c, eps)
+
+  /** Precomputed PSI reference frame: range + per-bucket counts of the
+   * BEFORE snapshot, collected once. Build this once and reuse it for
+   * every comparison — the streaming drift monitor compares every
+   * micro-batch against the same reference, and rescanning a corpus-
+   * sized snapshot per batch would dominate the monitoring cost. */
+  case class PsiReference(mn: Double, w: Double, bins: Int,
+      counts: Map[Int, Long]) {
+    def total: Long = math.max(1L, counts.values.sum)
+  }
+
+  /** Compute the [[PsiReference]] for `before` (two scans: the 2-double
+   * range probe, then one bucket aggregation). */
+  def psiReference(before: DataFrame, c: String, bins: Int): PsiReference = {
     require(bins >= 1, "bins must be >= 1")
-    require(eps > 0, "eps must be positive")
-    val spark = before.sparkSession
-    import spark.implicits._
     val v = col(c).cast("double")
     val valid = abs(v) < Double.PositiveInfinity
     val mm = before.filter(valid).agg(min(v), max(v)).collect().head
@@ -142,30 +154,44 @@ object Stats {
     // degenerate reference domain: one bucket holds everything
     val nb = if (mx <= mn) 1 else bins
     val w = if (mx <= mn) 1.0 else (mx - mn) / bins
-    // clamp on the LONG floor result, cast only the bounded value: an
-    // after-side outlier ~2^31 widths past the range must land in the
-    // edge bucket as documented, not overflow the ANSI int cast
-    val bucket = greatest(lit(0L),
-      least(floor((v - mn) / w), lit((nb - 1).toLong))).cast("int")
-    def side(df: DataFrame): Map[Int, Long] =
-      df.filter(valid).groupBy(bucket.as("bucket"))
-        .agg(count(lit(1)).as("n"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val nBefore = side(before)
-    val nAfter = side(after)
+    PsiReference(mn, w, nb, bucketCounts(before, c, mn, w, nb))
+  }
+
+  /** PSI of `after` against a precomputed reference — ONE scan of the
+   * after side, nothing recomputed on the reference. */
+  def populationStabilityAgainst(ref: PsiReference, after: DataFrame,
+      c: String, eps: Double = 1e-6): DataFrame = {
+    require(eps > 0, "eps must be positive")
+    val spark = after.sparkSession
+    import spark.implicits._
+    val nAfter = bucketCounts(after, c, ref.mn, ref.w, ref.bins)
     // every valid row clamps into a bucket, so the totals ARE the bucket
     // sums — no extra count scans, no window, no scalar-join plan flags
-    val totB = math.max(1L, nBefore.values.sum).toDouble
+    val totB = ref.total.toDouble
     val totA = math.max(1L, nAfter.values.sum).toDouble
-    val rows = (0 until nb).map { b =>
-      val cb = nBefore.getOrElse(b, 0L)
+    val rows = (0 until ref.bins).map { b =>
+      val cb = ref.counts.getOrElse(b, 0L)
       val ca = nAfter.getOrElse(b, 0L)
       val pb = math.max(cb / totB, eps)
       val pa = math.max(ca / totA, eps)
       val psi = BigDecimal((pa - pb) * math.log(pa / pb))
         .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
-      (b, mn + b * w, mn + (b + 1) * w, cb, ca, psi)
+      (b, ref.mn + b * ref.w, ref.mn + (b + 1) * ref.w, cb, ca, psi)
     }
     rows.toDF("bucket", "lo", "hi", "n_before", "n_after", "psi")
+  }
+
+  private def bucketCounts(df: DataFrame, c: String, mn: Double, w: Double,
+      nb: Int): Map[Int, Long] = {
+    val v = col(c).cast("double")
+    val valid = abs(v) < Double.PositiveInfinity
+    // clamp on the LONG floor result, cast only the bounded value: an
+    // outlier ~2^31 widths past the range must land in the edge bucket
+    // as documented, not overflow the ANSI int cast
+    val bucket = greatest(lit(0L),
+      least(floor((v - mn) / w), lit((nb - 1).toLong))).cast("int")
+    df.filter(valid).groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
   }
 }

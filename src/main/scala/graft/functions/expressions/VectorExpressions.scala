@@ -947,6 +947,126 @@ case class AffineProject(child: Expression,
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/**
+ * Per-vector int8 scalar quantization: struct(qmin, qscale, codes) with
+ * codes(i) = HALF_UP((x_i − min)/scale) − 128, scale = (max − min)/255.
+ * One min/max pass + one code pass (O(2d) — the naive higher-order
+ * `transform` formulation re-evaluates array_min/array_max inside the
+ * lambda, O(d²) per vector). Vectors containing NaN/±Infinity quantize
+ * to NULL — a poisoned embedding must yield a detectable null, not
+ * silently collapsed codes. The arithmetic matches the SQL oracle
+ * byte-for-byte: HALF_UP(t) = floor(t + 0.5) for the non-negative t
+ * this mapping produces.
+ */
+case class QuantizeInt8(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("qmin", DoubleType, nullable = false),
+    StructField("qscale", DoubleType, nullable = false),
+    StructField("codes", ArrayType(ByteType, containsNull = false),
+      nullable = false)))
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"quantize_int8 requires array<float> or array<double>, got ${other.catalogString}")
+    }
+
+  private lazy val elemIsFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  def compute(in: ArrayData): Any = {
+    val n = in.numElements()
+    var mn = Double.PositiveInfinity
+    var mx = Double.NegativeInfinity
+    var i = 0
+    while (i < n) {
+      if (in.isNullAt(i)) return null
+      val x = if (elemIsFloat) in.getFloat(i).toDouble else in.getDouble(i)
+      if (x.isNaN || x.isInfinite) return null
+      if (x < mn) mn = x
+      if (x > mx) mx = x
+      i += 1
+    }
+    if (n == 0) return null
+    val scale = (mx - mn) / 255.0
+    val codes = new Array[Byte](n)
+    i = 0
+    while (i < n) {
+      val x = if (elemIsFloat) in.getFloat(i).toDouble else in.getDouble(i)
+      codes(i) =
+        if (scale == 0.0) (-128).toByte
+        else (math.floor((x - mn) / scale + 0.5) - 128).toByte
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](mn, scale, new GenericArrayData(codes)))
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("quantizeInt8", this, classOf[QuantizeInt8].getName)
+    val tmp = ctx.freshName("qres")
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |Object $tmp = $ref.compute($c);
+       |if ($tmp == null) { ${ev.isNull} = true; } else {
+       |  ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $tmp;
+       |}
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Inverse of [[QuantizeInt8]]: struct(qmin, qscale, codes) →
+ * array<double>, x̂_i = qmin + (code_i + 128)·qscale. One pass, no
+ * per-element field re-evaluation. */
+case class DequantizeInt8(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case s: StructType if s.length == 3 &&
+        s(0).dataType == DoubleType && s(1).dataType == DoubleType &&
+        s(2).dataType.isInstanceOf[ArrayType] =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"dequantize_int8 requires struct(qmin, qscale, codes), got ${other.catalogString}")
+    }
+
+  def compute(row: InternalRow): ArrayData = {
+    val mn = row.getDouble(0)
+    val scale = row.getDouble(1)
+    val codes = row.getArray(2)
+    val n = codes.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      out(i) = mn + (codes.getByte(i).toDouble + 128.0) * scale
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[InternalRow])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dequantizeInt8", this, classOf[DequantizeInt8].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object VectorExpressions {
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
@@ -979,4 +1099,8 @@ object VectorExpressions {
     ColumnBridge.column(PqAdcScore(ColumnBridge.expression(qv), ColumnBridge.expression(codes), codebooks))
   def affineProject(v: Column, matrix: Array[Array[Double]], mean: Array[Double]): Column =
     ColumnBridge.column(AffineProject(ColumnBridge.expression(v), matrix, mean))
+  def quantizeInt8(v: Column): Column =
+    ColumnBridge.column(QuantizeInt8(ColumnBridge.expression(v)))
+  def dequantizeInt8(q: Column): Column =
+    ColumnBridge.column(DequantizeInt8(ColumnBridge.expression(q)))
 }

@@ -30,10 +30,12 @@ object Graph {
    * once each (multigraph semantics: a host linking another twice
    * contributes twice the mass). Pass `weightCol` for weighted graphs —
    * each source's mass splits proportionally to its outgoing weights;
-   * edges with null or non-positive weight are dropped (a zero-weight
-   * edge must not make its source dangling-by-division). Null endpoints
-   * are dropped. Output: `(node, rank)` for every node appearing as
-   * source or destination; ranks sum to 1 (up to FP).
+   * edges with null, non-positive, or non-finite weight contribute no
+   * mass (a zero-weight edge must not make its source
+   * dangling-by-division, and a NaN weight must not NaN every reachable
+   * rank) but their ENDPOINTS still rank — the node universe is every
+   * node on a null-free edge. Output: `(node, rank)`; ranks sum to 1
+   * (up to FP).
    */
   def pageRank(
       edges: DataFrame, srcCol: String, dstCol: String,
@@ -42,14 +44,17 @@ object Graph {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
     val w = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
-    val e = edges
+    val endpoints = edges
       .select(col(srcCol).as("__src"), col(dstCol).as("__dst"), w.as("__w"))
-      .filter(col("__src").isNotNull && col("__dst").isNotNull &&
-        col("__w").isNotNull && col("__w") > 0)
+      .filter(col("__src").isNotNull && col("__dst").isNotNull)
+    // abs(w) < +Inf is false for NaN too (NaN-is-largest ordering), so
+    // one predicate drops null, non-positive, AND non-finite weights
+    val e = endpoints
+      .filter(abs(col("__w")) < Double.PositiveInfinity && col("__w") > 0)
       .repartition(col("__src"))
       .localCheckpoint(true)
-    val nodes = e.select(col("__src").as("node"))
-      .union(e.select(col("__dst").as("node")))
+    val nodes = endpoints.select(col("__src").as("node"))
+      .union(endpoints.select(col("__dst").as("node")))
       .distinct()
       .localCheckpoint(true)
     val n = nodes.count()
@@ -98,12 +103,13 @@ object Graph {
       iterations, damping)
 
   /** The weighted form of the dense reference model (mass splits
-   * proportionally to outgoing weights; non-positive weights dropped,
-   * matching [[pageRank]]'s filter). */
+   * proportionally to outgoing weights; non-positive/non-finite weights
+   * contribute nothing but their endpoints still rank, matching
+   * [[pageRank]]'s semantics). */
   def densePageRankWeighted(edges: Seq[(Long, Long, Double)],
       iterations: Int, damping: Double = 0.85): Map[Long, Double] = {
-    val es = edges.filter(_._3 > 0)
-    val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+    val es = edges.filter(t => t._3 > 0 && !t._3.isNaN && !t._3.isInfinite)
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
     val n = nodes.length
     val idx = nodes.zipWithIndex.toMap
     val outW = es.groupBy(_._1).map { case (s, g) => idx(s) -> g.map(_._3).sum }

@@ -181,18 +181,22 @@ object Streaming {
    * (batchId, totalPsi, perBucketRows). The continuous form of the q100
    * drift gate: an ingest stream whose total PSI crosses ~0.25 is
    * shifting away from the corpus the thresholds were tuned on. The
-   * reference side is a bounded batch frame scanned per micro-batch —
-   * pre-aggregate it once upstream if it is large. */
+   * reference snapshot is aggregated ONCE at sink construction
+   * ([[graft.functions.Stats.psiReference]] — range + bucket counts);
+   * each micro-batch costs one scan of the batch, never of the
+   * reference. */
   def driftMonitorSink(df: DataFrame, checkpoint: String,
       reference: DataFrame, valueCol: String, bins: Int = 10)(
-      onReport: (Long, Double, Array[org.apache.spark.sql.Row]) => Unit): StreamingQuery =
+      onReport: (Long, Double, Array[org.apache.spark.sql.Row]) => Unit): StreamingQuery = {
+    val ref = graft.functions.Stats.psiReference(reference, valueCol, bins)
     foreachBatchSink(df, checkpoint) { (batch, id) =>
       if (!batch.isEmpty) {
         val rows = graft.functions.Stats
-          .populationStability(reference, batch, valueCol, bins).collect()
+          .populationStabilityAgainst(ref, batch, valueCol).collect()
         onReport(id, rows.map(_.getDouble(5)).sum, rows)
       }
     }
+  }
 
   /** `foreachBatch` sink: apply an arbitrary batch-mode action to each
    * micro-batch (the escape hatch for sinks Structured Streaming lacks —

@@ -1874,8 +1874,8 @@ class FunctionsSpec extends SparkTestBase {
     // storage really is bytes
     val codesType = q.schema("q").dataType
       .asInstanceOf[org.apache.spark.sql.types.StructType]("codes").dataType
-    assert(codesType ===
-      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType))
+    assert(codesType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType === org.apache.spark.sql.types.ByteType)
     val back = q.select(col("vec_id"),
       col("embedding").cast("array<double>").as("orig"),
       Similarity.dequantizeInt8(col("q")).as("deq"),
@@ -1903,6 +1903,14 @@ class FunctionsSpec extends SparkTestBase {
     val cr = const.select(Similarity.dequantizeInt8(
       Similarity.quantizeInt8(col("v"))).as("d")).collect()(0).getSeq[Double](0)
     assert(cr === Seq(3.5, 3.5, 3.5))
+    // a poisoned vector (NaN/Inf element) quantizes to NULL — detectable,
+    // never silently collapsed codes
+    val bad = df(Seq(
+      Seq(1L, Seq(1.0, Double.NaN)), Seq(2L, Seq(1.0, Double.PositiveInfinity)),
+      Seq(3L, Seq(1.0, 2.0))), "id:long,v:[double]")
+    val qs = bad.select(col("id"), Similarity.quantizeInt8(col("v")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(qs(1L) && qs(2L) && !qs(3L))
   }
 
   test("fixMojibake repairs Latin-1 and cp1252 double-encoding, leaves clean text alone") {

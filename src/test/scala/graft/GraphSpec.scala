@@ -51,7 +51,8 @@ class GraphSpec extends SparkTestBase {
         iterations = 6, weightCol = Some("w"))
         .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
       val want = Graph.densePageRankWeighted(edges, 6)
-      assert(got.keySet === want.keySet, s"seed $seed (zero-weight edges dropped)")
+      assert(got.keySet === want.keySet,
+        s"seed $seed (zero-weight endpoints still rank)")
       got.foreach { case (v, r) =>
         assert(math.abs(r - want(v)) < 1e-10, s"seed $seed node $v")
       }
@@ -62,6 +63,23 @@ class GraphSpec extends SparkTestBase {
     val r1 = Graph.densePageRankWeighted(e1, 8)
     val r2 = Graph.densePageRankWeighted(e1.map(t => (t._1, t._2, t._3 * 2)), 8)
     r1.foreach { case (v, r) => assert(math.abs(r - r2(v)) < 1e-12) }
+  }
+
+  test("pageRank: NaN/zero weights contribute nothing but endpoints still rank") {
+    // NaN weight must not NaN every reachable rank (Spark's NaN > 0 is
+    // true — the filter must exclude non-finite explicitly)
+    val e = Seq((1L, 2L, 1.0), (1L, 3L, Double.NaN), (4L, 2L, 0.0))
+      .toDF("src", "dst", "w")
+    val got = Graph.pageRank(e, "src", "dst", iterations = 5,
+      weightCol = Some("w"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L),
+      "nodes on weight-dropped edges still rank")
+    assert(got.values.forall(r => !r.isNaN && r > 0))
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    val want = Graph.densePageRankWeighted(
+      Seq((1L, 2L, 1.0), (1L, 3L, Double.NaN), (4L, 2L, 0.0)), 5)
+    got.foreach { case (v, r) => assert(math.abs(r - want(v)) < 1e-12, s"node $v") }
   }
 
   test("pageRank frees each iteration's checkpoint (bounded executor storage)") {
