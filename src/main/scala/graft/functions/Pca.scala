@@ -184,10 +184,26 @@ object Pca {
    * of length k (codegen'd plan-embedded expression, no shuffle). The
    * input casts to array<double> first, matching [[moments]] — an
    * int-typed (e.g. quantized) embedding column projects correctly
-   * instead of tripping AffineProject's float/double type check. */
-  def project(v: Column, model: PcaModel): Column =
+   * instead of tripping AffineProject's float/double type check.
+   *
+   * `whiten = true` scales each output axis by 1/√eigenvalue so the
+   * projections have unit variance per axis (the standard preprocessing
+   * before distance-based steps — k-means, SemDeDup — that would
+   * otherwise be dominated by the top component); axes with eigenvalue
+   * ≤ `whitenEps` are zeroed rather than amplified into noise. The
+   * scaling folds into the projection matrix — still one expression,
+   * no extra pass. */
+  def project(v: Column, model: PcaModel, whiten: Boolean = false,
+      whitenEps: Double = 1e-9): Column = {
+    val mat =
+      if (!whiten) model.components
+      else model.components.zip(model.explainedVariance).map { case (row, ev) =>
+        if (ev <= whitenEps) row.map(_ => 0.0)
+        else row.map(_ / math.sqrt(ev))
+      }
     graft.functions.expressions.VectorExpressions
-      .affineProject(v.cast("array<double>"), model.components, model.mean)
+      .affineProject(v.cast("array<double>"), mat, model.mean)
+  }
 
   /** Fit + transform in one call: (idCol, outCol k-dim projection).
    * Two corpus scans total — one for the moments, one for the map. */

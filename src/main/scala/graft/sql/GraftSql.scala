@@ -142,8 +142,9 @@ object GraftSql {
    * training-shard export; yields the manifest frame) and
    * `PROCESS before, after USING snapshot_diff(keys:"id"[, hash:true,
    * unchanged:true])` (added/removed/changed audit between versions),
-   * `pca(id:vec_id, col:embedding, k:8[, out:pca])` (distributed PCA:
-   * one moment pass + plan-embedded projection),
+   * `pca(id:vec_id, col:embedding, k:8[, out:pca, whiten:true])`
+   * (distributed PCA: one moment pass + plan-embedded projection,
+   * optional per-axis unit-variance whitening),
    * `select_by_budget(id:doc_id, size:n_tokens, rank:score,
    * budget:1000000[, ascending:true])` (quality-ranked prefix under a
    * token budget) and
@@ -378,10 +379,16 @@ object GraftSql {
             includeUnchanged = p.get("unchanged").exists(_.toBoolean))
         },
         "pca" -> ProcessorDef { (_, dfs, p) =>
-          graft.functions.Pca.fitTransform(one(dfs, "pca"), id(p),
-            vecCol = p.getOrElse("col", "embedding"),
-            k = p.getOrElse("k", "8").toInt,
-            outCol = p.getOrElse("out", "pca"))._1
+          val d = one(dfs, "pca")
+          val vecCol = p.getOrElse("col", "embedding")
+          val model = graft.functions.Pca.fit(d, vecCol,
+            p.getOrElse("k", "8").toInt)
+          d.select(
+            org.apache.spark.sql.functions.col(id(p)),
+            graft.functions.Pca.project(
+              org.apache.spark.sql.functions.col(vecCol), model,
+              whiten = p.get("whiten").exists(_.toBoolean))
+              .as(p.getOrElse("out", "pca")))
         },
         "select_by_budget" -> ProcessorDef { (_, dfs, p) =>
           graft.functions.Sampling.selectByBudget(one(dfs, "select_by_budget"),

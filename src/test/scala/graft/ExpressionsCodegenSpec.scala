@@ -38,7 +38,11 @@ class ExpressionsCodegenSpec extends SparkTestBase {
         Array(Array(1.0, 0, 0, 0), Array(0, 1.0, 0, 0), Array(0, 0, 1.0, 0)),
         nProbe = 2),
       PqEncode(vecRef, pqBooks),
-      PqAdcScore(vecRef, PqEncode(vecRef, pqBooks), pqBooks))
+      PqAdcScore(vecRef, PqEncode(vecRef, pqBooks), pqBooks),
+      AffineProject(vecRef,
+        Array(Array(1.0, 0, 0, 0), Array(0.0, 0.5, 0.5, 0)),
+        Array(0.1, 0.2, 0.3, 0.4)),
+      DequantizeInt8(QuantizeInt8(vecRef)))
   }
 
   // 2 subspaces x 3 codewords x 2 dims over the 4-dim test vectors
@@ -99,6 +103,19 @@ class ExpressionsCodegenSpec extends SparkTestBase {
     val out = proj(InternalRow(null, null))
     assert(!out.isNullAt(0) && out.getArray(0).numElements() === 0)
     assert(!out.isNullAt(1) && out.getArray(1).numElements() === 0)
+  }
+
+  test("non-finite vector yields SQL NULL quantization under codegen") {
+    val proj = GenerateUnsafeProjection.generate(Seq(QuantizeInt8(vecRef)))
+    assert(proj(InternalRow(null,
+      new GenericArrayData(Array(1.0, Double.NaN, 2.0, 3.0)))).isNullAt(0))
+    assert(proj(InternalRow(null,
+      new GenericArrayData(Array(1.0, Double.NegativeInfinity, 2.0, 3.0)))).isNullAt(0))
+    val ok = proj(InternalRow(null, new GenericArrayData(Array(1.0, 2.0, 3.0, 4.0))))
+    assert(!ok.isNullAt(0))
+    val s = ok.getStruct(0, 3)
+    assert(s.getDouble(0) === 1.0)
+    assert(s.getArray(2).toByteArray.toSeq === Seq(-128, -43, 42, 127).map(_.toByte))
   }
 
   test("empty shingle set yields SQL NULL minhash signature under codegen") {

@@ -114,6 +114,27 @@ class PcaSpec extends SparkTestBase {
     }
   }
 
+  test("project(whiten): unit variance per axis; tiny eigenvalues zeroed") {
+    val rnd = new scala.util.Random(17)
+    val rows = (0 until 400).map { i =>
+      (i.toLong, Array((rnd.nextGaussian() * 9).toFloat,
+        (rnd.nextGaussian() * 2).toFloat, 0.0f))
+    }
+    val d = rows.toDF("id", "vec")
+    val model = Pca.fit(d, "vec", 3)
+    val mat = d.select(Pca.project(col("vec"), model, whiten = true).as("p"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    // informative axes whiten to variance ~1; the zero-variance third
+    // axis is zeroed, not amplified into 1/sqrt(eps) noise
+    (0 until 2).foreach { j =>
+      val xs = mat.map(_(j))
+      val m = xs.sum / xs.length
+      val v = xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1)
+      assert(math.abs(v - 1.0) < 0.02, s"axis $j variance $v")
+    }
+    assert(mat.forall(_(2) === 0.0), "degenerate axis zeroed")
+  }
+
   test("fit: guards — empty corpus, k too large, null vectors skipped") {
     val empty = Seq.empty[(Long, Array[Float])].toDF("id", "vec")
     intercept[IllegalArgumentException] { Pca.fit(empty, "vec", 2) }
