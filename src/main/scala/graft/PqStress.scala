@@ -36,19 +36,32 @@ object PqStress {
         graft.functions.Similarity.l2normalize(col("embedding")), books)
         .as("codes")).agg(count(lit(1))).collect()
     }
-    var pqRows = 0L
-    val tPq = time {
-      pqRows = graft.functions.Similarity.ivfPqTopK(
-        corpus, queries, "vec_id", "embedding", k = 10, cents, books,
-        nProbe = 8, refine = 4).count()
-    }
+    var brute: org.apache.spark.sql.DataFrame = null
     var bruteRows = 0L
     val tBrute = time {
-      bruteRows = graft.functions.Similarity.bruteForceTopK(
-        corpus, queries, "vec_id", "embedding", k = 10).count()
+      brute = graft.functions.Similarity.bruteForceTopK(
+        corpus, queries, "vec_id", "embedding", k = 10).localCheckpoint(true)
+      bruteRows = brute.count()
+    }
+    // the recall/cost dial, measured on the ANN worst case (i.i.d.
+    // uniform vectors — no cluster structure for IVF to exploit):
+    // recall@10 at two probe/refine budgets
+    val results = Seq((8, 4), (32, 20)).map { case (nProbe, refine) =>
+      var pq: org.apache.spark.sql.DataFrame = null
+      val t = time {
+        pq = graft.functions.Similarity.ivfPqTopK(
+          corpus, queries, "vec_id", "embedding", k = 10, cents, books,
+          nProbe = nProbe, refine = refine).localCheckpoint(true)
+        pq.count()
+      }
+      val hits = brute.select("query_id", "neighbor_id")
+        .join(pq.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_semi").count()
+      f"probe$nProbe/refine$refine: t=$t%.1f recall=${
+        hits.toDouble / math.max(1L, bruteRows)}%.3f"
     }
     println(f"PQSTRESS n=$n train=$tTrain%.1f encode=$tEncode%.1f " +
-      f"ivfpq=$tPq%.1f brute=$tBrute%.1f pqRows=$pqRows bruteRows=$bruteRows")
+      f"brute=$tBrute%.1f bruteRows=$bruteRows ${results.mkString(" | ")}")
     spark.stop()
   }
 }

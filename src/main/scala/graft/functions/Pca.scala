@@ -189,16 +189,20 @@ object Pca {
    * `whiten = true` scales each output axis by 1/√eigenvalue so the
    * projections have unit variance per axis (the standard preprocessing
    * before distance-based steps — k-means, SemDeDup — that would
-   * otherwise be dominated by the top component); axes with eigenvalue
-   * ≤ `whitenEps` are zeroed rather than amplified into noise. The
-   * scaling folds into the projection matrix — still one expression,
-   * no extra pass. */
+   * otherwise be dominated by the top component); axes whose eigenvalue
+   * is below `whitenEps` OF THE TOTAL VARIANCE are zeroed rather than
+   * amplified into noise. The threshold is relative, so a corpus stored
+   * at a uniformly tiny numeric scale whitens normally — only axes
+   * that are degenerate RELATIVE to the data zero out. The scaling
+   * folds into the projection matrix — still one expression, no extra
+   * pass. */
   def project(v: Column, model: PcaModel, whiten: Boolean = false,
       whitenEps: Double = 1e-9): Column = {
+    val floor = whitenEps * math.max(model.totalVariance, java.lang.Double.MIN_NORMAL)
     val mat =
       if (!whiten) model.components
       else model.components.zip(model.explainedVariance).map { case (row, ev) =>
-        if (ev <= whitenEps) row.map(_ => 0.0)
+        if (ev <= floor) row.map(_ => 0.0)
         else row.map(_ / math.sqrt(ev))
       }
     graft.functions.expressions.VectorExpressions
@@ -208,9 +212,10 @@ object Pca {
   /** Fit + transform in one call: (idCol, outCol k-dim projection).
    * Two corpus scans total — one for the moments, one for the map. */
   def fitTransform(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      outCol: String = "pca"): (DataFrame, PcaModel) = {
+      outCol: String = "pca", whiten: Boolean = false): (DataFrame, PcaModel) = {
     val model = fit(df, vecCol, k)
-    (df.select(col(idCol), project(col(vecCol), model).as(outCol)), model)
+    (df.select(col(idCol),
+      project(col(vecCol), model, whiten).as(outCol)), model)
   }
 
   /**

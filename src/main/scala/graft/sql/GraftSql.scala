@@ -379,16 +379,11 @@ object GraftSql {
             includeUnchanged = p.get("unchanged").exists(_.toBoolean))
         },
         "pca" -> ProcessorDef { (_, dfs, p) =>
-          val d = one(dfs, "pca")
-          val vecCol = p.getOrElse("col", "embedding")
-          val model = graft.functions.Pca.fit(d, vecCol,
-            p.getOrElse("k", "8").toInt)
-          d.select(
-            org.apache.spark.sql.functions.col(id(p)),
-            graft.functions.Pca.project(
-              org.apache.spark.sql.functions.col(vecCol), model,
-              whiten = p.get("whiten").exists(_.toBoolean))
-              .as(p.getOrElse("out", "pca")))
+          graft.functions.Pca.fitTransform(one(dfs, "pca"), id(p),
+            vecCol = p.getOrElse("col", "embedding"),
+            k = p.getOrElse("k", "8").toInt,
+            outCol = p.getOrElse("out", "pca"),
+            whiten = p.get("whiten").exists(_.toBoolean))._1
         },
         "select_by_budget" -> ProcessorDef { (_, dfs, p) =>
           graft.functions.Sampling.selectByBudget(one(dfs, "select_by_budget"),

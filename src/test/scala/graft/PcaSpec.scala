@@ -133,6 +133,22 @@ class PcaSpec extends SparkTestBase {
       assert(math.abs(v - 1.0) < 0.02, s"axis $j variance $v")
     }
     assert(mat.forall(_(2) === 0.0), "degenerate axis zeroed")
+    // the zero-axis threshold is RELATIVE: a corpus stored at a tiny
+    // numeric scale whitens normally instead of zeroing every axis
+    val tinyRows = (0 until 300).map { i =>
+      (i.toLong, Array((rnd.nextGaussian() * 1e-5).toFloat,
+        (rnd.nextGaussian() * 1e-6).toFloat))
+    }
+    val tiny = tinyRows.toDF("id", "vec")
+    val tm = Pca.fit(tiny, "vec", 2)
+    val tp = tiny.select(Pca.project(col("vec"), tm, whiten = true).as("p"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    (0 until 2).foreach { j =>
+      val xs = tp.map(_(j))
+      val m = xs.sum / xs.length
+      val v = xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1)
+      assert(math.abs(v - 1.0) < 0.05, s"tiny-scale axis $j variance $v")
+    }
   }
 
   test("fit: guards — empty corpus, k too large, null vectors skipped") {
