@@ -3168,16 +3168,20 @@ object SparkEntry {
         |  WHERE doc_id % 2 = 0),
         |a AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
         |  WHERE doc_id % 2 <> 0),
-        |p AS (SELECT min(v) AS mn, (max(v) - min(v)) / 10 AS w FROM b),
+        |p AS (SELECT min(v) AS mn,
+        |  CASE WHEN max(v) <= min(v) THEN CAST(1.0 AS DOUBLE)
+        |   ELSE (max(v) - min(v)) / 10 END AS w,
+        |  CASE WHEN max(v) <= min(v) THEN 1 ELSE 10 END AS nb FROM b),
         |bb AS (SELECT CAST(greatest(0, least(CAST(floor((v - p.mn) / p.w)
-        |    AS BIGINT), 9)) AS INTEGER) AS bucket,
+        |    AS BIGINT), CAST(p.nb - 1 AS BIGINT))) AS INTEGER) AS bucket,
         |   CAST(count(*) AS BIGINT) AS n
         |  FROM b, p GROUP BY 1),
         |ab AS (SELECT CAST(greatest(0, least(CAST(floor((v - p.mn) / p.w)
-        |    AS BIGINT), 9)) AS INTEGER) AS bucket,
+        |    AS BIGINT), CAST(p.nb - 1 AS BIGINT))) AS INTEGER) AS bucket,
         |   CAST(count(*) AS BIGINT) AS n
         |  FROM a, p GROUP BY 1),
-        |f AS (SELECT CAST(range AS INTEGER) AS bucket FROM range(10)),
+        |f AS (SELECT CAST(range AS INTEGER) AS bucket FROM range(10)
+        |  WHERE range < (SELECT nb FROM p)),
         |base AS (SELECT f.bucket, p.mn + f.bucket * p.w AS lo,
         |   p.mn + (f.bucket + 1) * p.w AS hi,
         |   COALESCE(bb.n, 0) AS n_before, COALESCE(ab.n, 0) AS n_after

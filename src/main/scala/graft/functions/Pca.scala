@@ -65,15 +65,36 @@ object Pca {
     require(acc.length == 1 + dim + dim * (dim + 1) / 2,
       s"accumulator length ${acc.length} does not match dim $dim")
     def n: Long = acc(0).toLong
+    /** Merge is associative across shards of DIFFERENT dimension too:
+     * the smaller side zero-pads to the larger (exactly how a short
+     * vector behaves within one shard), so per-day partials stay
+     * mergeable when a new ingest widens the embedding. */
     def merge(other: PcaMoments): PcaMoments = {
-      require(other.dim == dim,
-        s"cannot merge moments of dim ${other.dim} into dim $dim")
-      val out = acc.clone()
+      val (big, small) =
+        if (dim >= other.dim) (this, other) else (other, this)
+      val out = big.acc.clone()
+      out(0) += small.acc(0)
       var i = 0
-      while (i < out.length) { out(i) += other.acc(i); i += 1 }
-      PcaMoments(dim, out)
+      while (i < small.dim) { out(1 + i) += small.acc(1 + i); i += 1 }
+      var p = 1 + small.dim
+      i = 0
+      while (i < small.dim) {
+        var j = i
+        while (j < small.dim) {
+          out(Pca.triIndex(big.dim, i, j)) += small.acc(p)
+          p += 1
+          j += 1
+        }
+        i += 1
+      }
+      PcaMoments(big.dim, out)
     }
   }
+
+  /** Flat index of upper-triangular entry (i, j), i ≤ j, in the
+   * [[PcaMoments]] accumulator layout for dimension `d`. */
+  private[graft] def triIndex(d: Int, i: Int, j: Int): Int =
+    1 + d + i * (2 * d - i + 1) / 2 + (j - i)
 
   /**
    * Fit a k-component model. One distributed pass (treeAggregate of the
@@ -88,11 +109,14 @@ object Pca {
   /** The single corpus pass: mergeable moments of `vecCol` (see
    * [[PcaMoments]]). Persist `acc` per ingest batch and
    * [[PcaMoments.merge]] + [[fitFromMoments]] refresh the model
-   * incrementally. `dim` skips the max-dimension probe when the caller
-   * knows it (and MUST match across merged shards — a vector longer
-   * than `dim` raises rather than silently truncating). */
+   * incrementally. Without `dim`, the accumulator GROWS to the corpus
+   * maximum dimension inside the same pass (ragged vectors zero-pad) —
+   * no separate max-length probe scan. With `dim` declared, a longer
+   * vector raises rather than silently truncating. */
   def moments(df: DataFrame, vecCol: String,
       dim: Option[Int] = None): PcaMoments = {
+    dim.foreach(d => require(d >= 1,
+      s"embedding dimension must be >= 1, got $d"))
     val vc = col(vecCol).cast("array<double>")
     // null vectors and non-finite elements are excluded up front: a
     // single NaN would otherwise propagate through every moment sum
@@ -100,45 +124,43 @@ object Pca {
       .select(vc.as(vecCol))
       .filter(col(vecCol).isNotNull &&
         !exists(col(vecCol), x => x.isNaN || abs(x) === Double.PositiveInfinity))
-    // the dimension is a deterministic corpus property (max length), not
-    // whatever row a head(1) happens to surface under this partitioning
-    val d = dim.getOrElse {
-      val r = vecs.agg(max(size(col(vecCol)))).collect().head
-      require(!r.isNullAt(0), "cannot fit PCA on an empty corpus")
-      r.getInt(0)
-    }
-    require(d >= 1, s"embedding dimension must be >= 1, got $d")
-    // accumulator layout: [0]=n, [1..d]=sum, [d+1..]=upper-tri product sums
-    val tri = d * (d + 1) / 2
-    val zero = new Array[Double](1 + d + tri)
-    val acc = vecs.rdd.treeAggregate(zero)(
-      seqOp = (a, row) => {
+    val d0 = dim.getOrElse(0)
+    val zero = PcaMoments(d0, new Array[Double](1 + d0 + d0 * (d0 + 1) / 2))
+    val m = vecs.rdd.treeAggregate(zero)(
+      seqOp = (a0, row) => {
         val s = row.getSeq[Double](0)
-        if (s.length > d)
+        if (s.length > a0.dim && dim.isDefined)
           throw new IllegalArgumentException(
-            s"vector of dimension ${s.length} exceeds the declared dim $d")
-        val n = s.length
-        val v = new Array[Double](d)
+            s"vector of dimension ${s.length} exceeds the declared dim ${dim.get}")
+        // grow the accumulator in-pass (zero-width moments of the new
+        // tail merge exactly like a shorter shard)
+        val a =
+          if (s.length <= a0.dim) a0
+          else a0.merge(PcaMoments(s.length,
+            new Array[Double](1 + s.length + s.length * (s.length + 1) / 2)))
+        val buf = a.acc
+        val d = a.dim
+        buf(0) += 1.0
         var i = 0
-        while (i < n) { v(i) = s(i); i += 1 }
-        a(0) += 1.0
+        while (i < s.length) { buf(1 + i) += s(i); i += 1 }
         i = 0
-        while (i < d) { a(1 + i) += v(i); i += 1 }
-        var p = 1 + d
-        i = 0
-        while (i < d) {
+        while (i < s.length) {
+          val base = triIndex(d, i, i)
           var j = i
-          while (j < d) { a(p) += v(i) * v(j); p += 1; j += 1 }
+          while (j < s.length) { buf(base + (j - i)) += s(i) * s(j); j += 1 }
           i += 1
         }
         a
       },
-      combOp = (a, b) => {
-        var i = 0
-        while (i < a.length) { a(i) += b(i); i += 1 }
-        a
-      })
-    PcaMoments(d, acc)
+      combOp = (a, b) =>
+        if (a.dim == b.dim) {
+          val out = a.acc
+          var i = 0
+          while (i < out.length) { out(i) += b.acc(i); i += 1 }
+          PcaMoments(a.dim, out)
+        } else a.merge(b))
+    require(m.dim >= 1 && m.n > 0, "cannot fit PCA on an empty corpus")
+    m
   }
 
   /** Driver-side model from (possibly merged) moments: covariance +

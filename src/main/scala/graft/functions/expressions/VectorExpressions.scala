@@ -883,7 +883,12 @@ case class PqAdcScore(left: Expression, right: Expression,
  * k·d doubles shipped once per executor, never per row. Accepts
  * array<float> or array<double> input; emits array<double> of length k.
  * Vectors shorter than d are zero-padded (a truncated embedding projects
- * as if its missing tail were the mean).
+ * as if its missing tail were the mean); vectors LONGER than d raise
+ * (silently projecting a 128-dim vector through a 64-dim model would
+ * produce a plausible-looking wrong embedding — the fit path raises for
+ * the same case); vectors with null elements project to NULL (the fit
+ * path excludes them — treating the null slot as a raw 0.0 would skew
+ * the projection silently).
  */
 case class AffineProject(child: Expression,
     matrix: Array[Array[Double]], mean: Array[Double])
@@ -893,6 +898,8 @@ case class AffineProject(child: Expression,
     "every matrix row must match the mean's dimension")
   private val k = matrix.length
   private val d = mean.length
+
+  override def nullable: Boolean = true
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
@@ -913,12 +920,16 @@ case class AffineProject(child: Expression,
     case _ => false
   }
 
-  def compute(in: ArrayData): ArrayData = {
-    val n = math.min(in.numElements(), d)
+  def compute(in: ArrayData): Any = {
+    val n = in.numElements()
+    if (n > d)
+      throw new IllegalArgumentException(
+        s"vector of dimension $n exceeds the model dimension $d")
     // center once, not once per output row
     val c = new Array[Double](d)
     var i = 0
     while (i < n) {
+      if (in.isNullAt(i)) return null
       val x = if (elemIsFloat) in.getFloat(i).toDouble else in.getDouble(i)
       c(i) = x - mean(i)
       i += 1
@@ -941,7 +952,13 @@ case class AffineProject(child: Expression,
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("affineProject", this, classOf[AffineProject].getName)
-    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    val tmp = ctx.freshName("apres")
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |Object $tmp = $ref.compute($c);
+       |if ($tmp == null) { ${ev.isNull} = true; } else {
+       |  ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $tmp;
+       |}
+     """.stripMargin)
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -1034,13 +1051,20 @@ case class DequantizeInt8(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
+      // codes must be BYTES: an int-coded array would mis-read 1 byte of
+      // each 4-byte slot on unsafe storage — reject at analysis like
+      // AffineProject does for its input
       case s: StructType if s.length == 3 &&
         s(0).dataType == DoubleType && s(1).dataType == DoubleType &&
-        s(2).dataType.isInstanceOf[ArrayType] =>
+        (s(2).dataType match {
+          case ArrayType(ByteType, _) => true
+          case _ => false
+        }) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"dequantize_int8 requires struct(qmin, qscale, codes), got ${other.catalogString}")
+          s"dequantize_int8 requires struct(qmin: double, qscale: double, " +
+            s"codes: array<tinyint>), got ${other.catalogString}")
     }
 
   def compute(row: InternalRow): ArrayData = {

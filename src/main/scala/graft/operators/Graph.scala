@@ -44,9 +44,14 @@ object Graph {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
     val w = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
+    // checkpoint the endpoint projection ONCE and derive both the edge
+    // layout and the node universe from it: two independent evaluations
+    // of a re-evaluation-unstable input (a sample, a mutable source)
+    // could disagree on the edge/node sets and silently break Σrank = 1
     val endpoints = edges
       .select(col(srcCol).as("__src"), col(dstCol).as("__dst"), w.as("__w"))
       .filter(col("__src").isNotNull && col("__dst").isNotNull)
+      .localCheckpoint(true)
     // abs(w) < +Inf is false for NaN too (NaN-is-largest ordering), so
     // one predicate drops null, non-positive, AND non-finite weights
     val e = endpoints
@@ -57,6 +62,7 @@ object Graph {
       .union(endpoints.select(col("__dst").as("node")))
       .distinct()
       .localCheckpoint(true)
+    org.apache.spark.sql.graftshim.ColumnBridge.unpersistCheckpointed(endpoints)
     val n = nodes.count()
     require(n > 0, "edge list has no non-null endpoints")
     val outDeg = e.groupBy(col("__src").as("node"))
@@ -86,6 +92,10 @@ object Graph {
       // iterations × |nodes|
       org.apache.spark.sql.graftshim.ColumnBridge.unpersistCheckpointed(prev)
     }
+    // only the returned ranks survive: the edge layout (edge-list-sized!)
+    // and helper frames must not pin block-store memory after return
+    Seq(e, nodes, outDeg).foreach(
+      org.apache.spark.sql.graftshim.ColumnBridge.unpersistCheckpointed)
     ranks
   }
 

@@ -105,6 +105,20 @@ class ExpressionsCodegenSpec extends SparkTestBase {
     assert(!out.isNullAt(1) && out.getArray(1).numElements() === 0)
   }
 
+  test("AffineProject: null element -> NULL, over-length vector raises under codegen") {
+    val nref = BoundReference(1, ArrayType(DoubleType, containsNull = true),
+      nullable = true)
+    val proj = GenerateUnsafeProjection.generate(Seq(
+      AffineProject(nref, Array(Array(1.0, 0.0)), Array(0.0, 0.0))))
+    assert(proj(InternalRow(null,
+      new GenericArrayData(Array[Any](1.0, null)))).isNullAt(0))
+    assert(!proj(InternalRow(null,
+      new GenericArrayData(Array[Any](1.0, 2.0)))).isNullAt(0))
+    intercept[IllegalArgumentException] {
+      proj(InternalRow(null, new GenericArrayData(Array[Any](1.0, 2.0, 3.0))))
+    }
+  }
+
   test("non-finite vector yields SQL NULL quantization under codegen") {
     val proj = GenerateUnsafeProjection.generate(Seq(QuantizeInt8(vecRef)))
     assert(proj(InternalRow(null,

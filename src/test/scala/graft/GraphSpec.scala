@@ -88,9 +88,9 @@ class GraphSpec extends SparkTestBase {
     val before = spark.sparkContext.getPersistentRDDs.size
     Graph.pageRank(e, "src", "dst", iterations = 15).count()
     val after = spark.sparkContext.getPersistentRDDs.size
-    // edges + nodes + outDeg + final ranks may remain; the 14 retired
-    // rank tables must NOT (regression: one cached RDD per iteration)
-    assert(after - before <= 4, s"leaked ${after - before} cached RDDs")
+    // ONLY the returned ranks frame may remain: retired per-iteration
+    // rank tables AND the edge-list-sized helper frames must be freed
+    assert(after - before <= 1, s"leaked ${after - before} cached RDDs")
   }
 
   test("pageRank: parallel edges double the contribution; guards") {

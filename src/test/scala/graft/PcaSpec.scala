@@ -107,11 +107,17 @@ class PcaSpec extends SparkTestBase {
       assert(math.abs(math.abs(dot(ci, cw)) - 1.0) < 1e-6,
         "same principal axes from merged partials")
     }
-    intercept[IllegalArgumentException] {
-      m1.merge(Pca.moments(
-        Seq((1L, Array(1.0f, 2.0f)), (2L, Array(2.0f, 3.0f))).toDF("id", "vec"),
-        "vec"))
-    }
+    // cross-dimension merge pads the narrower shard (a widened embedding
+    // ingest stays mergeable with stored partials)
+    val narrow = Pca.moments(
+      Seq((1L, Array(1.0f, 2.0f)), (2L, Array(2.0f, 4.0f))).toDF("id", "vec"),
+      "vec")
+    val wide = narrow.merge(m1)
+    assert(wide.dim === 5 && wide.n === narrow.n + m1.n)
+    // the padded tail contributes nothing: dim-0 sums add, dim-4 sums
+    // are m1's alone
+    assert(math.abs(wide.acc(1) - (narrow.acc(1) + m1.acc(1))) < 1e-9)
+    assert(math.abs(wide.acc(5) - m1.acc(5)) < 1e-12)
   }
 
   test("project(whiten): unit variance per axis; tiny eigenvalues zeroed") {

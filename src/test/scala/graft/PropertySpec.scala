@@ -579,6 +579,47 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("quantizeInt8 laws: error bound, code range, stable re-quantization (3 seeds)") {
+    import graft.functions.Similarity
+    for (seed <- Seq(6L, 37L, 88L)) {
+      val rnd = new Random(seed)
+      val rows = (1 to 150).map { i =>
+        // mixed magnitudes and signs, incl. constant and near-constant
+        val scale = math.pow(10, rnd.nextInt(7) - 3)
+        (i.toLong, Array.fill(1 + rnd.nextInt(16))(
+          (rnd.nextGaussian() * scale)))
+      }
+      val d = df(rows.map(r => Seq(r._1, r._2.toSeq)), "id:long,v:[double]")
+      val out = d.select(col("id"),
+        col("v"),
+        Similarity.quantizeInt8(col("v")).as("q"),
+        Similarity.dequantizeInt8(Similarity.quantizeInt8(col("v"))).as("deq"))
+        .withColumn("q2", Similarity.quantizeInt8(col("deq")))
+        .collect()
+      out.foreach { r =>
+        val v = r.getSeq[Double](1)
+        val q = r.getStruct(2)
+        val deq = r.getSeq[Double](3)
+        val q2 = r.getStruct(4)
+        val s = q.getDouble(1)
+        // per-coordinate reconstruction error <= scale/2 (+ FP slack)
+        v.zip(deq).foreach { case (a, b) =>
+          assert(math.abs(a - b) <= s / 2 * (1 + 1e-9) + 1e-300,
+            s"seed $seed id ${r.getLong(0)}")
+        }
+        // codes span the declared byte range and hit both endpoints
+        val codes = q.getSeq[Byte](2)
+        assert(codes.min === -128.toByte)
+        if (s > 0) assert(codes.max === 127.toByte)
+        // re-quantizing the reconstruction is stable: codes differ by <= 1
+        // (the affine map reproduces its own grid up to FP rounding)
+        codes.zip(q2.getSeq[Byte](2)).foreach { case (a, b) =>
+          assert(math.abs(a - b) <= 1, s"seed $seed code $a vs $b")
+        }
+      }
+    }
+  }
+
   test("PCA captures a planted low-rank subspace; overlapEstimate tracks exact jaccard (3 seeds)") {
     import graft.functions.{Pca, Sketches}
     for (seed <- Seq(5L, 23L, 91L)) {
