@@ -515,6 +515,16 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 =!= 0), "n_chars", bins = 10)
     }),
 
+    // categorical drift, FULL oracle: per-category PSI over the union of
+    // both snapshots' category sets, nulls a real category — proportions
+    // eps-floored, psi at the declared 9-decimal precision
+    "q102_cat_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.functions.Stats.categoricalDrift(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 =!= 0), "lang")
+    }),
+
     // link-graph centrality differential: distributed PageRank over a
     // deterministic synthetic domain graph vs a dense driver-side power
     // iteration with identical semantics (multigraph contributions,
@@ -3199,6 +3209,25 @@ object SparkEntry {
         |FROM base CROSS JOIN t""".stripMargin,
     "q101_pagerank" ->
       "SELECT CAST(53 AS BIGINT) AS n_nodes, CAST(1 AS BIGINT) AS pr_ok",
+    "q102_cat_drift" ->
+      """WITH b AS (SELECT COALESCE(CAST(lang AS VARCHAR), '<null>') AS cat
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |a AS (SELECT COALESCE(CAST(lang AS VARCHAR), '<null>') AS cat
+        |  FROM documents WHERE doc_id % 2 <> 0),
+        |bc AS (SELECT cat, CAST(count(*) AS BIGINT) AS nb FROM b GROUP BY 1),
+        |ac AS (SELECT cat, CAST(count(*) AS BIGINT) AS na FROM a GROUP BY 1),
+        |cats AS (SELECT cat FROM bc UNION SELECT cat FROM ac),
+        |t AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM b) AS tb,
+        |  (SELECT CAST(count(*) AS DOUBLE) FROM a) AS ta)
+        |SELECT cats.cat AS category,
+        | CAST(COALESCE(bc.nb, 0) AS BIGINT) AS n_before,
+        | CAST(COALESCE(ac.na, 0) AS BIGINT) AS n_after,
+        | round((greatest(COALESCE(ac.na, 0) / ta, 1e-6)
+        |    - greatest(COALESCE(bc.nb, 0) / tb, 1e-6))
+        |  * ln(greatest(COALESCE(ac.na, 0) / ta, 1e-6)
+        |    / greatest(COALESCE(bc.nb, 0) / tb, 1e-6)), 9) AS psi
+        |FROM cats LEFT JOIN bc USING (cat) LEFT JOIN ac USING (cat)
+        |CROSS JOIN t""".stripMargin,
     "q99_corpus_overlap" ->
       """WITH a AS (SELECT DISTINCT text FROM documents WHERE doc_id % 3 <> 0),
         |b AS (SELECT DISTINCT text FROM documents WHERE doc_id % 2 <> 0)

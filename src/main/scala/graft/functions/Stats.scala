@@ -181,6 +181,45 @@ object Stats {
     rows.toDF("bucket", "lo", "hi", "n_before", "n_after", "psi")
   }
 
+  /**
+   * Categorical population-stability index — the discrete sibling of
+   * [[populationStability]] for the language/source/domain mix: one row
+   * per category in EITHER snapshot (the union — a category that
+   * appears or vanishes is exactly the drift signal), proportions
+   * eps-floored, psi at the declared 9-decimal precision. NULL
+   * categories count as a real category (rendered as the literal
+   * `<null>`): a rising null rate IS drift.
+   *
+   * Scale shape: one hash aggregation per side (category-cardinality
+   * sized results collected to the driver — domains/languages, not
+   * rows); the report is driver-built like the numeric variant.
+   */
+  def categoricalDrift(
+      before: DataFrame, after: DataFrame, c: String,
+      eps: Double = 1e-6): DataFrame = {
+    require(eps > 0, "eps must be positive")
+    val spark = before.sparkSession
+    import spark.implicits._
+    def side(df: DataFrame): Map[String, Long] =
+      df.groupBy(coalesce(col(c).cast("string"), lit("<null>")).as("cat"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nBefore = side(before)
+    val nAfter = side(after)
+    val totB = math.max(1L, nBefore.values.sum).toDouble
+    val totA = math.max(1L, nAfter.values.sum).toDouble
+    val rows = (nBefore.keySet ++ nAfter.keySet).toSeq.sorted.map { cat =>
+      val cb = nBefore.getOrElse(cat, 0L)
+      val ca = nAfter.getOrElse(cat, 0L)
+      val pb = math.max(cb / totB, eps)
+      val pa = math.max(ca / totA, eps)
+      val psi = BigDecimal((pa - pb) * math.log(pa / pb))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (cat, cb, ca, psi)
+    }
+    rows.toDF("category", "n_before", "n_after", "psi")
+  }
+
   private def bucketCounts(df: DataFrame, c: String, mn: Double, w: Double,
       nb: Int): Map[Int, Long] = {
     val v = col(c).cast("double")

@@ -151,7 +151,9 @@ object GraftSql {
    * `PROCESS a, b USING overlap_estimate(col:text[, lgk:12])`
    * (HLL inclusion–exclusion corpus-overlap diagnostic),
    * `PROCESS before, after USING psi_drift(col:v[, bins:10, eps:1e-6])`
-   * (population-stability drift gate between snapshots) and
+   * (population-stability drift gate between snapshots),
+   * `PROCESS before, after USING cat_drift(col:lang[, eps:1e-6])`
+   * (its categorical sibling for the language/source mix) and
    * `page_rank(src:src, dst:dst[, iters:10, damping:0.85, w:weight])`
    * (link-graph centrality for domain-quality ranking; optional
    * edge-weight column) and
@@ -407,6 +409,12 @@ object GraftSql {
           graft.functions.Stats.populationStability(dfs.head, dfs(1),
             c = p.getOrElse("col", "value"),
             bins = p.get("bins").map(_.toInt).getOrElse(10),
+            eps = p.get("eps").map(_.toDouble).getOrElse(1e-6))
+        },
+        "cat_drift" -> ProcessorDef { (_, dfs, p) =>
+          require(dfs.size == 2, "cat_drift takes (before, after)")
+          graft.functions.Stats.categoricalDrift(dfs.head, dfs(1),
+            c = p.getOrElse("col", "lang"),
             eps = p.get("eps").map(_.toDouble).getOrElse(1e-6))
         },
         "page_rank" -> ProcessorDef { (_, dfs, p) =>

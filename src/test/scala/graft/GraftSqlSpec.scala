@@ -810,6 +810,13 @@ class GraftSqlSpec extends SparkTestBase {
       .yields("d").collect()
     assert(psi.length === 5)
     assert(psi.map(_.getDouble(5)).sum > 0.25, "half-range shift flags")
+    val langsB = df(Seq(Seq("en"), Seq("en"), Seq("fr")), "lang:str")
+    val langsA = df(Seq(Seq("en"), Seq("ja"), Seq("ja")), "lang:str")
+    val cd = GraftSql.run(engine,
+      """c = PROCESS lb, la USING cat_drift(col:lang)
+        |YIELD c AS c
+        |""".stripMargin, Map("lb" -> langsB, "la" -> langsA)).yields("c")
+    assert(cd.collect().map(_.getString(0)).sorted.toSeq === Seq("en", "fr", "ja"))
 
     val edges = df(Seq(Seq(1L, 2L), Seq(2L, 1L), Seq(3L, 1L)), "s:long,d:long")
     val pr = GraftSql.run(engine,

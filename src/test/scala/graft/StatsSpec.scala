@@ -92,6 +92,27 @@ class StatsSpec extends SparkTestBase {
     assert(clamped.map(_.getLong(4)).sum === 2L)
   }
 
+  test("categoricalDrift: identical mixes zero, appearing/vanishing categories flag") {
+    val before = (Seq.fill(60)("en") ++ Seq.fill(30)("fr") ++ Seq.fill(10)("de"))
+      .toDF("lang")
+    val same = Stats.categoricalDrift(before, before, "lang").collect()
+    assert(same.length === 3)
+    assert(same.forall(r => math.abs(r.getDouble(3)) < 1e-12))
+    // "de" vanishes, "ja" appears: both contribute positive PSI; union
+    // of categories is reported
+    val after = (Seq.fill(50)("en") ++ Seq.fill(30)("fr") ++ Seq.fill(20)("ja"))
+      .toDF("lang")
+    val drift = Stats.categoricalDrift(before, after, "lang").collect()
+    assert(drift.map(_.getString(0)).sorted.toSeq === Seq("de", "en", "fr", "ja"))
+    val byCat = drift.map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(byCat("de") > 0 && byCat("ja") > 0)
+    assert(drift.map(_.getDouble(3)).sum > 0.25, "category churn flags")
+    // null is a REAL category: a rising null rate is drift
+    val withNull = Seq("en", "en", null).toDF("lang")
+    val n = Stats.categoricalDrift(before, withNull, "lang").collect()
+    assert(n.exists(r => r.getString(0) === "<null>" && r.getLong(2) === 1L))
+  }
+
   test("populationStability: degenerate domain, NaN exclusion, guards") {
     val const = Seq(5.0, 5.0, 5.0).toDF("v")
     val deg = Stats.populationStability(const, const, "v", 8).collect()
