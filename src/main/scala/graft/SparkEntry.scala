@@ -3210,9 +3210,9 @@ object SparkEntry {
     "q101_pagerank" ->
       "SELECT CAST(53 AS BIGINT) AS n_nodes, CAST(1 AS BIGINT) AS pr_ok",
     "q102_cat_drift" ->
-      """WITH b AS (SELECT COALESCE(CAST(lang AS VARCHAR), '<null>') AS cat
+      """WITH b AS (SELECT CAST(lang AS VARCHAR) AS cat
         |  FROM documents WHERE doc_id % 2 = 0),
-        |a AS (SELECT COALESCE(CAST(lang AS VARCHAR), '<null>') AS cat
+        |a AS (SELECT CAST(lang AS VARCHAR) AS cat
         |  FROM documents WHERE doc_id % 2 <> 0),
         |bc AS (SELECT cat, CAST(count(*) AS BIGINT) AS nb FROM b GROUP BY 1),
         |ac AS (SELECT cat, CAST(count(*) AS BIGINT) AS na FROM a GROUP BY 1),
@@ -3226,7 +3226,9 @@ object SparkEntry {
         |    - greatest(COALESCE(bc.nb, 0) / tb, 1e-6))
         |  * ln(greatest(COALESCE(ac.na, 0) / ta, 1e-6)
         |    / greatest(COALESCE(bc.nb, 0) / tb, 1e-6)), 9) AS psi
-        |FROM cats LEFT JOIN bc USING (cat) LEFT JOIN ac USING (cat)
+        |FROM cats
+        |LEFT JOIN bc ON cats.cat IS NOT DISTINCT FROM bc.cat
+        |LEFT JOIN ac ON cats.cat IS NOT DISTINCT FROM ac.cat
         |CROSS JOIN t""".stripMargin,
     "q99_corpus_overlap" ->
       """WITH a AS (SELECT DISTINCT text FROM documents WHERE doc_id % 3 <> 0),

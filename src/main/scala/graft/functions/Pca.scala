@@ -140,14 +140,21 @@ object Pca {
             new Array[Double](1 + s.length + s.length * (s.length + 1) / 2)))
         val buf = a.acc
         val d = a.dim
-        buf(0) += 1.0
+        // hoist into a primitive array: the O(d²) product loop must not
+        // pay boxed Seq apply per access (this is the corpus-scan hot path)
+        val n = s.length
+        val v = new Array[Double](n)
         var i = 0
-        while (i < s.length) { buf(1 + i) += s(i); i += 1 }
+        while (i < n) { v(i) = s(i); i += 1 }
+        buf(0) += 1.0
         i = 0
-        while (i < s.length) {
+        while (i < n) { buf(1 + i) += v(i); i += 1 }
+        i = 0
+        while (i < n) {
           val base = triIndex(d, i, i)
+          val vi = v(i)
           var j = i
-          while (j < s.length) { buf(base + (j - i)) += s(i) * s(j); j += 1 }
+          while (j < n) { buf(base + (j - i)) += vi * v(j); j += 1 }
           i += 1
         }
         a
@@ -159,7 +166,12 @@ object Pca {
           while (i < out.length) { out(i) += b.acc(i); i += 1 }
           PcaMoments(a.dim, out)
         } else a.merge(b))
-    require(m.dim >= 1 && m.n > 0, "cannot fit PCA on an empty corpus")
+    // with a DECLARED dim an empty batch is a valid ZERO partial (the
+    // per-ingest-batch incremental workflow must tolerate an empty day —
+    // it merges as the identity); only the inferred-dim path, which has
+    // no dimension to report, must reject emptiness
+    require(dim.isDefined || (m.dim >= 1 && m.n > 0),
+      "cannot fit PCA on an empty corpus")
     m
   }
 

@@ -172,13 +172,21 @@ object Stats {
     val rows = (0 until ref.bins).map { b =>
       val cb = ref.counts.getOrElse(b, 0L)
       val ca = nAfter.getOrElse(b, 0L)
-      val pb = math.max(cb / totB, eps)
-      val pa = math.max(ca / totA, eps)
-      val psi = BigDecimal((pa - pb) * math.log(pa / pb))
-        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
-      (b, ref.mn + b * ref.w, ref.mn + (b + 1) * ref.w, cb, ca, psi)
+      (b, ref.mn + b * ref.w, ref.mn + (b + 1) * ref.w, cb, ca,
+        psiTerm(cb, ca, totB, totA, eps))
     }
     rows.toDF("bucket", "lo", "hi", "n_before", "n_after", "psi")
+  }
+
+  /** One bucket's/category's PSI contribution at the DECLARED 9-decimal
+   * cross-engine precision — the single definition both the numeric and
+   * categorical gates (and their DuckDB oracles) are pinned to. */
+  private def psiTerm(cb: Long, ca: Long, totB: Double, totA: Double,
+      eps: Double): Double = {
+    val pb = math.max(cb / totB, eps)
+    val pa = math.max(ca / totA, eps)
+    BigDecimal((pa - pb) * math.log(pa / pb))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
   }
 
   /**
@@ -187,8 +195,9 @@ object Stats {
    * per category in EITHER snapshot (the union — a category that
    * appears or vanishes is exactly the drift signal), proportions
    * eps-floored, psi at the declared 9-decimal precision. NULL
-   * categories count as a real category (rendered as the literal
-   * `<null>`): a rising null rate IS drift.
+   * categories count as a real category and are reported as a genuine
+   * NULL `category` (not a string sentinel, which a corpus could
+   * collide with): a rising null rate IS drift.
    *
    * Scale shape: one hash aggregation per side (category-cardinality
    * sized results collected to the driver — domains/languages, not
@@ -200,22 +209,19 @@ object Stats {
     require(eps > 0, "eps must be positive")
     val spark = before.sparkSession
     import spark.implicits._
-    def side(df: DataFrame): Map[String, Long] =
-      df.groupBy(coalesce(col(c).cast("string"), lit("<null>")).as("cat"))
+    def side(df: DataFrame): Map[Option[String], Long] =
+      df.groupBy(col(c).cast("string").as("cat"))
         .agg(count(lit(1)).as("n"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
     val nBefore = side(before)
     val nAfter = side(after)
     val totB = math.max(1L, nBefore.values.sum).toDouble
     val totA = math.max(1L, nAfter.values.sum).toDouble
-    val rows = (nBefore.keySet ++ nAfter.keySet).toSeq.sorted.map { cat =>
+    val rows = (nBefore.keySet ++ nAfter.keySet).toSeq
+      .sortBy(_.getOrElse("")).map { cat =>
       val cb = nBefore.getOrElse(cat, 0L)
       val ca = nAfter.getOrElse(cat, 0L)
-      val pb = math.max(cb / totB, eps)
-      val pa = math.max(ca / totA, eps)
-      val psi = BigDecimal((pa - pb) * math.log(pa / pb))
-        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
-      (cat, cb, ca, psi)
+      (cat.orNull, cb, ca, psiTerm(cb, ca, totB, totA, eps))
     }
     rows.toDF("category", "n_before", "n_after", "psi")
   }

@@ -1044,9 +1044,12 @@ case class QuantizeInt8(child: Expression) extends UnaryExpression {
 
 /** Inverse of [[QuantizeInt8]]: struct(qmin, qscale, codes) →
  * array<double>, x̂_i = qmin + (code_i + 128)·qscale. One pass, no
- * per-element field re-evaluation. */
+ * per-element field re-evaluation. A NULL code element makes the whole
+ * reconstruction NULL (a silent 0-byte read would fabricate a
+ * plausible value — same policy as [[AffineProject]]). */
 case class DequantizeInt8(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -1067,7 +1070,7 @@ case class DequantizeInt8(child: Expression) extends UnaryExpression {
             s"codes: array<tinyint>), got ${other.catalogString}")
     }
 
-  def compute(row: InternalRow): ArrayData = {
+  def compute(row: InternalRow): Any = {
     val mn = row.getDouble(0)
     val scale = row.getDouble(1)
     val codes = row.getArray(2)
@@ -1075,6 +1078,7 @@ case class DequantizeInt8(child: Expression) extends UnaryExpression {
     val out = new Array[Double](n)
     var i = 0
     while (i < n) {
+      if (codes.isNullAt(i)) return null
       out(i) = mn + (codes.getByte(i).toDouble + 128.0) * scale
       i += 1
     }
@@ -1085,7 +1089,13 @@ case class DequantizeInt8(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("dequantizeInt8", this, classOf[DequantizeInt8].getName)
-    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    val tmp = ctx.freshName("dqres")
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |Object $tmp = $ref.compute($c);
+       |if ($tmp == null) { ${ev.isNull} = true; } else {
+       |  ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $tmp;
+       |}
+     """.stripMargin)
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

@@ -44,59 +44,73 @@ object Graph {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
     val w = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
-    // checkpoint the endpoint projection ONCE and derive both the edge
-    // layout and the node universe from it: two independent evaluations
-    // of a re-evaluation-unstable input (a sample, a mutable source)
-    // could disagree on the edge/node sets and silently break Σrank = 1
-    val endpoints = edges
-      .select(col(srcCol).as("__src"), col(dstCol).as("__dst"), w.as("__w"))
-      .filter(col("__src").isNotNull && col("__dst").isNotNull)
-      .localCheckpoint(true)
-    // abs(w) < +Inf is false for NaN too (NaN-is-largest ordering), so
-    // one predicate drops null, non-positive, AND non-finite weights
-    val e = endpoints
-      .filter(abs(col("__w")) < Double.PositiveInfinity && col("__w") > 0)
-      .repartition(col("__src"))
-      .localCheckpoint(true)
-    val nodes = endpoints.select(col("__src").as("node"))
-      .union(endpoints.select(col("__dst").as("node")))
-      .distinct()
-      .localCheckpoint(true)
-    org.apache.spark.sql.graftshim.ColumnBridge.unpersistCheckpointed(endpoints)
-    val n = nodes.count()
-    require(n > 0, "edge list has no non-null endpoints")
-    val outDeg = e.groupBy(col("__src").as("node"))
-      .agg(sum(col("__w")).as("__deg"))
-      .localCheckpoint(true)
-    var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
-    for (_ <- 1 to iterations) {
-      // mass parked on dangling nodes (no out-edges) — ONE scalar
-      val dangling = ranks.join(outDeg, Seq("node"), "left_anti")
-        .agg(sum(col("rank"))).collect()(0) match {
-        case r if r.isNullAt(0) => 0.0
-        case r => r.getDouble(0)
-      }
-      val contribs = ranks.join(outDeg, "node")
-        .join(e, col("node") === col("__src"))
-        .groupBy(col("__dst").as("node"))
-        .agg(sum(col("__w") * col("rank") / col("__deg")).as("__in"))
-      val base = (1.0 - damping) / n + damping * dangling / n
-      val prev = ranks
-      ranks = nodes.join(contribs, Seq("node"), "left")
-        .select(col("node"),
-          (lit(base) + lit(damping) * coalesce(col("__in"), lit(0.0)))
-            .as("rank"))
+    // every helper checkpoint is tracked and freed in finally: ONLY the
+    // returned ranks may survive — on an error path too (localCheckpoint
+    // blocks are not lineage-recoverable; leaking the edge-list-sized
+    // layout until ContextCleaner gets around to it defeats the point)
+    val unpersist = org.apache.spark.sql.graftshim.ColumnBridge.unpersistCheckpointed _
+    val helpers = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var ranks: DataFrame = null
+    var done = false
+    try {
+      // checkpoint the endpoint projection ONCE and derive both the edge
+      // layout and the node universe from it: two independent evaluations
+      // of a re-evaluation-unstable input (a sample, a mutable source)
+      // could disagree on the edge/node sets and silently break Σrank = 1
+      val endpoints = edges
+        .select(col(srcCol).as("__src"), col(dstCol).as("__dst"), w.as("__w"))
+        .filter(col("__src").isNotNull && col("__dst").isNotNull)
         .localCheckpoint(true)
-      // the previous iteration's checkpoint blocks are dead the moment
-      // the new one materializes — without this, storage grows by
-      // iterations × |nodes|
-      org.apache.spark.sql.graftshim.ColumnBridge.unpersistCheckpointed(prev)
+      helpers += endpoints
+      // abs(w) < +Inf is false for NaN too (NaN-is-largest ordering), so
+      // one predicate drops null, non-positive, AND non-finite weights
+      val e = endpoints
+        .filter(abs(col("__w")) < Double.PositiveInfinity && col("__w") > 0)
+        .repartition(col("__src"))
+        .localCheckpoint(true)
+      helpers += e
+      val nodes = endpoints.select(col("__src").as("node"))
+        .union(endpoints.select(col("__dst").as("node")))
+        .distinct()
+        .localCheckpoint(true)
+      helpers += nodes
+      unpersist(endpoints)
+      val n = nodes.count()
+      require(n > 0, "edge list has no non-null endpoints")
+      val outDeg = e.groupBy(col("__src").as("node"))
+        .agg(sum(col("__w")).as("__deg"))
+        .localCheckpoint(true)
+      helpers += outDeg
+      ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
+      for (_ <- 1 to iterations) {
+        // mass parked on dangling nodes (no out-edges) — ONE scalar
+        val dangling = ranks.join(outDeg, Seq("node"), "left_anti")
+          .agg(sum(col("rank"))).collect()(0) match {
+          case r if r.isNullAt(0) => 0.0
+          case r => r.getDouble(0)
+        }
+        val contribs = ranks.join(outDeg, "node")
+          .join(e, col("node") === col("__src"))
+          .groupBy(col("__dst").as("node"))
+          .agg(sum(col("__w") * col("rank") / col("__deg")).as("__in"))
+        val base = (1.0 - damping) / n + damping * dangling / n
+        val prev = ranks
+        ranks = nodes.join(contribs, Seq("node"), "left")
+          .select(col("node"),
+            (lit(base) + lit(damping) * coalesce(col("__in"), lit(0.0)))
+              .as("rank"))
+          .localCheckpoint(true)
+        // the previous iteration's checkpoint blocks are dead the moment
+        // the new one materializes — without this, storage grows by
+        // iterations × |nodes|
+        unpersist(prev)
+      }
+      done = true
+      ranks
+    } finally {
+      helpers.foreach(unpersist)
+      if (!done && ranks != null) unpersist(ranks)
     }
-    // only the returned ranks survive: the edge layout (edge-list-sized!)
-    // and helper frames must not pin block-store memory after return
-    Seq(e, nodes, outDeg).foreach(
-      org.apache.spark.sql.graftshim.ColumnBridge.unpersistCheckpointed)
-    ranks
   }
 
   /**

@@ -1911,6 +1911,15 @@ class FunctionsSpec extends SparkTestBase {
     val qs = bad.select(col("id"), Similarity.quantizeInt8(col("v")).as("q"))
       .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
     assert(qs(1L) && qs(2L) && !qs(3L))
+    // a NULL code element dequantizes the whole vector to NULL (a silent
+    // 0-byte read would fabricate a plausible value)
+    val nullCode = spark.sql(
+      """SELECT named_struct('qmin', CAST(0.0 AS DOUBLE),
+        | 'qscale', CAST(1.0 AS DOUBLE),
+        | 'codes', array(CAST(1 AS TINYINT), CAST(null AS TINYINT))) AS q
+        |""".stripMargin)
+    assert(nullCode.select(Similarity.dequantizeInt8(col("q")).as("d"))
+      .collect()(0).isNullAt(0))
   }
 
   test("fixMojibake repairs Latin-1 and cp1252 double-encoding, leaves clean text alone") {

@@ -107,6 +107,15 @@ class PcaSpec extends SparkTestBase {
       assert(math.abs(math.abs(dot(ci, cw)) - 1.0) < 1e-6,
         "same principal axes from merged partials")
     }
+    // an EMPTY batch with a declared dim is a valid zero partial that
+    // merges as the identity (the per-ingest-day incremental workflow
+    // must tolerate an empty day)
+    val emptyBatch = Pca.moments(
+      Seq.empty[(Long, Array[Float])].toDF("id", "vec"), "vec", dim = Some(5))
+    assert(emptyBatch.n === 0L && emptyBatch.dim === 5)
+    val same = m1.merge(emptyBatch)
+    assert(same.n === m1.n)
+    same.acc.zip(m1.acc).foreach { case (a, b) => assert(a === b) }
     // cross-dimension merge pads the narrower shard (a widened embedding
     // ingest stays mergeable with stored partials)
     val narrow = Pca.moments(

@@ -107,10 +107,18 @@ class StatsSpec extends SparkTestBase {
     val byCat = drift.map(r => r.getString(0) -> r.getDouble(3)).toMap
     assert(byCat("de") > 0 && byCat("ja") > 0)
     assert(drift.map(_.getDouble(3)).sum > 0.25, "category churn flags")
-    // null is a REAL category: a rising null rate is drift
+    // null is a REAL category, reported as a genuine NULL (a string
+    // sentinel could collide with a real category value)
     val withNull = Seq("en", "en", null).toDF("lang")
     val n = Stats.categoricalDrift(before, withNull, "lang").collect()
-    assert(n.exists(r => r.getString(0) === "<null>" && r.getLong(2) === 1L))
+    assert(n.exists(r => r.isNullAt(0) && r.getLong(2) === 1L))
+    // a corpus whose column literally contains the string "<null>" stays
+    // a distinct category from true nulls
+    val tricky = Seq("<null>", null).toDF("lang")
+    val tn = Stats.categoricalDrift(tricky, tricky, "lang").collect()
+    assert(tn.length === 2)
+    assert(tn.count(_.isNullAt(0)) === 1)
+    assert(tn.exists(r => !r.isNullAt(0) && r.getString(0) === "<null>"))
   }
 
   test("populationStability: degenerate domain, NaN exclusion, guards") {
