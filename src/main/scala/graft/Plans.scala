@@ -26,7 +26,8 @@ object Plans {
       "t20_pack_sequences" -> "Distributed prefix sum: the id range-partitioning materializes inside the eager localCheckpoint; the downstream plan's cumulative window partitions by __pid and the final exchange hashes on example id - grep: no SinglePartition exchange and no Window with an empty partition spec anywhere, so the global-offset step never funnels the corpus into one partition.",
       "q89_quality_checks" -> "All 11 constraints compile into ONE aggregation over the scan (grep: a single HashAggregate pair per distinct-aggregate group; the two exact count_distinct constraints add the documented Expand branch). The report rows are generated in-plan from the agg row - no driver collect anywhere.",
       "q92_snapshot_diff" -> "hashOnly mode: both sides project to (key, xxhash64) BEFORE the full-outer SortMergeJoin - grep the exchanges: the only payload column moving is an 8-byte long, never o_totalprice or wider rows.",
-      "q90_outliers" -> "Group stats via one partial-aggregated groupBy joined back on the key (AQE broadcasts the 3-row stats side); grep: no Window operator anywhere - the gate never sorts within groups.")
+      "q90_outliers" -> "Group stats via one partial-aggregated groupBy joined back on the key (AQE broadcasts the 3-row stats side); grep: no Window operator anywhere - the gate never sorts within groups.",
+      "t35_bm25" -> "Posting frame aggregated once with map-side partials; the bounded query side broadcasts into the posting join (grep: BroadcastHashJoin on __tok with qt as the build side); per-query top-k runs behind WindowGroupLimit so k rows per query cross the last exchange, never the full score list.")
     // partitioned-write → partition-pruning demo
     val pdir = "/root/repo/target/plans_partitioned"
     spark.read.parquet(s"$dir/part.parquet").write.mode("overwrite")
@@ -36,7 +37,7 @@ object Plans {
     val sb = new StringBuilder
     sb ++= "# PLANS - physical-plan evidence for scale-critical queries\n\n"
     sb ++= "Generated by `sbt \"runMain graft.Plans\"` at sf0.01 with AQE on.\n"
-    for (q <- Seq("q02_filter", "q01_agg", "q06_join_inner", "q20_take_per_key", "d01_dedup_exact", "s01_knn_brute", "s02_knn_lsh", "d05_dedup_embed", "t12_lm_score", "q62_bloom_semi", "d12_fuzzy_join", "q64_range_join", "d13_segment_dedup", "t20_pack_sequences", "q89_quality_checks", "q92_snapshot_diff", "q90_outliers")) {
+    for (q <- Seq("q02_filter", "q01_agg", "q06_join_inner", "q20_take_per_key", "d01_dedup_exact", "s01_knn_brute", "s02_knn_lsh", "d05_dedup_embed", "t12_lm_score", "q62_bloom_semi", "d12_fuzzy_join", "q64_range_join", "d13_segment_dedup", "t20_pack_sequences", "q89_quality_checks", "q92_snapshot_diff", "q90_outliers", "t35_bm25")) {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.SimpleMode)
       sb ++= s"\n## $q\n\n${notes(q)}\n\n```\n${plan.split("\n").take(30).mkString("\n")}\n```\n"
@@ -82,7 +83,7 @@ object Plans {
         "d07_embed_lsh_recall", "d08_minhash_precision", "d15_minhash_recall")
       val scalarRiders = Set("t06_rebalance", "t12_lm_score", "t13_tfidf",
         "t16_mixture_plan", "t17_importance", "t30_bigram_ce",
-        "t26_quality_model")
+        "t26_quality_model", "t35_bm25", "t36_trigram_ce")
       val sketchTails = Set("q37x_sketch_error", "q73_sketch_merge",
         "q74_quantile_sketch", "q75_stream_sketch", "q81_heavy_hitters",
         "q82_cms", "q83_stream_heavy_hitters")
@@ -94,7 +95,7 @@ object Plans {
         "d07_embed_lsh_recall", "d08_minhash_precision",
         "s03_knn_lsh_recall", "s05_knn_projected", "m02x_feature_differential",
         "t06_rebalance", "t12_lm_score", "t13_tfidf", "t17_importance",
-        "t26_quality_model", "t30_bigram_ce")
+        "t26_quality_model", "t30_bigram_ce", "t35_bm25", "t36_trigram_ce")
       val gateRows = Set("q89_quality_checks", "q93_sql_quality",
         "q95_correlation", "q66_profile", "q94_histogram")
       (flag, q) match {

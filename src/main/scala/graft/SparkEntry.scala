@@ -525,6 +525,47 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 =!= 0), "lang")
     }),
 
+    // BM25 corpus retrieval, FULL oracle: every 23rd document's first 4
+    // tokens as the query set, Okapi BM25 (Lucene +1 idf) top-10 per
+    // query — per-token contributions rounded to the declared 9-decimal
+    // precision BEFORE the exact decimal sum (the t13 transcendental
+    // policy), rank ties broken by doc id on both engines
+    "t35_bm25" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val queries = docs.filter(col("doc_id") % 23 === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ",
+            slice(split(trim(lower(col("text"))), "\\s+"), 1, 4)).as("qtext"))
+      TextFunctions.bm25TopK(docs, "doc_id", "text",
+        queries, "query_id", "qtext", topK = 10, scoreDigits = Some(9))
+    }),
+
+    // directional n-gram containment join (quote/excerpt detection),
+    // FULL oracle: |A ∩ B|/|A| over distinct trigram shingles — the
+    // asymmetric complement of d04's symmetric Jaccard, same
+    // inverted-index machinery, DuckDB recomputes with string list ops
+    "d17_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleK = 3, threshold = 0.5)),
+
+    // time-series gap fill with linear interpolation, FULL oracle: events
+    // averaged onto a 30-min grid per event type (decimal-bridged mean),
+    // missing buckets synthesized between each group's first and last
+    // observation and interpolated between nearest observed neighbors —
+    // identical IEEE scalar arithmetic on both engines
+    "q103_gap_fill" -> ((s, dir) =>
+      graft.operators.TemporalOps.gapFill(events(s, dir), "ts", "value",
+        1800L, Seq("event_type"), method = "linear")),
+
+    // interpolated trigram-LM cross-entropy (Jelinek–Mercer over
+    // self-trained trigram/bigram/Laplace-unigram models), FULL oracle:
+    // per-position log-probs at the declared 9-decimal precision, decimal
+    // bridged sums; lambda1 = 1 − λ3 − λ2 computed in DOUBLE arithmetic
+    // on both engines (a decimal-literal 0.1 would diverge in the ulps)
+    "t36_trigram_ce" -> ((s, dir) =>
+      TextFunctions.trigramCrossEntropy(
+        t(s, dir, "documents"), "doc_id", "text")),
+
     // link-graph centrality differential: distributed PageRank over a
     // deterministic synthetic domain graph vs a dense driver-side power
     // iteration with identical semantics (multigraph contributions,
@@ -545,6 +586,124 @@ object SparkEntry {
       val conserved = math.abs(got.values.sum - 1.0) < 1e-9
       eng(s).toDF(Seq(Seq(want.size.toLong,
         if (agree && conserved) 1L else 0L)), "n_nodes:long,pr_ok:long")
+    }),
+
+    // synchronous label-propagation communities: distributed ≡ the SHARED
+    // dense driver reference (deterministic tie order, undirected votes),
+    // plus a component-isolation law — labels never leak between the two
+    // edge-disjoint planted sides
+    "q104_label_prop" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      // two planted communities (0..25, 26..51) + sparse random edges
+      // WITHIN each side from the doc table — no cross edges
+      val half = docs.select((col("doc_id") % 26).as("src"),
+        ((col("doc_id") * 5 + 7) % 26).as("dst"))
+      val edges = half.union(
+        half.select((col("src") + 26).as("src"), (col("dst") + 26).as("dst")))
+      val got = graft.operators.Graph.labelPropagation(edges, "src", "dst",
+        iterations = 6)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val want = graft.operators.Graph.denseLabelPropagation(es, iterations = 6)
+      val agree = want.forall { case (v, l) => got(v) == l }
+      val sidesDisjoint = got.filter(_._1 < 26).values.toSet
+        .intersect(got.filter(_._1 >= 26).values.toSet).isEmpty
+      eng(s).toDF(Seq(Seq(want.size.toLong,
+        if (agree && sidesDisjoint) 1L else 0L)), "n_nodes:long,lpa_ok:long")
+    }),
+
+    // per-node degree statistics (crawl-graph audit), FULL oracle: out/in
+    // edge counts + distinct-neighbor counts recomputed by DuckDB over
+    // the identical synthetic multigraph
+    "q105_degree_stats" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val edges = docs.select((col("doc_id") % 53).as("src"),
+        ((col("doc_id") * 7 + 11) % 53).as("dst"))
+      graft.operators.Graph.degreeStats(edges, "src", "dst")
+    }),
+
+    // per-key interval union (coalesce overlapping/touching intervals),
+    // FULL oracle: each event spawns a 30-min window per user; DuckDB
+    // replays the identical sweep (running-max-end window + flag prefix
+    // sum) — exact integer epoch arithmetic on both engines
+    "q106_merge_intervals" -> ((s, dir) => {
+      val iv = events(s, dir).select(col("user_id"),
+        unix_timestamp(col("ts")).as("start_s"),
+        (unix_timestamp(col("ts")) + 1800).as("end_s"))
+      graft.operators.TemporalOps.mergeIntervals(
+        iv, Seq("user_id"), "start_s", "end_s")
+    }),
+
+    // rank/quantile normalization on the distributed prefix sum, FULL
+    // oracle: (rank − 0.5)/n Hazen positions over (n_chars, doc_id) —
+    // DuckDB's row_number window recomputes the identical quantiles
+    "q107_rank_normalize" -> ((s, dir) =>
+      graft.functions.Sampling.rankNormalize(
+        t(s, dir, "documents").select("doc_id", "n_chars"),
+        "n_chars", Seq("doc_id"))),
+
+    // two-sample KS drift over bucketed CDFs, FULL oracle: combined-range
+    // equi-width grid, exact cumulative counts, sup displacement + the
+    // asymptotic 5% critical value, all at the declared 9-decimal
+    // precision — DuckDB recomputes bucket-for-bucket
+    "q108_ks_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.functions.Stats.ksTest(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 =!= 0), "n_chars", bins = 20)
+    }),
+
+    // Gopher quality-rule bundle over a corpus deterministically salted
+    // with rule triggers (short docs, #-runs, bullet lines, ellipses),
+    // FULL oracle: every metric and every rule verdict recomputed by
+    // DuckDB from identical scalar/list arithmetic
+    "t38_gopher_rules" -> ((s, dir) => {
+      val tcol = coalesce(col("text"), lit(""))
+      val injected = t(s, dir, "documents").select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 5 === 0, substring(tcol, 1, 60)).otherwise(tcol),
+          when(col("doc_id") % 4 === 1, lit(" ### ## #")).otherwise(lit("")),
+          when(col("doc_id") % 4 === 2,
+            lit("\n- item one\n- item two\n• third")).otherwise(lit("")),
+          when(col("doc_id") % 4 === 3, lit(" wait... more..."))
+            .otherwise(lit(""))).as("text"))
+      TextFunctions.gopherRules(injected, "doc_id", "text", minWords = 20)
+    }),
+
+    // C4-style line retention + document verdict over a deterministically
+    // multi-lined corpus (unterminated lines, a javascript line, brace /
+    // lorem-ipsum pages), FULL oracle: cleaned text byte-identical,
+    // verdicts replayed by DuckDB
+    "t39_c4_clean" -> ((s, dir) => {
+      val tcol = coalesce(col("text"), lit(""))
+      val injected = t(s, dir, "documents").select(col("doc_id"),
+        concat(tcol, lit("."),
+          lit("\nshort line\n"),
+          lit("This middle line has some javascript code in it.\n"),
+          lit("This is a good second sentence with enough words!"),
+          when(col("doc_id") % 7 === 0, lit("\nbad { brace }"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, lit("\nLorem Ipsum dolor sit amet."))
+            .otherwise(lit(""))).as("text"))
+      TextFunctions.c4Clean(injected, "doc_id", "text")
+    }),
+
+    // host-level link-graph extraction (the WARC→HTML→graph bridge),
+    // FULL oracle: per-doc source hosts + injected outbound URLs → edge
+    // list with link counts; mixed-case hosts on both sides pin the
+    // lowercasing; DuckDB replays the identical UrlRegex host group
+    "t37_link_graph" -> ((s, dir) => {
+      val injected = t(s, dir, "documents").select(
+        concat(lit("Host"), (col("doc_id") % 11).cast("string"),
+          lit(".Example.COM")).as("host"),
+        concat(coalesce(col("text"), lit("")),
+          lit(" see https://site"), (col("doc_id") % 7).cast("string"),
+          lit(".example.org/p/"), col("doc_id").cast("string"),
+          lit(" and http://CDN.example.net/x"),
+          when(col("doc_id") % 3 === 0,
+            lit(" plus https://host1.example.com/self"))
+            .otherwise(lit(""))).as("text"))
+      TextFunctions.linkGraph(injected, "host", "text")
     }),
 
     // ---- beyond-reference: dedup --------------------------------------
@@ -3209,6 +3368,201 @@ object SparkEntry {
         |FROM base CROSS JOIN t""".stripMargin,
     "q101_pagerank" ->
       "SELECT CAST(53 AS BIGINT) AS n_nodes, CAST(1 AS BIGINT) AS pr_ok",
+    "q104_label_prop" ->
+      "SELECT CAST(52 AS BIGINT) AS n_nodes, CAST(1 AS BIGINT) AS lpa_ok",
+    "q106_merge_intervals" ->
+      """WITH iv AS (
+        | SELECT user_id,
+        |  CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS s,
+        |  CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) + 1800 AS e
+        | FROM events),
+        |m AS (SELECT user_id, s, e,
+        |  max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
+        | FROM iv),
+        |g AS (SELECT user_id, s, e,
+        |  sum(CASE WHEN maxe IS NULL OR s > maxe THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        | FROM m)
+        |SELECT user_id, min(s) AS start_s, max(e) AS end_s,
+        | CAST(count(*) AS BIGINT) AS n_merged
+        |FROM g GROUP BY user_id, grp""".stripMargin,
+    "q107_rank_normalize" ->
+      """WITH r AS (
+        | SELECT doc_id, n_chars,
+        |  row_number() OVER (ORDER BY n_chars, doc_id) AS rn,
+        |  count(*) OVER () AS n
+        | FROM documents)
+        |SELECT doc_id, n_chars,
+        | (CAST(rn AS DOUBLE) - 0.5) / CAST(n AS DOUBLE) AS quantile
+        |FROM r""".stripMargin,
+    "q108_ks_drift" ->
+      """WITH b AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+        |  WHERE doc_id % 2 = 0),
+        |a AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+        |  WHERE doc_id % 2 <> 0),
+        |p AS (SELECT least((SELECT min(v) FROM b), (SELECT min(v) FROM a)) AS mn,
+        |  greatest((SELECT max(v) FROM b), (SELECT max(v) FROM a)) AS mx),
+        |pp AS (SELECT mn,
+        |  CASE WHEN mx <= mn THEN CAST(1.0 AS DOUBLE) ELSE (mx - mn) / 20 END AS w,
+        |  CASE WHEN mx <= mn THEN 1 ELSE 20 END AS nb FROM p),
+        |bb AS (SELECT CAST(greatest(0, least(CAST(floor((v - pp.mn) / pp.w)
+        |    AS BIGINT), CAST(pp.nb - 1 AS BIGINT))) AS INTEGER) AS bucket,
+        |   count(*) AS n FROM b, pp GROUP BY 1),
+        |ab AS (SELECT CAST(greatest(0, least(CAST(floor((v - pp.mn) / pp.w)
+        |    AS BIGINT), CAST(pp.nb - 1 AS BIGINT))) AS INTEGER) AS bucket,
+        |   count(*) AS n FROM a, pp GROUP BY 1),
+        |f AS (SELECT CAST(range AS INTEGER) AS bucket FROM range(20)
+        |  WHERE range < (SELECT nb FROM pp)),
+        |t AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM b) AS tb,
+        |  (SELECT CAST(count(*) AS DOUBLE) FROM a) AS ta),
+        |c AS (SELECT f.bucket, COALESCE(bb.n, 0) AS cb, COALESCE(ab.n, 0) AS ca
+        | FROM f LEFT JOIN bb USING (bucket) LEFT JOIN ab USING (bucket)),
+        |cum AS (SELECT bucket,
+        |  sum(cb) OVER (ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS accb,
+        |  sum(ca) OVER (ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS acca
+        | FROM c),
+        |d AS (SELECT max(abs(CAST(acca AS DOUBLE) / ta
+        |   - CAST(accb AS DOUBLE) / tb)) AS ks FROM cum, t)
+        |SELECT CAST(tb AS BIGINT) AS n_before, CAST(ta AS BIGINT) AS n_after,
+        | round(ks, 9) AS ks_d,
+        | round(CAST(1.3581 AS DOUBLE) * sqrt((tb + ta) / (tb * ta)), 9)
+        |   AS critical_95,
+        | round(ks, 9) > round(CAST(1.3581 AS DOUBLE)
+        |   * sqrt((tb + ta) / (tb * ta)), 9) AS drifted
+        |FROM d, t""".stripMargin,
+    "q105_degree_stats" ->
+      """WITH e AS (SELECT doc_id % 53 AS src, (doc_id * 7 + 11) % 53 AS dst
+        | FROM documents),
+        |tagged AS (
+        | SELECT src AS node, dst AS o, 1 AS is_out FROM e
+        | UNION ALL
+        | SELECT dst AS node, src AS o, 0 AS is_out FROM e)
+        |SELECT node,
+        | CAST(sum(is_out) AS BIGINT) AS out_deg,
+        | CAST(sum(1 - is_out) AS BIGINT) AS in_deg,
+        | CAST(count(DISTINCT CASE WHEN is_out = 1 THEN o END) AS BIGINT)
+        |   AS out_neighbors,
+        | CAST(count(DISTINCT CASE WHEN is_out = 0 THEN o END) AS BIGINT)
+        |   AS in_neighbors
+        |FROM tagged GROUP BY node""".stripMargin,
+    "t38_gopher_rules" ->
+      """WITH injected AS (
+        | SELECT doc_id,
+        |  concat(
+        |   CASE WHEN doc_id % 5 = 0 THEN substr(coalesce(text, ''), 1, 60)
+        |        ELSE coalesce(text, '') END,
+        |   CASE WHEN doc_id % 4 = 1 THEN ' ### ## #' ELSE '' END,
+        |   CASE WHEN doc_id % 4 = 2
+        |        THEN chr(10) || '- item one' || chr(10) || '- item two'
+        |          || chr(10) || '• third' ELSE '' END,
+        |   CASE WHEN doc_id % 4 = 3 THEN ' wait... more...' ELSE '' END) AS text
+        | FROM documents),
+        |m AS (
+        | SELECT doc_id, text,
+        |  list_filter(string_split_regex(trim(text), '\s+'),
+        |    w -> length(w) > 0) AS words,
+        |  list_filter(list_transform(string_split(text, chr(10)),
+        |    l -> trim(l)), l -> length(l) > 0) AS lines
+        | FROM injected),
+        |m2 AS (
+        | SELECT doc_id, text, words, lines, len(words) AS nw, len(lines) AS nl,
+        |  CASE WHEN len(words) > 0 THEN
+        |   CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+        |     / len(words) ELSE 0.0 END AS mean_word_len,
+        |  CASE WHEN len(words) > 0 THEN
+        |   CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+        |     / len(words) ELSE 0.0 END AS symbol_ratio,
+        |  CASE WHEN len(words) > 0 THEN
+        |   CAST((length(text) - length(regexp_replace(text, '\.\.\.', '', 'g')))
+        |     / 3 AS DOUBLE) / len(words) ELSE 0.0 END AS ellipsis_ratio,
+        |  CASE WHEN len(lines) > 0 THEN
+        |   CAST(len(list_filter(lines, l -> starts_with(l, '•')
+        |     OR starts_with(l, '- ') OR starts_with(l, '* '))) AS DOUBLE)
+        |     / len(lines) ELSE 0.0 END AS bullet_line_frac,
+        |  CASE WHEN len(lines) > 0 THEN
+        |   CAST(len(list_filter(lines, l -> ends_with(l, '...'))) AS DOUBLE)
+        |     / len(lines) ELSE 0.0 END AS ellipsis_line_frac,
+        |  CASE WHEN len(words) > 0 THEN
+        |   CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+        |     AS DOUBLE) / len(words) ELSE 0.0 END AS alpha_word_frac,
+        |  len(list_intersect(list_transform(words, w -> lower(w)),
+        |   ['the','be','to','of','and','that','have','with'])) AS n_stop_hits
+        | FROM m)
+        |SELECT doc_id, CAST(nw AS BIGINT) AS n_words, mean_word_len,
+        | symbol_ratio, ellipsis_ratio, bullet_line_frac, ellipsis_line_frac,
+        | alpha_word_frac, CAST(n_stop_hits AS BIGINT) AS n_stop_hits,
+        | (nw >= 20 AND nw <= 100000) AS rule_words,
+        | (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS rule_word_len,
+        | (symbol_ratio <= 0.1) AS rule_symbols,
+        | (ellipsis_ratio <= 0.1) AS rule_ellipsis,
+        | (bullet_line_frac <= 0.9) AS rule_bullets,
+        | (ellipsis_line_frac <= 0.3) AS rule_line_ellipsis,
+        | (alpha_word_frac >= 0.8) AS rule_alpha,
+        | (n_stop_hits >= 2) AS rule_stopwords,
+        | ((nw >= 20 AND nw <= 100000)
+        |  AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+        |  AND symbol_ratio <= 0.1 AND ellipsis_ratio <= 0.1
+        |  AND bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3
+        |  AND alpha_word_frac >= 0.8 AND n_stop_hits >= 2) AS passes
+        |FROM m2""".stripMargin,
+    "t39_c4_clean" ->
+      """WITH injected AS (
+        | SELECT doc_id,
+        |  concat(coalesce(text, ''), '.',
+        |   chr(10) || 'short line' || chr(10),
+        |   'This middle line has some javascript code in it.' || chr(10),
+        |   'This is a good second sentence with enough words!',
+        |   CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'bad { brace }'
+        |        ELSE '' END,
+        |   CASE WHEN doc_id % 11 = 0
+        |        THEN chr(10) || 'Lorem Ipsum dolor sit amet.'
+        |        ELSE '' END) AS text
+        | FROM documents),
+        |m AS (
+        | SELECT doc_id, text,
+        |  list_filter(list_transform(string_split(text, chr(10)),
+        |    l -> trim(l)), l -> length(l) > 0) AS nonblank
+        | FROM injected),
+        |m2 AS (
+        | SELECT doc_id, text, nonblank,
+        |  list_filter(nonblank, l ->
+        |   substr(l, -1, 1) IN ('.', '!', '?', '"')
+        |   AND len(list_filter(string_split_regex(l, '\s+'),
+        |     w -> length(w) > 0)) >= 3
+        |   AND NOT contains(lower(l), 'javascript')) AS kept_lines
+        | FROM m),
+        |m3 AS (
+        | SELECT doc_id, text, nonblank, kept_lines,
+        |  array_to_string(kept_lines, chr(10)) AS cleaned
+        | FROM m2)
+        |SELECT doc_id, cleaned AS text,
+        | CAST(len(kept_lines) AS BIGINT) AS n_lines_kept,
+        | CAST(len(nonblank) - len(kept_lines) AS BIGINT) AS n_lines_dropped,
+        | (NOT contains(text, '{') AND NOT contains(text, '}')
+        |  AND NOT contains(lower(text), 'lorem ipsum')
+        |  AND length(cleaned) - length(regexp_replace(cleaned, '[.!?]', '', 'g'))
+        |    >= 3) AS kept
+        |FROM m3""".stripMargin,
+    "t37_link_graph" ->
+      (s"""WITH injected AS (
+        | SELECT lower(concat('Host', CAST(doc_id % 11 AS VARCHAR),
+        |   '.Example.COM')) AS src,
+        |  concat(coalesce(text, ''), ' see https://site',
+        |   CAST(doc_id % 7 AS VARCHAR), '.example.org/p/',
+        |   CAST(doc_id AS VARCHAR), ' and http://CDN.example.net/x',
+        |   CASE WHEN doc_id % 3 = 0
+        |     THEN ' plus https://host1.example.com/self' ELSE '' END) AS text
+        | FROM documents),
+        |hits AS (
+        | SELECT src, lower(unnest(regexp_extract_all(text,
+        |  '${graft.functions.TextFunctions.UrlRegex}', 1))) AS dst
+        | FROM injected)
+        |SELECT src, dst, CAST(count(*) AS BIGINT) AS n_links
+        |FROM hits GROUP BY 1, 2""").stripMargin,
     "q102_cat_drift" ->
       """WITH b AS (SELECT CAST(lang AS VARCHAR) AS cat
         |  FROM documents WHERE doc_id % 2 = 0),
@@ -3230,6 +3584,119 @@ object SparkEntry {
         |LEFT JOIN bc ON cats.cat IS NOT DISTINCT FROM bc.cat
         |LEFT JOIN ac ON cats.cat IS NOT DISTINCT FROM ac.cat
         |CROSS JOIN t""".stripMargin,
+    "t35_bm25" ->
+      """WITH toks0 AS (
+        | SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        | FROM documents),
+        |toks AS (SELECT doc_id, tok FROM toks0 WHERE length(tok) > 0),
+        |postings AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM postings GROUP BY 1),
+        |dfreq AS (SELECT tok, count(*) AS df FROM postings GROUP BY 1),
+        |stats AS (SELECT count(*) AS n, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+        |qt0 AS (
+        | SELECT doc_id AS query_id,
+        |  unnest(list_slice(string_split_regex(trim(lower(text)), '\s+'), 1, 4)) AS tok
+        | FROM documents WHERE doc_id % 23 = 0),
+        |qt AS (SELECT query_id, tok, count(*) AS qtf FROM qt0
+        | WHERE length(tok) > 0 GROUP BY 1, 2),
+        |contrib AS (
+        | SELECT q.query_id, p.doc_id,
+        |  round(CAST(q.qtf AS DOUBLE)
+        |   * ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+        |   * (CAST(p.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
+        |   / (CAST(p.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+        |      * (1.0 - CAST(0.75 AS DOUBLE)
+        |         + CAST(0.75 AS DOUBLE) * CAST(d.dl AS DOUBLE) / s.avgdl)), 9) AS c
+        | FROM postings p
+        | JOIN qt q USING (tok)
+        | JOIN dfreq USING (tok)
+        | JOIN dl d ON p.doc_id = d.doc_id
+        | CROSS JOIN stats s),
+        |scored AS (SELECT query_id, doc_id,
+        |  CAST(sum(CAST(c AS DECIMAL(25,10))) AS DOUBLE) AS score
+        | FROM contrib GROUP BY 1, 2)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, score FROM (
+        | SELECT *, row_number() OVER (PARTITION BY query_id
+        |   ORDER BY score DESC, doc_id ASC) AS rank
+        | FROM scored) x WHERE rank <= 10""".stripMargin,
+    "d17_containment" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |sh AS (
+        | SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+        |   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        | FROM toks WHERE len(w) >= 3),
+        |pairs AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS sa
+        | FROM sh a JOIN sh b ON a.doc_id <> b.doc_id)
+        |SELECT id_a, id_b, CAST(inter AS DOUBLE)/sa AS containment
+        |FROM pairs WHERE CAST(inter AS DOUBLE)/sa >= 0.5""".stripMargin,
+    "q103_gap_fill" ->
+      """WITH obs AS (
+        | SELECT event_type,
+        |  CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 1800) AS BIGINT) * 1800 AS e,
+        |  CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS v
+        | FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |spans AS (SELECT event_type, min(e) AS lo, max(e) AS hi FROM obs GROUP BY 1),
+        |grid AS (SELECT event_type, unnest(range(lo, hi + 1, 1800)) AS e FROM spans),
+        |j AS (SELECT g.event_type, g.e, o.v
+        | FROM grid g LEFT JOIN obs o ON g.event_type = o.event_type AND g.e = o.e),
+        |f AS (SELECT event_type, e, v,
+        |  last_value(v IGNORE NULLS) OVER w AS pv,
+        |  last_value(CASE WHEN v IS NOT NULL THEN e END IGNORE NULLS) OVER w AS pe,
+        |  first_value(v IGNORE NULLS) OVER w2 AS nv,
+        |  first_value(CASE WHEN v IS NOT NULL THEN e END IGNORE NULLS) OVER w2 AS ne
+        | FROM j WINDOW
+        |  w AS (PARTITION BY event_type ORDER BY e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  w2 AS (PARTITION BY event_type ORDER BY e
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_type,
+        | CAST(to_timestamp(e) AS TIMESTAMP) AS bucket_start,
+        | coalesce(v, pv + (nv - pv)
+        |   * (CAST(e - pe AS DOUBLE) / CAST(ne - pe AS DOUBLE))) AS value,
+        | (v IS NULL) AS filled
+        |FROM f""".stripMargin,
+    "t36_trigram_ce" ->
+      """WITH base AS (
+        | SELECT doc_id,
+        |  list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |    x -> length(x) > 0) AS w
+        | FROM documents),
+        |tri AS (
+        | SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+        |   i -> {'w1': w[i], 'w2': w[i+1], 'w3': w[i+2]})) AS t
+        | FROM base WHERE len(w) >= 3),
+        |trips AS (SELECT doc_id, t.w1 AS w1, t.w2 AS w2, t.w3 AS w3 FROM tri),
+        |pairs AS (
+        | SELECT unnest(list_transform(range(1, len(w)),
+        |   i -> {'p1': w[i], 'p2': w[i+1]})) AS p
+        | FROM base WHERE len(w) >= 2),
+        |c12 AS (SELECT p.p1 AS p1, p.p2 AS p2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+        |toks AS (SELECT unnest(w) AS tok FROM base),
+        |uni AS (SELECT tok, count(*) AS c1 FROM toks GROUP BY 1),
+        |nv AS (SELECT count(*) AS n, count(DISTINCT tok) AS v FROM toks),
+        |c123 AS (SELECT w1, w2, w3, count(*) AS c123 FROM trips GROUP BY 1, 2, 3),
+        |scored AS (
+        | SELECT trips.doc_id,
+        |  round(ln(
+        |    CAST(0.7 AS DOUBLE)
+        |      * (CAST(c123.c123 AS DOUBLE) / CAST(b12.c12 AS DOUBLE))
+        |    + CAST(0.2 AS DOUBLE)
+        |      * (CAST(coalesce(b23.c12, 0) AS DOUBLE) / CAST(u2.c1 AS DOUBLE))
+        |    + (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE) - CAST(0.2 AS DOUBLE))
+        |      * (CAST(u3.c1 + 1 AS DOUBLE) / CAST(nv.n + nv.v AS DOUBLE))), 9) AS lp
+        | FROM trips
+        | JOIN c123 ON trips.w1 = c123.w1 AND trips.w2 = c123.w2 AND trips.w3 = c123.w3
+        | JOIN c12 b12 ON trips.w1 = b12.p1 AND trips.w2 = b12.p2
+        | LEFT JOIN c12 b23 ON trips.w2 = b23.p1 AND trips.w3 = b23.p2
+        | JOIN uni u2 ON trips.w2 = u2.tok
+        | JOIN uni u3 ON trips.w3 = u3.tok
+        | CROSS JOIN nv)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+        | -CAST(sum(CAST(lp AS DECIMAL(20,10))) AS DOUBLE) / count(*) AS trigram_ce
+        |FROM scored GROUP BY doc_id""".stripMargin,
     "q99_corpus_overlap" ->
       """WITH a AS (SELECT DISTINCT text FROM documents WHERE doc_id % 3 <> 0),
         |b AS (SELECT DISTINCT text FROM documents WHERE doc_id % 2 <> 0)

@@ -540,6 +540,67 @@ object Dedup {
   }
 
   /**
+   * Directional n-gram CONTAINMENT join: ordered pairs (id_a, id_b) where
+   * the fraction of id_a's distinct word-k-gram shingles also present in
+   * id_b meets `threshold` — containment(a→b) = |A ∩ B| / |A|. Unlike
+   * the symmetric Jaccard of [[ngramJaccardPairs]], containment catches
+   * SUBSET relationships: a quoted paragraph inside a longer article, a
+   * chunk of boilerplate embedded in many pages, an excerpt of a larger
+   * document — pairs whose Jaccard is tiny because the containing side is
+   * large. The standard asymmetric-dedup signal (quote/excerpt detection;
+   * cf. the containment measure of Broder's "On the resemblance and
+   * containment of documents", SEQUENCES 1997).
+   *
+   * Output: (id_a, id_b, containment) with id_a ≠ id_b — directional, so
+   * a ⊂ b and b ⊂ a are separate rows. Documents with fewer than k tokens
+   * have no shingles and never pair. Self-pairs are excluded.
+   *
+   * Scale: identical machinery to the Jaccard co-occurrence path — one
+   * inverted-index self-join over shingles that appear in ≥ 2 documents
+   * (8-byte hash keys in the exchange, never text), one (id_a, id_b)
+   * count aggregate, sizes joined back. The intersection count is
+   * computed once per unordered pair and emitted in both directions —
+   * no second self-join. `maxShingleDf` caps the df of any shingle
+   * admitted to the self-join (web boilerplate appearing in millions of
+   * docs would otherwise explode sum(df²)); capped shingles still count
+   * toward |A| in the denominator, so containment is then a LOWER bound —
+   * the conservative direction for dedup (documented skew guard, same
+   * semantics as the Jaccard path's cut).
+   */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      threshold: Double = 0.8,
+      maxShingleDf: Int = Int.MaxValue): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    val sigs = shingleStage(df, idCol, textCol, shingleK)
+    val sizes = sigs.select(col("id"), size(col("sh")).as("sz"))
+    val inverted = sigs.select(col("id"), explode(col("sh")).as("s"))
+    val dfs = inverted.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, maxShingleDf))
+    val pruned = inverted.join(dfs.select("s"), "s")
+    val l = pruned.select(col("s"), col("id").as("__u"))
+    val r = pruned.select(col("s"), col("id").as("__v"))
+    val co = l.join(r, "s").filter(col("__u") < col("__v"))
+      .groupBy("__u", "__v").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("__u"), col("sz").as("sz_u")), "__u")
+      .join(sizes.select(col("id").as("__v"), col("sz").as("sz_v")), "__v")
+    // one row per unordered pair in `co`; emit both directions from it
+    co.select(explode(array(
+        struct(col("__u").as("id_a"), col("__v").as("id_b"),
+          (col("inter").cast("double") / col("sz_u")).as("containment")),
+        struct(col("__v").as("id_a"), col("__u").as("id_b"),
+          (col("inter").cast("double") / col("sz_v")).as("containment"))))
+        .as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.containment").as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
+  /**
    * Remove near-duplicates given a candidate pair list: connected
    * components over the pair graph, then keep only each component's
    * minimum id. Exact and deterministic.

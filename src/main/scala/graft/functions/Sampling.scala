@@ -252,4 +252,36 @@ object Sampling {
       }
     picked.drop("__wpri")
   }
+
+  /**
+   * Rank (quantile) normalization of a score column: each row gets its
+   * empirical quantile `(rank − 0.5) / n` (the Hazen plotting position,
+   * ranks 1..n in `(valueCol, tieBreakCols...)` order) — the standard
+   * way to make scores from DIFFERENT models comparable before mixing
+   * them (an LM cross-entropy and a classifier logit both become uniform
+   * [0,1] positions; average or threshold them meaningfully). Ties order
+   * deterministically by the tie-break columns, which must complete a
+   * total order (use a unique id last).
+   *
+   * Scale: the rank is [[graft.api.DfUtils.runningTotal]]'s distributed
+   * prefix sum — range partition + local cumsum + driver-cumulated
+   * partition bases, NEVER a single-partition global window; n comes
+   * from the same materialized stage (no second count scan). One extra
+   * column of doubles, nothing else moves.
+   */
+  def rankNormalize(
+      df: DataFrame, valueCol: String, tieBreakCols: Seq[String],
+      outCol: String = "quantile", descending: Boolean = false): DataFrame = {
+    require(tieBreakCols.nonEmpty,
+      "rankNormalize needs >= 1 tie-break column completing a total order")
+    require(!df.columns.contains(outCol),
+      s"output column '$outCol' already exists")
+    val (indexed, n) = graft.api.DfUtils.runningTotalWithSum(
+      df, valueCol +: tieBreakCols, lit(1L), "__rank_idx")
+    val nn = math.max(n, 1L).toDouble
+    val q = (col("__rank_idx").cast("double") + 0.5) / lit(nn)
+    indexed
+      .withColumn(outCol, if (descending) lit(1.0) - q else q)
+      .drop("__rank_idx")
+  }
 }

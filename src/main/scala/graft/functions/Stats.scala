@@ -226,6 +226,71 @@ object Stats {
     rows.toDF("category", "n_before", "n_after", "psi")
   }
 
+  /**
+   * Two-sample Kolmogorov–Smirnov drift statistic over bucketed
+   * empirical CDFs — the complement of [[populationStability]]: PSI
+   * weights every bucket's relative change, KS reports the single worst
+   * ABSOLUTE displacement of cumulative mass (sensitive to location
+   * shifts that PSI's per-bucket log-ratios smear out). The grid is
+   * `bins` equi-width buckets over the COMBINED [min, max] of both
+   * snapshots, so the statistic is the binned D:
+   *
+   *   D = max_b |F_after(b) − F_before(b)|
+   *
+   * evaluated at bucket upper boundaries (exact when values are
+   * grid-supported; otherwise resolution 1/bins of the range — a
+   * documented approximation, deterministic and engine-portable because
+   * cumulative sums of integer counts are exact). Also emits the
+   * asymptotic two-sided α = 0.05 critical value
+   * c(0.05)·sqrt((n+m)/(n·m)), c = 1.3581, and the verdict. Output ONE
+   * row: (n_before, n_after, ks_d, critical_95, drifted). `ks_d` and
+   * `critical_95` carry the declared 9-decimal precision (the PSI
+   * convention).
+   *
+   * Scale shape: one 2-double range probe per side + one bucket
+   * aggregation per side (map-side partials); the driver folds the two
+   * bins-sized count maps into the sup — bounded state, no sort, no
+   * window, no join.
+   */
+  def ksTest(
+      before: DataFrame, after: DataFrame, c: String,
+      bins: Int = 200): DataFrame = {
+    require(bins >= 1, "bins must be >= 1")
+    val spark = before.sparkSession
+    import spark.implicits._
+    val v = col(c).cast("double")
+    val valid = abs(v) < Double.PositiveInfinity
+    def range(df: DataFrame): Option[(Double, Double)] = {
+      val r = df.filter(valid).agg(min(v), max(v)).collect().head
+      if (r.isNullAt(0)) None else Some((r.getDouble(0), r.getDouble(1)))
+    }
+    val rb = range(before)
+    val ra = range(after)
+    require(rb.nonEmpty, "before snapshot has no valid rows")
+    require(ra.nonEmpty, "after snapshot has no valid rows")
+    val mn = math.min(rb.get._1, ra.get._1)
+    val mx = math.max(rb.get._2, ra.get._2)
+    val nb = if (mx <= mn) 1 else bins
+    val w = if (mx <= mn) 1.0 else (mx - mn) / bins
+    val cb = bucketCounts(before, c, mn, w, nb)
+    val ca = bucketCounts(after, c, mn, w, nb)
+    val totB = math.max(1L, cb.values.sum).toDouble
+    val totA = math.max(1L, ca.values.sum).toDouble
+    var accB = 0L; var accA = 0L; var d = 0.0
+    (0 until nb).foreach { b =>
+      accB += cb.getOrElse(b, 0L)
+      accA += ca.getOrElse(b, 0L)
+      d = math.max(d, math.abs(accA / totA - accB / totB))
+    }
+    def r9(x: Double) =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val crit = 1.3581 * math.sqrt((totB + totA) / (totB * totA))
+    // verdict on the ROUNDED values — the declared-precision numbers ARE
+    // the semantics, so the flag can never disagree with the report
+    Seq((cb.values.sum, ca.values.sum, r9(d), r9(crit), r9(d) > r9(crit)))
+      .toDF("n_before", "n_after", "ks_d", "critical_95", "drifted")
+  }
+
   private def bucketCounts(df: DataFrame, c: String, mn: Double, w: Double,
       nb: Int): Map[Int, Long] = {
     val v = col(c).cast("double")

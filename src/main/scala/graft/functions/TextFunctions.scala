@@ -753,6 +753,32 @@ object TextFunctions {
       count(lit(1)).as("n_docs"))
   }
 
+  /**
+   * Host-level link-graph extraction: each document's outbound links
+   * (hosts of URLs found in `textCol`, the [[UrlRegex]] host group)
+   * become weighted edges from the document's own host — the step
+   * between HTML/WARC text ([[extractHtmlText]], [[graft.sources.Warc]])
+   * and the graph operators ([[graft.operators.Graph.pageRank]] for
+   * authority ranking, `labelPropagation` for site clustering,
+   * `degreeStats` for crawl audits). Hosts are lowercased; rows with a
+   * null/blank source host are dropped; self-links kept (callers filter
+   * `src <> dst` when unwanted). Output: (src, dst, n_links) — parallel
+   * links collapsed into the count, which the weighted graph ops consume
+   * directly.
+   *
+   * Scale: one narrow extract + explode and ONE (src, dst)-keyed hash
+   * aggregate with map-side partials — the exchange carries one row per
+   * distinct edge per partition, not per link occurrence.
+   */
+  def linkGraph(
+      df: DataFrame, srcHostCol: String, textCol: String): DataFrame =
+    df.select(lower(col(srcHostCol)).as("src"),
+        explode(regexp_extract_all(col(textCol), lit(UrlRegex), lit(1)))
+          .as("__d"))
+      .filter(col("src").isNotNull && length(col("src")) > 0)
+      .select(col("src"), lower(col("__d")).as("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("n_links"))
+
   /** Convenience: full text-analysis projection over a document table. */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val base = df.select(
@@ -961,6 +987,90 @@ object TextFunctions {
         (-col("__s").cast("double") / col("n_bigrams")).as("bigram_ce"))
   }
 
+  /**
+   * Interpolated trigram-LM cross-entropy (Jelinek–Mercer smoothing) —
+   * the next rung of the self-trained LM-quality ladder above
+   * [[unigramCrossEntropy]] and [[bigramCrossEntropy]]: per-document mean
+   * negative log of
+   *
+   *   p(w₃|w₁w₂) = λ₃·c(w₁w₂w₃)/c(w₁w₂) + λ₂·c(w₂w₃)/c(w₂)
+   *              + λ₁·(c(w₃)+1)/(N+V),  λ₁ = 1 − λ₃ − λ₂
+   *
+   * with all counts from the corpus itself (c(w₁w₂)/c(w₂) are bigram/
+   * unigram occurrence counts, so both conditional ratios are ≤ 1; the
+   * Laplace unigram floor keeps p > 0 for any token). A trigram model
+   * separates formulaic boilerplate (low CE — its trigrams repeat
+   * corpus-wide) from fluent novel prose far better than unigram
+   * statistics. Documents with fewer than 3 tokens produce no rows.
+   * Output: (idCol, n_trigrams, trigram_ce).
+   *
+   * Scale: the scoring join streams (id, w₁, w₂, w₃) triples against
+   * three count tables — trigram, bigram (joined twice), unigram + a
+   * one-row (N, V) broadcast. Each count table is one hash aggregate with
+   * map-side partials; the n-gram tables are corpus-vocabulary-sized, not
+   * corpus-sized, and AQE broadcasts them when small. No UDF anywhere.
+   *
+   * Determinism: each position's log-probability is rounded to `digits`
+   * decimals BEFORE the decimal(20,10)-bridged sum — ln is transcendental
+   * and the last ulp is libm-dependent, so portable scores need a
+   * declared precision (the [[tfidfKeywords]] convention).
+   */
+  def trigramCrossEntropy(
+      df: DataFrame, idCol: String, textCol: String,
+      lambda3: Double = 0.7, lambda2: Double = 0.2,
+      digits: Int = 9): DataFrame = {
+    require(lambda3 > 0 && lambda2 > 0 && lambda3 + lambda2 < 1,
+      s"need lambda3 > 0, lambda2 > 0, lambda3 + lambda2 < 1 " +
+        s"(got $lambda3, $lambda2; lambda1 = 1 - lambda3 - lambda2 must be > 0)")
+    require(digits >= 1 && digits <= 15, s"digits must be in [1, 15], got $digits")
+    Seq("n_trigrams", "trigram_ce").foreach(c =>
+      require(c != idCol, s"idCol collides with output column '$c'"))
+    val lambda1 = 1.0 - lambda3 - lambda2
+    val wf = filter(split(trim(lower(col(textCol))), "\\s+"), x => length(x) > 0)
+    val base = df.select(col(idCol), wf.as("__w"))
+    val tri = base.filter(size(col("__w")) >= 3)
+      .select(col(idCol), explode(transform(
+        sequence(lit(0), size(col("__w")) - 3),
+        i => struct(element_at(col("__w"), i + 1).as("w1"),
+          element_at(col("__w"), i + 2).as("w2"),
+          element_at(col("__w"), i + 3).as("w3")))).as("__t"))
+      .select(col(idCol), col("__t.w1").as("__w1"),
+        col("__t.w2").as("__w2"), col("__t.w3").as("__w3"))
+    val pairs = base.filter(size(col("__w")) >= 2)
+      .select(explode(transform(
+        sequence(lit(0), size(col("__w")) - 2),
+        i => struct(element_at(col("__w"), i + 1).as("w1"),
+          element_at(col("__w"), i + 2).as("w2")))).as("__p"))
+      .select(col("__p.w1").as("__p1"), col("__p.w2").as("__p2"))
+    val toks = base.select(explode(col("__w")).as("__tok"))
+    val c123 = tri.groupBy("__w1", "__w2", "__w3").agg(count(lit(1)).as("__c123"))
+    val c12 = pairs.groupBy("__p1", "__p2").agg(count(lit(1)).as("__c12"))
+    val uni = toks.groupBy("__tok").agg(count(lit(1)).as("__c1"))
+    val nv = toks.agg(count(lit(1)).as("__n"), countDistinct(col("__tok")).as("__v"))
+    val p3 = col("__c123").cast("double") / col("__c12a").cast("double")
+    val p2 = coalesce(col("__c23"), lit(0L)).cast("double") /
+      col("__c2").cast("double")
+    val p1 = (col("__c3") + 1).cast("double") /
+      (col("__n") + col("__v")).cast("double")
+    val lp = round(log(lit(lambda3) * p3 + lit(lambda2) * p2 + lit(lambda1) * p1),
+      digits)
+    val scored = tri
+      .join(c123, Seq("__w1", "__w2", "__w3"))
+      .join(c12.select(col("__p1").as("__w1"), col("__p2").as("__w2"),
+        col("__c12").as("__c12a")), Seq("__w1", "__w2"))
+      .join(c12.select(col("__p1").as("__w2"), col("__p2").as("__w3"),
+        col("__c12").as("__c23")), Seq("__w2", "__w3"), "left")
+      .join(uni.select(col("__tok").as("__w2"), col("__c1").as("__c2")), "__w2")
+      .join(uni.select(col("__tok").as("__w3"), col("__c1").as("__c3")), "__w3")
+      .crossJoin(broadcast(nv))
+      .select(col(idCol), lp.as("__lp"))
+    scored.groupBy(idCol)
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(col("__lp").cast("decimal(20,10)")).as("__s"))
+      .select(col(idCol), col("n_trigrams"),
+        (-col("__s").cast("double") / col("n_trigrams")).as("trigram_ce"))
+  }
+
   // ---- HTML text extraction (shared Spark/oracle pattern chain) ----
 
   /** HTML→text strip chain (ordered; RE2-safe — lazy quantifiers and
@@ -1038,5 +1148,228 @@ object TextFunctions {
       when(length(text) > 0,
         length(anchorText).cast("double") / length(text).cast("double"))
         .otherwise(lit(0.0)).as("link_density"))
+  }
+
+  /**
+   * Gopher quality-rule bundle (Rae et al. 2021, "Scaling Language
+   * Models: … Gopher", appendix A1.1): the canonical document-level
+   * heuristics a pretraining pipeline applies before model-based
+   * filtering. Per document, the metrics and their rule verdicts:
+   *
+   *  - word count in [minWords, maxWords]            (rule_words)
+   *  - mean word length in [3, 10]                   (rule_word_len)
+   *  - '#'-symbol-to-word ratio ≤ 0.1                (rule_symbols)
+   *  - "..."-ellipsis-to-word ratio ≤ 0.1            (rule_ellipsis)
+   *  - fraction of lines starting with a bullet ≤ 0.9 (rule_bullets)
+   *  - fraction of lines ending with "..." ≤ 0.3     (rule_line_ellipsis)
+   *  - fraction of words containing a letter ≥ 0.8   (rule_alpha)
+   *  - ≥ 2 distinct hits from a small stopword set   (rule_stopwords)
+   *
+   * Output: (idCol, n_words, mean_word_len, symbol_ratio, ellipsis_ratio,
+   * bullet_line_frac, ellipsis_line_frac, alpha_word_frac, n_stop_hits,
+   * the eight rule booleans, passes) — `passes` is their conjunction.
+   * Words are the whitespace tokens of the trimmed text; lines split on
+   * '\n'; blank documents score zeros and fail rule_words.
+   *
+   * Scale: pure per-row scalar/array arithmetic — a narrow projection
+   * inside whole-stage codegen, no shuffle, no UDF; every ratio is an
+   * exact-int division so the verdicts are engine-portable.
+   */
+  def gopherRules(
+      df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    require(minWords >= 1 && maxWords >= minWords,
+      s"need 1 <= minWords <= maxWords, got [$minWords, $maxWords]")
+    val out = Seq("n_words", "mean_word_len", "symbol_ratio", "ellipsis_ratio",
+      "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
+      "n_stop_hits", "passes")
+    out.foreach(c => require(c != idCol, s"idCol collides with output '$c'"))
+    val text = coalesce(col(textCol), lit(""))
+    val words = filter(split(trim(text), "\\s+"), w => length(w) > 0)
+    val nw = size(words)
+    val nwD = nw.cast("double")
+    val lines = filter(transform(split(text, "\n"), l => trim(l)),
+      l => length(l) > 0)
+    val nl = size(lines)
+    val meanLen = when(nw > 0,
+      length(regexp_replace(trim(text), "\\s+", "")).cast("double") / nwD)
+      .otherwise(lit(0.0))
+    val nHash = (length(text) -
+      length(regexp_replace(text, "#", ""))).cast("double")
+    val nEll = ((length(text) -
+      length(regexp_replace(text, "\\.\\.\\.", ""))) / 3).cast("double")
+    val symbolRatio = when(nw > 0, nHash / nwD).otherwise(lit(0.0))
+    val ellipsisRatio = when(nw > 0, nEll / nwD).otherwise(lit(0.0))
+    val bulletFrac = when(nl > 0,
+      size(filter(lines, l => l.startsWith("•") || l.startsWith("- ") ||
+        l.startsWith("* "))).cast("double") / nl.cast("double"))
+      .otherwise(lit(0.0))
+    val lineEllFrac = when(nl > 0,
+      size(filter(lines, l => l.endsWith("...")))
+        .cast("double") / nl.cast("double")).otherwise(lit(0.0))
+    val alphaFrac = when(nw > 0,
+      size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double") / nwD)
+      .otherwise(lit(0.0))
+    val stopHits = size(array_intersect(
+      transform(words, w => lower(w)),
+      array(GopherStopwords.map(lit): _*)))
+    val rWords = nw >= minWords && nw <= maxWords
+    val rLen = meanLen >= 3.0 && meanLen <= 10.0
+    val rSym = symbolRatio <= 0.1
+    val rEll = ellipsisRatio <= 0.1
+    val rBul = bulletFrac <= 0.9
+    val rLel = lineEllFrac <= 0.3
+    val rAlp = alphaFrac >= 0.8
+    val rStop = stopHits >= 2
+    df.select(col(idCol),
+      nw.cast("long").as("n_words"),
+      meanLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"),
+      ellipsisRatio.as("ellipsis_ratio"),
+      bulletFrac.as("bullet_line_frac"),
+      lineEllFrac.as("ellipsis_line_frac"),
+      alphaFrac.as("alpha_word_frac"),
+      stopHits.cast("long").as("n_stop_hits"),
+      rWords.as("rule_words"), rLen.as("rule_word_len"),
+      rSym.as("rule_symbols"), rEll.as("rule_ellipsis"),
+      rBul.as("rule_bullets"), rLel.as("rule_line_ellipsis"),
+      rAlp.as("rule_alpha"), rStop.as("rule_stopwords"),
+      (rWords && rLen && rSym && rEll && rBul && rLel && rAlp && rStop)
+        .as("passes"))
+  }
+
+  /** The Gopher "must contain 2 of" stopword set (the paper's list). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /**
+   * C4-style cleanup (Raffel et al. 2020, §2.2 — the heuristics behind
+   * the Colossal Clean Crawled Corpus): line-level retention + document
+   * verdict, applied AS DECLARED here so both engines (and the oracle)
+   * agree:
+   *
+   *  line kept  ⇔ it ends in terminal punctuation (. ! ? ") after
+   *               trimming, has ≥ `minLineWords` words, and does not
+   *               contain "javascript" (case-insensitive)
+   *  doc kept   ⇔ the ORIGINAL text has no curly brace, no
+   *               "lorem ipsum" (case-insensitive), and the cleaned
+   *               text retains ≥ `minSentences` sentence terminators
+   *
+   * Output: (idCol, text — the kept lines rejoined with '\n',
+   * n_lines_kept, n_lines_dropped, kept). Rows are NOT filtered — the
+   * verdict is a column, so pipelines can audit drop reasons before
+   * committing (filter on `kept` to apply).
+   *
+   * Scale: narrow split/filter/join array work per row — whole-stage
+   * codegen, no shuffle, no UDF.
+   */
+  def c4Clean(
+      df: DataFrame, idCol: String, textCol: String,
+      minLineWords: Int = 3, minSentences: Int = 3): DataFrame = {
+    require(minLineWords >= 1, s"minLineWords must be >= 1, got $minLineWords")
+    require(minSentences >= 0, s"minSentences must be >= 0, got $minSentences")
+    Seq("n_lines_kept", "n_lines_dropped", "kept").foreach(c =>
+      require(c != idCol, s"idCol collides with output '$c'"))
+    val text = coalesce(col(textCol), lit(""))
+    val lines = transform(split(text, "\n"), l => trim(l))
+    val nonBlank = filter(lines, l => length(l) > 0)
+    def lineKept(l: Column): Column =
+      substring(l, -1, 1).isin(".", "!", "?", "\"") &&
+        size(filter(split(l, "\\s+"), w => length(w) > 0)) >= minLineWords &&
+        !lower(l).contains("javascript")
+    val keptLines = filter(nonBlank, lineKept(_))
+    val cleaned = array_join(keptLines, "\n")
+    val nSent = length(cleaned) -
+      length(regexp_replace(cleaned, "[.!?]", ""))
+    val docKept = !text.contains("{") && !text.contains("}") &&
+      !lower(text).contains("lorem ipsum") && nSent >= minSentences
+    df.select(col(idCol),
+      cleaned.as(textCol),
+      size(keptLines).cast("long").as("n_lines_kept"),
+      (size(nonBlank) - size(keptLines)).cast("long").as("n_lines_dropped"),
+      docKept.as("kept"))
+  }
+
+  /**
+   * BM25 corpus retrieval: the top-k highest-scoring documents for every
+   * query, scored by Okapi BM25 (Robertson/Lucene `+1` idf variant, so
+   * idf is always positive even for tokens in more than half the corpus):
+   *
+   *   score(q, d) = Σ_{t ∈ q} qtf(t) · ln(1 + (N − df + 0.5)/(df + 0.5))
+   *                 · tf(t,d)·(k1+1) / (tf(t,d) + k1·(1 − b + b·|d|/avgdl))
+   *
+   * Duplicate query terms weight linearly via their query term frequency
+   * `qtf` (the k3→∞ simplification). Output: (queryIdCol, rank, idCol,
+   * score) — rank 1..topK per query, score descending, document id
+   * ascending as the deterministic tie-break. Queries none of whose terms
+   * occur in the corpus produce no rows.
+   *
+   * Scale: the corpus is tokenized ONCE into a (doc, token, tf) posting
+   * frame (one hash aggregate with map-side partials); document
+   * frequencies aggregate the postings (one row per (doc, token) — the
+   * raw token stream never shuffles twice); N and avgdl ride along as a
+   * one-row broadcast. The query side is joined token-keyed against the
+   * postings — a query set is bounded (thousands, not billions), so AQE
+   * broadcasts it and scoring is one narrow pass over the postings; only
+   * (query, doc, contribution) rows reach the final per-query aggregate.
+   * The top-k runs as a per-query window — Spark 4 inserts
+   * WindowGroupLimit before the exchange, so k rows per query cross the
+   * last shuffle, never the full score list.
+   *
+   * Determinism: per-(query, doc) contribution sums are bridged through
+   * decimal(25,10) (exact, order-independent); with `scoreDigits` each
+   * per-token contribution is rounded BEFORE the sum so the transcendental
+   * idf/norm arithmetic has a declared precision on every engine (the
+   * t13 tfidf convention — see [[tfidfKeywords]] for the rationale).
+   */
+  def bm25TopK(
+      corpus: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      topK: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+      scoreDigits: Option[Int] = None): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    require(k1 >= 0, s"k1 must be >= 0, got $k1")
+    require(b >= 0 && b <= 1, s"b must be in [0, 1], got $b")
+    require(idCol != queryIdCol,
+      s"idCol and queryIdCol must differ (both '$idCol'): the output " +
+        "carries one column for each")
+    Seq("rank", "score").foreach(c => require(c != idCol && c != queryIdCol,
+      s"id column collides with output column '$c'"))
+    val postings = corpus
+      .select(col(idCol), explode(split(trim(lower(col(textCol))), "\\s+")).as("__tok"))
+      .filter(length(col("__tok")) > 0)
+      .groupBy(col(idCol), col("__tok"))
+      .agg(count(lit(1)).as("__tf"))
+    val docLen = postings.groupBy(idCol).agg(sum(col("__tf")).as("__dl"))
+    val docFreq = postings.groupBy("__tok").agg(count(lit(1)).as("__df"))
+    val stats = docLen.agg(count(lit(1)).as("__n"),
+      avg(col("__dl").cast("double")).as("__avgdl"))
+    val qtf = queries
+      .select(col(queryIdCol),
+        explode(split(trim(lower(col(queryTextCol))), "\\s+")).as("__tok"))
+      .filter(length(col("__tok")) > 0)
+      .groupBy(col(queryIdCol), col("__tok"))
+      .agg(count(lit(1)).as("__qtf"))
+    val idf = log(lit(1.0) +
+      (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
+    val norm = col("__tf") + lit(k1) *
+      (lit(1.0) - lit(b) + lit(b) * col("__dl").cast("double") / col("__avgdl"))
+    val rawContrib = col("__qtf").cast("double") * idf *
+      (col("__tf").cast("double") * lit(k1 + 1.0)) / norm
+    val contrib = scoreDigits.map(d => round(rawContrib, d)).getOrElse(rawContrib)
+    val scored = postings
+      .join(qtf, Seq("__tok"))
+      .join(docFreq, Seq("__tok"))
+      .join(docLen, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(sum(contrib.cast("decimal(25,10)")).as("__s"))
+      .select(col(queryIdCol), col(idCol), col("__s").cast("double").as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryIdCol))
+      .orderBy(col("score").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col(queryIdCol), col("rank"), col(idCol), col("score"))
   }
 }

@@ -149,4 +149,138 @@ object Graph {
     }
     nodes.map(v => v -> rank(idx(v))).toMap
   }
+
+  /**
+   * Synchronous label propagation (LPA community detection, Raghavan et
+   * al. 2007, deterministic variant): nodes start labeled with their own
+   * id; each iteration EVERY node simultaneously adopts the label with
+   * the largest total weight among its neighbors' current labels (edges
+   * are treated as undirected; ties break to the SMALLEST label;
+   * isolated nodes keep their label). Synchronous updates + total tie
+   * order make the result a pure function of (edges, iterations) — no
+   * visit-order nondeterminism, so it is differentially testable against
+   * [[denseLabelPropagation]], the shared driver reference model.
+   * Communities = distinct final labels. Typical use: grouping
+   * mutually-linking hosts into site clusters before per-site caps or
+   * per-community sampling.
+   *
+   * Scale: the same discipline as [[pageRank]] — the bidirected edge
+   * layout is repartitioned by neighbor and checkpointed ONCE; each
+   * iteration joins the (node, label) table (one row per node) to it,
+   * aggregates neighbor-label weights, and eagerly checkpoints the new
+   * labels while unpersisting the old (bounded lineage, node-table cost
+   * per iteration). Weighted sums are decimal-bridged so the argmax is
+   * exact and order-independent — an FP-sum tie would otherwise make
+   * the winner partition-dependent.
+   */
+  def labelPropagation(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 5, weightCol: Option[String] = None): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val w = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
+    val unpersist = org.apache.spark.sql.graftshim.ColumnBridge.unpersistCheckpointed _
+    val helpers = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var labels: DataFrame = null
+    var done = false
+    try {
+      val endpoints = edges
+        .select(col(srcCol).as("__src"), col(dstCol).as("__dst"), w.as("__w"))
+        .filter(col("__src").isNotNull && col("__dst").isNotNull)
+        .localCheckpoint(true)
+      helpers += endpoints
+      // undirected: each edge votes in both directions; decimal weights
+      // make every later sum exact (abs < +Inf rejects NaN too)
+      val good = endpoints
+        .filter(abs(col("__w")) < Double.PositiveInfinity && col("__w") > 0)
+        .select(col("__src"), col("__dst"),
+          col("__w").cast("decimal(20,6)").as("__w"))
+      val e2 = good
+        .union(good.select(col("__dst").as("__src"), col("__src").as("__dst"),
+          col("__w")))
+        .repartition(col("__src"))
+        .localCheckpoint(true)
+      helpers += e2
+      val nodes = endpoints.select(col("__src").as("node"))
+        .union(endpoints.select(col("__dst").as("node")))
+        .distinct()
+        .localCheckpoint(true)
+      helpers += nodes
+      unpersist(endpoints)
+      labels = nodes.withColumn("label", col("node")).localCheckpoint(true)
+      for (_ <- 1 to iterations) {
+        val votes = e2.join(labels, col("__src") === col("node"))
+          .groupBy(col("__dst"), col("label"))
+          .agg(sum(col("__w")).as("__mass"))
+        val winners = votes.groupBy(col("__dst").as("node"))
+          .agg(min_by(col("label"),
+            struct((-col("__mass")).as("nm"), col("label"))).as("__new"))
+        val prev = labels
+        labels = prev.join(winners, Seq("node"), "left")
+          .select(col("node"), coalesce(col("__new"), col("label")).as("label"))
+          .localCheckpoint(true)
+        unpersist(prev)
+      }
+      done = true
+      labels
+    } finally {
+      helpers.foreach(unpersist)
+      if (!done && labels != null) unpersist(labels)
+    }
+  }
+
+  /**
+   * Dense driver-side label propagation with IDENTICAL semantics
+   * (undirected votes, weight-sum argmax, ties to smallest label,
+   * synchronous updates) — the shared reference model the q104
+   * differential and GraphSpec both pin [[labelPropagation]] against.
+   * Driver memory O(nodes + edges): differential use only.
+   */
+  def denseLabelPropagation(edges: Seq[(Long, Long)], iterations: Int)
+      : Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val und = edges ++ edges.map { case (s, t) => (t, s) }
+    val nbrs = und.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var label = nodes.map(v => v -> v).toMap
+    for (_ <- 1 to iterations) {
+      label = nodes.map { v =>
+        nbrs.get(v) match {
+          case None => v -> label(v)
+          case Some(ns) =>
+            val counts = ns.groupBy(label).view.mapValues(_.size).toMap
+            v -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+        }
+      }.toMap
+    }
+    label
+  }
+
+  /**
+   * Per-node degree statistics over an edge list: out/in edge counts and
+   * distinct out/in neighbor counts (parallel edges counted by the
+   * former, once by the latter). The crawl-graph audit primitive —
+   * hub/spam detection (huge out-degree, tiny distinct ratio), dangling
+   * analysis, degree-distribution reports. Output:
+   * (node, out_deg, in_deg, out_neighbors, in_neighbors) — one row per
+   * node that appears on any null-free edge, zeros where a node only
+   * appears on one side.
+   *
+   * Scale: the edge list maps to tagged (node, other, direction) rows,
+   * then ONE hash aggregate keyed on node (map-side partials; the two
+   * distinct counts add the documented Expand branch, same trade as the
+   * q89 exact-distinct constraints). Nothing driver-side, no joins.
+   */
+  def degreeStats(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val clean = edges
+      .select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+      .filter(col("__s").isNotNull && col("__d").isNotNull)
+    clean.select(col("__s").as("node"), col("__d").as("__o"), lit(1).as("__out"))
+      .union(clean.select(col("__d").as("node"), col("__s").as("__o"),
+        lit(0).as("__out")))
+      .groupBy("node")
+      .agg(sum(col("__out")).cast("long").as("out_deg"),
+        sum(lit(1) - col("__out")).cast("long").as("in_deg"),
+        countDistinct(when(col("__out") === 1, col("__o"))).as("out_neighbors"),
+        countDistinct(when(col("__out") === 0, col("__o"))).as("in_neighbors"))
+  }
 }

@@ -311,4 +311,132 @@ object TemporalOps {
       .rangeBetween(-windowSeconds, 0)
     aggs.foldLeft(df) { case (d, (name, a)) => d.withColumn(name, a.over(w)) }
   }
+
+  /**
+   * Merge overlapping (or touching) intervals per key — the interval
+   * union/coalesce sweep: [1,5] + [3,8] + [8,10] → [1,10]; a gap starts
+   * a new merged interval. The inverse-ish of [[sessionize]] for data
+   * that arrives AS intervals (ad impressions, outage windows, document
+   * validity ranges) rather than as point events. Interval columns may
+   * be any orderable numeric/timestamp type with `<=`/`greatest`
+   * semantics; rows with a null endpoint or end < start are rejected
+   * loudly (a silent drop would under-merge). Output: keyCols ++
+   * (`startCol`, `endCol`, n_merged) — one row per merged interval,
+   * n_merged = input intervals absorbed into it.
+   *
+   * Scale: the classic sweep as ONE per-key window pass — sort by
+   * (start, end) within each key, flag rows whose start exceeds the
+   * running max of previous ends, prefix-sum the flags into group ids,
+   * then one hash aggregate. Parallel across keys; a single key's
+   * intervals sort within one partition (the [[sessionize]] /
+   * [[rollingAggregate]] bound, documented).
+   */
+  def mergeIntervals(
+      df: DataFrame, keyCols: Seq[String], startCol: String,
+      endCol: String, validate: Boolean = true): DataFrame = {
+    require(keyCols.nonEmpty,
+      "mergeIntervals needs >= 1 key column (give a constant key for a " +
+        "global merge — the sweep must be partitionable)")
+    require(!keyCols.contains("n_merged") && startCol != "n_merged" &&
+      endCol != "n_merged",
+      "key/start/end column collides with output column 'n_merged'")
+    if (validate) {
+      // one guarded pre-scan (limit-collect short-circuits on the first
+      // bad row); pass validate=false on inputs already guaranteed clean
+      // to save the extra pass at corpus scale
+      val bad = df.filter(col(startCol).isNull || col(endCol).isNull ||
+        col(endCol) < col(startCol)).limit(1).collect()
+      require(bad.isEmpty,
+        s"mergeIntervals: null endpoint or end < start row exists: ${bad.headOption.getOrElse("")}")
+    }
+    val keys = keyCols.map(col)
+    val order = Seq(col(startCol).asc, col(endCol).asc)
+    val wPrev = Window.partitionBy(keys: _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(keys: _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__maxend", max(col(endCol)).over(wPrev))
+      .withColumn("__new",
+        when(col("__maxend").isNull || col(startCol) > col("__maxend"), 1L)
+          .otherwise(0L))
+      .withColumn("__grp", sum(col("__new")).over(wRun))
+      .groupBy((keys :+ col("__grp")): _*)
+      .agg(min(col(startCol)).as(startCol), max(col(endCol)).as(endCol),
+        count(lit(1)).as("n_merged"))
+      .drop("__grp")
+  }
+
+  /**
+   * Time-series gap fill: regularize each group onto a fixed `stepSeconds`
+   * grid between its first and last observation, synthesizing the missing
+   * buckets — the step between [[resample]] and any model that assumes
+   * evenly spaced input. Rows landing in the same bucket average
+   * (decimal-bridged sum / count — order-independent); null values are
+   * treated as absent. Fill methods for synthesized buckets:
+   *
+   *  - `"linear"` — interpolate between the nearest observed neighbors:
+   *    v = prev + (next − prev) · (t − t_prev)/(t_next − t_prev)
+   *  - `"ffill"`  — carry the previous observed value forward
+   *  - `"zero"`   — 0.0 (count-like series where a gap means "nothing")
+   *
+   * Every group's grid endpoints are observed buckets by construction
+   * (the grid spans min..max of that group's own data), so interpolation
+   * never extrapolates and prev/next always exist. Output: groupCols ++
+   * (bucket_start timestamp, `valueCol` double, filled boolean — true on
+   * synthesized buckets).
+   *
+   * Scale: one hash aggregate to buckets, one tiny per-group span
+   * aggregate whose `sequence` explode generates the grid (grid size is
+   * span/step per group — the caller controls density; a year at 1 s is
+   * 31M rows per group, pick the step accordingly), one join back, and
+   * per-group ordered windows for neighbor lookup (parallel across
+   * groups; a single group's grid sorts within one partition — the same
+   * documented bound as [[rollingAggregate]]). The interpolation itself
+   * is scalar IEEE arithmetic — deterministic and engine-portable.
+   */
+  def gapFill(
+      df: DataFrame, tsCol: String, valueCol: String, stepSeconds: Long,
+      groupCols: Seq[String], method: String = "linear"): DataFrame = {
+    require(stepSeconds > 0, "stepSeconds must be > 0")
+    require(Set("linear", "ffill", "zero").contains(method),
+      s"unknown fill method '$method' (linear|ffill|zero)")
+    require(groupCols.nonEmpty,
+      "gapFill needs >= 1 group column (a single global series still " +
+        "needs an explicit constant key so the window can be partitioned)")
+    Seq("bucket_start", "filled").foreach(c => require(!groupCols.contains(c),
+      s"group column collides with output column '$c'"))
+    val gcols = groupCols.map(col)
+    val eb = (floor(unix_timestamp(col(tsCol)).cast("double") / stepSeconds)
+      .cast("long") * stepSeconds).as("__e")
+    val obs = df.filter(col(valueCol).isNotNull)
+      .groupBy((gcols :+ eb): _*)
+      .agg((sum(col(valueCol).cast("decimal(25,6)")).cast("double") /
+        count(lit(1)).cast("double")).as("__v"))
+    val spans = obs.groupBy(gcols: _*)
+      .agg(min(col("__e")).as("__lo"), max(col("__e")).as("__hi"))
+    val grid = spans.select((gcols :+
+      explode(sequence(col("__lo"), col("__hi"), lit(stepSeconds))).as("__e")): _*)
+    val joined = grid.join(obs, groupCols :+ "__e", "left")
+    val wPrev = Window.partitionBy(gcols: _*).orderBy(col("__e").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(gcols: _*).orderBy(col("__e").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val pv = last(col("__v"), ignoreNulls = true).over(wPrev)
+    val pe = last(when(col("__v").isNotNull, col("__e")), ignoreNulls = true)
+      .over(wPrev)
+    val nv = first(col("__v"), ignoreNulls = true).over(wNext)
+    val ne = first(when(col("__v").isNotNull, col("__e")), ignoreNulls = true)
+      .over(wNext)
+    val value = method match {
+      case "zero"  => coalesce(col("__v"), lit(0.0))
+      case "ffill" => coalesce(col("__v"), pv)
+      case "linear" => coalesce(col("__v"),
+        pv + (nv - pv) * ((col("__e") - pe).cast("double") /
+          (ne - pe).cast("double")))
+    }
+    joined.select((gcols :+
+      timestamp_seconds(col("__e")).as("bucket_start") :+
+      value.as(valueCol) :+
+      col("__v").isNull.as("filled")): _*)
+  }
 }

@@ -431,6 +431,94 @@ object GraftSql {
           d.withColumn(p.getOrElse("out", "q"),
             graft.functions.Similarity.quantizeInt8(
               org.apache.spark.sql.functions.col(c)))
+        },
+        "bm25" -> ProcessorDef { (_, dfs, p) =>
+          require(dfs.size == 2, "bm25 takes (corpus, queries)")
+          TextFunctions.bm25TopK(dfs.head, id(p), tcol(p),
+            dfs(1),
+            queryIdCol = p.getOrElse("qid", "query_id"),
+            queryTextCol = p.getOrElse("qcol", "qtext"),
+            topK = p.getOrElse("k", "10").toInt,
+            k1 = p.get("k1").map(_.toDouble).getOrElse(1.2),
+            b = p.get("b").map(_.toDouble).getOrElse(0.75),
+            scoreDigits = p.get("digits").map(_.toInt))
+        },
+        "containment_pairs" -> ProcessorDef { (_, dfs, p) =>
+          Dedup.containmentPairs(one(dfs, "containment_pairs"), id(p), tcol(p),
+            shingleK = p.get("k").map(_.toInt).getOrElse(3),
+            threshold = p.get("threshold").map(_.toDouble).getOrElse(0.8),
+            maxShingleDf = p.get("max_df").map(_.toInt).getOrElse(Int.MaxValue))
+        },
+        "gap_fill" -> ProcessorDef { (_, dfs, p) =>
+          graft.operators.TemporalOps.gapFill(one(dfs, "gap_fill"),
+            tsCol = p.getOrElse("ts", "ts"),
+            valueCol = p.getOrElse("col", "value"),
+            stepSeconds = p.getOrElse("step",
+              throw new IllegalArgumentException(
+                "gap_fill needs step:<seconds>")).toLong,
+            groupCols = p.getOrElse("keys",
+              throw new IllegalArgumentException(
+                "gap_fill needs keys:\"a,b,...\""))
+              .split(",").map(_.trim).toSeq,
+            method = p.getOrElse("method", "linear"))
+        },
+        "trigram_score" -> ProcessorDef { (_, dfs, p) =>
+          TextFunctions.trigramCrossEntropy(one(dfs, "trigram_score"),
+            id(p), tcol(p),
+            lambda3 = p.get("l3").map(_.toDouble).getOrElse(0.7),
+            lambda2 = p.get("l2").map(_.toDouble).getOrElse(0.2),
+            digits = p.get("digits").map(_.toInt).getOrElse(9))
+        },
+        "label_propagation" -> ProcessorDef { (_, dfs, p) =>
+          graft.operators.Graph.labelPropagation(one(dfs, "label_propagation"),
+            srcCol = p.getOrElse("src", "src"),
+            dstCol = p.getOrElse("dst", "dst"),
+            iterations = p.get("iters").map(_.toInt).getOrElse(5),
+            weightCol = p.get("w"))
+        },
+        "degrees" -> ProcessorDef { (_, dfs, p) =>
+          graft.operators.Graph.degreeStats(one(dfs, "degrees"),
+            srcCol = p.getOrElse("src", "src"),
+            dstCol = p.getOrElse("dst", "dst"))
+        },
+        "link_graph" -> ProcessorDef { (_, dfs, p) =>
+          TextFunctions.linkGraph(one(dfs, "link_graph"),
+            srcHostCol = p.getOrElse("host", "host"),
+            textCol = tcol(p))
+        },
+        "merge_intervals" -> ProcessorDef { (_, dfs, p) =>
+          graft.operators.TemporalOps.mergeIntervals(
+            one(dfs, "merge_intervals"),
+            keyCols = p.getOrElse("keys",
+              throw new IllegalArgumentException(
+                "merge_intervals needs keys:\"a,b,...\""))
+              .split(",").map(_.trim).toSeq,
+            startCol = p.getOrElse("start", "start"),
+            endCol = p.getOrElse("end", "end"),
+            validate = !p.get("skip_validate").exists(_.toBoolean))
+        },
+        "rank_normalize" -> ProcessorDef { (_, dfs, p) =>
+          graft.functions.Sampling.rankNormalize(one(dfs, "rank_normalize"),
+            valueCol = p.getOrElse("col", "score"),
+            tieBreakCols = id(p).split(",").map(_.trim).toSeq,
+            outCol = p.getOrElse("out", "quantile"),
+            descending = p.get("descending").exists(_.toBoolean))
+        },
+        "ks_drift" -> ProcessorDef { (_, dfs, p) =>
+          require(dfs.size == 2, "ks_drift takes (before, after)")
+          graft.functions.Stats.ksTest(dfs.head, dfs(1),
+            c = p.getOrElse("col", "value"),
+            bins = p.get("bins").map(_.toInt).getOrElse(200))
+        },
+        "gopher_rules" -> ProcessorDef { (_, dfs, p) =>
+          TextFunctions.gopherRules(one(dfs, "gopher_rules"), id(p), tcol(p),
+            minWords = p.get("min_words").map(_.toInt).getOrElse(50),
+            maxWords = p.get("max_words").map(_.toInt).getOrElse(100000))
+        },
+        "c4_clean" -> ProcessorDef { (_, dfs, p) =>
+          TextFunctions.c4Clean(one(dfs, "c4_clean"), id(p), tcol(p),
+            minLineWords = p.get("min_line_words").map(_.toInt).getOrElse(3),
+            minSentences = p.get("min_sentences").map(_.toInt).getOrElse(3))
         })
     })
 

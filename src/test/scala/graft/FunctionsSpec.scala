@@ -1941,4 +1941,175 @@ class FunctionsSpec extends SparkTestBase {
       .select(TextFunctions.fixMojibake(col("t"))).head()
     assert(n.isNullAt(0))
   }
+
+  test("bm25TopK matches a hand-computed score; ranking and ties deterministic") {
+    // corpus: d1 "x x y", d2 "x z", d3 "y y z z" \u2014 N=3, avgdl = (3+2+4)/3
+    val corpus = df(Seq(Seq(1L, "x x y"), Seq(2L, "x z"), Seq(3L, "y y z z")),
+      "doc_id:long,text:str")
+    val queries = df(Seq(Seq(10L, "x x"), Seq(11L, "q")),
+      "query_id:long,qtext:str")
+    val out = TextFunctions.bm25TopK(corpus, "doc_id", "text",
+      queries, "query_id", "qtext", topK = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // query 11 has no corpus term -> no rows
+    assert(out.forall(_._1 == 10L))
+    // query "x x": qtf(x)=2; df(x)=2, idf = ln(1 + (3-2+0.5)/(2+0.5))
+    val idf = math.log(1.0 + (3.0 - 2 + 0.5) / (2 + 0.5))
+    val avgdl = 3.0
+    def s(tf: Double, dl: Double) =
+      2.0 * idf * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+    val byDoc = out.map(r => r._3 -> (r._2, r._4)).toMap
+    assert(math.abs(byDoc(1L)._2 - s(2.0, 3.0)) < 1e-9)
+    assert(math.abs(byDoc(2L)._2 - s(1.0, 2.0)) < 1e-9)
+    assert(!byDoc.contains(3L)) // no query term in d3
+    // d1 (tf=2) outranks d2 (tf=1, shorter)
+    assert(byDoc(1L)._1 == 1 && byDoc(2L)._1 == 2)
+    intercept[IllegalArgumentException] {
+      TextFunctions.bm25TopK(corpus, "doc_id", "text",
+        queries, "query_id", "qtext", topK = 0)
+    }
+    intercept[IllegalArgumentException] {
+      TextFunctions.bm25TopK(corpus, "id", "text", queries, "id", "qtext")
+    }
+  }
+
+  test("containmentPairs: subset doc scores 1.0 toward its superset, directional") {
+    // d1's trigrams are a strict subset of d2's; d3 shares nothing
+    val d = df(Seq(
+      Seq(1L, "a b c d"),          // trigrams {abc, bcd}
+      Seq(2L, "a b c d e f"),      // {abc, bcd, cde, def}
+      Seq(3L, "p q r s t")),
+      "doc_id:long,text:str")
+    val out = Dedup.containmentPairs(d, "doc_id", "text",
+      shingleK = 3, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // containment(1\u21922) = 2/2 = 1.0; containment(2\u21921) = 2/4 = 0.5
+    assert(out === Set((1L, 2L, 1.0), (2L, 1L, 0.5)))
+    // tighter threshold drops the reverse direction only
+    val strict = Dedup.containmentPairs(d, "doc_id", "text",
+      shingleK = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strict === Set((1L, 2L)))
+    intercept[IllegalArgumentException] {
+      Dedup.containmentPairs(d, "doc_id", "text", threshold = 0.0)
+    }
+  }
+
+  test("gopherRules: each rule fires on its planted trigger") {
+    val good = ("the data be good and clean so that we have models " +
+      "trained with care for everyone involved here today now ") * 3
+    val rows = Seq(
+      Seq(1L, good),                                   // passes all
+      Seq(2L, "tiny doc"),                             // fails words
+      Seq(3L, good + " " + Seq.fill(30)("####").mkString(" ")), // symbols
+      Seq(4L, good + Seq.fill(15)(" so...").mkString), // ellipsis ratio
+      Seq(5L, good + "\n" + (1 to 20).map(i => s"- item $i this line").mkString("\n")), // bullets
+      Seq(6L, Seq.fill(40)("12345").mkString(" ")))    // alpha + stopwords
+    val got = TextFunctions.gopherRules(df(rows, "doc_id:long,text:str"),
+      "doc_id", "text", minWords = 20)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def b(id: Long, c: String) = got(id).getBoolean(got(id).fieldIndex(c))
+    assert(b(1L, "passes"), s"doc1 should pass: ${got(1L)}")
+    assert(!b(2L, "rule_words") && !b(2L, "passes"))
+    assert(!b(3L, "rule_symbols"))
+    assert(!b(4L, "rule_ellipsis"))
+    assert(!b(5L, "rule_bullets"))
+    assert(!b(6L, "rule_alpha") && !b(6L, "rule_stopwords"))
+    intercept[IllegalArgumentException] {
+      TextFunctions.gopherRules(df(rows, "doc_id:long,text:str"),
+        "doc_id", "text", minWords = 0)
+    }
+  }
+
+  test("c4Clean: line retention rules, doc verdicts, audit counts") {
+    val rows = Seq(
+      Seq(1L, "This is a fine first sentence.\nno punct line\n" +
+        "Uses javascript heavily today.\nA second good sentence here!\n" +
+        "And a third one to clear the bar."),
+      Seq(2L, "Only two."),                            // short line dropped
+      Seq(3L, "A page with { code } in it. More words here!"),
+      Seq(4L, "Some Lorem Ipsum filler text. And more of it! Plus a third."))
+    val got = TextFunctions.c4Clean(df(rows, "doc_id:long,text:str"),
+      "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got(1L)._1 === "This is a fine first sentence.\n" +
+      "A second good sentence here!\nAnd a third one to clear the bar.")
+    assert(got(1L)._2 === 3L && got(1L)._3 === 2L && got(1L)._4)
+    assert(got(2L)._2 === 0L && !got(2L)._4)
+    assert(!got(3L)._4, "curly braces reject the page")
+    assert(!got(4L)._4, "lorem ipsum rejects the page")
+  }
+
+  test("rankNormalize: Hazen quantiles, descending flip, partition-invariant") {
+    val d = df((1 to 8).map(i => Seq(i.toLong, (100 - i * 10).toDouble)),
+      "id:long,score:double")
+    val got = graft.functions.Sampling.rankNormalize(d, "score", Seq("id"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // score descends with id, so id=8 has the LOWEST score → rank 1
+    assert(got(8L) === 0.5 / 8)
+    assert(got(1L) === 7.5 / 8)
+    val desc = graft.functions.Sampling.rankNormalize(d, "score", Seq("id"),
+      descending = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(desc(1L) === 0.5 / 8 && desc(8L) === 7.5 / 8)
+    // quantiles are invariant to input partitioning
+    val re = graft.functions.Sampling.rankNormalize(d.repartition(7),
+      "score", Seq("id"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(re === got)
+    intercept[IllegalArgumentException] {
+      graft.functions.Sampling.rankNormalize(d, "score", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.Sampling.rankNormalize(
+        d.withColumnRenamed("score", "quantile"), "quantile", Seq("id"))
+    }
+  }
+
+  test("linkGraph: host edges lowercased, counted; blank/null source dropped") {
+    val d = df(Seq(
+      Seq("A.com", "x https://B.org/1 y http://b.ORG/2 z https://c.net/"),
+      Seq("a.com", "see https://b.org/3"),
+      Seq(null, "https://d.org/x"),
+      Seq("", "https://e.org/x"),
+      Seq("f.com", "no links here")), "host:str,text:str")
+    val got = TextFunctions.linkGraph(d, "host", "text")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set(
+      ("a.com", "b.org", 3L),
+      ("a.com", "c.net", 1L)))
+    // composes with the graph operators
+    val pr = graft.operators.Graph.pageRank(
+      TextFunctions.linkGraph(d, "host", "text"), "src", "dst",
+      iterations = 3, weightCol = Some("n_links")).collect()
+    assert(pr.length === 3 && math.abs(pr.map(_.getDouble(1)).sum - 1.0) < 1e-9)
+  }
+
+  test("trigramCrossEntropy matches a hand-computed interpolated model") {
+    // corpus: d1 "a b a b a", d2 "a b" (no trigrams -> no row)
+    val d = df(Seq(Seq(1L, "a b a b a"), Seq(2L, "a b")),
+      "doc_id:long,text:str")
+    val got = TextFunctions.trigramCrossEntropy(d, "doc_id", "text",
+      lambda3 = 0.7, lambda2 = 0.2, digits = 12).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(!got.contains(2L))
+    // tokens: d1 a b a b a, d2 a b -> N=7, V=2; uni: a=4, b=3
+    // bigrams: d1 (ab,ba,ab,ba), d2 (ab) -> ab=3, ba=2
+    // trigrams (d1): aba x2, bab x1; counts: aba=2, bab=1
+    val l1 = 1.0 - 0.7 - 0.2
+    // position aba: p3 = 2/3 (c123(aba)=2 / c12(ab)=3), p2 = c23(ba)/c1(b) = 2/3,
+    //   p1 = (c(a)+1)/(N+V) = 5/9
+    val pAba = 0.7 * (2.0 / 3) + 0.2 * (2.0 / 3) + l1 * (5.0 / 9)
+    // position bab: p3 = 1/2 (c123(bab)=1 / c12(ba)=2), p2 = c23(ab)/c1(a) = 3/4,
+    //   p1 = (c(b)+1)/(N+V) = 4/9
+    val pBab = 0.7 * (1.0 / 2) + 0.2 * (3.0 / 4) + l1 * (4.0 / 9)
+    val ce = -(math.log(pAba) + math.log(pBab) + math.log(pAba)) / 3.0
+    assert(got(1L)._1 == 3L)
+    assert(math.abs(got(1L)._2 - ce) < 1e-9, s"${got(1L)._2} vs $ce")
+    intercept[IllegalArgumentException] {
+      TextFunctions.trigramCrossEntropy(d, "doc_id", "text", lambda3 = 0.9,
+        lambda2 = 0.1)
+    }
+  }
 }

@@ -836,6 +836,99 @@ class GraftSqlSpec extends SparkTestBase {
     assert(qrow.getDouble(0) === 0.0 && math.abs(qrow.getDouble(1) - 2.0 / 255) < 1e-15)
   }
 
+  test("built-in bm25 / containment_pairs / gap_fill / trigram_score processors") {
+    val corpus = df(Seq(Seq(1L, "x x y"), Seq(2L, "x z"), Seq(3L, "y y z z")),
+      "doc_id:long,text:str")
+    val queries = df(Seq(Seq(10L, "x")), "query_id:long,qtext:str")
+    val bm = GraftSql.run(engine,
+      """r = PROCESS corpus, queries USING bm25(k:2)
+        |YIELD r AS r
+        |""".stripMargin, Map("corpus" -> corpus, "queries" -> queries))
+      .yields("r").collect()
+    assert(bm.length === 2 && bm.map(_.getInt(1)).sorted.toSeq === Seq(1, 2))
+
+    val docs = df(Seq(Seq(1L, "a b c d"), Seq(2L, "a b c d e f")),
+      "doc_id:long,text:str")
+    val cp = GraftSql.run(engine,
+      """p = PROCESS docs USING containment_pairs(threshold:0.9)
+        |YIELD p AS p
+        |""".stripMargin, Map("docs" -> docs)).yields("p").collect()
+    assert(cp.length === 1 && cp.head.getLong(0) === 1L)
+
+    val series = df(Seq(
+      Seq("a", "2024-01-01 00:00:00", 2.0),
+      Seq("a", "2024-01-01 00:30:00", 6.0)), "k:str,ts:datetime,v:double")
+    val gf = GraftSql.run(engine,
+      """g = PROCESS series USING gap_fill(ts:ts, col:v, step:900, keys:k)
+        |YIELD g AS g
+        |""".stripMargin, Map("series" -> series)).yields("g").collect()
+    assert(gf.length === 3)
+    assert(gf.count(_.getBoolean(3)) === 1)
+    assert(gf.find(_.getBoolean(3)).get.getDouble(2) === 4.0)
+
+    val tg = GraftSql.run(engine,
+      """t = PROCESS corpus USING trigram_score
+        |YIELD t AS t
+        |""".stripMargin, Map("corpus" -> corpus)).yields("t").collect()
+    assert(tg.map(_.getLong(0)).toSet === Set(1L, 3L)) // >=3 tokens only
+  }
+
+  test("built-in graph + interval + rank + ks processors") {
+    val edges = df(Seq(Seq(1L, 2L), Seq(2L, 1L), Seq(2L, 3L)), "s:long,d:long")
+    val lp = GraftSql.run(engine,
+      """c = PROCESS edges USING label_propagation(src:s, dst:d, iters:4)
+        |YIELD c AS c
+        |""".stripMargin, Map("edges" -> edges)).yields("c").collect()
+    assert(lp.map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
+    val dg = GraftSql.run(engine,
+      """g = PROCESS edges USING degrees(src:s, dst:d)
+        |YIELD g AS g
+        |""".stripMargin, Map("edges" -> edges)).yields("g")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dg(2L) === 2L)
+    val docs = df(Seq(Seq("a.com", "x https://b.org/1")), "host:str,text:str")
+    val lg = GraftSql.run(engine,
+      """e = PROCESS docs USING link_graph(host:host)
+        |YIELD e AS e
+        |""".stripMargin, Map("docs" -> docs)).yields("e").collect()
+    assert(lg.length === 1 && lg.head.getString(1) === "b.org")
+    val iv = df(Seq(Seq("k", 1L, 5L), Seq("k", 4L, 9L), Seq("k", 20L, 21L)),
+      "g:str,s:long,e:long")
+    val mi = GraftSql.run(engine,
+      """m = PROCESS iv USING merge_intervals(keys:g, start:s, end:e)
+        |YIELD m AS m
+        |""".stripMargin, Map("iv" -> iv)).yields("m").collect()
+    assert(mi.length === 2 && mi.map(_.getLong(3)).sorted.toSeq === Seq(1L, 2L))
+    val scores = df((1 to 4).map(i => Seq(i.toLong, i.toDouble)),
+      "id:long,score:double")
+    val rn = GraftSql.run(engine,
+      """r = PROCESS scores USING rank_normalize(col:score, id:id)
+        |YIELD r AS r
+        |""".stripMargin, Map("scores" -> scores)).yields("r")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(rn(1L) === 0.125 && rn(4L) === 0.875)
+    val ks = GraftSql.run(engine,
+      """k = PROCESS b, a USING ks_drift(col:score, bins:4)
+        |YIELD k AS k
+        |""".stripMargin, Map("b" -> scores, "a" -> scores)).yields("k").collect()
+    assert(ks.head.getDouble(2) === 0.0)
+
+    val corpus2 = df(Seq(
+      Seq(1L, "the data be of and that have with more words to pass here ok " +
+        "the data be of and that have with more words to pass here ok")),
+      "doc_id:long,text:str")
+    val gr = GraftSql.run(engine,
+      """g = PROCESS corpus2 USING gopher_rules(min_words:10)
+        |YIELD g AS g
+        |""".stripMargin, Map("corpus2" -> corpus2)).yields("g").collect()
+    assert(gr.head.getBoolean(gr.head.fieldIndex("passes")))
+    val c4 = GraftSql.run(engine,
+      """c = PROCESS corpus2 USING c4_clean(min_sentences:0)
+        |YIELD c AS c
+        |""".stripMargin, Map("corpus2" -> corpus2)).yields("c").collect()
+    assert(c4.head.getLong(2) === 0L) // no terminal punctuation → dropped
+  }
+
   test("built-in export_shards processor yields the manifest frame") {
     val dir = Files.createTempDirectory("graftsql_shards").toString
     val d = df((1 to 50).map(i => Seq(i.toLong, s"r$i")), "id:long,s:str")

@@ -114,4 +114,67 @@ class GraphSpec extends SparkTestBase {
       Graph.pageRank(df(Seq(Seq(null, 2L)), "src:long,dst:long"), "src", "dst")
     }
   }
+
+  test("labelPropagation: two triangles joined by a bridge resolve to two communities") {
+    // triangle {1,2,3}, triangle {10,11,12}, bridge 3-10
+    val e = df(Seq(
+      Seq(1L, 2L), Seq(2L, 3L), Seq(3L, 1L),
+      Seq(10L, 11L), Seq(11L, 12L), Seq(12L, 10L),
+      Seq(3L, 10L)), "src:long,dst:long")
+    val got = Graph.labelPropagation(e, "src", "dst", iterations = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 10L, 11L, 12L))
+    // matches the shared dense model exactly (synchronous determinism)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (3L, 10L))
+    assert(got === Graph.denseLabelPropagation(edges, 6))
+    // each triangle is internally uniform
+    assert(Set(got(1L), got(2L)).size == 1 && got(2L) == got(3L))
+    assert(got(10L) == got(11L) && got(11L) == got(12L))
+  }
+
+  test("labelPropagation == dense model on random graphs (3 seeds); isolated kept") {
+    for (seed <- Seq(5L, 29L, 71L)) {
+      val rnd = new Random(seed)
+      val edges = (1 to 120).map(_ =>
+        (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      val got = Graph.labelPropagation(edges.toDF("src", "dst"), "src", "dst",
+        iterations = 5)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      val want = Graph.denseLabelPropagation(edges, 5)
+      assert(got === want, s"seed $seed")
+    }
+    intercept[IllegalArgumentException] {
+      Graph.labelPropagation(df(Seq(Seq(1L, 2L)), "src:long,dst:long"),
+        "src", "dst", iterations = 0)
+    }
+  }
+
+  test("labelPropagation: weighted votes beat unweighted majority") {
+    // node 5 has two light neighbors labeled {1,2} and one heavy neighbor
+    // labeled 9 — weight flips the winner
+    val e = df(Seq(
+      Seq(5L, 1L, 1.0), Seq(5L, 2L, 1.0), Seq(5L, 9L, 10.0)),
+      "src:long,dst:long,w:double")
+    val one = Graph.labelPropagation(e, "src", "dst", iterations = 1,
+      weightCol = Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one(5L) === 9L)
+    val unweighted = Graph.labelPropagation(e, "src", "dst", iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(unweighted(5L) === 1L) // tie among {1,2,9} breaks to smallest
+  }
+
+  test("degreeStats: multigraph counts vs distinct neighbors, one-sided zeros") {
+    val e = df(Seq(
+      Seq(1L, 2L), Seq(1L, 2L), Seq(1L, 3L), Seq(4L, 1L)),
+      "src:long,dst:long")
+    val got = Graph.degreeStats(e, "src", "dst")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1L) === ((3L, 1L, 2L, 1L))) // out: 2,2,3 (2 distinct); in: 4
+    assert(got(2L) === ((0L, 2L, 0L, 1L))) // parallel in-edges, 1 neighbor
+    assert(got(3L) === ((0L, 1L, 0L, 1L)))
+    assert(got(4L) === ((1L, 0L, 1L, 0L)))
+  }
 }

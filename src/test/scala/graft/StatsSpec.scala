@@ -143,4 +143,33 @@ class StatsSpec extends SparkTestBase {
     val clamped = Stats.populationStability(narrow, far, "v", 4).collect()
     assert(clamped.last.getLong(4) === 1L && clamped.map(_.getLong(4)).sum === 1L)
   }
+
+  test("ksTest: identical samples D=0; disjoint shift D=1; verdict consistent") {
+    import spark.implicits._
+    val x = (1 to 100).map(_.toDouble).toDF("v")
+    val same = Stats.ksTest(x, x, "v", bins = 10).collect().head
+    assert(same.getDouble(2) === 0.0 && !same.getBoolean(4))
+    assert(same.getLong(0) === 100L && same.getLong(1) === 100L)
+    // fully disjoint supports → every cumulative step displaced → D = 1
+    val y = (201 to 300).map(_.toDouble).toDF("v")
+    val far = Stats.ksTest(x, y, "v", bins = 10).collect().head
+    assert(far.getDouble(2) === 1.0 && far.getBoolean(4))
+    // critical value formula: 1.3581 * sqrt((n+m)/(n*m))
+    val expectCrit = BigDecimal(1.3581 * math.sqrt(200.0 / 10000.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(far.getDouble(3) === expectCrit)
+    // a half-range location shift on the shared grid flags
+    val shifted = (51 to 150).map(_.toDouble).toDF("v")
+    val mid = Stats.ksTest(x, shifted, "v", bins = 20).collect().head
+    assert(mid.getDouble(2) > 0.25 && mid.getBoolean(4))
+    // NaN/Inf excluded like PSI; empty side rejected
+    val dirty = (Seq(Double.NaN, Double.PositiveInfinity) ++
+      (1 to 100).map(_.toDouble)).toDF("v")
+    assert(Stats.ksTest(x, dirty, "v", bins = 10).collect().head
+      .getLong(1) === 100L)
+    intercept[IllegalArgumentException] {
+      Stats.ksTest(x, Seq(Double.NaN).toDF("v"), "v")
+    }
+    intercept[IllegalArgumentException] { Stats.ksTest(x, y, "v", bins = 0) }
+  }
 }

@@ -229,4 +229,84 @@ class TemporalOpsSpec extends SparkTestBase {
         Seq("n" -> count(lit(1))))
     }
   }
+
+  test("gapFill linear: synthesized buckets interpolate between neighbors") {
+    // group a at 15-min step: 00:00 and 00:10 share the first bucket
+    // (mean (0+4)/2 = 2), 00:45 is observed at 8, and the two missing
+    // buckets interpolate linearly between 2 and 8 → 4 and 6
+    val d = df(Seq(
+      Seq("a", "2024-01-01 00:00:00", 0.0),
+      Seq("a", "2024-01-01 00:10:00", 4.0), // same bucket as 00:00 → mean 2.0
+      Seq("a", "2024-01-01 00:45:00", 8.0),
+      Seq("b", "2024-01-01 02:00:00", 5.0)), "k:str,ts:datetime,v:double")
+    val out = TemporalOps.gapFill(d, "ts", "v", 900, Seq("k"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).toString,
+        r.getDouble(2), r.getBoolean(3))).toSet
+    assert(out === Set(
+      ("a", "2024-01-01 00:00:00.0", 2.0, false),
+      ("a", "2024-01-01 00:15:00.0", 4.0, true),
+      ("a", "2024-01-01 00:30:00.0", 6.0, true),
+      ("a", "2024-01-01 00:45:00.0", 8.0, false),
+      ("b", "2024-01-01 02:00:00.0", 5.0, false)))
+  }
+
+  test("gapFill ffill/zero methods; null values are gaps; intercepts") {
+    val d = df(Seq(
+      Seq("a", "2024-01-01 00:00:00", 3.0),
+      Seq("a", "2024-01-01 00:15:00", null), // null value = absent
+      Seq("a", "2024-01-01 00:30:00", 9.0)), "k:str,ts:datetime,v:double")
+    val ff = TemporalOps.gapFill(d, "ts", "v", 900, Seq("k"), method = "ffill")
+      .collect().map(r => r.getTimestamp(1).toString -> r.getDouble(2)).toMap
+    assert(ff("2024-01-01 00:15:00.0") === 3.0)
+    val zf = TemporalOps.gapFill(d, "ts", "v", 900, Seq("k"), method = "zero")
+      .collect().map(r => r.getTimestamp(1).toString -> r.getDouble(2)).toMap
+    assert(zf("2024-01-01 00:15:00.0") === 0.0)
+    intercept[IllegalArgumentException] {
+      TemporalOps.gapFill(d, "ts", "v", 900, Seq("k"), method = "cubic")
+    }
+    intercept[IllegalArgumentException] {
+      TemporalOps.gapFill(d, "ts", "v", 0, Seq("k"))
+    }
+    intercept[IllegalArgumentException] {
+      TemporalOps.gapFill(d, "ts", "v", 900, Seq.empty)
+    }
+  }
+
+  test("mergeIntervals: chains merge, touching merge, gaps split, per key") {
+    val d = df(Seq(
+      Seq("a", 1L, 5L), Seq("a", 3L, 8L), Seq("a", 8L, 10L), // chain + touch
+      Seq("a", 12L, 13L),                                    // gap → new
+      Seq("b", 1L, 2L)), "k:str,s:long,e:long")
+    val got = TemporalOps.mergeIntervals(d, Seq("k"), "s", "e")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got === Set(("a", 1L, 10L, 3L), ("a", 12L, 13L, 1L),
+      ("b", 1L, 2L, 1L)))
+    // containment: an interval inside another does not extend it
+    val c = df(Seq(Seq("a", 1L, 10L), Seq("a", 2L, 3L), Seq("a", 11L, 12L)),
+      "k:str,s:long,e:long")
+    val got2 = TemporalOps.mergeIntervals(c, Seq("k"), "s", "e")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(got2 === Set((1L, 10L), (11L, 12L)))
+    intercept[IllegalArgumentException] {
+      TemporalOps.mergeIntervals(
+        df(Seq(Seq("a", 5L, 1L)), "k:str,s:long,e:long"), Seq("k"), "s", "e")
+    }
+    intercept[IllegalArgumentException] {
+      TemporalOps.mergeIntervals(
+        df(Seq(Seq("a", null, 2L)), "k:str,s:long,e:long"), Seq("k"), "s", "e")
+    }
+    intercept[IllegalArgumentException] {
+      TemporalOps.mergeIntervals(d, Seq.empty, "s", "e")
+    }
+  }
+
+  test("gapFill: grid endpoints are always observed (no extrapolation)") {
+    // single observation → grid is exactly one bucket, nothing synthesized
+    val d = df(Seq(Seq("a", "2024-01-01 00:07:00", 5.0)),
+      "k:str,ts:datetime,v:double")
+    val out = TemporalOps.gapFill(d, "ts", "v", 900, Seq("k")).collect()
+    assert(out.length === 1)
+    assert(out.head.getDouble(2) === 5.0 && !out.head.getBoolean(3))
+  }
 }
