@@ -522,22 +522,32 @@ object Dedup {
     cooccurFrom(sigs, inverted, dfs, threshold)
   }
 
-  private def cooccurFrom(
-      sigs: DataFrame, inverted: DataFrame, dfs: DataFrame,
-      threshold: Double): DataFrame = {
+  /** Shared co-occurrence core: unordered candidate pairs (id_a < id_b)
+   * with their exact shingle-intersection count and both set sizes —
+   * jaccard ([[cooccurFrom]]) and directional containment
+   * ([[containmentPairs]]) are both one projection away, so the
+   * inverted-index machinery (df pruning, self-join, count aggregate,
+   * size join-back) lives exactly once. */
+  private def cooccurCounts(
+      sigs: DataFrame, inverted: DataFrame, dfs: DataFrame): DataFrame = {
     val sizes = sigs.select(col("id"), size(col("sh")).as("sz"))
     val pruned = inverted.join(dfs.select("s"), "s")
     val l = pruned.select(col("s"), col("id").as("id_a"))
     val r = pruned.select(col("s"), col("id").as("id_b"))
     val co = l.join(r, "s").filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count("*").as("inter"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
     co.join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
       .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+  }
+
+  private def cooccurFrom(
+      sigs: DataFrame, inverted: DataFrame, dfs: DataFrame,
+      threshold: Double): DataFrame =
+    cooccurCounts(sigs, inverted, dfs)
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-  }
 
   /**
    * Directional n-gram CONTAINMENT join: ordered pairs (id_a, id_b) where
@@ -577,23 +587,16 @@ object Dedup {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
     val sigs = shingleStage(df, idCol, textCol, shingleK)
-    val sizes = sigs.select(col("id"), size(col("sh")).as("sz"))
     val inverted = sigs.select(col("id"), explode(col("sh")).as("s"))
     val dfs = inverted.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, maxShingleDf))
-    val pruned = inverted.join(dfs.select("s"), "s")
-    val l = pruned.select(col("s"), col("id").as("__u"))
-    val r = pruned.select(col("s"), col("id").as("__v"))
-    val co = l.join(r, "s").filter(col("__u") < col("__v"))
-      .groupBy("__u", "__v").agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("id").as("__u"), col("sz").as("sz_u")), "__u")
-      .join(sizes.select(col("id").as("__v"), col("sz").as("sz_v")), "__v")
-    // one row per unordered pair in `co`; emit both directions from it
-    co.select(explode(array(
-        struct(col("__u").as("id_a"), col("__v").as("id_b"),
-          (col("inter").cast("double") / col("sz_u")).as("containment")),
-        struct(col("__v").as("id_a"), col("__u").as("id_b"),
-          (col("inter").cast("double") / col("sz_v")).as("containment"))))
+    // one row per unordered pair from the shared core; emit both directions
+    cooccurCounts(sigs, inverted, dfs)
+      .select(explode(array(
+        struct(col("id_a"), col("id_b"),
+          (col("inter").cast("double") / col("sz_a")).as("containment")),
+        struct(col("id_b").as("id_a"), col("id_a").as("id_b"),
+          (col("inter").cast("double") / col("sz_b")).as("containment"))))
         .as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
         col("p.containment").as("containment"))

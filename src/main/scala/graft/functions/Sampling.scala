@@ -276,12 +276,21 @@ object Sampling {
       "rankNormalize needs >= 1 tie-break column completing a total order")
     require(!df.columns.contains(outCol),
       s"output column '$outCol' already exists")
+    require(!df.columns.contains("__rank_neg"),
+      "input column collides with internal name '__rank_neg'")
+    // descending ranks over (value DESC, tieBreaks ASC) — a negated value
+    // column keeps the prefix sum ascending while preserving the DECLARED
+    // tie-break direction (1 − q_asc would silently reverse ties too)
+    val staged =
+      if (descending) df.withColumn("__rank_neg", negate(col(valueCol)))
+      else df
+    val orderCols =
+      (if (descending) "__rank_neg" else valueCol) +: tieBreakCols
     val (indexed, n) = graft.api.DfUtils.runningTotalWithSum(
-      df, valueCol +: tieBreakCols, lit(1L), "__rank_idx")
+      staged, orderCols, lit(1L), "__rank_idx")
     val nn = math.max(n, 1L).toDouble
-    val q = (col("__rank_idx").cast("double") + 0.5) / lit(nn)
     indexed
-      .withColumn(outCol, if (descending) lit(1.0) - q else q)
-      .drop("__rank_idx")
+      .withColumn(outCol, (col("__rank_idx").cast("double") + 0.5) / lit(nn))
+      .drop("__rank_idx", "__rank_neg")
   }
 }

@@ -1321,15 +1321,26 @@ object TextFunctions {
    * per-token contribution is rounded BEFORE the sum so the transcendental
    * idf/norm arithmetic has a declared precision on every engine (the
    * t13 tfidf convention — see [[tfidfKeywords]] for the rationale).
+   *
+   * `maxDfFraction` < 1 enables the classic IR stopword df-cut: query
+   * terms present in more than that fraction of documents are dropped
+   * BEFORE the posting join. Such terms dominate candidate volume (every
+   * matching posting becomes a scored row — a term in half the corpus
+   * candidates half the corpus per query) while contributing near-zero
+   * idf; cutting them is the standard scale lever, at the cost of scores
+   * becoming a documented approximation. Default 1.0 = exact.
    */
   def bm25TopK(
       corpus: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, queryIdCol: String, queryTextCol: String,
       topK: Int = 10, k1: Double = 1.2, b: Double = 0.75,
-      scoreDigits: Option[Int] = None): DataFrame = {
+      scoreDigits: Option[Int] = None,
+      maxDfFraction: Double = 1.0): DataFrame = {
     require(topK > 0, s"topK must be positive, got $topK")
     require(k1 >= 0, s"k1 must be >= 0, got $k1")
     require(b >= 0 && b <= 1, s"b must be in [0, 1], got $b")
+    require(maxDfFraction > 0 && maxDfFraction <= 1,
+      s"maxDfFraction must be in (0, 1], got $maxDfFraction")
     require(idCol != queryIdCol,
       s"idCol and queryIdCol must differ (both '$idCol'): the output " +
         "carries one column for each")
@@ -1341,9 +1352,21 @@ object TextFunctions {
       .groupBy(col(idCol), col("__tok"))
       .agg(count(lit(1)).as("__tf"))
     val docLen = postings.groupBy(idCol).agg(sum(col("__tf")).as("__dl"))
-    val docFreq = postings.groupBy("__tok").agg(count(lit(1)).as("__df"))
+    val allDocFreq = postings.groupBy("__tok").agg(count(lit(1)).as("__df"))
     val stats = docLen.agg(count(lit(1)).as("__n"),
       avg(col("__dl").cast("double")).as("__avgdl"))
+    // df cut (classic IR stopword pruning): drop query terms present in
+    // more than maxDfFraction of the corpus BEFORE the posting join —
+    // such terms dominate the candidate volume (every matching posting
+    // becomes a scored row) while contributing near-zero idf. With the
+    // cut, scores are a documented approximation (the dropped terms'
+    // tiny contributions vanish); default 1.0 = exact.
+    val docFreq =
+      if (maxDfFraction >= 1.0) allDocFreq
+      else allDocFreq.crossJoin(broadcast(stats.select(col("__n"))))
+        .filter(col("__df").cast("double") <=
+          lit(maxDfFraction) * col("__n").cast("double"))
+        .select(col("__tok"), col("__df"))
     val qtf = queries
       .select(col(queryIdCol),
         explode(split(trim(lower(col(queryTextCol))), "\\s+")).as("__tok"))

@@ -233,21 +233,39 @@ object Graph {
    * (undirected votes, weight-sum argmax, ties to smallest label,
    * synchronous updates) — the shared reference model the q104
    * differential and GraphSpec both pin [[labelPropagation]] against.
-   * Driver memory O(nodes + edges): differential use only.
+   * Unweighted form (every edge weight 1); use
+   * [[denseLabelPropagationWeighted]] against `weightCol` runs. Driver
+   * memory O(nodes + edges): differential use only.
    */
   def denseLabelPropagation(edges: Seq[(Long, Long)], iterations: Int)
-      : Map[Long, Long] = {
+      : Map[Long, Long] =
+    denseLabelPropagationWeighted(
+      edges.map { case (s, t) => (s, t, 1.0) }, iterations)
+
+  /** The weighted form of the dense LPA reference model: votes sum edge
+   * weights (exact BigDecimal accumulation mirroring the distributed
+   * path's decimal(20,6) bridge); null-free edges with non-positive or
+   * non-finite weight contribute no vote but their endpoints still rank,
+   * matching [[labelPropagation]]'s semantics. */
+  def denseLabelPropagationWeighted(
+      edges: Seq[(Long, Long, Double)], iterations: Int): Map[Long, Long] = {
     val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
-    val und = edges ++ edges.map { case (s, t) => (t, s) }
-    val nbrs = und.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val good = edges
+      .filter(e => e._3 > 0 && !e._3.isNaN && !e._3.isInfinite)
+      .map { case (s, t, w) =>
+        (s, t, BigDecimal(w).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+      }
+    val und = good ++ good.map { case (s, t, w) => (t, s, w) }
+    val nbrs = und.groupBy(_._1).view.mapValues(_.map(e => (e._2, e._3))).toMap
     var label = nodes.map(v => v -> v).toMap
     for (_ <- 1 to iterations) {
       label = nodes.map { v =>
         nbrs.get(v) match {
           case None => v -> label(v)
           case Some(ns) =>
-            val counts = ns.groupBy(label).view.mapValues(_.size).toMap
-            v -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+            val mass = ns.groupBy { case (u, _) => label(u) }.view
+              .mapValues(_.map(_._2).sum).toMap
+            v -> mass.toSeq.minBy { case (l, m) => (-m, l) }._1
         }
       }.toMap
     }

@@ -441,7 +441,8 @@ object GraftSql {
             topK = p.getOrElse("k", "10").toInt,
             k1 = p.get("k1").map(_.toDouble).getOrElse(1.2),
             b = p.get("b").map(_.toDouble).getOrElse(0.75),
-            scoreDigits = p.get("digits").map(_.toInt))
+            scoreDigits = p.get("digits").map(_.toInt),
+            maxDfFraction = p.get("max_df").map(_.toDouble).getOrElse(1.0))
         },
         "containment_pairs" -> ProcessorDef { (_, dfs, p) =>
           Dedup.containmentPairs(one(dfs, "containment_pairs"), id(p), tcol(p),

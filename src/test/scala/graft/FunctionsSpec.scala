@@ -1971,6 +1971,23 @@ class FunctionsSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       TextFunctions.bm25TopK(corpus, "id", "text", queries, "id", "qtext")
     }
+    // df cut: x is in 2/3 of docs, cut at 0.5 drops it — query "x x"
+    // then matches nothing; a rarer query term still scores
+    val cut = TextFunctions.bm25TopK(corpus, "doc_id", "text",
+      df(Seq(Seq(20L, "x y")), "query_id:long,qtext:str"),
+      "query_id", "qtext", topK = 5, maxDfFraction = 0.5)
+      .collect().map(r => (r.getLong(2), r.getDouble(3)))
+    // only y (df 2/3... also 2 of 3 docs) — both x and y have df=2 > 1.5
+    // so nothing survives; z (df 2) also cut. Use threshold 0.7: df<=2.1
+    val cut2 = TextFunctions.bm25TopK(corpus, "doc_id", "text",
+      df(Seq(Seq(20L, "x")), "query_id:long,qtext:str"),
+      "query_id", "qtext", topK = 5, maxDfFraction = 0.7)
+      .collect()
+    assert(cut.isEmpty && cut2.length === 2)
+    intercept[IllegalArgumentException] {
+      TextFunctions.bm25TopK(corpus, "doc_id", "text", queries,
+        "query_id", "qtext", maxDfFraction = 0.0)
+    }
   }
 
   test("containmentPairs: subset doc scores 1.0 toward its superset, directional") {
@@ -2053,6 +2070,13 @@ class FunctionsSpec extends SparkTestBase {
       descending = true)
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(desc(1L) === 0.5 / 8 && desc(8L) === 7.5 / 8)
+    // ties keep the DECLARED tie-break direction under descending too:
+    // equal scores rank by id ascending in both modes
+    val tied = df(Seq(Seq(1L, 5.0), Seq(2L, 5.0)), "id:long,score:double")
+    val tiedDesc = graft.functions.Sampling.rankNormalize(tied, "score",
+      Seq("id"), descending = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(tiedDesc(1L) === 0.25 && tiedDesc(2L) === 0.75)
     // quantiles are invariant to input partitioning
     val re = graft.functions.Sampling.rankNormalize(d.repartition(7),
       "score", Seq("id"))

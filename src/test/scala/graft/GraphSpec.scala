@@ -163,6 +163,21 @@ class GraphSpec extends SparkTestBase {
     val unweighted = Graph.labelPropagation(e, "src", "dst", iterations = 1)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(unweighted(5L) === 1L) // tie among {1,2,9} breaks to smallest
+    // weighted distributed ≡ weighted dense reference (multi-iteration)
+    val wedges = Seq((5L, 1L, 1.0), (5L, 2L, 1.0), (5L, 9L, 10.0),
+      (1L, 2L, 3.0), (9L, 2L, 0.5))
+    val dist = Graph.labelPropagation(
+      wedges.toDF("src", "dst", "w"), "src", "dst", iterations = 4,
+      weightCol = Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist === Graph.denseLabelPropagationWeighted(wedges, 4))
+    // non-positive / NaN weights vote nothing but endpoints still rank
+    val guard = Seq((1L, 2L, Double.NaN), (2L, 3L, 1.0))
+    val g = Graph.labelPropagation(guard.toDF("src", "dst", "w"),
+      "src", "dst", iterations = 2, weightCol = Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g.keySet === Set(1L, 2L, 3L))
+    assert(g === Graph.denseLabelPropagationWeighted(guard, 2))
   }
 
   test("degreeStats: multigraph counts vs distinct neighbors, one-sided zeros") {
