@@ -97,7 +97,7 @@ object Plans {
         "t06_rebalance", "t12_lm_score", "t13_tfidf", "t17_importance",
         "t26_quality_model", "t30_bigram_ce", "t35_bm25", "t36_trigram_ce")
       val gateRows = Set("q89_quality_checks", "q93_sql_quality",
-        "q95_correlation", "q66_profile", "q94_histogram")
+        "q95_correlation", "q66_profile", "q94_histogram", "q109_spearman")
       (flag, q) match {
         case ("SINGLEPART", qq) if qq.startsWith("h") => Some(limitTail)
         case (f, "q12_join_cross") if bnljish(f) =>

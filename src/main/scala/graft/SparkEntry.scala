@@ -622,6 +622,14 @@ object SparkEntry {
       graft.operators.Graph.degreeStats(edges, "src", "dst")
     }),
 
+    // Spearman rank correlation, FULL oracle: exact average ranks (the
+    // distributed prefix sum over distinct-value counts) → the q95
+    // Pearson machinery; l_quantity's 50 integer levels exercise the
+    // tie-averaging path hard; DuckDB recomputes via rank windows
+    "q109_spearman" -> ((s, dir) =>
+      graft.functions.Stats.spearmanMatrix(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))),
+
     // per-key interval union (coalesce overlapping/touching intervals),
     // FULL oracle: each event spawns a 30-min window per user; DuckDB
     // replays the identical sweep (running-max-end window + flag prefix
@@ -3370,6 +3378,45 @@ object SparkEntry {
       "SELECT CAST(53 AS BIGINT) AS n_nodes, CAST(1 AS BIGINT) AS pr_ok",
     "q104_label_prop" ->
       "SELECT CAST(52 AS BIGINT) AS n_nodes, CAST(1 AS BIGINT) AS lpa_ok",
+    "q109_spearman" ->
+      """WITH b AS (SELECT CAST(l_quantity AS DOUBLE) AS q,
+        |  CAST(l_extendedprice AS DOUBLE) AS e,
+        |  CAST(l_discount AS DOUBLE) AS d FROM lineitem),
+        |r AS (SELECT
+        |  rank() OVER (ORDER BY q)
+        |    + (count(*) OVER (PARTITION BY q) - 1) / 2.0 AS rq,
+        |  rank() OVER (ORDER BY e)
+        |    + (count(*) OVER (PARTITION BY e) - 1) / 2.0 AS re,
+        |  rank() OVER (ORDER BY d)
+        |    + (count(*) OVER (PARTITION BY d) - 1) / 2.0 AS rd
+        | FROM b),
+        |s AS (SELECT
+        |  CAST(count(*) AS DOUBLE) AS n,
+        |  CAST(sum(CAST(rq AS DECIMAL(28,6))) AS DOUBLE) AS s_q,
+        |  CAST(sum(CAST(re AS DECIMAL(28,6))) AS DOUBLE) AS s_e,
+        |  CAST(sum(CAST(rd AS DECIMAL(28,6))) AS DOUBLE) AS s_d,
+        |  CAST(sum(CAST(rq * rq AS DECIMAL(28,6))) AS DOUBLE) AS s_qq,
+        |  CAST(sum(CAST(re * re AS DECIMAL(28,6))) AS DOUBLE) AS s_ee,
+        |  CAST(sum(CAST(rd * rd AS DECIMAL(28,6))) AS DOUBLE) AS s_dd,
+        |  CAST(sum(CAST(rq * re AS DECIMAL(28,6))) AS DOUBLE) AS s_qe,
+        |  CAST(sum(CAST(rq * rd AS DECIMAL(28,6))) AS DOUBLE) AS s_qd,
+        |  CAST(sum(CAST(re * rd AS DECIMAL(28,6))) AS DOUBLE) AS s_ed
+        | FROM r)
+        |SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+        |  CASE WHEN (n*s_qq - s_q*s_q) > 0 AND (n*s_ee - s_e*s_e) > 0 THEN
+        |    least(greatest(round((n*s_qe - s_q*s_e)
+        |      / sqrt((n*s_qq - s_q*s_q) * (n*s_ee - s_e*s_e)), 9), -1.0), 1.0)
+        |  END AS spearman FROM s
+        |UNION ALL SELECT 'l_quantity', 'l_discount',
+        |  CASE WHEN (n*s_qq - s_q*s_q) > 0 AND (n*s_dd - s_d*s_d) > 0 THEN
+        |    least(greatest(round((n*s_qd - s_q*s_d)
+        |      / sqrt((n*s_qq - s_q*s_q) * (n*s_dd - s_d*s_d)), 9), -1.0), 1.0)
+        |  END FROM s
+        |UNION ALL SELECT 'l_extendedprice', 'l_discount',
+        |  CASE WHEN (n*s_ee - s_e*s_e) > 0 AND (n*s_dd - s_d*s_d) > 0 THEN
+        |    least(greatest(round((n*s_ed - s_e*s_d)
+        |      / sqrt((n*s_ee - s_e*s_e) * (n*s_dd - s_d*s_d)), 9), -1.0), 1.0)
+        |  END FROM s""".stripMargin,
     "q106_merge_intervals" ->
       """WITH iv AS (
         | SELECT user_id,

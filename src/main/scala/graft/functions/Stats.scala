@@ -227,6 +227,62 @@ object Stats {
   }
 
   /**
+   * Pairwise Spearman rank correlation: Pearson over exact AVERAGE ranks
+   * (ties share the mean of their positions — the textbook definition,
+   * so heavy integer ties are handled correctly). The robust sibling of
+   * [[correlationMatrix]]: monotone-but-nonlinear relationships score
+   * |ρ| ≈ 1, and outliers move ranks by at most their count. Output
+   * `(col_a, col_b, spearman)` for every a < b pair, at the declared
+   * 9-digit precision, null when either side is constant.
+   *
+   * Row population: LISTWISE deletion — rows where ANY listed column is
+   * null or non-finite are dropped before ranking (ranks are defined
+   * over one shared population; per-pair deletion would need a separate
+   * ranking per pair). Declared semantics, mirrored by the oracle.
+   *
+   * Scale: per column, ranks come from one distinct-value count
+   * aggregate + the SHARED distributed prefix sum over the (distinct-
+   * value-sized) count frame — never a corpus-wide sort window — and a
+   * value-keyed join back (AQE broadcasts small rank maps). The final
+   * Pearson pass is [[correlationMatrix]]'s single aggregation. Average
+   * ranks are k+0.5-exact doubles, so the decimal bridging downstream
+   * stays exact and order-independent.
+   */
+  def spearmanMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "spearmanMatrix needs >= 2 columns")
+    require(cols.distinct.size == cols.size, "duplicate column in list")
+    val reserved = Seq("__cnt", "__rkbase") ++ cols.indices.map(i => s"__rank$i")
+    reserved.foreach(r => require(!cols.contains(r),
+      s"column collides with internal name '$r'"))
+    val finite = cols.map(c =>
+      abs(col(c).cast("double")) < Double.PositiveInfinity).reduce(_ && _)
+    val base = df.filter(finite)
+      .select(cols.map(c => col(c).cast("double").as(c)): _*)
+      .localCheckpoint(true) // scanned once per column for rank maps
+    try {
+      var ranked = base
+      cols.zipWithIndex.foreach { case (c, i) =>
+        val counts = base.groupBy(col(c)).agg(count(lit(1)).as("__cnt"))
+        val indexed = graft.api.DfUtils.runningTotalWithSum(
+          counts, Seq(c), col("__cnt"), "__rkbase")._1
+        val rankMap = indexed.select(col(c),
+          (col("__rkbase").cast("double") +
+            (col("__cnt").cast("double") + 1.0) / 2.0).as(s"__rank$i"))
+        ranked = ranked.join(rankMap, Seq(c))
+      }
+      val ranks = ranked.select(cols.zipWithIndex.map { case (c, i) =>
+        col(s"__rank$i").as(c)
+      }: _*)
+      correlationMatrix(ranks, cols).withColumnRenamed("corr", "spearman")
+        // the localCheckpoint must outlive the lazy result: materialize
+        // the small (pairs-sized) output before freeing the base
+        .localCheckpoint(true)
+    } finally {
+      org.apache.spark.sql.graftshim.ColumnBridge.unpersistCheckpointed(base)
+    }
+  }
+
+  /**
    * Two-sample Kolmogorov–Smirnov drift statistic over bucketed
    * empirical CDFs — the complement of [[populationStability]]: PSI
    * weights every bucket's relative change, KS reports the single worst

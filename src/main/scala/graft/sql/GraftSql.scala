@@ -511,6 +511,12 @@ object GraftSql {
             c = p.getOrElse("col", "value"),
             bins = p.get("bins").map(_.toInt).getOrElse(200))
         },
+        "spearman" -> ProcessorDef { (_, dfs, p) =>
+          graft.functions.Stats.spearmanMatrix(one(dfs, "spearman"),
+            p.getOrElse("cols",
+              throw new IllegalArgumentException("spearman needs cols:\"a,b,...\""))
+              .split(",").map(_.trim).toSeq)
+        },
         "gopher_rules" -> ProcessorDef { (_, dfs, p) =>
           TextFunctions.gopherRules(one(dfs, "gopher_rules"), id(p), tcol(p),
             minWords = p.get("min_words").map(_.toInt).getOrElse(50),

@@ -927,6 +927,14 @@ class GraftSqlSpec extends SparkTestBase {
         |YIELD c AS c
         |""".stripMargin, Map("corpus2" -> corpus2)).yields("c").collect()
     assert(c4.head.getLong(2) === 0L) // no terminal punctuation → dropped
+
+    val xy = df((1 to 10).map(i => Seq(i.toDouble, i * i * 1.0)),
+      "x:double,y:double")
+    val sp = GraftSql.run(engine,
+      """s = PROCESS xy USING spearman(cols:"x,y")
+        |YIELD s AS s
+        |""".stripMargin, Map("xy" -> xy)).yields("s").collect()
+    assert(sp.head.getDouble(2) === 1.0)
   }
 
   test("built-in export_shards processor yields the manifest frame") {

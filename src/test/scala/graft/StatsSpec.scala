@@ -144,6 +144,38 @@ class StatsSpec extends SparkTestBase {
     assert(clamped.last.getLong(4) === 1L && clamped.map(_.getLong(4)).sum === 1L)
   }
 
+  test("spearmanMatrix: monotone nonlinear = 1, ties averaged, nulls listwise") {
+    import spark.implicits._
+    // y = x^3 is monotone in x → spearman 1 even though pearson < 1
+    val d = (1 to 50).map(i => (i.toDouble, math.pow(i.toDouble, 3),
+      (i % 5).toDouble)).toDF("x", "y", "t")
+    val got = Stats.spearmanMatrix(d, Seq("x", "y", "t"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toMap
+    assert(got(("x", "y")) === 1.0)
+    // tie-averaged ranks: hand-check vs R's cor(method="spearman") for a
+    // tiny tied vector: x=(1,2,2,3), w=(10,20,20,40) → rho = 1
+    val tied = Seq((1.0, 10.0), (2.0, 20.0), (2.0, 20.0), (3.0, 40.0))
+      .toDF("a", "b")
+    val tr = Stats.spearmanMatrix(tied, Seq("a", "b")).collect().head
+    assert(tr.getDouble(2) === 1.0)
+    // anti-monotone → -1
+    val anti = (1 to 20).map(i => (i.toDouble, -math.exp(i / 3.0)))
+      .toDF("a", "b")
+    assert(Stats.spearmanMatrix(anti, Seq("a", "b"))
+      .collect().head.getDouble(2) === -1.0)
+    // constant column → null
+    val const = Seq((1.0, 7.0), (2.0, 7.0)).toDF("a", "b")
+    assert(Stats.spearmanMatrix(const, Seq("a", "b")).collect().head.isNullAt(2))
+    // null / NaN rows dropped listwise
+    val withNull = Seq((Some(1.0), Some(1.0)), (Some(2.0), Some(4.0)),
+      (None, Some(9.0)), (Some(Double.NaN), Some(2.0)), (Some(3.0), Some(9.0)))
+      .toDF("a", "b")
+    assert(Stats.spearmanMatrix(withNull, Seq("a", "b"))
+      .collect().head.getDouble(2) === 1.0)
+    intercept[IllegalArgumentException] { Stats.spearmanMatrix(d, Seq("x")) }
+  }
+
   test("ksTest: identical samples D=0; disjoint shift D=1; verdict consistent") {
     import spark.implicits._
     val x = (1 to 100).map(_.toDouble).toDF("v")
