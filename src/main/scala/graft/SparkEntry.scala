@@ -622,6 +622,20 @@ object SparkEntry {
       graft.operators.Graph.degreeStats(edges, "src", "dst")
     }),
 
+    // ordered-funnel analysis (signup → view → purchase within a day),
+    // FULL oracle: per-user first-attempt step timestamps + completion
+    // depth; DuckDB replays the identical conditional-min chain
+    "q110_funnel" -> ((s, dir) =>
+      graft.operators.TemporalOps.funnel(events(s, dir), "user_id", "ts",
+        "event_type", Seq("signup", "view", "purchase"), 86400L)),
+
+    // weekly cohort retention, FULL oracle: cohort = first-activity week,
+    // per-offset active fractions — exact integer bucket arithmetic and
+    // one double division on both engines
+    "q111_retention" -> ((s, dir) =>
+      graft.operators.TemporalOps.retention(events(s, dir), "user_id",
+        "ts", 604800L)),
+
     // Spearman rank correlation, FULL oracle: exact average ranks (the
     // distributed prefix sum over distinct-value counts) → the q95
     // Pearson machinery; l_quantity's 50 integer levels exercise the
@@ -3378,6 +3392,43 @@ object SparkEntry {
       "SELECT CAST(53 AS BIGINT) AS n_nodes, CAST(1 AS BIGINT) AS pr_ok",
     "q104_label_prop" ->
       "SELECT CAST(52 AS BIGINT) AS n_nodes, CAST(1 AS BIGINT) AS lpa_ok",
+    "q110_funnel" ->
+      """WITH e AS (SELECT user_id AS u,
+        |  CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS t,
+        |  event_type AS ev FROM events),
+        |s1 AS (SELECT u, min(t) AS step_1 FROM e
+        |  WHERE ev = 'signup' GROUP BY u),
+        |s2 AS (SELECT s1.u, s1.step_1,
+        |  min(CASE WHEN e.t >= s1.step_1 AND e.t <= s1.step_1 + 86400
+        |    THEN e.t END) AS step_2
+        | FROM s1 LEFT JOIN e ON s1.u = e.u AND e.ev = 'view'
+        | GROUP BY s1.u, s1.step_1),
+        |s3 AS (SELECT s2.u, s2.step_1, s2.step_2,
+        |  min(CASE WHEN e.t >= s2.step_2 AND e.t <= s2.step_1 + 86400
+        |    THEN e.t END) AS step_3
+        | FROM s2 LEFT JOIN e ON s2.u = e.u AND e.ev = 'purchase'
+        | GROUP BY s2.u, s2.step_1, s2.step_2)
+        |SELECT u AS user_id, step_1, step_2, step_3,
+        | CAST((CASE WHEN step_1 IS NOT NULL THEN 1 ELSE 0 END)
+        |  + (CASE WHEN step_2 IS NOT NULL THEN 1 ELSE 0 END)
+        |  + (CASE WHEN step_3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS steps_completed
+        |FROM s3""".stripMargin,
+    "q111_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id AS u,
+        |  CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 604800) AS BIGINT)
+        |    * 604800 AS p
+        | FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |f AS (SELECT u, min(p) AS c FROM a GROUP BY u),
+        |cnt AS (SELECT c AS cohort_start,
+        |  CAST((p - c) / 604800 AS BIGINT) AS period_offset,
+        |  CAST(count(*) AS BIGINT) AS n_active
+        | FROM a JOIN f USING (u) GROUP BY 1, 2),
+        |sz AS (SELECT cohort_start, n_active AS n_cohort FROM cnt
+        | WHERE period_offset = 0)
+        |SELECT cohort_start, period_offset, n_active, n_cohort,
+        | CAST(n_active AS DOUBLE) / CAST(n_cohort AS DOUBLE) AS retention
+        |FROM cnt JOIN sz USING (cohort_start)""".stripMargin,
     "q109_spearman" ->
       """WITH b AS (SELECT CAST(l_quantity AS DOUBLE) AS q,
         |  CAST(l_extendedprice AS DOUBLE) AS e,

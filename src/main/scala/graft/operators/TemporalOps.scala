@@ -313,6 +313,106 @@ object TemporalOps {
   }
 
   /**
+   * Ordered-funnel analysis: for each user, the timestamp at which each
+   * step of an ordered event sequence was FIRST reached, where step i
+   * must occur at-or-after step i−1 and the whole funnel must complete
+   * within `windowSeconds` of step 1 (the standard product-analytics
+   * definition: signup → view → purchase inside an hour). Output:
+   * (userCol, step_1 .. step_k epoch seconds — null from the first
+   * missed step on, steps_completed) — one row per user who reached
+   * step 1; aggregate `steps_completed` for the conversion report.
+   *
+   * Semantics pinned down: step 1 is the user's EARLIEST step-1 event
+   * (no restart on failure — the greedy first-attempt funnel); equal
+   * timestamps satisfy "at or after"; events of later steps before
+   * step 1 are ignored.
+   *
+   * Scale: k − 1 rounds of (filter → user-keyed hash aggregate with a
+   * conditional min → join on user) over a once-checkpointed projection
+   * of (user, epoch, event) — every exchange is user-keyed and
+   * user-table-sized, no windows, no sorts; k is the funnel length
+   * (single digits), not a data-dependent loop.
+   */
+  def funnel(
+      df: DataFrame, userCol: String, tsCol: String, eventCol: String,
+      steps: Seq[String], windowSeconds: Long): DataFrame = {
+    require(steps.size >= 2, s"funnel needs >= 2 steps, got ${steps.size}")
+    require(steps.distinct.size == steps.size, "duplicate step in funnel")
+    require(windowSeconds > 0, "windowSeconds must be > 0")
+    require(userCol != "steps_completed" && !steps.indices
+      .map(i => s"step_${i + 1}").contains(userCol),
+      "userCol collides with an output column")
+    val base = df
+      .select(col(userCol).as("__u"),
+        unix_timestamp(col(tsCol)).as("__t"), col(eventCol).as("__e"))
+      .filter(col("__u").isNotNull && col("__t").isNotNull)
+      .localCheckpoint(true) // scanned once per funnel step
+    try {
+      var acc = base.filter(col("__e") === steps.head)
+        .groupBy(col("__u")).agg(min(col("__t")).as("step_1"))
+      steps.indices.drop(1).foreach { i =>
+        val prev = s"step_$i"
+        val cur = s"step_${i + 1}"
+        val cand = base.filter(col("__e") === steps(i))
+        val grouped = acc.join(cand, Seq("__u"), "left")
+          .groupBy((col("__u") +: (1 to i).map(j => col(s"step_$j"))): _*)
+          .agg(min(when(col("__t") >= col(prev) &&
+            col("__t") <= col("step_1") + windowSeconds, col("__t"))).as(cur))
+        acc = grouped
+      }
+      val completed = steps.indices.map(i =>
+        when(col(s"step_${i + 1}").isNotNull, 1).otherwise(0))
+        .reduce(_ + _)
+      acc.select((col("__u").as(userCol) +:
+        steps.indices.map(i => col(s"step_${i + 1}"))) :+
+        completed.cast("long").as("steps_completed"): _*)
+        // materialize before freeing the checkpointed base
+        .localCheckpoint(true)
+    } finally {
+      org.apache.spark.sql.graftshim.ColumnBridge.unpersistCheckpointed(base)
+    }
+  }
+
+  /**
+   * Cohort retention: users grouped by the period of their FIRST
+   * activity (the cohort), then for every later period the fraction of
+   * the cohort still active. Output: (cohort_start epoch seconds,
+   * period_offset 0..., n_active, n_cohort, retention) — offset 0 rows
+   * have retention 1.0 by construction; periods with no surviving
+   * activity produce no row (sparse — the report is cohort×offset
+   * sized). `retention` is one double division of exact longs.
+   *
+   * Scale: one user-keyed min aggregate (first activity), one distinct
+   * (user, period) aggregate, a user-keyed join, and one
+   * (cohort, offset) count — all hash exchanges on bounded keys;
+   * nothing driver-side but the final report frame.
+   */
+  def retention(
+      df: DataFrame, userCol: String, tsCol: String,
+      periodSeconds: Long): DataFrame = {
+    require(periodSeconds > 0, "periodSeconds must be > 0")
+    val bucket = (floor(unix_timestamp(col(tsCol)).cast("double") /
+      periodSeconds).cast("long") * periodSeconds)
+    val activity = df
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("__u"), bucket.as("__p"))
+      .distinct()
+    val first = activity.groupBy(col("__u")).agg(min(col("__p")).as("__c"))
+    val counts = activity.join(first, Seq("__u"))
+      .groupBy(col("__c").as("cohort_start"),
+        ((col("__p") - col("__c")) / periodSeconds).cast("long")
+          .as("period_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = counts.filter(col("period_offset") === 0)
+      .select(col("cohort_start"), col("n_active").as("n_cohort"))
+    counts.join(sizes, Seq("cohort_start"))
+      .select(col("cohort_start"), col("period_offset"), col("n_active"),
+        col("n_cohort"),
+        (col("n_active").cast("double") / col("n_cohort").cast("double"))
+          .as("retention"))
+  }
+
+  /**
    * Merge overlapping (or touching) intervals per key — the interval
    * union/coalesce sweep: [1,5] + [3,8] + [8,10] → [1,10]; a gap starts
    * a new merged interval. The inverse-ish of [[sessionize]] for data

@@ -511,6 +511,26 @@ object GraftSql {
             c = p.getOrElse("col", "value"),
             bins = p.get("bins").map(_.toInt).getOrElse(200))
         },
+        "funnel" -> ProcessorDef { (_, dfs, p) =>
+          graft.operators.TemporalOps.funnel(one(dfs, "funnel"),
+            userCol = p.getOrElse("user", "user_id"),
+            tsCol = p.getOrElse("ts", "ts"),
+            eventCol = p.getOrElse("event", "event_type"),
+            steps = p.getOrElse("steps",
+              throw new IllegalArgumentException("funnel needs steps:\"a,b,...\""))
+              .split(",").map(_.trim).toSeq,
+            windowSeconds = p.getOrElse("window",
+              throw new IllegalArgumentException(
+                "funnel needs window:<seconds>")).toLong)
+        },
+        "retention" -> ProcessorDef { (_, dfs, p) =>
+          graft.operators.TemporalOps.retention(one(dfs, "retention"),
+            userCol = p.getOrElse("user", "user_id"),
+            tsCol = p.getOrElse("ts", "ts"),
+            periodSeconds = p.getOrElse("period",
+              throw new IllegalArgumentException(
+                "retention needs period:<seconds>")).toLong)
+        },
         "spearman" -> ProcessorDef { (_, dfs, p) =>
           graft.functions.Stats.spearmanMatrix(one(dfs, "spearman"),
             p.getOrElse("cols",

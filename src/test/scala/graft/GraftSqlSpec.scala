@@ -935,6 +935,21 @@ class GraftSqlSpec extends SparkTestBase {
         |YIELD s AS s
         |""".stripMargin, Map("xy" -> xy)).yields("s").collect()
     assert(sp.head.getDouble(2) === 1.0)
+
+    val ev = df(Seq(
+      Seq("u1", "2024-01-01 00:00:00", "a"),
+      Seq("u1", "2024-01-01 00:10:00", "b"),
+      Seq("u1", "2024-01-08 00:00:00", "a")), "u:str,ts:datetime,e:str")
+    val fn = GraftSql.run(engine,
+      """f = PROCESS ev USING funnel(user:u, event:e, steps:"a,b", window:3600)
+        |YIELD f AS f
+        |""".stripMargin, Map("ev" -> ev)).yields("f").collect()
+    assert(fn.length === 1 && fn.head.getLong(3) === 2L)
+    val rt = GraftSql.run(engine,
+      """r = PROCESS ev USING retention(user:u, period:604800)
+        |YIELD r AS r
+        |""".stripMargin, Map("ev" -> ev)).yields("r").collect()
+    assert(rt.length === 2 && rt.map(_.getLong(1)).sorted.toSeq === Seq(0L, 1L))
   }
 
   test("built-in export_shards processor yields the manifest frame") {

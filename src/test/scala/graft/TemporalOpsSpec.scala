@@ -272,6 +272,75 @@ class TemporalOpsSpec extends SparkTestBase {
     }
   }
 
+  test("funnel: ordered steps, window bound, no restart, missing steps null") {
+    val e = df(Seq(
+      // u1: full funnel in order within window
+      Seq("u1", "2024-01-01 00:00:00", "signup"),
+      Seq("u1", "2024-01-01 01:00:00", "view"),
+      Seq("u1", "2024-01-01 02:00:00", "purchase"),
+      // u2: purchase BEFORE view -> step 3 null (order matters)
+      Seq("u2", "2024-01-01 00:00:00", "signup"),
+      Seq("u2", "2024-01-01 02:00:00", "purchase"),
+      Seq("u2", "2024-01-01 03:00:00", "view"),
+      // u3: view outside the 1h window -> steps 2,3 null
+      Seq("u3", "2024-01-01 00:00:00", "signup"),
+      Seq("u3", "2024-01-01 05:00:00", "view"),
+      // u4: never signed up -> no row
+      Seq("u4", "2024-01-01 00:00:00", "view"),
+      // u5: pre-signup view ignored; the post-signup one counts
+      Seq("u5", "2024-01-01 00:00:00", "view"),
+      Seq("u5", "2024-01-01 01:00:00", "signup"),
+      Seq("u5", "2024-01-01 01:30:00", "purchase"),
+      Seq("u5", "2024-01-01 01:10:00", "view")),
+      "u:str,ts:datetime,ev:str")
+    val got = TemporalOps.funnel(e, "u", "ts", "ev",
+      Seq("signup", "view", "purchase"), 3600L)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    // u2's view lands at +3h, outside the 1h window -> only step 1
+    assert(got === Map("u1" -> 2L, "u2" -> 1L, "u3" -> 1L, "u5" -> 3L))
+    // u1's window is 1h: purchase at +2h is outside -> 2 steps. widen:
+    val wide = TemporalOps.funnel(e, "u", "ts", "ev",
+      Seq("signup", "view", "purchase"), 86400L)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(wide("u1") === 3L)
+    assert(wide("u2") === 2L) // order still wrong for u2
+    intercept[IllegalArgumentException] {
+      TemporalOps.funnel(e, "u", "ts", "ev", Seq("signup"), 3600L)
+    }
+    intercept[IllegalArgumentException] {
+      TemporalOps.funnel(e, "u", "ts", "ev", Seq("a", "a"), 3600L)
+    }
+  }
+
+  test("retention: weekly cohorts, sparse offsets, rate exact") {
+    // week seconds = 604800; epoch week boundaries
+    val w0 = "2024-01-04 00:00:00" // all within one epoch-week bucket
+    val w1 = "2024-01-11 00:00:00"
+    val w2 = "2024-01-18 00:00:00"
+    val e = df(Seq(
+      Seq("a", w0), Seq("b", w0), Seq("c", w0), Seq("d", w0), // cohort of 4
+      Seq("a", w1), Seq("b", w1),                             // 2 retained
+      Seq("a", w2),                                           // 1 retained
+      Seq("z", w1)),                                          // later cohort
+      "u:str,ts:datetime")
+    val got = TemporalOps.retention(e, "u", "ts", 604800L)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+      .groupBy(_._1)
+    val byOffset = got.map { case (k, v) => k -> v.head }
+    assert(byOffset(0L)._4 === 1.0)
+    // cohort of 4: offset1 = 2/4 (the 'z' cohort has its own offset-0 row)
+    val rows = TemporalOps.retention(e, "u", "ts", 604800L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(4)))
+      .toMap
+    val cohortA = rows.keys.map(_._1).min // earliest cohort
+    assert(rows((cohortA, 1L)) === ((2L, 0.5)))
+    assert(rows((cohortA, 2L)) === ((1L, 0.25)))
+    intercept[IllegalArgumentException] {
+      TemporalOps.retention(e, "u", "ts", 0L)
+    }
+  }
+
   test("mergeIntervals: chains merge, touching merge, gaps split, per key") {
     val d = df(Seq(
       Seq("a", 1L, 5L), Seq("a", 3L, 8L), Seq("a", 8L, 10L), // chain + touch
