@@ -622,6 +622,38 @@ object SparkEntry {
       graft.operators.Graph.degreeStats(edges, "src", "dst")
     }),
 
+    // personalized PageRank differential: distributed ≡ the SHARED dense
+    // reference (teleport + dangling mass to the seed distribution) at
+    // 1e-10, Σrank = 1, and non-seed-reachable mass stays 0
+    "q113_ppr" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val edges = docs.select((col("doc_id") % 53).as("src"),
+        ((col("doc_id") * 7 + 11) % 53).as("dst"))
+      val seeds = eng(s).toDF(Seq(Seq(0L), Seq(1L), Seq(2L), Seq(999L)),
+        "node:long") // 999 absent from the graph → ignored
+      val got = graft.operators.Graph.personalizedPageRank(
+        edges, "src", "dst", seeds, iterations = 8)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val want = graft.operators.Graph.densePersonalizedPageRank(
+        es, Set(0L, 1L, 2L, 999L), iterations = 8)
+      val agree = want.forall { case (v, r) => math.abs(got(v) - r) < 1e-10 }
+      val conserved = math.abs(got.values.sum - 1.0) < 1e-9
+      eng(s).toDF(Seq(Seq(want.size.toLong,
+        if (agree && conserved) 1L else 0L)), "n_nodes:long,ppr_ok:long")
+    }),
+
+    // exact per-node triangle counts (undirected simple graph), FULL
+    // oracle: DuckDB replays the identical ordered-wedge joins over the
+    // same synthetic 53-node multigraph (parallel edges/self-loops
+    // dropped on both engines)
+    "q112_triangles" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val edges = docs.select((col("doc_id") % 53).as("src"),
+        ((col("doc_id") * 7 + 11) % 53).as("dst"))
+      graft.operators.Graph.triangleCount(edges, "src", "dst")
+    }),
+
     // ordered-funnel analysis (signup → view → purchase within a day),
     // FULL oracle: per-user first-attempt step timestamps + completion
     // depth; DuckDB replays the identical conditional-min chain
@@ -3392,6 +3424,24 @@ object SparkEntry {
       "SELECT CAST(53 AS BIGINT) AS n_nodes, CAST(1 AS BIGINT) AS pr_ok",
     "q104_label_prop" ->
       "SELECT CAST(52 AS BIGINT) AS n_nodes, CAST(1 AS BIGINT) AS lpa_ok",
+    "q113_ppr" ->
+      "SELECT CAST(53 AS BIGINT) AS n_nodes, CAST(1 AS BIGINT) AS ppr_ok",
+    "q112_triangles" ->
+      """WITH raw AS (SELECT doc_id % 53 AS a, (doc_id * 7 + 11) % 53 AS b
+        | FROM documents),
+        |e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+        | FROM raw WHERE a <> b),
+        |nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+        |tri AS (
+        | SELECT e1.u AS u, e1.v AS v, e2.v AS w
+        | FROM e e1 JOIN e e2 ON e1.v = e2.u
+        | JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |pn AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+        |  SELECT u AS node FROM tri
+        |  UNION ALL SELECT v FROM tri
+        |  UNION ALL SELECT w FROM tri) x GROUP BY node)
+        |SELECT nodes.node, COALESCE(pn.triangles, 0) AS triangles
+        |FROM nodes LEFT JOIN pn ON nodes.node = pn.node""".stripMargin,
     "q110_funnel" ->
       """WITH e AS (SELECT user_id AS u,
         |  CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS t,

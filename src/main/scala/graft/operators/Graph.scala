@@ -40,7 +40,32 @@ object Graph {
   def pageRank(
       edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 10, damping: Double = 0.85,
+      weightCol: Option[String] = None): DataFrame =
+    rankLoop(edges, srcCol, dstCol, iterations, damping, weightCol, None)
+
+  /**
+   * Personalized PageRank: random walks restart at the SEED set instead
+   * of uniformly — rank concentrates in the seeds' neighborhood, the
+   * standard seed-expansion signal ("given these 50 known-good domains,
+   * rank every domain by affinity to them"; dangling mass also returns
+   * to the seeds, the conventional PPR closure). `seeds` is a one-column
+   * frame of node ids; seeds absent from the graph are ignored (at least
+   * one must be present). Non-seed nodes start at 0 and only gain rank
+   * through incoming walks. Σrank = 1 each iteration.
+   */
+  def personalizedPageRank(
+      edges: DataFrame, srcCol: String, dstCol: String, seeds: DataFrame,
+      iterations: Int = 10, damping: Double = 0.85,
       weightCol: Option[String] = None): DataFrame = {
+    require(seeds.columns.length == 1,
+      s"seeds must be a one-column frame of node ids, got ${seeds.columns.length} columns")
+    rankLoop(edges, srcCol, dstCol, iterations, damping, weightCol, Some(seeds))
+  }
+
+  private def rankLoop(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int, damping: Double,
+      weightCol: Option[String], seedsOpt: Option[DataFrame]): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
     val w = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
@@ -81,7 +106,24 @@ object Graph {
         .agg(sum(col("__w")).as("__deg"))
         .localCheckpoint(true)
       helpers += outDeg
-      ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
+      // restart distribution: uniform 1/n, or 1/|seeds∩nodes| on the
+      // seed set (personalized) — one (node, __p0) frame drives the
+      // init, the teleport term, AND the dangling redistribution
+      val p0 = (seedsOpt match {
+        case None => nodes.withColumn("__p0", lit(1.0 / n))
+        case Some(sd) =>
+          val seedNodes = sd.select(col(sd.columns.head).as("node")).distinct()
+          val present = nodes.join(seedNodes, Seq("node"), "left_semi")
+          val k = present.count()
+          require(k > 0, "no seed node is present in the graph")
+          nodes.join(present.withColumn("__m", lit(1)), Seq("node"), "left")
+            .select(col("node"),
+              when(col("__m").isNotNull, lit(1.0 / k))
+                .otherwise(lit(0.0)).as("__p0"))
+      }).localCheckpoint(true)
+      helpers += p0
+      ranks = p0.select(col("node"), col("__p0").as("rank"))
+        .localCheckpoint(true)
       for (_ <- 1 to iterations) {
         // mass parked on dangling nodes (no out-edges) — ONE scalar
         val dangling = ranks.join(outDeg, Seq("node"), "left_anti")
@@ -93,11 +135,13 @@ object Graph {
           .join(e, col("node") === col("__src"))
           .groupBy(col("__dst").as("node"))
           .agg(sum(col("__w") * col("rank") / col("__deg")).as("__in"))
-        val base = (1.0 - damping) / n + damping * dangling / n
         val prev = ranks
-        ranks = nodes.join(contribs, Seq("node"), "left")
+        // rank = (1−d)·p0 + d·dangling·p0 + d·in  (p0 = 1/n uniform)
+        ranks = p0.join(contribs, Seq("node"), "left")
           .select(col("node"),
-            (lit(base) + lit(damping) * coalesce(col("__in"), lit(0.0)))
+            (lit(1.0 - damping) * col("__p0") +
+              lit(damping * dangling) * col("__p0") +
+              lit(damping) * coalesce(col("__in"), lit(0.0)))
               .as("rank"))
           .localCheckpoint(true)
         // the previous iteration's checkpoint blocks are dead the moment
@@ -144,6 +188,34 @@ object Graph {
         (1.0 - damping) / n + damping * dangling / n)
       es.foreach { case (s, t, w) =>
         next(idx(t)) += damping * w * rank(idx(s)) / outW(idx(s))
+      }
+      rank = next
+    }
+    nodes.map(v => v -> rank(idx(v))).toMap
+  }
+
+  /** Dense driver-side personalized PageRank (unweighted) with IDENTICAL
+   * semantics to [[personalizedPageRank]] (teleport + dangling mass to
+   * the seed distribution, seeds restricted to graph nodes) — the shared
+   * reference model for the q113 differential and GraphSpec. Driver
+   * memory O(nodes + edges): differential use only. */
+  def densePersonalizedPageRank(
+      edges: Seq[(Long, Long)], seeds: Set[Long], iterations: Int,
+      damping: Double = 0.85): Map[Long, Double] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val present = nodes.filter(seeds.contains).toSet
+    require(present.nonEmpty, "no seed node is present in the graph")
+    val k = present.size
+    val idx = nodes.zipWithIndex.toMap
+    val outDeg = edges.groupBy(_._1).map { case (s, g) => idx(s) -> g.size.toDouble }
+    val p0 = nodes.map(v => if (present(v)) 1.0 / k else 0.0).toArray
+    var rank = p0.clone()
+    for (_ <- 1 to iterations) {
+      val dangling = rank.indices.filterNot(outDeg.contains).map(rank).sum
+      val next = Array.tabulate(nodes.length)(i =>
+        (1.0 - damping) * p0(i) + damping * dangling * p0(i))
+      edges.foreach { case (s, t) =>
+        next(idx(t)) += damping * rank(idx(s)) / outDeg(idx(s))
       }
       rank = next
     }
@@ -270,6 +342,49 @@ object Graph {
       }.toMap
     }
     label
+  }
+
+  /**
+   * Exact per-node triangle counts over the UNDIRECTED simple graph of
+   * an edge list (direction, parallel edges, and self-loops ignored —
+   * the standard clustering-coefficient denominator semantics). The
+   * local-community-density signal for crawl graphs: spam farms are
+   * triangle-dense, organic link neighborhoods sparse. Output:
+   * (node, triangles) — one row per node of the simple graph, 0 where a
+   * node is in no triangle.
+   *
+   * Scale: the classic ordered-wedge join — canonical edges (u < v,
+   * distinct) joined on the middle vertex to form wedges u < v < w,
+   * then one join back against the edge set to close them. Exchanges
+   * are edge- and wedge-keyed; the ordering constraint counts each
+   * triangle exactly once and caps the wedge explosion at
+   * Σ deg_lower(v)² (the standard bound — degree-ordered counting).
+   * Skewed hubs: the join keys are single vertices, so AQE's skew-join
+   * splitting applies; for adversarial hub graphs, pre-cap with
+   * [[degreeStats]] + a degree filter (documented escape).
+   */
+  def triangleCount(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges
+      .select(col(srcCol).as("__a"), col(dstCol).as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull &&
+        col("__a") =!= col("__b"))
+      .select(least(col("__a"), col("__b")).as("u"),
+        greatest(col("__a"), col("__b")).as("v"))
+      .distinct()
+    val nodes = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node"))).distinct()
+    // wedges u < v < w around middle vertex v, closed by edge (u, w)
+    val wedges = e.as("e1")
+      .join(e.as("e2"), col("e1.v") === col("e2.u"))
+      .select(col("e1.u").as("u"), col("e1.v").as("v"), col("e2.v").as("w"))
+    val triangles = wedges
+      .join(e.select(col("u").as("u"), col("v").as("w")), Seq("u", "w"))
+    val perNode = triangles
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    nodes.join(perNode, Seq("node"), "left")
+      .select(col("node"), coalesce(col("triangles"), lit(0L)).as("triangles"))
   }
 
   /**

@@ -482,6 +482,21 @@ object GraftSql {
             srcCol = p.getOrElse("src", "src"),
             dstCol = p.getOrElse("dst", "dst"))
         },
+        "triangles" -> ProcessorDef { (_, dfs, p) =>
+          graft.operators.Graph.triangleCount(one(dfs, "triangles"),
+            srcCol = p.getOrElse("src", "src"),
+            dstCol = p.getOrElse("dst", "dst"))
+        },
+        "ppr" -> ProcessorDef { (_, dfs, p) =>
+          require(dfs.size == 2, "ppr takes (edges, seeds)")
+          graft.operators.Graph.personalizedPageRank(dfs.head,
+            srcCol = p.getOrElse("src", "src"),
+            dstCol = p.getOrElse("dst", "dst"),
+            seeds = dfs(1),
+            iterations = p.get("iters").map(_.toInt).getOrElse(10),
+            damping = p.get("damping").map(_.toDouble).getOrElse(0.85),
+            weightCol = p.get("w"))
+        },
         "link_graph" -> ProcessorDef { (_, dfs, p) =>
           TextFunctions.linkGraph(one(dfs, "link_graph"),
             srcHostCol = p.getOrElse("host", "host"),

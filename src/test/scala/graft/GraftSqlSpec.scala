@@ -950,6 +950,18 @@ class GraftSqlSpec extends SparkTestBase {
         |YIELD r AS r
         |""".stripMargin, Map("ev" -> ev)).yields("r").collect()
     assert(rt.length === 2 && rt.map(_.getLong(1)).sorted.toSeq === Seq(0L, 1L))
+
+    val tri = df(Seq(Seq(1L, 2L), Seq(2L, 3L), Seq(3L, 1L)), "s:long,d:long")
+    val tc = GraftSql.run(engine,
+      """t = PROCESS tri USING triangles(src:s, dst:d)
+        |YIELD t AS t
+        |""".stripMargin, Map("tri" -> tri)).yields("t").collect()
+    assert(tc.length === 3 && tc.forall(_.getLong(1) === 1L))
+    val pr = GraftSql.run(engine,
+      """p = PROCESS tri, (CREATE [[1]] SCHEMA node:long) USING ppr(src:s, dst:d, iters:5)
+        |YIELD p AS p
+        |""".stripMargin, Map("tri" -> tri)).yields("p").collect()
+    assert(math.abs(pr.map(_.getDouble(1)).sum - 1.0) < 1e-9)
   }
 
   test("built-in export_shards processor yields the manifest frame") {

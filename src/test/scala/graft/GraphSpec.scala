@@ -180,6 +180,62 @@ class GraphSpec extends SparkTestBase {
     assert(g === Graph.denseLabelPropagationWeighted(guard, 2))
   }
 
+  test("personalizedPageRank: mass localizes at seeds, unreachable stays 0") {
+    // two disconnected pairs: 1→2, 3→4; seed {1} → component {3,4} gets 0
+    val e = df(Seq(Seq(1L, 2L), Seq(3L, 4L)), "src:long,dst:long")
+    val seeds = df(Seq(Seq(1L)), "node:long")
+    val r = Graph.personalizedPageRank(e, "src", "dst", seeds, iterations = 6)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+    assert(r(3L) === 0.0 && r(4L) === 0.0)
+    assert(r(1L) > r(2L), "seed outranks its neighbor under teleport")
+    // matches the shared dense reference on random graphs (3 seeds)
+    for (seed <- Seq(3L, 17L, 59L)) {
+      val rnd = new Random(seed)
+      val edges = (1 to 150).map(_ =>
+        (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      val sd = Set(0L, 1L, 2L)
+      val got = Graph.personalizedPageRank(edges.toDF("src", "dst"),
+        "src", "dst", df(sd.toSeq.map(Seq[Any](_)), "node:long"),
+        iterations = 8)
+        .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+      val want = Graph.densePersonalizedPageRank(edges, sd, 8)
+      assert(got.keySet === want.keySet, s"seed $seed")
+      got.foreach { case (v, rv) =>
+        assert(math.abs(rv - want(v)) < 1e-10, s"seed $seed node $v")
+      }
+    }
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(e, "src", "dst",
+        df(Seq(Seq(99L)), "node:long")) // no seed in graph
+    }
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(e, "src", "dst",
+        df(Seq(Seq(1L, 2L)), "a:long,b:long")) // two columns
+    }
+  }
+
+  test("triangleCount: K4, pendant, square, parallel/self edges ignored") {
+    // K4 on {1,2,3,4}: every node is in C(3,2) = 3 triangles
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield Seq(i, j)
+    val got = Graph.triangleCount(df(k4, "src:long,dst:long"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // triangle + pendant node; reversed/parallel/self edges don't count
+    val e = df(Seq(
+      Seq(1L, 2L), Seq(2L, 3L), Seq(3L, 1L),
+      Seq(2L, 1L), Seq(1L, 2L), Seq(1L, 1L), // noise
+      Seq(3L, 4L)), "src:long,dst:long")
+    val t = Graph.triangleCount(e, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
+    // square: 4 edges, no triangle
+    val sq = df(Seq(Seq(1L, 2L), Seq(2L, 3L), Seq(3L, 4L), Seq(4L, 1L)),
+      "src:long,dst:long")
+    assert(Graph.triangleCount(sq, "src", "dst")
+      .collect().forall(_.getLong(1) === 0L))
+  }
+
   test("degreeStats: multigraph counts vs distinct neighbors, one-sided zeros") {
     val e = df(Seq(
       Seq(1L, 2L), Seq(1L, 2L), Seq(1L, 3L), Seq(4L, 1L)),
