@@ -3445,7 +3445,8 @@ object SparkEntry {
     "q110_funnel" ->
       """WITH e AS (SELECT user_id AS u,
         |  CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS t,
-        |  event_type AS ev FROM events),
+        |  event_type AS ev FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
         |s1 AS (SELECT u, min(t) AS step_1 FROM e
         |  WHERE ev = 'signup' GROUP BY u),
         |s2 AS (SELECT s1.u, s1.step_1,

@@ -112,8 +112,14 @@ object Graph {
       val p0 = (seedsOpt match {
         case None => nodes.withColumn("__p0", lit(1.0 / n))
         case Some(sd) =>
-          val seedNodes = sd.select(col(sd.columns.head).as("node")).distinct()
-          val present = nodes.join(seedNodes, Seq("node"), "left_semi")
+          // checkpoint BEFORE count() + join: a re-evaluation-unstable
+          // seed frame (a sample, a mutable source) evaluated twice could
+          // make k disagree with the mask and silently break Σrank = 1 —
+          // the same hazard the endpoints checkpoint above guards
+          val present = nodes.join(
+            sd.select(col(sd.columns.head).as("node")).distinct(),
+            Seq("node"), "left_semi").localCheckpoint(true)
+          helpers += present
           val k = present.count()
           require(k > 0, "no seed node is present in the graph")
           nodes.join(present.withColumn("__m", lit(1)), Seq("node"), "left")
@@ -353,15 +359,16 @@ object Graph {
    * (node, triangles) — one row per node of the simple graph, 0 where a
    * node is in no triangle.
    *
-   * Scale: the classic ordered-wedge join — canonical edges (u < v,
-   * distinct) joined on the middle vertex to form wedges u < v < w,
-   * then one join back against the edge set to close them. Exchanges
-   * are edge- and wedge-keyed; the ordering constraint counts each
-   * triangle exactly once and caps the wedge explosion at
-   * Σ deg_lower(v)² (the standard bound — degree-ordered counting).
-   * Skewed hubs: the join keys are single vertices, so AQE's skew-join
-   * splitting applies; for adversarial hub graphs, pre-cap with
-   * [[degreeStats]] + a degree filter (documented escape).
+   * Scale: DEGREE-ORDERED wedge counting (the Schank–Wagner/Latapy
+   * forward algorithm): every simple edge orients from its lower-
+   * (degree, id) endpoint to the higher, wedges form as pairs of
+   * out-neighbors of a common source, and one join back against the
+   * oriented edges closes them. Orientation by degree caps every
+   * node's out-degree at O(√m) amortized, so wedge volume is O(m^1.5)
+   * REGARDLESS of hub skew — an id-ordered orientation would let one
+   * high-id hub own all its edges and explode quadratically. Each
+   * triangle closes exactly once (its endpoints are totally ordered by
+   * the (degree, id) key). AQE's skew-join splitting applies on top.
    */
   def triangleCount(
       edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
@@ -374,14 +381,33 @@ object Graph {
       .distinct()
     val nodes = e.select(col("u").as("node"))
       .union(e.select(col("v").as("node"))).distinct()
-    // wedges u < v < w around middle vertex v, closed by edge (u, w)
-    val wedges = e.as("e1")
-      .join(e.as("e2"), col("e1.v") === col("e2.u"))
-      .select(col("e1.u").as("u"), col("e1.v").as("v"), col("e2.v").as("w"))
+    val deg = nodes.join(
+      e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("__deg")),
+      Seq("node"))
+    // orient each edge toward the higher (degree, id) key; carry the
+    // destination's key so the wedge pair can be ordered without a join
+    val keyed = e
+      .join(deg.select(col("node").as("u"), col("__deg").as("__du")), "u")
+      .join(deg.select(col("node").as("v"), col("__deg").as("__dv")), "v")
+      .withColumn("__ku", struct(col("__du").as("dk"), col("u").as("nk")))
+      .withColumn("__kv", struct(col("__dv").as("dk"), col("v").as("nk")))
+    val oe = keyed.select(
+      when(col("__ku") < col("__kv"), col("u")).otherwise(col("v")).as("s"),
+      when(col("__ku") < col("__kv"), col("v")).otherwise(col("u")).as("d"),
+      when(col("__ku") < col("__kv"), col("__kv")).otherwise(col("__ku"))
+        .as("__kd"))
+    // wedges: ordered pairs of out-neighbors of a common source, closed
+    // by the oriented edge between them (which exists iff the graph has
+    // the edge — orientation follows the same total order as the pair)
+    val wedges = oe.as("e1")
+      .join(oe.as("e2"),
+        col("e1.s") === col("e2.s") && col("e1.__kd") < col("e2.__kd"))
+      .select(col("e1.s").as("a"), col("e1.d").as("b"), col("e2.d").as("c"))
     val triangles = wedges
-      .join(e.select(col("u").as("u"), col("v").as("w")), Seq("u", "w"))
+      .join(oe.select(col("s").as("b"), col("d").as("c")), Seq("b", "c"))
     val perNode = triangles
-      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("triangles"))
     nodes.join(perNode, Seq("node"), "left")
       .select(col("node"), coalesce(col("triangles"), lit(0L)).as("triangles"))

@@ -393,23 +393,35 @@ object TemporalOps {
     require(periodSeconds > 0, "periodSeconds must be > 0")
     val bucket = (floor(unix_timestamp(col(tsCol)).cast("double") /
       periodSeconds).cast("long") * periodSeconds)
+    // checkpoint: the activity projection feeds BOTH the first-activity
+    // aggregate and the counts join — two evaluations of an unstable
+    // input (a sample) could disagree on a user's cohort vs activity
+    // rows (negative offsets, retention > 1), silently; and even stable
+    // inputs would pay a second full scan
     val activity = df
       .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
       .select(col(userCol).as("__u"), bucket.as("__p"))
       .distinct()
-    val first = activity.groupBy(col("__u")).agg(min(col("__p")).as("__c"))
-    val counts = activity.join(first, Seq("__u"))
-      .groupBy(col("__c").as("cohort_start"),
-        ((col("__p") - col("__c")) / periodSeconds).cast("long")
-          .as("period_offset"))
-      .agg(count(lit(1)).as("n_active"))
-    val sizes = counts.filter(col("period_offset") === 0)
-      .select(col("cohort_start"), col("n_active").as("n_cohort"))
-    counts.join(sizes, Seq("cohort_start"))
-      .select(col("cohort_start"), col("period_offset"), col("n_active"),
-        col("n_cohort"),
-        (col("n_active").cast("double") / col("n_cohort").cast("double"))
-          .as("retention"))
+      .localCheckpoint(true)
+    try {
+      val first = activity.groupBy(col("__u")).agg(min(col("__p")).as("__c"))
+      val counts = activity.join(first, Seq("__u"))
+        .groupBy(col("__c").as("cohort_start"),
+          ((col("__p") - col("__c")) / periodSeconds).cast("long")
+            .as("period_offset"))
+        .agg(count(lit(1)).as("n_active"))
+      val sizes = counts.filter(col("period_offset") === 0)
+        .select(col("cohort_start"), col("n_active").as("n_cohort"))
+      counts.join(sizes, Seq("cohort_start"))
+        .select(col("cohort_start"), col("period_offset"), col("n_active"),
+          col("n_cohort"),
+          (col("n_active").cast("double") / col("n_cohort").cast("double"))
+            .as("retention"))
+        // materialize the (cohorts × offsets)-sized report before freeing
+        .localCheckpoint(true)
+    } finally {
+      org.apache.spark.sql.graftshim.ColumnBridge.unpersistCheckpointed(activity)
+    }
   }
 
   /**
