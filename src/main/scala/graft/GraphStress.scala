@@ -35,6 +35,17 @@ object GraphStress {
     val hubsOnTop = top.map(_._1).count(_ < 10)
     println(f"GRAPHSTRESS edges=$nEdges nodes=$nNodes iters=10 " +
       f"time=$t%.1f mass=$total%.6f hubs_in_top10=$hubsOnTop/10")
+    // triangle counting on the same graph — the 10 hub nodes receive 10%
+    // of all edges (in-degree ~100k each), exactly the skew the
+    // degree-ordered orientation must absorb: hubs sort HIGHEST, so all
+    // their edges point toward them and their out-degree is ~0
+    var nTri = 0L
+    val tTri = time {
+      nTri = graft.operators.Graph.triangleCount(edges, "src", "dst")
+        .agg(sum(col("triangles"))).collect()(0).getLong(0) / 3
+    }
+    println(f"TRIANGLESTRESS edges=$nEdges nodes=$nNodes " +
+      f"time=$tTri%.1f triangles=$nTri")
     spark.stop()
   }
 }
