@@ -651,4 +651,165 @@ class PropertySpec extends SparkTestBase {
         s"seed $seed intersection")
     }
   }
+
+  test("mergeIntervals matches driver brute force; idempotent (3 seeds)") {
+    for (seed <- Seq(4L, 23L, 88L)) {
+      val rnd = new Random(seed)
+      val iv = (1 to 120).map { _ =>
+        val k = s"k${rnd.nextInt(4)}"
+        val s = rnd.nextInt(200).toLong
+        (k, s, s + 1 + rnd.nextInt(20))
+      }
+      def brute(xs: Seq[(String, Long, Long)]): Set[(String, Long, Long, Long)] =
+        xs.groupBy(_._1).flatMap { case (k, g) =>
+          val sorted = g.map(t => (t._2, t._3)).sortBy(identity)
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+          sorted.foreach { case (s, e) =>
+            if (out.nonEmpty && s <= out.last._2) {
+              val (cs, ce, cn) = out.last
+              out(out.length - 1) = (cs, math.max(ce, e), cn + 1)
+            } else out += ((s, e, 1L))
+          }
+          out.map(t => (k, t._1, t._2, t._3))
+        }.toSet
+      val got = TemporalOps.mergeIntervals(
+        df(iv.map(t => Seq(t._1, t._2, t._3)), "k:str,s:long,e:long"),
+        Seq("k"), "s", "e")
+      val gotSet = got.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(gotSet === brute(iv), s"seed $seed")
+      // idempotence: merging the merged output changes nothing
+      val again = TemporalOps.mergeIntervals(got, Seq("k"), "s", "e")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(again === gotSet.map(t => (t._1, t._2, t._3)), s"seed $seed idem")
+    }
+  }
+
+  test("gapFill matches driver brute-force interpolation exactly (3 seeds)") {
+    for (seed <- Seq(6L, 31L, 77L)) {
+      val rnd = new Random(seed)
+      // sparse observations on a minute grid inside one day
+      val obs = (1 to 50).map { _ =>
+        (s"g${rnd.nextInt(3)}", rnd.nextInt(1440), rnd.nextInt(1000) / 10.0)
+      }
+      val rows = obs.map { case (g, m, v) =>
+        Seq(g, f"2024-01-01 ${m / 60}%02d:${m % 60}%02d:00", v)
+      }
+      val step = 900L
+      val got = TemporalOps.gapFill(
+        df(rows, "g:str,ts:datetime,v:double"), "ts", "v", step, Seq("g"))
+        .collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime / 1000,
+          r.getDouble(2), r.getBoolean(3))).toSet
+      // driver model replicating the exact arithmetic (epoch from the
+      // minute offset + the session-UTC day start; decimal-bridged mean)
+      val day = java.time.LocalDate.of(2024, 1, 1)
+        .atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond
+      val want = obs.groupBy(_._1).flatMap { case (g, rowsG) =>
+        val byBucket = rowsG
+          .groupBy(t => (day + t._2 * 60L) / step * step)
+          .map { case (b, vs) =>
+            b -> (vs.map(t => BigDecimal(t._3).setScale(6,
+              BigDecimal.RoundingMode.HALF_UP)).sum.toDouble /
+              vs.size.toDouble)
+          }
+        val (lo, hi) = (byBucket.keys.min, byBucket.keys.max)
+        (lo to hi by step).map { b =>
+          byBucket.get(b) match {
+            case Some(v) => (g, b, v, false)
+            case None =>
+              val pe = byBucket.keys.filter(_ < b).max
+              val ne = byBucket.keys.filter(_ > b).min
+              val (pv, nv) = (byBucket(pe), byBucket(ne))
+              (g, b, pv + (nv - pv) * ((b - pe).toDouble / (ne - pe).toDouble),
+                true)
+          }
+        }
+      }.toSet
+      assert(got === want, s"seed $seed")
+    }
+  }
+
+  test("rankNormalize matches driver Hazen quantiles under heavy ties (3 seeds)") {
+    for (seed <- Seq(9L, 41L, 73L)) {
+      val rnd = new Random(seed)
+      val data = (1 to 200).map(i => (i.toLong, rnd.nextInt(10).toDouble))
+      val got = graft.functions.Sampling.rankNormalize(
+        df(data.map(t => Seq(t._1, t._2)), "id:long,v:double"),
+        "v", Seq("id"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      val want = data.sortBy(t => (t._2, t._1)).zipWithIndex
+        .map { case ((id, _), i) => id -> (i + 0.5) / 200.0 }.toMap
+      assert(got === want, s"seed $seed")
+    }
+  }
+
+  test("triangleCount: direction/duplication invariant, equals brute force (3 seeds)") {
+    for (seed <- Seq(11L, 37L, 91L)) {
+      val rnd = new Random(seed)
+      val base = (1 to 100).map(_ =>
+        (rnd.nextInt(15).toLong, rnd.nextInt(15).toLong))
+      val noisy = base.flatMap { case (a, b) =>
+        val flipped = if (rnd.nextBoolean()) (b, a) else (a, b)
+        if (rnd.nextInt(3) == 0) Seq(flipped, (a, b)) else Seq(flipped)
+      }
+      import graft.operators.Graph
+      def run(es: Seq[(Long, Long)]) =
+        Graph.triangleCount(df(es.map(t => Seq(t._1, t._2)),
+          "src:long,dst:long"), "src", "dst")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val got = run(base)
+      assert(got === run(noisy), s"seed $seed invariance")
+      // driver brute force over the simple graph
+      val simple = base.filter(t => t._1 != t._2)
+        .map(t => (math.min(t._1, t._2), math.max(t._1, t._2))).distinct
+      val adj = (simple ++ simple.map(t => (t._2, t._1)))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      val nodes = (simple.map(_._1) ++ simple.map(_._2)).distinct
+      val want = nodes.map { v =>
+        val ns = adj.getOrElse(v, Set.empty).toSeq
+        v -> (for {
+          i <- ns.indices; j <- (i + 1) until ns.size
+          if adj(ns(i)).contains(ns(j))
+        } yield 1).size.toLong
+      }.toMap
+      assert(got === want, s"seed $seed brute")
+    }
+  }
+
+  test("funnel matches driver brute force on random event streams (3 seeds)") {
+    for (seed <- Seq(14L, 52L, 97L)) {
+      val rnd = new Random(seed)
+      val evs = Seq("a", "b", "c")
+      val stream = (1 to 300).map { _ =>
+        (s"u${rnd.nextInt(12)}", rnd.nextInt(5000).toLong,
+          evs(rnd.nextInt(3)))
+      }
+      val rows = stream.map { case (u, t, e) =>
+        Seq(u, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(t))
+          .toInstant.atZone(java.time.ZoneOffset.UTC)
+          .format(java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd HH:mm:ss")), e)
+      }
+      val window = 1000L
+      val got = TemporalOps.funnel(
+        df(rows, "u:str,ts:datetime,ev:str"), "u", "ts", "ev", evs, window)
+        .collect().map(r => r.getString(0) ->
+          (1 to 3).map(i => if (r.isNullAt(i)) None else Some(r.getLong(i))))
+        .toMap
+      val want = stream.groupBy(_._1).flatMap { case (u, g) =>
+        val s1 = g.filter(_._3 == "a").map(_._2).minOption
+        s1.map { t1 =>
+          val s2 = g.filter(e => e._3 == "b" && e._2 >= t1 &&
+            e._2 <= t1 + window).map(_._2).minOption
+          val s3 = s2.flatMap(t2 => g.filter(e => e._3 == "c" &&
+            e._2 >= t2 && e._2 <= t1 + window).map(_._2).minOption)
+          u -> Seq(Some(t1), s2, s3)
+        }
+      }
+      assert(got === want, s"seed $seed")
+    }
+  }
 }
