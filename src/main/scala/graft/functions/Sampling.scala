@@ -261,7 +261,10 @@ object Sampling {
    * them (an LM cross-entropy and a classifier logit both become uniform
    * [0,1] positions; average or threshold them meaningfully). Ties order
    * deterministically by the tie-break columns, which must complete a
-   * total order (use a unique id last).
+   * total order (use a unique id last). NULL values sort FIRST (Spark's
+   * ascending null ordering), so null-scored rows deterministically take
+   * the lowest quantiles (the highest under `descending`) — filter them
+   * beforehand if "no score" must not mean "worst score".
    *
    * Scale: the rank is [[graft.api.DfUtils.runningTotal]]'s distributed
    * prefix sum — range partition + local cumsum + driver-cumulated

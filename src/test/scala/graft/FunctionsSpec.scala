@@ -2089,6 +2089,12 @@ class FunctionsSpec extends SparkTestBase {
       graft.functions.Sampling.rankNormalize(
         d.withColumnRenamed("score", "quantile"), "quantile", Seq("id"))
     }
+    // declared null semantics: null scores take the LOWEST quantiles
+    val withNull = df(Seq(Seq(1L, null), Seq(2L, 5.0), Seq(3L, 7.0)),
+      "id:long,score:double")
+    val nq = graft.functions.Sampling.rankNormalize(withNull, "score",
+      Seq("id")).collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(nq(1L) === 0.5 / 3 && nq(2L) === 1.5 / 3 && nq(3L) === 2.5 / 3)
   }
 
   test("linkGraph: host edges lowercased, counted; blank/null source dropped") {
