@@ -622,6 +622,16 @@ object SparkEntry {
       graft.operators.Graph.degreeStats(edges, "src", "dst")
     }),
 
+    // local clustering coefficient, FULL oracle: triangles normalized by
+    // simple-graph neighbor pairs — DuckDB recomputes wedge counts,
+    // distinct degrees, and the exact 2T/k(k−1) division
+    "q114_clustering_coeff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val edges = docs.select((col("doc_id") % 53).as("src"),
+        ((col("doc_id") * 7 + 11) % 53).as("dst"))
+      graft.operators.Graph.clusteringCoefficient(edges, "src", "dst")
+    }),
+
     // personalized PageRank differential: distributed ≡ the SHARED dense
     // reference (teleport + dangling mass to the seed distribution) at
     // 1e-10, Σrank = 1, and non-seed-reachable mass stays 0
@@ -3426,6 +3436,28 @@ object SparkEntry {
       "SELECT CAST(52 AS BIGINT) AS n_nodes, CAST(1 AS BIGINT) AS lpa_ok",
     "q113_ppr" ->
       "SELECT CAST(53 AS BIGINT) AS n_nodes, CAST(1 AS BIGINT) AS ppr_ok",
+    "q114_clustering_coeff" ->
+      """WITH raw AS (SELECT doc_id % 53 AS a, (doc_id * 7 + 11) % 53 AS b
+        | FROM documents),
+        |e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+        | FROM raw WHERE a <> b),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+        |  SELECT u AS node FROM e UNION ALL SELECT v FROM e) x GROUP BY node),
+        |tri AS (
+        | SELECT e1.u AS u, e1.v AS v, e2.v AS w
+        | FROM e e1 JOIN e e2 ON e1.v = e2.u
+        | JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |pn AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+        |  SELECT u AS node FROM tri
+        |  UNION ALL SELECT v FROM tri
+        |  UNION ALL SELECT w FROM tri) x GROUP BY node)
+        |SELECT deg.node, deg.degree,
+        | COALESCE(pn.triangles, 0) AS triangles,
+        | CASE WHEN deg.degree >= 2 THEN
+        |   CAST(COALESCE(pn.triangles, 0) * 2 AS DOUBLE)
+        |     / CAST(deg.degree * (deg.degree - 1) AS DOUBLE)
+        |  ELSE 0.0 END AS cc
+        |FROM deg LEFT JOIN pn ON deg.node = pn.node""".stripMargin,
     "q112_triangles" ->
       """WITH raw AS (SELECT doc_id % 53 AS a, (doc_id * 7 + 11) % 53 AS b
         | FROM documents),

@@ -414,6 +414,40 @@ object Graph {
   }
 
   /**
+   * Local clustering coefficient per node: cc(v) = 2·tri(v) / (k·(k−1))
+   * with k the node's SIMPLE-graph degree (distinct neighbors, direction
+   * ignored) — the fraction of a node's neighbor pairs that are
+   * themselves connected. 0.0 for k < 2. The per-node form of the
+   * triangle density audit ([[triangleCount]] provides the counts; this
+   * normalizes them): spam farms cluster near 1, organic link
+   * neighborhoods sit low. Output: (node, degree, triangles, cc).
+   *
+   * Scale: [[triangleCount]]'s degree-ordered wedge machinery + one
+   * distinct-neighbor aggregate + a node-keyed join — nothing beyond
+   * the triangle pass's cost model.
+   */
+  def clusteringCoefficient(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val tri = triangleCount(edges, srcCol, dstCol)
+    val clean = edges
+      .select(col(srcCol).as("__a"), col(dstCol).as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull &&
+        col("__a") =!= col("__b"))
+      .select(least(col("__a"), col("__b")).as("u"),
+        greatest(col("__a"), col("__b")).as("v"))
+      .distinct()
+    val deg = clean.select(col("u").as("node"))
+      .union(clean.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    tri.join(deg, Seq("node"))
+      .select(col("node"), col("degree"), col("triangles"),
+        when(col("degree") >= 2,
+          (col("triangles") * 2).cast("double") /
+            (col("degree") * (col("degree") - 1)).cast("double"))
+          .otherwise(lit(0.0)).as("cc"))
+  }
+
+  /**
    * Per-node degree statistics over an edge list: out/in edge counts and
    * distinct out/in neighbor counts (parallel edges counted by the
    * former, once by the latter). The crawl-graph audit primitive —

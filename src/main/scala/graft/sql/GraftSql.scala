@@ -487,6 +487,12 @@ object GraftSql {
             srcCol = p.getOrElse("src", "src"),
             dstCol = p.getOrElse("dst", "dst"))
         },
+        "clustering_coeff" -> ProcessorDef { (_, dfs, p) =>
+          graft.operators.Graph.clusteringCoefficient(
+            one(dfs, "clustering_coeff"),
+            srcCol = p.getOrElse("src", "src"),
+            dstCol = p.getOrElse("dst", "dst"))
+        },
         "ppr" -> ProcessorDef { (_, dfs, p) =>
           require(dfs.size == 2, "ppr takes (edges, seeds)")
           graft.operators.Graph.personalizedPageRank(dfs.head,

@@ -236,6 +236,28 @@ class GraphSpec extends SparkTestBase {
       .collect().forall(_.getLong(1) === 0L))
   }
 
+  test("clusteringCoefficient: K4 all 1.0, star center 0, triangle+pendant") {
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield Seq(i, j)
+    val ccK4 = Graph.clusteringCoefficient(df(k4, "src:long,dst:long"),
+      "src", "dst").collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(ccK4.values.forall(_ === 1.0))
+    // star: center has 3 unconnected neighbors -> 0; leaves deg 1 -> 0
+    val star = df(Seq(Seq(0L, 1L), Seq(0L, 2L), Seq(0L, 3L)),
+      "src:long,dst:long")
+    assert(Graph.clusteringCoefficient(star, "src", "dst")
+      .collect().forall(_.getDouble(3) === 0.0))
+    // triangle {1,2,3} + pendant 4 on node 3: node 3 has deg 3,
+    // 1 triangle -> cc = 2/(3*2) = 1/3; nodes 1,2 deg 2 -> cc 1
+    val tp = df(Seq(Seq(1L, 2L), Seq(2L, 3L), Seq(3L, 1L), Seq(3L, 4L)),
+      "src:long,dst:long")
+    val cc = Graph.clusteringCoefficient(tp, "src", "dst")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(cc(3L) === ((3L, 1L, 1.0 / 3)))
+    assert(cc(1L) === ((2L, 1L, 1.0)) && cc(2L) === ((2L, 1L, 1.0)))
+    assert(cc(4L) === ((1L, 0L, 0.0)))
+  }
+
   test("degreeStats: multigraph counts vs distinct neighbors, one-sided zeros") {
     val e = df(Seq(
       Seq(1L, 2L), Seq(1L, 2L), Seq(1L, 3L), Seq(4L, 1L)),
