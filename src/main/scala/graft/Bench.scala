@@ -14,12 +14,24 @@ import org.apache.spark.sql.SparkSession
   *    so relational-core regressions are caught round-over-round. `value`
   *    stays the 14 headline queries ONLY — its series is comparable across
   *    rounds and against BASELINE.md.
+  *
+  * Measurement hygiene (r6 judge findings): cached/localCheckpointed
+  * blocks are dropped after EVERY timed run, so no query's measurement
+  * inherits block-manager state from an earlier query or phase (the r6
+  * artifact showed h20 at 5.05 s integrated vs 0.84 s standalone purely
+  * from accumulated checkpoint blocks); and a start loadavg above
+  * `ContendedLoad` first waits (up to ~5 min) for the box to go idle,
+  * then annotates the line with "contended":true if it never did —
+  * a polluted run self-identifies instead of reading as a regression.
   */
 object Bench {
   private def loadavg1m: Double =
     try scala.io.Source.fromFile("/proc/loadavg").mkString
       .split("\\s+").head.toDouble
     catch { case _: Throwable => -1.0 }
+
+  /** Start-load threshold above which the run first waits, then annotates. */
+  val ContendedLoad = 2.0
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -32,7 +44,30 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // loadavg guard: a contended box measures the box, not the code.
+    // Wait in 15 s steps (bounded) for the 1-min load to decay below the
+    // threshold before timing anything; if it never does, proceed but
+    // mark the line contended.
+    var waited = 0
+    while (loadavg1m > ContendedLoad && waited < 300) {
+      System.err.println(f"BENCH WAIT loadavg ${loadavg1m}%.2f > $ContendedLoad%.1f, sleeping 15s")
+      Thread.sleep(15000); waited += 15
+    }
     val loadStart = loadavg1m
+
+    /** Drop every cached/localCheckpointed block so the next measurement
+     * starts from a clean block manager regardless of what the previous
+     * query (or phase) left behind. The dedup family's shingle memo must
+     * be cleared THROUGH its own API first — a blanket unpersist would
+     * destroy its checkpoint blocks while leaving the memo entries alive,
+     * and the next dedup query would then resolve a dead frame
+     * (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND). */
+    def clearState(): Unit = {
+      graft.functions.Dedup.clearSignatureCache()
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+    }
     val names = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)
     // warm the JVM/parquet footers once with the cheapest query
     try SparkEntry.queries(names.head)(spark, sfDir).count() catch { case _: Throwable => () }
@@ -51,6 +86,13 @@ object Bench {
             None
           }
         }
+        // between QUERIES, outside the timed section: no measurement
+        // inherits another query's blocks. NOT between runs — the engine's
+        // RunOnce persist registry legitimately reuses a query's own
+        // frames across its min-of-N runs (steady-state semantics), and
+        // yanking those blocks mid-registry breaks the next run
+        // (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND).
+        clearState()
         name -> times.minOption
       }
 
@@ -75,7 +117,8 @@ object Bench {
     val hErrs = hResults.count(_._2.isEmpty)
     val total = results.flatMap(_._2).sum
     val hTotal = hResults.flatMap(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":3,"agg":"min","errors":$errs,"queries":${fmt(results)},"h_total":$hTotal%.3f,"h_runs":2,"h_errors":$hErrs,"h_queries":${fmt(hResults)},"loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"sf":"$sfDir"}""")
+    val contended = loadStart > ContendedLoad
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":3,"agg":"min","errors":$errs,"queries":${fmt(results)},"h_total":$hTotal%.3f,"h_runs":2,"h_errors":$hErrs,"h_queries":${fmt(hResults)},"loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"loadavg_waited_sec":$waited,"contended":$contended,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -8,7 +8,10 @@ object Plans {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.builder("local[8]", 8).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.01"
+    // sf0.1 (the bench scale), not sf0.01: AQE's broadcast/skew decisions
+    // can differ at 10× and the dumps should show the plans the bench
+    // actually runs (r6 judge task)
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val notes = Map(
       "q02_filter" -> "Both predicates reach the parquet scan (PushedFilters); no Spark-side filter work beyond the codegen'd residual.",
       "q01_agg" -> "Column pruning (5 of 11 lineitem columns read) + map-side partial aggregation; exactly one exchange.",
@@ -27,7 +30,17 @@ object Plans {
       "q89_quality_checks" -> "All 11 constraints compile into ONE aggregation over the scan (grep: a single HashAggregate pair per distinct-aggregate group; the two exact count_distinct constraints add the documented Expand branch). The report rows are generated in-plan from the agg row - no driver collect anywhere.",
       "q92_snapshot_diff" -> "hashOnly mode: both sides project to (key, xxhash64) BEFORE the full-outer SortMergeJoin - grep the exchanges: the only payload column moving is an 8-byte long, never o_totalprice or wider rows.",
       "q90_outliers" -> "Group stats via one partial-aggregated groupBy joined back on the key (AQE broadcasts the 3-row stats side); grep: no Window operator anywhere - the gate never sorts within groups.",
-      "t35_bm25" -> "Posting frame aggregated once with map-side partials; the bounded query side broadcasts into the posting join (grep: BroadcastHashJoin on __tok with qt as the build side); per-query top-k runs behind WindowGroupLimit so k rows per query cross the last exchange, never the full score list.")
+      "t35_bm25" -> "Posting frame aggregated once with map-side partials; the bounded query side broadcasts into the posting join (grep: BroadcastHashJoin on __tok with qt as the build side); per-query top-k runs behind WindowGroupLimit so k rows per query cross the last exchange, never the full score list.",
+      "q110_funnel" -> "Greedy funnel: k-1 rounds of user-keyed conditional-min hash aggregate + join over a once-checkpointed (user, epoch, event) projection - every exchange is user-keyed and user-table-sized; grep: no Window operator, no sort.",
+      "q110b_funnel_restart" -> "Re-entry funnel: the identical chain keyed by (user, anchor) - the attempt table is step-1-event-sized, exchanges stay user-co-partitioned; the best-attempt pick is a per-user row_number whose WindowGroupLimit keeps one local winner per map task BEFORE the exchange.",
+      "q111_retention" -> "Distinct (user, period) -> user-keyed first-activity min -> join -> (cohort, offset) count: all hash exchanges on bounded keys, map-side partials everywhere; the report frame is cohortsxoffsets sized.",
+      "q112_triangles" -> "Degree-ordered wedge counting: edges oriented low-degree->high before the wedge self-join, so hub skew cannot explode the join (O(m^1.5) wedges regardless of degree distribution); grep: the join keys are oriented edge endpoints, no cartesian anywhere.",
+      "q113_ppr" -> "Personalized PageRank: edges normalized+checkpointed ONCE, each iteration joins the node-table-sized rank frame to edges and re-aggregates - per-iteration lineage is freed (localCheckpoint) so the plan never grows with iteration count.",
+      "q114_clustering_coeff" -> "Exact per-node triangle counts via the q112 oriented wedge join, then one degree join - the division is scalar arithmetic in-plan; no global window, no driver loop.",
+      "t36_trigram_ce" -> "Trigram/bigram/unigram count tables are vocabulary-sized hash aggregates with map-side partials; the scoring join streams the corpus triple stream against them (AQE broadcasts small count tables); the (N, V) pair rides a one-row broadcast.",
+      "t37_link_graph" -> "Anchor extraction is a narrow codegen'd regexp chain per row; edge aggregation is one (src, dst) hash aggregate with partials - no shuffle before the aggregate's own exchange.",
+      "t38_gopher_rules" -> "All Gopher metrics and rule verdicts compute in ONE codegen'd projection over the scan (array/string ops, no UDF, no shuffle, no aggregate) - the whole bundle is map-only.",
+      "t39_c4_clean" -> "Line-level C4 cleanup is a pure per-row array pipeline (split -> filter -> rejoin) in whole-stage codegen; map-only, no exchange.")
     // partitioned-write → partition-pruning demo
     val pdir = "/root/repo/target/plans_partitioned"
     spark.read.parquet(s"$dir/part.parquet").write.mode("overwrite")
@@ -36,8 +49,8 @@ object Plans {
       .filter(org.apache.spark.sql.functions.col("p_brand") === "Brand#1")
     val sb = new StringBuilder
     sb ++= "# PLANS - physical-plan evidence for scale-critical queries\n\n"
-    sb ++= "Generated by `sbt \"runMain graft.Plans\"` at sf0.01 with AQE on.\n"
-    for (q <- Seq("q02_filter", "q01_agg", "q06_join_inner", "q20_take_per_key", "d01_dedup_exact", "s01_knn_brute", "s02_knn_lsh", "d05_dedup_embed", "t12_lm_score", "q62_bloom_semi", "d12_fuzzy_join", "q64_range_join", "d13_segment_dedup", "t20_pack_sequences", "q89_quality_checks", "q92_snapshot_diff", "q90_outliers", "t35_bm25")) {
+    sb ++= s"Generated by `sbt \"runMain graft.Plans\"` at $dir with AQE on.\n"
+    for (q <- Seq("q02_filter", "q01_agg", "q06_join_inner", "q20_take_per_key", "d01_dedup_exact", "s01_knn_brute", "s02_knn_lsh", "d05_dedup_embed", "t12_lm_score", "q62_bloom_semi", "d12_fuzzy_join", "q64_range_join", "d13_segment_dedup", "t20_pack_sequences", "q89_quality_checks", "q92_snapshot_diff", "q90_outliers", "t35_bm25", "q110_funnel", "q110b_funnel_restart", "q111_retention", "q112_triangles", "q113_ppr", "q114_clustering_coeff", "t36_trigram_ce", "t37_link_graph", "t38_gopher_rules", "t39_c4_clean")) {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.SimpleMode)
       sb ++= s"\n## $q\n\n${notes(q)}\n\n```\n${plan.split("\n").take(30).mkString("\n")}\n```\n"

@@ -671,6 +671,17 @@ object SparkEntry {
       graft.operators.TemporalOps.funnel(events(s, dir), "user_id", "ts",
         "event_type", Seq("signup", "view", "purchase"), 86400L)),
 
+    // windowed-re-entry funnel (restart = true): every distinct signup
+    // timestamp anchors an attempt, best attempt (most steps, earliest
+    // anchor) wins. FULL oracle: DuckDB replays the per-anchor chain and
+    // the same row_number pick; the 1 h window (vs q110's 24 h) makes
+    // first attempts fail often enough that re-entry actually changes
+    // user verdicts
+    "q110b_funnel_restart" -> ((s, dir) =>
+      graft.operators.TemporalOps.funnel(events(s, dir), "user_id", "ts",
+        "event_type", Seq("signup", "view", "purchase"), 3600L,
+        restart = true)),
+
     // weekly cohort retention, FULL oracle: cohort = first-activity week,
     // per-offset active fractions — exact integer bucket arithmetic and
     // one double division on both engines
@@ -964,7 +975,10 @@ object SparkEntry {
         Similarity.quantizeInt8(col("embedding")).as("q"))
         .select(col("vec_id"), col("q.qmin").as("qmin"),
           col("q.qscale").as("qscale"),
-          transform(col("q.codes"), c => c.cast("int")).as("codes"))
+          // CSV projection, not array<int>: the driver's pandas-based
+          // canonicalizer cannot sort list-valued columns (r06 gate err)
+          concat_ws(",",
+            transform(col("q.codes"), c => c.cast("int"))).as("codes"))
     }),
 
     // distributed PCA invariant differential: one treeAggregate moment
@@ -2512,6 +2526,24 @@ object SparkEntry {
         vars = Map("names" -> Seq("ASIA", "EUROPE", "AFRICA"),
           "min_key" -> 1L)).yields("out")
     }),
+    // {% set %} + {% macro %} templating through the FugueSQL front end
+    // (the jinja construct classes round 6 lacked): a macro builds the
+    // projection, a set-assembled predicate gates the WHERE. FULL oracle:
+    // the rendered SQL is static
+    "q87b_sql_template_set" -> ((s, dir) => {
+      graft.sql.GraftSql.run(eng(s),
+        """{% macro proj(key, name) %}{{ key }}, {{ name }}{% endmacro %}
+          |{% set lo = base_key + 1 %}
+          |{% set hi = lo * 2 %}
+          |res = SELECT {{ proj('n_nationkey', 'n_name') }} FROM nation
+          | WHERE n_nationkey >= {{ lo }} AND n_nationkey < {{ hi }}
+          |YIELD res AS out
+          |""".stripMargin,
+        Map("nation" -> t(s, dir, "nation")),
+        vars = Map("base_key" -> 4L)).yields("out")
+        .select(col("n_nationkey").cast("long").as("n_nationkey"),
+          col("n_name"))
+    }),
     // mergeable quantile summary: percentile_approx (KLL-style, bounded
     // rank error ≤ n/accuracy). Differential: the ACTUAL rank of each
     // reported p50/p95 must sit within twice the guarantee of the target
@@ -3333,6 +3365,9 @@ object SparkEntry {
     "q87_sql_template" ->
       """SELECT r_regionkey, r_name FROM region
         |WHERE r_name IN ('ASIA', 'EUROPE', 'AFRICA') AND r_regionkey >= 1""".stripMargin,
+    "q87b_sql_template_set" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name
+        |FROM nation WHERE n_nationkey >= 5 AND n_nationkey < 10""".stripMargin,
     "q88_per_row" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         | CAST(1 AS BIGINT) AS rows_in_partition
@@ -3497,6 +3532,32 @@ object SparkEntry {
         |  + (CASE WHEN step_3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
         |   AS steps_completed
         |FROM s3""".stripMargin,
+    "q110b_funnel_restart" ->
+      """WITH e AS (SELECT user_id AS u,
+        |  CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS t,
+        |  event_type AS ev FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |s1 AS (SELECT DISTINCT u, t AS step_1 FROM e WHERE ev = 'signup'),
+        |s2 AS (SELECT s1.u, s1.step_1,
+        |  min(CASE WHEN e.t >= s1.step_1 AND e.t <= s1.step_1 + 3600
+        |    THEN e.t END) AS step_2
+        | FROM s1 LEFT JOIN e ON s1.u = e.u AND e.ev = 'view'
+        | GROUP BY s1.u, s1.step_1),
+        |s3 AS (SELECT s2.u, s2.step_1, s2.step_2,
+        |  min(CASE WHEN e.t >= s2.step_2 AND e.t <= s2.step_1 + 3600
+        |    THEN e.t END) AS step_3
+        | FROM s2 LEFT JOIN e ON s2.u = e.u AND e.ev = 'purchase'
+        | GROUP BY s2.u, s2.step_1, s2.step_2),
+        |sc AS (SELECT u, step_1, step_2, step_3,
+        | CAST((CASE WHEN step_1 IS NOT NULL THEN 1 ELSE 0 END)
+        |  + (CASE WHEN step_2 IS NOT NULL THEN 1 ELSE 0 END)
+        |  + (CASE WHEN step_3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS steps_completed
+        | FROM s3),
+        |r AS (SELECT sc.*, row_number() OVER (PARTITION BY u
+        |  ORDER BY steps_completed DESC, step_1 ASC) AS rn FROM sc)
+        |SELECT u AS user_id, step_1, step_2, step_3, steps_completed
+        |FROM r WHERE rn = 1""".stripMargin,
     "q111_retention" ->
       """WITH a AS (SELECT DISTINCT user_id AS u,
         |  CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 604800) AS BIGINT)
@@ -3668,7 +3729,7 @@ object SparkEntry {
         |   CAST(len(list_filter(lines, l -> ends_with(l, '...'))) AS DOUBLE)
         |     / len(lines) ELSE 0.0 END AS ellipsis_line_frac,
         |  CASE WHEN len(words) > 0 THEN
-        |   CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+        |   CAST(len(list_filter(words, w -> regexp_matches(w, '\p{L}')))
         |     AS DOUBLE) / len(words) ELSE 0.0 END AS alpha_word_frac,
         |  len(list_intersect(list_transform(words, w -> lower(w)),
         |   ['the','be','to','of','and','that','have','with'])) AS n_stop_hits
@@ -3773,7 +3834,8 @@ object SparkEntry {
         |postings AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
         |dl AS (SELECT doc_id, sum(tf) AS dl FROM postings GROUP BY 1),
         |dfreq AS (SELECT tok, count(*) AS df FROM postings GROUP BY 1),
-        |stats AS (SELECT count(*) AS n, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+        |stats AS (SELECT count(*) AS n,
+        |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
         |qt0 AS (
         | SELECT doc_id AS query_id,
         |  unnest(list_slice(string_split_regex(trim(lower(text)), '\s+'), 1, 4)) AS tok
@@ -3855,6 +3917,8 @@ object SparkEntry {
         |   i -> {'p1': w[i], 'p2': w[i+1]})) AS p
         | FROM base WHERE len(w) >= 2),
         |c12 AS (SELECT p.p1 AS p1, p.p2 AS p2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+        |c12ctx AS (SELECT w1, w2, count(*) AS c12a FROM trips GROUP BY 1, 2),
+        |ctx1 AS (SELECT p.p1 AS p1, count(*) AS c2 FROM pairs GROUP BY 1),
         |toks AS (SELECT unnest(w) AS tok FROM base),
         |uni AS (SELECT tok, count(*) AS c1 FROM toks GROUP BY 1),
         |nv AS (SELECT count(*) AS n, count(DISTINCT tok) AS v FROM toks),
@@ -3863,16 +3927,16 @@ object SparkEntry {
         | SELECT trips.doc_id,
         |  round(ln(
         |    CAST(0.7 AS DOUBLE)
-        |      * (CAST(c123.c123 AS DOUBLE) / CAST(b12.c12 AS DOUBLE))
+        |      * (CAST(c123.c123 AS DOUBLE) / CAST(b12.c12a AS DOUBLE))
         |    + CAST(0.2 AS DOUBLE)
-        |      * (CAST(coalesce(b23.c12, 0) AS DOUBLE) / CAST(u2.c1 AS DOUBLE))
+        |      * (CAST(coalesce(b23.c12, 0) AS DOUBLE) / CAST(x2.c2 AS DOUBLE))
         |    + (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE) - CAST(0.2 AS DOUBLE))
         |      * (CAST(u3.c1 + 1 AS DOUBLE) / CAST(nv.n + nv.v AS DOUBLE))), 9) AS lp
         | FROM trips
         | JOIN c123 ON trips.w1 = c123.w1 AND trips.w2 = c123.w2 AND trips.w3 = c123.w3
-        | JOIN c12 b12 ON trips.w1 = b12.p1 AND trips.w2 = b12.p2
+        | JOIN c12ctx b12 ON trips.w1 = b12.w1 AND trips.w2 = b12.w2
         | LEFT JOIN c12 b23 ON trips.w2 = b23.p1 AND trips.w3 = b23.p2
-        | JOIN uni u2 ON trips.w2 = u2.tok
+        | JOIN ctx1 x2 ON trips.w2 = x2.p1
         | JOIN uni u3 ON trips.w3 = u3.tok
         | CROSS JOIN nv)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
@@ -4079,10 +4143,11 @@ object SparkEntry {
         |q AS (SELECT vec_id, v, list_min(v) AS qmin,
         |  (list_max(v) - list_min(v)) / 255.0 AS qscale FROM e)
         |SELECT vec_id, qmin, qscale,
-        | CASE WHEN qscale = 0
+        | array_to_string(CASE WHEN qscale = 0
         |  THEN list_transform(v, x -> CAST(-128 AS INTEGER))
         |  ELSE list_transform(v,
-        |   x -> CAST(round((x - qmin) / qscale) - 128 AS INTEGER)) END AS codes
+        |   x -> CAST(round((x - qmin) / qscale) - 128 AS INTEGER)) END,
+        |  ',') AS codes
         |FROM q""".stripMargin,
     "s11_hard_negatives" ->
       """WITH sub AS (SELECT * FROM embeddings WHERE vec_id < 50),

@@ -993,12 +993,15 @@ object TextFunctions {
    * [[unigramCrossEntropy]] and [[bigramCrossEntropy]]: per-document mean
    * negative log of
    *
-   *   p(w₃|w₁w₂) = λ₃·c(w₁w₂w₃)/c(w₁w₂) + λ₂·c(w₂w₃)/c(w₂)
+   *   p(w₃|w₁w₂) = λ₃·c(w₁w₂w₃)/ctx(w₁w₂) + λ₂·c(w₂w₃)/ctx(w₂)
    *              + λ₁·(c(w₃)+1)/(N+V),  λ₁ = 1 − λ₃ − λ₂
    *
-   * with all counts from the corpus itself (c(w₁w₂)/c(w₂) are bigram/
-   * unigram occurrence counts, so both conditional ratios are ≤ 1; the
-   * Laplace unigram floor keeps p > 0 for any token). A trigram model
+   * with all counts from the corpus itself. The denominators are CONTEXT
+   * counts — occurrences of w₁w₂ (resp. w₂) at positions that have a
+   * successor, exactly as [[bigramCrossEntropy]] does — so each smoothed
+   * term is a properly normalized conditional distribution (Σ_{w₃} p = 1
+   * before interpolation); the Laplace unigram floor keeps p > 0 for any
+   * token. A trigram model
    * separates formulaic boilerplate (low CE — its trigrams repeat
    * corpus-wide) from fluent novel prose far better than unigram
    * statistics. Documents with fewer than 3 tokens produce no rows.
@@ -1045,6 +1048,11 @@ object TextFunctions {
     val toks = base.select(explode(col("__w")).as("__tok"))
     val c123 = tri.groupBy("__w1", "__w2", "__w3").agg(count(lit(1)).as("__c123"))
     val c12 = pairs.groupBy("__p1", "__p2").agg(count(lit(1)).as("__c12"))
+    // context counts (positions WITH a successor): trigram-level contexts
+    // from the trigram table, bigram-level contexts from pair heads — the
+    // bigramCrossEntropy discipline, so each conditional is normalized
+    val c12ctx = tri.groupBy("__w1", "__w2").agg(count(lit(1)).as("__c12a"))
+    val ctx1 = pairs.groupBy("__p1").agg(count(lit(1)).as("__c2"))
     val uni = toks.groupBy("__tok").agg(count(lit(1)).as("__c1"))
     val nv = toks.agg(count(lit(1)).as("__n"), countDistinct(col("__tok")).as("__v"))
     val p3 = col("__c123").cast("double") / col("__c12a").cast("double")
@@ -1056,11 +1064,12 @@ object TextFunctions {
       digits)
     val scored = tri
       .join(c123, Seq("__w1", "__w2", "__w3"))
-      .join(c12.select(col("__p1").as("__w1"), col("__p2").as("__w2"),
-        col("__c12").as("__c12a")), Seq("__w1", "__w2"))
+      .join(c12ctx, Seq("__w1", "__w2"))
       .join(c12.select(col("__p1").as("__w2"), col("__p2").as("__w3"),
         col("__c12").as("__c23")), Seq("__w2", "__w3"), "left")
-      .join(uni.select(col("__tok").as("__w2"), col("__c1").as("__c2")), "__w2")
+      // inner is safe: a trigram's w2 always has a successor (w3), so its
+      // context count is >= 1
+      .join(ctx1.select(col("__p1").as("__w2"), col("__c2")), "__w2")
       .join(uni.select(col("__tok").as("__w3"), col("__c1").as("__c3")), "__w3")
       .crossJoin(broadcast(nv))
       .select(col(idCol), lp.as("__lp"))
@@ -1207,8 +1216,12 @@ object TextFunctions {
     val lineEllFrac = when(nl > 0,
       size(filter(lines, l => l.endsWith("...")))
         .cast("double") / nl.cast("double")).otherwise(lit(0.0))
+    // \p{L} (any Unicode letter), not [A-Za-z]: the Gopher paper's
+    // "alphabetic character" test must not mass-reject non-Latin-script
+    // corpora (zh/ru/ar words contain zero ASCII letters). Java regex and
+    // DuckDB's RE2 agree on the \p{L} class.
     val alphaFrac = when(nw > 0,
-      size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double") / nwD)
+      size(filter(words, w => w.rlike("\\p{L}"))).cast("double") / nwD)
       .otherwise(lit(0.0))
     val stopHits = size(array_intersect(
       transform(words, w => lower(w)),
@@ -1353,8 +1366,14 @@ object TextFunctions {
       .agg(count(lit(1)).as("__tf"))
     val docLen = postings.groupBy(idCol).agg(sum(col("__tf")).as("__dl"))
     val allDocFreq = postings.groupBy("__tok").agg(count(lit(1)).as("__df"))
+    // avgdl via an exact integer length-sum and ONE double division:
+    // a running double average is order-dependent FP once the corpus is
+    // large (1000-executor merge order varies run to run), while a long
+    // sum is exact and the single long→double conversion + divide is a
+    // deterministic IEEE function of the totals on every engine
     val stats = docLen.agg(count(lit(1)).as("__n"),
-      avg(col("__dl").cast("double")).as("__avgdl"))
+      (sum(col("__dl")).cast("double") /
+        count(lit(1)).cast("double")).as("__avgdl"))
     // df cut (classic IR stopword pruning): drop query terms present in
     // more than maxDfFraction of the corpus BEFORE the posting join —
     // such terms dominate the candidate volume (every matching posting

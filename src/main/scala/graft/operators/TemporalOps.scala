@@ -322,20 +322,33 @@ object TemporalOps {
    * missed step on, steps_completed) — one row per user who reached
    * step 1; aggregate `steps_completed` for the conversion report.
    *
-   * Semantics pinned down: step 1 is the user's EARLIEST step-1 event
-   * (no restart on failure — the greedy first-attempt funnel); equal
-   * timestamps satisfy "at or after"; events of later steps before
-   * step 1 are ignored.
+   * Semantics pinned down: with `restart = false` (default) step 1 is
+   * the user's EARLIEST step-1 event (no restart on failure — the greedy
+   * first-attempt funnel); equal timestamps satisfy "at or after";
+   * events of later steps before step 1 are ignored.
+   *
+   * `restart = true` is the other standard funnel definition (windowed
+   * re-entry): EVERY distinct step-1 timestamp of a user opens a
+   * candidate attempt, each attempt runs the identical chain anchored at
+   * its own step-1, and the user's reported row is the BEST attempt —
+   * most steps completed, ties broken by the earliest anchor. A user who
+   * fails their first attempt but converts on a later re-entry is a
+   * conversion here, not a drop-off.
    *
    * Scale: k − 1 rounds of (filter → user-keyed hash aggregate with a
    * conditional min → join on user) over a once-checkpointed projection
    * of (user, epoch, event) — every exchange is user-keyed and
    * user-table-sized, no windows, no sorts; k is the funnel length
-   * (single digits), not a data-dependent loop.
+   * (single digits), not a data-dependent loop. With restart the
+   * aggregates key on (user, anchor) — the attempt table is
+   * step-1-event-sized rather than user-sized, exchanges stay
+   * user-co-partitioned, and the final best-attempt pick is one per-user
+   * window (WindowGroupLimit caps it before the exchange).
    */
   def funnel(
       df: DataFrame, userCol: String, tsCol: String, eventCol: String,
-      steps: Seq[String], windowSeconds: Long): DataFrame = {
+      steps: Seq[String], windowSeconds: Long,
+      restart: Boolean = false): DataFrame = {
     require(steps.size >= 2, s"funnel needs >= 2 steps, got ${steps.size}")
     require(steps.distinct.size == steps.size, "duplicate step in funnel")
     require(windowSeconds > 0, "windowSeconds must be > 0")
@@ -348,8 +361,13 @@ object TemporalOps {
       .filter(col("__u").isNotNull && col("__t").isNotNull)
       .localCheckpoint(true) // scanned once per funnel step
     try {
-      var acc = base.filter(col("__e") === steps.head)
-        .groupBy(col("__u")).agg(min(col("__t")).as("step_1"))
+      val s1 = base.filter(col("__e") === steps.head)
+      // greedy: one anchor per user (earliest). restart: every distinct
+      // step-1 timestamp is an attempt anchor; the chain below is
+      // identical because it groups by (__u, step_1..step_i) either way.
+      var acc =
+        if (restart) s1.select(col("__u"), col("__t").as("step_1")).distinct()
+        else s1.groupBy(col("__u")).agg(min(col("__t")).as("step_1"))
       steps.indices.drop(1).foreach { i =>
         val prev = s"step_$i"
         val cur = s"step_${i + 1}"
@@ -363,9 +381,20 @@ object TemporalOps {
       val completed = steps.indices.map(i =>
         when(col(s"step_${i + 1}").isNotNull, 1).otherwise(0))
         .reduce(_ + _)
-      acc.select((col("__u").as(userCol) +:
+      val attempts = acc.withColumn("steps_completed", completed.cast("long"))
+      val best =
+        if (restart) {
+          // best attempt per user: most steps, earliest anchor on ties
+          // (anchors are distinct per user, so the order is total and the
+          // pick deterministic)
+          val w = Window.partitionBy(col("__u"))
+            .orderBy(col("steps_completed").desc, col("step_1").asc)
+          attempts.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn")
+        } else attempts
+      best.select((col("__u").as(userCol) +:
         steps.indices.map(i => col(s"step_${i + 1}"))) :+
-        completed.cast("long").as("steps_completed"): _*)
+        col("steps_completed"): _*)
         // materialize before freeing the checkpointed base
         .localCheckpoint(true)
     } finally {
@@ -452,22 +481,30 @@ object TemporalOps {
     require(!keyCols.contains("n_merged") && startCol != "n_merged" &&
       endCol != "n_merged",
       "key/start/end column collides with output column 'n_merged'")
-    if (validate) {
-      // one guarded pre-scan (limit-collect short-circuits on the first
-      // bad row); pass validate=false on inputs already guaranteed clean
-      // to save the extra pass at corpus scale
-      val bad = df.filter(col(startCol).isNull || col(endCol).isNull ||
-        col(endCol) < col(startCol)).limit(1).collect()
-      require(bad.isEmpty,
-        s"mergeIntervals: null endpoint or end < start row exists: ${bad.headOption.getOrElse("")}")
-    }
+    // validation folded INTO the single pass (no pre-scan): a per-row
+    // guard projects the start column through raise_error on a bad row,
+    // so the default path stays one scan and the first bad row fails the
+    // job loudly at evaluation time. validate=false skips the guard
+    // entirely (dialect: skip_validate) for inputs guaranteed clean.
+    val src =
+      if (validate) df.withColumn(startCol,
+        when(col(startCol).isNull || col(endCol).isNull ||
+            col(endCol) < col(startCol),
+          raise_error(concat(
+            lit("mergeIntervals: null endpoint or end < start row: start="),
+            coalesce(col(startCol).cast("string"), lit("null")),
+            lit(" end="),
+            coalesce(col(endCol).cast("string"), lit("null"))))
+            .cast(df.schema(startCol).dataType))
+          .otherwise(col(startCol)))
+      else df
     val keys = keyCols.map(col)
     val order = Seq(col(startCol).asc, col(endCol).asc)
     val wPrev = Window.partitionBy(keys: _*).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     val wRun = Window.partitionBy(keys: _*).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("__maxend", max(col(endCol)).over(wPrev))
+    src.withColumn("__maxend", max(col(endCol)).over(wPrev))
       .withColumn("__new",
         when(col("__maxend").isNull || col(startCol) > col("__maxend"), 1L)
           .otherwise(0L))

@@ -8,10 +8,16 @@ import scala.collection.mutable
  * jinja2 (`fugue/sql/_utils.py:13-41`): `{{ expr }}` output, `{% if %}` /
  * `{% elif %}` / `{% else %}` / `{% endif %}`, `{% for x in xs %}` with
  * the `loop` helper (index/index0/first/last/length/revindex),
- * `{% raw %}…{% endraw %}`, `{# comments #}`, whitespace-control minus
- * markers (`{%- -%}`), boolean/comparison/membership expressions, `~`
- * string concatenation, and the filters upper / lower / length / join /
- * first / last / default.
+ * `{% set x = expr %}` assignment (and the `{% set x %}…{% endset %}`
+ * block form), `{% macro name(a, b=default) %}…{% endmacro %}` with
+ * positional/keyword call arguments, `{% raw %}…{% endraw %}`,
+ * `{# comments #}`, whitespace-control minus markers (`{%- -%}`),
+ * boolean/comparison/membership expressions, `~` string concatenation,
+ * and the filters upper / lower / length / join / first / last / default.
+ *
+ * Scoping follows jinja2: `{% set %}` inside `{% if %}` propagates to the
+ * rest of the template (if-blocks are not scopes), while a set inside a
+ * `{% for %}` body or a macro body stays local to that iteration/call.
  *
  * Also mirrors `_utils.py`'s two defensive behaviors:
  *   - quoted-string protection: a quoted literal whose content consists
@@ -54,6 +60,14 @@ object Template {
       orElse: List[Node]) extends Node
   private case class ForNode(name: String, list: Expr,
       body: List[Node]) extends Node
+  private case class SetNode(name: String, e: Expr) extends Node
+  private case class SetBlockNode(name: String, body: List[Node]) extends Node
+  private case class MacroNode(name: String,
+      params: List[(String, Option[Expr])], body: List[Node]) extends Node
+
+  /** A defined macro, stored as an env value so calls resolve by name. */
+  private case class MacroVal(name: String,
+      params: List[(String, Option[Expr])], body: List[Node])
 
   private sealed trait Expr
   private case class Lit(v: Any) extends Expr
@@ -63,6 +77,8 @@ object Template {
   private case class Un(op: String, e: Expr) extends Expr
   private case class Bin(op: String, l: Expr, r: Expr) extends Expr
   private case class FilterOp(e: Expr, name: String, args: List[Expr]) extends Expr
+  private case class CallOp(t: Expr, args: List[Expr],
+      kwargs: List[(String, Expr)]) extends Expr
 
   // ---- public API ----
 
@@ -195,7 +211,10 @@ object Template {
             word match {
               case "if" => pos += 1; out += parseIf(body.drop(2).trim)
               case "for" => pos += 1; out += parseFor(body)
-              case "elif" | "else" | "endif" | "endfor" | "endraw" =>
+              case "set" => pos += 1; out += parseSet(body)
+              case "macro" => pos += 1; out += parseMacro(body)
+              case "elif" | "else" | "endif" | "endfor" | "endraw" |
+                   "endset" | "endmacro" =>
                 throw new SyntaxError(s"unexpected '{% $word %}'")
               case other =>
                 throw new SyntaxError(s"unknown template tag '$other'")
@@ -236,6 +255,45 @@ object Template {
       if (term.isEmpty) throw new SyntaxError("'{% for %}' without '{% endfor %}'")
       ForNode(m.group(1), ExprParser.parse(m.group(2)), inner)
     }
+
+    private def parseSet(body: String): Node = {
+      // expression form: {% set name = expr %}
+      val eq = "^set\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*=\\s*(.+)$".r
+      eq.findFirstMatchIn(body) match {
+        case Some(m) => SetNode(m.group(1), ExprParser.parse(m.group(2)))
+        case None =>
+          // block form: {% set name %}...{% endset %} (rendered string)
+          val blk = "^set\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
+          val name = blk.findFirstMatchIn(body).map(_.group(1))
+            .getOrElse(throw new SyntaxError(
+              s"malformed set tag '{% $body %}' (expected " +
+                "'{% set name = expr %}' or '{% set name %}...{% endset %}')"))
+          val (inner, term) = parseNodes(Set("endset"))
+          if (term.isEmpty)
+            throw new SyntaxError("'{% set %}' block without '{% endset %}'")
+          SetBlockNode(name, inner)
+      }
+    }
+
+    private def parseMacro(body: String): Node = {
+      val m = "(?s)^macro\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*\\((.*)\\)\\s*$".r
+        .findFirstMatchIn(body)
+        .getOrElse(throw new SyntaxError(
+          s"malformed macro tag '{% $body %}' " +
+            "(expected '{% macro name(params) %}')"))
+      val params = ExprParser.parseParams(m.group(2))
+      // default params must trail required ones (jinja raises at call time;
+      // raising at parse time is strictly kinder)
+      params.map(_._2.isDefined).foldLeft(false) { (seen, hasDefault) =>
+        if (seen && !hasDefault) throw new SyntaxError(
+          s"macro '${m.group(1)}': required parameter after a defaulted one")
+        seen || hasDefault
+      }
+      val (inner, term) = parseNodes(Set("endmacro"))
+      if (term.isEmpty)
+        throw new SyntaxError("'{% macro %}' without '{% endmacro %}'")
+      MacroNode(m.group(1), params, inner)
+    }
   }
 
   // ---- expression parsing ----
@@ -272,7 +330,7 @@ object Template {
         } else {
           val two = if (i + 1 < n) s.substring(i, i + 2) else ""
           if (Set("==", "!=", "<=", ">=", "//").contains(two)) { out += EOp(two); i += 2 }
-          else if ("()[].,|~<>+-*/%".indexOf(c) >= 0) { out += EOp(c.toString); i += 1 }
+          else if ("()[].,|~<>+-*/%=".indexOf(c) >= 0) { out += EOp(c.toString); i += 1 }
           else throw new SyntaxError(s"unexpected character '$c' in expression '$s'")
         }
       }
@@ -288,9 +346,21 @@ object Template {
       e
     }
 
+    /** Parse a macro parameter list: `a, b=expr, ...` (possibly empty). */
+    def parseParams(src: String): List[(String, Option[Expr])] = {
+      val toks = tokens(src)
+      if (toks.isEmpty) return Nil
+      val p = new P(toks, src)
+      val out = p.paramList()
+      p.expectEnd()
+      out
+    }
+
     private class P(toks: Vector[ETok], src: String) {
       private var pos = 0
       private def peek: Option[ETok] = if (pos < toks.length) Some(toks(pos)) else None
+      private def peek2: Option[ETok] =
+        if (pos + 1 < toks.length) Some(toks(pos + 1)) else None
       private def advance(): ETok = { val t = toks(pos); pos += 1; t }
       private def accept(op: String): Boolean = peek match {
         case Some(EOp(o)) if o == op => pos += 1; true
@@ -305,6 +375,22 @@ object Template {
       def expectEnd(): Unit =
         if (pos < toks.length)
           throw new SyntaxError(s"trailing tokens in expression '$src'")
+
+      def paramList(): List[(String, Option[Expr])] = {
+        val out = mutable.ListBuffer.empty[(String, Option[Expr])]
+        var going = true
+        while (going) {
+          advance() match {
+            case EId(name) =>
+              val dflt = if (accept("=")) Some(orExpr()) else None
+              out += ((name, dflt))
+            case t => throw new SyntaxError(
+              s"expected parameter name, got $t in '$src'")
+          }
+          going = accept(",")
+        }
+        out.toList
+      }
 
       def orExpr(): Expr = {
         var l = andExpr()
@@ -374,6 +460,28 @@ object Template {
             case EId(name) => e = Attr(e, name)
             case _ => throw new SyntaxError(s"expected attribute name in '$src'")
           }
+          else if (accept("(")) {
+            // macro call: positional args, then name=value keyword args
+            val args = mutable.ListBuffer.empty[Expr]
+            val kwargs = mutable.ListBuffer.empty[(String, Expr)]
+            if (!accept(")")) {
+              var going = true
+              while (going) {
+                (peek, peek2) match {
+                  case (Some(EId(name)), Some(EOp("="))) =>
+                    pos += 2
+                    kwargs += ((name, orExpr()))
+                  case _ =>
+                    if (kwargs.nonEmpty) throw new SyntaxError(
+                      s"positional argument after keyword argument in '$src'")
+                    args += orExpr()
+                }
+                going = accept(",")
+              }
+              expect(")")
+            }
+            e = CallOp(e, args.toList, kwargs.toList)
+          }
           else if (accept("[")) { e = IndexOp(e, orExpr()); expect("]") }
           else if (accept("|")) advance() match {
             case EId(name) =>
@@ -421,46 +529,71 @@ object Template {
 
   // ---- evaluation ----
 
+  /** Render `nodes`, threading `{% set %}` / `{% macro %}` bindings through
+   * the node list; returns the (possibly extended) environment so callers
+   * that do NOT open a scope (the top level, if-branches) propagate
+   * assignments, while scoped bodies (for iterations, macro calls) simply
+   * discard the returned env — jinja2's scoping rules. */
   private def renderNodes(nodes: List[Node], env: Map[String, Any],
-      sb: StringBuilder): Unit =
-    nodes.foreach {
-      case Text(s) => sb.append(s)
-      case Output(e, src) =>
-        eval(e, env) match {
-          case Undefined =>
-            val name = e match {
-              case Ref(n) => n
-              case _ => src
-            }
-            throw new IllegalArgumentException(
-              s"undefined template variable '$name'")
-          case v => sb.append(show(v))
-        }
-      case IfNode(branches, orElse) =>
-        branches.find { case (c, _) => truthy(eval(c, env)) } match {
-          case Some((_, body)) => renderNodes(body, env, sb)
-          case None => renderNodes(orElse, env, sb)
-        }
-      case ForNode(name, listE, body) =>
-        val items: Seq[Any] = eval(listE, env) match {
-          case s: Seq[_] => s
-          case a: Array[_] => a.toSeq
-          case it: Iterable[_] => it.toSeq
-          case s: String => s.map(_.toString)
-          case Undefined | null => throw new IllegalArgumentException(
-            s"'{% for %}' over undefined or non-iterable value")
-          case other => throw new IllegalArgumentException(
-            s"'{% for %}' over non-iterable ${other.getClass.getSimpleName}")
-        }
-        val len = items.length
-        items.zipWithIndex.foreach { case (item, i) =>
-          val loop = Map(
-            "index" -> (i + 1).toLong, "index0" -> i.toLong,
-            "first" -> (i == 0), "last" -> (i == len - 1),
-            "length" -> len.toLong, "revindex" -> (len - i).toLong)
-          renderNodes(body, env + (name -> item) + ("loop" -> loop), sb)
-        }
-    }
+      sb: StringBuilder): Map[String, Any] =
+    nodes.foldLeft(env) { (e, node) => renderNode(node, e, sb) }
+
+  private def renderNode(node: Node, env: Map[String, Any],
+      sb: StringBuilder): Map[String, Any] = node match {
+    case Text(s) => sb.append(s); env
+    case Output(e, src) =>
+      eval(e, env) match {
+        case Undefined =>
+          val name = e match {
+            case Ref(n) => n
+            case _ => src
+          }
+          throw new IllegalArgumentException(
+            s"undefined template variable '$name'")
+        case v => sb.append(show(v))
+      }
+      env
+    case IfNode(branches, orElse) =>
+      // if-blocks are NOT scopes in jinja: the taken branch's assignments
+      // survive into the rest of the template
+      branches.find { case (c, _) => truthy(eval(c, env)) } match {
+        case Some((_, body)) => renderNodes(body, env, sb)
+        case None => renderNodes(orElse, env, sb)
+      }
+    case ForNode(name, listE, body) =>
+      val items: Seq[Any] = eval(listE, env) match {
+        case s: Seq[_] => s
+        case a: Array[_] => a.toSeq
+        case it: Iterable[_] => it.toSeq
+        case s: String => s.map(_.toString)
+        case Undefined | null => throw new IllegalArgumentException(
+          s"'{% for %}' over undefined or non-iterable value")
+        case other => throw new IllegalArgumentException(
+          s"'{% for %}' over non-iterable ${other.getClass.getSimpleName}")
+      }
+      val len = items.length
+      items.zipWithIndex.foreach { case (item, i) =>
+        val loop = Map(
+          "index" -> (i + 1).toLong, "index0" -> i.toLong,
+          "first" -> (i == 0), "last" -> (i == len - 1),
+          "length" -> len.toLong, "revindex" -> (len - i).toLong)
+        // loop body is a scope: per-iteration assignments don't escape
+        renderNodes(body, env + (name -> item) + ("loop" -> loop), sb)
+      }
+      env
+    case SetNode(name, e) =>
+      eval(e, env) match {
+        case Undefined => throw new IllegalArgumentException(
+          s"'{% set $name %}': assigning an undefined value")
+        case v => env + (name -> v)
+      }
+    case SetBlockNode(name, body) =>
+      val inner = new StringBuilder
+      renderNodes(body, env, inner)
+      env + (name -> inner.toString)
+    case MacroNode(name, params, body) =>
+      env + (name -> MacroVal(name, params, body))
+  }
 
   private def eval(e: Expr, env: Map[String, Any]): Any = e match {
     case Lit(v) => v
@@ -544,6 +677,44 @@ object Template {
     case Bin(op, _, _) => throw new IllegalArgumentException(s"unknown op '$op'")
     case FilterOp(x, name, args) =>
       applyFilter(eval(x, env), name, args.map(eval(_, env)))
+    case CallOp(t, args, kwargs) => eval(t, env) match {
+      case MacroVal(mname, params, body) =>
+        if (args.length > params.length) throw new IllegalArgumentException(
+          s"macro '$mname' takes ${params.length} argument(s), " +
+            s"got ${args.length} positional")
+        val names = params.map(_._1).toSet
+        kwargs.foreach { case (k, _) =>
+          if (!names.contains(k)) throw new IllegalArgumentException(
+            s"macro '$mname' has no parameter '$k'")
+        }
+        val kwMap = kwargs.toMap
+        val bound = params.zipWithIndex.map { case ((p, dflt), i) =>
+          if (i < args.length) {
+            if (kwMap.contains(p)) throw new IllegalArgumentException(
+              s"macro '$mname': parameter '$p' given positionally and by keyword")
+            p -> eval(args(i), env)
+          } else kwMap.get(p) match {
+            case Some(a) => p -> eval(a, env)
+            case None => dflt match {
+              case Some(d) => p -> eval(d, env)
+              case None => throw new IllegalArgumentException(
+                s"macro '$mname': missing required parameter '$p'")
+            }
+          }
+        }
+        // macro body is a scope: it sees the call-site env plus its
+        // parameters; its own assignments don't escape
+        val out = new StringBuilder
+        renderNodes(body, env ++ bound, out)
+        out.toString
+      case Undefined => throw new IllegalArgumentException(
+        s"call of undefined macro${t match {
+          case Ref(n) => s" '$n'"
+          case _ => ""
+        }}")
+      case other => throw new IllegalArgumentException(
+        s"${kind(other)} is not callable")
+    }
   }
 
   private def applyFilter(v: Any, name: String, args: Seq[Any]): Any =
@@ -608,6 +779,7 @@ object Template {
 
   /** Python-`str` style rendering (matches what jinja2 would emit). */
   private def show(v: Any): String = v match {
+    case MacroVal(n, _, _) => s"<macro $n>"
     case null => "None"
     case true => "True"
     case false => "False"

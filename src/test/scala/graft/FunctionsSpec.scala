@@ -2117,26 +2117,34 @@ class FunctionsSpec extends SparkTestBase {
   }
 
   test("trigramCrossEntropy matches a hand-computed interpolated model") {
-    // corpus: d1 "a b a b a", d2 "a b" (no trigrams -> no row)
-    val d = df(Seq(Seq(1L, "a b a b a"), Seq(2L, "a b")),
+    // corpus: d1 "a b a b a", d2 "a b" (no trigrams -> no row), d3 "a b c"
+    val d = df(Seq(Seq(1L, "a b a b a"), Seq(2L, "a b"), Seq(3L, "a b c")),
       "doc_id:long,text:str")
     val got = TextFunctions.trigramCrossEntropy(d, "doc_id", "text",
       lambda3 = 0.7, lambda2 = 0.2, digits = 12).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
     assert(!got.contains(2L))
-    // tokens: d1 a b a b a, d2 a b -> N=7, V=2; uni: a=4, b=3
-    // bigrams: d1 (ab,ba,ab,ba), d2 (ab) -> ab=3, ba=2
-    // trigrams (d1): aba x2, bab x1; counts: aba=2, bab=1
+    // tokens: N=10, V=3; uni: a=5, b=4, c=1
+    // bigram occurrences: ab=4, ba=2, bc=1
+    // CONTEXT counts (positions with a successor): ctx1(a)=4, ctx1(b)=3;
+    // trigram-head contexts: ctx12(ab)=3, ctx12(ba)=1
+    // trigram counts: aba=2, bab=1, abc=1
     val l1 = 1.0 - 0.7 - 0.2
-    // position aba: p3 = 2/3 (c123(aba)=2 / c12(ab)=3), p2 = c23(ba)/c1(b) = 2/3,
-    //   p1 = (c(a)+1)/(N+V) = 5/9
-    val pAba = 0.7 * (2.0 / 3) + 0.2 * (2.0 / 3) + l1 * (5.0 / 9)
-    // position bab: p3 = 1/2 (c123(bab)=1 / c12(ba)=2), p2 = c23(ab)/c1(a) = 3/4,
-    //   p1 = (c(b)+1)/(N+V) = 4/9
-    val pBab = 0.7 * (1.0 / 2) + 0.2 * (3.0 / 4) + l1 * (4.0 / 9)
-    val ce = -(math.log(pAba) + math.log(pBab) + math.log(pAba)) / 3.0
+    // position aba: p3 = c123(aba)/ctx12(ab) = 2/3,
+    //   p2 = c(ba)/ctx1(b) = 2/3, p1 = (c(a)+1)/(N+V) = 6/13
+    val pAba = 0.7 * (2.0 / 3) + 0.2 * (2.0 / 3) + l1 * (6.0 / 13)
+    // position bab: p3 = c123(bab)/ctx12(ba) = 1/1,
+    //   p2 = c(ab)/ctx1(a) = 4/4, p1 = (c(b)+1)/(N+V) = 5/13
+    val pBab = 0.7 * 1.0 + 0.2 * 1.0 + l1 * (5.0 / 13)
+    // position abc (d3): p3 = c123(abc)/ctx12(ab) = 1/3,
+    //   p2 = c(bc)/ctx1(b) = 1/3, p1 = (c(c)+1)/(N+V) = 2/13
+    val pAbc = 0.7 * (1.0 / 3) + 0.2 * (1.0 / 3) + l1 * (2.0 / 13)
+    val ce1 = -(math.log(pAba) + math.log(pBab) + math.log(pAba)) / 3.0
+    val ce3 = -math.log(pAbc)
     assert(got(1L)._1 == 3L)
-    assert(math.abs(got(1L)._2 - ce) < 1e-9, s"${got(1L)._2} vs $ce")
+    assert(math.abs(got(1L)._2 - ce1) < 1e-9, s"${got(1L)._2} vs $ce1")
+    assert(got(3L)._1 == 1L)
+    assert(math.abs(got(3L)._2 - ce3) < 1e-9, s"${got(3L)._2} vs $ce3")
     intercept[IllegalArgumentException] {
       TextFunctions.trigramCrossEntropy(d, "doc_id", "text", lambda3 = 0.9,
         lambda2 = 0.1)

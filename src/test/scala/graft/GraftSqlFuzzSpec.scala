@@ -224,6 +224,63 @@ class GraftSqlFuzzSpec extends SparkTestBase {
     info(s"P2d junk: $rendered rendered, $cleanFail failed cleanly")
   }
 
+  test("fuzz P2e: {% set %}/{% macro %} sequences render correctly; junk fails cleanly") {
+    import graft.sql.Template
+    // op sequences over one tracked variable with known jinja scoping:
+    // the test interprets the same ops directly and compares
+    sealed trait Op
+    case class SetV(v: Long) extends Op
+    case object Emit extends Op
+    case class IfSet(taken: Boolean, v: Long) extends Op
+    case class ForShadow(v: Long) extends Op
+    case class CallM(a: Long, kw: Boolean) extends Op
+    val opGen: Gen[Op] = Gen.oneOf(
+      Gen.choose(0L, 99L).map(SetV(_)),
+      Gen.const(Emit),
+      Gen.zip(Gen.oneOf(true, false), Gen.choose(0L, 99L))
+        .map { case (t, v) => IfSet(t, v) },
+      Gen.choose(0L, 99L).map(ForShadow(_)),
+      Gen.zip(Gen.choose(0L, 99L), Gen.oneOf(true, false))
+        .map { case (a, k) => CallM(a, k) })
+    val seqGen: Gen[List[Op]] = Gen.listOfN(8, opGen)
+    for ((ops, i) <- samples(seqGen, 40, seed = 8600L).zipWithIndex) {
+      val header = "{% macro m(a, b=3) %}{{ a }}-{{ b }}.{% endmacro %}" +
+        "{% set x = 0 %}"
+      val tpl = header + ops.map {
+        case SetV(v) => s"{% set x = $v %}"
+        case Emit => "{{ x }};"
+        case IfSet(t, v) =>
+          s"{% if ${if (t) "1 < 2" else "1 > 2"} %}{% set x = $v %}{% endif %}"
+        case ForShadow(v) =>
+          s"{% for i in [1] %}{% set x = $v %}({{ x }}){% endfor %}"
+        case CallM(a, kw) => if (kw) s"{{ m($a, b=7) }}" else s"{{ m($a) }}"
+      }.mkString
+      val (expected, _) = ops.foldLeft(("", 0L)) { case ((out, x), op) =>
+        op match {
+          case SetV(v) => (out, v)
+          case Emit => (out + s"$x;", x)
+          case IfSet(t, v) => (out, if (t) v else x) // if-blocks leak
+          case ForShadow(v) => (out + s"($v)", x)    // for bodies don't
+          case CallM(a, kw) => (out + s"$a-${if (kw) 7 else 3}.", x)
+        }
+      }
+      assert(Template.render(tpl, Map.empty) === expected,
+        s"sample $i ops: $ops")
+    }
+    // junk around the new tags: renders or raises IllegalArgumentException,
+    // never a MatchError/NPE/StackOverflow escape
+    val frag = Gen.oneOf("{% set", "set x", "= 1 %}", "{% macro", "m(a",
+      "a=1) %}", "{% endmacro %}", "{% endset %}", "{{ m(", ") }}",
+      "x", "=", "%}", " ")
+    val junkGen = Gen.listOfN(12, frag).map(_.mkString)
+    var rendered = 0; var cleanFail = 0
+    for (junk <- samples(junkGen, 200, seed = 8700L)) {
+      try { Template.render(junk, Map("m" -> 1L, "x" -> 2L)); rendered += 1 }
+      catch { case _: IllegalArgumentException => cleanFail += 1 }
+    }
+    info(s"P2e junk: $rendered rendered, $cleanFail failed cleanly")
+  }
+
   test("regressions the fuzzer found: bare TAKE and dangling assignment") {
     // both crashed with NoSuchElementException before round 4
     val e1 = intercept[IllegalArgumentException] {

@@ -14,6 +14,13 @@ trait SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
   def df(rows: Seq[Seq[Any]], schemaExpr: String): DataFrame =
     engine.toDF(rows, schemaExpr)
 
+  /** All messages down an exception's cause chain, joined — Spark wraps
+   * runtime raise_error failures in task/job layers, so asserting on the
+   * top-level message alone is brittle. */
+  def stackMessages(e: Throwable): String =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+
   def collectSorted(d: DataFrame): Seq[Seq[Any]] =
     d.collect().toSeq.map(_.toSeq)
       .sortBy(_.map(v => if (v == null) "\u0000" else v.toString).mkString("|"))

@@ -98,6 +98,63 @@ class TemplateSpec extends AnyFunSuite {
     assert(r("a '{}' b {{v}}", Map("v" -> "k")) === "a '{}' b k")
   }
 
+  test("set: expression and block forms, jinja scoping") {
+    assert(r("{% set x = 1 + 2 %}{{ x }}") === "3")
+    assert(r("{% set x = a ~ '_t' %}{{ x }}|{{ x | upper }}",
+      Map("a" -> "ab")) === "ab_t|AB_T")
+    // set shadows a param for the rest of the template
+    assert(r("{{ x }}{% set x = 9 %}{{ x }}", Map("x" -> 1L)) === "19")
+    // if-blocks are not scopes: assignment inside the taken branch leaks
+    assert(r("{% if true %}{% set x = 'in' %}{% endif %}{{ x }}") === "in")
+    // for bodies ARE scopes: per-iteration set does not escape
+    assert(r("{% set x = 'out' %}{% for i in [1, 2] %}{% set x = i %}" +
+      "{{ x }}{% endfor %}{{ x }}") === "12out")
+    // block form captures rendered output
+    assert(r("{% set q %}a={{ n }}{% endset %}[{{ q }}]",
+      Map("n" -> 5L)) === "[a=5]")
+    // assigning an undefined value raises; referencing before set raises
+    assert(intercept[IllegalArgumentException](
+      r("{% set x = nope %}{{ x }}")).getMessage.contains("undefined"))
+    assert(intercept[IllegalArgumentException](
+      r("{{ x }}{% set x = 1 %}")).getMessage.contains("x"))
+    // unterminated block form raises
+    assert(intercept[IllegalArgumentException](
+      r("{% set x %}body")).getMessage.contains("endset"))
+  }
+
+  test("macro: params, defaults, keyword args, scoping, errors") {
+    val m = "{% macro sel(t, cols='*') %}SELECT {{ cols }} FROM {{ t }}{% endmacro %}"
+    assert(r(s"$m{{ sel('a') }}") === "SELECT * FROM a")
+    assert(r(s"$m{{ sel('a', 'x, y') }}") === "SELECT x, y FROM a")
+    assert(r(s"$m{{ sel(cols='z', t='b') }}") === "SELECT z FROM b")
+    // macros see the call-site env; their own sets don't escape
+    assert(r("{% macro g() %}{{ v }}{% set h = 1 %}{% endmacro %}" +
+      "{{ g() }}", Map("v" -> "V")) === "V")
+    assert(intercept[IllegalArgumentException](
+      r("{% macro g() %}{% set h = 1 %}{% endmacro %}{{ g() }}{{ h }}"))
+      .getMessage.contains("h"))
+    // macros compose with loops and other macros
+    assert(r("{% macro two(x) %}{{ x }}{{ x }}{% endmacro %}" +
+      "{% for c in ['a', 'b'] %}{{ two(c) }}{% endfor %}") === "aabb")
+    // call errors: missing required, unknown kw, double bind, not callable
+    assert(intercept[IllegalArgumentException](
+      r(s"$m{{ sel() }}")).getMessage.contains("missing required"))
+    assert(intercept[IllegalArgumentException](
+      r(s"$m{{ sel('a', bogus=1) }}")).getMessage.contains("bogus"))
+    assert(intercept[IllegalArgumentException](
+      r(s"$m{{ sel('a', t='b') }}")).getMessage.contains("positionally"))
+    assert(intercept[IllegalArgumentException](
+      r("{{ v(1) }}", Map("v" -> 3L))).getMessage.contains("not callable"))
+    assert(intercept[IllegalArgumentException](
+      r("{{ nope(1) }}")).getMessage.contains("undefined macro"))
+    // parse errors: required-after-default, unterminated
+    assert(intercept[IllegalArgumentException](
+      r("{% macro bad(a=1, b) %}{% endmacro %}"))
+      .getMessage.contains("required parameter after"))
+    assert(intercept[IllegalArgumentException](
+      r("{% macro g() %}x")).getMessage.contains("endmacro"))
+  }
+
   test("templated pipeline renders and runs end-to-end semantics") {
     // the rendered text IS the contract: check rendering of a realistic
     // multi-construct pipeline (execution is covered by GraftSqlSpec/q87)

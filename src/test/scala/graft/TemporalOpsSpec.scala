@@ -357,16 +357,71 @@ class TemporalOpsSpec extends SparkTestBase {
     val got2 = TemporalOps.mergeIntervals(c, Seq("k"), "s", "e")
       .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
     assert(got2 === Set((1L, 10L), (11L, 12L)))
-    intercept[IllegalArgumentException] {
+    // the per-row guard is evaluated in the single pass, so bad rows
+    // surface at action time (raise_error), not at plan-construction time
+    val badRev = intercept[Exception] {
       TemporalOps.mergeIntervals(
         df(Seq(Seq("a", 5L, 1L)), "k:str,s:long,e:long"), Seq("k"), "s", "e")
+        .collect()
     }
-    intercept[IllegalArgumentException] {
+    assert(stackMessages(badRev).contains("mergeIntervals"), badRev.toString)
+    val badNull = intercept[Exception] {
       TemporalOps.mergeIntervals(
         df(Seq(Seq("a", null, 2L)), "k:str,s:long,e:long"), Seq("k"), "s", "e")
+        .collect()
     }
+    assert(stackMessages(badNull).contains("mergeIntervals"), badNull.toString)
+    // validate=false skips the guard: the bad row flows through unmerged
+    val skipped = TemporalOps.mergeIntervals(
+      df(Seq(Seq("a", 5L, 1L)), "k:str,s:long,e:long"), Seq("k"), "s", "e",
+      validate = false).collect()
+    assert(skipped.length === 1)
     intercept[IllegalArgumentException] {
       TemporalOps.mergeIntervals(d, Seq.empty, "s", "e")
+    }
+  }
+
+  test("funnel restart=true matches a dense reference model (3 seeds)") {
+    // windowed re-entry: every distinct step-1 timestamp anchors an
+    // attempt; the user's row is the best attempt (most steps, earliest
+    // anchor). Brute-forced per user against the distributed chain.
+    val steps = Seq("s1", "s2", "s3")
+    val w = 50L
+    for (seed <- Seq(7L, 19L, 53L)) {
+      val rnd = new scala.util.Random(seed)
+      val evs = (1 to 400).map { _ =>
+        (s"u${rnd.nextInt(12)}", rnd.nextInt(500).toLong,
+          Seq("s1", "s2", "s3", "zz")(rnd.nextInt(4)))
+      }
+      val rows = evs.map { case (u, t, e) =>
+        Seq(u, java.time.Instant.ofEpochSecond(t).toString
+          .replace("T", " ").replace("Z", ""), e)
+      }
+      val got = TemporalOps.funnel(
+        df(rows, "u:str,ts:datetime,ev:str"), "u", "ts", "ev", steps, w,
+        restart = true).collect()
+        .map(r => r.getString(0) -> (((1 to 3).map(i =>
+          if (r.isNullAt(i)) None else Some(r.getLong(i))).toSeq,
+          r.getLong(4)))).toMap
+      // brute force
+      val byUser = evs.groupBy(_._1)
+      val expected = byUser.flatMap { case (u, g) =>
+        val anchors = g.filter(_._3 == "s1").map(_._2).distinct.sorted
+        if (anchors.isEmpty) None else {
+          val attempts = anchors.map { a =>
+            val s2 = g.filter(e => e._3 == "s2" && e._2 >= a && e._2 <= a + w)
+              .map(_._2).sorted.headOption
+            val s3 = s2.flatMap(p => g.filter(e =>
+              e._3 == "s3" && e._2 >= p && e._2 <= a + w)
+              .map(_._2).sorted.headOption)
+            val c = 1L + s2.size + s3.size
+            (Seq(Some(a), s2, s3), c, a)
+          }
+          val best = attempts.minBy { case (_, c, a) => (-c, a) }
+          Some(u -> ((best._1, best._2)))
+        }
+      }
+      assert(got === expected, s"seed $seed")
     }
   }
 
