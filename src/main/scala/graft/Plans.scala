@@ -12,6 +12,19 @@ object Plans {
     // can differ at 10× and the dumps should show the plans the bench
     // actually runs (r6 judge task)
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // plan-inspection mode: operators that terminally localCheckpoint
+    // their result (funnel, retention) return the real chain instead of a
+    // Scan ExistingRDD, so the dumps AND the PlanLint inventory below see
+    // the actual exchanges/windows. The deferred mode leaks each op's
+    // once-scanned base by design — clearState() below frees the blocks
+    // between queries.
+    spark.conf.set("graft.explain.deferCheckpoint", "true")
+    def clearState(): Unit = {
+      graft.functions.Dedup.clearSignatureCache()
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
     val notes = Map(
       "q02_filter" -> "Both predicates reach the parquet scan (PushedFilters); no Spark-side filter work beyond the codegen'd residual.",
       "q01_agg" -> "Column pruning (5 of 11 lineitem columns read) + map-side partial aggregation; exactly one exchange.",
@@ -54,6 +67,7 @@ object Plans {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.SimpleMode)
       sb ++= s"\n## $q\n\n${notes(q)}\n\n```\n${plan.split("\n").take(30).mkString("\n")}\n```\n"
+      clearState()
     }
     val prunedPlan = pruned.queryExecution.explainString(
       org.apache.spark.sql.execution.SimpleMode)
@@ -147,6 +161,7 @@ object Plans {
         case e: Throwable =>
           sb ++= s"| $name | ERROR ${e.getClass.getSimpleName} | UNADJUDICATED |\n"
       }
+      clearState()
     }
     Files.writeString(Paths.get("/root/repo/PLANS.md"), sb.toString)
     println("PLANS written")

@@ -18,6 +18,23 @@ import org.apache.spark.sql.functions._
  */
 object TemporalOps {
 
+  /** Terminal materialization for operators that scan a once-checkpointed
+   * base: eagerly checkpoint the result so the base's blocks can be freed
+   * immediately (the default, leak-free path). With the session conf
+   * `graft.explain.deferCheckpoint=true` the result is returned
+   * UN-materialized instead — its full physical plan stays inspectable
+   * (`.explain`, PlanLint) rather than collapsing to a `Scan ExistingRDD`
+   * — at the cost of NOT freeing the base. Plan-inspection harnesses only
+   * (graft.Plans sets it and clears leaked blocks itself); never enable it
+   * in a pipeline. */
+  private def materializeAndFree(result: DataFrame, base: DataFrame): DataFrame =
+    if (result.sparkSession.conf
+        .getOption("graft.explain.deferCheckpoint").contains("true")) result
+    else
+      try result.localCheckpoint(true)
+      finally org.apache.spark.sql.graftshim.ColumnBridge
+        .unpersistCheckpointed(base)
+
   /**
    * For every left row, attach the payload columns of the latest right row
    * with `right.tsCol <= left.tsCol` within the same `keys` (an ASOF LEFT
@@ -360,7 +377,7 @@ object TemporalOps {
         unix_timestamp(col(tsCol)).as("__t"), col(eventCol).as("__e"))
       .filter(col("__u").isNotNull && col("__t").isNotNull)
       .localCheckpoint(true) // scanned once per funnel step
-    try {
+    val out = {
       val s1 = base.filter(col("__e") === steps.head)
       // greedy: one anchor per user (earliest). restart: every distinct
       // step-1 timestamp is an attempt anchor; the chain below is
@@ -395,11 +412,10 @@ object TemporalOps {
       best.select((col("__u").as(userCol) +:
         steps.indices.map(i => col(s"step_${i + 1}"))) :+
         col("steps_completed"): _*)
-        // materialize before freeing the checkpointed base
-        .localCheckpoint(true)
-    } finally {
-      org.apache.spark.sql.graftshim.ColumnBridge.unpersistCheckpointed(base)
     }
+    // materialize before freeing the checkpointed base (or defer for plan
+    // inspection — see materializeAndFree)
+    materializeAndFree(out, base)
   }
 
   /**
@@ -432,7 +448,7 @@ object TemporalOps {
       .select(col(userCol).as("__u"), bucket.as("__p"))
       .distinct()
       .localCheckpoint(true)
-    try {
+    val out = {
       val first = activity.groupBy(col("__u")).agg(min(col("__p")).as("__c"))
       val counts = activity.join(first, Seq("__u"))
         .groupBy(col("__c").as("cohort_start"),
@@ -446,11 +462,10 @@ object TemporalOps {
           col("n_cohort"),
           (col("n_active").cast("double") / col("n_cohort").cast("double"))
             .as("retention"))
-        // materialize the (cohorts × offsets)-sized report before freeing
-        .localCheckpoint(true)
-    } finally {
-      org.apache.spark.sql.graftshim.ColumnBridge.unpersistCheckpointed(activity)
     }
+    // materialize the (cohorts × offsets)-sized report before freeing the
+    // activity projection (or defer for plan inspection)
+    materializeAndFree(out, activity)
   }
 
   /**

@@ -542,7 +542,8 @@ object GraftSql {
               .split(",").map(_.trim).toSeq,
             windowSeconds = p.getOrElse("window",
               throw new IllegalArgumentException(
-                "funnel needs window:<seconds>")).toLong)
+                "funnel needs window:<seconds>")).toLong,
+            restart = p.get("restart").exists(_.toBoolean))
         },
         "retention" -> ProcessorDef { (_, dfs, p) =>
           graft.operators.TemporalOps.retention(one(dfs, "retention"),

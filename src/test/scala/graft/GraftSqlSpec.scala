@@ -945,6 +945,22 @@ class GraftSqlSpec extends SparkTestBase {
         |YIELD f AS f
         |""".stripMargin, Map("ev" -> ev)).yields("f").collect()
     assert(fn.length === 1 && fn.head.getLong(3) === 2L)
+    // restart:true — the greedy first attempt fails (b is 90 min after
+    // the first a) but the re-entry anchored at the second a converts
+    val ev2 = df(Seq(
+      Seq("u1", "2024-01-01 00:00:00", "a"),
+      Seq("u1", "2024-01-01 01:00:00", "a"),
+      Seq("u1", "2024-01-01 01:30:00", "b")), "u:str,ts:datetime,e:str")
+    val fnG = GraftSql.run(engine,
+      """f = PROCESS ev USING funnel(user:u, event:e, steps:"a,b", window:3600)
+        |YIELD f AS f
+        |""".stripMargin, Map("ev" -> ev2)).yields("f").collect()
+    assert(fnG.head.getLong(3) === 1L)
+    val fnR = GraftSql.run(engine,
+      """f = PROCESS ev USING funnel(user:u, event:e, steps:"a,b", window:3600, restart:true)
+        |YIELD f AS f
+        |""".stripMargin, Map("ev" -> ev2)).yields("f").collect()
+    assert(fnR.head.getLong(3) === 2L)
     val rt = GraftSql.run(engine,
       """r = PROCESS ev USING retention(user:u, period:604800)
         |YIELD r AS r
