@@ -46,6 +46,21 @@ object GraphStress {
     }
     println(f"TRIANGLESTRESS edges=$nEdges nodes=$nNodes " +
       f"time=$tTri%.1f triangles=$nTri")
+    // connected components on the same hub-skewed graph: 10M random
+    // edges over 1M nodes are far past the percolation threshold, so the
+    // bulk collapses into one giant component in a few hash-min+jump
+    // rounds — the readout is rounds-to-converge wall time and the
+    // component census
+    var nComp = 0L; var giant = 0L
+    val tCc = time {
+      val cc = graft.operators.Graph.connectedComponents(
+        edges, "src", "dst")
+      val census = cc.groupBy(col("comp")).count()
+        .agg(count(lit(1)), max(col("count"))).collect()(0)
+      nComp = census.getLong(0); giant = census.getLong(1)
+    }
+    println(f"CCSTRESS edges=$nEdges nodes=$nNodes time=$tCc%.1f " +
+      f"components=$nComp giant=$giant")
     spark.stop()
   }
 }

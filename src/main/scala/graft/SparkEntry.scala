@@ -664,6 +664,19 @@ object SparkEntry {
       graft.operators.Graph.triangleCount(edges, "src", "dst")
     }),
 
+    // distributed connected components (hash-min + pointer jump) over a
+    // deterministic block-local graph (every edge stays inside its
+    // 10-node block → ≥30 separate components at any sf), FULL oracle:
+    // DuckDB recomputes min-reachable-id labels with a recursive CTE
+    "q115_connected_components" -> ((s, dir) => {
+      val base = col("doc_id") % 300
+      val edges = t(s, dir, "documents").select(base.as("src"),
+        (base - (base % 10) + ((col("doc_id") * 7 + 3) % 10)).as("dst"))
+      graft.operators.Graph.connectedComponents(edges, "src", "dst")
+        .select(col("node").cast("long").as("node"),
+          col("comp").cast("long").as("comp"))
+    }),
+
     // ordered-funnel analysis (signup → view → purchase within a day),
     // FULL oracle: per-user first-attempt step timestamps + completion
     // depth; DuckDB replays the identical conditional-min chain
@@ -3532,6 +3545,23 @@ object SparkEntry {
         |  + (CASE WHEN step_3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
         |   AS steps_completed
         |FROM s3""".stripMargin,
+    "q115_connected_components" ->
+      """WITH RECURSIVE raw AS (
+        | SELECT doc_id % 300 AS a,
+        |  (doc_id % 300) - ((doc_id % 300) % 10)
+        |    + ((doc_id * 7 + 3) % 10) AS b
+        | FROM documents),
+        |e0 AS (SELECT a AS u, b AS v FROM raw
+        | UNION SELECT b AS u, a AS v FROM raw),
+        |e AS (SELECT u, v FROM e0 WHERE u <> v),
+        |nodes AS (SELECT a AS node FROM raw UNION SELECT b FROM raw),
+        |walk(node, comp) AS (
+        | SELECT node, node FROM nodes
+        | UNION
+        | SELECT e.v, w.comp FROM walk w JOIN e ON e.u = w.node)
+        |SELECT CAST(node AS BIGINT) AS node,
+        | CAST(min(comp) AS BIGINT) AS comp
+        |FROM walk GROUP BY node""".stripMargin,
     "q110b_funnel_restart" ->
       """WITH e AS (SELECT user_id AS u,
         |  CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS t,

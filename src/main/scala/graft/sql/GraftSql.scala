@@ -493,6 +493,13 @@ object GraftSql {
             srcCol = p.getOrElse("src", "src"),
             dstCol = p.getOrElse("dst", "dst"))
         },
+        "connected_components" -> ProcessorDef { (_, dfs, p) =>
+          graft.operators.Graph.connectedComponents(
+            one(dfs, "connected_components"),
+            srcCol = p.getOrElse("src", "src"),
+            dstCol = p.getOrElse("dst", "dst"),
+            maxIterations = p.get("max_iters").map(_.toInt).getOrElse(30))
+        },
         "ppr" -> ProcessorDef { (_, dfs, p) =>
           require(dfs.size == 2, "ppr takes (edges, seeds)")
           graft.operators.Graph.personalizedPageRank(dfs.head,

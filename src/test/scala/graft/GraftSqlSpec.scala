@@ -973,6 +973,13 @@ class GraftSqlSpec extends SparkTestBase {
         |YIELD t AS t
         |""".stripMargin, Map("tri" -> tri)).yields("t").collect()
     assert(tc.length === 3 && tc.forall(_.getLong(1) === 1L))
+    val cc2 = df(Seq(Seq(1L, 2L), Seq(3L, 4L), Seq(4L, 5L)), "s:long,d:long")
+    val ccr = GraftSql.run(engine,
+      """c = PROCESS e USING connected_components(src:s, dst:d)
+        |YIELD c AS c
+        |""".stripMargin, Map("e" -> cc2)).yields("c").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ccr === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 5L -> 3L))
     val pr = GraftSql.run(engine,
       """p = PROCESS tri, (CREATE [[1]] SCHEMA node:long) USING ppr(src:s, dst:d, iters:5)
         |YIELD p AS p

@@ -258,6 +258,54 @@ class GraphSpec extends SparkTestBase {
     assert(cc(4L) === ((1L, 0L, 0.0)))
   }
 
+  test("connectedComponents == driver union-find on random graphs (3 seeds)") {
+    def brute(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    for (seed <- Seq(11L, 42L, 97L)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = (1 to 150).map(_ =>
+        (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      val got = Graph.connectedComponents(
+        df(edges.map(e => Seq(e._1, e._2)), "src:long,dst:long"),
+        "src", "dst").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === brute(edges), s"seed $seed")
+    }
+  }
+
+  test("connectedComponents: chain graph (pointer jump), self-loop singleton, guards") {
+    // a 60-node path: hash-min alone needs 60 rounds; the pointer jump
+    // must bring it under the default 30
+    val chain = (0L until 59L).map(i => Seq(i, i + 1))
+    val got = Graph.connectedComponents(
+      df(chain, "src:long,dst:long"), "src", "dst").collect()
+    assert(got.length === 60 && got.forall(_.getLong(1) === 0L))
+    // self-loop-only node is a singleton component; null endpoints drop
+    val mixed = df(Seq(Seq(7L, 7L), Seq(1L, 2L), Seq(null, 9L)),
+      "src:long,dst:long")
+    val m = Graph.connectedComponents(mixed, "src", "dst").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m === Map(7L -> 7L, 1L -> 1L, 2L -> 1L))
+    intercept[IllegalArgumentException] {
+      Graph.connectedComponents(mixed, "src", "dst", maxIterations = 0)
+    }
+    // too few rounds to converge raises rather than mislabeling
+    intercept[IllegalStateException] {
+      Graph.connectedComponents(
+        df(chain, "src:long,dst:long"), "src", "dst", maxIterations = 2)
+    }
+  }
+
   test("degreeStats: multigraph counts vs distinct neighbors, one-sided zeros") {
     val e = df(Seq(
       Seq(1L, 2L), Seq(1L, 2L), Seq(1L, 3L), Seq(4L, 1L)),
