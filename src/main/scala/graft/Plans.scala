@@ -118,7 +118,7 @@ object Plans {
         "q21x_sample_bounds", "q63_group_split", "q78_weighted_sample",
         "d09_simhash_exactness", "d10_cc_paths_agree", "d11_dedup_best",
         "m07_audio_features", "m10_image_near_dup", "m11_audio_near_dup",
-        "q79_join_size", "q86_compact", "q98_export_shards",
+        "q79_join_size", "q86_compact", "q98_export_shards", "m12_tar_shards",
         "d07_embed_lsh_recall", "d08_minhash_precision",
         "s03_knn_lsh_recall", "s05_knn_projected", "m02x_feature_differential",
         "t06_rebalance", "t12_lm_score", "t13_tfidf", "t17_importance",

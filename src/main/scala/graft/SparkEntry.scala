@@ -468,6 +468,41 @@ object SparkEntry {
       }
     }),
 
+    // WebDataset-style tar shard export (the multimodal training-export
+    // container): samples shard by key hash, write as <key>.<ext> tar
+    // entries (null field → no entry), manifest + verify + byte-determinism
+    // + full content round trip through loadTarShards. FULL oracle on the
+    // counts (recomputed by DuckDB from the same null rule) and verdict
+    // flags
+    "m12_tar_shards" -> ((s, dir) => {
+      import graft.operators.Layout
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"),
+        when(col("doc_id") % 7 =!= 0, encode(col("text"), "UTF-8"))
+          .as("img"))
+      val out = java.nio.file.Files.createTempDirectory("graft_m12").toString
+      try {
+        val m1 = Layout.exportTarShards(docs, s"$out/a", "doc_id",
+          Seq("text" -> "txt", "img" -> "bin"), nShards = 8)
+        val m2 = Layout.exportTarShards(docs, s"$out/b", "doc_id",
+          Seq("text" -> "txt", "img" -> "bin"), nShards = 8)
+        val verifyOk = Layout.verifyTarShards(s, s"$out/a").isEmpty
+        val back = Layout.loadTarShards(s, s"$out/a")
+        val txtBack = back.filter(col("ext") === "txt")
+          .select(col("key").cast("long").as("doc_id"),
+            decode(col("content"), "UTF-8").as("text"))
+        val roundtripOk = graft.api.DfUtils.dfEq(
+          txtBack, docs.select("doc_id", "text"))
+        eng(s).toDF(Seq(Seq(m1.map(_._2).sum, m1.map(_._3).sum,
+          if (verifyOk) 1L else 0L, if (roundtripOk) 1L else 0L,
+          if (m1 == m2) 1L else 0L)),
+          "n_samples:long,n_entries:long,verify_ok:long,roundtrip_ok:long,det_ok:long")
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(out)).iterator()
+          .asScala.toSeq.reverse.foreach(p => p.toFile.delete())
+      }
+    }),
+
     // budget-bounded selection, FULL oracle: quality-ranked prefix whose
     // running token total fits the budget — a plain SQL window on the
     // DuckDB side, the distributed prefix sum (range sort + per-partition
@@ -3431,6 +3466,13 @@ object SparkEntry {
     "q98_export_shards" ->
       """SELECT CAST(1 AS BIGINT) AS verify_ok, CAST(1 AS BIGINT) AS rows_ok,
         | CAST(1 AS BIGINT) AS det_ok, CAST(1 AS BIGINT) AS content_ok""".stripMargin,
+    "m12_tar_shards" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_samples,
+        | CAST(count(*) + sum(CASE WHEN doc_id % 7 <> 0 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_entries,
+        | CAST(1 AS BIGINT) AS verify_ok, CAST(1 AS BIGINT) AS roundtrip_ok,
+        | CAST(1 AS BIGINT) AS det_ok
+        |FROM documents""".stripMargin,
     "t34_budget_select" ->
       """WITH s AS (
         | SELECT doc_id, n_chars,

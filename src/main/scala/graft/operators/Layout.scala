@@ -198,4 +198,238 @@ object Layout {
         r.getDecimal(2).toBigInteger.toString))
       .sortBy(_._1).toSeq
   }
+
+  // ---- WebDataset-style tar shards (multimodal training exports) ----
+
+  /** One parsed tar entry: (shard, sample key, field extension, bytes). */
+  private val TarRowSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("shard",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("key",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("ext",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("content",
+      org.apache.spark.sql.types.BinaryType, nullable = false)))
+
+  private def tarShardPath(path: String, shard: Int): String =
+    f"$path/shard-$shard%05d.tar"
+
+  /**
+   * Export samples as WebDataset-layout tar shards — the standard
+   * container multimodal training loaders stream (each sample is the
+   * consecutive entries `<key>.<ext>` inside a `.tar`; loaders shard
+   * across workers by FILE, so the shard count is the read parallelism).
+   * `fields` maps columns to entry extensions: binary columns write raw
+   * bytes, string columns write UTF-8; a NULL field value writes no entry
+   * (the WebDataset missing-field convention); a NULL sample id fails
+   * loudly (a silently dropped sample corrupts the dataset census).
+   * Entries are mod-time-zero and per-shard key-sorted, so a re-export of
+   * identical data is BYTE-identical — shard checksums are comparable
+   * across runs. Writes `_tar_manifest.json`; returns per-shard
+   * (shard, samples, entries, crc32).
+   *
+   * Scale: one hash exchange on the sample key (same placement as
+   * [[exportShards]]), then each task STREAMS its rows into tar files —
+   * memory per task is one entry, not one shard; the manifest is
+   * #shards driver rows. Rotate `nShards` so shards land near the
+   * loader-friendly 0.1–1 GB: shard count is also the maximum read
+   * parallelism downstream.
+   */
+  def exportTarShards(df: DataFrame, path: String, idCol: String,
+      fields: Seq[(String, String)], nShards: Int): Seq[(Int, Long, Long, String)] = {
+    import org.apache.spark.sql.types.{BinaryType, StringType}
+    require(nShards >= 1, "nShards must be >= 1")
+    require(fields.nonEmpty, "exportTarShards needs >= 1 (column, extension)")
+    require(fields.map(_._2).distinct.size == fields.size,
+      s"duplicate extension in $fields")
+    fields.foreach { case (c, e) =>
+      require(e.nonEmpty && !e.contains("/") && !e.contains("."),
+        s"extension '$e' must be non-empty with no '.'/'/'")
+      df.schema(c).dataType match {
+        case BinaryType | StringType => ()
+        case other => throw new IllegalArgumentException(
+          s"field column '$c' must be binary or string, got $other " +
+            "(to_json/cast upstream for other types)")
+      }
+    }
+    val key = when(col(idCol).isNull,
+      raise_error(lit("exportTarShards: NULL sample id"))
+        .cast("string"))
+      .otherwise(col(idCol).cast("string"))
+    val proj = df.select(
+      (pmod(xxhash64(col(idCol).cast("string")), lit(nShards)).cast("int")
+        .as("__shard") +:
+        key.as("__key") +:
+        fields.zipWithIndex.map { case ((c, _), i) =>
+          (df.schema(c).dataType match {
+            case StringType => col(c).cast("binary")
+            case _ => col(c)
+          }).as(s"__f$i")
+        }): _*)
+    val exts = fields.map(_._2)
+    val results = proj
+      .repartition(nShards, col("__shard"))
+      .sortWithinPartitions(col("__shard"), col("__key"))
+      .rdd.mapPartitions { rows =>
+        // imperative per-partition sink (the RDD escape hatch's intended
+        // use): stream rows into one tar per shard value held by this
+        // task — hash partitioning gives each shard value to exactly one
+        // task, a task may hold several shard values
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, String)]
+        var shard = -1
+        var tar: org.apache.commons.compress.archivers.tar.TarArchiveOutputStream = null
+        var samples = 0L
+        var entries = 0L
+        var crc: java.util.zip.CRC32 = null
+        def closeShard(): Unit = if (tar != null) {
+          tar.finish(); tar.close()
+          out += ((shard, samples, entries, java.lang.Long.toString(crc.getValue)))
+          tar = null
+        }
+        rows.foreach { r =>
+          val s = r.getInt(0)
+          if (s != shard) {
+            closeShard()
+            shard = s; samples = 0L; entries = 0L; crc = new java.util.zip.CRC32()
+            val p = new org.apache.hadoop.fs.Path(tarShardPath(path, s))
+            val fs = p.getFileSystem(conf)
+            tar = new org.apache.commons.compress.archivers.tar.TarArchiveOutputStream(
+              fs.create(p, true))
+            tar.setLongFileMode(org.apache.commons.compress.archivers.tar
+              .TarArchiveOutputStream.LONGFILE_POSIX)
+          }
+          val k = r.getString(1)
+          samples += 1
+          exts.zipWithIndex.foreach { case (ext, i) =>
+            if (!r.isNullAt(2 + i)) {
+              val bytes = r.getAs[Array[Byte]](2 + i)
+              val name = s"$k.$ext"
+              val entry = new org.apache.commons.compress.archivers.tar
+                .TarArchiveEntry(name)
+              entry.setSize(bytes.length.toLong)
+              entry.setModTime(0L)
+              tar.putArchiveEntry(entry)
+              tar.write(bytes)
+              tar.closeArchiveEntry()
+              crc.update(name.getBytes("UTF-8"))
+              crc.update(bytes)
+              entries += 1
+            }
+          }
+        }
+        closeShard()
+        out.iterator
+      }.collect().sortBy(_._1).toSeq
+    val json = results.map { case (s, n, e, c) =>
+      s"""{"shard": $s, "samples": $n, "entries": $e, "crc": "$c"}"""
+    }.mkString("[\n  ", ",\n  ", "\n]")
+    val mp = new org.apache.hadoop.fs.Path(path, "_tar_manifest.json")
+    val fs = mp.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val os = fs.create(mp, true)
+    try os.write(json.getBytes("UTF-8")) finally os.close()
+    results
+  }
+
+  /** Parse one tar stream into (key, ext, content) triples (streaming —
+   * one entry in memory at a time). Entry names split at the LAST dot. */
+  private def parseTar(in: java.io.InputStream): Iterator[(String, String, Array[Byte])] =
+    new Iterator[(String, String, Array[Byte])] {
+      private val tis =
+        new org.apache.commons.compress.archivers.tar.TarArchiveInputStream(in)
+      private var nextEntry = tis.getNextEntry
+      override def hasNext: Boolean = {
+        if (nextEntry == null) { tis.close(); false } else true
+      }
+      override def next(): (String, String, Array[Byte]) = {
+        val name = nextEntry.getName
+        val bytes = tis.readNBytes(nextEntry.getSize.toInt)
+        nextEntry = tis.getNextEntry
+        val dot = name.lastIndexOf('.')
+        if (dot <= 0) (name, "", bytes)
+        else (name.substring(0, dot), name.substring(dot + 1), bytes)
+      }
+    }
+
+  /** List a tar-shard directory's shard files as (shard, path) pairs. */
+  private def listTarShards(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(Int, String)] = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pat = """shard-(\d+)\.tar""".r
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case pat(s) => Some(s.toInt -> st.getPath.toString)
+        case _ => None
+      }
+    }.sortBy(_._1)
+  }
+
+  /**
+   * Load tar shards back as a (shard, key, ext, content) frame — one row
+   * per tar ENTRY; reassemble samples with
+   * `groupBy(key).pivot(ext)` or a map aggregate downstream. Shard files
+   * parse in parallel (one task per file — the WebDataset read-parallelism
+   * contract), each streamed entry by entry.
+   */
+  def loadTarShards(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val files = listTarShards(spark, path)
+    val rdd = spark.sparkContext
+      .parallelize(files, math.max(1, files.size))
+      .mapPartitions { it =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        it.flatMap { case (shard, p) =>
+          val hp = new org.apache.hadoop.fs.Path(p)
+          parseTar(hp.getFileSystem(conf).open(hp)).map { case (k, e, b) =>
+            org.apache.spark.sql.Row(shard, k, e, b)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, TarRowSchema)
+  }
+
+  /** Recompute every shard's (samples, entries, crc32) from the written
+   * tar files and compare with `_tar_manifest.json`; returns the
+   * mismatching shard ids (missing files and unmanifested files count as
+   * mismatches; empty = intact). */
+  def verifyTarShards(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Int] = {
+    val mp = new org.apache.hadoop.fs.Path(path, "_tar_manifest.json")
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(mp)
+    val json = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    val entry =
+      """\{"shard": (\d+), "samples": (\d+), "entries": (\d+), "crc": "(\d+)"\}""".r
+    val want = entry.findAllMatchIn(json)
+      .map(m => m.group(1).toInt ->
+        ((m.group(2).toLong, m.group(3).toLong, m.group(4)))).toMap
+    val files = listTarShards(spark, path)
+    val got = spark.sparkContext
+      .parallelize(files, math.max(1, files.size))
+      .map { case (shard, p) =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val crc = new java.util.zip.CRC32()
+        var samples = 0L
+        var entries = 0L
+        val seen = scala.collection.mutable.HashSet.empty[String]
+        // a truncated/corrupt tar throws mid-parse — that's a mismatch
+        // verdict for this shard, not a job failure
+        try {
+          parseTar(hp.getFileSystem(conf).open(hp)).foreach { case (k, e, b) =>
+            crc.update(s"$k.$e".getBytes("UTF-8")); crc.update(b)
+            entries += 1
+            if (seen.add(k)) samples += 1
+          }
+          shard -> ((samples, entries, java.lang.Long.toString(crc.getValue)))
+        } catch {
+          case _: java.io.IOException => shard -> ((-1L, -1L, "corrupt"))
+        }
+      }.collect().toMap
+    (want.keySet ++ got.keySet).toSeq.sorted
+      .filter(s => got.get(s) != want.get(s))
+  }
 }

@@ -370,6 +370,28 @@ object GraftSql {
           eng.toDF(manifest.map(t => Seq(t._1.toLong, t._2, t._3)),
             "shard:long,rows:long,checksum:str")
         },
+        "export_tar_shards" -> ProcessorDef { (eng, dfs, p) =>
+          // fields:"txt=txt,image=jpg" maps columns to entry extensions
+          val fields = p.getOrElse("fields",
+            throw new IllegalArgumentException(
+              "export_tar_shards needs fields:\"col=ext,...\""))
+            .split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { kv =>
+              kv.split("=") match {
+                case Array(c, e) => (c.trim, e.trim)
+                case _ => throw new IllegalArgumentException(
+                  s"bad field mapping '$kv' (want col=ext)")
+              }
+            }
+          val manifest = graft.operators.Layout.exportTarShards(
+            one(dfs, "export_tar_shards"),
+            path = p.getOrElse("path",
+              throw new IllegalArgumentException("export_tar_shards needs path:\"...\"")),
+            idCol = p.getOrElse("id", "doc_id"),
+            fields = fields,
+            nShards = p.getOrElse("n", "16").toInt)
+          eng.toDF(manifest.map(t => Seq(t._1.toLong, t._2, t._3, t._4)),
+            "shard:long,samples:long,entries:long,crc:str")
+        },
         "snapshot_diff" -> ProcessorDef { (_, dfs, p) =>
           require(dfs.size == 2, "snapshot_diff takes (before, after)")
           graft.operators.Diff.snapshotDiff(dfs.head, dfs(1),

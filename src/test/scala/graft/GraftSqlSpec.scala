@@ -996,6 +996,12 @@ class GraftSqlSpec extends SparkTestBase {
          |""".stripMargin, Map("src" -> d)).yields("m").collect()
     assert(m.map(_.getLong(1)).sum === 50L)
     assert(graft.operators.Layout.verifyShards(spark, s"$dir/out") === Seq.empty)
+    val mt = GraftSql.run(engine,
+      s"""m = PROCESS src USING export_tar_shards(path:"$dir/tar", id:id, fields:"s=txt", n:4)
+         |YIELD m AS m
+         |""".stripMargin, Map("src" -> d)).yields("m").collect()
+    assert(mt.map(_.getLong(1)).sum === 50L)
+    assert(graft.operators.Layout.verifyTarShards(spark, s"$dir/tar") === Seq.empty)
   }
 
   test("multi-line UNION ALL stays one statement; OVER(ORDER BY) gets implicit FROM") {
