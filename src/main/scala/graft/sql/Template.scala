@@ -13,7 +13,9 @@ import scala.collection.mutable
  * positional/keyword call arguments, `{% raw %}…{% endraw %}`,
  * `{# comments #}`, whitespace-control minus markers (`{%- -%}`),
  * boolean/comparison/membership expressions, `~` string concatenation,
- * and the filters upper / lower / length / join / first / last / default.
+ * and the filters upper / lower / capitalize / title / trim / replace /
+ * length / join / first / last / reverse / sort / unique / min / max /
+ * sum / abs / round / int / float / string / default.
  *
  * Scoping follows jinja2: `{% set %}` inside `{% if %}` propagates to the
  * rest of the template (if-blocks are not scopes), while a set inside a
@@ -721,6 +723,18 @@ object Template {
     (name, v, args) match {
       case ("upper", s: String, _) => s.toUpperCase(java.util.Locale.ROOT)
       case ("lower", s: String, _) => s.toLowerCase(java.util.Locale.ROOT)
+      case ("capitalize", s: String, _) =>
+        if (s.isEmpty) s
+        else s.head.toUpper.toString +
+          s.tail.toLowerCase(java.util.Locale.ROOT)
+      case ("title", s: String, _) =>
+        // jinja title: every word capitalized, the rest lowered
+        "\\S+".r.replaceAllIn(s.toLowerCase(java.util.Locale.ROOT),
+          m => java.util.regex.Matcher.quoteReplacement(
+            m.matched.head.toUpper.toString + m.matched.tail))
+      case ("trim", s: String, _) => s.trim
+      case ("replace", s: String, Seq(from, to, _*)) =>
+        s.replace(show(from), show(to))
       case ("length", s: String, _) => s.length.toLong
       case ("length", s: Seq[_], _) => s.length.toLong
       case ("length", m: Map[_, _], _) => m.size.toLong
@@ -730,6 +744,69 @@ object Template {
       case ("first", s: String, _) => if (s.isEmpty) Undefined else s.head.toString
       case ("last", s: Seq[_], _) => s.lastOption.getOrElse(Undefined)
       case ("last", s: String, _) => if (s.isEmpty) Undefined else s.last.toString
+      case ("reverse", s: String, _) => s.reverse
+      case ("reverse", s: Seq[_], _) => s.reverse
+      case ("sort", s: Seq[_], _) =>
+        if (s.forall(_.isInstanceOf[String]))
+          s.asInstanceOf[Seq[String]].sorted
+        else if (s.forall(isNum)) s.sortBy(num)
+        else throw new IllegalArgumentException(
+          "sort filter needs a uniformly string or numeric list")
+      case ("unique", s: Seq[_], _) => s.distinct
+      case ("min", s: Seq[_], _) if s.nonEmpty =>
+        if (s.forall(_.isInstanceOf[String])) s.asInstanceOf[Seq[String]].min
+        else if (s.forall(isNum)) s.minBy(num)
+        else throw new IllegalArgumentException(
+          "min filter needs a uniformly string or numeric list")
+      case ("max", s: Seq[_], _) if s.nonEmpty =>
+        if (s.forall(_.isInstanceOf[String])) s.asInstanceOf[Seq[String]].max
+        else if (s.forall(isNum)) s.maxBy(num)
+        else throw new IllegalArgumentException(
+          "max filter needs a uniformly string or numeric list")
+      case ("sum", s: Seq[_], _) =>
+        if (s.forall { case _: Long | _: Int => true; case _ => false })
+          s.map { case l: Long => l; case i: Int => i.toLong }.sum
+        else if (s.forall(isNum)) s.map(num).sum
+        else throw new IllegalArgumentException(
+          "sum filter needs a numeric list")
+      case ("abs", x, _) if isNum(x) => x match {
+        case l: Long => math.abs(l)
+        case i: Int => math.abs(i.toLong)
+        case _ => math.abs(num(x))
+      }
+      case ("round", x, a) if isNum(x) =>
+        val digits = a.headOption.map {
+          case l: Long => l.toInt
+          case i: Int => i
+          case other => throw new IllegalArgumentException(
+            s"round precision must be an integer, got $other")
+        }.getOrElse(0)
+        val scale = math.pow(10, digits.toDouble)
+        math.round(num(x) * scale) / scale // jinja round returns float
+      case ("int", x, _) => x match {
+        case l: Long => l
+        case i: Int => i.toLong
+        case d: Double => d.toLong
+        case f: Float => f.toLong
+        case s: String => try s.trim.toLong catch {
+          case _: NumberFormatException =>
+            try s.trim.toDouble.toLong catch {
+              case _: NumberFormatException => 0L // jinja int default
+            }
+        }
+        case true => 1L
+        case false => 0L
+        case _ => 0L
+      }
+      case ("float", x, _) => x match {
+        case s: String => try s.trim.toDouble catch {
+          case _: NumberFormatException => 0.0
+        }
+        case true => 1.0
+        case false => 0.0
+        case other => if (isNum(other)) num(other) else 0.0
+      }
+      case ("string", x, _) => show(x)
       case ("default", Undefined | null, d) => d.headOption.getOrElse("")
       case ("default", x, _) => x
       case (other, x, _) => throw new IllegalArgumentException(

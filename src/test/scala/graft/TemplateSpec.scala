@@ -98,6 +98,37 @@ class TemplateSpec extends AnyFunSuite {
     assert(r("a '{}' b {{v}}", Map("v" -> "k")) === "a '{}' b k")
   }
 
+  test("extended filter set matches jinja semantics") {
+    assert(r("{{ 'wOrLd hi' | capitalize }}") === "World hi")
+    assert(r("{{ 'wOrLd hi there' | title }}") === "World Hi There")
+    assert(r("{{ '  x  ' | trim }}|{{ 'a-b-c' | replace('-', '+') }}")
+      === "x|a+b+c")
+    assert(r("{{ xs | reverse | join(',') }}|{{ 'abc' | reverse }}",
+      Map("xs" -> Seq(1L, 2L, 3L))) === "3,2,1|cba")
+    assert(r("{{ xs | sort | join('') }}{{ ys | sort | join(',') }}",
+      Map("xs" -> Seq("b", "a", "c"), "ys" -> Seq(3L, 1L, 2L)))
+      === "abc1,2,3")
+    assert(r("{{ xs | unique | join(',') }}",
+      Map("xs" -> Seq(1L, 2L, 1L, 3L, 2L))) === "1,2,3")
+    assert(r("{{ xs | min }}-{{ xs | max }}-{{ xs | sum }}",
+      Map("xs" -> Seq(4L, 1L, 3L))) === "1-4-8")
+    // sum of ints stays int; mixed numerics widen
+    assert(r("{{ xs | sum }}", Map("xs" -> Seq(1L, 2.5))) === "3.5")
+    // jinja gotcha preserved: filters bind tighter than unary minus, so
+    // -3|abs is -(3|abs) = -3; parenthesize to take abs of the negative
+    assert(r("{{ -3 | abs }}|{{ (-3) | abs }}|{{ 2.5666 | round(2) }}|{{ 2.5 | round }}")
+      === "-3|3|2.57|3.0")
+    assert(r("{{ '42' | int }}|{{ '4.9' | int }}|{{ 'junk' | int }}|{{ 3.9 | int }}")
+      === "42|4|0|3")
+    assert(r("{{ '2.5' | float }}|{{ true | float }}|{{ 'x' | float }}")
+      === "2.5|1.0|0.0")
+    assert(r("{{ 7 | string ~ '!' }}") === "7!")
+    // filters compose left to right
+    assert(r("{{ xs | sort | first }}", Map("xs" -> Seq("c", "a"))) === "a")
+    intercept[IllegalArgumentException](r("{{ xs | sort }}",
+      Map("xs" -> Seq(1L, "a"))))
+  }
+
   test("set: expression and block forms, jinja scoping") {
     assert(r("{% set x = 1 + 2 %}{{ x }}") === "3")
     assert(r("{% set x = a ~ '_t' %}{{ x }}|{{ x | upper }}",
