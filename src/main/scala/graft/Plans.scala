@@ -133,9 +133,13 @@ object Plans {
           Set("q64_range_join", "q65_interval_join")(qq) =>
           Some("long-interval escape path: intervals wider than the bin " +
             "join through an explicitly broadcast side; the main path stays equi")
-        case ("GLOBALWINDOW", qq) if Set("t14_vocab", "t19_encode")(qq) =>
-          Some("vocabulary rank window AFTER TakeOrderedAndProject " +
-            "truncation - the global window sees at most maxVocab rows")
+        case ("GLOBALWINDOW", qq) if Set("t14_vocab", "t19_encode",
+          "q116_key_skew")(qq) =>
+          Some("rank window AFTER TakeOrderedAndProject truncation - the " +
+            "global window sees at most maxVocab/topK rows")
+        case (f, "q116_key_skew") if bnljish(f) || f == "SINGLEPART" =>
+          Some("distributed top-K (TakeOrderedAndProject) + one-row " +
+            "summary broadcast-joined back - bounded tail by design")
         case (f, qq) if bnljish(f) && bruteForceAnn(qq) => Some(bruteAnn)
         case (f, qq) if bnljish(f) && scalarRiders(qq) => Some(scalarRide)
         case ("SINGLEPART", qq) if sketchTails(qq) => Some(sketchTail)

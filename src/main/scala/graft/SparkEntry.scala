@@ -699,6 +699,17 @@ object SparkEntry {
       graft.operators.Graph.triangleCount(edges, "src", "dst")
     }),
 
+    // key-skew diagnostic over a deliberately skewed key (clerk id mod 11
+    // gives 11 heavy buckets on top of the per-clerk spread), FULL
+    // oracle: top-10 heavy keys + distribution summary, ties broken by
+    // rendered key, frac/skew as single exact-long divisions
+    "q116_key_skew" -> ((s, dir) =>
+      graft.api.DfUtils.keySkew(
+        t(s, dir, "orders").select(
+          when(col("o_custkey") % 4 === 0, lit(0L))
+            .otherwise(col("o_custkey") % 11).as("bucket")),
+        Seq("bucket"), topK = 10)),
+
     // distributed connected components (hash-min + pointer jump) over a
     // deterministic block-local graph (every edge stays inside its
     // 10-node block → ≥30 separate components at any sf), FULL oracle:
@@ -3587,6 +3598,21 @@ object SparkEntry {
         |  + (CASE WHEN step_3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
         |   AS steps_completed
         |FROM s3""".stripMargin,
+    "q116_key_skew" ->
+      """WITH b AS (SELECT CASE WHEN o_custkey % 4 = 0 THEN 0
+        |  ELSE o_custkey % 11 END AS bucket FROM orders),
+        |c AS (SELECT CAST(bucket AS VARCHAR) AS key, count(*) AS n
+        | FROM b GROUP BY 1),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(n) AS BIGINT) AS total,
+        |  CAST(max(n) AS BIGINT) AS max_n FROM c),
+        |r AS (SELECT key, CAST(n AS BIGINT) AS n,
+        |  row_number() OVER (ORDER BY n DESC, key ASC) AS rank FROM c)
+        |SELECT CAST(r.rank AS BIGINT) AS rank, r.key, r.n,
+        | CAST(r.n AS DOUBLE) / s.total AS frac,
+        | s.n_keys, s.total,
+        | CAST(s.max_n * s.n_keys AS DOUBLE) / s.total AS skew
+        |FROM r CROSS JOIN s WHERE r.rank <= 10""".stripMargin,
     "q115_connected_components" ->
       """WITH RECURSIVE raw AS (
         | SELECT doc_id % 300 AS a,

@@ -265,4 +265,45 @@ object DfUtils {
       .agg(coalesce(sum(col("__na") * col("__nb")), lit(0L)))
       .first().getLong(0)
   }
+
+  /**
+   * Key-skew diagnostic — the pre-flight check before choosing a shuffle
+   * strategy for a join/aggregation key at scale: the top-`topK` heaviest
+   * key values with their row counts and corpus fractions, plus the
+   * whole-distribution summary every row carries (n_keys, total rows, and
+   * `skew` = max key count / mean key count — 1.0 means perfectly
+   * uniform; a join key with skew ≥ ~20 wants salting or AQE skew-join
+   * splitting). Multi-column keys render as a '|'-joined string (null
+   * components render empty — a display convention, not a grouping one:
+   * grouping happens on the raw columns first). Deterministic: ties in
+   * count break by the rendered key ascending; `frac`/`skew` are single
+   * IEEE divisions of exact longs.
+   *
+   * Scale: one hash aggregate (map-side partials) to key counts, a
+   * distributed top-K (TakeOrderedAndProject — never a global sort), a
+   * three-scalar summary aggregate broadcast back, and ONE bounded
+   * window (rank over the already-truncated ≤ topK rows).
+   */
+  def keySkew(df: DataFrame, keys: Seq[String], topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(keys.nonEmpty, "keySkew needs >= 1 key column")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val counts = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .select(
+        concat_ws("|", keys.map(c => col(c).cast("string")): _*).as("key"),
+        col("n"))
+    val summary = counts.agg(count(lit(1)).as("n_keys"),
+      sum(col("n")).as("total"), max(col("n")).as("max_n"))
+    val top = counts.orderBy(col("n").desc, col("key").asc).limit(topK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("key").asc)
+    top.withColumn("rank", row_number().over(w))
+      .crossJoin(broadcast(summary))
+      .select(col("rank").cast("long").as("rank"), col("key"), col("n"),
+        (col("n").cast("double") / col("total").cast("double")).as("frac"),
+        col("n_keys"), col("total"),
+        ((col("max_n") * col("n_keys")).cast("double") /
+          col("total").cast("double")).as("skew"))
+  }
 }

@@ -370,6 +370,13 @@ object GraftSql {
           eng.toDF(manifest.map(t => Seq(t._1.toLong, t._2, t._3)),
             "shard:long,rows:long,checksum:str")
         },
+        "key_skew" -> ProcessorDef { (_, dfs, p) =>
+          graft.api.DfUtils.keySkew(one(dfs, "key_skew"),
+            keys = p.getOrElse("keys",
+              throw new IllegalArgumentException("key_skew needs keys:\"...\""))
+              .split(",").map(_.trim).toSeq,
+            topK = p.getOrElse("k", "10").toInt)
+        },
         "export_tar_shards" -> ProcessorDef { (eng, dfs, p) =>
           // fields:"txt=txt,image=jpg" maps columns to entry extensions
           val fields = p.getOrElse("fields",

@@ -292,6 +292,30 @@ class ApiSpec extends SparkTestBase {
     assert(Layout.verifyShards(spark, s"$dir/out5") === Seq.empty)
   }
 
+  test("DfUtils.keySkew: heavy keys, ties by key, summary ratios, multi-col") {
+    import graft.api.DfUtils
+    // k0 x6, k1 x2, k2 x2, k3 x1 -> n_keys 4, total 11, max 6,
+    // skew = 6*4/11; tie between k1/k2 breaks by key asc
+    val d = toDF(
+      ((1 to 6).map(_ => "k0") ++ Seq("k1", "k1", "k2", "k2", "k3"))
+        .map(Seq(_)), "k:str")
+    val got = DfUtils.keySkew(d, Seq("k"), topK = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(got.length === 3)
+    assert(got(0) === ((1L, "k0", 6L, 6.0 / 11, 4L, 11L, 24.0 / 11)))
+    assert(got(1)._2 === "k1" && got(2)._2 === "k2")
+    // multi-column keys render '|'-joined; uniform keys -> skew 1.0
+    val u = toDF(Seq(Seq("a", 1L), Seq("a", 2L), Seq("b", 1L), Seq("b", 2L)),
+      "g:str,i:long")
+    val us = DfUtils.keySkew(u, Seq("g", "i"), topK = 10).collect()
+    assert(us.length === 4 && us.forall(_.getDouble(6) === 1.0))
+    assert(us.map(_.getString(1)).toSet ===
+      Set("a|1", "a|2", "b|1", "b|2"))
+    intercept[IllegalArgumentException](DfUtils.keySkew(d, Seq.empty))
+    intercept[IllegalArgumentException](DfUtils.keySkew(d, Seq("k"), 0))
+  }
+
   test("Layout tar shards: WebDataset round trip, determinism, null fields, tamper") {
     import graft.operators.Layout
     val dir = java.nio.file.Files.createTempDirectory("graft_tar").toString

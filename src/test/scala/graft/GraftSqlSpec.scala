@@ -1002,6 +1002,11 @@ class GraftSqlSpec extends SparkTestBase {
          |""".stripMargin, Map("src" -> d)).yields("m").collect()
     assert(mt.map(_.getLong(1)).sum === 50L)
     assert(graft.operators.Layout.verifyTarShards(spark, s"$dir/tar") === Seq.empty)
+    val sk = GraftSql.run(engine,
+      """s = PROCESS src USING key_skew(keys:s, k:3)
+        |YIELD s AS s
+        |""".stripMargin, Map("src" -> d.withColumn("s", org.apache.spark.sql.functions.lit("c")))).yields("s").collect()
+    assert(sk.length === 1 && sk.head.getDouble(6) === 1.0)
   }
 
   test("multi-line UNION ALL stays one statement; OVER(ORDER BY) gets implicit FROM") {
