@@ -18,10 +18,11 @@ object TemporalStress {
     val nEvents = 20000000L
     val nUsers = 500000L
     val horizon = 30L * 86400
-    // 10 hub users get 0.05% of events each (10k events apiece); the rest
-    // hash-scatter. Event mix: 30% s1 / 25% s2 / 20% s3 / 25% noise.
+    // 10 hub users get 0.05% of events EACH (1/200 of all events split
+    // across 10 hubs = 10k events apiece); the rest hash-scatter.
+    // Event mix: 30% s1 / 30% s2 / 20% s3 / 20% noise.
     val ev = spark.range(nEvents).select(
-      when(pmod(xxhash64(col("id"), lit(1)), lit(2000L)) === 0,
+      when(pmod(xxhash64(col("id"), lit(1)), lit(200L)) === 0,
         pmod(xxhash64(col("id"), lit(2)), lit(10L)))
         .otherwise(pmod(xxhash64(col("id"), lit(3)), lit(nUsers)))
         .cast("string").as("user_id"),

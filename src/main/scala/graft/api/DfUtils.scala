@@ -273,9 +273,12 @@ object DfUtils {
    * whole-distribution summary every row carries (n_keys, total rows, and
    * `skew` = max key count / mean key count — 1.0 means perfectly
    * uniform; a join key with skew ≥ ~20 wants salting or AQE skew-join
-   * splitting). Multi-column keys render as a '|'-joined string (null
-   * components render empty — a display convention, not a grouping one:
-   * grouping happens on the raw columns first). Deterministic: ties in
+   * splitting). Multi-column keys render as a '|'-joined string with null
+   * components rendered as the literal token `NULL` (concat_ws alone
+   * would DROP null components and their separator, collapsing distinct
+   * keys like (x, null, y) and (x, y, null) into one display string) — a
+   * display convention only; grouping happens on the raw columns first.
+   * Deterministic: ties in
    * count break by the rendered key ascending; `frac`/`skew` are single
    * IEEE divisions of exact longs.
    *
@@ -291,7 +294,8 @@ object DfUtils {
     val counts = df.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n"))
       .select(
-        concat_ws("|", keys.map(c => col(c).cast("string")): _*).as("key"),
+        concat_ws("|", keys.map(c =>
+          coalesce(col(c).cast("string"), lit("NULL"))): _*).as("key"),
         col("n"))
     val summary = counts.agg(count(lit(1)).as("n_keys"),
       sum(col("n")).as("total"), max(col("n")).as("max_n"))

@@ -224,10 +224,15 @@ object Layout {
    * bytes, string columns write UTF-8; a NULL field value writes no entry
    * (the WebDataset missing-field convention); a NULL sample id fails
    * loudly (a silently dropped sample corrupts the dataset census).
-   * Entries are mod-time-zero and per-shard key-sorted, so a re-export of
+   * Duplicate sample ids are allowed (their entry groups stay adjacent —
+   * the WebDataset reader contract) and the census counts DISTINCT keys.
+   * Entries are mod-time-zero and (key, fields)-sorted, so a re-export of
    * identical data is BYTE-identical — shard checksums are comparable
-   * across runs. Writes `_tar_manifest.json`; returns per-shard
-   * (shard, samples, entries, crc32).
+   * across runs. Overwrite semantics like the parquet [[exportShards]]:
+   * stale `shard-*.tar` files and the manifest at `path` are deleted
+   * first, so a re-export of fewer shards can't leave orphans for
+   * [[loadTarShards]] to silently serve. Writes `_tar_manifest.json`;
+   * returns per-shard (shard, samples, entries, crc32).
    *
    * Scale: one hash exchange on the sample key (same placement as
    * [[exportShards]]), then each task STREAMS its rows into tar files —
@@ -268,20 +273,43 @@ object Layout {
           }).as(s"__f$i")
         }): _*)
     val exts = fields.map(_._2)
+    // overwrite: drop stale shard files + manifest BEFORE writing, so a
+    // smaller re-export cannot leave orphan shards behind
+    val dirPath = new org.apache.hadoop.fs.Path(path)
+    val dirFs = dirPath.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    if (dirFs.exists(dirPath)) {
+      listTarShards(df.sparkSession, path)
+        .foreach { case (_, p) =>
+          dirFs.delete(new org.apache.hadoop.fs.Path(p), false) }
+      dirFs.delete(new org.apache.hadoop.fs.Path(path, "_tar_manifest.json"),
+        false)
+    }
+    // the session's Hadoop conf, broadcast — a bare `new Configuration()`
+    // in the task would lose spark.hadoop.* (wrong fs.defaultFS, missing
+    // object-store credentials) while the driver wrote the manifest to
+    // the configured FS
+    val getConf = org.apache.spark.sql.graftshim.ColumnBridge
+      .hadoopConfAccessor(df.sparkSession)
     val results = proj
       .repartition(nShards, col("__shard"))
-      .sortWithinPartitions(col("__shard"), col("__key"))
+      // sort by the field bytes too: duplicate keys then have a total
+      // deterministic order, keeping re-export checksums byte-identical
+      .sortWithinPartitions(
+        (col("__shard") +: col("__key") +:
+          fields.indices.map(i => col(s"__f$i"))): _*)
       .rdd.mapPartitions { rows =>
         // imperative per-partition sink (the RDD escape hatch's intended
         // use): stream rows into one tar per shard value held by this
         // task — hash partitioning gives each shard value to exactly one
         // task, a task may hold several shard values
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = getConf()
         val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, String)]
         var shard = -1
         var tar: org.apache.commons.compress.archivers.tar.TarArchiveOutputStream = null
         var samples = 0L
         var entries = 0L
+        var lastKey: String = null
         var crc: java.util.zip.CRC32 = null
         def closeShard(): Unit = if (tar != null) {
           tar.finish(); tar.close()
@@ -292,7 +320,8 @@ object Layout {
           val s = r.getInt(0)
           if (s != shard) {
             closeShard()
-            shard = s; samples = 0L; entries = 0L; crc = new java.util.zip.CRC32()
+            shard = s; samples = 0L; entries = 0L; lastKey = null
+            crc = new java.util.zip.CRC32()
             val p = new org.apache.hadoop.fs.Path(tarShardPath(path, s))
             val fs = p.getFileSystem(conf)
             tar = new org.apache.commons.compress.archivers.tar.TarArchiveOutputStream(
@@ -301,7 +330,10 @@ object Layout {
               .TarArchiveOutputStream.LONGFILE_POSIX)
           }
           val k = r.getString(1)
-          samples += 1
+          // census counts DISTINCT keys (rows are key-sorted, so a run
+          // check suffices) — matches verifyTarShards' recount exactly
+          // even when duplicate sample ids exist
+          if (k != lastKey) { samples += 1; lastKey = k }
           exts.zipWithIndex.foreach { case (ext, i) =>
             if (!r.isNullAt(2 + i)) {
               val bytes = r.getAs[Array[Byte]](2 + i)
@@ -377,10 +409,12 @@ object Layout {
   def loadTarShards(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
     val files = listTarShards(spark, path)
+    val getConf = org.apache.spark.sql.graftshim.ColumnBridge
+      .hadoopConfAccessor(spark)
     val rdd = spark.sparkContext
       .parallelize(files, math.max(1, files.size))
       .mapPartitions { it =>
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = getConf()
         it.flatMap { case (shard, p) =>
           val hp = new org.apache.hadoop.fs.Path(p)
           parseTar(hp.getFileSystem(conf).open(hp)).map { case (k, e, b) =>
@@ -407,10 +441,12 @@ object Layout {
       .map(m => m.group(1).toInt ->
         ((m.group(2).toLong, m.group(3).toLong, m.group(4)))).toMap
     val files = listTarShards(spark, path)
+    val getConf = org.apache.spark.sql.graftshim.ColumnBridge
+      .hadoopConfAccessor(spark)
     val got = spark.sparkContext
       .parallelize(files, math.max(1, files.size))
       .map { case (shard, p) =>
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = getConf()
         val hp = new org.apache.hadoop.fs.Path(p)
         val crc = new java.util.zip.CRC32()
         var samples = 0L

@@ -377,7 +377,9 @@ object TemporalOps {
         unix_timestamp(col(tsCol)).as("__t"), col(eventCol).as("__e"))
       .filter(col("__u").isNotNull && col("__t").isNotNull)
       .localCheckpoint(true) // scanned once per funnel step
-    val out = {
+    // failure while BUILDING the chain must still free the materialized
+    // base (the happy path frees it inside materializeAndFree)
+    val out = try {
       val s1 = base.filter(col("__e") === steps.head)
       // greedy: one anchor per user (earliest). restart: every distinct
       // step-1 timestamp is an attempt anchor; the chain below is
@@ -412,6 +414,9 @@ object TemporalOps {
       best.select((col("__u").as(userCol) +:
         steps.indices.map(i => col(s"step_${i + 1}"))) :+
         col("steps_completed"): _*)
+    } catch { case t: Throwable =>
+      org.apache.spark.sql.graftshim.ColumnBridge.unpersistCheckpointed(base)
+      throw t
     }
     // materialize before freeing the checkpointed base (or defer for plan
     // inspection — see materializeAndFree)
@@ -448,7 +453,7 @@ object TemporalOps {
       .select(col(userCol).as("__u"), bucket.as("__p"))
       .distinct()
       .localCheckpoint(true)
-    val out = {
+    val out = try {
       val first = activity.groupBy(col("__u")).agg(min(col("__p")).as("__c"))
       val counts = activity.join(first, Seq("__u"))
         .groupBy(col("__c").as("cohort_start"),
@@ -462,6 +467,9 @@ object TemporalOps {
           col("n_cohort"),
           (col("n_active").cast("double") / col("n_cohort").cast("double"))
             .as("retention"))
+    } catch { case t: Throwable =>
+      org.apache.spark.sql.graftshim.ColumnBridge.unpersistCheckpointed(activity)
+      throw t
     }
     // materialize the (cohorts × offsets)-sized report before freeing the
     // activity projection (or defer for plan inspection)

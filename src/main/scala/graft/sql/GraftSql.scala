@@ -158,7 +158,24 @@ object GraftSql {
    * (link-graph centrality for domain-quality ranking; optional
    * edge-weight column) and
    * `quantize_int8(col:embedding[, out:q])` (per-vector int8 storage
-   * compression — struct(qmin, qscale, codes)).
+   * compression — struct(qmin, qscale, codes));
+   * temporal/event analytics: `funnel(steps:"a,b,c", window:3600
+   * [, user, ts, event, restart:true])` (greedy or windowed-re-entry),
+   * `retention(period:604800[, user, ts])`,
+   * `merge_intervals(keys:g, start:s, end:e[, skip_validate:true])`,
+   * `gap_fill(...)`, `rank_normalize(...)`, `spearman(...)`,
+   * `PROCESS before, after USING ks_drift(col:v[, bins:200])`;
+   * graph: `triangles(src, dst)`, `clustering_coeff(src, dst)`,
+   * `connected_components(src, dst[, max_iters:30])`,
+   * `PROCESS edges, seeds USING ppr(...)`, `label_propagation(...)`,
+   * `degrees(...)`, `kmeans_cluster(...)`;
+   * retrieval/scoring: `PROCESS corpus, queries USING bm25(k:10, ...)`,
+   * `containment_pairs(...)`, `trigram_score(...)`, `gopher_rules(...)`,
+   * `c4_clean(...)`, `link_graph(...)`;
+   * ops tooling: `key_skew(keys:"k"[, k:10])` (shuffle-key skew
+   * diagnostic) and `export_tar_shards(path:"...", id:doc_id,
+   * fields:"text=txt,image=jpg"[, n:16])` (WebDataset tar export;
+   * yields the CRC manifest frame).
    * User extensions with the same name win. */
   val builtinExtensions: Extensions = Extensions(outputters = Map(
     "assert_eq" -> OutputterDef { (dfs, params) =>

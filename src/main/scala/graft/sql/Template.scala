@@ -45,6 +45,10 @@ object Template {
    * Extends IllegalArgumentException so callers see one exception type. */
   private class SyntaxError(msg: String) extends IllegalArgumentException(msg)
 
+  /** Macro-call nesting bound (thread-local — render has no context arg). */
+  private val MaxMacroDepth = 64
+  private val macroDepth = new scala.util.DynamicVariable[Int](0)
+
   private case object Undefined
 
   // ---- template-level tokens ----
@@ -259,13 +263,14 @@ object Template {
     }
 
     private def parseSet(body: String): Node = {
-      // expression form: {% set name = expr %}
-      val eq = "^set\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*=\\s*(.+)$".r
+      // expression form: {% set name = expr %} — (?s) so a multi-line
+      // expression (valid jinja) parses like parseMacro's signature does
+      val eq = "(?s)^set\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*=\\s*(.+)$".r
       eq.findFirstMatchIn(body) match {
         case Some(m) => SetNode(m.group(1), ExprParser.parse(m.group(2)))
         case None =>
           // block form: {% set name %}...{% endset %} (rendered string)
-          val blk = "^set\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
+          val blk = "(?s)^set\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
           val name = blk.findFirstMatchIn(body).map(_.group(1))
             .getOrElse(throw new SyntaxError(
               s"malformed set tag '{% $body %}' (expected " +
@@ -363,7 +368,13 @@ object Template {
       private def peek: Option[ETok] = if (pos < toks.length) Some(toks(pos)) else None
       private def peek2: Option[ETok] =
         if (pos + 1 < toks.length) Some(toks(pos + 1)) else None
-      private def advance(): ETok = { val t = toks(pos); pos += 1; t }
+      private def advance(): ETok = {
+        // a clean SyntaxError, not an IndexOutOfBounds escape, on truncated
+        // input (trailing comma in a param list, '{{ m(a= }}', ...)
+        if (pos >= toks.length)
+          throw new SyntaxError(s"unexpected end of expression '$src'")
+        val t = toks(pos); pos += 1; t
+      }
       private def accept(op: String): Boolean = peek match {
         case Some(EOp(o)) if o == op => pos += 1; true
         case _ => false
@@ -705,9 +716,17 @@ object Template {
           }
         }
         // macro body is a scope: it sees the call-site env plus its
-        // parameters; its own assignments don't escape
+        // parameters; its own assignments don't escape. Depth-bounded so
+        // a self-recursive macro raises cleanly instead of blowing the
+        // caller's stack (jinja's RecursionError equivalent).
+        if (macroDepth.value >= MaxMacroDepth)
+          throw new IllegalArgumentException(
+            s"macro recursion deeper than $MaxMacroDepth (macro '$mname' " +
+              "calls itself, directly or mutually)")
         val out = new StringBuilder
-        renderNodes(body, env ++ bound, out)
+        macroDepth.withValue(macroDepth.value + 1) {
+          renderNodes(body, env ++ bound, out)
+        }
         out.toString
       case Undefined => throw new IllegalArgumentException(
         s"call of undefined macro${t match {
@@ -753,16 +772,16 @@ object Template {
         else throw new IllegalArgumentException(
           "sort filter needs a uniformly string or numeric list")
       case ("unique", s: Seq[_], _) => s.distinct
-      case ("min", s: Seq[_], _) if s.nonEmpty =>
-        if (s.forall(_.isInstanceOf[String])) s.asInstanceOf[Seq[String]].min
-        else if (s.forall(isNum)) s.minBy(num)
-        else throw new IllegalArgumentException(
-          "min filter needs a uniformly string or numeric list")
-      case ("max", s: Seq[_], _) if s.nonEmpty =>
-        if (s.forall(_.isInstanceOf[String])) s.asInstanceOf[Seq[String]].max
-        else if (s.forall(isNum)) s.maxBy(num)
-        else throw new IllegalArgumentException(
-          "max filter needs a uniformly string or numeric list")
+      case (agg @ ("min" | "max"), s: Seq[_], _) =>
+        if (s.isEmpty) throw new IllegalArgumentException(
+          s"$agg filter: sequence was empty")
+        else if (s.forall(_.isInstanceOf[String])) {
+          val ss = s.asInstanceOf[Seq[String]]
+          if (agg == "min") ss.min else ss.max
+        } else if (s.forall(isNum)) {
+          if (agg == "min") s.minBy(num) else s.maxBy(num)
+        } else throw new IllegalArgumentException(
+          s"$agg filter needs a uniformly string or numeric list")
       case ("sum", s: Seq[_], _) =>
         if (s.forall { case _: Long | _: Int => true; case _ => false })
           s.map { case l: Long => l; case i: Int => i.toLong }.sum

@@ -27,6 +27,22 @@ object ColumnBridge {
       .sessionState.catalog.defaultTablePath(ident)
   }
 
+  /** Executor-usable Hadoop configuration accessor: broadcasts the
+   * SESSION's Hadoop conf (spark.hadoop.* / core-site overlays included)
+   * behind a serializable closure, so per-partition sinks resolve paths
+   * against the same filesystem the driver does. `new Configuration()`
+   * inside a task loses every spark.hadoop.* setting — wrong fs.defaultFS,
+   * missing object-store credentials. (SerializableConfiguration is
+   * private[spark]; this shim is inside the package and may name it.) */
+  def hadoopConfAccessor(spark: org.apache.spark.sql.SparkSession)
+      : () => org.apache.hadoop.conf.Configuration = {
+    val bc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+          .sessionState.newHadoopConf()))
+    () => bc.value.value
+  }
+
   /** Eagerly free the blocks of a `localCheckpoint(true)`'d frame. The
    * checkpointed RDD sits behind a `LogicalRDD` plan node; unpersisting it
    * releases the block-store memory deterministically instead of waiting

@@ -314,6 +314,11 @@ class ApiSpec extends SparkTestBase {
       Set("a|1", "a|2", "b|1", "b|2"))
     intercept[IllegalArgumentException](DfUtils.keySkew(d, Seq.empty))
     intercept[IllegalArgumentException](DfUtils.keySkew(d, Seq("k"), 0))
+    // null key components render as the literal NULL token so distinct
+    // keys like (x, null) and (null, x) stay distinct display strings
+    val n = toDF(Seq(Seq("x", null), Seq(null, "x")), "a:str,b:str")
+    assert(DfUtils.keySkew(n, Seq("a", "b")).collect()
+      .map(_.getString(1)).toSet === Set("x|NULL", "NULL|x"))
   }
 
   test("Layout tar shards: WebDataset round trip, determinism, null fields, tamper") {
@@ -372,6 +377,23 @@ class ApiSpec extends SparkTestBase {
       Layout.exportTarShards(d.withColumn("f", col("id")), s"$dir/f", "id",
         Seq("f" -> "bin"), 2)
     }
+    // overwrite semantics: a smaller re-export removes orphan shards so
+    // loadTarShards cannot serve stale samples
+    val small = toDF(Seq(Seq(1L, "only")), "id:long,txt:str")
+    Layout.exportTarShards(small, s"$dir/a", "id", Seq("txt" -> "txt"), 1)
+    assert(Layout.loadTarShards(spark, s"$dir/a").count() === 1L)
+    assert(Layout.verifyTarShards(spark, s"$dir/a") === Seq.empty)
+    // duplicate sample ids: census counts distinct keys, verify agrees,
+    // and the byte-determinism contract holds (field-sorted ties)
+    val dup = toDF(Seq(Seq(1L, "b"), Seq(1L, "a"), Seq(2L, "c")),
+      "id:long,txt:str")
+    val md1 = Layout.exportTarShards(dup, s"$dir/g", "id",
+      Seq("txt" -> "txt"), 1)
+    val md2 = Layout.exportTarShards(dup, s"$dir/h", "id",
+      Seq("txt" -> "txt"), 1)
+    assert(md1.head._2 === 2L && md1.head._3 === 3L)
+    assert(md1 === md2)
+    assert(Layout.verifyTarShards(spark, s"$dir/g") === Seq.empty)
   }
 
   test("Layout.compact: fragmented shrinks toward target, compact untouched") {

@@ -186,6 +186,27 @@ class TemplateSpec extends AnyFunSuite {
       r("{% macro g() %}x")).getMessage.contains("endmacro"))
   }
 
+  test("review regressions: truncated exprs, multi-line set, recursion, empty min") {
+    // trailing comma / truncated call args raise cleanly, never an
+    // IndexOutOfBounds escape
+    for (bad <- Seq("{% macro f(a,) %}x{% endmacro %}",
+        "{% macro m(a) %}x{% endmacro %}{{ m(a= }}"))
+      intercept[IllegalArgumentException](r(bad))
+    // multi-line set expression parses like jinja (and like macro tags)
+    assert(r("{% set x = 1 +\n 2 %}{{ x }}") === "3")
+    assert(r("{% set q %}a\nb{% endset %}{{ q }}") === "a\nb")
+    // self-recursive macro raises a bounded error, not StackOverflowError
+    val rec = intercept[IllegalArgumentException](
+      r("{% macro f(a) %}{{ f(a) }}{% endmacro %}{{ f(1) }}"))
+    assert(rec.getMessage.contains("recursion"))
+    // bounded nesting still works
+    assert(r("{% macro g(a) %}{% if a > 0 %}{{ g(a - 1) }}{% else %}.{% endif %}{% endmacro %}{{ g(10) }}") === ".")
+    // empty-sequence min/max name the real cause
+    assert(intercept[IllegalArgumentException](
+      r("{{ xs | min }}", Map("xs" -> Seq.empty)))
+      .getMessage.contains("empty"))
+  }
+
   test("templated pipeline renders and runs end-to-end semantics") {
     // the rendered text IS the contract: check rendering of a realistic
     // multi-construct pipeline (execution is covered by GraftSqlSpec/q87)
