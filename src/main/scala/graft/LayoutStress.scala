@@ -47,6 +47,24 @@ object LayoutStress {
     println(s"LAYOUTSTRESS writeZ=${tZ.round}s writeSorted=${tS.round}s " +
       s"zorder: x=${xOnly(zs)}/64 y=${yOnly(zs)}/64 both=${both(zs)}/64 " +
       s"xsort: x=${xOnly(ss)}/64 y=${yOnly(ss)}/64 both=${both(ss)}/64")
+    // WebDataset tar export throughput: 2M samples x ~1 KB payload into
+    // 64 shards (~32 MB each), then the verify pass (full re-read + CRC).
+    // The per-task write is streaming, so the cost model is bytes out,
+    // not samples held
+    val payload = "x" * 1000
+    val docs = spark.range(2000000L).select(col("id"),
+      concat(lit(payload), col("id").cast("string")).as("text"))
+    val tarDir = s"$base/tar"
+    var manifest: Seq[(Int, Long, Long, String)] = Seq.empty
+    val tT = time { manifest = graft.operators.Layout.exportTarShards(
+      docs, tarDir, "id", Seq("text" -> "txt"), nShards = 64) }
+    val bytes = new java.io.File(tarDir).listFiles()
+      .filter(_.getName.endsWith(".tar")).map(_.length()).sum
+    val tV = time {
+      require(graft.operators.Layout.verifyTarShards(spark, tarDir).isEmpty)
+    }
+    println(f"TARSTRESS samples=${manifest.map(_._2).sum} shards=64 " +
+      f"bytes=${bytes / 1e6}%.0fMB write=$tT%.1fs verify=$tV%.1fs")
     spark.stop()
   }
 }
