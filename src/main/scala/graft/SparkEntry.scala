@@ -3611,7 +3611,8 @@ object SparkEntry {
         |SELECT CAST(r.rank AS BIGINT) AS rank, r.key, r.n,
         | CAST(r.n AS DOUBLE) / s.total AS frac,
         | s.n_keys, s.total,
-        | CAST(s.max_n * s.n_keys AS DOUBLE) / s.total AS skew
+        | (CAST(s.max_n AS DOUBLE) * CAST(s.n_keys AS DOUBLE))
+        |   / s.total AS skew
         |FROM r CROSS JOIN s WHERE r.rank <= 10""".stripMargin,
     "q115_connected_components" ->
       """WITH RECURSIVE raw AS (

@@ -274,11 +274,12 @@ object DfUtils {
    * `skew` = max key count / mean key count — 1.0 means perfectly
    * uniform; a join key with skew ≥ ~20 wants salting or AQE skew-join
    * splitting). Multi-column keys render as a '|'-joined string with null
-   * components rendered as the literal token `NULL` (concat_ws alone
+   * components rendered as `␀` (U+2400 SYMBOL FOR NULL — concat_ws alone
    * would DROP null components and their separator, collapsing distinct
-   * keys like (x, null, y) and (x, y, null) into one display string) — a
-   * display convention only; grouping happens on the raw columns first.
-   * Deterministic: ties in
+   * keys like (x, null, y) and (x, y, null) into one display string, and
+   * a plain "NULL" token would collide with a genuine "NULL" string
+   * value) — a display convention only; grouping happens on the raw
+   * columns first. Deterministic: ties in
    * count break by the rendered key ascending; `frac`/`skew` are single
    * IEEE divisions of exact longs.
    *
@@ -295,7 +296,7 @@ object DfUtils {
       .agg(count(lit(1)).as("n"))
       .select(
         concat_ws("|", keys.map(c =>
-          coalesce(col(c).cast("string"), lit("NULL"))): _*).as("key"),
+          coalesce(col(c).cast("string"), lit("␀"))): _*).as("key"),
         col("n"))
     val summary = counts.agg(count(lit(1)).as("n_keys"),
       sum(col("n")).as("total"), max(col("n")).as("max_n"))
@@ -307,7 +308,10 @@ object DfUtils {
       .select(col("rank").cast("long").as("rank"), col("key"), col("n"),
         (col("n").cast("double") / col("total").cast("double")).as("frac"),
         col("n_keys"), col("total"),
-        ((col("max_n") * col("n_keys")).cast("double") /
+        // each factor to double BEFORE multiplying: max_n * n_keys as a
+        // long product overflows on exactly the huge skewed corpora this
+        // diagnostic targets (1e11-row hot key x 1e9 keys > Long.Max)
+        ((col("max_n").cast("double") * col("n_keys").cast("double")) /
           col("total").cast("double")).as("skew"))
   }
 }

@@ -143,7 +143,7 @@ object Layout {
     // would hit the ANSI overflow error after a handful of random 64-bit
     // hashes; decimal(38,0) holds ~10^19 rows without wrapping)
     val p = new org.apache.hadoop.fs.Path(path, "_manifest.json")
-    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val fs = p.getFileSystem(org.apache.spark.sql.graftshim.ColumnBridge.sessionHadoopConf(df.sparkSession))
     val out = fs.create(p, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
     manifest
@@ -155,7 +155,7 @@ object Layout {
   def verifyShards(spark: org.apache.spark.sql.SparkSession,
       path: String): Seq[Int] = {
     val p = new org.apache.hadoop.fs.Path(path, "_manifest.json")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = p.getFileSystem(org.apache.spark.sql.graftshim.ColumnBridge.sessionHadoopConf(spark))
     val in = fs.open(p)
     val json = try new String(in.readAllBytes(), "UTF-8") finally in.close()
     val entry = """\{"shard": (\d+), "rows": (\d+), "checksum": "(-?\d+)"\}""".r
@@ -222,17 +222,26 @@ object Layout {
    * across workers by FILE, so the shard count is the read parallelism).
    * `fields` maps columns to entry extensions: binary columns write raw
    * bytes, string columns write UTF-8; a NULL field value writes no entry
-   * (the WebDataset missing-field convention); a NULL sample id fails
+   * (the WebDataset missing-field convention — a row whose fields are ALL
+   * null therefore contributes no sample at all); a NULL sample id fails
    * loudly (a silently dropped sample corrupts the dataset census).
-   * Duplicate sample ids are allowed (their entry groups stay adjacent —
-   * the WebDataset reader contract) and the census counts DISTINCT keys.
-   * Entries are mod-time-zero and (key, fields)-sorted, so a re-export of
-   * identical data is BYTE-identical — shard checksums are comparable
-   * across runs. Overwrite semantics like the parquet [[exportShards]]:
-   * stale `shard-*.tar` files and the manifest at `path` are deleted
-   * first, so a re-export of fewer shards can't leave orphans for
-   * [[loadTarShards]] to silently serve. Writes `_tar_manifest.json`;
-   * returns per-shard (shard, samples, entries, crc32).
+   * Duplicate sample ids are allowed only when their non-null fields are
+   * DISJOINT (the rows merge into one sample, entry groups adjacent);
+   * a duplicate (id, extension) pair fails loudly — real WebDataset
+   * readers reject a repeated suffix within one sample, so writing it
+   * would produce shards that crash the training job at read time.
+   * The census counts distinct sample keys that wrote ≥ 1 entry, exactly
+   * what [[verifyTarShards]] recounts. Entries are mod-time-zero and
+   * (key, fields)-sorted, so a re-export of identical data is
+   * BYTE-identical — shard checksums are comparable across runs.
+   * Overwrite semantics like the parquet [[exportShards]]: stale
+   * `shard-*.tar` files and the manifest at `path` are deleted first.
+   * The manifest is written LAST, only after every task succeeded, and
+   * [[loadTarShards]]/[[verifyTarShards]] REQUIRE it — so an
+   * interrupted re-export (old data already deleted, some shards
+   * written) reads as a loud missing-manifest error, never as a
+   * silently smaller dataset. Writes `_tar_manifest.json`; returns
+   * per-shard (shard, samples, entries, crc32).
    *
    * Scale: one hash exchange on the sample key (same placement as
    * [[exportShards]]), then each task STREAMS its rows into tar files —
@@ -274,10 +283,12 @@ object Layout {
         }): _*)
     val exts = fields.map(_._2)
     // overwrite: drop stale shard files + manifest BEFORE writing, so a
-    // smaller re-export cannot leave orphan shards behind
+    // smaller re-export cannot leave orphan shards behind. Driver-side
+    // path resolution uses the SESSION conf — the same one the tasks get.
     val dirPath = new org.apache.hadoop.fs.Path(path)
     val dirFs = dirPath.getFileSystem(
-      df.sparkSession.sparkContext.hadoopConfiguration)
+      org.apache.spark.sql.graftshim.ColumnBridge
+        .sessionHadoopConf(df.sparkSession))
     if (dirFs.exists(dirPath)) {
       listTarShards(df.sparkSession, path)
         .foreach { case (_, p) =>
@@ -291,14 +302,29 @@ object Layout {
     // the configured FS
     val getConf = org.apache.spark.sql.graftshim.ColumnBridge
       .hadoopConfAccessor(df.sparkSession)
-    val results = proj
-      .repartition(nShards, col("__shard"))
-      // sort by the field bytes too: duplicate keys then have a total
-      // deterministic order, keeping re-export checksums byte-identical
-      .sortWithinPartitions(
-        (col("__shard") +: col("__key") +:
-          fields.indices.map(i => col(s"__f$i"))): _*)
-      .rdd.mapPartitions { rows =>
+    // EXACT shard→task placement: hashing the already-computed shard id
+    // (plain repartition) collides ~37% of shard values into shared
+    // tasks (balls into bins) and strands the export on the busiest
+    // writer; repartitionByRange would fix placement but pays an extra
+    // sampling scan of the corpus. An identity partitioner with
+    // shuffle-time sorting gives one shard per task in ONE pass. The
+    // sort key's third component is a hash over (key, fields) so
+    // duplicate keys get a deterministic total order — re-export
+    // checksums stay byte-identical.
+    val ord = proj.withColumn("__ord",
+      xxhash64((col("__key") +:
+        fields.indices.map(i => col(s"__f$i"))): _*))
+    val identityOnShard = new org.apache.spark.Partitioner {
+      override def numPartitions: Int = nShards
+      override def getPartition(key: Any): Int =
+        key.asInstanceOf[(Int, String, Long)]._1
+    }
+    val nCols = ord.columns.length
+    val results = ord.rdd
+      .map(r => ((r.getInt(0), r.getString(1), r.getLong(nCols - 1)), r))
+      .repartitionAndSortWithinPartitions(identityOnShard)
+      .values
+      .mapPartitions { rows =>
         // imperative per-partition sink (the RDD escape hatch's intended
         // use): stream rows into one tar per shard value held by this
         // task — hash partitioning gives each shard value to exactly one
@@ -310,6 +336,8 @@ object Layout {
         var samples = 0L
         var entries = 0L
         var lastKey: String = null
+        var keyWrote = false
+        val keyExts = scala.collection.mutable.HashSet.empty[String]
         var crc: java.util.zip.CRC32 = null
         def closeShard(): Unit = if (tar != null) {
           tar.finish(); tar.close()
@@ -330,12 +358,18 @@ object Layout {
               .TarArchiveOutputStream.LONGFILE_POSIX)
           }
           val k = r.getString(1)
-          // census counts DISTINCT keys (rows are key-sorted, so a run
-          // check suffices) — matches verifyTarShards' recount exactly
-          // even when duplicate sample ids exist
-          if (k != lastKey) { samples += 1; lastKey = k }
+          if (k != lastKey) { lastKey = k; keyWrote = false; keyExts.clear() }
           exts.zipWithIndex.foreach { case (ext, i) =>
             if (!r.isNullAt(2 + i)) {
+              // a repeated suffix within one sample crashes real
+              // WebDataset readers at train time — fail at WRITE time
+              if (!keyExts.add(ext)) throw new IllegalStateException(
+                s"exportTarShards: duplicate entry '$k.$ext' — rows " +
+                  "sharing a sample id must carry disjoint non-null fields")
+              // census: a sample exists once it writes its FIRST entry
+              // (a row whose fields are all null contributes no sample),
+              // exactly what verifyTarShards recounts from the entries
+              if (!keyWrote) { samples += 1; keyWrote = true }
               val bytes = r.getAs[Array[Byte]](2 + i)
               val name = s"$k.$ext"
               val entry = new org.apache.commons.compress.archivers.tar
@@ -358,7 +392,7 @@ object Layout {
       s"""{"shard": $s, "samples": $n, "entries": $e, "crc": "$c"}"""
     }.mkString("[\n  ", ",\n  ", "\n]")
     val mp = new org.apache.hadoop.fs.Path(path, "_tar_manifest.json")
-    val fs = mp.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val fs = mp.getFileSystem(org.apache.spark.sql.graftshim.ColumnBridge.sessionHadoopConf(df.sparkSession))
     val os = fs.create(mp, true)
     try os.write(json.getBytes("UTF-8")) finally os.close()
     results
@@ -376,7 +410,16 @@ object Layout {
       }
       override def next(): (String, String, Array[Byte]) = {
         val name = nextEntry.getName
-        val bytes = tis.readNBytes(nextEntry.getSize.toInt)
+        val size = nextEntry.getSize
+        // a corrupted header's size field must surface as the IOException
+        // the verify pass converts to a per-shard mismatch verdict —
+        // readNBytes(negative) would throw IllegalArgumentException and
+        // fail the whole job instead
+        if (size < 0 || size > Int.MaxValue) throw new java.io.IOException(
+          s"corrupt tar entry '$name': size $size out of range")
+        val bytes = tis.readNBytes(size.toInt)
+        if (bytes.length != size) throw new java.io.IOException(
+          s"corrupt tar entry '$name': truncated at ${bytes.length}/$size")
         nextEntry = tis.getNextEntry
         val dot = name.lastIndexOf('.')
         if (dot <= 0) (name, "", bytes)
@@ -384,11 +427,27 @@ object Layout {
       }
     }
 
+  /** Shard ids listed in `_tar_manifest.json`; throws (with a pointed
+   * message) if the manifest is absent — the export never completed. */
+  private def tarManifestShards(spark: org.apache.spark.sql.SparkSession,
+      path: String): Set[Int] = {
+    val mp = new org.apache.hadoop.fs.Path(path, "_tar_manifest.json")
+    val fs = mp.getFileSystem(
+      org.apache.spark.sql.graftshim.ColumnBridge.sessionHadoopConf(spark))
+    if (!fs.exists(mp)) throw new java.io.FileNotFoundException(
+      s"$mp: no tar manifest — the export at $path never completed " +
+        "(the manifest is written last); re-run exportTarShards")
+    val in = fs.open(mp)
+    val json = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    """"shard": (\d+)""".r.findAllMatchIn(json).map(_.group(1).toInt).toSet
+  }
+
   /** List a tar-shard directory's shard files as (shard, path) pairs. */
   private def listTarShards(spark: org.apache.spark.sql.SparkSession,
       path: String): Seq[(Int, String)] = {
     val dir = new org.apache.hadoop.fs.Path(path)
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = dir.getFileSystem(
+      org.apache.spark.sql.graftshim.ColumnBridge.sessionHadoopConf(spark))
     val pat = """shard-(\d+)\.tar""".r
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).toSeq.flatMap { st =>
@@ -404,11 +463,20 @@ object Layout {
    * per tar ENTRY; reassemble samples with
    * `groupBy(key).pivot(ext)` or a map aggregate downstream. Shard files
    * parse in parallel (one task per file — the WebDataset read-parallelism
-   * contract), each streamed entry by entry.
+   * contract), each streamed entry by entry. REQUIRES the manifest: it is
+   * written last by a successful export, so its absence means an
+   * interrupted/partial export — loading would silently serve a subset
+   * of the dataset. Only manifested shard ids are read (an orphan file
+   * is verifyTarShards' business, not training input).
    */
   def loadTarShards(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
-    val files = listTarShards(spark, path)
+    val manifested = tarManifestShards(spark, path)
+    val files = listTarShards(spark, path).filter(f => manifested(f._1))
+    val missing = manifested -- files.map(_._1)
+    require(missing.isEmpty,
+      s"loadTarShards: manifest lists shard(s) ${missing.toSeq.sorted.mkString(", ")} " +
+        s"but the file(s) are absent at $path — the export is damaged")
     val getConf = org.apache.spark.sql.graftshim.ColumnBridge
       .hadoopConfAccessor(spark)
     val rdd = spark.sparkContext
@@ -432,7 +500,7 @@ object Layout {
   def verifyTarShards(spark: org.apache.spark.sql.SparkSession,
       path: String): Seq[Int] = {
     val mp = new org.apache.hadoop.fs.Path(path, "_tar_manifest.json")
-    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = mp.getFileSystem(org.apache.spark.sql.graftshim.ColumnBridge.sessionHadoopConf(spark))
     val in = fs.open(mp)
     val json = try new String(in.readAllBytes(), "UTF-8") finally in.close()
     val entry =
@@ -462,7 +530,11 @@ object Layout {
           }
           shard -> ((samples, entries, java.lang.Long.toString(crc.getValue)))
         } catch {
-          case _: java.io.IOException => shard -> ((-1L, -1L, "corrupt"))
+          // any parse failure (IOException from our size guards, or
+          // whatever commons-compress throws on a mangled header) is a
+          // per-shard mismatch verdict, never a job failure
+          case scala.util.control.NonFatal(_) =>
+            shard -> ((-1L, -1L, "corrupt"))
         }
       }.collect().toMap
     (want.keySet ++ got.keySet).toSeq.sorted

@@ -38,10 +38,19 @@ object ColumnBridge {
       : () => org.apache.hadoop.conf.Configuration = {
     val bc = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(
-        spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-          .sessionState.newHadoopConf()))
+        sessionHadoopConf(spark)))
     () => bc.value.value
   }
+
+  /** The SESSION's Hadoop conf for DRIVER-side path resolution — the same
+   * overlay the executor accessor above broadcasts, so driver-written
+   * manifests and task-written data always land on the same filesystem
+   * (sparkContext.hadoopConfiguration misses session-level
+   * spark.hadoop.* overrides). */
+  def sessionHadoopConf(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.hadoop.conf.Configuration =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.newHadoopConf()
 
   /** Eagerly free the blocks of a `localCheckpoint(true)`'d frame. The
    * checkpointed RDD sits behind a `LogicalRDD` plan node; unpersisting it

@@ -314,11 +314,13 @@ class ApiSpec extends SparkTestBase {
       Set("a|1", "a|2", "b|1", "b|2"))
     intercept[IllegalArgumentException](DfUtils.keySkew(d, Seq.empty))
     intercept[IllegalArgumentException](DfUtils.keySkew(d, Seq("k"), 0))
-    // null key components render as the literal NULL token so distinct
-    // keys like (x, null) and (null, x) stay distinct display strings
-    val n = toDF(Seq(Seq("x", null), Seq(null, "x")), "a:str,b:str")
+    // null key components render as U+2400 so distinct keys like
+    // (x, null) and (null, x) stay distinct display strings — and a
+    // genuine "NULL" string value cannot collide with a real null
+    val n = toDF(Seq(Seq("x", null), Seq(null, "x"), Seq("NULL", "x")),
+      "a:str,b:str")
     assert(DfUtils.keySkew(n, Seq("a", "b")).collect()
-      .map(_.getString(1)).toSet === Set("x|NULL", "NULL|x"))
+      .map(_.getString(1)).toSet === Set("x|␀", "␀|x", "NULL|x"))
   }
 
   test("Layout tar shards: WebDataset round trip, determinism, null fields, tamper") {
@@ -383,17 +385,36 @@ class ApiSpec extends SparkTestBase {
     Layout.exportTarShards(small, s"$dir/a", "id", Seq("txt" -> "txt"), 1)
     assert(Layout.loadTarShards(spark, s"$dir/a").count() === 1L)
     assert(Layout.verifyTarShards(spark, s"$dir/a") === Seq.empty)
-    // duplicate sample ids: census counts distinct keys, verify agrees,
-    // and the byte-determinism contract holds (field-sorted ties)
-    val dup = toDF(Seq(Seq(1L, "b"), Seq(1L, "a"), Seq(2L, "c")),
-      "id:long,txt:str")
+    // duplicate sample ids with DISJOINT non-null fields merge into one
+    // sample; census counts keys-with-entries, verify agrees, and the
+    // byte-determinism contract holds (hash-ordered ties); a row whose
+    // fields are ALL null contributes no sample at all
+    val dup = toDF(Seq(
+      Seq(1L, "a", null), Seq(1L, null, "p".getBytes("UTF-8")),
+      Seq(2L, "c", null), Seq(3L, null, null)),
+      "id:long,txt:str,img:bytes")
     val md1 = Layout.exportTarShards(dup, s"$dir/g", "id",
-      Seq("txt" -> "txt"), 1)
+      Seq("txt" -> "txt", "img" -> "bin"), 1)
     val md2 = Layout.exportTarShards(dup, s"$dir/h", "id",
-      Seq("txt" -> "txt"), 1)
-    assert(md1.head._2 === 2L && md1.head._3 === 3L)
+      Seq("txt" -> "txt", "img" -> "bin"), 1)
+    assert(md1.head._2 === 2L && md1.head._3 === 3L) // id=3 is no sample
     assert(md1 === md2)
     assert(Layout.verifyTarShards(spark, s"$dir/g") === Seq.empty)
+    // a duplicate (id, extension) pair would crash real WebDataset
+    // readers at train time — it must fail at WRITE time
+    val clash = toDF(Seq(Seq(1L, "b"), Seq(1L, "a")), "id:long,txt:str")
+    val dupErr = intercept[Exception] {
+      Layout.exportTarShards(clash, s"$dir/i", "id", Seq("txt" -> "txt"), 1)
+    }
+    assert(stackMessages(dupErr).contains("duplicate entry"), dupErr.toString)
+    // loadTarShards refuses a manifest-less (interrupted) export
+    val orphanDir = java.nio.file.Files.createTempDirectory("graft_orphan")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/g/shard-00000.tar"),
+      orphanDir.resolve("shard-00000.tar"))
+    intercept[java.io.FileNotFoundException] {
+      Layout.loadTarShards(spark, orphanDir.toString)
+    }
   }
 
   test("Layout.compact: fragmented shrinks toward target, compact untouched") {
