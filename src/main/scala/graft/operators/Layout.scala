@@ -302,29 +302,34 @@ object Layout {
     // the configured FS
     val getConf = org.apache.spark.sql.graftshim.ColumnBridge
       .hadoopConfAccessor(df.sparkSession)
-    // EXACT shard→task placement: hashing the already-computed shard id
-    // (plain repartition) collides ~37% of shard values into shared
-    // tasks (balls into bins) and strands the export on the busiest
-    // writer; repartitionByRange would fix placement but pays an extra
-    // sampling scan of the corpus. An identity partitioner with
-    // shuffle-time sorting gives one shard per task in ONE pass. The
-    // sort key's third component is a hash over (key, fields) so
-    // duplicate keys get a deterministic total order — re-export
-    // checksums stay byte-identical.
-    val ord = proj.withColumn("__ord",
-      xxhash64((col("__key") +:
-        fields.indices.map(i => col(s"__f$i"))): _*))
-    val identityOnShard = new org.apache.spark.Partitioner {
-      override def numPartitions: Int = nShards
-      override def getPartition(key: Any): Int =
-        key.asInstanceOf[(Int, String, Long)]._1
+    // EXACT shard→task placement WITHOUT leaving Tungsten: hashing the
+    // already-computed shard id (plain repartition) collides ~37% of
+    // shard values into shared tasks (balls into bins) and strands the
+    // export on the busiest writer; an RDD identity partitioner fixes
+    // placement but pays the Java-serialized pair shuffle (~2× measured);
+    // repartitionByRange pays an extra sampling scan. Instead, find for
+    // each shard id a SALT int whose Murmur3 hash (Spark's hash
+    // partitioning function, seed 42) lands on exactly that partition,
+    // and repartition on the mapped salt — identity placement through
+    // the ordinary UnsafeRow shuffle. The driver search is ~nShards²
+    // hashInt calls, microseconds.
+    val salts = Array.tabulate(nShards) { s =>
+      var x = 0
+      while (((org.apache.spark.unsafe.hash.Murmur3_x86_32
+        .hashInt(x, 42) % nShards) + nShards) % nShards != s) x += 1
+      x
     }
-    val nCols = ord.columns.length
-    val results = ord.rdd
-      .map(r => ((r.getInt(0), r.getString(1), r.getLong(nCols - 1)), r))
-      .repartitionAndSortWithinPartitions(identityOnShard)
-      .values
-      .mapPartitions { rows =>
+    val results = proj
+      // deterministic tie order for duplicate keys via one 8-byte hash
+      // over (key, fields) — sorting on the raw payload bytes would make
+      // every sort compare walk kilobyte values
+      .withColumn("__ord",
+        xxhash64((col("__key") +:
+          fields.indices.map(i => col(s"__f$i"))): _*))
+      .repartition(nShards,
+        element_at(lit(salts), col("__shard") + 1))
+      .sortWithinPartitions(col("__shard"), col("__key"), col("__ord"))
+      .rdd.mapPartitions { rows =>
         // imperative per-partition sink (the RDD escape hatch's intended
         // use): stream rows into one tar per shard value held by this
         // task — hash partitioning gives each shard value to exactly one
