@@ -61,6 +61,20 @@ object GraphStress {
     }
     println(f"CCSTRESS edges=$nEdges nodes=$nNodes time=$tCc%.1f " +
       f"components=$nComp giant=$giant")
+    // adversarial diameter: a single 1M-node PATH. Plain hash-min needs
+    // 1M rounds (one hop per round); the pointer jump must close it
+    // within the default 30-round budget — this is the O(log n) claim
+    // measured, not asserted
+    val chain = spark.range(999999L)
+      .select(col("id").as("src"), (col("id") + 1).as("dst"))
+    var chainOk = false
+    val tChain = time {
+      val cc = graft.operators.Graph.connectedComponents(chain, "src", "dst")
+      val census = cc.agg(countDistinct(col("comp")), count(lit(1))).collect()(0)
+      chainOk = census.getLong(0) == 1L && census.getLong(1) == 1000000L
+    }
+    println(f"CCCHAINSTRESS nodes=1000000 diameter=999999 " +
+      f"time=$tChain%.1f one_component=$chainOk")
     spark.stop()
   }
 }
