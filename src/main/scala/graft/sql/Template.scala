@@ -577,6 +577,10 @@ object Template {
       val items: Seq[Any] = eval(listE, env) match {
         case s: Seq[_] => s
         case a: Array[_] => a.toSeq
+        // jinja iterates a mapping's KEYS (use attr/index access in the
+        // body for the values) — must precede the generic Iterable case,
+        // which would yield (k, v) tuples
+        case m: Map[_, _] => m.keys.toSeq
         case it: Iterable[_] => it.toSeq
         case s: String => s.map(_.toString)
         case Undefined | null => throw new IllegalArgumentException(

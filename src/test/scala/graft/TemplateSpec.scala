@@ -205,6 +205,10 @@ class TemplateSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException](
       r("{{ xs | min }}", Map("xs" -> Seq.empty)))
       .getMessage.contains("empty"))
+    // for over a mapping iterates KEYS (jinja), not (k, v) tuples
+    assert(r("{% for k in m %}{{ k }}={{ m[k] }};{% endfor %}",
+      Map("m" -> scala.collection.immutable.ListMap("a" -> 1L, "b" -> 2L)))
+      === "a=1;b=2;")
   }
 
   test("templated pipeline renders and runs end-to-end semantics") {
