@@ -283,21 +283,33 @@ object DfUtils {
    * count break by the rendered key ascending; `frac`/`skew` are single
    * IEEE divisions of exact longs.
    *
-   * Scale: one hash aggregate (map-side partials) to key counts, a
-   * distributed top-K (TakeOrderedAndProject — never a global sort), a
-   * three-scalar summary aggregate broadcast back, and ONE bounded
-   * window (rank over the already-truncated ≤ topK rows).
+   * Scale: ONE hash aggregate of the input (map-side partials) to key
+   * counts, materialized once (eager localCheckpoint — one row per
+   * DISTINCT key, the small frame); the summary aggregate and the
+   * distributed top-K (TakeOrderedAndProject — never a global sort) both
+   * read that materialization, so the input is scanned exactly once. The
+   * only window ranks the already-truncated ≤ topK rows. The checkpoint
+   * blocks are released by the ContextCleaner when the result frame is
+   * garbage-collected.
    */
   def keySkew(df: DataFrame, keys: Seq[String], topK: Int = 10): DataFrame = {
     import org.apache.spark.sql.functions._
     require(keys.nonEmpty, "keySkew needs >= 1 key column")
     require(topK >= 1, s"topK must be >= 1, got $topK")
-    val counts = df.groupBy(keys.map(col): _*)
+    val countsPlan = df.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n"))
       .select(
         concat_ws("|", keys.map(c =>
           coalesce(col(c).cast("string"), lit("␀"))): _*).as("key"),
         col("n"))
+    // materialize once so summary + top-K share one input scan; under the
+    // plan-inspection conf the full chain stays visible (two scans there —
+    // harness only, mirrors TemporalOps.materializeAndFree)
+    val counts =
+      if (df.sparkSession.conf
+          .getOption("graft.explain.deferCheckpoint").contains("true"))
+        countsPlan
+      else countsPlan.localCheckpoint(true)
     val summary = counts.agg(count(lit(1)).as("n_keys"),
       sum(col("n")).as("total"), max(col("n")).as("max_n"))
     val top = counts.orderBy(col("n").desc, col("key").asc).limit(topK)

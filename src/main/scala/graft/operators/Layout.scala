@@ -236,7 +236,15 @@ object Layout {
    * BYTE-identical — shard checksums are comparable across runs.
    * Overwrite semantics like the parquet [[exportShards]]: stale
    * `shard-*.tar` files and the manifest at `path` are deleted first.
-   * The manifest is written LAST, only after every task succeeded, and
+   * Task-commit protocol: each shard streams to an ATTEMPT-UNIQUE temp
+   * path under `path/_tmp/` and renames into place only after
+   * `tar.close()` — a speculative or zombie retried attempt can never
+   * interleave bytes into the final file (rename is atomic on
+   * HDFS/local); whichever complete attempt renames first wins, and
+   * because entries are deterministically sorted and mod-time-zero the
+   * competing attempts' bytes are IDENTICAL, so the manifest CRC
+   * (collected from the attempt Spark kept) always describes the file
+   * on disk. The manifest is written LAST, only after every task succeeded, and
    * [[loadTarShards]]/[[verifyTarShards]] REQUIRE it — so an
    * interrupted re-export (old data already deleted, some shards
    * written) reads as a loud missing-manifest error, never as a
@@ -295,6 +303,8 @@ object Layout {
           dirFs.delete(new org.apache.hadoop.fs.Path(p), false) }
       dirFs.delete(new org.apache.hadoop.fs.Path(path, "_tar_manifest.json"),
         false)
+      // stale temp dir from an interrupted earlier export
+      dirFs.delete(new org.apache.hadoop.fs.Path(path, "_tmp"), true)
     }
     // the session's Hadoop conf, broadcast — a bare `new Configuration()`
     // in the task would lose spark.hadoop.* (wrong fs.defaultFS, missing
@@ -335,9 +345,16 @@ object Layout {
         // task — hash partitioning gives each shard value to exactly one
         // task, a task may hold several shard values
         val conf = getConf()
+        // attempt-unique temp names make concurrent attempts (speculation,
+        // zombie retries) write DISJOINT files; the rename after close is
+        // the commit point — a final path only ever holds complete bytes
+        val attemptId = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
         val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, String)]
         var shard = -1
         var tar: org.apache.commons.compress.archivers.tar.TarArchiveOutputStream = null
+        var tmpPath: org.apache.hadoop.fs.Path = null
+        var fs: org.apache.hadoop.fs.FileSystem = null
         var samples = 0L
         var entries = 0L
         var lastKey: String = null
@@ -346,6 +363,15 @@ object Layout {
         var crc: java.util.zip.CRC32 = null
         def closeShard(): Unit = if (tar != null) {
           tar.finish(); tar.close()
+          val dst = new org.apache.hadoop.fs.Path(tarShardPath(path, shard))
+          if (!fs.rename(tmpPath, dst)) {
+            // a competing attempt already committed this shard: its bytes
+            // are identical by construction (deterministic sort, zero
+            // mod-times) — drop our copy. Any other rename failure is real.
+            if (fs.exists(dst)) fs.delete(tmpPath, false)
+            else throw new java.io.IOException(
+              s"exportTarShards: rename $tmpPath -> $dst failed")
+          }
           out += ((shard, samples, entries, java.lang.Long.toString(crc.getValue)))
           tar = null
         }
@@ -355,10 +381,11 @@ object Layout {
             closeShard()
             shard = s; samples = 0L; entries = 0L; lastKey = null
             crc = new java.util.zip.CRC32()
-            val p = new org.apache.hadoop.fs.Path(tarShardPath(path, s))
-            val fs = p.getFileSystem(conf)
+            tmpPath = new org.apache.hadoop.fs.Path(
+              f"$path/_tmp/shard-$s%05d.tar.attempt-$attemptId")
+            fs = tmpPath.getFileSystem(conf)
             tar = new org.apache.commons.compress.archivers.tar.TarArchiveOutputStream(
-              fs.create(p, true))
+              fs.create(tmpPath, true))
             tar.setLongFileMode(org.apache.commons.compress.archivers.tar
               .TarArchiveOutputStream.LONGFILE_POSIX)
           }
@@ -393,6 +420,9 @@ object Layout {
         closeShard()
         out.iterator
       }.collect().sortBy(_._1).toSeq
+    // every task committed (renamed) its shards — drop the temp dir with
+    // any uncommitted zombie-attempt leftovers, then publish the manifest
+    dirFs.delete(new org.apache.hadoop.fs.Path(path, "_tmp"), true)
     val json = results.map { case (s, n, e, c) =>
       s"""{"shard": $s, "samples": $n, "entries": $e, "crc": "$c"}"""
     }.mkString("[\n  ", ",\n  ", "\n]")
@@ -404,14 +434,20 @@ object Layout {
   }
 
   /** Parse one tar stream into (key, ext, content) triples (streaming —
-   * one entry in memory at a time). Entry names split at the LAST dot. */
-  private def parseTar(in: java.io.InputStream): Iterator[(String, String, Array[Byte])] =
-    new Iterator[(String, String, Array[Byte])] {
+   * one entry in memory at a time). Entry names split at the LAST dot.
+   * Closeable so a consumer that stops EARLY (a `limit()` downstream, an
+   * exception between entries) can release the underlying
+   * FSDataInputStream instead of leaking it for the rest of the task;
+   * exhausting the iterator closes it automatically. */
+  private final class TarEntryIterator(in: java.io.InputStream)
+      extends Iterator[(String, String, Array[Byte])] with java.io.Closeable {
       private val tis =
         new org.apache.commons.compress.archivers.tar.TarArchiveInputStream(in)
       private var nextEntry = tis.getNextEntry
+      private var closed = false
+      override def close(): Unit = if (!closed) { closed = true; tis.close() }
       override def hasNext: Boolean = {
-        if (nextEntry == null) { tis.close(); false } else true
+        if (nextEntry == null) { close(); false } else true
       }
       override def next(): (String, String, Array[Byte]) = {
         val name = nextEntry.getName
@@ -430,7 +466,7 @@ object Layout {
         if (dot <= 0) (name, "", bytes)
         else (name.substring(0, dot), name.substring(dot + 1), bytes)
       }
-    }
+  }
 
   /** Shard ids listed in `_tar_manifest.json`; throws (with a pointed
    * message) if the manifest is absent — the export never completed. */
@@ -488,9 +524,19 @@ object Layout {
       .parallelize(files, math.max(1, files.size))
       .mapPartitions { it =>
         val conf = getConf()
+        // at most one tar is open at a time (flatMap drains each inner
+        // iterator before opening the next); the completion listener
+        // closes the in-flight one when the task ends EARLY (limit,
+        // exception) — exhaustion already self-closes
+        var current: TarEntryIterator = null
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+          if (current != null) current.close()
+        }
         it.flatMap { case (shard, p) =>
           val hp = new org.apache.hadoop.fs.Path(p)
-          parseTar(hp.getFileSystem(conf).open(hp)).map { case (k, e, b) =>
+          current = new TarEntryIterator(hp.getFileSystem(conf).open(hp))
+          current.map { case (k, e, b) =>
             org.apache.spark.sql.Row(shard, k, e, b)
           }
         }
@@ -501,7 +547,14 @@ object Layout {
   /** Recompute every shard's (samples, entries, crc32) from the written
    * tar files and compare with `_tar_manifest.json`; returns the
    * mismatching shard ids (missing files and unmanifested files count as
-   * mismatches; empty = intact). */
+   * mismatches; empty = intact).
+   *
+   * Memory note: the sample recount keys a per-shard HashSet of distinct
+   * sample ids — bounded by SAMPLES PER SHARD, not bytes. At the
+   * recommended 0.1–1 GB shard rotation this is thousands of keys; a
+   * pathological shard of millions of tiny samples makes the verify task
+   * hold every key string of that one shard (export with more shards if
+   * that bites). */
   def verifyTarShards(spark: org.apache.spark.sql.SparkSession,
       path: String): Seq[Int] = {
     val mp = new org.apache.hadoop.fs.Path(path, "_tar_manifest.json")
@@ -526,9 +579,11 @@ object Layout {
         var entries = 0L
         val seen = scala.collection.mutable.HashSet.empty[String]
         // a truncated/corrupt tar throws mid-parse — that's a mismatch
-        // verdict for this shard, not a job failure
+        // verdict for this shard, not a job failure (the stream still
+        // closes on that path via the finally)
+        val itr = new TarEntryIterator(hp.getFileSystem(conf).open(hp))
         try {
-          parseTar(hp.getFileSystem(conf).open(hp)).foreach { case (k, e, b) =>
+          itr.foreach { case (k, e, b) =>
             crc.update(s"$k.$e".getBytes("UTF-8")); crc.update(b)
             entries += 1
             if (seen.add(k)) samples += 1
@@ -540,7 +595,7 @@ object Layout {
           // per-shard mismatch verdict, never a job failure
           case scala.util.control.NonFatal(_) =>
             shard -> ((-1L, -1L, "corrupt"))
-        }
+        } finally itr.close()
       }.collect().toMap
     (want.keySet ++ got.keySet).toSeq.sorted
       .filter(s => got.get(s) != want.get(s))

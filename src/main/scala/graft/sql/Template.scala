@@ -71,9 +71,16 @@ object Template {
   private case class MacroNode(name: String,
       params: List[(String, Option[Expr])], body: List[Node]) extends Node
 
-  /** A defined macro, stored as an env value so calls resolve by name. */
+  /** A defined macro, stored as an env value so calls resolve by name.
+   * `defEnv` is the environment captured at the `{% macro %}` tag —
+   * jinja2 macros are CLOSURES over their definition context (globals +
+   * any `{% set %}` before the definition) and explicitly cannot see the
+   * caller's locals; it includes the macro itself so self-recursion
+   * resolves (a `var` only because the binding is necessarily cyclic). */
   private case class MacroVal(name: String,
-      params: List[(String, Option[Expr])], body: List[Node])
+      params: List[(String, Option[Expr])], body: List[Node]) {
+    var defEnv: Map[String, Any] = Map.empty
+  }
 
   private sealed trait Expr
   private case class Lit(v: Any) extends Expr
@@ -609,7 +616,10 @@ object Template {
       renderNodes(body, env, inner)
       env + (name -> inner.toString)
     case MacroNode(name, params, body) =>
-      env + (name -> MacroVal(name, params, body))
+      val mv = MacroVal(name, params, body)
+      val withSelf = env + (name -> mv)
+      mv.defEnv = withSelf
+      withSelf
   }
 
   private def eval(e: Expr, env: Map[String, Any]): Any = e match {
@@ -695,7 +705,7 @@ object Template {
     case FilterOp(x, name, args) =>
       applyFilter(eval(x, env), name, args.map(eval(_, env)))
     case CallOp(t, args, kwargs) => eval(t, env) match {
-      case MacroVal(mname, params, body) =>
+      case mv @ MacroVal(mname, params, body) =>
         if (args.length > params.length) throw new IllegalArgumentException(
           s"macro '$mname' takes ${params.length} argument(s), " +
             s"got ${args.length} positional")
@@ -713,23 +723,28 @@ object Template {
           } else kwMap.get(p) match {
             case Some(a) => p -> eval(a, env)
             case None => dflt match {
-              case Some(d) => p -> eval(d, env)
+              // defaults resolve in the DEFINITION env (jinja compiles
+              // them inside the macro function's frame)
+              case Some(d) => p -> eval(d, mv.defEnv)
               case None => throw new IllegalArgumentException(
                 s"macro '$mname': missing required parameter '$p'")
             }
           }
         }
-        // macro body is a scope: it sees the call-site env plus its
-        // parameters; its own assignments don't escape. Depth-bounded so
-        // a self-recursive macro raises cleanly instead of blowing the
-        // caller's stack (jinja's RecursionError equivalent).
+        // macro body is a CLOSURE over its definition env (jinja2
+        // semantics: globals and sets made BEFORE the definition are
+        // visible; the caller's locals are not) plus its parameters;
+        // its own assignments don't escape. Arguments evaluate in the
+        // call-site env, as in jinja. Depth-bounded so a self-recursive
+        // macro raises cleanly instead of blowing the caller's stack
+        // (jinja's RecursionError equivalent).
         if (macroDepth.value >= MaxMacroDepth)
           throw new IllegalArgumentException(
             s"macro recursion deeper than $MaxMacroDepth (macro '$mname' " +
               "calls itself, directly or mutually)")
         val out = new StringBuilder
         macroDepth.withValue(macroDepth.value + 1) {
-          renderNodes(body, env ++ bound, out)
+          renderNodes(body, mv.defEnv ++ bound, out)
         }
         out.toString
       case Undefined => throw new IllegalArgumentException(
@@ -751,8 +766,10 @@ object Template {
         else s.head.toUpper.toString +
           s.tail.toLowerCase(java.util.Locale.ROOT)
       case ("title", s: String, _) =>
-        // jinja title: every word capitalized, the rest lowered
-        "\\S+".r.replaceAllIn(s.toLowerCase(java.util.Locale.ROOT),
+        // jinja title: capitalize after whitespace AND after the
+        // delimiters its regex restarts on ('foo-bar' -> 'Foo-Bar',
+        // '(x' -> '(X'); everything else lowered
+        "[^-\\s({\\[<]+".r.replaceAllIn(s.toLowerCase(java.util.Locale.ROOT),
           m => java.util.regex.Matcher.quoteReplacement(
             m.matched.head.toUpper.toString + m.matched.tail))
       case ("trim", s: String, _) => s.trim
@@ -804,8 +821,14 @@ object Template {
           case other => throw new IllegalArgumentException(
             s"round precision must be an integer, got $other")
         }.getOrElse(0)
-        val scale = math.pow(10, digits.toDouble)
-        math.round(num(x) * scale) / scale // jinja round returns float
+        // jinja's default 'common' method delegates to Python round —
+        // banker's rounding (half to EVEN: round(2.5) -> 2), not half-up
+        try BigDecimal(num(x))
+          .setScale(digits, BigDecimal.RoundingMode.HALF_EVEN)
+          .toDouble // jinja round returns float
+        catch { case _: NumberFormatException =>
+          num(x) // NaN/Infinity pass through like Python round
+        }
       case ("int", x, _) => x match {
         case l: Long => l
         case i: Int => i.toLong

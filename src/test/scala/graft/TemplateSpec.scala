@@ -101,6 +101,9 @@ class TemplateSpec extends AnyFunSuite {
   test("extended filter set matches jinja semantics") {
     assert(r("{{ 'wOrLd hi' | capitalize }}") === "World hi")
     assert(r("{{ 'wOrLd hi there' | title }}") === "World Hi There")
+    // jinja's title regex restarts after hyphens/brackets, not only
+    // whitespace: 'foo-bar' -> 'Foo-Bar', '(x y' -> '(X Y'
+    assert(r("{{ 'foo-bar (baz [qux' | title }}") === "Foo-Bar (Baz [Qux")
     assert(r("{{ '  x  ' | trim }}|{{ 'a-b-c' | replace('-', '+') }}")
       === "x|a+b+c")
     assert(r("{{ xs | reverse | join(',') }}|{{ 'abc' | reverse }}",
@@ -115,9 +118,11 @@ class TemplateSpec extends AnyFunSuite {
     // sum of ints stays int; mixed numerics widen
     assert(r("{{ xs | sum }}", Map("xs" -> Seq(1L, 2.5))) === "3.5")
     // jinja gotcha preserved: filters bind tighter than unary minus, so
-    // -3|abs is -(3|abs) = -3; parenthesize to take abs of the negative
-    assert(r("{{ -3 | abs }}|{{ (-3) | abs }}|{{ 2.5666 | round(2) }}|{{ 2.5 | round }}")
-      === "-3|3|2.57|3.0")
+    // -3|abs is -(3|abs) = -3; parenthesize to take abs of the negative.
+    // round is BANKER'S (Python round: 2.5 -> 2, 3.5 -> 4), like jinja's
+    // default 'common' method
+    assert(r("{{ -3 | abs }}|{{ (-3) | abs }}|{{ 2.5666 | round(2) }}|{{ 2.5 | round }}|{{ 3.5 | round }}")
+      === "-3|3|2.57|2.0|4.0")
     assert(r("{{ '42' | int }}|{{ '4.9' | int }}|{{ 'junk' | int }}|{{ 3.9 | int }}")
       === "42|4|0|3")
     assert(r("{{ '2.5' | float }}|{{ true | float }}|{{ 'x' | float }}")
@@ -158,12 +163,26 @@ class TemplateSpec extends AnyFunSuite {
     assert(r(s"$m{{ sel('a') }}") === "SELECT * FROM a")
     assert(r(s"$m{{ sel('a', 'x, y') }}") === "SELECT x, y FROM a")
     assert(r(s"$m{{ sel(cols='z', t='b') }}") === "SELECT z FROM b")
-    // macros see the call-site env; their own sets don't escape
+    // macros are CLOSURES over their definition env (jinja2): globals
+    // and sets made BEFORE the definition are visible; their own sets
+    // don't escape
     assert(r("{% macro g() %}{{ v }}{% set h = 1 %}{% endmacro %}" +
       "{{ g() }}", Map("v" -> "V")) === "V")
+    assert(r("{% set v = 'S' %}{% macro g() %}{{ v }}{% endmacro %}" +
+      "{{ g() }}") === "S")
     assert(intercept[IllegalArgumentException](
       r("{% macro g() %}{% set h = 1 %}{% endmacro %}{{ g() }}{{ h }}"))
       .getMessage.contains("h"))
+    // ...but NOT the caller's locals: a set AFTER the definition (or a
+    // loop variable at the call site) is invisible inside the body —
+    // real jinja2 raises undefined here too
+    assert(intercept[IllegalArgumentException](
+      r("{% macro g() %}{{ v }}{% endmacro %}{% set v = 'X' %}{{ g() }}"))
+      .getMessage.contains("v"))
+    // a set before the definition is captured by VALUE at definition
+    // time; a later rebinding doesn't reach the closure
+    assert(r("{% set v = 'old' %}{% macro g() %}{{ v }}{% endmacro %}" +
+      "{% set v = 'new' %}{{ g() }}") === "old")
     // macros compose with loops and other macros
     assert(r("{% macro two(x) %}{{ x }}{{ x }}{% endmacro %}" +
       "{% for c in ['a', 'b'] %}{{ two(c) }}{% endfor %}") === "aabb")
