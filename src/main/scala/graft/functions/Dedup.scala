@@ -615,9 +615,10 @@ object Dedup {
    * union-find + broadcast anti-join resolves components in ONE pass of
    * the pairs frame instead of an iterative join loop (each distributed
    * round costs a checkpoint + convergence job — pure overhead on small
-   * graphs). Beyond the bound, distributed min-label propagation runs:
-   * O(log(component diameter)) join rounds, no driver state, scales to
-   * billions of pairs.
+   * graphs). Beyond the bound, the engine's shared distributed core runs
+   * ([[graft.operators.Graph.connectedComponents]]: hash-min with a
+   * pointer jump per round): O(log n) join rounds even on chain-shaped
+   * components, no driver state, scales to billions of pairs.
    */
   def dropNearDuplicates(
       df: DataFrame, idCol: String, pairs: DataFrame,
@@ -756,46 +757,23 @@ object Dedup {
       org.apache.spark.sql.graftshim.ColumnBridge.unpersistCheckpointed(edgeSrc)
       return broadcast(loserDf)
     }
-    // label(u) = min id known reachable from u; relax over edges until fixed
-    // point (≤ component diameter iterations — near-dup components are tiny).
-    // Derived narrowly from the checkpointed pair list — no recomputation.
-    val edges = edgeSrc.select(col("id_a").as("u"), col("id_b").as("v"))
-      .union(edgeSrc.select(col("id_b").as("u"), col("id_a").as("v")))
-    var labelsCk = edges.groupBy("u")
-      .agg(least(min(col("v")), first(col("u"))).as("lbl"))
-      .localCheckpoint(true)
-    var labels = labelsCk
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIterations) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("u", "v"), Seq("v"))
-        .groupBy("u").agg(min(col("lbl")).as("nlbl"))
-      // convergence flag computed in the same pass (nlbl strictly improves
-      // the label) — no separate old-vs-new join per iteration
-      val updated = labels.join(neighborMin, Seq("u"), "left")
-        .select(col("u"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
-          (col("nlbl").isNotNull && col("nlbl") < col("lbl")).as("__chg"))
-        .localCheckpoint(true)
-      val changed = updated.filter(col("__chg")).limit(1).count()
-      // the superseded round's blocks are dead once `updated` materialized
-      org.apache.spark.sql.graftshim.ColumnBridge.unpersistCheckpointed(labelsCk)
-      labelsCk = updated
-      labels = updated.drop("__chg")
-      converged = changed == 0
-      i += 1
-    }
-    // diameter > maxIterations would silently under-deduplicate: labels are
-    // only partially propagated, so some near-dup rows would be retained
-    require(converged,
-      s"connected-components did not converge in $maxIterations iterations " +
-        "(pair graph has a component with larger diameter); raise maxIterations")
-    // the pair list is no longer referenced (losers derive from the final
-    // labels checkpoint) — free it
-    org.apache.spark.sql.graftshim.ColumnBridge.unpersistCheckpointed(edgeSrc)
+    // beyond the driver bound: ONE distributed connected-components core
+    // for the whole engine — graft.operators.Graph.connectedComponents
+    // (hash-min + a pointer jump per round), so chain-shaped near-dup
+    // clusters (adversarial but possible: A~B~C~... perturbation chains)
+    // inherit the O(log n)-round convergence instead of O(diameter), and
+    // the iterative-join/checkpoint discipline lives in exactly one
+    // place. It raises on non-convergence rather than silently
+    // under-deduplicating (a partial labeling would retain near-dup rows).
+    val labels =
+      try graft.operators.Graph
+        .connectedComponents(edgeSrc, "id_a", "id_b", maxIterations)
+      // the pair list is no longer referenced (labels are checkpointed)
+      finally org.apache.spark.sql.graftshim.ColumnBridge
+        .unpersistCheckpointed(edgeSrc)
     // every node that is not its component's minimum, with that minimum
-    labels.filter(col("u") =!= col("lbl"))
+    labels.filter(col("node") =!= col("comp"))
+      .select(col("node").as("u"), col("comp").as("lbl"))
   }
 
   /**

@@ -373,12 +373,13 @@ object Graph {
   /**
    * Distributed connected components (undirected): every node is labeled
    * with the MINIMUM node id reachable from it — the canonical component
-   * id. The general-graph sibling of `Dedup.nearDupComponents`'s adaptive
-   * core (which flips between a driver union-find and distributed
-   * min-label propagation based on pair-list size): this one is always
-   * distributed, adds a pointer-jump per round (faster convergence on
-   * chain-shaped components than plain hash-min), and takes any edge
-   * frame rather than a dedup pair list. Output: (node, comp). Nodes
+   * id. THE engine's one distributed CC core: `Dedup`'s near-duplicate
+   * component resolution routes its beyond-driver-bound fallback through
+   * here (its fast path stays a driver union-find below
+   * `driverMaxEdges`), so every caller gets the pointer-jump-per-round
+   * convergence (O(log n) rounds even on chain-shaped components, vs
+   * O(diameter) for plain hash-min). Takes any edge frame. Output:
+   * (node, comp). Nodes
    * appearing only in self-loops are singleton components; node ids must
    * be an orderable type (`min` semantics).
    *
