@@ -363,15 +363,8 @@ object Layout {
         var crc: java.util.zip.CRC32 = null
         def closeShard(): Unit = if (tar != null) {
           tar.finish(); tar.close()
-          val dst = new org.apache.hadoop.fs.Path(tarShardPath(path, shard))
-          if (!fs.rename(tmpPath, dst)) {
-            // a competing attempt already committed this shard: its bytes
-            // are identical by construction (deterministic sort, zero
-            // mod-times) — drop our copy. Any other rename failure is real.
-            if (fs.exists(dst)) fs.delete(tmpPath, false)
-            else throw new java.io.IOException(
-              s"exportTarShards: rename $tmpPath -> $dst failed")
-          }
+          commitShardFile(fs, tmpPath,
+            new org.apache.hadoop.fs.Path(tarShardPath(path, shard)))
           out += ((shard, samples, entries, java.lang.Long.toString(crc.getValue)))
           tar = null
         }
@@ -443,13 +436,26 @@ object Layout {
       extends Iterator[(String, String, Array[Byte])] with java.io.Closeable {
       private val tis =
         new org.apache.commons.compress.archivers.tar.TarArchiveInputStream(in)
-      private var nextEntry = tis.getNextEntry
+      // the FIRST header read is deferred to hasNext/next: constructing
+      // the iterator must never throw, so (a) a corrupt first header
+      // surfaces inside verifyTarShards' try and maps to the per-shard
+      // 'corrupt' verdict instead of failing the job, and (b) callers
+      // always hold a closeable handle to the just-opened stream — an
+      // eager read here would leak the FSDataInputStream on failure
+      private var fetched = false
+      private var nextEntry: org.apache.commons.compress.archivers.ArchiveEntry = null
       private var closed = false
+      private def fetch(): Unit = if (!fetched) {
+        fetched = true
+        nextEntry = tis.getNextEntry
+      }
       override def close(): Unit = if (!closed) { closed = true; tis.close() }
       override def hasNext: Boolean = {
+        fetch()
         if (nextEntry == null) { close(); false } else true
       }
       override def next(): (String, String, Array[Byte]) = {
+        fetch()
         val name = nextEntry.getName
         val size = nextEntry.getSize
         // a corrupted header's size field must surface as the IOException
@@ -467,6 +473,23 @@ object Layout {
         else (name.substring(0, dot), name.substring(dot + 1), bytes)
       }
   }
+
+  /** The tar-shard task-commit point: atomically rename a COMPLETE temp
+   * shard into its final path. If the rename is refused because a
+   * competing attempt (speculation, zombie retry) already committed the
+   * shard, drop our copy — the bytes are identical by construction
+   * (deterministic sort order, zero mod-times), so the winner's file
+   * already matches the manifest CRC the driver will record. Any other
+   * rename failure is a real error and must fail the task.
+   * Package-private so the losing-attempt path has a direct spec. */
+  private[graft] def commitShardFile(fs: org.apache.hadoop.fs.FileSystem,
+      tmp: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.rename(tmp, dst)) {
+      if (fs.exists(dst)) fs.delete(tmp, false)
+      else throw new java.io.IOException(
+        s"exportTarShards: rename $tmp -> $dst failed")
+    }
 
   /** Shard ids listed in `_tar_manifest.json`; throws (with a pointed
    * message) if the manifest is absent — the export never completed. */

@@ -71,15 +71,33 @@ object Template {
   private case class MacroNode(name: String,
       params: List[(String, Option[Expr])], body: List[Node]) extends Node
 
+  /** The live bindings of one template scope ("frame"). jinja2 compiles
+   * a template to a module whose top-level `{% set %}`s mutate the module
+   * namespace; macros resolve free names against that namespace AT CALL
+   * TIME (late binding), so a set or macro definition AFTER a macro's
+   * definition is visible inside its body — verified against jinja2
+   * 3.1.6: `{% macro g() %}{{ v }}{% endmacro %}{% set v = 'X' %}{{ g()
+   * }}` renders `X`, and a rebinding renders the NEW value. A mutable
+   * cell (not the immutable threaded map) is the only way a macro can
+   * observe bindings created after its definition. */
+  private final class Frame(var env: Map[String, Any])
+
   /** A defined macro, stored as an env value so calls resolve by name.
-   * `defEnv` is the environment captured at the `{% macro %}` tag —
-   * jinja2 macros are CLOSURES over their definition context (globals +
-   * any `{% set %}` before the definition) and explicitly cannot see the
-   * caller's locals; it includes the macro itself so self-recursion
-   * resolves (a `var` only because the binding is necessarily cyclic). */
+   * `defEnv` is the environment snapshot at the `{% macro %}` tag — it
+   * carries definition-SITE locals (e.g. the loop variable when a macro
+   * is defined inside `{% for %}`, which jinja2 does expose to the body).
+   * `frame` is the LIVE scope the macro was defined in; at call time the
+   * frame's current bindings overlay the snapshot, giving jinja2's
+   * late-binding semantics while the caller's locals stay invisible
+   * (they live in the caller's env, never in this frame). Both are
+   * `var` only because the macro binds itself cyclically. */
   private case class MacroVal(name: String,
       params: List[(String, Option[Expr])], body: List[Node]) {
     var defEnv: Map[String, Any] = Map.empty
+    var frame: Frame = null
+    /** Call-time resolution scope: def-site locals, then the live frame
+     * (later sets / rebindings / sibling macros win), per jinja2 3.1.6. */
+    def callEnv: Map[String, Any] = defEnv ++ frame.env
   }
 
   private sealed trait Expr
@@ -105,7 +123,7 @@ object Template {
     def go(src: String): String = {
       val nodes = new Parser(applyTrims(lex(src))).parseAll()
       val sb = new StringBuilder
-      renderNodes(nodes, env, sb)
+      renderNodes(nodes, env, sb, new Frame(env))
       sb.toString
     }
     val guarded = protectQuoted(script)
@@ -553,13 +571,21 @@ object Template {
    * the node list; returns the (possibly extended) environment so callers
    * that do NOT open a scope (the top level, if-branches) propagate
    * assignments, while scoped bodies (for iterations, macro calls) simply
-   * discard the returned env — jinja2's scoping rules. */
+   * discard the returned env — jinja2's scoping rules. `frame` is the
+   * live scope cell the threaded env is mirrored into after every node,
+   * so macros defined in this scope observe later bindings at call time
+   * (jinja2 late binding); scope-opening bodies pass a FRESH frame so
+   * their locals never leak into an enclosing macro's view. */
   private def renderNodes(nodes: List[Node], env: Map[String, Any],
-      sb: StringBuilder): Map[String, Any] =
-    nodes.foldLeft(env) { (e, node) => renderNode(node, e, sb) }
+      sb: StringBuilder, frame: Frame): Map[String, Any] =
+    nodes.foldLeft(env) { (e, node) =>
+      val e2 = renderNode(node, e, sb, frame)
+      frame.env = e2
+      e2
+    }
 
   private def renderNode(node: Node, env: Map[String, Any],
-      sb: StringBuilder): Map[String, Any] = node match {
+      sb: StringBuilder, frame: Frame): Map[String, Any] = node match {
     case Text(s) => sb.append(s); env
     case Output(e, src) =>
       eval(e, env) match {
@@ -577,8 +603,8 @@ object Template {
       // if-blocks are NOT scopes in jinja: the taken branch's assignments
       // survive into the rest of the template
       branches.find { case (c, _) => truthy(eval(c, env)) } match {
-        case Some((_, body)) => renderNodes(body, env, sb)
-        case None => renderNodes(orElse, env, sb)
+        case Some((_, body)) => renderNodes(body, env, sb, frame)
+        case None => renderNodes(orElse, env, sb, frame)
       }
     case ForNode(name, listE, body) =>
       val items: Seq[Any] = eval(listE, env) match {
@@ -601,8 +627,11 @@ object Template {
           "index" -> (i + 1).toLong, "index0" -> i.toLong,
           "first" -> (i == 0), "last" -> (i == len - 1),
           "length" -> len.toLong, "revindex" -> (len - i).toLong)
-        // loop body is a scope: per-iteration assignments don't escape
-        renderNodes(body, env + (name -> item) + ("loop" -> loop), sb)
+        // loop body is a scope: per-iteration assignments don't escape —
+        // fresh frame, so a macro defined OUTSIDE the loop never sees
+        // loop-body sets (jinja2 renders such names as undefined)
+        val bodyEnv = env + (name -> item) + ("loop" -> loop)
+        renderNodes(body, bodyEnv, sb, new Frame(bodyEnv))
       }
       env
     case SetNode(name, e) =>
@@ -613,12 +642,15 @@ object Template {
       }
     case SetBlockNode(name, body) =>
       val inner = new StringBuilder
-      renderNodes(body, env, inner)
+      renderNodes(body, env, inner, new Frame(env))
       env + (name -> inner.toString)
     case MacroNode(name, params, body) =>
       val mv = MacroVal(name, params, body)
       val withSelf = env + (name -> mv)
       mv.defEnv = withSelf
+      // the LIVE enclosing scope — later sets in this scope are visible
+      // inside the body at call time (jinja2 late binding)
+      mv.frame = frame
       withSelf
   }
 
@@ -715,6 +747,7 @@ object Template {
             s"macro '$mname' has no parameter '$k'")
         }
         val kwMap = kwargs.toMap
+        val macroScope = mv.callEnv
         val bound = params.zipWithIndex.map { case ((p, dflt), i) =>
           if (i < args.length) {
             if (kwMap.contains(p)) throw new IllegalArgumentException(
@@ -723,28 +756,32 @@ object Template {
           } else kwMap.get(p) match {
             case Some(a) => p -> eval(a, env)
             case None => dflt match {
-              // defaults resolve in the DEFINITION env (jinja compiles
-              // them inside the macro function's frame)
-              case Some(d) => p -> eval(d, mv.defEnv)
+              // defaults evaluate AT CALL TIME in the macro's own scope
+              // (jinja2 3.1.6: `set d=1 → macro g(x=d) → set d=2 → g()`
+              // renders 2, not 1)
+              case Some(d) => p -> eval(d, macroScope)
               case None => throw new IllegalArgumentException(
                 s"macro '$mname': missing required parameter '$p'")
             }
           }
         }
-        // macro body is a CLOSURE over its definition env (jinja2
-        // semantics: globals and sets made BEFORE the definition are
-        // visible; the caller's locals are not) plus its parameters;
-        // its own assignments don't escape. Arguments evaluate in the
-        // call-site env, as in jinja. Depth-bounded so a self-recursive
-        // macro raises cleanly instead of blowing the caller's stack
-        // (jinja's RecursionError equivalent).
+        // free names in the body resolve at CALL TIME against the
+        // macro's definition scope — its live frame overlaying the
+        // def-site snapshot (jinja2 late binding: sets, rebindings and
+        // sibling macros AFTER the definition are visible; the caller's
+        // locals are not) — plus its parameters; its own assignments
+        // don't escape. Arguments evaluate in the call-site env, as in
+        // jinja. Depth-bounded so a self-recursive macro raises cleanly
+        // instead of blowing the caller's stack (jinja's RecursionError
+        // equivalent).
         if (macroDepth.value >= MaxMacroDepth)
           throw new IllegalArgumentException(
             s"macro recursion deeper than $MaxMacroDepth (macro '$mname' " +
               "calls itself, directly or mutually)")
         val out = new StringBuilder
         macroDepth.withValue(macroDepth.value + 1) {
-          renderNodes(body, mv.defEnv ++ bound, out)
+          val bodyEnv = macroScope ++ bound
+          renderNodes(body, bodyEnv, out, new Frame(bodyEnv))
         }
         out.toString
       case Undefined => throw new IllegalArgumentException(

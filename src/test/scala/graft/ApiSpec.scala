@@ -417,6 +417,49 @@ class ApiSpec extends SparkTestBase {
     }
   }
 
+  test("Layout tar shards: commit race and corrupt-first-header verdicts") {
+    import graft.operators.Layout
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("graft_tar_race").toString
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def put(p: Path, bytes: Array[Byte]): Unit = {
+      val os = fs.create(p, true)
+      try os.write(bytes) finally os.close()
+    }
+    // losing attempt: a competing attempt already committed the final
+    // shard (byte-identical by the deterministic-sort contract) — the
+    // commit must drop the temp copy, keep the winner's file, not throw
+    val bytes = "identical shard bytes".getBytes("UTF-8")
+    val tmp = new Path(s"$dir/_tmp/shard-00000.tar.attempt-7")
+    val dst = new Path(s"$dir/shard-00000.tar")
+    put(tmp, bytes); put(dst, bytes)
+    Layout.commitShardFile(fs, tmp, dst)
+    assert(!fs.exists(tmp), "losing attempt's temp file must be cleaned")
+    assert(fs.exists(dst))
+    val in = fs.open(dst)
+    val kept = try in.readAllBytes() finally in.close()
+    assert(kept.toSeq === bytes.toSeq, "winner's committed bytes intact")
+    // a rename failure with NO competing commit is a real task error
+    intercept[java.io.IOException] {
+      Layout.commitShardFile(fs,
+        new Path(s"$dir/_tmp/shard-00001.tar.attempt-9"),
+        new Path(s"$dir/shard-00001.tar"))
+    }
+    // winning attempt: plain rename commits and the manifest a real
+    // export writes verifies clean end-to-end
+    val d = toDF((1L to 40L).map(i => Seq(i, s"t$i")), "id:long,txt:str")
+    Layout.exportTarShards(d, s"$dir/e", "id", Seq("txt" -> "txt"), 2)
+    assert(Layout.verifyTarShards(spark, s"$dir/e") === Seq.empty)
+    // corrupt FIRST header: TarEntryIterator's header read is lazy, so
+    // the parse failure maps to this shard's (-1,-1,'corrupt') mismatch
+    // verdict instead of failing the whole verify job (and the opened
+    // stream is still closed via the finally)
+    val raf = new java.io.RandomAccessFile(s"$dir/e/shard-00000.tar", "rw")
+    raf.seek(0); (0 until 128).foreach(_ => raf.write(0xff)); raf.close()
+    assert(Layout.verifyTarShards(spark, s"$dir/e") === Seq(0))
+  }
+
   test("Layout.compact: fragmented shrinks toward target, compact untouched") {
     // parquet-backed: footer totals give Catalyst a REAL size estimate
     // (an RDD-backed local frame has no stats -> compact conservatively

@@ -173,16 +173,38 @@ class TemplateSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException](
       r("{% macro g() %}{% set h = 1 %}{% endmacro %}{{ g() }}{{ h }}"))
       .getMessage.contains("h"))
-    // ...but NOT the caller's locals: a set AFTER the definition (or a
-    // loop variable at the call site) is invisible inside the body —
-    // real jinja2 raises undefined here too
-    assert(intercept[IllegalArgumentException](
-      r("{% macro g() %}{{ v }}{% endmacro %}{% set v = 'X' %}{{ g() }}"))
-      .getMessage.contains("v"))
-    // a set before the definition is captured by VALUE at definition
-    // time; a later rebinding doesn't reach the closure
+    // free names are LATE-BOUND against the definition scope's live
+    // frame (differentially verified on jinja2 3.1.6): a set AFTER the
+    // definition is visible at call time...
+    assert(r("{% macro g() %}{{ v }}{% endmacro %}{% set v = 'X' %}" +
+      "{{ g() }}") === "X")
+    // ...a rebinding renders the value current at each call...
     assert(r("{% set v = 'old' %}{% macro g() %}{{ v }}{% endmacro %}" +
-      "{% set v = 'new' %}{{ g() }}") === "old")
+      "{% set v = 'new' %}{{ g() }}") === "new")
+    assert(r("{% set v = 'A' %}{% macro g() %}{{ v }}{% endmacro %}" +
+      "{{ g() }}|{% set v = 'B' %}{{ g() }}") === "A|B")
+    // ...param defaults evaluate at call time in the macro's scope...
+    assert(r("{% set d = 1 %}{% macro g(x=d) %}{{ x }}{% endmacro %}" +
+      "{% set d = 2 %}{{ g() }}") === "2")
+    // ...a macro defined later is callable from an earlier macro's body...
+    assert(r("{% macro a() %}{{ b() }}{% endmacro %}" +
+      "{% macro b() %}B{% endmacro %}{{ a() }}") === "B")
+    // ...a macro defined inside a loop sees its def-site loop variable
+    // (jinja2 renders '12')...
+    assert(r("{% for i in [1, 2] %}{% macro g() %}{{ i }}{% endmacro %}" +
+      "{{ g() }}{% endfor %}") === "12")
+    // ...a set taken inside an if-branch escapes (if is not a scope) and
+    // is visible to a macro defined before the branch...
+    assert(r("{% macro g() %}{{ v }}{% endmacro %}" +
+      "{% if true %}{% set v = 'I' %}{% endif %}{{ g() }}") === "I")
+    // ...but the CALLER's locals stay invisible: a loop-body set never
+    // reaches a macro defined outside the loop (jinja2's lenient
+    // Undefined renders ''; graft's strict-undefined policy raises —
+    // the one deliberate divergence, fail-fast beats silent empty SQL)
+    assert(intercept[IllegalArgumentException](
+      r("{% macro g() %}{{ s }}{% endmacro %}{% for i in [1] %}" +
+        "{% set s = 'L' %}{{ g() }}{% endfor %}"))
+      .getMessage.contains("s"))
     // macros compose with loops and other macros
     assert(r("{% macro two(x) %}{{ x }}{{ x }}{% endmacro %}" +
       "{% for c in ['a', 'b'] %}{{ two(c) }}{% endfor %}") === "aabb")
