@@ -19,10 +19,14 @@ import org.apache.spark.sql.SparkSession
   * blocks are dropped after EVERY timed run, so no query's measurement
   * inherits block-manager state from an earlier query or phase (the r6
   * artifact showed h20 at 5.05 s integrated vs 0.84 s standalone purely
-  * from accumulated checkpoint blocks); and a start loadavg above
-  * `ContendedLoad` first waits (up to ~5 min) for the box to go idle,
-  * then annotates the line with "contended":true if it never did —
-  * a polluted run self-identifies instead of reading as a regression.
+  * from accumulated checkpoint blocks); a start loadavg above
+  * `ContendedLoad` first waits (up to ~5 min) for the box to go idle;
+  * and an END loadavg above the threshold (contention that arrived
+  * mid-run — the r8 artifact started at 1.90, ended 2.34, and read ~18%
+  * slow) waits for decay and re-measures once, min-merging the two
+  * passes. Only if the load never decays does the line carry
+  * "contended":true — a polluted run self-identifies instead of reading
+  * as a regression.
   */
 object Bench {
   private def loadavg1m: Double =
@@ -105,20 +109,49 @@ object Bench {
     // pays one-off whole-stage-codegen JIT compilation, ~6s on the heavy
     // dedup pipelines; a third run tightens the min against background
     // noise on a shared box — measured run-to-run spread is ~1.5x)
-    val results = time(names, runs = 3)
+    var results = time(names, runs = 3)
     // TPC-H-adapted relational suite: 2 runs (22 queries; the min still
     // sheds the per-plan codegen cost, and the suite is ~1 s/query)
     val hNames = TpchSuite.sql.keys.toSeq.sorted.map(n => s"${n}_tpch")
       .filter(SparkEntry.queries.contains)
-    val hResults = time(hNames, runs = 2)
-    val loadEnd = loadavg1m
+    var hResults = time(hNames, runs = 2)
+    var loadEnd = loadavg1m
+
+    // END-load guard: the start gate can't see contention that ARRIVES
+    // mid-run (r8's committed bench started at 1.90 and ended at 2.34 —
+    // ~18% inflated vs idle). If the box got busy while we measured,
+    // wait (bounded) for the load to decay and re-measure ONCE, keeping
+    // the per-query min of the two passes — contention only ever
+    // inflates, so min-merging is sound. If the load never decays, the
+    // line is stamped contended for the cross-round ledger.
+    var retried = false
+    if (loadEnd > ContendedLoad) {
+      var waited2 = 0
+      while (loadavg1m > ContendedLoad && waited2 < 300) {
+        System.err.println(f"BENCH RETRY WAIT loadavg ${loadavg1m}%.2f > $ContendedLoad%.1f, sleeping 15s")
+        Thread.sleep(15000); waited2 += 15
+      }
+      if (loadavg1m <= ContendedLoad) {
+        retried = true
+        def minMerge(a: Seq[(String, Option[Double])],
+            b: Seq[(String, Option[Double])]) = {
+          val bm = b.toMap
+          a.map { case (k, v) =>
+            k -> (v ++ bm.getOrElse(k, None)).minOption
+          }
+        }
+        results = minMerge(results, time(names, runs = 3))
+        hResults = minMerge(hResults, time(hNames, runs = 2))
+        loadEnd = loadavg1m
+      }
+    }
 
     val errs = results.count(_._2.isEmpty)
     val hErrs = hResults.count(_._2.isEmpty)
     val total = results.flatMap(_._2).sum
     val hTotal = hResults.flatMap(_._2).sum
-    val contended = loadStart > ContendedLoad
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":3,"agg":"min","errors":$errs,"queries":${fmt(results)},"h_total":$hTotal%.3f,"h_runs":2,"h_errors":$hErrs,"h_queries":${fmt(hResults)},"loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"loadavg_waited_sec":$waited,"contended":$contended,"sf":"$sfDir"}""")
+    val contended = loadStart > ContendedLoad || loadEnd > ContendedLoad
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":3,"agg":"min","errors":$errs,"queries":${fmt(results)},"h_total":$hTotal%.3f,"h_runs":2,"h_errors":$hErrs,"h_queries":${fmt(hResults)},"loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"loadavg_waited_sec":$waited,"retried":$retried,"contended":$contended,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

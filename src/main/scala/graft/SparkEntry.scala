@@ -474,6 +474,26 @@ object SparkEntry {
     // + full content round trip through loadTarShards. FULL oracle on the
     // counts (recomputed by DuckDB from the same null rule) and verdict
     // flags
+    // real ISO-BMFF (MP4) demux, FULL oracle: synthetic one-track MP4s
+    // whose stbl tables are pure functions of doc_id; DuckDB recomputes
+    // every sample's offset (cum-sum of sizes + 4-byte inter-chunk pads
+    // resolved via stco), size, sync flag, duration run, and dims from
+    // first principles. head/tail probe bytes prove the EXTRACTION reads
+    // the true stco-resolved ranges (a naive size cum-sum that ignores
+    // chunk padding reads shifted bytes and fails the probes).
+    "m13_mp4_demux" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select("doc_id")
+      graft.functions.Mp4.demuxMp4Frames(
+        graft.functions.Mp4.syntheticMp4s(ids, "doc_id"),
+        "doc_id", "payload")
+        .select(col("doc_id"), col("frame_no"), col("offset"), col("size"),
+          col("keyframe"), col("dur_ticks"), col("width"), col("height"),
+          expr("cast(conv(hex(substring(frame_bytes, 1, 1)), 16, 10) as int)")
+            .as("head_byte"),
+          expr("cast(conv(hex(substring(frame_bytes, cast(size as int), 1)), 16, 10) as int)")
+            .as("tail_byte"))
+    }),
+
     "m12_tar_shards" -> ((s, dir) => {
       import graft.operators.Layout
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"),
@@ -709,6 +729,44 @@ object SparkEntry {
           when(col("o_custkey") % 4 === 0, lit(0L))
             .otherwise(col("o_custkey") % 11).as("bucket")),
         Seq("bucket"), topK = 10)),
+
+    // odd column names end-to-end through the DIALECT (reference
+    // fugue_test/builtin_suite.py:1743 test_any_column_name): frames with
+    // `a b`, ` ` (single space), a reserved word and a unicode name flow
+    // through SELECT-join, TRANSFORM (custom transformer appending
+    // `c *`), alias/rename, parquet SAVE, and projected LOAD — names with
+    // spaces/stars/keywords must survive every hop including the parquet
+    // round trip (Spark dropped its parquet field-name restrictions in
+    // 3.3, so nothing re-mangles them)
+    "q117_odd_columns" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{LongType, StructField}
+      val n = t(s, dir, "nation")
+      val df1 = n.select(col("n_nationkey").cast("long").as("a b"),
+        col("n_regionkey").cast("long").as(" "))
+      val df2 = n.filter(col("n_nationkey") % 2 === 0).select(
+        col("n_nationkey").cast("long").as("a b"),
+        (col("n_regionkey") + 10).cast("long").as("d"),
+        lower(col("n_name")).as("select"),
+        col("n_name").as("naçãö"))
+      val addC = graft.sql.GraftSql.TransformerDef(
+        outputSchema = (in, _) =>
+          org.apache.spark.sql.types.StructType(
+            in.fields :+ StructField("c *", LongType)),
+        fn = (_, rows, _) => rows.map(r =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ 2L)))
+      val tmp = "/root/repo/target/tmp/q117_odd"
+      graft.sql.GraftSql.runWith(eng(s),
+        s"""j = SELECT df1.`a b`, df1.` `, df2.d, df2.`select`, df2.`naçãö` FROM df1 INNER JOIN df2 ON df1.`a b` = df2.`a b`
+           |t = TRANSFORM j USING add_c
+           |a = SELECT `a b` AS `a b `, ` ` AS `x y`, d, `select`, `naçãö`, `c *` FROM t
+           |SAVE a OVERWRITE PARQUET "$tmp"
+           |out = LOAD PARQUET "$tmp" COLUMNS `x y`, d, `select`, `naçãö`, `c *`
+           |YIELD out AS out
+           |""".stripMargin,
+        inputs = Map("df1" -> df1, "df2" -> df2),
+        extensions = graft.sql.GraftSql.Extensions(
+          transformers = Map("add_c" -> addC))).yields("out")
+    }),
 
     // distributed connected components (hash-min + pointer jump) over a
     // deterministic block-local graph (every edge stays inside its
@@ -3484,6 +3542,34 @@ object SparkEntry {
         | CAST(1 AS BIGINT) AS verify_ok, CAST(1 AS BIGINT) AS roundtrip_ok,
         | CAST(1 AS BIGINT) AS det_ok
         |FROM documents""".stripMargin,
+    // full stbl arithmetic from first principles: sizes, 2-then-3-sample
+    // chunking with 4-byte inter-chunk pads, stss sync flags, two-run
+    // stts durations, tkhd dims, and the head/tail extraction probes
+    "m13_mp4_demux" ->
+      """WITH d AS (SELECT doc_id, CAST(2 + doc_id % 7 AS INTEGER) AS n
+        |  FROM documents),
+        |f AS (SELECT doc_id, n,
+        |  CAST(unnest(range(0, n)) AS INTEGER) AS frame_no FROM d),
+        |s AS (SELECT doc_id, n, frame_no,
+        |  CAST(50 + ((doc_id*31 + frame_no*17) % 64) AS BIGINT) AS size,
+        |  CASE WHEN frame_no < 2 THEN 0
+        |    ELSE 1 + (frame_no - 2) // 3 END AS chunk FROM f),
+        |o AS (SELECT doc_id, n, frame_no, size,
+        |  CAST(28 + COALESCE(SUM(size) OVER (PARTITION BY doc_id
+        |      ORDER BY frame_no
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + 4*chunk AS BIGINT) AS "offset" FROM s)
+        |SELECT doc_id, frame_no, "offset", size,
+        | CAST(CASE WHEN frame_no % 4 = 0 THEN 1 ELSE 0 END AS INTEGER)
+        |   AS keyframe,
+        | CAST(CASE WHEN frame_no < n // 2 THEN 1000 + (doc_id % 5)*100
+        |   ELSE 1200 END AS BIGINT) AS dur_ticks,
+        | CAST(16*(1 + doc_id % 4) AS INTEGER) AS width,
+        | CAST(16*(1 + doc_id % 3) AS INTEGER) AS height,
+        | CAST((doc_id + frame_no*131) % 256 AS INTEGER) AS head_byte,
+        | CAST((doc_id + frame_no*131 + size - 1) % 256 AS INTEGER)
+        |   AS tail_byte
+        |FROM o""".stripMargin,
     "t34_budget_select" ->
       """WITH s AS (
         | SELECT doc_id, n_chars,
@@ -3614,6 +3700,13 @@ object SparkEntry {
         | (CAST(s.max_n AS DOUBLE) * CAST(s.n_keys AS DOUBLE))
         |   / s.total AS skew
         |FROM r CROSS JOIN s WHERE r.rank <= 10""".stripMargin,
+    "q117_odd_columns" ->
+      """SELECT CAST(n_regionkey AS BIGINT) AS "x y",
+        | CAST(n_regionkey + 10 AS BIGINT) AS d,
+        | lower(n_name) AS "select",
+        | n_name AS "naçãö",
+        | CAST(2 AS BIGINT) AS "c *"
+        |FROM nation WHERE n_nationkey % 2 = 0""".stripMargin,
     "q115_connected_components" ->
       """WITH RECURSIVE raw AS (
         | SELECT doc_id % 300 AS a,

@@ -917,10 +917,13 @@ object Multimodal {
    * REAL frame demux for containers an ImageIO reader can enumerate — the
    * JDK ships an actual multi-frame GIF decoder, so animated GIFs demux to
    * their true frames (every `stride`-th one, re-encoded PNG; width/height
-   * from the decoded raster). Single-frame images yield frame 0.
-   * Unrecognized payloads (no demuxer in the JDK for MP4 etc.) fall back
-   * to the byte-window sampler with width/height −1, so mixed media
-   * columns still flow. Output: [[frameSchema]].
+   * from the decoded raster). Single-frame images yield frame 0. MP4
+   * payloads take the [[Mp4]] ISO-BMFF box walk: every `stride`-th video
+   * SAMPLE is sliced out of `mdat` by its stsz/stsc/stco-resolved byte
+   * range, with width/height from `tkhd` (raw coded samples — decode is
+   * downstream). Anything else falls back to the byte-window sampler with
+   * width/height −1, so mixed media columns still flow.
+   * Output: [[frameSchema]].
    */
   def demuxFrames(df: DataFrame, idCol: String, payloadCol: String,
       stride: Int = 1, frameSize: Int = 1024): DataFrame = {
@@ -934,9 +937,17 @@ object Multimodal {
         decodedFrames(payload, stride) match {
           case Some(frames) =>
             frames.iterator.map { case (i, w, h, b) => Row(id, i, w, h, b) }
-          case None =>
-            byteWindows(payload, frameSize, stride)
-              .map { case (i, fb) => Row(id, i, -1, -1, fb) }
+          case None => Mp4.parseVideoTrack(payload) match {
+            case Some(tr) =>
+              tr.samples.iterator.filter(_.no % stride == 0).map { sm =>
+                Row(id, sm.no, tr.width, tr.height,
+                  java.util.Arrays.copyOfRange(payload, sm.offset.toInt,
+                    (sm.offset + sm.size).toInt))
+              }
+            case None =>
+              byteWindows(payload, frameSize, stride)
+                .map { case (i, fb) => Row(id, i, -1, -1, fb) }
+          }
         }
       }
     }(Encoders.row(frameSchema))
