@@ -123,16 +123,33 @@ object PartitionSpec {
       PartitionSpec(algo = "even", num = "ROWCOUNT")
     else PartitionSpec(by = Seq(spec))
 
-  /** Parse a presort expression `"a asc, b desc"` / `"a,b desc"`. */
-  def parsePresort(expr: String): Seq[(String, Boolean)] =
-    expr.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { part =>
-      val toks = part.split("\\s+")
-      require(toks.length <= 2, s"bad presort item '$part'")
-      val asc = toks.length < 2 || {
-        require(toks(1).equalsIgnoreCase("asc") || toks(1).equalsIgnoreCase("desc"),
-          s"bad presort direction '${toks(1)}' in '$part' (expected ASC|DESC)")
-        toks(1).equalsIgnoreCase("asc")
-      }
-      (toks(0), asc)
+  /** Parse a presort expression `"a asc, b desc"` / `"a,b desc"`. Names
+   * may be backtick-quoted to carry spaces or commas (`` `x y` desc ``);
+   * the quoting is stripped — consumers take raw column names. */
+  def parsePresort(expr: String): Seq[(String, Boolean)] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inBt = false
+    expr.foreach {
+      case '`' => inBt = !inBt; cur += '`'
+      case ',' if !inBt => parts += cur.result(); cur.clear()
+      case c => cur += c
     }
+    parts += cur.result()
+    val ItemRe = "(?s)^(`(?:[^`]|``)*`|\\S+)(?:\\s+(\\S+))?$".r
+    parts.map(_.trim).filter(_.nonEmpty).toSeq.map {
+      case ItemRe(name0, dir) =>
+        val asc = dir == null || {
+          require(dir.equalsIgnoreCase("asc") || dir.equalsIgnoreCase("desc"),
+            s"bad presort direction '$dir' (expected ASC|DESC)")
+          dir.equalsIgnoreCase("asc")
+        }
+        val name =
+          if (name0.length >= 2 && name0.head == '`' && name0.last == '`')
+            name0.substring(1, name0.length - 1).replace("``", "`")
+          else name0
+        (name, asc)
+      case part => throw new IllegalArgumentException(s"bad presort item '$part'")
+    }
+  }
 }

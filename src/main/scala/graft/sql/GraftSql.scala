@@ -913,8 +913,34 @@ object GraftSql {
 
     private def kwArg(stmt: String, kw: String): Option[String] = {
       // tokens exclude commas — `a, b` must capture both items, not `a,`
-      val r = s"(?i)\\b$kw\\s+([^\\s,]+(?:\\s*,\\s*[^\\s,]+)*)".r
+      // — but a backtick-quoted identifier may carry spaces AND commas
+      // (`COLUMNS `x y`, d` must capture the full `x y`, not stop at the
+      // space; caught by the q117 odd-column gate in r10)
+      val tok = "(?:`[^`]*`|[^\\s,`])+"
+      val r = s"(?i)\\b$kw\\s+($tok(?:\\s*,\\s*$tok)*)".r
       r.findFirstMatchIn(stmt).map(_.group(1))
+    }
+
+    /** Split a kwArg column list on top-level commas, honoring backtick
+     * quoting (a column literally NAMED `a,b` must stay one item), and
+     * strip the quoting: engine ops take RAW column names (they re-quote
+     * via qcol themselves — passing the backticks through would double
+     * them). `` inside a quoted name unescapes to a literal backtick. */
+    private def splitCols(s: String): Seq[String] = {
+      val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+      val cur = new StringBuilder
+      var inBt = false
+      s.foreach {
+        case '`' => inBt = !inBt; cur += '`'
+        case ',' if !inBt => parts += cur.result(); cur.clear()
+        case c => cur += c
+      }
+      parts += cur.result()
+      parts.map(_.trim).filter(_.nonEmpty).map { t =>
+        if (t.length >= 2 && t.head == '`' && t.last == '`')
+          t.substring(1, t.length - 1).replace("``", "`")
+        else t
+      }.toSeq
     }
 
     private def parseParams(s: String): Map[String, String] = {
@@ -949,7 +975,7 @@ object GraftSql {
     private def execLoad(stmt: String): DataFrame = {
       val fmt = "(?i)LOAD\\s+(PARQUET|CSV|JSON)?".r.findFirstMatchIn(stmt)
         .flatMap(m => Option(m.group(1))).map(_.toLowerCase).getOrElse("")
-      val cols = kwArg(stmt, "COLUMNS").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
+      val cols = kwArg(stmt, "COLUMNS").map(splitCols).getOrElse(Nil)
       engine.load(quoted(stmt), fmt, cols, options = pathParams(stmt))
     }
 
@@ -968,7 +994,7 @@ object GraftSql {
       val fmt = "(?i)\\b(PARQUET|CSV|JSON)\\b".r.findFirstMatchIn(maskQuotes(stmt))
         .map(_.group(1).toLowerCase).getOrElse("")
       val partBy = kwArg(stmt, "PREPARTITION\\s+BY")
-        .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
+        .map(splitCols).getOrElse(Nil)
       val dfIdx = if (andUse) 3 else 1 // skip AND USE tokens
       val d = ref(wordAfter(stmt, dfIdx).orElse(wordAfter(stmt, 1)))
       val path = quoted(stmt)
@@ -1061,9 +1087,9 @@ object GraftSql {
       val how = "(?i)\\b(INNER|LEFT\\s+OUTER|RIGHT\\s+OUTER|FULL\\s+OUTER)\\b".r
         .findFirstIn(maskQuotes(stmt))
         .map(_.toLowerCase.replaceAll("\\s+", "_")).getOrElse("inner")
-      val keys = kwArg(stmt, "BY").map(_.split(",").map(_.trim).toSeq)
+      val keys = kwArg(stmt, "BY").map(splitCols)
         .getOrElse(throw new IllegalArgumentException("ZIP requires BY keys"))
-      val presort = "(?i)PRESORT\\s+((?:[A-Za-z0-9_]+(?:\\s+(?:ASC|DESC))?\\s*,?\\s*)+)".r
+      val presort = "(?i)PRESORT\\s+((?:(?:`(?:[^`]|``)*`|[A-Za-z0-9_]+)(?:\\s+(?:ASC|DESC))?\\s*,?\\s*)+)".r
         .findFirstMatchIn(stmt)
         .map(m => PartitionSpec.parsePresort(m.group(1))).getOrElse(Nil)
       Transform.zipFrames(frames, keys, how, presort)
@@ -1131,10 +1157,10 @@ object GraftSql {
       // `BY`-adjacent form stays supported); outside a PREPARTITION these
       // statements carry no BY keyword
       val by =
-        if (hasPrep) kwArg(stmt, "BY").map(_.split(",").map(_.trim).toSeq)
+        if (hasPrep) kwArg(stmt, "BY").map(splitCols)
           .getOrElse(Nil)
         else Nil
-      val presort = "(?i)PRESORT\\s+((?:[A-Za-z0-9_]+(?:\\s+(?:ASC|DESC))?\\s*,?\\s*)+)".r
+      val presort = "(?i)PRESORT\\s+((?:(?:`(?:[^`]|``)*`|[A-Za-z0-9_]+)(?:\\s+(?:ASC|DESC))?\\s*,?\\s*)+)".r
         .findFirstMatchIn(stmt)
         .map(m => PartitionSpec.parsePresort(m.group(1))).getOrElse(Nil)
       PartitionSpec(algo = algo, num = num, by = by, presort = presort)
@@ -1187,7 +1213,7 @@ object GraftSql {
 
     private def execDropna(stmt: String): DataFrame = {
       val how = if ("(?i)^DROPNA\\s+ALL\\b".r.findFirstIn(stmt.trim).isDefined) "all" else "any"
-      val subset = kwArg(stmt, "ON").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
+      val subset = kwArg(stmt, "ON").map(splitCols).getOrElse(Nil)
       engine.dropna(ref(kwArg(stmt, "FROM")), how, subset = subset)
     }
 
@@ -1216,7 +1242,7 @@ object GraftSql {
     }
 
     private def execDropCols(stmt: String): DataFrame = {
-      val cols = kwArg(stmt, "COLUMNS").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
+      val cols = kwArg(stmt, "COLUMNS").map(splitCols).getOrElse(Nil)
       val ifExists = stmt.toUpperCase.contains("IF EXISTS")
       engine.dropColumns(ref(kwArg(stmt, "FROM")), cols, ifExists)
     }

@@ -71,6 +71,30 @@ class GraftSqlSpec extends SparkTestBase {
     assert(res.last.get.count() === 4)
   }
 
+  test("LOAD COLUMNS / DROP COLUMNS / PREPARTITION BY accept backtick-quoted names with spaces and commas") {
+    // r10 regression: kwArg tokenized on [^\s,]+ so `x y` captured as `x
+    // and the q117 odd-column gate query threw UNRESOLVED_COLUMN
+    val dir = Files.createTempDirectory("graftsql").toString
+    val odd = d1.toDF("x y", "a,b")
+    GraftSql.run(engine,
+      s"""SAVE input OVERWRITE PARQUET "$dir/odd"""", Map("input" -> odd))
+    val loaded = GraftSql.run(engine,
+      s"""LOAD PARQUET "$dir/odd" COLUMNS `x y`, `a,b`""").last.get
+    assert(loaded.columns.toSeq === Seq("x y", "a,b"))
+    assert(loaded.count() === 4)
+    val dropped = GraftSql.run(engine,
+      s"""one = LOAD PARQUET "$dir/odd"
+         |DROP COLUMNS `a,b` FROM one
+         |""".stripMargin).last.get
+    assert(dropped.columns.toSeq === Seq("x y"))
+    // PREPARTITION BY a spaced name must key on the whole column
+    val taken = GraftSql.run(engine,
+      s"""t = LOAD PARQUET "$dir/odd"
+         |TAKE 1 ROW FROM t PREPARTITION BY `x y` PRESORT `a,b` ASC
+         |""".stripMargin).last.get
+    assert(taken.count() === odd.select("x y").distinct().count())
+  }
+
   test("TRANSFORM ... USING registered transformer with PREPARTITION") {
     val sumT = TransformerDef(
       outputSchema = (_, _) => graft.schema.SchemaExpr.parse("k:str,total:long"),
