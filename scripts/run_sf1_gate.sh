@@ -1,0 +1,56 @@
+#!/usr/bin/env bash
+# Reproducible sf1.0 (10x) correctness gate — r9 verdict tasks 1 & 8.
+#
+# Generates target/sf1.0 from the driver's sf0.1 tables if absent (never
+# regenerates — determinism comes from ScaleUp itself), dumps the 54
+# scale-sensitive query families with graft.Verify, then runs the DuckDB
+# differential and writes CORRECTNESS_sf1.json at the repo root.
+#
+# All 54 oracles are tractable at sf1.0 since the r10 bounded rewrites
+# (d12: deletion-neighborhood blocking; d15: prefix filtering). Expected
+# wall time on the local[32] box: ~20 min Spark dump + ~25 min DuckDB
+# check (d14 alone ~10 min — see its oracle cost note in SparkEntry).
+#
+# Runs the dump from a SNAPSHOT of the compiled classes, not sbt runMain:
+# Spark loads classes lazily, so a concurrent `sbt compile` would
+# otherwise swap classfiles under the running JVM mid-dump. This makes
+# the gate safe to run in the background while development continues.
+# Keep it OFF the bench-timing path (it saturates the box).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+SF1=${SF1_DIR:-target/sf1.0}
+OUT=${SF1_OUT:-target/verify_sf1}
+SRC=${SF0_1_DIR:-/root/testdata/sf0.1}
+JSON=${SF1_JSON:-CORRECTNESS_sf1.json}
+
+NAMES=d01_dedup_exact,d02_dedup_minhash,d03_dedup_simhash,d05_dedup_embed,d05x_dedup_embed_exact,d07_embed_lsh_recall,d08_minhash_precision,d09_simhash_exactness,d10_cc_paths_agree,d11_dedup_best,d12_fuzzy_join,d13_segment_dedup,d14_dedup_against,d15_minhash_recall,d16_bloom_line_dedup,q100_drift,q101_pagerank,q102_cat_drift,q103_gap_fill,q104_label_prop,q105_degree_stats,q106_merge_intervals,q107_rank_normalize,q108_ks_drift,q109_spearman,q115_connected_components,q116_key_skew,q37_sketch,q37x_sketch_error,q73_sketch_merge,q74_quantile_sketch,q75_stream_sketch,q76_zorder_layout,q77_stream_session,q78_weighted_sample,q79_join_size,q80_upsert,q81_heavy_hitters,q82_cms,q83_stream_heavy_hitters,s01_knn_brute,s02_knn_lsh,s03_knn_lsh_recall,s04_knn_ivf,s05_knn_projected,s06_semantic_dedup,s07_kmeans_cluster,s08_knn_ivfpq,s09_ann_join,s10_semantic_decontaminate,s11_hard_negatives,s12_pca,s13_quantize,t35_bm25
+
+ADD_OPENS="--add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.lang.invoke=ALL-UNNAMED --add-opens java.base/java.lang.reflect=ALL-UNNAMED --add-opens java.base/java.io=ALL-UNNAMED --add-opens java.base/java.net=ALL-UNNAMED --add-opens java.base/java.nio=ALL-UNNAMED --add-opens java.base/java.util=ALL-UNNAMED --add-opens java.base/java.util.concurrent=ALL-UNNAMED --add-opens java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens java.base/sun.nio.ch=ALL-UNNAMED --add-opens java.base/sun.nio.cs=ALL-UNNAMED --add-opens java.base/sun.security.action=ALL-UNNAMED --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
+
+if [ ! -f target/scala-2.13/classes/graft/Verify.class ]; then
+  echo "[sf1-gate] compiling..." >&2
+  sbt -batch compile
+fi
+
+SNAP=$(mktemp -d /tmp/graft_gate_classes.XXXXXX)
+trap 'rm -rf "$SNAP"' EXIT
+cp -r target/scala-2.13/classes/. "$SNAP/"
+
+run_java() {
+  # shellcheck disable=SC2086
+  java $ADD_OPENS -Xmx"${SPARK_DRIVER_MEM:-24g}" \
+    -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+    -cp "$SNAP:/opt/spark/jars/*" "$@"
+}
+
+if [ ! -f "$SF1/lineitem.parquet" ]; then
+  echo "[sf1-gate] generating $SF1 from $SRC (factor 10)..." >&2
+  SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-16} run_java graft.ScaleUp "$SRC" "$SF1" 10
+fi
+
+echo "[sf1-gate] dumping 54 query families at sf1.0..." >&2
+SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-16} run_java graft.Verify "$SF1" "$OUT" "$NAMES"
+
+echo "[sf1-gate] DuckDB differential..." >&2
+python3 scripts/check_correctness.py "$SF1" "$OUT" --json "$JSON"

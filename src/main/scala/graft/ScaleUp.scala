@@ -54,16 +54,24 @@ object ScaleUp {
       val tmpPath = new org.apache.hadoop.fs.Path(tmp)
       val fs = tmpPath.getFileSystem(conf)
       val part = fs.listStatus(tmpPath)
-        .map(_.getPath).find(_.getName.startsWith("part-")).get
+        .map(_.getPath).find(_.getName.startsWith("part-"))
+        .getOrElse(sys.error(s"no part file written under $tmp — " +
+          s"source table '$name' produced an empty write"))
       val dst = new org.apache.hadoop.fs.Path(s"$out/$name.parquet")
       fs.delete(dst, false)
       require(fs.rename(part, dst), s"rename $part -> $dst failed")
       fs.delete(tmpPath, true)
       println(s"[scaleup] $name: ${spark.read.parquet(dst.toString).count()} rows")
     }
-    /** max(key)+1 — the per-replica shift stride for one key domain. */
-    def stride(df: DataFrame, c: String): Long =
-      df.agg(max(col(c))).head.getLong(0) + 1L
+    /** max(key)+1 — the per-replica shift stride for one key domain.
+      * Long-cast (non-integral key columns fail the cast with a pointed
+      * AnalysisException, not a ClassCastException mid-collect); an empty
+      * source table yields a null max → fail with a named message. */
+    def stride(df: DataFrame, c: String): Long = {
+      val m = df.agg(max(col(c).cast("long"))).head.getAs[java.lang.Long](0)
+      require(m != null, s"key column '$c' has no rows — source table is empty")
+      m.longValue() + 1L
+    }
 
     /** F copies with the listed long keys shifted by r*stride(key). */
     def replicate(df: DataFrame, keys: Map[String, Long]): DataFrame =
