@@ -494,6 +494,24 @@ object SparkEntry {
             .as("tail_byte"))
     }),
 
+    // fragmented-MP4 (DASH/CMAF moof/tfhd/trun) demux conformance: the
+    // oracle recomputes every sample's offset from the fixture's closed
+    // form — explicit vs moof-relative base offsets, tfhd vs trex
+    // defaults, per-sample trun rows with composition-offset stride —
+    // plus head/tail byte probes that catch any resolution slip
+    "m14_fmp4_demux" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select("doc_id")
+      graft.functions.Mp4.demuxMp4Frames(
+        graft.functions.Mp4.syntheticFmp4s(ids, "doc_id"),
+        "doc_id", "payload")
+        .select(col("doc_id"), col("frame_no"), col("offset"), col("size"),
+          col("keyframe"), col("dur_ticks"), col("width"), col("height"),
+          expr("cast(conv(hex(substring(frame_bytes, 1, 1)), 16, 10) as int)")
+            .as("head_byte"),
+          expr("cast(conv(hex(substring(frame_bytes, cast(size as int), 1)), 16, 10) as int)")
+            .as("tail_byte"))
+    }),
+
     "m12_tar_shards" -> ((s, dir) => {
       import graft.operators.Layout
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"),
@@ -3545,6 +3563,62 @@ object SparkEntry {
     // full stbl arithmetic from first principles: sizes, 2-then-3-sample
     // chunking with 4-byte inter-chunk pads, stss sync flags, two-run
     // stts durations, tkhd dims, and the head/tail extraction probes
+    // first-principles fMP4 oracle: replays the fixture's closed-form
+    // layout (Mp4.syntheticFmp4Shape). 641 = ftyp(20) + moov(577:
+    // fixed-size init section with empty stbl + mvex/trex) + sidx(44) —
+    // constants of the fixed-layout init segment, pinned by the writer's
+    // own require() and by Mp4Spec. Fragment f: moof(72+4k | 112 | 68+16k
+    // by scheme f%3) + mdat(8 + Σ sizes); sample offsets accumulate
+    // inside the fragment; frame_no is the cross-fragment running index.
+    "m14_fmp4_demux" ->
+      """WITH d AS (SELECT doc_id, CAST(2 + doc_id % 3 AS INTEGER) AS nf
+        |  FROM documents),
+        |fr AS (SELECT doc_id, CAST(unnest(range(0, nf)) AS INTEGER) AS f
+        |  FROM d),
+        |fk AS (SELECT doc_id, f,
+        |  CAST(1 + (doc_id + f) % 4 AS INTEGER) AS k FROM fr),
+        |sm AS (SELECT doc_id, f, k,
+        |  CAST(unnest(range(0, k)) AS INTEGER) AS i FROM fk),
+        |sz AS (SELECT doc_id, f, k, i,
+        |  CAST(CASE WHEN f % 3 = 1 THEN 40 + ((doc_id*37 + f*19) % 50)
+        |    ELSE 40 + ((doc_id*37 + f*19 + i*13) % 50) END AS BIGINT)
+        |   AS size FROM sm),
+        |fragagg AS (SELECT doc_id, f, k,
+        |  CAST(CASE f % 3 WHEN 0 THEN 72 + 4*k WHEN 1 THEN 112
+        |    ELSE 68 + 16*k END AS BIGINT) AS moof_size,
+        |  sum(size) AS mdat_payload
+        | FROM sz GROUP BY doc_id, f, k),
+        |fragpos AS (SELECT doc_id, f, moof_size,
+        |  641 + COALESCE(SUM(moof_size + 8 + mdat_payload) OVER (
+        |    PARTITION BY doc_id ORDER BY f
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |   AS frag_start,
+        |  COALESCE(SUM(k) OVER (PARTITION BY doc_id ORDER BY f
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |   AS idx_base
+        | FROM fragagg),
+        |o AS (SELECT sz.doc_id, sz.f, sz.i, sz.size,
+        |  p.frag_start + p.moof_size + 8 + COALESCE(SUM(sz.size) OVER (
+        |    PARTITION BY sz.doc_id, sz.f ORDER BY sz.i
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |   AS off,
+        |  p.idx_base + sz.i AS gi
+        | FROM sz JOIN fragpos p ON sz.doc_id = p.doc_id AND sz.f = p.f)
+        |SELECT doc_id, CAST(gi AS INTEGER) AS frame_no,
+        | CAST(off AS BIGINT) AS "offset", size,
+        | CAST(CASE WHEN f % 3 = 2
+        |   THEN CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END
+        |   ELSE CASE WHEN i = 0 THEN 1 ELSE 0 END END AS INTEGER)
+        |  AS keyframe,
+        | CAST(CASE f % 3 WHEN 0 THEN 800
+        |   WHEN 1 THEN 900 + ((doc_id + 7*f) % 5)*50
+        |   ELSE 900 + ((doc_id + 7*f + 3*i) % 5)*50 END AS BIGINT)
+        |  AS dur_ticks,
+        | CAST(16*(1 + doc_id % 3) AS INTEGER) AS width,
+        | CAST(16*(1 + doc_id % 4) AS INTEGER) AS height,
+        | CAST((doc_id + gi*131) % 256 AS INTEGER) AS head_byte,
+        | CAST((doc_id + gi*131 + size - 1) % 256 AS INTEGER) AS tail_byte
+        |FROM o""".stripMargin,
     "m13_mp4_demux" ->
       """WITH d AS (SELECT doc_id, CAST(2 + doc_id % 7 AS INTEGER) AS n
         |  FROM documents),
@@ -4660,6 +4734,18 @@ object SparkEntry {
         | CASE WHEN totw > 0 THEN CAST(dupw AS DOUBLE) / totw
         |   ELSE 0.0 END AS dup_ngram_char_frac
         |FROM b2 LEFT JOIN tops USING (doc_id) LEFT JOIN aggd USING (doc_id)""".stripMargin,
+    // BOUNDED oracle (r9 verdict task 1): the old all-pairs form is O(n²)
+    // list-intersects and wedges at sf1.0 (50k docs). This one is
+    // prefix-filtered (Chaudhuri SSJoin / Bayardo all-pairs): under a
+    // global token order (here rarest-first by corpus frequency, ties by
+    // the token itself), any two sets with J >= t=0.9 must share a token
+    // within each set's first len - ceil(t*len) + 1 tokens — because
+    // J >= t forces |a ∩ b| >= t·|a|, and missing the whole prefix leaves
+    // at most ceil(t*len) - 1 shared tokens. Candidates come from the
+    // prefix self-join, then EXACT Jaccard verifies each candidate, so
+    // the result is provably identical to all-pairs (differentially
+    // confirmed vs the quadratic form at sf0.01 and sf0.1).
+    // Cost: sf0.01 0.2s, sf0.1 5s, sf1.0 minutes (vs never-finishes).
     "d15_minhash_recall" ->
       """WITH toks AS (
         | SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
@@ -4667,11 +4753,28 @@ object SparkEntry {
         | SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
         |   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
         | FROM toks WHERE len(w) >= 3),
+        |ex AS (SELECT doc_id, unnest(s) AS g, len(s) AS n FROM sh),
+        |freq AS (SELECT g, count(*) AS f FROM ex GROUP BY g),
+        |rk AS (SELECT doc_id, ex.g, n,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY f, ex.g) AS r
+        | FROM ex JOIN freq USING (g)),
+        |pref AS (SELECT doc_id, g FROM rk
+        | WHERE r <= n - CAST(ceil(0.9 * n) AS INT) + 1),
+        |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+        | FROM pref a JOIN pref b ON a.g = b.g AND a.doc_id < b.doc_id),
         |pairs AS (
-        | SELECT len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS sa, len(b.s) AS sb
-        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        | SELECT len(list_intersect(x.s, y.s)) AS inter,
+        |  len(x.s) AS sa, len(y.s) AS sb
+        | FROM cand JOIN sh x ON x.doc_id = cand.ida
+        |  JOIN sh y ON y.doc_id = cand.idb)
         |SELECT CAST(count(*) AS BIGINT) AS n_exact, CAST(1 AS BIGINT) AS recall_ok
         |FROM pairs WHERE CAST(inter AS DOUBLE)/(sa+sb-inter) >= 0.9""".stripMargin,
+    // COST NOTE (r9 verdict task 6): this oracle is new-batch × corpus
+    // shingle intersects — bounded (the new batch is a fixed doc_id slice,
+    // not the whole table) but ~10 min of DuckDB at sf1.0 (100 replicated
+    // new-batch names × 50k docs). Acceptable once per gate; keep it OUT
+    // of any repeated-iteration path (same discipline as the d04/d06/d17/
+    // t36 quadratic-oracle exclusion list in the gate scripts).
     "d14_dedup_against" ->
       """WITH toks AS (
         | SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
@@ -4752,12 +4855,33 @@ object SparkEntry {
         |FROM lineitem l
         |WHERE EXISTS (SELECT 1 FROM orders o
         | WHERE o.o_orderkey = l.l_orderkey AND o.o_totalprice > 450000)""".stripMargin,
+    // BOUNDED oracle (r9 verdict task 1): all-pairs levenshtein is 11G
+    // comparisons at sf1.0 (150k customers) and never finishes. Deletion-
+    // neighborhood blocking is provably lossless for dist <= 1: if
+    // lev(a,b) <= 1 then N(a) ∩ N(b) != ∅ where N(s) = {s} ∪ {s minus one
+    // char} — equal strings share s itself; a substitution at position i
+    // shares both-minus-i; an insert/delete shares the shorter string.
+    // Candidates from the key join, then exact levenshtein verifies, so
+    // the result is identical to all-pairs (differentially confirmed at
+    // sf0.01: 19,500 pairs both forms). Cost: sf1.0 ~6 min (26.9M output
+    // pairs — each sf0.1 pair lifts 100x under ScaleUp's verbatim-name
+    // replicas), vs never-finishes quadratic.
     "d12_fuzzy_join" ->
-      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
-        | CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
-        |FROM customer a, customer b
-        |WHERE a.c_custkey < b.c_custkey
-        | AND levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
+      """WITH c AS (SELECT c_custkey, c_name FROM customer),
+        |keys AS (
+        | SELECT c_custkey, c_name, c_name AS k FROM c
+        | UNION ALL
+        | SELECT c_custkey, c_name,
+        |   substr(c_name, 1, CAST(i AS INT) - 1) ||
+        |   substr(c_name, CAST(i AS INT) + 1) AS k
+        | FROM (SELECT c_custkey, c_name,
+        |        unnest(range(1, length(c_name) + 1)) AS i FROM c)),
+        |cand AS (
+        | SELECT DISTINCT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |   a.c_name AS na, b.c_name AS nb
+        | FROM keys a JOIN keys b ON a.k = b.k AND a.c_custkey < b.c_custkey)
+        |SELECT id_a, id_b, CAST(levenshtein(na, nb) AS INTEGER) AS dist
+        |FROM cand WHERE levenshtein(na, nb) <= 1""".stripMargin,
     "t13_tfidf" ->
       """WITH toks0 AS (
         | SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token

@@ -52,12 +52,16 @@ object Mp4 {
     new String(b, p.toInt, 4, "ISO-8859-1")
   }
 
-  /** (type, payloadStart, payloadEnd) for each box in [start, end). */
-  private def boxes(b: Array[Byte], start: Long, end: Long): Iterator[(String, Long, Long)] =
-    new Iterator[(String, Long, Long)] {
+  /** (type, boxStart, payloadStart, payloadEnd) for each box in
+   * [start, end) — boxStart included because fragmented base-data-offset
+   * resolution is relative to the first byte of the `moof` BOX, not its
+   * payload (ISO 14496-12 §8.8.7). */
+  private def boxesFull(b: Array[Byte], start: Long,
+      end: Long): Iterator[(String, Long, Long, Long)] =
+    new Iterator[(String, Long, Long, Long)] {
       private var pos = start
       def hasNext: Boolean = pos + 8 <= end
-      def next(): (String, Long, Long) = {
+      def next(): (String, Long, Long, Long) = {
         val size0 = u32(b, pos)
         val typ = fourcc(b, pos + 4)
         // size==1: 64-bit largesize follows the type; size==0: to EOF
@@ -66,21 +70,54 @@ object Mp4 {
           else if (size0 == 0L) (8L, end - pos)
           else (8L, size0)
         require(size >= hdr && pos + size <= end, s"box '$typ' overruns")
-        val r = (typ, pos + hdr, pos + size)
+        val r = (typ, pos, pos + hdr, pos + size)
         pos += size
         r
       }
     }
 
+  /** (type, payloadStart, payloadEnd) for each box in [start, end). */
+  private def boxes(b: Array[Byte], start: Long, end: Long): Iterator[(String, Long, Long)] =
+    boxesFull(b, start, end).map { case (t, _, ps, pe) => (t, ps, pe) }
+
   private def child(b: Array[Byte], s: Long, e: Long,
       typ: String): Option[(Long, Long)] =
     boxes(b, s, e).collectFirst { case (t, cs, ce) if t == typ => (cs, ce) }
 
+  /** First-box type names that identify a payload as ISO-BMFF. `moof` and
+   * `sidx` lead DASH media segments; `styp` leads CMAF segments. */
+  private val TopLevelTypes = Set("ftyp", "moov", "mdat", "free", "skip",
+    "wide", "styp", "sidx", "moof", "mfra", "pdin", "meta")
+
+  /** True when the payload LOOKS like ISO-BMFF (well-formed first box of a
+   * known top-level type). Callers use this to distinguish "not a video
+   * container at all" (byte-window fallback is fine) from "an MP4 we could
+   * not demux" (byte-windowing coded video bytes would emit garbage rows —
+   * drop instead). */
+  def sniffIsoBmff(payload: Array[Byte]): Boolean = {
+    if (payload == null || payload.length < 16) return false
+    try {
+      if (!TopLevelTypes.contains(fourcc(payload, 4))) return false
+      val size0 = u32(payload, 0)
+      size0 == 0L || (size0 >= 8L && size0 <= payload.length) ||
+        (size0 == 1L && u64(payload, 8) <= payload.length)
+    } catch { case _: IllegalArgumentException => false }
+  }
+
+  /** Per-track header info shared by the progressive and fragmented
+   * paths; (stblS, stblE) so the progressive path can walk the tables. */
+  private final case class TrakHeader(trackId: Long, width: Int,
+      height: Int, timescale: Long, stblS: Long, stblE: Long)
+
   /**
-   * Parse the FIRST video track (`hdlr` handler `vide`). None when the
-   * payload is not ISO-BMFF, carries no video track, or any table is
-   * truncated/inconsistent (a corrupted file must take the caller's
-   * fallback path, never throw on an executor).
+   * Parse the FIRST video track (`hdlr` handler `vide`). Handles both
+   * progressive MP4 (populated `stbl` sample tables) and fragmented
+   * MP4 / CMAF (`mvex`/`trex` defaults + `moof`/`tfhd`/`trun` runs —
+   * the DASH form; samples resolve against moof-relative or explicit
+   * base data offsets per ISO 14496-12 §8.8). None when the payload is
+   * not ISO-BMFF, carries no video track, or any table is truncated/
+   * inconsistent (a corrupted file must take the caller's fallback
+   * path, never throw on an executor).
    */
   def parseVideoTrack(payload: Array[Byte]): Option[Track] = {
     if (payload == null || payload.length < 16) return None
@@ -88,20 +125,39 @@ object Mp4 {
       val end = payload.length.toLong
       // cheap sniff before any walk: the first box must be well-formed and
       // a known top-level type (ftyp usually first; be liberal)
-      val first = fourcc(payload, 4)
-      if (!Set("ftyp", "moov", "mdat", "free", "skip", "wide", "styp")
-        .contains(first)) return None
+      if (!TopLevelTypes.contains(fourcc(payload, 4))) return None
       val (moovS, moovE) = child(payload, 0, end, "moov").getOrElse(return None)
-      boxes(payload, moovS, moovE).collect { case ("trak", ts, te) => (ts, te) }
-        .flatMap { case (ts, te) => parseTrak(payload, ts, te) }
-        .nextOption()
+      val hdr = boxes(payload, moovS, moovE)
+        .collect { case ("trak", ts, te) => (ts, te) }
+        .flatMap { case (ts, te) => parseTrakHeader(payload, ts, te) }
+        .nextOption().getOrElse(return None)
+      val progressive = parseStblSamples(payload, hdr.stblS, hdr.stblE)
+      val samples = progressive match {
+        case Some(s) => s
+        case None =>
+          // empty/absent sample tables: fragmented movie — resolve the
+          // sample runs from the moof sequence
+          parseFragmentSamples(payload, moovS, moovE, end, hdr)
+            .getOrElse(return None)
+      }
+      if (samples.isEmpty) return None
+      // Range validation: a corrupt-but-parseable file (truncated
+      // mid-mdat, lying stco/co64/base offsets, 64-bit offsets past
+      // Int.MaxValue that would wrap negative through .toInt in the
+      // slicers) must return None and take the caller's fallback path —
+      // never throw on an executor.
+      val ok = samples.forall(s => s.offset >= 0 && s.size >= 0 &&
+        s.offset + s.size <= payload.length && s.offset + s.size <= Int.MaxValue)
+      if (!ok) return None
+      Some(Track(hdr.width, hdr.height, hdr.timescale, samples))
     } catch {
       // require() failures from truncated tables / lying sizes
       case _: IllegalArgumentException => None
     }
   }
 
-  private def parseTrak(b: Array[Byte], ts: Long, te: Long): Option[Track] = {
+  private def parseTrakHeader(b: Array[Byte], ts: Long,
+      te: Long): Option[TrakHeader] = {
     val (mdiaS, mdiaE) = child(b, ts, te, "mdia").getOrElse(return None)
     // handler first: skip audio/hint tracks without touching their tables
     val (hdS, _) = child(b, mdiaS, mdiaE, "hdlr").getOrElse(return None)
@@ -109,9 +165,11 @@ object Mp4 {
 
     val (tkS, _) = child(b, ts, te, "tkhd").getOrElse(return None)
     val tkVer = b(tkS.toInt) & 0xff
-    // width/height: 16.16 fixed at the end of tkhd (after times, ids,
-    // layer/volume words and the 36-byte matrix) — v1 widens the three
-    // time fields from 4 to 8 bytes
+    // track_ID follows ver/flags + creation/modification times (which v1
+    // widens from 4 to 8 bytes each); width/height: 16.16 fixed at the
+    // end of tkhd (after times, ids, layer/volume words and the 36-byte
+    // matrix)
+    val trackId = u32(b, tkS + (if (tkVer == 1) 20L else 12L))
     val whOff = if (tkVer == 1) 88L else 76L
     val width = (u32(b, tkS + whOff) >> 16).toInt
     val height = (u32(b, tkS + whOff + 4) >> 16).toInt
@@ -122,7 +180,11 @@ object Mp4 {
 
     val (minfS, minfE) = child(b, mdiaS, mdiaE, "minf").getOrElse(return None)
     val (stblS, stblE) = child(b, minfS, minfE, "stbl").getOrElse(return None)
+    Some(TrakHeader(trackId, width, height, timescale, stblS, stblE))
+  }
 
+  private def parseStblSamples(b: Array[Byte], stblS: Long,
+      stblE: Long): Option[IndexedSeq[Sample]] = {
     // ---- stsz: per-sample sizes (fixed-size form: sample_size != 0) ----
     val (szS, _) = child(b, stblS, stblE, "stsz").getOrElse(return None)
     val fixedSize = u32(b, szS + 4)
@@ -206,7 +268,118 @@ object Mp4 {
       chunk += 1
     }
     if (out.length != nSamples) return None
-    Some(Track(width, height, timescale, out.toIndexedSeq))
+    Some(out.toIndexedSeq)
+  }
+
+  // =====================================================================
+  // Fragmented MP4 (DASH/CMAF): moov carries only defaults (mvex/trex);
+  // every sample lives in a moof/traf/trun run. ISO 14496-12 §8.8.
+  // =====================================================================
+
+  /** mvex/trex per-track defaults (0 when the box is absent — the spec
+   * requires trex for fragmented files, but a missing default only
+   * matters if a trun/tfhd actually falls through to it, so stay
+   * liberal and fail at use-site via range validation instead). */
+  private final case class TrexDefaults(dur: Long, size: Long, flags: Long)
+
+  /** Resolve every video sample from the top-level `moof` sequence.
+   * Offset resolution per §8.8.7: explicit tfhd base_data_offset wins;
+   * else default-base-is-moof (flag 0x20000) or the first-traf default —
+   * both the first byte of the enclosing moof box. Each trun's optional
+   * data_offset is relative to that base; absent, runs are contiguous.
+   * Returns None when no moof contributes a sample (an init-only segment
+   * or a non-video fragment stream). */
+  private def parseFragmentSamples(b: Array[Byte], moovS: Long, moovE: Long,
+      end: Long, hdr: TrakHeader): Option[IndexedSeq[Sample]] = {
+    val trex = child(b, moovS, moovE, "mvex").flatMap { case (mvS, mvE) =>
+      boxes(b, mvS, mvE).collectFirst {
+        case ("trex", s, _) if u32(b, s + 4) == hdr.trackId =>
+          TrexDefaults(u32(b, s + 12), u32(b, s + 16), u32(b, s + 20))
+      }
+    }.getOrElse(TrexDefaults(0L, 0L, 0L))
+
+    val out = scala.collection.mutable.ArrayBuffer.empty[Sample]
+    var no = 0
+    boxesFull(b, 0, end).foreach {
+      case ("moof", moofStart, ms, me) =>
+        boxes(b, ms, me).foreach {
+          case ("traf", tfS, tfE) =>
+            val (thS, _) = child(b, tfS, tfE, "tfhd").getOrElse(
+              throw new IllegalArgumentException("traf without tfhd"))
+            val thFlags = u32(b, thS) & 0xffffffL
+            if (u32(b, thS + 4) == hdr.trackId) {
+              // tfhd optional fields, in spec order
+              var p = thS + 8
+              val baseExplicit =
+                if ((thFlags & 0x1) != 0) { val v = u64(b, p); p += 8; Some(v) }
+                else None
+              if ((thFlags & 0x2) != 0) p += 4 // sample_description_index
+              val defDur =
+                if ((thFlags & 0x8) != 0) { val v = u32(b, p); p += 4; Some(v) }
+                else None
+              val defSize =
+                if ((thFlags & 0x10) != 0) { val v = u32(b, p); p += 4; Some(v) }
+                else None
+              val defFlags =
+                if ((thFlags & 0x20) != 0) { val v = u32(b, p); p += 4; Some(v) }
+                else None
+              // base: explicit > default-base-is-moof (0x20000) > the
+              // first-traf spec default — all moof start here (multi-traf
+              // moofs where a LATER traf relies on the implicit
+              // end-of-previous-data base are not resolvable without
+              // decoding sibling tracks; such files hit range validation
+              // and fall back rather than emitting wrong slices)
+              val base = baseExplicit.getOrElse(moofStart)
+              var cursor = base
+              boxes(b, tfS, tfE).foreach {
+                case ("trun", trS, trE) =>
+                  val trFlags = u32(b, trS) & 0xffffffL
+                  val count0 = u32(b, trS + 4)
+                  var q = trS + 8
+                  if ((trFlags & 0x1) != 0) {
+                    cursor = base + u32(b, q).toInt // signed data_offset
+                    q += 4
+                  }
+                  val firstFlags =
+                    if ((trFlags & 0x4) != 0) { val v = u32(b, q); q += 4; Some(v) }
+                    else None
+                  // a lying sample_count must fail parse, not spin: with
+                  // per-sample fields the trun box itself must hold them;
+                  // without, bound by what the payload could possibly fit
+                  val perSample = 4L * java.lang.Long.bitCount(
+                    trFlags & 0xf00L)
+                  require(
+                    if (perSample > 0) q + count0 * perSample <= trE
+                    else count0 <= b.length,
+                    "trun sample_count overruns its box")
+                  val count = count0.toInt
+                  var k = 0
+                  while (k < count) {
+                    val dur =
+                      if ((trFlags & 0x100) != 0) { val v = u32(b, q); q += 4; v }
+                      else defDur.getOrElse(trex.dur)
+                    val size =
+                      if ((trFlags & 0x200) != 0) { val v = u32(b, q); q += 4; v }
+                      else defSize.getOrElse(trex.size)
+                    val flags =
+                      if ((trFlags & 0x400) != 0) { val v = u32(b, q); q += 4; v }
+                      else if (k == 0 && firstFlags.isDefined) firstFlags.get
+                      else defFlags.getOrElse(trex.flags)
+                    if ((trFlags & 0x800) != 0) q += 4 // composition offset
+                    // sample_is_non_sync_sample is bit 16 of sample flags
+                    out += Sample(no, cursor, size, (flags & 0x10000L) == 0L, dur)
+                    cursor += size
+                    no += 1
+                    k += 1
+                  }
+                case _ => ()
+              }
+            }
+          case _ => ()
+        }
+      case _ => ()
+    }
+    if (out.isEmpty) None else Some(out.toIndexedSeq)
   }
 
   // =====================================================================
@@ -361,6 +534,198 @@ object Mp4 {
       }
     }
     bo.toByteArray
+  }
+
+  // =====================================================================
+  // Synthetic FRAGMENTED fixture (DASH/CMAF layout): [ftyp][moov with
+  // empty stbl + mvex/trex][sidx][moof+mdat]... — every sample placement
+  // fact lives in the moof sequence, so the m14 oracle recomputes the
+  // full tfhd/trun arithmetic from first principles. Three per-fragment
+  // flag schemes (f % 3) cover the resolution paths that differ on real
+  // corpora:
+  //   A (f%3==0): default-base-is-moof + trun data_offset + per-sample
+  //     sizes; durations and non-first sync flags fall through to trex.
+  //   B (f%3==1): EXPLICIT 64-bit base_data_offset + tfhd default
+  //     size/duration/flags + a tfdt box the walker must skip; trun
+  //     carries only data_offset 0 + first_sample_flags.
+  //   C (f%3==2): NO base flags (implicit first-traf moof-start base) +
+  //     fully per-sample trun rows incl. composition offsets the walker
+  //     must stride over; sync iff k % 3 == 0.
+  // A demuxer that cum-sums mdat bytes, ignores tfhd defaults, misreads
+  // the 64-bit base, or mis-strides trun rows produces shifted offsets —
+  // the m14 head/tail byte probes catch all of those.
+  // =====================================================================
+
+  /** Deterministic fragmented shape shared by the writer, the m14 oracle
+   * SQL and the spec: fragments `2 + id%3`, fragment f carries
+   * `1 + (id+f)%4` samples; per-sample size `40 + ((id*37 + f*19 + k*13)
+   * % 50)` for schemes A/C, the k=0 value fragment-wide for B; duration
+   * 800 (trex) for A, `900 + ((id + 7f) % 5)*50` for B, that formula
+   * plus `3k` inside the mod for C; sync: k==0 (A/B), k%3==0 (C); dims
+   * `16*(1+id%3) × 16*(1+id%4)`; timescale 25600; track id 2; frame
+   * byte j of global sample i is `(id + i*131 + j) & 0xff`. */
+  def syntheticFmp4Shape(id: Long): (Int, Int => Int, (Int, Int) => Int) = {
+    val nFrags = (2 + id % 3).toInt
+    val kOf = (f: Int) => (1 + ((id + f) % 4)).toInt
+    val size = (f: Int, k: Int) =>
+      if (f % 3 == 1) (40 + ((id * 37 + f * 19) % 50)).toInt
+      else (40 + ((id * 37 + f * 19 + k * 13) % 50)).toInt
+    (nFrags, kOf, size)
+  }
+
+  /** The fixture's constant init-segment length: ftyp + moov(empty stbl,
+   * mvex/trex) + sidx. Asserted by Mp4Spec so the m14 oracle's literal
+   * stays pinned to the writer. */
+  val FMp4DataStart: Int = 641
+
+  def syntheticFmp4(id: Long): Array[Byte] = {
+    val (nFrags, kOf, size) = syntheticFmp4Shape(id)
+    val width = (16 * (1 + id % 3)).toInt
+    val height = (16 * (1 + id % 4)).toInt
+    val durB = (f: Int) => 900L + ((id + 7L * f) % 5) * 50
+    val durC = (f: Int, k: Int) => 900L + ((id + 7L * f + 3L * k) % 5) * 50
+    val bo = new java.io.ByteArrayOutputStream()
+    def w32(v: Long): Unit = {
+      bo.write(((v >> 24) & 0xff).toInt); bo.write(((v >> 16) & 0xff).toInt)
+      bo.write(((v >> 8) & 0xff).toInt); bo.write((v & 0xff).toInt)
+    }
+    def w64(v: Long): Unit = { w32(v >>> 32); w32(v & 0xffffffffL) }
+    def wStr(s: String): Unit = bo.write(s.getBytes("ISO-8859-1"))
+    def box(typ: String)(body: => Unit): Unit = {
+      val mark = bo.size()
+      w32(0); wStr(typ); body
+      val bytes = bo.toByteArray
+      val sz = bytes.length - mark
+      bytes(mark) = ((sz >> 24) & 0xff).toByte
+      bytes(mark + 1) = ((sz >> 16) & 0xff).toByte
+      bytes(mark + 2) = ((sz >> 8) & 0xff).toByte
+      bytes(mark + 3) = (sz & 0xff).toByte
+      bo.reset(); bo.write(bytes, 0, bytes.length)
+    }
+    val SyncFlags = 0x02000000L    // sample_depends_on=2, sync
+    val NonSyncFlags = 0x00010000L // sample_is_non_sync_sample
+
+    box("ftyp") { wStr("isom"); w32(0x200); wStr("cmfc") }
+    box("moov") {
+      box("mvhd") { w32(0); w32(0); w32(0); w32(25600); w32(0); w32(0x00010000)
+        w32(0x01000000); w32(0); w32(0); w32(0x00010000); w32(0); w32(0)
+        w32(0); w32(0x00010000); w32(0); w32(0); w32(0); w32(0x40000000)
+        (0 until 6).foreach(_ => w32(0)); w32(3) }
+      box("trak") {
+        box("tkhd") {
+          w32(0x00000007) // v0, flags enabled
+          w32(0); w32(0); w32(2); w32(0); w32(0) // times, TRACK ID 2, rsvd, dur
+          w32(0); w32(0); w32(0); w32(0)
+          w32(0x00010000); w32(0); w32(0); w32(0); w32(0x00010000); w32(0)
+          w32(0); w32(0); w32(0x40000000)
+          w32(width.toLong << 16); w32(height.toLong << 16)
+        }
+        box("mdia") {
+          box("mdhd") { w32(0); w32(0); w32(0); w32(25600); w32(0); w32(0x55c40000) }
+          box("hdlr") { w32(0); w32(0); wStr("vide"); w32(0); w32(0); w32(0); bo.write(0) }
+          box("minf") {
+            box("vmhd") { w32(0x00000001); w32(0); w32(0) }
+            box("dinf") { box("dref") { w32(0); w32(1)
+              box("url ") { w32(0x00000001) } } }
+            box("stbl") {
+              box("stsd") { w32(0); w32(1)
+                box("avc1") { (0 until 6).foreach(_ => bo.write(0)); w32(1)
+                  w32(0); w32(0); w32(0); w32(0); w32(0)
+                  bo.write((width >> 8) & 0xff); bo.write(width & 0xff)
+                  bo.write((height >> 8) & 0xff); bo.write(height & 0xff)
+                  w32(0x00480000); w32(0x00480000); w32(0)
+                  bo.write(0); bo.write(1)
+                  (0 until 32).foreach(_ => bo.write(0))
+                  bo.write(0); bo.write(0x18); bo.write(0xff); bo.write(0xff) } }
+              // fragmented init: the sample tables exist but are EMPTY
+              box("stts") { w32(0); w32(0) }
+              box("stsc") { w32(0); w32(0) }
+              box("stsz") { w32(0); w32(0); w32(0) }
+              box("stco") { w32(0); w32(0) }
+            }
+          }
+        }
+      }
+      box("mvex") {
+        box("trex") { w32(0); w32(2) // track id 2
+          w32(1)    // default_sample_description_index
+          w32(800)  // default_sample_duration — scheme A falls through here
+          w32(0)    // default_sample_size (never used: A/C per-sample, B tfhd)
+          w32(NonSyncFlags) } // default flags — A's non-first samples
+      }
+    }
+    // a plausible sidx the walker must SKIP (v0, one reference)
+    box("sidx") { w32(0); w32(2); w32(25600); w32(0); w32(0)
+      bo.write(0); bo.write(0); bo.write(0); bo.write(1)
+      w32(0); w32(0); w32(0x90000000L) }
+    require(bo.size() == FMp4DataStart,
+      s"fixture init segment drifted: ${bo.size()} != $FMp4DataStart")
+
+    var globalIdx = 0
+    (0 until nFrags).foreach { f =>
+      val k = kOf(f)
+      val fragStart = bo.size().toLong
+      val moofSize = (f % 3: @unchecked) match {
+        case 0 => 72 + 4 * k
+        case 1 => 112
+        case 2 => 68 + 16 * k
+      }
+      box("moof") {
+        box("mfhd") { w32(0); w32(f + 1L) }
+        box("traf") {
+          (f % 3: @unchecked) match {
+            case 0 => // scheme A: default-base-is-moof, per-sample sizes
+              box("tfhd") { w32(0x020000); w32(2) }
+              box("trun") { w32(0x1 | 0x4 | 0x200); w32(k)
+                w32(moofSize + 8L)   // data_offset → mdat payload
+                w32(SyncFlags)       // first_sample_flags
+                (0 until k).foreach(i => w32(size(f, i).toLong)) }
+            case 1 => // scheme B: explicit 64-bit base + tfhd defaults
+              box("tfhd") { w32(0x1 | 0x8 | 0x10 | 0x20); w32(2)
+                w64(fragStart + moofSize + 8) // base_data_offset (absolute)
+                w32(durB(f)); w32(size(f, 0).toLong); w32(NonSyncFlags) }
+              box("tfdt") { w32(0x01000000); w64(f * 100000L) }
+              box("trun") { w32(0x1 | 0x4); w32(k)
+                w32(0)               // data_offset relative to explicit base
+                w32(SyncFlags) }
+            case 2 => // scheme C: implicit moof base, fully per-sample
+              box("tfhd") { w32(0); w32(2) }
+              box("trun") { w32(0x1 | 0x100 | 0x200 | 0x400 | 0x800); w32(k)
+                w32(moofSize + 8L)
+                (0 until k).foreach { i =>
+                  w32(durC(f, i))
+                  w32(size(f, i).toLong)
+                  w32(if (i % 3 == 0) SyncFlags else NonSyncFlags)
+                  w32(i * 10L) // composition offset — demux must stride over
+                } }
+          }
+        }
+      }
+      require(bo.size() - fragStart == moofSize,
+        s"moof size drifted for scheme ${f % 3}: ${bo.size() - fragStart} != $moofSize")
+      box("mdat") {
+        (0 until k).foreach { i =>
+          val sz = size(f, i)
+          var j = 0
+          while (j < sz) {
+            bo.write(((id + globalIdx * 131L + j) & 0xff).toInt); j += 1
+          }
+          globalIdx += 1
+        }
+      }
+    }
+    bo.toByteArray
+  }
+
+  /** Executor-side synthetic fragmented-MP4 fixtures — the m14 oracle
+   * recomputes the full moof/tfhd/trun arithmetic in SQL. */
+  def syntheticFmp4s(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      it.map(r => Row(r.getLong(idIdx), syntheticFmp4(r.getLong(idIdx))))
+    }(Encoders.row(schema))
   }
 
   /** Executor-side synthetic-MP4 fixtures with id-derived shape — the m13

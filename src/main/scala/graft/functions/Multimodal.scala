@@ -944,6 +944,11 @@ object Multimodal {
                   java.util.Arrays.copyOfRange(payload, sm.offset.toInt,
                     (sm.offset + sm.size).toInt))
               }
+            // an ISO-BMFF payload we could NOT demux (truncated tables,
+            // init-only segment, unknown layout) must be DROPPED, not
+            // byte-windowed: windows over coded video bytes are garbage
+            // rows that read as data downstream (r9 verdict task 2)
+            case None if Mp4.sniffIsoBmff(payload) => Iterator.empty
             case None =>
               byteWindows(payload, frameSize, stride)
                 .map { case (i, fb) => Row(id, i, -1, -1, fb) }

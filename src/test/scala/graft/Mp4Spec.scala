@@ -1,0 +1,151 @@
+package graft
+
+import graft.functions.{Mp4, Multimodal}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ISO-BMFF demux: progressive (stbl walk) and fragmented (moof/tfhd/trun)
+ * forms against an INDEPENDENT closed-form replay of the fixture layout,
+ * plus the corrupt-payload contract (None, never throw) and the
+ * never-byte-window-a-sniffed-MP4 routing rule. */
+class Mp4Spec extends SparkTestBase {
+
+  // ---- independent closed-form replay of the fragmented fixture ----
+  // (no, offset, size, keyframe, duration) per sample; mirrors the shape
+  // documented on Mp4.syntheticFmp4Shape
+  private def expectedFmp4(id: Long): IndexedSeq[(Int, Long, Long, Boolean, Long)] = {
+    val nf = (2 + id % 3).toInt
+    def kOf(f: Int) = (1 + ((id + f) % 4)).toInt
+    def size(f: Int, i: Int): Long =
+      if (f % 3 == 1) 40 + ((id * 37 + f * 19) % 50)
+      else 40 + ((id * 37 + f * 19 + i * 13) % 50)
+    def moofSize(f: Int): Long = {
+      val k = kOf(f)
+      if (f % 3 == 0) 72 + 4 * k else if (f % 3 == 1) 112 else 68 + 16 * k
+    }
+    var pos = Mp4.FMp4DataStart.toLong
+    var gi = 0
+    val out = IndexedSeq.newBuilder[(Int, Long, Long, Boolean, Long)]
+    (0 until nf).foreach { f =>
+      val k = kOf(f)
+      var off = pos + moofSize(f) + 8
+      (0 until k).foreach { i =>
+        val sz = size(f, i)
+        val kf = if (f % 3 == 2) i % 3 == 0 else i == 0
+        val dur: Long =
+          if (f % 3 == 0) 800L
+          else if (f % 3 == 1) 900 + ((id + 7L * f) % 5) * 50
+          else 900 + ((id + 7L * f + 3L * i) % 5) * 50
+        out += ((gi, off, sz, kf, dur))
+        off += sz
+        gi += 1
+      }
+      pos = off
+    }
+    out.result()
+  }
+
+  test("fragmented fixture: every sample resolves to the closed-form layout") {
+    (0L until 24L).foreach { id =>
+      val payload = Mp4.syntheticFmp4(id)
+      val tr = Mp4.parseVideoTrack(payload)
+        .getOrElse(fail(s"id=$id: fMP4 did not parse"))
+      assert(tr.width === 16 * (1 + id % 3), s"id=$id width")
+      assert(tr.height === 16 * (1 + id % 4), s"id=$id height")
+      assert(tr.timescale === 25600L, s"id=$id timescale")
+      val want = expectedFmp4(id)
+      assert(tr.samples.length === want.length, s"id=$id sample count")
+      tr.samples.zip(want).foreach { case (s, (no, off, sz, kf, dur)) =>
+        assert((s.no, s.offset, s.size, s.keyframe, s.duration) ===
+          ((no, off, sz, kf, dur)), s"id=$id sample $no")
+        // byte probes: the slice must carry the deterministic content
+        assert((payload(s.offset.toInt) & 0xff) === ((id + no * 131L) % 256).toInt,
+          s"id=$id sample $no head byte")
+        assert((payload((s.offset + s.size - 1).toInt) & 0xff) ===
+          ((id + no * 131L + sz - 1) % 256).toInt, s"id=$id sample $no tail byte")
+      }
+      // total length consistency: last sample ends at EOF
+      val last = tr.samples.last
+      assert(last.offset + last.size === payload.length.toLong, s"id=$id EOF")
+    }
+  }
+
+  test("fragmented init segment is the pinned 641-byte constant; first moof follows") {
+    val p = Mp4.syntheticFmp4(5L)
+    assert(new String(p, Mp4.FMp4DataStart + 4, 4, "ISO-8859-1") === "moof")
+  }
+
+  test("progressive fixture still resolves (v0/stco, v1, co64 forms)") {
+    Seq((false, false), (true, false), (false, true)).foreach { case (co64, v1) =>
+      (0L until 12L).foreach { id =>
+        val tr = Mp4.parseVideoTrack(Mp4.syntheticMp4(id, co64 = co64, v1 = v1))
+          .getOrElse(fail(s"id=$id co64=$co64 v1=$v1 did not parse"))
+        val (n, size, w, h) = Mp4.syntheticShape(id)
+        assert(tr.samples.length === n)
+        assert((tr.width, tr.height) === ((w, h)))
+        assert(tr.samples.map(_.size).sum === (0 until n).map(size(_).toLong).sum)
+        assert(tr.samples.forall(s => s.keyframe == (s.no % 4 == 0)))
+      }
+    }
+  }
+
+  test("corrupt payloads return None, never throw") {
+    val prog = Mp4.syntheticMp4(7L)
+    val frag = Mp4.syntheticFmp4(7L)
+    // truncation: progressive loses moov (at the end); fragmented loses
+    // mdat bytes a trun still claims — range validation must catch it
+    assert(Mp4.parseVideoTrack(prog.dropRight(10)) === None)
+    assert(Mp4.parseVideoTrack(frag.dropRight(10)) === None)
+    // lying stco: patch the first chunk offset to point past EOF
+    val lying = prog.clone()
+    val stcoAt = {
+      val idx = (0 until lying.length - 8).find(i =>
+        new String(lying, i + 4, 4, "ISO-8859-1") == "stco").get
+      idx + 8 + 8 // header + ver/flags + count → first entry
+    }
+    lying(stcoAt) = 0x7f.toByte // ~2.1 GB offset, far past EOF
+    assert(Mp4.parseVideoTrack(lying) === None)
+    // lying trun sample_count must not spin or throw
+    val lyingTrun = frag.clone()
+    val trunAt = (0 until lyingTrun.length - 8).find(i =>
+      new String(lyingTrun, i + 4, 4, "ISO-8859-1") == "trun").get
+    lyingTrun(trunAt + 8 + 4) = 0x7f.toByte // sample_count ~2.1e9
+    assert(Mp4.parseVideoTrack(lyingTrun) === None)
+    // empty / tiny / non-media payloads
+    assert(Mp4.parseVideoTrack(null) === None)
+    assert(Mp4.parseVideoTrack(Array.emptyByteArray) === None)
+    assert(Mp4.parseVideoTrack("not a video at all, just text".getBytes) === None)
+  }
+
+  test("sniffIsoBmff: true for MP4 forms (even undemuxable), false for other bytes") {
+    assert(Mp4.sniffIsoBmff(Mp4.syntheticMp4(3L)))
+    assert(Mp4.sniffIsoBmff(Mp4.syntheticFmp4(3L)))
+    // init-only segment: sniffs as ISO-BMFF although demux yields nothing
+    assert(Mp4.sniffIsoBmff(Mp4.syntheticFmp4(3L).take(Mp4.FMp4DataStart)))
+    assert(!Mp4.sniffIsoBmff("plain text payload that is long enough".getBytes))
+    assert(!Mp4.sniffIsoBmff(Array.fill(64)(0x42.toByte)))
+    assert(!Mp4.sniffIsoBmff(null))
+  }
+
+  test("demuxFrames drops undemuxable ISO-BMFF instead of byte-windowing it") {
+    import org.apache.spark.sql.types._
+    val initOnly = Mp4.syntheticFmp4(3L).take(Mp4.FMp4DataStart)
+    val garbage = Array.tabulate(4096)(i => (i * 7 % 251).toByte)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    val rows = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, initOnly),
+        org.apache.spark.sql.Row(2L, garbage),
+        org.apache.spark.sql.Row(3L, Mp4.syntheticFmp4(9L))),
+      schema)
+    val out = Multimodal.demuxFrames(rows, "doc_id", "payload").collect()
+    // the sniffed-but-undemuxable MP4 contributes NOTHING
+    assert(!out.exists(_.getLong(0) == 1L))
+    // garbage still byte-windows (width/height -1)
+    assert(out.exists(r => r.getLong(0) == 2L && r.getInt(2) == -1))
+    // the real fMP4 demuxes through the box walk with real dims
+    val fragRows = out.filter(_.getLong(0) == 3L)
+    assert(fragRows.nonEmpty && fragRows.forall(_.getInt(2) == 16))
+    assert(fragRows.length === expectedFmp4(9L).length)
+  }
+}
