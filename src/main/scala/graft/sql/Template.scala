@@ -68,6 +68,13 @@ object Template {
       body: List[Node]) extends Node
   private case class SetNode(name: String, e: Expr) extends Node
   private case class SetBlockNode(name: String, body: List[Node]) extends Node
+  /** `{% set ns.attr = e %}` — attribute assignment on a namespace()
+   * object (jinja2.utils.Namespace), the documented escape hatch for
+   * mutating state across scope boundaries (loop bodies, macros). */
+  private case class SetAttrNode(target: String, attr: String, e: Expr)
+    extends Node
+  private case class SetAttrBlockNode(target: String, attr: String,
+      body: List[Node]) extends Node
   private case class MacroNode(name: String,
       params: List[(String, Option[Expr])], body: List[Node]) extends Node
 
@@ -81,6 +88,27 @@ object Template {
    * cell (not the immutable threaded map) is the only way a macro can
    * observe bindings created after its definition. */
   private final class Frame(var env: Map[String, Any])
+
+  /** jinja2 `namespace()` value: a MUTABLE attribute bag shared by
+   * reference through env copies, so `{% set ns.x = v %}` inside a loop
+   * or macro is visible after it — exactly the cross-scope channel
+   * jinja2.utils.Namespace provides. */
+  private final class NamespaceVal(var fields: Map[String, Any]) {
+    override def toString: String = {
+      val inner = fields.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"'$k': ${pyRepr(v)}" }.mkString(", ")
+      s"<Namespace {$inner}>"
+    }
+  }
+
+  /** Python-ish repr for NamespaceVal rendering parity. */
+  private def pyRepr(v: Any): String = v match {
+    case s: String => "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    case true => "True"
+    case false => "False"
+    case null => "None"
+    case other => String.valueOf(other)
+  }
 
   /** A defined macro, stored as an env value so calls resolve by name.
    * `defEnv` is the environment snapshot at the `{% macro %}` tag — it
@@ -102,6 +130,8 @@ object Template {
 
   private sealed trait Expr
   private case class Lit(v: Any) extends Expr
+  private case class ListLit(items: List[Expr]) extends Expr
+  private case class DictLit(items: List[(Expr, Expr)]) extends Expr
   private case class Ref(name: String) extends Expr
   private case class Attr(t: Expr, name: String) extends Expr
   private case class IndexOp(t: Expr, i: Expr) extends Expr
@@ -288,6 +318,13 @@ object Template {
     }
 
     private def parseSet(body: String): Node = {
+      // attribute form: {% set ns.attr = expr %} — ONE level, on a
+      // namespace() object only (jinja2 semantics)
+      val attrEq = ("(?s)^set\\s+([A-Za-z_][A-Za-z0-9_]*)\\." +
+        "([A-Za-z_][A-Za-z0-9_]*)\\s*=\\s*(.+)$").r
+      attrEq.findFirstMatchIn(body).foreach { m =>
+        return SetAttrNode(m.group(1), m.group(2), ExprParser.parse(m.group(3)))
+      }
       // expression form: {% set name = expr %} — (?s) so a multi-line
       // expression (valid jinja) parses like parseMacro's signature does
       val eq = "(?s)^set\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*=\\s*(.+)$".r
@@ -295,15 +332,19 @@ object Template {
         case Some(m) => SetNode(m.group(1), ExprParser.parse(m.group(2)))
         case None =>
           // block form: {% set name %}...{% endset %} (rendered string)
-          val blk = "(?s)^set\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
-          val name = blk.findFirstMatchIn(body).map(_.group(1))
+          val blk = ("(?s)^set\\s+([A-Za-z_][A-Za-z0-9_]*)" +
+            "(?:\\.([A-Za-z_][A-Za-z0-9_]*))?\\s*$").r
+          val m = blk.findFirstMatchIn(body)
             .getOrElse(throw new SyntaxError(
               s"malformed set tag '{% $body %}' (expected " +
                 "'{% set name = expr %}' or '{% set name %}...{% endset %}')"))
           val (inner, term) = parseNodes(Set("endset"))
           if (term.isEmpty)
             throw new SyntaxError("'{% set %}' block without '{% endset %}'")
-          SetBlockNode(name, inner)
+          Option(m.group(2)) match {
+            case Some(attr) => SetAttrBlockNode(m.group(1), attr, inner)
+            case None => SetBlockNode(m.group(1), inner)
+          }
       }
     }
 
@@ -362,7 +403,7 @@ object Template {
         } else {
           val two = if (i + 1 < n) s.substring(i, i + 2) else ""
           if (Set("==", "!=", "<=", ">=", "//").contains(two)) { out += EOp(two); i += 2 }
-          else if ("()[].,|~<>+-*/%=".indexOf(c) >= 0) { out += EOp(c.toString); i += 1 }
+          else if ("()[].,|~<>+-*/%={}:".indexOf(c) >= 0) { out += EOp(c.toString); i += 1 }
           else throw new SyntaxError(s"unexpected character '$c' in expression '$s'")
         }
       }
@@ -547,19 +588,28 @@ object Template {
         case EId(name) => Ref(name)
         case EOp("(") => val e = orExpr(); expect(")"); e
         case EOp("[") =>
-          // list literal: ['a', 'b'] — handy for inline for-loops
+          // list literal: elements are full expressions evaluated at
+          // render time ([x, 1] is valid jinja, not only ['a','b'])
           val items = mutable.ListBuffer.empty[Expr]
           if (!accept("]")) {
             items += orExpr()
             while (accept(",")) items += orExpr()
             expect("]")
           }
-          val lits = items.toList
-          Lit(lits.map {
-            case Lit(v) => v
-            case _ => throw new SyntaxError(
-              s"list literals may hold only literals in '$src'")
-          })
+          ListLit(items.toList)
+        case EOp("{") =>
+          // dict literal: {'a': 1, k: v} — keys and values are full
+          // expressions (jinja dict syntax; namespace({'a': 5}) needs it)
+          val items = mutable.ListBuffer.empty[(Expr, Expr)]
+          if (!accept("}")) {
+            def pair(): Unit = {
+              val k = orExpr(); expect(":"); items += ((k, orExpr()))
+            }
+            pair()
+            while (accept(",")) pair()
+            expect("}")
+          }
+          DictLit(items.toList)
         case t => throw new SyntaxError(s"unexpected token $t in expression '$src'")
       }
     }
@@ -644,6 +694,34 @@ object Template {
       val inner = new StringBuilder
       renderNodes(body, env, inner, new Frame(env))
       env + (name -> inner.toString)
+    case SetAttrNode(target, attr, e) =>
+      env.getOrElse(target, Undefined) match {
+        case ns: NamespaceVal =>
+          eval(e, env) match {
+            case Undefined => throw new IllegalArgumentException(
+              s"'{% set $target.$attr %}': assigning an undefined value")
+            case v => ns.fields += (attr -> v)
+          }
+          env // mutation, not rebinding: the env map is unchanged
+        case Undefined => throw new IllegalArgumentException(
+          s"'{% set $target.$attr %}': '$target' is undefined")
+        case other => throw new IllegalArgumentException(
+          s"'{% set $target.$attr %}': attribute assignment needs a " +
+            s"namespace() object, got ${kind(other)} (jinja2 raises here too)")
+      }
+    case SetAttrBlockNode(target, attr, body) =>
+      env.getOrElse(target, Undefined) match {
+        case ns: NamespaceVal =>
+          val inner = new StringBuilder
+          renderNodes(body, env, inner, new Frame(env))
+          ns.fields += (attr -> inner.toString)
+          env
+        case Undefined => throw new IllegalArgumentException(
+          s"'{% set $target.$attr %}': '$target' is undefined")
+        case other => throw new IllegalArgumentException(
+          s"'{% set $target.$attr %}': attribute assignment needs a " +
+            s"namespace() object, got ${kind(other)} (jinja2 raises here too)")
+      }
     case MacroNode(name, params, body) =>
       val mv = MacroVal(name, params, body)
       val withSelf = env + (name -> mv)
@@ -656,8 +734,18 @@ object Template {
 
   private def eval(e: Expr, env: Map[String, Any]): Any = e match {
     case Lit(v) => v
+    case ListLit(items) => items.map(eval(_, env))
+    case DictLit(items) => items.map { case (k, v) =>
+      val key = eval(k, env) match {
+        case Undefined => throw new IllegalArgumentException(
+          "dict literal: key evaluated to an undefined value")
+        case other => other
+      }
+      key -> eval(v, env)
+    }.toMap
     case Ref(n) => env.getOrElse(n, Undefined)
     case Attr(t, n) => eval(t, env) match {
+      case ns: NamespaceVal => ns.fields.getOrElse(n, Undefined)
       case m: Map[_, _] => m.asInstanceOf[Map[String, Any]].getOrElse(n, Undefined)
       case _ => Undefined
     }
@@ -736,6 +824,23 @@ object Template {
     case Bin(op, _, _) => throw new IllegalArgumentException(s"unknown op '$op'")
     case FilterOp(x, name, args) =>
       applyFilter(eval(x, env), name, args.map(eval(_, env)))
+    case CallOp(Ref("namespace"), args, kwargs)
+        if !env.contains("namespace") =>
+      // jinja2.utils.Namespace: namespace(**attrs) or namespace(dict,
+      // **attrs) — a user binding named 'namespace' shadows the builtin,
+      // hence the env guard (same rule jinja applies to its globals)
+      val init = args match {
+        case Nil => Map.empty[String, Any]
+        case one :: Nil => eval(one, env) match {
+          case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+          case other => throw new IllegalArgumentException(
+            s"namespace(): positional argument must be a mapping, " +
+              s"got ${kind(other)}")
+        }
+        case _ => throw new IllegalArgumentException(
+          "namespace() takes at most one positional (mapping) argument")
+      }
+      new NamespaceVal(init ++ kwargs.map { case (k, e) => k -> eval(e, env) })
     case CallOp(t, args, kwargs) => eval(t, env) match {
       case mv @ MacroVal(mname, params, body) =>
         if (args.length > params.length) throw new IllegalArgumentException(
@@ -920,7 +1025,10 @@ object Template {
   private def kind(v: Any): String =
     if (v == Undefined) "an undefined value"
     else if (v == null) "None"
-    else v.getClass.getSimpleName
+    else v match {
+      case _: NamespaceVal => "a namespace"
+      case _ => v.getClass.getSimpleName
+    }
 
   private def isNum(v: Any): Boolean = v match {
     case _: Long | _: Int | _: Short | _: Byte | _: Double | _: Float => true

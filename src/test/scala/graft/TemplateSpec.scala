@@ -320,4 +320,70 @@ class TemplateSpec extends AnyFunSuite {
       GraftSql.substituteVars("{{missing}}", Map("a" -> "x"))
     }
   }
+
+  test("namespace(): construction, attr read, cross-scope mutation (jinja2 3.1.6 differential)") {
+    // every expected value below was differentially executed against real
+    // jinja2 3.1.6 (strict undefined) in r10
+    assert(r("{% set ns = namespace(a=1, b='x') %}{{ ns.a }}|{{ ns.b }}") ===
+      "1|x")
+    // mutation inside a for body is visible after the loop — THE use case
+    assert(r("{% set ns = namespace(found=false, n=0) %}" +
+      "{% for i in [1,2,3] %}{% set ns.n = ns.n + i %}" +
+      "{% if i == 2 %}{% set ns.found = true %}{% endif %}{% endfor %}" +
+      "{{ ns.found }}:{{ ns.n }}") === "True:6")
+    // mutation inside a macro body is visible at the call site
+    assert(r("{% set ns = namespace(c=0) %}" +
+      "{% macro bump() %}{% set ns.c = ns.c + 1 %}{% endmacro %}" +
+      "{{ bump() }}{{ bump() }}{{ ns.c }}") === "2")
+    // nested loops accumulate through the same object
+    assert(r("{% set ns = namespace(total=0) %}{% for i in [1,2] %}" +
+      "{% for j in [10,20] %}{% set ns.total = ns.total + i*j %}" +
+      "{% endfor %}{% endfor %}{{ ns.total }}") === "90")
+    // positional mapping + kwargs; kwargs win on collision
+    assert(r("{% set ns = namespace({'a': 5}, b=6) %}{{ ns.a + ns.b }}") ===
+      "11")
+    assert(r("{% set ns = namespace({'a': 5}, a=7) %}{{ ns.a }}") === "7")
+    // block-form attr set renders the body
+    assert(r("{% set ns = namespace() %}{% set ns.t %}hello {{ 1 + 1 }}" +
+      "{% endset %}{{ ns.t }}") === "hello 2")
+    // namespaces alias by REFERENCE (jinja: b = a shares the object)
+    assert(r("{% set a = namespace(v=1) %}{% set b = a %}" +
+      "{% set b.v = 9 %}{{ a.v }}") === "9")
+    // attr read drives conditionals
+    assert(r("{% set ns = namespace(x=3) %}{% if ns.x > 2 %}big{% endif %}") ===
+      "big")
+  }
+
+  test("list/dict literals evaluate at render time (jinja2 3.1.6 differential)") {
+    val p = Map[String, Any]("x" -> 9L)
+    assert(r("{{ [x, 2] | join(',') }}", p) === "9,2")
+    assert(r("{{ {'a': 1}['a'] }}") === "1")
+    assert(r("{{ {1: 'x'}[1] }}") === "x")   // non-string keys index exactly
+    assert(r("{{ {'k': x}.k }}", p) === "9")
+    assert(r("{% for p in [[1,'a'],[2,'b']] %}{{ p[0] }}{{ p[1] }}{% endfor %}") ===
+      "1a2b")
+    assert(r("{{ {'a': 1} | length }}") === "1")
+  }
+
+  test("namespace(): error cases match jinja2's (raise, message differs)") {
+    // jinja2: 'cannot assign attribute on non-namespace object' for both
+    val e1 = intercept[IllegalArgumentException](
+      r("{% set x = 1 %}{% set x.y = 2 %}ok"))
+    assert(e1.getMessage.contains("namespace"))
+    val e2 = intercept[IllegalArgumentException](r("{% set ns.a = 1 %}ok"))
+    assert(e2.getMessage.contains("undefined"))
+    // jinja2: TypeError ('int' object is not iterable)
+    val e3 = intercept[IllegalArgumentException](r("{{ namespace(1) }}"))
+    assert(e3.getMessage.contains("mapping"))
+    // a user binding named 'namespace' shadows the builtin (jinja global
+    // shadowing rule); calling the shadowed non-callable then raises
+    val e4 = intercept[IllegalArgumentException](
+      r("{% set namespace = 3 %}{{ namespace(a=1) }}"))
+    assert(e4.getMessage.contains("not callable"))
+    // reading a missing attribute is Undefined → strict output raises
+    // (graft's documented strict-undefined divergence applies here too)
+    val e5 = intercept[IllegalArgumentException](
+      r("{% set ns = namespace(a=1) %}{{ ns.missing }}"))
+    assert(e5.getMessage.contains("undefined"))
+  }
 }
