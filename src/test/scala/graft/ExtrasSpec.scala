@@ -87,6 +87,32 @@ class ExtrasSpec extends SparkTestBase {
     assert(louter.filter(col("w").isNull).count() === 1)
   }
 
+  test("suggestSalt maps the measured histogram to a factor; suggested join == plain join") {
+    // skewed probe: key 0 carries 60 rows, keys 1..5 carry 8 each
+    val skewed = df(
+      ((1 to 60).map(i => Seq(0, s"h$i")) ++
+        (1 to 40).map(i => Seq(1 + (i % 5), s"t$i"))), "k:int,v:str")
+    val dim = df((0 to 5).map(k => Seq(k, k * 10.0)), "k:int,w:double")
+    // hottest key 60 rows / 10 per task -> ceil = 6
+    assert(SkewJoin.suggestSalt(skewed, Seq("k"), targetRowsPerTask = 10L) === 6)
+    // no key exceeds the target -> 1 (don't salt)
+    assert(SkewJoin.suggestSalt(skewed, Seq("k"), targetRowsPerTask = 100L) === 1)
+    // clamp respected
+    assert(SkewJoin.suggestSalt(skewed, Seq("k"), targetRowsPerTask = 1L,
+      maxFactor = 8) === 8)
+    // empty probe -> 1
+    assert(SkewJoin.suggestSalt(skewed.filter(col("k") > 99), Seq("k")) === 1)
+    // q49 pin: join with the SUGGESTED factor equals the plain join
+    val f = SkewJoin.suggestSalt(skewed, Seq("k"), targetRowsPerTask = 10L)
+    val salted = SkewJoin.saltedJoin(skewed, dim, Seq("k"), "inner", factor = f)
+      .select("k", "v", "w")
+    val plain = skewed.join(dim, Seq("k"), "inner").select("k", "v", "w")
+    assert(graft.api.DfUtils.dfEq(salted, plain))
+    intercept[IllegalArgumentException](SkewJoin.suggestSalt(skewed, Seq.empty))
+    intercept[IllegalArgumentException](
+      SkewJoin.suggestSalt(skewed, Seq("k"), targetRowsPerTask = 0L))
+  }
+
   test("callback channel collects executor-side messages") {
     val ch = CallbackChannel(spark)
     val d = df((1 to 10).map(i => Seq(i)), "x:int").repartition(4)
