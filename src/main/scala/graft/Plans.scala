@@ -53,7 +53,11 @@ object Plans {
       "t36_trigram_ce" -> "Trigram/bigram/unigram count tables are vocabulary-sized hash aggregates with map-side partials; the scoring join streams the corpus triple stream against them (AQE broadcasts small count tables); the (N, V) pair rides a one-row broadcast.",
       "t37_link_graph" -> "Anchor extraction is a narrow codegen'd regexp chain per row; edge aggregation is one (src, dst) hash aggregate with partials - no shuffle before the aggregate's own exchange.",
       "t38_gopher_rules" -> "All Gopher metrics and rule verdicts compute in ONE codegen'd projection over the scan (array/string ops, no UDF, no shuffle, no aggregate) - the whole bundle is map-only.",
-      "t39_c4_clean" -> "Line-level C4 cleanup is a pure per-row array pipeline (split -> filter -> rejoin) in whole-stage codegen; map-only, no exchange.")
+      "t39_c4_clean" -> "Line-level C4 cleanup is a pure per-row array pipeline (split -> filter -> rejoin) in whole-stage codegen; map-only, no exchange.",
+      "q115_connected_components" -> "Hash-min + pointer-jumping CC: every iteration is a node-keyed join + min-aggregate (O(log n) rounds); per-round localCheckpoint caps lineage so the plan below - ONE round's chain under the inspection conf - is also the per-iteration cost model: exchanges keyed on node id only, no global window, no driver-side graph.",
+      "m13_mp4_demux" -> "Progressive-MP4 demux is a NARROW mapPartitions over the payload column - grep: no Exchange anywhere before the dump's own sink; the per-sample byte probes (conv/hex/substring) stay inside the WholeStageCodegen projection over the demux output.",
+      "m14_fmp4_demux" -> "Fragmented-MP4 (moof/tfhd/trun) demux: the identical narrow shape as m13 - per-row box walk in mapPartitions, zero exchanges; at cluster scale this is the ranged-read slicing step before decode fan-out, so shuffle-freedom here is the point.",
+      "q117_odd_columns" -> "Odd column names (spaces, keywords, unicode, '*') through the dialect: the LOAD-projected scan's ReadSchema carries the quoted names as-is and the plan is scan+project only - name mangling would show as a Project alias layer.")
     // partitioned-write → partition-pruning demo
     val pdir = "/root/repo/target/plans_partitioned"
     spark.read.parquet(s"$dir/part.parquet").write.mode("overwrite")
@@ -63,7 +67,7 @@ object Plans {
     val sb = new StringBuilder
     sb ++= "# PLANS - physical-plan evidence for scale-critical queries\n\n"
     sb ++= s"Generated by `sbt \"runMain graft.Plans\"` at $dir with AQE on.\n"
-    for (q <- Seq("q02_filter", "q01_agg", "q06_join_inner", "q20_take_per_key", "d01_dedup_exact", "s01_knn_brute", "s02_knn_lsh", "d05_dedup_embed", "t12_lm_score", "q62_bloom_semi", "d12_fuzzy_join", "q64_range_join", "d13_segment_dedup", "t20_pack_sequences", "q89_quality_checks", "q92_snapshot_diff", "q90_outliers", "t35_bm25", "q110_funnel", "q110b_funnel_restart", "q111_retention", "q112_triangles", "q113_ppr", "q114_clustering_coeff", "t36_trigram_ce", "t37_link_graph", "t38_gopher_rules", "t39_c4_clean")) {
+    for (q <- Seq("q02_filter", "q01_agg", "q06_join_inner", "q20_take_per_key", "d01_dedup_exact", "s01_knn_brute", "s02_knn_lsh", "d05_dedup_embed", "t12_lm_score", "q62_bloom_semi", "d12_fuzzy_join", "q64_range_join", "d13_segment_dedup", "t20_pack_sequences", "q89_quality_checks", "q92_snapshot_diff", "q90_outliers", "t35_bm25", "q110_funnel", "q110b_funnel_restart", "q111_retention", "q112_triangles", "q113_ppr", "q114_clustering_coeff", "t36_trigram_ce", "t37_link_graph", "t38_gopher_rules", "t39_c4_clean", "q115_connected_components", "m13_mp4_demux", "m14_fmp4_demux", "q117_odd_columns")) {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.SimpleMode)
       sb ++= s"\n## $q\n\n${notes(q)}\n\n```\n${plan.split("\n").take(30).mkString("\n")}\n```\n"
@@ -76,6 +80,26 @@ object Plans {
       "column prunes at the directory level: PartitionFilters carries the " +
       "predicate and only matching partitions are listed/read.\n\n" +
       s"```\n${prunedPlan.split("\n").take(8).mkString("\n")}\n```\n"
+
+    // m12 pre-sink exchange: the tar export's data movement, dumped from
+    // the exposed pre-sink frame (the sink itself is a per-partition tar
+    // writer over this exact frame)
+    val preSink = graft.operators.Layout.tarExportPreSink(
+      spark.read.parquet(s"$dir/documents.parquet")
+        .selectExpr("doc_id", "text",
+          "encode(coalesce(text, ''), 'UTF-8') AS img"),
+      "doc_id", Seq("text" -> "txt", "img" -> "bin"), nShards = 8)
+    val preSinkPlan = preSink.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    sb ++= "\n## m12 tar-shard export (pre-sink exchange)\n\n" +
+      "Exactly ONE hash exchange, on the salt-mapped shard id (the salt " +
+      "search gives identity shard->task placement through the ordinary " +
+      "UnsafeRow shuffle - no RDD pair-shuffle, no range sampling), then " +
+      "an INTRA-partition sort on (shard, key, ord). Grep: one Exchange " +
+      "hashpartitioning, a Sort with global=false, and no second " +
+      "exchange - kilobyte payload bytes move exactly once.\n\n" +
+      s"```\n${preSinkPlan.split("\n").take(14).mkString("\n")}\n```\n"
+    clearState()
 
     // ---- adjudicated PlanLint inventory ---------------------------------
     // Every conformance query's physical plan, flagged for the four scale

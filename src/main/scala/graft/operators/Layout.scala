@@ -258,8 +258,15 @@ object Layout {
    * loader-friendly 0.1–1 GB: shard count is also the maximum read
    * parallelism downstream.
    */
-  def exportTarShards(df: DataFrame, path: String, idCol: String,
-      fields: Seq[(String, String)], nShards: Int): Seq[(Int, Long, Long, String)] = {
+  /** The tar export's PRE-SINK frame, exposed for plan evidence (PLANS.md
+   * m12 section): projection to (shard, key, payload fields) → ONE hash
+   * exchange on the salt-mapped shard id (exact shard→task identity
+   * placement through the ordinary UnsafeRow shuffle — see the salt-search
+   * comment below) → an intra-partition sort on (shard, key, ord). No
+   * global sort, no second exchange; the sink itself is the per-partition
+   * tar writer that consumes this frame. */
+  private[graft] def tarExportPreSink(df: DataFrame, idCol: String,
+      fields: Seq[(String, String)], nShards: Int): DataFrame = {
     import org.apache.spark.sql.types.{BinaryType, StringType}
     require(nShards >= 1, "nShards must be >= 1")
     require(fields.nonEmpty, "exportTarShards needs >= 1 (column, extension)")
@@ -289,6 +296,38 @@ object Layout {
             case _ => col(c)
           }).as(s"__f$i")
         }): _*)
+    // EXACT shard→task placement WITHOUT leaving Tungsten: hashing the
+    // already-computed shard id (plain repartition) collides ~37% of
+    // shard values into shared tasks (balls into bins) and strands the
+    // export on the busiest writer; an RDD identity partitioner fixes
+    // placement but pays the Java-serialized pair shuffle (~2× measured);
+    // repartitionByRange pays an extra sampling scan. Instead, find for
+    // each shard id a SALT int whose Murmur3 hash (Spark's hash
+    // partitioning function, seed 42) lands on exactly that partition,
+    // and repartition on the mapped salt — identity placement through
+    // the ordinary UnsafeRow shuffle. The driver search is ~nShards²
+    // hashInt calls, microseconds.
+    val salts = Array.tabulate(nShards) { s =>
+      var x = 0
+      while (((org.apache.spark.unsafe.hash.Murmur3_x86_32
+        .hashInt(x, 42) % nShards) + nShards) % nShards != s) x += 1
+      x
+    }
+    proj
+      // deterministic tie order for duplicate keys via one 8-byte hash
+      // over (key, fields) — sorting on the raw payload bytes would make
+      // every sort compare walk kilobyte values
+      .withColumn("__ord",
+        xxhash64((col("__key") +:
+          fields.indices.map(i => col(s"__f$i"))): _*))
+      .repartition(nShards,
+        element_at(lit(salts), col("__shard") + 1))
+      .sortWithinPartitions(col("__shard"), col("__key"), col("__ord"))
+  }
+
+  def exportTarShards(df: DataFrame, path: String, idCol: String,
+      fields: Seq[(String, String)], nShards: Int): Seq[(Int, Long, Long, String)] = {
+    val preSink = tarExportPreSink(df, idCol, fields, nShards)
     val exts = fields.map(_._2)
     // overwrite: drop stale shard files + manifest BEFORE writing, so a
     // smaller re-export cannot leave orphan shards behind. Driver-side
@@ -312,33 +351,7 @@ object Layout {
     // the configured FS
     val getConf = org.apache.spark.sql.graftshim.ColumnBridge
       .hadoopConfAccessor(df.sparkSession)
-    // EXACT shard→task placement WITHOUT leaving Tungsten: hashing the
-    // already-computed shard id (plain repartition) collides ~37% of
-    // shard values into shared tasks (balls into bins) and strands the
-    // export on the busiest writer; an RDD identity partitioner fixes
-    // placement but pays the Java-serialized pair shuffle (~2× measured);
-    // repartitionByRange pays an extra sampling scan. Instead, find for
-    // each shard id a SALT int whose Murmur3 hash (Spark's hash
-    // partitioning function, seed 42) lands on exactly that partition,
-    // and repartition on the mapped salt — identity placement through
-    // the ordinary UnsafeRow shuffle. The driver search is ~nShards²
-    // hashInt calls, microseconds.
-    val salts = Array.tabulate(nShards) { s =>
-      var x = 0
-      while (((org.apache.spark.unsafe.hash.Murmur3_x86_32
-        .hashInt(x, 42) % nShards) + nShards) % nShards != s) x += 1
-      x
-    }
-    val results = proj
-      // deterministic tie order for duplicate keys via one 8-byte hash
-      // over (key, fields) — sorting on the raw payload bytes would make
-      // every sort compare walk kilobyte values
-      .withColumn("__ord",
-        xxhash64((col("__key") +:
-          fields.indices.map(i => col(s"__f$i"))): _*))
-      .repartition(nShards,
-        element_at(lit(salts), col("__shard") + 1))
-      .sortWithinPartitions(col("__shard"), col("__key"), col("__ord"))
+    val results = preSink
       .rdd.mapPartitions { rows =>
         // imperative per-partition sink (the RDD escape hatch's intended
         // use): stream rows into one tar per shard value held by this
