@@ -921,27 +921,50 @@ object GraftSql {
       r.findFirstMatchIn(stmt).map(_.group(1))
     }
 
-    /** Split a kwArg column list on top-level commas, honoring backtick
-     * quoting (a column literally NAMED `a,b` must stay one item), and
-     * strip the quoting: engine ops take RAW column names (they re-quote
-     * via qcol themselves — passing the backticks through would double
-     * them). `` inside a quoted name unescapes to a literal backtick. */
-    private def splitCols(s: String): Seq[String] = {
+    /** Split on a top-level separator, honoring backtick quoting (names
+     * may carry the separator) and double quotes (values may). */
+    private def splitTop(s: String, sep: Char): Seq[String] = {
       val parts = scala.collection.mutable.ArrayBuffer.empty[String]
       val cur = new StringBuilder
       var inBt = false
+      var inDq = false
       s.foreach {
-        case '`' => inBt = !inBt; cur += '`'
-        case ',' if !inBt => parts += cur.result(); cur.clear()
+        case '`' if !inDq => inBt = !inBt; cur += '`'
+        case '"' if !inBt => inDq = !inDq; cur += '"'
+        case c if c == sep && !inBt && !inDq =>
+          parts += cur.result(); cur.clear()
         case c => cur += c
       }
       parts += cur.result()
-      parts.map(_.trim).filter(_.nonEmpty).map { t =>
-        if (t.length >= 2 && t.head == '`' && t.last == '`')
-          t.substring(1, t.length - 1).replace("``", "`")
-        else t
-      }.toSeq
+      parts.map(_.trim).filter(_.nonEmpty).toSeq
     }
+
+    /** Strip backtick quoting from an identifier: engine ops take RAW
+     * column names (they re-quote via qcol themselves — passing the
+     * backticks through would double them). `` unescapes to a backtick. */
+    private def unquoteName(t: String): String =
+      if (t.length >= 2 && t.head == '`' && t.last == '`')
+        t.substring(1, t.length - 1).replace("``", "`")
+      else t
+
+    /** Split a kwArg column list on top-level commas and unquote each
+     * name (a column literally NAMED `a,b` stays one item). */
+    private def splitCols(s: String): Seq[String] =
+      splitTop(s, ',').map(unquoteName)
+
+    /** `a:b,c:d` name pairs where either side may be backtick-quoted
+     * (spaces, commas, even colons inside the quotes) — RENAME COLUMNS
+     * and FILLNA PARAMS keys need this; plain parseParams splits on the
+     * first ':' anywhere and would cut a quoted name in half. */
+    private def parseNamePairs(s: String): Seq[(String, String)] =
+      splitTop(s, ',').map { item =>
+        val kv = splitTop(item, ':')
+        require(kv.length >= 2,
+          s"malformed pair '$item' (expected name:value) in ($s)")
+        // value side rejoins on ':' — only the FIRST top-level colon splits
+        (unquoteName(kv.head),
+          kv.tail.mkString(":").stripPrefix("\"").stripSuffix("\""))
+      }
 
     private def parseParams(s: String): Map[String, String] = {
       // split on commas OUTSIDE double quotes so quoted values can carry
@@ -1218,7 +1241,9 @@ object GraftSql {
     }
 
     private def execFillna(stmt: String): DataFrame = {
-      val params = kwArg(stmt, "PARAMS").map(parseParams).getOrElse(Map.empty)
+      // name pairs, not parseParams: keys may be backtick-quoted
+      val params = kwArg(stmt, "PARAMS")
+        .map(s => parseNamePairs(s).toMap).getOrElse(Map.empty)
       val d = ref(kwArg(stmt, "FROM"))
       val typed: Map[String, Any] = params.map { case (k, v) =>
         val f = d.schema(k).dataType
@@ -1232,7 +1257,11 @@ object GraftSql {
     }
 
     private def execRename(stmt: String): DataFrame = {
-      val pairs = kwArg(stmt, "COLUMNS").map(parseParams).getOrElse(Map.empty)
+      // name pairs, not parseParams: either side may be backtick-quoted
+      val pairs = kwArg(stmt, "COLUMNS")
+        .map(s => parseNamePairs(s).map { case (k, v) =>
+          k -> unquoteName(v)
+        }.toMap).getOrElse(Map.empty)
       engine.rename(ref(kwArg(stmt, "FROM")), pairs)
     }
 

@@ -93,6 +93,27 @@ class GraftSqlSpec extends SparkTestBase {
          |TAKE 1 ROW FROM t PREPARTITION BY `x y` PRESORT `a,b` ASC
          |""".stripMargin).last.get
     assert(taken.count() === odd.select("x y").distinct().count())
+    // RENAME / ALTER / FILLNA / DROPNA with quoted odd names
+    val renamed = GraftSql.run(engine,
+      s"""one = LOAD PARQUET "$dir/odd"
+         |RENAME COLUMNS `x y`:`z w`, `a,b`:plain FROM one
+         |""".stripMargin).last.get
+    assert(renamed.columns.toSeq === Seq("z w", "plain"))
+    val altered = GraftSql.run(engine,
+      s"""one = LOAD PARQUET "$dir/odd"
+         |ALTER COLUMNS `a,b`:str FROM one
+         |""".stripMargin).last.get
+    assert(altered.schema("a,b").dataType ===
+      org.apache.spark.sql.types.StringType)
+    val nullable = odd.selectExpr("`x y`",
+      "CASE WHEN `a,b` > 2 THEN NULL ELSE `a,b` END AS `a,b`")
+    val filled = GraftSql.run(engine,
+      """FILLNA PARAMS `a,b`:0 FROM input""",
+      Map("input" -> nullable)).last.get
+    assert(filled.filter("`a,b` IS NULL").count() === 0)
+    val dropped2 = GraftSql.run(engine,
+      """DROPNA ON `a,b` FROM input""", Map("input" -> nullable)).last.get
+    assert(dropped2.count() === nullable.filter("`a,b` IS NOT NULL").count())
   }
 
   test("TRANSFORM ... USING registered transformer with PREPARTITION") {
