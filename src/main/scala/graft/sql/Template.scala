@@ -13,9 +13,16 @@ import scala.collection.mutable
  * positional/keyword call arguments, `{% raw %}…{% endraw %}`,
  * `{# comments #}`, whitespace-control minus markers (`{%- -%}`),
  * boolean/comparison/membership expressions, `~` string concatenation,
- * and the filters upper / lower / capitalize / title / trim / replace /
- * length / join / first / last / reverse / sort / unique / min / max /
- * sum / abs / round / int / float / string / default.
+ * conditional expressions (`a if c else b`), `is [not]` tests (defined /
+ * none / string / number / integer / float / boolean / true / false /
+ * mapping / sequence / iterable / even / odd / divisibleby), loop
+ * filters and tuple unpacking (`{% for k, v in m.items() if cond %}`),
+ * `namespace()` objects with `{% set ns.attr %}` mutation, runtime
+ * list/dict literals, dict `.items()/.keys()/.values()`, and the filters
+ * upper / lower / capitalize / title / trim / replace / length / join /
+ * first / last / reverse / sort(attribute=, reverse=) / unique / min /
+ * max / sum(attribute=) / abs / round / int / float / string / default /
+ * list / map / select / reject / selectattr / rejectattr.
  *
  * Scoping follows jinja2: `{% set %}` inside `{% if %}` propagates to the
  * rest of the template (if-blocks are not scopes), while a set inside a
@@ -64,8 +71,12 @@ object Template {
   private case class Output(e: Expr, src: String) extends Node
   private case class IfNode(branches: List[(Expr, List[Node])],
       orElse: List[Node]) extends Node
-  private case class ForNode(name: String, list: Expr,
-      body: List[Node]) extends Node
+  /** `{% for a[, b...] in expr [if filter] %}` — tuple unpacking binds
+   * each item's elements to the names; the filter (evaluated with the
+   * names bound, WITHOUT `loop`) selects items BEFORE loop.* indexing,
+   * so loop.length/index count selected items only (jinja2 semantics). */
+  private case class ForNode(names: List[String], list: Expr,
+      filter: Option[Expr], body: List[Node]) extends Node
   private case class SetNode(name: String, e: Expr) extends Node
   private case class SetBlockNode(name: String, body: List[Node]) extends Node
   /** `{% set ns.attr = e %}` — attribute assignment on a namespace()
@@ -137,7 +148,15 @@ object Template {
   private case class IndexOp(t: Expr, i: Expr) extends Expr
   private case class Un(op: String, e: Expr) extends Expr
   private case class Bin(op: String, l: Expr, r: Expr) extends Expr
-  private case class FilterOp(e: Expr, name: String, args: List[Expr]) extends Expr
+  private case class FilterOp(e: Expr, name: String, args: List[Expr],
+      kwargs: List[(String, Expr)] = Nil) extends Expr
+  /** `a if c else b` — jinja conditional expression; else-less false
+   * renders '' (jinja yields a PLAIN Undefined there regardless of the
+   * strict-undefined policy, which str()s to empty). Lazy branches. */
+  private case class Cond(cond: Expr, ifTrue: Expr, orElse: Option[Expr]) extends Expr
+  /** `x is [not] test[(arg)]` — jinja tests. */
+  private case class TestOp(e: Expr, name: String, arg: Option[Expr],
+      neg: Boolean) extends Expr
   private case class CallOp(t: Expr, args: List[Expr],
       kwargs: List[(String, Expr)]) extends Expr
 
@@ -308,13 +327,16 @@ object Template {
     }
 
     private def parseFor(body: String): ForNode = {
-      val m = "^for\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+in\\s+(.+)$".r
+      val m = ("(?s)^for\\s+([A-Za-z_][A-Za-z0-9_]*" +
+        "(?:\\s*,\\s*[A-Za-z_][A-Za-z0-9_]*)*)\\s+in\\s+(.+)$").r
         .findFirstMatchIn(body)
         .getOrElse(throw new SyntaxError(
-          s"malformed for tag '{% $body %}' (expected '{% for name in expr %}')"))
+          s"malformed for tag '{% $body %}' (expected '{% for name[, name] in expr [if cond] %}')"))
+      val names = m.group(1).split(",").map(_.trim).toList
       val (inner, term) = parseNodes(Set("endfor"))
       if (term.isEmpty) throw new SyntaxError("'{% for %}' without '{% endfor %}'")
-      ForNode(m.group(1), ExprParser.parse(m.group(2)), inner)
+      val (it, filt) = ExprParser.parseForRest(m.group(2))
+      ForNode(names, it, filt, inner)
     }
 
     private def parseSet(body: String): Node = {
@@ -414,9 +436,22 @@ object Template {
       val toks = tokens(src)
       if (toks.isEmpty) throw new SyntaxError("empty template expression")
       val p = new P(toks, src)
-      val e = p.orExpr()
+      val e = p.condExpr()
       p.expectEnd()
       e
+    }
+
+    /** Parse a for-tag tail: `<iterable> [if <filter>]`. The iterable is
+     * parsed WITHOUT the ternary (jinja's parse_tuple(with_condexpr=
+     * False)) so the trailing `if` reads as the loop filter. */
+    def parseForRest(src: String): (Expr, Option[Expr]) = {
+      val toks = tokens(src)
+      if (toks.isEmpty) throw new SyntaxError("empty for-loop expression")
+      val p = new P(toks, src)
+      val it = p.orExpr()
+      val filt = if (p.acceptIdPub("if")) Some(p.condExpr()) else None
+      p.expectEnd()
+      (it, filt)
     }
 
     /** Parse a macro parameter list: `a, b=expr, ...` (possibly empty). */
@@ -461,7 +496,7 @@ object Template {
         while (going) {
           advance() match {
             case EId(name) =>
-              val dflt = if (accept("=")) Some(orExpr()) else None
+              val dflt = if (accept("=")) Some(condExpr()) else None
               out += ((name, dflt))
             case t => throw new SyntaxError(
               s"expected parameter name, got $t in '$src'")
@@ -469,6 +504,18 @@ object Template {
           going = accept(",")
         }
         out.toList
+      }
+
+      def acceptIdPub(id: String): Boolean = acceptId(id)
+
+      /** Lowest precedence: `a if c [else b]` (jinja CondExpr). */
+      def condExpr(): Expr = {
+        val e = orExpr()
+        if (acceptId("if")) {
+          val c = orExpr()
+          val els = if (acceptId("else")) Some(condExpr()) else None
+          Cond(c, e, els)
+        } else e
       }
 
       def orExpr(): Expr = {
@@ -497,6 +544,18 @@ object Template {
             if (!acceptId("in"))
               throw new SyntaxError(s"expected 'in' after 'not' in '$src'")
             Un("not", Bin("in", l, concat()))
+          case Some(EId("is")) =>
+            pos += 1
+            val neg = acceptId("not")
+            val tname = advance() match {
+              case EId(n) => n
+              case t => throw new SyntaxError(
+                s"expected a test name after 'is', got $t in '$src'")
+            }
+            val arg = if (accept("(")) {
+              val a = condExpr(); expect(")"); Some(a)
+            } else None
+            TestOp(l, tname, arg, neg)
           case _ => l
         }
       }
@@ -549,11 +608,11 @@ object Template {
                 (peek, peek2) match {
                   case (Some(EId(name)), Some(EOp("="))) =>
                     pos += 2
-                    kwargs += ((name, orExpr()))
+                    kwargs += ((name, condExpr()))
                   case _ =>
                     if (kwargs.nonEmpty) throw new SyntaxError(
                       s"positional argument after keyword argument in '$src'")
-                    args += orExpr()
+                    args += condExpr()
                 }
                 going = accept(",")
               }
@@ -561,18 +620,30 @@ object Template {
             }
             e = CallOp(e, args.toList, kwargs.toList)
           }
-          else if (accept("[")) { e = IndexOp(e, orExpr()); expect("]") }
+          else if (accept("[")) { e = IndexOp(e, condExpr()); expect("]") }
           else if (accept("|")) advance() match {
             case EId(name) =>
               val args = mutable.ListBuffer.empty[Expr]
+              val kwargs = mutable.ListBuffer.empty[(String, Expr)]
               if (accept("(")) {
                 if (!accept(")")) {
-                  args += orExpr()
-                  while (accept(",")) args += orExpr()
+                  var more = true
+                  while (more) {
+                    (peek, peek2) match {
+                      case (Some(EId(k)), Some(EOp("="))) =>
+                        pos += 2
+                        kwargs += ((k, condExpr()))
+                      case _ =>
+                        if (kwargs.nonEmpty) throw new SyntaxError(
+                          s"positional filter arg after keyword arg in '$src'")
+                        args += condExpr()
+                    }
+                    more = accept(",")
+                  }
                   expect(")")
                 }
               }
-              e = FilterOp(e, name, args.toList)
+              e = FilterOp(e, name, args.toList, kwargs.toList)
             case _ => throw new SyntaxError(s"expected filter name in '$src'")
           }
           else going = false
@@ -586,14 +657,14 @@ object Template {
         case EId("false") | EId("False") => Lit(false)
         case EId("none") | EId("None") | EId("null") => Lit(null)
         case EId(name) => Ref(name)
-        case EOp("(") => val e = orExpr(); expect(")"); e
+        case EOp("(") => val e = condExpr(); expect(")"); e
         case EOp("[") =>
           // list literal: elements are full expressions evaluated at
           // render time ([x, 1] is valid jinja, not only ['a','b'])
           val items = mutable.ListBuffer.empty[Expr]
           if (!accept("]")) {
-            items += orExpr()
-            while (accept(",")) items += orExpr()
+            items += condExpr()
+            while (accept(",")) items += condExpr()
             expect("]")
           }
           ListLit(items.toList)
@@ -603,7 +674,7 @@ object Template {
           val items = mutable.ListBuffer.empty[(Expr, Expr)]
           if (!accept("}")) {
             def pair(): Unit = {
-              val k = orExpr(); expect(":"); items += ((k, orExpr()))
+              val k = condExpr(); expect(":"); items += ((k, condExpr()))
             }
             pair()
             while (accept(",")) pair()
@@ -656,8 +727,8 @@ object Template {
         case Some((_, body)) => renderNodes(body, env, sb, frame)
         case None => renderNodes(orElse, env, sb, frame)
       }
-    case ForNode(name, listE, body) =>
-      val items: Seq[Any] = eval(listE, env) match {
+    case ForNode(names, listE, filt, body) =>
+      val items0: Seq[Any] = eval(listE, env) match {
         case s: Seq[_] => s
         case a: Array[_] => a.toSeq
         // jinja iterates a mapping's KEYS (use attr/index access in the
@@ -671,6 +742,22 @@ object Template {
         case other => throw new IllegalArgumentException(
           s"'{% for %}' over non-iterable ${other.getClass.getSimpleName}")
       }
+      // tuple unpacking: bind each item's elements to the names
+      def bind(item: Any): Map[String, Any] =
+        if (names.length == 1) Map(names.head -> item)
+        else item match {
+          case s: Seq[_] if s.length == names.length =>
+            names.zip(s).toMap
+          case other => throw new IllegalArgumentException(
+            s"'{% for ${names.mkString(", ")} %}': cannot unpack " +
+              s"${kind(other)} into ${names.length} names")
+        }
+      // the filter selects BEFORE loop.* indexing (loop is not in scope
+      // inside the filter expression, as in jinja)
+      val items = filt match {
+        case None => items0
+        case Some(f) => items0.filter(it => truthy(eval(f, env ++ bind(it))))
+      }
       val len = items.length
       items.zipWithIndex.foreach { case (item, i) =>
         val loop = Map(
@@ -680,7 +767,7 @@ object Template {
         // loop body is a scope: per-iteration assignments don't escape —
         // fresh frame, so a macro defined OUTSIDE the loop never sees
         // loop-body sets (jinja2 renders such names as undefined)
-        val bodyEnv = env + (name -> item) + ("loop" -> loop)
+        val bodyEnv = env ++ bind(item) + ("loop" -> loop)
         renderNodes(body, bodyEnv, sb, new Frame(bodyEnv))
       }
       env
@@ -734,15 +821,27 @@ object Template {
 
   private def eval(e: Expr, env: Map[String, Any]): Any = e match {
     case Lit(v) => v
+    case Cond(c, t, e) =>
+      if (truthy(eval(c, env))) eval(t, env)
+      // jinja: an else-less false conditional yields a PLAIN Undefined
+      // that renders '' even under strict-undefined — match by yielding
+      // the empty string (arithmetic on it still errors, as in jinja)
+      else e.map(eval(_, env)).getOrElse("")
+    case TestOp(e, name, argE, neg) =>
+      val r = applyTest(eval(e, env), name, argE.map(eval(_, env)))
+      if (neg) !r else r
     case ListLit(items) => items.map(eval(_, env))
-    case DictLit(items) => items.map { case (k, v) =>
-      val key = eval(k, env) match {
-        case Undefined => throw new IllegalArgumentException(
-          "dict literal: key evaluated to an undefined value")
-        case other => other
-      }
-      key -> eval(v, env)
-    }.toMap
+    case DictLit(items) =>
+      // VectorMap: insertion order preserved, matching python dicts —
+      // .items()/for-iteration order is observable in rendered SQL
+      scala.collection.immutable.VectorMap.from(items.map { case (k, v) =>
+        val key = eval(k, env) match {
+          case Undefined => throw new IllegalArgumentException(
+            "dict literal: key evaluated to an undefined value")
+          case other => other
+        }
+        key -> eval(v, env)
+      })
     case Ref(n) => env.getOrElse(n, Undefined)
     case Attr(t, n) => eval(t, env) match {
       case ns: NamespaceVal => ns.fields.getOrElse(n, Undefined)
@@ -822,8 +921,19 @@ object Template {
           }
       }
     case Bin(op, _, _) => throw new IllegalArgumentException(s"unknown op '$op'")
-    case FilterOp(x, name, args) =>
-      applyFilter(eval(x, env), name, args.map(eval(_, env)))
+    case FilterOp(x, name, args, kwargs) =>
+      applyFilter(eval(x, env), name, args.map(eval(_, env)),
+        kwargs.map { case (k, v) => k -> eval(v, env) }.toMap)
+    case CallOp(Attr(t, method @ ("items" | "keys" | "values")), Nil, Nil)
+        if eval(t, env).isInstanceOf[Map[_, _]] =>
+      // dict methods, iteration order = the map's (VectorMap literals
+      // preserve insertion order, matching python dicts)
+      val m = eval(t, env).asInstanceOf[Map[Any, Any]]
+      method match {
+        case "items" => m.toSeq.map { case (k, v) => Seq(k, v) }
+        case "keys" => m.keys.toSeq
+        case "values" => m.values.toSeq
+      }
     case CallOp(Ref("namespace"), args, kwargs)
         if !env.contains("namespace") =>
       // jinja2.utils.Namespace: namespace(**attrs) or namespace(dict,
@@ -899,8 +1009,120 @@ object Template {
     }
   }
 
-  private def applyFilter(v: Any, name: String, args: Seq[Any]): Any =
+  private def isIntegral(x: Any): Boolean = x match {
+    case _: Long | _: Int | _: Short | _: Byte => true
+    case _ => false
+  }
+
+  /** jinja tests — shared by `is` expressions and the select/reject
+   * filters (which take a test NAME as their argument). */
+  private def applyTest(v: Any, name: String, arg: Option[Any]): Boolean =
+    name match {
+      case "defined" => v != Undefined
+      case "undefined" => v == Undefined
+      case "none" => v == null
+      case "string" => v.isInstanceOf[String]
+      case "number" => isNum(v)
+      case "integer" => isIntegral(v)
+      case "float" => v.isInstanceOf[Double] || v.isInstanceOf[Float]
+      case "boolean" => v.isInstanceOf[Boolean]
+      case "true" => v == true
+      case "false" => v == false
+      case "mapping" => v.isInstanceOf[Map[_, _]]
+      // jinja: sequence/iterable are true for strings AND mappings too
+      // (anything with __len__/__getitem__ / __iter__)
+      case "sequence" | "iterable" => v match {
+        case _: Seq[_] | _: Array[_] | _: String | _: Map[_, _] => true
+        case _ => false
+      }
+      case "even" =>
+        require(isIntegral(v), s"'is even' needs an integer, got ${kind(v)}")
+        num(v).toLong % 2 == 0
+      case "odd" =>
+        require(isIntegral(v), s"'is odd' needs an integer, got ${kind(v)}")
+        num(v).toLong % 2 != 0
+      case "divisibleby" =>
+        val d = arg.getOrElse(throw new IllegalArgumentException(
+          "'is divisibleby' needs an argument"))
+        require(isIntegral(v) && isIntegral(d),
+          s"'is divisibleby' needs integers, got ${kind(v)}/${kind(d)}")
+        num(v).toLong % num(d).toLong == 0
+      case other => throw new IllegalArgumentException(
+        s"unknown test 'is $other'")
+    }
+
+  /** Element attribute access for map/sum/sort(attribute=...) — jinja's
+   * getattr over dict items / namespaces. */
+  private def elemAttr(x: Any, attr: String): Any = x match {
+    case m: Map[_, _] => m.asInstanceOf[Map[Any, Any]].getOrElse(attr, Undefined)
+    case ns: NamespaceVal => ns.fields.getOrElse(attr, Undefined)
+    case other => throw new IllegalArgumentException(
+      s"attribute '$attr': ${kind(other)} has no attributes")
+  }
+
+  private def applyFilter(v: Any, name: String, args: Seq[Any],
+      kwargs: Map[String, Any] = Map.empty): Any =
     (name, v, args) match {
+      // sequence re-shaping filters (jinja: generators need | list; ours
+      // are strict, so list is mostly identity — kept for template parity)
+      case ("list", s: Seq[_], _) => s
+      case ("list", s: String, _) => s.map(_.toString)
+      case ("list", m: Map[_, _], _) => m.keys.toSeq
+      case ("map", s: Seq[_], fargs) => kwargs.get("attribute") match {
+        case Some(a: String) => s.map(elemAttr(_, a))
+        case _ =>
+          val fname = fargs.headOption match {
+            case Some(f: String) => f
+            case _ => throw new IllegalArgumentException(
+              "map filter needs a filter name or attribute=...")
+          }
+          s.map(applyFilter(_, fname, fargs.drop(1)))
+      }
+      case (sel @ ("select" | "reject"), s: Seq[_], fargs) =>
+        val keep = (x: Any) => fargs.headOption match {
+          case Some(t: String) => applyTest(x, t, fargs.drop(1).headOption)
+          case None => truthy(x)
+          case Some(other) => throw new IllegalArgumentException(
+            s"$sel filter needs a test name, got ${kind(other)}")
+        }
+        if (sel == "select") s.filter(keep) else s.filterNot(keep)
+      case (sel @ ("selectattr" | "rejectattr"), s: Seq[_], fargs) =>
+        val attr = fargs.headOption match {
+          case Some(a: String) => a
+          case _ => throw new IllegalArgumentException(
+            s"$sel filter needs an attribute name")
+        }
+        val keep = (x: Any) => fargs.drop(1).headOption match {
+          case Some(t: String) =>
+            applyTest(elemAttr(x, attr), t, fargs.drop(2).headOption)
+          case None => truthy(elemAttr(x, attr))
+          case Some(other) => throw new IllegalArgumentException(
+            s"$sel filter needs a test name, got ${kind(other)}")
+        }
+        if (sel == "selectattr") s.filter(keep) else s.filterNot(keep)
+      case ("sum", s: Seq[_], _) if kwargs.contains("attribute") =>
+        val a = kwargs("attribute") match {
+          case x: String => x
+          case other => throw new IllegalArgumentException(
+            s"sum attribute must be a string, got ${kind(other)}")
+        }
+        applyFilter(s.map(elemAttr(_, a)), "sum", Nil)
+      case ("sort", s: Seq[_], _) if kwargs.contains("attribute") =>
+        val a = kwargs("attribute") match {
+          case x: String => x
+          case other => throw new IllegalArgumentException(
+            s"sort attribute must be a string, got ${kind(other)}")
+        }
+        val keyed = s.map(x => (elemAttr(x, a), x))
+        val sorted =
+          if (keyed.forall(_._1.isInstanceOf[String]))
+            keyed.sortBy(_._1.asInstanceOf[String])
+          else if (keyed.forall(k => isNum(k._1))) keyed.sortBy(k => num(k._1))
+          else throw new IllegalArgumentException(
+            "sort(attribute=...) needs uniformly string or numeric keys")
+        val out = sorted.map(_._2)
+        if (kwargs.get("reverse").contains(true)) out.reverse else out
+      
       case ("upper", s: String, _) => s.toUpperCase(java.util.Locale.ROOT)
       case ("lower", s: String, _) => s.toLowerCase(java.util.Locale.ROOT)
       case ("capitalize", s: String, _) =>

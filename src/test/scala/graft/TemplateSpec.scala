@@ -365,6 +365,93 @@ class TemplateSpec extends AnyFunSuite {
     assert(r("{{ {'a': 1} | length }}") === "1")
   }
 
+  test("conditional expressions and is-tests (jinja2 3.1.6 differential)") {
+    // each expected value differentially executed against jinja2 3.1.6
+    assert(r("{{ 1 if x > 2 else 2 }}", Map("x" -> 5L)) === "1")
+    assert(r("{{ 'big' if x > 2 }}", Map("x" -> 1L)) === "")   // no else, false
+    assert(r("{{ (x if false) ~ 'end' }}", Map("x" -> 1L)) === "end")
+    assert(r("{{ loop_free if false else 7 }}") === "7")       // dead branch lazy
+    // ternary nests in call args, defaults, list/dict literals
+    assert(r("{{ [1 if t else 0, 2] | join(',') }}", Map("t" -> true)) === "1,2")
+    assert(r("{% if y is defined %}D{% else %}U{% endif %}") === "U")
+    assert(r("{% if x is defined %}D{% else %}U{% endif %}", Map("x" -> 1L)) === "D")
+    assert(r("{% if x is not none %}N{% endif %}", Map("x" -> 1L)) === "N")
+    assert(r("{% if z is none %}isnone{% endif %}", Map("z" -> null)) === "isnone")
+    assert(r("{% if x is string %}s{% else %}ns{% endif %}", Map("x" -> "a")) === "s")
+    assert(r("{% if x is number %}n{% endif %}", Map("x" -> 2.5)) === "n")
+    assert(r("{% if x is even %}e{% endif %}{% if y is odd %}o{% endif %}",
+      Map("x" -> 4L, "y" -> 3L)) === "eo")
+    assert(r("{% if m is mapping %}m{% endif %}{% if l is sequence %}sq{% endif %}",
+      Map("m" -> Map("a" -> 1L), "l" -> Seq(1L))) === "msq")
+    // jinja: sequence/iterable are true for mappings and strings too
+    assert(r("{% if m is sequence %}Y{% else %}N{% endif %}",
+      Map("m" -> Map("a" -> 1L))) === "Y")
+    assert(r("{% if s is sequence %}Y{% endif %}{% if s is iterable %}I{% endif %}",
+      Map("s" -> "ab")) === "YI")
+    assert(r("{% if x is integer %}i{% endif %}{% if y is float %}f{% endif %}",
+      Map("x" -> 1L, "y" -> 1.5)) === "if")
+    assert(r("{% if b is boolean %}b{% endif %}", Map("b" -> true)) === "b")
+    assert(r("{% if x is true %}T{% endif %}{% if y is false %}F{% endif %}",
+      Map("x" -> true, "y" -> false)) === "TF")
+    assert(r("{% if n is divisibleby(3) %}D{% endif %}", Map("n" -> 9L)) === "D")
+    val e = intercept[IllegalArgumentException](r("{% if 1 is frobnicated %}x{% endif %}"))
+    assert(e.getMessage.contains("unknown test"))
+  }
+
+  test("for-loop filters, tuple unpacking, dict methods (jinja2 3.1.6 differential)") {
+    assert(r("{% for x in xs if x > 1 %}{{ x }}{% endfor %}",
+      Map("xs" -> Seq(1L, 2L, 3L))) === "23")
+    // loop.* indexes the FILTERED items (jinja semantics)
+    assert(r("{% for x in xs if x > 1 %}{{ loop.index }}/{{ loop.length }};{% endfor %}",
+      Map("xs" -> Seq(1L, 2L, 3L))) === "1/2;2/2;")
+    assert(r("{% for a, b in ps %}{{ a }}{{ b }}{% endfor %}",
+      Map("ps" -> Seq(Seq(1L, "x"), Seq(2L, "y")))) === "1x2y")
+    // dict methods preserve insertion order, as python dicts do
+    assert(r("{% for k, v in m.items() %}{{ k }}={{ v }};{% endfor %}" +
+      "{{ m.keys() | join(',') }}|{{ m.values() | join(',') }}",
+      Map("m" -> scala.collection.immutable.VectorMap("z" -> 1L, "a" -> 2L))) ===
+      "z=1;a=2;z,a|1,2")
+    // dict literal iteration order is the literal's order
+    assert(r("{% for k, v in {'z': 1, 'a': 2}.items() %}{{ k }}{{ v }}{% endfor %}") ===
+      "z1a2")
+    // unpacking arity mismatch raises
+    val e = intercept[IllegalArgumentException](
+      r("{% for a, b in ps %}{{ a }}{% endfor %}", Map("ps" -> Seq(Seq(1L)))))
+    assert(e.getMessage.contains("unpack"))
+  }
+
+  test("map/select/reject/attr filters (jinja2 3.1.6 differential)") {
+    assert(r("{{ xs | select('odd') | list | join(',') }}",
+      Map("xs" -> Seq(1L, 2L, 3L))) === "1,3")
+    assert(r("{{ xs | select | join(',') }}",
+      Map("xs" -> Seq(0L, 1L, "", 2L))) === "1,2")
+    assert(r("{{ xs | reject('even') | join(',') }}",
+      Map("xs" -> Seq(1L, 2L, 3L))) === "1,3")
+    assert(r("{{ xs | map('upper') | join(',') }}",
+      Map("xs" -> Seq("a", "b"))) === "A,B")
+    assert(r("{{ xs | map('replace', 'a', 'o') | join(',') }}",
+      Map("xs" -> Seq("cat", "hat"))) === "cot,hot")
+    assert(r("{{ xs | sum(attribute='v') }}",
+      Map("xs" -> Seq(Map("v" -> 1L), Map("v" -> 2L)))) === "3")
+    assert(r("{{ xs | selectattr('on') | map(attribute='v') | join(',') }}",
+      Map("xs" -> Seq(Map("on" -> true, "v" -> 1L),
+        Map("on" -> false, "v" -> 2L), Map("on" -> true, "v" -> 3L)))) === "1,3")
+    assert(r("{{ xs | rejectattr('on') | map(attribute='v') | join(',') }}",
+      Map("xs" -> Seq(Map("on" -> true, "v" -> 1L),
+        Map("on" -> false, "v" -> 2L)))) === "2")
+    assert(r("{{ xs | selectattr('v', 'divisibleby', 2) | map(attribute='v') | join(',') }}",
+      Map("xs" -> Seq(Map("v" -> 2L), Map("v" -> 3L), Map("v" -> 4L)))) === "2,4")
+    assert(r("{{ xs | sort(attribute='k') | map(attribute='v') | join('') }}",
+      Map("xs" -> Seq(Map("k" -> 2L, "v" -> "b"), Map("k" -> 1L, "v" -> "a")))) === "ab")
+    assert(r("{{ xs | sort(attribute='k', reverse=true) | map(attribute='v') | join('') }}",
+      Map("xs" -> Seq(Map("k" -> 2L, "v" -> "b"), Map("k" -> 1L, "v" -> "a")))) === "ba")
+    // precedence: filters bind tighter than the conditional and ~
+    assert(r("{{ 'a' | upper if t else 'b' }}", Map("t" -> true)) === "A")
+    assert(r("{{ 'a' | upper if t else 'b' | upper }}", Map("t" -> false)) === "B")
+    assert(r("{{ x ~ 'y' | upper }}", Map("x" -> "a")) === "aY")
+    assert(r("{{ 'x' if not a is defined else 'y' }}") === "x")
+  }
+
   test("namespace(): error cases match jinja2's (raise, message differs)") {
     // jinja2: 'cannot assign attribute on non-namespace object' for both
     val e1 = intercept[IllegalArgumentException](
