@@ -494,6 +494,36 @@ object SparkEntry {
             .as("tail_byte"))
     }),
 
+    // STREAMING media demux: the m13 box walk running unchanged inside a
+    // Structured Streaming query (mapPartitions is stateless-narrow, so
+    // the demux composes with readStream exactly like the q61 curation
+    // ops) — per-sample rows append to the sink, the per-doc census is
+    // computed over the materialized table and checked against the
+    // fixture's closed form. At 100 TB this is the shape of a continuous
+    // video-ingest pipeline: demux at ingest, decode fan-out downstream.
+    "m15_stream_demux" -> ((s, dir) => {
+      val batchSchema = t(s, dir, "documents").schema
+      val stream = graft.streaming.Streaming
+        .loadStream(s, dir, batchSchema,
+          options = Map("pathGlobFilter" -> "documents.parquet"))
+        .select(col("doc_id"))
+      val frames = graft.functions.Mp4.demuxMp4Frames(
+        graft.functions.Mp4.syntheticMp4s(stream, "doc_id"),
+        "doc_id", "payload")
+        .select("doc_id", "frame_no", "size", "keyframe", "dur_ticks",
+          "width", "height")
+      val name = "graft_m15_" + java.util.UUID.randomUUID().toString.take(8)
+      graft.streaming.Streaming.runToMemory(frames, name,
+        outputMode = "append")
+      s.table(name).groupBy("doc_id").agg(
+        count(lit(1)).cast("long").as("n_frames"),
+        sum("keyframe").cast("long").as("n_sync"),
+        sum("size").cast("long").as("total_bytes"),
+        sum("dur_ticks").cast("long").as("dur_total"),
+        max("width").cast("int").as("width"),
+        max("height").cast("int").as("height"))
+    }),
+
     // fragmented-MP4 (DASH/CMAF moof/tfhd/trun) demux conformance: the
     // oracle recomputes every sample's offset from the fixture's closed
     // form — explicit vs moof-relative base offsets, tfhd vs trex
@@ -3563,6 +3593,26 @@ object SparkEntry {
     // full stbl arithmetic from first principles: sizes, 2-then-3-sample
     // chunking with 4-byte inter-chunk pads, stss sync flags, two-run
     // stts durations, tkhd dims, and the head/tail extraction probes
+    // per-doc demux census from the m13 fixture's closed form — the
+    // streaming path must land exactly the batch walk's sample rows
+    "m15_stream_demux" ->
+      """WITH d AS (SELECT doc_id, CAST(2 + doc_id % 7 AS INTEGER) AS n
+        |  FROM documents),
+        |f AS (SELECT doc_id, n, CAST(unnest(range(0, n)) AS INTEGER) AS i
+        |  FROM d),
+        |s AS (SELECT doc_id, n, i,
+        |  CAST(50 + ((doc_id*31 + i*17) % 64) AS BIGINT) AS size,
+        |  CASE WHEN i % 4 = 0 THEN 1 ELSE 0 END AS kf,
+        |  CAST(CASE WHEN i < n // 2 THEN 1000 + (doc_id % 5)*100
+        |    ELSE 1200 END AS BIGINT) AS dur
+        | FROM f)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+        | CAST(sum(kf) AS BIGINT) AS n_sync,
+        | CAST(sum(size) AS BIGINT) AS total_bytes,
+        | CAST(sum(dur) AS BIGINT) AS dur_total,
+        | CAST(16*(1 + doc_id % 4) AS INTEGER) AS width,
+        | CAST(16*(1 + doc_id % 3) AS INTEGER) AS height
+        |FROM s GROUP BY doc_id""".stripMargin,
     // first-principles fMP4 oracle: replays the fixture's closed-form
     // layout (Mp4.syntheticFmp4Shape). 641 = ftyp(20) + moov(577:
     // fixed-size init section with empty stbl + mvex/trex) + sidx(44) —
