@@ -494,6 +494,35 @@ object SparkEntry {
             .as("tail_byte"))
     }),
 
+    // callbacks/RPC surface under the ORACLE (was spec-only): executor-
+    // side transformers post one message per logical group over the
+    // CollectionAccumulator channel, and the query's RESULT is built from
+    // the drained channel — so the driver gate checks the whole
+    // worker→driver path (post → accumulate → drain → parse) against the
+    // plain GROUP BY oracle. distinct absorbs task-retry duplicate posts
+    // (message content is deterministic per group). Scale note: posts are
+    // per GROUP (bounded by key cardinality), never per row — the RPC
+    // discipline that keeps the channel O(keys) at 100 TB.
+    "q118_callback_census" -> ((s, dir) => {
+      val ch = graft.transform.CallbackChannel(s)
+      val src = t(s, dir, "orders")
+        .select((col("o_custkey") % 50).as("k"), col("o_orderkey"))
+      val spec = graft.PartitionSpec(by = Seq("k"))
+      val out = graft.transform.Transform.mapPartitions(src, spec,
+        graft.schema.SchemaExpr.parse("k:long,n:long")) { (cursor, rows) =>
+        val n = rows.size.toLong
+        val k = cursor.keyValues.head.asInstanceOf[Long]
+        ch.post("census", s"$k:$n")
+        Iterator(org.apache.spark.sql.Row(k, n))
+      }
+      out.foreach(_ => ()) // drive the action; posts land on completion
+      val msgs = ch.messages("census").distinct.map { m =>
+        val Array(k, n) = m.split(":")
+        Seq[Any](k.toLong, n.toLong)
+      }
+      eng(s).toDF(msgs, "k:long,n:long")
+    }),
+
     // STREAMING media demux: the m13 box walk running unchanged inside a
     // Structured Streaming query (mapPartitions is stateless-narrow, so
     // the demux composes with readStream exactly like the q61 curation
@@ -3593,6 +3622,10 @@ object SparkEntry {
     // full stbl arithmetic from first principles: sizes, 2-then-3-sample
     // chunking with 4-byte inter-chunk pads, stss sync flags, two-run
     // stts durations, tkhd dims, and the head/tail extraction probes
+    "q118_callback_census" ->
+      """SELECT CAST(o_custkey % 50 AS BIGINT) AS k,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM orders GROUP BY 1""".stripMargin,
     // per-doc demux census from the m13 fixture's closed form — the
     // streaming path must land exactly the batch walk's sample rows
     "m15_stream_demux" ->
