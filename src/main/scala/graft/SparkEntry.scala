@@ -494,6 +494,24 @@ object SparkEntry {
             .as("tail_byte"))
     }),
 
+    // get_current_parallelism under the ORACLE (was spec-only): the probe
+    // itself is environment-dependent (cores), so the checked facts are
+    // its LAWS — positive, stable across calls, and honored by the
+    // CONCURRENCY partition-count expression (reference
+    // execution_engine.py get_current_parallelism + partition.py's
+    // ROWCOUNT/CONCURRENCY num expressions)
+    "q119_parallelism" -> ((s, dir) => {
+      val e = eng(s)
+      val p1 = e.getCurrentParallelism
+      val p2 = e.getCurrentParallelism
+      val conc = e.repartition(t(s, dir, "orders"),
+        graft.PartitionSpec(algo = "hash", num = "CONCURRENCY"))
+        .rdd.getNumPartitions
+      e.toDF(Seq(Seq(
+        if (p1 > 0 && p1 == p2 && conc == p1) 1L else 0L)),
+        "parallelism_ok:long")
+    }),
+
     // callbacks/RPC surface under the ORACLE (was spec-only): executor-
     // side transformers post one message per logical group over the
     // CollectionAccumulator channel, and the query's RESULT is built from
@@ -3626,6 +3644,7 @@ object SparkEntry {
       """SELECT CAST(o_custkey % 50 AS BIGINT) AS k,
         | CAST(count(*) AS BIGINT) AS n
         |FROM orders GROUP BY 1""".stripMargin,
+    "q119_parallelism" -> "SELECT CAST(1 AS BIGINT) AS parallelism_ok",
     // per-doc demux census from the m13 fixture's closed form — the
     // streaming path must land exactly the batch walk's sample rows
     "m15_stream_demux" ->
