@@ -502,11 +502,26 @@ object Dedup {
     val prefixes = inverted.join(dfs, "s")
       .groupBy("id")
       .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("ss"))
-      .select(col("id"), explode(slice(col("ss"), lit(1), prefixLen)).as("e"))
-      .select(col("id"), col("e.s").as("s"))
-    val l = prefixes.select(col("s"), col("id").as("id_a"))
-    val r = prefixes.select(col("s"), col("id").as("id_b"))
-    val candidates = l.join(r, "s").filter(col("id_a") < col("id_b"))
+      .select(col("id"), size(col("ss")).as("sz"),
+        explode(slice(col("ss"), lit(1), prefixLen)).as("e"))
+      .select(col("id"), col("sz"), col("e.s").as("s"))
+    // Bayardo length filter rides the prefix self-join: J >= t forces
+    // t·|B| <= |A| <= |B|/t, so carrying the 4-byte set size through the
+    // exchange prunes length-incompatible candidates BEFORE the distinct
+    // and long before verifyJaccard ships both full shingle arrays per
+    // pair. Same FP-boundary nudge as prefixLen: the relaxed bound can
+    // only KEEP an extra candidate, never lose a qualifying pair.
+    // (sz here counts the df>=2 shingles — both the prefix ordering's and
+    // the filter's universe; unique-shingle mass cannot contribute to an
+    // intersection, and the bound stays valid on the common universe.)
+    val nt = lit(threshold * (1.0 - 1e-12))
+    val eps = lit(1e-9)
+    val l = prefixes.select(col("s"), col("id").as("id_a"), col("sz").as("sz_a"))
+    val r = prefixes.select(col("s"), col("id").as("id_b"), col("sz").as("sz_b"))
+    val candidates = l.join(r, "s")
+      .filter(col("id_a") < col("id_b") &&
+        col("sz_b") * nt <= col("sz_a") + eps &&
+        col("sz_a") * nt <= col("sz_b") + eps)
       .select(col("id_a"), col("id_b")).distinct()
     verifyJaccard(candidates, sigs.select(col("id"), col("sh")), threshold)
   }
