@@ -52,6 +52,12 @@ object Template {
    * Extends IllegalArgumentException so callers see one exception type. */
   private class SyntaxError(msg: String) extends IllegalArgumentException(msg)
 
+  /** Internal binding name carrying a filter block's rendered body into
+   * its parsed `body | chain` expression. A reserved dunder name — a
+   * template binding with this exact name would shadow it, which is
+   * accepted (jinja reserves its internals the same way). */
+  private val FilterBodyRef = "__graft_filter_body__"
+
   /** Macro-call nesting bound (thread-local — render has no context arg). */
   private val MaxMacroDepth = 64
   private val macroDepth = new scala.util.DynamicVariable[Int](0)
@@ -88,6 +94,12 @@ object Template {
       body: List[Node]) extends Node
   private case class MacroNode(name: String,
       params: List[(String, Option[Expr])], body: List[Node]) extends Node
+  /** `{% filter upper | trim %}…{% endfilter %}` — the rendered body
+   * pushed through a filter chain. `chain` is parsed once as
+   * `<bodyRef> | spec` so args/kwargs/chaining reuse the expression
+   * grammar verbatim. */
+  private case class FilterBlockNode(chain: Expr, body: List[Node])
+    extends Node
 
   /** The live bindings of one template scope ("frame"). jinja2 compiles
    * a template to a module whose top-level `{% set %}`s mutate the module
@@ -293,8 +305,9 @@ object Template {
               case "for" => pos += 1; out += parseFor(body)
               case "set" => pos += 1; out += parseSet(body)
               case "macro" => pos += 1; out += parseMacro(body)
+              case "filter" => pos += 1; out += parseFilterBlock(body)
               case "elif" | "else" | "endif" | "endfor" | "endraw" |
-                   "endset" | "endmacro" =>
+                   "endset" | "endmacro" | "endfilter" =>
                 throw new SyntaxError(s"unexpected '{% $word %}'")
               case other =>
                 throw new SyntaxError(s"unknown template tag '$other'")
@@ -337,6 +350,17 @@ object Template {
       if (term.isEmpty) throw new SyntaxError("'{% for %}' without '{% endfor %}'")
       val (it, filt) = ExprParser.parseForRest(m.group(2))
       ForNode(names, it, filt, inner)
+    }
+
+    private def parseFilterBlock(body: String): Node = {
+      val spec = body.stripPrefix("filter").trim
+      if (spec.isEmpty) throw new SyntaxError(
+        "'{% filter %}' needs a filter name")
+      val chain = ExprParser.parse(s"$FilterBodyRef | $spec")
+      val (inner, term) = parseNodes(Set("endfilter"))
+      if (term.isEmpty)
+        throw new SyntaxError("'{% filter %}' without '{% endfilter %}'")
+      FilterBlockNode(chain, inner)
     }
 
     private def parseSet(body: String): Node = {
@@ -781,6 +805,11 @@ object Template {
       val inner = new StringBuilder
       renderNodes(body, env, inner, new Frame(env))
       env + (name -> inner.toString)
+    case FilterBlockNode(chain, body) =>
+      val inner = new StringBuilder
+      renderNodes(body, env, inner, new Frame(env))
+      sb.append(show(eval(chain, env + (FilterBodyRef -> inner.toString))))
+      env
     case SetAttrNode(target, attr, e) =>
       env.getOrElse(target, Undefined) match {
         case ns: NamespaceVal =>
@@ -934,6 +963,31 @@ object Template {
         case "keys" => m.keys.toSeq
         case "values" => m.values.toSeq
       }
+    case CallOp(Ref("range"), args, Nil) if !env.contains("range") =>
+      val vals = args.map(a => eval(a, env) match {
+        case l: Long => l
+        case i: Int => i.toLong
+        case other => throw new IllegalArgumentException(
+          s"range() arguments must be integers, got ${kind(other)}")
+      })
+      val (start, stop, step) = vals match {
+        case Seq(b) => (0L, b, 1L)
+        case Seq(a, b) => (a, b, 1L)
+        case Seq(a, b, c) => (a, b, c)
+        case _ => throw new IllegalArgumentException(
+          s"range() takes 1..3 arguments, got ${vals.length}")
+      }
+      require(step != 0, "range() step must not be zero")
+      val n = if (step > 0) math.max(0L, (stop - start + step - 1) / step)
+              else math.max(0L, (start - stop - step - 1) / (-step))
+      // jinja's range is a lazy python range; ours materializes — cap it
+      // so a template typo cannot OOM the driver
+      require(n <= 10000000L,
+        s"range() of $n elements exceeds the 10M template cap")
+      (0L until n).map(i => start + i * step)
+    case CallOp(Ref("dict"), Nil, kwargs) if !env.contains("dict") =>
+      scala.collection.immutable.VectorMap.from(
+        kwargs.map { case (k, v) => (k: Any) -> eval(v, env) })
     case CallOp(Ref("namespace"), args, kwargs)
         if !env.contains("namespace") =>
       // jinja2.utils.Namespace: namespace(**attrs) or namespace(dict,

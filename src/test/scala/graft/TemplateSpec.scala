@@ -452,6 +452,28 @@ class TemplateSpec extends AnyFunSuite {
     assert(r("{{ 'x' if not a is defined else 'y' }}") === "x")
   }
 
+  test("range()/dict() globals and filter blocks (jinja2 3.1.6 differential)") {
+    assert(r("{% for i in range(3) %}{{ i }}{% endfor %}") === "012")
+    assert(r("{% for i in range(1, 4) %}{{ i }}{% endfor %}") === "123")
+    assert(r("{% for i in range(0, 10, 3) %}{{ i }};{% endfor %}") === "0;3;6;9;")
+    assert(r("{% for i in range(3, 0, -1) %}{{ i }}{% endfor %}") === "321")
+    assert(r("{{ range(2, 2) | length }}") === "0")
+    assert(r("{{ dict(a=1, b=2)['a'] }}") === "1")
+    // dict() preserves kwarg order like python dicts
+    assert(r("{% for k, v in dict(z=1, a=2).items() %}{{ k }}{{ v }}{% endfor %}") ===
+      "z1a2")
+    assert(r("{% filter upper %}abc {{ 1 + 1 }}{% endfilter %}") === "ABC 2")
+    assert(r("{% filter replace('a', 'o') %}cat{% endfilter %}") === "cot")
+    assert(r("{% filter trim | upper %}  pad  {% endfilter %}") === "PAD")
+    // a user binding shadows the global, as in jinja
+    assert(r("{% set range = [9] %}{{ range[0] }}") === "9")
+    // materialization cap: a typo'd huge range raises instead of OOMing
+    val e = intercept[IllegalArgumentException](r("{{ range(10000000000) | length }}"))
+    assert(e.getMessage.contains("cap"))
+    val e2 = intercept[IllegalArgumentException](r("{{ range(1, 2, 0) }}"))
+    assert(e2.getMessage.contains("zero"))
+  }
+
   test("namespace(): error cases match jinja2's (raise, message differs)") {
     // jinja2: 'cannot assign attribute on non-namespace object' for both
     val e1 = intercept[IllegalArgumentException](
