@@ -100,6 +100,25 @@ object Template {
    * grammar verbatim. */
   private case class FilterBlockNode(chain: Expr, body: List[Node])
     extends Node
+  /** `{% call[(params)] m(args) %}body{% endcall %}` — invoke the macro
+   * with `caller` bound to a callable that renders `body` in the CALL
+   * SITE's scope (params bound from the caller(...) invocation args). */
+  private case class CallBlockNode(params: List[String], target: Expr,
+      body: List[Node]) extends Node
+
+  /** The `caller` value a `{% call %}` block passes into its macro: a
+   * zero-or-more-arg callable rendering the block body in the call-site
+   * env. Re-renders on every invocation (jinja: caller() twice renders
+   * twice). */
+  private final case class CallerVal(params: List[String], body: List[Node],
+      env: Map[String, Any])
+
+  /** The pending caller for the NEXT macro invocation — set by a call
+   * block around its target evaluation, consumed (and cleared, so nested
+   * plain calls don't inherit it — jinja scopes caller to the directly
+   * called macro) by MacroVal invocation. */
+  private val pendingCaller =
+    new scala.util.DynamicVariable[Option[CallerVal]](None)
 
   /** The live bindings of one template scope ("frame"). jinja2 compiles
    * a template to a module whose top-level `{% set %}`s mutate the module
@@ -298,7 +317,9 @@ object Template {
             out += Output(ExprParser.parse(body), body); pos += 1
           case TComment(_, _) => pos += 1
           case TTag(body, _, _) =>
-            val word = body.takeWhile(!_.isWhitespace)
+            // the tag keyword is the leading identifier, not the first
+            // whitespace token: '{% call(item) m() %}' starts 'call'
+            val word = body.takeWhile(c => c.isLetterOrDigit || c == '_')
             if (stop(word)) { pos += 1; return (out.toList, body) }
             word match {
               case "if" => pos += 1; out += parseIf(body.drop(2).trim)
@@ -306,8 +327,9 @@ object Template {
               case "set" => pos += 1; out += parseSet(body)
               case "macro" => pos += 1; out += parseMacro(body)
               case "filter" => pos += 1; out += parseFilterBlock(body)
+              case "call" => pos += 1; out += parseCallBlock(body)
               case "elif" | "else" | "endif" | "endfor" | "endraw" |
-                   "endset" | "endmacro" | "endfilter" =>
+                   "endset" | "endmacro" | "endfilter" | "endcall" =>
                 throw new SyntaxError(s"unexpected '{% $word %}'")
               case other =>
                 throw new SyntaxError(s"unknown template tag '$other'")
@@ -350,6 +372,24 @@ object Template {
       if (term.isEmpty) throw new SyntaxError("'{% for %}' without '{% endfor %}'")
       val (it, filt) = ExprParser.parseForRest(m.group(2))
       ForNode(names, it, filt, inner)
+    }
+
+    private def parseCallBlock(body: String): Node = {
+      val m = ("(?s)^call\\s*(?:\\(([^)]*)\\))?\\s*(.+)$").r
+        .findFirstMatchIn(body)
+        .getOrElse(throw new SyntaxError(
+          s"malformed call tag '{% $body %}' (expected '{% call[(params)] macro(args) %}')"))
+      val params = Option(m.group(1)).map(_.split(",").map(_.trim)
+        .filter(_.nonEmpty).toList).getOrElse(Nil)
+      params.foreach { p =>
+        if (!p.matches("[A-Za-z_][A-Za-z0-9_]*"))
+          throw new SyntaxError(s"bad caller parameter '$p' in '{% $body %}'")
+      }
+      val target = ExprParser.parse(m.group(2))
+      val (inner, term) = parseNodes(Set("endcall"))
+      if (term.isEmpty)
+        throw new SyntaxError("'{% call %}' without '{% endcall %}'")
+      CallBlockNode(params, target, inner)
     }
 
     private def parseFilterBlock(body: String): Node = {
@@ -805,6 +845,11 @@ object Template {
       val inner = new StringBuilder
       renderNodes(body, env, inner, new Frame(env))
       env + (name -> inner.toString)
+    case CallBlockNode(params, target, body) =>
+      val cv = CallerVal(params, body, env)
+      val out = pendingCaller.withValue(Some(cv)) { eval(target, env) }
+      sb.append(show(out))
+      env
     case FilterBlockNode(chain, body) =>
       val inner = new StringBuilder
       renderNodes(body, env, inner, new Frame(env))
@@ -1048,10 +1093,29 @@ object Template {
             s"macro recursion deeper than $MaxMacroDepth (macro '$mname' " +
               "calls itself, directly or mutually)")
         val out = new StringBuilder
+        // consume the pending caller (a {% call %} block around THIS
+        // invocation) and clear it for the body: jinja scopes `caller`
+        // to the directly called macro, never to nested plain calls
+        val callerOpt = pendingCaller.value
         macroDepth.withValue(macroDepth.value + 1) {
-          val bodyEnv = macroScope ++ bound
-          renderNodes(body, bodyEnv, out, new Frame(bodyEnv))
+          pendingCaller.withValue(None) {
+            val bodyEnv = macroScope ++ bound ++
+              callerOpt.map(cv => "caller" -> (cv: Any)).toMap
+            renderNodes(body, bodyEnv, out, new Frame(bodyEnv))
+          }
         }
+        out.toString
+      case cv: CallerVal =>
+        if (kwargs.nonEmpty) throw new IllegalArgumentException(
+          "caller() takes positional arguments only")
+        if (args.length > cv.params.length) throw new IllegalArgumentException(
+          s"caller() takes ${cv.params.length} argument(s), got ${args.length}")
+        val bound = cv.params.zip(args.map(eval(_, env))).toMap
+        val out = new StringBuilder
+        // the block body renders in the CALL-SITE scope (plus the
+        // caller(...) arguments), never the macro's — jinja semantics
+        val bodyEnv = cv.env ++ bound
+        renderNodes(cv.body, bodyEnv, out, new Frame(bodyEnv))
         out.toString
       case Undefined => throw new IllegalArgumentException(
         s"call of undefined macro${t match {

@@ -474,6 +474,38 @@ class TemplateSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("zero"))
   }
 
+  test("call blocks and caller() (jinja2 3.1.6 differential)") {
+    assert(r("{% macro wrap() %}<{{ caller() }}>{% endmacro %}" +
+      "{% call wrap() %}body {{ 1+1 }}{% endcall %}") === "<body 2>")
+    assert(r("{% macro wrap(t) %}[{{ t }}:{{ caller() }}]{% endmacro %}" +
+      "{% call wrap('x') %}B{% endcall %}") === "[x:B]")
+    // the block body renders in the CALL-SITE scope
+    assert(r("{% set v = 7 %}{% macro w() %}({{ caller() }}){% endmacro %}" +
+      "{% call w() %}{{ v }}{% endcall %}") === "(7)")
+    // call with parameters: the macro passes values INTO the block
+    assert(r("{% macro each(xs) %}{% for x in xs %}{{ caller(x) }}{% endfor %}" +
+      "{% endmacro %}{% call(item) each([1,2]) %}<{{ item }}>{% endcall %}") ===
+      "<1><2>")
+    // caller() invoked twice renders twice
+    assert(r("{% macro d() %}{{ caller() }}{{ caller() }}{% endmacro %}" +
+      "{% call d() %}a{% endcall %}") === "aa")
+    // macro locals are invisible to the block body (jinja: 'U')
+    assert(r("{% macro w() %}{% set inner = 9 %}{{ caller() }}{% endmacro %}" +
+      "{% call w() %}{{ inner if inner is defined else 'U' }}{% endcall %}") ===
+      "U")
+    // plain invocation without a call block: caller is undefined (jinja
+    // raises 'No caller defined'; graft raises the undefined-macro error)
+    val e = intercept[IllegalArgumentException](
+      r("{% macro m() %}{{ caller() }}{% endmacro %}{{ m() }}"))
+    assert(e.getMessage.contains("caller"))
+    // a nested plain call does NOT inherit the outer block's caller
+    val e2 = intercept[IllegalArgumentException](
+      r("{% macro inner() %}{{ caller() }}{% endmacro %}" +
+        "{% macro outer() %}{{ inner() }}{% endmacro %}" +
+        "{% call outer() %}x{% endcall %}"))
+    assert(e2.getMessage.contains("caller"))
+  }
+
   test("namespace(): error cases match jinja2's (raise, message differs)") {
     // jinja2: 'cannot assign attribute on non-namespace object' for both
     val e1 = intercept[IllegalArgumentException](
