@@ -18,7 +18,10 @@ import scala.collection.mutable
  * mapping / sequence / iterable / even / odd / divisibleby), loop
  * filters and tuple unpacking (`{% for k, v in m.items() if cond %}`),
  * `namespace()` objects with `{% set ns.attr %}` mutation, runtime
- * list/dict literals, dict `.items()/.keys()/.values()`, and the filters
+ * list/dict literals, dict `.items()/.keys()/.values()`, the `range()` /
+ * `dict()` globals, `{% filter name | chain %}…{% endfilter %}` blocks,
+ * `{% call[(params)] m(args) %}…{% endcall %}` with `caller()`, and the
+ * filters
  * upper / lower / capitalize / title / trim / replace / length / join /
  * first / last / reverse / sort(attribute=, reverse=) / unique / min /
  * max / sum(attribute=) / abs / round / int / float / string / default /
