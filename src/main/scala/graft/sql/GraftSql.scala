@@ -173,9 +173,11 @@ object GraftSql {
    * `containment_pairs(...)`, `trigram_score(...)`, `gopher_rules(...)`,
    * `c4_clean(...)`, `link_graph(...)`;
    * ops tooling: `key_skew(keys:"k"[, k:10])` (shuffle-key skew
-   * diagnostic) and `export_tar_shards(path:"...", id:doc_id,
-   * fields:"text=txt,image=jpg"[, n:16])` (WebDataset tar export;
-   * yields the CRC manifest frame).
+   * diagnostic), `suggest_salt(keys:"k"[, target:n, max:n])` (measured
+   * salt-factor advisor), `PROCESS probe, dim USING salted_join(
+   * keys:"k"[, factor:auto|n, how:inner])`, and `export_tar_shards(
+   * path:"...", id:doc_id, fields:"text=txt,image=jpg"[, n:16])`
+   * (WebDataset tar export; yields the CRC manifest frame).
    * User extensions with the same name win. */
   val builtinExtensions: Extensions = Extensions(outputters = Map(
     "assert_eq" -> OutputterDef { (dfs, params) =>
@@ -393,6 +395,34 @@ object GraftSql {
               throw new IllegalArgumentException("key_skew needs keys:\"...\""))
               .split(",").map(_.trim).toSeq,
             topK = p.getOrElse("k", "10").toInt)
+        },
+        // the keySkew diagnostic's prescriptive sibling: one row with the
+        // measured salt factor for salted_join (1 = don't salt)
+        "suggest_salt" -> ProcessorDef { (eng, dfs, p) =>
+          val f = graft.operators.SkewJoin.suggestSalt(
+            one(dfs, "suggest_salt"),
+            keys = p.getOrElse("keys",
+              throw new IllegalArgumentException("suggest_salt needs keys:\"...\""))
+              .split(",").map(_.trim).toSeq,
+            targetRowsPerTask = p.getOrElse("target", "2000000").toLong,
+            maxFactor = p.getOrElse("max", "256").toInt)
+          eng.toDF(Seq(Seq(f.toLong)), "salt_factor:long")
+        },
+        // PROCESS probe, dim USING salted_join(keys:"k"[, factor:auto]):
+        // factor "auto" measures the probe histogram via suggestSalt
+        "salted_join" -> ProcessorDef { (_, dfs, p) =>
+          require(dfs.size == 2, "salted_join takes (probe, dim)")
+          val keys = p.getOrElse("keys",
+            throw new IllegalArgumentException("salted_join needs keys:\"...\""))
+            .split(",").map(_.trim).toSeq
+          val f = p.getOrElse("factor", "auto") match {
+            case "auto" => graft.operators.SkewJoin.suggestSalt(dfs.head, keys,
+              targetRowsPerTask = p.getOrElse("target", "2000000").toLong,
+              maxFactor = p.getOrElse("max", "256").toInt)
+            case n => n.toInt
+          }
+          graft.operators.SkewJoin.saltedJoin(dfs.head, dfs(1), keys,
+            how = p.getOrElse("how", "inner"), factor = f)
         },
         "export_tar_shards" -> ProcessorDef { (eng, dfs, p) =>
           // fields:"txt=txt,image=jpg" maps columns to entry extensions

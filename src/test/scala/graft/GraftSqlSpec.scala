@@ -1054,6 +1054,30 @@ class GraftSqlSpec extends SparkTestBase {
     assert(sk.length === 1 && sk.head.getDouble(6) === 1.0)
   }
 
+  test("suggest_salt and salted_join processors") {
+    import org.apache.spark.sql.functions.{col => c, lit}
+    // key 0 hot: 30 rows; keys 1..4: 5 each
+    val probe = df(((1 to 30).map(i => Seq(0, i)) ++
+      (1 to 20).map(i => Seq(1 + i % 4, 100 + i))), "k:int,v:int")
+    val dim = df((0 to 4).map(k => Seq(k, s"d$k")), "k:int,name:str")
+    val f = GraftSql.run(engine,
+      """s = PROCESS probe USING suggest_salt(keys:k, target:10)
+        |YIELD s AS s
+        |""".stripMargin, Map("probe" -> probe)).yields("s").collect()
+    assert(f.head.getLong(0) === 3L) // ceil(30/10)
+    val joined = GraftSql.run(engine,
+      """j = PROCESS probe, dim USING salted_join(keys:k, factor:auto, target:10)
+        |YIELD j AS j
+        |""".stripMargin, Map("probe" -> probe, "dim" -> dim)).yields("j")
+    val plain = probe.join(dim, Seq("k"), "inner")
+    assert(graft.api.DfUtils.dfEq(
+      joined.select("k", "v", "name"), plain.select("k", "v", "name")))
+    // explicit factor + missing keys error
+    intercept[IllegalArgumentException](GraftSql.run(engine,
+      """j = PROCESS probe, dim USING salted_join(factor:4)
+        |""".stripMargin, Map("probe" -> probe, "dim" -> dim)))
+  }
+
   test("multi-line UNION ALL stays one statement; OVER(ORDER BY) gets implicit FROM") {
     val res = GraftSql.run(engine,
       """a = SELECT k, v FROM input WHERE v > 8 UNION ALL
