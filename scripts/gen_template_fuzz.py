@@ -1,0 +1,170 @@
+#!/usr/bin/env python3
+"""Generate the jinja2 differential fuzz corpus for TemplateFuzzSpec.
+
+Renders ~400 seeded-random templates with REAL jinja2 (3.1.6, strict
+undefined) and writes src/test/resources/template_fuzz.tsv with one
+URL-encoded (template, context-json, output) triple per line. The Scala
+spec replays the corpus offline — the ground truth is captured here, so
+the build never needs python.
+
+The grammar intentionally avoids the documented divergences (strict
+undefined output, float repr, namespace/dict direct rendering) and any
+construct jinja itself errors on — error-path parity is pinned by the
+hand-written TemplateSpec cases instead.
+
+Usage: python3 scripts/gen_template_fuzz.py [seed] [count]
+"""
+import json
+import random
+import sys
+import urllib.parse
+
+import jinja2
+
+SEED = int(sys.argv[1]) if len(sys.argv) > 1 else 20260815
+COUNT = int(sys.argv[2]) if len(sys.argv) > 2 else 400
+
+rng = random.Random(SEED)
+
+CTX = {
+    "n": 7,
+    "m": 3,
+    "z": 0,
+    "s": "Hello World",
+    "t": "a-b c",
+    "flag": True,
+    "off": False,
+    "xs": [4, 1, 3],
+    "ys": [10, 20],
+    "ws": ["pear", "fig", "plum"],
+    "d": {"a": 1, "b": 2},
+}
+
+INT_VARS = ["n", "m", "z"]
+STR_VARS = ["s", "t"]
+LIST_VARS = ["xs", "ys"]
+SLIST_VARS = ["ws"]
+BOOL_VARS = ["flag", "off"]
+
+INT_FILTERS = ["abs", "int"]
+STR_FILTERS = ["upper", "lower", "trim", "title", "capitalize", "length"]
+LIST_FILTERS = ["length", "first", "last", "min", "max", "sum", "unique | sum",
+                "sort | join(',')", "reverse | join(',')"]
+
+
+def int_expr(depth=0):
+    r = rng.random()
+    if depth > 2 or r < 0.3:
+        return rng.choice(INT_VARS + [str(rng.randint(0, 9))])
+    if r < 0.5:
+        return f"({int_expr(depth + 1)} + {int_expr(depth + 1)})"
+    if r < 0.65:
+        return f"({int_expr(depth + 1)} * {rng.randint(0, 3)})"
+    if r < 0.8:
+        return f"({int_expr(depth + 1)} - {int_expr(depth + 1)})"
+    if r < 0.9:
+        # floor division / modulo by a non-zero literal only
+        return f"({int_expr(depth + 1)} // {rng.randint(1, 4)})"
+    return f"({int_expr(depth + 1)} % {rng.randint(1, 5)})"
+
+
+def str_expr(depth=0):
+    r = rng.random()
+    if depth > 2 or r < 0.4:
+        return rng.choice(STR_VARS + ["'lit'", "'X Y'"])
+    if r < 0.6:
+        return f"({str_expr(depth + 1)} ~ {str_expr(depth + 1)})"
+    if r < 0.8:
+        return f"({str_expr(depth + 1)} | {rng.choice(['upper', 'lower', 'trim'])})"
+    return f"({str_expr(depth + 1)} | replace('a', 'o'))"
+
+
+def bool_expr(depth=0):
+    r = rng.random()
+    if depth > 2 or r < 0.25:
+        return rng.choice(BOOL_VARS)
+    if r < 0.45:
+        op = rng.choice(["<", "<=", ">", ">=", "==", "!="])
+        return f"({int_expr(depth + 1)} {op} {int_expr(depth + 1)})"
+    if r < 0.6:
+        return f"({int_expr(depth + 1)} in {rng.choice(LIST_VARS)})"
+    if r < 0.7:
+        return f"(not {bool_expr(depth + 1)})"
+    if r < 0.8:
+        t = rng.choice(["even", "odd", "number", "string", "defined"])
+        side = rng.choice(INT_VARS + STR_VARS)
+        return f"({side} is {t})"
+    op = rng.choice(["and", "or"])
+    return f"({bool_expr(depth + 1)} {op} {bool_expr(depth + 1)})"
+
+
+def output_stmt():
+    r = rng.random()
+    if r < 0.3:
+        return "{{ " + int_expr() + " }}"
+    if r < 0.5:
+        return "{{ " + str_expr() + " }}"
+    if r < 0.6:
+        lf = rng.choice(LIST_FILTERS)
+        return "{{ " + rng.choice(LIST_VARS) + " | " + lf + " }}"
+    if r < 0.7:
+        return ("{{ " + rng.choice(SLIST_VARS) +
+                " | " + rng.choice(["join('-')", "sort | join('+')",
+                                    "map('upper') | join(',')",
+                                    "select('string') | length"]) + " }}")
+    if r < 0.85:
+        return ("{{ " + int_expr() + " if " + bool_expr() +
+                " else " + int_expr() + " }}")
+    return "{{ d['a'] + d['b'] }}"
+
+
+def block_stmt(depth=0):
+    r = rng.random()
+    if depth > 1 or r < 0.45:
+        return output_stmt()
+    if r < 0.6:
+        return ("{% if " + bool_expr() + " %}" + body(depth + 1) +
+                "{% else %}" + body(depth + 1) + "{% endif %}")
+    if r < 0.75:
+        var = f"i{depth}"
+        src = rng.choice(LIST_VARS + [f"range({rng.randint(1, 4)})"])
+        filt = f" if {var} % 2 == {rng.randint(0, 1)}" if rng.random() < 0.3 else ""
+        inner = rng.choice([
+            "{{ " + var + " }}", "{{ loop.index }}:{{ " + var + " }};",
+            "{{ " + var + " * 2 }},"])
+        return "{% for " + var + " in " + src + filt + " %}" + inner + "{% endfor %}"
+    if r < 0.9:
+        v = f"v{depth}{rng.randint(0, 9)}"
+        return ("{% set " + v + " = " + int_expr() + " %}{{ " + v + " }}")
+    return ("{% filter " + rng.choice(["upper", "lower", "trim"]) + " %}" +
+            body(depth + 1) + "{% endfilter %}")
+
+
+def body(depth=0):
+    return " ".join(block_stmt(depth) for _ in range(rng.randint(1, 2)))
+
+
+def main():
+    env = jinja2.Environment(undefined=jinja2.StrictUndefined)
+    rows = []
+    attempts = 0
+    while len(rows) < COUNT and attempts < COUNT * 20:
+        attempts += 1
+        tpl = body()
+        try:
+            out = env.from_string(tpl).render(**CTX)
+        except Exception:
+            continue  # only keep templates jinja itself accepts
+        rows.append((tpl, out))
+    enc = urllib.parse.quote
+    path = "src/test/resources/template_fuzz.tsv"
+    with open(path, "w") as f:
+        f.write(f"# jinja2 {jinja2.__version__} differential corpus, "
+                f"seed={SEED}, ctx={json.dumps(CTX, sort_keys=True)}\n")
+        for tpl, out in rows:
+            f.write(f"{enc(tpl)}\t{enc(out)}\n")
+    print(f"wrote {len(rows)} cases to {path} ({attempts} attempts)")
+
+
+if __name__ == "__main__":
+    main()
