@@ -138,9 +138,14 @@ object Template {
    * reference through env copies, so `{% set ns.x = v %}` inside a loop
    * or macro is visible after it — exactly the cross-scope channel
    * jinja2.utils.Namespace provides. */
-  private final class NamespaceVal(var fields: Map[String, Any]) {
+  private final class NamespaceVal(fields0: Map[String, Any]) {
+    // VectorMap: attribute INSERTION order is preserved and re-assignment
+    // keeps the original position — exactly python-dict (and therefore
+    // jinja2 Namespace repr) semantics
+    var fields: Map[String, Any] =
+      scala.collection.immutable.VectorMap.from(fields0)
     override def toString: String = {
-      val inner = fields.toSeq.sortBy(_._1)
+      val inner = fields
         .map { case (k, v) => s"'$k': ${pyRepr(v)}" }.mkString(", ")
       s"<Namespace {$inner}>"
     }
@@ -1052,7 +1057,10 @@ object Template {
         case _ => throw new IllegalArgumentException(
           "namespace() takes at most one positional (mapping) argument")
       }
-      new NamespaceVal(init ++ kwargs.map { case (k, e) => k -> eval(e, env) })
+      // Seq-concat before the map build: positional-mapping entries first,
+      // then kwargs, preserving python's construction order
+      new NamespaceVal(scala.collection.immutable.VectorMap.from(
+        init.toSeq ++ kwargs.map { case (k, e) => k -> eval(e, env) }))
     case CallOp(t, args, kwargs) => eval(t, env) match {
       case mv @ MacroVal(mname, params, body) =>
         if (args.length > params.length) throw new IllegalArgumentException(

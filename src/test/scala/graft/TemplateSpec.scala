@@ -352,6 +352,10 @@ class TemplateSpec extends AnyFunSuite {
     // attr read drives conditionals
     assert(r("{% set ns = namespace(x=3) %}{% if ns.x > 2 %}big{% endif %}") ===
       "big")
+    // repr: insertion order, re-assignment keeps position (python dicts)
+    assert(r("{{ namespace(b=1, a='x') }}") === "<Namespace {'b': 1, 'a': 'x'}>")
+    assert(r("{% set ns = namespace(b=1) %}{% set ns.a = 2 %}" +
+      "{% set ns.b = 9 %}{{ ns }}") === "<Namespace {'b': 9, 'a': 2}>")
   }
 
   test("list/dict literals evaluate at render time (jinja2 3.1.6 differential)") {
