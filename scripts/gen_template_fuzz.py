@@ -140,8 +140,41 @@ def block_stmt(depth=0):
             body(depth + 1) + "{% endfilter %}")
 
 
+def macro_stmt(depth=0):
+    """Self-contained macro/namespace/call constructs: params-only macro
+    bodies (free names would exercise the documented strict-undefined
+    divergence, which the hand-written spec pins instead)."""
+    r = rng.random()
+    name = f"mac{rng.randint(0, 99)}"
+    if r < 0.35:
+        # macro with params + default, called positionally and by keyword
+        d = rng.randint(0, 9)
+        return ("{% macro " + name + "(a, b=" + str(d) + ") %}" +
+                "[{{ a + b }}]{% endmacro %}" +
+                "{{ " + name + "(" + int_expr() + ") }}" +
+                "{{ " + name + "(" + int_expr() + ", b=" + int_expr() + ") }}")
+    if r < 0.6:
+        # call block with caller(), optionally parameterized
+        if rng.random() < 0.5:
+            return ("{% macro " + name + "() %}<{{ caller() }}>{% endmacro %}" +
+                    "{% call " + name + "() %}" + output_stmt() + "{% endcall %}")
+        return ("{% macro " + name + "(xs) %}{% for x in xs %}{{ caller(x) }}"
+                "{% endfor %}{% endmacro %}" +
+                "{% call(item) " + name + "(" + rng.choice(LIST_VARS) + ") %}" +
+                "({{ item * 2 }}){% endcall %}")
+    # namespace accumulation across a loop
+    v = f"ns{rng.randint(0, 99)}"
+    return ("{% set " + v + " = namespace(acc=0) %}" +
+            "{% for x in " + rng.choice(LIST_VARS) + " %}" +
+            "{% set " + v + ".acc = " + v + ".acc + x %}{% endfor %}" +
+            "{{ " + v + ".acc }}")
+
+
 def body(depth=0):
-    return " ".join(block_stmt(depth) for _ in range(rng.randint(1, 2)))
+    stmts = [block_stmt(depth) for _ in range(rng.randint(1, 2))]
+    if depth == 0 and rng.random() < 0.3:
+        stmts.append(macro_stmt(depth))
+    return " ".join(stmts)
 
 
 def main():
