@@ -2738,6 +2738,31 @@ object SparkEntry {
         vars = Map("names" -> Seq("ASIA", "EUROPE", "AFRICA"),
           "min_key" -> 1L)).yields("out")
     }),
+    // the r10 template surface end-to-end through the FugueSQL front end
+    // (the q87 pattern, widened): a for-if loop over dicts selects the
+    // enabled bands, a macro renders each aggregate, a namespace counts
+    // what was emitted, a filter block shapes an alias, and an is-defined
+    // ternary gates the default band — all rendering to STATIC SQL, so
+    // the oracle is the fully-expanded DuckDB text
+    "q120_template_advanced" -> ((s, dir) => {
+      graft.sql.GraftSql.run(eng(s),
+        """{% macro band(lo, hi) %}sum(CASE WHEN o_totalprice >= {{ lo }} AND o_totalprice < {{ hi }} THEN 1 ELSE 0 END) AS {% filter trim %} band_{{ lo }} {% endfilter %}{% endmacro %}
+          |{% set ns = namespace(k=0) %}
+          |res = SELECT o_orderpriority,
+          | {% for b in bands if b.on %}{{ band(b.lo, b.hi) }}, {% set ns.k = ns.k + 1 %}{% endfor %}
+          | {{ band(0, fallback_hi if fallback_hi is defined else 50000) }},
+          | CAST({{ ns.k }} AS BIGINT) AS n_bands,
+          | count(*) AS n
+          |FROM orders GROUP BY o_orderpriority
+          |YIELD res AS out
+          |""".stripMargin,
+        Map("orders" -> t(s, dir, "orders")),
+        vars = Map("bands" -> Seq(
+          Map("lo" -> 100000L, "hi" -> 200000L, "on" -> true),
+          Map("lo" -> 200000L, "hi" -> 300000L, "on" -> false),
+          Map("lo" -> 300000L, "hi" -> 400000L, "on" -> true)))).yields("out")
+    }),
+
     // {% set %} + {% macro %} templating through the FugueSQL front end
     // (the jinja construct classes round 6 lacked): a macro builds the
     // projection, a set-assembled predicate gates the WHERE. FULL oracle:
@@ -3580,6 +3605,18 @@ object SparkEntry {
     "q87b_sql_template_set" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name
         |FROM nation WHERE n_nationkey >= 5 AND n_nationkey < 10""".stripMargin,
+    // the fully-expanded static render of q120's template
+    "q120_template_advanced" ->
+      """SELECT o_orderpriority,
+        | CAST(sum(CASE WHEN o_totalprice >= 100000 AND o_totalprice < 200000
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS band_100000,
+        | CAST(sum(CASE WHEN o_totalprice >= 300000 AND o_totalprice < 400000
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS band_300000,
+        | CAST(sum(CASE WHEN o_totalprice >= 0 AND o_totalprice < 50000
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS band_0,
+        | CAST(2 AS BIGINT) AS n_bands,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "q88_per_row" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         | CAST(1 AS BIGINT) AS rows_in_partition
