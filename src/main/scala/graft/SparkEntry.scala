@@ -541,6 +541,24 @@ object SparkEntry {
       eng(s).toDF(msgs, "k:long,n:long")
     }),
 
+    // MPEG-audio frame walk conformance (the audio analog of m13): every
+    // frame's offset/size/VBR-bitrate resolved from the headers alone;
+    // the oracle recomputes the full frame arithmetic — per-version
+    // bitrate table, padding bits, ID3v2 skip — and byte probes into the
+    // frame DATA catch CBR assumptions and padding slips
+    "m16_mp3_frames" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select("doc_id")
+      graft.functions.Mp3.mp3Frames(
+        graft.functions.Mp3.syntheticMp3s(ids, "doc_id"),
+        "doc_id", "payload")
+        .select(col("doc_id"), col("frame_no"), col("offset"), col("size"),
+          col("bitrate_kbps"), col("hz"), col("n_samples"),
+          expr("cast(conv(hex(substring(frame_bytes, 5, 1)), 16, 10) as int)")
+            .as("data_head"),
+          expr("cast(conv(hex(substring(frame_bytes, cast(size as int), 1)), 16, 10) as int)")
+            .as("data_tail"))
+    }),
+
     // STREAMING media demux: the m13 box walk running unchanged inside a
     // Structured Streaming query (mapPartitions is stateless-narrow, so
     // the demux composes with readStream exactly like the q61 curation
@@ -3677,6 +3695,33 @@ object SparkEntry {
     // full stbl arithmetic from first principles: sizes, 2-then-3-sample
     // chunking with 4-byte inter-chunk pads, stss sync flags, two-run
     // stts durations, tkhd dims, and the head/tail extraction probes
+    // first-principles MP3 oracle: replays Mp3.syntheticShape — MPEG-1
+    // Layer III frame size is 144000·kbps // hz + pad; data starts after
+    // the optional ID3v2 block (10-byte header + synchsafe size)
+    "m16_mp3_frames" ->
+      """WITH d AS (SELECT doc_id, CAST(3 + doc_id % 6 AS INTEGER) AS n,
+        |  CAST(doc_id % 3 AS INTEGER) AS sri FROM documents),
+        |f AS (SELECT doc_id, n, sri,
+        |  CAST(unnest(range(0, n)) AS INTEGER) AS i FROM d),
+        |s AS (SELECT doc_id, i,
+        |  CASE sri WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS hz,
+        |  [32,40,48,56,64,80,96,112,128,160,192,224,256,320][
+        |    CAST(1 + (doc_id + 5*i) % 14 AS INTEGER)] AS kbps,
+        |  CAST((doc_id + i) % 2 AS INTEGER) AS pad FROM f),
+        |z AS (SELECT doc_id, i, kbps, hz,
+        |  144000 * kbps // hz + pad AS size FROM s),
+        |o AS (SELECT doc_id, i, kbps, hz, size,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 27 + doc_id % 23 ELSE 0 END
+        |    + COALESCE(SUM(size) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS off
+        | FROM z)
+        |SELECT doc_id, CAST(i AS INTEGER) AS frame_no, off AS "offset",
+        | CAST(size AS INTEGER) AS size, CAST(kbps AS INTEGER) AS bitrate_kbps,
+        | CAST(hz AS INTEGER) AS hz, CAST(1152 AS INTEGER) AS n_samples,
+        | CAST((doc_id + i*131 + 4) % 256 AS INTEGER) AS data_head,
+        | CAST((doc_id + i*131 + size - 1) % 256 AS INTEGER) AS data_tail
+        |FROM o""".stripMargin,
     "q118_callback_census" ->
       """SELECT CAST(o_custkey % 50 AS BIGINT) AS k,
         | CAST(count(*) AS BIGINT) AS n

@@ -1,0 +1,228 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.types._
+
+/**
+ * Pure-JVM MPEG-audio (MP3) frame walk: resolves every audio frame's
+ * exact byte range, bitrate, sample rate and sample count from the frame
+ * headers — no decoder, no third-party jar. The audio analog of [[Mp4]]'s
+ * ISO-BMFF box walk: with (offset, size) per frame a cluster job can
+ * slice or window audio shards out of object-store ranged reads without
+ * shipping whole files, and per-frame bitrate/duration gives the segment
+ * metadata an audio-training pipeline keys on (VBR-aware duration, talk
+ * vs music bitrate profiles, silence-run detection downstream).
+ *
+ * Parsing scope (ISO/IEC 11172-3 / 13818-3 frame headers): the 11-bit
+ * sync, MPEG-1/2/2.5 versions, Layers I-III, the per-version bitrate and
+ * sample-rate tables, the padding bit, and the Layer-dependent frame
+ * length arithmetic (Layer I padded in 4-byte slots, Layers II/III in
+ * single bytes). A leading ID3v2 container (synchsafe 28-bit size) is
+ * skipped; a trailing ID3v1 'TAG' block (128 bytes) terminates cleanly.
+ * Truncated/corrupt payloads return None — callers fall back, they never
+ * see a half-parsed stream (same contract as Mp4.parseVideoTrack).
+ *
+ * Reference behavior anchor: fugue treats binary media columns as opaque
+ * payloads transformed per-partition (fugue/execution/execution_engine.py
+ * map-style extensions); the frame walk itself is engine-added capability
+ * (SURVEY §2 "beyond-reference pipeline operators").
+ */
+object Mp3 {
+
+  /** One MPEG-audio frame resolved to its absolute byte range. */
+  final case class Frame(no: Int, offset: Long, size: Int,
+      bitrateKbps: Int, sampleRate: Int, samplesPerFrame: Int)
+
+  // bitrate tables, kbps, index 1..14 (0 = free, 15 = bad) ------------
+  private val BrV1L1 = Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448)
+  private val BrV1L2 = Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384)
+  private val BrV1L3 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val BrV2L1 = Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256)
+  private val BrV2L23 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+
+  private val SrV1 = Array(44100, 48000, 32000)
+  private val SrV2 = Array(22050, 24000, 16000)
+  private val SrV25 = Array(11025, 12000, 8000)
+
+  /** Parse one 4-byte frame header at `p`; None when it is not a valid
+   * MPEG-audio frame header. Returns (frameSize, kbps, hz, samples). */
+  private def header(b: Array[Byte], p: Long): Option[(Int, Int, Int, Int)] = {
+    if (p < 0 || p + 4 > b.length) return None
+    val h0 = b(p.toInt) & 0xff
+    val h1 = b(p.toInt + 1) & 0xff
+    val h2 = b(p.toInt + 2) & 0xff
+    if (h0 != 0xff || (h1 & 0xe0) != 0xe0) return None
+    val version = (h1 >> 3) & 0x3  // 0=2.5, 1=reserved, 2=MPEG2, 3=MPEG1
+    val layer = (h1 >> 1) & 0x3    // 1=III, 2=II, 3=I
+    if (version == 1 || layer == 0) return None
+    val brIdx = (h2 >> 4) & 0xf
+    val srIdx = (h2 >> 2) & 0x3
+    val pad = (h2 >> 1) & 0x1
+    if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None // free/bad
+    val kbps = (version, layer) match {
+      case (3, 3) => BrV1L1(brIdx)
+      case (3, 2) => BrV1L2(brIdx)
+      case (3, 1) => BrV1L3(brIdx)
+      case (_, 3) => BrV2L1(brIdx)
+      case _ => BrV2L23(brIdx)
+    }
+    val hz = version match {
+      case 3 => SrV1(srIdx)
+      case 2 => SrV2(srIdx)
+      case _ => SrV25(srIdx)
+    }
+    // samples per frame: L1 384; L2 1152; L3 1152 (MPEG1) / 576 (2, 2.5)
+    val samples = layer match {
+      case 3 => 384
+      case 2 => 1152
+      case _ => if (version == 3) 1152 else 576
+    }
+    // frame length: L1 in 4-byte slots, L2/III in bytes (integer floor)
+    val size = layer match {
+      case 3 => (12 * kbps * 1000 / hz + pad) * 4
+      case _ => samples / 8 * kbps * 1000 / hz + pad
+    }
+    if (size < 4) None else Some((size, kbps, hz, samples))
+  }
+
+  /**
+   * Walk a payload's MPEG-audio frames. None when the payload does not
+   * start (after an optional ID3v2 block) with a valid frame header or
+   * any frame overruns the payload; parsing stops cleanly at a trailing
+   * ID3v1 'TAG' block or end of payload. Corrupt mid-stream bytes map to
+   * None rather than a silently short frame list — a training pipeline
+   * must distinguish 'clean stream' from 'salvageable prefix' explicitly.
+   */
+  def parseFrames(payload: Array[Byte]): Option[IndexedSeq[Frame]] = {
+    if (payload == null || payload.length < 4) return None
+    var pos = 0L
+    // ID3v2: 'ID3' + ver(2) + flags(1) + 28-bit synchsafe size(4)
+    if (payload.length >= 10 && payload(0) == 'I' && payload(1) == 'D' &&
+        payload(2) == '3') {
+      val sz = ((payload(6) & 0x7f) << 21) | ((payload(7) & 0x7f) << 14) |
+        ((payload(8) & 0x7f) << 7) | (payload(9) & 0x7f)
+      pos = 10L + sz
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Frame]
+    var no = 0
+    while (pos + 4 <= payload.length) {
+      // trailing ID3v1 tag terminates the stream
+      if (pos + 3 <= payload.length && payload(pos.toInt) == 'T' &&
+          payload(pos.toInt + 1) == 'A' && payload(pos.toInt + 2) == 'G' &&
+          payload.length - pos == 128) {
+        return if (out.isEmpty) None else Some(out.toIndexedSeq)
+      }
+      header(payload, pos) match {
+        case Some((size, kbps, hz, samples)) =>
+          if (pos + size > payload.length) return None // truncated frame
+          out += Frame(no, pos, size, kbps, hz, samples)
+          pos += size
+          no += 1
+        case None => return None // corrupt header mid-stream
+      }
+    }
+    if (out.isEmpty || pos != payload.length) None
+    else Some(out.toIndexedSeq)
+  }
+
+  /** Output schema of [[mp3Frames]]. */
+  val frameSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("frame_no", IntegerType),
+    StructField("offset", LongType),
+    StructField("size", IntegerType),
+    StructField("bitrate_kbps", IntegerType),
+    StructField("hz", IntegerType),
+    StructField("n_samples", IntegerType),
+    StructField("frame_bytes", BinaryType)))
+
+  /** One row per MPEG-audio frame with its resolved byte range, VBR
+   * bitrate, sample rate and sample count; non-MP3 / corrupt payloads
+   * are dropped. Narrow mapPartitions — no shuffle; linear per row. */
+  def mp3Frames(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(idIdx)
+        val payload = r.getAs[Array[Byte]](pIdx)
+        parseFrames(payload) match {
+          case Some(frames) => frames.iterator.map { f =>
+            Row(id, f.no, f.offset, f.size, f.bitrateKbps, f.sampleRate,
+              f.samplesPerFrame,
+              java.util.Arrays.copyOfRange(payload, f.offset.toInt,
+                f.offset.toInt + f.size))
+          }
+          case None => Iterator.empty
+        }
+      }
+    }(Encoders.row(frameSchema))
+  }
+
+  // =====================================================================
+  // Synthetic fixture: a VALID VBR MPEG-1 Layer III stream whose frame
+  // arithmetic is a pure function of the seed, so a SQL oracle can
+  // recompute every frame's offset/size/bitrate from first principles.
+  // Layout: [optional ID3v2 of id-derived size][n frames, VBR bitrate
+  // per frame, id-derived padding bits]. A walker that assumes CBR or
+  // ignores the padding bit produces shifted offsets — the head/tail
+  // byte probes catch both.
+  // =====================================================================
+
+  /** Deterministic shape shared by the writer, the m16 oracle and the
+   * spec: frames `3 + id%6`; MPEG-1 Layer III; sample-rate index `id%3`
+   * (44100/48000/32000); per-frame bitrate index `1 + (id + 5i) % 14`
+   * (VBR); padding bit `(id + i) % 2`; ID3v2 prefix iff `id % 3 == 0`
+   * with synchsafe size `17 + id % 23`; data byte j of frame i is
+   * `(id + i*131 + j) & 0xff`. */
+  def syntheticShape(id: Long): (Int, Int, Int => Int, Int => Int) = {
+    val n = (3 + id % 6).toInt
+    val srIdx = (id % 3).toInt
+    val brIdx = (i: Int) => (1 + (id + 5L * i) % 14).toInt
+    val pad = (i: Int) => ((id + i) % 2).toInt
+    (n, srIdx, brIdx, pad)
+  }
+
+  def syntheticMp3(id: Long): Array[Byte] = {
+    val (n, srIdx, brIdx, pad) = syntheticShape(id)
+    val hz = SrV1(srIdx)
+    val bo = new java.io.ByteArrayOutputStream()
+    if (id % 3 == 0) {
+      val sz = (17 + id % 23).toInt
+      bo.write('I'); bo.write('D'); bo.write('3')
+      bo.write(4); bo.write(0) // version 2.4.0
+      bo.write(0)              // flags
+      bo.write((sz >> 21) & 0x7f); bo.write((sz >> 14) & 0x7f)
+      bo.write((sz >> 7) & 0x7f); bo.write(sz & 0x7f)
+      (0 until sz).foreach(j => bo.write((id + j) .toInt & 0x7f))
+    }
+    (0 until n).foreach { i =>
+      val bi = brIdx(i)
+      val kbps = BrV1L3(bi)
+      val p = pad(i)
+      val size = 1152 / 8 * kbps * 1000 / hz + p
+      // header: sync(11) | version=3 (MPEG1) | layer=1 (III) | prot=1,
+      // then brIdx | srIdx | pad | priv, then channel mode bits
+      bo.write(0xff)
+      bo.write(0xe0 | (3 << 3) | (1 << 1) | 1) // 0xfb
+      bo.write((bi << 4) | (srIdx << 2) | (p << 1))
+      bo.write(0x40) // joint stereo, no extensions
+      var j = 4
+      while (j < size) {
+        bo.write(((id + i * 131L + j) & 0xff).toInt); j += 1
+      }
+    }
+    bo.toByteArray
+  }
+
+  /** Executor-side synthetic-MP3 fixtures — the m16 oracle recomputes the
+   * full frame arithmetic in SQL. */
+  def syntheticMp3s(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      it.map(r => Row(r.getLong(idIdx), syntheticMp3(r.getLong(idIdx))))
+    }(Encoders.row(schema))
+  }
+}

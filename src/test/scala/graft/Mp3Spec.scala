@@ -1,0 +1,107 @@
+package graft
+
+import graft.functions.Mp3
+import org.scalatest.funsuite.AnyFunSuite
+
+/** MPEG-audio frame walk: the synthetic VBR fixture against an
+ * independent closed-form replay, hand-built MPEG-2 / Layer-II / Layer-I
+ * frames, and the corrupt-payload contract (None, never throw). */
+class Mp3Spec extends AnyFunSuite {
+
+  private def expected(id: Long): IndexedSeq[(Int, Long, Int, Int, Int)] = {
+    val (n, srIdx, brIdx, pad) = Mp3.syntheticShape(id)
+    val hz = Seq(44100, 48000, 32000)(srIdx)
+    val table = Seq(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    var off = if (id % 3 == 0) 27L + id % 23 else 0L
+    (0 until n).map { i =>
+      val kbps = table(brIdx(i) - 1)
+      val size = 144000 * kbps / hz + pad(i)
+      val r = (i, off, size, kbps, hz)
+      off += size
+      r
+    }
+  }
+
+  test("synthetic VBR fixture resolves to the closed form (IDs 0-29)") {
+    (0L until 30L).foreach { id =>
+      val payload = Mp3.syntheticMp3(id)
+      val frames = Mp3.parseFrames(payload)
+        .getOrElse(fail(s"id=$id did not parse"))
+      val want = expected(id)
+      assert(frames.length === want.length, s"id=$id frame count")
+      frames.zip(want).foreach { case (f, (no, off, sz, kbps, hz)) =>
+        assert((f.no, f.offset, f.size, f.bitrateKbps, f.sampleRate,
+          f.samplesPerFrame) === ((no, off, sz, kbps, hz, 1152)), s"id=$id #$no")
+        // data byte probes: first data byte and last byte of the frame
+        assert((payload(f.offset.toInt + 4) & 0xff) ===
+          ((id + no * 131L + 4) % 256).toInt, s"id=$id #$no head")
+        assert((payload((f.offset + f.size - 1).toInt) & 0xff) ===
+          ((id + no * 131L + sz - 1) % 256).toInt, s"id=$id #$no tail")
+      }
+      assert(frames.last.offset + frames.last.size === payload.length.toLong)
+    }
+  }
+
+  /** Hand-build one frame: header bytes + zero data of the right size. */
+  private def frame(version: Int, layer: Int, brIdx: Int, srIdx: Int,
+      pad: Int, kbps: Int, hz: Int): Array[Byte] = {
+    val samples = layer match {
+      case 3 => 384
+      case 2 => 1152
+      case _ => if (version == 3) 1152 else 576
+    }
+    val size = layer match {
+      case 3 => (12 * kbps * 1000 / hz + pad) * 4
+      case _ => samples / 8 * kbps * 1000 / hz + pad
+    }
+    val b = new Array[Byte](size)
+    b(0) = 0xff.toByte
+    b(1) = (0xe0 | (version << 3) | (layer << 1) | 1).toByte
+    b(2) = ((brIdx << 4) | (srIdx << 2) | (pad << 1)).toByte
+    b(3) = 0x40
+    b
+  }
+
+  test("MPEG-2 and Layer I/II header forms resolve") {
+    // MPEG-2 Layer III, brIdx 5 → 40 kbps (V2L23 table), 24000 Hz, 576 samples
+    val v2 = frame(version = 2, layer = 1, brIdx = 5, srIdx = 1, pad = 0,
+      kbps = 40, hz = 24000)
+    val f2 = Mp3.parseFrames(v2).getOrElse(fail("v2 L3")).head
+    assert((f2.bitrateKbps, f2.sampleRate, f2.samplesPerFrame, f2.size) ===
+      ((40, 24000, 576, 576 / 8 * 40000 / 24000)))
+    // MPEG-1 Layer II, brIdx 5 → 80 kbps, 44100 Hz, 1152 samples
+    val l2 = frame(version = 3, layer = 2, brIdx = 5, srIdx = 0, pad = 1,
+      kbps = 80, hz = 44100)
+    val fl2 = Mp3.parseFrames(l2).getOrElse(fail("L2")).head
+    assert((fl2.bitrateKbps, fl2.samplesPerFrame, fl2.size) ===
+      ((80, 1152, 144 * 80000 / 44100 + 1)))
+    // MPEG-1 Layer I, brIdx 5 → 160 kbps, 4-byte slot padding
+    val l1 = frame(version = 3, layer = 3, brIdx = 5, srIdx = 0, pad = 1,
+      kbps = 160, hz = 44100)
+    val fl1 = Mp3.parseFrames(l1).getOrElse(fail("L1")).head
+    assert((fl1.bitrateKbps, fl1.samplesPerFrame, fl1.size) ===
+      ((160, 384, (12 * 160000 / 44100 + 1) * 4)))
+  }
+
+  test("trailing ID3v1 TAG terminates cleanly; corrupt forms return None") {
+    val ok = Mp3.syntheticMp3(4L)
+    val tagged = ok ++ ("TAG" + "x" * 125).getBytes("ISO-8859-1")
+    assert(Mp3.parseFrames(tagged).get.length ===
+      Mp3.parseFrames(ok).get.length)
+    // truncated last frame
+    assert(Mp3.parseFrames(ok.dropRight(3)) === None)
+    // mid-stream corruption: flip a header byte of the second frame
+    val frames = Mp3.parseFrames(ok).get
+    val bad = ok.clone(); bad(frames(1).offset.toInt) = 0x00
+    assert(Mp3.parseFrames(bad) === None)
+    // trailing garbage that is neither a frame nor a TAG block
+    assert(Mp3.parseFrames(ok ++ Array[Byte](1, 2, 3, 4, 5)) === None)
+    // free-bitrate (0) and bad (15) indices rejected
+    val free = ok.clone(); free(2) = ((0 << 4) | (free(2) & 0x0f)).toByte
+    assert(Mp3.parseFrames(free) === None)
+    assert(Mp3.parseFrames(null) === None)
+    assert(Mp3.parseFrames("definitely not audio data".getBytes) === None)
+    // ID3v2-only payload (no frames) is None, not an empty success
+    assert(Mp3.parseFrames(Mp3.syntheticMp3(0L).take(27)) === None)
+  }
+}
