@@ -541,6 +541,35 @@ object SparkEntry {
       eng(s).toDF(msgs, "k:long,n:long")
     }),
 
+    // mixed-media-lake census: magic-byte type sniffing over a column
+    // that interleaves all seven payload families (PNG/GIF/progressive
+    // MP4/fragmented MP4/MP3/WAV/plain text) — the "what is actually in
+    // this bucket" pass a 100 TB binary column gets before any decode
+    // fan-out. Narrow map, O(1) header reads per row; exact oracle
+    "m17_media_census" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+      val ids = t(s, dir, "documents").select("doc_id")
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("payload", BinaryType)))
+      val mixed = ids.mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val payload = (id % 7) match {
+            case 0 => graft.functions.Multimodal.syntheticPng(16, 8, id)
+            case 1 => graft.functions.Multimodal.syntheticGif(8, 8, 3, id)
+            case 2 => graft.functions.Mp4.syntheticMp4(id)
+            case 3 => graft.functions.Mp4.syntheticFmp4(id)
+            case 4 => graft.functions.Mp3.syntheticMp3(id)
+            case 5 => graft.functions.Multimodal.syntheticWav(8000, 1, 64, id)
+            case _ => s"plain text payload $id".getBytes("UTF-8")
+          }
+          org.apache.spark.sql.Row(id, payload)
+        }
+      }(org.apache.spark.sql.Encoders.row(schema))
+      graft.functions.Multimodal.mediaCensus(mixed, "doc_id", "payload")
+        .select("doc_id", "media_type")
+    }),
+
     // MPEG-audio frame walk conformance (the audio analog of m13): every
     // frame's offset/size/VBR-bitrate resolved from the headers alone;
     // the oracle recomputes the full frame arithmetic — per-version
@@ -3695,6 +3724,13 @@ object SparkEntry {
     // full stbl arithmetic from first principles: sizes, 2-then-3-sample
     // chunking with 4-byte inter-chunk pads, stss sync flags, two-run
     // stts durations, tkhd dims, and the head/tail extraction probes
+    "m17_media_census" ->
+      """SELECT doc_id,
+        | CASE CAST(doc_id % 7 AS INTEGER)
+        |  WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'mp4'
+        |  WHEN 3 THEN 'mp4' WHEN 4 THEN 'mp3' WHEN 5 THEN 'wav'
+        |  ELSE 'unknown' END AS media_type
+        |FROM documents""".stripMargin,
     // first-principles MP3 oracle: replays Mp3.syntheticShape — MPEG-1
     // Layer III frame size is 144000·kbps // hz + pad; data starts after
     // the optional ID3v2 block (10-byte header + synchsafe size)

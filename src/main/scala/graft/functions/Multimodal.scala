@@ -958,6 +958,55 @@ object Multimodal {
     }(Encoders.row(frameSchema))
   }
 
+  /**
+   * Magic-byte media-type sniff for a binary payload — the census
+   * primitive for a MIXED media lake (at 100 TB the first question about
+   * a binary column is "what is actually in it", answered without
+   * decoding anything): png / jpeg / gif / bmp / mp4 (any ISO-BMFF) /
+   * mp3 (ID3v2 or a valid MPEG-audio frame header) / wav / gzip / tar
+   * (ustar) / warc / empty / unknown. Pure header reads — O(1) per row.
+   */
+  def sniffMediaType(payload: Array[Byte]): String = {
+    if (payload == null || payload.isEmpty) return "empty"
+    def at(i: Int) = if (i < payload.length) payload(i) & 0xff else -1
+    def str(off: Int, s: String): Boolean =
+      off + s.length <= payload.length &&
+        s.indices.forall(i => payload(off + i) == s.charAt(i).toByte)
+    if (at(0) == 0x89 && str(1, "PNG")) "png"
+    else if (at(0) == 0xff && at(1) == 0xd8 && at(2) == 0xff) "jpeg"
+    else if (str(0, "GIF8")) "gif"
+    else if (str(0, "BM") && payload.length >= 26) "bmp"
+    else if (str(0, "RIFF") && str(8, "WAVE")) "wav"
+    else if (Mp4.sniffIsoBmff(payload)) "mp4"
+    else if (str(0, "ID3") ||
+      (at(0) == 0xff && (at(1) & 0xe0) == 0xe0 &&
+        ((at(1) >> 3) & 0x3) != 1 && ((at(1) >> 1) & 0x3) != 0 &&
+        ((at(2) >> 4) & 0xf) != 15 && ((at(2) >> 2) & 0x3) != 3)) "mp3"
+    else if (at(0) == 0x1f && at(1) == 0x8b) "gzip"
+    else if (str(257, "ustar")) "tar"
+    else if (str(0, "WARC/")) "warc"
+    else "unknown"
+  }
+
+  /** One row per payload with its sniffed media type and byte size —
+   * narrow, no shuffle; the downstream groupBy(media_type) census is one
+   * partial-aggregated exchange over a handful of rows. */
+  def mediaCensus(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("media_type", StringType),
+      StructField("n_bytes", LongType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val payload = r.getAs[Array[Byte]](pIdx)
+        Row(r.getLong(idIdx), sniffMediaType(payload),
+          if (payload == null) 0L else payload.length.toLong)
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Every `stride`-th `frameSize`-byte window of a payload — the ONE
    * definition of byte-window frame semantics, shared by [[sampleFrames]]
    * and [[demuxFrames]]' non-media fallback. */

@@ -126,6 +126,21 @@ class Mp4Spec extends SparkTestBase {
     assert(!Mp4.sniffIsoBmff(null))
   }
 
+  test("sniffMediaType classifies all payload families by magic bytes") {
+    import graft.functions.{Mp3, Multimodal => M}
+    assert(M.sniffMediaType(M.syntheticPng(16, 8, 3L)) === "png")
+    assert(M.sniffMediaType(M.syntheticGif(8, 8, 3, 3L)) === "gif")
+    assert(M.sniffMediaType(Mp4.syntheticMp4(3L)) === "mp4")
+    assert(M.sniffMediaType(Mp4.syntheticFmp4(3L)) === "mp4")
+    assert(M.sniffMediaType(Mp3.syntheticMp3(3L)) === "mp3")   // ID3-less frame
+    assert(M.sniffMediaType(Mp3.syntheticMp3(3L * 3)) === "mp3") // ID3v2 lead
+    assert(M.sniffMediaType(M.syntheticWav(8000, 1, 16, 3L)) === "wav")
+    assert(M.sniffMediaType("just some text".getBytes) === "unknown")
+    assert(M.sniffMediaType(Array.emptyByteArray) === "empty")
+    assert(M.sniffMediaType(null) === "empty")
+    assert(M.sniffMediaType(Array[Byte](0x1f, 0x8b.toByte, 8)) === "gzip")
+  }
+
   test("demuxFrames drops undemuxable ISO-BMFF instead of byte-windowing it") {
     import org.apache.spark.sql.types._
     val initOnly = Mp4.syntheticFmp4(3L).take(Mp4.FMp4DataStart)
