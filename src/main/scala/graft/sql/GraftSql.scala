@@ -172,6 +172,10 @@ object GraftSql {
    * retrieval/scoring: `PROCESS corpus, queries USING bm25(k:10, ...)`,
    * `containment_pairs(...)`, `trigram_score(...)`, `gopher_rules(...)`,
    * `c4_clean(...)`, `link_graph(...)`;
+   * media: `media_census([id:.., col:..])` (magic-byte type census),
+   * `demux_frames(...)` (decode-or-box-walk frame demux),
+   * `mp4_demux(...)` (ISO-BMFF sample table), `mp3_frames(...)`
+   * (MPEG-audio frame table);
    * ops tooling: `key_skew(keys:"k"[, k:10])` (shuffle-key skew
    * diagnostic), `suggest_salt(keys:"k"[, target:n, max:n])` (measured
    * salt-factor advisor), `PROCESS probe, dim USING salted_join(
@@ -395,6 +399,25 @@ object GraftSql {
               throw new IllegalArgumentException("key_skew needs keys:\"...\""))
               .split(",").map(_.trim).toSeq,
             topK = p.getOrElse("k", "10").toInt)
+        },
+        // media ops over binary columns (id:doc_id, col:payload defaults)
+        "media_census" -> ProcessorDef { (_, dfs, p) =>
+          graft.functions.Multimodal.mediaCensus(one(dfs, "media_census"),
+            p.getOrElse("id", "doc_id"), p.getOrElse("col", "payload"))
+        },
+        "demux_frames" -> ProcessorDef { (_, dfs, p) =>
+          graft.functions.Multimodal.demuxFrames(one(dfs, "demux_frames"),
+            p.getOrElse("id", "doc_id"), p.getOrElse("col", "payload"),
+            stride = p.getOrElse("stride", "1").toInt,
+            frameSize = p.getOrElse("frame_size", "1024").toInt)
+        },
+        "mp4_demux" -> ProcessorDef { (_, dfs, p) =>
+          graft.functions.Mp4.demuxMp4Frames(one(dfs, "mp4_demux"),
+            p.getOrElse("id", "doc_id"), p.getOrElse("col", "payload"))
+        },
+        "mp3_frames" -> ProcessorDef { (_, dfs, p) =>
+          graft.functions.Mp3.mp3Frames(one(dfs, "mp3_frames"),
+            p.getOrElse("id", "doc_id"), p.getOrElse("col", "payload"))
         },
         // the keySkew diagnostic's prescriptive sibling: one row with the
         // measured salt factor for salted_join (1 = don't salt)

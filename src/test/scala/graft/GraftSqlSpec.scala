@@ -1054,6 +1054,37 @@ class GraftSqlSpec extends SparkTestBase {
     assert(sk.length === 1 && sk.head.getDouble(6) === 1.0)
   }
 
+  test("media processors: media_census, mp4_demux, mp3_frames, demux_frames") {
+    import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    val rows = spark.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row(1L, graft.functions.Mp4.syntheticMp4(1L)),
+      org.apache.spark.sql.Row(2L, graft.functions.Mp3.syntheticMp3(2L)),
+      org.apache.spark.sql.Row(3L, "text".getBytes)), schema)
+    val census = GraftSql.run(engine,
+      """c = PROCESS src USING media_census
+        |YIELD c AS c
+        |""".stripMargin, Map("src" -> rows)).yields("c").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(census === Map(1L -> "mp4", 2L -> "mp3", 3L -> "unknown"))
+    val mp4 = GraftSql.run(engine,
+      """f = PROCESS src USING mp4_demux
+        |YIELD f AS f
+        |""".stripMargin, Map("src" -> rows.filter("doc_id = 1"))).yields("f")
+    assert(mp4.count() === (2 + 1 % 7).toLong)
+    val mp3 = GraftSql.run(engine,
+      """f = PROCESS src USING mp3_frames
+        |YIELD f AS f
+        |""".stripMargin, Map("src" -> rows.filter("doc_id = 2"))).yields("f")
+    assert(mp3.count() === (3 + 2 % 6).toLong)
+    val dmx = GraftSql.run(engine,
+      """f = PROCESS src USING demux_frames(stride:2)
+        |YIELD f AS f
+        |""".stripMargin, Map("src" -> rows.filter("doc_id = 3"))).yields("f")
+    assert(dmx.count() >= 1) // text byte-windows
+  }
+
   test("suggest_salt and salted_join processors") {
     import org.apache.spark.sql.functions.{col => c, lit}
     // key 0 hot: 30 rows; keys 1..4: 5 each
