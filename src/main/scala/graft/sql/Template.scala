@@ -85,7 +85,11 @@ object Template {
    * names bound, WITHOUT `loop`) selects items BEFORE loop.* indexing,
    * so loop.length/index count selected items only (jinja2 semantics). */
   private case class ForNode(names: List[String], list: Expr,
-      filter: Option[Expr], body: List[Node]) extends Node
+      filter: Option[Expr], body: List[Node],
+      orElse: List[Node] = Nil) extends Node
+
+  /** `loop.cycle(...)` callable: picks by the current 0-based index. */
+  private final case class CycleVal(index0: Long)
   private case class SetNode(name: String, e: Expr) extends Node
   private case class SetBlockNode(name: String, body: List[Node]) extends Node
   /** `{% set ns.attr = e %}` — attribute assignment on a namespace()
@@ -376,10 +380,19 @@ object Template {
         .getOrElse(throw new SyntaxError(
           s"malformed for tag '{% $body %}' (expected '{% for name[, name] in expr [if cond] %}')"))
       val names = m.group(1).split(",").map(_.trim).toList
-      val (inner, term) = parseNodes(Set("endfor"))
+      val (inner, term) = parseNodes(Set("endfor", "else"))
       if (term.isEmpty) throw new SyntaxError("'{% for %}' without '{% endfor %}'")
+      // for-else: the else block renders when the (filtered) sequence
+      // yields NO iterations (jinja semantics)
+      val orElse =
+        if (term.takeWhile(c => c.isLetterOrDigit || c == '_') == "else") {
+          val (eb, et) = parseNodes(Set("endfor"))
+          if (et.isEmpty)
+            throw new SyntaxError("'{% for %} ... {% else %}' without '{% endfor %}'")
+          eb
+        } else Nil
       val (it, filt) = ExprParser.parseForRest(m.group(2))
-      ForNode(names, it, filt, inner)
+      ForNode(names, it, filt, inner, orElse)
     }
 
     private def parseCallBlock(body: String): Node = {
@@ -799,7 +812,7 @@ object Template {
         case Some((_, body)) => renderNodes(body, env, sb, frame)
         case None => renderNodes(orElse, env, sb, frame)
       }
-    case ForNode(names, listE, filt, body) =>
+    case ForNode(names, listE, filt, body, orElse) =>
       val items0: Seq[Any] = eval(listE, env) match {
         case s: Seq[_] => s
         case a: Array[_] => a.toSeq
@@ -831,11 +844,20 @@ object Template {
         case Some(f) => items0.filter(it => truthy(eval(f, env ++ bind(it))))
       }
       val len = items.length
+      if (items.isEmpty && orElse.nonEmpty) {
+        // for-else: zero iterations (incl. filtered-to-nothing) renders
+        // the else block IN the enclosing scope, assignments propagating
+        // like an if-branch (jinja semantics)
+        renderNodes(orElse, env, sb, new Frame(env))
+      }
       items.zipWithIndex.foreach { case (item, i) =>
         val loop = Map(
           "index" -> (i + 1).toLong, "index0" -> i.toLong,
           "first" -> (i == 0), "last" -> (i == len - 1),
-          "length" -> len.toLong, "revindex" -> (len - i).toLong)
+          "length" -> len.toLong, "revindex" -> (len - i).toLong,
+          "previtem" -> (if (i > 0) items(i - 1) else Undefined),
+          "nextitem" -> (if (i < len - 1) items(i + 1) else Undefined),
+          "cycle" -> CycleVal(i.toLong))
         // loop body is a scope: per-iteration assignments don't escape —
         // fresh frame, so a macro defined OUTSIDE the loop never sees
         // loop-body sets (jinja2 renders such names as undefined)
@@ -1116,6 +1138,10 @@ object Template {
           }
         }
         out.toString
+      case CycleVal(i) =>
+        if (args.isEmpty) throw new IllegalArgumentException(
+          "loop.cycle() needs at least one argument")
+        eval(args((i % args.length).toInt), env)
       case cv: CallerVal =>
         if (kwargs.nonEmpty) throw new IllegalArgumentException(
           "caller() takes positional arguments only")

@@ -510,6 +510,22 @@ class TemplateSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("caller"))
   }
 
+  test("for-else and loop.cycle/previtem/nextitem (jinja2 3.1.6 differential)") {
+    assert(r("{% for x in xs %}{{ x }}{% else %}EMPTY{% endfor %}",
+      Map("xs" -> Seq.empty[Long])) === "EMPTY")
+    assert(r("{% for x in xs %}{{ x }}{% else %}EMPTY{% endfor %}",
+      Map("xs" -> Seq(1L, 2L))) === "12")
+    // a filter that rejects everything also triggers the else block
+    assert(r("{% for x in xs if x > 9 %}{{ x }}{% else %}NONE{% endfor %}",
+      Map("xs" -> Seq(1L, 2L))) === "NONE")
+    assert(r("{% for x in xs %}{{ loop.cycle('a','b') }}{{ x }}{% endfor %}",
+      Map("xs" -> Seq(1L, 2L, 3L))) === "a1b2a3")
+    assert(r("{% for x in xs %}{{ loop.previtem if not loop.first else 'S' }}-{% endfor %}",
+      Map("xs" -> Seq(1L, 2L, 3L))) === "S-1-2-")
+    assert(r("{% for x in xs %}{{ loop.nextitem if not loop.last else 'E' }}-{% endfor %}",
+      Map("xs" -> Seq(1L, 2L, 3L))) === "2-3-E-")
+  }
+
   test("namespace(): error cases match jinja2's (raise, message differs)") {
     // jinja2: 'cannot assign attribute on non-namespace object' for both
     val e1 = intercept[IllegalArgumentException](
