@@ -189,6 +189,9 @@ object Template {
   private case class Ref(name: String) extends Expr
   private case class Attr(t: Expr, name: String) extends Expr
   private case class IndexOp(t: Expr, i: Expr) extends Expr
+  /** `x[a:b:c]` — python slice semantics on sequences and strings. */
+  private case class SliceOp(t: Expr, start: Option[Expr],
+      stop: Option[Expr], step: Option[Expr]) extends Expr
   private case class Un(op: String, e: Expr) extends Expr
   private case class Bin(op: String, l: Expr, r: Expr) extends Expr
   private case class FilterOp(e: Expr, name: String, args: List[Expr],
@@ -705,7 +708,19 @@ object Template {
             }
             e = CallOp(e, args.toList, kwargs.toList)
           }
-          else if (accept("[")) { e = IndexOp(e, condExpr()); expect("]") }
+          else if (accept("[")) {
+            def isOp(op: String) = peek.contains(EOp(op))
+            val start = if (isOp(":")) None else Some(condExpr())
+            if (accept(":")) {
+              val stop =
+                if (isOp(":") || isOp("]")) None else Some(condExpr())
+              val step = if (accept(":")) {
+                if (isOp("]")) None else Some(condExpr())
+              } else None
+              expect("]")
+              e = SliceOp(e, start, stop, step)
+            } else { expect("]"); e = IndexOp(e, start.get) }
+          }
           else if (accept("|")) advance() match {
             case EId(name) =>
               val args = mutable.ListBuffer.empty[Expr]
@@ -953,12 +968,53 @@ object Template {
       case _ => Undefined
     }
     case IndexOp(t, ie) => (eval(t, env), eval(ie, env)) match {
-      case (s: Seq[_], i: Long) if i >= 0 && i < s.length => s(i.toInt)
+      // python indexing: negatives count from the end
+      case (s: Seq[_], i0: Long) =>
+        val i = if (i0 < 0) i0 + s.length else i0
+        if (i >= 0 && i < s.length) s(i.toInt) else Undefined
       case (m: Map[_, _], k) =>
         m.asInstanceOf[Map[Any, Any]].getOrElse(k, Undefined)
-      case (s: String, i: Long) if i >= 0 && i < s.length => s(i.toInt).toString
+      case (s: String, i0: Long) =>
+        val i = if (i0 < 0) i0 + s.length else i0
+        if (i >= 0 && i < s.length) s(i.toInt).toString else Undefined
       case _ => Undefined
     }
+    case SliceOp(t, startE, stopE, stepE) =>
+      def asIdx(oe: Option[Expr]): Option[Long] = oe.map(e => eval(e, env) match {
+        case l: Long => l
+        case i: Int => i.toLong
+        case other => throw new IllegalArgumentException(
+          s"slice bound must be an integer, got ${kind(other)}")
+      })
+      // python slice index resolution (CPython slice.indices())
+      def indices(len: Int): Seq[Int] = {
+        val step = asIdx(stepE).getOrElse(1L)
+        require(step != 0, "slice step cannot be zero")
+        def norm(v: Long, loClamp: Long, hiClamp: Long): Long = {
+          val x = if (v < 0) v + len else v
+          math.max(loClamp, math.min(hiClamp, x))
+        }
+        val (start, stop) =
+          if (step > 0)
+            (asIdx(startE).map(norm(_, 0, len)).getOrElse(0L),
+              asIdx(stopE).map(norm(_, 0, len)).getOrElse(len.toLong))
+          else
+            (asIdx(startE).map(norm(_, -1, len - 1)).getOrElse(len - 1L),
+              asIdx(stopE).map(norm(_, -1, len - 1)).getOrElse(-1L))
+        val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var i = start
+        while (if (step > 0) i < stop else i > stop) {
+          out += i.toInt; i += step
+        }
+        out.toSeq
+      }
+      eval(t, env) match {
+        case s: Seq[_] => indices(s.length).map(s(_))
+        case s: String => indices(s.length).map(s(_)).mkString
+        case Undefined => Undefined
+        case other => throw new IllegalArgumentException(
+          s"cannot slice ${kind(other)}")
+      }
     case Un("not", x) => !truthy(eval(x, env))
     case Un("neg", x) => eval(x, env) match {
       case l: Long => -l

@@ -526,6 +526,22 @@ class TemplateSpec extends AnyFunSuite {
       Map("xs" -> Seq(1L, 2L, 3L))) === "2-3-E-")
   }
 
+  test("negative indexing and python slices (jinja2 3.1.6 differential)") {
+    val p = Map[String, Any]("xs" -> Seq(10L, 20L, 30L, 40L), "s" -> "abcdef")
+    assert(r("{{ xs[-1] }}{{ s[-3] }}", p) === "40d")
+    assert(r("{{ xs[1:] | join(',') }}", p) === "20,30,40")
+    assert(r("{{ xs[:2] | join(',') }}", p) === "10,20")
+    assert(r("{{ s[2:5] }}", p) === "cde")
+    assert(r("{{ xs[0:3:2] | join(',') }}", p) === "10,30")
+    assert(r("{{ s[::-1] }}", p) === "fedcba")
+    assert(r("{{ xs[-2:] | join(',') }}", p) === "30,40")
+    assert(r("{{ s[1:-1] }}", p) === "bcde")
+    // out-of-range slices clamp; zero step raises
+    assert(r("{{ xs[10:20] | length }}", p) === "0")
+    val e = intercept[IllegalArgumentException](r("{{ xs[::0] }}", p))
+    assert(e.getMessage.contains("zero"))
+  }
+
   test("namespace(): error cases match jinja2's (raise, message differs)") {
     // jinja2: 'cannot assign attribute on non-namespace object' for both
     val e1 = intercept[IllegalArgumentException](
