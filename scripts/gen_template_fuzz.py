@@ -112,9 +112,17 @@ def output_stmt():
                 " | " + rng.choice(["join('-')", "sort | join('+')",
                                     "map('upper') | join(',')",
                                     "select('string') | length"]) + " }}")
-    if r < 0.85:
+    if r < 0.8:
         return ("{{ " + int_expr() + " if " + bool_expr() +
                 " else " + int_expr() + " }}")
+    if r < 0.9:
+        # slices and negative indexing over lists/strings
+        tgt = rng.choice(LIST_VARS + SLIST_VARS + STR_VARS)
+        sl = rng.choice(["[-1]", "[0]", "[1:]", "[:2]", "[::-1]", "[1:-1]",
+                         "[::2]", "[-2:]"])
+        joined = " | join('.')" if tgt in LIST_VARS + SLIST_VARS and \
+            not sl.endswith("]0") and sl not in ("[-1]", "[0]") else ""
+        return "{{ " + tgt + sl + joined + " }}"
     return "{{ d['a'] + d['b'] }}"
 
 
@@ -131,8 +139,11 @@ def block_stmt(depth=0):
         filt = f" if {var} % 2 == {rng.randint(0, 1)}" if rng.random() < 0.3 else ""
         inner = rng.choice([
             "{{ " + var + " }}", "{{ loop.index }}:{{ " + var + " }};",
-            "{{ " + var + " * 2 }},"])
-        return "{% for " + var + " in " + src + filt + " %}" + inner + "{% endfor %}"
+            "{{ " + var + " * 2 }},",
+            "{{ loop.cycle('x', 'y') }}{{ " + var + " }}"])
+        els = "{% else %}none" if rng.random() < 0.25 else ""
+        return ("{% for " + var + " in " + src + filt + " %}" + inner +
+                els + "{% endfor %}")
     if r < 0.9:
         v = f"v{depth}{rng.randint(0, 9)}"
         return ("{% set " + v + " = " + int_expr() + " %}{{ " + v + " }}")

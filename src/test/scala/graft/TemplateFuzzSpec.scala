@@ -3,7 +3,7 @@ package graft
 import graft.sql.Template
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Replays the generated jinja2 differential corpus: 500 seeded-random
+/** Replays the generated jinja2 differential corpus: 600 seeded-random
  * templates (incl. macros, call blocks, namespaces) rendered by REAL jinja2 3.1.6 (strict undefined) at
  * generation time (`scripts/gen_template_fuzz.py`), checked here against
  * Template.render byte-for-byte. The corpus spans arithmetic, string
@@ -21,7 +21,7 @@ class TemplateFuzzSpec extends AnyFunSuite {
     "ws" -> Seq("pear", "fig", "plum"),
     "d" -> Map("a" -> 1L, "b" -> 2L))
 
-  test("500-case generated jinja2 3.1.6 corpus renders identically") {
+  test("600-case generated jinja2 3.1.6 corpus renders identically") {
     val in = getClass.getResourceAsStream("/template_fuzz.tsv")
     assert(in != null, "template_fuzz.tsv missing from test resources")
     val lines = scala.io.Source.fromInputStream(in, "UTF-8")
