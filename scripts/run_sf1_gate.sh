@@ -49,7 +49,7 @@ if [ ! -f "$SF1/lineitem.parquet" ]; then
   SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-16} run_java graft.ScaleUp "$SRC" "$SF1" 10
 fi
 
-echo "[sf1-gate] dumping 54 query families at sf1.0..." >&2
+echo "[sf1-gate] dumping the gate query families at sf1.0..." >&2
 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-16} run_java graft.Verify "$SF1" "$OUT" "$NAMES"
 
 echo "[sf1-gate] DuckDB differential..." >&2
