@@ -975,7 +975,12 @@ object Multimodal {
     if (at(0) == 0x89 && str(1, "PNG")) "png"
     else if (at(0) == 0xff && at(1) == 0xd8 && at(2) == 0xff) "jpeg"
     else if (str(0, "GIF8")) "gif"
-    else if (str(0, "BM") && payload.length >= 26) "bmp"
+    else if (str(0, "BM") && payload.length >= 26 && {
+      // 'BM' alone false-positives on text ("BMW manual...") — require a
+      // known DIB header size in the little-endian u32 at offset 14
+      val dib = at(14) | (at(15) << 8) | (at(16) << 16) | (at(17) << 24)
+      Set(12, 40, 52, 56, 64, 108, 124).contains(dib)
+    }) "bmp"
     else if (str(0, "RIFF") && str(8, "WAVE")) "wav"
     else if (Mp4.sniffIsoBmff(payload)) "mp4"
     else if (str(0, "ID3") ||

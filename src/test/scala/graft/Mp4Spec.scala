@@ -139,6 +139,13 @@ class Mp4Spec extends SparkTestBase {
     assert(M.sniffMediaType(Array.emptyByteArray) === "empty")
     assert(M.sniffMediaType(null) === "empty")
     assert(M.sniffMediaType(Array[Byte](0x1f, 0x8b.toByte, 8)) === "gzip")
+    // 'BM'-prefixed TEXT is not a bitmap: the DIB header size must check out
+    assert(M.sniffMediaType(
+      "BMW manuals are long documents about cars".getBytes) === "unknown")
+    // a real BMP header (BITMAPINFOHEADER, dib=40) classifies
+    val bmp = new Array[Byte](26 + 14)
+    bmp(0) = 'B'; bmp(1) = 'M'; bmp(14) = 40
+    assert(M.sniffMediaType(bmp) === "bmp")
   }
 
   test("demuxFrames drops undemuxable ISO-BMFF instead of byte-windowing it") {
