@@ -26,30 +26,68 @@ COUNT = int(sys.argv[2]) if len(sys.argv) > 2 else 400
 
 rng = random.Random(SEED)
 
-CTX = {
-    "n": 7,
-    "m": 3,
-    "z": 0,
-    "s": "Hello World",
-    "t": "a-b c",
-    "flag": True,
-    "off": False,
-    "xs": [4, 1, 3],
-    "ys": [10, 20],
-    "ws": ["pear", "fig", "plum"],
-    "d": {"a": 1, "b": 2},
-}
+
+def gen_ctx():
+    """A fresh randomized context per case — same names and types every
+    time (the grammar depends on them), fresh values, so the corpus
+    exercises value-dependent paths (mixed-case sorts, duplicate
+    elements, boundary ints) instead of one frozen snapshot."""
+    def word():
+        return "".join(rng.choice("abcdefghinoprstu")
+                       for _ in range(rng.randint(2, 6)))
+
+    def mixed():
+        return "".join(c.upper() if rng.random() < 0.4 else c
+                       for c in word())
+    return {
+        "n": rng.randint(0, 9),
+        "m": rng.randint(0, 9),
+        "z": rng.randint(0, 9),
+        "s": mixed() + " " + mixed(),
+        "t": word() + "-" + word() + " " + word(),
+        "flag": rng.random() < 0.5,
+        "off": rng.random() < 0.5,
+        "xs": [rng.randint(0, 20) for _ in range(rng.randint(2, 4))],
+        "ys": [rng.randint(0, 20) for _ in range(rng.randint(2, 3))],
+        "ws": [word() for _ in range(rng.randint(2, 4))],
+        # mixed-case with likely case-folded duplicates: the
+        # case_sensitive=/default split of sort/unique/min/max lives here
+        "cs": (lambda base: [rng.choice(
+            [w, w.upper(), w.capitalize()]) for w in
+            [rng.choice(base) for _ in range(rng.randint(3, 5))]])(
+            [word() for _ in range(3)]),
+        "rs": [{"k": rng.randint(0, 5), "v": word()}
+               for _ in range(rng.randint(2, 4))],
+        "d": {"a": rng.randint(0, 9), "b": rng.randint(0, 9)},
+    }
+
 
 INT_VARS = ["n", "m", "z"]
 STR_VARS = ["s", "t"]
 LIST_VARS = ["xs", "ys"]
-SLIST_VARS = ["ws"]
+SLIST_VARS = ["ws", "cs"]
 BOOL_VARS = ["flag", "off"]
 
 INT_FILTERS = ["abs", "int"]
 STR_FILTERS = ["upper", "lower", "trim", "title", "capitalize", "length"]
 LIST_FILTERS = ["length", "first", "last", "min", "max", "sum", "unique | sum",
-                "sort | join(',')", "reverse | join(',')"]
+                "sort | join(',')", "reverse | join(',')",
+                "sort(reverse=true) | join(',')", "unique | join(',')",
+                "sort(true) | join('+')"]
+SLIST_FILTERS = ["join('-')", "sort | join('+')", "map('upper') | join(',')",
+                 "select('string') | length",
+                 "sort(reverse=true) | join(',')",
+                 "sort(case_sensitive=true) | join(',')",
+                 "sort(true, true) | join(',')",
+                 "unique | join(',')",
+                 "unique(case_sensitive=true) | join(',')",
+                 "min", "max", "min(case_sensitive=true)",
+                 "max(case_sensitive=true)"]
+RLIST_FILTERS = ["sort(attribute='k') | map(attribute='v') | join(',')",
+                 "sort(attribute='k', reverse=true) | map(attribute='v') | join(',')",
+                 "unique(attribute='k') | map(attribute='v') | join(',')",
+                 "map(attribute='k') | sum",
+                 "sort(false, false, 'v') | map(attribute='k') | join('.')"]
 
 
 def int_expr(depth=0):
@@ -107,11 +145,11 @@ def output_stmt():
     if r < 0.6:
         lf = rng.choice(LIST_FILTERS)
         return "{{ " + rng.choice(LIST_VARS) + " | " + lf + " }}"
-    if r < 0.7:
+    if r < 0.67:
         return ("{{ " + rng.choice(SLIST_VARS) +
-                " | " + rng.choice(["join('-')", "sort | join('+')",
-                                    "map('upper') | join(',')",
-                                    "select('string') | length"]) + " }}")
+                " | " + rng.choice(SLIST_FILTERS) + " }}")
+    if r < 0.7:
+        return "{{ rs | " + rng.choice(RLIST_FILTERS) + " }}"
     if r < 0.8:
         return ("{{ " + int_expr() + " if " + bool_expr() +
                 " else " + int_expr() + " }}")
@@ -194,19 +232,20 @@ def main():
     attempts = 0
     while len(rows) < COUNT and attempts < COUNT * 20:
         attempts += 1
+        ctx = gen_ctx()
         tpl = body()
         try:
-            out = env.from_string(tpl).render(**CTX)
+            out = env.from_string(tpl).render(**ctx)
         except Exception:
             continue  # only keep templates jinja itself accepts
-        rows.append((tpl, out))
+        rows.append((tpl, json.dumps(ctx, sort_keys=True), out))
     enc = urllib.parse.quote
     path = "src/test/resources/template_fuzz.tsv"
     with open(path, "w") as f:
         f.write(f"# jinja2 {jinja2.__version__} differential corpus, "
-                f"seed={SEED}, ctx={json.dumps(CTX, sort_keys=True)}\n")
-        for tpl, out in rows:
-            f.write(f"{enc(tpl)}\t{enc(out)}\n")
+                f"seed={SEED}, per-case ctx in column 2\n")
+        for tpl, ctx_json, out in rows:
+            f.write(f"{enc(tpl)}\t{enc(ctx_json)}\t{enc(out)}\n")
     print(f"wrote {len(rows)} cases to {path} ({attempts} attempts)")
 
 

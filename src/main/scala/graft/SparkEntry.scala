@@ -3787,9 +3787,11 @@ object SparkEntry {
     // layout (Mp4.syntheticFmp4Shape). 641 = ftyp(20) + moov(577:
     // fixed-size init section with empty stbl + mvex/trex) + sidx(44) —
     // constants of the fixed-layout init segment, pinned by the writer's
-    // own require() and by Mp4Spec. Fragment f: moof(72+4k | 112 | 68+16k
-    // by scheme f%3) + mdat(8 + Σ sizes); sample offsets accumulate
-    // inside the fragment; frame_no is the cross-fragment running index.
+    // own require() and by Mp4Spec. Fragment f: moof(72+4k | 112 |
+    // 108+16k two-traf / 68+16k single by scheme f%3, k>=2) + mdat(8 + Σ
+    // sizes); sample offsets accumulate inside the fragment (scheme C's
+    // second traf continues on the implicit end-of-previous-traf base,
+    // so the split moves no bytes); frame_no is the running index.
     "m14_fmp4_demux" ->
       """WITH d AS (SELECT doc_id, CAST(2 + doc_id % 3 AS INTEGER) AS nf
         |  FROM documents),
@@ -3805,7 +3807,8 @@ object SparkEntry {
         |   AS size FROM sm),
         |fragagg AS (SELECT doc_id, f, k,
         |  CAST(CASE f % 3 WHEN 0 THEN 72 + 4*k WHEN 1 THEN 112
-        |    ELSE 68 + 16*k END AS BIGINT) AS moof_size,
+        |    ELSE CASE WHEN k >= 2 THEN 108 + 16*k
+        |      ELSE 68 + 16*k END END AS BIGINT) AS moof_size,
         |  sum(size) AS mdat_payload
         | FROM sz GROUP BY doc_id, f, k),
         |fragpos AS (SELECT doc_id, f, moof_size,

@@ -101,7 +101,10 @@ object Mp3 {
         payload(2) == '3') {
       val sz = ((payload(6) & 0x7f) << 21) | ((payload(7) & 0x7f) << 14) |
         ((payload(8) & 0x7f) << 7) | (payload(9) & 0x7f)
-      pos = 10L + sz
+      // ID3v2.4 footer flag (header flags bit 0x10): 10 more bytes after
+      // the tag body that the synchsafe size does NOT count
+      val footer = if ((payload(5) & 0x10) != 0) 10 else 0
+      pos = 10L + sz + footer
     }
     val out = scala.collection.mutable.ArrayBuffer.empty[Frame]
     var no = 0

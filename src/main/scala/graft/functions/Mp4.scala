@@ -284,102 +284,137 @@ object Mp4 {
 
   /** Resolve every video sample from the top-level `moof` sequence.
    * Offset resolution per §8.8.7: explicit tfhd base_data_offset wins;
-   * else default-base-is-moof (flag 0x20000) or the first-traf default —
-   * both the first byte of the enclosing moof box. Each trun's optional
-   * data_offset is relative to that base; absent, runs are contiguous.
-   * Returns None when no moof contributes a sample (an init-only segment
-   * or a non-video fragment stream). */
+   * else default-base-is-moof (flag 0x20000); else the spec default —
+   * the enclosing moof's first byte for the FIRST traf, the end of the
+   * previous traf's data for later trafs. Tracking the chain requires
+   * walking EVERY traf (including other tracks') to know where its data
+   * ends; when a preceding traf's extent is unknowable (its sizes need a
+   * trex this init segment lacks) a later implicit base is unresolvable
+   * and the whole parse returns None — the caller's fallback path fires
+   * instead of emitting silently wrong byte slices (multi-traf muxed
+   * audio+video DASH is the common shape here). Each trun's optional
+   * data_offset is relative to the traf base; absent, runs are
+   * contiguous. Also returns None when no moof contributes a sample (an
+   * init-only segment or a non-video fragment stream). */
   private def parseFragmentSamples(b: Array[Byte], moovS: Long, moovE: Long,
       end: Long, hdr: TrakHeader): Option[IndexedSeq[Sample]] = {
-    val trex = child(b, moovS, moovE, "mvex").flatMap { case (mvS, mvE) =>
-      boxes(b, mvS, mvE).collectFirst {
-        case ("trex", s, _) if u32(b, s + 4) == hdr.trackId =>
-          TrexDefaults(u32(b, s + 12), u32(b, s + 16), u32(b, s + 20))
-      }
-    }.getOrElse(TrexDefaults(0L, 0L, 0L))
+    // per-track trex defaults — later trafs' implicit bases depend on
+    // sibling tracks' extents, so keep ALL tracks' defaults
+    val trexMap: Map[Long, TrexDefaults] =
+      child(b, moovS, moovE, "mvex").map { case (mvS, mvE) =>
+        boxes(b, mvS, mvE).collect {
+          case ("trex", s, _) =>
+            u32(b, s + 4) ->
+              TrexDefaults(u32(b, s + 12), u32(b, s + 16), u32(b, s + 20))
+        }.toMap
+      }.getOrElse(Map.empty)
 
     val out = scala.collection.mutable.ArrayBuffer.empty[Sample]
     var no = 0
+    var unresolvable = false
     boxesFull(b, 0, end).foreach {
-      case ("moof", moofStart, ms, me) =>
+      case ("moof", moofStart, ms, me) if !unresolvable =>
+        // end of the previous traf's data within THIS moof (None = unknown)
+        var prevEnd: Option[Long] = None
+        var firstTraf = true
         boxes(b, ms, me).foreach {
-          case ("traf", tfS, tfE) =>
+          case ("traf", tfS, tfE) if !unresolvable =>
             val (thS, _) = child(b, tfS, tfE, "tfhd").getOrElse(
               throw new IllegalArgumentException("traf without tfhd"))
             val thFlags = u32(b, thS) & 0xffffffL
-            if (u32(b, thS + 4) == hdr.trackId) {
-              // tfhd optional fields, in spec order
-              var p = thS + 8
-              val baseExplicit =
-                if ((thFlags & 0x1) != 0) { val v = u64(b, p); p += 8; Some(v) }
-                else None
-              if ((thFlags & 0x2) != 0) p += 4 // sample_description_index
-              val defDur =
-                if ((thFlags & 0x8) != 0) { val v = u32(b, p); p += 4; Some(v) }
-                else None
-              val defSize =
-                if ((thFlags & 0x10) != 0) { val v = u32(b, p); p += 4; Some(v) }
-                else None
-              val defFlags =
-                if ((thFlags & 0x20) != 0) { val v = u32(b, p); p += 4; Some(v) }
-                else None
-              // base: explicit > default-base-is-moof (0x20000) > the
-              // first-traf spec default — all moof start here (multi-traf
-              // moofs where a LATER traf relies on the implicit
-              // end-of-previous-data base are not resolvable without
-              // decoding sibling tracks; such files hit range validation
-              // and fall back rather than emitting wrong slices)
-              val base = baseExplicit.getOrElse(moofStart)
-              var cursor = base
-              boxes(b, tfS, tfE).foreach {
-                case ("trun", trS, trE) =>
-                  val trFlags = u32(b, trS) & 0xffffffL
-                  val count0 = u32(b, trS + 4)
-                  var q = trS + 8
-                  if ((trFlags & 0x1) != 0) {
-                    cursor = base + u32(b, q).toInt // signed data_offset
-                    q += 4
-                  }
-                  val firstFlags =
-                    if ((trFlags & 0x4) != 0) { val v = u32(b, q); q += 4; Some(v) }
-                    else None
-                  // a lying sample_count must fail parse, not spin: with
-                  // per-sample fields the trun box itself must hold them;
-                  // without, bound by what the payload could possibly fit
-                  val perSample = 4L * java.lang.Long.bitCount(
-                    trFlags & 0xf00L)
-                  require(
-                    if (perSample > 0) q + count0 * perSample <= trE
-                    else count0 <= b.length,
-                    "trun sample_count overruns its box")
-                  val count = count0.toInt
-                  var k = 0
-                  while (k < count) {
-                    val dur =
-                      if ((trFlags & 0x100) != 0) { val v = u32(b, q); q += 4; v }
-                      else defDur.getOrElse(trex.dur)
-                    val size =
-                      if ((trFlags & 0x200) != 0) { val v = u32(b, q); q += 4; v }
-                      else defSize.getOrElse(trex.size)
-                    val flags =
-                      if ((trFlags & 0x400) != 0) { val v = u32(b, q); q += 4; v }
-                      else if (k == 0 && firstFlags.isDefined) firstFlags.get
-                      else defFlags.getOrElse(trex.flags)
-                    if ((trFlags & 0x800) != 0) q += 4 // composition offset
-                    // sample_is_non_sync_sample is bit 16 of sample flags
-                    out += Sample(no, cursor, size, (flags & 0x10000L) == 0L, dur)
-                    cursor += size
-                    no += 1
-                    k += 1
-                  }
-                case _ => ()
-              }
+            val trackId = u32(b, thS + 4)
+            val mine = trackId == hdr.trackId
+            val trexT = trexMap.get(trackId)
+            // tfhd optional fields, in spec order
+            var p = thS + 8
+            val baseExplicit =
+              if ((thFlags & 0x1) != 0) { val v = u64(b, p); p += 8; Some(v) }
+              else None
+            if ((thFlags & 0x2) != 0) p += 4 // sample_description_index
+            val defDur =
+              if ((thFlags & 0x8) != 0) { val v = u32(b, p); p += 4; Some(v) }
+              else None
+            val defSize =
+              if ((thFlags & 0x10) != 0) { val v = u32(b, p); p += 4; Some(v) }
+              else None
+            val defFlags =
+              if ((thFlags & 0x20) != 0) { val v = u32(b, p); p += 4; Some(v) }
+              else None
+            // §8.8.7 base resolution: explicit > default-base-is-moof
+            // (0x20000) > moof start for the first traf > end of the
+            // previous traf's data for later ones
+            val baseOpt: Option[Long] = baseExplicit.orElse {
+              if ((thFlags & 0x20000) != 0) Some(moofStart)
+              else if (firstTraf) Some(moofStart)
+              else prevEnd
+            }
+            firstTraf = false
+            baseOpt match {
+              case None =>
+                if (mine) unresolvable = true // our samples can't be placed
+                prevEnd = None                // nor can anything after it
+              case Some(base) =>
+                var cursor = base
+                // sizes are "known" when every sample resolves them from
+                // the trun itself, a tfhd default, or a present trex —
+                // the liberal zero fallback would silently corrupt the
+                // implicit-base chain for trafs after this one
+                var sizesKnown = true
+                boxes(b, tfS, tfE).foreach {
+                  case ("trun", trS, trE) =>
+                    val trFlags = u32(b, trS) & 0xffffffL
+                    val count0 = u32(b, trS + 4)
+                    var q = trS + 8
+                    if ((trFlags & 0x1) != 0) {
+                      cursor = base + u32(b, q).toInt // signed data_offset
+                      q += 4
+                    }
+                    val firstFlags =
+                      if ((trFlags & 0x4) != 0) { val v = u32(b, q); q += 4; Some(v) }
+                      else None
+                    // a lying sample_count must fail parse, not spin: with
+                    // per-sample fields the trun box itself must hold them;
+                    // without, bound by what the payload could possibly fit
+                    val perSample = 4L * java.lang.Long.bitCount(
+                      trFlags & 0xf00L)
+                    require(
+                      if (perSample > 0) q + count0 * perSample <= trE
+                      else count0 <= b.length,
+                      "trun sample_count overruns its box")
+                    if ((trFlags & 0x200) == 0 && defSize.isEmpty &&
+                        trexT.isEmpty) sizesKnown = false
+                    val count = count0.toInt
+                    var k = 0
+                    while (k < count) {
+                      val dur =
+                        if ((trFlags & 0x100) != 0) { val v = u32(b, q); q += 4; v }
+                        else defDur.getOrElse(trexT.fold(0L)(_.dur))
+                      val size =
+                        if ((trFlags & 0x200) != 0) { val v = u32(b, q); q += 4; v }
+                        else defSize.getOrElse(trexT.fold(0L)(_.size))
+                      val flags =
+                        if ((trFlags & 0x400) != 0) { val v = u32(b, q); q += 4; v }
+                        else if (k == 0 && firstFlags.isDefined) firstFlags.get
+                        else defFlags.getOrElse(trexT.fold(0L)(_.flags))
+                      if ((trFlags & 0x800) != 0) q += 4 // composition offset
+                      if (mine) {
+                        // sample_is_non_sync_sample is bit 16 of sample flags
+                        out += Sample(no, cursor, size,
+                          (flags & 0x10000L) == 0L, dur)
+                        no += 1
+                      }
+                      cursor += size
+                      k += 1
+                    }
+                  case _ => ()
+                }
+                prevEnd = if (sizesKnown) Some(cursor) else None
             }
           case _ => ()
         }
       case _ => ()
     }
-    if (out.isEmpty) None else Some(out.toIndexedSeq)
+    if (unresolvable || out.isEmpty) None else Some(out.toIndexedSeq)
   }
 
   // =====================================================================
@@ -550,10 +585,16 @@ object Mp4 {
   //     carries only data_offset 0 + first_sample_flags.
   //   C (f%3==2): NO base flags (implicit first-traf moof-start base) +
   //     fully per-sample trun rows incl. composition offsets the walker
-  //     must stride over; sync iff k % 3 == 0.
+  //     must stride over; sync iff k % 3 == 0. When the fragment carries
+  //     ≥2 samples the traf is SPLIT IN TWO: the second traf has no base
+  //     flags either, so its base is the end of the first traf's data
+  //     (§8.8.7's multi-traf default) — a walker that reuses moof-start
+  //     there lands its cursor on the moof's own bytes (in range!) and
+  //     only the byte probes expose it.
   // A demuxer that cum-sums mdat bytes, ignores tfhd defaults, misreads
-  // the 64-bit base, or mis-strides trun rows produces shifted offsets —
-  // the m14 head/tail byte probes catch all of those.
+  // the 64-bit base, mis-strides trun rows, or mis-bases a later traf
+  // produces shifted offsets — the m14 head/tail byte probes catch all
+  // of those.
   // =====================================================================
 
   /** Deterministic fragmented shape shared by the writer, the m14 oracle
@@ -561,7 +602,10 @@ object Mp4 {
    * `1 + (id+f)%4` samples; per-sample size `40 + ((id*37 + f*19 + k*13)
    * % 50)` for schemes A/C, the k=0 value fragment-wide for B; duration
    * 800 (trex) for A, `900 + ((id + 7f) % 5)*50` for B, that formula
-   * plus `3k` inside the mod for C; sync: k==0 (A/B), k%3==0 (C); dims
+   * plus `3k` inside the mod for C; scheme-C fragments with ≥2 samples
+   * split into two trafs ((k+1)/2 then the rest, the second on the
+   * implicit end-of-previous base), growing the moof to `108 + 16k`
+   * bytes (vs `68 + 16k` single-traf); sync: k==0 (A/B), k%3==0 (C); dims
    * `16*(1+id%3) × 16*(1+id%4)`; timescale 25600; track id 2; frame
    * byte j of global sample i is `(id + i*131 + j) & 0xff`. */
   def syntheticFmp4Shape(id: Long): (Int, Int => Int, (Int, Int) => Int) = {
@@ -668,7 +712,7 @@ object Mp4 {
       val moofSize = (f % 3: @unchecked) match {
         case 0 => 72 + 4 * k
         case 1 => 112
-        case 2 => 68 + 16 * k
+        case 2 => if (k >= 2) 108 + 16 * k else 68 + 16 * k
       }
       box("moof") {
         box("mfhd") { w32(0); w32(f + 1L) }
@@ -688,16 +732,33 @@ object Mp4 {
               box("trun") { w32(0x1 | 0x4); w32(k)
                 w32(0)               // data_offset relative to explicit base
                 w32(SyncFlags) }
-            case 2 => // scheme C: implicit moof base, fully per-sample
+            case 2 => // scheme C: implicit bases, fully per-sample. k>=2
+              // splits into two trafs; the second has NO base flags so
+              // its base is the end of the first's data (§8.8.7)
+              val k1 = if (k >= 2) (k + 1) / 2 else k
               box("tfhd") { w32(0); w32(2) }
-              box("trun") { w32(0x1 | 0x100 | 0x200 | 0x400 | 0x800); w32(k)
+              box("trun") { w32(0x1 | 0x100 | 0x200 | 0x400 | 0x800); w32(k1)
                 w32(moofSize + 8L)
-                (0 until k).foreach { i =>
+                (0 until k1).foreach { i =>
                   w32(durC(f, i))
                   w32(size(f, i).toLong)
                   w32(if (i % 3 == 0) SyncFlags else NonSyncFlags)
                   w32(i * 10L) // composition offset — demux must stride over
                 } }
+          }
+        }
+        if (f % 3 == 2 && k >= 2) {
+          val k1 = (k + 1) / 2
+          box("traf") { // continuation traf: implicit end-of-previous base
+            box("tfhd") { w32(0); w32(2) }
+            box("trun") { w32(0x100 | 0x200 | 0x400 | 0x800)
+              w32((k - k1).toLong)
+              (k1 until k).foreach { i =>
+                w32(durC(f, i))
+                w32(size(f, i).toLong)
+                w32(if (i % 3 == 0) SyncFlags else NonSyncFlags)
+                w32(i * 10L)
+              } }
           }
         }
       }

@@ -23,9 +23,13 @@ import scala.collection.mutable
  * `{% call[(params)] m(args) %}…{% endcall %}` with `caller()`, and the
  * filters
  * upper / lower / capitalize / title / trim / replace / length / join /
- * first / last / reverse / sort(attribute=, reverse=) / unique / min /
- * max / sum(attribute=) / abs / round / int / float / string / default /
- * list / map / select / reject / selectattr / rejectattr.
+ * first / last / reverse / sort(reverse=, case_sensitive=, attribute=) /
+ * unique(case_sensitive=, attribute=) / min / max (both
+ * case_sensitive=, attribute=) / sum(attribute=) / abs / round / int /
+ * float / string / default / list / map / select / reject / selectattr /
+ * rejectattr. The sort/unique/min/max family follows jinja2's defaults:
+ * string comparison is CASE-INSENSITIVE unless case_sensitive=true, and
+ * unknown keyword options raise (never silently drop).
  *
  * Scoping follows jinja2: `{% set %}` inside `{% if %}` propagates to the
  * rest of the template (if-blocks are not scopes), while a set inside a
@@ -500,7 +504,14 @@ object Template {
           val start = i
           while (i < n && (s.charAt(i).isDigit || s.charAt(i) == '.')) i += 1
           val t = s.substring(start, i)
-          out += ENum(if (t.contains('.')) t.toDouble else t.toLong)
+          // greedy digits-and-dots can capture malformed forms ('1.2.3',
+          // '1.') — map them to the one documented exception type so the
+          // protected-form retry contract holds, not NumberFormatException
+          out += ENum(
+            try { if (t.contains('.')) t.toDouble else t.toLong }
+            catch { case _: NumberFormatException =>
+              throw new SyntaxError(s"malformed number literal '$t' in '$s'")
+            })
         } else if (c == '\'' || c == '"') {
           val end = s.indexOf(c, i + 1)
           if (end < 0) throw new SyntaxError(s"unterminated string in '$s'")
@@ -1151,20 +1162,28 @@ object Template {
         }
         val kwMap = kwargs.toMap
         val macroScope = mv.callEnv
-        val bound = params.zipWithIndex.map { case ((p, dflt), i) =>
-          if (i < args.length) {
-            if (kwMap.contains(p)) throw new IllegalArgumentException(
-              s"macro '$mname': parameter '$p' given positionally and by keyword")
-            p -> eval(args(i), env)
-          } else kwMap.get(p) match {
-            case Some(a) => p -> eval(a, env)
-            case None => dflt match {
-              // defaults evaluate AT CALL TIME in the macro's own scope
-              // (jinja2 3.1.6: `set d=1 → macro g(x=d) → set d=2 → g()`
-              // renders 2, not 1)
-              case Some(d) => p -> eval(d, macroScope)
-              case None => throw new IllegalArgumentException(
-                s"macro '$mname': missing required parameter '$p'")
+        // the pending {% call %} block belongs to THIS invocation only:
+        // consume it BEFORE evaluating arguments, so a macro invoked
+        // while computing an argument (`{% call m(g()) %}` → g()) does
+        // NOT see `caller` bound (jinja scopes caller strictly to the
+        // directly called macro; g() there raises 'no caller defined')
+        val callerOpt = pendingCaller.value
+        val bound = pendingCaller.withValue(None) {
+          params.zipWithIndex.map { case ((p, dflt), i) =>
+            if (i < args.length) {
+              if (kwMap.contains(p)) throw new IllegalArgumentException(
+                s"macro '$mname': parameter '$p' given positionally and by keyword")
+              p -> eval(args(i), env)
+            } else kwMap.get(p) match {
+              case Some(a) => p -> eval(a, env)
+              case None => dflt match {
+                // defaults evaluate AT CALL TIME in the macro's own scope
+                // (jinja2 3.1.6: `set d=1 → macro g(x=d) → set d=2 → g()`
+                // renders 2, not 1)
+                case Some(d) => p -> eval(d, macroScope)
+                case None => throw new IllegalArgumentException(
+                  s"macro '$mname': missing required parameter '$p'")
+              }
             }
           }
         }
@@ -1182,10 +1201,8 @@ object Template {
             s"macro recursion deeper than $MaxMacroDepth (macro '$mname' " +
               "calls itself, directly or mutually)")
         val out = new StringBuilder
-        // consume the pending caller (a {% call %} block around THIS
-        // invocation) and clear it for the body: jinja scopes `caller`
-        // to the directly called macro, never to nested plain calls
-        val callerOpt = pendingCaller.value
+        // clear the consumed caller for the body too: jinja scopes
+        // `caller` to the directly called macro, never to nested calls
         macroDepth.withValue(macroDepth.value + 1) {
           pendingCaller.withValue(None) {
             val bodyEnv = macroScope ++ bound ++
@@ -1271,6 +1288,52 @@ object Template {
       s"attribute '$attr': ${kind(other)} has no attributes")
   }
 
+  /** Option plumbing for jinja2's do_sort/do_unique/do_min/do_max family:
+   * options bind positionally in `names` order or by keyword; an unknown
+   * keyword or a doubly-given option is an error (jinja raises TypeError),
+   * never a silent no-op — `sort(reverse=true)` quietly sorting ascending
+   * is exactly the bug class this guards against. */
+  private def filterOpts(fname: String, args: Seq[Any],
+      kwargs: Map[String, Any], names: Seq[String]): Map[String, Any] = {
+    kwargs.keys.find(k => !names.contains(k)).foreach { k =>
+      throw new IllegalArgumentException(
+        s"$fname filter got an unexpected keyword argument '$k'")
+    }
+    if (args.length > names.length) throw new IllegalArgumentException(
+      s"$fname filter takes at most ${names.length} option(s), " +
+        s"got ${args.length}")
+    val pos = names.zip(args).toMap
+    pos.keySet.intersect(kwargs.keySet).foreach { k =>
+      throw new IllegalArgumentException(
+        s"$fname filter got multiple values for argument '$k'")
+    }
+    pos ++ kwargs
+  }
+
+  /** Key extractor for the sort family: `attribute=` pulls the key off
+   * each element (none = identity, as jinja accepts). */
+  private def sortFamilyKey(fname: String,
+      opts: Map[String, Any]): Any => Any =
+    opts.get("attribute") match {
+      case None | Some(null) | Some(Undefined) => identity
+      case Some(a: String) => elemAttr(_, a)
+      case Some(other) => throw new IllegalArgumentException(
+        s"$fname attribute must be a string, got ${kind(other)}")
+    }
+
+  /** Ordering over comparison keys: strings compare by LOWERCASE unless
+   * case_sensitive — jinja2's documented default for sort/min/max — and
+   * numbers numerically; mixed lists are errors like python's `<`. */
+  private def sortFamilyOrdering(fname: String, keys: Seq[Any],
+      caseSensitive: Boolean): Ordering[Any] =
+    if (keys.forall(_.isInstanceOf[String])) {
+      if (caseSensitive) Ordering.by((x: Any) => x.asInstanceOf[String])
+      else Ordering.by((x: Any) =>
+        x.asInstanceOf[String].toLowerCase(java.util.Locale.ROOT))
+    } else if (keys.forall(isNum)) Ordering.by((x: Any) => num(x))
+    else throw new IllegalArgumentException(
+      s"$fname filter needs uniformly string or numeric comparison keys")
+
   private def applyFilter(v: Any, name: String, args: Seq[Any],
       kwargs: Map[String, Any] = Map.empty): Any =
     (name, v, args) match {
@@ -1318,22 +1381,6 @@ object Template {
             s"sum attribute must be a string, got ${kind(other)}")
         }
         applyFilter(s.map(elemAttr(_, a)), "sum", Nil)
-      case ("sort", s: Seq[_], _) if kwargs.contains("attribute") =>
-        val a = kwargs("attribute") match {
-          case x: String => x
-          case other => throw new IllegalArgumentException(
-            s"sort attribute must be a string, got ${kind(other)}")
-        }
-        val keyed = s.map(x => (elemAttr(x, a), x))
-        val sorted =
-          if (keyed.forall(_._1.isInstanceOf[String]))
-            keyed.sortBy(_._1.asInstanceOf[String])
-          else if (keyed.forall(k => isNum(k._1))) keyed.sortBy(k => num(k._1))
-          else throw new IllegalArgumentException(
-            "sort(attribute=...) needs uniformly string or numeric keys")
-        val out = sorted.map(_._2)
-        if (kwargs.get("reverse").contains(true)) out.reverse else out
-      
       case ("upper", s: String, _) => s.toUpperCase(java.util.Locale.ROOT)
       case ("lower", s: String, _) => s.toLowerCase(java.util.Locale.ROOT)
       case ("capitalize", s: String, _) =>
@@ -1361,23 +1408,50 @@ object Template {
       case ("last", s: String, _) => if (s.isEmpty) Undefined else s.last.toString
       case ("reverse", s: String, _) => s.reverse
       case ("reverse", s: Seq[_], _) => s.reverse
-      case ("sort", s: Seq[_], _) =>
-        if (s.forall(_.isInstanceOf[String]))
-          s.asInstanceOf[Seq[String]].sorted
-        else if (s.forall(isNum)) s.sortBy(num)
-        else throw new IllegalArgumentException(
-          "sort filter needs a uniformly string or numeric list")
-      case ("unique", s: Seq[_], _) => s.distinct
-      case (agg @ ("min" | "max"), s: Seq[_], _) =>
+      // jinja2 do_sort(value, reverse=False, case_sensitive=False,
+      // attribute=None): stable; strings key by lowercase unless
+      // case_sensitive; reverse goes INTO the ordering so equal keys keep
+      // input order (python sorted(reverse=True) semantics, NOT a
+      // post-hoc .reverse)
+      case ("sort", s: Seq[_], fargs) =>
+        val opts = filterOpts("sort", fargs, kwargs,
+          Seq("reverse", "case_sensitive", "attribute"))
+        val keyFn = sortFamilyKey("sort", opts)
+        val keyed = s.map(x => (keyFn(x), x))
+        val ord = sortFamilyOrdering("sort", keyed.map(_._1),
+          opts.get("case_sensitive").exists(truthy))
+        val eff = if (opts.get("reverse").exists(truthy)) ord.reverse else ord
+        keyed.sortBy(_._1)(eff).map(_._2)
+      case ("sort", s: String, fargs) => // jinja sorts any iterable: chars
+        applyFilter(s.map(_.toString), "sort", fargs, kwargs)
+      // jinja2 do_unique: keeps FIRST occurrence; equality is
+      // case-insensitive for strings unless case_sensitive, and numeric
+      // (1 == 1.0) for numbers, like python's ==
+      case ("unique", s: Seq[_], fargs) =>
+        val opts = filterOpts("unique", fargs, kwargs,
+          Seq("case_sensitive", "attribute"))
+        val keyFn = sortFamilyKey("unique", opts)
+        val cs = opts.get("case_sensitive").exists(truthy)
+        val seen = mutable.Set.empty[Any]
+        s.filter { x =>
+          val k = keyFn(x) match {
+            case str: String if !cs => str.toLowerCase(java.util.Locale.ROOT)
+            case n if isNum(n) => num(n)
+            case other => other
+          }
+          seen.add(k)
+        }
+      case (agg @ ("min" | "max"), s: Seq[_], fargs) =>
+        val opts = filterOpts(agg, fargs, kwargs,
+          Seq("case_sensitive", "attribute"))
         if (s.isEmpty) throw new IllegalArgumentException(
           s"$agg filter: sequence was empty")
-        else if (s.forall(_.isInstanceOf[String])) {
-          val ss = s.asInstanceOf[Seq[String]]
-          if (agg == "min") ss.min else ss.max
-        } else if (s.forall(isNum)) {
-          if (agg == "min") s.minBy(num) else s.maxBy(num)
-        } else throw new IllegalArgumentException(
-          s"$agg filter needs a uniformly string or numeric list")
+        val keyFn = sortFamilyKey(agg, opts)
+        val keyed = s.map(x => (keyFn(x), x))
+        val ord = sortFamilyOrdering(agg, keyed.map(_._1),
+          opts.get("case_sensitive").exists(truthy))
+        (if (agg == "min") keyed.minBy(_._1)(ord)
+         else keyed.maxBy(_._1)(ord))._2
       case ("sum", s: Seq[_], _) =>
         if (s.forall { case _: Long | _: Int => true; case _ => false })
           s.map { case l: Long => l; case i: Int => i.toLong }.sum

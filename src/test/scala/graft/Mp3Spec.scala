@@ -83,6 +83,25 @@ class Mp3Spec extends AnyFunSuite {
       ((160, 384, (12 * 160000 / 44100 + 1) * 4)))
   }
 
+  test("ID3v2.4 footer flag skips 10 extra bytes before the first frame") {
+    val stream = Mp3.syntheticMp3(4L) // id%3!=0 → no ID3 prefix of its own
+    val sz = 21
+    val bo = new java.io.ByteArrayOutputStream()
+    def synchsafe(v: Int): Unit = { bo.write((v >> 21) & 0x7f)
+      bo.write((v >> 14) & 0x7f); bo.write((v >> 7) & 0x7f); bo.write(v & 0x7f) }
+    bo.write('I'); bo.write('D'); bo.write('3'); bo.write(4); bo.write(0)
+    bo.write(0x10) // flags: footer present
+    synchsafe(sz)
+    (0 until sz).foreach(j => bo.write(j & 0x7f)) // tag body
+    // the 10-byte footer the synchsafe size does NOT count (ID3v2.4 §3.4)
+    bo.write('3'); bo.write('D'); bo.write('I'); bo.write(4); bo.write(0)
+    bo.write(0x10); synchsafe(sz)
+    val payload = bo.toByteArray ++ stream
+    val got = Mp3.parseFrames(payload).getOrElse(fail("footer form did not parse"))
+    assert(got.length === Mp3.parseFrames(stream).get.length)
+    assert(got.head.offset === 10L + sz + 10)
+  }
+
   test("trailing ID3v1 TAG terminates cleanly; corrupt forms return None") {
     val ok = Mp3.syntheticMp3(4L)
     val tagged = ok ++ ("TAG" + "x" * 125).getBytes("ISO-8859-1")

@@ -20,7 +20,12 @@ class Mp4Spec extends SparkTestBase {
       else 40 + ((id * 37 + f * 19 + i * 13) % 50)
     def moofSize(f: Int): Long = {
       val k = kOf(f)
-      if (f % 3 == 0) 72 + 4 * k else if (f % 3 == 1) 112 else 68 + 16 * k
+      if (f % 3 == 0) 72 + 4 * k
+      else if (f % 3 == 1) 112
+      // scheme C splits into two trafs at k>=2 (second on the implicit
+      // end-of-previous-traf base) — bigger moof, same sample offsets
+      else if (k >= 2) 108 + 16 * k
+      else 68 + 16 * k
     }
     var pos = Mp4.FMp4DataStart.toLong
     var gi = 0
@@ -146,6 +151,104 @@ class Mp4Spec extends SparkTestBase {
     val bmp = new Array[Byte](26 + 14)
     bmp(0) = 'B'; bmp(1) = 'M'; bmp(14) = 40
     assert(M.sniffMediaType(bmp) === "bmp")
+  }
+
+  // ---- hand-built multi-traf moofs (muxed audio+video shape) ----
+  private def mkBox(typ: String)(body: java.io.DataOutputStream => Unit): Array[Byte] = {
+    val bo = new java.io.ByteArrayOutputStream()
+    body(new java.io.DataOutputStream(bo))
+    val payload = bo.toByteArray
+    val out = java.nio.ByteBuffer.allocate(8 + payload.length)
+    out.putInt(8 + payload.length)
+    out.put(typ.getBytes("ISO-8859-1")); out.put(payload)
+    out.array()
+  }
+  private val SyncFlags = 0x02000000
+
+  test("multi-traf moof: a later video traf bases on the END of a foreign traf's data") {
+    // init segment from the fixture (video track 2, trex for track 2 only)
+    val init = Mp4.syntheticFmp4(3L).take(Mp4.FMp4DataStart)
+    // moof: [mfhd][traf track 9: per-sample sizes 10,20][traf track 2:
+    // NO base flags → base = end of track 9's data per §8.8.7]
+    val moof = mkBox("moof") { o =>
+      o.write(mkBox("mfhd") { m => m.writeInt(0); m.writeInt(1) })
+      o.write(mkBox("traf") { t =>
+        t.write(mkBox("tfhd") { h => h.writeInt(0); h.writeInt(9) })
+        t.write(mkBox("trun") { r =>
+          r.writeInt(0x1 | 0x200); r.writeInt(2)
+          r.writeInt(136) // data_offset → mdat payload (moof is 128 bytes)
+          r.writeInt(10); r.writeInt(20)
+        })
+      })
+      o.write(mkBox("traf") { t =>
+        t.write(mkBox("tfhd") { h => h.writeInt(0); h.writeInt(2) })
+        t.write(mkBox("trun") { r =>
+          r.writeInt(0x100 | 0x200 | 0x400); r.writeInt(1)
+          r.writeInt(500); r.writeInt(30); r.writeInt(SyncFlags)
+        })
+      })
+    }
+    assert(moof.length === 128, "hand-built moof size drifted")
+    val mdat = mkBox("mdat")(o => (0 until 60).foreach(i => o.write(i)))
+    val tr = Mp4.parseVideoTrack(init ++ moof ++ mdat)
+      .getOrElse(fail("multi-traf fMP4 did not parse"))
+    assert(tr.samples.length === 1)
+    val s = tr.samples.head
+    // base = moofStart + 136 (foreign data start) + 10 + 20 (foreign sizes)
+    assert(s.offset === Mp4.FMp4DataStart + 136L + 30L)
+    assert(s.size === 30L && s.keyframe && s.duration === 500L)
+    // the slice lands on mdat bytes 30..59, NOT on moof bytes
+    val payload = init ++ moof ++ mdat
+    assert((payload(s.offset.toInt) & 0xff) === 30)
+  }
+
+  test("multi-traf moof: unknowable foreign extent makes the parse fail, not guess") {
+    val init = Mp4.syntheticFmp4(3L).take(Mp4.FMp4DataStart)
+    // foreign traf has NO per-sample sizes, NO tfhd default, NO trex for
+    // track 9 → its data extent is unknowable → the video traf's implicit
+    // base is unresolvable → whole parse must return None (fallback),
+    // never a moof-start guess whose slices are silently wrong
+    val moof = mkBox("moof") { o =>
+      o.write(mkBox("mfhd") { m => m.writeInt(0); m.writeInt(1) })
+      o.write(mkBox("traf") { t =>
+        t.write(mkBox("tfhd") { h => h.writeInt(0); h.writeInt(9) })
+        t.write(mkBox("trun") { r =>
+          r.writeInt(0x1); r.writeInt(2); r.writeInt(128)
+        })
+      })
+      o.write(mkBox("traf") { t =>
+        t.write(mkBox("tfhd") { h => h.writeInt(0); h.writeInt(2) })
+        t.write(mkBox("trun") { r =>
+          r.writeInt(0x100 | 0x200 | 0x400); r.writeInt(1)
+          r.writeInt(500); r.writeInt(30); r.writeInt(SyncFlags)
+        })
+      })
+    }
+    val mdat = mkBox("mdat")(o => (0 until 60).foreach(i => o.write(i)))
+    assert(Mp4.parseVideoTrack(init ++ moof ++ mdat) === None)
+    // but an explicit default-base-is-moof flag on the video traf rescues
+    // it even behind the unknowable foreign traf
+    val moof2 = mkBox("moof") { o =>
+      o.write(mkBox("mfhd") { m => m.writeInt(0); m.writeInt(1) })
+      o.write(mkBox("traf") { t =>
+        t.write(mkBox("tfhd") { h => h.writeInt(0); h.writeInt(9) })
+        t.write(mkBox("trun") { r =>
+          r.writeInt(0x1); r.writeInt(2); r.writeInt(128)
+        })
+      })
+      o.write(mkBox("traf") { t =>
+        t.write(mkBox("tfhd") { h => h.writeInt(0x020000); h.writeInt(2) })
+        t.write(mkBox("trun") { r =>
+          r.writeInt(0x1 | 0x100 | 0x200 | 0x400); r.writeInt(1)
+          r.writeInt(150) // data_offset from moof start, into mdat
+          r.writeInt(500); r.writeInt(30); r.writeInt(SyncFlags)
+        })
+      })
+    }
+    val tr2 = Mp4.parseVideoTrack(init ++ moof2 ++ mdat)
+      .getOrElse(fail("default-base-is-moof traf did not parse"))
+    assert(tr2.samples.length === 1)
+    assert(tr2.samples.head.offset === Mp4.FMp4DataStart + 150L)
   }
 
   test("demuxFrames drops undemuxable ISO-BMFF instead of byte-windowing it") {

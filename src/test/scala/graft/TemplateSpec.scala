@@ -134,6 +134,79 @@ class TemplateSpec extends AnyFunSuite {
       Map("xs" -> Seq(1L, "a"))))
   }
 
+  test("sort/unique/min/max options match jinja2 3.1.6 (differentially pinned)") {
+    // sort(reverse=) honored — kwarg AND jinja's positional form
+    assert(r("{{ xs | sort(reverse=true) | join(',') }}",
+      Map("xs" -> Seq(3L, 1L, 2L))) === "3,2,1")
+    assert(r("{{ xs | sort(true) | join(',') }}",
+      Map("xs" -> Seq(3L, 1L, 2L))) === "3,2,1")
+    // jinja default string sort is CASE-INSENSITIVE and stable:
+    // ['b','A','a','B'] → ['A','a','b','B'] (pinned against 3.1.6)
+    assert(r("{{ xs | sort | join('') }}",
+      Map("xs" -> Seq("b", "A", "a", "B"))) === "AabB")
+    assert(r("{{ xs | sort(case_sensitive=true) | join('') }}",
+      Map("xs" -> Seq("B", "a"))) === "Ba")
+    // reverse goes INTO the comparator: equal keys keep input order
+    // (['b','B','a'] reversed → ['b','B','a'], NOT ['B','b','a'])
+    assert(r("{{ xs | sort(reverse=true) | join('') }}",
+      Map("xs" -> Seq("b", "B", "a"))) === "bBa")
+    // positional (reverse, case_sensitive, attribute) all at once
+    assert(r("{{ xs | sort(false, false, 'k') | map(attribute='v') | join('') }}",
+      Map("xs" -> Seq(Map("k" -> 2L, "v" -> "b"), Map("k" -> 1L, "v" -> "a"))))
+      === "ab")
+    // strings sort as char lists, like any python iterable
+    assert(r("{{ 'hello' | sort | join('') }}") === "ehllo")
+    // unknown / doubly-given options raise (jinja: TypeError), never
+    // silently drop — the advisor's sort(reverse=) bug class
+    intercept[IllegalArgumentException](r("{{ xs | sort(bogus=true) }}",
+      Map("xs" -> Seq(1L, 2L))))
+    intercept[IllegalArgumentException](r("{{ xs | sort(true, reverse=true) }}",
+      Map("xs" -> Seq(1L, 2L))))
+    // unique: case-insensitive by default, keeps FIRST occurrence;
+    // numeric equality is python == (1 == 1.0)
+    assert(r("{{ xs | unique | join('') }}",
+      Map("xs" -> Seq("b", "A", "a", "B"))) === "bA")
+    assert(r("{{ xs | unique(case_sensitive=true) | join('') }}",
+      Map("xs" -> Seq("a", "A", "b"))) === "aAb")
+    assert(r("{{ xs | unique | join(',') }}",
+      Map("xs" -> Seq[Any](1L, 1.0, 2L))) === "1,2")
+    assert(r("{{ xs | unique(attribute='k') | map(attribute='v') | join('') }}",
+      Map("xs" -> Seq(Map("k" -> 1L, "v" -> "a"), Map("k" -> 1L, "v" -> "b"),
+        Map("k" -> 2L, "v" -> "c")))) === "ac")
+    // min/max: case-insensitive by default too ('a' beats 'B' both ways)
+    assert(r("{{ xs | min }},{{ xs | max }}",
+      Map("xs" -> Seq("B", "a"))) === "a,B")
+    assert(r("{{ xs | min(case_sensitive=true) }}",
+      Map("xs" -> Seq("B", "a"))) === "B")
+    assert(r("{{ (xs | max(attribute='k'))['v'] }}",
+      Map("xs" -> Seq(Map("k" -> 1L, "v" -> "a"), Map("k" -> 2L, "v" -> "b"))))
+      === "b")
+  }
+
+  test("malformed number literals raise SyntaxError, not NumberFormatException") {
+    // '1.2.3' lexes greedily over both dots; the one-exception contract
+    // (everything surfaces as the documented IllegalArgumentException
+    // family) must hold so the protected-form retry path stays sound
+    val e = intercept[IllegalArgumentException](r("{{ 1.2.3 }}"))
+    assert(e.getMessage.contains("malformed number literal"))
+    intercept[IllegalArgumentException](r("{% if 1.2.3 > 1 %}x{% endif %}"))
+  }
+
+  test("caller is scoped to the directly called macro, not to arg evaluation") {
+    // jinja2: in {% call m(g()) %}, g() runs while EVALUATING m's
+    // arguments and must NOT see `caller` (3.1.6 raises 'No caller
+    // defined'); only m's body gets it
+    val tpl = "{% macro g() %}{{ caller() }}{% endmacro %}" +
+      "{% macro m(x) %}[{{ x }}]{% endmacro %}" +
+      "{% call m(g()) %}BODY{% endcall %}"
+    intercept[IllegalArgumentException](r(tpl))
+    // the happy path: the outer macro's body does see the block
+    val ok = "{% macro g() %}G{% endmacro %}" +
+      "{% macro m(x) %}[{{ x }}|{{ caller() }}]{% endmacro %}" +
+      "{% call m(g()) %}BODY{% endcall %}"
+    assert(r(ok) === "[G|BODY]")
+  }
+
   test("set: expression and block forms, jinja scoping") {
     assert(r("{% set x = 1 + 2 %}{{ x }}") === "3")
     assert(r("{% set x = a ~ '_t' %}{{ x }}|{{ x | upper }}",
