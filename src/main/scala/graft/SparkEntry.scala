@@ -542,9 +542,9 @@ object SparkEntry {
     }),
 
     // mixed-media-lake census: magic-byte type sniffing over a column
-    // that interleaves all seven payload families (PNG/GIF/progressive
-    // MP4/fragmented MP4/MP3/WAV/plain text) — the "what is actually in
-    // this bucket" pass a 100 TB binary column gets before any decode
+    // that interleaves all eight payload families (PNG/GIF/progressive
+    // MP4/fragmented MP4/MP3/WAV/Ogg/plain text) — the "what is actually
+    // in this bucket" pass a 100 TB binary column gets before any decode
     // fan-out. Narrow map, O(1) header reads per row; exact oracle
     "m17_media_census" -> ((s, dir) => {
       import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
@@ -554,13 +554,14 @@ object SparkEntry {
       val mixed = ids.mapPartitions { it =>
         it.map { r =>
           val id = r.getLong(0)
-          val payload = (id % 7) match {
+          val payload = (id % 8) match {
             case 0 => graft.functions.Multimodal.syntheticPng(16, 8, id)
             case 1 => graft.functions.Multimodal.syntheticGif(8, 8, 3, id)
             case 2 => graft.functions.Mp4.syntheticMp4(id)
             case 3 => graft.functions.Mp4.syntheticFmp4(id)
             case 4 => graft.functions.Mp3.syntheticMp3(id)
             case 5 => graft.functions.Multimodal.syntheticWav(8000, 1, 64, id)
+            case 6 => graft.functions.Ogg.syntheticOgg(id)
             case _ => s"plain text payload $id".getBytes("UTF-8")
           }
           org.apache.spark.sql.Row(id, payload)
@@ -586,6 +587,27 @@ object SparkEntry {
             .as("data_head"),
           expr("cast(conv(hex(substring(frame_bytes, cast(size as int), 1)), 16, 10) as int)")
             .as("data_tail"))
+    }),
+
+    // Ogg page-walk conformance (the container analog of m13/m16 for the
+    // Vorbis/Opus share of an audio corpus): every page's offset, header
+    // and body length, granule, serial, flags and completed-packet count
+    // resolved from headers alone with the REAL page CRC verified; the
+    // oracle recomputes the full lacing arithmetic — including packets
+    // that span the 255-lacing boundary — and byte probes into the page
+    // BODY catch any walk slip
+    "m18_ogg_pages" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select("doc_id")
+      graft.functions.Ogg.oggPages(
+        graft.functions.Ogg.syntheticOggs(ids, "doc_id"),
+        "doc_id", "payload")
+        .select(col("doc_id"), col("page_no"), col("offset"),
+          col("header_bytes"), col("body_bytes"), col("granule"),
+          col("serial"), col("bos"), col("eos"), col("n_packets"),
+          expr("cast(conv(hex(substring(body, 1, 1)), 16, 10) as int)")
+            .as("head_byte"),
+          expr("cast(conv(hex(substring(body, cast(body_bytes as int), 1)), 16, 10) as int)")
+            .as("tail_byte"))
     }),
 
     // STREAMING media demux: the m13 box walk running unchanged inside a
@@ -3726,10 +3748,10 @@ object SparkEntry {
     // stts durations, tkhd dims, and the head/tail extraction probes
     "m17_media_census" ->
       """SELECT doc_id,
-        | CASE CAST(doc_id % 7 AS INTEGER)
+        | CASE CAST(doc_id % 8 AS INTEGER)
         |  WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'mp4'
         |  WHEN 3 THEN 'mp4' WHEN 4 THEN 'mp3' WHEN 5 THEN 'wav'
-        |  ELSE 'unknown' END AS media_type
+        |  WHEN 6 THEN 'ogg' ELSE 'unknown' END AS media_type
         |FROM documents""".stripMargin,
     // first-principles MP3 oracle: replays Mp3.syntheticShape — MPEG-1
     // Layer III frame size is 144000·kbps // hz + pad; data starts after
@@ -3757,6 +3779,43 @@ object SparkEntry {
         | CAST(hz AS INTEGER) AS hz, CAST(1152 AS INTEGER) AS n_samples,
         | CAST((doc_id + i*131 + 4) % 256 AS INTEGER) AS data_head,
         | CAST((doc_id + i*131 + size - 1) % 256 AS INTEGER) AS data_tail
+        |FROM o""".stripMargin,
+    // first-principles Ogg oracle: replays Ogg.syntheticShape — header is
+    // 27 + n_segments where each packet contributes 1 lacing below 255
+    // and 2 at/above; offsets accumulate page-by-page
+    "m18_ogg_pages" ->
+      """WITH d AS (SELECT doc_id, CAST(2 + doc_id % 5 AS INTEGER) AS np
+        |  FROM documents),
+        |p AS (SELECT doc_id, np, CAST(unnest(range(0, np)) AS INTEGER) AS pg
+        |  FROM d),
+        |k AS (SELECT doc_id, np, pg,
+        |  CAST(1 + (doc_id + pg) % 3 AS INTEGER) AS nk FROM p),
+        |pk AS (SELECT doc_id, np, pg, nk,
+        |  CAST(unnest(range(0, nk)) AS INTEGER) AS kk FROM k),
+        |sz AS (SELECT doc_id, np, pg, kk,
+        |  CAST(50 + ((doc_id*31 + pg*17 + kk*7) % 230) AS BIGINT) AS psz
+        | FROM pk),
+        |pagg AS (SELECT doc_id, np, pg,
+        |  CAST(count(*) AS INTEGER) AS n_packets,
+        |  sum(psz) AS body,
+        |  sum(1 + CASE WHEN psz >= 255 THEN 1 ELSE 0 END) AS nseg
+        | FROM sz GROUP BY doc_id, np, pg),
+        |o AS (SELECT doc_id, np, pg, n_packets, body, 27 + nseg AS hdr,
+        |  COALESCE(SUM(27 + nseg + body) OVER (PARTITION BY doc_id
+        |    ORDER BY pg ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    0) AS off
+        | FROM pagg)
+        |SELECT doc_id, CAST(pg AS INTEGER) AS page_no,
+        | CAST(off AS BIGINT) AS "offset",
+        | CAST(hdr AS INTEGER) AS header_bytes,
+        | CAST(body AS BIGINT) AS body_bytes,
+        | CAST((pg+1) * (100 + doc_id % 50) AS BIGINT) AS granule,
+        | CAST(1000 + doc_id % 100 AS BIGINT) AS serial,
+        | CAST(CASE WHEN pg = 0 THEN 1 ELSE 0 END AS INTEGER) AS bos,
+        | CAST(CASE WHEN pg = np - 1 THEN 1 ELSE 0 END AS INTEGER) AS eos,
+        | n_packets,
+        | CAST((doc_id + pg*131) % 256 AS INTEGER) AS head_byte,
+        | CAST((doc_id + pg*131 + body - 1) % 256 AS INTEGER) AS tail_byte
         |FROM o""".stripMargin,
     "q118_callback_census" ->
       """SELECT CAST(o_custkey % 50 AS BIGINT) AS k,

@@ -175,7 +175,7 @@ object GraftSql {
    * media: `media_census([id:.., col:..])` (magic-byte type census),
    * `demux_frames(...)` (decode-or-box-walk frame demux),
    * `mp4_demux(...)` (ISO-BMFF sample table), `mp3_frames(...)`
-   * (MPEG-audio frame table);
+   * (MPEG-audio frame table), `ogg_pages(...)` (RFC 3533 page table);
    * ops tooling: `key_skew(keys:"k"[, k:10])` (shuffle-key skew
    * diagnostic), `suggest_salt(keys:"k"[, target:n, max:n])` (measured
    * salt-factor advisor), `PROCESS probe, dim USING salted_join(
@@ -417,6 +417,10 @@ object GraftSql {
         },
         "mp3_frames" -> ProcessorDef { (_, dfs, p) =>
           graft.functions.Mp3.mp3Frames(one(dfs, "mp3_frames"),
+            p.getOrElse("id", "doc_id"), p.getOrElse("col", "payload"))
+        },
+        "ogg_pages" -> ProcessorDef { (_, dfs, p) =>
+          graft.functions.Ogg.oggPages(one(dfs, "ogg_pages"),
             p.getOrElse("id", "doc_id"), p.getOrElse("col", "payload"))
         },
         // the keySkew diagnostic's prescriptive sibling: one row with the

@@ -1054,20 +1054,26 @@ class GraftSqlSpec extends SparkTestBase {
     assert(sk.length === 1 && sk.head.getDouble(6) === 1.0)
   }
 
-  test("media processors: media_census, mp4_demux, mp3_frames, demux_frames") {
+  test("media processors: media_census, mp4_demux, mp3_frames, ogg_pages, demux_frames") {
     import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
     val schema = StructType(Seq(StructField("doc_id", LongType),
       StructField("payload", BinaryType)))
     val rows = spark.createDataFrame(java.util.Arrays.asList(
       org.apache.spark.sql.Row(1L, graft.functions.Mp4.syntheticMp4(1L)),
       org.apache.spark.sql.Row(2L, graft.functions.Mp3.syntheticMp3(2L)),
-      org.apache.spark.sql.Row(3L, "text".getBytes)), schema)
+      org.apache.spark.sql.Row(3L, "text".getBytes),
+      org.apache.spark.sql.Row(4L, graft.functions.Ogg.syntheticOgg(4L))), schema)
     val census = GraftSql.run(engine,
       """c = PROCESS src USING media_census
         |YIELD c AS c
         |""".stripMargin, Map("src" -> rows)).yields("c").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(census === Map(1L -> "mp4", 2L -> "mp3", 3L -> "unknown"))
+    assert(census === Map(1L -> "mp4", 2L -> "mp3", 3L -> "unknown", 4L -> "ogg"))
+    val ogg = GraftSql.run(engine,
+      """f = PROCESS src USING ogg_pages
+        |YIELD f AS f
+        |""".stripMargin, Map("src" -> rows.filter("doc_id = 4"))).yields("f")
+    assert(ogg.count() === (2 + 4 % 5).toLong)
     val mp4 = GraftSql.run(engine,
       """f = PROCESS src USING mp4_demux
         |YIELD f AS f

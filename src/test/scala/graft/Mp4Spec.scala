@@ -140,6 +140,7 @@ class Mp4Spec extends SparkTestBase {
     assert(M.sniffMediaType(Mp3.syntheticMp3(3L)) === "mp3")   // ID3-less frame
     assert(M.sniffMediaType(Mp3.syntheticMp3(3L * 3)) === "mp3") // ID3v2 lead
     assert(M.sniffMediaType(M.syntheticWav(8000, 1, 16, 3L)) === "wav")
+    assert(M.sniffMediaType(graft.functions.Ogg.syntheticOgg(3L)) === "ogg")
     assert(M.sniffMediaType("just some text".getBytes) === "unknown")
     assert(M.sniffMediaType(Array.emptyByteArray) === "empty")
     assert(M.sniffMediaType(null) === "empty")

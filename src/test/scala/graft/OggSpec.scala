@@ -1,0 +1,116 @@
+package graft
+
+import graft.functions.Ogg
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Ogg page walk (RFC 3533): the synthetic fixture against an
+ * independent closed-form replay, the real-CRC contract (any byte slip
+ * fails the parse), and the corrupt-payload contract (None, never
+ * throw). */
+class OggSpec extends AnyFunSuite {
+
+  // independent closed-form replay of the fixture layout; mirrors the
+  // shape documented on Ogg.syntheticShape
+  private def expected(id: Long): IndexedSeq[(Int, Long, Int, Long, Long, Int)] = {
+    val np = (2 + id % 5).toInt
+    def nk(p: Int) = (1 + ((id + p) % 3)).toInt
+    def size(p: Int, k: Int) = (50 + ((id * 31 + p * 17 + k * 7) % 230)).toInt
+    var off = 0L
+    (0 until np).map { p =>
+      val sizes = (0 until nk(p)).map(size(p, _))
+      val nseg = sizes.map(s => if (s >= 255) 2 else 1).sum
+      val hdr = 27 + nseg
+      val body = sizes.map(_.toLong).sum
+      val gran = (p + 1L) * (100 + id % 50)
+      val r = (p, off, hdr, body, gran, sizes.length)
+      off += hdr + body
+      r
+    }
+  }
+
+  test("synthetic fixture resolves to the closed form (IDs 0-29)") {
+    (0L until 30L).foreach { id =>
+      val payload = Ogg.syntheticOgg(id)
+      val pages = Ogg.parsePages(payload)
+        .getOrElse(fail(s"id=$id did not parse"))
+      val want = expected(id)
+      assert(pages.length === want.length, s"id=$id page count")
+      pages.zip(want).foreach { case (g, (no, off, hdr, body, gran, npk)) =>
+        assert((g.no, g.offset, g.headerBytes, g.bodyBytes, g.granule,
+          g.packetsDone) === ((no, off, hdr, body, gran, npk)), s"id=$id page $no")
+        assert(g.serial === 1000 + id % 100, s"id=$id serial")
+        assert(g.bos === (no == 0) && g.eos === (no == want.length - 1),
+          s"id=$id flags")
+        // body byte probes
+        val b0 = (g.offset + g.headerBytes).toInt
+        assert((payload(b0) & 0xff) === ((id + no * 131L) % 256).toInt)
+        assert((payload(b0 + g.bodyBytes.toInt - 1) & 0xff) ===
+          ((id + no * 131L + g.bodyBytes - 1) % 256).toInt)
+      }
+      val last = pages.last
+      assert(last.offset + last.headerBytes + last.bodyBytes ===
+        payload.length.toLong, s"id=$id EOF")
+      // lacing-boundary coverage: some page in the 0-29 sweep must carry a
+      // two-segment packet, or the 255-boundary path went untested
+    }
+    assert((0L until 30L).exists { id =>
+      val (np, nk, size) = Ogg.syntheticShape(id)
+      (0 until np).exists(p => (0 until nk(p)).exists(k => size(p, k) >= 255))
+    }, "no fixture packet crosses the 255-lacing boundary")
+  }
+
+  test("the CRC is real: any flipped body or header byte fails the parse") {
+    val ok = Ogg.syntheticOgg(7L)
+    assert(Ogg.parsePages(ok).isDefined)
+    // flip one body byte of the second page
+    val pages = Ogg.parsePages(ok).get
+    val flip = (pages(1).offset + pages(1).headerBytes + 3).toInt
+    val bad = ok.clone(); bad(flip) = (bad(flip) ^ 0x01).toByte
+    assert(Ogg.parsePages(bad) === None)
+    // flip a granule byte (header, CRC-covered)
+    val bad2 = ok.clone()
+    bad2(pages(1).offset.toInt + 8) = (bad2(pages(1).offset.toInt + 8) ^ 0x40).toByte
+    assert(Ogg.parsePages(bad2) === None)
+  }
+
+  test("corrupt forms return None, never throw") {
+    val ok = Ogg.syntheticOgg(4L)
+    // truncation mid-body and mid-header
+    assert(Ogg.parsePages(ok.dropRight(5)) === None)
+    assert(Ogg.parsePages(ok.take(20)) === None)
+    // trailing garbage after the last page
+    assert(Ogg.parsePages(ok ++ Array[Byte](1, 2, 3)) === None)
+    // a spliced stream: drop the first page entirely → page_sequence of
+    // the (now-first) page is 1, not 0
+    val pages = Ogg.parsePages(ok).get
+    assert(Ogg.parsePages(ok.drop((pages(0).headerBytes +
+      pages(0).bodyBytes).toInt)) === None)
+    // lying segment count overrunning the payload
+    val lying = ok.clone(); lying(26) = 0xff.toByte
+    assert(Ogg.parsePages(lying) === None)
+    assert(Ogg.parsePages(null) === None)
+    assert(Ogg.parsePages(Array.emptyByteArray) === None)
+    assert(Ogg.parsePages("definitely not an ogg stream at all!!".getBytes) === None)
+  }
+
+  test("multiplexed streams: interleaved serials walk with per-serial sequences") {
+    // hand-interleave two single-stream fixtures page-by-page; per-serial
+    // page sequences stay 0,1,... so the walk must track them separately
+    val a = Ogg.syntheticOgg(10L) // serial 1010
+    val b = Ogg.syntheticOgg(11L) // serial 1011
+    val pa = Ogg.parsePages(a).get
+    val pb = Ogg.parsePages(b).get
+    def slice(raw: Array[Byte], p: Ogg.Page): Array[Byte] =
+      java.util.Arrays.copyOfRange(raw, p.offset.toInt,
+        (p.offset + p.headerBytes + p.bodyBytes).toInt)
+    val interleaved =
+      pa.map(slice(a, _)).zipAll(pb.map(slice(b, _)),
+        Array.emptyByteArray, Array.emptyByteArray)
+        .flatMap { case (x, y) => Seq(x, y) }.reduce(_ ++ _)
+    val got = Ogg.parsePages(interleaved)
+      .getOrElse(fail("multiplexed stream did not parse"))
+    assert(got.length === pa.length + pb.length)
+    assert(got.count(_.serial == 1010L) === pa.length)
+    assert(got.count(_.serial == 1011L) === pb.length)
+  }
+}
