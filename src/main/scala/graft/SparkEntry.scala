@@ -1250,6 +1250,27 @@ object SparkEntry {
     // deterministic double arithmetic ((x−min)/scale positive, so Spark
     // HALF_UP and DuckDB half-away round identically) — DuckDB recomputes
     // every code byte-for-byte via list_transform
+    // hybrid retrieval fusion: BM25 (lexical, over documents.text) and
+    // brute-force cosine (dense, over embeddings) top-20 lists fused by
+    // reciprocal rank — the calibration-free combiner curation pipelines
+    // use for decontamination / hard-negative retrieval. The oracle
+    // recomputes BOTH rankings and the fusion from first principles
+    "s14_hybrid_rrf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val queries = docs.filter(col("doc_id") % 23 === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ",
+            slice(split(trim(lower(col("text"))), "\\s+"), 1, 4)).as("qtext"))
+      val lexical = TextFunctions.bm25TopK(docs, "doc_id", "text",
+        queries, "query_id", "qtext", topK = 20, scoreDigits = Some(9))
+        .select(col("query_id"), col("rank"), col("doc_id"))
+      val emb = t(s, dir, "embeddings")
+      val dense = Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") % 23 === 0), "vec_id", "embedding", k = 20)
+        .select(col("query_id"), col("rank"), col("neighbor_id").as("doc_id"))
+      Similarity.rrfFuse(Seq(lexical, dense), "query_id", "doc_id", topK = 10)
+    }),
+
     "s13_quantize" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       emb.select(col("vec_id"),
@@ -4684,6 +4705,63 @@ object SparkEntry {
     "s09_ann_join" ->
       "SELECT CAST(1 AS BIGINT) AS recall_ok, CAST(1 AS BIGINT) AS coverage_ok",
     "s12_pca" -> "SELECT CAST(1 AS BIGINT) AS pca_ok",
+    // first-principles hybrid-RRF oracle: recompute the BM25 top-20 (the
+    // t35 formulation, k1=1.2 b=0.75, contributions rounded to 9 digits
+    // and decimal-summed), the dense cosine top-20 (the s01 formulation,
+    // self excluded), then fuse with round(1/(60+rank), 12) summed
+    // through decimal(25,12) — the engine's declared determinism bridge
+    "s14_hybrid_rrf" ->
+      """WITH toks0 AS (
+        | SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        | FROM documents),
+        |toks AS (SELECT doc_id, tok FROM toks0 WHERE length(tok) > 0),
+        |postings AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM postings GROUP BY 1),
+        |dfreq AS (SELECT tok, count(*) AS df FROM postings GROUP BY 1),
+        |stats AS (SELECT count(*) AS n,
+        |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |qt0 AS (
+        | SELECT doc_id AS query_id,
+        |  unnest(list_slice(string_split_regex(trim(lower(text)), '\s+'), 1, 4)) AS tok
+        | FROM documents WHERE doc_id % 23 = 0),
+        |qt AS (SELECT query_id, tok, count(*) AS qtf FROM qt0
+        | WHERE length(tok) > 0 GROUP BY 1, 2),
+        |contrib AS (
+        | SELECT q.query_id, p.doc_id,
+        |  round(CAST(q.qtf AS DOUBLE)
+        |   * ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+        |   * (CAST(p.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
+        |   / (CAST(p.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+        |      * (1.0 - CAST(0.75 AS DOUBLE)
+        |         + CAST(0.75 AS DOUBLE) * CAST(d.dl AS DOUBLE) / s.avgdl)), 9) AS c
+        | FROM postings p
+        | JOIN qt q USING (tok)
+        | JOIN dfreq USING (tok)
+        | JOIN dl d ON p.doc_id = d.doc_id
+        | CROSS JOIN stats s),
+        |bscored AS (SELECT query_id, doc_id,
+        |  CAST(sum(CAST(c AS DECIMAL(25,10))) AS DOUBLE) AS score
+        | FROM contrib GROUP BY 1, 2),
+        |lexical AS (SELECT query_id, rank, doc_id FROM (
+        | SELECT *, row_number() OVER (PARTITION BY query_id
+        |   ORDER BY score DESC, doc_id ASC) AS rank
+        | FROM bscored) x WHERE rank <= 20),
+        |dense AS (SELECT query_id, rank, doc_id FROM (
+        | SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
+        |  row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+        |      e.vec_id) AS rank
+        | FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id % 23 = 0) q
+        | WHERE e.vec_id <> q.vec_id) y WHERE rank <= 20),
+        |fused AS (SELECT query_id, doc_id,
+        |  CAST(sum(CAST(round(1.0/(60 + rank), 12) AS DECIMAL(25,12)))
+        |    AS DOUBLE) AS rrf
+        | FROM (SELECT * FROM lexical UNION ALL SELECT * FROM dense)
+        | GROUP BY 1, 2)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, rrf FROM (
+        | SELECT *, row_number() OVER (PARTITION BY query_id
+        |   ORDER BY rrf DESC, doc_id ASC) AS rank
+        | FROM fused) z WHERE rank <= 10""".stripMargin,
     "s13_quantize" ->
       """WITH e AS (SELECT vec_id,
         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -75,6 +75,49 @@ object Similarity {
     topKByCosine(scored, k)
   }
 
+  /**
+   * Reciprocal-rank fusion (RRF) of ranked retrieval lists — the standard
+   * hybrid-retrieval combiner (Cormack/Clarke/Buettcher, SIGIR'09):
+   * fused(q, d) = Σ_lists 1/(k + rank_list(q, d)), summed over the lists
+   * where d appears for q. Rank-based, so BM25 scores and cosine
+   * similarities fuse without calibration — the reason training-data
+   * curation pipelines reach for RRF when combining lexical and dense
+   * retrieval for decontamination or hard-negative mining.
+   *
+   * Each input carries (queryIdCol, rankCol, idCol); output is
+   * (queryIdCol, rank, idCol, rrf) re-ranked per query by fused score
+   * descending, id ascending as the deterministic tie-break.
+   *
+   * Scale: inputs are already top-k'd (bounded rows per query), so the
+   * union + one hash aggregate + per-query window is narrow relative to
+   * the retrieval stages feeding it; only (query, id, contribution) rows
+   * shuffle, never text or vectors. Spark 4 plants WindowGroupLimit
+   * before the final exchange, so topK rows per query cross the shuffle.
+   * Determinism: each contribution 1/(k+rank) is rounded to 12 digits
+   * and summed through decimal(25,12) (order-independent), so the fused
+   * score is a pure function of the input ranks on every engine.
+   */
+  def rrfFuse(
+      lists: Seq[DataFrame], queryIdCol: String, idCol: String,
+      rankCol: String = "rank", k: Int = 60, topK: Int = 10): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    require(k >= 0, s"rrf k must be >= 0, got $k")
+    require(topK > 0, s"topK must be positive, got $topK")
+    val contribs = lists.map { df =>
+      df.select(col(queryIdCol), col(idCol),
+        round(lit(1.0) / (lit(k) + col(rankCol).cast("double")), 12)
+          .cast("decimal(25,12)").as("__c"))
+    }.reduce(_ unionAll _)
+    val fused = contribs.groupBy(col(queryIdCol), col(idCol))
+      .agg(sum(col("__c")).as("__s"))
+      .select(col(queryIdCol), col(idCol), col("__s").cast("double").as("rrf"))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("rrf").desc, col(idCol).asc)
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col(queryIdCol), col("rank"), col(idCol), col("rrf"))
+  }
+
   /** Shared top-k tail: per-query rank by cosine desc (ties → neighbor id
    * asc), keep rank ≤ k. One definition so brute/LSH/IVF cannot diverge. */
   private def topKByCosine(scored: DataFrame, k: Int): DataFrame = {

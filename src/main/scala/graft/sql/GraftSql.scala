@@ -170,6 +170,8 @@ object GraftSql {
    * `PROCESS edges, seeds USING ppr(...)`, `label_propagation(...)`,
    * `degrees(...)`, `kmeans_cluster(...)`;
    * retrieval/scoring: `PROCESS corpus, queries USING bm25(k:10, ...)`,
+   * `PROCESS lexical, dense USING rrf_fuse([query:.., id:.., k:60,
+   * top:10])` (reciprocal-rank fusion of ranked lists),
    * `containment_pairs(...)`, `trigram_score(...)`, `gopher_rules(...)`,
    * `c4_clean(...)`, `link_graph(...)`;
    * media: `media_census([id:.., col:..])` (magic-byte type census),
@@ -422,6 +424,15 @@ object GraftSql {
         "ogg_pages" -> ProcessorDef { (_, dfs, p) =>
           graft.functions.Ogg.oggPages(one(dfs, "ogg_pages"),
             p.getOrElse("id", "doc_id"), p.getOrElse("col", "payload"))
+        },
+        // hybrid-retrieval fusion: PROCESS lexical, dense USING
+        // rrf_fuse(...) — any number of ranked (query, rank, id) lists
+        "rrf_fuse" -> ProcessorDef { (_, dfs, p) =>
+          require(dfs.nonEmpty, "rrf_fuse needs at least one ranked list")
+          graft.functions.Similarity.rrfFuse(dfs,
+            p.getOrElse("query", "query_id"), p.getOrElse("id", "doc_id"),
+            p.getOrElse("rank", "rank"), p.getOrElse("k", "60").toInt,
+            p.getOrElse("top", "10").toInt)
         },
         // the keySkew diagnostic's prescriptive sibling: one row with the
         // measured salt factor for salted_join (1 = don't salt)

@@ -142,6 +142,41 @@ class FunctionsSpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("rrfFuse matches the driver-side reciprocal-rank computation") {
+    val rnd = new scala.util.Random(42)
+    def mkList(): Seq[(Long, Int, Long)] =
+      (0L until 4L).flatMap { q =>
+        val ids = rnd.shuffle((0L until 20L).toList).take(8)
+        ids.zipWithIndex.map { case (id, i) => (q, i + 1, id) }
+      }
+    val l1 = mkList(); val l2 = mkList()
+    def toDf(l: Seq[(Long, Int, Long)]) =
+      df(l.map(t => Seq[Any](t._1, t._2, t._3)),
+        "query_id:long,rank:int,doc_id:long")
+    val got = Similarity.rrfFuse(Seq(toDf(l1), toDf(l2)),
+      "query_id", "doc_id", topK = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    // driver-side replay of the declared arithmetic: contributions
+    // rounded HALF_UP to 12 digits, exact decimal sum, desc/id tie-break
+    val fused = (l1 ++ l2)
+      .map { case (q, r, id) => ((q, id),
+        BigDecimal(1.0 / (60 + r))
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)) }
+      .groupBy(_._1).map { case ((q, id), xs) =>
+        (q, id, xs.map(_._2).sum.toDouble) }
+    val want = fused.groupBy(_._1).toSeq.flatMap { case (q, xs) =>
+      xs.toSeq.sortBy { case (_, id, s) => (-s, id) }.take(5).zipWithIndex
+        .map { case ((_, id, s), i) => (q, i + 1, id, s) }
+    }.toSet
+    assert(got === want)
+    // single-list fusion degenerates to a re-rank of that list
+    val single = Similarity.rrfFuse(Seq(toDf(l1)), "query_id", "doc_id",
+      topK = 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(single.toSet === l1.toSet)
+  }
+
   test("lshTopK achieves high recall vs brute force") {
     val brute = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
       "vec_id", "embedding", 5).select("query_id", "neighbor_id")

@@ -1091,6 +1091,20 @@ class GraftSqlSpec extends SparkTestBase {
     assert(dmx.count() >= 1) // text byte-windows
   }
 
+  test("rrf_fuse processor fuses ranked lists") {
+    val lex = df(Seq(Seq(1L, 1, 10L), Seq(1L, 2, 11L), Seq(1L, 3, 12L)),
+      "query_id:long,rank:int,doc_id:long")
+    val den = df(Seq(Seq(1L, 1, 12L), Seq(1L, 2, 10L), Seq(1L, 3, 13L)),
+      "query_id:long,rank:int,doc_id:long")
+    val fused = GraftSql.run(engine,
+      """f = PROCESS lex, den USING rrf_fuse(top:4)
+        |YIELD f AS f
+        |""".stripMargin, Map("lex" -> lex, "den" -> den)).yields("f")
+      .orderBy("rank").collect().map(r => (r.getInt(1), r.getLong(2)))
+    // 10: 1/61+1/62, 12: 1/63+1/61 — 10 edges out 12; 11 and 13 single-list
+    assert(fused.toSeq === Seq((1, 10L), (2, 12L), (3, 11L), (4, 13L)))
+  }
+
   test("suggest_salt and salted_join processors") {
     import org.apache.spark.sql.functions.{col => c, lit}
     // key 0 hot: 30 rows; keys 1..4: 5 each
