@@ -610,6 +610,25 @@ object SparkEntry {
             .as("tail_byte"))
     }),
 
+    // Ogg PACKET reassembly conformance: logical packets rebuilt from the
+    // lacing tables across page boundaries (every non-final fixture page
+    // opens a 255-lacing packet the next page closes under the continued
+    // flag) — sizes, page spans and completion order recomputed by the
+    // oracle from the chained closed form, with head/tail probes into the
+    // REASSEMBLED bytes spanning the page seam
+    "m19_ogg_packets" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select("doc_id")
+      graft.functions.Ogg.oggPackets(
+        graft.functions.Ogg.syntheticChainedOggs(ids, "doc_id"),
+        "doc_id", "payload")
+        .select(col("doc_id"), col("packet_no"), col("serial"), col("size"),
+          col("n_pages"), col("end_page"),
+          expr("cast(conv(hex(substring(bytes, 1, 1)), 16, 10) as int)")
+            .as("head_byte"),
+          expr("cast(conv(hex(substring(bytes, cast(size as int), 1)), 16, 10) as int)")
+            .as("tail_byte"))
+    }),
+
     // STREAMING media demux: the m13 box walk running unchanged inside a
     // Structured Streaming query (mapPartitions is stateless-narrow, so
     // the demux composes with readStream exactly like the q61 curation
@@ -3801,6 +3820,40 @@ object SparkEntry {
         | CAST((doc_id + i*131 + 4) % 256 AS INTEGER) AS data_head,
         | CAST((doc_id + i*131 + size - 1) % 256 AS INTEGER) AS data_tail
         |FROM o""".stripMargin,
+    // first-principles chained-Ogg packet oracle: replays
+    // Ogg.syntheticChainedShape — shorts A(p) are packet 2p (1 page),
+    // longs L(p) = 255-opening + r(p)-closing are packet 2p+1 (2 pages,
+    // ending on page p+1); head/tail probe bytes derive from the page
+    // body formulas on either side of the seam
+    "m19_ogg_packets" ->
+      """WITH d AS (SELECT doc_id, CAST(3 + doc_id % 4 AS INTEGER) AS np
+        |  FROM documents),
+        |p AS (SELECT doc_id, np, CAST(unnest(range(0, np)) AS INTEGER) AS pg
+        |  FROM d),
+        |base AS (SELECT doc_id, np, pg,
+        |  CAST(60 + ((doc_id*11 + pg*17) % 90) AS BIGINT) AS a,
+        |  CAST(40 + ((doc_id*5 + pg*7) % 200) AS BIGINT) AS r,
+        |  CAST(CASE WHEN pg > 0
+        |    THEN 40 + ((doc_id*5 + (pg-1)*7) % 200)
+        |    ELSE 0 END AS BIGINT) AS rprev
+        | FROM p),
+        |shorts AS (SELECT doc_id, CAST(2*pg AS INTEGER) AS packet_no,
+        |  a AS psize, 1 AS n_pages, pg AS end_page,
+        |  (doc_id + pg*131 + rprev) % 256 AS head_byte,
+        |  (doc_id + pg*131 + rprev + a - 1) % 256 AS tail_byte FROM base),
+        |longs AS (SELECT doc_id, CAST(2*pg + 1 AS INTEGER) AS packet_no,
+        |  255 + r AS psize, 2 AS n_pages, pg + 1 AS end_page,
+        |  (doc_id + pg*131 + rprev + a) % 256 AS head_byte,
+        |  (doc_id + (pg+1)*131 + r - 1) % 256 AS tail_byte
+        | FROM base WHERE pg < np - 1)
+        |SELECT doc_id, packet_no,
+        | CAST(2000 + doc_id % 100 AS BIGINT) AS serial,
+        | CAST(psize AS BIGINT) AS size,
+        | CAST(n_pages AS INTEGER) AS n_pages,
+        | CAST(end_page AS INTEGER) AS end_page,
+        | CAST(head_byte AS INTEGER) AS head_byte,
+        | CAST(tail_byte AS INTEGER) AS tail_byte
+        |FROM (SELECT * FROM shorts UNION ALL SELECT * FROM longs)""".stripMargin,
     // first-principles Ogg oracle: replays Ogg.syntheticShape — header is
     // 27 + n_segments where each packet contributes 1 lacing below 255
     // and 2 at/above; offsets accumulate page-by-page

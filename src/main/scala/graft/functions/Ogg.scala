@@ -50,8 +50,10 @@ object Ogg {
 
   /** CRC over `[from, until)` with the 4 CRC-field bytes at `crcAt`
    * treated as zero (the spec computes the checksum with the field
-   * zeroed, then patches it in). */
-  private def pageCrc(b: Array[Byte], from: Int, until: Int,
+   * zeroed, then patches it in). private[graft]: OggSpec re-patches
+   * checksums after corrupting flag bytes, so flag-logic tests reach the
+   * walker instead of bouncing off the CRC gate. */
+  private[graft] def pageCrc(b: Array[Byte], from: Int, until: Int,
       crcAt: Int): Int = {
     var c = 0
     var i = from
@@ -74,18 +76,16 @@ object Ogg {
     v
   }
 
-  /**
-   * Walk a payload's Ogg pages. None when the payload does not start
-   * with a valid page, any page fails its CRC, a page overruns the
-   * payload, a stream's page sequence numbers skip, or bytes trail the
-   * last page — corrupt inputs must be distinguishable from clean ones,
-   * not silently truncated. Multiplexed streams (distinct serials, e.g.
-   * Ogg video with interleaved audio) are walked in file order with
-   * per-serial sequence tracking.
-   */
-  def parsePages(payload: Array[Byte]): Option[IndexedSeq[Page]] = {
+  /** One validated raw page with its lacing table retained — the shared
+   * substrate of the page census and the packet reassembly. */
+  private final case class RawPage(no: Int, offset: Long, headerLen: Int,
+      flags: Int, granule: Long, serial: Long, lacings: Array[Int])
+
+  /** Validated page walk: magic, version, CRC, bounds and per-serial
+   * sequence continuity all checked; None on any violation. */
+  private def walkPages(payload: Array[Byte]): Option[IndexedSeq[RawPage]] = {
     if (payload == null || payload.length < 28) return None
-    val out = scala.collection.mutable.ArrayBuffer.empty[Page]
+    val out = scala.collection.mutable.ArrayBuffer.empty[RawPage]
     val seqBySerial = scala.collection.mutable.Map.empty[Long, Long]
     var pos = 0
     var no = 0
@@ -101,13 +101,12 @@ object Ogg {
       val nseg = payload(pos + 26) & 0xff
       val headerLen = 27 + nseg
       if (pos + headerLen > payload.length) return None
+      val lacings = new Array[Int](nseg)
       var body = 0L
-      var done = 0
       var k = 0
       while (k < nseg) {
-        val lacing = payload(pos + 27 + k) & 0xff
-        body += lacing
-        if (lacing < 255) done += 1
+        lacings(k) = payload(pos + 27 + k) & 0xff
+        body += lacings(k)
         k += 1
       }
       if (pos + headerLen + body > payload.length) return None
@@ -116,12 +115,83 @@ object Ogg {
       val expectSeq = seqBySerial.getOrElse(serial, 0L)
       if (pageSeq != expectSeq) return None // lost page / spliced stream
       seqBySerial(serial) = expectSeq + 1
-      out += Page(no, pos.toLong, headerLen, body, granule, serial,
-        (flags & 0x02) != 0, (flags & 0x04) != 0, done)
+      out += RawPage(no, pos.toLong, headerLen, flags, granule, serial, lacings)
       pos += headerLen + body.toInt
       no += 1
     }
     if (out.isEmpty) None else Some(out.toIndexedSeq)
+  }
+
+  /**
+   * Walk a payload's Ogg pages. None when the payload does not start
+   * with a valid page, any page fails its CRC, a page overruns the
+   * payload, a stream's page sequence numbers skip, or bytes trail the
+   * last page — corrupt inputs must be distinguishable from clean ones,
+   * not silently truncated. Multiplexed streams (distinct serials, e.g.
+   * Ogg video with interleaved audio) are walked in file order with
+   * per-serial sequence tracking.
+   */
+  def parsePages(payload: Array[Byte]): Option[IndexedSeq[Page]] =
+    walkPages(payload).map(_.map { p =>
+      Page(p.no, p.offset, p.headerLen, p.lacings.map(_.toLong).sum,
+        p.granule, p.serial, (p.flags & 0x02) != 0, (p.flags & 0x04) != 0,
+        p.lacings.count(_ < 255))
+    })
+
+  /** One reassembled logical packet: completion-ordered index within its
+   * stream-interleaved file, total size, how many pages it spans, and
+   * the page the packet COMPLETES on. */
+  final case class Packet(no: Int, serial: Long, size: Long, nPages: Int,
+      endPage: Int, bytes: Array[Byte])
+
+  /**
+   * Reassemble logical packets from the lacing tables (RFC 3533 §5): a
+   * lacing value of 255 continues the packet into the next segment; a
+   * value < 255 ends it; a packet whose page ends on 255 continues onto
+   * the stream's next page, which must carry the continued-packet flag
+   * (0x01). Packets are emitted in COMPLETION order (file order of their
+   * final segment). Returns None on any page-level violation, on a
+   * continued-flag mismatch (a flag without a pending partial, or a
+   * pending partial into an unflagged page — spliced-stream evidence),
+   * or on a stream ending with a dangling partial packet (a truncated
+   * file, not a clean stream).
+   */
+  def parsePackets(payload: Array[Byte]): Option[IndexedSeq[Packet]] = {
+    walkPages(payload).flatMap { pages =>
+      // per-serial partial-packet assembly state
+      final class Partial {
+        val buf = new java.io.ByteArrayOutputStream()
+        var pagesSpanned = 0
+      }
+      val partial = scala.collection.mutable.Map.empty[Long, Partial]
+      val out = scala.collection.mutable.ArrayBuffer.empty[Packet]
+      var no = 0
+      for (p <- pages) {
+        val continued = (p.flags & 0x01) != 0
+        if (continued != partial.contains(p.serial)) return None
+        val st = partial.getOrElseUpdate(p.serial, new Partial)
+        st.pagesSpanned += 1
+        var segStart = p.offset + p.headerLen
+        var k = 0
+        while (k < p.lacings.length) {
+          val lacing = p.lacings(k)
+          st.buf.write(payload, segStart.toInt, lacing)
+          if (lacing < 255) { // packet completes here
+            out += Packet(no, p.serial, st.buf.size().toLong,
+              st.pagesSpanned, p.no, st.buf.toByteArray)
+            no += 1
+            st.buf.reset()
+            st.pagesSpanned = 1
+          }
+          segStart += lacing
+          k += 1
+        }
+        if (st.buf.size() == 0) partial.remove(p.serial)
+      }
+      if (partial.nonEmpty) None // dangling partial at EOF: truncated
+      else if (out.isEmpty) None
+      else Some(out.toIndexedSeq)
+    }
   }
 
   /** Output schema of [[oggPages]]. */
@@ -220,6 +290,101 @@ object Ogg {
       bo.reset(); bo.write(bytes, 0, bytes.length)
     }
     bo.toByteArray
+  }
+
+  // =====================================================================
+  // Chained fixture: every non-final page OPENS a packet that continues
+  // onto the next page (a single 255 lacing), and every non-first page
+  // carries the continued flag and closes it — the cross-page packet
+  // reassembly the m19 oracle recomputes. A demuxer that treats 255 as a
+  // packet end, drops continuation chunks, or mis-orders completion
+  // produces wrong sizes/probes.
+  // =====================================================================
+
+  /** Deterministic chained shape shared by the writer, the m19 oracle and
+   * the spec: pages `3 + id%4`; page p carries (in order) the previous
+   * long packet's closing chunk `r(p-1) = 40 + ((id*5 + (p-1)*7) % 200)`
+   * when p>0, a short packet `a(p) = 60 + ((id*11 + p*17) % 90)`, and —
+   * on non-final pages — the 255-byte opening chunk of long packet L(p).
+   * So packet completion order is A(0), L(0), A(1), L(1), …, A(np-1),
+   * with |A(p)| = a(p) (1 page) and |L(p)| = 255 + r(p) (2 pages).
+   * Granule `(p+1)*(90 + id%40)`; serial `2000 + id%100`; body byte j of
+   * page p is `(id + p*131 + j) & 0xff`. */
+  def syntheticChainedShape(id: Long): (Int, Int => Int, Int => Int) = {
+    val nPages = (3 + id % 4).toInt
+    val a = (p: Int) => (60 + ((id * 11 + p * 17) % 90)).toInt
+    val r = (p: Int) => (40 + ((id * 5 + p * 7) % 200)).toInt
+    (nPages, a, r)
+  }
+
+  def syntheticChainedOgg(id: Long): Array[Byte] = {
+    val (nPages, a, r) = syntheticChainedShape(id)
+    val serial = 2000L + id % 100
+    val bo = new java.io.ByteArrayOutputStream()
+    (0 until nPages).foreach { p =>
+      val pageStart = bo.size()
+      val lacings =
+        (if (p > 0) Seq(r(p - 1)) else Seq.empty) ++ Seq(a(p)) ++
+          (if (p < nPages - 1) Seq(255) else Seq.empty)
+      bo.write('O'); bo.write('g'); bo.write('g'); bo.write('S')
+      bo.write(0)
+      bo.write((if (p > 0) 0x01 else 0x02) |
+        (if (p == nPages - 1) 0x04 else 0))
+      val granule = (p + 1L) * (90 + id % 40)
+      (0 until 8).foreach(i => bo.write(((granule >> (8 * i)) & 0xff).toInt))
+      (0 until 4).foreach(i => bo.write(((serial >> (8 * i)) & 0xff).toInt))
+      (0 until 4).foreach(i => bo.write(((p.toLong >> (8 * i)) & 0xff).toInt))
+      (0 until 4).foreach(_ => bo.write(0)) // CRC placeholder
+      bo.write(lacings.length)
+      lacings.foreach(bo.write)
+      val body = lacings.sum
+      (0 until body).foreach(j => bo.write(((id + p * 131L + j) & 0xff).toInt))
+      val bytes = bo.toByteArray
+      val c = pageCrc(bytes, pageStart, bytes.length, pageStart + 22)
+      (0 until 4).foreach(i =>
+        bytes(pageStart + 22 + i) = ((c >> (8 * i)) & 0xff).toByte)
+      bo.reset(); bo.write(bytes, 0, bytes.length)
+    }
+    bo.toByteArray
+  }
+
+  /** Output schema of [[oggPackets]]. */
+  val packetSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("packet_no", IntegerType),
+    StructField("serial", LongType),
+    StructField("size", LongType),
+    StructField("n_pages", IntegerType),
+    StructField("end_page", IntegerType),
+    StructField("bytes", BinaryType)))
+
+  /** One row per reassembled logical packet (completion order) with its
+   * total size, page span and concatenated bytes; non-Ogg / corrupt /
+   * truncated payloads are dropped. Narrow mapPartitions — no shuffle. */
+  def oggPackets(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(idIdx)
+        parsePackets(r.getAs[Array[Byte]](pIdx)) match {
+          case Some(ps) => ps.iterator.map(p =>
+            Row(id, p.no, p.serial, p.size, p.nPages, p.endPage, p.bytes))
+          case None => Iterator.empty
+        }
+      }
+    }(Encoders.row(packetSchema))
+  }
+
+  /** Executor-side chained-Ogg fixtures — the m19 oracle recomputes the
+   * cross-page packet reassembly in SQL. */
+  def syntheticChainedOggs(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      it.map(r => Row(r.getLong(idIdx), syntheticChainedOgg(r.getLong(idIdx))))
+    }(Encoders.row(schema))
   }
 
   /** Executor-side synthetic-Ogg fixtures — the m18 oracle recomputes the

@@ -177,7 +177,8 @@ object GraftSql {
    * media: `media_census([id:.., col:..])` (magic-byte type census),
    * `demux_frames(...)` (decode-or-box-walk frame demux),
    * `mp4_demux(...)` (ISO-BMFF sample table), `mp3_frames(...)`
-   * (MPEG-audio frame table), `ogg_pages(...)` (RFC 3533 page table);
+   * (MPEG-audio frame table), `ogg_pages(...)` / `ogg_packets(...)`
+   * (RFC 3533 page table / cross-page packet reassembly);
    * ops tooling: `key_skew(keys:"k"[, k:10])` (shuffle-key skew
    * diagnostic), `suggest_salt(keys:"k"[, target:n, max:n])` (measured
    * salt-factor advisor), `PROCESS probe, dim USING salted_join(
@@ -423,6 +424,10 @@ object GraftSql {
         },
         "ogg_pages" -> ProcessorDef { (_, dfs, p) =>
           graft.functions.Ogg.oggPages(one(dfs, "ogg_pages"),
+            p.getOrElse("id", "doc_id"), p.getOrElse("col", "payload"))
+        },
+        "ogg_packets" -> ProcessorDef { (_, dfs, p) =>
+          graft.functions.Ogg.oggPackets(one(dfs, "ogg_packets"),
             p.getOrElse("id", "doc_id"), p.getOrElse("col", "payload"))
         },
         // hybrid-retrieval fusion: PROCESS lexical, dense USING

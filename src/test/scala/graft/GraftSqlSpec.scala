@@ -1074,6 +1074,12 @@ class GraftSqlSpec extends SparkTestBase {
         |YIELD f AS f
         |""".stripMargin, Map("src" -> rows.filter("doc_id = 4"))).yields("f")
     assert(ogg.count() === (2 + 4 % 5).toLong)
+    val pk = GraftSql.run(engine,
+      """f = PROCESS src USING ogg_packets
+        |YIELD f AS f
+        |""".stripMargin, Map("src" -> rows.filter("doc_id = 4"))).yields("f")
+    // unchained fixture: every packet completes in its page
+    assert(pk.count() > 0 && pk.filter("n_pages <> 1").count() === 0L)
     val mp4 = GraftSql.run(engine,
       """f = PROCESS src USING mp4_demux
         |YIELD f AS f

@@ -93,6 +93,87 @@ class OggSpec extends AnyFunSuite {
     assert(Ogg.parsePages("definitely not an ogg stream at all!!".getBytes) === None)
   }
 
+  test("chained fixture: cross-page packets reassemble to the closed form") {
+    (0L until 24L).foreach { id =>
+      val payload = Ogg.syntheticChainedOgg(id)
+      val (np, a, r) = Ogg.syntheticChainedShape(id)
+      val got = Ogg.parsePackets(payload)
+        .getOrElse(fail(s"id=$id chained fixture did not parse"))
+      // completion order: A(0), L(0), A(1), L(1), ..., A(np-1)
+      assert(got.length === 2 * np - 1, s"id=$id packet count")
+      (0 until np).foreach { p =>
+        val sh = got(2 * p)
+        assert((sh.size, sh.nPages, sh.endPage) === ((a(p).toLong, 1, p)),
+          s"id=$id short $p")
+        val off = if (p > 0) r(p - 1) else 0
+        assert((sh.bytes.head & 0xff) === ((id + p * 131L + off) % 256).toInt)
+        assert((sh.bytes.last & 0xff) ===
+          ((id + p * 131L + off + a(p) - 1) % 256).toInt)
+        if (p < np - 1) {
+          val lg = got(2 * p + 1)
+          assert((lg.size, lg.nPages, lg.endPage) ===
+            ((255L + r(p), 2, p + 1)), s"id=$id long $p")
+          // the head sits in page p AFTER the short; the tail in page p+1
+          val off2 = off + a(p)
+          assert((lg.bytes.head & 0xff) === ((id + p * 131L + off2) % 256).toInt)
+          assert((lg.bytes.last & 0xff) ===
+            ((id + (p + 1) * 131L + r(p) - 1) % 256).toInt)
+          // the byte at the page seam (index 255) comes from page p+1
+          assert((lg.bytes(255) & 0xff) === ((id + (p + 1) * 131L) % 256).toInt)
+        }
+      }
+    }
+  }
+
+  test("packets over the unchained fixture agree with the page census") {
+    (0L until 12L).foreach { id =>
+      val payload = Ogg.syntheticOgg(id)
+      val pages = Ogg.parsePages(payload).get
+      val packets = Ogg.parsePackets(payload)
+        .getOrElse(fail(s"id=$id packets did not parse"))
+      assert(packets.length === pages.map(_.packetsDone).sum, s"id=$id count")
+      assert(packets.forall(_.nPages === 1), s"id=$id all in-page")
+      // per-page packet sizes match the fixture formula
+      val (_, kOf, size) = Ogg.syntheticShape(id)
+      val wantSizes = pages.indices.flatMap(p =>
+        (0 until kOf(p)).map(k => size(p, k).toLong))
+      assert(packets.map(_.size) === wantSizes, s"id=$id sizes")
+    }
+  }
+
+  test("packet-level corruption contracts: dangling partial, flag mismatches") {
+    val id = 5L
+    val payload = Ogg.syntheticChainedOgg(id)
+    val pages = Ogg.parsePages(payload).get
+    // truncate at the LAST page boundary: the stream ends with page np-2's
+    // 255-opening dangling → packets None (pages themselves still parse)
+    val cut = payload.take((pages.last.offset).toInt)
+    assert(Ogg.parsePages(cut).isDefined)
+    assert(Ogg.parsePackets(cut) === None)
+    // clear page 1's continued flag (re-patching the CRC so the walk
+    // reaches the flag logic): a pending partial into an unflagged page
+    val unflagged = payload.clone()
+    val p1 = pages(1).offset.toInt
+    val p1len = (pages(1).headerBytes + pages(1).bodyBytes).toInt
+    unflagged(p1 + 5) = (unflagged(p1 + 5) & ~0x01).toByte
+    val c1 = Ogg.pageCrc(unflagged, p1, p1 + p1len, p1 + 22)
+    (0 until 4).foreach(i =>
+      unflagged(p1 + 22 + i) = ((c1 >> (8 * i)) & 0xff).toByte)
+    assert(Ogg.parsePackets(unflagged) === None)
+    // set the continued flag on an UNCHAINED stream's second page: a flag
+    // with no pending partial
+    val plain = Ogg.syntheticOgg(7L)
+    val ppages = Ogg.parsePages(plain).get
+    val flagged = plain.clone()
+    val q1 = ppages(1).offset.toInt
+    val q1len = (ppages(1).headerBytes + ppages(1).bodyBytes).toInt
+    flagged(q1 + 5) = (flagged(q1 + 5) | 0x01).toByte
+    val c2 = Ogg.pageCrc(flagged, q1, q1 + q1len, q1 + 22)
+    (0 until 4).foreach(i =>
+      flagged(q1 + 22 + i) = ((c2 >> (8 * i)) & 0xff).toByte)
+    assert(Ogg.parsePackets(flagged) === None)
+  }
+
   test("multiplexed streams: interleaved serials walk with per-serial sequences") {
     // hand-interleave two single-stream fixtures page-by-page; per-serial
     // page sequences stay 0,1,... so the walk must track them separately
@@ -112,5 +193,20 @@ class OggSpec extends AnyFunSuite {
     assert(got.length === pa.length + pb.length)
     assert(got.count(_.serial == 1010L) === pa.length)
     assert(got.count(_.serial == 1011L) === pb.length)
+    // packet reassembly must keep per-serial partials independent: two
+    // interleaved CHAINED streams, both with packets open across seams
+    val ca = Ogg.syntheticChainedOgg(20L) // serial 2020
+    val cb = Ogg.syntheticChainedOgg(21L) // serial 2021
+    val qa = Ogg.parsePages(ca).get
+    val qb = Ogg.parsePages(cb).get
+    val inter2 = qa.map(slice(ca, _)).zipAll(qb.map(slice(cb, _)),
+      Array.emptyByteArray, Array.emptyByteArray)
+      .flatMap { case (x, y) => Seq(x, y) }.reduce(_ ++ _)
+    val gotP = Ogg.parsePackets(inter2)
+      .getOrElse(fail("multiplexed chained packets did not parse"))
+    def sizesOf(raw: Array[Byte]): Seq[Long] =
+      Ogg.parsePackets(raw).get.map(_.size)
+    assert(gotP.filter(_.serial == 2020L).map(_.size) === sizesOf(ca))
+    assert(gotP.filter(_.serial == 2021L).map(_.size) === sizesOf(cb))
   }
 }
