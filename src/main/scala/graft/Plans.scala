@@ -134,7 +134,8 @@ object Plans {
         "s05_knn_projected", "s10_semantic_decontaminate",
         "s11_hard_negatives", "m02_multimodal_ann",
         "m02x_feature_differential", "d05x_dedup_embed_exact",
-        "d07_embed_lsh_recall", "d08_minhash_precision", "d15_minhash_recall")
+        "d07_embed_lsh_recall", "d08_minhash_precision", "d15_minhash_recall",
+        "s15_bitext_margin")
       val scalarRiders = Set("t06_rebalance", "t12_lm_score", "t13_tfidf",
         "t16_mixture_plan", "t17_importance", "t30_bigram_ce",
         "t26_quality_model", "t35_bm25", "t36_trigram_ce")

@@ -1269,6 +1269,18 @@ object SparkEntry {
     // deterministic double arithmetic ((x−min)/scale positive, so Spark
     // HALF_UP and DuckDB half-away round identically) — DuckDB recomputes
     // every code byte-for-byte via list_transform
+    // margin-based bitext mining (Artetxe & Schwenk ratio margin): the
+    // even/odd embedding halves play src/tgt corpora; the oracle
+    // recomputes both directions' top-4 neighborhoods, the hubness-
+    // normalizing denominators and the argmax-margin match per src
+    "s15_bitext_margin" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.marginMine(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", k = 4)
+    }),
+
     // hybrid retrieval fusion: BM25 (lexical, over documents.text) and
     // brute-force cosine (dense, over embeddings) top-20 lists fused by
     // reciprocal rank — the calibration-free combiner curation pipelines
@@ -4758,6 +4770,47 @@ object SparkEntry {
     "s09_ann_join" ->
       "SELECT CAST(1 AS BIGINT) AS recall_ok, CAST(1 AS BIGINT) AS coverage_ok",
     "s12_pca" -> "SELECT CAST(1 AS BIGINT) AS pca_ok",
+    // first-principles margin-mining oracle: full cosine matrix over the
+    // halves, top-4 neighborhoods by raw cosine (tie: id), cosines
+    // rounded to 7 digits before the decimal-bridged 4-average (the
+    // engine's declared precision), margin quantized by the engine's
+    // exact IEEE recipe floor(x*1e5 + 0.5)/1e5 (library round()s
+    // disagree on .5-boundary doubles), argmax per src
+    "s15_bitext_margin" ->
+      """WITH a AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        | FROM embeddings WHERE vec_id % 2 = 0),
+        |b AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        | FROM embeddings WHERE vec_id % 2 = 1),
+        |ab0 AS (SELECT a.vec_id AS qa, b.vec_id AS nb,
+        |  round(list_cosine_similarity(a.v, b.v), 7) AS c7,
+        |  row_number() OVER (PARTITION BY a.vec_id
+        |    ORDER BY list_cosine_similarity(a.v, b.v) DESC,
+        |      b.vec_id ASC) AS rk
+        | FROM a, b),
+        |ab AS (SELECT * FROM ab0 WHERE rk <= 4),
+        |ba0 AS (SELECT b.vec_id AS qb, a.vec_id AS na,
+        |  round(list_cosine_similarity(b.v, a.v), 7) AS c7,
+        |  row_number() OVER (PARTITION BY b.vec_id
+        |    ORDER BY list_cosine_similarity(b.v, a.v) DESC,
+        |      a.vec_id ASC) AS rk
+        | FROM a, b),
+        |ba AS (SELECT * FROM ba0 WHERE rk <= 4),
+        |aavg AS (SELECT qa,
+        |  CAST(sum(CAST(c7 AS DECIMAL(25,10))) AS DOUBLE)/4.0 AS a_avg
+        | FROM ab GROUP BY qa),
+        |bavg AS (SELECT qb,
+        |  CAST(sum(CAST(c7 AS DECIMAL(25,10))) AS DOUBLE)/4.0 AS b_avg
+        | FROM ba GROUP BY qb),
+        |sc AS (SELECT ab.qa, ab.nb,
+        |  floor(ab.c7 / (0.5*(aavg.a_avg + bavg.b_avg)) * 100000.0 + 0.5)
+        |    / 100000.0 AS margin
+        | FROM ab JOIN aavg USING (qa) JOIN bavg ON ab.nb = bavg.qb)
+        |SELECT qa AS src_id, nb AS tgt_id, margin FROM (
+        | SELECT *, row_number() OVER (PARTITION BY qa
+        |   ORDER BY margin DESC, nb ASC) AS mr FROM sc) z
+        |WHERE mr = 1""".stripMargin,
     // first-principles hybrid-RRF oracle: recompute the BM25 top-20 (the
     // t35 formulation, k1=1.2 b=0.75, contributions rounded to 9 digits
     // and decimal-summed), the dense cosine top-20 (the s01 formulation,

@@ -118,6 +118,58 @@ object Similarity {
       .select(col(queryIdCol), col("rank"), col(idCol), col("rrf"))
   }
 
+  /**
+   * Margin-based bitext/parallel-pair mining (Artetxe & Schwenk, ACL'19
+   * "ratio" margin): for every src vector, its best tgt candidate scored
+   * by margin(x, y) = cos(x, y) / (½·(avgₖ cos(x, NNₖ(x)) + avgₖ cos(y,
+   * NNₖ(y)))) — the normalization that suppresses hubness (a tgt vector
+   * close to EVERYTHING gets a large denominator), which raw cosine
+   * thresholds cannot do. The standard miner for parallel-corpus
+   * construction and cross-lingual dedup.
+   *
+   * Output: (src_id, tgt_id, margin) — one row per src (its argmax-margin
+   * candidate among its top-k, ties by tgt id), filtered to
+   * margin ≥ minMargin.
+   *
+   * Scale: both directions' kNN are the binding cost; this exact form
+   * uses [[bruteForceTopK]] (the declared exact baseline — src and tgt
+   * query sides broadcast). At corpus scale substitute [[lshTopK]] /
+   * [[ivfTopK]] lists for either direction: the margin arithmetic reads
+   * only (query, neighbor, cosine) rows and is one bounded aggregate +
+   * join + per-src window past them. Determinism: cosines round to 7
+   * digits before the decimal-bridged k-average; the margin's declared
+   * 5-digit precision uses floor(x·1e5 + 0.5)/1e5 — pure IEEE ops, so
+   * any engine computing on the same doubles lands the same value
+   * (library `round` functions disagree on .5-boundary doubles: some
+   * round the shortest decimal repr, some the binary value).
+   */
+  def marginMine(
+      src: DataFrame, tgt: DataFrame, idCol: String, vecCol: String,
+      k: Int = 4, minMargin: Double = 0.0): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val ab = bruteForceTopK(tgt, src, idCol, vecCol, k)
+      .withColumn("c7", round(col("cosine"), 7))
+    val ba = bruteForceTopK(src, tgt, idCol, vecCol, k)
+      .withColumn("c7", round(col("cosine"), 7))
+    val aAvg = ab.groupBy("query_id")
+      .agg((sum(col("c7").cast("decimal(25,10)")).cast("double") /
+        lit(k.toDouble)).as("a_avg"))
+    val bAvg = ba.groupBy("query_id")
+      .agg((sum(col("c7").cast("decimal(25,10)")).cast("double") /
+        lit(k.toDouble)).as("b_avg"))
+      .withColumnRenamed("query_id", "neighbor_id")
+    val scored = ab.join(aAvg, "query_id").join(bAvg, "neighbor_id")
+      .withColumn("margin",
+        floor(col("c7") / (lit(0.5) * (col("a_avg") + col("b_avg")))
+          * lit(1e5) + lit(0.5)).cast("double") / lit(1e5))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("margin").desc, col("neighbor_id").asc)
+    scored.withColumn("__mr", row_number().over(w))
+      .filter(col("__mr") === 1 && col("margin") >= minMargin)
+      .select(col("query_id").as("src_id"),
+        col("neighbor_id").as("tgt_id"), col("margin"))
+  }
+
   /** Shared top-k tail: per-query rank by cosine desc (ties → neighbor id
    * asc), keep rank ≤ k. One definition so brute/LSH/IVF cannot diverge. */
   private def topKByCosine(scored: DataFrame, k: Int): DataFrame = {

@@ -177,6 +177,48 @@ class FunctionsSpec extends SparkTestBase {
     assert(single.toSet === l1.toSet)
   }
 
+  test("marginMine matches the driver-side Artetxe-Schwenk ratio margin") {
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      a.zip(b).map { case (x, y) => x * y }.sum / (na * nb)
+    }
+    // replicate the declared arithmetic exactly: Spark round(x, 7) is
+    // BigDecimal-of-shortest-repr HALF_UP; the k-average bridges decimals
+    def r7(x: Double): Double =
+      BigDecimal(x).setScale(7, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val k = 4
+    val (as, bs) = vecs.keys.toSeq.sorted.partition(_ % 2 == 0)
+    def top(q: Long, pool: Seq[Long]): Seq[(Long, Double)] =
+      pool.map(id => id -> cos(vecs(q), vecs(id)))
+        .sortBy { case (id, c) => (-c, id) }.take(k)
+        .map { case (id, c) => id -> r7(c) }
+    def avg(xs: Seq[Double]): Double =
+      (xs.map(x => BigDecimal(x)).sum / 1).toDouble / k
+    val aAvg = as.map(a => a -> avg(top(a, bs).map(_._2))).toMap
+    val bAvg = bs.map(b => b -> avg(top(b, as).map(_._2))).toMap
+    val want = as.map { a =>
+      val best = top(a, bs).map { case (id, c7) =>
+        val m = math.floor(c7 / (0.5 * (aAvg(a) + bAvg(id))) * 1e5 + 0.5) / 1e5
+        (id, m)
+      }.sortBy { case (id, m) => (-m, id) }.head
+      (a, best._1, best._2)
+    }.toSet
+    val got = Similarity.marginMine(emb.filter(col("vec_id") % 2 === 0),
+      emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === want)
+    // minMargin filters
+    val thr = Similarity.marginMine(emb.filter(col("vec_id") % 2 === 0),
+      emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", k = 4,
+      minMargin = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(thr === want.filter(_._3 >= 1.0))
+  }
+
   test("lshTopK achieves high recall vs brute force") {
     val brute = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
       "vec_id", "embedding", 5).select("query_id", "neighbor_id")
