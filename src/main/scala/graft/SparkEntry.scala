@@ -629,6 +629,17 @@ object SparkEntry {
             .as("tail_byte"))
     }),
 
+    // typed audio metadata from the Ogg identification header (RFC 7845
+    // OpusHead / Vorbis I id header): codec, channels, sample rate,
+    // pre-skip decoded from the reassembled FIRST packet — the audio
+    // analog of the MP4 dims; the oracle replays the header formulas
+    "m20_audio_meta" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select("doc_id")
+      graft.functions.Ogg.oggAudioMeta(
+        graft.functions.Ogg.syntheticAudioOggs(ids, "doc_id"),
+        "doc_id", "payload")
+    }),
+
     // STREAMING media demux: the m13 box walk running unchanged inside a
     // Structured Streaming query (mapPartitions is stateless-narrow, so
     // the demux composes with readStream exactly like the q61 curation
@@ -3832,6 +3843,22 @@ object SparkEntry {
         | CAST((doc_id + i*131 + 4) % 256 AS INTEGER) AS data_head,
         | CAST((doc_id + i*131 + size - 1) % 256 AS INTEGER) AS data_tail
         |FROM o""".stripMargin,
+    // replay of Ogg.syntheticAudioOgg's header formulas: even ids Opus,
+    // odd ids Vorbis, per-codec channel/rate/preskip derivations
+    "m20_audio_meta" ->
+      """SELECT doc_id,
+        | CASE WHEN doc_id % 2 = 0 THEN 'opus' ELSE 'vorbis' END AS codec,
+        | CAST(1 + (doc_id // 2) % 2 AS INTEGER) AS channels,
+        | CAST(CASE WHEN doc_id % 2 = 0 THEN
+        |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 48000
+        |      WHEN 1 THEN 24000 ELSE 16000 END
+        |   ELSE
+        |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 44100
+        |      WHEN 1 THEN 32000 ELSE 22050 END
+        |   END AS BIGINT) AS sample_rate,
+        | CAST(CASE WHEN doc_id % 2 = 0 THEN 312 + doc_id % 100
+        |   ELSE 0 END AS INTEGER) AS preskip
+        |FROM documents""".stripMargin,
     // first-principles chained-Ogg packet oracle: replays
     // Ogg.syntheticChainedShape — shorts A(p) are packet 2p (1 page),
     // longs L(p) = 255-opening + r(p)-closing are packet 2p+1 (2 pages,

@@ -376,6 +376,124 @@ object Ogg {
     }(Encoders.row(packetSchema))
   }
 
+  /** Typed audio metadata from an Ogg stream's identification header —
+   * the audio analog of the MP4 tkhd dims: codec, channel count, sample
+   * rate and (Opus) pre-skip, decoded from the FIRST packet per RFC 7845
+   * §5.1 (OpusHead) / Vorbis I §4.2.2 (the type-1 identification
+   * header). */
+  final case class AudioMeta(codec: String, channels: Int,
+      sampleRate: Long, preskip: Int)
+
+  /** Decode the stream's identification header. None when the payload is
+   * not clean Ogg or its first packet is neither an OpusHead nor a
+   * Vorbis identification header — an unrecognized codec yields a
+   * detectable absence, never garbage fields. */
+  def parseAudioMeta(payload: Array[Byte]): Option[AudioMeta] =
+    parsePackets(payload).flatMap { ps =>
+      val b = ps.head.bytes
+      def str(off: Int, s: String): Boolean =
+        off + s.length <= b.length &&
+          s.indices.forall(i => b(off + i) == s.charAt(i).toByte)
+      if (b.length >= 19 && str(0, "OpusHead"))
+        Some(AudioMeta("opus", b(9) & 0xff,
+          u32le(b, 12), ((b(10) & 0xff) | ((b(11) & 0xff) << 8))))
+      else if (b.length >= 30 && b(0) == 1 && str(1, "vorbis"))
+        Some(AudioMeta("vorbis", b(11) & 0xff, u32le(b, 12), 0))
+      else None
+    }
+
+  /** Output schema of [[oggAudioMeta]]. */
+  val audioMetaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("codec", StringType),
+    StructField("channels", IntegerType),
+    StructField("sample_rate", LongType),
+    StructField("preskip", IntegerType)))
+
+  /** One row per payload with its decoded identification header;
+   * non-Ogg / unrecognized-codec payloads are dropped. Narrow map. */
+  def oggAudioMeta(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(idIdx)
+        parseAudioMeta(r.getAs[Array[Byte]](pIdx)).map(m =>
+          Row(id, m.codec, m.channels, m.sampleRate, m.preskip)).iterator
+      }
+    }(Encoders.row(audioMetaSchema))
+  }
+
+  /** Deterministic audio-header shape shared by the writer, the m20
+   * oracle and the spec: even ids are Opus (channels `1 + (id/2)%2`,
+   * preskip `312 + id%100`, rate 48000/24000/16000 by `id%3`), odd ids
+   * are Vorbis (channels `1 + (id/2)%2`, rate 44100/32000/22050 by
+   * `id%3`). One bos header page + one eos data page of
+   * `30 + id%20` bytes. */
+  def syntheticAudioOgg(id: Long): Array[Byte] = {
+    val serial = 3000L + id % 100
+    val header: Array[Byte] =
+      if (id % 2 == 0) {
+        val bo = new java.io.ByteArrayOutputStream()
+        bo.write("OpusHead".getBytes("ISO-8859-1"))
+        bo.write(1) // version
+        bo.write((1 + (id / 2) % 2).toInt) // channels
+        val preskip = (312 + id % 100).toInt
+        bo.write(preskip & 0xff); bo.write((preskip >> 8) & 0xff)
+        val rate = Seq(48000L, 24000L, 16000L)((id % 3).toInt)
+        (0 until 4).foreach(i => bo.write(((rate >> (8 * i)) & 0xff).toInt))
+        bo.write(0); bo.write(0) // output gain
+        bo.write(0)              // mapping family
+        bo.toByteArray
+      } else {
+        val bo = new java.io.ByteArrayOutputStream()
+        bo.write(1)
+        bo.write("vorbis".getBytes("ISO-8859-1"))
+        (0 until 4).foreach(_ => bo.write(0)) // version 0
+        bo.write((1 + (id / 2) % 2).toInt)    // channels
+        val rate = Seq(44100L, 32000L, 22050L)((id % 3).toInt)
+        (0 until 4).foreach(i => bo.write(((rate >> (8 * i)) & 0xff).toInt))
+        (0 until 12).foreach(_ => bo.write(0)) // bitrate max/nominal/min
+        bo.write(0xb8)                          // blocksizes
+        bo.write(1)                             // framing
+        bo.toByteArray
+      }
+    val bo = new java.io.ByteArrayOutputStream()
+    def page(p: Int, flags: Int, granule: Long, body: Array[Byte]): Unit = {
+      val pageStart = bo.size()
+      bo.write('O'); bo.write('g'); bo.write('g'); bo.write('S')
+      bo.write(0); bo.write(flags)
+      (0 until 8).foreach(i => bo.write(((granule >> (8 * i)) & 0xff).toInt))
+      (0 until 4).foreach(i => bo.write(((serial >> (8 * i)) & 0xff).toInt))
+      (0 until 4).foreach(i => bo.write(((p.toLong >> (8 * i)) & 0xff).toInt))
+      (0 until 4).foreach(_ => bo.write(0))
+      // lacing: bodies here are < 255 by construction
+      bo.write(1); bo.write(body.length)
+      bo.write(body, 0, body.length)
+      val bytes = bo.toByteArray
+      val c = pageCrc(bytes, pageStart, bytes.length, pageStart + 22)
+      (0 until 4).foreach(i =>
+        bytes(pageStart + 22 + i) = ((c >> (8 * i)) & 0xff).toByte)
+      bo.reset(); bo.write(bytes, 0, bytes.length)
+    }
+    page(0, 0x02, 0L, header)
+    val dataLen = (30 + id % 20).toInt
+    page(1, 0x04, 960L,
+      Array.tabulate(dataLen)(j => ((id + j) & 0xff).toByte))
+    bo.toByteArray
+  }
+
+  /** Executor-side audio-header fixtures — the m20 oracle recomputes the
+   * decoded fields in SQL. */
+  def syntheticAudioOggs(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      it.map(r => Row(r.getLong(idIdx), syntheticAudioOgg(r.getLong(idIdx))))
+    }(Encoders.row(schema))
+  }
+
   /** Executor-side chained-Ogg fixtures — the m19 oracle recomputes the
    * cross-page packet reassembly in SQL. */
   def syntheticChainedOggs(df: DataFrame, idCol: String): DataFrame = {

@@ -172,13 +172,16 @@ object GraftSql {
    * retrieval/scoring: `PROCESS corpus, queries USING bm25(k:10, ...)`,
    * `PROCESS lexical, dense USING rrf_fuse([query:.., id:.., k:60,
    * top:10])` (reciprocal-rank fusion of ranked lists),
+   * `PROCESS src, tgt USING margin_mine([id:.., col:.., k:4, min:..])`
+   * (Artetxe-Schwenk ratio-margin bitext mining),
    * `containment_pairs(...)`, `trigram_score(...)`, `gopher_rules(...)`,
    * `c4_clean(...)`, `link_graph(...)`;
    * media: `media_census([id:.., col:..])` (magic-byte type census),
    * `demux_frames(...)` (decode-or-box-walk frame demux),
    * `mp4_demux(...)` (ISO-BMFF sample table), `mp3_frames(...)`
-   * (MPEG-audio frame table), `ogg_pages(...)` / `ogg_packets(...)`
-   * (RFC 3533 page table / cross-page packet reassembly);
+   * (MPEG-audio frame table), `ogg_pages(...)` / `ogg_packets(...)` /
+   * `ogg_audio_meta(...)` (RFC 3533 page table / cross-page packet
+   * reassembly / OpusHead-VorbisId header decode);
    * ops tooling: `key_skew(keys:"k"[, k:10])` (shuffle-key skew
    * diagnostic), `suggest_salt(keys:"k"[, target:n, max:n])` (measured
    * salt-factor advisor), `PROCESS probe, dim USING salted_join(
@@ -430,6 +433,10 @@ object GraftSql {
           graft.functions.Ogg.oggPackets(one(dfs, "ogg_packets"),
             p.getOrElse("id", "doc_id"), p.getOrElse("col", "payload"))
         },
+        "ogg_audio_meta" -> ProcessorDef { (_, dfs, p) =>
+          graft.functions.Ogg.oggAudioMeta(one(dfs, "ogg_audio_meta"),
+            p.getOrElse("id", "doc_id"), p.getOrElse("col", "payload"))
+        },
         // hybrid-retrieval fusion: PROCESS lexical, dense USING
         // rrf_fuse(...) — any number of ranked (query, rank, id) lists
         "rrf_fuse" -> ProcessorDef { (_, dfs, p) =>
@@ -438,6 +445,15 @@ object GraftSql {
             p.getOrElse("query", "query_id"), p.getOrElse("id", "doc_id"),
             p.getOrElse("rank", "rank"), p.getOrElse("k", "60").toInt,
             p.getOrElse("top", "10").toInt)
+        },
+        // bitext mining: PROCESS src, tgt USING margin_mine(...)
+        "margin_mine" -> ProcessorDef { (_, dfs, p) =>
+          require(dfs.length == 2,
+            s"margin_mine needs exactly (src, tgt), got ${dfs.length}")
+          graft.functions.Similarity.marginMine(dfs(0), dfs(1),
+            p.getOrElse("id", "vec_id"), p.getOrElse("col", "embedding"),
+            p.getOrElse("k", "4").toInt,
+            p.getOrElse("min", "0.0").toDouble)
         },
         // the keySkew diagnostic's prescriptive sibling: one row with the
         // measured salt factor for salted_join (1 = don't salt)

@@ -1080,6 +1080,15 @@ class GraftSqlSpec extends SparkTestBase {
         |""".stripMargin, Map("src" -> rows.filter("doc_id = 4"))).yields("f")
     // unchained fixture: every packet completes in its page
     assert(pk.count() > 0 && pk.filter("n_pages <> 1").count() === 0L)
+    val meta = spark.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row(6L, graft.functions.Ogg.syntheticAudioOgg(6L))),
+      schema)
+    val am = GraftSql.run(engine,
+      """f = PROCESS src USING ogg_audio_meta
+        |YIELD f AS f
+        |""".stripMargin, Map("src" -> meta)).yields("f").collect()
+    assert(am.length === 1 && am.head.getString(1) === "opus" &&
+      am.head.getLong(3) === 48000L)
     val mp4 = GraftSql.run(engine,
       """f = PROCESS src USING mp4_demux
         |YIELD f AS f
@@ -1109,6 +1118,25 @@ class GraftSqlSpec extends SparkTestBase {
       .orderBy("rank").collect().map(r => (r.getInt(1), r.getLong(2)))
     // 10: 1/61+1/62, 12: 1/63+1/61 — 10 edges out 12; 11 and 13 single-list
     assert(fused.toSeq === Seq((1, 10L), (2, 12L), (3, 11L), (4, 13L)))
+  }
+
+  test("margin_mine processor mines per-src best pairs") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    def v(id: Long, xs: Float*) =
+      org.apache.spark.sql.Row(id, xs.toSeq)
+    val src = spark.createDataFrame(java.util.Arrays.asList(
+      v(0L, 1f, 0f), v(2L, 0f, 1f)), schema)
+    val tgt = spark.createDataFrame(java.util.Arrays.asList(
+      v(1L, 0.9f, 0.1f), v(3L, 0.1f, 0.9f), v(5L, 0.5f, 0.5f)), schema)
+    val out = GraftSql.run(engine,
+      """m = PROCESS src, tgt USING margin_mine(k:2)
+        |YIELD m AS m
+        |""".stripMargin, Map("src" -> src, "tgt" -> tgt)).yields("m")
+      .orderBy("src_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the aligned axes pair up; the diagonal distractor loses on margin
+    assert(out.toSeq === Seq((0L, 1L), (2L, 3L)))
   }
 
   test("suggest_salt and salted_join processors") {

@@ -174,6 +174,28 @@ class OggSpec extends AnyFunSuite {
     assert(Ogg.parsePackets(flagged) === None)
   }
 
+  test("audio identification headers decode per the codec specs") {
+    (0L until 24L).foreach { id =>
+      val m = Ogg.parseAudioMeta(Ogg.syntheticAudioOgg(id))
+        .getOrElse(fail(s"id=$id header did not decode"))
+      if (id % 2 == 0) {
+        assert(m.codec === "opus")
+        assert(m.channels === (1 + (id / 2) % 2).toInt)
+        assert(m.preskip === (312 + id % 100).toInt)
+        assert(m.sampleRate === Seq(48000L, 24000L, 16000L)((id % 3).toInt))
+      } else {
+        assert(m.codec === "vorbis")
+        assert(m.channels === (1 + (id / 2) % 2).toInt)
+        assert(m.preskip === 0)
+        assert(m.sampleRate === Seq(44100L, 32000L, 22050L)((id % 3).toInt))
+      }
+    }
+    // an unrecognized first packet yields None, not garbage fields —
+    // the plain fixture's first packet is deterministic filler bytes
+    assert(Ogg.parseAudioMeta(Ogg.syntheticOgg(4L)) === None)
+    assert(Ogg.parseAudioMeta("not ogg".getBytes) === None)
+  }
+
   test("multiplexed streams: interleaved serials walk with per-serial sequences") {
     // hand-interleave two single-stream fixtures page-by-page; per-serial
     // page sequences stay 0,1,... so the walk must track them separately
