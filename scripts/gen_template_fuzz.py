@@ -73,7 +73,9 @@ STR_FILTERS = ["upper", "lower", "trim", "title", "capitalize", "length"]
 LIST_FILTERS = ["length", "first", "last", "min", "max", "sum", "unique | sum",
                 "sort | join(',')", "reverse | join(',')",
                 "sort(reverse=true) | join(',')", "unique | join(',')",
-                "sort(true) | join('+')"]
+                "sort(true) | join('+')", "count", "tojson",
+                "batch(2) | map('last') | join(',')",
+                "slice(2) | map('length') | join(',')"]
 SLIST_FILTERS = ["join('-')", "sort | join('+')", "map('upper') | join(',')",
                  "select('string') | length",
                  "sort(reverse=true) | join(',')",
@@ -88,6 +90,9 @@ RLIST_FILTERS = ["sort(attribute='k') | map(attribute='v') | join(',')",
                  "unique(attribute='k') | map(attribute='v') | join(',')",
                  "map(attribute='k') | sum",
                  "sort(false, false, 'v') | map(attribute='k') | join('.')"]
+STR_EXTRA = ["truncate(9)", "truncate(9, true)", "truncate(9, leeway=0)",
+             "wordcount", "center(12) | trim", "indent(2)",
+             "indent(2, true)", "tojson"]
 
 
 def int_expr(depth=0):
@@ -145,11 +150,23 @@ def output_stmt():
     if r < 0.6:
         lf = rng.choice(LIST_FILTERS)
         return "{{ " + rng.choice(LIST_VARS) + " | " + lf + " }}"
-    if r < 0.67:
+    if r < 0.64:
         return ("{{ " + rng.choice(SLIST_VARS) +
                 " | " + rng.choice(SLIST_FILTERS) + " }}")
-    if r < 0.7:
+    if r < 0.67:
         return "{{ rs | " + rng.choice(RLIST_FILTERS) + " }}"
+    if r < 0.69:
+        return "{{ " + rng.choice(STR_VARS) + " | " + rng.choice(STR_EXTRA) + " }}"
+    if r < 0.7:
+        return rng.choice([
+            "{% for g, it in rs | groupby('k') %}[{{ g }}:{{ it | length }}]{% endfor %}",
+            "{% for g in rs | groupby('k') %}{{ g.grouper }}={{ g.list | map(attribute='v') | join('.') }};{% endfor %}",
+            "{% for k, v in d | dictsort %}{{ k }}={{ v }};{% endfor %}",
+            "{% for k, v in d | dictsort(by='value', reverse=true) %}{{ k }};{% endfor %}",
+            "{% for row in xs | batch(2, 0) %}[{{ row | join(',') }}]{% endfor %}",
+            "{% for c in ws | slice(2, 'z') %}[{{ c | join('-') }}]{% endfor %}",
+            "{{ d | tojson }}",
+        ])
     if r < 0.8:
         return ("{{ " + int_expr() + " if " + bool_expr() +
                 " else " + int_expr() + " }}")

@@ -27,9 +27,17 @@ import scala.collection.mutable
  * unique(case_sensitive=, attribute=) / min / max (both
  * case_sensitive=, attribute=) / sum(attribute=) / abs / round / int /
  * float / string / default / list / map / select / reject / selectattr /
- * rejectattr. The sort/unique/min/max family follows jinja2's defaults:
- * string comparison is CASE-INSENSITIVE unless case_sensitive=true, and
- * unknown keyword options raise (never silently drop).
+ * rejectattr / groupby(attribute, default=, case_sensitive=) /
+ * dictsort(case_sensitive=, by=, reverse=) / batch / slice / tojson /
+ * truncate(length=, killwords=, end=, leeway=) / wordcount /
+ * indent(width=, first=, blank=) / center / format / count / attr.
+ * The sort/unique/min/max/groupby/dictsort family follows jinja2's
+ * defaults: string comparison is CASE-INSENSITIVE unless
+ * case_sensitive=true, and unknown keyword options raise (never
+ * silently drop). groupby/dictsort rows are (key, value) PAIRS that
+ * unpack, index, and answer .grouper/.list like jinja's namedtuples;
+ * rendering one directly prints a list-of-lists where python prints
+ * tuples — a documented divergence alongside dict-method rendering.
  *
  * Scoping follows jinja2: `{% set %}` inside `{% if %}` propagates to the
  * rest of the template (if-blocks are not scopes), while a set inside a
@@ -976,6 +984,9 @@ object Template {
     case Attr(t, n) => eval(t, env) match {
       case ns: NamespaceVal => ns.fields.getOrElse(n, Undefined)
       case m: Map[_, _] => m.asInstanceOf[Map[String, Any]].getOrElse(n, Undefined)
+      // groupby rows act like jinja's (grouper, list) namedtuple
+      case s: Seq[_] if s.length == 2 && (n == "grouper" || n == "list") =>
+        if (n == "grouper") s.head else s(1)
       case _ => Undefined
     }
     case IndexOp(t, ie) => (eval(t, env), eval(ie, env)) match {
@@ -1452,6 +1463,177 @@ object Template {
           opts.get("case_sensitive").exists(truthy))
         (if (agg == "min") keyed.minBy(_._1)(ord)
          else keyed.maxBy(_._1)(ord))._2
+      // jinja2 do_groupby(value, attribute, default=None,
+      // case_sensitive=False): groups sort like the sort filter
+      // (case-folded unless case_sensitive), items keep input order, the
+      // grouper is the first-seen raw key; rows act as (grouper, list)
+      // pairs — unpackable, indexable, and .grouper/.list addressable
+      case ("groupby", s: Seq[_], fargs) =>
+        val opts = filterOpts("groupby", fargs, kwargs,
+          Seq("attribute", "default", "case_sensitive"))
+        val attr = opts.get("attribute") match {
+          case Some(a: String) => a
+          case _ => throw new IllegalArgumentException(
+            "groupby filter needs an attribute name")
+        }
+        val dflt = opts.get("default")
+        val cs = opts.get("case_sensitive").exists(truthy)
+        val keyed = s.map { x =>
+          val k0 = elemAttr(x, attr)
+          val k = if (k0 == Undefined && dflt.isDefined) dflt.get else k0
+          (k, x)
+        }
+        def foldK(k: Any): Any = k match {
+          case str: String if !cs => str.toLowerCase(java.util.Locale.ROOT)
+          case o => o
+        }
+        val groups = mutable.LinkedHashMap
+          .empty[Any, (Any, mutable.ArrayBuffer[Any])]
+        keyed.foreach { case (k, x) =>
+          groups.getOrElseUpdate(foldK(k), (k, mutable.ArrayBuffer.empty[Any]))
+            ._2 += x
+        }
+        val ord = sortFamilyOrdering("groupby", groups.keys.toSeq,
+          caseSensitive = true) // keys pre-folded above
+        groups.toSeq.sortBy(_._1)(ord)
+          .map { case (_, (raw, items)) => Seq(raw, items.toSeq) }
+      // jinja2 do_dictsort(value, case_sensitive=False, by='key',
+      // reverse=False) → (key, value) rows in sorted order
+      case ("dictsort", m: Map[_, _], fargs) =>
+        val opts = filterOpts("dictsort", fargs, kwargs,
+          Seq("case_sensitive", "by", "reverse"))
+        val by = opts.get("by") match {
+          case None => "key"
+          case Some("key") => "key"
+          case Some("value") => "value"
+          case Some(other) => throw new IllegalArgumentException(
+            s"dictsort by must be 'key' or 'value', got ${show(other)}")
+        }
+        val entries = m.asInstanceOf[Map[Any, Any]].toSeq
+        val keyOf = (e: (Any, Any)) => if (by == "key") e._1 else e._2
+        val ord = sortFamilyOrdering("dictsort", entries.map(keyOf),
+          opts.get("case_sensitive").exists(truthy))
+        val eff = if (opts.get("reverse").exists(truthy)) ord.reverse else ord
+        entries.sortBy(keyOf)(eff).map { case (k, v2) => Seq(k, v2) }
+      // jinja2 do_batch(value, linecount, fill_with=None): rows of up to
+      // n items; fill pads only the last short row
+      case ("batch", s: Seq[_], fargs) =>
+        val opts = filterOpts("batch", fargs, kwargs,
+          Seq("linecount", "fill_with"))
+        val n = opts.get("linecount") match {
+          case Some(v) if isNum(v) && num(v) >= 1 => num(v).toInt
+          case _ => throw new IllegalArgumentException(
+            "batch filter needs a positive linecount")
+        }
+        val rows = s.grouped(n).map(_.toSeq).toSeq
+        opts.get("fill_with") match {
+          case Some(f) if rows.nonEmpty && rows.last.length < n =>
+            rows.init :+ (rows.last ++ Seq.fill(n - rows.last.length)(f))
+          case _ => rows
+        }
+      // jinja2 do_slice(value, slices, fill_with=None): n columns, the
+      // first len%n columns one longer; fill pads the SHORT columns
+      case ("slice", s: Seq[_], fargs) =>
+        val opts = filterOpts("slice", fargs, kwargs,
+          Seq("slices", "fill_with"))
+        val n = opts.get("slices") match {
+          case Some(v) if isNum(v) && num(v) >= 1 => num(v).toInt
+          case _ => throw new IllegalArgumentException(
+            "slice filter needs a positive slice count")
+        }
+        val per = s.length / n
+        val extra = s.length % n
+        val fill = opts.get("fill_with")
+        var off = 0
+        (0 until n).map { i =>
+          val len = per + (if (i < extra) 1 else 0)
+          val col = s.slice(off, off + len)
+          off += len
+          // jinja pads EVERY column without an extra item — including all
+          // of them on an exact split (caught by the randomized corpus)
+          if (fill.isDefined && i >= extra) col ++ Seq(fill.get)
+          else col
+        }
+      case ("tojson", v, _) =>
+        filterOpts("tojson", Nil, kwargs, Seq.empty)
+        toJson(v)
+      // jinja2 do_truncate(s, length=255, killwords=False, end='...',
+      // leeway=5): strings within length+leeway pass through; otherwise
+      // cut at length-|end| (to the last word boundary unless killwords)
+      case ("truncate", s: String, fargs) =>
+        val opts = filterOpts("truncate", fargs, kwargs,
+          Seq("length", "killwords", "end", "leeway"))
+        val length = opts.get("length").map(num(_).toInt).getOrElse(255)
+        val end = opts.get("end").map(show).getOrElse("...")
+        val leeway = opts.get("leeway").map(num(_).toInt).getOrElse(5)
+        require(length >= end.length,
+          s"truncate length $length shorter than the end marker")
+        if (s.length <= length + leeway) s
+        else {
+          val cut = s.substring(0, length - end.length)
+          val kept =
+            if (opts.get("killwords").exists(truthy)) cut
+            else {
+              val i = cut.lastIndexOf(' ')
+              if (i >= 0) cut.substring(0, i) else cut
+            }
+          kept + end
+        }
+      // jinja counts \w+ RUNS (its _word_re), so 'a-b' is two words —
+      // caught by the randomized corpus; (?U) for python's unicode \w
+      case ("wordcount", s: String, _) =>
+        "(?U)\\w+".r.findAllIn(s).length.toLong
+      // jinja2 do_indent(s, width=4, first=False, blank=False)
+      case ("indent", s: String, fargs) =>
+        val opts = filterOpts("indent", fargs, kwargs,
+          Seq("width", "first", "blank"))
+        val width = opts.get("width").map(num(_).toInt).getOrElse(4)
+        val first = opts.get("first").exists(truthy)
+        val blank = opts.get("blank").exists(truthy)
+        val prefix = " " * width
+        s.split("\n", -1).zipWithIndex.map { case (ln, i) =>
+          if (i == 0 && !first) ln
+          else if (ln.isEmpty && !blank) ln
+          else prefix + ln
+        }.mkString("\n")
+      case ("center", s: String, fargs) =>
+        val opts = filterOpts("center", fargs, kwargs, Seq("width"))
+        val width = opts.get("width").map(num(_).toInt).getOrElse(80)
+        if (s.length >= width) s
+        else { // python str.center: the extra space goes right
+          val pad = width - s.length
+          (" " * (pad / 2)) + s + (" " * (pad - pad / 2))
+        }
+      // printf-style %-formatting (the common %s/%d/%f/%x conversions and
+      // flags map 1:1 onto java.util.Formatter)
+      case ("format", s: String, fargs) =>
+        val jargs = fargs.map {
+          case l: Long => l: java.lang.Long
+          case i: Int => i.toLong: java.lang.Long
+          case d: Double => d: java.lang.Double
+          case f: Float => f.toDouble: java.lang.Double
+          case b: Boolean => b: java.lang.Boolean
+          case other => show(other)
+        }
+        try String.format(s, jargs: _*)
+        catch { case e: java.util.IllegalFormatException =>
+          throw new IllegalArgumentException(
+            s"format filter: ${e.getMessage}")
+        }
+      case ("count", v, fargs) => applyFilter(v, "length", fargs, kwargs)
+      // jinja2 do_attr: TRUE attribute access only — never item lookup
+      // (a dict key is not an attribute); missing → undefined, so
+      // `| attr('x') | default(...)` composes
+      case ("attr", v, fargs) =>
+        val name = fargs.headOption match {
+          case Some(a: String) => a
+          case _ => throw new IllegalArgumentException(
+            "attr filter needs an attribute name")
+        }
+        v match {
+          case ns: NamespaceVal => ns.fields.getOrElse(name, Undefined)
+          case _ => Undefined
+        }
       case ("sum", s: Seq[_], _) =>
         if (s.forall { case _: Long | _: Int => true; case _ => false })
           s.map { case l: Long => l; case i: Int => i.toLong }.sum
@@ -1553,6 +1735,46 @@ object Template {
   }
 
   /** Python-`str` style rendering (matches what jinja2 would emit). */
+  /** jinja2 `tojson` policy: json.dumps with sort_keys=True plus the
+   * HTML-safety escapes (' < > & to \\u00xx) — byte-compatible with the
+   * 3.1.6 output for the template-value domain (null/bool/num/str/
+   * seq/map/namespace). */
+  private def toJson(v: Any): String = v match {
+    case null => "null"
+    case true => "true"
+    case false => "false"
+    case Undefined => throw new IllegalArgumentException(
+      "tojson of an undefined value")
+    case s: String =>
+      val sb = new StringBuilder("\"")
+      s.foreach {
+        case '"' => sb ++= "\\\""
+        case '\\' => sb ++= "\\\\"
+        case '\n' => sb ++= "\\n"
+        case '\r' => sb ++= "\\r"
+        case '\t' => sb ++= "\\t"
+        case '\'' => sb ++= "\\u0027"
+        case '<' => sb ++= "\\u003c"
+        case '>' => sb ++= "\\u003e"
+        case '&' => sb ++= "\\u0026"
+        case c if c < 0x20 => sb ++= f"\\u${c.toInt}%04x"
+        case c => sb += c
+      }
+      (sb += '"').toString
+    case s: Seq[_] => s.map(toJson).mkString("[", ", ", "]")
+    case m: Map[_, _] =>
+      m.asInstanceOf[Map[Any, Any]].toSeq
+        .map { case (k, x) => (show(k), x) }
+        .sortBy(_._1)
+        .map { case (k, x) => toJson(k) + ": " + toJson(x) }
+        .mkString("{", ", ", "}")
+    case ns: NamespaceVal =>
+      ns.fields.toSeq.sortBy(_._1)
+        .map { case (k, x) => toJson(k) + ": " + toJson(x) }
+        .mkString("{", ", ", "}")
+    case other => show(other) // numbers
+  }
+
   private def show(v: Any): String = v match {
     case MacroVal(n, _, _) => s"<macro $n>"
     case null => "None"

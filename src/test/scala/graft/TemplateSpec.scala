@@ -183,6 +183,88 @@ class TemplateSpec extends AnyFunSuite {
       === "b")
   }
 
+  test("groupby/dictsort/batch/slice match jinja2 3.1.6 (differentially pinned)") {
+    val xs = Seq(
+      Map("k" -> "b", "v" -> 1L), Map("k" -> "a", "v" -> 2L),
+      Map("k" -> "a", "v" -> 3L))
+    assert(r("{% for g, items in xs | groupby('k') %}[{{ g }}:" +
+      "{% for i in items %}{{ i.v }}{% endfor %}]{% endfor %}",
+      Map("xs" -> xs)) === "[a:23][b:1]")
+    assert(r("{{ (xs | groupby('k'))[0][0] }}", Map("xs" -> xs)) === "a")
+    assert(r("{% for g in xs | groupby('k') %}{{ g.grouper }}:" +
+      "{{ g.list | length }};{% endfor %}", Map("xs" -> xs)) === "a:2;b:1;")
+    // default case-insensitive group sort; case_sensitive flips it
+    val mixed = Seq(Map("k" -> "B"), Map("k" -> "a"), Map("k" -> "B"))
+    assert(r("{% for g, it in xs | groupby('k') %}[{{ g }}:{{ it | length }}]{% endfor %}",
+      Map("xs" -> mixed)) === "[a:1][B:2]")
+    assert(r("{% for g, it in xs | groupby('k', case_sensitive=true) %}[{{ g }}]{% endfor %}",
+      Map("xs" -> Seq(Map("k" -> "B"), Map("k" -> "a")))) === "[B][a]")
+    // numeric group keys sort numerically
+    assert(r("{% for g, it in xs | groupby('k') %}[{{ g }}]{% endfor %}",
+      Map("xs" -> Seq(Map("k" -> 2L), Map("k" -> 1L)))) === "[1][2]")
+    // dictsort: (k, v) rows; case-insensitive keys; by=value; reverse
+    assert(r("{% for k, v in d | dictsort %}{{ k }}={{ v }};{% endfor %}",
+      Map("d" -> Map("B" -> 1L, "a" -> 2L))) === "a=2;B=1;")
+    assert(r("{% for k, v in d | dictsort(true) %}{{ k }};{% endfor %}",
+      Map("d" -> Map("B" -> 1L, "a" -> 2L))) === "B;a;")
+    assert(r("{% for k, v in d | dictsort(by='value') %}{{ k }};{% endfor %}",
+      Map("d" -> Map("b" -> 1L, "a" -> 2L))) === "b;a;")
+    assert(r("{% for k, v in d | dictsort(reverse=true) %}{{ k }};{% endfor %}",
+      Map("d" -> Map("b" -> 1L, "a" -> 2L))) === "b;a;")
+    // batch fills only the last row; slice gives the first len%n columns
+    // one extra and fills the SHORT columns
+    assert(r("{% for row in xs | batch(2) %}[{{ row | join(',') }}]{% endfor %}",
+      Map("xs" -> Seq(1L, 2L, 3L, 4L, 5L))) === "[1,2][3,4][5]")
+    assert(r("{% for row in xs | batch(2, 0) %}[{{ row | join(',') }}]{% endfor %}",
+      Map("xs" -> Seq(1L, 2L, 3L))) === "[1,2][3,0]")
+    assert(r("{% for c in xs | slice(3) %}[{{ c | join(',') }}]{% endfor %}",
+      Map("xs" -> Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L))) === "[1,2,3][4,5][6,7]")
+    assert(r("{% for c in xs | slice(3, 0) %}[{{ c | join(',') }}]{% endfor %}",
+      Map("xs" -> Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L))) === "[1,2,3][4,5,0][6,7,0]")
+    // exact split: jinja pads EVERY column (none has the extra item)
+    assert(r("{% for c in xs | slice(3, 0) %}[{{ c | join(',') }}]{% endfor %}",
+      Map("xs" -> Seq(1L, 2L, 3L, 4L, 5L, 6L))) === "[1,2,0][3,4,0][5,6,0]")
+    intercept[IllegalArgumentException](r("{{ xs | groupby('k', bogus=1) }}",
+      Map("xs" -> xs)))
+  }
+
+  test("tojson/truncate/wordcount/indent/center/format/count/attr match jinja2") {
+    // tojson: sort_keys, HTML-safety escapes, python literals
+    assert(r("{{ d | tojson }}",
+      Map("d" -> Map("b" -> Seq(1L, 2L), "a" -> "x\"y")))
+      === "{\"a\": \"x\\\"y\", \"b\": [1, 2]}")
+    assert(r("{{ xs | tojson }}",
+      Map("xs" -> Seq[Any](1L, 2.5, true, null, "s")))
+      === "[1, 2.5, true, null, \"s\"]")
+    assert(r("{{ s | tojson }}", Map("s" -> "a'<b>&c"))
+      === "\"a\\u0027\\u003cb\\u003e\\u0026c\"")
+    // truncate: leeway keeps near-misses whole; word-boundary cut;
+    // killwords; custom end; no-space fallback
+    assert(r("{{ 'hello world foo bar' | truncate(12) }}") === "hello...")
+    assert(r("{{ 'hello world foo b' | truncate(12) }}") === "hello world foo b")
+    assert(r("{{ 'hello world foo b' | truncate(12, leeway=0) }}") === "hello...")
+    assert(r("{{ 'hello world foo bar' | truncate(12, True) }}") === "hello wor...")
+    assert(r("{{ 'aaaaaaaaaaaaaaaaaaaa' | truncate(12) }}") === "aaaaaaaaa...")
+    assert(r("{{ 'short' | truncate(12) }}") === "short")
+    assert(r("{{ 'hello  world foo' | wordcount }}") === "3")
+    // indent: first line and blank lines untouched by default
+    assert(r("{{ s | indent(2) }}", Map("s" -> "a\n\nb")) === "a\n\n  b")
+    assert(r("{{ s | indent(2, False, True) }}", Map("s" -> "a\n\nb"))
+      === "a\n  \n  b")
+    assert(r("{{ s | indent(2, True) }}", Map("s" -> "a\nb")) === "  a\n  b")
+    assert(r("{{ 'abc' | center(6) }}|") === " abc  |")
+    assert(r("{{ '%05d|%.2f|%%' | format(42, 2.5) }}") === "00042|2.50|%")
+    assert(r("{{ '%s=%d' | format('x', 7) }}") === "x=7")
+    assert(r("{{ xs | count }}", Map("xs" -> Seq(1L, 2L, 3L))) === "3")
+    // attr is TRUE attribute access: dict keys are NOT attributes
+    // (jinja raises on use under StrictUndefined; default() composes)
+    intercept[IllegalArgumentException](r("{{ d | attr('a') }}",
+      Map("d" -> Map("a" -> 5L))))
+    assert(r("{{ d | attr('a') | default(0) }}",
+      Map("d" -> Map("a" -> 5L))) === "0")
+    assert(r("{% set ns = namespace(a=7) %}{{ ns | attr('a') }}") === "7")
+  }
+
   test("malformed number literals raise SyntaxError, not NumberFormatException") {
     // '1.2.3' lexes greedily over both dots; the one-exception contract
     // (everything surfaces as the documented IllegalArgumentException
