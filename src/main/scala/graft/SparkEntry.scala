@@ -629,6 +629,17 @@ object SparkEntry {
             .as("tail_byte"))
     }),
 
+    // ID3v2 text-frame extraction (title/artist/album/track) across tag
+    // versions (v2.4 synchsafe / v2.3 plain frame sizes) and the three
+    // common text encodings, with a non-text PRIV frame to stride over —
+    // the tag-metadata side of an audio corpus; exact string oracle
+    "m21_id3_tags" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select("doc_id")
+      graft.functions.Mp3.id3TextFrames(
+        graft.functions.Mp3.syntheticTaggedMp3s(ids, "doc_id"),
+        "doc_id", "payload")
+    }),
+
     // typed audio metadata from the Ogg identification header (RFC 7845
     // OpusHead / Vorbis I id header): codec, channels, sample rate,
     // pre-skip decoded from the reassembled FIRST packet — the audio
@@ -3843,6 +3854,19 @@ object SparkEntry {
         | CAST((doc_id + i*131 + 4) % 256 AS INTEGER) AS data_head,
         | CAST((doc_id + i*131 + size - 1) % 256 AS INTEGER) AS data_tail
         |FROM o""".stripMargin,
+    // replay of Mp3.syntheticTaggedMp3's frame formulas — encoding and
+    // tag-version variation is the ENGINE's to erase; decoded text is
+    // encoding-independent
+    "m21_id3_tags" ->
+      """SELECT doc_id, 'TIT2' AS frame_id,
+        |  'title_' || CAST((doc_id*7) % 1000 AS VARCHAR) AS text
+        | FROM documents
+        |UNION ALL SELECT doc_id, 'TPE1',
+        |  'artist_' || CAST(doc_id % 50 AS VARCHAR) FROM documents
+        |UNION ALL SELECT doc_id, 'TALB',
+        |  'album_' || CAST(doc_id % 20 AS VARCHAR) FROM documents
+        |UNION ALL SELECT doc_id, 'TRCK',
+        |  CAST(1 + doc_id % 12 AS VARCHAR) FROM documents""".stripMargin,
     // replay of Ogg.syntheticAudioOgg's header formulas: even ids Opus,
     // odd ids Vorbis, per-codec channel/rate/preskip derivations
     "m20_audio_meta" ->

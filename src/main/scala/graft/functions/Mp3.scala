@@ -163,6 +163,168 @@ object Mp3 {
   }
 
   // =====================================================================
+  // ID3v2 tag frames (informal standard id3v2.4.0-structure / -frames;
+  // v2.3 differs in frame-size encoding): the text-metadata side of an
+  // audio corpus — title/artist/album extraction without touching the
+  // MPEG stream.
+  // =====================================================================
+
+  /**
+   * Decode the leading ID3v2 tag's TEXT frames (ids `T***`): one
+   * (frame_id, text) per frame, in tag order. Handles v2.4 synchsafe and
+   * v2.3 plain frame sizes, the optional extended header, padding
+   * termination, and the four text encodings (ISO-8859-1, UTF-16 with
+   * BOM, UTF-16BE, UTF-8) with trailing NUL stripping. None when there
+   * is no ID3v2 tag or any frame overruns the tag — a corrupt tag is
+   * detectable, never a silently short frame list. Non-text frames are
+   * skipped structurally (their size still walks).
+   */
+  def parseId3TextFrames(payload: Array[Byte]): Option[IndexedSeq[(String, String)]] = {
+    if (payload == null || payload.length < 10 || payload(0) != 'I' ||
+        payload(1) != 'D' || payload(2) != '3') return None
+    val verMajor = payload(3) & 0xff
+    if (verMajor < 3 || verMajor > 4) return None // v2.2 3-byte ids unsupported
+    val flags = payload(5) & 0xff
+    def synchsafe(i: Int): Int =
+      ((payload(i) & 0x7f) << 21) | ((payload(i + 1) & 0x7f) << 14) |
+        ((payload(i + 2) & 0x7f) << 7) | (payload(i + 3) & 0x7f)
+    def u32(i: Int): Long =
+      ((payload(i) & 0xffL) << 24) | ((payload(i + 1) & 0xffL) << 16) |
+        ((payload(i + 2) & 0xffL) << 8) | (payload(i + 3) & 0xffL)
+    val tagEnd = 10L + synchsafe(6)
+    if (tagEnd > payload.length) return None
+    var pos = 10L
+    if ((flags & 0x40) != 0) { // extended header: size INCLUDES itself
+      if (pos + 4 > tagEnd) return None
+      val ehSize =
+        if (verMajor == 4) synchsafe(pos.toInt)
+        else u32(pos.toInt).toInt + 4 // v2.3 size EXCLUDES its own 4 bytes
+      pos += ehSize
+      if (pos > tagEnd) return None
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    while (pos + 10 <= tagEnd && payload(pos.toInt) != 0) {
+      val p = pos.toInt
+      val fid = new String(payload, p, 4, "ISO-8859-1")
+      if (!fid.forall(c => c.isUpper || c.isDigit)) return None
+      val fsize =
+        if (verMajor == 4) synchsafe(p + 4).toLong
+        else u32(p + 4)
+      if (pos + 10 + fsize > tagEnd) return None // frame overruns the tag
+      if (fid.startsWith("T") && fsize >= 1) {
+        val enc = payload(p + 10) & 0xff
+        val body = java.util.Arrays.copyOfRange(payload, p + 11,
+          (pos + 10 + fsize).toInt)
+        val cs = enc match {
+          case 0 => "ISO-8859-1"
+          case 1 => "UTF-16"   // BOM-led
+          case 2 => "UTF-16BE"
+          case 3 => "UTF-8"
+          case _ => return None
+        }
+        // strip trailing NUL terminator(s) — single or double byte
+        val text0 = new String(body, cs)
+        out += ((fid, text0.replaceAll("\\u0000+$", "")))
+      }
+      pos += 10 + fsize
+    }
+    Some(out.toIndexedSeq)
+  }
+
+  /** Output schema of [[id3TextFrames]]. */
+  val id3Schema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("frame_id", StringType),
+    StructField("text", StringType)))
+
+  /** One row per ID3v2 text frame (tag order); payloads without a clean
+   * ID3v2 tag contribute nothing. Narrow map, header-only reads. */
+  def id3TextFrames(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(idIdx)
+        parseId3TextFrames(r.getAs[Array[Byte]](pIdx)) match {
+          case Some(fs) => fs.iterator.map { case (fid, t) => Row(id, fid, t) }
+          case None => Iterator.empty
+        }
+      }
+    }(Encoders.row(id3Schema))
+  }
+
+  /** Deterministic tagged-MP3 shape shared by the writer, the m21 oracle
+   * and the spec: an ID3v2.4 (even ids) or v2.3 (odd ids) tag carrying
+   * TIT2 `title_<id*7 % 1000>`, TPE1 `artist_<id % 50>`, TALB
+   * `album_<id % 20>`, TRCK `<1 + id % 12>`, plus a non-text PRIV frame
+   * the walker must stride over; text encodings rotate by `id % 3`
+   * (ISO-8859-1 / UTF-16 with BOM / UTF-8); 7 padding bytes; then the
+   * id-shaped MPEG stream of [[syntheticMp3]] with its own optional
+   * ID3 replaced by this one. */
+  def syntheticTaggedMp3(id: Long): Array[Byte] = {
+    val v4 = id % 2 == 0
+    val enc = (id % 3).toInt // 0: latin-1, 1: utf-16+BOM, 2: utf-8
+    val frames = Seq(
+      "TIT2" -> s"title_${id * 7 % 1000}",
+      "TPE1" -> s"artist_${id % 50}",
+      "TALB" -> s"album_${id % 20}",
+      "TRCK" -> s"${1 + id % 12}")
+    val bo = new java.io.ByteArrayOutputStream()
+    def frame(fid: String, body: Array[Byte]): Unit = {
+      bo.write(fid.getBytes("ISO-8859-1"))
+      val sz = body.length
+      if (v4) {
+        bo.write((sz >> 21) & 0x7f); bo.write((sz >> 14) & 0x7f)
+        bo.write((sz >> 7) & 0x7f); bo.write(sz & 0x7f)
+      } else {
+        bo.write((sz >> 24) & 0xff); bo.write((sz >> 16) & 0xff)
+        bo.write((sz >> 8) & 0xff); bo.write(sz & 0xff)
+      }
+      bo.write(0); bo.write(0) // frame flags
+      bo.write(body, 0, body.length)
+    }
+    frames.foreach { case (fid, text) =>
+      val tb = new java.io.ByteArrayOutputStream()
+      enc match {
+        case 0 => tb.write(0); tb.write(text.getBytes("ISO-8859-1"))
+        case 1 => tb.write(1); tb.write(0xff); tb.write(0xfe)
+          tb.write(text.getBytes("UTF-16LE")); tb.write(0); tb.write(0)
+        case _ => tb.write(3); tb.write(text.getBytes("UTF-8")); tb.write(0)
+      }
+      frame(fid, tb.toByteArray)
+    }
+    // a non-text frame the walker strides over structurally
+    frame("PRIV", s"owner$id".getBytes("ISO-8859-1"))
+    val body = bo.toByteArray
+    val padded = body.length + 7 // padding bytes
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('I'); out.write('D'); out.write('3')
+    out.write(if (v4) 4 else 3); out.write(0)
+    out.write(0) // flags
+    out.write((padded >> 21) & 0x7f); out.write((padded >> 14) & 0x7f)
+    out.write((padded >> 7) & 0x7f); out.write(padded & 0x7f)
+    out.write(body, 0, body.length)
+    (0 until 7).foreach(_ => out.write(0))
+    // the MPEG stream, with syntheticMp3's own optional ID3 stripped
+    val stream = syntheticMp3(id)
+    val skip =
+      if (id % 3 == 0) 10 + (17 + id % 23).toInt else 0
+    out.write(stream, skip, stream.length - skip)
+    out.toByteArray
+  }
+
+  /** Executor-side tagged fixtures — the m21 oracle recomputes the frame
+   * texts from the id formulas. */
+  def syntheticTaggedMp3s(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      it.map(r => Row(r.getLong(idIdx), syntheticTaggedMp3(r.getLong(idIdx))))
+    }(Encoders.row(schema))
+  }
+
+  // =====================================================================
   // Synthetic fixture: a VALID VBR MPEG-1 Layer III stream whose frame
   // arithmetic is a pure function of the seed, so a SQL oracle can
   // recompute every frame's offset/size/bitrate from first principles.

@@ -181,7 +181,8 @@ object GraftSql {
    * `mp4_demux(...)` (ISO-BMFF sample table), `mp3_frames(...)`
    * (MPEG-audio frame table), `ogg_pages(...)` / `ogg_packets(...)` /
    * `ogg_audio_meta(...)` (RFC 3533 page table / cross-page packet
-   * reassembly / OpusHead-VorbisId header decode);
+   * reassembly / OpusHead-VorbisId header decode), `id3_tags(...)`
+   * (ID3v2 text-frame extraction);
    * ops tooling: `key_skew(keys:"k"[, k:10])` (shuffle-key skew
    * diagnostic), `suggest_salt(keys:"k"[, target:n, max:n])` (measured
    * salt-factor advisor), `PROCESS probe, dim USING salted_join(
@@ -435,6 +436,10 @@ object GraftSql {
         },
         "ogg_audio_meta" -> ProcessorDef { (_, dfs, p) =>
           graft.functions.Ogg.oggAudioMeta(one(dfs, "ogg_audio_meta"),
+            p.getOrElse("id", "doc_id"), p.getOrElse("col", "payload"))
+        },
+        "id3_tags" -> ProcessorDef { (_, dfs, p) =>
+          graft.functions.Mp3.id3TextFrames(one(dfs, "id3_tags"),
             p.getOrElse("id", "doc_id"), p.getOrElse("col", "payload"))
         },
         // hybrid-retrieval fusion: PROCESS lexical, dense USING

@@ -1089,6 +1089,15 @@ class GraftSqlSpec extends SparkTestBase {
         |""".stripMargin, Map("src" -> meta)).yields("f").collect()
     assert(am.length === 1 && am.head.getString(1) === "opus" &&
       am.head.getLong(3) === 48000L)
+    val tagged = spark.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row(9L, graft.functions.Mp3.syntheticTaggedMp3(9L))),
+      schema)
+    val tags = GraftSql.run(engine,
+      """f = PROCESS src USING id3_tags
+        |YIELD f AS f
+        |""".stripMargin, Map("src" -> tagged)).yields("f").collect()
+      .map(r => r.getString(1) -> r.getString(2)).toMap
+    assert(tags("TIT2") === "title_63" && tags("TRCK") === "10")
     val mp4 = GraftSql.run(engine,
       """f = PROCESS src USING mp4_demux
         |YIELD f AS f

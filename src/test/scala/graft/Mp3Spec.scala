@@ -102,6 +102,62 @@ class Mp3Spec extends AnyFunSuite {
     assert(got.head.offset === 10L + sz + 10)
   }
 
+  test("ID3v2 text frames decode across versions and encodings (IDs 0-29)") {
+    (0L until 30L).foreach { id =>
+      val payload = Mp3.syntheticTaggedMp3(id)
+      val frames = Mp3.parseId3TextFrames(payload)
+        .getOrElse(fail(s"id=$id tag did not parse"))
+      // text frames in tag order; PRIV skipped structurally
+      assert(frames === IndexedSeq(
+        "TIT2" -> s"title_${id * 7 % 1000}",
+        "TPE1" -> s"artist_${id % 50}",
+        "TALB" -> s"album_${id % 20}",
+        "TRCK" -> s"${1 + id % 12}"), s"id=$id frames")
+      // the MPEG stream behind the tag still frame-walks cleanly
+      val audio = Mp3.parseFrames(payload)
+        .getOrElse(fail(s"id=$id stream did not parse"))
+      assert(audio.length === (3 + id % 6).toInt, s"id=$id stream frames")
+    }
+  }
+
+  test("ID3v2 corrupt/edge tag forms") {
+    val ok = Mp3.syntheticTaggedMp3(6L)
+    // lying frame size overrunning the tag → None (frame starts at 10:
+    // id 10..13, size 14..17)
+    val lying = ok.clone()
+    lying(14) = 0x7f.toByte // TIT2's synchsafe size byte 0 → huge
+    assert(Mp3.parseId3TextFrames(lying) === None)
+    // mangled frame id (non [A-Z0-9]) → None, not a silent skip
+    val badId = ok.clone(); badId(13) = '~'.toByte
+    assert(Mp3.parseId3TextFrames(badId) === None)
+    // v2.2 (3-byte ids) unsupported → None, not garbage
+    val v22 = ok.clone(); v22(3) = 2
+    assert(Mp3.parseId3TextFrames(v22) === None)
+    // no tag at all
+    assert(Mp3.parseId3TextFrames(Mp3.syntheticMp3(1L)) === None)
+    assert(Mp3.parseId3TextFrames(null) === None)
+    // v2.4 extended header: walker must skip it by its own size
+    val bo = new java.io.ByteArrayOutputStream()
+    bo.write('I'); bo.write('D'); bo.write('3'); bo.write(4); bo.write(0)
+    bo.write(0x40) // extended header present
+    val body = {
+      val fb = new java.io.ByteArrayOutputStream()
+      fb.write(0); fb.write(0); fb.write(0); fb.write(8) // ext size 8
+      fb.write(1); fb.write(0); fb.write(0); fb.write(0) // ext payload
+      fb.write("TIT2".getBytes("ISO-8859-1"))
+      fb.write(0); fb.write(0); fb.write(0); fb.write(3) // size 3
+      fb.write(0); fb.write(0) // flags
+      fb.write(0); fb.write('h'); fb.write('i') // latin-1 "hi"
+      fb.toByteArray
+    }
+    val sz = body.length
+    bo.write((sz >> 21) & 0x7f); bo.write((sz >> 14) & 0x7f)
+    bo.write((sz >> 7) & 0x7f); bo.write(sz & 0x7f)
+    bo.write(body, 0, body.length)
+    assert(Mp3.parseId3TextFrames(bo.toByteArray) ===
+      Some(IndexedSeq("TIT2" -> "hi")))
+  }
+
   test("trailing ID3v1 TAG terminates cleanly; corrupt forms return None") {
     val ok = Mp3.syntheticMp3(4L)
     val tagged = ok ++ ("TAG" + "x" * 125).getBytes("ISO-8859-1")
