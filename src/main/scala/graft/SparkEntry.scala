@@ -542,10 +542,10 @@ object SparkEntry {
     }),
 
     // mixed-media-lake census: magic-byte type sniffing over a column
-    // that interleaves all eight payload families (PNG/GIF/progressive
-    // MP4/fragmented MP4/MP3/WAV/Ogg/plain text) — the "what is actually
-    // in this bucket" pass a 100 TB binary column gets before any decode
-    // fan-out. Narrow map, O(1) header reads per row; exact oracle
+    // that interleaves all nine payload families (PNG/GIF/progressive
+    // MP4/fragmented MP4/MP3/WAV/Ogg/FLAC/plain text) — the "what is
+    // actually in this bucket" pass a 100 TB binary column gets before
+    // any decode fan-out. Narrow map, O(1) header reads; exact oracle
     "m17_media_census" -> ((s, dir) => {
       import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
       val ids = t(s, dir, "documents").select("doc_id")
@@ -554,7 +554,7 @@ object SparkEntry {
       val mixed = ids.mapPartitions { it =>
         it.map { r =>
           val id = r.getLong(0)
-          val payload = (id % 8) match {
+          val payload = (id % 9) match {
             case 0 => graft.functions.Multimodal.syntheticPng(16, 8, id)
             case 1 => graft.functions.Multimodal.syntheticGif(8, 8, 3, id)
             case 2 => graft.functions.Mp4.syntheticMp4(id)
@@ -562,6 +562,7 @@ object SparkEntry {
             case 4 => graft.functions.Mp3.syntheticMp3(id)
             case 5 => graft.functions.Multimodal.syntheticWav(8000, 1, 64, id)
             case 6 => graft.functions.Ogg.syntheticOgg(id)
+            case 7 => graft.functions.Flac.syntheticFlac(id)
             case _ => s"plain text payload $id".getBytes("UTF-8")
           }
           org.apache.spark.sql.Row(id, payload)
@@ -627,6 +628,17 @@ object SparkEntry {
             .as("head_byte"),
           expr("cast(conv(hex(substring(bytes, cast(size as int), 1)), 16, 10) as int)")
             .as("tail_byte"))
+    }),
+
+    // FLAC STREAMINFO decode: rate/channels/bits/total-samples (and the
+    // derived duration) from the mandatory first metadata block, with a
+    // VORBIS_COMMENT block to stride over — the lossless-audio member of
+    // the typed-metadata family; bit-packed-field oracle
+    "m22_flac_info" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select("doc_id")
+      graft.functions.Flac.flacInfo(
+        graft.functions.Flac.syntheticFlacs(ids, "doc_id"),
+        "doc_id", "payload")
     }),
 
     // ID3v2 text-frame extraction (title/artist/album/track) across tag
@@ -3822,10 +3834,11 @@ object SparkEntry {
     // stts durations, tkhd dims, and the head/tail extraction probes
     "m17_media_census" ->
       """SELECT doc_id,
-        | CASE CAST(doc_id % 8 AS INTEGER)
+        | CASE CAST(doc_id % 9 AS INTEGER)
         |  WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'mp4'
         |  WHEN 3 THEN 'mp4' WHEN 4 THEN 'mp3' WHEN 5 THEN 'wav'
-        |  WHEN 6 THEN 'ogg' ELSE 'unknown' END AS media_type
+        |  WHEN 6 THEN 'ogg' WHEN 7 THEN 'flac'
+        |  ELSE 'unknown' END AS media_type
         |FROM documents""".stripMargin,
     // first-principles MP3 oracle: replays Mp3.syntheticShape — MPEG-1
     // Layer III frame size is 144000·kbps // hz + pad; data starts after
@@ -3854,6 +3867,21 @@ object SparkEntry {
         | CAST((doc_id + i*131 + 4) % 256 AS INTEGER) AS data_head,
         | CAST((doc_id + i*131 + size - 1) % 256 AS INTEGER) AS data_tail
         |FROM o""".stripMargin,
+    // replay of Flac.syntheticFlac's shape formulas; duration is integer
+    // millisecond floor division in both engines
+    "m22_flac_info" ->
+      """WITH s AS (SELECT doc_id,
+        | CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 44100 WHEN 1 THEN 48000
+        |   WHEN 2 THEN 96000 ELSE 22050 END AS rate,
+        | CAST(1 + doc_id % 3 AS INTEGER) AS channels,
+        | CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 16 WHEN 1 THEN 24
+        |   ELSE 8 END AS bits,
+        | CAST(1000 + doc_id % 9999 AS BIGINT) AS total
+        |FROM documents)
+        |SELECT doc_id, CAST(rate AS INTEGER) AS sample_rate, channels,
+        | CAST(bits AS INTEGER) AS bits_per_sample, total AS total_samples,
+        | CAST(total * 1000 // rate AS BIGINT) AS duration_ms
+        |FROM s""".stripMargin,
     // replay of Mp3.syntheticTaggedMp3's frame formulas — encoding and
     // tag-version variation is the ENGINE's to erase; decoded text is
     // encoding-independent

@@ -963,9 +963,9 @@ object Multimodal {
    * primitive for a MIXED media lake (at 100 TB the first question about
    * a binary column is "what is actually in it", answered without
    * decoding anything): png / jpeg / gif / bmp / mp4 (any ISO-BMFF) /
-   * mp3 (ID3v2 or a valid MPEG-audio frame header) / wav / ogg / gzip /
-   * tar (ustar) / warc / empty / unknown. Pure header reads — O(1) per
-   * row.
+   * mp3 (ID3v2 or a valid MPEG-audio frame header) / wav / ogg / flac /
+   * gzip / tar (ustar) / warc / empty / unknown. Pure header reads —
+   * O(1) per row.
    */
   def sniffMediaType(payload: Array[Byte]): String = {
     if (payload == null || payload.isEmpty) return "empty"
@@ -989,6 +989,7 @@ object Multimodal {
         ((at(1) >> 3) & 0x3) != 1 && ((at(1) >> 1) & 0x3) != 0 &&
         ((at(2) >> 4) & 0xf) != 15 && ((at(2) >> 2) & 0x3) != 3)) "mp3"
     else if (str(0, "OggS")) "ogg"
+    else if (str(0, "fLaC")) "flac"
     else if (at(0) == 0x1f && at(1) == 0x8b) "gzip"
     else if (str(257, "ustar")) "tar"
     else if (str(0, "WARC/")) "warc"

@@ -182,7 +182,8 @@ object GraftSql {
    * (MPEG-audio frame table), `ogg_pages(...)` / `ogg_packets(...)` /
    * `ogg_audio_meta(...)` (RFC 3533 page table / cross-page packet
    * reassembly / OpusHead-VorbisId header decode), `id3_tags(...)`
-   * (ID3v2 text-frame extraction);
+   * (ID3v2 text-frame extraction), `flac_info(...)` (STREAMINFO
+   * decode);
    * ops tooling: `key_skew(keys:"k"[, k:10])` (shuffle-key skew
    * diagnostic), `suggest_salt(keys:"k"[, target:n, max:n])` (measured
    * salt-factor advisor), `PROCESS probe, dim USING salted_join(
@@ -440,6 +441,10 @@ object GraftSql {
         },
         "id3_tags" -> ProcessorDef { (_, dfs, p) =>
           graft.functions.Mp3.id3TextFrames(one(dfs, "id3_tags"),
+            p.getOrElse("id", "doc_id"), p.getOrElse("col", "payload"))
+        },
+        "flac_info" -> ProcessorDef { (_, dfs, p) =>
+          graft.functions.Flac.flacInfo(one(dfs, "flac_info"),
             p.getOrElse("id", "doc_id"), p.getOrElse("col", "payload"))
         },
         // hybrid-retrieval fusion: PROCESS lexical, dense USING

@@ -1098,6 +1098,15 @@ class GraftSqlSpec extends SparkTestBase {
         |""".stripMargin, Map("src" -> tagged)).yields("f").collect()
       .map(r => r.getString(1) -> r.getString(2)).toMap
     assert(tags("TIT2") === "title_63" && tags("TRCK") === "10")
+    val flac = spark.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row(8L, graft.functions.Flac.syntheticFlac(8L))),
+      schema)
+    val fi = GraftSql.run(engine,
+      """f = PROCESS src USING flac_info
+        |YIELD f AS f
+        |""".stripMargin, Map("src" -> flac)).yields("f").collect()
+    assert(fi.length === 1 && fi.head.getInt(1) === 44100 &&
+      fi.head.getInt(2) === 3)
     val mp4 = GraftSql.run(engine,
       """f = PROCESS src USING mp4_demux
         |YIELD f AS f
