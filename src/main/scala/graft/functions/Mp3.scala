@@ -169,64 +169,102 @@ object Mp3 {
   // MPEG stream.
   // =====================================================================
 
+  /** Reverse ID3v2 unsynchronisation: every FF 00 pair collapses to FF
+   * (the 00 was inserted so tag bytes never form a false MPEG sync). */
+  private def deunsync(b: Array[Byte], from: Int, until: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(until - from)
+    var i = from
+    while (i < until) {
+      out.write(b(i))
+      if ((b(i) & 0xff) == 0xff && i + 1 < until && b(i + 1) == 0) i += 2
+      else i += 1
+    }
+    out.toByteArray
+  }
+
   /**
    * Decode the leading ID3v2 tag's TEXT frames (ids `T***`): one
    * (frame_id, text) per frame, in tag order. Handles v2.4 synchsafe and
    * v2.3 plain frame sizes, the optional extended header, padding
-   * termination, and the four text encodings (ISO-8859-1, UTF-16 with
-   * BOM, UTF-16BE, UTF-8) with trailing NUL stripping. None when there
-   * is no ID3v2 tag or any frame overruns the tag — a corrupt tag is
-   * detectable, never a silently short frame list. Non-text frames are
-   * skipped structurally (their size still walks).
+   * termination, tag-level (v2.3) and frame-level (v2.4)
+   * UNSYNCHRONISATION, the v2.4 data-length indicator, and the four text
+   * encodings (ISO-8859-1, UTF-16 with BOM, UTF-16BE, UTF-8) with
+   * trailing NUL stripping. Compressed/encrypted frames are SKIPPED
+   * (structurally walked, never decoded as plain text — emitting garbage
+   * rows would be worse than omission). None when there is no ID3v2 tag
+   * or any frame overruns the tag — a corrupt tag is detectable, never a
+   * silently short frame list.
    */
   def parseId3TextFrames(payload: Array[Byte]): Option[IndexedSeq[(String, String)]] = {
     if (payload == null || payload.length < 10 || payload(0) != 'I' ||
         payload(1) != 'D' || payload(2) != '3') return None
     val verMajor = payload(3) & 0xff
     if (verMajor < 3 || verMajor > 4) return None // v2.2 3-byte ids unsupported
-    val flags = payload(5) & 0xff
-    def synchsafe(i: Int): Int =
-      ((payload(i) & 0x7f) << 21) | ((payload(i + 1) & 0x7f) << 14) |
-        ((payload(i + 2) & 0x7f) << 7) | (payload(i + 3) & 0x7f)
-    def u32(i: Int): Long =
-      ((payload(i) & 0xffL) << 24) | ((payload(i + 1) & 0xffL) << 16) |
-        ((payload(i + 2) & 0xffL) << 8) | (payload(i + 3) & 0xffL)
-    val tagEnd = 10L + synchsafe(6)
+    val hdrFlags = payload(5) & 0xff
+    def synchsafeAt(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0x7f) << 21) | ((b(i + 1) & 0x7f) << 14) |
+        ((b(i + 2) & 0x7f) << 7) | (b(i + 3) & 0x7f)
+    val tagEnd = 10 + synchsafeAt(payload, 6)
     if (tagEnd > payload.length) return None
-    var pos = 10L
-    if ((flags & 0x40) != 0) { // extended header: size INCLUDES itself
-      if (pos + 4 > tagEnd) return None
+    // tag-level unsynchronisation (the v2.3 form; a v2.4 header flag
+    // means every frame carries its own flag, handled below) — walk a
+    // de-unsynced copy of the tag body
+    val tag: Array[Byte] =
+      if (verMajor == 3 && (hdrFlags & 0x80) != 0)
+        deunsync(payload, 10, tagEnd)
+      else java.util.Arrays.copyOfRange(payload, 10, tagEnd)
+    def u32(i: Int): Long =
+      ((tag(i) & 0xffL) << 24) | ((tag(i + 1) & 0xffL) << 16) |
+        ((tag(i + 2) & 0xffL) << 8) | (tag(i + 3) & 0xffL)
+    var pos = 0
+    if ((hdrFlags & 0x40) != 0) { // extended header
+      if (pos + 4 > tag.length) return None
       val ehSize =
-        if (verMajor == 4) synchsafe(pos.toInt)
-        else u32(pos.toInt).toInt + 4 // v2.3 size EXCLUDES its own 4 bytes
+        if (verMajor == 4) synchsafeAt(tag, pos)
+        else u32(pos).toInt + 4 // v2.3 size EXCLUDES its own 4 bytes
       pos += ehSize
-      if (pos > tagEnd) return None
+      if (pos > tag.length) return None
     }
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    while (pos + 10 <= tagEnd && payload(pos.toInt) != 0) {
-      val p = pos.toInt
-      val fid = new String(payload, p, 4, "ISO-8859-1")
+    while (pos + 10 <= tag.length && tag(pos) != 0) {
+      val fid = new String(tag, pos, 4, "ISO-8859-1")
       if (!fid.forall(c => c.isUpper || c.isDigit)) return None
       val fsize =
-        if (verMajor == 4) synchsafe(p + 4).toLong
-        else u32(p + 4)
-      if (pos + 10 + fsize > tagEnd) return None // frame overruns the tag
-      if (fid.startsWith("T") && fsize >= 1) {
-        val enc = payload(p + 10) & 0xff
-        val body = java.util.Arrays.copyOfRange(payload, p + 11,
-          (pos + 10 + fsize).toInt)
-        val cs = enc match {
-          case 0 => "ISO-8859-1"
-          case 1 => "UTF-16"   // BOM-led
-          case 2 => "UTF-16BE"
-          case 3 => "UTF-8"
-          case _ => return None
+        if (verMajor == 4) synchsafeAt(tag, pos + 4).toLong
+        else u32(pos + 4)
+      if (pos + 10 + fsize > tag.length) return None // overruns the tag
+      val fmtFlags = tag(pos + 9) & 0xff
+      // compressed/encrypted frames cannot be decoded as plain text:
+      // v2.4 flags 0x08/0x04, v2.3 flags 0x80/0x40 — skip, don't guess
+      val undecodable =
+        if (verMajor == 4) (fmtFlags & 0x0c) != 0
+        else (fmtFlags & 0xc0) != 0
+      if (fid.startsWith("T") && fsize >= 1 && !undecodable) {
+        var bodyStart = pos + 10
+        var bodyEnd = (pos + 10 + fsize).toInt
+        // v2.4 data-length indicator precedes the data
+        if (verMajor == 4 && (fmtFlags & 0x01) != 0) {
+          if (bodyStart + 4 > bodyEnd) return None
+          bodyStart += 4
         }
-        // strip trailing NUL terminator(s) — single or double byte
-        val text0 = new String(body, cs)
-        out += ((fid, text0.replaceAll("\\u0000+$", "")))
+        val body =
+          if (verMajor == 4 && (fmtFlags & 0x02) != 0)
+            deunsync(tag, bodyStart, bodyEnd) // frame-level unsync
+          else java.util.Arrays.copyOfRange(tag, bodyStart, bodyEnd)
+        if (body.length >= 1) {
+          val cs = body(0) & 0xff match {
+            case 0 => "ISO-8859-1"
+            case 1 => "UTF-16"   // BOM-led
+            case 2 => "UTF-16BE"
+            case 3 => "UTF-8"
+            case _ => return None
+          }
+          // strip trailing NUL terminator(s) — single or double byte
+          val text0 = new String(body, 1, body.length - 1, cs)
+          out += ((fid, text0.replaceAll("\\u0000+$", "")))
+        }
       }
-      pos += 10 + fsize
+      pos += 10 + fsize.toInt
     }
     Some(out.toIndexedSeq)
   }

@@ -61,17 +61,23 @@ object Similarity {
    * Exact brute-force cosine top-k: for every row of `queries`, the k
    * nearest rows of `corpus` by cosine similarity.
    * Output: (query_id, neighbor_id, rank, cosine), rank 1..k,
-   * ties broken by neighbor id ascending.
+   * ties broken by neighbor id ascending. `excludeSelf` (default true)
+   * drops the id-equal pair — right for same-corpus kNN, wrong for
+   * CROSS-corpus retrieval where src and tgt id spaces are independent
+   * and may collide (pass false there, as [[marginMine]] does).
    */
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
     val c = Dedup.spreadForCompute(corpus)
       .select(col(idCol).as("neighbor_id"), l2normalize(col(vecCol)).as("cv"))
     val q = queries.select(col(idCol).as("query_id"), l2normalize(col(vecCol)).as("qv"))
-    val scored = c.crossJoin(sparkBroadcast(q))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", dot(col("cv"), col("qv")))
+    val paired = c.crossJoin(sparkBroadcast(q))
+    val scored =
+      (if (excludeSelf) paired.filter(col("neighbor_id") =!= col("query_id"))
+       else paired)
+        .withColumn("cosine", dot(col("cv"), col("qv")))
     topKByCosine(scored, k)
   }
 
@@ -147,16 +153,21 @@ object Similarity {
       src: DataFrame, tgt: DataFrame, idCol: String, vecCol: String,
       k: Int = 4, minMargin: Double = 0.0): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val ab = bruteForceTopK(tgt, src, idCol, vecCol, k)
+    // cross-corpus: src and tgt id spaces are independent, so id-equal
+    // pairs are REAL candidates — no self-exclusion (review finding: the
+    // default kNN filter silently dropped aligned-id bitext pairs)
+    val ab = bruteForceTopK(tgt, src, idCol, vecCol, k, excludeSelf = false)
       .withColumn("c7", round(col("cosine"), 7))
-    val ba = bruteForceTopK(src, tgt, idCol, vecCol, k)
+    val ba = bruteForceTopK(src, tgt, idCol, vecCol, k, excludeSelf = false)
       .withColumn("c7", round(col("cosine"), 7))
+    // average over the ACTUAL neighborhood size: a corpus smaller than k
+    // must not deflate the hubness denominator (and inflate margins)
     val aAvg = ab.groupBy("query_id")
       .agg((sum(col("c7").cast("decimal(25,10)")).cast("double") /
-        lit(k.toDouble)).as("a_avg"))
+        count(lit(1)).cast("double")).as("a_avg"))
     val bAvg = ba.groupBy("query_id")
       .agg((sum(col("c7").cast("decimal(25,10)")).cast("double") /
-        lit(k.toDouble)).as("b_avg"))
+        count(lit(1)).cast("double")).as("b_avg"))
       .withColumnRenamed("query_id", "neighbor_id")
     val scored = ab.join(aAvg, "query_id").join(bAvg, "neighbor_id")
       .withColumn("margin",

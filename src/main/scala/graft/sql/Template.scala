@@ -984,9 +984,10 @@ object Template {
     case Attr(t, n) => eval(t, env) match {
       case ns: NamespaceVal => ns.fields.getOrElse(n, Undefined)
       case m: Map[_, _] => m.asInstanceOf[Map[String, Any]].getOrElse(n, Undefined)
-      // groupby rows act like jinja's (grouper, list) namedtuple
-      case s: Seq[_] if s.length == 2 && (n == "grouper" || n == "list") =>
-        if (n == "grouper") s.head else s(1)
+      // ONLY groupby rows act like jinja's (grouper, list) namedtuple —
+      // ordinary 2-lists have no attributes (review finding)
+      case g: GroupRow if n == "grouper" || n == "list" =>
+        if (n == "grouper") g.key else g.items
       case _ => Undefined
     }
     case IndexOp(t, ie) => (eval(t, env), eval(ie, env)) match {
@@ -1290,6 +1291,17 @@ object Template {
         s"unknown test 'is $other'")
     }
 
+  /** groupby row: unpacks, indexes and renders as a 2-seq AND answers
+   * .grouper/.list like jinja's namedtuple — as a dedicated type, so
+   * those attributes never leak onto ordinary 2-element lists. */
+  private final class GroupRow(val key: Any, val items: Any)
+      extends scala.collection.immutable.AbstractSeq[Any] {
+    def apply(i: Int): Any = if (i == 0) key else if (i == 1) items
+      else throw new IndexOutOfBoundsException(i.toString)
+    def length: Int = 2
+    override def iterator: Iterator[Any] = Iterator(key, items)
+  }
+
   /** Element attribute access for map/sum/sort(attribute=...) — jinja's
    * getattr over dict items / namespaces. */
   private def elemAttr(x: Any, attr: String): Any = x match {
@@ -1496,7 +1508,7 @@ object Template {
         val ord = sortFamilyOrdering("groupby", groups.keys.toSeq,
           caseSensitive = true) // keys pre-folded above
         groups.toSeq.sortBy(_._1)(ord)
-          .map { case (_, (raw, items)) => Seq(raw, items.toSeq) }
+          .map { case (_, (raw, items)) => new GroupRow(raw, items.toSeq) }
       // jinja2 do_dictsort(value, case_sensitive=False, by='key',
       // reverse=False) → (key, value) rows in sorted order
       case ("dictsort", m: Map[_, _], fargs) =>
@@ -1600,26 +1612,17 @@ object Template {
         val opts = filterOpts("center", fargs, kwargs, Seq("width"))
         val width = opts.get("width").map(num(_).toInt).getOrElse(80)
         if (s.length >= width) s
-        else { // python str.center: the extra space goes right
-          val pad = width - s.length
-          (" " * (pad / 2)) + s + (" " * (pad - pad / 2))
+        else { // python str.center: left = marg/2 + (marg & width & 1) —
+          // the EXTRA space goes LEFT exactly when margin and width are
+          // both odd (CPython stringlib; review finding)
+          val marg = width - s.length
+          val left = marg / 2 + (marg & width & 1)
+          (" " * left) + s + (" " * (marg - left))
         }
-      // printf-style %-formatting (the common %s/%d/%f/%x conversions and
-      // flags map 1:1 onto java.util.Formatter)
-      case ("format", s: String, fargs) =>
-        val jargs = fargs.map {
-          case l: Long => l: java.lang.Long
-          case i: Int => i.toLong: java.lang.Long
-          case d: Double => d: java.lang.Double
-          case f: Float => f.toDouble: java.lang.Double
-          case b: Boolean => b: java.lang.Boolean
-          case other => show(other)
-        }
-        try String.format(s, jargs: _*)
-        catch { case e: java.util.IllegalFormatException =>
-          throw new IllegalArgumentException(
-            s"format filter: ${e.getMessage}")
-        }
+      // python %-formatting: positional AND %(name)s named conversions
+      // (jinja do_format is `value % (kwargs or args)`); unsupported
+      // conversions raise loudly instead of silently diverging
+      case ("format", s: String, fargs) => pyFormat(s, fargs, kwargs)
       case ("count", v, fargs) => applyFilter(v, "length", fargs, kwargs)
       // jinja2 do_attr: TRUE attribute access only — never item lookup
       // (a dict key is not an attribute); missing → undefined, so
@@ -1735,6 +1738,90 @@ object Template {
   }
 
   /** Python-`str` style rendering (matches what jinja2 would emit). */
+  /** python %-formatting for the `format` filter: `%(name)conv` reads
+   * kwargs, bare `%conv` consumes args positionally; flags `-+ 0#`,
+   * width, precision; conversions s r d i u f F e E x X o and %%.
+   * Leftover positional args raise like python's 'not all arguments
+   * converted'; %g and other conversions whose python/java output
+   * differs raise rather than silently diverge. */
+  private def pyFormat(fmt: String, args: Seq[Any],
+      kwargs: Map[String, Any]): String = {
+    def asLong(v: Any): Long = v match {
+      case l: Long => l
+      case i: Int => i.toLong
+      case b: Boolean => if (b) 1L else 0L
+      case d: Double => d.toLong // python %d truncates floats
+      case f: Float => f.toLong
+      case other => throw new IllegalArgumentException(
+        s"format: %d needs a number, got ${kind(other)}")
+    }
+    val out = new StringBuilder
+    var i = 0
+    var argi = 0
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c != '%') { out += c; i += 1 }
+      else if (i + 1 < fmt.length && fmt.charAt(i + 1) == '%') {
+        out += '%'; i += 2
+      } else {
+        var j = i + 1
+        var name: Option[String] = None
+        if (j < fmt.length && fmt.charAt(j) == '(') {
+          val close = fmt.indexOf(')', j)
+          if (close < 0) throw new IllegalArgumentException(
+            s"format: unterminated %(name) in '$fmt'")
+          name = Some(fmt.substring(j + 1, close)); j = close + 1
+        }
+        val flagsStart = j
+        while (j < fmt.length && "-+ 0#".indexOf(fmt.charAt(j)) >= 0) j += 1
+        val flags = fmt.substring(flagsStart, j)
+        val wStart = j
+        while (j < fmt.length && fmt.charAt(j).isDigit) j += 1
+        val width = fmt.substring(wStart, j)
+        var prec = ""
+        if (j < fmt.length && fmt.charAt(j) == '.') {
+          val pStart = j; j += 1
+          while (j < fmt.length && fmt.charAt(j).isDigit) j += 1
+          prec = fmt.substring(pStart, j)
+        }
+        if (j >= fmt.length) throw new IllegalArgumentException(
+          s"format: truncated conversion in '$fmt'")
+        val conv = fmt.charAt(j)
+        val v: Any = name match {
+          case Some(nm) => kwargs.getOrElse(nm,
+            throw new IllegalArgumentException(
+              s"format: no keyword argument '$nm'"))
+          case None =>
+            if (argi >= args.length) throw new IllegalArgumentException(
+              "not enough arguments for format string")
+            val a = args(argi); argi += 1; a
+        }
+        val jspec = "%" + flags + width + prec
+        val piece = conv match {
+          case 's' => String.format(jspec + "s", show(v))
+          case 'r' => String.format(jspec + "s", repr(v))
+          case 'd' | 'i' | 'u' =>
+            String.format(jspec + "d", java.lang.Long.valueOf(asLong(v)))
+          case 'f' | 'F' | 'e' | 'E' =>
+            String.format(jspec + conv,
+              java.lang.Double.valueOf(num(v)))
+          case 'x' | 'X' | 'o' =>
+            String.format(jspec + conv, java.lang.Long.valueOf(asLong(v)))
+          case other => throw new IllegalArgumentException(
+            s"format: unsupported conversion '%$other'")
+        }
+        out ++= piece
+        i = j + 1
+      }
+    }
+    // python raises on leftover positionals only when formatting with
+    // the args tuple (kwargs formatting ignores extras)
+    if (kwargs.isEmpty && argi < args.length)
+      throw new IllegalArgumentException(
+        "not all arguments converted during string formatting")
+    out.toString
+  }
+
   /** jinja2 `tojson` policy: json.dumps with sort_keys=True plus the
    * HTML-safety escapes (' < > & to \\u00xx) — byte-compatible with the
    * 3.1.6 output for the template-value domain (null/bool/num/str/
@@ -1753,11 +1840,15 @@ object Template {
         case '\n' => sb ++= "\\n"
         case '\r' => sb ++= "\\r"
         case '\t' => sb ++= "\\t"
+        case '\b' => sb ++= "\\b" // json.dumps shorthands, not \u0008
+        case '\f' => sb ++= "\\f"
         case '\'' => sb ++= "\\u0027"
         case '<' => sb ++= "\\u003c"
         case '>' => sb ++= "\\u003e"
         case '&' => sb ++= "\\u0026"
-        case c if c < 0x20 => sb ++= f"\\u${c.toInt}%04x"
+        // ensure_ascii=True (json.dumps default): every non-ASCII
+        // UTF-16 unit escapes, astral chars as surrogate pairs
+        case c if c < 0x20 || c > 0x7e => sb ++= f"\\u${c.toInt}%04x"
         case c => sb += c
       }
       (sb += '"').toString

@@ -219,6 +219,28 @@ class FunctionsSpec extends SparkTestBase {
     assert(thr === want.filter(_._3 >= 1.0))
   }
 
+  test("marginMine: colliding id spaces and sub-k corpora (review findings)") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    def frame(rows: (Long, Seq[Float])*) = spark.createDataFrame(
+      java.util.Arrays.asList(rows.map { case (id, v) =>
+        org.apache.spark.sql.Row(id, v) }: _*), schema)
+    // src and tgt are SEPARATE corpora sharing id values 0..1 — the
+    // aligned pair (0 -> 0) must be minable, not self-excluded
+    val src = frame(0L -> Seq(1f, 0f), 1L -> Seq(0f, 1f))
+    val tgt = frame(0L -> Seq(0.95f, 0.05f), 1L -> Seq(0.05f, 0.95f))
+    val got = Similarity.marginMine(src, tgt, "vec_id", "embedding", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((0L, 0L), (1L, 1L)))
+    // tgt smaller than k: the neighborhood average divides by the ACTUAL
+    // count (2), not k (4). True margins here are ~1.9 (cos .999 over an
+    // average of {.999, .053}); the /k bug would double them to ~3.8
+    val margins = Similarity.marginMine(src, tgt, "vec_id", "embedding",
+      k = 4).collect().map(_.getDouble(2))
+    assert(margins.forall(m => m > 1.0 && m < 2.5), margins.toSeq.toString)
+  }
+
   test("lshTopK achieves high recall vs brute force") {
     val brute = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
       "vec_id", "embedding", 5).select("query_id", "neighbor_id")

@@ -158,6 +158,73 @@ class Mp3Spec extends AnyFunSuite {
       Some(IndexedSeq("TIT2" -> "hi")))
   }
 
+  test("ID3v2 unsynchronisation and undecodable-frame handling") {
+    // v2.3 tag-level unsync: text contains ÿ (0xFF), stored as FF 00
+    def tag23(frames: Array[Byte], unsync: Boolean): Array[Byte] = {
+      val body = if (unsync) {
+        val bo = new java.io.ByteArrayOutputStream()
+        frames.foreach { b =>
+          bo.write(b); if ((b & 0xff) == 0xff) bo.write(0)
+        }
+        bo.toByteArray
+      } else frames
+      val out = new java.io.ByteArrayOutputStream()
+      out.write('I'); out.write('D'); out.write('3'); out.write(3); out.write(0)
+      out.write(if (unsync) 0x80 else 0)
+      val sz = body.length
+      out.write((sz >> 21) & 0x7f); out.write((sz >> 14) & 0x7f)
+      out.write((sz >> 7) & 0x7f); out.write(sz & 0x7f)
+      out.write(body, 0, body.length)
+      out.toByteArray
+    }
+    def frame23(fid: String, flags: Int, body: Array[Byte]): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      bo.write(fid.getBytes("ISO-8859-1"))
+      val sz = body.length
+      bo.write((sz >> 24) & 0xff); bo.write((sz >> 16) & 0xff)
+      bo.write((sz >> 8) & 0xff); bo.write(sz & 0xff)
+      bo.write(0); bo.write(flags)
+      bo.write(body, 0, body.length)
+      bo.toByteArray
+    }
+    val text = Array[Byte](0) ++ "aÿb".getBytes("ISO-8859-1")
+    val plain = frame23("TIT2", 0, text)
+    assert(Mp3.parseId3TextFrames(tag23(plain, unsync = true)) ===
+      Some(IndexedSeq("TIT2" -> "aÿb")))
+    // v2.3 compressed (0x80) and encrypted (0x40) frames are SKIPPED
+    val mixed = frame23("TIT2", 0x80, text) ++ frame23("TALB", 0x40, text) ++
+      frame23("TPE1", 0, Array[Byte](0) ++ "ok".getBytes("ISO-8859-1"))
+    assert(Mp3.parseId3TextFrames(tag23(mixed, unsync = false)) ===
+      Some(IndexedSeq("TPE1" -> "ok")))
+    // v2.4 frame-level unsync (format flag 0x02) + data-length indicator
+    // (0x01): body = DLI(4 synchsafe) + unsynced encoding byte + text
+    val bo = new java.io.ByteArrayOutputStream()
+    bo.write('I'); bo.write('D'); bo.write('3'); bo.write(4); bo.write(0)
+    bo.write(0)
+    val fr = {
+      val fb = new java.io.ByteArrayOutputStream()
+      val raw = Array[Byte](0) ++ "xÿy".getBytes("ISO-8859-1")
+      val dli = Array[Byte](0, 0, 0, raw.length.toByte)
+      val unsynced = {
+        val u = new java.io.ByteArrayOutputStream()
+        raw.foreach { b => u.write(b); if ((b & 0xff) == 0xff) u.write(0) }
+        u.toByteArray
+      }
+      val body = dli ++ unsynced
+      fb.write("TIT2".getBytes("ISO-8859-1"))
+      fb.write((body.length >> 21) & 0x7f); fb.write((body.length >> 14) & 0x7f)
+      fb.write((body.length >> 7) & 0x7f); fb.write(body.length & 0x7f)
+      fb.write(0); fb.write(0x03) // unsync + DLI
+      fb.write(body, 0, body.length)
+      fb.toByteArray
+    }
+    bo.write((fr.length >> 21) & 0x7f); bo.write((fr.length >> 14) & 0x7f)
+    bo.write((fr.length >> 7) & 0x7f); bo.write(fr.length & 0x7f)
+    bo.write(fr, 0, fr.length)
+    assert(Mp3.parseId3TextFrames(bo.toByteArray) ===
+      Some(IndexedSeq("TIT2" -> "xÿy")))
+  }
+
   test("trailing ID3v1 TAG terminates cleanly; corrupt forms return None") {
     val ok = Mp3.syntheticMp3(4L)
     val tagged = ok ++ ("TAG" + "x" * 125).getBytes("ISO-8859-1")

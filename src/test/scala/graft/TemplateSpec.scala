@@ -253,8 +253,33 @@ class TemplateSpec extends AnyFunSuite {
       === "a\n  \n  b")
     assert(r("{{ s | indent(2, True) }}", Map("s" -> "a\nb")) === "  a\n  b")
     assert(r("{{ 'abc' | center(6) }}|") === " abc  |")
+    // python str.center: the EXTRA space goes LEFT when margin and width
+    // are both odd (review finding, verified against CPython)
+    assert(r("{{ 'ab' | center(5) }}|") === "  ab |")
+    assert(r("{{ 'ab' | center(7) }}|") === "   ab  |")
+    assert(r("{{ 'abc' | center(8) }}|") === "  abc   |")
     assert(r("{{ '%05d|%.2f|%%' | format(42, 2.5) }}") === "00042|2.50|%")
     assert(r("{{ '%s=%d' | format('x', 7) }}") === "x=7")
+    // named %-formatting reads kwargs; %i works; hex/octal/sci; leftover
+    // positionals raise like python (all verified against jinja2 3.1.6)
+    assert(r("{{ '%(a)s=%(b)d' | format(a='x', b=7) }}") === "x=7")
+    assert(r("{{ '%i' | format(42) }}") === "42")
+    assert(r("{{ '%-5d|' | format(3) }}") === "3    |")
+    assert(r("{{ '%x %o %e' | format(255, 8, 12345.678) }}")
+      === "ff 10 1.234568e+04")
+    assert(r("{{ '%.3s' | format('hello') }}") === "hel")
+    intercept[IllegalArgumentException](r("{{ '%s %s' | format(1) }}"))
+    intercept[IllegalArgumentException](r("{{ '%s' | format(1, 2) }}"))
+    // tojson is ensure_ascii like json.dumps: non-ASCII escapes, astral
+    // chars as surrogate pairs, \b/\f shorthands (review finding)
+    assert(r("{{ s | tojson }}", Map("s" -> "café")) === "\"caf\\u00e9\"")
+    assert(r("{{ s | tojson }}", Map("s" -> "a\bb\fc")) === "\"a\\bb\\fc\"")
+    assert(r("{{ s | tojson }}", Map("s" -> "😀"))
+      === "\"\\ud83d\\ude00\"")
+    // .grouper must NOT leak onto ordinary 2-lists (review finding —
+    // jinja: 'list object has no attribute grouper')
+    intercept[IllegalArgumentException](r("{{ ys.grouper }}",
+      Map("ys" -> Seq(10L, 20L))))
     assert(r("{{ xs | count }}", Map("xs" -> Seq(1L, 2L, 3L))) === "3")
     // attr is TRUE attribute access: dict keys are NOT attributes
     // (jinja raises on use under StrictUndefined; default() composes)
