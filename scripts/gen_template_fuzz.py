@@ -92,7 +92,15 @@ RLIST_FILTERS = ["sort(attribute='k') | map(attribute='v') | join(',')",
                  "sort(false, false, 'v') | map(attribute='k') | join('.')"]
 STR_EXTRA = ["truncate(9)", "truncate(9, true)", "truncate(9, leeway=0)",
              "wordcount", "center(12) | trim", "indent(2)",
-             "indent(2, true)", "tojson"]
+             "indent(2, true)", "tojson",
+             # odd/even width x odd/even margin: the extra-space side
+             "center(11) | replace(' ', '.')",
+             "center(13) | replace(' ', '.')"]
+FORMAT_CASES = ["{{ '%d-%s' | format(n, s) }}",
+                "{{ '%(a)s/%(b)d' | format(a=t, b=m) }}",
+                "{{ '%05d|%x' | format(n, n) }}",
+                "{{ '%i %o' | format(m, n) }}",
+                "{{ '%.2s' | format(s) }}"]
 
 
 def int_expr(depth=0):
@@ -155,8 +163,10 @@ def output_stmt():
                 " | " + rng.choice(SLIST_FILTERS) + " }}")
     if r < 0.67:
         return "{{ rs | " + rng.choice(RLIST_FILTERS) + " }}"
-    if r < 0.69:
+    if r < 0.685:
         return "{{ " + rng.choice(STR_VARS) + " | " + rng.choice(STR_EXTRA) + " }}"
+    if r < 0.69:
+        return rng.choice(FORMAT_CASES)
     if r < 0.7:
         return rng.choice([
             "{% for g, it in rs | groupby('k') %}[{{ g }}:{{ it | length }}]{% endfor %}",
