@@ -43,6 +43,9 @@ def gen_ctx():
         "n": rng.randint(0, 9),
         "m": rng.randint(0, 9),
         "z": rng.randint(0, 9),
+        # negative operand for the %-format conversions ONLY (kept out of
+        # INT_VARS so arithmetic grammar semantics stay unchanged)
+        "neg": rng.randint(-9999, -1),
         "s": mixed() + " " + mixed(),
         "t": word() + "-" + word() + " " + word(),
         "flag": rng.random() < 0.5,
@@ -100,7 +103,18 @@ FORMAT_CASES = ["{{ '%d-%s' | format(n, s) }}",
                 "{{ '%(a)s/%(b)d' | format(a=t, b=m) }}",
                 "{{ '%05d|%x' | format(n, n) }}",
                 "{{ '%i %o' | format(m, n) }}",
-                "{{ '%.2s' | format(s) }}"]
+                "{{ '%.2s' | format(s) }}",
+                # negatives, # prefixes, precision, sign flags (python
+                # signs outside zero padding; java two's-complement would
+                # diverge on every one of these)
+                "{{ '%x,%X,%o' | format(neg, neg, neg) }}",
+                "{{ '%#x_%#o_%#X' | format(n, neg, m) }}",
+                "{{ '%08x|%-8x|' | format(neg, neg) }}",
+                "{{ '%8.4d %+d % d' | format(neg, n, m) }}",
+                "{{ '%#010x %010.4x' | format(n, m) }}",
+                # kwargs-only with a bare %s: python formats the mapping
+                "{{ '%s' | format(a=n) }}",
+                "{{ '%(a)s~%(a)x' | format(a=n) }}"]
 
 
 def int_expr(depth=0):
@@ -161,16 +175,17 @@ def output_stmt():
     if r < 0.64:
         return ("{{ " + rng.choice(SLIST_VARS) +
                 " | " + rng.choice(SLIST_FILTERS) + " }}")
-    if r < 0.67:
+    if r < 0.66:
         return "{{ rs | " + rng.choice(RLIST_FILTERS) + " }}"
-    if r < 0.685:
+    if r < 0.675:
         return "{{ " + rng.choice(STR_VARS) + " | " + rng.choice(STR_EXTRA) + " }}"
-    if r < 0.69:
+    if r < 0.71:
         return rng.choice(FORMAT_CASES)
-    if r < 0.7:
+    if r < 0.73:
         return rng.choice([
             "{% for g, it in rs | groupby('k') %}[{{ g }}:{{ it | length }}]{% endfor %}",
             "{% for g in rs | groupby('k') %}{{ g.grouper }}={{ g.list | map(attribute='v') | join('.') }};{% endfor %}",
+            "{% for g in rs | groupby('k') %}{{ g | attr('grouper') }}~{{ g | attr('list') | length }};{% endfor %}",
             "{% for k, v in d | dictsort %}{{ k }}={{ v }};{% endfor %}",
             "{% for k, v in d | dictsort(by='value', reverse=true) %}{{ k }};{% endfor %}",
             "{% for row in xs | batch(2, 0) %}[{{ row | join(',') }}]{% endfor %}",

@@ -24,12 +24,43 @@ OUT=${SF1_OUT:-target/verify_sf1}
 SRC=${SF0_1_DIR:-/root/testdata/sf0.1}
 JSON=${SF1_JSON:-CORRECTNESS_sf1.json}
 
-NAMES=d01_dedup_exact,d02_dedup_minhash,d03_dedup_simhash,d05_dedup_embed,d05x_dedup_embed_exact,d07_embed_lsh_recall,d08_minhash_precision,d09_simhash_exactness,d10_cc_paths_agree,d11_dedup_best,d12_fuzzy_join,d13_segment_dedup,d14_dedup_against,d15_minhash_recall,d16_bloom_line_dedup,q100_drift,q101_pagerank,q102_cat_drift,q103_gap_fill,q104_label_prop,q105_degree_stats,q106_merge_intervals,q107_rank_normalize,q108_ks_drift,q109_spearman,q115_connected_components,q116_key_skew,q37_sketch,q37x_sketch_error,q73_sketch_merge,q74_quantile_sketch,q75_stream_sketch,q76_zorder_layout,q77_stream_session,q78_weighted_sample,q79_join_size,q80_upsert,q81_heavy_hitters,q82_cms,q83_stream_heavy_hitters,s01_knn_brute,s02_knn_lsh,s03_knn_lsh_recall,s04_knn_ivf,s05_knn_projected,s06_semantic_dedup,s07_kmeans_cluster,s08_knn_ivfpq,s09_ann_join,s10_semantic_decontaminate,s11_hard_negatives,s12_pca,s13_quantize,t35_bm25,m13_mp4_demux,m14_fmp4_demux,m15_stream_demux,m16_mp3_frames,m17_media_census,m18_ogg_pages,m19_ogg_packets,m20_audio_meta,m21_id3_tags,m22_flac_info
+NAMES=d01_dedup_exact,d02_dedup_minhash,d03_dedup_simhash,d05_dedup_embed,d05x_dedup_embed_exact,d07_embed_lsh_recall,d08_minhash_precision,d09_simhash_exactness,d10_cc_paths_agree,d11_dedup_best,d12_fuzzy_join,d13_segment_dedup,d14_dedup_against,d15_minhash_recall,d16_bloom_line_dedup,q100_drift,q101_pagerank,q102_cat_drift,q103_gap_fill,q104_label_prop,q105_degree_stats,q106_merge_intervals,q107_rank_normalize,q108_ks_drift,q109_spearman,q115_connected_components,q116_key_skew,q37_sketch,q37x_sketch_error,q73_sketch_merge,q74_quantile_sketch,q75_stream_sketch,q76_zorder_layout,q77_stream_session,q78_weighted_sample,q79_join_size,q80_upsert,q81_heavy_hitters,q82_cms,q83_stream_heavy_hitters,s01_knn_brute,s02_knn_lsh,s03_knn_lsh_recall,s04_knn_ivf,s05_knn_projected,s06_semantic_dedup,s07_kmeans_cluster,s08_knn_ivfpq,s09_ann_join,s10_semantic_decontaminate,s11_hard_negatives,s12_pca,s13_quantize,s15x_margin_approx,t35_bm25,m13_mp4_demux,m14_fmp4_demux,m15_stream_demux,m16_mp3_frames,m17_media_census,m18_ogg_pages,m19_ogg_packets,m20_audio_meta,m21_id3_tags,m22_flac_info,m23_ogg_muxed
 
 # Excluded on oracle cost, same discipline as d04/d06/d17/t36: s14's dense
 # leg and all of s15 need full cosine matrices in DuckDB (~2.2k x 50k and
 # 25k x 25k at sf1 — hours), while the engine sides are the already-gated
-# s01 shapes. Their sf0.01 oracles are exact and complete.
+# s01 shapes. Their sf0.01 oracles are exact and complete. s15x IS gated:
+# its approx-vs-exact agreement verdict is computed engine-side, so its
+# oracle is O(1) while the exact leg exercises the miner at 10k x 10k.
+
+# Fixture/oracle fingerprint (r11 verdict #7): the gate artifact is only
+# meaningful for the sources it was dumped from — adding or reshaping a
+# fixture family mid-round silently staled CORRECTNESS_sf1.json three
+# times in r11. The fingerprint hashes the family list plus every source
+# that defines fixtures, queries or oracles; it is stamped into the JSON
+# at write time, and `run_sf1_gate.sh check` refuses (exit 2) when the
+# stamp does not match the current tree instead of silently comparing.
+fingerprint() {
+  { echo "$NAMES"
+    cat src/main/scala/graft/functions/*.scala \
+        src/main/scala/graft/SparkEntry.scala \
+        src/main/scala/graft/ScaleUp.scala
+  } | sha256sum | cut -d' ' -f1
+}
+FP=$(fingerprint)
+
+if [ "${1:-}" = "check" ]; then
+  if [ ! -f "$JSON" ]; then
+    echo "[sf1-gate] STALE: no $JSON artifact exists" >&2; exit 2
+  fi
+  STORED=$(python3 -c "import json,sys; print(json.load(open(sys.argv[1])).get('gate_fingerprint',''))" "$JSON")
+  if [ "$STORED" = "$FP" ]; then
+    echo "[sf1-gate] FRESH: $JSON matches the current fixture/oracle sources ($FP)"
+    exit 0
+  fi
+  echo "[sf1-gate] STALE: $JSON was dumped from different sources (stored ${STORED:-<none>}, current $FP) — re-run the gate" >&2
+  exit 2
+fi
 
 ADD_OPENS="--add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.lang.invoke=ALL-UNNAMED --add-opens java.base/java.lang.reflect=ALL-UNNAMED --add-opens java.base/java.io=ALL-UNNAMED --add-opens java.base/java.net=ALL-UNNAMED --add-opens java.base/java.nio=ALL-UNNAMED --add-opens java.base/java.util=ALL-UNNAMED --add-opens java.base/java.util.concurrent=ALL-UNNAMED --add-opens java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens java.base/sun.nio.ch=ALL-UNNAMED --add-opens java.base/sun.nio.cs=ALL-UNNAMED --add-opens java.base/sun.security.action=ALL-UNNAMED --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
 
@@ -59,3 +90,19 @@ SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-16} run_java graft.Verify "$SF1" "$OUT" "$N
 
 echo "[sf1-gate] DuckDB differential..." >&2
 python3 scripts/check_correctness.py "$SF1" "$OUT" --json "$JSON"
+
+# stamp the fingerprint the dump ACTUALLY ran from; if sources changed
+# while the gate was running, mark the artifact stale loudly
+FP_END=$(fingerprint)
+if [ "$FP_END" != "$FP" ]; then
+  echo "[sf1-gate] WARNING: fixture/oracle sources changed mid-gate — artifact stamped stale" >&2
+  FP="stale-sources-changed-mid-gate"
+fi
+python3 -c "
+import json, sys
+p, fp = sys.argv[1], sys.argv[2]
+d = json.load(open(p))
+d['gate_fingerprint'] = fp
+json.dump(d, open(p, 'w'), indent=1)
+" "$JSON" "$FP"
+echo "[sf1-gate] stamped gate_fingerprint=$FP into $JSON" >&2

@@ -62,6 +62,8 @@ object Plans {
       "m20_audio_meta" -> "Ogg identification-header decode (OpusHead / Vorbis id): one reassembled packet per row, narrow map, zero exchanges - the typed-metadata projection a 100 TB audio column gets before any per-sample work.",
       "m21_id3_tags" -> "ID3v2 text-frame extraction: header-only reads per row in a narrow map, zero exchanges - tag metadata lands as rows without touching the MPEG stream bytes behind the tag.",
       "m22_flac_info" -> "FLAC STREAMINFO decode: one bit-packed 34-byte block per row in a narrow map, zero exchanges - the cheapest possible typed-metadata projection over a lossless-audio column.",
+      "m23_ogg_muxed" -> "Multiplexed (two-serial) Ogg reassembly: the per-serial partial-packet state is still INSIDE one row's walk (a mapPartitions over payloads), so interleaved streams add hash-map entries per row, not exchanges - the plan is identical in shape to m19's single-stream walk: narrow, zero exchanges.",
+      "s15x_margin_approx" -> "Margin-mining scale-path verdict: the EXACT leg keeps s15's adjudicated brute shape (broadcast query sides - the declared baseline); the APPROX leg routes both kNN directions through annJoin - grep its subtree: shuffled equi-joins on the 8-byte LSH bucket key and id-only exchanges, NO BroadcastNestedLoopJoin and NO CartesianProduct anywhere on that path (the dedicated section below dumps the approx plan alone). The agreement tail collapses to one row.",
       "s14_hybrid_rrf" -> "Hybrid RRF fusion: both retrieval stages keep their adjudicated shapes (bm25's broadcast query side + WindowGroupLimit top-k; brute ANN's broadcast bounded query side); the fusion itself unions two ALREADY top-k'd (query, rank, id) frames - one hash aggregate on (query, id) and a per-query WindowGroupLimit, so only bounded ranked rows ever shuffle.",
       "q117_odd_columns" -> "Odd column names (spaces, keywords, unicode, '*') through the dialect: the LOAD-projected scan's ReadSchema carries the quoted names as-is and the plan is scan+project only - name mangling would show as a Project alias layer.")
     // partitioned-write → partition-pruning demo
@@ -73,7 +75,7 @@ object Plans {
     val sb = new StringBuilder
     sb ++= "# PLANS - physical-plan evidence for scale-critical queries\n\n"
     sb ++= s"Generated by `sbt \"runMain graft.Plans\"` at $dir with AQE on.\n"
-    for (q <- Seq("q02_filter", "q01_agg", "q06_join_inner", "q20_take_per_key", "d01_dedup_exact", "s01_knn_brute", "s02_knn_lsh", "d05_dedup_embed", "t12_lm_score", "q62_bloom_semi", "d12_fuzzy_join", "q64_range_join", "d13_segment_dedup", "t20_pack_sequences", "q89_quality_checks", "q92_snapshot_diff", "q90_outliers", "t35_bm25", "q110_funnel", "q110b_funnel_restart", "q111_retention", "q112_triangles", "q113_ppr", "q114_clustering_coeff", "t36_trigram_ce", "t37_link_graph", "t38_gopher_rules", "t39_c4_clean", "q115_connected_components", "m13_mp4_demux", "m14_fmp4_demux", "m18_ogg_pages", "m19_ogg_packets", "m20_audio_meta", "m21_id3_tags", "m22_flac_info", "s14_hybrid_rrf", "q117_odd_columns")) {
+    for (q <- Seq("q02_filter", "q01_agg", "q06_join_inner", "q20_take_per_key", "d01_dedup_exact", "s01_knn_brute", "s02_knn_lsh", "d05_dedup_embed", "t12_lm_score", "q62_bloom_semi", "d12_fuzzy_join", "q64_range_join", "d13_segment_dedup", "t20_pack_sequences", "q89_quality_checks", "q92_snapshot_diff", "q90_outliers", "t35_bm25", "q110_funnel", "q110b_funnel_restart", "q111_retention", "q112_triangles", "q113_ppr", "q114_clustering_coeff", "t36_trigram_ce", "t37_link_graph", "t38_gopher_rules", "t39_c4_clean", "q115_connected_components", "m13_mp4_demux", "m14_fmp4_demux", "m18_ogg_pages", "m19_ogg_packets", "m20_audio_meta", "m21_id3_tags", "m22_flac_info", "m23_ogg_muxed", "s14_hybrid_rrf", "s15x_margin_approx", "q117_odd_columns")) {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.SimpleMode)
       sb ++= s"\n## $q\n\n${notes(q)}\n\n```\n${plan.split("\n").take(30).mkString("\n")}\n```\n"
@@ -107,6 +109,32 @@ object Plans {
       s"```\n${preSinkPlan.split("\n").take(14).mkString("\n")}\n```\n"
     clearState()
 
+    // s15x approx path alone (r11 verdict #1): the annJoin-routed
+    // marginMine with NOTHING broadcast-cross-joined — the count of
+    // BNLJ/Cartesian operators in the plan is computed here and written
+    // into the document as evidence, not asserted by prose
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val approxMargin = graft.functions.Similarity.marginMine(
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") % 2 === 0),
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") % 2 === 1),
+      "vec_id", "embedding", k = 4, minMargin = Double.NegativeInfinity,
+      approx = true, nTables = 16, nBits = 8, probes = 2)
+    val approxPlan = approxMargin.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    val bnljCount = "BroadcastNestedLoopJoin".r.findAllIn(approxPlan).length
+    val cartCount = "CartesianProduct".r.findAllIn(approxPlan).length
+    sb ++= "\n## s15 margin mining — approx (annJoin-routed) path alone\n\n" +
+      s"Operator census of the full physical plan: " +
+      s"**$bnljCount BroadcastNestedLoopJoin, $cartCount CartesianProduct** " +
+      "(both must be 0 — the exact leg's broadcast cross scoring is what " +
+      "this path exists to avoid). Candidates pair through shuffled " +
+      "equi-joins on the 8-byte LSH bucket key; every exchange before the " +
+      "rescore carries ids and keys only; vectors re-join BY ID; the " +
+      "margin arithmetic past the kNN lists is two bounded aggregates + " +
+      "a join + a per-src window.\n\n" +
+      s"```\n${approxPlan.split("\n").take(40).mkString("\n")}\n```\n"
+    clearState()
+
     // ---- adjudicated PlanLint inventory ---------------------------------
     // Every conformance query's physical plan, flagged for the four scale
     // hazards (PlanLint.flags — ONE definition shared with the lint
@@ -138,7 +166,7 @@ object Plans {
         "s11_hard_negatives", "m02_multimodal_ann",
         "m02x_feature_differential", "d05x_dedup_embed_exact",
         "d07_embed_lsh_recall", "d08_minhash_precision", "d15_minhash_recall",
-        "s15_bitext_margin")
+        "s15_bitext_margin", "s15x_margin_approx")
       val scalarRiders = Set("t06_rebalance", "t12_lm_score", "t13_tfidf",
         "t16_mixture_plan", "t17_importance", "t30_bigram_ce",
         "t26_quality_model", "t35_bm25", "t36_trigram_ce")
@@ -152,6 +180,7 @@ object Plans {
         "q79_join_size", "q86_compact", "q98_export_shards", "m12_tar_shards",
         "d07_embed_lsh_recall", "d08_minhash_precision",
         "s03_knn_lsh_recall", "s05_knn_projected", "m02x_feature_differential",
+        "s15x_margin_approx",
         "t06_rebalance", "t12_lm_score", "t13_tfidf", "t17_importance",
         "t26_quality_model", "t30_bigram_ce", "t35_bm25", "t36_trigram_ce")
       val gateRows = Set("q89_quality_checks", "q93_sql_quality",

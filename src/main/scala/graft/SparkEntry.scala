@@ -613,14 +613,35 @@ object SparkEntry {
 
     // Ogg PACKET reassembly conformance: logical packets rebuilt from the
     // lacing tables across page boundaries (every non-final fixture page
-    // opens a 255-lacing packet the next page closes under the continued
-    // flag) — sizes, page spans and completion order recomputed by the
-    // oracle from the chained closed form, with head/tail probes into the
+    // opens a packet of one or TWO 255 lacings the next page closes under
+    // the continued flag — the sweep includes ≥3-segment >510-byte
+    // packets and exact-510 packets ended by a terminating 0 lacing) —
+    // sizes, page spans and completion order recomputed by the oracle
+    // from the chained closed form, with head/tail probes into the
     // REASSEMBLED bytes spanning the page seam
     "m19_ogg_packets" -> ((s, dir) => {
       val ids = t(s, dir, "documents").select("doc_id")
       graft.functions.Ogg.oggPackets(
         graft.functions.Ogg.syntheticChainedOggs(ids, "doc_id"),
+        "doc_id", "payload")
+        .select(col("doc_id"), col("packet_no"), col("serial"), col("size"),
+          col("n_pages"), col("end_page"),
+          expr("cast(conv(hex(substring(bytes, 1, 1)), 16, 10) as int)")
+            .as("head_byte"),
+          expr("cast(conv(hex(substring(bytes, cast(size as int), 1)), 16, 10) as int)")
+            .as("tail_byte"))
+    }),
+
+    // MULTIPLEXED Ogg reassembly conformance: two serials whose pages
+    // strictly interleave in file order while BOTH streams hold a packet
+    // open across their page seams — per-serial partial tracking is the
+    // thing under test (a shared or file-ordered buffer concatenates
+    // bytes across streams); sizes, page spans, completion order and
+    // seam-spanning byte probes recomputed from the muxed closed form
+    "m23_ogg_muxed" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select("doc_id")
+      graft.functions.Ogg.oggPackets(
+        graft.functions.Ogg.syntheticMuxedOggs(ids, "doc_id"),
         "doc_id", "payload")
         .select(col("doc_id"), col("packet_no"), col("serial"), col("size"),
           col("n_pages"), col("end_page"),
@@ -1313,6 +1334,31 @@ object SparkEntry {
         emb.filter(col("vec_id") % 2 === 0),
         emb.filter(col("vec_id") % 2 === 1),
         "vec_id", "embedding", k = 4)
+    }),
+
+    // the SCALE path of s15: both kNN directions routed through annJoin
+    // (LSH-bucketed candidates, NEITHER side broadcast) feeding the same
+    // margin arithmetic — the verdict pins approx-vs-exact mined-PAIR
+    // agreement on the s15 fixture at the declared ≥0.9 bound (like
+    // s03/s05 pin brute-vs-LSH kNN recall); minMargin = -∞ so the
+    // comparison covers every src, not just positive-margin ones
+    "s15x_margin_approx" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val src = emb.filter(col("vec_id") % 2 === 0)
+      val tgt = emb.filter(col("vec_id") % 2 === 1)
+      val exact = Similarity.marginMine(src, tgt, "vec_id", "embedding",
+        k = 4, minMargin = Double.NegativeInfinity)
+        .select("src_id", "tgt_id")
+      val approx = Similarity.marginMine(src, tgt, "vec_id", "embedding",
+        k = 4, minMargin = Double.NegativeInfinity, approx = true,
+        nTables = 16, nBits = 8, probes = 2)
+        .select("src_id", "tgt_id")
+      val agree = exact.join(approx, Seq("src_id", "tgt_id"), "left_semi")
+        .agg(count(lit(1)).as("n_agree"))
+      exact.agg(count(lit(1)).as("n_exact")).crossJoin(agree)
+        .select(col("n_exact"),
+          (col("n_agree").cast("double") / col("n_exact") >= 0.9)
+            .cast("bigint").as("pair_agreement_ok"))
     }),
 
     // hybrid retrieval fusion: BM25 (lexical, over documents.text) and
@@ -3883,17 +3929,22 @@ object SparkEntry {
         | CAST(total * 1000 // rate AS BIGINT) AS duration_ms
         |FROM s""".stripMargin,
     // replay of Mp3.syntheticTaggedMp3's frame formulas — encoding and
-    // tag-version variation is the ENGINE's to erase; decoded text is
-    // encoding-independent
+    // frame-SIZE encoding variation is the ENGINE's to erase; decoded
+    // text is encoding-independent, but v2.2 tags (doc_id%3 = 2) carry
+    // the 3-char frame-id vocabulary, emitted raw
     "m21_id3_tags" ->
-      """SELECT doc_id, 'TIT2' AS frame_id,
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 2 THEN 'TT2' ELSE 'TIT2' END AS frame_id,
         |  'title_' || CAST((doc_id*7) % 1000 AS VARCHAR) AS text
         | FROM documents
-        |UNION ALL SELECT doc_id, 'TPE1',
+        |UNION ALL SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 2 THEN 'TP1' ELSE 'TPE1' END,
         |  'artist_' || CAST(doc_id % 50 AS VARCHAR) FROM documents
-        |UNION ALL SELECT doc_id, 'TALB',
+        |UNION ALL SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 2 THEN 'TAL' ELSE 'TALB' END,
         |  'album_' || CAST(doc_id % 20 AS VARCHAR) FROM documents
-        |UNION ALL SELECT doc_id, 'TRCK',
+        |UNION ALL SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 2 THEN 'TRK' ELSE 'TRCK' END,
         |  CAST(1 + doc_id % 12 AS VARCHAR) FROM documents""".stripMargin,
     // replay of Ogg.syntheticAudioOgg's header formulas: even ids Opus,
     // odd ids Vorbis, per-codec channel/rate/preskip derivations
@@ -3913,9 +3964,13 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     // first-principles chained-Ogg packet oracle: replays
     // Ogg.syntheticChainedShape — shorts A(p) are packet 2p (1 page),
-    // longs L(p) = 255-opening + r(p)-closing are packet 2p+1 (2 pages,
-    // ending on page p+1); head/tail probe bytes derive from the page
-    // body formulas on either side of the seam
+    // longs L(p) = open(p)·255-opening + rem(p)-closing are packet 2p+1
+    // (2 pages, ending on page p+1), where open(p) = 1 + (id+p)%2 and
+    // rem(p) is 0 on the exact-510 shape (open 2, (id+p)%5 = 0 — the
+    // terminating-0 lacing) and 40 + ((id*5+p*7)%200) otherwise;
+    // head/tail probe bytes derive from the page body formulas on either
+    // side of the seam — a rem-0 long's LAST byte sits on the OPENING
+    // page, not the closing one
     "m19_ogg_packets" ->
       """WITH d AS (SELECT doc_id, CAST(3 + doc_id % 4 AS INTEGER) AS np
         |  FROM documents),
@@ -3923,22 +3978,69 @@ object SparkEntry {
         |  FROM d),
         |base AS (SELECT doc_id, np, pg,
         |  CAST(60 + ((doc_id*11 + pg*17) % 90) AS BIGINT) AS a,
-        |  CAST(40 + ((doc_id*5 + pg*7) % 200) AS BIGINT) AS r,
-        |  CAST(CASE WHEN pg > 0
-        |    THEN 40 + ((doc_id*5 + (pg-1)*7) % 200)
-        |    ELSE 0 END AS BIGINT) AS rprev
+        |  CAST(1 + (doc_id + pg) % 2 AS BIGINT) AS opn,
+        |  CAST(CASE WHEN (doc_id + pg) % 10 = 5 THEN 0
+        |    ELSE 40 + ((doc_id*5 + pg*7) % 200) END AS BIGINT) AS r,
+        |  CAST(CASE WHEN pg = 0 THEN 0
+        |    WHEN (doc_id + pg - 1) % 10 = 5 THEN 0
+        |    ELSE 40 + ((doc_id*5 + (pg-1)*7) % 200) END AS BIGINT) AS rprev
         | FROM p),
         |shorts AS (SELECT doc_id, CAST(2*pg AS INTEGER) AS packet_no,
         |  a AS psize, 1 AS n_pages, pg AS end_page,
         |  (doc_id + pg*131 + rprev) % 256 AS head_byte,
         |  (doc_id + pg*131 + rprev + a - 1) % 256 AS tail_byte FROM base),
         |longs AS (SELECT doc_id, CAST(2*pg + 1 AS INTEGER) AS packet_no,
-        |  255 + r AS psize, 2 AS n_pages, pg + 1 AS end_page,
+        |  255*opn + r AS psize, 2 AS n_pages, pg + 1 AS end_page,
         |  (doc_id + pg*131 + rprev + a) % 256 AS head_byte,
-        |  (doc_id + (pg+1)*131 + r - 1) % 256 AS tail_byte
+        |  CASE WHEN r > 0 THEN (doc_id + (pg+1)*131 + r - 1) % 256
+        |    ELSE (doc_id + pg*131 + rprev + a + 255*opn - 1) % 256
+        |  END AS tail_byte
         | FROM base WHERE pg < np - 1)
         |SELECT doc_id, packet_no,
         | CAST(2000 + doc_id % 100 AS BIGINT) AS serial,
+        | CAST(psize AS BIGINT) AS size,
+        | CAST(n_pages AS INTEGER) AS n_pages,
+        | CAST(end_page AS INTEGER) AS end_page,
+        | CAST(head_byte AS INTEGER) AS head_byte,
+        | CAST(tail_byte AS INTEGER) AS tail_byte
+        |FROM (SELECT * FROM shorts UNION ALL SELECT * FROM longs)""".stripMargin,
+    // first-principles muxed-Ogg oracle: replays Ogg.syntheticMuxedShape —
+    // file page q = 2p+s (stream s, stream-page p); page 0/1 complete
+    // the first shorts (packets 0/1), every later page q completes the
+    // stream's long L_s(p-1) (packet 2q−2, spanning 2 stream pages) then
+    // its short A_s(p) (packet 2q−1); body probes use the FILE page
+    // number, so bytes wrongly pulled from the other stream's interleaved
+    // page hash differently
+    "m23_ogg_muxed" ->
+      """WITH d AS (SELECT doc_id, CAST(2 + doc_id % 3 AS INTEGER) AS n
+        |  FROM documents),
+        |ds AS (SELECT doc_id, n, 0 AS s FROM d
+        |  UNION ALL SELECT doc_id, n, 1 AS s FROM d),
+        |sp AS (SELECT doc_id, n, s,
+        |  CAST(unnest(range(0, n)) AS INTEGER) AS pg
+        | FROM ds),
+        |base AS (SELECT doc_id, n, s, pg, 2*pg + s AS q,
+        |  CAST(CASE WHEN s = 0 THEN 50 + ((doc_id*7 + pg*13) % 80)
+        |    ELSE 55 + ((doc_id*9 + pg*19) % 70) END AS BIGINT) AS a,
+        |  CAST(CASE WHEN s = 0 THEN 30 + ((doc_id*3 + pg*11) % 100)
+        |    ELSE 35 + ((doc_id*13 + pg*5) % 90) END AS BIGINT) AS r,
+        |  CAST(CASE WHEN pg = 0 THEN 0
+        |    WHEN s = 0 THEN 30 + ((doc_id*3 + (pg-1)*11) % 100)
+        |    ELSE 35 + ((doc_id*13 + (pg-1)*5) % 90) END AS BIGINT) AS rprev
+        | FROM sp),
+        |shorts AS (SELECT doc_id, s,
+        |  CASE WHEN q < 2 THEN q ELSE 2*q - 1 END AS packet_no,
+        |  a AS psize, 1 AS n_pages, q AS end_page,
+        |  (doc_id + q*131 + rprev) % 256 AS head_byte,
+        |  (doc_id + q*131 + rprev + a - 1) % 256 AS tail_byte FROM base),
+        |longs AS (SELECT doc_id, s,
+        |  2*(q + 2) - 2 AS packet_no,
+        |  255 + r AS psize, 2 AS n_pages, q + 2 AS end_page,
+        |  (doc_id + q*131 + rprev + a) % 256 AS head_byte,
+        |  (doc_id + (q + 2)*131 + r - 1) % 256 AS tail_byte
+        | FROM base WHERE pg < n - 1)
+        |SELECT doc_id, CAST(packet_no AS INTEGER) AS packet_no,
+        | CAST(4000 + 100*s + doc_id % 100 AS BIGINT) AS serial,
         | CAST(psize AS BIGINT) AS size,
         | CAST(n_pages AS INTEGER) AS n_pages,
         | CAST(end_page AS INTEGER) AS end_page,
@@ -4890,6 +4992,13 @@ object SparkEntry {
         | SELECT *, row_number() OVER (PARTITION BY qa
         |   ORDER BY margin DESC, nb ASC) AS mr FROM sc) z
         |WHERE mr = 1""".stripMargin,
+    // the exact side mines one pair per src (minMargin -inf keeps every
+    // src); the approx-vs-exact agreement verdict is the engine's to
+    // earn — the oracle pins the exact-pair count and the declared bound
+    "s15x_margin_approx" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+        | CAST(1 AS BIGINT) AS pair_agreement_ok
+        |FROM embeddings WHERE vec_id % 2 = 0""".stripMargin,
     // first-principles hybrid-RRF oracle: recompute the BM25 top-20 (the
     // t35 formulation, k1=1.2 b=0.75, contributions rounded to 9 digits
     // and decimal-summed), the dense cosine top-20 (the s01 formulation,

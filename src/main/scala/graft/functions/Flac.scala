@@ -126,12 +126,6 @@ object Flac {
   }
 
   /** Executor-side FLAC fixtures — the m22 oracle replays the shape. */
-  def syntheticFlacs(df: DataFrame, idCol: String): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("payload", BinaryType)))
-    val idIdx = df.schema.fieldIndex(idCol)
-    df.mapPartitions { it =>
-      it.map(r => Row(r.getLong(idIdx), syntheticFlac(r.getLong(idIdx))))
-    }(Encoders.row(schema))
-  }
+  def syntheticFlacs(df: DataFrame, idCol: String): DataFrame =
+    Fixtures.syntheticPayloads(df, idCol)(syntheticFlac)
 }

@@ -183,13 +183,15 @@ object Mp3 {
   }
 
   /**
-   * Decode the leading ID3v2 tag's TEXT frames (ids `T***`): one
-   * (frame_id, text) per frame, in tag order. Handles v2.4 synchsafe and
-   * v2.3 plain frame sizes, the optional extended header, padding
-   * termination, tag-level (v2.3) and frame-level (v2.4)
-   * UNSYNCHRONISATION, the v2.4 data-length indicator, and the four text
-   * encodings (ISO-8859-1, UTF-16 with BOM, UTF-16BE, UTF-8) with
-   * trailing NUL stripping. Compressed/encrypted frames are SKIPPED
+   * Decode the leading ID3v2 tag's TEXT frames (ids `T***`, or 3-char
+   * `T**` in v2.2): one (frame_id, text) per frame, in tag order — v2.2
+   * ids are emitted RAW (`TT2`, not remapped to `TIT2`: extraction, not
+   * policy). Handles v2.4 synchsafe / v2.3 plain / v2.2 24-bit frame
+   * sizes, the optional extended header, padding termination, tag-level
+   * (v2.2/v2.3) and frame-level (v2.4) UNSYNCHRONISATION, the v2.4
+   * data-length indicator, and the four text encodings (ISO-8859-1,
+   * UTF-16 with BOM, UTF-16BE, UTF-8; v2.2 allows only the first two)
+   * with trailing NUL stripping. Compressed/encrypted frames are SKIPPED
    * (structurally walked, never decoded as plain text — emitting garbage
    * rows would be worse than omission). None when there is no ID3v2 tag
    * or any frame overruns the tag — a corrupt tag is detectable, never a
@@ -199,25 +201,28 @@ object Mp3 {
     if (payload == null || payload.length < 10 || payload(0) != 'I' ||
         payload(1) != 'D' || payload(2) != '3') return None
     val verMajor = payload(3) & 0xff
-    if (verMajor < 3 || verMajor > 4) return None // v2.2 3-byte ids unsupported
+    if (verMajor < 2 || verMajor > 4) return None
     val hdrFlags = payload(5) & 0xff
+    // v2.2's second flag bit is COMPRESSION (not the extended header):
+    // the spec says a tag with it set "should be ignored in its entirety"
+    if (verMajor == 2 && (hdrFlags & 0x40) != 0) return None
     def synchsafeAt(b: Array[Byte], i: Int): Int =
       ((b(i) & 0x7f) << 21) | ((b(i + 1) & 0x7f) << 14) |
         ((b(i + 2) & 0x7f) << 7) | (b(i + 3) & 0x7f)
     val tagEnd = 10 + synchsafeAt(payload, 6)
     if (tagEnd > payload.length) return None
-    // tag-level unsynchronisation (the v2.3 form; a v2.4 header flag
+    // tag-level unsynchronisation (the v2.2/v2.3 form; a v2.4 header flag
     // means every frame carries its own flag, handled below) — walk a
     // de-unsynced copy of the tag body
     val tag: Array[Byte] =
-      if (verMajor == 3 && (hdrFlags & 0x80) != 0)
+      if (verMajor <= 3 && (hdrFlags & 0x80) != 0)
         deunsync(payload, 10, tagEnd)
       else java.util.Arrays.copyOfRange(payload, 10, tagEnd)
     def u32(i: Int): Long =
       ((tag(i) & 0xffL) << 24) | ((tag(i + 1) & 0xffL) << 16) |
         ((tag(i + 2) & 0xffL) << 8) | (tag(i + 3) & 0xffL)
     var pos = 0
-    if ((hdrFlags & 0x40) != 0) { // extended header
+    if (verMajor >= 3 && (hdrFlags & 0x40) != 0) { // extended header
       if (pos + 4 > tag.length) return None
       val ehSize =
         if (verMajor == 4) synchsafeAt(tag, pos)
@@ -225,23 +230,32 @@ object Mp3 {
       pos += ehSize
       if (pos > tag.length) return None
     }
+    // v2.2 frame headers are 6 bytes: a 3-char id + 24-bit big-endian
+    // size, no per-frame flags (so nothing is compressed/encrypted/
+    // unsynced at frame level in a v2.2 tag)
+    val idLen = if (verMajor == 2) 3 else 4
+    val hdrLen = if (verMajor == 2) 6 else 10
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    while (pos + 10 <= tag.length && tag(pos) != 0) {
-      val fid = new String(tag, pos, 4, "ISO-8859-1")
+    while (pos + hdrLen <= tag.length && tag(pos) != 0) {
+      val fid = new String(tag, pos, idLen, "ISO-8859-1")
       if (!fid.forall(c => c.isUpper || c.isDigit)) return None
-      val fsize =
-        if (verMajor == 4) synchsafeAt(tag, pos + 4).toLong
-        else u32(pos + 4)
-      if (pos + 10 + fsize > tag.length) return None // overruns the tag
-      val fmtFlags = tag(pos + 9) & 0xff
+      val fsize: Long = verMajor match {
+        case 2 => ((tag(pos + 3) & 0xffL) << 16) |
+          ((tag(pos + 4) & 0xffL) << 8) | (tag(pos + 5) & 0xffL)
+        case 4 => synchsafeAt(tag, pos + 4).toLong
+        case _ => u32(pos + 4)
+      }
+      if (pos + hdrLen + fsize > tag.length) return None // overruns the tag
+      val fmtFlags = if (verMajor == 2) 0 else tag(pos + 9) & 0xff
       // compressed/encrypted frames cannot be decoded as plain text:
       // v2.4 flags 0x08/0x04, v2.3 flags 0x80/0x40 — skip, don't guess
       val undecodable =
         if (verMajor == 4) (fmtFlags & 0x0c) != 0
-        else (fmtFlags & 0xc0) != 0
+        else if (verMajor == 3) (fmtFlags & 0xc0) != 0
+        else false
       if (fid.startsWith("T") && fsize >= 1 && !undecodable) {
-        var bodyStart = pos + 10
-        var bodyEnd = (pos + 10 + fsize).toInt
+        var bodyStart = pos + hdrLen
+        var bodyEnd = (pos + hdrLen + fsize).toInt
         // v2.4 data-length indicator precedes the data
         if (verMajor == 4 && (fmtFlags & 0x01) != 0) {
           if (bodyStart + 4 > bodyEnd) return None
@@ -252,6 +266,10 @@ object Mp3 {
             deunsync(tag, bodyStart, bodyEnd) // frame-level unsync
           else java.util.Arrays.copyOfRange(tag, bodyStart, bodyEnd)
         if (body.length >= 1) {
+          // v2.2 defines only encodings 0 (ISO-8859-1) and 1 (UCS-2 with
+          // BOM) — a higher byte in a v2.2 frame is corruption, not a
+          // later-version encoding to guess at
+          if (verMajor == 2 && (body(0) & 0xff) > 1) return None
           val cs = body(0) & 0xff match {
             case 0 => "ISO-8859-1"
             case 1 => "UTF-16"   // BOM-led
@@ -264,7 +282,7 @@ object Mp3 {
           out += ((fid, text0.replaceAll("\\u0000+$", "")))
         }
       }
-      pos += 10 + fsize.toInt
+      pos += hdrLen + fsize.toInt
     }
     Some(out.toIndexedSeq)
   }
@@ -292,33 +310,47 @@ object Mp3 {
   }
 
   /** Deterministic tagged-MP3 shape shared by the writer, the m21 oracle
-   * and the spec: an ID3v2.4 (even ids) or v2.3 (odd ids) tag carrying
-   * TIT2 `title_<id*7 % 1000>`, TPE1 `artist_<id % 50>`, TALB
-   * `album_<id % 20>`, TRCK `<1 + id % 12>`, plus a non-text PRIV frame
-   * the walker must stride over; text encodings rotate by `id % 3`
-   * (ISO-8859-1 / UTF-16 with BOM / UTF-8); 7 padding bytes; then the
-   * id-shaped MPEG stream of [[syntheticMp3]] with its own optional
-   * ID3 replaced by this one. */
+   * and the spec: an ID3v2.4 (`id%3 == 0`), v2.3 (`id%3 == 1`) or v2.2
+   * (`id%3 == 2`, 3-byte frame ids TT2/TP1/TAL/TRK) tag carrying
+   * title `title_<id*7 % 1000>`, artist `artist_<id % 50>`, album
+   * `album_<id % 20>`, track `<1 + id % 12>`, plus a non-text frame
+   * (PRIV, or CNT in v2.2) the walker must stride over; text encodings
+   * rotate by `(id/3) % 3` (ISO-8859-1 / UTF-16 with BOM / UTF-8) for
+   * v2.3/v2.4 and `(id/3) % 2` (ISO-8859-1 / UCS-2 with BOM) for v2.2;
+   * 7 padding bytes; then the id-shaped MPEG stream of [[syntheticMp3]]
+   * with its own optional ID3 replaced by this one. */
   def syntheticTaggedMp3(id: Long): Array[Byte] = {
-    val v4 = id % 2 == 0
-    val enc = (id % 3).toInt // 0: latin-1, 1: utf-16+BOM, 2: utf-8
-    val frames = Seq(
-      "TIT2" -> s"title_${id * 7 % 1000}",
-      "TPE1" -> s"artist_${id % 50}",
-      "TALB" -> s"album_${id % 20}",
-      "TRCK" -> s"${1 + id % 12}")
+    val ver = 4 - (id % 3).toInt // 4, 3, 2
+    val enc = // 0: latin-1, 1: utf-16+BOM, 3: utf-8 (v2.2: 0/1 only)
+      if (ver == 2) ((id / 3) % 2).toInt
+      else Seq(0, 1, 3)(((id / 3) % 3).toInt)
+    val frames =
+      if (ver == 2) Seq(
+        "TT2" -> s"title_${id * 7 % 1000}",
+        "TP1" -> s"artist_${id % 50}",
+        "TAL" -> s"album_${id % 20}",
+        "TRK" -> s"${1 + id % 12}")
+      else Seq(
+        "TIT2" -> s"title_${id * 7 % 1000}",
+        "TPE1" -> s"artist_${id % 50}",
+        "TALB" -> s"album_${id % 20}",
+        "TRCK" -> s"${1 + id % 12}")
     val bo = new java.io.ByteArrayOutputStream()
     def frame(fid: String, body: Array[Byte]): Unit = {
       bo.write(fid.getBytes("ISO-8859-1"))
       val sz = body.length
-      if (v4) {
-        bo.write((sz >> 21) & 0x7f); bo.write((sz >> 14) & 0x7f)
-        bo.write((sz >> 7) & 0x7f); bo.write(sz & 0x7f)
-      } else {
-        bo.write((sz >> 24) & 0xff); bo.write((sz >> 16) & 0xff)
-        bo.write((sz >> 8) & 0xff); bo.write(sz & 0xff)
+      ver match {
+        case 4 =>
+          bo.write((sz >> 21) & 0x7f); bo.write((sz >> 14) & 0x7f)
+          bo.write((sz >> 7) & 0x7f); bo.write(sz & 0x7f)
+        case 3 =>
+          bo.write((sz >> 24) & 0xff); bo.write((sz >> 16) & 0xff)
+          bo.write((sz >> 8) & 0xff); bo.write(sz & 0xff)
+        case _ => // v2.2: 24-bit big-endian, 6-byte header, no flags
+          bo.write((sz >> 16) & 0xff); bo.write((sz >> 8) & 0xff)
+          bo.write(sz & 0xff)
       }
-      bo.write(0); bo.write(0) // frame flags
+      if (ver >= 3) { bo.write(0); bo.write(0) } // frame flags
       bo.write(body, 0, body.length)
     }
     frames.foreach { case (fid, text) =>
@@ -332,12 +364,13 @@ object Mp3 {
       frame(fid, tb.toByteArray)
     }
     // a non-text frame the walker strides over structurally
-    frame("PRIV", s"owner$id".getBytes("ISO-8859-1"))
+    if (ver == 2) frame("CNT", Array[Byte](0, 0, 0, (id % 100).toByte))
+    else frame("PRIV", s"owner$id".getBytes("ISO-8859-1"))
     val body = bo.toByteArray
     val padded = body.length + 7 // padding bytes
     val out = new java.io.ByteArrayOutputStream()
     out.write('I'); out.write('D'); out.write('3')
-    out.write(if (v4) 4 else 3); out.write(0)
+    out.write(ver); out.write(0)
     out.write(0) // flags
     out.write((padded >> 21) & 0x7f); out.write((padded >> 14) & 0x7f)
     out.write((padded >> 7) & 0x7f); out.write(padded & 0x7f)
@@ -353,14 +386,8 @@ object Mp3 {
 
   /** Executor-side tagged fixtures — the m21 oracle recomputes the frame
    * texts from the id formulas. */
-  def syntheticTaggedMp3s(df: DataFrame, idCol: String): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("payload", BinaryType)))
-    val idIdx = df.schema.fieldIndex(idCol)
-    df.mapPartitions { it =>
-      it.map(r => Row(r.getLong(idIdx), syntheticTaggedMp3(r.getLong(idIdx))))
-    }(Encoders.row(schema))
-  }
+  def syntheticTaggedMp3s(df: DataFrame, idCol: String): DataFrame =
+    Fixtures.syntheticPayloads(df, idCol)(syntheticTaggedMp3)
 
   // =====================================================================
   // Synthetic fixture: a VALID VBR MPEG-1 Layer III stream whose frame
@@ -420,12 +447,6 @@ object Mp3 {
 
   /** Executor-side synthetic-MP3 fixtures — the m16 oracle recomputes the
    * full frame arithmetic in SQL. */
-  def syntheticMp3s(df: DataFrame, idCol: String): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("payload", BinaryType)))
-    val idIdx = df.schema.fieldIndex(idCol)
-    df.mapPartitions { it =>
-      it.map(r => Row(r.getLong(idIdx), syntheticMp3(r.getLong(idIdx))))
-    }(Encoders.row(schema))
-  }
+  def syntheticMp3s(df: DataFrame, idCol: String): DataFrame =
+    Fixtures.syntheticPayloads(df, idCol)(syntheticMp3)
 }

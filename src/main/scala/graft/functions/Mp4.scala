@@ -780,25 +780,13 @@ object Mp4 {
 
   /** Executor-side synthetic fragmented-MP4 fixtures — the m14 oracle
    * recomputes the full moof/tfhd/trun arithmetic in SQL. */
-  def syntheticFmp4s(df: DataFrame, idCol: String): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("payload", BinaryType)))
-    val idIdx = df.schema.fieldIndex(idCol)
-    df.mapPartitions { it =>
-      it.map(r => Row(r.getLong(idIdx), syntheticFmp4(r.getLong(idIdx))))
-    }(Encoders.row(schema))
-  }
+  def syntheticFmp4s(df: DataFrame, idCol: String): DataFrame =
+    Fixtures.syntheticPayloads(df, idCol)(syntheticFmp4)
 
   /** Executor-side synthetic-MP4 fixtures with id-derived shape — the m13
    * oracle recomputes the full stbl arithmetic in SQL. */
-  def syntheticMp4s(df: DataFrame, idCol: String): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("payload", BinaryType)))
-    val idIdx = df.schema.fieldIndex(idCol)
-    df.mapPartitions { it =>
-      it.map(r => Row(r.getLong(idIdx), syntheticMp4(r.getLong(idIdx))))
-    }(Encoders.row(schema))
-  }
+  def syntheticMp4s(df: DataFrame, idCol: String): DataFrame =
+    Fixtures.syntheticPayloads(df, idCol)(syntheticMp4(_))
 
   /** Output schema of [[demuxMp4Frames]]. */
   val mp4FrameSchema: StructType = StructType(Seq(

@@ -166,29 +166,38 @@ object Ogg {
       val partial = scala.collection.mutable.Map.empty[Long, Partial]
       val out = scala.collection.mutable.ArrayBuffer.empty[Packet]
       var no = 0
-      for (p <- pages) {
+      // explicit early-exit flag, NOT a non-local return: `return` inside
+      // the flatMap lambda rides NonLocalReturnControl (removed in Scala 3
+      // and swallowed by any intervening catch-all) — r11 verdict #8
+      var spliced = false
+      val it = pages.iterator
+      while (!spliced && it.hasNext) {
+        val p = it.next()
         val continued = (p.flags & 0x01) != 0
-        if (continued != partial.contains(p.serial)) return None
-        val st = partial.getOrElseUpdate(p.serial, new Partial)
-        st.pagesSpanned += 1
-        var segStart = p.offset + p.headerLen
-        var k = 0
-        while (k < p.lacings.length) {
-          val lacing = p.lacings(k)
-          st.buf.write(payload, segStart.toInt, lacing)
-          if (lacing < 255) { // packet completes here
-            out += Packet(no, p.serial, st.buf.size().toLong,
-              st.pagesSpanned, p.no, st.buf.toByteArray)
-            no += 1
-            st.buf.reset()
-            st.pagesSpanned = 1
+        if (continued != partial.contains(p.serial)) spliced = true
+        else {
+          val st = partial.getOrElseUpdate(p.serial, new Partial)
+          st.pagesSpanned += 1
+          var segStart = p.offset + p.headerLen
+          var k = 0
+          while (k < p.lacings.length) {
+            val lacing = p.lacings(k)
+            st.buf.write(payload, segStart.toInt, lacing)
+            if (lacing < 255) { // packet completes here
+              out += Packet(no, p.serial, st.buf.size().toLong,
+                st.pagesSpanned, p.no, st.buf.toByteArray)
+              no += 1
+              st.buf.reset()
+              st.pagesSpanned = 1
+            }
+            segStart += lacing
+            k += 1
           }
-          segStart += lacing
-          k += 1
+          if (st.buf.size() == 0) partial.remove(p.serial)
         }
-        if (st.buf.size() == 0) partial.remove(p.serial)
       }
-      if (partial.nonEmpty) None // dangling partial at EOF: truncated
+      if (spliced) None // continued-flag/partial mismatch: spliced stream
+      else if (partial.nonEmpty) None // dangling partial at EOF: truncated
       else if (out.isEmpty) None
       else Some(out.toIndexedSeq)
     }
@@ -294,38 +303,50 @@ object Ogg {
 
   // =====================================================================
   // Chained fixture: every non-final page OPENS a packet that continues
-  // onto the next page (a single 255 lacing), and every non-first page
+  // onto the next page (one or TWO 255 lacings), and every non-first page
   // carries the continued flag and closes it — the cross-page packet
   // reassembly the m19 oracle recomputes. A demuxer that treats 255 as a
   // packet end, drops continuation chunks, or mis-orders completion
-  // produces wrong sizes/probes.
+  // produces wrong sizes/probes. The sweep deliberately includes
+  // ≥3-segment packets (two 255 openings + a closing, >510 bytes) and
+  // EXACT-510 packets closed by a terminating 0 lacing — the two lacing
+  // edge shapes RFC 3533 §5 allows that a 2-segment-only fixture never
+  // exercises (r11 verdict #2).
   // =====================================================================
 
   /** Deterministic chained shape shared by the writer, the m19 oracle and
    * the spec: pages `3 + id%4`; page p carries (in order) the previous
-   * long packet's closing chunk `r(p-1) = 40 + ((id*5 + (p-1)*7) % 200)`
-   * when p>0, a short packet `a(p) = 60 + ((id*11 + p*17) % 90)`, and —
-   * on non-final pages — the 255-byte opening chunk of long packet L(p).
-   * So packet completion order is A(0), L(0), A(1), L(1), …, A(np-1),
-   * with |A(p)| = a(p) (1 page) and |L(p)| = 255 + r(p) (2 pages).
-   * Granule `(p+1)*(90 + id%40)`; serial `2000 + id%100`; body byte j of
-   * page p is `(id + p*131 + j) & 0xff`. */
-  def syntheticChainedShape(id: Long): (Int, Int => Int, Int => Int) = {
+   * long packet's closing chunk (`rem(p-1)` bytes — a single lacing,
+   * which is the terminating 0 when `rem` is 0), a short packet
+   * `a(p) = 60 + ((id*11 + p*17) % 90)`, and — on non-final pages — the
+   * opening chunk of long packet L(p): `open(p) = 1 + (id+p)%2` 255
+   * lacings. `rem(p)` is 0 when `open(p) == 2 && (id+p)%5 == 0` (an
+   * exact-510 packet) and `40 + ((id*5 + p*7) % 200)` otherwise. So
+   * packet completion order is A(0), L(0), A(1), L(1), …, A(np-1), with
+   * |A(p)| = a(p) (1 page) and |L(p)| = 255·open(p) + rem(p) (2 pages,
+   * up to 749 bytes over up to 3 segments). Granule `(p+1)*(90 +
+   * id%40)`; serial `2000 + id%100`; body byte j of page p is
+   * `(id + p*131 + j) & 0xff`. */
+  def syntheticChainedShape(
+      id: Long): (Int, Int => Int, Int => Int, Int => Int) = {
     val nPages = (3 + id % 4).toInt
     val a = (p: Int) => (60 + ((id * 11 + p * 17) % 90)).toInt
-    val r = (p: Int) => (40 + ((id * 5 + p * 7) % 200)).toInt
-    (nPages, a, r)
+    val open = (p: Int) => (1 + ((id + p) % 2)).toInt
+    val rem = (p: Int) =>
+      if (open(p) == 2 && (id + p) % 5 == 0) 0
+      else (40 + ((id * 5 + p * 7) % 200)).toInt
+    (nPages, a, open, rem)
   }
 
   def syntheticChainedOgg(id: Long): Array[Byte] = {
-    val (nPages, a, r) = syntheticChainedShape(id)
+    val (nPages, a, open, rem) = syntheticChainedShape(id)
     val serial = 2000L + id % 100
     val bo = new java.io.ByteArrayOutputStream()
     (0 until nPages).foreach { p =>
       val pageStart = bo.size()
       val lacings =
-        (if (p > 0) Seq(r(p - 1)) else Seq.empty) ++ Seq(a(p)) ++
-          (if (p < nPages - 1) Seq(255) else Seq.empty)
+        (if (p > 0) Seq(rem(p - 1)) else Seq.empty) ++ Seq(a(p)) ++
+          (if (p < nPages - 1) Seq.fill(open(p))(255) else Seq.empty)
       bo.write('O'); bo.write('g'); bo.write('g'); bo.write('S')
       bo.write(0)
       bo.write((if (p > 0) 0x01 else 0x02) |
@@ -394,10 +415,18 @@ object Ogg {
       def str(off: Int, s: String): Boolean =
         off + s.length <= b.length &&
           s.indices.forall(i => b(off + i) == s.charAt(i).toByte)
-      if (b.length >= 19 && str(0, "OpusHead"))
+      // field validation (r11 advice): a recognized magic with a wrong
+      // version nibble, zero channel count or zero sample rate is a
+      // CORRUPTED header — None, never typed garbage. OpusHead's major
+      // version (upper nibble of byte 8) must be 0 per RFC 7845 §5.1
+      // ("version 1" has major 0); a Vorbis id header carries version
+      // u32 = 0 per Vorbis I §4.2.2.
+      if (b.length >= 19 && str(0, "OpusHead") && (b(8) & 0xf0) == 0 &&
+          (b(9) & 0xff) != 0 && u32le(b, 12) != 0)
         Some(AudioMeta("opus", b(9) & 0xff,
           u32le(b, 12), ((b(10) & 0xff) | ((b(11) & 0xff) << 8))))
-      else if (b.length >= 30 && b(0) == 1 && str(1, "vorbis"))
+      else if (b.length >= 30 && b(0) == 1 && str(1, "vorbis") &&
+          u32le(b, 7) == 0 && (b(11) & 0xff) != 0 && u32le(b, 12) != 0)
         Some(AudioMeta("vorbis", b(11) & 0xff, u32le(b, 12), 0))
       else None
     }
@@ -483,36 +512,91 @@ object Ogg {
     bo.toByteArray
   }
 
+  // =====================================================================
+  // Multiplexed fixture: TWO logical streams (serials X and Y) whose
+  // pages strictly interleave in file order (X0 Y0 X1 Y1 …) while BOTH
+  // keep a packet open across their page seams — so at every interior
+  // file position two partial packets are pending simultaneously, one
+  // per serial. A demuxer with a single shared partial buffer, or one
+  // keyed on file order instead of serial, concatenates bytes across
+  // streams; the m23 oracle's per-packet sizes and byte probes catch it.
+  // =====================================================================
+
+  /** Deterministic muxed shape shared by the writer, the m23 oracle and
+   * the spec: `n = 2 + id%3` pages PER STREAM; file page `q` belongs to
+   * stream `s = q%2` (0 = X serial `4000 + id%100`, 1 = Y serial
+   * `4100 + id%100`) at stream position `p = q/2`. Stream-page (s, p)
+   * carries (in order) the previous long packet's closing chunk
+   * `r_s(p-1)` when p>0, a short packet `a_s(p)`, and a single 255
+   * opening lacing when p<n-1 — with `a_X(p) = 50 + ((id*7 + p*13) %
+   * 80)`, `r_X(p) = 30 + ((id*3 + p*11) % 100)`, `a_Y(p) = 55 + ((id*9 +
+   * p*19) % 70)`, `r_Y(p) = 35 + ((id*13 + p*5) % 90)`. Granule
+   * `(p+1)*(80 + id%30)` for X / `(p+1)*(70 + id%20)` for Y; body byte j
+   * of FILE page q is `(id + q*131 + j) & 0xff`. Completion order: file
+   * page 0 completes A_X(0) (packet 0), page 1 A_Y(0) (packet 1), and
+   * every page q ≥ 2 completes L_s(p-1) (packet 2q−2, 2 stream pages)
+   * then A_s(p) (packet 2q−1, 1 page). */
+  def syntheticMuxedShape(
+      id: Long): (Int, (Int, Int) => Int, (Int, Int) => Int) = {
+    val nPerStream = (2 + id % 3).toInt
+    val a = (s: Int, p: Int) =>
+      if (s == 0) (50 + ((id * 7 + p * 13) % 80)).toInt
+      else (55 + ((id * 9 + p * 19) % 70)).toInt
+    val r = (s: Int, p: Int) =>
+      if (s == 0) (30 + ((id * 3 + p * 11) % 100)).toInt
+      else (35 + ((id * 13 + p * 5) % 90)).toInt
+    (nPerStream, a, r)
+  }
+
+  def syntheticMuxedOgg(id: Long): Array[Byte] = {
+    val (n, a, r) = syntheticMuxedShape(id)
+    val bo = new java.io.ByteArrayOutputStream()
+    (0 until 2 * n).foreach { q =>
+      val s = q % 2
+      val p = q / 2
+      val serial = (if (s == 0) 4000L else 4100L) + id % 100
+      val pageStart = bo.size()
+      val lacings =
+        (if (p > 0) Seq(r(s, p - 1)) else Seq.empty) ++ Seq(a(s, p)) ++
+          (if (p < n - 1) Seq(255) else Seq.empty)
+      bo.write('O'); bo.write('g'); bo.write('g'); bo.write('S')
+      bo.write(0)
+      bo.write((if (p > 0) 0x01 else 0x02) | (if (p == n - 1) 0x04 else 0))
+      val granule = (p + 1L) * (if (s == 0) 80 + id % 30 else 70 + id % 20)
+      (0 until 8).foreach(i => bo.write(((granule >> (8 * i)) & 0xff).toInt))
+      (0 until 4).foreach(i => bo.write(((serial >> (8 * i)) & 0xff).toInt))
+      (0 until 4).foreach(i => bo.write(((p.toLong >> (8 * i)) & 0xff).toInt))
+      (0 until 4).foreach(_ => bo.write(0)) // CRC placeholder
+      bo.write(lacings.length)
+      lacings.foreach(bo.write)
+      val body = lacings.sum
+      (0 until body).foreach(j => bo.write(((id + q * 131L + j) & 0xff).toInt))
+      val bytes = bo.toByteArray
+      val c = pageCrc(bytes, pageStart, bytes.length, pageStart + 22)
+      (0 until 4).foreach(i =>
+        bytes(pageStart + 22 + i) = ((c >> (8 * i)) & 0xff).toByte)
+      bo.reset(); bo.write(bytes, 0, bytes.length)
+    }
+    bo.toByteArray
+  }
+
   /** Executor-side audio-header fixtures — the m20 oracle recomputes the
    * decoded fields in SQL. */
-  def syntheticAudioOggs(df: DataFrame, idCol: String): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("payload", BinaryType)))
-    val idIdx = df.schema.fieldIndex(idCol)
-    df.mapPartitions { it =>
-      it.map(r => Row(r.getLong(idIdx), syntheticAudioOgg(r.getLong(idIdx))))
-    }(Encoders.row(schema))
-  }
+  def syntheticAudioOggs(df: DataFrame, idCol: String): DataFrame =
+    Fixtures.syntheticPayloads(df, idCol)(syntheticAudioOgg)
 
   /** Executor-side chained-Ogg fixtures — the m19 oracle recomputes the
    * cross-page packet reassembly in SQL. */
-  def syntheticChainedOggs(df: DataFrame, idCol: String): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("payload", BinaryType)))
-    val idIdx = df.schema.fieldIndex(idCol)
-    df.mapPartitions { it =>
-      it.map(r => Row(r.getLong(idIdx), syntheticChainedOgg(r.getLong(idIdx))))
-    }(Encoders.row(schema))
-  }
+  def syntheticChainedOggs(df: DataFrame, idCol: String): DataFrame =
+    Fixtures.syntheticPayloads(df, idCol)(syntheticChainedOgg)
+
+  /** Executor-side muxed two-serial fixtures — the m23 oracle recomputes
+   * the interleaved reassembly in SQL. */
+  def syntheticMuxedOggs(df: DataFrame, idCol: String): DataFrame =
+    Fixtures.syntheticPayloads(df, idCol)(syntheticMuxedOgg)
 
   /** Executor-side synthetic-Ogg fixtures — the m18 oracle recomputes the
    * full page arithmetic in SQL. */
-  def syntheticOggs(df: DataFrame, idCol: String): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("payload", BinaryType)))
-    val idIdx = df.schema.fieldIndex(idCol)
-    df.mapPartitions { it =>
-      it.map(r => Row(r.getLong(idIdx), syntheticOgg(r.getLong(idIdx))))
-    }(Encoders.row(schema))
-  }
+  def syntheticOggs(df: DataFrame, idCol: String): DataFrame =
+    Fixtures.syntheticPayloads(df, idCol)(syntheticOgg)
 }

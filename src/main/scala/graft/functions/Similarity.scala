@@ -137,29 +137,62 @@ object Similarity {
    * candidate among its top-k, ties by tgt id), filtered to
    * margin ≥ minMargin.
    *
-   * Scale: both directions' kNN are the binding cost; this exact form
-   * uses [[bruteForceTopK]] (the declared exact baseline — src and tgt
-   * query sides broadcast). At corpus scale substitute [[lshTopK]] /
-   * [[ivfTopK]] lists for either direction: the margin arithmetic reads
-   * only (query, neighbor, cosine) rows and is one bounded aggregate +
-   * join + per-src window past them. Determinism: cosines round to 7
-   * digits before the decimal-bridged k-average; the margin's declared
-   * 5-digit precision uses floor(x·1e5 + 0.5)/1e5 — pure IEEE ops, so
-   * any engine computing on the same doubles lands the same value
-   * (library `round` functions disagree on .5-boundary doubles: some
-   * round the shortest decimal repr, some the binary value).
+   * Scale: both directions' kNN are the binding cost. The exact form
+   * (`approx = false`, the declared baseline) uses [[bruteForceTopK]] —
+   * src and tgt query sides broadcast, quadratic compute, right only for
+   * a bounded evaluation slice. `approx = true` is the corpus-scale
+   * path: BOTH directions route through [[annJoin]] (LSH-bucketed
+   * candidates, NEITHER side broadcast, ids-and-keys-only exchanges,
+   * same-id pairs preserved — cross-corpus id spaces are independent),
+   * and the identical margin arithmetic runs over the approximate
+   * neighbor lists. Because the hyperplane keys are shared and Hamming
+   * distance is symmetric, a pair surfacing in the a→b direction always
+   * has its b-side query in the b→a lists, so the hubness denominators
+   * stay inner-joinable. Callers with their OWN candidate lists (e.g.
+   * [[ivfTopK]] output) can call [[marginFromNeighbors]] directly.
+   * Determinism: cosines round to 7 digits before the decimal-bridged
+   * k-average; the margin's declared 5-digit precision uses
+   * floor(x·1e5 + 0.5)/1e5 — pure IEEE ops, so any engine computing on
+   * the same doubles lands the same value (library `round` functions
+   * disagree on .5-boundary doubles: some round the shortest decimal
+   * repr, some the binary value).
    */
   def marginMine(
       src: DataFrame, tgt: DataFrame, idCol: String, vecCol: String,
-      k: Int = 4, minMargin: Double = 0.0): DataFrame = {
+      k: Int = 4, minMargin: Double = 0.0,
+      approx: Boolean = false, nTables: Int = 8, nBits: Int = 12,
+      seed: Long = 42L, probes: Int = 2,
+      maxBucketSize: Int = 100000): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     // cross-corpus: src and tgt id spaces are independent, so id-equal
     // pairs are REAL candidates — no self-exclusion (review finding: the
     // default kNN filter silently dropped aligned-id bitext pairs)
-    val ab = bruteForceTopK(tgt, src, idCol, vecCol, k, excludeSelf = false)
-      .withColumn("c7", round(col("cosine"), 7))
-    val ba = bruteForceTopK(src, tgt, idCol, vecCol, k, excludeSelf = false)
-      .withColumn("c7", round(col("cosine"), 7))
+    val (ab, ba) =
+      if (approx)
+        (annJoin(src, tgt, idCol, vecCol, k, nTables, nBits, seed,
+          probes, maxBucketSize, excludeSameId = false),
+          annJoin(tgt, src, idCol, vecCol, k, nTables, nBits, seed,
+            probes, maxBucketSize, excludeSameId = false))
+      else
+        (bruteForceTopK(tgt, src, idCol, vecCol, k, excludeSelf = false),
+          bruteForceTopK(src, tgt, idCol, vecCol, k, excludeSelf = false))
+    marginFromNeighbors(ab, ba, minMargin)
+  }
+
+  /**
+   * The margin arithmetic of [[marginMine]] over PRE-COMPUTED neighbor
+   * lists: `ab` holds src→tgt rows (query_id, neighbor_id, cosine), `ba`
+   * tgt→src rows — any kNN family's output shape ([[bruteForceTopK]],
+   * [[annJoin]], [[lshTopK]], [[ivfTopK]]) plugs in, which is how a
+   * caller swaps its own scale path into the miner. One bounded
+   * aggregate per direction + a join + a per-src window — only
+   * (id, id, double) rows move past the kNN stages.
+   */
+  def marginFromNeighbors(
+      abList: DataFrame, baList: DataFrame,
+      minMargin: Double = 0.0): DataFrame = {
+    val ab = abList.withColumn("c7", round(col("cosine"), 7))
+    val ba = baList.withColumn("c7", round(col("cosine"), 7))
     // average over the ACTUAL neighborhood size: a corpus smaller than k
     // must not deflate the hubness denominator (and inflate margins)
     val aAvg = ab.groupBy("query_id")

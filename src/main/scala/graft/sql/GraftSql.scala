@@ -456,14 +456,21 @@ object GraftSql {
             p.getOrElse("rank", "rank"), p.getOrElse("k", "60").toInt,
             p.getOrElse("top", "10").toInt)
         },
-        // bitext mining: PROCESS src, tgt USING margin_mine(...)
+        // bitext mining: PROCESS src, tgt USING margin_mine(...);
+        // approx:"true" routes both kNN directions through annJoin
+        // (LSH-bucketed, neither side broadcast — the corpus-scale path)
         "margin_mine" -> ProcessorDef { (_, dfs, p) =>
           require(dfs.length == 2,
             s"margin_mine needs exactly (src, tgt), got ${dfs.length}")
           graft.functions.Similarity.marginMine(dfs(0), dfs(1),
             p.getOrElse("id", "vec_id"), p.getOrElse("col", "embedding"),
             p.getOrElse("k", "4").toInt,
-            p.getOrElse("min", "0.0").toDouble)
+            p.getOrElse("min", "0.0").toDouble,
+            approx = p.getOrElse("approx", "false").toBoolean,
+            nTables = p.getOrElse("tables", "8").toInt,
+            nBits = p.getOrElse("bits", "12").toInt,
+            seed = p.getOrElse("seed", "42").toLong,
+            probes = p.getOrElse("probes", "2").toInt)
         },
         // the keySkew diagnostic's prescriptive sibling: one row with the
         // measured salt factor for salted_join (1 = don't salt)

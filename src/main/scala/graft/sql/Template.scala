@@ -1635,6 +1635,10 @@ object Template {
         }
         v match {
           case ns: NamespaceVal => ns.fields.getOrElse(name, Undefined)
+          // groupby rows are (grouper, list) namedtuples in jinja, so
+          // attr() reaches their fields exactly like dotted access does
+          case g: GroupRow if name == "grouper" => g.key
+          case g: GroupRow if name == "list" => g.items
           case _ => Undefined
         }
       case ("sum", s: Seq[_], _) =>
@@ -1741,11 +1745,24 @@ object Template {
   /** python %-formatting for the `format` filter: `%(name)conv` reads
    * kwargs, bare `%conv` consumes args positionally; flags `-+ 0#`,
    * width, precision; conversions s r d i u f F e E x X o and %%.
-   * Leftover positional args raise like python's 'not all arguments
-   * converted'; %g and other conversions whose python/java output
-   * differs raise rather than silently diverge. */
+   * Mixed positional AND keyword arguments raise, as jinja's do_format
+   * does (`value % (kwargs or args)` can't take both); with kwargs only,
+   * a bare `%s` formats the whole mapping, python-style. Integer
+   * conversions are rendered by hand to python's rules — sign before
+   * zeros and prefix (`%08x` of −255 is `-00000ff`, not java's
+   * two's-complement), `#` prefixes `0x`/`0X`/`0o`, precision is
+   * min-digits, `-` beats `0`, and `0` still pads when a precision is
+   * given (python diverges from C there) — all pinned differentially
+   * against jinja2 3.1.6. Leftover positional args raise like python's
+   * 'not all arguments converted'; %g and other conversions whose
+   * python/java output differs raise rather than silently diverge. */
   private def pyFormat(fmt: String, args: Seq[Any],
       kwargs: Map[String, Any]): String = {
+    if (args.nonEmpty && kwargs.nonEmpty) throw new IllegalArgumentException(
+      "format: can't handle positional and keyword arguments at the same time")
+    // python formats `value % mapping` — a bare %s against a mapping
+    // consumes the mapping itself as the single positional value
+    val posArgs: Seq[Any] = if (kwargs.nonEmpty) Seq(kwargs) else args
     def asLong(v: Any): Long = v match {
       case l: Long => l
       case i: Int => i.toLong
@@ -1792,21 +1809,57 @@ object Template {
             throw new IllegalArgumentException(
               s"format: no keyword argument '$nm'"))
           case None =>
-            if (argi >= args.length) throw new IllegalArgumentException(
+            if (argi >= posArgs.length) throw new IllegalArgumentException(
               "not enough arguments for format string")
-            val a = args(argi); argi += 1; a
+            val a = posArgs(argi); argi += 1; a
+        }
+        // python's integer %-rules, by hand: magnitude digits, then the
+        // sign/space/plus, then the # prefix, padded python's way (the
+        // sign sits OUTSIDE zero padding; java %x of a negative long
+        // would emit two's-complement instead)
+        def intPiece(): String = {
+          val l = asLong(v)
+          val mag = java.math.BigInteger.valueOf(l).abs
+          val digits = conv match {
+            case 'o' => mag.toString(8)
+            case 'x' => mag.toString(16)
+            case 'X' => mag.toString(16).toUpperCase
+            case _ => mag.toString
+          }
+          val precN =
+            if (prec.isEmpty) -1
+            else if (prec == ".") 0
+            else prec.drop(1).toInt
+          val body =
+            if (precN > digits.length) ("0" * (precN - digits.length)) + digits
+            else digits
+          val sign =
+            if (l < 0) "-"
+            else if (flags.contains('+')) "+"
+            else if (flags.contains(' ')) " "
+            else ""
+          val prefix = if (flags.contains('#')) (conv match {
+            case 'o' => "0o"
+            case 'x' => "0x"
+            case 'X' => "0X"
+            case _ => ""
+          }) else ""
+          val w = if (width.isEmpty) 0 else width.toInt
+          val core = sign + prefix + body
+          if (core.length >= w) core
+          else if (flags.contains('-')) core + (" " * (w - core.length))
+          else if (flags.contains('0'))
+            sign + prefix + ("0" * (w - core.length)) + body
+          else (" " * (w - core.length)) + core
         }
         val jspec = "%" + flags + width + prec
         val piece = conv match {
           case 's' => String.format(jspec + "s", show(v))
           case 'r' => String.format(jspec + "s", repr(v))
-          case 'd' | 'i' | 'u' =>
-            String.format(jspec + "d", java.lang.Long.valueOf(asLong(v)))
+          case 'd' | 'i' | 'u' | 'x' | 'X' | 'o' => intPiece()
           case 'f' | 'F' | 'e' | 'E' =>
             String.format(jspec + conv,
               java.lang.Double.valueOf(num(v)))
-          case 'x' | 'X' | 'o' =>
-            String.format(jspec + conv, java.lang.Long.valueOf(asLong(v)))
           case other => throw new IllegalArgumentException(
             s"format: unsupported conversion '%$other'")
         }
@@ -1816,7 +1869,7 @@ object Template {
     }
     // python raises on leftover positionals only when formatting with
     // the args tuple (kwargs formatting ignores extras)
-    if (kwargs.isEmpty && argi < args.length)
+    if (kwargs.isEmpty && argi < posArgs.length)
       throw new IllegalArgumentException(
         "not all arguments converted during string formatting")
     out.toString

@@ -241,6 +241,45 @@ class FunctionsSpec extends SparkTestBase {
     assert(margins.forall(m => m > 1.0 && m < 2.5), margins.toSeq.toString)
   }
 
+  test("marginMine approx: exhaustive probing reproduces exact, realistic " +
+      "probing agrees on >=90% of mined pairs") {
+    val src = emb.filter(col("vec_id") % 2 === 0)
+    val tgt = emb.filter(col("vec_id") % 2 === 1)
+    val exact = Similarity.marginMine(src, tgt, "vec_id", "embedding",
+      k = 4, minMargin = Double.NegativeInfinity)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // probes = nBits covers every bucket of every table (nBits 2, probes
+    // 2 → all 4 keys probed): the candidate set is the full cross
+    // product, so the annJoin-routed path must reproduce the exact miner
+    // BIT-FOR-BIT (same top-k tie-breaks, same margin arithmetic) — pins
+    // that approx changes candidates, never the arithmetic
+    val exhaustive = Similarity.marginMine(src, tgt, "vec_id", "embedding",
+      k = 4, minMargin = Double.NegativeInfinity, approx = true,
+      nTables = 2, nBits = 2, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exhaustive === exact)
+    // realistic LSH parameters: the mined (src, tgt) pairs agree with
+    // exact on >= 90% of srcs — the s15x conformance bound
+    val approx = Similarity.marginMine(src, tgt, "vec_id", "embedding",
+      k = 4, minMargin = Double.NegativeInfinity, approx = true,
+      nTables = 16, nBits = 8, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactPairs = exact.map { case (a, b, _) => (a, b) }
+    assert(approx.size === exactPairs.size) // one mined pair per src
+    val agree = exactPairs.intersect(approx).size.toDouble / exactPairs.size
+    assert(agree >= 0.9, s"pair agreement $agree")
+    // pre-computed neighbor lists plug in directly (the lshTopK/ivfTopK
+    // substitution route the scaladoc documents)
+    val ab = Similarity.bruteForceTopK(tgt, src, "vec_id", "embedding",
+      k = 4, excludeSelf = false)
+    val ba = Similarity.bruteForceTopK(src, tgt, "vec_id", "embedding",
+      k = 4, excludeSelf = false)
+    val fromLists = Similarity
+      .marginFromNeighbors(ab, ba, Double.NegativeInfinity)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fromLists === exact)
+  }
+
   test("lshTopK achieves high recall vs brute force") {
     val brute = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
       "vec_id", "embedding", 5).select("query_id", "neighbor_id")

@@ -107,17 +107,72 @@ class Mp3Spec extends AnyFunSuite {
       val payload = Mp3.syntheticTaggedMp3(id)
       val frames = Mp3.parseId3TextFrames(payload)
         .getOrElse(fail(s"id=$id tag did not parse"))
-      // text frames in tag order; PRIV skipped structurally
-      assert(frames === IndexedSeq(
-        "TIT2" -> s"title_${id * 7 % 1000}",
-        "TPE1" -> s"artist_${id % 50}",
-        "TALB" -> s"album_${id % 20}",
-        "TRCK" -> s"${1 + id % 12}"), s"id=$id frames")
+      // text frames in tag order; the non-text frame (PRIV / v2.2 CNT)
+      // skipped structurally; v2.2 ids (id%3 == 2) emitted RAW
+      val want =
+        if (id % 3 == 2) IndexedSeq(
+          "TT2" -> s"title_${id * 7 % 1000}",
+          "TP1" -> s"artist_${id % 50}",
+          "TAL" -> s"album_${id % 20}",
+          "TRK" -> s"${1 + id % 12}")
+        else IndexedSeq(
+          "TIT2" -> s"title_${id * 7 % 1000}",
+          "TPE1" -> s"artist_${id % 50}",
+          "TALB" -> s"album_${id % 20}",
+          "TRCK" -> s"${1 + id % 12}")
+      assert(frames === want, s"id=$id frames")
       // the MPEG stream behind the tag still frame-walks cleanly
       val audio = Mp3.parseFrames(payload)
         .getOrElse(fail(s"id=$id stream did not parse"))
       assert(audio.length === (3 + id % 6).toInt, s"id=$id stream frames")
     }
+    // the sweep must cover all three tag versions AND both v2.2
+    // encodings (latin-1 / UCS-2-with-BOM), or the 6-byte-header walk
+    // went untested on one of them
+    assert((0L until 30L).map(id => 4 - id % 3).distinct.sorted ===
+      IndexedSeq(2L, 3L, 4L))
+    assert((0L until 30L).filter(_ % 3 == 2).map(id => (id / 3) % 2)
+      .distinct.sorted === IndexedSeq(0L, 1L))
+  }
+
+  test("ID3v2.2: tag-level unsync, compression bit, corrupt encodings") {
+    // id 2 → v2.2, latin-1; id 5 → v2.2, UCS-2 with BOM
+    val plain = Mp3.syntheticTaggedMp3(2L)
+    assert((plain(3) & 0xff) === 2)
+    // a v2.2 tag with the compression header bit set must be ignored in
+    // its entirety (ID3v2.2 §3.1), never half-decoded
+    val compressed = plain.clone(); compressed(5) = 0x40.toByte
+    assert(Mp3.parseId3TextFrames(compressed) === None)
+    // an encoding byte above 1 inside a v2.2 text frame is corruption
+    // (v2.2 defines only 0 and 1) — frame 0 body starts at 10 + 6
+    val badEnc = plain.clone(); badEnc(16) = 3
+    assert(Mp3.parseId3TextFrames(badEnc) === None)
+    // v2.2 tag-level unsynchronisation: 0xff 0x00 stuffing removed
+    // before the 6-byte frame walk — build one by hand around a 0xff-
+    // leading title
+    val raw = {
+      val bo = new java.io.ByteArrayOutputStream()
+      bo.write("TT2".getBytes("ISO-8859-1"))
+      val body = Array[Byte](0, 0xff.toByte, 'A'.toByte)
+      bo.write(0); bo.write(0); bo.write(body.length)
+      bo.write(body, 0, body.length)
+      bo.toByteArray
+    }
+    // unsync: every 0xff gets a 0x00 stuffed after it
+    val stuffed = raw.flatMap(b =>
+      if ((b & 0xff) == 0xff) Seq(b, 0.toByte) else Seq(b))
+    val tagged = {
+      val bo = new java.io.ByteArrayOutputStream()
+      bo.write('I'); bo.write('D'); bo.write('3')
+      bo.write(2); bo.write(0); bo.write(0x80) // v2.2, unsync flag
+      val sz = stuffed.length
+      bo.write((sz >> 21) & 0x7f); bo.write((sz >> 14) & 0x7f)
+      bo.write((sz >> 7) & 0x7f); bo.write(sz & 0x7f)
+      bo.write(stuffed, 0, stuffed.length)
+      bo.toByteArray
+    }
+    assert(Mp3.parseId3TextFrames(tagged) ===
+      Some(IndexedSeq("TT2" -> "ÿA")))
   }
 
   test("ID3v2 corrupt/edge tag forms") {
@@ -130,7 +185,9 @@ class Mp3Spec extends AnyFunSuite {
     // mangled frame id (non [A-Z0-9]) → None, not a silent skip
     val badId = ok.clone(); badId(13) = '~'.toByte
     assert(Mp3.parseId3TextFrames(badId) === None)
-    // v2.2 (3-byte ids) unsupported → None, not garbage
+    // a v2.4 tag re-stamped v2.2: the body re-read through 6-byte frame
+    // headers mis-slices (the first 24-bit "size" lands on 0x320000,
+    // overrunning the tag) → None, not garbage
     val v22 = ok.clone(); v22(3) = 2
     assert(Mp3.parseId3TextFrames(v22) === None)
     // no tag at all

@@ -96,7 +96,7 @@ class OggSpec extends AnyFunSuite {
   test("chained fixture: cross-page packets reassemble to the closed form") {
     (0L until 24L).foreach { id =>
       val payload = Ogg.syntheticChainedOgg(id)
-      val (np, a, r) = Ogg.syntheticChainedShape(id)
+      val (np, a, open, rem) = Ogg.syntheticChainedShape(id)
       val got = Ogg.parsePackets(payload)
         .getOrElse(fail(s"id=$id chained fixture did not parse"))
       // completion order: A(0), L(0), A(1), L(1), ..., A(np-1)
@@ -105,24 +105,44 @@ class OggSpec extends AnyFunSuite {
         val sh = got(2 * p)
         assert((sh.size, sh.nPages, sh.endPage) === ((a(p).toLong, 1, p)),
           s"id=$id short $p")
-        val off = if (p > 0) r(p - 1) else 0
+        val off = if (p > 0) rem(p - 1) else 0
         assert((sh.bytes.head & 0xff) === ((id + p * 131L + off) % 256).toInt)
         assert((sh.bytes.last & 0xff) ===
           ((id + p * 131L + off + a(p) - 1) % 256).toInt)
         if (p < np - 1) {
           val lg = got(2 * p + 1)
           assert((lg.size, lg.nPages, lg.endPage) ===
-            ((255L + r(p), 2, p + 1)), s"id=$id long $p")
-          // the head sits in page p AFTER the short; the tail in page p+1
+            ((255L * open(p) + rem(p), 2, p + 1)), s"id=$id long $p")
+          // the head sits in page p AFTER the short
           val off2 = off + a(p)
           assert((lg.bytes.head & 0xff) === ((id + p * 131L + off2) % 256).toInt)
-          assert((lg.bytes.last & 0xff) ===
-            ((id + (p + 1) * 131L + r(p) - 1) % 256).toInt)
-          // the byte at the page seam (index 255) comes from page p+1
-          assert((lg.bytes(255) & 0xff) === ((id + (p + 1) * 131L) % 256).toInt)
+          // the tail sits in page p+1 — unless the closing chunk is the
+          // terminating 0 lacing, in which case the last byte is still
+          // the final OPENING byte on page p
+          if (rem(p) > 0)
+            assert((lg.bytes.last & 0xff) ===
+              ((id + (p + 1) * 131L + rem(p) - 1) % 256).toInt)
+          else
+            assert((lg.bytes.last & 0xff) ===
+              ((id + p * 131L + off2 + 255L * open(p) - 1) % 256).toInt)
+          // the byte right after the opening chunk comes from page p+1
+          if (rem(p) > 0)
+            assert((lg.bytes(255 * open(p)) & 0xff) ===
+              ((id + (p + 1) * 131L) % 256).toInt, s"id=$id seam $p")
         }
       }
     }
+    // lacing edge coverage: the 0-23 sweep must include a >510-byte
+    // packet spanning >=3 segments AND an exact-510 packet closed by a
+    // terminating 0 lacing — else the RFC 3533 edge shapes went untested
+    val shapes = (0L until 24L).flatMap { id =>
+      val (np, _, open, rem) = Ogg.syntheticChainedShape(id)
+      (0 until np - 1).map(p => (open(p), rem(p)))
+    }
+    assert(shapes.exists { case (o, r) => o == 2 && r > 0 && 510 + r >= 600 },
+      "no >=600-byte 3-segment packet in the sweep")
+    assert(shapes.exists { case (o, r) => o == 2 && r == 0 },
+      "no exact-510 terminating-0 packet in the sweep")
   }
 
   test("packets over the unchained fixture agree with the page census") {
@@ -230,5 +250,103 @@ class OggSpec extends AnyFunSuite {
       Ogg.parsePackets(raw).get.map(_.size)
     assert(gotP.filter(_.serial == 2020L).map(_.size) === sizesOf(ca))
     assert(gotP.filter(_.serial == 2021L).map(_.size) === sizesOf(cb))
+  }
+
+  test("muxed fixture: interleaved partials reassemble to the closed form") {
+    (0L until 24L).foreach { id =>
+      val payload = Ogg.syntheticMuxedOgg(id)
+      val (n, a, r) = Ogg.syntheticMuxedShape(id)
+      val got = Ogg.parsePackets(payload)
+        .getOrElse(fail(s"id=$id muxed fixture did not parse"))
+      assert(got.length === 2 * (2 * n - 1), s"id=$id packet count")
+      (0 until 2 * n).foreach { q =>
+        val s = q % 2
+        val p = q / 2
+        val serial = (if (s == 0) 4000L else 4100L) + id % 100
+        val rprev = if (p > 0) r(s, p - 1) else 0
+        // the short completing on file page q
+        val sh = got(if (q < 2) q else 2 * q - 1)
+        assert((sh.serial, sh.size, sh.nPages, sh.endPage) ===
+          ((serial, a(s, p).toLong, 1, q)), s"id=$id short q=$q")
+        assert((sh.bytes.head & 0xff) ===
+          ((id + q * 131L + rprev) % 256).toInt, s"id=$id short head q=$q")
+        assert((sh.bytes.last & 0xff) ===
+          ((id + q * 131L + rprev + a(s, p) - 1) % 256).toInt)
+        // the long opening on q and closing on q+2 (one page later IN
+        // ITS STREAM, two pages later in the file)
+        if (p < n - 1) {
+          val lg = got(2 * (q + 2) - 2)
+          assert((lg.serial, lg.size, lg.nPages, lg.endPage) ===
+            ((serial, 255L + r(s, p), 2, q + 2)), s"id=$id long q=$q")
+          assert((lg.bytes.head & 0xff) ===
+            ((id + q * 131L + rprev + a(s, p)) % 256).toInt)
+          // the seam byte (index 255) comes from file page q+2, NOT from
+          // the other stream's page q+1 sitting between them
+          assert((lg.bytes(255) & 0xff) ===
+            ((id + (q + 2) * 131L) % 256).toInt, s"id=$id seam q=$q")
+          assert((lg.bytes.last & 0xff) ===
+            ((id + (q + 2) * 131L + r(s, p) - 1) % 256).toInt)
+        }
+      }
+      // both serials pending partials simultaneously at every interior
+      // page boundary — the interleave is real, not sequential
+      val pages = Ogg.parsePages(payload).get
+      assert(pages.map(_.serial).distinct.length === 2, s"id=$id serials")
+      assert(pages.map(_.serial).sliding(2).forall(w => w(0) != w(1)),
+        s"id=$id pages strictly alternate serials")
+    }
+  }
+
+  test("muxed spliced stream: continued flag without a pending partial") {
+    val payload = Ogg.syntheticMuxedOgg(7L)
+    assert(Ogg.parsePackets(payload).isDefined)
+    val pages = Ogg.parsePages(payload).get
+    // file page 1 is Y's FIRST page (bos, no pending Y partial): setting
+    // its continued flag claims a partial that does not exist — splice
+    // evidence, packets must refuse (re-patch the CRC so the walk
+    // reaches the flag logic rather than bouncing off the checksum)
+    val spliced = payload.clone()
+    val p1 = pages(1).offset.toInt
+    val p1len = (pages(1).headerBytes + pages(1).bodyBytes).toInt
+    spliced(p1 + 5) = (spliced(p1 + 5) | 0x01).toByte
+    val c = Ogg.pageCrc(spliced, p1, p1 + p1len, p1 + 22)
+    (0 until 4).foreach(i =>
+      spliced(p1 + 22 + i) = ((c >> (8 * i)) & 0xff).toByte)
+    assert(Ogg.parsePackets(spliced) === None)
+    // pages still walk (per-serial sequences are intact) — the refusal
+    // is the PACKET layer's continued-flag contract, not a page error
+    assert(Ogg.parsePages(spliced).isDefined)
+  }
+
+  test("audio header field validation: version/rate/channel corruption -> None") {
+    // baseline fixtures decode
+    val opus = Ogg.syntheticAudioOgg(0L) // even id: OpusHead
+    val vorb = Ogg.syntheticAudioOgg(1L) // odd id: Vorbis
+    assert(Ogg.parseAudioMeta(opus).exists(_.codec == "opus"))
+    assert(Ogg.parseAudioMeta(vorb).exists(_.codec == "vorbis"))
+    // the id header is the first packet: byte offsets inside page 0's
+    // body (28 = 27-byte header + 1 lacing entry)
+    def corrupt(raw: Array[Byte], bodyOff: Int, value: Byte): Array[Byte] = {
+      val bad = raw.clone()
+      bad(28 + bodyOff) = value
+      val pages = Ogg.parsePages(raw).get
+      val len = (pages(0).headerBytes + pages(0).bodyBytes).toInt
+      val c = Ogg.pageCrc(bad, 0, len, 22)
+      (0 until 4).foreach(i => bad(22 + i) = ((c >> (8 * i)) & 0xff).toByte)
+      bad
+    }
+    // OpusHead major version nibble != 0 (RFC 7845 §5.1)
+    assert(Ogg.parseAudioMeta(corrupt(opus, 8, 0x21.toByte)) === None)
+    // zero channels / zero sample rate are corruption, not metadata
+    assert(Ogg.parseAudioMeta(corrupt(opus, 9, 0)) === None)
+    assert(Ogg.parseAudioMeta(
+      corrupt(corrupt(corrupt(corrupt(opus, 12, 0), 13, 0), 14, 0), 15, 0))
+      === None)
+    assert(Ogg.parseAudioMeta(corrupt(vorb, 11, 0)) === None)
+    assert(Ogg.parseAudioMeta(
+      corrupt(corrupt(corrupt(corrupt(vorb, 12, 0), 13, 0), 14, 0), 15, 0))
+      === None)
+    // Vorbis id-header version u32 must be 0 (Vorbis I §4.2.2)
+    assert(Ogg.parseAudioMeta(corrupt(vorb, 7, 1)) === None)
   }
 }

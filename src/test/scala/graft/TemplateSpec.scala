@@ -270,6 +270,28 @@ class TemplateSpec extends AnyFunSuite {
     assert(r("{{ '%.3s' | format('hello') }}") === "hel")
     intercept[IllegalArgumentException](r("{{ '%s %s' | format(1) }}"))
     intercept[IllegalArgumentException](r("{{ '%s' | format(1, 2) }}"))
+    // negative integers sign OUTSIDE zero padding and # prefixes; python
+    // zero-pads to width even WITH a precision — all jinja2-3.1.6-pinned
+    // (the r11 advice finding: java %x of a negative long would emit
+    // two's-complement ffffffffffffff01)
+    assert(r("{{ '%x,%X,%o' | format(-255, -255, -8) }}") === "-ff,-FF,-10")
+    assert(r("{{ '%08x' | format(-255) }}") === "-00000ff")
+    assert(r("{{ '%8x|%-8x|' | format(-255, -255) }}")
+      === "     -ff|-ff     |")
+    assert(r("{{ '%#x %#o %#X' | format(-255, 255, 255) }}")
+      === "-0xff 0o377 0XFF")
+    assert(r("{{ '%#010x %010.4x %08.4d' | format(255, 255, -42) }}")
+      === "0x000000ff 00000000ff -0000042")
+    assert(r("{{ '%+x % x %+.4d' | format(255, 255, 42) }}")
+      === "+ff  ff +0042")
+    assert(r("{{ '%x' | format(n) }}",
+      Map("n" -> Long.MinValue)) === "-8000000000000000")
+    // mixed positional + keyword args raise, as jinja's do_format does
+    // (`value % (kwargs or args)` can't take both)
+    intercept[IllegalArgumentException](
+      r("{{ '%(a)s %s' | format(1, a=2) }}"))
+    // kwargs-only with a bare %s formats the whole mapping, python-style
+    assert(r("{{ '%s' | format(a=1) }}") === "{'a': 1}")
     // tojson is ensure_ascii like json.dumps: non-ASCII escapes, astral
     // chars as surrogate pairs, \b/\f shorthands (review finding)
     assert(r("{{ s | tojson }}", Map("s" -> "café")) === "\"caf\\u00e9\"")
@@ -288,6 +310,15 @@ class TemplateSpec extends AnyFunSuite {
     assert(r("{{ d | attr('a') | default(0) }}",
       Map("d" -> Map("a" -> 5L))) === "0")
     assert(r("{% set ns = namespace(a=7) %}{{ ns | attr('a') }}") === "7")
+    // attr reaches groupby rows' namedtuple fields exactly like dotted
+    // access (r11 advice finding: attr returned Undefined for GroupRow)
+    val rs = Seq(Map("k" -> "b", "v" -> 2L), Map("k" -> "a", "v" -> 1L),
+      Map("k" -> "b", "v" -> 3L))
+    assert(r("{% for g in rs | groupby('k') %}" +
+      "{{ g | attr('grouper') }}:{{ g | attr('list') | length }};" +
+      "{% endfor %}", Map("rs" -> rs)) === "a:1;b:2;")
+    assert(r("{{ rs | groupby('k') | first | attr('nope') | default('D') }}",
+      Map("rs" -> rs)) === "D")
   }
 
   test("malformed number literals raise SyntaxError, not NumberFormatException") {
