@@ -541,6 +541,39 @@ object SparkEntry {
       eng(s).toDF(msgs, "k:long,n:long")
     }),
 
+    // the same census through the DISTRIBUTED RPC channel (the
+    // reference's Flask-server surface): a driver-hosted HTTP endpoint
+    // executors post to mid-task — immediate delivery, unlike the
+    // accumulator channel's task-completion granularity; dedup by
+    // message (Spark may re-run tasks), census checked by the q118
+    // oracle
+    "q118b_http_callback" -> ((s, dir) => {
+      val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+      val srv = graft.transform.HttpCallbacks.start() { (topic, msg) =>
+        if (topic == "census") seen.add(msg)
+      }
+      try {
+        val ch = srv.channel
+        val src = t(s, dir, "orders")
+          .select((col("o_custkey") % 50).as("k"), col("o_orderkey"))
+        val spec = graft.PartitionSpec(by = Seq("k"))
+        val out = graft.transform.Transform.mapPartitions(src, spec,
+          graft.schema.SchemaExpr.parse("k:long,n:long")) { (cursor, rows) =>
+          val n = rows.size.toLong
+          val k = cursor.keyValues.head.asInstanceOf[Long]
+          ch.post("census", s"$k:$n")
+          Iterator(org.apache.spark.sql.Row(k, n))
+        }
+        out.foreach(_ => ()) // drive the action; posts arrive mid-task
+        import scala.jdk.CollectionConverters._
+        val msgs = seen.asScala.toSeq.map { m =>
+          val Array(k, n) = m.split(":")
+          Seq[Any](k.toLong, n.toLong)
+        }
+        eng(s).toDF(msgs, "k:long,n:long")
+      } finally srv.stop()
+    }),
+
     // mixed-media-lake census: magic-byte type sniffing over a column
     // that interleaves all nine payload families (PNG/GIF/progressive
     // MP4/fragmented MP4/MP3/WAV/Ogg/FLAC/plain text) — the "what is
@@ -4085,6 +4118,11 @@ object SparkEntry {
         | CAST((doc_id + pg*131 + body - 1) % 256 AS INTEGER) AS tail_byte
         |FROM o""".stripMargin,
     "q118_callback_census" ->
+      """SELECT CAST(o_custkey % 50 AS BIGINT) AS k,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM orders GROUP BY 1""".stripMargin,
+    // identical census, delivered over the driver-hosted HTTP endpoint
+    "q118b_http_callback" ->
       """SELECT CAST(o_custkey % 50 AS BIGINT) AS k,
         | CAST(count(*) AS BIGINT) AS n
         |FROM orders GROUP BY 1""".stripMargin,

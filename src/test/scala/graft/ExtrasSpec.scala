@@ -160,6 +160,62 @@ class ExtrasSpec extends SparkTestBase {
     assert(delivered.get() < spark.sparkContext.defaultParallelism * 3)
   }
 
+  test("HTTP callback endpoint: executor posts arrive mid-task; dead endpoint raises") {
+    import graft.transform.HttpCallbacks
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val srv = HttpCallbacks.start() { (topic, msg) => seen.add(s"$topic=$msg") }
+    try {
+      val ch = srv.channel
+      val d = df((1 to 8).map(i => Seq(i)), "x:int").repartition(4)
+      val out = Transform.mapPartitions(d, PartitionSpec.empty,
+        SchemaExpr.parse("x:int")) { (cursor, rows) =>
+        ch.post("part", cursor.physicalPartitionNo.toString)
+        rows
+      }
+      assert(out.count() === 8)
+      import scala.jdk.CollectionConverters._
+      assert(seen.asScala.exists(_.startsWith("part=")))
+    } finally srv.stop()
+    // a stopped endpoint must raise on post, never drop silently (a lost
+    // stop-vote would turn early-stop into run-to-completion)
+    intercept[Exception](srv.channel.post("part", "late"))
+  }
+
+  test("HTTP callback early stop cancels BEFORE any task completes") {
+    import graft.transform.HttpCallbacks
+    val group = s"graft-http-stop-${java.util.UUID.randomUUID().toString.take(8)}"
+    val cancelled = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val sc = spark.sparkContext
+    val srv = HttpCallbacks.start() { (topic, _) =>
+      // immediate mid-task delivery: the FIRST progress post cancels the
+      // group while every task is still sleeping — the accumulator
+      // channel structurally cannot do this (posts surface at task
+      // completion), which is this endpoint's reason to exist
+      if (topic == "progress" && !cancelled.getAndSet(true))
+        sc.cancelJobGroup(group)
+    }
+    val completed = sc.collectionAccumulator[Int]("http_stop_completed")
+    try {
+      val ch = srv.channel
+      sc.setJobGroup(group, "http early-stop test", interruptOnCancel = true)
+      val nParts = sc.defaultParallelism
+      val thrown = intercept[Exception] {
+        spark.range(nParts).repartition(nParts).rdd.foreachPartition { _ =>
+          ch.post("progress", "1")
+          Thread.sleep(30000) // interrupted by the cancel, never served out
+          completed.add(1)
+        }
+      }
+      assert(thrown.getMessage.toLowerCase.contains("cancel"))
+      assert(cancelled.get())
+      // no task slept through to completion: the cancel landed mid-task
+      assert(completed.value.isEmpty)
+    } finally {
+      sc.clearJobGroup()
+      srv.stop()
+    }
+  }
+
   test("streaming: windowed aggregation over bounded file source") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft_stream").toString
