@@ -31,20 +31,23 @@ object MarginStress {
     // common scale: exact is feasible — measure both and their agreement
     val srcS = corpus(10000, 1)
     val tgtS = corpus(10000, 2)
-    var exactRows = 0L
+    // localCheckpoint inside the timed region: each leg computes ONCE
+    // (the agreement join below reuses the materialized pairs)
+    var exactPairs: org.apache.spark.sql.DataFrame = null
     val tExact = time {
-      exactRows = Similarity.marginMine(srcS, tgtS, "vec_id", "embedding",
-        k = 4, minMargin = Double.NegativeInfinity).count()
+      exactPairs = Similarity.marginMine(srcS, tgtS, "vec_id", "embedding",
+        k = 4, minMargin = Double.NegativeInfinity)
+        .select("src_id", "tgt_id").localCheckpoint(true)
     }
-    val exactPairs = Similarity.marginMine(srcS, tgtS, "vec_id", "embedding",
-      k = 4, minMargin = Double.NegativeInfinity)
-      .select("src_id", "tgt_id")
-    val approxPairsS = Similarity.marginMine(srcS, tgtS, "vec_id", "embedding",
-      k = 4, minMargin = Double.NegativeInfinity, approx = true,
-      nTables = 16, nBits = 10, probes = 2)
-      .select("src_id", "tgt_id")
-    var approxRowsS = 0L
-    val tApproxS = time { approxRowsS = approxPairsS.count() }
+    val exactRows = exactPairs.count()
+    var approxPairsS: org.apache.spark.sql.DataFrame = null
+    val tApproxS = time {
+      approxPairsS = Similarity.marginMine(srcS, tgtS, "vec_id", "embedding",
+        k = 4, minMargin = Double.NegativeInfinity, approx = true,
+        nTables = 16, nBits = 10, probes = 2)
+        .select("src_id", "tgt_id").localCheckpoint(true)
+    }
+    val approxRowsS = approxPairsS.count()
     val agree = exactPairs.join(approxPairsS, Seq("src_id", "tgt_id"),
       "left_semi").count().toDouble / exactRows
     // 10x on BOTH sides: 100x the exact leg's pair count — approx only

@@ -549,7 +549,11 @@ object SparkEntry {
     // oracle
     "q118b_http_callback" -> ((s, dir) => {
       val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-      val srv = graft.transform.HttpCallbacks.start() { (topic, msg) =>
+      // bind to the driver host so executors on OTHER machines reach the
+      // endpoint too (falls back to loopback for bare local runs)
+      val srv = graft.transform.HttpCallbacks.start(
+        host = s.conf.getOption("spark.driver.host")
+          .getOrElse("127.0.0.1")) { (topic, msg) =>
         if (topic == "census") seen.add(msg)
       }
       try {

@@ -168,12 +168,29 @@ object Similarity {
     // pairs are REAL candidates — no self-exclusion (review finding: the
     // default kNN filter silently dropped aligned-id bitext pairs)
     val (ab, ba) =
-      if (approx)
-        (annJoin(src, tgt, idCol, vecCol, k, nTables, nBits, seed,
-          probes, maxBucketSize, excludeSameId = false),
-          annJoin(tgt, src, idCol, vecCol, k, nTables, nBits, seed,
-            probes, maxBucketSize, excludeSameId = false))
-      else
+      if (approx) {
+        val abL = annJoin(src, tgt, idCol, vecCol, k, nTables, nBits, seed,
+          probes, maxBucketSize, excludeSameId = false)
+        val baRaw = annJoin(tgt, src, idCol, vecCol, k, nTables, nBits, seed,
+          probes, maxBucketSize, excludeSameId = false)
+        // guard against asymmetric bucket caps (review finding): annJoin
+        // caps over-full buckets on its INDEX side only, so a tgt that
+        // surfaced as someone's neighbor in a→b can still have lost ALL
+        // its b→a candidates — it would vanish from the b-side averages
+        // and the inner join would erase its srcs from the output.
+        // Reversed a→b rows are themselves valid (tgt, src, cosine)
+        // candidates (cosine is symmetric), so union them in, dedup the
+        // pair, and re-take the per-tgt top-k: every tgt mentioned in ab
+        // now has a neighborhood, and with uncapped buckets the result
+        // is unchanged (the reversed rows are already candidates).
+        val baCols = Seq("query_id", "neighbor_id", "cosine").map(col)
+        val ba2 = topKByCosine(
+          baRaw.select(baCols: _*).unionByName(
+            abL.select(col("neighbor_id").as("query_id"),
+              col("query_id").as("neighbor_id"), col("cosine")))
+            .distinct(), k)
+        (abL, ba2)
+      } else
         (bruteForceTopK(tgt, src, idCol, vecCol, k, excludeSelf = false),
           bruteForceTopK(src, tgt, idCol, vecCol, k, excludeSelf = false))
     marginFromNeighbors(ab, ba, minMargin)
@@ -184,9 +201,14 @@ object Similarity {
    * lists: `ab` holds src→tgt rows (query_id, neighbor_id, cosine), `ba`
    * tgt→src rows — any kNN family's output shape ([[bruteForceTopK]],
    * [[annJoin]], [[lshTopK]], [[ivfTopK]]) plugs in, which is how a
-   * caller swaps its own scale path into the miner. One bounded
-   * aggregate per direction + a join + a per-src window — only
-   * (id, id, double) rows move past the kNN stages.
+   * caller swaps its own scale path into the miner. CONTRACT: every tgt
+   * id appearing as a neighbor in `ab` must appear as a query in `ba`
+   * (the hubness denominators inner-join) — exact kNN satisfies this
+   * trivially, and [[marginMine]]'s approx route enforces it by folding
+   * reversed ab rows into the b-side lists; a caller supplying its own
+   * approximate lists owns the same guarantee or its srcs silently drop.
+   * One bounded aggregate per direction + a join + a per-src window —
+   * only (id, id, double) rows move past the kNN stages.
    */
   def marginFromNeighbors(
       abList: DataFrame, baList: DataFrame,

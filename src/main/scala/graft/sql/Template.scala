@@ -986,8 +986,7 @@ object Template {
       case m: Map[_, _] => m.asInstanceOf[Map[String, Any]].getOrElse(n, Undefined)
       // ONLY groupby rows act like jinja's (grouper, list) namedtuple —
       // ordinary 2-lists have no attributes (review finding)
-      case g: GroupRow if n == "grouper" || n == "list" =>
-        if (n == "grouper") g.key else g.items
+      case g: GroupRow => groupRowField(g, n).getOrElse(Undefined)
       case _ => Undefined
     }
     case IndexOp(t, ie) => (eval(t, env), eval(ie, env)) match {
@@ -1105,8 +1104,12 @@ object Template {
       }
     case Bin(op, _, _) => throw new IllegalArgumentException(s"unknown op '$op'")
     case FilterOp(x, name, args, kwargs) =>
+      // VectorMap: python kwargs are insertion-ordered, and the format
+      // filter's bare-%s path renders the whole mapping — a plain Map
+      // switches to hash order above 4 entries (review finding)
       applyFilter(eval(x, env), name, args.map(eval(_, env)),
-        kwargs.map { case (k, v) => k -> eval(v, env) }.toMap)
+        scala.collection.immutable.VectorMap.from(
+          kwargs.map { case (k, v) => k -> eval(v, env) }))
     case CallOp(Attr(t, method @ ("items" | "keys" | "values")), Nil, Nil)
         if eval(t, env).isInstanceOf[Map[_, _]] =>
       // dict methods, iteration order = the map's (VectorMap literals
@@ -1301,6 +1304,16 @@ object Template {
     def length: Int = 2
     override def iterator: Iterator[Any] = Iterator(key, items)
   }
+
+  /** jinja's groupby rows are (grouper, list) namedtuples: ONE field map
+   * shared by dotted access and the attr filter, so the two surfaces
+   * cannot drift (review finding). */
+  private def groupRowField(g: GroupRow, name: String): Option[Any] =
+    name match {
+      case "grouper" => Some(g.key)
+      case "list" => Some(g.items)
+      case _ => None
+    }
 
   /** Element attribute access for map/sum/sort(attribute=...) — jinja's
    * getattr over dict items / namespaces. */
@@ -1637,8 +1650,7 @@ object Template {
           case ns: NamespaceVal => ns.fields.getOrElse(name, Undefined)
           // groupby rows are (grouper, list) namedtuples in jinja, so
           // attr() reaches their fields exactly like dotted access does
-          case g: GroupRow if name == "grouper" => g.key
-          case g: GroupRow if name == "list" => g.items
+          case g: GroupRow => groupRowField(g, name).getOrElse(Undefined)
           case _ => Undefined
         }
       case ("sum", s: Seq[_], _) =>

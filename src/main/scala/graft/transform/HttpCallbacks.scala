@@ -46,9 +46,16 @@ object HttpCallbacks {
       conn.setFixedLengthStreamingMode(body.length)
       val os = conn.getOutputStream
       try os.write(body) finally os.close()
+      // read the code BEFORE touching the input stream: on a non-200 the
+      // JDK's getInputStream throws its own generic IOException, which
+      // would mask the endpoint diagnostic below (review finding)
       val code = conn.getResponseCode
-      conn.getInputStream.close()
-      require(code == 200, s"callback endpoint $address returned $code")
+      if (code == 200) conn.getInputStream.close()
+      else {
+        Option(conn.getErrorStream).foreach(_.close())
+        throw new IllegalArgumentException(
+          s"callback endpoint $address returned $code")
+      }
     }
   }
 
@@ -56,9 +63,14 @@ object HttpCallbacks {
    * executors. Stop it when the action finishes — the pool is daemon so
    * a forgotten server never blocks JVM exit. */
   final class HttpCallbackServer private[HttpCallbacks] (
-      server: HttpServer, val channel: HttpCallbackChannel) {
+      server: HttpServer, pool: java.util.concurrent.ExecutorService,
+      val channel: HttpCallbackChannel) {
     def address: String = channel.address
-    def stop(): Unit = server.stop(0)
+    /** Stops accepting AND shuts the dispatch pool down — HttpServer
+     * .stop() alone leaves a user-supplied executor's core threads alive
+     * forever (review finding: a conformance loop creating a server per
+     * query would otherwise leak 4 threads per run). */
+    def stop(): Unit = { server.stop(0); pool.shutdown() }
   }
 
   /**
@@ -92,14 +104,15 @@ object HttpCallbacks {
           ex.close()
       }
     })
-    srv.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4,
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4,
       (r: Runnable) => {
         val t = new Thread(r, "graft-http-callback")
         t.setDaemon(true)
         t
-      }))
+      })
+    srv.setExecutor(pool)
     srv.start()
-    new HttpCallbackServer(srv,
+    new HttpCallbackServer(srv, pool,
       new HttpCallbackChannel(s"$host:${srv.getAddress.getPort}"))
   }
 }

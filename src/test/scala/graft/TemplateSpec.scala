@@ -290,8 +290,12 @@ class TemplateSpec extends AnyFunSuite {
     // (`value % (kwargs or args)` can't take both)
     intercept[IllegalArgumentException](
       r("{{ '%(a)s %s' | format(1, a=2) }}"))
-    // kwargs-only with a bare %s formats the whole mapping, python-style
+    // kwargs-only with a bare %s formats the whole mapping, python-style,
+    // in INSERTION order even past 4 entries where a plain scala Map
+    // would switch to hash order (review finding)
     assert(r("{{ '%s' | format(a=1) }}") === "{'a': 1}")
+    assert(r("{{ '%s' | format(e=5, a=1, d=4, b=2, c=3) }}")
+      === "{'e': 5, 'a': 1, 'd': 4, 'b': 2, 'c': 3}")
     // tojson is ensure_ascii like json.dumps: non-ASCII escapes, astral
     // chars as surrogate pairs, \b/\f shorthands (review finding)
     assert(r("{{ s | tojson }}", Map("s" -> "café")) === "\"caf\\u00e9\"")
