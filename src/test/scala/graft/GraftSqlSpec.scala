@@ -1155,6 +1155,15 @@ class GraftSqlSpec extends SparkTestBase {
       .orderBy("src_id").collect().map(r => (r.getLong(0), r.getLong(1)))
     // the aligned axes pair up; the diagonal distractor loses on margin
     assert(out.toSeq === Seq((0L, 1L), (2L, 3L)))
+    // approx:"true" routes through annJoin; with exhaustive probing
+    // (bits:2, probes:2 covers all four buckets) the candidates are the
+    // full cross product, so the mined pairs must match exactly
+    val approx = GraftSql.run(engine,
+      """m = PROCESS src, tgt USING margin_mine(k:2, approx:"true", tables:2, bits:2, probes:2)
+        |YIELD m AS m
+        |""".stripMargin, Map("src" -> src, "tgt" -> tgt)).yields("m")
+      .orderBy("src_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(approx.toSeq === Seq((0L, 1L), (2L, 3L)))
   }
 
   test("suggest_salt and salted_join processors") {
