@@ -63,6 +63,7 @@ object Plans {
       "m21_id3_tags" -> "ID3v2 text-frame extraction: header-only reads per row in a narrow map, zero exchanges - tag metadata lands as rows without touching the MPEG stream bytes behind the tag.",
       "m22_flac_info" -> "FLAC STREAMINFO decode: one bit-packed 34-byte block per row in a narrow map, zero exchanges - the cheapest possible typed-metadata projection over a lossless-audio column.",
       "m23_ogg_muxed" -> "Multiplexed (two-serial) Ogg reassembly: the per-serial partial-packet state is still INSIDE one row's walk (a mapPartitions over payloads), so interleaved streams add hash-map entries per row, not exchanges - the plan is identical in shape to m19's single-stream walk: narrow, zero exchanges.",
+      "m24_ogg_comments" -> "VorbisComment/OpusTags extraction: packet-2 decode over the reassembled packets of the same narrow per-row walk - the tag-metadata projection (vendor + KEY=value rows) lands with zero exchanges, exactly like m21's ID3 walk on the MP3 side.",
       "s15x_margin_approx" -> "Margin-mining scale-path verdict: the EXACT leg keeps s15's adjudicated brute shape (broadcast query sides - the declared baseline); the APPROX leg routes both kNN directions through annJoin - grep its subtree: shuffled equi-joins on the 8-byte LSH bucket key and id-only exchanges, NO BroadcastNestedLoopJoin and NO CartesianProduct anywhere on that path (the dedicated section below dumps the approx plan alone). The agreement tail collapses to one row.",
       "s14_hybrid_rrf" -> "Hybrid RRF fusion: both retrieval stages keep their adjudicated shapes (bm25's broadcast query side + WindowGroupLimit top-k; brute ANN's broadcast bounded query side); the fusion itself unions two ALREADY top-k'd (query, rank, id) frames - one hash aggregate on (query, id) and a per-query WindowGroupLimit, so only bounded ranked rows ever shuffle.",
       "q117_odd_columns" -> "Odd column names (spaces, keywords, unicode, '*') through the dialect: the LOAD-projected scan's ReadSchema carries the quoted names as-is and the plan is scan+project only - name mangling would show as a Project alias layer.")
@@ -75,7 +76,7 @@ object Plans {
     val sb = new StringBuilder
     sb ++= "# PLANS - physical-plan evidence for scale-critical queries\n\n"
     sb ++= s"Generated by `sbt \"runMain graft.Plans\"` at $dir with AQE on.\n"
-    for (q <- Seq("q02_filter", "q01_agg", "q06_join_inner", "q20_take_per_key", "d01_dedup_exact", "s01_knn_brute", "s02_knn_lsh", "d05_dedup_embed", "t12_lm_score", "q62_bloom_semi", "d12_fuzzy_join", "q64_range_join", "d13_segment_dedup", "t20_pack_sequences", "q89_quality_checks", "q92_snapshot_diff", "q90_outliers", "t35_bm25", "q110_funnel", "q110b_funnel_restart", "q111_retention", "q112_triangles", "q113_ppr", "q114_clustering_coeff", "t36_trigram_ce", "t37_link_graph", "t38_gopher_rules", "t39_c4_clean", "q115_connected_components", "m13_mp4_demux", "m14_fmp4_demux", "m18_ogg_pages", "m19_ogg_packets", "m20_audio_meta", "m21_id3_tags", "m22_flac_info", "m23_ogg_muxed", "s14_hybrid_rrf", "s15x_margin_approx", "q117_odd_columns")) {
+    for (q <- Seq("q02_filter", "q01_agg", "q06_join_inner", "q20_take_per_key", "d01_dedup_exact", "s01_knn_brute", "s02_knn_lsh", "d05_dedup_embed", "t12_lm_score", "q62_bloom_semi", "d12_fuzzy_join", "q64_range_join", "d13_segment_dedup", "t20_pack_sequences", "q89_quality_checks", "q92_snapshot_diff", "q90_outliers", "t35_bm25", "q110_funnel", "q110b_funnel_restart", "q111_retention", "q112_triangles", "q113_ppr", "q114_clustering_coeff", "t36_trigram_ce", "t37_link_graph", "t38_gopher_rules", "t39_c4_clean", "q115_connected_components", "m13_mp4_demux", "m14_fmp4_demux", "m18_ogg_pages", "m19_ogg_packets", "m20_audio_meta", "m21_id3_tags", "m22_flac_info", "m23_ogg_muxed", "m24_ogg_comments", "s14_hybrid_rrf", "s15x_margin_approx", "q117_odd_columns")) {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.SimpleMode)
       sb ++= s"\n## $q\n\n${notes(q)}\n\n```\n${plan.split("\n").take(30).mkString("\n")}\n```\n"

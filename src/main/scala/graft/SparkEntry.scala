@@ -700,13 +700,28 @@ object SparkEntry {
     }),
 
     // ID3v2 text-frame extraction (title/artist/album/track) across tag
-    // versions (v2.4 synchsafe / v2.3 plain frame sizes) and the three
-    // common text encodings, with a non-text PRIV frame to stride over —
-    // the tag-metadata side of an audio corpus; exact string oracle
+    // versions (v2.4 synchsafe / v2.3 plain / v2.2 24-bit frame sizes),
+    // the three common text encodings, tag-level UNSYNCHRONISATION on
+    // odd v2.2/v2.3 ids (real 0xff 0x00 stuffing through the UTF-16
+    // BOMs), and a non-text PRIV/CNT frame to stride over — the
+    // tag-metadata side of an audio corpus; exact string oracle
     "m21_id3_tags" -> ((s, dir) => {
       val ids = t(s, dir, "documents").select("doc_id")
       graft.functions.Mp3.id3TextFrames(
         graft.functions.Mp3.syntheticTaggedMp3s(ids, "doc_id"),
+        "doc_id", "payload")
+    }),
+
+    // VorbisComment / OpusTags extraction (Vorbis I §5 / RFC 7845 §5.2):
+    // the tag-metadata side of Ogg audio — vendor + KEY=value comments
+    // decoded from the reassembled SECOND packet (the fixture's PAD
+    // comment pushes it across a 255-lacing chain), the exact
+    // counterpart of m21's ID3 walk; the oracle replays the comment
+    // formulas, with the magic/framing variation the engine's to erase
+    "m24_ogg_comments" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select("doc_id")
+      graft.functions.Ogg.oggComments(
+        graft.functions.Ogg.syntheticCommentedOggs(ids, "doc_id"),
         "doc_id", "payload")
     }),
 
@@ -3983,6 +3998,24 @@ object SparkEntry {
         |UNION ALL SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 2 THEN 'TRK' ELSE 'TRCK' END,
         |  CAST(1 + doc_id % 12 AS VARCHAR) FROM documents""".stripMargin,
+    // replay of Ogg.syntheticCommentedOgg's comment formulas (the m21
+    // vocabulary re-keyed VorbisComment-style); magic/framing variation
+    // between OpusTags and the Vorbis type-3 header is the engine's
+    "m24_ogg_comments" ->
+      """WITH d AS (SELECT doc_id,
+        |  'graft ' || CAST(doc_id % 7 AS VARCHAR) AS vendor
+        | FROM documents)
+        |SELECT doc_id, vendor, CAST(0 AS INTEGER) AS comment_no,
+        |  'TITLE' AS "key",
+        |  'title_' || CAST((doc_id*7) % 1000 AS VARCHAR) AS "value" FROM d
+        |UNION ALL SELECT doc_id, vendor, 1, 'ARTIST',
+        |  'artist_' || CAST(doc_id % 50 AS VARCHAR) FROM d
+        |UNION ALL SELECT doc_id, vendor, 2, 'ALBUM',
+        |  'album_' || CAST(doc_id % 20 AS VARCHAR) FROM d
+        |UNION ALL SELECT doc_id, vendor, 3, 'TRACKNUMBER',
+        |  CAST(1 + doc_id % 12 AS VARCHAR) FROM d
+        |UNION ALL SELECT doc_id, vendor, 4, 'PAD',
+        |  repeat('x', CAST(200 + doc_id % 200 AS INTEGER)) FROM d""".stripMargin,
     // replay of Ogg.syntheticAudioOgg's header formulas: even ids Opus,
     // odd ids Vorbis, per-codec channel/rate/preskip derivations
     "m20_audio_meta" ->

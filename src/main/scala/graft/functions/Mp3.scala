@@ -317,8 +317,12 @@ object Mp3 {
    * (PRIV, or CNT in v2.2) the walker must stride over; text encodings
    * rotate by `(id/3) % 3` (ISO-8859-1 / UTF-16 with BOM / UTF-8) for
    * v2.3/v2.4 and `(id/3) % 2` (ISO-8859-1 / UCS-2 with BOM) for v2.2;
-   * 7 padding bytes; then the id-shaped MPEG stream of [[syntheticMp3]]
-   * with its own optional ID3 replaced by this one. */
+   * 7 padding bytes; odd v2.2/v2.3 ids apply tag-level
+   * UNSYNCHRONISATION (0x00 stuffed after every 0xff — real stuffing
+   * wherever a UTF-16 BOM appears), so the oracle-checked family walks
+   * the de-unsync path, not only the spec; then the id-shaped MPEG
+   * stream of [[syntheticMp3]] with its own optional ID3 replaced by
+   * this one. */
   def syntheticTaggedMp3(id: Long): Array[Byte] = {
     val ver = 4 - (id % 3).toInt // 4, 3, 2
     val enc = // 0: latin-1, 1: utf-16+BOM, 3: utf-8 (v2.2: 0/1 only)
@@ -366,16 +370,23 @@ object Mp3 {
     // a non-text frame the walker strides over structurally
     if (ver == 2) frame("CNT", Array[Byte](0, 0, 0, (id % 100).toByte))
     else frame("PRIV", s"owner$id".getBytes("ISO-8859-1"))
-    val body = bo.toByteArray
-    val padded = body.length + 7 // padding bytes
+    // tag-level UNSYNCHRONISATION on odd v2.2/v2.3 ids: every 0xff gets
+    // a 0x00 stuffed after it (bites on the UTF-16 BOMs), the header
+    // flag is set, and the synchsafe size covers the STUFFED body — the
+    // walker must de-unsync before the frame walk or sizes mis-slice
+    val unsync = ver <= 3 && id % 2 == 1
+    val rawBody = bo.toByteArray ++ Array.fill(7)(0.toByte) // + padding
+    val body =
+      if (unsync) rawBody.flatMap(b =>
+        if ((b & 0xff) == 0xff) Seq(b, 0.toByte) else Seq(b))
+      else rawBody
     val out = new java.io.ByteArrayOutputStream()
     out.write('I'); out.write('D'); out.write('3')
     out.write(ver); out.write(0)
-    out.write(0) // flags
-    out.write((padded >> 21) & 0x7f); out.write((padded >> 14) & 0x7f)
-    out.write((padded >> 7) & 0x7f); out.write(padded & 0x7f)
+    out.write(if (unsync) 0x80 else 0) // flags
+    out.write((body.length >> 21) & 0x7f); out.write((body.length >> 14) & 0x7f)
+    out.write((body.length >> 7) & 0x7f); out.write(body.length & 0x7f)
     out.write(body, 0, body.length)
-    (0 until 7).foreach(_ => out.write(0))
     // the MPEG stream, with syntheticMp3's own optional ID3 stripped
     val stream = syntheticMp3(id)
     val skip =

@@ -431,6 +431,97 @@ object Ogg {
       else None
     }
 
+  /**
+   * Decode the stream's comment header (packet 2): the tag-metadata side
+   * of Ogg audio — where TITLE/ARTIST/ALBUM live for .ogg/.opus crawls,
+   * the exact counterpart of [[Mp3.parseId3TextFrames]] for MP3. Both
+   * containers share one structure (Vorbis I §5 / RFC 7845 §5.2): a
+   * vendor string, then N length-prefixed UTF-8 `KEY=value` comments —
+   * Vorbis wraps it in a type-3 header with a mandatory framing bit,
+   * Opus in an `OpusTags` magic with optional trailing padding.
+   *
+   * Returns (vendor, comments in file order, keys RAW — the spec says
+   * keys are case-insensitive but extraction is not normalization
+   * policy). None when the payload is not clean Ogg, has no second
+   * packet, the magic/type is neither form, any length overruns the
+   * packet, a comment lacks `=`, a key byte falls outside the spec's
+   * 0x20–0x7D-minus-`=` range, or the Vorbis framing bit is absent —
+   * corrupt tags are a detectable absence, never garbage rows.
+   */
+  def parseComments(
+      payload: Array[Byte]): Option[(String, IndexedSeq[(String, String)])] =
+    parsePackets(payload).flatMap(decodeCommentPacket)
+
+  // plain method, not a closure: the early exits below are method-level
+  // returns, never NonLocalReturnControl (the parsePackets lesson)
+  private def decodeCommentPacket(
+      ps: IndexedSeq[Packet]): Option[(String, IndexedSeq[(String, String)])] = {
+    if (ps.length < 2) return None
+    val b = ps(1).bytes
+    def str(off: Int, s: String): Boolean =
+      off + s.length <= b.length &&
+        s.indices.forall(i => b(off + i) == s.charAt(i).toByte)
+    val (start, framed) =
+      if (str(0, "OpusTags")) (8, false)
+      else if (b.length >= 7 && b(0) == 3 && str(1, "vorbis")) (7, true)
+      else return None
+    var pos = start
+    def u32(): Long = // returns from u32 itself (nested def), -1 = short
+      if (pos + 4 > b.length) -1L
+      else { val v = u32le(b, pos); pos += 4; v }
+    val vlen = u32()
+    if (vlen < 0 || pos + vlen > b.length) return None
+    val vendor = new String(b, pos, vlen.toInt, "UTF-8")
+    pos += vlen.toInt
+    val n = u32()
+    if (n < 0 || n > b.length) return None // count cannot exceed byte count
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var i = 0L
+    while (i < n) {
+      val clen = u32()
+      if (clen < 0 || pos + clen > b.length) return None
+      val c = new String(b, pos, clen.toInt, "UTF-8")
+      pos += clen.toInt
+      val eq = c.indexOf('=')
+      if (eq < 1) return None // no '=' or empty key
+      val key = c.substring(0, eq)
+      if (!key.forall(ch => ch >= 0x20 && ch <= 0x7d && ch != '='))
+        return None
+      out += ((key, c.substring(eq + 1)))
+      i += 1
+    }
+    // Vorbis I §5.2: the comment header ends with a set framing bit
+    if (framed && (pos >= b.length || (b(pos) & 0x01) != 1)) return None
+    Some((vendor, out.toIndexedSeq))
+  }
+
+  /** Output schema of [[oggComments]]. */
+  val commentSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("vendor", StringType),
+    StructField("comment_no", IntegerType),
+    StructField("key", StringType),
+    StructField("value", StringType)))
+
+  /** One row per user comment (file order) with the stream's vendor
+   * string; payloads without a clean comment header contribute nothing.
+   * Narrow mapPartitions — header-only reads, no shuffle. */
+  def oggComments(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(idIdx)
+        parseComments(r.getAs[Array[Byte]](pIdx)) match {
+          case Some((vendor, cs)) => cs.iterator.zipWithIndex.map {
+            case ((k, v), i) => Row(id, vendor, i, k, v)
+          }
+          case None => Iterator.empty
+        }
+      }
+    }(Encoders.row(commentSchema))
+  }
+
   /** Output schema of [[oggAudioMeta]]. */
   val audioMetaSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
@@ -459,34 +550,38 @@ object Ogg {
    * are Vorbis (channels `1 + (id/2)%2`, rate 44100/32000/22050 by
    * `id%3`). One bos header page + one eos data page of
    * `30 + id%20` bytes. */
+  /** The id-derived identification header (even ids OpusHead, odd
+   * Vorbis) shared by the m20 and m24 fixtures. */
+  private def audioIdHeader(id: Long): Array[Byte] =
+    if (id % 2 == 0) {
+      val bo = new java.io.ByteArrayOutputStream()
+      bo.write("OpusHead".getBytes("ISO-8859-1"))
+      bo.write(1) // version
+      bo.write((1 + (id / 2) % 2).toInt) // channels
+      val preskip = (312 + id % 100).toInt
+      bo.write(preskip & 0xff); bo.write((preskip >> 8) & 0xff)
+      val rate = Seq(48000L, 24000L, 16000L)((id % 3).toInt)
+      (0 until 4).foreach(i => bo.write(((rate >> (8 * i)) & 0xff).toInt))
+      bo.write(0); bo.write(0) // output gain
+      bo.write(0)              // mapping family
+      bo.toByteArray
+    } else {
+      val bo = new java.io.ByteArrayOutputStream()
+      bo.write(1)
+      bo.write("vorbis".getBytes("ISO-8859-1"))
+      (0 until 4).foreach(_ => bo.write(0)) // version 0
+      bo.write((1 + (id / 2) % 2).toInt)    // channels
+      val rate = Seq(44100L, 32000L, 22050L)((id % 3).toInt)
+      (0 until 4).foreach(i => bo.write(((rate >> (8 * i)) & 0xff).toInt))
+      (0 until 12).foreach(_ => bo.write(0)) // bitrate max/nominal/min
+      bo.write(0xb8)                          // blocksizes
+      bo.write(1)                             // framing
+      bo.toByteArray
+    }
+
   def syntheticAudioOgg(id: Long): Array[Byte] = {
     val serial = 3000L + id % 100
-    val header: Array[Byte] =
-      if (id % 2 == 0) {
-        val bo = new java.io.ByteArrayOutputStream()
-        bo.write("OpusHead".getBytes("ISO-8859-1"))
-        bo.write(1) // version
-        bo.write((1 + (id / 2) % 2).toInt) // channels
-        val preskip = (312 + id % 100).toInt
-        bo.write(preskip & 0xff); bo.write((preskip >> 8) & 0xff)
-        val rate = Seq(48000L, 24000L, 16000L)((id % 3).toInt)
-        (0 until 4).foreach(i => bo.write(((rate >> (8 * i)) & 0xff).toInt))
-        bo.write(0); bo.write(0) // output gain
-        bo.write(0)              // mapping family
-        bo.toByteArray
-      } else {
-        val bo = new java.io.ByteArrayOutputStream()
-        bo.write(1)
-        bo.write("vorbis".getBytes("ISO-8859-1"))
-        (0 until 4).foreach(_ => bo.write(0)) // version 0
-        bo.write((1 + (id / 2) % 2).toInt)    // channels
-        val rate = Seq(44100L, 32000L, 22050L)((id % 3).toInt)
-        (0 until 4).foreach(i => bo.write(((rate >> (8 * i)) & 0xff).toInt))
-        (0 until 12).foreach(_ => bo.write(0)) // bitrate max/nominal/min
-        bo.write(0xb8)                          // blocksizes
-        bo.write(1)                             // framing
-        bo.toByteArray
-      }
+    val header: Array[Byte] = audioIdHeader(id)
     val bo = new java.io.ByteArrayOutputStream()
     def page(p: Int, flags: Int, granule: Long, body: Array[Byte]): Unit = {
       val pageStart = bo.size()
@@ -580,10 +675,78 @@ object Ogg {
     bo.toByteArray
   }
 
+  /** Deterministic commented-Ogg shape shared by the writer, the m24
+   * oracle and the spec: a 3-page stream (id header / comment header /
+   * eos data) whose packet-2 comments mirror the m21 tag formulas —
+   * vendor `graft <id%7>`; TITLE `title_<id*7%1000>`, ARTIST
+   * `artist_<id%50>`, ALBUM `album_<id%20>`, TRACKNUMBER `<1+id%12>`,
+   * and a PAD comment of `200 + id%200` `x`s that pushes the comment
+   * packet past one 255-lacing segment (the page's lacing table chains
+   * inside the page). Even ids carry OpusTags, odd ids the Vorbis
+   * type-3 header with its framing bit; serial `5000 + id%100`. */
+  def syntheticCommentedOgg(id: Long): Array[Byte] = {
+    val serial = 5000L + id % 100
+    val comments = Seq(
+      s"TITLE=title_${id * 7 % 1000}",
+      s"ARTIST=artist_${id % 50}",
+      s"ALBUM=album_${id % 20}",
+      s"TRACKNUMBER=${1 + id % 12}",
+      "PAD=" + ("x" * (200 + id % 200).toInt))
+    val vendor = s"graft ${id % 7}"
+    def u32le(v: Long, bo: java.io.ByteArrayOutputStream): Unit =
+      (0 until 4).foreach(i => bo.write(((v >> (8 * i)) & 0xff).toInt))
+    val tags = {
+      val bo = new java.io.ByteArrayOutputStream()
+      if (id % 2 == 0) bo.write("OpusTags".getBytes("ISO-8859-1"))
+      else { bo.write(3); bo.write("vorbis".getBytes("ISO-8859-1")) }
+      val vb = vendor.getBytes("UTF-8")
+      u32le(vb.length.toLong, bo); bo.write(vb, 0, vb.length)
+      u32le(comments.length.toLong, bo)
+      comments.foreach { c =>
+        val cb = c.getBytes("UTF-8")
+        u32le(cb.length.toLong, bo); bo.write(cb, 0, cb.length)
+      }
+      if (id % 2 != 0) bo.write(1) // Vorbis framing bit
+      bo.toByteArray
+    }
+    val bo = new java.io.ByteArrayOutputStream()
+    def page(p: Int, flags: Int, granule: Long, body: Array[Byte]): Unit = {
+      val pageStart = bo.size()
+      bo.write('O'); bo.write('g'); bo.write('g'); bo.write('S')
+      bo.write(0); bo.write(flags)
+      (0 until 8).foreach(i => bo.write(((granule >> (8 * i)) & 0xff).toInt))
+      (0 until 4).foreach(i => bo.write(((serial >> (8 * i)) & 0xff).toInt))
+      (0 until 4).foreach(i => bo.write(((p.toLong >> (8 * i)) & 0xff).toInt))
+      (0 until 4).foreach(_ => bo.write(0))
+      // in-page lacing chain: 255s then the remainder (a natural 0 when
+      // the body is an exact multiple)
+      val lacings = Seq.fill(body.length / 255)(255) :+ body.length % 255
+      bo.write(lacings.length)
+      lacings.foreach(bo.write)
+      bo.write(body, 0, body.length)
+      val bytes = bo.toByteArray
+      val c = pageCrc(bytes, pageStart, bytes.length, pageStart + 22)
+      (0 until 4).foreach(i =>
+        bytes(pageStart + 22 + i) = ((c >> (8 * i)) & 0xff).toByte)
+      bo.reset(); bo.write(bytes, 0, bytes.length)
+    }
+    page(0, 0x02, 0L, audioIdHeader(id))
+    page(1, 0, 0L, tags)
+    val dataLen = (30 + id % 20).toInt
+    page(2, 0x04, 960L,
+      Array.tabulate(dataLen)(j => ((id + j) & 0xff).toByte))
+    bo.toByteArray
+  }
+
   /** Executor-side audio-header fixtures — the m20 oracle recomputes the
    * decoded fields in SQL. */
   def syntheticAudioOggs(df: DataFrame, idCol: String): DataFrame =
     Fixtures.syntheticPayloads(df, idCol)(syntheticAudioOgg)
+
+  /** Executor-side commented-Ogg fixtures — the m24 oracle recomputes the
+   * comment list in SQL. */
+  def syntheticCommentedOggs(df: DataFrame, idCol: String): DataFrame =
+    Fixtures.syntheticPayloads(df, idCol)(syntheticCommentedOgg)
 
   /** Executor-side chained-Ogg fixtures — the m19 oracle recomputes the
    * cross-page packet reassembly in SQL. */

@@ -439,6 +439,10 @@ object GraftSql {
           graft.functions.Ogg.oggAudioMeta(one(dfs, "ogg_audio_meta"),
             p.getOrElse("id", "doc_id"), p.getOrElse("col", "payload"))
         },
+        "ogg_comments" -> ProcessorDef { (_, dfs, p) =>
+          graft.functions.Ogg.oggComments(one(dfs, "ogg_comments"),
+            p.getOrElse("id", "doc_id"), p.getOrElse("col", "payload"))
+        },
         "id3_tags" -> ProcessorDef { (_, dfs, p) =>
           graft.functions.Mp3.id3TextFrames(one(dfs, "id3_tags"),
             p.getOrElse("id", "doc_id"), p.getOrElse("col", "payload"))

@@ -133,6 +133,21 @@ class Mp3Spec extends AnyFunSuite {
       IndexedSeq(2L, 3L, 4L))
     assert((0L until 30L).filter(_ % 3 == 2).map(id => (id / 3) % 2)
       .distinct.sorted === IndexedSeq(0L, 1L))
+    // ...and tag-level unsynchronisation with REAL stuffing (the UTF-16
+    // BOM is 0xff-led) must occur for BOTH v2.3 and v2.2 in the sweep
+    def unsyncWithStuffing(id: Long): Boolean = {
+      val p = Mp3.syntheticTaggedMp3(id)
+      (p(5) & 0x80) != 0 && {
+        val size = ((p(6) & 0x7f) << 21) | ((p(7) & 0x7f) << 14) |
+          ((p(8) & 0x7f) << 7) | (p(9) & 0x7f)
+        (10 until (10 + size - 1)).exists(i =>
+          (p(i) & 0xff) == 0xff && p(i + 1) == 0)
+      }
+    }
+    assert((0L until 30L).exists(id => id % 3 == 1 && unsyncWithStuffing(id)),
+      "no v2.3 unsync fixture with real stuffing in the sweep")
+    assert((0L until 30L).exists(id => id % 3 == 2 && unsyncWithStuffing(id)),
+      "no v2.2 unsync fixture with real stuffing in the sweep")
   }
 
   test("ID3v2.2: tag-level unsync, compression bit, corrupt encodings") {

@@ -318,6 +318,68 @@ class OggSpec extends AnyFunSuite {
     assert(Ogg.parsePages(spliced).isDefined)
   }
 
+  test("comment headers decode per VorbisComment / OpusTags") {
+    (0L until 24L).foreach { id =>
+      val (vendor, cs) = Ogg.parseComments(Ogg.syntheticCommentedOgg(id))
+        .getOrElse(fail(s"id=$id comments did not decode"))
+      assert(vendor === s"graft ${id % 7}", s"id=$id vendor")
+      assert(cs === IndexedSeq(
+        "TITLE" -> s"title_${id * 7 % 1000}",
+        "ARTIST" -> s"artist_${id % 50}",
+        "ALBUM" -> s"album_${id % 20}",
+        "TRACKNUMBER" -> s"${1 + id % 12}",
+        "PAD" -> ("x" * (200 + id % 200).toInt)), s"id=$id comments")
+      // the PAD comment pushes the packet across a 255-lacing chain
+      val packets = Ogg.parsePackets(Ogg.syntheticCommentedOgg(id)).get
+      assert(packets(1).size > 255, s"id=$id comment packet spans lacings")
+      // the id header in packet 1 still decodes (m20 composes with m24)
+      assert(Ogg.parseAudioMeta(Ogg.syntheticCommentedOgg(id)).isDefined)
+    }
+    // streams without a comment-shaped second packet: detectable absence
+    assert(Ogg.parseComments(Ogg.syntheticOgg(4L)) === None)
+    assert(Ogg.parseComments("not ogg".getBytes) === None)
+  }
+
+  test("comment corrupt forms return None, never garbage rows") {
+    // rebuild with surgical corruption: flip bytes in the comment page
+    // and re-patch its CRC so the packet walk reaches the decode logic
+    def corruptTags(id: Long, f: Array[Byte] => Unit): Option[_] = {
+      val raw = Ogg.syntheticCommentedOgg(id)
+      val pages = Ogg.parsePages(raw).get
+      val bad = raw.clone()
+      val p1 = pages(1)
+      f(bad) // caller edits body bytes (absolute offsets)
+      val from = p1.offset.toInt
+      val until = (p1.offset + p1.headerBytes + p1.bodyBytes).toInt
+      val c = Ogg.pageCrc(bad, from, until, from + 22)
+      (0 until 4).foreach(i =>
+        bad(from + 22 + i) = ((c >> (8 * i)) & 0xff).toByte)
+      Ogg.parseComments(bad)
+    }
+    val id = 7L // vorbis form (odd)
+    val pages = Ogg.parsePages(Ogg.syntheticCommentedOgg(id)).get
+    val body1 = (pages(1).offset + pages(1).headerBytes).toInt
+    // type byte 3 -> 4: neither OpusTags nor a vorbis comment header
+    assert(corruptTags(id, b => b(body1) = 4) === None)
+    // vendor length lies beyond the packet
+    assert(corruptTags(id, b => b(body1 + 7 + 3) = 0x7f.toByte) === None)
+    // the '=' of TITLE (first comment, after vendor) becomes '_' (a
+    // legal key char, so the corruption is purely the missing
+    // separator): no '=' -> None. Layout: 7 (type+magic) + 4 (vendor
+    // len) + 7 ('graft N') + 4 (count) + 4 (comment len); 'TITLE=' puts
+    // '=' at offset 5 of the comment data
+    val cOff = body1 + 7 + 4 + 7 + 4 + 4 + 5
+    assert(corruptTags(id, b => b(cOff) = '_'.toByte) === None)
+    // a key byte outside 0x20..0x7D (0x1f in 'TITLE') -> None
+    assert(corruptTags(id, b => b(cOff - 5) = 0x1f.toByte) === None)
+    // vorbis framing bit cleared -> None (the spec REQUIRES it set)
+    val lastBody = (pages(1).offset + pages(1).headerBytes +
+      pages(1).bodyBytes - 1).toInt
+    assert(corruptTags(id, b => b(lastBody) = 0) === None)
+    // OpusTags (even id) has no framing byte and tolerates its absence
+    assert(Ogg.parseComments(Ogg.syntheticCommentedOgg(8L)).isDefined)
+  }
+
   test("audio header field validation: version/rate/channel corruption -> None") {
     // baseline fixtures decode
     val opus = Ogg.syntheticAudioOgg(0L) // even id: OpusHead
