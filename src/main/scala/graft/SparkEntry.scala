@@ -4003,18 +4003,19 @@ object SparkEntry {
     // between OpusTags and the Vorbis type-3 header is the engine's
     "m24_ogg_comments" ->
       """WITH d AS (SELECT doc_id,
+        |  CAST(5000 + doc_id % 100 AS BIGINT) AS serial,
         |  'graft ' || CAST(doc_id % 7 AS VARCHAR) AS vendor
         | FROM documents)
-        |SELECT doc_id, vendor, CAST(0 AS INTEGER) AS comment_no,
+        |SELECT doc_id, serial, vendor, CAST(0 AS INTEGER) AS comment_no,
         |  'TITLE' AS "key",
         |  'title_' || CAST((doc_id*7) % 1000 AS VARCHAR) AS "value" FROM d
-        |UNION ALL SELECT doc_id, vendor, 1, 'ARTIST',
+        |UNION ALL SELECT doc_id, serial, vendor, 1, 'ARTIST',
         |  'artist_' || CAST(doc_id % 50 AS VARCHAR) FROM d
-        |UNION ALL SELECT doc_id, vendor, 2, 'ALBUM',
+        |UNION ALL SELECT doc_id, serial, vendor, 2, 'ALBUM',
         |  'album_' || CAST(doc_id % 20 AS VARCHAR) FROM d
-        |UNION ALL SELECT doc_id, vendor, 3, 'TRACKNUMBER',
+        |UNION ALL SELECT doc_id, serial, vendor, 3, 'TRACKNUMBER',
         |  CAST(1 + doc_id % 12 AS VARCHAR) FROM d
-        |UNION ALL SELECT doc_id, vendor, 4, 'PAD',
+        |UNION ALL SELECT doc_id, serial, vendor, 4, 'PAD',
         |  repeat('x', CAST(200 + doc_id % 200 AS INTEGER)) FROM d""".stripMargin,
     // replay of Ogg.syntheticAudioOgg's header formulas: even ids Opus,
     // odd ids Vorbis, per-codec channel/rate/preskip derivations

@@ -243,6 +243,32 @@ object Ogg {
     }(Encoders.row(pageSchema))
   }
 
+  /** Append one page (27-byte header, lacing table, body, REAL CRC
+   * patched in) to `bo` — the single writer every synthetic fixture
+   * shares, so a header or CRC fix can never diverge between families
+   * (review finding: three hand-rolled copies had accumulated). */
+  private def writePage(bo: java.io.ByteArrayOutputStream, serial: Long,
+      pageNo: Int, flags: Int, granule: Long, lacings: Seq[Int],
+      body: Array[Byte]): Unit = {
+    val pageStart = bo.size()
+    bo.write('O'); bo.write('g'); bo.write('g'); bo.write('S')
+    bo.write(0) // stream_structure_version
+    bo.write(flags)
+    (0 until 8).foreach(i => bo.write(((granule >> (8 * i)) & 0xff).toInt))
+    (0 until 4).foreach(i => bo.write(((serial >> (8 * i)) & 0xff).toInt))
+    (0 until 4).foreach(i =>
+      bo.write(((pageNo.toLong >> (8 * i)) & 0xff).toInt))
+    (0 until 4).foreach(_ => bo.write(0)) // CRC placeholder
+    bo.write(lacings.length)
+    lacings.foreach(bo.write)
+    bo.write(body, 0, body.length)
+    val bytes = bo.toByteArray
+    val c = pageCrc(bytes, pageStart, bytes.length, pageStart + 22)
+    (0 until 4).foreach(i =>
+      bytes(pageStart + 22 + i) = ((c >> (8 * i)) & 0xff).toByte)
+    bo.reset(); bo.write(bytes, 0, bytes.length)
+  }
+
   // =====================================================================
   // Synthetic fixture: a VALID single-stream Ogg whose page arithmetic is
   // a pure function of the seed, so a SQL oracle can recompute every
@@ -273,30 +299,16 @@ object Ogg {
     val serial = 1000L + id % 100
     val bo = new java.io.ByteArrayOutputStream()
     (0 until nPages).foreach { p =>
-      val pageStart = bo.size()
       val nk = kOf(p)
       val lacings = (0 until nk).flatMap { k =>
         val s = size(p, k)
         if (s < 255) Seq(s) else Seq(255, s - 255)
       }
-      bo.write('O'); bo.write('g'); bo.write('g'); bo.write('S')
-      bo.write(0) // version
-      bo.write((if (p == 0) 0x02 else 0) | (if (p == nPages - 1) 0x04 else 0))
-      val granule = (p + 1L) * (100 + id % 50)
-      (0 until 8).foreach(i => bo.write(((granule >> (8 * i)) & 0xff).toInt))
-      (0 until 4).foreach(i => bo.write(((serial >> (8 * i)) & 0xff).toInt))
-      (0 until 4).foreach(i => bo.write(((p.toLong >> (8 * i)) & 0xff).toInt))
-      (0 until 4).foreach(_ => bo.write(0)) // CRC placeholder
-      bo.write(lacings.length)
-      lacings.foreach(bo.write)
       val body = (0 until nk).map(size(p, _)).sum
-      (0 until body).foreach(j => bo.write(((id + p * 131L + j) & 0xff).toInt))
-      // patch the real CRC (computed with the field zeroed)
-      val bytes = bo.toByteArray
-      val c = pageCrc(bytes, pageStart, bytes.length, pageStart + 22)
-      (0 until 4).foreach(i =>
-        bytes(pageStart + 22 + i) = ((c >> (8 * i)) & 0xff).toByte)
-      bo.reset(); bo.write(bytes, 0, bytes.length)
+      writePage(bo, serial, p,
+        (if (p == 0) 0x02 else 0) | (if (p == nPages - 1) 0x04 else 0),
+        (p + 1L) * (100 + id % 50), lacings,
+        Array.tabulate(body)(j => ((id + p * 131L + j) & 0xff).toByte))
     }
     bo.toByteArray
   }
@@ -343,28 +355,13 @@ object Ogg {
     val serial = 2000L + id % 100
     val bo = new java.io.ByteArrayOutputStream()
     (0 until nPages).foreach { p =>
-      val pageStart = bo.size()
       val lacings =
         (if (p > 0) Seq(rem(p - 1)) else Seq.empty) ++ Seq(a(p)) ++
           (if (p < nPages - 1) Seq.fill(open(p))(255) else Seq.empty)
-      bo.write('O'); bo.write('g'); bo.write('g'); bo.write('S')
-      bo.write(0)
-      bo.write((if (p > 0) 0x01 else 0x02) |
-        (if (p == nPages - 1) 0x04 else 0))
-      val granule = (p + 1L) * (90 + id % 40)
-      (0 until 8).foreach(i => bo.write(((granule >> (8 * i)) & 0xff).toInt))
-      (0 until 4).foreach(i => bo.write(((serial >> (8 * i)) & 0xff).toInt))
-      (0 until 4).foreach(i => bo.write(((p.toLong >> (8 * i)) & 0xff).toInt))
-      (0 until 4).foreach(_ => bo.write(0)) // CRC placeholder
-      bo.write(lacings.length)
-      lacings.foreach(bo.write)
-      val body = lacings.sum
-      (0 until body).foreach(j => bo.write(((id + p * 131L + j) & 0xff).toInt))
-      val bytes = bo.toByteArray
-      val c = pageCrc(bytes, pageStart, bytes.length, pageStart + 22)
-      (0 until 4).foreach(i =>
-        bytes(pageStart + 22 + i) = ((c >> (8 * i)) & 0xff).toByte)
-      bo.reset(); bo.write(bytes, 0, bytes.length)
+      writePage(bo, serial, p,
+        (if (p > 0) 0x01 else 0x02) | (if (p == nPages - 1) 0x04 else 0),
+        (p + 1L) * (90 + id % 40), lacings,
+        Array.tabulate(lacings.sum)(j => ((id + p * 131L + j) & 0xff).toByte))
     }
     bo.toByteArray
   }
@@ -412,66 +409,113 @@ object Ogg {
   def parseAudioMeta(payload: Array[Byte]): Option[AudioMeta] =
     parsePackets(payload).flatMap { ps =>
       val b = ps.head.bytes
-      def str(off: Int, s: String): Boolean =
-        off + s.length <= b.length &&
-          s.indices.forall(i => b(off + i) == s.charAt(i).toByte)
       // field validation (r11 advice): a recognized magic with a wrong
       // version nibble, zero channel count or zero sample rate is a
       // CORRUPTED header — None, never typed garbage. OpusHead's major
       // version (upper nibble of byte 8) must be 0 per RFC 7845 §5.1
       // ("version 1" has major 0); a Vorbis id header carries version
       // u32 = 0 per Vorbis I §4.2.2.
-      if (b.length >= 19 && str(0, "OpusHead") && (b(8) & 0xf0) == 0 &&
+      if (b.length >= 19 && magicAt(b, 0, "OpusHead") && (b(8) & 0xf0) == 0 &&
           (b(9) & 0xff) != 0 && u32le(b, 12) != 0)
         Some(AudioMeta("opus", b(9) & 0xff,
           u32le(b, 12), ((b(10) & 0xff) | ((b(11) & 0xff) << 8))))
-      else if (b.length >= 30 && b(0) == 1 && str(1, "vorbis") &&
+      else if (b.length >= 30 && b(0) == 1 && magicAt(b, 1, "vorbis") &&
           u32le(b, 7) == 0 && (b(11) & 0xff) != 0 && u32le(b, 12) != 0)
         Some(AudioMeta("vorbis", b(11) & 0xff, u32le(b, 12), 0))
       else None
     }
 
+  /** True iff `s`'s ISO-8859-1 bytes sit at `off` in `b` — the magic
+   * matcher every header decoder shares. */
+  private def magicAt(b: Array[Byte], off: Int, s: String): Boolean =
+    off + s.length <= b.length &&
+      s.indices.forall(i => b(off + i) == s.charAt(i).toByte)
+
+  /** Strict UTF-8 decode: None on malformed bytes. The default decoder's
+   * U+FFFD replacement would turn a truncated/mojibake tag into a
+   * plausible-looking garbage row — the exact failure mode the
+   * never-garbage contract exists to prevent. */
+  private def utf8Strict(b: Array[Byte], off: Int, len: Int): Option[String] =
+    try {
+      val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      Some(dec.decode(java.nio.ByteBuffer.wrap(b, off, len)).toString)
+    } catch { case _: java.nio.charset.CharacterCodingException => None }
+
   /**
-   * Decode the stream's comment header (packet 2): the tag-metadata side
-   * of Ogg audio — where TITLE/ARTIST/ALBUM live for .ogg/.opus crawls,
-   * the exact counterpart of [[Mp3.parseId3TextFrames]] for MP3. Both
-   * containers share one structure (Vorbis I §5 / RFC 7845 §5.2): a
-   * vendor string, then N length-prefixed UTF-8 `KEY=value` comments —
-   * Vorbis wraps it in a type-3 header with a mandatory framing bit,
-   * Opus in an `OpusTags` magic with optional trailing padding.
+   * Decode every audio stream's comment header (the stream's SECOND
+   * packet, per-serial — a multiplexed file tags each stream
+   * independently, so file completion order must not be consulted): the
+   * tag-metadata side of Ogg audio, where TITLE/ARTIST/ALBUM live for
+   * .ogg/.opus crawls — the exact counterpart of
+   * [[Mp3.parseId3TextFrames]] for MP3. Both containers share one
+   * structure (Vorbis I §5 / RFC 7845 §5.2): a vendor string, then N
+   * length-prefixed UTF-8 `KEY=value` comments — Vorbis wraps it in a
+   * type-3 header with a mandatory framing bit, Opus in an `OpusTags`
+   * magic with optional trailing padding.
    *
-   * Returns (vendor, comments in file order, keys RAW — the spec says
-   * keys are case-insensitive but extraction is not normalization
-   * policy). None when the payload is not clean Ogg, has no second
-   * packet, the magic/type is neither form, any length overruns the
-   * packet, a comment lacks `=`, a key byte falls outside the spec's
-   * 0x20–0x7D-minus-`=` range, or the Vorbis framing bit is absent —
-   * corrupt tags are a detectable absence, never garbage rows.
+   * Returns one (serial, vendor, comments) per tagged stream, serials
+   * in first-appearance order, keys RAW (the spec says keys are
+   * case-insensitive, but extraction is not normalization policy). A
+   * serial whose second packet bears NEITHER magic contributes nothing
+   * (another codec, not corruption). None when the payload is not clean
+   * Ogg, no stream carries a comment header, or any stream's comment
+   * header is MALFORMED — a length overrunning the packet, a comment
+   * without `=`, a key byte outside the spec's 0x20–0x7D-minus-`=`
+   * range, invalid UTF-8, or a cleared Vorbis framing bit — corrupt
+   * tags are a detectable absence, never garbage rows.
    */
-  def parseComments(
-      payload: Array[Byte]): Option[(String, IndexedSeq[(String, String)])] =
-    parsePackets(payload).flatMap(decodeCommentPacket)
+  def parseComments(payload: Array[Byte]): Option[
+      IndexedSeq[(Long, String, IndexedSeq[(String, String)])]] =
+    parsePackets(payload).flatMap { ps =>
+      val serials = ps.map(_.serial).distinct
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, String, IndexedSeq[(String, String)])]
+      var bad = false
+      val it = serials.iterator
+      while (!bad && it.hasNext) {
+        val serial = it.next()
+        val mine = ps.filter(_.serial == serial)
+        if (mine.length >= 2) {
+          val b = mine(1).bytes
+          commentStart(b) match {
+            case Some((start, framed)) =>
+              decodeCommentBody(b, start, framed) match {
+                case Some((vendor, cs)) => out += ((serial, vendor, cs))
+                case None => bad = true // malformed header: poison, not skip
+              }
+            case None => () // no comment magic: another codec, skip serial
+          }
+        }
+      }
+      if (bad || out.isEmpty) None else Some(out.toIndexedSeq)
+    }
+
+  /** (payload offset, framing-bit-required) when `b` opens a comment
+   * header; None when the magic is absent. */
+  private def commentStart(b: Array[Byte]): Option[(Int, Boolean)] =
+    if (magicAt(b, 0, "OpusTags")) Some((8, false))
+    else if (b.length >= 7 && b(0) == 3 && magicAt(b, 1, "vorbis"))
+      Some((7, true))
+    else None
 
   // plain method, not a closure: the early exits below are method-level
   // returns, never NonLocalReturnControl (the parsePackets lesson)
-  private def decodeCommentPacket(
-      ps: IndexedSeq[Packet]): Option[(String, IndexedSeq[(String, String)])] = {
-    if (ps.length < 2) return None
-    val b = ps(1).bytes
-    def str(off: Int, s: String): Boolean =
-      off + s.length <= b.length &&
-        s.indices.forall(i => b(off + i) == s.charAt(i).toByte)
-    val (start, framed) =
-      if (str(0, "OpusTags")) (8, false)
-      else if (b.length >= 7 && b(0) == 3 && str(1, "vorbis")) (7, true)
-      else return None
+  private def decodeCommentBody(b: Array[Byte], start: Int,
+      framed: Boolean): Option[(String, IndexedSeq[(String, String)])] = {
     var pos = start
     def u32(): Long = // returns from u32 itself (nested def), -1 = short
       if (pos + 4 > b.length) -1L
       else { val v = u32le(b, pos); pos += 4; v }
     val vlen = u32()
     if (vlen < 0 || pos + vlen > b.length) return None
-    val vendor = new String(b, pos, vlen.toInt, "UTF-8")
+    // plain match, not getOrElse(return ...): a by-name default is a
+    // closure, which would reintroduce the non-local-return hazard
+    val vendor = utf8Strict(b, pos, vlen.toInt) match {
+      case Some(v) => v
+      case None => return None
+    }
     pos += vlen.toInt
     val n = u32()
     if (n < 0 || n > b.length) return None // count cannot exceed byte count
@@ -480,7 +524,10 @@ object Ogg {
     while (i < n) {
       val clen = u32()
       if (clen < 0 || pos + clen > b.length) return None
-      val c = new String(b, pos, clen.toInt, "UTF-8")
+      val c = utf8Strict(b, pos, clen.toInt) match {
+        case Some(v) => v
+        case None => return None
+      }
       pos += clen.toInt
       val eq = c.indexOf('=')
       if (eq < 1) return None // no '=' or empty key
@@ -498,14 +545,16 @@ object Ogg {
   /** Output schema of [[oggComments]]. */
   val commentSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
+    StructField("serial", LongType),
     StructField("vendor", StringType),
     StructField("comment_no", IntegerType),
     StructField("key", StringType),
     StructField("value", StringType)))
 
-  /** One row per user comment (file order) with the stream's vendor
-   * string; payloads without a clean comment header contribute nothing.
-   * Narrow mapPartitions — header-only reads, no shuffle. */
+  /** One row per user comment (header order) per tagged stream, with the
+   * stream serial and vendor; payloads without a clean comment header
+   * contribute nothing. Narrow mapPartitions — header-only reads, no
+   * shuffle. */
   def oggComments(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
     val idIdx = df.schema.fieldIndex(idCol)
     val pIdx = df.schema.fieldIndex(payloadCol)
@@ -513,8 +562,10 @@ object Ogg {
       it.flatMap { r =>
         val id = r.getLong(idIdx)
         parseComments(r.getAs[Array[Byte]](pIdx)) match {
-          case Some((vendor, cs)) => cs.iterator.zipWithIndex.map {
-            case ((k, v), i) => Row(id, vendor, i, k, v)
+          case Some(streams) => streams.iterator.flatMap {
+            case (serial, vendor, cs) => cs.iterator.zipWithIndex.map {
+              case ((k, v), i) => Row(id, serial, vendor, i, k, v)
+            }
           }
           case None => Iterator.empty
         }
@@ -544,14 +595,11 @@ object Ogg {
     }(Encoders.row(audioMetaSchema))
   }
 
-  /** Deterministic audio-header shape shared by the writer, the m20
-   * oracle and the spec: even ids are Opus (channels `1 + (id/2)%2`,
-   * preskip `312 + id%100`, rate 48000/24000/16000 by `id%3`), odd ids
-   * are Vorbis (channels `1 + (id/2)%2`, rate 44100/32000/22050 by
-   * `id%3`). One bos header page + one eos data page of
-   * `30 + id%20` bytes. */
-  /** The id-derived identification header (even ids OpusHead, odd
-   * Vorbis) shared by the m20 and m24 fixtures. */
+  /** The id-derived identification header shared by the m20 and m24
+   * fixtures: even ids are Opus (channels `1 + (id/2)%2`, preskip
+   * `312 + id%100`, rate 48000/24000/16000 by `id%3`), odd ids are
+   * Vorbis (channels `1 + (id/2)%2`, rate 44100/32000/22050 by
+   * `id%3`). */
   private def audioIdHeader(id: Long): Array[Byte] =
     if (id % 2 == 0) {
       val bo = new java.io.ByteArrayOutputStream()
@@ -579,30 +627,15 @@ object Ogg {
       bo.toByteArray
     }
 
+  /** The m20 fixture: one bos page carrying [[audioIdHeader]] + one eos
+   * data page of `30 + id%20` bytes (both < 255, single lacings). */
   def syntheticAudioOgg(id: Long): Array[Byte] = {
     val serial = 3000L + id % 100
-    val header: Array[Byte] = audioIdHeader(id)
+    val header = audioIdHeader(id)
     val bo = new java.io.ByteArrayOutputStream()
-    def page(p: Int, flags: Int, granule: Long, body: Array[Byte]): Unit = {
-      val pageStart = bo.size()
-      bo.write('O'); bo.write('g'); bo.write('g'); bo.write('S')
-      bo.write(0); bo.write(flags)
-      (0 until 8).foreach(i => bo.write(((granule >> (8 * i)) & 0xff).toInt))
-      (0 until 4).foreach(i => bo.write(((serial >> (8 * i)) & 0xff).toInt))
-      (0 until 4).foreach(i => bo.write(((p.toLong >> (8 * i)) & 0xff).toInt))
-      (0 until 4).foreach(_ => bo.write(0))
-      // lacing: bodies here are < 255 by construction
-      bo.write(1); bo.write(body.length)
-      bo.write(body, 0, body.length)
-      val bytes = bo.toByteArray
-      val c = pageCrc(bytes, pageStart, bytes.length, pageStart + 22)
-      (0 until 4).foreach(i =>
-        bytes(pageStart + 22 + i) = ((c >> (8 * i)) & 0xff).toByte)
-      bo.reset(); bo.write(bytes, 0, bytes.length)
-    }
-    page(0, 0x02, 0L, header)
+    writePage(bo, serial, 0, 0x02, 0L, Seq(header.length), header)
     val dataLen = (30 + id % 20).toInt
-    page(1, 0x04, 960L,
+    writePage(bo, serial, 1, 0x04, 960L, Seq(dataLen),
       Array.tabulate(dataLen)(j => ((id + j) & 0xff).toByte))
     bo.toByteArray
   }
@@ -649,28 +682,13 @@ object Ogg {
     (0 until 2 * n).foreach { q =>
       val s = q % 2
       val p = q / 2
-      val serial = (if (s == 0) 4000L else 4100L) + id % 100
-      val pageStart = bo.size()
       val lacings =
         (if (p > 0) Seq(r(s, p - 1)) else Seq.empty) ++ Seq(a(s, p)) ++
           (if (p < n - 1) Seq(255) else Seq.empty)
-      bo.write('O'); bo.write('g'); bo.write('g'); bo.write('S')
-      bo.write(0)
-      bo.write((if (p > 0) 0x01 else 0x02) | (if (p == n - 1) 0x04 else 0))
-      val granule = (p + 1L) * (if (s == 0) 80 + id % 30 else 70 + id % 20)
-      (0 until 8).foreach(i => bo.write(((granule >> (8 * i)) & 0xff).toInt))
-      (0 until 4).foreach(i => bo.write(((serial >> (8 * i)) & 0xff).toInt))
-      (0 until 4).foreach(i => bo.write(((p.toLong >> (8 * i)) & 0xff).toInt))
-      (0 until 4).foreach(_ => bo.write(0)) // CRC placeholder
-      bo.write(lacings.length)
-      lacings.foreach(bo.write)
-      val body = lacings.sum
-      (0 until body).foreach(j => bo.write(((id + q * 131L + j) & 0xff).toInt))
-      val bytes = bo.toByteArray
-      val c = pageCrc(bytes, pageStart, bytes.length, pageStart + 22)
-      (0 until 4).foreach(i =>
-        bytes(pageStart + 22 + i) = ((c >> (8 * i)) & 0xff).toByte)
-      bo.reset(); bo.write(bytes, 0, bytes.length)
+      writePage(bo, (if (s == 0) 4000L else 4100L) + id % 100, p,
+        (if (p > 0) 0x01 else 0x02) | (if (p == n - 1) 0x04 else 0),
+        (p + 1L) * (if (s == 0) 80 + id % 30 else 70 + id % 20), lacings,
+        Array.tabulate(lacings.sum)(j => ((id + q * 131L + j) & 0xff).toByte))
     }
     bo.toByteArray
   }
@@ -710,26 +728,11 @@ object Ogg {
       bo.toByteArray
     }
     val bo = new java.io.ByteArrayOutputStream()
-    def page(p: Int, flags: Int, granule: Long, body: Array[Byte]): Unit = {
-      val pageStart = bo.size()
-      bo.write('O'); bo.write('g'); bo.write('g'); bo.write('S')
-      bo.write(0); bo.write(flags)
-      (0 until 8).foreach(i => bo.write(((granule >> (8 * i)) & 0xff).toInt))
-      (0 until 4).foreach(i => bo.write(((serial >> (8 * i)) & 0xff).toInt))
-      (0 until 4).foreach(i => bo.write(((p.toLong >> (8 * i)) & 0xff).toInt))
-      (0 until 4).foreach(_ => bo.write(0))
-      // in-page lacing chain: 255s then the remainder (a natural 0 when
-      // the body is an exact multiple)
-      val lacings = Seq.fill(body.length / 255)(255) :+ body.length % 255
-      bo.write(lacings.length)
-      lacings.foreach(bo.write)
-      bo.write(body, 0, body.length)
-      val bytes = bo.toByteArray
-      val c = pageCrc(bytes, pageStart, bytes.length, pageStart + 22)
-      (0 until 4).foreach(i =>
-        bytes(pageStart + 22 + i) = ((c >> (8 * i)) & 0xff).toByte)
-      bo.reset(); bo.write(bytes, 0, bytes.length)
-    }
+    // in-page lacing chain: 255s then the remainder (a natural 0 when
+    // the body is an exact multiple)
+    def chain(len: Int): Seq[Int] = Seq.fill(len / 255)(255) :+ len % 255
+    def page(p: Int, flags: Int, granule: Long, body: Array[Byte]): Unit =
+      writePage(bo, serial, p, flags, granule, chain(body.length), body)
     page(0, 0x02, 0L, audioIdHeader(id))
     page(1, 0, 0L, tags)
     val dataLen = (30 + id % 20).toInt

@@ -1089,6 +1089,15 @@ class GraftSqlSpec extends SparkTestBase {
         |""".stripMargin, Map("src" -> meta)).yields("f").collect()
     assert(am.length === 1 && am.head.getString(1) === "opus" &&
       am.head.getLong(3) === 48000L)
+    val commented = spark.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row(6L, graft.functions.Ogg.syntheticCommentedOgg(6L))),
+      schema)
+    val cm = GraftSql.run(engine,
+      """f = PROCESS src USING ogg_comments
+        |YIELD f AS f
+        |""".stripMargin, Map("src" -> commented)).yields("f").collect()
+      .map(r => r.getString(4) -> r.getString(5)).toMap
+    assert(cm("TITLE") === "title_42" && cm("TRACKNUMBER") === "7")
     val tagged = spark.createDataFrame(java.util.Arrays.asList(
       org.apache.spark.sql.Row(9L, graft.functions.Mp3.syntheticTaggedMp3(9L))),
       schema)

@@ -320,8 +320,11 @@ class OggSpec extends AnyFunSuite {
 
   test("comment headers decode per VorbisComment / OpusTags") {
     (0L until 24L).foreach { id =>
-      val (vendor, cs) = Ogg.parseComments(Ogg.syntheticCommentedOgg(id))
+      val streams = Ogg.parseComments(Ogg.syntheticCommentedOgg(id))
         .getOrElse(fail(s"id=$id comments did not decode"))
+      assert(streams.length === 1, s"id=$id stream count")
+      val (serial, vendor, cs) = streams.head
+      assert(serial === 5000L + id % 100, s"id=$id serial")
       assert(vendor === s"graft ${id % 7}", s"id=$id vendor")
       assert(cs === IndexedSeq(
         "TITLE" -> s"title_${id * 7 % 1000}",
@@ -338,6 +341,48 @@ class OggSpec extends AnyFunSuite {
     // streams without a comment-shaped second packet: detectable absence
     assert(Ogg.parseComments(Ogg.syntheticOgg(4L)) === None)
     assert(Ogg.parseComments("not ogg".getBytes) === None)
+  }
+
+  test("comments in MULTIPLEXED files resolve per serial, not file order") {
+    // interleave two commented streams page-by-page: file completion
+    // order puts stream B's ID HEADER at global packet index 1 — a
+    // decoder reading 'the second packet' of the file instead of the
+    // second packet of each SERIAL returns None here (review finding)
+    def slice(raw: Array[Byte], p: Ogg.Page): Array[Byte] =
+      java.util.Arrays.copyOfRange(raw, p.offset.toInt,
+        (p.offset + p.headerBytes + p.bodyBytes).toInt)
+    val a = Ogg.syntheticCommentedOgg(3L) // serial 5003
+    val b = Ogg.syntheticCommentedOgg(4L) // serial 5004
+    val pa = Ogg.parsePages(a).get
+    val pb = Ogg.parsePages(b).get
+    val muxed = pa.map(slice(a, _)).zip(pb.map(slice(b, _)))
+      .flatMap { case (x, y) => Seq(x, y) }.reduce(_ ++ _)
+    val streams = Ogg.parseComments(muxed)
+      .getOrElse(fail("muxed comments did not decode"))
+    assert(streams.map(_._1) === IndexedSeq(5003L, 5004L))
+    assert(streams.map(_._2).toSet === Set("graft 3", "graft 4"))
+    assert(streams.find(_._1 == 5003L).get._3.head ===
+      ("TITLE" -> s"title_${3 * 7 % 1000}"))
+    assert(streams.find(_._1 == 5004L).get._3.head ===
+      ("TITLE" -> s"title_${4 * 7 % 1000}"))
+  }
+
+  test("invalid UTF-8 in a comment is corruption, not replacement chars") {
+    val id = 8L // OpusTags form; TITLE value gets a lone 0x80 byte
+    val raw = Ogg.syntheticCommentedOgg(id)
+    val pages = Ogg.parsePages(raw).get
+    val body1 = (pages(1).offset + pages(1).headerBytes).toInt
+    // comment data starts at magic(8) + 4 + vendor(7) + 4 + len(4);
+    // 'TITLE=t...' puts the first value byte at offset 6
+    val vOff = body1 + 8 + 4 + 7 + 4 + 4 + 6
+    val bad = raw.clone(); bad(vOff) = 0x80.toByte
+    val from = pages(1).offset.toInt
+    val until = (pages(1).offset + pages(1).headerBytes +
+      pages(1).bodyBytes).toInt
+    val c = Ogg.pageCrc(bad, from, until, from + 22)
+    (0 until 4).foreach(i =>
+      bad(from + 22 + i) = ((c >> (8 * i)) & 0xff).toByte)
+    assert(Ogg.parseComments(bad) === None)
   }
 
   test("comment corrupt forms return None, never garbage rows") {
