@@ -40,6 +40,11 @@ object MarginStress {
         .select("src_id", "tgt_id").localCheckpoint(true)
     }
     val exactRows = exactPairs.count()
+    // one mined pair per src: zero means the exact leg regressed (or the
+    // corpus degenerated) — fail loudly instead of printing a NaN
+    // agreement line into SCALE.md
+    require(exactRows > 0,
+      "exact marginMine leg emitted zero pairs; agreement is undefined")
     var approxPairsS: org.apache.spark.sql.DataFrame = null
     val tApproxS = time {
       approxPairsS = Similarity.marginMine(srcS, tgtS, "vec_id", "embedding",

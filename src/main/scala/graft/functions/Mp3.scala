@@ -315,8 +315,10 @@ object Mp3 {
    * title `title_<id*7 % 1000>`, artist `artist_<id % 50>`, album
    * `album_<id % 20>`, track `<1 + id % 12>`, plus a non-text frame
    * (PRIV, or CNT in v2.2) the walker must stride over; text encodings
-   * rotate by `(id/3) % 3` (ISO-8859-1 / UTF-16 with BOM / UTF-8) for
-   * v2.3/v2.4 and `(id/3) % 2` (ISO-8859-1 / UCS-2 with BOM) for v2.2;
+   * rotate over each version's SPEC-VALID set — `(id/3) % 3`
+   * (ISO-8859-1 / UTF-16 with BOM / UTF-8) for v2.4,
+   * `1 - (id/3) % 2` (UTF-16 with BOM / ISO-8859-1) for v2.3, and
+   * `(id/3) % 2` (ISO-8859-1 / UCS-2 with BOM) for v2.2;
    * 7 padding bytes; odd v2.2/v2.3 ids apply tag-level
    * UNSYNCHRONISATION (0x00 stuffed after every 0xff — real stuffing
    * wherever a UTF-16 BOM appears), so the oracle-checked family walks
@@ -325,9 +327,18 @@ object Mp3 {
    * this one. */
   def syntheticTaggedMp3(id: Long): Array[Byte] = {
     val ver = 4 - (id % 3).toInt // 4, 3, 2
-    val enc = // 0: latin-1, 1: utf-16+BOM, 3: utf-8 (v2.2: 0/1 only)
-      if (ver == 2) ((id / 3) % 2).toInt
-      else Seq(0, 1, 3)(((id / 3) % 3).toInt)
+    // 0: latin-1, 1: utf-16+BOM, 3: utf-8. Per-version spec-valid sets:
+    // ID3v2.3 defines only 0/1 (UTF-8 is a v2.4 addition; the earlier
+    // Seq(0,1,3) rotation embedded spec-invalid v2.3 tags that only
+    // decoded because the parser is lenient — advisor finding), v2.2
+    // only 0/1 (latin-1 / UCS-2 with BOM)
+    // v2.3's rotation is INVERTED (1 - …) so odd v2.3 ids (id ≡ 1 mod 6,
+    // whose id/3 is always even) land on UTF-16 — the unsync fixtures
+    // keep real 0xff-BOM stuffing to de-unsync
+    val enc =
+      if (ver == 4) Seq(0, 1, 3)(((id / 3) % 3).toInt)
+      else if (ver == 3) (1 - (id / 3) % 2).toInt
+      else ((id / 3) % 2).toInt
     val frames =
       if (ver == 2) Seq(
         "TT2" -> s"title_${id * 7 % 1000}",

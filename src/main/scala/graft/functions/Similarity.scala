@@ -17,6 +17,40 @@ import org.apache.spark.sql.functions.{broadcast => sparkBroadcast, _}
  */
 object Similarity {
 
+  private lazy val steerLog =
+    org.slf4j.LoggerFactory.getLogger("graft.functions.Similarity")
+  private val quadraticWarned =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+  /** Last steering decision (None = inputs were small enough), recorded
+   * unconditionally so specs can assert the warning fires even after the
+   * log-once latch has tripped. */
+  @volatile private[graft] var lastQuadraticNote: Option[String] = None
+
+  /** Warn ONCE per JVM when an exact-quadratic operator is invoked with
+   * both sides too large to broadcast: at that size the |a|·|b| scored
+   * cross product is the bottleneck and the caller almost certainly
+   * wants `approx = true` (the annJoin LSH route). Plan statistics only
+   * — no job is triggered; a disabled (-1) broadcast threshold falls
+   * back to Spark's 10 MB default for the "too big" test. */
+  private def steerTowardApprox(
+      op: String, a: DataFrame, b: DataFrame): Unit = {
+    val conf = org.apache.spark.sql.internal.SQLConf.get
+      .autoBroadcastJoinThreshold
+    val thr = BigInt(if (conf > 0) conf else 10L << 20)
+    val big = Seq(a, b).forall(
+      _.queryExecution.optimizedPlan.stats.sizeInBytes > thr)
+    if (big) {
+      val note = s"$op(approx = false) is the EXACT baseline: compute " +
+        "and shuffle grow as |src|x|tgt|, and neither side's plan " +
+        s"statistics fit the broadcast threshold ($thr bytes). For " +
+        "corpus-scale inputs pass approx = true to route candidates " +
+        "through the LSH-bucketed annJoin (bounded recall trade, " +
+        "documented there)."
+      lastQuadraticNote = Some(note)
+      if (quadraticWarned.compareAndSet(false, true)) steerLog.warn(note)
+    } else lastQuadraticNote = None
+  }
+
   /** Cosine-normalized copy of a float/double-array column (double
    * precision) — native Catalyst expression, no per-element boxing. */
   def l2normalize(vec: Column): Column =
@@ -156,6 +190,12 @@ object Similarity {
    * the same doubles lands the same value (library `round` functions
    * disagree on .5-boundary doubles: some round the shortest decimal
    * repr, some the binary value).
+   *
+   * `approx = false` (the default) is the EXACT baseline — |src|·|tgt|
+   * cosine compute, like [[bruteForceTopK]]'s declared role. At corpus
+   * scale (both sides past the broadcast threshold) pass
+   * `approx = true`: a one-time JVM warning steers callers who reach
+   * the quadratic path with non-broadcastable inputs.
    */
   def marginMine(
       src: DataFrame, tgt: DataFrame, idCol: String, vecCol: String,
@@ -181,8 +221,12 @@ object Similarity {
         // Reversed a→b rows are themselves valid (tgt, src, cosine)
         // candidates (cosine is symmetric), so union them in, dedup the
         // pair, and re-take the per-tgt top-k: every tgt mentioned in ab
-        // now has a neighborhood, and with uncapped buckets the result
-        // is unchanged (the reversed rows are already candidates).
+        // now has a neighborhood. This is a recall improvement, not a
+        // no-op, even with uncapped buckets: annJoin multi-probes only
+        // its QUERY side, so collision sets are asymmetric and a
+        // reversed (tgt, src) pair need not be a baRaw candidate — the
+        // union both repairs capped-bucket asymmetry and adds symmetric
+        // candidates the b-side probe missed.
         val baCols = Seq("query_id", "neighbor_id", "cosine").map(col)
         val ba2 = topKByCosine(
           baRaw.select(baCols: _*).unionByName(
@@ -190,9 +234,11 @@ object Similarity {
               col("query_id").as("neighbor_id"), col("cosine")))
             .distinct(), k)
         (abL, ba2)
-      } else
+      } else {
+        steerTowardApprox("marginMine", src, tgt)
         (bruteForceTopK(tgt, src, idCol, vecCol, k, excludeSelf = false),
           bruteForceTopK(src, tgt, idCol, vecCol, k, excludeSelf = false))
+      }
     marginFromNeighbors(ab, ba, minMargin)
   }
 
@@ -582,7 +628,9 @@ object Similarity {
    * random negatives teach nothing. Exact by default (brute-force cosine
    * screen); pass `approx = true` to route candidate generation through
    * [[annJoin]]'s LSH bucketing (nothing broadcast, the 100 TB path —
-   * recall tradeoff disclosed there).
+   * recall tradeoff disclosed there). The exact default is quadratic in
+   * the corpus; a one-time JVM warning fires when the input's plan
+   * statistics exceed the broadcast threshold and `approx = false`.
    * Output: (query_id, rank, neighbor_id, cosine), rank 1..k by cosine
    * desc within each anchor.
    */
@@ -592,6 +640,7 @@ object Similarity {
       nTables: Int = 16, nBits: Int = 8, probes: Int = 2): DataFrame = {
     require(k >= 1, "k must be >= 1")
     if (!approx) {
+      steerTowardApprox("hardNegatives", df, df)
       // exact: the label filter runs BEFORE top-k selection, so the
       // result is the true k nearest different-label rows per anchor.
       // Deliberately NO broadcast hint: the "queries" side here is the

@@ -26,13 +26,15 @@ import java.net.{HttpURLConnection, InetSocketAddress, URI, URLDecoder, URLEncod
 object HttpCallbacks {
 
   /**
-   * The serializable executor-side handle: holds only `host:port`, so it
-   * ships in task closures for free. `post` raises on any non-200 — a
+   * The serializable executor-side handle: holds `host:port` plus the
+   * server's shared-secret token, so it ships in task closures for free
+   * and its posts authenticate. `post` raises on any non-200 — a
    * dead or unreachable endpoint is a loud failure, never a silent drop
    * (a dropped stop-vote would turn early-stop into run-to-completion).
    */
   final class HttpCallbackChannel private[HttpCallbacks] (
-      val address: String) extends Serializable {
+      val address: String,
+      private[HttpCallbacks] val token: String) extends Serializable {
     def post(topic: String, message: String): Unit = {
       val conn = new URI(s"http://$address/cb").toURL
         .openConnection().asInstanceOf[HttpURLConnection]
@@ -40,6 +42,7 @@ object HttpCallbacks {
       conn.setDoOutput(true)
       conn.setConnectTimeout(5000)
       conn.setReadTimeout(5000)
+      conn.setRequestProperty("X-Graft-Token", token)
       conn.setRequestProperty("X-Graft-Topic",
         URLEncoder.encode(topic, "UTF-8"))
       val body = message.getBytes("UTF-8")
@@ -83,18 +86,41 @@ object HttpCallbacks {
    */
   def start(host: String = "127.0.0.1", port: Int = 0)(
       handler: (String, String) => Unit): HttpCallbackServer = {
+    // per-server random shared secret: the endpoint is reachable by any
+    // network peer that can reach the driver host, and an unauthenticated
+    // post would become query output rows or an early-stop vote (advisor
+    // finding). The token ships inside the serializable channel — task
+    // closures travel Spark's authenticated control plane — so only
+    // holders of the channel can post. Not TLS (the reference's Flask
+    // server has none either); it stops forgery, not eavesdropping.
+    val token = {
+      val b = new Array[Byte](16)
+      new java.security.SecureRandom().nextBytes(b)
+      b.map("%02x".format(_)).mkString
+    }
     val srv = HttpServer.create(new InetSocketAddress(host, port), 64)
     srv.createContext("/cb", (ex: HttpExchange) => {
       try {
-        val topic = URLDecoder.decode(
-          Option(ex.getRequestHeaders.getFirst("X-Graft-Topic"))
-            .getOrElse(""), "UTF-8")
-        val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
-        handler(topic, body)
-        val ok = "ok".getBytes("UTF-8")
-        ex.sendResponseHeaders(200, ok.length.toLong)
-        val os = ex.getResponseBody
-        try os.write(ok) finally os.close()
+        // constant-time compare; no early return — a `return` here would
+        // be a closure-crossing NonLocalReturnControl (the SAM lambda
+        // belongs to start()'s frame)
+        val sent = Option(
+          ex.getRequestHeaders.getFirst("X-Graft-Token")).getOrElse("")
+        if (!java.security.MessageDigest.isEqual(
+            sent.getBytes("UTF-8"), token.getBytes("UTF-8"))) {
+          ex.sendResponseHeaders(403, -1)
+          ex.close()
+        } else {
+          val topic = URLDecoder.decode(
+            Option(ex.getRequestHeaders.getFirst("X-Graft-Topic"))
+              .getOrElse(""), "UTF-8")
+          val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+          handler(topic, body)
+          val ok = "ok".getBytes("UTF-8")
+          ex.sendResponseHeaders(200, ok.length.toLong)
+          val os = ex.getResponseBody
+          try os.write(ok) finally os.close()
+        }
       } catch {
         case _: Exception =>
           // a handler failure is the DRIVER's bug; surface it to the
@@ -113,6 +139,6 @@ object HttpCallbacks {
     srv.setExecutor(pool)
     srv.start()
     new HttpCallbackServer(srv, pool,
-      new HttpCallbackChannel(s"$host:${srv.getAddress.getPort}"))
+      new HttpCallbackChannel(s"$host:${srv.getAddress.getPort}", token))
   }
 }

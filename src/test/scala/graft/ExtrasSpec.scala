@@ -181,6 +181,31 @@ class ExtrasSpec extends SparkTestBase {
     intercept[Exception](srv.channel.post("part", "late"))
   }
 
+  test("HTTP callback endpoint rejects posts without the shared-secret token") {
+    import graft.transform.HttpCallbacks
+    val seen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val srv = HttpCallbacks.start() { (_, _) => seen.incrementAndGet(); () }
+    try {
+      // a raw POST (what a network peer without the channel can send) is
+      // refused with 403 and never reaches the handler — an injected
+      // message would otherwise become query output or a stop vote
+      val conn = new java.net.URI(s"http://${srv.address}/cb").toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      conn.setRequestProperty("X-Graft-Topic", "forged")
+      val body = "evil".getBytes("UTF-8")
+      conn.setFixedLengthStreamingMode(body.length)
+      val os = conn.getOutputStream
+      try os.write(body) finally os.close()
+      assert(conn.getResponseCode === 403)
+      assert(seen.get() === 0)
+      // the channel's own token still authenticates
+      srv.channel.post("ok", "1")
+      assert(seen.get() === 1)
+    } finally srv.stop()
+  }
+
   test("HTTP callback early stop cancels BEFORE any task completes") {
     import graft.transform.HttpCallbacks
     val group = s"graft-http-stop-${java.util.UUID.randomUUID().toString.take(8)}"

@@ -241,6 +241,36 @@ class FunctionsSpec extends SparkTestBase {
     assert(margins.forall(m => m > 1.0 && m < 2.5), margins.toSeq.toString)
   }
 
+  test("marginMine/hardNegatives steer toward approx when both sides " +
+      "exceed the broadcast threshold") {
+    val src = emb.filter(col("vec_id") % 2 === 0)
+    val tgt = emb.filter(col("vec_id") % 2 === 1)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try {
+      // with a 1-byte threshold every plan is "too big to broadcast":
+      // building (not running) the exact plan records the steering note
+      spark.conf.set(key, "1")
+      Similarity.lastQuadraticNote = None
+      Similarity.marginMine(src, tgt, "vec_id", "embedding", k = 2)
+      val note = Similarity.lastQuadraticNote
+      assert(note.exists(n => n.contains("marginMine") &&
+        n.contains("approx = true")), note.toString)
+      Similarity.hardNegatives(emb.withColumn("lb", col("vec_id") % 2),
+        "vec_id", "embedding", "lb", k = 2)
+      assert(Similarity.lastQuadraticNote
+        .exists(_.contains("hardNegatives")))
+      // the approx route never warns
+      Similarity.lastQuadraticNote = None
+      Similarity.marginMine(src, tgt, "vec_id", "embedding", k = 2,
+        approx = true, nTables = 2, nBits = 2, probes = 2)
+      assert(Similarity.lastQuadraticNote.isEmpty)
+    } finally spark.conf.set(key, saved)
+    // broadcastable inputs leave the exact default unflagged
+    Similarity.marginMine(src, tgt, "vec_id", "embedding", k = 2)
+    assert(Similarity.lastQuadraticNote.isEmpty)
+  }
+
   test("marginMine approx: exhaustive probing reproduces exact, realistic " +
       "probing agrees on >=90% of mined pairs") {
     val src = emb.filter(col("vec_id") % 2 === 0)

@@ -133,6 +133,14 @@ class Mp3Spec extends AnyFunSuite {
       IndexedSeq(2L, 3L, 4L))
     assert((0L until 30L).filter(_ % 3 == 2).map(id => (id / 3) % 2)
       .distinct.sorted === IndexedSeq(0L, 1L))
+    // per-version encoding rotations stay inside each version's
+    // SPEC-VALID set (UTF-8 is v2.4-only) and cover it: v2.4 rotates all
+    // three encodings, v2.3 both of its two — no spec-invalid v2.3
+    // UTF-8 tags ride through on parser leniency (advisor finding)
+    assert((0L until 30L).filter(_ % 3 == 0).map(id => (id / 3) % 3)
+      .distinct.sorted === IndexedSeq(0L, 1L, 2L))
+    assert((0L until 30L).filter(_ % 3 == 1).map(id => 1 - (id / 3) % 2)
+      .distinct.sorted === IndexedSeq(0L, 1L))
     // ...and tag-level unsynchronisation with REAL stuffing (the UTF-16
     // BOM is 0xff-led) must occur for BOTH v2.3 and v2.2 in the sweep
     def unsyncWithStuffing(id: Long): Boolean = {
