@@ -36,11 +36,19 @@ object MediaStress {
         .agg(count(lit(1)), sum("size")).collect().head
       nPackets = agg.getLong(0); packetBytes = agg.getLong(1)
     }
+    var nTags = 0L
+    val tTags = time {
+      nTags = graft.functions.Flac.flacComments(
+        graft.functions.Flac.syntheticCommentedFlacs(ids, "doc_id"),
+        "doc_id", "payload").count()
+    }
     println(f"MEDIASTRESS docs=$n pages=$nPages pageWall=$tPages%.1f " +
       f"pagesPerSec=${nPages / tPages}%.0f pageMB=${pageBytes / 1e6}%.0f " +
       f"packets=$nPackets packetWall=$tPackets%.1f " +
       f"packetsPerSec=${nPackets / tPackets}%.0f " +
-      f"packetMB=${packetBytes / 1e6}%.0f")
+      f"packetMB=${packetBytes / 1e6}%.0f " +
+      f"flacTags=$nTags tagWall=$tTags%.1f " +
+      f"tagDocsPerSec=${n / tTags}%.0f")
     spark.stop()
   }
 }

@@ -725,6 +725,20 @@ object SparkEntry {
         "doc_id", "payload")
     }),
 
+    // FLAC VORBIS_COMMENT extraction: the identical vendor + KEY=value
+    // structure Ogg carries (m24), embedded raw inside a FLAC metadata
+    // block — no magic, no framing bit — decoded by the SAME body
+    // decoder; multi-block fixtures (PADDING before / APPLICATION after
+    // on rotating ids) exercise the walk on both sides of the tag, and
+    // id%5==4 files are tagless (absence, not corruption); exact string
+    // oracle incl. a multi-byte-UTF-8 DESCRIPTION
+    "m25_flac_comments" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select("doc_id")
+      graft.functions.Flac.flacComments(
+        graft.functions.Flac.syntheticCommentedFlacs(ids, "doc_id"),
+        "doc_id", "payload")
+    }),
+
     // typed audio metadata from the Ogg identification header (RFC 7845
     // OpusHead / Vorbis I id header): codec, channels, sample rate,
     // pre-skip decoded from the reassembled FIRST packet — the audio
@@ -4017,6 +4031,24 @@ object SparkEntry {
         |  CAST(1 + doc_id % 12 AS VARCHAR) FROM d
         |UNION ALL SELECT doc_id, serial, vendor, 4, 'PAD',
         |  repeat('x', CAST(200 + doc_id % 200 AS INTEGER)) FROM d""".stripMargin,
+    // replay of Flac.syntheticCommentedFlac's comment formulas; the
+    // PADDING/APPLICATION neighbors and the missing-tag ids (doc_id%5=4)
+    // are structural, so the oracle only filters and formats
+    "m25_flac_comments" ->
+      """WITH d AS (SELECT doc_id,
+        |  'graft ' || CAST(doc_id % 7 AS VARCHAR) AS vendor
+        | FROM documents WHERE doc_id % 5 <> 4)
+        |SELECT doc_id, vendor, CAST(0 AS INTEGER) AS comment_no,
+        |  'TITLE' AS "key",
+        |  'title_' || CAST((doc_id*7) % 1000 AS VARCHAR) AS "value" FROM d
+        |UNION ALL SELECT doc_id, vendor, 1, 'ARTIST',
+        |  'artist_' || CAST(doc_id % 50 AS VARCHAR) FROM d
+        |UNION ALL SELECT doc_id, vendor, 2, 'ALBUM',
+        |  'album_' || CAST(doc_id % 20 AS VARCHAR) FROM d
+        |UNION ALL SELECT doc_id, vendor, 3, 'TRACKNUMBER',
+        |  CAST(1 + doc_id % 12 AS VARCHAR) FROM d
+        |UNION ALL SELECT doc_id, vendor, 4, 'DESCRIPTION',
+        |  'ünïcode_' || CAST(doc_id % 10 AS VARCHAR) FROM d""".stripMargin,
     // replay of Ogg.syntheticAudioOgg's header formulas: even ids Opus,
     // odd ids Vorbis, per-codec channel/rate/preskip derivations
     "m20_audio_meta" ->

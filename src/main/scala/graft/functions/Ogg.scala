@@ -501,8 +501,11 @@ object Ogg {
     else None
 
   // plain method, not a closure: the early exits below are method-level
-  // returns, never NonLocalReturnControl (the parsePackets lesson)
-  private def decodeCommentBody(b: Array[Byte], start: Int,
+  // returns, never NonLocalReturnControl (the parsePackets lesson).
+  // private[functions]: the identical structure appears INSIDE FLAC
+  // metadata blocks (no magic, no framing bit) — [[Flac.flacComments]]
+  // reuses this decoder with framed = false
+  private[functions] def decodeCommentBody(b: Array[Byte], start: Int,
       framed: Boolean): Option[(String, IndexedSeq[(String, String)])] = {
     var pos = start
     def u32(): Long = // returns from u32 itself (nested def), -1 = short

@@ -183,7 +183,8 @@ object GraftSql {
    * `ogg_audio_meta(...)` (RFC 3533 page table / cross-page packet
    * reassembly / OpusHead-VorbisId header decode), `id3_tags(...)`
    * (ID3v2 text-frame extraction), `flac_info(...)` (STREAMINFO
-   * decode);
+   * decode), `flac_comments(...)` (FLAC VORBIS_COMMENT tag
+   * extraction);
    * ops tooling: `key_skew(keys:"k"[, k:10])` (shuffle-key skew
    * diagnostic), `suggest_salt(keys:"k"[, target:n, max:n])` (measured
    * salt-factor advisor), `PROCESS probe, dim USING salted_join(
@@ -449,6 +450,10 @@ object GraftSql {
         },
         "flac_info" -> ProcessorDef { (_, dfs, p) =>
           graft.functions.Flac.flacInfo(one(dfs, "flac_info"),
+            p.getOrElse("id", "doc_id"), p.getOrElse("col", "payload"))
+        },
+        "flac_comments" -> ProcessorDef { (_, dfs, p) =>
+          graft.functions.Flac.flacComments(one(dfs, "flac_comments"),
             p.getOrElse("id", "doc_id"), p.getOrElse("col", "payload"))
         },
         // hybrid-retrieval fusion: PROCESS lexical, dense USING

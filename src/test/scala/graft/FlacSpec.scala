@@ -47,6 +47,81 @@ class FlacSpec extends AnyFunSuite {
     assert(Flac.parseStreamInfo(ok.take(30)) === None)
   }
 
+  test("commented fixture decodes to the closed comment form (IDs 0-39)") {
+    (0L until 40L).foreach { id =>
+      val payload = Flac.syntheticCommentedFlac(id)
+      // STREAMINFO still decodes through the multi-block chain
+      val si = Flac.parseStreamInfo(payload)
+        .getOrElse(fail(s"id=$id streaminfo did not parse"))
+      assert(si.sampleRate === Seq(44100, 48000, 96000, 22050)((id % 4).toInt))
+      Flac.parseComments(payload) match {
+        case Some((vendor, cs)) =>
+          assert(id % 5 != 4, s"id=$id is tagless but produced comments")
+          assert(vendor === s"graft ${id % 7}")
+          assert(cs === IndexedSeq(
+            "TITLE" -> s"title_${id * 7 % 1000}",
+            "ARTIST" -> s"artist_${id % 50}",
+            "ALBUM" -> s"album_${id % 20}",
+            "TRACKNUMBER" -> s"${1 + id % 12}",
+            "DESCRIPTION" -> s"ünïcode_${id % 10}"))
+        case None =>
+          assert(id % 5 == 4, s"id=$id comments did not parse")
+      }
+    }
+    // the sweep exercises padding-before, application-after, both, and
+    // neither — the walk is tested on both sides of the tag
+    val shapes = (0L until 40L).map(id => (id % 3 == 0, id % 4 == 1)).toSet
+    assert(shapes.size === 4)
+  }
+
+  test("comment contract: duplicates, overruns and malformed bodies poison") {
+    val ok = Flac.syntheticCommentedFlac(13L) // no padding, APPLICATION after
+    assert(Flac.parseComments(ok).isDefined)
+    // the m22 stride-over fixture's comment block holds junk bytes — a
+    // malformed body is a detectable absence, never garbage rows
+    assert(Flac.parseComments(Flac.syntheticFlac(7L)) === None)
+    // tagless file: absence, not corruption
+    assert(Flac.parseComments(Flac.syntheticCommentedFlac(4L)) === None)
+    // duplicate VORBIS_COMMENT: the spec allows at most one — rewrite
+    // id 13's APPLICATION block (follows the comment) into a copy-typed
+    // comment block; the body is junk but the DUPLICATE must poison
+    // before any body decode
+    val si = 4 + 4 + 34
+    val dup = ok.clone()
+    // block after STREAMINFO is the comment; find the APPLICATION header
+    val cSize = ((dup(si + 1) & 0xff) << 16) | ((dup(si + 2) & 0xff) << 8) |
+      (dup(si + 3) & 0xff)
+    val appHdr = si + 4 + cSize
+    assert((dup(appHdr) & 0x7f) === 2, "fixture shape changed")
+    dup(appHdr) = (dup(appHdr) & 0x80 | 4).toByte
+    assert(Flac.parseComments(dup) === None)
+    // corrupted length: comment block size points past the payload —
+    // structural corruption rejects the whole file (parseStreamInfo
+    // contract), so comments also come back None
+    val overrun = ok.clone()
+    overrun(si + 1) = 0x7f.toByte
+    assert(Flac.parseComments(overrun) === None)
+    assert(Flac.parseStreamInfo(overrun) === None)
+    // a comment LENGTH field overrunning its block poisons even though
+    // the bytes after the block would satisfy it: the decode is bounded
+    // by the BLOCK, not the file
+    val longLen = ok.clone()
+    longLen(si + 4) = 0xff.toByte // vendor length low byte → huge
+    longLen(si + 5) = 0xff.toByte
+    assert(Flac.parseComments(longLen) === None)
+    // comment without '=' and invalid UTF-8 poison via the shared body
+    // decoder (pinned in depth in OggSpec; spot-checked here through the
+    // FLAC path): flip the '=' of TITLE to '_'
+    val noEq = ok.clone()
+    val eqIdx = {
+      val s = new String(noEq.map(b => (b & 0xff).toChar))
+      s.indexOf("TITLE=")
+    }
+    assert(eqIdx > 0)
+    noEq(eqIdx + 5) = '_'
+    assert(Flac.parseComments(noEq) === None)
+  }
+
   test("sniffMediaType classifies flac") {
     import graft.functions.{Multimodal => M}
     assert(M.sniffMediaType(Flac.syntheticFlac(3L)) === "flac")

@@ -1116,6 +1116,15 @@ class GraftSqlSpec extends SparkTestBase {
         |""".stripMargin, Map("src" -> flac)).yields("f").collect()
     assert(fi.length === 1 && fi.head.getInt(1) === 44100 &&
       fi.head.getInt(2) === 3)
+    val flacTagged = spark.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row(8L, graft.functions.Flac.syntheticCommentedFlac(8L))),
+      schema)
+    val fc = GraftSql.run(engine,
+      """f = PROCESS src USING flac_comments
+        |YIELD f AS f
+        |""".stripMargin, Map("src" -> flacTagged)).yields("f").collect()
+      .map(r => r.getString(3) -> r.getString(4)).toMap
+    assert(fc("TITLE") === "title_56" && fc("DESCRIPTION") === "ünïcode_8")
     val mp4 = GraftSql.run(engine,
       """f = PROCESS src USING mp4_demux
         |YIELD f AS f
