@@ -739,6 +739,18 @@ object SparkEntry {
         "doc_id", "payload")
     }),
 
+    // iTunes-style MP4 tag extraction (moov/udta/meta/ilst): ©-prefixed
+    // 4cc keys with UTF-8 data atoms, binary trkn/covr atoms strided,
+    // hdlr inside the meta FullBox strided, id%5==2 files tagless —
+    // the MP4 analog of m21's ID3 walk; exact string oracle incl. the
+    // 0xA9 key prefix and a multi-byte-UTF-8 comment
+    "m26_mp4_tags" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select("doc_id")
+      graft.functions.Mp4.ilstTags(
+        graft.functions.Mp4.syntheticTaggedMp4s(ids, "doc_id"),
+        "doc_id", "payload")
+    }),
+
     // typed audio metadata from the Ogg identification header (RFC 7845
     // OpusHead / Vorbis I id header): codec, channels, sample rate,
     // pre-skip decoded from the reassembled FIRST packet — the audio
@@ -4049,6 +4061,21 @@ object SparkEntry {
         |  CAST(1 + doc_id % 12 AS VARCHAR) FROM d
         |UNION ALL SELECT doc_id, vendor, 4, 'DESCRIPTION',
         |  'ünïcode_' || CAST(doc_id % 10 AS VARCHAR) FROM d""".stripMargin,
+    // replay of Mp4.syntheticTaggedMp4's tag formulas: the five UTF-8
+    // text atoms in list order (binary trkn/covr strided by the engine);
+    // keys carry the literal 0xA9 iTunes prefix (U+00A9 '©')
+    "m26_mp4_tags" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 5 <> 2)
+        |SELECT doc_id, CAST(0 AS INTEGER) AS tag_no, '©nam' AS "key",
+        |  'title_' || CAST((doc_id*7) % 1000 AS VARCHAR) AS "value" FROM d
+        |UNION ALL SELECT doc_id, 1, '©ART',
+        |  'artist_' || CAST(doc_id % 50 AS VARCHAR) FROM d
+        |UNION ALL SELECT doc_id, 2, '©alb',
+        |  'album_' || CAST(doc_id % 20 AS VARCHAR) FROM d
+        |UNION ALL SELECT doc_id, 3, '©day',
+        |  CAST(1970 + doc_id % 55 AS VARCHAR) FROM d
+        |UNION ALL SELECT doc_id, 4, '©cmt',
+        |  'cömment_' || CAST(doc_id % 10 AS VARCHAR) FROM d""".stripMargin,
     // replay of Ogg.syntheticAudioOgg's header formulas: even ids Opus,
     // odd ids Vorbis, per-codec channel/rate/preskip derivations
     "m20_audio_meta" ->

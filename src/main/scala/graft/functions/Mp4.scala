@@ -427,6 +427,31 @@ object Mp4 {
   // bytes and the head/tail probes catch it.
   // =====================================================================
 
+  /** Shared fixture box writer: big-endian words, 4cc strings, and
+   * size-prefixed boxes patched after the body runs — ONE copy for the
+   * m13/m14/m26 writers (the fold-duplicated-writers lesson from the
+   * Ogg page writer). */
+  private final class BoxOut {
+    val bo = new java.io.ByteArrayOutputStream()
+    def w32(v: Long): Unit = {
+      bo.write(((v >> 24) & 0xff).toInt); bo.write(((v >> 16) & 0xff).toInt)
+      bo.write(((v >> 8) & 0xff).toInt); bo.write((v & 0xff).toInt)
+    }
+    def w64(v: Long): Unit = { w32(v >>> 32); w32(v & 0xffffffffL) }
+    def wStr(s: String): Unit = bo.write(s.getBytes("ISO-8859-1"))
+    def box(typ: String)(body: => Unit): Unit = {
+      val mark = bo.size()
+      w32(0); wStr(typ); body
+      val bytes = bo.toByteArray
+      val sz = bytes.length - mark
+      bytes(mark) = ((sz >> 24) & 0xff).toByte
+      bytes(mark + 1) = ((sz >> 16) & 0xff).toByte
+      bytes(mark + 2) = ((sz >> 8) & 0xff).toByte
+      bytes(mark + 3) = (sz & 0xff).toByte
+      bo.reset(); bo.write(bytes, 0, bytes.length)
+    }
+  }
+
   /** Deterministic shape shared by the writer, the demux oracle SQL and
    * the spec: frames `2 + id%7`, size(i) `50 + ((id*31 + i*17) % 64)`,
    * chunking 2-then-3 samples, keyframe iff `i % 4 == 0`, duration
@@ -455,23 +480,8 @@ object Mp4 {
       while (left > 0) { val c = math.min(3, left); buf += c; left -= c }
       buf.toSeq
     }
-    val bo = new java.io.ByteArrayOutputStream()
-    def w32(v: Long): Unit = {
-      bo.write(((v >> 24) & 0xff).toInt); bo.write(((v >> 16) & 0xff).toInt)
-      bo.write(((v >> 8) & 0xff).toInt); bo.write((v & 0xff).toInt)
-    }
-    def wStr(s: String): Unit = bo.write(s.getBytes("ISO-8859-1"))
-    def box(typ: String)(body: => Unit): Unit = {
-      val mark = bo.size()
-      w32(0); wStr(typ); body
-      val bytes = bo.toByteArray
-      val sz = bytes.length - mark
-      bytes(mark) = ((sz >> 24) & 0xff).toByte
-      bytes(mark + 1) = ((sz >> 16) & 0xff).toByte
-      bytes(mark + 2) = ((sz >> 8) & 0xff).toByte
-      bytes(mark + 3) = (sz & 0xff).toByte
-      bo.reset(); bo.write(bytes, 0, bytes.length)
-    }
+    val out = new BoxOut()
+    import out.{bo, w32, wStr, box}
 
     box("ftyp") { wStr("isom"); w32(0x200); wStr("isom") }
 
@@ -628,24 +638,8 @@ object Mp4 {
     val height = (16 * (1 + id % 4)).toInt
     val durB = (f: Int) => 900L + ((id + 7L * f) % 5) * 50
     val durC = (f: Int, k: Int) => 900L + ((id + 7L * f + 3L * k) % 5) * 50
-    val bo = new java.io.ByteArrayOutputStream()
-    def w32(v: Long): Unit = {
-      bo.write(((v >> 24) & 0xff).toInt); bo.write(((v >> 16) & 0xff).toInt)
-      bo.write(((v >> 8) & 0xff).toInt); bo.write((v & 0xff).toInt)
-    }
-    def w64(v: Long): Unit = { w32(v >>> 32); w32(v & 0xffffffffL) }
-    def wStr(s: String): Unit = bo.write(s.getBytes("ISO-8859-1"))
-    def box(typ: String)(body: => Unit): Unit = {
-      val mark = bo.size()
-      w32(0); wStr(typ); body
-      val bytes = bo.toByteArray
-      val sz = bytes.length - mark
-      bytes(mark) = ((sz >> 24) & 0xff).toByte
-      bytes(mark + 1) = ((sz >> 16) & 0xff).toByte
-      bytes(mark + 2) = ((sz >> 8) & 0xff).toByte
-      bytes(mark + 3) = (sz & 0xff).toByte
-      bo.reset(); bo.write(bytes, 0, bytes.length)
-    }
+    val out = new BoxOut()
+    import out.{bo, w32, w64, wStr, box}
     val SyncFlags = 0x02000000L    // sample_depends_on=2, sync
     val NonSyncFlags = 0x00010000L // sample_is_non_sync_sample
 
@@ -833,4 +827,146 @@ object Mp4 {
       }
     }(Encoders.row(mp4FrameSchema))
   }
+
+  // =====================================================================
+  // iTunes-style tag extraction (moov/udta/meta/ilst) — the MP4 member
+  // of the audio/video tag family (ID3 for MP3, VorbisComment for
+  // Ogg/FLAC).
+  // =====================================================================
+
+  /**
+   * Extract iTunes-style text tags from the `moov/udta/meta/ilst` list —
+   * the MP4 analog of [[Mp3.parseId3TextFrames]] and the Vorbis comment
+   * extractors ([[Ogg.parseComments]], [[Flac.parseComments]]): where
+   * title/artist/album live in .m4a/.m4v crawls. `meta` is a FullBox
+   * (ISO 14496-12 §8.11.1 — 4 version/flags bytes precede its children,
+   * required zero here); each `ilst` child box's 4cc is the tag key,
+   * decoded ISO-8859-1 so the classic iTunes 0xA9 prefix renders as
+   * `©nam`/`©ART`/…, emitted RAW (extraction, not key-mapping policy);
+   * the item's `data` atom carries a 4-byte well-known-type indicator
+   * and a 4-byte locale before the value (QuickTime metadata layout).
+   * Only type 1 (UTF-8 text) values are emitted, in list order; binary
+   * atoms (`trkn`'s type-0 pairs, `covr` JPEG type 13, …) and items
+   * without a `data` child are strided over structurally.
+   *
+   * None when the payload is not clean ISO-BMFF, has no
+   * moov/udta/meta/ilst path or no text tag (tagless is an absence,
+   * not corruption), the `meta` version/flags are nonzero, a `data`
+   * atom is shorter than its 8-byte prelude, or a type-1 value is
+   * invalid UTF-8 (strict decode — the tag family's never-garbage
+   * contract; lenient U+FFFD replacement would emit plausible mojibake
+   * rows).
+   */
+  def parseIlstTags(payload: Array[Byte]): Option[IndexedSeq[(String, String)]] = {
+    if (payload == null || payload.length < 16) return None
+    try {
+      val end = payload.length.toLong
+      if (!TopLevelTypes.contains(fourcc(payload, 4))) return None
+      val ilst = for {
+        (ms, me) <- child(payload, 0, end, "moov")
+        (us, ue) <- child(payload, ms, me, "udta")
+        (mts, mte) <- child(payload, us, ue, "meta")
+        // FullBox prelude: version 0, flags 0 — anything else is a layout
+        // this walk does not understand, poison rather than misparse
+        if mte - mts >= 4 && u32(payload, mts) == 0L
+        r <- child(payload, mts + 4, mte, "ilst")
+      } yield r
+      ilst match {
+        case None => None
+        case Some((is, ie)) =>
+          val tags = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+          var bad = false
+          val items = boxes(payload, is, ie)
+          while (!bad && items.hasNext) {
+            val (key, s, e) = items.next()
+            child(payload, s, e, "data") match {
+              case Some((ds, de)) if de - ds < 8 => bad = true
+              case Some((ds, de)) if u32(payload, ds) == 1L =>
+                Ogg.utf8Strict(payload, (ds + 8).toInt, (de - ds - 8).toInt) match {
+                  case Some(v) => tags += ((key, v))
+                  case None => bad = true
+                }
+              case _ => () // non-text data atom or data-less item: stride
+            }
+          }
+          if (bad || tags.isEmpty) None else Some(tags.toIndexedSeq)
+      }
+    } catch {
+      // require() failures from truncated/lying box sizes
+      case _: IllegalArgumentException => None
+    }
+  }
+
+  /** Output schema of [[ilstTags]]. */
+  val ilstSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("tag_no", IntegerType),
+    StructField("key", StringType),
+    StructField("value", StringType)))
+
+  /** One row per UTF-8 text tag (list order); payloads without a clean
+   * tagged `ilst` contribute nothing. Narrow mapPartitions — header-only
+   * reads, zero exchanges, the family's scale posture. */
+  def ilstTags(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(idIdx)
+        parseIlstTags(r.getAs[Array[Byte]](pIdx)) match {
+          case Some(ts) => ts.iterator.zipWithIndex.map {
+            case ((k, v), i) => Row(id, i, k, v)
+          }
+          case None => Iterator.empty
+        }
+      }
+    }(Encoders.row(ilstSchema))
+  }
+
+  /** Deterministic TAGGED-MP4 fixture shared by the writer, the m26
+   * oracle and the spec: ftyp + moov{udta{meta{hdlr + ilst}}} + free,
+   * where ilst carries `©nam`=`title_<id*7 % 1000>`,
+   * `©ART`=`artist_<id % 50>`, a BINARY `trkn` (type 0 — strided),
+   * `©alb`=`album_<id % 20>`, a `covr` JPEG atom (type 13, `8 + id%24`
+   * opaque bytes, only when `id%3 == 0` — strided), `©day`=`<1970 +
+   * id%55>` and `©cmt`=`cömment_<id%10>` (multi-byte UTF-8 on the
+   * strict decode path); ids with `id%5 == 2` carry udta+meta but NO
+   * ilst (tagless absence, not corruption). The hdlr box inside meta
+   * and the trailing free box are strided structurally. */
+  def syntheticTaggedMp4(id: Long): Array[Byte] = {
+    val out = new BoxOut()
+    import out.{bo, w32, wStr, box}
+    box("ftyp") { wStr("M4A "); w32(0x200); wStr("isom") }
+    box("moov") {
+      box("udta") {
+        box("meta") {
+          w32(0) // FullBox version/flags
+          box("hdlr") { w32(0); w32(0); wStr("mdir"); wStr("appl")
+            w32(0); w32(0); bo.write(0) }
+          if (id % 5 != 2) box("ilst") {
+            def text(key: String, value: String): Unit =
+              box(key) { box("data") { w32(1); w32(0)
+                bo.write(value.getBytes("UTF-8")) } }
+            text("©nam", s"title_${id * 7 % 1000}")
+            text("©ART", s"artist_${id % 50}")
+            box("trkn") { box("data") { w32(0); w32(0) // binary pairs
+              w32((1 + id % 12) << 16); w32(12L << 16) } }
+            text("©alb", s"album_${id % 20}")
+            if (id % 3 == 0) box("covr") { box("data") { w32(13); w32(0)
+              (0 until (8 + id % 24).toInt).foreach(j =>
+                bo.write(((id * 9 + j) & 0xff).toInt)) } }
+            text("©day", s"${1970 + id % 55}")
+            text("©cmt", s"cömment_${id % 10}")
+          }
+        }
+      }
+    }
+    box("free") { (0 until (4 + id % 12).toInt).foreach(_ => bo.write(0)) }
+    bo.toByteArray
+  }
+
+  /** Executor-side tagged-MP4 fixtures — the m26 oracle replays the tag
+   * formulas. */
+  def syntheticTaggedMp4s(df: DataFrame, idCol: String): DataFrame =
+    Fixtures.syntheticPayloads(df, idCol)(syntheticTaggedMp4)
 }

@@ -434,8 +434,10 @@ object Ogg {
   /** Strict UTF-8 decode: None on malformed bytes. The default decoder's
    * U+FFFD replacement would turn a truncated/mojibake tag into a
    * plausible-looking garbage row — the exact failure mode the
-   * never-garbage contract exists to prevent. */
-  private def utf8Strict(b: Array[Byte], off: Int, len: Int): Option[String] =
+   * never-garbage contract exists to prevent. Shared with the other
+   * tag extractors ([[Flac.parseComments]] via [[decodeCommentBody]],
+   * [[Mp4.parseIlstTags]] directly). */
+  private[functions] def utf8Strict(b: Array[Byte], off: Int, len: Int): Option[String] =
     try {
       val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
         .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)

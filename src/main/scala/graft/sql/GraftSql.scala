@@ -184,7 +184,7 @@ object GraftSql {
    * reassembly / OpusHead-VorbisId header decode), `id3_tags(...)`
    * (ID3v2 text-frame extraction), `flac_info(...)` (STREAMINFO
    * decode), `flac_comments(...)` (FLAC VORBIS_COMMENT tag
-   * extraction);
+   * extraction), `mp4_tags(...)` (iTunes-style ilst tag extraction);
    * ops tooling: `key_skew(keys:"k"[, k:10])` (shuffle-key skew
    * diagnostic), `suggest_salt(keys:"k"[, target:n, max:n])` (measured
    * salt-factor advisor), `PROCESS probe, dim USING salted_join(
@@ -454,6 +454,10 @@ object GraftSql {
         },
         "flac_comments" -> ProcessorDef { (_, dfs, p) =>
           graft.functions.Flac.flacComments(one(dfs, "flac_comments"),
+            p.getOrElse("id", "doc_id"), p.getOrElse("col", "payload"))
+        },
+        "mp4_tags" -> ProcessorDef { (_, dfs, p) =>
+          graft.functions.Mp4.ilstTags(one(dfs, "mp4_tags"),
             p.getOrElse("id", "doc_id"), p.getOrElse("col", "payload"))
         },
         // hybrid-retrieval fusion: PROCESS lexical, dense USING

@@ -1125,6 +1125,15 @@ class GraftSqlSpec extends SparkTestBase {
         |""".stripMargin, Map("src" -> flacTagged)).yields("f").collect()
       .map(r => r.getString(3) -> r.getString(4)).toMap
     assert(fc("TITLE") === "title_56" && fc("DESCRIPTION") === "ünïcode_8")
+    val mp4Tagged = spark.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row(8L, graft.functions.Mp4.syntheticTaggedMp4(8L))),
+      schema)
+    val mt = GraftSql.run(engine,
+      """f = PROCESS src USING mp4_tags
+        |YIELD f AS f
+        |""".stripMargin, Map("src" -> mp4Tagged)).yields("f").collect()
+      .map(r => r.getString(2) -> r.getString(3)).toMap
+    assert(mt("©nam") === "title_56" && mt("©cmt") === "cömment_8")
     val mp4 = GraftSql.run(engine,
       """f = PROCESS src USING mp4_demux
         |YIELD f AS f

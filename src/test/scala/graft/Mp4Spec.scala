@@ -274,4 +274,65 @@ class Mp4Spec extends SparkTestBase {
     assert(fragRows.nonEmpty && fragRows.forall(_.getInt(2) == 16))
     assert(fragRows.length === expectedFmp4(9L).length)
   }
+
+  // ---- hand-rolled box assembly for ilst negatives: sizes explicit ----
+  private def b32(v: Int): Array[Byte] = Array(
+    ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+    ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def mkBox(typ: String, body: Array[Byte]): Array[Byte] =
+    b32(body.length + 8) ++ typ.getBytes("ISO-8859-1") ++ body
+  private def mkTagged(metaPrelude: Array[Byte],
+      items: Array[Byte]): Array[Byte] =
+    mkBox("ftyp", "M4A    isom".getBytes("ISO-8859-1")) ++
+      mkBox("moov", mkBox("udta",
+        mkBox("meta", metaPrelude ++ mkBox("ilst", items))))
+
+  test("ilst tags: closed-form sweep over all fixture shapes (IDs 0-39)") {
+    (0L until 40L).foreach { id =>
+      Mp4.parseIlstTags(Mp4.syntheticTaggedMp4(id)) match {
+        case Some(tags) =>
+          assert(id % 5 != 2, s"id=$id is tagless but produced tags")
+          // binary trkn and (on id%3==0) covr strided; text in list order
+          assert(tags === IndexedSeq(
+            "©nam" -> s"title_${id * 7 % 1000}",
+            "©ART" -> s"artist_${id % 50}",
+            "©alb" -> s"album_${id % 20}",
+            "©day" -> s"${1970 + id % 55}",
+            "©cmt" -> s"cömment_${id % 10}"))
+        case None =>
+          assert(id % 5 == 2, s"id=$id tags did not parse")
+      }
+    }
+    // the sweep exercises both with-covr and without-covr tagged shapes
+    val covr = (0L until 40L).filter(_ % 5 != 2).map(_ % 3 == 0).toSet
+    assert(covr === Set(true, false))
+  }
+
+  test("ilst contract: bad prelude, short data, bad UTF-8, truncation poison") {
+    val textItem = mkBox("©nam",
+      mkBox("data", b32(1) ++ b32(0) ++ "x".getBytes("UTF-8")))
+    // positive control for the hand-rolled assembly
+    assert(Mp4.parseIlstTags(mkTagged(b32(0), textItem)) ===
+      Some(IndexedSeq("©nam" -> "x")))
+    // nonzero meta version/flags: a layout the walk does not understand
+    assert(Mp4.parseIlstTags(mkTagged(b32(0x01000000), textItem)) === None)
+    // data atom shorter than its 8-byte type+locale prelude
+    val shortData = mkBox("©nam", mkBox("data", b32(1)))
+    assert(Mp4.parseIlstTags(mkTagged(b32(0), shortData)) === None)
+    // invalid UTF-8 in a type-1 value: strict decode refuses (0xff can
+    // never start a UTF-8 sequence)
+    val badUtf8 = mkBox("©nam",
+      mkBox("data", b32(1) ++ b32(0) ++ Array(0xff.toByte)))
+    assert(Mp4.parseIlstTags(mkTagged(b32(0), badUtf8)) === None)
+    // a lying item size truncates mid-list: None, never throw
+    val ok = Mp4.syntheticTaggedMp4(1L)
+    assert(Mp4.parseIlstTags(ok.take(ok.length - 20)) === None)
+    // the untagged m13 fixture (no udta at all) is an absence
+    assert(Mp4.parseIlstTags(Mp4.syntheticMp4(1L)) === None)
+    // only-binary-atoms ilst: no text tag -> absence, not garbage
+    val onlyBinary = mkBox("trkn", mkBox("data", b32(0) ++ b32(0) ++ b32(7)))
+    assert(Mp4.parseIlstTags(mkTagged(b32(0), onlyBinary)) === None)
+    assert(Mp4.parseIlstTags(null) === None)
+    assert(Mp4.parseIlstTags(Array.emptyByteArray) === None)
+  }
 }
