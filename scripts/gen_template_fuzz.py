@@ -62,6 +62,17 @@ def gen_ctx():
         "rs": [{"k": rng.randint(0, 5), "v": word()}
                for _ in range(rng.randint(2, 4))],
         "d": {"a": rng.randint(0, 9), "b": rng.randint(0, 9)},
+        # float across magnitudes for %g/%G ONLY: the fixed-vs-scientific
+        # switch, trailing-zero stripping and half-even rounding are all
+        # value-dependent (inf/nan are not JSON-encodable — pinned in
+        # TemplateSpec instead)
+        "fl": rng.choice([
+            rng.uniform(1, 10) * 10 ** rng.randint(-8, 8),
+            float(rng.randint(0, 9)),
+            -rng.uniform(0.9, 1.1) * 10 ** rng.randint(-6, 6),
+            float(10 ** rng.randint(0, 9)) - rng.choice([0.0, 0.5]),
+            0.0,
+        ]),
     }
 
 
@@ -114,7 +125,17 @@ FORMAT_CASES = ["{{ '%d-%s' | format(n, s) }}",
                 "{{ '%#010x %010.4x' | format(n, m) }}",
                 # kwargs-only with a bare %s: python formats the mapping
                 "{{ '%s' | format(a=n) }}",
-                "{{ '%(a)s~%(a)x' | format(a=n) }}"]
+                "{{ '%(a)s~%(a)x' | format(a=n) }}",
+                # %g/%G across magnitudes, precisions, flag combinations
+                "{{ '%g %G' | format(fl, fl) }}",
+                "{{ '%.3g|%#g|%.1g' | format(fl, fl, fl) }}",
+                "{{ '%10.2g|%-12g|%012g|' | format(fl, fl, fl) }}",
+                "{{ '%+g % g %g' | format(fl, fl, neg) }}",
+                "{{ '%#.1G_%08.3g' | format(fl, fl) }}",
+                # %c: int code points incl. an astral one; space-only
+                # padding even with the 0 flag
+                "{{ '%c%c%c' | format(n + 65, m + 97, z + 48) }}",
+                "{{ '%5c|%-5c|%05c|' | format(n + 66, m + 167, 128512 + z) }}"]
 
 
 def int_expr(depth=0):

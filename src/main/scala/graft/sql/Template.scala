@@ -1766,8 +1766,13 @@ object Template {
    * min-digits, `-` beats `0`, and `0` still pads when a precision is
    * given (python diverges from C there) — all pinned differentially
    * against jinja2 3.1.6. Leftover positional args raise like python's
-   * 'not all arguments converted'; %g and other conversions whose
-   * python/java output differs raise rather than silently diverge. */
+   * 'not all arguments converted'. %g/%G round the exact binary double
+   * to p significant decimal digits half-even and apply the C99
+   * fixed-vs-scientific rule with python's trailing-zero stripping,
+   * '#' forms and zero-filled specials; %c takes an int code point or a
+   * one-character string with space-only padding — both rendered by
+   * hand (java diverges on every one of those points) and pinned
+   * differentially against jinja2 3.1.6. */
   private def pyFormat(fmt: String, args: Seq[Any],
       kwargs: Map[String, Any]): String = {
     if (args.nonEmpty && kwargs.nonEmpty) throw new IllegalArgumentException(
@@ -1856,19 +1861,114 @@ object Template {
             case 'X' => "0X"
             case _ => ""
           }) else ""
+          // the 0x/0o prefix sits with the sign, OUTSIDE zero padding
+          padNumeric(sign + prefix, body)
+        }
+        // shared width-padding tail: sign OUTSIDE zero padding ('-'
+        // beats '0'), python's rule for every numeric conversion —
+        // including %g of inf/nan, which python zero-FILLS ('%010g' of
+        // inf is '0000000inf') where C pads with spaces
+        def padNumeric(sign: String, body: String): String = {
           val w = if (width.isEmpty) 0 else width.toInt
-          val core = sign + prefix + body
+          val core = sign + body
           if (core.length >= w) core
           else if (flags.contains('-')) core + (" " * (w - core.length))
           else if (flags.contains('0'))
-            sign + prefix + ("0" * (w - core.length)) + body
+            sign + ("0" * (w - core.length)) + body
           else (" " * (w - core.length)) + core
+        }
+        // python %g, by hand (java's %g neither strips trailing zeros,
+        // nor zero-pads specials python's way, nor honors '#'): round
+        // the EXACT binary double to p significant DECIMAL digits
+        // half-even (BigDecimal(double) is the exact expansion, so this
+        // is the correctly-rounded conversion python/glibc perform),
+        // then pick fixed vs scientific by the C99 rule (exponent < -4
+        // or >= p), strip trailing zeros unless '#' ('#' also keeps a
+        // bare trailing point: '%#.1g' of 9.5 is '1.e+01') — all pinned
+        // differentially against jinja2 3.1.6 in TemplateSpec
+        def gPiece(): String = {
+          val d0 = v match {
+            case b: Boolean => if (b) 1.0 else 0.0
+            case other => num(other)
+          }
+          val upper = conv == 'G'
+          val p0 =
+            if (prec.isEmpty) 6
+            else if (prec == ".") 0
+            else prec.drop(1).toInt
+          val p = math.max(p0, 1) // C: precision 0 means 1
+          val neg = d0 < 0 || (d0 == 0.0 && 1.0 / d0 < 0)
+          val sign =
+            if (neg) "-"
+            else if (flags.contains('+')) "+"
+            else if (flags.contains(' ')) " "
+            else ""
+          val alt = flags.contains('#')
+          def strip(s: String): String =
+            if (!s.contains('.')) s
+            else {
+              var e = s.length
+              while (s.charAt(e - 1) == '0') e -= 1
+              if (s.charAt(e - 1) == '.') e -= 1
+              s.substring(0, e)
+            }
+          def dot(s: String): String = if (s.contains('.')) s else s + "."
+          val body =
+            if (java.lang.Double.isNaN(d0)) { if (upper) "NAN" else "nan" }
+            else if (java.lang.Double.isInfinite(d0)) {
+              if (upper) "INF" else "inf"
+            } else {
+              val md = new java.math.BigDecimal(math.abs(d0)).round(
+                new java.math.MathContext(p,
+                  java.math.RoundingMode.HALF_EVEN))
+              val x = md.precision - md.scale - 1 // decimal exponent
+              // setScale below only zero-extends (target scale >= the
+              // rounded value's), so UNNECESSARY is provably safe
+              if (x < -4 || x >= p) {
+                val ms0 = md.movePointLeft(x)
+                  .setScale(p - 1, java.math.RoundingMode.UNNECESSARY)
+                  .toPlainString
+                (if (alt) dot(ms0) else strip(ms0)) +
+                  (if (upper) "E" else "e") +
+                  (if (x < 0) "-" else "+") + f"${math.abs(x)}%02d"
+              } else {
+                val fx = md.setScale(p - 1 - x,
+                  java.math.RoundingMode.UNNECESSARY).toPlainString
+                if (alt) dot(fx) else strip(fx)
+              }
+            }
+          padNumeric(sign, body)
+        }
+        // python %c: an int/bool code point in [0, 0x110000) or a
+        // ONE-character string; width pads with SPACES (the '0' flag is
+        // ignored — '%05c' of 66 is '    B') counted in code points, so
+        // an astral char is width 1 even though it is 2 UTF-16 units
+        def cPiece(): String = {
+          def fromCode(l: Long): String =
+            if (l < 0 || l >= 0x110000) throw new IllegalArgumentException(
+              "format: %c arg not in range(0x110000)")
+            else new String(Character.toChars(l.toInt))
+          val ch = v match {
+            case s: String if s.codePointCount(0, s.length) == 1 => s
+            case b: Boolean => fromCode(if (b) 1L else 0L)
+            case l: Long => fromCode(l)
+            case i: Int => fromCode(i.toLong)
+            case _ => throw new IllegalArgumentException(
+              "format: %c requires int or char")
+          }
+          val w = if (width.isEmpty) 0 else width.toInt
+          val n = ch.codePointCount(0, ch.length)
+          if (n >= w) ch
+          else if (flags.contains('-')) ch + (" " * (w - n))
+          else (" " * (w - n)) + ch
         }
         val jspec = "%" + flags + width + prec
         val piece = conv match {
           case 's' => String.format(jspec + "s", show(v))
           case 'r' => String.format(jspec + "s", repr(v))
           case 'd' | 'i' | 'u' | 'x' | 'X' | 'o' => intPiece()
+          case 'g' | 'G' => gPiece()
+          case 'c' => cPiece()
           case 'f' | 'F' | 'e' | 'E' =>
             String.format(jspec + conv,
               java.lang.Double.valueOf(num(v)))

@@ -67,7 +67,19 @@ class TemplateFuzzSpec extends AnyFunSuite {
           val start = i
           if (c == '-') i += 1
           while (i < s.length && s.charAt(i).isDigit) i += 1
-          s.substring(start, i).toLong
+          var isFloat = false
+          if (i < s.length && s.charAt(i) == '.') {
+            isFloat = true; i += 1
+            while (i < s.length && s.charAt(i).isDigit) i += 1
+          }
+          if (i < s.length && (s.charAt(i) == 'e' || s.charAt(i) == 'E')) {
+            isFloat = true; i += 1
+            if (s.charAt(i) == '-' || s.charAt(i) == '+') i += 1
+            while (i < s.length && s.charAt(i).isDigit) i += 1
+          }
+          // python repr floats are shortest-round-trip: toDouble is exact
+          if (isFloat) s.substring(start, i).toDouble
+          else s.substring(start, i).toLong
         case other => fail(s"unexpected JSON char '$other' at $i")
       }
     }

@@ -286,6 +286,51 @@ class TemplateSpec extends AnyFunSuite {
       === "+ff  ff +0042")
     assert(r("{{ '%x' | format(n) }}",
       Map("n" -> Long.MinValue)) === "-8000000000000000")
+    // %g: C99 fixed-vs-scientific switch, trailing-zero strip, half-even
+    // rounding of the EXACT binary double, '#' forms, python's
+    // zero-filled specials — every expected string is python3/jinja2
+    // 3.1.6 output, captured verbatim
+    assert(r("{{ '%g %g %g' | format(3.14159, 123456.0, 1234567.0) }}")
+      === "3.14159 123456 1.23457e+06")
+    assert(r("{{ '%g %g %g' | format(0.0001, 0.00001, 150000000.0) }}")
+      === "0.0001 1e-05 1.5e+08")
+    // 999999.5 and 1234565.0 round HALF-EVEN at 6 significant digits
+    assert(r("{{ '%g %g' | format(999999.5, 1234565.0) }}")
+      === "1e+06 1.23456e+06")
+    assert(r("{{ '%.3g %.1g %.0g' | format(100.5, 9.5, 123.456) }}")
+      === "100 1e+01 1e+02")
+    // '#' keeps trailing zeros and the bare point
+    assert(r("{{ '%#g|%#g|%#.1g' | format(123456.0, 0.0001, 9.5) }}")
+      === "123456.|0.000100000|1.e+01")
+    assert(r("{{ '%010g|%10.2g|%-10gX' | format(150000000.0, 123456.0, 3.14159) }}")
+      === "0001.5e+08|   1.2e+05|3.14159   X")
+    assert(r("{{ '%G %G' | format(0.00001, 1234567.0) }}")
+      === "1E-05 1.23457E+06")
+    assert(r("{{ '%g %g %+g % g' | format(0.0, -0.0, 5.0, 5.0) }}")
+      === "0 -0 +5  5")
+    assert(r("{{ '%#.1g %g' | format(0.0, 5) }}") === "0. 5")
+    // exact-binary rounding: 0.1 at 17 significant digits shows the
+    // double's true decimal expansion
+    assert(r("{{ '%.17g' | format(0.1) }}") === "0.10000000000000001")
+    // specials zero-FILL (python diverges from C's space padding) and
+    // take sign flags
+    assert(r("{{ '%g %G %010g %+010g %+g' | format(nan, inf, inf, inf, nan) }}",
+      Map("nan" -> Double.NaN, "inf" -> Double.PositiveInfinity))
+      === "nan INF 0000000inf +000000inf +nan")
+    assert(r("{{ '%g %010g' | format(ninf, ninf) }}",
+      Map("ninf" -> Double.NegativeInfinity)) === "-inf -000000inf")
+    // %c: int code point (astral included, width counted in code
+    // points), one-char string, bool; the 0 flag pads with SPACES
+    assert(r("{{ '%c%c' | format(65, 'A') }}") === "AA")
+    assert(r("{{ '%c' | format(128512) }}") === "😀")
+    assert(r("{{ '%5c|%-5c|%05c|' | format(128512, 66, 66) }}")
+      === "    😀|B    |    B|")
+    assert(r("{{ '%c' | format(true) }}") === "\u0001")
+    intercept[IllegalArgumentException](r("{{ '%c' | format('AB') }}"))
+    intercept[IllegalArgumentException](r("{{ '%c' | format('') }}"))
+    intercept[IllegalArgumentException](r("{{ '%c' | format(-1) }}"))
+    intercept[IllegalArgumentException](r("{{ '%c' | format(1114112) }}"))
+    intercept[IllegalArgumentException](r("{{ '%c' | format(65.5) }}"))
     // mixed positional + keyword args raise, as jinja's do_format does
     // (`value % (kwargs or args)` can't take both)
     intercept[IllegalArgumentException](
