@@ -751,6 +751,25 @@ object SparkEntry {
         "doc_id", "payload")
     }),
 
+    // RFC 3533 CHAINED bitstream (EOS→BOS reuse of one serial): the page
+    // census must walk cleanly across the seam where per-link sequence
+    // numbers restart at 0 — a walker that counts sequence numbers across
+    // links (or rejects the restart) drops every chained .ogg; the
+    // oracle replays both links' page arithmetic with byte probes
+    "m27_ogg_chained" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select("doc_id")
+      graft.functions.Ogg.oggPages(
+        graft.functions.Ogg.syntheticLinkedOggs(ids, "doc_id"),
+        "doc_id", "payload")
+        .select(col("doc_id"), col("page_no"), col("offset"),
+          col("header_bytes"), col("body_bytes"), col("granule"),
+          col("serial"), col("bos"), col("eos"), col("n_packets"),
+          expr("cast(conv(hex(substring(body, 1, 1)), 16, 10) as int)")
+            .as("head_byte"),
+          expr("cast(conv(hex(substring(body, cast(body_bytes as int), 1)), 16, 10) as int)")
+            .as("tail_byte"))
+    }),
+
     // typed audio metadata from the Ogg identification header (RFC 7845
     // OpusHead / Vorbis I id header): codec, channels, sample rate,
     // pre-skip decoded from the reassembled FIRST packet — the audio
@@ -4076,6 +4095,41 @@ object SparkEntry {
         |  CAST(1970 + doc_id % 55 AS VARCHAR) FROM d
         |UNION ALL SELECT doc_id, 4, '©cmt',
         |  'cömment_' || CAST(doc_id % 10 AS VARCHAR) FROM d""".stripMargin,
+    // replay of Ogg.syntheticLinkedOgg's two-link page arithmetic: file
+    // page_no runs across both links, offsets cumulate 28-byte headers +
+    // bodies in (link, page) order, bos/eos bracket each link, and the
+    // body probes derive from the per-link byte formula
+    "m27_ogg_chained" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+        |l AS (SELECT doc_id, 0 AS lk FROM d
+        |  UNION ALL SELECT doc_id, 1 FROM d),
+        |lp AS (SELECT doc_id, lk,
+        |  CAST(2 + (doc_id + lk) % 2 AS INTEGER) AS np FROM l),
+        |p AS (SELECT doc_id, lk, np,
+        |  CAST(unnest(range(0, np)) AS INTEGER) AS pg FROM lp),
+        |b AS (SELECT doc_id, lk, np, pg,
+        |  CAST(45 + ((doc_id*7 + lk*29 + pg*13) % 90) AS BIGINT) AS a,
+        |  CAST(2 + doc_id % 2 AS INTEGER) AS np0
+        | FROM p),
+        |o AS (SELECT doc_id, lk, np, pg, a, np0,
+        |  COALESCE(SUM(28 + a) OVER (PARTITION BY doc_id
+        |    ORDER BY lk, pg ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND 1 PRECEDING), 0) AS off
+        | FROM b)
+        |SELECT doc_id,
+        | CAST(CASE WHEN lk = 0 THEN pg ELSE np0 + pg END AS INTEGER)
+        |   AS page_no,
+        | CAST(off AS BIGINT) AS "offset",
+        | CAST(28 AS INTEGER) AS header_bytes,
+        | a AS body_bytes,
+        | CAST((pg + 1) * (10 + lk) AS BIGINT) AS granule,
+        | CAST(4000 + doc_id % 100 AS BIGINT) AS serial,
+        | CAST(CASE WHEN pg = 0 THEN 1 ELSE 0 END AS INTEGER) AS bos,
+        | CAST(CASE WHEN pg = np - 1 THEN 1 ELSE 0 END AS INTEGER) AS eos,
+        | CAST(1 AS INTEGER) AS n_packets,
+        | CAST((doc_id + lk*37 + pg*11) % 256 AS INTEGER) AS head_byte,
+        | CAST((doc_id + lk*37 + pg*11 + a - 1) % 256 AS INTEGER) AS tail_byte
+        |FROM o""".stripMargin,
     // replay of Ogg.syntheticAudioOgg's header formulas: even ids Opus,
     // odd ids Vorbis, per-codec channel/rate/preskip derivations
     "m20_audio_meta" ->

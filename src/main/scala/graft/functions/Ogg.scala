@@ -82,11 +82,16 @@ object Ogg {
       flags: Int, granule: Long, serial: Long, lacings: Array[Int])
 
   /** Validated page walk: magic, version, CRC, bounds and per-serial
-   * sequence continuity all checked; None on any violation. */
+   * sequence continuity all checked; None on any violation. RFC 3533
+   * chained bitstreams are accepted: after a serial's EOS page the SAME
+   * serial may restart as a new link, but only cleanly — a fresh BOS
+   * flag and sequence 0 (anything else after EOS, and any mid-stream
+   * BOS or sequence skip before it, is lost-page/splice evidence). */
   private def walkPages(payload: Array[Byte]): Option[IndexedSeq[RawPage]] = {
     if (payload == null || payload.length < 28) return None
     val out = scala.collection.mutable.ArrayBuffer.empty[RawPage]
-    val seqBySerial = scala.collection.mutable.Map.empty[Long, Long]
+    // per-serial (expected next sequence, eos-seen) continuity state
+    val seqBySerial = scala.collection.mutable.Map.empty[Long, (Long, Boolean)]
     var pos = 0
     var no = 0
     while (pos < payload.length) {
@@ -112,9 +117,21 @@ object Ogg {
       if (pos + headerLen + body > payload.length) return None
       val want = pageCrc(payload, pos, pos + headerLen + body.toInt, pos + 22)
       if (want != u32le(payload, pos + 22).toInt) return None
-      val expectSeq = seqBySerial.getOrElse(serial, 0L)
-      if (pageSeq != expectSeq) return None // lost page / spliced stream
-      seqBySerial(serial) = expectSeq + 1
+      val bos = (flags & 0x02) != 0
+      val eos = (flags & 0x04) != 0
+      seqBySerial.get(serial) match {
+        case None =>
+          if (pageSeq != 0L) return None // lost page / spliced stream
+        case Some((_, true)) =>
+          // the serial completed with EOS: only a clean chain link
+          // (BOS, sequence 0) may follow on this serial
+          if (!bos || pageSeq != 0L) return None
+        case Some((expect, false)) =>
+          // mid-stream: exact sequence continuity, and a BOS page here
+          // would be a spliced-in stream start, not a chain
+          if (pageSeq != expect || bos) return None
+      }
+      seqBySerial(serial) = (pageSeq + 1, eos)
       out += RawPage(no, pos.toLong, headerLen, flags, granule, serial, lacings)
       pos += headerLen + body.toInt
       no += 1
@@ -129,7 +146,13 @@ object Ogg {
    * last page — corrupt inputs must be distinguishable from clean ones,
    * not silently truncated. Multiplexed streams (distinct serials, e.g.
    * Ogg video with interleaved audio) are walked in file order with
-   * per-serial sequence tracking.
+   * per-serial sequence tracking. CHAINED bitstreams (RFC 3533: a
+   * complete stream followed by another, possibly reusing the serial)
+   * are accepted when the restart is clean — EOS seen, then BOS with
+   * sequence 0; the emitted bos/eos flags let callers segment links.
+   * Header-reading consumers ([[parseAudioMeta]], [[parseComments]])
+   * decode the FIRST link of a reused serial (packets are per-serial in
+   * file order, so link 1's headers come first).
    */
   def parsePages(payload: Array[Byte]): Option[IndexedSeq[Page]] =
     walkPages(payload).map(_.map { p =>
@@ -770,4 +793,43 @@ object Ogg {
    * full page arithmetic in SQL. */
   def syntheticOggs(df: DataFrame, idCol: String): DataFrame =
     Fixtures.syntheticPayloads(df, idCol)(syntheticOgg)
+
+  // =====================================================================
+  // Linked (RFC 3533 CHAINED bitstream) fixture: two complete streams
+  // back to back REUSING one serial — the first link ends with EOS, then
+  // the same serial restarts with BOS + sequence 0. The page walk must
+  // accept the clean restart (rejecting it would silently drop every
+  // chained .ogg in a crawl — internet radio dumps are chained routinely)
+  // while still refusing unclean ones; the m27 oracle recomputes every
+  // page across the seam, where a walker that keeps counting sequence
+  // numbers across links fails.
+  // =====================================================================
+
+  /** Deterministic chained-bitstream shape shared by the writer, the m27
+   * oracle and the spec: 2 links on the SAME serial `4000 + id%100`;
+   * link L has `2 + (id+L)%2` pages; page p of link L carries ONE
+   * single-segment packet of `45 + ((id*7 + L*29 + p*13) % 90)` bytes
+   * (body byte j is `(id + L*37 + p*11 + j) & 0xff`), granule
+   * `(p+1)*(10+L)`; bos/eos bracket each link; page sequence numbers
+   * restart at 0 on the second link. */
+  def syntheticLinkedOgg(id: Long): Array[Byte] = {
+    val serial = 4000L + id % 100
+    val bo = new java.io.ByteArrayOutputStream()
+    (0 until 2).foreach { l =>
+      val np = (2 + (id + l) % 2).toInt
+      (0 until np).foreach { p =>
+        val a = (45 + ((id * 7 + l * 29 + p * 13) % 90)).toInt
+        writePage(bo, serial, p,
+          (if (p == 0) 0x02 else 0) | (if (p == np - 1) 0x04 else 0),
+          (p + 1L) * (10 + l), Seq(a),
+          Array.tabulate(a)(j => ((id + l * 37L + p * 11 + j) & 0xff).toByte))
+      }
+    }
+    bo.toByteArray
+  }
+
+  /** Executor-side chained-bitstream fixtures — the m27 oracle replays
+   * the link/page formulas across the EOS→BOS seam. */
+  def syntheticLinkedOggs(df: DataFrame, idCol: String): DataFrame =
+    Fixtures.syntheticPayloads(df, idCol)(syntheticLinkedOgg)
 }

@@ -194,6 +194,74 @@ class OggSpec extends AnyFunSuite {
     assert(Ogg.parsePackets(flagged) === None)
   }
 
+  // flag-byte mutation with a re-patched CRC, so the walk reaches the
+  // continuity logic instead of failing the checksum
+  private def patchFlags(payload: Array[Byte], pageOff: Int, pageLen: Int,
+      f: Int => Int): Array[Byte] = {
+    val out = payload.clone()
+    out(pageOff + 5) = f(out(pageOff + 5) & 0xff).toByte
+    val c = Ogg.pageCrc(out, pageOff, pageOff + pageLen, pageOff + 22)
+    (0 until 4).foreach(i =>
+      out(pageOff + 22 + i) = ((c >> (8 * i)) & 0xff).toByte)
+    out
+  }
+
+  test("chained bitstream (EOS->BOS serial reuse) walks; unclean restarts refuse") {
+    (0L until 8L).foreach { id =>
+      val payload = Ogg.syntheticLinkedOgg(id)
+      val pages = Ogg.parsePages(payload)
+        .getOrElse(fail(s"id=$id chain rejected"))
+      val np0 = (2 + id % 2).toInt
+      val np1 = (2 + (id + 1) % 2).toInt
+      assert(pages.length === np0 + np1)
+      // ONE serial throughout; bos/eos bracket each link
+      assert(pages.map(_.serial).distinct === IndexedSeq(4000L + id % 100))
+      assert(pages.map(_.bos) ===
+        (0 until np0 + np1).map(p => p == 0 || p == np0))
+      assert(pages.map(_.eos) ===
+        (0 until np0 + np1).map(p => p == np0 - 1 || p == np0 + np1 - 1))
+      // packets reassemble across the seam in file order, one per page
+      val pk = Ogg.parsePackets(payload)
+        .getOrElse(fail(s"id=$id chain packets rejected"))
+      assert(pk.map(_.size) === pages.map(_.bodyBytes))
+    }
+    // a chained pair of comment fixtures (same id, so the SAME serial):
+    // header consumers read the FIRST link — identical to the unchained
+    // parse, not poisoned, not link 2's
+    val single = Ogg.syntheticCommentedOgg(9L)
+    val chained = single ++ single
+    assert(Ogg.parsePages(chained).isDefined)
+    assert(Ogg.parseComments(chained) === Ogg.parseComments(single))
+    // negatives, each with a re-patched CRC:
+    val ok = Ogg.syntheticLinkedOgg(3L)
+    val pg = Ogg.parsePages(ok).get
+    val np0 = 3 // id 3: link 0 has 2 + 3%2 = 3 pages
+    def at(i: Int) =
+      (pg(i).offset.toInt, (pg(i).headerBytes + pg(i).bodyBytes).toInt)
+    // restart WITHOUT the prior EOS: clear link 0's last-page EOS flag
+    val (e0, e0len) = at(np0 - 1)
+    assert(Ogg.parsePages(patchFlags(ok, e0, e0len, _ & ~0x04)) === None)
+    // restart WITHOUT BOS: clear link 1's first-page BOS flag
+    val (b1, b1len) = at(np0)
+    assert(Ogg.parsePages(patchFlags(ok, b1, b1len, _ & ~0x02)) === None)
+    // restart with a NONZERO sequence number
+    val seqBumped = ok.clone()
+    seqBumped(b1 + 18) = (seqBumped(b1 + 18) + 1).toByte
+    val c = Ogg.pageCrc(seqBumped, b1, b1 + b1len, b1 + 22)
+    (0 until 4).foreach(i =>
+      seqBumped(b1 + 22 + i) = ((c >> (8 * i)) & 0xff).toByte)
+    assert(Ogg.parsePages(seqBumped) === None)
+    // mid-stream BOS with NO preceding EOS on a plain stream: a spliced-in
+    // stream start, not a chain
+    val plain = Ogg.syntheticOgg(8L)
+    val ppg = Ogg.parsePages(plain).get
+    val (m1, m1len) =
+      (ppg(1).offset.toInt, (ppg(1).headerBytes + ppg(1).bodyBytes).toInt)
+    assert(Ogg.parsePages(patchFlags(plain, m1, m1len, _ | 0x02)) === None)
+    // pages continuing after a mid-stream EOS without a BOS restart
+    assert(Ogg.parsePages(patchFlags(plain, m1, m1len, _ | 0x04)) === None)
+  }
+
   test("audio identification headers decode per the codec specs") {
     (0L until 24L).foreach { id =>
       val m = Ogg.parseAudioMeta(Ogg.syntheticAudioOgg(id))
