@@ -66,10 +66,13 @@ fi
 
 ADD_OPENS="--add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.lang.invoke=ALL-UNNAMED --add-opens java.base/java.lang.reflect=ALL-UNNAMED --add-opens java.base/java.io=ALL-UNNAMED --add-opens java.base/java.net=ALL-UNNAMED --add-opens java.base/java.nio=ALL-UNNAMED --add-opens java.base/java.util=ALL-UNNAMED --add-opens java.base/java.util.concurrent=ALL-UNNAMED --add-opens java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens java.base/sun.nio.ch=ALL-UNNAMED --add-opens java.base/sun.nio.cs=ALL-UNNAMED --add-opens java.base/sun.security.action=ALL-UNNAMED --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
 
-if [ ! -f target/scala-2.13/classes/graft/Verify.class ]; then
-  echo "[sf1-gate] compiling..." >&2
-  sbt -batch compile
-fi
+# compile UNCONDITIONALLY: snapshotting stale classes would verify old
+# bytecode while stamping the fingerprint of the NEW sources, making
+# `check` report FRESH for an artifact that never exercised the current
+# code (review finding). Do not start the gate while another forked
+# runMain JVM is alive — this compile would swap classes under it.
+echo "[sf1-gate] compiling..." >&2
+sbt -batch compile
 
 SNAP=$(mktemp -d /tmp/graft_gate_classes.XXXXXX)
 trap 'rm -rf "$SNAP"' EXIT

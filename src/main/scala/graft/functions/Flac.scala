@@ -109,15 +109,21 @@ object Flac {
   def parseComments(payload: Array[Byte]): Option[
       (String, IndexedSeq[(String, String)])] = {
     if (parseStreamInfo(payload).isEmpty) return None
-    // chain already validated structurally; re-walk to find the comment
+    // re-walk the chain to find the comment. parseStreamInfo already
+    // validated it structurally, but the stride is bounds-checked HERE
+    // TOO: relying on the other method's walk staying exactly as strict
+    // is an implicit cross-function invariant that could drift into an
+    // executor ArrayIndexOutOfBounds (review finding)
     var pos = 4
     var last = false
     var found: Option[(Int, Int)] = None // (body offset, size)
     var dup = false
     while (!last) {
+      if (pos + 4 > payload.length) return None
       val h = payload(pos) & 0xff
       val bsz = ((payload(pos + 1) & 0xff) << 16) |
         ((payload(pos + 2) & 0xff) << 8) | (payload(pos + 3) & 0xff)
+      if (pos + 4L + bsz > payload.length) return None
       if ((h & 0x7f) == 4) {
         if (found.isDefined) dup = true
         found = Some((pos + 4, bsz))

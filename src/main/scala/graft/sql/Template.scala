@@ -1970,8 +1970,15 @@ object Template {
           case 'g' | 'G' => gPiece()
           case 'c' => cPiece()
           case 'f' | 'F' | 'e' | 'E' =>
-            String.format(jspec + conv,
-              java.lang.Double.valueOf(num(v)))
+            // bool is an int subclass in python: '%f' of True is
+            // '1.000000' — coerce before num(), whose comparison-flavored
+            // error would otherwise fire (review finding; %g/%c/%d
+            // already handle bool)
+            val dv = v match {
+              case b: Boolean => if (b) 1.0 else 0.0
+              case other => num(other)
+            }
+            String.format(jspec + conv, java.lang.Double.valueOf(dv))
           case other => throw new IllegalArgumentException(
             s"format: unsupported conversion '%$other'")
         }

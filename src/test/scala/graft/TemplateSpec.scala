@@ -326,6 +326,9 @@ class TemplateSpec extends AnyFunSuite {
     assert(r("{{ '%5c|%-5c|%05c|' | format(128512, 66, 66) }}")
       === "    😀|B    |    B|")
     assert(r("{{ '%c' | format(true) }}") === "\u0001")
+    // bool is an int subclass in python: every numeric conversion takes it
+    assert(r("{{ '%f' | format(true) }}") === "1.000000")
+    assert(r("{{ '%.1e' | format(false) }}") === "0.0e+00")
     intercept[IllegalArgumentException](r("{{ '%c' | format('AB') }}"))
     intercept[IllegalArgumentException](r("{{ '%c' | format('') }}"))
     intercept[IllegalArgumentException](r("{{ '%c' | format(-1) }}"))
