@@ -1,0 +1,389 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.types._
+
+/**
+ * Image HEADER census: width/height/bit-depth (and JPEG EXIF
+ * orientation) read straight from container headers — JPEG SOF markers
+ * + APP1 TIFF IFD, PNG IHDR, GIF logical screen descriptor, BMP
+ * BITMAPINFOHEADER, WebP VP8/VP8L/VP8X — with NO pixel decode. At
+ * corpus scale this is the pass that sizes an image lake before any
+ * decode fan-out: [[Multimodal.decodeImages]] decodes pixels via the
+ * JDK (right for features), this reads O(header) bytes per file and is
+ * the only affordable way to get dims over 100 TB. Adds the formats the
+ * JDK path can't census (WebP) and the field ImageIO discards (EXIF
+ * orientation — without it, every phone photo's width/height are
+ * transposed in the census).
+ *
+ * Reference semantics: binary media columns are opaque payloads to
+ * census and project typed metadata from (`/root/reference` multimodal
+ * suite). Narrow mapPartitions — header-only reads, zero exchanges.
+ */
+object Imaging {
+
+  /** Decoded header metadata; orientation only from JPEG EXIF IFD0
+   * (tag 0x0112), bitDepth only where the header carries one (JPEG
+   * precision, PNG bit depth, BMP bpp). */
+  final case class ImageMeta(format: String, width: Int, height: Int,
+      orientation: Option[Int], bitDepth: Option[Int])
+
+  private def u16be(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  private def u16le(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def u32be(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+  private def u32le(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+  private def i32le(b: Array[Byte], i: Int): Int = u32le(b, i).toInt
+  private def u24le(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16)
+
+  /** Parse the TIFF body of a JPEG APP1 Exif segment for the IFD0
+   * Orientation tag. `None` = structurally malformed Exif (the caller
+   * treats that as payload corruption — strict posture, matching the
+   * other media walkers); `Some(None)` = clean Exif without an
+   * orientation entry. */
+  private def parseExifOrientation(
+      b: Array[Byte], tiff: Int, end: Int): Option[Option[Int]] = {
+    if (tiff + 8 > end) return None
+    val le =
+      if (b(tiff) == 'I' && b(tiff + 1) == 'I') true
+      else if (b(tiff) == 'M' && b(tiff + 1) == 'M') false
+      else return None
+    def r16(i: Int) = if (le) u16le(b, i) else u16be(b, i)
+    def r32(i: Int) = if (le) u32le(b, i) else u32be(b, i)
+    if (r16(tiff + 2) != 42) return None
+    val ifd = tiff + r32(tiff + 4)
+    if (ifd < tiff || ifd + 2 > end) return None
+    val n = r16(ifd.toInt)
+    val base = ifd.toInt + 2
+    if (base + 12 * n > end) return None
+    var i = 0
+    var out: Option[Int] = None
+    while (i < n) {
+      val e = base + 12 * i
+      if (r16(e) == 0x0112) {
+        // SHORT count 1; the value lives in the first 2 bytes of the
+        // 4-byte value field, in TIFF byte order
+        if (r16(e + 2) != 3 || r32(e + 4) != 1L) return None
+        val v = r16(e + 8)
+        if (v < 1 || v > 8) return None
+        out = Some(v)
+      }
+      i += 1
+    }
+    Some(out)
+  }
+
+  /** JPEG marker walk: skip fill bytes, stride segments by their big-
+   * endian lengths, read dims from the first SOF (any of C0–CF except
+   * the non-frame C4/C8/CC) and orientation from an `Exif`
+   * APP1, stop at SOS. Strict: marker desync, a segment overrunning the
+   * payload, a malformed Exif body, or EOI/end before any SOF → None. */
+  private def parseJpeg(b: Array[Byte]): Option[ImageMeta] = {
+    var pos = 2
+    var dims: Option[(Int, Int, Int)] = None
+    var orient: Option[Int] = None
+    while (pos + 2 <= b.length) {
+      if ((b(pos) & 0xff) != 0xff) return None
+      var mpos = pos + 1
+      while (mpos < b.length && (b(mpos) & 0xff) == 0xff) mpos += 1
+      if (mpos >= b.length) return None
+      val m = b(mpos) & 0xff
+      if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
+        pos = mpos + 1 // standalone markers carry no length field
+      } else if (m == 0xd9) { // EOI (standalone) before any SOS
+        return dims.map { case (w, h, p) =>
+          ImageMeta("jpeg", w, h, orient, Some(p)) }
+      } else {
+        if (mpos + 3 > b.length) return None
+        val seglen = u16be(b, mpos + 1)
+        if (seglen < 2 || mpos + 1 + seglen > b.length) return None
+        val body = mpos + 3
+        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+          if (seglen < 8) return None
+          val p = b(body) & 0xff
+          val h = u16be(b, body + 1)
+          val w = u16be(b, body + 3)
+          if (w == 0 || h == 0) return None
+          if (dims.isEmpty) dims = Some((w, h, p))
+        } else if (m == 0xe1 && seglen >= 8 &&
+            b(body) == 'E' && b(body + 1) == 'x' && b(body + 2) == 'i' &&
+            b(body + 3) == 'f' && b(body + 4) == 0 && b(body + 5) == 0) {
+          parseExifOrientation(b, body + 6, mpos + 1 + seglen) match {
+            case Some(o) => if (orient.isEmpty) orient = o
+            case None => return None
+          }
+        }
+        if (m == 0xda) { // SOS: entropy data follows, census is done
+          return dims.map { case (w, h, p) =>
+            ImageMeta("jpeg", w, h, orient, Some(p)) }
+        }
+        pos = mpos + 1 + seglen
+      }
+    }
+    None
+  }
+
+  private def parseWebp(b: Array[Byte]): Option[ImageMeta] = {
+    val csz = u32le(b, 16)
+    val body = 20
+    if (body + csz > b.length) return None
+    val cid = new String(b, 12, 4, "ISO-8859-1")
+    cid match {
+      case "VP8 " =>
+        // lossy: 3-byte frame tag (keyframe bit 0 = 0), sync 9D 01 2A,
+        // then 14-bit dims in two LE u16s
+        if (csz < 10) return None
+        if ((b(body) & 1) != 0) return None // not a keyframe
+        if ((b(body + 3) & 0xff) != 0x9d || (b(body + 4) & 0xff) != 0x01 ||
+          (b(body + 5) & 0xff) != 0x2a) return None
+        val w = u16le(b, body + 6) & 0x3fff
+        val h = u16le(b, body + 8) & 0x3fff
+        if (w == 0 || h == 0) return None
+        Some(ImageMeta("webp", w, h, None, None))
+      case "VP8L" =>
+        // lossless: sig 0x2F then 14+14 bit dims-minus-one, version 0
+        if (csz < 5 || (b(body) & 0xff) != 0x2f) return None
+        val bits = u32le(b, body + 1)
+        if (((bits >> 29) & 0x7) != 0) return None
+        val w = (bits & 0x3fff).toInt + 1
+        val h = ((bits >> 14) & 0x3fff).toInt + 1
+        Some(ImageMeta("webp", w, h, None, None))
+      case "VP8X" =>
+        // extended: flags + 24-bit LE canvas dims-minus-one
+        if (csz < 10) return None
+        val w = u24le(b, body + 4) + 1
+        val h = u24le(b, body + 7) + 1
+        Some(ImageMeta("webp", w, h, None, None))
+      case _ => None
+    }
+  }
+
+  /**
+   * Decode header metadata for the five families. None for anything
+   * unrecognized or structurally unclean — a corrupt header is a drop,
+   * never a field-guessing opportunity. BMP height is stored signed
+   * (negative = top-down row order); the census reports |height| —
+   * raster direction is not a dimension.
+   */
+  def parseImageMeta(b: Array[Byte]): Option[ImageMeta] = {
+    if (b == null || b.length < 16) return None
+    if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) return parseJpeg(b)
+    if ((b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') {
+      if (b.length < 26) return None
+      if (u32be(b, 8) != 13L || b(12) != 'I' || b(13) != 'H' ||
+        b(14) != 'D' || b(15) != 'R') return None
+      val w = u32be(b, 16)
+      val h = u32be(b, 20)
+      if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) return None
+      return Some(ImageMeta("png", w.toInt, h.toInt, None,
+        Some(b(24) & 0xff)))
+    }
+    if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+      (b(4) == '7' || b(4) == '9') && b(5) == 'a') {
+      val w = u16le(b, 6)
+      val h = u16le(b, 8)
+      if (w == 0 || h == 0) return None
+      return Some(ImageMeta("gif", w, h, None, None))
+    }
+    if (b(0) == 'B' && b(1) == 'M') {
+      if (b.length < 54) return None
+      if (u32le(b, 14) != 40L) return None // BITMAPINFOHEADER only
+      val w = i32le(b, 18)
+      val rawH = i32le(b, 22)
+      val planes = u16le(b, 26)
+      val bpp = u16le(b, 28)
+      if (w <= 0 || rawH == 0 || planes != 1) return None
+      if (!Set(1, 4, 8, 16, 24, 32).contains(bpp)) return None
+      return Some(ImageMeta("bmp", w, math.abs(rawH), None, Some(bpp)))
+    }
+    if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b.length >= 20 && b(8) == 'W' && b(9) == 'E' && b(10) == 'B' &&
+      b(11) == 'P') {
+      if (8L + u32le(b, 4) > b.length) return None
+      return parseWebp(b)
+    }
+    None
+  }
+
+  /** Output schema of [[imageMeta]]. */
+  val metaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("orientation", IntegerType),
+    StructField("bit_depth", IntegerType)))
+
+  /** One row per recognized payload; unrecognized/corrupt payloads are
+   * dropped. Narrow mapPartitions — O(header) bytes per row. */
+  def imageMeta(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(idIdx)
+        parseImageMeta(r.getAs[Array[Byte]](pIdx)).map { m =>
+          Row(id, m.format, m.width, m.height,
+            m.orientation.map(Int.box).orNull,
+            m.bitDepth.map(Int.box).orNull)
+        }.iterator
+      }
+    }(Encoders.row(metaSchema))
+  }
+
+  /** Minimal structurally-valid JPEG: SOI, optional APP1 Exif carrying
+   * ONLY an IFD0 Orientation entry (byte order `le`), a dummy DQT, a
+   * SOF (baseline C0 or progressive C2), SOS with `10 + id%20` entropy
+   * bytes (never 0xFF, so no marker false-positives), EOI. */
+  def syntheticJpeg(width: Int, height: Int, orientation: Option[Int],
+      le: Boolean, progressive: Boolean, id: Long): Array[Byte] = {
+    require(width > 0 && height > 0 && width < 65536 && height < 65536)
+    val bo = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { bo.write(0xff); bo.write(m) }
+    def seg(m: Int, body: Array[Byte]): Unit = {
+      marker(m)
+      val len = body.length + 2
+      bo.write((len >> 8) & 0xff); bo.write(len & 0xff)
+      bo.write(body, 0, body.length)
+    }
+    marker(0xd8)
+    orientation.foreach { o =>
+      val tb = new java.io.ByteArrayOutputStream()
+      def w16(v: Int): Unit =
+        if (le) { tb.write(v & 0xff); tb.write((v >> 8) & 0xff) }
+        else { tb.write((v >> 8) & 0xff); tb.write(v & 0xff) }
+      def w32(v: Int): Unit =
+        if (le) { tb.write(v & 0xff); tb.write((v >> 8) & 0xff)
+          tb.write((v >> 16) & 0xff); tb.write((v >> 24) & 0xff) }
+        else { tb.write((v >> 24) & 0xff); tb.write((v >> 16) & 0xff)
+          tb.write((v >> 8) & 0xff); tb.write(v & 0xff) }
+      tb.write("Exif".getBytes("ISO-8859-1"), 0, 4); tb.write(0); tb.write(0)
+      if (le) { tb.write('I'); tb.write('I') } else { tb.write('M'); tb.write('M') }
+      w16(42); w32(8)
+      w16(1) // one IFD0 entry
+      w16(0x0112); w16(3); w32(1)
+      w16(o); w16(0) // SHORT value padded to 4 bytes
+      w32(0) // no next IFD
+      seg(0xe1, tb.toByteArray)
+    }
+    seg(0xdb, Array.tabulate(5)(j => ((id + j) & 0x7f).toByte))
+    val sof = new java.io.ByteArrayOutputStream()
+    sof.write(8) // precision
+    sof.write((height >> 8) & 0xff); sof.write(height & 0xff)
+    sof.write((width >> 8) & 0xff); sof.write(width & 0xff)
+    sof.write(3)
+    (1 to 3).foreach { c => sof.write(c); sof.write(0x11); sof.write(0) }
+    seg(if (progressive) 0xc2 else 0xc0, sof.toByteArray)
+    val sos = new java.io.ByteArrayOutputStream()
+    sos.write(3)
+    (1 to 3).foreach { c => sos.write(c); sos.write(0) }
+    sos.write(0); sos.write(63); sos.write(0)
+    seg(0xda, sos.toByteArray)
+    (0 until (10 + id % 20).toInt).foreach(j =>
+      bo.write(((id * 11 + j) % 255).toInt))
+    marker(0xd9)
+    bo.toByteArray
+  }
+
+  /** Minimal BITMAPINFOHEADER BMP; `topDown` stores height negated. */
+  def syntheticBmp(width: Int, height: Int, bpp: Int, topDown: Boolean,
+      id: Long): Array[Byte] = {
+    require(width > 0 && height > 0)
+    val bo = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { bo.write(v & 0xff); bo.write((v >> 8) & 0xff) }
+    def u32(v: Int): Unit = { u16(v & 0xffff); u16((v >>> 16) & 0xffff) }
+    val pixels = (8 + id % 24).toInt // opaque, never parsed
+    bo.write('B'); bo.write('M')
+    u32(54 + pixels); u16(0); u16(0); u32(54)
+    u32(40); u32(width); u32(if (topDown) -height else height)
+    u16(1); u16(bpp); u32(0); u32(pixels); u32(2835); u32(2835)
+    u32(0); u32(0)
+    (0 until pixels).foreach(j => bo.write(((id * 13 + j) & 0xff).toInt))
+    bo.toByteArray
+  }
+
+  /** Minimal WebP; `variant` 0=VP8 (lossy), 1=VP8L (lossless),
+   * 2=VP8X (extended, canvas dims). */
+  def syntheticWebp(width: Int, height: Int, variant: Int, id: Long): Array[Byte] = {
+    require(width > 0 && height > 0 && width <= 0x3fff && height <= 0x3fff)
+    val bo = new java.io.ByteArrayOutputStream()
+    def cc(s: String): Unit = bo.write(s.getBytes("ISO-8859-1"), 0, 4)
+    def u32(v: Int): Unit = {
+      bo.write(v & 0xff); bo.write((v >> 8) & 0xff)
+      bo.write((v >> 16) & 0xff); bo.write((v >> 24) & 0xff)
+    }
+    val body = new java.io.ByteArrayOutputStream()
+    val tag = variant match {
+      case 0 =>
+        body.write(0); body.write(0); body.write(0) // frame tag: keyframe
+        body.write(0x9d); body.write(0x01); body.write(0x2a)
+        body.write(width & 0xff); body.write((width >> 8) & 0xff)
+        body.write(height & 0xff); body.write((height >> 8) & 0xff)
+        (0 until (6 + id % 10).toInt).foreach(j =>
+          body.write(((id + j) & 0xff).toInt))
+        "VP8 "
+      case 1 =>
+        body.write(0x2f)
+        val bits = (width - 1) | ((height - 1) << 14)
+        body.write(bits & 0xff); body.write((bits >> 8) & 0xff)
+        body.write((bits >> 16) & 0xff); body.write((bits >> 24) & 0xff)
+        (0 until (4 + id % 10).toInt).foreach(j =>
+          body.write(((id * 3 + j) & 0xff).toInt))
+        "VP8L"
+      case _ =>
+        body.write(0); body.write(0); body.write(0); body.write(0)
+        val w1 = width - 1; val h1 = height - 1
+        body.write(w1 & 0xff); body.write((w1 >> 8) & 0xff)
+        body.write((w1 >> 16) & 0xff)
+        body.write(h1 & 0xff); body.write((h1 >> 8) & 0xff)
+        body.write((h1 >> 16) & 0xff)
+        "VP8X"
+    }
+    val bb = body.toByteArray
+    cc("RIFF"); u32(4 + 8 + bb.length + (bb.length & 1)); cc("WEBP")
+    cc(tag); u32(bb.length)
+    bo.write(bb, 0, bb.length)
+    if ((bb.length & 1) == 1) bo.write(0)
+    bo.toByteArray
+  }
+
+  /** Deterministic mixed-image fixture shared by the writer, the m29
+   * oracle and the spec. Family by `id%6`, dims shared by all families:
+   * `w = 16 + (id*7)%240`, `h = 16 + (id*3)%240`.
+   *
+   *   - 0 → JPEG with Exif orientation `1 + id%8`, byte order II when
+   *     `(id/6)%2 == 0` else MM (endianness is the engine's to erase)
+   *   - 1 → JPEG without APP1, progressive (SOF2) — orientation null
+   *   - 2 → PNG ([[Multimodal.syntheticPng]]: real encoder, bit depth 8)
+   *   - 3 → GIF ([[Multimodal.syntheticGif]], 2 frames; logical screen
+   *     dims are the census dims)
+   *   - 4 → BMP, bpp 24/8/32 by `(id/6)%3`, stored top-down (negative
+   *     height) when `(id/6)%3 == 1`
+   *   - 5 → WebP, variant VP8/VP8L/VP8X by `(id/6)%3`
+   */
+  def syntheticImage(id: Long): Array[Byte] = {
+    val w = (16 + (id * 7) % 240).toInt
+    val h = (16 + (id * 3) % 240).toInt
+    (id % 6) match {
+      case 0 => syntheticJpeg(w, h, Some((1 + id % 8).toInt),
+        le = (id / 6) % 2 == 0, progressive = false, id)
+      case 1 => syntheticJpeg(w, h, None, le = true, progressive = true, id)
+      case 2 => Multimodal.syntheticPng(w, h, id)
+      case 3 => Multimodal.syntheticGif(w, h, 2, id)
+      case 4 => syntheticBmp(w, h, Seq(24, 8, 32)(((id / 6) % 3).toInt),
+        topDown = (id / 6) % 3 == 1, id)
+      case _ => syntheticWebp(w, h, ((id / 6) % 3).toInt, id)
+    }
+  }
+
+  /** Executor-side mixed-image fixtures — the m29 oracle replays the
+   * family rotation and dim formulas. */
+  def syntheticImages(df: DataFrame, idCol: String): DataFrame =
+    Fixtures.syntheticPayloads(df, idCol)(syntheticImage)
+}

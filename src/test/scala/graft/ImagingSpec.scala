@@ -1,0 +1,110 @@
+package graft
+
+import graft.functions.{Imaging, Multimodal}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Image header census: the mixed fixture against its closed form per
+ * family, EXIF endianness erasure, and the corrupt contract. */
+class ImagingSpec extends AnyFunSuite {
+
+  test("mixed fixture decodes to the closed form (IDs 0-119, all families x rotations)") {
+    (0L until 120L).foreach { id =>
+      val m = Imaging.parseImageMeta(Imaging.syntheticImage(id))
+        .getOrElse(fail(s"id=$id did not parse"))
+      val w = (16 + (id * 7) % 240).toInt
+      val h = (16 + (id * 3) % 240).toInt
+      assert(m.width === w, s"id=$id")
+      assert(m.height === h, s"id=$id")
+      (id % 6) match {
+        case 0 =>
+          assert(m.format === "jpeg")
+          assert(m.orientation === Some((1 + id % 8).toInt), s"id=$id")
+          assert(m.bitDepth === Some(8))
+        case 1 =>
+          assert(m.format === "jpeg")
+          assert(m.orientation === None)
+        case 2 =>
+          assert(m.format === "png")
+          assert(m.bitDepth === Some(8))
+        case 3 =>
+          assert(m.format === "gif")
+          assert(m.orientation === None)
+        case 4 =>
+          assert(m.format === "bmp")
+          assert(m.bitDepth === Some(Seq(24, 8, 32)(((id / 6) % 3).toInt)))
+        case _ =>
+          assert(m.format === "webp")
+          assert(m.bitDepth === None)
+      }
+    }
+  }
+
+  test("EXIF byte order is erased: II and MM fixtures agree") {
+    val ii = Imaging.syntheticJpeg(100, 50, Some(6), le = true,
+      progressive = false, 1L)
+    val mm = Imaging.syntheticJpeg(100, 50, Some(6), le = false,
+      progressive = false, 1L)
+    assert(Imaging.parseImageMeta(ii) === Imaging.parseImageMeta(mm))
+    assert(Imaging.parseImageMeta(ii).get.orientation === Some(6))
+  }
+
+  test("BMP top-down (negative height) reports |height|") {
+    val td = Imaging.syntheticBmp(64, 32, 24, topDown = true, 1L)
+    val bu = Imaging.syntheticBmp(64, 32, 24, topDown = false, 1L)
+    assert(Imaging.parseImageMeta(td).get.height === 32)
+    assert(Imaging.parseImageMeta(bu).get.height === 32)
+  }
+
+  test("WebP variants all decode the same dims") {
+    (0 to 2).foreach { v =>
+      val m = Imaging.parseImageMeta(Imaging.syntheticWebp(320, 240, v, 7L))
+        .getOrElse(fail(s"variant=$v did not parse"))
+      assert((m.width, m.height) === ((320, 240)), s"variant=$v")
+    }
+  }
+
+  test("real-encoder PNG/GIF (ImageIO) parse to their encode dims") {
+    val png = Multimodal.syntheticPng(33, 21, 9L)
+    val gif = Multimodal.syntheticGif(17, 29, 2, 9L)
+    assert(Imaging.parseImageMeta(png).map(m => (m.format, m.width, m.height))
+      === Some(("png", 33, 21)))
+    assert(Imaging.parseImageMeta(gif).map(m => (m.format, m.width, m.height))
+      === Some(("gif", 17, 29)))
+  }
+
+  test("corrupt forms return None, never throw") {
+    assert(Imaging.parseImageMeta(null) === None)
+    assert(Imaging.parseImageMeta(Array.emptyByteArray) === None)
+    assert(Imaging.parseImageMeta("not an image at all, sorry".getBytes) === None)
+    val jpg = Imaging.syntheticImage(0L) // jpeg with EXIF
+    // truncated before SOF
+    assert(Imaging.parseImageMeta(jpg.take(8)) === None)
+    // segment length overrunning the payload (mangle SOF length high byte)
+    val bad = jpg.clone()
+    // find SOF0 marker
+    val sof = (0 until bad.length - 1).find(i =>
+      (bad(i) & 0xff) == 0xff && (bad(i + 1) & 0xff) == 0xc0).get
+    bad(sof + 2) = 0x7f.toByte
+    assert(Imaging.parseImageMeta(bad) === None)
+    // malformed Exif body (TIFF magic mangled) is corruption, not salvage
+    val badExif = jpg.clone()
+    val app1 = (0 until badExif.length - 1).find(i =>
+      (badExif(i) & 0xff) == 0xff && (badExif(i + 1) & 0xff) == 0xe1).get
+    badExif(app1 + 12) = 99 // the 42 magic
+    assert(Imaging.parseImageMeta(badExif) === None)
+    // out-of-range orientation value: the SHORT lives at entry+8 —
+    // APP1 marker(2) len(2) Exif00(6) → TIFF base app1+10, IFD0 at
+    // base+8, entry 0 at base+10, value field at base+18 = app1+28
+    val badOrient = jpg.clone()
+    badOrient(app1 + 28) = 9 // II order: low byte first
+    assert(Imaging.parseImageMeta(badOrient) === None)
+    // BMP with a non-BITMAPINFOHEADER header size
+    val bmp = Imaging.syntheticBmp(8, 8, 24, topDown = false, 1L)
+    val badBmp = bmp.clone(); badBmp(14) = 12
+    assert(Imaging.parseImageMeta(badBmp) === None)
+    // WebP VP8 missing its sync code
+    val webp = Imaging.syntheticWebp(8, 8, 0, 1L)
+    val badWebp = webp.clone(); badWebp(23) = 0
+    assert(Imaging.parseImageMeta(badWebp) === None)
+  }
+}
