@@ -42,13 +42,24 @@ object Imaging {
   private def u24le(b: Array[Byte], i: Int): Int =
     (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16)
 
-  /** Parse the TIFF body of a JPEG APP1 Exif segment for the IFD0
-   * Orientation tag. `None` = structurally malformed Exif (the caller
-   * treats that as payload corruption — strict posture, matching the
-   * other media walkers); `Some(None)` = clean Exif without an
-   * orientation entry. */
-  private def parseExifOrientation(
-      b: Array[Byte], tiff: Int, end: Int): Option[Option[Int]] = {
+  /** Scalar tags we project out of a TIFF IFD0 (shared by the JPEG
+   * APP1 Exif path and standalone TIFF files). */
+  private val TagWidth = 0x0100
+  private val TagHeight = 0x0101
+  private val TagBits = 0x0102
+  private val TagOrientation = 0x0112
+
+  /** Walk a TIFF IFD0 at `tiff` (header offset) and project the scalar
+   * tags above. `None` = structurally malformed (bad byte-order mark /
+   * magic, IFD out of bounds, a projected tag with an unexpected type,
+   * an out-of-range orientation) — the callers treat that as payload
+   * corruption, strict posture. Unprojected tags are skipped by the
+   * fixed 12-byte entry stride regardless of type. SHORT and LONG
+   * scalars are both accepted for dims (the spec allows either); a
+   * count > 1 BitsPerSample (RGB) reads its FIRST element through the
+   * value-offset indirection. */
+  private def parseIfd0(
+      b: Array[Byte], tiff: Int, end: Int): Option[Map[Int, Long]] = {
     if (tiff + 8 > end) return None
     val le =
       if (b(tiff) == 'I' && b(tiff + 1) == 'I') true
@@ -62,22 +73,43 @@ object Imaging {
     val n = r16(ifd.toInt)
     val base = ifd.toInt + 2
     if (base + 12 * n > end) return None
+    val out = scala.collection.mutable.Map.empty[Int, Long]
     var i = 0
-    var out: Option[Int] = None
     while (i < n) {
       val e = base + 12 * i
-      if (r16(e) == 0x0112) {
-        // SHORT count 1; the value lives in the first 2 bytes of the
-        // 4-byte value field, in TIFF byte order
-        if (r16(e + 2) != 3 || r32(e + 4) != 1L) return None
-        val v = r16(e + 8)
-        if (v < 1 || v > 8) return None
-        out = Some(v)
+      val tag = r16(e)
+      if (tag == TagWidth || tag == TagHeight || tag == TagBits ||
+        tag == TagOrientation) {
+        val tpe = r16(e + 2)
+        val cnt = r32(e + 4)
+        val v: Long =
+          if (tpe == 3 && cnt == 1L) r16(e + 8).toLong
+          else if (tpe == 4 && cnt == 1L) r32(e + 8)
+          else if (tpe == 3 && cnt > 1L && tag == TagBits) {
+            // per-sample bits: the value field holds an OFFSET to the
+            // SHORT array; read its first element
+            val off = tiff + r32(e + 8)
+            if (off < tiff || off + 2 > end) return None
+            r16(off.toInt).toLong
+          } else return None
+        if (tag == TagOrientation && (v < 1 || v > 8)) return None
+        out(tag) = v
       }
       i += 1
     }
-    Some(out)
+    Some(out.toMap)
   }
+
+  /** Standalone TIFF: IFD0 must carry both dims. */
+  private def parseTiff(b: Array[Byte]): Option[ImageMeta] =
+    parseIfd0(b, 0, b.length).flatMap { tags =>
+      for {
+        w <- tags.get(TagWidth) if w > 0 && w <= Int.MaxValue
+        h <- tags.get(TagHeight) if h > 0 && h <= Int.MaxValue
+      } yield ImageMeta("tiff", w.toInt, h.toInt,
+        tags.get(TagOrientation).map(_.toInt),
+        tags.get(TagBits).map(_.toInt))
+    }
 
   /** JPEG marker walk: skip fill bytes, stride segments by their big-
    * endian lengths, read dims from the first SOF (any of C0–CF except
@@ -114,8 +146,9 @@ object Imaging {
         } else if (m == 0xe1 && seglen >= 8 &&
             b(body) == 'E' && b(body + 1) == 'x' && b(body + 2) == 'i' &&
             b(body + 3) == 'f' && b(body + 4) == 0 && b(body + 5) == 0) {
-          parseExifOrientation(b, body + 6, mpos + 1 + seglen) match {
-            case Some(o) => if (orient.isEmpty) orient = o
+          parseIfd0(b, body + 6, mpos + 1 + seglen) match {
+            case Some(tags) =>
+              if (orient.isEmpty) orient = tags.get(TagOrientation).map(_.toInt)
             case None => return None
           }
         }
@@ -208,6 +241,9 @@ object Imaging {
       if (8L + u32le(b, 4) > b.length) return None
       return parseWebp(b)
     }
+    if ((b(0) == 'I' && b(1) == 'I' && (b(2) & 0xff) == 0x2a && b(3) == 0) ||
+      (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && (b(3) & 0xff) == 0x2a))
+      return parseTiff(b)
     None
   }
 
@@ -353,32 +389,73 @@ object Imaging {
     bo.toByteArray
   }
 
+  /** Minimal single-IFD TIFF: dims as LONG entries, BitsPerSample a
+   * count-3 SHORT array through the value-offset indirection (the RGB
+   * shape real files have), optional Orientation; `le` picks II/MM. */
+  def syntheticTiff(width: Int, height: Int, bits: Int,
+      orientation: Option[Int], le: Boolean, id: Long): Array[Byte] = {
+    require(width > 0 && height > 0)
+    val bo = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit =
+      if (le) { bo.write(v & 0xff); bo.write((v >> 8) & 0xff) }
+      else { bo.write((v >> 8) & 0xff); bo.write(v & 0xff) }
+    def w32(v: Int): Unit =
+      if (le) { bo.write(v & 0xff); bo.write((v >> 8) & 0xff)
+        bo.write((v >> 16) & 0xff); bo.write((v >> 24) & 0xff) }
+      else { bo.write((v >> 24) & 0xff); bo.write((v >> 16) & 0xff)
+        bo.write((v >> 8) & 0xff); bo.write(v & 0xff) }
+    if (le) { bo.write('I'); bo.write('I') } else { bo.write('M'); bo.write('M') }
+    w16(42); w32(8)
+    val n = 3 + orientation.size
+    w16(n)
+    val bitsArrayOff = 8 + 2 + 12 * n + 4
+    def entry(tag: Int, tpe: Int, cnt: Int, value: Int): Unit = {
+      w16(tag); w16(tpe); w32(cnt)
+      if (tpe == 3 && cnt == 1) { w16(value); w16(0) } else w32(value)
+    }
+    entry(0x0100, 4, 1, width)
+    entry(0x0101, 4, 1, height)
+    entry(0x0102, 3, 3, bitsArrayOff) // offset to the SHORT[3] below
+    orientation.foreach(o => entry(0x0112, 3, 1, o))
+    w32(0) // no next IFD
+    w16(bits); w16(bits); w16(bits)
+    // trailing opaque strip bytes (never parsed)
+    (0 until (12 + id % 20).toInt).foreach(j =>
+      bo.write(((id * 7 + j) & 0xff).toInt))
+    bo.toByteArray
+  }
+
   /** Deterministic mixed-image fixture shared by the writer, the m29
-   * oracle and the spec. Family by `id%6`, dims shared by all families:
+   * oracle and the spec. Family by `id%7`, dims shared by all families:
    * `w = 16 + (id*7)%240`, `h = 16 + (id*3)%240`.
    *
    *   - 0 → JPEG with Exif orientation `1 + id%8`, byte order II when
-   *     `(id/6)%2 == 0` else MM (endianness is the engine's to erase)
+   *     `(id/7)%2 == 0` else MM (endianness is the engine's to erase)
    *   - 1 → JPEG without APP1, progressive (SOF2) — orientation null
    *   - 2 → PNG ([[Multimodal.syntheticPng]]: real encoder, bit depth 8)
    *   - 3 → GIF ([[Multimodal.syntheticGif]], 2 frames; logical screen
    *     dims are the census dims)
-   *   - 4 → BMP, bpp 24/8/32 by `(id/6)%3`, stored top-down (negative
-   *     height) when `(id/6)%3 == 1`
-   *   - 5 → WebP, variant VP8/VP8L/VP8X by `(id/6)%3`
+   *   - 4 → BMP, bpp 24/8/32 by `(id/7)%3`, stored top-down (negative
+   *     height) when `(id/7)%3 == 1`
+   *   - 5 → WebP, variant VP8/VP8L/VP8X by `(id/7)%3`
+   *   - 6 → TIFF, bits 8, orientation `1 + id%8` when `(id/7)%2 == 0`
+   *     else absent, byte order MM when `(id/7)%2 == 0` else II
    */
   def syntheticImage(id: Long): Array[Byte] = {
     val w = (16 + (id * 7) % 240).toInt
     val h = (16 + (id * 3) % 240).toInt
-    (id % 6) match {
+    (id % 7) match {
       case 0 => syntheticJpeg(w, h, Some((1 + id % 8).toInt),
-        le = (id / 6) % 2 == 0, progressive = false, id)
+        le = (id / 7) % 2 == 0, progressive = false, id)
       case 1 => syntheticJpeg(w, h, None, le = true, progressive = true, id)
       case 2 => Multimodal.syntheticPng(w, h, id)
       case 3 => Multimodal.syntheticGif(w, h, 2, id)
-      case 4 => syntheticBmp(w, h, Seq(24, 8, 32)(((id / 6) % 3).toInt),
-        topDown = (id / 6) % 3 == 1, id)
-      case _ => syntheticWebp(w, h, ((id / 6) % 3).toInt, id)
+      case 4 => syntheticBmp(w, h, Seq(24, 8, 32)(((id / 7) % 3).toInt),
+        topDown = (id / 7) % 3 == 1, id)
+      case 5 => syntheticWebp(w, h, ((id / 7) % 3).toInt, id)
+      case _ => syntheticTiff(w, h, 8,
+        if ((id / 7) % 2 == 0) Some((1 + id % 8).toInt) else None,
+        le = (id / 7) % 2 == 1, id)
     }
   }
 

@@ -7,15 +7,15 @@ import org.scalatest.funsuite.AnyFunSuite
  * family, EXIF endianness erasure, and the corrupt contract. */
 class ImagingSpec extends AnyFunSuite {
 
-  test("mixed fixture decodes to the closed form (IDs 0-119, all families x rotations)") {
-    (0L until 120L).foreach { id =>
+  test("mixed fixture decodes to the closed form (IDs 0-139, all families x rotations)") {
+    (0L until 140L).foreach { id =>
       val m = Imaging.parseImageMeta(Imaging.syntheticImage(id))
         .getOrElse(fail(s"id=$id did not parse"))
       val w = (16 + (id * 7) % 240).toInt
       val h = (16 + (id * 3) % 240).toInt
       assert(m.width === w, s"id=$id")
       assert(m.height === h, s"id=$id")
-      (id % 6) match {
+      (id % 7) match {
         case 0 =>
           assert(m.format === "jpeg")
           assert(m.orientation === Some((1 + id % 8).toInt), s"id=$id")
@@ -31,12 +31,32 @@ class ImagingSpec extends AnyFunSuite {
           assert(m.orientation === None)
         case 4 =>
           assert(m.format === "bmp")
-          assert(m.bitDepth === Some(Seq(24, 8, 32)(((id / 6) % 3).toInt)))
-        case _ =>
+          assert(m.bitDepth === Some(Seq(24, 8, 32)(((id / 7) % 3).toInt)))
+        case 5 =>
           assert(m.format === "webp")
           assert(m.bitDepth === None)
+        case _ =>
+          assert(m.format === "tiff")
+          assert(m.bitDepth === Some(8))
+          assert(m.orientation ===
+            (if ((id / 7) % 2 == 0) Some((1 + id % 8).toInt) else None),
+            s"id=$id")
       }
     }
+  }
+
+  test("TIFF: BitsPerSample count-3 indirection and both byte orders") {
+    val ii = Imaging.syntheticTiff(99, 44, 16, Some(3), le = true, 1L)
+    val mm = Imaging.syntheticTiff(99, 44, 16, Some(3), le = false, 1L)
+    assert(Imaging.parseImageMeta(ii) === Imaging.parseImageMeta(mm))
+    val m = Imaging.parseImageMeta(ii).get
+    assert((m.format, m.width, m.height, m.orientation, m.bitDepth) ===
+      (("tiff", 99, 44, Some(3), Some(16))))
+    // mangled bits-array offset pointing past the payload → corrupt
+    val bad = ii.clone()
+    // entry 2 (BitsPerSample) value field: header 8 + count 2 + 2*12 + 8
+    bad(8 + 2 + 24 + 8) = 0x7f.toByte
+    assert(Imaging.parseImageMeta(bad) === None)
   }
 
   test("EXIF byte order is erased: II and MM fixtures agree") {

@@ -1,0 +1,80 @@
+package graft
+
+import graft.functions.Zip
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ZIP central-directory walk: the fixture against its closed form,
+ * comment back-scan, and the strict-structure contract. */
+class ZipSpec extends AnyFunSuite {
+
+  test("fixture decodes to the closed entry form (IDs 0-59)") {
+    (0L until 60L).foreach { id =>
+      val es = Zip.parseCentralDirectory(Zip.syntheticZip(id))
+        .getOrElse(fail(s"id=$id did not parse"))
+      assert(es.size === (1 + id % 4).toInt, s"id=$id")
+      var off = 0L
+      es.zipWithIndex.foreach { case (e, j) =>
+        assert(e.name === s"f${id}_$j.txt", s"id=$id j=$j")
+        val stored = j % 2 == 0
+        val csize = if (stored) 20 + (id + j) % 30 else 10 + (id + j * 7) % 40
+        val usize = if (stored) csize else 50 + (id * 3 + j) % 100
+        assert(e.method === (if (stored) 0 else 8), s"id=$id j=$j")
+        assert(e.compSize === csize, s"id=$id j=$j")
+        assert(e.uncompSize === usize, s"id=$id j=$j")
+        assert(e.crc32 === ((id * 2654435761L + j * 40503L) & 0xffffffffL))
+        assert(e.localOffset === off, s"id=$id j=$j")
+        off += 30 + e.name.length + csize
+      }
+    }
+  }
+
+  test("EOCD back-scan handles both comment and no-comment files") {
+    assert(Zip.parseCentralDirectory(Zip.syntheticZip(3L)).isDefined) // zc
+    assert(Zip.parseCentralDirectory(Zip.syntheticZip(1L)).isDefined) // none
+  }
+
+  test("a real JDK-written ZIP parses (cross-writer sanity)") {
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    zos.putNextEntry(new java.util.zip.ZipEntry("a/b.txt"))
+    zos.write("hello graft".getBytes("UTF-8"))
+    zos.closeEntry()
+    zos.putNextEntry(new java.util.zip.ZipEntry("c.bin"))
+    zos.write(Array.tabulate[Byte](100)(_.toByte))
+    zos.closeEntry()
+    zos.close()
+    val es = Zip.parseCentralDirectory(bos.toByteArray)
+      .getOrElse(fail("JDK zip did not parse"))
+    assert(es.map(_.name) === Seq("a/b.txt", "c.bin"))
+    assert(es.forall(_.method == 8))
+    // JDK computes real CRCs; ours must match java.util.zip's
+    val crc = new java.util.zip.CRC32()
+    crc.update("hello graft".getBytes("UTF-8"))
+    assert(es.head.crc32 === crc.getValue)
+  }
+
+  test("corrupt forms return None, never throw") {
+    assert(Zip.parseCentralDirectory(null) === None)
+    assert(Zip.parseCentralDirectory(Array.emptyByteArray) === None)
+    assert(Zip.parseCentralDirectory("PK but not really a zip".getBytes) === None)
+    val ok = Zip.syntheticZip(2L)
+    // truncated: EOCD gone
+    assert(Zip.parseCentralDirectory(ok.take(ok.length - 5)) === None)
+    // CD offset mangled → CD no longer abuts EOCD
+    val badOff = ok.clone()
+    badOff(ok.length - 6) = (badOff(ok.length - 6) + 1).toByte
+    assert(Zip.parseCentralDirectory(badOff) === None)
+    // entry count mangled → walk does not consume cdSize exactly
+    val badCount = ok.clone()
+    badCount(ok.length - 12) = (badCount(ok.length - 12) + 1).toByte
+    assert(Zip.parseCentralDirectory(badCount) === None)
+    // multi-disk is rejected
+    val badDisk = ok.clone()
+    badDisk(ok.length - 18) = 1
+    assert(Zip.parseCentralDirectory(badDisk) === None)
+    // a local-header signature mangled → entry's offset check fails
+    val badLocal = ok.clone()
+    badLocal(0) = 'Q'
+    assert(Zip.parseCentralDirectory(badLocal) === None)
+  }
+}
