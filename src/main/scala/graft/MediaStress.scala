@@ -42,13 +42,47 @@ object MediaStress {
         graft.functions.Flac.syntheticCommentedFlacs(ids, "doc_id"),
         "doc_id", "payload").count()
     }
+    // r13 walkers — all narrow maps like the above, so docs/s here is
+    // the per-executor cost a 1000-executor census would see per core
+    var nImages = 0L
+    val tImages = time {
+      nImages = graft.functions.Imaging.imageMeta(
+        graft.functions.Imaging.syntheticImages(ids, "doc_id"),
+        "doc_id", "payload").count()
+    }
+    var nTracks = 0L
+    val tTracks = time {
+      nTracks = graft.functions.Ebml.mkvTracks(
+        graft.functions.Ebml.syntheticMkvs(ids, "doc_id"),
+        "doc_id", "payload").count()
+    }
+    var nEntries = 0L
+    val tEntries = time {
+      nEntries = graft.functions.Zip.zipEntries(
+        graft.functions.Zip.syntheticZips(ids, "doc_id"),
+        "doc_id", "payload").count()
+    }
+    var nFrames = 0L
+    val tFrames = time {
+      nFrames = graft.functions.Zstd.zstdFrames(
+        graft.functions.Zstd.syntheticZstds(ids, "doc_id"),
+        "doc_id", "payload").count()
+    }
     println(f"MEDIASTRESS docs=$n pages=$nPages pageWall=$tPages%.1f " +
       f"pagesPerSec=${nPages / tPages}%.0f pageMB=${pageBytes / 1e6}%.0f " +
       f"packets=$nPackets packetWall=$tPackets%.1f " +
       f"packetsPerSec=${nPackets / tPackets}%.0f " +
       f"packetMB=${packetBytes / 1e6}%.0f " +
       f"flacTags=$nTags tagWall=$tTags%.1f " +
-      f"tagDocsPerSec=${n / tTags}%.0f")
+      f"tagDocsPerSec=${n / tTags}%.0f " +
+      f"images=$nImages imageWall=$tImages%.1f " +
+      f"imageDocsPerSec=${n / tImages}%.0f " +
+      f"mkvTracks=$nTracks mkvWall=$tTracks%.1f " +
+      f"mkvDocsPerSec=${n / tTracks}%.0f " +
+      f"zipEntries=$nEntries zipWall=$tEntries%.1f " +
+      f"zipDocsPerSec=${n / tEntries}%.0f " +
+      f"zstdFrames=$nFrames zstdWall=$tFrames%.1f " +
+      f"zstdDocsPerSec=${n / tFrames}%.0f")
     spark.stop()
   }
 }

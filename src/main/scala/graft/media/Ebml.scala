@@ -146,6 +146,10 @@ object Ebml {
       if (ssz._1 < 0) b.length // unknown size: runs to end of payload
       else {
         if (sbody + ssz._1 > b.length) return None
+        // strict posture: the Segment must close the payload exactly —
+        // trailing bytes are corruption, not a second stream (multi-
+        // segment files are out of scope like multi-disk ZIPs)
+        if (sbody + ssz._1 != b.length) return None
         sbody + ssz._1.toInt
       }
 

@@ -70,6 +70,8 @@ class EbmlSpec extends AnyFunSuite {
     assert(Ebml.parseMkv(magic) === None)
     // truncated mid-tracks
     assert(Ebml.parseMkv(ok.take(ok.length / 2)) === None)
+    // trailing garbage after a known-size segment (id=1 is known-size)
+    assert(Ebml.parseMkv(ok ++ Array[Byte](9, 9, 9)) === None)
     // a zero byte where an element id must start (invalid vint)
     val zid = ok.clone()
     // EBML header body starts after id(4)+size(1): mangle its first
