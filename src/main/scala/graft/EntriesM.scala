@@ -247,6 +247,73 @@ private[graft] object EntriesM {
     }),
 
 
+    // RIFF LIST/INFO tag extraction (the WAV member of the tag family,
+    // completing ID3/Vorbis/FLAC/ilst): odd-size chunks exercise the
+    // word-alignment pad rule on both sides of the tag list; id%5==3
+    // files are tagless (absence, not corruption); exact string oracle
+    // incl. a multi-byte-UTF-8 ICMT
+    "m28_riff_tags" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select("doc_id")
+      graft.functions.Riff.riffInfoTags(
+        graft.functions.Riff.syntheticTaggedWavs(ids, "doc_id"),
+        "doc_id", "payload")
+    }),
+
+
+    // image HEADER census: dims/bit-depth/EXIF-orientation from raw
+    // headers (JPEG SOF + APP1 TIFF IFD both endians, PNG IHDR, GIF
+    // screen descriptor, BMP info header incl. top-down, WebP
+    // VP8/VP8L/VP8X, TIFF IFD0 with the count-3 BitsPerSample
+    // indirection) — NO pixel decode, the only affordable dims pass at
+    // corpus scale; PNG/GIF legs go through the REAL ImageIO encoders
+    "m29_image_meta" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select("doc_id")
+      graft.functions.Imaging.imageMeta(
+        graft.functions.Imaging.syntheticImages(ids, "doc_id"),
+        "doc_id", "payload")
+    }),
+
+
+    // Matroska/WebM EBML walk: DocType + segment Info + per-track
+    // codec/dims/audio metadata from the element tree — unknown-size
+    // segments (the live-muxed shape), multi-byte and non-minimal size
+    // vints, 4- and 8-byte duration floats, Clusters strided by size;
+    // id%5==2 files omit Duration (null), id%5==4 are audio-only
+    "m30_mkv_tracks" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select("doc_id")
+      graft.functions.Ebml.mkvTracks(
+        graft.functions.Ebml.syntheticMkvs(ids, "doc_id"),
+        "doc_id", "payload")
+    }),
+
+
+    // ZIP central-directory walk: member name/method/sizes/CRC/offset
+    // from EOCD + CD with exact-walk strictness, no inflation — the
+    // epub/docx/jar census; the oracle replays the entry formulas incl.
+    // the running local-header offsets, and the EOCD back-scan is
+    // exercised by rotating ZIP comments
+    "m31_zip_entries" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select("doc_id")
+      graft.functions.Zip.zipEntries(
+        graft.functions.Zip.syntheticZips(ids, "doc_id"),
+        "doc_id", "payload")
+    }),
+
+
+    // zstd FRAME census: per-frame content size / window / dict id /
+    // checksum / block count by striding 3-byte block headers — the
+    // compressed-shard census with zero decompression; multi-frame
+    // payloads with skippable frames, single-segment frames, 1/2/4-byte
+    // dict ids and absent/4B/8B content-size fields all rotate; the
+    // oracle replays the full header-size arithmetic incl. offsets
+    "m32_zstd_frames" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select("doc_id")
+      graft.functions.Zstd.zstdFrames(
+        graft.functions.Zstd.syntheticZstds(ids, "doc_id"),
+        "doc_id", "payload")
+    }),
+
+
     // typed audio metadata from the Ogg identification header (RFC 7845
     // OpusHead / Vorbis I id header): codec, channels, sample rate,
     // pre-skip decoded from the reassembled FIRST packet — the audio
@@ -814,6 +881,173 @@ private[graft] object EntriesM {
         | CAST((doc_id + lk*37 + pg*11) % 256 AS INTEGER) AS head_byte,
         | CAST((doc_id + lk*37 + pg*11 + a - 1) % 256 AS INTEGER) AS tail_byte
         |FROM o""".stripMargin,
+
+    // replay of Riff.syntheticTaggedWav's tag formulas; the odd-chunk
+    // pads, the trailing junk chunk and the NUL terminators are
+    // structural (the engine's to erase); doc_id%5=3 files are tagless
+    "m28_riff_tags" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 5 <> 3)
+        |SELECT doc_id, CAST(0 AS INTEGER) AS tag_no, 'INAM' AS "key",
+        |  'title_' || CAST((doc_id*7) % 1000 AS VARCHAR) AS "value" FROM d
+        |UNION ALL SELECT doc_id, 1, 'IART',
+        |  'artist_' || CAST(doc_id % 50 AS VARCHAR) FROM d
+        |UNION ALL SELECT doc_id, 2, 'ICRD',
+        |  CAST(1970 + doc_id % 55 AS VARCHAR) FROM d
+        |UNION ALL SELECT doc_id, 3, 'ICMT',
+        |  'cömment_' || CAST(doc_id % 10 AS VARCHAR) FROM d""".stripMargin,
+
+    // replay of Imaging.syntheticImage's family rotation and dim
+    // formulas; container encoding differences (marker walks, IFD
+    // endianness, WebP variant bit packing, ImageIO's real PNG/GIF
+    // encoders) are the engine's to erase
+    "m29_image_meta" ->
+      """SELECT doc_id,
+        | CASE CAST(doc_id % 7 AS INTEGER) WHEN 0 THEN 'jpeg'
+        |   WHEN 1 THEN 'jpeg' WHEN 2 THEN 'png' WHEN 3 THEN 'gif'
+        |   WHEN 4 THEN 'bmp' WHEN 5 THEN 'webp' ELSE 'tiff' END AS format,
+        | CAST(16 + (doc_id*7) % 240 AS INTEGER) AS width,
+        | CAST(16 + (doc_id*3) % 240 AS INTEGER) AS height,
+        | CAST(CASE WHEN doc_id % 7 = 0
+        |     OR (doc_id % 7 = 6 AND (doc_id // 7) % 2 = 0)
+        |   THEN 1 + doc_id % 8 ELSE NULL END AS INTEGER) AS orientation,
+        | CAST(CASE WHEN doc_id % 7 IN (0, 1, 2, 6) THEN 8
+        |   WHEN doc_id % 7 = 4 THEN
+        |     CASE CAST((doc_id // 7) % 3 AS INTEGER)
+        |       WHEN 0 THEN 24 WHEN 1 THEN 8 ELSE 32 END
+        |   ELSE NULL END AS INTEGER) AS bit_depth
+        |FROM documents""".stripMargin,
+
+    // replay of Ebml.syntheticMkv's info and track formulas; EBML
+    // encoding variation (vint widths, unknown-size segments, float
+    // widths) is the engine's to erase
+    "m30_mkv_tracks" ->
+      """WITH d AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'webm' ELSE 'matroska' END
+        |    AS doc_type,
+        |  CAST(1000000 AS BIGINT) AS timestamp_scale,
+        |  CASE WHEN doc_id % 5 = 2 THEN NULL
+        |    ELSE CAST(30000 + doc_id % 10000 AS BIGINT) END AS duration_ms,
+        |  'graft_mux ' || CAST(doc_id % 7 AS VARCHAR) AS muxing_app
+        | FROM documents)
+        |SELECT doc_id, doc_type, timestamp_scale, duration_ms, muxing_app,
+        | CAST(1 AS BIGINT) AS track_no, 'video' AS track_type,
+        | CASE WHEN doc_id % 2 = 0 THEN 'V_VP9'
+        |   ELSE 'V_MPEG4/ISO/AVC' END AS codec_id,
+        | CAST(160 + (doc_id*7) % 1760 AS INTEGER) AS width,
+        | CAST(120 + (doc_id*3) % 960 AS INTEGER) AS height,
+        | CAST(NULL AS INTEGER) AS channels,
+        | CAST(NULL AS INTEGER) AS sample_rate
+        |FROM d WHERE doc_id % 5 <> 4
+        |UNION ALL
+        |SELECT doc_id, doc_type, timestamp_scale, duration_ms, muxing_app,
+        | 2, 'audio',
+        | CASE WHEN doc_id % 2 = 0 THEN 'A_OPUS' ELSE 'A_VORBIS' END,
+        | NULL, NULL, CAST(1 + doc_id % 2 AS INTEGER),
+        | CAST(CASE WHEN doc_id % 2 = 0 THEN 48000 ELSE 44100 END AS INTEGER)
+        |FROM d""".stripMargin,
+
+    // replay of Zip.syntheticZip's entry formulas; local_offset is the
+    // running sum of 30-byte local headers + name + data, and the crc
+    // field replay proves extraction (nothing decompresses, so the crc
+    // is a stored field, not a recomputation)
+    "m31_zip_entries" ->
+      """WITH d AS (SELECT doc_id, CAST(1 + doc_id % 4 AS INTEGER) AS n
+        |  FROM documents),
+        |e AS (SELECT doc_id, CAST(unnest(range(0, n)) AS INTEGER) AS j
+        |  FROM d),
+        |s AS (SELECT doc_id, j,
+        |  'f' || CAST(doc_id AS VARCHAR) || '_' || CAST(j AS VARCHAR)
+        |    || '.txt' AS name,
+        |  CASE WHEN j % 2 = 0 THEN 'stored' ELSE 'deflated' END AS method,
+        |  CAST(CASE WHEN j % 2 = 0 THEN 20 + (doc_id + j) % 30
+        |       ELSE 10 + (doc_id + j * 7) % 40 END AS BIGINT) AS comp_size,
+        |  CAST(CASE WHEN j % 2 = 0 THEN 20 + (doc_id + j) % 30
+        |       ELSE 50 + (doc_id * 3 + j) % 100 END AS BIGINT)
+        |    AS uncomp_size,
+        |  CAST((doc_id * 2654435761 + j * 40503) % 4294967296 AS BIGINT)
+        |    AS crc32
+        | FROM e)
+        |SELECT doc_id, j AS entry_no, name, method, comp_size,
+        |  uncomp_size, crc32,
+        |  CAST(COALESCE(SUM(30 + length(name) + comp_size) OVER (
+        |    PARTITION BY doc_id ORDER BY j
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS local_offset
+        |FROM s""".stripMargin,
+
+    // replay of Zstd.syntheticZstd's frame formulas: per-frame header
+    // byte accounting (magic + descriptor + window + dict + fcs +
+    // per-block 3-byte headers + checksum) drives the offset cumsum,
+    // so any stride slip in the walk shifts every later offset
+    "m32_zstd_frames" ->
+      """WITH d AS (SELECT doc_id, CAST(1 + doc_id % 3 AS INTEGER) AS n,
+        |   (doc_id % 4 = 1) AS skip FROM documents),
+        |zf AS (SELECT doc_id, n, skip,
+        |   CAST(unnest(range(0, n)) AS INTEGER) AS f FROM d),
+        |z AS (SELECT doc_id, n, skip, f,
+        |   CAST(1 + (doc_id + f) % 2 AS INTEGER) AS nb,
+        |   ((doc_id + f) % 5 = 0) AS ss,
+        |   CAST((doc_id + f) % 4 AS INTEGER) AS dictflag,
+        |   ((doc_id + f) % 3 = 0) AS cksum,
+        |   CAST((doc_id + f) % 3 AS INTEGER) AS fcssel,
+        |   CAST((doc_id + f) % 10 AS INTEGER) AS exp,
+        |   CAST((doc_id * 3 + f) % 8 AS INTEGER) AS man
+        | FROM zf),
+        |zb AS (SELECT *,
+        |   CAST(CASE WHEN (doc_id + f) % 2 = 0
+        |        THEN 10 + (doc_id*3 + f*7) % 30
+        |        ELSE 5 + (doc_id + f) % 20 END AS BIGINT) AS r0,
+        |   CAST(CASE WHEN nb = 2 THEN 10 + (doc_id*3 + f*7 + 1) % 30
+        |     ELSE 0 END AS BIGINT) AS r1
+        | FROM z),
+        |zc AS (SELECT *, r0 + r1 AS total,
+        |   (3 + CASE WHEN (doc_id + f) % 2 = 0 THEN r0 ELSE 1 END)
+        |   + CASE WHEN nb = 2 THEN 3 + r1 ELSE 0 END AS blockbytes,
+        |   CASE WHEN dictflag = 0 THEN 0 WHEN dictflag = 1 THEN 1
+        |        WHEN dictflag = 2 THEN 2 ELSE 4 END AS dictlen,
+        |   CASE WHEN ss THEN 1 WHEN fcssel = 0 THEN 0
+        |        WHEN fcssel = 1 THEN 4 ELSE 8 END AS fcslen
+        | FROM zb),
+        |zd AS (SELECT doc_id, f, skip, nb, ss, cksum, exp, man,
+        |   dictflag, total,
+        |   CAST(4 + 1 + CASE WHEN ss THEN 0 ELSE 1 END + dictlen + fcslen
+        |     + blockbytes + CASE WHEN cksum THEN 4 ELSE 0 END AS BIGINT)
+        |     AS fbytes,
+        |   CASE WHEN ss OR fcssel <> 0 THEN total ELSE NULL END
+        |     AS content_size,
+        |   CASE WHEN ss THEN NULL ELSE (CAST(1 AS BIGINT) << (10 + exp))
+        |     + ((CAST(1 AS BIGINT) << (10 + exp)) // 8) * man END
+        |     AS window_size,
+        |   CASE WHEN dictflag = 0 THEN NULL
+        |        WHEN dictflag = 1 THEN 1 + doc_id % 200
+        |        WHEN dictflag = 2 THEN 300 + doc_id % 60000
+        |        ELSE 70000 + doc_id % 100000 END AS dict_id
+        | FROM zc),
+        |allf AS (
+        |  SELECT doc_id, CAST(f + CASE WHEN skip AND f >= 1 THEN 1
+        |      ELSE 0 END AS INTEGER) AS frame_no,
+        |    'zstd' AS kind, fbytes AS frame_bytes, content_size,
+        |    window_size, dict_id,
+        |    CASE WHEN cksum THEN 1 ELSE 0 END AS has_checksum,
+        |    nb AS n_blocks
+        |  FROM zd
+        |  UNION ALL
+        |  SELECT doc_id, 1, 'skippable', CAST(16 + doc_id % 16 AS BIGINT),
+        |    NULL, NULL, NULL, 0, 0
+        |  FROM d WHERE skip
+        |)
+        |SELECT doc_id, frame_no, kind,
+        |  CAST(COALESCE(SUM(frame_bytes) OVER (PARTITION BY doc_id
+        |    ORDER BY frame_no
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS "offset",
+        |  CAST(frame_bytes AS BIGINT) AS frame_bytes,
+        |  CAST(content_size AS BIGINT) AS content_size,
+        |  CAST(window_size AS BIGINT) AS window_size,
+        |  CAST(dict_id AS BIGINT) AS dict_id,
+        |  CAST(has_checksum AS INTEGER) AS has_checksum,
+        |  CAST(n_blocks AS INTEGER) AS n_blocks
+        |FROM allf""".stripMargin,
 
     // replay of Ogg.syntheticAudioOgg's header formulas: even ids Opus,
     // odd ids Vorbis, per-codec channel/rate/preskip derivations

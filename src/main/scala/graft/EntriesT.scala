@@ -95,6 +95,31 @@ private[graft] object EntriesT {
     }),
 
 
+    // URL canonicalization (the normalization pass BEFORE exact dedup of
+    // a crawl's URL column): scheme/host case, default ports, fragments,
+    // unreserved percent-escapes, dot segments and query-param sort all
+    // erased; the fixture URLs rotate every rule and the oracle replays
+    // raw AND canonical closed forms — the dot-segment resolution and
+    // escape decode are the engine's, only their results are replayed
+    "t40_url_canon" -> ((s, dir) => {
+      val raw = t(s, dir, "documents").selectExpr("doc_id",
+        """concat(
+          | CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'HTTP'
+          |   WHEN 1 THEN 'Https' ELSE 'http' END,
+          | '://WWW.Example', CAST(doc_id % 50 AS STRING),
+          | CASE WHEN doc_id % 2 = 0 THEN '.COM' ELSE '.com' END,
+          | CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN ':80'
+          |   WHEN 1 THEN ':8080' WHEN 2 THEN ':443' ELSE '' END,
+          | '/a/./p', CAST(doc_id % 9 AS STRING), '/../x%41/%7e',
+          | '?z=1&a=', CAST(doc_id % 5 AS STRING),
+          | CASE WHEN doc_id % 3 = 0 THEN '&m=%2f' ELSE '' END,
+          | CASE WHEN doc_id % 2 = 0
+          |   THEN concat('#sec', CAST(doc_id % 7 AS STRING))
+          |   ELSE '' END) AS url""".stripMargin)
+      graft.functions.Urls.canonicalizeUrls(raw, "doc_id", "url")
+    }),
+
+
     // host-level link-graph extraction (the WARC→HTML→graph bridge),
     // FULL oracle: per-doc source hosts + injected outbound URLs → edge
     // list with link counts; mixed-case hosts on both sides pin the
@@ -754,6 +779,36 @@ private[graft] object EntriesT {
         |  AND length(cleaned) - length(regexp_replace(cleaned, '[.!?]', '', 'g'))
         |    >= 3) AS kept
         |FROM m3""".stripMargin,
+
+    // replay of t40's raw-URL closed form AND its canonical form — the
+    // normalization algorithm (escape decode, dot-segment resolution,
+    // param sort) runs only on the engine side; the oracle states the
+    // expected result directly from the same doc_id formulas
+    "t40_url_canon" ->
+      """SELECT doc_id,
+        | (CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'HTTP'
+        |    WHEN 1 THEN 'Https' ELSE 'http' END)
+        | || '://WWW.Example' || CAST(doc_id % 50 AS VARCHAR)
+        | || (CASE WHEN doc_id % 2 = 0 THEN '.COM' ELSE '.com' END)
+        | || (CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN ':80'
+        |    WHEN 1 THEN ':8080' WHEN 2 THEN ':443' ELSE '' END)
+        | || '/a/./p' || CAST(doc_id % 9 AS VARCHAR) || '/../x%41/%7e'
+        | || '?z=1&a=' || CAST(doc_id % 5 AS VARCHAR)
+        | || (CASE WHEN doc_id % 3 = 0 THEN '&m=%2f' ELSE '' END)
+        | || (CASE WHEN doc_id % 2 = 0
+        |    THEN '#sec' || CAST(doc_id % 7 AS VARCHAR) ELSE '' END) AS url,
+        | (CASE WHEN doc_id % 3 = 1 THEN 'https' ELSE 'http' END)
+        | || '://www.example' || CAST(doc_id % 50 AS VARCHAR) || '.com'
+        | || (CASE CAST(doc_id % 4 AS INTEGER)
+        |      WHEN 0 THEN CASE WHEN doc_id % 3 = 1 THEN ':80' ELSE '' END
+        |      WHEN 1 THEN ':8080'
+        |      WHEN 2 THEN CASE WHEN doc_id % 3 = 1 THEN '' ELSE ':443' END
+        |      ELSE '' END)
+        | || '/a/xA/~'
+        | || '?a=' || CAST(doc_id % 5 AS VARCHAR)
+        | || (CASE WHEN doc_id % 3 = 0 THEN '&m=%2F' ELSE '' END)
+        | || '&z=1' AS canon_url
+        |FROM documents""".stripMargin,
 
     "t37_link_graph" ->
       (s"""WITH injected AS (
