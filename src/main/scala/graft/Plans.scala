@@ -66,7 +66,13 @@ object Plans {
       "m24_ogg_comments" -> "VorbisComment/OpusTags extraction: packet-2 decode over the reassembled packets of the same narrow per-row walk - the tag-metadata projection (vendor + KEY=value rows) lands with zero exchanges, exactly like m21's ID3 walk on the MP3 side.",
       "s15x_margin_approx" -> "Margin-mining scale-path verdict: the EXACT leg keeps s15's adjudicated brute shape (broadcast query sides - the declared baseline); the APPROX leg routes both kNN directions through annJoin - grep its subtree: shuffled equi-joins on the 8-byte LSH bucket key and id-only exchanges, NO BroadcastNestedLoopJoin and NO CartesianProduct anywhere on that path (the dedicated section below dumps the approx plan alone). The agreement tail collapses to one row.",
       "s14_hybrid_rrf" -> "Hybrid RRF fusion: both retrieval stages keep their adjudicated shapes (bm25's broadcast query side + WindowGroupLimit top-k; brute ANN's broadcast bounded query side); the fusion itself unions two ALREADY top-k'd (query, rank, id) frames - one hash aggregate on (query, id) and a per-query WindowGroupLimit, so only bounded ranked rows ever shuffle.",
-      "q117_odd_columns" -> "Odd column names (spaces, keywords, unicode, '*') through the dialect: the LOAD-projected scan's ReadSchema carries the quoted names as-is and the plan is scan+project only - name mangling would show as a Project alias layer.")
+      "q117_odd_columns" -> "Odd column names (spaces, keywords, unicode, '*') through the dialect: the LOAD-projected scan's ReadSchema carries the quoted names as-is and the plan is scan+project only - name mangling would show as a Project alias layer.",
+      "m28_riff_tags" -> "RIFF LIST/INFO tag extraction: the same narrow per-row mapPartitions shape as every container walk - zero exchanges; chunk striding (incl. the odd-size pad rule) happens inside one row's walk.",
+      "m29_image_meta" -> "Image HEADER census (JPEG SOF/EXIF, PNG, GIF, BMP, WebP, TIFF): narrow map, zero exchanges, O(header) bytes per row - the dims pass that makes pixel-decode fan-out optional downstream; at 100 TB this is the difference between a census and a cluster-month.",
+      "m30_mkv_tracks" -> "Matroska/WebM EBML walk: per-row element-tree stride (Clusters skipped by size) in a narrow map, zero exchanges - the video-lake census reads kilobytes of metadata out of gigabyte files.",
+      "m31_zip_entries" -> "ZIP central-directory walk: EOCD back-scan + CD decode per row, narrow map, zero exchanges, nothing inflated - the archive manifest pass before any member extraction fan-out.",
+      "m32_zstd_frames" -> "zstd frame census: block headers stride the compressed stream per row - narrow map, zero exchanges, zero decompression; expanded-size accounting for a compressed lake without paying for decode.",
+      "t40_url_canon" -> "URL canonicalization: pure per-row string work in one mapPartitions - zero exchanges; the downstream exact dedup shuffles on the canonical key, so normalization adds no data movement of its own.")
     // partitioned-write → partition-pruning demo
     val pdir = "/root/repo/target/plans_partitioned"
     spark.read.parquet(s"$dir/part.parquet").write.mode("overwrite")
@@ -76,7 +82,7 @@ object Plans {
     val sb = new StringBuilder
     sb ++= "# PLANS - physical-plan evidence for scale-critical queries\n\n"
     sb ++= s"Generated by `sbt \"runMain graft.Plans\"` at $dir with AQE on.\n"
-    for (q <- Seq("q02_filter", "q01_agg", "q06_join_inner", "q20_take_per_key", "d01_dedup_exact", "s01_knn_brute", "s02_knn_lsh", "d05_dedup_embed", "t12_lm_score", "q62_bloom_semi", "d12_fuzzy_join", "q64_range_join", "d13_segment_dedup", "t20_pack_sequences", "q89_quality_checks", "q92_snapshot_diff", "q90_outliers", "t35_bm25", "q110_funnel", "q110b_funnel_restart", "q111_retention", "q112_triangles", "q113_ppr", "q114_clustering_coeff", "t36_trigram_ce", "t37_link_graph", "t38_gopher_rules", "t39_c4_clean", "q115_connected_components", "m13_mp4_demux", "m14_fmp4_demux", "m18_ogg_pages", "m19_ogg_packets", "m20_audio_meta", "m21_id3_tags", "m22_flac_info", "m23_ogg_muxed", "m24_ogg_comments", "s14_hybrid_rrf", "s15x_margin_approx", "q117_odd_columns")) {
+    for (q <- Seq("q02_filter", "q01_agg", "q06_join_inner", "q20_take_per_key", "d01_dedup_exact", "s01_knn_brute", "s02_knn_lsh", "d05_dedup_embed", "t12_lm_score", "q62_bloom_semi", "d12_fuzzy_join", "q64_range_join", "d13_segment_dedup", "t20_pack_sequences", "q89_quality_checks", "q92_snapshot_diff", "q90_outliers", "t35_bm25", "q110_funnel", "q110b_funnel_restart", "q111_retention", "q112_triangles", "q113_ppr", "q114_clustering_coeff", "t36_trigram_ce", "t37_link_graph", "t38_gopher_rules", "t39_c4_clean", "q115_connected_components", "m13_mp4_demux", "m14_fmp4_demux", "m18_ogg_pages", "m19_ogg_packets", "m20_audio_meta", "m21_id3_tags", "m22_flac_info", "m23_ogg_muxed", "m24_ogg_comments", "m28_riff_tags", "m29_image_meta", "m30_mkv_tracks", "m31_zip_entries", "m32_zstd_frames", "t40_url_canon", "s14_hybrid_rrf", "s15x_margin_approx", "q117_odd_columns")) {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.SimpleMode)
       sb ++= s"\n## $q\n\n${notes(q)}\n\n```\n${plan.split("\n").take(30).mkString("\n")}\n```\n"
