@@ -184,7 +184,13 @@ object GraftSql {
    * reassembly / OpusHead-VorbisId header decode), `id3_tags(...)`
    * (ID3v2 text-frame extraction), `flac_info(...)` (STREAMINFO
    * decode), `flac_comments(...)` (FLAC VORBIS_COMMENT tag
-   * extraction), `mp4_tags(...)` (iTunes-style ilst tag extraction);
+   * extraction), `mp4_tags(...)` (iTunes-style ilst tag extraction),
+   * `riff_tags(...)` (WAV LIST/INFO tags), `image_meta(...)` (header
+   * dims/orientation census: JPEG/PNG/GIF/BMP/WebP/TIFF),
+   * `mkv_tracks(...)` (Matroska/WebM EBML walk), `zip_entries(...)`
+   * (ZIP central-directory census), `zstd_frames(...)` (zstd frame
+   * census, zero decompression), `url_canon([id:.., col:url])`
+   * (RFC 3986 canonicalization for dedup keys);
    * ops tooling: `key_skew(keys:"k"[, k:10])` (shuffle-key skew
    * diagnostic), `suggest_salt(keys:"k"[, target:n, max:n])` (measured
    * salt-factor advisor), `PROCESS probe, dim USING salted_join(
@@ -459,6 +465,30 @@ object GraftSql {
         "mp4_tags" -> ProcessorDef { (_, dfs, p) =>
           graft.functions.Mp4.ilstTags(one(dfs, "mp4_tags"),
             p.getOrElse("id", "doc_id"), p.getOrElse("col", "payload"))
+        },
+        "riff_tags" -> ProcessorDef { (_, dfs, p) =>
+          graft.functions.Riff.riffInfoTags(one(dfs, "riff_tags"),
+            p.getOrElse("id", "doc_id"), p.getOrElse("col", "payload"))
+        },
+        "image_meta" -> ProcessorDef { (_, dfs, p) =>
+          graft.functions.Imaging.imageMeta(one(dfs, "image_meta"),
+            p.getOrElse("id", "doc_id"), p.getOrElse("col", "payload"))
+        },
+        "mkv_tracks" -> ProcessorDef { (_, dfs, p) =>
+          graft.functions.Ebml.mkvTracks(one(dfs, "mkv_tracks"),
+            p.getOrElse("id", "doc_id"), p.getOrElse("col", "payload"))
+        },
+        "zip_entries" -> ProcessorDef { (_, dfs, p) =>
+          graft.functions.Zip.zipEntries(one(dfs, "zip_entries"),
+            p.getOrElse("id", "doc_id"), p.getOrElse("col", "payload"))
+        },
+        "zstd_frames" -> ProcessorDef { (_, dfs, p) =>
+          graft.functions.Zstd.zstdFrames(one(dfs, "zstd_frames"),
+            p.getOrElse("id", "doc_id"), p.getOrElse("col", "payload"))
+        },
+        "url_canon" -> ProcessorDef { (_, dfs, p) =>
+          graft.functions.Urls.canonicalizeUrls(one(dfs, "url_canon"),
+            p.getOrElse("id", "doc_id"), p.getOrElse("col", "url"))
         },
         // hybrid-retrieval fusion: PROCESS lexical, dense USING
         // rrf_fuse(...) — any number of ranked (query, rank, id) lists

@@ -1151,6 +1151,46 @@ class GraftSqlSpec extends SparkTestBase {
     assert(dmx.count() >= 1) // text byte-windows
   }
 
+  test("r13 walker processors: riff_tags/image_meta/mkv_tracks/zip_entries/zstd_frames/url_canon") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    def run1(proc: String, payload: Array[Byte], id: Long = 8L) =
+      GraftSql.run(engine,
+        s"""f = PROCESS src USING $proc
+           |YIELD f AS f
+           |""".stripMargin,
+        Map("src" -> spark.createDataFrame(java.util.Arrays.asList(
+          org.apache.spark.sql.Row(id, payload)), schema))).yields("f")
+    // id 6, not 8: id%5==3 is the tagless rotation
+    val rt = run1("riff_tags", graft.functions.Riff.syntheticTaggedWav(6L), 6L)
+      .collect().map(r => r.getString(2) -> r.getString(3)).toMap
+    assert(rt("INAM") === "title_42" && rt("ICMT") === "cömment_6")
+    val im = run1("image_meta", graft.functions.Imaging.syntheticImage(8L))
+      .collect()
+    assert(im.length === 1 && im.head.getString(1) === "jpeg" &&
+      im.head.getInt(2) === (16 + 8 * 7 % 240))
+    val mk = run1("mkv_tracks", graft.functions.Ebml.syntheticMkv(8L))
+      .collect().map(r => r.getString(6) -> r.getString(7)).toMap
+    assert(mk("video") === "V_VP9" && mk("audio") === "A_OPUS")
+    val ze = run1("zip_entries", graft.functions.Zip.syntheticZip(8L))
+      .collect().map(r => r.getString(2) -> r.getString(3)).toMap
+    assert(ze("f8_0.txt") === "stored")
+    val zs = run1("zstd_frames", graft.functions.Zstd.syntheticZstd(8L))
+      .collect()
+    assert(zs.length === 3 && zs.forall(_.getString(2) === "zstd"))
+    val us = StructType(Seq(StructField("doc_id", LongType),
+      StructField("url", StringType)))
+    val uc = GraftSql.run(engine,
+      """f = PROCESS src USING url_canon
+        |YIELD f AS f
+        |""".stripMargin,
+      Map("src" -> spark.createDataFrame(java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L,
+          "HTTP://A.com:80/x/../y?b=2&a=1#f")), us))).yields("f").collect()
+    assert(uc.head.getString(2) === "http://a.com/y?a=1&b=2")
+  }
+
   test("rrf_fuse processor fuses ranked lists") {
     val lex = df(Seq(Seq(1L, 1, 10L), Seq(1L, 2, 11L), Seq(1L, 3, 12L)),
       "query_id:long,rank:int,doc_id:long")
