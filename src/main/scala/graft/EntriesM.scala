@@ -45,10 +45,12 @@ private[graft] object EntriesM {
 
 
     // mixed-media-lake census: magic-byte type sniffing over a column
-    // that interleaves all nine payload families (PNG/GIF/progressive
-    // MP4/fragmented MP4/MP3/WAV/Ogg/FLAC/plain text) — the "what is
-    // actually in this bucket" pass a 100 TB binary column gets before
-    // any decode fan-out. Narrow map, O(1) header reads; exact oracle
+    // that interleaves all FOURTEEN payload families (PNG/GIF/
+    // progressive MP4/fragmented MP4/MP3/WAV/Ogg/FLAC/plain text/WebP/
+    // TIFF/Matroska/ZIP/zstd — the r13 walkers' formats join the sweep)
+    // — the "what is actually in this bucket" pass a 100 TB binary
+    // column gets before any decode fan-out. Narrow map, O(1) header
+    // reads; exact oracle
     "m17_media_census" -> ((s, dir) => {
       import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
       val ids = t(s, dir, "documents").select("doc_id")
@@ -57,7 +59,7 @@ private[graft] object EntriesM {
       val mixed = ids.mapPartitions { it =>
         it.map { r =>
           val id = r.getLong(0)
-          val payload = (id % 9) match {
+          val payload = (id % 14) match {
             case 0 => graft.functions.Multimodal.syntheticPng(16, 8, id)
             case 1 => graft.functions.Multimodal.syntheticGif(8, 8, 3, id)
             case 2 => graft.functions.Mp4.syntheticMp4(id)
@@ -66,7 +68,14 @@ private[graft] object EntriesM {
             case 5 => graft.functions.Multimodal.syntheticWav(8000, 1, 64, id)
             case 6 => graft.functions.Ogg.syntheticOgg(id)
             case 7 => graft.functions.Flac.syntheticFlac(id)
-            case _ => s"plain text payload $id".getBytes("UTF-8")
+            case 8 => s"plain text payload $id".getBytes("UTF-8")
+            case 9 => graft.functions.Imaging.syntheticWebp(24, 16,
+              (id % 3).toInt, id)
+            case 10 => graft.functions.Imaging.syntheticTiff(24, 16, 8,
+              None, le = id % 2 == 0, id)
+            case 11 => graft.functions.Ebml.syntheticMkv(id)
+            case 12 => graft.functions.Zip.syntheticZip(id)
+            case _ => graft.functions.Zstd.syntheticZstd(id)
           }
           org.apache.spark.sql.Row(id, payload)
         }
@@ -310,6 +319,19 @@ private[graft] object EntriesM {
       val ids = t(s, dir, "documents").select("doc_id")
       graft.functions.Zstd.zstdFrames(
         graft.functions.Zstd.syntheticZstds(ids, "doc_id"),
+        "doc_id", "payload")
+    }),
+
+
+    // ID3v1 trailing-TAG extraction: the LEGACY 128-byte fixed-width tag
+    // still carried (often exclusively) by a large share of crawled
+    // MP3s — completes the MP3 tag surface next to m21's ID3v2 frames;
+    // NUL- and space-padding both trimmed, v1.1 track byte decoded,
+    // id%4==3 files untagged (absence); exact string oracle
+    "m33_id3v1_tags" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select("doc_id")
+      graft.functions.Mp3.id3v1Tags(
+        graft.functions.Mp3.syntheticV1TaggedMp3s(ids, "doc_id"),
         "doc_id", "payload")
     }),
 
@@ -721,11 +743,13 @@ private[graft] object EntriesM {
     // stts durations, tkhd dims, and the head/tail extraction probes
     "m17_media_census" ->
       """SELECT doc_id,
-        | CASE CAST(doc_id % 9 AS INTEGER)
+        | CASE CAST(doc_id % 14 AS INTEGER)
         |  WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'mp4'
         |  WHEN 3 THEN 'mp4' WHEN 4 THEN 'mp3' WHEN 5 THEN 'wav'
-        |  WHEN 6 THEN 'ogg' WHEN 7 THEN 'flac'
-        |  ELSE 'unknown' END AS media_type
+        |  WHEN 6 THEN 'ogg' WHEN 7 THEN 'flac' WHEN 8 THEN 'unknown'
+        |  WHEN 9 THEN 'webp' WHEN 10 THEN 'tiff'
+        |  WHEN 11 THEN 'matroska' WHEN 12 THEN 'zip'
+        |  ELSE 'zstd' END AS media_type
         |FROM documents""".stripMargin,
 
     // first-principles MP3 oracle: replays Mp3.syntheticShape — MPEG-1
@@ -1048,6 +1072,21 @@ private[graft] object EntriesM {
         |  CAST(has_checksum AS INTEGER) AS has_checksum,
         |  CAST(n_blocks AS INTEGER) AS n_blocks
         |FROM allf""".stripMargin,
+
+    // replay of Mp3.syntheticV1TaggedMp3's field formulas; the fixed-
+    // width padding (NUL for most fields, space for artist) is the
+    // engine's to trim; v1.1 ids (doc_id%3=0) carry the track byte
+    "m33_id3v1_tags" ->
+      """SELECT doc_id,
+        | 'title_' || CAST((doc_id*7) % 1000 AS VARCHAR) AS title,
+        | 'artist_' || CAST(doc_id % 50 AS VARCHAR) AS artist,
+        | 'album_' || CAST(doc_id % 20 AS VARCHAR) AS album,
+        | CAST(1970 + doc_id % 55 AS VARCHAR) AS "year",
+        | 'c_' || CAST(doc_id % 100 AS VARCHAR) AS comment,
+        | CAST(CASE WHEN doc_id % 3 = 0 THEN 1 + doc_id % 30
+        |      ELSE NULL END AS INTEGER) AS track,
+        | CAST(doc_id % 80 AS INTEGER) AS genre
+        |FROM documents WHERE doc_id % 4 <> 3""".stripMargin,
 
     // replay of Ogg.syntheticAudioOgg's header formulas: even ids Opus,
     // odd ids Vorbis, per-codec channel/rate/preskip derivations

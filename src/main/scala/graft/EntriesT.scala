@@ -120,6 +120,20 @@ private[graft] object EntriesT {
     }),
 
 
+    // subtitle cue extraction (SRT + WebVTT auto-detect): the aligned-
+    // transcript source of a video corpus — cue timings to integer ms,
+    // multi-line text joined, NOTE blocks and cue settings/identifiers
+    // erased, CRLF and hour-optional VTT timestamps rotated; id%7==5
+    // docs are clean-but-empty (zero cues, not corruption); the oracle
+    // replays the cue formulas
+    "t41_subtitle_cues" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select("doc_id")
+      graft.functions.Subtitles.subtitleCues(
+        graft.functions.Subtitles.syntheticSubtitles(ids, "doc_id"),
+        "doc_id", "sub_text")
+    }),
+
+
     // host-level link-graph extraction (the WARC→HTML→graph bridge),
     // FULL oracle: per-doc source hosts + injected outbound URLs → edge
     // list with link counts; mixed-case hosts on both sides pin the
@@ -809,6 +823,24 @@ private[graft] object EntriesT {
         | || (CASE WHEN doc_id % 3 = 0 THEN '&m=%2F' ELSE '' END)
         | || '&z=1' AS canon_url
         |FROM documents""".stripMargin,
+
+    // replay of Subtitles.syntheticSubtitle's cue formulas; the
+    // format/framing rotation (VTT vs SRT, CRLF, hour-optional stamps,
+    // NOTE blocks, identifiers, settings) is the engine's to erase
+    "t41_subtitle_cues" ->
+      """WITH d AS (SELECT doc_id, CAST(2 + doc_id % 3 AS INTEGER) AS n
+        |  FROM documents WHERE doc_id % 7 <> 5),
+        |c AS (SELECT doc_id, CAST(unnest(range(0, n)) AS INTEGER) AS j
+        |  FROM d)
+        |SELECT doc_id, j AS cue_no,
+        | CAST(j * 5000 + doc_id % 1000 AS BIGINT) AS start_ms,
+        | CAST(j * 5000 + doc_id % 1000 + 2000 + (doc_id + j) % 500
+        |   AS BIGINT) AS end_ms,
+        | 'line_' || CAST(doc_id AS VARCHAR) || '_' || CAST(j AS VARCHAR)
+        |  || CASE WHEN (doc_id + j) % 2 = 0
+        |     THEN chr(10) || 'cont_' || CAST(j AS VARCHAR) ELSE '' END
+        |  AS text
+        |FROM c""".stripMargin,
 
     "t37_link_graph" ->
       (s"""WITH injected AS (

@@ -72,7 +72,9 @@ object Plans {
       "m30_mkv_tracks" -> "Matroska/WebM EBML walk: per-row element-tree stride (Clusters skipped by size) in a narrow map, zero exchanges - the video-lake census reads kilobytes of metadata out of gigabyte files.",
       "m31_zip_entries" -> "ZIP central-directory walk: EOCD back-scan + CD decode per row, narrow map, zero exchanges, nothing inflated - the archive manifest pass before any member extraction fan-out.",
       "m32_zstd_frames" -> "zstd frame census: block headers stride the compressed stream per row - narrow map, zero exchanges, zero decompression; expanded-size accounting for a compressed lake without paying for decode.",
-      "t40_url_canon" -> "URL canonicalization: pure per-row string work in one mapPartitions - zero exchanges; the downstream exact dedup shuffles on the canonical key, so normalization adds no data movement of its own.")
+      "t40_url_canon" -> "URL canonicalization: pure per-row string work in one mapPartitions - zero exchanges; the downstream exact dedup shuffles on the canonical key, so normalization adds no data movement of its own.",
+      "m33_id3v1_tags" -> "ID3v1 trailing-tag extraction: a 128-byte read per row in a narrow map, zero exchanges - the legacy half of the MP3 tag census next to m21's ID3v2 walk.",
+      "t41_subtitle_cues" -> "SRT/WebVTT cue extraction: per-row line parsing in one mapPartitions, zero exchanges - cue rows land keyed by (doc, time) for alignment joins against the m13/m30 sample tables downstream.")
     // partitioned-write → partition-pruning demo
     val pdir = "/root/repo/target/plans_partitioned"
     spark.read.parquet(s"$dir/part.parquet").write.mode("overwrite")
@@ -82,7 +84,7 @@ object Plans {
     val sb = new StringBuilder
     sb ++= "# PLANS - physical-plan evidence for scale-critical queries\n\n"
     sb ++= s"Generated by `sbt \"runMain graft.Plans\"` at $dir with AQE on.\n"
-    for (q <- Seq("q02_filter", "q01_agg", "q06_join_inner", "q20_take_per_key", "d01_dedup_exact", "s01_knn_brute", "s02_knn_lsh", "d05_dedup_embed", "t12_lm_score", "q62_bloom_semi", "d12_fuzzy_join", "q64_range_join", "d13_segment_dedup", "t20_pack_sequences", "q89_quality_checks", "q92_snapshot_diff", "q90_outliers", "t35_bm25", "q110_funnel", "q110b_funnel_restart", "q111_retention", "q112_triangles", "q113_ppr", "q114_clustering_coeff", "t36_trigram_ce", "t37_link_graph", "t38_gopher_rules", "t39_c4_clean", "q115_connected_components", "m13_mp4_demux", "m14_fmp4_demux", "m18_ogg_pages", "m19_ogg_packets", "m20_audio_meta", "m21_id3_tags", "m22_flac_info", "m23_ogg_muxed", "m24_ogg_comments", "m28_riff_tags", "m29_image_meta", "m30_mkv_tracks", "m31_zip_entries", "m32_zstd_frames", "t40_url_canon", "s14_hybrid_rrf", "s15x_margin_approx", "q117_odd_columns")) {
+    for (q <- Seq("q02_filter", "q01_agg", "q06_join_inner", "q20_take_per_key", "d01_dedup_exact", "s01_knn_brute", "s02_knn_lsh", "d05_dedup_embed", "t12_lm_score", "q62_bloom_semi", "d12_fuzzy_join", "q64_range_join", "d13_segment_dedup", "t20_pack_sequences", "q89_quality_checks", "q92_snapshot_diff", "q90_outliers", "t35_bm25", "q110_funnel", "q110b_funnel_restart", "q111_retention", "q112_triangles", "q113_ppr", "q114_clustering_coeff", "t36_trigram_ce", "t37_link_graph", "t38_gopher_rules", "t39_c4_clean", "q115_connected_components", "m13_mp4_demux", "m14_fmp4_demux", "m18_ogg_pages", "m19_ogg_packets", "m20_audio_meta", "m21_id3_tags", "m22_flac_info", "m23_ogg_muxed", "m24_ogg_comments", "m28_riff_tags", "m29_image_meta", "m30_mkv_tracks", "m31_zip_entries", "m32_zstd_frames", "m33_id3v1_tags", "t40_url_canon", "t41_subtitle_cues", "s14_hybrid_rrf", "s15x_margin_approx", "q117_odd_columns")) {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.SimpleMode)
       sb ++= s"\n## $q\n\n${notes(q)}\n\n```\n${plan.split("\n").take(30).mkString("\n")}\n```\n"

@@ -471,4 +471,110 @@ object Mp3 {
    * full frame arithmetic in SQL. */
   def syntheticMp3s(df: DataFrame, idCol: String): DataFrame =
     Fixtures.syntheticPayloads(df, idCol)(syntheticMp3)
+
+  // ---- ID3v1 (the trailing 128-byte TAG block) -------------------------
+
+  /** Decoded ID3v1/v1.1 tag. `track` only in v1.1 (comment byte 28 == 0
+   * with byte 29 != 0). */
+  final case class Id3v1(title: String, artist: String, album: String,
+      year: String, comment: String, track: Option[Int], genre: Int)
+
+  /** Decode the trailing 128-byte `TAG` block — the LEGACY tag format
+   * that predates [[parseId3TextFrames]]'s ID3v2 and is still the only
+   * tag on a large share of crawled MP3s (writers kept appending it for
+   * player compatibility; a tag census that only reads ID3v2 undercounts
+   * titled files). Fields are fixed-width ISO-8859-1, padded with NUL or
+   * spaces; both paddings are trimmed (trailing only — interior spaces
+   * are content). None when the payload is shorter than 128 bytes or the
+   * last 128 don't start `TAG` (absence, indistinguishable from
+   * corruption in v1 — the format has no length or checksum). */
+  def parseId3v1(payload: Array[Byte]): Option[Id3v1] = {
+    if (payload == null || payload.length < 128) return None
+    val off = payload.length - 128
+    if (payload(off) != 'T' || payload(off + 1) != 'A' ||
+      payload(off + 2) != 'G') return None
+    def field(start: Int, len: Int): String = {
+      val s = new String(payload, off + start, len, "ISO-8859-1")
+      // trim trailing NUL and space padding
+      var end = s.length
+      while (end > 0 && (s.charAt(end - 1) == '\u0000' ||
+        s.charAt(end - 1) == ' ')) end -= 1
+      s.substring(0, end)
+    }
+    val v11 = payload(off + 125) == 0 && payload(off + 126) != 0
+    Some(Id3v1(
+      field(3, 30), field(33, 30), field(63, 30), field(93, 4),
+      if (v11) field(97, 28) else field(97, 30),
+      if (v11) Some(payload(off + 126) & 0xff) else None,
+      payload(off + 127) & 0xff))
+  }
+
+  /** Output schema of [[id3v1Tags]]. */
+  val id3v1Schema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("title", StringType),
+    StructField("artist", StringType),
+    StructField("album", StringType),
+    StructField("year", StringType),
+    StructField("comment", StringType),
+    StructField("track", IntegerType),
+    StructField("genre", IntegerType)))
+
+  /** One row per tagged payload; untagged payloads contribute nothing.
+   * Narrow mapPartitions — a 128-byte read per row. */
+  def id3v1Tags(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(idIdx)
+        parseId3v1(r.getAs[Array[Byte]](pIdx)).map { t =>
+          Row(id, t.title, t.artist, t.album, t.year, t.comment,
+            t.track.map(Int.box).orNull, t.genre)
+        }.iterator
+      }
+    }(Encoders.row(id3v1Schema))
+  }
+
+  /** Deterministic v1-tagged fixture shared by the writer, the m33
+   * oracle and the spec: [[syntheticMp3]]'s frames with a trailing
+   * ID3v1 block appended — title `title_<id*7 % 1000>` (NUL-padded),
+   * artist `artist_<id % 50>` (space-padded, the other legal padding),
+   * album `album_<id % 20>`, year `<1970 + id%55>`,
+   * comment `c_<id % 100>`; ids with `id%3 == 0` write v1.1 (track
+   * `1 + id%30`), the rest v1.0 (30-byte comment, no track); genre
+   * `id % 80`; ids with `id%4 == 3` carry NO trailing tag. */
+  def syntheticV1TaggedMp3(id: Long): Array[Byte] = {
+    val base = syntheticMp3(id)
+    if (id % 4 == 3) return base
+    val tag = new Array[Byte](128)
+    def put(start: Int, len: Int, s: String, spacePad: Boolean): Unit = {
+      val b = s.getBytes("ISO-8859-1")
+      var i = 0
+      while (i < len) {
+        tag(start + i) =
+          if (i < b.length) b(i) else if (spacePad) ' '.toByte else 0
+        i += 1
+      }
+    }
+    tag(0) = 'T'; tag(1) = 'A'; tag(2) = 'G'
+    put(3, 30, s"title_${id * 7 % 1000}", spacePad = false)
+    put(33, 30, s"artist_${id % 50}", spacePad = true)
+    put(63, 30, s"album_${id % 20}", spacePad = false)
+    put(93, 4, s"${1970 + id % 55}", spacePad = false)
+    if (id % 3 == 0) {
+      put(97, 28, s"c_${id % 100}", spacePad = false)
+      tag(125) = 0
+      tag(126) = (1 + id % 30).toByte
+    } else {
+      put(97, 30, s"c_${id % 100}", spacePad = false)
+    }
+    tag(127) = (id % 80).toByte
+    base ++ tag
+  }
+
+  /** Executor-side v1-tagged fixtures — the m33 oracle replays the tag
+   * formulas. */
+  def syntheticV1TaggedMp3s(df: DataFrame, idCol: String): DataFrame =
+    Fixtures.syntheticPayloads(df, idCol)(syntheticV1TaggedMp3)
 }

@@ -964,8 +964,9 @@ object Multimodal {
    * a binary column is "what is actually in it", answered without
    * decoding anything): png / jpeg / gif / bmp / mp4 (any ISO-BMFF) /
    * mp3 (ID3v2 or a valid MPEG-audio frame header) / wav / ogg / flac /
-   * gzip / tar (ustar) / warc / empty / unknown. Pure header reads —
-   * O(1) per row.
+   * webp / tiff / matroska (any EBML incl. WebM) / zip / zstd (frame or
+   * skippable) / gzip / tar (ustar) / warc / empty / unknown. Pure
+   * header reads — O(1) per row.
    */
   def sniffMediaType(payload: Array[Byte]): String = {
     if (payload == null || payload.isEmpty) return "empty"
@@ -983,6 +984,7 @@ object Multimodal {
       Set(12, 40, 52, 56, 64, 108, 124).contains(dib)
     }) "bmp"
     else if (str(0, "RIFF") && str(8, "WAVE")) "wav"
+    else if (str(0, "RIFF") && str(8, "WEBP")) "webp"
     else if (Mp4.sniffIsoBmff(payload)) "mp4"
     else if (str(0, "ID3") ||
       (at(0) == 0xff && (at(1) & 0xe0) == 0xe0 &&
@@ -991,6 +993,16 @@ object Multimodal {
     else if (str(0, "OggS")) "ogg"
     else if (str(0, "fLaC")) "flac"
     else if (at(0) == 0x1f && at(1) == 0x8b) "gzip"
+    else if ((at(0) == 'I' && at(1) == 'I' && at(2) == 0x2a && at(3) == 0) ||
+      (at(0) == 'M' && at(1) == 'M' && at(2) == 0 && at(3) == 0x2a)) "tiff"
+    else if (at(0) == 0x1a && at(1) == 0x45 && at(2) == 0xdf &&
+      at(3) == 0xa3) "matroska"
+    else if (at(0) == 'P' && at(1) == 'K' &&
+      ((at(2) == 3 && at(3) == 4) || (at(2) == 5 && at(3) == 6))) "zip"
+    else if (at(0) == 0x28 && at(1) == 0xb5 && at(2) == 0x2f &&
+      at(3) == 0xfd) "zstd"
+    else if ((at(0) & 0xf0) == 0x50 && at(1) == 0x2a && at(2) == 0x4d &&
+      at(3) == 0x18) "zstd" // skippable frame
     else if (str(257, "ustar")) "tar"
     else if (str(0, "WARC/")) "warc"
     else "unknown"

@@ -490,6 +490,14 @@ object GraftSql {
           graft.functions.Urls.canonicalizeUrls(one(dfs, "url_canon"),
             p.getOrElse("id", "doc_id"), p.getOrElse("col", "url"))
         },
+        "id3v1_tags" -> ProcessorDef { (_, dfs, p) =>
+          graft.functions.Mp3.id3v1Tags(one(dfs, "id3v1_tags"),
+            p.getOrElse("id", "doc_id"), p.getOrElse("col", "payload"))
+        },
+        "subtitle_cues" -> ProcessorDef { (_, dfs, p) =>
+          graft.functions.Subtitles.subtitleCues(one(dfs, "subtitle_cues"),
+            p.getOrElse("id", "doc_id"), p.getOrElse("col", "text"))
+        },
         // hybrid-retrieval fusion: PROCESS lexical, dense USING
         // rrf_fuse(...) — any number of ranked (query, rank, id) lists
         "rrf_fuse" -> ProcessorDef { (_, dfs, p) =>

@@ -1189,6 +1189,21 @@ class GraftSqlSpec extends SparkTestBase {
         org.apache.spark.sql.Row(1L,
           "HTTP://A.com:80/x/../y?b=2&a=1#f")), us))).yields("f").collect()
     assert(uc.head.getString(2) === "http://a.com/y?a=1&b=2")
+    val v1 = run1("id3v1_tags", graft.functions.Mp3.syntheticV1TaggedMp3(6L), 6L)
+      .collect()
+    assert(v1.length === 1 && v1.head.getString(1) === "title_42" &&
+      v1.head.getInt(6) === 7) // 6%3==0 → v1.1 track 1+6%30
+    val ts = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val sc = GraftSql.run(engine,
+      """f = PROCESS src USING subtitle_cues
+        |YIELD f AS f
+        |""".stripMargin,
+      Map("src" -> spark.createDataFrame(java.util.Arrays.asList(
+        org.apache.spark.sql.Row(4L,
+          graft.functions.Subtitles.syntheticSubtitle(4L))), ts))).yields("f")
+      .collect()
+    assert(sc.length === 3 && sc.head.getLong(2) === 4L) // start 0*5000+4%1000
   }
 
   test("rrf_fuse processor fuses ranked lists") {

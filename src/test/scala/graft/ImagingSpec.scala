@@ -92,6 +92,23 @@ class ImagingSpec extends AnyFunSuite {
       === Some(("gif", 17, 29)))
   }
 
+  test("sniffMediaType classifies the r13 formats") {
+    import graft.functions.{Ebml, Zip, Zstd, Multimodal => M}
+    assert(M.sniffMediaType(Imaging.syntheticWebp(8, 8, 0, 1L)) === "webp")
+    assert(M.sniffMediaType(Imaging.syntheticTiff(8, 8, 8, None,
+      le = true, 1L)) === "tiff")
+    assert(M.sniffMediaType(Imaging.syntheticTiff(8, 8, 8, None,
+      le = false, 1L)) === "tiff")
+    assert(M.sniffMediaType(Ebml.syntheticMkv(1L)) === "matroska")
+    assert(M.sniffMediaType(Zip.syntheticZip(1L)) === "zip")
+    assert(M.sniffMediaType(Zstd.syntheticZstd(1L)) === "zstd")
+    // a skippable-first stream still sniffs zstd
+    val sk = Array[Byte](0x53, 0x2a, 0x4d, 0x18, 0, 0, 0, 0)
+    assert(M.sniffMediaType(sk) === "zstd")
+    // WAV is unchanged by the WEBP branch
+    assert(M.sniffMediaType(M.syntheticWav(8000, 1, 8, 1L)) === "wav")
+  }
+
   test("corrupt forms return None, never throw") {
     assert(Imaging.parseImageMeta(null) === None)
     assert(Imaging.parseImageMeta(Array.emptyByteArray) === None)

@@ -326,4 +326,37 @@ class Mp3Spec extends AnyFunSuite {
     // ID3v2-only payload (no frames) is None, not an empty success
     assert(Mp3.parseFrames(Mp3.syntheticMp3(0L).take(27)) === None)
   }
+
+  test("ID3v1: fixture decodes to the closed form; padding trimmed (IDs 0-47)") {
+    (0L until 48L).foreach { id =>
+      val payload = Mp3.syntheticV1TaggedMp3(id)
+      Mp3.parseId3v1(payload) match {
+        case Some(t) =>
+          assert(id % 4 != 3, s"id=$id should be untagged")
+          assert(t.title === s"title_${id * 7 % 1000}", s"id=$id")
+          assert(t.artist === s"artist_${id % 50}", s"id=$id") // space-padded
+          assert(t.album === s"album_${id % 20}")
+          assert(t.year === s"${1970 + id % 55}")
+          assert(t.comment === s"c_${id % 100}")
+          assert(t.track ===
+            (if (id % 3 == 0) Some((1 + id % 30).toInt) else None), s"id=$id")
+          assert(t.genre === (id % 80).toInt)
+          // the FRAME walk still terminates cleanly at the trailing TAG
+          assert(Mp3.parseFrames(payload).exists(_.nonEmpty), s"id=$id")
+        case None =>
+          assert(id % 4 == 3, s"id=$id lost its tag")
+      }
+    }
+  }
+
+  test("ID3v1: absence and truncation contracts") {
+    assert(Mp3.parseId3v1(null) === None)
+    assert(Mp3.parseId3v1(Array.emptyByteArray) === None)
+    assert(Mp3.parseId3v1(Mp3.syntheticMp3(1L)) === None) // no tag
+    val tagged = Mp3.syntheticV1TaggedMp3(0L)
+    assert(Mp3.parseId3v1(tagged.take(tagged.length - 1)) === None)
+    // v1.0 vs v1.1 split: byte 125 nonzero means 30-byte comment
+    val t1 = Mp3.parseId3v1(Mp3.syntheticV1TaggedMp3(1L)).get // 1%3!=0
+    assert(t1.track === None)
+  }
 }
