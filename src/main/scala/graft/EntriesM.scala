@@ -45,9 +45,10 @@ private[graft] object EntriesM {
 
 
     // mixed-media-lake census: magic-byte type sniffing over a column
-    // that interleaves all FOURTEEN payload families (PNG/GIF/
+    // that interleaves all SIXTEEN payload families (PNG/GIF/
     // progressive MP4/fragmented MP4/MP3/WAV/Ogg/FLAC/plain text/WebP/
-    // TIFF/Matroska/ZIP/zstd — the r13 walkers' formats join the sweep)
+    // TIFF/Matroska/ZIP/zstd/gzip/Avro — the r13 walkers' formats join
+    // the sweep)
     // — the "what is actually in this bucket" pass a 100 TB binary
     // column gets before any decode fan-out. Narrow map, O(1) header
     // reads; exact oracle
@@ -59,7 +60,7 @@ private[graft] object EntriesM {
       val mixed = ids.mapPartitions { it =>
         it.map { r =>
           val id = r.getLong(0)
-          val payload = (id % 14) match {
+          val payload = (id % 16) match {
             case 0 => graft.functions.Multimodal.syntheticPng(16, 8, id)
             case 1 => graft.functions.Multimodal.syntheticGif(8, 8, 3, id)
             case 2 => graft.functions.Mp4.syntheticMp4(id)
@@ -75,7 +76,9 @@ private[graft] object EntriesM {
               None, le = id % 2 == 0, id)
             case 11 => graft.functions.Ebml.syntheticMkv(id)
             case 12 => graft.functions.Zip.syntheticZip(id)
-            case _ => graft.functions.Zstd.syntheticZstd(id)
+            case 13 => graft.functions.Zstd.syntheticZstd(id)
+            case 14 => graft.functions.Gzip.syntheticGzip(id)
+            case _ => graft.functions.Avro.syntheticAvro(id)
           }
           org.apache.spark.sql.Row(id, payload)
         }
@@ -332,6 +335,46 @@ private[graft] object EntriesM {
       val ids = t(s, dir, "documents").select("doc_id")
       graft.functions.Mp3.id3v1Tags(
         graft.functions.Mp3.syntheticV1TaggedMp3s(ids, "doc_id"),
+        "doc_id", "payload")
+    }),
+
+
+    // gzip MEMBER walk (RFC 1952): per-member header fields + sizes with
+    // CRC32/ISIZE verified against the streaming inflate — the pass that
+    // locates records in .warc.gz, the format crawls actually ship. The
+    // fixture's deflate streams use STORED blocks so every size is
+    // closed-form; FNAME/FCOMMENT/FEXTRA/FHCRC/FTEXT all rotate and the
+    // oracle replays the full header arithmetic incl. running offsets
+    "m34_gzip_members" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select("doc_id")
+      graft.functions.Gzip.gzipMembers(
+        graft.functions.Gzip.syntheticGzips(ids, "doc_id"),
+        "doc_id", "payload")
+    }),
+
+
+    // Avro OCF block census: schema/codec from the file-metadata map and
+    // per-block row counts / byte sizes / offsets from block headers —
+    // zero row decode, codec never touched; sync-marker continuity
+    // checked on every block; fixture varints are single-byte by
+    // construction so the oracle replays offsets with LENGTH() arithmetic
+    "m35_avro_blocks" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select("doc_id")
+      graft.functions.Avro.avroBlocks(
+        graft.functions.Avro.syntheticAvros(ids, "doc_id"),
+        "doc_id", "payload")
+    }),
+
+
+    // PNG textual-metadata extraction (tEXt/zTXt/iTXt) with every chunk
+    // CRC verified — where image provenance strings live; zTXt/iTXt
+    // decode REAL zlib streams (the oracle replays the decoded text, so
+    // encoder byte choices don't matter), iTXt is strict-UTF-8 with
+    // language tags; id%5==4 files are clean but textless (zero rows)
+    "m36_png_text" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select("doc_id")
+      graft.functions.Png.pngTextChunks(
+        graft.functions.Png.syntheticTextPngs(ids, "doc_id"),
         "doc_id", "payload")
     }),
 
@@ -743,13 +786,14 @@ private[graft] object EntriesM {
     // stts durations, tkhd dims, and the head/tail extraction probes
     "m17_media_census" ->
       """SELECT doc_id,
-        | CASE CAST(doc_id % 14 AS INTEGER)
+        | CASE CAST(doc_id % 16 AS INTEGER)
         |  WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'mp4'
         |  WHEN 3 THEN 'mp4' WHEN 4 THEN 'mp3' WHEN 5 THEN 'wav'
         |  WHEN 6 THEN 'ogg' WHEN 7 THEN 'flac' WHEN 8 THEN 'unknown'
         |  WHEN 9 THEN 'webp' WHEN 10 THEN 'tiff'
         |  WHEN 11 THEN 'matroska' WHEN 12 THEN 'zip'
-        |  ELSE 'zstd' END AS media_type
+        |  WHEN 13 THEN 'zstd' WHEN 14 THEN 'gzip'
+        |  ELSE 'avro' END AS media_type
         |FROM documents""".stripMargin,
 
     // first-principles MP3 oracle: replays Mp3.syntheticShape — MPEG-1
@@ -1087,6 +1131,106 @@ private[graft] object EntriesM {
         |      ELSE NULL END AS INTEGER) AS track,
         | CAST(doc_id % 80 AS INTEGER) AS genre
         |FROM documents WHERE doc_id % 4 <> 3""".stripMargin,
+
+    // first-principles replay of Gzip.syntheticGzip's member arithmetic:
+    // stored-block deflate makes comp = ceil(len/40)*5 + len exact;
+    // header = 10 + extra(2+xlen) + fname(9) + comment(4) + hcrc(2);
+    // offsets are the running member-size sum
+    "m34_gzip_members" ->
+      """WITH d AS (SELECT doc_id, CAST(1 + doc_id % 3 AS INTEGER) AS n
+        |  FROM documents),
+        |m AS (SELECT doc_id, n, CAST(unnest(range(0, n)) AS INTEGER) AS mm
+        |  FROM d),
+        |f AS (SELECT doc_id, mm,
+        |   CAST(30 + (doc_id*3 + mm*11) % 70 AS BIGINT) AS len,
+        |   ((doc_id + mm) % 2 = 0) AS has_name,
+        |   ((doc_id + mm) % 5 = 1) AS has_comment,
+        |   ((doc_id + mm) % 3 = 0) AS has_extra,
+        |   ((doc_id + mm) % 4 = 2) AS has_hcrc,
+        |   CASE WHEN (doc_id + mm) % 7 = 3 THEN 1 ELSE 0 END AS ftext,
+        |   CAST(4 + (doc_id + mm) % 10 AS BIGINT) AS xlen
+        |  FROM m),
+        |g AS (SELECT doc_id, mm, len, ftext,
+        |   CASE WHEN has_name THEN 'f' || CAST(doc_id % 10 AS VARCHAR)
+        |     || '_' || CAST(mm AS VARCHAR) || '.txt' END AS fname,
+        |   CASE WHEN has_comment
+        |     THEN 'gc' || CAST(doc_id % 10 AS VARCHAR) END AS comment,
+        |   10 + CASE WHEN has_extra THEN 2 + xlen ELSE 0 END
+        |     + CASE WHEN has_name THEN 9 ELSE 0 END
+        |     + CASE WHEN has_comment THEN 4 ELSE 0 END
+        |     + CASE WHEN has_hcrc THEN 2 ELSE 0 END
+        |     + CAST(CEIL(len / 40.0) AS BIGINT) * 5 + len + 8 AS mbytes
+        |  FROM f)
+        |SELECT doc_id, CAST(mm AS INTEGER) AS member_no,
+        |  CAST(COALESCE(SUM(mbytes) OVER (PARTITION BY doc_id ORDER BY mm
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS "offset",
+        |  CAST(mbytes AS BIGINT) AS comp_bytes,
+        |  CAST(len AS BIGINT) AS uncomp_bytes,
+        |  fname, comment,
+        |  CAST((doc_id*1000 + mm) % 4294967296 AS BIGINT) AS mtime,
+        |  CAST((doc_id + mm) % 14 AS INTEGER) AS os,
+        |  CAST(ftext AS INTEGER) AS ftext
+        |FROM g""".stripMargin,
+
+    // replay of Avro.syntheticAvro: single-byte varints by construction,
+    // so header/offset arithmetic is LENGTH()-exact; blocks carry
+    // formula row counts and byte sizes with a 16-byte sync each
+    "m35_avro_blocks" ->
+      """WITH d AS (SELECT doc_id,
+        |   CAST(1 + doc_id % 4 AS INTEGER) AS n,
+        |   '{"type":"record","name":"r' || CAST(doc_id % 10 AS VARCHAR)
+        |     || '","fields":[]}' AS schema_json,
+        |   CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'null'
+        |     WHEN 1 THEN 'deflate' ELSE 'snappy' END AS codec,
+        |   (doc_id % 4 = 1) AS extra
+        |  FROM documents),
+        |h AS (SELECT doc_id, n, schema_json, codec,
+        |   4 + 1 + (1 + 11 + 1 + LENGTH(schema_json))
+        |     + (1 + 10 + 1 + LENGTH(codec))
+        |     + CASE WHEN extra THEN 1 + 6 + 1 + 2 ELSE 0 END
+        |     + 1 + 16 AS header_len
+        |  FROM d),
+        |b AS (SELECT doc_id, schema_json, codec, header_len,
+        |   CAST(unnest(range(0, n)) AS INTEGER) AS k
+        |  FROM h),
+        |c AS (SELECT doc_id, schema_json, codec, header_len, k,
+        |   CAST(1 + (doc_id + k*3) % 30 AS BIGINT) AS n_rows,
+        |   CAST(10 + (doc_id*5 + k*7) % 50 AS BIGINT) AS bbytes
+        |  FROM b)
+        |SELECT doc_id, CAST(k AS INTEGER) AS block_no,
+        |  schema_json, codec,
+        |  CAST(header_len + COALESCE(SUM(2 + bbytes + 16) OVER (
+        |    PARTITION BY doc_id ORDER BY k
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS "offset",
+        |  n_rows, CAST(bbytes AS BIGINT) AS block_bytes
+        |FROM c""".stripMargin,
+
+    // replay of Png.syntheticTextPng's text-chunk formulas: tEXt Title
+    // always (for tagged ids), zTXt Description unless id%4==2, iTXt
+    // Comment with per-parity language; chunk_no counts TEXT chunks
+    // only (sRGB/IDAT are strided); id%5==4 files are textless
+    "m36_png_text" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 5 <> 4),
+        |rows_ AS (
+        |  SELECT doc_id, 0 AS chunk_no, 'text' AS kind,
+        |    'Title' AS keyword, CAST(NULL AS VARCHAR) AS lang,
+        |    'title_' || CAST((doc_id*7) % 1000 AS VARCHAR) AS text
+        |  FROM d
+        |  UNION ALL
+        |  SELECT doc_id, 1, 'ztxt', 'Description', NULL,
+        |    'desc_' || CAST(doc_id % 100 AS VARCHAR)
+        |  FROM d WHERE doc_id % 4 <> 2
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 <> 2 THEN 2 ELSE 1 END, 'itxt', 'Comment',
+        |    CASE WHEN doc_id % 2 = 0 THEN 'en' ELSE 'de-DE' END,
+        |    'cömment_' || CAST(doc_id % 50 AS VARCHAR)
+        |  FROM d)
+        |SELECT doc_id, CAST(chunk_no AS INTEGER) AS chunk_no, kind,
+        |  keyword, lang, text
+        |FROM rows_""".stripMargin,
 
     // replay of Ogg.syntheticAudioOgg's header formulas: even ids Opus,
     // odd ids Vorbis, per-codec channel/rate/preskip derivations

@@ -134,6 +134,63 @@ private[graft] object EntriesT {
     }),
 
 
+    // robots.txt parsing (RFC 9309): group structure (consecutive UA
+    // lines share a group), allow/disallow patterns, crawl-delay,
+    // global sitemaps — flattened to the broadcastable rule rows a
+    // compliant crawl filter joins against; field-name casing rotates,
+    // comment/junk lines are strewn through the fixture; the matcher
+    // (longest-UA-prefix group, longest-pattern rule, tie→allow) is
+    // spec-pinned in RobotsSpec against the RFC examples
+    "t42_robots_rules" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select("doc_id")
+      graft.functions.Robots.robotsRules(
+        graft.functions.Robots.syntheticRobotsFiles(ids, "doc_id"),
+        "doc_id", "robots_text")
+    }),
+
+
+    // robots ENFORCEMENT join, the 100 TB shape: 20 hosts' robots files
+    // parsed once and broadcast, the URL stream a narrow map adding an
+    // `allowed` verdict (zero crawl shuffle); the oracle replays the
+    // longest-match decision closed-form — group bot<u> applies iff
+    // u < n(host), its /private<u>/ disallow matches iff the path's
+    // group digit equals u, and the longer ok-file allow overrides
+    // exactly when the host's group carries it
+    "t42x_robots_filter" -> ((s, dir) => {
+      val urls = t(s, dir, "documents").selectExpr("doc_id",
+        "concat('host', CAST(doc_id % 20 AS STRING)) AS host",
+        ("concat('/private', CAST((doc_id div 4) % 4 AS STRING), " +
+          "CASE WHEN doc_id % 6 = 0 " +
+          "THEN concat('/ok', CAST(doc_id % 10 AS STRING), '.html') " +
+          "ELSE concat('/x', CAST(doc_id % 10 AS STRING), '.html') " +
+          "END) AS path"),
+        "concat('bot', CAST(doc_id % 4 AS STRING)) AS ua")
+      val robots = graft.functions.Robots
+        .syntheticRobotsFiles(s.range(20).selectExpr("id AS doc_id"),
+          "doc_id")
+        .selectExpr("concat('host', CAST(doc_id AS STRING)) AS host",
+          "robots_text")
+      graft.functions.Robots.filterByRobots(
+        urls, "host", "path", "ua", robots, "host", "robots_text")
+        .select("doc_id", "host", "ua", "allowed")
+    }),
+
+
+    // EML (RFC 5322) header extraction with RFC 2047 encoded-word
+    // decoding: folded headers unfold to one SP, B- and Q-encoded words
+    // decode (adjacent ones joined without the separating whitespace,
+    // §6.2), the body after the blank line is never read — the fixture
+    // plants a colonless body line that would poison the header walk if
+    // it were; the oracle replays the DECODED values, so the base64/QP
+    // encodings round-trip under the differential
+    "t43_eml_headers" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select("doc_id")
+      graft.functions.Eml.emailHeaders(
+        graft.functions.Eml.syntheticEmls(ids, "doc_id"),
+        "doc_id", "eml_text")
+    }),
+
+
     // host-level link-graph extraction (the WARC→HTML→graph bridge),
     // FULL oracle: per-doc source hosts + injected outbound URLs → edge
     // list with link counts; mixed-case hosts on both sides pin the
@@ -841,6 +898,126 @@ private[graft] object EntriesT {
         |     THEN chr(10) || 'cont_' || CAST(j AS VARCHAR) ELSE '' END
         |  AS text
         |FROM c""".stripMargin,
+
+    // replay of Robots.syntheticRobots' group/rule formulas: per group
+    // agents first (bot<g>, then crawler<g> on even id+g), then rules in
+    // file order, then crawl_delay (rendered <n>.0 — the value is
+    // parsed, not echoed); the wildcard group (id%5==3) is group n;
+    // sitemaps are global under group_no -1
+    "t42_robots_rules" ->
+      """WITH d AS (SELECT doc_id, CAST(1 + doc_id % 3 AS INTEGER) AS n
+        |  FROM documents),
+        |g AS (SELECT doc_id, n, CAST(unnest(range(0, n)) AS INTEGER) AS gg
+        |  FROM d),
+        |f AS (SELECT doc_id, gg,
+        |   ((doc_id + gg) % 2 = 0) AS two_ua,
+        |   ((doc_id + gg) % 3 = 0) AS has_allow,
+        |   ((doc_id + gg) % 4 = 1) AS has_tmp,
+        |   ((doc_id + gg) % 4 = 2) AS has_delay
+        |  FROM g),
+        |items AS (
+        |  SELECT doc_id, gg AS group_no, 0 AS item_no, 'ua' AS kind,
+        |    'bot' || CAST(gg AS VARCHAR) AS value FROM f
+        |  UNION ALL
+        |  SELECT doc_id, gg, 1, 'ua', 'crawler' || CAST(gg AS VARCHAR)
+        |  FROM f WHERE two_ua
+        |  UNION ALL
+        |  SELECT doc_id, gg,
+        |    CASE WHEN two_ua THEN 2 ELSE 1 END, 'disallow',
+        |    '/private' || CAST(gg AS VARCHAR) || '/' FROM f
+        |  UNION ALL
+        |  SELECT doc_id, gg,
+        |    CASE WHEN two_ua THEN 3 ELSE 2 END, 'allow',
+        |    '/private' || CAST(gg AS VARCHAR) || '/ok'
+        |      || CAST(doc_id % 10 AS VARCHAR) || '.html'
+        |  FROM f WHERE has_allow
+        |  UNION ALL
+        |  SELECT doc_id, gg,
+        |    CASE WHEN two_ua THEN 2 ELSE 1 END
+        |      + CASE WHEN has_allow THEN 1 ELSE 0 END + 1, 'disallow',
+        |    '/tmp' || CAST(gg AS VARCHAR) || '/*.log$'
+        |  FROM f WHERE has_tmp
+        |  UNION ALL
+        |  SELECT doc_id, gg,
+        |    CASE WHEN two_ua THEN 2 ELSE 1 END
+        |      + CASE WHEN has_allow THEN 1 ELSE 0 END
+        |      + CASE WHEN has_tmp THEN 1 ELSE 0 END + 1, 'crawl_delay',
+        |    CAST(1 + doc_id % 9 AS VARCHAR) || '.0'
+        |  FROM f WHERE has_delay
+        |  UNION ALL
+        |  SELECT doc_id, n, 0, 'ua', '*' FROM d WHERE doc_id % 5 = 3
+        |  UNION ALL
+        |  SELECT doc_id, n, 1, 'disallow',
+        |    '/all' || CAST(doc_id % 4 AS VARCHAR) || '/'
+        |  FROM d WHERE doc_id % 5 = 3
+        |  UNION ALL
+        |  SELECT doc_id, -1, 0, 'sitemap',
+        |    'https://ex' || CAST(doc_id % 5 AS VARCHAR)
+        |      || '.com/sitemap.xml'
+        |  FROM d WHERE doc_id % 2 = 0)
+        |SELECT doc_id, CAST(group_no AS INTEGER) AS group_no,
+        |  CAST(item_no AS INTEGER) AS item_no, kind, value
+        |FROM items""".stripMargin,
+
+    // closed-form replay of the RFC 9309 decision against
+    // Robots.syntheticRobots(h): ua group u applies iff u < n(h) =
+    // 1 + h%3; its /private<u>/ disallow matches iff the path's group
+    // digit (doc_id div 4 % 4) equals u; the longer allow overrides iff
+    // the path IS the ok-file and the group carries the allow rule
+    // ((h+u)%3=0); u >= n falls to the wildcard group (whose /all rule
+    // never matches these paths) or to no group — allowed either way
+    "t42x_robots_filter" ->
+      """WITH u AS (SELECT doc_id,
+        |  doc_id % 20 AS h, doc_id % 4 AS ua_g,
+        |  (doc_id // 4) % 4 AS gp,
+        |  (doc_id % 6 = 0) AS okfile FROM documents)
+        |SELECT doc_id, 'host' || CAST(h AS VARCHAR) AS host,
+        | 'bot' || CAST(ua_g AS VARCHAR) AS ua,
+        | CAST(CASE
+        |   WHEN ua_g >= 1 + h % 3 THEN 1
+        |   WHEN gp <> ua_g THEN 1
+        |   WHEN okfile AND (h + ua_g) % 3 = 0 THEN 1
+        |   ELSE 0 END AS INTEGER) AS allowed
+        |FROM u""".stripMargin,
+
+    // replay of Eml.syntheticEml's header formulas AFTER decoding: the
+    // B-encoded (id%3=0) and split-Q-encoded (id%3=2) subjects both
+    // decode to the same sübject_<n> string; X-Folded unfolds to one SP
+    "t43_eml_headers" ->
+      """WITH d AS (SELECT doc_id, (doc_id % 4 = 2) AS folded
+        |  FROM documents),
+        |hs AS (
+        |  SELECT doc_id, 0 AS header_no, 'From' AS name,
+        |    'sender' || CAST(doc_id % 50 AS VARCHAR) || '@ex'
+        |      || CAST(doc_id % 7 AS VARCHAR) || '.example' AS value
+        |  FROM d
+        |  UNION ALL
+        |  SELECT doc_id, 1, 'To',
+        |    'rcpt' || CAST(doc_id % 30 AS VARCHAR) || '@ex'
+        |      || CAST(doc_id % 5 AS VARCHAR) || '.example'
+        |  FROM d
+        |  UNION ALL
+        |  SELECT doc_id, 2, 'Subject',
+        |    CASE WHEN doc_id % 3 = 1 THEN 'subject_' ELSE 'sübject_' END
+        |      || CAST(doc_id % 100 AS VARCHAR)
+        |  FROM d
+        |  UNION ALL
+        |  SELECT doc_id, 3, 'X-Folded',
+        |    'alpha beta_' || CAST(doc_id % 10 AS VARCHAR)
+        |  FROM d WHERE folded
+        |  UNION ALL
+        |  SELECT doc_id, CASE WHEN folded THEN 4 ELSE 3 END, 'Message-ID',
+        |    '<m' || CAST(doc_id AS VARCHAR) || '@ex.example>'
+        |  FROM d
+        |  UNION ALL
+        |  SELECT doc_id, CASE WHEN folded THEN 5 ELSE 4 END, 'Date',
+        |    'Mon, ' || CAST(1 + doc_id % 28 AS VARCHAR)
+        |      || ' Jan 2024 0' || CAST(doc_id % 10 AS VARCHAR)
+        |      || ':00:00 +0000'
+        |  FROM d)
+        |SELECT doc_id, CAST(header_no AS INTEGER) AS header_no, name,
+        |  lower(name) AS name_lc, value
+        |FROM hs""".stripMargin,
 
     "t37_link_graph" ->
       (s"""WITH injected AS (

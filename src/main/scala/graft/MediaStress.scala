@@ -68,6 +68,39 @@ object MediaStress {
         graft.functions.Zstd.syntheticZstds(ids, "doc_id"),
         "doc_id", "payload").count()
     }
+    // second r13 batch: the gzip leg is the interesting one — unlike
+    // every other walker it must INFLATE (deflate has no length field),
+    // so its docs/s is the true .warc.gz record-locator cost
+    var nMembers = 0L
+    val tMembers = time {
+      nMembers = graft.functions.Gzip.gzipMembers(
+        graft.functions.Gzip.syntheticGzips(ids, "doc_id"),
+        "doc_id", "payload").count()
+    }
+    var nBlocks = 0L
+    val tBlocks = time {
+      nBlocks = graft.functions.Avro.avroBlocks(
+        graft.functions.Avro.syntheticAvros(ids, "doc_id"),
+        "doc_id", "payload").count()
+    }
+    var nPngText = 0L
+    val tPngText = time {
+      nPngText = graft.functions.Png.pngTextChunks(
+        graft.functions.Png.syntheticTextPngs(ids, "doc_id"),
+        "doc_id", "payload").count()
+    }
+    var nRobots = 0L
+    val tRobots = time {
+      nRobots = graft.functions.Robots.robotsRules(
+        graft.functions.Robots.syntheticRobotsFiles(ids, "doc_id"),
+        "doc_id", "robots_text").count()
+    }
+    var nEml = 0L
+    val tEml = time {
+      nEml = graft.functions.Eml.emailHeaders(
+        graft.functions.Eml.syntheticEmls(ids, "doc_id"),
+        "doc_id", "eml_text").count()
+    }
     println(f"MEDIASTRESS docs=$n pages=$nPages pageWall=$tPages%.1f " +
       f"pagesPerSec=${nPages / tPages}%.0f pageMB=${pageBytes / 1e6}%.0f " +
       f"packets=$nPackets packetWall=$tPackets%.1f " +
@@ -82,7 +115,17 @@ object MediaStress {
       f"zipEntries=$nEntries zipWall=$tEntries%.1f " +
       f"zipDocsPerSec=${n / tEntries}%.0f " +
       f"zstdFrames=$nFrames zstdWall=$tFrames%.1f " +
-      f"zstdDocsPerSec=${n / tFrames}%.0f")
+      f"zstdDocsPerSec=${n / tFrames}%.0f " +
+      f"gzipMembers=$nMembers gzipWall=$tMembers%.1f " +
+      f"gzipDocsPerSec=${n / tMembers}%.0f " +
+      f"avroBlocks=$nBlocks avroWall=$tBlocks%.1f " +
+      f"avroDocsPerSec=${n / tBlocks}%.0f " +
+      f"pngText=$nPngText pngTextWall=$tPngText%.1f " +
+      f"pngTextDocsPerSec=${n / tPngText}%.0f " +
+      f"robotsItems=$nRobots robotsWall=$tRobots%.1f " +
+      f"robotsDocsPerSec=${n / tRobots}%.0f " +
+      f"emlHeaders=$nEml emlWall=$tEml%.1f " +
+      f"emlDocsPerSec=${n / tEml}%.0f")
     spark.stop()
   }
 }

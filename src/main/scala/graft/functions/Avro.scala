@@ -1,0 +1,220 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.types._
+
+/**
+ * Avro Object Container File (OCF) block census: schema + codec from the
+ * file-metadata map and per-block row counts / byte sizes / offsets from
+ * the block headers — NO row decode, no codec involved (block payloads
+ * are strided whether null/deflate/snappy-coded). Avro OCF is a standard
+ * data-lake interchange format; the lake census needs "how many rows,
+ * how are they chunked, what schema/codec" — all of which the container
+ * format exposes without touching the data, exactly like the
+ * [[Zstd]]/[[Zip]] members of the family.
+ *
+ * Format facts the walk honors (Avro 1.11 spec, container file):
+ *   - magic `Obj\x01`;
+ *   - file metadata: an Avro `map<bytes>` — repeated blocks of
+ *     (zigzag-varint long count, then |count| key/value pairs of
+ *     length-prefixed UTF-8 string key and length-prefixed bytes value),
+ *     terminated by a count of 0; a NEGATIVE count is followed by a
+ *     long byte size of the block (legal per the map encoding — honored
+ *     here by reading and striding the size field);
+ *   - a 16-byte sync marker;
+ *   - data blocks: zigzag-varint long row count, zigzag-varint long
+ *     byte size, the (possibly compressed) payload, then the 16-byte
+ *     sync marker which must EQUAL the file's — a mismatch is
+ *     lost-bytes/splice evidence;
+ *   - the last block's sync must close the payload exactly.
+ *
+ * Strict posture like the family: bad magic, varint overrun (> 10
+ * bytes), negative row count/size, anything overrunning the payload,
+ * sync mismatch, trailing bytes → None.
+ *
+ * Narrow mapPartitions — O(headers) per block, zero exchanges.
+ */
+object Avro {
+
+  /** File-level metadata plus one entry per data block. */
+  final case class Ocf(schema: Option[String], codec: String,
+      blocks: IndexedSeq[(Long, Long, Long)]) // (offset, nRows, nBytes)
+
+  /** Zigzag-varint long at `pos`: (value, next position), or null on
+   * overrun/malformation (> 10 bytes or running past `end`). */
+  private def varlong(b: Array[Byte], pos: Int, end: Int): (Long, Int) = {
+    var v = 0L
+    var shift = 0
+    var p = pos
+    while (p < end && shift <= 63) {
+      val x = b(p) & 0xff
+      v |= (x & 0x7fL) << shift
+      p += 1
+      if ((x & 0x80) == 0) {
+        // zigzag decode
+        return ((v >>> 1) ^ -(v & 1), p)
+      }
+      shift += 7
+    }
+    null
+  }
+
+  /**
+   * Parse the container structure. None unless the payload is a
+   * structurally clean OCF as documented above. The codec defaults to
+   * `"null"` when the `avro.codec` key is absent (per spec); the schema
+   * is None when `avro.schema` is absent (spec-mandatory, but this is a
+   * census — absence is reported, the structure still walks).
+   */
+  def parseOcf(payload: Array[Byte]): Option[Ocf] = {
+    val b = payload
+    if (b == null || b.length < 4 + 1 + 16) return None
+    if (b(0) != 'O' || b(1) != 'b' || b(2) != 'j' || b(3) != 1) return None
+    var pos = 4
+    var schema: Option[String] = None
+    var codec = "null"
+    // metadata map blocks
+    var done = false
+    while (!done) {
+      val c = varlong(b, pos, b.length)
+      if (c == null) return None
+      pos = c._2
+      var n = c._1
+      if (n == 0L) done = true
+      else {
+        if (n < 0) { // block-size prelude form: read and ignore the size
+          n = -n
+          val sz = varlong(b, pos, b.length)
+          if (sz == null || sz._1 < 0) return None
+          pos = sz._2
+        }
+        var k = 0L
+        while (k < n) {
+          val kl = varlong(b, pos, b.length)
+          if (kl == null || kl._1 < 0 || kl._2 + kl._1 > b.length) return None
+          val key = new String(b, kl._2, kl._1.toInt, "UTF-8")
+          pos = kl._2 + kl._1.toInt
+          val vl = varlong(b, pos, b.length)
+          if (vl == null || vl._1 < 0 || vl._2 + vl._1 > b.length) return None
+          val value = new String(b, vl._2, vl._1.toInt, "UTF-8")
+          pos = vl._2 + vl._1.toInt
+          if (key == "avro.schema") schema = Some(value)
+          else if (key == "avro.codec") codec = value
+          k += 1
+        }
+      }
+    }
+    if (pos + 16 > b.length) return None
+    val syncOff = pos
+    pos += 16
+    val blocks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    while (pos < b.length) {
+      val off = pos.toLong
+      val rc = varlong(b, pos, b.length)
+      if (rc == null || rc._1 <= 0) return None
+      val bs = varlong(b, rc._2, b.length)
+      if (bs == null || bs._1 < 0) return None
+      val dataEnd = bs._2 + bs._1
+      if (dataEnd + 16 > b.length) return None
+      var j = 0
+      while (j < 16) {
+        if (b(dataEnd.toInt + j) != b(syncOff + j)) return None
+        j += 1
+      }
+      blocks += ((off, rc._1, bs._1))
+      pos = dataEnd.toInt + 16
+    }
+    // the loop exits exactly at end-of-payload by construction (the last
+    // sync check bounds it); zero data blocks is a clean empty file
+    Some(Ocf(schema, codec, blocks.toIndexedSeq))
+  }
+
+  /** Output schema of [[avroBlocks]]. */
+  val blockSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("block_no", IntegerType),
+    StructField("schema_json", StringType),
+    StructField("codec", StringType),
+    StructField("offset", LongType),
+    StructField("n_rows", LongType),
+    StructField("block_bytes", LongType)))
+
+  /** One row per data block (file order) with the file-level
+   * schema/codec repeated; non-OCF / structurally unclean payloads
+   * contribute nothing. Narrow mapPartitions. */
+  def avroBlocks(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(idIdx)
+        parseOcf(r.getAs[Array[Byte]](pIdx)) match {
+          case Some(o) => o.blocks.iterator.zipWithIndex.map {
+            case ((off, nr, nb), i) =>
+              Row(id, i, o.schema.orNull, o.codec, off, nr, nb)
+          }
+          case None => Iterator.empty
+        }
+      }
+    }(Encoders.row(blockSchema))
+  }
+
+  private def zigzag(v: Long): Long = (v << 1) ^ (v >> 63)
+
+  /** Deterministic OCF fixture shared by the writer, the m35 oracle and
+   * the spec. Every varint-carried length/count stays < 64 so each
+   * zigzag varint is EXACTLY one byte and all offsets are closed-form
+   * in id:
+   *
+   *   - schema `{"type":"record","name":"r<id%10>","fields":[]}`
+   *     (42 bytes), codec `null`/`deflate`/`snappy` by `id%3`, plus a
+   *     third key `user.k` → `v<id%10>` when `id%4 == 1`, all in ONE
+   *     positive-count map block; terminator 0;
+   *   - sync marker byte j is `(id*17 + j) & 0xff`;
+   *   - `1 + id%4` data blocks; block k carries
+   *     `n_rows = 1 + (id + k*3) % 30` and
+   *     `block_bytes = 10 + (id*5 + k*7) % 50` opaque payload bytes
+   *     (byte j is `(id + k*19 + j) & 0xff`), then the sync;
+   *   - header length = 4 + 1 + (1+11+1+42) + (1+10+1+C) [+ (1+6+1+L)]
+   *     + 1 + 16 with C = len(codec), L = len(`v<id%10>`) = 2 — the m35
+   *     oracle replays this arithmetic with LENGTH().
+   */
+  def syntheticAvro(id: Long): Array[Byte] = {
+    val bo = new java.io.ByteArrayOutputStream()
+    def v1(v: Long): Unit = { // single-byte zigzag varint (v < 64)
+      val z = zigzag(v)
+      require(z < 0x80, s"fixture varint out of single-byte range: $v")
+      bo.write(z.toInt)
+    }
+    def strField(s: String): Unit = {
+      val x = s.getBytes("UTF-8"); v1(x.length.toLong)
+      bo.write(x, 0, x.length)
+    }
+    bo.write('O'); bo.write('b'); bo.write('j'); bo.write(1)
+    val codec = Seq("null", "deflate", "snappy")((id % 3).toInt)
+    val extra = id % 4 == 1
+    v1(if (extra) 3L else 2L)
+    strField("avro.schema")
+    strField(s"""{"type":"record","name":"r${id % 10}","fields":[]}""")
+    strField("avro.codec")
+    strField(codec)
+    if (extra) { strField("user.k"); strField(s"v${id % 10}") }
+    v1(0L) // map terminator
+    val sync = Array.tabulate(16)(j => ((id * 17 + j) & 0xff).toByte)
+    bo.write(sync, 0, 16)
+    val n = (1 + id % 4).toInt
+    (0 until n).foreach { k =>
+      val rows = 1 + (id + k * 3) % 30
+      val bytes = (10 + (id * 5 + k * 7) % 50).toInt
+      v1(rows); v1(bytes.toLong)
+      (0 until bytes).foreach(j => bo.write(((id + k * 19 + j) & 0xff).toInt))
+      bo.write(sync, 0, 16)
+    }
+    bo.toByteArray
+  }
+
+  /** Executor-side OCF fixtures — the m35 oracle replays the block and
+   * offset formulas. */
+  def syntheticAvros(df: DataFrame, idCol: String): DataFrame =
+    Fixtures.syntheticPayloads(df, idCol)(syntheticAvro)
+}

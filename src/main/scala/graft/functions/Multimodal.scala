@@ -965,8 +965,8 @@ object Multimodal {
    * decoding anything): png / jpeg / gif / bmp / mp4 (any ISO-BMFF) /
    * mp3 (ID3v2 or a valid MPEG-audio frame header) / wav / ogg / flac /
    * webp / tiff / matroska (any EBML incl. WebM) / zip / zstd (frame or
-   * skippable) / gzip / tar (ustar) / warc / empty / unknown. Pure
-   * header reads — O(1) per row.
+   * skippable) / avro (OCF) / gzip / tar (ustar) / warc / empty /
+   * unknown. Pure header reads — O(1) per row.
    */
   def sniffMediaType(payload: Array[Byte]): String = {
     if (payload == null || payload.isEmpty) return "empty"
@@ -1003,6 +1003,7 @@ object Multimodal {
       at(3) == 0xfd) "zstd"
     else if ((at(0) & 0xf0) == 0x50 && at(1) == 0x2a && at(2) == 0x4d &&
       at(3) == 0x18) "zstd" // skippable frame
+    else if (str(0, "Obj") && at(3) == 1) "avro"
     else if (str(257, "ustar")) "tar"
     else if (str(0, "WARC/")) "warc"
     else "unknown"

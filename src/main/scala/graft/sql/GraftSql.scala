@@ -190,7 +190,13 @@ object GraftSql {
    * `mkv_tracks(...)` (Matroska/WebM EBML walk), `zip_entries(...)`
    * (ZIP central-directory census), `zstd_frames(...)` (zstd frame
    * census, zero decompression), `url_canon([id:.., col:url])`
-   * (RFC 3986 canonicalization for dedup keys);
+   * (RFC 3986 canonicalization for dedup keys), `gzip_members(...)`
+   * (RFC 1952 member walk with CRC/ISIZE verification — the .warc.gz
+   * record locator), `avro_blocks(...)` (Avro OCF block census, zero
+   * row decode), `png_text(...)` (tEXt/zTXt/iTXt extraction with chunk
+   * CRCs verified), `robots_rules([id:.., col:text])` (RFC 9309
+   * robots.txt → broadcastable rule rows), `eml_headers(...)`
+   * (RFC 5322 header extraction with RFC 2047 encoded-word decode);
    * ops tooling: `key_skew(keys:"k"[, k:10])` (shuffle-key skew
    * diagnostic), `suggest_salt(keys:"k"[, target:n, max:n])` (measured
    * salt-factor advisor), `PROCESS probe, dim USING salted_join(
@@ -496,6 +502,26 @@ object GraftSql {
         },
         "subtitle_cues" -> ProcessorDef { (_, dfs, p) =>
           graft.functions.Subtitles.subtitleCues(one(dfs, "subtitle_cues"),
+            p.getOrElse("id", "doc_id"), p.getOrElse("col", "text"))
+        },
+        "gzip_members" -> ProcessorDef { (_, dfs, p) =>
+          graft.functions.Gzip.gzipMembers(one(dfs, "gzip_members"),
+            p.getOrElse("id", "doc_id"), p.getOrElse("col", "payload"))
+        },
+        "avro_blocks" -> ProcessorDef { (_, dfs, p) =>
+          graft.functions.Avro.avroBlocks(one(dfs, "avro_blocks"),
+            p.getOrElse("id", "doc_id"), p.getOrElse("col", "payload"))
+        },
+        "png_text" -> ProcessorDef { (_, dfs, p) =>
+          graft.functions.Png.pngTextChunks(one(dfs, "png_text"),
+            p.getOrElse("id", "doc_id"), p.getOrElse("col", "payload"))
+        },
+        "robots_rules" -> ProcessorDef { (_, dfs, p) =>
+          graft.functions.Robots.robotsRules(one(dfs, "robots_rules"),
+            p.getOrElse("id", "doc_id"), p.getOrElse("col", "text"))
+        },
+        "eml_headers" -> ProcessorDef { (_, dfs, p) =>
+          graft.functions.Eml.emailHeaders(one(dfs, "eml_headers"),
             p.getOrElse("id", "doc_id"), p.getOrElse("col", "text"))
         },
         // hybrid-retrieval fusion: PROCESS lexical, dense USING

@@ -1,0 +1,111 @@
+package graft
+
+import graft.functions.Avro
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Avro OCF block census: the fixture against its closed form, the
+ * negative-count metadata-map encoding, multi-byte varints, and the
+ * corrupt contract (sync mismatch, truncation, trailing bytes, varint
+ * overrun). */
+class AvroSpec extends AnyFunSuite {
+
+  test("fixture decodes to the closed block form (IDs 0-59)") {
+    (0L until 60L).foreach { id =>
+      val o = Avro.parseOcf(Avro.syntheticAvro(id))
+        .getOrElse(fail(s"id=$id did not parse"))
+      assert(o.schema ===
+        Some(s"""{"type":"record","name":"r${id % 10}","fields":[]}"""))
+      assert(o.codec === Seq("null", "deflate", "snappy")((id % 3).toInt))
+      val n = (1 + id % 4).toInt
+      assert(o.blocks.size === n, s"id=$id")
+      val schemaLen = o.schema.get.getBytes("UTF-8").length
+      val headerLen = 4 + 1 + (1 + 11 + 1 + schemaLen) +
+        (1 + 10 + 1 + o.codec.length) +
+        (if (id % 4 == 1) 1 + 6 + 1 + 2 else 0) + 1 + 16
+      var off = headerLen.toLong
+      o.blocks.zipWithIndex.foreach { case ((boff, rows, bytes), k) =>
+        assert(boff === off, s"id=$id k=$k")
+        assert(rows === 1 + (id + k * 3) % 30, s"id=$id k=$k")
+        assert(bytes === 10 + (id * 5 + k * 7) % 50, s"id=$id k=$k")
+        off += 2 + bytes + 16
+      }
+    }
+  }
+
+  /** Hand-build an OCF exercising what the fixture can't: a
+   * negative-count metadata map block (with byte-size prelude) and
+   * multi-byte varints (row count and block size > 63). */
+  test("negative-count map blocks and multi-byte varints parse") {
+    val bo = new java.io.ByteArrayOutputStream()
+    def varint(v: Long): Unit = { // zigzag varint, any width
+      var z = (v << 1) ^ (v >> 63)
+      while ((z & ~0x7fL) != 0) { bo.write(((z & 0x7f) | 0x80).toInt); z >>>= 7 }
+      bo.write(z.toInt)
+    }
+    def strf(s: String): Unit = {
+      val b = s.getBytes("UTF-8"); varint(b.length.toLong)
+      bo.write(b, 0, b.length)
+    }
+    bo.write('O'); bo.write('b'); bo.write('j'); bo.write(1)
+    // negative count: |count|=1 entries, preceded by the block byte size
+    val entry = { // measure the single entry's bytes for the size field
+      val t = new java.io.ByteArrayOutputStream()
+      def tv(v: Long): Unit = {
+        var z = (v << 1) ^ (v >> 63)
+        while ((z & ~0x7fL) != 0) { t.write(((z & 0x7f) | 0x80).toInt); z >>>= 7 }
+        t.write(z.toInt)
+      }
+      def ts(s: String): Unit = {
+        val b = s.getBytes("UTF-8"); tv(b.length.toLong); t.write(b, 0, b.length)
+      }
+      ts("avro.schema"); ts("\"long\"")
+      t.toByteArray
+    }
+    varint(-1L)
+    varint(entry.length.toLong)
+    bo.write(entry, 0, entry.length)
+    // a second, positive-count block for the codec
+    varint(1L); strf("avro.codec"); strf("deflate")
+    varint(0L)
+    val sync = Array.tabulate(16)(j => (j * 11).toByte)
+    bo.write(sync, 0, 16)
+    // one block with multi-byte varints: 1000 rows, 300 bytes
+    varint(1000L); varint(300L)
+    (0 until 300).foreach(j => bo.write(j & 0xff))
+    bo.write(sync, 0, 16)
+    val o = Avro.parseOcf(bo.toByteArray).getOrElse(fail("did not parse"))
+    assert(o.schema === Some("\"long\""))
+    assert(o.codec === "deflate")
+    assert(o.blocks === IndexedSeq(
+      ((4 + 1 + 1 + entry.length + 1 + 11 + 8 + 1 + 16).toLong, 1000L, 300L)))
+  }
+
+  test("corrupt contract: sync, truncation, trailing bytes, bad magic") {
+    val good = Avro.syntheticAvro(5L)
+    assert(Avro.parseOcf(good).isDefined)
+    // flip a byte of the LAST block's sync marker
+    val syncBad = good.clone()
+    syncBad(syncBad.length - 1) = (syncBad(syncBad.length - 1) ^ 0x01).toByte
+    assert(Avro.parseOcf(syncBad).isEmpty, "sync continuity must be checked")
+    // truncations never parse, never throw — except at block boundaries
+    // (incl. the header end), where the prefix is a complete shorter
+    // file (an OCF with fewer/zero data blocks is clean per spec)
+    val parsed = Avro.parseOcf(good).get
+    val boundaries = parsed.blocks.map(_._1.toInt).toSet +
+      (parsed.blocks.last._1 + 2 + parsed.blocks.last._3 + 16).toInt
+    (1 until good.length).filterNot(boundaries).foreach { cut =>
+      assert(Avro.parseOcf(good.take(cut)).isEmpty, s"cut=$cut")
+    }
+    // trailing bytes after the last sync
+    assert(Avro.parseOcf(good ++ Array[Byte](1)).isEmpty)
+    // bad magic
+    val magicBad = good.clone(); magicBad(3) = 2
+    assert(Avro.parseOcf(magicBad).isEmpty)
+    // a varint that never terminates (11 continuation bytes at the map
+    // count position)
+    val overrun = Array[Byte]('O', 'b', 'j', 1) ++
+      Array.fill(11)(0x80.toByte) ++ Array.fill(20)(0.toByte)
+    assert(Avro.parseOcf(overrun).isEmpty, "varint overrun must poison")
+    assert(Avro.parseOcf(null).isEmpty)
+  }
+}

@@ -1204,6 +1204,36 @@ class GraftSqlSpec extends SparkTestBase {
           graft.functions.Subtitles.syntheticSubtitle(4L))), ts))).yields("f")
       .collect()
     assert(sc.length === 3 && sc.head.getLong(2) === 4L) // start 0*5000+4%1000
+    // the round's second walker batch: gzip/avro/png-text/robots
+    val gm = run1("gzip_members", graft.functions.Gzip.syntheticGzip(6L), 6L)
+      .collect()
+    assert(gm.length === 1 && gm.head.getString(5) === "f6_0.txt" &&
+      gm.head.getLong(4) === 30 + (6 * 3) % 70)
+    val av = run1("avro_blocks", graft.functions.Avro.syntheticAvro(8L))
+      .collect()
+    assert(av.length === 1 + 8 % 4 && av.head.getString(3) === "snappy")
+    val pt = run1("png_text", graft.functions.Png.syntheticTextPng(8L))
+      .collect().map(r => r.getString(3) -> r.getString(5)).toMap
+    assert(pt("Title") === "title_56" && pt("Comment") === "cömment_8")
+    val rb = GraftSql.run(engine,
+      """f = PROCESS src USING robots_rules
+        |YIELD f AS f
+        |""".stripMargin,
+      Map("src" -> spark.createDataFrame(java.util.Arrays.asList(
+        org.apache.spark.sql.Row(4L,
+          graft.functions.Robots.syntheticRobots(4L))), ts))).yields("f")
+      .collect()
+    assert(rb.exists(r => r.getString(3) === "ua" && r.getString(4) === "bot0"))
+    assert(rb.exists(r => r.getString(3) === "sitemap")) // id 4 is even
+    val em = GraftSql.run(engine,
+      """f = PROCESS src USING eml_headers
+        |YIELD f AS f
+        |""".stripMargin,
+      Map("src" -> spark.createDataFrame(java.util.Arrays.asList(
+        org.apache.spark.sql.Row(6L,
+          graft.functions.Eml.syntheticEml(6L))), ts))).yields("f")
+      .collect().map(r => r.getString(3) -> r.getString(4)).toMap
+    assert(em("subject") === "sübject_6") // id 6: B-encoded word decoded
   }
 
   test("rrf_fuse processor fuses ranked lists") {
