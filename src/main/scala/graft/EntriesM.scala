@@ -366,6 +366,51 @@ private[graft] object EntriesM {
     }),
 
 
+    // EXIF deep walk: IFD0 → Exif sub-IFD (DateTimeOriginal, pixel
+    // dims) → GPS sub-IFD (lat/lon from count-3 rationals, S/W
+    // negation) — the photo-provenance census (capture-time clustering,
+    // geo fencing) with zero pixel decode; byte order rotates II/MM,
+    // id%7==4 files have no GPS IFD (absent fields, still one row),
+    // id%11==6 files have no APP1 at all (no chain — zero rows); the
+    // oracle replays the decimal-degree arithmetic in the documented
+    // IEEE op order, so the doubles compare EXACTLY
+    "m38_exif_gps" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select("doc_id")
+      graft.functions.Imaging.exifMeta(
+        graft.functions.Imaging.syntheticExifJpegs(ids, "doc_id"),
+        "doc_id", "payload")
+    }),
+
+
+    // parquet FOOTER census: rows / leaf columns / row groups / writer
+    // read from the FileMetaData thrift of REAL files Spark just wrote
+    // (the m12 temp-dir pattern) — the walker's verdict columns compare
+    // its projection against what was written, and the oracle replays
+    // the closed form; the same walk is cross-checked file-by-file
+    // against Spark's own reader over the sf0.001 tables in
+    // ParquetFooterSpec
+    "m37_parquet_footer" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
+      val out = java.nio.file.Files.createTempDirectory("graft_m37").toString
+      docs.repartition(2).write.mode("overwrite").parquet(s"$out/p")
+      val bin = graft.functions.Multimodal
+        .loadBinaryFiles(s, s"$out/p", "*.parquet")
+        .selectExpr("monotonically_increasing_id() AS doc_id", "payload")
+      val footers = graft.functions.ParquetFooter.parquetFooters(
+        bin, "doc_id", "payload")
+      footers.groupBy("doc_id", "num_rows", "n_leaf_columns", "created_by")
+        .agg(sum("rg_rows").as("rg_sum"))
+        .agg(
+          sum("num_rows").cast("long").as("total_rows"),
+          count(lit(1)).cast("long").as("n_files"),
+          max("n_leaf_columns").cast("int").as("n_leaf_cols"),
+          min(when(col("rg_sum") === col("num_rows"), 1)
+            .otherwise(0)).cast("int").as("rows_agree"),
+          min(when(col("created_by").startsWith("parquet-mr"), 1)
+            .otherwise(0)).cast("int").as("writer_known"))
+    }),
+
+
     // PNG textual-metadata extraction (tEXt/zTXt/iTXt) with every chunk
     // CRC verified — where image provenance strings live; zTXt/iTXt
     // decode REAL zlib streams (the oracle replays the decoded text, so
@@ -1206,6 +1251,44 @@ private[graft] object EntriesM {
         |    AS BIGINT) AS "offset",
         |  n_rows, CAST(bbytes AS BIGINT) AS block_bytes
         |FROM c""".stripMargin,
+
+    // replay of Imaging.syntheticExifJpeg: the datetime string
+    // formula and the lat/lon decimal-degree arithmetic in the SAME
+    // IEEE op order as the parser (deg + min/60.0 + (sec100/100.0)
+    // /3600.0, then sign) — doubles compare exactly
+    "m38_exif_gps" ->
+      """SELECT doc_id,
+        | CAST(1 + doc_id % 8 AS INTEGER) AS orientation,
+        | '20' || CAST(10 + doc_id % 30 AS VARCHAR) || ':0'
+        |   || CAST(1 + doc_id % 9 AS VARCHAR) || ':'
+        |   || CAST(10 + doc_id % 19 AS VARCHAR) || ' 0'
+        |   || CAST(doc_id % 10 AS VARCHAR) || ':5'
+        |   || CAST(doc_id % 10 AS VARCHAR) || ':3'
+        |   || CAST(doc_id % 6 AS VARCHAR) AS dt_original,
+        | CAST(640 + doc_id % 1280 AS BIGINT) AS pixel_x,
+        | CAST(480 + doc_id % 960 AS BIGINT) AS pixel_y,
+        | CASE WHEN doc_id % 7 = 4 THEN NULL ELSE
+        |   (CASE WHEN doc_id % 3 = 0 THEN -1.0 ELSE 1.0 END) *
+        |   ((doc_id % 90) + (doc_id % 60) / 60.0
+        |     + ((doc_id * 37 % 6000) / 100.0) / 3600.0)
+        | END AS lat,
+        | CASE WHEN doc_id % 7 = 4 THEN NULL ELSE
+        |   (CASE WHEN doc_id % 5 < 2 THEN -1.0 ELSE 1.0 END) *
+        |   ((doc_id % 180) + (doc_id * 3 % 60) / 60.0
+        |     + ((doc_id * 53 % 6000) / 100.0) / 3600.0)
+        | END AS lon
+        |FROM documents WHERE doc_id % 11 <> 6""".stripMargin,
+
+    // closed-form replay of the m37 write: Spark wrote count(documents)
+    // rows into 2 files of 3 leaf columns; the verdict columns assert
+    // the walker's internal consistency (rg sums, known writer)
+    "m37_parquet_footer" ->
+      """SELECT CAST(count(*) AS BIGINT) AS total_rows,
+        | CAST(2 AS BIGINT) AS n_files,
+        | CAST(3 AS INTEGER) AS n_leaf_cols,
+        | CAST(1 AS INTEGER) AS rows_agree,
+        | CAST(1 AS INTEGER) AS writer_known
+        |FROM documents""".stripMargin,
 
     // replay of Png.syntheticTextPng's text-chunk formulas: tEXt Title
     // always (for tagged ids), zTXt Description unless id%4==2, iTXt

@@ -176,6 +176,22 @@ private[graft] object EntriesT {
     }),
 
 
+    // JSON SHAPE census — the schema-inference primitive for JSONL /
+    // event-props lakes: one (key, type) row per top-level field via
+    // Jackson streaming (nested values skipped, never materialized),
+    // then an ordinary Catalyst GROUP BY — the operator emits pairs,
+    // Spark plans the shuffle; truncated docs (id%11==5) poison to
+    // zero rows, and meta's INNER keys must not leak into the census
+    "t44_json_shape" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select("doc_id")
+      graft.functions.Json.jsonShape(
+        graft.functions.Json.syntheticJsons(ids, "doc_id"),
+        "doc_id", "json_text")
+        .groupBy("key", "vtype")
+        .agg(count(lit(1)).cast("long").as("n"))
+    }),
+
+
     // EML (RFC 5322) header extraction with RFC 2047 encoded-word
     // decoding: folded headers unfold to one SP, B- and Q-encoded words
     // decode (adjacent ones joined without the separating whitespace,
@@ -979,6 +995,25 @@ private[graft] object EntriesT {
         |   WHEN okfile AND (h + ua_g) % 3 = 0 THEN 1
         |   ELSE 0 END AS INTEGER) AS allowed
         |FROM u""".stripMargin,
+
+    // replay of Json.syntheticJson's key/type rotations: per-key doc
+    // counts over the non-truncated ids
+    "t44_json_shape" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 11 <> 5),
+        |rows_ AS (
+        | SELECT 'id' AS key, 'int' AS vtype, count(*) AS n FROM d
+        | UNION ALL SELECT 'name', 'string', count(*) FROM d
+        | UNION ALL SELECT 'score', 'float', count(*) FROM d
+        |   WHERE doc_id % 3 <> 1
+        | UNION ALL SELECT 'tags', 'array', count(*) FROM d
+        |   WHERE doc_id % 4 = 0
+        | UNION ALL SELECT 'meta', 'object', count(*) FROM d
+        |   WHERE doc_id % 5 = 2
+        | UNION ALL SELECT 'flag', 'bool', count(*) FROM d
+        | UNION ALL SELECT 'opt', 'null', count(*) FROM d
+        |   WHERE doc_id % 7 = 3)
+        |SELECT key, vtype, CAST(n AS BIGINT) AS n FROM rows_
+        |WHERE n > 0""".stripMargin,
 
     // replay of Eml.syntheticEml's header formulas AFTER decoding: the
     // B-encoded (id%3=0) and split-Q-encoded (id%3=2) subjects both

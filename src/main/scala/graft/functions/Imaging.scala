@@ -463,4 +463,335 @@ object Imaging {
    * family rotation and dim formulas. */
   def syntheticImages(df: DataFrame, idCol: String): DataFrame =
     Fixtures.syntheticPayloads(df, idCol)(syntheticImage)
+
+  // =====================================================================
+  // EXIF deep walk (m38): IFD0 → Exif sub-IFD (capture time, pixel
+  // dims) → GPS sub-IFD (lat/lon rationals) — the photo-provenance
+  // census a multimodal curation pipeline filters and dedups on
+  // (capture-time clustering, geo fencing) before any pixel decode.
+  // =====================================================================
+
+  /** Deep EXIF projection. `lat`/`lon` are SIGNED decimal degrees
+   * computed as `deg + min/60.0 + sec/3600.0` in exactly that IEEE
+   * operation order (each component first divided by its own
+   * denominator) — documented because the conformance oracle replays
+   * the same op order and doubles compare exactly. */
+  final case class ExifMeta(orientation: Option[Int],
+      dtOriginal: Option[String], pixelX: Option[Long], pixelY: Option[Long],
+      lat: Option[Double], lon: Option[Double])
+
+  /**
+   * Walk the full EXIF chain of a JPEG (APP1 `Exif`) or standalone TIFF
+   * payload. IFD0's scalar tags and its two sub-IFD pointer tags
+   * (0x8769 Exif, 0x8825 GPS) are followed; inside Exif:
+   * DateTimeOriginal (0x9003, ASCII, NUL trimmed), PixelXDimension /
+   * PixelYDimension (0xA002/0xA003, SHORT or LONG); inside GPS: the
+   * ref/rational quadruple (0x0001–0x0004), each coordinate a count-3
+   * RATIONAL through the value-offset indirection, S/W refs negating.
+   * Unprojected tags are strided by the fixed 12-byte entry layout.
+   *
+   * None when there is no TIFF header to walk (a JPEG without APP1
+   * Exif, a non-JPEG/TIFF payload) or the structure is malformed —
+   * absence and corruption both poison, matching [[parseImageMeta]]'s
+   * strict Exif posture. Fields missing INSIDE a clean chain are
+   * None-fields, not corruption.
+   */
+  def parseExif(b: Array[Byte]): Option[ExifMeta] = {
+    if (b == null || b.length < 8) return None
+    // locate the TIFF header: standalone TIFF at 0, or JPEG APP1 Exif
+    val tiff: Option[(Int, Int)] = // (tiffStart, end)
+      if ((b(0) == 'I' && b(1) == 'I') || (b(0) == 'M' && b(1) == 'M'))
+        Some((0, b.length))
+      else if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
+        var pos = 2
+        var found: Option[(Int, Int)] = None
+        var stop = false
+        while (!stop && found.isEmpty && pos + 4 <= b.length) {
+          if ((b(pos) & 0xff) != 0xff) stop = true
+          else {
+            var mpos = pos + 1
+            while (mpos < b.length && (b(mpos) & 0xff) == 0xff) mpos += 1
+            if (mpos >= b.length) stop = true
+            else {
+              val m = b(mpos) & 0xff
+              if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
+                pos = mpos + 1
+              } else if (m == 0xd9 || m == 0xda) stop = true
+              else {
+                if (mpos + 3 > b.length) stop = true
+                else {
+                  val seglen = u16be(b, mpos + 1)
+                  if (seglen < 2 || mpos + 1 + seglen > b.length) stop = true
+                  else {
+                    val body = mpos + 3
+                    if (m == 0xe1 && seglen >= 8 && b(body) == 'E' &&
+                      b(body + 1) == 'x' && b(body + 2) == 'i' &&
+                      b(body + 3) == 'f' && b(body + 4) == 0 &&
+                      b(body + 5) == 0)
+                      found = Some((body + 6, mpos + 1 + seglen))
+                    pos = mpos + 1 + seglen
+                  }
+                }
+              }
+            }
+          }
+        }
+        found
+      } else None
+    tiff.flatMap { case (t, end) => walkExifChain(b, t, end) }
+  }
+
+  private def walkExifChain(b: Array[Byte], tiff: Int, end: Int): Option[ExifMeta] = {
+    val le =
+      if (b(tiff) == 'I' && b(tiff + 1) == 'I') true
+      else if (b(tiff) == 'M' && b(tiff + 1) == 'M') false
+      else return None
+    def r16(i: Int) = if (le) u16le(b, i) else u16be(b, i)
+    def r32(i: Int) = if (le) u32le(b, i) else u32be(b, i)
+    if (tiff + 8 > end || r16(tiff + 2) != 42) return None
+
+    // one IFD pass: f(tag, type, count, valueFieldOffset); returns false
+    // on structural malformation
+    def walkIfd(ifdOff: Long)(f: (Int, Int, Long, Int) => Unit): Boolean = {
+      val ifd = tiff + ifdOff
+      if (ifd < tiff || ifd + 2 > end) return false
+      val n = r16(ifd.toInt)
+      val base = ifd.toInt + 2
+      if (base + 12L * n > end) return false
+      var i = 0
+      while (i < n) {
+        val e = base + 12 * i
+        f(r16(e), r16(e + 2), r32(e + 4), e + 8)
+        i += 1
+      }
+      true
+    }
+    // ASCII value of `count` bytes (incl. NUL): inline when <= 4, else
+    // through the offset; trimmed at the first NUL
+    def ascii(cnt: Long, vOff: Int): Option[String] = {
+      if (cnt <= 0 || cnt > (1 << 16)) return None
+      val off = if (cnt <= 4) vOff.toLong else tiff + r32(vOff)
+      if (off < tiff || off + cnt > end) return None
+      val raw = new String(b, off.toInt, cnt.toInt, "US-ASCII")
+      val nul = raw.indexOf('\u0000')
+      Some(if (nul >= 0) raw.substring(0, nul) else raw)
+    }
+    def shortOrLong(tpe: Int, vOff: Int): Option[Long] =
+      if (tpe == 3) Some(r16(vOff).toLong)
+      else if (tpe == 4) Some(r32(vOff))
+      else None
+    // count-3 RATIONAL coordinate → deg + min/60.0 + sec/3600.0
+    def rational3(cnt: Long, vOff: Int): Option[Double] = {
+      if (cnt != 3L) return None
+      val off = tiff + r32(vOff)
+      if (off < tiff || off + 24 > end) return None
+      val o = off.toInt
+      def part(k: Int): Option[Double] = {
+        val num = r32(o + 8 * k)
+        val den = r32(o + 8 * k + 4)
+        if (den == 0L) None else Some(num.toDouble / den.toDouble)
+      }
+      for (d <- part(0); m <- part(1); s <- part(2))
+        yield d + m / 60.0 + s / 3600.0
+    }
+
+    var orientation: Option[Int] = None
+    var exifPtr: Option[Long] = None
+    var gpsPtr: Option[Long] = None
+    if (!walkIfd(r32(tiff + 4)) { (tag, tpe, cnt, vOff) =>
+      tag match {
+        case 0x0112 if tpe == 3 && cnt == 1L =>
+          val v = r16(vOff)
+          if (v >= 1 && v <= 8) orientation = Some(v)
+        case 0x8769 if tpe == 4 && cnt == 1L => exifPtr = Some(r32(vOff))
+        case 0x8825 if tpe == 4 && cnt == 1L => gpsPtr = Some(r32(vOff))
+        case _ => ()
+      }
+    }) return None
+
+    var dt: Option[String] = None
+    var px: Option[Long] = None
+    var py: Option[Long] = None
+    exifPtr.foreach { p =>
+      if (!walkIfd(p) { (tag, tpe, cnt, vOff) =>
+        tag match {
+          case 0x9003 if tpe == 2 => dt = ascii(cnt, vOff)
+          case 0xA002 => px = shortOrLong(tpe, vOff)
+          case 0xA003 => py = shortOrLong(tpe, vOff)
+          case _ => ()
+        }
+      }) return None
+    }
+
+    var latRef, lonRef: Option[String] = None
+    var latAbs, lonAbs: Option[Double] = None
+    gpsPtr.foreach { p =>
+      if (!walkIfd(p) { (tag, tpe, cnt, vOff) =>
+        tag match {
+          case 0x0001 if tpe == 2 => latRef = ascii(cnt, vOff)
+          case 0x0002 if tpe == 5 => latAbs = rational3(cnt, vOff)
+          case 0x0003 if tpe == 2 => lonRef = ascii(cnt, vOff)
+          case 0x0004 if tpe == 5 => lonAbs = rational3(cnt, vOff)
+          case _ => ()
+        }
+      }) return None
+    }
+    val lat = for (v <- latAbs; r <- latRef)
+      yield if (r == "S") -v else v
+    val lon = for (v <- lonAbs; r <- lonRef)
+      yield if (r == "W") -v else v
+    Some(ExifMeta(orientation, dt, px, py, lat, lon))
+  }
+
+  /** Output schema of [[exifMeta]]. */
+  val exifSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("orientation", IntegerType),
+    StructField("dt_original", StringType),
+    StructField("pixel_x", LongType),
+    StructField("pixel_y", LongType),
+    StructField("lat", DoubleType),
+    StructField("lon", DoubleType)))
+
+  /** One row per payload with a walkable EXIF chain; payloads without
+   * one contribute nothing. Narrow mapPartitions — header-only reads. */
+  def exifMeta(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(idIdx)
+        parseExif(r.getAs[Array[Byte]](pIdx)).map { m =>
+          Row(id, m.orientation.map(Int.box).orNull, m.dtOriginal.orNull,
+            m.pixelX.map(Long.box).orNull, m.pixelY.map(Long.box).orNull,
+            m.lat.map(Double.box).orNull, m.lon.map(Double.box).orNull)
+        }.iterator
+      }
+    }(Encoders.row(exifSchema))
+  }
+
+  /** Deterministic GPS-tagged JPEG fixture shared by the writer, the
+   * m38 oracle and the spec. Byte order II when `id%2 == 0` else MM
+   * (endianness is the engine's to erase). IFD0: orientation
+   * `1 + id%8`, Exif and GPS sub-IFD pointers. Exif IFD:
+   * DateTimeOriginal `20<10 + id%30>:0<1 + id%9>:<10 + id%19>
+   * 0<id%10>:5<id%10>:3<id%6>`, PixelXDimension `640 + id%1280`
+   * (SHORT), PixelYDimension `480 + id%960` (LONG). GPS IFD: lat ref
+   * N/S by `id%3 == 0`, lat `deg = id%90, min = id%60,
+   * sec = (id*37 % 6000)/100` (denominators 1/1/100); lon ref E/W by
+   * `id%5 < 2`, lon `deg = id%180, min = (id*3)%60,
+   * sec = (id*53 % 6000)/100`; decimal degrees =
+   * `±(deg + min/60.0 + (sec100/100.0)/3600.0)` in exactly that op
+   * order. ids with `id%7 == 4` omit the GPS IFD (metadata absent, not
+   * corruption); ids with `id%11 == 6` omit the whole APP1 (no chain —
+   * zero rows). */
+  def syntheticExifJpeg(id: Long): Array[Byte] = {
+    if (id % 11 == 6) return syntheticJpeg(
+      (16 + (id * 7) % 240).toInt, (16 + (id * 3) % 240).toInt,
+      None, le = true, progressive = false, id)
+    val le = id % 2 == 0
+    val tb = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit =
+      if (le) { tb.write(v & 0xff); tb.write((v >> 8) & 0xff) }
+      else { tb.write((v >> 8) & 0xff); tb.write(v & 0xff) }
+    def w32(v: Long): Unit =
+      if (le) { tb.write((v & 0xff).toInt); tb.write(((v >> 8) & 0xff).toInt)
+        tb.write(((v >> 16) & 0xff).toInt); tb.write(((v >> 24) & 0xff).toInt) }
+      else { tb.write(((v >> 24) & 0xff).toInt); tb.write(((v >> 16) & 0xff).toInt)
+        tb.write(((v >> 8) & 0xff).toInt); tb.write((v & 0xff).toInt) }
+    val hasGps = id % 7 != 4
+    val dt = f"20${10 + id % 30}%02d:0${1 + id % 9}:${10 + id % 19} " +
+      f"0${id % 10}:5${id % 10}:3${id % 6}"
+    val dtBytes = (dt + "\u0000").getBytes("US-ASCII") // 20 bytes
+    require(dtBytes.length == 20)
+    // layout (offsets relative to the TIFF header):
+    //   8: IFD0 (2 + 2|3 entries*12 + 4)
+    //   then Exif IFD (2 + 3*12 + 4), then dt bytes (20),
+    //   then (if GPS) GPS IFD (2 + 4*12 + 4) + 2 rationals (24 + 24)
+    val n0 = if (hasGps) 3 else 2
+    val ifd0 = 8L
+    val exifIfd = ifd0 + 2 + 12 * n0 + 4
+    val dtOff = exifIfd + 2 + 3 * 12 + 4
+    val gpsIfd = dtOff + 20
+    val latOff = gpsIfd + 2 + 4 * 12 + 4
+    val lonOff = latOff + 24
+    tb.write("Exif".getBytes("US-ASCII"), 0, 4); tb.write(0); tb.write(0)
+    if (le) { tb.write('I'); tb.write('I') } else { tb.write('M'); tb.write('M') }
+    w16(42); w32(ifd0)
+    def entryShort(tag: Int, v: Int): Unit = {
+      w16(tag); w16(3); w32(1L); w16(v); w16(0)
+    }
+    def entryLong(tag: Int, v: Long): Unit = { w16(tag); w16(4); w32(1L); w32(v) }
+    // IFD0
+    w16(n0)
+    entryShort(0x0112, (1 + id % 8).toInt)
+    entryLong(0x8769, exifIfd)
+    if (hasGps) entryLong(0x8825, gpsIfd)
+    w32(0L)
+    // Exif IFD
+    w16(3)
+    w16(0x9003); w16(2); w32(20L); w32(dtOff)
+    entryShort(0xA002, (640 + id % 1280).toInt)
+    entryLong(0xA003, 480 + id % 960)
+    w32(0L)
+    tb.write(dtBytes, 0, 20)
+    if (hasGps) {
+      val latRef = if (id % 3 == 0) "S" else "N"
+      val lonRef = if (id % 5 < 2) "W" else "E"
+      def entryAscii2(tag: Int, s: String): Unit = {
+        w16(tag); w16(2); w32(2L)
+        // inline value: 2 ASCII bytes + 2 pad, NOT offset —
+        // byte order does not apply to byte-wise values
+        tb.write(s.charAt(0).toInt); tb.write(0); tb.write(0); tb.write(0)
+      }
+      def entryRational3(tag: Int, off: Long): Unit = {
+        w16(tag); w16(5); w32(3L); w32(off)
+      }
+      w16(4)
+      entryAscii2(0x0001, latRef)
+      entryRational3(0x0002, latOff)
+      entryAscii2(0x0003, lonRef)
+      entryRational3(0x0004, lonOff)
+      w32(0L)
+      def rational(num: Long, den: Long): Unit = { w32(num); w32(den) }
+      rational(id % 90, 1); rational(id % 60, 1); rational(id * 37 % 6000, 100)
+      rational(id % 180, 1); rational(id * 3 % 60, 1)
+      rational(id * 53 % 6000, 100)
+    }
+    // wrap in the JPEG skeleton: SOI, APP1, DQT, SOF0, SOS, entropy, EOI
+    val bo = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { bo.write(0xff); bo.write(m) }
+    def seg(m: Int, body: Array[Byte]): Unit = {
+      marker(m)
+      val len = body.length + 2
+      bo.write((len >> 8) & 0xff); bo.write(len & 0xff)
+      bo.write(body, 0, body.length)
+    }
+    marker(0xd8)
+    seg(0xe1, tb.toByteArray)
+    seg(0xdb, Array.tabulate(5)(j => ((id + j) & 0x7f).toByte))
+    val w = (16 + (id * 7) % 240).toInt
+    val h = (16 + (id * 3) % 240).toInt
+    val sof = new java.io.ByteArrayOutputStream()
+    sof.write(8)
+    sof.write((h >> 8) & 0xff); sof.write(h & 0xff)
+    sof.write((w >> 8) & 0xff); sof.write(w & 0xff)
+    sof.write(3)
+    (1 to 3).foreach { c => sof.write(c); sof.write(0x11); sof.write(0) }
+    seg(0xc0, sof.toByteArray)
+    val sos = new java.io.ByteArrayOutputStream()
+    sos.write(3)
+    (1 to 3).foreach { c => sos.write(c); sos.write(0) }
+    sos.write(0); sos.write(63); sos.write(0)
+    seg(0xda, sos.toByteArray)
+    (0 until (10 + id % 20).toInt).foreach(j =>
+      bo.write(((id * 11 + j) % 255).toInt))
+    marker(0xd9)
+    bo.toByteArray
+  }
+
+  /** Executor-side EXIF fixtures — the m38 oracle replays the chain
+   * formulas. */
+  def syntheticExifJpegs(df: DataFrame, idCol: String): DataFrame =
+    Fixtures.syntheticPayloads(df, idCol)(syntheticExifJpeg)
 }

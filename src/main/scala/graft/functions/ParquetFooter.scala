@@ -1,0 +1,242 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.types._
+
+/**
+ * Parquet FOOTER census from raw bytes: file version, total rows, leaf
+ * column count, creating writer and per-row-group row/byte counts read
+ * straight from the FileMetaData thrift — no page decode, no column
+ * materialization, no Hadoop reader. THE lake format's own metadata is
+ * the cheapest census there is: the footer is the last few KB of a
+ * file that may be GBs, so "how many rows, how chunked, which writer
+ * wrote this" costs a tail read per file. ([[Multimodal.loadBinaryFiles]]
+ * ingests the bytes; this walks them.)
+ *
+ * Format facts honored (Apache Parquet format spec):
+ *   - `PAR1` magic at offset 0 and at EOF; the u32-LE footer LENGTH
+ *     sits 8 bytes before EOF, and the FileMetaData thrift starts
+ *     `len + 8` bytes before EOF;
+ *   - FileMetaData is THRIFT COMPACT PROTOCOL: struct fields are
+ *     (id-delta << 4 | type) headers with zigzag-varint full ids on
+ *     delta 0, BOOL values carried in the type nibble, i16/i32/i64 as
+ *     zigzag varints, binary as varint-length + bytes, lists as
+ *     (size << 4 | elemType) with varint size overflow at 15, structs
+ *     recursing to a 0x00 stop byte;
+ *   - projected fields: version (1), schema list (2 — leaf = element
+ *     with no/zero num_children; the ROOT element is not a column),
+ *     num_rows (3), row_groups (4 → total_byte_size 2, num_rows 3),
+ *     created_by (6); everything else (key-value metadata, column
+ *     orders, encryption, bloom offsets) is SKIPPED structurally.
+ *
+ * Strict posture: missing magic, a footer length overrunning the
+ * payload, an unknown thrift type, or any varint/field overrun → None.
+ *
+ * Narrow mapPartitions — O(footer bytes) per file.
+ */
+object ParquetFooter {
+
+  /** File-level projection plus one entry per row group. */
+  final case class Footer(version: Int, numRows: Long, numLeafColumns: Int,
+      createdBy: Option[String], rowGroups: IndexedSeq[(Long, Long)])
+      // rowGroups: (num_rows, total_byte_size)
+
+  // ---- thrift compact primitives --------------------------------------
+
+  /** Mutable cursor over the footer slice; parse methods throw
+   * [[Malformed]] on any overrun, caught once at the top. */
+  private final class Malformed extends RuntimeException
+  private final class Cur(val b: Array[Byte], var pos: Int, val end: Int) {
+    def u8(): Int = {
+      if (pos >= end) throw new Malformed
+      val v = b(pos) & 0xff; pos += 1; v
+    }
+    def varint(): Long = {
+      var v = 0L
+      var shift = 0
+      while (shift <= 63) {
+        val x = u8()
+        v |= (x & 0x7fL) << shift
+        if ((x & 0x80) == 0) return v
+        shift += 7
+      }
+      throw new Malformed
+    }
+    def zigzag(): Long = { val z = varint(); (z >>> 1) ^ -(z & 1) }
+    def bytes(n: Long): Int = { // returns start offset of the run
+      if (n < 0 || pos + n > end) throw new Malformed
+      val s = pos; pos += n.toInt; s
+    }
+  }
+
+  /** Skip one value of compact type `tpe`. `inList` flips the two
+   * bool encodings: as a STRUCT field the bool lives in the header
+   * nibble (zero value bytes); as a list/map element it is one byte. */
+  private def skipValue(c: Cur, tpe: Int, inList: Boolean = false): Unit =
+    tpe match {
+      case 1 | 2 => if (inList) c.u8(): Unit
+      case 3 => c.u8(): Unit // i8: one raw byte
+      case 4 | 5 | 6 => c.varint(): Unit // i16/i32/i64 zigzag varints
+      case 7 => c.bytes(8): Unit // double
+      case 8 => val n = c.varint(); c.bytes(n): Unit // binary/string
+      case 9 | 10 => // list/set
+        val h = c.u8()
+        val et = h & 0x0f
+        val n = (h >> 4) & 0x0f
+        val size = if (n == 15) c.varint() else n.toLong
+        var i = 0L
+        while (i < size) { skipValue(c, et, inList = true); i += 1 }
+      case 11 => // map
+        val size = c.varint()
+        if (size > 0) {
+          val kv = c.u8()
+          val kt = (kv >> 4) & 0x0f
+          val vt = kv & 0x0f
+          var i = 0L
+          while (i < size) {
+            skipValue(c, kt, inList = true); skipValue(c, vt, inList = true)
+            i += 1
+          }
+        }
+      case 12 => skipStruct(c)
+      case _ => throw new Malformed
+    }
+
+  private def skipStruct(c: Cur): Unit = {
+    var go = true
+    while (go) {
+      val h = c.u8()
+      if (h == 0) go = false
+      else {
+        val tpe = h & 0x0f
+        if ((h >> 4) == 0) c.zigzag(): Unit // long-form field id
+        skipValue(c, tpe)
+      }
+    }
+  }
+
+  /** Walk one struct, calling `f(fieldId, type)` positioned AT the
+   * value; f must either consume the value or leave it for skipValue
+   * (return false = not consumed). */
+  private def walkStruct(c: Cur)(f: (Long, Int) => Boolean): Unit = {
+    var fid = 0L
+    var go = true
+    while (go) {
+      val h = c.u8()
+      if (h == 0) go = false
+      else {
+        val tpe = h & 0x0f
+        val delta = (h >> 4) & 0x0f
+        fid = if (delta == 0) c.zigzag() else fid + delta
+        if (!f(fid, tpe)) skipValue(c, tpe)
+      }
+    }
+  }
+
+  private def listHeader(c: Cur): (Long, Int) = {
+    val h = c.u8()
+    val n = (h >> 4) & 0x0f
+    ((if (n == 15) c.varint() else n.toLong), h & 0x0f)
+  }
+
+  // ---- the walk --------------------------------------------------------
+
+  /** Parse the footer of a full parquet file payload. */
+  def parseFooter(payload: Array[Byte]): Option[Footer] = {
+    val b = payload
+    if (b == null || b.length < 12) return None
+    if (b(0) != 'P' || b(1) != 'A' || b(2) != 'R' || b(3) != '1') return None
+    val n = b.length
+    if (b(n - 4) != 'P' || b(n - 3) != 'A' || b(n - 2) != 'R' ||
+      b(n - 1) != '1') return None
+    val flen = (b(n - 8) & 0xffL) | ((b(n - 7) & 0xffL) << 8) |
+      ((b(n - 6) & 0xffL) << 16) | ((b(n - 5) & 0xffL) << 24)
+    if (flen <= 0 || flen > n - 12) return None
+    val start = n - 8 - flen.toInt
+    val c = new Cur(b, start, n - 8)
+    try {
+      var version = -1
+      var numRows = -1L
+      var leaves = 0
+      var createdBy: Option[String] = None
+      val rgs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      walkStruct(c) { (fid, tpe) =>
+        (fid, tpe) match {
+          case (1L, 5) => version = c.zigzag().toInt; true
+          case (2L, 9) => // schema: list<SchemaElement>
+            val (size, et) = listHeader(c)
+            if (et != 12) throw new Malformed
+            var i = 0L
+            while (i < size) {
+              var children = 0L
+              walkStruct(c) { (sfid, stpe) =>
+                if (sfid == 5L && stpe == 5) { children = c.zigzag(); true }
+                else false
+              }
+              // the ROOT element (i == 0) is the message, not a column
+              if (i > 0 && children == 0L) leaves += 1
+              i += 1
+            }
+            true
+          case (3L, 6) => numRows = c.zigzag(); true
+          case (4L, 9) => // row_groups: list<RowGroup>
+            val (size, et) = listHeader(c)
+            if (et != 12) throw new Malformed
+            var i = 0L
+            while (i < size) {
+              var rgRows = -1L
+              var rgBytes = -1L
+              walkStruct(c) { (rfid, rtpe) =>
+                if (rfid == 2L && rtpe == 6) { rgBytes = c.zigzag(); true }
+                else if (rfid == 3L && rtpe == 6) { rgRows = c.zigzag(); true }
+                else false
+              }
+              rgs += ((rgRows, rgBytes))
+              i += 1
+            }
+            true
+          case (6L, 8) =>
+            val len = c.varint()
+            val off = c.bytes(len)
+            createdBy = Some(new String(b, off, len.toInt, "UTF-8"))
+            true
+          case _ => false // skip
+        }
+      }
+      if (version < 0 || numRows < 0) None
+      else Some(Footer(version, numRows, leaves, createdBy, rgs.toIndexedSeq))
+    } catch { case _: Malformed => None }
+  }
+
+  /** Output schema of [[parquetFooters]]. */
+  val footerSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("version", IntegerType),
+    StructField("num_rows", LongType),
+    StructField("n_leaf_columns", IntegerType),
+    StructField("created_by", StringType),
+    StructField("rg_no", IntegerType),
+    StructField("rg_rows", LongType),
+    StructField("rg_bytes", LongType)))
+
+  /** One row per row group (file order) with the file-level projection
+   * repeated; non-parquet / structurally unclean payloads contribute
+   * nothing. Narrow mapPartitions — O(footer) per file. */
+  def parquetFooters(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(idIdx)
+        parseFooter(r.getAs[Array[Byte]](pIdx)) match {
+          case Some(f) => f.rowGroups.iterator.zipWithIndex.map {
+            case ((rows, bytes), i) =>
+              Row(id, f.version, f.numRows, f.numLeafColumns,
+                f.createdBy.orNull, i, rows, bytes)
+          }
+          case None => Iterator.empty
+        }
+      }
+    }(Encoders.row(footerSchema))
+  }
+}

@@ -524,6 +524,19 @@ object GraftSql {
           graft.functions.Eml.emailHeaders(one(dfs, "eml_headers"),
             p.getOrElse("id", "doc_id"), p.getOrElse("col", "text"))
         },
+        "json_shape" -> ProcessorDef { (_, dfs, p) =>
+          graft.functions.Json.jsonShape(one(dfs, "json_shape"),
+            p.getOrElse("id", "doc_id"), p.getOrElse("col", "text"))
+        },
+        "parquet_footer" -> ProcessorDef { (_, dfs, p) =>
+          graft.functions.ParquetFooter.parquetFooters(
+            one(dfs, "parquet_footer"),
+            p.getOrElse("id", "doc_id"), p.getOrElse("col", "payload"))
+        },
+        "exif_gps" -> ProcessorDef { (_, dfs, p) =>
+          graft.functions.Imaging.exifMeta(one(dfs, "exif_gps"),
+            p.getOrElse("id", "doc_id"), p.getOrElse("col", "payload"))
+        },
         // hybrid-retrieval fusion: PROCESS lexical, dense USING
         // rrf_fuse(...) — any number of ranked (query, rank, id) lists
         "rrf_fuse" -> ProcessorDef { (_, dfs, p) =>

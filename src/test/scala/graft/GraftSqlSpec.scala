@@ -1234,6 +1234,15 @@ class GraftSqlSpec extends SparkTestBase {
           graft.functions.Eml.syntheticEml(6L))), ts))).yields("f")
       .collect().map(r => r.getString(3) -> r.getString(4)).toMap
     assert(em("subject") === "sübject_6") // id 6: B-encoded word decoded
+    val js = GraftSql.run(engine,
+      """f = PROCESS src USING json_shape
+        |YIELD f AS f
+        |""".stripMargin,
+      Map("src" -> spark.createDataFrame(java.util.Arrays.asList(
+        org.apache.spark.sql.Row(8L,
+          graft.functions.Json.syntheticJson(8L))), ts))).yields("f")
+      .collect().map(r => r.getString(1) -> r.getString(2)).toMap
+    assert(js("tags") === "array" && js("score") === "float") // id 8
   }
 
   test("rrf_fuse processor fuses ranked lists") {

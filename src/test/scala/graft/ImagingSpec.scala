@@ -144,4 +144,42 @@ class ImagingSpec extends AnyFunSuite {
     val badWebp = webp.clone(); badWebp(23) = 0
     assert(Imaging.parseImageMeta(badWebp) === None)
   }
+
+  test("EXIF deep walk: chain fixture matches its closed form (IDs 0-59)") {
+    (0L until 60L).foreach { id =>
+      val ex = Imaging.parseExif(Imaging.syntheticExifJpeg(id))
+      if (id % 11 == 6) assert(ex.isEmpty, s"id=$id has no APP1")
+      else {
+        val m = ex.getOrElse(fail(s"id=$id did not parse"))
+        assert(m.orientation === Some((1 + id % 8).toInt), s"id=$id")
+        val dt = f"20${10 + id % 30}%02d:0${1 + id % 9}:${10 + id % 19} " +
+          f"0${id % 10}:5${id % 10}:3${id % 6}"
+        assert(m.dtOriginal === Some(dt), s"id=$id")
+        assert(m.pixelX === Some(640 + id % 1280), s"id=$id")
+        assert(m.pixelY === Some(480 + id % 960), s"id=$id")
+        if (id % 7 == 4) {
+          assert(m.lat.isEmpty && m.lon.isEmpty, s"id=$id GPS-less")
+        } else {
+          val lat = (if (id % 3 == 0) -1 else 1) *
+            ((id % 90) + (id % 60) / 60.0 + (id * 37 % 6000) / 100.0 / 3600.0)
+          val lon = (if (id % 5 < 2) -1 else 1) *
+            ((id % 180) + (id * 3 % 60) / 60.0 + (id * 53 % 6000) / 100.0 / 3600.0)
+          assert(m.lat.exists(v => math.abs(v - lat) < 1e-9), s"id=$id lat")
+          assert(m.lon.exists(v => math.abs(v - lon) < 1e-9), s"id=$id lon")
+        }
+      }
+    }
+    // a GPS rational with denominator zero is malformation, not Infinity
+    val good = Imaging.syntheticExifJpeg(1L)
+    // lat rationals start right after the GPS IFD; find them by locating
+    // the last 48 bytes of the APP1 (lat 24 + lon 24 as laid out)
+    val seglen = ((good(4) & 0xff) << 8) | (good(5) & 0xff)
+    val app1End = 4 + seglen
+    val latDenOff = app1End - 48 + 4 // first rational's denominator (LE)
+    val bad = good.clone()
+    bad(latDenOff) = 0; bad(latDenOff + 1) = 0
+    bad(latDenOff + 2) = 0; bad(latDenOff + 3) = 0
+    val m = Imaging.parseExif(bad)
+    assert(m.exists(_.lat.isEmpty), "zero denominator must null the field")
+  }
 }

@@ -1,0 +1,69 @@
+package graft
+
+import graft.functions.ParquetFooter
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Parquet footer walk: cross-checked file-by-file against Spark's own
+ * reader over the REAL sf0.001 testdata tables (row counts, leaf-column
+ * counts, row-group sums), plus the corrupt contract. */
+class ParquetFooterSpec extends AnyFunSuite with SparkTestBase {
+
+  private def leaves(dt: org.apache.spark.sql.types.DataType): Int = dt match {
+    case s: org.apache.spark.sql.types.StructType =>
+      s.fields.map(f => leaves(f.dataType)).sum
+    case a: org.apache.spark.sql.types.ArrayType => leaves(a.elementType)
+    case m: org.apache.spark.sql.types.MapType =>
+      leaves(m.keyType) + leaves(m.valueType)
+    case _ => 1
+  }
+
+  test("real testdata footers agree with Spark's reader") {
+    val dir = java.nio.file.Paths.get("/root/testdata/sf0.001")
+    val tables = Seq("region", "nation", "customer", "orders", "documents")
+    tables.foreach { t =>
+      val bytes = java.nio.file.Files.readAllBytes(dir.resolve(s"$t.parquet"))
+      val f = ParquetFooter.parseFooter(bytes)
+        .getOrElse(fail(s"$t footer did not parse"))
+      val df = spark.read.parquet(s"/root/testdata/sf0.001/$t.parquet")
+      assert(f.numRows === df.count(), s"$t rows")
+      assert(f.numLeafColumns === leaves(df.schema), s"$t leaf columns")
+      assert(f.rowGroups.map(_._1).sum === f.numRows, s"$t rg row sum")
+      assert(f.rowGroups.forall(_._2 > 0), s"$t rg byte sizes")
+      assert(f.createdBy.isDefined, s"$t created_by")
+    }
+  }
+
+  test("a Spark-written file round-trips through the walk") {
+    val out = java.nio.file.Files.createTempDirectory("graft_pqspec")
+    val df = spark.range(1000).selectExpr("id", "CAST(id AS STRING) AS s",
+      "id * 1.5 AS d")
+    df.coalesce(1).write.mode("overwrite").parquet(out.resolve("p").toString)
+    val file = java.nio.file.Files.list(out.resolve("p")).toArray
+      .map(_.toString).filter(_.endsWith(".parquet")).head
+    val f = ParquetFooter.parseFooter(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file))).get
+    assert(f.numRows === 1000L)
+    assert(f.numLeafColumns === 3)
+    assert(f.createdBy.exists(_.startsWith("parquet-mr")))
+    assert(f.rowGroups.map(_._1).sum === 1000L)
+  }
+
+  test("corrupt contract: magic, footer length, truncation") {
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/region.parquet"))
+    assert(ParquetFooter.parseFooter(bytes).isDefined)
+    val headBad = bytes.clone(); headBad(0) = 'X'
+    assert(ParquetFooter.parseFooter(headBad).isEmpty)
+    val tailBad = bytes.clone(); tailBad(bytes.length - 1) = 'X'
+    assert(ParquetFooter.parseFooter(tailBad).isEmpty)
+    // footer length larger than the file
+    val lenBad = bytes.clone()
+    lenBad(bytes.length - 5) = 0x7f
+    assert(ParquetFooter.parseFooter(lenBad).isEmpty)
+    // truncation from the front desyncs the thrift walk or the length
+    assert(ParquetFooter.parseFooter(
+      java.util.Arrays.copyOfRange(bytes, 0, bytes.length / 2)).isEmpty)
+    assert(ParquetFooter.parseFooter(null).isEmpty)
+    assert(ParquetFooter.parseFooter(Array.emptyByteArray).isEmpty)
+  }
+}
