@@ -612,21 +612,24 @@ object Imaging {
     var dt: Option[String] = None
     var px: Option[Long] = None
     var py: Option[Long] = None
+    // plain boolean accumulation, no `return` inside the foreach
+    // closures (NonLocalReturnControl — the parsePackets lesson)
+    var subOk = true
     exifPtr.foreach { p =>
-      if (!walkIfd(p) { (tag, tpe, cnt, vOff) =>
+      subOk = subOk && walkIfd(p) { (tag, tpe, cnt, vOff) =>
         tag match {
           case 0x9003 if tpe == 2 => dt = ascii(cnt, vOff)
           case 0xA002 => px = shortOrLong(tpe, vOff)
           case 0xA003 => py = shortOrLong(tpe, vOff)
           case _ => ()
         }
-      }) return None
+      }
     }
 
     var latRef, lonRef: Option[String] = None
     var latAbs, lonAbs: Option[Double] = None
     gpsPtr.foreach { p =>
-      if (!walkIfd(p) { (tag, tpe, cnt, vOff) =>
+      subOk = subOk && walkIfd(p) { (tag, tpe, cnt, vOff) =>
         tag match {
           case 0x0001 if tpe == 2 => latRef = ascii(cnt, vOff)
           case 0x0002 if tpe == 5 => latAbs = rational3(cnt, vOff)
@@ -634,8 +637,9 @@ object Imaging {
           case 0x0004 if tpe == 5 => lonAbs = rational3(cnt, vOff)
           case _ => ()
         }
-      }) return None
+      }
     }
+    if (!subOk) return None
     val lat = for (v <- latAbs; r <- latRef)
       yield if (r == "S") -v else v
     val lon = for (v <- lonAbs; r <- lonRef)

@@ -251,10 +251,18 @@ object Robots {
     urls.mapPartitions { it =>
       val files = bc.value
       it.map { r =>
-        val ok = files.get(r.getString(uHost)) match {
-          case None => true // no robots.txt for the host: no restrictions
-          case Some(f) => isAllowed(f, r.getString(uUa), r.getString(uPath))
-        }
+        // null host/ua/path must not NPE an executor: a null host has no
+        // robots file (allowed); null ua/path evaluate as empty strings
+        // (ua "" matches only the * group, path "" matches no pattern)
+        val host = if (r.isNullAt(uHost)) null else r.getString(uHost)
+        val ok =
+          (if (host == null) None else files.get(host)) match {
+            case None => true // no robots.txt for the host: no restrictions
+            case Some(f) =>
+              val ua = if (r.isNullAt(uUa)) "" else r.getString(uUa)
+              val path = if (r.isNullAt(uPath)) "" else r.getString(uPath)
+              isAllowed(f, ua, path)
+          }
         Row.fromSeq(r.toSeq :+ (if (ok) 1 else 0))
       }
     }(Encoders.row(outSchema))
