@@ -74,7 +74,16 @@ object Plans {
       "m32_zstd_frames" -> "zstd frame census: block headers stride the compressed stream per row - narrow map, zero exchanges, zero decompression; expanded-size accounting for a compressed lake without paying for decode.",
       "t40_url_canon" -> "URL canonicalization: pure per-row string work in one mapPartitions - zero exchanges; the downstream exact dedup shuffles on the canonical key, so normalization adds no data movement of its own.",
       "m33_id3v1_tags" -> "ID3v1 trailing-tag extraction: a 128-byte read per row in a narrow map, zero exchanges - the legacy half of the MP3 tag census next to m21's ID3v2 walk.",
-      "t41_subtitle_cues" -> "SRT/WebVTT cue extraction: per-row line parsing in one mapPartitions, zero exchanges - cue rows land keyed by (doc, time) for alignment joins against the m13/m30 sample tables downstream.")
+      "t41_subtitle_cues" -> "SRT/WebVTT cue extraction: per-row line parsing in one mapPartitions, zero exchanges - cue rows land keyed by (doc, time) for alignment joins against the m13/m30 sample tables downstream.",
+      "m34_gzip_members" -> "Gzip member walk: the one walker that must inflate (deflate has no length field), still a narrow per-row mapPartitions with zero exchanges - the streaming 16 KiB buffer keeps memory O(1) per row regardless of member size, so the .warc.gz record-locator scales out linearly.",
+      "m35_avro_blocks" -> "Avro OCF block census: header + block-header reads in a narrow map, zero exchanges; block payloads are strided whether null/deflate/snappy-coded, so the census cost is independent of the codec.",
+      "m36_png_text" -> "PNG text-chunk extraction: chunk walk + CRC verification per row in one mapPartitions, zero exchanges; the only non-header work is inflating the (small, capped) compressed text chunks themselves.",
+      "m37_parquet_footer" -> "Parquet footer census: the plan is a binaryFile scan into a narrow footer-parse map, then two ordinary hash aggregates over per-file rows - at lake scale the scan reads whole files here only because the conformance fixture is small; the production shape pairs the same parser with a tail-range read.",
+      "m38_exif_gps" -> "EXIF deep walk: IFD0->Exif->GPS chain reads in a narrow map, zero exchanges - the photo-provenance projection (time, dims, lat/lon) lands as plain columns for downstream geo/time filters to push against.",
+      "t42_robots_rules" -> "robots.txt parse: per-row line parsing in one mapPartitions, zero exchanges - the output is the small, broadcastable rule side of the enforcement join.",
+      "t42x_robots_filter" -> "The enforcement join in its 100 TB shape: the robots side collapses to a driver-parsed broadcast (one bounded collect of per-host files), and the URL stream gains its allowed verdict in a narrow map - grep the plan: no exchange anywhere on the crawl side.",
+      "t43_eml_headers" -> "EML header extraction: per-row unfold + RFC 2047 decode in one mapPartitions, zero exchanges.",
+      "t44_json_shape" -> "JSON shape census: Jackson-streaming (key,type) emission is a narrow map; the census aggregation is an ordinary partial-agg GROUP BY - exactly one exchange, carrying (key,type,count) partials, never documents.")
     // partitioned-write → partition-pruning demo
     val pdir = "/root/repo/target/plans_partitioned"
     spark.read.parquet(s"$dir/part.parquet").write.mode("overwrite")
@@ -84,7 +93,7 @@ object Plans {
     val sb = new StringBuilder
     sb ++= "# PLANS - physical-plan evidence for scale-critical queries\n\n"
     sb ++= s"Generated by `sbt \"runMain graft.Plans\"` at $dir with AQE on.\n"
-    for (q <- Seq("q02_filter", "q01_agg", "q06_join_inner", "q20_take_per_key", "d01_dedup_exact", "s01_knn_brute", "s02_knn_lsh", "d05_dedup_embed", "t12_lm_score", "q62_bloom_semi", "d12_fuzzy_join", "q64_range_join", "d13_segment_dedup", "t20_pack_sequences", "q89_quality_checks", "q92_snapshot_diff", "q90_outliers", "t35_bm25", "q110_funnel", "q110b_funnel_restart", "q111_retention", "q112_triangles", "q113_ppr", "q114_clustering_coeff", "t36_trigram_ce", "t37_link_graph", "t38_gopher_rules", "t39_c4_clean", "q115_connected_components", "m13_mp4_demux", "m14_fmp4_demux", "m18_ogg_pages", "m19_ogg_packets", "m20_audio_meta", "m21_id3_tags", "m22_flac_info", "m23_ogg_muxed", "m24_ogg_comments", "m28_riff_tags", "m29_image_meta", "m30_mkv_tracks", "m31_zip_entries", "m32_zstd_frames", "m33_id3v1_tags", "t40_url_canon", "t41_subtitle_cues", "s14_hybrid_rrf", "s15x_margin_approx", "q117_odd_columns")) {
+    for (q <- Seq("q02_filter", "q01_agg", "q06_join_inner", "q20_take_per_key", "d01_dedup_exact", "s01_knn_brute", "s02_knn_lsh", "d05_dedup_embed", "t12_lm_score", "q62_bloom_semi", "d12_fuzzy_join", "q64_range_join", "d13_segment_dedup", "t20_pack_sequences", "q89_quality_checks", "q92_snapshot_diff", "q90_outliers", "t35_bm25", "q110_funnel", "q110b_funnel_restart", "q111_retention", "q112_triangles", "q113_ppr", "q114_clustering_coeff", "t36_trigram_ce", "t37_link_graph", "t38_gopher_rules", "t39_c4_clean", "q115_connected_components", "m13_mp4_demux", "m14_fmp4_demux", "m18_ogg_pages", "m19_ogg_packets", "m20_audio_meta", "m21_id3_tags", "m22_flac_info", "m23_ogg_muxed", "m24_ogg_comments", "m28_riff_tags", "m29_image_meta", "m30_mkv_tracks", "m31_zip_entries", "m32_zstd_frames", "m33_id3v1_tags", "m34_gzip_members", "m35_avro_blocks", "m36_png_text", "m37_parquet_footer", "m38_exif_gps", "t40_url_canon", "t41_subtitle_cues", "t42_robots_rules", "t42x_robots_filter", "t43_eml_headers", "t44_json_shape", "s14_hybrid_rrf", "s15x_margin_approx", "q117_odd_columns")) {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.SimpleMode)
       sb ++= s"\n## $q\n\n${notes(q)}\n\n```\n${plan.split("\n").take(30).mkString("\n")}\n```\n"
@@ -190,6 +199,9 @@ object Plans {
         "d07_embed_lsh_recall", "d08_minhash_precision",
         "s03_knn_lsh_recall", "s05_knn_projected", "m02x_feature_differential",
         "s15x_margin_approx",
+        // m37's summary row: per-file footer projections reduce to ONE
+        // verdict row (O(n_files) inputs, the same bounded-tail shape)
+        "m37_parquet_footer",
         "t06_rebalance", "t12_lm_score", "t13_tfidf", "t17_importance",
         "t26_quality_model", "t30_bigram_ce", "t35_bm25", "t36_trigram_ce")
       val gateRows = Set("q89_quality_checks", "q93_sql_quality",
