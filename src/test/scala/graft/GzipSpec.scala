@@ -103,6 +103,38 @@ class GzipSpec extends AnyFunSuite {
     assert(Gzip.parseMembers(Array.emptyByteArray).isEmpty)
   }
 
+  test("randomized member concatenation: sizes and boundaries exact") {
+    // seeded RNG — deterministic; mixes real-Deflater and stored-block
+    // members in one stream, the mixed shape a crawl actually carries
+    val rnd = new scala.util.Random(4242)
+    (0 until 20).foreach { trial =>
+      val n = 1 + rnd.nextInt(5)
+      val parts = (0 until n).map { _ =>
+        if (rnd.nextBoolean()) {
+          val content = Array.fill(rnd.nextInt(5000))(rnd.nextInt(256).toByte)
+          (realGzip(content), content.length.toLong)
+        } else {
+          val id = rnd.nextInt(1000).toLong
+          val g = Gzip.syntheticGzip(id)
+          // syntheticGzip may emit multiple members; take it whole and
+          // count its members' uncompressed total
+          val ms = Gzip.parseMembers(g).get
+          (g, ms.map(_.uncompBytes).sum)
+        }
+      }
+      val cat = parts.map(_._1).reduce(_ ++ _)
+      val ms = Gzip.parseMembers(cat)
+        .getOrElse(fail(s"trial=$trial did not parse"))
+      assert(ms.map(_.compBytes).sum === cat.length.toLong, s"trial=$trial")
+      assert(ms.map(_.uncompBytes).sum === parts.map(_._2).sum, s"trial=$trial")
+      // offsets tile exactly
+      ms.sliding(2).foreach {
+        case Seq(a, b) => assert(a.offset + a.compBytes === b.offset)
+        case _ =>
+      }
+    }
+  }
+
   test("a stored-block deflate stream inflates to the exact content") {
     // cross-check the fixture's hand-rolled stored blocks against the
     // JDK's reference inflater via GZIPInputStream

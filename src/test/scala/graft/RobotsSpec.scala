@@ -93,6 +93,25 @@ class RobotsSpec extends AnyFunSuite {
     val _ = tie
   }
 
+  test("REP reference examples: longest-match precedence table") {
+    // the allow/disallow precedence examples from the public REP
+    // documentation — each a (allow-pattern, disallow-pattern, path,
+    // expected) quadruple
+    val cases = Seq(
+      ("/p", "/", "/page", true),          // longer allow wins
+      ("/folder", "/folder", "/folder/page", true), // tie → allow
+      ("/page", "/*.htm", "/page.htm", false),      // disallow longer
+      ("/$", "/", "/", true),              // anchored allow exact root
+      ("/$", "/", "/page.htm", false)      // anchor does not extend
+    )
+    cases.foreach { case (allow, dis, path, expect) =>
+      val f = Robots.parseRobots(
+        s"User-agent: *\nAllow: $allow\nDisallow: $dis\n")
+      assert(Robots.isAllowed(f, "AnyBot", path) === expect,
+        s"allow=$allow dis=$dis path=$path")
+    }
+  }
+
   test("pattern matcher corners") {
     import Robots.patternMatches
     assert(patternMatches("/", "/anything"))
