@@ -1,0 +1,113 @@
+package graft
+
+import graft.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Executor-safety fuzz: every binary/text walker must return (Some|None)
+ * and NEVER throw, on (a) random bytes and (b) valid fixtures with
+ * random byte flips / truncations / extensions. A walker that throws
+ * inside mapPartitions fails tasks and (after retries) whole jobs — the
+ * strict-posture contract is "None on corruption", never an exception.
+ * Seeded RNG — deterministic. */
+class WalkerFuzzSpec extends AnyFunSuite {
+
+  private val rnd = new scala.util.Random(20260816L)
+
+  private def mutate(b: Array[Byte]): Array[Byte] = rnd.nextInt(4) match {
+    case 0 => // flip 1-4 bytes
+      val m = b.clone()
+      (0 until 1 + rnd.nextInt(4)).foreach { _ =>
+        if (m.nonEmpty) {
+          val i = rnd.nextInt(m.length)
+          m(i) = (m(i) ^ (1 << rnd.nextInt(8))).toByte
+        }
+      }
+      m
+    case 1 => b.take(rnd.nextInt(b.length + 1)) // truncate
+    case 2 => b ++ Array.fill(1 + rnd.nextInt(16))(rnd.nextInt(256).toByte)
+    case _ => // splice a random window out
+      if (b.length < 2) b
+      else {
+        val i = rnd.nextInt(b.length - 1)
+        val j = i + 1 + rnd.nextInt(b.length - i - 1)
+        b.take(i) ++ b.drop(j)
+      }
+  }
+
+  private val binaryWalkers: Seq[(String, Array[Byte] => Any)] = Seq(
+    ("zip", Zip.parseCentralDirectory _),
+    ("zstd", Zstd.parseFrames _),
+    ("gzip", Gzip.parseMembers _),
+    ("avro", Avro.parseOcf _),
+    ("mkv", Ebml.parseMkv _),
+    ("pngText", Png.parseTextChunks _),
+    ("riff", Riff.parseInfoTags _),
+    ("flacInfo", Flac.parseStreamInfo _),
+    ("flacComments", Flac.parseComments _),
+    ("oggPages", (b: Array[Byte]) => Ogg.parsePages(b)),
+    ("imageMeta", Imaging.parseImageMeta _),
+    ("exif", Imaging.parseExif _),
+    ("parquet", ParquetFooter.parseFooter _),
+    ("id3v1", Mp3.parseId3v1 _))
+
+  private def fixtures(id: Long): Seq[Array[Byte]] = Seq(
+    Zip.syntheticZip(id), Zstd.syntheticZstd(id), Gzip.syntheticGzip(id),
+    Avro.syntheticAvro(id), Ebml.syntheticMkv(id),
+    Png.syntheticTextPng(id), Riff.syntheticTaggedWav(id),
+    Flac.syntheticCommentedFlac(id), Ogg.syntheticOgg(id),
+    Imaging.syntheticExifJpeg(id), Imaging.syntheticImage(id),
+    Mp3.syntheticV1TaggedMp3(id))
+
+  test("binary walkers never throw on random bytes") {
+    (0 until 300).foreach { trial =>
+      val b = Array.fill(rnd.nextInt(600))(rnd.nextInt(256).toByte)
+      binaryWalkers.foreach { case (name, f) =>
+        try f(b)
+        catch { case e: Throwable =>
+          fail(s"$name threw on random bytes (trial=$trial): $e")
+        }
+      }
+    }
+  }
+
+  test("binary walkers never throw on mutated fixtures") {
+    (0L until 25L).foreach { id =>
+      fixtures(id).foreach { fx =>
+        (0 until 8).foreach { k =>
+          val m = mutate(fx)
+          binaryWalkers.foreach { case (name, f) =>
+            try f(m)
+            catch { case e: Throwable =>
+              fail(s"$name threw on mutated fixture (id=$id k=$k): $e")
+            }
+          }
+        }
+      }
+    }
+  }
+
+  test("text walkers never throw on mutated/garbage text") {
+    val texts = (0L until 25L).flatMap { id =>
+      Seq(Robots.syntheticRobots(id), Eml.syntheticEml(id),
+        Json.syntheticJson(id), Subtitles.syntheticSubtitle(id))
+    } ++ Seq("", "\u0000\ufffd\uffff", "a" * 10000, null)
+    texts.foreach { t0 =>
+      val variants: Seq[String] =
+        if (t0 == null) Seq(null)
+        else Seq(t0,
+          t0.take(rnd.nextInt(t0.length + 1)),
+          new String(mutate(t0.getBytes("UTF-8")), "UTF-8"))
+      variants.foreach { t =>
+        try {
+          Robots.parseRobots(t)
+          Eml.parseHeaders(t)
+          Json.topLevelShape(t)
+          Subtitles.parseCues(t)
+          Urls.canonicalize(t)
+        } catch { case e: Throwable =>
+          fail(s"text walker threw: $e on ${Option(t).map(_.take(60))}")
+        }
+      }
+    }
+  }
+}
