@@ -1151,6 +1151,37 @@ class GraftSqlSpec extends SparkTestBase {
     assert(dmx.count() >= 1) // text byte-windows
   }
 
+  test("composed census pipeline in the dialect: gzip census -> SQL aggregate") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    val rows = spark.createDataFrame(java.util.Arrays.asList(
+      (0L until 12L).map(id => org.apache.spark.sql.Row(id,
+        graft.functions.Gzip.syntheticGzip(id))): _*), schema)
+    // the whole pass is dialect-driven: walk members, then an ordinary
+    // SQL aggregate over the walker's output — the composition a
+    // census user actually writes
+    val out = GraftSql.run(engine,
+      """members = PROCESS src USING gzip_members
+        |SELECT COUNT(*) AS n_members,
+        |  SUM(uncomp_bytes) AS total_uncomp,
+        |  SUM(CAST(fname IS NOT NULL AS INT)) AS named
+        |FROM members
+        |YIELD DATAFRAME AS stats
+        |""".stripMargin, Map("src" -> rows)).yields("stats").collect()
+    // closed form over ids 0..11: members = sum(1 + id%3); member m of
+    // id named iff (id+m)%2 == 0; uncomp = sum over members of
+    // 30 + (id*3 + m*11)%70
+    val expectMembers = (0L until 12L).map(id => 1 + id % 3).sum
+    val expectUncomp = (0L until 12L).flatMap(id =>
+      (0 until (1 + id % 3).toInt).map(m => 30 + (id * 3 + m * 11) % 70)).sum
+    val expectNamed = (0L until 12L).flatMap(id =>
+      (0 until (1 + id % 3).toInt).map(m => if ((id + m) % 2 == 0) 1L else 0L)).sum
+    assert(out.head.getLong(0) === expectMembers)
+    assert(out.head.getLong(1) === expectUncomp)
+    assert(out.head.getLong(2) === expectNamed)
+  }
+
   test("r13 walker processors: riff_tags/image_meta/mkv_tracks/zip_entries/zstd_frames/url_canon") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("doc_id", LongType),
