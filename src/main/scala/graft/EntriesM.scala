@@ -382,6 +382,39 @@ private[graft] object EntriesM {
     }),
 
 
+    // .warc.gz RECORD LOCATOR composition (m34 ∘ m09): the gzip member
+    // walk yields (offset, comp_bytes) locator rows; each record is then
+    // RE-EXTRACTED through inflateMemberAt using only its locator — the
+    // Common Crawl ranged-GET access pattern, never a whole-file
+    // inflate — parsed as a single WARC record, and hash-compared
+    // field-by-field against the whole-file parse (`agree`); the oracle
+    // replays every record field and the member ordinal from the
+    // bucket/order closed form
+    "m40_warcgz_locate" -> ((s, dir) => {
+      val files = graft.sources.Warc.syntheticWarcGzFiles(
+        t(s, dir, "documents"), "doc_id", "text", nFiles = 8)
+        .localCheckpoint(true)
+      val located = graft.sources.Warc.locateWarcGzRecords(
+        files, "file_name", "content")
+      val whole = graft.sources.Warc.parseWarc(files, "file_name", "content")
+      located.select(
+          expr("CAST(regexp_extract(target_uri, 'doc/(\\\\d+)$', 1) AS BIGINT)")
+            .as("doc_id"),
+          col("member_no"), col("warc_type"), col("content_length"),
+          col("payload").cast("string").as("text"), col("target_uri"))
+        .join(whole.select(col("target_uri"),
+          col("warc_type").as("w_type"),
+          col("content_length").as("w_len"),
+          md5(col("payload")).as("w_md5")), Seq("target_uri"))
+        .select(col("doc_id"), col("member_no"), col("warc_type"),
+          col("content_length"), col("text"),
+          (col("warc_type") === col("w_type") &&
+            col("content_length") === col("w_len") &&
+            md5(encode(col("text"), "UTF-8")) === col("w_md5"))
+            .cast("int").as("agree"))
+    }),
+
+
     // parquet FOOTER census: rows / leaf columns / row groups / writer
     // read from the FileMetaData thrift of REAL files Spark just wrote
     // (the m12 temp-dir pattern) — the walker's verdict columns compare
@@ -392,22 +425,82 @@ private[graft] object EntriesM {
     "m37_parquet_footer" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
       val out = java.nio.file.Files.createTempDirectory("graft_m37").toString
-      docs.repartition(2).write.mode("overwrite").parquet(s"$out/p")
-      val bin = graft.functions.Multimodal
-        .loadBinaryFiles(s, s"$out/p", "*.parquet")
-        .selectExpr("monotonically_increasing_id() AS doc_id", "payload")
-      val footers = graft.functions.ParquetFooter.parquetFooters(
-        bin, "doc_id", "payload")
-      footers.groupBy("doc_id", "num_rows", "n_leaf_columns", "created_by")
-        .agg(sum("rg_rows").as("rg_sum"))
-        .agg(
-          sum("num_rows").cast("long").as("total_rows"),
-          count(lit(1)).cast("long").as("n_files"),
-          max("n_leaf_columns").cast("int").as("n_leaf_cols"),
-          min(when(col("rg_sum") === col("num_rows"), 1)
-            .otherwise(0)).cast("int").as("rows_agree"),
-          min(when(col("created_by").startsWith("parquet-mr"), 1)
-            .otherwise(0)).cast("int").as("writer_known"))
+      // the verdict is one row — materialize it eagerly so the temp dir
+      // can be deleted before returning (repeated gate/bench runs used
+      // to leak one dataset per invocation)
+      try {
+        docs.repartition(2).write.mode("overwrite").parquet(s"$out/p")
+        val bin = graft.functions.Multimodal
+          .loadBinaryFiles(s, s"$out/p", "*.parquet")
+          .selectExpr("monotonically_increasing_id() AS doc_id", "payload")
+        val footers = graft.functions.ParquetFooter.parquetFooters(
+          bin, "doc_id", "payload")
+        val r = footers.groupBy("doc_id", "num_rows", "n_leaf_columns", "created_by")
+          .agg(sum("rg_rows").as("rg_sum"))
+          .agg(
+            sum("num_rows").cast("long").as("total_rows"),
+            count(lit(1)).cast("long").as("n_files"),
+            max("n_leaf_columns").cast("int").as("n_leaf_cols"),
+            min(when(col("rg_sum") === col("num_rows"), 1)
+              .otherwise(0)).cast("int").as("rows_agree"),
+            min(when(col("created_by").startsWith("parquet-mr"), 1)
+              .otherwise(0)).cast("int").as("writer_known"))
+          .collect()(0)
+        eng(s).toDF(Seq(Seq(r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getInt(3), r.getInt(4))),
+          "total_rows:long,n_files:long,n_leaf_cols:int,rows_agree:int,writer_known:int")
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(out)).iterator()
+          .asScala.toSeq.reverse.foreach(p => p.toFile.delete())
+      }
+    }),
+
+
+    // parquet COLUMN-CHUNK census (the m37 walk one level deeper):
+    // codec, encodings and Statistics (null_count, decoded INT64 /
+    // BYTE_ARRAY min-max) per column chunk from the ColumnMetaData
+    // thrift — the metadata that powers scan pruning and lake capacity
+    // planning. The aggregate is SPLIT-INVARIANT (sums/mins over
+    // chunks), so the oracle is closed-form no matter how Spark chunks
+    // the write; per-file stats equality vs parquet-mr's own reader is
+    // pinned in ParquetFooterSpec
+    "m39_parquet_chunks" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 =!= 0, col("lang")).as("lang_n"))
+      val out = java.nio.file.Files.createTempDirectory("graft_m39").toString
+      try {
+        docs.repartition(2).write.mode("overwrite").parquet(s"$out/p")
+        val bin = graft.functions.Multimodal
+          .loadBinaryFiles(s, s"$out/p", "*.parquet")
+          .selectExpr("monotonically_increasing_id() AS doc_id", "payload")
+        val rows = graft.functions.ParquetFooter
+          .parquetColumnChunks(bin, "doc_id", "payload")
+          .groupBy("path", "ptype")
+          .agg(
+            sum("n_values").cast("long").as("n_values"),
+            sum("null_count").cast("long").as("nulls"),
+            min("min_long").cast("long").as("min_long"),
+            max("max_long").cast("long").as("max_long"),
+            min("min_str").as("min_str"),
+            max("max_str").as("max_str"),
+            min(when(col("codec") === "snappy", 1).otherwise(0))
+              .cast("int").as("codec_ok"),
+            min(when(length(col("encodings")) > 0, 1).otherwise(0))
+              .cast("int").as("enc_ok"),
+            min(when(col("comp_bytes") > 0 && col("uncomp_bytes") > 0, 1)
+              .otherwise(0)).cast("int").as("bytes_ok"))
+          .collect()
+        eng(s).toDF(rows.toSeq.map(r => (0 until 11).map(i => r.get(i))),
+          "path:str,ptype:str,n_values:long,nulls:long,min_long:long," +
+            "max_long:long,min_str:str,max_str:str,codec_ok:int," +
+            "enc_ok:int,bytes_ok:int")
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(out)).iterator()
+          .asScala.toSeq.reverse.foreach(p => p.toFile.delete())
+      }
     }),
 
 
@@ -1085,7 +1178,9 @@ private[graft] object EntriesM {
         |  CAST(COALESCE(SUM(30 + length(name) + comp_size) OVER (
         |    PARTITION BY doc_id ORDER BY j
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |    AS BIGINT) AS local_offset
+        |    AS BIGINT) AS local_offset,
+        |  CAST(CASE WHEN doc_id % 5 = 4 THEN 1 ELSE 0 END AS INTEGER)
+        |    AS zip64
         |FROM s""".stripMargin,
 
     // replay of Zstd.syntheticZstd's frame formulas: per-frame header
@@ -1289,6 +1384,45 @@ private[graft] object EntriesM {
         | CAST(1 AS INTEGER) AS rows_agree,
         | CAST(1 AS INTEGER) AS writer_known
         |FROM documents""".stripMargin,
+
+    // replay of the m40 record fields (the m09 closed form) plus the
+    // member ordinal: records are bucketed by doc_id%8 and ordered by
+    // doc_id within a file, one gzip member per record; `agree` asserts
+    // the random-access extraction byte-matches the whole-file parse
+    "m40_warcgz_locate" ->
+      """SELECT doc_id,
+        | CAST(ROW_NUMBER() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id)
+        |   - 1 AS INTEGER) AS member_no,
+        | 'conversion' AS warc_type,
+        | CAST(strlen(coalesce(text, '')) AS BIGINT) AS content_length,
+        | coalesce(text, '') AS text,
+        | CAST(1 AS INTEGER) AS agree
+        |FROM documents""".stripMargin,
+
+    // split-invariant closed form of the m39 chunk census: whatever the
+    // file/row-group chunking, value counts and null counts SUM to the
+    // table totals and the chunk min/max envelopes equal the column
+    // min/max; doc_id is INT64, lang_n BYTE_ARRAY with nulls planted at
+    // doc_id%7=0
+    "m39_parquet_chunks" ->
+      """WITH s AS (SELECT CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(min(doc_id) AS BIGINT) AS mn,
+        |  CAST(max(doc_id) AS BIGINT) AS mx,
+        |  CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS nnull,
+        |  min(CASE WHEN doc_id % 7 <> 0 THEN lang END) AS lmin,
+        |  max(CASE WHEN doc_id % 7 <> 0 THEN lang END) AS lmax
+        | FROM documents)
+        |SELECT 'doc_id' AS path, 'int64' AS ptype, cnt AS n_values,
+        |  CAST(0 AS BIGINT) AS nulls, mn AS min_long, mx AS max_long,
+        |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,
+        |  CAST(1 AS INTEGER) AS codec_ok, CAST(1 AS INTEGER) AS enc_ok,
+        |  CAST(1 AS INTEGER) AS bytes_ok
+        |FROM s
+        |UNION ALL
+        |SELECT 'lang_n', 'byte_array', cnt, nnull,
+        |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), lmin, lmax, 1, 1, 1
+        |FROM s""".stripMargin,
 
     // replay of Png.syntheticTextPng's text-chunk formulas: tEXt Title
     // always (for tagged ids), zTXt Description unless id%4==2, iTXt

@@ -90,12 +90,14 @@ object Avro {
         }
         var k = 0L
         while (k < n) {
+          // compare without addition: `kl._2 + kl._1` wraps negative for a
+          // crafted length near Long.MaxValue and would pass the check
           val kl = varlong(b, pos, b.length)
-          if (kl == null || kl._1 < 0 || kl._2 + kl._1 > b.length) return None
+          if (kl == null || kl._1 < 0 || kl._1 > b.length - kl._2) return None
           val key = new String(b, kl._2, kl._1.toInt, "UTF-8")
           pos = kl._2 + kl._1.toInt
           val vl = varlong(b, pos, b.length)
-          if (vl == null || vl._1 < 0 || vl._2 + vl._1 > b.length) return None
+          if (vl == null || vl._1 < 0 || vl._1 > b.length - vl._2) return None
           val value = new String(b, vl._2, vl._1.toInt, "UTF-8")
           pos = vl._2 + vl._1.toInt
           if (key == "avro.schema") schema = Some(value)
@@ -113,16 +115,17 @@ object Avro {
       val rc = varlong(b, pos, b.length)
       if (rc == null || rc._1 <= 0) return None
       val bs = varlong(b, rc._2, b.length)
-      if (bs == null || bs._1 < 0) return None
-      val dataEnd = bs._2 + bs._1
-      if (dataEnd + 16 > b.length) return None
+      // overflow-safe bound: `bs._2 + bs._1 + 16` wraps negative for a
+      // crafted byte size near Long.MaxValue; subtract instead
+      if (bs == null || bs._1 < 0 || bs._1 > b.length - bs._2 - 16) return None
+      val dataEnd = bs._2 + bs._1.toInt
       var j = 0
       while (j < 16) {
-        if (b(dataEnd.toInt + j) != b(syncOff + j)) return None
+        if (b(dataEnd + j) != b(syncOff + j)) return None
         j += 1
       }
       blocks += ((off, rc._1, bs._1))
-      pos = dataEnd.toInt + 16
+      pos = dataEnd + 16
     }
     // the loop exits exactly at end-of-payload by construction (the last
     // sync check bounds it); zero data blocks is a clean empty file

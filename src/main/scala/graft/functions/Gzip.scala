@@ -57,10 +57,36 @@ object Gzip {
    * the low 16 bits of the CRC32 of all header bytes before it —
    * RFC 1952 §2.3.1).
    */
-  def parseMembers(payload: Array[Byte]): Option[IndexedSeq[Member]] = {
+  def parseMembers(payload: Array[Byte]): Option[IndexedSeq[Member]] =
+    walkMembers(payload, keep = false).map(_._1)
+
+  /**
+   * Random-access extraction of ONE member located at `offset` with
+   * compressed size `length` — exactly the values [[gzipMembers]]
+   * reports. Inflates only the slice `[offset, offset+length)`,
+   * verifies CRC32/ISIZE, and requires the member to END exactly at
+   * `offset + length` (a slip means the locator row was stale). This is
+   * the Common Crawl access pattern: fetch one (offset, size) range
+   * from object storage and inflate one record, never the file.
+   */
+  def inflateMemberAt(payload: Array[Byte], offset: Long,
+      length: Long): Option[Array[Byte]] = {
+    if (payload == null || offset < 0 || length < 18 ||
+      offset > (payload.length - length)) return None
+    val slice = java.util.Arrays.copyOfRange(
+      payload, offset.toInt, (offset + length).toInt)
+    walkMembers(slice, keep = true) match {
+      case Some((ms, bodies)) if ms.size == 1 => Some(bodies.head)
+      case _ => None // zero or >1 members in the range: stale locator
+    }
+  }
+
+  private def walkMembers(payload: Array[Byte],
+      keep: Boolean): Option[(IndexedSeq[Member], IndexedSeq[Array[Byte]])] = {
     val b = payload
     if (b == null || b.length < 18) return None // header 10 + trailer 8
     val out = scala.collection.mutable.ArrayBuffer.empty[Member]
+    val bodies = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     var pos = 0
     while (pos < b.length) {
       val start = pos
@@ -97,18 +123,23 @@ object Gzip {
         if ((hc.getValue & 0xffffL).toInt != u16le(b, p)) return None
         p += 2
       }
-      // inflate: count + CRC the output, discard it; find the stream end
+      // inflate: count + CRC the output (kept only in random-access
+      // mode — the census walk stays O(1) memory); find the stream end
       val inf = new java.util.zip.Inflater(true) // raw deflate
       try {
         inf.setInput(b, p, b.length - p)
         val crc = new java.util.zip.CRC32
         val buf = new Array[Byte](16384)
+        val kept = if (keep) new java.io.ByteArrayOutputStream() else null
         var total = 0L
         while (!inf.finished()) {
           val n =
             try inf.inflate(buf)
             catch { case _: java.util.zip.DataFormatException => return None }
-          if (n > 0) { crc.update(buf, 0, n); total += n }
+          if (n > 0) {
+            crc.update(buf, 0, n); total += n
+            if (keep) kept.write(buf, 0, n)
+          }
           // no progress and not finished: truncated stream (needs more
           // input than the payload has) or a preset-dictionary demand —
           // both corruption for a gzip member
@@ -122,9 +153,10 @@ object Gzip {
         pos = trailer + 8
         out += Member(start.toLong, (pos - start).toLong, total,
           fname, comment, mtime, os, ftext = (flg & 0x01) != 0)
+        if (keep) bodies += kept.toByteArray
       } finally inf.end()
     }
-    Some(out.toIndexedSeq)
+    Some((out.toIndexedSeq, bodies.toIndexedSeq))
   }
 
   /** Output schema of [[gzipMembers]]. */

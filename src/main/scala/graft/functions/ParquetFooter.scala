@@ -64,7 +64,9 @@ object ParquetFooter {
     }
     def zigzag(): Long = { val z = varint(); (z >>> 1) ^ -(z & 1) }
     def bytes(n: Long): Int = { // returns start offset of the run
-      if (n < 0 || pos + n > end) throw new Malformed
+      // compare without addition: `pos + n` wraps negative for a crafted
+      // length near Long.MaxValue, letting the cursor jump backwards
+      if (n < 0 || n > end - pos) throw new Malformed
       val s = pos; pos += n.toInt; s
     }
   }
@@ -205,7 +207,250 @@ object ParquetFooter {
       }
       if (version < 0 || numRows < 0) None
       else Some(Footer(version, numRows, leaves, createdBy, rgs.toIndexedSeq))
-    } catch { case _: Malformed => None }
+    } catch {
+      // belt-and-braces: Malformed covers every deliberate reject; the
+      // bounds exception guards any arithmetic slip on crafted footers
+      case _: Malformed => None
+      case _: IndexOutOfBoundsException => None
+    }
+  }
+
+  // ---- per-column-chunk projection -------------------------------------
+
+  /** One column chunk's ColumnMetaData projection. Stats carry the
+   * DECODED min/max for INT32/INT64 (little-endian per the format spec)
+   * and the UTF-8 reading for BYTE_ARRAY; other physical types report
+   * null stats (structurally skipped, not failed). `min_value`/
+   * `max_value` (fields 5/6) are preferred over the deprecated
+   * `min`/`max` (1/2) when both are present. */
+  final case class ChunkMeta(rgNo: Int, colNo: Int, path: String,
+      ptype: Int, codec: Int, numValues: Long, uncompBytes: Long,
+      compBytes: Long, encodings: IndexedSeq[Int], nullCount: Option[Long],
+      minLong: Option[Long], maxLong: Option[Long],
+      minStr: Option[String], maxStr: Option[String])
+
+  private def typeName(t: Int): String = t match {
+    case 0 => "boolean"; case 1 => "int32"; case 2 => "int64"
+    case 3 => "int96"; case 4 => "float"; case 5 => "double"
+    case 6 => "byte_array"; case 7 => "fixed_len_byte_array"
+    case other => s"type_$other"
+  }
+  private def codecName(c: Int): String = c match {
+    case 0 => "uncompressed"; case 1 => "snappy"; case 2 => "gzip"
+    case 3 => "lzo"; case 4 => "brotli"; case 5 => "lz4"; case 6 => "zstd"
+    case 7 => "lz4_raw"; case other => s"codec_$other"
+  }
+  private def encodingName(e: Int): String = e match {
+    case 0 => "plain"; case 2 => "plain_dictionary"; case 3 => "rle"
+    case 4 => "bit_packed"; case 5 => "delta_binary_packed"
+    case 6 => "delta_length_byte_array"; case 7 => "delta_byte_array"
+    case 8 => "rle_dictionary"; case 9 => "byte_stream_split"
+    case other => s"enc_$other"
+  }
+
+  private def i64le(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) | ((b(i + 2) & 0xffL) << 16) |
+      ((b(i + 3) & 0xffL) << 24) | ((b(i + 4) & 0xffL) << 32) |
+      ((b(i + 5) & 0xffL) << 40) | ((b(i + 6) & 0xffL) << 48) |
+      ((b(i + 7) & 0xffL) << 56)
+  private def i32le(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) | ((b(i + 2) & 0xffL) << 16) |
+      ((b(i + 3) & 0xffL) << 24)).toInt.toLong
+
+  /** Decode one Statistics binary payload for the given physical type:
+   * (asLong, asString) — exactly one side is set for the projected
+   * types, both None otherwise. */
+  private def decodeStat(b: Array[Byte], off: Int, len: Int,
+      ptype: Int): (Option[Long], Option[String]) = ptype match {
+    case 1 if len == 4 => (Some(i32le(b, off)), None)
+    case 2 if len == 8 => (Some(i64le(b, off)), None)
+    case 6 => (None, Some(new String(b, off, len, "UTF-8")))
+    case _ => (None, None)
+  }
+
+  /**
+   * Walk FileMetaData → row_groups → columns → ColumnMetaData and
+   * project codec, encodings, value/byte counts and Statistics per
+   * column chunk — the metadata that powers scan pruning and lake
+   * capacity planning. Same strict posture and thrift walk as
+   * [[parseFooter]]; None on any structural violation.
+   */
+  def parseColumnChunks(payload: Array[Byte]): Option[IndexedSeq[ChunkMeta]] = {
+    val b = payload
+    if (b == null || b.length < 12) return None
+    if (b(0) != 'P' || b(1) != 'A' || b(2) != 'R' || b(3) != '1') return None
+    val n = b.length
+    if (b(n - 4) != 'P' || b(n - 3) != 'A' || b(n - 2) != 'R' ||
+      b(n - 1) != '1') return None
+    val flen = (b(n - 8) & 0xffL) | ((b(n - 7) & 0xffL) << 8) |
+      ((b(n - 6) & 0xffL) << 16) | ((b(n - 5) & 0xffL) << 24)
+    if (flen <= 0 || flen > n - 12) return None
+    val c = new Cur(b, n - 8 - flen.toInt, n - 8)
+    val out = scala.collection.mutable.ArrayBuffer.empty[ChunkMeta]
+    try {
+      walkStruct(c) { (fid, tpe) =>
+        if (fid == 4L && tpe == 9) { // row_groups: list<RowGroup>
+          val (nRg, et) = listHeader(c)
+          if (et != 12) throw new Malformed
+          var rg = 0L
+          while (rg < nRg) {
+            walkStruct(c) { (rfid, rtpe) =>
+              if (rfid == 1L && rtpe == 9) { // columns: list<ColumnChunk>
+                val (nCol, cet) = listHeader(c)
+                if (cet != 12) throw new Malformed
+                var ci = 0L
+                while (ci < nCol) {
+                  var meta: Option[ChunkMeta] = None
+                  walkStruct(c) { (cfid, ctpe) =>
+                    if (cfid == 3L && ctpe == 12) { // meta_data
+                      meta = Some(parseColumnMetaData(c, rg.toInt, ci.toInt))
+                      true
+                    } else false
+                  }
+                  // a chunk without inline ColumnMetaData (offset-only
+                  // encrypted form) is skipped, not failed
+                  meta.foreach(out += _)
+                  ci += 1
+                }
+                true
+              } else false
+            }
+            rg += 1
+          }
+          true
+        } else false
+      }
+      Some(out.toIndexedSeq)
+    } catch {
+      case _: Malformed => None
+      case _: IndexOutOfBoundsException => None
+    }
+  }
+
+  /** Cursor positioned AT a ColumnMetaData struct. */
+  private def parseColumnMetaData(c: Cur, rgNo: Int, colNo: Int): ChunkMeta = {
+    var ptype = -1
+    var codec = -1
+    var numValues = -1L
+    var uncomp = -1L
+    var comp = -1L
+    val encs = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    var nullCount: Option[Long] = None
+    var minL: Option[Long] = None
+    var maxL: Option[Long] = None
+    var minS: Option[String] = None
+    var maxS: Option[String] = None
+    // deprecated min/max kept only until min_value/max_value show up
+    var sawNewMin = false
+    var sawNewMax = false
+    walkStruct(c) { (fid, tpe) =>
+      (fid, tpe) match {
+        case (1L, 5) => ptype = c.zigzag().toInt; true
+        case (2L, 9) => // encodings: list<Encoding i32>
+          val (sz, et) = listHeader(c)
+          if (et != 5) throw new Malformed
+          var i = 0L
+          while (i < sz) { encs += c.zigzag().toInt; i += 1 }
+          true
+        case (3L, 9) => // path_in_schema: list<string>
+          val (sz, et) = listHeader(c)
+          if (et != 8) throw new Malformed
+          var i = 0L
+          while (i < sz) {
+            val len = c.varint()
+            val off = c.bytes(len)
+            parts += new String(c.b, off, len.toInt, "UTF-8")
+            i += 1
+          }
+          true
+        case (4L, 5) => codec = c.zigzag().toInt; true
+        case (5L, 6) => numValues = c.zigzag(); true
+        case (6L, 6) => uncomp = c.zigzag(); true
+        case (7L, 6) => comp = c.zigzag(); true
+        case (12L, 12) => // statistics
+          walkStruct(c) { (sfid, stpe) =>
+            (sfid, stpe) match {
+              case (1L, 8) => // deprecated max
+                val len = c.varint(); val off = c.bytes(len)
+                if (!sawNewMax) {
+                  val (l, s) = decodeStat(c.b, off, len.toInt, ptype)
+                  maxL = l; maxS = s
+                }
+                true
+              case (2L, 8) => // deprecated min
+                val len = c.varint(); val off = c.bytes(len)
+                if (!sawNewMin) {
+                  val (l, s) = decodeStat(c.b, off, len.toInt, ptype)
+                  minL = l; minS = s
+                }
+                true
+              case (3L, 6) => nullCount = Some(c.zigzag()); true
+              case (5L, 8) => // max_value
+                val len = c.varint(); val off = c.bytes(len)
+                val (l, s) = decodeStat(c.b, off, len.toInt, ptype)
+                maxL = l; maxS = s; sawNewMax = true
+                true
+              case (6L, 8) => // min_value
+                val len = c.varint(); val off = c.bytes(len)
+                val (l, s) = decodeStat(c.b, off, len.toInt, ptype)
+                minL = l; minS = s; sawNewMin = true
+                true
+              case _ => false
+            }
+          }
+          true
+        case _ => false
+      }
+    }
+    if (ptype < 0 || codec < 0 || numValues < 0 || uncomp < 0 || comp < 0)
+      throw new Malformed // required ColumnMetaData fields missing
+    ChunkMeta(rgNo, colNo, parts.mkString("."), ptype, codec, numValues,
+      uncomp, comp, encs.toIndexedSeq, nullCount, minL, maxL, minS, maxS)
+  }
+
+  /** Output schema of [[parquetColumnChunks]]. */
+  val chunkSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("rg_no", IntegerType),
+    StructField("col_no", IntegerType),
+    StructField("path", StringType),
+    StructField("ptype", StringType),
+    StructField("codec", StringType),
+    StructField("n_values", LongType),
+    StructField("uncomp_bytes", LongType),
+    StructField("comp_bytes", LongType),
+    StructField("encodings", StringType),
+    StructField("null_count", LongType),
+    StructField("min_long", LongType),
+    StructField("max_long", LongType),
+    StructField("min_str", StringType),
+    StructField("max_str", StringType)))
+
+  /** One row per column chunk (row-group then column order); encodings
+   * are the sorted-distinct names joined with ','. Non-parquet /
+   * structurally unclean payloads contribute nothing. Narrow
+   * mapPartitions — O(footer) per file. */
+  def parquetColumnChunks(df: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(idIdx)
+        parseColumnChunks(r.getAs[Array[Byte]](pIdx)) match {
+          case Some(cs) => cs.iterator.map { m =>
+            Row(id, m.rgNo, m.colNo, m.path, typeName(m.ptype),
+              codecName(m.codec), m.numValues, m.uncompBytes, m.compBytes,
+              m.encodings.map(encodingName).distinct.sorted.mkString(","),
+              m.nullCount.map(Long.box).orNull,
+              m.minLong.map(Long.box).orNull, m.maxLong.map(Long.box).orNull,
+              m.minStr.orNull, m.maxStr.orNull)
+          }
+          case None => Iterator.empty
+        }
+      }
+    }(Encoders.row(chunkSchema))
   }
 
   /** Output schema of [[parquetFooters]]. */

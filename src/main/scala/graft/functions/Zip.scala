@@ -17,22 +17,40 @@ import org.apache.spark.sql.types._
  * CD walk must consume exactly the EOCD-declared size and count, and
  * every entry's local-header offset must point at a real local header
  * signature. Multi-disk archives are rejected (disk numbers != 0).
- * Spanned/ZIP64 archives are out of scope (rejected structurally:
- * 0xffff/0xffffffff sentinel fields fail the exact-walk checks).
+ *
+ * ZIP64 (APPNOTE 4.5.3) is first-class — archives with >65,535 entries
+ * or >4 GiB offsets are the NORM for shard lakes, so the sentinel forms
+ * must walk, not fail:
+ *   - EOCD fields at their 0xffff/0xffffffff sentinels are promoted
+ *     from the EOCD64 record, located via the 20-byte EOCD64 LOCATOR
+ *     (PK\6\7) that must sit immediately before the EOCD; the EOCD64
+ *     record (PK\6\6) must abut the locator and the CD must abut the
+ *     record;
+ *   - CD-entry fields at sentinel are promoted from the 0x0001
+ *     extensible extra field, whose data size must be EXACTLY the sum
+ *     of the promoted field widths (APPNOTE: zip64 extra fields "MUST
+ *     only appear" for fields at sentinel — exact-size is the strict
+ *     reading);
+ *   - non-sentinel EOCD fields must AGREE with the EOCD64 record when
+ *     one is present (disagreement is splice evidence).
  *
  * Narrow mapPartitions — O(directory) reads, zero exchanges.
  */
 object Zip {
 
-  /** One central-directory entry. */
+  /** One central-directory entry. `zip64` marks entries whose sizes or
+   * offset were promoted from the 0x0001 extra field. */
   final case class Entry(name: String, method: Int, compSize: Long,
-      uncompSize: Long, crc32: Long, localOffset: Long)
+      uncompSize: Long, crc32: Long, localOffset: Long,
+      zip64: Boolean = false)
 
   private def u16(b: Array[Byte], i: Int): Int =
     (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
   private def u32(b: Array[Byte], i: Int): Long =
     (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
       ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+  private def u64(b: Array[Byte], i: Int): Long =
+    u32(b, i) | (u32(b, i + 4) << 32)
 
   /**
    * Parse the central directory. None unless the payload is a
@@ -54,36 +72,110 @@ object Zip {
       i -= 1
     }
     if (eocd < 0) return None
-    if (u16(b, eocd + 4) != 0 || u16(b, eocd + 6) != 0) return None // disks
-    val cdCount = u16(b, eocd + 10)
-    if (u16(b, eocd + 8) != cdCount) return None // this-disk count
-    val cdSize = u32(b, eocd + 12)
-    val cdOff = u32(b, eocd + 16)
-    if (cdOff + cdSize != eocd.toLong) return None // CD must abut EOCD
+    val eDisk = u16(b, eocd + 4)
+    val eCdDisk = u16(b, eocd + 6)
+    val eThisCount = u16(b, eocd + 8)
+    val eCount = u16(b, eocd + 10)
+    val eCdSize = u32(b, eocd + 12)
+    val eCdOff = u32(b, eocd + 16)
+    val anySentinel = eDisk == 0xffff || eCdDisk == 0xffff ||
+      eThisCount == 0xffff || eCount == 0xffff ||
+      eCdSize == 0xffffffffL || eCdOff == 0xffffffffL
+    // EOCD64 locator: present iff PK\6\7 sits immediately before the EOCD
+    val hasLocator = eocd >= 20 && u32(b, eocd - 20) == 0x07064b50L
+    if (anySentinel && !hasLocator) return None // zip64 demands the locator
+    var cdCount = eCount.toLong
+    var cdSize = eCdSize
+    var cdOff = eCdOff
+    if (hasLocator) {
+      val loc = eocd - 20
+      if (u32(b, loc + 4) != 0) return None // disk holding the EOCD64
+      if (u32(b, loc + 16) != 1) return None // total disks
+      val recOff = u64(b, loc + 8)
+      if (recOff < 0 || recOff > (loc - 56).toLong) return None
+      val r = recOff.toInt
+      if (u32(b, r) != 0x06064b50L) return None
+      val recSize = u64(b, r + 4) // size of the record after this field+sig
+      // the record (12 + recSize bytes, extensible data included) must
+      // abut the locator exactly
+      if (recSize < 44 || recSize > (loc - r - 12).toLong ||
+        r + 12 + recSize.toInt != loc) return None
+      if (u32(b, r + 16) != 0 || u32(b, r + 20) != 0) return None // disks
+      val zThisCount = u64(b, r + 24)
+      val zCount = u64(b, r + 32)
+      val zCdSize = u64(b, r + 40)
+      val zCdOff = u64(b, r + 48)
+      if (zCount < 0 || zThisCount != zCount || zCdSize < 0 || zCdOff < 0)
+        return None
+      // every non-sentinel EOCD field must agree with the record
+      if (eDisk != 0xffff && eDisk != 0) return None
+      if (eCdDisk != 0xffff && eCdDisk != 0) return None
+      if (eThisCount != 0xffff && eThisCount.toLong != zThisCount) return None
+      if (eCount != 0xffff && eCount.toLong != zCount) return None
+      if (eCdSize != 0xffffffffL && eCdSize != zCdSize) return None
+      if (eCdOff != 0xffffffffL && eCdOff != zCdOff) return None
+      cdCount = zCount; cdSize = zCdSize; cdOff = zCdOff
+      // the CD must abut the EOCD64 record
+      if (cdOff + cdSize != r.toLong) return None
+    } else {
+      if (eDisk != 0 || eCdDisk != 0) return None // multi-disk
+      if (eThisCount != eCount) return None
+      if (cdOff + cdSize != eocd.toLong) return None // CD must abut EOCD
+    }
+    val cdEnd = (cdOff + cdSize).toInt
     val entries = scala.collection.mutable.ArrayBuffer.empty[Entry]
     var pos = cdOff.toInt
-    val cdEnd = eocd
-    var k = 0
+    var k = 0L
     while (k < cdCount) {
       if (pos + 46 > cdEnd) return None
       if (u32(b, pos) != 0x02014b50L) return None
       val method = u16(b, pos + 10)
       val crc = u32(b, pos + 16)
-      val csize = u32(b, pos + 20)
-      val usize = u32(b, pos + 24)
+      var csize = u32(b, pos + 20)
+      var usize = u32(b, pos + 24)
       val nameLen = u16(b, pos + 28)
       val extraLen = u16(b, pos + 30)
       val commentLen = u16(b, pos + 32)
-      if (u16(b, pos + 34) != 0) return None // disk-number start
-      val localOff = u32(b, pos + 42)
+      var diskStart = u16(b, pos + 34).toLong
+      var localOff = u32(b, pos + 42)
       if (pos + 46 + nameLen + extraLen + commentLen > cdEnd) return None
       val name = new String(b, pos + 46, nameLen, "UTF-8")
+      // zip64 promotion: any sentinel field must resolve through the
+      // 0x0001 extra block, whose data size is exactly the promoted sum
+      var z64 = false
+      if (usize == 0xffffffffL || csize == 0xffffffffL ||
+        localOff == 0xffffffffL || diskStart == 0xffffL) {
+        val xStart = pos + 46 + nameLen
+        val xEnd = xStart + extraLen
+        var xp = xStart
+        while (!z64 && xp + 4 <= xEnd) {
+          val hid = u16(b, xp)
+          val dsize = u16(b, xp + 2)
+          if (xp + 4 + dsize > xEnd) return None
+          if (hid == 0x0001) {
+            val need = (if (usize == 0xffffffffL) 8 else 0) +
+              (if (csize == 0xffffffffL) 8 else 0) +
+              (if (localOff == 0xffffffffL) 8 else 0) +
+              (if (diskStart == 0xffffL) 4 else 0)
+            if (dsize != need) return None
+            var fp = xp + 4
+            if (usize == 0xffffffffL) { usize = u64(b, fp); fp += 8 }
+            if (csize == 0xffffffffL) { csize = u64(b, fp); fp += 8 }
+            if (localOff == 0xffffffffL) { localOff = u64(b, fp); fp += 8 }
+            if (diskStart == 0xffffL) { diskStart = u32(b, fp); fp += 4 }
+            if (usize < 0 || csize < 0 || localOff < 0) return None
+            z64 = true
+          } else xp += 4 + dsize
+        }
+        if (!z64) return None // sentinel with no 0x0001 block
+      }
+      if (diskStart != 0L) return None // disk-number start
       // stored entries must agree on both sizes
       if (method == 0 && csize != usize) return None
       // the local header must really be there
-      if (localOff + 4 > b.length || u32(b, localOff.toInt) != 0x04034b50L)
+      if (localOff > (b.length - 4).toLong || u32(b, localOff.toInt) != 0x04034b50L)
         return None
-      entries += Entry(name, method, csize, usize, crc, localOff)
+      entries += Entry(name, method, csize, usize, crc, localOff, z64)
       pos += 46 + nameLen + extraLen + commentLen
       k += 1
     }
@@ -100,7 +192,8 @@ object Zip {
     StructField("comp_size", LongType),
     StructField("uncomp_size", LongType),
     StructField("crc32", LongType),
-    StructField("local_offset", LongType)))
+    StructField("local_offset", LongType),
+    StructField("zip64", IntegerType)))
 
   private def methodName(m: Int): String = m match {
     case 0 => "stored"
@@ -123,7 +216,7 @@ object Zip {
         parseCentralDirectory(r.getAs[Array[Byte]](pIdx)) match {
           case Some(es) => es.iterator.zipWithIndex.map { case (e, i) =>
             Row(id, i, e.name, methodName(e.method), e.compSize,
-              e.uncompSize, e.crc32, e.localOffset)
+              e.uncompSize, e.crc32, e.localOffset, if (e.zip64) 1 else 0)
           }
           case None => Iterator.empty
         }
@@ -140,7 +233,15 @@ object Zip {
    * decompresses, so the census extracts, never verifies); each local
    * header is 30 + name + comp bytes with no extra fields, so
    * `local_offset(j)` is the running sum; a ZIP comment `zc<id%10>`
-   * when `id%3 == 0` (the EOCD back-scan must handle both). */
+   * when `id%3 == 0` (the EOCD back-scan must handle both).
+   *
+   * ZIP64 rotation: `id%5 == 4` archives use the full ZIP64 shape —
+   * even-j entries write all three of usize/csize/local_offset at their
+   * 0xffffffff sentinels with a 24-byte 0x0001 extra, odd-j entries
+   * promote only local_offset (8-byte extra); the EOCD carries sentinel
+   * counts/size/offset resolved through a spec-exact EOCD64 record +
+   * locator. Entry VALUES follow the same formulas as the plain form,
+   * so the m31 oracle is shared; only `zip64` flips to 1. */
   def syntheticZip(id: Long): Array[Byte] = {
     val bo = new java.io.ByteArrayOutputStream()
     def u16w(v: Int): Unit = { bo.write(v & 0xff); bo.write((v >> 8) & 0xff) }
@@ -148,6 +249,8 @@ object Zip {
       bo.write((v & 0xff).toInt); bo.write(((v >> 8) & 0xff).toInt)
       bo.write(((v >> 16) & 0xff).toInt); bo.write(((v >> 24) & 0xff).toInt)
     }
+    def u64w(v: Long): Unit = { u32w(v & 0xffffffffL); u32w(v >>> 32) }
+    val zip64 = id % 5 == 4
     val n = (1 + id % 4).toInt
     final case class E(name: Array[Byte], method: Int, csize: Int,
         usize: Int, crc: Long, off: Int)
@@ -172,21 +275,47 @@ object Zip {
       (0 until e.csize).foreach(j => bo.write(((id * 7 + j) & 0xff).toInt))
     }
     val cdOff = bo.size()
-    es.foreach { e => // central directory
-      u32w(0x02014b50L); u16w(20); u16w(20); u16w(0); u16w(e.method)
+    es.zipWithIndex.foreach { case (e, j) => // central directory
+      val promoteAll = zip64 && j % 2 == 0
+      val promoteOff = zip64
+      val extraLen =
+        if (promoteAll) 4 + 24 else if (promoteOff) 4 + 8 else 0
+      u32w(0x02014b50L); u16w(if (zip64) 45 else 20)
+      u16w(if (zip64) 45 else 20); u16w(0); u16w(e.method)
       u16w(0); u16w(0)
-      u32w(e.crc); u32w(e.csize.toLong); u32w(e.usize.toLong)
-      u16w(e.name.length); u16w(0); u16w(0)
+      u32w(e.crc)
+      u32w(if (promoteAll) 0xffffffffL else e.csize.toLong)
+      u32w(if (promoteAll) 0xffffffffL else e.usize.toLong)
+      u16w(e.name.length); u16w(extraLen); u16w(0)
       u16w(0); u16w(0); u32w(0)
-      u32w(e.off.toLong)
+      u32w(if (promoteOff) 0xffffffffL else e.off.toLong)
       bo.write(e.name, 0, e.name.length)
+      if (promoteAll) {
+        u16w(0x0001); u16w(24)
+        u64w(e.usize.toLong); u64w(e.csize.toLong); u64w(e.off.toLong)
+      } else if (promoteOff) {
+        u16w(0x0001); u16w(8); u64w(e.off.toLong)
+      }
     }
     val cdSize = bo.size() - cdOff
     val comment =
       if (id % 3 == 0) s"zc${id % 10}".getBytes("UTF-8")
       else Array.emptyByteArray
-    u32w(0x06054b50L); u16w(0); u16w(0); u16w(n); u16w(n)
-    u32w(cdSize.toLong); u32w(cdOff.toLong); u16w(comment.length)
+    if (zip64) {
+      val recOff = bo.size()
+      u32w(0x06064b50L); u64w(44L) // EOCD64 record, fixed-size body
+      u16w(45); u16w(45) // version made by / needed
+      u32w(0); u32w(0) // this disk / CD start disk
+      u64w(n.toLong); u64w(n.toLong)
+      u64w(cdSize.toLong); u64w(cdOff.toLong)
+      u32w(0x07064b50L); u32w(0) // locator: disk with the EOCD64
+      u64w(recOff.toLong); u32w(1) // total disks
+      u32w(0x06054b50L); u16w(0); u16w(0); u16w(0xffff); u16w(0xffff)
+      u32w(0xffffffffL); u32w(0xffffffffL); u16w(comment.length)
+    } else {
+      u32w(0x06054b50L); u16w(0); u16w(0); u16w(n); u16w(n)
+      u32w(cdSize.toLong); u32w(cdOff.toLong); u16w(comment.length)
+    }
     bo.write(comment, 0, comment.length)
     bo.toByteArray
   }

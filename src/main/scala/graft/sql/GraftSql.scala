@@ -196,7 +196,10 @@ object GraftSql {
    * row decode), `png_text(...)` (tEXt/zTXt/iTXt extraction with chunk
    * CRCs verified), `robots_rules([id:.., col:text])` (RFC 9309
    * robots.txt → broadcastable rule rows), `eml_headers(...)`
-   * (RFC 5322 header extraction with RFC 2047 encoded-word decode);
+   * (RFC 5322 header extraction with RFC 2047 encoded-word decode),
+   * `json_shape(...)` (JSON structural-shape census),
+   * `parquet_footer(...)` (parquet FileMetaData thrift census),
+   * `exif_gps(...)` (EXIF IFD0→Exif/GPS sub-IFD walk);
    * ops tooling: `key_skew(keys:"k"[, k:10])` (shuffle-key skew
    * diagnostic), `suggest_salt(keys:"k"[, target:n, max:n])` (measured
    * salt-factor advisor), `PROCESS probe, dim USING salted_join(

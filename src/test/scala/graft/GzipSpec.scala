@@ -135,6 +135,43 @@ class GzipSpec extends AnyFunSuite {
     }
   }
 
+  test("inflateMemberAt re-extracts every member from its locator alone") {
+    (0L until 40L).foreach { id =>
+      val payload = Gzip.syntheticGzip(id)
+      val ms = Gzip.parseMembers(payload).get
+      ms.zipWithIndex.foreach { case (m, i) =>
+        val body = Gzip.inflateMemberAt(payload, m.offset, m.compBytes)
+          .getOrElse(fail(s"id=$id member=$i did not re-extract"))
+        // the fixture's content formula: byte j of member m
+        val len = (30 + (id * 3 + i * 11) % 70).toInt
+        assert(body.length === len, s"id=$id member=$i")
+        body.zipWithIndex.foreach { case (x, j) =>
+          assert((x & 0xff) === ((id * 7 + i * 13 + j) & 0xff).toInt,
+            s"id=$id member=$i byte=$j")
+        }
+        assert(body.length.toLong === m.uncompBytes)
+      }
+    }
+  }
+
+  test("inflateMemberAt rejects stale locators") {
+    val payload = Gzip.syntheticGzip(7L) // 2 members
+    val ms = Gzip.parseMembers(payload).get
+    assert(ms.size === 2)
+    val m = ms.head
+    // off-by-one offset: no gzip magic there
+    assert(Gzip.inflateMemberAt(payload, m.offset + 1, m.compBytes).isEmpty)
+    // short length: deflate stream truncated / trailer gone
+    assert(Gzip.inflateMemberAt(payload, m.offset, m.compBytes - 1).isEmpty)
+    // long length spanning into the next member: >1 member in range
+    assert(Gzip.inflateMemberAt(payload, m.offset,
+      m.compBytes + ms(1).compBytes).isEmpty)
+    // out of range entirely
+    assert(Gzip.inflateMemberAt(payload, payload.length.toLong, 18L).isEmpty)
+    assert(Gzip.inflateMemberAt(payload, -1L, m.compBytes).isEmpty)
+    assert(Gzip.inflateMemberAt(null, 0L, 18L).isEmpty)
+  }
+
   test("a stored-block deflate stream inflates to the exact content") {
     // cross-check the fixture's hand-rolled stored blocks against the
     // JDK's reference inflater via GZIPInputStream

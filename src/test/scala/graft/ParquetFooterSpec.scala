@@ -52,6 +52,71 @@ class ParquetFooterSpec extends AnyFunSuite with SparkTestBase {
     assert(f.rowGroups.map(_._1).sum === 1000L)
   }
 
+  test("column-chunk stats agree with parquet-mr's own reader, file-by-file") {
+    // a Spark-written file with known value distribution and nulls
+    val out = java.nio.file.Files.createTempDirectory("graft_pqchunk")
+    val df = spark.range(2000).selectExpr("id",
+      "CASE WHEN id % 5 = 0 THEN NULL ELSE concat('v', lpad(CAST(id AS STRING), 6, '0')) END AS s")
+    df.repartition(3).write.mode("overwrite").parquet(out.resolve("p").toString)
+    val files = java.nio.file.Files.list(out.resolve("p")).toArray
+      .map(_.toString).filter(_.endsWith(".parquet"))
+    assert(files.length === 3)
+    files.foreach { file =>
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(file))
+      val chunks = ParquetFooter.parseColumnChunks(bytes)
+        .getOrElse(fail(s"$file chunks did not parse"))
+      // parquet-mr's reader over the same file (test-only dependency —
+      // the product path never touches Hadoop classes)
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val inFile = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(file), conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(inFile)
+      try {
+        val md = reader.getFooter
+        import scala.jdk.CollectionConverters._
+        val refChunks = md.getBlocks.asScala.flatMap(_.getColumns.asScala)
+        assert(chunks.size === refChunks.size, s"$file chunk count")
+        chunks.zip(refChunks).foreach { case (mine, ref) =>
+          assert(mine.path === ref.getPath.toDotString, s"$file path")
+          assert(mine.numValues === ref.getValueCount, s"$file n_values")
+          assert(mine.compBytes === ref.getTotalSize, s"$file comp")
+          assert(mine.uncompBytes === ref.getTotalUncompressedSize,
+            s"$file uncomp")
+          assert(codecNamePublic(mine.codec).toUpperCase ===
+            ref.getCodec.name(), s"$file codec")
+          val st = ref.getStatistics
+          assert(mine.nullCount === Some(st.getNumNulls), s"$file nulls")
+          if (mine.path == "id") {
+            assert(mine.minLong === Some(st.genericGetMin
+              .asInstanceOf[java.lang.Long].longValue()), s"$file min")
+            assert(mine.maxLong === Some(st.genericGetMax
+              .asInstanceOf[java.lang.Long].longValue()), s"$file max")
+          } else {
+            assert(mine.minStr ===
+              Some(st.minAsString()), s"$file min_str")
+            assert(mine.maxStr ===
+              Some(st.maxAsString()), s"$file max_str")
+          }
+        }
+      } finally reader.close()
+    }
+    // the split-invariant envelope over all files equals the table truth
+    val all = files.flatMap(f => ParquetFooter.parseColumnChunks(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f))).get)
+    val idChunks = all.filter(_.path == "id")
+    assert(idChunks.map(_.numValues).sum === 2000L)
+    assert(idChunks.flatMap(_.minLong).min === 0L)
+    assert(idChunks.flatMap(_.maxLong).max === 1999L)
+    val sChunks = all.filter(_.path == "s")
+    assert(sChunks.flatMap(_.nullCount).sum === 400L)
+  }
+
+  private def codecNamePublic(c: Int): String = c match {
+    case 0 => "uncompressed"; case 1 => "snappy"; case 2 => "gzip"
+    case 6 => "zstd"; case other => s"codec_$other"
+  }
+
   test("corrupt contract: magic, footer length, truncation") {
     val bytes = java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("/root/testdata/sf0.001/region.parquet"))

@@ -86,6 +86,44 @@ class WalkerFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("crafted near-MaxValue varint lengths cannot wrap the bounds checks") {
+    // Avro: metadata key length zigzag-decodes to Long.MaxValue (varint
+    // bytes decode to -2). `pos + len` wraps negative, so an additive
+    // bounds check passes and String(b, pos, len.toInt) throws; the
+    // subtractive check must reject with None.
+    val avro = Array[Byte]('O', 'b', 'j', 1,
+      2, // map block count 1 (zigzag 1)
+      0xfe.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte,
+      0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte, 0x01) ++
+      Array.fill(16)(0.toByte)
+    assert(Avro.parseOcf(avro).isEmpty)
+
+    // Avro: block byte-size near MaxValue after a valid header — the
+    // `dataEnd + 16` form wrapped the same way.
+    val hdr = Avro.syntheticAvro(0L)
+    // header of id=0: magic+map(2 entries)+sync, then 1 block; splice a
+    // crafted block whose byte-size varint decodes to Long.MaxValue
+    val blockStart = {
+      // id=0: schema 42B, codec "null": header = 4+1+(1+11+1+42)+(1+10+1+4)+1+16
+      4 + 1 + (1 + 11 + 1 + 42) + (1 + 10 + 1 + 4) + 1 + 16
+    }
+    val crafted = hdr.take(blockStart) ++ Array[Byte](
+      2, // row count 1
+      0xfe.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte,
+      0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte, 0x01) ++
+      Array.fill(20)(0.toByte)
+    assert(Avro.parseOcf(crafted).isEmpty)
+
+    // Parquet: a binary field (created_by, id 6 type 8) whose plain
+    // varint length decodes to Long.MaxValue; `pos + n` wraps negative
+    // and the cursor would jump backwards without the subtractive check.
+    val footer = Array[Byte](0x68) ++ Array.fill(8)(0xff.toByte) ++
+      Array[Byte](0x7f)
+    val pq = "PAR1".getBytes ++ footer ++
+      Array[Byte](footer.length.toByte, 0, 0, 0) ++ "PAR1".getBytes
+    assert(ParquetFooter.parseFooter(pq).isEmpty)
+  }
+
   test("text walkers never throw on mutated/garbage text") {
     val texts = (0L until 25L).flatMap { id =>
       Seq(Robots.syntheticRobots(id), Eml.syntheticEml(id),

@@ -70,6 +70,27 @@ class WarcSpec extends SparkTestBase {
       .take(6).exists(t => Option(t.getMessage).exists(_.contains("Content-Length"))))
   }
 
+  test("warc.gz random-access locator agrees with the whole-file parse") {
+    import spark.implicits._
+    val docs = (0L until 60L).map(i => (i, s"doc body $i " + ("x" * (i % 40).toInt)))
+      .toDF("doc_id", "text")
+    val files = Warc.syntheticWarcGzFiles(docs, "doc_id", "text", nFiles = 4)
+      .localCheckpoint(true)
+    val located = Warc.locateWarcGzRecords(files, "file_name", "content")
+      .select("file", "record_id", "warc_type", "target_uri",
+        "content_type", "content_length", "payload")
+    val whole = Warc.parseWarc(files, "file_name", "content")
+    assert(graft.api.DfUtils.dfEq(located, whole))
+    // member ordinals follow id order within each bucket
+    val ords = Warc.locateWarcGzRecords(files, "file_name", "content")
+      .select(expr("CAST(regexp_extract(target_uri, 'doc/(\\\\d+)$', 1) AS BIGINT)")
+        .as("id"), col("member_no"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    (0L until 60L).foreach { id =>
+      assert(ords(id) === (id / 4).toInt, s"id=$id")
+    }
+  }
+
   test("syntheticWarcFiles buckets by id and parses back to the corpus") {
     val docs = df((0L until 40L).map(i => Seq(i, s"doc $i body")),
       "doc_id:long,text:str")

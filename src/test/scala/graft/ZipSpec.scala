@@ -23,9 +23,68 @@ class ZipSpec extends AnyFunSuite {
         assert(e.uncompSize === usize, s"id=$id j=$j")
         assert(e.crc32 === ((id * 2654435761L + j * 40503L) & 0xffffffffL))
         assert(e.localOffset === off, s"id=$id j=$j")
+        assert(e.zip64 === (id % 5 == 4), s"id=$id j=$j")
         off += 30 + e.name.length + csize
       }
     }
+  }
+
+  test("zip64 archives resolve sentinels through EOCD64 + 0x0001 extras") {
+    // id%5==4 fixtures: even-j entries promote usize/csize/offset, odd-j
+    // promote only the offset; EOCD count/size/offset are all sentinels
+    val es = Zip.parseCentralDirectory(Zip.syntheticZip(4L))
+      .getOrElse(fail("zip64 fixture did not parse"))
+    assert(es.nonEmpty && es.forall(_.zip64))
+    // values equal the plain closed form — promotion is transparent
+    var off = 0L
+    es.zipWithIndex.foreach { case (e, j) =>
+      assert(e.localOffset === off, s"j=$j")
+      off += 30 + e.name.length + e.compSize
+    }
+  }
+
+  test("a real JDK-written ZIP64 archive parses (>65,535 entries)") {
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    val n = 65_600
+    val payload = "x".getBytes("UTF-8")
+    (0 until n).foreach { i =>
+      zos.putNextEntry(new java.util.zip.ZipEntry(s"e$i"))
+      zos.write(payload)
+      zos.closeEntry()
+    }
+    zos.close()
+    val es = Zip.parseCentralDirectory(bos.toByteArray)
+      .getOrElse(fail("JDK zip64 archive did not parse"))
+    assert(es.size === n)
+    assert(es.head.name === "e0" && es.last.name === s"e${n - 1}")
+  }
+
+  test("zip64 corruption returns None, never throws") {
+    val ok = Zip.syntheticZip(4L)
+    // EOCD64 locator signature mangled: sentinels then have no resolver
+    val locPos = ok.length - 22 - (if (4L % 3 == 0) 3 else 0) - 20
+    val badLoc = ok.clone()
+    badLoc(locPos) = 'Q'
+    assert(Zip.parseCentralDirectory(badLoc) === None)
+    // locator's record offset mangled: EOCD64 signature check fails
+    val badRec = ok.clone()
+    badRec(locPos + 8) = (badRec(locPos + 8) + 1).toByte
+    assert(Zip.parseCentralDirectory(badRec) === None)
+    // 0x0001 extra data size mangled: the exact-promoted-width check
+    // fails (entry 0 of id=4 is promote-all: name "f4_0.txt", so the
+    // block's size field sits at cd + 46 + 8 + 2)
+    val es = Zip.parseCentralDirectory(ok).get
+    val cdStart = ok.indexOfSlice(Array[Byte]('P', 'K', 1, 2))
+    assert(cdStart > 0)
+    val badExtra = ok.clone()
+    badExtra(cdStart + 46 + 8 + 2) = 16 // was 24
+    assert(Zip.parseCentralDirectory(badExtra) === None)
+    assert(es.nonEmpty) // the uncorrupted form parsed
+    // total-disks field in the locator != 1 → multi-disk reject
+    val badDisks = ok.clone()
+    badDisks(locPos + 16) = 2
+    assert(Zip.parseCentralDirectory(badDisks) === None)
   }
 
   test("EOCD back-scan handles both comment and no-comment files") {
