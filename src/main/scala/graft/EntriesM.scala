@@ -415,6 +415,87 @@ private[graft] object EntriesM {
     }),
 
 
+    // format-dispatch AGREEMENT census at gate scale (the
+    // CensusAgreementSpec property promoted to a correctness family):
+    // over a 16-family mixed corpus, (a) the magic-byte census must
+    // sniff every payload as its constructed family, (b) the family's
+    // OWN walker must accept it, and (c) a rotating FOREIGN container
+    // walker (zstd/gzip/avro/mkv/parquet — all strong-magic) must
+    // refuse it. A census that disagrees with the walkers makes any
+    // decode fan-out scheduled from census output silently lossy.
+    // Narrow map + a ≤16-key aggregate; per-format counts close in
+    // doc_id%16 arithmetic
+    "m41_census_agreement" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+      val ids = t(s, dir, "documents").select("doc_id")
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("media_type", StringType),
+        StructField("own_ok", IntegerType),
+        StructField("cross_refused", IntegerType)))
+      val graded = ids.mapPartitions { it =>
+        import graft.functions._
+        it.map { r =>
+          val id = r.getLong(0)
+          val cls = (id % 16).toInt
+          val payload = cls match {
+            case 0 => Png.syntheticTextPng(id)
+            case 1 => Multimodal.syntheticGif(8, 8, 3, id)
+            case 2 => Mp4.syntheticMp4(id)
+            case 3 => Mp4.syntheticFmp4(id)
+            case 4 => Mp3.syntheticMp3(id)
+            case 5 => Riff.syntheticTaggedWav(id)
+            case 6 => Ogg.syntheticOgg(id)
+            case 7 => Flac.syntheticCommentedFlac(id)
+            case 8 => s"plain text payload $id".getBytes("UTF-8")
+            case 9 => Imaging.syntheticWebp(24, 16, (id % 3).toInt, id)
+            case 10 => Imaging.syntheticTiff(24, 16, 8, None,
+              le = id % 2 == 0, id)
+            case 11 => Ebml.syntheticMkv(id)
+            case 12 => Zip.syntheticZip(id)
+            case 13 => Zstd.syntheticZstd(id)
+            case 14 => Gzip.syntheticGzip(id)
+            case _ => Avro.syntheticAvro(id)
+          }
+          val ownOk = cls match {
+            case 0 => Png.parseTextChunks(payload).isDefined
+            case 1 | 9 | 10 => Imaging.parseImageMeta(payload).isDefined
+            case 2 | 3 => Mp4.parseVideoTrack(payload).isDefined
+            case 4 => Mp3.parseFrames(payload).isDefined
+            case 5 => Riff.parseInfoTags(payload).isDefined
+            case 6 => Ogg.parsePages(payload).isDefined
+            // StreamInfo, not comments: id%5==4 fixtures carry no
+            // VORBIS_COMMENT block by design (absent metadata, not
+            // corruption) — the structural chain walk is the format check
+            case 7 => Flac.parseStreamInfo(payload).isDefined
+            case 8 => true // plain text: no walker, sniff-only family
+            case 11 => Ebml.parseMkv(payload).isDefined
+            case 12 => Zip.parseCentralDirectory(payload).isDefined
+            case 13 => Zstd.parseFrames(payload).isDefined
+            case 14 => Gzip.parseMembers(payload).isDefined
+            case _ => Avro.parseOcf(payload).isDefined
+          }
+          // cls%5 never selects the payload's own format (zstd=13→mkv,
+          // gzip=14→parquet, avro=15→zstd, mkv=11→gzip), so refusal is
+          // always the correct verdict
+          val crossRefused = (cls % 5) match {
+            case 0 => Zstd.parseFrames(payload).isEmpty
+            case 1 => Gzip.parseMembers(payload).isEmpty
+            case 2 => Avro.parseOcf(payload).isEmpty
+            case 3 => Ebml.parseMkv(payload).isEmpty
+            case _ => ParquetFooter.parseFooter(payload).isEmpty
+          }
+          org.apache.spark.sql.Row(id,
+            Multimodal.sniffMediaType(payload),
+            if (ownOk) 1 else 0, if (crossRefused) 1 else 0)
+        }
+      }(org.apache.spark.sql.Encoders.row(schema))
+      graded.groupBy("media_type")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum("own_ok").cast("long").as("n_own_ok"),
+          sum("cross_refused").cast("long").as("n_cross_refused"))
+    }),
+
+
     // parquet FOOTER census: rows / leaf columns / row groups / writer
     // read from the FileMetaData thrift of REAL files Spark just wrote
     // (the m12 temp-dir pattern) — the walker's verdict columns compare
@@ -934,6 +1015,25 @@ private[graft] object EntriesM {
         |  ELSE 'avro' END AS media_type
         |FROM documents""".stripMargin,
 
+    // agreement is the CLAIM: every per-format count must equal its
+    // own-walker-accepted and foreign-walker-refused counts — the
+    // closed form is pure doc_id%16 arithmetic
+    "m41_census_agreement" ->
+      """WITH c AS (
+        | SELECT CASE CAST(doc_id % 16 AS INTEGER)
+        |  WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'mp4'
+        |  WHEN 3 THEN 'mp4' WHEN 4 THEN 'mp3' WHEN 5 THEN 'wav'
+        |  WHEN 6 THEN 'ogg' WHEN 7 THEN 'flac' WHEN 8 THEN 'unknown'
+        |  WHEN 9 THEN 'webp' WHEN 10 THEN 'tiff'
+        |  WHEN 11 THEN 'matroska' WHEN 12 THEN 'zip'
+        |  WHEN 13 THEN 'zstd' WHEN 14 THEN 'gzip'
+        |  ELSE 'avro' END AS media_type
+        | FROM documents)
+        |SELECT media_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(count(*) AS BIGINT) AS n_own_ok,
+        | CAST(count(*) AS BIGINT) AS n_cross_refused
+        |FROM c GROUP BY 1""".stripMargin,
+
     // first-principles MP3 oracle: replays Mp3.syntheticShape — MPEG-1
     // Layer III frame size is 144000·kbps // hz + pad; data starts after
     // the optional ID3v2 block (10-byte header + synchsafe size)
@@ -1371,7 +1471,9 @@ private[graft] object EntriesM {
         |   (CASE WHEN doc_id % 5 < 2 THEN -1.0 ELSE 1.0 END) *
         |   ((doc_id % 180) + (doc_id * 3 % 60) / 60.0
         |     + ((doc_id * 53 % 6000) / 100.0) / 3600.0)
-        | END AS lon
+        | END AS lon,
+        | CAST(CASE WHEN doc_id % 6 = 1 THEN 1 ELSE 0 END AS INTEGER)
+        |   AS has_thumbnail
         |FROM documents WHERE doc_id % 11 <> 6""".stripMargin,
 
     // closed-form replay of the m37 write: Spark wrote count(documents)

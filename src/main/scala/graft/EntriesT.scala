@@ -207,6 +207,24 @@ private[graft] object EntriesT {
     }),
 
 
+    // MIME multipart BODY census (RFC 2045/2046) — the walk t43 stops
+    // short of by design: LEAF parts only (nested multiparts recursed,
+    // depth-bounded), declared charset, transfer encoding, and DECODED
+    // byte size computed WITHOUT retaining a payload byte (base64 =
+    // 3n/4 minus padding after validation, QP = escape accounting);
+    // the fixture rotates quoted/bare boundary params, preamble/
+    // epilogue, a nested multipart/alternative, and a malformed-
+    // boundary negative (id%13==7: a part opens, the close delimiter
+    // never comes → strict None, zero rows); the oracle replays every
+    // part formula including the exact decoded sizes
+    "t45_mime_parts" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select("doc_id")
+      graft.functions.Mime.mimeParts(
+        graft.functions.Mime.syntheticMimes(ids, "doc_id"),
+        "doc_id", "mime_text")
+    }),
+
+
     // host-level link-graph extraction (the WARC→HTML→graph bridge),
     // FULL oracle: per-doc source hosts + injected outbound URLs → edge
     // list with link counts; mixed-case hosts on both sides pin the
@@ -1053,6 +1071,49 @@ private[graft] object EntriesT {
         |SELECT doc_id, CAST(header_no AS INTEGER) AS header_no, name,
         |  lower(name) AS name_lc, value
         |FROM hs""".stripMargin,
+
+    // replay of Mime.syntheticMime's leaf-part formulas: decoded sizes
+    // derive from the literal part bodies (dk = digits of doc_id%100);
+    // the malformed-boundary ids (%13==7) contribute zero rows — the
+    // strict posture IS part of the differential
+    "t45_mime_parts" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  length(CAST(doc_id % 100 AS VARCHAR)) AS dk
+        | FROM documents WHERE doc_id % 13 <> 7),
+        |leaves AS (
+        | SELECT doc_id, 0 AS part_no, 0 AS depth,
+        |  'text/plain' AS ctype, 'utf-8' AS charset,
+        |  CASE doc_id % 3 WHEN 0 THEN '7bit'
+        |    WHEN 1 THEN 'quoted-printable' ELSE 'base64' END AS encoding,
+        |  CASE doc_id % 3 WHEN 0 THEN 7 + dk + doc_id % 30
+        |    WHEN 1 THEN 8 + dk + doc_id % 5
+        |    ELSE 15 + doc_id % 40 END AS decoded_bytes
+        | FROM d WHERE doc_id % 7 = 3
+        | UNION ALL
+        | SELECT doc_id, 0, 1, 'text/plain', 'us-ascii', '7bit',
+        |  3 + dk + doc_id % 40
+        | FROM d WHERE doc_id % 7 <> 3
+        | UNION ALL
+        | SELECT doc_id, 1, 1, 'application/octet-stream', NULL,
+        |  'base64', 20 + doc_id % 50
+        | FROM d WHERE doc_id % 7 <> 3
+        | UNION ALL
+        | SELECT doc_id, 2, 1, 'text/html', 'iso-8859-1',
+        |  'quoted-printable', 3 + dk + doc_id % 7
+        | FROM d WHERE doc_id % 7 <> 3 AND doc_id % 4 = 1
+        | UNION ALL
+        | SELECT doc_id, CASE WHEN doc_id % 4 = 1 THEN 3 ELSE 2 END, 2,
+        |  'text/plain', NULL, '7bit', 3 + dk
+        | FROM d WHERE doc_id % 7 <> 3 AND doc_id % 5 = 2
+        | UNION ALL
+        | SELECT doc_id, CASE WHEN doc_id % 4 = 1 THEN 4 ELSE 3 END, 2,
+        |  'text/html', 'utf-8', '7bit', 10 + dk
+        | FROM d WHERE doc_id % 7 <> 3 AND doc_id % 5 = 2)
+        |SELECT doc_id, CAST(part_no AS INTEGER) AS part_no,
+        | CAST(depth AS INTEGER) AS depth, ctype, charset, encoding,
+        | CAST(decoded_bytes AS BIGINT) AS decoded_bytes
+        |FROM leaves""".stripMargin,
 
     "t37_link_graph" ->
       (s"""WITH injected AS (

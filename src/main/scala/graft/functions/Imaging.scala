@@ -471,14 +471,22 @@ object Imaging {
   // (capture-time clustering, geo fencing) before any pixel decode.
   // =====================================================================
 
-  /** Deep EXIF projection. `lat`/`lon` are SIGNED decimal degrees
-   * computed as `deg + min/60.0 + sec/3600.0` in exactly that IEEE
-   * operation order (each component first divided by its own
-   * denominator) — documented because the conformance oracle replays
-   * the same op order and doubles compare exactly. */
+  /** Deep EXIF projection — a PROJECTED SUBSET of the tag space, by
+   * contract: IFD0 scalars plus the Exif and GPS sub-IFDs. IFD1
+   * (the thumbnail IFD) is reported as a presence boolean only
+   * (`hasThumbnail` = IFD0's next-IFD pointer is non-zero), never
+   * walked; maker notes, interoperability IFDs and all unprojected
+   * tags are strided structurally. Census consumers must not assume
+   * tag completeness beyond the named fields.
+   *
+   * `lat`/`lon` are SIGNED decimal degrees computed as
+   * `deg + min/60.0 + sec/3600.0` in exactly that IEEE operation order
+   * (each component first divided by its own denominator) — documented
+   * because the conformance oracle replays the same op order and
+   * doubles compare exactly. */
   final case class ExifMeta(orientation: Option[Int],
       dtOriginal: Option[String], pixelX: Option[Long], pixelY: Option[Long],
-      lat: Option[Double], lon: Option[Double])
+      lat: Option[Double], lon: Option[Double], hasThumbnail: Boolean)
 
   /**
    * Walk the full EXIF chain of a JPEG (APP1 `Exif`) or standalone TIFF
@@ -598,7 +606,8 @@ object Imaging {
     var orientation: Option[Int] = None
     var exifPtr: Option[Long] = None
     var gpsPtr: Option[Long] = None
-    if (!walkIfd(r32(tiff + 4)) { (tag, tpe, cnt, vOff) =>
+    val ifd0Off = r32(tiff + 4)
+    if (!walkIfd(ifd0Off) { (tag, tpe, cnt, vOff) =>
       tag match {
         case 0x0112 if tpe == 3 && cnt == 1L =>
           val v = r16(vOff)
@@ -608,6 +617,13 @@ object Imaging {
         case _ => ()
       }
     }) return None
+    // IFD1 presence: IFD0's next-IFD pointer (4 bytes after the entry
+    // table) — a non-zero pointer means a thumbnail IFD exists. The
+    // pointer is REPORTED, never followed (projected-subset contract).
+    val ifd0 = (tiff + ifd0Off).toInt
+    val ifd0N = r16(ifd0)
+    val nextOff = ifd0 + 2 + 12 * ifd0N
+    val hasThumbnail = nextOff + 4 <= end && r32(nextOff) != 0L
 
     var dt: Option[String] = None
     var px: Option[Long] = None
@@ -644,7 +660,7 @@ object Imaging {
       yield if (r == "S") -v else v
     val lon = for (v <- lonAbs; r <- lonRef)
       yield if (r == "W") -v else v
-    Some(ExifMeta(orientation, dt, px, py, lat, lon))
+    Some(ExifMeta(orientation, dt, px, py, lat, lon, hasThumbnail))
   }
 
   /** Output schema of [[exifMeta]]. */
@@ -655,7 +671,8 @@ object Imaging {
     StructField("pixel_x", LongType),
     StructField("pixel_y", LongType),
     StructField("lat", DoubleType),
-    StructField("lon", DoubleType)))
+    StructField("lon", DoubleType),
+    StructField("has_thumbnail", IntegerType)))
 
   /** One row per payload with a walkable EXIF chain; payloads without
    * one contribute nothing. Narrow mapPartitions — header-only reads. */
@@ -668,7 +685,8 @@ object Imaging {
         parseExif(r.getAs[Array[Byte]](pIdx)).map { m =>
           Row(id, m.orientation.map(Int.box).orNull, m.dtOriginal.orNull,
             m.pixelX.map(Long.box).orNull, m.pixelY.map(Long.box).orNull,
-            m.lat.map(Double.box).orNull, m.lon.map(Double.box).orNull)
+            m.lat.map(Double.box).orNull, m.lon.map(Double.box).orNull,
+            if (m.hasThumbnail) 1 else 0)
         }.iterator
       }
     }(Encoders.row(exifSchema))
@@ -688,7 +706,9 @@ object Imaging {
    * `±(deg + min/60.0 + (sec100/100.0)/3600.0)` in exactly that op
    * order. ids with `id%7 == 4` omit the GPS IFD (metadata absent, not
    * corruption); ids with `id%11 == 6` omit the whole APP1 (no chain —
-   * zero rows). */
+   * zero rows); ids with `id%6 == 1` append a minimal IFD1 (one
+   * Compression=6 entry) behind IFD0's next-IFD pointer —
+   * `has_thumbnail` flips to 1, the thumbnail itself is never walked. */
   def syntheticExifJpeg(id: Long): Array[Byte] = {
     if (id % 11 == 6) return syntheticJpeg(
       (16 + (id * 7) % 240).toInt, (16 + (id * 3) % 240).toInt,
@@ -713,12 +733,14 @@ object Imaging {
     //   then Exif IFD (2 + 3*12 + 4), then dt bytes (20),
     //   then (if GPS) GPS IFD (2 + 4*12 + 4) + 2 rationals (24 + 24)
     val n0 = if (hasGps) 3 else 2
+    val hasIfd1 = id % 6 == 1
     val ifd0 = 8L
     val exifIfd = ifd0 + 2 + 12 * n0 + 4
     val dtOff = exifIfd + 2 + 3 * 12 + 4
     val gpsIfd = dtOff + 20
     val latOff = gpsIfd + 2 + 4 * 12 + 4
     val lonOff = latOff + 24
+    val ifd1Off = if (hasGps) lonOff + 24 else gpsIfd
     tb.write("Exif".getBytes("US-ASCII"), 0, 4); tb.write(0); tb.write(0)
     if (le) { tb.write('I'); tb.write('I') } else { tb.write('M'); tb.write('M') }
     w16(42); w32(ifd0)
@@ -731,7 +753,7 @@ object Imaging {
     entryShort(0x0112, (1 + id % 8).toInt)
     entryLong(0x8769, exifIfd)
     if (hasGps) entryLong(0x8825, gpsIfd)
-    w32(0L)
+    w32(if (hasIfd1) ifd1Off else 0L) // next-IFD pointer (IFD1)
     // Exif IFD
     w16(3)
     w16(0x9003); w16(2); w32(20L); w32(dtOff)
@@ -761,6 +783,11 @@ object Imaging {
       rational(id % 90, 1); rational(id % 60, 1); rational(id * 37 % 6000, 100)
       rational(id % 180, 1); rational(id * 3 % 60, 1)
       rational(id * 53 % 6000, 100)
+    }
+    if (hasIfd1) { // minimal thumbnail IFD: one Compression=6 entry
+      w16(1)
+      entryShort(0x0103, 6)
+      w32(0L)
     }
     // wrap in the JPEG skeleton: SOI, APP1, DQT, SOF0, SOS, entropy, EOI
     val bo = new java.io.ByteArrayOutputStream()

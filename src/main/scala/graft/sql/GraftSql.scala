@@ -199,7 +199,9 @@ object GraftSql {
    * (RFC 5322 header extraction with RFC 2047 encoded-word decode),
    * `json_shape(...)` (JSON structural-shape census),
    * `parquet_footer(...)` (parquet FileMetaData thrift census),
-   * `exif_gps(...)` (EXIF IFD0→Exif/GPS sub-IFD walk);
+   * `exif_gps(...)` (EXIF IFD0→Exif/GPS sub-IFD walk),
+   * `mime_parts(...)` (RFC 2045/2046 multipart body census — leaf
+   * parts with decoded-size accounting, no payload retention);
    * ops tooling: `key_skew(keys:"k"[, k:10])` (shuffle-key skew
    * diagnostic), `suggest_salt(keys:"k"[, target:n, max:n])` (measured
    * salt-factor advisor), `PROCESS probe, dim USING salted_join(
@@ -539,6 +541,10 @@ object GraftSql {
         "exif_gps" -> ProcessorDef { (_, dfs, p) =>
           graft.functions.Imaging.exifMeta(one(dfs, "exif_gps"),
             p.getOrElse("id", "doc_id"), p.getOrElse("col", "payload"))
+        },
+        "mime_parts" -> ProcessorDef { (_, dfs, p) =>
+          graft.functions.Mime.mimeParts(one(dfs, "mime_parts"),
+            p.getOrElse("id", "doc_id"), p.getOrElse("col", "text"))
         },
         // hybrid-retrieval fusion: PROCESS lexical, dense USING
         // rrf_fuse(...) — any number of ranked (query, rank, id) lists

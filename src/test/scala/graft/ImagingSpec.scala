@@ -157,6 +157,7 @@ class ImagingSpec extends AnyFunSuite {
         assert(m.dtOriginal === Some(dt), s"id=$id")
         assert(m.pixelX === Some(640 + id % 1280), s"id=$id")
         assert(m.pixelY === Some(480 + id % 960), s"id=$id")
+        assert(m.hasThumbnail === (id % 6 == 1), s"id=$id IFD1 presence")
         if (id % 7 == 4) {
           assert(m.lat.isEmpty && m.lon.isEmpty, s"id=$id GPS-less")
         } else {
@@ -170,7 +171,8 @@ class ImagingSpec extends AnyFunSuite {
       }
     }
     // a GPS rational with denominator zero is malformation, not Infinity
-    val good = Imaging.syntheticExifJpeg(1L)
+    // (id=5: GPS present, no IFD1 — the rationals ARE the APP1 tail)
+    val good = Imaging.syntheticExifJpeg(5L)
     // lat rationals start right after the GPS IFD; find them by locating
     // the last 48 bytes of the APP1 (lat 24 + lon 24 as laid out)
     val seglen = ((good(4) & 0xff) << 8) | (good(5) & 0xff)

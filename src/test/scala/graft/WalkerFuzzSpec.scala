@@ -127,7 +127,8 @@ class WalkerFuzzSpec extends AnyFunSuite {
   test("text walkers never throw on mutated/garbage text") {
     val texts = (0L until 25L).flatMap { id =>
       Seq(Robots.syntheticRobots(id), Eml.syntheticEml(id),
-        Json.syntheticJson(id), Subtitles.syntheticSubtitle(id))
+        Json.syntheticJson(id), Subtitles.syntheticSubtitle(id),
+        Mime.syntheticMime(id))
     } ++ Seq("", "\u0000\ufffd\uffff", "a" * 10000, null)
     texts.foreach { t0 =>
       val variants: Seq[String] =
@@ -142,6 +143,7 @@ class WalkerFuzzSpec extends AnyFunSuite {
           Json.topLevelShape(t)
           Subtitles.parseCues(t)
           Urls.canonicalize(t)
+          Mime.parseParts(t)
         } catch { case e: Throwable =>
           fail(s"text walker threw: $e on ${Option(t).map(_.take(60))}")
         }
