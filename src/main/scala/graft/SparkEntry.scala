@@ -22,10 +22,19 @@ object SparkEntry {
 
   private val families: Seq[(Char, Map[String, (SparkSession, String) => DataFrame], Map[String, String])] = Seq(
     ('q', EntriesQ.queries, EntriesQ.oracles),
+    ('q', EntriesQ2.queries, EntriesQ2.oracles),
     ('d', EntriesD.queries, EntriesD.oracles),
     ('s', EntriesS.queries, EntriesS.oracles),
     ('t', EntriesT.queries, EntriesT.oracles),
-    ('m', EntriesM.queries, EntriesM.oracles))
+    ('t', EntriesT2.queries, EntriesT2.oracles),
+    ('m', EntriesM.queries, EntriesM.oracles),
+    ('m', EntriesM2.queries, EntriesM2.oracles))
+
+  // the paired registries must not shadow each other's entries
+  require(EntriesQ.queries.keySet.intersect(EntriesQ2.queries.keySet).isEmpty
+    && EntriesT.queries.keySet.intersect(EntriesT2.queries.keySet).isEmpty
+    && EntriesM.queries.keySet.intersect(EntriesM2.queries.keySet).isEmpty,
+    "split registries overlap")
 
   for ((prefix, qs, os) <- families) {
     require(qs.keys.forall(_.head == prefix) && os.keys.forall(_.head == prefix),
