@@ -101,6 +101,38 @@ object MediaStress {
         graft.functions.Eml.syntheticEmls(ids, "doc_id"),
         "doc_id", "eml_text").count()
     }
+    // r14 batch: the MIME body census, and the warc.gz RANDOM-ACCESS
+    // cost — per-member inflateMemberAt over locator rows vs the
+    // sequential whole-file member walk. Random access re-slices and
+    // re-inflates each member independently (the ranged-GET pattern),
+    // so its docs/s bounds the per-record cost of a Common Crawl
+    // locator-driven fetch pipeline.
+    var nParts = 0L
+    val tParts = time {
+      nParts = graft.functions.Mime.mimeParts(
+        graft.functions.Mime.syntheticMimes(ids, "doc_id"),
+        "doc_id", "mime_text").count()
+    }
+    var nRandom = 0L
+    val tRandom = time {
+      import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("ok", IntegerType)))
+      val extracted = ids.mapPartitions { it =>
+        it.flatMap { r =>
+          val id = r.getLong(0)
+          val gz = graft.functions.Gzip.syntheticGzip(id)
+          graft.functions.Gzip.parseMembers(gz).toSeq.flatten.map { m =>
+            val body = graft.functions.Gzip.inflateMemberAt(
+              gz, m.offset, m.compBytes)
+            org.apache.spark.sql.Row(id, if (body.isDefined) 1 else 0)
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(schema))
+      val agg = extracted.agg(count(lit(1)), sum("ok")).collect().head
+      nRandom = agg.getLong(0)
+      require(agg.getLong(1) == nRandom, "random-access extraction failed")
+    }
     println(f"MEDIASTRESS docs=$n pages=$nPages pageWall=$tPages%.1f " +
       f"pagesPerSec=${nPages / tPages}%.0f pageMB=${pageBytes / 1e6}%.0f " +
       f"packets=$nPackets packetWall=$tPackets%.1f " +
@@ -125,7 +157,12 @@ object MediaStress {
       f"robotsItems=$nRobots robotsWall=$tRobots%.1f " +
       f"robotsDocsPerSec=${n / tRobots}%.0f " +
       f"emlHeaders=$nEml emlWall=$tEml%.1f " +
-      f"emlDocsPerSec=${n / tEml}%.0f")
+      f"emlDocsPerSec=${n / tEml}%.0f " +
+      f"mimeParts=$nParts mimeWall=$tParts%.1f " +
+      f"mimeDocsPerSec=${n / tParts}%.0f " +
+      f"randomMembers=$nRandom randomWall=$tRandom%.1f " +
+      f"randomMembersPerSec=${nRandom / tRandom}%.0f " +
+      f"seqMembersPerSec=${nMembers / tMembers}%.0f")
     spark.stop()
   }
 }
