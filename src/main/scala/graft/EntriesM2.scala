@@ -63,6 +63,24 @@ private[graft] object EntriesM2 {
             .cast("int").as("agree"))
     }),
 
+    // ZIP entry EXTRACTION by locator (m31 ∘ ranged read — the zip
+    // analog of m40's gzip composition): central-directory rows locate,
+    // extractEntryAt pulls each entry's bytes through the LOCAL header
+    // (re-read lengths, never the CD's), decodes stored/raw-deflate,
+    // and verifies length AND CRC-32 against the locator. The fixture
+    // is a REAL java.util.zip.ZipOutputStream archive (true deflate
+    // streams, true CRCs — a real-encoder differential); the oracle
+    // replays the entry contents character-exactly. One narrow pass,
+    // zero exchanges
+    "m42_zip_extract" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select("doc_id")
+      graft.functions.Zip.extractEntries(
+        graft.functions.Zip.syntheticRealZips(ids, "doc_id"),
+        "doc_id", "payload")
+        .select(col("doc_id"), col("entry_no"), col("name"), col("method"),
+          col("n_bytes"), col("content").cast("string").as("content"))
+    }),
+
     // format-dispatch AGREEMENT census at gate scale (the
     // CensusAgreementSpec property promoted to a correctness family):
     // over a 16-family mixed corpus, (a) the magic-byte census must
@@ -638,6 +656,26 @@ private[graft] object EntriesM2 {
         | CAST(1 AS BIGINT) AS verify_ok, CAST(1 AS BIGINT) AS roundtrip_ok,
         | CAST(1 AS BIGINT) AS det_ok
         |FROM documents""".stripMargin,
+
+    // replay of Zip.syntheticRealZip's content formulas: the engine
+    // side INFLATED real deflate streams and CRC-verified them; only
+    // the decoded results are replayed here
+    "m42_zip_extract" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+        |e AS (SELECT doc_id,
+        |  CAST(unnest(range(0, 1 + doc_id % 4)) AS INTEGER) AS j
+        | FROM d),
+        |c AS (SELECT doc_id, j,
+        |  'zip_' || CAST(doc_id AS VARCHAR) || '_' || CAST(j AS VARCHAR)
+        |    || '_' || repeat('ab', CAST((doc_id + j) % 50 AS INTEGER))
+        |    AS content
+        | FROM e)
+        |SELECT doc_id, j AS entry_no,
+        | 'e' || CAST(doc_id AS VARCHAR) || '_' || CAST(j AS VARCHAR)
+        |   || '.txt' AS name,
+        | CASE WHEN j % 2 = 0 THEN 'stored' ELSE 'deflated' END AS method,
+        | CAST(length(content) AS BIGINT) AS n_bytes, content
+        |FROM c""".stripMargin,
 
     // agreement is the CLAIM: every per-format count must equal its
     // own-walker-accepted and foreign-walker-refused counts — the

@@ -324,4 +324,144 @@ object Zip {
    * formulas. */
   def syntheticZips(df: DataFrame, idCol: String): DataFrame =
     Fixtures.syntheticPayloads(df, idCol)(syntheticZip)
+
+  /**
+   * Random-access extraction of ONE entry from the bytes its
+   * central-directory row locates — the ranged-GET access pattern for
+   * ZIP shard lakes, the exact analog of [[Gzip.inflateMemberAt]] for
+   * the other archive family. Reads the LOCAL header at `localOffset`
+   * (APPNOTE 4.3.7: its name/extra lengths may differ from the CD's, so
+   * they are re-read, never assumed), takes exactly `compSize` bytes of
+   * entry data after it, decodes stored (method 0, sizes must agree) or
+   * raw-deflate (method 8, via `Inflater(nowrap=true)` — the entry data
+   * carries no zlib wrapper), and verifies BOTH the decoded length
+   * against `uncompSize` and the decoded CRC-32 against `crc32`. Any
+   * slip — bad signature, bounds, inflate error, trailing compressed
+   * garbage, length or CRC mismatch — is a stale/forged locator: None.
+   *
+   * In-memory decode is capped at Int.MaxValue decoded bytes; a lake
+   * with larger single entries streams through a sink instead of
+   * materializing (this census-side helper never needs that).
+   */
+  def extractEntryAt(payload: Array[Byte], localOffset: Long,
+      compSize: Long, method: Int, crc32: Long,
+      uncompSize: Long): Option[Array[Byte]] = {
+    val b = payload
+    if (b == null || localOffset < 0 || compSize < 0 || uncompSize < 0 ||
+      uncompSize > Int.MaxValue || localOffset > (b.length - 30).toLong)
+      return None
+    val off = localOffset.toInt
+    if (u32(b, off) != 0x04034b50L) return None
+    val nameLen = u16(b, off + 26)
+    val extraLen = u16(b, off + 28)
+    val dataStart = off + 30 + nameLen + extraLen
+    // overflow-safe: compare by subtraction on the known-positive side
+    if (dataStart > b.length || compSize > (b.length - dataStart).toLong)
+      return None
+    val dataEnd = dataStart + compSize.toInt
+    val content: Array[Byte] = method match {
+      case 0 =>
+        if (compSize != uncompSize) return None
+        java.util.Arrays.copyOfRange(b, dataStart, dataEnd)
+      case 8 =>
+        val inf = new java.util.zip.Inflater(true)
+        try {
+          inf.setInput(b, dataStart, compSize.toInt)
+          val out = new Array[Byte](uncompSize.toInt)
+          var got = 0
+          while (got < out.length && !inf.finished()) {
+            val k = inf.inflate(out, got, out.length - got)
+            if (k == 0 && inf.needsInput()) return None // truncated stream
+            got += k
+          }
+          // the stream must END here: exactly uncompSize bytes out and
+          // exactly compSize bytes in (a longer stream means the locator
+          // sizes are stale)
+          if (got != out.length) return None
+          if (!inf.finished()) {
+            val probe = new Array[Byte](1)
+            if (inf.inflate(probe, 0, 1) != 0 || !inf.finished()) return None
+          }
+          if (inf.getBytesRead != compSize) return None
+          out
+        } catch {
+          case _: java.util.zip.DataFormatException => return None
+        } finally inf.end()
+      case _ => return None // census-only methods (bzip2/lzma/zstd/...)
+    }
+    if (content.length.toLong != uncompSize) return None
+    val c = new java.util.zip.CRC32()
+    c.update(content)
+    if (c.getValue != crc32) return None
+    Some(content)
+  }
+
+  /** REAL ZIP fixture written by `java.util.zip.ZipOutputStream` (true
+   * deflate streams, true CRCs — the extraction differential runs
+   * against a real encoder, not a replayed shape): `1 + id%4` entries
+   * named `e<id>_<j>.txt` with ASCII content
+   * `zip_<id>_<j>_` + `"ab" * ((id+j)%50)`; even j STORED, odd j
+   * DEFLATED. Entry timestamps are pinned so the bytes are
+   * deterministic across runs. */
+  def syntheticRealZip(id: Long): Array[Byte] = {
+    val bo = new java.io.ByteArrayOutputStream()
+    val zo = new java.util.zip.ZipOutputStream(bo)
+    val n = (1 + id % 4).toInt
+    (0 until n).foreach { j =>
+      val content = (s"zip_${id}_${j}_" + "ab" * ((id + j) % 50).toInt)
+        .getBytes("US-ASCII")
+      val e = new java.util.zip.ZipEntry(s"e${id}_$j.txt")
+      e.setTime(1700000000000L) // fixed mtime: byte-deterministic output
+      if (j % 2 == 0) {
+        e.setMethod(java.util.zip.ZipEntry.STORED)
+        e.setSize(content.length.toLong)
+        e.setCompressedSize(content.length.toLong)
+        val c = new java.util.zip.CRC32(); c.update(content)
+        e.setCrc(c.getValue)
+      } else e.setMethod(java.util.zip.ZipEntry.DEFLATED)
+      zo.putNextEntry(e)
+      zo.write(content)
+      zo.closeEntry()
+    }
+    zo.close()
+    bo.toByteArray
+  }
+
+  /** Executor-side real-encoder ZIP fixtures (m42). */
+  def syntheticRealZips(df: DataFrame, idCol: String): DataFrame =
+    Fixtures.syntheticPayloads(df, idCol)(syntheticRealZip)
+
+  /** Output schema of [[extractEntries]]. */
+  val extractSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("entry_no", IntegerType),
+    StructField("name", StringType),
+    StructField("method", StringType),
+    StructField("n_bytes", LongType),
+    StructField("content", BinaryType)))
+
+  /** Census + extraction in ONE narrow pass: every central-directory
+   * entry located, then its bytes pulled through [[extractEntryAt]]
+   * from the same in-hand payload (per-entry ranged reads on a lake;
+   * here the shard is already resident). One row per successfully
+   * extracted entry with its DECODED bytes; entries the locator cannot
+   * verify (stale sizes, CRC slip, census-only methods) and payloads
+   * that are not clean ZIPs contribute nothing. Zero exchanges. */
+  def extractEntries(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(idIdx)
+        val zip = r.getAs[Array[Byte]](pIdx)
+        parseCentralDirectory(zip).toSeq.flatten.iterator.zipWithIndex
+          .flatMap { case (e, i) =>
+            extractEntryAt(zip, e.localOffset, e.compSize, e.method,
+              e.crc32, e.uncompSize).map { c =>
+              Row(id, i, e.name, methodName(e.method), c.length.toLong, c)
+            }
+          }
+      }
+    }(Encoders.row(extractSchema))
+  }
 }

@@ -201,7 +201,9 @@ object GraftSql {
    * `parquet_footer(...)` (parquet FileMetaData thrift census),
    * `exif_gps(...)` (EXIF IFD0→Exif/GPS sub-IFD walk),
    * `mime_parts(...)` (RFC 2045/2046 multipart body census — leaf
-   * parts with decoded-size accounting, no payload retention);
+   * parts with decoded-size accounting, no payload retention),
+   * `zip_extract(...)` (ZIP entry extraction by central-directory
+   * locator — stored/deflate decode with CRC verification);
    * ops tooling: `key_skew(keys:"k"[, k:10])` (shuffle-key skew
    * diagnostic), `suggest_salt(keys:"k"[, target:n, max:n])` (measured
    * salt-factor advisor), `PROCESS probe, dim USING salted_join(
@@ -545,6 +547,10 @@ object GraftSql {
         "mime_parts" -> ProcessorDef { (_, dfs, p) =>
           graft.functions.Mime.mimeParts(one(dfs, "mime_parts"),
             p.getOrElse("id", "doc_id"), p.getOrElse("col", "text"))
+        },
+        "zip_extract" -> ProcessorDef { (_, dfs, p) =>
+          graft.functions.Zip.extractEntries(one(dfs, "zip_extract"),
+            p.getOrElse("id", "doc_id"), p.getOrElse("col", "payload"))
         },
         // hybrid-retrieval fusion: PROCESS lexical, dense USING
         // rrf_fuse(...) — any number of ranked (query, rank, id) lists

@@ -56,7 +56,7 @@ class WalkerFuzzSpec extends AnyFunSuite {
     Png.syntheticTextPng(id), Riff.syntheticTaggedWav(id),
     Flac.syntheticCommentedFlac(id), Ogg.syntheticOgg(id),
     Imaging.syntheticExifJpeg(id), Imaging.syntheticImage(id),
-    Mp3.syntheticV1TaggedMp3(id))
+    Mp3.syntheticV1TaggedMp3(id), Zip.syntheticRealZip(id))
 
   test("binary walkers never throw on random bytes") {
     (0 until 300).foreach { trial =>
@@ -82,6 +82,27 @@ class WalkerFuzzSpec extends AnyFunSuite {
             }
           }
         }
+      }
+    }
+  }
+
+  test("locator-driven extractors never throw on fuzzed locators") {
+    // the random-access extractors take UNTRUSTED (offset, size, ...)
+    // tuples — a stale locator table must yield None per row, never an
+    // executor throw. Fuzz both the payload and the locator fields.
+    (0 until 400).foreach { trial =>
+      val base = if (trial % 3 == 0)
+        Array.fill(rnd.nextInt(400))(rnd.nextInt(256).toByte)
+      else mutate(if (trial % 3 == 1) Zip.syntheticRealZip(trial.toLong)
+      else Gzip.syntheticGzip(trial.toLong))
+      val off = rnd.nextLong() % 500
+      val len = rnd.nextLong() % 500
+      try {
+        Zip.extractEntryAt(base, off, len, rnd.nextInt(100),
+          rnd.nextLong() & 0xffffffffL, rnd.nextLong() % 1000)
+        Gzip.inflateMemberAt(base, off, len)
+      } catch { case e: Throwable =>
+        fail(s"locator extractor threw (trial=$trial): $e")
       }
     }
   }

@@ -136,4 +136,55 @@ class ZipSpec extends AnyFunSuite {
     badLocal(0) = 'Q'
     assert(Zip.parseCentralDirectory(badLocal) === None)
   }
+
+  test("extraction by locator round-trips a real-encoder archive (IDs 0-59)") {
+    (0L until 60L).foreach { id =>
+      val zip = Zip.syntheticRealZip(id)
+      val es = Zip.parseCentralDirectory(zip)
+        .getOrElse(fail(s"id=$id did not parse"))
+      assert(es.size === (1 + id % 4).toInt, s"id=$id")
+      es.zipWithIndex.foreach { case (e, j) =>
+        val want = s"zip_${id}_${j}_" + "ab" * ((id + j) % 50).toInt
+        assert(e.name === s"e${id}_$j.txt", s"id=$id j=$j")
+        assert(e.method === (if (j % 2 == 0) 0 else 8), s"id=$id j=$j")
+        val got = Zip.extractEntryAt(zip, e.localOffset, e.compSize,
+          e.method, e.crc32, e.uncompSize)
+          .getOrElse(fail(s"id=$id j=$j extraction failed"))
+        assert(new String(got, "US-ASCII") === want, s"id=$id j=$j")
+      }
+    }
+  }
+
+  test("a stale or forged locator is refused, never mis-extracted") {
+    val zip = Zip.syntheticRealZip(3L) // entries: stored j=0 .. deflated j=3
+    val es = Zip.parseCentralDirectory(zip).get
+    val st = es(0) // stored
+    val df = es(1) // deflated
+    // wrong offset (points at another entry's local header)
+    assert(Zip.extractEntryAt(zip, df.localOffset, st.compSize, st.method,
+      st.crc32, st.uncompSize) === None)
+    // wrong CRC
+    assert(Zip.extractEntryAt(zip, st.localOffset, st.compSize, st.method,
+      st.crc32 ^ 1L, st.uncompSize) === None)
+    // wrong lengths: short and long, both refused for the deflated entry
+    assert(Zip.extractEntryAt(zip, df.localOffset, df.compSize, df.method,
+      df.crc32, df.uncompSize - 1) === None)
+    assert(Zip.extractEntryAt(zip, df.localOffset, df.compSize, df.method,
+      df.crc32, df.uncompSize + 1) === None)
+    // truncated compressed stream
+    assert(Zip.extractEntryAt(zip, df.localOffset, df.compSize - 1,
+      df.method, df.crc32, df.uncompSize) === None)
+    // census-only method
+    assert(Zip.extractEntryAt(zip, st.localOffset, st.compSize, 93,
+      st.crc32, st.uncompSize) === None)
+    // stored size disagreement
+    assert(Zip.extractEntryAt(zip, st.localOffset, st.compSize + 1, 0,
+      st.crc32, st.uncompSize) === None)
+    // out-of-range and overflow-shaped locators never throw
+    assert(Zip.extractEntryAt(zip, -1L, 4L, 0, 0L, 4L) === None)
+    assert(Zip.extractEntryAt(zip, zip.length.toLong, 4L, 0, 0L, 4L) === None)
+    assert(Zip.extractEntryAt(zip, st.localOffset, Long.MaxValue - 2, 0,
+      st.crc32, Long.MaxValue - 2) === None)
+    assert(Zip.extractEntryAt(null, 0L, 0L, 0, 0L, 0L) === None)
+  }
 }
