@@ -63,6 +63,47 @@ private[graft] object EntriesM2 {
             .cast("int").as("agree"))
     }),
 
+    // ORC tail census (the m37 sibling for the other columnar lake
+    // format): postscript + footer protobuf walked from REAL files
+    // Spark just wrote under all three supported codecs — the zlib leg
+    // reads raw-deflate chunks, the snappy leg exercises the from-spec
+    // block decoder. Verdict columns assert the walk's internal
+    // consistency (stripe row sums, declared codec); totals close in
+    // count(documents). Zero stripe data read
+    "m43_orc_tail" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
+      val out = java.nio.file.Files.createTempDirectory("graft_m43").toString
+      try {
+        val rows = Seq("none", "zlib", "snappy").map { codec =>
+          docs.repartition(2).write.option("compression", codec)
+            .mode("overwrite").orc(s"$out/$codec")
+          val bin = graft.functions.Multimodal
+            .loadBinaryFiles(s, s"$out/$codec", "*.orc")
+            .selectExpr("monotonically_increasing_id() AS doc_id", "payload")
+          val r = graft.functions.Orc.orcTails(bin, "doc_id", "payload")
+            .agg(
+              sum("n_rows").cast("long").as("total_rows"),
+              count(lit(1)).cast("long").as("n_files"),
+              max("n_types").cast("int").as("n_types"),
+              max("n_root_fields").cast("int").as("n_root_fields"),
+              min(when(col("stripe_rows_sum") === col("n_rows"), 1)
+                .otherwise(0)).cast("int").as("stripes_agree"),
+              min(when(col("compression") === codec, 1).otherwise(0))
+                .cast("int").as("codec_ok"))
+            .collect()(0)
+          Seq[Any](codec, r.getLong(0), r.getLong(1), r.getInt(2),
+            r.getInt(3), r.getInt(4), r.getInt(5))
+        }
+        eng(s).toDF(rows,
+          "compression:str,total_rows:long,n_files:long,n_types:int," +
+            "n_root_fields:int,stripes_agree:int,codec_ok:int")
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(out)).iterator()
+          .asScala.toSeq.reverse.foreach(p => p.toFile.delete())
+      }
+    }),
+
     // ZIP entry EXTRACTION by locator (m31 ∘ ranged read — the zip
     // analog of m40's gzip composition): central-directory rows locate,
     // extractEntryAt pulls each entry's bytes through the LOCAL header
@@ -656,6 +697,21 @@ private[graft] object EntriesM2 {
         | CAST(1 AS BIGINT) AS verify_ok, CAST(1 AS BIGINT) AS roundtrip_ok,
         | CAST(1 AS BIGINT) AS det_ok
         |FROM documents""".stripMargin,
+
+    // closed-form replay of the m43 write: count(documents) rows into
+    // 2 files per codec, 4 types (root struct + 3 children); the
+    // verdict columns assert the walk's internal consistency
+    "m43_orc_tail" ->
+      """WITH codecs AS (
+        | SELECT unnest(['none', 'zlib', 'snappy']) AS compression)
+        |SELECT compression,
+        | (SELECT CAST(count(*) AS BIGINT) FROM documents) AS total_rows,
+        | CAST(2 AS BIGINT) AS n_files,
+        | CAST(4 AS INTEGER) AS n_types,
+        | CAST(3 AS INTEGER) AS n_root_fields,
+        | CAST(1 AS INTEGER) AS stripes_agree,
+        | CAST(1 AS INTEGER) AS codec_ok
+        |FROM codecs""".stripMargin,
 
     // replay of Zip.syntheticRealZip's content formulas: the engine
     // side INFLATED real deflate streams and CRC-verified them; only

@@ -1,0 +1,359 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.types._
+
+/**
+ * ORC file-tail census — the [[ParquetFooter]] sibling for the other
+ * columnar lake format. Reads ONLY the tail metadata: the 1-byte
+ * postscript length, the (never-compressed) postscript protobuf, and
+ * the footer protobuf it locates, decompressed when the postscript
+ * declares ZLIB (raw-deflate chunks) or SNAPPY (block format decoded
+ * from the public format description). No stripe data is touched —
+ * ~0.01% of the bytes a row-decoding census would read.
+ *
+ * Facts honored (ORC v1 specification, orc.apache.org):
+ *   - the file opens with the 3-byte magic `ORC` and closes with
+ *     [footer][postscript][psLen:1]; the postscript is at most 255
+ *     bytes and is NEVER compressed;
+ *   - postscript fields: footerLength(1), compression(2: 0 NONE,
+ *     1 ZLIB, 2 SNAPPY, 3 LZO, 4 LZ4, 5 ZSTD), compressionBlockSize(3),
+ *     version(4, packed), metadataLength(5), writerVersion(6),
+ *     magic(8000) which must equal `ORC`;
+ *   - compressed streams are CHUNKED: each chunk opens with a 3-byte
+ *     little-endian header `(length << 1) | isOriginal`, an original
+ *     chunk is stored raw, a compressed ZLIB chunk is a raw DEFLATE
+ *     stream, a compressed SNAPPY chunk is one snappy block
+ *     (varint uncompressed length + literal/copy tags);
+ *   - footer fields: headerLength(1) = 3, contentLength(2),
+ *     stripes(3: offset/indexLength/dataLength/footerLength/
+ *     numberOfRows), types(4: kind/subtypes/fieldNames),
+ *     numberOfRows(6), rowIndexStride(8).
+ *
+ * Strict posture: bad magic (either end), postscript overrun, a chunk
+ * that does not tile its stream exactly, a deflate/snappy stream that
+ * overruns or underruns its declared size, footer fields that
+ * disagree (stripe row sum vs numberOfRows is REPORTED, not assumed),
+ * or an unsupported decompression kind (LZO/LZ4/ZSTD — census can
+ * still be had by rewriting the lake's tail, not by guessing) → None.
+ * Unknown protobuf fields are skipped by wire type — forward
+ * compatible, never a throw.
+ *
+ * Narrow mapPartitions — zero exchanges.
+ */
+object Orc {
+
+  /** One file's tail projection. `stripeRows` preserves stripe order. */
+  final case class Tail(numRows: Long, contentBytes: Long,
+      compression: String, footerBytes: Long, rowIndexStride: Long,
+      nTypes: Int, nRootFields: Int, stripeRows: IndexedSeq[Long],
+      stripeDataBytes: IndexedSeq[Long])
+
+  private final class Malformed extends RuntimeException
+
+  /** Protobuf cursor; every read is subtractive-bounds-checked. */
+  private final class P(val b: Array[Byte], var pos: Int, val end: Int) {
+    def done: Boolean = pos >= end
+    def u8(): Int = {
+      if (pos >= end) throw new Malformed
+      val v = b(pos) & 0xff; pos += 1; v
+    }
+    def varint(): Long = {
+      var v = 0L
+      var shift = 0
+      while (shift <= 63) {
+        val x = u8()
+        v |= (x & 0x7fL) << shift
+        if ((x & 0x80) == 0) return v
+        shift += 7
+      }
+      throw new Malformed
+    }
+    def bytes(n: Long): Int = { // returns start offset of the run
+      if (n < 0 || n > end - pos) throw new Malformed
+      val s = pos; pos += n.toInt; s
+    }
+    def skipField(wire: Int): Unit = wire match {
+      case 0 => varint(): Unit
+      case 1 => bytes(8): Unit
+      case 2 => val n = varint(); bytes(n): Unit
+      case 5 => bytes(4): Unit
+      case _ => throw new Malformed // groups (3/4) never appear in ORC
+    }
+  }
+
+  // ---- chunked-stream decompression ------------------------------------
+
+  /** Decode one snappy block (format_description.txt): varint
+   * uncompressed length, then literal/copy elements. Returns bytes
+   * written at `at`; strict overrun/underrun checks. */
+  private def snappyChunk(b: Array[Byte], off: Int, len: Int,
+      out: Array[Byte], at: Int): Int = {
+    val c = new P(b, off, off + len)
+    val want = c.varint()
+    if (want < 0 || want > out.length - at) throw new Malformed
+    var w = at
+    val lim = at + want.toInt
+    while (!c.done) {
+      val tag = c.u8()
+      (tag & 3) match {
+        case 0 => // literal
+          var n = (tag >> 2) + 1
+          if (n > 60) {
+            val extra = n - 60 // 1..4 length bytes, little-endian
+            var v = 0L
+            var i = 0
+            while (i < extra) { v |= (c.u8().toLong << (8 * i)); i += 1 }
+            if (v < 0 || v + 1 > Int.MaxValue) throw new Malformed
+            n = v.toInt + 1
+          }
+          val s = c.bytes(n.toLong)
+          if (n > lim - w) throw new Malformed
+          System.arraycopy(b, s, out, w, n)
+          w += n
+        case t => // copy
+          val (n, offBack) = t match {
+            case 1 =>
+              val nn = ((tag >> 2) & 7) + 4
+              val o = ((tag >> 5) << 8) | c.u8()
+              (nn, o)
+            case 2 =>
+              val o = c.u8() | (c.u8() << 8)
+              ((tag >> 2) + 1, o)
+            case _ =>
+              val o = c.u8() | (c.u8() << 8) | (c.u8() << 16) |
+                (c.u8() << 24)
+              if (o < 0) throw new Malformed
+              ((tag >> 2) + 1, o)
+          }
+          if (offBack <= 0 || offBack > w - at || n > lim - w)
+            throw new Malformed
+          var i = 0 // overlapping copies are byte-serial by definition
+          while (i < n) { out(w + i) = out(w + i - offBack); i += 1 }
+          w += n
+      }
+    }
+    if (w != lim) throw new Malformed // underrun: declared length unmet
+    w - at
+  }
+
+  // ---- tail walk --------------------------------------------------------
+
+  private def compressionName(k: Long): String = k match {
+    case 0 => "none"
+    case 1 => "zlib"
+    case 2 => "snappy"
+    case 3 => "lzo"
+    case 4 => "lz4"
+    case 5 => "zstd"
+    case other => s"kind_$other"
+  }
+
+  /**
+   * Walk one ORC file's tail. None on anything but a structurally
+   * clean v1 tail whose footer the declared compression lets us read
+   * (NONE/ZLIB/SNAPPY; LZO/LZ4/ZSTD tails are recognized but refused —
+   * a deliberate census-only boundary, like the ZIP walker's bzip2).
+   */
+  def parseTail(payload: Array[Byte]): Option[Tail] = {
+    val b = payload
+    if (b == null || b.length < 3 + 1 + 1 + 4) return None
+    if (b(0) != 'O' || b(1) != 'R' || b(2) != 'C') return None
+    try {
+      val psLen = b(b.length - 1) & 0xff
+      if (psLen < 1 || psLen > b.length - 4) return None
+      val psStart = b.length - 1 - psLen
+      // ---- postscript (never compressed) ----
+      val ps = new P(b, psStart, psStart + psLen)
+      var footerLen = -1L
+      var kind = 0L
+      var magicOk = false
+      while (!ps.done) {
+        val key = ps.varint()
+        val field = (key >>> 3).toInt
+        val wire = (key & 7).toInt
+        (field, wire) match {
+          case (1, 0) => footerLen = ps.varint()
+          case (2, 0) => kind = ps.varint()
+          case (8000, 2) =>
+            val n = ps.varint()
+            val s = ps.bytes(n)
+            magicOk = n == 3 && b(s) == 'O' && b(s + 1) == 'R' && b(s + 2) == 'C'
+          case _ => ps.skipField(wire)
+        }
+      }
+      if (!magicOk || footerLen <= 0 || footerLen > psStart.toLong)
+        return None
+      val footerStart = psStart - footerLen.toInt
+      // ---- footer (possibly chunk-compressed) ----
+      val footer: Array[Byte] = kind match {
+        case 0 =>
+          java.util.Arrays.copyOfRange(b, footerStart, psStart)
+        case 1 | 2 =>
+          // decoded size is not declared for the footer stream; decode
+          // chunk-by-chunk into a growable buffer via a two-pass: first
+          // measure original/deflate output, then materialize. The
+          // footer is small (KBs), so decode into a bounded scratch of
+          // 64 MiB max to keep a forged tail from ballooning memory.
+          decodeStreamUnsized(b, footerStart, footerLen, kind.toInt)
+        case _ => return None // lzo/lz4/zstd: recognized, refused
+      }
+      val f = new P(footer, 0, footer.length)
+      var headerLen = -1L
+      var contentLen = -1L
+      var numRows = -1L
+      var stride = 0L
+      var nTypes = 0
+      var nRootFields = -1
+      val stripeRows = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val stripeData = scala.collection.mutable.ArrayBuffer.empty[Long]
+      while (!f.done) {
+        val key = f.varint()
+        val field = (key >>> 3).toInt
+        val wire = (key & 7).toInt
+        (field, wire) match {
+          case (1, 0) => headerLen = f.varint()
+          case (2, 0) => contentLen = f.varint()
+          case (3, 2) => // StripeInformation
+            val n = f.varint()
+            val s = f.bytes(n)
+            val sp = new P(footer, s, s + n.toInt)
+            var rows = -1L
+            var data = -1L
+            while (!sp.done) {
+              val k2 = sp.varint()
+              ((k2 >>> 3).toInt, (k2 & 7).toInt) match {
+                case (3, 0) => data = sp.varint()
+                case (5, 0) => rows = sp.varint()
+                case (_, w2) => sp.skipField(w2)
+              }
+            }
+            if (rows < 0 || data < 0) return None
+            stripeRows += rows
+            stripeData += data
+          case (4, 2) => // Type
+            val n = f.varint()
+            val s = f.bytes(n)
+            nTypes += 1
+            if (nTypes == 1) { // root: count its subtypes
+              val tp = new P(footer, s, s + n.toInt)
+              var subs = 0
+              while (!tp.done) {
+                val k2 = tp.varint()
+                ((k2 >>> 3).toInt, (k2 & 7).toInt) match {
+                  case (2, 0) => tp.varint(): Unit; subs += 1
+                  case (2, 2) => // packed repeated subtypes
+                    val pn = tp.varint()
+                    val pe = tp.bytes(pn) + pn.toInt
+                    val pp = new P(footer, pe - pn.toInt, pe)
+                    while (!pp.done) { pp.varint(): Unit; subs += 1 }
+                  case (_, w2) => tp.skipField(w2)
+                }
+              }
+              nRootFields = subs
+            }
+          case (6, 0) => numRows = f.varint()
+          case (8, 0) => stride = f.varint()
+          case (_, w) => f.skipField(w)
+        }
+      }
+      if (headerLen != 3 || numRows < 0 || contentLen < 0 || nTypes == 0)
+        return None
+      Some(Tail(numRows, contentLen, compressionName(kind), footerLen,
+        stride, nTypes, math.max(nRootFields, 0),
+        stripeRows.toIndexedSeq, stripeData.toIndexedSeq))
+    } catch {
+      case _: Malformed => None
+      case _: IndexOutOfBoundsException => None // belt and braces
+    }
+  }
+
+  /** Decode a chunked stream whose decoded size is unknown (the footer
+   * stream): chunks decode serially into a growing buffer, hard-capped
+   * at 64 MiB so a forged tail cannot balloon executor memory. */
+  private def decodeStreamUnsized(b: Array[Byte], start: Int,
+      compLen: Long, kind: Int): Array[Byte] = {
+    if (compLen < 0 || compLen > b.length - start) throw new Malformed
+    val cap = 64 << 20
+    var out = new Array[Byte](math.min(cap, math.max(1024, compLen.toInt * 4)))
+    var pos = start
+    val end = start + compLen.toInt
+    var w = 0
+    def ensure(n: Int): Unit = {
+      if (n > cap - w) throw new Malformed
+      if (w + n > out.length)
+        out = java.util.Arrays.copyOf(out,
+          math.min(cap, math.max(out.length * 2, w + n)))
+    }
+    while (pos < end) {
+      if (end - pos < 3) throw new Malformed
+      val h = (b(pos) & 0xff) | ((b(pos + 1) & 0xff) << 8) |
+        ((b(pos + 2) & 0xff) << 16)
+      val clen = h >>> 1
+      val original = (h & 1) == 1
+      pos += 3
+      if (clen <= 0 || clen > end - pos) throw new Malformed
+      if (original) {
+        ensure(clen)
+        System.arraycopy(b, pos, out, w, clen)
+        w += clen
+      } else if (kind == 1) {
+        // raw deflate of unknown decoded size: inflate incrementally
+        val inf = new java.util.zip.Inflater(true)
+        try {
+          inf.setInput(b, pos, clen)
+          while (!inf.finished()) {
+            ensure(4096)
+            val k = inf.inflate(out, w, math.min(4096, out.length - w))
+            if (k == 0 && inf.needsInput()) throw new Malformed
+            w += k
+          }
+          if (inf.getBytesRead != clen) throw new Malformed
+        } catch {
+          case _: java.util.zip.DataFormatException => throw new Malformed
+        } finally inf.end()
+      } else {
+        // snappy declares its decoded size up front
+        val peek = new P(b, pos, pos + clen)
+        val want = peek.varint()
+        if (want < 0 || want > cap - w) throw new Malformed
+        ensure(want.toInt)
+        snappyChunk(b, pos, clen, out, w): Unit
+        w += want.toInt
+      }
+      pos += clen
+    }
+    java.util.Arrays.copyOf(out, w)
+  }
+
+  /** Output schema of [[orcTails]]. */
+  val tailSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_rows", LongType),
+    StructField("content_bytes", LongType),
+    StructField("compression", StringType),
+    StructField("footer_bytes", LongType),
+    StructField("row_index_stride", LongType),
+    StructField("n_types", IntegerType),
+    StructField("n_root_fields", IntegerType),
+    StructField("n_stripes", IntegerType),
+    StructField("stripe_rows_sum", LongType),
+    StructField("stripe_data_bytes", LongType)))
+
+  /** One row per clean ORC tail; other payloads contribute nothing.
+   * Narrow mapPartitions — tail-only reads. */
+  def orcTails(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(idIdx)
+        parseTail(r.getAs[Array[Byte]](pIdx)).map { t =>
+          Row(id, t.numRows, t.contentBytes, t.compression, t.footerBytes,
+            t.rowIndexStride, t.nTypes, t.nRootFields, t.stripeRows.size,
+            t.stripeRows.sum, t.stripeDataBytes.sum)
+        }.iterator
+      }
+    }(Encoders.row(tailSchema))
+  }
+}

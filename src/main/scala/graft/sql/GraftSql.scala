@@ -203,7 +203,9 @@ object GraftSql {
    * `mime_parts(...)` (RFC 2045/2046 multipart body census — leaf
    * parts with decoded-size accounting, no payload retention),
    * `zip_extract(...)` (ZIP entry extraction by central-directory
-   * locator — stored/deflate decode with CRC verification);
+   * locator — stored/deflate decode with CRC verification),
+   * `orc_tail(...)` (ORC postscript/footer census — rows, stripes,
+   * types, codec; none/zlib/snappy footers decoded);
    * ops tooling: `key_skew(keys:"k"[, k:10])` (shuffle-key skew
    * diagnostic), `suggest_salt(keys:"k"[, target:n, max:n])` (measured
    * salt-factor advisor), `PROCESS probe, dim USING salted_join(
@@ -550,6 +552,10 @@ object GraftSql {
         },
         "zip_extract" -> ProcessorDef { (_, dfs, p) =>
           graft.functions.Zip.extractEntries(one(dfs, "zip_extract"),
+            p.getOrElse("id", "doc_id"), p.getOrElse("col", "payload"))
+        },
+        "orc_tail" -> ProcessorDef { (_, dfs, p) =>
+          graft.functions.Orc.orcTails(one(dfs, "orc_tail"),
             p.getOrElse("id", "doc_id"), p.getOrElse("col", "payload"))
         },
         // hybrid-retrieval fusion: PROCESS lexical, dense USING

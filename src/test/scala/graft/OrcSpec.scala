@@ -1,0 +1,95 @@
+package graft
+
+import graft.functions.Orc
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ORC tail walk: differential against Spark's own ORC writer/reader
+ * across all three supported compression kinds (none / zlib / snappy —
+ * the snappy leg exercises the from-spec block decoder), plus the
+ * refusal boundary and the corrupt contract. */
+class OrcSpec extends AnyFunSuite with SparkTestBase {
+
+  private def writeOrc(codec: String, n: Int): Seq[Array[Byte]] = {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_orcspec")
+    try {
+      (0 until n).map(i => (i.toLong, s"text_$i" * (1 + i % 7), s"l${i % 5}"))
+        .toDF("doc_id", "text", "lang")
+        .repartition(2)
+        .write.option("compression", codec).mode("overwrite")
+        .orc(out.resolve("d").toString)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(out.resolve("d")).iterator().asScala
+        .filter(_.toString.endsWith(".orc")).toSeq.sortBy(_.toString)
+        .map(java.nio.file.Files.readAllBytes)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(out).iterator().asScala.toSeq.reverse
+        .foreach(p => p.toFile.delete())
+    }
+  }
+
+  test("Spark-written tails parse across none/zlib/snappy") {
+    Seq("none", "zlib", "snappy").foreach { codec =>
+      val files = writeOrc(codec, 500)
+      assert(files.size === 2, s"$codec file count")
+      var rows = 0L
+      files.foreach { bytes =>
+        val t = Orc.parseTail(bytes)
+          .getOrElse(fail(s"$codec tail did not parse"))
+        assert(t.compression === codec, s"$codec kind")
+        assert(t.nTypes === 4, s"$codec types (root + 3 children)")
+        assert(t.nRootFields === 3, s"$codec root fields")
+        assert(t.stripeRows.sum === t.numRows, s"$codec stripe row sum")
+        assert(t.stripeRows.nonEmpty && t.stripeDataBytes.forall(_ > 0),
+          s"$codec stripes")
+        assert(t.contentBytes > 0 && t.footerBytes > 0, s"$codec sizes")
+        rows += t.numRows
+      }
+      assert(rows === 500L, s"$codec total rows")
+    }
+  }
+
+  test("zstd tails are recognized but refused (census-only boundary)") {
+    val files = writeOrc("zstd", 60)
+    files.foreach { bytes =>
+      assert(Orc.parseTail(bytes) === None)
+      // ...while the file is genuinely ORC (header magic present)
+      assert(bytes(0) === 'O'.toByte && bytes(1) === 'R'.toByte)
+    }
+  }
+
+  test("corrupt tails return None, never throw") {
+    assert(Orc.parseTail(null) === None)
+    assert(Orc.parseTail(Array.emptyByteArray) === None)
+    assert(Orc.parseTail("ORC but not really".getBytes("US-ASCII")) === None)
+    val ok = writeOrc("zlib", 100).head
+    // truncated: postscript length byte gone
+    assert(Orc.parseTail(ok.take(ok.length - 1)) === None)
+    // postscript length mangled to overshoot the file
+    val badLen = ok.clone()
+    badLen(ok.length - 1) = 0xff.toByte
+    assert(Orc.parseTail(badLen) === None)
+    // header magic mangled
+    val badMagic = ok.clone()
+    badMagic(0) = 'X'
+    assert(Orc.parseTail(badMagic) === None)
+    // a byte inside the compressed footer flipped: chunk walk or
+    // protobuf parse must refuse, never throw
+    val psLen = ok(ok.length - 1) & 0xff
+    val rnd = new scala.util.Random(7L)
+    (0 until 200).foreach { _ =>
+      val m = ok.clone()
+      val i = ok.length - 1 - psLen - 1 - rnd.nextInt(60)
+      m(i) = (m(i) ^ (1 << rnd.nextInt(8))).toByte
+      try Orc.parseTail(m)
+      catch { case e: Throwable => fail(s"threw on mutated tail: $e") }
+    }
+    // random garbage sweep
+    (0 until 300).foreach { _ =>
+      val g = Array.fill(rnd.nextInt(400))(rnd.nextInt(256).toByte)
+      try Orc.parseTail(g)
+      catch { case e: Throwable => fail(s"threw on garbage: $e") }
+    }
+  }
+}

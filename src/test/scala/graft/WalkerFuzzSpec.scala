@@ -48,6 +48,7 @@ class WalkerFuzzSpec extends AnyFunSuite {
     ("imageMeta", Imaging.parseImageMeta _),
     ("exif", Imaging.parseExif _),
     ("parquet", ParquetFooter.parseFooter _),
+    ("orc", Orc.parseTail _),
     ("id3v1", Mp3.parseId3v1 _))
 
   private def fixtures(id: Long): Seq[Array[Byte]] = Seq(
