@@ -212,6 +212,22 @@ private[graft] object EntriesT {
         "doc_id", "mime_text")
     }),
 
+
+    // sitemap census (sitemaps.org 0.9) — the discovery half of the
+    // crawl-politeness pair (t42's robots.txt Sitemap: lines point
+    // here): urlset AND sitemapindex records with XML-unescaped loc
+    // plus lastmod/changefreq/priority; extension subtrees
+    // (image:image) and self-closed extension tags are skipped by a
+    // balanced depth-bounded scan; id%11==9 documents never close the
+    // root (strict None, zero rows); the oracle replays every record
+    // formula with the DECODED loc
+    "t46_sitemap" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select("doc_id")
+      graft.functions.Sitemap.sitemapItems(
+        graft.functions.Sitemap.syntheticSitemaps(ids, "doc_id"),
+        "doc_id", "sitemap_text")
+    }),
+
     // host-level link-graph extraction (the WARC→HTML→graph bridge),
     // FULL oracle: per-doc source hosts + injected outbound URLs → edge
     // list with link counts; mixed-case hosts on both sides pin the
@@ -620,6 +636,44 @@ private[graft] object EntriesT {
         |SELECT doc_id, CAST(header_no AS INTEGER) AS header_no, name,
         |  lower(name) AS name_lc, value
         |FROM hs""".stripMargin,
+
+    // replay of Sitemap.syntheticSitemap's record formulas; the loc
+    // with the XML-escaped query (&amp;) is replayed DECODED — the
+    // unescape is pinned by the differential; %11==9 ids (unclosed
+    // root) contribute zero rows
+    "t46_sitemap" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 11 <> 9),
+        |idx AS (
+        | SELECT doc_id, CAST(unnest(range(0, 2 + doc_id % 3)) AS INTEGER) AS j
+        | FROM d WHERE doc_id % 6 = 5),
+        |urls AS (
+        | SELECT doc_id, CAST(unnest(range(0, 1 + doc_id % 5)) AS INTEGER) AS j
+        | FROM d WHERE doc_id % 6 <> 5),
+        |rows_ AS (
+        | SELECT doc_id, j, 'sitemap' AS kind,
+        |  'https://h' || CAST(doc_id % 20 AS VARCHAR) || '.example/s'
+        |    || CAST(j AS VARCHAR) || '.xml.gz' AS loc,
+        |  CASE WHEN j % 2 = 0 THEN '2024-0' || CAST(1 + doc_id % 9 AS VARCHAR)
+        |    || '-1' || CAST(j % 10 AS VARCHAR) END AS lastmod,
+        |  CAST(NULL AS VARCHAR) AS changefreq,
+        |  CAST(NULL AS VARCHAR) AS priority
+        | FROM idx
+        | UNION ALL
+        | SELECT doc_id, j, 'url',
+        |  'https://site' || CAST(doc_id % 30 AS VARCHAR) || '.example/p/'
+        |    || CAST(doc_id AS VARCHAR) || '/' || CAST(j AS VARCHAR)
+        |    || CASE WHEN doc_id % 4 = 2
+        |         THEN '?a=1&b=' || CAST(j AS VARCHAR) ELSE '' END,
+        |  CASE WHEN doc_id % 3 <> 1 THEN '2024-0'
+        |    || CAST(1 + j % 9 AS VARCHAR) || '-0'
+        |    || CAST(1 + doc_id % 9 AS VARCHAR) END,
+        |  CASE WHEN j % 2 = 0 THEN
+        |    ['daily', 'weekly', 'monthly'][CAST(1 + (doc_id + j) % 3 AS INTEGER)]
+        |  END,
+        |  CASE WHEN j % 3 = 0 THEN '0.' || CAST((doc_id + j) % 10 AS VARCHAR) END
+        | FROM urls)
+        |SELECT doc_id, j AS item_no, kind, loc, lastmod, changefreq, priority
+        |FROM rows_""".stripMargin,
 
     // replay of Mime.syntheticMime's leaf-part formulas: decoded sizes
     // derive from the literal part bodies (dk = digits of doc_id%100);

@@ -205,7 +205,9 @@ object GraftSql {
    * `zip_extract(...)` (ZIP entry extraction by central-directory
    * locator — stored/deflate decode with CRC verification),
    * `orc_tail(...)` (ORC postscript/footer census — rows, stripes,
-   * types, codec; none/zlib/snappy footers decoded);
+   * types, codec; none/zlib/snappy footers decoded),
+   * `sitemap_items(...)` (sitemaps.org urlset/sitemapindex records
+   * with XML-unescaped loc — the discovery half of robots_rules);
    * ops tooling: `key_skew(keys:"k"[, k:10])` (shuffle-key skew
    * diagnostic), `suggest_salt(keys:"k"[, target:n, max:n])` (measured
    * salt-factor advisor), `PROCESS probe, dim USING salted_join(
@@ -557,6 +559,10 @@ object GraftSql {
         "orc_tail" -> ProcessorDef { (_, dfs, p) =>
           graft.functions.Orc.orcTails(one(dfs, "orc_tail"),
             p.getOrElse("id", "doc_id"), p.getOrElse("col", "payload"))
+        },
+        "sitemap_items" -> ProcessorDef { (_, dfs, p) =>
+          graft.functions.Sitemap.sitemapItems(one(dfs, "sitemap_items"),
+            p.getOrElse("id", "doc_id"), p.getOrElse("col", "text"))
         },
         // hybrid-retrieval fusion: PROCESS lexical, dense USING
         // rrf_fuse(...) — any number of ranked (query, rank, id) lists
