@@ -63,6 +63,23 @@ private[graft] object EntriesM2 {
             .cast("int").as("agree"))
     }),
 
+    // .tar.gz entry census (m34 ∘ m12's format — the WebDataset shard
+    // container as a COLUMN value): gzip members located and
+    // re-extracted through the verified locator path, bodies
+    // concatenated (RFC 1952 member concatenation), then a
+    // checksum-verified ustar walk with PAX long-name support (the
+    // fixture's >100-char names force real PAX 'x' headers out of
+    // commons-compress). Head/tail probes into entry DATA prove the
+    // decoded offsets; id%9==8 archives carry a flipped gzip ISIZE —
+    // the locator refuses, zero rows. Real encoders on the write side,
+    // first-principles walk on the read side
+    "m44_targz_entries" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select("doc_id")
+      graft.functions.Tar.tarGzEntries(
+        graft.functions.Tar.syntheticTarGzs(ids, "doc_id"),
+        "doc_id", "payload")
+    }),
+
     // ORC tail census (the m37 sibling for the other columnar lake
     // format): postscript + footer protobuf walked from REAL files
     // Spark just wrote under all three supported codecs — the zlib leg
@@ -697,6 +714,43 @@ private[graft] object EntriesM2 {
         | CAST(1 AS BIGINT) AS verify_ok, CAST(1 AS BIGINT) AS roundtrip_ok,
         | CAST(1 AS BIGINT) AS det_ok
         |FROM documents""".stripMargin,
+
+    // replay of Tar.syntheticTarGz's entry formulas: the dir entry
+    // leads when present, PAX long names resolve to the full name, and
+    // the data probes replay the content's first/last characters
+    "m44_targz_entries" ->
+      """WITH d AS (
+        | SELECT doc_id, length(CAST(doc_id AS VARCHAR)) AS di,
+        |  CASE WHEN doc_id % 5 = 2 THEN 1 ELSE 0 END AS hasdir,
+        |  CAST(1700000000 + doc_id % 1000 AS BIGINT) AS mt
+        | FROM documents WHERE doc_id % 9 <> 8),
+        |dirs AS (
+        | SELECT doc_id, 0 AS entry_no,
+        |  'd' || CAST(doc_id AS VARCHAR) || '/' AS name, 'dir' AS kind,
+        |  CAST(0 AS BIGINT) AS size, mt AS mtime,
+        |  -1 AS head_byte, -1 AS tail_byte
+        | FROM d WHERE hasdir = 1),
+        |files AS (
+        | SELECT doc_id, di, hasdir, mt,
+        |  CAST(unnest(range(0, 1 + doc_id % 4)) AS INTEGER) AS k
+        | FROM d),
+        |frows AS (
+        | SELECT doc_id, CAST(k + hasdir AS INTEGER) AS entry_no,
+        |  CASE WHEN k = 0 AND doc_id % 7 = 6
+        |    THEN 'long_' || repeat('p', 110) || '_'
+        |      || CAST(doc_id AS VARCHAR) || '.txt'
+        |    ELSE 's' || CAST(doc_id AS VARCHAR) || '_'
+        |      || CAST(k AS VARCHAR) || '.txt' END AS name,
+        |  'file' AS kind,
+        |  CAST(7 + di + (doc_id + k) % 40 AS BIGINT) AS size,
+        |  mt AS mtime,
+        |  116 AS head_byte,
+        |  CASE WHEN (doc_id + k) % 40 > 0 THEN 99 ELSE 95 END AS tail_byte
+        | FROM files)
+        |SELECT doc_id, CAST(entry_no AS INTEGER) AS entry_no, name, kind,
+        | size, mtime, CAST(head_byte AS INTEGER) AS head_byte,
+        | CAST(tail_byte AS INTEGER) AS tail_byte
+        |FROM (SELECT * FROM dirs UNION ALL SELECT * FROM frows)""".stripMargin,
 
     // closed-form replay of the m43 write: count(documents) rows into
     // 2 files per codec, 4 types (root struct + 3 children); the

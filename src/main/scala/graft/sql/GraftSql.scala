@@ -207,7 +207,9 @@ object GraftSql {
    * `orc_tail(...)` (ORC postscript/footer census — rows, stripes,
    * types, codec; none/zlib/snappy footers decoded),
    * `sitemap_items(...)` (sitemaps.org urlset/sitemapindex records
-   * with XML-unescaped loc — the discovery half of robots_rules);
+   * with XML-unescaped loc — the discovery half of robots_rules),
+   * `targz_entries(...)` (.tar.gz shard census — gzip member locator
+   * extraction + checksum-verified ustar/PAX walk);
    * ops tooling: `key_skew(keys:"k"[, k:10])` (shuffle-key skew
    * diagnostic), `suggest_salt(keys:"k"[, target:n, max:n])` (measured
    * salt-factor advisor), `PROCESS probe, dim USING salted_join(
@@ -563,6 +565,10 @@ object GraftSql {
         "sitemap_items" -> ProcessorDef { (_, dfs, p) =>
           graft.functions.Sitemap.sitemapItems(one(dfs, "sitemap_items"),
             p.getOrElse("id", "doc_id"), p.getOrElse("col", "text"))
+        },
+        "targz_entries" -> ProcessorDef { (_, dfs, p) =>
+          graft.functions.Tar.tarGzEntries(one(dfs, "targz_entries"),
+            p.getOrElse("id", "doc_id"), p.getOrElse("col", "payload"))
         },
         // hybrid-retrieval fusion: PROCESS lexical, dense USING
         // rrf_fuse(...) — any number of ranked (query, rank, id) lists

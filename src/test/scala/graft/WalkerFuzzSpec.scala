@@ -49,6 +49,9 @@ class WalkerFuzzSpec extends AnyFunSuite {
     ("exif", Imaging.parseExif _),
     ("parquet", ParquetFooter.parseFooter _),
     ("orc", Orc.parseTail _),
+    ("targz", (b: Array[Byte]) =>
+      Tar.inflateTarGz(b).flatMap(Tar.parseTarEntries)),
+    ("tar", Tar.parseTarEntries _),
     ("id3v1", Mp3.parseId3v1 _))
 
   private def fixtures(id: Long): Seq[Array[Byte]] = Seq(
@@ -57,7 +60,8 @@ class WalkerFuzzSpec extends AnyFunSuite {
     Png.syntheticTextPng(id), Riff.syntheticTaggedWav(id),
     Flac.syntheticCommentedFlac(id), Ogg.syntheticOgg(id),
     Imaging.syntheticExifJpeg(id), Imaging.syntheticImage(id),
-    Mp3.syntheticV1TaggedMp3(id), Zip.syntheticRealZip(id))
+    Mp3.syntheticV1TaggedMp3(id), Zip.syntheticRealZip(id),
+    Tar.syntheticTarGz(id))
 
   test("binary walkers never throw on random bytes") {
     (0 until 300).foreach { trial =>
