@@ -63,6 +63,19 @@ private[graft] object EntriesM2 {
             .cast("int").as("agree"))
     }),
 
+    // TFRecord shard census: record walk with BOTH masked CRC-32C
+    // checksums verified (the JDK's CRC32C + the public rotation
+    // mask), per-record offset/size and data probes, zero example
+    // decode; id%10==7 shards carry one flipped data bit — the CRC
+    // must refuse them to zero rows, so the corruption-detection
+    // contract is itself differential-checked
+    "m45_tfrecord" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select("doc_id")
+      graft.functions.TfRecord.tfRecords(
+        graft.functions.TfRecord.syntheticTfRecords(ids, "doc_id"),
+        "doc_id", "payload")
+    }),
+
     // .tar.gz entry census (m34 ∘ m12's format — the WebDataset shard
     // container as a COLUMN value): gzip members located and
     // re-extracted through the verified locator path, bodies
@@ -714,6 +727,30 @@ private[graft] object EntriesM2 {
         | CAST(1 AS BIGINT) AS verify_ok, CAST(1 AS BIGINT) AS roundtrip_ok,
         | CAST(1 AS BIGINT) AS det_ok
         |FROM documents""".stripMargin,
+
+    // replay of TfRecord.syntheticTfRecord's arithmetic: offsets are
+    // running sums of 16-byte framing + data lengths; the corrupted
+    // shards (%10==7) contribute zero rows
+    "m45_tfrecord" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 10 <> 7),
+        |r AS (SELECT doc_id,
+        |  CAST(unnest(range(0, 2 + doc_id % 5)) AS INTEGER) AS k
+        | FROM d),
+        |m AS (SELECT doc_id, k,
+        |  CASE WHEN k = 1 AND doc_id % 6 = 3 THEN 0
+        |    ELSE 10 + (doc_id*7 + k*13) % 120 END AS bytes
+        | FROM r),
+        |o AS (SELECT doc_id, k, bytes,
+        |  COALESCE(SUM(16 + bytes) OVER (PARTITION BY doc_id ORDER BY k
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        | FROM m)
+        |SELECT doc_id, k AS record_no, CAST(off AS BIGINT) AS "offset",
+        | CAST(bytes AS BIGINT) AS data_bytes,
+        | CAST(CASE WHEN bytes > 0 THEN (doc_id + k*131) % 256
+        |   ELSE -1 END AS INTEGER) AS head_byte,
+        | CAST(CASE WHEN bytes > 0 THEN (doc_id + k*131 + bytes - 1) % 256
+        |   ELSE -1 END AS INTEGER) AS tail_byte
+        |FROM o""".stripMargin,
 
     // replay of Tar.syntheticTarGz's entry formulas: the dir entry
     // leads when present, PAX long names resolve to the full name, and

@@ -209,7 +209,9 @@ object GraftSql {
    * `sitemap_items(...)` (sitemaps.org urlset/sitemapindex records
    * with XML-unescaped loc — the discovery half of robots_rules),
    * `targz_entries(...)` (.tar.gz shard census — gzip member locator
-   * extraction + checksum-verified ustar/PAX walk);
+   * extraction + checksum-verified ustar/PAX walk),
+   * `tfrecords(...)` (TFRecord shard census — masked-CRC32C-verified
+   * record walk, zero example decode);
    * ops tooling: `key_skew(keys:"k"[, k:10])` (shuffle-key skew
    * diagnostic), `suggest_salt(keys:"k"[, target:n, max:n])` (measured
    * salt-factor advisor), `PROCESS probe, dim USING salted_join(
@@ -568,6 +570,10 @@ object GraftSql {
         },
         "targz_entries" -> ProcessorDef { (_, dfs, p) =>
           graft.functions.Tar.tarGzEntries(one(dfs, "targz_entries"),
+            p.getOrElse("id", "doc_id"), p.getOrElse("col", "payload"))
+        },
+        "tfrecords" -> ProcessorDef { (_, dfs, p) =>
+          graft.functions.TfRecord.tfRecords(one(dfs, "tfrecords"),
             p.getOrElse("id", "doc_id"), p.getOrElse("col", "payload"))
         },
         // hybrid-retrieval fusion: PROCESS lexical, dense USING
