@@ -63,6 +63,26 @@ private[graft] object EntriesM2 {
             .cast("int").as("agree"))
     }),
 
+    // XZ stream/block census: footer→index→block-header walk with all
+    // three structure CRCs verified and every block header
+    // forward-checked against its index record — uncompressed sizes
+    // from metadata alone (the zstd-census analog for the other LZMA
+    // lake format), incl. concatenated streams with stream padding;
+    // the fixture is written by the REAL org.tukaani.xz encoder with
+    // the check id rotating CRC32/CRC64/NONE, and id%8==6 payloads
+    // carry a flipped index-CRC bit the walk must refuse to zero rows.
+    // LZMA2 compressed sizes are encoder-owned, so they surface as a
+    // positivity verdict, not a replayed number
+    "m46_xz_blocks" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select("doc_id")
+      graft.functions.Xz.xzBlocks(
+        graft.functions.Xz.syntheticXzs(ids, "doc_id"),
+        "doc_id", "payload")
+        .select(col("doc_id"), col("stream_no"), col("block_no"),
+          col("uncomp_bytes"), col("check"),
+          (col("unpadded_bytes") > 12).cast("int").as("comp_ok"))
+    }),
+
     // TFRecord shard census: record walk with BOTH masked CRC-32C
     // checksums verified (the JDK's CRC32C + the public rotation
     // mask), per-record offset/size and data probes, zero example
@@ -727,6 +747,28 @@ private[graft] object EntriesM2 {
         | CAST(1 AS BIGINT) AS verify_ok, CAST(1 AS BIGINT) AS roundtrip_ok,
         | CAST(1 AS BIGINT) AS det_ok
         |FROM documents""".stripMargin,
+
+    // replay of Xz.syntheticXz's block shapes: per-block uncompressed
+    // sizes and the rotating check id; the corrupted index-CRC ids
+    // (%8==6) contribute zero rows
+    "m46_xz_blocks" ->
+      """WITH d AS (SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'crc32'
+        |    WHEN 1 THEN 'crc64' ELSE 'none' END AS chk
+        | FROM documents WHERE doc_id % 8 <> 6),
+        |s0 AS (SELECT doc_id, chk, 0 AS stream_no,
+        |  CAST(unnest(range(0, 1 + doc_id % 3)) AS INTEGER) AS block_no
+        | FROM d),
+        |r0 AS (SELECT doc_id, stream_no, block_no,
+        |  CAST(30 + (doc_id*3 + block_no*7) % 100 AS BIGINT) AS uncomp_bytes,
+        |  chk FROM s0),
+        |r1 AS (SELECT doc_id, 1 AS stream_no, 0 AS block_no,
+        |  CAST(20 + doc_id % 50 AS BIGINT), chk
+        | FROM d WHERE doc_id % 5 = 3)
+        |SELECT doc_id, CAST(stream_no AS INTEGER) AS stream_no,
+        | CAST(block_no AS INTEGER) AS block_no, uncomp_bytes,
+        | chk AS check, CAST(1 AS INTEGER) AS comp_ok
+        |FROM (SELECT * FROM r0 UNION ALL SELECT * FROM r1)""".stripMargin,
 
     // replay of TfRecord.syntheticTfRecord's arithmetic: offsets are
     // running sums of 16-byte framing + data lengths; the corrupted

@@ -211,7 +211,9 @@ object GraftSql {
    * `targz_entries(...)` (.tar.gz shard census — gzip member locator
    * extraction + checksum-verified ustar/PAX walk),
    * `tfrecords(...)` (TFRecord shard census — masked-CRC32C-verified
-   * record walk, zero example decode);
+   * record walk, zero example decode),
+   * `xz_blocks(...)` (XZ stream/block census — CRC-verified
+   * footer/index/header walk, zero LZMA2 decode);
    * ops tooling: `key_skew(keys:"k"[, k:10])` (shuffle-key skew
    * diagnostic), `suggest_salt(keys:"k"[, target:n, max:n])` (measured
    * salt-factor advisor), `PROCESS probe, dim USING salted_join(
@@ -574,6 +576,10 @@ object GraftSql {
         },
         "tfrecords" -> ProcessorDef { (_, dfs, p) =>
           graft.functions.TfRecord.tfRecords(one(dfs, "tfrecords"),
+            p.getOrElse("id", "doc_id"), p.getOrElse("col", "payload"))
+        },
+        "xz_blocks" -> ProcessorDef { (_, dfs, p) =>
+          graft.functions.Xz.xzBlocks(one(dfs, "xz_blocks"),
             p.getOrElse("id", "doc_id"), p.getOrElse("col", "payload"))
         },
         // hybrid-retrieval fusion: PROCESS lexical, dense USING

@@ -53,6 +53,7 @@ class WalkerFuzzSpec extends AnyFunSuite {
       Tar.inflateTarGz(b).flatMap(Tar.parseTarEntries)),
     ("tar", Tar.parseTarEntries _),
     ("tfrecord", TfRecord.parseRecords _),
+    ("xz", Xz.parseBlocks _),
     ("id3v1", Mp3.parseId3v1 _))
 
   private def fixtures(id: Long): Seq[Array[Byte]] = Seq(
@@ -62,7 +63,8 @@ class WalkerFuzzSpec extends AnyFunSuite {
     Flac.syntheticCommentedFlac(id), Ogg.syntheticOgg(id),
     Imaging.syntheticExifJpeg(id), Imaging.syntheticImage(id),
     Mp3.syntheticV1TaggedMp3(id), Zip.syntheticRealZip(id),
-    Tar.syntheticTarGz(id), TfRecord.syntheticTfRecord(id))
+    Tar.syntheticTarGz(id), TfRecord.syntheticTfRecord(id),
+    Xz.syntheticXz(id))
 
   test("binary walkers never throw on random bytes") {
     (0 until 300).foreach { trial =>
