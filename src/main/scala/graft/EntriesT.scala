@@ -228,6 +228,22 @@ private[graft] object EntriesT {
         "doc_id", "sitemap_text")
     }),
 
+
+    // CSV dialect sniffing — the ingest audit BEFORE spark.read.csv
+    // with guessed options: deterministic delimiter scoring over a
+    // 16-line quote-aware sample, RFC 4180 quoting (doubled quotes,
+    // delimiters inside quotes), header detection, and whole-document
+    // shape consistency; the id%7==2 fixtures hide their ragged record
+    // BEYOND the sample (the sniff resolves, consistent flips to 0 —
+    // the sample-vs-whole distinction the census exists for);
+    // unterminated quotes (id%13==11) refuse to zero rows
+    "t47_csv_sniff" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select("doc_id")
+      graft.functions.Csv.csvSniff(
+        graft.functions.Csv.syntheticCsvs(ids, "doc_id"),
+        "doc_id", "csv_text")
+    }),
+
     // host-level link-graph extraction (the WARC→HTML→graph bridge),
     // FULL oracle: per-doc source hosts + injected outbound URLs → edge
     // list with link counts; mixed-case hosts on both sides pin the
@@ -636,6 +652,33 @@ private[graft] object EntriesT {
         |SELECT doc_id, CAST(header_no AS INTEGER) AS header_no, name,
         |  lower(name) AS name_lc, value
         |FROM hs""".stripMargin,
+
+    // replay of Csv.syntheticCsv's dialect formulas; the unterminated-
+    // quote ids (%13==11) contribute zero rows
+    "t47_csv_sniff" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 13 <> 11),
+        |single AS (
+        | SELECT doc_id, 'none' AS delimiter, 0 AS quoted, 0 AS has_header,
+        |  1 AS n_cols, CAST(2 + doc_id % 3 AS BIGINT) AS n_records,
+        |  1 AS consistent
+        | FROM d WHERE doc_id % 11 = 10),
+        |std AS (
+        | SELECT doc_id,
+        |  CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN ',' WHEN 1 THEN ';'
+        |    WHEN 2 THEN 'tab' ELSE '|' END AS delimiter,
+        |  CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS quoted,
+        |  CASE WHEN doc_id % 5 <> 1 THEN 1 ELSE 0 END AS has_header,
+        |  2 + doc_id % 4 AS n_cols,
+        |  CAST(CASE WHEN doc_id % 7 = 2 THEN 19 ELSE 3 + doc_id % 6 END
+        |    + CASE WHEN doc_id % 5 <> 1 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS n_records,
+        |  CASE WHEN doc_id % 7 = 2 THEN 0 ELSE 1 END AS consistent
+        | FROM d WHERE doc_id % 11 <> 10)
+        |SELECT doc_id, delimiter, CAST(quoted AS INTEGER) AS quoted,
+        | CAST(has_header AS INTEGER) AS has_header,
+        | CAST(n_cols AS INTEGER) AS n_cols, n_records,
+        | CAST(consistent AS INTEGER) AS consistent
+        |FROM (SELECT * FROM single UNION ALL SELECT * FROM std)""".stripMargin,
 
     // replay of Sitemap.syntheticSitemap's record formulas; the loc
     // with the XML-escaped query (&amp;) is replayed DECODED — the

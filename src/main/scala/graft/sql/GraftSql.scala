@@ -213,7 +213,9 @@ object GraftSql {
    * `tfrecords(...)` (TFRecord shard census — masked-CRC32C-verified
    * record walk, zero example decode),
    * `xz_blocks(...)` (XZ stream/block census — CRC-verified
-   * footer/index/header walk, zero LZMA2 decode);
+   * footer/index/header walk, zero LZMA2 decode),
+   * `csv_sniff(...)` (CSV dialect census — deterministic delimiter/
+   * quote/header detection with whole-document shape consistency);
    * ops tooling: `key_skew(keys:"k"[, k:10])` (shuffle-key skew
    * diagnostic), `suggest_salt(keys:"k"[, target:n, max:n])` (measured
    * salt-factor advisor), `PROCESS probe, dim USING salted_join(
@@ -581,6 +583,10 @@ object GraftSql {
         "xz_blocks" -> ProcessorDef { (_, dfs, p) =>
           graft.functions.Xz.xzBlocks(one(dfs, "xz_blocks"),
             p.getOrElse("id", "doc_id"), p.getOrElse("col", "payload"))
+        },
+        "csv_sniff" -> ProcessorDef { (_, dfs, p) =>
+          graft.functions.Csv.csvSniff(one(dfs, "csv_sniff"),
+            p.getOrElse("id", "doc_id"), p.getOrElse("col", "text"))
         },
         // hybrid-retrieval fusion: PROCESS lexical, dense USING
         // rrf_fuse(...) — any number of ranked (query, rank, id) lists

@@ -1,0 +1,69 @@
+package graft
+
+import graft.functions.Csv
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CSV dialect sniff: the fixture against its closed dialect form,
+ * RFC 4180 quoting corners, and the deterministic scoring rules. */
+class CsvSpec extends AnyFunSuite {
+
+  test("fixture sniffs to the closed dialect form (IDs 0-299)") {
+    (0L until 300L).foreach { id =>
+      val got = Csv.sniff(Csv.syntheticCsv(id))
+      if (id % 13 == 11) {
+        assert(got.isEmpty, s"id=$id unterminated quote must refuse")
+      } else if (id % 11 == 10) {
+        assert(got === Some(Csv.Dialect("none", quoted = false,
+          hasHeader = false, 1, 2 + id % 3, consistent = true)), s"id=$id")
+      } else {
+        val delim = Seq(",", ";", "tab", "|")((id % 4).toInt)
+        val nRows = if (id % 7 == 2) Csv.SniffLines + 3 else (3 + id % 6)
+        val want = Csv.Dialect(delim,
+          quoted = id % 3 == 0,
+          hasHeader = id % 5 != 1,
+          (2 + id % 4).toInt,
+          nRows + (if (id % 5 != 1) 1 else 0),
+          consistent = id % 7 != 2)
+        assert(got === Some(want), s"id=$id")
+      }
+    }
+  }
+
+  test("RFC 4180 quoting corners") {
+    // delimiter and newline inside quotes are literal; "" escapes
+    val (recs, saw) = Csv.parseRecords(
+      "a,\"b,c\nd\"\"e\",f\r\ng,h,i", ',')
+    assert(saw)
+    assert(recs === IndexedSeq(
+      IndexedSeq("a", "b,c\nd\"e", "f"),
+      IndexedSeq("g", "h", "i")))
+    // a quoted record-spanning newline keeps the record whole in the
+    // sniff sample too
+    val doc = "x,\"line1\nline2\"\ny,z"
+    assert(Csv.sniff(doc).map(_.nCols) === Some(2))
+    assert(Csv.sniff(doc).map(_.nRecords) === Some(2L))
+    // unrecoverable forms
+    assert(Csv.sniff("a,\"unterminated") === None)
+    assert(Csv.sniff("a,b\"c,d") === None) // quote opening mid-field
+    assert(Csv.sniff("a,\"b\"junk,c") === None) // junk after close quote
+    assert(Csv.sniff(null) === None)
+    // empty and headerless numeric forms
+    assert(Csv.sniff("").map(_.nRecords) === Some(0L))
+    assert(Csv.sniff("1,2\n3,4").map(_.hasHeader) === Some(false))
+    assert(Csv.sniff("a,b\n1,2").map(_.hasHeader) === Some(true))
+    // all-text documents never claim a header
+    assert(Csv.sniff("a,b\nc,d").map(_.hasHeader) === Some(false))
+  }
+
+  test("deterministic scoring: highest consistent field count wins") {
+    // ';' splits every line into 3, ',' into 2 — ';' must win
+    val doc = "a,x;b;c\nd,y;e;f\ng,z;h;i"
+    assert(Csv.sniff(doc).map(d => (d.delimiter, d.nCols))
+      === Some((";", 3)))
+    // candidate order breaks exact ties: ',' before ';'
+    val tie = "a,b;c\nd,e;f"
+    val got = Csv.sniff(tie).get
+    assert(got.delimiter === ",")
+    assert(got.nCols === 2)
+  }
+}

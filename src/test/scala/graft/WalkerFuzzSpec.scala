@@ -157,7 +157,8 @@ class WalkerFuzzSpec extends AnyFunSuite {
     val texts = (0L until 25L).flatMap { id =>
       Seq(Robots.syntheticRobots(id), Eml.syntheticEml(id),
         Json.syntheticJson(id), Subtitles.syntheticSubtitle(id),
-        Mime.syntheticMime(id), Sitemap.syntheticSitemap(id))
+        Mime.syntheticMime(id), Sitemap.syntheticSitemap(id),
+        Csv.syntheticCsv(id))
     } ++ Seq("", "\u0000\ufffd\uffff", "a" * 10000, null)
     texts.foreach { t0 =>
       val variants: Seq[String] =
@@ -174,6 +175,7 @@ class WalkerFuzzSpec extends AnyFunSuite {
           Urls.canonicalize(t)
           Mime.parseParts(t)
           Sitemap.parseSitemap(t)
+          Csv.sniff(t)
         } catch { case e: Throwable =>
           fail(s"text walker threw: $e on ${Option(t).map(_.take(60))}")
         }
