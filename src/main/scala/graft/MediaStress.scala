@@ -133,6 +133,43 @@ object MediaStress {
       nRandom = agg.getLong(0)
       require(agg.getLong(1) == nRandom, "random-access extraction failed")
     }
+    // second r14 batch: the new shard-container walks (all narrow maps)
+    var nZipX = 0L
+    val tZipX = time {
+      nZipX = graft.functions.Zip.extractEntries(
+        graft.functions.Zip.syntheticRealZips(ids, "doc_id"),
+        "doc_id", "payload").count()
+    }
+    var nTarGz = 0L
+    val tTarGz = time {
+      nTarGz = graft.functions.Tar.tarGzEntries(
+        graft.functions.Tar.syntheticTarGzs(ids, "doc_id"),
+        "doc_id", "payload").count()
+    }
+    var nTfr = 0L
+    val tTfr = time {
+      nTfr = graft.functions.TfRecord.tfRecords(
+        graft.functions.TfRecord.syntheticTfRecords(ids, "doc_id"),
+        "doc_id", "payload").count()
+    }
+    var nXz = 0L
+    val tXz = time {
+      nXz = graft.functions.Xz.xzBlocks(
+        graft.functions.Xz.syntheticXzs(ids, "doc_id"),
+        "doc_id", "payload").count()
+    }
+    var nSm = 0L
+    val tSm = time {
+      nSm = graft.functions.Sitemap.sitemapItems(
+        graft.functions.Sitemap.syntheticSitemaps(ids, "doc_id"),
+        "doc_id", "sitemap_text").count()
+    }
+    var nCsv = 0L
+    val tCsv = time {
+      nCsv = graft.functions.Csv.csvSniff(
+        graft.functions.Csv.syntheticCsvs(ids, "doc_id"),
+        "doc_id", "csv_text").count()
+    }
     println(f"MEDIASTRESS docs=$n pages=$nPages pageWall=$tPages%.1f " +
       f"pagesPerSec=${nPages / tPages}%.0f pageMB=${pageBytes / 1e6}%.0f " +
       f"packets=$nPackets packetWall=$tPackets%.1f " +
@@ -162,7 +199,19 @@ object MediaStress {
       f"mimeDocsPerSec=${n / tParts}%.0f " +
       f"randomMembers=$nRandom randomWall=$tRandom%.1f " +
       f"randomMembersPerSec=${nRandom / tRandom}%.0f " +
-      f"seqMembersPerSec=${nMembers / tMembers}%.0f")
+      f"seqMembersPerSec=${nMembers / tMembers}%.0f " +
+      f"zipExtract=$nZipX zipXWall=$tZipX%.1f " +
+      f"zipXDocsPerSec=${n / tZipX}%.0f " +
+      f"targzEntries=$nTarGz targzWall=$tTarGz%.1f " +
+      f"targzDocsPerSec=${n / tTarGz}%.0f " +
+      f"tfRecords=$nTfr tfrWall=$tTfr%.1f " +
+      f"tfrDocsPerSec=${n / tTfr}%.0f " +
+      f"xzBlocks=$nXz xzWall=$tXz%.1f " +
+      f"xzDocsPerSec=${n / tXz}%.0f " +
+      f"sitemapItems=$nSm sitemapWall=$tSm%.1f " +
+      f"sitemapDocsPerSec=${n / tSm}%.0f " +
+      f"csvSniffs=$nCsv csvWall=$tCsv%.1f " +
+      f"csvDocsPerSec=${n / tCsv}%.0f")
     spark.stop()
   }
 }
