@@ -194,9 +194,14 @@ object Xz {
           while (k < nRec._1) {
             val up = varint(b, p, iLim); p = up._2
             val uc = varint(b, p, iLim); p = uc._2
-            if (up._1 <= 0 || uc._1 < 0) throw new Malformed
+            // cap each size at the payload length BEFORE summing:
+            // crafted near-MaxValue records would wrap ceil4/blocksBytes
+            // and could slip past the sStart sign check
+            if (up._1 <= 0 || uc._1 < 0 || up._1 > b.length.toLong)
+              throw new Malformed
             recs += ((up._1, uc._1))
             blocksBytes += ceil4(up._1)
+            if (blocksBytes > iStart.toLong) throw new Malformed
             k += 1
           }
           while (p < iLim) { // index padding must be null
