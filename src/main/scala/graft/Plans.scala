@@ -76,6 +76,17 @@ object Plans {
       "m33_id3v1_tags" -> "ID3v1 trailing-tag extraction: a 128-byte read per row in a narrow map, zero exchanges - the legacy half of the MP3 tag census next to m21's ID3v2 walk.",
       "t41_subtitle_cues" -> "SRT/WebVTT cue extraction: per-row line parsing in one mapPartitions, zero exchanges - cue rows land keyed by (doc, time) for alignment joins against the m13/m30 sample tables downstream.",
       "m34_gzip_members" -> "Gzip member walk: the one walker that must inflate (deflate has no length field), still a narrow per-row mapPartitions with zero exchanges - the streaming 16 KiB buffer keeps memory O(1) per row regardless of member size, so the .warc.gz record-locator scales out linearly.",
+      "m39_parquet_chunks" -> "Parquet column-chunk census: per-file thrift walk in a narrow map; the gate aggregate groups on (path, ptype) - a bounded-key shuffle (#columns keys), so the stats envelope costs one tiny exchange however many files the lake holds.",
+      "m40_warcgz_locate" -> "warc.gz record-locator composition: member walk + per-locator re-extraction are ONE narrow map over the file bytes; the agreement join against the whole-file parse shuffles only (uri, type, length, md5) - never payloads.",
+      "m41_census_agreement" -> "Format-dispatch agreement census: sniff + own-walker + foreign-walker verdicts in one narrow map, then a <=16-key hash aggregate - the cheapest possible shuffle shape for a corpus-wide dispatch audit.",
+      "m42_zip_extract" -> "ZIP extraction by locator: census + extractEntryAt run against the in-hand payload in one narrow map, zero exchanges - on a lake the same locator tuple drives a ranged GET instead.",
+      "m43_orc_tail" -> "ORC tail census: the walk itself is a narrow map over file bytes; the query's verdict is a per-codec bounded aggregate collected eagerly so the temp dataset can be deleted before returning.",
+      "m44_targz_entries" -> "tar.gz census: gzip locator extraction + checksum-verified ustar walk composed per row, zero exchanges; the decoded tar materializes per document (column-census boundary - file-scale shards stream through loadTarShards).",
+      "m45_tfrecord" -> "TFRecord census: both masked CRC-32Cs verified in a single forward walk, narrow map, zero exchanges - every byte is read exactly once, through the CRC.",
+      "m46_xz_blocks" -> "XZ census: footer->index->block-header walk reads ~1% of stream bytes (no LZMA2 decode), narrow map, zero exchanges - uncompressed lake capacity from metadata alone.",
+      "t45_mime_parts" -> "MIME body census: depth-bounded multipart recursion with decoded-size accounting per row, no payload retention, narrow map, zero exchanges.",
+      "t46_sitemap" -> "Sitemap census: bounded protocol-grammar walk per row (no generic XML stack), narrow map, zero exchanges - pairs with the broadcast robots rules for a zero-shuffle politeness layer.",
+      "t47_csv_sniff" -> "CSV dialect census: 4 candidate parses over a 16-line sample + one whole-document consistency pass per row, narrow map, zero exchanges.",
       "m35_avro_blocks" -> "Avro OCF block census: header + block-header reads in a narrow map, zero exchanges; block payloads are strided whether null/deflate/snappy-coded, so the census cost is independent of the codec.",
       "m36_png_text" -> "PNG text-chunk extraction: chunk walk + CRC verification per row in one mapPartitions, zero exchanges; the only non-header work is inflating the (small, capped) compressed text chunks themselves.",
       "m37_parquet_footer" -> "Parquet footer census: the plan is a binaryFile scan into a narrow footer-parse map, then two ordinary hash aggregates over per-file rows - at lake scale the scan reads whole files here only because the conformance fixture is small; the production shape pairs the same parser with a tail-range read.",
@@ -93,7 +104,7 @@ object Plans {
     val sb = new StringBuilder
     sb ++= "# PLANS - physical-plan evidence for scale-critical queries\n\n"
     sb ++= s"Generated by `sbt \"runMain graft.Plans\"` at $dir with AQE on.\n"
-    for (q <- Seq("q02_filter", "q01_agg", "q06_join_inner", "q20_take_per_key", "d01_dedup_exact", "s01_knn_brute", "s02_knn_lsh", "d05_dedup_embed", "t12_lm_score", "q62_bloom_semi", "d12_fuzzy_join", "q64_range_join", "d13_segment_dedup", "t20_pack_sequences", "q89_quality_checks", "q92_snapshot_diff", "q90_outliers", "t35_bm25", "q110_funnel", "q110b_funnel_restart", "q111_retention", "q112_triangles", "q113_ppr", "q114_clustering_coeff", "t36_trigram_ce", "t37_link_graph", "t38_gopher_rules", "t39_c4_clean", "q115_connected_components", "m13_mp4_demux", "m14_fmp4_demux", "m18_ogg_pages", "m19_ogg_packets", "m20_audio_meta", "m21_id3_tags", "m22_flac_info", "m23_ogg_muxed", "m24_ogg_comments", "m28_riff_tags", "m29_image_meta", "m30_mkv_tracks", "m31_zip_entries", "m32_zstd_frames", "m33_id3v1_tags", "m34_gzip_members", "m35_avro_blocks", "m36_png_text", "m37_parquet_footer", "m38_exif_gps", "t40_url_canon", "t41_subtitle_cues", "t42_robots_rules", "t42x_robots_filter", "t43_eml_headers", "t44_json_shape", "s14_hybrid_rrf", "s15x_margin_approx", "q117_odd_columns")) {
+    for (q <- Seq("q02_filter", "q01_agg", "q06_join_inner", "q20_take_per_key", "d01_dedup_exact", "s01_knn_brute", "s02_knn_lsh", "d05_dedup_embed", "t12_lm_score", "q62_bloom_semi", "d12_fuzzy_join", "q64_range_join", "d13_segment_dedup", "t20_pack_sequences", "q89_quality_checks", "q92_snapshot_diff", "q90_outliers", "t35_bm25", "q110_funnel", "q110b_funnel_restart", "q111_retention", "q112_triangles", "q113_ppr", "q114_clustering_coeff", "t36_trigram_ce", "t37_link_graph", "t38_gopher_rules", "t39_c4_clean", "q115_connected_components", "m13_mp4_demux", "m14_fmp4_demux", "m18_ogg_pages", "m19_ogg_packets", "m20_audio_meta", "m21_id3_tags", "m22_flac_info", "m23_ogg_muxed", "m24_ogg_comments", "m28_riff_tags", "m29_image_meta", "m30_mkv_tracks", "m31_zip_entries", "m32_zstd_frames", "m33_id3v1_tags", "m34_gzip_members", "m35_avro_blocks", "m36_png_text", "m37_parquet_footer", "m38_exif_gps", "t40_url_canon", "t41_subtitle_cues", "t42_robots_rules", "t42x_robots_filter", "t43_eml_headers", "t44_json_shape", "s14_hybrid_rrf", "s15x_margin_approx", "q117_odd_columns", "m39_parquet_chunks", "m40_warcgz_locate", "m41_census_agreement", "m42_zip_extract", "m43_orc_tail", "m44_targz_entries", "m45_tfrecord", "m46_xz_blocks", "t45_mime_parts", "t46_sitemap", "t47_csv_sniff")) {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.SimpleMode)
       sb ++= s"\n## $q\n\n${notes(q)}\n\n```\n${plan.split("\n").take(30).mkString("\n")}\n```\n"
