@@ -55,6 +55,52 @@ class CsvSpec extends AnyFunSuite {
     assert(Csv.sniff("a,b\nc,d").map(_.hasHeader) === Some(false))
   }
 
+  test("quote-aware parse agrees with univocity (Spark's CSV engine)") {
+    // randomized grids WRITTEN by univocity's own writer (a real
+    // encoder choosing its own quoting), read back by Csv.parseRecords
+    val rnd = new scala.util.Random(20260816L)
+    (0 until 120).foreach { trial =>
+      val rows = 1 + rnd.nextInt(6)
+      val cols = 1 + rnd.nextInt(5)
+      val grid = IndexedSeq.tabulate(rows, cols) { (r, c) =>
+        val base = s"v${trial}_${r}_$c"
+        rnd.nextInt(6) match {
+          case 0 => base + ",embedded"
+          case 1 => base + "\"quote"
+          case 2 => base + "\r\nnewline" // the writer normalizes EOLs
+          case 3 => ""
+          case _ => base
+        }
+      }
+      val sw = new java.io.StringWriter()
+      val ws = new com.univocity.parsers.csv.CsvWriterSettings()
+      ws.getFormat.setLineSeparator("\r\n")
+      // quote-all keeps the writer inside RFC 4180 — univocity's
+      // unquoted mode emits BARE mid-field quotes, the exact form the
+      // walker's strict posture refuses by documented design (pinned
+      // in the corners test above)
+      ws.setQuoteAllFields(true)
+      // pass values through verbatim — univocity otherwise rewrites
+      // EOLs inside quoted values to its normalized form
+      ws.setNormalizeLineEndingsWithinQuotes(false)
+      val w = new com.univocity.parsers.csv.CsvWriter(sw, ws)
+      grid.foreach(r => w.writeRow(r.toArray: _*))
+      w.close()
+      val text = sw.toString
+      val (mine, _) = Csv.parseRecords(text, ',')
+      // univocity renders null/empty the same way; compare non-empty
+      // cells exactly and shapes always
+      assert(mine.size === rows, s"trial=$trial rows\n$text")
+      (0 until rows).foreach { r =>
+        assert(mine(r).size === cols, s"trial=$trial row=$r\n$text")
+        (0 until cols).foreach { c =>
+          if (grid(r)(c).nonEmpty)
+            assert(mine(r)(c) === grid(r)(c), s"trial=$trial ($r,$c)\n$text")
+        }
+      }
+    }
+  }
+
   test("deterministic scoring: highest consistent field count wins") {
     // ';' splits every line into 3, ',' into 2 — ';' must win
     val doc = "a,x;b;c\nd,y;e;f\ng,z;h;i"

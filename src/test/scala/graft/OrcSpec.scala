@@ -59,6 +59,42 @@ class OrcSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("an isOriginal chunk (stored-uncompressed) footer parses") {
+    // hand-rebuild a none-codec file's tail as a ZLIB stream whose one
+    // chunk is ORIGINAL (header = len<<1 | 1) — the stored-chunk branch
+    // a compressible-footer writer never exercises
+    val none = writeOrc("none", 200).head
+    val ref = Orc.parseTail(none).get
+    val psLen = none(none.length - 1) & 0xff
+    val psStart = none.length - 1 - psLen
+    val footerStart = psStart - ref.footerBytes.toInt
+    val footer = java.util.Arrays.copyOfRange(none, footerStart, psStart)
+    val chunk = Array[Byte](
+      ((footer.length << 1) | 1).toByte,
+      (((footer.length << 1) | 1) >> 8).toByte,
+      (((footer.length << 1) | 1) >> 16).toByte) ++ footer
+    // fresh postscript: footerLength(1)=chunk len, compression(2)=1,
+    // magic(8000)="ORC" — hand-encoded protobuf
+    def pvarint(v: Long): Array[Byte] = {
+      var x = v
+      val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      while ((x & ~0x7fL) != 0) { out += ((x & 0x7f) | 0x80).toByte; x >>>= 7 }
+      out += x.toByte
+      out.toArray
+    }
+    val ps = Array[Byte](0x08) ++ pvarint(chunk.length.toLong) ++
+      Array[Byte](0x10, 0x01) ++
+      pvarint((8000L << 3) | 2) ++ Array[Byte](3, 'O', 'R', 'C')
+    val rebuilt = java.util.Arrays.copyOfRange(none, 0, footerStart) ++
+      chunk ++ ps ++ Array[Byte](ps.length.toByte)
+    val got = Orc.parseTail(rebuilt)
+      .getOrElse(fail("original-chunk tail did not parse"))
+    assert(got.compression === "zlib")
+    assert(got.numRows === ref.numRows)
+    assert(got.nTypes === ref.nTypes)
+    assert(got.stripeRows === ref.stripeRows)
+  }
+
   test("corrupt tails return None, never throw") {
     assert(Orc.parseTail(null) === None)
     assert(Orc.parseTail(Array.emptyByteArray) === None)
