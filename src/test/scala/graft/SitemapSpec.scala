@@ -46,6 +46,36 @@ class SitemapSpec extends AnyFunSuite {
     }
   }
 
+  test("walk agrees with the JDK DOM parser on every clean fixture") {
+    // a REAL XML stack reads the same records: loc/lastmod/changefreq/
+    // priority extracted via DocumentBuilder must match the bounded
+    // protocol walker field-for-field (entity decoding included)
+    val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    dbf.setNamespaceAware(false)
+    dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    (0L until 120L).filter(_ % 11 != 9).foreach { id =>
+      val text = Sitemap.syntheticSitemap(id)
+      val mine = Sitemap.parseSitemap(text).getOrElse(fail(s"id=$id"))
+      val doc = dbf.newDocumentBuilder().parse(
+        new java.io.ByteArrayInputStream(text.getBytes("UTF-8")))
+      val childTag = if (id % 6 == 5) "sitemap" else "url"
+      val nodes = doc.getDocumentElement.getElementsByTagName(childTag)
+      assert(mine.size === nodes.getLength, s"id=$id record count")
+      (0 until nodes.getLength).foreach { i =>
+        val el = nodes.item(i).asInstanceOf[org.w3c.dom.Element]
+        def field(tag: String): Option[String] = {
+          val ns = el.getElementsByTagName(tag)
+          if (ns.getLength == 0) None
+          else Some(ns.item(0).getTextContent.trim)
+        }
+        assert(Some(mine(i).loc) === field("loc"), s"id=$id i=$i loc")
+        assert(mine(i).lastmod === field("lastmod"), s"id=$id i=$i lastmod")
+        assert(mine(i).changefreq === field("changefreq"), s"id=$id i=$i")
+        assert(mine(i).priority === field("priority"), s"id=$id i=$i")
+      }
+    }
+  }
+
   test("entity decoding: named, decimal, hex; unknown refused") {
     def one(loc: String) = Sitemap.parseSitemap(
       s"<urlset><url><loc>$loc</loc></url></urlset>").map(_.head.loc)
