@@ -81,13 +81,20 @@ object Zip {
     val anySentinel = eDisk == 0xffff || eCdDisk == 0xffff ||
       eThisCount == 0xffff || eCount == 0xffff ||
       eCdSize == 0xffffffffL || eCdOff == 0xffffffffL
-    // EOCD64 locator: present iff PK\6\7 sits immediately before the EOCD
+    // EOCD64 locator candidate: PK\6\7 immediately before the EOCD. The
+    // signature ALONE is not proof — a non-ZIP64 archive whose last CD
+    // entry's name/comment happens to end with those 4 bytes at that
+    // offset would otherwise be forced down the EOCD64 path and refused
+    // (a false rejection APPNOTE readers avoid by consulting the locator
+    // only when a sentinel demands it). So: when a sentinel DEMANDS
+    // promotion the EOCD64 chain must validate or the archive refuses;
+    // with no sentinel, a failed EOCD64 validation falls back to the
+    // plain-EOCD read of the same fields.
     val hasLocator = eocd >= 20 && u32(b, eocd - 20) == 0x07064b50L
     if (anySentinel && !hasLocator) return None // zip64 demands the locator
-    var cdCount = eCount.toLong
-    var cdSize = eCdSize
-    var cdOff = eCdOff
-    if (hasLocator) {
+    // full EOCD64 chain validation: locator → record → field agreement →
+    // CD abutting the record; None = the chain does not validate
+    def eocd64(): Option[(Long, Long, Long)] = { // (count, cdSize, cdOff)
       val loc = eocd - 20
       if (u32(b, loc + 4) != 0) return None // disk holding the EOCD64
       if (u32(b, loc + 16) != 1) return None // total disks
@@ -114,13 +121,19 @@ object Zip {
       if (eCount != 0xffff && eCount.toLong != zCount) return None
       if (eCdSize != 0xffffffffL && eCdSize != zCdSize) return None
       if (eCdOff != 0xffffffffL && eCdOff != zCdOff) return None
-      cdCount = zCount; cdSize = zCdSize; cdOff = zCdOff
       // the CD must abut the EOCD64 record
-      if (cdOff + cdSize != r.toLong) return None
-    } else {
-      if (eDisk != 0 || eCdDisk != 0) return None // multi-disk
-      if (eThisCount != eCount) return None
-      if (cdOff + cdSize != eocd.toLong) return None // CD must abut EOCD
+      if (zCdOff + zCdSize != r.toLong) return None
+      Some((zCount, zCdSize, zCdOff))
+    }
+    val resolved = if (hasLocator) eocd64() else None
+    if (anySentinel && resolved.isEmpty) return None // demanded, not valid
+    val (cdCount, cdSize, cdOff) = resolved match {
+      case Some(t) => t
+      case None => // plain EOCD (includes the coincidental-signature case)
+        if (eDisk != 0 || eCdDisk != 0) return None // multi-disk
+        if (eThisCount != eCount) return None
+        if (eCdOff + eCdSize != eocd.toLong) return None // CD must abut EOCD
+        (eCount.toLong, eCdSize, eCdOff)
     }
     val cdEnd = (cdOff + cdSize).toInt
     val entries = scala.collection.mutable.ArrayBuffer.empty[Entry]

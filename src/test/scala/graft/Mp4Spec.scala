@@ -283,7 +283,7 @@ class Mp4Spec extends SparkTestBase {
     b32(body.length + 8) ++ typ.getBytes("ISO-8859-1") ++ body
   private def mkTagged(metaPrelude: Array[Byte],
       items: Array[Byte]): Array[Byte] =
-    mkBox("ftyp", "M4A    isom".getBytes("ISO-8859-1")) ++
+    mkBox("ftyp", "M4A \u0000\u0000\u0002\u0000isom".getBytes("ISO-8859-1")) ++
       mkBox("moov", mkBox("udta",
         mkBox("meta", metaPrelude ++ mkBox("ilst", items))))
 

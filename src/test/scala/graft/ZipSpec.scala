@@ -112,6 +112,46 @@ class ZipSpec extends AnyFunSuite {
     assert(es.head.crc32 === crc.getValue)
   }
 
+  test("a coincidental PK\\6\\7 in the last entry comment does not force ZIP64") {
+    // A valid NON-zip64 archive whose last CD entry's 20-byte comment
+    // begins with the EOCD64-locator signature: the signature alone must
+    // not route the parse down the EOCD64 path and refuse (r14 advisory)
+    // — with no EOCD field at a sentinel, a failed EOCD64 validation
+    // falls back to the plain-EOCD read.
+    val bo = new java.io.ByteArrayOutputStream()
+    def u16w(v: Int): Unit = { bo.write(v & 0xff); bo.write((v >> 8) & 0xff) }
+    def u32w(v: Long): Unit = (0 until 4).foreach(i => bo.write(((v >> (8 * i)) & 0xff).toInt))
+    val data = "hi".getBytes("US-ASCII")
+    val crc = new java.util.zip.CRC32(); crc.update(data)
+    // local header
+    bo.write(Array[Byte]('P', 'K', 3, 4)); u16w(20); u16w(0); u16w(0)
+    u16w(0); u16w(0); u32w(crc.getValue); u32w(2); u32w(2); u16w(5); u16w(0)
+    bo.write("a.txt".getBytes("US-ASCII")); bo.write(data)
+    val cdOff = bo.size()
+    // central-directory entry with a 20-byte comment opening PK\6\7;
+    // the fake "locator" fields are junk (disk byte 1), so the EOCD64
+    // chain cannot validate — only the fallback can accept this file
+    bo.write(Array[Byte]('P', 'K', 1, 2)); u16w(20); u16w(20); u16w(0); u16w(0)
+    u16w(0); u16w(0); u32w(crc.getValue); u32w(2); u32w(2)
+    u16w(5); u16w(0); u16w(20); u16w(0); u16w(0); u32w(0); u32w(0)
+    bo.write("a.txt".getBytes("US-ASCII"))
+    bo.write(Array[Byte]('P', 'K', 6, 7)) // the coincidence
+    bo.write(Array.fill[Byte](16)(1)) // junk locator fields
+    val cdSize = bo.size() - cdOff
+    bo.write(Array[Byte]('P', 'K', 5, 6)); u16w(0); u16w(0); u16w(1); u16w(1)
+    u32w(cdSize.toLong); u32w(cdOff.toLong); u16w(0)
+    val es = Zip.parseCentralDirectory(bo.toByteArray)
+      .getOrElse(fail("coincidental locator signature refused a valid archive"))
+    assert(es.map(_.name) === Seq("a.txt"))
+    assert(es.head.crc32 === crc.getValue && !es.head.zip64)
+    // but an EOCD field AT a sentinel still demands a VALID chain: the
+    // same bytes with the entry count at 0xffff must refuse
+    val demanded = bo.toByteArray
+    val eocdPos = demanded.length - 22
+    demanded(eocdPos + 10) = 0xff.toByte; demanded(eocdPos + 11) = 0xff.toByte
+    assert(Zip.parseCentralDirectory(demanded) === None)
+  }
+
   test("corrupt forms return None, never throw") {
     assert(Zip.parseCentralDirectory(null) === None)
     assert(Zip.parseCentralDirectory(Array.emptyByteArray) === None)
