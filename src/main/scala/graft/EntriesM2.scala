@@ -96,6 +96,24 @@ private[graft] object EntriesM2 {
         "doc_id", "payload")
     }),
 
+    // .tfrecord.gz shard census (m34 ∘ m45 — TFRecordOptions GZIP is
+    // the ubiquitous wire form of TFRecord shards): gzip members
+    // located and re-extracted through the verified locator path,
+    // bodies concatenated (RFC 1952), then the masked-CRC32C record
+    // walk; id%4==1 payloads split into TWO members at a record
+    // boundary (concatenation must reassemble the identical stream),
+    // id%9==8 carry a flipped gzip ISIZE (the locator refuses) and
+    // id%10==7 carry the record-CRC corruption THROUGH a clean gzip
+    // layer (the record walk refuses) — both to zero rows. Real
+    // encoder on the write side (GZIPOutputStream), first-principles
+    // walks on the read side
+    "m47_tfrecord_gz" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select("doc_id")
+      graft.functions.TfRecord.tfRecordsGz(
+        graft.functions.TfRecord.syntheticTfRecordGzs(ids, "doc_id"),
+        "doc_id", "payload")
+    }),
+
     // .tar.gz entry census (m34 ∘ m12's format — the WebDataset shard
     // container as a COLUMN value): gzip members located and
     // re-extracted through the verified locator path, bodies
@@ -115,16 +133,18 @@ private[graft] object EntriesM2 {
 
     // ORC tail census (the m37 sibling for the other columnar lake
     // format): postscript + footer protobuf walked from REAL files
-    // Spark just wrote under all three supported codecs — the zlib leg
+    // Spark just wrote under all five supported codecs — the zlib leg
     // reads raw-deflate chunks, the snappy leg exercises the from-spec
-    // block decoder. Verdict columns assert the walk's internal
-    // consistency (stripe row sums, declared codec); totals close in
-    // count(documents). Zero stripe data read
+    // block decoder, and the zstd/lz4 legs (r15: the modern default
+    // ORC codecs) decode through the public zstd-jni / lz4-java
+    // libraries Spark ships. Verdict columns assert the walk's
+    // internal consistency (stripe row sums, declared codec); totals
+    // close in count(documents). Zero stripe data read
     "m43_orc_tail" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
       val out = java.nio.file.Files.createTempDirectory("graft_m43").toString
       try {
-        val rows = Seq("none", "zlib", "snappy").map { codec =>
+        val rows = Seq("none", "zlib", "snappy", "zstd", "lz4").map { codec =>
           docs.repartition(2).write.option("compression", codec)
             .mode("overwrite").orc(s"$out/$codec")
           val bin = graft.functions.Multimodal
@@ -332,6 +352,68 @@ private[graft] object EntriesM2 {
           "path:str,ptype:str,n_values:long,nulls:long,min_long:long," +
             "max_long:long,min_str:str,max_str:str,codec_ok:int," +
             "enc_ok:int,bytes_ok:int")
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(out)).iterator()
+          .asScala.toSeq.reverse.foreach(p => p.toFile.delete())
+      }
+    }),
+
+    // parquet PAGE-INDEX census (the m37→m39 ladder completed): the
+    // ColumnIndex/OffsetIndex pair — the structures modern readers
+    // actually skip pages with — plus the bloom-filter header, read
+    // from REAL files Spark just wrote with a 40-row page limit (so
+    // the page split genuinely happens) and a bloom filter REQUESTED
+    // on both columns: parquet-mr writes one for the plain-encoded
+    // doc_id but OMITS it for the fully dictionary-encoded lang_n
+    // (the dictionary already answers membership exactly) — the
+    // census pins that writer heuristic as a verdict. doc_id is
+    // written sorted-within-partitions, so its ColumnIndex
+    // boundary_order must decode ASCENDING; the decoded page min/max
+    // envelope must equal the chunk's own Statistics (stats_agree —
+    // cross-structure agreement), null-count sums and envelopes are
+    // SPLIT-INVARIANT closed forms, and the OffsetIndex location
+    // table must be monotonic and in-bounds (oi_ok)
+    "m48_parquet_pageindex" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 =!= 0, col("lang")).as("lang_n"))
+        .repartition(2).sortWithinPartitions("doc_id")
+      val out = java.nio.file.Files.createTempDirectory("graft_m48").toString
+      try {
+        docs.write
+          .option("parquet.page.row.count.limit", "40")
+          .option("parquet.bloom.filter.enabled#doc_id", "true")
+          .option("parquet.bloom.filter.enabled#lang_n", "true")
+          .mode("overwrite").parquet(s"$out/p")
+        val bin = graft.functions.Multimodal
+          .loadBinaryFiles(s, s"$out/p", "*.parquet")
+          .selectExpr("monotonically_increasing_id() AS doc_id", "payload")
+        val rows = graft.functions.ParquetFooter
+          .parquetPageIndexes(bin, "doc_id", "payload")
+          .groupBy("path", "ptype")
+          .agg(
+            sum("null_count_sum").cast("long").as("nulls"),
+            min("min_long").cast("long").as("min_long"),
+            max("max_long").cast("long").as("max_long"),
+            min("min_str").as("min_str"),
+            max("max_str").as("max_str"),
+            min(when(col("n_pages") >= 2, 1).otherwise(0))
+              .cast("int").as("pages_ok"),
+            min(col("oi_ok")).cast("int").as("oi_ok"),
+            min(when(col("path") =!= "doc_id" ||
+              col("boundary_order") === "ascending", 1).otherwise(0))
+              .cast("int").as("bo_ok"),
+            min(col("stats_agree")).cast("int").as("stats_ok"),
+            min(when((col("path") === "doc_id" && col("bloom_bytes") > 0 &&
+              col("bloom_ok") === 1) ||
+              (col("path") === "lang_n" && col("bloom_bytes").isNull), 1)
+              .otherwise(0)).cast("int").as("bloom_ok"))
+          .collect()
+        eng(s).toDF(rows.toSeq.map(r => (0 until 12).map(i => r.get(i))),
+          "path:str,ptype:str,nulls:long,min_long:long,max_long:long," +
+            "min_str:str,max_str:str,pages_ok:int,oi_ok:int,bo_ok:int," +
+            "stats_ok:int,bloom_ok:int")
       } finally {
         import scala.jdk.CollectionConverters._
         java.nio.file.Files.walk(java.nio.file.Paths.get(out)).iterator()
@@ -794,6 +876,33 @@ private[graft] object EntriesM2 {
         |   ELSE -1 END AS INTEGER) AS tail_byte
         |FROM o""".stripMargin,
 
+    // replay of the m45 record arithmetic through the gzip layer: the
+    // record stream is identical after RFC 1952 reassembly (member
+    // layout is invisible to the record walk), so the only oracle
+    // delta is the corrupted-gzip exclusion (%9==8) joining the
+    // corrupted-record exclusion (%10==7)
+    "m47_tfrecord_gz" ->
+      """WITH d AS (SELECT doc_id FROM documents
+        |  WHERE doc_id % 10 <> 7 AND doc_id % 9 <> 8),
+        |r AS (SELECT doc_id,
+        |  CAST(unnest(range(0, 2 + doc_id % 5)) AS INTEGER) AS k
+        | FROM d),
+        |m AS (SELECT doc_id, k,
+        |  CASE WHEN k = 1 AND doc_id % 6 = 3 THEN 0
+        |    ELSE 10 + (doc_id*7 + k*13) % 120 END AS bytes
+        | FROM r),
+        |o AS (SELECT doc_id, k, bytes,
+        |  COALESCE(SUM(16 + bytes) OVER (PARTITION BY doc_id ORDER BY k
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        | FROM m)
+        |SELECT doc_id, k AS record_no, CAST(off AS BIGINT) AS "offset",
+        | CAST(bytes AS BIGINT) AS data_bytes,
+        | CAST(CASE WHEN bytes > 0 THEN (doc_id + k*131) % 256
+        |   ELSE -1 END AS INTEGER) AS head_byte,
+        | CAST(CASE WHEN bytes > 0 THEN (doc_id + k*131 + bytes - 1) % 256
+        |   ELSE -1 END AS INTEGER) AS tail_byte
+        |FROM o""".stripMargin,
+
     // replay of Tar.syntheticTarGz's entry formulas: the dir entry
     // leads when present, PAX long names resolve to the full name, and
     // the data probes replay the content's first/last characters
@@ -836,7 +945,8 @@ private[graft] object EntriesM2 {
     // verdict columns assert the walk's internal consistency
     "m43_orc_tail" ->
       """WITH codecs AS (
-        | SELECT unnest(['none', 'zlib', 'snappy']) AS compression)
+        | SELECT unnest(['none', 'zlib', 'snappy', 'zstd', 'lz4'])
+        |   AS compression)
         |SELECT compression,
         | (SELECT CAST(count(*) AS BIGINT) FROM documents) AS total_rows,
         | CAST(2 AS BIGINT) AS n_files,
@@ -962,6 +1072,32 @@ private[graft] object EntriesM2 {
         |UNION ALL
         |SELECT 'lang_n', 'byte_array', cnt, nnull,
         |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), lmin, lmax, 1, 1, 1
+        |FROM s""".stripMargin,
+
+    // split-invariant closed form of the m48 page-index census: the
+    // per-page null-count sums total the planted nulls, the decoded
+    // min/max envelopes equal the column min/max whatever the page
+    // chunking, and every structural claim is a verdict column
+    "m48_parquet_pageindex" ->
+      """WITH s AS (SELECT CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(min(doc_id) AS BIGINT) AS mn,
+        |  CAST(max(doc_id) AS BIGINT) AS mx,
+        |  CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS nnull,
+        |  min(CASE WHEN doc_id % 7 <> 0 THEN lang END) AS lmin,
+        |  max(CASE WHEN doc_id % 7 <> 0 THEN lang END) AS lmax
+        | FROM documents)
+        |SELECT 'doc_id' AS path, 'int64' AS ptype,
+        |  CAST(0 AS BIGINT) AS nulls, mn AS min_long, mx AS max_long,
+        |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,
+        |  CAST(1 AS INTEGER) AS pages_ok, CAST(1 AS INTEGER) AS oi_ok,
+        |  CAST(1 AS INTEGER) AS bo_ok, CAST(1 AS INTEGER) AS stats_ok,
+        |  CAST(1 AS INTEGER) AS bloom_ok
+        |FROM s
+        |UNION ALL
+        |SELECT 'lang_n', 'byte_array', nnull,
+        |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), lmin, lmax,
+        |  1, 1, 1, 1, 1
         |FROM s""".stripMargin,
 
     // replay of Png.syntheticTextPng's text-chunk formulas: tEXt Title

@@ -229,6 +229,23 @@ private[graft] object EntriesT {
     }),
 
 
+    // sitemap.xml.gz census (m34 ∘ t46): the sitemaps.org protocol
+    // explicitly allows gzip-compressed sitemaps, and t46's own index
+    // fixtures advertise `.xml.gz` locs — this is the walker for them.
+    // Gzip members located and re-extracted through the verified
+    // locator path (id%5==0 payloads split into TWO members
+    // mid-document; RFC 1952 reassembly must be byte-exact), UTF-8
+    // decoded, then the strict sitemap grammar walk; id%10==4 carries
+    // a flipped gzip ISIZE (locator refuses), id%11==9 stays the
+    // unclosed-root malformation THROUGH a clean gzip layer — both to
+    // zero rows
+    "t48_sitemap_gz" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select("doc_id")
+      graft.functions.Sitemap.sitemapGzItems(
+        graft.functions.Sitemap.syntheticSitemapGzs(ids, "doc_id"),
+        "doc_id", "payload")
+    }),
+
     // CSV dialect sniffing — the ingest audit BEFORE spark.read.csv
     // with guessed options: deterministic delimiter scoring over a
     // 16-line quote-aware sample, RFC 4180 quoting (doubled quotes,
@@ -686,6 +703,45 @@ private[graft] object EntriesT {
     // root) contribute zero rows
     "t46_sitemap" ->
       """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 11 <> 9),
+        |idx AS (
+        | SELECT doc_id, CAST(unnest(range(0, 2 + doc_id % 3)) AS INTEGER) AS j
+        | FROM d WHERE doc_id % 6 = 5),
+        |urls AS (
+        | SELECT doc_id, CAST(unnest(range(0, 1 + doc_id % 5)) AS INTEGER) AS j
+        | FROM d WHERE doc_id % 6 <> 5),
+        |rows_ AS (
+        | SELECT doc_id, j, 'sitemap' AS kind,
+        |  'https://h' || CAST(doc_id % 20 AS VARCHAR) || '.example/s'
+        |    || CAST(j AS VARCHAR) || '.xml.gz' AS loc,
+        |  CASE WHEN j % 2 = 0 THEN '2024-0' || CAST(1 + doc_id % 9 AS VARCHAR)
+        |    || '-1' || CAST(j % 10 AS VARCHAR) END AS lastmod,
+        |  CAST(NULL AS VARCHAR) AS changefreq,
+        |  CAST(NULL AS VARCHAR) AS priority
+        | FROM idx
+        | UNION ALL
+        | SELECT doc_id, j, 'url',
+        |  'https://site' || CAST(doc_id % 30 AS VARCHAR) || '.example/p/'
+        |    || CAST(doc_id AS VARCHAR) || '/' || CAST(j AS VARCHAR)
+        |    || CASE WHEN doc_id % 4 = 2
+        |         THEN '?a=1&b=' || CAST(j AS VARCHAR) ELSE '' END,
+        |  CASE WHEN doc_id % 3 <> 1 THEN '2024-0'
+        |    || CAST(1 + j % 9 AS VARCHAR) || '-0'
+        |    || CAST(1 + doc_id % 9 AS VARCHAR) END,
+        |  CASE WHEN j % 2 = 0 THEN
+        |    ['daily', 'weekly', 'monthly'][CAST(1 + (doc_id + j) % 3 AS INTEGER)]
+        |  END,
+        |  CASE WHEN j % 3 = 0 THEN '0.' || CAST((doc_id + j) % 10 AS VARCHAR) END
+        | FROM urls)
+        |SELECT doc_id, j AS item_no, kind, loc, lastmod, changefreq, priority
+        |FROM rows_""".stripMargin,
+
+    // the t46 replay through the gzip layer: the XML is identical
+    // after RFC 1952 reassembly, so the only oracle delta is the
+    // corrupted-gzip exclusion (%10==4) joining the unclosed-root
+    // exclusion (%11==9)
+    "t48_sitemap_gz" ->
+      """WITH d AS (SELECT doc_id FROM documents
+        |  WHERE doc_id % 11 <> 9 AND doc_id % 10 <> 4),
         |idx AS (
         | SELECT doc_id, CAST(unnest(range(0, 2 + doc_id % 3)) AS INTEGER) AS j
         | FROM d WHERE doc_id % 6 = 5),

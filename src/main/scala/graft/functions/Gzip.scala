@@ -81,6 +81,38 @@ object Gzip {
     }
   }
 
+  /** Inflate ALL members and concatenate their bodies — RFC 1952
+   * member concatenation is ONE logical stream, the shape of every
+   * `.gz` shard composition (`.tar.gz`, `.tfrecord.gz`,
+   * `sitemap.xml.gz`, `.warc.gz`). Each member is re-extracted through
+   * the verified [[inflateMemberAt]] locator path, so the census
+   * locators and the decode path can never drift apart. None if any
+   * member refuses or the total exceeds Int.MaxValue. */
+  def inflateConcat(payload: Array[Byte]): Option[Array[Byte]] = {
+    parseMembers(payload).flatMap { ms =>
+      val bodies = new Array[Array[Byte]](ms.size)
+      var total = 0L
+      var i = 0
+      while (i < ms.size) {
+        inflateMemberAt(payload, ms(i).offset, ms(i).compBytes) match {
+          case Some(body) =>
+            bodies(i) = body
+            total += body.length
+            if (total > Int.MaxValue) return None
+          case None => return None
+        }
+        i += 1
+      }
+      val out = new Array[Byte](total.toInt)
+      var w = 0
+      bodies.foreach { body =>
+        System.arraycopy(body, 0, out, w, body.length)
+        w += body.length
+      }
+      Some(out)
+    }
+  }
+
   private def walkMembers(payload: Array[Byte],
       keep: Boolean): Option[(IndexedSeq[Member], IndexedSeq[Array[Byte]])] = {
     val b = payload

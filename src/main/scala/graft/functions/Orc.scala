@@ -8,8 +8,11 @@ import org.apache.spark.sql.types._
  * columnar lake format. Reads ONLY the tail metadata: the 1-byte
  * postscript length, the (never-compressed) postscript protobuf, and
  * the footer protobuf it locates, decompressed when the postscript
- * declares ZLIB (raw-deflate chunks) or SNAPPY (block format decoded
- * from the public format description). No stripe data is touched —
+ * declares ZLIB (raw-deflate chunks), SNAPPY (block format decoded
+ * from the public format description), LZ4 (block format via the
+ * public lz4-java decompressor Spark already ships) or ZSTD (frames
+ * via the public zstd-jni stream decoder — the modern default ORC
+ * codec, so the newest lakes census too). No stripe data is touched —
  * ~0.01% of the bytes a row-decoding census would read.
  *
  * Facts honored (ORC v1 specification, orc.apache.org):
@@ -34,7 +37,7 @@ import org.apache.spark.sql.types._
  * that does not tile its stream exactly, a deflate/snappy stream that
  * overruns or underruns its declared size, footer fields that
  * disagree (stripe row sum vs numberOfRows is REPORTED, not assumed),
- * or an unsupported decompression kind (LZO/LZ4/ZSTD — census can
+ * or an unsupported decompression kind (LZO only — census can
  * still be had by rewriting the lake's tail, not by guessing) → None.
  * Unknown protobuf fields are skipped by wire type — forward
  * compatible, never a throw.
@@ -152,7 +155,7 @@ object Orc {
   /**
    * Walk one ORC file's tail. None on anything but a structurally
    * clean v1 tail whose footer the declared compression lets us read
-   * (NONE/ZLIB/SNAPPY; LZO/LZ4/ZSTD tails are recognized but refused —
+   * (NONE/ZLIB/SNAPPY/LZ4/ZSTD; LZO tails are recognized but refused —
    * a deliberate census-only boundary, like the ZIP walker's bzip2).
    */
   def parseTail(payload: Array[Byte]): Option[Tail] = {
@@ -189,14 +192,13 @@ object Orc {
       val footer: Array[Byte] = kind match {
         case 0 =>
           java.util.Arrays.copyOfRange(b, footerStart, psStart)
-        case 1 | 2 =>
+        case 1 | 2 | 4 | 5 =>
           // decoded size is not declared for the footer stream; decode
-          // chunk-by-chunk into a growable buffer via a two-pass: first
-          // measure original/deflate output, then materialize. The
-          // footer is small (KBs), so decode into a bounded scratch of
-          // 64 MiB max to keep a forged tail from ballooning memory.
+          // chunk-by-chunk into a growable buffer. The footer is small
+          // (KBs), so decode into a bounded scratch of 64 MiB max to
+          // keep a forged tail from ballooning memory.
           decodeStreamUnsized(b, footerStart, footerLen, kind.toInt)
-        case _ => return None // lzo/lz4/zstd: recognized, refused
+        case _ => return None // lzo: recognized, refused
       }
       val f = new P(footer, 0, footer.length)
       var headerLen = -1L
@@ -312,7 +314,7 @@ object Orc {
         } catch {
           case _: java.util.zip.DataFormatException => throw new Malformed
         } finally inf.end()
-      } else {
+      } else if (kind == 2) {
         // snappy declares its decoded size up front
         val peek = new P(b, pos, pos + clen)
         val want = peek.varint()
@@ -320,6 +322,41 @@ object Orc {
         ensure(want.toInt)
         snappyChunk(b, pos, clen, out, w): Unit
         w += want.toInt
+      } else if (kind == 4) {
+        // lz4 BLOCK format (what ORC's aircompressor-backed writer
+        // emits) carries no decoded-size field: decompress with the
+        // public lz4-java SAFE decompressor into the available scratch
+        // and grow (hard-capped) while it reports a short buffer; a
+        // genuinely corrupt chunk exhausts the cap and refuses
+        val dec = net.jpountz.lz4.LZ4Factory.fastestInstance()
+          .safeDecompressor()
+        var room = math.max(4096, math.min(cap - w, clen * 4))
+        var decoded = -1
+        while (decoded < 0) {
+          ensure(room)
+          try decoded = dec.decompress(b, pos, clen, out, w,
+            math.min(room, out.length - w))
+          catch {
+            case _: net.jpountz.lz4.LZ4Exception =>
+              if (room >= cap - w) throw new Malformed
+              room = math.min(cap - w, room * 2)
+          }
+        }
+        w += decoded
+      } else {
+        // zstd frame(s) — ORC 1.6+'s zstd-jni-backed writer emits
+        // standard frames; stream-decode through the public inflater
+        val zin = new com.github.luben.zstd.ZstdInputStreamNoFinalizer(
+          new java.io.ByteArrayInputStream(b, pos, clen))
+        try {
+          var n = 0
+          while (n >= 0) {
+            ensure(4096)
+            n = try zin.read(out, w, math.min(4096, out.length - w))
+            catch { case _: java.io.IOException => throw new Malformed }
+            if (n > 0) w += n
+          }
+        } finally zin.close()
       }
       pos += clen
     }

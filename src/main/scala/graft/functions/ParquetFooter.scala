@@ -227,7 +227,8 @@ object ParquetFooter {
       ptype: Int, codec: Int, numValues: Long, uncompBytes: Long,
       compBytes: Long, encodings: IndexedSeq[Int], nullCount: Option[Long],
       minLong: Option[Long], maxLong: Option[Long],
-      minStr: Option[String], maxStr: Option[String])
+      minStr: Option[String], maxStr: Option[String],
+      bloomOffset: Option[Long] = None, bloomLength: Option[Long] = None)
 
   private def typeName(t: Int): String = t match {
     case 0 => "boolean"; case 1 => "int32"; case 2 => "int64"
@@ -341,6 +342,8 @@ object ParquetFooter {
     var maxL: Option[Long] = None
     var minS: Option[String] = None
     var maxS: Option[String] = None
+    var bloomOff: Option[Long] = None
+    var bloomLen: Option[Long] = None
     // deprecated min/max kept only until min_value/max_value show up
     var sawNewMin = false
     var sawNewMax = false
@@ -400,13 +403,313 @@ object ParquetFooter {
             }
           }
           true
+        case (14L, 6) => bloomOff = Some(c.zigzag()); true
+        case (15L, 5) => bloomLen = Some(c.zigzag()); true
         case _ => false
       }
     }
     if (ptype < 0 || codec < 0 || numValues < 0 || uncomp < 0 || comp < 0)
       throw new Malformed // required ColumnMetaData fields missing
     ChunkMeta(rgNo, colNo, parts.mkString("."), ptype, codec, numValues,
-      uncomp, comp, encs.toIndexedSeq, nullCount, minL, maxL, minS, maxS)
+      uncomp, comp, encs.toIndexedSeq, nullCount, minL, maxL, minS, maxS,
+      bloomOff, bloomLen)
+  }
+
+  // ---- page-index projection (ColumnIndex / OffsetIndex / bloom) ------
+
+  /** One column chunk's page-level pruning metadata: the ColumnIndex
+   * (per-page null flags, decoded min/max envelope, boundary order,
+   * null-count sum), the OffsetIndex (page count + location-table
+   * validity), the chunk-stats agreement verdict, and the bloom-filter
+   * header when the chunk carries one. */
+  final case class PageIndexMeta(rgNo: Int, colNo: Int, path: String,
+      ptype: Int, nPages: Int, nullPages: Int, nullCountSum: Option[Long],
+      boundaryOrder: Int, minLong: Option[Long], maxLong: Option[Long],
+      minStr: Option[String], maxStr: Option[String], oiOk: Boolean,
+      statsAgree: Boolean, bloomBytes: Option[Long], bloomOk: Boolean)
+
+  private def boundaryName(b: Int): String = b match {
+    case 0 => "unordered"; case 1 => "ascending"; case 2 => "descending"
+    case other => s"order_$other"
+  }
+
+  /** Parse one ColumnIndex struct slice: (nullPages, minVals, maxVals,
+   * boundaryOrder, nullCounts) with the raw binary min/max runs kept
+   * as (offset, length) pairs into `b`. */
+  private def parseColumnIndex(b: Array[Byte], off: Long, len: Long):
+      (IndexedSeq[Boolean], IndexedSeq[(Int, Int)], IndexedSeq[(Int, Int)],
+        Int, Option[IndexedSeq[Long]]) = {
+    if (off < 0 || len <= 0 || len > b.length - off) throw new Malformed
+    val c = new Cur(b, off.toInt, (off + len).toInt)
+    var nullPages: IndexedSeq[Boolean] = IndexedSeq.empty
+    val mins = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    val maxs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var order = -1
+    var nullCounts: Option[IndexedSeq[Long]] = None
+    def binList(into: scala.collection.mutable.ArrayBuffer[(Int, Int)]): Unit = {
+      val (sz, et) = listHeader(c)
+      if (et != 8) throw new Malformed
+      var i = 0L
+      while (i < sz) {
+        val n = c.varint()
+        val s = c.bytes(n)
+        into += ((s, n.toInt))
+        i += 1
+      }
+    }
+    walkStruct(c) { (fid, tpe) =>
+      (fid, tpe) match {
+        case (1L, 9) => // null_pages: list<bool> (one byte per element:
+          // thrift compact CT_BOOLEAN_TRUE = 1, CT_BOOLEAN_FALSE = 2)
+          val (sz, et) = listHeader(c)
+          if (et != 1 && et != 2) throw new Malformed
+          val buf = scala.collection.mutable.ArrayBuffer.empty[Boolean]
+          var i = 0L
+          while (i < sz) { buf += (c.u8() == 1); i += 1 }
+          nullPages = buf.toIndexedSeq
+          true
+        case (2L, 9) => binList(mins); true
+        case (3L, 9) => binList(maxs); true
+        case (4L, 5) => order = c.zigzag().toInt; true
+        case (5L, 9) => // null_counts: list<i64>
+          val (sz, et) = listHeader(c)
+          if (et != 6) throw new Malformed
+          val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+          var i = 0L
+          while (i < sz) { buf += c.zigzag(); i += 1 }
+          nullCounts = Some(buf.toIndexedSeq)
+          true
+        case _ => false
+      }
+    }
+    // the four parallel lists must agree on the page count
+    if (nullPages.isEmpty || mins.size != nullPages.size ||
+      maxs.size != nullPages.size ||
+      nullCounts.exists(_.size != nullPages.size) || order < 0)
+      throw new Malformed
+    (nullPages, mins.toIndexedSeq, maxs.toIndexedSeq, order, nullCounts)
+  }
+
+  /** Parse one OffsetIndex struct slice: page locations as
+   * (offset, compressedSize, firstRowIndex) triples. */
+  private def parseOffsetIndex(b: Array[Byte], off: Long, len: Long):
+      IndexedSeq[(Long, Long, Long)] = {
+    if (off < 0 || len <= 0 || len > b.length - off) throw new Malformed
+    val c = new Cur(b, off.toInt, (off + len).toInt)
+    val pages = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    walkStruct(c) { (fid, tpe) =>
+      if (fid == 1L && tpe == 9) { // page_locations: list<PageLocation>
+        val (sz, et) = listHeader(c)
+        if (et != 12) throw new Malformed
+        var i = 0L
+        while (i < sz) {
+          var pOff = -1L
+          var pSize = -1L
+          var pRow = -1L
+          walkStruct(c) { (pfid, ptpe) =>
+            (pfid, ptpe) match {
+              case (1L, 6) => pOff = c.zigzag(); true
+              case (2L, 5) => pSize = c.zigzag(); true
+              case (3L, 6) => pRow = c.zigzag(); true
+              case _ => false
+            }
+          }
+          if (pOff < 0 || pSize <= 0 || pRow < 0) throw new Malformed
+          pages += ((pOff, pSize, pRow))
+          i += 1
+        }
+        true
+      } else false
+    }
+    if (pages.isEmpty) throw new Malformed
+    pages.toIndexedSeq
+  }
+
+  /** Parse a BloomFilterHeader at `off`: Some(numBytes) when the
+   * header walks cleanly AND the declared bitset fits in the payload
+   * after it; None otherwise. */
+  private def parseBloomHeader(b: Array[Byte], off: Long): Option[Long] = {
+    if (off < 0 || off >= b.length) return None
+    val c = new Cur(b, off.toInt, b.length)
+    var numBytes = -1L
+    var unions = 0
+    try {
+      walkStruct(c) { (fid, tpe) =>
+        (fid, tpe) match {
+          case (1L, 5) => numBytes = c.zigzag(); true
+          case (2L, 12) | (3L, 12) | (4L, 12) => // algorithm/hash/compression
+            skipStruct(c); unions += 1; true
+          case _ => false
+        }
+      }
+      if (numBytes > 0 && unions == 3 && numBytes <= b.length - c.pos)
+        Some(numBytes)
+      else None
+    } catch {
+      case _: Malformed => None
+      case _: IndexOutOfBoundsException => None
+    }
+  }
+
+  /**
+   * Walk FileMetaData → row_groups → columns and project each chunk's
+   * PAGE-LEVEL pruning metadata: the ColumnIndex / OffsetIndex pair
+   * (parquet-format PageIndex — what modern readers skip pages with)
+   * plus the bloom-filter header for chunks that carry one. Emits one
+   * entry per chunk that has BOTH index structures; the decoded
+   * min/max envelope over non-null pages is cross-checked against the
+   * chunk's own Statistics (`statsAgree`), and the OffsetIndex is
+   * validated structurally (`oiOk`: first_row_index starts at 0 and
+   * strictly increases, page offsets strictly increase and stay inside
+   * the payload). Same strict thrift posture as [[parseFooter]].
+   */
+  def parsePageIndexes(payload: Array[Byte]): Option[IndexedSeq[PageIndexMeta]] = {
+    val b = payload
+    if (b == null || b.length < 12) return None
+    if (b(0) != 'P' || b(1) != 'A' || b(2) != 'R' || b(3) != '1') return None
+    val n = b.length
+    if (b(n - 4) != 'P' || b(n - 3) != 'A' || b(n - 2) != 'R' ||
+      b(n - 1) != '1') return None
+    val flen = (b(n - 8) & 0xffL) | ((b(n - 7) & 0xffL) << 8) |
+      ((b(n - 6) & 0xffL) << 16) | ((b(n - 5) & 0xffL) << 24)
+    if (flen <= 0 || flen > n - 12) return None
+    val c = new Cur(b, n - 8 - flen.toInt, n - 8)
+    val out = scala.collection.mutable.ArrayBuffer.empty[PageIndexMeta]
+    try {
+      walkStruct(c) { (fid, tpe) =>
+        if (fid == 4L && tpe == 9) { // row_groups
+          val (nRg, et) = listHeader(c)
+          if (et != 12) throw new Malformed
+          var rg = 0L
+          while (rg < nRg) {
+            walkStruct(c) { (rfid, rtpe) =>
+              if (rfid == 1L && rtpe == 9) { // columns
+                val (nCol, cet) = listHeader(c)
+                if (cet != 12) throw new Malformed
+                var ci = 0L
+                while (ci < nCol) {
+                  var meta: Option[ChunkMeta] = None
+                  var oiOff = -1L; var oiLen = -1L
+                  var ciOff = -1L; var ciLen = -1L
+                  walkStruct(c) { (cfid, ctpe) =>
+                    (cfid, ctpe) match {
+                      case (3L, 12) =>
+                        meta = Some(parseColumnMetaData(c, rg.toInt, ci.toInt))
+                        true
+                      case (4L, 6) => oiOff = c.zigzag(); true
+                      case (5L, 5) => oiLen = c.zigzag(); true
+                      case (6L, 6) => ciOff = c.zigzag(); true
+                      case (7L, 5) => ciLen = c.zigzag(); true
+                      case _ => false
+                    }
+                  }
+                  meta.foreach { m =>
+                    if (ciOff >= 0 && ciLen > 0 && oiOff >= 0 && oiLen > 0) {
+                      val (nulls, mins, maxs, order, nullCounts) =
+                        parseColumnIndex(b, ciOff, ciLen)
+                      val pages = parseOffsetIndex(b, oiOff, oiLen)
+                      // the two structures describe the SAME page list
+                      if (pages.size != nulls.size) throw new Malformed
+                      var oiOk = pages.head._3 == 0L
+                      var i = 1
+                      while (i < pages.size) {
+                        if (pages(i)._1 <= pages(i - 1)._1 ||
+                          pages(i)._3 <= pages(i - 1)._3) oiOk = false
+                        i += 1
+                      }
+                      if (pages.exists(p => p._2 > b.length - p._1)) oiOk = false
+                      // decoded min/max envelope over non-null pages
+                      var mnL: Option[Long] = None
+                      var mxL: Option[Long] = None
+                      var mnS: Option[String] = None
+                      var mxS: Option[String] = None
+                      nulls.indices.foreach { k =>
+                        if (!nulls(k)) {
+                          val (l1, s1) = decodeStat(b, mins(k)._1, mins(k)._2, m.ptype)
+                          val (l2, s2) = decodeStat(b, maxs(k)._1, maxs(k)._2, m.ptype)
+                          l1.foreach(v => mnL = Some(mnL.fold(v)(math.min(_, v))))
+                          l2.foreach(v => mxL = Some(mxL.fold(v)(math.max(_, v))))
+                          s1.foreach(v => mnS = Some(mnS.fold(v)(o => if (v < o) v else o)))
+                          s2.foreach(v => mxS = Some(mxS.fold(v)(o => if (v > o) v else o)))
+                        }
+                      }
+                      val statsAgree = (m.ptype match {
+                        case 1 | 2 => mnL.isDefined && mnL == m.minLong &&
+                          mxL == m.maxLong
+                        case 6 => mnS.isDefined && mnS == m.minStr &&
+                          mxS == m.maxStr
+                        case _ => true // types without a decoded projection
+                      })
+                      val bloom = m.bloomOffset.flatMap(parseBloomHeader(b, _))
+                      val bloomOk = m.bloomOffset.isEmpty || bloom.isDefined
+                      out += PageIndexMeta(rg.toInt, ci.toInt, m.path,
+                        m.ptype, pages.size, nulls.count(identity),
+                        nullCounts.map(_.sum), order, mnL, mxL, mnS, mxS,
+                        oiOk, statsAgree, bloom, bloomOk)
+                    }
+                  }
+                  ci += 1
+                }
+                true
+              } else false
+            }
+            rg += 1
+          }
+          true
+        } else false
+      }
+      Some(out.toIndexedSeq)
+    } catch {
+      case _: Malformed => None
+      case _: IndexOutOfBoundsException => None
+    }
+  }
+
+  /** Output schema of [[parquetPageIndexes]]. */
+  val pageIndexSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("rg_no", IntegerType),
+    StructField("col_no", IntegerType),
+    StructField("path", StringType),
+    StructField("ptype", StringType),
+    StructField("n_pages", IntegerType),
+    StructField("null_pages", IntegerType),
+    StructField("null_count_sum", LongType),
+    StructField("boundary_order", StringType),
+    StructField("min_long", LongType),
+    StructField("max_long", LongType),
+    StructField("min_str", StringType),
+    StructField("max_str", StringType),
+    StructField("oi_ok", IntegerType),
+    StructField("stats_agree", IntegerType),
+    StructField("bloom_bytes", LongType),
+    StructField("bloom_ok", IntegerType)))
+
+  /** One row per column chunk carrying a ColumnIndex/OffsetIndex pair
+   * (row-group then column order) — the page-pruning metadata census.
+   * Non-parquet / structurally unclean payloads contribute nothing.
+   * Narrow mapPartitions — O(footer + indexes) per file. */
+  def parquetPageIndexes(df: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(idIdx)
+        parsePageIndexes(r.getAs[Array[Byte]](pIdx)) match {
+          case Some(ps) => ps.iterator.map { m =>
+            Row(id, m.rgNo, m.colNo, m.path, typeName(m.ptype), m.nPages,
+              m.nullPages, m.nullCountSum.map(Long.box).orNull,
+              boundaryName(m.boundaryOrder),
+              m.minLong.map(Long.box).orNull, m.maxLong.map(Long.box).orNull,
+              m.minStr.orNull, m.maxStr.orNull,
+              if (m.oiOk) 1 else 0, if (m.statsAgree) 1 else 0,
+              m.bloomBytes.map(Long.box).orNull, if (m.bloomOk) 1 else 0)
+          }
+          case None => Iterator.empty
+        }
+      }
+    }(Encoders.row(pageIndexSchema))
   }
 
   /** Output schema of [[parquetColumnChunks]]. */

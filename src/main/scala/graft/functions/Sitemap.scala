@@ -289,6 +289,34 @@ object Sitemap {
     }(Encoders.row(itemSchema))
   }
 
+  /** One row per sitemap record of each `sitemap.xml.gz` payload — the
+   * [[sitemapItems]] walk composed over the verified gzip member
+   * locator path ([[Gzip.inflateConcat]]), then UTF-8 decoded. The
+   * sitemaps.org protocol explicitly allows gzip-compressed sitemaps
+   * (and sitemapindex `loc`s routinely point at `.xml.gz` URLs — this
+   * fixture family's own index records do), so the compressed
+   * composition is first-class like `.tar.gz`/`.tfrecord.gz`. Payloads
+   * whose gzip layer OR sitemap grammar refuses contribute nothing.
+   * Narrow mapPartitions. */
+  def sitemapGzItems(df: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(idIdx)
+        Gzip.inflateConcat(r.getAs[Array[Byte]](pIdx))
+          .flatMap(b => parseSitemap(new String(b, java.nio.charset.StandardCharsets.UTF_8))) match {
+          case Some(items) => items.iterator.zipWithIndex.map {
+            case (m, i) => Row(id, i, m.kind, m.loc, m.lastmod.orNull,
+              m.changefreq.orNull, m.priority.orNull)
+          }
+          case None => Iterator.empty
+        }
+      }
+    }(Encoders.row(itemSchema))
+  }
+
   /** Deterministic sitemap fixture shared by the writer, the t46
    * oracle and the spec. `id%11 == 9` documents are the MALFORMED
    * negative (the root never closes → None, zero rows). `id%6 == 5`
@@ -352,6 +380,37 @@ object Sitemap {
     sb ++= "</urlset>\n"
     sb.toString
   }
+
+  /** Deterministic `sitemap.xml.gz` fixture: [[syntheticSitemap]]'s
+   * UTF-8 bytes compressed by the REAL `GZIPOutputStream` encoder — as
+   * ONE member, or TWO members split mid-document when `id%5 == 0`
+   * (member boundaries are byte-level; concatenation must reassemble
+   * the identical XML). `id%10 == 4` payloads have their trailing gzip
+   * ISIZE byte flipped — the member locator refuses, zero rows; the
+   * underlying `id%11 == 9` unclosed-root malformation still refuses
+   * at the grammar layer THROUGH the clean gzip layer. */
+  def syntheticSitemapGz(id: Long): Array[Byte] = {
+    val raw = syntheticSitemap(id).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    def gz(b: Array[Byte], off: Int, len: Int): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write(b, off, len); g.finish(); g.close()
+      bo.toByteArray
+    }
+    val bytes =
+      if (id % 5 == 0 && raw.length > 2) {
+        val cut = raw.length / 2
+        gz(raw, 0, cut) ++ gz(raw, cut, raw.length - cut)
+      } else gz(raw, 0, raw.length)
+    if (id % 10 == 4 && bytes.length > 0)
+      bytes(bytes.length - 1) = (bytes(bytes.length - 1) ^ 0x55).toByte
+    bytes
+  }
+
+  /** Executor-side `sitemap.xml.gz` fixtures — the t48 oracle replays
+   * the t46 item formulas minus the corrupted-gzip ids. */
+  def syntheticSitemapGzs(df: DataFrame, idCol: String): DataFrame =
+    Fixtures.syntheticPayloads(df, idCol)(syntheticSitemapGz)
 
   /** Executor-side sitemap fixtures — the t46 oracle replays the item
    * formulas. */

@@ -101,6 +101,35 @@ object TfRecord {
     }(Encoders.row(recordSchema))
   }
 
+  /** One row per CRC-verified record of each `.tfrecord.gz` payload —
+   * the [[tfRecords]] walk composed over the verified gzip member
+   * locator path ([[Gzip.inflateConcat]]: members located, each
+   * re-extracted by (offset, size), bodies concatenated per RFC 1952).
+   * TFRecordOptions GZIP is the ubiquitous wire form of TFRecord
+   * shards, so the compressed composition is first-class exactly like
+   * `.tar.gz` (m44) and `.warc.gz` (m40). Payloads whose gzip layer OR
+   * record layer refuses contribute nothing. Narrow mapPartitions. */
+  def tfRecordsGz(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(idIdx)
+        val decoded = Gzip.inflateConcat(r.getAs[Array[Byte]](pIdx))
+        decoded.flatMap(p => parseRecords(p).map(p -> _)) match {
+          case Some((p, rs)) => rs.iterator.zipWithIndex.map { case (m, i) =>
+            val ds = (m.offset + 12).toInt
+            val head = if (m.dataBytes > 0) p(ds) & 0xff else -1
+            val tail = if (m.dataBytes > 0)
+              p(ds + m.dataBytes.toInt - 1) & 0xff else -1
+            Row(id, i, m.offset, m.dataBytes, head, tail)
+          }
+          case None => Iterator.empty
+        }
+      }
+    }(Encoders.row(recordSchema))
+  }
+
   /** Deterministic TFRecord fixture written per the public format
    * (lengths, rotation mask, CRC-32C via the JDK): `2 + id%5` records,
    * record k holding `10 + (id*7 + k*13) % 120` bytes whose j-th byte
@@ -136,4 +165,38 @@ object TfRecord {
    * record arithmetic. */
   def syntheticTfRecords(df: DataFrame, idCol: String): DataFrame =
     Fixtures.syntheticPayloads(df, idCol)(syntheticTfRecord)
+
+  /** Deterministic `.tfrecord.gz` fixture: [[syntheticTfRecord]]'s
+   * record stream compressed by the REAL `GZIPOutputStream` encoder —
+   * as ONE member, or as TWO members split at the first record
+   * boundary when `id%4 == 1` (RFC 1952 concatenation must reassemble
+   * the identical stream, so the record oracle is member-layout
+   * independent). `id%9 == 8` payloads have their trailing gzip ISIZE
+   * byte flipped — the member locator refuses, zero rows; the
+   * underlying `id%10 == 7` record-CRC corruption still refuses at the
+   * record layer THROUGH the clean gzip layer. */
+  def syntheticTfRecordGz(id: Long): Array[Byte] = {
+    val raw = syntheticTfRecord(id)
+    def gz(b: Array[Byte], off: Int, len: Int): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write(b, off, len); g.finish(); g.close()
+      bo.toByteArray
+    }
+    val bytes =
+      if (id % 4 == 1) {
+        // split at the end of record 0: 16 bytes of framing + its data
+        // (record 0 is never the empty record — that is k == 1)
+        val cut = 16 + (10 + (id * 7) % 120).toInt
+        gz(raw, 0, cut) ++ gz(raw, cut, raw.length - cut)
+      } else gz(raw, 0, raw.length)
+    if (id % 9 == 8 && bytes.length > 0)
+      bytes(bytes.length - 1) = (bytes(bytes.length - 1) ^ 0x55).toByte
+    bytes
+  }
+
+  /** Executor-side `.tfrecord.gz` fixtures — the m47 oracle replays
+   * the m45 record arithmetic minus the corrupted-gzip ids. */
+  def syntheticTfRecordGzs(df: DataFrame, idCol: String): DataFrame =
+    Fixtures.syntheticPayloads(df, idCol)(syntheticTfRecordGz)
 }

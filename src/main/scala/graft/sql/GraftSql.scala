@@ -215,7 +215,14 @@ object GraftSql {
    * `xz_blocks(...)` (XZ stream/block census — CRC-verified
    * footer/index/header walk, zero LZMA2 decode),
    * `csv_sniff(...)` (CSV dialect census — deterministic delimiter/
-   * quote/header detection with whole-document shape consistency);
+   * quote/header detection with whole-document shape consistency),
+   * `parquet_chunks(...)` (per-column-chunk ColumnMetaData census —
+   * codec/encodings/statistics, the scan-pruning metadata),
+   * `warcgz_records([file:file_name, col:content])` (.warc.gz record
+   * extraction by gzip-member locator — the Common Crawl ranged-GET
+   * pattern), `tfrecords_gz(...)` (.tfrecord.gz shard census through
+   * the gzip locator path), `sitemap_gz(...)` (sitemap.xml.gz census
+   * through the gzip locator path);
    * ops tooling: `key_skew(keys:"k"[, k:10])` (shuffle-key skew
    * diagnostic), `suggest_salt(keys:"k"[, target:n, max:n])` (measured
    * salt-factor advisor), `PROCESS probe, dim USING salted_join(
@@ -587,6 +594,23 @@ object GraftSql {
         "csv_sniff" -> ProcessorDef { (_, dfs, p) =>
           graft.functions.Csv.csvSniff(one(dfs, "csv_sniff"),
             p.getOrElse("id", "doc_id"), p.getOrElse("col", "text"))
+        },
+        "parquet_chunks" -> ProcessorDef { (_, dfs, p) =>
+          graft.functions.ParquetFooter.parquetColumnChunks(
+            one(dfs, "parquet_chunks"),
+            p.getOrElse("id", "doc_id"), p.getOrElse("col", "payload"))
+        },
+        "warcgz_records" -> ProcessorDef { (_, dfs, p) =>
+          graft.sources.Warc.locateWarcGzRecords(one(dfs, "warcgz_records"),
+            p.getOrElse("file", "file_name"), p.getOrElse("col", "content"))
+        },
+        "tfrecords_gz" -> ProcessorDef { (_, dfs, p) =>
+          graft.functions.TfRecord.tfRecordsGz(one(dfs, "tfrecords_gz"),
+            p.getOrElse("id", "doc_id"), p.getOrElse("col", "payload"))
+        },
+        "sitemap_gz" -> ProcessorDef { (_, dfs, p) =>
+          graft.functions.Sitemap.sitemapGzItems(one(dfs, "sitemap_gz"),
+            p.getOrElse("id", "doc_id"), p.getOrElse("col", "payload"))
         },
         // hybrid-retrieval fusion: PROCESS lexical, dense USING
         // rrf_fuse(...) — any number of ranked (query, rank, id) lists

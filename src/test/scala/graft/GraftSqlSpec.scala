@@ -1276,6 +1276,55 @@ class GraftSqlSpec extends SparkTestBase {
     assert(js("tags") === "array" && js("score") === "float") // id 8
   }
 
+  test("r15 walker processors: parquet_chunks/warcgz_records/tfrecords_gz/sitemap_gz") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    def run1(proc: String, payload: Array[Byte], id: Long) =
+      GraftSql.run(engine,
+        s"""f = PROCESS src USING $proc
+           |YIELD f AS f
+           |""".stripMargin,
+        Map("src" -> spark.createDataFrame(java.util.Arrays.asList(
+          org.apache.spark.sql.Row(id, payload)), schema))).yields("f")
+    // parquet_chunks over a real Spark-written file
+    val dir = java.nio.file.Files.createTempDirectory("graft_sqlspec_pq")
+    try {
+      spark.range(100).selectExpr("id AS doc_id", "CAST(id % 5 AS STRING) AS lang")
+        .coalesce(1).write.mode("overwrite").parquet(dir.resolve("p").toString)
+      import scala.jdk.CollectionConverters._
+      val f = java.nio.file.Files.list(dir.resolve("p")).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).toSeq.head
+      val pc = run1("parquet_chunks", java.nio.file.Files.readAllBytes(f), 1L)
+        .collect().map(r => r.getString(3) -> r.getLong(6)).toMap
+      assert(pc("doc_id") === 100L && pc("lang") === 100L)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => p.toFile.delete())
+    }
+    // warcgz_records over the synthetic 8-file warc.gz corpus
+    val docs = df(Seq(Seq(0L, "alpha"), Seq(1L, "beta"), Seq(2L, "gamma")),
+      "doc_id:long,text:str")
+    val wgz = graft.sources.Warc.syntheticWarcGzFiles(docs, "doc_id", "text",
+      nFiles = 2)
+    val wr = GraftSql.run(engine,
+      """f = PROCESS src USING warcgz_records
+        |YIELD f AS f
+        |""".stripMargin, Map("src" -> wgz)).yields("f").collect()
+    assert(wr.length === 3 && wr.forall(_.getString(5) === "conversion"))
+    // tfrecords_gz: id 6 → 3 records, none corrupted
+    val tr = run1("tfrecords_gz",
+      graft.functions.TfRecord.syntheticTfRecordGz(6L), 6L).collect()
+    assert(tr.length === 3 && tr.head.getLong(2) === 0L &&
+      tr.head.getLong(3) === (10 + 42 % 120).toLong)
+    // sitemap_gz: id 7 → urlset with 3 url records
+    val sg = run1("sitemap_gz",
+      graft.functions.Sitemap.syntheticSitemapGz(7L), 7L).collect()
+    assert(sg.length === 3 && sg.forall(_.getString(2) === "url") &&
+      sg.head.getString(3) === "https://site7.example/p/7/0")
+  }
+
   test("rrf_fuse processor fuses ranked lists") {
     val lex = df(Seq(Seq(1L, 1, 10L), Seq(1L, 2, 11L), Seq(1L, 3, 12L)),
       "query_id:long,rank:int,doc_id:long")

@@ -4,9 +4,10 @@ import graft.functions.Orc
 import org.scalatest.funsuite.AnyFunSuite
 
 /** ORC tail walk: differential against Spark's own ORC writer/reader
- * across all three supported compression kinds (none / zlib / snappy —
- * the snappy leg exercises the from-spec block decoder), plus the
- * refusal boundary and the corrupt contract. */
+ * across all five supported compression kinds (none / zlib / snappy /
+ * zstd / lz4 — the snappy leg exercises the from-spec block decoder,
+ * the zstd/lz4 legs the public zstd-jni / lz4-java decoders), plus the
+ * refusal boundary (lzo) and the corrupt contract. */
 class OrcSpec extends AnyFunSuite with SparkTestBase {
 
   private def writeOrc(codec: String, n: Int): Seq[Array[Byte]] = {
@@ -29,8 +30,8 @@ class OrcSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("Spark-written tails parse across none/zlib/snappy") {
-    Seq("none", "zlib", "snappy").foreach { codec =>
+  test("Spark-written tails parse across none/zlib/snappy/zstd/lz4") {
+    Seq("none", "zlib", "snappy", "zstd", "lz4").foreach { codec =>
       val files = writeOrc(codec, 500)
       assert(files.size === 2, s"$codec file count")
       var rows = 0L
@@ -50,8 +51,8 @@ class OrcSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("zstd tails are recognized but refused (census-only boundary)") {
-    val files = writeOrc("zstd", 60)
+  test("lzo tails are recognized but refused (census-only boundary)") {
+    val files = writeOrc("lzo", 60)
     files.foreach { bytes =>
       assert(Orc.parseTail(bytes) === None)
       // ...while the file is genuinely ORC (header magic present)
@@ -111,15 +112,25 @@ class OrcSpec extends AnyFunSuite with SparkTestBase {
     badMagic(0) = 'X'
     assert(Orc.parseTail(badMagic) === None)
     // a byte inside the compressed footer flipped: chunk walk or
-    // protobuf parse must refuse, never throw
-    val psLen = ok(ok.length - 1) & 0xff
+    // protobuf parse must refuse, never throw — swept for every
+    // compressed codec path (zlib chunks, snappy blocks, lz4 blocks,
+    // zstd frames each have their own decoder to harden)
     val rnd = new scala.util.Random(7L)
-    (0 until 200).foreach { _ =>
-      val m = ok.clone()
-      val i = ok.length - 1 - psLen - 1 - rnd.nextInt(60)
-      m(i) = (m(i) ^ (1 << rnd.nextInt(8))).toByte
-      try Orc.parseTail(m)
-      catch { case e: Throwable => fail(s"threw on mutated tail: $e") }
+    Seq(ok, writeOrc("snappy", 100).head, writeOrc("zstd", 100).head,
+      writeOrc("lz4", 100).head).foreach { f =>
+      val psl = f(f.length - 1) & 0xff
+      (0 until 200).foreach { _ =>
+        val m = f.clone()
+        val i = f.length - 1 - psl - 1 - rnd.nextInt(60)
+        m(i) = (m(i) ^ (1 << rnd.nextInt(8))).toByte
+        try Orc.parseTail(m)
+        catch { case e: Throwable => fail(s"threw on mutated tail: $e") }
+      }
+      // truncation sweep over the tail region
+      (1 until 40).foreach { cut =>
+        try Orc.parseTail(java.util.Arrays.copyOfRange(f, 0, f.length - cut))
+        catch { case e: Throwable => fail(s"threw on truncated tail: $e") }
+      }
     }
     // random garbage sweep
     (0 until 300).foreach { _ =>

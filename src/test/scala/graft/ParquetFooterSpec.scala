@@ -112,6 +112,95 @@ class ParquetFooterSpec extends AnyFunSuite with SparkTestBase {
     assert(sChunks.flatMap(_.nullCount).sum === 400L)
   }
 
+  test("page indexes agree with parquet-mr's own index readers, chunk-by-chunk") {
+    // a Spark-written file with a 40-row page limit (forces a real page
+    // split), nulls, a per-chunk sorted long column (forces ASCENDING
+    // boundary order) and a bloom filter on one column only
+    val out = java.nio.file.Files.createTempDirectory("graft_pqpage")
+    val df = spark.range(2000).selectExpr("id",
+      "CASE WHEN id % 5 = 0 THEN NULL ELSE concat('v', lpad(CAST(id AS STRING), 6, '0')) END AS s")
+    df.repartition(2).sortWithinPartitions("id").write
+      .option("parquet.page.row.count.limit", "40")
+      .option("parquet.bloom.filter.enabled#s", "true")
+      .mode("overwrite").parquet(out.resolve("p").toString)
+    val files = java.nio.file.Files.list(out.resolve("p")).toArray
+      .map(_.toString).filter(_.endsWith(".parquet"))
+    assert(files.length === 2)
+    files.foreach { file =>
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(file))
+      val mine = ParquetFooter.parsePageIndexes(bytes)
+        .getOrElse(fail(s"$file page indexes did not parse"))
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val inFile = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(file), conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(inFile)
+      try {
+        import scala.jdk.CollectionConverters._
+        val refChunks = reader.getFooter.getBlocks.asScala
+          .flatMap(_.getColumns.asScala).toSeq
+        assert(mine.size === refChunks.size, s"$file chunk count")
+        mine.zip(refChunks).foreach { case (m, ref) =>
+          assert(m.path === ref.getPath.toDotString, s"$file path")
+          val ci = reader.readColumnIndex(ref)
+          val oi = reader.readOffsetIndex(ref)
+          assert(ci != null && oi != null, s"$file ${m.path} indexes exist")
+          assert(m.nPages === oi.getPageCount, s"$file ${m.path} pages")
+          assert(m.nPages >= 2, s"$file ${m.path} page split happened")
+          assert(m.nullPages ===
+            ci.getNullPages.asScala.count(_.booleanValue), s"$file nullPages")
+          if (ci.getNullCounts != null)
+            assert(m.nullCountSum ===
+              Some(ci.getNullCounts.asScala.map(_.longValue).sum),
+              s"$file ${m.path} nullCounts")
+          val orderName = Seq("UNORDERED", "ASCENDING", "DESCENDING")(m.boundaryOrder)
+          assert(orderName === ci.getBoundaryOrder.name(),
+            s"$file ${m.path} boundary order")
+          // decoded envelope vs parquet-mr's raw page min/max buffers
+          val nullFlags = ci.getNullPages.asScala.map(_.booleanValue).toSeq
+          if (m.path == "id") {
+            assert(m.boundaryOrder === 1, s"$file id sorted → ascending")
+            val mins = ci.getMinValues.asScala.zip(nullFlags)
+              .collect { case (bb, false) =>
+                bb.duplicate().order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong }
+            val maxs = ci.getMaxValues.asScala.zip(nullFlags)
+              .collect { case (bb, false) =>
+                bb.duplicate().order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong }
+            assert(m.minLong === Some(mins.min), s"$file id min")
+            assert(m.maxLong === Some(maxs.max), s"$file id max")
+          } else {
+            def str(bb: java.nio.ByteBuffer): String = {
+              val d = bb.duplicate()
+              val a = new Array[Byte](d.remaining()); d.get(a)
+              new String(a, "UTF-8")
+            }
+            val mins = ci.getMinValues.asScala.zip(nullFlags)
+              .collect { case (bb, false) => str(bb) }
+            val maxs = ci.getMaxValues.asScala.zip(nullFlags)
+              .collect { case (bb, false) => str(bb) }
+            assert(m.minStr === Some(mins.min), s"$file s min")
+            assert(m.maxStr === Some(maxs.max), s"$file s max")
+          }
+          assert(m.statsAgree, s"$file ${m.path} envelope == chunk stats")
+          assert(m.oiOk, s"$file ${m.path} offset index monotonic/in-bounds")
+          // bloom: present for s only, with the header's numBytes
+          // matching parquet-mr's materialized bitset size
+          val bf = reader.readBloomFilter(ref)
+          if (m.path == "s") {
+            assert(bf != null && m.bloomBytes === Some(bf.getBitsetSize.toLong),
+              s"$file s bloom bytes")
+            assert(m.bloomOk, s"$file s bloom header")
+          } else {
+            assert(bf == null && m.bloomBytes.isEmpty, s"$file id no bloom")
+          }
+        }
+      } finally reader.close()
+    }
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(out).iterator().asScala.toSeq.reverse
+      .foreach(p => p.toFile.delete())
+  }
+
   private def codecNamePublic(c: Int): String = c match {
     case 0 => "uncompressed"; case 1 => "snappy"; case 2 => "gzip"
     case 6 => "zstd"; case other => s"codec_$other"

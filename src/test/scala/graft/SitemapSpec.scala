@@ -46,6 +46,33 @@ class SitemapSpec extends AnyFunSuite {
     }
   }
 
+  test("sitemap.xml.gz composition: gzip layer reassembles, both refusal layers hold") {
+    (0L until 200L).foreach { id =>
+      val gz = Sitemap.syntheticSitemapGz(id)
+      val decoded = graft.functions.Gzip.inflateConcat(gz)
+      if (id % 10 == 4) {
+        assert(decoded.isEmpty, s"id=$id flipped ISIZE must refuse at the gzip layer")
+      } else {
+        // RFC 1952 reassembly must be byte-exact vs the XML fixture
+        val raw = Sitemap.syntheticSitemap(id)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        assert(java.util.Arrays.equals(
+          decoded.getOrElse(fail(s"id=$id gzip layer refused")), raw),
+          s"id=$id reassembly")
+        // member layout: two members split mid-document when id%5==0
+        val nMembers = graft.functions.Gzip.parseMembers(gz).get.size
+        assert(nMembers === (if (id % 5 == 0) 2 else 1), s"id=$id members")
+        // the composed walk equals the plain walk on the decoded text
+        val direct = Sitemap.parseSitemap(
+          new String(decoded.get, java.nio.charset.StandardCharsets.UTF_8))
+        if (id % 11 == 9) assert(direct.isEmpty,
+          s"id=$id unclosed root must survive the gzip layer")
+        else assert(direct === Sitemap.parseSitemap(Sitemap.syntheticSitemap(id)),
+          s"id=$id")
+      }
+    }
+  }
+
   test("walk agrees with the JDK DOM parser on every clean fixture") {
     // a REAL XML stack reads the same records: loc/lastmod/changefreq/
     // priority extracted via DocumentBuilder must match the bounded

@@ -29,6 +29,30 @@ class TfRecordSpec extends AnyFunSuite {
     }
   }
 
+  test(".tfrecord.gz composition: gzip layer reassembles, both corruption layers refuse") {
+    (0L until 200L).foreach { id =>
+      val gz = TfRecord.syntheticTfRecordGz(id)
+      val decoded = graft.functions.Gzip.inflateConcat(gz)
+      if (id % 9 == 8) {
+        assert(decoded.isEmpty, s"id=$id flipped ISIZE must refuse at the gzip layer")
+      } else {
+        // RFC 1952 reassembly must be byte-exact vs the uncompressed fixture
+        assert(java.util.Arrays.equals(
+          decoded.getOrElse(fail(s"id=$id gzip layer refused")),
+          TfRecord.syntheticTfRecord(id)), s"id=$id reassembly")
+        // member layout: two members at a record boundary when id%4==1
+        val nMembers = graft.functions.Gzip.parseMembers(gz).get.size
+        assert(nMembers === (if (id % 4 == 1) 2 else 1), s"id=$id members")
+        // the composed walk equals the plain walk on the decoded stream
+        val direct = TfRecord.parseRecords(decoded.get)
+        if (id % 10 == 7) assert(direct.isEmpty,
+          s"id=$id record CRC corruption must survive the gzip layer")
+        else assert(direct ===
+          TfRecord.parseRecords(TfRecord.syntheticTfRecord(id)), s"id=$id")
+      }
+    }
+  }
+
   test("framing corners: truncation, wrap lengths, empty forms") {
     val ok = TfRecord.syntheticTfRecord(2L)
     // truncation at EVERY byte boundary must refuse (a prefix of a
