@@ -192,6 +192,24 @@ private[graft] object EntriesM2 {
           col("n_bytes"), col("content").cast("string").as("content"))
     }),
 
+    // Avro block EXTRACTION by locator (m35 ∘ ranged read — the m42
+    // analog for the Avro lake format): parseOcf's census rows locate,
+    // extractBlockAt re-reads each block header (both varints must
+    // match the locator), decodes the payload per codec (null /
+    // deflate raw-inflate / snappy with the spec's trailing CRC32 of
+    // the raw data verified) and re-verifies the sync; the records are
+    // then decoded per the `"string"` schema and replayed
+    // character-exactly by the oracle. The fixture is written by the
+    // REAL Avro DataFileWriter (true deflate/snappy streams, real
+    // block framing); id%8==5 files carry a flipped final-sync byte —
+    // parseOcf refuses, zero rows. One narrow pass, zero exchanges
+    "m49_avro_extract" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select("doc_id")
+      graft.functions.Avro.extractStringRecords(
+        graft.functions.Avro.syntheticRealAvros(ids, "doc_id"),
+        "doc_id", "payload")
+    }),
+
     // format-dispatch AGREEMENT census at gate scale (the
     // CensusAgreementSpec property promoted to a correctness family):
     // over a 16-family mixed corpus, (a) the magic-byte census must
@@ -975,6 +993,26 @@ private[graft] object EntriesM2 {
         | CASE WHEN j % 2 = 0 THEN 'stored' ELSE 'deflated' END AS method,
         | CAST(length(content) AS BIGINT) AS n_bytes, content
         |FROM c""".stripMargin,
+
+    // replay of Avro.syntheticRealAvro's record contents: the engine
+    // side re-extracted every block by locator, inflated real
+    // deflate/snappy streams and verified CRCs/syncs; only the decoded
+    // results are replayed here (the m42 posture)
+    "m49_avro_extract" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 8 <> 5),
+        |b AS (SELECT doc_id,
+        |  CAST(unnest(range(0, 1 + doc_id % 3)) AS INTEGER) AS k
+        | FROM d),
+        |r AS (SELECT doc_id, k,
+        |  CAST(unnest(range(0, 1 + (doc_id + k) % 4)) AS INTEGER) AS j
+        | FROM b)
+        |SELECT doc_id, k AS block_no, j AS rec_no,
+        | CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'null'
+        |   WHEN 1 THEN 'deflate' ELSE 'snappy' END AS codec,
+        | 'avro_' || CAST(doc_id AS VARCHAR) || '_' || CAST(k AS VARCHAR)
+        |   || '_' || CAST(j AS VARCHAR)
+        |   || repeat('x', CAST((doc_id + j) % 20 AS INTEGER)) AS content
+        |FROM r""".stripMargin,
 
     // agreement is the CLAIM: every per-format count must equal its
     // own-walker-accepted and foreign-walker-refused counts — the

@@ -36,9 +36,12 @@ import org.apache.spark.sql.types._
  */
 object Avro {
 
-  /** File-level metadata plus one entry per data block. */
+  /** File-level metadata plus one entry per data block. `sync` is the
+   * file's 16-byte marker — part of the census row a ranged reader
+   * needs to re-validate a block it fetched by (offset, size). */
   final case class Ocf(schema: Option[String], codec: String,
-      blocks: IndexedSeq[(Long, Long, Long)]) // (offset, nRows, nBytes)
+      blocks: IndexedSeq[(Long, Long, Long)], // (offset, nRows, nBytes)
+      sync: IndexedSeq[Byte] = IndexedSeq.empty)
 
   /** Zigzag-varint long at `pos`: (value, next position), or null on
    * overrun/malformation (> 10 bytes or running past `end`). */
@@ -129,7 +132,152 @@ object Avro {
     }
     // the loop exits exactly at end-of-payload by construction (the last
     // sync check bounds it); zero data blocks is a clean empty file
-    Some(Ocf(schema, codec, blocks.toIndexedSeq))
+    Some(Ocf(schema, codec, blocks.toIndexedSeq,
+      java.util.Arrays.copyOfRange(b, syncOff, syncOff + 16).toIndexedSeq))
+  }
+
+  /**
+   * Random-access extraction of ONE data block located by its census
+   * row — the (offset, nRows, nBytes) triple [[avroBlocks]] reports,
+   * plus the file codec and sync marker. Re-reads the block header at
+   * `offset` (BOTH varints must match the locator), slices the block
+   * payload, decodes it per codec (`null` raw; `deflate` raw-inflate,
+   * the Avro DeflateCodec form; `snappy` with the spec's trailing
+   * 4-byte big-endian CRC32 of the UNCOMPRESSED data verified), and
+   * requires the 16 bytes after the payload to equal `sync`. None on
+   * any disagreement — a slip means the locator row was stale. This is
+   * the ranged-GET access pattern for Avro lakes: fetch one block
+   * range from object storage, decode one block, never the file.
+   */
+  def extractBlockAt(payload: Array[Byte], offset: Long, nRows: Long,
+      nBytes: Long, codec: String, sync: Array[Byte]): Option[Array[Byte]] = {
+    val b = payload
+    if (b == null || sync == null || sync.length != 16) return None
+    if (offset < 0 || offset >= b.length || nRows <= 0 || nBytes < 0) return None
+    val rc = varlong(b, offset.toInt, b.length)
+    if (rc == null || rc._1 != nRows) return None
+    val bs = varlong(b, rc._2, b.length)
+    if (bs == null || bs._1 != nBytes) return None
+    // subtractive bound: data + trailing sync must fit
+    if (nBytes > b.length - bs._2 - 16) return None
+    val dataStart = bs._2
+    val dataEnd = dataStart + nBytes.toInt
+    var j = 0
+    while (j < 16) {
+      if (b(dataEnd + j) != sync(j)) return None
+      j += 1
+    }
+    codec match {
+      case "null" =>
+        Some(java.util.Arrays.copyOfRange(b, dataStart, dataEnd))
+      case "deflate" => // raw deflate (Avro DeflateCodec uses nowrap)
+        val inf = new java.util.zip.Inflater(true)
+        try {
+          inf.setInput(b, dataStart, nBytes.toInt)
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          while (!inf.finished()) {
+            val k =
+              try inf.inflate(buf)
+              catch { case _: java.util.zip.DataFormatException => return None }
+            if (k > 0) out.write(buf, 0, k)
+            else if (!inf.finished()) return None // truncated / needs dict
+          }
+          if (inf.getBytesRead != nBytes) return None // trailing garbage
+          Some(out.toByteArray)
+        } finally inf.end()
+      case "snappy" => // snappy block + 4-byte BE CRC32 of the raw data
+        if (nBytes < 4) return None
+        val compLen = nBytes.toInt - 4
+        try {
+          val raw = org.xerial.snappy.Snappy.uncompress(
+            java.util.Arrays.copyOfRange(b, dataStart, dataStart + compLen))
+          val crc = new java.util.zip.CRC32
+          crc.update(raw, 0, raw.length)
+          val want = ((b(dataEnd - 4) & 0xffL) << 24) |
+            ((b(dataEnd - 3) & 0xffL) << 16) |
+            ((b(dataEnd - 2) & 0xffL) << 8) | (b(dataEnd - 1) & 0xffL)
+          if ((crc.getValue & 0xffffffffL) != want) None else Some(raw)
+        } catch { case _: java.io.IOException => None }
+      case _ => None // unknown codec: recognized, refused
+    }
+  }
+
+  /** Decode a block of `"string"`-schema records: each record is a
+   * zigzag-varint byte length + UTF-8 bytes. The walk must yield
+   * EXACTLY `expected` records and consume the block exactly; None
+   * otherwise. */
+  def decodeStringRecords(data: Array[Byte],
+      expected: Long): Option[IndexedSeq[String]] = {
+    if (data == null || expected < 0) return None
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var pos = 0
+    while (pos < data.length) {
+      val l = varlong(data, pos, data.length)
+      if (l == null || l._1 < 0 || l._1 > data.length - l._2) return None
+      out += new String(data, l._2, l._1.toInt, "UTF-8")
+      pos = l._2 + l._1.toInt
+    }
+    if (out.size.toLong != expected) return None
+    Some(out.toIndexedSeq)
+  }
+
+  /** All `"string"` records of every block, extracted block-by-block
+   * through [[extractBlockAt]] — strict: if ANY block fails to
+   * re-extract or decode, the whole payload refuses. */
+  def extractAllStringRecords(payload: Array[Byte]):
+      Option[IndexedSeq[(Int, Int, String, String)]] = {
+    parseOcf(payload) match {
+      case Some(o) =>
+        val syncArr = o.sync.toArray
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String, String)]
+        var bi = 0
+        while (bi < o.blocks.size) {
+          val (off, nr, nb) = o.blocks(bi)
+          extractBlockAt(payload, off, nr, nb, o.codec, syncArr)
+            .flatMap(decodeStringRecords(_, nr)) match {
+            case Some(strs) =>
+              var ri = 0
+              while (ri < strs.size) {
+                out += ((bi, ri, o.codec, strs(ri)))
+                ri += 1
+              }
+            case None => return None
+          }
+          bi += 1
+        }
+        Some(out.toIndexedSeq)
+      case None => None
+    }
+  }
+
+  /** Output schema of [[extractStringRecords]]. */
+  val stringRecordSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("block_no", IntegerType),
+    StructField("rec_no", IntegerType),
+    StructField("codec", StringType),
+    StructField("content", StringType)))
+
+  /** One row per decoded `"string"` record (block then record order),
+   * every block re-extracted from its locator alone and CRC/sync
+   * verified; payloads that are not clean string-schema OCFs
+   * contribute nothing. Narrow mapPartitions. */
+  def extractStringRecords(df: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(idIdx)
+        extractAllStringRecords(r.getAs[Array[Byte]](pIdx)) match {
+          case Some(rs) => rs.iterator.map { case (bi, ri, codec, s) =>
+            Row(id, bi, ri, codec, s)
+          }
+          case None => Iterator.empty
+        }
+      }
+    }(Encoders.row(stringRecordSchema))
   }
 
   /** Output schema of [[avroBlocks]]. */
@@ -220,4 +368,46 @@ object Avro {
    * offset formulas. */
   def syntheticAvros(df: DataFrame, idCol: String): DataFrame =
     Fixtures.syntheticPayloads(df, idCol)(syntheticAvro)
+
+  /** Deterministic REAL-encoder OCF fixture (the m42 analog for Avro):
+   * written by the Avro library's own `DataFileWriter` over schema
+   * `"string"` with a deterministic sync marker (byte j =
+   * `(id*31 + j*7) & 0xff`), codec rotating null/deflate/snappy by
+   * `id%3`. `1 + id%3` data blocks forced by `writer.sync()`; block k
+   * holds `1 + (id+k)%4` records `avro_<id>_<k>_<j>` +
+   * `"x" * ((id+j)%20)`. `id%8 == 5` payloads have a byte of the FINAL
+   * sync flipped — [[parseOcf]] refuses (splice evidence), zero rows.
+   * Compressed block sizes are encoder-owned; the extraction re-reads
+   * them from the block headers, so the oracle replays only the
+   * DECODED record contents (the m42 posture). */
+  def syntheticRealAvro(id: Long): Array[Byte] = {
+    val schema = org.apache.avro.Schema.create(org.apache.avro.Schema.Type.STRING)
+    val w = new org.apache.avro.file.DataFileWriter[CharSequence](
+      new org.apache.avro.generic.GenericDatumWriter[CharSequence](schema))
+    (id % 3) match {
+      case 0 => w.setCodec(org.apache.avro.file.CodecFactory.nullCodec())
+      case 1 => w.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
+      case _ => w.setCodec(org.apache.avro.file.CodecFactory.snappyCodec())
+    }
+    val bo = new java.io.ByteArrayOutputStream()
+    val sync = Array.tabulate(16)(j => ((id * 31 + j * 7) & 0xff).toByte)
+    w.create(schema, bo, sync)
+    val nBlocks = (1 + id % 3).toInt
+    (0 until nBlocks).foreach { k =>
+      (0 until (1 + (id + k) % 4).toInt).foreach { j =>
+        w.append(s"avro_${id}_${k}_$j" + "x" * ((id + j) % 20).toInt)
+      }
+      w.sync() // force the block boundary
+    }
+    w.close()
+    val bytes = bo.toByteArray
+    if (id % 8 == 5) // flip a final-sync byte: splice evidence
+      bytes(bytes.length - 3) = (bytes(bytes.length - 3) ^ 0x11).toByte
+    bytes
+  }
+
+  /** Executor-side real-encoder OCF fixtures — the m49 oracle replays
+   * the decoded record contents. */
+  def syntheticRealAvros(df: DataFrame, idCol: String): DataFrame =
+    Fixtures.syntheticPayloads(df, idCol)(syntheticRealAvro)
 }

@@ -222,7 +222,9 @@ object GraftSql {
    * extraction by gzip-member locator — the Common Crawl ranged-GET
    * pattern), `tfrecords_gz(...)` (.tfrecord.gz shard census through
    * the gzip locator path), `sitemap_gz(...)` (sitemap.xml.gz census
-   * through the gzip locator path);
+   * through the gzip locator path), `avro_extract(...)` (Avro OCF
+   * block extraction by locator — per-codec decode with CRC/sync
+   * verification, string-schema record decode);
    * ops tooling: `key_skew(keys:"k"[, k:10])` (shuffle-key skew
    * diagnostic), `suggest_salt(keys:"k"[, target:n, max:n])` (measured
    * salt-factor advisor), `PROCESS probe, dim USING salted_join(
@@ -610,6 +612,10 @@ object GraftSql {
         },
         "sitemap_gz" -> ProcessorDef { (_, dfs, p) =>
           graft.functions.Sitemap.sitemapGzItems(one(dfs, "sitemap_gz"),
+            p.getOrElse("id", "doc_id"), p.getOrElse("col", "payload"))
+        },
+        "avro_extract" -> ProcessorDef { (_, dfs, p) =>
+          graft.functions.Avro.extractStringRecords(one(dfs, "avro_extract"),
             p.getOrElse("id", "doc_id"), p.getOrElse("col", "payload"))
         },
         // hybrid-retrieval fusion: PROCESS lexical, dense USING

@@ -80,6 +80,69 @@ class AvroSpec extends AnyFunSuite {
       ((4 + 1 + 1 + entry.length + 1 + 11 + 8 + 1 + 16).toLong, 1000L, 300L)))
   }
 
+  test("real-encoder extraction: every block re-extracts by locator (IDs 0-99)") {
+    (0L until 100L).foreach { id =>
+      val payload = Avro.syntheticRealAvro(id)
+      val got = Avro.extractAllStringRecords(payload)
+      if (id % 8 == 5) {
+        assert(got.isEmpty, s"id=$id flipped sync must refuse")
+      } else {
+        val rs = got.getOrElse(fail(s"id=$id did not extract"))
+        // closed form: 1+id%3 blocks, block k holds 1+(id+k)%4 records
+        val want = for {
+          k <- 0 until (1 + id % 3).toInt
+          j <- 0 until (1 + (id + k) % 4).toInt
+        } yield (k, j,
+          Seq("null", "deflate", "snappy")((id % 3).toInt),
+          s"avro_${id}_${k}_$j" + "x" * ((id + j) % 20).toInt)
+        assert(rs === want.toIndexedSeq, s"id=$id")
+        // real-decoder differential: Avro's own DataFileReader over the
+        // same bytes must read the identical record sequence
+        val reader = new org.apache.avro.file.DataFileReader[CharSequence](
+          new org.apache.avro.file.SeekableByteArrayInput(payload),
+          new org.apache.avro.generic.GenericDatumReader[CharSequence](
+            org.apache.avro.Schema.create(org.apache.avro.Schema.Type.STRING)))
+        try {
+          val ref = scala.collection.mutable.ArrayBuffer.empty[String]
+          while (reader.hasNext) ref += reader.next().toString
+          assert(rs.map(_._4) === ref.toIndexedSeq, s"id=$id vs DataFileReader")
+        } finally reader.close()
+      }
+    }
+  }
+
+  test("a stale or forged block locator is refused, never mis-extracted") {
+    val payload = Avro.syntheticRealAvro(7L) // deflate codec
+    val o = Avro.parseOcf(payload).get
+    val sync = o.sync.toArray
+    val (off, nr, nb) = o.blocks.head
+    assert(Avro.extractBlockAt(payload, off, nr, nb, o.codec, sync).isDefined)
+    // wrong row count / byte size / offset: header re-read must refuse
+    assert(Avro.extractBlockAt(payload, off, nr + 1, nb, o.codec, sync).isEmpty)
+    assert(Avro.extractBlockAt(payload, off, nr, nb + 1, o.codec, sync).isEmpty)
+    assert(Avro.extractBlockAt(payload, off + 1, nr, nb, o.codec, sync).isEmpty)
+    assert(Avro.extractBlockAt(payload, -1L, nr, nb, o.codec, sync).isEmpty)
+    assert(Avro.extractBlockAt(payload, payload.length.toLong, nr, nb,
+      o.codec, sync).isEmpty)
+    // wrong sync marker: the block must not validate
+    val badSync = sync.clone(); badSync(0) = (badSync(0) ^ 1).toByte
+    assert(Avro.extractBlockAt(payload, off, nr, nb, o.codec, badSync).isEmpty)
+    // wrong codec label: deflate bytes are not a clean snappy+crc block
+    assert(Avro.extractBlockAt(payload, off, nr, nb, "snappy", sync).isEmpty)
+    // a flipped byte inside a DEFLATE block payload must not decode
+    // (or must decode to a different record count — never a throw)
+    val m = payload.clone()
+    m(off.toInt + 3) = (m(off.toInt + 3) ^ 0x40).toByte
+    val res = try Avro.extractBlockAt(m, off, nr, nb, o.codec, sync)
+      .flatMap(Avro.decodeStringRecords(_, nr))
+    catch { case e: Throwable => fail(s"threw on mutated block: $e") }
+    res.foreach { strs =>
+      val want = (0 until (1 + (7 + 0) % 4)).map(j =>
+        s"avro_7_0_$j" + "x" * ((7 + j) % 20))
+      assert(strs != want, "mutated block decoded to the original records")
+    }
+  }
+
   test("corrupt contract: sync, truncation, trailing bytes, bad magic") {
     val good = Avro.syntheticAvro(5L)
     assert(Avro.parseOcf(good).isDefined)

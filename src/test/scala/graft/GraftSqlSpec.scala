@@ -1323,6 +1323,11 @@ class GraftSqlSpec extends SparkTestBase {
       graft.functions.Sitemap.syntheticSitemapGz(7L), 7L).collect()
     assert(sg.length === 3 && sg.forall(_.getString(2) === "url") &&
       sg.head.getString(3) === "https://site7.example/p/7/0")
+    // avro_extract: id 7 → deflate codec, 2 blocks of 4+1 records
+    val ax = run1("avro_extract",
+      graft.functions.Avro.syntheticRealAvro(7L), 7L).collect()
+    assert(ax.length === 5 && ax.forall(_.getString(3) === "deflate") &&
+      ax.head.getString(4) === "avro_7_0_0" + "x" * 7)
   }
 
   test("rrf_fuse processor fuses ranked lists") {

@@ -53,6 +53,10 @@ class WalkerFuzzSpec extends AnyFunSuite {
       Tar.inflateTarGz(b).flatMap(Tar.parseTarEntries)),
     ("tar", Tar.parseTarEntries _),
     ("tfrecord", TfRecord.parseRecords _),
+    ("tfrecordGz", (b: Array[Byte]) =>
+      Gzip.inflateConcat(b).flatMap(TfRecord.parseRecords)),
+    ("avroExtract", Avro.extractAllStringRecords _),
+    ("parquetPageIndex", ParquetFooter.parsePageIndexes _),
     ("xz", Xz.parseBlocks _),
     ("id3v1", Mp3.parseId3v1 _))
 
@@ -64,7 +68,8 @@ class WalkerFuzzSpec extends AnyFunSuite {
     Imaging.syntheticExifJpeg(id), Imaging.syntheticImage(id),
     Mp3.syntheticV1TaggedMp3(id), Zip.syntheticRealZip(id),
     Tar.syntheticTarGz(id), TfRecord.syntheticTfRecord(id),
-    Xz.syntheticXz(id))
+    TfRecord.syntheticTfRecordGz(id), Sitemap.syntheticSitemapGz(id),
+    Avro.syntheticRealAvro(id), Xz.syntheticXz(id))
 
   test("binary walkers never throw on random bytes") {
     (0 until 300).foreach { trial =>
@@ -109,6 +114,9 @@ class WalkerFuzzSpec extends AnyFunSuite {
         Zip.extractEntryAt(base, off, len, rnd.nextInt(100),
           rnd.nextLong() & 0xffffffffL, rnd.nextLong() % 1000)
         Gzip.inflateMemberAt(base, off, len)
+        val sync = Array.fill[Byte](16)(rnd.nextInt(256).toByte)
+        Avro.extractBlockAt(base, off, rnd.nextLong() % 100, len,
+          Seq("null", "deflate", "snappy")(trial % 3), sync)
       } catch { case e: Throwable =>
         fail(s"locator extractor threw (trial=$trial): $e")
       }
