@@ -248,17 +248,22 @@ private[graft] object EntriesT {
 
     // CSV dialect sniffing — the ingest audit BEFORE spark.read.csv
     // with guessed options: deterministic delimiter scoring over a
-    // 16-line quote-aware sample, RFC 4180 quoting (doubled quotes,
+    // 16-record quote-aware sample, RFC 4180 quoting (doubled quotes,
     // delimiters inside quotes), header detection, and whole-document
     // shape consistency; the id%7==2 fixtures hide their ragged record
     // BEYOND the sample (the sniff resolves, consistent flips to 0 —
     // the sample-vs-whole distinction the census exists for);
-    // unterminated quotes (id%13==11) refuse to zero rows
+    // unterminated quotes (id%13==11) refuse to zero rows. r15: the
+    // sniff is now BYTE-level — the fixture rotates plain-UTF-8 /
+    // UTF-8-BOM / UTF-16LE / UTF-16BE encodings by id%4 and the
+    // census reports the detected charset plus the record-separator
+    // convention (CRLF on even ids, LF on odd) — the two remaining
+    // loader knobs
     "t47_csv_sniff" -> ((s, dir) => {
       val ids = t(s, dir, "documents").select("doc_id")
-      graft.functions.Csv.csvSniff(
-        graft.functions.Csv.syntheticCsvs(ids, "doc_id"),
-        "doc_id", "csv_text")
+      graft.functions.Csv.csvSniffBytes(
+        graft.functions.Csv.syntheticCsvPayloads(ids, "doc_id"),
+        "doc_id", "payload")
     }),
 
     // host-level link-graph extraction (the WARC→HTML→graph bridge),
@@ -670,14 +675,21 @@ private[graft] object EntriesT {
         |  lower(name) AS name_lc, value
         |FROM hs""".stripMargin,
 
-    // replay of Csv.syntheticCsv's dialect formulas; the unterminated-
-    // quote ids (%13==11) contribute zero rows
+    // replay of Csv.syntheticCsv's dialect formulas plus the r15
+    // byte-level deltas: charset from the id%4 encoding rotation and
+    // the record-separator convention from the id parity; the
+    // unterminated-quote ids (%13==11) contribute zero rows
     "t47_csv_sniff" ->
-      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 13 <> 11),
+      """WITH d AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'crlf' ELSE 'lf' END AS newline,
+        |  CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 'ascii'
+        |    WHEN 1 THEN 'utf-8-bom' WHEN 2 THEN 'utf-16le'
+        |    ELSE 'utf-16be' END AS charset
+        | FROM documents WHERE doc_id % 13 <> 11),
         |single AS (
         | SELECT doc_id, 'none' AS delimiter, 0 AS quoted, 0 AS has_header,
         |  1 AS n_cols, CAST(2 + doc_id % 3 AS BIGINT) AS n_records,
-        |  1 AS consistent
+        |  1 AS consistent, newline, charset
         | FROM d WHERE doc_id % 11 = 10),
         |std AS (
         | SELECT doc_id,
@@ -689,12 +701,13 @@ private[graft] object EntriesT {
         |  CAST(CASE WHEN doc_id % 7 = 2 THEN 19 ELSE 3 + doc_id % 6 END
         |    + CASE WHEN doc_id % 5 <> 1 THEN 1 ELSE 0 END AS BIGINT)
         |    AS n_records,
-        |  CASE WHEN doc_id % 7 = 2 THEN 0 ELSE 1 END AS consistent
+        |  CASE WHEN doc_id % 7 = 2 THEN 0 ELSE 1 END AS consistent,
+        |  newline, charset
         | FROM d WHERE doc_id % 11 <> 10)
         |SELECT doc_id, delimiter, CAST(quoted AS INTEGER) AS quoted,
         | CAST(has_header AS INTEGER) AS has_header,
         | CAST(n_cols AS INTEGER) AS n_cols, n_records,
-        | CAST(consistent AS INTEGER) AS consistent
+        | CAST(consistent AS INTEGER) AS consistent, newline, charset
         |FROM (SELECT * FROM single UNION ALL SELECT * FROM std)""".stripMargin,
 
     // replay of Sitemap.syntheticSitemap's record formulas; the loc

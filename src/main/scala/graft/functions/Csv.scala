@@ -30,7 +30,17 @@ import org.apache.spark.sql.types._
  *     optional sign, digits, optional decimal part — integers and
  *     plain decimals, the ingest-relevant shapes);
  *   - `consistent` = 1 iff every record in the WHOLE document (not
- *     just the sample) has the winner's field count.
+ *     just the sample) has the winner's field count;
+ *   - `newline` reports the record-separator convention the winning
+ *     parse actually consumed OUTSIDE quotes (`crlf`/`lf`/`cr`, or
+ *     `mixed` when more than one form appears, `none` for a single
+ *     unterminated record) — a loader needs the CRLF/LF convention as
+ *     much as the delimiter;
+ *   - the BYTE-level sniff ([[csvSniffBytes]]) first detects the
+ *     charset: a UTF-8 / UTF-16LE / UTF-16BE BOM decides, BOM-less
+ *     bytes must decode as STRICT UTF-8 (`ascii` when no byte
+ *     exceeds 0x7f) — undecodable payloads refuse (None), they are
+ *     exactly the shards a loader must quarantine.
  *
  * Strict posture: an unterminated quoted field, or a quote opening
  * mid-field (`ab"c`), → None — the two forms that make delimited
@@ -52,6 +62,14 @@ object Csv {
    * quote-aware (RFC 4180). Returns (records, sawQuote). */
   private[graft] def parseRecords(text: String, delim: Char):
       (IndexedSeq[IndexedSeq[String]], Boolean) = {
+    val full = parseRecordsFull(text, delim)
+    (full._1, full._2)
+  }
+
+  /** [[parseRecords]] plus the terminator census: counts of CRLF /
+   * bare-LF / bare-CR record separators consumed OUTSIDE quotes. */
+  private def parseRecordsFull(text: String, delim: Char):
+      (IndexedSeq[IndexedSeq[String]], Boolean, Int, Int, Int) = {
     val records = scala.collection.mutable.ArrayBuffer.empty[IndexedSeq[String]]
     var fields = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
@@ -59,6 +77,9 @@ object Csv {
     var fieldStarted = false
     var fieldWasQuoted = false
     var sawQuote = false
+    var nCrlf = 0
+    var nLf = 0
+    var nCr = 0
     var i = 0
     def endField(): Unit = {
       fields += cur.toString
@@ -84,9 +105,9 @@ object Csv {
           fieldStarted = true; fieldWasQuoted = true
         case d if d == delim => endField()
         case '\r' if i + 1 < text.length && text.charAt(i + 1) == '\n' =>
-          endRecord(); i += 1
-        case '\n' => endRecord()
-        case '\r' => endRecord()
+          endRecord(); nCrlf += 1; i += 1
+        case '\n' => endRecord(); nLf += 1
+        case '\r' => endRecord(); nCr += 1
         case other =>
           if (fieldWasQuoted) throw new Malformed // junk after close quote
           cur += other; fieldStarted = true
@@ -95,7 +116,7 @@ object Csv {
     }
     if (inQuotes) throw new Malformed // unterminated quote
     if (fieldStarted || cur.nonEmpty || fields.nonEmpty) endRecord()
-    (records.toIndexedSeq, sawQuote)
+    (records.toIndexedSeq, sawQuote, nCrlf, nLf, nCr)
   }
 
   private val Numeric = "^[+-]?[0-9]+(\\.[0-9]+)?$".r
@@ -105,7 +126,8 @@ object Csv {
 
   /** One document's sniffed dialect. */
   final case class Dialect(delimiter: String, quoted: Boolean,
-      hasHeader: Boolean, nCols: Int, nRecords: Long, consistent: Boolean)
+      hasHeader: Boolean, nCols: Int, nRecords: Long, consistent: Boolean,
+      newline: String)
 
   /** Sniff one document. None on the unrecoverable quote forms. */
   def sniff(text: String): Option[Dialect] = {
@@ -135,21 +157,67 @@ object Csv {
           (d, if (d == '\t') "tab" else d.toString)
         case None => ('\u0000', "none")
       }
-      val (recs, sawQuote) =
-        if (delimName == "none") parseRecords(text, '\u0000')
-        else parseRecords(text, delim)
+      val (recs, sawQuote, nCrlf, nLf, nCr) =
+        if (delimName == "none") parseRecordsFull(text, '\u0000')
+        else parseRecordsFull(text, delim)
+      val kinds = Seq(nCrlf, nLf, nCr).count(_ > 0)
+      val newline =
+        if (kinds > 1) "mixed"
+        else if (nCrlf > 0) "crlf"
+        else if (nLf > 0) "lf"
+        else if (nCr > 0) "cr"
+        else "none"
       if (recs.isEmpty) return Some(Dialect(delimName, sawQuote,
-        hasHeader = false, 0, 0L, consistent = true))
+        hasHeader = false, 0, 0L, consistent = true, newline))
       val nCols = recs.head.size
       val consistent = recs.forall(_.size == nCols)
       val hasHeader = recs.head.forall(f => !isNumeric(f)) &&
         recs.drop(1).exists(_.exists(isNumeric))
       Some(Dialect(delimName, sawQuote, hasHeader, nCols,
-        recs.size.toLong, consistent))
+        recs.size.toLong, consistent, newline))
     } catch {
       case _: Malformed => None
     }
   }
+
+  /** Strict decode via the named charset; None on any malformed or
+   * unmappable sequence. */
+  private def decodeStrict(b: Array[Byte], off: Int,
+      cs: String): Option[String] = {
+    try {
+      val dec = java.nio.charset.Charset.forName(cs).newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      Some(dec.decode(java.nio.ByteBuffer.wrap(b, off, b.length - off))
+        .toString)
+    } catch {
+      case _: java.nio.charset.CharacterCodingException => None
+    }
+  }
+
+  /** Detect the byte-level charset and decode: a UTF-8 / UTF-16LE /
+   * UTF-16BE BOM decides; BOM-less bytes must be strictly valid UTF-8
+   * (`ascii` when no byte exceeds 0x7f). None when undecodable. */
+  private[graft] def detectCharset(b: Array[Byte]): Option[(String, String)] = {
+    if (b == null) return None
+    if (b.length >= 3 && (b(0) & 0xff) == 0xef && (b(1) & 0xff) == 0xbb &&
+      (b(2) & 0xff) == 0xbf)
+      decodeStrict(b, 3, "UTF-8").map(("utf-8-bom", _))
+    else if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xfe)
+      decodeStrict(b, 2, "UTF-16LE").map(("utf-16le", _))
+    else if (b.length >= 2 && (b(0) & 0xff) == 0xfe && (b(1) & 0xff) == 0xff)
+      decodeStrict(b, 2, "UTF-16BE").map(("utf-16be", _))
+    else decodeStrict(b, 0, "UTF-8").map { s =>
+      (if (b.forall(x => (x & 0xff) < 0x80)) "ascii" else "utf-8", s)
+    }
+  }
+
+  /** Byte-level sniff: charset first ([[detectCharset]]), then the
+   * dialect walk over the decoded text. */
+  def sniffBytes(payload: Array[Byte]): Option[(String, Dialect)] =
+    detectCharset(payload).flatMap { case (cs, text) =>
+      sniff(text).map((cs, _))
+    }
 
   /** Output schema of [[csvSniff]]. */
   val sniffSchema: StructType = StructType(Seq(
@@ -159,7 +227,13 @@ object Csv {
     StructField("has_header", IntegerType),
     StructField("n_cols", IntegerType),
     StructField("n_records", LongType),
-    StructField("consistent", IntegerType)))
+    StructField("consistent", IntegerType),
+    StructField("newline", StringType)))
+
+  /** Output schema of [[csvSniffBytes]]: [[sniffSchema]] plus the
+   * detected charset. */
+  val bytesSniffSchema: StructType = StructType(
+    sniffSchema.fields.toSeq :+ StructField("charset", StringType))
 
   /** One row per sniffable document; the unrecoverable quote forms
    * contribute nothing. Narrow mapPartitions. */
@@ -173,10 +247,30 @@ object Csv {
         sniff(doc).map { d =>
           Row(id, d.delimiter, if (d.quoted) 1 else 0,
             if (d.hasHeader) 1 else 0, d.nCols, d.nRecords,
-            if (d.consistent) 1 else 0)
+            if (d.consistent) 1 else 0, d.newline)
         }.iterator
       }
     }(Encoders.row(sniffSchema))
+  }
+
+  /** One row per sniffable BINARY document — charset detected from the
+   * bytes (BOM or strict UTF-8), then the dialect walk; undecodable
+   * payloads and the unrecoverable quote forms contribute nothing.
+   * Narrow mapPartitions. */
+  def csvSniffBytes(df: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(idIdx)
+        sniffBytes(r.getAs[Array[Byte]](pIdx)).map { case (cs, d) =>
+          Row(id, d.delimiter, if (d.quoted) 1 else 0,
+            if (d.hasHeader) 1 else 0, d.nCols, d.nRecords,
+            if (d.consistent) 1 else 0, d.newline, cs)
+        }.iterator
+      }
+    }(Encoders.row(bytesSniffSchema))
   }
 
   /** Deterministic delimited-text fixture shared by the writer, the
@@ -218,6 +312,29 @@ object Csv {
     }
     sb.toString
   }
+
+  /** Deterministic BYTE-level fixture: [[syntheticCsv]]'s text encoded
+   * with a charset rotating by `id%4` — plain UTF-8 (pure-ASCII text →
+   * reported `ascii`), UTF-8 with BOM, UTF-16LE with BOM, UTF-16BE
+   * with BOM. The dialect under every charset is the same closed form,
+   * so the t47 oracle's only delta is the charset column. */
+  def syntheticCsvBytes(id: Long): Array[Byte] = {
+    val text = syntheticCsv(id)
+    (id % 4) match {
+      case 0 => text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      case 1 => Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++
+        text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      case 2 => Array[Byte](0xff.toByte, 0xfe.toByte) ++
+        text.getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
+      case _ => Array[Byte](0xfe.toByte, 0xff.toByte) ++
+        text.getBytes(java.nio.charset.StandardCharsets.UTF_16BE)
+    }
+  }
+
+  /** Executor-side byte-level fixtures — the t47 oracle adds the
+   * charset closed form. */
+  def syntheticCsvPayloads(df: DataFrame, idCol: String): DataFrame =
+    Fixtures.syntheticPayloads(df, idCol)(syntheticCsvBytes)
 
   /** Executor-side delimited-text fixtures — the t47 oracle replays
    * the dialect formulas. */

@@ -215,7 +215,9 @@ object GraftSql {
    * `xz_blocks(...)` (XZ stream/block census — CRC-verified
    * footer/index/header walk, zero LZMA2 decode),
    * `csv_sniff(...)` (CSV dialect census — deterministic delimiter/
-   * quote/header detection with whole-document shape consistency),
+   * quote/header/newline detection with whole-document shape
+   * consistency), `csv_sniff_bytes(...)` (its byte-level form —
+   * BOM/charset detection first, then the dialect walk),
    * `parquet_chunks(...)` (per-column-chunk ColumnMetaData census —
    * codec/encodings/statistics, the scan-pruning metadata),
    * `warcgz_records([file:file_name, col:content])` (.warc.gz record
@@ -612,6 +614,10 @@ object GraftSql {
         },
         "sitemap_gz" -> ProcessorDef { (_, dfs, p) =>
           graft.functions.Sitemap.sitemapGzItems(one(dfs, "sitemap_gz"),
+            p.getOrElse("id", "doc_id"), p.getOrElse("col", "payload"))
+        },
+        "csv_sniff_bytes" -> ProcessorDef { (_, dfs, p) =>
+          graft.functions.Csv.csvSniffBytes(one(dfs, "csv_sniff_bytes"),
             p.getOrElse("id", "doc_id"), p.getOrElse("col", "payload"))
         },
         "avro_extract" -> ProcessorDef { (_, dfs, p) =>

@@ -14,7 +14,8 @@ class CsvSpec extends AnyFunSuite {
         assert(got.isEmpty, s"id=$id unterminated quote must refuse")
       } else if (id % 11 == 10) {
         assert(got === Some(Csv.Dialect("none", quoted = false,
-          hasHeader = false, 1, 2 + id % 3, consistent = true)), s"id=$id")
+          hasHeader = false, 1, 2 + id % 3, consistent = true,
+          newline = if (id % 2 == 0) "crlf" else "lf")), s"id=$id")
       } else {
         val delim = Seq(",", ";", "tab", "|")((id % 4).toInt)
         val nRows = if (id % 7 == 2) Csv.SniffLines + 3 else (3 + id % 6)
@@ -23,10 +24,38 @@ class CsvSpec extends AnyFunSuite {
           hasHeader = id % 5 != 1,
           (2 + id % 4).toInt,
           nRows + (if (id % 5 != 1) 1 else 0),
-          consistent = id % 7 != 2)
+          consistent = id % 7 != 2,
+          newline = if (id % 2 == 0) "crlf" else "lf")
         assert(got === Some(want), s"id=$id")
       }
     }
+  }
+
+  test("byte-level sniff: BOM/charset detection composes with the dialect walk") {
+    (0L until 300L).foreach { id =>
+      val got = Csv.sniffBytes(Csv.syntheticCsvBytes(id))
+      if (id % 13 == 11) assert(got.isEmpty, s"id=$id")
+      else {
+        val (cs, d) = got.getOrElse(fail(s"id=$id refused"))
+        assert(cs === Seq("ascii", "utf-8-bom", "utf-16le", "utf-16be")(
+          (id % 4).toInt), s"id=$id charset")
+        // the dialect through every charset equals the string sniff
+        assert(Some(d) === Csv.sniff(Csv.syntheticCsv(id)), s"id=$id dialect")
+      }
+    }
+    // BOM-less multibyte UTF-8 is utf-8, not ascii
+    val utf8 = "hé,b\n1,2".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    assert(Csv.sniffBytes(utf8).map(_._1) === Some("utf-8"))
+    // undecodable bytes refuse: a lone 0xFF continuation is not UTF-8
+    assert(Csv.sniffBytes(Array[Byte](0x41, 0xff.toByte, 0x42)) === None)
+    // truncated UTF-16 (odd byte count after the BOM) refuses
+    assert(Csv.sniffBytes(Array[Byte](0xff.toByte, 0xfe.toByte, 0x41)) === None)
+    // mixed separators report as mixed; CR-only reports as cr
+    assert(Csv.sniff("a,b\r\nc,d\ne,f").map(_.newline) === Some("mixed"))
+    assert(Csv.sniff("a,b\rc,d").map(_.newline) === Some("cr"))
+    assert(Csv.sniff("a,b").map(_.newline) === Some("none"))
+    // a quoted embedded newline does NOT count toward the convention
+    assert(Csv.sniff("a,\"x\ny\"\r\nc,d").map(_.newline) === Some("crlf"))
   }
 
   test("RFC 4180 quoting corners") {
