@@ -27,6 +27,17 @@ import org.apache.spark.sql.SparkSession
   * passes. Only if the load never decays does the line carry
   * "contended":true — a polluted run self-identifies instead of reading
   * as a regression.
+  *
+  * r15 (judge ask #4 — three consecutive rounds burned adjudication
+  * effort on single-query driver-artifact phantoms: r12 h02, r13
+  * q01/q02/q06, r14 h22 at 19.5×): after the min-of-N passes, any query
+  * whose figure exceeds [[OutlierFactor]]× its BASELINE.md ledger entry
+  * (the fenced `json bench-ledger` block) is RE-MEASURED once the 1-min
+  * load decays below [[StampLoad]]; the line reports the final minimum
+  * plus a `remeasured` object carrying each outlier's first-pass figure
+  * — a phantom carries its own adjudication. `contended` is stamped
+  * from the honest [[StampLoad]] = 1.5 bar (not the old 2.0), matching
+  * what idle-box adjudications actually accept.
   */
 object Bench {
   private def loadavg1m: Double =
@@ -34,8 +45,43 @@ object Bench {
       .split("\\s+").head.toDouble
     catch { case _: Throwable => -1.0 }
 
-  /** Start-load threshold above which the run first waits, then annotates. */
+  /** Load threshold above which the run first waits, then annotates. */
   val ContendedLoad = 2.0
+
+  /** The honest idle bar: `contended` is stamped (and the outlier
+   * re-measure gate waits) against THIS figure — a loadavg in
+   * (1.5, 2.0] used to stamp clean yet reads measurably slow. */
+  val StampLoad = 1.5
+
+  /** A query reading above this multiple of its BASELINE.md ledger
+   * figure is re-measured after an idle wait. */
+  val OutlierFactor = 2.0
+
+  /** Per-query reference seconds from BASELINE.md's fenced
+   * ```json bench-ledger``` block (empty when absent — the outlier
+   * pass then has nothing to compare against and is skipped). */
+  private[graft] def ledger(): Map[String, Double] = {
+    try {
+      val path = Seq("BASELINE.md", "/root/repo/BASELINE.md")
+        .find(p => new java.io.File(p).isFile)
+      path match {
+        case Some(p) =>
+          // explicit UTF-8: the forked JVM's default charset may be
+          // ASCII, and BASELINE.md carries multibyte prose
+          val txt = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(p)), java.nio.charset.StandardCharsets.UTF_8)
+          val block = "(?s)```json bench-ledger\\s*(\\{.*?\\})\\s*```".r
+          block.findFirstMatchIn(txt).map(_.group(1)) match {
+            case Some(json) =>
+              "\"([A-Za-z0-9_]+)\"\\s*:\\s*([0-9][0-9.]*)".r
+                .findAllMatchIn(json)
+                .map(g => g.group(1) -> g.group(2).toDouble).toMap
+            case None => Map.empty
+          }
+        case None => Map.empty
+      }
+    } catch { case _: Throwable => Map.empty }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -146,12 +192,52 @@ object Bench {
       }
     }
 
+    // outlier self-adjudication (r15): any figure above OutlierFactor×
+    // its ledger entry is re-measured after the load decays below the
+    // honest StampLoad bar; both figures ship in the artifact.
+    val refs = ledger()
+    def outliersOf(rs: Seq[(String, Option[Double])]) = rs.collect {
+      case (name, Some(v)) if refs.get(name).exists(r => v > OutlierFactor * r) =>
+        name -> v
+    }
+    val firstPass = outliersOf(results) ++ outliersOf(hResults)
+    var remeasured = false
+    if (firstPass.nonEmpty) {
+      System.err.println(s"BENCH OUTLIERS vs ledger: ${firstPass.map {
+        case (n, v) => f"$n=$v%.3f (ref ${refs(n)}%.3f)" }.mkString(", ")}")
+      var waited3 = 0
+      while (loadavg1m > StampLoad && waited3 < 300) {
+        System.err.println(f"BENCH OUTLIER WAIT loadavg ${loadavg1m}%.2f > $StampLoad%.1f, sleeping 15s")
+        Thread.sleep(15000); waited3 += 15
+      }
+      if (loadavg1m <= StampLoad) {
+        remeasured = true
+        val names2 = firstPass.map(_._1)
+        val re = time(names2.filter(n => names.contains(n)), runs = 2) ++
+          time(names2.filter(n => hNames.contains(n)), runs = 2)
+        val reMap = re.toMap
+        def merge(rs: Seq[(String, Option[Double])]) = rs.map {
+          case (k, v) if reMap.contains(k) =>
+            k -> (v ++ reMap(k)).minOption
+          case kv => kv
+        }
+        results = merge(results)
+        hResults = merge(hResults)
+        loadEnd = loadavg1m
+      } else {
+        // kept in the artifact with outliers_remeasured:false
+        System.err.println("BENCH OUTLIERS stand un-re-measured (load never decayed)")
+      }
+    }
+    val remStr = firstPass.map { case (k, v) =>
+      "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
+
     val errs = results.count(_._2.isEmpty)
     val hErrs = hResults.count(_._2.isEmpty)
     val total = results.flatMap(_._2).sum
     val hTotal = hResults.flatMap(_._2).sum
-    val contended = loadStart > ContendedLoad || loadEnd > ContendedLoad
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":3,"agg":"min","errors":$errs,"queries":${fmt(results)},"h_total":$hTotal%.3f,"h_runs":2,"h_errors":$hErrs,"h_queries":${fmt(hResults)},"loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"loadavg_waited_sec":$waited,"retried":$retried,"contended":$contended,"sf":"$sfDir"}""")
+    val contended = loadStart > StampLoad || loadEnd > StampLoad
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":3,"agg":"min","errors":$errs,"queries":${fmt(results)},"h_total":$hTotal%.3f,"h_runs":2,"h_errors":$hErrs,"h_queries":${fmt(hResults)},"loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"loadavg_waited_sec":$waited,"retried":$retried,"outliers_first_pass":$remStr,"outliers_remeasured":$remeasured,"stamp_load":$StampLoad%.1f,"contended":$contended,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

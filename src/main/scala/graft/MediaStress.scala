@@ -170,6 +170,33 @@ object MediaStress {
         graft.functions.Csv.syntheticCsvs(ids, "doc_id"),
         "doc_id", "csv_text").count()
     }
+    // r15 batch: the gzip-composed shard walks (each pays the inflate
+    // the locator path pays at 100 TB) and the locator-driven Avro
+    // block extraction with per-codec decode + CRC/sync verification
+    var nTfrGz = 0L
+    val tTfrGz = time {
+      nTfrGz = graft.functions.TfRecord.tfRecordsGz(
+        graft.functions.TfRecord.syntheticTfRecordGzs(ids, "doc_id"),
+        "doc_id", "payload").count()
+    }
+    var nSmGz = 0L
+    val tSmGz = time {
+      nSmGz = graft.functions.Sitemap.sitemapGzItems(
+        graft.functions.Sitemap.syntheticSitemapGzs(ids, "doc_id"),
+        "doc_id", "payload").count()
+    }
+    var nAvroX = 0L
+    val tAvroX = time {
+      nAvroX = graft.functions.Avro.extractStringRecords(
+        graft.functions.Avro.syntheticRealAvros(ids, "doc_id"),
+        "doc_id", "payload").count()
+    }
+    var nCsvB = 0L
+    val tCsvB = time {
+      nCsvB = graft.functions.Csv.csvSniffBytes(
+        graft.functions.Csv.syntheticCsvPayloads(ids, "doc_id"),
+        "doc_id", "payload").count()
+    }
     println(f"MEDIASTRESS docs=$n pages=$nPages pageWall=$tPages%.1f " +
       f"pagesPerSec=${nPages / tPages}%.0f pageMB=${pageBytes / 1e6}%.0f " +
       f"packets=$nPackets packetWall=$tPackets%.1f " +
@@ -211,7 +238,15 @@ object MediaStress {
       f"sitemapItems=$nSm sitemapWall=$tSm%.1f " +
       f"sitemapDocsPerSec=${n / tSm}%.0f " +
       f"csvSniffs=$nCsv csvWall=$tCsv%.1f " +
-      f"csvDocsPerSec=${n / tCsv}%.0f")
+      f"csvDocsPerSec=${n / tCsv}%.0f " +
+      f"tfrGzRecords=$nTfrGz tfrGzWall=$tTfrGz%.1f " +
+      f"tfrGzDocsPerSec=${n / tTfrGz}%.0f " +
+      f"sitemapGzItems=$nSmGz sitemapGzWall=$tSmGz%.1f " +
+      f"sitemapGzDocsPerSec=${n / tSmGz}%.0f " +
+      f"avroExtract=$nAvroX avroXWall=$tAvroX%.1f " +
+      f"avroXDocsPerSec=${n / tAvroX}%.0f " +
+      f"csvBytesSniffs=$nCsvB csvBytesWall=$tCsvB%.1f " +
+      f"csvBytesDocsPerSec=${n / tCsvB}%.0f")
     spark.stop()
   }
 }
