@@ -349,12 +349,13 @@ object Orc {
         val zin = new com.github.luben.zstd.ZstdInputStreamNoFinalizer(
           new java.io.ByteArrayInputStream(b, pos, clen))
         try {
-          var n = 0
+          var n = 1
           while (n >= 0) {
             ensure(4096)
             n = try zin.read(out, w, math.min(4096, out.length - w))
             catch { case _: java.io.IOException => throw new Malformed }
             if (n > 0) w += n
+            else if (n == 0) throw new Malformed // zero-progress guard
           }
         } finally zin.close()
       }

@@ -305,8 +305,8 @@ object Sitemap {
     df.mapPartitions { it =>
       it.flatMap { r =>
         val id = r.getLong(idIdx)
-        Gzip.inflateConcat(r.getAs[Array[Byte]](pIdx))
-          .flatMap(b => parseSitemap(new String(b, java.nio.charset.StandardCharsets.UTF_8))) match {
+        decodeGzSitemap(r.getAs[Array[Byte]](pIdx))
+          .flatMap(parseSitemap) match {
           case Some(items) => items.iterator.zipWithIndex.map {
             case (m, i) => Row(id, i, m.kind, m.loc, m.lastmod.orNull,
               m.changefreq.orNull, m.priority.orNull)
@@ -380,6 +380,20 @@ object Sitemap {
     sb ++= "</urlset>\n"
     sb.toString
   }
+
+  /** The `sitemap.xml.gz` byte layer: gzip members reassembled through
+   * the verified locator path, then STRICT UTF-8 decoded (the family
+   * posture — decompressed bytes that are not valid UTF-8 refuse
+   * instead of silently walking replacement characters). */
+  def decodeGzSitemap(payload: Array[Byte]): Option[String] =
+    Gzip.inflateConcat(payload).flatMap { b =>
+      try {
+        val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+          .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+          .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+        Some(dec.decode(java.nio.ByteBuffer.wrap(b)).toString)
+      } catch { case _: java.nio.charset.CharacterCodingException => None }
+    }
 
   /** Deterministic `sitemap.xml.gz` fixture: [[syntheticSitemap]]'s
    * UTF-8 bytes compressed by the REAL `GZIPOutputStream` encoder — as

@@ -71,6 +71,12 @@ class SitemapSpec extends AnyFunSuite {
           s"id=$id")
       }
     }
+    // the byte layer is STRICT UTF-8: a gzip of invalid UTF-8 refuses
+    val bo = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bo)
+    g.write(Array[Byte]('<', 'u', 0xff.toByte, '>')); g.finish(); g.close()
+    assert(Sitemap.decodeGzSitemap(bo.toByteArray).isEmpty)
+    assert(Sitemap.decodeGzSitemap(null).isEmpty)
   }
 
   test("walk agrees with the JDK DOM parser on every clean fixture") {
