@@ -51,6 +51,55 @@ class OrcSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("tails agree with ORC's own reader, file-by-file, all five codecs") {
+    // the from-spec tail walk vs org.apache.orc's real reader over the
+    // same files: rows, codec, stripe count, per-stripe rows and the
+    // root field count must all match (test-only dependency — the
+    // product path never touches the Hadoop reader)
+    Seq("none", "zlib", "snappy", "zstd", "lz4").foreach { codec =>
+      val out = java.nio.file.Files.createTempDirectory("graft_orcdiff")
+      try {
+        import spark.implicits._
+        (0 until 300).map(i => (i.toLong, s"t_$i" * (1 + i % 5), s"l${i % 4}"))
+          .toDF("doc_id", "text", "lang")
+          .repartition(2)
+          .write.option("compression", codec).mode("overwrite")
+          .orc(out.resolve("d").toString)
+        import scala.jdk.CollectionConverters._
+        val files = java.nio.file.Files.list(out.resolve("d")).iterator()
+          .asScala.filter(_.toString.endsWith(".orc")).toSeq
+        assert(files.nonEmpty)
+        files.foreach { f =>
+          val mine = Orc.parseTail(java.nio.file.Files.readAllBytes(f))
+            .getOrElse(fail(s"$codec tail did not parse"))
+          val conf = new org.apache.hadoop.conf.Configuration()
+          val reader = org.apache.orc.OrcFile.createReader(
+            new org.apache.hadoop.fs.Path(f.toString),
+            org.apache.orc.OrcFile.readerOptions(conf))
+          try {
+            assert(mine.numRows === reader.getNumberOfRows, s"$codec rows")
+            assert(mine.compression.toUpperCase ===
+              reader.getCompressionKind.name(), s"$codec kind")
+            val stripes = reader.getStripes.asScala.toSeq
+            assert(mine.stripeRows.size === stripes.size, s"$codec stripes")
+            mine.stripeRows.zip(stripes).foreach { case (r, s) =>
+              assert(r === s.getNumberOfRows, s"$codec stripe rows")
+            }
+            mine.stripeDataBytes.zip(stripes).foreach { case (d, s) =>
+              assert(d === s.getDataLength, s"$codec stripe data bytes")
+            }
+            assert(mine.nRootFields ===
+              reader.getSchema.getChildren.size(), s"$codec root fields")
+          } finally reader.close()
+        }
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(out).iterator().asScala.toSeq.reverse
+          .foreach(p => p.toFile.delete())
+      }
+    }
+  }
+
   test("lzo tails are recognized but refused (census-only boundary)") {
     val files = writeOrc("lzo", 60)
     files.foreach { bytes =>
