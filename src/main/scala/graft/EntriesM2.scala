@@ -197,7 +197,8 @@ private[graft] object EntriesM2 {
     // extractBlockAt re-reads each block header (both varints must
     // match the locator), decodes the payload per codec (null /
     // deflate raw-inflate / snappy with the spec's trailing CRC32 of
-    // the raw data verified) and re-verifies the sync; the records are
+    // the raw data verified / zstandard frames through the public
+    // zstd-jni decoder — r16) and re-verifies the sync; the records are
     // then decoded per the `"string"` schema and replayed
     // character-exactly by the oracle. The fixture is written by the
     // REAL Avro DataFileWriter (true deflate/snappy streams, real
@@ -1007,8 +1008,9 @@ private[graft] object EntriesM2 {
         |  CAST(unnest(range(0, 1 + (doc_id + k) % 4)) AS INTEGER) AS j
         | FROM b)
         |SELECT doc_id, k AS block_no, j AS rec_no,
-        | CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'null'
-        |   WHEN 1 THEN 'deflate' ELSE 'snappy' END AS codec,
+        | CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 'null'
+        |   WHEN 1 THEN 'deflate' WHEN 2 THEN 'snappy'
+        |   ELSE 'zstandard' END AS codec,
         | 'avro_' || CAST(doc_id AS VARCHAR) || '_' || CAST(k AS VARCHAR)
         |   || '_' || CAST(j AS VARCHAR)
         |   || repeat('x', CAST((doc_id + j) % 20 AS INTEGER)) AS content

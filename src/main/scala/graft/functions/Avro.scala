@@ -199,13 +199,34 @@ object Avro {
             ((b(dataEnd - 2) & 0xffL) << 8) | (b(dataEnd - 1) & 0xffL)
           if ((crc.getValue & 0xffffffffL) != want) None else Some(raw)
         } catch { case _: java.io.IOException => None }
+      case "zstandard" => // zstd frame(s), no trailing CRC (the frame's
+        // own integrity machinery applies) — the modern lake codec,
+        // decoded through the same public zstd-jni stream decoder as
+        // ORC zstd tails, with the same zero-progress guard
+        val zin = new com.github.luben.zstd.ZstdInputStreamNoFinalizer(
+          new java.io.ByteArrayInputStream(b, dataStart, nBytes.toInt))
+        try {
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          var n = 1
+          while (n >= 0) {
+            n = try zin.read(buf, 0, buf.length)
+            catch { case _: java.io.IOException => return None }
+            if (n > 0) out.write(buf, 0, n)
+            else if (n == 0) return None // zero-progress guard
+          }
+          Some(out.toByteArray)
+        } finally zin.close()
       case _ => None // unknown codec: recognized, refused
     }
   }
 
   /** Decode a block of `"string"`-schema records: each record is a
    * zigzag-varint byte length + UTF-8 bytes. The walk must yield
-   * EXACTLY `expected` records and consume the block exactly; None
+   * EXACTLY `expected` records and consume the block exactly; invalid
+   * UTF-8 in any record refuses the block (strict REPORT-mode decode,
+   * the repo-wide posture — an Avro `string` is UTF-8 by spec, so a
+   * malformed sequence is corruption evidence, not a U+FFFD); None
    * otherwise. */
   def decodeStringRecords(data: Array[Byte],
       expected: Long): Option[IndexedSeq[String]] = {
@@ -215,7 +236,12 @@ object Avro {
     while (pos < data.length) {
       val l = varlong(data, pos, data.length)
       if (l == null || l._1 < 0 || l._1 > data.length - l._2) return None
-      out += new String(data, l._2, l._1.toInt, "UTF-8")
+      val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      try out += dec.decode(
+        java.nio.ByteBuffer.wrap(data, l._2, l._1.toInt)).toString
+      catch { case _: java.nio.charset.CharacterCodingException => return None }
       pos = l._2 + l._1.toInt
     }
     if (out.size.toLong != expected) return None
@@ -372,22 +398,25 @@ object Avro {
   /** Deterministic REAL-encoder OCF fixture (the m42 analog for Avro):
    * written by the Avro library's own `DataFileWriter` over schema
    * `"string"` with a deterministic sync marker (byte j =
-   * `(id*31 + j*7) & 0xff`), codec rotating null/deflate/snappy by
-   * `id%3`. `1 + id%3` data blocks forced by `writer.sync()`; block k
-   * holds `1 + (id+k)%4` records `avro_<id>_<k>_<j>` +
-   * `"x" * ((id+j)%20)`. `id%8 == 5` payloads have a byte of the FINAL
-   * sync flipped — [[parseOcf]] refuses (splice evidence), zero rows.
-   * Compressed block sizes are encoder-owned; the extraction re-reads
-   * them from the block headers, so the oracle replays only the
-   * DECODED record contents (the m42 posture). */
+   * `(id*31 + j*7) & 0xff`), codec rotating null/deflate/snappy/
+   * zstandard by `id%4` (r16: zstd is the modern lake codec — same
+   * coverage shape as the ORC tails). `1 + id%3` data blocks forced by
+   * `writer.sync()`; block k holds `1 + (id+k)%4` records
+   * `avro_<id>_<k>_<j>` + `"x" * ((id+j)%20)`. `id%8 == 5` payloads
+   * have a byte of the FINAL sync flipped — [[parseOcf]] refuses
+   * (splice evidence), zero rows. Compressed block sizes are
+   * encoder-owned; the extraction re-reads them from the block
+   * headers, so the oracle replays only the DECODED record contents
+   * (the m42 posture). */
   def syntheticRealAvro(id: Long): Array[Byte] = {
     val schema = org.apache.avro.Schema.create(org.apache.avro.Schema.Type.STRING)
     val w = new org.apache.avro.file.DataFileWriter[CharSequence](
       new org.apache.avro.generic.GenericDatumWriter[CharSequence](schema))
-    (id % 3) match {
+    (id % 4) match {
       case 0 => w.setCodec(org.apache.avro.file.CodecFactory.nullCodec())
       case 1 => w.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
-      case _ => w.setCodec(org.apache.avro.file.CodecFactory.snappyCodec())
+      case 2 => w.setCodec(org.apache.avro.file.CodecFactory.snappyCodec())
+      case _ => w.setCodec(org.apache.avro.file.CodecFactory.zstandardCodec(3))
     }
     val bo = new java.io.ByteArrayOutputStream()
     val sync = Array.tabulate(16)(j => ((id * 31 + j * 7) & 0xff).toByte)

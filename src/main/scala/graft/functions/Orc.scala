@@ -326,11 +326,17 @@ object Orc {
         // lz4 BLOCK format (what ORC's aircompressor-backed writer
         // emits) carries no decoded-size field: decompress with the
         // public lz4-java SAFE decompressor into the available scratch
-        // and grow (hard-capped) while it reports a short buffer; a
-        // genuinely corrupt chunk exhausts the cap and refuses
+        // and grow while it reports a short buffer. The decompressor
+        // cannot distinguish "buffer too small" from "corrupt chunk"
+        // (both are LZ4Exception), so the grow loop is bounded by the
+        // FORMAT's own expansion limit — LZ4 output is < 256× the
+        // compressed size, so a buffer of clen*255 can never be too
+        // small for a VALID chunk; still throwing there (or at the
+        // 64 MiB cap) is corruption, refused without further retries
         val dec = net.jpountz.lz4.LZ4Factory.fastestInstance()
           .safeDecompressor()
-        var room = math.max(4096, math.min(cap - w, clen * 4))
+        val roomCap = math.min(cap.toLong - w, clen.toLong * 255).toInt
+        var room = math.max(4096, math.min(roomCap, clen * 4))
         var decoded = -1
         while (decoded < 0) {
           ensure(room)
@@ -338,8 +344,8 @@ object Orc {
             math.min(room, out.length - w))
           catch {
             case _: net.jpountz.lz4.LZ4Exception =>
-              if (room >= cap - w) throw new Malformed
-              room = math.min(cap - w, room * 2)
+              if (room >= roomCap) throw new Malformed
+              room = math.min(roomCap, room * 2)
           }
         }
         w += decoded

@@ -93,7 +93,7 @@ class AvroSpec extends AnyFunSuite {
           k <- 0 until (1 + id % 3).toInt
           j <- 0 until (1 + (id + k) % 4).toInt
         } yield (k, j,
-          Seq("null", "deflate", "snappy")((id % 3).toInt),
+          Seq("null", "deflate", "snappy", "zstandard")((id % 4).toInt),
           s"avro_${id}_${k}_$j" + "x" * ((id + j) % 20).toInt)
         assert(rs === want.toIndexedSeq, s"id=$id")
         // real-decoder differential: Avro's own DataFileReader over the
@@ -112,7 +112,7 @@ class AvroSpec extends AnyFunSuite {
   }
 
   test("a stale or forged block locator is refused, never mis-extracted") {
-    val payload = Avro.syntheticRealAvro(7L) // deflate codec
+    val payload = Avro.syntheticRealAvro(9L) // deflate codec (9 % 4 == 1)
     val o = Avro.parseOcf(payload).get
     val sync = o.sync.toArray
     val (off, nr, nb) = o.blocks.head
@@ -137,10 +137,44 @@ class AvroSpec extends AnyFunSuite {
       .flatMap(Avro.decodeStringRecords(_, nr))
     catch { case e: Throwable => fail(s"threw on mutated block: $e") }
     res.foreach { strs =>
-      val want = (0 until (1 + (7 + 0) % 4)).map(j =>
-        s"avro_7_0_$j" + "x" * ((7 + j) % 20))
+      val want = (0 until (1 + (9 + 0) % 4)).map(j =>
+        s"avro_9_0_$j" + "x" * ((9 + j) % 20))
       assert(strs != want, "mutated block decoded to the original records")
     }
+  }
+
+  test("zstandard blocks extract and a corrupt zstd frame refuses") {
+    // 3 % 4 == 3 → zstandard codec; 3 % 8 != 5 → clean file
+    val payload = Avro.syntheticRealAvro(3L)
+    val o = Avro.parseOcf(payload).getOrElse(fail("did not parse"))
+    assert(o.codec === "zstandard")
+    val (off, nr, nb) = o.blocks.head
+    val raw = Avro.extractBlockAt(payload, off, nr, nb, o.codec, o.sync.toArray)
+    assert(raw.isDefined, "clean zstd block must extract")
+    // flip a byte inside the zstd frame body: the decoder must refuse
+    // (None), never throw and never return plausible bytes silently —
+    // the frame's own magic/structure checks catch it
+    val m = payload.clone()
+    m(off.toInt + 4) = (m(off.toInt + 4) ^ 0x20).toByte
+    val res = try Avro.extractBlockAt(m, off, nr, nb, o.codec, o.sync.toArray)
+      .flatMap(Avro.decodeStringRecords(_, nr))
+    catch { case e: Throwable => fail(s"threw on mutated zstd block: $e") }
+    res.foreach { strs =>
+      val want = (0 until (1 + 3 % 4)).map(j =>
+        s"avro_3_0_$j" + "x" * ((3 + j) % 20))
+      assert(strs != want, "mutated zstd block decoded to the original records")
+    }
+  }
+
+  test("invalid UTF-8 in a string record refuses the block (strict decode)") {
+    // hand-build a "block" of one record whose bytes are not UTF-8:
+    // length 2, bytes 0xC3 0x28 (truncated 2-byte sequence)
+    val bad = Array[Byte](0x04, 0xc3.toByte, 0x28)
+    assert(Avro.decodeStringRecords(bad, 1L).isEmpty,
+      "malformed UTF-8 must refuse, not U+FFFD")
+    // the same length with valid UTF-8 decodes
+    val good = Array[Byte](0x04, 'o'.toByte, 'k'.toByte)
+    assert(Avro.decodeStringRecords(good, 1L) === Some(IndexedSeq("ok")))
   }
 
   test("corrupt contract: sync, truncation, trailing bytes, bad magic") {
