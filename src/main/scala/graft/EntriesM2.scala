@@ -440,6 +440,52 @@ private[graft] object EntriesM2 {
       }
     }),
 
+    // parquet data-page VALUE decode (m50 — the m37→m39→m48 metadata
+    // ladder completed into a real page-skip READ): Spark writes the
+    // two-column table under five writer-version×codec variants
+    // (40-row pages force a real page split); every data page is then
+    // fetched by its m48 OffsetIndex locator ALONE and decoded from
+    // first principles — PageHeader thrift, per-codec exact-size
+    // decompression, RLE def levels, PLAIN / PLAIN_DICTIONARY /
+    // RLE_DICTIONARY / DELTA_BINARY_PACKED values — with
+    // first_row_index, chunk num_values and row-group num_rows all
+    // re-validated. The decoded (doc_id, lang_n) pairs, zipped per row
+    // across the two chunks (cross-column alignment proof), must
+    // hash-match the DuckDB oracle over the SAME source rows — the
+    // values themselves are the verdict
+    "m50_parquet_pages" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 =!= 0, col("lang")).as("lang_n"))
+        .repartition(2).sortWithinPartitions("doc_id")
+      val out = java.nio.file.Files.createTempDirectory("graft_m50").toString
+      try {
+        val frames = Seq("v1" -> "snappy", "v1" -> "uncompressed",
+          "v1" -> "lz4_raw", "v2" -> "zstd", "v2" -> "gzip").map {
+          case (ver, codec) =>
+            val path = s"$out/${ver}_$codec"
+            docs.write
+              .option("parquet.writer.version", ver)
+              .option("parquet.page.row.count.limit", "40")
+              .option("compression", codec)
+              .mode("overwrite").parquet(path)
+            val bin = graft.functions.Multimodal
+              .loadBinaryFiles(s, path, "*.parquet")
+              .selectExpr("monotonically_increasing_id() AS fid", "payload")
+            graft.functions.ParquetFooter
+              .parquetDecodeLongStr(bin, "fid", "payload", "doc_id", "lang_n")
+              .select(lit(s"${ver}_$codec").as("variant"),
+                col("long_val").as("doc_id"), col("str_val").as("lang_n"))
+        }
+        // materialize before the temp dir is deleted (the frames read it)
+        frames.reduce(_.unionByName(_)).localCheckpoint(true)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(out)).iterator()
+          .asScala.toSeq.reverse.foreach(p => p.toFile.delete())
+      }
+    }),
+
     // PNG textual-metadata extraction (tEXt/zTXt/iTXt) with every chunk
     // CRC verified — where image provenance strings live; zTXt/iTXt
     // decode REAL zlib streams (the oracle replays the decoded text, so
@@ -1063,6 +1109,18 @@ private[graft] object EntriesM2 {
         | CAST(CASE WHEN doc_id % 6 = 1 THEN 1 ELSE 0 END AS INTEGER)
         |   AS has_thumbnail
         |FROM documents WHERE doc_id % 11 <> 6""".stripMargin,
+
+    // the m50 oracle is the SOURCE ROWS themselves, replicated per
+    // writer-version×codec variant: the engine side decoded every
+    // value from located pages, so a single wrong long, string, null
+    // or misaligned row anywhere in any variant hash-mismatches
+    "m50_parquet_pages" ->
+      """WITH v AS (SELECT unnest(['v1_snappy', 'v1_uncompressed',
+        |  'v1_lz4_raw', 'v2_zstd', 'v2_gzip']) AS variant),
+        |d AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 7 <> 0 THEN lang END AS lang_n
+        | FROM documents)
+        |SELECT variant, doc_id, lang_n FROM v, d""".stripMargin,
 
     // closed-form replay of the m37 write: Spark wrote count(documents)
     // rows into 2 files of 3 leaf columns; the verdict columns assert

@@ -228,7 +228,8 @@ object ParquetFooter {
       compBytes: Long, encodings: IndexedSeq[Int], nullCount: Option[Long],
       minLong: Option[Long], maxLong: Option[Long],
       minStr: Option[String], maxStr: Option[String],
-      bloomOffset: Option[Long] = None, bloomLength: Option[Long] = None)
+      bloomOffset: Option[Long] = None, bloomLength: Option[Long] = None,
+      dataPageOffset: Long = -1L, dictPageOffset: Option[Long] = None)
 
   private def typeName(t: Int): String = t match {
     case 0 => "boolean"; case 1 => "int32"; case 2 => "int64"
@@ -344,6 +345,8 @@ object ParquetFooter {
     var maxS: Option[String] = None
     var bloomOff: Option[Long] = None
     var bloomLen: Option[Long] = None
+    var dataPageOff = -1L
+    var dictPageOff: Option[Long] = None
     // deprecated min/max kept only until min_value/max_value show up
     var sawNewMin = false
     var sawNewMax = false
@@ -403,6 +406,8 @@ object ParquetFooter {
             }
           }
           true
+        case (9L, 6) => dataPageOff = c.zigzag(); true
+        case (11L, 6) => dictPageOff = Some(c.zigzag()); true
         case (14L, 6) => bloomOff = Some(c.zigzag()); true
         case (15L, 5) => bloomLen = Some(c.zigzag()); true
         case _ => false
@@ -412,7 +417,7 @@ object ParquetFooter {
       throw new Malformed // required ColumnMetaData fields missing
     ChunkMeta(rgNo, colNo, parts.mkString("."), ptype, codec, numValues,
       uncomp, comp, encs.toIndexedSeq, nullCount, minL, maxL, minS, maxS,
-      bloomOff, bloomLen)
+      bloomOff, bloomLen, dataPageOff, dictPageOff)
   }
 
   // ---- page-index projection (ColumnIndex / OffsetIndex / bloom) ------
@@ -766,6 +771,691 @@ object ParquetFooter {
     StructField("rg_no", IntegerType),
     StructField("rg_rows", LongType),
     StructField("rg_bytes", LongType)))
+
+  // ---- data-page VALUE decode (m50) -----------------------------------
+  //
+  // The m37→m39→m48 metadata ladder located pages; this rung DECODES
+  // them — the end-to-end page-skip read a 100 TB parquet lake actually
+  // performs: fetch the byte range an OffsetIndex locator names, parse
+  // the PageHeader thrift, decompress the body per the chunk codec,
+  // and decode values (parquet-format Encodings.md):
+  //   - PLAIN: INT64 as 8-byte LE runs, BYTE_ARRAY as u32-LE length +
+  //     bytes (strict UTF-8);
+  //   - PLAIN_DICTIONARY / RLE_DICTIONARY: a PLAIN dictionary page
+  //     (located by dictionary_page_offset) + 1 bit-width byte + an
+  //     RLE/bit-packed hybrid run of indices;
+  //   - DELTA_BINARY_PACKED (the v2 writer's INT64 fallback):
+  //     block/miniblock bit-packed zigzag deltas;
+  //   - DELTA_LENGTH_BYTE_ARRAY / DELTA_BYTE_ARRAY (the v2 writer's
+  //     string fallback): delta-packed length runs (+ shared-prefix
+  //     fronting) over concatenated bytes;
+  //   - definition levels (nullable columns, max def 1): RLE with a
+  //     u32-LE length prefix in v1 pages, a separate never-compressed
+  //     section in v2 pages.
+  // FLAT schemas only (no repeated fields — repetition levels are
+  // structurally absent); nested files refuse. Strict posture
+  // throughout: every locator is re-validated (header+body must tile
+  // the located range exactly, first_row_index must equal the running
+  // row count, decoded totals must equal the chunk's num_values and
+  // the row group's num_rows), and any slip refuses the file.
+
+  /** One leaf of a FLAT schema: name, physical type, optionality. */
+  private final case class Leaf(name: String, ptype: Int, optional: Boolean)
+
+  /** Cursor positioned AT the schema list value; returns the leaves in
+   * schema order. Nested or repeated schemas throw (out of decode
+   * scope — the censuses above still cover them). */
+  private def parseFlatLeaves(c: Cur, b: Array[Byte]): IndexedSeq[Leaf] = {
+    val (size, et) = listHeader(c)
+    if (et != 12) throw new Malformed
+    val out = scala.collection.mutable.ArrayBuffer.empty[Leaf]
+    var i = 0L
+    while (i < size) {
+      var tpe = -1
+      var rep = -1
+      var name: String = null
+      var children = 0L
+      walkStruct(c) { (fid, t) =>
+        (fid, t) match {
+          case (1L, 5) => tpe = c.zigzag().toInt; true
+          case (3L, 5) => rep = c.zigzag().toInt; true
+          case (4L, 8) =>
+            val len = c.varint()
+            val off = c.bytes(len)
+            name = new String(b, off, len.toInt, "UTF-8")
+            true
+          case (5L, 5) => children = c.zigzag(); true
+          case _ => false
+        }
+      }
+      if (i == 0L) {
+        if (children <= 0) throw new Malformed // root must have children
+      } else {
+        if (children != 0L) throw new Malformed // nested: refused
+        if (rep == 2) throw new Malformed // repeated: refused
+        if (name == null || tpe < 0) throw new Malformed
+        out += Leaf(name, tpe, rep == 1)
+      }
+      i += 1
+    }
+    out.toIndexedSeq
+  }
+
+  /** Projected PageHeader thrift. `end` is the absolute offset just
+   * past the header (= start of the page body). */
+  private final case class PageHdr(ptype: Int, uncomp: Int, comp: Int,
+      nValues: Int, enc: Int, defEnc: Int, dictN: Int, dictEnc: Int,
+      nNulls: Int, defLen2: Int, repLen2: Int, compressed2: Boolean,
+      end: Int)
+
+  private def parsePageHeader(b: Array[Byte], off: Int, lim: Int): PageHdr = {
+    val c = new Cur(b, off, lim)
+    var ptype = -1
+    var uncomp = -1
+    var comp = -1
+    var nValues = -1
+    var enc = -1
+    var defEnc = -1
+    var dictN = -1
+    var dictEnc = -1
+    var nNulls = -1
+    var defLen2 = -1
+    var repLen2 = -1
+    var compressed2 = true // thrift default per parquet-format
+    walkStruct(c) { (fid, tpe) =>
+      (fid, tpe) match {
+        case (1L, 5) => ptype = c.zigzag().toInt; true
+        case (2L, 5) => uncomp = c.zigzag().toInt; true
+        case (3L, 5) => comp = c.zigzag().toInt; true
+        case (5L, 12) => // DataPageHeader (v1)
+          walkStruct(c) { (f2, t2) =>
+            (f2, t2) match {
+              case (1L, 5) => nValues = c.zigzag().toInt; true
+              case (2L, 5) => enc = c.zigzag().toInt; true
+              case (3L, 5) => defEnc = c.zigzag().toInt; true
+              case _ => false
+            }
+          }
+          true
+        case (7L, 12) => // DictionaryPageHeader
+          walkStruct(c) { (f2, t2) =>
+            (f2, t2) match {
+              case (1L, 5) => dictN = c.zigzag().toInt; true
+              case (2L, 5) => dictEnc = c.zigzag().toInt; true
+              case _ => false
+            }
+          }
+          true
+        case (8L, 12) => // DataPageHeaderV2
+          walkStruct(c) { (f2, t2) =>
+            (f2, t2) match {
+              case (1L, 5) => nValues = c.zigzag().toInt; true
+              case (2L, 5) => nNulls = c.zigzag().toInt; true
+              case (4L, 5) => enc = c.zigzag().toInt; true
+              case (5L, 5) => defLen2 = c.zigzag().toInt; true
+              case (6L, 5) => repLen2 = c.zigzag().toInt; true
+              case (7L, 1) | (7L, 2) => compressed2 = t2 == 1; true
+              case _ => false
+            }
+          }
+          true
+        case _ => false
+      }
+    }
+    if (ptype < 0 || uncomp < 0 || comp < 0) throw new Malformed
+    PageHdr(ptype, uncomp, comp, nValues, enc, defEnc, dictN, dictEnc,
+      nNulls, defLen2, repLen2, compressed2, c.pos)
+  }
+
+  /** Decompress one page body to EXACTLY `uncomp` bytes per the chunk
+   * codec (uncompressed/snappy/gzip/zstd/lz4_raw — the codecs with
+   * public exact-size decoders on the classpath); any length
+   * disagreement or other codec refuses. */
+  private def inflatePage(b: Array[Byte], off: Int, comp: Int, uncomp: Int,
+      codec: Int): Array[Byte] = {
+    if (comp < 0 || uncomp < 0 || comp > b.length - off) throw new Malformed
+    codec match {
+      case 0 =>
+        if (comp != uncomp) throw new Malformed
+        java.util.Arrays.copyOfRange(b, off, off + comp)
+      case 1 => // snappy block
+        val raw =
+          try org.xerial.snappy.Snappy.uncompress(
+            java.util.Arrays.copyOfRange(b, off, off + comp))
+          catch { case _: java.io.IOException => throw new Malformed }
+        if (raw.length != uncomp) throw new Malformed
+        raw
+      case 2 => // gzip member
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(b, off, comp))
+        try {
+          val out = new Array[Byte](uncomp)
+          var w = 0
+          var n = 0
+          while (n >= 0 && w < uncomp) {
+            n = try in.read(out, w, uncomp - w)
+            catch { case _: java.io.IOException => throw new Malformed }
+            if (n > 0) w += n
+          }
+          if (w != uncomp || in.read() != -1) throw new Malformed
+          out
+        } finally in.close()
+      case 6 => // zstd frame
+        val zin = new com.github.luben.zstd.ZstdInputStreamNoFinalizer(
+          new java.io.ByteArrayInputStream(b, off, comp))
+        try {
+          val out = new Array[Byte](uncomp)
+          var w = 0
+          var n = 0
+          while (n >= 0 && w < uncomp) {
+            n = try zin.read(out, w, uncomp - w)
+            catch { case _: java.io.IOException => throw new Malformed }
+            if (n > 0) w += n
+            else if (n == 0) throw new Malformed // zero-progress guard
+          }
+          if (w != uncomp || zin.read() != -1) throw new Malformed
+          out
+        } finally zin.close()
+      case 7 => // lz4_raw: one LZ4 block, decoded size known up front
+        val dec = net.jpountz.lz4.LZ4Factory.fastestInstance()
+          .safeDecompressor()
+        val out = new Array[Byte](uncomp)
+        val k =
+          try dec.decompress(b, off, comp, out, 0, uncomp)
+          catch { case _: net.jpountz.lz4.LZ4Exception => throw new Malformed }
+        if (k != uncomp) throw new Malformed
+        out
+      case _ => throw new Malformed // brotli/lzo/lz4(hadoop-framed): refused
+    }
+  }
+
+  private def utf8Strict(b: Array[Byte], off: Int, len: Int): String = {
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try dec.decode(java.nio.ByteBuffer.wrap(b, off, len)).toString
+    catch {
+      case _: java.nio.charset.CharacterCodingException => throw new Malformed
+    }
+  }
+
+  /** RLE/bit-packed hybrid run: ULEB128 headers; even = RLE run (the
+   * value in ceil(w/8) LE bytes), odd = bit-packed groups of 8 values
+   * (LSB-first). Decodes exactly `n` values from [start,end); the run
+   * must land on `end` with only final-group padding beyond `n`. */
+  private def rleHybrid(b: Array[Byte], start: Int, end: Int, bitWidth: Int,
+      n: Int): Array[Int] = {
+    if (bitWidth < 0 || bitWidth > 32) throw new Malformed
+    val out = new Array[Int](n)
+    if (n == 0) return out
+    var k = 0
+    val c = new Cur(b, start, end)
+    while (k < n) {
+      val h = c.varint()
+      if ((h & 1L) == 0L) { // RLE run
+        val count = h >>> 1
+        if (count <= 0 || count > n - k) throw new Malformed
+        val byteW = (bitWidth + 7) / 8
+        val s = c.bytes(byteW.toLong)
+        var v = 0
+        var i = 0
+        while (i < byteW) { v |= (b(s + i) & 0xff) << (8 * i); i += 1 }
+        var j = 0L
+        while (j < count) { out(k) = v; k += 1; j += 1 }
+      } else { // bit-packed groups
+        val groups = h >>> 1
+        if (groups <= 0 || groups > (n.toLong - k + 7) / 8) throw new Malformed
+        val s = c.bytes(groups * bitWidth)
+        val total = groups * 8
+        var j = 0L
+        while (j < total && k < n) {
+          var v = 0
+          var bi = 0
+          val base = j * bitWidth
+          while (bi < bitWidth) {
+            val bit = base + bi
+            if (((b(s + (bit >>> 3).toInt) >> (bit & 7).toInt) & 1) != 0)
+              v |= 1 << bi
+            bi += 1
+          }
+          out(k) = v
+          k += 1
+          j += 1
+        }
+      }
+    }
+    if (c.pos != end) throw new Malformed // trailing bytes: stale locator
+    out
+  }
+
+  /** One DELTA_BINARY_PACKED run: header <blockSize>
+   * <miniblocksPerBlock><totalCount><firstValue zigzag>, then per
+   * block <minDelta zigzag>, one bit-width byte per miniblock, and the
+   * used miniblocks' LSB-first bit-packed deltas (unused trailing
+   * miniblocks carry no data). Self-delimiting via its own total
+   * count; returns the values and the position just past the run.
+   * Wrapping i64 arithmetic is the encoding's own definition. */
+  private def deltaPackedRun(b: Array[Byte], start: Int,
+      end: Int): (Array[Long], Int) = {
+    val c = new Cur(b, start, end)
+    val blockSize = c.varint()
+    val mbPerBlock = c.varint()
+    val total = c.varint()
+    if (blockSize <= 0 || mbPerBlock <= 0 || mbPerBlock > 512 ||
+      blockSize % (mbPerBlock * 8) != 0 || total < 0 || total > (1 << 26))
+      throw new Malformed // count cap: a forged header cannot balloon
+    val mbSize = (blockSize / mbPerBlock).toInt
+    val n = total.toInt
+    val out = new Array[Long](n)
+    if (n == 0) return (out, c.pos)
+    val z0 = c.varint()
+    var prev = (z0 >>> 1) ^ -(z0 & 1)
+    out(0) = prev
+    var k = 1
+    while (k < n) {
+      val zm = c.varint()
+      val minDelta = (zm >>> 1) ^ -(zm & 1)
+      val widths = new Array[Int](mbPerBlock.toInt)
+      var i = 0
+      while (i < widths.length) { widths(i) = c.u8(); i += 1 }
+      i = 0
+      while (i < widths.length && k < n) {
+        val w = widths(i)
+        if (w > 64) throw new Malformed
+        val s = c.bytes(mbSize.toLong * w / 8)
+        var j = 0
+        while (j < mbSize && k < n) {
+          var v = 0L
+          var bi = 0
+          val base = j.toLong * w
+          while (bi < w) {
+            val bit = base + bi
+            if (((b(s + (bit >>> 3).toInt) >> (bit & 7).toInt) & 1) != 0)
+              v |= 1L << bi
+            bi += 1
+          }
+          prev += minDelta + v
+          out(k) = prev
+          k += 1
+          j += 1
+        }
+        i += 1
+      }
+    }
+    (out, c.pos)
+  }
+
+  /** PLAIN-decode `n` values from [start,end) — must tile exactly. */
+  private def plainValues(data: Array[Byte], start: Int, end: Int, n: Int,
+      ptype: Int): Array[AnyRef] = {
+    val out = new Array[AnyRef](n)
+    var pos = start
+    var k = 0
+    ptype match {
+      case 2 => // int64
+        if ((end - pos).toLong != n.toLong * 8) throw new Malformed
+        while (k < n) { out(k) = Long.box(i64le(data, pos)); pos += 8; k += 1 }
+      case 6 => // byte_array (read as strict UTF-8 string)
+        while (k < n) {
+          if (end - pos < 4) throw new Malformed
+          val len = i32le(data, pos).toInt
+          pos += 4
+          if (len < 0 || len > end - pos) throw new Malformed
+          out(k) = utf8Strict(data, pos, len)
+          pos += len
+          k += 1
+        }
+        if (pos != end) throw new Malformed
+      case _ => throw new Malformed // other physical types: decode refused
+    }
+    out
+  }
+
+  /** Decode the values section per its declared encoding. A page with
+   * zero non-null values decodes to nothing regardless of encoding
+   * (the def levels already carried every row; the region holds only
+   * encoder scaffolding, e.g. empty delta-run headers). */
+  private def decodeValues(data: Array[Byte], start: Int, end: Int, enc: Int,
+      ptype: Int, n: Int, dict: Array[AnyRef]): Array[AnyRef] = {
+    if (n == 0) return new Array[AnyRef](0)
+    enc match {
+      case 0 => plainValues(data, start, end, n, ptype)
+      case 2 | 8 => // PLAIN_DICTIONARY (v1) / RLE_DICTIONARY (v2)
+        if (dict == null) throw new Malformed // needs a dict the chunk lacks
+        if (end - start < 1) throw new Malformed
+        val w = data(start) & 0xff
+        if (w > 32) throw new Malformed
+        val idx = rleHybrid(data, start + 1, end, w, n)
+        val out = new Array[AnyRef](n)
+        var k = 0
+        while (k < n) {
+          val i = idx(k)
+          if (i < 0 || i >= dict.length) throw new Malformed
+          out(k) = dict(i)
+          k += 1
+        }
+        out
+      case 5 => // DELTA_BINARY_PACKED
+        if (ptype != 2) throw new Malformed
+        val (longs, p) = deltaPackedRun(data, start, end)
+        if (longs.length != n || p != end) throw new Malformed
+        val out = new Array[AnyRef](n)
+        var k = 0
+        while (k < n) { out(k) = Long.box(longs(k)); k += 1 }
+        out
+      case 6 => // DELTA_LENGTH_BYTE_ARRAY: delta-packed lengths + bytes
+        if (ptype != 6) throw new Malformed
+        val (lens, p) = deltaPackedRun(data, start, end)
+        if (lens.length != n) throw new Malformed
+        val out = new Array[AnyRef](n)
+        var pos = p
+        var k = 0
+        while (k < n) {
+          val len = lens(k)
+          if (len < 0 || len > end - pos) throw new Malformed
+          out(k) = utf8Strict(data, pos, len.toInt)
+          pos += len.toInt
+          k += 1
+        }
+        if (pos != end) throw new Malformed
+        out
+      case 7 => // DELTA_BYTE_ARRAY: prefix lens + suffix lens + suffixes
+        if (ptype != 6) throw new Malformed
+        val (pre, p1) = deltaPackedRun(data, start, end)
+        val (suf, p2) = deltaPackedRun(data, p1, end)
+        if (pre.length != n || suf.length != n) throw new Malformed
+        val out = new Array[AnyRef](n)
+        var prev = new Array[Byte](0)
+        var pos = p2
+        var k = 0
+        while (k < n) {
+          val pl = pre(k)
+          val sl = suf(k)
+          if (pl < 0 || pl > prev.length || sl < 0 || sl > end - pos)
+            throw new Malformed
+          val v = new Array[Byte](pl.toInt + sl.toInt)
+          System.arraycopy(prev, 0, v, 0, pl.toInt)
+          System.arraycopy(data, pos, v, pl.toInt, sl.toInt)
+          out(k) = utf8Strict(v, 0, v.length)
+          prev = v
+          pos += sl.toInt
+          k += 1
+        }
+        if (pos != end) throw new Malformed
+        out
+      case _ => throw new Malformed // BYTE_STREAM_SPLIT etc.: refused
+    }
+  }
+
+  /** Merge non-null values back into row order via the def levels. */
+  private def assemble(defs: Array[Int], vals: Array[AnyRef], n: Int,
+      maxDef: Int): Array[AnyRef] = {
+    if (defs == null) {
+      if (vals.length != n) throw new Malformed
+      return vals
+    }
+    val out = new Array[AnyRef](n)
+    var k = 0
+    var v = 0
+    while (k < n) {
+      val d = defs(k)
+      if (d < 0 || d > maxDef) throw new Malformed
+      if (d == maxDef) { out(k) = vals(v); v += 1 }
+      k += 1
+    }
+    if (v != vals.length) throw new Malformed
+    out
+  }
+
+  /** Decode the chunk's dictionary page at `dictionary_page_offset`. */
+  private def decodeDictPage(b: Array[Byte], off: Long, codec: Int,
+      ptype: Int): Array[AnyRef] = {
+    if (off < 0 || off >= b.length) throw new Malformed
+    val h = parsePageHeader(b, off.toInt, b.length)
+    if (h.ptype != 2 || h.dictN < 0) throw new Malformed
+    if (h.dictEnc != 0 && h.dictEnc != 2) throw new Malformed // PLAIN forms
+    val data = inflatePage(b, h.end, h.comp, h.uncomp, codec)
+    plainValues(data, 0, data.length, h.dictN, ptype)
+  }
+
+  /** Decode ONE data page from the byte range its OffsetIndex locator
+   * names: [off, off+size) must hold exactly PageHeader + body. */
+  private def decodeDataPage(b: Array[Byte], off: Long, size: Long,
+      codec: Int, ptype: Int, maxDef: Int,
+      dict: Array[AnyRef]): Array[AnyRef] = {
+    if (off < 0 || size <= 0 || size > b.length - off) throw new Malformed
+    val lim = (off + size).toInt
+    val h = parsePageHeader(b, off.toInt, lim)
+    if (h.end.toLong + h.comp != lim) throw new Malformed // exact tiling
+    h.ptype match {
+      case 0 => // v1 DATA_PAGE: body fully compressed (levels included)
+        if (h.nValues < 0 || h.enc < 0) throw new Malformed
+        val data = inflatePage(b, h.end, h.comp, h.uncomp, codec)
+        var pos = 0
+        val defs: Array[Int] =
+          if (maxDef == 0) null
+          else {
+            if (h.defEnc != 3) throw new Malformed // RLE only
+            if (data.length - pos < 4) throw new Malformed
+            val dl = i32le(data, pos).toInt
+            pos += 4
+            if (dl < 0 || dl > data.length - pos) throw new Malformed
+            val d = rleHybrid(data, pos, pos + dl, 1, h.nValues)
+            pos += dl
+            d
+          }
+        val nNonNull = if (defs == null) h.nValues else defs.count(_ == maxDef)
+        val vals = decodeValues(data, pos, data.length, h.enc, ptype,
+          nNonNull, dict)
+        assemble(defs, vals, h.nValues, maxDef)
+      case 3 => // DATA_PAGE_V2: level sections first, NEVER compressed
+        if (h.nValues < 0 || h.enc < 0 || h.defLen2 < 0 || h.repLen2 != 0)
+          throw new Malformed // repLen > 0 would mean a nested schema
+        val lvlStart = h.end
+        if (h.defLen2 > h.comp) throw new Malformed
+        val defs: Array[Int] =
+          if (maxDef == 0) {
+            if (h.defLen2 != 0) throw new Malformed
+            null
+          } else rleHybrid(b, lvlStart, lvlStart + h.defLen2, 1, h.nValues)
+        val dataOff = lvlStart + h.defLen2
+        val dataComp = h.comp - h.defLen2
+        val dataUncomp = h.uncomp - h.defLen2
+        if (dataUncomp < 0) throw new Malformed
+        val data =
+          if (h.compressed2) inflatePage(b, dataOff, dataComp, dataUncomp, codec)
+          else {
+            if (dataComp != dataUncomp) throw new Malformed
+            java.util.Arrays.copyOfRange(b, dataOff, dataOff + dataComp)
+          }
+        val nNonNull = if (defs == null) h.nValues else defs.count(_ == maxDef)
+        if (h.nNulls >= 0 && h.nValues - nNonNull != h.nNulls)
+          throw new Malformed // header/levels disagreement
+        val vals = decodeValues(data, 0, data.length, h.enc, ptype,
+          nNonNull, dict)
+        assemble(defs, vals, h.nValues, maxDef)
+      case _ => throw new Malformed // dictionary/index page at a data locator
+    }
+  }
+
+  /** Decoded values of one column chunk, in row order, nulls in
+   * place (boxed java.lang.Long for INT64, String for BYTE_ARRAY). */
+  final case class DecodedChunk(rgNo: Int, path: String, ptype: Int,
+      values: IndexedSeq[AnyRef])
+
+  /**
+   * Decode EVERY supported column chunk of a flat-schema parquet file.
+   * Chunks carrying an OffsetIndex decode page-by-page through the
+   * locators (the page-SKIP read path — each page from its located
+   * byte range alone, `first_row_index` re-validated against the
+   * running row count); chunks without one (pyarrow's default) walk
+   * sequentially, with the pages required to tile the chunk's declared
+   * `total_compressed_size` byte run exactly. INT64 and BYTE_ARRAY
+   * leaves decode; other physical types are skipped (censused above,
+   * not valued). None on any structural violation, locator
+   * disagreement, count mismatch, nested schema, or unsupported
+   * codec/encoding on a supported leaf.
+   */
+  def decodeFlatColumns(payload: Array[Byte]): Option[IndexedSeq[DecodedChunk]] = {
+    val b = payload
+    if (b == null || b.length < 12) return None
+    if (b(0) != 'P' || b(1) != 'A' || b(2) != 'R' || b(3) != '1') return None
+    val n = b.length
+    if (b(n - 4) != 'P' || b(n - 3) != 'A' || b(n - 2) != 'R' ||
+      b(n - 1) != '1') return None
+    val flen = (b(n - 8) & 0xffL) | ((b(n - 7) & 0xffL) << 8) |
+      ((b(n - 6) & 0xffL) << 16) | ((b(n - 5) & 0xffL) << 24)
+    if (flen <= 0 || flen > n - 12) return None
+    val c = new Cur(b, n - 8 - flen.toInt, n - 8)
+    try {
+      var leaves: IndexedSeq[Leaf] = null
+      // (meta, oiOff, oiLen, rgRows) per chunk
+      val recs = scala.collection.mutable.ArrayBuffer
+        .empty[(ChunkMeta, Long, Long, Long)]
+      walkStruct(c) { (fid, tpe) =>
+        (fid, tpe) match {
+          case (2L, 9) => leaves = parseFlatLeaves(c, b); true
+          case (4L, 9) =>
+            val (nRg, et) = listHeader(c)
+            if (et != 12) throw new Malformed
+            var rg = 0L
+            while (rg < nRg) {
+              var rgRows = -1L
+              val rgChunks = scala.collection.mutable.ArrayBuffer
+                .empty[(ChunkMeta, Long, Long)]
+              walkStruct(c) { (rfid, rtpe) =>
+                (rfid, rtpe) match {
+                  case (1L, 9) =>
+                    val (nCol, cet) = listHeader(c)
+                    if (cet != 12) throw new Malformed
+                    var ci = 0L
+                    while (ci < nCol) {
+                      var meta: Option[ChunkMeta] = None
+                      var oiOff = -1L
+                      var oiLen = -1L
+                      walkStruct(c) { (cfid, ctpe) =>
+                        (cfid, ctpe) match {
+                          case (3L, 12) =>
+                            meta = Some(parseColumnMetaData(c, rg.toInt, ci.toInt))
+                            true
+                          case (4L, 6) => oiOff = c.zigzag(); true
+                          case (5L, 5) => oiLen = c.zigzag(); true
+                          case _ => false
+                        }
+                      }
+                      meta match {
+                        case Some(m) => rgChunks += ((m, oiOff, oiLen))
+                        case None => throw new Malformed // encrypted form
+                      }
+                      ci += 1
+                    }
+                    true
+                  case (3L, 6) => rgRows = c.zigzag(); true
+                  case _ => false
+                }
+              }
+              if (rgRows < 0) throw new Malformed
+              rgChunks.foreach { case (m, o, l) => recs += ((m, o, l, rgRows)) }
+              rg += 1
+            }
+            true
+          case _ => false
+        }
+      }
+      if (leaves == null || recs.isEmpty) throw new Malformed
+      val byName = leaves.map(l => l.name -> l).toMap
+      val out = scala.collection.mutable.ArrayBuffer.empty[DecodedChunk]
+      recs.foreach { case (m, oiOff, oiLen, rgRows) =>
+        val leaf = byName.getOrElse(m.path, throw new Malformed)
+        if (leaf.ptype != m.ptype) throw new Malformed
+        if (m.ptype == 2 || m.ptype == 6) { // int64 / byte_array only
+          val maxDef = if (leaf.optional) 1 else 0
+          val vals = new scala.collection.mutable.ArrayBuffer[AnyRef](
+            math.min(rgRows, 1 << 20).toInt)
+          if (oiOff >= 0 && oiLen > 0) {
+            // page-SKIP path: every data page decoded from the byte
+            // range its OffsetIndex locator names, alone
+            val pages = parseOffsetIndex(b, oiOff, oiLen)
+            val dict = m.dictPageOffset
+              .map(decodeDictPage(b, _, m.codec, m.ptype)).orNull
+            pages.foreach { case (pOff, pSize, pRow) =>
+              if (pRow != vals.size.toLong) throw new Malformed // stale locator
+              vals ++= decodeDataPage(b, pOff, pSize, m.codec, m.ptype,
+                maxDef, dict)
+            }
+          } else {
+            // SEQUENTIAL path (no page index — e.g. pyarrow defaults):
+            // pages must tile the chunk's declared byte run
+            // [start, start + total_compressed_size) exactly
+            val start = m.dictPageOffset.getOrElse(m.dataPageOffset)
+            if (start < 0 || m.compBytes <= 0 ||
+              m.compBytes > b.length - start) throw new Malformed
+            val lim = start + m.compBytes
+            var dict: Array[AnyRef] = null
+            var pos = start
+            while (pos < lim) {
+              val h = parsePageHeader(b, pos.toInt, lim.toInt)
+              h.ptype match {
+                case 2 =>
+                  if (dict != null || vals.nonEmpty) throw new Malformed
+                  if (m.dictPageOffset.exists(_ != pos)) throw new Malformed
+                  dict = decodeDictPage(b, pos, m.codec, m.ptype)
+                case 0 | 3 =>
+                  vals ++= decodeDataPage(b, pos, (h.end - pos) + h.comp,
+                    m.codec, m.ptype, maxDef, dict)
+                case _ => throw new Malformed // index page mid-chunk
+              }
+              pos = h.end + h.comp
+            }
+            if (pos != lim) throw new Malformed
+          }
+          if (vals.size.toLong != rgRows || vals.size.toLong != m.numValues)
+            throw new Malformed // chunk/row-group totals must close
+          out += DecodedChunk(m.rgNo, m.path, m.ptype, vals.toIndexedSeq)
+        }
+      }
+      if (out.isEmpty) throw new Malformed
+      Some(out.toIndexedSeq)
+    } catch {
+      case _: Malformed => None
+      case _: IndexOutOfBoundsException => None
+    }
+  }
+
+  /** Output schema of [[parquetDecodeLongStr]]. */
+  val decodeLongStrSchema: StructType = StructType(Seq(
+    StructField("long_val", LongType),
+    StructField("str_val", StringType)))
+
+  /** Decode one INT64 leaf and one BYTE_ARRAY leaf of each flat
+   * parquet payload and emit their values ZIPPED per row (row-group
+   * order) — the pairing proves cross-column row alignment of the
+   * page-skip decode. Payloads that refuse contribute nothing.
+   * Narrow mapPartitions. */
+  def parquetDecodeLongStr(df: DataFrame, idCol: String, payloadCol: String,
+      longPath: String, strPath: String): DataFrame = {
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        decodeFlatColumns(r.getAs[Array[Byte]](pIdx)) match {
+          case Some(chunks) =>
+            chunks.groupBy(_.rgNo).toSeq.sortBy(_._1).iterator.flatMap {
+              case (_, cs) =>
+                val lc = cs.find(c => c.path == longPath && c.ptype == 2)
+                val sc = cs.find(c => c.path == strPath && c.ptype == 6)
+                (lc, sc) match {
+                  case (Some(l), Some(s0)) if l.values.size == s0.values.size =>
+                    l.values.iterator.zip(s0.values.iterator).map {
+                      case (lv, sv) => Row(lv, sv)
+                    }
+                  case _ => Iterator.empty
+                }
+            }
+          case None => Iterator.empty
+        }
+      }
+    }(Encoders.row(decodeLongStrSchema))
+  }
 
   /** One row per row group (file order) with the file-level projection
    * repeated; non-parquet / structurally unclean payloads contribute
