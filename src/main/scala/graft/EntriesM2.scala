@@ -174,6 +174,53 @@ private[graft] object EntriesM2 {
       }
     }),
 
+    // ORC STRIPE-FOOTER census (m51 — the m43 tail walk one seek
+    // deeper): each stripe's own footer, located by the file footer's
+    // (offset + indexLength + dataLength, footerLength) and
+    // chunk-decoded with the file codec, carries the stream layout and
+    // column encodings a column-pruning ranged reader needs. Verdicts:
+    // the index-region stream lengths must sum to indexLength and the
+    // data-region lengths to dataLength (spec stream ordering), every
+    // stripe must carry one encoding per type, and all stream/encoding
+    // kinds must be known; totals close in count(documents). All five
+    // codecs; still zero index/data stream bytes read
+    "m51_orc_stripes" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
+      val out = java.nio.file.Files.createTempDirectory("graft_m51").toString
+      try {
+        val rows = Seq("none", "zlib", "snappy", "zstd", "lz4").map { codec =>
+          docs.repartition(2).write.option("compression", codec)
+            .mode("overwrite").orc(s"$out/$codec")
+          val bin = graft.functions.Multimodal
+            .loadBinaryFiles(s, s"$out/$codec", "*.orc")
+            .selectExpr("monotonically_increasing_id() AS doc_id", "payload")
+          val r = graft.functions.Orc.orcStripeFooters(bin, "doc_id", "payload")
+            .agg(
+              sum("n_rows").cast("long").as("total_rows"),
+              countDistinct("doc_id").cast("long").as("n_files"),
+              min("index_agree").cast("int").as("index_agree"),
+              min("data_agree").cast("int").as("data_agree"),
+              min(when(col("n_encodings") === col("n_types"), 1)
+                .otherwise(0)).cast("int").as("enc_ok"),
+              min(when(!col("enc_kinds").contains("enc_") &&
+                !col("stream_kinds").contains("kind_"), 1).otherwise(0))
+                .cast("int").as("kinds_ok"),
+              min(when(col("compression") === codec, 1).otherwise(0))
+                .cast("int").as("codec_ok"))
+            .collect()(0)
+          Seq[Any](codec, r.getLong(0), r.getLong(1), r.getInt(2),
+            r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6))
+        }
+        eng(s).toDF(rows,
+          "compression:str,total_rows:long,n_files:long,index_agree:int," +
+            "data_agree:int,enc_ok:int,kinds_ok:int,codec_ok:int")
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(out)).iterator()
+          .asScala.toSeq.reverse.foreach(p => p.toFile.delete())
+      }
+    }),
+
     // ZIP entry EXTRACTION by locator (m31 ∘ ranged read — the zip
     // analog of m40's gzip composition): central-directory rows locate,
     // extractEntryAt pulls each entry's bytes through the LOCAL header
@@ -1018,6 +1065,24 @@ private[graft] object EntriesM2 {
         | CAST(4 AS INTEGER) AS n_types,
         | CAST(3 AS INTEGER) AS n_root_fields,
         | CAST(1 AS INTEGER) AS stripes_agree,
+        | CAST(1 AS INTEGER) AS codec_ok
+        |FROM codecs""".stripMargin,
+
+    // closed-form replay of the m51 write (the m43 shape): per codec,
+    // count(documents) rows across 2 files; the verdict columns assert
+    // the stripe-footer walk's spec agreements (index/data stream
+    // sums, one encoding per type, known kinds, declared codec)
+    "m51_orc_stripes" ->
+      """WITH codecs AS (
+        | SELECT unnest(['none', 'zlib', 'snappy', 'zstd', 'lz4'])
+        |   AS compression)
+        |SELECT compression,
+        | (SELECT CAST(count(*) AS BIGINT) FROM documents) AS total_rows,
+        | CAST(2 AS BIGINT) AS n_files,
+        | CAST(1 AS INTEGER) AS index_agree,
+        | CAST(1 AS INTEGER) AS data_agree,
+        | CAST(1 AS INTEGER) AS enc_ok,
+        | CAST(1 AS INTEGER) AS kinds_ok,
         | CAST(1 AS INTEGER) AS codec_ok
         |FROM codecs""".stripMargin,
 

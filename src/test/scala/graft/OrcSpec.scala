@@ -100,6 +100,85 @@ class OrcSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("stripe footers: locators match ORC's reader, sums close, corrupt refuses") {
+    Seq("none", "zlib", "snappy", "zstd", "lz4").foreach { codec =>
+      val out = java.nio.file.Files.createTempDirectory("graft_orcsf")
+      try {
+        import spark.implicits._
+        (0 until 300).map(i => (i.toLong, s"t_$i" * (1 + i % 5), s"l${i % 4}"))
+          .toDF("doc_id", "text", "lang")
+          .repartition(2)
+          .write.option("compression", codec).mode("overwrite")
+          .orc(out.resolve("d").toString)
+        import scala.jdk.CollectionConverters._
+        val files = java.nio.file.Files.list(out.resolve("d")).iterator()
+          .asScala.filter(_.toString.endsWith(".orc")).toSeq
+        assert(files.nonEmpty)
+        files.foreach { f =>
+          val bytes = java.nio.file.Files.readAllBytes(f)
+          val mine = Orc.parseTail(bytes).getOrElse(fail(s"$codec no tail"))
+          // stripe locator five-tuple vs orc-core's own reader
+          val conf = new org.apache.hadoop.conf.Configuration()
+          val reader = org.apache.orc.OrcFile.createReader(
+            new org.apache.hadoop.fs.Path(f.toString),
+            org.apache.orc.OrcFile.readerOptions(conf))
+          try {
+            val ref = reader.getStripes.asScala.toSeq
+            assert(mine.stripes.size === ref.size, s"$codec stripe count")
+            mine.stripes.zip(ref).foreach { case ((o, i2, d, fl, r), s) =>
+              assert(o === s.getOffset, s"$codec offset")
+              assert(i2 === s.getIndexLength, s"$codec indexLength")
+              assert(d === s.getDataLength, s"$codec dataLength")
+              assert(fl === s.getFooterLength, s"$codec footerLength")
+              assert(r === s.getNumberOfRows, s"$codec rows")
+            }
+            // census verdicts over the same file through the DataFrame API
+            val df = spark.createDataset(Seq((0L, bytes)))
+              .toDF("doc_id", "payload")
+            val rows = Orc.orcStripeFooters(df, "doc_id", "payload").collect()
+            assert(rows.length === mine.stripes.size, s"$codec census rows")
+            rows.foreach { row =>
+              assert(row.getAs[Int]("index_agree") === 1, s"$codec index sum")
+              assert(row.getAs[Int]("data_agree") === 1, s"$codec data sum")
+              assert(row.getAs[Int]("n_encodings") ===
+                reader.getSchema.getMaximumId + 1, s"$codec encodings/types")
+              assert(row.getAs[Int]("n_types") === mine.nTypes)
+              val kinds = row.getAs[String]("stream_kinds")
+              assert(!kinds.contains("kind_"), s"$codec unknown stream kind")
+              assert(kinds.contains("row_index"), s"$codec has row index")
+              assert(!row.getAs[String]("enc_kinds").contains("enc_"))
+            }
+          } finally reader.close()
+          // a corrupt stripe footer refuses the FILE (strict): flip a
+          // byte inside the first stripe's footer region
+          val (o, i2, d, fl, _) = mine.stripes.head
+          val fs = (o + i2 + d).toInt
+          val mut = bytes.clone()
+          (fs until math.min(fs + fl.toInt, fs + 8)).foreach { k =>
+            mut(k) = (mut(k) ^ 0x3c).toByte
+          }
+          val mdf = spark.createDataset(Seq((0L, mut))).toDF("doc_id", "payload")
+          val got = try Orc.orcStripeFooters(mdf, "doc_id", "payload").collect()
+          catch { case e: Throwable => fail(s"$codec threw on corrupt footer: $e") }
+          // the tail itself is untouched, so parseTail still passes; the
+          // stripe-footer walk must refuse (either structurally or via
+          // the sum verdicts going false — never a throw). For chunked
+          // codecs the decode refuses outright; for NONE the protobuf
+          // walk may still parse garbage, so accept verdict failure too.
+          assert(got.isEmpty ||
+            got.exists(r => r.getAs[Int]("index_agree") == 0 ||
+              r.getAs[Int]("data_agree") == 0 ||
+              r.getAs[Int]("n_encodings") != mine.nTypes),
+            s"$codec corrupt stripe footer must not census cleanly")
+        }
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(out).iterator().asScala.toSeq.reverse
+          .foreach(p => p.toFile.delete())
+      }
+    }
+  }
+
   test("lzo tails are recognized but refused (census-only boundary)") {
     val files = writeOrc("lzo", 60)
     files.foreach { bytes =>
