@@ -174,6 +174,25 @@ private[graft] object EntriesM2 {
       }
     }),
 
+    // MKV Cues census + locator REPLAY (m52 — the seek-index pattern
+    // for video lakes, extending m30's EBML walk): the Cues element's
+    // CuePoint rows (CueTime, CueTrack, CueClusterPosition) are
+    // parsed, then every locator is replayed independently — seek
+    // segment-start + position, require a Cluster element at that
+    // exact byte, decode its Timestamp, compare with the CueTime.
+    // id%5==3 files have no Cues (live-muxed shape — zero rows);
+    // id%9==7 files carry cue 0's position forged +1 — the replay
+    // reports found=0/time_agree=0 for exactly that row, pinning that
+    // a stale seek index is DETECTED, never silently mis-seeked
+    "m52_mkv_cues" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select("doc_id")
+      graft.functions.Ebml.mkvCues(
+        graft.functions.Ebml.syntheticMkvCueFiles(ids, "doc_id"),
+        "doc_id", "payload")
+        .select(col("doc_id"), col("cue_no"), col("cue_time"),
+          col("cue_track"), col("found"), col("time_agree"))
+    }),
+
     // ORC STRIPE-FOOTER census (m51 — the m43 tail walk one seek
     // deeper): each stripe's own footer, located by the file footer's
     // (offset + indexLength + dataLength, footerLength) and
@@ -1067,6 +1086,24 @@ private[graft] object EntriesM2 {
         | CAST(1 AS INTEGER) AS stripes_agree,
         | CAST(1 AS INTEGER) AS codec_ok
         |FROM codecs""".stripMargin,
+
+    // replay of Ebml.syntheticMkvCues's cue formulas: 1+id%4 cues per
+    // file (none for id%5==3), CueTime = k*1000 + id%997, track 1; the
+    // forged-locator files (id%9==7, cue 0) must report found=0 and
+    // time_agree=0 — the detection contract is itself oracle-checked
+    "m52_mkv_cues" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 5 <> 3),
+        |c AS (SELECT doc_id,
+        |  CAST(unnest(range(0, 1 + doc_id % 4)) AS INTEGER) AS cue_no
+        | FROM d)
+        |SELECT doc_id, cue_no,
+        | CAST(cue_no * 1000 + doc_id % 997 AS BIGINT) AS cue_time,
+        | CAST(1 AS BIGINT) AS cue_track,
+        | CAST(CASE WHEN doc_id % 9 = 7 AND cue_no = 0 THEN 0 ELSE 1 END
+        |   AS INTEGER) AS found,
+        | CAST(CASE WHEN doc_id % 9 = 7 AND cue_no = 0 THEN 0 ELSE 1 END
+        |   AS INTEGER) AS time_agree
+        |FROM c""".stripMargin,
 
     // closed-form replay of the m51 write (the m43 shape): per codec,
     // count(documents) rows across 2 files; the verdict columns assert

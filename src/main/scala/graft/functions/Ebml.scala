@@ -283,6 +283,155 @@ object Ebml {
     }(Encoders.row(trackSchema))
   }
 
+  // ---- Cues / Cluster census (m52) ------------------------------------
+  //
+  // The Cues element is Matroska's SEEK INDEX: CuePoint(CueTime,
+  // CueTrackPositions(CueTrack, CueClusterPosition)) rows, where
+  // CueClusterPosition is the target Cluster's first byte relative to
+  // the SEGMENT data start. That is the random-access locator for
+  // video lakes — "give me the cluster at timestamp T" is one census
+  // row plus one ranged read. The census here parses the Cues, then
+  // REPLAYS each locator independently: seek segment-start + position,
+  // require a Cluster element there, decode its Timestamp, and report
+  // agreement with the CueTime — a stale or forged index row surfaces
+  // as found=0 / time_agree=0, never as a silent mis-seek.
+
+  /** One cue row: (cueTime, cueTrack, clusterPos rel. segment data). */
+  final case class Cue(time: Long, track: Long, clusterPos: Long)
+
+  /** Parse the Cues element (strict). Returns the segment data start
+   * and the cue rows in file order; None on structural malformation,
+   * a CuePoint missing any of its three mandatory fields, or more
+   * than one Cues element. A file WITHOUT a Cues element (live-muxed
+   * stream shape) yields an empty cue list — absence, not corruption. */
+  def parseMkvCues(payload: Array[Byte]): Option[(Int, IndexedSeq[Cue])] = {
+    val b = payload
+    if (b == null || b.length < 8) return None
+    val hid = readId(b, 0, b.length)
+    if (hid == null || hid._1 != 0x1A45DFA3L) return None
+    val hsz = readSize(b, hid._2, b.length)
+    if (hsz == null || hsz._1 < 0) return None
+    val hbody = hid._2 + hsz._2
+    if (hbody + hsz._1 > b.length) return None
+    var docType: String = null
+    if (!walkChildren(b, hbody, hbody + hsz._1.toInt) { (id, off, len) =>
+      if (id == 0x4282L) docType = new String(b, off, len, "UTF-8")
+      true
+    }) return None
+    if (docType == null) return None
+    var pos = hbody + hsz._1.toInt
+    val sid = readId(b, pos, b.length)
+    if (sid == null || sid._1 != 0x18538067L) return None
+    val ssz = readSize(b, pos + sid._2, b.length)
+    if (ssz == null) return None
+    val sbody = pos + sid._2 + ssz._2
+    val send =
+      if (ssz._1 < 0) b.length
+      else {
+        if (sbody + ssz._1 != b.length) return None
+        sbody + ssz._1.toInt
+      }
+    val cues = scala.collection.mutable.ArrayBuffer.empty[Cue]
+    var sawCues = false
+    var bad = false
+    if (!walkChildren(b, sbody, send) { (id, off, len) =>
+      if (id == 0x1C53BB6BL) { // Cues
+        if (sawCues) { bad = true; false } // a second index is corruption
+        else {
+          sawCues = true
+          walkChildren(b, off, off + len) { (cid, co, cl) =>
+            if (cid == 0xBBL) { // CuePoint
+              var time = -1L
+              var track = -1L
+              var cpos = -1L
+              val ok = walkChildren(b, co, co + cl) { (pid, po, pl) =>
+                pid match {
+                  case 0xB3L => // CueTime
+                    if (pl > 8) false else { time = readUint(b, po, pl); true }
+                  case 0xB7L => // CueTrackPositions
+                    walkChildren(b, po, po + pl) { (tid, to, tl) =>
+                      tid match {
+                        case 0xF7L =>
+                          if (tl > 8) false
+                          else { track = readUint(b, to, tl); true }
+                        case 0xF1L =>
+                          if (tl > 8) false
+                          else { cpos = readUint(b, to, tl); true }
+                        case _ => true
+                      }
+                    }
+                  case _ => true
+                }
+              }
+              if (!ok || time < 0 || track < 0 || cpos < 0) false
+              else { cues += Cue(time, track, cpos); true }
+            } else true // Void/CRC between cue points
+          }
+        }
+      } else true // Cluster/Info/Tracks/…: stride
+    }) return None
+    if (bad) return None
+    Some((sbody, cues.toIndexedSeq))
+  }
+
+  /** Replay ONE cue locator: seek `sbody + clusterPos`, require a
+   * Cluster element, decode its Timestamp. (found, timestamp) —
+   * found=false on anything but a clean Cluster at that exact byte. */
+  def replayCueLocator(b: Array[Byte], sbody: Int,
+      clusterPos: Long): (Boolean, Option[Long]) = {
+    if (clusterPos < 0 || sbody.toLong + clusterPos >= b.length)
+      return (false, None)
+    val at = (sbody + clusterPos).toInt
+    val cid = readId(b, at, b.length)
+    if (cid == null || cid._1 != 0x1F43B675L) return (false, None)
+    val csz = readSize(b, at + cid._2, b.length)
+    if (csz == null || csz._1 < 0) return (false, None)
+    val cbody = at + cid._2 + csz._2
+    if (cbody + csz._1 > b.length) return (false, None)
+    var ts: Option[Long] = None
+    val ok = walkChildren(b, cbody, cbody + csz._1.toInt) { (id, off, len) =>
+      if (id == 0xE7L) { // Timestamp
+        if (len > 8) false else { ts = Some(readUint(b, off, len)); true }
+      } else true // SimpleBlock/BlockGroup/…: stride
+    }
+    if (!ok) (false, None) else (true, ts)
+  }
+
+  /** Output schema of [[mkvCues]]. */
+  val cueSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("cue_no", IntegerType),
+    StructField("cue_time", LongType),
+    StructField("cue_track", LongType),
+    StructField("cluster_pos", LongType),
+    StructField("found", IntegerType),
+    StructField("time_agree", IntegerType)))
+
+  /** One row per CuePoint (file order) with the locator replay
+   * verdicts; files without a Cues element (or structurally unclean
+   * files) contribute nothing. Narrow mapPartitions — the replay
+   * touches only the addressed cluster's header bytes. */
+  def mkvCues(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(idIdx)
+        val b = r.getAs[Array[Byte]](pIdx)
+        parseMkvCues(b) match {
+          case Some((sbody, cues)) => cues.iterator.zipWithIndex.map {
+            case (c, i) =>
+              val (found, ts) = replayCueLocator(b, sbody, c.clusterPos)
+              Row(id, i, c.time, c.track, c.clusterPos,
+                if (found) 1 else 0,
+                if (found && ts.contains(c.time)) 1 else 0)
+          }
+          case None => Iterator.empty
+        }
+      }
+    }(Encoders.row(cueSchema))
+  }
+
   // ---- fixture writer --------------------------------------------------
 
   private final class W {
@@ -427,4 +576,79 @@ object Ebml {
    * and info formulas. */
   def syntheticMkvs(df: DataFrame, idCol: String): DataFrame =
     Fixtures.syntheticPayloads(df, idCol)(syntheticMkv)
+
+  /** Deterministic Matroska fixture with REAL Clusters and a Cues seek
+   * index (the m52 shape — [[syntheticMkv]] keeps its opaque clusters
+   * so the m30 oracle is untouched):
+   *
+   *   - EBML header, DocType `webm` (even id) / `matroska` (odd);
+   *   - Segment (known size) holding Info, one video track,
+   *     `1 + id%4` Clusters — cluster k carries Timestamp
+   *     `k*1000 + id%997` and one SimpleBlock of `20 + (id+k)%30`
+   *     opaque bytes — then (cues at END, the non-seekable-write
+   *     layout) a Cues element with one CuePoint per cluster:
+   *     CueTime = the cluster's timestamp, CueTrack 1,
+   *     CueClusterPosition = the cluster's first byte relative to the
+   *     segment data start;
+   *   - `id%5 == 3` files have NO Cues (live-muxed shape — zero rows);
+   *   - `id%9 == 7` files carry cue 0's position FORGED (+1 byte): the
+   *     locator replay must report found=0/time_agree=0 for exactly
+   *     that row — a stale seek index is detected, never mis-seeked.
+   */
+  def syntheticMkvCues(id: Long): Array[Byte] = {
+    val w = new W
+    w.master(0x1A45DFA3L) { h =>
+      h.uintEl(0x4286L, 1)
+      h.strEl(0x4282L, if (id % 2 == 0) "webm" else "matroska")
+    }
+    val seg = new W
+    seg.master(0x1549A966L) { i =>
+      i.uintEl(0x2AD7B1L, 1000000L)
+      i.strEl(0x4D80L, s"graft_mux ${id % 7}")
+    }
+    seg.master(0x1654AE6BL) { t =>
+      t.master(0xAEL) { v =>
+        v.uintEl(0xD7L, 1)
+        v.uintEl(0x83L, 1)
+        v.strEl(0x86L, if (id % 2 == 0) "V_VP9" else "V_MPEG4/ISO/AVC")
+      }
+    }
+    val n = (1 + id % 4).toInt
+    val positions = new Array[Long](n)
+    val times = new Array[Long](n)
+    (0 until n).foreach { k =>
+      positions(k) = seg.bo.size().toLong
+      times(k) = k * 1000L + id % 997
+      seg.master(0x1F43B675L) { c =>
+        c.uintEl(0xE7L, times(k))
+        c.binEl(0xA3L, Array.tabulate((20 + (id + k) % 30).toInt)(
+          j => ((id * 7 + k * 13 + j) & 0xff).toByte))
+      }
+    }
+    if (id % 5 != 3) {
+      seg.master(0x1C53BB6BL) { cu =>
+        (0 until n).foreach { k =>
+          val pos = if (id % 9 == 7 && k == 0) positions(k) + 1
+            else positions(k)
+          cu.master(0xBBL) { cp =>
+            cp.uintEl(0xB3L, times(k))
+            cp.master(0xB7L) { tp =>
+              tp.uintEl(0xF7L, 1L)
+              tp.uintEl(0xF1L, pos)
+            }
+          }
+        }
+      }
+    }
+    val segBody = seg.bo.toByteArray
+    w.id(0x18538067L)
+    w.size(segBody.length.toLong)
+    w.bo.write(segBody, 0, segBody.length)
+    w.bo.toByteArray
+  }
+
+  /** Executor-side cue fixtures — the m52 oracle replays the cue
+   * formulas and the forged-locator verdicts. */
+  def syntheticMkvCueFiles(df: DataFrame, idCol: String): DataFrame =
+    Fixtures.syntheticPayloads(df, idCol)(syntheticMkvCues)
 }

@@ -86,4 +86,51 @@ class EbmlSpec extends AnyFunSuite {
     val m = meta(8L)
     assert(m.durationMs === Some(30008L))
   }
+
+  test("cues fixture: parse + locator replay match the closed form (IDs 0-120)") {
+    (0L until 121L).foreach { id =>
+      val b = Ebml.syntheticMkvCues(id)
+      val (sbody, cues) = Ebml.parseMkvCues(b)
+        .getOrElse(fail(s"id=$id did not parse"))
+      if (id % 5 == 3) assert(cues.isEmpty, s"id=$id live-muxed has no cues")
+      else {
+        val n = (1 + id % 4).toInt
+        assert(cues.size === n, s"id=$id")
+        cues.zipWithIndex.foreach { case (c, k) =>
+          assert(c.time === k * 1000L + id % 997, s"id=$id k=$k time")
+          assert(c.track === 1L, s"id=$id k=$k track")
+          val (found, ts) = Ebml.replayCueLocator(b, sbody, c.clusterPos)
+          if (id % 9 == 7 && k == 0) {
+            assert(!found || !ts.contains(c.time),
+              s"id=$id forged locator must not agree")
+          } else {
+            assert(found, s"id=$id k=$k cluster found")
+            assert(ts === Some(c.time), s"id=$id k=$k timestamp agrees")
+          }
+        }
+        // the m30 walker also accepts the cues fixture (real clusters
+        // stride like opaque ones) — cross-walker agreement
+        assert(Ebml.parseMkv(b).isDefined, s"id=$id parseMkv accepts")
+      }
+    }
+  }
+
+  test("cues corrupt contract: truncation, double index, missing fields") {
+    val good = Ebml.syntheticMkvCues(1L) // has cues (1%5 != 3)
+    assert(Ebml.parseMkvCues(good).isDefined)
+    // truncations never throw; most refuse (known-size segment must
+    // close the payload exactly)
+    (1 until good.length).foreach { cut =>
+      val r = try Ebml.parseMkvCues(good.take(cut))
+      catch { case e: Throwable => fail(s"threw at cut=$cut: $e") }
+      assert(r.isEmpty, s"cut=$cut")
+    }
+    assert(Ebml.parseMkvCues(null).isEmpty)
+    // a locator past end-of-payload reports not-found, never throws
+    val (sbody, cues) = Ebml.parseMkvCues(good).get
+    assert(Ebml.replayCueLocator(good, sbody, good.length.toLong)._1 === false)
+    assert(Ebml.replayCueLocator(good, sbody, -1L)._1 === false)
+    assert(Ebml.replayCueLocator(good, sbody, cues.head.clusterPos + 2)._1
+      === false)
+  }
 }
