@@ -246,6 +246,42 @@ private[graft] object EntriesT {
         "doc_id", "payload")
     }),
 
+    // robots↔sitemap CROSS-WALK (t49 = t42 ∘ t48 ∘ t46 — the first
+    // composition a crawl-curation pipeline runs): every host's
+    // robots.txt is walked for its `Sitemap:` directives; the declared
+    // URLs are then joined (BROADCAST — the fetched-sitemap dimension
+    // is bounded by the URL universe, not the crawl) against the
+    // fetched `.xml.gz` payloads walked by the t48 gzip-locator +
+    // strict-grammar path, censusing which declared sitemaps RESOLVE
+    // and how many URLs each contributes. The ex4 payload carries the
+    // corrupt-gzip rotation — its declarations report resolved=0 with
+    // null n_urls (a dead seek surface is reported, never guessed).
+    // Crawl side stays a narrow map + one broadcast join, zero big
+    // shuffles
+    "t49_robots_sitemap" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select("doc_id")
+      val declared = graft.functions.Robots.robotsRules(
+          graft.functions.Robots.syntheticRobotsFiles(ids, "doc_id"),
+          "doc_id", "robots_text")
+        .filter(col("kind") === "sitemap")
+        .select(col("doc_id"), col("value").as("sitemap_url"))
+      val fetched = graft.functions.Sitemap.sitemapGzItems(
+          graft.functions.Sitemap.syntheticSitemapGzs(
+            s.range(5).selectExpr("id AS doc_id"), "doc_id"),
+          "doc_id", "payload")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_urls"))
+        .selectExpr(
+          "concat('https://ex', CAST(doc_id AS STRING), '.com/sitemap.xml')" +
+            " AS sitemap_url",
+          "n_urls")
+      declared.join(broadcast(fetched), Seq("sitemap_url"), "left")
+        .select(col("doc_id"), col("sitemap_url"),
+          when(col("n_urls").isNotNull, 1).otherwise(0).cast("int")
+            .as("resolved"),
+          col("n_urls"))
+    }),
+
     // CSV dialect sniffing — the ingest audit BEFORE spark.read.csv
     // with guessed options: deterministic delimiter scoring over a
     // 16-record quote-aware sample, RFC 4180 quoting (doubled quotes,
@@ -786,6 +822,21 @@ private[graft] object EntriesT {
         | FROM urls)
         |SELECT doc_id, j AS item_no, kind, loc, lastmod, changefreq, priority
         |FROM rows_""".stripMargin,
+
+    // closed form of the t49 cross-walk: only even ids declare a
+    // sitemap (the robots fixture), pointing at ex<id%5>; fetched
+    // payload e parses to 1+e urls except e=4 (the corrupt-gzip
+    // rotation) which must report resolved=0 with null n_urls
+    "t49_robots_sitemap" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 5 AS INTEGER) AS ex
+        | FROM documents WHERE doc_id % 2 = 0)
+        |SELECT doc_id,
+        | 'https://ex' || CAST(ex AS VARCHAR) || '.com/sitemap.xml'
+        |   AS sitemap_url,
+        | CAST(CASE WHEN ex = 4 THEN 0 ELSE 1 END AS INTEGER) AS resolved,
+        | CASE WHEN ex = 4 THEN NULL
+        |   ELSE CAST(1 + ex AS BIGINT) END AS n_urls
+        |FROM d""".stripMargin,
 
     // replay of Mime.syntheticMime's leaf-part formulas: decoded sizes
     // derive from the literal part bodies (dk = digits of doc_id%100);
