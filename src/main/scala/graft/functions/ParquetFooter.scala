@@ -779,7 +779,8 @@ object ParquetFooter {
   // performs: fetch the byte range an OffsetIndex locator names, parse
   // the PageHeader thrift, decompress the body per the chunk codec,
   // and decode values (parquet-format Encodings.md):
-  //   - PLAIN: INT64 as 8-byte LE runs, BYTE_ARRAY as u32-LE length +
+  //   - PLAIN: little-endian fixed-width runs (int32/int64/float/
+  //     double), bit-packed booleans, BYTE_ARRAY as u32-LE length +
   //     bytes (strict UTF-8);
   //   - PLAIN_DICTIONARY / RLE_DICTIONARY: a PLAIN dictionary page
   //     (located by dictionary_page_offset) + 1 bit-width byte + an
@@ -1085,16 +1086,41 @@ object ParquetFooter {
     (out, c.pos)
   }
 
-  /** PLAIN-decode `n` values from [start,end) — must tile exactly. */
+  /** PLAIN-decode `n` values from [start,end) — must tile exactly.
+   * Booleans are bit-packed LSB-first (1 bit per value, final byte
+   * padded); the fixed-width types are little-endian runs. */
   private def plainValues(data: Array[Byte], start: Int, end: Int, n: Int,
       ptype: Int): Array[AnyRef] = {
     val out = new Array[AnyRef](n)
     var pos = start
     var k = 0
     ptype match {
+      case 0 => // boolean: bit-packed, LSB-first
+        if ((end - pos).toLong != (n.toLong + 7) / 8) throw new Malformed
+        while (k < n) {
+          out(k) = Boolean.box(((data(pos + (k >> 3)) >> (k & 7)) & 1) != 0)
+          k += 1
+        }
+      case 1 => // int32
+        if ((end - pos).toLong != n.toLong * 4) throw new Malformed
+        while (k < n) { out(k) = Int.box(i32le(data, pos).toInt); pos += 4; k += 1 }
       case 2 => // int64
         if ((end - pos).toLong != n.toLong * 8) throw new Malformed
         while (k < n) { out(k) = Long.box(i64le(data, pos)); pos += 8; k += 1 }
+      case 4 => // float
+        if ((end - pos).toLong != n.toLong * 4) throw new Malformed
+        while (k < n) {
+          out(k) = Float.box(java.lang.Float.intBitsToFloat(i32le(data, pos).toInt))
+          pos += 4
+          k += 1
+        }
+      case 5 => // double
+        if ((end - pos).toLong != n.toLong * 8) throw new Malformed
+        while (k < n) {
+          out(k) = Double.box(java.lang.Double.longBitsToDouble(i64le(data, pos)))
+          pos += 8
+          k += 1
+        }
       case 6 => // byte_array (read as strict UTF-8 string)
         while (k < n) {
           if (end - pos < 4) throw new Malformed
@@ -1106,7 +1132,7 @@ object ParquetFooter {
           k += 1
         }
         if (pos != end) throw new Malformed
-      case _ => throw new Malformed // other physical types: decode refused
+      case _ => throw new Malformed // int96 / fixed_len_byte_array: refused
     }
     out
   }
@@ -1135,13 +1161,27 @@ object ParquetFooter {
           k += 1
         }
         out
-      case 5 => // DELTA_BINARY_PACKED
-        if (ptype != 2) throw new Malformed
+      case 3 => // RLE as a VALUE encoding (v2 booleans): u32-LE length
+        // prefix + one hybrid run of 1-bit values
+        if (ptype != 0) throw new Malformed
+        if (end - start < 4) throw new Malformed
+        val rl = i32le(data, start).toInt
+        if (rl < 0 || rl != end - start - 4) throw new Malformed
+        val bits = rleHybrid(data, start + 4, end, 1, n)
+        val out = new Array[AnyRef](n)
+        var k = 0
+        while (k < n) { out(k) = Boolean.box(bits(k) != 0); k += 1 }
+        out
+      case 5 => // DELTA_BINARY_PACKED (int64 or int32 — i32 wraps mod 2^32)
+        if (ptype != 2 && ptype != 1) throw new Malformed
         val (longs, p) = deltaPackedRun(data, start, end)
         if (longs.length != n || p != end) throw new Malformed
         val out = new Array[AnyRef](n)
         var k = 0
-        while (k < n) { out(k) = Long.box(longs(k)); k += 1 }
+        if (ptype == 2)
+          while (k < n) { out(k) = Long.box(longs(k)); k += 1 }
+        else
+          while (k < n) { out(k) = Int.box(longs(k).toInt); k += 1 }
         out
       case 6 => // DELTA_LENGTH_BYTE_ARRAY: delta-packed lengths + bytes
         if (ptype != 6) throw new Malformed
@@ -1279,7 +1319,8 @@ object ParquetFooter {
   }
 
   /** Decoded values of one column chunk, in row order, nulls in
-   * place (boxed java.lang.Long for INT64, String for BYTE_ARRAY). */
+   * place (boxed JVM primitives per physical type; String for
+   * BYTE_ARRAY). */
   final case class DecodedChunk(rgNo: Int, path: String, ptype: Int,
       values: IndexedSeq[AnyRef])
 
@@ -1290,9 +1331,10 @@ object ParquetFooter {
    * byte range alone, `first_row_index` re-validated against the
    * running row count); chunks without one (pyarrow's default) walk
    * sequentially, with the pages required to tile the chunk's declared
-   * `total_compressed_size` byte run exactly. INT64 and BYTE_ARRAY
-   * leaves decode; other physical types are skipped (censused above,
-   * not valued). None on any structural violation, locator
+   * `total_compressed_size` byte run exactly. BOOLEAN, INT32, INT64,
+   * FLOAT, DOUBLE and BYTE_ARRAY leaves decode; INT96 and
+   * FIXED_LEN_BYTE_ARRAY are skipped (censused above, not valued).
+   * None on any structural violation, locator
    * disagreement, count mismatch, nested schema, or unsupported
    * codec/encoding on a supported leaf.
    */
@@ -1368,7 +1410,9 @@ object ParquetFooter {
       recs.foreach { case (m, oiOff, oiLen, rgRows) =>
         val leaf = byName.getOrElse(m.path, throw new Malformed)
         if (leaf.ptype != m.ptype) throw new Malformed
-        if (m.ptype == 2 || m.ptype == 6) { // int64 / byte_array only
+        // boolean/int32/int64/float/double/byte_array decode; int96 and
+        // fixed_len_byte_array are censused above but not valued
+        if (m.ptype <= 2 || m.ptype == 4 || m.ptype == 5 || m.ptype == 6) {
           val maxDef = if (leaf.optional) 1 else 0
           val vals = new scala.collection.mutable.ArrayBuffer[AnyRef](
             math.min(rgRows, 1 << 20).toInt)
@@ -1424,6 +1468,7 @@ object ParquetFooter {
 
   /** Output schema of [[parquetDecodeLongStr]]. */
   val decodeLongStrSchema: StructType = StructType(Seq(
+    StructField("file_id", LongType),
     StructField("long_val", LongType),
     StructField("str_val", StringType)))
 
@@ -1434,9 +1479,11 @@ object ParquetFooter {
    * Narrow mapPartitions. */
   def parquetDecodeLongStr(df: DataFrame, idCol: String, payloadCol: String,
       longPath: String, strPath: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
     val pIdx = df.schema.fieldIndex(payloadCol)
     df.mapPartitions { it =>
       it.flatMap { r =>
+        val fid = r.getLong(idIdx)
         decodeFlatColumns(r.getAs[Array[Byte]](pIdx)) match {
           case Some(chunks) =>
             chunks.groupBy(_.rgNo).toSeq.sortBy(_._1).iterator.flatMap {
@@ -1446,7 +1493,7 @@ object ParquetFooter {
                 (lc, sc) match {
                   case (Some(l), Some(s0)) if l.values.size == s0.values.size =>
                     l.values.iterator.zip(s0.values.iterator).map {
-                      case (lv, sv) => Row(lv, sv)
+                      case (lv, sv) => Row(fid, lv, sv)
                     }
                   case _ => Iterator.empty
                 }

@@ -14,7 +14,7 @@ class ParquetPagesSpec extends AnyFunSuite with SparkTestBase {
     val bin = graft.functions.Multimodal.loadBinaryFiles(spark, dir, "*.parquet")
       .selectExpr("monotonically_increasing_id() AS fid", "payload")
     ParquetFooter.parquetDecodeLongStr(bin, "fid", "payload", longPath, strPath)
-      .collect().toSeq
+      .select("long_val", "str_val").collect().toSeq
       .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
       .sortBy(_._1)
   }
@@ -86,6 +86,83 @@ class ParquetPagesSpec extends AnyFunSuite with SparkTestBase {
       refLangs.sortBy(v => if (v == null) "" else v), "lang values")
   }
 
+  test("all six physical types round-trip a Spark-written table, v1 and v2") {
+    val out = java.nio.file.Files.createTempDirectory("graft_m50types")
+    val df = spark.range(700).selectExpr("id",
+      "CASE WHEN id % 5 = 0 THEN NULL ELSE concat('s', CAST(id % 37 AS STRING)) END AS s",
+      "CAST(id % 1000 - 500 AS INT) AS i",
+      "CAST(id AS DOUBLE) / 7.0 AS d",
+      "CAST(CAST(id AS FLOAT) / 3.0 AS FLOAT) AS f",
+      "id % 3 = 0 AS bl")
+      .repartition(2)
+    val want = df.collect().toSeq.map(_.toSeq).map(_.map {
+      case null => "null"
+      case v => v.toString
+    }.mkString("|")).sorted
+    for (ver <- Seq("v1", "v2")) {
+      val p = out.resolve(ver).toString
+      df.write.option("parquet.writer.version", ver)
+        .option("parquet.page.row.count.limit", "40")
+        .mode("overwrite").parquet(p)
+      val cols = df.schema.fieldNames.toSeq
+      val got = scala.collection.mutable.ArrayBuffer.empty[String]
+      java.nio.file.Files.list(java.nio.file.Paths.get(p)).toArray
+        .map(_.toString).filter(_.endsWith(".parquet")).foreach { f =>
+          val chunks = ParquetFooter.decodeFlatColumns(
+            java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f)))
+            .getOrElse(fail(s"$ver $f did not decode"))
+          chunks.groupBy(_.rgNo).foreach { case (_, cs) =>
+            val byPath = cs.map(c => c.path -> c.values).toMap
+            assert(byPath.keySet === cols.toSet, s"$ver all columns decoded")
+            val n = byPath(cols.head).size
+            (0 until n).foreach { r =>
+              got += cols.map(c => byPath(c)(r) match {
+                case null => "null"
+                case v => v.toString
+              }).mkString("|")
+            }
+          }
+        }
+      assert(got.sorted.toSeq === want, s"$ver whole-table round-trip")
+    }
+  }
+
+  test("whole TPC-H tables decode from raw bytes and match Spark's reader") {
+    // pyarrow-written (sequential path), all four physical type families
+    Seq(
+      ("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus",
+        "unix_micros(CAST(l_shipdate AS TIMESTAMP)) AS l_shipdate")),
+      ("customer", Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment"))
+    ).foreach { case (table, sel) =>
+      val path = s"/root/testdata/sf0.001/$table.parquet"
+      val want = spark.read.parquet(path).selectExpr(sel: _*)
+        .collect().toSeq.map(_.toSeq.map {
+          case null => "null"
+          case v => v.toString
+        }.mkString("|")).sorted
+      val chunks = ParquetFooter.decodeFlatColumns(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+        .getOrElse(fail(s"$table did not decode"))
+      val cols = sel.map(_.split(" AS ").last.split("\\(").head.trim)
+      val got = scala.collection.mutable.ArrayBuffer.empty[String]
+      chunks.groupBy(_.rgNo).foreach { case (_, cs) =>
+        val byPath = cs.map(c => c.path -> c.values).toMap
+        assert(cols.forall(byPath.contains), s"$table all columns decoded")
+        val n = byPath(cols.head).size
+        (0 until n).foreach { r =>
+          got += cols.map(c => byPath(c)(r) match {
+            case null => "null"
+            case v => v.toString
+          }).mkString("|")
+        }
+      }
+      assert(got.sorted.toSeq === want, s"$table whole-table differential")
+    }
+  }
+
   test("refusal contract: nested schemas, unsupported-only leaves, corruption") {
     val out = java.nio.file.Files.createTempDirectory("graft_m50bad")
     // nested schema (array leaf) refuses
@@ -94,11 +171,12 @@ class ParquetPagesSpec extends AnyFunSuite with SparkTestBase {
       .coalesce(1).write.mode("overwrite").parquet(nested)
     val nb = firstParquet(nested)
     assert(ParquetFooter.decodeFlatColumns(nb).isEmpty, "nested must refuse")
-    // a table with no INT64/BYTE_ARRAY leaf refuses (nothing decodable)
-    val dbl = out.resolve("dbl").toString
-    spark.range(50).selectExpr("CAST(id AS DOUBLE) AS d")
-      .coalesce(1).write.mode("overwrite").parquet(dbl)
-    assert(ParquetFooter.decodeFlatColumns(firstParquet(dbl)).isEmpty,
+    // a table with no decodable leaf refuses (wide decimals are
+    // FIXED_LEN_BYTE_ARRAY — censused, not valued)
+    val dec = out.resolve("dec").toString
+    spark.range(50).selectExpr("CAST(id AS DECIMAL(25, 2)) AS d")
+      .coalesce(1).write.mode("overwrite").parquet(dec)
+    assert(ParquetFooter.decodeFlatColumns(firstParquet(dec)).isEmpty,
       "no supported leaves must refuse")
     // a good file decodes; truncations never throw
     val good = out.resolve("good").toString
