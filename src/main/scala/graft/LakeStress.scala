@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Stress the r16 lake-format value/metadata walks (SCALE.md):
+  *
+  *   - m50 parquet data-page VALUE decode: an N-row two-column table is
+  *     written by Spark under v1/snappy and v2/zstd, then decoded from
+  *     RAW BYTES through the page-skip path (OffsetIndex locators,
+  *     per-page decompression, dictionary/delta/plain value decode,
+  *     def-level null assembly) — reported as rows/s beside Spark's
+  *     own vectorized reader over the same files, the honest yardstick;
+  *   - m51 ORC stripe-footer census: the same table as many-file ORC,
+  *     tails + stripe footers walked (files/s — each file costs O(tail
+  *     + footerLength), no stream bytes).
+  *
+  * Both paths are narrow mapPartitions plans — cluster scale-out is
+  * linear in executors.
+  */
+object LakeStress {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.builder("local[32]", 32).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val n = if (args.nonEmpty) args(0).toLong else 2000000L
+    val out = java.nio.file.Files.createTempDirectory("graft_lakestress").toString
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime; f; (System.nanoTime - t0) / 1e9
+    }
+    try {
+      val docs = spark.range(n).selectExpr("id AS doc_id",
+        "CASE WHEN id % 7 = 0 THEN NULL ELSE concat('lang_', CAST(id % 23 AS STRING)) END AS lang_n")
+        .repartition(32)
+      val results = Seq("v1" -> "snappy", "v2" -> "zstd").map { case (ver, codec) =>
+        val p = s"$out/${ver}_$codec"
+        docs.write.option("parquet.writer.version", ver)
+          .option("compression", codec).mode("overwrite").parquet(p)
+        val bin = graft.functions.Multimodal.loadBinaryFiles(spark, p, "*.parquet")
+          .selectExpr("monotonically_increasing_id() AS fid", "payload")
+          .localCheckpoint(true)
+        var rows = 0L
+        val tDecode = time {
+          rows = graft.functions.ParquetFooter
+            .parquetDecodeLongStr(bin, "fid", "payload", "doc_id", "lang_n")
+            .count()
+        }
+        var sparkRows = 0L
+        val tSpark = time {
+          sparkRows = spark.read.parquet(p)
+            .select("doc_id", "lang_n").filter(col("doc_id") >= 0).count()
+        }
+        (ver, codec, rows, tDecode, sparkRows, tSpark)
+      }
+      // ORC: many files, stripe footers walked per file
+      val orcP = s"$out/orc_zstd"
+      docs.repartition(64).write.option("compression", "zstd")
+        .mode("overwrite").orc(orcP)
+      val orcBin = graft.functions.Multimodal.loadBinaryFiles(spark, orcP, "*.orc")
+        .selectExpr("monotonically_increasing_id() AS doc_id", "payload")
+        .localCheckpoint(true)
+      val nFiles = orcBin.count()
+      var nStripes = 0L
+      val tStripes = time {
+        nStripes = graft.functions.Orc
+          .orcStripeFooters(orcBin, "doc_id", "payload").count()
+      }
+      val lines = results.map { case (ver, codec, rows, tD, sRows, tS) =>
+        f"pq_${ver}_$codec: decoded=$rows rows in $tD%.1f s " +
+          f"(${rows / tD}%.0f rows/s) vs sparkRead=$sRows in $tS%.1f s " +
+          f"(${sRows / tS}%.0f rows/s) ratio=${tD / tS}%.2fx"
+      }
+      println(s"LAKESTRESS n=$n ${lines.mkString(" | ")} | " +
+        f"orcStripeFooters: files=$nFiles stripes=$nStripes " +
+        f"wall=$tStripes%.1f s (${nFiles / tStripes}%.0f files/s)")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(out)).iterator()
+        .asScala.toSeq.reverse.foreach(p => p.toFile.delete())
+    }
+    spark.stop()
+  }
+}

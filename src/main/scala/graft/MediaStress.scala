@@ -197,6 +197,15 @@ object MediaStress {
         graft.functions.Csv.syntheticCsvPayloads(ids, "doc_id"),
         "doc_id", "payload").count()
     }
+    // r16: MKV Cues census + per-cue locator replay (the seek-index
+    // walk for video lakes — parse the index, then re-seek every
+    // cluster it names and verify the timestamp)
+    var nCues = 0L
+    val tCues = time {
+      nCues = graft.functions.Ebml.mkvCues(
+        graft.functions.Ebml.syntheticMkvCueFiles(ids, "doc_id"),
+        "doc_id", "payload").count()
+    }
     println(f"MEDIASTRESS docs=$n pages=$nPages pageWall=$tPages%.1f " +
       f"pagesPerSec=${nPages / tPages}%.0f pageMB=${pageBytes / 1e6}%.0f " +
       f"packets=$nPackets packetWall=$tPackets%.1f " +
@@ -246,7 +255,9 @@ object MediaStress {
       f"avroExtract=$nAvroX avroXWall=$tAvroX%.1f " +
       f"avroXDocsPerSec=${n / tAvroX}%.0f " +
       f"csvBytesSniffs=$nCsvB csvBytesWall=$tCsvB%.1f " +
-      f"csvBytesDocsPerSec=${n / tCsvB}%.0f")
+      f"csvBytesDocsPerSec=${n / tCsvB}%.0f " +
+      f"mkvCues=$nCues mkvCuesWall=$tCues%.1f " +
+      f"mkvCuesDocsPerSec=${n / tCues}%.0f")
     spark.stop()
   }
 }

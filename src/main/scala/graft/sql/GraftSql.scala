@@ -624,6 +624,24 @@ object GraftSql {
           graft.functions.Avro.extractStringRecords(one(dfs, "avro_extract"),
             p.getOrElse("id", "doc_id"), p.getOrElse("col", "payload"))
         },
+        // parquet data-page value decode (m50): one INT64 + one
+        // BYTE_ARRAY leaf zipped per row through the page-skip read
+        "parquet_decode" -> ProcessorDef { (_, dfs, p) =>
+          graft.functions.ParquetFooter.parquetDecodeLongStr(
+            one(dfs, "parquet_decode"),
+            p.getOrElse("id", "doc_id"), p.getOrElse("col", "payload"),
+            p.getOrElse("long", "doc_id"), p.getOrElse("str", "text"))
+        },
+        // ORC stripe-footer census (m51): stream layout + encodings
+        "orc_stripes" -> ProcessorDef { (_, dfs, p) =>
+          graft.functions.Orc.orcStripeFooters(one(dfs, "orc_stripes"),
+            p.getOrElse("id", "doc_id"), p.getOrElse("col", "payload"))
+        },
+        // MKV Cues census + locator replay (m52)
+        "mkv_cues" -> ProcessorDef { (_, dfs, p) =>
+          graft.functions.Ebml.mkvCues(one(dfs, "mkv_cues"),
+            p.getOrElse("id", "doc_id"), p.getOrElse("col", "payload"))
+        },
         // hybrid-retrieval fusion: PROCESS lexical, dense USING
         // rrf_fuse(...) — any number of ranked (query, rank, id) lists
         "rrf_fuse" -> ProcessorDef { (_, dfs, p) =>

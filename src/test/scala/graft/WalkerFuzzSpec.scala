@@ -57,6 +57,8 @@ class WalkerFuzzSpec extends AnyFunSuite {
       Gzip.inflateConcat(b).flatMap(TfRecord.parseRecords)),
     ("avroExtract", Avro.extractAllStringRecords _),
     ("parquetPageIndex", ParquetFooter.parsePageIndexes _),
+    ("parquetDecode", ParquetFooter.decodeFlatColumns _),
+    ("mkvCues", Ebml.parseMkvCues _),
     ("xz", Xz.parseBlocks _),
     ("id3v1", Mp3.parseId3v1 _))
 
@@ -69,7 +71,8 @@ class WalkerFuzzSpec extends AnyFunSuite {
     Mp3.syntheticV1TaggedMp3(id), Zip.syntheticRealZip(id),
     Tar.syntheticTarGz(id), TfRecord.syntheticTfRecord(id),
     TfRecord.syntheticTfRecordGz(id), Sitemap.syntheticSitemapGz(id),
-    Avro.syntheticRealAvro(id), Xz.syntheticXz(id))
+    Avro.syntheticRealAvro(id), Xz.syntheticXz(id),
+    Ebml.syntheticMkvCues(id))
 
   test("binary walkers never throw on random bytes") {
     (0 until 300).foreach { trial =>
@@ -116,7 +119,8 @@ class WalkerFuzzSpec extends AnyFunSuite {
         Gzip.inflateMemberAt(base, off, len)
         val sync = Array.fill[Byte](16)(rnd.nextInt(256).toByte)
         Avro.extractBlockAt(base, off, rnd.nextLong() % 100, len,
-          Seq("null", "deflate", "snappy")(trial % 3), sync)
+          Seq("null", "deflate", "snappy", "zstandard")(trial % 4), sync)
+        Ebml.replayCueLocator(base, (off % 100).toInt.abs, len)
       } catch { case e: Throwable =>
         fail(s"locator extractor threw (trial=$trial): $e")
       }
