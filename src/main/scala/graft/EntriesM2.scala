@@ -1156,9 +1156,10 @@ private[graft] object EntriesM2 {
         |  CAST(unnest(range(0, 1 + (doc_id + k) % 4)) AS INTEGER) AS j
         | FROM b)
         |SELECT doc_id, k AS block_no, j AS rec_no,
-        | CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 'null'
+        | CASE CAST(doc_id % 6 AS INTEGER) WHEN 0 THEN 'null'
         |   WHEN 1 THEN 'deflate' WHEN 2 THEN 'snappy'
-        |   ELSE 'zstandard' END AS codec,
+        |   WHEN 3 THEN 'zstandard' WHEN 4 THEN 'xz'
+        |   ELSE 'bzip2' END AS codec,
         | 'avro_' || CAST(doc_id AS VARCHAR) || '_' || CAST(k AS VARCHAR)
         |   || '_' || CAST(j AS VARCHAR)
         |   || repeat('x', CAST((doc_id + j) % 20 AS INTEGER)) AS content

@@ -203,23 +203,39 @@ object Avro {
         // own integrity machinery applies) — the modern lake codec,
         // decoded through the same public zstd-jni stream decoder as
         // ORC zstd tails, with the same zero-progress guard
-        val zin = new com.github.luben.zstd.ZstdInputStreamNoFinalizer(
-          new java.io.ByteArrayInputStream(b, dataStart, nBytes.toInt))
-        try {
-          val out = new java.io.ByteArrayOutputStream()
-          val buf = new Array[Byte](8192)
-          var n = 1
-          while (n >= 0) {
-            n = try zin.read(buf, 0, buf.length)
-            catch { case _: java.io.IOException => return None }
-            if (n > 0) out.write(buf, 0, n)
-            else if (n == 0) return None // zero-progress guard
-          }
-          Some(out.toByteArray)
-        } finally zin.close()
+        streamDecode(new com.github.luben.zstd.ZstdInputStreamNoFinalizer(
+          new java.io.ByteArrayInputStream(b, dataStart, nBytes.toInt)))
+      case "xz" => // one XZ stream (its own CRC64/CRC32 checks apply)
+        streamDecode(
+          try new org.tukaani.xz.XZInputStream(
+            new java.io.ByteArrayInputStream(b, dataStart, nBytes.toInt),
+            64 << 10) // memory cap: a forged header cannot balloon
+          catch { case _: java.io.IOException => return None })
+      case "bzip2" => // one bzip2 stream (block CRCs apply)
+        streamDecode(
+          try new org.apache.commons.compress.compressors.bzip2
+            .BZip2CompressorInputStream(
+              new java.io.ByteArrayInputStream(b, dataStart, nBytes.toInt))
+          catch { case _: java.io.IOException => return None })
       case _ => None // unknown codec: recognized, refused
     }
   }
+
+  /** Drain a decoding stream fully; None on any IO/format error or a
+   * zero-progress stall (the repo-wide decode posture). */
+  private def streamDecode(in: java.io.InputStream): Option[Array[Byte]] =
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = 1
+      while (n >= 0) {
+        n = try in.read(buf, 0, buf.length)
+        catch { case _: java.io.IOException => return None }
+        if (n > 0) out.write(buf, 0, n)
+        else if (n == 0) return None // zero-progress guard
+      }
+      Some(out.toByteArray)
+    } finally in.close()
 
   /** Decode a block of `"string"`-schema records: each record is a
    * zigzag-varint byte length + UTF-8 bytes. The walk must yield
@@ -399,8 +415,9 @@ object Avro {
    * written by the Avro library's own `DataFileWriter` over schema
    * `"string"` with a deterministic sync marker (byte j =
    * `(id*31 + j*7) & 0xff`), codec rotating null/deflate/snappy/
-   * zstandard by `id%4` (r16: zstd is the modern lake codec — same
-   * coverage shape as the ORC tails). `1 + id%3` data blocks forced by
+   * zstandard/xz/bzip2 by `id%6` (r16: the COMPLETE public Avro codec
+   * set — every codec the spec names now both writes, via the real
+   * CodecFactory, and re-extracts). `1 + id%3` data blocks forced by
    * `writer.sync()`; block k holds `1 + (id+k)%4` records
    * `avro_<id>_<k>_<j>` + `"x" * ((id+j)%20)`. `id%8 == 5` payloads
    * have a byte of the FINAL sync flipped — [[parseOcf]] refuses
@@ -412,11 +429,13 @@ object Avro {
     val schema = org.apache.avro.Schema.create(org.apache.avro.Schema.Type.STRING)
     val w = new org.apache.avro.file.DataFileWriter[CharSequence](
       new org.apache.avro.generic.GenericDatumWriter[CharSequence](schema))
-    (id % 4) match {
+    (id % 6) match {
       case 0 => w.setCodec(org.apache.avro.file.CodecFactory.nullCodec())
       case 1 => w.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
       case 2 => w.setCodec(org.apache.avro.file.CodecFactory.snappyCodec())
-      case _ => w.setCodec(org.apache.avro.file.CodecFactory.zstandardCodec(3))
+      case 3 => w.setCodec(org.apache.avro.file.CodecFactory.zstandardCodec(3))
+      case 4 => w.setCodec(org.apache.avro.file.CodecFactory.xzCodec(3))
+      case _ => w.setCodec(org.apache.avro.file.CodecFactory.bzip2Codec())
     }
     val bo = new java.io.ByteArrayOutputStream()
     val sync = Array.tabulate(16)(j => ((id * 31 + j * 7) & 0xff).toByte)

@@ -843,11 +843,24 @@ object ParquetFooter {
   }
 
   /** Projected PageHeader thrift. `end` is the absolute offset just
-   * past the header (= start of the page body). */
+   * past the header (= start of the page body); `crc` is the optional
+   * page checksum — CRC32 over the body bytes [end, end+comp)
+   * (pinned empirically against parquet-mr; for v2 pages the body
+   * includes the level sections, which matches the spec's
+   * levels+data coverage). */
   private final case class PageHdr(ptype: Int, uncomp: Int, comp: Int,
       nValues: Int, enc: Int, defEnc: Int, dictN: Int, dictEnc: Int,
       nNulls: Int, defLen2: Int, repLen2: Int, compressed2: Boolean,
-      end: Int)
+      crc: Option[Int], end: Int)
+
+  /** Verify the page CRC when the header carries one; a mismatch is
+   * bit-rot or a stale locator — refuse. */
+  private def checkPageCrc(b: Array[Byte], h: PageHdr): Unit =
+    h.crc.foreach { want =>
+      val c = new java.util.zip.CRC32
+      c.update(b, h.end, h.comp)
+      if (c.getValue.toInt != want) throw new Malformed
+    }
 
   private def parsePageHeader(b: Array[Byte], off: Int, lim: Int): PageHdr = {
     val c = new Cur(b, off, lim)
@@ -863,11 +876,13 @@ object ParquetFooter {
     var defLen2 = -1
     var repLen2 = -1
     var compressed2 = true // thrift default per parquet-format
+    var crc: Option[Int] = None
     walkStruct(c) { (fid, tpe) =>
       (fid, tpe) match {
         case (1L, 5) => ptype = c.zigzag().toInt; true
         case (2L, 5) => uncomp = c.zigzag().toInt; true
         case (3L, 5) => comp = c.zigzag().toInt; true
+        case (4L, 5) => crc = Some(c.zigzag().toInt); true
         case (5L, 12) => // DataPageHeader (v1)
           walkStruct(c) { (f2, t2) =>
             (f2, t2) match {
@@ -905,7 +920,7 @@ object ParquetFooter {
     }
     if (ptype < 0 || uncomp < 0 || comp < 0) throw new Malformed
     PageHdr(ptype, uncomp, comp, nValues, enc, defEnc, dictN, dictEnc,
-      nNulls, defLen2, repLen2, compressed2, c.pos)
+      nNulls, defLen2, repLen2, compressed2, crc, c.pos)
   }
 
   /** Decompress one page body to EXACTLY `uncomp` bytes per the chunk
@@ -1254,6 +1269,8 @@ object ParquetFooter {
     val h = parsePageHeader(b, off.toInt, b.length)
     if (h.ptype != 2 || h.dictN < 0) throw new Malformed
     if (h.dictEnc != 0 && h.dictEnc != 2) throw new Malformed // PLAIN forms
+    if (h.comp < 0 || h.comp > b.length - h.end) throw new Malformed
+    checkPageCrc(b, h)
     val data = inflatePage(b, h.end, h.comp, h.uncomp, codec)
     plainValues(data, 0, data.length, h.dictN, ptype)
   }
@@ -1267,6 +1284,7 @@ object ParquetFooter {
     val lim = (off + size).toInt
     val h = parsePageHeader(b, off.toInt, lim)
     if (h.end.toLong + h.comp != lim) throw new Malformed // exact tiling
+    checkPageCrc(b, h)
     h.ptype match {
       case 0 => // v1 DATA_PAGE: body fully compressed (levels included)
         if (h.nValues < 0 || h.enc < 0) throw new Malformed

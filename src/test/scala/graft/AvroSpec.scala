@@ -93,7 +93,8 @@ class AvroSpec extends AnyFunSuite {
           k <- 0 until (1 + id % 3).toInt
           j <- 0 until (1 + (id + k) % 4).toInt
         } yield (k, j,
-          Seq("null", "deflate", "snappy", "zstandard")((id % 4).toInt),
+          Seq("null", "deflate", "snappy", "zstandard", "xz", "bzip2")(
+            (id % 6).toInt),
           s"avro_${id}_${k}_$j" + "x" * ((id + j) % 20).toInt)
         assert(rs === want.toIndexedSeq, s"id=$id")
         // real-decoder differential: Avro's own DataFileReader over the
@@ -112,7 +113,7 @@ class AvroSpec extends AnyFunSuite {
   }
 
   test("a stale or forged block locator is refused, never mis-extracted") {
-    val payload = Avro.syntheticRealAvro(9L) // deflate codec (9 % 4 == 1)
+    val payload = Avro.syntheticRealAvro(19L) // deflate codec (19 % 6 == 1)
     val o = Avro.parseOcf(payload).get
     val sync = o.sync.toArray
     val (off, nr, nb) = o.blocks.head
@@ -137,14 +138,14 @@ class AvroSpec extends AnyFunSuite {
       .flatMap(Avro.decodeStringRecords(_, nr))
     catch { case e: Throwable => fail(s"threw on mutated block: $e") }
     res.foreach { strs =>
-      val want = (0 until (1 + (9 + 0) % 4)).map(j =>
-        s"avro_9_0_$j" + "x" * ((9 + j) % 20))
+      val want = (0 until (1 + (19 + 0) % 4)).map(j =>
+        s"avro_19_0_$j" + "x" * ((19 + j) % 20))
       assert(strs != want, "mutated block decoded to the original records")
     }
   }
 
   test("zstandard blocks extract and a corrupt zstd frame refuses") {
-    // 3 % 4 == 3 → zstandard codec; 3 % 8 != 5 → clean file
+    // 3 % 6 == 3 → zstandard codec; 3 % 8 != 5 → clean file
     val payload = Avro.syntheticRealAvro(3L)
     val o = Avro.parseOcf(payload).getOrElse(fail("did not parse"))
     assert(o.codec === "zstandard")

@@ -206,6 +206,20 @@ class ParquetPagesSpec extends AnyFunSuite with SparkTestBase {
     val r = try ParquetFooter.decodeFlatColumns(mut)
     catch { case e: Throwable => fail(s"threw on corrupt page: $e") }
     assert(r.isEmpty, "corrupt page body must refuse")
+    // on an UNCOMPRESSED file a flipped value byte is structurally
+    // invisible — the page CRC (parquet-mr writes one by default) must
+    // catch exactly this silent-bit-rot case
+    val unc = out.resolve("unc").toString
+    spark.range(300).selectExpr("id", "CAST(id % 7 AS STRING) AS s")
+      .coalesce(1).write.option("compression", "uncompressed")
+      .option("parquet.page.row.count.limit", "40")
+      .mode("overwrite").parquet(unc)
+    val ub = firstParquet(unc)
+    assert(ParquetFooter.decodeFlatColumns(ub).isDefined)
+    val um = ub.clone()
+    um(50) = (um(50) ^ 0x01).toByte // one bit, mid page body
+    assert(ParquetFooter.decodeFlatColumns(um).isEmpty,
+      "page CRC must refuse a silent bit flip in an uncompressed page")
   }
 
   private def firstParquet(dir: String): Array[Byte] = {

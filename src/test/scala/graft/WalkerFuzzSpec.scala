@@ -119,7 +119,8 @@ class WalkerFuzzSpec extends AnyFunSuite {
         Gzip.inflateMemberAt(base, off, len)
         val sync = Array.fill[Byte](16)(rnd.nextInt(256).toByte)
         Avro.extractBlockAt(base, off, rnd.nextLong() % 100, len,
-          Seq("null", "deflate", "snappy", "zstandard")(trial % 4), sync)
+          Seq("null", "deflate", "snappy", "zstandard", "xz", "bzip2")(
+            trial % 6), sync)
         Ebml.replayCueLocator(base, (off % 100).toInt.abs, len)
       } catch { case e: Throwable =>
         fail(s"locator extractor threw (trial=$trial): $e")
