@@ -174,6 +174,42 @@ private[graft] object EntriesM2 {
       }
     }),
 
+    // ORC data-stream VALUE decode (m53 — the m50 analog completing
+    // the ORC ladder m43→m51→here): Spark writes the two-column table
+    // under all five codecs; every stripe's streams are then located
+    // by the m51 stripe-footer walk and decoded from first principles
+    // — chunked per-codec decompression, byte-RLE PRESENT null masks,
+    // RLEv2 integers (all four sub-encodings), DICTIONARY_V2 /
+    // DIRECT_V2 strings — and the decoded (doc_id, lang_n) pairs,
+    // zipped per row across the two columns, must hash-match the
+    // DuckDB oracle over the SAME source rows
+    "m53_orc_values" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 =!= 0, col("lang")).as("lang_n"))
+      val out = java.nio.file.Files.createTempDirectory("graft_m53").toString
+      try {
+        val frames = Seq("none", "zlib", "snappy", "zstd", "lz4").map {
+          codec =>
+            docs.repartition(2).write.option("compression", codec)
+              .mode("overwrite").orc(s"$out/$codec")
+            val bin = graft.functions.Multimodal
+              .loadBinaryFiles(s, s"$out/$codec", "*.orc")
+              .selectExpr("monotonically_increasing_id() AS fid", "payload")
+            graft.functions.Orc
+              .orcDecodeLongStr(bin, "fid", "payload", "doc_id", "lang_n")
+              .select(lit(codec).as("codec"),
+                col("long_val").as("doc_id"), col("str_val").as("lang_n"))
+        }
+        // materialize before the temp dir is deleted (the frames read it)
+        frames.reduce(_.unionByName(_)).localCheckpoint(true)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(out)).iterator()
+          .asScala.toSeq.reverse.foreach(p => p.toFile.delete())
+      }
+    }),
+
     // MKV Cues census + locator REPLAY (m52 — the seek-index pattern
     // for video lakes, extending m30's EBML walk): the Cues element's
     // CuePoint rows (CueTime, CueTrack, CueClusterPosition) are
@@ -1086,6 +1122,18 @@ private[graft] object EntriesM2 {
         | CAST(1 AS INTEGER) AS stripes_agree,
         | CAST(1 AS INTEGER) AS codec_ok
         |FROM codecs""".stripMargin,
+
+    // the m53 oracle is the SOURCE ROWS themselves, replicated per
+    // codec (the m50 posture for ORC): a single wrong long, string,
+    // null or misaligned row in any stripe of any codec
+    // hash-mismatches
+    "m53_orc_values" ->
+      """WITH v AS (SELECT unnest(['none', 'zlib', 'snappy', 'zstd',
+        |  'lz4']) AS codec),
+        |d AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 7 <> 0 THEN lang END AS lang_n
+        | FROM documents)
+        |SELECT codec, doc_id, lang_n FROM v, d""".stripMargin,
 
     // replay of Ebml.syntheticMkvCues's cue formulas: 1+id%4 cues per
     // file (none for id%5==3), CueTime = k*1000 + id%997, track 1; the

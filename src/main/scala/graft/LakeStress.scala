@@ -63,6 +63,18 @@ object LakeStress {
         nStripes = graft.functions.Orc
           .orcStripeFooters(orcBin, "doc_id", "payload").count()
       }
+      // ORC data-stream VALUE decode (m53) vs Spark's ORC reader
+      var orcRows = 0L
+      val tOrcDecode = time {
+        orcRows = graft.functions.Orc
+          .orcDecodeLongStr(orcBin, "doc_id", "payload", "doc_id", "lang_n")
+          .count()
+      }
+      var orcSparkRows = 0L
+      val tOrcSpark = time {
+        orcSparkRows = spark.read.orc(orcP)
+          .select("doc_id", "lang_n").filter(col("doc_id") >= 0).count()
+      }
       val lines = results.map { case (ver, codec, rows, tD, sRows, tS) =>
         f"pq_${ver}_$codec: decoded=$rows rows in $tD%.1f s " +
           f"(${rows / tD}%.0f rows/s) vs sparkRead=$sRows in $tS%.1f s " +
@@ -70,7 +82,11 @@ object LakeStress {
       }
       println(s"LAKESTRESS n=$n ${lines.mkString(" | ")} | " +
         f"orcStripeFooters: files=$nFiles stripes=$nStripes " +
-        f"wall=$tStripes%.1f s (${nFiles / tStripes}%.0f files/s)")
+        f"wall=$tStripes%.1f s (${nFiles / tStripes}%.0f files/s) | " +
+        f"orc_zstd_values: decoded=$orcRows rows in $tOrcDecode%.1f s " +
+        f"(${orcRows / tOrcDecode}%.0f rows/s) vs sparkRead=$orcSparkRows " +
+        f"in $tOrcSpark%.1f s (${orcSparkRows / tOrcSpark}%.0f rows/s) " +
+        f"ratio=${tOrcDecode / tOrcSpark}%.2fx")
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(java.nio.file.Paths.get(out)).iterator()

@@ -55,7 +55,10 @@ object Orc {
       nTypes: Int, nRootFields: Int, stripeRows: IndexedSeq[Long],
       stripeDataBytes: IndexedSeq[Long],
       stripes: IndexedSeq[(Long, Long, Long, Long, Long)] = IndexedSeq.empty,
-      compressionKind: Int = 0)
+      compressionKind: Int = 0,
+      typeKinds: IndexedSeq[Int] = IndexedSeq.empty,
+      rootSubtypes: IndexedSeq[Long] = IndexedSeq.empty,
+      rootFieldNames: IndexedSeq[String] = IndexedSeq.empty)
 
   private final class Malformed extends RuntimeException
 
@@ -216,6 +219,9 @@ object Orc {
       val stripeData = scala.collection.mutable.ArrayBuffer.empty[Long]
       val stripes = scala.collection.mutable.ArrayBuffer
         .empty[(Long, Long, Long, Long, Long)]
+      val typeKinds = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val rootSubs = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val rootNames = scala.collection.mutable.ArrayBuffer.empty[String]
       while (!f.done) {
         val key = f.varint()
         val field = (key >>> 3).toInt
@@ -252,23 +258,28 @@ object Orc {
             val n = f.varint()
             val s = f.bytes(n)
             nTypes += 1
-            if (nTypes == 1) { // root: count its subtypes
-              val tp = new P(footer, s, s + n.toInt)
-              var subs = 0
-              while (!tp.done) {
-                val k2 = tp.varint()
-                ((k2 >>> 3).toInt, (k2 & 7).toInt) match {
-                  case (2, 0) => tp.varint(): Unit; subs += 1
-                  case (2, 2) => // packed repeated subtypes
-                    val pn = tp.varint()
-                    val pe = tp.bytes(pn) + pn.toInt
-                    val pp = new P(footer, pe - pn.toInt, pe)
-                    while (!pp.done) { pp.varint(): Unit; subs += 1 }
-                  case (_, w2) => tp.skipField(w2)
-                }
+            val tp = new P(footer, s, s + n.toInt)
+            var kind2 = 0L // proto default: BOOLEAN(0) when omitted
+            while (!tp.done) {
+              val k2 = tp.varint()
+              ((k2 >>> 3).toInt, (k2 & 7).toInt) match {
+                case (1, 0) => kind2 = tp.varint()
+                case (2, 0) if nTypes == 1 => // root subtype id
+                  rootSubs += tp.varint()
+                case (2, 2) if nTypes == 1 => // packed repeated subtypes
+                  val pn = tp.varint()
+                  val pe = tp.bytes(pn) + pn.toInt
+                  val pp = new P(footer, pe - pn.toInt, pe)
+                  while (!pp.done) rootSubs += pp.varint()
+                case (3, 2) if nTypes == 1 => // root fieldNames
+                  val fn = tp.varint()
+                  val fs = tp.bytes(fn)
+                  rootNames += new String(footer, fs, fn.toInt, "UTF-8")
+                case (_, w2) => tp.skipField(w2)
               }
-              nRootFields = subs
             }
+            typeKinds += kind2.toInt
+            if (nTypes == 1) nRootFields = rootSubs.size
           case (6, 0) => numRows = f.varint()
           case (8, 0) => stride = f.varint()
           case (_, w) => f.skipField(w)
@@ -279,7 +290,8 @@ object Orc {
       Some(Tail(numRows, contentLen, compressionName(kind), footerLen,
         stride, nTypes, math.max(nRootFields, 0),
         stripeRows.toIndexedSeq, stripeData.toIndexedSeq,
-        stripes.toIndexedSeq, kind.toInt))
+        stripes.toIndexedSeq, kind.toInt, typeKinds.toIndexedSeq,
+        rootSubs.toIndexedSeq, rootNames.toIndexedSeq))
     } catch {
       case _: Malformed => None
       case _: IndexOutOfBoundsException => None // belt and braces
@@ -384,6 +396,443 @@ object Orc {
       pos += clen
     }
     java.util.Arrays.copyOf(out, w)
+  }
+
+  // ---- data-stream VALUE decode (m53) ---------------------------------
+  //
+  // The m50 analog for ORC: the file footer locates stripes, each
+  // stripe footer (m51) lays out the streams — and this rung DECODES
+  // them. Facts honored (ORC v1 spec, orc.apache.org):
+  //   - the data region starts at stripe offset + indexLength; streams
+  //     occupy it in stripe-footer order (index-region streams first,
+  //     inside [offset, offset+indexLength));
+  //   - every stream is independently chunk-compressed with the file
+  //     codec (the same framing the footer decode walks);
+  //   - PRESENT streams are bits MSB-first through ORC's byte-level
+  //     RLE (control 0..127 = run of 3..130 copies; 0x80.. = 1..128
+  //     literals);
+  //   - integer DATA streams are RLEv2: SHORT_REPEAT (BE value,
+  //     zigzag when signed), DIRECT (bit-packed BE, zigzag when
+  //     signed), PATCHED_BASE (sign-magnitude base + bit-packed
+  //     deltas + byte-aligned patch list at closest-fixed-bit width),
+  //     DELTA (varint base [zigzag when signed] + zigzag delta base +
+  //     bit-packed delta magnitudes carrying delta-base's sign);
+  //   - strings are DICTIONARY_V2 (DATA = unsigned indices, LENGTH =
+  //     dictionary entry lengths, DICTIONARY_DATA = concatenated
+  //     UTF-8) or DIRECT_V2 (DATA = concatenated UTF-8, LENGTH =
+  //     per-value lengths).
+  // LONG and STRING flat-schema columns decode; RLEv1 encodings
+  // (DIRECT/DICTIONARY without _V2 — pre-Hive-0.12 writers) refuse.
+  // Strict posture: stream byte runs must be consumed exactly, counts
+  // must close against stripe rows, dictionary indices must be in
+  // range, and UTF-8 is REPORT-mode.
+
+  /** The 5-bit encoded bit-width table (ORC `FixedBitSizes`). */
+  private val Fbs: Array[Int] = Array(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12,
+    13, 14, 15, 16, 17, 18, 19, 20, 21, 22, 23, 24, 26, 28, 30, 32, 40, 48,
+    56, 64)
+
+  private def closestFixedBits(bits: Int): Int = {
+    var i = 0
+    while (i < Fbs.length && Fbs(i) < bits) i += 1
+    if (i >= Fbs.length) throw new Malformed
+    Fbs(i)
+  }
+
+  /** Big-endian MSB-first bit reader over a decoded stream. */
+  private final class BitReader(val b: Array[Byte], var byte: Int) {
+    private var bit = 0
+    def read(width: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < width) {
+        if (byte >= b.length) throw new Malformed
+        v = (v << 1) | ((b(byte) >> (7 - bit)) & 1)
+        bit += 1
+        if (bit == 8) { bit = 0; byte += 1 }
+        i += 1
+      }
+      v
+    }
+    def align(): Unit = if (bit != 0) { bit = 0; byte += 1 }
+  }
+
+  /** ORC byte-level RLE: decode exactly `n` bytes; the stream must be
+   * consumed exactly. */
+  private[graft] def decodeByteRle(s: Array[Byte], n: Int): Array[Byte] = {
+    val out = new Array[Byte](n)
+    var w = 0
+    var p = 0
+    while (w < n) {
+      if (p >= s.length) throw new Malformed
+      val h = s(p) & 0xff
+      p += 1
+      if (h < 128) {
+        val run = h + 3
+        if (p >= s.length || run > n - w) throw new Malformed
+        val v = s(p)
+        p += 1
+        var i = 0
+        while (i < run) { out(w) = v; w += 1; i += 1 }
+      } else {
+        val lit = 256 - h
+        if (lit > n - w || lit > s.length - p) throw new Malformed
+        System.arraycopy(s, p, out, w, lit)
+        w += lit
+        p += lit
+      }
+    }
+    if (p != s.length) throw new Malformed
+    out
+  }
+
+  /** Base-128 little-endian varint (ORC's integer varint form). */
+  private def orcVarint(s: Array[Byte], pos: Int): (Long, Int) = {
+    var v = 0L
+    var shift = 0
+    var p = pos
+    while (shift <= 63) {
+      if (p >= s.length) throw new Malformed
+      val x = s(p) & 0xff
+      v |= (x & 0x7fL) << shift
+      p += 1
+      if ((x & 0x80) == 0) return (v, p)
+      shift += 7
+    }
+    throw new Malformed
+  }
+
+  /** Decode exactly `n` values of an RLEv2 integer stream; `signed`
+   * per the column type (bigint DATA = signed, lengths / dictionary
+   * indices = unsigned). The stream must be consumed exactly. */
+  private[graft] def decodeRleV2(s: Array[Byte], n: Int,
+      signed: Boolean): Array[Long] = {
+    val out = new Array[Long](n)
+    var w = 0
+    var p = 0
+    def zz(v: Long): Long = (v >>> 1) ^ -(v & 1)
+    while (w < n) {
+      if (p >= s.length) throw new Malformed
+      val h = s(p) & 0xff
+      (h >> 6) match {
+        case 0 => // SHORT_REPEAT
+          val width = ((h >> 3) & 7) + 1
+          val rep = (h & 7) + 3
+          if (rep > n - w || width > s.length - p - 1) throw new Malformed
+          var v = 0L
+          var i = 0
+          while (i < width) { v = (v << 8) | (s(p + 1 + i) & 0xff); i += 1 }
+          val dv = if (signed) zz(v) else v
+          p += 1 + width
+          var j = 0
+          while (j < rep) { out(w) = dv; w += 1; j += 1 }
+        case 1 => // DIRECT
+          if (p + 1 >= s.length) throw new Malformed
+          val width = Fbs((h >> 1) & 0x1f)
+          val len = (((h & 1) << 8) | (s(p + 1) & 0xff)) + 1
+          if (len > n - w) throw new Malformed
+          val br = new BitReader(s, p + 2)
+          var j = 0
+          while (j < len) {
+            val v = br.read(width)
+            out(w) = if (signed) zz(v) else v
+            w += 1
+            j += 1
+          }
+          br.align()
+          p = br.byte
+        case 2 => // PATCHED_BASE
+          if (p + 3 >= s.length) throw new Malformed
+          val width = Fbs((h >> 1) & 0x1f)
+          val len = (((h & 1) << 8) | (s(p + 1) & 0xff)) + 1
+          val bw = ((s(p + 2) >> 5) & 7) + 1
+          val pw = Fbs(s(p + 2) & 0x1f)
+          val pgw = ((s(p + 3) >> 5) & 7) + 1
+          val pll = s(p + 3) & 0x1f
+          if (len > n - w || bw > s.length - p - 4) throw new Malformed
+          var base = 0L
+          var i = 0
+          while (i < bw) { base = (base << 8) | (s(p + 4 + i) & 0xff); i += 1 }
+          val signBit = 1L << (bw * 8 - 1)
+          if ((base & signBit) != 0) base = -(base & (signBit - 1))
+          val br = new BitReader(s, p + 4 + bw)
+          val vals = new Array[Long](len)
+          var j = 0
+          while (j < len) { vals(j) = br.read(width); j += 1 }
+          br.align() // patch list starts at the next byte boundary
+          val pew = closestFixedBits(pgw + pw)
+          var pos = 0
+          var k = 0
+          while (k < pll) {
+            val e = br.read(pew)
+            val gap = (e >>> pw).toInt
+            val patch = if (pw == 64) e else e & ((1L << pw) - 1)
+            pos += gap
+            if (pos >= len) throw new Malformed
+            vals(pos) = vals(pos) | (patch << width)
+            k += 1
+          }
+          br.align()
+          p = br.byte
+          j = 0
+          while (j < len) { out(w) = base + vals(j); w += 1; j += 1 }
+        case _ => // DELTA
+          if (p + 1 >= s.length) throw new Malformed
+          val wEnc = (h >> 1) & 0x1f
+          val width = if (wEnc == 0) 0 else Fbs(wEnc)
+          val len = (((h & 1) << 8) | (s(p + 1) & 0xff)) + 1
+          if (len > n - w) throw new Malformed
+          val (bv, p1) = orcVarint(s, p + 2)
+          val base = if (signed) zz(bv) else bv
+          val (dbz, p2) = orcVarint(s, p1)
+          val deltaBase = zz(dbz) // always signed
+          out(w) = base
+          w += 1
+          var prev = base
+          if (len >= 2) {
+            prev = base + deltaBase
+            out(w) = prev
+            w += 1
+          }
+          if (len > 2) {
+            if (width == 0) { // fixed delta: every step is deltaBase
+              var j = 2
+              while (j < len) {
+                prev += deltaBase
+                out(w) = prev
+                w += 1
+                j += 1
+              }
+              p = p2
+            } else {
+              val br = new BitReader(s, p2)
+              var j = 2
+              while (j < len) {
+                val d = br.read(width)
+                prev = if (deltaBase < 0) prev - d else prev + d
+                out(w) = prev
+                w += 1
+                j += 1
+              }
+              br.align()
+              p = br.byte
+            }
+          } else p = p2
+      }
+    }
+    if (p != s.length || w != n) throw new Malformed
+    out
+  }
+
+  /** Decoded values of one column in one stripe (boxed Long / String,
+   * nulls in place). */
+  final case class OrcColumn(stripeNo: Int, name: String, kind: Int,
+      values: IndexedSeq[AnyRef])
+
+  private def orcUtf8(b: Array[Byte], off: Int, len: Int): String = {
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try dec.decode(java.nio.ByteBuffer.wrap(b, off, len)).toString
+    catch {
+      case _: java.nio.charset.CharacterCodingException => throw new Malformed
+    }
+  }
+
+  /**
+   * Decode every top-level LONG and STRING column of a flat ORC file,
+   * stripe by stripe, entirely from raw bytes: stripe footers give the
+   * stream layout, PRESENT streams give the null mask, RLEv2 gives the
+   * integers/lengths/indices, and the dictionary or direct byte
+   * streams give the strings. Other column types are skipped (the
+   * censuses above still cover them); RLEv1 column encodings refuse.
+   * None on any structural violation or count mismatch.
+   */
+  def decodeFlatColumns(payload: Array[Byte]): Option[IndexedSeq[OrcColumn]] = {
+    val b = payload
+    parseTail(b) match {
+      case None => None
+      case Some(t) =>
+        try {
+          // flat schema: root struct (type 0) whose subtypes are leaves
+          if (t.rootSubtypes.isEmpty ||
+            t.rootFieldNames.size != t.rootSubtypes.size) throw new Malformed
+          val leaves = t.rootSubtypes.zip(t.rootFieldNames).map {
+            case (tid, name) =>
+              if (tid <= 0 || tid >= t.typeKinds.size) throw new Malformed
+              (tid.toInt, name, t.typeKinds(tid.toInt))
+          }
+          val wanted = leaves.filter(l => l._3 == 4 || l._3 == 7) // long/string
+          if (wanted.isEmpty) throw new Malformed
+          val out = scala.collection.mutable.ArrayBuffer.empty[OrcColumn]
+          t.stripes.zipWithIndex.foreach {
+            case ((sOff, sIdxLen, sDataLen, sFootLen, sRows), sNo) =>
+              if (sRows <= 0 || sRows > Int.MaxValue) throw new Malformed
+              val fStart = sOff + sIdxLen + sDataLen
+              if (fStart < 0 || fStart > b.length - sFootLen)
+                throw new Malformed
+              val sf = parseStripeFooter(b, fStart.toInt, sFootLen,
+                t.compressionKind)
+              // stream offsets: cumulative in footer order from sOff
+              var cursor = sOff
+              val located = sf.streams.map { st =>
+                val o = cursor
+                cursor += st.length
+                (st, o)
+              }
+              if (cursor != sOff + sIdxLen + sDataLen) throw new Malformed
+              def streamBytes(st: StripeStream, off: Long): Array[Byte] = {
+                if (off < 0 || st.length > b.length - off) throw new Malformed
+                if (t.compressionKind == 0)
+                  java.util.Arrays.copyOfRange(b, off.toInt,
+                    (off + st.length).toInt)
+                else decodeStreamUnsized(b, off.toInt, st.length,
+                  t.compressionKind)
+              }
+              def find(col: Int, kind: Int): Option[(StripeStream, Long)] =
+                located.find(s0 => s0._1.column == col && s0._1.kind == kind)
+              wanted.foreach { case (cid, name, tkind) =>
+                if (cid >= sf.encodings.size) throw new Malformed
+                val (encKind, dictSize) = sf.encodings(cid)
+                val nRows = sRows.toInt
+                // null mask from the PRESENT stream (absent = no nulls)
+                val present: Array[Boolean] = find(cid, 0) match {
+                  case Some((st, off)) =>
+                    val bits = decodeByteRle(streamBytes(st, off),
+                      ((nRows + 7) / 8))
+                    Array.tabulate(nRows)(i =>
+                      ((bits(i >> 3) >> (7 - (i & 7))) & 1) != 0)
+                  case None => null
+                }
+                val nNonNull =
+                  if (present == null) nRows else present.count(identity)
+                val vals = new Array[AnyRef](nRows)
+                def assembleFrom(nn: Array[AnyRef]): Unit = {
+                  if (present == null) {
+                    if (nn.length != nRows) throw new Malformed
+                    System.arraycopy(nn, 0, vals, 0, nRows)
+                  } else {
+                    var v = 0
+                    var i = 0
+                    while (i < nRows) {
+                      if (present(i)) { vals(i) = nn(v); v += 1 }
+                      i += 1
+                    }
+                    if (v != nn.length) throw new Malformed
+                  }
+                }
+                if (tkind == 4) { // bigint
+                  if (encKind != 2) throw new Malformed // DIRECT_V2 only
+                  val (st, off) = find(cid, 1).getOrElse(throw new Malformed)
+                  val longs = decodeRleV2(streamBytes(st, off), nNonNull,
+                    signed = true)
+                  assembleFrom(longs.map(Long.box(_): AnyRef))
+                } else { // string
+                  encKind match {
+                    case 3 => // DICTIONARY_V2
+                      val (dst, doff) =
+                        find(cid, 1).getOrElse(throw new Malformed)
+                      val (lst, loff) =
+                        find(cid, 2).getOrElse(throw new Malformed)
+                      val (bst, boff) =
+                        find(cid, 3).getOrElse(throw new Malformed)
+                      if (dictSize < 0 || dictSize > Int.MaxValue)
+                        throw new Malformed
+                      val nDict = dictSize.toInt
+                      val lens = decodeRleV2(streamBytes(lst, loff), nDict,
+                        signed = false)
+                      val dictBytes = streamBytes(bst, boff)
+                      val dict = new Array[String](nDict)
+                      var pos = 0
+                      var i = 0
+                      while (i < nDict) {
+                        val l = lens(i)
+                        if (l < 0 || l > dictBytes.length - pos)
+                          throw new Malformed
+                        dict(i) = orcUtf8(dictBytes, pos, l.toInt)
+                        pos += l.toInt
+                        i += 1
+                      }
+                      if (pos != dictBytes.length) throw new Malformed
+                      val idx = decodeRleV2(streamBytes(dst, doff), nNonNull,
+                        signed = false)
+                      assembleFrom(idx.map { ix =>
+                        if (ix < 0 || ix >= nDict) throw new Malformed
+                        dict(ix.toInt): AnyRef
+                      })
+                    case 2 => // DIRECT_V2
+                      val (dst, doff) =
+                        find(cid, 1).getOrElse(throw new Malformed)
+                      val (lst, loff) =
+                        find(cid, 2).getOrElse(throw new Malformed)
+                      val lens = decodeRleV2(streamBytes(lst, loff), nNonNull,
+                        signed = false)
+                      val bytes = streamBytes(dst, doff)
+                      var pos = 0
+                      val nn = new Array[AnyRef](nNonNull)
+                      var i = 0
+                      while (i < nNonNull) {
+                        val l = lens(i)
+                        if (l < 0 || l > bytes.length - pos)
+                          throw new Malformed
+                        nn(i) = orcUtf8(bytes, pos, l.toInt)
+                        pos += l.toInt
+                        i += 1
+                      }
+                      if (pos != bytes.length) throw new Malformed
+                      assembleFrom(nn)
+                    case _ => throw new Malformed // RLEv1 forms refused
+                  }
+                }
+                out += OrcColumn(sNo, name, tkind, vals.toIndexedSeq)
+              }
+          }
+          if (out.isEmpty) throw new Malformed
+          Some(out.toIndexedSeq)
+        } catch {
+          case _: Malformed => None
+          case _: IndexOutOfBoundsException => None
+          case _: NegativeArraySizeException => None
+        }
+    }
+  }
+
+  /** Output schema of [[orcDecodeLongStr]]. */
+  val decodeLongStrSchema: StructType = StructType(Seq(
+    StructField("file_id", LongType),
+    StructField("long_val", LongType),
+    StructField("str_val", StringType)))
+
+  /** Decode one LONG column and one STRING column of each flat ORC
+   * payload and emit their values ZIPPED per row (stripe order) — the
+   * cross-column row-alignment proof, the [[ParquetFooter
+   * .parquetDecodeLongStr]] sibling. Payloads that refuse contribute
+   * nothing. Narrow mapPartitions. */
+  def orcDecodeLongStr(df: DataFrame, idCol: String, payloadCol: String,
+      longName: String, strName: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val fid = r.getLong(idIdx)
+        decodeFlatColumns(r.getAs[Array[Byte]](pIdx)) match {
+          case Some(cols) =>
+            cols.groupBy(_.stripeNo).toSeq.sortBy(_._1).iterator.flatMap {
+              case (_, cs) =>
+                val lc = cs.find(c => c.name == longName && c.kind == 4)
+                val sc = cs.find(c => c.name == strName && c.kind == 7)
+                (lc, sc) match {
+                  case (Some(l), Some(s0)) if l.values.size == s0.values.size =>
+                    l.values.iterator.zip(s0.values.iterator).map {
+                      case (lv, sv) => Row(fid, lv, sv)
+                    }
+                  case _ => Iterator.empty
+                }
+            }
+          case None => Iterator.empty
+        }
+      }
+    }(Encoders.row(decodeLongStrSchema))
   }
 
   /** Output schema of [[orcTails]]. */

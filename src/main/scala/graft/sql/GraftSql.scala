@@ -637,6 +637,13 @@ object GraftSql {
           graft.functions.Orc.orcStripeFooters(one(dfs, "orc_stripes"),
             p.getOrElse("id", "doc_id"), p.getOrElse("col", "payload"))
         },
+        // ORC data-stream value decode (m53): one LONG + one STRING
+        // column zipped per row through the stripe-stream read
+        "orc_decode" -> ProcessorDef { (_, dfs, p) =>
+          graft.functions.Orc.orcDecodeLongStr(one(dfs, "orc_decode"),
+            p.getOrElse("id", "doc_id"), p.getOrElse("col", "payload"),
+            p.getOrElse("long", "doc_id"), p.getOrElse("str", "text"))
+        },
         // MKV Cues census + locator replay (m52)
         "mkv_cues" -> ProcessorDef { (_, dfs, p) =>
           graft.functions.Ebml.mkvCues(one(dfs, "mkv_cues"),

@@ -179,6 +179,113 @@ class OrcSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("RLEv2 sub-encodings decode the ORC spec's own worked examples") {
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // SHORT_REPEAT: 10000 repeated 5 times
+    assert(Orc.decodeRleV2(bytes(0x0a, 0x27, 0x10), 5, signed = false)
+      .toSeq === Seq.fill(5)(10000L))
+    // DIRECT: [23713, 43806, 57005, 48879]
+    assert(Orc.decodeRleV2(
+      bytes(0x5e, 0x03, 0x5c, 0xa1, 0xab, 0x1e, 0xde, 0xad, 0xbe, 0xef),
+      4, signed = false).toSeq === Seq(23713L, 43806L, 57005L, 48879L))
+    // PATCHED_BASE: [2030, 2000, 2020, 1000000, 2040..2090 by 10] —
+    // base 2000 (2 bytes), 8-bit deltas, one 12-bit patch at gap 3
+    // raising 112 to 998000, patch entries at closest-fixed 14 bits
+    val pbWant = Seq(2030L, 2000L, 2020L, 1000000L) ++ (2040L to 2090L by 10L)
+    assert(Orc.decodeRleV2(
+      bytes(0x8e, 0x09, 0x2b, 0x21, 0x07, 0xd0, 0x1e, 0x00, 0x14, 0x70,
+        0x28, 0x32, 0x3c, 0x46, 0x50, 0x5a, 0xfc, 0xe8),
+      10, signed = false).toSeq === pbWant)
+    // DELTA: [2, 3, 5, 7, 11, 13, 17, 19, 23, 29]
+    assert(Orc.decodeRleV2(
+      bytes(0xc6, 0x09, 0x02, 0x02, 0x22, 0x42, 0x42, 0x46),
+      10, signed = false).toSeq ===
+      Seq(2L, 3L, 5L, 7L, 11L, 13L, 17L, 19L, 23L, 29L))
+    // byte RLE (spec examples): a run and a literal group
+    assert(Orc.decodeByteRle(bytes(0x61, 0x00), 100).toSeq ===
+      Seq.fill(100)(0x00.toByte))
+    assert(Orc.decodeByteRle(bytes(0xfe, 0x44, 0x45), 2).toSeq ===
+      Seq(0x44.toByte, 0x45.toByte))
+    // corrupt/truncated runs refuse, never throw beyond Option
+    assert(Orc.decodeFlatColumns(null).isEmpty)
+  }
+
+  test("data streams decode and match Spark's reader, all five codecs") {
+    import spark.implicits._
+    val df = (0 until 1200).map { i =>
+      (i.toLong, if (i % 7 == 0) null else s"l${i % 23}")
+    }.toDF("doc_id", "lang_n")
+    val want = df.collect().toSeq
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+      .sortBy(x => (x._1, Option(x._2).getOrElse("")))
+    Seq("none", "zlib", "snappy", "zstd", "lz4").foreach { codec =>
+      val out = java.nio.file.Files.createTempDirectory("graft_orcval")
+      try {
+        df.repartition(2).write.option("compression", codec)
+          .mode("overwrite").orc(out.resolve("d").toString)
+        val bin = graft.functions.Multimodal.loadBinaryFiles(spark,
+          out.resolve("d").toString, "*.orc")
+          .selectExpr("monotonically_increasing_id() AS fid", "payload")
+        val got = Orc.orcDecodeLongStr(bin, "fid", "payload",
+          "doc_id", "lang_n")
+          .select("long_val", "str_val").collect().toSeq
+          .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+          .sortBy(x => (x._1, Option(x._2).getOrElse("")))
+        assert(got === want, s"$codec value differential")
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(out).iterator().asScala.toSeq.reverse
+          .foreach(p => p.toFile.delete())
+      }
+    }
+    // DIRECT_V2 strings (high NDV defeats the dictionary) and
+    // outlier-heavy longs (the PATCHED_BASE-shaped distribution)
+    val hard = (0 until 2000).map { i =>
+      (if (i % 90 == 0) (1L << 40) + i else 1000L + i * 3 % 997,
+        s"u_${i}_" + "q" * (i % 11))
+    }.toDF("v", "s")
+    val wantHard = hard.collect().toSeq.map(r => (r.getLong(0), r.getString(1)))
+      .sorted
+    val out2 = java.nio.file.Files.createTempDirectory("graft_orcval2")
+    try {
+      hard.coalesce(1).write.option("compression", "zlib")
+        .mode("overwrite").orc(out2.resolve("d").toString)
+      val bin2 = graft.functions.Multimodal.loadBinaryFiles(spark,
+        out2.resolve("d").toString, "*.orc")
+        .selectExpr("monotonically_increasing_id() AS fid", "payload")
+      val got2 = Orc.orcDecodeLongStr(bin2, "fid", "payload", "v", "s")
+        .select("long_val", "str_val").collect().toSeq
+        .map(r => (r.getLong(0), r.getString(1))).sorted
+      assert(got2 === wantHard, "direct-v2 / outlier differential")
+      // corrupt a data-region byte: the decode must refuse the file
+      // (None per row), never throw
+      val raw = java.nio.file.Files.list(out2.resolve("d")).toArray
+        .map(_.toString).filter(_.endsWith(".orc")).head
+      val fb = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(raw))
+      val tail = Orc.parseTail(fb).get
+      val mut = fb.clone()
+      val dataStart = (tail.stripes.head._1 + tail.stripes.head._2).toInt
+      (dataStart until dataStart + 8).foreach { i =>
+        mut(i) = (mut(i) ^ 0x7f).toByte
+      }
+      val r = try Orc.decodeFlatColumns(mut)
+      catch { case e: Throwable => fail(s"threw on corrupt stream: $e") }
+      r.foreach { cols =>
+        // if it structurally survived, the values must NOT silently
+        // equal the originals
+        val got3 = cols.filter(_.name == "v").flatMap(_.values)
+          .map(_.asInstanceOf[java.lang.Long].longValue).sorted
+        assert(got3 !== wantHard.map(_._1).sorted,
+          "corrupt stream decoded to the original values")
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(out2).iterator().asScala.toSeq.reverse
+        .foreach(p => p.toFile.delete())
+    }
+  }
+
   test("lzo tails are recognized but refused (census-only boundary)") {
     val files = writeOrc("lzo", 60)
     files.foreach { bytes =>

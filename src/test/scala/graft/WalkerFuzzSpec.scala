@@ -58,6 +58,7 @@ class WalkerFuzzSpec extends AnyFunSuite {
     ("avroExtract", Avro.extractAllStringRecords _),
     ("parquetPageIndex", ParquetFooter.parsePageIndexes _),
     ("parquetDecode", ParquetFooter.decodeFlatColumns _),
+    ("orcDecode", Orc.decodeFlatColumns _),
     ("mkvCues", Ebml.parseMkvCues _),
     ("xz", Xz.parseBlocks _),
     ("id3v1", Mp3.parseId3v1 _))
