@@ -26,6 +26,15 @@ object Plans {
         .foreach(_.unpersist(blocking = false))
     }
     val notes = Map(
+      "m47_tfrecord_gz" -> "tfrecord.gz census: gzip members located and re-extracted through the verified locator path, then the masked-CRC32C record walk - all in one narrow map, zero exchanges.",
+      "m48_parquet_pageindex" -> "Page-index census: ColumnIndex/OffsetIndex/bloom-header reads are O(index bytes) per file in a narrow map; the verdict aggregate is bounded by (path, type) keys.",
+      "m49_avro_extract" -> "Avro block extraction by locator: every block header re-read against its census row, per-codec decode + CRC/sync verification, one narrow pass, zero exchanges.",
+      "t48_sitemap_gz" -> "sitemap.xml.gz walk: gzip locator extraction, strict UTF-8, then the sitemap grammar walk - one narrow map, zero exchanges.",
+      "m50_parquet_pages" -> "Data-page VALUE decode: the page-skip read is a narrow map over located byte ranges (OffsetIndex locators re-validated per page); the five writer-variant frames union and materialize via localCheckpoint so the temp write is deletable - no exchange anywhere on the decode path.",
+      "m53_orc_values" -> "ORC data-stream VALUE decode: stripe footers locate the streams, RLEv2/present/dictionary decode is a narrow map per file; the five codec frames union and materialize via localCheckpoint - no exchange on the decode path.",
+      "m51_orc_stripes" -> "Stripe-footer census: narrow map over file tails (O(tail + footerLength) per file, zero stream bytes); the per-codec verdict is a bounded aggregate collected eagerly so the temp dataset can be deleted.",
+      "m52_mkv_cues" -> "Cues census + locator replay: one narrow map per file - the replay seeks only the addressed cluster's header bytes, never the frame data.",
+      "t49_robots_sitemap" -> "The fetched-sitemap dimension is bounded by the URL universe, not the crawl - parsed once and explicitly broadcast; the crawl side stays a narrow map + one BroadcastHashJoin, zero big-side shuffles.",
       "q02_filter" -> "Both predicates reach the parquet scan (PushedFilters); no Spark-side filter work beyond the codegen'd residual.",
       "q01_agg" -> "Column pruning (5 of 11 lineitem columns read) + map-side partial aggregation; exactly one exchange.",
       "q06_join_inner" -> "Catalyst/AQE picks BroadcastHashJoin, building on the (small) customer side - the fact table never shuffles.",
@@ -104,7 +113,7 @@ object Plans {
     val sb = new StringBuilder
     sb ++= "# PLANS - physical-plan evidence for scale-critical queries\n\n"
     sb ++= s"Generated by `sbt \"runMain graft.Plans\"` at $dir with AQE on.\n"
-    for (q <- Seq("q02_filter", "q01_agg", "q06_join_inner", "q20_take_per_key", "d01_dedup_exact", "s01_knn_brute", "s02_knn_lsh", "d05_dedup_embed", "t12_lm_score", "q62_bloom_semi", "d12_fuzzy_join", "q64_range_join", "d13_segment_dedup", "t20_pack_sequences", "q89_quality_checks", "q92_snapshot_diff", "q90_outliers", "t35_bm25", "q110_funnel", "q110b_funnel_restart", "q111_retention", "q112_triangles", "q113_ppr", "q114_clustering_coeff", "t36_trigram_ce", "t37_link_graph", "t38_gopher_rules", "t39_c4_clean", "q115_connected_components", "m13_mp4_demux", "m14_fmp4_demux", "m18_ogg_pages", "m19_ogg_packets", "m20_audio_meta", "m21_id3_tags", "m22_flac_info", "m23_ogg_muxed", "m24_ogg_comments", "m28_riff_tags", "m29_image_meta", "m30_mkv_tracks", "m31_zip_entries", "m32_zstd_frames", "m33_id3v1_tags", "m34_gzip_members", "m35_avro_blocks", "m36_png_text", "m37_parquet_footer", "m38_exif_gps", "t40_url_canon", "t41_subtitle_cues", "t42_robots_rules", "t42x_robots_filter", "t43_eml_headers", "t44_json_shape", "s14_hybrid_rrf", "s15x_margin_approx", "q117_odd_columns", "m39_parquet_chunks", "m40_warcgz_locate", "m41_census_agreement", "m42_zip_extract", "m43_orc_tail", "m44_targz_entries", "m45_tfrecord", "m46_xz_blocks", "t45_mime_parts", "t46_sitemap", "t47_csv_sniff")) {
+    for (q <- Seq("q02_filter", "q01_agg", "q06_join_inner", "q20_take_per_key", "d01_dedup_exact", "s01_knn_brute", "s02_knn_lsh", "d05_dedup_embed", "t12_lm_score", "q62_bloom_semi", "d12_fuzzy_join", "q64_range_join", "d13_segment_dedup", "t20_pack_sequences", "q89_quality_checks", "q92_snapshot_diff", "q90_outliers", "t35_bm25", "q110_funnel", "q110b_funnel_restart", "q111_retention", "q112_triangles", "q113_ppr", "q114_clustering_coeff", "t36_trigram_ce", "t37_link_graph", "t38_gopher_rules", "t39_c4_clean", "q115_connected_components", "m13_mp4_demux", "m14_fmp4_demux", "m18_ogg_pages", "m19_ogg_packets", "m20_audio_meta", "m21_id3_tags", "m22_flac_info", "m23_ogg_muxed", "m24_ogg_comments", "m28_riff_tags", "m29_image_meta", "m30_mkv_tracks", "m31_zip_entries", "m32_zstd_frames", "m33_id3v1_tags", "m34_gzip_members", "m35_avro_blocks", "m36_png_text", "m37_parquet_footer", "m38_exif_gps", "t40_url_canon", "t41_subtitle_cues", "t42_robots_rules", "t42x_robots_filter", "t43_eml_headers", "t44_json_shape", "s14_hybrid_rrf", "s15x_margin_approx", "q117_odd_columns", "m39_parquet_chunks", "m40_warcgz_locate", "m41_census_agreement", "m42_zip_extract", "m43_orc_tail", "m44_targz_entries", "m45_tfrecord", "m46_xz_blocks", "t45_mime_parts", "t46_sitemap", "t47_csv_sniff", "m47_tfrecord_gz", "m48_parquet_pageindex", "m49_avro_extract", "t48_sitemap_gz", "m50_parquet_pages", "m51_orc_stripes", "m52_mkv_cues", "m53_orc_values", "t49_robots_sitemap")) {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.SimpleMode)
       sb ++= s"\n## $q\n\n${notes(q)}\n\n```\n${plan.split("\n").take(30).mkString("\n")}\n```\n"
