@@ -16,6 +16,103 @@ private[graft] object EntriesM {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // schema-driven Avro RECORD decode (m54 — the value rung of the
+    // Avro ladder m35 census → m49 block extraction → here, joining
+    // m50/m53 as the third format whose VALUES decode from first
+    // principles): real-DataFileWriter fixtures carry the FULL type
+    // system — primitives (negative ints pin zigzag), a nullable
+    // union, enum, bytes, fixed (defined once, referenced by NAME),
+    // array, map, a nested record — under all six public codecs;
+    // every block re-fetches by its m49 locator and decodes under the
+    // declared reader schema, which the embedded writer schema must
+    // equal. Complex values flatten to hash-comparable strings here
+    // (hex / sorted csv) — the operator itself returns native Spark
+    // array/map/struct/binary columns. id%9==4 (flipped final sync)
+    // and id%11==6 (schema-contract drift: a field missing) files
+    // must contribute ZERO rows — never a partial or ver-less row
+    // Delta Lake `_delta_log` census (m56 — table-format metadata,
+    // one level above the per-file walks m37/m48/m50): deterministic
+    // commit-file fixtures per the PUBLIC Delta transaction protocol
+    // (commitInfo/protocol/metaData/add/remove JSON-lines, stats as a
+    // nested JSON string) replay to the LIVE file set at each table's
+    // latest version — adds tombstoned by later removes through a
+    // (table, path) window, latest metaData/protocol, per-file row
+    // counts from add.stats (nullable where stats were omitted).
+    // Tables carrying a truncated line (t%9==4) or an unknown action
+    // (t%11==6) must vanish ENTIRELY — a half-replayed log is a wrong
+    // live set. Parse is a narrow map; reconstruction is declarative
+    // (windows + broadcast joins over action projections only)
+    "m56_delta_log" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select("doc_id")
+      graft.functions.DeltaLog.deltaSnapshot(
+        graft.functions.DeltaLog.syntheticDeltaLogs(ids, "doc_id"),
+        "table_id", "file_name", "content")
+    }),
+
+    // ORC full-scalar value decode (m55 — widening m53's long+string
+    // to every scalar family): Spark writes a five-column table
+    // (long, double, float, boolean, string — each with its own null
+    // pattern, so every type's PRESENT-mask reassembly is exercised)
+    // under all five codecs; every stripe's streams decode from first
+    // principles — RLEv2 longs, raw little-endian IEEE 754 doubles
+    // and floats, bit-packed byte-RLE booleans, dictionary/direct
+    // strings — and the five decoded columns, zipped per row, must
+    // hash-match the DuckDB oracle over the SAME source rows
+    "m55_orc_scalars" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"),
+        when(col("doc_id") % 7 =!= 0,
+          (col("doc_id") % 100).cast("double") * 0.25).as("score"),
+        when(col("doc_id") % 11 =!= 3,
+          ((col("doc_id") % 16).cast("double") / 4.0).cast("float"))
+          .as("ratio"),
+        when(col("doc_id") % 13 =!= 5, col("doc_id") % 3 === 0).as("ok"),
+        when(col("doc_id") % 5 =!= 2, col("lang")).as("lang_n"))
+      val out = java.nio.file.Files.createTempDirectory("graft_m55").toString
+      try {
+        val frames = Seq("none", "zlib", "snappy", "zstd", "lz4").map {
+          codec =>
+            docs.repartition(2).write.option("compression", codec)
+              .mode("overwrite").orc(s"$out/$codec")
+            val bin = graft.functions.Multimodal
+              .loadBinaryFiles(s, s"$out/$codec", "*.orc")
+              .selectExpr("monotonically_increasing_id() AS fid", "payload")
+            graft.functions.Orc
+              .orcDecodeScalars(bin, "fid", "payload",
+                "doc_id", "score", "ratio", "ok", "lang_n")
+              .select(lit(codec).as("codec"),
+                col("long_val").as("doc_id"), col("dbl_val").as("score"),
+                col("flt_val").cast("double").as("ratio"),
+                col("bool_val").as("ok"), col("str_val").as("lang_n"))
+        }
+        // materialize before the temp dir is deleted (the frames read it)
+        frames.reduce(_.unionByName(_)).localCheckpoint(true)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(out)).iterator()
+          .asScala.toSeq.reverse.foreach(p => p.toFile.delete())
+      }
+    }),
+
+    "m54_avro_records" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select("doc_id")
+      graft.functions.AvroRecord.decodeRecords(
+        graft.functions.AvroRecord.syntheticRecordAvros(ids, "doc_id"),
+        "doc_id", "payload", graft.functions.AvroRecord.docSchemaJson)
+        .select(col("doc_id"), col("block_no"), col("rec_no"), col("codec"),
+          col("rid"), col("ver"), col("lang"),
+          col("score"), col("ratio").cast("double").as("ratio"),
+          col("flag"), col("cat"),
+          hex(col("blob")).as("blob_hex"),
+          hex(col("fp")).as("fp_hex"),
+          hex(col("fp2")).as("fp2_hex"),
+          array_join(col("tags"), ",").as("tags_csv"),
+          array_join(expr("transform(array_sort(map_keys(props)), " +
+            "k -> concat(k, '=', cast(element_at(props, k) as string)))"),
+            ",").as("props_csv"),
+          col("pos.x").as("pos_x"), col("pos.y").as("pos_y"))
+    }),
+
     // WebDataset-style tar shard export (the multimodal training-export
     // container): samples shard by key hash, write as <key>.<ext> tar
     // entries (null field → no entry), manifest + verify + byte-determinism
@@ -346,6 +443,100 @@ private[graft] object EntriesM {
     }))
 
   val oracles: Map[String, String] = Map(
+
+    // every field of every record replayed from the fixture formulas
+    // (a single wrong primitive, hex byte, csv element, enum symbol,
+    // null, or nested-struct member in any block of any codec
+    // hash-mismatches); the two negative classes are excluded rows
+    // closed-form replay of the Delta log fixtures: the live set is
+    // (v0 adds + per-commit adds) minus the odd-commit removes —
+    // part-0-0 tombstoned when any commit exists, part-2-0 when three
+    // do; a wrong liveness decision, row count, null, or metadata
+    // projection on any table hash-mismatches
+    "m56_delta_log" ->
+      """WITH d AS (SELECT doc_id AS t FROM documents
+        |  WHERE doc_id % 9 <> 4 AND doc_id % 11 <> 6),
+        |adds AS (
+        |  SELECT t, CAST(0 AS BIGINT) AS v,
+        |    CAST(unnest(range(0, 1 + t % 3)) AS BIGINT) AS i FROM d
+        |  UNION ALL
+        |  SELECT t, CAST(unnest(range(1, 1 + t % 4)) AS BIGINT) AS v,
+        |    CAST(0 AS BIGINT) AS i FROM d),
+        |live AS (
+        |  SELECT * FROM adds WHERE NOT (
+        |    (v = 0 AND i = 0 AND t % 4 >= 1) OR
+        |    (v = 2 AND i = 0 AND t % 4 = 3)))
+        |SELECT t AS table_id,
+        | 'part-' || CAST(v AS VARCHAR) || '-' || CAST(i AS VARCHAR)
+        |   || '.parquet' AS path,
+        | CASE WHEN (t + v + i) % 5 = 4 THEN NULL
+        |   ELSE 10 + (t + 7*v + i) % 20 END AS file_rows,
+        | 100 + 3*v + i AS file_bytes,
+        | t % 4 AS latest_version,
+        | 1 + t % 4 AS n_commits,
+        | CAST(2 + t % 3 AS INTEGER) AS n_fields,
+        | CAST(t % 2 AS INTEGER) AS n_part_cols,
+        | CAST(1 AS INTEGER) AS min_reader,
+        | CAST(2 AS INTEGER) AS min_writer
+        |FROM live""".stripMargin,
+
+    // the m55 oracle is the SOURCE ROWS themselves, replicated per
+    // codec (the m53 posture widened to five scalar types): a single
+    // wrong double word, flipped boolean bit, misaligned float, or
+    // misplaced null in any stripe of any codec hash-mismatches
+    "m55_orc_scalars" ->
+      """WITH v AS (SELECT unnest(['none', 'zlib', 'snappy', 'zstd',
+        |  'lz4']) AS codec),
+        |d AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 7 <> 0
+        |    THEN CAST(doc_id % 100 AS DOUBLE) * 0.25 END AS score,
+        |  CASE WHEN doc_id % 11 <> 3
+        |    THEN CAST(doc_id % 16 AS DOUBLE) / 4.0 END AS ratio,
+        |  CASE WHEN doc_id % 13 <> 5 THEN doc_id % 3 = 0 END AS ok,
+        |  CASE WHEN doc_id % 5 <> 2 THEN lang END AS lang_n
+        | FROM documents)
+        |SELECT codec, doc_id, score, ratio, ok, lang_n FROM v, d""".stripMargin,
+
+    "m54_avro_records" ->
+      """WITH d AS (SELECT doc_id FROM documents
+        |  WHERE doc_id % 9 <> 4 AND doc_id % 11 <> 6),
+        |b AS (SELECT doc_id,
+        |  CAST(unnest(range(0, 1 + doc_id % 3)) AS INTEGER) AS k FROM d),
+        |r AS (SELECT doc_id, k,
+        |  CAST(unnest(range(0, 1 + (doc_id + k) % 3)) AS INTEGER) AS j
+        | FROM b)
+        |SELECT doc_id, k AS block_no, j AS rec_no,
+        | CASE CAST(doc_id % 6 AS INTEGER) WHEN 0 THEN 'null'
+        |   WHEN 1 THEN 'deflate' WHEN 2 THEN 'snappy'
+        |   WHEN 3 THEN 'zstandard' WHEN 4 THEN 'xz'
+        |   ELSE 'bzip2' END AS codec,
+        | doc_id * 1000 + k * 100 + j AS rid,
+        | CAST(doc_id % 1000 - 500 + j AS INTEGER) AS ver,
+        | CASE WHEN (doc_id + j) % 3 = 2 THEN NULL
+        |   ELSE 'l' || CAST((doc_id + j) % 7 AS VARCHAR) END AS lang,
+        | CAST(doc_id % 100 AS DOUBLE) + j * 0.25 AS score,
+        | CAST((doc_id + j) % 16 AS DOUBLE) / 4.0 AS ratio,
+        | (doc_id + k + j) % 2 = 0 AS flag,
+        | 'c' || CAST((doc_id + j) % 5 AS VARCHAR) AS cat,
+        | coalesce((SELECT string_agg(
+        |     lpad(hex((doc_id + n*13) % 256), 2, '0'), '' ORDER BY n)
+        |   FROM range(0, 8) t(n) WHERE n < doc_id % 5 + j % 3), '')
+        |   AS blob_hex,
+        | (SELECT string_agg(
+        |     lpad(hex((doc_id*7 + j + n) % 256), 2, '0'), '' ORDER BY n)
+        |   FROM range(0, 8) t(n)) AS fp_hex,
+        | (SELECT string_agg(
+        |     lpad(hex((doc_id + j*3 + n*5) % 256), 2, '0'), '' ORDER BY n)
+        |   FROM range(0, 8) t(n)) AS fp2_hex,
+        | coalesce((SELECT string_agg(
+        |     't' || CAST((doc_id + n) % 9 AS VARCHAR), ',' ORDER BY n)
+        |   FROM range(0, 8) t(n) WHERE n < j % 3), '') AS tags_csv,
+        | coalesce((SELECT string_agg('p' || CAST(n AS VARCHAR) || '=' ||
+        |     CAST(doc_id % 50 + n*7 AS VARCHAR), ',' ORDER BY n)
+        |   FROM range(0, 8) t(n) WHERE n < (doc_id + j) % 3), '')
+        |   AS props_csv,
+        | doc_id + j AS pos_x, doc_id - j AS pos_y
+        |FROM r""".stripMargin,
 
     // full stbl arithmetic from first principles: sizes, 2-then-3-sample
     // chunking with 4-byte inter-chunk pads, stss sync flags, two-run

@@ -75,6 +75,36 @@ object LakeStress {
         orcSparkRows = spark.read.orc(orcP)
           .select("doc_id", "lang_n").filter(col("doc_id") >= 0).count()
       }
+      // m55: full-scalar ORC value decode — five typed columns
+      // (long/double/float/boolean/string) zipped per row
+      val scal = spark.range(n).selectExpr("id AS doc_id",
+        "CASE WHEN id % 7 = 0 THEN NULL ELSE CAST(id % 100 AS DOUBLE) * 0.25 END AS score",
+        "CAST(CAST(id % 16 AS DOUBLE) / 4.0 AS FLOAT) AS ratio",
+        "id % 3 = 0 AS ok",
+        "CASE WHEN id % 5 = 2 THEN NULL ELSE concat('lang_', CAST(id % 23 AS STRING)) END AS lang_n")
+        .repartition(32)
+      val scalP = s"$out/orc_scalars"
+      scal.write.option("compression", "zlib").mode("overwrite").orc(scalP)
+      val scalBin = graft.functions.Multimodal
+        .loadBinaryFiles(spark, scalP, "*.orc")
+        .selectExpr("monotonically_increasing_id() AS doc_id", "payload")
+        .localCheckpoint(true)
+      var scalRows = 0L
+      val tScal = time {
+        scalRows = graft.functions.Orc.orcDecodeScalars(scalBin,
+          "doc_id", "payload", "doc_id", "score", "ratio", "ok", "lang_n")
+          .count()
+      }
+      // m56: Delta-log snapshot reconstruction over a many-table lake
+      // (the shuffle carries action projections only)
+      val nTables = math.max(1000L, n / 200)
+      var liveFiles = 0L
+      val tDelta = time {
+        liveFiles = graft.functions.DeltaLog.deltaSnapshot(
+          graft.functions.DeltaLog.syntheticDeltaLogs(
+            spark.range(nTables).selectExpr("id AS doc_id"), "doc_id"),
+          "table_id", "file_name", "content").count()
+      }
       val lines = results.map { case (ver, codec, rows, tD, sRows, tS) =>
         f"pq_${ver}_$codec: decoded=$rows rows in $tD%.1f s " +
           f"(${rows / tD}%.0f rows/s) vs sparkRead=$sRows in $tS%.1f s " +
@@ -86,7 +116,11 @@ object LakeStress {
         f"orc_zstd_values: decoded=$orcRows rows in $tOrcDecode%.1f s " +
         f"(${orcRows / tOrcDecode}%.0f rows/s) vs sparkRead=$orcSparkRows " +
         f"in $tOrcSpark%.1f s (${orcSparkRows / tOrcSpark}%.0f rows/s) " +
-        f"ratio=${tOrcDecode / tOrcSpark}%.2fx")
+        f"ratio=${tOrcDecode / tOrcSpark}%.2fx | " +
+        f"orc_scalars: decoded=$scalRows rows in $tScal%.1f s " +
+        f"(${scalRows / tScal}%.0f rows/s) | " +
+        f"delta_snapshot: tables=$nTables liveFiles=$liveFiles " +
+        f"wall=$tDelta%.1f s (${nTables / tDelta}%.0f tables/s)")
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(java.nio.file.Paths.get(out)).iterator()

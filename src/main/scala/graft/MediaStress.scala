@@ -191,6 +191,16 @@ object MediaStress {
         graft.functions.Avro.syntheticRealAvros(ids, "doc_id"),
         "doc_id", "payload").count()
     }
+    // r16b: full-type-system Avro record decode (m54) — the value
+    // rung; fixture ENCODE (six real codecs) dominates the wall, the
+    // decode itself is a narrow map over located blocks
+    var nAvroR = 0L
+    val tAvroR = time {
+      nAvroR = graft.functions.AvroRecord.decodeRecords(
+        graft.functions.AvroRecord.syntheticRecordAvros(ids, "doc_id"),
+        "doc_id", "payload",
+        graft.functions.AvroRecord.docSchemaJson).count()
+    }
     var nCsvB = 0L
     val tCsvB = time {
       nCsvB = graft.functions.Csv.csvSniffBytes(
@@ -254,6 +264,8 @@ object MediaStress {
       f"sitemapGzDocsPerSec=${n / tSmGz}%.0f " +
       f"avroExtract=$nAvroX avroXWall=$tAvroX%.1f " +
       f"avroXDocsPerSec=${n / tAvroX}%.0f " +
+      f"avroRecords=$nAvroR avroRecWall=$tAvroR%.1f " +
+      f"avroRecDocsPerSec=${n / tAvroR}%.0f " +
       f"csvBytesSniffs=$nCsvB csvBytesWall=$tCsvB%.1f " +
       f"csvBytesDocsPerSec=${n / tCsvB}%.0f " +
       f"mkvCues=$nCues mkvCuesWall=$tCues%.1f " +

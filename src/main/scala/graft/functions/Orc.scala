@@ -640,13 +640,16 @@ object Orc {
   }
 
   /**
-   * Decode every top-level LONG and STRING column of a flat ORC file,
-   * stripe by stripe, entirely from raw bytes: stripe footers give the
-   * stream layout, PRESENT streams give the null mask, RLEv2 gives the
-   * integers/lengths/indices, and the dictionary or direct byte
-   * streams give the strings. Other column types are skipped (the
-   * censuses above still cover them); RLEv1 column encodings refuse.
-   * None on any structural violation or count mismatch.
+   * Decode every top-level BOOLEAN / INT / LONG / FLOAT / DOUBLE /
+   * STRING column of a flat ORC file, stripe by stripe, entirely from
+   * raw bytes: stripe footers give the stream layout, PRESENT streams
+   * give the null mask, RLEv2 gives the integers/lengths/indices,
+   * bit-packed byte-RLE gives the booleans, raw little-endian IEEE 754
+   * words give the floats/doubles, and the dictionary or direct byte
+   * streams give the strings. Other column types (timestamp, decimal,
+   * binary, compound) are skipped — the censuses above still cover
+   * them; RLEv1 column encodings refuse. None on any structural
+   * violation or count mismatch.
    */
   def decodeFlatColumns(payload: Array[Byte]): Option[IndexedSeq[OrcColumn]] = {
     val b = payload
@@ -662,7 +665,10 @@ object Orc {
               if (tid <= 0 || tid >= t.typeKinds.size) throw new Malformed
               (tid.toInt, name, t.typeKinds(tid.toInt))
           }
-          val wanted = leaves.filter(l => l._3 == 4 || l._3 == 7) // long/string
+          // boolean / int / bigint / float / double / string leaves
+          val wanted = leaves.filter(l =>
+            l._3 == 0 || l._3 == 3 || l._3 == 4 || l._3 == 5 ||
+            l._3 == 6 || l._3 == 7)
           if (wanted.isEmpty) throw new Malformed
           val out = scala.collection.mutable.ArrayBuffer.empty[OrcColumn]
           t.stripes.zipWithIndex.foreach {
@@ -721,12 +727,45 @@ object Orc {
                     if (v != nn.length) throw new Malformed
                   }
                 }
-                if (tkind == 4) { // bigint
+                if (tkind == 4 || tkind == 3) { // bigint / int
                   if (encKind != 2) throw new Malformed // DIRECT_V2 only
                   val (st, off) = find(cid, 1).getOrElse(throw new Malformed)
                   val longs = decodeRleV2(streamBytes(st, off), nNonNull,
                     signed = true)
-                  assembleFrom(longs.map(Long.box(_): AnyRef))
+                  if (tkind == 3) assembleFrom(longs.map { v =>
+                    if (v < Int.MinValue || v > Int.MaxValue)
+                      throw new Malformed
+                    Int.box(v.toInt): AnyRef
+                  })
+                  else assembleFrom(longs.map(Long.box(_): AnyRef))
+                } else if (tkind == 0) { // boolean: bit-packed MSB-first,
+                  // then byte-RLE — the PRESENT stream's own encoding
+                  if (encKind != 0) throw new Malformed // DIRECT only
+                  val (st, off) = find(cid, 1).getOrElse(throw new Malformed)
+                  val bits = decodeByteRle(streamBytes(st, off),
+                    (nNonNull + 7) / 8)
+                  assembleFrom(Array.tabulate[AnyRef](nNonNull)(i =>
+                    Boolean.box(((bits(i >> 3) >> (7 - (i & 7))) & 1) != 0)))
+                } else if (tkind == 5 || tkind == 6) { // float / double:
+                  // IEEE 754 little-endian, 4/8 bytes per non-null value
+                  if (encKind != 0) throw new Malformed // DIRECT only
+                  val (st, off) = find(cid, 1).getOrElse(throw new Malformed)
+                  val bytes = streamBytes(st, off)
+                  val w = if (tkind == 5) 4 else 8
+                  if (bytes.length != w.toLong * nNonNull) throw new Malformed
+                  assembleFrom(Array.tabulate[AnyRef](nNonNull) { i =>
+                    val p = i * w
+                    if (w == 4) {
+                      val bits = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8) |
+                        ((bytes(p + 2) & 0xff) << 16) | ((bytes(p + 3) & 0xff) << 24)
+                      Float.box(java.lang.Float.intBitsToFloat(bits))
+                    } else {
+                      var bits = 0L
+                      var j = 0
+                      while (j < 8) { bits |= (bytes(p + j) & 0xffL) << (8 * j); j += 1 }
+                      Double.box(java.lang.Double.longBitsToDouble(bits))
+                    }
+                  })
                 } else { // string
                   encKind match {
                     case 3 => // DICTIONARY_V2
@@ -833,6 +872,52 @@ object Orc {
         }
       }
     }(Encoders.row(decodeLongStrSchema))
+  }
+
+  /** Output schema of [[orcDecodeScalars]]. */
+  val decodeScalarsSchema: StructType = StructType(Seq(
+    StructField("file_id", LongType),
+    StructField("long_val", LongType),
+    StructField("dbl_val", DoubleType),
+    StructField("flt_val", FloatType),
+    StructField("bool_val", BooleanType),
+    StructField("str_val", StringType)))
+
+  /** Decode one column of EACH scalar family — LONG, DOUBLE, FLOAT,
+   * BOOLEAN, STRING — from each flat ORC payload and emit their
+   * values ZIPPED per row in stripe order (m55, widening
+   * [[orcDecodeLongStr]] to the full scalar set): the five decode
+   * paths must agree on row alignment or the file contributes
+   * nothing. Narrow mapPartitions. */
+  def orcDecodeScalars(df: DataFrame, idCol: String, payloadCol: String,
+      longName: String, dblName: String, fltName: String,
+      boolName: String, strName: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val fid = r.getLong(idIdx)
+        decodeFlatColumns(r.getAs[Array[Byte]](pIdx)) match {
+          case Some(cols) =>
+            cols.groupBy(_.stripeNo).toSeq.sortBy(_._1).iterator.flatMap {
+              case (_, cs) =>
+                def pick(name: String, kind: Int) =
+                  cs.find(c => c.name == name && c.kind == kind)
+                (pick(longName, 4), pick(dblName, 6), pick(fltName, 5),
+                  pick(boolName, 0), pick(strName, 7)) match {
+                  case (Some(l), Some(d), Some(f), Some(bo), Some(s0))
+                    if Seq(d, f, bo, s0).forall(_.values.size == l.values.size) =>
+                    (0 until l.values.size).iterator.map { i =>
+                      Row(fid, l.values(i), d.values(i), f.values(i),
+                        bo.values(i), s0.values(i))
+                    }
+                  case _ => Iterator.empty
+                }
+            }
+          case None => Iterator.empty
+        }
+      }
+    }(Encoders.row(decodeScalarsSchema))
   }
 
   /** Output schema of [[orcTails]]. */

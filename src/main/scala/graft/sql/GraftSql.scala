@@ -226,7 +226,16 @@ object GraftSql {
    * the gzip locator path), `sitemap_gz(...)` (sitemap.xml.gz census
    * through the gzip locator path), `avro_extract(...)` (Avro OCF
    * block extraction by locator — per-codec decode with CRC/sync
-   * verification, string-schema record decode);
+   * verification, string-schema record decode),
+   * `avro_records(schema:"...")` (schema-driven Avro RECORD decode —
+   * the full type system as native Spark columns under a declared
+   * reader schema the file's writer schema must equal),
+   * `orc_scalars(...)` (ORC full-scalar value decode — long/double/
+   * float/boolean/string columns zipped per row from raw stripe
+   * streams), `delta_snapshot([table:.., name:.., col:..])` (Delta
+   * Lake `_delta_log` snapshot reconstruction — live files with row
+   * counts, schema and protocol projections per the public
+   * transaction protocol);
    * ops tooling: `key_skew(keys:"k"[, k:10])` (shuffle-key skew
    * diagnostic), `suggest_salt(keys:"k"[, target:n, max:n])` (measured
    * salt-factor advisor), `PROCESS probe, dim USING salted_join(
@@ -643,6 +652,30 @@ object GraftSql {
           graft.functions.Orc.orcDecodeLongStr(one(dfs, "orc_decode"),
             p.getOrElse("id", "doc_id"), p.getOrElse("col", "payload"),
             p.getOrElse("long", "doc_id"), p.getOrElse("str", "text"))
+        },
+        // schema-driven Avro record decode (m54): full-type-system
+        // rows under the declared reader schema (`schema:` param —
+        // REQUIRED, the reader-schema contract is explicit)
+        "avro_records" -> ProcessorDef { (_, dfs, p) =>
+          graft.functions.AvroRecord.decodeRecords(one(dfs, "avro_records"),
+            p.getOrElse("id", "doc_id"), p.getOrElse("col", "payload"),
+            p.getOrElse("schema", sys.error(
+              "avro_records requires schema:\"<reader schema json>\"")))
+        },
+        // ORC full-scalar value decode (m55): one column per scalar
+        // family zipped per row through the stripe-stream read
+        "orc_scalars" -> ProcessorDef { (_, dfs, p) =>
+          graft.functions.Orc.orcDecodeScalars(one(dfs, "orc_scalars"),
+            p.getOrElse("id", "doc_id"), p.getOrElse("col", "payload"),
+            p.getOrElse("long", "doc_id"), p.getOrElse("dbl", "score"),
+            p.getOrElse("flt", "ratio"), p.getOrElse("bool", "ok"),
+            p.getOrElse("str", "text"))
+        },
+        // Delta `_delta_log` snapshot reconstruction (m56)
+        "delta_snapshot" -> ProcessorDef { (_, dfs, p) =>
+          graft.functions.DeltaLog.deltaSnapshot(one(dfs, "delta_snapshot"),
+            p.getOrElse("table", "table_id"), p.getOrElse("name", "file_name"),
+            p.getOrElse("col", "content"))
         },
         // MKV Cues census + locator replay (m52)
         "mkv_cues" -> ProcessorDef { (_, dfs, p) =>

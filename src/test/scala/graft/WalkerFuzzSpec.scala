@@ -56,6 +56,9 @@ class WalkerFuzzSpec extends AnyFunSuite {
     ("tfrecordGz", (b: Array[Byte]) =>
       Gzip.inflateConcat(b).flatMap(TfRecord.parseRecords)),
     ("avroExtract", Avro.extractAllStringRecords _),
+    ("avroRecords", (b: Array[Byte]) => AvroRecord.decodeFile(b,
+      AvroRecord.parseSchema(AvroRecord.docSchemaJson)
+        .get.asInstanceOf[AvroRecord.ARecord])),
     ("parquetPageIndex", ParquetFooter.parsePageIndexes _),
     ("parquetDecode", ParquetFooter.decodeFlatColumns _),
     ("orcDecode", Orc.decodeFlatColumns _),
@@ -73,7 +76,7 @@ class WalkerFuzzSpec extends AnyFunSuite {
     Tar.syntheticTarGz(id), TfRecord.syntheticTfRecord(id),
     TfRecord.syntheticTfRecordGz(id), Sitemap.syntheticSitemapGz(id),
     Avro.syntheticRealAvro(id), Xz.syntheticXz(id),
-    Ebml.syntheticMkvCues(id))
+    Ebml.syntheticMkvCues(id), AvroRecord.syntheticRecordAvro(id))
 
   test("binary walkers never throw on random bytes") {
     (0 until 300).foreach { trial =>
