@@ -30,6 +30,64 @@ private[graft] object EntriesM {
     // array/map/struct/binary columns. id%9==4 (flipped final sync)
     // and id%11==6 (schema-contract drift: a field missing) files
     // must contribute ZERO rows — never a partial or ver-less row
+    // parquet NESTED-LIST value decode (m57 — m50 extended with
+    // repetition levels): Spark writes (doc_id, nums array<long>,
+    // tags array<string>) under v1/snappy and v2/zstd with 40-row
+    // pages; every leaf decodes from first principles including the
+    // Dremel record assembly — rep levels mark row starts, def-level
+    // bands distinguish null list / empty list / null element /
+    // present element (all four populated by the fixture's residue
+    // classes) — and the reassembled lists, zipped against the flat
+    // doc_id column, must hash-match the oracle's closed-form csv
+    // replay (null lists → NULL, empty → '', null elements → '_')
+    "m57_parquet_lists" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").selectExpr(
+        "doc_id",
+        "CASE WHEN doc_id % 7 = 0 THEN NULL " +
+          "WHEN doc_id % 7 = 1 THEN CAST(array() AS ARRAY<BIGINT>) " +
+          "ELSE transform(sequence(0, CAST(doc_id % 5 AS INT)), " +
+          "i -> CASE WHEN (doc_id + i) % 11 = 3 THEN NULL " +
+          "ELSE doc_id * 10 + i END) END AS nums",
+        "CASE WHEN doc_id % 9 = 2 THEN NULL " +
+          "WHEN doc_id % 9 = 3 THEN CAST(array() AS ARRAY<STRING>) " +
+          "ELSE transform(sequence(0, CAST(doc_id % 4 AS INT)), " +
+          "i -> CASE WHEN (doc_id + i) % 17 = 5 THEN NULL " +
+          "ELSE concat('t', CAST((doc_id + i) % 13 AS STRING)) END) " +
+          "END AS tags")
+        .repartition(2).sortWithinPartitions("doc_id")
+      val out = java.nio.file.Files.createTempDirectory("graft_m57").toString
+      try {
+        val frames = Seq("v1" -> "snappy", "v2" -> "zstd").map {
+          case (ver, codec) =>
+            val path = s"$out/${ver}_$codec"
+            docs.write
+              .option("parquet.writer.version", ver)
+              .option("parquet.page.row.count.limit", "40")
+              .option("compression", codec)
+              .mode("overwrite").parquet(path)
+            val bin = graft.functions.Multimodal
+              .loadBinaryFiles(s, path, "*.parquet")
+              .selectExpr("monotonically_increasing_id() AS fid", "payload")
+            graft.functions.ParquetFooter
+              .parquetDecodeLists(bin, "fid", "payload", "doc_id",
+                "nums.list.element", "tags.list.element")
+              .select(lit(s"${ver}_$codec").as("variant"),
+                col("long_val").as("doc_id"),
+                expr("CASE WHEN nums IS NULL THEN NULL ELSE " +
+                  "array_join(transform(nums, x -> CAST(x AS STRING)), " +
+                  "',', '_') END").as("nums_csv"),
+                expr("CASE WHEN tags IS NULL THEN NULL ELSE " +
+                  "array_join(tags, ',', '_') END").as("tags_csv"))
+        }
+        // materialize before the temp dir is deleted (the frames read it)
+        frames.reduce(_.unionByName(_)).localCheckpoint(true)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(out)).iterator()
+          .asScala.toSeq.reverse.foreach(p => p.toFile.delete())
+      }
+    }),
+
     // Delta Lake `_delta_log` census (m56 — table-format metadata,
     // one level above the per-file walks m37/m48/m50): deterministic
     // commit-file fixtures per the PUBLIC Delta transaction protocol
@@ -448,6 +506,28 @@ private[graft] object EntriesM {
     // (a single wrong primitive, hex byte, csv element, enum symbol,
     // null, or nested-struct member in any block of any codec
     // hash-mismatches); the two negative classes are excluded rows
+    // closed-form csv replay of the m57 list fixtures: a wrong Dremel
+    // band (null list vs empty vs null element), a dropped element,
+    // or a row misalignment in either writer version hash-mismatches
+    "m57_parquet_lists" ->
+      """WITH w AS (SELECT unnest(['v1_snappy', 'v2_zstd']) AS variant),
+        |d AS (SELECT doc_id FROM documents)
+        |SELECT variant, doc_id,
+        | CASE WHEN doc_id % 7 = 0 THEN NULL
+        |   WHEN doc_id % 7 = 1 THEN ''
+        |   ELSE (SELECT string_agg(
+        |     CASE WHEN (doc_id + n) % 11 = 3 THEN '_'
+        |       ELSE CAST(doc_id * 10 + n AS VARCHAR) END, ',' ORDER BY n)
+        |     FROM range(0, 8) t(n) WHERE n <= doc_id % 5) END AS nums_csv,
+        | CASE WHEN doc_id % 9 = 2 THEN NULL
+        |   WHEN doc_id % 9 = 3 THEN ''
+        |   ELSE (SELECT string_agg(
+        |     CASE WHEN (doc_id + n) % 17 = 5 THEN '_'
+        |       ELSE 't' || CAST((doc_id + n) % 13 AS VARCHAR) END,
+        |     ',' ORDER BY n)
+        |     FROM range(0, 8) t(n) WHERE n <= doc_id % 4) END AS tags_csv
+        |FROM w, d""".stripMargin,
+
     // closed-form replay of the Delta log fixtures: the live set is
     // (v0 adds + per-commit adds) minus the odd-commit removes —
     // part-0-0 tombstoned when any commit exists, part-2-0 when three

@@ -95,6 +95,35 @@ object LakeStress {
           "doc_id", "payload", "doc_id", "score", "ratio", "ok", "lang_n")
           .count()
       }
+      // m57: nested-list decode (Dremel reassembly) vs Spark's reader
+      val listDocs = spark.range(n / 4).selectExpr("id AS doc_id",
+        "CASE WHEN id % 7 = 0 THEN NULL " +
+          "WHEN id % 7 = 1 THEN CAST(array() AS ARRAY<BIGINT>) " +
+          "ELSE transform(sequence(0, CAST(id % 5 AS INT)), " +
+          "i -> CASE WHEN (id + i) % 11 = 3 THEN NULL ELSE id * 10 + i END) " +
+          "END AS nums",
+        "CASE WHEN id % 9 = 2 THEN NULL " +
+          "ELSE transform(sequence(0, CAST(id % 4 AS INT)), " +
+          "i -> concat('t', CAST((id + i) % 13 AS STRING))) END AS tags")
+        .repartition(32)
+      val listP = s"$out/pq_lists"
+      listDocs.write.option("compression", "snappy")
+        .mode("overwrite").parquet(listP)
+      val listBin = graft.functions.Multimodal
+        .loadBinaryFiles(spark, listP, "*.parquet")
+        .selectExpr("monotonically_increasing_id() AS fid", "payload")
+        .localCheckpoint(true)
+      var listRows = 0L
+      val tLists = time {
+        listRows = graft.functions.ParquetFooter.parquetDecodeLists(
+          listBin, "fid", "payload", "doc_id",
+          "nums.list.element", "tags.list.element").count()
+      }
+      var listSparkRows = 0L
+      val tListSpark = time {
+        listSparkRows = spark.read.parquet(listP)
+          .select("doc_id", "nums", "tags").filter(col("doc_id") >= 0).count()
+      }
       // m56: Delta-log snapshot reconstruction over a many-table lake
       // (the shuffle carries action projections only)
       val nTables = math.max(1000L, n / 200)
@@ -119,6 +148,10 @@ object LakeStress {
         f"ratio=${tOrcDecode / tOrcSpark}%.2fx | " +
         f"orc_scalars: decoded=$scalRows rows in $tScal%.1f s " +
         f"(${scalRows / tScal}%.0f rows/s) | " +
+        f"pq_lists: decoded=$listRows rows in $tLists%.1f s " +
+        f"(${listRows / tLists}%.0f rows/s) vs sparkRead=$listSparkRows " +
+        f"in $tListSpark%.1f s (${listSparkRows / tListSpark}%.0f rows/s) " +
+        f"ratio=${tLists / tListSpark}%.2fx | " +
         f"delta_snapshot: tables=$nTables liveFiles=$liveFiles " +
         f"wall=$tDelta%.1f s (${nTables / tDelta}%.0f tables/s)")
     } finally {

@@ -793,24 +793,42 @@ object ParquetFooter {
   //   - definition levels (nullable columns, max def 1): RLE with a
   //     u32-LE length prefix in v1 pages, a separate never-compressed
   //     section in v2 pages.
-  // FLAT schemas only (no repeated fields — repetition levels are
-  // structurally absent); nested files refuse. Strict posture
+  // Schemas: flat leaves (no repetition levels), nested STRUCT leaves
+  // (multi-level def, dotted paths), and single-level LISTs (one
+  // repeated node per path — rep levels decoded and Dremel-assembled
+  // into per-row lists, null/empty/null-element distinguished by the
+  // def-level bands the schema tree defines). Deeper repetition
+  // (lists of lists) refuses. Strict posture
   // throughout: every locator is re-validated (header+body must tile
   // the located range exactly, first_row_index must equal the running
   // row count, decoded totals must equal the chunk's num_values and
   // the row group's num_rows), and any slip refuses the file.
 
-  /** One leaf of a FLAT schema: name, physical type, optionality. */
-  private final case class Leaf(name: String, ptype: Int, optional: Boolean)
+  /** One leaf of the schema tree: dotted path, physical type, and the
+   * level geometry the Dremel record shredding defines — `maxDef` /
+   * `maxRep` are the counts of optional-or-repeated / repeated nodes
+   * on the path; for a leaf under a repeated node (`maxRep == 1`),
+   * `defList` is the definition level accumulated BEFORE the repeated
+   * node, so a value's def level d classifies as: `d < defList` →
+   * null list, `d == defList` → empty list, `d == maxDef` → element
+   * present, between → null element. */
+  private final case class Leaf(path: String, ptype: Int, maxDef: Int,
+      maxRep: Int, defList: Int)
 
-  /** Cursor positioned AT the schema list value; returns the leaves in
-   * schema order. Nested or repeated schemas throw (out of decode
-   * scope — the censuses above still cover them). */
-  private def parseFlatLeaves(c: Cur, b: Array[Byte]): IndexedSeq[Leaf] = {
+  /** Raw schema element as stored (preorder with child counts). */
+  private final case class SchemaElem(tpe: Int, rep: Int, name: String,
+      children: Int)
+
+  /** Cursor positioned AT the schema list value; walks the flattened
+   * preorder tree and returns every PRIMITIVE leaf with its dotted
+   * path and level geometry. Repetition deeper than one repeated node
+   * per path is reported (maxRep > 1) and refused at decode time. */
+  private def parseLeaves(c: Cur, b: Array[Byte]): IndexedSeq[Leaf] = {
     val (size, et) = listHeader(c)
     if (et != 12) throw new Malformed
-    val out = scala.collection.mutable.ArrayBuffer.empty[Leaf]
-    var i = 0L
+    if (size <= 1 || size > (1 << 16)) throw new Malformed
+    val elems = new Array[SchemaElem](size.toInt)
+    var i = 0
     while (i < size) {
       var tpe = -1
       var rep = -1
@@ -829,16 +847,37 @@ object ParquetFooter {
           case _ => false
         }
       }
-      if (i == 0L) {
-        if (children <= 0) throw new Malformed // root must have children
-      } else {
-        if (children != 0L) throw new Malformed // nested: refused
-        if (rep == 2) throw new Malformed // repeated: refused
-        if (name == null || tpe < 0) throw new Malformed
-        out += Leaf(name, tpe, rep == 1)
-      }
+      if (children < 0 || children > (1 << 16)) throw new Malformed
+      elems(i) = SchemaElem(tpe, rep, name, children.toInt)
       i += 1
     }
+    if (elems(0).children <= 0) throw new Malformed // root must have children
+    val out = scala.collection.mutable.ArrayBuffer.empty[Leaf]
+    var idx = 1
+    def walk(prefix: List[String], d: Int, r: Int, defList: Int): Unit = {
+      if (idx >= elems.length) throw new Malformed
+      val e = elems(idx)
+      idx += 1
+      if (e.name == null) throw new Malformed
+      val (d2, r2) = e.rep match {
+        case 1 => (d + 1, r) // optional
+        case 2 => (d + 1, r + 1) // repeated
+        case 0 => (d, r) // required
+        case _ => throw new Malformed
+      }
+      val dl = if (e.rep == 2) d else defList
+      val path = e.name :: prefix
+      if (e.children == 0) {
+        if (e.tpe < 0) throw new Malformed
+        out += Leaf(path.reverse.mkString("."), e.tpe, d2, r2, dl)
+      } else {
+        var k = 0
+        while (k < e.children) { walk(path, d2, r2, dl); k += 1 }
+      }
+    }
+    var k = 0
+    while (k < elems(0).children) { walk(Nil, 0, 0, -1); k += 1 }
+    if (idx != elems.length) throw new Malformed // tree must tile the list
     out.toIndexedSeq
   }
 
@@ -1242,6 +1281,57 @@ object ParquetFooter {
     }
   }
 
+  /** Bits needed to carry values 0..max (parquet level width). */
+  private def bitsFor(max: Int): Int =
+    if (max <= 0) 0 else 32 - Integer.numberOfLeadingZeros(max)
+
+  /** Dremel record assembly for a single-repeated-node leaf
+   * (`maxRep == 1`): each rep==0 level entry starts a row, rep==1
+   * continues the current list; the def level classifies null list /
+   * empty list / null element / present element per [[Leaf]]. The
+   * first entry of a page must start a row (pages are row-aligned —
+   * a record split across pages refuses rather than mis-assembles).
+   * Returns one value per ROW: null or a Vector of elements. */
+  private def assembleRows(reps: Array[Int], defs: Array[Int],
+      vals: Array[AnyRef], leaf: Leaf): Array[AnyRef] = {
+    val n = defs.length
+    if (reps.length != n) throw new Malformed
+    val out = new scala.collection.mutable.ArrayBuffer[AnyRef](n)
+    var cur: scala.collection.mutable.ArrayBuffer[AnyRef] = null
+    var curNull = false
+    var started = false
+    def push(): Unit = if (started) {
+      out += (if (curNull) null else Vector(cur.toSeq: _*))
+    }
+    var v = 0
+    var k = 0
+    while (k < n) {
+      val r = reps(k)
+      val d = defs(k)
+      if (r < 0 || r > leaf.maxRep || d < 0 || d > leaf.maxDef)
+        throw new Malformed
+      if (r == 0) { // a new row
+        push()
+        started = true
+        cur = new scala.collection.mutable.ArrayBuffer[AnyRef](4)
+        curNull = false
+        if (d < leaf.defList) curNull = true // list null at an ancestor
+        else if (d == leaf.defList) () // empty list
+        else if (d == leaf.maxDef) { cur += vals(v); v += 1 }
+        else cur += null // element null
+      } else { // continuation of the current list
+        if (!started || curNull || // a null/absent list cannot continue
+          d <= leaf.defList) throw new Malformed
+        if (d == leaf.maxDef) { cur += vals(v); v += 1 }
+        else cur += null
+      }
+      k += 1
+    }
+    push()
+    if (v != vals.length) throw new Malformed
+    out.toArray
+  }
+
   /** Merge non-null values back into row order via the def levels. */
   private def assemble(defs: Array[Int], vals: Array[AnyRef], n: Int,
       maxDef: Int): Array[AnyRef] = {
@@ -1276,49 +1366,63 @@ object ParquetFooter {
   }
 
   /** Decode ONE data page from the byte range its OffsetIndex locator
-   * names: [off, off+size) must hold exactly PageHeader + body. */
+   * names: [off, off+size) must hold exactly PageHeader + body.
+   * Returns (per-ROW values, level-entry count): for a flat leaf the
+   * two counts coincide; for a repeated leaf the rows are assembled
+   * lists and the level count is the page's num_values. */
   private def decodeDataPage(b: Array[Byte], off: Long, size: Long,
-      codec: Int, ptype: Int, maxDef: Int,
-      dict: Array[AnyRef]): Array[AnyRef] = {
+      codec: Int, leaf: Leaf, dict: Array[AnyRef]): (Array[AnyRef], Int) = {
     if (off < 0 || size <= 0 || size > b.length - off) throw new Malformed
     val lim = (off + size).toInt
     val h = parsePageHeader(b, off.toInt, lim)
     if (h.end.toLong + h.comp != lim) throw new Malformed // exact tiling
     checkPageCrc(b, h)
-    h.ptype match {
-      case 0 => // v1 DATA_PAGE: body fully compressed (levels included)
+    val maxDef = leaf.maxDef
+    val maxRep = leaf.maxRep
+    val defW = bitsFor(maxDef)
+    val repW = bitsFor(maxRep)
+    val rows = h.ptype match {
+      case 0 => // v1 DATA_PAGE: body fully compressed (levels included);
+        // rep levels precede def levels, each u32-LE length-prefixed RLE
         if (h.nValues < 0 || h.enc < 0) throw new Malformed
         val data = inflatePage(b, h.end, h.comp, h.uncomp, codec)
         var pos = 0
-        val defs: Array[Int] =
-          if (maxDef == 0) null
-          else {
-            if (h.defEnc != 3) throw new Malformed // RLE only
-            if (data.length - pos < 4) throw new Malformed
-            val dl = i32le(data, pos).toInt
-            pos += 4
-            if (dl < 0 || dl > data.length - pos) throw new Malformed
-            val d = rleHybrid(data, pos, pos + dl, 1, h.nValues)
-            pos += dl
-            d
-          }
+        def lvlRun(width: Int): Array[Int] = {
+          if (h.defEnc != 3) throw new Malformed // RLE only
+          if (data.length - pos < 4) throw new Malformed
+          val dl = i32le(data, pos).toInt
+          pos += 4
+          if (dl < 0 || dl > data.length - pos) throw new Malformed
+          val r = rleHybrid(data, pos, pos + dl, width, h.nValues)
+          pos += dl
+          r
+        }
+        val reps: Array[Int] = if (maxRep == 0) null else lvlRun(repW)
+        val defs: Array[Int] = if (maxDef == 0) null else lvlRun(defW)
         val nNonNull = if (defs == null) h.nValues else defs.count(_ == maxDef)
-        val vals = decodeValues(data, pos, data.length, h.enc, ptype,
+        val vals = decodeValues(data, pos, data.length, h.enc, leaf.ptype,
           nNonNull, dict)
-        assemble(defs, vals, h.nValues, maxDef)
-      case 3 => // DATA_PAGE_V2: level sections first, NEVER compressed
-        if (h.nValues < 0 || h.enc < 0 || h.defLen2 < 0 || h.repLen2 != 0)
-          throw new Malformed // repLen > 0 would mean a nested schema
+        if (reps == null) assemble(defs, vals, h.nValues, maxDef)
+        else assembleRows(reps, defs, vals, leaf)
+      case 3 => // DATA_PAGE_V2: level sections first, NEVER compressed,
+        // no length prefixes — rep section is repLen2 bytes, def defLen2
+        if (h.nValues < 0 || h.enc < 0 || h.defLen2 < 0 || h.repLen2 < 0)
+          throw new Malformed
+        if ((maxRep == 0) != (h.repLen2 == 0)) throw new Malformed
         val lvlStart = h.end
-        if (h.defLen2 > h.comp) throw new Malformed
+        if (h.repLen2.toLong + h.defLen2 > h.comp) throw new Malformed
+        val reps: Array[Int] =
+          if (maxRep == 0) null
+          else rleHybrid(b, lvlStart, lvlStart + h.repLen2, repW, h.nValues)
+        val defStart = lvlStart + h.repLen2
         val defs: Array[Int] =
           if (maxDef == 0) {
             if (h.defLen2 != 0) throw new Malformed
             null
-          } else rleHybrid(b, lvlStart, lvlStart + h.defLen2, 1, h.nValues)
-        val dataOff = lvlStart + h.defLen2
-        val dataComp = h.comp - h.defLen2
-        val dataUncomp = h.uncomp - h.defLen2
+          } else rleHybrid(b, defStart, defStart + h.defLen2, defW, h.nValues)
+        val dataOff = defStart + h.defLen2
+        val dataComp = h.comp - h.repLen2 - h.defLen2
+        val dataUncomp = h.uncomp - h.repLen2 - h.defLen2
         if (dataUncomp < 0) throw new Malformed
         val data =
           if (h.compressed2) inflatePage(b, dataOff, dataComp, dataUncomp, codec)
@@ -1329,16 +1433,19 @@ object ParquetFooter {
         val nNonNull = if (defs == null) h.nValues else defs.count(_ == maxDef)
         if (h.nNulls >= 0 && h.nValues - nNonNull != h.nNulls)
           throw new Malformed // header/levels disagreement
-        val vals = decodeValues(data, 0, data.length, h.enc, ptype,
+        val vals = decodeValues(data, 0, data.length, h.enc, leaf.ptype,
           nNonNull, dict)
-        assemble(defs, vals, h.nValues, maxDef)
+        if (reps == null) assemble(defs, vals, h.nValues, maxDef)
+        else assembleRows(reps, defs, vals, leaf)
       case _ => throw new Malformed // dictionary/index page at a data locator
     }
+    (rows, h.nValues)
   }
 
   /** Decoded values of one column chunk, in row order, nulls in
    * place (boxed JVM primitives per physical type; String for
-   * BYTE_ARRAY). */
+   * BYTE_ARRAY; for a repeated leaf each row value is a Vector of
+   * element values — or null for a null list). */
   final case class DecodedChunk(rgNo: Int, path: String, ptype: Int,
       values: IndexedSeq[AnyRef])
 
@@ -1350,11 +1457,13 @@ object ParquetFooter {
    * running row count); chunks without one (pyarrow's default) walk
    * sequentially, with the pages required to tile the chunk's declared
    * `total_compressed_size` byte run exactly. BOOLEAN, INT32, INT64,
-   * FLOAT, DOUBLE and BYTE_ARRAY leaves decode; INT96 and
-   * FIXED_LEN_BYTE_ARRAY are skipped (censused above, not valued).
-   * None on any structural violation, locator
-   * disagreement, count mismatch, nested schema, or unsupported
-   * codec/encoding on a supported leaf.
+   * FLOAT, DOUBLE and BYTE_ARRAY leaves decode — flat, struct-nested,
+   * or under one repeated node (single-level lists, Dremel-assembled
+   * per row); INT96 and FIXED_LEN_BYTE_ARRAY are skipped (censused
+   * above, not valued), deeper repetition is skipped per-leaf. None
+   * on any structural violation, locator disagreement, row or level
+   * count mismatch, or unsupported codec/encoding on a supported
+   * leaf.
    */
   def decodeFlatColumns(payload: Array[Byte]): Option[IndexedSeq[DecodedChunk]] = {
     val b = payload
@@ -1374,7 +1483,7 @@ object ParquetFooter {
         .empty[(ChunkMeta, Long, Long, Long)]
       walkStruct(c) { (fid, tpe) =>
         (fid, tpe) match {
-          case (2L, 9) => leaves = parseFlatLeaves(c, b); true
+          case (2L, 9) => leaves = parseLeaves(c, b); true
           case (4L, 9) =>
             val (nRg, et) = listHeader(c)
             if (et != 12) throw new Malformed
@@ -1423,17 +1532,18 @@ object ParquetFooter {
         }
       }
       if (leaves == null || recs.isEmpty) throw new Malformed
-      val byName = leaves.map(l => l.name -> l).toMap
+      val byName = leaves.map(l => l.path -> l).toMap
       val out = scala.collection.mutable.ArrayBuffer.empty[DecodedChunk]
       recs.foreach { case (m, oiOff, oiLen, rgRows) =>
         val leaf = byName.getOrElse(m.path, throw new Malformed)
         if (leaf.ptype != m.ptype) throw new Malformed
         // boolean/int32/int64/float/double/byte_array decode; int96 and
         // fixed_len_byte_array are censused above but not valued
-        if (m.ptype <= 2 || m.ptype == 4 || m.ptype == 5 || m.ptype == 6) {
-          val maxDef = if (leaf.optional) 1 else 0
+        if ((m.ptype <= 2 || m.ptype == 4 || m.ptype == 5 || m.ptype == 6)
+          && leaf.maxRep <= 1) {
           val vals = new scala.collection.mutable.ArrayBuffer[AnyRef](
             math.min(rgRows, 1 << 20).toInt)
+          var levels = 0L
           if (oiOff >= 0 && oiLen > 0) {
             // page-SKIP path: every data page decoded from the byte
             // range its OffsetIndex locator names, alone
@@ -1442,8 +1552,10 @@ object ParquetFooter {
               .map(decodeDictPage(b, _, m.codec, m.ptype)).orNull
             pages.foreach { case (pOff, pSize, pRow) =>
               if (pRow != vals.size.toLong) throw new Malformed // stale locator
-              vals ++= decodeDataPage(b, pOff, pSize, m.codec, m.ptype,
-                maxDef, dict)
+              val (rows, nl) = decodeDataPage(b, pOff, pSize, m.codec, leaf,
+                dict)
+              vals ++= rows
+              levels += nl
             }
           } else {
             // SEQUENTIAL path (no page index — e.g. pyarrow defaults):
@@ -1463,16 +1575,18 @@ object ParquetFooter {
                   if (m.dictPageOffset.exists(_ != pos)) throw new Malformed
                   dict = decodeDictPage(b, pos, m.codec, m.ptype)
                 case 0 | 3 =>
-                  vals ++= decodeDataPage(b, pos, (h.end - pos) + h.comp,
-                    m.codec, m.ptype, maxDef, dict)
+                  val (rows, nl) = decodeDataPage(b, pos,
+                    (h.end - pos) + h.comp, m.codec, leaf, dict)
+                  vals ++= rows
+                  levels += nl
                 case _ => throw new Malformed // index page mid-chunk
               }
               pos = h.end + h.comp
             }
             if (pos != lim) throw new Malformed
           }
-          if (vals.size.toLong != rgRows || vals.size.toLong != m.numValues)
-            throw new Malformed // chunk/row-group totals must close
+          if (vals.size.toLong != rgRows || levels != m.numValues)
+            throw new Malformed // row and level totals must both close
           out += DecodedChunk(m.rgNo, m.path, m.ptype, vals.toIndexedSeq)
         }
       }
@@ -1520,6 +1634,56 @@ object ParquetFooter {
         }
       }
     }(Encoders.row(decodeLongStrSchema))
+  }
+
+  /** Output schema of [[parquetDecodeLists]]. */
+  val decodeListsSchema: StructType = StructType(Seq(
+    StructField("file_id", LongType),
+    StructField("long_val", LongType),
+    StructField("nums", ArrayType(LongType, true)),
+    StructField("tags", ArrayType(StringType, true))))
+
+  /** Decode one flat INT64 leaf plus one INT64 LIST and one
+   * BYTE_ARRAY LIST (the Spark writer's 3-level
+   * `col.list.element` shape) from each parquet payload and emit
+   * them ZIPPED per row (m57) — null lists, empty lists and null
+   * elements all faithfully distinguished through the Dremel
+   * rep/def assembly. Payloads that refuse contribute nothing.
+   * Narrow mapPartitions. */
+  def parquetDecodeLists(df: DataFrame, idCol: String, payloadCol: String,
+      longPath: String, numsPath: String, tagsPath: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val fid = r.getLong(idIdx)
+        decodeFlatColumns(r.getAs[Array[Byte]](pIdx)) match {
+          case Some(chunks) =>
+            chunks.groupBy(_.rgNo).toSeq.sortBy(_._1).iterator.flatMap {
+              case (_, cs) =>
+                val lc = cs.find(c => c.path == longPath && c.ptype == 2)
+                val nc = cs.find(c => c.path == numsPath && c.ptype == 2)
+                val tc = cs.find(c => c.path == tagsPath && c.ptype == 6)
+                (lc, nc, tc) match {
+                  case (Some(l), Some(nn), Some(tt))
+                    if nn.values.size == l.values.size &&
+                      tt.values.size == l.values.size =>
+                    (0 until l.values.size).iterator.map { i =>
+                      def toSeq(v: AnyRef): Seq[Any] = v match {
+                        case null => null
+                        case xs: Vector[_] => xs
+                        case _ => throw new Malformed
+                      }
+                      Row(fid, l.values(i), toSeq(nn.values(i)),
+                        toSeq(tt.values(i)))
+                    }
+                  case _ => Iterator.empty
+                }
+            }
+          case None => Iterator.empty
+        }
+      }
+    }(Encoders.row(decodeListsSchema))
   }
 
   /** One row per row group (file order) with the file-level projection

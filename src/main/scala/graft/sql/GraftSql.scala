@@ -232,7 +232,9 @@ object GraftSql {
    * reader schema the file's writer schema must equal),
    * `orc_scalars(...)` (ORC full-scalar value decode — long/double/
    * float/boolean/string columns zipped per row from raw stripe
-   * streams), `delta_snapshot([table:.., name:.., col:..])` (Delta
+   * streams), `parquet_lists(...)` (parquet nested-list value decode
+   * — Dremel rep/def reassembly of single-level lists beside a flat
+   * key), `delta_snapshot([table:.., name:.., col:..])` (Delta
    * Lake `_delta_log` snapshot reconstruction — live files with row
    * counts, schema and protocol projections per the public
    * transaction protocol);
@@ -661,6 +663,16 @@ object GraftSql {
             p.getOrElse("id", "doc_id"), p.getOrElse("col", "payload"),
             p.getOrElse("schema", sys.error(
               "avro_records requires schema:\"<reader schema json>\"")))
+        },
+        // parquet nested-list value decode (m57): one flat INT64 +
+        // one INT64 list + one BYTE_ARRAY list, Dremel-assembled
+        "parquet_lists" -> ProcessorDef { (_, dfs, p) =>
+          graft.functions.ParquetFooter.parquetDecodeLists(
+            one(dfs, "parquet_lists"),
+            p.getOrElse("id", "doc_id"), p.getOrElse("col", "payload"),
+            p.getOrElse("long", "doc_id"),
+            p.getOrElse("nums", "nums.list.element"),
+            p.getOrElse("tags", "tags.list.element"))
         },
         // ORC full-scalar value decode (m55): one column per scalar
         // family zipped per row through the stripe-stream read

@@ -163,14 +163,69 @@ class ParquetPagesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("m57: Dremel list reassembly matches Spark's reader, v1 and v2") {
+    val out = java.nio.file.Files.createTempDirectory("graft_m57spec")
+    Seq("v1" -> "snappy", "v2" -> "zstd").foreach { case (ver, codec) =>
+      val p = out.resolve(ver).toString
+      spark.range(500).selectExpr(
+        "id",
+        "CASE WHEN id % 7 = 0 THEN NULL " +
+          "WHEN id % 7 = 1 THEN CAST(array() AS ARRAY<BIGINT>) " +
+          "ELSE transform(sequence(0, CAST(id % 5 AS INT)), " +
+          "i -> CASE WHEN (id + i) % 11 = 3 THEN NULL ELSE id * 10 + i END) " +
+          "END AS nums",
+        "CASE WHEN id % 9 = 2 THEN NULL " +
+          "WHEN id % 9 = 3 THEN CAST(array() AS ARRAY<STRING>) " +
+          "ELSE transform(sequence(0, CAST(id % 4 AS INT)), " +
+          "i -> CASE WHEN (id + i) % 17 = 5 THEN NULL " +
+          "ELSE concat('t', CAST((id + i) % 13 AS STRING)) END) END AS tags")
+        .coalesce(1).write.option("parquet.writer.version", ver)
+        .option("parquet.page.row.count.limit", "40")
+        .option("compression", codec).mode("overwrite").parquet(p)
+      val cols = ParquetFooter.decodeFlatColumns(firstParquet(p))
+        .getOrElse(fail(s"$ver did not decode"))
+      def flat(path: String): IndexedSeq[AnyRef] =
+        cols.filter(_.path == path).flatMap(_.values)
+      val got = flat("id").zip(flat("nums.list.element").zip(
+        flat("tags.list.element")))
+        .map { case (idv, (nv, tv)) =>
+          (idv.asInstanceOf[Long],
+            if (nv == null) null else nv.asInstanceOf[Vector[_]].toList,
+            if (tv == null) null else tv.asInstanceOf[Vector[_]].toList)
+        }.sortBy(_._1)
+      val want = spark.read.parquet(p).selectExpr("id", "nums", "tags")
+        .collect().toSeq.map { r =>
+          (r.getLong(0),
+            if (r.isNullAt(1)) null else r.getSeq[Any](1).toList,
+            if (r.isNullAt(2)) null else r.getSeq[Any](2).toList)
+        }.sortBy(_._1)
+      assert(got.size === want.size, s"$ver row count")
+      got.zip(want).foreach { case (g, w) => assert(g === w, s"$ver") }
+      // all four Dremel bands really occurred
+      assert(got.exists(_._2 == null) && got.exists(_._2 == List()) &&
+        got.exists(g => g._2 != null && g._2.contains(null)) &&
+        got.exists(g => g._2 != null && g._2.exists(_ != null)), s"$ver bands")
+    }
+  }
+
   test("refusal contract: nested schemas, unsupported-only leaves, corruption") {
     val out = java.nio.file.Files.createTempDirectory("graft_m50bad")
-    // nested schema (array leaf) refuses
+    // single-level lists DECODE since m57 (Dremel reassembly) ...
     val nested = out.resolve("nested").toString
     spark.range(50).selectExpr("id", "array(id, id + 1) AS a")
       .coalesce(1).write.mode("overwrite").parquet(nested)
     val nb = firstParquet(nested)
-    assert(ParquetFooter.decodeFlatColumns(nb).isEmpty, "nested must refuse")
+    val ncols = ParquetFooter.decodeFlatColumns(nb)
+      .getOrElse(fail("single-level list must decode"))
+    val ac = ncols.filter(_.path == "a.list.element")
+    assert(ac.nonEmpty && ac.head.values(3) === Vector(3L, 4L))
+    // ... but repetition depth 2 (list of lists) is out of scope and a
+    // file with no other decodable leaf refuses
+    val deep = out.resolve("deep").toString
+    spark.range(50).selectExpr("array(array(id)) AS aa")
+      .coalesce(1).write.mode("overwrite").parquet(deep)
+    assert(ParquetFooter.decodeFlatColumns(firstParquet(deep)).isEmpty,
+      "rep depth 2 must refuse")
     // a table with no decodable leaf refuses (wide decimals are
     // FIXED_LEN_BYTE_ARRAY — censused, not valued)
     val dec = out.resolve("dec").toString
