@@ -30,6 +30,22 @@ private[graft] object EntriesM {
     // array/map/struct/binary columns. id%9==4 (flipped final sync)
     // and id%11==6 (schema-contract drift: a field missing) files
     // must contribute ZERO rows — never a partial or ver-less row
+    // Apache Iceberg manifest census (m58 — the second table format
+    // beside m56, and the m54 Avro record decoder composed upward:
+    // Iceberg's planning metadata IS Avro): highest metadata JSON
+    // version → current snapshot → manifest LIST (Avro, declared
+    // reader schema) → manifests (lengths re-validated against the
+    // list's manifest_length locators) → live data files (status !=
+    // DELETED). t%3==0 tables carry a full OLDER snapshot chain that
+    // must NOT be reported; t%9==4 (flipped manifest-list sync) and
+    // t%11==6 (dangling manifest pointer) tables must vanish
+    "m58_iceberg_manifests" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select("doc_id")
+      graft.functions.Iceberg.icebergSnapshot(
+        graft.functions.Iceberg.syntheticIcebergTables(ids, "doc_id"),
+        "table_id", "file_name", "payload")
+    }),
+
     // parquet NESTED-LIST value decode (m57 — m50 extended with
     // repetition levels): Spark writes (doc_id, nums array<long>,
     // tags array<string>) under v1/snappy and v2/zstd with 40-row
@@ -506,6 +522,27 @@ private[graft] object EntriesM {
     // (a single wrong primitive, hex byte, csv element, enum symbol,
     // null, or nested-struct member in any block of any codec
     // hash-mismatches); the two negative classes are excluded rows
+    // closed-form replay of the Iceberg fixtures: live = non-DELETED
+    // entries of the CURRENT snapshot's manifests only — a reported
+    // old-snapshot or deleted file, wrong count, or surviving
+    // poisoned table hash-mismatches
+    "m58_iceberg_manifests" ->
+      """WITH d AS (SELECT doc_id AS t FROM documents
+        |  WHERE doc_id % 9 <> 4 AND doc_id % 11 <> 6),
+        |m AS (SELECT t,
+        |  CAST(unnest(range(0, 1 + t % 2)) AS BIGINT) AS k FROM d),
+        |e AS (SELECT t, k,
+        |  CAST(unnest(range(0, 1 + (t + k) % 3)) AS BIGINT) AS j FROM m)
+        |SELECT t AS table_id,
+        | 'data/f-' || CAST(t AS VARCHAR) || '-' || CAST(k AS VARCHAR)
+        |   || '-' || CAST(j AS VARCHAR) || '.parquet' AS path,
+        | 10 + (t + 3*k + j) % 20 AS file_rows,
+        | 1000 + 10*k + j AS file_bytes,
+        | t * 100 + 1 AS snapshot_id,
+        | CAST(0 AS INTEGER) AS spec_id,
+        | CAST(1 + t % 2 AS INTEGER) AS n_manifests
+        |FROM e WHERE (t + k + j) % 4 <> 3""".stripMargin,
+
     // closed-form csv replay of the m57 list fixtures: a wrong Dremel
     // band (null list vs empty vs null element), a dropped element,
     // or a row misalignment in either writer version hash-mismatches

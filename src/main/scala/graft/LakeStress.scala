@@ -134,6 +134,14 @@ object LakeStress {
             spark.range(nTables).selectExpr("id AS doc_id"), "doc_id"),
           "table_id", "file_name", "content").count()
       }
+      // m58: Iceberg manifest-chain census over the same table count
+      var icebergFiles = 0L
+      val tIceberg = time {
+        icebergFiles = graft.functions.Iceberg.icebergSnapshot(
+          graft.functions.Iceberg.syntheticIcebergTables(
+            spark.range(nTables).selectExpr("id AS doc_id"), "doc_id"),
+          "table_id", "file_name", "payload").count()
+      }
       val lines = results.map { case (ver, codec, rows, tD, sRows, tS) =>
         f"pq_${ver}_$codec: decoded=$rows rows in $tD%.1f s " +
           f"(${rows / tD}%.0f rows/s) vs sparkRead=$sRows in $tS%.1f s " +
@@ -153,7 +161,9 @@ object LakeStress {
         f"in $tListSpark%.1f s (${listSparkRows / tListSpark}%.0f rows/s) " +
         f"ratio=${tLists / tListSpark}%.2fx | " +
         f"delta_snapshot: tables=$nTables liveFiles=$liveFiles " +
-        f"wall=$tDelta%.1f s (${nTables / tDelta}%.0f tables/s)")
+        f"wall=$tDelta%.1f s (${nTables / tDelta}%.0f tables/s) | " +
+        f"iceberg_snapshot: tables=$nTables liveFiles=$icebergFiles " +
+        f"wall=$tIceberg%.1f s (${nTables / tIceberg}%.0f tables/s)")
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(java.nio.file.Paths.get(out)).iterator()

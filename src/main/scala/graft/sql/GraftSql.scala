@@ -237,7 +237,10 @@ object GraftSql {
    * key), `delta_snapshot([table:.., name:.., col:..])` (Delta
    * Lake `_delta_log` snapshot reconstruction — live files with row
    * counts, schema and protocol projections per the public
-   * transaction protocol);
+   * transaction protocol), `iceberg_snapshot([table:.., name:..,
+   * col:..])` (Iceberg manifest-chain census — metadata JSON →
+   * current snapshot → Avro manifest list → manifests → live data
+   * files, every locator re-validated);
    * ops tooling: `key_skew(keys:"k"[, k:10])` (shuffle-key skew
    * diagnostic), `suggest_salt(keys:"k"[, target:n, max:n])` (measured
    * salt-factor advisor), `PROCESS probe, dim USING salted_join(
@@ -688,6 +691,12 @@ object GraftSql {
           graft.functions.DeltaLog.deltaSnapshot(one(dfs, "delta_snapshot"),
             p.getOrElse("table", "table_id"), p.getOrElse("name", "file_name"),
             p.getOrElse("col", "content"))
+        },
+        // Iceberg manifest-chain census (m58)
+        "iceberg_snapshot" -> ProcessorDef { (_, dfs, p) =>
+          graft.functions.Iceberg.icebergSnapshot(one(dfs, "iceberg_snapshot"),
+            p.getOrElse("table", "table_id"), p.getOrElse("name", "file_name"),
+            p.getOrElse("col", "payload"))
         },
         // MKV Cues census + locator replay (m52)
         "mkv_cues" -> ProcessorDef { (_, dfs, p) =>
