@@ -30,6 +30,24 @@ private[graft] object EntriesM {
     // array/map/struct/binary columns. id%9==4 (flipped final sync)
     // and id%11==6 (schema-contract drift: a field missing) files
     // must contribute ZERO rows — never a partial or ver-less row
+    // Delta CHECKPOINT reconstruction (m59 — the Delta ladder meets
+    // the parquet decoder): _last_checkpoint names a checkpoint
+    // parquet written by parquet-mr ITSELF (struct-nested action
+    // columns, a partitionColumns LIST, snappy v1 pages) which the
+    // census decodes through the repo's OWN m50/m57 page decoder,
+    // then applies only the JSON commits AFTER it. t%7==2 tables
+    // carry a truncated commit 0: WITH a checkpoint it is skipped
+    // unread (table resolves — the pre-checkpoint skip pinned), and
+    // the same damage WITHOUT a checkpoint (t%5==1) refuses. t%9==4
+    // (truncated checkpoint) and t%11==6 (dangling _last_checkpoint)
+    // checkpointed tables must vanish
+    "m59_delta_checkpoint" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select("doc_id")
+      graft.functions.DeltaLog.deltaSnapshotCheckpointed(
+        graft.functions.DeltaLog.syntheticDeltaTables(ids, "doc_id"),
+        "table_id", "file_name", "payload")
+    }),
+
     // Apache Iceberg manifest census (m58 — the second table format
     // beside m56, and the m54 Avro record decoder composed upward:
     // Iceberg's planning metadata IS Avro): highest metadata JSON
@@ -522,6 +540,41 @@ private[graft] object EntriesM {
     // (a single wrong primitive, hex byte, csv element, enum symbol,
     // null, or nested-struct member in any block of any codec
     // hash-mismatches); the two negative classes are excluded rows
+    // the m56 closed form under m59's exclusion classes, plus the
+    // checkpoint_version column — identical live sets by two
+    // different read paths (checkpoint+tail vs full replay) is
+    // itself the reconstruction law being checked
+    "m59_delta_checkpoint" ->
+      """WITH d AS (SELECT doc_id AS t FROM documents
+        |  WHERE NOT (doc_id % 5 = 1 AND doc_id % 7 = 2)
+        |    AND NOT (doc_id % 5 <> 1 AND
+        |             (doc_id % 9 = 4 OR doc_id % 11 = 6))),
+        |adds AS (
+        |  SELECT t, CAST(0 AS BIGINT) AS v,
+        |    CAST(unnest(range(0, 1 + t % 3)) AS BIGINT) AS i FROM d
+        |  UNION ALL
+        |  SELECT t, CAST(unnest(range(1, 1 + t % 4)) AS BIGINT) AS v,
+        |    CAST(0 AS BIGINT) AS i FROM d),
+        |live AS (
+        |  SELECT * FROM adds WHERE NOT (
+        |    (v = 0 AND i = 0 AND t % 4 >= 1) OR
+        |    (v = 2 AND i = 0 AND t % 4 = 3)))
+        |SELECT t AS table_id,
+        | 'part-' || CAST(v AS VARCHAR) || '-' || CAST(i AS VARCHAR)
+        |   || '.parquet' AS path,
+        | CASE WHEN (t + v + i) % 5 = 4 THEN NULL
+        |   ELSE 10 + (t + 7*v + i) % 20 END AS file_rows,
+        | 100 + 3*v + i AS file_bytes,
+        | t % 4 AS latest_version,
+        | 1 + t % 4 AS n_commits,
+        | CAST(2 + t % 3 AS INTEGER) AS n_fields,
+        | CAST(t % 2 AS INTEGER) AS n_part_cols,
+        | CAST(1 AS INTEGER) AS min_reader,
+        | CAST(2 AS INTEGER) AS min_writer,
+        | CASE WHEN t % 5 = 1 THEN -1
+        |   WHEN t % 4 = 0 THEN 0 ELSE t % 4 - 1 END AS checkpoint_version
+        |FROM live""".stripMargin,
+
     // closed-form replay of the Iceberg fixtures: live = non-DELETED
     // entries of the CURRENT snapshot's manifests only — a reported
     // old-snapshot or deleted file, wrong count, or surviving

@@ -237,7 +237,10 @@ object GraftSql {
    * key), `delta_snapshot([table:.., name:.., col:..])` (Delta
    * Lake `_delta_log` snapshot reconstruction — live files with row
    * counts, schema and protocol projections per the public
-   * transaction protocol), `iceberg_snapshot([table:.., name:..,
+   * transaction protocol), `delta_checkpoint(...)` (its
+   * checkpoint-aware form — the checkpoint parquet decoded through
+   * the repo's own page decoder, then only the post-checkpoint
+   * commits applied), `iceberg_snapshot([table:.., name:..,
    * col:..])` (Iceberg manifest-chain census — metadata JSON →
    * current snapshot → Avro manifest list → manifests → live data
    * files, every locator re-validated);
@@ -691,6 +694,13 @@ object GraftSql {
           graft.functions.DeltaLog.deltaSnapshot(one(dfs, "delta_snapshot"),
             p.getOrElse("table", "table_id"), p.getOrElse("name", "file_name"),
             p.getOrElse("col", "content"))
+        },
+        // Delta checkpoint + log-tail reconstruction (m59)
+        "delta_checkpoint" -> ProcessorDef { (_, dfs, p) =>
+          graft.functions.DeltaLog.deltaSnapshotCheckpointed(
+            one(dfs, "delta_checkpoint"),
+            p.getOrElse("table", "table_id"), p.getOrElse("name", "file_name"),
+            p.getOrElse("col", "payload"))
         },
         // Iceberg manifest-chain census (m58)
         "iceberg_snapshot" -> ProcessorDef { (_, dfs, p) =>

@@ -79,6 +79,52 @@ class DeltaLogSpec extends SparkTestBase {
     }
   }
 
+  test("m59: checkpointed resolution agrees with pure replay (IDs 0-79)") {
+    (0L until 80L).foreach { t =>
+      val files = DeltaLog.syntheticDeltaTable(t)
+      val got = DeltaLog.resolveCheckpointed(files)
+      val withheld = (t % 5 == 1 && t % 7 == 2) ||
+        (t % 5 != 1 && (t % 9 == 4 || t % 11 == 6))
+      if (withheld) assert(got.isEmpty, s"t=$t must be withheld")
+      else {
+        val live = got.getOrElse(fail(s"t=$t did not resolve"))
+        val nv = t % 4
+        val cv = if (t % 5 == 1) -1L else math.max(0L, nv - 1)
+        val wantPaths = ((0L until (1 + t % 3)).map(i => (0L, i)) ++
+          (1L to nv).map(v => (v, 0L)))
+          .filterNot(p => (1L to nv).filter(_ % 2 == 1)
+            .map(v => (v - 1, 0L)).contains(p))
+        assert(live.map(_._1).sorted ===
+          wantPaths.map(p => s"part-${p._1}-${p._2}.parquet").sorted, s"t=$t")
+        live.foreach { r =>
+          assert(r._4 === nv && r._5 === nv + 1 &&
+            r._6 === (2 + t % 3).toInt && r._7 === (t % 2).toInt &&
+            r._8 === 1 && r._9 === 2 && r._10 === cv, s"t=$t constants")
+        }
+        // nullable stats carried through the checkpoint too
+        val (v0, i0) = wantPaths.head
+        val row = live.find(_._1 == s"part-$v0-$i0.parquet").get
+        if ((t + v0 + i0) % 5 == 4) assert(row._2 == null, s"t=$t null rows")
+        else assert(row._2 === 10 + (t + 7 * v0 + i0) % 20, s"t=$t rows")
+      }
+    }
+    // the skip is real: the same truncated commit 0 refuses WITHOUT a
+    // checkpoint (t=37: 37%5=2 has one, 37%7=2 truncated, resolves —
+    // covered above; t=16: 16%5=1 no checkpoint, 16%7=2, refused)
+    assert(DeltaLog.resolveCheckpointed(
+      DeltaLog.syntheticDeltaTable(16L)).isEmpty)
+    assert(DeltaLog.resolveCheckpointed(
+      DeltaLog.syntheticDeltaTable(37L)).isDefined)
+    // _last_checkpoint.size is a locator: tampering refuses
+    val f2 = DeltaLog.syntheticDeltaTable(2L).map { case (n, b) =>
+      if (n == "_last_checkpoint")
+        (n, new String(b, "UTF-8").replace("\"size\":", "\"size\":9")
+          .getBytes("UTF-8"))
+      else (n, b)
+    }
+    assert(DeltaLog.resolveCheckpointed(f2).isEmpty, "size mismatch")
+  }
+
   test("deltaSnapshot end-to-end: live rows, tombstones, poisoned tables") {
     import spark.implicits._
     val ids = spark.range(0, 60).select(col("id").as("doc_id"))
