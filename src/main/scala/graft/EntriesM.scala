@@ -30,6 +30,24 @@ private[graft] object EntriesM {
     // array/map/struct/binary columns. id%9==4 (flipped final sync)
     // and id%11==6 (schema-contract drift: a field missing) files
     // must contribute ZERO rows — never a partial or ver-less row
+    // MKV FRAME extraction at cue locators (m60 — the read the m52
+    // seek index enables, the m42/m49 addressed-bytes pattern for
+    // video): each cue replays to its cluster, whose REAL
+    // SimpleBlocks then parse — track vint, 2-byte SIGNED relative
+    // timestamp (id%3==1 files put block 0 BEFORE the cluster
+    // timestamp), keyframe flag — and every frame's bytes are
+    // extracted and hex-replayed by the oracle. Forged cue 0
+    // (id%9==7) extracts nothing for that cue; a LACED block
+    // (id%8==5) refuses the whole file; no Cues (id%5==3) → no reads
+    "m60_mkv_frames" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select("doc_id")
+      graft.functions.Ebml.mkvFrames(
+        graft.functions.Ebml.syntheticMkvFrameFiles(ids, "doc_id"),
+        "doc_id", "payload")
+        .select(col("doc_id"), col("cue_no"), col("block_no"), col("track"),
+          col("abs_time"), col("keyframe"), hex(col("frame")).as("frame_hex"))
+    }),
+
     // Delta CHECKPOINT reconstruction (m59 — the Delta ladder meets
     // the parquet decoder): _last_checkpoint names a checkpoint
     // parquet written by parquet-mr ITSELF (struct-nested action
@@ -540,6 +558,30 @@ private[graft] object EntriesM {
     // (a single wrong primitive, hex byte, csv element, enum symbol,
     // null, or nested-struct member in any block of any codec
     // hash-mismatches); the two negative classes are excluded rows
+    // every frame byte of every cued cluster replayed by hex — a
+    // wrong seek, swapped block order, mis-signed relative time,
+    // wrong keyframe flag, or single wrong frame byte hash-mismatches
+    "m60_mkv_frames" ->
+      """WITH d AS (SELECT doc_id FROM documents
+        |  WHERE doc_id % 5 <> 3 AND doc_id % 8 <> 5),
+        |c AS (SELECT doc_id,
+        |  CAST(unnest(range(0, 1 + doc_id % 4)) AS INTEGER) AS k FROM d),
+        |f AS (SELECT doc_id, k,
+        |  CAST(unnest(range(0, 1 + (doc_id + k) % 3)) AS INTEGER) AS m
+        | FROM c WHERE NOT (doc_id % 9 = 7 AND k = 0))
+        |SELECT doc_id, k AS cue_no, m AS block_no,
+        | CAST(1 AS BIGINT) AS track,
+        | CAST(k*1000 + doc_id % 997 + m*40
+        |   - CASE WHEN doc_id % 3 = 1 THEN 20 ELSE 0 END AS BIGINT)
+        |   AS abs_time,
+        | m = 0 AS keyframe,
+        | (SELECT string_agg(
+        |    lpad(hex((doc_id*3 + k*7 + m*11 + n) % 256), 2, '0'),
+        |    '' ORDER BY n)
+        |  FROM range(0, 32) t(n)
+        |  WHERE n < 10 + (doc_id + k + m) % 20) AS frame_hex
+        |FROM f""".stripMargin,
+
     // the m56 closed form under m59's exclusion classes, plus the
     // checkpoint_version column — identical live sets by two
     // different read paths (checkpoint+tail vs full replay) is

@@ -216,6 +216,13 @@ object MediaStress {
         graft.functions.Ebml.syntheticMkvCueFiles(ids, "doc_id"),
         "doc_id", "payload").count()
     }
+    // r16b: frame extraction at the cue locators (m60)
+    var nMkvFrames = 0L
+    val tMkvFrames = time {
+      nMkvFrames = graft.functions.Ebml.mkvFrames(
+        graft.functions.Ebml.syntheticMkvFrameFiles(ids, "doc_id"),
+        "doc_id", "payload").count()
+    }
     println(f"MEDIASTRESS docs=$n pages=$nPages pageWall=$tPages%.1f " +
       f"pagesPerSec=${nPages / tPages}%.0f pageMB=${pageBytes / 1e6}%.0f " +
       f"packets=$nPackets packetWall=$tPackets%.1f " +
@@ -269,7 +276,9 @@ object MediaStress {
       f"csvBytesSniffs=$nCsvB csvBytesWall=$tCsvB%.1f " +
       f"csvBytesDocsPerSec=${n / tCsvB}%.0f " +
       f"mkvCues=$nCues mkvCuesWall=$tCues%.1f " +
-      f"mkvCuesDocsPerSec=${n / tCues}%.0f")
+      f"mkvCuesDocsPerSec=${n / tCues}%.0f " +
+      f"mkvFrames=$nMkvFrames mkvFramesWall=$tMkvFrames%.1f " +
+      f"mkvFramesDocsPerSec=${n / tMkvFrames}%.0f")
     spark.stop()
   }
 }

@@ -432,6 +432,112 @@ object Ebml {
     }(Encoders.row(cueSchema))
   }
 
+  // ---- frame extraction at cue locators (m60) -------------------------
+  //
+  // The m52 census proves the seek index points at real clusters;
+  // this is the READ it enables: seek the cued cluster, walk its
+  // SimpleBlocks, and extract the FRAMES — the m42/m49 "fetch the
+  // addressed bytes" pattern for video lakes. A SimpleBlock is
+  // (track vint, 2-byte BE SIGNED relative timestamp, flags, frame
+  // bytes); flags bit 0x80 marks a keyframe, bits 0x06 select lacing.
+  // Lacing is refused FILE-wide (a half-extracted cluster is a wrong
+  // sample set, and the fixture never laces) — scope, not corruption.
+
+  /** One extracted frame: (track, relTime, keyframe, frame bytes). */
+  final case class MkvFrame(track: Long, relTime: Int, keyframe: Boolean,
+      bytes: Array[Byte])
+
+  /** Parse one SimpleBlock body; None on malformation or lacing. */
+  def parseSimpleBlock(b: Array[Byte], off: Int, len: Int): Option[MkvFrame] = {
+    if (len < 4) return None
+    val end = off + len
+    val tr = readSize(b, off, end) // track vint shares the size coding
+    if (tr == null || tr._1 < 0) return None
+    var p = off + tr._2 // (value, width) — advance past the vint
+    if (p + 3 > end) return None
+    val rel = (((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)).toShort.toInt
+    val flags = b(p + 2) & 0xff
+    p += 3
+    if ((flags & 0x06) != 0) return None // laced: refused
+    Some(MkvFrame(tr._1, rel, (flags & 0x80) != 0,
+      java.util.Arrays.copyOfRange(b, p, end)))
+  }
+
+  /** Output schema of [[mkvFrames]]. */
+  val frameSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("cue_no", IntegerType),
+    StructField("block_no", IntegerType),
+    StructField("track", LongType),
+    StructField("abs_time", LongType),
+    StructField("keyframe", BooleanType),
+    StructField("frame", BinaryType)))
+
+  /** All frames of every CUED cluster: for each cue row, the locator
+   * replays (cluster at that exact byte, Timestamp EQUAL to the
+   * CueTime — a forged/stale cue contributes nothing for that cue),
+   * then every SimpleBlock extracts with `abs_time = cluster
+   * timestamp + relative time` (signedness honored). A file whose
+   * cued clusters contain a laced or malformed SimpleBlock refuses
+   * whole. Narrow mapPartitions — only cued clusters are touched. */
+  def mkvFrames(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(idIdx)
+        val b = r.getAs[Array[Byte]](pIdx)
+        extractCuedFrames(b) match {
+          case Some(rows) => rows.iterator.map {
+            case (cueNo, blockNo, track, absTime, key, frame) =>
+              Row(id, cueNo, blockNo, track, absTime, key, frame)
+          }
+          case None => Iterator.empty
+        }
+      }
+    }(Encoders.row(frameSchema))
+  }
+
+  /** The per-file walk behind [[mkvFrames]], exposed for the spec. */
+  def extractCuedFrames(b: Array[Byte]):
+      Option[IndexedSeq[(Int, Int, Long, Long, Boolean, Array[Byte])]] = {
+    parseMkvCues(b) match {
+      case None => None
+      case Some((sbody, cues)) =>
+        val out = IndexedSeq.newBuilder[(Int, Int, Long, Long, Boolean,
+          Array[Byte])]
+        var cueNo = 0
+        while (cueNo < cues.size) {
+          val c = cues(cueNo)
+          val (found, ts) = replayCueLocator(b, sbody, c.clusterPos)
+          if (found && ts.contains(c.time)) {
+            // walk the cluster's SimpleBlocks at the replayed position
+            val at = (sbody + c.clusterPos).toInt
+            val cid = readId(b, at, b.length)
+            val csz = readSize(b, at + cid._2, b.length)
+            val cbody = at + cid._2 + csz._2
+            var blockNo = 0
+            var badBlock = false
+            walkChildren(b, cbody, cbody + csz._1.toInt) { (id, off, len) =>
+              if (id == 0xA3L) { // SimpleBlock
+                parseSimpleBlock(b, off, len) match {
+                  case Some(f) =>
+                    out += ((cueNo, blockNo, f.track, c.time + f.relTime,
+                      f.keyframe, f.bytes))
+                    blockNo += 1
+                    true
+                  case None => badBlock = true; false
+                }
+              } else true // Timestamp/Void/BlockGroup: stride
+            }
+            if (badBlock) return None // laced/malformed: file refuses
+          } // forged/stale cue: zero rows for this cue, file survives
+          cueNo += 1
+        }
+        Some(out.result())
+    }
+  }
+
   // ---- fixture writer --------------------------------------------------
 
   private final class W {
@@ -651,4 +757,84 @@ object Ebml {
    * formulas and the forged-locator verdicts. */
   def syntheticMkvCueFiles(df: DataFrame, idCol: String): DataFrame =
     Fixtures.syntheticPayloads(df, idCol)(syntheticMkvCues)
+
+  /** Deterministic Matroska fixture with REAL SimpleBlocks (the m60
+   * shape — [[syntheticMkvCues]] keeps its opaque blocks so the m52
+   * oracle is untouched): `1 + id%4` clusters, cluster k at Timestamp
+   * `k*1000 + id%997` holding `1 + (id+k)%3` SimpleBlocks; block m:
+   * track 1, relative time `m*40` (MINUS 20 when `id%3 == 1` — block
+   * 0 then has a NEGATIVE relative time, pinning int16 signedness),
+   * keyframe iff `m == 0`, frame of `10 + (id+k+m)%20` bytes, byte
+   * j = `(id*3 + k*7 + m*11 + j) & 0xff`. Cues as in m52 (CueTime =
+   * cluster timestamp, one CuePoint per cluster); `id%5 == 3` files
+   * have no Cues (zero rows), `id%9 == 7` files forge cue 0's
+   * position (+1 — that cue extracts nothing), and `id%8 == 5` files
+   * set a LACING flag bit on the LAST cluster's first block — the
+   * whole file must refuse. */
+  def syntheticMkvFrames(id: Long): Array[Byte] = {
+    val w = new W
+    w.master(0x1A45DFA3L) { h =>
+      h.uintEl(0x4286L, 1)
+      h.strEl(0x4282L, if (id % 2 == 0) "webm" else "matroska")
+    }
+    val seg = new W
+    seg.master(0x1549A966L) { i =>
+      i.uintEl(0x2AD7B1L, 1000000L)
+      i.strEl(0x4D80L, s"graft_mux ${id % 7}")
+    }
+    seg.master(0x1654AE6BL) { t =>
+      t.master(0xAEL) { v =>
+        v.uintEl(0xD7L, 1)
+        v.uintEl(0x83L, 1)
+        v.strEl(0x86L, if (id % 2 == 0) "V_VP9" else "V_MPEG4/ISO/AVC")
+      }
+    }
+    val n = (1 + id % 4).toInt
+    val positions = new Array[Long](n)
+    val times = new Array[Long](n)
+    (0 until n).foreach { k =>
+      positions(k) = seg.bo.size().toLong
+      times(k) = k * 1000L + id % 997
+      seg.master(0x1F43B675L) { c =>
+        c.uintEl(0xE7L, times(k))
+        (0 until (1 + (id + k) % 3).toInt).foreach { m =>
+          val rel = m * 40 - (if (id % 3 == 1) 20 else 0)
+          var flags = if (m == 0) 0x80 else 0x00
+          // lacing on the LAST cluster: never the (possibly forged and
+          // therefore skipped) cue-0 cluster, so the refusal always fires
+          if (id % 8 == 5 && k == n - 1 && m == 0) flags |= 0x02
+          val frame = Array.tabulate((10 + (id + k + m) % 20).toInt)(
+            j => ((id * 3 + k * 7 + m * 11 + j) & 0xff).toByte)
+          c.binEl(0xA3L, Array[Byte](0x81.toByte,
+            ((rel >> 8) & 0xff).toByte, (rel & 0xff).toByte,
+            flags.toByte) ++ frame)
+        }
+      }
+    }
+    if (id % 5 != 3) {
+      seg.master(0x1C53BB6BL) { cu =>
+        (0 until n).foreach { k =>
+          val pos = if (id % 9 == 7 && k == 0) positions(k) + 1
+            else positions(k)
+          cu.master(0xBBL) { cp =>
+            cp.uintEl(0xB3L, times(k))
+            cp.master(0xB7L) { tp =>
+              tp.uintEl(0xF7L, 1L)
+              tp.uintEl(0xF1L, pos)
+            }
+          }
+        }
+      }
+    }
+    val segBody = seg.bo.toByteArray
+    w.id(0x18538067L)
+    w.size(segBody.length.toLong)
+    w.bo.write(segBody, 0, segBody.length)
+    w.bo.toByteArray
+  }
+
+  /** Executor-side frame fixtures — the m60 oracle replays every
+   * frame byte by hex. */
+  def syntheticMkvFrameFiles(df: DataFrame, idCol: String): DataFrame =
+    Fixtures.syntheticPayloads(df, idCol)(syntheticMkvFrames)
 }

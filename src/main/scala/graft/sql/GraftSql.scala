@@ -713,6 +713,11 @@ object GraftSql {
           graft.functions.Ebml.mkvCues(one(dfs, "mkv_cues"),
             p.getOrElse("id", "doc_id"), p.getOrElse("col", "payload"))
         },
+        // MKV frame extraction at the cue locators (m60)
+        "mkv_frames" -> ProcessorDef { (_, dfs, p) =>
+          graft.functions.Ebml.mkvFrames(one(dfs, "mkv_frames"),
+            p.getOrElse("id", "doc_id"), p.getOrElse("col", "payload"))
+        },
         // hybrid-retrieval fusion: PROCESS lexical, dense USING
         // rrf_fuse(...) — any number of ranked (query, rank, id) lists
         "rrf_fuse" -> ProcessorDef { (_, dfs, p) =>

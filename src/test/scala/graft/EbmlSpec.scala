@@ -115,6 +115,43 @@ class EbmlSpec extends AnyFunSuite {
     }
   }
 
+  test("m60: frame extraction matches the closed form (IDs 0-120)") {
+    (0L until 120L).foreach { id =>
+      val b = Ebml.syntheticMkvFrames(id)
+      val got = Ebml.extractCuedFrames(b)
+      if (id % 8 == 5 && id % 5 != 3) {
+        assert(got.isEmpty, s"id=$id laced file must refuse")
+      } else if (id % 5 == 3) {
+        assert(got.exists(_.isEmpty), s"id=$id no cues → zero frames")
+      } else {
+        val rows = got.getOrElse(fail(s"id=$id did not extract"))
+        val want = for {
+          k <- 0 until (1 + id % 4).toInt
+          if !(id % 9 == 7 && k == 0) // forged cue: nothing for it
+          m <- 0 until (1 + (id + k) % 3).toInt
+        } yield (k, m)
+        assert(rows.map(r => (r._1, r._2)) === want.toIndexedSeq, s"id=$id")
+        rows.foreach { case (k, m, track, absTime, key, frame) =>
+          assert(track === 1L, s"id=$id track")
+          val rel = m * 40 - (if (id % 3 == 1) 20 else 0)
+          assert(absTime === k * 1000L + id % 997 + rel,
+            s"id=$id signed relative time")
+          assert(key === (m == 0), s"id=$id keyframe")
+          assert(frame.toSeq === Seq.tabulate((10 + (id + k + m) % 20).toInt)(
+            j => ((id * 3 + k * 7 + m * 11 + j) & 0xff).toByte), s"id=$id frame")
+        }
+      }
+    }
+    // signedness really pinned: id=1 (id%3==1), block 0 of cluster 0
+    // sits 20ms BEFORE the cluster timestamp
+    val r1 = Ebml.extractCuedFrames(Ebml.syntheticMkvFrames(1L)).get
+    assert(r1.head._4 === 1L % 997 - 20)
+    // parseSimpleBlock refusals: short body, laced flags
+    assert(Ebml.parseSimpleBlock(Array[Byte](0x81.toByte, 0, 0), 0, 3).isEmpty)
+    assert(Ebml.parseSimpleBlock(
+      Array[Byte](0x81.toByte, 0, 0, 0x06, 1, 2), 0, 6).isEmpty)
+  }
+
   test("cues corrupt contract: truncation, double index, missing fields") {
     val good = Ebml.syntheticMkvCues(1L) // has cues (1%5 != 3)
     assert(Ebml.parseMkvCues(good).isDefined)
