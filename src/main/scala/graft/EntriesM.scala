@@ -30,6 +30,53 @@ private[graft] object EntriesM {
     // array/map/struct/binary columns. id%9==4 (flipped final sync)
     // and id%11==6 (schema-contract drift: a field missing) files
     // must contribute ZERO rows — never a partial or ver-less row
+    // ORC TEMPORAL/DECIMAL/BINARY value decode (m61 — completing the
+    // ORC type matrix over m53/m55): timestamps from the
+    // seconds-relative-to-2015 DATA stream + trailing-zero-packed
+    // nanos SECONDARY (fixture spans pre-1970 instants, pinning the
+    // truncation-fix rule and the sign), dates as RLEv2 epoch days,
+    // binary via length+bytes, decimals as unbounded zigzag varint
+    // mantissas with per-value scales — across all five codecs,
+    // zipped per row, hash-matched against the closed-form oracle
+    "m61_orc_temporal" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").selectExpr(
+        "doc_id",
+        "CASE WHEN doc_id % 7 <> 0 THEN " +
+          "timestamp_micros((doc_id - 250) * 86400000000 + doc_id * 1001) " +
+          "END AS ts",
+        "CASE WHEN doc_id % 11 <> 3 THEN " +
+          "date_add(DATE'1970-01-01', CAST(doc_id * 37 % 25000 AS INT)) " +
+          "END AS d",
+        "CASE WHEN doc_id % 5 <> 2 THEN " +
+          "CAST(concat('b', doc_id) AS BINARY) END AS bin",
+        "CASE WHEN doc_id % 13 <> 6 THEN " +
+          "CAST(doc_id AS DECIMAL(12,2)) - 500.25 END AS dec")
+      val out = java.nio.file.Files.createTempDirectory("graft_m61").toString
+      try {
+        val frames = Seq("none", "zlib", "snappy", "zstd", "lz4").map {
+          codec =>
+            docs.repartition(2).write.option("compression", codec)
+              .mode("overwrite").orc(s"$out/$codec")
+            val bin = graft.functions.Multimodal
+              .loadBinaryFiles(s, s"$out/$codec", "*.orc")
+              .selectExpr("monotonically_increasing_id() AS fid", "payload")
+            graft.functions.Orc
+              .orcDecodeTemporal(bin, "fid", "payload",
+                "doc_id", "ts", "d", "bin", "dec")
+              .select(lit(codec).as("codec"),
+                col("long_val").as("doc_id"), col("ts_micros"),
+                col("date_days"), hex(col("bin")).as("bin_hex"),
+                col("dec_str"))
+        }
+        // materialize before the temp dir is deleted (the frames read it)
+        frames.reduce(_.unionByName(_)).localCheckpoint(true)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(out)).iterator()
+          .asScala.toSeq.reverse.foreach(p => p.toFile.delete())
+      }
+    }),
+
     // MKV FRAME extraction at cue locators (m60 — the read the m52
     // seek index enables, the m42/m49 addressed-bytes pattern for
     // video): each cue replays to its cluster, whose REAL
@@ -558,6 +605,29 @@ private[graft] object EntriesM {
     // (a single wrong primitive, hex byte, csv element, enum symbol,
     // null, or nested-struct member in any block of any codec
     // hash-mismatches); the two negative classes are excluded rows
+    // the m61 oracle replays every instant/day/byte/decimal exactly —
+    // a one-microsecond timestamp skew (wrong base, sign, nanos
+    // scheme, or pre-1970 fix), off-by-one day, or mis-scaled
+    // decimal in any stripe of any codec hash-mismatches
+    "m61_orc_temporal" ->
+      """WITH v AS (SELECT unnest(['none', 'zlib', 'snappy', 'zstd',
+        |  'lz4']) AS codec),
+        |d AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 7 <> 0
+        |    THEN (doc_id - 250) * 86400000000 + doc_id * 1001
+        |    END AS ts_micros,
+        |  CASE WHEN doc_id % 11 <> 3
+        |    THEN CAST(doc_id * 37 % 25000 AS INTEGER) END AS date_days,
+        |  CASE WHEN doc_id % 5 <> 2
+        |    THEN hex(CAST('b' || CAST(doc_id AS VARCHAR) AS BLOB))
+        |    END AS bin_hex,
+        |  CASE WHEN doc_id % 13 <> 6
+        |    THEN CAST(CAST(doc_id AS DECIMAL(12,2)) - 500.25 AS VARCHAR)
+        |    END AS dec_str
+        | FROM documents)
+        |SELECT codec, doc_id, ts_micros, date_days, bin_hex, dec_str
+        |FROM v, d""".stripMargin,
+
     // every frame byte of every cued cluster replayed by hex — a
     // wrong seek, swapped block order, mis-signed relative time,
     // wrong keyframe flag, or single wrong frame byte hash-mismatches

@@ -665,10 +665,12 @@ object Orc {
               if (tid <= 0 || tid >= t.typeKinds.size) throw new Malformed
               (tid.toInt, name, t.typeKinds(tid.toInt))
           }
-          // boolean / int / bigint / float / double / string leaves
+          // boolean / int / bigint / float / double / string / binary /
+          // timestamp / decimal / date leaves
           val wanted = leaves.filter(l =>
             l._3 == 0 || l._3 == 3 || l._3 == 4 || l._3 == 5 ||
-            l._3 == 6 || l._3 == 7)
+            l._3 == 6 || l._3 == 7 || l._3 == 8 || l._3 == 9 ||
+            l._3 == 14 || l._3 == 15)
           if (wanted.isEmpty) throw new Malformed
           val out = scala.collection.mutable.ArrayBuffer.empty[OrcColumn]
           t.stripes.zipWithIndex.foreach {
@@ -727,17 +729,89 @@ object Orc {
                     if (v != nn.length) throw new Malformed
                   }
                 }
-                if (tkind == 4 || tkind == 3) { // bigint / int
+                if (tkind == 15 || tkind == 3 || tkind == 4) {
+                  // date (epoch days) / int / bigint — all RLEv2 signed
                   if (encKind != 2) throw new Malformed // DIRECT_V2 only
                   val (st, off) = find(cid, 1).getOrElse(throw new Malformed)
                   val longs = decodeRleV2(streamBytes(st, off), nNonNull,
                     signed = true)
-                  if (tkind == 3) assembleFrom(longs.map { v =>
+                  if (tkind == 4) assembleFrom(longs.map(Long.box(_): AnyRef))
+                  else assembleFrom(longs.map { v =>
                     if (v < Int.MinValue || v > Int.MaxValue)
                       throw new Malformed
                     Int.box(v.toInt): AnyRef
                   })
-                  else assembleFrom(longs.map(Long.box(_): AnyRef))
+                } else if (tkind == 8) { // binary: DIRECT_V2 bytes+lengths
+                  if (encKind != 2) throw new Malformed
+                  val (dst, doff) = find(cid, 1).getOrElse(throw new Malformed)
+                  val (lst, loff) = find(cid, 2).getOrElse(throw new Malformed)
+                  val lens = decodeRleV2(streamBytes(lst, loff), nNonNull,
+                    signed = false)
+                  val bytes = streamBytes(dst, doff)
+                  var pos = 0
+                  val nn = new Array[AnyRef](nNonNull)
+                  var i = 0
+                  while (i < nNonNull) {
+                    val l = lens(i)
+                    if (l < 0 || l > bytes.length - pos) throw new Malformed
+                    nn(i) = java.util.Arrays.copyOfRange(bytes, pos,
+                      pos + l.toInt)
+                    pos += l.toInt
+                    i += 1
+                  }
+                  if (pos != bytes.length) throw new Malformed
+                  assembleFrom(nn)
+                } else if (tkind == 9) { // timestamp: DATA seconds rel.
+                  // 2015-01-01 UTC + SECONDARY nanos with the trailing-
+                  // zero scheme; stored in the WRITER timezone — only
+                  // UTC-written files decode (others refuse, never skew)
+                  if (encKind != 2) throw new Malformed
+                  if (!sf.timezone.forall(tz => tz == "UTC" ||
+                    tz == "Etc/UTC" || tz == "GMT")) throw new Malformed
+                  val (st, off) = find(cid, 1).getOrElse(throw new Malformed)
+                  val (nst, noff) = find(cid, 5).getOrElse(throw new Malformed)
+                  val secs = decodeRleV2(streamBytes(st, off), nNonNull,
+                    signed = true)
+                  val nanosRaw = decodeRleV2(streamBytes(nst, noff), nNonNull,
+                    signed = false)
+                  assembleFrom(Array.tabulate[AnyRef](nNonNull) { i =>
+                    val zeros = (nanosRaw(i) & 7L).toInt
+                    var nanos = nanosRaw(i) >>> 3
+                    if (zeros != 0) {
+                      var z = 0
+                      while (z <= zeros) { nanos *= 10L; z += 1 }
+                    }
+                    if (nanos < 0 || nanos > 999999999L) throw new Malformed
+                    var epochSec = 1420070400L + secs(i)
+                    // pre-1970 rounding fix per the reference reader:
+                    // the writer truncated millis/1000 toward zero, the
+                    // nanos are the floor-second fraction
+                    if (epochSec < 0 && nanos != 0) epochSec -= 1
+                    val micros = epochSec * 1000000L + nanos / 1000
+                    Long.box(micros): AnyRef
+                  })
+                } else if (tkind == 14) { // decimal: unbounded zigzag
+                  // varint mantissa (DATA) + per-value scale (SECONDARY)
+                  if (encKind != 2) throw new Malformed
+                  val (dst, doff) = find(cid, 1).getOrElse(throw new Malformed)
+                  val (sst, soff) = find(cid, 5).getOrElse(throw new Malformed)
+                  val scales = decodeRleV2(streamBytes(sst, soff), nNonNull,
+                    signed = true)
+                  val mb = streamBytes(dst, doff)
+                  var pos = 0
+                  val nn = new Array[AnyRef](nNonNull)
+                  var i = 0
+                  while (i < nNonNull) {
+                    val (raw, p2) = orcVarint(mb, pos) // throws past 64 bits
+                    val mant = (raw >>> 1) ^ -(raw & 1L) // zigzag
+                    pos = p2
+                    val sc = scales(i)
+                    if (sc < 0 || sc > 38) throw new Malformed
+                    nn(i) = java.math.BigDecimal.valueOf(mant, sc.toInt)
+                    i += 1
+                  }
+                  if (pos != mb.length) throw new Malformed
+                  assembleFrom(nn)
                 } else if (tkind == 0) { // boolean: bit-packed MSB-first,
                   // then byte-RLE — the PRESENT stream's own encoding
                   if (encKind != 0) throw new Malformed // DIRECT only
@@ -918,6 +992,56 @@ object Orc {
         }
       }
     }(Encoders.row(decodeScalarsSchema))
+  }
+
+  /** Output schema of [[orcDecodeTemporal]]. */
+  val decodeTemporalSchema: StructType = StructType(Seq(
+    StructField("file_id", LongType),
+    StructField("long_val", LongType),
+    StructField("ts_micros", LongType),
+    StructField("date_days", IntegerType),
+    StructField("bin", BinaryType),
+    StructField("dec_str", StringType)))
+
+  /** Decode one column each of TIMESTAMP (emitted as epoch MICROS),
+   * DATE (epoch days), BINARY and DECIMAL (plain string) beside a
+   * LONG key, zipped per row in stripe order (m61 — completing the
+   * ORC type matrix over m53/m55). Narrow mapPartitions. */
+  def orcDecodeTemporal(df: DataFrame, idCol: String, payloadCol: String,
+      longName: String, tsName: String, dateName: String,
+      binName: String, decName: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val fid = r.getLong(idIdx)
+        decodeFlatColumns(r.getAs[Array[Byte]](pIdx)) match {
+          case Some(cols) =>
+            cols.groupBy(_.stripeNo).toSeq.sortBy(_._1).iterator.flatMap {
+              case (_, cs) =>
+                def pick(name: String, kind: Int) =
+                  cs.find(c => c.name == name && c.kind == kind)
+                (pick(longName, 4), pick(tsName, 9), pick(dateName, 15),
+                  pick(binName, 8), pick(decName, 14)) match {
+                  case (Some(l), Some(ts), Some(d), Some(bn), Some(dc))
+                    if Seq(ts, d, bn, dc).forall(
+                      _.values.size == l.values.size) =>
+                    (0 until l.values.size).iterator.map { i =>
+                      val decS = dc.values(i) match {
+                        case null => null
+                        case bd: java.math.BigDecimal => bd.toPlainString
+                        case _ => null
+                      }
+                      Row(fid, l.values(i), ts.values(i), d.values(i),
+                        bn.values(i), decS)
+                    }
+                  case _ => Iterator.empty
+                }
+            }
+          case None => Iterator.empty
+        }
+      }
+    }(Encoders.row(decodeTemporalSchema))
   }
 
   /** Output schema of [[orcTails]]. */

@@ -232,7 +232,10 @@ object GraftSql {
    * reader schema the file's writer schema must equal),
    * `orc_scalars(...)` (ORC full-scalar value decode — long/double/
    * float/boolean/string columns zipped per row from raw stripe
-   * streams), `parquet_lists(...)` (parquet nested-list value decode
+   * streams), `orc_temporal(...)` (ORC timestamp/date/binary/decimal
+   * value decode — micros with the 2015-base and pre-1970 fix, epoch
+   * days, plain decimal strings), `parquet_lists(...)` (parquet
+   * nested-list value decode
    * — Dremel rep/def reassembly of single-level lists beside a flat
    * key), `delta_snapshot([table:.., name:.., col:..])` (Delta
    * Lake `_delta_log` snapshot reconstruction — live files with row
@@ -669,6 +672,14 @@ object GraftSql {
             p.getOrElse("id", "doc_id"), p.getOrElse("col", "payload"),
             p.getOrElse("schema", sys.error(
               "avro_records requires schema:\"<reader schema json>\"")))
+        },
+        // ORC temporal/decimal/binary value decode (m61)
+        "orc_temporal" -> ProcessorDef { (_, dfs, p) =>
+          graft.functions.Orc.orcDecodeTemporal(one(dfs, "orc_temporal"),
+            p.getOrElse("id", "doc_id"), p.getOrElse("col", "payload"),
+            p.getOrElse("long", "doc_id"), p.getOrElse("ts", "ts"),
+            p.getOrElse("date", "d"), p.getOrElse("bin", "bin"),
+            p.getOrElse("dec", "dec"))
         },
         // parquet nested-list value decode (m57): one flat INT64 +
         // one INT64 list + one BYTE_ARRAY list, Dremel-assembled

@@ -286,6 +286,61 @@ class OrcSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("m61: timestamp/date/binary/decimal decode matches Spark's reader") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("graft_m61spec")
+    // pre-2015 seconds are NEGATIVE relative to the ORC timestamp base
+    // (sign + the negative-nanos rounding rule pinned); micros exercise
+    // the trailing-zero nanos scheme; every column carries nulls
+    val docs = spark.range(400).selectExpr(
+      "id AS doc_id",
+      "CASE WHEN id % 7 = 0 THEN NULL ELSE " +
+        "timestamp_micros((id - 200) * 86400000000 + id * 1001) END AS ts",
+      "CASE WHEN id % 11 = 3 THEN NULL ELSE " +
+        "date_add(DATE'1970-01-01', CAST(id * 37 % 25000 AS INT)) END AS d",
+      "CASE WHEN id % 5 = 2 THEN NULL ELSE " +
+        "CAST(concat('b', id) AS BINARY) END AS bin",
+      "CASE WHEN id % 13 = 6 THEN NULL ELSE " +
+        "CAST(id AS DECIMAL(12,2)) / 4 - 500.25 END AS dec")
+    Seq("none", "zlib", "snappy", "zstd", "lz4").foreach { codec =>
+      val p = out.resolve(codec).toString
+      docs.coalesce(1).write.option("compression", codec)
+        .mode("overwrite").orc(p)
+      val bin = graft.functions.Multimodal.loadBinaryFiles(spark, p, "*.orc")
+        .selectExpr("monotonically_increasing_id() AS fid", "payload")
+      val got = graft.functions.Orc.orcDecodeTemporal(bin, "fid", "payload",
+        "doc_id", "ts", "d", "bin", "dec")
+        .select("long_val", "ts_micros", "date_days", "bin", "dec_str")
+        .collect().toSeq.map(r => (r.getLong(0),
+          if (r.isNullAt(1)) null else Long.box(r.getLong(1)),
+          if (r.isNullAt(2)) null else Int.box(r.getInt(2)),
+          if (r.isNullAt(3)) null else r.getAs[Array[Byte]](3).toSeq,
+          r.getString(4))).sortBy(_._1)
+      val want = spark.read.orc(p).selectExpr("doc_id",
+        "unix_micros(ts)", "datediff(d, DATE'1970-01-01')", "bin",
+        "CAST(dec AS STRING)")
+        .collect().toSeq.map(r => (r.getLong(0),
+          if (r.isNullAt(1)) null else Long.box(r.getLong(1)),
+          if (r.isNullAt(2)) null else Int.box(r.getInt(2)),
+          if (r.isNullAt(3)) null else r.getAs[Array[Byte]](3).toSeq,
+          if (r.isNullAt(4)) null else r.getString(4))).sortBy(_._1)
+      assert(got.size === want.size, s"$codec rows")
+      got.zip(want).foreach { case (g, w) =>
+        assert((g._1, g._2, g._3, g._4) === (w._1, w._2, w._3, w._4), s"$codec")
+        // ORC stores decimals with per-value trailing zeros stripped
+        // (the writer's normalization); Spark re-applies the declared
+        // scale — numerically equal, textually scale-differing
+        (g._5, w._5) match {
+          case (null, null) => ()
+          case (a: String, b: String) =>
+            assert(new java.math.BigDecimal(a)
+              .compareTo(new java.math.BigDecimal(b)) == 0, s"$codec $a $b")
+          case other => fail(s"$codec decimal null mismatch: $other")
+        }
+      }
+    }
+  }
+
   test("lzo tails are recognized but refused (census-only boundary)") {
     val files = writeOrc("lzo", 60)
     files.foreach { bytes =>
