@@ -30,6 +30,57 @@ private[graft] object EntriesM {
     // array/map/struct/binary columns. id%9==4 (flipped final sync)
     // and id%11==6 (schema-contract drift: a field missing) files
     // must contribute ZERO rows — never a partial or ver-less row
+    // parquet MAP value decode (m62 — the m57 Dremel path composed:
+    // a map's key and value leaves assemble as PARALLEL per-row
+    // lists; the required key leaf has no null-element band, the
+    // optional value leaf does; zipping them yields the map). Null
+    // map / empty map / null value all populated; both writer
+    // versions; the oracle replays sorted key=value csv
+    "m62_parquet_maps" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").selectExpr(
+        "doc_id",
+        "CASE WHEN doc_id % 7 = 0 THEN NULL " +
+          "WHEN doc_id % 7 = 1 THEN CAST(map() AS MAP<STRING,BIGINT>) " +
+          "ELSE map_from_arrays(" +
+          "transform(sequence(0, CAST(doc_id % 4 AS INT)), " +
+          "i -> concat('k', CAST((doc_id + i) % 9 AS STRING))), " +
+          "transform(sequence(0, CAST(doc_id % 4 AS INT)), " +
+          "i -> CASE WHEN (doc_id + i) % 13 = 5 THEN NULL " +
+          "ELSE doc_id * 10 + i END)) END AS m")
+        .repartition(2).sortWithinPartitions("doc_id")
+      val out = java.nio.file.Files.createTempDirectory("graft_m62").toString
+      try {
+        val frames = Seq("v1" -> "snappy", "v2" -> "zstd").map {
+          case (ver, codec) =>
+            val path = s"$out/${ver}_$codec"
+            docs.write
+              .option("parquet.writer.version", ver)
+              .option("parquet.page.row.count.limit", "40")
+              .option("compression", codec)
+              .mode("overwrite").parquet(path)
+            val bin = graft.functions.Multimodal
+              .loadBinaryFiles(s, path, "*.parquet")
+              .selectExpr("monotonically_increasing_id() AS fid", "payload")
+            graft.functions.ParquetFooter
+              .parquetDecodeMap(bin, "fid", "payload", "doc_id",
+                "m.key_value.key", "m.key_value.value")
+              .select(lit(s"${ver}_$codec").as("variant"),
+                col("long_val").as("doc_id"),
+                expr("CASE WHEN m IS NULL THEN NULL ELSE " +
+                  "array_join(transform(array_sort(map_keys(m)), " +
+                  "k -> concat(k, '=', coalesce(" +
+                  "CAST(element_at(m, k) AS STRING), '_'))), ',') END")
+                  .as("m_csv"))
+        }
+        // materialize before the temp dir is deleted (the frames read it)
+        frames.reduce(_.unionByName(_)).localCheckpoint(true)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(out)).iterator()
+          .asScala.toSeq.reverse.foreach(p => p.toFile.delete())
+      }
+    }),
+
     // ORC TEMPORAL/DECIMAL/BINARY value decode (m61 — completing the
     // ORC type matrix over m53/m55): timestamps from the
     // seconds-relative-to-2015 DATA stream + trailing-zero-packed
@@ -605,6 +656,23 @@ private[graft] object EntriesM {
     // (a single wrong primitive, hex byte, csv element, enum symbol,
     // null, or nested-struct member in any block of any codec
     // hash-mismatches); the two negative classes are excluded rows
+    // sorted key=value csv replay of the m62 map fixtures: a dropped
+    // entry, one-sided null, swapped value, or null-vs-empty
+    // confusion in either writer version hash-mismatches
+    "m62_parquet_maps" ->
+      """WITH w AS (SELECT unnest(['v1_snappy', 'v2_zstd']) AS variant),
+        |d AS (SELECT doc_id FROM documents)
+        |SELECT variant, doc_id,
+        | CASE WHEN doc_id % 7 = 0 THEN NULL
+        |   WHEN doc_id % 7 = 1 THEN ''
+        |   ELSE (SELECT string_agg(
+        |     'k' || CAST((doc_id + n) % 9 AS VARCHAR) || '=' ||
+        |     CASE WHEN (doc_id + n) % 13 = 5 THEN '_'
+        |       ELSE CAST(doc_id * 10 + n AS VARCHAR) END,
+        |     ',' ORDER BY (doc_id + n) % 9)
+        |     FROM range(0, 8) t(n) WHERE n <= doc_id % 4) END AS m_csv
+        |FROM w, d""".stripMargin,
+
     // the m61 oracle replays every instant/day/byte/decimal exactly —
     // a one-microsecond timestamp skew (wrong base, sign, nanos
     // scheme, or pre-1970 fix), off-by-one day, or mis-scaled

@@ -1643,6 +1643,60 @@ object ParquetFooter {
     StructField("nums", ArrayType(LongType, true)),
     StructField("tags", ArrayType(StringType, true))))
 
+  /** Output schema of [[parquetDecodeMap]]. */
+  val decodeMapSchema: StructType = StructType(Seq(
+    StructField("file_id", LongType),
+    StructField("long_val", LongType),
+    StructField("m", MapType(StringType, LongType, true))))
+
+  /** Decode one MAP<STRING,INT64> column (the writer's
+   * `col.key_value.{key,value}` shape) beside a flat INT64 key
+   * column (m62): the map's two leaves Dremel-assemble as PARALLEL
+   * per-row lists — the required key leaf has no null-element band,
+   * the optional value leaf does — and zip into a Spark map per row.
+   * A key/value row-shape disagreement (different list sizes or
+   * one-sided nulls) refuses the file. Narrow mapPartitions. */
+  def parquetDecodeMap(df: DataFrame, idCol: String, payloadCol: String,
+      longPath: String, keyPath: String, valuePath: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val fid = r.getLong(idIdx)
+        decodeFlatColumns(r.getAs[Array[Byte]](pIdx)) match {
+          case Some(chunks) =>
+            try {
+              chunks.groupBy(_.rgNo).toSeq.sortBy(_._1).iterator.flatMap {
+                case (_, cs) =>
+                  val lc = cs.find(c => c.path == longPath && c.ptype == 2)
+                  val kc = cs.find(c => c.path == keyPath && c.ptype == 6)
+                  val vc = cs.find(c => c.path == valuePath && c.ptype == 2)
+                  (lc, kc, vc) match {
+                    case (Some(l), Some(k), Some(v))
+                      if k.values.size == l.values.size &&
+                        v.values.size == l.values.size =>
+                      (0 until l.values.size).iterator.map { i =>
+                        val m = (k.values(i), v.values(i)) match {
+                          case (null, null) => null
+                          case (ks: Vector[_], vs: Vector[_])
+                            if ks.size == vs.size =>
+                            ks.zip(vs).map { case (kk, vv) =>
+                              (kk.asInstanceOf[String], vv)
+                            }.toMap
+                          case _ => throw new Malformed // shape split
+                        }
+                        Row(fid, l.values(i), m)
+                      }
+                    case _ => Iterator.empty
+                  }
+              }.toVector.iterator // force: surface Malformed here
+            } catch { case _: Malformed => Iterator.empty }
+          case None => Iterator.empty
+        }
+      }
+    }(Encoders.row(decodeMapSchema))
+  }
+
   /** Decode one flat INT64 leaf plus one INT64 LIST and one
    * BYTE_ARRAY LIST (the Spark writer's 3-level
    * `col.list.element` shape) from each parquet payload and emit

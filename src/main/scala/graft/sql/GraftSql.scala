@@ -673,6 +673,15 @@ object GraftSql {
             p.getOrElse("schema", sys.error(
               "avro_records requires schema:\"<reader schema json>\"")))
         },
+        // parquet MAP value decode (m62)
+        "parquet_maps" -> ProcessorDef { (_, dfs, p) =>
+          graft.functions.ParquetFooter.parquetDecodeMap(
+            one(dfs, "parquet_maps"),
+            p.getOrElse("id", "doc_id"), p.getOrElse("col", "payload"),
+            p.getOrElse("long", "doc_id"),
+            p.getOrElse("key", "m.key_value.key"),
+            p.getOrElse("value", "m.key_value.value"))
+        },
         // ORC temporal/decimal/binary value decode (m61)
         "orc_temporal" -> ProcessorDef { (_, dfs, p) =>
           graft.functions.Orc.orcDecodeTemporal(one(dfs, "orc_temporal"),

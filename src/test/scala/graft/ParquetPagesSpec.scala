@@ -208,6 +208,43 @@ class ParquetPagesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("m62: map reassembly matches Spark's reader, v1 and v2") {
+    val out = java.nio.file.Files.createTempDirectory("graft_m62spec")
+    Seq("v1" -> "snappy", "v2" -> "zstd").foreach { case (ver, codec) =>
+      val p = out.resolve(ver).toString
+      spark.range(400).selectExpr(
+        "id",
+        "CASE WHEN id % 7 = 0 THEN NULL " +
+          "WHEN id % 7 = 1 THEN CAST(map() AS MAP<STRING,BIGINT>) " +
+          "ELSE map_from_arrays(" +
+          "transform(sequence(0, CAST(id % 4 AS INT)), " +
+          "i -> concat('k', CAST((id + i) % 9 AS STRING))), " +
+          "transform(sequence(0, CAST(id % 4 AS INT)), " +
+          "i -> CASE WHEN (id + i) % 13 = 5 THEN NULL " +
+          "ELSE id * 10 + i END)) END AS m")
+        .coalesce(1).write.option("parquet.writer.version", ver)
+        .option("parquet.page.row.count.limit", "40")
+        .option("compression", codec).mode("overwrite").parquet(p)
+      val bin = graft.functions.Multimodal.loadBinaryFiles(spark, p, "*.parquet")
+        .selectExpr("monotonically_increasing_id() AS fid", "payload")
+      val got = graft.functions.ParquetFooter
+        .parquetDecodeMap(bin, "fid", "payload", "id",
+          "m.key_value.key", "m.key_value.value")
+        .select("long_val", "m").collect().toSeq
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) null else r.getMap[String, Any](1).toMap))
+        .sortBy(_._1)
+      val want = spark.read.parquet(p).select("id", "m").collect().toSeq
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) null else r.getMap[String, Any](1).toMap))
+        .sortBy(_._1)
+      assert(got === want, s"$ver")
+      assert(got.exists(_._2 == null) && got.exists(_._2 == Map()) &&
+        got.exists(g => g._2 != null && g._2.values.exists(_ == null)),
+        s"$ver bands")
+    }
+  }
+
   test("refusal contract: nested schemas, unsupported-only leaves, corruption") {
     val out = java.nio.file.Files.createTempDirectory("graft_m50bad")
     // single-level lists DECODE since m57 (Dremel reassembly) ...
