@@ -30,6 +30,21 @@ private[graft] object EntriesM {
     // array/map/struct/binary columns. id%9==4 (flipped final sync)
     // and id%11==6 (schema-contract drift: a field missing) files
     // must contribute ZERO rows — never a partial or ver-less row
+    // Apache Hudi timeline census (m63 — completing the table-format
+    // trio with m56/m59 Delta and m58 Iceberg): hoodie.properties +
+    // the instant timeline (`<time>.<action>[.<state>]` lifecycle
+    // files) + HoodieCommitMetadata JSON per the public Hudi spec.
+    // One row per COMPLETED commit/deltacommit with write-stat
+    // aggregates, table type, and the pending-instant count. t%9==4
+    // (malformed properties) and t%11==6 (an inflight with no
+    // requested — lifecycle violation) tables must vanish
+    "m63_hudi_timeline" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select("doc_id")
+      graft.functions.Hudi.hudiTimeline(
+        graft.functions.Hudi.syntheticHudiTables(ids, "doc_id"),
+        "table_id", "file_name", "content")
+    }),
+
     // parquet MAP value decode (m62 — the m57 Dremel path composed:
     // a map's key and value leaves assemble as PARALLEL per-row
     // lists; the required key leaf has no null-element band, the
@@ -656,6 +671,40 @@ private[graft] object EntriesM {
     // (a single wrong primitive, hex byte, csv element, enum symbol,
     // null, or nested-struct member in any block of any codec
     // hash-mismatches); the two negative classes are excluded rows
+    // closed-form replay of the Hudi write-stat aggregates per
+    // completed instant — a misread stat, miscounted partition or
+    // file, wrong action/type, missed pending instant, or surviving
+    // poisoned table hash-mismatches
+    "m63_hudi_timeline" ->
+      """WITH d AS (SELECT doc_id AS t FROM documents
+        |  WHERE doc_id % 9 <> 4 AND doc_id % 11 <> 6),
+        |c AS (SELECT t,
+        |  CAST(unnest(range(0, 1 + t % 3)) AS INTEGER) AS i FROM d)
+        |SELECT t AS table_id,
+        | '202401010000' || lpad(CAST(i AS VARCHAR), 2, '0')
+        |   AS instant_time,
+        | CASE WHEN t % 2 = 0 THEN 'commit' ELSE 'deltacommit' END
+        |   AS action,
+        | CAST(1 + (t + i) % 2 AS INTEGER) AS n_partitions,
+        | CAST((SELECT SUM(1 + (t + i + q) % 2) FROM range(0, 2) r2(q)
+        |   WHERE q < 1 + (t + i) % 2) AS INTEGER) AS n_files,
+        | CAST((SELECT SUM(10 + (t + i + q + j) % 20)
+        |   FROM range(0, 2) r2(q), range(0, 2) r3(j)
+        |   WHERE q < 1 + (t + i) % 2 AND j < 1 + (t + i + q) % 2)
+        |   AS BIGINT) AS total_writes,
+        | CAST((SELECT SUM(1 + (t + i + q) % 2) FROM range(0, 2) r2(q)
+        |   WHERE q < 1 + (t + i) % 2) * ((t + i) % 3) AS BIGINT)
+        |   AS total_deletes,
+        | CAST((SELECT SUM(1000 + i*10 + q*5 + j)
+        |   FROM range(0, 2) r2(q), range(0, 2) r3(j)
+        |   WHERE q < 1 + (t + i) % 2 AND j < 1 + (t + i + q) % 2)
+        |   AS BIGINT) AS total_bytes,
+        | CASE WHEN t % 2 = 0 THEN 'COPY_ON_WRITE'
+        |   ELSE 'MERGE_ON_READ' END AS table_type,
+        | CAST(CASE WHEN t % 4 = 1 THEN 1 ELSE 0 END AS INTEGER)
+        |   AS n_pending
+        |FROM c""".stripMargin,
+
     // sorted key=value csv replay of the m62 map fixtures: a dropped
     // entry, one-sided null, swapped value, or null-vs-empty
     // confusion in either writer version hash-mismatches

@@ -142,6 +142,14 @@ object LakeStress {
             spark.range(nTables).selectExpr("id AS doc_id"), "doc_id"),
           "table_id", "file_name", "payload").count()
       }
+      // m63: Hudi timeline census — the trio's third leg
+      var hudiCommits = 0L
+      val tHudi = time {
+        hudiCommits = graft.functions.Hudi.hudiTimeline(
+          graft.functions.Hudi.syntheticHudiTables(
+            spark.range(nTables).selectExpr("id AS doc_id"), "doc_id"),
+          "table_id", "file_name", "content").count()
+      }
       val lines = results.map { case (ver, codec, rows, tD, sRows, tS) =>
         f"pq_${ver}_$codec: decoded=$rows rows in $tD%.1f s " +
           f"(${rows / tD}%.0f rows/s) vs sparkRead=$sRows in $tS%.1f s " +
@@ -163,7 +171,9 @@ object LakeStress {
         f"delta_snapshot: tables=$nTables liveFiles=$liveFiles " +
         f"wall=$tDelta%.1f s (${nTables / tDelta}%.0f tables/s) | " +
         f"iceberg_snapshot: tables=$nTables liveFiles=$icebergFiles " +
-        f"wall=$tIceberg%.1f s (${nTables / tIceberg}%.0f tables/s)")
+        f"wall=$tIceberg%.1f s (${nTables / tIceberg}%.0f tables/s) | " +
+        f"hudi_timeline: tables=$nTables commits=$hudiCommits " +
+        f"wall=$tHudi%.1f s (${nTables / tHudi}%.0f tables/s)")
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(java.nio.file.Paths.get(out)).iterator()

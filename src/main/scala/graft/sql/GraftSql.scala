@@ -246,7 +246,9 @@ object GraftSql {
    * commits applied), `iceberg_snapshot([table:.., name:..,
    * col:..])` (Iceberg manifest-chain census — metadata JSON →
    * current snapshot → Avro manifest list → manifests → live data
-   * files, every locator re-validated);
+   * files, every locator re-validated), `hudi_timeline(...)` (Hudi
+   * timeline census — instant lifecycle + completed-commit write
+   * stats per the public table spec);
    * ops tooling: `key_skew(keys:"k"[, k:10])` (shuffle-key skew
    * diagnostic), `suggest_salt(keys:"k"[, target:n, max:n])` (measured
    * salt-factor advisor), `PROCESS probe, dim USING salted_join(
@@ -727,6 +729,12 @@ object GraftSql {
           graft.functions.Iceberg.icebergSnapshot(one(dfs, "iceberg_snapshot"),
             p.getOrElse("table", "table_id"), p.getOrElse("name", "file_name"),
             p.getOrElse("col", "payload"))
+        },
+        // Hudi timeline census (m63)
+        "hudi_timeline" -> ProcessorDef { (_, dfs, p) =>
+          graft.functions.Hudi.hudiTimeline(one(dfs, "hudi_timeline"),
+            p.getOrElse("table", "table_id"), p.getOrElse("name", "file_name"),
+            p.getOrElse("col", "content"))
         },
         // MKV Cues census + locator replay (m52)
         "mkv_cues" -> ProcessorDef { (_, dfs, p) =>
