@@ -30,6 +30,55 @@ private[graft] object EntriesM {
     // array/map/struct/binary columns. id%9==4 (flipped final sync)
     // and id%11==6 (schema-contract drift: a field missing) files
     // must contribute ZERO rows — never a partial or ver-less row
+    // ORC LIST value decode (m64 — the ORC nested analog of parquet's
+    // m57, same fixture shapes: the LENGTH stream partitions the
+    // child column, PRESENT masks at both levels carry null lists,
+    // empty lists and null elements; dictionary AND direct child
+    // strings exercised across the five codecs); the oracle is the
+    // same closed-form csv replay, so the TWO formats' nested decodes
+    // are pinned to the same semantics
+    "m64_orc_lists" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").selectExpr(
+        "doc_id",
+        "CASE WHEN doc_id % 7 = 0 THEN NULL " +
+          "WHEN doc_id % 7 = 1 THEN CAST(array() AS ARRAY<BIGINT>) " +
+          "ELSE transform(sequence(0, CAST(doc_id % 5 AS INT)), " +
+          "i -> CASE WHEN (doc_id + i) % 11 = 3 THEN NULL " +
+          "ELSE doc_id * 10 + i END) END AS nums",
+        "CASE WHEN doc_id % 9 = 2 THEN NULL " +
+          "WHEN doc_id % 9 = 3 THEN CAST(array() AS ARRAY<STRING>) " +
+          "ELSE transform(sequence(0, CAST(doc_id % 4 AS INT)), " +
+          "i -> CASE WHEN (doc_id + i) % 17 = 5 THEN NULL " +
+          "ELSE concat('t', CAST((doc_id + i) % 13 AS STRING)) END) " +
+          "END AS tags")
+      val out = java.nio.file.Files.createTempDirectory("graft_m64").toString
+      try {
+        val frames = Seq("none", "zlib", "snappy", "zstd", "lz4").map {
+          codec =>
+            docs.repartition(2).write.option("compression", codec)
+              .mode("overwrite").orc(s"$out/$codec")
+            val bin = graft.functions.Multimodal
+              .loadBinaryFiles(s, s"$out/$codec", "*.orc")
+              .selectExpr("monotonically_increasing_id() AS fid", "payload")
+            graft.functions.Orc
+              .orcDecodeLists(bin, "fid", "payload", "doc_id", "nums", "tags")
+              .select(lit(codec).as("variant"),
+                col("long_val").as("doc_id"),
+                expr("CASE WHEN nums IS NULL THEN NULL ELSE " +
+                  "array_join(transform(nums, x -> CAST(x AS STRING)), " +
+                  "',', '_') END").as("nums_csv"),
+                expr("CASE WHEN tags IS NULL THEN NULL ELSE " +
+                  "array_join(tags, ',', '_') END").as("tags_csv"))
+        }
+        // materialize before the temp dir is deleted (the frames read it)
+        frames.reduce(_.unionByName(_)).localCheckpoint(true)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(out)).iterator()
+          .asScala.toSeq.reverse.foreach(p => p.toFile.delete())
+      }
+    }),
+
     // Apache Hudi timeline census (m63 — completing the table-format
     // trio with m56/m59 Delta and m58 Iceberg): hoodie.properties +
     // the instant timeline (`<time>.<action>[.<state>]` lifecycle
@@ -671,6 +720,29 @@ private[graft] object EntriesM {
     // (a single wrong primitive, hex byte, csv element, enum symbol,
     // null, or nested-struct member in any block of any codec
     // hash-mismatches); the two negative classes are excluded rows
+    // the m57 closed form over codec variants instead of writer
+    // versions — parquet and ORC nested decodes pinned to identical
+    // semantics by construction
+    "m64_orc_lists" ->
+      """WITH w AS (SELECT unnest(['none', 'zlib', 'snappy', 'zstd',
+        |  'lz4']) AS variant),
+        |d AS (SELECT doc_id FROM documents)
+        |SELECT variant, doc_id,
+        | CASE WHEN doc_id % 7 = 0 THEN NULL
+        |   WHEN doc_id % 7 = 1 THEN ''
+        |   ELSE (SELECT string_agg(
+        |     CASE WHEN (doc_id + n) % 11 = 3 THEN '_'
+        |       ELSE CAST(doc_id * 10 + n AS VARCHAR) END, ',' ORDER BY n)
+        |     FROM range(0, 8) t(n) WHERE n <= doc_id % 5) END AS nums_csv,
+        | CASE WHEN doc_id % 9 = 2 THEN NULL
+        |   WHEN doc_id % 9 = 3 THEN ''
+        |   ELSE (SELECT string_agg(
+        |     CASE WHEN (doc_id + n) % 17 = 5 THEN '_'
+        |       ELSE 't' || CAST((doc_id + n) % 13 AS VARCHAR) END,
+        |     ',' ORDER BY n)
+        |     FROM range(0, 8) t(n) WHERE n <= doc_id % 4) END AS tags_csv
+        |FROM w, d""".stripMargin,
+
     // closed-form replay of the Hudi write-stat aggregates per
     // completed instant — a misread stat, miscounted partition or
     // file, wrong action/type, missed pending instant, or surviving

@@ -58,7 +58,8 @@ object Orc {
       compressionKind: Int = 0,
       typeKinds: IndexedSeq[Int] = IndexedSeq.empty,
       rootSubtypes: IndexedSeq[Long] = IndexedSeq.empty,
-      rootFieldNames: IndexedSeq[String] = IndexedSeq.empty)
+      rootFieldNames: IndexedSeq[String] = IndexedSeq.empty,
+      allSubtypes: IndexedSeq[IndexedSeq[Long]] = IndexedSeq.empty)
 
   private final class Malformed extends RuntimeException
 
@@ -221,6 +222,8 @@ object Orc {
         .empty[(Long, Long, Long, Long, Long)]
       val typeKinds = scala.collection.mutable.ArrayBuffer.empty[Int]
       val rootSubs = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val allSubs =
+        scala.collection.mutable.ArrayBuffer.empty[IndexedSeq[Long]]
       val rootNames = scala.collection.mutable.ArrayBuffer.empty[String]
       while (!f.done) {
         val key = f.varint()
@@ -260,17 +263,18 @@ object Orc {
             nTypes += 1
             val tp = new P(footer, s, s + n.toInt)
             var kind2 = 0L // proto default: BOOLEAN(0) when omitted
+            val subs = scala.collection.mutable.ArrayBuffer.empty[Long]
             while (!tp.done) {
               val k2 = tp.varint()
               ((k2 >>> 3).toInt, (k2 & 7).toInt) match {
                 case (1, 0) => kind2 = tp.varint()
-                case (2, 0) if nTypes == 1 => // root subtype id
-                  rootSubs += tp.varint()
-                case (2, 2) if nTypes == 1 => // packed repeated subtypes
+                case (2, 0) => // subtype id
+                  subs += tp.varint()
+                case (2, 2) => // packed repeated subtypes
                   val pn = tp.varint()
                   val pe = tp.bytes(pn) + pn.toInt
                   val pp = new P(footer, pe - pn.toInt, pe)
-                  while (!pp.done) rootSubs += pp.varint()
+                  while (!pp.done) subs += pp.varint()
                 case (3, 2) if nTypes == 1 => // root fieldNames
                   val fn = tp.varint()
                   val fs = tp.bytes(fn)
@@ -279,7 +283,8 @@ object Orc {
               }
             }
             typeKinds += kind2.toInt
-            if (nTypes == 1) nRootFields = rootSubs.size
+            allSubs += subs.toIndexedSeq
+            if (nTypes == 1) { rootSubs ++= subs; nRootFields = rootSubs.size }
           case (6, 0) => numRows = f.varint()
           case (8, 0) => stride = f.varint()
           case (_, w) => f.skipField(w)
@@ -291,7 +296,8 @@ object Orc {
         stride, nTypes, math.max(nRootFields, 0),
         stripeRows.toIndexedSeq, stripeData.toIndexedSeq,
         stripes.toIndexedSeq, kind.toInt, typeKinds.toIndexedSeq,
-        rootSubs.toIndexedSeq, rootNames.toIndexedSeq))
+        rootSubs.toIndexedSeq, rootNames.toIndexedSeq,
+        allSubs.toIndexedSeq))
     } catch {
       case _: Malformed => None
       case _: IndexOutOfBoundsException => None // belt and braces
@@ -671,7 +677,17 @@ object Orc {
             l._3 == 0 || l._3 == 3 || l._3 == 4 || l._3 == 5 ||
             l._3 == 6 || l._3 == 7 || l._3 == 8 || l._3 == 9 ||
             l._3 == 14 || l._3 == 15)
-          if (wanted.isEmpty) throw new Malformed
+          // LIST roots over a LONG or STRING child (m64)
+          val listWanted = leaves.flatMap { case (tid, name, k) =>
+            if (k != 10 || tid >= t.allSubtypes.size) None
+            else t.allSubtypes(tid) match {
+              case IndexedSeq(c) if c > 0 && c < t.typeKinds.size &&
+                (t.typeKinds(c.toInt) == 4 || t.typeKinds(c.toInt) == 7) =>
+                Some((tid, name, c.toInt, t.typeKinds(c.toInt)))
+              case _ => None
+            }
+          }
+          if (wanted.isEmpty && listWanted.isEmpty) throw new Malformed
           val out = scala.collection.mutable.ArrayBuffer.empty[OrcColumn]
           t.stripes.zipWithIndex.foreach {
             case ((sOff, sIdxLen, sDataLen, sFootLen, sRows), sNo) =>
@@ -899,6 +915,133 @@ object Orc {
                 }
                 out += OrcColumn(sNo, name, tkind, vals.toIndexedSeq)
               }
+              // ---- LIST columns (m64): the list column's LENGTH
+              // stream partitions the CHILD column's value sequence;
+              // both columns carry their own PRESENT masks, so null
+              // list / empty list / null element all reassemble
+              listWanted.foreach { case (cid, name, childId, childKind) =>
+                if (cid >= sf.encodings.size || childId >= sf.encodings.size)
+                  throw new Malformed
+                val nRows = sRows.toInt
+                def presentOf(col: Int, count: Int): Array[Boolean] =
+                  find(col, 0) match {
+                    case Some((st, off)) =>
+                      val bits = decodeByteRle(streamBytes(st, off),
+                        (count + 7) / 8)
+                      Array.tabulate(count)(i =>
+                        ((bits(i >> 3) >> (7 - (i & 7))) & 1) != 0)
+                    case None => null
+                  }
+                val present = presentOf(cid, nRows)
+                val nNonNull =
+                  if (present == null) nRows else present.count(identity)
+                if (sf.encodings(cid)._1 != 2) throw new Malformed
+                val (lst, loff) = find(cid, 2).getOrElse(throw new Malformed)
+                val lens = decodeRleV2(streamBytes(lst, loff), nNonNull,
+                  signed = false)
+                var totalChild = 0L
+                lens.foreach { l =>
+                  if (l < 0) throw new Malformed
+                  totalChild += l
+                }
+                if (totalChild > Int.MaxValue) throw new Malformed
+                val nChild = totalChild.toInt
+                val childPresent = presentOf(childId, nChild)
+                val childNonNull = if (childPresent == null) nChild
+                  else childPresent.count(identity)
+                val (cEnc, cDict) = sf.encodings(childId)
+                val childNN: Array[AnyRef] = childKind match {
+                  case 4 => // long child
+                    if (cEnc != 2) throw new Malformed
+                    val (st, off) =
+                      find(childId, 1).getOrElse(throw new Malformed)
+                    decodeRleV2(streamBytes(st, off), childNonNull,
+                      signed = true).map(Long.box(_): AnyRef)
+                  case _ => cEnc match { // string child
+                    case 3 => // DICTIONARY_V2
+                      val (dst, doff) =
+                        find(childId, 1).getOrElse(throw new Malformed)
+                      val (lst2, loff2) =
+                        find(childId, 2).getOrElse(throw new Malformed)
+                      val (bst, boff) =
+                        find(childId, 3).getOrElse(throw new Malformed)
+                      if (cDict < 0 || cDict > Int.MaxValue)
+                        throw new Malformed
+                      val nDict = cDict.toInt
+                      val dlens = decodeRleV2(streamBytes(lst2, loff2),
+                        nDict, signed = false)
+                      val dictBytes = streamBytes(bst, boff)
+                      val dict = new Array[String](nDict)
+                      var pos = 0
+                      var i = 0
+                      while (i < nDict) {
+                        val l = dlens(i)
+                        if (l < 0 || l > dictBytes.length - pos)
+                          throw new Malformed
+                        dict(i) = orcUtf8(dictBytes, pos, l.toInt)
+                        pos += l.toInt
+                        i += 1
+                      }
+                      if (pos != dictBytes.length) throw new Malformed
+                      decodeRleV2(streamBytes(dst, doff), childNonNull,
+                        signed = false).map { ix =>
+                        if (ix < 0 || ix >= nDict) throw new Malformed
+                        dict(ix.toInt): AnyRef
+                      }
+                    case 2 => // DIRECT_V2
+                      val (dst, doff) =
+                        find(childId, 1).getOrElse(throw new Malformed)
+                      val (lst2, loff2) =
+                        find(childId, 2).getOrElse(throw new Malformed)
+                      val slens = decodeRleV2(streamBytes(lst2, loff2),
+                        childNonNull, signed = false)
+                      val bytes = streamBytes(dst, doff)
+                      var pos = 0
+                      val nn = new Array[AnyRef](childNonNull)
+                      var i = 0
+                      while (i < childNonNull) {
+                        val l = slens(i)
+                        if (l < 0 || l > bytes.length - pos)
+                          throw new Malformed
+                        nn(i) = orcUtf8(bytes, pos, l.toInt)
+                        pos += l.toInt
+                        i += 1
+                      }
+                      if (pos != bytes.length) throw new Malformed
+                      nn
+                    case _ => throw new Malformed
+                  }
+                }
+                val childAll = new Array[AnyRef](nChild)
+                if (childPresent == null) {
+                  if (childNN.length != nChild) throw new Malformed
+                  System.arraycopy(childNN, 0, childAll, 0, nChild)
+                } else {
+                  var v = 0
+                  var i = 0
+                  while (i < nChild) {
+                    if (childPresent(i)) { childAll(i) = childNN(v); v += 1 }
+                    i += 1
+                  }
+                  if (v != childNN.length) throw new Malformed
+                }
+                val vals = new Array[AnyRef](nRows)
+                var li = 0
+                var cpos = 0
+                var i = 0
+                while (i < nRows) {
+                  if (present == null || present(i)) {
+                    val l = lens(li).toInt
+                    li += 1
+                    if (l > nChild - cpos) throw new Malformed
+                    vals(i) = childAll.slice(cpos, cpos + l).toVector
+                    cpos += l
+                  }
+                  i += 1
+                }
+                if (li != lens.length || cpos != nChild) throw new Malformed
+                out += OrcColumn(sNo, name, 10, vals.toIndexedSeq)
+              }
           }
           if (out.isEmpty) throw new Malformed
           Some(out.toIndexedSeq)
@@ -992,6 +1135,54 @@ object Orc {
         }
       }
     }(Encoders.row(decodeScalarsSchema))
+  }
+
+  /** Output schema of [[orcDecodeLists]]. */
+  val decodeListsSchema: StructType = StructType(Seq(
+    StructField("file_id", LongType),
+    StructField("long_val", LongType),
+    StructField("nums", ArrayType(LongType, true)),
+    StructField("tags", ArrayType(StringType, true))))
+
+  /** Decode one LONG list and one STRING list column beside a flat
+   * LONG key, zipped per row in stripe order (m64 — the ORC nested
+   * analog of the parquet m57 Dremel path: the LENGTH stream
+   * partitions the child column, PRESENT masks at both levels give
+   * null lists and null elements). Narrow mapPartitions. */
+  def orcDecodeLists(df: DataFrame, idCol: String, payloadCol: String,
+      longName: String, numsName: String, tagsName: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val fid = r.getLong(idIdx)
+        decodeFlatColumns(r.getAs[Array[Byte]](pIdx)) match {
+          case Some(cols) =>
+            cols.groupBy(_.stripeNo).toSeq.sortBy(_._1).iterator.flatMap {
+              case (_, cs) =>
+                def pick(name: String, kind: Int) =
+                  cs.find(c => c.name == name && c.kind == kind)
+                (pick(longName, 4), pick(numsName, 10),
+                  pick(tagsName, 10)) match {
+                  case (Some(l), Some(nn), Some(tt))
+                    if nn.values.size == l.values.size &&
+                      tt.values.size == l.values.size =>
+                    (0 until l.values.size).iterator.map { i =>
+                      def toSeq(v: AnyRef): Seq[Any] = v match {
+                        case null => null
+                        case xs: Vector[_] => xs
+                        case _ => null
+                      }
+                      Row(fid, l.values(i), toSeq(nn.values(i)),
+                        toSeq(tt.values(i)))
+                    }
+                  case _ => Iterator.empty
+                }
+            }
+          case None => Iterator.empty
+        }
+      }
+    }(Encoders.row(decodeListsSchema))
   }
 
   /** Output schema of [[orcDecodeTemporal]]. */

@@ -684,6 +684,13 @@ object GraftSql {
             p.getOrElse("key", "m.key_value.key"),
             p.getOrElse("value", "m.key_value.value"))
         },
+        // ORC list value decode (m64)
+        "orc_lists" -> ProcessorDef { (_, dfs, p) =>
+          graft.functions.Orc.orcDecodeLists(one(dfs, "orc_lists"),
+            p.getOrElse("id", "doc_id"), p.getOrElse("col", "payload"),
+            p.getOrElse("long", "doc_id"), p.getOrElse("nums", "nums"),
+            p.getOrElse("tags", "tags"))
+        },
         // ORC temporal/decimal/binary value decode (m61)
         "orc_temporal" -> ProcessorDef { (_, dfs, p) =>
           graft.functions.Orc.orcDecodeTemporal(one(dfs, "orc_temporal"),

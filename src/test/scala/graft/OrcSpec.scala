@@ -341,6 +341,41 @@ class OrcSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("m64: list decode matches Spark's reader, all five codecs") {
+    val out = java.nio.file.Files.createTempDirectory("graft_m64spec")
+    val docs = spark.range(400).selectExpr(
+      "id",
+      "CASE WHEN id % 7 = 0 THEN NULL " +
+        "WHEN id % 7 = 1 THEN CAST(array() AS ARRAY<BIGINT>) " +
+        "ELSE transform(sequence(0, CAST(id % 5 AS INT)), " +
+        "i -> CASE WHEN (id + i) % 11 = 3 THEN NULL ELSE id * 10 + i END) " +
+        "END AS nums",
+      "CASE WHEN id % 9 = 2 THEN NULL " +
+        "WHEN id % 9 = 3 THEN CAST(array() AS ARRAY<STRING>) " +
+        "ELSE transform(sequence(0, CAST(id % 4 AS INT)), " +
+        "i -> CASE WHEN (id + i) % 17 = 5 THEN NULL " +
+        "ELSE concat('t', CAST((id + i) % 13 AS STRING)) END) END AS tags")
+    Seq("none", "zlib", "snappy", "zstd", "lz4").foreach { codec =>
+      val p = out.resolve(codec).toString
+      docs.coalesce(1).write.option("compression", codec)
+        .mode("overwrite").orc(p)
+      val bin = graft.functions.Multimodal.loadBinaryFiles(spark, p, "*.orc")
+        .selectExpr("monotonically_increasing_id() AS fid", "payload")
+      def norm(df: org.apache.spark.sql.DataFrame, idc: String, n: String,
+          t2: String) = df.selectExpr(idc, n, t2).collect().toSeq
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) null else r.getSeq[Any](1).toList,
+          if (r.isNullAt(2)) null else r.getSeq[Any](2).toList))
+        .sortBy(_._1)
+      val got = norm(graft.functions.Orc.orcDecodeLists(bin, "fid",
+        "payload", "id", "nums", "tags"), "long_val", "nums", "tags")
+      val want = norm(spark.read.orc(p), "id", "nums", "tags")
+      assert(got === want, s"$codec")
+      assert(got.exists(_._2 == null) && got.exists(_._2 == List()) &&
+        got.exists(g => g._2 != null && g._2.contains(null)), s"$codec bands")
+    }
+  }
+
   test("lzo tails are recognized but refused (census-only boundary)") {
     val files = writeOrc("lzo", 60)
     files.foreach { bytes =>
