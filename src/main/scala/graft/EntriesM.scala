@@ -79,21 +79,6 @@ private[graft] object EntriesM {
       }
     }),
 
-    // Apache Hudi timeline census (m63 — completing the table-format
-    // trio with m56/m59 Delta and m58 Iceberg): hoodie.properties +
-    // the instant timeline (`<time>.<action>[.<state>]` lifecycle
-    // files) + HoodieCommitMetadata JSON per the public Hudi spec.
-    // One row per COMPLETED commit/deltacommit with write-stat
-    // aggregates, table type, and the pending-instant count. t%9==4
-    // (malformed properties) and t%11==6 (an inflight with no
-    // requested — lifecycle violation) tables must vanish
-    "m63_hudi_timeline" -> ((s, dir) => {
-      val ids = t(s, dir, "documents").select("doc_id")
-      graft.functions.Hudi.hudiTimeline(
-        graft.functions.Hudi.syntheticHudiTables(ids, "doc_id"),
-        "table_id", "file_name", "content")
-    }),
-
     // parquet MAP value decode (m62 — the m57 Dremel path composed:
     // a map's key and value leaves assemble as PARALLEL per-row
     // lists; the required key leaf has no null-element band, the
@@ -210,40 +195,6 @@ private[graft] object EntriesM {
           col("abs_time"), col("keyframe"), hex(col("frame")).as("frame_hex"))
     }),
 
-    // Delta CHECKPOINT reconstruction (m59 — the Delta ladder meets
-    // the parquet decoder): _last_checkpoint names a checkpoint
-    // parquet written by parquet-mr ITSELF (struct-nested action
-    // columns, a partitionColumns LIST, snappy v1 pages) which the
-    // census decodes through the repo's OWN m50/m57 page decoder,
-    // then applies only the JSON commits AFTER it. t%7==2 tables
-    // carry a truncated commit 0: WITH a checkpoint it is skipped
-    // unread (table resolves — the pre-checkpoint skip pinned), and
-    // the same damage WITHOUT a checkpoint (t%5==1) refuses. t%9==4
-    // (truncated checkpoint) and t%11==6 (dangling _last_checkpoint)
-    // checkpointed tables must vanish
-    "m59_delta_checkpoint" -> ((s, dir) => {
-      val ids = t(s, dir, "documents").select("doc_id")
-      graft.functions.DeltaLog.deltaSnapshotCheckpointed(
-        graft.functions.DeltaLog.syntheticDeltaTables(ids, "doc_id"),
-        "table_id", "file_name", "payload")
-    }),
-
-    // Apache Iceberg manifest census (m58 — the second table format
-    // beside m56, and the m54 Avro record decoder composed upward:
-    // Iceberg's planning metadata IS Avro): highest metadata JSON
-    // version → current snapshot → manifest LIST (Avro, declared
-    // reader schema) → manifests (lengths re-validated against the
-    // list's manifest_length locators) → live data files (status !=
-    // DELETED). t%3==0 tables carry a full OLDER snapshot chain that
-    // must NOT be reported; t%9==4 (flipped manifest-list sync) and
-    // t%11==6 (dangling manifest pointer) tables must vanish
-    "m58_iceberg_manifests" -> ((s, dir) => {
-      val ids = t(s, dir, "documents").select("doc_id")
-      graft.functions.Iceberg.icebergSnapshot(
-        graft.functions.Iceberg.syntheticIcebergTables(ids, "doc_id"),
-        "table_id", "file_name", "payload")
-    }),
-
     // parquet NESTED-LIST value decode (m57 — m50 extended with
     // repetition levels): Spark writes (doc_id, nums array<long>,
     // tags array<string>) under v1/snappy and v2/zstd with 40-row
@@ -300,25 +251,6 @@ private[graft] object EntriesM {
         java.nio.file.Files.walk(java.nio.file.Paths.get(out)).iterator()
           .asScala.toSeq.reverse.foreach(p => p.toFile.delete())
       }
-    }),
-
-    // Delta Lake `_delta_log` census (m56 — table-format metadata,
-    // one level above the per-file walks m37/m48/m50): deterministic
-    // commit-file fixtures per the PUBLIC Delta transaction protocol
-    // (commitInfo/protocol/metaData/add/remove JSON-lines, stats as a
-    // nested JSON string) replay to the LIVE file set at each table's
-    // latest version — adds tombstoned by later removes through a
-    // (table, path) window, latest metaData/protocol, per-file row
-    // counts from add.stats (nullable where stats were omitted).
-    // Tables carrying a truncated line (t%9==4) or an unknown action
-    // (t%11==6) must vanish ENTIRELY — a half-replayed log is a wrong
-    // live set. Parse is a narrow map; reconstruction is declarative
-    // (windows + broadcast joins over action projections only)
-    "m56_delta_log" -> ((s, dir) => {
-      val ids = t(s, dir, "documents").select("doc_id")
-      graft.functions.DeltaLog.deltaSnapshot(
-        graft.functions.DeltaLog.syntheticDeltaLogs(ids, "doc_id"),
-        "table_id", "file_name", "content")
     }),
 
     // ORC full-scalar value decode (m55 — widening m53's long+string
@@ -743,40 +675,6 @@ private[graft] object EntriesM {
         |     FROM range(0, 8) t(n) WHERE n <= doc_id % 4) END AS tags_csv
         |FROM w, d""".stripMargin,
 
-    // closed-form replay of the Hudi write-stat aggregates per
-    // completed instant — a misread stat, miscounted partition or
-    // file, wrong action/type, missed pending instant, or surviving
-    // poisoned table hash-mismatches
-    "m63_hudi_timeline" ->
-      """WITH d AS (SELECT doc_id AS t FROM documents
-        |  WHERE doc_id % 9 <> 4 AND doc_id % 11 <> 6),
-        |c AS (SELECT t,
-        |  CAST(unnest(range(0, 1 + t % 3)) AS INTEGER) AS i FROM d)
-        |SELECT t AS table_id,
-        | '202401010000' || lpad(CAST(i AS VARCHAR), 2, '0')
-        |   AS instant_time,
-        | CASE WHEN t % 2 = 0 THEN 'commit' ELSE 'deltacommit' END
-        |   AS action,
-        | CAST(1 + (t + i) % 2 AS INTEGER) AS n_partitions,
-        | CAST((SELECT SUM(1 + (t + i + q) % 2) FROM range(0, 2) r2(q)
-        |   WHERE q < 1 + (t + i) % 2) AS INTEGER) AS n_files,
-        | CAST((SELECT SUM(10 + (t + i + q + j) % 20)
-        |   FROM range(0, 2) r2(q), range(0, 2) r3(j)
-        |   WHERE q < 1 + (t + i) % 2 AND j < 1 + (t + i + q) % 2)
-        |   AS BIGINT) AS total_writes,
-        | CAST((SELECT SUM(1 + (t + i + q) % 2) FROM range(0, 2) r2(q)
-        |   WHERE q < 1 + (t + i) % 2) * ((t + i) % 3) AS BIGINT)
-        |   AS total_deletes,
-        | CAST((SELECT SUM(1000 + i*10 + q*5 + j)
-        |   FROM range(0, 2) r2(q), range(0, 2) r3(j)
-        |   WHERE q < 1 + (t + i) % 2 AND j < 1 + (t + i + q) % 2)
-        |   AS BIGINT) AS total_bytes,
-        | CASE WHEN t % 2 = 0 THEN 'COPY_ON_WRITE'
-        |   ELSE 'MERGE_ON_READ' END AS table_type,
-        | CAST(CASE WHEN t % 4 = 1 THEN 1 ELSE 0 END AS INTEGER)
-        |   AS n_pending
-        |FROM c""".stripMargin,
-
     // sorted key=value csv replay of the m62 map fixtures: a dropped
     // entry, one-sided null, swapped value, or null-vs-empty
     // confusion in either writer version hash-mismatches
@@ -841,62 +739,6 @@ private[graft] object EntriesM {
         |  WHERE n < 10 + (doc_id + k + m) % 20) AS frame_hex
         |FROM f""".stripMargin,
 
-    // the m56 closed form under m59's exclusion classes, plus the
-    // checkpoint_version column — identical live sets by two
-    // different read paths (checkpoint+tail vs full replay) is
-    // itself the reconstruction law being checked
-    "m59_delta_checkpoint" ->
-      """WITH d AS (SELECT doc_id AS t FROM documents
-        |  WHERE NOT (doc_id % 5 = 1 AND doc_id % 7 = 2)
-        |    AND NOT (doc_id % 5 <> 1 AND
-        |             (doc_id % 9 = 4 OR doc_id % 11 = 6))),
-        |adds AS (
-        |  SELECT t, CAST(0 AS BIGINT) AS v,
-        |    CAST(unnest(range(0, 1 + t % 3)) AS BIGINT) AS i FROM d
-        |  UNION ALL
-        |  SELECT t, CAST(unnest(range(1, 1 + t % 4)) AS BIGINT) AS v,
-        |    CAST(0 AS BIGINT) AS i FROM d),
-        |live AS (
-        |  SELECT * FROM adds WHERE NOT (
-        |    (v = 0 AND i = 0 AND t % 4 >= 1) OR
-        |    (v = 2 AND i = 0 AND t % 4 = 3)))
-        |SELECT t AS table_id,
-        | 'part-' || CAST(v AS VARCHAR) || '-' || CAST(i AS VARCHAR)
-        |   || '.parquet' AS path,
-        | CASE WHEN (t + v + i) % 5 = 4 THEN NULL
-        |   ELSE 10 + (t + 7*v + i) % 20 END AS file_rows,
-        | 100 + 3*v + i AS file_bytes,
-        | t % 4 AS latest_version,
-        | 1 + t % 4 AS n_commits,
-        | CAST(2 + t % 3 AS INTEGER) AS n_fields,
-        | CAST(t % 2 AS INTEGER) AS n_part_cols,
-        | CAST(1 AS INTEGER) AS min_reader,
-        | CAST(2 AS INTEGER) AS min_writer,
-        | CASE WHEN t % 5 = 1 THEN -1
-        |   WHEN t % 4 = 0 THEN 0 ELSE t % 4 - 1 END AS checkpoint_version
-        |FROM live""".stripMargin,
-
-    // closed-form replay of the Iceberg fixtures: live = non-DELETED
-    // entries of the CURRENT snapshot's manifests only — a reported
-    // old-snapshot or deleted file, wrong count, or surviving
-    // poisoned table hash-mismatches
-    "m58_iceberg_manifests" ->
-      """WITH d AS (SELECT doc_id AS t FROM documents
-        |  WHERE doc_id % 9 <> 4 AND doc_id % 11 <> 6),
-        |m AS (SELECT t,
-        |  CAST(unnest(range(0, 1 + t % 2)) AS BIGINT) AS k FROM d),
-        |e AS (SELECT t, k,
-        |  CAST(unnest(range(0, 1 + (t + k) % 3)) AS BIGINT) AS j FROM m)
-        |SELECT t AS table_id,
-        | 'data/f-' || CAST(t AS VARCHAR) || '-' || CAST(k AS VARCHAR)
-        |   || '-' || CAST(j AS VARCHAR) || '.parquet' AS path,
-        | 10 + (t + 3*k + j) % 20 AS file_rows,
-        | 1000 + 10*k + j AS file_bytes,
-        | t * 100 + 1 AS snapshot_id,
-        | CAST(0 AS INTEGER) AS spec_id,
-        | CAST(1 + t % 2 AS INTEGER) AS n_manifests
-        |FROM e WHERE (t + k + j) % 4 <> 3""".stripMargin,
-
     // closed-form csv replay of the m57 list fixtures: a wrong Dremel
     // band (null list vs empty vs null element), a dropped element,
     // or a row misalignment in either writer version hash-mismatches
@@ -918,38 +760,6 @@ private[graft] object EntriesM {
         |     ',' ORDER BY n)
         |     FROM range(0, 8) t(n) WHERE n <= doc_id % 4) END AS tags_csv
         |FROM w, d""".stripMargin,
-
-    // closed-form replay of the Delta log fixtures: the live set is
-    // (v0 adds + per-commit adds) minus the odd-commit removes —
-    // part-0-0 tombstoned when any commit exists, part-2-0 when three
-    // do; a wrong liveness decision, row count, null, or metadata
-    // projection on any table hash-mismatches
-    "m56_delta_log" ->
-      """WITH d AS (SELECT doc_id AS t FROM documents
-        |  WHERE doc_id % 9 <> 4 AND doc_id % 11 <> 6),
-        |adds AS (
-        |  SELECT t, CAST(0 AS BIGINT) AS v,
-        |    CAST(unnest(range(0, 1 + t % 3)) AS BIGINT) AS i FROM d
-        |  UNION ALL
-        |  SELECT t, CAST(unnest(range(1, 1 + t % 4)) AS BIGINT) AS v,
-        |    CAST(0 AS BIGINT) AS i FROM d),
-        |live AS (
-        |  SELECT * FROM adds WHERE NOT (
-        |    (v = 0 AND i = 0 AND t % 4 >= 1) OR
-        |    (v = 2 AND i = 0 AND t % 4 = 3)))
-        |SELECT t AS table_id,
-        | 'part-' || CAST(v AS VARCHAR) || '-' || CAST(i AS VARCHAR)
-        |   || '.parquet' AS path,
-        | CASE WHEN (t + v + i) % 5 = 4 THEN NULL
-        |   ELSE 10 + (t + 7*v + i) % 20 END AS file_rows,
-        | 100 + 3*v + i AS file_bytes,
-        | t % 4 AS latest_version,
-        | 1 + t % 4 AS n_commits,
-        | CAST(2 + t % 3 AS INTEGER) AS n_fields,
-        | CAST(t % 2 AS INTEGER) AS n_part_cols,
-        | CAST(1 AS INTEGER) AS min_reader,
-        | CAST(2 AS INTEGER) AS min_writer
-        |FROM live""".stripMargin,
 
     // the m55 oracle is the SOURCE ROWS themselves, replicated per
     // codec (the m53 posture widened to five scalar types): a single

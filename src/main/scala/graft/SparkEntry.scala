@@ -28,12 +28,15 @@ object SparkEntry {
     ('t', EntriesT.queries, EntriesT.oracles),
     ('t', EntriesT2.queries, EntriesT2.oracles),
     ('m', EntriesM.queries, EntriesM.oracles),
-    ('m', EntriesM2.queries, EntriesM2.oracles))
+    ('m', EntriesM2.queries, EntriesM2.oracles),
+    ('m', EntriesM3.queries, EntriesM3.oracles))
 
   // the paired registries must not shadow each other's entries
   require(EntriesQ.queries.keySet.intersect(EntriesQ2.queries.keySet).isEmpty
     && EntriesT.queries.keySet.intersect(EntriesT2.queries.keySet).isEmpty
-    && EntriesM.queries.keySet.intersect(EntriesM2.queries.keySet).isEmpty,
+    && EntriesM.queries.keySet.intersect(EntriesM2.queries.keySet).isEmpty
+    && EntriesM.queries.keySet.intersect(EntriesM3.queries.keySet).isEmpty
+    && EntriesM2.queries.keySet.intersect(EntriesM3.queries.keySet).isEmpty,
     "split registries overlap")
 
   for ((prefix, qs, os) <- families) {

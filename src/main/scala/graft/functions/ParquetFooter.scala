@@ -856,6 +856,7 @@ object ParquetFooter {
     var idx = 1
     def walk(prefix: List[String], d: Int, r: Int, defList: Int): Unit = {
       if (idx >= elems.length) throw new Malformed
+      if (prefix.length >= 64) throw new Malformed // crafted-depth guard
       val e = elems(idx)
       idx += 1
       if (e.name == null) throw new Malformed
@@ -890,7 +891,7 @@ object ParquetFooter {
   private final case class PageHdr(ptype: Int, uncomp: Int, comp: Int,
       nValues: Int, enc: Int, defEnc: Int, dictN: Int, dictEnc: Int,
       nNulls: Int, defLen2: Int, repLen2: Int, compressed2: Boolean,
-      crc: Option[Int], end: Int)
+      crc: Option[Int], end: Int, repEnc: Int = 3)
 
   /** Verify the page CRC when the header carries one; a mismatch is
    * bit-rot or a stale locator — refuse. */
@@ -909,6 +910,7 @@ object ParquetFooter {
     var nValues = -1
     var enc = -1
     var defEnc = -1
+    var repEnc = 3 // RLE unless the (legacy) header says otherwise
     var dictN = -1
     var dictEnc = -1
     var nNulls = -1
@@ -928,6 +930,7 @@ object ParquetFooter {
               case (1L, 5) => nValues = c.zigzag().toInt; true
               case (2L, 5) => enc = c.zigzag().toInt; true
               case (3L, 5) => defEnc = c.zigzag().toInt; true
+              case (4L, 5) => repEnc = c.zigzag().toInt; true
               case _ => false
             }
           }
@@ -959,7 +962,7 @@ object ParquetFooter {
     }
     if (ptype < 0 || uncomp < 0 || comp < 0) throw new Malformed
     PageHdr(ptype, uncomp, comp, nValues, enc, defEnc, dictN, dictEnc,
-      nNulls, defLen2, repLen2, compressed2, crc, c.pos)
+      nNulls, defLen2, repLen2, compressed2, crc, c.pos, repEnc)
   }
 
   /** Decompress one page body to EXACTLY `uncomp` bytes per the chunk
@@ -1397,7 +1400,12 @@ object ParquetFooter {
           pos += dl
           r
         }
-        val reps: Array[Int] = if (maxRep == 0) null else lvlRun(repW)
+        val reps: Array[Int] =
+          if (maxRep == 0) null
+          else {
+            if (h.repEnc != 3) throw new Malformed // RLE only (v1 field 4)
+            lvlRun(repW)
+          }
         val defs: Array[Int] = if (maxDef == 0) null else lvlRun(defW)
         val nNonNull = if (defs == null) h.nValues else defs.count(_ == maxDef)
         val vals = decodeValues(data, pos, data.length, h.enc, leaf.ptype,

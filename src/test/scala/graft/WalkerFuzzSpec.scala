@@ -63,6 +63,7 @@ class WalkerFuzzSpec extends AnyFunSuite {
     ("parquetDecode", ParquetFooter.decodeFlatColumns _),
     ("orcDecode", Orc.decodeFlatColumns _),
     ("mkvCues", Ebml.parseMkvCues _),
+    ("mkvFrames", Ebml.extractCuedFrames _),
     ("xz", Xz.parseBlocks _),
     ("id3v1", Mp3.parseId3v1 _))
 
@@ -76,7 +77,8 @@ class WalkerFuzzSpec extends AnyFunSuite {
     Tar.syntheticTarGz(id), TfRecord.syntheticTfRecord(id),
     TfRecord.syntheticTfRecordGz(id), Sitemap.syntheticSitemapGz(id),
     Avro.syntheticRealAvro(id), Xz.syntheticXz(id),
-    Ebml.syntheticMkvCues(id), AvroRecord.syntheticRecordAvro(id))
+    Ebml.syntheticMkvCues(id), AvroRecord.syntheticRecordAvro(id),
+    Ebml.syntheticMkvFrames(id))
 
   test("binary walkers never throw on random bytes") {
     (0 until 300).foreach { trial =>
