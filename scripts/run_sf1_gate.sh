@@ -24,7 +24,7 @@ OUT=${SF1_OUT:-target/verify_sf1}
 SRC=${SF0_1_DIR:-/root/testdata/sf0.1}
 JSON=${SF1_JSON:-CORRECTNESS_sf1.json}
 
-NAMES=d01_dedup_exact,d02_dedup_minhash,d03_dedup_simhash,d05_dedup_embed,d05x_dedup_embed_exact,d07_embed_lsh_recall,d08_minhash_precision,d09_simhash_exactness,d10_cc_paths_agree,d11_dedup_best,d12_fuzzy_join,d13_segment_dedup,d14_dedup_against,d15_minhash_recall,d16_bloom_line_dedup,q100_drift,q101_pagerank,q102_cat_drift,q103_gap_fill,q104_label_prop,q105_degree_stats,q106_merge_intervals,q107_rank_normalize,q108_ks_drift,q109_spearman,q115_connected_components,q116_key_skew,q37_sketch,q37x_sketch_error,q73_sketch_merge,q74_quantile_sketch,q75_stream_sketch,q76_zorder_layout,q77_stream_session,q78_weighted_sample,q79_join_size,q80_upsert,q81_heavy_hitters,q82_cms,q83_stream_heavy_hitters,s01_knn_brute,s02_knn_lsh,s03_knn_lsh_recall,s04_knn_ivf,s05_knn_projected,s06_semantic_dedup,s07_kmeans_cluster,s08_knn_ivfpq,s09_ann_join,s10_semantic_decontaminate,s11_hard_negatives,s12_pca,s13_quantize,s15x_margin_approx,t35_bm25,m13_mp4_demux,m14_fmp4_demux,m15_stream_demux,m16_mp3_frames,m17_media_census,m18_ogg_pages,m19_ogg_packets,m20_audio_meta,m21_id3_tags,m22_flac_info,m23_ogg_muxed,m24_ogg_comments,m25_flac_comments,m26_mp4_tags,m27_ogg_chained,m28_riff_tags,m29_image_meta,m30_mkv_tracks,m31_zip_entries,m32_zstd_frames,m33_id3v1_tags,m34_gzip_members,m35_avro_blocks,m36_png_text,m37_parquet_footer,m38_exif_gps,m39_parquet_chunks,m40_warcgz_locate,m41_census_agreement,m42_zip_extract,m43_orc_tail,m44_targz_entries,m45_tfrecord,m46_xz_blocks,m47_tfrecord_gz,m49_avro_extract,m48_parquet_pageindex,m50_parquet_pages,m51_orc_stripes,m53_orc_values,m52_mkv_cues,t40_url_canon,t41_subtitle_cues,t42_robots_rules,t42x_robots_filter,t43_eml_headers,t44_json_shape,t45_mime_parts,t46_sitemap,t47_csv_sniff,t48_sitemap_gz,t49_robots_sitemap
+NAMES=d01_dedup_exact,d02_dedup_minhash,d03_dedup_simhash,d05_dedup_embed,d05x_dedup_embed_exact,d07_embed_lsh_recall,d08_minhash_precision,d09_simhash_exactness,d10_cc_paths_agree,d11_dedup_best,d12_fuzzy_join,d13_segment_dedup,d14_dedup_against,d15_minhash_recall,d16_bloom_line_dedup,q100_drift,q101_pagerank,q102_cat_drift,q103_gap_fill,q104_label_prop,q105_degree_stats,q106_merge_intervals,q107_rank_normalize,q108_ks_drift,q109_spearman,q115_connected_components,q116_key_skew,q37_sketch,q37x_sketch_error,q73_sketch_merge,q74_quantile_sketch,q75_stream_sketch,q76_zorder_layout,q77_stream_session,q78_weighted_sample,q79_join_size,q80_upsert,q81_heavy_hitters,q82_cms,q83_stream_heavy_hitters,s01_knn_brute,s02_knn_lsh,s03_knn_lsh_recall,s04_knn_ivf,s05_knn_projected,s06_semantic_dedup,s07_kmeans_cluster,s08_knn_ivfpq,s09_ann_join,s10_semantic_decontaminate,s11_hard_negatives,s12_pca,s13_quantize,s15x_margin_approx,t35_bm25,m13_mp4_demux,m14_fmp4_demux,m15_stream_demux,m16_mp3_frames,m17_media_census,m18_ogg_pages,m19_ogg_packets,m20_audio_meta,m21_id3_tags,m22_flac_info,m23_ogg_muxed,m24_ogg_comments,m25_flac_comments,m26_mp4_tags,m27_ogg_chained,m28_riff_tags,m29_image_meta,m30_mkv_tracks,m31_zip_entries,m32_zstd_frames,m33_id3v1_tags,m34_gzip_members,m35_avro_blocks,m36_png_text,m37_parquet_footer,m38_exif_gps,m39_parquet_chunks,m40_warcgz_locate,m41_census_agreement,m42_zip_extract,m43_orc_tail,m44_targz_entries,m45_tfrecord,m46_xz_blocks,m47_tfrecord_gz,m49_avro_extract,m48_parquet_pageindex,m50_parquet_pages,m51_orc_stripes,m53_orc_values,m52_mkv_cues,m54_avro_records,m55_orc_scalars,m56_delta_log,m57_parquet_lists,m58_iceberg_manifests,m59_delta_checkpoint,m60_mkv_frames,m61_orc_temporal,m62_parquet_maps,m63_hudi_timeline,m64_orc_lists,t40_url_canon,t41_subtitle_cues,t42_robots_rules,t42x_robots_filter,t43_eml_headers,t44_json_shape,t45_mime_parts,t46_sitemap,t47_csv_sniff,t48_sitemap_gz,t49_robots_sitemap
 
 # Excluded on oracle cost, same discipline as d04/d06/d17/t36: s14's dense
 # leg and all of s15 need full cosine matrices in DuckDB (~2.2k x 50k and
