@@ -80,6 +80,10 @@ object Dedup {
 
   private val MersennePrime = (1L << 61) - 1
 
+  /** Join-amplification bar for the ngram strategy auto-probe: cooccur at
+   * or below it, prefix-filtered above (see [[ngramJaccardPairs]]). */
+  private val AmpThreshold = 64.0
+
   /** MinHash signature (H values) of a shingle-hash array — native
    * expression over ArrayData primitives
    * ([[graft.functions.expressions.MinHashSignature]]). */
@@ -287,19 +291,28 @@ object Dedup {
   }
 
   /** Candidate pairs from bucket keys: bucket-size filter (the skew cap,
-   * applied BEFORE the quadratic step) then a self-join with id_a < id_b.
-   * Type-agnostic in the id column — any orderable id works. */
+   * applied BEFORE the quadratic step — a count-only aggregate, so a
+   * degenerate bucket never materializes a member list), then per-bucket
+   * pair GENERATION instead of the former self-join: admitted buckets
+   * aggregate their (cap-bounded) sorted member list and a streaming
+   * generator ([[graft.functions.expressions.SortedPairs]]) emits the
+   * id_a < id_b pairs. Identical output to the self-join formulation
+   * (differential-pinned by PairGenSpec), but the banded stream is
+   * shuffled once less and its upstream is not executed twice (the
+   * self-join's two sides were the same subtree). Type-agnostic in the
+   * id column — any orderable id works. */
   def bucketPairs(
       banded: DataFrame, bucketCols: Seq[String], maxBucketSize: Int): DataFrame = {
     val keys = bucketCols.map(col)
     val useful = banded.groupBy(keys: _*).agg(count(lit(1)).as("__bsz"))
       .filter(col("__bsz").between(2, maxBucketSize))
       .select(keys: _*)
-    val pruned = banded.join(useful, bucketCols)
-    val a = pruned.select((keys :+ col("id").as("id_a")): _*)
-    val b = pruned.select((keys :+ col("id").as("id_b")): _*)
-    a.join(b, bucketCols).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+    banded.join(useful, bucketCols)
+      .groupBy(keys: _*)
+      .agg(sort_array(collect_list(col("id"))).as("__ids"))
+      .select(graft.functions.expressions.VectorExpressions
+        .sortedPairs(col("__ids")).as(Seq("id_a", "id_b")))
+      .distinct()
   }
 
   /** Join candidate (id_a,id_b) pairs back to shingle sets and keep pairs
@@ -444,25 +457,53 @@ object Dedup {
         // verified candidates vs a 2.8M-row count aggregate). With an
         // UNBOUNDED df head (web boilerplate: df in the millions),
         // sum(df²) explodes quadratically and only the prefix path
-        // survives. The decision statistic — join amplification
-        // sum(df²)/sum(df) — reads a materialized df frame the chosen
-        // path then reuses (one corpus-wide aggregate total, same as a
-        // pinned strategy); pin `strategy` explicitly to skip the probe.
+        // survives. The decision statistic is the join amplification
+        // sum(df²)/sum(df); pin `strategy` explicitly to skip the probe.
         // Sums run in double: a Long sum(df²) overflows at exactly the
         // unbounded-df scale this probe exists to detect (df ~1e7 ⇒
         // df² ~1e14; a few thousand such shingles exceed 2⁶³ — ANSI mode
         // would throw, non-ANSI would wrap negative and mis-route).
-        val inverted = sigs.select(col("id"), explode(col("sh")).as("s"))
-        val dfs = inverted.groupBy("s").agg(count(lit(1)).as("df"))
+        //
+        // r16: the probe runs on a deterministic 1-in-8 document sample
+        // first — a full-corpus df aggregate PLUS an eager checkpoint of
+        // the df table was a full pass + materialization barrier spent on
+        // a routing decision (guide §1/§2: decide with small rows). For a
+        // doc-sampling rate p, a heavy shingle's sampled df concentrates
+        // at p·df, so est ≈ p·amp on the explosive head the probe exists
+        // to catch; de-bias by 1/p. Routing keeps a safety band: only a
+        // clear-margin estimate (≤ AmpThreshold/2, ≥ 2×AmpThreshold)
+        // routes directly — the chosen arm then computes its df table
+        // lazily inside its own plan (one aggregate either way, no
+        // materialization barrier). An ambiguous estimate falls back to
+        // the exact full-corpus probe with the materialized df frame both
+        // arms can reuse, exactly the pre-r16 behavior. Either arm is
+        // EXACT (differential-pinned equal in FunctionsSpec), so a
+        // borderline mis-route costs only time, never results.
+        val sampleInv = sigs
+          .filter(pmod(xxhash64(col("id")), lit(8)) === 0)
+          .select(col("id"), explode(col("sh")).as("s"))
+        val sr = sampleInv.groupBy("s").agg(count(lit(1)).as("df"))
           .filter(col("df") >= 2)
-          .localCheckpoint(true)
-        val r = dfs.select(sum(col("df").cast("double")).as("occ"),
-          sum(col("df").cast("double") * col("df")).as("occ2")).first()
-        val amplification =
-          if (r.isNullAt(0) || r.getDouble(0) == 0.0) 0.0
-          else r.getDouble(1) / r.getDouble(0)
-        if (amplification <= 64.0) cooccurFrom(sigs, inverted, dfs, threshold)
-        else prefixFilteredFrom(sigs, inverted, dfs, threshold)
+          .select(sum(col("df").cast("double")).as("occ"),
+            sum(col("df").cast("double") * col("df")).as("occ2")).first()
+        val est =
+          if (sr.isNullAt(0) || sr.getDouble(0) == 0.0) 0.0
+          else 8.0 * sr.getDouble(1) / sr.getDouble(0)
+        if (est <= AmpThreshold / 2) ngramJaccardCooccur(sigs, threshold, Int.MaxValue)
+        else if (est >= 2 * AmpThreshold) ngramJaccardPrefixFiltered(sigs, threshold)
+        else {
+          val inverted = sigs.select(col("id"), explode(col("sh")).as("s"))
+          val dfs = inverted.groupBy("s").agg(count(lit(1)).as("df"))
+            .filter(col("df") >= 2)
+            .localCheckpoint(true)
+          val r = dfs.select(sum(col("df").cast("double")).as("occ"),
+            sum(col("df").cast("double") * col("df")).as("occ2")).first()
+          val amplification =
+            if (r.isNullAt(0) || r.getDouble(0) == 0.0) 0.0
+            else r.getDouble(1) / r.getDouble(0)
+          if (amplification <= AmpThreshold) cooccurFrom(sigs, inverted, dfs, threshold)
+          else prefixFilteredFrom(sigs, inverted, dfs, threshold)
+        }
     }
   }
 
@@ -546,6 +587,14 @@ object Dedup {
   private def cooccurCounts(
       sigs: DataFrame, inverted: DataFrame, dfs: DataFrame): DataFrame = {
     val sizes = sigs.select(col("id"), size(col("sh")).as("sz"))
+    // deliberately the SELF-JOIN formulation, not the SortedPairs bucket
+    // generator used by bucketPairs: the posting stream is dominated by
+    // tiny df≈2 buckets (the natural-text long tail), where the per-group
+    // ObjectHashAggregate(collect_list)+generator overhead measures ~55%
+    // slower than the codegen'd join + partial-count aggregate at the
+    // bench scale (r16 A/B: 0.85 s join vs 1.32 s generator on the sf0.1
+    // posting stream). The LSH banded stream (few, larger buckets) is the
+    // shape where the generator wins — see bucketPairs.
     val pruned = inverted.join(dfs.select("s"), "s")
     val l = pruned.select(col("s"), col("id").as("id_a"))
     val r = pruned.select(col("s"), col("id").as("id_b"))

@@ -228,8 +228,17 @@ object Transform {
     val h = normalizeHow(how)
     val sortL = rowSorter(left.schema, presort)
     val sortR = rowSorter(right.schema, presort)
-    val lg = left.groupByKey(r => Row.fromSeq(keys.map(k => r.getAs[Any](k))))(keyEnc)
-    val rg = right.groupByKey(r => Row.fromSeq(keys.map(k => r.getAs[Any](k))))(keyEnc)
+    // column-based grouping (RelationalGroupedDataset.as), NOT
+    // groupByKey(closure): the closure form deserializes every row to an
+    // external Row just to re-extract the key (an AppendColumns node —
+    // per-row serde outside codegen), while .as grouping evaluates the key
+    // columns natively and keeps the exchange/sort fully codegen'd. Key
+    // Rows arrive in `f` with the same shape either way; null keys group
+    // together under both (SQL grouping semantics = Row equality here).
+    val rowEncL: Encoder[Row] = Encoders.row(left.schema)
+    val rowEncR: Encoder[Row] = Encoders.row(right.schema)
+    val lg = left.groupBy(keys.map(col): _*).as(keyEnc, rowEncL)
+    val rg = right.groupBy(keys.map(col): _*).as(keyEnc, rowEncR)
     lg.cogroup(rg) { (k, ls, rs) =>
       val lBuf = sortL(ls).buffered
       val rBuf = sortR(rs).buffered
@@ -406,8 +415,11 @@ object Transform {
       frames.head.schema(frames.head.schema.fieldIndex(k))))
     val keyEnc: Encoder[Row] = Encoders.row(keySchema)
     val outEnc: Encoder[Row] = Encoders.row(outputSchema)
+    // column-based grouping for the same reason as [[coMap]]: the closure
+    // form pays a per-row external-Row deserialization (AppendColumns)
+    // just to re-extract columns the frame already has
     unioned
-      .groupByKey(r => Row.fromSeq(keys.map(k => r.getAs[Any](k))))(keyEnc)
+      .groupBy(keys.map(col): _*).as(keyEnc, Encoders.row(unioned.schema))
       .flatMapGroups { (k: Row, it: Iterator[Row]) =>
         val buffers = Array.fill(n)(Vector.newBuilder[Row])
         it.foreach { r =>
