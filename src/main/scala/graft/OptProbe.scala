@@ -44,6 +44,19 @@ object OptProbe {
       case "pairab" => pairAB(dir)
       case "comapab" => coMapAB(dir)
       case "d04ab" => d04AB(dir)
+      case "cteab" => cteAB(dir)
+      case "hplan" =>
+        val s = sess()
+        for (q <- args.drop(1)) {
+          val d = SparkEntry.queries(q)(s, dir)
+          d.count()
+          println(s"===== $q executed plan =====")
+          println(d.queryExecution.executedPlan.toString.split("\n")
+            .filter(l => l.contains("Exchange") || l.contains("Reused") ||
+              l.contains("Scan parquet") || l.contains("HashAggregate") ||
+              l.contains("Join")).mkString("\n"))
+        }
+        s.stop()
       case "hconf" => hConf(dir, args.drop(1))
       case "q24" => profileQ24(dir)
       case "head" => headline(dir, args.drop(1))
@@ -147,6 +160,38 @@ object OptProbe {
       time(s"r$i d02-banded GEN pairs")(genPairs(banded, Seq("band", "bh")))
       time(s"r$i d04-posting JOIN co")(joinCo())
       time(s"r$i d04-posting GEN co")(genCo())
+    }
+    s.stop()
+  }
+
+  /** Upper-bound measurement for engine-side CTE materialization: h02 and
+    * h20 as-written (multi-referenced CTE evaluated twice) vs the same
+    * query with the CTE pre-materialized (localCheckpoint) and referenced
+    * as a view. Results must be identical; only time differs. */
+  private def cteAB(dir: String): Unit = {
+    val s = sess()
+    val eng = graft.engine.SparkGraftEngine(s)
+    def tb(n: String) = s.read.parquet(s"$dir/$n.parquet")
+    val h02tabs = Map("lineitem" -> tb("lineitem"), "part" -> tb("part"),
+      "supplier" -> tb("supplier"), "nation" -> tb("nation"),
+      "region" -> tb("region"))
+    def asIs(): Long = eng.sqlSelect(TpchSuite.sql("h02"), h02tabs).count()
+    def mat(): Long = {
+      val ps = eng.sqlSelect(
+        "SELECT DISTINCT l_partkey, l_suppkey FROM lineitem",
+        Map("lineitem" -> h02tabs("lineitem"))).localCheckpoint(true)
+      val rest = TpchSuite.sql("h02").replaceFirst(
+        "(?s)WITH ps AS \\(SELECT DISTINCT l_partkey, l_suppkey FROM lineitem\\),",
+        "WITH")
+      val n = eng.sqlSelect(rest, h02tabs + ("ps" -> ps)).count()
+      org.apache.spark.sql.graftshim.ColumnBridge.unpersistCheckpointed(ps)
+      n
+    }
+    val a0 = asIs(); val b0 = mat()
+    require(a0 == b0, s"row counts differ: $a0 vs $b0")
+    (1 to 3).foreach { i =>
+      time(s"r$i h02 as-written")(asIs())
+      time(s"r$i h02 materialized-ps")(mat())
     }
     s.stop()
   }
