@@ -41,7 +41,6 @@ object OptProbe {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     mode match {
       case "d04" => profileD04(dir)
-      case "pairab" => pairAB(dir)
       case "comapab" => coMapAB(dir)
       case "d04ab" => d04AB(dir)
       case "cteab" => cteAB(dir)
@@ -106,63 +105,14 @@ object OptProbe {
     s.stop()
   }
 
-  /** A/B the two candidate-pair formulations (self-join vs sorted-pairs
-    * generator) on the REAL d02 banded frame and d04 posting stream at the
-    * bench scale, interleaved in one warm JVM. */
-  private def pairAB(dir: String): Unit = {
-    val s = sess()
-    import graft.functions.Dedup
-    val docs = s.read.parquet(s"$dir/documents.parquet")
-    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
-      .localCheckpoint(true)
-    // d02-shaped banded frame
-    val rows = 128 / 16
-    val bandCols = (0 until 16).map(b =>
-      xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, rows)), lit(b)))
-    val banded = sigs.select(col("id"),
-      posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
-      .localCheckpoint(true)
-    // d04-shaped pruned posting stream
-    val inverted = sigs.select(col("id"), explode(col("sh")).as("s"))
-    val dfs = inverted.groupBy("s").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2)
-    val pruned = inverted.join(dfs.select("s"), "s").localCheckpoint(true)
-
-    def joinPairs(b: org.apache.spark.sql.DataFrame, keys: Seq[String]): Unit = {
-      val ks = keys.map(col)
-      val useful = b.groupBy(ks: _*).agg(count(lit(1)).as("__bsz"))
-        .filter(col("__bsz").between(2, 1000)).select(ks: _*)
-      val pr = b.join(useful, keys)
-      val a2 = pr.select((ks :+ col("id").as("id_a")): _*)
-      val b2 = pr.select((ks :+ col("id").as("id_b")): _*)
-      noop(a2.join(b2, keys).filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b")).distinct())
-    }
-    def genPairs(b: org.apache.spark.sql.DataFrame, keys: Seq[String]): Unit =
-      noop(Dedup.bucketPairs(b, keys, 1000))
-    def joinCo(): Unit = {
-      val l = pruned.select(col("s"), col("id").as("id_a"))
-      val r = pruned.select(col("s"), col("id").as("id_b"))
-      noop(l.join(r, "s").filter(col("id_a") < col("id_b"))
-        .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter")))
-    }
-    def genCo(): Unit =
-      noop(pruned.groupBy("s")
-        .agg(sort_array(collect_list(col("id"))).as("__ids"))
-        .select(graft.functions.expressions.VectorExpressions
-          .sortedPairs(col("__ids")).as(Seq("id_a", "id_b")))
-        .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter")))
-    // warm both code paths
-    joinPairs(banded, Seq("band", "bh")); genPairs(banded, Seq("band", "bh"))
-    joinCo(); genCo()
-    (1 to 3).foreach { i =>
-      time(s"r$i d02-banded JOIN pairs")(joinPairs(banded, Seq("band", "bh")))
-      time(s"r$i d02-banded GEN pairs")(genPairs(banded, Seq("band", "bh")))
-      time(s"r$i d04-posting JOIN co")(joinCo())
-      time(s"r$i d04-posting GEN co")(genCo())
-    }
-    s.stop()
-  }
+  // pairab / ivfab: the candidate-pair generator A/B harnesses were
+  // removed together with the SortedPairs experiment they measured (the
+  // generator lost: wash on the banded shape at sf0.1 AND sf1, ~9x slower
+  // on the few-large-buckets ivfCosinePairs shape — 162-194 s vs 18-22 s —
+  // because AQE coalesces the tiny-in-bytes bucket frame to ~1 partition
+  // and per-bucket generation cannot be split the way AQE skew-join
+  // splitting divides the self-join's quadratic work). Numbers and the
+  // full narrative live in OPTIMIZATION_r16.md, experiment A/A2.
 
   /** Upper-bound measurement for engine-side CTE materialization: h02 and
     * h20 as-written (multi-referenced CTE evaluated twice) vs the same

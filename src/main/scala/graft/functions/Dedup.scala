@@ -291,28 +291,32 @@ object Dedup {
   }
 
   /** Candidate pairs from bucket keys: bucket-size filter (the skew cap,
-   * applied BEFORE the quadratic step — a count-only aggregate, so a
-   * degenerate bucket never materializes a member list), then per-bucket
-   * pair GENERATION instead of the former self-join: admitted buckets
-   * aggregate their (cap-bounded) sorted member list and a streaming
-   * generator ([[graft.functions.expressions.SortedPairs]]) emits the
-   * id_a < id_b pairs. Identical output to the self-join formulation
-   * (differential-pinned by PairGenSpec), but the banded stream is
-   * shuffled once less and its upstream is not executed twice (the
-   * self-join's two sides were the same subtree). Type-agnostic in the
-   * id column — any orderable id works. */
+   * applied BEFORE the quadratic step) then a self-join with id_a < id_b.
+   * Type-agnostic in the id column — any orderable id works.
+   *
+   * Deliberately the SELF-JOIN formulation. An r16 experiment replaced it
+   * with a per-bucket collect_list + streaming pair generator (one fewer
+   * shuffle of the banded stream, upstream executed once instead of
+   * twice) — a wash at bench scale on the banded shape, but a PARALLELISM
+   * COLLAPSE on the few-large-buckets shape (ivfCosinePairs: ~8 cells ×
+   * thousands of members, cap 10000): the bucket frame is tiny in bytes,
+   * AQE coalesces it to ~1 partition, and the quadratic pair expansion +
+   * partial-distinct then run in ONE unsplittable task (observed as a
+   * 45-minute single-task spill straggler in the sf1 gate). The join
+   * formulation keeps the expansion inside a join whose skewed partitions
+   * AQE skew-join handling CAN split across tasks. Generation-per-bucket
+   * cannot be split below one bucket row — wrong primitive at scale. */
   def bucketPairs(
       banded: DataFrame, bucketCols: Seq[String], maxBucketSize: Int): DataFrame = {
     val keys = bucketCols.map(col)
     val useful = banded.groupBy(keys: _*).agg(count(lit(1)).as("__bsz"))
       .filter(col("__bsz").between(2, maxBucketSize))
       .select(keys: _*)
-    banded.join(useful, bucketCols)
-      .groupBy(keys: _*)
-      .agg(sort_array(collect_list(col("id"))).as("__ids"))
-      .select(graft.functions.expressions.VectorExpressions
-        .sortedPairs(col("__ids")).as(Seq("id_a", "id_b")))
-      .distinct()
+    val pruned = banded.join(useful, bucketCols)
+    val a = pruned.select((keys :+ col("id").as("id_a")): _*)
+    val b = pruned.select((keys :+ col("id").as("id_b")): _*)
+    a.join(b, bucketCols).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
   }
 
   /** Join candidate (id_a,id_b) pairs back to shingle sets and keep pairs

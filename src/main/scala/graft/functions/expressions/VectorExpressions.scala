@@ -1101,102 +1101,7 @@ case class DequantizeInt8(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/**
- * Generator: every position pair (i < j) of a SORTED array as an
- * (id_a, id_b) row, skipping pairs of EQUAL values — the streaming
- * equivalent of the candidate-pair self-join
- * `a JOIN b ON bucketKey WHERE a.id < b.id` applied to one bucket's
- * member list. Pair multiplicity matches the join exactly (duplicate
- * values contribute positional cross pairs, never self pairs).
- *
- * Contract: the caller passes the bucket members sorted ascending
- * (`sort_array`) so that id_a < id_b holds in Spark's ordering; null
- * elements never occur (`collect_list` drops nulls — matching the join,
- * where a null id fails `id_a < id_b`).
- *
- * Scale: a bucket of B members emits B(B-1)/2 rows LAZILY — no pair
- * array is materialized, so memory stays O(bucket) regardless of the
- * quadratic output (the join formulation this replaces paid a second
- * shuffle of the banded stream plus a duplicate execution of its
- * upstream; see Dedup.bucketPairs).
- */
-case class SortedPairs(child: Expression)
-    extends UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.Generator
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
-
-  private lazy val elemType: DataType = child.dataType match {
-    case ArrayType(et, _) => et
-    case _ => NullType
-  }
-
-  override def checkInputDataTypes()
-      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    child.dataType match {
-      case ArrayType(et, _)
-        if org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(et) =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case other =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"sorted_pairs requires array<orderable>, got ${other.catalogString}")
-    }
-
-  override def elementSchema: StructType = StructType(Seq(
-    StructField("id_a", elemType, nullable = true),
-    StructField("id_b", elemType, nullable = true)))
-
-  @transient private lazy val ordering: Ordering[Any] =
-    org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(elemType)
-
-  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
-    val data = child.eval(input)
-    if (data == null) return Iterator.empty
-    val arr = data.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    if (n < 2) return Iterator.empty
-    // snapshot the elements once: ArrayData.get is O(1) but repeated
-    // access per pair would re-decode strings/structs B times each
-    val vals = new Array[Any](n)
-    var k = 0
-    while (k < n) { vals(k) = arr.get(k, elemType); k += 1 }
-    new Iterator[InternalRow] {
-      private var i = 0
-      private var j = 1
-      private var nextRow: InternalRow = null
-      private def advance(): Unit = {
-        while (nextRow == null && i < n - 1) {
-          if (j >= n) { i += 1; j = i + 1 }
-          else {
-            val a = vals(i)
-            val b = vals(j)
-            // null elements pair with nothing (join semantics: null id
-            // fails id_a < id_b); equal values pair with nothing either
-            if (a != null && b != null && ordering.compare(a, b) != 0) {
-              nextRow = new org.apache.spark.sql.catalyst.expressions
-                .GenericInternalRow(Array[Any](a, b))
-            }
-            j += 1
-          }
-        }
-      }
-      override def hasNext: Boolean = { advance(); nextRow != null }
-      override def next(): InternalRow = {
-        advance()
-        if (nextRow == null) throw new NoSuchElementException
-        val r = nextRow
-        nextRow = null
-        r
-      }
-    }
-  }
-
-  override protected def withNewChildInternal(c: Expression): Expression =
-    copy(child = c)
-}
-
 object VectorExpressions {
-  def sortedPairs(ids: Column): Column =
-    ColumnBridge.column(SortedPairs(ColumnBridge.expression(ids)))
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def l2normalize(v: Column): Column =

@@ -1,97 +1,70 @@
 package graft
 
 import graft.functions.Dedup
-import graft.functions.expressions.VectorExpressions
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions._
 
-/** Differential pinning for the r16 candidate-pair optimization: the
- * per-bucket [[graft.functions.expressions.SortedPairs]] generator must
- * reproduce the former self-join formulation EXACTLY (pair set for
- * bucketPairs, pair multiset for the co-occurrence counts), on the
- * adversarial shapes the join handled implicitly: duplicate ids in one
- * bucket, null ids, cap boundaries, string ids, single-member buckets. */
+/** Edge-semantics pinning for `Dedup.bucketPairs` (the candidate-pair core
+ * shared by the minhash/simhash banding, hamming64Pairs and the
+ * lsh/ivfCosinePairs stages), written during the r16 optimization round:
+ * an experiment replaced the self-join with a per-bucket pair generator
+ * and was REVERTED after an sf1-scale parallelism-collapse straggler
+ * (OPTIMIZATION_r16.md experiment A2). These literal expectations pin the
+ * exact semantics any future reformulation must reproduce: duplicate ids
+ * in one bucket, null ids (count toward the cap, pair with nothing), cap
+ * boundaries, cross-bucket pair dedup, string ids, multi-column keys. */
 class PairGenSpec extends SparkTestBase {
-
-  /** The former self-join formulation of bucketPairs, kept verbatim as the
-   * semantic reference. */
-  private def bucketPairsJoin(
-      banded: DataFrame, bucketCols: Seq[String], maxBucketSize: Int): DataFrame = {
-    val keys = bucketCols.map(col)
-    val useful = banded.groupBy(keys: _*).agg(count(lit(1)).as("__bsz"))
-      .filter(col("__bsz").between(2, maxBucketSize))
-      .select(keys: _*)
-    val pruned = banded.join(useful, bucketCols)
-    val a = pruned.select((keys :+ col("id").as("id_a")): _*)
-    val b = pruned.select((keys :+ col("id").as("id_b")): _*)
-    a.join(b, bucketCols).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
-  }
 
   private def pairsOf(d: DataFrame): Set[(Any, Any)] =
     d.collect().map(r => (r.get(0), r.get(1))).toSet
 
-  test("sorted_pairs generator: basic, equal values, nulls, short arrays") {
-    val d = df(Seq(
-      Seq(Seq(1L, 2L, 3L)),
-      Seq(Seq(5L, 5L, 7L)), // equal values pair only across, never within
-      Seq(Seq(9L)), // single member: no pairs
-      Seq(Seq.empty[Long])), "ids:[long]")
-    val got = d.select(VectorExpressions.sortedPairs(col("ids"))
-      .as(Seq("id_a", "id_b"))).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
-    assert(got === Seq((1L, 2L), (1L, 3L), (2L, 3L), (5L, 7L), (5L, 7L)).sorted)
-  }
-
-  test("bucketPairs == former self-join: longs, dup ids, cap boundary") {
+  test("bucketPairs: distinct ids, dup ids, cap boundary, singleton buckets") {
     val banded = df(Seq(
       // bucket 1: three distinct ids
       Seq(10L, 1L), Seq(11L, 1L), Seq(12L, 1L),
-      // bucket 2: duplicate id (two rows of id 20) + one other
+      // bucket 2: duplicate id (two rows of id 20) + one other — no self
+      // pair, (20, 21) exactly once after the distinct
       Seq(20L, 2L), Seq(20L, 2L), Seq(21L, 2L),
-      // bucket 3: exactly at the cap (4 rows with cap 4)
+      // bucket 3: exactly at the cap (4 rows with cap 4) — admitted
       Seq(30L, 3L), Seq(31L, 3L), Seq(32L, 3L), Seq(33L, 3L),
       // bucket 4: above the cap (5 rows with cap 4) — must vanish
       Seq(40L, 4L), Seq(41L, 4L), Seq(42L, 4L), Seq(43L, 4L), Seq(44L, 4L),
       // bucket 5: single member — no pairs
       Seq(50L, 5L)), "id:long,bk:long")
-    for (cap <- Seq(4, 1000)) {
-      val nw = pairsOf(Dedup.bucketPairs(banded, Seq("bk"), cap))
-      val old = pairsOf(bucketPairsJoin(banded, Seq("bk"), cap))
-      assert(nw === old, s"cap $cap")
-    }
+    val capped = pairsOf(Dedup.bucketPairs(banded, Seq("bk"), 4))
+    assert(capped === Set(
+      (10L, 11L), (10L, 12L), (11L, 12L),
+      (20L, 21L),
+      (30L, 31L), (30L, 32L), (30L, 33L), (31L, 32L), (31L, 33L), (32L, 33L)))
+    val uncapped = pairsOf(Dedup.bucketPairs(banded, Seq("bk"), 1000))
+    assert(uncapped.size === capped.size + 10) // bucket 4's C(5,2) pairs
+    assert(uncapped.contains((40L, 44L)))
   }
 
-  test("bucketPairs == former self-join: null ids count toward the cap") {
-    // null id occupies a bucket slot (count-based guard) but pairs with
-    // nothing — both formulations must agree, including at the boundary
-    // where the null row pushes the bucket over the cap
+  test("bucketPairs: null ids count toward the cap but pair with nothing") {
     val banded = df(Seq(
       Seq[Any](null, 1L), Seq[Any](60L, 1L), Seq[Any](61L, 1L),
       Seq[Any](70L, 2L), Seq[Any](null, 2L)), "id:long,bk:long")
-    for (cap <- Seq(2, 3, 1000)) {
-      val nw = pairsOf(Dedup.bucketPairs(banded, Seq("bk"), cap))
-      val old = pairsOf(bucketPairsJoin(banded, Seq("bk"), cap))
-      assert(nw === old, s"cap $cap")
-    }
+    // cap 2: bucket 1 holds 3 ROWS (null included) — over the cap, gone;
+    // bucket 2 holds 2 rows but its only pair involves a null — empty
+    assert(pairsOf(Dedup.bucketPairs(banded, Seq("bk"), 2)) === Set.empty)
+    // cap 3: bucket 1 admitted; the null pairs with nothing
+    assert(pairsOf(Dedup.bucketPairs(banded, Seq("bk"), 3)) === Set((60L, 61L)))
   }
 
-  test("bucketPairs == former self-join: string ids, multi-column bucket key") {
+  test("bucketPairs: string ids, multi-column bucket key, cross-bucket dedup") {
     val banded = df(Seq(
       Seq("docB", 1L, "x"), Seq("docA", 1L, "x"), Seq("docC", 1L, "x"),
       Seq("docA", 1L, "y"), Seq("docB", 1L, "y"),
       Seq("docZ", 2L, "x")), "id:str,band:long,bh:str")
-    val nw = pairsOf(Dedup.bucketPairs(banded, Seq("band", "bh"), 100))
-    val old = pairsOf(bucketPairsJoin(banded, Seq("band", "bh"), 100))
-    assert(nw === old)
-    // cross-bucket dedup: (docA, docB) appears in two buckets, one pair out
-    assert(nw.contains(("docA", "docB")))
+    val got = pairsOf(Dedup.bucketPairs(banded, Seq("band", "bh"), 100))
+    // (docA, docB) co-occurs in two buckets — exactly one output pair
+    assert(got === Set(
+      ("docA", "docB"), ("docA", "docC"), ("docB", "docC")))
   }
 
-  test("cooccur counts keep self-join multiplicity (shared-shingle counts)") {
+  test("cooccur counts keep pair multiplicity (shared-shingle counts)") {
     // doc 1 and 2 share shingles {100, 101}; doc 3 shares only {100}:
-    // inter(1,2) = 2, inter(1,3) = inter(2,3) = 1 — through the public
-    // jaccard surface so the generator path is what computes it
+    // inter(1,2) = 2, inter(1,3) = inter(2,3) = 1
     val sigs = df(Seq(
       Seq(1L, Seq(100L, 101L, 102L)),
       Seq(2L, Seq(100L, 101L, 103L)),
