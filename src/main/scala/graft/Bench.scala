@@ -64,6 +64,14 @@ object Bench {
    * figure is re-measured after an idle wait. */
   val OutlierFactor = 2.0
 
+  /** r17 (judge ask #5): the 2.0× bar has a blind spot for 1.5–2×
+   * contention inflation on the heavy queries — the r16 driver artifact
+   * booked d04 at 1.87× its ledger entry under residual load and never
+   * got the idle re-measure that rescued q01/q02/q06/h02. Queries whose
+   * ledger figure is at least [[HeavyLedgerSec]] use this tighter bar. */
+  val HeavyOutlierFactor = 1.5
+  val HeavyLedgerSec = 1.0
+
   /** Per-query reference seconds from BASELINE.md's fenced
    * ```json bench-ledger``` block (empty when absent — the outlier
    * pass then has nothing to compare against and is skipped).
@@ -210,7 +218,8 @@ object Bench {
     // honest StampLoad bar; both figures ship in the artifact.
     val refs = ledger(k => names.contains(k) || hNames.contains(k))
     def outliersOf(rs: Seq[(String, Option[Double])]) = rs.collect {
-      case (name, Some(v)) if refs.get(name).exists(r => v > OutlierFactor * r) =>
+      case (name, Some(v)) if refs.get(name).exists(r =>
+        v > (if (r >= HeavyLedgerSec) HeavyOutlierFactor else OutlierFactor) * r) =>
         name -> v
     }
     val firstPass = outliersOf(results) ++ outliersOf(hResults)
@@ -263,7 +272,22 @@ object Bench {
       loadDecayed = loadavg1m
     }
     val contended = loadStart > StampLoad || loadDecayed > StampLoad
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":3,"agg":"min","errors":$errs,"queries":${fmt(results)},"h_total":$hTotal%.3f,"h_runs":2,"h_errors":$hErrs,"h_queries":${fmt(hResults)},"loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"loadavg_end_decayed":$loadDecayed%.2f,"loadavg_waited_sec":$waited,"retried":$retried,"outliers_first_pass":$remStr,"outliers_remeasured":$remeasured,"stamp_load":$StampLoad%.1f,"contended":$contended,"sf":"$sfDir"}""")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":3,"agg":"min","errors":$errs,"queries":${fmt(results)},"h_total":$hTotal%.3f,"h_runs":2,"h_errors":$hErrs,"h_queries":${fmt(hResults)},"loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"loadavg_end_decayed":$loadDecayed%.2f,"loadavg_waited_sec":$waited,"retried":$retried,"outliers_first_pass":$remStr,"outliers_remeasured":$remeasured,"stamp_load":$StampLoad%.1f,"contended":$contended,"sf":"$sfDir"}"""
+    println(line)
+    // r17 (judge ask #1): the driver has never parsed the stdout line —
+    // sbt's logger prefixes it "[info] " and appends "[success] ..."
+    // lines, so every BENCH_r*.json back to r11 carries parsed:null and
+    // every PERF comparison is empty. Write the exact same line verbatim
+    // to a plain file at the repo root as well; the stdout print stays
+    // for log-tail readers. SPARK_GRAFT_BENCH_OUT overrides the path.
+    try {
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"BENCH RESULT written to $out")
+    } catch { case t: Throwable =>
+      System.err.println(s"BENCH RESULT file write failed: ${t.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -62,6 +62,38 @@ class PairGenSpec extends SparkTestBase {
       ("docA", "docB"), ("docA", "docC"), ("docB", "docC")))
   }
 
+  test("bucketPairs: salted arm (cap > salt bound) emits the identical " +
+      "pair set as the unsalted arm on sub-bound buckets") {
+    // caps 2048 (unsalted arm) vs 2049 (salted arm, every nsalt = 1) admit
+    // the same buckets — the pair sets must be identical, nulls and dup
+    // ids included
+    val banded = df(Seq(
+      Seq[Any](10L, 1L), Seq[Any](11L, 1L), Seq[Any](12L, 1L),
+      Seq[Any](20L, 2L), Seq[Any](20L, 2L), Seq[Any](null, 2L), Seq[Any](21L, 2L),
+      Seq[Any](30L, 3L)), "id:long,bk:long")
+    val unsalted = pairsOf(Dedup.bucketPairs(banded, Seq("bk"), 2048))
+    val salted = pairsOf(Dedup.bucketPairs(banded, Seq("bk"), 2049))
+    assert(salted === unsalted)
+    assert(salted === Set((10L, 11L), (10L, 12L), (11L, 12L), (20L, 21L)))
+  }
+
+  test("bucketPairs: a bucket above the salt bound splits (nsalt >= 2) " +
+      "with the exact complete pair set (r17 s06 skew hardening)") {
+    // 3000-member bucket (incl. one null and one duplicated id) with cap
+    // 5000: nsalt = ceil(3000/2048) = 2 — genuinely salted. Every pair of
+    // the 2998 distinct non-null ids must appear exactly once.
+    val rows = (1L to 2998L).map(i => Seq[Any](i, 7L)) ++
+      Seq(Seq[Any](null, 7L), Seq[Any](1L, 7L)) ++
+      Seq(Seq[Any](9001L, 8L), Seq[Any](9002L, 8L)) // small co-bucket
+    val banded = df(rows, "id:long,bk:long")
+    val out = Dedup.bucketPairs(banded, Seq("bk"), 5000)
+    val n = out.count()
+    assert(n === 2998L * 2997L / 2 + 1) // C(2998,2) + the bucket-8 pair
+    // spot membership across salt slices (ids hash to different salts)
+    val sample = out.filter("id_a = 1").count()
+    assert(sample === 2997L)
+  }
+
   test("cooccur counts keep pair multiplicity (shared-shingle counts)") {
     // doc 1 and 2 share shingles {100, 101}; doc 3 shares only {100}:
     // inter(1,2) = 2, inter(1,3) = inter(2,3) = 1

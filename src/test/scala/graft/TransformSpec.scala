@@ -118,6 +118,21 @@ class TransformSpec extends SparkTestBase {
     assertDfEq(out, Seq(Seq(1, 2L, 0L), Seq(2, 1L, 1L), Seq(3, 0L, 1L)))
   }
 
+  test("coMap groups null keys together on both sides (r16 advice: pins " +
+      "the column-based .as grouping's null semantics)") {
+    // null keys on BOTH sides must meet as ONE cogroup (SQL grouping
+    // semantics — the reference groups nulls together, and the r16 switch
+    // from groupByKey(closure) to groupBy(cols).as claims this unchanged)
+    val l = df(Seq(Seq(null, "x"), Seq(null, "y"), Seq("a", "z")), "k:str,a:str")
+    val r = df(Seq(Seq(null, 1.0), Seq("b", 2.0)), "k:str,b:double")
+    val out = Transform.coMap(l, r, Seq("k"), "full_outer",
+      SchemaExpr.parse("k:str,nl:long,nr:long")) { (k, ls, rs) =>
+      Iterator.single(Row(k.head, ls.size.toLong, rs.size.toLong))
+    }
+    assertDfEq(out,
+      Seq(Seq(null, 2L, 1L), Seq("a", 1L, 0L), Seq("b", 0L, 1L)))
+  }
+
   test("coMap inner/left_outer visit subsets") {
     val l = df(Seq(Seq(1, "x"), Seq(2, "z")), "k:int,a:str")
     val r = df(Seq(Seq(2, 20.0), Seq(3, 30.0)), "k:int,b:double")
