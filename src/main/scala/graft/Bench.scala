@@ -80,10 +80,18 @@ object Bench {
    * masquerade as a query reference. The file is found at
    * `SPARK_GRAFT_BASELINE` when set, else `BASELINE.md` under the
    * JVM's working directory (sbt forks with cwd = project root). */
-  private[graft] def ledger(valid: String => Boolean = _ => true): Map[String, Double] = {
+  private[graft] def ledger(valid: String => Boolean = _ => true,
+      baselineOverride: Option[String] = sys.env.get("SPARK_GRAFT_BASELINE"))
+      : Map[String, Double] = {
     try {
-      val path = (sys.env.get("SPARK_GRAFT_BASELINE").toSeq :+ "BASELINE.md")
-        .find(p => new java.io.File(p).isFile)
+      // an EXPLICIT override is authoritative: pointing it at a missing
+      // path disables the ledger outright (the r17 sf1 series needs
+      // that — sf1 readings vs sf0.1 references would false-trip the
+      // outlier pass on every query). Fallback to BASELINE.md only when
+      // the variable is unset.
+      val path = baselineOverride
+        .fold(Option("BASELINE.md"))(p => Option(p))
+        .filter(p => new java.io.File(p).isFile)
       path match {
         case Some(p) =>
           // explicit UTF-8: the forked JVM's default charset may be

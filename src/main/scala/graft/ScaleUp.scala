@@ -49,7 +49,17 @@ object ScaleUp {
       // (DuckDB's read_parquet takes a file path, not a Spark output
       // directory) — write a 1-part directory, then promote the part file
       val tmp = s"$out/_gen_$name"
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      // r17: bounded row-group size. coalesce(1) used to write ONE row
+      // group per table (sf1 lineitem: a single 108 MB group), and a scan
+      // split can never be finer than a row group — so every sf1 scan
+      // stage ran in ONE task regardless of core count, and the c8/c32
+      // scaling series measured the fixture layout, not the engine
+      // (h21 inverted to 0.60). 4 MB groups keep the single-FILE layout
+      // the DuckDB oracle needs while giving Spark ~27 splits on the
+      // largest table. Row content and order are unchanged.
+      df.coalesce(1).write.mode("overwrite")
+        .option("parquet.block.size", (4 * 1024 * 1024).toString)
+        .parquet(tmp)
       val conf = spark.sparkContext.hadoopConfiguration
       val tmpPath = new org.apache.hadoop.fs.Path(tmp)
       val fs = tmpPath.getFileSystem(conf)

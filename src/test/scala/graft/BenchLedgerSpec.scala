@@ -22,4 +22,12 @@ class BenchLedgerSpec extends AnyFunSuite {
       assert(refs.contains(q), s"headline query $q missing from ledger")
     }
   }
+
+  test("explicit SPARK_GRAFT_BASELINE override is authoritative (r17): a " +
+      "missing path disables the ledger instead of falling back") {
+    // the sf1 series points the override at a missing file to disarm the
+    // sf0.1-based outlier pass; the old fallback silently re-armed it
+    assert(Bench.ledger(_ => true, Some("/nonexistent/baseline.md")).isEmpty)
+    assert(Bench.ledger(_ => true, None).nonEmpty) // unset -> BASELINE.md
+  }
 }
