@@ -62,26 +62,27 @@ class PairGenSpec extends SparkTestBase {
       ("docA", "docB"), ("docA", "docC"), ("docB", "docC")))
   }
 
-  test("bucketPairs: salted arm (cap > salt bound) emits the identical " +
-      "pair set as the unsalted arm on sub-bound buckets") {
-    // caps 2048 (unsalted arm) vs 2049 (salted arm, every nsalt = 1) admit
-    // the same buckets — the pair sets must be identical, nulls and dup
-    // ids included
+  test("bucketPairs: the pair set is invariant in the cap value above " +
+      "every bucket size (pins any future capped-arm specialization)") {
+    // the r17 salt experiment (reverted — see the bucketPairs comment)
+    // specialized on the cap; any future arm split must keep pair sets
+    // identical across the boundary, nulls and dup ids included
     val banded = df(Seq(
       Seq[Any](10L, 1L), Seq[Any](11L, 1L), Seq[Any](12L, 1L),
       Seq[Any](20L, 2L), Seq[Any](20L, 2L), Seq[Any](null, 2L), Seq[Any](21L, 2L),
       Seq[Any](30L, 3L)), "id:long,bk:long")
-    val unsalted = pairsOf(Dedup.bucketPairs(banded, Seq("bk"), 2048))
-    val salted = pairsOf(Dedup.bucketPairs(banded, Seq("bk"), 2049))
-    assert(salted === unsalted)
-    assert(salted === Set((10L, 11L), (10L, 12L), (11L, 12L), (20L, 21L)))
+    val atBound = pairsOf(Dedup.bucketPairs(banded, Seq("bk"), 2048))
+    val aboveBound = pairsOf(Dedup.bucketPairs(banded, Seq("bk"), 2049))
+    assert(aboveBound === atBound)
+    assert(atBound === Set((10L, 11L), (10L, 12L), (11L, 12L), (20L, 21L)))
   }
 
-  test("bucketPairs: a bucket above the salt bound splits (nsalt >= 2) " +
-      "with the exact complete pair set (r17 s06 skew hardening)") {
+  test("bucketPairs: a multi-thousand-member bucket emits the exact " +
+      "complete pair set (pins the quadratic expansion's correctness)") {
     // 3000-member bucket (incl. one null and one duplicated id) with cap
-    // 5000: nsalt = ceil(3000/2048) = 2 — genuinely salted. Every pair of
-    // the 2998 distinct non-null ids must appear exactly once.
+    // 5000. Every pair of the 2998 distinct non-null ids exactly once —
+    // the literal expectation any reformulation (salting, generators)
+    // must reproduce.
     val rows = (1L to 2998L).map(i => Seq[Any](i, 7L)) ++
       Seq(Seq[Any](null, 7L), Seq[Any](1L, 7L)) ++
       Seq(Seq[Any](9001L, 8L), Seq[Any](9002L, 8L)) // small co-bucket
@@ -89,7 +90,6 @@ class PairGenSpec extends SparkTestBase {
     val out = Dedup.bucketPairs(banded, Seq("bk"), 5000)
     val n = out.count()
     assert(n === 2998L * 2997L / 2 + 1) // C(2998,2) + the bucket-8 pair
-    // spot membership across salt slices (ids hash to different salts)
     val sample = out.filter("id_a = 1").count()
     assert(sample === 2997L)
   }
