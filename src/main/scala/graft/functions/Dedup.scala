@@ -314,20 +314,20 @@ object Dedup {
     // by pmod(xxhash64(id), ceil(bsz/2048)), side b exploded across the
     // salts — pair set proven identical (PairGenSpec pins it, incl. a
     // genuinely salted 3000-member bucket). Measured on the A2-repro
-    // shape (8 cells × 6000 members, cap 10000): 0.98× under forced SMJ
-    // (both arms bounded by the 144M-row distinct), 0.70×-to-noise under
-    // the bench-like BHJ regime (the broadcast build already spreads the
-    // expansion across stream partitions, so the salt only added an
-    // nsalt× bigger build + a Generate). The deciding observation: the
-    // one REAL query on the salted path (s06's nProbe=k full-recall
-    // differential, cap 100000) hit an hour-class single-task partial-
-    // distinct straggler in the r17 sf1 gate with the salt in — the salt
-    // does not split that task (the stream side arrives in one AQE-
-    // coalesced partition; per-task pair emission is bounded by the
-    // STREAM partitioning, which salting the join key does not change) —
-    // so the change failed its own done-criterion at gate scale and was
-    // reverted per the r16 A2 discipline: no topology change ships
-    // without sf1-gate evidence.
+    // shape (8 cells × 6000 members, cap 10000): 0.98× under forced SMJ,
+    // 0.70×-to-noise under the bench-like BHJ regime. The deciding
+    // measurement: the one REAL query on the salted path (s06's nProbe=k
+    // full-recall differential, cap 100000, buckets = all 20k sf1
+    // embeddings) ran a 55+ minute single-task straggler in the r17 sf1
+    // gate WITH the salt (5.4 GB partial-distinct hash map, one runnable
+    // worker) versus ~2 MINUTES for this unsalted formulation on the
+    // re-run gate — a ≥25× salt-caused regression. Probable mechanism:
+    // the two-column (bucket, __salt) join key demotes the broadcast
+    // build from the specialized LongHashedRelation to the generic
+    // unsafe relation, with nsalt× the build rows, and the synthetic A/B
+    // shape (nsalt 3) was too small to surface it. Reverted per the r16
+    // A2 discipline: no shuffle-topology change ships without sf1-gate
+    // evidence.
     val keys = bucketCols.map(col)
     val useful = banded.groupBy(keys: _*).agg(count(lit(1)).as("__bsz"))
       .filter(col("__bsz").between(2, maxBucketSize))
